@@ -1,0 +1,54 @@
+"""Headline benchmark: run the registry's bench-tagged queries at
+``$SPARK_GRAFT_SF_DIR`` (default /root/testdata/sf0.1) on
+``local[$SPARK_GRAFT_CPUS]`` and print ONE JSON line:
+
+    {"metric": "...", "value": <total_sec>, "unit": "sec",
+     "queries": {"q1...": sec, ...}, "sf": 0.1}
+
+Each query is forced with a cheap count() action (materializes the full
+plan without collecting rows to the driver). A warmup pass on the first
+query amortizes session/JVM startup out of per-query numbers.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = float(os.path.basename(sf_dir.rstrip("/")).removeprefix("sf") or "0.1")
+
+    from kafka_stream_job_spark.registry import all_specs
+    from kafka_stream_job_spark.session import get_spark
+
+    spark = get_spark(app_name="kafka-stream-job-spark-bench")
+    spark.sparkContext.setLogLevel("WARN")
+
+    specs = [s for s in all_specs().values() if s.bench]
+    # warmup: run the first spec once to absorb JVM/codegen startup cost.
+    if specs:
+        specs[0].fn(spark, sf_dir).count()
+
+    timings: dict[str, float] = {}
+    for spec in specs:
+        start = time.perf_counter()
+        spec.fn(spark, sf_dir).count()
+        timings[spec.name] = round(time.perf_counter() - start, 3)
+
+    result = {
+        "metric": "headline_queries_total_time",
+        "value": round(sum(timings.values()), 3),
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+    }
+    print(json.dumps(result))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,273 @@
+"""Deduplication operators over the ``documents`` table — a core
+training-data-pipeline capability (north star; SURVEY.md §7.3 step 5).
+
+Four families, all shuffle-disciplined for 100 TB:
+
+- **Exact dedup** — fingerprint = md5(normalized text); one hash-groupBy.
+  At scale this is a single shuffle on an (effectively) unique key; the
+  canonical-representative choice (min doc_id) is an agg, not a sort.
+- **MinHash + LSH near-dup** — shingle → k min-hashes → b bands → equi-join
+  on band signature. NO cross join anywhere: candidate pairs only arise
+  inside an LSH bucket, which is the whole point of banding. The min-hash
+  itself uses lexicographic min over md5(seed‖shingle) hex strings — a
+  uniform hash ordering both Spark and DuckDB compute identically, so the
+  operator is fully oracle-checkable (rare for MinHash pipelines).
+- **SimHash** — 64-bit-ish bit-vote fingerprint from shingle hashes;
+  near-dup candidates = equal fingerprint prefix bands.
+- **N-gram Jaccard** — exact pairwise Jaccard, but only over LSH candidate
+  pairs (never all pairs), as the verify stage of the near-dup pipeline.
+
+Scale notes: shingling multiplies rows by ~tokens/doc — that explode happens
+AFTER projecting (doc_id, text) only (column pruning), and the groupBy that
+collapses back to one row per doc is a partial-agg-friendly min. Band join
+keys are (band_idx, band_sig) — high cardinality, naturally skew-resistant;
+pathological repeated-text skew is handled by AQE skew-join splitting.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from kafka_stream_job_spark.operators._portable import pround
+from kafka_stream_job_spark.registry import register
+from kafka_stream_job_spark.tables import load_table
+
+# MinHash parameters: k = NUM_HASHES total signatures folded into
+# NUM_BANDS bands of ROWS_PER_BAND each (k = b*r). Jaccard threshold ≈
+# (1/b)^(1/r) ≈ 0.55 with b=8, r=2.
+NUM_BANDS = 8
+ROWS_PER_BAND = 2
+NUM_HASHES = NUM_BANDS * ROWS_PER_BAND
+SHINGLE_K = 3  # word-level 3-shingles
+
+
+def _norm_text(col: str = "text"):
+    """Whitespace-collapse + lowercase; the normalization both engines
+    apply before fingerprinting."""
+    return F.lower(F.trim(F.regexp_replace(F.col(col), r"\s+", " ")))
+
+
+_NORM_SQL = "LOWER(TRIM(regexp_replace(text, '\\s+', ' ', 'g')))"
+
+
+# ---------------------------------------------------------------------------
+# Exact dedup: md5-of-normalized-text fingerprint, keep min doc_id.
+# ---------------------------------------------------------------------------
+@register(
+    "dedup_exact",
+    oracle=f"""
+        SELECT
+            md5({_NORM_SQL})  AS fingerprint,
+            COUNT(*)          AS n_docs,
+            MIN(doc_id)       AS keep_doc_id
+        FROM documents
+        GROUP BY 1
+        HAVING COUNT(*) > 1
+    """,
+    tags=("dedup", "documents"),
+    bench=True,
+)
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.select(F.md5(_norm_text()).alias("fingerprint"), "doc_id")
+        .groupBy("fingerprint")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.min("doc_id").alias("keep_doc_id"),
+        )
+        .filter(F.col("n_docs") > 1)
+    )
+
+
+def _shingles(df: DataFrame) -> DataFrame:
+    """(doc_id, shingle) — distinct word-level K-shingles per document.
+
+    Built JVM-side: split → slice windows via transform over an index
+    sequence → explode. No Python UDF in the hot path.
+    """
+    toks = F.split(_norm_text(), " ")
+    n = F.size(toks)
+    # positions 0..n-K; each yields the K-token shingle joined by space.
+    idx = F.sequence(F.lit(0), F.greatest(n - SHINGLE_K, F.lit(0)))
+    shingle_at = lambda i: F.array_join(F.slice(toks, i + 1, SHINGLE_K), " ")  # noqa: E731
+    return (
+        df.select("doc_id", F.explode(F.array_distinct(F.transform(idx, shingle_at))).alias("shingle"))
+        .distinct()
+    )
+
+
+# DuckDB equivalent of _shingles as a CTE body (word 3-shingles, distinct).
+_SHINGLES_SQL = f"""
+    SELECT DISTINCT
+        doc_id,
+        array_to_string(toks[i + 1 : i + {SHINGLE_K}], ' ') AS shingle
+    FROM (
+        SELECT doc_id, toks,
+               UNNEST(range(0, greatest(len(toks) - {SHINGLE_K}, 0) + 1)) AS i
+        FROM (
+            SELECT doc_id, string_split({_NORM_SQL}, ' ') AS toks
+            FROM documents
+        )
+    )
+"""
+
+_SIGS_SQL = (
+    "SELECT doc_id, "
+    + ", ".join(f"MIN(md5(concat('{s}:', shingle))) AS h{s}" for s in range(NUM_HASHES))
+    + " FROM shingles GROUP BY doc_id"
+)
+
+_BANDS_SQL = " UNION ALL ".join(
+    f"SELECT doc_id, {b} AS band_idx, "
+    f"md5(concat_ws('|', {', '.join(f'h{b * ROWS_PER_BAND + r}' for r in range(ROWS_PER_BAND))}))"
+    f" AS band_sig FROM sigs"
+    for b in range(NUM_BANDS)
+)
+
+
+def minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, sig[NUM_HASHES]) — per-doc MinHash signature.
+
+    Hash h_s(shingle) = md5(s‖':'‖shingle) (hex string); min is
+    lexicographic — uniform and engine-portable. One shuffle: the
+    groupBy(doc_id) collapsing shingles to the signature, with map-side
+    partial mins.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    sh = _shingles(docs)
+    mins = [
+        F.min(F.md5(F.concat(F.lit(f"{s}:"), F.col("shingle")))).alias(f"h{s}")
+        for s in range(NUM_HASHES)
+    ]
+    return sh.groupBy("doc_id").agg(*mins)
+
+
+# ---------------------------------------------------------------------------
+# MinHash-LSH near-dup candidate pairs: band the signature, equi-join on
+# (band_idx, band_sig). Output canonical (a < b) pairs.
+# ---------------------------------------------------------------------------
+def _band_sig_cols():
+    return [
+        F.md5(
+            F.concat_ws(
+                "|", *[F.col(f"h{b * ROWS_PER_BAND + r}") for r in range(ROWS_PER_BAND)]
+            )
+        ).alias(f"band{b}")
+        for b in range(NUM_BANDS)
+    ]
+
+
+@register(
+    "dedup_minhash_lsh",
+    oracle=f"""
+        WITH shingles AS ({_SHINGLES_SQL}),
+        sigs AS ({_SIGS_SQL}),
+        bands AS ({_BANDS_SQL})
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM bands a
+        JOIN bands b
+          ON a.band_idx = b.band_idx
+         AND a.band_sig = b.band_sig
+         AND a.doc_id < b.doc_id
+    """,
+    tags=("dedup", "lsh", "documents"),
+    bench=True,
+)
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sigs = minhash_signatures(spark, sf_dir)
+    banded = sigs.select(
+        "doc_id",
+        F.explode(
+            F.map_from_arrays(
+                F.array(*[F.lit(b) for b in range(NUM_BANDS)]),
+                F.array(*_band_sig_cols()),
+            )
+        ).alias("band_idx", "band_sig"),
+    )
+    left = banded.alias("a")
+    right = banded.alias("b")
+    pairs = (
+        left.join(
+            right,
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_sig") == F.col("b.band_sig"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+        )
+        .distinct()
+    )
+    return pairs
+
+
+# ---------------------------------------------------------------------------
+# N-gram Jaccard verify stage: exact Jaccard similarity computed ONLY over
+# the LSH candidate pairs (never all pairs — that is the 100 TB discipline:
+# the O(n²) verify collapses to O(candidates)). Shuffles: the candidate
+# join keys are doc ids; shingle sets join per pair via two hash joins.
+# ---------------------------------------------------------------------------
+_PAIRS_SQL = """
+    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+    FROM bands a
+    JOIN bands b
+      ON a.band_idx = b.band_idx
+     AND a.band_sig = b.band_sig
+     AND a.doc_id < b.doc_id
+"""
+
+
+@register(
+    "dedup_ngram_jaccard",
+    oracle=f"""
+        WITH shingles AS ({_SHINGLES_SQL}),
+        sigs AS ({_SIGS_SQL}),
+        bands AS ({_BANDS_SQL}),
+        pairs AS ({_PAIRS_SQL}),
+        counts AS (SELECT doc_id, COUNT(*) AS n FROM shingles GROUP BY doc_id),
+        inter AS (
+            SELECT p.doc_a, p.doc_b, COUNT(*) AS n_common
+            FROM pairs p
+            JOIN shingles sa ON sa.doc_id = p.doc_a
+            JOIN shingles sb ON sb.doc_id = p.doc_b AND sb.shingle = sa.shingle
+            GROUP BY p.doc_a, p.doc_b
+        )
+        SELECT
+            doc_a,
+            doc_b,
+            ROUND((n_common * 1.0 / (ca.n + cb.n - n_common)) * 10000.0) / 10000.0 AS jaccard
+        FROM inter
+        JOIN counts ca ON ca.doc_id = doc_a
+        JOIN counts cb ON cb.doc_id = doc_b
+        WHERE ROUND((n_common * 1.0 / (ca.n + cb.n - n_common)) * 10000.0) / 10000.0 >= 0.2
+    """,
+    tags=("dedup", "jaccard", "documents"),
+)
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    sh = _shingles(docs)
+    pairs = dedup_minhash_lsh(spark, sf_dir)
+    counts = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    sa = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
+    sb = sh.select(F.col("doc_id").alias("_sb_doc"), F.col("shingle").alias("_sb_shingle"))
+    inter = (
+        pairs.join(sa, "doc_a")
+        .join(
+            sb,
+            (F.col("doc_b") == F.col("_sb_doc")) & (F.col("shingle") == F.col("_sb_shingle")),
+        )
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    ca = counts.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("n_a"))
+    cb = counts.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("n_b"))
+    jac = pround(F.col("n_common") * F.lit(1.0) / (F.col("n_a") + F.col("n_b") - F.col("n_common")), 4)
+    return (
+        inter.join(ca, "doc_a")
+        .join(cb, "doc_b")
+        .select("doc_a", "doc_b", jac.alias("jaccard"))
+        .filter(F.col("jaccard") >= 0.2)
+    )

@@ -1,0 +1,156 @@
+"""Multimodal-column plumbing: opaque ``binary`` payloads with typed
+metadata, decoded / feature-extracted via Arrow-batched Pandas UDFs
+(north star; SURVEY.md §7.3 step 5; decode pattern mirrors the reference's
+binary→struct T1 decode, KafkaAvroToIceberg.scala:67-71).
+
+The sandbox has no image/audio libraries and the test tables carry no real
+media, so: the binary payload is derived from ``documents.text`` (UTF-8
+bytes), the *decode* step is a clearly-marked deterministic fake
+(md5-derived pseudo-features), and everything Spark-side — schema, Arrow
+batch shape, ``mapInPandas`` signature, partitioning — is real and tested.
+Swapping the fake for `PIL.Image.open`/`librosa.load` changes one function.
+
+Scale notes: ``mapInPandas`` streams Arrow batches executor→Python worker;
+feature extraction is embarrassingly parallel (no shuffle). Batch size is
+bounded by ``spark.sql.execution.arrow.maxRecordsPerBatch`` so a 100 TB
+binary column never materializes a partition in one Python list.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+from typing import TYPE_CHECKING
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from kafka_stream_job_spark.registry import register
+from kafka_stream_job_spark.tables import load_table
+
+if TYPE_CHECKING:
+    import pandas as pd
+
+N_FAKE_FEATURES = 8
+
+#: Output schema of the fake decoder — what a real image decoder would
+#: emit: id, byte size, a mime tag, and a fixed-width feature vector.
+DECODE_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("n_bytes", T.IntegerType()),
+        T.StructField("mime", T.StringType()),
+        T.StructField("features", T.ArrayType(T.IntegerType())),
+    ]
+)
+
+
+def with_binary_payload(docs: DataFrame) -> DataFrame:
+    """Attach the opaque binary column + typed metadata struct — the
+    multimodal data model: payload stays opaque bytes until an explicit
+    decode op, metadata is queryable without touching the payload."""
+    return docs.select(
+        "doc_id",
+        F.encode(F.col("text"), "UTF-8").alias("payload"),
+        F.struct(
+            F.lit("text/plain").alias("mime"),
+            F.length(F.encode(F.col("text"), "UTF-8")).alias("n_bytes"),
+            F.col("source").alias("origin"),
+        ).alias("meta"),
+    )
+
+
+def decode_payload_batches(
+    batches: Iterator["pd.DataFrame"],
+) -> Iterator["pd.DataFrame"]:
+    """mapInPandas decoder. DETERMINISTIC FAKE: a real deployment replaces
+    the body with e.g. PIL/librosa decoding of ``payload``; the Arrow
+    plumbing, schema, and batch iteration are production-shaped.
+
+    Fake features: first N hex digits of md5(payload), each mapped to its
+    ascii code — engine-portable, so even this stub is oracle-checkable.
+    """
+    import hashlib
+
+    import pandas as pd
+
+    for pdf in batches:
+        digests = [hashlib.md5(p).hexdigest() for p in pdf["payload"]]
+        yield pd.DataFrame(
+            {
+                "doc_id": pdf["doc_id"],
+                "n_bytes": [len(p) for p in pdf["payload"]],
+                "mime": [m["mime"] for m in pdf["meta"]],
+                "features": [
+                    [ord(c) for c in d[:N_FAKE_FEATURES]] for d in digests
+                ],
+            }
+        )
+
+
+# ---------------------------------------------------------------------------
+# Metadata-only scan: query the typed metadata without decoding payloads —
+# at scale this is the "don't read the image bytes to count images" path
+# (column pruning drops `payload` from the parquet scan entirely).
+# ---------------------------------------------------------------------------
+@register(
+    "multimodal_metadata_scan",
+    oracle="""
+        SELECT
+            source                                   AS origin,
+            COUNT(*)                                 AS n_payloads,
+            SUM(octet_length(encode(text)))          AS total_bytes,
+            MAX(octet_length(encode(text)))          AS max_bytes
+        FROM documents
+        GROUP BY source
+    """,
+    tags=("multimodal", "documents", "agg"),
+)
+def multimodal_metadata_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = with_binary_payload(load_table(spark, sf_dir, "documents"))
+    return docs.groupBy(F.col("meta.origin").alias("origin")).agg(
+        F.count(F.lit(1)).alias("n_payloads"),
+        F.sum("meta.n_bytes").alias("total_bytes"),
+        F.max("meta.n_bytes").alias("max_bytes"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Decode + feature extraction through the Pandas-UDF path, then a feature
+# rollup. The md5-derived fake features are reproduced exactly in the
+# DuckDB oracle, so this checks the whole Arrow round-trip bit-for-bit.
+# ---------------------------------------------------------------------------
+@register(
+    "multimodal_decode_features",
+    oracle=f"""
+        SELECT
+            doc_id,
+            octet_length(encode(text))                    AS n_bytes,
+            -- md5(VARCHAR) hashes the UTF-8 bytes == md5 of the payload
+            ascii(substring(md5(text), 1, 1))             AS f0,
+            ascii(substring(md5(text), {N_FAKE_FEATURES}, 1))
+                                                          AS f_last
+        FROM documents
+    """,
+    tags=("multimodal", "pandas-udf", "documents"),
+)
+def multimodal_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = with_binary_payload(load_table(spark, sf_dir, "documents"))
+    decoded = docs.mapInPandas(decode_payload_batches, schema=DECODE_SCHEMA)
+    return decoded.select(
+        "doc_id",
+        "n_bytes",
+        F.element_at("features", 1).alias("f0"),
+        F.element_at("features", N_FAKE_FEATURES).alias("f_last"),
+    )
+
+
+def decode_media_real(payload_format: str):
+    """Placeholder for real media decoding (image resize, audio resample,
+    video frame-sample). The container ships no media libraries — the
+    Spark-side contract is `decode_payload_batches`; this marks the seam.
+    """
+    raise NotImplementedError(
+        f"real {payload_format} decoding requires media libraries not present "
+        "in this environment; decode_payload_batches shows the Arrow plumbing"
+    )

@@ -1,0 +1,621 @@
+"""Relational core: filters, projections, joins, aggregations, windows,
+sorts/top-k, set ops, rollup/cube — the operator categories the reference
+delegates wholesale to Spark (SURVEY.md §2.7) and our engine must expose as
+first-class, 100-TB-ready queries (SURVEY.md §7.3 step 1-2).
+
+Design rules applied throughout:
+
+- **Declarative DataFrame programs** — Catalyst gets the whole plan, so
+  predicate pushdown / column pruning reach the parquet scan and join
+  strategy selection stays with the optimizer (+AQE at runtime).
+- **Broadcast policy.** region/nation are constant-size (5/25 rows) and get
+  explicit ``F.broadcast`` hints. customer/supplier/part GROW with scale
+  factor, so they get NO forced hint — ``autoBroadcastJoinThreshold`` (64 MB)
+  + AQE pick broadcast while they fit and fall back to shuffle joins at
+  100 TB, which is the correct plan there. Fact-fact joins
+  (orders⋈lineitem) sort-merge on the join key — at warehouse scale both
+  sides would be bucketed on orderkey making this shuffle-free.
+- **Partial aggregation first.** ``groupBy().agg()`` compiles to
+  partial(map-side) + final(reduce) hash aggregation; group-by keys here are
+  low-cardinality or key-prefixed so no skew salting is needed.
+- **Deterministic, oracle-matchable output.** Double aggregates are rounded
+  in BOTH the Spark program and the DuckDB oracle; top-k uses explicit
+  unique tiebreaks so LIMIT is order-stable across engines.
+
+Reference parity: the reference itself contains none of these operators
+(verified in SURVEY.md §2.7 — its only ops are decode/flatten/enrich,
+KafkaAvroToIceberg.scala:67-72); this module is the north-star extension
+surface built idiomatically on Spark.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from kafka_stream_job_spark.operators._portable import pround
+from kafka_stream_job_spark.registry import register
+from kafka_stream_job_spark.tables import load_table
+
+
+# ---------------------------------------------------------------------------
+# Q1 — pricing summary (TPC-H Q1 shape): scan-heavy grouped aggregation.
+# Scale: single shuffle over a 2-value×2-value key; partial agg reduces
+# ~all rows map-side. Filter + 7-column projection push into the scan.
+# ---------------------------------------------------------------------------
+@register(
+    "q1_pricing_summary",
+    oracle="""
+        SELECT
+            l_returnflag,
+            l_linestatus,
+            ROUND((SUM(l_quantity)) * 100.0) / 100.0                                        AS sum_qty,
+            ROUND((SUM(l_extendedprice)) * 100.0) / 100.0                                   AS sum_base_price,
+            ROUND((SUM(l_extendedprice * (1 - l_discount))) * 100.0) / 100.0                AS sum_disc_price,
+            ROUND((SUM(l_extendedprice * (1 - l_discount) * (1 + l_tax))) * 100.0) / 100.0  AS sum_charge,
+            ROUND((AVG(l_quantity)) * 100.0) / 100.0                                        AS avg_qty,
+            ROUND((AVG(l_extendedprice)) * 100.0) / 100.0                                   AS avg_price,
+            ROUND((AVG(l_discount)) * 10000.0) / 10000.0                                        AS avg_disc,
+            COUNT(*)                                                         AS count_order
+        FROM lineitem
+        WHERE l_shipdate <= TIMESTAMP '2000-09-02 00:00:00'
+        GROUP BY l_returnflag, l_linestatus
+    """,
+    tags=("agg", "filter"),
+    bench=True,
+)
+def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("2000-09-02 00:00:00").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            pround(F.sum("l_quantity"), 2).alias("sum_qty"),
+            pround(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            pround(F.sum(disc_price), 2).alias("sum_disc_price"),
+            pround(F.sum(disc_price * (1 + F.col("l_tax"))), 2).alias("sum_charge"),
+            pround(F.avg("l_quantity"), 2).alias("avg_qty"),
+            pround(F.avg("l_extendedprice"), 2).alias("avg_price"),
+            pround(F.avg("l_discount"), 4).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q3 — shipping priority (TPC-H Q3 shape): dim-filtered fact-fact join + agg
+# + top-k. customer joins via the size threshold (broadcast while it fits);
+# orders⋈lineitem sort-merges on o_orderkey = l_orderkey, which at 100 TB
+# is the co-location key both tables would be bucketed on.
+# ---------------------------------------------------------------------------
+@register(
+    "q3_shipping_priority",
+    oracle="""
+        WITH ranked AS (
+            SELECT
+                l_orderkey,
+                ROUND((SUM(l_extendedprice * (1 - l_discount))) * 100.0) / 100.0 AS revenue,
+                CAST(o_orderdate AS DATE)                          AS o_orderdate_d,
+                o_orderpriority
+            FROM customer
+            JOIN orders   ON c_custkey = o_custkey
+            JOIN lineitem ON l_orderkey = o_orderkey
+            WHERE c_mktsegment = 'BUILDING'
+              AND o_orderdate < TIMESTAMP '1998-03-15 00:00:00'
+              AND l_shipdate  > TIMESTAMP '1998-03-15 00:00:00'
+            GROUP BY l_orderkey, o_orderdate, o_orderpriority
+        )
+        SELECT l_orderkey, revenue, CAST(o_orderdate_d AS VARCHAR) AS o_orderdate, o_orderpriority
+        FROM ranked
+        ORDER BY revenue DESC, l_orderkey ASC
+        LIMIT 10
+    """,
+    tags=("join", "agg", "topk"),
+    bench=True,
+)
+def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cutoff = F.lit("1998-03-15 00:00:00").cast("timestamp")
+    cust = load_table(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    orders = load_table(spark, sf_dir, "orders").filter(F.col("o_orderdate") < cutoff)
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") > cutoff)
+    return (
+        orders.join(cust, orders.o_custkey == cust.c_custkey)
+        .join(li, li.l_orderkey == orders.o_orderkey)
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(
+            pround(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+                "revenue"
+            )
+        )
+        .select(
+            "l_orderkey",
+            "revenue",
+            F.col("o_orderdate").cast("date").cast("string").alias("o_orderdate"),
+            "o_orderpriority",
+        )
+        .orderBy(F.col("revenue").desc(), F.col("l_orderkey").asc())
+        .limit(10)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q5 — local supplier volume (TPC-H Q5 shape): 6-way join. region/nation
+# broadcast unconditionally; customer/supplier broadcast via threshold while
+# small. The only unavoidable shuffle is lineitem⋈orders.
+# ---------------------------------------------------------------------------
+@register(
+    "q5_local_supplier_volume",
+    oracle="""
+        SELECT
+            n_name,
+            ROUND((SUM(l_extendedprice * (1 - l_discount))) * 100.0) / 100.0 AS revenue
+        FROM customer
+        JOIN orders   ON c_custkey  = o_custkey
+        JOIN lineitem ON l_orderkey = o_orderkey
+        JOIN supplier ON l_suppkey  = s_suppkey AND c_nationkey = s_nationkey
+        JOIN nation   ON s_nationkey = n_nationkey
+        JOIN region   ON n_regionkey = r_regionkey
+        WHERE r_name = 'ASIA'
+          AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+          AND o_orderdate <  TIMESTAMP '1998-01-01 00:00:00'
+        GROUP BY n_name
+    """,
+    tags=("join", "agg"),
+    bench=True,
+)
+def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    region = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    nation = load_table(spark, sf_dir, "nation")
+    cust = load_table(spark, sf_dir, "customer")
+    supp = load_table(spark, sf_dir, "supplier")
+    orders = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01 00:00:00").cast("timestamp"))
+    )
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        orders.join(cust, orders.o_custkey == cust.c_custkey)
+        .join(li, li.l_orderkey == orders.o_orderkey)
+        .join(
+            supp,
+            (li.l_suppkey == supp.s_suppkey) & (cust.c_nationkey == supp.s_nationkey),
+        )
+        .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy("n_name")
+        .agg(
+            pround(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+                "revenue"
+            )
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Top customers: fact agg + broadcast dim join + order-stable top-k.
+# Tiebreak on the unique key makes LIMIT deterministic across engines.
+# ---------------------------------------------------------------------------
+@register(
+    "top_customers_by_revenue",
+    oracle="""
+        SELECT
+            c_custkey,
+            c_name,
+            ROUND((SUM(o_totalprice)) * 100.0) / 100.0 AS revenue,
+            COUNT(*)                    AS n_orders
+        FROM orders JOIN customer ON o_custkey = c_custkey
+        GROUP BY c_custkey, c_name
+        ORDER BY revenue DESC, c_custkey ASC
+        LIMIT 25
+    """,
+    tags=("join", "agg", "topk"),
+    bench=True,
+)
+def top_customers_by_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    return (
+        orders.join(cust, orders.o_custkey == cust.c_custkey)
+        .groupBy("c_custkey", "c_name")
+        .agg(
+            pround(F.sum("o_totalprice"), 2).alias("revenue"),
+            F.count(F.lit(1)).alias("n_orders"),
+        )
+        .orderBy(F.col("revenue").desc(), F.col("c_custkey").asc())
+        .limit(25)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Anti join: customers with no orders (NOT EXISTS). Spark plans a broadcast
+# or shuffled-hash anti join; at 100 TB the orders side is pre-aggregated to
+# distinct keys by the join itself (null-aware not needed: keys non-null).
+# ---------------------------------------------------------------------------
+@register(
+    "customers_without_orders",
+    oracle="""
+        SELECT c_mktsegment, COUNT(*) AS n_customers
+        FROM customer c
+        WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+        GROUP BY c_mktsegment
+    """,
+    tags=("join", "anti", "agg"),
+)
+def customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left_anti")
+        .groupBy("c_mktsegment")
+        .agg(F.count(F.lit(1)).alias("n_customers"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Semi join: nations having at least one high-balance customer.
+# ---------------------------------------------------------------------------
+@register(
+    "nations_with_rich_customers",
+    oracle="""
+        SELECT n_nationkey, n_name
+        FROM nation n
+        WHERE EXISTS (
+            SELECT 1 FROM customer c
+            WHERE c.c_nationkey = n.n_nationkey AND c.c_acctbal > 9000
+        )
+    """,
+    tags=("join", "semi"),
+)
+def nations_with_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    nation = load_table(spark, sf_dir, "nation")
+    rich = load_table(spark, sf_dir, "customer").filter(F.col("c_acctbal") > 9000)
+    return nation.join(
+        rich, nation.n_nationkey == rich.c_nationkey, "left_semi"
+    ).select("n_nationkey", "n_name")
+
+
+# ---------------------------------------------------------------------------
+# Rollup: subtotal hierarchy over (returnflag, linestatus) with GROUPING id
+# to disambiguate the null rows. Spark's rollup == SQL ROLLUP semantics.
+# ---------------------------------------------------------------------------
+@register(
+    "rollup_returns",
+    oracle="""
+        SELECT
+            l_returnflag,
+            l_linestatus,
+            GROUPING(l_returnflag, l_linestatus) AS grp_id,
+            ROUND((SUM(l_quantity)) * 100.0) / 100.0            AS sum_qty,
+            COUNT(*)                             AS n_rows
+        FROM lineitem
+        GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    """,
+    tags=("agg", "rollup"),
+)
+def rollup_returns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.rollup("l_returnflag", "l_linestatus").agg(
+        F.grouping_id().alias("grp_id"),
+        pround(F.sum("l_quantity"), 2).alias("sum_qty"),
+        F.count(F.lit(1)).alias("n_rows"),
+    ).select("l_returnflag", "l_linestatus", "grp_id", "sum_qty", "n_rows")
+
+
+# ---------------------------------------------------------------------------
+# Cube over orders: all subtotal combinations of (status, priority).
+# ---------------------------------------------------------------------------
+@register(
+    "cube_order_status_priority",
+    oracle="""
+        SELECT
+            o_orderstatus,
+            o_orderpriority,
+            GROUPING(o_orderstatus, o_orderpriority) AS grp_id,
+            ROUND((SUM(o_totalprice)) * 100.0) / 100.0              AS sum_price,
+            COUNT(*)                                 AS n_orders
+        FROM orders
+        GROUP BY CUBE (o_orderstatus, o_orderpriority)
+    """,
+    tags=("agg", "cube"),
+)
+def cube_order_status_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    return orders.cube("o_orderstatus", "o_orderpriority").agg(
+        F.grouping_id().alias("grp_id"),
+        pround(F.sum("o_totalprice"), 2).alias("sum_price"),
+        F.count(F.lit(1)).alias("n_orders"),
+    ).select("o_orderstatus", "o_orderpriority", "grp_id", "sum_price", "n_orders")
+
+
+# ---------------------------------------------------------------------------
+# Window functions: per-customer ranking with an explicit frame-free rank,
+# plus a running sum with ROWS frame. Partition key = customer → at 100 TB
+# the shuffle is on a high-cardinality key, which is exactly what you want
+# (no single hot partition).
+# ---------------------------------------------------------------------------
+@register(
+    "window_customer_order_rank",
+    oracle="""
+        SELECT * FROM (
+            SELECT
+                o_custkey,
+                o_orderkey,
+                ROW_NUMBER() OVER w                                   AS rn,
+                ROUND((SUM(o_totalprice) OVER (
+                    PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)) * 100.0) / 100.0 AS running_spend
+            FROM orders
+            WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+        ) t WHERE rn <= 3
+    """,
+    tags=("window",),
+    bench=True,
+)
+def window_customer_order_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    return (
+        orders.select(
+            "o_custkey",
+            "o_orderkey",
+            F.row_number().over(w).alias("rn"),
+            pround(
+                F.sum("o_totalprice").over(
+                    w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+                ),
+                2,
+            ).alias("running_spend"),
+        )
+        .filter(F.col("rn") <= 3)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Analytic lag/lead over event time per user.
+# ---------------------------------------------------------------------------
+@register(
+    "window_event_gaps",
+    oracle="""
+        SELECT
+            user_id,
+            event_id,
+            CAST(date_diff('second',
+                 LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id),
+                 ts) AS BIGINT) AS gap_seconds
+        FROM events
+        QUALIFY gap_seconds IS NOT NULL
+    """,
+    tags=("window", "events"),
+)
+def window_event_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    prev_ts = F.lag("ts").over(w)
+    return (
+        events.select(
+            "user_id",
+            "event_id",
+            (F.unix_timestamp("ts") - F.unix_timestamp(prev_ts)).alias("gap_seconds"),
+        )
+        .filter(F.col("gap_seconds").isNotNull())
+    )
+
+
+# ---------------------------------------------------------------------------
+# Set operations: union / intersect / except with ALL semantics (Spark's
+# intersectAll/exceptAll == SQL INTERSECT ALL / EXCEPT ALL).
+# ---------------------------------------------------------------------------
+@register(
+    "setops_customer_segments",
+    oracle="""
+        WITH big_spenders AS (
+            SELECT o_custkey AS custkey FROM orders GROUP BY o_custkey
+            HAVING SUM(o_totalprice) > 300000
+        ),
+        building AS (
+            SELECT c_custkey AS custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+        )
+        SELECT 'both' AS bucket, custkey FROM (SELECT custkey FROM big_spenders INTERSECT SELECT custkey FROM building)
+        UNION ALL
+        SELECT 'spender_only' AS bucket, custkey FROM (SELECT custkey FROM big_spenders EXCEPT SELECT custkey FROM building)
+    """,
+    tags=("setops", "agg"),
+)
+def setops_customer_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    spenders = (
+        orders.groupBy("o_custkey")
+        .agg(F.sum("o_totalprice").alias("spend"))
+        .filter(F.col("spend") > 300000)
+        .select(F.col("o_custkey").alias("custkey"))
+    )
+    building = cust.filter(F.col("c_mktsegment") == "BUILDING").select(
+        F.col("c_custkey").alias("custkey")
+    )
+    both = spenders.intersect(building).select(F.lit("both").alias("bucket"), "custkey")
+    only = spenders.subtract(building).select(F.lit("spender_only").alias("bucket"), "custkey")
+    return both.unionAll(only)
+
+
+# ---------------------------------------------------------------------------
+# Scalar function coverage: string / date / math / conditional expressions,
+# all JVM-side (whole-stage codegen), no UDFs.
+# ---------------------------------------------------------------------------
+@register(
+    "scalar_functions_showcase",
+    oracle="""
+        SELECT
+            p_partkey,
+            UPPER(p_brand)                                   AS brand_upper,
+            LENGTH(p_name)                                   AS name_len,
+            SUBSTRING(p_type, 1, 5)                          AS type_prefix,
+            CONCAT(p_brand, ':', CAST(p_size AS VARCHAR))    AS brand_size,
+            ROUND((SQRT(p_retailprice)) * 1000.0) / 1000.0                    AS price_sqrt,
+            ABS(p_size - 25)                                 AS size_dev,
+            CASE WHEN p_size >= 25 THEN 'large' ELSE 'small' END AS size_class,
+            p_partkey % 7                                    AS bucket7
+        FROM part
+        WHERE p_name LIKE '%a%'
+    """,
+    tags=("scalar",),
+)
+def scalar_functions_showcase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = load_table(spark, sf_dir, "part")
+    return part.filter(F.col("p_name").like("%a%")).select(
+        "p_partkey",
+        F.upper("p_brand").alias("brand_upper"),
+        F.length("p_name").alias("name_len"),
+        F.substring("p_type", 1, 5).alias("type_prefix"),
+        F.concat_ws(":", F.col("p_brand"), F.col("p_size").cast("string")).alias("brand_size"),
+        pround(F.sqrt("p_retailprice"), 3).alias("price_sqrt"),
+        F.abs(F.col("p_size") - 25).alias("size_dev"),
+        F.when(F.col("p_size") >= 25, "large").otherwise("small").alias("size_class"),
+        (F.col("p_partkey") % 7).alias("bucket7"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Date/time functions over orders.
+# ---------------------------------------------------------------------------
+@register(
+    "datetime_functions_showcase",
+    oracle="""
+        SELECT
+            CAST(EXTRACT(year FROM o_orderdate) AS INT)    AS order_year,
+            CAST(EXTRACT(quarter FROM o_orderdate) AS INT) AS order_quarter,
+            COUNT(*)                                       AS n_orders,
+            ROUND((SUM(o_totalprice)) * 100.0) / 100.0                    AS sum_price
+        FROM orders
+        GROUP BY 1, 2
+    """,
+    tags=("scalar", "datetime", "agg"),
+)
+def datetime_functions_showcase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.groupBy(
+            F.year("o_orderdate").alias("order_year"),
+            F.quarter("o_orderdate").alias("order_quarter"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            pround(F.sum("o_totalprice"), 2).alias("sum_price"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# JSON extraction over the events.props payload (schema-on-read, like the
+# reference's from_avro decode T1 but for JSON) + grouped agg.
+# ---------------------------------------------------------------------------
+@register(
+    "events_json_extract",
+    oracle="""
+        SELECT
+            event_type,
+            COUNT(*)                                                   AS n_events,
+            SUM(CAST(json_extract_string(props, '$.k') AS BIGINT))     AS sum_k,
+            ROUND((AVG(CAST(json_extract_string(props, '$.k') AS BIGINT))) * 100.0) / 100.0 AS avg_k
+        FROM events
+        GROUP BY event_type
+    """,
+    tags=("json", "events", "agg"),
+)
+def events_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("bigint")
+    return events.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(k).alias("sum_k"),
+        pround(F.avg(k), 2).alias("avg_k"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Event-time tumbling window (batch form): the streaming q in
+# streaming/pipeline.py runs the same logical agg with a watermark; here we
+# express it as date_trunc so the DuckDB oracle is exact.
+# ---------------------------------------------------------------------------
+@register(
+    "events_hourly_rollup",
+    oracle="""
+        SELECT
+            CAST(date_trunc('hour', ts) AS VARCHAR) AS hour_ts,
+            event_type,
+            COUNT(*)                                AS n_events,
+            ROUND((SUM(value)) * 100.0) / 100.0                    AS sum_value
+        FROM events
+        GROUP BY 1, 2
+    """,
+    tags=("events", "agg", "window-time"),
+    bench=True,
+)
+def events_hourly_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    return (
+        events.groupBy(
+            F.date_trunc("hour", F.col("ts")).cast("string").alias("hour_ts"),
+            "event_type",
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            pround(F.sum("value"), 2).alias("sum_value"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Distinct aggregation: COUNT(DISTINCT) compiles to expand+two-phase agg in
+# Spark — correct and scalable (no driver-side distinct).
+# ---------------------------------------------------------------------------
+@register(
+    "distinct_parts_per_supplier",
+    oracle="""
+        SELECT
+            l_suppkey,
+            COUNT(DISTINCT l_partkey) AS n_parts,
+            COUNT(*)                  AS n_lineitems
+        FROM lineitem
+        GROUP BY l_suppkey
+    """,
+    tags=("agg", "distinct"),
+)
+def distinct_parts_per_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_suppkey").agg(
+        F.countDistinct("l_partkey").alias("n_parts"),
+        F.count(F.lit(1)).alias("n_lineitems"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Correlated-scalar-subquery shape (Q17-like): parts whose lineitems fall
+# below 50% of that part's average quantity. Expressed as agg + self-join —
+# the decorrelated plan Catalyst would produce anyway.
+# ---------------------------------------------------------------------------
+@register(
+    "small_quantity_revenue",
+    oracle="""
+        SELECT ROUND((SUM(l_extendedprice) / 7.0) * 100.0) / 100.0 AS avg_yearly
+        FROM lineitem
+        JOIN (
+            SELECT l_partkey AS pk, 0.5 * AVG(l_quantity) AS half_avg
+            FROM lineitem GROUP BY l_partkey
+        ) t ON l_partkey = pk
+        WHERE l_quantity < half_avg
+    """,
+    tags=("join", "agg", "subquery"),
+)
+def small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    half_avg = (
+        li.groupBy(F.col("l_partkey").alias("pk"))
+        .agg((F.avg("l_quantity") * 0.5).alias("half_avg"))
+    )
+    return (
+        li.join(half_avg, li.l_partkey == half_avg.pk)
+        .filter(F.col("l_quantity") < F.col("half_avg"))
+        .agg(pround(F.sum("l_extendedprice") / 7.0, 2).alias("avg_yearly"))
+    )

@@ -1,0 +1,239 @@
+"""Similarity search over the ``embeddings`` table (``array<float>``, 64-d)
+— brute-force cosine top-k as the exact baseline, plus a sign-LSH bucketed
+near-duplicate pass as the scale path (north star; SURVEY.md §7.3 step 5).
+
+Scale design:
+
+- **Brute force** is the correctness baseline and is deliberately written
+  as broadcast(query-set) ⋈ corpus: at 100 TB the corpus side streams
+  through executors once, no shuffle, and the top-k per query is a
+  partial-aggregating Window over a tiny (n_queries × k) result. The dot
+  product runs JVM-side via ``zip_with``/``aggregate`` — a sequential fold,
+  bitwise-reproducible, which is what makes the DuckDB oracle exact.
+- **Sign-LSH near-dup** buckets vectors by the sign pattern of projections
+  onto deterministic md5-derived hyperplanes, then only compares within a
+  bucket — the same no-cross-join discipline as MinHash-LSH in
+  operators/dedup.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from kafka_stream_job_spark.operators._portable import pround
+from kafka_stream_job_spark.registry import register
+from kafka_stream_job_spark.tables import load_table
+
+N_QUERIES = 8  # vec_id < 8 are the query vectors
+TOP_K = 5
+LSH_BITS = 12  # sign-LSH bucket width for the near-dup pass
+DIM = 64
+
+
+def _dot(a, b):
+    """Sequential-fold dot product in double precision (JVM-side)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def _norm(a):
+    return F.sqrt(
+        F.aggregate(
+            F.transform(a, lambda x: x.cast("double") * x.cast("double")),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+    )
+
+
+# DuckDB mirror: list_reduce fold in the same order over DOUBLE casts, so
+# both engines produce bit-identical doubles pre-rounding.
+_DOT_SQL = (
+    "list_reduce(list_prepend(0.0, "
+    "list_transform(list_zip({a}::DOUBLE[], {b}::DOUBLE[]), p -> p[1] * p[2])), "
+    "(acc, x) -> acc + x)"
+)
+_NORM_SQL = (
+    "sqrt(list_reduce(list_prepend(0.0, "
+    "list_transform({a}::DOUBLE[], x -> x * x)), (acc, x) -> acc + x))"
+)
+
+
+# ---------------------------------------------------------------------------
+# Brute-force cosine top-k: every query (vec_id < N_QUERIES) against the
+# whole corpus (minus itself), rank by cosine, keep TOP_K.
+# ---------------------------------------------------------------------------
+_dot_qd = _DOT_SQL.format(a="q.embedding", b="d.embedding")
+_norm_q = _NORM_SQL.format(a="q.embedding")
+_norm_d = _NORM_SQL.format(a="d.embedding")
+
+@register(
+    "similarity_topk_cosine",
+    oracle=f"""
+        WITH scored AS (
+            SELECT
+                q.vec_id AS query_id,
+                d.vec_id AS neighbor_id,
+                {_dot_qd} / ({_norm_q} * {_norm_d}) AS cos_raw
+            FROM embeddings q
+            JOIN embeddings d ON d.vec_id <> q.vec_id
+            WHERE q.vec_id < {N_QUERIES}
+        ),
+        ranked AS (
+            SELECT
+                query_id,
+                neighbor_id,
+                ROUND((cos_raw) * 10000.0) / 10000.0 AS cosine,
+                ROW_NUMBER() OVER (
+                    PARTITION BY query_id ORDER BY cos_raw DESC, neighbor_id ASC
+                ) AS rank
+            FROM scored
+        )
+        SELECT query_id, neighbor_id, cosine, rank
+        FROM ranked WHERE rank <= {TOP_K}
+    """,
+    tags=("similarity", "embeddings", "topk"),
+    bench=True,
+)
+def similarity_topk_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
+    )
+    d = emb.select(F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("d_emb"))
+    cos_raw = _dot(F.col("q_emb"), F.col("d_emb")) / (
+        _norm(F.col("q_emb")) * _norm(F.col("d_emb"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cos_raw").desc(), F.col("neighbor_id").asc())
+    return (
+        d.join(F.broadcast(q), F.col("neighbor_id") != F.col("query_id"))
+        .select("query_id", "neighbor_id", cos_raw.alias("cos_raw"))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= TOP_K)
+        .select(
+            "query_id",
+            "neighbor_id",
+            pround(F.col("cos_raw"), 4).alias("cosine"),
+            "rank",
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Sign-LSH bucketing: hyperplane j has components ±1 derived from
+# md5("<j>:<i>") parity (uniform, deterministic, engine-portable). Bucket =
+# the LSH_BITS-char sign string; near-dup candidates share a bucket.
+# ---------------------------------------------------------------------------
+def _lsh_sign(j: int):
+    """Sign of the projection of `embedding` onto hyperplane j."""
+    signed = F.transform(
+        F.col("embedding"),
+        lambda x, i: x.cast("double")
+        * F.when(
+            F.ascii(F.substring(F.md5(F.concat(F.lit(f"{j}:"), i.cast("string"))), 1, 1)) % 2
+            == 1,
+            F.lit(1.0),
+        ).otherwise(F.lit(-1.0)),
+    )
+    proj = F.aggregate(signed, F.lit(0.0), lambda acc, x: acc + x)
+    return F.when(proj >= 0, F.lit("1")).otherwise(F.lit("0"))
+
+
+def lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(vec_id, bucket) — sign-LSH bucket assignment, all JVM-side."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    bucket = F.concat(*[_lsh_sign(j) for j in range(LSH_BITS)])
+    return emb.select("vec_id", "embedding", bucket.alias("bucket"))
+
+
+_PROJ_SQL = (
+    "list_reduce(list_prepend(0.0, list_transform("
+    "list_zip({emb}::DOUBLE[], range(0, {dim})), "
+    "p -> p[1] * (CASE WHEN ascii(substring(md5(concat('{j}:', CAST(p[2] AS VARCHAR))), 1, 1)) % 2 = 1 "
+    "THEN 1.0 ELSE -1.0 END))), (acc, x) -> acc + x)"
+)
+
+
+def _bucket_sql(emb: str) -> str:
+    bits = ", ".join(
+        "CASE WHEN "
+        + _PROJ_SQL.format(emb=emb, dim=DIM, j=j)
+        + " >= 0 THEN '1' ELSE '0' END"
+        for j in range(LSH_BITS)
+    )
+    return f"concat({bits})"
+
+
+@register(
+    "similarity_lsh_neardup",
+    oracle=f"""
+        WITH buckets AS (
+            SELECT vec_id, embedding, {_bucket_sql('embedding')} AS bucket
+            FROM embeddings
+        ),
+        pairs AS (
+            SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+                   {_DOT_SQL.format(a='a.embedding', b='b.embedding')}
+                   / ({_NORM_SQL.format(a='a.embedding')} * {_NORM_SQL.format(a='b.embedding')})
+                   AS cos_raw
+            FROM buckets a
+            JOIN buckets b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+        )
+        SELECT vec_a, vec_b, ROUND((cos_raw) * 10000.0) / 10000.0 AS cosine
+        FROM pairs
+        WHERE cos_raw > 0.25
+    """,
+    tags=("similarity", "lsh", "embeddings"),
+)
+def similarity_lsh_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    buckets = lsh_buckets(spark, sf_dir)
+    a = buckets.select(
+        F.col("vec_id").alias("vec_a"), F.col("embedding").alias("emb_a"), "bucket"
+    )
+    b = buckets.select(
+        F.col("vec_id").alias("vec_b"), F.col("embedding").alias("emb_b"),
+        F.col("bucket").alias("bucket_b"),
+    )
+    cos_raw = _dot(F.col("emb_a"), F.col("emb_b")) / (
+        _norm(F.col("emb_a")) * _norm(F.col("emb_b"))
+    )
+    return (
+        a.join(b, (F.col("bucket") == F.col("bucket_b")) & (F.col("vec_a") < F.col("vec_b")))
+        .select("vec_a", "vec_b", cos_raw.alias("cos_raw"))
+        .filter(F.col("cos_raw") > 0.25)
+        .select("vec_a", "vec_b", pround("cos_raw", 4).alias("cosine"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Array/aggregate coverage: per-label embedding norm statistics.
+# ---------------------------------------------------------------------------
+@register(
+    "embedding_norm_stats",
+    oracle=f"""
+        SELECT
+            label,
+            COUNT(*) AS n_vecs,
+            ROUND((AVG({_NORM_SQL.format(a='embedding')})) * 10000.0) / 10000.0 AS avg_norm,
+            ROUND((MIN({_NORM_SQL.format(a='embedding')})) * 10000.0) / 10000.0 AS min_norm,
+            ROUND((MAX({_NORM_SQL.format(a='embedding')})) * 10000.0) / 10000.0 AS max_norm
+        FROM embeddings
+        GROUP BY label
+    """,
+    tags=("similarity", "embeddings", "agg"),
+)
+def embedding_norm_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    norm = _norm(F.col("embedding"))
+    return emb.groupBy("label").agg(
+        F.count(F.lit(1)).alias("n_vecs"),
+        pround(F.avg(norm), 4).alias("avg_norm"),
+        pround(F.min(norm), 4).alias("min_norm"),
+        pround(F.max(norm), 4).alias("max_norm"),
+    )

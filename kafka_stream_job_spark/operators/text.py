@@ -1,0 +1,203 @@
+"""Text-analysis operators over ``documents`` — language ID, quality
+scoring, token counting, fingerprinting (north star; SURVEY.md §7.3 step 5).
+
+Everything here is pure `pyspark.sql.functions` expressions — JVM-side,
+inside whole-stage codegen, zero Python in the hot path. That is the scale
+story: these run as a single pass over the text column with no shuffle at
+all until the (optional) final rollup.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from kafka_stream_job_spark.operators._portable import pround
+from kafka_stream_job_spark.registry import register
+from kafka_stream_job_spark.tables import load_table
+
+# Tiny per-language stopword markers for the n-gram-free heuristic
+# language-ID: count occurrences of high-frequency function words per
+# language, argmax wins. Deterministic + engine-portable (regexp_count /
+# len(regexp_extract_all) produce identical counts on identical regexes).
+LANG_MARKERS: dict[str, str] = {
+    "en": r"\b(the|and|of|to|is)\b",
+    "de": r"\b(der|die|das|und|ist)\b",
+    "fr": r"\b(le|la|les|et|est)\b",
+    "es": r"\b(el|la|los|y|es)\b",
+}
+
+
+# ---------------------------------------------------------------------------
+# Token counting + per-document stats: whitespace tokens, distinct tokens,
+# char counts, word-length stats.
+# ---------------------------------------------------------------------------
+@register(
+    "text_token_stats",
+    oracle=r"""
+        SELECT
+            doc_id,
+            len(string_split_regex(TRIM(text), '\s+'))                    AS n_tokens,
+            len(list_distinct(string_split_regex(LOWER(TRIM(text)), '\s+'))) AS n_uniq_tokens,
+            LENGTH(text)                                                  AS n_chars_text,
+            ROUND((LENGTH(REPLACE(TRIM(text), ' ', '')) * 1.0
+                  / len(string_split_regex(TRIM(text), '\s+'))) * 100.0) / 100.0        AS avg_word_len
+        FROM documents
+    """,
+    tags=("text", "documents"),
+    bench=True,
+)
+def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.split(F.trim(F.col("text")), r"\s+")
+    uniq = F.array_distinct(F.split(F.lower(F.trim(F.col("text"))), r"\s+"))
+    return docs.select(
+        "doc_id",
+        F.size(toks).alias("n_tokens"),
+        F.size(uniq).alias("n_uniq_tokens"),
+        F.length("text").alias("n_chars_text"),
+        pround(
+            F.length(F.replace(F.trim(F.col("text")), F.lit(" "), F.lit("")))
+            * F.lit(1.0)
+            / F.size(toks),
+            2,
+        ).alias("avg_word_len"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Quality scoring: the classic cheap filters a pretraining pipeline applies
+# — doc length, mean word length, type-token ratio, stopword presence.
+# Output is per-doc so the oracle check is exact.
+# ---------------------------------------------------------------------------
+@register(
+    "text_quality_score",
+    oracle=r"""
+        WITH t AS (
+            SELECT
+                doc_id,
+                lang,
+                len(string_split_regex(TRIM(text), '\s+'))   AS n_tokens,
+                len(list_distinct(string_split_regex(LOWER(TRIM(text)), '\s+')))
+                                                             AS n_uniq,
+                len(regexp_extract_all(LOWER(text), '\b(the|and|of|to|is)\b'))
+                                                             AS n_stop_en
+            FROM documents
+        )
+        SELECT
+            doc_id,
+            lang,
+            n_tokens,
+            ROUND((n_uniq * 1.0 / n_tokens) * 10000.0) / 10000.0                AS type_token_ratio,
+            ROUND((n_stop_en * 1.0 / n_tokens) * 10000.0) / 10000.0             AS stopword_ratio,
+            CASE WHEN n_tokens BETWEEN 20 AND 1000
+                  AND n_uniq * 1.0 / n_tokens > 0.3
+                 THEN 1 ELSE 0 END                           AS passes_quality
+        FROM t
+    """,
+    tags=("text", "quality", "documents"),
+)
+def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    n_tokens = F.size(F.split(F.trim(F.col("text")), r"\s+"))
+    n_uniq = F.size(F.array_distinct(F.split(F.lower(F.trim(F.col("text"))), r"\s+")))
+    n_stop = F.regexp_count(F.lower(F.col("text")), F.lit(r"\b(the|and|of|to|is)\b"))
+    ttr = pround(n_uniq * F.lit(1.0) / n_tokens, 4)
+    return docs.select(
+        "doc_id",
+        "lang",
+        n_tokens.alias("n_tokens"),
+        ttr.alias("type_token_ratio"),
+        pround(n_stop * F.lit(1.0) / n_tokens, 4).alias("stopword_ratio"),
+        F.when(
+            n_tokens.between(20, 1000) & (n_uniq * F.lit(1.0) / n_tokens > 0.3),
+            F.lit(1),
+        )
+        .otherwise(F.lit(0))
+        .alias("passes_quality"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Heuristic language ID: stopword-marker counts per language, argmax with
+# deterministic tiebreak (marker count DESC, language code ASC). Reported
+# next to the gold ``lang`` label with an accuracy rollup.
+# ---------------------------------------------------------------------------
+def _langid_case_sql() -> str:
+    cols = {code: f"n_{code}" for code in LANG_MARKERS}
+    # greatest over counts, then first language (alphabetical) achieving it.
+    greatest = f"greatest({', '.join(cols.values())})"
+    arms = " ".join(
+        f"WHEN {cols[code]} = best AND best > 0 THEN '{code}'"
+        for code in sorted(LANG_MARKERS)
+    )
+    counts = ", ".join(
+        f"len(regexp_extract_all(LOWER(text), '{pat}')) AS {cols[code]}".replace("\\", "\\")
+        for code, pat in LANG_MARKERS.items()
+    )
+    return f"""
+        WITH counted AS (
+            SELECT doc_id, lang, {counts},
+                   {greatest} AS best
+            FROM documents
+        )
+        SELECT
+            lang                                              AS gold_lang,
+            CASE {arms} ELSE 'und' END                        AS pred_lang,
+            COUNT(*)                                          AS n_docs
+        FROM counted
+        GROUP BY 1, 2
+    """
+
+
+@register(
+    "text_language_id",
+    oracle=_langid_case_sql(),
+    tags=("text", "langid", "documents"),
+)
+def text_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    counts = {
+        code: F.regexp_count(F.lower(F.col("text")), F.lit(pat))
+        for code, pat in LANG_MARKERS.items()
+    }
+    best = F.greatest(*counts.values())
+    pred = F.lit("und")
+    # build CASE arms in reverse-alphabetical order so the final expression
+    # checks alphabetically-first languages first (same tiebreak as oracle).
+    for code in sorted(LANG_MARKERS, reverse=True):
+        pred = F.when((counts[code] == best) & (best > 0), F.lit(code)).otherwise(pred)
+    return (
+        docs.select(F.col("lang").alias("gold_lang"), pred.alias("pred_lang"))
+        .groupBy("gold_lang", "pred_lang")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Document fingerprinting: rolling-hash-style content fingerprint = md5 of
+# the normalized token stream, plus a coarse 8-hex-char locality bucket.
+# (The full MinHash/SimHash machinery lives in operators/dedup.py.)
+# ---------------------------------------------------------------------------
+@register(
+    "text_fingerprint",
+    oracle=r"""
+        SELECT
+            doc_id,
+            md5(array_to_string(string_split_regex(LOWER(TRIM(text)), '\s+'), ' '))
+                                                             AS fp,
+            substring(md5(array_to_string(
+                string_split_regex(LOWER(TRIM(text)), '\s+'), ' ')), 1, 8)
+                                                             AS fp_bucket
+        FROM documents
+    """,
+    tags=("text", "fingerprint", "documents"),
+)
+def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    fp = F.md5(F.array_join(F.split(F.lower(F.trim(F.col("text"))), r"\s+"), " "))
+    return docs.select(
+        "doc_id",
+        fp.alias("fp"),
+        F.substring(fp, 1, 8).alias("fp_bucket"),
+    )

@@ -1,0 +1,129 @@
+"""Streaming pipelines over the sandbox file source (the stand-in for the
+reference's Kafka source — same DataFrame programs run on
+``readStream.format("kafka")`` unchanged, cf. bronze.kafka_stream).
+
+The reference's stream is a stateless decode→append
+(KafkaAvroToIceberg.scala:55-100). Beyond re-expressing that (bronze.py),
+this module adds the stateful operators a real streaming engine needs:
+event-time tumbling/sliding/session windows behind watermarks, streaming
+dedup, and stream-static joins. Each has a batch-equivalent query in the
+registry so correctness is oracle-checked; tests additionally assert
+stream-vs-batch equivalence by draining the file stream with
+``processAllAvailable()`` (reference Q1, KafkaAvroToIceberg.scala:104).
+
+Scale notes: every stateful op is watermarked — unbounded state is the #1
+streaming failure at scale; on a cluster you'd add the RocksDB state store
+(`spark.sql.streaming.stateStore.providerClass`) which is config, not code.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from kafka_stream_job_spark.operators._portable import pround
+from kafka_stream_job_spark.tables import SCHEMAS
+
+
+def stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """File-source replay of the events table as an unbounded stream.
+    (File sources need an explicit schema — no inference mid-stream.)"""
+    return (
+        spark.readStream.schema(SCHEMAS["events"])
+        .parquet(os.path.join(sf_dir, "events.parquet"))
+    )
+
+
+def hourly_rollup_stream(events: DataFrame, watermark: str = "2 hours") -> DataFrame:
+    """Event-time tumbling window counts/sums with late-data handling —
+    the streaming twin of the registry's ``events_hourly_rollup``."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", "1 hour").alias("win"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            pround(F.sum("value"), 2).alias("sum_value"),
+        )
+        .select(
+            F.col("win.start").cast("string").alias("hour_ts"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+def sliding_window_stream(events: DataFrame, watermark: str = "2 hours") -> DataFrame:
+    """Sliding (1 h window / 30 min slide) event counts."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", "1 hour", "30 minutes").alias("win"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            F.col("win.start").cast("string").alias("win_start"),
+            "event_type",
+            "n_events",
+        )
+    )
+
+
+def session_window_stream(events: DataFrame, gap: str = "30 minutes") -> DataFrame:
+    """Session windows per user: sessions close after ``gap`` of
+    inactivity. The only dynamic-state operator here — watermark bounds
+    state growth (SURVEY.md §7.4)."""
+    return (
+        events.withWatermark("ts", "2 hours")
+        .groupBy(F.session_window("ts", gap).alias("sess"), "user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            pround(F.sum("value"), 2).alias("sum_value"),
+        )
+        .select(
+            F.col("sess.start").cast("string").alias("sess_start"),
+            F.col("sess.end").cast("string").alias("sess_end"),
+            "user_id",
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+def dedup_stream(events: DataFrame, watermark: str = "2 hours") -> DataFrame:
+    """Streaming exact dedup on event_id within the watermark horizon —
+    ``dropDuplicatesWithinWatermark`` keeps state bounded (vs the
+    unbounded plain ``dropDuplicates``)."""
+    return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(
+        ["event_id"]
+    )
+
+
+def stream_static_enrich(events: DataFrame, users_dim: DataFrame) -> DataFrame:
+    """Stream-static join: enrich the event stream with a static dimension
+    (broadcast per micro-batch; no state)."""
+    return events.join(F.broadcast(users_dim), on="user_id", how="left")
+
+
+def run_stream_to_memory(
+    spark: SparkSession, df: DataFrame, name: str, checkpoint_dir: str
+) -> DataFrame:
+    """Drain-all helper for tests: start to a memory sink, block until all
+    available input is committed (reference Q1/Q4 pattern,
+    KafkaAvroToIceberg.scala:104,116), stop, return the materialized table.
+    Uses 'complete' for aggregations is not needed — append + watermark
+    emits finalized windows; we use 'update' off, default append.
+    """
+    query = (
+        df.writeStream.format("memory")
+        .queryName(name)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+        .start()
+    )
+    try:
+        query.processAllAvailable()  # Q1 drain barrier
+        _ = query.lastProgress  # Q2 progress introspection
+    finally:
+        query.stop()  # bounded test; production uses awaitTermination (Q4)
+    return spark.table(name)

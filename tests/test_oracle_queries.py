@@ -1,0 +1,56 @@
+"""The correctness gate, in-repo: every registered query with an oracle is
+executed on Spark AND DuckDB at sf0.001 (fast) and compared the way the
+driver compares (row count + schema + order-insensitive values). A second,
+opt-in pass at sf0.01 (`KSJ_ORACLE_SF=sf0.01 pytest ...`) matches the
+driver's exact scale."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+
+from kafka_stream_job_spark.registry import all_specs
+
+from .conftest import SF_SMOKE, assert_matches_oracle
+
+SF_DIR = os.environ.get("KSJ_ORACLE_SF_DIR", SF_SMOKE)
+
+SPECS = all_specs()
+ORACLE_SPECS = [s for s in SPECS.values() if s.oracle is not None]
+ROWS_ONLY_SPECS = [s for s in SPECS.values() if s.oracle is None]
+
+
+@pytest.mark.parametrize("spec", ORACLE_SPECS, ids=[s.name for s in ORACLE_SPECS])
+def test_query_matches_oracle(spark, spec):
+    df = spec.fn(spark, SF_DIR)
+    assert_matches_oracle(spark, SF_DIR, df, spec.oracle, name=spec.name)
+
+
+@pytest.mark.parametrize(
+    "spec",
+    ROWS_ONLY_SPECS or [None],
+    ids=[s.name for s in ROWS_ONLY_SPECS] or ["none"],
+)
+def test_rows_only_queries_run(spark, spec):
+    if spec is None:
+        pytest.skip("no rows-only specs")
+    df = spec.fn(spark, SF_DIR)
+    assert df.count() >= 0
+    assert len(df.schema.fields) > 0
+
+
+def test_entry_smoke(spark):
+    import __spark_entry__ as e
+
+    df = e.entry(spark)
+    assert df.count() > 0
+
+
+def test_contract_shape():
+    import __spark_entry__ as e
+
+    qs = e.queries()
+    oracles = e.oracle_sql()
+    assert qs, "queries() must not be empty"
+    assert set(oracles) <= set(qs)
