@@ -63,7 +63,14 @@ def parse_offsets_json(payload: str) -> OffsetMap:
     start/endOffset fields — one parser serves all of them.
     """
     out: OffsetMap = {}
-    for topic, parts in json.loads(payload).items():
+    parsed = json.loads(payload)
+    if not isinstance(parsed, dict):
+        return out
+    for topic, parts in parsed.items():
+        # Non-Kafka sources write other shapes here (e.g. FileStreamSource's
+        # {"logOffset": N}); only topic→{partition: offset} maps are ours.
+        if not isinstance(parts, dict):
+            continue
         for partition, offset in parts.items():
             out[(topic, int(partition))] = int(offset)
     return out

@@ -23,16 +23,37 @@ import os
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from pyspark.sql import types as T
+
 from kafka_stream_job_spark.operators._portable import pround
 from kafka_stream_job_spark.tables import SCHEMAS
 
 
 def stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """File-source replay of the events table as an unbounded stream.
-    (File sources need an explicit schema — no inference mid-stream.)"""
+
+    File sources need (a) an explicit schema — no inference mid-stream —
+    and (b) a *directory*; the test data is a single parquet file, so it
+    is staged once into a per-sf link directory. The events table stores
+    TIMESTAMP(NANOS) read as long (see tables.load_table), converted here
+    the same way so stream and batch agree.
+    """
+    src = os.path.join(sf_dir, "events.parquet")
+    stage = os.path.join("/tmp/ksj_stream_stage", sf_dir.strip("/").replace("/", "_"))
+    os.makedirs(stage, exist_ok=True)
+    link = os.path.join(stage, "events.parquet")
+    if not os.path.exists(link):
+        os.symlink(src, link)
+    schema = T.StructType(
+        [
+            f if f.name != "ts" else T.StructField("ts", T.LongType())
+            for f in SCHEMAS["events"].fields
+        ]
+    )
     return (
-        spark.readStream.schema(SCHEMAS["events"])
-        .parquet(os.path.join(sf_dir, "events.parquet"))
+        spark.readStream.schema(schema)
+        .parquet(stage)
+        .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
     )
 
 
@@ -106,19 +127,26 @@ def stream_static_enrich(events: DataFrame, users_dim: DataFrame) -> DataFrame:
 
 
 def run_stream_to_memory(
-    spark: SparkSession, df: DataFrame, name: str, checkpoint_dir: str
+    spark: SparkSession,
+    df: DataFrame,
+    name: str,
+    checkpoint_dir: str,
+    output_mode: str = "append",
 ) -> DataFrame:
     """Drain-all helper for tests: start to a memory sink, block until all
     available input is committed (reference Q1/Q4 pattern,
     KafkaAvroToIceberg.scala:104,116), stop, return the materialized table.
-    Uses 'complete' for aggregations is not needed — append + watermark
-    emits finalized windows; we use 'update' off, default append.
+
+    On a BOUNDED source, append-mode windowed aggs never emit their final
+    windows (the watermark can't advance past them without more data), so
+    aggregation tests pass ``output_mode="complete"``; append stays the
+    default for stateless/dedup pipelines.
     """
     query = (
         df.writeStream.format("memory")
         .queryName(name)
         .option("checkpointLocation", checkpoint_dir)
-        .outputMode("append")
+        .outputMode(output_mode)
         .start()
     )
     try:

@@ -1,0 +1,217 @@
+"""Unit tests for the checkpoint reader + the four-mechanism data-loss
+suite (SURVEY.md §2.6), using fabricated checkpoint dirs + injected broker
+offset providers — the same fixture strategy the reference implies with
+test/checkpoint-offset.json (FIXTURES.md §A3)."""
+
+from __future__ import annotations
+
+import pytest
+
+from kafka_stream_job_spark.checkpoint import (
+    batch_transition_loss,
+    compute_loss,
+    list_offset_batches,
+    parse_offsets_json,
+    read_checkpoint_offset,
+    read_offsets_file,
+)
+from kafka_stream_job_spark.monitors import (
+    BatchOffsetGuard,
+    LiveDataLossMonitor,
+    check_batch_transition,
+    detect_and_log,
+    preflight_detect,
+    scan_log_for_loss,
+    write_offsets_fixture,
+)
+
+# The reference's own captured offsets fixture (test/checkpoint-offset.json:19-23)
+REF_OFFSETS = {"orders": {"0": 20, "1": 40, "2": 6}}
+
+
+def provider_with(offsets: dict):
+    """Fake broker: fixed earliest offsets."""
+    return lambda tps: {tp: offsets[tp] for tp in tps if tp in offsets}
+
+
+def failing_provider(tps):
+    raise ConnectionError("broker unreachable")
+
+
+# -- checkpoint reader ------------------------------------------------------
+
+
+def test_parse_offsets_json():
+    om = parse_offsets_json('{"orders":{"0":20,"1":40,"2":6}}')
+    assert om == {("orders", 0): 20, ("orders", 1): 40, ("orders", 2): 6}
+
+
+def test_read_offsets_file_roundtrip(tmp_path):
+    path = write_offsets_fixture(str(tmp_path), 5, REF_OFFSETS, {"batchWatermarkMs": 0})
+    meta, offsets = read_offsets_file(path)
+    assert meta["batchWatermarkMs"] == 0
+    assert offsets[("orders", 1)] == 40
+
+
+def test_read_offsets_file_rejects_garbage(tmp_path):
+    p = tmp_path / "offsets" / "0"
+    p.parent.mkdir()
+    p.write_text("not an offsets file\n")
+    with pytest.raises(ValueError):
+        read_offsets_file(str(p))
+
+
+def test_list_offset_batches_numeric_sort(tmp_path):
+    for b in (0, 2, 10, 9):  # lexicographic would order 10 before 9
+        write_offsets_fixture(str(tmp_path), b, REF_OFFSETS)
+    assert [b for b, _ in list_offset_batches(str(tmp_path))] == [0, 2, 9, 10]
+
+
+def test_read_checkpoint_offset_latest_and_specific(tmp_path):
+    write_offsets_fixture(str(tmp_path), 0, {"orders": {"0": 5}})
+    write_offsets_fixture(str(tmp_path), 1, {"orders": {"0": 20}})
+    assert read_checkpoint_offset(str(tmp_path), "orders", 0) == 20
+    assert read_checkpoint_offset(str(tmp_path), "orders", 0, batch_id=0) == 5
+    assert read_checkpoint_offset(str(tmp_path), "orders", 9) is None
+    assert read_checkpoint_offset(str(tmp_path), "nope", 0) is None
+
+
+# -- the shared loss predicate ---------------------------------------------
+
+
+def test_compute_loss_predicate():
+    # reference semantics: loss iff earliest > expected_start; lost range
+    # [start, earliest-1], count = earliest - start.
+    expected = {("orders", 0): 100, ("orders", 1): 60}
+    earliest = {("orders", 0): 120, ("orders", 1): 60}
+    events = compute_loss(expected, earliest)
+    assert len(events) == 1
+    ev = events[0]
+    assert (ev.topic, ev.partition) == ("orders", 0)
+    assert (ev.lost_from, ev.lost_to, ev.lost_count) == (100, 119, 20)
+
+
+def test_compute_loss_no_loss_when_equal_or_behind():
+    expected = {("orders", 0): 50}
+    assert compute_loss(expected, {("orders", 0): 50}) == []
+    assert compute_loss(expected, {("orders", 0): 10}) == []
+    assert compute_loss(expected, {}) == []
+
+
+def test_batch_transition_predicate():
+    # CheckpointKafkaDataLossMonitor.java:61-63: prevEnd >= 0 && prevEnd <
+    # earliest && currStart == earliest
+    prev = {("orders", 0): 66}
+    curr = {("orders", 0): 120}
+    assert batch_transition_loss(prev, curr, {("orders", 0): 120}) == [
+        ("orders", 0, 66, 120)
+    ]
+    # current start != earliest → no verdict
+    assert batch_transition_loss(prev, {("orders", 0): 121}, {("orders", 0): 120}) == []
+    # prev end at earliest → continuous, fine
+    assert batch_transition_loss({("orders", 0): 120}, curr, {("orders", 0): 120}) == []
+
+
+# -- L1 live monitor --------------------------------------------------------
+
+
+def test_live_monitor_detects_loss_from_progress_json():
+    mon = LiveDataLossMonitor(provider_with({("orders", 0): 30, ("orders", 1): 40}))
+    found = mon.check_source(
+        "KafkaV2[Subscribe[orders]]",
+        '{"orders":{"0":20,"1":40}}',
+        '{"orders":{"0":50,"1":60}}',
+    )
+    assert len(found) == 1
+    assert found[0].lost_count == 10
+    assert mon.events == found
+
+
+def test_live_monitor_filters_non_kafka_and_first_batch():
+    mon = LiveDataLossMonitor(provider_with({("orders", 0): 99}))
+    assert mon.check_source("FileStreamSource[/x]", '{"orders":{"0":0}}', None) == []
+    assert mon.check_source("KafkaV2[Subscribe[orders]]", None, None) == []
+    assert mon.check_source("KafkaV2[Subscribe[orders]]", "{}", None) == []
+
+
+# -- L2 preflight -----------------------------------------------------------
+
+
+def test_preflight_first_run_and_loss(tmp_path):
+    assert preflight_detect(str(tmp_path), provider_with({})) == []
+    write_offsets_fixture(str(tmp_path), 0, REF_OFFSETS)
+    events = preflight_detect(
+        str(tmp_path), provider_with({("orders", 0): 25, ("orders", 1): 10, ("orders", 2): 6})
+    )
+    assert [(e.partition, e.lost_count) for e in events] == [(0, 5)]
+
+
+def test_preflight_broker_down_degrades(tmp_path):
+    write_offsets_fixture(str(tmp_path), 0, REF_OFFSETS)
+    assert preflight_detect(str(tmp_path), failing_provider) == []
+
+
+# -- L3 batch-transition monitor -------------------------------------------
+
+
+def test_check_batch_transition_over_checkpoint(tmp_path):
+    write_offsets_fixture(str(tmp_path), 0, {"orders": {"0": 66}})
+    write_offsets_fixture(str(tmp_path), 1, {"orders": {"0": 120}})
+    suspects = check_batch_transition(str(tmp_path), provider_with({("orders", 0): 120}))
+    assert suspects == [("orders", 0, 66, 120)]
+    # single batch → nothing to compare
+    assert check_batch_transition(str(tmp_path / "nope"), provider_with({})) == []
+
+
+# -- L4 batch guard ---------------------------------------------------------
+
+
+def test_batch_guard_matches_reference_fixture():
+    # KafkaBatchJob.java:24-25 fixture offsets
+    guard = BatchOffsetGuard(
+        provider_with({("orders", 0): 110, ("orders", 1): 0, ("orders", 2): 66}),
+        latest_provider=provider_with({("orders", 0): 200, ("orders", 1): 200, ("orders", 2): 200}),
+    )
+    events = guard.check(
+        '{"orders":{"0":100,"1":60,"2":66}}', '{"orders":{"0":120,"1":120,"2":86}}'
+    )
+    assert guard.ready
+    assert [(e.partition, e.lost_from, e.lost_to, e.lost_count) for e in events] == [
+        (0, 100, 109, 10)
+    ]
+    assert events[0].expected_end == 120
+    assert events[0].kafka_latest == 200
+
+
+def test_batch_guard_degrades_when_broker_down():
+    guard = BatchOffsetGuard(failing_provider)
+    assert guard.check('{"orders":{"0":100}}') == []
+    assert not guard.ready
+
+
+# -- L5 standalone logger ---------------------------------------------------
+
+
+def test_detect_and_log_appends_lines(tmp_path):
+    ckpt = tmp_path / "ckpt"
+    write_offsets_fixture(str(ckpt), 0, {"orders": {"0": 5, "1": 5}})
+    write_offsets_fixture(str(ckpt), 1, {"orders": {"0": 50, "1": 50}})
+    log_path = tmp_path / "loss.log"
+    n = detect_and_log(str(ckpt), provider_with({("orders", 0): 10, ("orders", 1): 5}), str(log_path))
+    # batch 0 partition 0: committed 5 < earliest 10 → one loss line
+    assert n == 1
+    lines = log_path.read_text().splitlines()
+    assert len(lines) == 1 and "[DATA-LOSS] orders-0" in lines[0]
+
+
+# -- L6 log scan ------------------------------------------------------------
+
+
+def test_scan_log_for_loss_patterns():
+    lines = [
+        "INFO all good",
+        "WARN Some data may be lost because they are not available in Kafka any more",
+        "WARN Cannot fetch offset 42",
+        "INFO Skip missing records",
+    ]
+    assert len(scan_log_for_loss(lines)) == 3

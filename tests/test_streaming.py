@@ -1,0 +1,149 @@
+"""Structured Streaming tests: stream-vs-batch equivalence for the
+windowed/stateful operators, and the bronze pipeline end-to-end as a
+stream with a real checkpoint + the L1 listener attached (the reference's
+observation pattern: processAllAvailable → lastProgress →
+checkpoint inspection, KafkaAvroToIceberg.scala:104-113, dev.md:15-21)."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from kafka_stream_job_spark.bronze import decode_events, _EVENT_PAYLOAD_STRUCT
+from kafka_stream_job_spark.checkpoint import list_offset_batches, read_offsets_file
+from kafka_stream_job_spark.monitors import LiveDataLossMonitor
+from kafka_stream_job_spark.operators.relational import events_hourly_rollup
+from kafka_stream_job_spark.streaming.pipeline import (
+    dedup_stream,
+    hourly_rollup_stream,
+    run_stream_to_memory,
+    session_window_stream,
+    stream_events,
+    stream_static_enrich,
+)
+from kafka_stream_job_spark.tables import load_table
+
+from .conftest import SF_SMOKE
+
+
+def test_hourly_rollup_stream_equals_batch(spark, tmp_path):
+    """The streaming tumbling-window agg must produce exactly the batch
+    rollup once the bounded input drains (complete mode)."""
+    out = run_stream_to_memory(
+        spark,
+        hourly_rollup_stream(stream_events(spark, SF_SMOKE)),
+        "hourly_stream",
+        str(tmp_path / "ckpt"),
+        output_mode="complete",
+    )
+    stream_rows = {tuple(r) for r in out.collect()}
+    batch_rows = {tuple(r) for r in events_hourly_rollup(spark, SF_SMOKE).collect()}
+    assert stream_rows == batch_rows and len(stream_rows) > 0
+
+
+def test_dedup_stream_drops_injected_duplicates(spark, tmp_path):
+    """Feed events + a duplicated slice through the streaming dedup; the
+    surviving set must equal the distinct event_ids."""
+    events = load_table(spark, SF_SMOKE, "events")
+    dup_dir = str(tmp_path / "dup_input")
+    events.unionAll(events.limit(100)).repartition(4).write.parquet(dup_dir)
+
+    from kafka_stream_job_spark.tables import SCHEMAS
+
+    stream = spark.readStream.schema(SCHEMAS["events"]).parquet(dup_dir)
+    out = run_stream_to_memory(
+        spark, dedup_stream(stream), "dedup_stream", str(tmp_path / "ckpt")
+    )
+    n_distinct = events.select("event_id").distinct().count()
+    got = out.select("event_id").collect()
+    assert len(got) == n_distinct
+    assert len({r[0] for r in got}) == n_distinct
+
+
+def test_session_window_stream_runs_and_bounds_sessions(spark, tmp_path):
+    out = run_stream_to_memory(
+        spark,
+        session_window_stream(stream_events(spark, SF_SMOKE), gap="30 minutes"),
+        "sessions_stream",
+        str(tmp_path / "ckpt"),
+        output_mode="complete",
+    )
+    rows = out.collect()
+    assert len(rows) > 0
+    # every session belongs to one user and has ≥1 event
+    assert all(r["n_events"] >= 1 for r in rows)
+    # sessions for one user don't overlap (sorted starts >= previous ends)
+    by_user: dict[int, list] = {}
+    for r in rows:
+        by_user.setdefault(r["user_id"], []).append((r["sess_start"], r["sess_end"]))
+    for sessions in by_user.values():
+        sessions.sort()
+        for (s1, e1), (s2, _e2) in zip(sessions, sessions[1:]):
+            assert s2 >= e1
+
+
+def test_stream_static_enrich(spark, tmp_path):
+    users = (
+        load_table(spark, SF_SMOKE, "events")
+        .select("user_id")
+        .distinct()
+        .withColumn("user_tag", F.concat(F.lit("u"), F.col("user_id")))
+    )
+    out = run_stream_to_memory(
+        spark,
+        stream_static_enrich(stream_events(spark, SF_SMOKE), users),
+        "enrich_stream",
+        str(tmp_path / "ckpt"),
+    )
+    total = load_table(spark, SF_SMOKE, "events").count()
+    assert out.count() == total
+    assert out.filter(F.col("user_tag").isNull()).count() == 0
+
+
+def test_bronze_stream_end_to_end_with_checkpoint_and_monitor(spark, tmp_path):
+    """Full reference shape in-sandbox: binary payloads → streaming decode
+    → enrich → sink with checkpoint; L1 listener attached; afterwards the
+    checkpoint offset log parses with our reader (dev.md:15-21 inspection,
+    automated)."""
+    events = load_table(spark, SF_SMOKE, "events")
+    raw_dir = str(tmp_path / "raw")
+    events.select(
+        F.encode(
+            F.to_json(F.struct("event_id", "user_id", "event_type", "value")), "UTF-8"
+        ).alias("value")
+    ).write.parquet(raw_dir)
+
+    from pyspark.sql import types as T
+
+    raw_stream = spark.readStream.schema(
+        T.StructType([T.StructField("value", T.BinaryType())])
+    ).parquet(raw_dir)
+    decoded = decode_events(
+        raw_stream,
+        payload_format="json",
+        struct_schema=_EVENT_PAYLOAD_STRUCT,
+        source_tag="kafka-stream",
+    )
+
+    monitor = LiveDataLossMonitor(lambda tps: {})
+    spark.streams.addListener(monitor)
+    ckpt = str(tmp_path / "ckpt")
+    try:
+        out = run_stream_to_memory(spark, decoded, "bronze_stream", ckpt)
+        assert out.count() == events.count()
+        assert set(out.columns) == {
+            "event_id", "user_id", "event_type", "value", "ingested_at", "source",
+        }
+        assert out.filter(F.col("source") != "kafka-stream").count() == 0
+    finally:
+        spark.streams.removeListener(monitor)
+
+    # checkpoint offset log is real and parseable by our reader
+    batches = list_offset_batches(ckpt)
+    assert batches, "no offsets files written"
+    meta, _ = read_offsets_file(batches[-1][1])
+    assert "batchWatermarkMs" in meta
+    # file source is not KafkaV2 → the monitor must report nothing
+    assert monitor.events == []
