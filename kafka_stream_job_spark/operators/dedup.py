@@ -41,6 +41,16 @@ ROWS_PER_BAND = 2
 NUM_HASHES = NUM_BANDS * ROWS_PER_BAND
 SHINGLE_K = 3  # word-level 3-shingles
 
+# Universal-hash family for the MinHash permutations: each shingle is
+# md5-hashed ONCE to a 28-bit integer h (7 hex digits), then permutation
+# s is the pure-integer map (A[s]*h + B[s]) mod P — classic (a*x+b) mod p
+# MinHash. This is 16× less hashing than md5-per-seed, and the per-seed
+# work is codegen-friendly integer arithmetic. Constants are fixed,
+# deterministic, and reproduced literally in the DuckDB oracle SQL.
+MINHASH_P = 2_147_483_647  # Mersenne prime 2^31 - 1
+MINHASH_A = [pow(1_000_003, s + 1, MINHASH_P) for s in range(NUM_HASHES)]
+MINHASH_B = [pow(999_983, s + 1, MINHASH_P) for s in range(NUM_HASHES)]
+
 
 def _norm_text(col: str = "text"):
     """Whitespace-collapse + lowercase; the normalization both engines
@@ -81,19 +91,25 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _shingles(df: DataFrame) -> DataFrame:
-    """(doc_id, shingle) — distinct word-level K-shingles per document.
-
-    Built JVM-side: split → slice windows via transform over an index
-    sequence → explode. No Python UDF in the hot path.
-    """
+def _shingle_array():
+    """Per-row array of word-level K-shingles (JVM-side, no explode)."""
     toks = F.split(_norm_text(), " ")
     n = F.size(toks)
     # positions 0..n-K; each yields the K-token shingle joined by space.
     idx = F.sequence(F.lit(0), F.greatest(n - SHINGLE_K, F.lit(0)))
     shingle_at = lambda i: F.array_join(F.slice(toks, i + 1, SHINGLE_K), " ")  # noqa: E731
+    return F.transform(idx, shingle_at)
+
+
+def _shingles(df: DataFrame) -> DataFrame:
+    """(doc_id, shingle) — distinct word-level K-shingles per document.
+
+    Built JVM-side: split → slice windows via transform over an index
+    sequence → explode. No Python UDF in the hot path. Used by the
+    Jaccard verify stage, which genuinely needs the set rows.
+    """
     return (
-        df.select("doc_id", F.explode(F.array_distinct(F.transform(idx, shingle_at))).alias("shingle"))
+        df.select("doc_id", F.explode(F.array_distinct(_shingle_array())).alias("shingle"))
         .distinct()
     )
 
@@ -115,33 +131,63 @@ _SHINGLES_SQL = f"""
 
 _SIGS_SQL = (
     "SELECT doc_id, "
-    + ", ".join(f"MIN(md5(concat('{s}:', shingle))) AS h{s}" for s in range(NUM_HASHES))
-    + " FROM shingles GROUP BY doc_id"
+    + ", ".join(
+        f"MIN(({MINHASH_A[s]} * h + {MINHASH_B[s]}) % {MINHASH_P}) AS h{s}"
+        for s in range(NUM_HASHES)
+    )
+    + " FROM (SELECT doc_id, ('0x' || substr(md5(shingle), 1, 7))::BIGINT AS h"
+    "   FROM shingles) GROUP BY doc_id"
 )
 
 _BANDS_SQL = " UNION ALL ".join(
     f"SELECT doc_id, {b} AS band_idx, "
-    f"md5(concat_ws('|', {', '.join(f'h{b * ROWS_PER_BAND + r}' for r in range(ROWS_PER_BAND))}))"
+    f"md5(concat_ws('|', {', '.join(f'CAST(h{b * ROWS_PER_BAND + r} AS VARCHAR)' for r in range(ROWS_PER_BAND))}))"
     f" AS band_sig FROM sigs"
     for b in range(NUM_BANDS)
 )
 
 
 def minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """(doc_id, sig[NUM_HASHES]) — per-doc MinHash signature.
+    """(doc_id, h0..h{k-1}) — per-doc MinHash signature (bigint columns).
 
-    Hash h_s(shingle) = md5(s‖':'‖shingle) (hex string); min is
-    lexicographic — uniform and engine-portable. One shuffle: the
-    groupBy(doc_id) collapsing shingles to the signature, with map-side
-    partial mins.
+    Scale design:
+
+    1. Each shingle is md5-hashed ONCE and its leading 7 hex digits are
+       parsed to a 28-bit integer (``conv(substr(md5(sh),1,7),16,10)``) —
+       one strong hash per shingle, fused into the shingling ``transform``
+       so shingle strings never leave the expression.
+    2. Seed *s*'s min-hash is ``MIN((A[s]*h + B[s]) % P)`` — a
+       universal-hash permutation in pure integer arithmetic, evaluated
+       as 16 codegen'd min-aggregates over the exploded (doc_id, h)
+       rows. Min over the shingle multiset == min over the set, so no
+       distinct. (A narrow higher-order ``aggregate`` variant avoids the
+       explode entirely but runs interpreted, measured 3× slower — HOFs
+       are outside whole-stage codegen.)
+    3. The explode does NOT blow up the shuffle: hash aggregation does
+       map-side partial mins, so the exchange carries one 16-long row
+       per document, not one row per shingle. At 100 TB the shingle
+       rows exist only inside each scan task.
     """
     docs = load_table(spark, sf_dir, "documents")
-    sh = _shingles(docs)
-    mins = [
-        F.min(F.md5(F.concat(F.lit(f"{s}:"), F.col("shingle")))).alias(f"h{s}")
+    toks = F.split(_norm_text(), " ")
+    n = F.size(toks)
+    idx = F.sequence(F.lit(0), F.greatest(n - SHINGLE_K, F.lit(0)))
+    hashed = F.transform(
+        idx,
+        lambda i: F.conv(
+            F.substring(F.md5(F.array_join(F.slice(toks, i + 1, SHINGLE_K), " ")), 1, 7),
+            16,
+            10,
+        ).cast("long"),
+    )
+    staged = docs.where(F.col("text").isNotNull()).select(
+        "doc_id", F.explode(hashed).alias("h")
+    )
+    sig_cols = [
+        F.min((F.lit(MINHASH_A[s]) * F.col("h") + F.lit(MINHASH_B[s])) % MINHASH_P).alias(f"h{s}")
         for s in range(NUM_HASHES)
     ]
-    return sh.groupBy("doc_id").agg(*mins)
+    return staged.groupBy("doc_id").agg(*sig_cols)
 
 
 # ---------------------------------------------------------------------------
@@ -152,7 +198,11 @@ def _band_sig_cols():
     return [
         F.md5(
             F.concat_ws(
-                "|", *[F.col(f"h{b * ROWS_PER_BAND + r}") for r in range(ROWS_PER_BAND)]
+                "|",
+                *[
+                    F.col(f"h{b * ROWS_PER_BAND + r}").cast("string")
+                    for r in range(ROWS_PER_BAND)
+                ],
             )
         ).alias(f"band{b}")
         for b in range(NUM_BANDS)
@@ -176,6 +226,18 @@ def _band_sig_cols():
     bench=True,
 )
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH candidate pairs via band self-join.
+
+    Scale design: the self-join is pinned to a sort-merge join (``merge``
+    hint). At 100 TB both sides are the full banded corpus, so a
+    broadcast is impossible and a shuffled-hash build risks OOM on hot
+    buckets — SMJ spills. Pinning the strategy has a second payoff: both
+    join children are canonically identical plans shuffled on the same
+    (band_idx, band_sig) keys, so Spark's ReusedExchange kicks in and the
+    signature pipeline (scan → shingle → md5 → minhash → band) runs ONCE,
+    not once per side (AQE's broadcast conversion would break the reuse
+    and double the scan).
+    """
     sigs = minhash_signatures(spark, sf_dir)
     banded = sigs.select(
         "doc_id",
@@ -186,7 +248,7 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("band_idx", "band_sig"),
     )
-    left = banded.alias("a")
+    left = banded.alias("a").hint("merge")
     right = banded.alias("b")
     pairs = (
         left.join(
