@@ -52,6 +52,16 @@ MINHASH_A = [pow(1_000_003, s + 1, MINHASH_P) for s in range(NUM_HASHES)]
 MINHASH_B = [pow(999_983, s + 1, MINHASH_P) for s in range(NUM_HASHES)]
 
 
+# SimHash parameters: fingerprint width matches the 28-bit shingle hash;
+# 4 bands × 7 bits — pigeonhole guarantees any pair with Hamming distance
+# ≤ 3 shares at least one identical band, so the band join is EXACT for
+# the ≤3 threshold (no recall loss), while never comparing all pairs.
+SIMHASH_BITS = 28
+SIMHASH_BANDS = 4
+SIMHASH_BAND_BITS = 7
+SIMHASH_HAMMING_MAX = 3
+
+
 def _norm_text(col: str = "text"):
     """Whitespace-collapse + lowercase; the normalization both engines
     apply before fingerprinting."""
@@ -99,6 +109,23 @@ def _shingle_array():
     idx = F.sequence(F.lit(0), F.greatest(n - SHINGLE_K, F.lit(0)))
     shingle_at = lambda i: F.array_join(F.slice(toks, i + 1, SHINGLE_K), " ")  # noqa: E731
     return F.transform(idx, shingle_at)
+
+
+def _hashed_shingle_expr():
+    """Array of 28-bit integer shingle hashes per row — shingling and
+    md5→int hashing fused in one ``transform`` so shingle strings never
+    materialize outside the expression (one md5 per shingle, total)."""
+    toks = F.split(_norm_text(), " ")
+    n = F.size(toks)
+    idx = F.sequence(F.lit(0), F.greatest(n - SHINGLE_K, F.lit(0)))
+    return F.transform(
+        idx,
+        lambda i: F.conv(
+            F.substring(F.md5(F.array_join(F.slice(toks, i + 1, SHINGLE_K), " ")), 1, 7),
+            16,
+            10,
+        ).cast("long"),
+    )
 
 
 def _shingles(df: DataFrame) -> DataFrame:
@@ -169,19 +196,8 @@ def minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
        rows exist only inside each scan task.
     """
     docs = load_table(spark, sf_dir, "documents")
-    toks = F.split(_norm_text(), " ")
-    n = F.size(toks)
-    idx = F.sequence(F.lit(0), F.greatest(n - SHINGLE_K, F.lit(0)))
-    hashed = F.transform(
-        idx,
-        lambda i: F.conv(
-            F.substring(F.md5(F.array_join(F.slice(toks, i + 1, SHINGLE_K), " ")), 1, 7),
-            16,
-            10,
-        ).cast("long"),
-    )
     staged = docs.where(F.col("text").isNotNull()).select(
-        "doc_id", F.explode(hashed).alias("h")
+        "doc_id", F.explode(_hashed_shingle_expr()).alias("h")
     )
     sig_cols = [
         F.min((F.lit(MINHASH_A[s]) * F.col("h") + F.lit(MINHASH_B[s])) % MINHASH_P).alias(f"h{s}")
@@ -332,4 +348,136 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(cb, "doc_b")
         .select("doc_a", "doc_b", jac.alias("jaccard"))
         .filter(F.col("jaccard") >= 0.2)
+    )
+
+
+# ---------------------------------------------------------------------------
+# SimHash near-dup: bit-vote fingerprint over the hashed shingle SET, then
+# banded Hamming-distance candidate pairs. Unlike MinHash's min (multiset-
+# invariant), bit votes are multiplicity-sensitive, so BOTH engines dedup
+# (doc_id, h) before voting.
+# ---------------------------------------------------------------------------
+_HASHED_SET_SQL = (
+    "SELECT DISTINCT doc_id, ('0x' || substr(md5(shingle), 1, 7))::BIGINT AS h"
+    " FROM shingles"
+)
+
+_VOTES_SQL = (
+    "SELECT doc_id, "
+    + ", ".join(
+        f"SUM(CASE WHEN (h >> {j}) % 2 = 1 THEN 1 ELSE -1 END) AS v{j}"
+        for j in range(SIMHASH_BITS)
+    )
+    + " FROM hashed GROUP BY doc_id"
+)
+
+_FP_SQL = (
+    "SELECT doc_id, CAST("
+    + " + ".join(
+        f"(CASE WHEN v{j} >= 0 THEN {1 << j} ELSE 0 END)" for j in range(SIMHASH_BITS)
+    )
+    + " AS BIGINT) AS fp FROM votes"
+)
+
+_SIMBANDS_SQL = " UNION ALL ".join(
+    f"SELECT doc_id, fp, {b} AS band_idx,"
+    f" (fp >> {b * SIMHASH_BAND_BITS}) % {1 << SIMHASH_BAND_BITS} AS band_val FROM fps"
+    for b in range(SIMHASH_BANDS)
+)
+
+
+def simhash_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, fp) — 28-bit SimHash fingerprint per document.
+
+    Same single-pass shape as minhash_signatures: explode the distinct
+    hashed shingles to rows, then 28 codegen'd conditional-sum aggregates
+    (bit votes) with map-side partial aggregation — the shuffle carries
+    one 28-int row per doc. The fingerprint assembles sign bits in a
+    cheap post-agg projection (cardinality = documents).
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    staged = docs.where(F.col("text").isNotNull()).select(
+        "doc_id", F.explode(F.array_distinct(_hashed_shingle_expr())).alias("h")
+    )
+    votes = staged.groupBy("doc_id").agg(
+        *[
+            F.sum(
+                F.when(F.shiftright(F.col("h"), j) % 2 == 1, F.lit(1)).otherwise(F.lit(-1))
+            ).alias(f"v{j}")
+            for j in range(SIMHASH_BITS)
+        ]
+    )
+    fp = None
+    for j in range(SIMHASH_BITS):
+        bit = F.when(F.col(f"v{j}") >= 0, F.lit(1 << j)).otherwise(F.lit(0))
+        fp = bit if fp is None else fp + bit
+    return votes.select("doc_id", fp.cast("long").alias("fp"))
+
+
+@register(
+    "dedup_simhash",
+    oracle=f"""
+        WITH shingles AS ({_SHINGLES_SQL}),
+        hashed AS ({_HASHED_SET_SQL}),
+        votes AS ({_VOTES_SQL}),
+        fps AS ({_FP_SQL}),
+        bands AS ({_SIMBANDS_SQL})
+        SELECT DISTINCT
+            a.doc_id AS doc_a,
+            b.doc_id AS doc_b,
+            CAST(bit_count(xor(a.fp, b.fp)) AS BIGINT) AS hamming
+        FROM bands a
+        JOIN bands b
+          ON a.band_idx = b.band_idx
+         AND a.band_val = b.band_val
+         AND a.doc_id < b.doc_id
+        WHERE bit_count(xor(a.fp, b.fp)) <= {SIMHASH_HAMMING_MAX}
+    """,
+    tags=("dedup", "simhash", "documents"),
+)
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup pairs with SimHash Hamming distance ≤ 3.
+
+    Banding 28 bits into 4×7 makes the equi-join EXACT for the ≤3
+    threshold (pigeonhole: ≤3 differing bits leave ≥1 of 4 bands
+    untouched), so this never scans all pairs yet loses no recall.
+    Same sort-merge self-join discipline as dedup_minhash_lsh.
+    """
+    fps = simhash_fingerprints(spark, sf_dir)
+    banded = fps.select(
+        "doc_id",
+        "fp",
+        F.explode(
+            F.map_from_arrays(
+                F.array(*[F.lit(b) for b in range(SIMHASH_BANDS)]),
+                F.array(
+                    *[
+                        F.shiftright(F.col("fp"), b * SIMHASH_BAND_BITS)
+                        % (1 << SIMHASH_BAND_BITS)
+                        for b in range(SIMHASH_BANDS)
+                    ]
+                ),
+            )
+        ).alias("band_idx", "band_val"),
+    )
+    a = banded.select(
+        F.col("doc_id").alias("doc_a"), F.col("fp").alias("fp_a"), "band_idx", "band_val"
+    ).hint("merge")
+    b = banded.select(
+        F.col("doc_id").alias("doc_b"),
+        F.col("fp").alias("fp_b"),
+        F.col("band_idx").alias("band_idx_b"),
+        F.col("band_val").alias("band_val_b"),
+    )
+    hamming = F.bit_count(F.col("fp_a").bitwiseXOR(F.col("fp_b"))).cast("long")
+    return (
+        a.join(
+            b,
+            (F.col("band_idx") == F.col("band_idx_b"))
+            & (F.col("band_val") == F.col("band_val_b"))
+            & (F.col("doc_a") < F.col("doc_b")),
+        )
+        .select("doc_a", "doc_b", hamming.alias("hamming"))
+        .filter(F.col("hamming") <= SIMHASH_HAMMING_MAX)
+        .distinct()
     )

@@ -1,0 +1,116 @@
+"""Arrow-batched Python UDF surface (SURVEY.md §7.3 step 6): grouped-map
+``applyInPandas`` and a scalar ``pandas_udf``, demonstrated on operators
+whose results stay oracle-checkable.
+
+When to use this path — and when not to (the 100 TB rule): everything
+expressible with built-in ``pyspark.sql.functions`` stays JVM-side in
+whole-stage codegen; Python enters only for logic Spark genuinely lacks
+(here: arbitrary per-group numpy/pandas code). Data crosses the JVM↔Python
+boundary as Arrow record batches — vectorized, ~10-100× faster than
+row-at-a-time ``F.udf`` — and ``applyInPandas`` shuffles once on the group
+key, so group cardinality/size must fit a worker's memory (customer groups
+per nation: fine; don't group a 100 TB table by a 5-value key).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from kafka_stream_job_spark.registry import register
+from kafka_stream_job_spark.tables import load_table
+
+
+def _pround_np(x: np.ndarray, scale: int) -> np.ndarray:
+    """Numpy twin of operators/_portable.pround: scale → round-half-away-
+    from-zero to int → divide (np.round is half-even, which does NOT match
+    either engine's ROUND)."""
+    factor = 10.0**scale
+    scaled = x * factor
+    return np.sign(scaled) * np.floor(np.abs(scaled) + 0.5) / factor
+
+
+# ---------------------------------------------------------------------------
+# Grouped-map applyInPandas: per-nation z-score of customer account
+# balances. One shuffle on c_nationkey; each group becomes a pandas frame
+# in a Python worker; the oracle is the equivalent window SQL.
+# ---------------------------------------------------------------------------
+@register(
+    "pandas_acctbal_zscore",
+    oracle="""
+        WITH stats AS (
+            SELECT
+                c_nationkey,
+                SUM(c_acctbal) / COUNT(*) AS mu,
+                sqrt(SUM(c_acctbal * c_acctbal) / COUNT(*)
+                     - (SUM(c_acctbal) / COUNT(*)) * (SUM(c_acctbal) / COUNT(*))) AS sigma
+            FROM customer
+            GROUP BY c_nationkey
+        )
+        SELECT
+            c.c_custkey,
+            c.c_nationkey,
+            ROUND(((c.c_acctbal - s.mu) / s.sigma) * 100.0) / 100.0 AS zscore
+        FROM customer c
+        JOIN stats s USING (c_nationkey)
+        WHERE s.sigma > 0
+    """,
+    tags=("pandas-udf", "applyInPandas", "customer"),
+)
+def pandas_acctbal_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_nationkey", "c_acctbal"
+    )
+
+    def zscore(pdf: pd.DataFrame) -> pd.DataFrame:
+        bal = pdf["c_acctbal"].to_numpy(dtype=np.float64)
+        # Mean/variance via explicit sums — the exact arithmetic the
+        # oracle SQL performs, so the doubles agree pre-rounding.
+        n = float(len(bal))
+        mu = bal.sum() / n
+        sigma = np.sqrt((bal * bal).sum() / n - mu * mu)
+        if not sigma > 0:
+            return pdf.iloc[0:0][["c_custkey", "c_nationkey"]].assign(zscore=[])
+        out = pdf[["c_custkey", "c_nationkey"]].copy()
+        out["zscore"] = _pround_np((bal - mu) / sigma, 2)
+        return out
+
+    return cust.groupBy("c_nationkey").applyInPandas(
+        zscore, schema="c_custkey long, c_nationkey int, zscore double"
+    )
+
+
+# ---------------------------------------------------------------------------
+# Scalar pandas_udf: Arrow-vectorized log1p of order totals — the scalar
+# UDF shape (one Arrow batch in, one out, no shuffle implied). Kept
+# deliberately simple: the interesting contract is the batch boundary.
+# ---------------------------------------------------------------------------
+@register(
+    "pandas_scalar_log_price",
+    oracle="""
+        SELECT
+            o_orderpriority,
+            COUNT(*) AS n_orders,
+            ROUND((SUM(ln(1.0 + o_totalprice))) * 10000.0) / 10000.0 AS sum_log_price
+        FROM orders
+        GROUP BY o_orderpriority
+    """,
+    tags=("pandas-udf", "scalar", "orders"),
+)
+def pandas_scalar_log_price(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("double")
+    def log1p_price(price: pd.Series) -> pd.Series:
+        return pd.Series(np.log1p(price.to_numpy(dtype=np.float64)))
+
+    from kafka_stream_job_spark.operators._portable import pround
+
+    orders = load_table(spark, sf_dir, "orders")
+    return orders.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        pround(F.sum(log1p_price(F.col("o_totalprice"))), 4).alias("sum_log_price"),
+    )

@@ -619,3 +619,183 @@ def small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("l_quantity") < F.col("half_avg"))
         .agg(pround(F.sum("l_extendedprice") / 7.0, 2).alias("avg_yearly"))
     )
+
+
+# ---------------------------------------------------------------------------
+# As-of join (purchase attribution): for every 'purchase' event, the most
+# recent 'view'/'click' of the same user at or before the purchase. The
+# reference category's classic time-series operator Spark lacks natively.
+#
+# Scale design: NOT a range join (candidate blowup) and NOT a join+argmax
+# (second shuffle + skew on hot users). Both sides are tagged, unioned,
+# shuffled ONCE on user_id, and a running `last(..., ignorenulls)` window
+# carries the latest touch forward — O(n log n) per user partition, no
+# pair materialization. DuckDB's native ASOF JOIN is the oracle.
+# ---------------------------------------------------------------------------
+@register(
+    "asof_purchase_attribution",
+    oracle="""
+        WITH touches AS (
+            SELECT user_id, ts,
+                   MAX(event_id)              AS touch_event_id,
+                   max_by(event_type, event_id) AS touch_type
+            FROM events
+            WHERE event_type IN ('view', 'click')
+            GROUP BY user_id, ts
+        ),
+        purchases AS (
+            SELECT user_id, ts, event_id AS purchase_id
+            FROM events WHERE event_type = 'purchase'
+        )
+        SELECT
+            p.purchase_id,
+            p.user_id,
+            t.touch_event_id AS last_touch_id,
+            t.touch_type     AS last_touch_type,
+            CAST(date_diff('second', t.ts, p.ts) AS BIGINT) AS seconds_since_touch
+        FROM purchases p
+        ASOF JOIN touches t ON p.user_id = t.user_id AND t.ts <= p.ts
+    """,
+    tags=("join", "asof", "events"),
+    bench=True,
+)
+def asof_purchase_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    touches = (
+        events.filter(F.col("event_type").isin("view", "click"))
+        .groupBy("user_id", "ts")
+        .agg(
+            F.max("event_id").alias("touch_event_id"),
+            F.max_by("event_type", "event_id").alias("touch_type"),
+        )
+    )
+    purchases = events.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", F.col("event_id").alias("purchase_id")
+    )
+    # marker 0 = touch, 1 = purchase: at equal ts the touch sorts first,
+    # so `t.ts <= p.ts` semantics fall out of the sort order.
+    left = purchases.select(
+        "user_id",
+        "ts",
+        F.lit(1).alias("marker"),
+        "purchase_id",
+        F.lit(None).cast("long").alias("touch_event_id"),
+        F.lit(None).cast("string").alias("touch_type"),
+        F.lit(None).cast("timestamp").alias("touch_ts"),
+    )
+    right = touches.select(
+        "user_id",
+        "ts",
+        F.lit(0).alias("marker"),
+        F.lit(None).cast("long").alias("purchase_id"),
+        "touch_event_id",
+        "touch_type",
+        F.col("ts").alias("touch_ts"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "marker")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    merged = (
+        left.unionByName(right)
+        .withColumn("last_touch_id", F.last("touch_event_id", ignorenulls=True).over(w))
+        .withColumn("last_touch_type", F.last("touch_type", ignorenulls=True).over(w))
+        .withColumn("last_touch_ts", F.last("touch_ts", ignorenulls=True).over(w))
+    )
+    return (
+        merged.filter((F.col("marker") == 1) & F.col("last_touch_id").isNotNull())
+        .select(
+            "purchase_id",
+            "user_id",
+            "last_touch_id",
+            "last_touch_type",
+            (F.unix_timestamp("ts") - F.unix_timestamp("last_touch_ts"))
+            .cast("long")
+            .alias("seconds_since_touch"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Explicit GROUPING SETS (complements the cube/rollup queries): detail,
+# per-status, and grand-total levels in one pass — Spark expands to a
+# single Expand + hash-aggregate, one shuffle.
+# ---------------------------------------------------------------------------
+@register(
+    "grouping_sets_revenue",
+    oracle="""
+        SELECT
+            o_orderstatus,
+            o_orderpriority,
+            GROUPING(o_orderstatus, o_orderpriority) AS grp_id,
+            COUNT(*) AS n_orders,
+            ROUND((SUM(o_totalprice)) * 100.0) / 100.0 AS revenue
+        FROM orders
+        GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority), (o_orderstatus), ())
+    """,
+    tags=("agg", "grouping-sets"),
+)
+def grouping_sets_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.groupingSets(
+            [["o_orderstatus", "o_orderpriority"], ["o_orderstatus"], []],
+            "o_orderstatus",
+            "o_orderpriority",
+        )
+        .agg(
+            F.grouping_id().alias("grp_id"),
+            F.count(F.lit(1)).alias("n_orders"),
+            pround(F.sum("o_totalprice"), 2).alias("revenue"),
+        )
+        .select("o_orderstatus", "o_orderpriority", "grp_id", "n_orders", "revenue")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Range (theta) join against a tiny banded dimension: the non-equi
+# predicate forces a broadcast nested-loop join — exactly right when one
+# side is a handful of rows (the 100 TB alternative is a CASE expression;
+# the join form generalizes to data-driven band tables).
+# ---------------------------------------------------------------------------
+PRICE_BANDS = [
+    ("small", 0, 50_000),
+    ("medium", 50_000, 150_000),
+    ("large", 150_000, 300_000),
+    ("jumbo", 300_000, 1_000_000_000),
+]
+
+_PRICE_BANDS_VALUES = ", ".join(f"('{b}', {lo}, {hi})" for b, lo, hi in PRICE_BANDS)
+
+
+@register(
+    "range_join_price_bands",
+    oracle=f"""
+        WITH bands(band, lo, hi) AS (VALUES {_PRICE_BANDS_VALUES})
+        SELECT
+            b.band,
+            COUNT(*) AS n_orders,
+            ROUND((SUM(o_totalprice)) * 100.0) / 100.0 AS revenue
+        FROM orders o
+        JOIN bands b ON o.o_totalprice >= b.lo AND o.o_totalprice < b.hi
+        GROUP BY b.band
+    """,
+    tags=("join", "range", "theta"),
+)
+def range_join_price_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    bands = orders.sparkSession.createDataFrame(
+        PRICE_BANDS, "band string, lo long, hi long"
+    )
+    return (
+        orders.join(
+            F.broadcast(bands),
+            (F.col("o_totalprice") >= F.col("lo")) & (F.col("o_totalprice") < F.col("hi")),
+        )
+        .groupBy("band")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            pround(F.sum("o_totalprice"), 2).alias("revenue"),
+        )
+    )

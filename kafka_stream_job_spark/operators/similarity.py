@@ -28,6 +28,7 @@ from kafka_stream_job_spark.tables import load_table
 N_QUERIES = 8  # vec_id < 8 are the query vectors
 TOP_K = 5
 LSH_BITS = 12  # sign-LSH bucket width for the near-dup pass
+PROBE_BITS = 6  # coarser bucket for the ANN top-k path (~corpus/64 candidates)
 DIM = 64
 
 
@@ -145,10 +146,10 @@ def _lsh_sign(j: int):
     return F.when(proj >= 0, F.lit("1")).otherwise(F.lit("0"))
 
 
-def lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+def lsh_buckets(spark: SparkSession, sf_dir: str, bits: int = LSH_BITS) -> DataFrame:
     """(vec_id, bucket) — sign-LSH bucket assignment, all JVM-side."""
     emb = load_table(spark, sf_dir, "embeddings")
-    bucket = F.concat(*[_lsh_sign(j) for j in range(LSH_BITS)])
+    bucket = F.concat(*[_lsh_sign(j) for j in range(bits)])
     return emb.select("vec_id", "embedding", bucket.alias("bucket"))
 
 
@@ -160,12 +161,12 @@ _PROJ_SQL = (
 )
 
 
-def _bucket_sql(emb: str) -> str:
+def _bucket_sql(emb: str, n_bits: int = LSH_BITS) -> str:
     bits = ", ".join(
         "CASE WHEN "
         + _PROJ_SQL.format(emb=emb, dim=DIM, j=j)
         + " >= 0 THEN '1' ELSE '0' END"
-        for j in range(LSH_BITS)
+        for j in range(n_bits)
     )
     return f"concat({bits})"
 
@@ -208,6 +209,90 @@ def similarity_lsh_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("vec_a", "vec_b", cos_raw.alias("cos_raw"))
         .filter(F.col("cos_raw") > 0.25)
         .select("vec_a", "vec_b", pround("cos_raw", 4).alias("cosine"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# ANN top-k, bucketed (the scale path): candidates are restricted to the
+# query's sign-LSH bucket (PROBE_BITS hyperplanes → ~corpus/2^bits
+# candidates per query), then exact cosine + rank within the bucket. This
+# is the approximate counterpart of similarity_topk_cosine: at 100 TB the
+# bucket equi-join shuffles corpus rows once on a uniform key instead of
+# broadcasting every query against every row; accuracy is tunable by
+# PROBE_BITS (fewer bits → more candidates → higher recall).
+# ---------------------------------------------------------------------------
+_dot_bb = _DOT_SQL.format(a="q.embedding", b="d.embedding")
+_norm_bq = _NORM_SQL.format(a="q.embedding")
+_norm_bd = _NORM_SQL.format(a="d.embedding")
+
+
+@register(
+    "similarity_topk_bucketed",
+    oracle=f"""
+        WITH buckets AS (
+            SELECT vec_id, embedding, {_bucket_sql('embedding', PROBE_BITS)} AS bucket
+            FROM embeddings
+        ),
+        scored AS (
+            SELECT
+                q.vec_id AS query_id,
+                d.vec_id AS neighbor_id,
+                {_dot_bb} / ({_norm_bq} * {_norm_bd}) AS cos_raw
+            FROM buckets q
+            JOIN buckets d ON d.bucket = q.bucket AND d.vec_id <> q.vec_id
+            WHERE q.vec_id < {N_QUERIES}
+        ),
+        ranked AS (
+            SELECT
+                query_id,
+                neighbor_id,
+                ROUND((cos_raw) * 10000.0) / 10000.0 AS cosine,
+                ROW_NUMBER() OVER (
+                    PARTITION BY query_id ORDER BY cos_raw DESC, neighbor_id ASC
+                ) AS rank
+            FROM scored
+        )
+        SELECT query_id, neighbor_id, cosine, rank
+        FROM ranked WHERE rank <= {TOP_K}
+    """,
+    tags=("similarity", "embeddings", "topk", "lsh"),
+    bench=True,
+)
+def similarity_topk_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    buckets = lsh_buckets(spark, sf_dir, bits=PROBE_BITS)
+    q = buckets.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("q_emb"),
+        F.col("bucket").alias("q_bucket"),
+    )
+    d = buckets.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("embedding").alias("d_emb"),
+        "bucket",
+    )
+    cos_raw = _dot(F.col("q_emb"), F.col("d_emb")) / (
+        _norm(F.col("q_emb")) * _norm(F.col("d_emb"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos_raw").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        d.join(
+            F.broadcast(q),
+            (F.col("bucket") == F.col("q_bucket"))
+            & (F.col("neighbor_id") != F.col("query_id")),
+        )
+        .select("query_id", "neighbor_id", cos_raw.alias("cos_raw"))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= TOP_K)
+        .select(
+            "query_id",
+            "neighbor_id",
+            pround(F.col("cos_raw"), 4).alias("cosine"),
+            "rank",
+        )
     )
 
 

@@ -59,6 +59,7 @@ def all_specs() -> dict[str, QuerySpec]:
     from kafka_stream_job_spark.operators import (  # noqa: F401
         dedup,
         multimodal,
+        pandas_ops,
         relational,
         similarity,
         text,

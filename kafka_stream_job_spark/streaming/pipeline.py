@@ -126,6 +126,44 @@ def stream_static_enrich(events: DataFrame, users_dim: DataFrame) -> DataFrame:
     return events.join(F.broadcast(users_dim), on="user_id", how="left")
 
 
+def purchase_attribution_stream(
+    touches: DataFrame, purchases: DataFrame, horizon: str = "30 minutes"
+) -> DataFrame:
+    """Stream-stream inner join: every purchase matched to SAME-USER
+    view/click touches in the preceding ``horizon``.
+
+    Both inputs must be streaming DataFrames over the events schema.
+    State discipline at scale: both sides are watermarked and the join
+    condition time-bounds the match window, so Spark can evict state for
+    touches older than (watermark - horizon) — without BOTH the watermark
+    and the time bound, stream-stream join state grows forever.
+    """
+    t = (
+        touches.filter(F.col("event_type").isin("view", "click"))
+        .select(
+            "user_id",
+            F.col("ts").alias("touch_ts"),
+            F.col("event_id").alias("touch_id"),
+        )
+        .withWatermark("touch_ts", "1 hour")
+    )
+    p = (
+        purchases.filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("user_id").alias("p_user"),
+            F.col("ts").alias("purchase_ts"),
+            F.col("event_id").alias("purchase_id"),
+        )
+        .withWatermark("purchase_ts", "1 hour")
+    )
+    return t.join(
+        p,
+        (F.col("user_id") == F.col("p_user"))
+        & (F.col("touch_ts") <= F.col("purchase_ts"))
+        & (F.col("purchase_ts") <= F.col("touch_ts") + F.expr(f"INTERVAL {horizon}")),
+    ).select("purchase_id", "user_id", "touch_id", "touch_ts", "purchase_ts")
+
+
 def run_stream_to_memory(
     spark: SparkSession,
     df: DataFrame,

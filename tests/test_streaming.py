@@ -18,6 +18,7 @@ from kafka_stream_job_spark.operators.relational import events_hourly_rollup
 from kafka_stream_job_spark.streaming.pipeline import (
     dedup_stream,
     hourly_rollup_stream,
+    purchase_attribution_stream,
     run_stream_to_memory,
     session_window_stream,
     stream_events,
@@ -100,6 +101,42 @@ def test_stream_static_enrich(spark, tmp_path):
     total = load_table(spark, SF_SMOKE, "events").count()
     assert out.count() == total
     assert out.filter(F.col("user_tag").isNull()).count() == 0
+
+
+def test_purchase_attribution_stream_equals_batch(spark, tmp_path):
+    """Stream-stream join result must equal the same join run as batch
+    once the bounded input drains."""
+    out = run_stream_to_memory(
+        spark,
+        purchase_attribution_stream(
+            stream_events(spark, SF_SMOKE), stream_events(spark, SF_SMOKE)
+        ),
+        "attribution_stream",
+        str(tmp_path / "ckpt"),
+    )
+    events = load_table(spark, SF_SMOKE, "events")
+    batch = (
+        events.filter(F.col("event_type").isin("view", "click"))
+        .select(
+            "user_id",
+            F.col("ts").alias("touch_ts"),
+            F.col("event_id").alias("touch_id"),
+        )
+        .join(
+            events.filter(F.col("event_type") == "purchase").select(
+                F.col("user_id").alias("p_user"),
+                F.col("ts").alias("purchase_ts"),
+                F.col("event_id").alias("purchase_id"),
+            ),
+            (F.col("user_id") == F.col("p_user"))
+            & (F.col("touch_ts") <= F.col("purchase_ts"))
+            & (F.col("purchase_ts") <= F.col("touch_ts") + F.expr("INTERVAL 30 minutes")),
+        )
+        .select("purchase_id", "user_id", "touch_id", "touch_ts", "purchase_ts")
+    )
+    stream_rows = {tuple(r) for r in out.collect()}
+    batch_rows = {tuple(r) for r in batch.collect()}
+    assert stream_rows == batch_rows and len(stream_rows) > 0
 
 
 def test_bronze_stream_end_to_end_with_checkpoint_and_monitor(spark, tmp_path):
