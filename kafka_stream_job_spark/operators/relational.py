@@ -799,3 +799,101 @@ def range_join_price_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
             pround(F.sum("o_totalprice"), 2).alias("revenue"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q10 (returned-item reporting): 4-table join, grouped revenue,
+# global top-20. Dims broadcast; the orders⋈lineitem join shuffles on
+# orderkey; the final top-k is TakeOrderedAndProject (no full sort).
+# ---------------------------------------------------------------------------
+@register(
+    "q10_returned_items",
+    oracle="""
+        SELECT
+            c_custkey,
+            c_name,
+            n_name,
+            ROUND((SUM(l_extendedprice * (1 - l_discount))) * 100.0) / 100.0 AS revenue
+        FROM customer
+        JOIN orders   ON c_custkey = o_custkey
+        JOIN lineitem ON l_orderkey = o_orderkey
+        JOIN nation   ON c_nationkey = n_nationkey
+        WHERE o_orderdate >= TIMESTAMP '1995-10-01'
+          AND o_orderdate <  TIMESTAMP '1996-01-01'
+          AND l_returnflag = 'R'
+        GROUP BY c_custkey, c_name, n_name
+        ORDER BY revenue DESC, c_custkey ASC
+        LIMIT 20
+    """,
+    tags=("tpch", "join", "topk"),
+    bench=True,
+)
+def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1995-10-01"))
+        & (F.col("o_orderdate") < F.lit("1996-01-01"))
+    )
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    nation = load_table(spark, sf_dir, "nation")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .groupBy("c_custkey", "c_name", "n_name")
+        .agg(
+            pround(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+                "revenue"
+            )
+        )
+        .orderBy(F.col("revenue").desc(), F.col("c_custkey").asc())
+        .limit(20)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Salted join — the manual skew defense. A hot fact key floods one reducer
+# in a shuffle join; salting splits each key across SALT_BUCKETS reducers
+# by joining on (key, salt) against a dim replicated SALT_BUCKETS×. The
+# result is provably identical to the plain join (the oracle IS the plain
+# join). AQE's skew-join split handles sort-merge skew automatically, but
+# salting remains the portable fix when AQE can't help (e.g. skewed
+# grouped aggregation upstream of the join, or non-AQE engines).
+# ---------------------------------------------------------------------------
+SALT_BUCKETS = 8
+
+
+@register(
+    "salted_join_supplier_volume",
+    oracle="""
+        SELECT
+            s_name,
+            COUNT(*) AS n_items,
+            ROUND((SUM(l_extendedprice)) * 100.0) / 100.0 AS volume
+        FROM lineitem
+        JOIN supplier ON l_suppkey = s_suppkey
+        GROUP BY s_name
+    """,
+    tags=("join", "skew", "salting"),
+)
+def salted_join_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").withColumn(
+        "salt", F.pmod(F.col("l_orderkey"), F.lit(SALT_BUCKETS)).cast("int")
+    )
+    supp = (
+        load_table(spark, sf_dir, "supplier")
+        .withColumn(
+            "salt", F.explode(F.array(*[F.lit(i) for i in range(SALT_BUCKETS)]))
+        )
+    )
+    # pin to a shuffle join: salting is a no-op under broadcast (which is
+    # what Spark would pick for this dim size — the point is the pattern).
+    return (
+        li.hint("merge")
+        .join(supp, (F.col("l_suppkey") == F.col("s_suppkey")) & (li.salt == supp.salt))
+        .groupBy("s_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            pround(F.sum("l_extendedprice"), 2).alias("volume"),
+        )
+    )

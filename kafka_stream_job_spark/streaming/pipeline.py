@@ -164,6 +164,42 @@ def purchase_attribution_stream(
     ).select("purchase_id", "user_id", "touch_id", "touch_ts", "purchase_ts")
 
 
+def stateful_user_totals_stream(events: DataFrame) -> DataFrame:
+    """Custom stateful operator via ``applyInPandasWithState``: per-user
+    cumulative event count and value total, maintained in managed group
+    state across micro-batches (the escape hatch for stateful logic the
+    built-in windowed aggs can't express).
+
+    Each micro-batch, every user with new rows emits one row with the
+    updated running totals. State is a fixed-width (long, double) tuple —
+    the state store holds one entry per user, so state size is bounded by
+    key cardinality, not event volume; at 100 TB you'd pair this with the
+    RocksDB state store provider and a timeout policy for retiring idle
+    keys (here: NoTimeout, the totals are meant to live forever).
+    """
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    def update(key, pdfs, state: "GroupState"):
+        import pandas as pd
+
+        n, tot = state.get if state.exists else (0, 0.0)
+        for pdf in pdfs:
+            n += len(pdf)
+            tot += float(pdf["value"].sum())
+        state.update((n, tot))
+        yield pd.DataFrame(
+            {"user_id": [key[0]], "n_events": [n], "total_value": [tot]}
+        )
+
+    return events.groupBy("user_id").applyInPandasWithState(
+        update,
+        outputStructType="user_id long, n_events long, total_value double",
+        stateStructType="n long, tot double",
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
 def run_stream_to_memory(
     spark: SparkSession,
     df: DataFrame,

@@ -1,0 +1,109 @@
+"""Physical-plan assertions: the scale properties SURVEY.md §7.1 promises
+are locked in here so a regression (lost pushdown, surprise cartesian,
+broadcast of an unbounded side, shuffle of pre-aggregation rows) fails CI
+instead of surfacing as a 100 TB incident.
+
+These read `executedPlan` BEFORE execution (the AQE initial plan) — the
+properties asserted are decided at planning time.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from kafka_stream_job_spark.registry import all_specs
+
+from .conftest import SF_SMOKE
+
+SPECS = all_specs()
+
+
+def plan_of(spark, name: str) -> str:
+    return SPECS[name].fn(spark, SF_SMOKE)._jdf.queryExecution().executedPlan().toString()
+
+
+def test_q3_broadcasts_dims_and_pushes_filters(spark):
+    plan = plan_of(spark, "q3_shipping_priority")
+    assert plan.count("BroadcastHashJoin") >= 2, "dims must broadcast, not shuffle"
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+    # the segment filter must reach the customer scan, not a post-scan Filter
+    assert "c_mktsegment" in plan and "PushedFilters" in plan
+
+
+def test_q5_six_table_join_all_broadcast(spark):
+    plan = plan_of(spark, "q5_local_supplier_volume")
+    assert plan.count("BroadcastHashJoin") >= 4
+    assert "CartesianProduct" not in plan
+
+
+def test_minhash_lsh_no_cartesian_and_sort_merge_self_join(spark):
+    plan = plan_of(spark, "dedup_minhash_lsh")
+    assert "CartesianProduct" not in plan, "LSH banding must never cross-join"
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "SortMergeJoin" in plan, "band self-join pinned to SMJ for scale"
+
+
+def test_minhash_shuffle_carries_doc_rows_not_shingle_rows(spark):
+    """The groupBy(doc_id) must partially aggregate map-side: a
+    HashAggregate appears BELOW the exchange, so shingle-exploded rows
+    never cross the network."""
+    from kafka_stream_job_spark.operators.dedup import minhash_signatures
+
+    plan = (
+        minhash_signatures(spark, SF_SMOKE)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    ex = plan.find("Exchange")
+    assert ex != -1
+    assert "HashAggregate" in plan[ex:], "no partial aggregate below the exchange"
+
+
+def test_simhash_no_cartesian(spark):
+    plan = plan_of(spark, "dedup_simhash")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_similarity_topk_broadcasts_queries_not_corpus(spark):
+    plan = plan_of(spark, "similarity_topk_cosine")
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+    # the broadcast side must be the filtered query set (vec_id < 8)
+    bx = plan.find("BroadcastExchange")
+    assert bx != -1
+    assert "vec_id" in plan[bx:], "broadcast side should be the query vectors"
+
+
+def test_column_pruning_reaches_scan(spark):
+    """dedup_exact needs only (doc_id, text): the scan's ReadSchema must
+    not include lang/source/n_chars."""
+    plan = plan_of(spark, "dedup_exact")
+    start = plan.find("ReadSchema")
+    assert start != -1
+    schema_line = plan[start : plan.find("\n", start)]
+    assert "doc_id" in schema_line and "text" in schema_line
+    assert "n_chars" not in schema_line and "source" not in schema_line
+
+
+def test_range_join_broadcasts_tiny_band_dim(spark):
+    plan = plan_of(spark, "range_join_price_bands")
+    assert "BroadcastNestedLoopJoin" in plan, "non-equi join + tiny dim ⇒ BNLJ"
+
+
+def test_pushdown_on_lineitem_date_filter(spark):
+    plan = plan_of(spark, "q1_pricing_summary")
+    assert "PushedFilters" in plan
+    pf = plan[plan.find("PushedFilters") :]
+    assert "l_shipdate" in pf[: pf.find("\n")]
+
+
+@pytest.mark.parametrize(
+    "name", [s.name for s in SPECS.values() if s.oracle is not None]
+)
+def test_no_accidental_cartesian_anywhere(spark, name):
+    plan = plan_of(spark, name)
+    if name == "range_join_price_bands":
+        pytest.skip("intentional broadcast nested-loop against 4-row dim")
+    assert "CartesianProduct" not in plan, f"{name} plans a cartesian product"

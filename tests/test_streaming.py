@@ -21,6 +21,7 @@ from kafka_stream_job_spark.streaming.pipeline import (
     purchase_attribution_stream,
     run_stream_to_memory,
     session_window_stream,
+    stateful_user_totals_stream,
     stream_events,
     stream_static_enrich,
 )
@@ -137,6 +138,36 @@ def test_purchase_attribution_stream_equals_batch(spark, tmp_path):
     stream_rows = {tuple(r) for r in out.collect()}
     batch_rows = {tuple(r) for r in batch.collect()}
     assert stream_rows == batch_rows and len(stream_rows) > 0
+
+
+def test_stateful_user_totals_stream(spark, tmp_path):
+    """applyInPandasWithState running totals: the LAST emitted row per
+    user must equal the batch groupBy totals once the input drains."""
+    out = run_stream_to_memory(
+        spark,
+        stateful_user_totals_stream(stream_events(spark, SF_SMOKE)),
+        "stateful_totals_stream",
+        str(tmp_path / "ckpt"),
+        output_mode="append",
+    )
+    # multiple rows per user are possible (one per micro-batch with new
+    # data); the running total is monotone, so max == final.
+    final = {
+        r["user_id"]: (r["n_events"], r["total_value"])
+        for r in out.orderBy("user_id", "n_events").collect()
+    }
+    events = load_table(spark, SF_SMOKE, "events")
+    batch = {
+        r["user_id"]: (r["n"], r["tot"])
+        for r in events.groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("value").alias("tot"))
+        .collect()
+    }
+    assert set(final) == set(batch)
+    for uid, (n, tot) in batch.items():
+        fn, ftot = final[uid]
+        assert fn == n
+        assert abs(ftot - tot) < 1e-6
 
 
 def test_bronze_stream_end_to_end_with_checkpoint_and_monitor(spark, tmp_path):
