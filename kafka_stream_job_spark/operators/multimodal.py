@@ -145,6 +145,106 @@ def multimodal_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# "Resize": downsample each payload to a target size — the image-resize
+# stand-in. DETERMINISTIC FAKE (truncate to RESIZE_CHARS chars + checksum);
+# a real deployment swaps the body for PIL thumbnail generation. The shape
+# that matters at 100 TB: 1 row in → 1 smaller row out, no shuffle, Arrow
+# batches bounded.
+# ---------------------------------------------------------------------------
+RESIZE_CHARS = 256
+
+
+@register(
+    "multimodal_resize",
+    oracle=f"""
+        SELECT
+            doc_id,
+            octet_length(encode(text))            AS orig_bytes,
+            octet_length(encode(left(text, {RESIZE_CHARS}))) AS resized_bytes,
+            md5(left(text, {RESIZE_CHARS}))       AS resized_md5
+        FROM documents
+    """,
+    tags=("multimodal", "pandas-udf", "resize", "documents"),
+)
+def multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+
+    def resize_batches(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import hashlib
+
+        import pandas as pd
+
+        for pdf in batches:
+            small = [t[:RESIZE_CHARS] for t in pdf["text"]]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "orig_bytes": [len(t.encode("utf-8")) for t in pdf["text"]],
+                    "resized_bytes": [len(s.encode("utf-8")) for s in small],
+                    "resized_md5": [
+                        hashlib.md5(s.encode("utf-8")).hexdigest() for s in small
+                    ],
+                }
+            )
+
+    return docs.mapInPandas(
+        resize_batches,
+        schema="doc_id long, orig_bytes int, resized_bytes int, resized_md5 string",
+    )
+
+
+# ---------------------------------------------------------------------------
+# "Frame sample": split each payload into fixed-width frames and keep every
+# SAMPLE_EVERY-th — the video-frame-sampling stand-in, and the 1-row-in →
+# N-rows-out mapInPandas shape (batch iterator may emit more rows than it
+# consumed; Arrow re-chunks downstream).
+# ---------------------------------------------------------------------------
+FRAME_CHARS = 64
+SAMPLE_EVERY = 4
+
+
+@register(
+    "multimodal_frame_sample",
+    oracle=f"""
+        SELECT
+            doc_id,
+            i AS frame_idx,
+            md5(substring(text, i * {FRAME_CHARS} + 1, {FRAME_CHARS})) AS frame_md5
+        FROM (
+            SELECT doc_id, text,
+                   UNNEST(range(0, CAST(ceil(len(text) / {FRAME_CHARS}.0) AS BIGINT))) AS i
+            FROM documents
+        )
+        WHERE i % {SAMPLE_EVERY} = 0
+    """,
+    tags=("multimodal", "pandas-udf", "frame-sample", "documents"),
+)
+def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+
+    def sample_batches(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import hashlib
+
+        import pandas as pd
+
+        for pdf in batches:
+            ids, idxs, hashes = [], [], []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                for i in range(0, -(-len(text) // FRAME_CHARS), SAMPLE_EVERY):
+                    frame = text[i * FRAME_CHARS : (i + 1) * FRAME_CHARS]
+                    ids.append(doc_id)
+                    idxs.append(i)
+                    hashes.append(hashlib.md5(frame.encode("utf-8")).hexdigest())
+            yield pd.DataFrame(
+                {"doc_id": ids, "frame_idx": idxs, "frame_md5": hashes}
+            )
+
+    return docs.mapInPandas(
+        sample_batches, schema="doc_id long, frame_idx bigint, frame_md5 string"
+    )
+
+
 def decode_media_real(payload_format: str):
     """Placeholder for real media decoding (image resize, audio resample,
     video frame-sample). The container ships no media libraries — the
