@@ -195,7 +195,7 @@ def minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
        per document, not one row per shingle. At 100 TB the shingle
        rows exist only inside each scan task.
     """
-    docs = load_table(spark, sf_dir, "documents")
+    docs = load_table(spark, sf_dir, "documents", rebalance=True)
     staged = docs.where(F.col("text").isNotNull()).select(
         "doc_id", F.explode(_hashed_shingle_expr()).alias("h")
     )
@@ -325,7 +325,7 @@ _PAIRS_SQL = """
     tags=("dedup", "jaccard", "documents"),
 )
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
+    docs = load_table(spark, sf_dir, "documents", rebalance=True)
     sh = _shingles(docs)
     pairs = dedup_minhash_lsh(spark, sf_dir)
     counts = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
@@ -395,7 +395,7 @@ def simhash_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     one 28-int row per doc. The fingerprint assembles sign bits in a
     cheap post-agg projection (cardinality = documents).
     """
-    docs = load_table(spark, sf_dir, "documents")
+    docs = load_table(spark, sf_dir, "documents", rebalance=True)
     staged = docs.where(F.col("text").isNotNull()).select(
         "doc_id", F.explode(F.array_distinct(_hashed_shingle_expr())).alias("h")
     )

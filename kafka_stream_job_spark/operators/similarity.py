@@ -103,7 +103,7 @@ _norm_d = _NORM_SQL.format(a="d.embedding")
 def similarity_topk_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
-    emb = load_table(spark, sf_dir, "embeddings")
+    emb = load_table(spark, sf_dir, "embeddings", rebalance=True)
     q = emb.filter(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
     )
@@ -130,41 +130,58 @@ def similarity_topk_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Sign-LSH bucketing: hyperplane j has components ±1 derived from
 # md5("<j>:<i>") parity (uniform, deterministic, engine-portable). Bucket =
 # the LSH_BITS-char sign string; near-dup candidates share a bucket.
+#
+# The hyperplanes are FIXED, so their components are computed once at
+# import time (hashlib) and embedded as literal arrays in both engines'
+# plans — the earlier formulation re-derived every component with an md5
+# call per element per row per hyperplane (dim × bits × rows hashes); as
+# literals, bucketing is pure fused float arithmetic.
 # ---------------------------------------------------------------------------
+def _hyperplane(j: int) -> list[float]:
+    """±1 components of hyperplane j; parity of the first hex char's
+    ascii code of md5("<j>:<i>") — byte-identical to the former in-plan
+    derivation, now evaluated once."""
+    import hashlib
+
+    return [
+        1.0 if ord(hashlib.md5(f"{j}:{i}".encode()).hexdigest()[0]) % 2 == 1 else -1.0
+        for i in range(DIM)
+    ]
+
+
+HYPERPLANES = [_hyperplane(j) for j in range(LSH_BITS)]
+
+
 def _lsh_sign(j: int):
     """Sign of the projection of `embedding` onto hyperplane j."""
-    signed = F.transform(
-        F.col("embedding"),
-        lambda x, i: x.cast("double")
-        * F.when(
-            F.ascii(F.substring(F.md5(F.concat(F.lit(f"{j}:"), i.cast("string"))), 1, 1)) % 2
-            == 1,
-            F.lit(1.0),
-        ).otherwise(F.lit(-1.0)),
-    )
+    plane = F.array(*[F.lit(v) for v in HYPERPLANES[j]])
+    signed = F.zip_with(F.col("embedding"), plane, lambda x, s: x.cast("double") * s)
     proj = F.aggregate(signed, F.lit(0.0), lambda acc, x: acc + x)
     return F.when(proj >= 0, F.lit("1")).otherwise(F.lit("0"))
 
 
 def lsh_buckets(spark: SparkSession, sf_dir: str, bits: int = LSH_BITS) -> DataFrame:
     """(vec_id, bucket) — sign-LSH bucket assignment, all JVM-side."""
-    emb = load_table(spark, sf_dir, "embeddings")
+    emb = load_table(spark, sf_dir, "embeddings", rebalance=True)
     bucket = F.concat(*[_lsh_sign(j) for j in range(bits)])
     return emb.select("vec_id", "embedding", bucket.alias("bucket"))
 
 
+def _plane_sql_literal(j: int) -> str:
+    return "[" + ", ".join(str(v) for v in HYPERPLANES[j]) + "]"
+
+
 _PROJ_SQL = (
     "list_reduce(list_prepend(0.0, list_transform("
-    "list_zip({emb}::DOUBLE[], range(0, {dim})), "
-    "p -> p[1] * (CASE WHEN ascii(substring(md5(concat('{j}:', CAST(p[2] AS VARCHAR))), 1, 1)) % 2 = 1 "
-    "THEN 1.0 ELSE -1.0 END))), (acc, x) -> acc + x)"
+    "list_zip({emb}::DOUBLE[], {plane}), "
+    "p -> p[1] * p[2])), (acc, x) -> acc + x)"
 )
 
 
 def _bucket_sql(emb: str, n_bits: int = LSH_BITS) -> str:
     bits = ", ".join(
         "CASE WHEN "
-        + _PROJ_SQL.format(emb=emb, dim=DIM, j=j)
+        + _PROJ_SQL.format(emb=emb, plane=_plane_sql_literal(j))
         + " >= 0 THEN '1' ELSE '0' END"
         for j in range(n_bits)
     )

@@ -132,19 +132,38 @@ SCHEMAS: dict[str, T.StructType] = {
 }
 
 
-def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+def load_table(
+    spark: SparkSession, sf_dir: str, name: str, rebalance: bool = False
+) -> DataFrame:
     """Plain parquet scan of one table (pushdown/pruning preserved).
 
     ``events.ts`` is TIMESTAMP(NANOS) parquet, which Spark 4 cannot read
     natively; with ``spark.sql.legacy.parquet.nanosAsLong`` (session.py) it
     arrives as nanos-since-epoch LONG and is converted here to a µs
     timestamp — the same truncation DuckDB applies, so oracles agree.
+
+    ``rebalance=True`` is for callers about to run a CPU-heavy map stage
+    (shingling, hashing): a source with fewer scan splits than cores (a
+    single-row-group file here; a few huge unsplittable files in
+    production) serializes all downstream map work — measured 6.6 s
+    single-task vs <1 s rebalanced for the MinHash shingle pass. The
+    repartition only fires when the size estimate says the scan is
+    under-split, so at 100 TB (thousands of splits) it is a no-op; and
+    it's opt-in because for cheap map work the extra exchange costs more
+    than it buys. Filters still push below the exchange
+    (PushDownPredicate moves them through Repartition).
     """
     if name not in SCHEMAS:
         raise KeyError(f"unknown table {name!r}; expected one of {TABLE_NAMES}")
-    df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    path = os.path.join(sf_dir, f"{name}.parquet")
+    df = spark.read.parquet(path)
     if name == "events" and dict(df.dtypes).get("ts") == "bigint":
         df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    if rebalance and name not in BROADCAST_DIMS:
+        target = spark.sparkContext.defaultParallelism
+        est_splits = max(1, os.path.getsize(path) // (128 << 20))
+        if est_splits < target:
+            df = df.repartition(target)
     return df
 
 
