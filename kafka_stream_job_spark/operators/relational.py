@@ -897,3 +897,53 @@ def salted_join_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
             pround(F.sum("l_extendedprice"), 2).alias("volume"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Exact percentiles: Spark's `percentile` (exact, linear-interpolated) ==
+# DuckDB's quantile_cont definition, so this is oracle-checkable. At
+# 100 TB exact percentiles are a deliberate cost (full sort per group in
+# the agg buffer) — the sketch path below is the scale alternative.
+# ---------------------------------------------------------------------------
+@register(
+    "percentile_order_prices",
+    oracle="""
+        SELECT
+            o_orderpriority,
+            COUNT(*) AS n_orders,
+            ROUND((quantile_cont(o_totalprice, 0.5)) * 10000.0) / 10000.0  AS p50,
+            ROUND((quantile_cont(o_totalprice, 0.95)) * 10000.0) / 10000.0 AS p95
+        FROM orders
+        GROUP BY o_orderpriority
+    """,
+    tags=("agg", "percentile"),
+)
+def percentile_order_prices(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    return orders.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        pround(F.percentile("o_totalprice", 0.5), 4).alias("p50"),
+        pround(F.percentile("o_totalprice", 0.95), 4).alias("p95"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Sketches — the 100 TB path for distinct counts and quantiles:
+# approx_count_distinct (HyperLogLog++) and percentile_approx (t-digest
+# style) aggregate in constant memory and merge across partitions, where
+# the exact forms hold full sets/sorts. No SQL oracle (DuckDB's
+# approximations differ by design) → rows-only check by the driver;
+# tests/test_sketches.py bounds the error against the exact values.
+# ---------------------------------------------------------------------------
+@register(
+    "sketch_user_activity",
+    oracle=None,
+    tags=("agg", "sketch", "events"),
+)
+def sketch_user_activity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    return events.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id", rsd=0.02).alias("approx_users"),
+        F.percentile_approx("value", 0.5, 10000).alias("approx_p50_value"),
+        F.count(F.lit(1)).alias("n_events"),
+    )

@@ -201,3 +201,77 @@ def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
         fp.alias("fp"),
         F.substring(fp, 1, 8).alias("fp_bucket"),
     )
+
+
+# ---------------------------------------------------------------------------
+# TF-IDF: per-document top terms. Two shuffles, both on high-cardinality
+# keys: (1) the (doc, term) tf aggregation, (2) the per-term document
+# frequency — then idf joins back on term and a per-doc window keeps the
+# top 3. At 100 TB the term dictionary is heavy-tailed; AQE skew handling
+# covers the stopword-like hot terms, and no driver-side vocabulary is
+# ever built (the "dictionary" lives distributed in the df aggregate).
+# Terms shorter than 3 chars are dropped (stopword-ish noise floor).
+# ---------------------------------------------------------------------------
+@register(
+    "text_tfidf_top_terms",
+    oracle=r"""
+        WITH toks AS (
+            SELECT doc_id, UNNEST(string_split_regex(LOWER(TRIM(text)), '\s+')) AS term
+            FROM documents
+        ),
+        terms AS (SELECT doc_id, term FROM toks WHERE LENGTH(term) >= 3),
+        tf AS (
+            SELECT doc_id, term, COUNT(*) AS tf
+            FROM terms GROUP BY doc_id, term
+        ),
+        df AS (
+            SELECT term, COUNT(DISTINCT doc_id) AS df
+            FROM terms GROUP BY term
+        ),
+        n AS (SELECT COUNT(DISTINCT doc_id) AS n_docs FROM terms),
+        scored AS (
+            SELECT
+                tf.doc_id,
+                tf.term,
+                ROUND((tf.tf * ln(n.n_docs * 1.0 / df.df)) * 10000.0) / 10000.0 AS tfidf
+            FROM tf JOIN df USING (term) CROSS JOIN n
+        ),
+        ranked AS (
+            SELECT doc_id, term, tfidf,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY doc_id ORDER BY tfidf DESC, term ASC
+                   ) AS rnk
+            FROM scored
+        )
+        SELECT doc_id, term, tfidf, rnk FROM ranked WHERE rnk <= 3
+    """,
+    tags=("text", "tfidf", "documents"),
+)
+def text_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents", rebalance=True)
+    terms = docs.select(
+        "doc_id",
+        F.explode(F.split(F.lower(F.trim(F.col("text"))), r"\s+")).alias("term"),
+    ).filter(F.length("term") >= 3)
+    tf = terms.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = terms.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
+    n_docs = terms.select(F.countDistinct("doc_id").alias("n_docs"))
+    scored = (
+        tf.join(dfreq, "term")
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            "doc_id",
+            "term",
+            pround(
+                F.col("tf") * F.log(F.col("n_docs") * F.lit(1.0) / F.col("df")), 4
+            ).alias("tfidf"),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.col("tfidf").desc(), F.col("term").asc())
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 3)
+        .select("doc_id", "term", "tfidf", "rnk")
+    )

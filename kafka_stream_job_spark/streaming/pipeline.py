@@ -200,6 +200,46 @@ def stateful_user_totals_stream(events: DataFrame) -> DataFrame:
     )
 
 
+def foreach_batch_idempotent_append(output_dir: str):
+    """``foreachBatch`` sink body: append each micro-batch to a parquet
+    table partitioned by ``batch_id``, skipping batch ids already present.
+
+    This is the pattern for exactly-once delivery to sinks without native
+    streaming support (JDBC, arbitrary REST, pre-Iceberg object stores):
+    Spark replays a failed micro-batch with the SAME batch_id, so
+    "skip if the batch_id partition exists" makes the append idempotent —
+    the same contract the reference gets from Iceberg's atomic snapshot
+    commit (KafkaAvroToIceberg.scala:92-100), built manually.
+
+    Returns the function to pass to ``writeStream.foreachBatch``.
+    """
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        part_dir = os.path.join(output_dir, f"batch_id={batch_id}")
+        if os.path.exists(part_dir):  # replay of a committed batch → no-op
+            return
+        batch_df.write.mode("append").parquet(part_dir)
+
+    return write_batch
+
+
+def run_stream_foreach_batch(
+    spark: SparkSession, df: DataFrame, output_dir: str, checkpoint_dir: str
+) -> DataFrame:
+    """Drain a bounded stream through the idempotent foreachBatch sink and
+    return the materialized parquet output."""
+    query = (
+        df.writeStream.foreachBatch(foreach_batch_idempotent_append(output_dir))
+        .option("checkpointLocation", checkpoint_dir)
+        .start()
+    )
+    try:
+        query.processAllAvailable()
+    finally:
+        query.stop()
+    return spark.read.parquet(output_dir)
+
+
 def run_stream_to_memory(
     spark: SparkSession,
     df: DataFrame,

@@ -1,0 +1,38 @@
+"""Accuracy bounds for the sketch operators (no SQL oracle by design —
+approximate answers differ between engines; what matters is the error
+bound versus the exact computation)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from kafka_stream_job_spark.operators.relational import sketch_user_activity
+from kafka_stream_job_spark.tables import load_table
+
+from .conftest import SF_SMOKE
+
+
+def test_sketch_within_error_bounds(spark):
+    approx = {
+        r["event_type"]: r for r in sketch_user_activity(spark, SF_SMOKE).collect()
+    }
+    events = load_table(spark, SF_SMOKE, "events")
+    exact = {
+        r["event_type"]: r
+        for r in events.groupBy("event_type")
+        .agg(
+            F.countDistinct("user_id").alias("users"),
+            F.percentile("value", 0.5).alias("p50"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .collect()
+    }
+    assert set(approx) == set(exact)
+    for et, ex in exact.items():
+        ap = approx[et]
+        assert ap["n_events"] == ex["n"]  # plain count is exact
+        # HLL++ at rsd=2%: allow 3σ
+        assert abs(ap["approx_users"] - ex["users"]) <= max(2, 0.06 * ex["users"])
+        # percentile_approx with accuracy=10000 on small groups ≈ exact
+        spread = abs(ex["p50"]) + 1.0
+        assert abs(ap["approx_p50_value"] - ex["p50"]) <= 0.05 * spread

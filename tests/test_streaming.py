@@ -104,6 +104,37 @@ def test_stream_static_enrich(spark, tmp_path):
     assert out.filter(F.col("user_tag").isNull()).count() == 0
 
 
+def test_foreach_batch_idempotent_append(spark, tmp_path):
+    """foreachBatch sink: all rows land exactly once; a replayed batch_id
+    (simulated by re-invoking the sink with an already-committed id) is a
+    no-op."""
+    from kafka_stream_job_spark.streaming.pipeline import (
+        foreach_batch_idempotent_append,
+        run_stream_foreach_batch,
+    )
+
+    out_dir = str(tmp_path / "out")
+    out = run_stream_foreach_batch(
+        spark,
+        stream_events(spark, SF_SMOKE),
+        out_dir,
+        str(tmp_path / "ckpt"),
+    )
+    events = load_table(spark, SF_SMOKE, "events")
+    assert out.count() == events.count()
+
+    # replaying a committed batch must not duplicate rows
+    import os
+
+    committed = sorted(
+        int(d.split("=")[1]) for d in os.listdir(out_dir) if d.startswith("batch_id=")
+    )
+    assert committed, "no batches committed"
+    sink = foreach_batch_idempotent_append(out_dir)
+    sink(events.limit(17), committed[0])
+    assert spark.read.parquet(out_dir).count() == events.count()
+
+
 def test_purchase_attribution_stream_equals_batch(spark, tmp_path):
     """Stream-stream join result must equal the same join run as batch
     once the bounded input drains."""
