@@ -481,3 +481,32 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("hamming") <= SIMHASH_HAMMING_MAX)
         .distinct()
     )
+
+
+# ---------------------------------------------------------------------------
+# Survivor selection — the decision stage of the dedup pipeline: a document
+# survives unless it appears as the GREATER side of a near-dup pair (keep
+# the min doc_id of each pair; one-hop approximation of connected
+# components — exact for the pair relation itself, and the standard
+# greedy policy in web-scale dedup where full CC needs iteration).
+# Anti-join formulation: no pair materialization beyond the LSH stage.
+# ---------------------------------------------------------------------------
+@register(
+    "dedup_survivors",
+    oracle=f"""
+        WITH shingles AS ({_SHINGLES_SQL}),
+        sigs AS ({_SIGS_SQL}),
+        bands AS ({_BANDS_SQL}),
+        pairs AS ({_PAIRS_SQL})
+        SELECT d.doc_id, d.source
+        FROM documents d
+        WHERE d.doc_id NOT IN (SELECT doc_b FROM pairs)
+    """,
+    tags=("dedup", "documents", "anti-join"),
+)
+def dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    losers = dedup_minhash_lsh(spark, sf_dir).select("doc_b")
+    return docs.join(
+        losers, docs.doc_id == losers.doc_b, "left_anti"
+    ).select("doc_id", "source")
