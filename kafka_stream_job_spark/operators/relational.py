@@ -947,3 +947,60 @@ def sketch_user_activity(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.percentile_approx("value", 0.5, 10000).alias("approx_p50_value"),
         F.count(F.lit(1)).alias("n_events"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Session windows in BATCH (the oracle twin of
+# streaming.pipeline.session_window_stream): per-user activity sessions
+# closing after 30 idle minutes. The oracle is the classic gaps-and-islands
+# SQL, which pins Spark's exact session semantics: an event at precisely
+# ts_prev + gap starts a NEW session (windows are [ts, ts+gap)), and the
+# reported end is last_event + gap. One shuffle on user_id; Spark merges
+# session state in the agg, no window-function sort pass needed.
+# ---------------------------------------------------------------------------
+@register(
+    "session_window_rollup",
+    oracle="""
+        WITH ordered AS (
+            SELECT user_id, ts, value, event_id,
+                   CASE WHEN ts - LAG(ts) OVER w >= INTERVAL 30 MINUTE
+                        OR LAG(ts) OVER w IS NULL
+                        THEN 1 ELSE 0 END AS new_sess
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        ),
+        islands AS (
+            SELECT user_id, ts, value, event_id,
+                   SUM(new_sess) OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id
+                       ROWS UNBOUNDED PRECEDING
+                   ) AS sess_id
+            FROM ordered
+        )
+        SELECT
+            user_id,
+            strftime(MIN(ts), '%Y-%m-%d %H:%M:%S.%f')                      AS sess_start,
+            strftime(MAX(ts) + INTERVAL 30 MINUTE, '%Y-%m-%d %H:%M:%S.%f') AS sess_end,
+            COUNT(*) AS n_events,
+            ROUND((SUM(value)) * 100.0) / 100.0 AS sum_value
+        FROM islands
+        GROUP BY user_id, sess_id
+    """,
+    tags=("window-time", "session", "events"),
+)
+def session_window_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    return (
+        events.groupBy(F.session_window("ts", "30 minutes").alias("w"), "user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            pround(F.sum("value"), 2).alias("sum_value"),
+        )
+        .select(
+            "user_id",
+            F.date_format("w.start", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("sess_start"),
+            F.date_format("w.end", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("sess_end"),
+            "n_events",
+            "sum_value",
+        )
+    )
