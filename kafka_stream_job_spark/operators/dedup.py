@@ -510,3 +510,80 @@ def dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.join(
         losers, docs.doc_id == losers.doc_b, "left_anti"
     ).select("doc_id", "source")
+
+
+# ---------------------------------------------------------------------------
+# Embedding-cosine near-dup on DOCUMENTS: semantic near-duplicates among
+# documents that carry an embedding (doc_id ⋈ embeddings.vec_id), via the
+# same sign-LSH bucket join as similarity_lsh_neardup — content dedup by
+# meaning rather than surface n-grams, the complement of MinHash/SimHash.
+# ---------------------------------------------------------------------------
+@register(
+    "dedup_embedding_cosine",
+    oracle=None,  # assembled below (needs similarity SQL helpers)
+    tags=("dedup", "embeddings", "documents", "lsh"),
+)
+def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kafka_stream_job_spark.operators.similarity import (
+        _dot,
+        _norm,
+        lsh_buckets,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    buckets = lsh_buckets(spark, sf_dir).join(
+        docs, F.col("vec_id") == F.col("doc_id"), "left_semi"
+    )
+    a = buckets.select(
+        F.col("vec_id").alias("doc_a"), F.col("embedding").alias("emb_a"), "bucket"
+    )
+    b = buckets.select(
+        F.col("vec_id").alias("doc_b"),
+        F.col("embedding").alias("emb_b"),
+        F.col("bucket").alias("bucket_b"),
+    )
+    cos_raw = _dot(F.col("emb_a"), F.col("emb_b")) / (
+        _norm(F.col("emb_a")) * _norm(F.col("emb_b"))
+    )
+    return (
+        a.join(b, (F.col("bucket") == F.col("bucket_b")) & (F.col("doc_a") < F.col("doc_b")))
+        .select("doc_a", "doc_b", cos_raw.alias("cos_raw"))
+        .filter(F.col("cos_raw") > 0.25)
+        .select("doc_a", "doc_b", pround("cos_raw", 4).alias("cosine"))
+    )
+
+
+def _install_embedding_cosine_oracle() -> None:
+    """The oracle needs similarity.py's SQL builders; installed after both
+    modules exist to keep imports acyclic."""
+    from kafka_stream_job_spark.operators.similarity import (
+        _DOT_SQL,
+        _NORM_SQL,
+        _bucket_sql,
+    )
+    from kafka_stream_job_spark.registry import REGISTRY
+
+    spec = REGISTRY["dedup_embedding_cosine"]
+    oracle = f"""
+        WITH buckets AS (
+            SELECT vec_id, embedding, {_bucket_sql('embedding')} AS bucket
+            FROM embeddings
+            WHERE vec_id IN (SELECT doc_id FROM documents)
+        ),
+        pairs AS (
+            SELECT a.vec_id AS doc_a, b.vec_id AS doc_b,
+                   {_DOT_SQL.format(a='a.embedding', b='b.embedding')}
+                   / ({_NORM_SQL.format(a='a.embedding')} * {_NORM_SQL.format(a='b.embedding')})
+                   AS cos_raw
+            FROM buckets a
+            JOIN buckets b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+        )
+        SELECT doc_a, doc_b, ROUND((cos_raw) * 10000.0) / 10000.0 AS cosine
+        FROM pairs WHERE cos_raw > 0.25
+    """
+    REGISTRY["dedup_embedding_cosine"] = type(spec)(
+        name=spec.name, fn=spec.fn, oracle=oracle, tags=spec.tags, bench=spec.bench
+    )
+
+
+_install_embedding_cosine_oracle()

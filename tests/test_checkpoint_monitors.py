@@ -215,3 +215,59 @@ def test_scan_log_for_loss_patterns():
         "INFO Skip missing records",
     ]
     assert len(scan_log_for_loss(lines)) == 3
+
+
+# ---------------------------------------------------------------------------
+# Property-based coverage of THE loss predicate (hypothesis): for any
+# offset maps, compute_loss must report exactly the partitions where
+# earliest > expected_start >= 0, with the arithmetic invariants the four
+# monitors rely on.
+# ---------------------------------------------------------------------------
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+_tp = st.tuples(st.sampled_from(["orders", "events"]), st.integers(0, 5))
+_offsets = st.dictionaries(_tp, st.integers(-1, 10_000), max_size=8)
+
+
+@settings(max_examples=200, deadline=None)
+@given(expected=_offsets, earliest=_offsets)
+def test_compute_loss_properties(expected, earliest):
+    from kafka_stream_job_spark.checkpoint import compute_loss
+
+    events = compute_loss(expected, earliest)
+    flagged = {(e.topic, e.partition) for e in events}
+    should = {
+        tp
+        for tp, start in expected.items()
+        if tp in earliest and earliest[tp] > start >= 0
+    }
+    assert flagged == should
+    for e in events:
+        tp = (e.topic, e.partition)
+        assert e.lost_from == expected[tp]
+        assert e.lost_to == earliest[tp] - 1
+        assert e.lost_count == e.lost_to - e.lost_from + 1 > 0
+        assert e.kafka_earliest == earliest[tp]
+
+
+@settings(max_examples=200, deadline=None)
+@given(
+    prev_end=_offsets,
+    curr_start=_offsets,
+    earliest=_offsets,
+)
+def test_batch_transition_loss_never_false_positive_when_contiguous(
+    prev_end, curr_start, earliest
+):
+    """If for every partition curr_start <= prev_end + 1 (no forward jump),
+    the batch-transition monitor must stay silent regardless of broker
+    state below curr_start."""
+    from kafka_stream_job_spark.checkpoint import batch_transition_loss
+
+    contiguous = {tp: min(v, prev_end.get(tp, v)) for tp, v in curr_start.items()}
+    sus = batch_transition_loss(prev_end, contiguous, earliest)
+    for finding in sus:
+        tp = (finding.topic, finding.partition)
+        # any finding must involve an actual jump past prev_end
+        assert earliest.get(tp, -1) > prev_end.get(tp, -1)

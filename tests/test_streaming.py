@@ -64,6 +64,35 @@ def test_dedup_stream_drops_injected_duplicates(spark, tmp_path):
     assert len({r[0] for r in got}) == n_distinct
 
 
+def test_sliding_window_stream_equals_batch(spark, tmp_path):
+    """Sliding windows (1h / 30min slide): stream result after drain must
+    equal the same sliding-window agg run in batch."""
+    from kafka_stream_job_spark.streaming.pipeline import sliding_window_stream
+
+    out = run_stream_to_memory(
+        spark,
+        sliding_window_stream(stream_events(spark, SF_SMOKE)),
+        "sliding_stream",
+        str(tmp_path / "ckpt"),
+        output_mode="complete",
+    )
+    events = load_table(spark, SF_SMOKE, "events")
+    batch = (
+        events.groupBy(
+            F.window("ts", "1 hour", "30 minutes").alias("win"), "event_type"
+        )
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            F.col("win.start").cast("string").alias("win_start"),
+            "event_type",
+            "n_events",
+        )
+    )
+    stream_rows = {tuple(r) for r in out.collect()}
+    batch_rows = {tuple(r) for r in batch.collect()}
+    assert stream_rows == batch_rows and len(stream_rows) > 0
+
+
 def test_session_window_stream_runs_and_bounds_sessions(spark, tmp_path):
     out = run_stream_to_memory(
         spark,
