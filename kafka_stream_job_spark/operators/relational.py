@@ -1004,3 +1004,146 @@ def session_window_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
             "sum_value",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q4 (order priority checking): EXISTS → left-semi join against late
+# lineitems, then a priority histogram. The semi join never materializes
+# matched rows — at scale the lineitem side streams through the join with
+# early-out on first match.
+# ---------------------------------------------------------------------------
+@register(
+    "q4_order_priority",
+    oracle="""
+        SELECT o_orderpriority, COUNT(*) AS order_count
+        FROM orders
+        WHERE o_orderdate >= TIMESTAMP '1995-07-01'
+          AND o_orderdate <  TIMESTAMP '1995-10-01'
+          AND EXISTS (
+              SELECT 1 FROM lineitem
+              WHERE l_orderkey = o_orderkey AND l_shipdate > o_orderdate
+          )
+        GROUP BY o_orderpriority
+    """,
+    tags=("tpch", "semi-join", "agg"),
+)
+def q4_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1995-07-01"))
+        & (F.col("o_orderdate") < F.lit("1995-10-01"))
+    )
+    li = load_table(spark, sf_dir, "lineitem")
+    late = orders.join(
+        li,
+        (orders.o_orderkey == li.l_orderkey) & (li.l_shipdate > orders.o_orderdate),
+        "left_semi",
+    )
+    return late.groupBy("o_orderpriority").agg(F.count(F.lit(1)).alias("order_count"))
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q6 (forecasting revenue change): pure filter + global agg — the
+# pushdown showcase: every predicate reaches the parquet scan, the agg is
+# a two-phase partial/final sum, zero joins.
+# ---------------------------------------------------------------------------
+@register(
+    "q6_forecast_revenue",
+    oracle="""
+        SELECT ROUND((SUM(l_extendedprice * l_discount)) * 100.0) / 100.0 AS revenue
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1995-01-01'
+          AND l_shipdate <  TIMESTAMP '1996-01-01'
+          AND l_discount BETWEEN 0.05 AND 0.07
+          AND l_quantity < 24
+    """,
+    tags=("tpch", "filter", "agg"),
+)
+def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1995-01-01"))
+            & (F.col("l_shipdate") < F.lit("1996-01-01"))
+            & (F.col("l_discount") >= 0.05)
+            & (F.col("l_discount") <= 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            pround(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 2).alias(
+                "revenue"
+            )
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Multi-granularity time rollup (the "continuous aggregate / hypertable
+# rollup" shape): hour, day, and month totals in ONE scan via grouping
+# sets over truncated timestamps — no three-pass re-aggregation.
+# ---------------------------------------------------------------------------
+@register(
+    "events_multi_rollup",
+    oracle="""
+        SELECT
+            CAST(date_trunc('hour', ts) AS VARCHAR)  AS hour_ts,
+            CAST(CAST(date_trunc('day', ts) AS TIMESTAMP) AS VARCHAR)   AS day_ts,
+            CAST(CAST(date_trunc('month', ts) AS TIMESTAMP) AS VARCHAR) AS month_ts,
+            COUNT(*)                                 AS n_events,
+            ROUND((SUM(value)) * 100.0) / 100.0      AS sum_value
+        FROM events
+        GROUP BY GROUPING SETS (
+            (date_trunc('hour', ts), date_trunc('day', ts), date_trunc('month', ts)),
+            (date_trunc('day', ts), date_trunc('month', ts)),
+            (date_trunc('month', ts))
+        )
+    """,
+    tags=("agg", "grouping-sets", "window-time", "events"),
+)
+def events_multi_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events").select(
+        F.date_trunc("hour", "ts").cast("string").alias("hour_ts"),
+        F.date_trunc("day", "ts").cast("string").alias("day_ts"),
+        F.date_trunc("month", "ts").cast("string").alias("month_ts"),
+        "value",
+    )
+    return (
+        events.groupingSets(
+            [["hour_ts", "day_ts", "month_ts"], ["day_ts", "month_ts"], ["month_ts"]],
+            "hour_ts",
+            "day_ts",
+            "month_ts",
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            pround(F.sum("value"), 2).alias("sum_value"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Array aggregation: per-user behavior profile as a sorted, joined list —
+# collect_set is the distributed set-accumulator; output as a joined
+# string because array hashing is engine-specific but strings are not.
+# ---------------------------------------------------------------------------
+@register(
+    "array_agg_user_profile",
+    oracle="""
+        SELECT
+            user_id,
+            array_to_string(list_sort(list_distinct(list(event_type))), ',') AS event_types,
+            COUNT(DISTINCT event_type) AS n_types,
+            list_contains(list(event_type), 'purchase') AS is_buyer
+        FROM events
+        GROUP BY user_id
+    """,
+    tags=("agg", "array", "events"),
+)
+def array_agg_user_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    return events.groupBy("user_id").agg(
+        F.array_join(F.array_sort(F.collect_set("event_type")), ",").alias(
+            "event_types"
+        ),
+        F.countDistinct("event_type").alias("n_types"),
+        F.array_contains(F.collect_list("event_type"), "purchase").alias("is_buyer"),
+    )

@@ -80,14 +80,22 @@ def assert_matches_oracle(spark, sf_dir: str, spark_df, oracle_sql: str, name: s
         f"{name}: row count spark={len(spark_rows)} oracle={len(oracle_rows)}"
     )
 
-    # sort columns by name (driver contract), then rows.
+    # sort columns by name (driver contract), then rows. Rows may mix None
+    # (grouping-set subtotals, outer-join misses) with values, which tuple
+    # comparison can't order — sort on a type-tagged key instead.
     s_order = [spark_cols.index(c) for c in sorted(spark_cols)]
     o_order = [oracle_cols.index(c) for c in sorted(oracle_cols)]
+
+    def row_key(row):
+        return tuple((v is None, str(type(v)), str(v)) for v in row)
+
     s_set = sorted(
-        tuple(_normalize(row[i]) for i in s_order) for row in spark_rows
+        (tuple(_normalize(row[i]) for i in s_order) for row in spark_rows),
+        key=row_key,
     )
     o_set = sorted(
-        tuple(_normalize(row[i]) for i in o_order) for row in oracle_rows
+        (tuple(_normalize(row[i]) for i in o_order) for row in oracle_rows),
+        key=row_key,
     )
     mismatches = [
         (a, b) for a, b in zip(s_set, o_set) if a != b
