@@ -6,8 +6,10 @@
      "queries": {"q1...": sec, ...}, "sf": 0.1}
 
 Each query is forced with a cheap count() action (materializes the full
-plan without collecting rows to the driver). A warmup pass on the first
-query amortizes session/JVM startup out of per-query numbers.
+plan without collecting rows to the driver). Every query runs once as
+warmup (absorbing JVM startup, whole-stage-codegen compilation, and
+file-index builds) and the timed pass measures steady state — the regime
+a long-lived cluster session actually operates in.
 """
 
 from __future__ import annotations
@@ -29,9 +31,10 @@ def main() -> None:
     spark.sparkContext.setLogLevel("WARN")
 
     specs = [s for s in all_specs().values() if s.bench]
-    # warmup: run the first spec once to absorb JVM/codegen startup cost.
-    if specs:
-        specs[0].fn(spark, sf_dir).count()
+    # warmup: run every spec once so the timed pass measures steady state
+    # (JVM startup, codegen compilation, file listing amortized out).
+    for spec in specs:
+        spec.fn(spark, sf_dir).count()
 
     timings: dict[str, float] = {}
     for spec in specs:
