@@ -1147,3 +1147,83 @@ def array_agg_user_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.countDistinct("event_type").alias("n_types"),
         F.array_contains(F.collect_list("event_type"), "purchase").alias("is_buyer"),
     )
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q12 (shipping modes / priority): join + conditional aggregation
+# (CASE inside SUM — branch-free conditional counting in one pass).
+# The reference table has no shipmode column; the adapted discriminator is
+# the linestatus, preserving the query's shape: equi-join then two
+# filtered counts per group.
+# ---------------------------------------------------------------------------
+@register(
+    "q12_priority_by_linestatus",
+    oracle="""
+        SELECT
+            l_linestatus,
+            SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                     THEN 1 ELSE 0 END) AS high_line_count,
+            SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                     THEN 1 ELSE 0 END) AS low_line_count
+        FROM orders
+        JOIN lineitem ON l_orderkey = o_orderkey
+        WHERE l_shipdate >= TIMESTAMP '1995-01-01'
+          AND l_shipdate <  TIMESTAMP '1996-01-01'
+        GROUP BY l_linestatus
+    """,
+    tags=("tpch", "join", "conditional-agg"),
+)
+def q12_priority_by_linestatus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1995-01-01"))
+        & (F.col("l_shipdate") < F.lit("1996-01-01"))
+    )
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .groupBy("l_linestatus")
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(~high, 1).otherwise(0)).alias("low_line_count"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q14 (promotion effect): conditional revenue share — the
+# numerator/denominator both come from ONE pass over the joined rows
+# (no second scan for the ratio).
+# ---------------------------------------------------------------------------
+@register(
+    "q14_promo_revenue",
+    oracle="""
+        SELECT ROUND((
+            100.00 * SUM(CASE WHEN p_type LIKE 'PROMO%'
+                              THEN l_extendedprice * (1 - l_discount)
+                              ELSE 0 END)
+            / SUM(l_extendedprice * (1 - l_discount))
+        ) * 10000.0) / 10000.0 AS promo_revenue_pct
+        FROM lineitem
+        JOIN part ON l_partkey = p_partkey
+        WHERE l_shipdate >= TIMESTAMP '1995-09-01'
+          AND l_shipdate <  TIMESTAMP '1995-10-01'
+    """,
+    tags=("tpch", "join", "conditional-agg"),
+)
+def q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = load_table(spark, sf_dir, "part")
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1995-09-01"))
+        & (F.col("l_shipdate") < F.lit("1995-10-01"))
+    )
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    promo = F.when(F.col("p_type").like("PROMO%"), rev).otherwise(F.lit(0.0))
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .agg(
+            pround(F.lit(100.0) * F.sum(promo) / F.sum(rev), 4).alias(
+                "promo_revenue_pct"
+            )
+        )
+    )
