@@ -1227,3 +1227,80 @@ def q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Pivot: long→wide with explicit pivot values (passing the value list
+# skips the extra distinct-collection pass Spark otherwise runs — at
+# 100 TB the implicit pass is a full extra scan; the explicit list is
+# also what keeps the output schema stable for the sink).
+# ---------------------------------------------------------------------------
+EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
+
+
+@register(
+    "pivot_user_event_matrix",
+    oracle=f"""
+        SELECT
+            user_id,
+            {", ".join(
+                f"SUM(CASE WHEN event_type = '{t}' THEN 1 ELSE 0 END) AS n_{t}"
+                for t in EVENT_TYPES
+            )}
+        FROM events
+        GROUP BY user_id
+    """,
+    tags=("agg", "pivot", "events"),
+)
+def pivot_user_event_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    pivoted = (
+        events.groupBy("user_id")
+        .pivot("event_type", EVENT_TYPES)
+        .agg(F.count(F.lit(1)))
+    )
+    return pivoted.select(
+        "user_id",
+        *[F.coalesce(F.col(t), F.lit(0)).alias(f"n_{t}") for t in EVENT_TYPES],
+    )
+
+
+# ---------------------------------------------------------------------------
+# Unpivot (melt): wide→long — lineitem's three price measures as
+# (measure, value) rows, then a per-measure rollup. Spark's unpivot is a
+# zero-shuffle Expand (each input row fans out in place).
+# ---------------------------------------------------------------------------
+@register(
+    "unpivot_lineitem_measures",
+    oracle="""
+        WITH long AS (
+            SELECT l_linestatus, 'quantity' AS measure, l_quantity AS val FROM lineitem
+            UNION ALL
+            SELECT l_linestatus, 'extendedprice', l_extendedprice FROM lineitem
+            UNION ALL
+            SELECT l_linestatus, 'discount', l_discount FROM lineitem
+        )
+        SELECT
+            l_linestatus,
+            measure,
+            COUNT(*) AS n,
+            ROUND((SUM(val)) * 100.0) / 100.0 AS total
+        FROM long
+        GROUP BY l_linestatus, measure
+    """,
+    tags=("unpivot", "agg"),
+)
+def unpivot_lineitem_measures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    long = li.unpivot(
+        ids=["l_linestatus"],
+        values=["l_quantity", "l_extendedprice", "l_discount"],
+        variableColumnName="measure",
+        valueColumnName="val",
+    ).withColumn(
+        "measure", F.regexp_replace("measure", "^l_", "")
+    )
+    return long.groupBy("l_linestatus", "measure").agg(
+        F.count(F.lit(1)).alias("n"),
+        pround(F.sum("val"), 2).alias("total"),
+    )

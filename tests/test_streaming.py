@@ -133,6 +133,30 @@ def test_stream_static_enrich(spark, tmp_path):
     assert out.filter(F.col("user_tag").isNull()).count() == 0
 
 
+def test_available_now_trigger_bounded_backfill(spark, tmp_path):
+    """Trigger.AvailableNow: process everything currently available in
+    bounded micro-batches, then stop on its own — the backfill/catch-up
+    mode (vs processAllAvailable which needs an external stop)."""
+    counted = stream_events(spark, SF_SMOKE).groupBy("event_type").count()
+    query = (
+        counted.writeStream.format("memory")
+        .queryName("avail_now")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    query.awaitTermination(120)  # self-terminates after draining
+    assert not query.isActive
+    got = {r["event_type"]: r["count"] for r in spark.table("avail_now").collect()}
+    events = load_table(spark, SF_SMOKE, "events")
+    want = {
+        r["event_type"]: r["count"]
+        for r in events.groupBy("event_type").count().collect()
+    }
+    assert got == want
+
+
 def test_foreach_batch_idempotent_append(spark, tmp_path):
     """foreachBatch sink: all rows land exactly once; a replayed batch_id
     (simulated by re-invoking the sink with an already-committed id) is a
