@@ -275,3 +275,124 @@ def text_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rnk") <= 3)
         .select("doc_id", "term", "tfidf", "rnk")
     )
+
+
+# ---------------------------------------------------------------------------
+# BPE-ish token counting: a GPT-2-style pre-tokenizer approximated with a
+# portable regex alphabet — word runs, single digits, punctuation marks —
+# the cheap token-budget estimator a training pipeline runs before the
+# real tokenizer. regexp_count with identical patterns on both engines;
+# single scan, no shuffle.
+# ---------------------------------------------------------------------------
+@register(
+    "text_bpe_token_count",
+    oracle=r"""
+        SELECT
+            doc_id,
+            regexp_extract_all(text, '[A-Za-z]+')        .len() AS n_word_tokens,
+            regexp_extract_all(text, '[0-9]')            .len() AS n_digit_tokens,
+            regexp_extract_all(text, '[^A-Za-z0-9 ]')    .len() AS n_punct_tokens,
+            regexp_extract_all(text, '[A-Za-z]+').len()
+              + regexp_extract_all(text, '[0-9]').len()
+              + regexp_extract_all(text, '[^A-Za-z0-9 ]').len() AS n_bpe_ish
+        FROM documents
+    """,
+    tags=("text", "tokens", "documents"),
+)
+def text_bpe_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    words = F.regexp_count("text", F.lit(r"[A-Za-z]+"))
+    digits = F.regexp_count("text", F.lit(r"[0-9]"))
+    punct = F.regexp_count("text", F.lit(r"[^A-Za-z0-9 ]"))
+    return docs.select(
+        "doc_id",
+        words.alias("n_word_tokens"),
+        digits.alias("n_digit_tokens"),
+        punct.alias("n_punct_tokens"),
+        (words + digits + punct).alias("n_bpe_ish"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Rolling-hash document fingerprint (winnowing-lite): polynomial hash of
+# every W-token window over per-token integer hashes, fingerprint = the
+# MINIMUM window hash — stable under local edits anywhere outside the
+# minimal window (the core idea of Schleimer et al.'s winnowing, reduced
+# to one fingerprint per doc). All JVM-side integer arithmetic; same
+# explode→min-aggregate shape (map-side partials) as the MinHash pass.
+# ---------------------------------------------------------------------------
+ROLL_W = 4  # window width in tokens
+ROLL_B = 1_000_003  # polynomial base
+ROLL_P = 2_147_483_647  # 2^31 - 1; Horner steps stay < 2^52 (no int64 overflow)
+
+
+@register(
+    "text_rolling_fingerprint",
+    oracle=rf"""
+        WITH toks AS (
+            SELECT doc_id,
+                   string_split({{norm}}, ' ') AS t
+            FROM documents
+        ),
+        hashed AS (
+            SELECT doc_id,
+                   list_transform(t, x -> ('0x' || substr(md5(x), 1, 7))::BIGINT) AS h
+            FROM toks
+        ),
+        windows AS (
+            SELECT doc_id,
+                   UNNEST(list_transform(
+                       range(0, greatest(len(h) - {ROLL_W}, 0) + 1),
+                       i -> ((((h[i+1] % {ROLL_P}) * {ROLL_B} + h[i+2])
+                             % {ROLL_P} * {ROLL_B} + h[i+3])
+                             % {ROLL_P} * {ROLL_B} + h[i+4]) % {ROLL_P}
+                   )) AS wh
+            FROM hashed
+            WHERE len(h) >= {ROLL_W}
+        )
+        SELECT doc_id,
+               MIN(wh) AS winnow_fp,
+               COUNT(*) AS n_windows
+        FROM windows
+        GROUP BY doc_id
+    """.replace("{norm}", "LOWER(TRIM(regexp_replace(text, '\\s+', ' ', 'g')))"),
+    tags=("text", "fingerprint", "rolling-hash", "documents"),
+)
+def text_rolling_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents", rebalance=True)
+    toks = F.split(
+        F.lower(F.trim(F.regexp_replace(F.col("text"), r"\s+", " "))), " "
+    )
+    h = F.transform(
+        toks,
+        lambda x: F.conv(F.substring(F.md5(x), 1, 7), 16, 10).cast("long"),
+    )
+    n = F.size(h)
+    idx = F.sequence(F.lit(0), F.greatest(n - ROLL_W, F.lit(0)))
+    wh = F.transform(
+        idx,
+        lambda i: (
+            (
+                (
+                    (F.element_at(h, i + 1) % ROLL_P) * ROLL_B
+                    + F.element_at(h, i + 2)
+                )
+                % ROLL_P
+                * ROLL_B
+                + F.element_at(h, i + 3)
+            )
+            % ROLL_P
+            * ROLL_B
+            + F.element_at(h, i + 4)
+        )
+        % ROLL_P,
+    )
+    staged = (
+        docs.where(F.col("text").isNotNull())
+        .where(n >= ROLL_W)
+        .select("doc_id", F.explode(wh).alias("wh"))
+    )
+    return staged.groupBy("doc_id").agg(
+        F.min("wh").alias("winnow_fp"),
+        F.count(F.lit(1)).alias("n_windows"),
+    )
