@@ -217,3 +217,47 @@ def bronze_decode_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         pround("value", 6).alias("value_r"),
         "source",
     )
+
+
+# ---------------------------------------------------------------------------
+# Decode-failure accounting — the operational twin of the reference's
+# failOnDataLoss=false posture (KafkaAvroToIceberg.scala:60): tolerate bad
+# payloads, never drop them silently. from_json is PERMISSIVE (null struct
+# on corrupt input); this query corrupts a deterministic slice of payloads
+# (every 50th event loses its closing brace) and reports per-type
+# valid/corrupt counts — the dead-letter metric a bronze pipeline alerts on.
+# ---------------------------------------------------------------------------
+@register(
+    "bronze_decode_errors",
+    oracle="""
+        SELECT
+            event_type,
+            SUM(CASE WHEN event_id % 50 <> 0 THEN 1 ELSE 0 END) AS n_valid,
+            SUM(CASE WHEN event_id % 50 =  0 THEN 1 ELSE 0 END) AS n_corrupt
+        FROM events
+        GROUP BY event_type
+    """,
+    tags=("bronze", "decode", "errors", "events"),
+)
+def bronze_decode_errors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    payload = F.to_json(F.struct("event_id", "user_id", "event_type", "value"))
+    corrupted = F.when(
+        F.col("event_id") % 50 == 0, F.substring(payload, 1, 10)
+    ).otherwise(payload)
+    raw = events.select(
+        "event_type", F.encode(corrupted, "UTF-8").alias("value")
+    )
+    parsed = raw.select(
+        "event_type",
+        F.from_json(F.decode(F.col("value"), "UTF-8"), _EVENT_PAYLOAD_STRUCT).alias(
+            "data"
+        ),
+    )
+    # PERMISSIVE from_json yields an all-null struct (not NULL) on corrupt
+    # input — probe a required field, not the struct itself.
+    ok = F.col("data.event_id").isNotNull()
+    return parsed.groupBy("event_type").agg(
+        F.sum(F.when(ok, 1).otherwise(0)).alias("n_valid"),
+        F.sum(F.when(~ok, 1).otherwise(0)).alias("n_corrupt"),
+    )

@@ -200,6 +200,64 @@ def stateful_user_totals_stream(events: DataFrame) -> DataFrame:
     )
 
 
+def transform_with_state_type_counts(events: DataFrame) -> DataFrame:
+    """Custom stateful operator on Spark 4's ``transformWithStateInPandas``
+    (the successor to applyInPandasWithState): per-user running counts BY
+    EVENT TYPE held in a keyed ``MapState``.
+
+    Why this API at scale: typed state primitives (Value/List/Map) live in
+    the RocksDB state store per key — a MapState entry per (user, type) —
+    so state is incremental and spillable instead of one opaque blob per
+    key; timers/TTL (unused here) retire idle keys. Each micro-batch,
+    every user with new rows emits one row per touched-or-known type with
+    the updated total.
+
+    Runtime requirements: the RocksDB state store provider and the
+    ``protobuf`` package (Spark's Python state-server protocol). The
+    sandbox lacks protobuf, so the equivalence test skips there;
+    applyInPandasWithState (stateful_user_totals_stream) is the
+    sandbox-runnable custom-stateful path.
+    """
+    import pandas as pd
+
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    class TypeCountProcessor(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._counts = handle.getMapState(
+                "type_counts", "event_type string", "n bigint"
+            )
+
+        def handleInputRows(self, key, rows, timer_values):
+            for pdf in rows:
+                for etype, grp in pdf.groupby("event_type"):
+                    prev = (
+                        self._counts.getValue((etype,))[0]
+                        if self._counts.containsKey((etype,))
+                        else 0
+                    )
+                    self._counts.updateValue((etype,), (prev + len(grp),))
+            yield pd.DataFrame(
+                [
+                    {"user_id": key[0], "event_type": k[0], "n_events": v[0]}
+                    for k, v in self._counts.iterator()
+                ]
+            )
+
+        def close(self) -> None:
+            pass
+
+    return events.groupBy("user_id").transformWithStateInPandas(
+        TypeCountProcessor(),
+        outputStructType="user_id long, event_type string, n_events long",
+        outputMode="append",
+        timeMode="none",
+    )
+
+
 def foreach_batch_idempotent_append(output_dir: str):
     """``foreachBatch`` sink body: append each micro-batch to a parquet
     table partitioned by ``batch_id``, skipping batch ids already present.

@@ -254,6 +254,50 @@ def test_stateful_user_totals_stream(spark, tmp_path):
         assert abs(ftot - tot) < 1e-6
 
 
+def test_transform_with_state_type_counts(spark, tmp_path):
+    """transformWithStateInPandas (MapState per user): final emitted counts
+    per (user, event_type) must equal the batch groupBy. Requires the
+    RocksDB state store provider, and protobuf for the state-server
+    protocol (absent in this container → skip; the operator itself is
+    plain PySpark and runs wherever pyspark[connect] deps are installed)."""
+    pytest.importorskip("google.protobuf")
+    from kafka_stream_job_spark.streaming.pipeline import (
+        transform_with_state_type_counts,
+    )
+
+    prev = spark.conf.get("spark.sql.streaming.stateStore.providerClass", None)
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    try:
+        out = run_stream_to_memory(
+            spark,
+            transform_with_state_type_counts(stream_events(spark, SF_SMOKE)),
+            "tws_type_counts",
+            str(tmp_path / "ckpt"),
+            output_mode="append",
+        )
+        # counts are monotone; the max per key is the final value
+        final = {
+            (r["user_id"], r["event_type"]): r["n"]
+            for r in out.groupBy("user_id", "event_type")
+            .agg(F.max("n_events").alias("n"))
+            .collect()
+        }
+        events = load_table(spark, SF_SMOKE, "events")
+        want = {
+            (r["user_id"], r["event_type"]): r["count"]
+            for r in events.groupBy("user_id", "event_type").count().collect()
+        }
+        assert final == want
+    finally:
+        if prev is not None:
+            spark.conf.set("spark.sql.streaming.stateStore.providerClass", prev)
+        else:
+            spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+
+
 def test_bronze_stream_end_to_end_with_checkpoint_and_monitor(spark, tmp_path):
     """Full reference shape in-sandbox: binary payloads → streaming decode
     → enrich → sink with checkpoint; L1 listener attached; afterwards the
