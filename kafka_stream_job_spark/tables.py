@@ -155,6 +155,13 @@ def load_table(
     """
     if name not in SCHEMAS:
         raise KeyError(f"unknown table {name!r}; expected one of {TABLE_NAMES}")
+    # The caller's session may not be ours (the driver passes its own):
+    # pin the two confs correctness depends on. Both are runtime-settable;
+    # without nanosAsLong the events scan throws PARQUET_TYPE_ILLEGAL, and
+    # a non-UTC session TZ would skew every date_trunc/extract vs the
+    # DuckDB oracle.
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     path = os.path.join(sf_dir, f"{name}.parquet")
     df = spark.read.parquet(path)
     if name == "events" and dict(df.dtypes).get("ts") == "bigint":
