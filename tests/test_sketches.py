@@ -36,3 +36,19 @@ def test_sketch_within_error_bounds(spark):
         # percentile_approx with accuracy=10000 on small groups ≈ exact
         spread = abs(ex["p50"]) + 1.0
         assert abs(ap["approx_p50_value"] - ex["p50"]) <= 0.05 * spread
+
+
+def test_language_id_behavior_on_english_corpus(spark):
+    """The synthetic documents are English-ish tech vocabulary regardless
+    of the random `lang` metadata label (verified by inspection), so the
+    marker heuristic must only ever answer 'en' (markers hit) or 'und'
+    (no markers) — a French/German/Spanish verdict on this corpus would
+    mean the marker regexes misfire."""
+    from kafka_stream_job_spark.operators.text import text_language_id
+
+    conf = text_language_id(spark, SF_SMOKE).collect()  # confusion matrix
+    predicted = {r["pred_lang"] for r in conf}
+    assert predicted <= {"en", "und"}, f"unexpected verdicts: {predicted}"
+    n_en = sum(r["n_docs"] for r in conf if r["pred_lang"] == "en")
+    n_all = sum(r["n_docs"] for r in conf)
+    assert n_en / n_all >= 0.25, "marker heuristic fired on too few docs"
