@@ -587,3 +587,80 @@ def _install_embedding_cosine_oracle() -> None:
 
 
 _install_embedding_cosine_oracle()
+
+
+# ---------------------------------------------------------------------------
+# Connected components over the near-dup graph — the exact grouping that
+# dedup_survivors' one-hop policy approximates. Iterative min-label
+# propagation (Pregel-style): each round every vertex takes the min label
+# among itself and its neighbors; converges in O(component diameter)
+# rounds (near-dup clusters are short-diameter). This is the engine's
+# iterative-algorithm surface: a driver loop over DataFrame ops with
+# per-round ``localCheckpoint`` to truncate lineage (without it the plan
+# tree grows exponentially and planning time dominates), and a scalar
+# convergence check — no row data ever reaches the driver. The oracle is
+# DuckDB's recursive CTE computing min-reachable-id per vertex.
+# ---------------------------------------------------------------------------
+CC_MAX_ITERS = 20
+
+
+@register(
+    "dedup_connected_components",
+    oracle=f"""
+        WITH RECURSIVE
+        shingles AS ({_SHINGLES_SQL}),
+        sigs AS ({_SIGS_SQL}),
+        bands AS ({_BANDS_SQL}),
+        pairs AS ({_PAIRS_SQL}),
+        edges AS (
+            SELECT doc_a AS src, doc_b AS dst FROM pairs
+            UNION
+            SELECT doc_b, doc_a FROM pairs
+        ),
+        verts AS (SELECT DISTINCT src AS doc_id FROM edges),
+        reach(src, dst) AS (
+            SELECT doc_id, doc_id FROM verts
+            UNION
+            SELECT r.src, e.dst FROM reach r JOIN edges e ON e.src = r.dst
+        )
+        SELECT src AS doc_id, MIN(dst) AS component
+        FROM reach GROUP BY src
+    """,
+    tags=("dedup", "graph", "iterative", "documents"),
+)
+def dedup_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pairs = dedup_minhash_lsh(spark, sf_dir)
+    edges = (
+        pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
+        .unionByName(
+            pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst"))
+        )
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    labels = (
+        edges.select(F.col("src").alias("doc_id"))
+        .distinct()
+        .select("doc_id", F.col("doc_id").alias("component"))
+        .localCheckpoint(eager=False)
+    )
+    for _ in range(CC_MAX_ITERS):
+        msgs = (
+            edges.join(labels, edges.src == labels.doc_id)
+            .select(F.col("dst").alias("doc_id"), "component")
+        )
+        new_labels = (
+            labels.unionByName(msgs)
+            .groupBy("doc_id")
+            .agg(F.min("component").alias("component"))
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new_labels.join(labels.withColumnRenamed("component", "old"), "doc_id")
+            .filter(F.col("component") != F.col("old"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels

@@ -1304,3 +1304,57 @@ def unpivot_lineitem_measures(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n"),
         pround(F.sum("val"), 2).alias("total"),
     )
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q18 (large-volume customers): HAVING-filtered aggregate as a join
+# input — the big-orders set is computed once (grouped agg + filter) and
+# then drives a semi-join-shaped lookup; top-100 via
+# TakeOrderedAndProject.
+# ---------------------------------------------------------------------------
+@register(
+    "q18_large_volume_customers",
+    oracle="""
+        WITH big AS (
+            SELECT l_orderkey, SUM(l_quantity) AS total_qty
+            FROM lineitem GROUP BY l_orderkey
+            HAVING SUM(l_quantity) > 150
+        )
+        SELECT
+            c_custkey,
+            c_name,
+            o_orderkey,
+            CAST(o_orderdate AS VARCHAR) AS orderdate,
+            ROUND((o_totalprice) * 100.0) / 100.0 AS totalprice,
+            ROUND((b.total_qty) * 100.0) / 100.0 AS total_qty
+        FROM big b
+        JOIN orders   ON o_orderkey = b.l_orderkey
+        JOIN customer ON c_custkey = o_custkey
+        ORDER BY totalprice DESC, o_orderkey ASC
+        LIMIT 100
+    """,
+    tags=("tpch", "join", "having", "topk"),
+)
+def q18_large_volume_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("total_qty"))
+        .filter(F.col("total_qty") > 150)
+    )
+    return (
+        big.join(orders, big.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .select(
+            "c_custkey",
+            "c_name",
+            "o_orderkey",
+            F.col("o_orderdate").cast("string").alias("orderdate"),
+            pround(F.col("o_totalprice"), 2).alias("totalprice"),
+            pround(F.col("total_qty"), 2).alias("total_qty"),
+        )
+        .orderBy(F.col("totalprice").desc(), F.col("o_orderkey").asc())
+        .limit(100)
+    )
