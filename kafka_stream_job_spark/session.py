@@ -29,6 +29,11 @@ ENGINE_DEFAULTS: dict[str, str] = {
     # must broadcast; 64 MB covers every dim at 100 TB fact scale while the
     # fact side stays shuffle-free on those joins.
     "spark.sql.autoBroadcastJoinThreshold": str(64 * 1024 * 1024),
+    # Runtime bloom-filter join reduction: when one join side is selective,
+    # inject a bloom filter on the other side's scan — at 100 TB this
+    # prunes shuffle input for star-schema joins (e.g. filtered orders →
+    # lineitem) before the exchange. Off by default in Spark; safe on.
+    "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
     # Arrow transfer for the few Pandas-UDF ops (similarity/multimodal);
     # everything else stays JVM-side.
     "spark.sql.execution.arrow.pyspark.enabled": "true",
