@@ -396,3 +396,54 @@ def text_rolling_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("wh").alias("winnow_fp"),
         F.count(F.lit(1)).alias("n_windows"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Deterministic train/eval split — reproducible hash-based sampling, the
+# way real training pipelines split corpora (NOT rand(): a hash of the
+# stable doc key gives the same split on every run, on any cluster, after
+# any repartition, and lets late-arriving docs join the right side).
+# Eval rate 5%; the hash is the same 28-bit md5-int used everywhere else.
+# ---------------------------------------------------------------------------
+EVAL_PCT = 5  # percent of docs routed to eval
+
+
+@register(
+    "split_train_eval",
+    oracle=f"""
+        SELECT
+            split,
+            COUNT(*) AS n_docs,
+            SUM(n_chars) AS total_chars,
+            MIN(doc_id) AS min_doc_id
+        FROM (
+            SELECT doc_id, n_chars,
+                   CASE WHEN ('0x' || substr(md5('split:' || CAST(doc_id AS VARCHAR)), 1, 7))::BIGINT
+                             % 100 < {EVAL_PCT}
+                        THEN 'eval' ELSE 'train' END AS split
+            FROM documents
+        )
+        GROUP BY split
+    """,
+    tags=("sampling", "split", "documents"),
+)
+def split_train_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    bucket = (
+        F.conv(
+            F.substring(F.md5(F.concat(F.lit("split:"), F.col("doc_id").cast("string"))), 1, 7),
+            16,
+            10,
+        ).cast("long")
+        % 100
+    )
+    split = F.when(bucket < EVAL_PCT, "eval").otherwise("train")
+    return (
+        docs.select("doc_id", "n_chars", split.alias("split"))
+        .groupBy("split")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("total_chars"),
+            F.min("doc_id").alias("min_doc_id"),
+        )
+    )
