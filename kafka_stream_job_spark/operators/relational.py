@@ -1358,3 +1358,82 @@ def q18_large_volume_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("totalprice").desc(), F.col("o_orderkey").asc())
         .limit(100)
     )
+
+
+# ---------------------------------------------------------------------------
+# Day-over-day retention: lag window over per-user active days — the
+# standard product-analytics shape (distinct-day compaction first, so the
+# window sorts days not events).
+# ---------------------------------------------------------------------------
+@register(
+    "events_user_retention",
+    oracle="""
+        WITH days AS (
+            SELECT DISTINCT user_id, CAST(date_trunc('day', ts) AS DATE) AS d
+            FROM events
+        ),
+        gaps AS (
+            SELECT user_id, d,
+                   date_diff('day', LAG(d) OVER (PARTITION BY user_id ORDER BY d), d) AS gap
+            FROM days
+        )
+        SELECT
+            CAST(d AS VARCHAR) AS day,
+            COUNT(*) AS active_users,
+            SUM(CASE WHEN gap = 1 THEN 1 ELSE 0 END) AS retained_from_prev_day
+        FROM gaps
+        GROUP BY d
+    """,
+    tags=("window", "retention", "events"),
+)
+def events_user_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    days = events.select(
+        "user_id", F.to_date(F.date_trunc("day", "ts")).alias("d")
+    ).distinct()
+    w = Window.partitionBy("user_id").orderBy("d")
+    gaps = days.withColumn("gap", F.datediff(F.col("d"), F.lag("d").over(w)))
+    return gaps.groupBy(F.col("d").cast("string").alias("day")).agg(
+        F.count(F.lit(1)).alias("active_users"),
+        F.sum(F.when(F.col("gap") == 1, 1).otherwise(0)).alias(
+            "retained_from_prev_day"
+        ),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q19-shaped disjunctive-predicate join: OR-of-conjunctions across both
+# join sides. Catalyst extracts the common l_partkey = p_partkey equi-key
+# so this stays a hash join with the disjunction as a post-join filter —
+# NOT a nested-loop — and pushes the single-side conjuncts
+# (quantity bounds, size bounds) down to the scans.
+# ---------------------------------------------------------------------------
+@register(
+    "q19_disjunctive_revenue",
+    oracle="""
+        SELECT ROUND((SUM(l_extendedprice * (1 - l_discount))) * 100.0) / 100.0 AS revenue
+        FROM lineitem
+        JOIN part ON p_partkey = l_partkey
+        WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 1 AND 21)
+           OR (p_brand = 'Brand#2' AND p_size BETWEEN 10 AND 30 AND l_quantity BETWEEN 20 AND 40)
+           OR (p_brand = 'Brand#3' AND p_size BETWEEN 20 AND 50 AND l_quantity BETWEEN 35 AND 50)
+    """,
+    tags=("tpch", "join", "disjunction"),
+)
+def q19_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    joined = li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+    arm = lambda brand, s_lo, s_hi, q_lo, q_hi: (  # noqa: E731
+        (F.col("p_brand") == brand)
+        & F.col("p_size").between(s_lo, s_hi)
+        & F.col("l_quantity").between(q_lo, q_hi)
+    )
+    cond = arm("Brand#1", 1, 15, 1, 21) | arm("Brand#2", 10, 30, 20, 40) | arm(
+        "Brand#3", 20, 50, 35, 50
+    )
+    return joined.filter(cond).agg(
+        pround(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+            "revenue"
+        )
+    )

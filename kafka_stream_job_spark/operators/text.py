@@ -447,3 +447,51 @@ def split_train_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.min("doc_id").alias("min_doc_id"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Corpus-wide bigram frequencies, top 25 — the n-gram statistics pass a
+# corpus-analysis pipeline runs (vocabulary/bigram tables for tokenizer
+# training). Bigrams are built JVM-side with zip_with over the token
+# array and its tail — no Python, one explode, one count shuffle, top-k
+# via TakeOrderedAndProject.
+# ---------------------------------------------------------------------------
+@register(
+    "text_top_bigrams",
+    oracle=r"""
+        WITH toks AS (
+            SELECT doc_id, string_split_regex(LOWER(TRIM(text)), '\s+') AS t
+            FROM documents
+        ),
+        bigrams AS (
+            SELECT UNNEST(list_transform(
+                       range(1, len(t)),
+                       i -> t[i] || ' ' || t[i+1]
+                   )) AS bigram
+            FROM toks
+            WHERE len(t) >= 2
+        )
+        SELECT bigram, COUNT(*) AS n
+        FROM bigrams
+        GROUP BY bigram
+        ORDER BY n DESC, bigram ASC
+        LIMIT 25
+    """,
+    tags=("text", "ngram", "documents"),
+)
+def text_top_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents", rebalance=True)
+    t = F.split(F.lower(F.trim(F.col("text"))), r"\s+")
+    bigrams = F.zip_with(
+        F.slice(t, 1, F.greatest(F.size(t) - 1, F.lit(0))),
+        F.slice(t, 2, F.greatest(F.size(t) - 1, F.lit(0))),
+        lambda a, b: F.concat(a, F.lit(" "), b),
+    )
+    return (
+        docs.where(F.size(t) >= 2)
+        .select(F.explode(bigrams).alias("bigram"))
+        .groupBy("bigram")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.col("n").desc(), F.col("bigram").asc())
+        .limit(25)
+    )
