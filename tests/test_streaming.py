@@ -133,6 +133,48 @@ def test_stream_static_enrich(spark, tmp_path):
     assert out.filter(F.col("user_tag").isNull()).count() == 0
 
 
+def test_rate_source_windowed_agg(spark, tmp_path):
+    """The rate source (SURVEY.md §7.1: broker-free streaming input):
+    generate rows at a fixed rate, run a watermarked window agg over them,
+    and verify every generated value is accounted for exactly once."""
+    rate = (
+        spark.readStream.format("rate")
+        .option("rowsPerSecond", 500)
+        .option("numPartitions", 2)
+        .load()
+    )
+    agg = (
+        rate.withWatermark("timestamp", "10 seconds")
+        .groupBy(F.window("timestamp", "1 second").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("value").alias("sum_v"))
+    )
+    query = (
+        agg.writeStream.format("memory")
+        .queryName("rate_agg")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .outputMode("complete")
+        .start()
+    )
+    try:
+        import time
+
+        deadline = time.time() + 60
+        while time.time() < deadline:
+            query.processAllAvailable()
+            rows = spark.table("rate_agg").collect()
+            total = sum(r["n"] for r in rows)
+            if total >= 100:
+                break
+            time.sleep(0.5)
+    finally:
+        query.stop()
+    rows = spark.table("rate_agg").collect()
+    total = sum(r["n"] for r in rows)
+    assert total >= 100
+    # values are 0..total-1 exactly once across windows
+    assert sum(r["sum_v"] for r in rows) == total * (total - 1) // 2
+
+
 def test_available_now_trigger_bounded_backfill(spark, tmp_path):
     """Trigger.AvailableNow: process everything currently available in
     bounded micro-batches, then stop on its own — the backfill/catch-up
