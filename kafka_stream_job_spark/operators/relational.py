@@ -1517,3 +1517,108 @@ def q22_global_sales_opportunity(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("numcust"),
         pround(F.sum("c_acctbal"), 2).alias("totacctbal"),
     )
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q7 (volume shipping): two nation roles on one dimension — the
+# nation table joins twice under different aliases (supplier nation vs
+# customer nation) with a cross-pair disjunction, then a per-year rollup.
+# Both nation sides broadcast; the fact chain shuffles once on orderkey.
+# ---------------------------------------------------------------------------
+@register(
+    "q7_volume_shipping",
+    oracle="""
+        SELECT
+            n1.n_name AS supp_nation,
+            n2.n_name AS cust_nation,
+            CAST(EXTRACT(year FROM l_shipdate) AS INT) AS l_year,
+            ROUND((SUM(l_extendedprice * (1 - l_discount))) * 100.0) / 100.0 AS revenue
+        FROM lineitem
+        JOIN orders   ON o_orderkey = l_orderkey
+        JOIN supplier ON s_suppkey = l_suppkey
+        JOIN customer ON c_custkey = o_custkey
+        JOIN nation n1 ON s_nationkey = n1.n_nationkey
+        JOIN nation n2 ON c_nationkey = n2.n_nationkey
+        WHERE ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+            OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+          AND l_shipdate BETWEEN TIMESTAMP '1995-01-01' AND TIMESTAMP '1996-12-31'
+        GROUP BY 1, 2, 3
+    """,
+    tags=("tpch", "join", "self-dim"),
+)
+def q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate").between("1995-01-01", "1996-12-31")
+    )
+    orders = load_table(spark, sf_dir, "orders")
+    supp = load_table(spark, sf_dir, "supplier")
+    cust = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    n1 = nation.select(
+        F.col("n_nationkey").alias("n1_key"), F.col("n_name").alias("supp_nation")
+    )
+    n2 = nation.select(
+        F.col("n_nationkey").alias("n2_key"), F.col("n_name").alias("cust_nation")
+    )
+    pair = (
+        (F.col("supp_nation") == "NATION_1") & (F.col("cust_nation") == "NATION_2")
+    ) | ((F.col("supp_nation") == "NATION_2") & (F.col("cust_nation") == "NATION_1"))
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("n1_key"))
+        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("n2_key"))
+        .filter(pair)
+        .groupBy(
+            "supp_nation", "cust_nation", F.year("l_shipdate").alias("l_year")
+        )
+        .agg(
+            pround(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Column profiling — the ANALYZE-style one-pass table profile (null
+# counts, distincts, ranges) every ingestion pipeline runs before
+# trusting a new drop. One scan, one (tiny) global aggregate; distinct
+# counts use exact count(distinct) here, the sketch variant is
+# sketch_user_activity.
+# ---------------------------------------------------------------------------
+@register(
+    "profile_lineitem_columns",
+    oracle="""
+        SELECT
+            COUNT(*)                                        AS n_rows,
+            COUNT(DISTINCT l_orderkey)                      AS d_orderkey,
+            COUNT(DISTINCT l_partkey)                       AS d_partkey,
+            SUM(CASE WHEN l_returnflag IS NULL THEN 1 ELSE 0 END) AS null_returnflag,
+            ROUND((MIN(l_quantity)) * 100.0) / 100.0        AS min_qty,
+            ROUND((MAX(l_quantity)) * 100.0) / 100.0        AS max_qty,
+            ROUND((MIN(l_extendedprice)) * 100.0) / 100.0   AS min_price,
+            ROUND((MAX(l_extendedprice)) * 100.0) / 100.0   AS max_price,
+            CAST(MIN(l_shipdate) AS VARCHAR)                AS min_shipdate,
+            CAST(MAX(l_shipdate) AS VARCHAR)                AS max_shipdate
+        FROM lineitem
+    """,
+    tags=("profiling", "agg"),
+)
+def profile_lineitem_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.countDistinct("l_orderkey").alias("d_orderkey"),
+        F.countDistinct("l_partkey").alias("d_partkey"),
+        F.sum(F.when(F.col("l_returnflag").isNull(), 1).otherwise(0)).alias(
+            "null_returnflag"
+        ),
+        pround(F.min("l_quantity"), 2).alias("min_qty"),
+        pround(F.max("l_quantity"), 2).alias("max_qty"),
+        pround(F.min("l_extendedprice"), 2).alias("min_price"),
+        pround(F.max("l_extendedprice"), 2).alias("max_price"),
+        F.min("l_shipdate").cast("string").alias("min_shipdate"),
+        F.max("l_shipdate").cast("string").alias("max_shipdate"),
+    )

@@ -133,6 +133,38 @@ def test_stream_static_enrich(spark, tmp_path):
     assert out.filter(F.col("user_tag").isNull()).count() == 0
 
 
+def test_update_mode_emits_final_counts(spark, tmp_path):
+    """Update output mode (the third mode next to append/complete): only
+    changed aggregate rows are emitted per batch; taking the LAST emission
+    per key reconstructs the final aggregate exactly."""
+    counted = stream_events(spark, SF_SMOKE).groupBy("event_type").count()
+    query = (
+        counted.writeStream.format("memory")
+        .queryName("update_counts")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .outputMode("update")
+        .start()
+    )
+    try:
+        query.processAllAvailable()
+    finally:
+        query.stop()
+    # last emission per key == final count (monotone counts: max works)
+    got = {
+        r["event_type"]: r["n"]
+        for r in spark.table("update_counts")
+        .groupBy("event_type")
+        .agg(F.max("count").alias("n"))
+        .collect()
+    }
+    events = load_table(spark, SF_SMOKE, "events")
+    want = {
+        r["event_type"]: r["count"]
+        for r in events.groupBy("event_type").count().collect()
+    }
+    assert got == want
+
+
 def test_rate_source_windowed_agg(spark, tmp_path):
     """The rate source (SURVEY.md §7.1: broker-free streaming input):
     generate rows at a fixed rate, run a watermarked window agg over them,
