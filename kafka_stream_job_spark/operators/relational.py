@@ -1622,3 +1622,233 @@ def profile_lineitem_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("l_shipdate").cast("string").alias("min_shipdate"),
         F.max("l_shipdate").cast("string").alias("max_shipdate"),
     )
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q8 (national market share): the deepest join chain in the suite —
+# part->lineitem->orders->customer->nation->region plus supplier->nation —
+# finishing in a conditional-share aggregation (sum(case)/sum). part is
+# filtered to one p_type before the join, so at 100 TB the fact side is
+# pre-reduced by a semi-joinable dimension filter; nation/region broadcast,
+# the two fact joins shuffle on their keys, and the final agg is 2 rows.
+# ---------------------------------------------------------------------------
+@register(
+    "q8_national_market_share",
+    oracle="""
+        SELECT
+            o_year,
+            ROUND((SUM(CASE WHEN nation = 'NATION_1' THEN revenue ELSE 0 END)
+                   / SUM(revenue)) * 10000.0) / 10000.0 AS mkt_share
+        FROM (
+            SELECT
+                CAST(EXTRACT(year FROM o_orderdate) AS INT) AS o_year,
+                l_extendedprice * (1 - l_discount) AS revenue,
+                n2.n_name AS nation
+            FROM part
+            JOIN lineitem ON p_partkey = l_partkey
+            JOIN orders   ON l_orderkey = o_orderkey
+            JOIN customer ON o_custkey = c_custkey
+            JOIN nation n1 ON c_nationkey = n1.n_nationkey
+            JOIN region   ON n1.n_regionkey = r_regionkey
+            JOIN supplier ON l_suppkey = s_suppkey
+            JOIN nation n2 ON s_nationkey = n2.n_nationkey
+            WHERE r_name = 'ASIA'
+              AND o_orderdate BETWEEN TIMESTAMP '1995-01-01'
+                                  AND TIMESTAMP '1996-12-31'
+              AND p_type = 'ECONOMY'
+        ) all_nations
+        GROUP BY o_year
+    """,
+    tags=("tpch", "join", "share"),
+)
+def q8_national_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = load_table(spark, sf_dir, "part").filter(F.col("p_type") == "ECONOMY")
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate").between("1995-01-01", "1996-12-31")
+    )
+    cust = load_table(spark, sf_dir, "customer")
+    supp = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    n1 = nation.select(
+        F.col("n_nationkey").alias("n1_key"), F.col("n_regionkey").alias("n1_region")
+    )
+    n2 = nation.select(
+        F.col("n_nationkey").alias("n2_key"), F.col("n_name").alias("nation")
+    )
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(part, li.l_partkey == part.p_partkey)
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(n1), F.col("c_nationkey") == F.col("n1_key"))
+        .join(F.broadcast(region), F.col("n1_region") == F.col("r_regionkey"))
+        .join(supp, li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(n2), F.col("s_nationkey") == F.col("n2_key"))
+        .groupBy(F.year("o_orderdate").alias("o_year"))
+        .agg(
+            pround(
+                F.sum(F.when(F.col("nation") == "NATION_1", rev).otherwise(0.0))
+                / F.sum(rev),
+                4,
+            ).alias("mkt_share")
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q9 shape (product type profit). The testdata has no partsupp table
+# (TESTDATA.md), so supply cost is proxied deterministically as
+# 0.1 * p_retailprice * l_quantity — the aggregation/join SHAPE (profit
+# rollup by supplier nation x order year over a name-filtered part set) is
+# what's exercised, exactly as in TPC-H Q9.
+#
+# The profit sum mixes positive and negative terms (cancellation), so a
+# post-hoc pround of a float SUM straddles cent boundaries between engines
+# at sf0.1. Instead each row is rounded to integer CENTS (portable: see
+# _portable.py) and summed as BIGINT — exact and summation-order-free.
+# ---------------------------------------------------------------------------
+@register(
+    "q9_product_type_profit",
+    oracle="""
+        SELECT
+            nation,
+            o_year,
+            SUM(CAST(ROUND(amount * 100.0) AS BIGINT)) / 100.0 AS sum_profit
+        FROM (
+            SELECT
+                n_name AS nation,
+                CAST(EXTRACT(year FROM o_orderdate) AS INT) AS o_year,
+                l_extendedprice * (1 - l_discount)
+                  - 0.1 * p_retailprice * l_quantity AS amount
+            FROM part
+            JOIN lineitem ON p_partkey = l_partkey
+            JOIN supplier ON l_suppkey = s_suppkey
+            JOIN orders   ON l_orderkey = o_orderkey
+            JOIN nation   ON s_nationkey = n_nationkey
+            WHERE p_name LIKE '%gear%'
+        ) profit
+        GROUP BY nation, o_year
+    """,
+    tags=("tpch", "join", "agg"),
+)
+def q9_product_type_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = load_table(spark, sf_dir, "part").filter(F.col("p_name").like("%gear%"))
+    li = load_table(spark, sf_dir, "lineitem")
+    supp = load_table(spark, sf_dir, "supplier")
+    orders = load_table(spark, sf_dir, "orders")
+    nation = load_table(spark, sf_dir, "nation")
+    amount = F.col("l_extendedprice") * (1 - F.col("l_discount")) - 0.1 * F.col(
+        "p_retailprice"
+    ) * F.col("l_quantity")
+    return (
+        li.join(part, li.l_partkey == part.p_partkey)
+        .join(supp, li.l_suppkey == supp.s_suppkey)
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .groupBy(
+            F.col("n_name").alias("nation"), F.year("o_orderdate").alias("o_year")
+        )
+        .agg(
+            (F.sum(F.round(amount * 100.0, 0).cast("long")) / 100.0).alias(
+                "sum_profit"
+            )
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q13 (customer distribution): LEFT OUTER join with the predicate in
+# the JOIN condition (not WHERE — customers with zero qualifying orders
+# must survive with count 0), then a second aggregation over the first's
+# output: a histogram of customers by order count. Two shuffles by
+# construction (custkey, then c_count); the second input is one row per
+# customer so it's the cheap one.
+# ---------------------------------------------------------------------------
+@register(
+    "q13_customer_distribution",
+    oracle="""
+        SELECT c_count, COUNT(*) AS custdist
+        FROM (
+            SELECT c_custkey, COUNT(o_orderkey) AS c_count
+            FROM customer
+            LEFT OUTER JOIN orders
+              ON c_custkey = o_custkey
+             AND o_orderpriority <> '4-NOT SPECIFIED'
+            GROUP BY c_custkey
+        ) c_orders
+        GROUP BY c_count
+    """,
+    tags=("tpch", "outer-join", "histogram"),
+)
+def q13_customer_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority") != "4-NOT SPECIFIED"
+    )
+    return (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+        .groupBy("c_count")
+        .agg(F.count(F.lit(1)).alias("custdist"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q11 shape (important stock): per-key value totals kept only when
+# they exceed a GLOBAL-SCALAR threshold (1.5x the mean part value — unlike
+# TPC-H's fixed fraction-of-total this is scale-invariant, so the query
+# returns a meaningful tail at every SF) — the global scalar is a
+# 1-row aggregate broadcast back against the per-key aggregate
+# (crossJoin(broadcast(...))), so the "subquery" costs one extra reduce,
+# not a second scan of the grouped data. partsupp doesn't exist in the
+# testdata; part value is lineitem revenue through NATION_3 suppliers.
+# ---------------------------------------------------------------------------
+@register(
+    "q11_important_part_value",
+    oracle="""
+        WITH val AS (
+            SELECT
+                l_partkey AS partkey,
+                SUM(CAST(ROUND(l_extendedprice * (1 - l_discount) * 100.0)
+                         AS BIGINT)) / 100.0 AS part_value
+            FROM lineitem
+            JOIN supplier ON l_suppkey = s_suppkey
+            JOIN nation   ON s_nationkey = n_nationkey
+            WHERE n_name = 'NATION_3'
+            GROUP BY l_partkey
+        )
+        SELECT partkey, part_value
+        FROM val
+        WHERE part_value > (SELECT AVG(part_value) FROM val) * 1.5
+    """,
+    tags=("tpch", "subquery", "scalar-broadcast"),
+)
+def q11_important_part_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    supp = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_3")
+    val = (
+        li.join(supp, li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .groupBy(F.col("l_partkey").alias("partkey"))
+        .agg(
+            (
+                F.sum(
+                    F.round(
+                        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100.0,
+                        0,
+                    ).cast("long")
+                )
+                / 100.0
+            ).alias("part_value")
+        )
+    )
+    total = val.agg((F.avg("part_value") * 1.5).alias("threshold"))
+    return (
+        val.crossJoin(F.broadcast(total))
+        .filter(F.col("part_value") > F.col("threshold"))
+        .select("partkey", "part_value")
+    )
