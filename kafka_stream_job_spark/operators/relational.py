@@ -1852,3 +1852,225 @@ def q11_important_part_value(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("part_value") > F.col("threshold"))
         .select("partkey", "part_value")
     )
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q2 shape (min-cost supplier): ARGMIN per group. No partsupp table,
+# so the "offer" is (part, supplier) observed unit price from lineitem;
+# for each filtered part pick the supplier with the cheapest observed
+# unit price (tiebreak: suppkey). MIN over doubles is exact (no summation
+# order), so ranking on the raw min is engine-portable; rounding is for
+# display only. Spark plan: one shuffle to (partkey,suppkey), window over
+# partkey — both partial-aggregated map-side first.
+# ---------------------------------------------------------------------------
+@register(
+    "q2_min_cost_supplier",
+    oracle="""
+        WITH offers AS (
+            SELECT
+                p_partkey, p_name, s_suppkey, s_name,
+                MIN(l_extendedprice / l_quantity) AS unit_cost
+            FROM part
+            JOIN lineitem ON p_partkey = l_partkey
+            JOIN supplier ON l_suppkey = s_suppkey
+            WHERE p_type = 'STANDARD' AND p_size < 10
+            GROUP BY p_partkey, p_name, s_suppkey, s_name
+        )
+        SELECT
+            p_partkey AS partkey, p_name AS part_name, s_name AS supplier_name,
+            ROUND(unit_cost * 100.0) / 100.0 AS best_unit_cost
+        FROM offers
+        QUALIFY ROW_NUMBER() OVER (
+            PARTITION BY p_partkey ORDER BY unit_cost, s_suppkey
+        ) = 1
+    """,
+    tags=("tpch", "window", "argmin"),
+)
+def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = load_table(spark, sf_dir, "part").filter(
+        (F.col("p_type") == "STANDARD") & (F.col("p_size") < 10)
+    )
+    li = load_table(spark, sf_dir, "lineitem")
+    supp = load_table(spark, sf_dir, "supplier")
+    offers = (
+        li.join(part, li.l_partkey == part.p_partkey)
+        .join(supp, li.l_suppkey == supp.s_suppkey)
+        .groupBy("p_partkey", "p_name", "s_suppkey", "s_name")
+        .agg(F.min(F.col("l_extendedprice") / F.col("l_quantity")).alias("unit_cost"))
+    )
+    w = Window.partitionBy("p_partkey").orderBy("unit_cost", "s_suppkey")
+    return (
+        offers.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            F.col("p_partkey").alias("partkey"),
+            F.col("p_name").alias("part_name"),
+            F.col("s_name").alias("supplier_name"),
+            pround("unit_cost", 2).alias("best_unit_cost"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q16 shape (parts/supplier relationship): COUNT(DISTINCT supplier)
+# per part attribute bucket, EXCLUDING a blacklist of suppliers via
+# anti-join (TPC-H's NOT IN subquery; here: negative account balance
+# stands in for the complaints-comment filter). The blacklist is tiny and
+# broadcast; count-distinct expands to a two-phase exact aggregation.
+# ---------------------------------------------------------------------------
+@register(
+    "q16_supplier_part_buckets",
+    oracle="""
+        SELECT
+            p_brand, p_type, p_size,
+            COUNT(DISTINCT l_suppkey) AS supplier_cnt
+        FROM part
+        JOIN lineitem ON p_partkey = l_partkey
+        WHERE p_brand <> 'Brand#1'
+          AND p_type <> 'PROMO'
+          AND p_size IN (1, 5, 9, 15, 23, 36, 45, 49)
+          AND l_suppkey NOT IN (
+              SELECT s_suppkey FROM supplier WHERE s_acctbal < 0
+          )
+        GROUP BY p_brand, p_type, p_size
+    """,
+    tags=("tpch", "anti-join", "count-distinct"),
+)
+def q16_supplier_part_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = load_table(spark, sf_dir, "part").filter(
+        (F.col("p_brand") != "Brand#1")
+        & (F.col("p_type") != "PROMO")
+        & F.col("p_size").isin(1, 5, 9, 15, 23, 36, 45, 49)
+    )
+    li = load_table(spark, sf_dir, "lineitem")
+    bad = (
+        load_table(spark, sf_dir, "supplier")
+        .filter(F.col("s_acctbal") < 0)
+        .select("s_suppkey")
+    )
+    return (
+        li.join(F.broadcast(bad), li.l_suppkey == bad.s_suppkey, "left_anti")
+        .join(part, F.col("l_partkey") == part.p_partkey)
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q20 shape (potential part promotion): semi-join against a
+# GROUP-HAVING subquery — suppliers who moved more than a threshold
+# quantity of a name-filtered part set in one year. The threshold is
+# 1.2x the MEAN per-supplier quantity (scale-invariant, so the semi-join
+# is selective at every SF); l_quantity is integer-valued, so both the
+# per-supplier SUM and the global AVG over those sums are exact and the
+# comparison is engine-portable. The qualifying-supplier set is small →
+# broadcast semi-join; nation dimension broadcast for the name lookup.
+# ---------------------------------------------------------------------------
+@register(
+    "q20_heavy_shippers",
+    oracle="""
+        WITH shipped AS (
+            SELECT l_suppkey, SUM(l_quantity) AS qty
+            FROM lineitem
+            JOIN part ON l_partkey = p_partkey
+            WHERE p_name LIKE 'red%'
+              AND l_shipdate >= TIMESTAMP '1996-01-01'
+              AND l_shipdate <  TIMESTAMP '1997-01-01'
+            GROUP BY l_suppkey
+        )
+        SELECT s_name, n_name AS nation
+        FROM supplier
+        JOIN nation ON s_nationkey = n_nationkey
+        WHERE s_suppkey IN (
+            SELECT l_suppkey FROM shipped
+            WHERE qty > (SELECT AVG(qty) * 1.2 FROM shipped)
+        )
+    """,
+    tags=("tpch", "semi-join", "having"),
+)
+def q20_heavy_shippers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    supp = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1996-01-01") & (F.col("l_shipdate") < "1997-01-01")
+    )
+    part = load_table(spark, sf_dir, "part").filter(F.col("p_name").like("red%"))
+    shipped = (
+        li.join(part, li.l_partkey == part.p_partkey)
+        .groupBy("l_suppkey")
+        .agg(F.sum("l_quantity").alias("qty"))
+    )
+    threshold = shipped.agg((F.avg("qty") * 1.2).alias("threshold"))
+    qualifying = (
+        shipped.crossJoin(F.broadcast(threshold))
+        .filter(F.col("qty") > F.col("threshold"))
+        .select("l_suppkey")
+    )
+    return (
+        supp.join(F.broadcast(qualifying), supp.s_suppkey == qualifying.l_suppkey, "semi")
+        .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .select("s_name", F.col("n_name").alias("nation"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q21 shape (suppliers who kept orders waiting). The testdata has no
+# commit/receipt dates, so "late" := shipped more than 60 days after the
+# order date. A supplier is charged with an order when: the order is
+# finished ('F'), it involves >= 2 suppliers, the supplier shipped late,
+# and NO OTHER supplier in the order did (TPC-H's EXISTS / NOT EXISTS
+# pair). Expressed as one (orderkey, suppkey) flag aggregate joined back
+# to its own per-order rollup — the orderkey shuffle is reused by both
+# sides instead of re-scanning lineitem for each correlated subquery.
+# ---------------------------------------------------------------------------
+@register(
+    "q21_waiting_supplier",
+    oracle="""
+        WITH flags AS (
+            SELECT
+                l_orderkey,
+                l_suppkey,
+                MAX(CASE WHEN l_shipdate > o_orderdate + INTERVAL 60 DAY
+                         THEN 1 ELSE 0 END) AS late
+            FROM lineitem
+            JOIN orders ON l_orderkey = o_orderkey
+            WHERE o_orderstatus = 'F'
+            GROUP BY l_orderkey, l_suppkey
+        ),
+        per_order AS (
+            SELECT l_orderkey, COUNT(*) AS nsupp, SUM(late) AS nlate
+            FROM flags
+            GROUP BY l_orderkey
+        )
+        SELECT s_name, COUNT(*) AS numwait
+        FROM flags
+        JOIN per_order ON flags.l_orderkey = per_order.l_orderkey
+        JOIN supplier ON flags.l_suppkey = s_suppkey
+        WHERE flags.late = 1 AND per_order.nsupp >= 2 AND per_order.nlate = 1
+        GROUP BY s_name
+    """,
+    tags=("tpch", "exists", "self-agg"),
+)
+def q21_waiting_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
+    supp = load_table(spark, sf_dir, "supplier")
+    late = F.when(
+        F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS"), 1
+    ).otherwise(0)
+    flags = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .groupBy("l_orderkey", "l_suppkey")
+        .agg(F.max(late).alias("late"))
+    )
+    per_order = flags.groupBy(F.col("l_orderkey").alias("po_orderkey")).agg(
+        F.count(F.lit(1)).alias("nsupp"), F.sum("late").alias("nlate")
+    )
+    return (
+        flags.filter(F.col("late") == 1)
+        .join(per_order, F.col("l_orderkey") == F.col("po_orderkey"))
+        .filter((F.col("nsupp") >= 2) & (F.col("nlate") == 1))
+        .join(supp, F.col("l_suppkey") == supp.s_suppkey)
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+    )
