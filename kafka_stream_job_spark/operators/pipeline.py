@@ -1,0 +1,197 @@
+"""Corpus-assembly operators — the steps between "deduped documents" and
+"training batches" in an LLM data pipeline (north star; builds on the
+dedup/text/split primitives):
+
+- **Decontamination** — flag train-split documents sharing any word
+  K-shingle with the eval split. The eval side of a real pipeline is tiny
+  (benchmarks, held-out sets), so its distinct-shingle set broadcasts and
+  the train side never shuffles: a 100 TB scan with a map-side semi join.
+- **Quota sampling** — at most K documents per language, chosen by a
+  deterministic content-independent hash order (reproducible on any
+  cluster, stable under repartition — the same argument as
+  ``split_train_eval``). One shuffle on the (low-cardinality) stratum key;
+  at scale the rank would be replaced by a per-partition pre-filter of the
+  top-K candidates (K rows per partition survive) before the final rank.
+- **Sequence packing** — assign documents to fixed token-budget packs by
+  cumulative token count along a deterministic hash order, partitioned by
+  (lang, hash-band) so the running sum parallelizes: BANDS independent
+  window partitions per language instead of one global sorted stream.
+
+Reference parity: the reference has no corpus ops at all (SURVEY.md §2.7);
+these extend the north-star surface. All arithmetic is integer (token
+counts, hash buckets), so every query is exactly oracle-checkable.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from kafka_stream_job_spark.operators.dedup import _SHINGLES_SQL, _shingles
+from kafka_stream_job_spark.operators.text import EVAL_PCT
+from kafka_stream_job_spark.registry import register
+from kafka_stream_job_spark.tables import load_table
+
+QUOTA_K = 25  # max docs kept per language stratum
+PACK_BUDGET = 2048  # tokens per pack
+PACK_BANDS = 8  # parallel packing streams per language
+
+
+def _doc_hash(prefix: str):
+    """28-bit md5 hash of a prefixed doc_id — the portable deterministic
+    ordering used by split/quota/pack (same construction as
+    ``split_train_eval``)."""
+    return F.conv(
+        F.substring(
+            F.md5(F.concat(F.lit(prefix + ":"), F.col("doc_id").cast("string"))), 1, 7
+        ),
+        16,
+        10,
+    ).cast("long")
+
+
+def _doc_hash_sql(prefix: str) -> str:
+    return (
+        f"('0x' || substr(md5('{prefix}:' || CAST(doc_id AS VARCHAR)), 1, 7))::BIGINT"
+    )
+
+
+# ---------------------------------------------------------------------------
+# Decontamination: train docs sharing >=1 word 3-shingle with the eval
+# split. Eval shingles are DISTINCT and broadcast; the count per train doc
+# is the number of distinct shingles it shares with the eval set (train
+# shingles are already distinct per doc).
+# ---------------------------------------------------------------------------
+@register(
+    "decontaminate_train_shingles",
+    oracle=f"""
+        WITH sh AS ({_SHINGLES_SQL}),
+        splits AS (
+            SELECT doc_id,
+                   CASE WHEN {_doc_hash_sql("split")} % 100 < {EVAL_PCT}
+                        THEN 'eval' ELSE 'train' END AS split
+            FROM documents
+        ),
+        eval_sh AS (
+            SELECT DISTINCT shingle
+            FROM sh JOIN splits USING (doc_id)
+            WHERE split = 'eval'
+        )
+        SELECT sh.doc_id AS doc_id, COUNT(*) AS n_shared_shingles
+        FROM sh
+        JOIN splits ON sh.doc_id = splits.doc_id
+        JOIN eval_sh ON sh.shingle = eval_sh.shingle
+        WHERE splits.split = 'train'
+        GROUP BY sh.doc_id
+    """,
+    tags=("decontamination", "dedup", "documents", "semi-join"),
+)
+def decontaminate_train_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents", rebalance=True)
+    is_eval = _doc_hash("split") % 100 < EVAL_PCT
+    sh = _shingles(docs)
+    eval_ids = docs.filter(is_eval).select("doc_id")
+    train_ids = docs.filter(~is_eval).select("doc_id")
+    eval_sh = sh.join(F.broadcast(eval_ids), "doc_id").select("shingle").distinct()
+    return (
+        sh.join(train_ids, "doc_id")
+        .join(F.broadcast(eval_sh), "shingle")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_shared_shingles"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Quota sampling: deterministic top-K per language by hash order
+# (tiebreak doc_id — the 28-bit hash can collide).
+# ---------------------------------------------------------------------------
+@register(
+    "quota_sample_per_lang",
+    oracle=f"""
+        SELECT doc_id, lang, rk
+        FROM (
+            SELECT doc_id, lang,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY lang
+                       ORDER BY {_doc_hash_sql("quota")}, doc_id
+                   ) AS rk
+            FROM documents
+        )
+        WHERE rk <= {QUOTA_K}
+    """,
+    tags=("sampling", "quota", "documents", "window"),
+)
+def quota_sample_per_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    w = Window.partitionBy("lang").orderBy(_doc_hash("quota"), F.col("doc_id"))
+    return (
+        docs.select("doc_id", "lang", F.row_number().over(w).alias("rk"))
+        .filter(F.col("rk") <= QUOTA_K)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Sequence packing: chunk the hash-ordered document stream of each
+# (lang, band) into fixed token-budget packs via an exclusive running sum;
+# pack_id = floor(tokens_before / budget). Whitespace token counts are
+# integers, so the running sum and the floor division are exact in both
+# engines. Output is the per-pack manifest a batch loader would consume.
+# ---------------------------------------------------------------------------
+@register(
+    "pack_sequences_manifest",
+    oracle=f"""
+        WITH t AS (
+            SELECT doc_id, lang,
+                   len(string_split_regex(LOWER(TRIM(text)), '\\s+')) AS n_tok,
+                   {_doc_hash_sql("pack")} AS h
+            FROM documents
+            WHERE text IS NOT NULL
+        ),
+        o AS (
+            SELECT lang, h % {PACK_BANDS} AS band, n_tok,
+                   COALESCE(SUM(n_tok) OVER (
+                       PARTITION BY lang, h % {PACK_BANDS}
+                       ORDER BY h, doc_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                   ), 0) AS tokens_before
+            FROM t
+        )
+        SELECT lang, band,
+               CAST(FLOOR(tokens_before / {float(PACK_BUDGET)}) AS BIGINT) AS pack_id,
+               COUNT(*) AS n_docs,
+               SUM(n_tok) AS pack_tokens
+        FROM o
+        GROUP BY lang, band, pack_id
+    """,
+    tags=("packing", "window", "documents"),
+)
+def pack_sequences_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    n_tok = F.size(F.split(F.lower(F.trim(F.col("text"))), r"\s+"))
+    h = _doc_hash("pack")
+    t = docs.select(
+        "doc_id",
+        "lang",
+        n_tok.alias("n_tok"),
+        h.alias("h"),
+        (h % PACK_BANDS).alias("band"),
+    )
+    w = (
+        Window.partitionBy("lang", "band")
+        .orderBy("h", "doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    o = t.withColumn("tokens_before", F.coalesce(F.sum("n_tok").over(w), F.lit(0)))
+    return (
+        o.groupBy(
+            "lang",
+            "band",
+            F.floor(F.col("tokens_before") / float(PACK_BUDGET))
+            .cast("long")
+            .alias("pack_id"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tok").alias("pack_tokens"),
+        )
+    )

@@ -2019,9 +2019,10 @@ def q20_heavy_shippers(spark: SparkSession, sf_dir: str) -> DataFrame:
 # order date. A supplier is charged with an order when: the order is
 # finished ('F'), it involves >= 2 suppliers, the supplier shipped late,
 # and NO OTHER supplier in the order did (TPC-H's EXISTS / NOT EXISTS
-# pair). Expressed as one (orderkey, suppkey) flag aggregate joined back
-# to its own per-order rollup — the orderkey shuffle is reused by both
-# sides instead of re-scanning lineitem for each correlated subquery.
+# pair). The per-order context comes from WINDOW aggregates over the
+# orderkey partition (count/sum over ~a handful of supplier rows per
+# order), so the whole query is: one shuffle to (orderkey, suppkey), one
+# shuffle to orderkey, no join-back and no second scan of lineitem.
 # ---------------------------------------------------------------------------
 @register(
     "q21_waiting_supplier",
@@ -2063,13 +2064,11 @@ def q21_waiting_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("l_orderkey", "l_suppkey")
         .agg(F.max(late).alias("late"))
     )
-    per_order = flags.groupBy(F.col("l_orderkey").alias("po_orderkey")).agg(
-        F.count(F.lit(1)).alias("nsupp"), F.sum("late").alias("nlate")
-    )
+    w = Window.partitionBy("l_orderkey")
     return (
-        flags.filter(F.col("late") == 1)
-        .join(per_order, F.col("l_orderkey") == F.col("po_orderkey"))
-        .filter((F.col("nsupp") >= 2) & (F.col("nlate") == 1))
+        flags.withColumn("nsupp", F.count(F.lit(1)).over(w))
+        .withColumn("nlate", F.sum("late").over(w))
+        .filter((F.col("late") == 1) & (F.col("nsupp") >= 2) & (F.col("nlate") == 1))
         .join(supp, F.col("l_suppkey") == supp.s_suppkey)
         .groupBy("s_name")
         .agg(F.count(F.lit(1)).alias("numwait"))

@@ -60,6 +60,7 @@ def all_specs() -> dict[str, QuerySpec]:
         dedup,
         multimodal,
         pandas_ops,
+        pipeline,
         relational,
         similarity,
         text,

@@ -107,3 +107,30 @@ def test_no_accidental_cartesian_anywhere(spark, name):
     if name == "range_join_price_bands":
         pytest.skip("intentional broadcast nested-loop against 4-row dim")
     assert "CartesianProduct" not in plan, f"{name} plans a cartesian product"
+
+
+def test_decontamination_broadcasts_eval_side(spark):
+    """The eval-shingle set must broadcast: the 100 TB train side is
+    joined map-side, never shuffled for the contamination probe."""
+    plan = plan_of(spark, "decontaminate_train_shingles")
+    assert plan.count("BroadcastHashJoin") >= 2
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_pack_sequences_single_shuffle(spark):
+    """Packing is one shuffle: the window partitions by (lang, band) and
+    the pack manifest groupBy keys are a superset of that partitioning,
+    so the aggregate reuses the window's exchange."""
+    plan = plan_of(spark, "pack_sequences_manifest")
+    assert plan.count("Exchange") == 1
+
+
+def test_q21_window_formulation_avoids_join_back(spark):
+    """Per-order supplier counts come from windows over the existing
+    orderkey clustering — no self-join, no sort-merge join, and no second
+    lineitem scan."""
+    plan = plan_of(spark, "q21_waiting_supplier")
+    assert "SortMergeJoin" not in plan
+    assert plan.count("Exchange") <= 6
+    assert plan.count("Scan parquet") <= 3
