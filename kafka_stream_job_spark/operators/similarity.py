@@ -339,3 +339,147 @@ def embedding_norm_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         pround(F.min(norm), 4).alias("min_norm"),
         pround(F.max(norm), 4).alias("max_norm"),
     )
+
+
+# ---------------------------------------------------------------------------
+# ANN top-k, IVF-style (inverted-file index): the second scale path next
+# to sign-LSH bucketing. Three stages, exactly as a Faiss-style IVF:
+#
+#   1. COARSE QUANTIZER — centroids are a deterministic hash-sample of the
+#      corpus (~1/IVF_SAMPLE_MOD of the vectors; cell count grows with the
+#      corpus the way sqrt(N)-sized IVF lists should). A k-means refit
+#      would move the centroids but not the plan shape; the hash-sample
+#      keeps the operator fully oracle-checkable.
+#   2. CELL ASSIGNMENT — every vector joins the broadcast centroid set and
+#      keeps its nearest centroid (L2): one broadcast join + one shuffle
+#      on vec_id for the per-vector argmin window. At 100 TB this is the
+#      index-build pass, run once and persisted.
+#   3. PROBE + RERANK — each query probes its IVF_NPROBE nearest cells and
+#      exact-cosine-ranks only the vectors assigned there (~nprobe/cells
+#      of the corpus), never the full corpus.
+# ---------------------------------------------------------------------------
+IVF_SAMPLE_MOD = 64  # 1-in-64 vectors become centroids
+IVF_NPROBE = 2
+
+_DIST_SQL = (
+    "list_reduce(list_prepend(0.0, "
+    "list_transform(list_zip({a}::DOUBLE[], {b}::DOUBLE[]), "
+    "p -> (p[1] - p[2]) * (p[1] - p[2]))), (acc, x) -> acc + x)"
+)
+
+
+def _l2sq(a, b):
+    """Sequential-fold squared L2 distance (JVM-side), the Spark mirror
+    of _DIST_SQL."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: (x.cast("double") - y.cast("double"))
+                   * (x.cast("double") - y.cast("double"))),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+_IVF_HASH_SQL = "('0x' || substr(md5('ivf:' || CAST(vec_id AS VARCHAR)), 1, 7))::BIGINT"
+
+
+@register(
+    "similarity_topk_ivf",
+    oracle=f"""
+        WITH centroids AS (
+            SELECT vec_id AS cent_id, embedding AS c_emb
+            FROM embeddings
+            WHERE {_IVF_HASH_SQL} % {IVF_SAMPLE_MOD} = 0
+        ),
+        assign AS (
+            SELECT vec_id, embedding, cent_id AS cell FROM (
+                SELECT e.vec_id, e.embedding, c.cent_id,
+                       ROW_NUMBER() OVER (
+                           PARTITION BY e.vec_id
+                           ORDER BY {_DIST_SQL.format(a='e.embedding', b='c.c_emb')},
+                                    c.cent_id
+                       ) AS rn
+                FROM embeddings e CROSS JOIN centroids c
+            ) WHERE rn = 1
+        ),
+        probes AS (
+            SELECT vec_id AS query_id, embedding AS q_emb, cent_id AS cell FROM (
+                SELECT e.vec_id, e.embedding, c.cent_id,
+                       ROW_NUMBER() OVER (
+                           PARTITION BY e.vec_id
+                           ORDER BY {_DIST_SQL.format(a='e.embedding', b='c.c_emb')},
+                                    c.cent_id
+                       ) AS rn
+                FROM embeddings e CROSS JOIN centroids c
+                WHERE e.vec_id < {N_QUERIES}
+            ) WHERE rn <= {IVF_NPROBE}
+        ),
+        scored AS (
+            SELECT p.query_id, a.vec_id AS neighbor_id,
+                   {_DOT_SQL.format(a='p.q_emb', b='a.embedding')}
+                   / ({_NORM_SQL.format(a='p.q_emb')}
+                      * {_NORM_SQL.format(a='a.embedding')}) AS cos_raw
+            FROM probes p
+            JOIN assign a ON a.cell = p.cell AND a.vec_id <> p.query_id
+        )
+        SELECT query_id, neighbor_id,
+               ROUND((cos_raw) * 10000.0) / 10000.0 AS cosine, rank
+        FROM (
+            SELECT query_id, neighbor_id, cos_raw,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY query_id ORDER BY cos_raw DESC, neighbor_id
+                   ) AS rank
+            FROM scored
+        ) WHERE rank <= {TOP_K}
+    """,
+    tags=("similarity", "ivf", "embeddings", "topk"),
+)
+def similarity_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    emb = load_table(spark, sf_dir, "embeddings", rebalance=True)
+    ivf_hash = F.conv(
+        F.substring(F.md5(F.concat(F.lit("ivf:"), F.col("vec_id").cast("string"))), 1, 7),
+        16,
+        10,
+    ).cast("long")
+    centroids = (
+        emb.filter(ivf_hash % IVF_SAMPLE_MOD == 0)
+        .select(F.col("vec_id").alias("cent_id"), F.col("embedding").alias("c_emb"))
+    )
+
+    def nearest_cells(vectors: DataFrame, n: int) -> DataFrame:
+        dist = _l2sq(F.col("embedding"), F.col("c_emb"))
+        w = Window.partitionBy("vec_id").orderBy("dist", "cent_id")
+        return (
+            vectors.crossJoin(F.broadcast(centroids))
+            .select("vec_id", "embedding", "cent_id", dist.alias("dist"))
+            .withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") <= n)
+        )
+
+    assign = nearest_cells(emb, 1).select(
+        "vec_id", "embedding", F.col("cent_id").alias("cell")
+    )
+    probes = nearest_cells(emb.filter(F.col("vec_id") < N_QUERIES), IVF_NPROBE).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("q_emb"),
+        F.col("cent_id").alias("p_cell"),
+    )
+    cos_raw = _dot(F.col("q_emb"), F.col("embedding")) / (
+        _norm(F.col("q_emb")) * _norm(F.col("embedding"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos_raw").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        assign.join(
+            F.broadcast(probes),
+            (F.col("cell") == F.col("p_cell")) & (F.col("vec_id") != F.col("query_id")),
+        )
+        .select("query_id", F.col("vec_id").alias("neighbor_id"), cos_raw.alias("cos_raw"))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= TOP_K)
+        .select(
+            "query_id", "neighbor_id", pround("cos_raw", 4).alias("cosine"), "rank"
+        )
+    )

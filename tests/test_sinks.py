@@ -65,3 +65,31 @@ def test_partitioned_write_and_partition_pruning(spark, tmp_path):
 
     # round-trip completeness
     assert back.count() == events.count()
+
+
+def test_format_round_trips_preserve_orders(spark, tmp_path):
+    """CSV / JSON-lines / ORC round-trips of the orders table: the engine
+    must ingest the interchange formats a warehouse actually receives, not
+    only parquet. Values (including timestamps) must survive each
+    round-trip bit-for-bit against the parquet original."""
+    orders = load_table(spark, SF_SMOKE, "orders")
+    want = sorted(tuple(r) for r in orders.collect())
+
+    csv_dir = str(tmp_path / "orders_csv")
+    orders.write.option("header", True).option(
+        "timestampFormat", "yyyy-MM-dd HH:mm:ss"
+    ).csv(csv_dir)
+    got_csv = spark.read.option("header", True).schema(orders.schema).option(
+        "timestampFormat", "yyyy-MM-dd HH:mm:ss"
+    ).csv(csv_dir)
+    assert sorted(tuple(r) for r in got_csv.collect()) == want
+
+    json_dir = str(tmp_path / "orders_json")
+    orders.write.json(json_dir)
+    got_json = spark.read.schema(orders.schema).json(json_dir)
+    assert sorted(tuple(r) for r in got_json.collect()) == want
+
+    orc_dir = str(tmp_path / "orders_orc")
+    orders.write.orc(orc_dir)
+    got_orc = spark.read.orc(orc_dir)
+    assert sorted(tuple(r) for r in got_orc.collect()) == want
