@@ -2073,3 +2073,67 @@ def q21_waiting_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("s_name")
         .agg(F.count(F.lit(1)).alias("numwait"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Sequential funnel (view -> click -> purchase): the product-analytics
+# sequence query. Each later step must happen STRICTLY AFTER the user's
+# earliest completion of the previous step — ordering logic, not just
+# per-type counts. Spark plan: ONE shuffle on user_id; the three
+# step-timestamps are chained min-over-partition windows (same
+# partitioning → pipelined Window nodes, no extra exchange), then a
+# per-user collapse and a tiny global count. MIN over timestamps is
+# exact, so the whole funnel is portable.
+# ---------------------------------------------------------------------------
+@register(
+    "events_funnel_view_click_purchase",
+    oracle="""
+        WITH v AS (
+            SELECT user_id, MIN(ts) AS t_view
+            FROM events WHERE event_type = 'view' GROUP BY user_id
+        ),
+        c AS (
+            SELECT e.user_id, MIN(e.ts) AS t_click
+            FROM events e JOIN v ON e.user_id = v.user_id
+            WHERE e.event_type = 'click' AND e.ts > v.t_view
+            GROUP BY e.user_id
+        ),
+        p AS (
+            SELECT e.user_id, MIN(e.ts) AS t_purchase
+            FROM events e JOIN c ON e.user_id = c.user_id
+            WHERE e.event_type = 'purchase' AND e.ts > c.t_click
+            GROUP BY e.user_id
+        )
+        SELECT
+            (SELECT COUNT(*) FROM v) AS n_view,
+            (SELECT COUNT(*) FROM c) AS n_view_click,
+            (SELECT COUNT(*) FROM p) AS n_view_click_purchase
+    """,
+    tags=("events", "funnel", "window", "sequence"),
+)
+def events_funnel_view_click_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id")
+    ts, typ = F.col("ts"), F.col("event_type")
+    staged = events.select("user_id", "ts", "event_type")
+    staged = staged.withColumn(
+        "t_view", F.min(F.when(typ == "view", ts)).over(w)
+    )
+    staged = staged.withColumn(
+        "t_click",
+        F.min(F.when((typ == "click") & (ts > F.col("t_view")), ts)).over(w),
+    )
+    staged = staged.withColumn(
+        "t_purchase",
+        F.min(F.when((typ == "purchase") & (ts > F.col("t_click")), ts)).over(w),
+    )
+    per_user = staged.groupBy("user_id").agg(
+        F.max("t_view").alias("t_view"),
+        F.max("t_click").alias("t_click"),
+        F.max("t_purchase").alias("t_purchase"),
+    )
+    return per_user.agg(
+        F.count("t_view").alias("n_view"),
+        F.count("t_click").alias("n_view_click"),
+        F.count("t_purchase").alias("n_view_click_purchase"),
+    )
