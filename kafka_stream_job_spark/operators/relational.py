@@ -2075,6 +2075,32 @@ def q21_waiting_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _funnel_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(user_id, t_view, t_click, t_purchase) — per-user earliest strictly-
+    ordered completion times of each funnel step (NULL once the chain
+    breaks). One shuffle on user_id; three pipelined Window nodes."""
+    events = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id")
+    ts, typ = F.col("ts"), F.col("event_type")
+    staged = events.select("user_id", "ts", "event_type")
+    staged = staged.withColumn(
+        "t_view", F.min(F.when(typ == "view", ts)).over(w)
+    )
+    staged = staged.withColumn(
+        "t_click",
+        F.min(F.when((typ == "click") & (ts > F.col("t_view")), ts)).over(w),
+    )
+    staged = staged.withColumn(
+        "t_purchase",
+        F.min(F.when((typ == "purchase") & (ts > F.col("t_click")), ts)).over(w),
+    )
+    return staged.groupBy("user_id").agg(
+        F.max("t_view").alias("t_view"),
+        F.max("t_click").alias("t_click"),
+        F.max("t_purchase").alias("t_purchase"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Sequential funnel (view -> click -> purchase): the product-analytics
 # sequence query. Each later step must happen STRICTLY AFTER the user's
@@ -2112,28 +2138,65 @@ def q21_waiting_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("events", "funnel", "window", "sequence"),
 )
 def events_funnel_view_click_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
-    events = load_table(spark, sf_dir, "events")
-    w = Window.partitionBy("user_id")
-    ts, typ = F.col("ts"), F.col("event_type")
-    staged = events.select("user_id", "ts", "event_type")
-    staged = staged.withColumn(
-        "t_view", F.min(F.when(typ == "view", ts)).over(w)
-    )
-    staged = staged.withColumn(
-        "t_click",
-        F.min(F.when((typ == "click") & (ts > F.col("t_view")), ts)).over(w),
-    )
-    staged = staged.withColumn(
-        "t_purchase",
-        F.min(F.when((typ == "purchase") & (ts > F.col("t_click")), ts)).over(w),
-    )
-    per_user = staged.groupBy("user_id").agg(
-        F.max("t_view").alias("t_view"),
-        F.max("t_click").alias("t_click"),
-        F.max("t_purchase").alias("t_purchase"),
-    )
+    per_user = _funnel_per_user(spark, sf_dir)
     return per_user.agg(
         F.count("t_view").alias("n_view"),
         F.count("t_click").alias("n_view_click"),
         F.count("t_purchase").alias("n_view_click_purchase"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Funnel time-to-convert: latency distribution (p50/p90) from first view
+# to the purchase that completes the strict view->click->purchase chain,
+# over converting users only. Timestamp differences are exact integer
+# microseconds; the percentile interpolation runs over identical integer
+# inputs in both engines (same portability argument as
+# percentile_order_prices).
+# ---------------------------------------------------------------------------
+_FUNNEL_SQL_CTES = """
+        v AS (
+            SELECT user_id, MIN(ts) AS t_view
+            FROM events WHERE event_type = 'view' GROUP BY user_id
+        ),
+        c AS (
+            SELECT e.user_id, MIN(e.ts) AS t_click
+            FROM events e JOIN v ON e.user_id = v.user_id
+            WHERE e.event_type = 'click' AND e.ts > v.t_view
+            GROUP BY e.user_id
+        ),
+        p AS (
+            SELECT e.user_id, MIN(e.ts) AS t_purchase
+            FROM events e JOIN c ON e.user_id = c.user_id
+            WHERE e.event_type = 'purchase' AND e.ts > c.t_click
+            GROUP BY e.user_id
+        )
+"""
+
+
+@register(
+    "events_funnel_latency",
+    oracle=f"""
+        WITH {_FUNNEL_SQL_CTES}
+        SELECT
+            COUNT(*) AS n_converted,
+            ROUND(((quantile_cont(epoch_us(p.t_purchase) - epoch_us(v.t_view), 0.5))
+                   / 1000000.0) * 10000.0) / 10000.0 AS p50_sec,
+            ROUND(((quantile_cont(epoch_us(p.t_purchase) - epoch_us(v.t_view), 0.9))
+                   / 1000000.0) * 10000.0) / 10000.0 AS p90_sec
+        FROM p JOIN v ON p.user_id = v.user_id
+    """,
+    tags=("events", "funnel", "percentile"),
+)
+def events_funnel_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    per_user = _funnel_per_user(spark, sf_dir)
+    diff = F.unix_micros(F.col("t_purchase")) - F.unix_micros(F.col("t_view"))
+    return (
+        per_user.filter(F.col("t_purchase").isNotNull())
+        .select(diff.alias("d_us"))
+        .agg(
+            F.count(F.lit(1)).alias("n_converted"),
+            pround(F.percentile("d_us", 0.5) / 1_000_000.0, 4).alias("p50_sec"),
+            pround(F.percentile("d_us", 0.9) / 1_000_000.0, 4).alias("p90_sec"),
+        )
     )

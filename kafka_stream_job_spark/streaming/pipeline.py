@@ -164,6 +164,48 @@ def purchase_attribution_stream(
     ).select("purchase_id", "user_id", "touch_id", "touch_ts", "purchase_ts")
 
 
+def unattributed_purchases_stream(
+    touches: DataFrame, purchases: DataFrame, horizon: str = "30 minutes"
+) -> DataFrame:
+    """Stream-stream LEFT OUTER join (purchases side preserved): every
+    purchase, attributed to a same-user touch in the preceding ``horizon``
+    when one exists, emitted with NULL touch columns otherwise.
+
+    Outer semantics in streaming: an unmatched purchase can only be
+    emitted once the TOUCH side's watermark has passed the purchase's
+    event time (no future touch can match it anymore — the join condition
+    upper-bounds touch_ts by purchase_ts), so null-joined rows trail the
+    watermark instead of appearing immediately. Same state-eviction
+    discipline as the inner variant: both sides watermarked + the
+    condition time-bounds the match window.
+    """
+    t = (
+        touches.filter(F.col("event_type").isin("view", "click"))
+        .select(
+            F.col("user_id").alias("t_user"),
+            F.col("ts").alias("touch_ts"),
+            F.col("event_id").alias("touch_id"),
+        )
+        .withWatermark("touch_ts", "1 hour")
+    )
+    p = (
+        purchases.filter(F.col("event_type") == "purchase")
+        .select(
+            "user_id",
+            F.col("ts").alias("purchase_ts"),
+            F.col("event_id").alias("purchase_id"),
+        )
+        .withWatermark("purchase_ts", "1 hour")
+    )
+    return p.join(
+        t,
+        (F.col("user_id") == F.col("t_user"))
+        & (F.col("touch_ts") <= F.col("purchase_ts"))
+        & (F.col("purchase_ts") <= F.col("touch_ts") + F.expr(f"INTERVAL {horizon}")),
+        "left_outer",
+    ).select("purchase_id", "user_id", "purchase_ts", "touch_id", "touch_ts")
+
+
 def stateful_user_totals_stream(events: DataFrame) -> DataFrame:
     """Custom stateful operator via ``applyInPandasWithState``: per-user
     cumulative event count and value total, maintained in managed group

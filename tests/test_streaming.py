@@ -417,3 +417,80 @@ def test_bronze_stream_end_to_end_with_checkpoint_and_monitor(spark, tmp_path):
     assert "batchWatermarkMs" in meta
     # file source is not KafkaV2 → the monitor must report nothing
     assert monitor.events == []
+
+
+def test_left_outer_stream_stream_join_emits_unmatched(spark, tmp_path):
+    """Left-outer stream-stream join: matched rows must equal the batch
+    inner join; null-joined purchases must (a) all be genuinely unmatched
+    in batch semantics and (b) actually appear for purchases safely below
+    the final watermark — the outer-join eviction path works."""
+    from kafka_stream_job_spark.streaming.pipeline import unattributed_purchases_stream
+
+    query = (
+        unattributed_purchases_stream(
+            stream_events(spark, SF_SMOKE), stream_events(spark, SF_SMOKE)
+        )
+        .writeStream.format("memory")
+        .queryName("unattributed_stream")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .outputMode("append")
+        .start()
+    )
+    try:
+        query.processAllAvailable()
+        watermark_str = (query.lastProgress or {}).get("eventTime", {}).get("watermark")
+    finally:
+        query.stop()
+    out = spark.table("unattributed_stream")
+
+    events = load_table(spark, SF_SMOKE, "events")
+    touches = events.filter(F.col("event_type").isin("view", "click")).select(
+        F.col("user_id").alias("t_user"),
+        F.col("ts").alias("touch_ts"),
+        F.col("event_id").alias("touch_id"),
+    )
+    purchases = events.filter(F.col("event_type") == "purchase").select(
+        "user_id", F.col("ts").alias("purchase_ts"), F.col("event_id").alias("purchase_id")
+    )
+    cond = (
+        (F.col("user_id") == F.col("t_user"))
+        & (F.col("touch_ts") <= F.col("purchase_ts"))
+        & (F.col("purchase_ts") <= F.col("touch_ts") + F.expr("INTERVAL 30 minutes"))
+    )
+    batch_matched = {
+        tuple(r)
+        for r in purchases.join(touches, cond)
+        .select("purchase_id", "touch_id")
+        .collect()
+    }
+    stream_matched = {
+        tuple(r)
+        for r in out.filter(F.col("touch_id").isNotNull())
+        .select("purchase_id", "touch_id")
+        .collect()
+    }
+    assert stream_matched == batch_matched and len(stream_matched) > 0
+
+    batch_unmatched = {
+        r["purchase_id"]
+        for r in purchases.join(touches, cond, "left_anti").collect()
+    }
+    stream_null = {
+        r["purchase_id"] for r in out.filter(F.col("touch_id").isNull()).collect()
+    }
+    assert stream_null <= batch_unmatched
+
+    # every unmatched purchase comfortably below the final watermark must
+    # have been emitted with a NULL touch (1h margin on top of the horizon)
+    if watermark_str:
+        import datetime
+
+        wm = datetime.datetime.fromisoformat(watermark_str.replace("Z", "+00:00"))
+        safe = wm.replace(tzinfo=None) - datetime.timedelta(hours=1, minutes=30)
+        must_emit = {
+            r["purchase_id"]
+            for r in purchases.join(touches, cond, "left_anti")
+            .filter(F.col("purchase_ts") < F.lit(safe))
+            .collect()
+        }
+        assert must_emit <= stream_null and len(must_emit) > 0
