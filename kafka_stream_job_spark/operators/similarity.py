@@ -483,3 +483,77 @@ def similarity_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
             "query_id", "neighbor_id", pround("cos_raw", 4).alias("cosine"), "rank"
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# K-means (Lloyd) clustering over the embedding corpus — the iterative-
+# refinement pattern (like dedup_connected_components for graphs): a
+# driver-side loop over a declarative per-iteration plan. Each iteration:
+#   assign  — crossJoin(broadcast(centroids)) + argmin window (same shape
+#             as IVF cell assignment; centroids are K rows, always tiny);
+#   update  — per-dimension mean via posexplode + (cent_id, pos) partial
+#             agg, reassembled with an order-pinned collect_list.
+# At 100 TB: embeddings cached once, per-iteration cost is one broadcast
+# join + one (K x DIM)-row aggregate; no driver-side data movement at all
+# (centroids stay a DataFrame). Float means are summation-order-dependent,
+# so the op is rows-only checked (driver) with invariants pinned in
+# tests/test_sketches.py — same treatment as the HLL/t-digest sketches.
+# ---------------------------------------------------------------------------
+KMEANS_ITERS = 3
+KMEANS_SAMPLE_MOD = 100  # ~1/100 of vectors seed the initial centroids
+
+
+@register(
+    "cluster_kmeans_embeddings",
+    oracle=None,
+    tags=("similarity", "clustering", "iterative", "embeddings"),
+)
+def cluster_kmeans_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    emb = load_table(spark, sf_dir, "embeddings", rebalance=True).select(
+        "vec_id", "embedding"
+    )
+    seed_hash = F.conv(
+        F.substring(
+            F.md5(F.concat(F.lit("kmeans:"), F.col("vec_id").cast("string"))), 1, 7
+        ),
+        16,
+        10,
+    ).cast("long")
+    cent = emb.filter(seed_hash % KMEANS_SAMPLE_MOD == 0).select(
+        F.col("vec_id").alias("cent_id"),
+        F.col("embedding").cast("array<double>").alias("c_emb"),
+    )
+
+    def assign(centroids: DataFrame) -> DataFrame:
+        dist = _l2sq(F.col("embedding"), F.col("c_emb"))
+        w = Window.partitionBy("vec_id").orderBy("dist", "cent_id")
+        return (
+            emb.crossJoin(F.broadcast(centroids))
+            .select("vec_id", "embedding", "cent_id", dist.alias("dist"))
+            .withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .drop("rn")
+        )
+
+    for _ in range(KMEANS_ITERS):
+        assigned = assign(cent)
+        cent = (
+            assigned.select("cent_id", F.posexplode("embedding").alias("pos", "x"))
+            .groupBy("cent_id", "pos")
+            .agg(F.avg("x").alias("m"))
+            .groupBy("cent_id")
+            .agg(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "m"))),
+                    lambda s: s["m"],
+                ).alias("c_emb")
+            )
+        )
+
+    final = assign(cent)
+    return final.groupBy("cent_id").agg(
+        F.count(F.lit(1)).alias("n_members"),
+        pround(F.avg("dist"), 4).alias("avg_sq_dist"),
+    )

@@ -52,3 +52,20 @@ def test_language_id_behavior_on_english_corpus(spark):
     n_en = sum(r["n_docs"] for r in conf if r["pred_lang"] == "en")
     n_all = sum(r["n_docs"] for r in conf)
     assert n_en / n_all >= 0.25, "marker heuristic fired on too few docs"
+
+
+def test_kmeans_partitions_whole_corpus(spark):
+    """Lloyd iterations must end with every vector assigned to exactly one
+    surviving centroid, and the per-cluster mean squared distance must be
+    a sane positive number (the iterative refinement ran, not a degenerate
+    single-cluster collapse)."""
+    from kafka_stream_job_spark.operators.similarity import (
+        cluster_kmeans_embeddings,
+    )
+    from kafka_stream_job_spark.tables import load_table
+
+    rows = cluster_kmeans_embeddings(spark, SF_SMOKE).collect()
+    n_vecs = load_table(spark, SF_SMOKE, "embeddings").count()
+    assert sum(r["n_members"] for r in rows) == n_vecs
+    assert 1 < len(rows) <= n_vecs
+    assert all(r["avg_sq_dist"] > 0 for r in rows)
