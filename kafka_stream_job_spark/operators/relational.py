@@ -2200,3 +2200,88 @@ def events_funnel_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
             pround(F.percentile("d_us", 0.9) / 1_000_000.0, 4).alias("p90_sec"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Trailing 7-day moving average of daily event value — the analytic-frame
+# (ROWS BETWEEN) surface over time series. Daily totals are summed as
+# exact integer cents (portable regardless of summation order); the
+# moving average then runs over ≤7 exact doubles per frame. Two shuffles:
+# day rollup, then a single-partition ordered window over ~hundreds of
+# day rows (the window input is already aggregate-sized, not event-sized,
+# which is what makes the global ordering affordable at 100 TB).
+# ---------------------------------------------------------------------------
+@register(
+    "events_daily_value_trend",
+    oracle="""
+        WITH daily AS (
+            SELECT
+                CAST(CAST(date_trunc('day', ts) AS TIMESTAMP) AS VARCHAR) AS day,
+                SUM(CAST(ROUND(value * 100.0) AS BIGINT)) / 100.0 AS day_total
+            FROM events
+            GROUP BY 1
+        )
+        SELECT
+            day,
+            day_total,
+            ROUND((AVG(day_total) OVER (
+                ORDER BY day ROWS BETWEEN 6 PRECEDING AND CURRENT ROW
+            )) * 10000.0) / 10000.0 AS ma7
+        FROM daily
+    """,
+    tags=("events", "window", "frame", "timeseries"),
+)
+def events_daily_value_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    daily = (
+        events.groupBy(
+            F.date_trunc("day", F.col("ts")).cast("string").alias("day")
+        )
+        .agg(
+            (F.sum(F.round(F.col("value") * 100.0, 0).cast("long")) / 100.0).alias(
+                "day_total"
+            )
+        )
+    )
+    w = Window.orderBy("day").rowsBetween(-6, Window.currentRow)
+    return daily.select(
+        "day", "day_total", pround(F.avg("day_total").over(w), 4).alias("ma7")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Inverse-frequency language weights — the class-balancing factor a
+# mixture-controlled training pipeline attaches to each stratum:
+# weight(lang) = N / (n_strata * n_lang), computed from exact integer
+# counts (one tiny aggregate + a broadcast scalar), so resampling is
+# reproducible on any cluster.
+# ---------------------------------------------------------------------------
+@register(
+    "lang_balance_weights",
+    oracle="""
+        WITH counts AS (
+            SELECT lang, COUNT(*) AS n_docs FROM documents GROUP BY lang
+        )
+        SELECT
+            lang,
+            n_docs,
+            ROUND(((SELECT SUM(n_docs) FROM counts) * 1.0
+                   / ((SELECT COUNT(*) FROM counts) * n_docs)) * 10000.0)
+                / 10000.0 AS weight
+        FROM counts
+    """,
+    tags=("sampling", "weights", "documents"),
+)
+def lang_balance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    counts = docs.groupBy("lang").agg(F.count(F.lit(1)).alias("n_docs"))
+    totals = counts.agg(
+        F.sum("n_docs").alias("n_total"), F.count(F.lit(1)).alias("n_strata")
+    )
+    return counts.crossJoin(F.broadcast(totals)).select(
+        "lang",
+        "n_docs",
+        pround(
+            F.col("n_total") * 1.0 / (F.col("n_strata") * F.col("n_docs")), 4
+        ).alias("weight"),
+    )
