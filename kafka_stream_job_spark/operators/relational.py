@@ -2285,3 +2285,41 @@ def lang_balance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n_total") * 1.0 / (F.col("n_strata") * F.col("n_docs")), 4
         ).alias("weight"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Log-template mining over the raw props payload: collapse digit runs to a
+# placeholder and count the surviving templates — the first pass of every
+# log-analytics / data-quality pipeline (Drain-style template extraction's
+# cheap deterministic core). Pure regexp_replace + one low-cardinality
+# groupBy; the regex dialect subset used (\d+) behaves identically in
+# Spark (Java regex) and DuckDB (RE2, 'g' flag for replace-all).
+# ---------------------------------------------------------------------------
+@register(
+    "events_props_templates",
+    oracle="""
+        SELECT
+            event_type || ' ' || regexp_replace(props, '\\d+', '#', 'g') AS template,
+            COUNT(*) AS n_events,
+            COUNT(DISTINCT user_id) AS n_users
+        FROM events
+        WHERE props IS NOT NULL
+        GROUP BY 1
+    """,
+    tags=("events", "text", "template", "agg"),
+)
+def events_props_templates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    template = F.concat(
+        F.col("event_type"),
+        F.lit(" "),
+        F.regexp_replace(F.col("props"), r"\d+", "#"),
+    )
+    return (
+        events.filter(F.col("props").isNotNull())
+        .groupBy(template.alias("template"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.countDistinct("user_id").alias("n_users"),
+        )
+    )
