@@ -2075,29 +2075,29 @@ def q21_waiting_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _funnel_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """(user_id, t_view, t_click, t_purchase) — per-user earliest strictly-
-    ordered completion times of each funnel step (NULL once the chain
-    breaks). One shuffle on user_id; three pipelined Window nodes."""
+FUNNEL_STEPS = ("view", "click", "purchase")
+
+
+def _funnel_per_user(
+    spark: SparkSession, sf_dir: str, steps: tuple[str, ...] = FUNNEL_STEPS
+) -> DataFrame:
+    """(user_id, t_<step>...) — per-user earliest strictly-ordered
+    completion time of each funnel step (NULL once the chain breaks), for
+    an ARBITRARY ordered step list. One shuffle on user_id; len(steps)
+    pipelined Window nodes (same partitioning → no extra exchanges)."""
     events = load_table(spark, sf_dir, "events")
     w = Window.partitionBy("user_id")
     ts, typ = F.col("ts"), F.col("event_type")
     staged = events.select("user_id", "ts", "event_type")
-    staged = staged.withColumn(
-        "t_view", F.min(F.when(typ == "view", ts)).over(w)
-    )
-    staged = staged.withColumn(
-        "t_click",
-        F.min(F.when((typ == "click") & (ts > F.col("t_view")), ts)).over(w),
-    )
-    staged = staged.withColumn(
-        "t_purchase",
-        F.min(F.when((typ == "purchase") & (ts > F.col("t_click")), ts)).over(w),
-    )
+    prev: str | None = None
+    for step in steps:
+        cond = typ == step
+        if prev is not None:
+            cond = cond & (ts > F.col(prev))
+        staged = staged.withColumn(f"t_{step}", F.min(F.when(cond, ts)).over(w))
+        prev = f"t_{step}"
     return staged.groupBy("user_id").agg(
-        F.max("t_view").alias("t_view"),
-        F.max("t_click").alias("t_click"),
-        F.max("t_purchase").alias("t_purchase"),
+        *[F.max(f"t_{s}").alias(f"t_{s}") for s in steps]
     )
 
 
@@ -2322,4 +2322,43 @@ def events_props_templates(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_events"),
             F.countDistinct("user_id").alias("n_users"),
         )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Hot-key profiler — the skew diagnostic run BEFORE choosing a join
+# strategy at 100 TB: the heaviest join-key values and their share of the
+# table. One partial-aggregated count shuffle + a 20-row
+# TakeOrderedAndProject; deterministic tiebreak on the key keeps the
+# LIMIT stable across engines.
+# ---------------------------------------------------------------------------
+@register(
+    "profile_hot_orderkeys",
+    oracle="""
+        SELECT
+            l_orderkey,
+            COUNT(*) AS n_rows,
+            ROUND((COUNT(*) * 1.0
+                   / (SELECT COUNT(*) FROM lineitem)) * 1000000.0)
+                / 1000000.0 AS row_share
+        FROM lineitem
+        GROUP BY l_orderkey
+        ORDER BY n_rows DESC, l_orderkey
+        LIMIT 20
+    """,
+    tags=("profiling", "skew", "topk"),
+)
+def profile_hot_orderkeys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    counts = li.groupBy("l_orderkey").agg(F.count(F.lit(1)).alias("n_rows"))
+    total = li.agg(F.count(F.lit(1)).alias("n_total"))
+    return (
+        counts.crossJoin(F.broadcast(total))
+        .select(
+            "l_orderkey",
+            "n_rows",
+            pround(F.col("n_rows") * 1.0 / F.col("n_total"), 6).alias("row_share"),
+        )
+        .orderBy(F.col("n_rows").desc(), F.col("l_orderkey"))
+        .limit(20)
     )

@@ -134,3 +134,23 @@ def test_q21_window_formulation_avoids_join_back(spark):
     assert "SortMergeJoin" not in plan
     assert plan.count("Exchange") <= 6
     assert plan.count("Scan parquet") <= 3
+
+
+def test_funnel_single_user_shuffle(spark):
+    """The chained step windows share the user_id partitioning: one
+    event-sized exchange plus the tiny global-agg exchange, never one
+    shuffle per funnel step."""
+    plan = plan_of(spark, "events_funnel_view_click_purchase")
+    assert plan.count("Exchange") <= 2
+    assert plan.count("Scan parquet") == 1
+
+
+def test_ivf_centroids_broadcast_never_shuffle_corpus_for_assign(spark):
+    """IVF cell assignment must join the corpus against BROADCAST
+    centroids (nested-loop over a tiny build side is the intended cross
+    join); the corpus may shuffle only for the per-vector argmin window
+    and the probe equi-join."""
+    plan = plan_of(spark, "similarity_topk_ivf")
+    assert "BroadcastNestedLoopJoin" in plan
+    assert "CartesianProduct" not in plan
+    assert "SortMergeJoin" not in plan
