@@ -232,8 +232,8 @@ def bronze_decode_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
         SELECT
             event_type,
-            SUM(CASE WHEN event_id % 50 <> 0 THEN 1 ELSE 0 END) AS n_valid,
-            SUM(CASE WHEN event_id % 50 =  0 THEN 1 ELSE 0 END) AS n_corrupt
+            CAST(SUM(CASE WHEN event_id % 50 <> 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_valid,
+            CAST(SUM(CASE WHEN event_id % 50 =  0 THEN 1 ELSE 0 END) AS BIGINT) AS n_corrupt
         FROM events
         GROUP BY event_type
     """,

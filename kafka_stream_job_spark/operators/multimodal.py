@@ -99,7 +99,7 @@ def decode_payload_batches(
         SELECT
             source                                   AS origin,
             COUNT(*)                                 AS n_payloads,
-            SUM(octet_length(encode(text)))          AS total_bytes,
+            CAST(SUM(octet_length(encode(text))) AS BIGINT) AS total_bytes,
             MAX(octet_length(encode(text)))          AS max_bytes
         FROM documents
         GROUP BY source

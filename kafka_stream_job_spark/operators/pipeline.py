@@ -159,7 +159,7 @@ def quota_sample_per_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT lang, band,
                CAST(FLOOR(tokens_before / {float(PACK_BUDGET)}) AS BIGINT) AS pack_id,
                COUNT(*) AS n_docs,
-               SUM(n_tok) AS pack_tokens
+               CAST(SUM(n_tok) AS BIGINT) AS pack_tokens
         FROM o
         GROUP BY lang, band, pack_id
     """,

@@ -516,7 +516,7 @@ def datetime_functions_showcase(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT
             event_type,
             COUNT(*)                                                   AS n_events,
-            SUM(CAST(json_extract_string(props, '$.k') AS BIGINT))     AS sum_k,
+            CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
             ROUND((AVG(CAST(json_extract_string(props, '$.k') AS BIGINT))) * 100.0) / 100.0 AS avg_k
         FROM events
         GROUP BY event_type
@@ -1161,10 +1161,10 @@ def array_agg_user_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
         SELECT
             l_linestatus,
-            SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
-                     THEN 1 ELSE 0 END) AS high_line_count,
-            SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
-                     THEN 1 ELSE 0 END) AS low_line_count
+            CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                     THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+            CAST(SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                     THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
         FROM orders
         JOIN lineitem ON l_orderkey = o_orderkey
         WHERE l_shipdate >= TIMESTAMP '1995-01-01'
@@ -1244,7 +1244,7 @@ EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
         SELECT
             user_id,
             {", ".join(
-                f"SUM(CASE WHEN event_type = '{t}' THEN 1 ELSE 0 END) AS n_{t}"
+                f"CAST(SUM(CASE WHEN event_type = '{t}' THEN 1 ELSE 0 END) AS BIGINT) AS n_{t}"
                 for t in EVENT_TYPES
             )}
         FROM events
@@ -1380,7 +1380,7 @@ def q18_large_volume_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT
             CAST(d AS VARCHAR) AS day,
             COUNT(*) AS active_users,
-            SUM(CASE WHEN gap = 1 THEN 1 ELSE 0 END) AS retained_from_prev_day
+            CAST(SUM(CASE WHEN gap = 1 THEN 1 ELSE 0 END) AS BIGINT) AS retained_from_prev_day
         FROM gaps
         GROUP BY d
     """,
@@ -1595,7 +1595,7 @@ def q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
             COUNT(*)                                        AS n_rows,
             COUNT(DISTINCT l_orderkey)                      AS d_orderkey,
             COUNT(DISTINCT l_partkey)                       AS d_partkey,
-            SUM(CASE WHEN l_returnflag IS NULL THEN 1 ELSE 0 END) AS null_returnflag,
+            CAST(SUM(CASE WHEN l_returnflag IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS null_returnflag,
             ROUND((MIN(l_quantity)) * 100.0) / 100.0        AS min_qty,
             ROUND((MAX(l_quantity)) * 100.0) / 100.0        AS max_qty,
             ROUND((MIN(l_extendedprice)) * 100.0) / 100.0   AS min_price,

@@ -414,7 +414,7 @@ EVAL_PCT = 5  # percent of docs routed to eval
         SELECT
             split,
             COUNT(*) AS n_docs,
-            SUM(n_chars) AS total_chars,
+            CAST(SUM(n_chars) AS BIGINT) AS total_chars,
             MIN(doc_id) AS min_doc_id
         FROM (
             SELECT doc_id, n_chars,
