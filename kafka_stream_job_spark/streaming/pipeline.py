@@ -42,7 +42,14 @@ def stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     stage = os.path.join("/tmp/ksj_stream_stage", sf_dir.strip("/").replace("/", "_"))
     os.makedirs(stage, exist_ok=True)
     link = os.path.join(stage, "events.parquet")
-    if not os.path.exists(link):
+    # lexists, not exists: a broken/stale symlink (e.g. regenerated test
+    # data) must be detected and replaced, or the stream silently replays
+    # old rows from the persistent /tmp stage dir.
+    if os.path.lexists(link):
+        if os.path.realpath(link) != os.path.realpath(src):
+            os.remove(link)
+            os.symlink(src, link)
+    else:
         os.symlink(src, link)
     schema = T.StructType(
         [
@@ -307,18 +314,31 @@ def foreach_batch_idempotent_append(output_dir: str):
     This is the pattern for exactly-once delivery to sinks without native
     streaming support (JDBC, arbitrary REST, pre-Iceberg object stores):
     Spark replays a failed micro-batch with the SAME batch_id, so
-    "skip if the batch_id partition exists" makes the append idempotent —
-    the same contract the reference gets from Iceberg's atomic snapshot
-    commit (KafkaAvroToIceberg.scala:92-100), built manually.
+    "skip if the batch_id partition COMMITTED" makes the append
+    idempotent — the same contract the reference gets from Iceberg's
+    atomic snapshot commit (KafkaAvroToIceberg.scala:92-100), built
+    manually. Commit is detected by the ``_SUCCESS`` marker, not mere
+    directory existence: Spark creates the directory before data lands,
+    so a crash mid-write leaves a partial directory that a replay must
+    REWRITE, not skip. The write itself goes to a dot-prefixed staging
+    dir (invisible to Spark's file listing) and is atomically renamed
+    into place, so readers never observe a half-written partition.
 
     Returns the function to pass to ``writeStream.foreachBatch``.
     """
 
     def write_batch(batch_df: DataFrame, batch_id: int) -> None:
         part_dir = os.path.join(output_dir, f"batch_id={batch_id}")
-        if os.path.exists(part_dir):  # replay of a committed batch → no-op
-            return
-        batch_df.write.mode("append").parquet(part_dir)
+        if os.path.exists(os.path.join(part_dir, "_SUCCESS")):
+            return  # replay of a committed batch → no-op
+        import shutil
+
+        tmp_dir = os.path.join(output_dir, f".inflight-batch_id={batch_id}")
+        for stale in (tmp_dir, part_dir):  # partial write from a crash
+            if os.path.exists(stale):
+                shutil.rmtree(stale)
+        batch_df.write.mode("overwrite").parquet(tmp_dir)
+        os.rename(tmp_dir, part_dir)
 
     return write_batch
 

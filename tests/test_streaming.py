@@ -262,6 +262,55 @@ def test_foreach_batch_idempotent_append(spark, tmp_path):
     assert spark.read.parquet(out_dir).count() == events.count()
 
 
+def test_foreach_batch_partial_write_is_rewritten(spark, tmp_path):
+    """A batch_id directory WITHOUT a _SUCCESS marker is a crashed partial
+    write: the replay must rewrite it (not skip it and lose the batch),
+    and the result must contain exactly the replayed rows."""
+    import os
+
+    from kafka_stream_job_spark.streaming.pipeline import (
+        foreach_batch_idempotent_append,
+    )
+
+    out_dir = str(tmp_path / "out")
+    events = load_table(spark, SF_SMOKE, "events")
+    sink = foreach_batch_idempotent_append(out_dir)
+
+    # simulate a crash mid-write: partial parquet data, no _SUCCESS
+    part_dir = os.path.join(out_dir, "batch_id=0")
+    events.limit(3).write.parquet(part_dir)
+    os.remove(os.path.join(part_dir, "_SUCCESS"))
+
+    sink(events.limit(17), 0)
+    assert os.path.exists(os.path.join(part_dir, "_SUCCESS"))
+    assert spark.read.parquet(part_dir).count() == 17
+
+    # a second replay of the now-committed batch is a no-op
+    sink(events.limit(5), 0)
+    assert spark.read.parquet(part_dir).count() == 17
+
+
+def test_stream_stage_stale_symlink_refreshed(spark, tmp_path):
+    """stream_events must replace a broken/stale staging symlink instead
+    of crashing (os.path.exists is False for a broken link) or silently
+    replaying old data."""
+    import os
+
+    src = os.path.join(SF_SMOKE, "events.parquet")
+    stage = os.path.join(
+        "/tmp/ksj_stream_stage", SF_SMOKE.strip("/").replace("/", "_")
+    )
+    link = os.path.join(stage, "events.parquet")
+    os.makedirs(stage, exist_ok=True)
+    if os.path.lexists(link):
+        os.remove(link)
+    os.symlink(str(tmp_path / "gone.parquet"), link)  # broken + stale
+
+    df = stream_events(spark, SF_SMOKE)
+    assert df.isStreaming
+    assert os.path.realpath(link) == os.path.realpath(src)
+
+
 def test_purchase_attribution_stream_equals_batch(spark, tmp_path):
     """Stream-stream join result must equal the same join run as batch
     once the bounded input drains."""
