@@ -495,24 +495,82 @@ def similarity_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
 #             agg, reassembled with an order-pinned collect_list.
 # At 100 TB: embeddings cached once, per-iteration cost is one broadcast
 # join + one (K x DIM)-row aggregate; no driver-side data movement at all
-# (centroids stay a DataFrame). Float means are summation-order-dependent,
-# so the op is rows-only checked (driver) with invariants pinned in
-# tests/test_sketches.py — same treatment as the HLL/t-digest sketches.
+# (centroids stay a DataFrame).
+#
+# QUANTIZED variant, which is what makes a DuckDB oracle possible: dims are
+# scaled to integers up front (ROUND(x * KMEANS_SCALE)) and centroid means
+# are re-rounded to integers every iteration. Every distance term is then
+# an exact integer in double precision (|diff|² ≤ (2·0.6·1e4)² = 1.44e8,
+# DIM·1.44e8 ≈ 9e9 « 2^53), so sums are order-free and both engines agree
+# bit-for-bit — no float-summation-order caveat, unlike naive Lloyd.
 # ---------------------------------------------------------------------------
 KMEANS_ITERS = 3
 KMEANS_SAMPLE_MOD = 100  # ~1/100 of vectors seed the initial centroids
+KMEANS_SCALE = 10_000  # dim quantization: ±0.6 floats → ±6000 exact ints
+
+
+def _kmeans_oracle() -> str:
+    """Full 3-iteration quantized Lloyd in DuckDB CTEs, mirroring the
+    Spark loop step for step (same seed filter, same argmin tiebreak,
+    same per-iteration integer re-rounding)."""
+    dims = f"(SELECT unnest(range(1, {DIM} + 1)) AS pos) dims"
+    sql = f"""
+        WITH e AS (
+            SELECT vec_id,
+                   list_transform(embedding, x -> ROUND(x::DOUBLE * {KMEANS_SCALE}.0)) AS emb
+            FROM embeddings
+        ),
+        c0 AS (
+            SELECT vec_id AS cent_id, emb AS c_emb FROM e
+            WHERE ('0x' || substr(md5('kmeans:' || CAST(vec_id AS VARCHAR)), 1, 7))::BIGINT
+                  % {KMEANS_SAMPLE_MOD} = 0
+        )"""
+    for i in range(KMEANS_ITERS + 1):  # +1: final assignment after last update
+        sql += f""",
+        a{i} AS (
+            SELECT vec_id, emb, cent_id, dist FROM (
+                SELECT vec_id, emb, cent_id, dist,
+                       ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dist, cent_id) AS rn
+                FROM (
+                    SELECT e.vec_id, e.emb, c.cent_id,
+                           list_sum(list_transform(range(1, {DIM} + 1),
+                               i -> (e.emb[i] - c.c_emb[i]) * (e.emb[i] - c.c_emb[i]))) AS dist
+                    FROM e CROSS JOIN c{i} c
+                )
+            ) WHERE rn = 1
+        )"""
+        if i < KMEANS_ITERS:
+            sql += f""",
+        c{i + 1} AS (
+            SELECT cent_id, list(m ORDER BY pos) AS c_emb FROM (
+                SELECT cent_id, pos, ROUND(SUM(emb[pos]) / COUNT(*)) AS m
+                FROM a{i} CROSS JOIN {dims}
+                GROUP BY cent_id, pos
+            ) GROUP BY cent_id
+        )"""
+    sql += f"""
+        SELECT cent_id,
+               COUNT(*) AS n_members,
+               CAST(SUM(CAST(dist AS BIGINT)) AS BIGINT) AS total_sq_dist
+        FROM a{KMEANS_ITERS}
+        GROUP BY cent_id
+    """
+    return sql
 
 
 @register(
     "cluster_kmeans_embeddings",
-    oracle=None,
+    oracle=_kmeans_oracle(),
     tags=("similarity", "clustering", "iterative", "embeddings"),
 )
 def cluster_kmeans_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
     emb = load_table(spark, sf_dir, "embeddings", rebalance=True).select(
-        "vec_id", "embedding"
+        "vec_id",
+        F.transform(
+            "embedding", lambda x: F.round(x.cast("double") * KMEANS_SCALE, 0)
+        ).alias("emb"),
     )
     seed_hash = F.conv(
         F.substring(
@@ -522,16 +580,15 @@ def cluster_kmeans_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
         10,
     ).cast("long")
     cent = emb.filter(seed_hash % KMEANS_SAMPLE_MOD == 0).select(
-        F.col("vec_id").alias("cent_id"),
-        F.col("embedding").cast("array<double>").alias("c_emb"),
+        F.col("vec_id").alias("cent_id"), F.col("emb").alias("c_emb")
     )
 
     def assign(centroids: DataFrame) -> DataFrame:
-        dist = _l2sq(F.col("embedding"), F.col("c_emb"))
+        dist = _l2sq(F.col("emb"), F.col("c_emb"))
         w = Window.partitionBy("vec_id").orderBy("dist", "cent_id")
         return (
             emb.crossJoin(F.broadcast(centroids))
-            .select("vec_id", "embedding", "cent_id", dist.alias("dist"))
+            .select("vec_id", "emb", "cent_id", dist.alias("dist"))
             .withColumn("rn", F.row_number().over(w))
             .filter(F.col("rn") == 1)
             .drop("rn")
@@ -540,9 +597,9 @@ def cluster_kmeans_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     for _ in range(KMEANS_ITERS):
         assigned = assign(cent)
         cent = (
-            assigned.select("cent_id", F.posexplode("embedding").alias("pos", "x"))
+            assigned.select("cent_id", F.posexplode("emb").alias("pos", "x"))
             .groupBy("cent_id", "pos")
-            .agg(F.avg("x").alias("m"))
+            .agg(F.round(F.avg("x"), 0).alias("m"))
             .groupBy("cent_id")
             .agg(
                 F.transform(
@@ -555,5 +612,5 @@ def cluster_kmeans_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     final = assign(cent)
     return final.groupBy("cent_id").agg(
         F.count(F.lit(1)).alias("n_members"),
-        pround(F.avg("dist"), 4).alias("avg_sq_dist"),
+        F.sum(F.col("dist").cast("long")).alias("total_sq_dist"),
     )

@@ -68,4 +68,5 @@ def test_kmeans_partitions_whole_corpus(spark):
     n_vecs = load_table(spark, SF_SMOKE, "embeddings").count()
     assert sum(r["n_members"] for r in rows) == n_vecs
     assert 1 < len(rows) <= n_vecs
-    assert all(r["avg_sq_dist"] > 0 for r in rows)
+    assert all(r["total_sq_dist"] >= 0 for r in rows)
+    assert sum(r["total_sq_dist"] for r in rows) > 0
