@@ -78,6 +78,17 @@ def avro_available(spark: SparkSession) -> bool:
         return False
 
 
+def iceberg_available(spark: SparkSession) -> bool:
+    """True if the Iceberg Spark runtime is on the JVM classpath
+    (production sink provider, KafkaAvroToIceberg.scala:79-100)."""
+    try:
+        jvm = spark._jvm  # noqa: SLF001
+        jvm.Class.forName("org.apache.iceberg.spark.SparkCatalog")
+        return True
+    except Exception:
+        return False
+
+
 def kafka_stream(spark: SparkSession, brokers: str, topic: str) -> DataFrame:
     """S1 — Kafka streaming source (KafkaAvroToIceberg.scala:55-64)."""
     return (
