@@ -282,6 +282,69 @@ def scan_log_for_loss(lines: Iterable[str]) -> list[str]:
     return [ln for ln in lines if LOSS_LOG_PATTERNS.search(ln)]
 
 
+class LiveLossLogHook:
+    """L6 as a LIVE in-flight hook — the reference's log4j2 appender
+    (KafkaDataLossAppender.java:37-52) rebuilt over py4j: a log4j2
+    ``WriterAppender`` is attached to the JVM root logger config at WARN
+    level, so every Spark log event flows through it the moment it is
+    logged (same interception point as the reference's custom appender).
+    ``drain()`` dispatches any captured lines matching the three
+    reference loss patterns to ``on_match`` — call it mid-stream (or from
+    a poller thread) for live alerting, and once after shutdown.
+
+    Python cannot subclass a log4j2 appender without a py4j callback
+    server (which Spark does not start), so capture is JVM-side (the
+    appender buffers into a ``StringWriter``) and dispatch is
+    Python-side — capture is in-flight, dispatch is poll-granular.
+    """
+
+    def __init__(self, spark, on_match: Callable[[str], None] | None = None) -> None:
+        self._on_match = on_match
+        self.matches: list[str] = []
+        self._pos = 0
+        jvm = spark._jvm  # noqa: SLF001
+        self._ctx = jvm.org.apache.logging.log4j.LogManager.getContext(False)
+        config = self._ctx.getConfiguration()
+        self._writer = jvm.java.io.StringWriter()
+        layout = (
+            jvm.org.apache.logging.log4j.core.layout.PatternLayout.newBuilder()
+            .withPattern("%p %c{1}: %m%n")
+            .build()
+        )
+        self._appender = (
+            jvm.org.apache.logging.log4j.core.appender.WriterAppender.createAppender(
+                layout, None, self._writer, "ksj-live-loss-hook", False, True
+            )
+        )
+        self._appender.start()
+        config.addAppender(self._appender)
+        self._root = config.getRootLogger()
+        self._root.addAppender(
+            self._appender, jvm.org.apache.logging.log4j.Level.WARN, None
+        )
+        self._ctx.updateLoggers()
+
+    def drain(self) -> list[str]:
+        """Scan appender output captured since the last drain; dispatch and
+        return new loss matches."""
+        buf = self._writer.toString()
+        new = buf[self._pos :]
+        self._pos = len(buf)
+        found = scan_log_for_loss(new.splitlines())
+        for line in found:
+            log.error("[DATA-LOSS][live-hook] %s", line)
+            if self._on_match is not None:
+                self._on_match(line)
+        self.matches.extend(found)
+        return found
+
+    def detach(self) -> None:
+        """Remove the appender from the root logger config."""
+        self._root.removeAppender("ksj-live-loss-hook")
+        self._ctx.updateLoggers()
+        self._appender.stop()
+
+
 def write_offsets_fixture(
     checkpoint_dir: str, batch_id: int, offsets: dict[str, dict[str, int]], metadata: dict | None = None
 ) -> str:

@@ -217,6 +217,54 @@ def test_scan_log_for_loss_patterns():
     assert len(scan_log_for_loss(lines)) == 3
 
 
+def test_live_loss_log_hook_fires_during_stream(spark, tmp_path):
+    """L6 live: the log4j2 appender hook must capture a data-loss warning
+    logged WHILE a streaming query runs (in-flight interception, not a
+    post-hoc file scan) and dispatch the on_match callback; unrelated
+    warnings must not fire it."""
+    from kafka_stream_job_spark.monitors import LiveLossLogHook
+
+    fired = []
+    hook = LiveLossLogHook(spark, on_match=fired.append)
+    try:
+        jvm_logger = spark._jvm.org.apache.logging.log4j.LogManager.getLogger(
+            "ksj.test.kafka"
+        )
+        query = (
+            spark.readStream.format("rate")
+            .option("rowsPerSecond", "10")
+            .load()
+            .writeStream.format("memory")
+            .queryName("live_hook_probe")
+            .option("checkpointLocation", str(tmp_path / "ckpt"))
+            .start()
+        )
+        try:
+            jvm_logger.warn("benign condition, nothing lost here")
+            jvm_logger.warn(
+                "Some data may be lost because they are not available in "
+                "Kafka any more"
+            )
+            # drain mid-stream: the hook must already have the line
+            matches = hook.drain()
+            assert query.isActive
+        finally:
+            query.stop()
+        assert len(matches) == 1 and "Some data may be lost" in matches[0]
+        assert fired == matches
+        assert hook.matches == matches
+        # post-stop drain finds nothing new (no duplicate dispatch)
+        assert hook.drain() == []
+    finally:
+        hook.detach()
+
+    # after detach the appender no longer captures
+    spark._jvm.org.apache.logging.log4j.LogManager.getLogger("ksj.test.kafka").warn(
+        "Cannot fetch offset 99"
+    )
+    assert hook.drain() == []
+
+
 # ---------------------------------------------------------------------------
 # Property-based coverage of THE loss predicate (hypothesis): for any
 # offset maps, compute_loss must report exactly the partitions where
