@@ -2362,3 +2362,50 @@ def profile_hot_orderkeys(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("n_rows").desc(), F.col("l_orderkey"))
         .limit(20)
     )
+
+
+# ---------------------------------------------------------------------------
+# Window-function surface beyond rank/lag: ntile quartiles, relative-rank
+# family (percent_rank, cume_dist), offset family (lead+lag together), and
+# a frame-pinned nth_value. ORDER BY is pinned to a unique key tiebreak so
+# RANGE/ROWS frame ambiguity can't split engines; percent_rank/cume_dist
+# are exact rationals k/n — a single IEEE division, bit-identical in both.
+# Scale: one hash-partition shuffle on o_custkey; every function then runs
+# inside the same sorted window pass — no extra exchange per function.
+# ---------------------------------------------------------------------------
+@register(
+    "window_functions_showcase",
+    oracle="""
+        SELECT
+            o_custkey,
+            o_orderkey,
+            ntile(4)       OVER w AS spend_quartile,
+            percent_rank() OVER w AS pct_rank,
+            cume_dist()    OVER w AS cume,
+            lag(o_totalprice, 1)  OVER w AS prev_price,
+            lead(o_totalprice, 1) OVER w AS next_price,
+            nth_value(o_totalprice, 2) OVER (
+                PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+            ) AS second_price
+        FROM orders
+        WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+    """,
+    tags=("window", "orders"),
+)
+def window_functions_showcase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    orders = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    wrows = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return orders.select(
+        "o_custkey",
+        "o_orderkey",
+        F.ntile(4).over(w).alias("spend_quartile"),
+        F.percent_rank().over(w).alias("pct_rank"),
+        F.cume_dist().over(w).alias("cume"),
+        F.lag("o_totalprice", 1).over(w).alias("prev_price"),
+        F.lead("o_totalprice", 1).over(w).alias("next_price"),
+        F.nth_value("o_totalprice", 2).over(wrows).alias("second_price"),
+    )

@@ -495,3 +495,201 @@ def text_top_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("n").desc(), F.col("bigram").asc())
         .limit(25)
     )
+
+
+# ---------------------------------------------------------------------------
+# PII redaction — the mandatory scrub pass before text enters a training
+# corpus: emails, phone numbers, and IPv4 addresses replaced by typed
+# placeholder tokens, with per-doc match accounting. The synthetic corpus
+# carries no PII, so a deterministic injection step plants one of each
+# (derived from doc_id) — the redactor then has real positives to find, and
+# the oracle verifies both the counts and the complete redacted text (via
+# md5 fingerprint). Patterns live in the RE2 ∩ java.util.regex common
+# subset (no lookaround, no backrefs) so Spark and DuckDB agree
+# byte-for-byte.
+# Scale: stateless narrow projection — regexps run JVM-side inside
+# whole-stage codegen, no shuffle, no UDF; at 100 TB this is a single
+# streaming pass over the text column.
+# ---------------------------------------------------------------------------
+PII_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PII_PHONE = r"\b\d{3}-\d{4}-\d{4}\b"
+PII_IPV4 = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
+
+
+@register(
+    "text_pii_redaction",
+    oracle=rf"""
+        WITH injected AS (
+            SELECT doc_id,
+                   text || ' Contact user' || CAST(doc_id AS VARCHAR)
+                        || '@mail.example.com or 555-'
+                        || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+                        || '-1234 from 10.0.'
+                        || CAST(doc_id % 256 AS VARCHAR) || '.77' AS t
+            FROM documents
+        )
+        SELECT doc_id,
+               len(regexp_extract_all(t, '{PII_EMAIL}')) AS n_emails,
+               len(regexp_extract_all(t, '{PII_PHONE}')) AS n_phones,
+               len(regexp_extract_all(
+                   regexp_replace(t, '{PII_EMAIL}', '<EMAIL>', 'g'),
+                   '{PII_IPV4}')) AS n_ips,
+               md5(regexp_replace(regexp_replace(regexp_replace(
+                       t, '{PII_EMAIL}', '<EMAIL>', 'g'),
+                       '{PII_PHONE}', '<PHONE>', 'g'),
+                       '{PII_IPV4}', '<IP>', 'g')) AS redacted_fp
+        FROM injected
+    """,
+    tags=("text", "pii", "redaction", "documents"),
+)
+def text_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    injected = F.concat(
+        F.col("text"),
+        F.lit(" Contact user"),
+        F.col("doc_id").cast("string"),
+        F.lit("@mail.example.com or 555-"),
+        F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+        F.lit("-1234 from 10.0."),
+        (F.col("doc_id") % 256).cast("string"),
+        F.lit(".77"),
+    )
+    # explode(array(...)) barriers: CollapseProject would otherwise inline
+    # the injected concat 4× and the email-redaction 2× into the final
+    # projection (the round-1 MinHash lesson) — the Generate node pins each
+    # to a single evaluation, still narrow and codegen'd.
+    staged = docs.select("doc_id", F.explode(F.array(injected)).alias("t"))
+    # IPs are counted AFTER email redaction (both engines): the email
+    # host part contains dotted tokens an IPv4 regex could graze.
+    staged = staged.select(
+        "doc_id",
+        "t",
+        F.explode(
+            F.array(F.regexp_replace("t", PII_EMAIL, "<EMAIL>"))
+        ).alias("t_no_email"),
+    )
+    redacted = F.regexp_replace(
+        F.regexp_replace("t_no_email", PII_PHONE, "<PHONE>"), PII_IPV4, "<IP>"
+    )
+    return staged.select(
+        "doc_id",
+        F.regexp_count("t", F.lit(PII_EMAIL)).alias("n_emails"),
+        F.regexp_count("t", F.lit(PII_PHONE)).alias("n_phones"),
+        F.regexp_count("t_no_email", F.lit(PII_IPV4)).alias("n_ips"),
+        F.md5(redacted).alias("redacted_fp"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Sequence-length histogram — the batch-shape diagnostic every training
+# pipeline runs before choosing context length / packing strategy: bucket
+# docs by token count (width-32 bins) and report per-bin doc counts and
+# token mass. Pairs with pack_sequences_manifest (operators/pipeline.py),
+# which consumes exactly this distribution.
+# Scale: one narrow pass computes the token count, then a partial-agg
+# groupBy on ~dozens of bin keys — the shuffle moves only (bin, partial)
+# rows, never documents.
+# ---------------------------------------------------------------------------
+SEQLEN_BIN = 32
+
+
+@register(
+    "text_seqlen_histogram",
+    oracle=rf"""
+        WITH t AS (
+            SELECT len(string_split_regex(TRIM(text), '\s+')) AS n_tok
+            FROM documents
+        )
+        SELECT
+            CAST(FLOOR(n_tok / {SEQLEN_BIN}) AS BIGINT) * {SEQLEN_BIN} AS bin_lo,
+            COUNT(*) AS n_docs,
+            CAST(SUM(n_tok) AS BIGINT) AS bin_tokens,
+            MIN(n_tok) AS min_tok,
+            MAX(n_tok) AS max_tok
+        FROM t
+        GROUP BY bin_lo
+    """,
+    tags=("text", "histogram", "documents"),
+)
+def text_seqlen_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    n_tok = F.size(F.split(F.trim(F.col("text")), r"\s+"))
+    return (
+        docs.select(n_tok.alias("n_tok"))
+        .groupBy(
+            (F.floor(F.col("n_tok") / SEQLEN_BIN).cast("long") * SEQLEN_BIN).alias(
+                "bin_lo"
+            )
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.col("n_tok").cast("long")).alias("bin_tokens"),
+            F.min("n_tok").alias("min_tok"),
+            F.max("n_tok").alias("max_tok"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Repetition quality filter (Gopher-style §A1.1 adapted to single-line
+# docs): flag documents whose token stream is dominated by repeats —
+# duplicate-token fraction and top-token concentration. Docs failing either
+# threshold are the "keep = false" rows a pretraining pipeline drops.
+# Scale: explode → (doc_id, tok) partial-count → per-doc rollup; the
+# shuffle carries (doc_id, tok, partial) — map-side combine collapses the
+# heavy duplicates (that is the very signal being measured), so skewed
+# repetitive docs shrink at the mapper, not the reducer.
+# ---------------------------------------------------------------------------
+REP_MAX_TOP_FRAC = 0.10  # top token may claim ≤10% of all tokens
+REP_MAX_DUP_FRAC = 0.60  # ≤60% of tokens may be repeats of earlier ones
+
+
+@register(
+    "text_repetition_filter",
+    oracle=rf"""
+        WITH tok AS (
+            SELECT doc_id,
+                   unnest(string_split_regex(LOWER(TRIM(text)), '\s+')) AS tok
+            FROM documents
+        ),
+        cnt AS (
+            SELECT doc_id, tok, COUNT(*) AS c FROM tok GROUP BY doc_id, tok
+        )
+        SELECT doc_id,
+               CAST(SUM(c) AS BIGINT)                  AS n_tokens,
+               COUNT(*)                                AS n_uniq,
+               CAST(MAX(c) AS BIGINT)                  AS top_cnt,
+               1.0 - COUNT(*) * 1.0 / SUM(c)           AS dup_frac,
+               MAX(c) * 1.0 / SUM(c)                   AS top_frac,
+               (MAX(c) * 1.0 / SUM(c) <= {REP_MAX_TOP_FRAC}
+                AND 1.0 - COUNT(*) * 1.0 / SUM(c) <= {REP_MAX_DUP_FRAC})
+                                                       AS keep
+        FROM cnt
+        GROUP BY doc_id
+    """,
+    tags=("text", "quality", "repetition", "documents"),
+)
+def text_repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents", rebalance=True)
+    toks = F.split(F.lower(F.trim(F.col("text"))), r"\s+")
+    n_tokens = F.sum("c")
+    n_uniq = F.count(F.lit(1))
+    top_cnt = F.max("c")
+    dup_frac = F.lit(1.0) - n_uniq * F.lit(1.0) / n_tokens
+    top_frac = top_cnt * F.lit(1.0) / n_tokens
+    return (
+        docs.select("doc_id", F.explode(toks).alias("tok"))
+        .groupBy("doc_id", "tok")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .groupBy("doc_id")
+        .agg(
+            n_tokens.alias("n_tokens"),
+            n_uniq.alias("n_uniq"),
+            top_cnt.alias("top_cnt"),
+            dup_frac.alias("dup_frac"),
+            top_frac.alias("top_frac"),
+            (
+                (top_frac <= REP_MAX_TOP_FRAC) & (dup_frac <= REP_MAX_DUP_FRAC)
+            ).alias("keep"),
+        )
+    )

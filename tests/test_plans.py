@@ -154,3 +154,42 @@ def test_ivf_centroids_broadcast_never_shuffle_corpus_for_assign(spark):
     assert "BroadcastNestedLoopJoin" in plan
     assert "CartesianProduct" not in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_pii_redaction_is_narrow_map(spark):
+    """PII redaction is a stateless projection: no exchange, no join, no
+    aggregate — a single codegen'd pass over the text column."""
+    plan = plan_of(spark, "text_pii_redaction")
+    assert "Exchange" not in plan
+    assert "Join" not in plan
+    assert "*(" in plan, "projection fell out of whole-stage codegen"
+    # explode(array(...)) barriers hold: injected text and email-redacted
+    # text each evaluate once (CollapseProject would inline them 4×/2×)
+    assert plan.count("Generate explode") == 2
+
+
+def test_seqlen_histogram_partial_agg_before_shuffle(spark):
+    """The histogram shuffle must carry (bin, partial) rows, not docs: a
+    HashAggregate sits below the single exchange."""
+    plan = plan_of(spark, "text_seqlen_histogram")
+    assert plan.count("Exchange") == 1
+    ex = plan.find("Exchange")
+    assert "HashAggregate" in plan[ex:], "no map-side partial aggregate"
+
+
+def test_repetition_filter_map_side_combine(spark):
+    """(doc_id, tok) counting must partially aggregate below its exchange
+    so repeated tokens collapse at the mapper — the skew story."""
+    plan = plan_of(spark, "text_repetition_filter")
+    ex = plan.find("Exchange")
+    assert ex != -1
+    assert "HashAggregate" in plan[ex:]
+    assert "Join" not in plan
+
+
+def test_window_showcase_single_exchange(spark):
+    """All six window functions share one partitioning: exactly one
+    shuffle on o_custkey, one Window/Sort pass."""
+    plan = plan_of(spark, "window_functions_showcase")
+    assert plan.count("Exchange") == 1
+    assert "CartesianProduct" not in plan
