@@ -2409,3 +2409,70 @@ def window_functions_showcase(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lead("o_totalprice", 1).over(w).alias("next_price"),
         F.nth_value("o_totalprice", 2).over(wrows).alias("second_price"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Hourly anomaly detection — z-score of each (event_type, hour) count
+# against that type's hourly distribution. The moments are computed
+# MANUALLY from SUM(n), SUM(n*n), COUNT (all exact integers) with an
+# identical expression tree in both engines, because built-in STDDEV
+# differs between implementations (Welford vs naive) in the last bits.
+# Scale: two aggregations over (type, hour) keys — the per-type stats side
+# is 5 rows, broadcast back onto the hourly counts; events themselves are
+# touched once.
+# ---------------------------------------------------------------------------
+@register(
+    "events_hourly_anomaly",
+    oracle="""
+        WITH hourly AS (
+            SELECT event_type,
+                   CAST(date_trunc('hour', ts) AS TIMESTAMP) AS h,
+                   COUNT(*) AS n_events
+            FROM events GROUP BY 1, 2
+        ),
+        stats AS (
+            SELECT event_type,
+                   CAST(SUM(n_events) AS BIGINT)            AS tot,
+                   COUNT(*)                                 AS n_hours,
+                   CAST(SUM(n_events * n_events) AS BIGINT) AS totsq
+            FROM hourly GROUP BY event_type
+        )
+        SELECT h.event_type,
+               CAST(h.h AS VARCHAR) AS hour_ts,
+               h.n_events,
+               ROUND(((h.n_events - s.tot * 1.0 / s.n_hours)
+                   / sqrt((s.totsq - s.tot * s.tot * 1.0 / s.n_hours)
+                          / (s.n_hours - 1))) * 10000.0) / 10000.0 AS z_r,
+               ABS((h.n_events - s.tot * 1.0 / s.n_hours)
+                   / sqrt((s.totsq - s.tot * s.tot * 1.0 / s.n_hours)
+                          / (s.n_hours - 1))) > 3.0 AS is_anomaly
+        FROM hourly h JOIN stats s USING (event_type)
+    """,
+    tags=("events", "anomaly", "window-time"),
+)
+def events_hourly_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    hourly = events.groupBy(
+        "event_type", F.date_trunc("hour", F.col("ts")).alias("h")
+    ).agg(F.count(F.lit(1)).alias("n_events"))
+    stats = hourly.groupBy("event_type").agg(
+        F.sum("n_events").alias("tot"),
+        F.count(F.lit(1)).alias("n_hours"),
+        F.sum(F.col("n_events") * F.col("n_events")).alias("totsq"),
+    )
+    mean = F.col("tot") * F.lit(1.0) / F.col("n_hours")
+    std = F.sqrt(
+        (F.col("totsq") - F.col("tot") * F.col("tot") * F.lit(1.0) / F.col("n_hours"))
+        / (F.col("n_hours") - F.lit(1))
+    )
+    z = (F.col("n_events") - mean) / std
+    return (
+        hourly.join(F.broadcast(stats), "event_type")
+        .select(
+            "event_type",
+            F.col("h").cast("string").alias("hour_ts"),
+            "n_events",
+            pround(z, 4).alias("z_r"),
+            (F.abs(z) > 3.0).alias("is_anomaly"),
+        )
+    )

@@ -693,3 +693,68 @@ def text_repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("keep"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Token-distribution entropy per document — the diversity signal quality
+# filters pair with repetition ratios (low-entropy docs are boilerplate /
+# keyword stuffing). H = -Σ p·ln(p) is float-order-sensitive, so the fold
+# runs over the token histogram in LEXICOGRAPHIC token order in both
+# engines (array_sort + sequential fold here; list(... ORDER BY tok) +
+# list_reduce there) — same op sequence, bit-identical pre-rounding.
+# Scale: same explode→(doc_id,tok) partial-count shape as the repetition
+# filter; the per-doc histogram fold touches only (doc, uniq-token) rows.
+# ---------------------------------------------------------------------------
+@register(
+    "text_token_entropy",
+    oracle=r"""
+        WITH cnt AS (
+            SELECT doc_id, tok, COUNT(*) AS c FROM (
+                SELECT doc_id,
+                       unnest(string_split_regex(LOWER(TRIM(text)), '\s+')) AS tok
+                FROM documents
+            ) GROUP BY doc_id, tok
+        ),
+        hist AS (
+            SELECT doc_id,
+                   CAST(SUM(c) AS BIGINT) AS n,
+                   list(c ORDER BY tok) AS cs
+            FROM cnt GROUP BY doc_id
+        )
+        SELECT doc_id,
+               n AS n_tokens,
+               ROUND((-list_reduce(
+                   list_prepend(0.0, list_transform(cs,
+                       c -> (c * 1.0 / n) * ln(c * 1.0 / n))),
+                   (acc, x) -> acc + x)) * 10000.0) / 10000.0 AS entropy_r
+        FROM hist
+    """,
+    tags=("text", "quality", "entropy", "documents"),
+)
+def text_token_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents", rebalance=True)
+    toks = F.split(F.lower(F.trim(F.col("text"))), r"\s+")
+    hist = (
+        docs.select("doc_id", F.explode(toks).alias("tok"))
+        .groupBy("doc_id", "tok")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .groupBy("doc_id")
+        .agg(
+            F.sum("c").alias("n"),
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("tok", "c"))),
+                lambda s: s["c"],
+            ).alias("cs"),
+        )
+    )
+    p = lambda c: c * F.lit(1.0) / F.col("n")  # noqa: E731
+    entropy = -F.aggregate(
+        F.col("cs"),
+        F.lit(0.0),
+        lambda acc, c: acc + p(c) * F.log(p(c)),
+    )
+    return hist.select(
+        "doc_id",
+        F.col("n").alias("n_tokens"),
+        pround(entropy, 4).alias("entropy_r"),
+    )

@@ -193,3 +193,21 @@ def test_window_showcase_single_exchange(spark):
     plan = plan_of(spark, "window_functions_showcase")
     assert plan.count("Exchange") == 1
     assert "CartesianProduct" not in plan
+
+
+def test_hourly_anomaly_broadcasts_stats(spark):
+    """The 5-row per-type stats side must broadcast back onto hourly
+    counts — no shuffle of the hourly table for the join."""
+    plan = plan_of(spark, "events_hourly_anomaly")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_token_entropy_partial_agg(spark):
+    """(doc_id, tok) counting partially aggregates below the exchange;
+    the fold itself runs over per-doc histograms, no extra shuffle."""
+    plan = plan_of(spark, "text_token_entropy")
+    ex = plan.find("Exchange")
+    assert ex != -1
+    assert "HashAggregate" in plan[ex:]
+    assert "Join" not in plan
