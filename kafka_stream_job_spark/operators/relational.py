@@ -2476,3 +2476,73 @@ def events_hourly_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.abs(z) > 3.0).alias("is_anomaly"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# SCD2 merge (CDC upsert) — apply a change batch to a dimension with full
+# history: matched rows close (is_current=false) and re-emit at version+1;
+# unmatched rows pass through untouched. The change batch is simulated CDC
+# (every 20th customer gets a new balance, deterministic). On Iceberg/Delta
+# this is MERGE INTO; expressed engine-neutrally it is ONE left broadcast
+# join + an explode over a per-row 1-or-2-element array — no union of three
+# scans, the dimension is read once.
+# Scale: the change batch is the small side by nature (a CDC tick vs the
+# full dimension) → broadcast; the dimension never shuffles at all.
+# ---------------------------------------------------------------------------
+@register(
+    "scd2_customer_merge",
+    oracle="""
+        WITH chg AS (
+            SELECT c_custkey, c_acctbal + 100.0 AS new_bal
+            FROM customer WHERE c_custkey % 20 = 0
+        )
+        SELECT c.c_custkey,
+               ROUND((c.c_acctbal) * 100.0) / 100.0 AS acctbal,
+               1 AS version,
+               (g.c_custkey IS NULL) AS is_current
+        FROM customer c LEFT JOIN chg g USING (c_custkey)
+        UNION ALL
+        SELECT c_custkey,
+               ROUND((new_bal) * 100.0) / 100.0 AS acctbal,
+               2 AS version,
+               TRUE AS is_current
+        FROM chg
+    """,
+    tags=("cdc", "scd2", "merge", "customer"),
+)
+def scd2_customer_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    customer = load_table(spark, sf_dir, "customer")
+    chg = customer.filter(F.col("c_custkey") % 20 == 0).select(
+        "c_custkey", (F.col("c_acctbal") + 100.0).alias("new_bal")
+    )
+    merged = customer.select("c_custkey", "c_acctbal").join(
+        F.broadcast(chg), "c_custkey", "left"
+    )
+    unchanged = F.array(
+        F.struct(
+            F.col("c_acctbal").alias("bal"),
+            F.lit(1).alias("version"),
+            F.lit(True).alias("is_current"),
+        )
+    )
+    versioned = F.array(
+        F.struct(
+            F.col("c_acctbal").alias("bal"),
+            F.lit(1).alias("version"),
+            F.lit(False).alias("is_current"),
+        ),
+        F.struct(
+            F.col("new_bal").alias("bal"),
+            F.lit(2).alias("version"),
+            F.lit(True).alias("is_current"),
+        ),
+    )
+    rows = F.when(F.col("new_bal").isNull(), unchanged).otherwise(versioned)
+    return merged.select(
+        "c_custkey", F.explode(rows).alias("r")
+    ).select(
+        "c_custkey",
+        pround(F.col("r.bal"), 2).alias("acctbal"),
+        F.col("r.version").alias("version"),
+        F.col("r.is_current").alias("is_current"),
+    )

@@ -211,3 +211,13 @@ def test_token_entropy_partial_agg(spark):
     assert ex != -1
     assert "HashAggregate" in plan[ex:]
     assert "Join" not in plan
+
+
+def test_scd2_merge_broadcasts_changes_single_scan_pair(spark):
+    """The CDC change batch broadcasts; the dimension is scanned for the
+    base and the change derivation but never shuffles (no SMJ, no
+    hashpartitioning exchange)."""
+    plan = plan_of(spark, "scd2_customer_merge")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert "Exchange hashpartitioning" not in plan
