@@ -2546,3 +2546,139 @@ def scd2_customer_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("r.version").alias("version"),
         F.col("r.is_current").alias("is_current"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Time-series gap filling + forward fill — regularize the hourly event
+# series onto a dense (event_type × hour) spine: missing hours appear with
+# n_events=0, and the rolling metric carries the last observed value
+# forward (last_value IGNORE NULLS over an ever-growing frame).
+# Scale: the spine is generated (sequence()), never scanned — 2 tiny
+# frames (types × hours) broadcast against the hourly aggregate; events
+# are read once. The window partitions by event_type, so the fill is one
+# shuffle of the ALREADY-AGGREGATED hourly rows, never raw events.
+# ---------------------------------------------------------------------------
+@register(
+    "events_hourly_gapfill",
+    oracle="""
+        WITH hourly AS (
+            SELECT event_type,
+                   CAST(date_trunc('hour', ts) AS TIMESTAMP) AS h,
+                   COUNT(*) AS n,
+                   ROUND((SUM(value)) * 100.0) / 100.0 AS sv
+            FROM events GROUP BY 1, 2
+        ),
+        b AS (
+            SELECT MIN(CAST(date_trunc('hour', ts) AS TIMESTAMP)) AS lo,
+                   MAX(CAST(date_trunc('hour', ts) AS TIMESTAMP)) AS hi
+            FROM events
+        ),
+        spine AS (
+            SELECT unnest(generate_series(b.lo, b.hi, INTERVAL 1 HOUR)) AS h
+            FROM b
+        ),
+        grid AS (
+            SELECT t.event_type, s.h
+            FROM (SELECT DISTINCT event_type FROM events) t CROSS JOIN spine s
+        ),
+        j AS (
+            SELECT g.event_type, g.h, hr.n, hr.sv
+            FROM grid g LEFT JOIN hourly hr USING (event_type, h)
+        )
+        SELECT event_type,
+               CAST(h AS VARCHAR) AS hour_ts,
+               COALESCE(n, 0) AS n_events,
+               (n IS NULL) AS was_gap,
+               COALESCE(last_value(sv IGNORE NULLS) OVER (
+                   PARTITION BY event_type ORDER BY h
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ), 0.0) AS sum_value_ff
+        FROM j
+    """,
+    tags=("events", "timeseries", "gapfill", "window-time"),
+)
+def events_hourly_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    events = load_table(spark, sf_dir, "events")
+    hour = F.date_trunc("hour", F.col("ts"))
+    hourly = events.groupBy("event_type", hour.alias("h")).agg(
+        F.count(F.lit(1)).alias("n"), pround(F.sum("value"), 2).alias("sv")
+    )
+    bounds = events.select(
+        F.min(hour).alias("lo"), F.max(hour).alias("hi")
+    )
+    spine = bounds.select(
+        F.explode(F.expr("sequence(lo, hi, interval 1 hour)")).alias("h")
+    )
+    types = events.select("event_type").distinct()
+    grid = types.crossJoin(F.broadcast(spine))
+    j = grid.join(F.broadcast(hourly), ["event_type", "h"], "left")
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("h")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return j.select(
+        "event_type",
+        F.col("h").cast("string").alias("hour_ts"),
+        F.coalesce("n", F.lit(0)).alias("n_events"),
+        F.col("n").isNull().alias("was_gap"),
+        F.coalesce(F.last("sv", ignorenulls=True).over(w), F.lit(0.0)).alias(
+            "sum_value_ff"
+        ),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Market-basket pair mining — parts co-purchased in the same order, the
+# co-occurrence primitive under recommenders and association rules.
+# Formulated WITHOUT a self-join: one groupBy(order) gathers the (small,
+# bounded) basket as a sorted array, and the i<j pairs expand in-array
+# (nested transform + flatten) — a single shuffle of (order, part) rows
+# where the join formulation (the oracle keeps it for independence) needs
+# two exchanges + a sort-merge. Pair count per order is bounded by basket
+# size (≤7 items in TPC-H-shaped data ⇒ ≤21 pairs), so output grows
+# linearly with orders, never quadratically with the table.
+# ---------------------------------------------------------------------------
+@register(
+    "basket_part_pairs",
+    oracle="""
+        WITH items AS (
+            SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+        )
+        SELECT a.l_partkey AS part_a,
+               b.l_partkey AS part_b,
+               COUNT(*) AS n_orders
+        FROM items a
+        JOIN items b
+          ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        GROUP BY 1, 2
+        ORDER BY n_orders DESC, part_a ASC, part_b ASC
+        LIMIT 25
+    """,
+    tags=("basket", "cooccurrence", "lineitem"),
+)
+def basket_part_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    baskets = (
+        load_table(spark, sf_dir, "lineitem")
+        .groupBy("l_orderkey")
+        .agg(F.array_sort(F.collect_set("l_partkey")).alias("parts"))
+    )
+    pairs = F.flatten(
+        F.transform(
+            F.col("parts"),
+            lambda x, i: F.transform(
+                # elements strictly after position i (slice is 1-based)
+                F.slice(F.col("parts"), i + 2, F.size(F.col("parts"))),
+                lambda y: F.struct(x.alias("a"), y.alias("b")),
+            ),
+        )
+    )
+    return (
+        baskets.select(F.explode(pairs).alias("p"))
+        .groupBy(F.col("p.a").alias("part_a"), F.col("p.b").alias("part_b"))
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+        .orderBy(F.col("n_orders").desc(), F.col("part_a").asc(), F.col("part_b").asc())
+        .limit(25)
+    )

@@ -221,3 +221,22 @@ def test_scd2_merge_broadcasts_changes_single_scan_pair(spark):
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
     assert "Exchange hashpartitioning" not in plan
+
+
+def test_gapfill_generates_spine_no_event_shuffle_for_grid(spark):
+    """The dense spine is generated + broadcast — events are scanned for
+    the hourly aggregate, and the grid join must be broadcast, not a
+    shuffle of the spine."""
+    plan = plan_of(spark, "events_hourly_gapfill")
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_basket_pairs_no_self_join_single_fact_shuffle(spark):
+    """Pair expansion happens in-array after one groupBy(order): no join
+    node at all, one lineitem scan, and the only exchanges are the basket
+    groupBy + the tiny pair-count rollup."""
+    plan = plan_of(spark, "basket_part_pairs")
+    assert "Join" not in plan
+    assert plan.count("Scan parquet") == 1
+    assert plan.count("Exchange") <= 2
