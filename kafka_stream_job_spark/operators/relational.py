@@ -2682,3 +2682,102 @@ def basket_part_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("n_orders").desc(), F.col("part_a").asc(), F.col("part_b").asc())
         .limit(25)
     )
+
+
+# ---------------------------------------------------------------------------
+# Equi-depth histogram — decile buckets of equal row count over
+# l_extendedprice (the ANALYZE-style statistic an optimizer and a data
+# profiler both want; complements the equi-WIDTH text_seqlen_histogram).
+# ntile assigns bucket membership in one sorted window pass; per-bucket
+# bounds/count follow from a tiny 10-key aggregate.
+# Scale note: a global ntile is a single-ordering operation; at 100 TB the
+# same statistic comes from approx_percentile boundaries — kept exact here
+# so the oracle is exact, and the approx twin is already covered by
+# sketch_user_activity.
+# ---------------------------------------------------------------------------
+@register(
+    "histogram_price_deciles",
+    oracle="""
+        WITH t AS (
+            SELECT l_extendedprice AS p,
+                   ntile(10) OVER (ORDER BY l_extendedprice, l_orderkey, l_linenumber) AS decile
+            FROM lineitem
+        )
+        SELECT decile,
+               COUNT(*) AS n_rows,
+               ROUND((MIN(p)) * 100.0) / 100.0 AS lo,
+               ROUND((MAX(p)) * 100.0) / 100.0 AS hi
+        FROM t GROUP BY decile
+    """,
+    tags=("histogram", "profiling", "lineitem"),
+)
+def histogram_price_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    li = load_table(spark, sf_dir, "lineitem")
+    w = Window.orderBy("l_extendedprice", "l_orderkey", "l_linenumber")
+    return (
+        li.select(F.col("l_extendedprice").alias("p"), F.ntile(10).over(w).alias("decile"))
+        .groupBy("decile")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            pround(F.min("p"), 2).alias("lo"),
+            pround(F.max("p"), 2).alias("hi"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Pearson correlation via MANUAL moments — built-in corr() accumulates
+# float sums in partition order (engine- and plan-dependent); here the
+# moments are exact integers (quantity is integer-valued, price rounded to
+# whole units), so Sx/Sy/Sxy/Sxx/Syy match bit-for-bit across engines and the
+# final expression is one fixed dag of IEEE ops — deterministic, portable.
+# Same one-pass shape as events_hourly_anomaly's stddev.
+# Scale: a 4-group aggregate with map-side partials; nothing but the
+# moment tuple crosses the shuffle.
+# ---------------------------------------------------------------------------
+@register(
+    "stats_qty_price_corr",
+    oracle="""
+        WITH m AS (
+            SELECT l_returnflag,
+                   COUNT(*) AS n,
+                   CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sx,
+                   CAST(SUM(CAST(ROUND(l_extendedprice) AS BIGINT)) AS BIGINT) AS sy,
+                   CAST(SUM(CAST(l_quantity AS BIGINT) * CAST(l_quantity AS BIGINT)) AS BIGINT) AS sxx,
+                   CAST(SUM(CAST(ROUND(l_extendedprice) AS BIGINT)
+                          * CAST(ROUND(l_extendedprice) AS BIGINT)) AS BIGINT) AS syy,
+                   CAST(SUM(CAST(l_quantity AS BIGINT)
+                          * CAST(ROUND(l_extendedprice) AS BIGINT)) AS BIGINT) AS sxy
+            FROM lineitem GROUP BY l_returnflag
+        )
+        SELECT l_returnflag,
+               n,
+               ROUND(((n * 1.0 * sxy - sx * 1.0 * sy)
+                   / (sqrt(n * 1.0 * sxx - sx * 1.0 * sx)
+                      * sqrt(n * 1.0 * syy - sy * 1.0 * sy)))
+                   * 1000000.0) / 1000000.0 AS corr_qty_price
+        FROM m
+    """,
+    tags=("stats", "correlation", "lineitem"),
+)
+def stats_qty_price_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    x = F.col("l_quantity").cast("long")
+    y = F.round(F.col("l_extendedprice"), 0).cast("long")
+    m = li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(x).alias("sx"),
+        F.sum(y).alias("sy"),
+        F.sum(x * x).alias("sxx"),
+        F.sum(y * y).alias("syy"),
+        F.sum(x * y).alias("sxy"),
+    )
+    corr = (
+        F.col("n") * F.lit(1.0) * F.col("sxy") - F.col("sx") * F.lit(1.0) * F.col("sy")
+    ) / (
+        F.sqrt(F.col("n") * F.lit(1.0) * F.col("sxx") - F.col("sx") * F.lit(1.0) * F.col("sx"))
+        * F.sqrt(F.col("n") * F.lit(1.0) * F.col("syy") - F.col("sy") * F.lit(1.0) * F.col("sy"))
+    )
+    return m.select("l_returnflag", "n", pround(corr, 6).alias("corr_qty_price"))
