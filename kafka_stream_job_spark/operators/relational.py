@@ -2781,3 +2781,114 @@ def stats_qty_price_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
         * F.sqrt(F.col("n") * F.lit(1.0) * F.col("syy") - F.col("sy") * F.lit(1.0) * F.col("sy"))
     )
     return m.select("l_returnflag", "n", pround(corr, 6).alias("corr_qty_price"))
+
+
+# ---------------------------------------------------------------------------
+# PageRank over the part co-purchase graph — the third iterative-
+# refinement operator (with connected components and Lloyd k-means), and
+# like the k-means rewrite it is made oracle-checkable by QUANTIZATION:
+# ranks live as integers (×1e6), per-edge contributions use integer
+# division r div deg, and each iteration re-rounds 0.15·S + 0.85·Σ to an
+# integer — every quantity is exact and order-free, so Spark and DuckDB
+# agree bit-for-bit through all 3 iterations.
+# Scale: ranks and degrees are node-sized (tiny vs edges) → broadcast;
+# edges stream map-side through the join, and only (dst, partial-sum)
+# rows shuffle. The co-purchase edges derive from the same in-array
+# basket expansion as basket_part_pairs (no self-join).
+# ---------------------------------------------------------------------------
+PR_SCALE = 1_000_000
+PR_ITERS = 3
+PR_TOP = 25
+
+
+def _pagerank_oracle() -> str:
+    sql = f"""
+        WITH items AS (
+            SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+        ),
+        edges AS (
+            SELECT a.l_partkey AS src, b.l_partkey AS dst
+            FROM items a
+            JOIN items b ON a.l_orderkey = b.l_orderkey
+                        AND a.l_partkey <> b.l_partkey
+            GROUP BY 1, 2
+        ),
+        deg AS (SELECT src, COUNT(*) AS d FROM edges GROUP BY src),
+        nodes AS (SELECT DISTINCT src AS part FROM edges),
+        r0 AS (SELECT part, CAST({PR_SCALE} AS BIGINT) AS r FROM nodes)"""
+    for i in range(1, PR_ITERS + 1):
+        sql += f""",
+        r{i} AS (
+            SELECT n.part,
+                   CAST(ROUND(0.15 * {PR_SCALE} + 0.85 * COALESCE(c.s, 0)) AS BIGINT) AS r
+            FROM nodes n LEFT JOIN (
+                SELECT e.dst AS part, CAST(SUM(r.r // d.d) AS BIGINT) AS s
+                FROM edges e
+                JOIN r{i - 1} r ON e.src = r.part
+                JOIN deg d ON d.src = e.src
+                GROUP BY e.dst
+            ) c USING (part)
+        )"""
+    sql += f"""
+        SELECT part, r AS rank_q
+        FROM r{PR_ITERS}
+        ORDER BY r DESC, part ASC
+        LIMIT {PR_TOP}
+    """
+    return sql
+
+
+@register(
+    "graph_pagerank_parts",
+    oracle=_pagerank_oracle(),
+    tags=("graph", "pagerank", "iterative", "lineitem"),
+)
+def graph_pagerank_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    baskets = (
+        load_table(spark, sf_dir, "lineitem")
+        .groupBy("l_orderkey")
+        .agg(F.array_sort(F.collect_set("l_partkey")).alias("parts"))
+    )
+    directed = F.flatten(
+        F.transform(
+            F.col("parts"),
+            lambda x: F.transform(
+                F.filter(F.col("parts"), lambda y: y != x),
+                lambda y: F.struct(x.alias("src"), y.alias("dst")),
+            ),
+        )
+    )
+    edges = (
+        baskets.select(F.explode(directed).alias("e"))
+        .select(F.col("e.src").alias("src"), F.col("e.dst").alias("dst"))
+        .distinct()
+    )
+    deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("d"))
+    nodes = edges.select(F.col("src").alias("part")).distinct()
+    ranks = nodes.select("part", F.lit(PR_SCALE).cast("long").alias("r"))
+
+    for _ in range(PR_ITERS):
+        contrib = (
+            edges.join(F.broadcast(ranks), edges.src == ranks.part)
+            .join(F.broadcast(deg), "src")
+            .groupBy("dst")
+            .agg(F.sum(F.expr("r div d")).alias("s"))
+        )
+        ranks = (
+            nodes.join(F.broadcast(contrib), nodes.part == contrib.dst, "left")
+            .select(
+                "part",
+                F.round(
+                    F.lit(0.15) * PR_SCALE + F.lit(0.85) * F.coalesce("s", F.lit(0)),
+                    0,
+                )
+                .cast("long")
+                .alias("r"),
+            )
+        )
+
+    return (
+        ranks.orderBy(F.col("r").desc(), F.col("part").asc())
+        .limit(PR_TOP)
+        .select("part", F.col("r").alias("rank_q"))
+    )

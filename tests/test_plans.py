@@ -240,3 +240,13 @@ def test_basket_pairs_no_self_join_single_fact_shuffle(spark):
     assert "Join" not in plan
     assert plan.count("Scan parquet") == 1
     assert plan.count("Exchange") <= 2
+
+
+def test_pagerank_broadcasts_ranks_never_shuffles_edges_for_join(spark):
+    """Every iteration joins edges against BROADCAST ranks/degrees; the
+    only hash shuffles carry (dst, partial-sum) or node-sized rows — the
+    edge fact is never exchange-partitioned for a join."""
+    plan = plan_of(spark, "graph_pagerank_parts")
+    assert plan.count("BroadcastHashJoin") >= 6  # (ranks+deg) × 3 iterations
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
