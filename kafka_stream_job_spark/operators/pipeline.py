@@ -195,3 +195,68 @@ def pack_sequences_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("n_tok").alias("pack_tokens"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Corpus mixing — rebalance the source composition of a training corpus by
+# per-source sampling weights (the "data mixture" step between dedup and
+# packing). Weights here derive deterministically from the source name
+# (even-indexed sources weight 3, odd weight 1); each doc keeps/drops by a
+# seeded md5 hash against its source's rate, so the sampled mix is exact,
+# reproducible, and shard-stable — rerunning on any subset of partitions
+# samples identically (no RNG state).
+# Scale: stateless narrow filter (hash + compare per row) followed by a
+# 20-key rollup; nothing shuffles but the per-source summary.
+# ---------------------------------------------------------------------------
+MIX_DENOM = 3  # weight w ∈ {1, 3} → keep when hash % 3 < w
+
+
+@register(
+    "corpus_mix_rebalance",
+    oracle=f"""
+        WITH weighted AS (
+            SELECT doc_id, source,
+                   len(string_split_regex(TRIM(text), '\\s+')) AS n_tok,
+                   CASE WHEN CAST(substr(source, 4) AS BIGINT) % 2 = 0
+                        THEN 3 ELSE 1 END AS w,
+                   ('0x' || substr(md5('mix:' || CAST(doc_id AS VARCHAR)), 1, 7))::BIGINT
+                       % {MIX_DENOM} AS bucket
+            FROM documents
+        )
+        SELECT source,
+               COUNT(*) AS n_before,
+               CAST(SUM(CASE WHEN bucket < w THEN 1 ELSE 0 END) AS BIGINT) AS n_after,
+               CAST(SUM(CASE WHEN bucket < w THEN n_tok ELSE 0 END) AS BIGINT) AS tokens_after
+        FROM weighted
+        GROUP BY source
+    """,
+    tags=("pipeline", "mixing", "sampling", "documents"),
+)
+def corpus_mix_rebalance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    n_tok = F.size(F.split(F.trim(F.col("text")), r"\s+"))
+    w = F.when(
+        F.substring("source", 4, 10).cast("long") % 2 == 0, F.lit(3)
+    ).otherwise(F.lit(1))
+    bucket = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit("mix:"), F.col("doc_id").cast("string"))), 1, 7
+            ),
+            16,
+            10,
+        ).cast("long")
+        % MIX_DENOM
+    )
+    keep = bucket < w
+    return (
+        docs.select("source", n_tok.alias("n_tok"), keep.alias("keep"))
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_before"),
+            F.sum(F.when(F.col("keep"), 1).otherwise(0)).alias("n_after"),
+            F.sum(F.when(F.col("keep"), F.col("n_tok")).otherwise(0)).alias(
+                "tokens_after"
+            ),
+        )
+    )
