@@ -2892,3 +2892,140 @@ def graph_pagerank_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(PR_TOP)
         .select("part", F.col("r").alias("rank_q"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Event-transition matrix — first-order Markov counts over each user's
+# time-ordered event sequence (the session-flow analytics primitive:
+# "what follows a view?"). lag() over the per-user ordering pairs each
+# event with its predecessor; the ORDER BY is pinned with event_id so ties
+# in ts can't reorder across engines. Probabilities are exact rationals
+# (pair count / row total of the from-state).
+# Scale: one shuffle on user_id for the window, then a 25-key rollup; the
+# from-state totals reuse a window over the ALREADY-AGGREGATED pair counts
+# (no second scan of events).
+# ---------------------------------------------------------------------------
+@register(
+    "events_transition_matrix",
+    oracle="""
+        WITH seq AS (
+            SELECT user_id, event_type,
+                   lag(event_type) OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id
+                   ) AS prev_type
+            FROM events
+        ),
+        pairs AS (
+            SELECT prev_type AS from_type, event_type AS to_type, COUNT(*) AS n
+            FROM seq WHERE prev_type IS NOT NULL
+            GROUP BY 1, 2
+        )
+        SELECT from_type, to_type, n,
+               ROUND((n * 1.0 / SUM(n) OVER (PARTITION BY from_type))
+                   * 1000000.0) / 1000000.0 AS p
+        FROM pairs
+    """,
+    tags=("events", "markov", "sequence", "window-time"),
+)
+def events_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    events = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    pairs = (
+        events.select(
+            "event_type", F.lag("event_type").over(w).alias("prev_type")
+        )
+        .filter(F.col("prev_type").isNotNull())
+        .groupBy(
+            F.col("prev_type").alias("from_type"),
+            F.col("event_type").alias("to_type"),
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    wt = Window.partitionBy("from_type")
+    return pairs.select(
+        "from_type",
+        "to_type",
+        "n",
+        pround(F.col("n") * F.lit(1.0) / F.sum("n").over(wt), 6).alias("p"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# RFM segmentation — recency / frequency / monetary quartiles per customer
+# (the standard CRM partitioning). Each dimension ranks independently with
+# ntile(4) over a unique-key-pinned ordering; the 3-digit segment code
+# concatenates the quartiles. Recency is days since the customer's last
+# order, measured against the corpus max date (no wall clock — oracle
+# determinism).
+# Scale: one groupBy(custkey) over orders, then three window passes over
+# the 1-row-per-customer aggregate — windows never touch raw orders.
+# ---------------------------------------------------------------------------
+@register(
+    "rfm_customer_segments",
+    oracle="""
+        WITH per_cust AS (
+            SELECT o_custkey,
+                   MAX(o_orderdate) AS last_order,
+                   COUNT(*) AS frequency,
+                   ROUND((SUM(o_totalprice)) * 100.0) / 100.0 AS monetary
+            FROM orders GROUP BY o_custkey
+        ),
+        scored AS (
+            SELECT o_custkey,
+                   CAST(date_diff('day', last_order,
+                        (SELECT MAX(o_orderdate) FROM orders)) AS BIGINT) AS recency_days,
+                   frequency,
+                   monetary,
+                   ntile(4) OVER (ORDER BY last_order DESC, o_custkey) AS r_q,
+                   ntile(4) OVER (ORDER BY frequency DESC, o_custkey) AS f_q,
+                   ntile(4) OVER (ORDER BY monetary DESC, o_custkey) AS m_q
+            FROM per_cust
+        )
+        SELECT o_custkey, recency_days, frequency, monetary,
+               r_q, f_q, m_q,
+               CAST(r_q AS VARCHAR) || CAST(f_q AS VARCHAR) || CAST(m_q AS VARCHAR)
+                   AS segment
+        FROM scored
+    """,
+    tags=("rfm", "segmentation", "orders"),
+)
+def rfm_customer_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    orders = load_table(spark, sf_dir, "orders")
+    per_cust = orders.groupBy("o_custkey").agg(
+        F.max("o_orderdate").alias("last_order"),
+        F.count(F.lit(1)).alias("frequency"),
+        pround(F.sum("o_totalprice"), 2).alias("monetary"),
+    )
+    max_date = orders.select(F.max("o_orderdate").alias("corpus_max"))
+    r_w = Window.orderBy(F.col("last_order").desc(), F.col("o_custkey"))
+    f_w = Window.orderBy(F.col("frequency").desc(), F.col("o_custkey"))
+    m_w = Window.orderBy(F.col("monetary").desc(), F.col("o_custkey"))
+    scored = per_cust.crossJoin(F.broadcast(max_date)).select(
+        "o_custkey",
+        F.datediff(F.col("corpus_max"), F.col("last_order"))
+        .cast("long")
+        .alias("recency_days"),
+        "frequency",
+        "monetary",
+        F.ntile(4).over(r_w).alias("r_q"),
+        F.ntile(4).over(f_w).alias("f_q"),
+        F.ntile(4).over(m_w).alias("m_q"),
+    )
+    return scored.select(
+        "o_custkey",
+        "recency_days",
+        "frequency",
+        "monetary",
+        "r_q",
+        "f_q",
+        "m_q",
+        F.concat(
+            F.col("r_q").cast("string"),
+            F.col("f_q").cast("string"),
+            F.col("m_q").cast("string"),
+        ).alias("segment"),
+    )
