@@ -758,3 +758,110 @@ def text_token_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n").alias("n_tokens"),
         pround(entropy, 4).alias("entropy_r"),
     )
+
+
+# ---------------------------------------------------------------------------
+# BM25 ranked retrieval — score every document against a fixed query
+# ("stream join vector") with Okapi BM25 (k1=1.2, b=0.75), the classic IR
+# complement to text_tfidf_top_terms. All inputs are exact integers
+# (regexp_count term frequencies, token-count doc length, doc-frequency
+# counts), the corpus stats (N, avgdl, df_t) reduce to ONE broadcast row,
+# and the score is a fixed three-term IEEE expression — identical dags in
+# both engines, pround(6) on top. ln() portability is already proven by
+# the TF-IDF and entropy oracles.
+# Scale: corpus stats are a tiny all-reduce; scoring is then a stateless
+# narrow map over documents (no shuffle, no join with anything unbounded);
+# final top-k is a TakeOrderedAndProject.
+# ---------------------------------------------------------------------------
+BM25_K1 = 1.2
+BM25_B = 0.75
+BM25_TERMS = ("stream", "join", "vector")
+BM25_TOP = 25
+
+
+def _bm25_oracle() -> str:
+    tf_cols = ", ".join(
+        f"len(regexp_extract_all(LOWER(text), '\\b{t}\\b')) AS tf_{t}"
+        for t in BM25_TERMS
+    )
+    df_cols = ", ".join(
+        f"CAST(SUM(CASE WHEN tf_{t} > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df_{t}"
+        for t in BM25_TERMS
+    )
+    score = " + ".join(
+        f"""ln((s.n_docs - s.df_{t} + 0.5) / (s.df_{t} + 0.5) + 1.0)
+            * (d.tf_{t} * ({BM25_K1} + 1.0))
+            / (d.tf_{t} + {BM25_K1} * (1.0 - {BM25_B} + {BM25_B} * d.dl / s.avgdl))"""
+        for t in BM25_TERMS
+    )
+    return f"""
+        WITH t AS (
+            SELECT doc_id,
+                   len(string_split_regex(TRIM(text), '\\s+')) AS dl,
+                   {tf_cols}
+            FROM documents
+        ),
+        s AS (
+            SELECT COUNT(*) AS n_docs,
+                   CAST(SUM(dl) AS BIGINT) * 1.0 / COUNT(*) AS avgdl,
+                   {df_cols}
+            FROM t
+        )
+        SELECT d.doc_id,
+               ROUND(({score}) * 1000000.0) / 1000000.0 AS bm25_r
+        FROM t d CROSS JOIN s
+        ORDER BY bm25_r DESC, d.doc_id ASC
+        LIMIT {BM25_TOP}
+    """
+
+
+@register(
+    "text_bm25_search",
+    oracle=_bm25_oracle(),
+    tags=("text", "search", "bm25", "documents"),
+)
+def text_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    t = docs.select(
+        "doc_id",
+        F.size(F.split(F.trim(F.col("text")), r"\s+")).alias("dl"),
+        *[
+            F.regexp_count(F.lower(F.col("text")), F.lit(rf"\b{term}\b")).alias(
+                f"tf_{term}"
+            )
+            for term in BM25_TERMS
+        ],
+    )
+    s = t.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        (F.sum("dl") * F.lit(1.0) / F.count(F.lit(1))).alias("avgdl"),
+        *[
+            F.sum(F.when(F.col(f"tf_{term}") > 0, 1).otherwise(0)).alias(
+                f"df_{term}"
+            )
+            for term in BM25_TERMS
+        ],
+    )
+    score = None
+    for term in BM25_TERMS:
+        idf = F.log(
+            (F.col("n_docs") - F.col(f"df_{term}") + 0.5)
+            / (F.col(f"df_{term}") + 0.5)
+            + 1.0
+        )
+        part = (
+            idf
+            * (F.col(f"tf_{term}") * F.lit(BM25_K1 + 1.0))
+            / (
+                F.col(f"tf_{term}")
+                + F.lit(BM25_K1)
+                * (F.lit(1.0 - BM25_B) + F.lit(BM25_B) * F.col("dl") / F.col("avgdl"))
+            )
+        )
+        score = part if score is None else score + part
+    return (
+        t.crossJoin(F.broadcast(s))
+        .select("doc_id", pround(score, 6).alias("bm25_r"))
+        .orderBy(F.col("bm25_r").desc(), F.col("doc_id").asc())
+        .limit(BM25_TOP)
+    )
