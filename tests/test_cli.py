@@ -1,0 +1,66 @@
+"""CLI surface: list / run / bronze subcommands end-to-end (in-process —
+main() takes argv, so no subprocess/session-per-invocation cost beyond
+the shared fixture's JVM)."""
+
+from __future__ import annotations
+
+import json
+
+import pytest
+from pyspark.sql import functions as F
+
+from kafka_stream_job_spark.__main__ import main
+from kafka_stream_job_spark.tables import load_table
+
+from .conftest import SF_SMOKE
+
+
+def test_cli_list_filters_by_tag(capsys):
+    assert main(["list", "--tag", "bm25"]) == 0
+    out = capsys.readouterr().out
+    assert "text_bm25_search" in out and "[oracle]" in out
+    assert "q1_pricing_summary" not in out
+
+
+def test_cli_run_json(spark, capsys):
+    assert main(["run", "q1_pricing_summary", "--sf-dir", SF_SMOKE, "--json"]) == 0
+    lines = capsys.readouterr().out.strip().splitlines()
+    rows = [json.loads(ln) for ln in lines]
+    assert len(rows) == 6
+    assert {"l_returnflag", "sum_qty", "count_order"} <= set(rows[0])
+
+
+def test_cli_run_unknown_query_errors(capsys):
+    assert main(["run", "no_such_query"]) == 2
+    assert "unknown query" in capsys.readouterr().err
+
+
+def test_cli_bronze_batch(spark, tmp_path, capsys):
+    events = load_table(spark, SF_SMOKE, "events").limit(100)
+    src = str(tmp_path / "raw")
+    events.select(
+        F.encode(
+            F.to_json(F.struct("event_id", "user_id", "event_type", "value")), "UTF-8"
+        ).alias("value")
+    ).write.parquet(src)
+
+    table = "bronze_cli_test"
+    spark.sql(f"DROP TABLE IF EXISTS {table}")
+    try:
+        assert main(["bronze", "--input", src, "--table", table]) == 0
+        assert f"{table}: 100 rows" in capsys.readouterr().out
+        got = spark.table(table)
+        # the CLI uses the OrderEvent schema; unknown JSON fields null out,
+        # but row count and enrichment columns must land
+        assert got.count() == 100
+        assert {"ingested_at", "source"} <= set(got.columns)
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {table}")
+
+
+def test_cli_bronze_streaming_requires_checkpoint(tmp_path, capsys):
+    assert (
+        main(["bronze", "--input", str(tmp_path), "--table", "t", "--streaming"])
+        == 2
+    )
+    assert "--checkpoint" in capsys.readouterr().err
