@@ -664,3 +664,93 @@ def dedup_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
         if changed == 0:
             break
     return labels
+
+
+# ---------------------------------------------------------------------------
+# Chunk-level boilerplate dedup (CCNet/RefinedWeb-style paragraph dedup,
+# adapted to newline-free corpora): split every document into consecutive
+# CHUNK_TOKENS-token chunks, call a chunk "boilerplate" when it appears
+# verbatim in >= CHUNK_BOILER_DOCS distinct documents, and report per-doc
+# how much of the text survives boilerplate removal.
+#
+# Scale shape (100 TB): one explode over chunks, one shuffle on the chunk
+# string for the cross-doc frequency count, one shuffle back on the chunk
+# for the mark join, one partial-agg rollup on doc_id. The boilerplate set
+# is NEVER collected or broadcast — it grows with corpus size, so the mark
+# join stays a shuffle join on the chunk key (skew-safe: a chunk that is
+# boilerplate everywhere is exactly what AQE skew split handles).
+# The reference has no text operators at all; this extends the north-star
+# LLM-pipeline surface (SURVEY.md §2.7).
+# ---------------------------------------------------------------------------
+CHUNK_TOKENS = 10
+CHUNK_BOILER_DOCS = 3
+
+
+@register(
+    "text_chunk_dedup",
+    oracle=rf"""
+        WITH d AS (
+            SELECT doc_id, string_split_regex(TRIM(text), '\s+') AS toks
+            FROM documents
+        ),
+        ch AS (
+            SELECT doc_id,
+                   unnest(list_transform(
+                       generate_series(0, (len(toks) - 1) // {CHUNK_TOKENS}),
+                       i -> array_to_string(
+                           list_slice(toks, i * {CHUNK_TOKENS} + 1,
+                                      i * {CHUNK_TOKENS} + {CHUNK_TOKENS}), ' ')
+                   )) AS chunk
+            FROM d
+        ),
+        boiler AS (
+            SELECT chunk FROM ch
+            GROUP BY chunk
+            HAVING COUNT(DISTINCT doc_id) >= {CHUNK_BOILER_DOCS}
+        )
+        SELECT ch.doc_id,
+               CAST(COUNT(*) AS BIGINT) AS n_chunks,
+               CAST(SUM(CASE WHEN b.chunk IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_boiler_chunks,
+               CAST(SUM(CASE WHEN b.chunk IS NULL
+                             THEN len(string_split(ch.chunk, ' '))
+                             ELSE 0 END) AS BIGINT) AS n_kept_tokens
+        FROM ch LEFT JOIN boiler b USING (chunk)
+        GROUP BY ch.doc_id
+    """,
+    tags=("dedup", "text", "documents"),
+)
+def text_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.split(F.trim(F.col("text")), r"\s+")
+    chunked = docs.select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                F.sequence(
+                    F.lit(0),
+                    F.floor((F.size(toks) - F.lit(1)) / F.lit(CHUNK_TOKENS)).cast(
+                        "int"
+                    ),
+                ),
+                lambda i: F.concat_ws(
+                    " ", F.slice(toks, i * CHUNK_TOKENS + 1, CHUNK_TOKENS)
+                ),
+            )
+        ).alias("chunk"),
+    )
+    boiler = (
+        chunked.groupBy("chunk")
+        .agg(F.countDistinct("doc_id").alias("n_docs"))
+        .filter(F.col("n_docs") >= CHUNK_BOILER_DOCS)
+        .select("chunk", F.lit(True).alias("is_boiler"))
+    )
+    marked = chunked.join(boiler, "chunk", "left")
+    return marked.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_chunks"),
+        F.sum(F.when(F.col("is_boiler"), 1).otherwise(0)).alias("n_boiler_chunks"),
+        F.sum(
+            F.when(F.col("is_boiler").isNull(), F.size(F.split(F.col("chunk"), " ")))
+            .otherwise(0)
+        ).alias("n_kept_tokens"),
+    )

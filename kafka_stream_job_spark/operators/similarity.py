@@ -614,3 +614,93 @@ def cluster_kmeans_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_members"),
         F.sum(F.col("dist").cast("long")).alias("total_sq_dist"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Int8 embedding quantization (the storage/bandwidth path every 100 TB
+# vector corpus takes before ANN): symmetric per-vector scaling,
+# q_i = floor(v_i / (max|v| / 127) + 0.5). Outputs are exact-integer
+# checksums (q_sum, q_norm2) plus the scale and the reconstruction error,
+# so the whole transform is bit-portable vs the DuckDB oracle: float->double
+# casts are exact, the division and floor are identical IEEE ops, and the
+# error fold runs in pinned list order on both engines.
+#
+# Plan note: `scale` goes through an explode(array(...)) Generate barrier —
+# without it CollapseProject inlines the array_max into the per-element
+# lambda and the O(D) max is recomputed D times per row (the round-1
+# MinHash lesson, see memory/spark-graft-gotchas).
+# ---------------------------------------------------------------------------
+@register(
+    "embedding_int8_quantize",
+    oracle="""
+        WITH base AS (
+            SELECT vec_id, label, embedding::DOUBLE[] AS vec,
+                   list_max(list_transform(embedding::DOUBLE[], x -> abs(x)))
+                       / 127.0 AS scale
+            FROM embeddings
+        ),
+        q AS (
+            SELECT vec_id, label, vec, scale,
+                   list_transform(vec,
+                       x -> CAST(floor(x / scale + 0.5) AS BIGINT)) AS qv
+            FROM base WHERE scale > 0
+        )
+        SELECT vec_id, label, scale,
+               CAST(list_reduce(list_prepend(CAST(0 AS BIGINT), qv),
+                    (a, b) -> a + b) AS BIGINT) AS q_sum,
+               CAST(list_reduce(list_prepend(CAST(0 AS BIGINT),
+                        list_transform(qv, x -> x * x)),
+                    (a, b) -> a + b) AS BIGINT) AS q_norm2,
+               ROUND((list_reduce(list_prepend(0.0,
+                        list_transform(list_zip(vec, qv),
+                            p -> (p[1] - p[2] * scale) * (p[1] - p[2] * scale))),
+                    (a, b) -> a + b)) * 100000000.0) / 100000000.0 AS q_err
+        FROM q
+    """,
+    tags=("similarity", "embeddings", "quantization"),
+)
+def embedding_int8_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    dbl = F.col("embedding").cast("array<double>")
+    staged = (
+        emb.select(
+            "vec_id",
+            "label",
+            dbl.alias("vec"),
+            F.array_max(F.transform(dbl, F.abs)).alias("max_abs"),
+        )
+        .select(
+            "vec_id",
+            "label",
+            "vec",
+            F.explode(F.array(F.col("max_abs") / F.lit(127.0))).alias("scale"),
+        )
+        .filter(F.col("scale") > 0)
+    )
+    qv = F.transform(
+        F.col("vec"),
+        lambda x: F.floor(x / F.col("scale") + F.lit(0.5)).cast("long"),
+    )
+    zero_l = F.lit(0).cast("long")
+    return staged.select(
+        "vec_id",
+        "label",
+        "scale",
+        F.aggregate(qv, zero_l, lambda a, x: a + x).alias("q_sum"),
+        F.aggregate(
+            F.transform(qv, lambda x: x * x), zero_l, lambda a, x: a + x
+        ).alias("q_norm2"),
+        pround(
+            F.aggregate(
+                F.zip_with(
+                    F.col("vec"),
+                    qv,
+                    lambda v, q: (v - q * F.col("scale"))
+                    * (v - q * F.col("scale")),
+                ),
+                F.lit(0.0),
+                lambda a, x: a + x,
+            ),
+            8,
+        ).alias("q_err"),
+    )

@@ -93,6 +93,7 @@ def all_specs() -> dict[str, QuerySpec]:
         pipeline,
         relational,
         similarity,
+        sketches,
         text,
     )
     from kafka_stream_job_spark import bronze  # noqa: F401

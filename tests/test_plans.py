@@ -250,3 +250,31 @@ def test_pagerank_broadcasts_ranks_never_shuffles_edges_for_join(spark):
     assert plan.count("BroadcastHashJoin") >= 6  # (ranks+deg) × 3 iterations
     assert "SortMergeJoin" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_heavy_hitter_candidate_join_is_broadcast(spark):
+    """The exact-verify pass must broadcast the bounded candidate set, not
+    shuffle the full token stream against it."""
+    plan = plan_of(spark, "heavy_hitter_tokens")
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_int8_quantize_keeps_generate_barrier(spark):
+    """The explode(array(scale)) Generate barrier must survive
+    optimization — without it CollapseProject re-inlines the O(D)
+    array_max into every per-element lambda (O(D^2) per row)."""
+    plan = plan_of(spark, "embedding_int8_quantize")
+    assert "Generate explode" in plan
+    # exactly one array_max evaluation site in the final plan
+    assert plan.count("array_max") == 1
+
+
+def test_chunk_dedup_map_side_partial_agg(spark):
+    """Per-doc rollup must partially aggregate below the exchange so
+    exploded chunk rows never cross the network unaggregated."""
+    plan = plan_of(spark, "text_chunk_dedup")
+    assert "CartesianProduct" not in plan
+    ex = plan.find("Exchange")
+    assert ex != -1
+    assert "HashAggregate" in plan[ex:], "no partial agg below exchange"

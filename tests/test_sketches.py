@@ -70,3 +70,67 @@ def test_kmeans_partitions_whole_corpus(spark):
     assert 1 < len(rows) <= n_vecs
     assert all(r["total_sq_dist"] >= 0 for r in rows)
     assert sum(r["total_sq_dist"] for r in rows) > 0
+
+
+# ---------------------------------------------------------------------------
+# Misra-Gries merge: exercise the eviction path (the registry query's
+# 31-token vocabulary never evicts at capacity 100, so the guarantee is
+# proven here on synthetic Zipf-ish data instead).
+# ---------------------------------------------------------------------------
+def test_mg_merge_superset_guarantee_under_eviction():
+    from collections import Counter
+
+    from kafka_stream_job_spark.operators.sketches import mg_merge
+
+    # 5 heavy keys (freq 1000) + 2000 singleton-ish keys, shuffled
+    # deterministically across 7 uneven "batches".
+    stream = [f"hot{i}" for i in range(5) for _ in range(1000)]
+    stream += [f"cold{i}" for i in range(2000) for _ in range(3)]
+    import random
+
+    rnd = random.Random(42)
+    rnd.shuffle(stream)
+    n = len(stream)
+    capacity = 20
+    counters: dict[str, int] = {}
+    cuts = [0, 17, 501, 502, 6000, 9000, 10500, n]
+    for lo, hi in zip(cuts, cuts[1:]):
+        counters = mg_merge(counters, dict(Counter(stream[lo:hi])), capacity)
+        assert len(counters) <= capacity, "capacity bound violated"
+    exact = Counter(stream)
+    heavy = {k for k, c in exact.items() if c > n / capacity}
+    assert heavy, "test data must contain true heavy hitters"
+    assert heavy <= set(counters), "MG summary lost a true heavy hitter"
+    # mergeable-summaries bound: undercount <= n/(capacity+1)
+    for k, est in counters.items():
+        assert exact[k] - est <= n / (capacity + 1) + 1e-9
+        assert est <= exact[k], "MG must never overcount"
+
+
+def test_heavy_hitter_candidates_are_superset(spark):
+    """The distributed candidate pass must contain every true heavy
+    hitter before the exact verify filters false positives."""
+    from pyspark.sql import functions as F
+
+    from kafka_stream_job_spark.operators.sketches import (
+        HH_FRACTION,
+        _mg_candidates,
+    )
+    from kafka_stream_job_spark.tables import load_table
+
+    from .conftest import SF_SMOKE
+
+    docs = load_table(spark, SF_SMOKE, "documents")
+    toks = docs.select(
+        F.explode(F.split(F.trim(F.col("text")), r"\s+")).alias("token")
+    )
+    cand = {
+        r.token
+        for r in toks.repartition(8).mapInPandas(
+            _mg_candidates, schema="token string"
+        ).collect()
+    }
+    counts = toks.groupBy("token").count().collect()
+    n = sum(r["count"] for r in counts)
+    heavy = {r.token for r in counts if r["count"] * HH_FRACTION > n}
+    assert heavy <= cand
