@@ -754,3 +754,54 @@ def text_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             .otherwise(0)
         ).alias("n_kept_tokens"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Edit-distance verify stage: exact Levenshtein distance computed ONLY over
+# the LSH candidate pairs — the character-level sibling of the n-gram
+# Jaccard verify (same 100 TB discipline: O(candidates), never O(n²); each
+# pair costs O(len_a·len_b) DP, which is the exact-verify floor — at scale
+# a banded/bounded-distance DP cuts it further, at the cost of the exact
+# distance for far pairs). Both engines implement unit-cost Levenshtein,
+# so the distance is integer-exact and portable.
+# ---------------------------------------------------------------------------
+@register(
+    "dedup_edit_distance",
+    oracle=f"""
+        WITH shingles AS ({_SHINGLES_SQL}),
+        sigs AS ({_SIGS_SQL}),
+        bands AS ({_BANDS_SQL}),
+        pairs AS ({_PAIRS_SQL})
+        SELECT p.doc_a,
+               p.doc_b,
+               CAST(levenshtein(da.text, db.text) AS BIGINT) AS edit_dist,
+               ROUND((1.0 - levenshtein(da.text, db.text) * 1.0
+                      / GREATEST(LENGTH(da.text), LENGTH(db.text))) * 10000.0)
+                   / 10000.0 AS edit_sim
+        FROM pairs p
+        JOIN documents da ON da.doc_id = p.doc_a
+        JOIN documents db ON db.doc_id = p.doc_b
+    """,
+    tags=("dedup", "levenshtein", "documents"),
+)
+def dedup_edit_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = dedup_minhash_lsh(spark, sf_dir)
+    ta = docs.select(F.col("doc_id").alias("doc_a"), F.col("text").alias("_ta"))
+    tb = docs.select(F.col("doc_id").alias("doc_b"), F.col("text").alias("_tb"))
+    lev = F.levenshtein(F.col("_ta"), F.col("_tb"))
+    return (
+        pairs.join(ta, "doc_a")
+        .join(tb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            lev.cast("long").alias("edit_dist"),
+            pround(
+                F.lit(1.0)
+                - lev * F.lit(1.0)
+                / F.greatest(F.length("_ta"), F.length("_tb")),
+                4,
+            ).alias("edit_sim"),
+        )
+    )

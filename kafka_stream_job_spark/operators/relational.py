@@ -3029,3 +3029,139 @@ def rfm_customer_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("m_q").cast("string"),
         ).alias("segment"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Triangle statistics over the part co-purchase graph — n_nodes, n_edges,
+# wedges, triangles, global clustering coefficient. Extends the graph
+# surface next to graph_pagerank_parts (the reference has no graph
+# operators; north-star breadth).
+#
+# Scale design (100 TB): the naive triangle join enumerates every wedge —
+# on a graph with hubs that is sum(deg^2) and dies. Here edges are ORIENTED
+# from the lower-(degree, id) endpoint to the higher one first, so every
+# node's out-degree is bounded by O(sqrt(edges)) (arboricity argument) and
+# the wedge set the final join probes is the minimum possible. Wedge pairs
+# come from the same in-array expansion as basket_part_pairs — no
+# self-join, so no exchange is duplicated. The probe join on the canonical
+# (u, v) edge key is an equi-join AQE can skew-split. The oracle chains
+# id-ordered edges (a<b<c) instead — a different enumeration of the SAME
+# triangle set, so the counts agree exactly.
+# ---------------------------------------------------------------------------
+@register(
+    "graph_triangle_stats",
+    oracle="""
+        WITH items AS (
+            SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+        ),
+        edges AS (
+            SELECT a.l_partkey AS u, b.l_partkey AS v
+            FROM items a
+            JOIN items b ON a.l_orderkey = b.l_orderkey
+                        AND a.l_partkey < b.l_partkey
+            GROUP BY 1, 2
+        ),
+        deg AS (
+            SELECT node, CAST(COUNT(*) AS BIGINT) AS d
+            FROM (SELECT u AS node FROM edges
+                  UNION ALL SELECT v AS node FROM edges)
+            GROUP BY node
+        ),
+        tri AS (
+            SELECT COUNT(*) AS n_triangles
+            FROM edges e1
+            JOIN edges e2 ON e2.u = e1.v
+            JOIN edges e3 ON e3.u = e1.u AND e3.v = e2.v
+        )
+        SELECT CAST((SELECT COUNT(*) FROM deg) AS BIGINT)            AS n_nodes,
+               CAST((SELECT COUNT(*) FROM edges) AS BIGINT)          AS n_edges,
+               CAST((SELECT SUM(d * (d - 1) // 2) FROM deg) AS BIGINT) AS n_wedges,
+               CAST((SELECT n_triangles FROM tri) AS BIGINT)         AS n_triangles,
+               ROUND(((SELECT n_triangles FROM tri) * 3.0
+                      / (SELECT SUM(d * (d - 1) // 2) FROM deg)) * 1000000.0)
+                   / 1000000.0 AS global_cc
+    """,
+    tags=("graph", "triangles", "lineitem"),
+)
+def graph_triangle_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    baskets = (
+        load_table(spark, sf_dir, "lineitem")
+        .groupBy("l_orderkey")
+        .agg(F.array_sort(F.collect_set("l_partkey")).alias("parts"))
+    )
+    pair_expand = F.flatten(
+        F.transform(
+            F.col("parts"),
+            lambda x, i: F.transform(
+                F.slice(F.col("parts"), i + 2, F.size(F.col("parts"))),
+                lambda y: F.struct(x.alias("u"), y.alias("v")),
+            ),
+        )
+    )
+    edges = (
+        baskets.select(F.explode(pair_expand).alias("p"))
+        .select(F.col("p.u").alias("u"), F.col("p.v").alias("v"))
+        .distinct()
+    )
+    deg = (
+        edges.select(F.col("u").alias("node"))
+        .unionByName(edges.select(F.col("v").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("d"))
+    )
+    # Orient each edge from the lower-(degree, id) endpoint outward.
+    du = deg.select(F.col("node").alias("u"), F.col("d").alias("du"))
+    dv = deg.select(F.col("node").alias("v"), F.col("d").alias("dv"))
+    lower_first = (F.col("du") < F.col("dv")) | (
+        (F.col("du") == F.col("dv")) & (F.col("u") < F.col("v"))
+    )
+    oriented = (
+        edges.join(du, "u")
+        .join(dv, "v")
+        .select(
+            F.when(lower_first, F.col("u")).otherwise(F.col("v")).alias("src"),
+            F.when(lower_first, F.col("v")).otherwise(F.col("u")).alias("dst"),
+        )
+    )
+    # Out-neighbor pair expansion (no self-join) -> canonical probe keys.
+    wedges = (
+        oriented.groupBy("src")
+        .agg(F.array_sort(F.collect_set("dst")).alias("outs"))
+        .select(
+            F.explode(
+                F.flatten(
+                    F.transform(
+                        F.col("outs"),
+                        lambda x, i: F.transform(
+                            F.slice(F.col("outs"), i + 2, F.size(F.col("outs"))),
+                            lambda y: F.struct(x.alias("u"), y.alias("v")),
+                        ),
+                    )
+                )
+            ).alias("w")
+        )
+        .select(F.col("w.u").alias("u"), F.col("w.v").alias("v"))
+    )
+    tri = wedges.join(edges, ["u", "v"]).agg(
+        F.count(F.lit(1)).alias("n_triangles")
+    )
+    stats = deg.agg(
+        F.count(F.lit(1)).alias("n_nodes"),
+        F.sum(
+            (F.col("d") * (F.col("d") - 1) / 2).cast("long")
+        ).alias("n_wedges"),
+    )
+    n_edges = edges.agg(F.count(F.lit(1)).alias("n_edges"))
+    return (
+        stats.crossJoin(F.broadcast(n_edges))
+        .crossJoin(F.broadcast(tri))
+        .select(
+            "n_nodes",
+            "n_edges",
+            "n_wedges",
+            "n_triangles",
+            pround(
+                F.col("n_triangles") * 3.0 / F.col("n_wedges"), 6
+            ).alias("global_cc"),
+        )
+    )
