@@ -27,6 +27,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from kafka_stream_job_spark.operators._portable import pround
 from kafka_stream_job_spark.operators.dedup import _SHINGLES_SQL, _shingles
 from kafka_stream_job_spark.operators.text import EVAL_PCT
 from kafka_stream_job_spark.registry import register
@@ -259,4 +260,169 @@ def corpus_mix_rebalance(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "tokens_after"
             ),
         )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Jensen-Shannon divergence between per-source token distributions — the
+# distribution-drift monitor a corpus-mixing pipeline runs before and after
+# rebalancing (pairs with high JS are the sources whose mixture weights
+# actually change the token distribution; JS ~ 0 pairs are interchangeable).
+#
+# Portability: per-source token counts are exact integers; every
+# probability/log term is one fixed IEEE expression written identically in
+# both engines; the per-pair sum folds over the token-sorted term list
+# (collect_list -> array_sort vs list(ORDER BY) -> list_reduce), so the
+# summation order is pinned and the double result is bit-identical
+# (text_token_entropy pattern; see memory/spark-graft-gotchas).
+#
+# Scale shape (100 TB): counts/totals are partial-agg groupBys; the spine
+# (source pair x vocab) joins counts on the token key — declarative
+# shuffle joins Catalyst plans; nothing is collected. The pair and token
+# spine itself derives from two one-row collect_set aggregates expanded by
+# explode — no cartesian node. Pairs grow as |sources|^2 — sources are a
+# bounded catalog (tens to hundreds), tokens are the unbounded axis and
+# only ever flow through hash joins/aggs.
+# ---------------------------------------------------------------------------
+_JS_P_A = "(ca * 1.0 / na)"
+_JS_P_B = "(cb * 1.0 / nb)"
+_JS_M = f"(({_JS_P_A} + {_JS_P_B}) / 2.0)"
+
+
+@register(
+    "corpus_js_divergence",
+    oracle=rf"""
+        WITH toks AS (
+            SELECT source,
+                   unnest(string_split_regex(TRIM(text), '\s+')) AS token
+            FROM documents
+        ),
+        counts AS (
+            SELECT source, token, CAST(COUNT(*) AS BIGINT) AS c
+            FROM toks GROUP BY 1, 2
+        ),
+        totals AS (
+            SELECT source, CAST(SUM(c) AS BIGINT) AS n FROM counts GROUP BY 1
+        ),
+        vocab AS (SELECT DISTINCT token FROM counts),
+        srcs AS (SELECT DISTINCT source FROM counts),
+        spine AS (
+            SELECT a.source AS source_a, b.source AS source_b, v.token
+            FROM srcs a
+            JOIN srcs b ON a.source < b.source
+            CROSS JOIN vocab v
+        ),
+        terms AS (
+            SELECT s.source_a, s.source_b, s.token,
+                   COALESCE(ca.c, 0) AS ca, COALESCE(cb.c, 0) AS cb,
+                   ta.n AS na, tb.n AS nb
+            FROM spine s
+            LEFT JOIN counts ca ON ca.source = s.source_a AND ca.token = s.token
+            LEFT JOIN counts cb ON cb.source = s.source_b AND cb.token = s.token
+            JOIN totals ta ON ta.source = s.source_a
+            JOIN totals tb ON tb.source = s.source_b
+        ),
+        vals AS (
+            SELECT source_a, source_b, token,
+                   (CASE WHEN ca > 0
+                         THEN {_JS_P_A} * ln({_JS_P_A} / {_JS_M})
+                         ELSE 0.0 END
+                  + CASE WHEN cb > 0
+                         THEN {_JS_P_B} * ln({_JS_P_B} / {_JS_M})
+                         ELSE 0.0 END) AS term
+            FROM terms
+        )
+        SELECT source_a, source_b,
+               ROUND((0.5 * list_reduce(
+                   list_prepend(0.0, list(term ORDER BY token)),
+                   (acc, x) -> acc + x)) * 1000000.0) / 1000000.0 AS js_div
+        FROM vals
+        GROUP BY source_a, source_b
+    """,
+    tags=("pipeline", "monitoring", "documents"),
+)
+def corpus_js_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "source", F.explode(F.split(F.trim(F.col("text")), r"\s+")).alias("token")
+    )
+    counts = toks.groupBy("source", "token").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    totals = counts.groupBy("source").agg(F.sum("c").alias("n"))
+    # pair x vocab spine from two one-row set aggregates — no join nodes
+    sets = counts.agg(
+        F.array_sort(F.collect_set("source")).alias("srcs"),
+        F.array_sort(F.collect_set("token")).alias("vocab"),
+    )
+    pair_expand = F.flatten(
+        F.transform(
+            F.col("srcs"),
+            lambda x, i: F.transform(
+                F.slice(F.col("srcs"), i + 2, F.size(F.col("srcs"))),
+                lambda y: F.struct(x.alias("a"), y.alias("b")),
+            ),
+        )
+    )
+    spine = (
+        sets.select(F.explode(pair_expand).alias("p"), "vocab")
+        .select(
+            F.col("p.a").alias("source_a"),
+            F.col("p.b").alias("source_b"),
+            F.explode(F.col("vocab")).alias("token"),
+        )
+    )
+    ca = counts.select(
+        F.col("source").alias("source_a"),
+        "token",
+        F.col("c").alias("_ca"),
+    )
+    cb = counts.select(
+        F.col("source").alias("source_b"),
+        "token",
+        F.col("c").alias("_cb"),
+    )
+    ta = totals.select(F.col("source").alias("source_a"), F.col("n").alias("na"))
+    tb = totals.select(F.col("source").alias("source_b"), F.col("n").alias("nb"))
+    terms = (
+        spine.join(ca, ["source_a", "token"], "left")
+        .join(cb, ["source_b", "token"], "left")
+        .join(ta, "source_a")
+        .join(tb, "source_b")
+        .select(
+            "source_a",
+            "source_b",
+            "token",
+            F.coalesce(F.col("_ca"), F.lit(0)).alias("ca"),
+            F.coalesce(F.col("_cb"), F.lit(0)).alias("cb"),
+            "na",
+            "nb",
+        )
+    )
+    pa = F.col("ca") * 1.0 / F.col("na")
+    pb = F.col("cb") * 1.0 / F.col("nb")
+    m = (pa + pb) / 2.0
+    term = F.when(F.col("ca") > 0, pa * F.log(pa / m)).otherwise(0.0) + F.when(
+        F.col("cb") > 0, pb * F.log(pb / m)
+    ).otherwise(0.0)
+    folded = (
+        terms.select("source_a", "source_b", "token", term.alias("term"))
+        .groupBy("source_a", "source_b")
+        .agg(
+            F.aggregate(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct("token", "term"))
+                    ),
+                    lambda s: s["term"],
+                ),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            ).alias("js_raw")
+        )
+    )
+    return folded.select(
+        "source_a",
+        "source_b",
+        pround(F.lit(0.5) * F.col("js_raw"), 6).alias("js_div"),
     )
