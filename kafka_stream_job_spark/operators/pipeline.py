@@ -426,3 +426,62 @@ def corpus_js_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
         "source_b",
         pround(F.lit(0.5) * F.col("js_raw"), 6).alias("js_div"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Weighted sample without replacement (Efraimidis–Spirakis): each document
+# draws an exponential key  -ln(u)/w  from a HASH-derived uniform u (not a
+# RNG), and the SAMPLE_K smallest keys win — exact weighted-without-
+# replacement semantics, fully deterministic and reproducible from the
+# seed string alone. This is the length-weighted document sampler an LLM
+# corpus build uses when "sample 1M docs proportional to token count" must
+# be replayable across runs and engines.
+#
+# Scale shape (100 TB): a global top-k, which Spark executes as
+# TakeOrderedAndProject — per-partition top-k then a k·P-row driver merge;
+# no global sort, no shuffle of the corpus. Portability: u is an exact
+# integer-hash ratio, and ln() is bit-identical across engines on this
+# data (see memory/spark-graft-gotchas); pround(9) on the emitted key.
+# ---------------------------------------------------------------------------
+SAMPLE_K = 100
+_ES_SEED = "es-sample:"
+_ES_DENOM = float((1 << 28) + 1)
+
+
+@register(
+    "weighted_sample_docs",
+    oracle=f"""
+        SELECT doc_id, lang, n_chars,
+               ROUND((-ln((('0x' || substr(md5('{_ES_SEED}' || CAST(doc_id AS VARCHAR)), 1, 7))::BIGINT + 1)
+                          / {_ES_DENOM})
+                      / n_chars) * 1000000000.0) / 1000000000.0 AS es_key
+        FROM documents
+        WHERE n_chars > 0
+        ORDER BY -ln((('0x' || substr(md5('{_ES_SEED}' || CAST(doc_id AS VARCHAR)), 1, 7))::BIGINT + 1)
+                     / {_ES_DENOM}) / n_chars ASC,
+                 doc_id ASC
+        LIMIT {SAMPLE_K}
+    """,
+    tags=("sampling", "pipeline", "documents"),
+)
+def weighted_sample_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("n_chars") > 0)
+    u = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit(_ES_SEED), F.col("doc_id").cast("string"))),
+                1,
+                7,
+            ),
+            16,
+            10,
+        ).cast("long")
+        + F.lit(1)
+    ) / F.lit(_ES_DENOM)
+    es_key = -F.log(u) / F.col("n_chars")
+    return (
+        docs.select("doc_id", "lang", "n_chars", es_key.alias("_k"))
+        .orderBy(F.col("_k").asc(), F.col("doc_id").asc())
+        .limit(SAMPLE_K)
+        .select("doc_id", "lang", "n_chars", pround(F.col("_k"), 9).alias("es_key"))
+    )
