@@ -3165,3 +3165,104 @@ def graph_triangle_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("global_cc"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Z-order (Morton) layout statistics — the multi-dimensional clustering a
+# 100 TB table uses so min/max file stats prune scans on BOTH join keys
+# (Delta OPTIMIZE ZORDER / Iceberg sort-order equivalent, computed
+# declaratively). Each row's (l_partkey, l_suppkey) is normalized to 16
+# bits, bit-interleaved into a 32-bit Morton code, and assigned to one of
+# ZORDER_BUCKETS contiguous z-ranges ("files"); the output manifest
+# reports per-bucket min/max/span of each ORIGINAL key — the exact numbers
+# a scan planner would prune with. Spans shrink on both dimensions
+# simultaneously, which a single-key sort cannot do.
+#
+# Scale shape: the z-value is a narrow per-row expression (no shuffle);
+# the manifest is one partial-agg groupBy on the bucket id. Writing the
+# layout would be repartitionByRange(z) — same expression, same plan
+# class. All arithmetic is integer/exact-double (x*65536.0 <= 2^38 is
+# exact; floor of an identical IEEE quotient), so the oracle matches
+# bit-for-bit.
+# ---------------------------------------------------------------------------
+ZORDER_BITS = 16
+ZORDER_BUCKETS = 64
+
+
+def _zorder_sql() -> str:
+    xi = "CAST(FLOOR(l_partkey * 65536.0 / (mx.max_part + 1)) AS BIGINT)"
+    yi = "CAST(FLOOR(l_suppkey * 65536.0 / (mx.max_supp + 1)) AS BIGINT)"
+    z = " + ".join(
+        f"(({xi} >> {b}) & 1) * {4 ** b} + (({yi} >> {b}) & 1) * {2 * 4 ** b}"
+        for b in range(ZORDER_BITS)
+    )
+    return f"""
+        WITH mx AS (
+            SELECT MAX(l_partkey) AS max_part, MAX(l_suppkey) AS max_supp
+            FROM lineitem
+        ),
+        coded AS (
+            SELECT l_partkey, l_suppkey,
+                   CAST(FLOOR(({z}) * {ZORDER_BUCKETS}.0 / 4294967296.0) AS BIGINT)
+                       AS bucket
+            FROM lineitem, mx
+        )
+        SELECT bucket,
+               CAST(COUNT(*) AS BIGINT)        AS n_rows,
+               MIN(l_partkey)                  AS min_part,
+               MAX(l_partkey)                  AS max_part,
+               MAX(l_partkey) - MIN(l_partkey) AS part_span,
+               MIN(l_suppkey)                  AS min_supp,
+               MAX(l_suppkey)                  AS max_supp,
+               MAX(l_suppkey) - MIN(l_suppkey) AS supp_span
+        FROM coded
+        GROUP BY bucket
+    """
+
+
+@register(
+    "zorder_layout_stats",
+    oracle=_zorder_sql(),
+    tags=("layout", "zorder", "lineitem"),
+)
+def zorder_layout_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey")
+    mx = li.agg(
+        F.max("l_partkey").alias("max_part"), F.max("l_suppkey").alias("max_supp")
+    )
+    coded = li.crossJoin(F.broadcast(mx))
+    xi = F.floor(
+        F.col("l_partkey") * 65536.0 / (F.col("max_part") + 1)
+    ).cast("long")
+    yi = F.floor(
+        F.col("l_suppkey") * 65536.0 / (F.col("max_supp") + 1)
+    ).cast("long")
+    # interleave via an explode(array(..)) barrier so the normalized ints
+    # are computed once, not once per bit term (CollapseProject)
+    staged = coded.select(
+        "l_partkey",
+        "l_suppkey",
+        F.explode(F.array(F.struct(xi.alias("xi"), yi.alias("yi")))).alias("n"),
+    )
+    z = sum(
+        (
+            F.shiftright(F.col("n.xi"), b).bitwiseAND(F.lit(1)) * F.lit(4**b)
+            + F.shiftright(F.col("n.yi"), b).bitwiseAND(F.lit(1))
+            * F.lit(2 * 4**b)
+        )
+        for b in range(ZORDER_BITS)
+    )
+    bucket = F.floor(z * float(ZORDER_BUCKETS) / 4294967296.0).cast("long")
+    return (
+        staged.select("l_partkey", "l_suppkey", bucket.alias("bucket"))
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.min("l_partkey").alias("min_part"),
+            F.max("l_partkey").alias("max_part"),
+            (F.max("l_partkey") - F.min("l_partkey")).alias("part_span"),
+            F.min("l_suppkey").alias("min_supp"),
+            F.max("l_suppkey").alias("max_supp"),
+            (F.max("l_suppkey") - F.min("l_suppkey")).alias("supp_span"),
+        )
+    )
