@@ -3266,3 +3266,129 @@ def zorder_layout_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.max("l_suppkey") - F.min("l_suppkey")).alias("supp_span"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Data-quality audit — the Deequ-style constraint gate a pipeline runs
+# before promoting a snapshot to training: null checks, range checks,
+# uniqueness, referential integrity (anti-join), and a cross-table
+# temporal-order rule, all in one manifest (check_name, n_checked,
+# n_violations). Each check is an independent declarative agg/anti-join —
+# partial aggregation map-side, FK probes as hash joins AQE can re-plan;
+# nothing is collected. At 100 TB the audits share table scans via the
+# same cached bronze read; kept as separate subplans here so each check's
+# plan stays independently inspectable.
+# ---------------------------------------------------------------------------
+@register(
+    "data_quality_audit",
+    oracle="""
+        SELECT 'orders_null_custkey' AS check_name,
+               CAST((SELECT COUNT(*) FROM orders) AS BIGINT) AS n_checked,
+               CAST((SELECT COUNT(*) FROM orders WHERE o_custkey IS NULL) AS BIGINT)
+                   AS n_violations
+        UNION ALL
+        SELECT 'orders_nonpositive_totalprice',
+               CAST((SELECT COUNT(*) FROM orders) AS BIGINT),
+               CAST((SELECT COUNT(*) FROM orders WHERE o_totalprice <= 0) AS BIGINT)
+        UNION ALL
+        SELECT 'orders_duplicate_orderkey',
+               CAST((SELECT COUNT(*) FROM orders) AS BIGINT),
+               CAST((SELECT COUNT(*) - COUNT(DISTINCT o_orderkey) FROM orders) AS BIGINT)
+        UNION ALL
+        SELECT 'orders_fk_customer',
+               CAST((SELECT COUNT(*) FROM orders) AS BIGINT),
+               CAST((SELECT COUNT(*) FROM orders o
+                     WHERE NOT EXISTS (SELECT 1 FROM customer c
+                                       WHERE c.c_custkey = o.o_custkey)) AS BIGINT)
+        UNION ALL
+        SELECT 'lineitem_fk_orders',
+               CAST((SELECT COUNT(*) FROM lineitem) AS BIGINT),
+               CAST((SELECT COUNT(*) FROM lineitem l
+                     WHERE NOT EXISTS (SELECT 1 FROM orders o
+                                       WHERE o.o_orderkey = l.l_orderkey)) AS BIGINT)
+        UNION ALL
+        SELECT 'lineitem_quantity_range',
+               CAST((SELECT COUNT(*) FROM lineitem) AS BIGINT),
+               CAST((SELECT COUNT(*) FROM lineitem
+                     WHERE l_quantity < 1 OR l_quantity > 50) AS BIGINT)
+        UNION ALL
+        SELECT 'lineitem_ship_before_order',
+               CAST((SELECT COUNT(*) FROM lineitem) AS BIGINT),
+               CAST((SELECT COUNT(*) FROM lineitem l
+                     JOIN orders o ON o.o_orderkey = l.l_orderkey
+                     WHERE l.l_shipdate < o.o_orderdate) AS BIGINT)
+        UNION ALL
+        SELECT 'customer_null_name',
+               CAST((SELECT COUNT(*) FROM customer) AS BIGINT),
+               CAST((SELECT COUNT(*) FROM customer WHERE c_name IS NULL) AS BIGINT)
+    """,
+    tags=("quality", "audit", "orders", "lineitem", "customer"),
+)
+def data_quality_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    customer = load_table(spark, sf_dir, "customer")
+
+    def check(name: str, checked_df: DataFrame, violations_df: DataFrame) -> DataFrame:
+        n_checked = checked_df.agg(F.count(F.lit(1)).alias("n_checked"))
+        n_viol = violations_df.agg(F.count(F.lit(1)).alias("n_violations"))
+        return (
+            n_checked.crossJoin(F.broadcast(n_viol))
+            .select(
+                F.lit(name).alias("check_name"), "n_checked", "n_violations"
+            )
+        )
+
+    dup = orders.agg(
+        F.count(F.lit(1)).alias("n_checked"),
+        (F.count(F.lit(1)) - F.countDistinct("o_orderkey")).alias("n_violations"),
+    ).select(F.lit("orders_duplicate_orderkey").alias("check_name"), "n_checked", "n_violations")
+
+    checks = [
+        check(
+            "orders_null_custkey",
+            orders,
+            orders.filter(F.col("o_custkey").isNull()),
+        ),
+        check(
+            "orders_nonpositive_totalprice",
+            orders,
+            orders.filter(F.col("o_totalprice") <= 0),
+        ),
+        dup,
+        check(
+            "orders_fk_customer",
+            orders,
+            orders.join(
+                customer, orders.o_custkey == customer.c_custkey, "left_anti"
+            ),
+        ),
+        check(
+            "lineitem_fk_orders",
+            lineitem,
+            lineitem.join(
+                orders, lineitem.l_orderkey == orders.o_orderkey, "left_anti"
+            ),
+        ),
+        check(
+            "lineitem_quantity_range",
+            lineitem,
+            lineitem.filter((F.col("l_quantity") < 1) | (F.col("l_quantity") > 50)),
+        ),
+        check(
+            "lineitem_ship_before_order",
+            lineitem,
+            lineitem.join(
+                orders, lineitem.l_orderkey == orders.o_orderkey
+            ).filter(F.col("l_shipdate") < F.col("o_orderdate")),
+        ),
+        check(
+            "customer_null_name",
+            customer,
+            customer.filter(F.col("c_name").isNull()),
+        ),
+    ]
+    out = checks[0]
+    for c in checks[1:]:
+        out = out.unionByName(c)
+    return out
