@@ -3392,3 +3392,72 @@ def data_quality_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     for c in checks[1:]:
         out = out.unionByName(c)
     return out
+
+
+# ---------------------------------------------------------------------------
+# Pareto frontier (skyline): suppliers not dominated on
+# (revenue, customers-served) — "show me the suppliers where no other
+# supplier is at least as good on both axes and better on one".
+#
+# No dominance self-join: for 2 maximized metrics the frontier falls out
+# of one sweep — sort by (m1 DESC, m2 DESC), keep a row iff its m2 beats
+# the running max of all better-m1 rows. That is a window cummax, so the
+# whole operator is agg + one window pass. At 100 TB the same sweep runs
+# per-partition first (a locally dominated point is globally dominated —
+# safe prefilter), leaving a tiny merge set for the global pass; the agg
+# input is the fact table, the window input is only |suppliers| rows.
+# Revenue is summed as integer cents (exact, order-free — the portable
+# pattern from memory/spark-graft-gotchas), so ties and comparisons are
+# engine-identical.
+# ---------------------------------------------------------------------------
+@register(
+    "supplier_pareto_frontier",
+    oracle="""
+        WITH m AS (
+            SELECT l.l_suppkey AS suppkey,
+                   CAST(SUM(CAST(ROUND(l.l_extendedprice * (1 - l.l_discount) * 100.0)
+                            AS BIGINT)) AS BIGINT) AS revenue_cents,
+                   CAST(COUNT(DISTINCT o.o_custkey) AS BIGINT) AS n_customers
+            FROM lineitem l
+            JOIN orders o ON o.o_orderkey = l.l_orderkey
+            GROUP BY l.l_suppkey
+        ),
+        swept AS (
+            SELECT suppkey, revenue_cents, n_customers,
+                   MAX(n_customers) OVER (
+                       ORDER BY revenue_cents DESC, n_customers DESC, suppkey
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                   ) AS best_prior
+            FROM m
+        )
+        SELECT suppkey, revenue_cents, n_customers
+        FROM swept
+        WHERE best_prior IS NULL OR n_customers > best_prior
+    """,
+    tags=("skyline", "window", "lineitem", "orders"),
+)
+def supplier_pareto_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    cents = F.round(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100.0, 0
+    ).cast("long")
+    m = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .groupBy(F.col("l_suppkey").alias("suppkey"))
+        .agg(
+            F.sum(cents).alias("revenue_cents"),
+            F.countDistinct("o_custkey").alias("n_customers"),
+        )
+    )
+    w = (
+        Window.orderBy(
+            F.col("revenue_cents").desc(),
+            F.col("n_customers").desc(),
+            F.col("suppkey"),
+        ).rowsBetween(Window.unboundedPreceding, -1)
+    )
+    swept = m.withColumn("best_prior", F.max("n_customers").over(w))
+    return swept.filter(
+        F.col("best_prior").isNull() | (F.col("n_customers") > F.col("best_prior"))
+    ).select("suppkey", "revenue_cents", "n_customers")
