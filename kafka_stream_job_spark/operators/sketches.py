@@ -32,6 +32,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from kafka_stream_job_spark.operators._portable import pround
 from kafka_stream_job_spark.registry import register
 from kafka_stream_job_spark.tables import load_table
 
@@ -102,4 +103,120 @@ def heavy_hitter_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
         exact.crossJoin(F.broadcast(total))
         .filter(F.col("n_occurrences") * HH_FRACTION > F.col("total"))
         .select("token", "n_occurrences")
+    )
+
+
+# ---------------------------------------------------------------------------
+# HyperLogLog from first principles — portable and exactly oracle-checkable
+# because the "randomness" is an md5-derived hash, not a RNG, and the
+# estimator avoids pow(): register j's contribution 2^-M_j is computed as
+# 1.0/(1 << M_j) (exact integer shift, exact double division), the
+# harmonic sum folds in register order (pinned), and the small-range
+# correction 256·ln(256/V) uses the ln both engines agree on bit-for-bit.
+# The driver data exercises BOTH branches: sf0.01 (150 users) takes the
+# linear-counting correction, sf0.1 (1500 users) the raw estimate.
+#
+# Scale shape (100 TB): per-row work is a narrow hash expression; the only
+# shuffle is groupBy(register) over 256 keys after map-side partial max —
+# the sketch state crossing the network is <= 256 rows per partition,
+# independent of N. This is the streaming-mergeable twin of the exact
+# countDistinct the same query emits for comparison.
+# ---------------------------------------------------------------------------
+HLL_M = 256  # registers (2^8); 28-bit hash = 8 register bits + 20 rank bits
+
+
+@register(
+    "hll_distinct_users",
+    oracle=f"""
+        WITH h AS (
+            SELECT ('0x' || substr(md5('hll:' || CAST(user_id AS VARCHAR)), 1, 7))::BIGINT
+                       AS hv
+            FROM events
+        ),
+        regs AS (
+            SELECT hv % {HLL_M} AS register,
+                   MAX(CASE WHEN hv // {HLL_M} = 0 THEN 21
+                            ELSE 21 - LENGTH(bin(hv // {HLL_M})) END) AS m_rank
+            FROM h
+            GROUP BY hv % {HLL_M}
+        ),
+        folded AS (
+            SELECT COUNT(*) AS n_present,
+                   list_reduce(
+                       list_prepend(0.0,
+                           list(1.0 / (1 << m_rank) ORDER BY register)),
+                       (acc, x) -> acc + x) AS present_sum
+            FROM regs
+        ),
+        est AS (
+            SELECT n_present,
+                   (0.7213 / (1.0 + 1.079 / {HLL_M}.0)) * {HLL_M}.0 * {HLL_M}.0
+                       / (present_sum + ({HLL_M} - n_present) * 1.0) AS raw_e
+            FROM folded
+        )
+        SELECT CAST((SELECT COUNT(DISTINCT user_id) FROM events) AS BIGINT)
+                   AS n_exact,
+               CAST(n_present AS BIGINT) AS n_registers_hit,
+               ROUND((CASE WHEN raw_e <= 2.5 * {HLL_M}.0 AND n_present < {HLL_M}
+                           THEN {HLL_M}.0 * ln({HLL_M}.0 / ({HLL_M} - n_present))
+                           ELSE raw_e END) * 1000000.0) / 1000000.0
+                   AS hll_estimate
+        FROM est
+    """,
+    tags=("sketch", "hll", "events"),
+)
+def hll_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    hv = F.conv(
+        F.substring(
+            F.md5(F.concat(F.lit("hll:"), F.col("user_id").cast("string"))), 1, 7
+        ),
+        16,
+        10,
+    ).cast("long")
+    staged = events.select(
+        F.explode(F.array(hv)).alias("hv")  # Generate barrier: hash once
+    ).select(
+        (F.col("hv") % HLL_M).alias("register"),
+        (F.col("hv") / F.lit(HLL_M)).cast("long").alias("w"),
+    )
+    m_rank = F.when(F.col("w") == 0, F.lit(21)).otherwise(
+        F.lit(21) - F.length(F.bin(F.col("w")))
+    )
+    regs = (
+        staged.select("register", m_rank.alias("m_rank"))
+        .groupBy("register")
+        .agg(F.max("m_rank").alias("m_rank"))
+        .select("register", F.expr("1.0 / shiftleft(1, m_rank)").alias("contrib"))
+    )
+    folded = regs.agg(
+        F.count(F.lit(1)).alias("n_present"),
+        F.aggregate(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("register", "contrib"))),
+                lambda s: s["contrib"],
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        ).alias("present_sum"),
+    )
+    m = float(HLL_M)
+    raw_e = (
+        (F.lit(0.7213) / (F.lit(1.0) + F.lit(1.079) / F.lit(m)))
+        * F.lit(m)
+        * F.lit(m)
+        / (F.col("present_sum") + (F.lit(HLL_M) - F.col("n_present")) * F.lit(1.0))
+    )
+    corrected = F.when(
+        (raw_e <= 2.5 * m) & (F.col("n_present") < HLL_M),
+        F.lit(m) * F.log(F.lit(m) / (F.lit(HLL_M) - F.col("n_present"))),
+    ).otherwise(raw_e)
+    exact = events.agg(F.countDistinct("user_id").alias("n_exact"))
+    return (
+        exact.crossJoin(F.broadcast(folded))
+        .select(
+            "n_exact",
+            F.col("n_present").alias("n_registers_hit"),
+            pround(corrected, 6).alias("hll_estimate"),
+        )
     )
