@@ -3461,3 +3461,85 @@ def supplier_pareto_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
     return swept.filter(
         F.col("best_prior").isNull() | (F.col("n_customers") > F.col("best_prior"))
     ).select("suppkey", "revenue_cents", "n_customers")
+
+
+# ---------------------------------------------------------------------------
+# OLS revenue trend — slope/intercept/R² of daily order revenue against
+# time, from MANUAL moments: COUNT, Σx, Σy, Σxy, Σx², Σy² over
+# integer-valued inputs (x = epoch day, y = whole-currency daily revenue),
+# then one fixed IEEE expression for the closed form. Built-in regr_* /
+# corr aggregates are NOT engine-portable (Welford vs naive); exact
+# integer sums + identical final arithmetic are (the
+# stats_qty_price_corr pattern). Moments are promoted to double BEFORE
+# the n·Sxy-style products so nothing overflows BIGINT.
+# Scale: two partial-agg groupBys (day rollup, then a 6-number global
+# moment agg) — no window, no sort, no collect.
+# ---------------------------------------------------------------------------
+@register(
+    "revenue_trend_ols",
+    oracle="""
+        WITH daily AS (
+            -- per-row integer cents summed exactly, then one deterministic
+            -- cents->whole-units round (x/100.0 hits representable halves,
+            -- which both engines round away from zero identically)
+            SELECT CAST(datediff('day', DATE '1992-01-01', o_orderdate) AS BIGINT) AS x,
+                   CAST(ROUND(SUM(CAST(ROUND(o_totalprice * 100.0) AS BIGINT)) / 100.0)
+                        AS BIGINT) AS y
+            FROM orders
+            GROUP BY o_orderdate
+        ),
+        m AS (
+            SELECT CAST(COUNT(*) AS BIGINT) AS n,
+                   CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+                   CAST(SUM(x * y) AS BIGINT) AS sxy,
+                   CAST(SUM(x * x) AS BIGINT) AS sxx,
+                   CAST(SUM(y * y) AS BIGINT) AS syy
+            FROM daily
+        )
+        SELECT n,
+               ROUND(((n * 1.0 * sxy - sx * 1.0 * sy)
+                      / (n * 1.0 * sxx - sx * 1.0 * sx)) * 1000000.0)
+                   / 1000000.0 AS slope,
+               ROUND(((sy * 1.0 / n) - ((n * 1.0 * sxy - sx * 1.0 * sy)
+                      / (n * 1.0 * sxx - sx * 1.0 * sx)) * (sx * 1.0 / n))
+                      * 1000000.0) / 1000000.0 AS intercept,
+               ROUND((((n * 1.0 * sxy - sx * 1.0 * sy)
+                       * (n * 1.0 * sxy - sx * 1.0 * sy))
+                      / ((n * 1.0 * sxx - sx * 1.0 * sx)
+                         * (n * 1.0 * syy - sy * 1.0 * sy))) * 1000000.0)
+                   / 1000000.0 AS r2
+        FROM m
+    """,
+    tags=("stats", "regression", "orders"),
+)
+def revenue_trend_ols(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    cents = F.round(F.col("o_totalprice") * 100.0, 0).cast("long")
+    daily = orders.groupBy("o_orderdate").agg(
+        F.round(F.sum(cents) / 100.0, 0).cast("long").alias("y")
+    ).select(
+        F.datediff(F.col("o_orderdate"), F.lit("1992-01-01").cast("date"))
+        .cast("long")
+        .alias("x"),
+        "y",
+    )
+    m = daily.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+    )
+    n, sx, sy = F.col("n"), F.col("sx"), F.col("sy")
+    sxy, sxx, syy = F.col("sxy"), F.col("sxx"), F.col("syy")
+    cov_n = n * 1.0 * sxy - sx * 1.0 * sy
+    var_x = n * 1.0 * sxx - sx * 1.0 * sx
+    var_y = n * 1.0 * syy - sy * 1.0 * sy
+    slope = cov_n / var_x
+    return m.select(
+        "n",
+        pround(slope, 6).alias("slope"),
+        pround((sy * 1.0 / n) - slope * (sx * 1.0 / n), 6).alias("intercept"),
+        pround((cov_n * cov_n) / (var_x * var_y), 6).alias("r2"),
+    )

@@ -220,3 +220,142 @@ def hll_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
             pround(corrected, 6).alias("hll_estimate"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# HLL mergeability — the property that makes the sketch a 100 TB tool:
+# per-event-type register vectors are built independently (one partial-agg
+# groupBy), and the ALL-types estimate is derived by MERGING those
+# register maxima — never rescanning the events. That is exactly how
+# per-partition / per-day HLL states combine on a cluster or in a
+# streaming foreachBatch. Output: one row per event_type plus the merged
+# '__union__' row, each with the exact distinct count beside the estimate.
+# Same portable construction as hll_distinct_users.
+# ---------------------------------------------------------------------------
+_HLL_EST_SQL = f"""
+    ROUND((CASE WHEN (0.7213 / (1.0 + 1.079 / {HLL_M}.0)) * {HLL_M}.0 * {HLL_M}.0
+                     / (present_sum + ({HLL_M} - n_present) * 1.0)
+                     <= 2.5 * {HLL_M}.0 AND n_present < {HLL_M}
+                THEN {HLL_M}.0 * ln({HLL_M}.0 / ({HLL_M} - n_present))
+                ELSE (0.7213 / (1.0 + 1.079 / {HLL_M}.0)) * {HLL_M}.0 * {HLL_M}.0
+                     / (present_sum + ({HLL_M} - n_present) * 1.0) END)
+          * 1000000.0) / 1000000.0
+"""
+
+
+@register(
+    "hll_merge_event_types",
+    oracle=f"""
+        WITH h AS (
+            SELECT event_type, user_id,
+                   ('0x' || substr(md5('hll:' || CAST(user_id AS VARCHAR)), 1, 7))::BIGINT
+                       AS hv
+            FROM events
+        ),
+        regs AS (
+            SELECT event_type, hv % {HLL_M} AS register,
+                   MAX(CASE WHEN hv // {HLL_M} = 0 THEN 21
+                            ELSE 21 - LENGTH(bin(hv // {HLL_M})) END) AS m_rank
+            FROM h
+            GROUP BY event_type, hv % {HLL_M}
+        ),
+        merged AS (
+            SELECT '__union__' AS event_type, register, MAX(m_rank) AS m_rank
+            FROM regs GROUP BY register
+        ),
+        allregs AS (
+            SELECT event_type, register, 1.0 / (1 << m_rank) AS contrib
+            FROM (SELECT * FROM regs UNION ALL SELECT * FROM merged)
+        ),
+        folded AS (
+            SELECT event_type, COUNT(*) AS n_present,
+                   list_reduce(
+                       list_prepend(0.0, list(contrib ORDER BY register)),
+                       (acc, x) -> acc + x) AS present_sum
+            FROM allregs GROUP BY event_type
+        ),
+        exact AS (
+            SELECT event_type, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_exact
+            FROM h GROUP BY event_type
+            UNION ALL
+            SELECT '__union__', CAST(COUNT(DISTINCT user_id) AS BIGINT) FROM h
+        )
+        SELECT f.event_type, e.n_exact,
+               CAST(f.n_present AS BIGINT) AS n_registers_hit,
+               {_HLL_EST_SQL} AS hll_estimate
+        FROM folded f JOIN exact e ON e.event_type = f.event_type
+    """,
+    tags=("sketch", "hll", "events"),
+)
+def hll_merge_event_types(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    hv = F.conv(
+        F.substring(
+            F.md5(F.concat(F.lit("hll:"), F.col("user_id").cast("string"))), 1, 7
+        ),
+        16,
+        10,
+    ).cast("long")
+    staged = events.select(
+        "event_type", "user_id", F.explode(F.array(hv)).alias("hv")
+    ).select(
+        "event_type",
+        "user_id",
+        (F.col("hv") % HLL_M).alias("register"),
+        (F.col("hv") / F.lit(HLL_M)).cast("long").alias("w"),
+    )
+    m_rank = F.when(F.col("w") == 0, F.lit(21)).otherwise(
+        F.lit(21) - F.length(F.bin(F.col("w")))
+    )
+    regs = (
+        staged.select("event_type", "register", m_rank.alias("m_rank"))
+        .groupBy("event_type", "register")
+        .agg(F.max("m_rank").alias("m_rank"))
+    )
+    merged = (
+        regs.groupBy("register")
+        .agg(F.max("m_rank").alias("m_rank"))
+        .select(F.lit("__union__").alias("event_type"), "register", "m_rank")
+    )
+    allregs = regs.unionByName(merged).select(
+        "event_type",
+        "register",
+        F.expr("1.0 / shiftleft(1, m_rank)").alias("contrib"),
+    )
+    folded = allregs.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_present"),
+        F.aggregate(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("register", "contrib"))),
+                lambda s: s["contrib"],
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        ).alias("present_sum"),
+    )
+    m = float(HLL_M)
+    raw_e = (
+        (F.lit(0.7213) / (F.lit(1.0) + F.lit(1.079) / F.lit(m)))
+        * F.lit(m)
+        * F.lit(m)
+        / (F.col("present_sum") + (F.lit(HLL_M) - F.col("n_present")) * F.lit(1.0))
+    )
+    corrected = F.when(
+        (raw_e <= 2.5 * m) & (F.col("n_present") < HLL_M),
+        F.lit(m) * F.log(F.lit(m) / (F.lit(HLL_M) - F.col("n_present"))),
+    ).otherwise(raw_e)
+    exact = (
+        events.groupBy("event_type")
+        .agg(F.countDistinct("user_id").alias("n_exact"))
+        .unionByName(
+            events.agg(F.countDistinct("user_id").alias("n_exact")).select(
+                F.lit("__union__").alias("event_type"), "n_exact"
+            )
+        )
+    )
+    return exact.join(folded, "event_type").select(
+        "event_type",
+        "n_exact",
+        F.col("n_present").alias("n_registers_hit"),
+        pround(corrected, 6).alias("hll_estimate"),
+    )
