@@ -125,6 +125,47 @@ def heavy_hitter_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
 HLL_M = 256  # registers (2^8); 28-bit hash = 8 register bits + 20 rank bits
 
 
+def hll_register_ranks(df: DataFrame, key_col: str) -> DataFrame:
+    """(register, m_rank) HLL state for the values of ``key_col`` — the
+    shared construction behind hll_distinct_users / hll_merge_event_types
+    and the streaming merge in streaming/hll.py. Map-side partial max
+    means at most HLL_M rows per partition reach the exchange."""
+    hv = F.conv(
+        F.substring(
+            F.md5(F.concat(F.lit("hll:"), F.col(key_col).cast("string"))), 1, 7
+        ),
+        16,
+        10,
+    ).cast("long")
+    staged = df.select(F.explode(F.array(hv)).alias("hv")).select(
+        (F.col("hv") % HLL_M).alias("register"),
+        (F.col("hv") / F.lit(HLL_M)).cast("long").alias("w"),
+    )
+    m_rank = F.when(F.col("w") == 0, F.lit(21)).otherwise(
+        F.lit(21) - F.length(F.bin(F.col("w")))
+    )
+    return (
+        staged.select("register", m_rank.alias("m_rank"))
+        .groupBy("register")
+        .agg(F.max("m_rank").alias("m_rank"))
+    )
+
+
+def hll_estimate_from_registers(ranks: dict[int, int], m: int = HLL_M) -> float:
+    """Driver-side estimator — the same IEEE arithmetic as the SQL/Spark
+    expression (raw harmonic estimate + linear-counting correction)."""
+    n_present = len(ranks)
+    present_sum = sum(1.0 / (1 << r) for _, r in sorted(ranks.items()))
+    raw_e = (0.7213 / (1.0 + 1.079 / float(m))) * m * m / (
+        present_sum + (m - n_present) * 1.0
+    )
+    import math
+
+    if raw_e <= 2.5 * m and n_present < m:
+        return m * math.log(float(m) / (m - n_present))
+    return raw_e
+
+
 @register(
     "hll_distinct_users",
     oracle=f"""
