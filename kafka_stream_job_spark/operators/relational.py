@@ -3543,3 +3543,125 @@ def revenue_trend_ols(spark: SparkSession, sf_dir: str) -> DataFrame:
         pround((sy * 1.0 / n) - slope * (sx * 1.0 / n), 6).alias("intercept"),
         pround((cov_n * cov_n) / (var_x * var_y), 6).alias("r2"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Peak session concurrency per day — the interval-overlap sweep: sessions
+# (from the same 30-minute session windows as session_window_rollup) are
+# split at day boundaries, each segment emits a +1 start / -1 end
+# boundary, boundaries collapse to per-(day, ts) net deltas, and a
+# per-day running sum's maximum is the day's peak concurrency. Half-open
+# [start, end) semantics: ends apply before starts at an equal timestamp
+# (collapsing to net deltas per distinct ts makes the cumsum — and the
+# max — fully deterministic).
+#
+# Scale shape (100 TB): the day split bounds every window partition to
+# one day of boundaries, so the sweep parallelizes per day instead of one
+# global ordered pass; everything upstream is the session aggregate the
+# engine already computes. The oracle reproduces the same sweep from the
+# gaps-and-islands session CTE.
+# ---------------------------------------------------------------------------
+@register(
+    "events_peak_concurrency",
+    oracle="""
+        WITH ordered AS (
+            SELECT user_id, ts, event_id,
+                   CASE WHEN ts - LAG(ts) OVER w >= INTERVAL 30 MINUTE
+                        OR LAG(ts) OVER w IS NULL
+                        THEN 1 ELSE 0 END AS new_sess
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        ),
+        islands AS (
+            SELECT user_id, ts, event_id,
+                   SUM(new_sess) OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id
+                       ROWS UNBOUNDED PRECEDING
+                   ) AS sess_id
+            FROM ordered
+        ),
+        sess AS (
+            SELECT MIN(ts) AS s, MAX(ts) + INTERVAL 30 MINUTE AS e
+            FROM islands GROUP BY user_id, sess_id
+        ),
+        seg AS (
+            SELECT day,
+                   greatest(s, day) AS seg_s,
+                   least(e, day + INTERVAL 1 DAY) AS seg_e
+            FROM (
+                SELECT s, e,
+                       unnest(generate_series(
+                           CAST(date_trunc('day', s) AS TIMESTAMP),
+                           CAST(date_trunc('day', e - INTERVAL 1 MICROSECOND)
+                                AS TIMESTAMP),
+                           INTERVAL 1 DAY)) AS day
+                FROM sess
+            )
+        ),
+        bounds AS (
+            SELECT day, seg_s AS ts, 1 AS d FROM seg
+            UNION ALL
+            SELECT day, seg_e AS ts, -1 AS d FROM seg
+        ),
+        net AS (
+            SELECT day, ts, CAST(SUM(d) AS BIGINT) AS net
+            FROM bounds GROUP BY day, ts
+        ),
+        swept AS (
+            SELECT day,
+                   SUM(net) OVER (
+                       PARTITION BY day ORDER BY ts
+                       ROWS UNBOUNDED PRECEDING
+                   ) AS cum
+            FROM net
+        ),
+        nsess AS (
+            SELECT day, CAST(COUNT(*) AS BIGINT) AS n_sessions
+            FROM seg GROUP BY day
+        )
+        SELECT strftime(p.day, '%Y-%m-%d') AS day,
+               n.n_sessions,
+               CAST(MAX(p.cum) AS BIGINT) AS peak_concurrent
+        FROM swept p JOIN nsess n USING (day)
+        GROUP BY strftime(p.day, '%Y-%m-%d'), n.n_sessions
+    """,
+    tags=("window-time", "session", "interval", "events"),
+)
+def events_peak_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    sess = (
+        events.groupBy(F.session_window("ts", "30 minutes").alias("w"), "user_id")
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .select(F.col("w.start").alias("s"), F.col("w.end").alias("e"))
+    )
+    days = F.sequence(
+        F.date_trunc("day", F.col("s")),
+        F.date_trunc("day", F.expr("e - INTERVAL 1 MICROSECOND")),
+        F.expr("INTERVAL 1 DAY"),
+    )
+    seg = sess.select("s", "e", F.explode(days).alias("day")).select(
+        "day",
+        F.greatest("s", "day").alias("seg_s"),
+        F.least(F.col("e"), F.col("day") + F.expr("INTERVAL 1 DAY")).alias("seg_e"),
+    )
+    bounds = seg.select(
+        "day", F.col("seg_s").alias("ts"), F.lit(1).alias("d")
+    ).unionByName(seg.select("day", F.col("seg_e").alias("ts"), F.lit(-1).alias("d")))
+    net = bounds.groupBy("day", "ts").agg(F.sum("d").alias("net"))
+    w = (
+        Window.partitionBy("day")
+        .orderBy("ts")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    swept = net.withColumn("cum", F.sum("net").over(w))
+    nsess = seg.groupBy("day").agg(F.count(F.lit(1)).alias("n_sessions"))
+    return (
+        swept.groupBy("day")
+        .agg(F.max("cum").alias("peak_concurrent"))
+        .join(nsess, "day")
+        .select(
+            F.date_format("day", "yyyy-MM-dd").alias("day"),
+            "n_sessions",
+            "peak_concurrent",
+        )
+    )
