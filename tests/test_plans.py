@@ -278,3 +278,32 @@ def test_chunk_dedup_map_side_partial_agg(spark):
     ex = plan.find("Exchange")
     assert ex != -1
     assert "HashAggregate" in plan[ex:], "no partial agg below exchange"
+
+
+def test_hll_partial_agg_below_exchange(spark):
+    """HLL register max must partially aggregate map-side so at most
+    HLL_M rows per partition reach the exchange."""
+    plan = plan_of(spark, "hll_distinct_users")
+    ex = plan.find("Exchange")
+    assert ex != -1
+    assert "HashAggregate" in plan[ex:], "no map-side partial max"
+
+
+def test_pareto_single_window_no_join(spark):
+    """The skyline must be agg + window sweep — no dominance self-join."""
+    plan = plan_of(spark, "supplier_pareto_frontier")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert plan.count("Window") >= 1
+
+
+def test_peak_concurrency_partitions_by_day(spark):
+    """The sweep window must partition by day (parallel per-day sort),
+    never a global ordering over all boundaries."""
+    from kafka_stream_job_spark.registry import all_specs
+
+    df = all_specs()["events_peak_concurrency"].fn(spark, SF_SMOKE)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    w = plan.find("Window")
+    assert w != -1
+    assert "day" in plan[w : w + 400], "sweep window not partitioned by day"
