@@ -865,3 +865,144 @@ def text_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("bm25_r").desc(), F.col("doc_id").asc())
         .limit(BM25_TOP)
     )
+
+
+# ---------------------------------------------------------------------------
+# BPE merge learning as a declarative query — the first BPE_MERGES merge
+# rules a byte-pair-encoding tokenizer would learn from this corpus, with
+# the merged-pair frequency at each step. Each iteration is: (1) weighted
+# bigram counts over the current symbol sequences (explode + partial-agg —
+# the corpus-wide statistics pass), (2) argmax pair (total DESC, pair ASC
+# — deterministic), (3) greedy left-to-right non-overlapping merge applied
+# via a string-accumulator fold (list_reduce / F.aggregate with identical
+# CASE arithmetic — handles doubled symbols and adjacent matches exactly
+# like a sequential BPE implementation, which plain string replace cannot:
+# adjacent matches share the boundary separator).
+#
+# Scale shape (100 TB): the expensive pass is (1), a partial-agg groupBy
+# whose input is one row per DISTINCT word (the word-frequency table,
+# itself a partial-agg rollup of the corpus) — exactly how production BPE
+# trainers (SentencePiece, HF tokenizers) operate on word-count tables,
+# not raw text. Steps (2)/(3) touch |vocab| rows. Iterations chain
+# through localCheckpoint so plan depth stays constant per step.
+# ---------------------------------------------------------------------------
+BPE_MERGES = 3
+
+
+def _bpe_oracle() -> str:
+    def fold(pair_ref: str) -> str:
+        pa = f"string_split({pair_ref}, ' ')[1]"
+        pb = f"string_split({pair_ref}, ' ')[2]"
+        return f"""string_split(trim(list_reduce(
+            list_prepend('', toks),
+            (acc, x) -> CASE
+                WHEN ends_with(acc, ' ' || {pa}) AND x = {pb}
+                THEN left(acc, length(acc) - length({pa}) - 1)
+                     || ' ' || replace({pair_ref}, ' ', '')
+                ELSE acc || ' ' || x END)), ' ')"""
+
+    sql = r"""
+        WITH words AS (
+            SELECT word, CAST(COUNT(*) AS BIGINT) AS cnt
+            FROM (SELECT unnest(string_split_regex(LOWER(TRIM(text)), '\s+')) AS word
+                  FROM documents)
+            GROUP BY word
+        ),
+        v0 AS (
+            SELECT cnt,
+                   list_transform(generate_series(1, length(word)), i -> word[i])
+                       AS toks
+            FROM words
+        )"""
+    for s in range(1, BPE_MERGES + 1):
+        sql += f""",
+        p{s} AS (
+            SELECT pair, CAST(SUM(cnt) AS BIGINT) AS total
+            FROM (SELECT cnt,
+                         unnest(list_transform(
+                             generate_series(1, len(toks) - 1),
+                             i -> toks[i] || ' ' || toks[i + 1])) AS pair
+                  FROM v{s - 1})
+            GROUP BY pair
+            ORDER BY total DESC, pair ASC
+            LIMIT 1
+        )"""
+        if s < BPE_MERGES:
+            sql += f""",
+        v{s} AS (
+            SELECT cnt, {fold(f"p.pair")} AS toks
+            FROM v{s - 1}, p{s} p
+        )"""
+    sql += "\n        " + "\n        UNION ALL ".join(
+        f"SELECT CAST({s} AS BIGINT) AS merge_step, pair, total FROM p{s}"
+        for s in range(1, BPE_MERGES + 1)
+    )
+    return sql
+
+
+@register(
+    "bpe_learn_merges",
+    oracle=_bpe_oracle(),
+    tags=("text", "tokenizer", "iterative", "documents"),
+)
+def bpe_learn_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    words = (
+        docs.select(
+            F.explode(F.split(F.lower(F.trim(F.col("text"))), r"\s+")).alias("word")
+        )
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    chars = F.transform(
+        F.sequence(F.lit(1), F.length("word")),
+        lambda i: F.substring(F.col("word"), i, 1),
+    )
+    v = words.select("cnt", chars.alias("toks")).localCheckpoint(eager=False)
+    outs = []
+    for step in range(1, BPE_MERGES + 1):
+        t = F.col("toks")
+        bigrams = F.zip_with(
+            F.slice(t, 1, F.greatest(F.size(t) - 1, F.lit(0))),
+            F.slice(t, 2, F.greatest(F.size(t) - 1, F.lit(0))),
+            lambda a, b: F.concat(a, F.lit(" "), b),
+        )
+        best = (
+            v.select("cnt", F.explode(bigrams).alias("pair"))
+            .groupBy("pair")
+            .agg(F.sum("cnt").alias("total"))
+            .orderBy(F.col("total").desc(), F.col("pair").asc())
+            .limit(1)
+            .localCheckpoint(eager=True)
+        )
+        outs.append(
+            best.select(
+                F.lit(step).cast("long").alias("merge_step"), "pair", "total"
+            )
+        )
+        if step < BPE_MERGES:
+            pa = F.split(F.col("pair"), " ").getItem(0)
+            pb = F.split(F.col("pair"), " ").getItem(1)
+            folded = F.aggregate(
+                F.col("toks"),
+                F.lit(""),
+                lambda acc, x: F.when(
+                    F.endswith(acc, F.concat(F.lit(" "), pa)) & (x == pb),
+                    F.concat(
+                        F.substr(
+                            acc, F.lit(1), F.length(acc) - F.length(pa) - 1
+                        ),
+                        F.lit(" "),
+                        F.replace(F.col("pair"), F.lit(" "), F.lit("")),
+                    ),
+                ).otherwise(F.concat(acc, F.lit(" "), x)),
+            )
+            v = (
+                v.crossJoin(F.broadcast(best.select("pair")))
+                .select("cnt", F.split(F.trim(folded), " ").alias("toks"))
+                .localCheckpoint(eager=False)
+            )
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionByName(o)
+    return out
