@@ -1,0 +1,99 @@
+"""Driver-contract simulator: run EVERY registry query on a bare
+SparkSession AND its DuckDB oracle on the same parquet, then compare the
+way the external driver does — column set, coarse type tags (this is what
+catches DuckDB HUGEINT vs Spark BIGINT before the driver's type-tagged
+hash does), and order-insensitive values.
+
+Usage:
+    python tools/verify_oracle.py                 # all queries at sf0.01
+    python tools/verify_oracle.py q1_pricing_summary dedup_exact   # subset
+    SIM_SF=/root/testdata/sf0.1 python tools/verify_oracle.py      # other SF
+
+Exit code 1 on any mismatch. ~150 s at sf0.01, ~290 s at sf0.1 for the
+full registry on local[8].
+"""
+import os, sys, time
+sys.path.insert(0, __import__("os").path.dirname(__import__("os").path.dirname(__import__("os").path.abspath(__file__))))
+from pyspark.sql import SparkSession
+import duckdb
+
+sf = os.environ.get("SIM_SF", "/root/testdata/sf0.01")
+only = sys.argv[1:] or None
+spark = SparkSession.builder.master("local[8]").appName("driver-sim").getOrCreate()
+spark.sparkContext.setLogLevel("ERROR")
+import __spark_entry__ as e
+qs, oracles = e.queries(), e.oracle_sql()
+
+con = duckdb.connect()
+for t in "region nation customer supplier part orders lineitem events documents embeddings".split():
+    con.sql(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf}/{t}.parquet')")
+
+import datetime, decimal
+
+def norm(v):
+    if isinstance(v, (datetime.datetime, datetime.date)): return v.isoformat()
+    if isinstance(v, decimal.Decimal): return str(v)
+    if isinstance(v, float): return repr(v)
+    return v
+
+def key(row): return tuple((x is None, str(type(x)), str(x)) for x in row)
+
+def spark_tag(dt):
+    s = dt.simpleString()
+    return {"int": "int", "bigint": "int", "smallint": "int", "tinyint": "int",
+            "double": "f64", "float": "f32", "string": "str", "boolean": "bool",
+            "date": "date", "timestamp": "ts", "timestamp_ntz": "ts"}.get(s, s)
+
+def duck_tag(duck_type_name):
+    t = duck_type_name.upper()
+    if t in ("TINYINT", "SMALLINT", "INTEGER", "BIGINT"): return "int"
+    if t == "HUGEINT": return "HUGEINT!"
+    if t == "DOUBLE": return "f64"
+    if t in ("FLOAT", "REAL"): return "f32"
+    if t in ("VARCHAR",): return "str"
+    if t == "BOOLEAN": return "bool"
+    if t == "DATE": return "date"
+    if t.startswith("TIMESTAMP"): return "ts"
+    return t
+
+fails = []
+t_total = time.time()
+for name in qs:
+    if only and name not in only: continue
+    t0 = time.time()
+    try:
+        sdf = qs[name](spark, sf)
+        scols = sdf.columns
+        stypes = {f.name: spark_tag(f.dataType) for f in sdf.schema.fields}
+        srows = [tuple(r) for r in sdf.collect()]
+        if name not in oracles:
+            print(f"{name}: rows-only ok ({len(srows)}) [{time.time()-t0:.1f}s]")
+            continue
+        rel = con.sql(oracles[name])
+        ocols = list(rel.columns)
+        otypes = {c: duck_tag(str(t)) for c, t in zip(rel.columns, rel.types)}
+        orows = rel.fetchall()
+        so = [scols.index(c) for c in sorted(scols)]
+        oo = [ocols.index(c) for c in sorted(ocols)]
+        s = sorted((tuple(norm(r[i]) for i in so) for r in srows), key=key)
+        o = sorted((tuple(norm(r[i]) for i in oo) for r in orows), key=key)
+        cols_ok = sorted(scols) == sorted(ocols)
+        types_ok = cols_ok and all(stypes[c] == otypes[c] for c in scols)
+        vals_ok = s == o
+        ok = cols_ok and types_ok and vals_ok
+        msg = "MATCH" if ok else "MISMATCH"
+        detail = ""
+        if cols_ok and not types_ok:
+            detail = " types: " + str({c: (stypes[c], otypes[c]) for c in scols if stypes[c] != otypes[c]})
+        elif not cols_ok:
+            detail = f" cols spark={sorted(scols)} oracle={sorted(ocols)}"
+        elif not vals_ok:
+            bad = next((i for i, (a, b) in enumerate(zip(s, o)) if a != b), None)
+            detail = f" first diff row {bad}: {s[bad] if bad is not None else ''} vs {o[bad] if bad is not None else ''}"[:300]
+        print(f"{name}: {msg} ({len(srows)} rows) [{time.time()-t0:.1f}s]{detail}")
+        if not ok: fails.append(name)
+    except Exception as ex:
+        print(f"{name}: ERROR {type(ex).__name__}: {str(ex)[:200]}")
+        fails.append(name)
+print(f"\nTOTAL {time.time()-t_total:.1f}s  FAILURES: {fails or 'none'}")
+sys.exit(1 if fails else 0)
