@@ -1,0 +1,105 @@
+"""Property-based tests (hypothesis) for the pure algorithmic primitives —
+no SparkSession needed, so these run in milliseconds and explore input
+space far beyond the fixture corpora."""
+
+from __future__ import annotations
+
+from collections import Counter
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from kafka_stream_job_spark.operators.sketches import (
+    hll_estimate_from_registers,
+    mg_merge,
+)
+
+# ---------------------------------------------------------------------------
+# Misra-Gries: for ANY stream, ANY batch split, ANY capacity —
+#   (1) the summary never exceeds capacity,
+#   (2) every key with true count > n/capacity survives,
+#   (3) estimates never overcount and undercount by at most n/(capacity+1).
+# ---------------------------------------------------------------------------
+
+
+@settings(max_examples=200, deadline=None)
+@given(
+    stream=st.lists(st.integers(min_value=0, max_value=30), max_size=400),
+    capacity=st.integers(min_value=1, max_value=12),
+    n_batches=st.integers(min_value=1, max_value=6),
+)
+def test_mg_merge_invariants(stream, capacity, n_batches):
+    keys = [str(k) for k in stream]
+    n = len(keys)
+    size = max(1, (n + n_batches - 1) // n_batches)
+    counters: dict[str, int] = {}
+    for i in range(0, n, size):
+        counters = mg_merge(counters, dict(Counter(keys[i : i + size])), capacity)
+        assert len(counters) <= capacity
+    exact = Counter(keys)
+    for k, c in exact.items():
+        if c > n / capacity:
+            assert k in counters, f"heavy key {k} ({c}/{n}) evicted"
+    for k, est in counters.items():
+        assert est <= exact[k]
+        assert exact[k] - est <= n / (capacity + 1) + 1e-9
+
+
+# ---------------------------------------------------------------------------
+# HLL estimator: monotone in register ranks, positive, and exact-ish in
+# the linear-counting regime (few registers hit -> estimate ~ V-based
+# formula, which is exact for n_present == estimate domain checks).
+# ---------------------------------------------------------------------------
+
+
+@settings(max_examples=200, deadline=None)
+@given(
+    ranks=st.dictionaries(
+        st.integers(min_value=0, max_value=255),
+        st.integers(min_value=1, max_value=21),
+        max_size=255,
+    )
+)
+def test_hll_estimate_positive_and_monotone(ranks):
+    est = hll_estimate_from_registers(ranks)
+    assert est >= 0.0
+    if ranks:
+        # raising any one register's rank can only raise the estimate
+        k = next(iter(ranks))
+        bumped = dict(ranks)
+        bumped[k] = min(21, bumped[k] + 1)
+        assert hll_estimate_from_registers(bumped) >= est - 1e-9
+
+
+def test_hll_estimate_empty_is_zero():
+    assert hll_estimate_from_registers({}) == 0.0
+
+
+# ---------------------------------------------------------------------------
+# Morton interleave (the zorder_layout_stats bit math, reproduced in
+# Python): bijective on 16-bit pairs, and bucket ranges nest — equal
+# high-order z-bits imply equal high-order bits of BOTH keys.
+# ---------------------------------------------------------------------------
+
+
+def _morton(x: int, y: int, bits: int = 16) -> int:
+    z = 0
+    for b in range(bits):
+        z += ((x >> b) & 1) * (4**b) + ((y >> b) & 1) * (2 * 4**b)
+    return z
+
+
+@settings(max_examples=300, deadline=None)
+@given(
+    x1=st.integers(min_value=0, max_value=65535),
+    y1=st.integers(min_value=0, max_value=65535),
+    x2=st.integers(min_value=0, max_value=65535),
+    y2=st.integers(min_value=0, max_value=65535),
+)
+def test_morton_bijective_and_nests(x1, y1, x2, y2):
+    z1, z2 = _morton(x1, y1), _morton(x2, y2)
+    assert (z1 == z2) == ((x1, y1) == (x2, y2))
+    # same top-6 z-bits (the 64-bucket split) bounds both key prefixes:
+    if z1 >> 26 == z2 >> 26:
+        assert x1 >> 13 == x2 >> 13
+        assert y1 >> 13 == y2 >> 13
