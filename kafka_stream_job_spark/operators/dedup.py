@@ -805,3 +805,85 @@ def dedup_edit_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("edit_sim"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Exact-substring duplication: cross-document repeated word N-grams — the
+# span-level primitive behind exact-substring dedup (find the literal
+# phrases that recur across distinct documents, e.g. licenses, headers,
+# boilerplate sentences). Complements MinHash (whole-doc near-dup) and
+# chunk dedup (fixed blocks): spans slide one token at a time, so any
+# duplicated run of >= SPAN_N tokens is caught regardless of alignment.
+#
+# Scale shape (100 TB): one projection-then-explode (rows x ~tokens/doc,
+# same multiplier as shingling), then ONE hash-shuffle on the span with
+# partial aggregation — the map-side combine collapses within-partition
+# repeats before the exchange. At scale you'd group on a 64-bit span hash
+# instead of the span text to cut shuffle width (the text shown here keeps
+# the output human-auditable and the oracle portable); heavy-hitter spans
+# (a license repeated in 1% of docs) are exactly what partial agg absorbs.
+# Top-k is a TakeOrdered over the (small) >= MIN_DOCS survivor set, never
+# a global sort of all spans.
+# ---------------------------------------------------------------------------
+SPAN_N = 8  # tokens per span
+SPAN_MIN_DOCS = 2  # cross-document threshold
+SPAN_TOP_K = 50
+
+
+@register(
+    "repeated_ngram_spans",
+    oracle=f"""
+        WITH occ AS (
+            SELECT doc_id,
+                   array_to_string(toks[i + 1 : i + {SPAN_N}], ' ') AS span
+            FROM (
+                SELECT doc_id, toks,
+                       UNNEST(range(0, len(toks) - {SPAN_N} + 1)) AS i
+                FROM (
+                    SELECT doc_id, string_split({_NORM_SQL}, ' ') AS toks
+                    FROM documents
+                )
+                WHERE len(toks) >= {SPAN_N}
+            )
+        )
+        SELECT span, n_docs, n_occ
+        FROM (
+            SELECT span,
+                   CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs,
+                   CAST(COUNT(*) AS BIGINT)               AS n_occ
+            FROM occ
+            GROUP BY span
+        )
+        WHERE n_docs >= {SPAN_MIN_DOCS}
+        ORDER BY n_occ DESC, n_docs DESC, span ASC
+        LIMIT {SPAN_TOP_K}
+    """,
+    tags=("dedup", "documents", "ngram", "substring"),
+)
+def repeated_ngram_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top cross-document repeated SPAN_N-token spans.
+
+    Reference parity: none (SURVEY.md §2.7 — the reference has no text
+    operators); north-star training-pipeline extension (exact-substring
+    dedup primitive).
+    """
+    docs = load_table(spark, sf_dir, "documents", rebalance=True)
+    toks = F.split(_norm_text(), " ")
+    n = F.size(toks)
+    idx = F.sequence(F.lit(0), n - SPAN_N)  # only rows with n >= SPAN_N
+    span_at = lambda i: F.array_join(F.slice(toks, i + 1, SPAN_N), " ")  # noqa: E731
+    occ = (
+        docs.select("doc_id", "text")
+        .filter(n >= SPAN_N)
+        .select("doc_id", F.explode(F.transform(idx, span_at)).alias("span"))
+    )
+    return (
+        occ.groupBy("span")
+        .agg(
+            F.countDistinct("doc_id").alias("n_docs"),
+            F.count(F.lit(1)).alias("n_occ"),
+        )
+        .filter(F.col("n_docs") >= SPAN_MIN_DOCS)
+        .orderBy(F.col("n_occ").desc(), F.col("n_docs").desc(), F.col("span").asc())
+        .limit(SPAN_TOP_K)
+    )

@@ -485,3 +485,95 @@ def weighted_sample_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(SAMPLE_K)
         .select("doc_id", "lang", "n_chars", pround(F.col("_k"), 9).alias("es_key"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Sliding-window chunking — long-document preparation for a fixed training
+# context: CHUNK_TOKENS-token windows advancing by CHUNK_STRIDE (overlap =
+# CHUNK_TOKENS - CHUNK_STRIDE keeps context across boundaries, the
+# standard long-doc treatment when packing into fixed-length sequences).
+# Emits one manifest row per chunk with its token span and a content
+# fingerprint (the dedup key chunk-level pipelines join on).
+#
+# Scale shape (100 TB): pure per-row expression work — chunk indices come
+# from an exploded `sequence`, the chunk text from `slice` on the token
+# array; no shuffle at all until a downstream consumer groups on
+# chunk_fp. Row multiplier is ~n_tokens/CHUNK_STRIDE per doc (bounded,
+# unlike shingling's ~n_tokens), so output stays a small constant factor
+# of the corpus.
+# ---------------------------------------------------------------------------
+CHUNK_TOKENS = 64  # tokens per chunk
+CHUNK_STRIDE = 48  # tokens between chunk starts (16-token overlap)
+
+
+@register(
+    "doc_sliding_chunks",
+    oracle=rf"""
+        WITH sized AS (
+            SELECT doc_id, toks, len(toks) AS n,
+                   CASE WHEN len(toks) <= {CHUNK_TOKENS} THEN 1
+                        ELSE 1 + CAST(CEIL((len(toks) - {CHUNK_TOKENS}) * 1.0
+                                           / {CHUNK_STRIDE}) AS BIGINT)
+                   END AS nc
+            FROM (
+                SELECT doc_id,
+                       string_split_regex(LOWER(TRIM(text)), '\s+') AS toks
+                FROM documents
+            )
+        )
+        SELECT doc_id,
+               i                                  AS chunk_idx,
+               i * {CHUNK_STRIDE}                 AS start_tok,
+               LEAST({CHUNK_TOKENS}, n - i * {CHUNK_STRIDE}) AS n_tok,
+               substr(md5(array_to_string(
+                   toks[i * {CHUNK_STRIDE} + 1 : i * {CHUNK_STRIDE} + {CHUNK_TOKENS}],
+                   ' ')), 1, 16)                  AS chunk_fp
+        FROM (SELECT doc_id, toks, n, UNNEST(range(0, nc)) AS i FROM sized)
+    """,
+    tags=("pipeline", "chunking", "documents"),
+)
+def doc_sliding_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-chunk manifest of CHUNK_TOKENS-token sliding windows.
+
+    Reference parity: none (SURVEY.md §2.7); north-star long-document
+    preparation extension.
+    """
+    docs = load_table(spark, sf_dir, "documents", rebalance=True)
+    toks = F.split(F.lower(F.trim(F.col("text"))), r"\s+")
+    n = F.size(toks)
+    n_chunks = (
+        F.when(n <= CHUNK_TOKENS, F.lit(1).cast("long"))
+        .otherwise(
+            1 + F.ceil((n - CHUNK_TOKENS) * F.lit(1.0) / CHUNK_STRIDE)
+        )
+    )
+    sized = docs.select("doc_id", toks.alias("toks"), n.alias("n"),
+                        n_chunks.alias("nc"))
+    i = F.col("chunk_idx")
+    start = i * CHUNK_STRIDE
+    return (
+        sized.select(
+            "doc_id", "toks", "n",
+            F.explode(F.sequence(F.lit(0).cast("long"), F.col("nc") - 1)).alias(
+                "chunk_idx"
+            ),
+        )
+        .select(
+            "doc_id",
+            "chunk_idx",
+            start.alias("start_tok"),
+            F.least(F.lit(CHUNK_TOKENS).cast("long"), F.col("n") - start).alias(
+                "n_tok"
+            ),
+            F.substring(
+                F.md5(
+                    F.array_join(
+                        F.slice(F.col("toks"), (start + 1).cast("int"), CHUNK_TOKENS),
+                        " ",
+                    )
+                ),
+                1,
+                16,
+            ).alias("chunk_fp"),
+        )
+    )

@@ -2190,7 +2190,10 @@ _FUNNEL_SQL_CTES = """
 )
 def events_funnel_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
     per_user = _funnel_per_user(spark, sf_dir)
-    diff = F.unix_micros(F.col("t_purchase")) - F.unix_micros(F.col("t_view"))
+    # timestampdiff is NTZ-safe (the driver's parquet stores timestamp[us]
+    # without timezone, read as TIMESTAMP_NTZ) and timezone-free — it
+    # differences the raw instants, matching the oracle's epoch_us delta.
+    diff = F.expr("timestampdiff(MICROSECOND, t_view, t_purchase)")
     return (
         per_user.filter(F.col("t_purchase").isNotNull())
         .select(diff.alias("d_us"))

@@ -1006,3 +1006,132 @@ def bpe_learn_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     for o in outs[1:]:
         out = out.unionByName(o)
     return out
+
+
+# ---------------------------------------------------------------------------
+# Bigram language-model quality scoring — the CCNet/Gopher-style "LM
+# perplexity filter" trained on the corpus itself: count bigrams over all
+# documents, then score each document by its mean add-1-smoothed bigram
+# log-probability ln((C(ab)+1)/(C(a)+V)). Low scores = improbable token
+# sequences = noise/garble candidates for filtering.
+#
+# Oracle determinism: the per-bigram log-prob is quantized to INTEGER
+# micro-nats (round-to-integer is the portable rounding, _portable.py)
+# BEFORE the per-document sum, so the aggregation is exact integer
+# arithmetic — no float-summation-order divergence between engines; the
+# final mean is one division of two exact integers, then pround.
+#
+# Scale shape (100 TB): the LM table is bounded by distinct-bigram count
+# (vocabulary-squared worst case, corpus-sublinear in practice) and is
+# built with partial-agg groupBys; here it broadcasts, at web scale the
+# doc-bigram → LM join becomes a shuffle equi-join on the bigram key —
+# high-cardinality, skew-absorbed by partial agg on the count side and
+# AQE skew-split on the join. Per-doc scoring is one further partial-agg
+# groupBy on doc_id. Top-k is a TakeOrdered, not a global sort.
+# ---------------------------------------------------------------------------
+LM_UNATS = 1_000_000  # micro-nat quantization of per-bigram log-prob
+LM_TOP_K = 50  # worst (least probable) docs reported
+
+
+@register(
+    "bigram_lm_score",
+    oracle=rf"""
+        WITH tok AS (
+            SELECT doc_id,
+                   string_split_regex(LOWER(TRIM(text)), '\s+') AS toks
+            FROM documents
+        ),
+        bg AS (
+            SELECT doc_id, toks[i] || ' ' || toks[i + 1] AS bg
+            FROM (SELECT doc_id, toks, UNNEST(range(1, len(toks))) AS i
+                  FROM tok)
+        ),
+        cab AS (SELECT bg, CAST(COUNT(*) AS BIGINT) AS cab FROM bg GROUP BY bg),
+        ca AS (
+            SELECT string_split(bg, ' ')[1] AS lt,
+                   CAST(SUM(cab) AS BIGINT) AS ca
+            FROM cab GROUP BY 1
+        ),
+        v AS (
+            SELECT CAST(COUNT(DISTINCT tok) AS BIGINT) AS v
+            FROM (SELECT unnest(string_split_regex(LOWER(TRIM(text)), '\s+'))
+                      AS tok
+                  FROM documents)
+        ),
+        lp AS (
+            SELECT bg,
+                   CAST(ROUND(ln((cab + 1) * 1.0 / (ca + v)) * {LM_UNATS}.0)
+                        AS BIGINT) AS lp_unats
+            FROM cab
+            JOIN ca ON string_split(cab.bg, ' ')[1] = ca.lt
+            CROSS JOIN v
+        )
+        SELECT doc_id, n_bigrams, avg_nats
+        FROM (
+            SELECT doc_id,
+                   CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+                   ROUND(((CAST(SUM(lp_unats) AS BIGINT) / {LM_UNATS}.0)
+                          / COUNT(*)) * 10000.0) / 10000.0 AS avg_nats
+            FROM bg JOIN lp USING (bg)
+            GROUP BY doc_id
+        )
+        ORDER BY avg_nats ASC, doc_id ASC
+        LIMIT {LM_TOP_K}
+    """,
+    tags=("text", "quality", "lm", "perplexity", "documents"),
+)
+def bigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Worst LM_TOP_K documents by corpus-trained bigram-LM mean log-prob.
+
+    Reference parity: none (SURVEY.md §2.7); north-star quality-filter
+    extension.
+    """
+    docs = load_table(spark, sf_dir, "documents", rebalance=True)
+    toks = F.split(F.lower(F.trim(F.col("text"))), r"\s+")
+    n = F.size(toks)
+    pairs = F.zip_with(
+        F.slice(toks, 1, F.greatest(n - 1, F.lit(0))),
+        F.slice(toks, 2, F.greatest(n - 1, F.lit(0))),
+        lambda a, b: F.concat(a, F.lit(" "), b),
+    )
+    bg = docs.select("doc_id", F.explode(pairs).alias("bg"))
+    vocab = docs.select(F.explode(toks).alias("tok")).agg(
+        F.countDistinct("tok").alias("v")
+    )
+    cab = bg.groupBy("bg").agg(F.count(F.lit(1)).alias("cab"))
+    left = F.split(F.col("bg"), " ").getItem(0)
+    ca = cab.groupBy(left.alias("lt")).agg(F.sum("cab").alias("ca"))
+    lp = (
+        cab.withColumn("lt", left)
+        .join(ca, "lt")
+        .crossJoin(F.broadcast(vocab))  # 1-row scalar broadcast
+        .select(
+            "bg",
+            F.round(
+                F.log((F.col("cab") + 1) * F.lit(1.0) / (F.col("ca") + F.col("v")))
+                * LM_UNATS,
+                0,
+            )
+            .cast("long")
+            .alias("lp_unats"),
+        )
+    )
+    return (
+        bg.join(F.broadcast(lp), "bg")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.sum("lp_unats").alias("score_unats"),
+        )
+        .select(
+            "doc_id",
+            "n_bigrams",
+            pround(
+                (F.col("score_unats") / F.lit(float(LM_UNATS)))
+                / F.col("n_bigrams"),
+                4,
+            ).alias("avg_nats"),
+        )
+        .orderBy(F.col("avg_nats").asc(), F.col("doc_id").asc())
+        .limit(LM_TOP_K)
+    )

@@ -34,9 +34,12 @@ def stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     File sources need (a) an explicit schema — no inference mid-stream —
     and (b) a *directory*; the test data is a single parquet file, so it
-    is staged once into a per-sf link directory. The events table stores
-    TIMESTAMP(NANOS) read as long (see tables.load_table), converted here
-    the same way so stream and batch agree.
+    is staged once into a per-sf link directory. The schema (and any
+    timestamp conversion) is taken from a one-off batch read of the same
+    file, so stream and batch agree whether the driver generated ``ts``
+    as timestamp[us] (read as TIMESTAMP_NTZ) or as the round-1
+    TIMESTAMP(NANOS) layout (read as long via nanosAsLong, converted in
+    tables.load_table).
     """
     src = os.path.join(sf_dir, "events.parquet")
     stage = os.path.join("/tmp/ksj_stream_stage", sf_dir.strip("/").replace("/", "_"))
@@ -51,17 +54,16 @@ def stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
             os.symlink(src, link)
     else:
         os.symlink(src, link)
-    schema = T.StructType(
-        [
-            f if f.name != "ts" else T.StructField("ts", T.LongType())
-            for f in SCHEMAS["events"].fields
-        ]
-    )
-    return (
-        spark.readStream.schema(schema)
-        .parquet(stage)
-        .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-    )
+    raw_schema = spark.read.parquet(src).schema
+    stream = spark.readStream.schema(raw_schema).parquet(stage)
+    if isinstance(raw_schema["ts"].dataType, T.LongType):
+        # round-1 layout: TIMESTAMP(NANOS) read as long under nanosAsLong.
+        stream = stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    elif isinstance(raw_schema["ts"].dataType, T.TimestampNTZType):
+        # Watermarks demand TIMESTAMP (with local tz); the session tz is
+        # pinned to UTC (session.py), so the cast is deterministic.
+        stream = stream.withColumn("ts", F.col("ts").cast("timestamp"))
+    return stream
 
 
 def hourly_rollup_stream(events: DataFrame, watermark: str = "2 hours") -> DataFrame:

@@ -307,3 +307,36 @@ def test_peak_concurrency_partitions_by_day(spark):
     w = plan.find("Window")
     assert w != -1
     assert "day" in plan[w : w + 400], "sweep window not partitioned by day"
+
+
+def test_repeated_spans_partial_agg_and_topk_not_global_sort(spark):
+    """Span rows must combine map-side before the one hash shuffle, and
+    the top-k must plan as TakeOrdered, never a global Sort."""
+    plan = plan_of(spark, "repeated_ngram_spans")
+    ex = plan.find("Exchange")
+    assert ex != -1
+    assert "HashAggregate" in plan[ex:], "no partial aggregate below the exchange"
+    assert "TakeOrderedAndProject" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_bigram_lm_broadcasts_lm_table(spark):
+    """The per-doc scoring join must broadcast the (bounded) LM table —
+    the 100 TB shape shuffles on the bigram key instead, but the corpus
+    side must never broadcast."""
+    plan = plan_of(spark, "bigram_lm_score")
+    assert "BroadcastHashJoin" in plan
+    assert "TakeOrderedAndProject" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_sliding_chunks_no_shuffle(spark):
+    """Chunking is pure per-row expression work — the only Exchange
+    allowed is the opt-in round-robin rebalance of the single-row-group
+    test parquet, sitting directly above the scan; the operator itself
+    must add no shuffle, so it composes with any upstream partitioning."""
+    plan = plan_of(spark, "doc_sliding_chunks")
+    assert plan.count("Exchange") == 1
+    assert "RoundRobinPartitioning" in plan  # the rebalance, not a key shuffle
+    assert "hashpartitioning" not in plan
+    assert "Generate" in plan  # the explode of chunk indices
