@@ -11,9 +11,12 @@ Round-to-INTEGER is portable: every half-integer (…446.5, 447.5…) is
 exactly representable in binary, so "shortest repr lands on .5" ⇔ "binary
 value is exactly .5", and both engines round it away from zero. Hence:
 
-    portable_round(x, s) = ROUND(x * 10^s) / 10^s
+    portable_round(x, s) = ROUND(x * 10^s) / 10^s + 0.0
 
-computed with identical double ops on both sides.
+computed with identical double ops on both sides. The trailing ``+ 0.0``
+normalizes IEEE negative zero: DuckDB's ROUND preserves ``-0.0`` where
+Spark's returns ``0.0``, and the driver's value hash distinguishes them;
+``x + 0.0`` is the identity for every double except ``-0.0 → +0.0``.
 """
 
 from __future__ import annotations
@@ -27,10 +30,10 @@ def pround(col: Column | str, scale: int) -> Column:
     if isinstance(col, str):
         col = F.col(col)
     factor = F.lit(float(10**scale))
-    return F.round(col * factor, 0) / factor
+    return F.round(col * factor, 0) / factor + F.lit(0.0)
 
 
 def sql_round(expr: str, scale: int) -> str:
     """DuckDB side — identical arithmetic, term for term."""
     factor = float(10**scale)
-    return f"ROUND(({expr}) * {factor}) / {factor}"
+    return f"ROUND(({expr}) * {factor}) / {factor} + 0.0"

@@ -704,3 +704,168 @@ def embedding_int8_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
             8,
         ).alias("q_err"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Embedding covariance / Gram matrix — the single-pass statistic under
+# PCA-whitening, dimensionality-reduction, and feature-correlation audits
+# of an embedding corpus. Dims are quantized to integers up front
+# (ROUND(x * COV_SCALE), same trick as the quantized k-means), so every
+# per-pair product and sum is exact integer arithmetic — order-free,
+# bit-identical across engines — and only the final normalized covariance
+# divides back into doubles.
+#
+# Scale shape (100 TB): the upper-triangle outer product is built
+# JVM-side per row (one nested `transform`, one explode — no self-join),
+# then ONE partial-agg groupBy on (dim_i, dim_j): DIM*(DIM+1)/2 = 2080
+# groups regardless of corpus size, so the reduce side is constant-width
+# and the map side combines row outer-products locally — the same
+# dataflow as a distributed BLAS syrk. Per-dim sums ride the same scan;
+# the 64-row means table broadcasts back onto the 2080-row aggregate.
+# ---------------------------------------------------------------------------
+COV_SCALE = 1_000  # dim quantization: floats → exact integer millis
+
+
+@register(
+    "embedding_covariance",
+    oracle=f"""
+        WITH q AS (
+            SELECT vec_id,
+                   list_transform(embedding::DOUBLE[],
+                                  x -> CAST(ROUND(x * {COV_SCALE}.0) AS BIGINT)) AS qa
+            FROM embeddings
+        ),
+        el AS (
+            SELECT vec_id, CAST(i AS BIGINT) AS i, qa[i] AS x
+            FROM (SELECT vec_id, qa, UNNEST(range(1, 1 + len(qa))) AS i FROM q)
+        ),
+        pair AS (
+            SELECT a.i AS dim_i, b.i AS dim_j,
+                   CAST(COUNT(*) AS BIGINT) AS n,
+                   CAST(SUM(a.x * b.x) AS BIGINT) AS sxy_q
+            FROM el a
+            JOIN el b ON a.vec_id = b.vec_id AND b.i >= a.i
+            GROUP BY 1, 2
+        ),
+        sums AS (
+            SELECT i, CAST(SUM(x) AS BIGINT) AS sx FROM el GROUP BY i
+        )
+        SELECT p.dim_i, p.dim_j, p.n, p.sxy_q,
+               ROUND((((p.sxy_q - sa.sx * sb.sx * 1.0 / p.n) * 1.0 / p.n)
+                      / {COV_SCALE * COV_SCALE}.0) * 1000000.0) / 1000000.0
+                   + 0.0 AS cov
+        FROM pair p
+        JOIN sums sa ON sa.i = p.dim_i
+        JOIN sums sb ON sb.i = p.dim_j
+    """,
+    tags=("embeddings", "stats", "covariance"),
+)
+def embedding_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Upper-triangle quantized covariance of the embedding corpus.
+
+    Reference parity: none (SURVEY.md §2.7); north-star embedding-
+    analytics extension.
+    """
+    emb = load_table(spark, sf_dir, "embeddings", rebalance=True)
+    qa = F.transform(
+        F.col("embedding"),
+        lambda x: F.round(x.cast("double") * COV_SCALE, 0).cast("long"),
+    )
+    q = emb.select("vec_id", qa.alias("qa"))
+    idx = F.sequence(F.lit(1), F.lit(DIM))
+    prods = F.flatten(
+        F.transform(
+            idx,
+            lambda i: F.transform(
+                F.sequence(i, F.lit(DIM)),
+                lambda j: F.struct(
+                    i.cast("long").alias("dim_i"),
+                    j.cast("long").alias("dim_j"),
+                    (F.element_at(F.col("qa"), i) * F.element_at(F.col("qa"), j)).alias(
+                        "xy"
+                    ),
+                ),
+            ),
+        )
+    )
+    pair = (
+        q.select(F.explode(prods).alias("p"))
+        .select("p.dim_i", "p.dim_j", "p.xy")
+        .groupBy("dim_i", "dim_j")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("xy").alias("sxy_q"))
+    )
+    sums = (
+        q.select(F.posexplode("qa").alias("i0", "x"))
+        .select((F.col("i0") + 1).cast("long").alias("i"), "x")
+        .groupBy("i")
+        .agg(F.sum("x").alias("sx"))
+    )
+    sa = sums.select(F.col("i").alias("_ia"), F.col("sx").alias("sx_a"))
+    sb = sums.select(F.col("i").alias("_ib"), F.col("sx").alias("sx_b"))
+    cov = (
+        (
+            F.col("sxy_q")
+            - F.col("sx_a") * F.col("sx_b") * F.lit(1.0) / F.col("n")
+        )
+        * F.lit(1.0)
+        / F.col("n")
+    ) / F.lit(float(COV_SCALE * COV_SCALE))
+    return (
+        pair.join(F.broadcast(sa), F.col("dim_i") == F.col("_ia"))
+        .join(F.broadcast(sb), F.col("dim_j") == F.col("_ib"))
+        .select("dim_i", "dim_j", "n", "sxy_q", pround(cov, 6).alias("cov"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# IVF recall calibration — joins the IVF top-k against the brute-force
+# exact top-k and reports recall@k per query: the self-validation step a
+# production ANN deployment runs whenever the index (nlist/nprobe) or the
+# corpus distribution changes. Both inputs are this module's own
+# deterministic operators, so the report is itself exactly
+# oracle-checkable (rare for ANN tooling).
+#
+# Scale shape: both sides are (n_queries × k) rows — trivially broadcast;
+# all heavy lifting happened inside the two upstream operators.
+# ---------------------------------------------------------------------------
+def _ivf_recall_oracle() -> str:
+    from kafka_stream_job_spark.registry import REGISTRY
+
+    exact_sql = REGISTRY["similarity_topk_cosine"].oracle
+    approx_sql = REGISTRY["similarity_topk_ivf"].oracle
+    return f"""
+        WITH exact AS (SELECT * FROM ({exact_sql})),
+        approx AS (SELECT * FROM ({approx_sql}))
+        SELECT e.query_id,
+               CAST(COUNT(a.neighbor_id) AS BIGINT) AS n_hits,
+               COUNT(a.neighbor_id) * 1.0 / {TOP_K} AS recall
+        FROM exact e
+        LEFT JOIN approx a
+               ON a.query_id = e.query_id AND a.neighbor_id = e.neighbor_id
+        GROUP BY e.query_id
+    """
+
+
+@register(
+    "ivf_recall_report",
+    oracle=_ivf_recall_oracle(),
+    tags=("similarity", "embeddings", "ivf", "recall"),
+)
+def ivf_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    exact = similarity_topk_cosine(spark, sf_dir).select("query_id", "neighbor_id")
+    approx = similarity_topk_ivf(spark, sf_dir).select(
+        F.col("query_id").alias("a_query"), F.col("neighbor_id").alias("a_neighbor")
+    )
+    return (
+        exact.join(
+            F.broadcast(approx),
+            (F.col("query_id") == F.col("a_query"))
+            & (F.col("neighbor_id") == F.col("a_neighbor")),
+            "left",
+        )
+        .groupBy("query_id")
+        .agg(
+            F.count("a_neighbor").alias("n_hits"),
+            (F.count("a_neighbor") * F.lit(1.0) / TOP_K).alias("recall"),
+        )
+    )

@@ -340,3 +340,24 @@ def test_sliding_chunks_no_shuffle(spark):
     assert "RoundRobinPartitioning" in plan  # the rebalance, not a key shuffle
     assert "hashpartitioning" not in plan
     assert "Generate" in plan  # the explode of chunk indices
+
+
+def test_embedding_covariance_no_self_join_constant_groups(spark):
+    """The outer product must be built per-row (one Generate) and
+    aggregated with map-side combine into the constant-width (dim_i,
+    dim_j) groups — no element self-join, no cartesian; the per-dim sums
+    broadcast back onto the 2080-row aggregate."""
+    plan = plan_of(spark, "embedding_covariance")
+    assert "SortMergeJoin" not in plan, "element-table self-join is the anti-shape"
+    assert "CartesianProduct" not in plan
+    assert plan.count("BroadcastHashJoin") >= 2  # the two 64-row sums joins
+    ex = plan.find("Exchange")
+    assert ex != -1 and "HashAggregate" in plan[ex:], "needs map-side partial agg"
+
+
+def test_ivf_recall_broadcasts_tiny_sides(spark):
+    """Recall report joins two (n_queries x k)-row results — broadcast,
+    never shuffle."""
+    plan = plan_of(spark, "ivf_recall_report")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan
