@@ -887,3 +887,145 @@ def repeated_ngram_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("n_occ").desc(), F.col("n_docs").desc(), F.col("span").asc())
         .limit(SPAN_TOP_K)
     )
+
+
+# ---------------------------------------------------------------------------
+# MinHash calibration — signature-agreement Jaccard ESTIMATE vs the exact
+# shingle-set Jaccard, per LSH candidate pair: the sketch-accuracy twin of
+# similarity.ivf_recall_report. E[agree/k] = true Jaccard, so this report
+# is how a production dedup pipeline validates its k (NUM_HASHES) and band
+# geometry against real data before trusting the estimate at 100 TB.
+#
+# Scale shape: signatures and exact intersections are the SAME
+# computations the LSH pipeline already runs (ReusedExchange collapses
+# the shared subplans); the calibration join touches only candidate
+# pairs — never all pairs.
+# ---------------------------------------------------------------------------
+_agree_sql = " + ".join(
+    f"(CASE WHEN sa.h{s} = sb.h{s} THEN 1 ELSE 0 END)" for s in range(NUM_HASHES)
+)
+_exact_raw_sql = "n_common * 1.0 / (ca.n + cb.n - n_common)"
+
+
+@register(
+    "minhash_jaccard_calibration",
+    oracle=f"""
+        WITH shingles AS ({_SHINGLES_SQL}),
+        sigs AS ({_SIGS_SQL}),
+        bands AS ({_BANDS_SQL}),
+        pairs AS ({_PAIRS_SQL}),
+        counts AS (SELECT doc_id, COUNT(*) AS n FROM shingles GROUP BY doc_id),
+        inter AS (
+            SELECT p.doc_a, p.doc_b, COUNT(*) AS n_common
+            FROM pairs p
+            JOIN shingles sa ON sa.doc_id = p.doc_a
+            JOIN shingles sb ON sb.doc_id = p.doc_b AND sb.shingle = sa.shingle
+            GROUP BY p.doc_a, p.doc_b
+        ),
+        agree AS (
+            SELECT p.doc_a, p.doc_b, CAST({_agree_sql} AS BIGINT) AS n_equal
+            FROM pairs p
+            JOIN sigs sa ON sa.doc_id = p.doc_a
+            JOIN sigs sb ON sb.doc_id = p.doc_b
+        )
+        SELECT a.doc_a, a.doc_b, a.n_equal,
+               a.n_equal / {NUM_HASHES}.0 AS est_jaccard,
+               ROUND(({_exact_raw_sql}) * 10000.0) / 10000.0 + 0.0 AS exact_jaccard,
+               ROUND(ABS(a.n_equal / {NUM_HASHES}.0 - ({_exact_raw_sql}))
+                     * 10000.0) / 10000.0 + 0.0 AS abs_err
+        FROM agree a
+        JOIN inter i ON i.doc_a = a.doc_a AND i.doc_b = a.doc_b
+        JOIN counts ca ON ca.doc_id = a.doc_a
+        JOIN counts cb ON cb.doc_id = a.doc_b
+    """,
+    tags=("dedup", "lsh", "calibration", "documents"),
+)
+def minhash_jaccard_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-candidate-pair MinHash estimate vs exact Jaccard with |error|.
+
+    Reference parity: none (SURVEY.md §2.7); north-star dedup-tooling
+    extension.
+    """
+    docs = load_table(spark, sf_dir, "documents", rebalance=True)
+    # Lazy localCheckpoint pins each shared intermediate to ONE physical
+    # computation (same RDD referenced from every consumer) — without it,
+    # composing pairs+signatures+exact-Jaccard re-derives the
+    # scan→shingle→md5 pipeline up to 10× in one plan. Same pattern as
+    # bpe_learn_merges; at 100 TB this is "compute signatures once,
+    # reuse", which is how a real dedup run is staged.
+    sigs = minhash_signatures(spark, sf_dir).localCheckpoint(eager=False)
+    banded = sigs.select(
+        "doc_id",
+        F.explode(
+            F.map_from_arrays(
+                F.array(*[F.lit(b) for b in range(NUM_BANDS)]),
+                F.array(*_band_sig_cols()),
+            )
+        ).alias("band_idx", "band_sig"),
+    )
+    pairs = (
+        banded.alias("a")
+        .hint("merge")
+        .join(
+            banded.alias("b"),
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_sig") == F.col("b.band_sig"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .distinct()
+    )
+    sa = sigs.select(
+        F.col("doc_id").alias("doc_a"),
+        *[F.col(f"h{s}").alias(f"a{s}") for s in range(NUM_HASHES)],
+    )
+    sb = sigs.select(
+        F.col("doc_id").alias("doc_b"),
+        *[F.col(f"h{s}").alias(f"b{s}") for s in range(NUM_HASHES)],
+    )
+    n_equal = sum(
+        F.when(F.col(f"a{s}") == F.col(f"b{s}"), 1).otherwise(0)
+        for s in range(NUM_HASHES)
+    ).cast("long")
+
+    sh = _shingles(docs).localCheckpoint(eager=False)
+    counts = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    sha = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
+    shb = sh.select(
+        F.col("doc_id").alias("_sb_doc"), F.col("shingle").alias("_sb_shingle")
+    )
+    inter = (
+        pairs.join(sha, "doc_a")
+        .join(
+            shb,
+            (F.col("doc_b") == F.col("_sb_doc"))
+            & (F.col("shingle") == F.col("_sb_shingle")),
+        )
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    ca = counts.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("n_a"))
+    cb = counts.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("n_b"))
+
+    est = F.col("n_equal") / F.lit(float(NUM_HASHES))
+    exact_raw = F.col("n_common") * F.lit(1.0) / (
+        F.col("n_a") + F.col("n_b") - F.col("n_common")
+    )
+    return (
+        pairs.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select("doc_a", "doc_b", n_equal.alias("n_equal"))
+        .join(inter, ["doc_a", "doc_b"])
+        .join(ca, "doc_a")
+        .join(cb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            "n_equal",
+            est.alias("est_jaccard"),
+            pround(exact_raw, 4).alias("exact_jaccard"),
+            pround(F.abs(est - exact_raw), 4).alias("abs_err"),
+        )
+    )

@@ -361,3 +361,15 @@ def test_ivf_recall_broadcasts_tiny_sides(spark):
     plan = plan_of(spark, "ivf_recall_report")
     assert "CartesianProduct" not in plan
     assert "BroadcastHashJoin" in plan
+
+
+def test_minhash_calibration_computes_signatures_once(spark):
+    """Calibration recomputes nothing: signatures and shingles are pinned
+    to single physical computations (lazy localCheckpoint → every consumer
+    references the same RDD — without it this plan scans documents 10×),
+    and only candidate pairs are ever compared (no cartesian)."""
+    plan = plan_of(spark, "minhash_jaccard_calibration")
+    assert "Scan parquet" not in plan, "a consumer re-derived the scan pipeline"
+    assert "ExistingRDD" in plan  # the two checkpointed intermediates
+    assert "CartesianProduct" not in plan
+    assert plan.count("Exchange") <= 16
