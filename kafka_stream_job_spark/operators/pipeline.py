@@ -577,3 +577,161 @@ def doc_sliding_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("chunk_fp"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Content-defined chunking — Rabin-style rolling-hash boundaries instead
+# of fixed strides: a chunk ends wherever the ROLL_W-token rolling hash
+# ≡ 0 (mod CDC_MOD), so boundaries are determined by CONTENT. Insert or
+# delete a sentence and only the neighboring chunks change — every other
+# chunk keeps its fingerprint, which is what makes chunk-level dedup
+# robust to edits (the property fixed-stride chunking lacks; cf.
+# doc_sliding_chunks) and is the chunking storage dedup systems and
+# SlimPajama-style corpus dedup build on. Expected chunk ≈ CDC_MOD
+# tokens; a production variant adds min/max chunk clamps.
+#
+# Scale shape (100 TB): ZERO shuffles — boundary detection, chunk-span
+# construction, and fingerprinting are all per-row array algebra
+# (filter/transform over the token-hash array), then one explode. The
+# plan composes with any upstream partitioning untouched; downstream
+# chunk-dedup groups on chunk_fp exactly like exact-dedup groups on the
+# doc fingerprint.
+# ---------------------------------------------------------------------------
+CDC_MOD = 16  # boundary probability 1/16 per window → ~16-token chunks
+
+from kafka_stream_job_spark.operators.text import ROLL_B, ROLL_P, ROLL_W  # noqa: E402
+
+_CDC_NORM = "LOWER(TRIM(regexp_replace(text, '\\s+', ' ', 'g')))"
+_CDC_ROLL = (
+    f"((((hh[i+1] % {ROLL_P}) * {ROLL_B} + hh[i+2]) % {ROLL_P} * {ROLL_B}"
+    f" + hh[i+3]) % {ROLL_P} * {ROLL_B} + hh[i+4]) % {ROLL_P}"
+)
+
+
+@register(
+    "content_defined_chunks",
+    oracle=f"""
+        WITH h AS (
+            SELECT doc_id, toks,
+                   list_transform(toks,
+                                  x -> ('0x' || substr(md5(x), 1, 7))::BIGINT) AS hh
+            FROM (SELECT doc_id, string_split({_CDC_NORM}, ' ') AS toks
+                  FROM documents)
+        ),
+        cutd AS (
+            SELECT doc_id, toks, CAST(len(toks) AS BIGINT) AS n,
+                   CASE WHEN len(toks) >= {ROLL_W} THEN
+                       list_transform(
+                           list_filter(range(0, len(toks) - {ROLL_W} + 1),
+                                       i -> ({_CDC_ROLL}) % {CDC_MOD} = 0),
+                           i -> i + {ROLL_W})
+                   ELSE CAST([] AS BIGINT[]) END AS cuts
+            FROM h
+        ),
+        spans AS (
+            SELECT doc_id, toks, n,
+                   list_prepend(CAST(1 AS BIGINT),
+                                list_transform(vc, j -> j + 1)) AS starts,
+                   list_append(vc, n) AS ends
+            FROM (SELECT doc_id, toks, n,
+                         list_filter(cuts, j -> j < n) AS vc
+                  FROM cutd)
+        )
+        SELECT doc_id,
+               k                        AS chunk_idx,
+               starts[k + 1]            AS start_tok,
+               ends[k + 1] - starts[k + 1] + 1 AS n_tok,
+               substr(md5(array_to_string(
+                   toks[starts[k + 1] : ends[k + 1]], ' ')), 1, 16) AS chunk_fp
+        FROM (SELECT doc_id, toks, starts, ends,
+                     UNNEST(range(0, len(starts))) AS k
+              FROM spans)
+    """,
+    tags=("pipeline", "chunking", "rolling-hash", "documents"),
+)
+def content_defined_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-chunk manifest with content-defined (rolling-hash) boundaries.
+
+    Reference parity: none (SURVEY.md §2.7); north-star chunk-dedup
+    extension.
+    """
+    docs = load_table(spark, sf_dir, "documents", rebalance=True)
+    toks = F.split(
+        F.lower(F.trim(F.regexp_replace(F.col("text"), r"\s+", " "))), " "
+    )
+    hh = F.transform(
+        F.col("toks"),
+        lambda x: F.conv(F.substring(F.md5(x), 1, 7), 16, 10).cast("long"),
+    )
+    n = F.size(F.col("toks")).cast("long")
+
+    def roll(i):
+        e = lambda k: F.element_at(F.col("hh"), i + k)  # noqa: E731
+        return (
+            ((e(1) % ROLL_P) * ROLL_B + e(2)) % ROLL_P * ROLL_B + e(3)
+        ) % ROLL_P * ROLL_B + e(4)
+
+    cuts = F.when(
+        F.size(F.col("toks")) >= ROLL_W,
+        F.transform(
+            F.filter(
+                F.sequence(F.lit(0), F.size(F.col("toks")) - ROLL_W),
+                lambda i: (roll(i) % ROLL_P) % CDC_MOD == 0,
+            ),
+            lambda i: (i + ROLL_W).cast("long"),
+        ),
+    ).otherwise(F.array().cast("array<long>"))
+    staged = (
+        docs.select("doc_id", toks.alias("toks"))
+        .select("doc_id", "toks", hh.alias("hh"))
+        .select("doc_id", "toks", n.alias("n"), cuts.alias("cuts"))
+        .select(
+            "doc_id",
+            "toks",
+            "n",
+            F.filter(F.col("cuts"), lambda j: j < F.col("n")).alias("vc"),
+        )
+        .select(
+            "doc_id",
+            "toks",
+            F.concat(
+                F.array(F.lit(1).cast("long")),
+                F.transform(F.col("vc"), lambda j: j + 1),
+            ).alias("starts"),
+            F.concat(F.col("vc"), F.array(F.col("n"))).alias("ends"),
+        )
+    )
+    k = F.col("k")
+    start = F.element_at(F.col("starts"), (k + 1).cast("int"))
+    end = F.element_at(F.col("ends"), (k + 1).cast("int"))
+    return (
+        staged.select(
+            "doc_id",
+            "toks",
+            "starts",
+            "ends",
+            F.explode(
+                F.sequence(F.lit(0).cast("long"), F.size(F.col("starts")) - 1)
+            ).alias("k"),
+        )
+        .select(
+            "doc_id",
+            k.alias("chunk_idx"),
+            start.alias("start_tok"),
+            (end - start + 1).alias("n_tok"),
+            F.substring(
+                F.md5(
+                    F.array_join(
+                        F.slice(
+                            F.col("toks"),
+                            start.cast("int"),
+                            (end - start + 1).cast("int"),
+                        ),
+                        " ",
+                    )
+                ),
+                1,
+                16,
+            ).alias("chunk_fp"),
+        )
+    )

@@ -373,3 +373,14 @@ def test_minhash_calibration_computes_signatures_once(spark):
     assert "ExistingRDD" in plan  # the two checkpointed intermediates
     assert "CartesianProduct" not in plan
     assert plan.count("Exchange") <= 16
+
+
+def test_cdc_chunks_no_shuffle(spark):
+    """Content-defined chunking is pure per-row array algebra — same
+    contract as doc_sliding_chunks: only the opt-in round-robin rebalance
+    Exchange directly above the scan, no key shuffle, one Generate."""
+    plan = plan_of(spark, "content_defined_chunks")
+    assert plan.count("Exchange") == 1
+    assert "RoundRobinPartitioning" in plan
+    assert "hashpartitioning" not in plan
+    assert "Generate" in plan

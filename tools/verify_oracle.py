@@ -58,6 +58,7 @@ def duck_tag(duck_type_name):
 
 fails = []
 t_total = time.time()
+report = {}  # driver-format rows, written to $SIM_JSON if set
 for name in qs:
     if only and name not in only: continue
     t0 = time.time()
@@ -68,6 +69,9 @@ for name in qs:
         srows = [tuple(r) for r in sdf.collect()]
         if name not in oracles:
             print(f"{name}: rows-only ok ({len(srows)}) [{time.time()-t0:.1f}s]")
+            report[name] = {"rows_match": None, "schema_match": None,
+                            "hash_match": None, "spark_rows": len(srows),
+                            "oracle_rows": None, "err": "no_oracle"}
             continue
         rel = con.sql(oracles[name])
         ocols = list(rel.columns)
@@ -91,9 +95,21 @@ for name in qs:
             bad = next((i for i, (a, b) in enumerate(zip(s, o)) if a != b), None)
             detail = f" first diff row {bad}: {s[bad] if bad is not None else ''} vs {o[bad] if bad is not None else ''}"[:300]
         print(f"{name}: {msg} ({len(srows)} rows) [{time.time()-t0:.1f}s]{detail}")
+        report[name] = {"rows_match": len(srows) == len(orows),
+                        "schema_match": cols_ok and types_ok,
+                        "hash_match": ok, "spark_rows": len(srows),
+                        "oracle_rows": len(orows), "err": None}
         if not ok: fails.append(name)
     except Exception as ex:
         print(f"{name}: ERROR {type(ex).__name__}: {str(ex)[:200]}")
+        report[name] = {"rows_match": False, "schema_match": False,
+                        "hash_match": False, "spark_rows": None,
+                        "oracle_rows": None,
+                        "err": f"{type(ex).__name__}: {str(ex)[:120]}"}
         fails.append(name)
+if os.environ.get("SIM_JSON"):
+    import json
+    with open(os.environ["SIM_JSON"], "w") as fh:
+        json.dump(report, fh, indent=1)
 print(f"\nTOTAL {time.time()-t_total:.1f}s  FAILURES: {fails or 'none'}")
 sys.exit(1 if fails else 0)
