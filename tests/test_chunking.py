@@ -69,3 +69,39 @@ def test_sliding_chunks_cover_with_fixed_stride(spark):
             assert n_tok == min(CHUNK_TOKENS, n_toks[doc_id] - start)
         last_k, last_start, last_n = chunks[-1]
         assert last_start + last_n == n_toks[doc_id]  # coverage reaches the end
+
+
+def test_cdc_survives_edits_where_fixed_stride_does_not(spark, tmp_path):
+    """THE content-defined-chunking property: prepend one token to every
+    document and most CDC chunk fingerprints survive (boundaries are
+    content-determined, so only each doc's first chunk changes), while
+    fixed-stride chunks shift wholesale and almost none survive. This is
+    why chunk-level dedup at 100 TB wants CDC manifests."""
+    import shutil
+
+    mod_dir = tmp_path / "sf_mod"
+    mod_dir.mkdir()
+    (
+        load_table(spark, SF_SMOKE, "documents")
+        .withColumn("text", F.concat(F.lit("zzz "), F.col("text")))
+        .write.mode("overwrite")
+        .parquet(str(mod_dir / "documents.parquet"))
+    )
+
+    def fps(name, sf_dir):
+        return {
+            (r["doc_id"], r["chunk_fp"])
+            for r in SPECS[name].fn(spark, sf_dir).collect()
+        }
+
+    cdc_orig = fps("content_defined_chunks", SF_SMOKE)
+    cdc_mod = fps("content_defined_chunks", str(mod_dir))
+    cdc_overlap = len(cdc_orig & cdc_mod) / len(cdc_orig)
+
+    sl_orig = fps("doc_sliding_chunks", SF_SMOKE)
+    sl_mod = fps("doc_sliding_chunks", str(mod_dir))
+    sl_overlap = len(sl_orig & sl_mod) / len(sl_orig)
+
+    assert cdc_overlap > 0.5, f"CDC chunks should survive a prefix edit ({cdc_overlap:.2f})"
+    assert sl_overlap < 0.2, f"fixed-stride should shift wholesale ({sl_overlap:.2f})"
+    assert cdc_overlap > sl_overlap + 0.4
