@@ -735,3 +735,131 @@ def content_defined_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("chunk_fp"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Corpus filter funnel — the per-stage keep/drop attribution report every
+# corpus pipeline publishes: documents flow through MinHash-dedup →
+# repetition filter → quality filter, and each stage reports how many
+# entered, survived, and were dropped. Composed from the ALREADY
+# REGISTERED operators (and, on the oracle side, their registered SQL as
+# nested CTE subqueries), so the funnel can never drift from the filters
+# it reports on.
+#
+# Scale shape (100 TB): each filter is one pass over its own inputs (the
+# shapes audited by their own plan tests); the funnel adds two 1-row-per-
+# doc joins and a single-row aggregate, then explodes three literal stage
+# structs — negligible on top of the filters themselves.
+# ---------------------------------------------------------------------------
+def _funnel_oracle() -> str:
+    from kafka_stream_job_spark.operators.dedup import (
+        _BANDS_SQL,
+        _PAIRS_SQL,
+        _SHINGLES_SQL,
+        _SIGS_SQL,
+    )
+    from kafka_stream_job_spark.registry import REGISTRY
+
+    rep_sql = REGISTRY["text_repetition_filter"].oracle
+    qual_sql = REGISTRY["text_quality_score"].oracle
+    return f"""
+        WITH shingles AS ({_SHINGLES_SQL}),
+        sigs AS ({_SIGS_SQL}),
+        bands AS ({_BANDS_SQL}),
+        pairs AS ({_PAIRS_SQL}),
+        rep AS (SELECT doc_id, keep FROM ({rep_sql})),
+        qual AS (SELECT doc_id, passes_quality FROM ({qual_sql})),
+        flags AS (
+            SELECT d.doc_id,
+                   CASE WHEN p.doc_b IS NULL THEN 1 ELSE 0 END AS s1,
+                   rep.keep, qual.passes_quality
+            FROM documents d
+            LEFT JOIN (SELECT DISTINCT doc_b FROM pairs) p
+                   ON p.doc_b = d.doc_id
+            JOIN rep ON rep.doc_id = d.doc_id
+            JOIN qual ON qual.doc_id = d.doc_id
+        ),
+        tot AS (
+            SELECT CAST(COUNT(*) AS BIGINT) AS n0,
+                   CAST(SUM(s1) AS BIGINT) AS n1,
+                   CAST(SUM(CASE WHEN s1 = 1 AND keep
+                            THEN 1 ELSE 0 END) AS BIGINT) AS n2,
+                   CAST(SUM(CASE WHEN s1 = 1 AND keep AND passes_quality = 1
+                            THEN 1 ELSE 0 END) AS BIGINT) AS n3
+            FROM flags
+        )
+        SELECT 1 AS stage_idx, 'minhash_dedup' AS stage,
+               n0 AS n_in, n1 AS n_out, n0 - n1 AS n_dropped FROM tot
+        UNION ALL
+        SELECT 2, 'repetition', n1, n2, n1 - n2 FROM tot
+        UNION ALL
+        SELECT 3, 'quality', n2, n3, n2 - n3 FROM tot
+    """
+
+
+@register(
+    "corpus_filter_funnel",
+    oracle=_funnel_oracle(),
+    tags=("pipeline", "quality", "funnel", "documents"),
+)
+def corpus_filter_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stage-by-stage survivor counts for dedup → repetition → quality.
+
+    Reference parity: none (SURVEY.md §2.7); north-star corpus-assembly
+    reporting extension.
+    """
+    from kafka_stream_job_spark.operators.dedup import dedup_minhash_lsh
+    from kafka_stream_job_spark.operators.text import (
+        text_quality_score,
+        text_repetition_filter,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    losers = dedup_minhash_lsh(spark, sf_dir).select("doc_b").distinct()
+    rep = text_repetition_filter(spark, sf_dir).select("doc_id", "keep")
+    qual = text_quality_score(spark, sf_dir).select("doc_id", "passes_quality")
+    flags = (
+        docs.join(losers, docs.doc_id == losers.doc_b, "left")
+        .select("doc_id", F.when(F.col("doc_b").isNull(), 1).otherwise(0).alias("s1"))
+        .join(rep, "doc_id")
+        .join(qual, "doc_id")
+    )
+    tot = flags.agg(
+        F.count(F.lit(1)).alias("n0"),
+        F.sum("s1").alias("n1"),
+        F.sum(
+            F.when((F.col("s1") == 1) & F.col("keep"), 1).otherwise(0)
+        ).alias("n2"),
+        F.sum(
+            F.when(
+                (F.col("s1") == 1) & F.col("keep") & (F.col("passes_quality") == 1),
+                1,
+            ).otherwise(0)
+        ).alias("n3"),
+    )
+    stages = F.array(
+        F.struct(
+            F.lit(1).alias("stage_idx"),
+            F.lit("minhash_dedup").alias("stage"),
+            F.col("n0").alias("n_in"),
+            F.col("n1").alias("n_out"),
+            (F.col("n0") - F.col("n1")).alias("n_dropped"),
+        ),
+        F.struct(
+            F.lit(2).alias("stage_idx"),
+            F.lit("repetition").alias("stage"),
+            F.col("n1").alias("n_in"),
+            F.col("n2").alias("n_out"),
+            (F.col("n1") - F.col("n2")).alias("n_dropped"),
+        ),
+        F.struct(
+            F.lit(3).alias("stage_idx"),
+            F.lit("quality").alias("stage"),
+            F.col("n2").alias("n_in"),
+            F.col("n3").alias("n_out"),
+            (F.col("n2") - F.col("n3")).alias("n_dropped"),
+        ),
+    )
+    return tot.select(F.explode(stages).alias("s")).select(
+        "s.stage_idx", "s.stage", "s.n_in", "s.n_out", "s.n_dropped"
+    )
