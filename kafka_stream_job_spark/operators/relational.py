@@ -3668,3 +3668,85 @@ def events_peak_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
             "peak_concurrent",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Snapshot diff via FULL OUTER join — the table-reconciliation shape
+# behind CDC audits and Iceberg-style snapshot comparison: two
+# deterministic hash-derived "snapshots" of the documents table are
+# reconciled on the primary key; rows only in the new snapshot are
+# `added`, only in the old are `removed`, in both are `common`. The FULL
+# OUTER join is the one join type nothing else in the registry exercises.
+#
+# Scale shape (100 TB): a full-outer equi-join on the table key is one
+# co-partitioned shuffle of each snapshot (SMJ at scale — neither side
+# broadcastable); the diff classification is a projection over the join,
+# and the report is a 3-group partial agg. At real scale you'd feed this
+# with two Iceberg snapshot scans instead of the hash filters.
+# ---------------------------------------------------------------------------
+def _snap_hash_sql(prefix: str) -> str:
+    return (
+        f"('0x' || substr(md5('{prefix}:' || CAST(doc_id AS VARCHAR)), 1, 7))::BIGINT"
+    )
+
+
+def _snap_hash(prefix: str):
+    return F.conv(
+        F.substring(
+            F.md5(F.concat(F.lit(prefix + ":"), F.col("doc_id").cast("string"))),
+            1,
+            7,
+        ),
+        16,
+        10,
+    ).cast("long")
+
+
+@register(
+    "snapshot_diff_report",
+    oracle=f"""
+        WITH snap_old AS (
+            SELECT doc_id FROM documents WHERE {_snap_hash_sql("snap")} % 3 <> 0
+        ),
+        snap_new AS (
+            SELECT doc_id FROM documents WHERE {_snap_hash_sql("snap")} % 5 <> 0
+        )
+        SELECT
+            CASE WHEN o.doc_id IS NULL THEN 'added'
+                 WHEN n.doc_id IS NULL THEN 'removed'
+                 ELSE 'common' END AS status,
+            CAST(COUNT(*) AS BIGINT)  AS n_docs,
+            MIN(COALESCE(o.doc_id, n.doc_id)) AS min_doc_id,
+            MAX(COALESCE(o.doc_id, n.doc_id)) AS max_doc_id
+        FROM snap_old o
+        FULL OUTER JOIN snap_new n ON o.doc_id = n.doc_id
+        GROUP BY 1
+    """,
+    tags=("join", "full-outer", "cdc", "documents"),
+)
+def snapshot_diff_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FULL OUTER snapshot reconciliation: added/removed/common counts.
+
+    Reference parity: none (SURVEY.md §2.7 — the reference has no joins);
+    north-star CDC/maintenance extension.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    h = _snap_hash("snap")
+    old = docs.filter(h % 3 != 0).select(F.col("doc_id").alias("o_id"))
+    new = docs.filter(h % 5 != 0).select(F.col("doc_id").alias("n_id"))
+    status = (
+        F.when(F.col("o_id").isNull(), "added")
+        .when(F.col("n_id").isNull(), "removed")
+        .otherwise("common")
+    )
+    key = F.coalesce(F.col("o_id"), F.col("n_id"))
+    return (
+        old.join(new, F.col("o_id") == F.col("n_id"), "full_outer")
+        .select(status.alias("status"), key.alias("k"))
+        .groupBy("status")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.min("k").alias("min_doc_id"),
+            F.max("k").alias("max_doc_id"),
+        )
+    )

@@ -384,3 +384,13 @@ def test_cdc_chunks_no_shuffle(spark):
     assert "RoundRobinPartitioning" in plan
     assert "hashpartitioning" not in plan
     assert "Generate" in plan
+
+
+def test_snapshot_diff_full_outer_is_shuffle_join(spark):
+    """FULL OUTER can never broadcast: both snapshots co-partition on the
+    key (SMJ/shuffled-hash), the scale-safe shape."""
+    plan = plan_of(spark, "snapshot_diff_report")
+    assert "FullOuter" in plan
+    assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
