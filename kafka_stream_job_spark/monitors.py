@@ -363,3 +363,31 @@ def write_offsets_fixture(
         fh.write(json.dumps(meta) + "\n")
         fh.write(json.dumps(offsets) + "\n")
     return path
+
+
+def observe_rows(df, name: str = "pipeline_metrics"):
+    """Attach named observed metrics (row count + null-key count) to a
+    batch or streaming DataFrame — Spark's ``observe`` API computes them
+    as a side effect of the normal plan (no extra pass, no extra action).
+
+    Streaming: the metrics surface per micro-batch in
+    ``StreamingQueryProgress.observedMetrics[name]`` and in
+    ``QueryProgressEvent`` — the push-based counterpart of the
+    reference's L1 progress monitor (DataLossMonitor.java:40-142), for
+    data-quality invariants instead of offsets. Batch: read them back via
+    ``pyspark.sql.Observation``.
+
+    At 100 TB: observed metrics are aggregated executor-side with the
+    running job (one extra partial agg fused into existing stages), so
+    per-batch row accounting costs no additional scan — the difference
+    between "count the stream twice" and "observe it once".
+    """
+    from pyspark.sql import functions as F
+
+    return df.observe(
+        name,
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(
+            F.when(F.col(df.columns[0]).isNull(), 1).otherwise(0)
+        ).alias("n_null_key"),
+    )

@@ -543,3 +543,73 @@ def test_left_outer_stream_stream_join_emits_unmatched(spark, tmp_path):
             .collect()
         }
         assert must_emit <= stream_null and len(must_emit) > 0
+
+
+def test_trigger_available_now_drains_and_self_terminates(spark, tmp_path):
+    """Trigger.AvailableNow — the production backfill twin of the Q1
+    drain barrier (processAllAvailable, KafkaAvroToIceberg.scala:104):
+    process everything available in rate-limited micro-batches, then stop
+    on its own. The query must self-terminate AND deliver exactly the
+    batch row count."""
+    df = stream_events(spark, SF_SMOKE)
+    q = (
+        df.writeStream.format("memory")
+        .queryName("avnow_drain")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    assert q.awaitTermination(120), "availableNow query must self-terminate"
+    assert not q.isActive
+    expected = load_table(spark, SF_SMOKE, "events").count()
+    assert spark.table("avnow_drain").count() == expected
+
+
+def test_observed_metrics_surface_in_progress(spark, tmp_path):
+    """df.observe metrics ride the streaming progress feed: every
+    micro-batch reports its own row count, summing to the input size —
+    per-batch data-quality accounting without a second scan."""
+    from kafka_stream_job_spark.monitors import observe_rows
+
+    df = observe_rows(stream_events(spark, SF_SMOKE), "events_metrics")
+    q = (
+        df.writeStream.format("memory")
+        .queryName("observed_stream")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        progresses = q.recentProgress
+    finally:
+        q.stop()
+    observed = [
+        p["observedMetrics"]["events_metrics"]
+        for p in progresses
+        if p.get("observedMetrics", {}).get("events_metrics")
+    ]
+    assert observed, "no micro-batch reported observed metrics"
+    total = sum(m["n_rows"] for m in observed)
+    assert total == load_table(spark, SF_SMOKE, "events").count()
+    assert all(m["n_null_key"] == 0 for m in observed)
+
+
+def test_observe_batch_via_observation(spark):
+    """Same observe helper on a BATCH read via pyspark Observation — one
+    pass yields both the data and its metrics."""
+    from pyspark.sql import Observation
+
+    from pyspark.sql import functions as F
+
+    events = load_table(spark, SF_SMOKE, "events")
+    obs = Observation("batch_metrics")
+    observed = events.observe(
+        obs,
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.when(F.col("event_id").isNull(), 1).otherwise(0)).alias(
+            "n_null_key"
+        ),
+    )
+    n = observed.count()
+    assert obs.get["n_rows"] == n
+    assert obs.get["n_null_key"] == 0
