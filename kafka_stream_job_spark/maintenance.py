@@ -72,3 +72,32 @@ def compact_parquet_dir(
     stats["compacted"] = True
     stats["files_after"] = len(parquet_part_files(path))
     return stats
+
+
+def analyze_table_stats(
+    spark, table: str, columns: list[str] | None = None
+) -> dict:
+    """Collect table (and optionally column) statistics into the catalog
+    — ``ANALYZE TABLE … COMPUTE STATISTICS [FOR COLUMNS …]``.
+
+    At 100 TB these statistics are what turn the cost-based optimizer
+    on: accurate rowCount/sizeInBytes pick broadcast-vs-shuffle joins
+    and join order; column NDV/min/max feed selectivity estimates. Run
+    after compaction / large appends, the same cadence Iceberg users run
+    ``ANALYZE`` or rely on manifest metrics. Returns the catalog's
+    statistics line plus parsed row count when available.
+    """
+    stmt = f"ANALYZE TABLE {table} COMPUTE STATISTICS"
+    spark.sql(stmt)
+    if columns:
+        spark.sql(f"{stmt} FOR COLUMNS {', '.join(columns)}")
+    rows = spark.sql(f"DESCRIBE TABLE EXTENDED {table}").collect()
+    stats_line = next(
+        (r["data_type"] for r in rows if r["col_name"] == "Statistics"), ""
+    )
+    row_count = None
+    for tok in stats_line.split(","):
+        tok = tok.strip()
+        if tok.endswith("rows"):
+            row_count = int(tok.split()[0])
+    return {"table": table, "statistics": stats_line, "row_count": row_count}
