@@ -114,9 +114,27 @@ def all_specs() -> dict[str, QuerySpec]:
         )
         if n in REGISTRY
     }
+    # Within the never-checked group, the most expensive queries (>2 s
+    # each in the sf0.01 driver-sim, tools/verify_oracle.py) go LAST: if
+    # the driver's pass is time-capped rather than count-capped, cheap
+    # queries first maximizes how many earn a correctness row.
+    costly_last = (
+        "dedup_edit_distance",
+        "bigram_lm_score",
+        "embedding_covariance",
+        "ivf_recall_report",
+        "minhash_jaccard_calibration",
+        "corpus_filter_funnel",
+        "heavy_hitter_tokens",
+        "graph_pagerank_parts",
+        "graph_triangle_stats",
+    )
     unchecked = {
         n: s
-        for n, s in REGISTRY.items()
+        for n, s in sorted(
+            REGISTRY.items(),
+            key=lambda kv: costly_last.index(kv[0]) if kv[0] in costly_last else -1,
+        )
         if n not in _R1_DRIVER_CHECKED and n not in red_fixed
     }
     checked = {
