@@ -28,7 +28,14 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from kafka_stream_job_spark.operators._portable import pround
-from kafka_stream_job_spark.operators.dedup import _SHINGLES_SQL, _shingles
+from kafka_stream_job_spark.operators.dedup import (
+    _BANDS_SQL as _DEDUP_BANDS_SQL,
+    _PAIRS_SQL as _DEDUP_PAIRS_SQL,
+    _SHINGLES_SQL,
+    _SHINGLES_SQL as _DEDUP_SHINGLES_SQL,
+    _SIGS_SQL as _DEDUP_SIGS_SQL,
+    _shingles,
+)
 from kafka_stream_job_spark.operators.text import EVAL_PCT
 from kafka_stream_job_spark.registry import register
 from kafka_stream_job_spark.tables import load_table
@@ -862,4 +869,120 @@ def corpus_filter_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return tot.select(F.explode(stages).alias("s")).select(
         "s.stage_idx", "s.stage", "s.n_in", "s.n_out", "s.n_dropped"
+    )
+
+
+# ---------------------------------------------------------------------------
+# Contrastive triplet manifest — training-data prep for embedding models:
+# every MinHash near-dup pair is an (anchor, positive); negatives are
+# drawn deterministically by hashing (anchor, k) into one of NEG_BUCKETS
+# hash buckets of the corpus and taking that bucket's representative.
+# Known near-dups of the anchor are anti-joined out, so a "negative" is
+# never actually a duplicate (the hard-negative contamination bug in
+# naive samplers).
+#
+# Scale shape (100 TB): the bucket→representative map is one partial-agg
+# groupBy collapsing to NEG_BUCKETS rows — broadcast; negative assignment
+# is then a map-side join on a computed key. No global rank/sort, no
+# shuffle of the corpus for sampling (the classic mistake is ORDER BY
+# rand() — a full sort for a sample). Determinism means the same
+# triplets on any cluster, any partitioning, any rerun.
+# ---------------------------------------------------------------------------
+NEG_K = 3  # negatives per (anchor, positive) pair
+NEG_BUCKETS = 64
+
+
+@register(
+    "contrastive_triplets",
+    oracle=f"""
+        WITH shingles AS ({_DEDUP_SHINGLES_SQL}),
+        sigs AS ({_DEDUP_SIGS_SQL}),
+        bands AS ({_DEDUP_BANDS_SQL}),
+        pairs AS ({_DEDUP_PAIRS_SQL}),
+        reps AS (
+            SELECT ('0x' || substr(md5('nbk:' || CAST(doc_id AS VARCHAR)), 1, 7))::BIGINT
+                       % {NEG_BUCKETS} AS bucket,
+                   MIN(doc_id) AS neg_id
+            FROM documents
+            GROUP BY 1
+        ),
+        cand AS (
+            SELECT p.doc_a AS anchor_id, p.doc_b AS positive_id, k.k AS neg_k,
+                   r.neg_id AS negative_id
+            FROM pairs p
+            CROSS JOIN (SELECT UNNEST(range(1, {NEG_K} + 1)) AS k) k
+            JOIN reps r
+              ON r.bucket = ('0x' || substr(md5('neg:' || CAST(k.k AS VARCHAR)
+                                             || ':' || CAST(p.doc_a AS VARCHAR)),
+                                            1, 7))::BIGINT % {NEG_BUCKETS}
+        )
+        SELECT anchor_id, positive_id, neg_k, negative_id
+        FROM cand c
+        WHERE negative_id <> anchor_id
+          AND negative_id <> positive_id
+          AND NOT EXISTS (
+              SELECT 1 FROM pairs q
+              WHERE (q.doc_a = c.anchor_id AND q.doc_b = c.negative_id)
+                 OR (q.doc_b = c.anchor_id AND q.doc_a = c.negative_id)
+          )
+    """,
+    tags=("pipeline", "sampling", "contrastive", "documents"),
+)
+def contrastive_triplets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(anchor, positive, negative) triplets for contrastive training.
+
+    Reference parity: none (SURVEY.md §2.7); north-star embedding-
+    training data-prep extension.
+    """
+    from kafka_stream_job_spark.operators.dedup import dedup_minhash_lsh
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    bucket_of = lambda col: (  # noqa: E731
+        F.conv(F.substring(F.md5(col), 1, 7), 16, 10).cast("long") % NEG_BUCKETS
+    )
+    reps = (
+        docs.select(
+            bucket_of(
+                F.concat(F.lit("nbk:"), F.col("doc_id").cast("string"))
+            ).alias("bucket"),
+            "doc_id",
+        )
+        .groupBy("bucket")
+        .agg(F.min("doc_id").alias("negative_id"))
+    )
+    pairs = dedup_minhash_lsh(spark, sf_dir).localCheckpoint(eager=False)
+    anchors = pairs.select(
+        F.col("doc_a").alias("anchor_id"), F.col("doc_b").alias("positive_id")
+    )
+    with_k = anchors.select(
+        "*", F.explode(F.sequence(F.lit(1).cast("long"), F.lit(NEG_K))).alias("neg_k")
+    )
+    target_bucket = bucket_of(
+        F.concat(
+            F.lit("neg:"),
+            F.col("neg_k").cast("string"),
+            F.lit(":"),
+            F.col("anchor_id").cast("string"),
+        )
+    )
+    cand = with_k.join(
+        F.broadcast(reps), target_bucket == F.col("bucket")
+    ).drop("bucket")
+    dup_edges = pairs.select(
+        F.col("doc_a").alias("e_a"), F.col("doc_b").alias("e_b")
+    ).union(
+        pairs.select(F.col("doc_b").alias("e_a"), F.col("doc_a").alias("e_b"))
+    )
+    return (
+        cand.filter(
+            (F.col("negative_id") != F.col("anchor_id"))
+            & (F.col("negative_id") != F.col("positive_id"))
+        )
+        .join(
+            F.broadcast(dup_edges),
+            (F.col("anchor_id") == F.col("e_a"))
+            & (F.col("negative_id") == F.col("e_b")),
+            "left_anti",
+        )
+        .select("anchor_id", "positive_id", "neg_k", "negative_id")
     )

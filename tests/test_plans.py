@@ -394,3 +394,13 @@ def test_snapshot_diff_full_outer_is_shuffle_join(spark):
     assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_contrastive_triplets_no_sort_no_corpus_shuffle_for_sampling(spark):
+    """Negative sampling must never global-sort or shuffle the corpus:
+    the bucket map is a broadcast join, exclusions are broadcast
+    anti-joins; no Sort outside the LSH SMJ, no cartesian."""
+    plan = plan_of(spark, "contrastive_triplets")
+    assert "CartesianProduct" not in plan
+    assert plan.count("BroadcastHashJoin") >= 2  # reps join + anti join
+    assert "TakeOrderedAndProject" not in plan  # no sampling-by-sort
