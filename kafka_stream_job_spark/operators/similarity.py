@@ -869,3 +869,124 @@ def ivf_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.count("a_neighbor") * F.lit(1.0) / TOP_K).alias("recall"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Embedding outlier detection — per-vector z-score against the corpus'
+# per-dimension moments: score = Σ_d ((x_d − μ_d)/σ_d)², the diagonal-
+# covariance Mahalanobis distance. The curation use: corrupt embeddings
+# (zeroed rows, scale blowups, NaN-ish artifacts cast to extremes) land
+# in the far tail and get dropped before training.
+#
+# Determinism: dims quantize to integer millis; per-dim n/Σx/Σx² are
+# exact integer aggregates, so μ_d and σ_d are identical doubles in both
+# engines; the per-vector sum is a PINNED sequential fold over the
+# (x, μ, σ) zip — no summation-order ambiguity. σ guarded to 1.0 on a
+# degenerate constant dimension (identical branch both engines).
+#
+# Scale shape (100 TB): one partial-agg pass builds a DIM-row stats
+# table (constant width), reassembled into ordered μ/σ arrays and
+# broadcast as a single row; scoring is a map-side fold over the corpus
+# (no shuffle), and the top-k is a TakeOrdered.
+# ---------------------------------------------------------------------------
+OUTLIER_TOP_K = 25
+
+
+@register(
+    "embedding_outlier_zscore",
+    oracle=f"""
+        WITH q AS (
+            SELECT vec_id,
+                   list_transform(embedding::DOUBLE[],
+                                  x -> CAST(ROUND(x * {COV_SCALE}.0) AS BIGINT)) AS qa
+            FROM embeddings
+        ),
+        el AS (
+            SELECT vec_id, i, qa[i] AS x
+            FROM (SELECT vec_id, qa, UNNEST(range(1, 1 + len(qa))) AS i FROM q)
+        ),
+        stats AS (
+            SELECT i,
+                   CAST(COUNT(*) AS BIGINT) AS n,
+                   CAST(SUM(x) AS BIGINT) AS s,
+                   CAST(SUM(x * x) AS BIGINT) AS ss
+            FROM el GROUP BY i
+        ),
+        ms AS (
+            SELECT list(s * 1.0 / n ORDER BY i) AS mus,
+                   list(CASE WHEN (ss - s * 1.0 / n * s) * 1.0 / n <= 0.0
+                             THEN 1.0
+                             ELSE sqrt((ss - s * 1.0 / n * s) * 1.0 / n)
+                        END ORDER BY i) AS sigmas
+            FROM stats
+        )
+        SELECT vec_id, score
+        FROM (
+            SELECT q.vec_id,
+                   ROUND(list_reduce(
+                       list_prepend(0.0,
+                           list_transform(range(1, 1 + len(q.qa)),
+                               i -> ((q.qa[i] - ms.mus[i]) / ms.sigmas[i])
+                                    * ((q.qa[i] - ms.mus[i]) / ms.sigmas[i]))),
+                       (acc, v) -> acc + v) * 10000.0) / 10000.0 + 0.0 AS score
+            FROM q CROSS JOIN ms
+        )
+        ORDER BY score DESC, vec_id ASC
+        LIMIT {OUTLIER_TOP_K}
+    """,
+    tags=("embeddings", "quality", "outlier"),
+)
+def embedding_outlier_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top OUTLIER_TOP_K vectors by diagonal-Mahalanobis z-score.
+
+    Reference parity: none (SURVEY.md §2.7); north-star embedding-
+    curation extension.
+    """
+    emb = load_table(spark, sf_dir, "embeddings", rebalance=True)
+    qa = F.transform(
+        F.col("embedding"),
+        lambda x: F.round(x.cast("double") * COV_SCALE, 0).cast("long"),
+    )
+    q = emb.select("vec_id", qa.alias("qa"))
+    el = q.select("vec_id", F.posexplode("qa").alias("i0", "x")).select(
+        (F.col("i0") + 1).alias("i"), "x"
+    )
+    stats = el.groupBy("i").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("s"),
+        F.sum(F.col("x") * F.col("x")).alias("ss"),
+    )
+    mu = F.col("s") * F.lit(1.0) / F.col("n")
+    var = (F.col("ss") - F.col("s") * F.lit(1.0) / F.col("n") * F.col("s")) * F.lit(
+        1.0
+    ) / F.col("n")
+    sigma = F.when(var <= 0.0, F.lit(1.0)).otherwise(F.sqrt(var))
+    ms = stats.agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("i", mu.alias("mu")))),
+            lambda s: s["mu"],
+        ).alias("mus"),
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("i", sigma.alias("sigma")))),
+            lambda s: s["sigma"],
+        ).alias("sigmas"),
+    )
+    z2 = F.aggregate(
+        F.zip_with(
+            F.zip_with(
+                F.col("qa"),
+                F.col("mus"),
+                lambda x, m: x.cast("double") - m,
+            ),
+            F.col("sigmas"),
+            lambda d, sg: (d / sg) * (d / sg),
+        ),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    return (
+        q.crossJoin(F.broadcast(ms))  # 1-row stats broadcast
+        .select("vec_id", pround(z2, 4).alias("score"))
+        .orderBy(F.col("score").desc(), F.col("vec_id").asc())
+        .limit(OUTLIER_TOP_K)
+    )

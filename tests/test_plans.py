@@ -404,3 +404,14 @@ def test_contrastive_triplets_no_sort_no_corpus_shuffle_for_sampling(spark):
     assert "CartesianProduct" not in plan
     assert plan.count("BroadcastHashJoin") >= 2  # reps join + anti join
     assert "TakeOrderedAndProject" not in plan  # no sampling-by-sort
+
+
+def test_outlier_zscore_broadcasts_stats_takeordered(spark):
+    """Outlier scoring: the DIM-row moment table collapses to one
+    broadcast row (nested-loop against a 1-row build side is the intended
+    scalar broadcast); scoring itself adds no shuffle; top-k is
+    TakeOrdered, not a global sort."""
+    plan = plan_of(spark, "embedding_outlier_zscore")
+    assert "BroadcastNestedLoopJoin" in plan
+    assert "TakeOrderedAndProject" in plan
+    assert "CartesianProduct" not in plan
