@@ -81,6 +81,52 @@ def _cmd_bronze(args) -> int:
     return 0
 
 
+def _cmd_checkpoint(args) -> int:
+    """Inspect a Structured Streaming checkpoint the way the reference's
+    dev.md does by hand (`cat offsets/0`, `cat commits/5`, dev.md:15-21):
+    every offsets batch with parsed per-partition end offsets, whether it
+    committed, and the watermark carried in the batch metadata. The last
+    offsets batch without a commit file is the in-flight batch a recovery
+    will re-run (exactly-once replay point)."""
+    import os
+
+    from kafka_stream_job_spark.checkpoint import (
+        list_offset_batches,
+        read_offsets_file,
+    )
+
+    batches = list_offset_batches(args.checkpoint_dir)
+    if not batches:
+        print(f"no offsets batches under {args.checkpoint_dir!r}", file=sys.stderr)
+        return 2
+    commits_dir = os.path.join(args.checkpoint_dir, "commits")
+    committed = (
+        {int(n) for n in os.listdir(commits_dir) if n.isdigit()}
+        if os.path.isdir(commits_dir)
+        else set()
+    )
+    rows = []
+    for batch_id, path in batches:
+        meta, offsets = read_offsets_file(path)
+        rows.append(
+            {
+                "batch_id": batch_id,
+                "committed": batch_id in committed,
+                "watermark_ms": meta.get("batchWatermarkMs"),
+                "offsets": {f"{t}-{p_}": o for (t, p_), o in sorted(offsets.items())},
+            }
+        )
+    if args.as_json:
+        for r in rows:
+            print(json.dumps(r))
+    else:
+        for r in rows:
+            state = "committed" if r["committed"] else "IN-FLIGHT (replays on recovery)"
+            offs = ", ".join(f"{k}={v}" for k, v in r["offsets"].items()) or "-"
+            print(f"batch {r['batch_id']:>4}  {state:<34} wm={r['watermark_ms']}  {offs}")
+    return 0
+
+
 def main(argv: list[str] | None = None) -> int:
     p = argparse.ArgumentParser(prog="kafka_stream_job_spark")
     sub = p.add_subparsers(dest="cmd", required=True)
@@ -104,6 +150,13 @@ def main(argv: list[str] | None = None) -> int:
     p_br.add_argument("--streaming", action="store_true")
     p_br.add_argument("--checkpoint")
     p_br.set_defaults(fn=_cmd_bronze)
+
+    p_ck = sub.add_parser(
+        "checkpoint", help="inspect a streaming checkpoint's offsets/commits"
+    )
+    p_ck.add_argument("checkpoint_dir")
+    p_ck.add_argument("--json", dest="as_json", action="store_true")
+    p_ck.set_defaults(fn=_cmd_checkpoint)
 
     args = p.parse_args(argv)
     return args.fn(args)

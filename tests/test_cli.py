@@ -64,3 +64,33 @@ def test_cli_bronze_streaming_requires_checkpoint(tmp_path, capsys):
         == 2
     )
     assert "--checkpoint" in capsys.readouterr().err
+
+
+def test_cli_checkpoint_inspection(tmp_path, capsys):
+    """`checkpoint` subcommand reports each batch's offsets and flags the
+    uncommitted in-flight batch — the scripted twin of the reference's
+    manual `cat offsets/N` / `cat commits/N` workflow (dev.md:15-21)."""
+    import json as _json
+    import os
+
+    from kafka_stream_job_spark.__main__ import main
+    from kafka_stream_job_spark.monitors import write_offsets_fixture
+
+    ckpt = str(tmp_path / "ckpt")
+    write_offsets_fixture(ckpt, 0, {"orders": {"0": 20, "1": 40}})
+    write_offsets_fixture(ckpt, 1, {"orders": {"0": 35, "1": 61}})
+    os.makedirs(os.path.join(ckpt, "commits"))
+    open(os.path.join(ckpt, "commits", "0"), "w").write("v1\n{}")
+
+    assert main(["checkpoint", ckpt, "--json"]) == 0
+    out = [
+        _json.loads(ln) for ln in capsys.readouterr().out.strip().splitlines()
+    ]
+    assert [r["batch_id"] for r in out] == [0, 1]
+    assert out[0]["committed"] is True
+    assert out[1]["committed"] is False  # in-flight → replays on recovery
+    assert out[1]["offsets"] == {"orders-0": 35, "orders-1": 61}
+
+    assert main(["checkpoint", ckpt]) == 0
+    text = capsys.readouterr().out
+    assert "IN-FLIGHT" in text and "committed" in text
