@@ -613,3 +613,36 @@ def test_observe_batch_via_observation(spark):
     n = observed.count()
     assert obs.get["n_rows"] == n
     assert obs.get["n_null_key"] == 0
+
+
+def test_max_files_per_trigger_paces_micro_batches(spark, tmp_path):
+    """Source rate limiting: with the input staged as N files and
+    maxFilesPerTrigger=1, the drain takes N micro-batches, each bounded —
+    the backpressure knob that keeps 100 TB backfills from loading one
+    giant first batch (with Kafka the same role is played by
+    maxOffsetsPerTrigger)."""
+    src_dir = str(tmp_path / "split_events")
+    events = load_table(spark, SF_SMOKE, "events")
+    n_files = 4
+    events.repartition(n_files).write.parquet(src_dir)
+    total = events.count()
+
+    stream = (
+        spark.readStream.schema(spark.read.parquet(src_dir).schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src_dir)
+    )
+    q = (
+        stream.writeStream.format("memory")
+        .queryName("paced_drain")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        progresses = [p for p in q.recentProgress if p["numInputRows"] > 0]
+    finally:
+        q.stop()
+    assert spark.table("paced_drain").count() == total
+    assert len(progresses) >= n_files, "rate limit must split the drain"
+    assert max(p["numInputRows"] for p in progresses) < total
