@@ -89,16 +89,31 @@ def iceberg_available(spark: SparkSession) -> bool:
         return False
 
 
-def kafka_stream(spark: SparkSession, brokers: str, topic: str) -> DataFrame:
-    """S1 — Kafka streaming source (KafkaAvroToIceberg.scala:55-64)."""
-    return (
+def kafka_stream(
+    spark: SparkSession,
+    brokers: str,
+    topic: str,
+    extra_options: dict[str, str] | None = None,
+) -> DataFrame:
+    """S1 — Kafka streaming source (KafkaAvroToIceberg.scala:55-64).
+
+    ``extra_options`` passes production knobs through verbatim — e.g.
+    ``maxOffsetsPerTrigger`` (micro-batch rate limit, the Kafka twin of
+    the maxFilesPerTrigger pacing tested on the file source),
+    ``minPartitions`` (fan a hot topic out past its partition count),
+    and ``kafka.security.protocol``/SASL settings. Defaults stay exactly
+    the reference's four options.
+    """
+    reader = (
         spark.readStream.format("kafka")
         .option("kafka.bootstrap.servers", brokers)
         .option("subscribe", topic)
         .option("startingOffsets", "earliest")
         .option("failOnDataLoss", "false")
-        .load()
     )
+    for key, value in (extra_options or {}).items():
+        reader = reader.option(key, value)
+    return reader.load()
 
 
 def kafka_batch(
