@@ -93,3 +93,32 @@ def test_format_round_trips_preserve_orders(spark, tmp_path):
     orders.write.orc(orc_dir)
     got_orc = spark.read.orc(orc_dir)
     assert sorted(tuple(r) for r in got_orc.collect()) == want
+
+
+def test_schema_evolution_merge_on_read(spark, tmp_path):
+    """Schema-on-read evolution the reference lacks (SURVEY.md §1.2 —
+    fixed declared schema, no evolution): a bronze directory accretes
+    files written under a WIDER schema; mergeSchema=True reads the union,
+    null-filling the old rows — additive evolution without rewriting
+    history. At 100 TB the same contract comes from Iceberg schema
+    evolution; this is the parquet stand-in's version."""
+    from pyspark.sql import functions as F
+
+    path = str(tmp_path / "bronze_evolving")
+    v1 = spark.range(0, 10).select(
+        F.col("id").alias("orderId"), (F.col("id") * 1.5).alias("amount")
+    )
+    v1.write.parquet(path)
+    v2 = spark.range(10, 15).select(
+        F.col("id").alias("orderId"),
+        (F.col("id") * 1.5).alias("amount"),
+        F.lit("eu-west").alias("region"),  # new column, additive
+    )
+    v2.write.mode("append").parquet(path)
+
+    merged = spark.read.option("mergeSchema", "true").parquet(path)
+    assert set(merged.columns) == {"orderId", "amount", "region"}
+    assert merged.count() == 15
+    old = merged.filter(F.col("orderId") < 10)
+    assert old.filter(F.col("region").isNull()).count() == 10  # null-filled
+    assert merged.filter(F.col("region") == "eu-west").count() == 5
