@@ -25,6 +25,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from kafka_stream_job_spark.operators._portable import pround
 from kafka_stream_job_spark.registry import register
 from kafka_stream_job_spark.tables import load_table
 
@@ -253,4 +254,89 @@ def decode_media_real(payload_format: str):
     raise NotImplementedError(
         f"real {payload_format} decoding requires media libraries not present "
         "in this environment; decode_payload_batches shows the Arrow plumbing"
+    )
+
+
+# ---------------------------------------------------------------------------
+# "Audio" frame energy: interpret the payload bytes as a PCM-ish sample
+# stream, window it into fixed AUDIO_FRAME-sample frames, and emit each
+# frame's RMS energy — the audio-feature-extraction stand-in (silence
+# detection / VAD pre-filters in a speech pipeline work exactly on this
+# shape). DETERMINISTIC FAKE samples (the payload's byte values — ASCII
+# codes of the text corpus); a real deployment swaps the sample source
+# for librosa/soundfile decode. Integer sum-of-squares per frame is
+# exact, so the RMS is bit-identical in both engines.
+# ---------------------------------------------------------------------------
+AUDIO_FRAME = 32  # samples (bytes) per frame
+
+
+@register(
+    "multimodal_audio_frame_energy",
+    oracle=f"""
+        SELECT doc_id, frame_idx, n_samples,
+               ROUND(sqrt(sq_sum * 1.0 / n_samples) * 10000.0) / 10000.0 + 0.0
+                   AS rms_energy
+        FROM (
+            SELECT doc_id,
+                   i AS frame_idx,
+                   length(substring(text, i * {AUDIO_FRAME} + 1, {AUDIO_FRAME}))
+                       AS n_samples,
+                   list_reduce(
+                       list_prepend(0,
+                           list_transform(
+                               range(1, 1 + length(substring(text, i * {AUDIO_FRAME} + 1,
+                                                             {AUDIO_FRAME}))),
+                               j -> ascii(substring(text, i * {AUDIO_FRAME} + j, 1))
+                                    * ascii(substring(text, i * {AUDIO_FRAME} + j, 1)))),
+                       (acc, v) -> acc + v) AS sq_sum
+            FROM (
+                SELECT doc_id, text,
+                       UNNEST(range(0, CAST(ceil(len(text) / {AUDIO_FRAME}.0) AS BIGINT)))
+                           AS i
+                FROM documents
+            )
+        )
+    """,
+    tags=("multimodal", "audio", "documents"),
+)
+def multimodal_audio_frame_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-frame RMS energy over the payload's byte stream.
+
+    Reference parity: none (SURVEY.md §2.7); north-star audio-modality
+    extension. All JVM-side array algebra (no Pandas UDF needed for this
+    one — the samples are already numeric after `ascii`), zero shuffles.
+    """
+    docs = load_table(spark, sf_dir, "documents", rebalance=True).select(
+        "doc_id", "text"
+    )
+    n_frames = F.ceil(F.length("text") / F.lit(float(AUDIO_FRAME))).cast("long")
+    framed = docs.select(
+        "doc_id",
+        "text",
+        F.explode(F.sequence(F.lit(0).cast("long"), n_frames - 1)).alias(
+            "frame_idx"
+        ),
+    ).select(
+        "doc_id",
+        "frame_idx",
+        F.substring(
+            F.col("text"), (F.col("frame_idx") * AUDIO_FRAME + 1).cast("int"), AUDIO_FRAME
+        ).alias("frame"),
+    )
+    codes = F.transform(
+        F.split(F.col("frame"), ""),
+        lambda ch: F.ascii(ch).cast("long"),
+    )
+    sq_sum = F.aggregate(
+        F.filter(codes, lambda c: c.isNotNull()),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + v * v,
+    )
+    return framed.select(
+        "doc_id",
+        "frame_idx",
+        F.length("frame").cast("long").alias("n_samples"),
+        pround(
+            F.sqrt(sq_sum.cast("double") * F.lit(1.0) / F.length("frame")), 4
+        ).alias("rms_energy"),
     )

@@ -415,3 +415,12 @@ def test_outlier_zscore_broadcasts_stats_takeordered(spark):
     assert "BroadcastNestedLoopJoin" in plan
     assert "TakeOrderedAndProject" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_audio_frame_energy_no_shuffle(spark):
+    """Audio frame energy is per-row array algebra + one Generate — only
+    the opt-in round-robin rebalance Exchange, no key shuffle."""
+    plan = plan_of(spark, "multimodal_audio_frame_energy")
+    assert plan.count("Exchange") == 1
+    assert "RoundRobinPartitioning" in plan
+    assert "hashpartitioning" not in plan
