@@ -400,3 +400,125 @@ def hll_merge_event_types(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_present").alias("n_registers_hit"),
         pround(corrected, 6).alias("hll_estimate"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Count-Min Sketch — the third canonical stream summary beside HLL
+# (distinct counts) and Misra-Gries (heavy hitters): CMS_DEPTH hash rows
+# × CMS_WIDTH counters answer point frequency queries with a one-sided
+# error (estimate >= true count, always). Cells are plain integer
+# aggregates, the md5-derived row hashes are engine-portable, so the
+# whole sketch — build AND query — is exactly oracle-checkable. The
+# report joins the sketch's estimates against the exact counts of the
+# CMS_REPORT_K most frequent tokens, overestimate column included (its
+# non-negativity is the CMS guarantee; asserted in tests).
+#
+# Scale shape (100 TB): the sketch build is ONE partial-agg groupBy into
+# DEPTH×WIDTH = 1024 cells — constant reduce width like the HLL
+# registers and the covariance Gram groups; cells broadcast back onto
+# the (tiny) report set. Mergeability across partitions/days is cell-wise
+# addition — the same property the streaming HLL/MG tests exercise.
+# ---------------------------------------------------------------------------
+CMS_DEPTH = 4
+CMS_WIDTH = 256
+CMS_REPORT_K = 10
+
+
+def _cms_col(d: int, tok_expr):
+    return (
+        F.conv(
+            F.substring(F.md5(F.concat(F.lit(f"cms{d}:"), tok_expr)), 1, 7), 16, 10
+        ).cast("long")
+        % CMS_WIDTH
+    )
+
+
+def _cms_col_sql(d: int, tok: str) -> str:
+    return f"('0x' || substr(md5('cms{d}:' || {tok}), 1, 7))::BIGINT % {CMS_WIDTH}"
+
+
+@register(
+    "cms_token_counts",
+    oracle=f"""
+        WITH tok AS (
+            SELECT unnest(string_split_regex(LOWER(TRIM(text)), '\\s+')) AS tok
+            FROM documents
+        ),
+        cells AS (
+            SELECT d, col, CAST(COUNT(*) AS BIGINT) AS c
+            FROM (
+                SELECT tok,
+                       UNNEST(range(0, {CMS_DEPTH})) AS d
+                FROM tok
+            ) t
+            CROSS JOIN LATERAL (SELECT CASE
+                {" ".join(f"WHEN d = {d} THEN {_cms_col_sql(d, 'tok')}" for d in range(CMS_DEPTH))}
+                END AS col) cc
+            GROUP BY d, col
+        ),
+        exact AS (
+            SELECT tok, CAST(COUNT(*) AS BIGINT) AS exact_cnt
+            FROM tok GROUP BY tok
+            ORDER BY exact_cnt DESC, tok ASC
+            LIMIT {CMS_REPORT_K}
+        ),
+        est AS (
+            SELECT e.tok, e.exact_cnt, MIN(c.c) AS cms_estimate
+            FROM exact e
+            JOIN (SELECT e2.tok, UNNEST(range(0, {CMS_DEPTH})) AS d FROM exact e2) x
+              ON x.tok = e.tok
+            JOIN cells c
+              ON c.d = x.d
+             AND c.col = (CASE
+                {" ".join(f"WHEN x.d = {d} THEN {_cms_col_sql(d, 'e.tok')}" for d in range(CMS_DEPTH))}
+                END)
+            GROUP BY e.tok, e.exact_cnt
+        )
+        SELECT tok, exact_cnt, cms_estimate,
+               cms_estimate - exact_cnt AS overestimate
+        FROM est
+    """,
+    tags=("sketch", "cms", "documents"),
+)
+def cms_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CMS point-query estimates vs exact counts for the top tokens.
+
+    Reference parity: none (SURVEY.md §2.7); north-star sketch-family
+    extension (HLL + MG + CMS).
+    """
+    docs = load_table(spark, sf_dir, "documents", rebalance=True)
+    toks = docs.select(
+        F.explode(F.split(F.lower(F.trim(F.col("text"))), r"\s+")).alias("tok")
+    ).localCheckpoint(eager=False)
+    cell_structs = F.array(
+        *[
+            F.struct(F.lit(d).alias("d"), _cms_col(d, F.col("tok")).alias("col"))
+            for d in range(CMS_DEPTH)
+        ]
+    )
+    cells = (
+        toks.select(F.explode(cell_structs).alias("s"))
+        .select("s.d", "s.col")
+        .groupBy("d", "col")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    exact = (
+        toks.groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("exact_cnt"))
+        .orderBy(F.col("exact_cnt").desc(), F.col("tok").asc())
+        .limit(CMS_REPORT_K)
+    )
+    probes = exact.select(
+        "tok", "exact_cnt", F.explode(cell_structs).alias("s")
+    ).select("tok", "exact_cnt", "s.d", "s.col")
+    return (
+        probes.join(F.broadcast(cells), ["d", "col"])
+        .groupBy("tok", "exact_cnt")
+        .agg(F.min("c").alias("cms_estimate"))
+        .select(
+            "tok",
+            "exact_cnt",
+            "cms_estimate",
+            (F.col("cms_estimate") - F.col("exact_cnt")).alias("overestimate"),
+        )
+    )

@@ -134,3 +134,17 @@ def test_heavy_hitter_candidates_are_superset(spark):
     n = sum(r["count"] for r in counts)
     heavy = {r.token for r in counts if r["count"] * HH_FRACTION > n}
     assert heavy <= cand
+
+
+def test_cms_one_sided_error_guarantee(spark):
+    """Count-Min never underestimates: estimate >= exact for every probe
+    (cells only ever accumulate collisions on top of the true count)."""
+    from kafka_stream_job_spark.registry import all_specs
+
+    from .conftest import SF_SMOKE
+
+    rows = all_specs()["cms_token_counts"].fn(spark, SF_SMOKE).collect()
+    assert rows
+    for r in rows:
+        assert r["cms_estimate"] >= r["exact_cnt"], r
+        assert r["overestimate"] == r["cms_estimate"] - r["exact_cnt"]
