@@ -1029,3 +1029,96 @@ def minhash_jaccard_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
             pround(F.abs(est - exact_raw), 4).alias("abs_err"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Incremental near-dup — the production ingestion path: a new batch of
+# documents is checked against the EXISTING corpus's band index, not
+# against itself and not by re-running dedup over the whole corpus. A
+# deterministic hash splits documents into corpus (~75%) and incoming
+# (~25%) to model the two sides; the asymmetric band join flags each
+# incoming doc that shares any LSH band with any corpus doc.
+#
+# Scale shape (100 TB): this is THE reason LSH dedup scales operationally
+# — the corpus side is a persisted band index (banded once, stored
+# bucketed by (band_idx, band_sig)); each incoming delta computes only
+# its own signatures and joins against the index. Per-ingest cost is
+# O(delta), not O(corpus). Here both sides derive from one checkpointed
+# signature computation (shared scan); the join itself is the same
+# skew-resistant (band_idx, band_sig) equi-join as the batch LSH.
+# ---------------------------------------------------------------------------
+INCR_MOD = 4  # hash % 4 == 0 → incoming (~25%), else corpus
+
+
+def _incr_hash_sql() -> str:
+    return (
+        "('0x' || substr(md5('incr:' || CAST(doc_id AS VARCHAR)), 1, 7))::BIGINT"
+        f" % {INCR_MOD}"
+    )
+
+
+@register(
+    "dedup_incremental_delta",
+    oracle=f"""
+        WITH shingles AS ({_SHINGLES_SQL}),
+        sigs AS ({_SIGS_SQL}),
+        bands AS ({_BANDS_SQL}),
+        side AS (
+            SELECT doc_id,
+                   CASE WHEN {_incr_hash_sql()} = 0 THEN 'in' ELSE 'corpus' END AS side
+            FROM documents
+        )
+        SELECT i.doc_id AS doc_id,
+               CAST(COUNT(DISTINCT c.doc_id) AS BIGINT) AS n_corpus_matches,
+               MIN(c.doc_id) AS first_match
+        FROM bands i
+        JOIN side si ON si.doc_id = i.doc_id AND si.side = 'in'
+        JOIN bands c ON c.band_idx = i.band_idx AND c.band_sig = i.band_sig
+        JOIN side sc ON sc.doc_id = c.doc_id AND sc.side = 'corpus'
+        GROUP BY i.doc_id
+    """,
+    tags=("dedup", "lsh", "incremental", "documents"),
+)
+def dedup_incremental_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incoming docs flagged as near-dups of the existing corpus.
+
+    Reference parity: none (SURVEY.md §2.7); north-star incremental-
+    ingestion extension.
+    """
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    incr = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit("incr:"), F.col("doc_id").cast("string"))), 1, 7
+            ),
+            16,
+            10,
+        ).cast("long")
+        % INCR_MOD
+    )
+    incoming_ids = docs.filter(incr == 0)
+    corpus_ids = docs.filter(incr != 0)
+
+    sigs = minhash_signatures(spark, sf_dir).localCheckpoint(eager=False)
+    banded = sigs.select(
+        "doc_id",
+        F.explode(
+            F.map_from_arrays(
+                F.array(*[F.lit(b) for b in range(NUM_BANDS)]),
+                F.array(*_band_sig_cols()),
+            )
+        ).alias("band_idx", "band_sig"),
+    ).localCheckpoint(eager=False)
+    in_bands = banded.join(F.broadcast(incoming_ids), "doc_id", "left_semi")
+    corpus_bands = banded.join(F.broadcast(corpus_ids), "doc_id", "left_semi").select(
+        F.col("doc_id").alias("c_doc"), "band_idx", "band_sig"
+    )
+    return (
+        in_bands.hint("merge")
+        .join(corpus_bands, ["band_idx", "band_sig"])
+        .groupBy("doc_id")
+        .agg(
+            F.countDistinct("c_doc").alias("n_corpus_matches"),
+            F.min("c_doc").alias("first_match"),
+        )
+    )

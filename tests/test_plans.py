@@ -424,3 +424,19 @@ def test_audio_frame_energy_no_shuffle(spark):
     assert plan.count("Exchange") == 1
     assert "RoundRobinPartitioning" in plan
     assert "hashpartitioning" not in plan
+
+
+def test_incremental_dedup_delta_joins_index_no_self_pair(spark):
+    """Incremental dedup joins incoming bands against the corpus band
+    index (SMJ on the band keys, semi-join side filters broadcast); the
+    signature pipeline is computed once (checkpointed — no parquet
+    rescan), and there is never a cartesian."""
+    plan = plan_of(spark, "dedup_incremental_delta")
+    assert "SortMergeJoin" in plan
+    # the heavy signature pipeline is checkpointed (computed once); the
+    # only parquet scans left are the doc_id-only side-filter reads
+    assert "ExistingRDD" in plan
+    assert plan.count("Scan parquet") <= 2
+    for seg in plan.split("ReadSchema: ")[1:]:
+        assert seg.startswith("struct<doc_id:bigint>"), "side scans must prune to doc_id"
+    assert "CartesianProduct" not in plan
