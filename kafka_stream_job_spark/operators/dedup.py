@@ -1122,3 +1122,105 @@ def dedup_incremental_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.min("c_doc").alias("first_match"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Quality-aware survivor selection — per near-dup CLUSTER (connected
+# component), keep the best member by (passes_quality DESC, n_chars DESC,
+# doc_id ASC) instead of dedup_survivors' "drop every doc_b" one-hop
+# policy. This is how production dedup actually chooses canonicals: the
+# longest high-quality copy survives, truncated/mangled copies drop —
+# min-doc-id keeps whichever happened to be crawled first.
+#
+# Scale shape: the component labels come from the iterative CC operator
+# (its own scale story); ranking members within a component is one
+# window over (component) — components are near-dup clusters, i.e. tiny,
+# so the partition sizes are bounded and skew-free by construction.
+# ---------------------------------------------------------------------------
+def _keep_best_oracle() -> str:
+    # The passes_quality predicate is inlined (not pulled from the
+    # text_quality_score registry entry) because dedup registers before
+    # text at import time; the expression is identical by construction
+    # and covered by text_quality_score's own oracle check.
+    quality_sql = r"""
+        SELECT doc_id,
+               CASE WHEN len(string_split_regex(TRIM(text), '\s+'))
+                         BETWEEN 20 AND 1000
+                     AND len(list_distinct(
+                             string_split_regex(LOWER(TRIM(text)), '\s+')))
+                         * 1.0
+                         / len(string_split_regex(TRIM(text), '\s+')) > 0.3
+                    THEN 1 ELSE 0 END AS passes_quality
+        FROM documents
+    """
+    return f"""
+        WITH RECURSIVE
+        shingles AS ({_SHINGLES_SQL}),
+        sigs AS ({_SIGS_SQL}),
+        bands AS ({_BANDS_SQL}),
+        pairs AS ({_PAIRS_SQL}),
+        edges AS (
+            SELECT doc_a AS src, doc_b AS dst FROM pairs
+            UNION
+            SELECT doc_b, doc_a FROM pairs
+        ),
+        verts AS (SELECT DISTINCT src AS doc_id FROM edges),
+        reach(src, dst) AS (
+            SELECT doc_id, doc_id FROM verts
+            UNION
+            SELECT r.src, e.dst FROM reach r JOIN edges e ON e.src = r.dst
+        ),
+        comp AS (SELECT src AS doc_id, MIN(dst) AS component
+                 FROM reach GROUP BY src),
+        qual AS (SELECT doc_id, passes_quality FROM ({quality_sql})),
+        ranked AS (
+            SELECT c.component, c.doc_id,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY c.component
+                       ORDER BY q.passes_quality DESC, d.n_chars DESC,
+                                c.doc_id ASC
+                   ) AS rn
+            FROM comp c
+            JOIN qual q ON q.doc_id = c.doc_id
+            JOIN documents d ON d.doc_id = c.doc_id
+        )
+        SELECT component,
+               MIN(CASE WHEN rn = 1 THEN doc_id END) AS keep_doc_id,
+               CAST(COUNT(*) AS BIGINT) AS n_members,
+               CAST(COUNT(*) - 1 AS BIGINT) AS n_dropped
+        FROM ranked
+        GROUP BY component
+    """
+
+
+@register(
+    "dedup_keep_best_quality",
+    oracle=_keep_best_oracle(),
+    tags=("dedup", "graph", "quality", "documents"),
+)
+def dedup_keep_best_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per duplicate cluster: best-quality canonical + member counts.
+
+    Reference parity: none (SURVEY.md §2.7); north-star dedup-policy
+    extension.
+    """
+    from pyspark.sql import Window
+
+    from kafka_stream_job_spark.operators.text import text_quality_score
+
+    comp = dedup_connected_components(spark, sf_dir)
+    qual = text_quality_score(spark, sf_dir).select("doc_id", "passes_quality")
+    chars = load_table(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    w = Window.partitionBy("component").orderBy(
+        F.col("passes_quality").desc(), F.col("n_chars").desc(), F.col("doc_id").asc()
+    )
+    ranked = (
+        comp.join(qual, "doc_id")
+        .join(chars, "doc_id")
+        .withColumn("rn", F.row_number().over(w))
+    )
+    return ranked.groupBy("component").agg(
+        F.min(F.when(F.col("rn") == 1, F.col("doc_id"))).alias("keep_doc_id"),
+        F.count(F.lit(1)).alias("n_members"),
+        (F.count(F.lit(1)) - 1).alias("n_dropped"),
+    )

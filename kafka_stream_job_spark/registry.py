@@ -126,6 +126,8 @@ def all_specs() -> dict[str, QuerySpec]:
         "minhash_jaccard_calibration",
         "corpus_filter_funnel",
         "heavy_hitter_tokens",
+        "dedup_incremental_delta",
+        "dedup_keep_best_quality",
         "graph_pagerank_parts",
         "graph_triangle_stats",
     )
