@@ -3750,3 +3750,60 @@ def snapshot_diff_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("k").alias("max_doc_id"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Cohort revenue — the classic retention/LTV matrix: customers are
+# grouped into cohorts by FIRST-order month; each cohort's revenue is
+# tracked by months-since-first-order. Two shuffles at scale: the
+# per-customer first-order aggregate (partial-agg on custkey), then the
+# (cohort, months_since) rollup (few hundred groups). The first-order
+# table joins back on custkey — co-partitioned with the orders shuffle.
+# Months arithmetic is pure integers (y*12+m), so the matrix is exactly
+# oracle-checkable; revenue uses the portable round.
+# ---------------------------------------------------------------------------
+@register(
+    "orders_cohort_revenue",
+    oracle="""
+        WITH firsts AS (
+            SELECT o_custkey,
+                   MIN(date_part('year', o_orderdate) * 12
+                       + date_part('month', o_orderdate)) AS m0
+            FROM orders GROUP BY o_custkey
+        )
+        SELECT
+            CAST((f.m0 - 1) // 12 AS BIGINT)              AS cohort_year,
+            CAST((f.m0 - 1) % 12 + 1 AS BIGINT)           AS cohort_month,
+            CAST(date_part('year', o.o_orderdate) * 12
+                 + date_part('month', o.o_orderdate)
+                 - f.m0 AS BIGINT)                        AS months_since,
+            CAST(COUNT(DISTINCT o.o_custkey) AS BIGINT)   AS n_active,
+            ROUND((SUM(o.o_totalprice)) * 100.0) / 100.0 + 0.0 AS revenue
+        FROM orders o
+        JOIN firsts f ON f.o_custkey = o.o_custkey
+        GROUP BY 1, 2, 3
+    """,
+    tags=("orders", "cohort", "retention", "agg"),
+)
+def orders_cohort_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort (first-order month) × months-since revenue/activity matrix.
+
+    Reference parity: none (SURVEY.md §2.7 — no aggregation in the
+    reference); north-star analytics extension.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    mnum = F.year("o_orderdate") * 12 + F.month("o_orderdate")
+    firsts = orders.groupBy("o_custkey").agg(F.min(mnum).alias("m0"))
+    monthly = orders.select("o_custkey", "o_totalprice", mnum.alias("m"))
+    return (
+        monthly.join(firsts, "o_custkey")
+        .groupBy(
+            F.floor((F.col("m0") - 1) / 12).cast("long").alias("cohort_year"),
+            ((F.col("m0") - 1) % 12 + 1).cast("long").alias("cohort_month"),
+            (F.col("m") - F.col("m0")).cast("long").alias("months_since"),
+        )
+        .agg(
+            F.countDistinct("o_custkey").alias("n_active"),
+            pround(F.sum("o_totalprice"), 2).alias("revenue"),
+        )
+    )
