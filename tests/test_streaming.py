@@ -646,3 +646,54 @@ def test_max_files_per_trigger_paces_micro_batches(spark, tmp_path):
     assert spark.table("paced_drain").count() == total
     assert len(progresses) >= n_files, "rate limit must split the drain"
     assert max(p["numInputRows"] for p in progresses) < total
+
+
+def test_checkpoint_restart_resumes_exactly_once(spark, tmp_path):
+    """Stop/restart recovery: a stream drains part of the input, stops,
+    more input arrives, and a NEW query over the SAME checkpoint resumes
+    — the final sink holds every input row exactly once (no re-emission
+    of pre-restart batches, no loss of post-restart files). This is the
+    end-to-end exactly-once contract the reference delegates to
+    checkpoint + Iceberg (KafkaAvroToIceberg.scala:92-100), driven
+    through the _SUCCESS-gated idempotent parquet sink."""
+    from kafka_stream_job_spark.streaming.pipeline import (
+        foreach_batch_idempotent_append,
+    )
+
+    events = load_table(spark, SF_SMOKE, "events").select(
+        "event_id", "user_id", "event_type", "value"
+    )
+    first, second = (
+        events.filter(F.col("event_id") % 2 == 0),
+        events.filter(F.col("event_id") % 2 == 1),
+    )
+    src = str(tmp_path / "src")
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    first.coalesce(1).write.mode("append").parquet(src)
+
+    schema = spark.read.parquet(src).schema
+
+    def run_once():
+        q = (
+            spark.readStream.schema(schema)
+            .parquet(src)
+            .writeStream.foreachBatch(foreach_batch_idempotent_append(out))
+            .option("checkpointLocation", ckpt)
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+
+    run_once()  # phase 1: first half committed
+    n_first = spark.read.parquet(out).count()
+    assert n_first == first.count()
+
+    second.coalesce(1).write.mode("append").parquet(src)  # new data arrives
+    run_once()  # phase 2: NEW query, same checkpoint → resumes
+
+    got = {tuple(r) for r in spark.read.parquet(out).drop("batch_id").collect()}
+    want = {tuple(r) for r in events.collect()}
+    assert got == want, "restart must neither duplicate nor lose rows"
