@@ -3807,3 +3807,68 @@ def orders_cohort_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
             pround(F.sum("o_totalprice"), 2).alias("revenue"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Semi-structured schema profiling — the lakehouse "what's actually in
+# this JSON column" audit: discover every key present in `props`, and per
+# key report presence, value cardinality, how many values parse as
+# numbers, and the numeric range. Detects schema drift (new keys, type
+# changes) in event payloads without a declared schema.
+#
+# Scale shape (100 TB): keys are discovered per row JVM-side
+# (json_object_keys → explode), then ONE partial-agg groupBy on the key —
+# reduce width = number of distinct keys, which is schema-sized, not
+# data-sized. No second scan, no collect.
+# ---------------------------------------------------------------------------
+@register(
+    "events_props_schema_profile",
+    oracle=r"""
+        WITH kv AS (
+            SELECT k,
+                   json_extract_string(props, '$.' || k) AS v
+            FROM (
+                SELECT props, UNNEST(json_keys(props)) AS k
+                FROM events
+                WHERE props IS NOT NULL
+            )
+        )
+        SELECT k AS key,
+               CAST(COUNT(*) AS BIGINT)                        AS n_present,
+               CAST(COUNT(DISTINCT v) AS BIGINT)               AS n_distinct,
+               CAST(SUM(CASE WHEN regexp_matches(v, '^-?[0-9]+(\.[0-9]+)?$')
+                             THEN 1 ELSE 0 END) AS BIGINT)     AS n_numeric,
+               MIN(CASE WHEN regexp_matches(v, '^-?[0-9]+(\.[0-9]+)?$')
+                        THEN CAST(v AS DOUBLE) END)            AS min_num,
+               MAX(CASE WHEN regexp_matches(v, '^-?[0-9]+(\.[0-9]+)?$')
+                        THEN CAST(v AS DOUBLE) END)            AS max_num
+        FROM kv
+        GROUP BY k
+    """,
+    tags=("events", "json", "profiling"),
+)
+def events_props_schema_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-key presence/cardinality/type profile of the props JSON.
+
+    Reference parity: none (SURVEY.md §2.7); north-star semi-structured
+    profiling extension.
+    """
+    events = load_table(spark, sf_dir, "events")
+    kv = (
+        events.filter(F.col("props").isNotNull())
+        .select(
+            "props", F.explode(F.json_object_keys("props")).alias("key")
+        )
+        .select(
+            "key",
+            F.expr("get_json_object(props, concat('$.', key))").alias("v"),
+        )
+    )
+    is_num = F.col("v").rlike(r"^-?[0-9]+(\.[0-9]+)?$")
+    return kv.groupBy("key").agg(
+        F.count(F.lit(1)).alias("n_present"),
+        F.countDistinct("v").alias("n_distinct"),
+        F.sum(F.when(is_num, 1).otherwise(0)).alias("n_numeric"),
+        F.min(F.when(is_num, F.col("v").cast("double"))).alias("min_num"),
+        F.max(F.when(is_num, F.col("v").cast("double"))).alias("max_num"),
+    )
