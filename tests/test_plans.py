@@ -440,3 +440,26 @@ def test_incremental_dedup_delta_joins_index_no_self_pair(spark):
     for seg in plan.split("ReadSchema: ")[1:]:
         assert seg.startswith("struct<doc_id:bigint>"), "side scans must prune to doc_id"
     assert "CartesianProduct" not in plan
+
+
+def test_bench_queries_stay_in_wholestage_codegen(spark):
+    """Every bench-tagged query's physical plan must contain
+    WholeStageCodegen spans (AQE disabled for the check — its wrapper
+    hides the markers): a hot-path expression falling out of codegen
+    (e.g. an interpreted higher-order function creeping in) is a silent
+    multi-x CPU regression at 100 TB."""
+    prev = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        for name, spec in SPECS.items():
+            if not spec.bench:
+                continue
+            plan = (
+                spec.fn(spark, SF_SMOKE)
+                ._jdf.queryExecution()
+                .executedPlan()
+                .toString()
+            )
+            assert plan.count("*(") >= 1, f"{name} lost whole-stage codegen"
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", prev)
