@@ -103,3 +103,45 @@ def test_morton_bijective_and_nests(x1, y1, x2, y2):
     if z1 >> 26 == z2 >> 26:
         assert x1 >> 13 == x2 >> 13
         assert y1 >> 13 == y2 >> 13
+
+
+# ---------------------------------------------------------------------------
+# Content-defined chunking: the ORACLE-side SQL (rolling hash, boundary
+# selection, span algebra in DuckDB list expressions) must agree with an
+# independent pure-Python reference on arbitrary corpora — hypothesis
+# drives random token streams through both. (The Spark side is pinned to
+# the same reference in tests/test_reference_impl.py; together the three
+# implementations triangulate.)
+# ---------------------------------------------------------------------------
+_WORDS = ["alpha", "beta", "gamma", "delta", "zz", "q", "longerword", "x1"]
+
+
+@settings(max_examples=60, deadline=None)
+@given(
+    docs=st.lists(
+        st.lists(st.sampled_from(_WORDS), min_size=0, max_size=30),
+        min_size=1,
+        max_size=5,
+    )
+)
+def test_cdc_oracle_sql_matches_reference(docs):
+    import duckdb
+
+    from kafka_stream_job_spark.registry import all_specs
+    from .test_reference_impl import _cdc_chunks_reference
+
+    oracle = all_specs()["content_defined_chunks"].oracle
+    con = duckdb.connect()
+    rows = [(i, " ".join(words)) for i, words in enumerate(docs)]
+    con.execute("CREATE TABLE documents (doc_id BIGINT, text VARCHAR)")
+    con.executemany("INSERT INTO documents VALUES (?, ?)", rows)
+    got = {
+        (r[0], r[1], r[2], r[3], r[4])
+        for r in con.sql(oracle).fetchall()
+    }
+    want = {
+        (doc_id, k, s, ln, fp)
+        for doc_id, text in rows
+        for (k, s, ln, fp) in _cdc_chunks_reference(text)
+    }
+    assert got == want
