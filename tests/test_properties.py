@@ -145,3 +145,59 @@ def test_cdc_oracle_sql_matches_reference(docs):
         for (k, s, ln, fp) in _cdc_chunks_reference(text)
     }
     assert got == want
+
+
+@settings(max_examples=60, deadline=None)
+@given(
+    docs=st.lists(
+        st.lists(st.sampled_from(_WORDS), min_size=0, max_size=15),
+        min_size=1,
+        max_size=5,
+    )
+)
+def test_bigram_lm_oracle_sql_matches_reference(docs):
+    import math
+
+    import duckdb
+
+    from kafka_stream_job_spark.operators.text import LM_TOP_K, LM_UNATS
+    from kafka_stream_job_spark.registry import all_specs
+    from .test_reference_impl import _pround, _round_half_away
+
+    oracle = all_specs()["bigram_lm_score"].oracle
+    con = duckdb.connect()
+    rows = [(i, " ".join(words)) for i, words in enumerate(docs)]
+    con.execute("CREATE TABLE documents (doc_id BIGINT, text VARCHAR)")
+    con.executemany("INSERT INTO documents VALUES (?, ?)", rows)
+    got = {(r[0], r[1], r[2]) for r in con.sql(oracle).fetchall()}
+
+    from collections import Counter
+
+    bigrams, left, vocab, docs_bg = Counter(), Counter(), set(), {}
+    for doc_id, text in rows:
+        toks = text.lower().strip().split() if text.strip() else [""]
+        # mirror string_split_regex on empty text: [''] single empty token
+        vocab.update(toks)
+        bgs = [f"{a} {b}" for a, b in zip(toks, toks[1:])]
+        docs_bg[doc_id] = bgs
+        for bg in bgs:
+            bigrams[bg] += 1
+            left[bg.split(" ")[0]] += 1
+    V = len(vocab)
+    scored = []
+    for doc_id, bgs in docs_bg.items():
+        if not bgs:
+            continue
+        unats = sum(
+            _round_half_away(
+                math.log((bigrams[bg] + 1) * 1.0 / (left[bg.split(" ")[0]] + V))
+                * LM_UNATS
+            )
+            for bg in bgs
+        )
+        scored.append(
+            (doc_id, len(bgs), _pround((unats / float(LM_UNATS)) / len(bgs), 4))
+        )
+    scored.sort(key=lambda t: (t[2], t[0]))
+    want = set(scored[:LM_TOP_K])
+    assert got == want
