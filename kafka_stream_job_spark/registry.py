@@ -99,6 +99,7 @@ def all_specs() -> dict[str, QuerySpec]:
         text,
     )
     from kafka_stream_job_spark import bronze  # noqa: F401
+    from kafka_stream_job_spark.streaming import pipeline  # noqa: F401
 
     red_fixed = {
         n: REGISTRY[n]
@@ -128,6 +129,7 @@ def all_specs() -> dict[str, QuerySpec]:
         "heavy_hitter_tokens",
         "dedup_incremental_delta",
         "dedup_keep_best_quality",
+        "streaming_hourly_rollup",
         "graph_pagerank_parts",
         "graph_triangle_stats",
     )

@@ -391,3 +391,41 @@ def run_stream_to_memory(
     finally:
         query.stop()  # bounded test; production uses awaitTermination (Q4)
     return spark.table(name)
+
+
+# ---------------------------------------------------------------------------
+# Registry entry: the hourly rollup executed THROUGH Structured Streaming
+# (file-source replay → watermarked windowed agg → drained memory sink),
+# returned as a batch DataFrame. Its oracle is the SAME SQL as the batch
+# twin events_hourly_rollup — so the driver's correctness gate checks
+# actual streaming execution (micro-batch planning, state store, window
+# emission) against DuckDB, not just the batch plan. Complete output mode
+# because a bounded replay's watermark never passes the final windows.
+# ---------------------------------------------------------------------------
+def _register_streaming_rollup() -> None:
+    import uuid
+
+    from kafka_stream_job_spark.registry import REGISTRY, register
+
+    oracle = REGISTRY["events_hourly_rollup"].oracle
+
+    @register(
+        "streaming_hourly_rollup",
+        oracle=oracle,
+        tags=("streaming", "window-time", "events"),
+    )
+    def streaming_hourly_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+        import tempfile
+
+        name = f"stream_rollup_{uuid.uuid4().hex[:8]}"
+        ckpt = tempfile.mkdtemp(prefix="ksj-stream-rollup-")
+        return run_stream_to_memory(
+            spark,
+            hourly_rollup_stream(stream_events(spark, sf_dir)),
+            name,
+            ckpt,
+            output_mode="complete",
+        )
+
+
+_register_streaming_rollup()
