@@ -201,3 +201,51 @@ def test_bigram_lm_oracle_sql_matches_reference(docs):
     scored.sort(key=lambda t: (t[2], t[0]))
     want = set(scored[:LM_TOP_K])
     assert got == want
+
+
+@settings(max_examples=60, deadline=None)
+@given(
+    docs=st.lists(
+        st.lists(st.sampled_from(_WORDS[:4]), min_size=0, max_size=20),
+        min_size=1,
+        max_size=6,
+    )
+)
+def test_repeated_spans_oracle_sql_matches_reference(docs):
+    """Random small-alphabet corpora (4 words → dense 8-gram repeats)
+    through the DuckDB spans oracle vs an independent sliding-window
+    counter; top-k truncation replayed with the same tiebreak."""
+    import duckdb
+
+    from kafka_stream_job_spark.operators.dedup import (
+        SPAN_MIN_DOCS,
+        SPAN_N,
+        SPAN_TOP_K,
+    )
+    from kafka_stream_job_spark.registry import all_specs
+
+    oracle = all_specs()["repeated_ngram_spans"].oracle
+    con = duckdb.connect()
+    rows = [(i, " ".join(words)) for i, words in enumerate(docs)]
+    con.execute("CREATE TABLE documents (doc_id BIGINT, text VARCHAR)")
+    con.executemany("INSERT INTO documents VALUES (?, ?)", rows)
+    got = [(r[0], r[1], r[2]) for r in con.sql(oracle).fetchall()]
+
+    occ, docs_of = Counter(), {}
+    for doc_id, text in rows:
+        toks = text.lower().split() if text else []
+        if len(toks) < SPAN_N:
+            continue
+        for i in range(len(toks) - SPAN_N + 1):
+            span = " ".join(toks[i : i + SPAN_N])
+            occ[span] += 1
+            docs_of.setdefault(span, set()).add(doc_id)
+    want = sorted(
+        (
+            (span, len(docs_of[span]), n)
+            for span, n in occ.items()
+            if len(docs_of[span]) >= SPAN_MIN_DOCS
+        ),
+        key=lambda t: (-t[2], -t[1], t[0]),
+    )[:SPAN_TOP_K]
+    assert sorted(got, key=lambda t: (-t[2], -t[1], t[0])) == want
