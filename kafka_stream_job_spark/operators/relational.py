@@ -3872,3 +3872,58 @@ def events_props_schema_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min(F.when(is_num, F.col("v").cast("double"))).alias("min_num"),
         F.max(F.when(is_num, F.col("v").cast("double"))).alias("max_num"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Fulfillment latency distribution — order date → line ship date delay in
+# weekly buckets: the supply-chain SLA histogram. One fact-fact equi-join
+# on the order key (co-partitioned SMJ at scale; the bucketed-join tests
+# show the zero-shuffle layout for exactly this pair), then a partial-agg
+# rollup into a bounded set of weekly buckets. Day arithmetic is integer,
+# so the histogram is exactly oracle-checkable.
+# ---------------------------------------------------------------------------
+@register(
+    "lineitem_ship_latency",
+    oracle="""
+        SELECT
+            -- FLOOR, not //: DuckDB integer // truncates toward zero on
+            -- negatives where Spark's floor rounds toward -inf.
+            CAST(FLOOR(date_diff('day', CAST(o.o_orderdate AS DATE),
+                                 CAST(l.l_shipdate AS DATE)) * 1.0 / 7)
+                 AS BIGINT) AS week_bucket,
+            CAST(COUNT(*) AS BIGINT)  AS n_lines,
+            CAST(MIN(date_diff('day', CAST(o.o_orderdate AS DATE),
+                               CAST(l.l_shipdate AS DATE))) AS BIGINT) AS min_days,
+            CAST(MAX(date_diff('day', CAST(o.o_orderdate AS DATE),
+                               CAST(l.l_shipdate AS DATE))) AS BIGINT) AS max_days
+        FROM lineitem l
+        JOIN orders o ON o.o_orderkey = l.l_orderkey
+        GROUP BY 1
+    """,
+    tags=("lineitem", "orders", "join", "histogram", "timeseries"),
+)
+def lineitem_ship_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly-bucketed order→ship latency histogram.
+
+    Reference parity: none (SURVEY.md §2.7); north-star analytics
+    extension.
+    """
+    lineitem = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", F.col("l_shipdate").cast("date").alias("ship_d")
+    )
+    orders = load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("l_orderkey"),
+        F.col("o_orderdate").cast("date").alias("order_d"),
+    )
+    delay = F.datediff(F.col("ship_d"), F.col("order_d"))
+    return (
+        lineitem.join(orders, "l_orderkey")
+        .select(F.floor(delay / 7).cast("long").alias("week_bucket"),
+                delay.alias("delay"))
+        .groupBy("week_bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            F.min("delay").cast("long").alias("min_days"),
+            F.max("delay").cast("long").alias("max_days"),
+        )
+    )
