@@ -1224,3 +1224,121 @@ def dedup_keep_best_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_members"),
         (F.count(F.lit(1)) - 1).alias("n_dropped"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Span mask manifest — the ACTIONABLE form of exact-substring dedup:
+# every occurrence of a cross-document repeated SPAN_N-gram becomes a
+# token interval, and per document the overlapping intervals merge into
+# maximal masked ranges (the ranges an exact-substring dedup pass
+# actually deletes). Interval merge = the gaps-and-islands pattern: sort
+# a doc's intervals by start, open a new island when start exceeds the
+# running max end, island id = cumulative count of opens.
+#
+# Scale shape (100 TB): occurrences join the repeated-span set on the
+# span key (partial-agg'd, skew-absorbed — a boilerplate span hot
+# everywhere is the AQE skew-split case); the islands window partitions
+# by doc_id, so interval merging is per-doc local work after one
+# doc-keyed shuffle. No collect, no per-doc Python.
+# ---------------------------------------------------------------------------
+@register(
+    "dedup_span_mask_manifest",
+    oracle=f"""
+        WITH occ AS (
+            SELECT doc_id,
+                   CAST(i + 1 AS BIGINT) AS start_tok,
+                   CAST(i + {SPAN_N} AS BIGINT) AS end_tok,
+                   array_to_string(toks[i + 1 : i + {SPAN_N}], ' ') AS span
+            FROM (
+                SELECT doc_id, toks,
+                       UNNEST(range(0, len(toks) - {SPAN_N} + 1)) AS i
+                FROM (SELECT doc_id, string_split({_NORM_SQL}, ' ') AS toks
+                      FROM documents)
+                WHERE len(toks) >= {SPAN_N}
+            )
+        ),
+        repeated AS (
+            SELECT span FROM occ GROUP BY span
+            HAVING COUNT(DISTINCT doc_id) >= {SPAN_MIN_DOCS}
+        ),
+        hits AS (
+            SELECT o.doc_id, o.start_tok, o.end_tok
+            FROM occ o JOIN repeated r ON r.span = o.span
+        ),
+        marked AS (
+            SELECT doc_id, start_tok, end_tok,
+                   CASE WHEN start_tok > COALESCE(MAX(end_tok) OVER (
+                            PARTITION BY doc_id ORDER BY start_tok, end_tok
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                        ), CAST(-1 AS BIGINT)) THEN 1 ELSE 0 END AS opens
+            FROM hits
+        ),
+        islands AS (
+            SELECT doc_id, start_tok, end_tok,
+                   CAST(SUM(opens) OVER (
+                        PARTITION BY doc_id ORDER BY start_tok, end_tok
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                    ) AS BIGINT) AS island
+            FROM marked
+        )
+        SELECT doc_id, island,
+               MIN(start_tok) AS mask_start,
+               MAX(end_tok)   AS mask_end,
+               CAST(COUNT(*) AS BIGINT) AS n_spans_merged
+        FROM islands
+        GROUP BY doc_id, island
+    """,
+    tags=("dedup", "documents", "substring", "interval"),
+)
+def dedup_span_mask_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc merged token intervals covered by cross-doc repeated spans.
+
+    Reference parity: none (SURVEY.md §2.7); north-star exact-substring
+    dedup extension (the delete manifest).
+    """
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents", rebalance=True)
+    toks = F.split(_norm_text(), " ")
+    n = F.size(toks)
+    idx = F.sequence(F.lit(0), n - SPAN_N)
+    span_at = lambda i: F.struct(  # noqa: E731
+        (i + 1).cast("long").alias("start_tok"),
+        (i + SPAN_N).cast("long").alias("end_tok"),
+        F.array_join(F.slice(toks, i + 1, SPAN_N), " ").alias("span"),
+    )
+    occ = (
+        docs.select("doc_id", "text")
+        .filter(n >= SPAN_N)
+        .select("doc_id", F.explode(F.transform(idx, span_at)).alias("s"))
+        .select("doc_id", "s.start_tok", "s.end_tok", "s.span")
+    )
+    repeated = (
+        occ.groupBy("span")
+        .agg(F.countDistinct("doc_id").alias("nd"))
+        .filter(F.col("nd") >= SPAN_MIN_DOCS)
+        .select("span")
+    )
+    hits = occ.join(repeated, "span").select("doc_id", "start_tok", "end_tok")
+    order = Window.partitionBy("doc_id").orderBy("start_tok", "end_tok")
+    prev_max_end = F.max("end_tok").over(
+        order.rowsBetween(Window.unboundedPreceding, -1)
+    )
+    marked = hits.withColumn(
+        "opens",
+        F.when(
+            F.col("start_tok") > F.coalesce(prev_max_end, F.lit(-1).cast("long")),
+            1,
+        ).otherwise(0),
+    )
+    islands = marked.withColumn(
+        "island",
+        F.sum("opens")
+        .over(order.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        .cast("long"),
+    )
+    return islands.groupBy("doc_id", "island").agg(
+        F.min("start_tok").alias("mask_start"),
+        F.max("end_tok").alias("mask_end"),
+        F.count(F.lit(1)).alias("n_spans_merged"),
+    )
