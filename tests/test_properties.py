@@ -249,3 +249,62 @@ def test_repeated_spans_oracle_sql_matches_reference(docs):
         key=lambda t: (-t[2], -t[1], t[0]),
     )[:SPAN_TOP_K]
     assert sorted(got, key=lambda t: (-t[2], -t[1], t[0])) == want
+
+
+@settings(max_examples=40, deadline=None)
+@given(
+    docs=st.lists(
+        st.tuples(
+            st.sampled_from(["en", "de", "zh"]),
+            st.lists(st.sampled_from(_WORDS), min_size=1, max_size=12),
+        ),
+        min_size=1,
+        max_size=12,
+    )
+)
+def test_pack_sequences_oracle_sql_matches_reference(docs):
+    """Token-budget sequence packing: the DuckDB oracle (hash order,
+    banded exclusive running sum, floor-division pack ids) vs an
+    independent Python reference."""
+    import hashlib
+
+    import duckdb
+
+    from kafka_stream_job_spark.operators.pipeline import (
+        PACK_BANDS,
+        PACK_BUDGET,
+    )
+    from kafka_stream_job_spark.registry import all_specs
+
+    oracle = all_specs()["pack_sequences_manifest"].oracle
+    con = duckdb.connect()
+    rows = [(i, lang, " ".join(words)) for i, (lang, words) in enumerate(docs)]
+    con.execute("CREATE TABLE documents (doc_id BIGINT, lang VARCHAR, text VARCHAR)")
+    con.executemany("INSERT INTO documents VALUES (?, ?, ?)", rows)
+    got = {tuple(r) for r in con.sql(oracle).fetchall()}
+
+    def h(doc_id):
+        return int(
+            hashlib.md5(f"pack:{doc_id}".encode()).hexdigest()[:7], 16
+        )
+
+    from collections import defaultdict
+
+    streams = defaultdict(list)
+    for doc_id, lang, text in rows:
+        n_tok = len(text.lower().strip().split())
+        streams[(lang, h(doc_id) % PACK_BANDS)].append((h(doc_id), doc_id, n_tok))
+    want = defaultdict(lambda: [0, 0])  # (lang, band, pack) -> [n_docs, tokens]
+    for (lang, band), items in streams.items():
+        items.sort()  # hash order, doc_id tiebreak
+        before = 0
+        for _, _, n_tok in items:
+            pack = before // PACK_BUDGET
+            want[(lang, band, pack)][0] += 1
+            want[(lang, band, pack)][1] += n_tok
+            before += n_tok
+    want_set = {
+        (lang, band, pack, nd, tk)
+        for (lang, band, pack), (nd, tk) in want.items()
+    }
+    assert got == want_set
