@@ -308,3 +308,75 @@ def test_pack_sequences_oracle_sql_matches_reference(docs):
         for (lang, band, pack), (nd, tk) in want.items()
     }
     assert got == want_set
+
+
+@settings(max_examples=40, deadline=None)
+@given(
+    docs=st.lists(
+        st.lists(st.sampled_from(_WORDS[:5]), min_size=0, max_size=14),
+        min_size=1,
+        max_size=8,
+    )
+)
+def test_minhash_lsh_oracle_sql_matches_reference(docs):
+    """The full shingle → minhash → band → candidate-pair oracle chain
+    vs an independent Python MinHash implementation (set shingles, 28-bit
+    md5 hashes, (a*h+b) mod p permutations, banded md5 signatures)."""
+    import hashlib
+
+    import duckdb
+
+    from kafka_stream_job_spark.operators.dedup import (
+        MINHASH_A,
+        MINHASH_B,
+        MINHASH_P,
+        NUM_BANDS,
+        NUM_HASHES,
+        ROWS_PER_BAND,
+        SHINGLE_K,
+    )
+    from kafka_stream_job_spark.registry import all_specs
+
+    oracle = all_specs()["dedup_minhash_lsh"].oracle
+    con = duckdb.connect()
+    rows = [(i, " ".join(words)) for i, words in enumerate(docs)]
+    con.execute("CREATE TABLE documents (doc_id BIGINT, text VARCHAR)")
+    con.executemany("INSERT INTO documents VALUES (?, ?)", rows)
+    got = {(r[0], r[1]) for r in con.sql(oracle).fetchall()}
+
+    def md5_28(s):
+        return int(hashlib.md5(s.encode()).hexdigest()[:7], 16)
+
+    bands_of = {}
+    for doc_id, text in rows:
+        toks = text.lower().split() if text else [""]
+        # norm: whitespace-collapse + lower; single '' token for empty
+        if not text.strip():
+            toks = [""]
+        n = len(toks)
+        upper = max(n - SHINGLE_K, 0)
+        shingles = {" ".join(toks[i : i + SHINGLE_K]) for i in range(upper + 1)}
+        hs = [md5_28(s) for s in shingles]
+        sig = [
+            min((MINHASH_A[s] * h + MINHASH_B[s]) % MINHASH_P for h in hs)
+            for s in range(NUM_HASHES)
+        ]
+        bands_of[doc_id] = {
+            (
+                b,
+                hashlib.md5(
+                    "|".join(
+                        str(sig[b * ROWS_PER_BAND + r])
+                        for r in range(ROWS_PER_BAND)
+                    ).encode()
+                ).hexdigest(),
+            )
+            for b in range(NUM_BANDS)
+        }
+    want = {
+        (a, b)
+        for a in bands_of
+        for b in bands_of
+        if a < b and bands_of[a] & bands_of[b]
+    }
+    assert got == want
