@@ -380,3 +380,50 @@ def test_minhash_lsh_oracle_sql_matches_reference(docs):
         if a < b and bands_of[a] & bands_of[b]
     }
     assert got == want
+
+
+@settings(max_examples=40, deadline=None)
+@given(
+    user_ids=st.lists(
+        st.integers(min_value=0, max_value=5000), min_size=1, max_size=400
+    )
+)
+def test_hll_oracle_sql_matches_reference(user_ids):
+    """The from-scratch HLL estimator's DuckDB SQL (register fold,
+    bias-corrected raw estimate, linear-counting branch) vs an
+    independent Python implementation over random id multisets."""
+    import hashlib
+    import math
+
+    import duckdb
+
+    from kafka_stream_job_spark.operators.sketches import HLL_M
+    from kafka_stream_job_spark.registry import all_specs
+    from .test_reference_impl import _pround
+
+    oracle = all_specs()["hll_distinct_users"].oracle
+    con = duckdb.connect()
+    con.execute("CREATE TABLE events (user_id BIGINT)")
+    con.executemany("INSERT INTO events VALUES (?)", [(u,) for u in user_ids])
+    n_exact, n_hit, est = con.sql(oracle).fetchall()[0]
+
+    regs = {}
+    for u in set(user_ids):
+        hv = int(hashlib.md5(f"hll:{u}".encode()).hexdigest()[:7], 16)
+        reg, w = hv % HLL_M, hv // HLL_M
+        rank = 21 if w == 0 else 21 - len(bin(w)[2:])
+        regs[reg] = max(regs.get(reg, 0), rank)
+    present_sum = sum(
+        1.0 / (1 << r) for _, r in sorted(regs.items())
+    )  # register-order fold, matching both engines' pinned order
+    m = float(HLL_M)
+    raw = (0.7213 / (1.0 + 1.079 / m)) * m * m / (
+        present_sum + (HLL_M - len(regs)) * 1.0
+    )
+    if raw <= 2.5 * m and len(regs) < HLL_M:
+        corrected = m * math.log(m / (HLL_M - len(regs)))
+    else:
+        corrected = raw
+    assert n_exact == len(set(user_ids))
+    assert n_hit == len(regs)
+    assert est == _pround(corrected, 6)
