@@ -427,3 +427,67 @@ def test_hll_oracle_sql_matches_reference(user_ids):
     assert n_exact == len(set(user_ids))
     assert n_hit == len(regs)
     assert est == _pround(corrected, 6)
+
+
+@settings(max_examples=40, deadline=None)
+@given(
+    docs=st.lists(
+        st.lists(st.sampled_from(_WORDS[:5]), min_size=0, max_size=14),
+        min_size=1,
+        max_size=8,
+    )
+)
+def test_simhash_oracle_sql_matches_reference(docs):
+    """The SimHash chain (set-shingle bit votes → 28-bit fingerprint →
+    7-bit bands → Hamming<=3 pairs) vs an independent Python
+    implementation."""
+    import hashlib
+
+    import duckdb
+
+    from kafka_stream_job_spark.operators.dedup import (
+        SHINGLE_K,
+        SIMHASH_BAND_BITS,
+        SIMHASH_BANDS,
+        SIMHASH_BITS,
+        SIMHASH_HAMMING_MAX,
+    )
+    from kafka_stream_job_spark.registry import all_specs
+
+    oracle = all_specs()["dedup_simhash"].oracle
+    con = duckdb.connect()
+    rows = [(i, " ".join(words)) for i, words in enumerate(docs)]
+    con.execute("CREATE TABLE documents (doc_id BIGINT, text VARCHAR)")
+    con.executemany("INSERT INTO documents VALUES (?, ?)", rows)
+    got = {tuple(r) for r in con.sql(oracle).fetchall()}
+
+    fps = {}
+    for doc_id, text in rows:
+        toks = text.lower().split() if text.strip() else [""]
+        upper = max(len(toks) - SHINGLE_K, 0)
+        shingles = {" ".join(toks[i : i + SHINGLE_K]) for i in range(upper + 1)}
+        hs = {
+            int(hashlib.md5(s.encode()).hexdigest()[:7], 16) for s in shingles
+        }
+        fp = 0
+        for j in range(SIMHASH_BITS):
+            vote = sum(1 if (h >> j) & 1 else -1 for h in hs)
+            if vote >= 0:
+                fp |= 1 << j
+        fps[doc_id] = fp
+
+    def bands(fp):
+        return {
+            (b, (fp >> (b * SIMHASH_BAND_BITS)) % (1 << SIMHASH_BAND_BITS))
+            for b in range(SIMHASH_BANDS)
+        }
+
+    want = {
+        (a, b, bin(fps[a] ^ fps[b]).count("1"))
+        for a in fps
+        for b in fps
+        if a < b
+        and bands(fps[a]) & bands(fps[b])
+        and bin(fps[a] ^ fps[b]).count("1") <= SIMHASH_HAMMING_MAX
+    }
+    assert got == want
