@@ -491,3 +491,86 @@ def test_simhash_oracle_sql_matches_reference(docs):
         and bin(fps[a] ^ fps[b]).count("1") <= SIMHASH_HAMMING_MAX
     }
     assert got == want
+
+
+@settings(max_examples=40, deadline=None)
+@given(
+    docs=st.lists(
+        st.lists(st.sampled_from(_WORDS[:5]), min_size=0, max_size=14),
+        min_size=1,
+        max_size=8,
+    )
+)
+def test_connected_components_oracle_matches_union_find(docs):
+    """The recursive-CTE min-label components oracle vs union-find over
+    the independently-computed LSH candidate pairs."""
+    import hashlib
+
+    import duckdb
+
+    from kafka_stream_job_spark.operators.dedup import (
+        MINHASH_A,
+        MINHASH_B,
+        MINHASH_P,
+        NUM_BANDS,
+        NUM_HASHES,
+        ROWS_PER_BAND,
+        SHINGLE_K,
+    )
+    from kafka_stream_job_spark.registry import all_specs
+
+    oracle = all_specs()["dedup_connected_components"].oracle
+    con = duckdb.connect()
+    rows = [(i, " ".join(words)) for i, words in enumerate(docs)]
+    con.execute("CREATE TABLE documents (doc_id BIGINT, text VARCHAR)")
+    con.executemany("INSERT INTO documents VALUES (?, ?)", rows)
+    got = {tuple(r) for r in con.sql(oracle).fetchall()}
+
+    def md5_28(s):
+        return int(hashlib.md5(s.encode()).hexdigest()[:7], 16)
+
+    bands_of = {}
+    for doc_id, text in rows:
+        toks = text.lower().split() if text.strip() else [""]
+        upper = max(len(toks) - SHINGLE_K, 0)
+        hs = [
+            md5_28(s)
+            for s in {" ".join(toks[i : i + SHINGLE_K]) for i in range(upper + 1)}
+        ]
+        sig = [
+            min((MINHASH_A[s] * h + MINHASH_B[s]) % MINHASH_P for h in hs)
+            for s in range(NUM_HASHES)
+        ]
+        bands_of[doc_id] = {
+            (
+                b,
+                hashlib.md5(
+                    "|".join(
+                        str(sig[b * ROWS_PER_BAND + r])
+                        for r in range(ROWS_PER_BAND)
+                    ).encode()
+                ).hexdigest(),
+            )
+            for b in range(NUM_BANDS)
+        }
+    pairs = [
+        (a, b)
+        for a in bands_of
+        for b in bands_of
+        if a < b and bands_of[a] & bands_of[b]
+    ]
+    parent = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in pairs:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    want = {(v, find(v)) for v in parent}
+    assert got == want
