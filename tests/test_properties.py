@@ -574,3 +574,64 @@ def test_connected_components_oracle_matches_union_find(docs):
             parent[max(ra, rb)] = min(ra, rb)
     want = {(v, find(v)) for v in parent}
     assert got == want
+
+
+@settings(max_examples=40, deadline=None)
+@given(
+    lines=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=5),
+            st.integers(min_value=0, max_value=8),
+        ),
+        min_size=2,
+        max_size=30,
+    )
+)
+def test_pagerank_oracle_matches_reference(lines):
+    """The 3-iteration integer-quantized PageRank CTE chain vs an
+    independent implementation over random basket graphs."""
+    import duckdb
+
+    from kafka_stream_job_spark.operators.relational import (
+        PR_ITERS,
+        PR_SCALE,
+        PR_TOP,
+    )
+    from kafka_stream_job_spark.registry import all_specs
+    from .test_reference_impl import _round_half_away
+
+    oracle = all_specs()["graph_pagerank_parts"].oracle
+    con = duckdb.connect()
+    con.execute("CREATE TABLE lineitem (l_orderkey BIGINT, l_partkey BIGINT)")
+    con.executemany("INSERT INTO lineitem VALUES (?, ?)", lines)
+    got = [tuple(r) for r in con.sql(oracle).fetchall()]
+
+    from collections import defaultdict
+
+    baskets = defaultdict(set)
+    for ok, pk in set(lines):
+        baskets[ok].add(pk)
+    edges = {
+        (a, b)
+        for parts in baskets.values()
+        for a in parts
+        for b in parts
+        if a != b
+    }
+    deg = defaultdict(int)
+    for s, _ in edges:
+        deg[s] += 1
+    nodes = {s for s, _ in edges}
+    r = {p: PR_SCALE for p in nodes}
+    for _ in range(PR_ITERS):
+        contrib = defaultdict(int)
+        for s, d in edges:
+            contrib[d] += r[s] // deg[s]
+        r = {
+            p: _round_half_away(0.15 * PR_SCALE + 0.85 * contrib.get(p, 0))
+            for p in nodes
+        }
+    want = sorted(((p, rv) for p, rv in r.items()), key=lambda t: (-t[1], t[0]))[
+        :PR_TOP
+    ]
+    assert sorted(got, key=lambda t: (-t[1], t[0])) == want
