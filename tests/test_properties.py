@@ -635,3 +635,60 @@ def test_pagerank_oracle_matches_reference(lines):
         :PR_TOP
     ]
     assert sorted(got, key=lambda t: (-t[1], t[0])) == want
+
+
+@settings(max_examples=40, deadline=None)
+@given(
+    lines=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=5),
+            st.integers(min_value=0, max_value=8),
+        ),
+        min_size=3,
+        max_size=30,
+    )
+)
+def test_triangle_stats_oracle_matches_reference(lines):
+    """Triangle/wedge/clustering oracle vs an independent enumeration
+    over random basket graphs."""
+    from hypothesis import assume
+
+    import duckdb
+
+    from kafka_stream_job_spark.registry import all_specs
+    from .test_reference_impl import _pround
+
+    from collections import defaultdict
+    from itertools import combinations
+
+    baskets = defaultdict(set)
+    for ok, pk in set(lines):
+        baskets[ok].add(pk)
+    edges = set()
+    for parts in baskets.values():
+        for a, b in combinations(sorted(parts), 2):
+            edges.add((a, b))
+    deg = defaultdict(int)
+    for u, v in edges:
+        deg[u] += 1
+        deg[v] += 1
+    wedges = sum(d * (d - 1) // 2 for d in deg.values())
+    assume(wedges > 0)  # cc undefined on wedge-free graphs
+
+    oracle = all_specs()["graph_triangle_stats"].oracle
+    con = duckdb.connect()
+    con.execute("CREATE TABLE lineitem (l_orderkey BIGINT, l_partkey BIGINT)")
+    con.executemany("INSERT INTO lineitem VALUES (?, ?)", lines)
+    n_nodes, n_edges, n_wedges, n_tri, cc = con.sql(oracle).fetchall()[0]
+
+    tris = sum(
+        1
+        for (a, b) in edges
+        for c in deg
+        if b < c and (b, c) in edges and (a, c) in edges
+    )
+    assert n_nodes == len(deg)
+    assert n_edges == len(edges)
+    assert n_wedges == wedges
+    assert n_tri == tris
+    assert cc == _pround(tris * 3.0 / wedges, 6)
