@@ -692,3 +692,57 @@ def test_triangle_stats_oracle_matches_reference(lines):
     assert n_wedges == wedges
     assert n_tri == tris
     assert cc == _pround(tris * 3.0 / wedges, 6)
+
+
+@settings(max_examples=40, deadline=None)
+@given(
+    docs=st.lists(
+        st.tuples(
+            st.sampled_from(["s0", "s1", "s2"]),
+            st.lists(st.sampled_from(_WORDS), min_size=1, max_size=10),
+        ),
+        min_size=2,
+        max_size=10,
+    )
+)
+def test_js_divergence_oracle_matches_reference(docs):
+    """Per-source-pair Jensen-Shannon divergence oracle (pinned
+    token-sorted fold) vs an independent implementation folding in the
+    same order."""
+    import math
+
+    import duckdb
+
+    from kafka_stream_job_spark.registry import all_specs
+    from .test_reference_impl import _pround
+
+    oracle = all_specs()["corpus_js_divergence"].oracle
+    con = duckdb.connect()
+    rows = [(f"d{i}", src, " ".join(words)) for i, (src, words) in enumerate(docs)]
+    con.execute("CREATE TABLE documents (doc_id VARCHAR, source VARCHAR, text VARCHAR)")
+    con.executemany("INSERT INTO documents VALUES (?, ?, ?)", rows)
+    got = {tuple(r) for r in con.sql(oracle).fetchall()}
+
+    from collections import Counter, defaultdict
+
+    counts = defaultdict(Counter)
+    for _, src, text in rows:
+        counts[src].update(text.strip().split())
+    totals = {s: sum(c.values()) for s, c in counts.items()}
+    vocab = sorted({t for c in counts.values() for t in c})
+    want = set()
+    for a in sorted(counts):
+        for b in sorted(counts):
+            if a >= b:
+                continue
+            acc = 0.0
+            for tok in vocab:  # token-sorted fold, matching both engines
+                ca, cb = counts[a][tok], counts[b][tok]
+                pa, pb = ca * 1.0 / totals[a], cb * 1.0 / totals[b]
+                m = (pa + pb) / 2.0
+                term = (pa * math.log(pa / m) if ca > 0 else 0.0) + (
+                    pb * math.log(pb / m) if cb > 0 else 0.0
+                )
+                acc += term
+            want.add((a, b, _pround(0.5 * acc, 6)))
+    assert got == want
