@@ -746,3 +746,43 @@ def test_js_divergence_oracle_matches_reference(docs):
                 acc += term
             want.add((a, b, _pround(0.5 * acc, 6)))
     assert got == want
+
+
+@settings(max_examples=60, deadline=None)
+@given(
+    docs=st.lists(
+        st.lists(st.sampled_from(_WORDS), min_size=0, max_size=25),
+        min_size=1,
+        max_size=6,
+    )
+)
+def test_rolling_fingerprint_oracle_matches_reference(docs):
+    """Winnowing fingerprint (min rolling-window hash + window count) vs
+    the same Horner-rolling-hash reference the CDC chunker uses."""
+    import duckdb
+
+    from kafka_stream_job_spark.operators.text import ROLL_B, ROLL_P, ROLL_W
+    from kafka_stream_job_spark.registry import all_specs
+    from .test_reference_impl import _md5_28, _norm_tokens
+
+    oracle = all_specs()["text_rolling_fingerprint"].oracle
+    con = duckdb.connect()
+    rows = [(i, " ".join(words)) for i, words in enumerate(docs)]
+    con.execute("CREATE TABLE documents (doc_id BIGINT, text VARCHAR)")
+    con.executemany("INSERT INTO documents VALUES (?, ?)", rows)
+    got = {tuple(r) for r in con.sql(oracle).fetchall()}
+
+    want = set()
+    for doc_id, text in rows:
+        toks = _norm_tokens(text)
+        if len(toks) < ROLL_W:
+            continue
+        hh = [_md5_28(t) for t in toks]
+        whs = []
+        for i in range(0, len(toks) - ROLL_W + 1):
+            acc = hh[i] % ROLL_P
+            for k in range(1, ROLL_W):
+                acc = (acc * ROLL_B + hh[i + k]) % ROLL_P
+            whs.append(acc)
+        want.add((doc_id, min(whs), len(whs)))
+    assert got == want
