@@ -786,3 +786,67 @@ def test_rolling_fingerprint_oracle_matches_reference(docs):
             whs.append(acc)
         want.add((doc_id, min(whs), len(whs)))
     assert got == want
+
+
+@settings(max_examples=50, deadline=None)
+@given(
+    docs=st.lists(
+        st.lists(
+            st.sampled_from(_WORDS + ["stream", "join", "vector"]),
+            min_size=1,
+            max_size=15,
+        ),
+        min_size=1,
+        max_size=8,
+    )
+)
+def test_bm25_oracle_matches_reference(docs):
+    """Okapi BM25 ranked retrieval (idf/tf saturation/length norm) vs an
+    independent implementation, term-sum order mirrored exactly."""
+    import math
+    import re
+
+    import duckdb
+
+    from kafka_stream_job_spark.operators.text import (
+        BM25_B,
+        BM25_K1,
+        BM25_TERMS,
+        BM25_TOP,
+    )
+    from kafka_stream_job_spark.registry import all_specs
+    from .test_reference_impl import _pround
+
+    oracle = all_specs()["text_bm25_search"].oracle
+    con = duckdb.connect()
+    rows = [(i, " ".join(words)) for i, words in enumerate(docs)]
+    con.execute("CREATE TABLE documents (doc_id BIGINT, text VARCHAR)")
+    con.executemany("INSERT INTO documents VALUES (?, ?)", rows)
+    got = [tuple(r) for r in con.sql(oracle).fetchall()]
+
+    stats = []
+    for doc_id, text in rows:
+        dl = len(text.strip().split())
+        tfs = {
+            t: len(re.findall(rf"\b{t}\b", text.lower())) for t in BM25_TERMS
+        }
+        stats.append((doc_id, dl, tfs))
+    n_docs = len(stats)
+    avgdl = sum(dl for _, dl, _ in stats) * 1.0 / n_docs
+    dfs = {
+        t: sum(1 for _, _, tfs in stats if tfs[t] > 0) for t in BM25_TERMS
+    }
+    scored = []
+    for doc_id, dl, tfs in stats:
+        score = 0.0
+        for t in BM25_TERMS:  # same term order as the SQL's + chain
+            idf = math.log((n_docs - dfs[t] + 0.5) / (dfs[t] + 0.5) + 1.0)
+            score += (
+                idf
+                * (tfs[t] * (BM25_K1 + 1.0))
+                / (tfs[t] + BM25_K1 * (1.0 - BM25_B + BM25_B * dl / avgdl))
+            )
+        scored.append((doc_id, _pround(score, 6)))
+    scored.sort(key=lambda x: (-x[1], x[0]))
+    want = scored[:BM25_TOP]
+    assert sorted(got, key=lambda x: (-x[1], x[0])) == want
