@@ -522,3 +522,120 @@ def cms_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("cms_estimate") - F.col("exact_cnt")).alias("overestimate"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Mergeable quantile sketch — equi-width binned quantile estimation over
+# l_extendedprice, completing the sketch family (HLL distinct, MG/CMS
+# frequency, now rank/quantile). The summary is a 256-counter histogram:
+# per-partition bin counts merge by plain addition (the mergeable-summaries
+# property), so at 100 TB the shuffle carries at most QD_BINS rows per
+# partition regardless of data size — exact quantiles by contrast shuffle
+# and sort every row. Error bound: the estimate sits inside the target
+# bin, so |est - true| <= bin width = (max-min)/QD_BINS; the property test
+# (tests/test_properties.py) asserts this bound against the exact quantile.
+#
+# Everything is integer until the final cents/100 division: prices quantize
+# to cents, the bin index is integer (cents-min)*QD_BINS div span, the
+# rank target is ceil(n*pct/100) in integer arithmetic — both engines run
+# the identical dag, so the driver's value hash matches bit-for-bit.
+#
+# Scale shape: pass 1 is a min/max/count all-reduce (one broadcast row);
+# pass 2 is a narrow map + partial-agg groupBy over <=QD_BINS keys; the
+# cumulative-sum window runs on <=QD_BINS rows (single partition by
+# design — constant size, never data-scaled).
+# ---------------------------------------------------------------------------
+QD_BINS = 256
+QD_PCTS = (50, 90, 99)
+
+
+@register(
+    "sketch_quantile_bins",
+    oracle=f"""
+        WITH cents AS (
+            SELECT CAST(ROUND(l_extendedprice * 100.0) AS BIGINT) AS c
+            FROM lineitem
+        ),
+        stats AS (
+            SELECT MIN(c) AS mn, MAX(c) - MIN(c) + 1 AS span,
+                   CAST(COUNT(*) AS BIGINT) AS n_rows
+            FROM cents
+        ),
+        bins AS (
+            SELECT ((c - s.mn) * {QD_BINS}) // s.span AS bin,
+                   CAST(COUNT(*) AS BIGINT) AS cnt
+            FROM cents CROSS JOIN stats s
+            GROUP BY 1
+        ),
+        cum AS (
+            SELECT bin, SUM(cnt) OVER (ORDER BY bin) AS cum_cnt FROM bins
+        ),
+        targets AS (
+            SELECT pct, (s.n_rows * pct + 99) // 100 AS target_rank
+            FROM (SELECT UNNEST(ARRAY{list(QD_PCTS)}) AS pct) p
+            CROSS JOIN stats s
+        ),
+        hits AS (
+            SELECT t.pct, MIN(c.bin) AS est_bin,
+                   MIN(t.target_rank) AS target_rank
+            FROM targets t JOIN cum c ON c.cum_cnt >= t.target_rank
+            GROUP BY t.pct
+        )
+        SELECT CAST(h.pct AS INTEGER) AS pct,
+               (s.mn + (h.est_bin * s.span) // {QD_BINS}
+                     + s.span // {2 * QD_BINS}) / 100.0 AS est_price,
+               h.target_rank, s.n_rows
+        FROM hits h CROSS JOIN stats s
+    """,
+    tags=("sketch", "quantile", "histogram", "lineitem"),
+)
+def sketch_quantile_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Histogram-sketch quantile estimates (P50/P90/P99 of l_extendedprice).
+
+    Reference parity: none (SURVEY.md §2.7); north-star sketch-family
+    extension (HLL + MG + CMS + quantile).
+    """
+    from pyspark.sql import Window
+
+    li = load_table(spark, sf_dir, "lineitem")
+    cents = li.select(
+        F.round(F.col("l_extendedprice") * 100.0).cast("long").alias("c")
+    )
+    stats = cents.agg(
+        F.min("c").alias("mn"),
+        (F.max("c") - F.min("c") + F.lit(1)).alias("span"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )
+    bins = (
+        cents.crossJoin(F.broadcast(stats))
+        .select(F.expr(f"((c - mn) * {QD_BINS}) div span").alias("bin"))
+        .groupBy("bin")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    # <=QD_BINS rows: the single-partition window is constant-size by design.
+    cum = bins.select(
+        "bin", F.sum("cnt").over(Window.orderBy("bin")).alias("cum_cnt")
+    )
+    targets = (
+        spark.range(1)
+        .select(F.explode(F.array(*[F.lit(p) for p in QD_PCTS])).alias("pct"))
+        .crossJoin(F.broadcast(stats))
+        .select("pct", F.expr("(n_rows * pct + 99) div 100").alias("target_rank"))
+    )
+    hits = (
+        cum.join(F.broadcast(targets), F.col("cum_cnt") >= F.col("target_rank"))
+        .groupBy("pct")
+        .agg(
+            F.min("bin").alias("est_bin"),
+            F.min("target_rank").alias("target_rank"),
+        )
+    )
+    return hits.crossJoin(F.broadcast(stats)).select(
+        F.col("pct").cast("int").alias("pct"),
+        (
+            F.expr(f"mn + (est_bin * span) div {QD_BINS} + span div {2 * QD_BINS}")
+            / F.lit(100.0)
+        ).alias("est_price"),
+        "target_rank",
+        "n_rows",
+    )

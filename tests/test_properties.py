@@ -850,3 +850,52 @@ def test_bm25_oracle_matches_reference(docs):
     scored.sort(key=lambda x: (-x[1], x[0]))
     want = scored[:BM25_TOP]
     assert sorted(got, key=lambda x: (-x[1], x[0])) == want
+
+
+@settings(max_examples=60, deadline=None)
+@given(
+    cents_list=st.lists(
+        st.integers(min_value=1, max_value=20_000_000), min_size=1, max_size=300
+    )
+)
+def test_quantile_bins_oracle_matches_reference(cents_list):
+    """The mergeable histogram-quantile oracle SQL vs an independent
+    Python implementation, plus the sketch's bin-width error bound
+    against the true (exact) quantile."""
+    import duckdb
+
+    from kafka_stream_job_spark.operators.sketches import QD_BINS, QD_PCTS
+    from kafka_stream_job_spark.registry import all_specs
+
+    oracle = all_specs()["sketch_quantile_bins"].oracle
+    con = duckdb.connect()
+    con.execute("CREATE TABLE lineitem (l_extendedprice DOUBLE)")
+    con.executemany(
+        "INSERT INTO lineitem VALUES (?)", [(c / 100.0,) for c in cents_list]
+    )
+    got = {int(r[0]): (r[1], int(r[2]), int(r[3])) for r in con.sql(oracle).fetchall()}
+
+    mn, mx, n = min(cents_list), max(cents_list), len(cents_list)
+    span = mx - mn + 1
+    from collections import Counter
+
+    bins = Counter(((c - mn) * QD_BINS) // span for c in cents_list)
+    ordered = sorted(bins)
+    srt = sorted(cents_list)
+    want = {}
+    for pct in QD_PCTS:
+        target = (n * pct + 99) // 100
+        cum = 0
+        est_bin = None
+        for b in ordered:
+            cum += bins[b]
+            if cum >= target:
+                est_bin = b
+                break
+        est_cents = mn + (est_bin * span) // QD_BINS + span // (2 * QD_BINS)
+        want[pct] = (est_cents / 100.0, target, n)
+        # Error bound: the estimate lives inside the target bin, whose
+        # width is span/QD_BINS cents (midpoint -> at most one width off).
+        true_q = srt[target - 1]
+        assert abs(est_cents - true_q) <= span / QD_BINS + 1
+    assert got == want
