@@ -1342,3 +1342,94 @@ def dedup_span_mask_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("end_tok").alias("mask_end"),
         F.count(F.lit(1)).alias("n_spans_merged"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Asymmetric shingle CONTAINMENT over the LSH candidates — the subset-
+# duplicate detector Jaccard structurally misses. Jaccard(A,B) =
+# |A∩B|/|A∪B| stays low when a short document is wholly embedded in a
+# long one (quote-in-article, doc-in-concatenation, boilerplate-wrapped
+# reposts), but containment(A→B) = |A∩B|/|A| hits 1.0. Same 100 TB
+# discipline as dedup_ngram_jaccard: exact set arithmetic runs ONLY over
+# the banded-LSH candidate pairs (O(candidates), never O(n²)); the two
+# per-pair semi-computations share the one shingle table.
+# A pair is reported when EITHER direction's containment clears
+# CONTAINMENT_T, with both directions emitted so downstream policy can
+# keep the superset doc and drop the contained one.
+# ---------------------------------------------------------------------------
+CONTAINMENT_T = 0.6
+
+
+@register(
+    "dedup_containment",
+    oracle=f"""
+        WITH shingles AS ({_SHINGLES_SQL}),
+        sigs AS ({_SIGS_SQL}),
+        bands AS ({_BANDS_SQL}),
+        pairs AS ({_PAIRS_SQL}),
+        counts AS (SELECT doc_id, COUNT(*) AS n FROM shingles GROUP BY doc_id),
+        inter AS (
+            SELECT p.doc_a, p.doc_b, COUNT(*) AS n_common
+            FROM pairs p
+            JOIN shingles sa ON sa.doc_id = p.doc_a
+            JOIN shingles sb ON sb.doc_id = p.doc_b AND sb.shingle = sa.shingle
+            GROUP BY p.doc_a, p.doc_b
+        )
+        SELECT
+            doc_a,
+            doc_b,
+            ROUND((n_common * 1.0 / ca.n) * 10000.0) / 10000.0 AS cont_a_in_b,
+            ROUND((n_common * 1.0 / cb.n) * 10000.0) / 10000.0 AS cont_b_in_a
+        FROM inter
+        JOIN counts ca ON ca.doc_id = doc_a
+        JOIN counts cb ON cb.doc_id = doc_b
+        WHERE GREATEST(
+            ROUND((n_common * 1.0 / ca.n) * 10000.0) / 10000.0,
+            ROUND((n_common * 1.0 / cb.n) * 10000.0) / 10000.0
+        ) >= {CONTAINMENT_T}
+    """,
+    tags=("dedup", "containment", "documents"),
+)
+def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Directional shingle containment over LSH candidate pairs.
+
+    Reference parity: none (SURVEY.md §2.7); north-star dedup-family
+    extension (subset/boilerplate duplicates the Jaccard verifier
+    under-scores).
+    """
+    docs = load_table(spark, sf_dir, "documents", rebalance=True)
+    sh = _shingles(docs)
+    pairs = dedup_minhash_lsh(spark, sf_dir)
+    counts = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    sa = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
+    sb = sh.select(
+        F.col("doc_id").alias("_sb_doc"), F.col("shingle").alias("_sb_shingle")
+    )
+    inter = (
+        pairs.join(sa, "doc_a")
+        .join(
+            sb,
+            (F.col("doc_b") == F.col("_sb_doc"))
+            & (F.col("shingle") == F.col("_sb_shingle")),
+        )
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    ca = counts.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("n_a"))
+    cb = counts.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("n_b"))
+    cont_ab = pround(F.col("n_common") * F.lit(1.0) / F.col("n_a"), 4)
+    cont_ba = pround(F.col("n_common") * F.lit(1.0) / F.col("n_b"), 4)
+    return (
+        inter.join(ca, "doc_a")
+        .join(cb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            cont_ab.alias("cont_a_in_b"),
+            cont_ba.alias("cont_b_in_a"),
+        )
+        .filter(
+            F.greatest(F.col("cont_a_in_b"), F.col("cont_b_in_a"))
+            >= F.lit(CONTAINMENT_T)
+        )
+    )

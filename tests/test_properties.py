@@ -899,3 +899,77 @@ def test_quantile_bins_oracle_matches_reference(cents_list):
         true_q = srt[target - 1]
         assert abs(est_cents - true_q) <= span / QD_BINS + 1
     assert got == want
+
+
+@settings(max_examples=40, deadline=None)
+@given(
+    docs=st.lists(
+        st.lists(st.sampled_from(_WORDS[:5]), min_size=0, max_size=14),
+        min_size=1,
+        max_size=8,
+    )
+)
+def test_containment_oracle_matches_reference(docs):
+    """Directional containment over LSH candidates vs an independent
+    Python implementation (same MinHash candidate chain, then exact
+    |A∩B|/|A| and |A∩B|/|B| with the shared threshold)."""
+    import hashlib
+
+    import duckdb
+
+    from kafka_stream_job_spark.operators.dedup import (
+        CONTAINMENT_T,
+        MINHASH_A,
+        MINHASH_B,
+        MINHASH_P,
+        NUM_BANDS,
+        NUM_HASHES,
+        ROWS_PER_BAND,
+        SHINGLE_K,
+    )
+    from kafka_stream_job_spark.registry import all_specs
+    from .test_reference_impl import _pround
+
+    oracle = all_specs()["dedup_containment"].oracle
+    con = duckdb.connect()
+    rows = [(i, " ".join(words)) for i, words in enumerate(docs)]
+    con.execute("CREATE TABLE documents (doc_id BIGINT, text VARCHAR)")
+    con.executemany("INSERT INTO documents VALUES (?, ?)", rows)
+    got = {(r[0], r[1], r[2], r[3]) for r in con.sql(oracle).fetchall()}
+
+    def md5_28(s):
+        return int(hashlib.md5(s.encode()).hexdigest()[:7], 16)
+
+    shingles_of, bands_of = {}, {}
+    for doc_id, text in rows:
+        toks = text.lower().split() if text.strip() else [""]
+        upper = max(len(toks) - SHINGLE_K, 0)
+        sh = {" ".join(toks[i : i + SHINGLE_K]) for i in range(upper + 1)}
+        shingles_of[doc_id] = sh
+        hs = [md5_28(s) for s in sh]
+        sig = [
+            min((MINHASH_A[s] * h + MINHASH_B[s]) % MINHASH_P for h in hs)
+            for s in range(NUM_HASHES)
+        ]
+        bands_of[doc_id] = {
+            (
+                b,
+                hashlib.md5(
+                    "|".join(
+                        str(sig[b * ROWS_PER_BAND + r])
+                        for r in range(ROWS_PER_BAND)
+                    ).encode()
+                ).hexdigest(),
+            )
+            for b in range(NUM_BANDS)
+        }
+    want = set()
+    for a in bands_of:
+        for b in bands_of:
+            if a < b and bands_of[a] & bands_of[b]:
+                common = len(shingles_of[a] & shingles_of[b])
+                c_ab = _pround(common * 1.0 / len(shingles_of[a]), 4)
+                c_ba = _pround(common * 1.0 / len(shingles_of[b]), 4)
+                if max(c_ab, c_ba) >= CONTAINMENT_T:
+                    want.add((a, b, c_ab, c_ba))
+    assert got == want
