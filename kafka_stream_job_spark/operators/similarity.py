@@ -990,3 +990,132 @@ def embedding_outlier_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("score").desc(), F.col("vec_id").asc())
         .limit(OUTLIER_TOP_K)
     )
+
+
+# ---------------------------------------------------------------------------
+# Hybrid retrieval — reciprocal-rank fusion of the lexical (BM25) and the
+# dense (embedding-cosine) rankings for one query. The two retrievers run
+# independently: BM25 scores every document against the fixed term set
+# (one broadcast corpus-stats row, then a stateless narrow map — see
+# operators/text.py); the dense side ranks the corpus by cosine to the
+# query vector (broadcast of ONE vector, corpus streams through once).
+# Each keeps its top RRF_DEPTH by rank; fusion is a full outer join of
+# two depth-bounded lists (constant size, broadcastable at any corpus
+# scale) scored by sum(1/(RRF_K + rank)) — rank arithmetic on exact
+# integers, so the fused score is a sum of exact IEEE rationals and both
+# engines agree bit-for-bit before the final pround.
+# documents.doc_id and embeddings.vec_id share the same id space
+# (TESTDATA.md: row i's embedding is vector i), which is what makes the
+# doc-level fusion well-defined.
+# ---------------------------------------------------------------------------
+RRF_K = 60
+RRF_DEPTH = 50
+RRF_TOP = 20
+RRF_QUERY_ID = 0  # dense-side query: embedding of vec_id 0
+
+
+def _rrf_oracle() -> str:
+    from kafka_stream_job_spark.operators.text import bm25_scored_ctes
+
+    dot = _DOT_SQL.format(a="q.embedding", b="d.embedding")
+    nq = _NORM_SQL.format(a="q.embedding")
+    nd = _NORM_SQL.format(a="d.embedding")
+    return f"""
+        WITH {bm25_scored_ctes()},
+        bm_ranked AS (
+            SELECT doc_id,
+                   ROW_NUMBER() OVER (ORDER BY bm25_r DESC, doc_id ASC) AS bm_rank
+            FROM bm_scored
+        ),
+        bm_top AS (SELECT * FROM bm_ranked WHERE bm_rank <= {RRF_DEPTH}),
+        qv AS (SELECT embedding FROM embeddings WHERE vec_id = {RRF_QUERY_ID}),
+        cos_scored AS (
+            SELECT d.vec_id AS doc_id,
+                   ROUND(({dot} / ({nq} * {nd})) * 10000.0) / 10000.0 AS cos_r
+            FROM embeddings d CROSS JOIN qv q
+            WHERE d.vec_id <> {RRF_QUERY_ID}
+        ),
+        cos_ranked AS (
+            SELECT doc_id,
+                   ROW_NUMBER() OVER (ORDER BY cos_r DESC, doc_id ASC) AS cos_rank
+            FROM cos_scored
+        ),
+        cos_top AS (SELECT * FROM cos_ranked WHERE cos_rank <= {RRF_DEPTH}),
+        fused AS (
+            SELECT COALESCE(b.doc_id, c.doc_id) AS doc_id,
+                   b.bm_rank, c.cos_rank,
+                   ROUND((COALESCE(1.0 / ({RRF_K} + b.bm_rank), 0.0)
+                        + COALESCE(1.0 / ({RRF_K} + c.cos_rank), 0.0))
+                        * 1000000000.0) / 1000000000.0 AS rrf_score
+            FROM bm_top b FULL OUTER JOIN cos_top c ON b.doc_id = c.doc_id
+        )
+        SELECT doc_id, bm_rank, cos_rank, rrf_score
+        FROM fused
+        ORDER BY rrf_score DESC, doc_id ASC
+        LIMIT {RRF_TOP}
+    """
+
+
+@register(
+    "search_hybrid_rrf",
+    oracle=_rrf_oracle(),
+    tags=("similarity", "search", "hybrid", "rrf", "documents", "embeddings"),
+)
+def search_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reciprocal-rank fusion of BM25 and embedding-cosine retrieval.
+
+    Reference parity: none (SURVEY.md §2.7); north-star hybrid-search
+    extension composing the lexical and dense retrievers already in the
+    registry.
+    """
+    from pyspark.sql import Window
+
+    from kafka_stream_job_spark.operators.text import bm25_scores
+
+    bm = bm25_scores(spark, sf_dir)
+    bm_w = Window.orderBy(F.col("bm25_r").desc(), F.col("doc_id").asc())
+    bm_top = (
+        bm.select("doc_id", F.row_number().over(bm_w).alias("bm_rank"))
+        .filter(F.col("bm_rank") <= RRF_DEPTH)
+    )
+    emb = load_table(spark, sf_dir, "embeddings", rebalance=True)
+    qv = emb.filter(F.col("vec_id") == RRF_QUERY_ID).select(
+        F.col("embedding").alias("q_emb")
+    )
+    cos = (
+        emb.filter(F.col("vec_id") != RRF_QUERY_ID)
+        .crossJoin(F.broadcast(qv))
+        .select(
+            F.col("vec_id").alias("doc_id"),
+            pround(
+                _dot(F.col("q_emb"), F.col("embedding"))
+                / (_norm(F.col("q_emb")) * _norm(F.col("embedding"))),
+                4,
+            ).alias("cos_r"),
+        )
+    )
+    cos_w = Window.orderBy(F.col("cos_r").desc(), F.col("doc_id").asc())
+    cos_top = (
+        cos.select("doc_id", F.row_number().over(cos_w).alias("cos_rank"))
+        .filter(F.col("cos_rank") <= RRF_DEPTH)
+    )
+    fused = bm_top.withColumnRenamed("doc_id", "b_doc").join(
+        cos_top.withColumnRenamed("doc_id", "c_doc"),
+        F.col("b_doc") == F.col("c_doc"),
+        "full_outer",
+    )
+    rrf = pround(
+        F.coalesce(F.lit(1.0) / (F.lit(RRF_K) + F.col("bm_rank")), F.lit(0.0))
+        + F.coalesce(F.lit(1.0) / (F.lit(RRF_K) + F.col("cos_rank")), F.lit(0.0)),
+        9,
+    )
+    return (
+        fused.select(
+            F.coalesce(F.col("b_doc"), F.col("c_doc")).alias("doc_id"),
+            "bm_rank",
+            "cos_rank",
+            rrf.alias("rrf_score"),
+        )
+        .orderBy(F.col("rrf_score").desc(), F.col("doc_id").asc())
+        .limit(RRF_TOP)
+    )

@@ -779,7 +779,11 @@ BM25_TERMS = ("stream", "join", "vector")
 BM25_TOP = 25
 
 
-def _bm25_oracle() -> str:
+def bm25_scored_ctes() -> str:
+    """CTE chain ending in ``bm_scored(doc_id, bm25_r)`` — every document's
+    rounded BM25 score. Shared by the top-k query and the hybrid-RRF
+    fusion (operators/similarity.py), so both engines' score dags stay
+    one definition."""
     tf_cols = ", ".join(
         f"len(regexp_extract_all(LOWER(text), '\\b{t}\\b')) AS tf_{t}"
         for t in BM25_TERMS
@@ -794,8 +798,7 @@ def _bm25_oracle() -> str:
             / (d.tf_{t} + {BM25_K1} * (1.0 - {BM25_B} + {BM25_B} * d.dl / s.avgdl))"""
         for t in BM25_TERMS
     )
-    return f"""
-        WITH t AS (
+    return f"""t AS (
             SELECT doc_id,
                    len(string_split_regex(TRIM(text), '\\s+')) AS dl,
                    {tf_cols}
@@ -806,11 +809,20 @@ def _bm25_oracle() -> str:
                    CAST(SUM(dl) AS BIGINT) * 1.0 / COUNT(*) AS avgdl,
                    {df_cols}
             FROM t
-        )
-        SELECT d.doc_id,
-               ROUND(({score}) * 1000000.0) / 1000000.0 AS bm25_r
-        FROM t d CROSS JOIN s
-        ORDER BY bm25_r DESC, d.doc_id ASC
+        ),
+        bm_scored AS (
+            SELECT d.doc_id,
+                   ROUND(({score}) * 1000000.0) / 1000000.0 AS bm25_r
+            FROM t d CROSS JOIN s
+        )"""
+
+
+def _bm25_oracle() -> str:
+    return f"""
+        WITH {bm25_scored_ctes()}
+        SELECT doc_id, bm25_r
+        FROM bm_scored
+        ORDER BY bm25_r DESC, doc_id ASC
         LIMIT {BM25_TOP}
     """
 
@@ -821,6 +833,16 @@ def _bm25_oracle() -> str:
     tags=("text", "search", "bm25", "documents"),
 )
 def text_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        bm25_scores(spark, sf_dir)
+        .orderBy(F.col("bm25_r").desc(), F.col("doc_id").asc())
+        .limit(BM25_TOP)
+    )
+
+
+def bm25_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, bm25_r) for every document — the Spark twin of
+    :func:`bm25_scored_ctes`."""
     docs = load_table(spark, sf_dir, "documents")
     t = docs.select(
         "doc_id",
@@ -859,11 +881,8 @@ def text_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
         score = part if score is None else score + part
-    return (
-        t.crossJoin(F.broadcast(s))
-        .select("doc_id", pround(score, 6).alias("bm25_r"))
-        .orderBy(F.col("bm25_r").desc(), F.col("doc_id").asc())
-        .limit(BM25_TOP)
+    return t.crossJoin(F.broadcast(s)).select(
+        "doc_id", pround(score, 6).alias("bm25_r")
     )
 
 

@@ -973,3 +973,100 @@ def test_containment_oracle_matches_reference(docs):
                 if max(c_ab, c_ba) >= CONTAINMENT_T:
                     want.add((a, b, c_ab, c_ba))
     assert got == want
+
+
+@settings(max_examples=40, deadline=None)
+@given(
+    items=st.lists(
+        st.tuples(
+            st.lists(
+                st.sampled_from(_WORDS + ["stream", "join", "vector"]),
+                min_size=1,
+                max_size=10,
+            ),
+            st.lists(
+                st.integers(min_value=-3, max_value=3), min_size=3, max_size=3
+            ),
+        ),
+        min_size=2,
+        max_size=8,
+    )
+)
+def test_hybrid_rrf_oracle_matches_reference(items):
+    """Reciprocal-rank fusion (BM25 list + cosine list, full-outer fuse,
+    1/(k+rank) scoring) vs an independent Python implementation."""
+    import math
+    import re
+
+    import duckdb
+
+    from kafka_stream_job_spark.operators.similarity import (
+        RRF_DEPTH,
+        RRF_K,
+        RRF_QUERY_ID,
+        RRF_TOP,
+    )
+    from kafka_stream_job_spark.operators.text import (
+        BM25_B,
+        BM25_K1,
+        BM25_TERMS,
+    )
+    from kafka_stream_job_spark.registry import all_specs
+    from .test_reference_impl import _pround
+
+    oracle = all_specs()["search_hybrid_rrf"].oracle
+    con = duckdb.connect()
+    doc_rows = [(i, " ".join(words)) for i, (words, _) in enumerate(items)]
+    vec_rows = [(i, [1.0] + [float(x) for x in vec]) for i, (_, vec) in enumerate(items)]
+    con.execute("CREATE TABLE documents (doc_id BIGINT, text VARCHAR)")
+    con.executemany("INSERT INTO documents VALUES (?, ?)", doc_rows)
+    con.execute("CREATE TABLE embeddings (vec_id BIGINT, embedding FLOAT[])")
+    con.executemany("INSERT INTO embeddings VALUES (?, ?)", vec_rows)
+    got = [tuple(r) for r in con.sql(oracle).fetchall()]
+
+    # BM25 reference (same chain as test_bm25_oracle_matches_reference)
+    stats = []
+    for doc_id, text in doc_rows:
+        dl = len(text.strip().split())
+        tfs = {t: len(re.findall(rf"\b{t}\b", text.lower())) for t in BM25_TERMS}
+        stats.append((doc_id, dl, tfs))
+    n_docs = len(stats)
+    avgdl = sum(dl for _, dl, _ in stats) * 1.0 / n_docs
+    dfs = {t: sum(1 for _, _, tfs in stats if tfs[t] > 0) for t in BM25_TERMS}
+    bm_scored = []
+    for doc_id, dl, tfs in stats:
+        score = 0.0
+        for t in BM25_TERMS:
+            idf = math.log((n_docs - dfs[t] + 0.5) / (dfs[t] + 0.5) + 1.0)
+            score += (
+                idf
+                * (tfs[t] * (BM25_K1 + 1.0))
+                / (tfs[t] + BM25_K1 * (1.0 - BM25_B + BM25_B * dl / avgdl))
+            )
+        bm_scored.append((doc_id, _pround(score, 6)))
+    bm_scored.sort(key=lambda x: (-x[1], x[0]))
+    bm_rank = {d: i + 1 for i, (d, _) in enumerate(bm_scored[:RRF_DEPTH])}
+
+    # Cosine reference: sequential fold in list order, doubles throughout.
+    qv = dict(vec_rows)[RRF_QUERY_ID]
+    cos_scored = []
+    for vid, vec in vec_rows:
+        if vid == RRF_QUERY_ID:
+            continue
+        dot = 0.0
+        for a, b in zip(qv, vec):
+            dot += a * b
+        nq = math.sqrt(sum(a * a for a in qv))
+        nd = math.sqrt(sum(b * b for b in vec))
+        cos_scored.append((vid, _pround(dot / (nq * nd), 4)))
+    cos_scored.sort(key=lambda x: (-x[1], x[0]))
+    cos_rank = {d: i + 1 for i, (d, _) in enumerate(cos_scored[:RRF_DEPTH])}
+
+    fused = []
+    for d in set(bm_rank) | set(cos_rank):
+        s = (1.0 / (RRF_K + bm_rank[d]) if d in bm_rank else 0.0) + (
+            1.0 / (RRF_K + cos_rank[d]) if d in cos_rank else 0.0
+        )
+        fused.append((d, bm_rank.get(d), cos_rank.get(d), _pround(s, 9)))
+    fused.sort(key=lambda x: (-x[3], x[0]))
+    assert got == fused[:RRF_TOP]
