@@ -429,3 +429,44 @@ def _register_streaming_rollup() -> None:
 
 
 _register_streaming_rollup()
+
+
+# ---------------------------------------------------------------------------
+# Registry entry: stateful streaming DEDUP executed through Structured
+# Streaming — dropDuplicates over (user_id, event_type) with the dedup
+# state store doing the work across micro-batches, drained to a memory
+# sink in append mode (each key emits exactly once, on first sight). The
+# oracle is batch DISTINCT, so the driver's gate verifies the state-store
+# path itself. Only the key columns are emitted: WHICH physical row wins
+# a streaming dedup race is order-dependent, the key set is not.
+# Scale note: this bounded replay needs exact global dedup (state =
+# distinct keys, hash-partitioned across executors by Spark's stateful
+# operator). Unbounded production pipelines cap state with
+# dropDuplicatesWithinWatermark — semantics then weaken to
+# dedup-within-horizon, which is why the exact variant is the registered,
+# oracle-checked one.
+# ---------------------------------------------------------------------------
+def _register_streaming_dedup() -> None:
+    import uuid
+
+    from kafka_stream_job_spark.registry import register
+
+    @register(
+        "streaming_dedup_events",
+        oracle="SELECT DISTINCT user_id, event_type FROM events",
+        tags=("streaming", "dedup", "stateful", "events"),
+    )
+    def streaming_dedup_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+        import tempfile
+
+        name = f"stream_dedup_{uuid.uuid4().hex[:8]}"
+        ckpt = tempfile.mkdtemp(prefix="ksj-stream-dedup-")
+        deduped = (
+            stream_events(spark, sf_dir)
+            .select("user_id", "event_type")
+            .dropDuplicates(["user_id", "event_type"])
+        )
+        return run_stream_to_memory(spark, deduped, name, ckpt)
+
+
+_register_streaming_dedup()
