@@ -129,7 +129,9 @@ def all_specs() -> dict[str, QuerySpec]:
         "heavy_hitter_tokens",
         "dedup_incremental_delta",
         "dedup_keep_best_quality",
+        "dedup_containment",
         "streaming_hourly_rollup",
+        "streaming_dedup_events",
         "graph_pagerank_parts",
         "graph_triangle_stats",
     )
