@@ -1072,11 +1072,18 @@ def search_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from kafka_stream_job_spark.operators.text import bm25_scores
 
+    # Depth-bounded top-k FIRST (TakeOrderedAndProject — distributed
+    # partial top-k per partition, merged on the driver side of the
+    # exchange), then rank the RRF_DEPTH survivors with a constant-size
+    # window. Ranking the full corpus through an unpartitioned
+    # row_number window would serialize the whole table into one
+    # partition — the single-partition bottleneck this avoids.
     bm = bm25_scores(spark, sf_dir)
     bm_w = Window.orderBy(F.col("bm25_r").desc(), F.col("doc_id").asc())
     bm_top = (
-        bm.select("doc_id", F.row_number().over(bm_w).alias("bm_rank"))
-        .filter(F.col("bm_rank") <= RRF_DEPTH)
+        bm.orderBy(F.col("bm25_r").desc(), F.col("doc_id").asc())
+        .limit(RRF_DEPTH)
+        .select("doc_id", F.row_number().over(bm_w).alias("bm_rank"))
     )
     emb = load_table(spark, sf_dir, "embeddings", rebalance=True)
     qv = emb.filter(F.col("vec_id") == RRF_QUERY_ID).select(
@@ -1096,8 +1103,9 @@ def search_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     cos_w = Window.orderBy(F.col("cos_r").desc(), F.col("doc_id").asc())
     cos_top = (
-        cos.select("doc_id", F.row_number().over(cos_w).alias("cos_rank"))
-        .filter(F.col("cos_rank") <= RRF_DEPTH)
+        cos.orderBy(F.col("cos_r").desc(), F.col("doc_id").asc())
+        .limit(RRF_DEPTH)
+        .select("doc_id", F.row_number().over(cos_w).alias("cos_rank"))
     )
     fused = bm_top.withColumnRenamed("doc_id", "b_doc").join(
         cos_top.withColumnRenamed("doc_id", "c_doc"),
