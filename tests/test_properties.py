@@ -1070,3 +1070,199 @@ def test_hybrid_rrf_oracle_matches_reference(items):
         fused.append((d, bm_rank.get(d), cos_rank.get(d), _pround(s, 9)))
     fused.sort(key=lambda x: (-x[3], x[0]))
     assert got == fused[:RRF_TOP]
+
+
+@settings(max_examples=40, deadline=None)
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=3),      # user_id
+            st.integers(min_value=0, max_value=20_000), # ts offset (s)
+            st.integers(min_value=-50, max_value=50),   # value (int-exact)
+        ),
+        min_size=1,
+        max_size=60,
+    )
+)
+def test_session_window_oracle_matches_reference(rows):
+    """The gaps-and-islands session SQL (30-min idle gap, [ts, ts+gap)
+    windows, end = last+gap) vs an independent Python sessionizer."""
+    import datetime
+
+    import duckdb
+
+    from kafka_stream_job_spark.registry import all_specs
+
+    base = datetime.datetime(2024, 3, 1, 12, 0, 0)
+    data = [
+        (uid, base + datetime.timedelta(seconds=off), float(val), i)
+        for i, (uid, off, val) in enumerate(rows)
+    ]
+    oracle = all_specs()["session_window_rollup"].oracle
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE events (user_id BIGINT, ts TIMESTAMP,"
+        " value DOUBLE, event_id BIGINT)"
+    )
+    con.executemany("INSERT INTO events VALUES (?, ?, ?, ?)", data)
+    got = {tuple(r) for r in con.sql(oracle).fetchall()}
+
+    gap = datetime.timedelta(minutes=30)
+    fmt = "%Y-%m-%d %H:%M:%S.%f"
+    want = set()
+    by_user: dict[int, list] = {}
+    for uid, ts, val, eid in data:
+        by_user.setdefault(uid, []).append((ts, eid, val))
+    for uid, evs in by_user.items():
+        evs.sort(key=lambda e: (e[0], e[1]))
+        sess: list = []
+        for ts, eid, val in evs:
+            if sess and ts - sess[-1][0] >= gap:
+                want.add(
+                    (
+                        uid,
+                        sess[0][0].strftime(fmt),
+                        (sess[-1][0] + gap).strftime(fmt),
+                        len(sess),
+                        float(sum(v for _, _, v in sess)),
+                    )
+                )
+                sess = []
+            sess.append((ts, eid, val))
+        want.add(
+            (
+                uid,
+                sess[0][0].strftime(fmt),
+                (sess[-1][0] + gap).strftime(fmt),
+                len(sess),
+                float(sum(v for _, _, v in sess)),
+            )
+        )
+    assert got == want
+
+
+@settings(max_examples=40, deadline=None)
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=2),        # user_id
+            st.integers(min_value=0, max_value=5_000),    # ts offset (s)
+            st.sampled_from(["view", "click", "purchase"]),
+        ),
+        min_size=1,
+        max_size=50,
+    )
+)
+def test_asof_join_oracle_matches_reference(rows):
+    """DuckDB's native ASOF JOIN (the attribution oracle) vs an
+    independent Python last-touch-before-or-at implementation — pins the
+    t.ts <= p.ts tie semantics and the per-(user, ts) touch collapse."""
+    import datetime
+
+    import duckdb
+
+    from kafka_stream_job_spark.registry import all_specs
+
+    base = datetime.datetime(2024, 3, 1)
+    data = [
+        (uid, base + datetime.timedelta(seconds=off), typ, i)
+        for i, (uid, off, typ) in enumerate(rows)
+    ]
+    oracle = all_specs()["asof_purchase_attribution"].oracle
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE events (user_id BIGINT, ts TIMESTAMP,"
+        " event_type VARCHAR, event_id BIGINT)"
+    )
+    con.executemany("INSERT INTO events VALUES (?, ?, ?, ?)", data)
+    got = {tuple(r) for r in con.sql(oracle).fetchall()}
+
+    touches: dict[tuple, tuple] = {}
+    for uid, ts, typ, eid in data:
+        if typ in ("view", "click"):
+            cur = touches.get((uid, ts))
+            if cur is None or eid > cur[0]:
+                touches[(uid, ts)] = (eid, typ)
+    by_user: dict[int, list] = {}
+    for (uid, ts), (eid, typ) in touches.items():
+        by_user.setdefault(uid, []).append((ts, eid, typ))
+    for lst in by_user.values():
+        lst.sort()
+    want = set()
+    for uid, ts, typ, eid in data:
+        if typ != "purchase":
+            continue
+        best = None
+        for tts, teid, ttyp in by_user.get(uid, []):
+            if tts <= ts and (best is None or tts > best[0]):
+                best = (tts, teid, ttyp)
+        if best is not None:
+            want.add(
+                (eid, uid, best[1], best[2], int((ts - best[0]).total_seconds()))
+            )
+    assert got == want
+
+
+@settings(max_examples=40, deadline=None)
+@given(
+    orders=st.lists(
+        st.integers(min_value=0, max_value=5),  # o_custkey per orderkey i
+        min_size=1,
+        max_size=12,
+    ),
+    lines=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=11),  # l_orderkey (may dangle)
+            st.integers(min_value=0, max_value=4),   # l_suppkey
+            st.integers(min_value=1, max_value=500), # price (whole units)
+        ),
+        min_size=1,
+        max_size=40,
+    ),
+)
+def test_pareto_frontier_oracle_matches_reference(orders, lines):
+    """The sweep-based skyline SQL vs an independent dominance check:
+    keep a (revenue, n_customers) point iff no other point weakly
+    dominates it with one strict edge, and only the lowest suppkey
+    survives among exact duplicates."""
+    import duckdb
+
+    from kafka_stream_job_spark.registry import all_specs
+
+    oracle = all_specs()["supplier_pareto_frontier"].oracle
+    con = duckdb.connect()
+    con.execute("CREATE TABLE orders (o_orderkey BIGINT, o_custkey BIGINT)")
+    con.executemany(
+        "INSERT INTO orders VALUES (?, ?)", list(enumerate(orders))
+    )
+    con.execute(
+        "CREATE TABLE lineitem (l_orderkey BIGINT, l_suppkey BIGINT,"
+        " l_extendedprice DOUBLE, l_discount DOUBLE)"
+    )
+    con.executemany(
+        "INSERT INTO lineitem VALUES (?, ?, ?, ?)",
+        [(ok, sk, float(p), 0.0) for ok, sk, p in lines],
+    )
+    got = {tuple(r) for r in con.sql(oracle).fetchall()}
+
+    agg: dict[int, list] = {}
+    for ok, sk, p in lines:
+        if ok >= len(orders):
+            continue  # inner join drops dangling lineitems
+        agg.setdefault(sk, [0, set()])
+        agg[sk][0] += p * 100
+        agg[sk][1].add(orders[ok])
+    pts = {sk: (rev, len(custs)) for sk, (rev, custs) in agg.items()}
+    want = set()
+    for sk, (rev, nc) in pts.items():
+        dominated = False
+        for qk, (qrev, qnc) in pts.items():
+            if qk == sk:
+                continue
+            if qrev >= rev and qnc >= nc and (qrev > rev or qnc > nc):
+                dominated = True
+            if qrev == rev and qnc == nc and qk < sk:
+                dominated = True
+        if not dominated:
+            want.add((sk, rev, nc))
+    assert got == want
