@@ -1266,3 +1266,109 @@ def test_pareto_frontier_oracle_matches_reference(orders, lines):
         if not dominated:
             want.add((sk, rev, nc))
     assert got == want
+
+
+@settings(max_examples=40, deadline=None)
+@given(
+    docs=st.lists(
+        st.lists(st.sampled_from(_WORDS[:8]), min_size=1, max_size=20),
+        min_size=1,
+        max_size=6,
+    )
+)
+def test_cms_oracle_matches_reference(docs):
+    """The Count-Min oracle SQL vs an independent Python CMS (md5 row
+    hashes, min-over-depth point queries) — and the one-sided error
+    guarantee: estimates never undercount."""
+    import hashlib
+    from collections import Counter
+
+    import duckdb
+
+    from kafka_stream_job_spark.operators.sketches import (
+        CMS_DEPTH,
+        CMS_REPORT_K,
+        CMS_WIDTH,
+    )
+    from kafka_stream_job_spark.registry import all_specs
+
+    oracle = all_specs()["cms_token_counts"].oracle
+    con = duckdb.connect()
+    rows = [(i, " ".join(words)) for i, words in enumerate(docs)]
+    con.execute("CREATE TABLE documents (doc_id BIGINT, text VARCHAR)")
+    con.executemany("INSERT INTO documents VALUES (?, ?)", rows)
+    got = {tuple(r) for r in con.sql(oracle).fetchall()}
+
+    toks = [t for _, text in rows for t in text.strip().lower().split()]
+    exact = Counter(toks)
+
+    def col(d, tok):
+        return int(hashlib.md5(f"cms{d}:{tok}".encode()).hexdigest()[:7], 16) % CMS_WIDTH
+
+    cells: Counter = Counter()
+    for t in toks:
+        for d in range(CMS_DEPTH):
+            cells[(d, col(d, t))] += 1
+    top = sorted(exact.items(), key=lambda kv: (-kv[1], kv[0]))[:CMS_REPORT_K]
+    want = set()
+    for tok, cnt in top:
+        est = min(cells[(d, col(d, tok))] for d in range(CMS_DEPTH))
+        assert est >= cnt  # CMS never undercounts
+        want.add((tok, cnt, est, est - cnt))
+    assert got == want
+
+
+@settings(max_examples=40, deadline=None)
+@given(
+    docs=st.lists(
+        st.lists(st.sampled_from(_WORDS[:4]), min_size=0, max_size=24),
+        min_size=1,
+        max_size=6,
+    )
+)
+def test_span_mask_oracle_matches_reference(docs):
+    """The span-mask manifest SQL (repeated n-gram occurrences →
+    per-doc merged token intervals) vs an independent Python interval
+    merger over random low-entropy corpora."""
+    import duckdb
+
+    from kafka_stream_job_spark.operators.dedup import SPAN_MIN_DOCS, SPAN_N
+    from kafka_stream_job_spark.registry import all_specs
+
+    oracle = all_specs()["dedup_span_mask_manifest"].oracle
+    con = duckdb.connect()
+    rows = [(i, " ".join(words)) for i, words in enumerate(docs)]
+    con.execute("CREATE TABLE documents (doc_id BIGINT, text VARCHAR)")
+    con.executemany("INSERT INTO documents VALUES (?, ?)", rows)
+    got = {tuple(r) for r in con.sql(oracle).fetchall()}
+
+    occ = []  # (doc_id, start, end, span)
+    for doc_id, text in rows:
+        toks = text.strip().lower().split()
+        for i in range(len(toks) - SPAN_N + 1):
+            occ.append((doc_id, i + 1, i + SPAN_N, " ".join(toks[i : i + SPAN_N])))
+    by_span: dict[str, set] = {}
+    for d, _, _, s in occ:
+        by_span.setdefault(s, set()).add(d)
+    repeated = {s for s, ds in by_span.items() if len(ds) >= SPAN_MIN_DOCS}
+    hits: dict[int, list] = {}
+    for d, a, b, s in occ:
+        if s in repeated:
+            hits.setdefault(d, []).append((a, b))
+    want = set()
+    for d, ivals in hits.items():
+        ivals.sort()
+        island = 0
+        cur_start, cur_end, n_merged = None, -1, 0
+        for a, b in ivals:
+            if a > cur_end:
+                if cur_start is not None:
+                    want.add((d, island, cur_start, cur_end, n_merged))
+                island += 1
+                cur_start, cur_end, n_merged = a, b, 1
+            else:
+                cur_end = max(cur_end, b)
+                n_merged += 1
+        if cur_start is not None:
+            want.add((d, island, cur_start, cur_end, n_merged))
+    assert got == want
