@@ -132,6 +132,7 @@ def all_specs() -> dict[str, QuerySpec]:
         "dedup_containment",
         "streaming_hourly_rollup",
         "streaming_dedup_events",
+        "streaming_session_rollup",
         "graph_pagerank_parts",
         "graph_triangle_stats",
     )

@@ -470,3 +470,55 @@ def _register_streaming_dedup() -> None:
 
 
 _register_streaming_dedup()
+
+
+# ---------------------------------------------------------------------------
+# Registry entry: SESSION WINDOWS executed through Structured Streaming —
+# the dynamic-gap stateful operator (session merge state, not fixed
+# windows) drained through a bounded replay and checked against the same
+# gaps-and-islands DuckDB SQL as the batch twin session_window_rollup.
+# Complete output mode for the same reason as streaming_hourly_rollup: a
+# bounded replay's watermark never advances past the final sessions, so
+# append mode would emit nothing.
+# ---------------------------------------------------------------------------
+def _register_streaming_session() -> None:
+    import uuid
+
+    from kafka_stream_job_spark.registry import REGISTRY, register
+
+    oracle = REGISTRY["session_window_rollup"].oracle
+
+    @register(
+        "streaming_session_rollup",
+        oracle=oracle,
+        tags=("streaming", "window-time", "session", "stateful", "events"),
+    )
+    def streaming_session_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+        import tempfile
+
+        name = f"stream_sess_{uuid.uuid4().hex[:8]}"
+        ckpt = tempfile.mkdtemp(prefix="ksj-stream-sess-")
+        sess = (
+            stream_events(spark, sf_dir)
+            .withWatermark("ts", "2 hours")
+            .groupBy(F.session_window("ts", "30 minutes").alias("w"), "user_id")
+            .agg(
+                F.count(F.lit(1)).alias("n_events"),
+                pround(F.sum("value"), 2).alias("sum_value"),
+            )
+            .select(
+                "user_id",
+                F.date_format("w.start", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias(
+                    "sess_start"
+                ),
+                F.date_format("w.end", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias(
+                    "sess_end"
+                ),
+                "n_events",
+                "sum_value",
+            )
+        )
+        return run_stream_to_memory(spark, sess, name, ckpt, output_mode="complete")
+
+
+_register_streaming_session()
