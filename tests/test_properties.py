@@ -1372,3 +1372,61 @@ def test_span_mask_oracle_matches_reference(docs):
         if cur_start is not None:
             want.add((d, island, cur_start, cur_end, n_merged))
     assert got == want
+
+
+@settings(max_examples=40, deadline=None)
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=3),      # user_id
+            st.integers(min_value=0, max_value=200),    # ts offset (s)
+            st.sampled_from(["view", "click", "purchase", "other"]),
+        ),
+        min_size=1,
+        max_size=50,
+    )
+)
+def test_funnel_oracle_matches_reference(rows):
+    """The strict view→click→purchase funnel SQL (first-view, then first
+    later click, then first later purchase) vs an independent Python
+    sequencer over random event streams."""
+    import datetime
+
+    import duckdb
+
+    from kafka_stream_job_spark.registry import all_specs
+
+    base = datetime.datetime(2024, 3, 1)
+    data = [
+        (uid, base + datetime.timedelta(seconds=off), typ)
+        for uid, off, typ in rows
+    ]
+    oracle = all_specs()["events_funnel_view_click_purchase"].oracle
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE events (user_id BIGINT, ts TIMESTAMP, event_type VARCHAR)"
+    )
+    con.executemany("INSERT INTO events VALUES (?, ?, ?)", data)
+    n_view, n_vc, n_vcp = con.sql(oracle).fetchall()[0]
+
+    users = {u for u, _, _ in data}
+    cnt_v = cnt_c = cnt_p = 0
+    for u in users:
+        evs = [(ts, typ) for uu, ts, typ in data if uu == u]
+        t_view = min((ts for ts, t in evs if t == "view"), default=None)
+        if t_view is None:
+            continue
+        cnt_v += 1
+        t_click = min(
+            (ts for ts, t in evs if t == "click" and ts > t_view), default=None
+        )
+        if t_click is None:
+            continue
+        cnt_c += 1
+        t_purch = min(
+            (ts for ts, t in evs if t == "purchase" and ts > t_click), default=None
+        )
+        if t_purch is None:
+            continue
+        cnt_p += 1
+    assert (n_view, n_vc, n_vcp) == (cnt_v, cnt_c, cnt_p)
