@@ -133,6 +133,7 @@ def all_specs() -> dict[str, QuerySpec]:
         "streaming_hourly_rollup",
         "streaming_dedup_events",
         "streaming_session_rollup",
+        "streaming_stateful_totals",
         "graph_pagerank_parts",
         "graph_triangle_stats",
     )

@@ -233,19 +233,28 @@ def stateful_user_totals_stream(events: DataFrame) -> DataFrame:
     def update(key, pdfs, state: "GroupState"):
         import pandas as pd
 
-        n, tot = state.get if state.exists else (0, 0.0)
+        # State accumulates integer CENTS, not floats: micro-batch
+        # boundaries (and therefore summation order) vary run to run, so
+        # a float accumulator would drift; integer addition is exact and
+        # order-free, which is what makes the drained stream's totals
+        # hash-comparable against a batch SQL oracle.
+        n, tot_cents = state.get if state.exists else (0, 0)
         for pdf in pdfs:
             n += len(pdf)
-            tot += float(pdf["value"].sum())
-        state.update((n, tot))
+            tot_cents += int(pdf["value"].mul(100.0).round().sum())
+        state.update((n, tot_cents))
         yield pd.DataFrame(
-            {"user_id": [key[0]], "n_events": [n], "total_value": [tot]}
+            {
+                "user_id": [key[0]],
+                "n_events": [n],
+                "total_value": [tot_cents / 100.0],
+            }
         )
 
     return events.groupBy("user_id").applyInPandasWithState(
         update,
         outputStructType="user_id long, n_events long, total_value double",
-        stateStructType="n long, tot double",
+        stateStructType="n long, tot_cents long",
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
@@ -522,3 +531,50 @@ def _register_streaming_session() -> None:
 
 
 _register_streaming_session()
+
+
+# ---------------------------------------------------------------------------
+# Registry entry: the CUSTOM stateful operator (applyInPandasWithState
+# running totals — managed group state, Arrow-batched Python) under the
+# driver's oracle gate. A user emits one row per micro-batch with new
+# data; the running count is strictly monotone per user, so the final
+# totals are max(n_events) / max_by(total_value, n_events) over the
+# drained emissions. State holds integer cents (see
+# stateful_user_totals_stream), so the emitted totals match the batch
+# SQL bit-for-bit regardless of micro-batch partitioning.
+# ---------------------------------------------------------------------------
+def _register_streaming_stateful_totals() -> None:
+    import uuid
+
+    from kafka_stream_job_spark.registry import register
+
+    @register(
+        "streaming_stateful_totals",
+        oracle="""
+            SELECT user_id,
+                   CAST(COUNT(*) AS BIGINT) AS n_events,
+                   CAST(SUM(CAST(ROUND(value * 100.0) AS BIGINT)) AS BIGINT)
+                       / 100.0 AS total_value
+            FROM events
+            GROUP BY user_id
+        """,
+        tags=("streaming", "stateful", "pandas-udf", "events"),
+    )
+    def streaming_stateful_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+        import tempfile
+
+        name = f"stream_totals_{uuid.uuid4().hex[:8]}"
+        ckpt = tempfile.mkdtemp(prefix="ksj-stream-totals-")
+        emitted = run_stream_to_memory(
+            spark,
+            stateful_user_totals_stream(stream_events(spark, sf_dir)),
+            name,
+            ckpt,
+        )
+        return emitted.groupBy("user_id").agg(
+            F.max("n_events").alias("n_events"),
+            F.max_by("total_value", "n_events").alias("total_value"),
+        )
+
+
+_register_streaming_stateful_totals()
