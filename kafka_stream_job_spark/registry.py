@@ -134,6 +134,7 @@ def all_specs() -> dict[str, QuerySpec]:
         "streaming_dedup_events",
         "streaming_session_rollup",
         "streaming_stateful_totals",
+        "streaming_purchase_attribution",
         "graph_pagerank_parts",
         "graph_triangle_stats",
     )

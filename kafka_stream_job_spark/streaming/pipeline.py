@@ -578,3 +578,65 @@ def _register_streaming_stateful_totals() -> None:
 
 
 _register_streaming_stateful_totals()
+
+
+# ---------------------------------------------------------------------------
+# Registry entry: STREAM-STREAM JOIN under the driver's oracle gate —
+# purchases matched to same-user view/click touches within a 30-minute
+# horizon, both sides unbounded streams with watermarks + a time-bounded
+# join condition (the state-eviction contract). The oracle is the plain
+# time-bounded self-join SQL. Inner joins emit on match arrival, so a
+# bounded drain produces the complete match set regardless of watermark
+# progress. Timestamps are emitted as formatted strings so both engines
+# hash the same value type.
+# ---------------------------------------------------------------------------
+def _register_streaming_attribution() -> None:
+    import uuid
+
+    from kafka_stream_job_spark.registry import register
+
+    @register(
+        "streaming_purchase_attribution",
+        oracle="""
+            WITH t AS (
+                SELECT user_id, ts AS touch_ts, event_id AS touch_id
+                FROM events WHERE event_type IN ('view', 'click')
+            ),
+            p AS (
+                SELECT user_id, ts AS purchase_ts, event_id AS purchase_id
+                FROM events WHERE event_type = 'purchase'
+            )
+            SELECT p.purchase_id,
+                   p.user_id,
+                   t.touch_id,
+                   strftime(t.touch_ts, '%Y-%m-%d %H:%M:%S.%f')    AS touch_ts,
+                   strftime(p.purchase_ts, '%Y-%m-%d %H:%M:%S.%f') AS purchase_ts
+            FROM p JOIN t
+              ON t.user_id = p.user_id
+             AND t.touch_ts <= p.purchase_ts
+             AND p.purchase_ts <= t.touch_ts + INTERVAL 30 MINUTE
+        """,
+        tags=("streaming", "join", "stream-stream", "events"),
+    )
+    def streaming_purchase_attribution(
+        spark: SparkSession, sf_dir: str
+    ) -> DataFrame:
+        import tempfile
+
+        name = f"stream_attr_{uuid.uuid4().hex[:8]}"
+        ckpt = tempfile.mkdtemp(prefix="ksj-stream-attr-")
+        joined = purchase_attribution_stream(
+            stream_events(spark, sf_dir), stream_events(spark, sf_dir)
+        )
+        out = run_stream_to_memory(spark, joined, name, ckpt)
+        fmt = "yyyy-MM-dd HH:mm:ss.SSSSSS"
+        return out.select(
+            "purchase_id",
+            "user_id",
+            "touch_id",
+            F.date_format("touch_ts", fmt).alias("touch_ts"),
+            F.date_format("purchase_ts", fmt).alias("purchase_ts"),
+        )
+
+
+_register_streaming_attribution()
