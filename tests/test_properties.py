@@ -1430,3 +1430,135 @@ def test_funnel_oracle_matches_reference(rows):
             continue
         cnt_p += 1
     assert (n_view, n_vc, n_vcp) == (cnt_v, cnt_c, cnt_p)
+
+
+@settings(max_examples=40, deadline=None)
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=3),        # user_id
+            st.integers(min_value=0, max_value=200_000),  # ts offset (s) ~2.3 days
+        ),
+        min_size=1,
+        max_size=50,
+    )
+)
+def test_peak_concurrency_oracle_matches_reference(rows):
+    """The interval sweep-line SQL (sessions → per-day segments → +1/-1
+    net events → running-sum peak) vs an independent Python sweep."""
+    import datetime
+
+    import duckdb
+
+    from kafka_stream_job_spark.registry import all_specs
+
+    base = datetime.datetime(2024, 3, 1, 5, 0, 0)
+    data = [
+        (uid, base + datetime.timedelta(seconds=off), i)
+        for i, (uid, off) in enumerate(rows)
+    ]
+    oracle = all_specs()["events_peak_concurrency"].oracle
+    con = duckdb.connect()
+    con.execute("CREATE TABLE events (user_id BIGINT, ts TIMESTAMP, event_id BIGINT)")
+    con.executemany("INSERT INTO events VALUES (?, ?, ?)", data)
+    got = {tuple(r) for r in con.sql(oracle).fetchall()}
+
+    gap = datetime.timedelta(minutes=30)
+    day_len = datetime.timedelta(days=1)
+    # 1. sessionize per user
+    sessions = []
+    by_user: dict[int, list] = {}
+    for uid, ts, eid in data:
+        by_user.setdefault(uid, []).append((ts, eid))
+    for uid, evs in by_user.items():
+        evs.sort()
+        cur = [evs[0][0], evs[0][0]]
+        for ts, _ in evs[1:]:
+            if ts - cur[1] >= gap:
+                sessions.append((cur[0], cur[1] + gap))
+                cur = [ts, ts]
+            else:
+                cur[1] = ts
+        sessions.append((cur[0], cur[1] + gap))
+    # 2. split into per-day segments
+    segs: dict[datetime.datetime, list] = {}
+    for s, e in sessions:
+        day = s.replace(hour=0, minute=0, second=0, microsecond=0)
+        last = (e - datetime.timedelta(microseconds=1)).replace(
+            hour=0, minute=0, second=0, microsecond=0
+        )
+        while day <= last:
+            segs.setdefault(day, []).append((max(s, day), min(e, day + day_len)))
+            day += day_len
+    # 3. per-day sweep with same-instant +1/-1 cancellation
+    want = set()
+    for day, ivals in segs.items():
+        net: dict[datetime.datetime, int] = {}
+        for a, b in ivals:
+            net[a] = net.get(a, 0) + 1
+            net[b] = net.get(b, 0) - 1
+        cum, peak = 0, None
+        for ts in sorted(net):
+            cum += net[ts]
+            peak = cum if peak is None else max(peak, cum)
+        want.add((day.strftime("%Y-%m-%d"), len(ivals), peak))
+    assert got == want
+
+
+@settings(max_examples=40, deadline=None)
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.sampled_from(["view", "click"]),          # event_type
+            st.integers(min_value=0, max_value=30),      # hour offset
+            st.integers(min_value=-40, max_value=40),    # value (int-exact)
+        ),
+        min_size=1,
+        max_size=40,
+    )
+)
+def test_gapfill_oracle_matches_reference(rows):
+    """The hour-spine gap-fill SQL (dense grid, LEFT JOIN, last-value
+    forward fill) vs an independent Python forward-filler."""
+    import datetime
+
+    import duckdb
+
+    from kafka_stream_job_spark.registry import all_specs
+
+    base = datetime.datetime(2024, 3, 1)
+    data = [
+        (typ, base + datetime.timedelta(hours=h, minutes=17), float(v))
+        for typ, h, v in rows
+    ]
+    oracle = all_specs()["events_hourly_gapfill"].oracle
+    con = duckdb.connect()
+    con.execute("CREATE TABLE events (event_type VARCHAR, ts TIMESTAMP, value DOUBLE)")
+    con.executemany("INSERT INTO events VALUES (?, ?, ?)", data)
+    got = {tuple(r) for r in con.sql(oracle).fetchall()}
+
+    hourly: dict[tuple, list] = {}
+    for typ, ts, v in data:
+        h = ts.replace(minute=0, second=0, microsecond=0)
+        hourly.setdefault((typ, h), []).append(v)
+    hours = [h for _, h in hourly]
+    lo, hi = min(hours), max(hours)
+    spine = []
+    h = lo
+    while h <= hi:
+        spine.append(h)
+        h += datetime.timedelta(hours=1)
+    want = set()
+    for typ in {t for t, _, _ in data}:
+        ff = 0.0
+        for h in spine:
+            vals = hourly.get((typ, h))
+            if vals is not None:
+                n = len(vals)
+                sv = round(sum(vals) * 100.0) / 100.0
+                ff = sv
+                was_gap = False
+            else:
+                n, was_gap = 0, True
+            want.add((typ, str(h), n, was_gap, ff))
+    assert got == want
