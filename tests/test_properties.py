@@ -1562,3 +1562,110 @@ def test_gapfill_oracle_matches_reference(rows):
                 n, was_gap = 0, True
             want.add((typ, str(h), n, was_gap, ff))
     assert got == want
+
+
+@settings(max_examples=40, deadline=None)
+@given(
+    days=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=60),       # day offset
+            st.integers(min_value=100, max_value=500000), # price cents
+        ),
+        min_size=3,
+        max_size=40,
+    )
+)
+def test_ols_oracle_matches_reference(days):
+    """The integer-moments OLS SQL (slope/intercept/R² from exact
+    Σx,Σy,Σxy,Σx²,Σy²) vs an independent Python closed form."""
+    import datetime
+    import math
+
+    import duckdb
+
+    from kafka_stream_job_spark.registry import all_specs
+    from .test_reference_impl import _pround
+
+    base = datetime.date(1992, 1, 1)
+    data = [
+        (base + datetime.timedelta(days=d), c / 100.0) for d, c in days
+    ]
+    # degenerate slopes (single distinct day / zero y-variance) divide by
+    # zero; the real table never does, so keep inputs non-degenerate
+    xs = {d for d, _ in days}
+    if len(xs) < 2:
+        return
+    oracle = all_specs()["revenue_trend_ols"].oracle
+    con = duckdb.connect()
+    con.execute("CREATE TABLE orders (o_orderdate DATE, o_totalprice DOUBLE)")
+    con.executemany("INSERT INTO orders VALUES (?, ?)", data)
+    n_g, slope_g, inter_g, r2_g = con.sql(oracle).fetchall()[0]
+
+    daily: dict[int, int] = {}
+    for d, c in days:
+        daily[d] = daily.get(d, 0) + c
+    # cents -> whole units with HALF-AWAY rounding (both engines' ROUND),
+    # not Python's banker's round: x.5 must go UP for positive cents.
+    pts = [(x, math.floor(c / 100.0 + 0.5)) for x, c in daily.items()]
+    if len({y for _, y in pts}) < 2:
+        return
+    n = len(pts)
+    sx = sum(x for x, _ in pts)
+    sy = sum(y for _, y in pts)
+    sxy = sum(x * y for x, y in pts)
+    sxx = sum(x * x for x, _ in pts)
+    syy = sum(y * y for _, y in pts)
+    num = n * 1.0 * sxy - sx * 1.0 * sy
+    den = n * 1.0 * sxx - sx * 1.0 * sx
+    slope = num / den
+    inter = (sy * 1.0 / n) - slope * (sx * 1.0 / n)
+    r2 = (num * num) / (den * (n * 1.0 * syy - sy * 1.0 * sy))
+    assert n_g == n
+    assert slope_g == _pround(slope, 6)
+    assert inter_g == _pround(inter, 6)
+    assert r2_g == _pround(r2, 6)
+
+
+@settings(max_examples=40, deadline=None)
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=4),   # user_id
+            st.integers(min_value=0, max_value=10),  # day offset
+            st.integers(min_value=0, max_value=23),  # hour
+        ),
+        min_size=1,
+        max_size=50,
+    )
+)
+def test_retention_oracle_matches_reference(rows):
+    """The day-over-day retention SQL (distinct active days per user,
+    LAG gap == 1) vs an independent Python implementation."""
+    import datetime
+
+    import duckdb
+
+    from kafka_stream_job_spark.registry import all_specs
+
+    base = datetime.datetime(2024, 3, 1)
+    data = [
+        (uid, base + datetime.timedelta(days=d, hours=h)) for uid, d, h in rows
+    ]
+    oracle = all_specs()["events_user_retention"].oracle
+    con = duckdb.connect()
+    con.execute("CREATE TABLE events (user_id BIGINT, ts TIMESTAMP)")
+    con.executemany("INSERT INTO events VALUES (?, ?)", data)
+    got = {tuple(r) for r in con.sql(oracle).fetchall()}
+
+    active: dict[int, set] = {}
+    for uid, ts in data:
+        active.setdefault(uid, set()).add(ts.date())
+    per_day: dict[datetime.date, list] = {}
+    for uid, ds in active.items():
+        for d in ds:
+            retained = (d - datetime.timedelta(days=1)) in ds
+            per_day.setdefault(d, []).append(retained)
+    want = {
+        (str(d), len(flags), sum(flags)) for d, flags in per_day.items()
+    }
+    assert got == want
