@@ -114,3 +114,62 @@ def pandas_scalar_log_price(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_orders"),
         pround(F.sum(log1p_price(F.col("o_totalprice"))), 4).alias("sum_log_price"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Python UDTF (Spark 4): a user-defined TABLE function expanding each
+# document into its whitespace-separated words — the table-valued member
+# of the Python-boundary family (scalar pandas_udf above, grouped-map
+# applyInPandas above, this). Invoked via SQL LATERAL so every doc row
+# fans out through the UDTF, then re-aggregated JVM-side.
+#
+# 100 TB rule for UDTFs: they run row-at-a-time in Python workers (no
+# Arrow batching as of Spark 4.1), i.e. the SLOWEST Python path — fine as
+# API surface and for rare row-expanding logic a HOF can't express, but
+# the registry's hot-path tokenizers (text_token_stats etc.) stay on
+# JVM-side split/explode, which this query's oracle intentionally
+# mirrors. Bounded here to doc_id % 50 = 0 so the demo stays demo-sized.
+# ---------------------------------------------------------------------------
+@register(
+    "udtf_word_expand",
+    oracle="""
+        WITH words AS (
+            SELECT d.doc_id, w.word
+            FROM documents d,
+                 UNNEST(string_split(d.text, ' ')) AS w(word)
+            WHERE d.doc_id % 50 = 0 AND w.word <> ''
+        )
+        SELECT
+            CAST(length(word) AS INTEGER) AS word_len,
+            COUNT(*)                      AS n_words,
+            COUNT(DISTINCT word)          AS n_distinct
+        FROM words
+        GROUP BY 1
+    """,
+    tags=("udtf", "python-boundary", "documents", "text"),
+)
+def udtf_word_expand(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="word string")
+    class WordExpand:
+        def eval(self, text: str):
+            if text is None:
+                return
+            for w in text.split(" "):
+                if w:
+                    yield (w,)
+
+    spark.udtf.register("ksj_word_expand", WordExpand)
+    load_table(spark, sf_dir, "documents").filter(
+        F.col("doc_id") % 50 == 0
+    ).createOrReplaceTempView("udtf_docs_v")
+    return spark.sql(
+        """
+        SELECT CAST(length(w.word) AS INT) AS word_len,
+               COUNT(*)                    AS n_words,
+               COUNT(DISTINCT w.word)      AS n_distinct
+        FROM udtf_docs_v d, LATERAL ksj_word_expand(d.text) w
+        GROUP BY 1
+        """
+    )

@@ -986,3 +986,77 @@ def contrastive_triplets(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("anchor_id", "positive_id", "neg_k", "negative_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# Token-balanced shard manifest via DISTRIBUTED global rank. Assigning
+# docs to training shards round-robin along a size-sorted order (striped
+# LPT) balances per-shard token totals — but a naive ROW_NUMBER() over a
+# global ORDER BY is a single-partition sort, the classic 100 TB
+# scale-killer. Instead: range-repartition on the sort key (parallel
+# range exchange), rank locally within each partition, then add each
+# partition's cumulative row-count offset (a |partitions|-row side table,
+# broadcast back). Range boundaries come from Spark's sampling, but the
+# sort key (n_chars DESC, doc_id) is a total order and ranges are
+# disjoint under it, so offset + local rank is the exact global rank for
+# ANY boundary placement — the output is deterministic even though the
+# partitioning isn't.
+# Reference parity: none (SURVEY.md §2.7) — north-star corpus op.
+# ---------------------------------------------------------------------------
+N_SHARDS = 16
+_RANK_PARTS = 32  # range partitions for the distributed rank
+
+
+@register(
+    "shard_manifest_balanced",
+    oracle=f"""
+        WITH ranked AS (
+            SELECT doc_id, n_chars,
+                   ROW_NUMBER() OVER (ORDER BY n_chars DESC, doc_id) AS rnk
+            FROM documents
+        )
+        SELECT
+            CAST((rnk - 1) % {N_SHARDS} AS BIGINT) AS shard_id,
+            COUNT(*)                               AS n_docs,
+            CAST(SUM(n_chars) AS BIGINT)           AS total_chars,
+            CAST(SUM(rnk) AS BIGINT)               AS rank_checksum
+        FROM ranked
+        GROUP BY 1
+    """,
+    tags=("corpus", "shard", "rank", "documents"),
+)
+def shard_manifest_balanced(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    parts = docs.repartitionByRange(
+        _RANK_PARTS, F.col("n_chars").desc(), F.col("doc_id")
+    ).withColumn("pid", F.spark_partition_id())
+    local = parts.withColumn(
+        "local_rn",
+        F.row_number().over(
+            Window.partitionBy("pid").orderBy(F.col("n_chars").desc(), "doc_id")
+        ),
+    )
+    # per-partition counts → cumulative offsets: |partitions| rows, so the
+    # single-partition window here is over metadata, not data.
+    counts = local.groupBy("pid").agg(F.count(F.lit(1)).alias("cnt"))
+    offsets = counts.withColumn(
+        "offset",
+        F.coalesce(
+            F.sum("cnt").over(
+                Window.orderBy("pid").rowsBetween(Window.unboundedPreceding, -1)
+            ),
+            F.lit(0),
+        ),
+    ).select("pid", "offset")
+    ranked = local.join(F.broadcast(offsets), "pid").withColumn(
+        "rnk", (F.col("offset") + F.col("local_rn")).cast("long")
+    )
+    return (
+        ranked.withColumn("shard_id", (F.col("rnk") - 1) % N_SHARDS)
+        .groupBy("shard_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").cast("long").alias("total_chars"),
+            F.sum("rnk").cast("long").alias("rank_checksum"),
+        )
+    )

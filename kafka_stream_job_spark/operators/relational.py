@@ -33,7 +33,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from kafka_stream_job_spark.operators._portable import pround
+from kafka_stream_job_spark.operators._portable import pround, sql_round
 from kafka_stream_job_spark.registry import register
 from kafka_stream_job_spark.tables import load_table
 
@@ -3926,4 +3926,249 @@ def lineitem_ship_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.min("delay").cast("long").alias("min_days"),
             F.max("delay").cast("long").alias("max_days"),
         )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Incremental aggregate maintenance (IVM): merge PARTIAL aggregates from a
+# frozen base slice and a fresh delta slice instead of rescanning the
+# union. count/sum/min/max are algebraic (merge = sum/sum/min/max; avg
+# derives from merged sum/count), so the merged result is exactly the
+# full-recompute answer — which is what the oracle recomputes. At 100 TB
+# the base partial agg is a stored materialized aggregate refreshed only
+# by delta merges (this query IS the refresh operator); the merge input is
+# |groups| rows per side, so the second shuffle is negligible.
+# Reference parity: none (SURVEY.md §2.7) — north-star analytics extension.
+# ---------------------------------------------------------------------------
+_IVM_CUTOFF = "2000-01-01"
+
+
+@register(
+    "incremental_agg_maintenance",
+    oracle=f"""
+        SELECT
+            o_orderpriority,
+            o_orderstatus,
+            COUNT(*)                                    AS n_orders,
+            {sql_round('SUM(o_totalprice)', 2)}         AS sum_price,
+            MIN(o_totalprice)                           AS min_price,
+            MAX(o_totalprice)                           AS max_price,
+            {sql_round('SUM(o_totalprice) / COUNT(*)', 4)} AS avg_price
+        FROM orders
+        GROUP BY 1, 2
+    """,
+    tags=("agg", "orders", "incremental", "ivm"),
+)
+def incremental_agg_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    cutoff = F.lit(_IVM_CUTOFF).cast("timestamp")
+
+    def partial(df: DataFrame) -> DataFrame:
+        return df.groupBy("o_orderpriority", "o_orderstatus").agg(
+            F.count(F.lit(1)).alias("p_n"),
+            F.sum("o_totalprice").alias("p_sum"),
+            F.min("o_totalprice").alias("p_min"),
+            F.max("o_totalprice").alias("p_max"),
+        )
+
+    base = partial(orders.filter(F.col("o_orderdate") < cutoff))
+    delta = partial(orders.filter(F.col("o_orderdate") >= cutoff))
+    merged = (
+        base.unionByName(delta)
+        .groupBy("o_orderpriority", "o_orderstatus")
+        .agg(
+            F.sum("p_n").alias("n_orders"),
+            F.sum("p_sum").alias("m_sum"),
+            F.min("p_min").alias("min_price"),
+            F.max("p_max").alias("max_price"),
+        )
+    )
+    return merged.select(
+        "o_orderpriority",
+        "o_orderstatus",
+        "n_orders",
+        pround(F.col("m_sum"), 2).alias("sum_price"),
+        "min_price",
+        "max_price",
+        pround(F.col("m_sum") / F.col("n_orders"), 4).alias("avg_price"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Spark 4 SQL surface — VARIANT. events.props is a JSON string;
+# events_json_extract pulls one path with get_json_object (string
+# re-parse per access). The VARIANT path parses ONCE into the binary
+# semi-structured type and every subsequent variant_get is a cheap typed
+# access — at 100 TB with many extractions per document that
+# parse-once-access-many difference is the whole ballgame (and VARIANT
+# columns can be stored, shredding the parse out of the query entirely).
+# Output: per-decile-of-k event counts and value sums.
+# ---------------------------------------------------------------------------
+@register(
+    "events_props_variant_decode",
+    oracle=f"""
+        SELECT
+            CAST(CAST(json_extract_string(props, '$.k') AS BIGINT) // 10 AS BIGINT)
+                                                          AS k_decile,
+            COUNT(*)                                      AS n_events,
+            CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT)
+                                                          AS sum_k,
+            {sql_round('SUM(value)', 2)}                  AS sum_value
+        FROM events
+        GROUP BY 1
+    """,
+    tags=("json", "variant", "events", "sql-surface"),
+)
+def events_props_variant_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    k = F.expr("variant_get(parse_json(props), '$.k', 'bigint')")
+    return (
+        events.withColumn("k", k)
+        .groupBy(F.floor(F.col("k") / 10).alias("k_decile"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("k").alias("sum_k"),
+            pround(F.sum("value"), 2).alias("sum_value"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Spark 4 SQL surface — pipe syntax (SQL:2023 |> operators). Same Catalyst
+# plan as the classic form (verified: both compile to the identical
+# aggregate), so this is pure API-surface coverage: the engine accepts
+# the pipeline dialect a lot of new analytics code is written in.
+# ---------------------------------------------------------------------------
+@register(
+    "pipe_sql_priority_stats",
+    oracle=f"""
+        SELECT
+            o_orderpriority,
+            COUNT(*)                          AS n_orders,
+            {sql_round('SUM(o_totalprice)', 2)} AS sum_price
+        FROM orders
+        WHERE o_orderstatus <> 'F'
+        GROUP BY o_orderpriority
+    """,
+    tags=("sql-surface", "pipe-syntax", "orders", "agg"),
+)
+def pipe_sql_priority_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("pipe_orders_v")
+    return spark.sql(
+        """
+        FROM pipe_orders_v
+        |> WHERE o_orderstatus <> 'F'
+        |> AGGREGATE COUNT(*) AS n_orders,
+                     ROUND(SUM(o_totalprice) * 100.0) / 100.0 + 0.0 AS sum_price
+           GROUP BY o_orderpriority
+        |> SELECT o_orderpriority, n_orders, sum_price
+        """
+    )
+
+
+# ---------------------------------------------------------------------------
+# Spark 4 SQL surface — LATERAL correlated subquery with LIMIT: top-3
+# customers by account balance per nation, written the way an analyst
+# writes it (lateral per-row subquery) rather than the window-function
+# rewrite. Catalyst decorrelates it into a join + per-group limit; the
+# oracle IS the window rewrite, so the check pins that the decorrelation
+# is semantics-preserving. Deterministic tie-break on custkey.
+# ---------------------------------------------------------------------------
+@register(
+    "lateral_top_customers_per_nation",
+    oracle="""
+        SELECT n_name, c_custkey, c_acctbal
+        FROM (
+            SELECT n.n_name, c.c_custkey, c.c_acctbal,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY n.n_nationkey
+                       ORDER BY c.c_acctbal DESC, c.c_custkey
+                   ) AS rn
+            FROM nation n JOIN customer c ON c.c_nationkey = n.n_nationkey
+        ) WHERE rn <= 3
+    """,
+    tags=("sql-surface", "lateral", "join", "topk"),
+)
+def lateral_top_customers_per_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_table(spark, sf_dir, "nation").createOrReplaceTempView("lat_nation_v")
+    load_table(spark, sf_dir, "customer").createOrReplaceTempView("lat_customer_v")
+    return spark.sql(
+        """
+        SELECT n.n_name, t.c_custkey, t.c_acctbal
+        FROM lat_nation_v n,
+        LATERAL (
+            SELECT c_custkey, c_acctbal
+            FROM lat_customer_v c
+            WHERE c.c_nationkey = n.n_nationkey
+            ORDER BY c_acctbal DESC, c_custkey
+            LIMIT 3
+        ) t
+        """
+    )
+
+
+# ---------------------------------------------------------------------------
+# Spark 4 SQL surface — RECURSIVE CTE (UNION ALL; Spark 4 does not yet
+# accept UNION-distinct recursion, so the recursion must be acyclic —
+# this one advances a month counter, trivially terminating). A gap-free
+# month spine from the first to the last order date, left-joined to
+# monthly order counts: months with no orders still appear with zeros,
+# which a plain GROUP BY can never produce. The recursion materializes
+# ~80 rows; the data-sized work stays one aggregate + broadcast join.
+# ---------------------------------------------------------------------------
+@register(
+    "recursive_month_spine",
+    oracle=f"""
+        WITH RECURSIVE bounds AS (
+            SELECT date_trunc('month', MIN(o_orderdate)) AS lo,
+                   date_trunc('month', MAX(o_orderdate)) AS hi
+            FROM orders
+        ),
+        spine(m) AS (
+            SELECT lo FROM bounds
+            UNION ALL
+            SELECT m + INTERVAL 1 MONTH FROM spine, bounds
+            WHERE m < hi
+        ),
+        monthly AS (
+            SELECT date_trunc('month', o_orderdate) AS m,
+                   COUNT(*)                         AS n_orders,
+                   {sql_round('SUM(o_totalprice)', 2)} AS sum_price
+            FROM orders
+            GROUP BY 1
+        )
+        SELECT CAST(s.m AS VARCHAR)          AS month_ts,
+               COALESCE(mo.n_orders, 0)      AS n_orders,
+               COALESCE(mo.sum_price, 0.0)   AS sum_price
+        FROM spine s LEFT JOIN monthly mo ON mo.m = s.m
+    """,
+    tags=("sql-surface", "recursive-cte", "orders", "timeseries"),
+)
+def recursive_month_spine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("rec_orders_v")
+    return spark.sql(
+        """
+        WITH RECURSIVE bounds AS (
+            SELECT date_trunc('month', MIN(o_orderdate)) AS lo,
+                   date_trunc('month', MAX(o_orderdate)) AS hi
+            FROM rec_orders_v
+        ),
+        spine(m) AS (
+            SELECT lo FROM bounds
+            UNION ALL
+            SELECT m + INTERVAL 1 MONTH FROM spine, bounds
+            WHERE m < hi
+        ),
+        monthly AS (
+            SELECT date_trunc('month', o_orderdate) AS m,
+                   COUNT(*)                                      AS n_orders,
+                   ROUND(SUM(o_totalprice) * 100.0) / 100.0 + 0.0 AS sum_price
+            FROM rec_orders_v
+            GROUP BY 1
+        )
+        SELECT CAST(CAST(s.m AS DATE) AS STRING)      AS month_ts,
+               COALESCE(mo.n_orders, CAST(0 AS BIGINT)) AS n_orders,
+               COALESCE(mo.sum_price, 0.0D)           AS sum_price
+        FROM spine s LEFT JOIN monthly mo ON mo.m = s.m
+        """
     )

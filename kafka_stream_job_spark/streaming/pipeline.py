@@ -640,3 +640,219 @@ def _register_streaming_attribution() -> None:
 
 
 _register_streaming_attribution()
+
+
+# ---------------------------------------------------------------------------
+# LATE-DATA DROP, deterministically, through a real watermark. The bounded
+# replays above never exercise the drop path (every row arrives "on
+# time"), so this query stages the events table into THREE files processed
+# as separate micro-batches (maxFilesPerTrigger=1, mtime-ordered):
+#
+#   batch 0  — every row EXCEPT a chosen late subset; contains the global
+#              max event time, so after it commits the watermark advances
+#              to max(ts) - 1 hour.
+#   batch 1  — one synthetic heartbeat row AT max(ts) (its window ends
+#              after the final watermark, so it is never emitted and stays
+#              invisible to the output). It exists because Spark's
+#              late-record filter uses the PREVIOUS batch's watermark
+#              (watermarkForLateEvents lags eviction by one batch —
+#              verified empirically: with only two batches the late rows
+#              land with watermarkForLateEvents still at epoch and are
+#              absorbed). The heartbeat batch burns that propagation lag;
+#              eviction also fires here, emitting every closed window.
+#   batch 2  — the late subset: rows with ts < max(ts) - 3 hours (and
+#              event_id % 8 = 0). All of them sit strictly below the
+#              now-propagated watermark, so the stateful agg DROPS every
+#              one (no re-emission of already-closed windows either).
+#
+# Append mode then emits exactly the hourly windows whose end <= final
+# watermark, aggregating only batch-0 rows. Both effects — the drop and
+# the append-mode emission frontier — are reproduced by the oracle SQL,
+# so the driver's gate verifies Spark's actual watermark semantics, not a
+# drained approximation. Timestamps are mid-hour (23:5x), hours from any
+# window boundary, so ms-truncation of the watermark can't flip a window.
+# ---------------------------------------------------------------------------
+_LATE_HOURS = 3  # rows older than max(ts) - this are the late subset
+_LATE_MOD = 8  # ... restricted to event_id % _LATE_MOD == 0
+_WM_DELAY = "1 hour"
+
+
+def _stage_late_replay(sf_dir: str) -> str:
+    """Split events.parquet into on-time (batch 0) / heartbeat (batch 1) /
+    late (batch 2) files under a /tmp stage dir; rebuilt whenever the
+    source file changes."""
+    import duckdb
+
+    src = os.path.join(sf_dir, "events.parquet")
+    stage = os.path.join(
+        "/tmp/ksj_late_stage", sf_dir.strip("/").replace("/", "_")
+    )
+    marker = os.path.join(stage, "_staged_v2")
+    if os.path.exists(marker) and os.path.getmtime(marker) > os.path.getmtime(src):
+        return stage
+    import shutil
+    import time as _time
+
+    shutil.rmtree(stage, ignore_errors=True)
+    os.makedirs(stage)
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW ev AS SELECT * FROM read_parquet('{src}')")
+    pred = (
+        f"(ts < (SELECT MAX(ts) FROM ev) - INTERVAL {_LATE_HOURS} HOUR"
+        f" AND event_id % {_LATE_MOD} = 0)"
+    )
+    con.execute(
+        f"COPY (SELECT * FROM ev WHERE NOT {pred}) TO '{stage}/batch0.parquet'"
+        " (FORMAT PARQUET)"
+    )
+    # heartbeat: one row at max(ts) whose window is never emitted — its
+    # only job is to advance watermarkForLateEvents past batch 0's data
+    # before the late rows arrive (see module comment above).
+    con.execute(
+        "COPY (SELECT CAST(-1 AS BIGINT) AS event_id,"
+        " (SELECT MAX(ts) FROM ev) AS ts,"
+        " CAST(-1 AS BIGINT) AS user_id,"
+        " CAST('heartbeat' AS VARCHAR) AS event_type,"
+        " CAST(0.0 AS DOUBLE) AS value,"
+        " CAST(NULL AS VARCHAR) AS props)"
+        f" TO '{stage}/batch1.parquet' (FORMAT PARQUET)"
+    )
+    con.execute(
+        f"COPY (SELECT * FROM ev WHERE {pred}) TO '{stage}/batch2.parquet'"
+        " (FORMAT PARQUET)"
+    )
+    con.close()
+    now = _time.time()
+    # file-source ordering key: modification time (oldest first)
+    os.utime(os.path.join(stage, "batch0.parquet"), (now - 120, now - 120))
+    os.utime(os.path.join(stage, "batch1.parquet"), (now - 60, now - 60))
+    os.utime(os.path.join(stage, "batch2.parquet"), (now, now))
+    with open(marker, "w"):
+        pass
+    return stage
+
+
+def late_drop_rollup_stream(spark: SparkSession, stage: str) -> DataFrame:
+    """Hourly rollup over the staged three-batch replay, one file per
+    micro-batch, 1-hour watermark — batch 2's rows are all late."""
+    schema = spark.read.parquet(stage).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(stage)
+    )
+    if isinstance(schema["ts"].dataType, T.LongType):
+        stream = stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    elif isinstance(schema["ts"].dataType, T.TimestampNTZType):
+        stream = stream.withColumn("ts", F.col("ts").cast("timestamp"))
+    return (
+        stream.withWatermark("ts", _WM_DELAY)
+        .groupBy(F.window("ts", "1 hour").alias("win"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            pround(F.sum("value"), 2).alias("sum_value"),
+        )
+        .select(
+            F.col("win.start").cast("string").alias("hour_ts"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+def _register_streaming_late_drop() -> None:
+    import uuid
+
+    from kafka_stream_job_spark.registry import register
+
+    @register(
+        "streaming_late_data_drop",
+        oracle=f"""
+            WITH m AS (SELECT MAX(ts) AS maxts FROM events),
+            kept AS (
+                SELECT e.* FROM events e, m
+                WHERE NOT (e.ts < m.maxts - INTERVAL {_LATE_HOURS} HOUR
+                           AND e.event_id % {_LATE_MOD} = 0)
+            ),
+            agg AS (
+                SELECT
+                    date_trunc('hour', ts) AS win_start,
+                    event_type,
+                    COUNT(*)                             AS n_events,
+                    ROUND((SUM(value)) * 100.0) / 100.0 + 0.0 AS sum_value
+                FROM kept
+                GROUP BY 1, 2
+            )
+            SELECT
+                CAST(win_start AS VARCHAR) AS hour_ts,
+                event_type, n_events, sum_value
+            FROM agg, m
+            WHERE win_start + INTERVAL 1 HOUR <= m.maxts - INTERVAL 1 HOUR
+        """,
+        tags=("streaming", "watermark", "late-data", "events"),
+    )
+    def streaming_late_data_drop(spark: SparkSession, sf_dir: str) -> DataFrame:
+        import tempfile
+
+        stage = _stage_late_replay(sf_dir)
+        name = f"stream_late_{uuid.uuid4().hex[:8]}"
+        ckpt = tempfile.mkdtemp(prefix="ksj-stream-late-")
+        return run_stream_to_memory(
+            spark,
+            late_drop_rollup_stream(spark, stage),
+            name,
+            ckpt,
+            output_mode="append",
+        )
+
+
+_register_streaming_late_drop()
+
+
+# ---------------------------------------------------------------------------
+# dropDuplicatesWithinWatermark — the STATE-CAPPED dedup production
+# pipelines actually run (exact dropDuplicates state grows without bound
+# on an unbounded stream; the within-watermark variant retires key state
+# once the watermark passes it). On this bounded replay the whole table
+# arrives inside one watermark horizon (30-day span < 31-day delay), so
+# the within-horizon guarantee degenerates to exact first-occurrence
+# dedup and the DISTINCT oracle pins it — while the physical plan runs
+# the dedupWithinWatermark state operator, eviction timers and all.
+# ---------------------------------------------------------------------------
+def dedup_within_watermark_stream(
+    events: DataFrame, delay: str = "744 hours"
+) -> DataFrame:
+    return (
+        events.withWatermark("ts", delay)
+        .dropDuplicatesWithinWatermark(["user_id", "event_type"])
+        .select("user_id", "event_type")
+    )
+
+
+def _register_streaming_dedup_within_wm() -> None:
+    import uuid
+
+    from kafka_stream_job_spark.registry import register
+
+    @register(
+        "streaming_dedup_within_watermark",
+        oracle="SELECT DISTINCT user_id, event_type FROM events",
+        tags=("streaming", "dedup", "stateful", "watermark", "events"),
+    )
+    def streaming_dedup_within_watermark(
+        spark: SparkSession, sf_dir: str
+    ) -> DataFrame:
+        import tempfile
+
+        name = f"stream_dedup_wm_{uuid.uuid4().hex[:8]}"
+        ckpt = tempfile.mkdtemp(prefix="ksj-stream-dedup-wm-")
+        return run_stream_to_memory(
+            spark,
+            dedup_within_watermark_stream(stream_events(spark, sf_dir)),
+            name,
+            ckpt,
+        )
+
+
+_register_streaming_dedup_within_wm()

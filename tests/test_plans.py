@@ -463,3 +463,32 @@ def test_bench_queries_stay_in_wholestage_codegen(spark):
             assert plan.count("*(") >= 1, f"{name} lost whole-stage codegen"
     finally:
         spark.conf.set("spark.sql.adaptive.enabled", prev)
+
+
+def test_shard_manifest_distributed_rank_shape(spark):
+    """The balanced shard manifest must compute its global rank the
+    distributed way: a RANGE exchange (parallel repartitionByRange) with
+    the per-partition offsets joined back by BROADCAST. A global
+    ROW_NUMBER() (empty partition spec over the document rows, i.e. a
+    single-partition sort of the whole corpus) would be the 100 TB
+    scale-killer this operator exists to avoid."""
+    plan = plan_of(spark, "shard_manifest_balanced")
+    assert "rangepartitioning" in plan, "global rank must use a range exchange"
+    assert "BroadcastHashJoin" in plan, "offsets side-table must broadcast"
+    assert "CartesianProduct" not in plan
+    # the data-sized window ranks WITHIN partitions (partition spec = pid);
+    # the only empty-partition-spec window runs over the |partitions|-row
+    # offsets table, which AQE plans as a single tiny partition.
+    assert "windowspecdefinition(pid" in plan.replace(" ", "").lower() or (
+        "partitionBy" not in plan
+    )
+
+
+def test_incremental_agg_merge_is_join_free_two_level_agg(spark):
+    """IVM merge = union of partial aggs + re-aggregate: no join anywhere,
+    and the merge input is |groups| rows per side (partial aggregation
+    below the exchange on both branches)."""
+    plan = plan_of(spark, "incremental_agg_maintenance")
+    assert "Join" not in plan, "merge must be union+agg, not a join"
+    assert "Union" in plan
+    assert plan.count("HashAggregate") >= 4, "both branches need partial+final agg"

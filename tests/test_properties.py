@@ -1669,3 +1669,109 @@ def test_retention_oracle_matches_reference(rows):
         (str(d), len(flags), sum(flags)) for d, flags in per_day.items()
     }
     assert got == want
+
+
+@settings(max_examples=60, deadline=None)
+@given(
+    docs=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=10_000),  # doc_id pool (dedup below)
+            st.integers(min_value=0, max_value=5_000),   # n_chars
+        ),
+        min_size=1,
+        max_size=120,
+    )
+)
+def test_shard_manifest_oracle_matches_reference(docs):
+    """The shard-manifest oracle (global ROW_NUMBER over n_chars DESC,
+    doc_id; striped shard = (rnk-1) % 16) vs an independent Python
+    sort-and-stripe — pins the tie order and the checksum arithmetic.
+    Also asserts the striping invariant the operator exists for: per-shard
+    doc counts never differ by more than one."""
+    import duckdb
+
+    from kafka_stream_job_spark.registry import all_specs
+
+    seen = {}
+    for doc_id, n_chars in docs:
+        seen.setdefault(doc_id, n_chars)  # unique doc_id, first wins
+    data = sorted(seen.items())
+
+    oracle = all_specs()["shard_manifest_balanced"].oracle
+    con = duckdb.connect()
+    con.execute("CREATE TABLE documents (doc_id BIGINT, n_chars BIGINT)")
+    con.executemany("INSERT INTO documents VALUES (?, ?)", data)
+    got = {tuple(r) for r in con.sql(oracle).fetchall()}
+
+    ordered = sorted(data, key=lambda d: (-d[1], d[0]))
+    shards: dict[int, list] = {}
+    for i, (doc_id, n_chars) in enumerate(ordered):
+        shards.setdefault(i % 16, []).append((i + 1, n_chars))
+    want = {
+        (
+            sid,
+            len(members),
+            sum(nc for _, nc in members),
+            sum(rnk for rnk, _ in members),
+        )
+        for sid, members in shards.items()
+    }
+    assert got == want
+    counts = [len(m) for m in shards.values()] + [0] * (16 - len(shards))
+    assert max(counts) - min(c for c in counts if c >= 0) <= 1
+
+
+@settings(max_examples=60, deadline=None)
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=6 * 24 * 3600),  # ts offset (s)
+            st.sampled_from(["view", "click", "purchase"]),
+            st.integers(min_value=0, max_value=100),            # whole-number value
+        ),
+        min_size=1,
+        max_size=80,
+    )
+)
+def test_late_drop_oracle_matches_reference(rows):
+    """The streaming late-data-drop oracle vs an independent Python
+    watermark simulator: late subset = ts < max(ts) - 3 h AND
+    event_id % 8 = 0; emitted windows = hourly buckets whose end <=
+    max(ts) - 1 h, aggregating only the on-time rows. Whole-number values
+    keep the ROUND() leg exact in both engines."""
+    import datetime
+
+    import duckdb
+
+    from kafka_stream_job_spark.registry import all_specs
+
+    base = datetime.datetime(2024, 3, 1, 0, 0, 0)
+    data = [
+        (i, base + datetime.timedelta(seconds=off), etype, float(val))
+        for i, (off, etype, val) in enumerate(rows)
+    ]
+    oracle = all_specs()["streaming_late_data_drop"].oracle
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE events (event_id BIGINT, ts TIMESTAMP,"
+        " event_type VARCHAR, value DOUBLE)"
+    )
+    con.executemany("INSERT INTO events VALUES (?, ?, ?, ?)", data)
+    got = {tuple(r) for r in con.sql(oracle).fetchall()}
+
+    maxts = max(ts for _, ts, _, _ in data)
+    late_cut = maxts - datetime.timedelta(hours=3)
+    frontier = maxts - datetime.timedelta(hours=1)
+    agg: dict[tuple, list] = {}
+    for eid, ts, etype, val in data:
+        if ts < late_cut and eid % 8 == 0:
+            continue  # dropped by the watermark
+        win_start = ts.replace(minute=0, second=0, microsecond=0)
+        if win_start + datetime.timedelta(hours=1) > frontier:
+            continue  # window not yet closed at final watermark
+        agg.setdefault((win_start, etype), []).append(val)
+    want = {
+        (ws.strftime("%Y-%m-%d %H:%M:%S"), et, len(vals), float(sum(vals)))
+        for (ws, et), vals in agg.items()
+    }
+    assert got == want
