@@ -856,3 +856,153 @@ def _register_streaming_dedup_within_wm() -> None:
 
 
 _register_streaming_dedup_within_wm()
+
+
+# ---------------------------------------------------------------------------
+# LEFT-OUTER stream-stream join with DETERMINISTIC null-side emission.
+# The inner attribution query above emits only matches; the outer
+# variant's distinctive behavior — emitting an unmatched purchase with
+# NULL touch columns once no future touch can possibly match it — only
+# fires when the watermark passes the purchase and an eviction pass runs
+# afterwards. Staging: batch 0 = the whole events table (watermark
+# advances to min(max touch_ts, max purchase_ts) - 1 hour, the MIN of the
+# two sides' watermark nodes); batch 1 = one heartbeat row (filtered out
+# of both sides — its only job is to trigger the micro-batch whose
+# eviction emits the null-joined rows under the now-committed watermark).
+#
+# Emission predicate (verified empirically, boundary purchases checked on
+# both sides of the cut): an unmatched purchase emits iff
+# purchase_ts < final watermark. The oracle reproduces exactly that:
+# matched pairs (same SQL as the inner query) UNION ALL unmatched
+# purchases below the watermark with NULL touch columns.
+# ---------------------------------------------------------------------------
+def _stage_with_heartbeat(sf_dir: str) -> str:
+    """events.parquet as batch 0 + a single heartbeat row as batch 1."""
+    import duckdb
+
+    src = os.path.join(sf_dir, "events.parquet")
+    stage = os.path.join(
+        "/tmp/ksj_heartbeat_stage", sf_dir.strip("/").replace("/", "_")
+    )
+    marker = os.path.join(stage, "_staged_v1")
+    if os.path.exists(marker) and os.path.getmtime(marker) > os.path.getmtime(src):
+        return stage
+    import shutil
+    import time as _time
+
+    shutil.rmtree(stage, ignore_errors=True)
+    os.makedirs(stage)
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW ev AS SELECT * FROM read_parquet('{src}')")
+    con.execute(
+        f"COPY (SELECT * FROM ev) TO '{stage}/batch0.parquet' (FORMAT PARQUET)"
+    )
+    con.execute(
+        "COPY (SELECT CAST(-1 AS BIGINT) AS event_id,"
+        " (SELECT MAX(ts) FROM ev) AS ts,"
+        " CAST(-1 AS BIGINT) AS user_id,"
+        " CAST('heartbeat' AS VARCHAR) AS event_type,"
+        " CAST(0.0 AS DOUBLE) AS value,"
+        " CAST(NULL AS VARCHAR) AS props)"
+        f" TO '{stage}/batch1.parquet' (FORMAT PARQUET)"
+    )
+    con.close()
+    now = _time.time()
+    os.utime(os.path.join(stage, "batch0.parquet"), (now - 60, now - 60))
+    os.utime(os.path.join(stage, "batch1.parquet"), (now, now))
+    with open(marker, "w"):
+        pass
+    return stage
+
+
+def _heartbeat_stream(spark: SparkSession, stage: str) -> DataFrame:
+    schema = spark.read.parquet(stage).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(stage)
+    )
+    if isinstance(schema["ts"].dataType, T.LongType):
+        stream = stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    elif isinstance(schema["ts"].dataType, T.TimestampNTZType):
+        stream = stream.withColumn("ts", F.col("ts").cast("timestamp"))
+    return stream
+
+
+def _register_streaming_outer_attribution() -> None:
+    import uuid
+
+    from kafka_stream_job_spark.registry import register
+
+    @register(
+        "streaming_unattributed_purchases",
+        oracle="""
+            WITH t AS (
+                SELECT user_id, ts AS touch_ts, event_id AS touch_id
+                FROM events WHERE event_type IN ('view', 'click')
+            ),
+            p AS (
+                SELECT user_id, ts AS purchase_ts, event_id AS purchase_id
+                FROM events WHERE event_type = 'purchase'
+            ),
+            wm AS (
+                -- LEAST() in DuckDB skips NULLs, but an EMPTY side means
+                -- Spark's watermark never leaves epoch and nothing outer-
+                -- emits: propagate the NULL so the < comparison is false.
+                SELECT CASE
+                    WHEN (SELECT MAX(touch_ts) FROM t) IS NULL
+                      OR (SELECT MAX(purchase_ts) FROM p) IS NULL THEN NULL
+                    ELSE LEAST((SELECT MAX(touch_ts) FROM t),
+                               (SELECT MAX(purchase_ts) FROM p))
+                         - INTERVAL 1 HOUR
+                END AS w
+            )
+            SELECT p.purchase_id,
+                   p.user_id,
+                   strftime(p.purchase_ts, '%Y-%m-%d %H:%M:%S.%f') AS purchase_ts,
+                   t.touch_id,
+                   strftime(t.touch_ts, '%Y-%m-%d %H:%M:%S.%f')    AS touch_ts
+            FROM p JOIN t
+              ON t.user_id = p.user_id
+             AND t.touch_ts <= p.purchase_ts
+             AND p.purchase_ts <= t.touch_ts + INTERVAL 30 MINUTE
+            UNION ALL
+            SELECT p.purchase_id,
+                   p.user_id,
+                   strftime(p.purchase_ts, '%Y-%m-%d %H:%M:%S.%f') AS purchase_ts,
+                   CAST(NULL AS BIGINT)  AS touch_id,
+                   CAST(NULL AS VARCHAR) AS touch_ts
+            FROM p, wm
+            WHERE p.purchase_ts < wm.w
+              AND NOT EXISTS (
+                  SELECT 1 FROM t
+                  WHERE t.user_id = p.user_id
+                    AND t.touch_ts <= p.purchase_ts
+                    AND p.purchase_ts <= t.touch_ts + INTERVAL 30 MINUTE
+              )
+        """,
+        tags=("streaming", "join", "stream-stream", "outer", "watermark", "events"),
+    )
+    def streaming_unattributed_purchases(
+        spark: SparkSession, sf_dir: str
+    ) -> DataFrame:
+        import tempfile
+
+        stage = _stage_with_heartbeat(sf_dir)
+        name = f"stream_outer_{uuid.uuid4().hex[:8]}"
+        ckpt = tempfile.mkdtemp(prefix="ksj-stream-outer-")
+        joined = unattributed_purchases_stream(
+            _heartbeat_stream(spark, stage), _heartbeat_stream(spark, stage)
+        )
+        out = run_stream_to_memory(spark, joined, name, ckpt)
+        fmt = "yyyy-MM-dd HH:mm:ss.SSSSSS"
+        return out.select(
+            "purchase_id",
+            "user_id",
+            F.date_format("purchase_ts", fmt).alias("purchase_ts"),
+            "touch_id",
+            F.date_format("touch_ts", fmt).alias("touch_ts"),
+        )
+
+
+_register_streaming_outer_attribution()

@@ -1775,3 +1775,62 @@ def test_late_drop_oracle_matches_reference(rows):
         for (ws, et), vals in agg.items()
     }
     assert got == want
+
+
+@settings(max_examples=50, deadline=None)
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=3),              # user_id
+            st.integers(min_value=0, max_value=4 * 3600),       # ts offset (s)
+            st.sampled_from(["view", "click", "purchase"]),
+        ),
+        min_size=1,
+        max_size=60,
+    )
+)
+def test_outer_attribution_oracle_matches_reference(rows):
+    """The streaming left-outer attribution oracle vs an independent
+    Python reference: matched (purchase, touch) pairs for touches within
+    the preceding 30 minutes, plus NULL-touch rows for unmatched
+    purchases strictly below the final watermark
+    min(max touch ts, max purchase ts) - 1 h."""
+    import datetime
+
+    import duckdb
+
+    from kafka_stream_job_spark.registry import all_specs
+
+    base = datetime.datetime(2024, 3, 1, 0, 0, 0)
+    data = [
+        (i, base + datetime.timedelta(seconds=off), uid, etype)
+        for i, (uid, off, etype) in enumerate(rows)
+    ]
+    oracle = all_specs()["streaming_unattributed_purchases"].oracle
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE events (event_id BIGINT, ts TIMESTAMP,"
+        " user_id BIGINT, event_type VARCHAR)"
+    )
+    con.executemany("INSERT INTO events VALUES (?, ?, ?, ?)", data)
+    got = {tuple(r) for r in con.sql(oracle).fetchall()}
+
+    fmt = "%Y-%m-%d %H:%M:%S.%f"
+    touches = [(eid, ts, uid) for eid, ts, uid, et in data if et in ("view", "click")]
+    purchases = [(eid, ts, uid) for eid, ts, uid, et in data if et == "purchase"]
+    want = set()
+    horizon = datetime.timedelta(minutes=30)
+    for pid, pts, puid in purchases:
+        matched = False
+        for tid, tts, tuid in touches:
+            if tuid == puid and tts <= pts <= tts + horizon:
+                want.add((pid, puid, pts.strftime(fmt), tid, tts.strftime(fmt)))
+                matched = True
+        if not matched and touches and purchases:
+            wm = min(
+                max(ts for _, ts, _ in touches),
+                max(ts for _, ts, _ in purchases),
+            ) - datetime.timedelta(hours=1)
+            if pts < wm:
+                want.add((pid, puid, pts.strftime(fmt), None, None))
+    assert got == want
