@@ -1006,3 +1006,53 @@ def _register_streaming_outer_attribution() -> None:
 
 
 _register_streaming_outer_attribution()
+
+
+# ---------------------------------------------------------------------------
+# SLIDING windows through Structured Streaming: 1-hour window sliding
+# every 30 minutes, so every event lands in exactly TWO windows — the
+# overlap dimension tumbling windows never exercise. The oracle expands
+# each event into its two covering window starts (trunc-to-30min and
+# 30 minutes earlier) with UNION ALL, then aggregates; complete output
+# mode for the usual bounded-replay reason (the final windows never close).
+# ---------------------------------------------------------------------------
+def _register_streaming_sliding() -> None:
+    import uuid
+
+    from kafka_stream_job_spark.registry import register
+
+    @register(
+        "streaming_sliding_rollup",
+        oracle="""
+            WITH slides AS (
+                SELECT time_bucket(INTERVAL 30 MINUTE, ts) AS win_start,
+                       event_type
+                FROM events
+                UNION ALL
+                SELECT time_bucket(INTERVAL 30 MINUTE, ts) - INTERVAL 30 MINUTE,
+                       event_type
+                FROM events
+            )
+            SELECT CAST(win_start AS VARCHAR) AS win_start,
+                   event_type,
+                   COUNT(*) AS n_events
+            FROM slides
+            GROUP BY 1, 2
+        """,
+        tags=("streaming", "window-time", "sliding", "events"),
+    )
+    def streaming_sliding_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+        import tempfile
+
+        name = f"stream_slide_{uuid.uuid4().hex[:8]}"
+        ckpt = tempfile.mkdtemp(prefix="ksj-stream-slide-")
+        return run_stream_to_memory(
+            spark,
+            sliding_window_stream(stream_events(spark, sf_dir)),
+            name,
+            ckpt,
+            output_mode="complete",
+        )
+
+
+_register_streaming_sliding()
