@@ -4172,3 +4172,89 @@ def recursive_month_spine(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM spine s LEFT JOIN monthly mo ON mo.m = s.m
         """
     )
+
+
+# ---------------------------------------------------------------------------
+# ABC (Pareto) classification by cumulative revenue share: customers
+# sorted by revenue descending; class A = first 50% of total revenue,
+# B = next 30%, C = the tail. The cumulative sum over a GLOBAL order is
+# the scale hazard (a window with no partition spec = single-partition
+# sort); like shard_manifest_balanced's global rank, it is computed
+# distributed: range-repartition on the sort key, LOCAL cumulative sum
+# per partition, then add each partition's revenue-total offset
+# (|partitions| rows, broadcast back). All arithmetic in integer cents —
+# cumulative-share threshold comparisons (cum*10 <= total*5) stay exact
+# in both engines, where a double running sum could flip a boundary
+# customer by summation order.
+# ---------------------------------------------------------------------------
+@register(
+    "abc_customer_classification",
+    oracle="""
+        WITH rev AS (
+            SELECT o_custkey AS c,
+                   CAST(SUM(CAST(ROUND(o_totalprice * 100.0) AS BIGINT)) AS BIGINT)
+                       AS cents
+            FROM orders
+            GROUP BY 1
+        ),
+        tot AS (SELECT CAST(SUM(cents) AS BIGINT) AS t FROM rev),
+        cum AS (
+            SELECT c, cents, t,
+                   CAST(SUM(cents) OVER (ORDER BY cents DESC, c) AS BIGINT) AS running
+            FROM rev, tot
+        )
+        SELECT CASE WHEN running * 10 <= t * 5 THEN 'A'
+                    WHEN running * 10 <= t * 8 THEN 'B'
+                    ELSE 'C' END          AS abc_class,
+               COUNT(*)                   AS n_customers,
+               CAST(SUM(cents) AS BIGINT) AS total_cents
+        FROM cum
+        GROUP BY 1
+    """,
+    tags=("agg", "orders", "pareto", "prefix-sum", "rank"),
+)
+def abc_customer_classification(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    cents = F.round(F.col("o_totalprice") * 100.0, 0).cast("long")
+    rev = orders.groupBy(F.col("o_custkey").alias("c")).agg(
+        F.sum(cents).alias("cents")
+    )
+    n_parts = 32
+    parts = rev.repartitionByRange(
+        n_parts, F.col("cents").desc(), F.col("c")
+    ).withColumn("pid", F.spark_partition_id())
+    local = parts.withColumn(
+        "local_cum",
+        F.sum("cents").over(
+            Window.partitionBy("pid")
+            .orderBy(F.col("cents").desc(), "c")
+            .rowsBetween(Window.unboundedPreceding, 0)
+        ),
+    )
+    totals = local.groupBy("pid").agg(F.sum("cents").alias("part_total"))
+    offsets = totals.withColumn(
+        "offset",
+        F.coalesce(
+            F.sum("part_total").over(
+                Window.orderBy("pid").rowsBetween(Window.unboundedPreceding, -1)
+            ),
+            F.lit(0),
+        ),
+    ).select("pid", "offset")
+    grand = rev.agg(F.sum("cents").alias("t"))
+    cum = (
+        local.join(F.broadcast(offsets), "pid")
+        .withColumn("running", F.col("offset") + F.col("local_cum"))
+        .crossJoin(F.broadcast(grand))  # one-row scalar, broadcast pattern
+    )
+    abc = F.when(F.col("running") * 10 <= F.col("t") * 5, "A").when(
+        F.col("running") * 10 <= F.col("t") * 8, "B"
+    ).otherwise("C")
+    return (
+        cum.withColumn("abc_class", abc)
+        .groupBy("abc_class")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.sum("cents").cast("long").alias("total_cents"),
+        )
+    )

@@ -492,3 +492,14 @@ def test_incremental_agg_merge_is_join_free_two_level_agg(spark):
     assert "Join" not in plan, "merge must be union+agg, not a join"
     assert "Union" in plan
     assert plan.count("HashAggregate") >= 4, "both branches need partial+final agg"
+
+
+def test_abc_classification_distributed_prefix_sum_shape(spark):
+    """The ABC cumulative-share must use the distributed prefix-sum (range
+    exchange + per-partition window + broadcast offsets), never a global
+    single-partition window over the customer rows; the grand total joins
+    as a broadcast one-row scalar."""
+    plan = plan_of(spark, "abc_customer_classification")
+    assert "rangepartitioning" in plan
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+    assert "CartesianProduct" not in plan

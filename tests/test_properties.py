@@ -1834,3 +1834,48 @@ def test_outer_attribution_oracle_matches_reference(rows):
             if pts < wm:
                 want.add((pid, puid, pts.strftime(fmt), None, None))
     assert got == want
+
+
+@settings(max_examples=60, deadline=None)
+@given(
+    orders=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=20),          # custkey
+            st.integers(min_value=0, max_value=500_000),     # price cents
+        ),
+        min_size=1,
+        max_size=100,
+    )
+)
+def test_abc_classification_oracle_matches_reference(orders):
+    """The ABC oracle (cumulative revenue share over revenue-desc order,
+    integer-cents thresholds cum*10 <= t*{5,8}) vs an independent Python
+    prefix-sum classifier. Also pins the invariant that every customer
+    lands in exactly one class and class totals sum to the grand total."""
+    import duckdb
+
+    from kafka_stream_job_spark.registry import all_specs
+
+    data = [(ck, cents / 100.0) for ck, cents in orders]
+    oracle = all_specs()["abc_customer_classification"].oracle
+    con = duckdb.connect()
+    con.execute("CREATE TABLE orders (o_custkey BIGINT, o_totalprice DOUBLE)")
+    con.executemany("INSERT INTO orders VALUES (?, ?)", data)
+    got = {tuple(r) for r in con.sql(oracle).fetchall()}
+
+    rev: dict[int, int] = {}
+    for ck, cents in orders:
+        rev[ck] = rev.get(ck, 0) + cents
+    total = sum(rev.values())
+    running = 0
+    classes: dict[str, list] = {}
+    for ck, cents in sorted(rev.items(), key=lambda kv: (-kv[1], kv[0])):
+        running += cents
+        cls = "A" if running * 10 <= total * 5 else (
+            "B" if running * 10 <= total * 8 else "C"
+        )
+        classes.setdefault(cls, []).append(cents)
+    want = {(c, len(v), sum(v)) for c, v in classes.items()}
+    assert got == want
+    assert sum(n for _, n, _ in got) == len(rev)
+    assert sum(t for _, _, t in got) == total
