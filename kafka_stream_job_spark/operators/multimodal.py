@@ -340,3 +340,57 @@ def multimodal_audio_frame_energy(spark: SparkSession, sf_dir: str) -> DataFrame
             F.sqrt(sq_sum.cast("double") * F.lit(1.0) / F.length("frame")), 4
         ).alias("rms_energy"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Exact multimodal dedup by CONTENT HASH of the opaque binary payload —
+# the standard first pass over an image/audio corpus (byte-identical
+# copies collapse before any expensive perceptual/embedding dedup). The
+# hash is computed on the BINARY column (sha2 over payload bytes), never
+# by decoding; one hash-groupBy, map-side partial agg, no sort. Reported
+# as a per-source audit (payloads vs distinct contents vs duplicate
+# bytes) so the result is non-degenerate even on a corpus with no
+# byte-identical copies, like this one — near-dups are the LSH family's
+# job. The oracle hashes the same bytes from their VARCHAR source
+# (DuckDB's sha256 takes VARCHAR; the payload is by construction the
+# UTF-8 encoding of documents.text, so the digests coincide).
+# ---------------------------------------------------------------------------
+@register(
+    "multimodal_dedup_content_hash",
+    oracle="""
+        WITH hashed AS (
+            SELECT source,
+                   sha256(text)       AS content_hash,
+                   octet_length(encode(text)) AS n_bytes
+            FROM documents
+        )
+        SELECT
+            source,
+            COUNT(*)                             AS n_payloads,
+            COUNT(DISTINCT content_hash)         AS n_distinct_contents,
+            CAST(COUNT(*) - COUNT(DISTINCT content_hash) AS BIGINT)
+                                                 AS n_duplicate_payloads,
+            CAST(SUM(n_bytes) AS BIGINT)         AS total_bytes
+        FROM hashed
+        GROUP BY source
+    """,
+    tags=("multimodal", "dedup", "binary", "documents"),
+)
+def multimodal_dedup_content_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    payloads = with_binary_payload(load_table(spark, sf_dir, "documents"))
+    return (
+        payloads.select(
+            F.col("meta.origin").alias("source"),
+            F.sha2(F.col("payload"), 256).alias("content_hash"),
+            F.col("meta.n_bytes").cast("long").alias("n_bytes"),
+        )
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_payloads"),
+            F.countDistinct("content_hash").alias("n_distinct_contents"),
+            (F.count(F.lit(1)) - F.countDistinct("content_hash"))
+            .cast("long")
+            .alias("n_duplicate_payloads"),
+            F.sum("n_bytes").cast("long").alias("total_bytes"),
+        )
+    )
