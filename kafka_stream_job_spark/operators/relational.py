@@ -4258,3 +4258,100 @@ def abc_customer_classification(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("cents").cast("long").alias("total_cents"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# FORWARD as-of join: for each purchase, the NEXT view/click touch at or
+# after it (the mirror of asof_purchase_attribution's last-touch-before).
+# Same scale shape as the backward variant: union both sides with a
+# marker, one shuffle on user_id, and a forward-looking window
+# (first non-null over the FOLLOWING frame) — no join, no per-user
+# blowup. Tie order (ts, marker, event_id) puts an equal-timestamp touch
+# AFTER the purchase row so `t.ts >= p.ts` inclusivity falls out of the
+# sort; ties at the same touch ts resolve to the smallest event_id.
+# The oracle is the quadratic-per-user formulation DuckDB can afford at
+# oracle scale: rank all candidate touches per purchase, keep rank 1,
+# union the purchases with no future touch as NULL rows.
+# ---------------------------------------------------------------------------
+@register(
+    "asof_next_touch_latency",
+    oracle="""
+        WITH touches AS (
+            SELECT user_id, ts, event_id, event_type
+            FROM events WHERE event_type IN ('view', 'click')
+        ),
+        purchases AS (
+            SELECT user_id, ts, event_id AS purchase_id
+            FROM events WHERE event_type = 'purchase'
+        ),
+        cand AS (
+            SELECT p.purchase_id, p.user_id,
+                   t.event_id   AS next_touch_id,
+                   t.event_type AS next_touch_type,
+                   -- full elapsed seconds (Spark timestampdiff), not
+                   -- DuckDB date_diff's boundary-crossing count
+                   CAST(floor(EXTRACT(EPOCH FROM (t.ts - p.ts))) AS BIGINT)
+                       AS seconds_to_next,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY p.purchase_id
+                       ORDER BY t.ts, t.event_id
+                   ) AS rn
+            FROM purchases p
+            JOIN touches t ON t.user_id = p.user_id AND t.ts >= p.ts
+        )
+        SELECT purchase_id, user_id, next_touch_id, next_touch_type,
+               seconds_to_next
+        FROM cand WHERE rn = 1
+        UNION ALL
+        SELECT p.purchase_id, p.user_id,
+               CAST(NULL AS BIGINT), CAST(NULL AS VARCHAR), CAST(NULL AS BIGINT)
+        FROM purchases p
+        WHERE NOT EXISTS (
+            SELECT 1 FROM touches t
+            WHERE t.user_id = p.user_id AND t.ts >= p.ts
+        )
+    """,
+    tags=("join", "asof", "forward", "events"),
+)
+def asof_next_touch_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    touches = events.filter(F.col("event_type").isin("view", "click")).select(
+        "user_id",
+        "ts",
+        F.lit(1).alias("marker"),
+        F.lit(None).cast("long").alias("purchase_id"),
+        F.col("event_id").alias("touch_id"),
+        F.col("event_type").alias("touch_type"),
+        F.col("ts").alias("touch_ts"),
+        F.col("event_id").alias("order_id"),
+    )
+    purchases = events.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        "ts",
+        F.lit(0).alias("marker"),
+        F.col("event_id").alias("purchase_id"),
+        F.lit(None).cast("long").alias("touch_id"),
+        F.lit(None).cast("string").alias("touch_type"),
+        F.lit(None).cast("timestamp").alias("touch_ts"),
+        F.col("event_id").alias("order_id"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "marker", "order_id")
+        .rowsBetween(1, Window.unboundedFollowing)
+    )
+    merged = purchases.unionByName(touches).select(
+        "*",
+        F.first("touch_id", ignorenulls=True).over(w).alias("next_touch_id"),
+        F.first("touch_type", ignorenulls=True).over(w).alias("next_touch_type"),
+        F.first("touch_ts", ignorenulls=True).over(w).alias("next_touch_ts"),
+    )
+    return merged.filter(F.col("purchase_id").isNotNull()).select(
+        "purchase_id",
+        "user_id",
+        "next_touch_id",
+        "next_touch_type",
+        F.expr("timestampdiff(SECOND, ts, next_touch_ts)")
+        .cast("long")
+        .alias("seconds_to_next"),
+    )

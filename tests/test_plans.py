@@ -503,3 +503,12 @@ def test_abc_classification_distributed_prefix_sum_shape(spark):
     assert "rangepartitioning" in plan
     assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_forward_asof_is_join_free_union_window(spark):
+    """The forward as-of must be the union+window formulation — one
+    shuffle on user_id, no join operator anywhere (the oracle's
+    quadratic-per-user join is for DuckDB only)."""
+    plan = plan_of(spark, "asof_next_touch_latency")
+    assert "Join" not in plan
+    assert "Window" in plan

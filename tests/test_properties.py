@@ -1879,3 +1879,56 @@ def test_abc_classification_oracle_matches_reference(orders):
     assert got == want
     assert sum(n for _, n, _ in got) == len(rev)
     assert sum(t for _, _, t in got) == total
+
+
+@settings(max_examples=40, deadline=None)
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=2),          # user_id
+            st.integers(min_value=0, max_value=5_000_000),  # ts offset (ms)
+            st.sampled_from(["view", "click", "purchase"]),
+        ),
+        min_size=1,
+        max_size=50,
+    )
+)
+def test_forward_asof_oracle_matches_reference(rows):
+    """The forward as-of oracle (first touch at-or-after each purchase,
+    ties by event_id, NULL row when no future touch) vs an independent
+    Python scan — pins the >= inclusivity and full-elapsed-seconds
+    semantics."""
+    import datetime
+
+    import duckdb
+
+    from kafka_stream_job_spark.registry import all_specs
+
+    base = datetime.datetime(2024, 3, 1, 12, 0, 0)
+    data = [
+        (i, base + datetime.timedelta(milliseconds=off), uid, etype)
+        for i, (uid, off, etype) in enumerate(rows)
+    ]
+    oracle = all_specs()["asof_next_touch_latency"].oracle
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE events (event_id BIGINT, ts TIMESTAMP,"
+        " user_id BIGINT, event_type VARCHAR)"
+    )
+    con.executemany("INSERT INTO events VALUES (?, ?, ?, ?)", data)
+    got = {tuple(r) for r in con.sql(oracle).fetchall()}
+
+    touches = [(eid, ts, uid, et) for eid, ts, uid, et in data if et in ("view", "click")]
+    want = set()
+    for pid, pts, puid, et in data:
+        if et != "purchase":
+            continue
+        cands = sorted(
+            [(ts, eid, tt) for eid, ts, uid, tt in touches if uid == puid and ts >= pts]
+        )
+        if cands:
+            tts, tid, ttype = cands[0]
+            want.add((pid, puid, tid, ttype, int((tts - pts).total_seconds())))
+        else:
+            want.add((pid, puid, None, None, None))
+    assert got == want
