@@ -1056,3 +1056,63 @@ def _register_streaming_sliding() -> None:
 
 
 _register_streaming_sliding()
+
+
+# ---------------------------------------------------------------------------
+# STREAM-STATIC join through the oracle gate: the event stream enriched
+# against a static dimension (re-read and BROADCAST per micro-batch — no
+# state, unlike stream-stream joins), then rolled up per segment so the
+# output stays summary-sized. The static side here is a derived user
+# dimension (hash segment per distinct user) built from the same batch
+# table, so the oracle can reconstruct it exactly in SQL.
+# ---------------------------------------------------------------------------
+def _register_streaming_static_enrich() -> None:
+    import uuid
+
+    from kafka_stream_job_spark.registry import register
+    from kafka_stream_job_spark.tables import load_table as _load
+
+    @register(
+        "streaming_static_enrich",
+        oracle="""
+            WITH dim AS (
+                SELECT DISTINCT user_id,
+                       'seg_' || CAST(user_id % 10 AS VARCHAR) AS segment
+                FROM events
+            )
+            SELECT d.segment,
+                   COUNT(*)                                  AS n_events,
+                   ROUND((SUM(e.value)) * 100.0) / 100.0 + 0.0 AS sum_value
+            FROM events e JOIN dim d ON d.user_id = e.user_id
+            GROUP BY 1
+        """,
+        tags=("streaming", "join", "stream-static", "events"),
+    )
+    def streaming_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+        import tempfile
+
+        users_dim = (
+            _load(spark, sf_dir, "events")
+            .select("user_id")
+            .distinct()
+            .withColumn(
+                "segment",
+                F.concat(F.lit("seg_"), (F.col("user_id") % 10).cast("string")),
+            )
+        )
+        enriched = stream_static_enrich(
+            stream_events(spark, sf_dir), users_dim
+        ).filter(F.col("segment").isNotNull())
+        # (COUNT(DISTINCT ...) is unsupported on streaming aggregates —
+        # the dedup-then-agg composition is the dedicated
+        # streaming_dedup_events query's job.)
+        rolled = enriched.groupBy("segment").agg(
+            F.count(F.lit(1)).alias("n_events"),
+            pround(F.sum("value"), 2).alias("sum_value"),
+        )
+        name = f"stream_enrich_{uuid.uuid4().hex[:8]}"
+        ckpt = tempfile.mkdtemp(prefix="ksj-stream-enrich-")
+        return run_stream_to_memory(spark, rolled, name, ckpt, output_mode="complete")
+
+
+_register_streaming_static_enrich()
