@@ -1116,3 +1116,71 @@ def _register_streaming_static_enrich() -> None:
 
 
 _register_streaming_static_enrich()
+
+
+# ---------------------------------------------------------------------------
+# The checkpoint OFFSET LOG queried as a table, through the custom Python
+# DataSource (sources/offsetlog.py; reference S3 lifted into the engine).
+# The query drains the three-batch late-drop replay (fresh checkpoint),
+# then reads that checkpoint's offset log back with
+# format("ksj_offsetlog"): batch ids 0..2, file-source logOffsets 0..2,
+# and the batch metadata watermark — 0 for batch 0, then
+# floor(max event-time µs / 1000) - 3 600 000 ms once batch 0 commits
+# (Spark's EventTimeStats floor event times to ms; delay = 1 h). The
+# oracle derives that SAME number from the events table, so the driver's
+# gate checks checkpoint mechanics against data, not against a canned
+# constant.
+# ---------------------------------------------------------------------------
+def _register_offsetlog_query() -> None:
+    import uuid
+
+    from kafka_stream_job_spark.registry import register
+
+    @register(
+        "checkpoint_offsetlog_table",
+        oracle="""
+            WITH w AS (
+                SELECT (epoch_us(MAX(ts)) // 1000) - 3600000 AS wm FROM events
+            )
+            SELECT CAST(0 AS BIGINT) AS batch_id,
+                   CAST(0 AS BIGINT) AS log_offset,
+                   CAST(0 AS BIGINT) AS watermark_ms
+            FROM w
+            UNION ALL
+            SELECT CAST(1 AS BIGINT), CAST(1 AS BIGINT), wm FROM w
+            UNION ALL
+            SELECT CAST(2 AS BIGINT), CAST(2 AS BIGINT), wm FROM w
+        """,
+        tags=("streaming", "checkpoint", "datasource", "sql-surface"),
+    )
+    def checkpoint_offsetlog_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+        import tempfile
+
+        from kafka_stream_job_spark.sources.offsetlog import (
+            register_offsetlog_source,
+        )
+
+        register_offsetlog_source(spark)
+        stage = _stage_late_replay(sf_dir)
+        name = f"offsetlog_{uuid.uuid4().hex[:8]}"
+        ckpt = tempfile.mkdtemp(prefix="ksj-offsetlog-")
+        run_stream_to_memory(
+            spark,
+            late_drop_rollup_stream(spark, stage),
+            name,
+            ckpt,
+            output_mode="append",
+        )
+        return (
+            spark.read.format("ksj_offsetlog")
+            .option("path", ckpt)
+            .load()
+            .select(
+                "batch_id",
+                F.col("end_offset").alias("log_offset"),
+                "watermark_ms",
+            )
+        )
+
+
+_register_offsetlog_query()

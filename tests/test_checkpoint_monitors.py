@@ -319,3 +319,31 @@ def test_batch_transition_loss_never_false_positive_when_contiguous(
         tp = (finding.topic, finding.partition)
         # any finding must involve an actual jump past prev_end
         assert earliest.get(tp, -1) > prev_end.get(tp, -1)
+
+
+def test_offsetlog_datasource_reads_kafka_shaped_checkpoint(spark, tmp_path):
+    """The ksj_offsetlog Python DataSource must expand a Kafka-shaped
+    offsets file (the reference's captured fixture) into one row per
+    (batch, topic, partition) with the batch metadata watermark, and scan
+    one InputPartition per batch file."""
+    from kafka_stream_job_spark.sources.offsetlog import register_offsetlog_source
+
+    write_offsets_fixture(str(tmp_path), 0, REF_OFFSETS, {"batchWatermarkMs": 0})
+    write_offsets_fixture(str(tmp_path), 1, {"orders": {"0": 25, "1": 41, "2": 9}},
+                          {"batchWatermarkMs": 1234})
+    register_offsetlog_source(spark)
+    rows = {
+        tuple(r)
+        for r in spark.read.format("ksj_offsetlog")
+        .option("path", str(tmp_path))
+        .load()
+        .collect()
+    }
+    assert rows == {
+        (0, "kafka", "orders", 0, 20, 0),
+        (0, "kafka", "orders", 1, 40, 0),
+        (0, "kafka", "orders", 2, 6, 0),
+        (1, "kafka", "orders", 0, 25, 1234),
+        (1, "kafka", "orders", 1, 41, 1234),
+        (1, "kafka", "orders", 2, 9, 1234),
+    }
