@@ -1,0 +1,151 @@
+"""Deterministic replay STREAMING source — a custom connector on the
+Spark 4 Python DataSource streaming API (``DataSourceStreamReader``),
+standing in for the reference's Kafka source (S1,
+KafkaAvroToIceberg.scala:55-64) with the same operational contract:
+
+- **Offsets**: the source tracks progress as a row index over the
+  event_id-sorted events table — the analogue of Kafka's per-partition
+  offsets. ``initialOffset`` = 0 ("earliest"), ``latestOffset`` advances
+  at most ``batch_rows`` per micro-batch (rate limiting à la
+  maxOffsetsPerTrigger), ``commit`` is the exactly-once bookkeeping hook.
+- **Partitioned reads**: each micro-batch's row range splits into
+  ``n_splits`` InputPartitions read ON EXECUTORS — the driver only plans
+  offsets, as with Kafka.
+- **Determinism**: rows are ordered by event_id, so offset N always
+  denotes the same record — replayable from any committed offset.
+
+Scale note: each read re-opens the parquet and row-filters its slice;
+fine for a replay/test source (checkpoint-size data), and the executor-
+side partition reads mean throughput scales with splits. A production
+connector would push the range into the file's row-group index.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceStreamReader,
+    InputPartition,
+)
+
+_SCHEMA = (
+    "event_id long, ts timestamp, user_id long, event_type string, "
+    "value double, props string"
+)
+
+
+#: per-Python-worker cache: (path, mtime) → event_id-sorted table. A
+#: replay of B micro-batches × S splits calls read() B*S times in a few
+#: long-lived worker processes; sorting once and slicing per call turns
+#: an O(file) cost per read into O(slice).
+_SORTED_CACHE: dict = {}
+
+
+def _sorted_table(path: str):
+    import os as _os
+
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    key = (path, _os.path.getmtime(path))
+    tab = _SORTED_CACHE.get(key)
+    if tab is None:
+        raw = pq.read_table(path)
+        tab = raw.take(pc.sort_indices(raw, sort_keys=[("event_id", "ascending")]))
+        _SORTED_CACHE.clear()
+        _SORTED_CACHE[key] = tab
+    return tab
+
+
+@dataclasses.dataclass
+class _Slice(InputPartition):
+    path: str
+    start: int
+    end: int
+
+
+class _ReplayStreamReader(DataSourceStreamReader):
+    def __init__(self, options):
+        self._path = options.get("path")
+        if not self._path:
+            raise ValueError("ksj_replay requires .option('path', <events.parquet>)")
+        self._batch_rows = int(options.get("batch_rows", 5000))
+        self._n_splits = int(options.get("n_splits", 4))
+        self._total: int | None = None
+
+    def _total_rows(self) -> int:
+        if self._total is None:
+            import pyarrow.parquet as pq
+
+            self._total = pq.ParquetFile(self._path).metadata.num_rows
+        return self._total
+
+    def initialOffset(self) -> dict:
+        return {"idx": 0}
+
+    def latestOffset(self) -> dict:
+        # Rate limiting à la maxOffsetsPerTrigger: each planning call
+        # advances the available frontier by at most batch_rows, so a
+        # bounded file replays as SEVERAL micro-batches (state crosses
+        # batch boundaries, as with a live Kafka topic). Spark slices the
+        # actual batch as (committed start, this frontier).
+        self._cursor = min(
+            getattr(self, "_cursor", 0) + self._batch_rows, self._total_rows()
+        )
+        return {"idx": self._cursor}
+
+    def partitions(self, start: dict, end: dict):
+        lo, hi = int(start["idx"]), int(end["idx"])
+        if hi <= lo:
+            return [ _Slice(self._path, lo, lo) ]
+        n = max(1, self._n_splits)
+        step = max(1, (hi - lo + n - 1) // n)
+        return [
+            _Slice(self._path, s, min(s + step, hi))
+            for s in range(lo, hi, step)
+        ]
+
+    def read(self, partition: _Slice):
+        if partition.end <= partition.start:
+            return
+        tab = _sorted_table(partition.path)
+        for r in tab.slice(
+            partition.start, partition.end - partition.start
+        ).to_pylist():
+            yield (
+                r["event_id"],
+                r["ts"],
+                r["user_id"],
+                r["event_type"],
+                r["value"],
+                r["props"],
+            )
+
+    def commit(self, end: dict) -> None:
+        # exactly-once bookkeeping hook (the reference's checkpoint commit
+        # step); nothing to clean up for an immutable file.
+        pass
+
+    def stop(self) -> None:
+        pass
+
+
+class ReplayDataSource(DataSource):
+    """``readStream.format("ksj_replay")`` — deterministic events replay."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "ksj_replay"
+
+    def schema(self) -> str:
+        return _SCHEMA
+
+    def streamReader(self, schema) -> DataSourceStreamReader:
+        return _ReplayStreamReader(self.options)
+
+
+def register_replay_source(spark) -> None:
+    spark.dataSource.register(ReplayDataSource)

@@ -1184,3 +1184,57 @@ def _register_offsetlog_query() -> None:
 
 
 _register_offsetlog_query()
+
+
+# ---------------------------------------------------------------------------
+# The hourly rollup driven through the CUSTOM streaming connector
+# (sources/replay.py — offset-tracked, rate-limited, executor-side
+# partitioned reads; the engine's own Kafka-source stand-in). Same oracle
+# as events_hourly_rollup, so the driver's gate covers the connector's
+# offset planning and partition reads end-to-end. batch_rows forces a
+# multi-micro-batch replay: windowed agg state must survive batch
+# boundaries to match the batch answer.
+# ---------------------------------------------------------------------------
+def _register_streaming_replay_source() -> None:
+    import uuid
+
+    from kafka_stream_job_spark.registry import REGISTRY, register
+
+    oracle = REGISTRY["events_hourly_rollup"].oracle
+
+    @register(
+        "streaming_replay_source_rollup",
+        oracle=oracle,
+        tags=("streaming", "datasource", "connector", "events"),
+    )
+    def streaming_replay_source_rollup(
+        spark: SparkSession, sf_dir: str
+    ) -> DataFrame:
+        import tempfile
+
+        from kafka_stream_job_spark.sources.replay import register_replay_source
+
+        register_replay_source(spark)
+        path = os.path.join(sf_dir, "events.parquet")
+        import pyarrow.parquet as pq
+
+        # ~6 micro-batches at any SF: replay crosses batch boundaries
+        # (the point of the exercise) without per-batch overhead
+        # dominating at larger scales.
+        n_rows = pq.ParquetFile(path).metadata.num_rows
+        stream = (
+            spark.readStream.format("ksj_replay")
+            .option("path", path)
+            .option("batch_rows", max(2000, n_rows // 6))
+            .option("n_splits", 8)
+            .load()
+        )
+        rolled = hourly_rollup_stream(stream)
+        name = f"stream_replay_{uuid.uuid4().hex[:8]}"
+        ckpt = tempfile.mkdtemp(prefix="ksj-stream-replay-")
+        return run_stream_to_memory(
+            spark, rolled, name, ckpt, output_mode="complete"
+        )
+
+
+_register_streaming_replay_source()
