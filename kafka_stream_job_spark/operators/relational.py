@@ -4355,3 +4355,52 @@ def asof_next_touch_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("seconds_to_next"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Bounded offset-range BATCH read through the custom connector
+# (sources/replay.py) — the reference's batch mode: an explicit
+# [startingOffsets, endingOffsets) slice of the stream, decoded and
+# aggregated atomically (S2, KafkaBatchJob.java:70-77; offsets here are
+# row positions in event_id order, the connector's offset space). The
+# oracle reconstructs the same slice with a ROW_NUMBER over event_id.
+# ---------------------------------------------------------------------------
+_REPLAY_START = 200
+_REPLAY_END = 900  # non-empty at every SF (sf0.001 has 1000 rows)
+
+
+@register(
+    "batch_replay_source_slice",
+    oracle=f"""
+        WITH ranked AS (
+            SELECT event_type, value,
+                   ROW_NUMBER() OVER (ORDER BY event_id) AS rn
+            FROM events
+        )
+        SELECT event_type,
+               COUNT(*) AS n_events,
+               {sql_round('SUM(value)', 2)} AS sum_value
+        FROM ranked
+        WHERE rn > {_REPLAY_START} AND rn <= {_REPLAY_END}
+        GROUP BY 1
+    """,
+    tags=("datasource", "connector", "batch", "events", "offsets"),
+)
+def batch_replay_source_slice(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os as _os
+
+    from kafka_stream_job_spark.sources.replay import register_replay_source
+
+    register_replay_source(spark)
+    df = (
+        spark.read.format("ksj_replay")
+        .option("path", _os.path.join(sf_dir, "events.parquet"))
+        .option("start_idx", _REPLAY_START)
+        .option("end_idx", _REPLAY_END)
+        .option("n_splits", 8)
+        .load()
+    )
+    return df.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        pround(F.sum("value"), 2).alias("sum_value"),
+    )

@@ -27,6 +27,7 @@ import json
 
 from pyspark.sql.datasource import (
     DataSource,
+    DataSourceReader,
     DataSourceStreamReader,
     InputPartition,
 )
@@ -146,6 +147,54 @@ class ReplayDataSource(DataSource):
     def streamReader(self, schema) -> DataSourceStreamReader:
         return _ReplayStreamReader(self.options)
 
+    def reader(self, schema) -> DataSourceReader:
+        return _ReplayBatchReader(self.options)
+
 
 def register_replay_source(spark) -> None:
     spark.dataSource.register(ReplayDataSource)
+
+
+class _ReplayBatchReader(DataSourceReader):
+    """Bounded offset-range batch read — the reference's S2 contract
+    (explicit startingOffsets/endingOffsets, KafkaBatchJob.java:70-77)
+    over the same row-index offset space as the stream reader."""
+
+    def __init__(self, options):
+        self._path = options.get("path")
+        if not self._path:
+            raise ValueError("ksj_replay requires .option('path', <events.parquet>)")
+        self._start = int(options.get("start_idx", 0))
+        end = options.get("end_idx")
+        self._end = None if end is None else int(end)
+        self._n_splits = int(options.get("n_splits", 4))
+
+    def partitions(self):
+        import pyarrow.parquet as pq
+
+        total = pq.ParquetFile(self._path).metadata.num_rows
+        lo = max(0, self._start)
+        hi = total if self._end is None else min(self._end, total)
+        if hi <= lo:
+            return [_Slice(self._path, lo, lo)]
+        n = max(1, self._n_splits)
+        step = max(1, (hi - lo + n - 1) // n)
+        return [
+            _Slice(self._path, s, min(s + step, hi)) for s in range(lo, hi, step)
+        ]
+
+    def read(self, partition: _Slice):
+        if partition.end <= partition.start:
+            return
+        tab = _sorted_table(partition.path)
+        for r in tab.slice(
+            partition.start, partition.end - partition.start
+        ).to_pylist():
+            yield (
+                r["event_id"],
+                r["ts"],
+                r["user_id"],
+                r["event_type"],
+                r["value"],
+                r["props"],
+            )
