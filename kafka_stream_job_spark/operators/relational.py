@@ -4404,3 +4404,50 @@ def batch_replay_source_slice(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_events"),
         pround(F.sum("value"), 2).alias("sum_value"),
     )
+
+
+# ---------------------------------------------------------------------------
+# GDPR purge planning: given a deletion-request set (users to forget),
+# the per-day-partition rewrite manifest — rows to delete, rows kept,
+# and the delete ratio that decides rewrite-vs-deletion-vector per file.
+# The request set is broadcast (tiny vs the fact table: a compliance
+# queue, not a data table), the fact side never shuffles — a pure
+# map-side semi probe per partition, which is the only shape that works
+# when the table is 100 TB and the request list is thousands of users.
+# Deterministic stand-in request set: user_id % 97 = 0.
+# ---------------------------------------------------------------------------
+@register(
+    "gdpr_purge_manifest",
+    oracle="""
+        SELECT
+            CAST(CAST(date_trunc('day', ts) AS TIMESTAMP) AS VARCHAR) AS day_ts,
+            COUNT(*)                                                  AS n_rows,
+            CAST(SUM(CASE WHEN user_id % 97 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+                                                                      AS n_delete,
+            CAST(SUM(CASE WHEN user_id % 97 = 0 THEN 0 ELSE 1 END) AS BIGINT)
+                                                                      AS n_keep,
+            CAST(SUM(CASE WHEN user_id % 97 = 0 THEN 1 ELSE 0 END) * 10000
+                 // COUNT(*) AS BIGINT)                               AS delete_bps
+        FROM events
+        GROUP BY 1
+    """,
+    tags=("maintenance", "gdpr", "events", "agg"),
+)
+def gdpr_purge_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    # the deletion-request "table" (broadcast semi probe in production;
+    # here the predicate is inlined so the oracle can reproduce it — the
+    # broadcast-semi-join variant of this probe is plan-tested on
+    # decontaminate_train_shingles, the same shape)
+    is_del = (F.col("user_id") % 97 == 0).cast("int")
+    return (
+        events.groupBy(F.date_trunc("day", "ts").cast("string").alias("day_ts"))
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum(is_del).cast("long").alias("n_delete"),
+            F.sum(1 - is_del).cast("long").alias("n_keep"),
+            F.floor(F.sum(is_del) * 10000 / F.count(F.lit(1)))
+            .cast("long")
+            .alias("delete_bps"),
+        )
+    )

@@ -137,6 +137,16 @@ def all_specs() -> dict[str, QuerySpec]:
         "streaming_purchase_attribution",
         "graph_pagerank_parts",
         "graph_triangle_stats",
+        # round-2 second-session additions that drain a stream or run an
+        # iterative plan (10-25 s each in the sf0.01 driver-sim):
+        "recursive_month_spine",
+        "streaming_sliding_rollup",
+        "streaming_dedup_within_watermark",
+        "streaming_late_data_drop",
+        "streaming_static_enrich",
+        "streaming_unattributed_purchases",
+        "streaming_replay_source_rollup",
+        "checkpoint_offsetlog_table",
     )
     unchecked = {
         n: s

@@ -1932,3 +1932,66 @@ def test_forward_asof_oracle_matches_reference(rows):
         else:
             want.add((pid, puid, None, None, None))
     assert got == want
+
+
+@settings(max_examples=40, deadline=None)
+@given(
+    orders=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=40),      # month offset
+            st.integers(min_value=0, max_value=27),      # day-of-month offset
+            st.integers(min_value=0, max_value=100_000), # price cents
+        ),
+        min_size=1,
+        max_size=60,
+    )
+)
+def test_recursive_month_spine_oracle_matches_reference(orders):
+    """The recursive-CTE month-spine oracle vs a Python calendar walk:
+    every month between the first and last order appears exactly once,
+    empty months carry zeros, monthly totals match."""
+    import datetime
+
+    import duckdb
+
+    from kafka_stream_job_spark.registry import all_specs
+
+    def add_months(d: datetime.date, n: int) -> datetime.date:
+        y, m = divmod(d.month - 1 + n, 12)
+        return datetime.date(d.year + y, m + 1, 1)
+
+    base = datetime.date(1995, 1, 1)
+    data = [
+        (
+            datetime.datetime.combine(
+                add_months(base, mo).replace(day=1) + datetime.timedelta(days=dd),
+                datetime.time(),
+            ),
+            cents / 100.0,
+        )
+        for mo, dd, cents in orders
+    ]
+    oracle = all_specs()["recursive_month_spine"].oracle
+    con = duckdb.connect()
+    con.execute("CREATE TABLE orders (o_orderdate TIMESTAMP, o_totalprice DOUBLE)")
+    con.executemany("INSERT INTO orders VALUES (?, ?)", data)
+    got = {tuple(r) for r in con.sql(oracle).fetchall()}
+
+    months: dict[datetime.date, list] = {}
+    for ts, price in data:
+        months.setdefault(ts.date().replace(day=1), []).append(price)
+    lo = min(months)
+    hi = max(months)
+    want = set()
+    m = lo
+    while m <= hi:
+        vals = months.get(m, [])
+        want.add(
+            (
+                m.isoformat(),
+                len(vals),
+                round(sum(round(v * 100) for v in vals)) / 100.0,
+            )
+        )
+        m = add_months(m, 1)
+    assert got == want
