@@ -4451,3 +4451,93 @@ def gdpr_purge_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("delete_bps"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Higher-order array functions — the Spark-distinctive API for array
+# algebra that stays INSIDE codegen (transform/filter/aggregate/exists
+# run as JVM lambda expressions, never Python). Per order: the sorted
+# quantity array and HOF-derived stats; integer quantities keep the
+# aggregate fold exact. DuckDB's list_* functions are the oracle twins.
+# ---------------------------------------------------------------------------
+@register(
+    "array_hof_showcase",
+    oracle="""
+        WITH per_order AS (
+            SELECT l_orderkey,
+                   list_sort(list(CAST(l_quantity AS BIGINT))) AS qtys
+            FROM lineitem
+            GROUP BY 1
+        )
+        SELECT l_orderkey,
+               len(qtys)                                           AS n_items,
+               CAST(list_aggregate(qtys, 'sum') AS BIGINT)         AS qty_sum,
+               CAST(list_aggregate(
+                   list_transform(qtys, q -> q * q), 'sum') AS BIGINT)
+                                                                   AS qty_sumsq,
+               len(list_filter(qtys, q -> q > 25))                 AS n_large,
+               CAST(list_max(qtys) AS BIGINT)                      AS qty_max,
+               CAST(qtys[1] AS BIGINT)                             AS qty_min
+        FROM per_order
+    """,
+    tags=("scalar", "array", "hof", "lineitem"),
+)
+def array_hof_showcase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    qtys = F.array_sort(F.collect_list(F.col("l_quantity").cast("long")))
+    zero = F.lit(0).cast("long")
+    return (
+        li.groupBy("l_orderkey")
+        .agg(qtys.alias("qtys"))
+        .select(
+            "l_orderkey",
+            F.size("qtys").alias("n_items"),
+            F.aggregate("qtys", zero, lambda acc, q: acc + q).alias("qty_sum"),
+            F.aggregate(
+                F.transform("qtys", lambda q: q * q), zero, lambda acc, q: acc + q
+            ).alias("qty_sumsq"),
+            F.size(F.filter("qtys", lambda q: q > 25)).alias("n_large"),
+            F.array_max("qtys").alias("qty_max"),
+            F.element_at("qtys", 1).alias("qty_min"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# try_* error-handling functions — ANSI mode is ON engine-wide
+# (session.py: fail loudly instead of silently diverging), so the try_*
+# family is how a pipeline opts back into null-on-error per expression:
+# try_divide → NULL on /0, try_cast → NULL on malformed input. The
+# oracle reproduces them with NULLIF guards and TRY_CAST.
+# ---------------------------------------------------------------------------
+@register(
+    "try_functions_showcase",
+    oracle="""
+        SELECT
+            o_orderpriority,
+            COUNT(*) AS n_orders,
+            CAST(SUM(CASE WHEN o_custkey % 5 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+                AS n_div_null,
+            ROUND((SUM(COALESCE(o_totalprice / NULLIF(o_custkey % 5, 0), 0.0)))
+                  * 100.0) / 100.0 + 0.0 AS sum_safe_div,
+            CAST(SUM(CASE WHEN TRY_CAST(substr(o_orderpriority, 1, 1) AS BIGINT)
+                          IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+                AS n_cast_null,
+            CAST(SUM(COALESCE(TRY_CAST(substr(o_orderpriority, 1, 1) AS BIGINT),
+                              0)) AS BIGINT) AS sum_prio_digit
+        FROM orders
+        GROUP BY 1
+    """,
+    tags=("scalar", "try", "ansi", "orders"),
+)
+def try_functions_showcase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    safe_div = F.try_divide(F.col("o_totalprice"), F.col("o_custkey") % 5)
+    prio_digit = F.expr("try_cast(substr(o_orderpriority, 1, 1) AS BIGINT)")
+    return orders.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.sum(safe_div.isNull().cast("int")).cast("long").alias("n_div_null"),
+        pround(F.sum(F.coalesce(safe_div, F.lit(0.0))), 2).alias("sum_safe_div"),
+        F.sum(prio_digit.isNull().cast("int")).cast("long").alias("n_cast_null"),
+        F.sum(F.coalesce(prio_digit, F.lit(0))).cast("long").alias("sum_prio_digit"),
+    )
