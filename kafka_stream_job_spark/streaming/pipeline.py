@@ -1238,3 +1238,67 @@ def _register_streaming_replay_source() -> None:
 
 
 _register_streaming_replay_source()
+
+
+# ---------------------------------------------------------------------------
+# The EXACTLY-ONCE SINK itself through the driver's gate: drain the
+# three-batch staged replay through foreach_batch_idempotent_append
+# (_SUCCESS-gated batch_id partitions, staging-dir + atomic rename),
+# read the materialized parquet BACK, and aggregate. A stateless append
+# has NO watermark drop — every staged row (including the "late" batch)
+# must land in the sink exactly once — so the oracle is the full rollup
+# over the events table (minus only the synthetic heartbeat row);
+# duplicated, lost, or partially-visible batches all hash-mismatch.
+# This is K2/K3 parity (the reference's atomic Iceberg append)
+# exercised end-to-end, not just unit-tested.
+# ---------------------------------------------------------------------------
+def _register_streaming_sink_roundtrip() -> None:
+    import uuid
+
+    from kafka_stream_job_spark.registry import register
+
+    @register(
+        "streaming_sink_exactly_once_roundtrip",
+        oracle="""
+            SELECT event_type,
+                   COUNT(*)                                    AS n_events,
+                   ROUND((SUM(value)) * 100.0) / 100.0 + 0.0   AS sum_value
+            FROM events
+            GROUP BY 1
+        """,
+        tags=("streaming", "sink", "exactly-once", "events"),
+    )
+    def streaming_sink_exactly_once_roundtrip(
+        spark: SparkSession, sf_dir: str
+    ) -> DataFrame:
+        import tempfile
+
+        stage = _stage_late_replay(sf_dir)
+        schema = spark.read.parquet(stage).schema
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(stage)
+        )
+        if isinstance(schema["ts"].dataType, T.LongType):
+            stream = stream.withColumn(
+                "ts", F.timestamp_micros(F.expr("ts div 1000"))
+            )
+        elif isinstance(schema["ts"].dataType, T.TimestampNTZType):
+            stream = stream.withColumn("ts", F.col("ts").cast("timestamp"))
+        # the stateless decode→append shape of the reference's bronze
+        # stream; the heartbeat row is filtered out like any non-business
+        # record would be
+        stream = stream.filter(F.col("event_type") != "heartbeat")
+        out_dir = tempfile.mkdtemp(prefix="ksj-sink-rt-")
+        ckpt = tempfile.mkdtemp(prefix="ksj-sink-rt-ckpt-")
+        materialized = run_stream_foreach_batch(spark, stream, out_dir, ckpt)
+        return materialized.groupBy("event_type").agg(
+            F.count(F.lit(1)).alias("n_events"),
+            pround(F.sum("value"), 2).alias("sum_value"),
+        )
+
+    _ = uuid  # parity with sibling registrars; sink dirs are tempfile-fresh
+
+
+_register_streaming_sink_roundtrip()
