@@ -1,0 +1,130 @@
+"""Distributed global-order primitives — rank and ntile WITHOUT the
+single-partition sort that a bare ``Window.orderBy(...)`` (empty
+partition spec) plans.
+
+The trick (used by shard_manifest_balanced, abc_customer_classification,
+histogram_price_deciles): range-repartition on the total-order key —
+a parallel range exchange — rank LOCALLY inside each partition, then add
+the partition's cumulative row-count offset. The offsets table is
+|partitions| rows (metadata, broadcast back); range boundaries come from
+Spark's sampling, but any boundary placement yields the same global rank
+because the sort key is a total order and ranges are disjoint under it.
+
+At 100 TB this is the only viable shape for global rank/ntile/cum-share:
+the data-sized sort runs fully parallel, and nothing bigger than
+|partitions| rows ever converges on one task.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+DEFAULT_RANK_PARTS = 32
+
+
+def distributed_rank(
+    df: DataFrame,
+    sort_cols: list[Column],
+    n_parts: int = DEFAULT_RANK_PARTS,
+    rank_col: str = "rnk",
+) -> DataFrame:
+    """Add a 1-based global rank along ``sort_cols`` (must be a TOTAL
+    order — include a unique tie-breaker) as ``rank_col``."""
+    parts = df.repartitionByRange(n_parts, *sort_cols).withColumn(
+        "_pid", F.spark_partition_id()
+    )
+    # The offsets branch and the data branch BOTH read the pid-stamped
+    # ranking below. RangePartitioner samples its boundaries with a seed
+    # derived from the physical RDD instance, so two separate executions
+    # of the same range exchange can place boundary rows differently —
+    # offsets computed against one partitioning and ranks against another
+    # silently corrupt the global rank (observed at sf0.1 on the RFM
+    # quartiles). The lazy localCheckpoint pins ONE materialization that
+    # every branch shares; the exchange materializes its shuffle files
+    # anyway, so this changes where bytes land, not how many.
+    local = parts.withColumn(
+        "_lrn",
+        F.row_number().over(Window.partitionBy("_pid").orderBy(*sort_cols)),
+    ).localCheckpoint(eager=False)
+    offsets = (
+        local.groupBy("_pid")
+        .agg(F.count(F.lit(1)).alias("_cnt"))
+        .withColumn(
+            "_off",
+            F.coalesce(
+                F.sum("_cnt").over(
+                    Window.orderBy("_pid").rowsBetween(
+                        Window.unboundedPreceding, -1
+                    )
+                ),
+                F.lit(0),
+            ),
+        )
+        .select("_pid", "_off")
+    )
+    return (
+        local.join(F.broadcast(offsets), "_pid")
+        .withColumn(rank_col, (F.col("_off") + F.col("_lrn")).cast("long"))
+        .drop("_pid", "_lrn", "_off")
+    )
+
+
+def ntile_from_rank(rank: Column, total: Column, k: int) -> Column:
+    """SQL NTILE(k) bucket from a 1-based global rank and the total row
+    count: the first ``total % k`` buckets hold ``ceil(total/k)`` rows,
+    the rest ``floor(total/k)`` — exactly Spark's/DuckDB's NTILE."""
+    q = (total / k).cast("long")  # floor
+    r = total % k
+    big = q + 1
+    in_big = rank <= r * big
+    return (
+        F.when(in_big, ((rank - 1) / big).cast("long") + 1)
+        .otherwise(r + ((rank - r * big - 1) / q).cast("long") + 1)
+        .cast("int")
+    )
+
+
+def distributed_prefix_sum(
+    df: DataFrame,
+    sort_cols: list[Column],
+    value_col: str,
+    n_parts: int = DEFAULT_RANK_PARTS,
+    out_col: str = "running",
+) -> DataFrame:
+    """Add the global running SUM of ``value_col`` along ``sort_cols``
+    (a total order) as ``out_col`` — same shape as distributed_rank but
+    the broadcast offsets carry per-partition value totals instead of
+    row counts. Same localCheckpoint pinning, same reason."""
+    parts = df.repartitionByRange(n_parts, *sort_cols).withColumn(
+        "_pid", F.spark_partition_id()
+    )
+    local = parts.withColumn(
+        "_lcum",
+        F.sum(value_col).over(
+            Window.partitionBy("_pid")
+            .orderBy(*sort_cols)
+            .rowsBetween(Window.unboundedPreceding, 0)
+        ),
+    ).localCheckpoint(eager=False)
+    offsets = (
+        local.groupBy("_pid")
+        .agg(F.sum(value_col).alias("_ptot"))
+        .withColumn(
+            "_off",
+            F.coalesce(
+                F.sum("_ptot").over(
+                    Window.orderBy("_pid").rowsBetween(
+                        Window.unboundedPreceding, -1
+                    )
+                ),
+                F.lit(0),
+            ),
+        )
+        .select("_pid", "_off")
+    )
+    return (
+        local.join(F.broadcast(offsets), "_pid")
+        .withColumn(out_col, F.col("_off") + F.col("_lcum"))
+        .drop("_pid", "_lcum", "_off")
+    )

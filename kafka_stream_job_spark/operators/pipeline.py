@@ -1026,30 +1026,11 @@ _RANK_PARTS = 32  # range partitions for the distributed rank
     tags=("corpus", "shard", "rank", "documents"),
 )
 def shard_manifest_balanced(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kafka_stream_job_spark.operators._distributed import distributed_rank
+
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "n_chars")
-    parts = docs.repartitionByRange(
-        _RANK_PARTS, F.col("n_chars").desc(), F.col("doc_id")
-    ).withColumn("pid", F.spark_partition_id())
-    local = parts.withColumn(
-        "local_rn",
-        F.row_number().over(
-            Window.partitionBy("pid").orderBy(F.col("n_chars").desc(), "doc_id")
-        ),
-    )
-    # per-partition counts → cumulative offsets: |partitions| rows, so the
-    # single-partition window here is over metadata, not data.
-    counts = local.groupBy("pid").agg(F.count(F.lit(1)).alias("cnt"))
-    offsets = counts.withColumn(
-        "offset",
-        F.coalesce(
-            F.sum("cnt").over(
-                Window.orderBy("pid").rowsBetween(Window.unboundedPreceding, -1)
-            ),
-            F.lit(0),
-        ),
-    ).select("pid", "offset")
-    ranked = local.join(F.broadcast(offsets), "pid").withColumn(
-        "rnk", (F.col("offset") + F.col("local_rn")).cast("long")
+    ranked = distributed_rank(
+        docs, [F.col("n_chars").desc(), F.col("doc_id")], n_parts=_RANK_PARTS
     )
     return (
         ranked.withColumn("shard_id", (F.col("rnk") - 1) % N_SHARDS)

@@ -2715,12 +2715,27 @@ def basket_part_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("histogram", "profiling", "lineitem"),
 )
 def histogram_price_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql import Window
+    """Equi-depth deciles over ALL lineitem rows. A bare
+    ``ntile(10) OVER (ORDER BY ...)`` would serialize the whole fact
+    table through one partition; instead the global rank is computed
+    distributed (operators/_distributed.py: range exchange + local rank
+    + broadcast offsets) and NTILE's bucket arithmetic is applied as an
+    expression on (rank, total)."""
+    from kafka_stream_job_spark.operators._distributed import (
+        distributed_rank,
+        ntile_from_rank,
+    )
 
-    li = load_table(spark, sf_dir, "lineitem")
-    w = Window.orderBy("l_extendedprice", "l_orderkey", "l_linenumber")
+    li = load_table(spark, sf_dir, "lineitem").select(
+        F.col("l_extendedprice").alias("p"), "l_orderkey", "l_linenumber"
+    )
+    ranked = distributed_rank(
+        li, [F.col("p"), F.col("l_orderkey"), F.col("l_linenumber")]
+    )
+    total = li.agg(F.count(F.lit(1)).cast("long").alias("_total"))
     return (
-        li.select(F.col("l_extendedprice").alias("p"), F.ntile(10).over(w).alias("decile"))
+        ranked.crossJoin(F.broadcast(total))  # one-row scalar
+        .select("p", ntile_from_rank(F.col("rnk"), F.col("_total"), 10).alias("decile"))
         .groupBy("decile")
         .agg(
             F.count(F.lit(1)).alias("n_rows"),
@@ -2962,8 +2977,11 @@ def events_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
 # concatenates the quartiles. Recency is days since the customer's last
 # order, measured against the corpus max date (no wall clock — oracle
 # determinism).
-# Scale: one groupBy(custkey) over orders, then three window passes over
-# the 1-row-per-customer aggregate — windows never touch raw orders.
+# Scale: one groupBy(custkey) over orders; then each quartile rank runs
+# through the DISTRIBUTED rank helper (range exchange + local rank +
+# broadcast offsets, operators/_distributed.py) — a bare ntile() window
+# over the per-customer aggregate would serialize every customer row
+# through one partition, which at fact scale is billions of rows.
 # ---------------------------------------------------------------------------
 @register(
     "rfm_customer_segments",
@@ -2995,7 +3013,10 @@ def events_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("rfm", "segmentation", "orders"),
 )
 def rfm_customer_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql import Window
+    from kafka_stream_job_spark.operators._distributed import (
+        distributed_rank,
+        ntile_from_rank,
+    )
 
     orders = load_table(spark, sf_dir, "orders")
     per_cust = orders.groupBy("o_custkey").agg(
@@ -3004,19 +3025,30 @@ def rfm_customer_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         pround(F.sum("o_totalprice"), 2).alias("monetary"),
     )
     max_date = orders.select(F.max("o_orderdate").alias("corpus_max"))
-    r_w = Window.orderBy(F.col("last_order").desc(), F.col("o_custkey"))
-    f_w = Window.orderBy(F.col("frequency").desc(), F.col("o_custkey"))
-    m_w = Window.orderBy(F.col("monetary").desc(), F.col("o_custkey"))
-    scored = per_cust.crossJoin(F.broadcast(max_date)).select(
-        "o_custkey",
-        F.datediff(F.col("corpus_max"), F.col("last_order"))
-        .cast("long")
-        .alias("recency_days"),
-        "frequency",
-        "monetary",
-        F.ntile(4).over(r_w).alias("r_q"),
-        F.ntile(4).over(f_w).alias("f_q"),
-        F.ntile(4).over(m_w).alias("m_q"),
+    ranked = distributed_rank(
+        per_cust, [F.col("last_order").desc(), F.col("o_custkey")], rank_col="r_rnk"
+    )
+    ranked = distributed_rank(
+        ranked, [F.col("frequency").desc(), F.col("o_custkey")], rank_col="f_rnk"
+    )
+    ranked = distributed_rank(
+        ranked, [F.col("monetary").desc(), F.col("o_custkey")], rank_col="m_rnk"
+    )
+    total = per_cust.agg(F.count(F.lit(1)).cast("long").alias("_total"))
+    scored = (
+        ranked.crossJoin(F.broadcast(max_date))
+        .crossJoin(F.broadcast(total))
+        .select(
+            "o_custkey",
+            F.datediff(F.col("corpus_max"), F.col("last_order"))
+            .cast("long")
+            .alias("recency_days"),
+            "frequency",
+            "monetary",
+            ntile_from_rank(F.col("r_rnk"), F.col("_total"), 4).alias("r_q"),
+            ntile_from_rank(F.col("f_rnk"), F.col("_total"), 4).alias("f_q"),
+            ntile_from_rank(F.col("m_rnk"), F.col("_total"), 4).alias("m_q"),
+        )
     )
     return scored.select(
         "o_custkey",
@@ -4214,39 +4246,19 @@ def recursive_month_spine(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("agg", "orders", "pareto", "prefix-sum", "rank"),
 )
 def abc_customer_classification(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kafka_stream_job_spark.operators._distributed import (
+        distributed_prefix_sum,
+    )
+
     orders = load_table(spark, sf_dir, "orders")
     cents = F.round(F.col("o_totalprice") * 100.0, 0).cast("long")
     rev = orders.groupBy(F.col("o_custkey").alias("c")).agg(
         F.sum(cents).alias("cents")
     )
-    n_parts = 32
-    parts = rev.repartitionByRange(
-        n_parts, F.col("cents").desc(), F.col("c")
-    ).withColumn("pid", F.spark_partition_id())
-    local = parts.withColumn(
-        "local_cum",
-        F.sum("cents").over(
-            Window.partitionBy("pid")
-            .orderBy(F.col("cents").desc(), "c")
-            .rowsBetween(Window.unboundedPreceding, 0)
-        ),
-    )
-    totals = local.groupBy("pid").agg(F.sum("cents").alias("part_total"))
-    offsets = totals.withColumn(
-        "offset",
-        F.coalesce(
-            F.sum("part_total").over(
-                Window.orderBy("pid").rowsBetween(Window.unboundedPreceding, -1)
-            ),
-            F.lit(0),
-        ),
-    ).select("pid", "offset")
     grand = rev.agg(F.sum("cents").alias("t"))
-    cum = (
-        local.join(F.broadcast(offsets), "pid")
-        .withColumn("running", F.col("offset") + F.col("local_cum"))
-        .crossJoin(F.broadcast(grand))  # one-row scalar, broadcast pattern
-    )
+    cum = distributed_prefix_sum(
+        rev, [F.col("cents").desc(), F.col("c")], "cents"
+    ).crossJoin(F.broadcast(grand))  # one-row scalar, broadcast pattern
     abc = F.when(F.col("running") * 10 <= F.col("t") * 5, "A").when(
         F.col("running") * 10 <= F.col("t") * 8, "B"
     ).otherwise("C")

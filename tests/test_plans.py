@@ -465,23 +465,62 @@ def test_bench_queries_stay_in_wholestage_codegen(spark):
         spark.conf.set("spark.sql.adaptive.enabled", prev)
 
 
-def test_shard_manifest_distributed_rank_shape(spark):
-    """The balanced shard manifest must compute its global rank the
-    distributed way: a RANGE exchange (parallel repartitionByRange) with
-    the per-partition offsets joined back by BROADCAST. A global
-    ROW_NUMBER() (empty partition spec over the document rows, i.e. a
-    single-partition sort of the whole corpus) would be the 100 TB
-    scale-killer this operator exists to avoid."""
-    plan = plan_of(spark, "shard_manifest_balanced")
-    assert "rangepartitioning" in plan, "global rank must use a range exchange"
-    assert "BroadcastHashJoin" in plan, "offsets side-table must broadcast"
+def _assert_distributed_rank_shape(plan: str):
+    """Shared assertions for queries built on operators/_distributed.py:
+    the pid/rank-stamped localCheckpoint scan (the checkpoint severs the
+    visible lineage, so the range exchange lives above this plan — its
+    own shape is pinned by test_distributed_rank_upstream_plan), the
+    broadcast offsets join, and the ABSENCE of the single-partition
+    global window/ntile this machinery exists to avoid."""
+    assert "Scan ExistingRDD" in plan and "_lrn" in plan or "_lcum" in plan
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+    assert "ntile" not in plan.lower()
     assert "CartesianProduct" not in plan
-    # the data-sized window ranks WITHIN partitions (partition spec = pid);
-    # the only empty-partition-spec window runs over the |partitions|-row
-    # offsets table, which AQE plans as a single tiny partition.
-    assert "windowspecdefinition(pid" in plan.replace(" ", "").lower() or (
-        "partitionBy" not in plan
+
+
+def test_distributed_rank_upstream_plan(spark):
+    """The helper's pre-checkpoint stage must be a RANGE exchange with a
+    pid-partitioned window — never an empty-partition-spec window over
+    the data."""
+    from pyspark.sql import functions as F
+
+    from kafka_stream_job_spark.operators._distributed import distributed_rank
+    from kafka_stream_job_spark.tables import load_table
+
+    docs = load_table(spark, SF_SMOKE, "documents").select("doc_id", "n_chars")
+    # Build the same stage the helper builds, WITHOUT the checkpoint, so
+    # the plan is inspectable.
+    from pyspark.sql import Window
+
+    parts = docs.repartitionByRange(
+        8, F.col("n_chars").desc(), F.col("doc_id")
+    ).withColumn("_pid", F.spark_partition_id())
+    staged = parts.withColumn(
+        "_lrn",
+        F.row_number().over(
+            Window.partitionBy("_pid").orderBy(F.col("n_chars").desc(), "doc_id")
+        ),
     )
+    plan = staged._jdf.queryExecution().executedPlan().toString()
+    assert "rangepartitioning" in plan
+    assert "windowspecdefinition(_pid" in plan.replace(" ", "").lower()
+    # and the real helper rank agrees with a driver-side sort
+    got = {
+        (r["doc_id"], r["rnk"])
+        for r in distributed_rank(
+            docs, [F.col("n_chars").desc(), F.col("doc_id")]
+        ).collect()
+    }
+    rows = sorted(docs.collect(), key=lambda r: (-r["n_chars"], r["doc_id"]))
+    want = {(r["doc_id"], i + 1) for i, r in enumerate(rows)}
+    assert got == want
+
+
+def test_shard_manifest_distributed_rank_shape(spark):
+    """The balanced shard manifest must rank through the distributed
+    helper (range exchange + pid-local window + broadcast offsets), not
+    a global single-partition ROW_NUMBER."""
+    _assert_distributed_rank_shape(plan_of(spark, "shard_manifest_balanced"))
 
 
 def test_incremental_agg_merge_is_join_free_two_level_agg(spark):
@@ -495,14 +534,10 @@ def test_incremental_agg_merge_is_join_free_two_level_agg(spark):
 
 
 def test_abc_classification_distributed_prefix_sum_shape(spark):
-    """The ABC cumulative-share must use the distributed prefix-sum (range
-    exchange + per-partition window + broadcast offsets), never a global
-    single-partition window over the customer rows; the grand total joins
-    as a broadcast one-row scalar."""
-    plan = plan_of(spark, "abc_customer_classification")
-    assert "rangepartitioning" in plan
-    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
-    assert "CartesianProduct" not in plan
+    """The ABC cumulative-share must use the distributed prefix-sum
+    helper, never a global single-partition window over the customer
+    rows; the grand total joins as a broadcast one-row scalar."""
+    _assert_distributed_rank_shape(plan_of(spark, "abc_customer_classification"))
 
 
 def test_forward_asof_is_join_free_union_window(spark):
@@ -512,3 +547,10 @@ def test_forward_asof_is_join_free_union_window(spark):
     plan = plan_of(spark, "asof_next_touch_latency")
     assert "Join" not in plan
     assert "Window" in plan
+
+
+def test_histogram_deciles_distributed_ntile_shape(spark):
+    """Equi-depth deciles must NOT plan a single-partition ntile window
+    over the fact table: NTILE arithmetic runs as an expression over the
+    helper's distributed global rank."""
+    _assert_distributed_rank_shape(plan_of(spark, "histogram_price_deciles"))
