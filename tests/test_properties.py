@@ -1995,3 +1995,83 @@ def test_recursive_month_spine_oracle_matches_reference(orders):
         )
         m = add_months(m, 1)
     assert got == want
+
+
+@settings(max_examples=60, deadline=None)
+@given(
+    texts=st.lists(
+        st.text(
+            alphabet=st.sampled_from(list("ab c")),  # spaces + tiny alphabet
+            min_size=0,
+            max_size=30,
+        ),
+        min_size=1,
+        max_size=20,
+    )
+)
+def test_udtf_word_expand_oracle_matches_reference(texts):
+    """The UDTF word-expansion oracle (string_split on single spaces,
+    empty tokens dropped) vs a Python split — pins the consecutive-space
+    and leading/trailing-space semantics that the Spark UDTF's
+    text.split(' ') filter reproduces."""
+    import duckdb
+
+    from kafka_stream_job_spark.registry import all_specs
+
+    # doc_id % 50 == 0 filter in the oracle: give every doc id 50*i
+    data = [(50 * i, t) for i, t in enumerate(texts)]
+    oracle = all_specs()["udtf_word_expand"].oracle
+    con = duckdb.connect()
+    con.execute("CREATE TABLE documents (doc_id BIGINT, text VARCHAR)")
+    con.executemany("INSERT INTO documents VALUES (?, ?)", data)
+    got = {tuple(r) for r in con.sql(oracle).fetchall()}
+
+    by_len: dict[int, list] = {}
+    for _, t in data:
+        for w in t.split(" "):
+            if w:
+                by_len.setdefault(len(w), []).append(w)
+    want = {(n, len(ws), len(set(ws))) for n, ws in by_len.items()}
+    assert got == want
+
+
+@settings(max_examples=60, deadline=None)
+@given(
+    custs=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=4),       # nationkey
+            st.integers(min_value=-99999, max_value=99999),  # acctbal cents
+        ),
+        min_size=1,
+        max_size=40,
+    )
+)
+def test_lateral_topk_oracle_matches_reference(custs):
+    """The LATERAL top-3-per-nation oracle (window rewrite) vs a Python
+    per-group sort — pins DESC order, the custkey tie-break, and groups
+    smaller than k."""
+    import duckdb
+
+    from kafka_stream_job_spark.registry import all_specs
+
+    nations = [(nk, f"N{nk}") for nk in range(5)]
+    data = [(ck, nk, cents / 100.0) for ck, (nk, cents) in enumerate(custs)]
+    oracle = all_specs()["lateral_top_customers_per_nation"].oracle
+    con = duckdb.connect()
+    con.execute("CREATE TABLE nation (n_nationkey BIGINT, n_name VARCHAR)")
+    con.execute(
+        "CREATE TABLE customer (c_custkey BIGINT, c_nationkey BIGINT,"
+        " c_acctbal DOUBLE)"
+    )
+    con.executemany("INSERT INTO nation VALUES (?, ?)", nations)
+    con.executemany("INSERT INTO customer VALUES (?, ?, ?)", data)
+    got = {tuple(r) for r in con.sql(oracle).fetchall()}
+
+    by_nation: dict[int, list] = {}
+    for ck, nk, bal in data:
+        by_nation.setdefault(nk, []).append((-bal, ck))
+    want = set()
+    for nk, members in by_nation.items():
+        for negbal, ck in sorted(members)[:3]:
+            want.add((f"N{nk}", ck, -negbal))
+    assert got == want
