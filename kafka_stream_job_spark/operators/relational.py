@@ -4553,3 +4553,56 @@ def try_functions_showcase(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(prio_digit.isNull().cast("int")).cast("long").alias("n_cast_null"),
         F.sum(F.coalesce(prio_digit, F.lit(0))).cast("long").alias("sum_prio_digit"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Trigram-accelerated substring search (the pg_trgm / code-search-index
+# pattern): a LIKE '%needle%' over 100 TB is a full scan, but a
+# materialized trigram posting table turns it into |needle|-many posting
+# probes. This query demonstrates the full index plan in one shot:
+# explode each name into its trigrams (JVM HOF, no Python), keep only
+# the needle's trigrams, intersect posting lists (groupBy + distinct
+# count == n_trigrams — candidates can't miss a true match), then verify
+# candidates with the exact contains() — false positives (trigrams
+# present but non-contiguous) drop here, and only candidate rows pay the
+# verify. The oracle is the ground-truth LIKE scan, so the driver's gate
+# proves index+verify ≡ full scan.
+# ---------------------------------------------------------------------------
+_TRGM_NEEDLE = "ring"
+
+
+@register(
+    "trigram_like_search",
+    oracle=f"""
+        SELECT p_partkey, p_name
+        FROM part
+        WHERE p_name LIKE '%{_TRGM_NEEDLE}%'
+    """,
+    tags=("text", "index", "trigram", "part", "search"),
+)
+def trigram_like_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    needle = _TRGM_NEEDLE
+    needle_trigrams = [needle[i : i + 3] for i in range(len(needle) - 2)]
+    part = load_table(spark, sf_dir, "part").select("p_partkey", "p_name")
+    postings = part.select(
+        "p_partkey",
+        "p_name",
+        F.explode(
+            F.expr(
+                "transform(sequence(1, greatest(length(p_name) - 2, 0)),"
+                " i -> substring(p_name, i, 3))"
+            )
+        ).alias("trigram"),
+    )
+    candidates = (
+        postings.filter(F.col("trigram").isin(needle_trigrams))
+        .groupBy("p_partkey")
+        .agg(
+            F.first("p_name").alias("p_name"),
+            F.countDistinct("trigram").alias("n_hit"),
+        )
+        .filter(F.col("n_hit") == len(needle_trigrams))
+    )
+    return candidates.filter(F.col("p_name").contains(needle)).select(
+        "p_partkey", "p_name"
+    )

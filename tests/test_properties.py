@@ -2075,3 +2075,29 @@ def test_lateral_topk_oracle_matches_reference(custs):
         for negbal, ck in sorted(members)[:3]:
             want.add((f"N{nk}", ck, -negbal))
     assert got == want
+
+
+@settings(max_examples=80, deadline=None)
+@given(
+    names=st.lists(
+        st.text(alphabet=st.sampled_from(list("ringbolt ")), min_size=0, max_size=16),
+        min_size=1,
+        max_size=30,
+    )
+)
+def test_trigram_search_candidates_never_miss(names):
+    """Trigram posting-list intersection is a SUPERSET of the LIKE answer
+    (no false negatives), and after the contains() verify it equals the
+    LIKE answer exactly — the invariant the trigram_like_search operator
+    rests on. Pure-Python model of the same pipeline."""
+    needle = "ring"
+    needle_tr = {needle[i : i + 3] for i in range(len(needle) - 2)}
+    like = {i for i, n in enumerate(names) if needle in n}
+    cands = set()
+    for i, n in enumerate(names):
+        trigrams = {n[j : j + 3] for j in range(max(len(n) - 2, 0))}
+        if needle_tr <= trigrams:
+            cands.add(i)
+    assert like <= cands, "posting intersection must never miss a true match"
+    verified = {i for i in cands if needle in names[i]}
+    assert verified == like
