@@ -4606,3 +4606,68 @@ def trigram_like_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     return candidates.filter(F.col("p_name").contains(needle)).select(
         "p_partkey", "p_name"
     )
+
+
+# ---------------------------------------------------------------------------
+# EXACT global percentiles, distributed. percentile_order_prices uses the
+# built-in exact `percentile` aggregate, which buffers every value of the
+# group in one aggregation buffer — fine per small group, a memory wall
+# for a GLOBAL percentile over 100 TB. This operator computes the same
+# linear-interpolated quantiles through the distributed rank helper:
+# rank all values (parallel range exchange), then probe exactly the two
+# neighbor ranks per requested percentile (h = (n-1)p zero-based;
+# v_lo + frac·(v_hi − v_lo) — quantile_cont's definition) via a
+# broadcast join of the 2·|percentiles| probe ranks. Nothing bigger than
+# the probe table ever leaves the executors.
+# ---------------------------------------------------------------------------
+_PCTS = (0.25, 0.5, 0.9, 0.95)
+
+
+@register(
+    "percentile_distributed_exact",
+    oracle=" UNION ALL ".join(
+        f"""SELECT CAST({p} AS DOUBLE) AS p,
+               ROUND((quantile_cont(o_totalprice, {p})) * 10000.0) / 10000.0
+               + 0.0 AS value FROM orders"""
+        for p in _PCTS
+    ),
+    tags=("agg", "percentile", "rank", "orders"),
+)
+def percentile_distributed_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kafka_stream_job_spark.operators._distributed import distributed_rank
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        F.col("o_totalprice").alias("v"), "o_orderkey"
+    )
+    ranked = distributed_rank(orders, [F.col("v"), F.col("o_orderkey")])
+    total = orders.agg(F.count(F.lit(1)).cast("long").alias("n"))
+    probes = (
+        spark.range(1)
+        .select(F.explode(F.array(*[F.lit(p) for p in _PCTS])).alias("p"))
+        .crossJoin(F.broadcast(total))
+        .select(
+            "p",
+            "n",
+            (F.col("p") * (F.col("n") - 1)).alias("h"),
+        )
+        .select(
+            "p",
+            (F.floor("h") + 1).cast("long").alias("rnk_lo"),
+            (F.least(F.ceil("h") + 1, F.col("n"))).cast("long").alias("rnk_hi"),
+            (F.col("h") - F.floor("h")).alias("frac"),
+        )
+    )
+    lo = probes.join(
+        ranked.select(F.col("rnk"), F.col("v").alias("v_lo")),
+        probes.rnk_lo == F.col("rnk"),
+    ).select("p", "frac", "v_lo", "rnk_hi")
+    both = lo.join(
+        ranked.select(F.col("rnk").alias("rnk2"), F.col("v").alias("v_hi")),
+        lo.rnk_hi == F.col("rnk2"),
+    )
+    return both.select(
+        "p",
+        pround(
+            F.col("v_lo") + F.col("frac") * (F.col("v_hi") - F.col("v_lo")), 4
+        ).alias("value"),
+    )

@@ -2101,3 +2101,32 @@ def test_trigram_search_candidates_never_miss(names):
     assert like <= cands, "posting intersection must never miss a true match"
     verified = {i for i in cands if needle in names[i]}
     assert verified == like
+
+
+@settings(max_examples=60, deadline=None)
+@given(
+    cents=st.lists(
+        st.integers(min_value=0, max_value=1_000_000), min_size=1, max_size=200
+    )
+)
+def test_distributed_percentile_formula_matches_quantile_cont(cents):
+    """The rank-probe interpolation (h = (n-1)p zero-based, v_lo +
+    frac·(v_hi − v_lo)) used by percentile_distributed_exact vs DuckDB's
+    quantile_cont on random data — pins the continuous-quantile
+    definition the operator re-derives from global ranks."""
+    import duckdb
+
+    vals = [c / 100.0 for c in cents]
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t (v DOUBLE)")
+    con.executemany("INSERT INTO t VALUES (?)", [(v,) for v in vals])
+    s = sorted(vals)
+    n = len(s)
+    for p in (0.0, 0.25, 0.5, 0.9, 0.95, 1.0):
+        (want,) = con.sql(f"SELECT quantile_cont(v, {p}) FROM t").fetchone()
+        h = p * (n - 1)
+        lo = int(h)
+        hi = min(lo + 1, n - 1)
+        frac = h - lo
+        got = s[lo] + frac * (s[hi] - s[lo])
+        assert abs(got - want) <= 1e-9 * max(1.0, abs(want))
