@@ -94,3 +94,31 @@ def test_cli_checkpoint_inspection(tmp_path, capsys):
     assert main(["checkpoint", ckpt]) == 0
     text = capsys.readouterr().out
     assert "IN-FLIGHT" in text and "committed" in text
+
+
+def test_registry_ordering_names_all_exist():
+    """Names steering the driver-pass ordering (costly_last tail,
+    round-1-checked set) must all be real registry entries — a typo
+    would silently drop the ordering for that query."""
+    import kafka_stream_job_spark.registry as reg
+
+    specs = reg.all_specs()
+    # re-read the module source for the costly_last literal
+    import ast
+    import inspect
+
+    src = inspect.getsource(reg)
+    tree = ast.parse(src)
+    names: list[str] = []
+    for node in ast.walk(tree):
+        if isinstance(node, ast.Assign) and any(
+            getattr(t, "id", None) == "costly_last" for t in node.targets
+        ):
+            names = [ast.literal_eval(e) for e in node.value.elts]
+    assert names, "costly_last literal not found"
+    for n in names:
+        assert n in specs, f"costly_last entry {n!r} is not a registry query"
+    for n in reg._R1_DRIVER_CHECKED:
+        assert n in specs, f"_R1_DRIVER_CHECKED entry {n!r} vanished from registry"
+    # ordering contract: every spec appears exactly once
+    assert list(specs) and len(specs) == len(set(specs))
