@@ -1154,3 +1154,141 @@ def bigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("avg_nats").asc(), F.col("doc_id").asc())
         .limit(LM_TOP_K)
     )
+
+
+# ---------------------------------------------------------------------------
+# BPE APPLY — the other half of the tokenizer loop: learn the same
+# BPE_MERGES merges as bpe_learn_merges, apply every one of them to the
+# word-count vocabulary, and report the compression (token counts
+# before/after, weighted by word frequency — exact integers). A user can
+# thus train a tokenizer AND measure what it buys on the corpus in one
+# engine. Scale shape identical to the learner: the vocabulary table
+# (|distinct words| rows) folds per merge with the argmax pair broadcast;
+# raw documents are scanned once for the word counts.
+# ---------------------------------------------------------------------------
+def _bpe_apply_oracle() -> str:
+    def fold(pair_ref: str) -> str:
+        pa = f"string_split({pair_ref}, ' ')[1]"
+        pb = f"string_split({pair_ref}, ' ')[2]"
+        return f"""string_split(trim(list_reduce(
+            list_prepend('', toks),
+            (acc, x) -> CASE
+                WHEN ends_with(acc, ' ' || {pa}) AND x = {pb}
+                THEN left(acc, length(acc) - length({pa}) - 1)
+                     || ' ' || replace({pair_ref}, ' ', '')
+                ELSE acc || ' ' || x END)), ' ')"""
+
+    sql = r"""
+        WITH words AS (
+            SELECT word, CAST(COUNT(*) AS BIGINT) AS cnt
+            FROM (SELECT unnest(string_split_regex(LOWER(TRIM(text)), '\s+')) AS word
+                  FROM documents)
+            GROUP BY word
+        ),
+        v0 AS (
+            SELECT cnt, length(word) AS n0,
+                   list_transform(generate_series(1, length(word)), i -> word[i])
+                       AS toks
+            FROM words
+        )"""
+    for s in range(1, BPE_MERGES + 1):
+        sql += f""",
+        p{s} AS (
+            SELECT pair
+            FROM (SELECT cnt,
+                         unnest(list_transform(
+                             generate_series(1, len(toks) - 1),
+                             i -> toks[i] || ' ' || toks[i + 1])) AS pair
+                  FROM v{s - 1})
+            GROUP BY pair
+            ORDER BY CAST(SUM(cnt) AS BIGINT) DESC, pair ASC
+            LIMIT 1
+        ),
+        v{s} AS (
+            SELECT cnt, n0,
+                   CASE WHEN p.pair IS NULL OR len(toks) = 0 THEN toks
+                        ELSE {fold('p.pair')} END AS toks
+            FROM v{s - 1} LEFT JOIN p{s} p ON TRUE
+        )"""
+    sql += f"""
+        SELECT COUNT(*)                              AS n_words,
+               CAST(SUM(cnt * n0) AS BIGINT)         AS tokens_before,
+               CAST(SUM(cnt * len(toks)) AS BIGINT)  AS tokens_after
+        FROM v{BPE_MERGES}"""
+    return sql
+
+
+@register(
+    "bpe_apply_merges",
+    oracle=_bpe_apply_oracle(),
+    tags=("text", "tokenizer", "iterative", "documents"),
+)
+def bpe_apply_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    words = (
+        docs.select(
+            F.explode(F.split(F.lower(F.trim(F.col("text"))), r"\s+")).alias("word")
+        )
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    chars = F.transform(
+        F.sequence(F.lit(1), F.length("word")),
+        lambda i: F.substring(F.col("word"), i, 1),
+    )
+    v = (
+        words.select("cnt", chars.alias("toks"))
+        .withColumn("n0", F.size("toks").cast("long"))
+        .localCheckpoint(eager=False)
+    )
+    for _step in range(1, BPE_MERGES + 1):
+        t = F.col("toks")
+        bigrams = F.zip_with(
+            F.slice(t, 1, F.greatest(F.size(t) - 1, F.lit(0))),
+            F.slice(t, 2, F.greatest(F.size(t) - 1, F.lit(0))),
+            lambda a, b: F.concat(a, F.lit(" "), b),
+        )
+        best = (
+            v.select("cnt", F.explode(bigrams).alias("pair"))
+            .groupBy("pair")
+            .agg(F.sum("cnt").alias("total"))
+            .orderBy(F.col("total").desc(), F.col("pair").asc())
+            .limit(1)
+            .localCheckpoint(eager=True)
+        )
+        pa = F.split(F.col("pair"), " ").getItem(0)
+        pb = F.split(F.col("pair"), " ").getItem(1)
+        folded = F.aggregate(
+            F.col("toks"),
+            F.lit(""),
+            lambda acc, x: F.when(
+                F.endswith(acc, F.concat(F.lit(" "), pa)) & (x == pb),
+                F.concat(
+                    F.substr(acc, F.lit(1), F.length(acc) - F.length(pa) - 1),
+                    F.lit(" "),
+                    F.replace(F.col("pair"), F.lit(" "), F.lit("")),
+                ),
+            ).otherwise(F.concat(acc, F.lit(" "), x)),
+        )
+        v = (
+            # LEFT join on TRUE, not crossJoin: a corpus with no bigrams
+            # yields an EMPTY argmax — the merge must be a no-op, not
+            # annihilate the vocabulary.
+            v.join(F.broadcast(best.select("pair")), F.lit(True), "left")
+            .select(
+                "cnt",
+                "n0",
+                F.when(
+                    # empty toks would re-split to [''] after the string
+                    # fold — keep them (and no-op merges) untouched
+                    F.col("pair").isNull() | (F.size("toks") == 0),
+                    F.col("toks"),
+                ).otherwise(F.split(F.trim(folded), " ")).alias("toks"),
+            )
+            .localCheckpoint(eager=False)
+        )
+    return v.agg(
+        F.count(F.lit(1)).alias("n_words"),
+        F.sum(F.col("cnt") * F.col("n0")).cast("long").alias("tokens_before"),
+        F.sum(F.col("cnt") * F.size("toks")).cast("long").alias("tokens_after"),
+    )

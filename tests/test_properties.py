@@ -2130,3 +2130,63 @@ def test_distributed_percentile_formula_matches_quantile_cont(cents):
         frac = h - lo
         got = s[lo] + frac * (s[hi] - s[lo])
         assert abs(got - want) <= 1e-9 * max(1.0, abs(want))
+
+
+@settings(max_examples=30, deadline=None)
+@given(
+    texts=st.lists(
+        st.text(alphabet=st.sampled_from(list("abc ")), min_size=1, max_size=12),
+        min_size=1,
+        max_size=12,
+    )
+)
+def test_bpe_apply_oracle_matches_reference(texts):
+    """The BPE apply oracle (learn 3 merges, fold all of them, report
+    frequency-weighted token counts) vs an independent Python BPE — the
+    learn half is already property-tested; this pins the APPLY fold and
+    the before/after accounting."""
+    import re
+    from collections import Counter
+
+    import duckdb
+
+    from kafka_stream_job_spark.registry import all_specs
+
+    data = [(i, t) for i, t in enumerate(texts)]
+    oracle = all_specs()["bpe_apply_merges"].oracle
+    con = duckdb.connect()
+    con.execute("CREATE TABLE documents (doc_id BIGINT, text VARCHAR)")
+    con.executemany("INSERT INTO documents VALUES (?, ?)", data)
+    got = set(map(tuple, con.sql(oracle).fetchall()))
+
+    words = Counter()
+    for _, t in data:
+        for w in re.split(r"\s+", t.strip().lower()):
+            words[w] += 1
+    vocab = {w: [list(w), c] for w, c in words.items()}
+    for _ in range(3):
+        pairs = Counter()
+        for toks, c in vocab.values():
+            for a, b in zip(toks, toks[1:]):
+                pairs[f"{a} {b}"] += c
+        if not pairs:
+            break
+        best = min(pairs.items(), key=lambda kv: (-kv[1], kv[0]))[0]
+        pa, pb = best.split(" ")
+        for entry in vocab.values():
+            toks, _c = entry
+            out = []
+            for x in toks:
+                if out and out[-1] == pa and x == pb:
+                    out[-1] = pa + pb
+                else:
+                    out.append(x)
+            entry[0] = out
+    want = {
+        (
+            len(vocab),
+            sum(c * len(w) for w, (t, c) in vocab.items()),
+            sum(c * len(t) for w, (t, c) in vocab.items()),
+        )
+    }
+    assert got == want
