@@ -4671,3 +4671,71 @@ def percentile_distributed_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("v_lo") + F.col("frac") * (F.col("v_hi") - F.col("v_lo")), 4
         ).alias("value"),
     )
+
+
+# ---------------------------------------------------------------------------
+# MULTI-TOUCH attribution: the as-of pair (last/next touch) credits one
+# touch per purchase; linear attribution splits each purchase's value
+# EQUALLY across every same-user touch in the preceding 30 minutes — the
+# standard marketing-mix counterweight to last-touch bias. One shuffle
+# on user_id for the time-bounded join, a per-purchase window to count
+# contributing touches (partitioned by purchase — no global window),
+# then the credit rollup by touch type.
+# ---------------------------------------------------------------------------
+@register(
+    "attribution_multi_touch",
+    oracle="""
+        WITH t AS (
+            SELECT user_id, ts AS touch_ts, event_id AS touch_id,
+                   event_type AS touch_type
+            FROM events WHERE event_type IN ('view', 'click')
+        ),
+        p AS (
+            SELECT user_id, ts AS purchase_ts, event_id AS purchase_id,
+                   value AS purchase_value
+            FROM events WHERE event_type = 'purchase'
+        ),
+        pairs AS (
+            SELECT p.purchase_id, p.purchase_value, t.touch_type,
+                   COUNT(*) OVER (PARTITION BY p.purchase_id) AS n_touches
+            FROM p JOIN t
+              ON t.user_id = p.user_id
+             AND t.touch_ts <= p.purchase_ts
+             AND p.purchase_ts <= t.touch_ts + INTERVAL 30 MINUTE
+        )
+        SELECT touch_type,
+               COUNT(*) AS n_attributions,
+               ROUND((SUM(purchase_value / n_touches)) * 100.0) / 100.0 + 0.0
+                   AS attributed_revenue
+        FROM pairs
+        GROUP BY 1
+    """,
+    tags=("join", "attribution", "window", "events"),
+)
+def attribution_multi_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    t = events.filter(F.col("event_type").isin("view", "click")).select(
+        F.col("user_id").alias("t_user"),
+        F.col("ts").alias("touch_ts"),
+        F.col("event_type").alias("touch_type"),
+    )
+    p = events.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        F.col("ts").alias("purchase_ts"),
+        F.col("event_id").alias("purchase_id"),
+        F.col("value").alias("purchase_value"),
+    )
+    pairs = p.join(
+        t,
+        (F.col("user_id") == F.col("t_user"))
+        & (F.col("touch_ts") <= F.col("purchase_ts"))
+        & (F.col("purchase_ts") <= F.col("touch_ts") + F.expr("INTERVAL 30 minutes")),
+    ).withColumn(
+        "n_touches", F.count(F.lit(1)).over(Window.partitionBy("purchase_id"))
+    )
+    return pairs.groupBy("touch_type").agg(
+        F.count(F.lit(1)).alias("n_attributions"),
+        pround(F.sum(F.col("purchase_value") / F.col("n_touches")), 2).alias(
+            "attributed_revenue"
+        ),
+    )
