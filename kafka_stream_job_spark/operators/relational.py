@@ -4739,3 +4739,105 @@ def attribution_multi_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
             "attributed_revenue"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# K-core PEELING over the part co-purchase graph — the dense-subgraph
+# extractor next to components/PageRank/triangles: each round drops
+# nodes with degree < K and the edges touching them; survivors of round
+# R have R-round-stable degree >= K (full k-core = run to fixpoint; the
+# registered query reports the first KCORE_ROUNDS rounds, which is
+# deterministic and already distinguishes peripheral from core parts).
+# Edge list built by in-array expansion per order (no self-join, same as
+# PageRank); each peel is degrees + two semi joins — shuffles on node
+# id, nothing driver-side, so rounds scale as ordinary joins.
+# ---------------------------------------------------------------------------
+KCORE_K = 4
+KCORE_ROUNDS = 3
+
+
+def _kcore_oracle() -> str:
+    sql = """
+        WITH items AS (
+            SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+        ),
+        e0 AS (
+            SELECT a.l_partkey AS src, b.l_partkey AS dst
+            FROM items a
+            JOIN items b ON a.l_orderkey = b.l_orderkey
+                        AND a.l_partkey <> b.l_partkey
+            GROUP BY 1, 2
+        )"""
+    for r in range(1, KCORE_ROUNDS + 1):
+        sql += f""",
+        k{r} AS (
+            SELECT src FROM e{r - 1} GROUP BY src
+            HAVING COUNT(*) >= {KCORE_K}
+        ),
+        e{r} AS (
+            SELECT e.src, e.dst
+            FROM e{r - 1} e
+            JOIN k{r} a ON e.src = a.src
+            JOIN k{r} b ON e.dst = b.src
+        )"""
+    sql += "\n        " + "\n        UNION ALL ".join(
+        f"""SELECT CAST({r} AS BIGINT) AS round,
+               CAST((SELECT COUNT(DISTINCT src) FROM e{r}) AS BIGINT) AS n_nodes,
+               CAST((SELECT COUNT(*) FROM e{r}) AS BIGINT) // 2 AS n_edges"""
+        for r in range(1, KCORE_ROUNDS + 1)
+    )
+    return sql
+
+
+@register(
+    "graph_kcore_peel",
+    oracle=_kcore_oracle(),
+    tags=("graph", "kcore", "iterative", "lineitem"),
+)
+def graph_kcore_peel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    baskets = (
+        li.select("l_orderkey", "l_partkey")
+        .distinct()
+        .groupBy("l_orderkey")
+        .agg(F.array_sort(F.collect_set("l_partkey")).alias("parts"))
+    )
+    directed = F.flatten(
+        F.transform(
+            F.col("parts"),
+            lambda x: F.transform(
+                F.filter(F.col("parts"), lambda y: y != x),
+                lambda y: F.struct(x.alias("src"), y.alias("dst")),
+            ),
+        )
+    )
+    cur = (
+        baskets.select(F.explode(directed).alias("e"))
+        .select(F.col("e.src").alias("src"), F.col("e.dst").alias("dst"))
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    rounds = []
+    for r in range(1, KCORE_ROUNDS + 1):
+        keep = (
+            cur.groupBy("src")
+            .agg(F.count(F.lit(1)).alias("d"))
+            .filter(F.col("d") >= KCORE_K)
+            .select("src")
+        )
+        cur = (
+            cur.join(keep, "src", "left_semi")
+            .join(keep.withColumnRenamed("src", "dst"), "dst", "left_semi")
+            .localCheckpoint(eager=False)
+        )
+        rounds.append(
+            cur.agg(
+                F.lit(r).cast("long").alias("round"),
+                F.countDistinct("src").alias("n_nodes"),
+                (F.count(F.lit(1)) / 2).cast("long").alias("n_edges"),
+            ).select("round", "n_nodes", "n_edges")
+        )
+    out = rounds[0]
+    for o in rounds[1:]:
+        out = out.unionByName(o)
+    return out

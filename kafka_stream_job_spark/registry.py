@@ -147,6 +147,8 @@ def all_specs() -> dict[str, QuerySpec]:
         "streaming_unattributed_purchases",
         "streaming_replay_source_rollup",
         "checkpoint_offsetlog_table",
+        "streaming_sink_exactly_once_roundtrip",
+        "graph_kcore_peel",
     )
     unchecked = {
         n: s

@@ -2190,3 +2190,50 @@ def test_bpe_apply_oracle_matches_reference(texts):
         )
     }
     assert got == want
+
+
+@settings(max_examples=40, deadline=None)
+@given(
+    lines=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=15),  # orderkey
+            st.integers(min_value=0, max_value=12),  # partkey
+        ),
+        min_size=1,
+        max_size=80,
+    )
+)
+def test_kcore_oracle_matches_reference(lines):
+    """The k-core peel oracle vs an independent Python peeler over the
+    co-purchase graph — pins the degree threshold, the simultaneous
+    (not sequential) removal within a round, and the edge/2 accounting."""
+    import duckdb
+
+    from kafka_stream_job_spark.operators.relational import KCORE_K, KCORE_ROUNDS
+    from kafka_stream_job_spark.registry import all_specs
+
+    oracle = all_specs()["graph_kcore_peel"].oracle
+    con = duckdb.connect()
+    con.execute("CREATE TABLE lineitem (l_orderkey BIGINT, l_partkey BIGINT)")
+    con.executemany("INSERT INTO lineitem VALUES (?, ?)", lines)
+    got = {tuple(r) for r in con.sql(oracle).fetchall()}
+
+    baskets: dict[int, set] = {}
+    for ok, pk in lines:
+        baskets.setdefault(ok, set()).add(pk)
+    edges = set()
+    for parts in baskets.values():
+        for a in parts:
+            for b in parts:
+                if a != b:
+                    edges.add((a, b))
+    want = set()
+    cur = edges
+    for r in range(1, KCORE_ROUNDS + 1):
+        deg: dict[int, int] = {}
+        for a, _ in cur:
+            deg[a] = deg.get(a, 0) + 1
+        keep = {n for n, d in deg.items() if d >= KCORE_K}
+        cur = {(a, b) for a, b in cur if a in keep and b in keep}
+        want.add((r, len({a for a, _ in cur}), len(cur) // 2))
+    assert got == want
