@@ -4841,3 +4841,97 @@ def graph_kcore_peel(spark: SparkSession, sf_dir: str) -> DataFrame:
     for o in rounds[1:]:
         out = out.unionByName(o)
     return out
+
+
+# ---------------------------------------------------------------------------
+# Time-series AUTOCORRELATION of the hourly event-count series at the
+# standard seasonal lags — the periodicity detector next to the moving
+# average (events_daily_value_trend) and OLS trend (revenue_trend_ols).
+# The raw table aggregates to one integer count per hour FIRST (720 rows
+# for a 30-day window — metadata-sized, like the daily MA spine), so the
+# global LEAD window runs over the aggregate, never the events. Pearson
+# per lag uses the exact-integer-moment pattern of stats_qty_price_corr:
+# both engines compute identical BIGINT sums, then one fixed dag of IEEE
+# ops.
+# ---------------------------------------------------------------------------
+_AC_LAGS = (1, 2, 3, 6, 12, 24)
+
+
+def _autocorr_oracle() -> str:
+    lag_selects = []
+    for lag in _AC_LAGS:
+        lag_selects.append(f"""
+        SELECT CAST({lag} AS BIGINT) AS lag, n, CASE WHEN
+                   (n * 1.0 * sxx - sx * 1.0 * sx) <= 0
+                OR (n * 1.0 * syy - sy * 1.0 * sy) <= 0 THEN NULL ELSE
+               ROUND(((n * 1.0 * sxy - sx * 1.0 * sy)
+                   / (sqrt(n * 1.0 * sxx - sx * 1.0 * sx)
+                      * sqrt(n * 1.0 * syy - sy * 1.0 * sy)))
+                   * 1000000.0) / 1000000.0 END AS autocorr
+        FROM (
+            SELECT COUNT(*) AS n,
+                   CAST(SUM(c) AS BIGINT) AS sx,
+                   CAST(SUM(c_lead) AS BIGINT) AS sy,
+                   CAST(SUM(c * c) AS BIGINT) AS sxx,
+                   CAST(SUM(c_lead * c_lead) AS BIGINT) AS syy,
+                   CAST(SUM(c * c_lead) AS BIGINT) AS sxy
+            FROM (
+                SELECT c, LEAD(c, {lag}) OVER (ORDER BY hr) AS c_lead
+                FROM hourly
+            ) WHERE c_lead IS NOT NULL
+        )""")
+    return (
+        """
+        WITH hourly AS (
+            SELECT date_trunc('hour', ts) AS hr,
+                   CAST(COUNT(*) AS BIGINT) AS c
+            FROM events GROUP BY 1
+        )"""
+        + " UNION ALL ".join(lag_selects)
+    )
+
+
+@register(
+    "events_hourly_autocorr",
+    oracle=_autocorr_oracle(),
+    tags=("stats", "timeseries", "autocorrelation", "events"),
+)
+def events_hourly_autocorr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    hourly = events.groupBy(F.date_trunc("hour", "ts").alias("hr")).agg(
+        F.count(F.lit(1)).cast("long").alias("c")
+    )
+    w = Window.orderBy("hr")  # ~720-row aggregate: metadata-sized window
+    leads = hourly.select(
+        "c", *[F.lead("c", lag).over(w).alias(f"l{lag}") for lag in _AC_LAGS]
+    ).localCheckpoint(eager=False)
+    outs = []
+    for lag in _AC_LAGS:
+        y = F.col(f"l{lag}")
+        m = leads.filter(y.isNotNull()).agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("c").alias("sx"),
+            F.sum(y).alias("sy"),
+            F.sum(F.col("c") * F.col("c")).alias("sxx"),
+            F.sum(y * y).alias("syy"),
+            F.sum(F.col("c") * y).alias("sxy"),
+        )
+        varx = F.col("n") * F.lit(1.0) * F.col("sxx") - F.col("sx") * F.lit(1.0) * F.col("sx")
+        vary = F.col("n") * F.lit(1.0) * F.col("syy") - F.col("sy") * F.lit(1.0) * F.col("sy")
+        corr = (
+            F.col("n") * F.lit(1.0) * F.col("sxy")
+            - F.col("sx") * F.lit(1.0) * F.col("sy")
+        ) / (F.sqrt(varx) * F.sqrt(vary))
+        outs.append(
+            m.select(
+                F.lit(lag).cast("long").alias("lag"),
+                "n",
+                F.when(
+                    (varx <= 0) | (vary <= 0), F.lit(None).cast("double")
+                ).otherwise(pround(corr, 6)).alias("autocorr"),
+            )
+        )
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionByName(o)
+    return out

@@ -2237,3 +2237,68 @@ def test_kcore_oracle_matches_reference(lines):
         cur = {(a, b) for a, b in cur if a in keep and b in keep}
         want.add((r, len({a for a, _ in cur}), len(cur) // 2))
     assert got == want
+
+
+@settings(max_examples=40, deadline=None)
+@given(
+    counts=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=100),  # hour offset
+            st.integers(min_value=1, max_value=20),   # events in that hour
+        ),
+        min_size=2,
+        max_size=40,
+    )
+)
+def test_autocorr_oracle_matches_reference(counts):
+    """The hourly autocorrelation oracle vs a Python Pearson over the
+    lagged series — pins the LEAD alignment (lag over the hour-sorted
+    aggregate, not over wall-time gaps), the exact-integer moments, and
+    the NULL guard for degenerate variance."""
+    import datetime
+    import math
+
+    import duckdb
+
+    from kafka_stream_job_spark.operators.relational import _AC_LAGS
+    from kafka_stream_job_spark.registry import all_specs
+
+    base = datetime.datetime(2024, 3, 1)
+    hours = {}
+    for off, n in counts:
+        hours[off] = hours.get(off, 0) + n
+    data = []
+    eid = 0
+    for off, n in hours.items():
+        for _ in range(n):
+            data.append((eid, base + datetime.timedelta(hours=off, minutes=1)))
+            eid += 1
+    oracle = all_specs()["events_hourly_autocorr"].oracle
+    con = duckdb.connect()
+    con.execute("CREATE TABLE events (event_id BIGINT, ts TIMESTAMP)")
+    con.executemany("INSERT INTO events VALUES (?, ?)", data)
+    got = {tuple(r) for r in con.sql(oracle).fetchall()}
+
+    series = [hours[k] for k in sorted(hours)]
+    want = set()
+    for lag in _AC_LAGS:
+        xs = series[:-lag] if lag < len(series) else []
+        ys = series[lag:]
+        n = len(xs)
+        if n == 0:
+            want.add((lag, 0, None))
+            continue
+        sx, sy = sum(xs), sum(ys)
+        sxx = sum(x * x for x in xs)
+        syy = sum(y * y for y in ys)
+        sxy = sum(x * y for x, y in zip(xs, ys))
+        varx = n * 1.0 * sxx - sx * 1.0 * sx
+        vary = n * 1.0 * syy - sy * 1.0 * sy
+        if varx <= 0 or vary <= 0:
+            want.add((lag, n, None))
+        else:
+            corr = (n * 1.0 * sxy - sx * 1.0 * sy) / (
+                math.sqrt(varx) * math.sqrt(vary)
+            )
+            want.add((lag, n, round(corr * 1000000.0) / 1000000.0 + 0.0))
+    assert got == want
