@@ -1253,8 +1253,6 @@ _register_streaming_replay_source()
 # exercised end-to-end, not just unit-tested.
 # ---------------------------------------------------------------------------
 def _register_streaming_sink_roundtrip() -> None:
-    import uuid
-
     from kafka_stream_job_spark.registry import register
 
     @register(
@@ -1297,8 +1295,6 @@ def _register_streaming_sink_roundtrip() -> None:
             F.count(F.lit(1)).alias("n_events"),
             pround(F.sum("value"), 2).alias("sum_value"),
         )
-
-    _ = uuid  # parity with sibling registrars; sink dirs are tempfile-fresh
 
 
 _register_streaming_sink_roundtrip()
