@@ -1041,3 +1041,77 @@ def shard_manifest_balanced(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("rnk").cast("long").alias("rank_checksum"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# TOKEN-BUDGET curation plan: fill a fixed token budget with the
+# highest-quality documents — the "pick the best N tokens" step that
+# turns a scored corpus into a training set. Greedy selection along a
+# quality order is a PREFIX SUM over that order, so this is the third
+# user of the distributed helper (rank → shards, cum-share → ABC,
+# cum-tokens → budget cut). Quality key = integer type-token-ratio in
+# basis points (exact in both engines, no float ordering); budget =
+# half the corpus tokens, derived from the data so the query is
+# meaningful at every SF.
+# ---------------------------------------------------------------------------
+@register(
+    "corpus_token_budget_plan",
+    oracle=r"""
+        WITH t AS (
+            SELECT doc_id,
+                   CAST(len(string_split_regex(TRIM(text), '\s+')) AS BIGINT)
+                       AS n_tokens,
+                   CAST(len(list_distinct(
+                            string_split_regex(LOWER(TRIM(text)), '\s+')))
+                        * 10000 AS BIGINT)
+                   // CAST(len(string_split_regex(TRIM(text), '\s+')) AS BIGINT)
+                       AS ttr_bp
+            FROM documents
+        ),
+        tot AS (SELECT CAST(SUM(n_tokens) AS BIGINT) // 2 AS budget FROM t),
+        c AS (
+            SELECT n_tokens, ttr_bp,
+                   CAST(SUM(n_tokens) OVER (ORDER BY ttr_bp DESC, doc_id)
+                        AS BIGINT) AS running
+            FROM t
+        )
+        SELECT COUNT(*)                          AS n_selected,
+               CAST(SUM(n_tokens) AS BIGINT)     AS tokens_selected,
+               CAST(MIN(ttr_bp) AS BIGINT)       AS min_ttr_bp,
+               (SELECT budget FROM tot)          AS budget
+        FROM c, tot
+        WHERE running <= tot.budget
+    """,
+    tags=("corpus", "curation", "prefix-sum", "documents"),
+)
+def corpus_token_budget_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kafka_stream_job_spark.operators._distributed import (
+        distributed_prefix_sum,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    n_tokens = F.size(F.split(F.trim(F.col("text")), r"\s+")).cast("long")
+    n_uniq = F.size(
+        F.array_distinct(F.split(F.lower(F.trim(F.col("text"))), r"\s+"))
+    ).cast("long")
+    t = docs.select(
+        "doc_id",
+        n_tokens.alias("n_tokens"),
+        ((n_uniq * 10000) / n_tokens).cast("long").alias("ttr_bp"),
+    )
+    budget = t.agg((F.sum("n_tokens") / 2).cast("long").alias("budget"))
+    c = distributed_prefix_sum(
+        t, [F.col("ttr_bp").desc(), F.col("doc_id")], "n_tokens"
+    )
+    stats = (
+        c.crossJoin(F.broadcast(budget))  # one-row scalar
+        .filter(F.col("running") <= F.col("budget"))
+        .agg(
+            F.count(F.lit(1)).alias("n_selected"),
+            F.sum("n_tokens").cast("long").alias("tokens_selected"),
+            F.min("ttr_bp").cast("long").alias("min_ttr_bp"),
+        )
+    )
+    # budget joins AFTER the aggregate: an empty selection must still
+    # report the budget (the oracle's scalar subquery does).
+    return stats.crossJoin(F.broadcast(budget))

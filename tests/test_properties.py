@@ -2302,3 +2302,53 @@ def test_autocorr_oracle_matches_reference(counts):
             )
             want.add((lag, n, round(corr * 1000000.0) / 1000000.0 + 0.0))
     assert got == want
+
+
+@settings(max_examples=50, deadline=None)
+@given(
+    texts=st.lists(
+        st.text(alphabet=st.sampled_from(list("abcd ")), min_size=1, max_size=24),
+        min_size=1,
+        max_size=30,
+    )
+)
+def test_token_budget_oracle_matches_reference(texts):
+    """The token-budget curation oracle vs a Python greedy fill — pins
+    the integer TTR quality key, the half-of-total budget, the
+    prefix-sum cut (running <= budget), and the empty-selection edge."""
+    import re
+
+    import duckdb
+
+    from kafka_stream_job_spark.registry import all_specs
+
+    data = [(i, t) for i, t in enumerate(texts)]
+    oracle = all_specs()["corpus_token_budget_plan"].oracle
+    con = duckdb.connect()
+    con.execute("CREATE TABLE documents (doc_id BIGINT, text VARCHAR)")
+    con.executemany("INSERT INTO documents VALUES (?, ?)", data)
+    got = {tuple(r) for r in con.sql(oracle).fetchall()}
+
+    docs = []
+    for i, t in data:
+        toks = re.split(r"\s+", t.strip())
+        n = len(toks)
+        uniq = len({w.lower() for w in toks})
+        docs.append((i, n, uniq * 10000 // n))
+    budget = sum(n for _, n, _ in docs) // 2
+    running = 0
+    sel = []
+    for i, n, ttr in sorted(docs, key=lambda d: (-d[2], d[0])):
+        running += n
+        if running > budget:
+            break
+        sel.append((n, ttr))
+    want = {
+        (
+            len(sel),
+            sum(n for n, _ in sel) if sel else None,
+            min(t for _, t in sel) if sel else None,
+            budget,
+        )
+    }
+    assert got == want
