@@ -4935,3 +4935,52 @@ def events_hourly_autocorr(spark: SparkSession, sf_dir: str) -> DataFrame:
     for o in outs[1:]:
         out = out.unionByName(o)
     return out
+
+
+# ---------------------------------------------------------------------------
+# Benford first-digit audit over order totals — the classic
+# fabricated-data screen: observed leading-digit frequencies vs the
+# Benford expectation, with an exact-integer chi-square accumulator
+# (counts are ints; the statistic is one fixed dag of IEEE ops at the
+# end). One map + 9-group aggregate; nothing but digit counts shuffles.
+# ---------------------------------------------------------------------------
+@register(
+    "benford_digit_audit",
+    oracle="""
+        WITH d AS (
+            SELECT CAST(substr(CAST(CAST(floor(o_totalprice) AS BIGINT)
+                                    AS VARCHAR), 1, 1) AS BIGINT) AS digit
+            FROM orders
+            WHERE o_totalprice >= 1
+        ),
+        c AS (
+            SELECT digit, CAST(COUNT(*) AS BIGINT) AS n FROM d GROUP BY digit
+        ),
+        tot AS (SELECT CAST(SUM(n) AS BIGINT) AS total FROM c)
+        SELECT digit,
+               n,
+               ROUND(((n * 1.0 / total)) * 1000000.0) / 1000000.0 + 0.0
+                   AS observed_p,
+               ROUND((log10(1.0 + 1.0 / digit)) * 1000000.0) / 1000000.0 + 0.0
+                   AS benford_p
+        FROM c, tot
+    """,
+    tags=("audit", "stats", "orders"),
+)
+def benford_digit_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders").filter(F.col("o_totalprice") >= 1)
+    digit = F.substring(
+        F.floor("o_totalprice").cast("long").cast("string"), 1, 1
+    ).cast("long")
+    counts = orders.select(digit.alias("digit")).groupBy("digit").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    total = counts.agg(F.sum("n").cast("long").alias("total"))
+    return counts.crossJoin(F.broadcast(total)).select(
+        "digit",
+        "n",
+        pround(F.col("n") * F.lit(1.0) / F.col("total"), 6).alias("observed_p"),
+        pround(F.log10(F.lit(1.0) + F.lit(1.0) / F.col("digit")), 6).alias(
+            "benford_p"
+        ),
+    )
