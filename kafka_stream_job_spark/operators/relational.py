@@ -4984,3 +4984,58 @@ def benford_digit_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             "benford_p"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# K-ANONYMITY audit — the privacy screen next to text_pii_redaction and
+# gdpr_purge_manifest: bucket customers by their quasi-identifier tuple
+# (nation, market segment, coarse balance band) and report how many
+# equivalence classes fall below the anonymity threshold k, plus how
+# many ROWS sit in those re-identifiable classes. Generalizing the
+# balance into 1000-unit bands is the standard anonymization lever; the
+# audit tells you whether the chosen generalization suffices before a
+# release. Two aggregations, group counts only — nothing row-level
+# crosses the second shuffle.
+# ---------------------------------------------------------------------------
+_KANON_K = 5
+
+
+@register(
+    "k_anonymity_audit",
+    oracle=f"""
+        WITH q AS (
+            SELECT c_nationkey,
+                   c_mktsegment,
+                   CAST(floor(c_acctbal / 1000.0) AS BIGINT) AS bal_band,
+                   COUNT(*) AS n
+            FROM customer
+            GROUP BY 1, 2, 3
+        )
+        SELECT CAST(COUNT(*) AS BIGINT)                                AS n_classes,
+               CAST(SUM(CASE WHEN n < {_KANON_K} THEN 1 ELSE 0 END) AS BIGINT)
+                                                                       AS n_risky_classes,
+               CAST(SUM(CASE WHEN n < {_KANON_K} THEN n ELSE 0 END) AS BIGINT)
+                                                                       AS n_risky_rows,
+               CAST(MIN(n) AS BIGINT)                                  AS min_class_size,
+               CAST(SUM(n) AS BIGINT)                                  AS n_rows
+        FROM q
+    """,
+    tags=("privacy", "audit", "customer", "agg"),
+)
+def k_anonymity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer")
+    q = cust.groupBy(
+        "c_nationkey",
+        "c_mktsegment",
+        F.floor(F.col("c_acctbal") / 1000.0).cast("long").alias("bal_band"),
+    ).agg(F.count(F.lit(1)).alias("n"))
+    risky = F.when(F.col("n") < _KANON_K, 1).otherwise(0)
+    return q.agg(
+        F.count(F.lit(1)).alias("n_classes"),
+        F.sum(risky).cast("long").alias("n_risky_classes"),
+        F.sum(F.when(F.col("n") < _KANON_K, F.col("n")).otherwise(0))
+        .cast("long")
+        .alias("n_risky_rows"),
+        F.min("n").cast("long").alias("min_class_size"),
+        F.sum("n").cast("long").alias("n_rows"),
+    )
