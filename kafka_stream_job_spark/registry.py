@@ -149,6 +149,7 @@ def all_specs() -> dict[str, QuerySpec]:
         "checkpoint_offsetlog_table",
         "streaming_sink_exactly_once_roundtrip",
         "graph_kcore_peel",
+        "streaming_update_mode_rollup",
     )
     unchecked = {
         n: s

@@ -1298,3 +1298,89 @@ def _register_streaming_sink_roundtrip() -> None:
 
 
 _register_streaming_sink_roundtrip()
+
+
+# ---------------------------------------------------------------------------
+# UPDATE output mode through the driver's gate — the third output mode
+# (complete: streaming_hourly_rollup; append: streaming_late_data_drop).
+# Update emits each window's CUMULATIVE aggregate every micro-batch the
+# window receives rows, so the memory sink accumulates one row per
+# (window, batch-that-touched-it) — deterministic under the staged
+# three-batch replay:
+#   batch 0 (on-time rows)   → every touched window with its batch-0
+#                              totals;
+#   batch 1 (heartbeat row)  → ONE row: the max-ts hour window re-emitted
+#                              with its count incremented by the
+#                              heartbeat (kept here — this pipeline
+#                              aggregates by window only, no event_type);
+#   batch 2 (late rows)      → all below the watermark → dropped, no
+#                              emission.
+# The oracle reproduces exactly that union. Counts only (no value sums):
+# a re-emitted window row carries its cumulative count, keeping the
+# oracle arithmetic integer-exact.
+# ---------------------------------------------------------------------------
+def _register_streaming_update_mode() -> None:
+    import uuid
+
+    from kafka_stream_job_spark.registry import register
+
+    @register(
+        "streaming_update_mode_rollup",
+        oracle=f"""
+            WITH m AS (SELECT MAX(ts) AS maxts FROM events),
+            kept AS (
+                SELECT e.* FROM events e, m
+                WHERE NOT (e.ts < m.maxts - INTERVAL {_LATE_HOURS} HOUR
+                           AND e.event_id % {_LATE_MOD} = 0)
+            ),
+            batch0 AS (
+                SELECT CAST(date_trunc('hour', ts) AS VARCHAR) AS hour_ts,
+                       COUNT(*) AS n_events
+                FROM kept GROUP BY 1
+            )
+            SELECT hour_ts, n_events FROM batch0
+            UNION ALL
+            -- batch 1: the heartbeat lands in max(ts)'s hour window and
+            -- re-emits it with the cumulative count + 1
+            SELECT CAST(date_trunc('hour', m.maxts) AS VARCHAR) AS hour_ts,
+                   b.n_events + 1 AS n_events
+            FROM m JOIN batch0 b
+              ON b.hour_ts = CAST(date_trunc('hour', m.maxts) AS VARCHAR)
+        """,
+        tags=("streaming", "update-mode", "watermark", "events"),
+    )
+    def streaming_update_mode_rollup(
+        spark: SparkSession, sf_dir: str
+    ) -> DataFrame:
+        import tempfile
+
+        stage = _stage_late_replay(sf_dir)
+        schema = spark.read.parquet(stage).schema
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(stage)
+        )
+        if isinstance(schema["ts"].dataType, T.LongType):
+            stream = stream.withColumn(
+                "ts", F.timestamp_micros(F.expr("ts div 1000"))
+            )
+        elif isinstance(schema["ts"].dataType, T.TimestampNTZType):
+            stream = stream.withColumn("ts", F.col("ts").cast("timestamp"))
+        rolled = (
+            stream.withWatermark("ts", _WM_DELAY)
+            .groupBy(F.window("ts", "1 hour").alias("win"))
+            .agg(F.count(F.lit(1)).alias("n_events"))
+            .select(
+                F.col("win.start").cast("string").alias("hour_ts"),
+                "n_events",
+            )
+        )
+        name = f"stream_upd_{uuid.uuid4().hex[:8]}"
+        ckpt = tempfile.mkdtemp(prefix="ksj-stream-upd-")
+        return run_stream_to_memory(
+            spark, rolled, name, ckpt, output_mode="update"
+        )
+
+
+_register_streaming_update_mode()
