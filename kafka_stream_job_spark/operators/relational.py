@@ -5039,3 +5039,82 @@ def k_anonymity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("n").cast("long").alias("min_class_size"),
         F.sum("n").cast("long").alias("n_rows"),
     )
+
+
+# ---------------------------------------------------------------------------
+# CUSUM change detection over the hourly event-count series — the drift
+# monitor next to the z-score anomaly screen (events_hourly_anomaly
+# flags single outlier hours; CUSUM accumulates small sustained shifts).
+# Two passes over the METADATA-SIZED hourly aggregate (~720 rows): the
+# global mean (integer sums), then the running sum of scaled deviations
+# S_t = S_{t-1} + (x_t*n - sum_x) in exact integer units (multiplying
+# through by n avoids fractional means entirely). Reported: the extreme
+# positive/negative excursions and the hours where they occur —
+# deterministic, integer-exact, engine-portable.
+# ---------------------------------------------------------------------------
+@register(
+    "events_cusum_drift",
+    oracle="""
+        WITH hourly AS (
+            SELECT date_trunc('hour', ts) AS hr,
+                   CAST(COUNT(*) AS BIGINT) AS c
+            FROM events GROUP BY 1
+        ),
+        tot AS (
+            SELECT CAST(COUNT(*) AS BIGINT) AS n,
+                   CAST(SUM(c) AS BIGINT)   AS sx
+            FROM hourly
+        ),
+        cum AS (
+            SELECT hr,
+                   CAST(SUM(c * t.n - t.sx) OVER (ORDER BY hr) AS BIGINT)
+                       AS s_scaled
+            FROM hourly, tot t
+        )
+        SELECT
+            CAST((SELECT MAX(s_scaled) FROM cum) AS BIGINT) AS max_pos_excursion,
+            CAST((SELECT MIN(s_scaled) FROM cum) AS BIGINT) AS max_neg_excursion,
+            CAST((SELECT CAST(hr AS VARCHAR) FROM cum
+                  ORDER BY s_scaled DESC, hr LIMIT 1) AS VARCHAR)
+                AS peak_hour,
+            CAST((SELECT CAST(hr AS VARCHAR) FROM cum
+                  ORDER BY s_scaled ASC, hr LIMIT 1) AS VARCHAR)
+                AS trough_hour,
+            (SELECT n FROM tot) AS n_hours
+        FROM (SELECT 1)
+    """,
+    tags=("stats", "timeseries", "cusum", "events"),
+)
+def events_cusum_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    hourly = events.groupBy(F.date_trunc("hour", "ts").alias("hr")).agg(
+        F.count(F.lit(1)).cast("long").alias("c")
+    )
+    tot = hourly.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("c").cast("long").alias("sx"),
+    )
+    w = Window.orderBy("hr")  # ~720-row aggregate: metadata-sized window
+    cum = (
+        hourly.crossJoin(F.broadcast(tot))
+        .withColumn(
+            "s_scaled",
+            F.sum(F.col("c") * F.col("n") - F.col("sx")).over(w).cast("long"),
+        )
+        .localCheckpoint(eager=False)
+    )
+    peak = cum.orderBy(F.col("s_scaled").desc(), "hr").limit(1).select(
+        F.col("hr").cast("string").alias("peak_hour")
+    )
+    trough = cum.orderBy(F.col("s_scaled").asc(), "hr").limit(1).select(
+        F.col("hr").cast("string").alias("trough_hour")
+    )
+    stats = cum.agg(
+        F.max("s_scaled").alias("max_pos_excursion"),
+        F.min("s_scaled").alias("max_neg_excursion"),
+    )
+    return (
+        stats.crossJoin(F.broadcast(peak))
+        .crossJoin(F.broadcast(trough))
+        .crossJoin(F.broadcast(tot.select(F.col("n").alias("n_hours"))))
+    )

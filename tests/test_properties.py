@@ -2352,3 +2352,56 @@ def test_token_budget_oracle_matches_reference(texts):
         )
     }
     assert got == want
+
+
+@settings(max_examples=50, deadline=None)
+@given(
+    hours=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=60),  # hour offset
+            st.integers(min_value=1, max_value=30),  # count
+        ),
+        min_size=1,
+        max_size=40,
+    )
+)
+def test_cusum_oracle_matches_reference(hours):
+    """The CUSUM oracle vs a Python accumulator — pins the integer
+    scaling (deviation × n, no fractional mean), the excursion extrema,
+    and the earliest-hour tiebreak for peak/trough."""
+    import datetime
+
+    import duckdb
+
+    from kafka_stream_job_spark.registry import all_specs
+
+    base = datetime.datetime(2024, 3, 1)
+    agg: dict[int, int] = {}
+    for off, n in hours:
+        agg[off] = agg.get(off, 0) + n
+    data = []
+    eid = 0
+    for off, n in agg.items():
+        for _ in range(n):
+            data.append((eid, base + datetime.timedelta(hours=off, minutes=2)))
+            eid += 1
+    oracle = all_specs()["events_cusum_drift"].oracle
+    con = duckdb.connect()
+    con.execute("CREATE TABLE events (event_id BIGINT, ts TIMESTAMP)")
+    con.executemany("INSERT INTO events VALUES (?, ?)", data)
+    got = set(map(tuple, con.sql(oracle).fetchall()))
+
+    series = sorted(agg.items())
+    n = len(series)
+    sx = sum(c for _, c in series)
+    s = 0
+    vals = []
+    for off, c in series:
+        s += c * n - sx
+        vals.append((off, s))
+    mx = max(v for _, v in vals)
+    mn = min(v for _, v in vals)
+    fmt = "%Y-%m-%d %H:%M:%S"
+    peak = (base + datetime.timedelta(hours=min(o for o, v in vals if v == mx))).strftime(fmt)
+    trough = (base + datetime.timedelta(hours=min(o for o, v in vals if v == mn))).strftime(fmt)
+    assert got == {(mx, mn, peak, trough, n)}
