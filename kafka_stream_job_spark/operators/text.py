@@ -1292,3 +1292,104 @@ def bpe_apply_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.col("cnt") * F.col("n0")).cast("long").alias("tokens_before"),
         F.sum(F.col("cnt") * F.size("toks")).cast("long").alias("tokens_after"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Zipf rank-frequency slope — the corpus-law audit (natural text follows
+# freq ∝ rank^-s with s ≈ 1; synthetic or boilerplate-heavy corpora bend
+# the line). Token counts aggregate map-side; the top-K=100 tokens come
+# back via distributed top-k (orderBy+limit → TakeOrderedAndProject, no
+# global sort), then OLS runs over ≤100 (ln rank, ln freq) pairs
+# quantized to integer micro-nats — the bigram-LM trick — so both
+# engines sum identical BIGINTs and the slope/intercept are one fixed
+# float dag. NULL slope when fewer than two distinct points.
+# ---------------------------------------------------------------------------
+ZIPF_TOP_K = 100
+
+
+@register(
+    "text_zipf_slope",
+    oracle=rf"""
+        WITH tok AS (
+            SELECT unnest(string_split_regex(LOWER(TRIM(text)), '\s+')) AS t
+            FROM documents
+        ),
+        cnt AS (
+            SELECT t, CAST(COUNT(*) AS BIGINT) AS c
+            FROM tok WHERE t <> '' GROUP BY t
+        ),
+        topk AS (
+            SELECT c, ROW_NUMBER() OVER (ORDER BY c DESC, t) AS rnk
+            FROM cnt ORDER BY c DESC, t LIMIT {ZIPF_TOP_K}
+        ),
+        pts AS (
+            SELECT CAST(ROUND(ln(rnk) * 1000000.0) AS BIGINT) AS lx,
+                   CAST(ROUND(ln(c)   * 1000000.0) AS BIGINT) AS ly
+            FROM topk
+        ),
+        m AS (
+            SELECT CAST(COUNT(*) AS BIGINT)       AS n,
+                   CAST(SUM(lx) AS BIGINT)        AS sx,
+                   CAST(SUM(ly) AS BIGINT)        AS sy,
+                   CAST(SUM(lx * lx) AS BIGINT)   AS sxx,
+                   CAST(SUM(lx * ly) AS BIGINT)   AS sxy
+            FROM pts
+        )
+        SELECT n,
+               CASE WHEN n * 1.0 * sxx - sx * 1.0 * sx <= 0 THEN NULL ELSE
+                 ROUND(((n * 1.0 * sxy - sx * 1.0 * sy)
+                     / (n * 1.0 * sxx - sx * 1.0 * sx)) * 1000000.0)
+                 / 1000000.0 END AS zipf_slope,
+               CASE WHEN n * 1.0 * sxx - sx * 1.0 * sx <= 0 THEN NULL ELSE
+                 ROUND(((sy * 1.0 * sxx - sx * 1.0 * sxy)
+                     / (n * 1.0 * sxx - sx * 1.0 * sx) / 1000000.0)
+                     * 1000000.0) / 1000000.0 END AS zipf_intercept_nats
+        FROM m
+    """,
+    tags=("text", "zipf", "stats", "documents"),
+)
+def text_zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    cnt = (
+        docs.select(
+            F.explode(F.split(F.lower(F.trim(F.col("text"))), r"\s+")).alias("t")
+        )
+        .filter(F.col("t") != "")
+        .groupBy("t")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+    )
+    from pyspark.sql import Window
+
+    topk = cnt.orderBy(F.col("c").desc(), F.col("t")).limit(ZIPF_TOP_K)
+    ranked = topk.withColumn(
+        "rnk",
+        F.row_number().over(Window.orderBy(F.col("c").desc(), F.col("t"))),
+    )  # <=100 rows: constant-size window by construction
+    pts = ranked.select(
+        F.round(F.log("rnk") * 1e6, 0).cast("long").alias("lx"),
+        F.round(F.log("c") * 1e6, 0).cast("long").alias("ly"),
+    )
+    m = pts.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("lx").alias("sx"),
+        F.sum("ly").alias("sy"),
+        F.sum(F.col("lx") * F.col("lx")).alias("sxx"),
+        F.sum(F.col("lx") * F.col("ly")).alias("sxy"),
+    )
+    den = F.col("n") * F.lit(1.0) * F.col("sxx") - F.col("sx") * F.lit(1.0) * F.col("sx")
+    slope = (
+        F.col("n") * F.lit(1.0) * F.col("sxy") - F.col("sx") * F.lit(1.0) * F.col("sy")
+    ) / den
+    intercept = (
+        (F.col("sy") * F.lit(1.0) * F.col("sxx") - F.col("sx") * F.lit(1.0) * F.col("sxy"))
+        / den
+        / F.lit(1e6)
+    )
+    null_d = F.lit(None).cast("double")
+    return m.select(
+        "n",
+        F.when(den <= 0, null_d).otherwise(pround(slope, 6)).alias("zipf_slope"),
+        F.when(den <= 0, null_d)
+        .otherwise(pround(intercept, 6))
+        .alias("zipf_intercept_nats"),
+    )
