@@ -5,9 +5,15 @@ KafkaAvroToIceberg.scala:55-64) with the same operational contract:
 
 - **Offsets**: the source tracks progress as a row index over the
   event_id-sorted events table — the analogue of Kafka's per-partition
-  offsets. ``initialOffset`` = 0 ("earliest"), ``latestOffset`` advances
-  at most ``batch_rows`` per micro-batch (rate limiting à la
-  maxOffsetsPerTrigger), ``commit`` is the exactly-once bookkeeping hook.
+  offsets. ``initialOffset`` = 0 ("earliest"), ``latestOffset`` reports
+  the full frontier, ``commit`` is the exactly-once bookkeeping hook.
+  latestOffset is deliberately STATELESS: Spark may service offset calls
+  from more than one reader instance, and a frontier derived from
+  instance state can regress below the committed offset on restart —
+  which makes Spark re-plan and re-read committed rows (caught by
+  tests/test_datasources.py). Rate-limited multi-batch replay coverage
+  lives in the file-source staged queries instead
+  (streaming/pipeline.py, maxFilesPerTrigger).
 - **Partitioned reads**: each micro-batch's row range splits into
   ``n_splits`` InputPartitions read ON EXECUTORS — the driver only plans
   offsets, as with Kafka.
@@ -73,7 +79,6 @@ class _ReplayStreamReader(DataSourceStreamReader):
         self._path = options.get("path")
         if not self._path:
             raise ValueError("ksj_replay requires .option('path', <events.parquet>)")
-        self._batch_rows = int(options.get("batch_rows", 5000))
         self._n_splits = int(options.get("n_splits", 4))
         self._total: int | None = None
 
@@ -88,15 +93,10 @@ class _ReplayStreamReader(DataSourceStreamReader):
         return {"idx": 0}
 
     def latestOffset(self) -> dict:
-        # Rate limiting à la maxOffsetsPerTrigger: each planning call
-        # advances the available frontier by at most batch_rows, so a
-        # bounded file replays as SEVERAL micro-batches (state crosses
-        # batch boundaries, as with a live Kafka topic). Spark slices the
-        # actual batch as (committed start, this frontier).
-        self._cursor = min(
-            getattr(self, "_cursor", 0) + self._batch_rows, self._total_rows()
-        )
-        return {"idx": self._cursor}
+        # Stateless full-frontier report (see module docstring): monotone
+        # under restarts and identical across reader instances, so the
+        # committed offset can never regress and no row is read twice.
+        return {"idx": self._total_rows()}
 
     def partitions(self, start: dict, end: dict):
         lo, hi = int(start["idx"]), int(end["idx"])

@@ -1188,12 +1188,13 @@ _register_offsetlog_query()
 
 # ---------------------------------------------------------------------------
 # The hourly rollup driven through the CUSTOM streaming connector
-# (sources/replay.py — offset-tracked, rate-limited, executor-side
-# partitioned reads; the engine's own Kafka-source stand-in). Same oracle
-# as events_hourly_rollup, so the driver's gate covers the connector's
-# offset planning and partition reads end-to-end. batch_rows forces a
-# multi-micro-batch replay: windowed agg state must survive batch
-# boundaries to match the batch answer.
+# (sources/replay.py — offset-tracked, executor-side partitioned reads;
+# the engine's own Kafka-source stand-in). Same oracle as
+# events_hourly_rollup, so the driver's gate covers the connector's
+# offset planning and partition reads end-to-end. (Multi-micro-batch
+# state coverage lives in the maxFilesPerTrigger staged queries; the
+# connector reports its full frontier statelessly so a restart can never
+# regress the committed offset — see sources/replay.py.)
 # ---------------------------------------------------------------------------
 def _register_streaming_replay_source() -> None:
     import uuid
@@ -1216,16 +1217,9 @@ def _register_streaming_replay_source() -> None:
 
         register_replay_source(spark)
         path = os.path.join(sf_dir, "events.parquet")
-        import pyarrow.parquet as pq
-
-        # ~6 micro-batches at any SF: replay crosses batch boundaries
-        # (the point of the exercise) without per-batch overhead
-        # dominating at larger scales.
-        n_rows = pq.ParquetFile(path).metadata.num_rows
         stream = (
             spark.readStream.format("ksj_replay")
             .option("path", path)
-            .option("batch_rows", max(2000, n_rows // 6))
             .option("n_splits", 8)
             .load()
         )

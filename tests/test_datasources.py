@@ -1,0 +1,146 @@
+"""Edge-case tests for the custom Python DataSources (sources/):
+the offset-log table reader and the replay connector's batch/stream
+offset handling. The happy paths are oracle-gated registry queries
+(checkpoint_offsetlog_table, streaming_replay_source_rollup,
+batch_replay_source_slice); these pin the corners the oracle data
+never hits."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+
+from .conftest import SF_SMOKE
+
+
+def _register(spark):
+    from kafka_stream_job_spark.sources.offsetlog import register_offsetlog_source
+    from kafka_stream_job_spark.sources.replay import register_replay_source
+
+    register_offsetlog_source(spark)
+    register_replay_source(spark)
+
+
+def test_offsetlog_corrupt_and_log_lines(spark, tmp_path):
+    """A non-JSON offsets line must surface as source_kind='other' (not
+    crash the scan); FileStreamSource-style logOffset lines map to
+    kind='log'."""
+    _register(spark)
+    d = tmp_path / "offsets"
+    d.mkdir()
+    (d / "0").write_text('v1\n{"batchWatermarkMs": 7}\nnot-json-at-all\n')
+    (d / "1").write_text('v1\n{"batchWatermarkMs": 9}\n{"logOffset": 4}\n')
+    rows = {
+        tuple(r)
+        for r in spark.read.format("ksj_offsetlog")
+        .option("path", str(tmp_path))
+        .load()
+        .collect()
+    }
+    assert rows == {
+        (0, "other", None, None, None, 7),
+        (1, "log", None, None, 4, 9),
+    }
+
+
+def test_offsetlog_requires_path(spark):
+    _register(spark)
+    from pyspark.errors import PySparkException
+
+    with pytest.raises(Exception, match="path"):
+        spark.read.format("ksj_offsetlog").load().collect()
+
+
+def test_replay_batch_bounds_clamp_and_empty(spark):
+    """start/end beyond the file clamp to the row count; start >= end is
+    an empty frame, not an error."""
+    _register(spark)
+    path = os.path.join(SF_SMOKE, "events.parquet")
+    full = (
+        spark.read.format("ksj_replay").option("path", path).load().count()
+    )
+    beyond = (
+        spark.read.format("ksj_replay")
+        .option("path", path)
+        .option("start_idx", 0)
+        .option("end_idx", 10_000_000)
+        .load()
+        .count()
+    )
+    assert beyond == full
+    empty = (
+        spark.read.format("ksj_replay")
+        .option("path", path)
+        .option("start_idx", 500)
+        .option("end_idx", 500)
+        .load()
+        .count()
+    )
+    assert empty == 0
+
+
+def test_replay_batch_slices_partition_cleanly(spark):
+    """Adjacent slices partition the offset space: no overlap, no gap,
+    and the union equals the bounded range regardless of n_splits."""
+    _register(spark)
+    path = os.path.join(SF_SMOKE, "events.parquet")
+
+    def ids(start, end, splits):
+        return {
+            r["event_id"]
+            for r in spark.read.format("ksj_replay")
+            .option("path", path)
+            .option("start_idx", start)
+            .option("end_idx", end)
+            .option("n_splits", splits)
+            .load()
+            .collect()
+        }
+
+    whole = ids(100, 400, 1)
+    assert len(whole) == 300
+    assert ids(100, 400, 7) == whole
+    assert ids(100, 250, 3) | ids(250, 400, 3) == whole
+    assert ids(100, 250, 3) & ids(250, 400, 3) == set()
+
+
+def test_replay_stream_resumes_from_committed_offset(spark, tmp_path):
+    """Restarting the replay stream against the same checkpoint must not
+    re-read ANY rows: the stateless full-frontier latestOffset can never
+    regress below the committed offset. (The original in-memory
+    rate-limit cursor DID regress — Spark re-planned and re-read
+    committed rows, double-counting aggregates.)"""
+    import pyarrow.parquet as pq
+    from pyspark.sql import functions as F
+
+    _register(spark)
+    path = os.path.join(SF_SMOKE, "events.parquet")
+    total = pq.ParquetFile(path).metadata.num_rows
+    ckpt = str(tmp_path / "ckpt")
+
+    def run(name):
+        q = (
+            spark.readStream.format("ksj_replay")
+            .option("path", path)
+            .load()
+            .groupBy()
+            .agg(F.count(F.lit(1)).alias("n"))
+            .writeStream.format("memory")
+            .queryName(name)
+            .option("checkpointLocation", ckpt)
+            .outputMode("complete")
+            .start()
+        )
+        q.processAllAvailable()
+        in_rows = sum(p["numInputRows"] for p in q.recentProgress)
+        q.stop()
+        rows = spark.table(name).collect()
+        return in_rows, (rows[0]["n"] if rows else None)
+
+    in_a, state_a = run("replay_resume_a")
+    assert in_a == total and state_a == total
+    # restart: the committed frontier equals the file end → zero input
+    # rows, zero re-reads (and hence no batch to re-publish state).
+    in_b, _ = run("replay_resume_b")
+    assert in_b == 0
