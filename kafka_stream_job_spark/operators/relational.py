@@ -5118,3 +5118,80 @@ def events_cusum_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         .crossJoin(F.broadcast(trough))
         .crossJoin(F.broadcast(tot.select(F.col("n").alias("n_hours"))))
     )
+
+
+# ---------------------------------------------------------------------------
+# Full CRUD MERGE: one CDC batch carrying UPDATEs, DELETEs, and INSERTs
+# applied to the customer dimension in a single pass — the complete
+# MERGE INTO semantics next to scd2_customer_merge's update-only history
+# keeping. The change batch is derived deterministically from the data
+# (every 7th customer: balance restated; every 13th: deleted — delete
+# wins where both match, as MERGE's WHEN MATCHED ordering dictates;
+# plus one synthetic insert per nation keyed above the existing range).
+# Engine-neutral plan: dimension LEFT JOIN broadcast(changes) + CASE,
+# UNION the inserts — the dimension is scanned once and never shuffled.
+# Output: per-nation row count and balance total after the merge, plus
+# applied-action counts, so any mis-applied row flips the hash.
+# ---------------------------------------------------------------------------
+@register(
+    "merge_full_cdc",
+    oracle="""
+        WITH merged AS (
+            SELECT c_custkey, c_nationkey,
+                   CASE WHEN c_custkey % 7 = 0
+                        THEN ROUND(c_acctbal * 110.0) / 100.0
+                        ELSE c_acctbal END AS bal,
+                   CASE WHEN c_custkey % 7 = 0 THEN 1 ELSE 0 END AS updated
+            FROM customer
+            WHERE NOT c_custkey % 13 = 0
+            UNION ALL
+            SELECT 900000000 + n_nationkey, n_nationkey, 1000.0, 0
+            FROM nation
+        )
+        SELECT c_nationkey,
+               COUNT(*) AS n_rows,
+               ROUND((SUM(ROUND(bal * 100.0))) ) / 100.0 + 0.0 AS total_bal,
+               CAST(SUM(updated) AS BIGINT) AS n_updated
+        FROM merged
+        GROUP BY 1
+    """,
+    tags=("merge", "cdc", "customer", "join"),
+)
+def merge_full_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    # CDC batch (derived): updates and deletes keyed by custkey, inserts
+    # keyed per nation. In production this arrives as a table; derived
+    # here so the oracle can reconstruct it exactly.
+    updates = cust.filter(F.col("c_custkey") % 7 == 0).select(
+        "c_custkey",
+        (F.round(F.col("c_acctbal") * 110.0, 0) / 100.0).alias("new_bal"),
+    )
+    deletes = cust.filter(F.col("c_custkey") % 13 == 0).select("c_custkey")
+    inserts = nation.select(
+        (F.lit(900000000) + F.col("n_nationkey")).alias("c_custkey"),
+        F.col("n_nationkey").alias("c_nationkey"),
+        F.lit(1000.0).alias("bal"),
+        F.lit(0).alias("updated"),
+    )
+    merged = (
+        cust.join(
+            F.broadcast(deletes.withColumn("_del", F.lit(1))), "c_custkey", "left"
+        )
+        .filter(F.col("_del").isNull())  # WHEN MATCHED ... DELETE wins
+        .join(F.broadcast(updates), "c_custkey", "left")
+        .select(
+            "c_custkey",
+            "c_nationkey",
+            F.coalesce(F.col("new_bal"), F.col("c_acctbal")).alias("bal"),
+            F.col("new_bal").isNotNull().cast("int").alias("updated"),
+        )
+        .unionByName(inserts)  # WHEN NOT MATCHED ... INSERT
+    )
+    return merged.groupBy("c_nationkey").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        (F.sum(F.round(F.col("bal") * 100.0, 0)) / 100.0 + F.lit(0.0)).alias(
+            "total_bal"
+        ),
+        F.sum("updated").cast("long").alias("n_updated"),
+    )
