@@ -639,3 +639,160 @@ def sketch_quantile_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
         "target_rank",
         "n_rows",
     )
+
+
+# ---------------------------------------------------------------------------
+# HLL SET ALGEBRA — intersection by inclusion–exclusion:
+# |A ∩ B| ≈ est(A) + est(B) − est(A ∪ B), where est(A ∪ B) comes from the
+# register-wise MAX merge (the only set operation HLL supports natively).
+# This is how sketch stores answer "users who did BOTH X and Y" without
+# touching raw data twice; the error compounds (three estimates), which
+# is exactly why the query reports the exact intersection beside it.
+# All register folds use the ordered-sum trick so the float sums are
+# bit-identical across engines; the final expression is one fixed dag.
+# ---------------------------------------------------------------------------
+HLL_IX_PAIRS = (("view", "click"), ("view", "purchase"), ("click", "error"))
+
+
+def _hll_ix_oracle() -> str:
+    def fold(src: str) -> str:
+        return f"""(
+            SELECT COUNT(*) AS n_present,
+                   list_reduce(
+                       list_prepend(0.0, list(1.0 / (1 << m_rank) ORDER BY register)),
+                       (acc, x) -> acc + x) AS present_sum
+            FROM {src}
+        )"""
+
+    def est(alias: str) -> str:
+        return _HLL_EST_SQL.replace("present_sum", f"{alias}.present_sum").replace(
+            "n_present", f"{alias}.n_present"
+        )
+
+    sql = f"""
+        WITH h AS (
+            SELECT event_type, user_id,
+                   ('0x' || substr(md5('hll:' || CAST(user_id AS VARCHAR)), 1, 7))::BIGINT
+                       AS hv
+            FROM events
+        ),
+        regs AS (
+            SELECT event_type, hv % {HLL_M} AS register,
+                   MAX(CASE WHEN hv // {HLL_M} = 0 THEN 21
+                            ELSE 21 - LENGTH(bin(hv // {HLL_M})) END) AS m_rank
+            FROM h
+            GROUP BY event_type, hv % {HLL_M}
+        )"""
+    legs = []
+    for i, (ta, tb) in enumerate(HLL_IX_PAIRS):
+        sql += f""",
+        u{i} AS (
+            SELECT register, MAX(m_rank) AS m_rank FROM regs
+            WHERE event_type IN ('{ta}', '{tb}') GROUP BY register
+        ),
+        fa{i} AS {fold(f"(SELECT register, m_rank FROM regs WHERE event_type = '{ta}')")},
+        fb{i} AS {fold(f"(SELECT register, m_rank FROM regs WHERE event_type = '{tb}')")},
+        fu{i} AS {fold(f"u{i}")},
+        x{i} AS (
+            SELECT CAST(COUNT(*) AS BIGINT) AS n_exact FROM (
+                SELECT user_id FROM h WHERE event_type = '{ta}'
+                INTERSECT
+                SELECT user_id FROM h WHERE event_type = '{tb}'
+            )
+        )"""
+        legs.append(f"""
+        SELECT '{ta}&{tb}' AS pair,
+               (SELECT n_exact FROM x{i}) AS n_exact,
+               ROUND((({est(f"fa{i}")}) + ({est(f"fb{i}")}) - ({est(f"fu{i}")}))
+                     * 1000000.0) / 1000000.0 + 0.0 AS hll_intersection_estimate
+        FROM fa{i}, fb{i}, fu{i}""")
+    return sql + "\n        " + "\n        UNION ALL ".join(legs)
+
+
+@register(
+    "hll_intersection_estimate",
+    oracle=_hll_ix_oracle(),
+    tags=("sketch", "hll", "set-algebra", "events"),
+)
+def hll_intersection_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    hv = F.conv(
+        F.substring(
+            F.md5(F.concat(F.lit("hll:"), F.col("user_id").cast("string"))), 1, 7
+        ),
+        16,
+        10,
+    ).cast("long")
+    staged = events.select("event_type", hv.alias("hv")).select(
+        "event_type",
+        (F.col("hv") % HLL_M).alias("register"),
+        (F.col("hv") / F.lit(HLL_M)).cast("long").alias("w"),
+    )
+    m_rank = F.when(F.col("w") == 0, F.lit(21)).otherwise(
+        F.lit(21) - F.length(F.bin(F.col("w")))
+    )
+    regs = (
+        staged.select("event_type", "register", m_rank.alias("m_rank"))
+        .groupBy("event_type", "register")
+        .agg(F.max("m_rank").alias("m_rank"))
+        .localCheckpoint(eager=False)  # six folds read this once
+    )
+    m = float(HLL_M)
+    raw_e = (
+        (F.lit(0.7213) / (F.lit(1.0) + F.lit(1.079) / F.lit(m)))
+        * F.lit(m)
+        * F.lit(m)
+        / (F.col("present_sum") + (F.lit(HLL_M) - F.col("n_present")) * F.lit(1.0))
+    )
+    est_expr = F.when(
+        (raw_e <= 2.5 * m) & (F.col("n_present") < HLL_M),
+        F.lit(m) * F.log(F.lit(m) / (F.lit(HLL_M) - F.col("n_present"))),
+    ).otherwise(raw_e)
+
+    def folded(df):
+        contribs = df.select(
+            F.expr("1.0 / shiftleft(1, m_rank)").alias("contrib"), "register"
+        )
+        return contribs.agg(
+            F.count(F.lit(1)).alias("n_present"),
+            F.aggregate(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("register", "contrib"))),
+                    lambda s: s["contrib"],
+                ),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            ).alias("present_sum"),
+        ).select(est_expr.alias("est"))
+
+    out = None
+    for ta, tb in HLL_IX_PAIRS:
+        fa = folded(regs.filter(F.col("event_type") == ta))
+        fb = folded(regs.filter(F.col("event_type") == tb))
+        fu = folded(
+            regs.filter(F.col("event_type").isin(ta, tb))
+            .groupBy("register")
+            .agg(F.max("m_rank").alias("m_rank"))
+        )
+        ex = (
+            events.filter(F.col("event_type") == ta)
+            .select("user_id")
+            .intersect(
+                events.filter(F.col("event_type") == tb).select("user_id")
+            )
+            .agg(F.count(F.lit(1)).cast("long").alias("n_exact"))
+        )
+        row = (
+            ex.crossJoin(F.broadcast(fa.select(F.col("est").alias("est_a"))))
+            .crossJoin(F.broadcast(fb.select(F.col("est").alias("est_b"))))
+            .crossJoin(F.broadcast(fu.select(F.col("est").alias("est_u"))))
+            .select(
+                F.lit(f"{ta}&{tb}").alias("pair"),
+                "n_exact",
+                pround(
+                    F.col("est_a") + F.col("est_b") - F.col("est_u"), 6
+                ).alias("hll_intersection_estimate"),
+            )
+        )
+        out = row if out is None else out.unionByName(row)
+    return out

@@ -2405,3 +2405,68 @@ def test_cusum_oracle_matches_reference(hours):
     peak = (base + datetime.timedelta(hours=min(o for o, v in vals if v == mx))).strftime(fmt)
     trough = (base + datetime.timedelta(hours=min(o for o, v in vals if v == mn))).strftime(fmt)
     assert got == {(mx, mn, peak, trough, n)}
+
+
+@settings(max_examples=50, deadline=None)
+@given(
+    custs=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=200),      # custkey
+            st.integers(min_value=0, max_value=4),        # nationkey
+            st.integers(min_value=-50000, max_value=50000),  # balance cents
+        ),
+        min_size=1,
+        max_size=60,
+    )
+)
+def test_merge_full_cdc_oracle_matches_reference(custs):
+    """The CRUD-merge oracle vs a Python applier — pins delete-wins
+    precedence for keys matching both the update and delete predicates
+    (custkey divisible by 91), the 10% restatement arithmetic, and the
+    per-nation inserts."""
+    import duckdb
+
+    from kafka_stream_job_spark.registry import all_specs
+
+    seen = {}
+    for ck, nk, cents in custs:
+        seen.setdefault(ck, (nk, cents))
+    data = [(ck, nk, cents / 100.0) for ck, (nk, cents) in seen.items()]
+    nations = [(nk,) for nk in range(5)]
+    oracle = all_specs()["merge_full_cdc"].oracle
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE customer (c_custkey BIGINT, c_nationkey BIGINT,"
+        " c_acctbal DOUBLE)"
+    )
+    con.execute("CREATE TABLE nation (n_nationkey BIGINT)")
+    con.executemany("INSERT INTO customer VALUES (?, ?, ?)", data)
+    con.executemany("INSERT INTO nation VALUES (?)", nations)
+    got = {tuple(r) for r in con.sql(oracle).fetchall()}
+
+    by_nation: dict[int, list] = {nk: [] for nk in range(5)}
+    for ck, (nk, cents) in seen.items():
+        if ck % 13 == 0:
+            continue  # delete wins, even when ck % 7 == 0 too
+        if ck % 7 == 0:
+            # ROUND(bal*110)/100 in cents: round-half-away on cents*1.1
+            import math
+
+            scaled = cents * 1.1
+            newc = int(math.floor(abs(scaled) + 0.5)) * (1 if scaled >= 0 else -1)
+            by_nation.setdefault(nk, []).append((newc, 1))
+        else:
+            by_nation.setdefault(nk, []).append((cents, 0))
+    for nk in range(5):
+        by_nation[nk].append((100000, 0))  # insert: 1000.00
+    want = {
+        (
+            nk,
+            len(rows),
+            sum(c for c, _ in rows) / 100.0,
+            sum(u for _, u in rows),
+        )
+        for nk, rows in by_nation.items()
+        if rows
+    }
+    assert got == want
