@@ -5195,3 +5195,52 @@ def merge_full_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.sum("updated").cast("long").alias("n_updated"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Seasonal hour-of-day profile — the periodic component the
+# autocorrelation (events_hourly_autocorr) detects and CUSUM
+# (events_cusum_drift) must not mistake for drift: per hour-of-day event
+# counts and their integer basis-point share of the total, with the
+# within-hod daily spread (min/max of the per-(date, hod) counts).
+# Everything integer-exact; two metadata-sized aggregations.
+# ---------------------------------------------------------------------------
+@register(
+    "events_seasonal_profile",
+    oracle="""
+        WITH per_cell AS (
+            SELECT CAST(date_trunc('day', ts) AS DATE) AS d,
+                   CAST(EXTRACT(hour FROM ts) AS BIGINT) AS hod,
+                   CAST(COUNT(*) AS BIGINT) AS c
+            FROM events GROUP BY 1, 2
+        ),
+        tot AS (SELECT CAST(SUM(c) AS BIGINT) AS total FROM per_cell)
+        SELECT hod,
+               CAST(SUM(c) AS BIGINT)                    AS n_events,
+               CAST(SUM(c) * 10000 // total AS BIGINT)   AS share_bp,
+               CAST(MIN(c) AS BIGINT)                    AS min_daily,
+               CAST(MAX(c) AS BIGINT)                    AS max_daily
+        FROM per_cell, tot
+        GROUP BY hod, total
+    """,
+    tags=("stats", "timeseries", "seasonal", "events"),
+)
+def events_seasonal_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    per_cell = events.groupBy(
+        F.date_trunc("day", "ts").cast("date").alias("d"),
+        F.hour("ts").cast("long").alias("hod"),
+    ).agg(F.count(F.lit(1)).cast("long").alias("c"))
+    tot = per_cell.agg(F.sum("c").cast("long").alias("total"))
+    return (
+        per_cell.crossJoin(F.broadcast(tot))
+        .groupBy("hod")
+        .agg(
+            F.sum("c").cast("long").alias("n_events"),
+            F.floor(F.sum("c") * 10000 / F.first("total"))
+            .cast("long")
+            .alias("share_bp"),
+            F.min("c").cast("long").alias("min_daily"),
+            F.max("c").cast("long").alias("max_daily"),
+        )
+    )

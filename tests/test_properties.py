@@ -2470,3 +2470,142 @@ def test_merge_full_cdc_oracle_matches_reference(custs):
         if rows
     }
     assert got == want
+
+
+@settings(max_examples=50, deadline=None)
+@given(
+    cents=st.lists(
+        st.integers(min_value=100, max_value=99_999_999), min_size=1, max_size=80
+    )
+)
+def test_benford_oracle_matches_reference(cents):
+    """The Benford audit oracle vs a Python digit counter — pins the
+    floor-then-first-digit extraction and the share arithmetic."""
+    import math
+
+    import duckdb
+
+    from kafka_stream_job_spark.registry import all_specs
+
+    vals = [c / 100.0 for c in cents]
+    oracle = all_specs()["benford_digit_audit"].oracle
+    con = duckdb.connect()
+    con.execute("CREATE TABLE orders (o_totalprice DOUBLE)")
+    con.executemany("INSERT INTO orders VALUES (?)", [(v,) for v in vals])
+    got = {tuple(r) for r in con.sql(oracle).fetchall()}
+
+    counts: dict[int, int] = {}
+    for v in vals:
+        d = int(str(int(math.floor(v)))[0])
+        counts[d] = counts.get(d, 0) + 1
+    total = sum(counts.values())
+    want = {
+        (
+            d,
+            n,
+            round(n * 1.0 / total * 1e6) / 1e6 + 0.0,
+            round(math.log10(1.0 + 1.0 / d) * 1e6) / 1e6 + 0.0,
+        )
+        for d, n in counts.items()
+    }
+    assert got == want
+
+
+@settings(max_examples=50, deadline=None)
+@given(
+    custs=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=3),             # nationkey
+            st.sampled_from(["A", "B"]),                       # segment
+            st.integers(min_value=-5000, max_value=5000),      # balance
+        ),
+        min_size=1,
+        max_size=60,
+    )
+)
+def test_k_anonymity_oracle_matches_reference(custs):
+    """The k-anonymity oracle vs a Python class counter — pins the
+    quasi-identifier bucketing (floor of balance/1000) and the risky
+    class/row accounting at the threshold boundary."""
+    import math
+
+    import duckdb
+
+    from kafka_stream_job_spark.operators.relational import _KANON_K
+    from kafka_stream_job_spark.registry import all_specs
+
+    data = [(i, nk, seg, float(bal)) for i, (nk, seg, bal) in enumerate(custs)]
+    oracle = all_specs()["k_anonymity_audit"].oracle
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE customer (c_custkey BIGINT, c_nationkey BIGINT,"
+        " c_mktsegment VARCHAR, c_acctbal DOUBLE)"
+    )
+    con.executemany("INSERT INTO customer VALUES (?, ?, ?, ?)", data)
+    got = set(map(tuple, con.sql(oracle).fetchall()))
+
+    classes: dict[tuple, int] = {}
+    for _, nk, seg, bal in data:
+        key = (nk, seg, math.floor(bal / 1000.0))
+        classes[key] = classes.get(key, 0) + 1
+    sizes = list(classes.values())
+    want = {
+        (
+            len(sizes),
+            sum(1 for n in sizes if n < _KANON_K),
+            sum(n for n in sizes if n < _KANON_K),
+            min(sizes),
+            sum(sizes),
+        )
+    }
+    assert got == want
+
+
+@settings(max_examples=50, deadline=None)
+@given(
+    hours=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=23),   # hour-of-day
+            st.integers(min_value=0, max_value=9),    # day
+            st.integers(min_value=1, max_value=15),   # events in cell
+        ),
+        min_size=1,
+        max_size=50,
+    )
+)
+def test_seasonal_profile_oracle_matches_reference(hours):
+    """The seasonal-profile oracle vs a Python hod accumulator — pins
+    the basis-point floor division and the per-(day, hod) min/max."""
+    import datetime
+
+    import duckdb
+
+    from kafka_stream_job_spark.registry import all_specs
+
+    base = datetime.datetime(2024, 3, 1)
+    cells: dict[tuple, int] = {}
+    for hod, day, n in hours:
+        cells[(day, hod)] = cells.get((day, hod), 0) + n
+    data = []
+    eid = 0
+    for (day, hod), n in cells.items():
+        for _ in range(n):
+            data.append(
+                (eid, base + datetime.timedelta(days=day, hours=hod, minutes=3))
+            )
+            eid += 1
+    oracle = all_specs()["events_seasonal_profile"].oracle
+    con = duckdb.connect()
+    con.execute("CREATE TABLE events (event_id BIGINT, ts TIMESTAMP)")
+    con.executemany("INSERT INTO events VALUES (?, ?)", data)
+    got = {tuple(r) for r in con.sql(oracle).fetchall()}
+
+    total = sum(cells.values())
+    by_hod: dict[int, list] = {}
+    for (day, hod), n in cells.items():
+        by_hod.setdefault(hod, []).append(n)
+    want = {
+        (hod, sum(ns), sum(ns) * 10000 // total, min(ns), max(ns))
+        for hod, ns in by_hod.items()
+    }
+    assert got == want
