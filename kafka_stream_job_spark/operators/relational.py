@@ -5244,3 +5244,46 @@ def events_seasonal_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("c").cast("long").alias("max_daily"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# RANGE window frames — value-based frames over event TIME, the window
+# feature ROWS frames can't express (a "trailing hour" must follow the
+# timestamps, not a fixed row count, whenever event spacing is uneven).
+# Per event: how many same-user events landed in the preceding hour and
+# their value sum — the sliding-lookback primitive behind rate limiting
+# and fraud velocity checks. Partitioned by user (no global window); the
+# frame is evaluated inside the per-user sort, one shuffle total.
+# ---------------------------------------------------------------------------
+@register(
+    "window_range_trailing_hour",
+    oracle="""
+        SELECT event_id,
+               user_id,
+               CAST(COUNT(*) OVER w AS BIGINT)                 AS n_trailing_hour,
+               ROUND((SUM(value) OVER w) * 100.0) / 100.0 + 0.0 AS sum_trailing_hour
+        FROM events
+        WINDOW w AS (
+            PARTITION BY user_id ORDER BY ts
+            RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW
+        )
+    """,
+    tags=("window", "range-frame", "events"),
+)
+def window_range_trailing_hour(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    events.createOrReplaceTempView("range_events_v")
+    return spark.sql(
+        """
+        SELECT event_id,
+               user_id,
+               CAST(COUNT(*) OVER w AS BIGINT) AS n_trailing_hour,
+               ROUND((SUM(value) OVER w) * 100.0) / 100.0 + 0.0D
+                   AS sum_trailing_hour
+        FROM range_events_v
+        WINDOW w AS (
+            PARTITION BY user_id ORDER BY ts
+            RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW
+        )
+        """
+    )

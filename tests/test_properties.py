@@ -2609,3 +2609,51 @@ def test_seasonal_profile_oracle_matches_reference(hours):
         for hod, ns in by_hod.items()
     }
     assert got == want
+
+
+@settings(max_examples=50, deadline=None)
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=2),          # user_id
+            st.integers(min_value=0, max_value=10_800),     # ts offset (s)
+            st.integers(min_value=0, max_value=50),         # whole value
+        ),
+        min_size=1,
+        max_size=50,
+    )
+)
+def test_range_frame_oracle_matches_reference(rows):
+    """The RANGE-frame trailing-hour oracle vs a Python scan — pins the
+    inclusive [ts − 1 h, ts] bound and the PEER-row semantics (events at
+    the exact same timestamp see each other regardless of row order)."""
+    import datetime
+
+    import duckdb
+
+    from kafka_stream_job_spark.registry import all_specs
+
+    base = datetime.datetime(2024, 3, 1)
+    data = [
+        (i, uid, base + datetime.timedelta(seconds=off), float(val))
+        for i, (uid, off, val) in enumerate(rows)
+    ]
+    oracle = all_specs()["window_range_trailing_hour"].oracle
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE events (event_id BIGINT, user_id BIGINT,"
+        " ts TIMESTAMP, value DOUBLE)"
+    )
+    con.executemany("INSERT INTO events VALUES (?, ?, ?, ?)", data)
+    got = {tuple(r) for r in con.sql(oracle).fetchall()}
+
+    hour = datetime.timedelta(hours=1)
+    want = set()
+    for eid, uid, ts, _ in data:
+        peers = [
+            v
+            for _, u2, t2, v in data
+            if u2 == uid and ts - hour <= t2 <= ts
+        ]
+        want.add((eid, uid, len(peers), float(sum(peers))))
+    assert got == want
