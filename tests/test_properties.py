@@ -2657,3 +2657,33 @@ def test_range_frame_oracle_matches_reference(rows):
         ]
         want.add((eid, uid, len(peers), float(sum(peers))))
     assert got == want
+
+
+@settings(max_examples=80, deadline=None)
+@given(
+    n=st.integers(min_value=1, max_value=400),
+    k=st.sampled_from([2, 3, 4, 7, 10, 16]),
+)
+def test_ntile_from_rank_formula_matches_duckdb(n, k):
+    """The closed-form NTILE(k) bucket arithmetic used on top of the
+    distributed global rank (operators/_distributed.py:ntile_from_rank)
+    vs DuckDB's NTILE over every rank 1..n — pins the big-buckets-first
+    split for all n mod k shapes, including n < k."""
+    import duckdb
+
+    con = duckdb.connect()
+    want = dict(
+        con.sql(
+            f"SELECT r, ntile({k}) OVER (ORDER BY r) FROM range(1, {n + 1}) t(r)"
+        ).fetchall()
+    )
+    q, r = divmod(n, k)
+    big = q + 1
+    got = {}
+    for rank in range(1, n + 1):
+        if rank <= r * big:
+            got[rank] = (rank - 1) // big + 1
+        else:
+            # q == 0 only possible when rank <= r*big covers all rows
+            got[rank] = r + (rank - r * big - 1) // q + 1
+    assert got == want
