@@ -76,6 +76,28 @@ def parse_offsets_json(payload: str) -> OffsetMap:
     return out
 
 
+def _filesystem(path: str):
+    """(pyarrow FileSystem, fs-local path) for ``path``, keyed off its
+    scheme. Plain paths stay on the local filesystem; ``hdfs://``,
+    ``s3://``, ``file://`` … resolve through ``FileSystem.from_uri`` so
+    checkpoint dirs on cluster storage read the same way. pyarrow, not
+    builtin ``open``: executors scanning a production checkpoint cannot
+    assume a POSIX mount."""
+    from pyarrow import fs as pafs
+
+    if "://" in path:
+        filesystem, fs_path = pafs.FileSystem.from_uri(path)
+        return filesystem, fs_path
+    return pafs.LocalFileSystem(), path
+
+
+def read_text_file(path: str) -> str:
+    """Whole-file UTF-8 read through the scheme-aware filesystem."""
+    filesystem, fs_path = _filesystem(path)
+    with filesystem.open_input_stream(fs_path) as fh:
+        return fh.read().decode("utf-8")
+
+
 def read_offsets_file(path: str) -> tuple[dict, OffsetMap]:
     """Parse one checkpoint offsets file → (metadata, offsets).
 
@@ -84,8 +106,7 @@ def read_offsets_file(path: str) -> tuple[dict, OffsetMap]:
     offsets JSON (we read source 0, the Kafka source, like the reference's
     lines[2] / readLastLine variants).
     """
-    with open(path, encoding="utf-8") as fh:
-        lines = [ln.strip() for ln in fh if ln.strip()]
+    lines = [ln.strip() for ln in read_text_file(path).splitlines() if ln.strip()]
     if not lines or not lines[0].startswith("v"):
         raise ValueError(f"{path}: not a Spark offsets file (missing version line)")
     metadata = json.loads(lines[1]) if len(lines) > 1 else {}
@@ -98,13 +119,21 @@ def read_offsets_file(path: str) -> tuple[dict, OffsetMap]:
 def list_offset_batches(checkpoint_dir: str) -> list[tuple[int, str]]:
     """Numerically-sorted (batch_id, path) pairs from ``<ckpt>/offsets``
     (KafkaStreamingPreflightDetector.java:167-172). Ignores .crc/tmp."""
-    offsets_dir = os.path.join(checkpoint_dir, "offsets")
-    if not os.path.isdir(offsets_dir):
+    from pyarrow import fs as pafs
+
+    sep = "/" if "://" in checkpoint_dir else os.sep
+    offsets_dir = checkpoint_dir.rstrip(sep) + sep + "offsets"
+    filesystem, fs_dir = _filesystem(offsets_dir)
+    info = filesystem.get_file_info(fs_dir)
+    if info.type != pafs.FileType.Directory:
         return []
+    # Reconstruct caller-scheme paths so read_offsets_file re-resolves the
+    # same filesystem from the returned path strings.
+    prefix = offsets_dir.rstrip(sep) + sep
     batches = [
-        (int(name), os.path.join(offsets_dir, name))
-        for name in os.listdir(offsets_dir)
-        if name.isdigit()
+        (int(fi.base_name), prefix + fi.base_name)
+        for fi in filesystem.get_file_info(pafs.FileSelector(fs_dir))
+        if fi.base_name.isdigit()
     ]
     return sorted(batches)
 

@@ -20,6 +20,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from kafka_stream_job_spark.operators._portable import idiv
+
 DEFAULT_RANK_PARTS = 32
 
 
@@ -74,13 +76,16 @@ def ntile_from_rank(rank: Column, total: Column, k: int) -> Column:
     """SQL NTILE(k) bucket from a 1-based global rank and the total row
     count: the first ``total % k`` buckets hold ``ceil(total/k)`` rows,
     the rest ``floor(total/k)`` — exactly Spark's/DuckDB's NTILE."""
-    q = (total / k).cast("long")  # floor
+    # Integer division throughout (idiv = Spark's `div`) — double division
+    # loses exactness past 2^53 and can land on the wrong side of an
+    # integer boundary at the row counts this helper exists for.
+    q = idiv(total.cast("long"), k)
     r = total % k
     big = q + 1
     in_big = rank <= r * big
     return (
-        F.when(in_big, ((rank - 1) / big).cast("long") + 1)
-        .otherwise(r + ((rank - r * big - 1) / q).cast("long") + 1)
+        F.when(in_big, idiv((rank - 1).cast("long"), big) + 1)
+        .otherwise(r + idiv((rank - r * big - 1).cast("long"), q) + 1)
         .cast("int")
     )
 

@@ -37,3 +37,15 @@ def sql_round(expr: str, scale: int) -> str:
     """DuckDB side — identical arithmetic, term for term."""
     factor = float(10**scale)
     return f"ROUND(({expr}) * {factor}) / {factor} + 0.0"
+
+
+def idiv(a: Column | str, b: Column | int) -> Column:
+    """Exact integer floor-division on longs — Spark's ``div`` operator
+    (DuckDB twin: ``//``). NOT ``(a / b).cast('long')``: double division
+    loses exactness past 2^53, which matters for the 100 TB row-count
+    arithmetic in ntile/share-of-total computations."""
+    if isinstance(a, str):
+        a = F.col(a)
+    if isinstance(b, int):
+        b = F.lit(b)
+    return F.call_function("div", a, b)

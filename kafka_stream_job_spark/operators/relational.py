@@ -33,7 +33,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from kafka_stream_job_spark.operators._portable import pround, sql_round
+from kafka_stream_job_spark.operators._portable import idiv, pround, sql_round
 from kafka_stream_job_spark.registry import register
 from kafka_stream_job_spark.tables import load_table
 
@@ -931,21 +931,52 @@ def percentile_order_prices(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Sketches — the 100 TB path for distinct counts and quantiles:
 # approx_count_distinct (HyperLogLog++) and percentile_approx (t-digest
 # style) aggregate in constant memory and merge across partitions, where
-# the exact forms hold full sets/sorts. No SQL oracle (DuckDB's
-# approximations differ by design) → rows-only check by the driver;
-# tests/test_sketches.py bounds the error against the exact values.
+# the exact forms hold full sets/sorts. DuckDB's approximations differ by
+# construction, so the oracle is INVARIANT-style (the kmeans pattern):
+# the Spark side emits the exact n_events plus booleans asserting the
+# sketch estimates sit inside their published error envelopes vs the
+# exact values (computed in the same agg), and the oracle pins n_events
+# exactly with the invariants as TRUE literals. A sketch wandering out of
+# its guarantee flips a boolean and fails the hash gate.
+#   - approx_count_distinct rsd=0.02 → |approx−exact| ≤ max(5, 5·rsd·exact)
+#     (5σ of the advertised relative standard deviation).
+#   - percentile_approx(accuracy=10000) → rank error ≤ n/10000, so the
+#     returned value must lie within the exact [p45, p55] band.
+# tests/test_sketches.py additionally bounds the error tighter.
 # ---------------------------------------------------------------------------
 @register(
     "sketch_user_activity",
-    oracle=None,
+    oracle="""
+        SELECT event_type,
+               CAST(COUNT(*) AS BIGINT) AS n_events,
+               TRUE AS users_in_bound,
+               TRUE AS p50_in_bound
+        FROM events
+        GROUP BY event_type
+    """,
     tags=("agg", "sketch", "events"),
 )
 def sketch_user_activity(spark: SparkSession, sf_dir: str) -> DataFrame:
     events = load_table(spark, sf_dir, "events")
-    return events.groupBy("event_type").agg(
-        F.approx_count_distinct("user_id", rsd=0.02).alias("approx_users"),
-        F.percentile_approx("value", 0.5, 10000).alias("approx_p50_value"),
+    agg = events.groupBy("event_type").agg(
         F.count(F.lit(1)).alias("n_events"),
+        F.approx_count_distinct("user_id", rsd=0.02).alias("approx_users"),
+        F.countDistinct("user_id").alias("exact_users"),
+        F.percentile_approx("value", 0.5, 10000).alias("approx_p50"),
+        F.percentile("value", 0.45).alias("p45"),
+        F.percentile("value", 0.55).alias("p55"),
+    )
+    return agg.select(
+        "event_type",
+        "n_events",
+        (
+            F.abs(F.col("approx_users").cast("double") - F.col("exact_users"))
+            <= F.greatest(F.lit(5.0), F.lit(5 * 0.02) * F.col("exact_users"))
+        ).alias("users_in_bound"),
+        (
+            (F.col("approx_p50") >= F.col("p45"))
+            & (F.col("approx_p50") <= F.col("p55"))
+        ).alias("p50_in_bound"),
     )
 
 
@@ -1483,12 +1514,19 @@ def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # ---------------------------------------------------------------------------
 # TPC-H Q22 (global sales opportunity): scalar-average subquery filter +
-# anti join — customers with above-average balances and no orders. The
-# average broadcasts (1 row); the anti join streams the orders keys.
+# anti join — customers with above-average balances and no RECENT orders
+# (dormant since the cutoff). The date bound keeps the anti join
+# non-trivial on the generated data, where every rich customer has SOME
+# order — without it the result is empty at sf0.01 and the green row
+# never value-checks the anti-join. The average broadcasts (1 row); the
+# anti join streams the filtered orders keys.
 # ---------------------------------------------------------------------------
+_Q22_CUTOFF = "2000-01-01"
+
+
 @register(
     "q22_global_sales_opportunity",
-    oracle="""
+    oracle=f"""
         WITH avg_bal AS (
             SELECT AVG(c_acctbal) AS a FROM customer WHERE c_acctbal > 0.0
         )
@@ -1498,14 +1536,18 @@ def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
             ROUND((SUM(c_acctbal)) * 100.0) / 100.0 AS totacctbal
         FROM customer, avg_bal
         WHERE c_acctbal > a
-          AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+          AND NOT EXISTS (SELECT 1 FROM orders
+                          WHERE o_custkey = c_custkey
+                            AND o_orderdate >= TIMESTAMP '{_Q22_CUTOFF}')
         GROUP BY c_mktsegment
     """,
     tags=("tpch", "anti-join", "subquery"),
 )
 def q22_global_sales_opportunity(spark: SparkSession, sf_dir: str) -> DataFrame:
     cust = load_table(spark, sf_dir, "customer")
-    orders = load_table(spark, sf_dir, "orders")
+    orders = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") >= F.lit(_Q22_CUTOFF)
+    )
     avg_bal = cust.filter(F.col("c_acctbal") > 0.0).agg(
         F.avg("c_acctbal").alias("a")
     )
@@ -4458,7 +4500,8 @@ def gdpr_purge_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_rows"),
             F.sum(is_del).cast("long").alias("n_delete"),
             F.sum(1 - is_del).cast("long").alias("n_keep"),
-            F.floor(F.sum(is_del) * 10000 / F.count(F.lit(1)))
+            # idiv, not floor(double-div): exact past 2^53 like the oracle's //
+            idiv(F.sum(is_del).cast("long") * 10000, F.count(F.lit(1)))
             .cast("long")
             .alias("delete_bps"),
         )
@@ -5237,7 +5280,8 @@ def events_seasonal_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("hod")
         .agg(
             F.sum("c").cast("long").alias("n_events"),
-            F.floor(F.sum("c") * 10000 / F.first("total"))
+            # idiv, not floor(double-div): exact past 2^53 like the oracle's //
+            idiv(F.sum("c").cast("long") * 10000, F.first("total"))
             .cast("long")
             .alias("share_bp"),
             F.min("c").cast("long").alias("min_daily"),

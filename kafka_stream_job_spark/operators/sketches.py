@@ -763,7 +763,11 @@ def hll_intersection_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.lit(0.0),
                 lambda acc, x: acc + x,
             ).alias("present_sum"),
-        ).select(est_expr.alias("est"))
+            # Round each leg to 6dp BEFORE the inclusion-exclusion sum so the
+            # arithmetic dag is identical to the oracle's per-leg
+            # ROUND(..*1e6)/1e6 inside _HLL_EST_SQL — one fixed IEEE dag on
+            # both engines regardless of dataset/scale factor.
+        ).select(pround(est_expr, 6).alias("est"))
 
     out = None
     for ta, tb in HLL_IX_PAIRS:

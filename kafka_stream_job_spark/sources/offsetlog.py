@@ -59,8 +59,11 @@ class _OffsetLogReader(DataSourceReader):
     def read(self, partition: _BatchFile):
         import json
 
-        with open(partition.path, encoding="utf-8") as fh:
-            lines = fh.read().splitlines()
+        # Scheme-aware read (pyarrow fs): executor-side scans must work when
+        # the checkpoint lives on HDFS/S3, not only on a POSIX mount.
+        from kafka_stream_job_spark.checkpoint import read_text_file
+
+        lines = read_text_file(partition.path).splitlines()
         meta = json.loads(lines[1]) if len(lines) > 1 and lines[1] else {}
         watermark_ms = int(meta.get("batchWatermarkMs", 0))
         for raw in lines[2:]:

@@ -47,13 +47,18 @@ def stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     link = os.path.join(stage, "events.parquet")
     # lexists, not exists: a broken/stale symlink (e.g. regenerated test
     # data) must be detected and replaced, or the stream silently replays
-    # old rows from the persistent /tmp stage dir.
-    if os.path.lexists(link):
-        if os.path.realpath(link) != os.path.realpath(src):
-            os.remove(link)
-            os.symlink(src, link)
-    else:
-        os.symlink(src, link)
+    # old rows from the persistent /tmp stage dir. The replace goes through
+    # a pid-unique temp symlink + atomic os.replace so concurrent processes
+    # (parallel pytest, the driver) never observe a missing link or race
+    # each other's create.
+    if (not os.path.lexists(link)) or os.path.realpath(link) != os.path.realpath(src):
+        tmp_link = f"{link}.tmp-{os.getpid()}"
+        try:
+            os.symlink(src, tmp_link)
+            os.replace(tmp_link, link)
+        except OSError:
+            if os.path.realpath(link) != os.path.realpath(src):
+                raise
     raw_schema = spark.read.parquet(src).schema
     stream = spark.readStream.schema(raw_schema).parquet(stage)
     if isinstance(raw_schema["ts"].dataType, T.LongType):
@@ -677,59 +682,86 @@ _LATE_MOD = 8  # ... restricted to event_id % _LATE_MOD == 0
 _WM_DELAY = "1 hour"
 
 
+def _staged_dir(root: str, src: str, version: str, build) -> str:
+    """Race-free /tmp staging: the stage dir is keyed by the SOURCE file's
+    (mtime_ns, size) so a regenerated source maps to a NEW directory, and a
+    completed stage dir is immutable — never rmtree'd while another process
+    (parallel pytest, the external driver) may be streaming its files.
+    Builders write into a pid-unique temp dir and atomically ``os.rename``
+    it into place; losing the rename race just means another process
+    finished the identical build first, so the loser discards its copy.
+    """
+    import shutil
+
+    st = os.stat(src)
+    stage = os.path.join(root, f"{version}_{st.st_mtime_ns}_{st.st_size}")
+    marker = os.path.join(stage, "_staged")
+    if os.path.exists(marker):
+        return stage
+    tmp = f"{stage}.build-{os.getpid()}"
+    shutil.rmtree(tmp, ignore_errors=True)
+    os.makedirs(tmp)
+    build(tmp)
+    with open(os.path.join(tmp, "_staged"), "w"):
+        pass
+    try:
+        os.rename(tmp, stage)
+    except OSError:
+        if os.path.exists(marker):  # lost the race to an identical build
+            shutil.rmtree(tmp, ignore_errors=True)
+        else:  # stale partial dir from a crashed builder — replace it
+            shutil.rmtree(stage, ignore_errors=True)
+            try:
+                os.rename(tmp, stage)
+            except OSError:
+                shutil.rmtree(tmp, ignore_errors=True)
+    return stage
+
+
 def _stage_late_replay(sf_dir: str) -> str:
     """Split events.parquet into on-time (batch 0) / heartbeat (batch 1) /
-    late (batch 2) files under a /tmp stage dir; rebuilt whenever the
-    source file changes."""
+    late (batch 2) files under a content-keyed /tmp stage dir."""
     import duckdb
 
     src = os.path.join(sf_dir, "events.parquet")
-    stage = os.path.join(
-        "/tmp/ksj_late_stage", sf_dir.strip("/").replace("/", "_")
-    )
-    marker = os.path.join(stage, "_staged_v2")
-    if os.path.exists(marker) and os.path.getmtime(marker) > os.path.getmtime(src):
-        return stage
-    import shutil
-    import time as _time
 
-    shutil.rmtree(stage, ignore_errors=True)
-    os.makedirs(stage)
-    con = duckdb.connect()
-    con.execute(f"CREATE VIEW ev AS SELECT * FROM read_parquet('{src}')")
-    pred = (
-        f"(ts < (SELECT MAX(ts) FROM ev) - INTERVAL {_LATE_HOURS} HOUR"
-        f" AND event_id % {_LATE_MOD} = 0)"
-    )
-    con.execute(
-        f"COPY (SELECT * FROM ev WHERE NOT {pred}) TO '{stage}/batch0.parquet'"
-        " (FORMAT PARQUET)"
-    )
-    # heartbeat: one row at max(ts) whose window is never emitted — its
-    # only job is to advance watermarkForLateEvents past batch 0's data
-    # before the late rows arrive (see module comment above).
-    con.execute(
-        "COPY (SELECT CAST(-1 AS BIGINT) AS event_id,"
-        " (SELECT MAX(ts) FROM ev) AS ts,"
-        " CAST(-1 AS BIGINT) AS user_id,"
-        " CAST('heartbeat' AS VARCHAR) AS event_type,"
-        " CAST(0.0 AS DOUBLE) AS value,"
-        " CAST(NULL AS VARCHAR) AS props)"
-        f" TO '{stage}/batch1.parquet' (FORMAT PARQUET)"
-    )
-    con.execute(
-        f"COPY (SELECT * FROM ev WHERE {pred}) TO '{stage}/batch2.parquet'"
-        " (FORMAT PARQUET)"
-    )
-    con.close()
-    now = _time.time()
-    # file-source ordering key: modification time (oldest first)
-    os.utime(os.path.join(stage, "batch0.parquet"), (now - 120, now - 120))
-    os.utime(os.path.join(stage, "batch1.parquet"), (now - 60, now - 60))
-    os.utime(os.path.join(stage, "batch2.parquet"), (now, now))
-    with open(marker, "w"):
-        pass
-    return stage
+    def build(stage: str) -> None:
+        import time as _time
+
+        con = duckdb.connect()
+        con.execute(f"CREATE VIEW ev AS SELECT * FROM read_parquet('{src}')")
+        pred = (
+            f"(ts < (SELECT MAX(ts) FROM ev) - INTERVAL {_LATE_HOURS} HOUR"
+            f" AND event_id % {_LATE_MOD} = 0)"
+        )
+        con.execute(
+            f"COPY (SELECT * FROM ev WHERE NOT {pred}) TO '{stage}/batch0.parquet'"
+            " (FORMAT PARQUET)"
+        )
+        # heartbeat: one row at max(ts) whose window is never emitted — its
+        # only job is to advance watermarkForLateEvents past batch 0's data
+        # before the late rows arrive (see module comment above).
+        con.execute(
+            "COPY (SELECT CAST(-1 AS BIGINT) AS event_id,"
+            " (SELECT MAX(ts) FROM ev) AS ts,"
+            " CAST(-1 AS BIGINT) AS user_id,"
+            " CAST('heartbeat' AS VARCHAR) AS event_type,"
+            " CAST(0.0 AS DOUBLE) AS value,"
+            " CAST(NULL AS VARCHAR) AS props)"
+            f" TO '{stage}/batch1.parquet' (FORMAT PARQUET)"
+        )
+        con.execute(
+            f"COPY (SELECT * FROM ev WHERE {pred}) TO '{stage}/batch2.parquet'"
+            " (FORMAT PARQUET)"
+        )
+        con.close()
+        now = _time.time()
+        # file-source ordering key: modification time (oldest first)
+        os.utime(os.path.join(stage, "batch0.parquet"), (now - 120, now - 120))
+        os.utime(os.path.join(stage, "batch1.parquet"), (now - 60, now - 60))
+        os.utime(os.path.join(stage, "batch2.parquet"), (now, now))
+
+    return _staged_dir("/tmp/ksj_late_stage", src, "v3", build)
 
 
 def late_drop_rollup_stream(spark: SparkSession, stage: str) -> DataFrame:
@@ -881,38 +913,30 @@ def _stage_with_heartbeat(sf_dir: str) -> str:
     import duckdb
 
     src = os.path.join(sf_dir, "events.parquet")
-    stage = os.path.join(
-        "/tmp/ksj_heartbeat_stage", sf_dir.strip("/").replace("/", "_")
-    )
-    marker = os.path.join(stage, "_staged_v1")
-    if os.path.exists(marker) and os.path.getmtime(marker) > os.path.getmtime(src):
-        return stage
-    import shutil
-    import time as _time
 
-    shutil.rmtree(stage, ignore_errors=True)
-    os.makedirs(stage)
-    con = duckdb.connect()
-    con.execute(f"CREATE VIEW ev AS SELECT * FROM read_parquet('{src}')")
-    con.execute(
-        f"COPY (SELECT * FROM ev) TO '{stage}/batch0.parquet' (FORMAT PARQUET)"
-    )
-    con.execute(
-        "COPY (SELECT CAST(-1 AS BIGINT) AS event_id,"
-        " (SELECT MAX(ts) FROM ev) AS ts,"
-        " CAST(-1 AS BIGINT) AS user_id,"
-        " CAST('heartbeat' AS VARCHAR) AS event_type,"
-        " CAST(0.0 AS DOUBLE) AS value,"
-        " CAST(NULL AS VARCHAR) AS props)"
-        f" TO '{stage}/batch1.parquet' (FORMAT PARQUET)"
-    )
-    con.close()
-    now = _time.time()
-    os.utime(os.path.join(stage, "batch0.parquet"), (now - 60, now - 60))
-    os.utime(os.path.join(stage, "batch1.parquet"), (now, now))
-    with open(marker, "w"):
-        pass
-    return stage
+    def build(stage: str) -> None:
+        import time as _time
+
+        con = duckdb.connect()
+        con.execute(f"CREATE VIEW ev AS SELECT * FROM read_parquet('{src}')")
+        con.execute(
+            f"COPY (SELECT * FROM ev) TO '{stage}/batch0.parquet' (FORMAT PARQUET)"
+        )
+        con.execute(
+            "COPY (SELECT CAST(-1 AS BIGINT) AS event_id,"
+            " (SELECT MAX(ts) FROM ev) AS ts,"
+            " CAST(-1 AS BIGINT) AS user_id,"
+            " CAST('heartbeat' AS VARCHAR) AS event_type,"
+            " CAST(0.0 AS DOUBLE) AS value,"
+            " CAST(NULL AS VARCHAR) AS props)"
+            f" TO '{stage}/batch1.parquet' (FORMAT PARQUET)"
+        )
+        con.close()
+        now = _time.time()
+        os.utime(os.path.join(stage, "batch0.parquet"), (now - 60, now - 60))
+        os.utime(os.path.join(stage, "batch1.parquet"), (now, now))
+
+    return _staged_dir("/tmp/ksj_heartbeat_stage", src, "v2", build)
 
 
 def _heartbeat_stream(spark: SparkSession, stage: str) -> DataFrame:

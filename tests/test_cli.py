@@ -97,13 +97,13 @@ def test_cli_checkpoint_inspection(tmp_path, capsys):
 
 
 def test_registry_ordering_names_all_exist():
-    """Names steering the driver-pass ordering (costly_last tail,
-    round-1-checked set) must all be real registry entries — a typo
+    """Names steering the driver-pass ordering (cost_order list,
+    driver-checked set) must all be real registry entries — a typo
     would silently drop the ordering for that query."""
     import kafka_stream_job_spark.registry as reg
 
     specs = reg.all_specs()
-    # re-read the module source for the costly_last literal
+    # re-read the module source for the cost_order literal
     import ast
     import inspect
 
@@ -112,13 +112,20 @@ def test_registry_ordering_names_all_exist():
     names: list[str] = []
     for node in ast.walk(tree):
         if isinstance(node, ast.Assign) and any(
-            getattr(t, "id", None) == "costly_last" for t in node.targets
+            getattr(t, "id", None) == "cost_order" for t in node.targets
         ):
             names = [ast.literal_eval(e) for e in node.value.elts]
-    assert names, "costly_last literal not found"
+    assert names, "cost_order literal not found"
     for n in names:
-        assert n in specs, f"costly_last entry {n!r} is not a registry query"
-    for n in reg._R1_DRIVER_CHECKED:
-        assert n in specs, f"_R1_DRIVER_CHECKED entry {n!r} vanished from registry"
-    # ordering contract: every spec appears exactly once
+        assert n in specs, f"cost_order entry {n!r} is not a registry query"
+    for n in reg._DRIVER_CHECKED:
+        assert n in specs, f"_DRIVER_CHECKED entry {n!r} vanished from registry"
+    # ordering contract: every spec appears exactly once, and never-
+    # driver-checked entries sort ahead of already-green ones
     assert list(specs) and len(specs) == len(set(specs))
+    order = list(specs)
+    idx = {n: i for i, n in enumerate(order)}
+    n_unchecked = sum(1 for n in order if n not in reg._DRIVER_CHECKED)
+    for n in order:
+        if n not in reg._DRIVER_CHECKED:
+            assert idx[n] < n_unchecked, f"unchecked {n!r} sorted after checked rows"
