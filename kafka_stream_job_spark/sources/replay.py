@@ -67,6 +67,20 @@ def _sorted_table(path: str):
     return tab
 
 
+#: column order must match _SCHEMA — Arrow batches map positionally.
+_COLUMNS = ("event_id", "ts", "user_id", "event_type", "value", "props")
+
+
+def _read_slice_batches(partition: "_Slice"):
+    """Yield the slice as ``pyarrow.RecordBatch``es (the Spark 4 Python
+    DataSource Arrow fast path) — no per-row Python tuple materialization,
+    which is what keeps executor-side reads vectorized at scale."""
+    if partition.end <= partition.start:
+        return
+    tab = _sorted_table(partition.path).select(list(_COLUMNS))
+    yield from tab.slice(partition.start, partition.end - partition.start).to_batches()
+
+
 @dataclasses.dataclass
 class _Slice(InputPartition):
     path: str
@@ -110,20 +124,7 @@ class _ReplayStreamReader(DataSourceStreamReader):
         ]
 
     def read(self, partition: _Slice):
-        if partition.end <= partition.start:
-            return
-        tab = _sorted_table(partition.path)
-        for r in tab.slice(
-            partition.start, partition.end - partition.start
-        ).to_pylist():
-            yield (
-                r["event_id"],
-                r["ts"],
-                r["user_id"],
-                r["event_type"],
-                r["value"],
-                r["props"],
-            )
+        yield from _read_slice_batches(partition)
 
     def commit(self, end: dict) -> None:
         # exactly-once bookkeeping hook (the reference's checkpoint commit
@@ -184,17 +185,4 @@ class _ReplayBatchReader(DataSourceReader):
         ]
 
     def read(self, partition: _Slice):
-        if partition.end <= partition.start:
-            return
-        tab = _sorted_table(partition.path)
-        for r in tab.slice(
-            partition.start, partition.end - partition.start
-        ).to_pylist():
-            yield (
-                r["event_id"],
-                r["ts"],
-                r["user_id"],
-                r["event_type"],
-                r["value"],
-                r["props"],
-            )
+        yield from _read_slice_batches(partition)

@@ -359,20 +359,48 @@ def foreach_batch_idempotent_append(output_dir: str):
     return write_batch
 
 
+DRAIN_SHUFFLE_PARTITIONS = int(os.environ.get("KSJ_DRAIN_SHUFFLE_PARTITIONS", "8"))
+
+
+class _drain_partitions:
+    """Clamp ``spark.sql.shuffle.partitions`` while a BOUNDED local drain
+    runs, restoring it afterward. Shuffle partitions fix the number of
+    state-store instances per stateful operator, and every instance pays
+    per-micro-batch create/commit overhead — at sandbox scale that fixed
+    cost dominates (a stream-stream join drain drops ~11 s → ~2 s going
+    32 → 8 partitions). Results are partition-count-independent. On a
+    real cluster the conf stays at its production value: this wrapper is
+    only on the bounded drain helpers, not on ``start()`` paths."""
+
+    def __init__(self, spark: SparkSession):
+        self._spark = spark
+
+    def __enter__(self):
+        self._old = self._spark.conf.get("spark.sql.shuffle.partitions")
+        self._spark.conf.set(
+            "spark.sql.shuffle.partitions", str(DRAIN_SHUFFLE_PARTITIONS)
+        )
+
+    def __exit__(self, *exc):
+        self._spark.conf.set("spark.sql.shuffle.partitions", self._old)
+        return False
+
+
 def run_stream_foreach_batch(
     spark: SparkSession, df: DataFrame, output_dir: str, checkpoint_dir: str
 ) -> DataFrame:
     """Drain a bounded stream through the idempotent foreachBatch sink and
     return the materialized parquet output."""
-    query = (
-        df.writeStream.foreachBatch(foreach_batch_idempotent_append(output_dir))
-        .option("checkpointLocation", checkpoint_dir)
-        .start()
-    )
-    try:
-        query.processAllAvailable()
-    finally:
-        query.stop()
+    with _drain_partitions(spark):
+        query = (
+            df.writeStream.foreachBatch(foreach_batch_idempotent_append(output_dir))
+            .option("checkpointLocation", checkpoint_dir)
+            .start()
+        )
+        try:
+            query.processAllAvailable()
+        finally:
+            query.stop()
     return spark.read.parquet(output_dir)
 
 
@@ -392,18 +420,19 @@ def run_stream_to_memory(
     aggregation tests pass ``output_mode="complete"``; append stays the
     default for stateless/dedup pipelines.
     """
-    query = (
-        df.writeStream.format("memory")
-        .queryName(name)
-        .option("checkpointLocation", checkpoint_dir)
-        .outputMode(output_mode)
-        .start()
-    )
-    try:
-        query.processAllAvailable()  # Q1 drain barrier
-        _ = query.lastProgress  # Q2 progress introspection
-    finally:
-        query.stop()  # bounded test; production uses awaitTermination (Q4)
+    with _drain_partitions(spark):
+        query = (
+            df.writeStream.format("memory")
+            .queryName(name)
+            .option("checkpointLocation", checkpoint_dir)
+            .outputMode(output_mode)
+            .start()
+        )
+        try:
+            query.processAllAvailable()  # Q1 drain barrier
+            _ = query.lastProgress  # Q2 progress introspection
+        finally:
+            query.stop()  # bounded test; production uses awaitTermination (Q4)
     return spark.table(name)
 
 
