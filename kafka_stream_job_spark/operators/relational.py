@@ -5344,3 +5344,71 @@ def window_range_trailing_hour(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         """
     )
+
+
+# ---------------------------------------------------------------------------
+# INTERVAL-OVERLAP JOIN with a time-bucket prefilter — the missing join
+# flavor between equi (hash/SMJ) and as-of: two interval sets matched on
+# RANGE OVERLAP (a.start < b.end AND b.start < a.end). Naively that is a
+# cartesian theta-join; the scale path buckets both sides by a coarse
+# time unit (here: day) and equi-joins on the bucket BEFORE applying the
+# exact overlap predicate — shuffle keyed on the bucket, overlap checked
+# only within co-bucketed pairs. Intervals here: each user's daily
+# activity span [min ts, max ts] vs a synthetic daily incident window
+# [02:00, 04:00); output = per-day blast radius (users whose activity
+# overlaps the incident, and their total overlap seconds, integer-exact
+# via second-resolution timestampdiff in both engines).
+# ---------------------------------------------------------------------------
+@register(
+    "events_interval_overlap_join",
+    oracle="""
+        WITH spans AS (
+            SELECT CAST(date_trunc('day', ts) AS DATE) AS d, user_id,
+                   MIN(ts) AS s, MAX(ts) AS e
+            FROM events GROUP BY 1, 2
+        ),
+        incidents AS (
+            SELECT DISTINCT CAST(date_trunc('day', ts) AS DATE) AS d,
+                   date_trunc('day', ts) + INTERVAL 2 HOUR AS i_s,
+                   date_trunc('day', ts) + INTERVAL 4 HOUR AS i_e
+            FROM events
+        )
+        SELECT CAST(a.d AS VARCHAR) AS day_ts,
+               CAST(COUNT(*) AS BIGINT) AS n_users,
+               CAST(SUM(epoch_us(CASE WHEN a.e < i.i_e THEN a.e ELSE i.i_e END)
+                        - epoch_us(CASE WHEN a.s > i.i_s THEN a.s ELSE i.i_s END))
+                    // 1000000 AS BIGINT) AS overlap_seconds
+        FROM spans a JOIN incidents i
+          ON a.d = i.d AND a.s < i.i_e AND i.i_s < a.e
+        GROUP BY 1
+    """,
+    tags=("join", "interval-overlap", "range", "events"),
+)
+def events_interval_overlap_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    spans = events.groupBy(
+        F.date_trunc("day", "ts").cast("date").alias("d"), "user_id"
+    ).agg(F.min("ts").alias("s"), F.max("ts").alias("e"))
+    incidents = events.select(
+        F.date_trunc("day", "ts").cast("date").alias("i_d"),
+        (F.date_trunc("day", "ts") + F.expr("INTERVAL 2 HOUR")).alias("i_s"),
+        (F.date_trunc("day", "ts") + F.expr("INTERVAL 4 HOUR")).alias("i_e"),
+    ).distinct()
+    joined = spans.join(
+        incidents,
+        (F.col("d") == F.col("i_d"))  # bucket equi-key first …
+        & (F.col("s") < F.col("i_e"))  # … then the exact overlap predicate
+        & (F.col("i_s") < F.col("e")),
+    )
+    # epoch-microsecond subtraction, not date_diff/timestampdiff: DuckDB's
+    # date_diff counts boundary CROSSINGS while Spark's timestampdiff
+    # floors elapsed time — they disagree on sub-second timestamps. The
+    # epoch_us/unix_micros difference is the same integer in both engines.
+    overlap_us = F.expr(
+        "unix_micros(CASE WHEN e < i_e THEN e ELSE i_e END)"
+        " - unix_micros(CASE WHEN s > i_s THEN s ELSE i_s END)"
+    )
+    return joined.groupBy(F.col("d").cast("string").alias("day_ts")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_users"),
+        idiv(F.sum(overlap_us), 1000000).cast("long").alias("overlap_seconds"),
+    )

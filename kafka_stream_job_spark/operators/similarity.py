@@ -1127,3 +1127,75 @@ def search_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("rrf_score").desc(), F.col("doc_id").asc())
         .limit(RRF_TOP)
     )
+
+
+# ---------------------------------------------------------------------------
+# Embedding-space DECONTAMINATION — the semantic complement of
+# pipeline.decontaminate_train_shingles (which catches verbatim n-gram
+# leaks): flag training vectors whose nearest EVAL-set vector exceeds a
+# cosine threshold, i.e. paraphrased/near-duplicate benchmark leakage
+# that surface n-grams miss. Stand-in eval set: vec_id % 41 == 0.
+#
+# Scale design: eval sets are FIXED-SIZE (a benchmark, not a corpus), so
+# the right 100 TB shape is broadcast(eval) ⋈ corpus — the corpus side
+# streams through executors once with NO shuffle, each row scoring
+# against the in-memory eval block; the per-row max is a map-side
+# aggregate. (Contrast with dedup_embedding_cosine, where BOTH sides are
+# corpus-sized and LSH bucketing is mandatory.) The argmax is made
+# deterministic by maxing over a (cosine, eval_id) struct — ties break to
+# the highest eval id in both engines; the fold arithmetic is the same
+# fixed IEEE dag as the rest of this module, so the oracle is exact.
+# ---------------------------------------------------------------------------
+DECON_EVAL_MOD = 41
+DECON_TAU = 0.35
+
+
+@register(
+    "decontaminate_by_embedding",
+    oracle=f"""
+        WITH ev AS (
+            SELECT vec_id AS eval_id, embedding FROM embeddings
+            WHERE vec_id % {DECON_EVAL_MOD} = 0
+        ),
+        co AS (
+            SELECT vec_id, embedding FROM embeddings
+            WHERE vec_id % {DECON_EVAL_MOD} <> 0
+        ),
+        scored AS (
+            SELECT a.vec_id, b.eval_id,
+                   {_DOT_SQL.format(a='a.embedding', b='b.embedding')}
+                   / ({_NORM_SQL.format(a='a.embedding')}
+                      * {_NORM_SQL.format(a='b.embedding')}) AS cos
+            FROM co a, ev b
+        ),
+        best AS (
+            SELECT vec_id, cos, eval_id,
+                   ROW_NUMBER() OVER (PARTITION BY vec_id
+                                      ORDER BY cos DESC, eval_id DESC) AS rn
+            FROM scored
+        )
+        SELECT vec_id, eval_id AS match_eval_id,
+               ROUND((cos) * 10000.0) / 10000.0 + 0.0 AS cosine
+        FROM best WHERE rn = 1 AND cos >= {DECON_TAU}
+    """,
+    tags=("llm-pipeline", "decontamination", "embeddings", "broadcast"),
+)
+def decontaminate_by_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings", rebalance=True)
+    ev = emb.filter(F.col("vec_id") % DECON_EVAL_MOD == 0).select(
+        F.col("vec_id").alias("eval_id"), F.col("embedding").alias("e_emb")
+    )
+    co = emb.filter(F.col("vec_id") % DECON_EVAL_MOD != 0)
+    cos = _dot(F.col("embedding"), F.col("e_emb")) / (
+        _norm(F.col("embedding")) * _norm(F.col("e_emb"))
+    )
+    best = (
+        co.crossJoin(F.broadcast(ev))
+        .select("vec_id", F.struct(cos.alias("cos"), F.col("eval_id")).alias("sc"))
+        .groupBy("vec_id")
+        .agg(F.max("sc").alias("sc"))
+        .select("vec_id", F.col("sc.cos").alias("cos"), F.col("sc.eval_id").alias("match_eval_id"))
+    )
+    return best.filter(F.col("cos") >= DECON_TAU).select(
+        "vec_id", "match_eval_id", pround("cos", 4).alias("cosine")
+    )

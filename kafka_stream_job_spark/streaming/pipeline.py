@@ -1062,6 +1062,95 @@ _register_streaming_outer_attribution()
 
 
 # ---------------------------------------------------------------------------
+# CHAINED time-window aggregations — two stateful windowed aggs in ONE
+# streaming query (Spark 3.4+ multiple-stateful-operator support): hourly
+# counts per event_type, re-aggregated into daily totals + active-hour
+# counts via window(window_time(hourly_window), '1 day'). This is the
+# shape real metric pipelines take (raw → minutely → hourly → daily in
+# one checkpointed query, no intermediate sink). Emission discipline:
+# with the heartbeat stage (batch 0 = all data, batch 1 = one row at
+# max(ts)), the final watermark is max(ts) − 1 h, the upstream hourly
+# windows with end ≤ wm emit during the heartbeat batch, and the daily
+# operator both receives and closes day windows with end ≤ wm in that
+# same batch — so the drained output is exactly the full days of data,
+# which the batch oracle reproduces with the same frontier predicate.
+# The heartbeat row's own windows (hour/day containing max(ts)) end past
+# the final watermark and are never emitted.
+# ---------------------------------------------------------------------------
+def chained_daily_rollup_stream(spark: SparkSession, stage: str) -> DataFrame:
+    schema = spark.read.parquet(stage).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(stage)
+    )
+    if isinstance(schema["ts"].dataType, T.LongType):
+        stream = stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    elif isinstance(schema["ts"].dataType, T.TimestampNTZType):
+        stream = stream.withColumn("ts", F.col("ts").cast("timestamp"))
+    hourly = (
+        stream.withWatermark("ts", _WM_DELAY)
+        .groupBy(F.window("ts", "1 hour").alias("hwin"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+    )
+    daily = (
+        hourly.groupBy(
+            F.window(F.window_time("hwin"), "1 day").alias("dwin"), "event_type"
+        ).agg(
+            F.sum("n_events").alias("n_events"),
+            F.count(F.lit(1)).alias("n_active_hours"),
+        )
+    )
+    return daily.select(
+        F.col("dwin.start").cast("date").cast("string").alias("day_ts"),
+        "event_type",
+        F.col("n_events").cast("long").alias("n_events"),
+        F.col("n_active_hours").cast("long").alias("n_active_hours"),
+    )
+
+
+def _register_streaming_chained_windows() -> None:
+    import uuid
+
+    from kafka_stream_job_spark.registry import register
+
+    @register(
+        "streaming_chained_windows",
+        oracle="""
+            WITH m AS (SELECT MAX(ts) AS maxts FROM events),
+            agg AS (
+                SELECT date_trunc('day', ts) AS d, event_type,
+                       CAST(COUNT(*) AS BIGINT) AS n_events,
+                       CAST(COUNT(DISTINCT date_trunc('hour', ts)) AS BIGINT)
+                           AS n_active_hours
+                FROM events GROUP BY 1, 2
+            )
+            SELECT CAST(CAST(d AS DATE) AS VARCHAR) AS day_ts,
+                   event_type, n_events, n_active_hours
+            FROM agg, m
+            WHERE d + INTERVAL 1 DAY <= m.maxts - INTERVAL 1 HOUR
+        """,
+        tags=("streaming", "chained-windows", "multi-stateful", "events"),
+    )
+    def streaming_chained_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+        import tempfile
+
+        stage = _stage_with_heartbeat(sf_dir)
+        name = f"stream_chain_{uuid.uuid4().hex[:8]}"
+        ckpt = tempfile.mkdtemp(prefix="ksj-stream-chain-")
+        return run_stream_to_memory(
+            spark,
+            chained_daily_rollup_stream(spark, stage),
+            name,
+            ckpt,
+            output_mode="append",
+        )
+
+
+_register_streaming_chained_windows()
+
+
+# ---------------------------------------------------------------------------
 # SLIDING windows through Structured Streaming: 1-hour window sliding
 # every 30 minutes, so every event lands in exactly TWO windows — the
 # overlap dimension tumbling windows never exercise. The oracle expands

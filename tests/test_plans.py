@@ -554,3 +554,25 @@ def test_histogram_deciles_distributed_ntile_shape(spark):
     over the fact table: NTILE arithmetic runs as an expression over the
     helper's distributed global rank."""
     _assert_distributed_rank_shape(plan_of(spark, "histogram_price_deciles"))
+
+
+def test_embedding_decontamination_broadcasts_eval_vectors(spark):
+    """Embedding-space decontamination must broadcast the (fixed-size)
+    eval set so the corpus streams map-side — no shuffle of corpus rows
+    for the scoring join, no sort-merge join."""
+    plan = plan_of(spark, "decontaminate_by_embedding")
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_interval_overlap_join_is_bucketed_not_cartesian(spark):
+    """The interval-overlap join must equi-join on the day bucket (hash
+    or sort-merge on the bucket key) with the overlap range predicate as
+    a post-join filter — never a cartesian/nested-loop over intervals."""
+    plan = plan_of(spark, "events_interval_overlap_join")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert ("SortMergeJoin" in plan) or ("BroadcastHashJoin" in plan) or (
+        "ShuffledHashJoin" in plan
+    )

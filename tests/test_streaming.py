@@ -697,3 +697,46 @@ def test_checkpoint_restart_resumes_exactly_once(spark, tmp_path):
     got = {tuple(r) for r in spark.read.parquet(out).drop("batch_id").collect()}
     want = {tuple(r) for r in events.collect()}
     assert got == want, "restart must neither duplicate nor lose rows"
+
+
+def test_chained_windows_stream_equals_batch_full_days(spark, tmp_path):
+    """Chained hourly→daily windowed aggs in ONE streaming query (two
+    stateful operators): the drained append-mode output must equal the
+    batch daily rollup restricted to the emission frontier (day end ≤
+    max(ts) − 1 h watermark)."""
+    from kafka_stream_job_spark.streaming.pipeline import (
+        _stage_with_heartbeat,
+        chained_daily_rollup_stream,
+    )
+
+    stage = _stage_with_heartbeat(SF_SMOKE)
+    out = run_stream_to_memory(
+        spark,
+        chained_daily_rollup_stream(spark, stage),
+        "chained_windows_stream",
+        str(tmp_path / "ckpt"),
+        output_mode="append",
+    ).collect()
+    events = load_table(spark, SF_SMOKE, "events")
+    maxts = events.agg(F.max("ts")).collect()[0][0]
+    batch = (
+        events.groupBy(
+            F.date_trunc("day", "ts").alias("d"), "event_type"
+        )
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+            F.countDistinct(F.date_trunc("hour", "ts"))
+            .cast("long")
+            .alias("n_active_hours"),
+        )
+        .filter(F.col("d") + F.expr("INTERVAL 1 DAY") <= F.lit(maxts) - F.expr("INTERVAL 1 HOUR"))
+        .select(
+            F.col("d").cast("date").cast("string").alias("day_ts"),
+            "event_type",
+            "n_events",
+            "n_active_hours",
+        )
+        .collect()
+    )
+    assert sorted(map(tuple, out)) == sorted(map(tuple, batch))
+    assert out, "emission frontier produced no full days"
