@@ -5412,3 +5412,54 @@ def events_interval_overlap_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("long").alias("n_users"),
         idiv(F.sum(overlap_us), 1000000).cast("long").alias("overlap_seconds"),
     )
+
+
+# ---------------------------------------------------------------------------
+# NULL-SAFE equi-join (<=>) — the join flavor where NULL keys MATCH each
+# other instead of vanishing (SQL '=' never matches NULL=NULL, silently
+# dropping the "unattributed" bucket from reconciliations). Scenario:
+# view-side traffic and purchase-side revenue are each rolled up by a
+# nullable attribution key (NULL = organic/untagged), then reconciled
+# with eqNullSafe so the organic bucket pairs up like any other key.
+# Plans as a plain hash join on a null-safe key — same shuffle shape and
+# broadcast eligibility as '=' (Spark wraps keys in Coalesce/isnull
+# tuples), so scale behavior is unchanged.
+# ---------------------------------------------------------------------------
+@register(
+    "null_safe_join_attribution",
+    oracle="""
+        WITH t AS (
+            SELECT NULLIF(user_id % 10, 0) AS attr_key,
+                   CAST(COUNT(*) AS BIGINT) AS n_views
+            FROM events WHERE event_type = 'view' GROUP BY 1
+        ),
+        p AS (
+            SELECT NULLIF(user_id % 10, 0) AS attr_key,
+                   CAST(COUNT(*) AS BIGINT) AS n_purchases,
+                   ROUND((SUM(value)) * 100.0) / 100.0 + 0.0 AS revenue
+            FROM events WHERE event_type = 'purchase' GROUP BY 1
+        )
+        SELECT t.attr_key, t.n_views, p.n_purchases, p.revenue
+        FROM t JOIN p ON t.attr_key IS NOT DISTINCT FROM p.attr_key
+    """,
+    tags=("join", "null-safe", "events"),
+)
+def null_safe_join_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    key = F.nullif(F.col("user_id") % 10, F.lit(0)).alias("attr_key")
+    t = (
+        events.filter(F.col("event_type") == "view")
+        .groupBy(key)
+        .agg(F.count(F.lit(1)).cast("long").alias("n_views"))
+    )
+    p = (
+        events.filter(F.col("event_type") == "purchase")
+        .groupBy(key)
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_purchases"),
+            pround(F.sum("value"), 2).alias("revenue"),
+        )
+    )
+    return t.join(p, t["attr_key"].eqNullSafe(p["attr_key"])).select(
+        t["attr_key"], "n_views", "n_purchases", "revenue"
+    )

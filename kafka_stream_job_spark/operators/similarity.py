@@ -1199,3 +1199,238 @@ def decontaminate_by_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     return best.filter(F.col("cos") >= DECON_TAU).select(
         "vec_id", "match_eval_id", pround("cos", 4).alias("cosine")
     )
+
+
+# ---------------------------------------------------------------------------
+# PRODUCT QUANTIZATION (PQ) — the other half of the IVF-PQ index every
+# billion-vector ANN deployment runs: the 64-d vector splits into
+# PQ_SUBSPACES contiguous 8-d slices, each slice snaps to its nearest
+# per-subspace codebook centroid, and the vector is stored as the tuple
+# of centroid ids (here: 8 ids ≈ 8 bytes vs 256 bytes of floats).
+# Codebook = md5-seeded sample slices (the IVF/kmeans seeding pattern);
+# same integer-quantization trick as cluster_kmeans_embeddings so every
+# distance is an exact integer in double precision and the argmin +
+# reconstruction error agree bit-for-bit with the DuckDB oracle.
+#
+# Scale shape: the codebook (subspaces × ~n/PQ_SEED_MOD slices) is
+# BROADCAST; the corpus explodes into per-subspace slices map-side, joins
+# the broadcast codebook on subspace id, and reduces per (vec, subspace)
+# — corpus rows shuffle once, keyed by vec_id, for the argmin+assemble.
+# ---------------------------------------------------------------------------
+PQ_SUBSPACES = 8
+PQ_WIDTH = DIM // PQ_SUBSPACES
+PQ_SEED_MOD = 32  # ~1/32 of vectors seed each subspace codebook
+PQ_SCALE = 10_000
+
+
+def _pq_oracle() -> str:
+    dist = (
+        "list_reduce(list_prepend(0.0, list_transform(list_zip(v.sub, c.csub),"
+        " p -> (p[1] - p[2]) * (p[1] - p[2]))), (acc, x) -> acc + x)"
+    )
+    return f"""
+        WITH e AS (
+            SELECT vec_id,
+                   list_transform(embedding, x -> ROUND(x::DOUBLE * {PQ_SCALE}.0))
+                       AS emb
+            FROM embeddings
+        ),
+        subs AS (
+            SELECT vec_id, s,
+                   list_slice(emb, {PQ_WIDTH} * s + 1, {PQ_WIDTH} * (s + 1)) AS sub
+            FROM e, (SELECT unnest(range(0, {PQ_SUBSPACES})) AS s)
+        ),
+        cents AS (
+            SELECT vec_id AS cent_id, s, sub AS csub
+            FROM subs
+            WHERE ('0x' || substr(md5('pq:' || CAST(vec_id AS VARCHAR)), 1, 7))::BIGINT
+                  % {PQ_SEED_MOD} = 0
+        ),
+        scored AS (
+            SELECT v.vec_id, v.s, c.cent_id, {dist} AS dist,
+                   ROW_NUMBER() OVER (PARTITION BY v.vec_id, v.s
+                                      ORDER BY {dist}, c.cent_id) AS rn
+            FROM subs v JOIN cents c ON v.s = c.s
+        )
+        SELECT vec_id,
+               string_agg(CAST(cent_id AS VARCHAR), '-' ORDER BY s) AS pq_code,
+               CAST(SUM(dist) AS BIGINT) AS err_q
+        FROM scored WHERE rn = 1
+        GROUP BY vec_id
+    """
+
+
+@register(
+    "embedding_pq_codes",
+    oracle=_pq_oracle(),
+    tags=("similarity", "embeddings", "quantization", "ann", "pq"),
+)
+def embedding_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings", rebalance=True).select(
+        "vec_id",
+        F.transform(
+            "embedding", lambda x: F.round(x.cast("double") * PQ_SCALE, 0)
+        ).alias("emb"),
+    )
+    slices = F.array(
+        *[F.slice("emb", PQ_WIDTH * s + 1, PQ_WIDTH) for s in range(PQ_SUBSPACES)]
+    )
+    subs = emb.select("vec_id", F.posexplode(slices).alias("s", "sub"))
+    seed_hash = F.conv(
+        F.substring(
+            F.md5(F.concat(F.lit("pq:"), F.col("vec_id").cast("string"))), 1, 7
+        ),
+        16,
+        10,
+    ).cast("long")
+    cents = (
+        emb.filter(seed_hash % PQ_SEED_MOD == 0)
+        .select(F.col("vec_id").alias("cent_id"), F.posexplode(slices).alias("s", "csub"))
+    )
+    scored = subs.join(F.broadcast(cents), "s").select(
+        "vec_id",
+        "s",
+        F.struct(_l2sq(F.col("sub"), F.col("csub")).alias("dist"), "cent_id").alias(
+            "sc"
+        ),
+    )
+    best = scored.groupBy("vec_id", "s").agg(F.min("sc").alias("sc"))
+    return best.groupBy("vec_id").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("s", F.col("sc.cent_id").alias("cent_id")))),
+                lambda x: x["cent_id"].cast("string"),
+            ),
+            "-",
+        ).alias("pq_code"),
+        F.sum("sc.dist").cast("long").alias("err_q"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# PQ ASYMMETRIC-DISTANCE top-k (ADC) — the search half of IVF-PQ: queries
+# stay full-precision, the corpus is touched ONLY through its PQ codes.
+# Per query, a distance TABLE d[q, s, cent] = l2²(q_slice_s, centroid) is
+# precomputed (N_QUERIES × SUBSPACES × |codebook| rows — constant-size,
+# broadcast); the approximate distance of any corpus vector is then just
+# the sum of 8 table lookups keyed by its code. That lookup-join-sum is
+# the whole corpus-sized computation — no float math per corpus element,
+# which is why PQ search sustains billions of vectors. Exact-integer
+# arithmetic end to end (PQ_SCALE quantization), deterministic top-k
+# tiebreak (distance, vec_id).
+# ---------------------------------------------------------------------------
+def _pq_adc_oracle() -> str:
+    dist = (
+        "list_reduce(list_prepend(0.0, list_transform(list_zip({a}, {b}),"
+        " p -> (p[1] - p[2]) * (p[1] - p[2]))), (acc, x) -> acc + x)"
+    )
+    return f"""
+        WITH e AS (
+            SELECT vec_id,
+                   list_transform(embedding, x -> ROUND(x::DOUBLE * {PQ_SCALE}.0))
+                       AS emb
+            FROM embeddings
+        ),
+        subs AS (
+            SELECT vec_id, s,
+                   list_slice(emb, {PQ_WIDTH} * s + 1, {PQ_WIDTH} * (s + 1)) AS sub
+            FROM e, (SELECT unnest(range(0, {PQ_SUBSPACES})) AS s)
+        ),
+        cents AS (
+            SELECT vec_id AS cent_id, s, sub AS csub
+            FROM subs
+            WHERE ('0x' || substr(md5('pq:' || CAST(vec_id AS VARCHAR)), 1, 7))::BIGINT
+                  % {PQ_SEED_MOD} = 0
+        ),
+        codes AS (
+            SELECT vec_id, s, cent_id FROM (
+                SELECT v.vec_id, v.s, c.cent_id,
+                       ROW_NUMBER() OVER (PARTITION BY v.vec_id, v.s
+                           ORDER BY {dist.format(a='v.sub', b='c.csub')}, c.cent_id)
+                           AS rn
+                FROM subs v JOIN cents c ON v.s = c.s
+                WHERE v.vec_id >= {N_QUERIES}
+            ) WHERE rn = 1
+        ),
+        dtab AS (
+            SELECT q.vec_id AS q_id, c.s, c.cent_id,
+                   {dist.format(a='q.sub', b='c.csub')} AS d
+            FROM subs q JOIN cents c ON q.s = c.s
+            WHERE q.vec_id < {N_QUERIES}
+        ),
+        adc AS (
+            SELECT t.q_id, x.vec_id, CAST(SUM(t.d) AS BIGINT) AS d_adc
+            FROM codes x JOIN dtab t ON t.s = x.s AND t.cent_id = x.cent_id
+            GROUP BY 1, 2
+        )
+        SELECT q_id, CAST(rnk AS BIGINT) AS rnk, vec_id, d_adc FROM (
+            SELECT q_id, vec_id, d_adc,
+                   ROW_NUMBER() OVER (PARTITION BY q_id
+                                      ORDER BY d_adc, vec_id) AS rnk
+            FROM adc
+        ) WHERE rnk <= {TOP_K}
+    """
+
+
+@register(
+    "similarity_topk_pq_adc",
+    oracle=_pq_adc_oracle(),
+    tags=("similarity", "embeddings", "ann", "pq", "topk"),
+)
+def similarity_topk_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    emb = load_table(spark, sf_dir, "embeddings", rebalance=True).select(
+        "vec_id",
+        F.transform(
+            "embedding", lambda x: F.round(x.cast("double") * PQ_SCALE, 0)
+        ).alias("emb"),
+    )
+    slices = F.array(
+        *[F.slice("emb", PQ_WIDTH * s + 1, PQ_WIDTH) for s in range(PQ_SUBSPACES)]
+    )
+    subs = emb.select("vec_id", F.posexplode(slices).alias("s", "sub"))
+    seed_hash = F.conv(
+        F.substring(
+            F.md5(F.concat(F.lit("pq:"), F.col("vec_id").cast("string"))), 1, 7
+        ),
+        16,
+        10,
+    ).cast("long")
+    cents = (
+        emb.filter(seed_hash % PQ_SEED_MOD == 0)
+        .select(
+            F.col("vec_id").alias("cent_id"), F.posexplode(slices).alias("s", "csub")
+        )
+    )
+    corpus_subs = subs.filter(F.col("vec_id") >= N_QUERIES)
+    codes = (
+        corpus_subs.join(F.broadcast(cents), "s")
+        .select(
+            "vec_id",
+            "s",
+            F.struct(
+                _l2sq(F.col("sub"), F.col("csub")).alias("dist"), "cent_id"
+            ).alias("sc"),
+        )
+        .groupBy("vec_id", "s")
+        .agg(F.min("sc").alias("sc"))
+        .select("vec_id", "s", F.col("sc.cent_id").alias("cent_id"))
+    )
+    dtab = (
+        subs.filter(F.col("vec_id") < N_QUERIES)
+        .withColumnRenamed("vec_id", "q_id")
+        .join(F.broadcast(cents), "s")
+        .select("q_id", "s", "cent_id", _l2sq(F.col("sub"), F.col("csub")).alias("d"))
+    )
+    adc = (
+        codes.join(F.broadcast(dtab), ["s", "cent_id"])
+        .groupBy("q_id", "vec_id")
+        .agg(F.sum("d").cast("long").alias("d_adc"))
+    )
+    w = Window.partitionBy("q_id").orderBy(F.col("d_adc").asc(), F.col("vec_id").asc())
+    return (
+        adc.withColumn("rnk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rnk") <= TOP_K)
+        .select("q_id", "rnk", "vec_id", "d_adc")
+    )

@@ -12,7 +12,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from kafka_stream_job_spark.operators._portable import pround
+from kafka_stream_job_spark.operators._portable import idiv, pround
 from kafka_stream_job_spark.registry import register
 from kafka_stream_job_spark.tables import load_table
 
@@ -1392,4 +1392,80 @@ def text_zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(den <= 0, null_d)
         .otherwise(pround(intercept, 6))
         .alias("zipf_intercept_nats"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# VOCABULARY COVERAGE / OOV RATE — the tokenizer-sizing question every
+# training corpus answers before committing to a vocab: what fraction of
+# token OCCURRENCES does a top-K per-language vocabulary cover, and what
+# hits OOV? Whitespace-lowercase tokens (the module's canonical split),
+# per-language frequency ranking with a (count DESC, token ASC) total
+# order so the top-K cut is deterministic in both engines, coverage in
+# integer basis points (exact // arithmetic, no float drift).
+#
+# Scale shape: one shuffle to count (lang, token); the ranking window
+# partitions by lang over the already-aggregated type counts (vocab-sized,
+# not corpus-sized rows); totals broadcast back. At 100 TB the heavy
+# explode+count is map-side partial-agg'd like every other text op here.
+# ---------------------------------------------------------------------------
+VOCAB_TOP_K = 200
+
+
+@register(
+    "text_vocab_coverage",
+    oracle=f"""
+        WITH toks AS (
+            SELECT lang, UNNEST(string_split_regex(LOWER(TRIM(text)), '\\s+'))
+                       AS token
+            FROM documents
+        ),
+        counts AS (
+            SELECT lang, token, CAST(COUNT(*) AS BIGINT) AS c
+            FROM toks GROUP BY 1, 2
+        ),
+        ranked AS (
+            SELECT lang, token, c,
+                   ROW_NUMBER() OVER (PARTITION BY lang
+                                      ORDER BY c DESC, token ASC) AS rnk
+            FROM counts
+        )
+        SELECT lang,
+               CAST(SUM(c) AS BIGINT)                          AS n_tokens,
+               CAST(COUNT(*) AS BIGINT)                        AS n_types,
+               CAST(SUM(CASE WHEN rnk <= {VOCAB_TOP_K} THEN c ELSE 0 END)
+                    * 10000 // SUM(c) AS BIGINT)               AS coverage_bp,
+               CAST(10000 - SUM(CASE WHEN rnk <= {VOCAB_TOP_K} THEN c ELSE 0 END)
+                    * 10000 // SUM(c) AS BIGINT)               AS oov_bp
+        FROM ranked
+        GROUP BY lang
+    """,
+    tags=("llm-pipeline", "text", "tokenizer", "vocab", "documents"),
+)
+def text_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    counts = (
+        docs.select(
+            "lang",
+            F.explode(F.split(F.lower(F.trim(F.col("text"))), r"\s+")).alias(
+                "token"
+            ),
+        )
+        .groupBy("lang", "token")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+    )
+    ranked = counts.withColumn(
+        "rnk",
+        F.row_number().over(
+            Window.partitionBy("lang").orderBy(F.col("c").desc(), F.col("token").asc())
+        ),
+    )
+    covered = F.sum(F.when(F.col("rnk") <= VOCAB_TOP_K, F.col("c")).otherwise(0))
+    return ranked.groupBy("lang").agg(
+        F.sum("c").cast("long").alias("n_tokens"),
+        F.count(F.lit(1)).cast("long").alias("n_types"),
+        idiv(covered * 10000, F.sum("c")).cast("long").alias("coverage_bp"),
+        (10000 - idiv(covered * 10000, F.sum("c"))).cast("long").alias("oov_bp"),
     )

@@ -1520,3 +1520,98 @@ def _register_streaming_update_mode() -> None:
 
 
 _register_streaming_update_mode()
+
+
+# ---------------------------------------------------------------------------
+# UNION of two streaming SOURCES in one query — the multi-topic shape
+# (prod pipelines union several Kafka topics / directories into one
+# pipeline; each source keeps its own offsets in the SAME checkpoint).
+# The events table is staged into disjoint even/odd event_id halves, two
+# independent file sources read them, and the union feeds one watermarked
+# hourly rollup. Offsets discipline: the checkpoint's offset log carries
+# one entry per source per batch (the offsetlog DataSource surfaces both
+# rows). Complete-mode drain, so the oracle is the batch hourly rollup —
+# identical to events_hourly_rollup's, proving union-of-streams loses or
+# duplicates nothing.
+# ---------------------------------------------------------------------------
+def _stage_split_halves(sf_dir: str) -> str:
+    """events.parquet split into even/ and odd/ event_id halves (two
+    source directories under one stage root)."""
+    import duckdb
+
+    src = os.path.join(sf_dir, "events.parquet")
+
+    def build(stage: str) -> None:
+        con = duckdb.connect()
+        con.execute(f"CREATE VIEW ev AS SELECT * FROM read_parquet('{src}')")
+        os.makedirs(os.path.join(stage, "even"))
+        os.makedirs(os.path.join(stage, "odd"))
+        con.execute(
+            f"COPY (SELECT * FROM ev WHERE event_id % 2 = 0)"
+            f" TO '{stage}/even/part.parquet' (FORMAT PARQUET)"
+        )
+        con.execute(
+            f"COPY (SELECT * FROM ev WHERE event_id % 2 = 1)"
+            f" TO '{stage}/odd/part.parquet' (FORMAT PARQUET)"
+        )
+        con.close()
+
+    return _staged_dir("/tmp/ksj_split_stage", src, "v1", build)
+
+
+def union_sources_rollup_stream(spark: SparkSession, stage: str) -> DataFrame:
+    schema = spark.read.parquet(os.path.join(stage, "even")).schema
+
+    def source(sub: str) -> DataFrame:
+        s = spark.readStream.schema(schema).parquet(os.path.join(stage, sub))
+        if isinstance(schema["ts"].dataType, T.LongType):
+            s = s.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        elif isinstance(schema["ts"].dataType, T.TimestampNTZType):
+            s = s.withColumn("ts", F.col("ts").cast("timestamp"))
+        return s
+
+    unioned = source("even").unionByName(source("odd"))
+    return (
+        unioned.withWatermark("ts", "2 hours")
+        .groupBy(F.window("ts", "1 hour").alias("win"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            pround(F.sum("value"), 2).alias("sum_value"),
+        )
+        .select(
+            F.col("win.start").cast("string").alias("hour_ts"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+def _register_streaming_union_sources() -> None:
+    import uuid
+
+    from kafka_stream_job_spark.registry import REGISTRY, register
+
+    @register(
+        "streaming_union_sources_rollup",
+        oracle=REGISTRY["events_hourly_rollup"].oracle,
+        tags=("streaming", "multi-source", "union", "events"),
+    )
+    def streaming_union_sources_rollup(
+        spark: SparkSession, sf_dir: str
+    ) -> DataFrame:
+        import tempfile
+
+        stage = _stage_split_halves(sf_dir)
+        name = f"stream_union_{uuid.uuid4().hex[:8]}"
+        ckpt = tempfile.mkdtemp(prefix="ksj-stream-union-")
+        return run_stream_to_memory(
+            spark,
+            union_sources_rollup_stream(spark, stage),
+            name,
+            ckpt,
+            output_mode="complete",
+        )
+
+
+_register_streaming_union_sources()

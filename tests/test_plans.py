@@ -576,3 +576,30 @@ def test_interval_overlap_join_is_bucketed_not_cartesian(spark):
     assert ("SortMergeJoin" in plan) or ("BroadcastHashJoin" in plan) or (
         "ShuffledHashJoin" in plan
     )
+
+
+def test_pq_codebook_broadcast_corpus_single_shuffle(spark):
+    """PQ assignment must join the corpus slices against a BROADCAST
+    codebook — the corpus never shuffles for the centroid probe."""
+    plan = plan_of(spark, "embedding_pq_codes")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_pq_adc_touches_corpus_only_through_codes(spark):
+    """ADC search: the distance table broadcasts; the corpus-sized side
+    is the codes relation, joined by (subspace, code id) hash lookup —
+    no sort-merge join, no cartesian."""
+    plan = plan_of(spark, "similarity_topk_pq_adc")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_vocab_coverage_partial_agg_before_shuffle(spark):
+    """The corpus-sized explode must partial-aggregate map-side before
+    the (lang, token) exchange — token occurrences combine locally."""
+    plan = plan_of(spark, "text_vocab_coverage")
+    assert "partial_count" in plan or "HashAggregate" in plan
+    assert "CartesianProduct" not in plan

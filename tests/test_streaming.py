@@ -740,3 +740,38 @@ def test_chained_windows_stream_equals_batch_full_days(spark, tmp_path):
     )
     assert sorted(map(tuple, out)) == sorted(map(tuple, batch))
     assert out, "emission frontier produced no full days"
+
+
+def test_union_sources_checkpoint_tracks_two_sources(spark, tmp_path):
+    """A two-source union query must keep per-source offsets in ONE
+    checkpoint: the offset log's final batch carries two source entries,
+    and the drained rollup equals the batch rollup (nothing lost or
+    duplicated across sources)."""
+    from kafka_stream_job_spark.sources.offsetlog import register_offsetlog_source
+    from kafka_stream_job_spark.streaming.pipeline import (
+        _stage_split_halves,
+        union_sources_rollup_stream,
+    )
+
+    stage = _stage_split_halves(SF_SMOKE)
+    ckpt = str(tmp_path / "ckpt")
+    out = run_stream_to_memory(
+        spark,
+        union_sources_rollup_stream(spark, stage),
+        "union_sources_stream",
+        ckpt,
+        output_mode="complete",
+    )
+    batch = (
+        events_hourly_rollup(spark, SF_SMOKE)
+        .withColumnRenamed("n_events", "n_events")
+        .collect()
+    )
+    assert sorted(map(tuple, out.collect())) == sorted(map(tuple, batch))
+    register_offsetlog_source(spark)
+    log = (
+        spark.read.format("ksj_offsetlog").option("path", ckpt).load().collect()
+    )
+    assert log, "offset log empty"
+    last_batch = max(r["batch_id"] for r in log)
+    assert sum(1 for r in log if r["batch_id"] == last_batch) == 2
