@@ -27,7 +27,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from kafka_stream_job_spark.operators._portable import pround
+from kafka_stream_job_spark.operators._portable import idiv, pround
 from kafka_stream_job_spark.operators.dedup import (
     _BANDS_SQL as _DEDUP_BANDS_SQL,
     _PAIRS_SQL as _DEDUP_PAIRS_SQL,
@@ -1115,3 +1115,146 @@ def corpus_token_budget_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     # budget joins AFTER the aggregate: an empty selection must still
     # report the budget (the oracle's scalar subquery does).
     return stats.crossJoin(F.broadcast(budget))
+
+
+# ---------------------------------------------------------------------------
+# TEMPERATURE-SAMPLED language mix (the mT5/XLM-R trick): sampling
+# probability ∝ n_docs^alpha with alpha = 0.5 — upweights low-resource
+# languages without flattening the mix entirely (alpha=1 keeps natural
+# proportions, alpha=0 is uniform; 0.5 is sqrt, chosen here because sqrt
+# is an exact correctly-rounded IEEE op, so the whole computation stays
+# one fixed dag). The Σ sqrt(n) normalizer folds in lang order via the
+# module's ordered-sum pattern so both engines add in the same order.
+# Output probabilities in integer basis points.
+# ---------------------------------------------------------------------------
+@register(
+    "lang_temperature_weights",
+    oracle="""
+        WITH counts AS (
+            SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+                   sqrt(COUNT(*) * 1.0) AS s
+            FROM documents GROUP BY lang
+        ),
+        tot AS (
+            SELECT list_reduce(list_prepend(0.0, list(s ORDER BY lang)),
+                               (acc, x) -> acc + x) AS z
+            FROM counts
+        )
+        SELECT lang, n_docs,
+               CAST(ROUND(s / z * 10000.0) AS BIGINT) AS sample_prob_bp
+        FROM counts, tot
+    """,
+    tags=("sampling", "temperature", "llm-pipeline", "documents"),
+)
+def lang_temperature_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    counts = docs.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs")
+    ).withColumn("s", F.sqrt(F.col("n_docs") * 1.0))
+    tot = counts.agg(
+        F.aggregate(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("lang", "s"))),
+                lambda x: x["s"],
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        ).alias("z")
+    )
+    return counts.crossJoin(F.broadcast(tot)).select(
+        "lang",
+        "n_docs",
+        F.round(F.col("s") / F.col("z") * 10000.0, 0)
+        .cast("long")
+        .alias("sample_prob_bp"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# POPULATION STABILITY INDEX (PSI) drift monitor — the standard "did the
+# data distribution move" check between a reference window and a current
+# window: events are split at the midpoint of the time range (exact
+# epoch-microsecond integer midpoint), `value` is binned into 10 fixed
+# buckets, and each bucket contributes (p_cur − p_ref)·ln(p_cur/p_ref)
+# with +1 Laplace smoothing. Per-bin terms are quantized to integer
+# micro-nats (the bigram-LM trick) so the cross-engine comparison is
+# exact; PSI > 0.2 over the summed bins is the usual alert threshold.
+# Scale shape: two scans collapse into one (CASE side split), one
+# 10-bucket aggregate, totals broadcast back.
+# ---------------------------------------------------------------------------
+PSI_UNATS = 1_000_000
+
+
+@register(
+    "events_psi_value_drift",
+    oracle=f"""
+        WITH b AS (
+            SELECT epoch_us(MIN(ts)) AS lo, epoch_us(MAX(ts)) AS hi FROM events
+        ),
+        binned AS (
+            SELECT CAST(LEAST(GREATEST(floor(value / 10.0), 0), 9) AS BIGINT)
+                       AS bin,
+                   CASE WHEN epoch_us(ts) < (b.lo + b.hi) // 2
+                        THEN 'ref' ELSE 'cur' END AS side
+            FROM events, b
+        ),
+        c AS (
+            SELECT bin,
+                   CAST(1 + SUM(CASE WHEN side = 'ref' THEN 1 ELSE 0 END) AS BIGINT)
+                       AS c_ref,
+                   CAST(1 + SUM(CASE WHEN side = 'cur' THEN 1 ELSE 0 END) AS BIGINT)
+                       AS c_cur
+            FROM binned GROUP BY bin
+        ),
+        t AS (SELECT CAST(SUM(c_ref) AS BIGINT) AS t_ref,
+                     CAST(SUM(c_cur) AS BIGINT) AS t_cur FROM c)
+        SELECT bin, c_ref, c_cur,
+               CAST(ROUND((c_cur * 1.0 / t_cur - c_ref * 1.0 / t_ref)
+                          * ln((c_cur * 1.0 / t_cur) / (c_ref * 1.0 / t_ref))
+                          * {PSI_UNATS}.0) AS BIGINT) AS psi_unats
+        FROM c, t
+    """,
+    tags=("monitoring", "drift", "psi", "events"),
+)
+def events_psi_value_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    # unix_micros demands TIMESTAMP; the driver's parquet reads as
+    # TIMESTAMP_NTZ. The session tz is pinned UTC (load_table), so the
+    # cast is a deterministic relabel.
+    ts = F.col("ts").cast("timestamp")
+    bounds = events.agg(
+        F.unix_micros(F.min(ts)).alias("lo"),
+        F.unix_micros(F.max(ts)).alias("hi"),
+    )
+    binned = events.crossJoin(F.broadcast(bounds)).select(
+        F.least(F.greatest(F.floor(F.col("value") / 10.0), F.lit(0)), F.lit(9))
+        .cast("long")
+        .alias("bin"),
+        F.when(
+            F.unix_micros(ts) < idiv(F.col("lo") + F.col("hi"), 2), F.lit("ref")
+        )
+        .otherwise(F.lit("cur"))
+        .alias("side"),
+    )
+    c = binned.groupBy("bin").agg(
+        (1 + F.sum(F.when(F.col("side") == "ref", 1).otherwise(0)))
+        .cast("long")
+        .alias("c_ref"),
+        (1 + F.sum(F.when(F.col("side") == "cur", 1).otherwise(0)))
+        .cast("long")
+        .alias("c_cur"),
+    )
+    t = c.agg(
+        F.sum("c_ref").cast("long").alias("t_ref"),
+        F.sum("c_cur").cast("long").alias("t_cur"),
+    )
+    p_ref = F.col("c_ref") * 1.0 / F.col("t_ref")
+    p_cur = F.col("c_cur") * 1.0 / F.col("t_cur")
+    return c.crossJoin(F.broadcast(t)).select(
+        "bin",
+        "c_ref",
+        "c_cur",
+        F.round((p_cur - p_ref) * F.log(p_cur / p_ref) * PSI_UNATS, 0)
+        .cast("long")
+        .alias("psi_unats"),
+    )

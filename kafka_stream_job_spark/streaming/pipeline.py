@@ -1615,3 +1615,91 @@ def _register_streaming_union_sources() -> None:
 
 
 _register_streaming_union_sources()
+
+
+# ---------------------------------------------------------------------------
+# STREAM-STREAM JOIN → WINDOWED AGG in one query — the other
+# multiple-stateful-operator combination (streaming_chained_windows is
+# agg→agg): attributed purchases (inner time-bounded join) rolled into an
+# hourly count downstream, one checkpoint, no intermediate sink.
+#
+# Emission frontier — measured, then pinned by the oracle: the join
+# operator DELAYS the watermark it propagates downstream by its own
+# event-time horizon (a match can surface with purchase_ts up to 30 min
+# older than the inputs the watermark was computed from), so the agg's
+# closed-window frontier is
+#     min(max touch_ts, max purchase_ts) − 1 h (delay) − 30 min (horizon).
+# The heartbeat batch burns the one-batch eviction lag as usual (its row
+# is filtered from both join sides — the DATA advances the watermark; the
+# heartbeat merely triggers the extra micro-batch that runs eviction).
+# ---------------------------------------------------------------------------
+def attribution_hourly_stream(spark: SparkSession, stage: str) -> DataFrame:
+    joined = purchase_attribution_stream(
+        _heartbeat_stream(spark, stage), _heartbeat_stream(spark, stage)
+    )
+    return (
+        joined.groupBy(F.window("purchase_ts", "1 hour").alias("win"))
+        .agg(F.count(F.lit(1)).alias("n_attributed"))
+        .select(
+            F.col("win.start").cast("string").alias("hour_ts"),
+            F.col("n_attributed").cast("long").alias("n_attributed"),
+        )
+    )
+
+
+def _register_streaming_join_then_agg() -> None:
+    import uuid
+
+    from kafka_stream_job_spark.registry import register
+
+    @register(
+        "streaming_join_then_windowed_agg",
+        oracle="""
+            WITH t AS (
+                SELECT user_id, ts AS touch_ts FROM events
+                WHERE event_type IN ('view', 'click')
+            ),
+            p AS (
+                SELECT user_id, ts AS purchase_ts FROM events
+                WHERE event_type = 'purchase'
+            ),
+            m AS (
+                SELECT LEAST((SELECT MAX(touch_ts) FROM t),
+                             (SELECT MAX(purchase_ts) FROM p)) AS wmbase
+            ),
+            j AS (
+                SELECT p.purchase_ts FROM p JOIN t
+                  ON t.user_id = p.user_id
+                 AND t.touch_ts <= p.purchase_ts
+                 AND p.purchase_ts <= t.touch_ts + INTERVAL 30 MINUTE
+            )
+            SELECT hour_ts, n_attributed FROM (
+                SELECT date_trunc('hour', purchase_ts) AS h,
+                       CAST(date_trunc('hour', purchase_ts) AS VARCHAR) AS hour_ts,
+                       CAST(COUNT(*) AS BIGINT) AS n_attributed,
+                       m.wmbase AS wmbase
+                FROM j, m GROUP BY 1, 2, m.wmbase
+            )
+            WHERE h + INTERVAL 1 HOUR
+                  <= wmbase - INTERVAL 1 HOUR - INTERVAL 30 MINUTE
+        """,
+        tags=("streaming", "multi-stateful", "join", "window-time", "events"),
+    )
+    def streaming_join_then_windowed_agg(
+        spark: SparkSession, sf_dir: str
+    ) -> DataFrame:
+        import tempfile
+
+        stage = _stage_with_heartbeat(sf_dir)
+        name = f"stream_joinagg_{uuid.uuid4().hex[:8]}"
+        ckpt = tempfile.mkdtemp(prefix="ksj-stream-joinagg-")
+        return run_stream_to_memory(
+            spark,
+            attribution_hourly_stream(spark, stage),
+            name,
+            ckpt,
+            output_mode="append",
+        )
+
+
+_register_streaming_join_then_agg()
