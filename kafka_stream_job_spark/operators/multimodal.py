@@ -394,3 +394,72 @@ def multimodal_dedup_content_hash(spark: SparkSession, sf_dir: str) -> DataFrame
             F.sum("n_bytes").cast("long").alias("total_bytes"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# STRATIFIED MEDIA SAMPLE — training-mix curation over the multimodal
+# data model: within each (origin, size-bucket) stratum, keep a
+# deterministic hash-ordered sample of at most SAMPLE_PER_STRATUM
+# payloads (md5 of doc_id orders the stratum; rank via window — the
+# stratum counts are bounded, so the per-stratum sort is bounded too).
+# Metadata-only: the payload bytes are never decoded, only the typed
+# meta struct drives stratification — the property that makes the scan
+# cheap at 100 TB (column pruning drops the payload column entirely).
+# Output: per-stratum manifest with kept counts + kept-byte totals.
+# ---------------------------------------------------------------------------
+SAMPLE_PER_STRATUM = 40
+SIZE_BUCKET = 256  # bytes per size-bucket step
+
+
+@register(
+    "multimodal_stratified_sample",
+    oracle=f"""
+        WITH m AS (
+            SELECT doc_id, source AS origin,
+                   octet_length(encode(text)) AS n_bytes,
+                   CAST(octet_length(encode(text)) // {SIZE_BUCKET} AS BIGINT)
+                       AS size_bucket,
+                   md5('mmsample:' || CAST(doc_id AS VARCHAR)) AS h
+            FROM documents
+        ),
+        ranked AS (
+            SELECT *, ROW_NUMBER() OVER (PARTITION BY origin, size_bucket
+                                         ORDER BY h, doc_id) AS rn
+            FROM m
+        )
+        SELECT origin, size_bucket,
+               CAST(COUNT(*) AS BIGINT) AS n_total,
+               CAST(SUM(CASE WHEN rn <= {SAMPLE_PER_STRATUM} THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_kept,
+               CAST(SUM(CASE WHEN rn <= {SAMPLE_PER_STRATUM} THEN n_bytes ELSE 0 END)
+                    AS BIGINT) AS kept_bytes
+        FROM ranked
+        GROUP BY 1, 2
+    """,
+    tags=("multimodal", "sampling", "stratified", "documents"),
+)
+def multimodal_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from kafka_stream_job_spark.operators._portable import idiv
+
+    docs = with_binary_payload(load_table(spark, sf_dir, "documents"))
+    m = docs.select(
+        "doc_id",
+        F.col("meta.origin").alias("origin"),
+        F.col("meta.n_bytes").alias("n_bytes"),
+        idiv(F.col("meta.n_bytes").cast("long"), SIZE_BUCKET).alias("size_bucket"),
+        F.md5(F.concat(F.lit("mmsample:"), F.col("doc_id").cast("string"))).alias(
+            "h"
+        ),
+    )
+    w = Window.partitionBy("origin", "size_bucket").orderBy("h", "doc_id")
+    ranked = m.withColumn("rn", F.row_number().over(w))
+    kept = F.when(F.col("rn") <= SAMPLE_PER_STRATUM, 1).otherwise(0)
+    return ranked.groupBy("origin", "size_bucket").agg(
+        F.count(F.lit(1)).cast("long").alias("n_total"),
+        F.sum(kept).cast("long").alias("n_kept"),
+        F.sum(F.when(F.col("rn") <= SAMPLE_PER_STRATUM, F.col("n_bytes")).otherwise(0))
+        .cast("long")
+        .alias("kept_bytes"),
+    )

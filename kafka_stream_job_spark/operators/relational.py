@@ -5463,3 +5463,60 @@ def null_safe_join_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     return t.join(p, t["attr_key"].eqNullSafe(p["attr_key"])).select(
         t["attr_key"], "n_views", "n_purchases", "revenue"
     )
+
+
+# ---------------------------------------------------------------------------
+# Custom-source FILTER PUSHDOWN + PARTITION PRUNING: the same replay
+# DataSource, but the query's WHERE clause does the slicing — Spark hands
+# the event_id range and event_type IN filters to the source's
+# pushFilters hook (spark.sql.python.filterPushdown.enabled), the source
+# binary-searches its sorted offset space and plans ONLY the matching row
+# slice, and the event_type filter is applied on the Arrow batches before
+# they cross into the JVM. The oracle is the plain WHERE on events.
+# tests/test_datasources.py asserts the pruning itself (partition bounds
+# shrink, consumed filters are not re-returned).
+# ---------------------------------------------------------------------------
+_PRUNE_LO = 150  # event_id >= — maps to a row-index prune
+_PRUNE_HI = 650  # event_id <  —
+_PRUNE_TYPES = ("view", "purchase")
+
+
+@register(
+    "batch_replay_pruned_scan",
+    oracle=f"""
+        SELECT event_type,
+               COUNT(*) AS n_events,
+               CAST(MIN(event_id) AS BIGINT) AS min_id,
+               CAST(MAX(event_id) AS BIGINT) AS max_id,
+               {sql_round('SUM(value)', 2)} AS sum_value
+        FROM events
+        WHERE event_id >= {_PRUNE_LO} AND event_id < {_PRUNE_HI}
+          AND event_type IN {_PRUNE_TYPES}
+        GROUP BY 1
+    """,
+    tags=("datasource", "connector", "pushdown", "pruning", "events"),
+)
+def batch_replay_pruned_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os as _os
+
+    from kafka_stream_job_spark.sources.replay import register_replay_source
+
+    register_replay_source(spark)
+    spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
+    df = (
+        spark.read.format("ksj_replay")
+        .option("path", _os.path.join(sf_dir, "events.parquet"))
+        .option("n_splits", 8)
+        .load()
+        .filter(
+            (F.col("event_id") >= _PRUNE_LO)
+            & (F.col("event_id") < _PRUNE_HI)
+            & (F.col("event_type").isin(*_PRUNE_TYPES))
+        )
+    )
+    return df.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.min("event_id").cast("long").alias("min_id"),
+        F.max("event_id").cast("long").alias("max_id"),
+        pround(F.sum("value"), 2).alias("sum_value"),
+    )

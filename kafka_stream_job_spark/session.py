@@ -37,6 +37,10 @@ ENGINE_DEFAULTS: dict[str, str] = {
     # Arrow transfer for the few Pandas-UDF ops (similarity/multimodal);
     # everything else stays JVM-side.
     "spark.sql.execution.arrow.pyspark.enabled": "true",
+    # Python DataSource filter pushdown (Spark 4.1): required for the
+    # replay source's pushFilters partition pruning — Spark refuses to
+    # plan a pushFilters-capable source while this is false.
+    "spark.sql.python.filterPushdown.enabled": "true",
     # Streaming-subplan filter-pruning guard the reference pins
     # (test/checkpoint-offset.json:15).
     "spark.sql.optimizer.pruneFiltersCanPruneStreamingSubplan": "false",

@@ -154,12 +154,28 @@ class ReplayDataSource(DataSource):
 
 def register_replay_source(spark) -> None:
     spark.dataSource.register(ReplayDataSource)
+    # The batch reader implements pushFilters; Spark refuses to plan a
+    # pushFilters-capable Python source while this conf is false, so
+    # enabling it here keeps every consumer working (it is also a session
+    # default, but the driver may pass its own bare session).
+    spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
 
 
 class _ReplayBatchReader(DataSourceReader):
     """Bounded offset-range batch read — the reference's S2 contract
     (explicit startingOffsets/endingOffsets, KafkaBatchJob.java:70-77)
-    over the same row-index offset space as the stream reader."""
+    over the same row-index offset space as the stream reader.
+
+    FILTER PUSHDOWN (Spark 4.1 Python DataSource ``pushFilters``, enabled
+    by ``spark.sql.python.filterPushdown.enabled``): because the offset
+    space is the event_id-SORTED row index, any event_id comparison
+    filter maps to a row-index range — the source binary-searches the
+    sorted id column at planning time and PRUNES InputPartitions to the
+    matching slice (the Python-source analogue of Kafka offset-range /
+    parquet row-group pruning). event_type equality/IN filters are
+    applied inside read() on the Arrow batches, so pruned AND filtered
+    bytes never cross into the JVM. All other filters are returned to
+    Spark for post-scan evaluation."""
 
     def __init__(self, options):
         self._path = options.get("path")
@@ -169,6 +185,41 @@ class _ReplayBatchReader(DataSourceReader):
         end = options.get("end_idx")
         self._end = None if end is None else int(end)
         self._n_splits = int(options.get("n_splits", 4))
+        self._eid_lo: int | None = None  # inclusive event_id bound
+        self._eid_hi: int | None = None  # inclusive event_id bound
+        self._types: set | None = None  # event_type IN (...) pushdown
+
+    def pushFilters(self, filters):
+        from pyspark.sql.datasource import EqualTo, GreaterThan, GreaterThanOrEqual
+        from pyspark.sql.datasource import In, LessThan, LessThanOrEqual
+
+        def tighten_lo(v):
+            self._eid_lo = v if self._eid_lo is None else max(self._eid_lo, v)
+
+        def tighten_hi(v):
+            self._eid_hi = v if self._eid_hi is None else min(self._eid_hi, v)
+
+        for f in filters:
+            col = f.attribute[0] if getattr(f, "attribute", None) else None
+            if col == "event_id" and isinstance(f, EqualTo):
+                tighten_lo(f.value)
+                tighten_hi(f.value)
+            elif col == "event_id" and isinstance(f, GreaterThan):
+                tighten_lo(f.value + 1)
+            elif col == "event_id" and isinstance(f, GreaterThanOrEqual):
+                tighten_lo(f.value)
+            elif col == "event_id" and isinstance(f, LessThan):
+                tighten_hi(f.value - 1)
+            elif col == "event_id" and isinstance(f, LessThanOrEqual):
+                tighten_hi(f.value)
+            elif col == "event_type" and isinstance(f, EqualTo):
+                t = {f.value} if self._types is None else self._types & {f.value}
+                self._types = t
+            elif col == "event_type" and isinstance(f, In):
+                vs = set(f.value)  # In.value is the tuple of allowed values
+                self._types = vs if self._types is None else self._types & vs
+            else:
+                yield f  # not fully handled — Spark evaluates it post-scan
 
     def partitions(self):
         import pyarrow.parquet as pq
@@ -176,6 +227,15 @@ class _ReplayBatchReader(DataSourceReader):
         total = pq.ParquetFile(self._path).metadata.num_rows
         lo = max(0, self._start)
         hi = total if self._end is None else min(self._end, total)
+        if self._eid_lo is not None or self._eid_hi is not None:
+            # planning-time prune: sorted event_id column → index range
+            import bisect
+
+            ids = _sorted_table(self._path).column("event_id").to_pylist()
+            if self._eid_lo is not None:
+                lo = max(lo, bisect.bisect_left(ids, self._eid_lo))
+            if self._eid_hi is not None:
+                hi = min(hi, bisect.bisect_right(ids, self._eid_hi))
         if hi <= lo:
             return [_Slice(self._path, lo, lo)]
         n = max(1, self._n_splits)
@@ -185,4 +245,14 @@ class _ReplayBatchReader(DataSourceReader):
         ]
 
     def read(self, partition: _Slice):
-        yield from _read_slice_batches(partition)
+        if self._types is None:
+            yield from _read_slice_batches(partition)
+            return
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
+        allowed = pa.array(sorted(self._types), type=pa.string())
+        for batch in _read_slice_batches(partition):
+            filtered = batch.filter(pc.is_in(batch.column("event_type"), allowed))
+            if filtered.num_rows:
+                yield filtered

@@ -144,3 +144,53 @@ def test_replay_stream_resumes_from_committed_offset(spark, tmp_path):
     # rows, zero re-reads (and hence no batch to re-publish state).
     in_b, _ = run("replay_resume_b")
     assert in_b == 0
+
+
+def test_replay_batch_pushdown_prunes_partitions_and_filters_arrow():
+    """pushFilters must (a) consume event_id range + event_type IN
+    filters, returning only the rest; (b) shrink the planned row range to
+    the binary-searched slice; (c) filter Arrow batches to the allowed
+    types so non-matching rows never leave the source."""
+    from pyspark.sql.datasource import (
+        EqualTo,
+        GreaterThanOrEqual,
+        In,
+        IsNotNull,
+        LessThan,
+    )
+
+    from kafka_stream_job_spark.sources.replay import _ReplayBatchReader
+
+    path = f"{SF_SMOKE}/events.parquet"
+    reader = _ReplayBatchReader({"path": path, "n_splits": 4})
+    remaining = list(
+        reader.pushFilters(
+            [
+                GreaterThanOrEqual(("event_id",), 150),
+                LessThan(("event_id",), 650),
+                In(("event_type",), ("view", "purchase")),
+                IsNotNull(("user_id",)),  # not ours — must come back
+            ]
+        )
+    )
+    assert [type(f).__name__ for f in remaining] == ["IsNotNull"]
+    parts = reader.partitions()
+    lo = min(p.start for p in parts)
+    hi = max(p.end for p in parts)
+    # event_id is the dense sorted 0..N-1 space in the generated data, so
+    # the pruned row range equals the id range exactly.
+    assert (lo, hi) == (150, 650)
+    rows = [r for p in parts for b in reader.read(p) for r in b.to_pylist()]
+    assert rows and all(r["event_type"] in ("view", "purchase") for r in rows)
+    assert all(150 <= r["event_id"] < 650 for r in rows)
+    # unpruned reader over the same range must agree row-for-row
+    plain = _ReplayBatchReader({"path": path, "start_idx": 150, "end_idx": 650})
+    expect = [
+        r
+        for p in plain.partitions()
+        for b in plain.read(p)
+        for r in b.to_pylist()
+        if r["event_type"] in ("view", "purchase")
+    ]
+    key = lambda r: r["event_id"]  # noqa: E731
+    assert sorted(rows, key=key) == sorted(expect, key=key)
