@@ -173,3 +173,128 @@ def udtf_word_expand(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY 1
         """
     )
+
+
+# ---------------------------------------------------------------------------
+# Grouped-AGGREGATE pandas_udf — the fourth member of the Python-boundary
+# family (scalar, grouped-map, UDTF above): a whole group reduces to one
+# scalar inside Python, planned as a real AggregateExpression (partial
+# aggregation DISABLED — unlike JVM aggs these can't combine partial
+# states, so Spark shuffles raw group rows; the reason to prefer JVM aggs
+# at 100 TB, stated here with the cost visible). The UDAF computes a
+# numerically-stable trimmed mean (drop top/bottom 10% by value) of order
+# totals per priority — a robust statistic with no JVM builtin.
+# ---------------------------------------------------------------------------
+@register(
+    "pandas_grouped_agg_trimmed_mean",
+    oracle="""
+        WITH ranked AS (
+            SELECT o_orderpriority, o_totalprice,
+                   ROW_NUMBER() OVER (PARTITION BY o_orderpriority
+                                      ORDER BY o_totalprice, o_orderkey) AS rn,
+                   COUNT(*) OVER (PARTITION BY o_orderpriority) AS n
+            FROM orders
+        )
+        SELECT o_orderpriority,
+               CAST(COUNT(*) AS BIGINT) AS n_kept,
+               ROUND((SUM(CAST(ROUND(o_totalprice * 100.0) AS BIGINT)) / 100.0
+                      / COUNT(*)) * 10000.0) / 10000.0 + 0.0 AS trimmed_mean
+        FROM ranked
+        WHERE rn > n // 10 AND rn <= n - n // 10
+        GROUP BY o_orderpriority
+    """,
+    tags=("pandas-udf", "grouped-agg", "udaf", "orders"),
+)
+def pandas_grouped_agg_trimmed_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    from kafka_stream_job_spark.operators._portable import pround
+
+    @pandas_udf("double")
+    def trimmed_mean(v: pd.Series, k: pd.Series) -> float:
+        # sort by (value, orderkey) — the oracle's deterministic total
+        # order — then drop the bottom/top 10% by row count (n // 10).
+        # Accumulate integer CENTS (prices are 2dp): the sum is exact and
+        # order-free, so engines agree regardless of aggregation order;
+        # the one float division at the end is a fixed dag both sides.
+        df = pd.DataFrame({"v": v, "k": k}).sort_values(["v", "k"])
+        n = len(df)
+        cut = n // 10
+        kept = df.iloc[cut : n - cut]
+        cents = int(kept["v"].mul(100.0).round().astype("int64").sum())
+        return cents / 100.0 / len(kept)
+
+    @pandas_udf("long")
+    def kept_count(v: pd.Series) -> int:
+        n = len(v)
+        return n - 2 * (n // 10)
+
+    orders = load_table(spark, sf_dir, "orders")
+    out = orders.groupBy("o_orderpriority").agg(
+        kept_count("o_totalprice").alias("n_kept"),
+        trimmed_mean("o_totalprice", "o_orderkey").alias("tm_raw"),
+    )
+    return out.select(
+        "o_orderpriority",
+        "n_kept",
+        pround("tm_raw", 4).alias("trimmed_mean"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# mapInArrow — the fifth Python-boundary shape, and the leanest: raw
+# pyarrow RecordBatches in and out, NO pandas materialization (pandas
+# conversion copies + boxes; Arrow→numpy is zero-copy for fixed-width
+# data). The op: integer-quantized squared L2 norm per embedding,
+# computed by flattening the list column into ONE contiguous float array
+# and one reshape — the vectorization pattern real feature pipelines use
+# on the Arrow boundary. Exact-integer output (same quantization trick as
+# embedding_int8_quantize), so the DuckDB list-fold oracle matches
+# bit-for-bit.
+# ---------------------------------------------------------------------------
+ARROW_NORM_SCALE = 10_000
+
+
+@register(
+    "arrow_map_embedding_norm",
+    oracle=f"""
+        SELECT vec_id,
+               CAST(list_reduce(list_prepend(CAST(0 AS BIGINT),
+                        list_transform(embedding,
+                            x -> CAST(ROUND(x::DOUBLE * {ARROW_NORM_SCALE}.0)
+                                      AS BIGINT)
+                                 * CAST(ROUND(x::DOUBLE * {ARROW_NORM_SCALE}.0)
+                                      AS BIGINT))),
+                    (a, b) -> a + b) AS BIGINT) AS norm2_q
+        FROM embeddings
+    """,
+    tags=("arrow", "mapInArrow", "python-boundary", "embeddings"),
+)
+def arrow_map_embedding_norm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    def norm_batches(batches):
+        import pyarrow as pa
+
+        for batch in batches:
+            ids = batch.column("vec_id")
+            emb = batch.column("embedding")
+            flat = emb.flatten()  # zero-copy contiguous float32 values
+            vals = np.asarray(flat, dtype=np.float64)
+            # round-half-away-from-zero to the quantization grid (np.round
+            # is half-even — wrong tie rule for both engines)
+            scaled = vals * float(ARROW_NORM_SCALE)
+            q = (np.sign(scaled) * np.floor(np.abs(scaled) + 0.5)).astype(np.int64)
+            offsets = np.asarray(emb.offsets, dtype=np.int64)
+            sq = q * q
+            norm2 = np.add.reduceat(sq, offsets[:-1])
+            # reduceat on an empty segment returns the next element; the
+            # embeddings here are fixed non-empty lists, but guard anyway
+            empty = offsets[1:] == offsets[:-1]
+            if empty.any():
+                norm2 = np.where(empty, 0, norm2)
+            yield pa.RecordBatch.from_arrays(
+                [ids, pa.array(norm2, type=pa.int64())], ["vec_id", "norm2_q"]
+            )
+
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    return emb.mapInArrow(norm_batches, schema="vec_id long, norm2_q long")
