@@ -1258,3 +1258,69 @@ def events_psi_value_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("psi_unats"),
     )
+
+
+# ---------------------------------------------------------------------------
+# SEEDED EPOCH SHUFFLE MANIFEST — deterministic training-order
+# assignment: each epoch e permutes the corpus by md5('e:doc_id') and
+# deals documents round-robin into N_SHUFFLE_SHARDS shards. Reproducible
+# (hash-seeded, no RNG state), different every epoch, and balanced to
+# ±1 doc per shard by construction. The permutation rank comes from the
+# distributed global-rank helper — range-exchange + local rank + offset
+# broadcast, the only global-order shape that survives 100 TB (no
+# single-partition window). Per-epoch loop is a driver loop over
+# declarative plans (2 epochs here).
+# ---------------------------------------------------------------------------
+N_SHUFFLE_EPOCHS = 2
+N_SHUFFLE_SHARDS = 16
+
+
+@register(
+    "corpus_epoch_shuffle_manifest",
+    oracle=f"""
+        WITH e AS (SELECT unnest(range(0, {N_SHUFFLE_EPOCHS})) AS epoch),
+        h AS (
+            SELECT e.epoch, d.doc_id,
+                   md5(CAST(e.epoch AS VARCHAR) || ':' || CAST(d.doc_id AS VARCHAR))
+                       AS h
+            FROM documents d, e
+        ),
+        r AS (
+            SELECT epoch, doc_id,
+                   ROW_NUMBER() OVER (PARTITION BY epoch ORDER BY h, doc_id)
+                       AS rnk
+            FROM h
+        )
+        SELECT CAST(epoch AS BIGINT) AS epoch,
+               CAST((rnk - 1) % {N_SHUFFLE_SHARDS} AS BIGINT) AS shard,
+               CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(doc_id) AS BIGINT) AS sum_doc_id,
+               CAST(arg_min(doc_id, rnk) AS BIGINT) AS first_doc
+        FROM r
+        GROUP BY 1, 2
+    """,
+    tags=("llm-pipeline", "shuffle", "sharding", "distributed-rank", "documents"),
+)
+def corpus_epoch_shuffle_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kafka_stream_job_spark.operators._distributed import distributed_rank
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    out = None
+    for epoch in range(N_SHUFFLE_EPOCHS):
+        seeded = docs.select(
+            F.lit(epoch).cast("long").alias("epoch"),
+            "doc_id",
+            F.md5(
+                F.concat(F.lit(f"{epoch}:"), F.col("doc_id").cast("string"))
+            ).alias("h"),
+        )
+        ranked = distributed_rank(seeded, [F.col("h"), F.col("doc_id")])
+        part = ranked.groupBy(
+            "epoch", ((F.col("rnk") - 1) % N_SHUFFLE_SHARDS).cast("long").alias("shard")
+        ).agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("doc_id").cast("long").alias("sum_doc_id"),
+            F.min_by("doc_id", "rnk").cast("long").alias("first_doc"),
+        )
+        out = part if out is None else out.unionByName(part)
+    return out

@@ -2687,3 +2687,185 @@ def test_ntile_from_rank_formula_matches_duckdb(n, k):
             # q == 0 only possible when rank <= r*big covers all rows
             got[rank] = r + (rank - r * big - 1) // q + 1
     assert got == want
+
+
+@settings(max_examples=40, deadline=None)
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=40),  # user_id
+            st.integers(min_value=0, max_value=3 * 24 * 3600 - 1),  # sec offset
+        ),
+        min_size=1,
+        max_size=120,
+    )
+)
+def test_interval_overlap_oracle_matches_reference(rows):
+    """The bucketed interval-overlap oracle vs a brute-force Python scan:
+    per-day user activity spans against the daily [02:00, 04:00) incident
+    window — pins the strict-overlap predicate (zero-length spans at the
+    window open edge excluded) and the floor-seconds arithmetic."""
+    import datetime
+
+    import duckdb
+
+    from kafka_stream_job_spark.registry import all_specs
+
+    base = datetime.datetime(2024, 3, 1)
+    data = [
+        (i, uid, base + datetime.timedelta(seconds=off), "view", 0.0, None)
+        for i, (uid, off) in enumerate(rows)
+    ]
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE events (event_id BIGINT, user_id BIGINT, ts TIMESTAMP,"
+        " event_type VARCHAR, value DOUBLE, props VARCHAR)"
+    )
+    con.executemany("INSERT INTO events VALUES (?, ?, ?, ?, ?, ?)", data)
+    oracle = all_specs()["events_interval_overlap_join"].oracle
+    got = {tuple(r) for r in con.sql(oracle).fetchall()}
+
+    spans: dict = {}
+    for _, uid, ts, *_ in data:
+        d = ts.date()
+        s, e = spans.get((d, uid), (ts, ts))
+        spans[(d, uid)] = (min(s, ts), max(e, ts))
+    per_day: dict = {}
+    for (d, uid), (s, e) in spans.items():
+        i_s = datetime.datetime(d.year, d.month, d.day, 2)
+        i_e = datetime.datetime(d.year, d.month, d.day, 4)
+        if s < i_e and i_s < e:
+            lo = max(s, i_s)
+            hi = min(e, i_e)
+            us = int((hi - lo).total_seconds() * 1_000_000)
+            n, tot = per_day.get(d, (0, 0))
+            per_day[d] = (n + 1, tot + us)
+    want = {
+        (str(d), n, tot // 1_000_000) for d, (n, tot) in per_day.items()
+    }
+    assert got == want
+
+
+@settings(max_examples=30, deadline=None)
+@given(
+    vecs=st.lists(
+        st.lists(
+            st.floats(min_value=-0.5, max_value=0.5, allow_nan=False, width=32),
+            min_size=16,
+            max_size=16,
+        ),
+        min_size=1,
+        max_size=40,
+    )
+)
+def test_pq_oracle_matches_reference(vecs):
+    """The PQ code/reconstruction-error oracle vs a pure-Python PQ on
+    random 16-d embeddings (4 subspaces of width 4 at DIM=16 scale —
+    the oracle is regenerated for the small dim so the test exercises the
+    same SQL generator, not a copy). Pins seeding, integer quantization,
+    argmin tie-break, and the code string assembly."""
+    import hashlib
+
+    import duckdb
+
+    from kafka_stream_job_spark.operators.similarity import (
+        PQ_SCALE,
+        _pq_oracle,
+    )
+    import kafka_stream_job_spark.operators.similarity as sim
+
+    # regenerate the oracle for a 16-d table (4 subspaces × width 4)
+    old = (sim.PQ_SUBSPACES, sim.PQ_WIDTH)
+    sim.PQ_SUBSPACES, sim.PQ_WIDTH = 4, 4
+    try:
+        oracle = _pq_oracle()
+    finally:
+        sim.PQ_SUBSPACES, sim.PQ_WIDTH = old
+    con = duckdb.connect()
+    con.execute("CREATE TABLE embeddings (vec_id BIGINT, embedding FLOAT[], label INT)")
+    con.executemany(
+        "INSERT INTO embeddings VALUES (?, ?, ?)",
+        [(i, v, 0) for i, v in enumerate(vecs)],
+    )
+    got = {tuple(r) for r in con.sql(oracle).fetchall()}
+
+    def seed_hash(vid: int) -> int:
+        return int(hashlib.md5(f"pq:{vid}".encode()).hexdigest()[:7], 16)
+
+    def quant(v):
+        # float32→double widening is exact, so float(x) * PQ_SCALE is the
+        # same double the engines compute
+        return [round_half_away(float(x) * PQ_SCALE) for x in v]
+
+    def round_half_away(x: float) -> float:
+        import math
+
+        return math.floor(abs(x) + 0.5) * (1 if x >= 0 else -1)
+
+    q = {i: quant(v) for i, v in enumerate(vecs)}
+    seeds = [i for i in range(len(vecs)) if seed_hash(i) % 32 == 0]
+    want = set()
+    if seeds:
+        for i, qv in q.items():
+            code, err = [], 0
+            for s in range(4):
+                sub = qv[4 * s : 4 * s + 4]
+                best = None
+                for cid in seeds:
+                    csub = q[cid][4 * s : 4 * s + 4]
+                    d = sum((a - b) * (a - b) for a, b in zip(sub, csub))
+                    if best is None or (d, cid) < best:
+                        best = (d, cid)
+                code.append(str(best[1]))
+                err += int(best[0])
+            want.add((i, "-".join(code), err))
+    assert got == want
+
+
+@settings(max_examples=40, deadline=None)
+@given(
+    toks=st.lists(
+        st.tuples(
+            st.sampled_from(["aa", "bb", "cc", "dd", "ee", "ff", "gg"]),
+            st.sampled_from(["en", "fr"]),
+        ),
+        min_size=1,
+        max_size=200,
+    ),
+    top_k=st.integers(min_value=1, max_value=5),
+)
+def test_vocab_coverage_formula_matches_reference(toks, top_k):
+    """The vocab-coverage basis-point arithmetic vs a Python reference:
+    top-K by (count DESC, token ASC), integer // coverage — exercised by
+    swapping VOCAB_TOP_K into the oracle, one doc per token."""
+    import duckdb
+
+    from kafka_stream_job_spark.registry import all_specs
+
+    oracle = all_specs()["text_vocab_coverage"].oracle.replace(
+        "<= 200", f"<= {top_k}"
+    )
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE documents (doc_id BIGINT, text VARCHAR, lang VARCHAR,"
+        " source VARCHAR, n_chars BIGINT)"
+    )
+    con.executemany(
+        "INSERT INTO documents VALUES (?, ?, ?, ?, ?)",
+        [(i, t, lang, "s", len(t)) for i, (t, lang) in enumerate(toks)],
+    )
+    got = {tuple(r) for r in con.sql(oracle).fetchall()}
+
+    from collections import Counter, defaultdict
+
+    per_lang: dict = defaultdict(Counter)
+    for t, lang in toks:
+        per_lang[lang][t] += 1
+    want = set()
+    for lang, counts in per_lang.items():
+        ranked = sorted(counts.items(), key=lambda kv: (-kv[1], kv[0]))
+        total = sum(counts.values())
+        covered = sum(c for _, c in ranked[:top_k])
+        bp = covered * 10000 // total
+        want.add((lang, total, len(counts), bp, 10000 - bp))
+    assert got == want
