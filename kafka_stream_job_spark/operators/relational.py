@@ -5520,3 +5520,62 @@ def batch_replay_pruned_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("event_id").cast("long").alias("max_id"),
         pround(F.sum("value"), 2).alias("sum_value"),
     )
+
+
+# ---------------------------------------------------------------------------
+# WILSON LOWER BOUND ranking — the robust small-sample proportion rank
+# (how every "sort by rating" feature avoids promoting a 1-for-1
+# supplier over a 480-for-500 one): per supplier, the 95% Wilson score
+# lower bound of its lineitem RETURN rate, ranked worst-first. One
+# grouped aggregate; the bound itself is a fixed scalar IEEE dag
+# (z = 1.96 literal, one sqrt) written identically in both engines, so
+# pround(6) pins it exactly. Top-20 with deterministic tie-breaks.
+# ---------------------------------------------------------------------------
+@register(
+    "supplier_return_wilson_rank",
+    oracle="""
+        WITH s AS (
+            SELECT l_suppkey,
+                   CAST(COUNT(*) AS BIGINT) AS n_items,
+                   CAST(SUM(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_returned
+            FROM lineitem GROUP BY 1
+        ),
+        w AS (
+            SELECT l_suppkey, n_items, n_returned,
+                   ROUND(((n_returned * 1.0 / n_items + 1.96 * 1.96 / (2.0 * n_items)
+                          - 1.96 * sqrt((n_returned * 1.0 / n_items)
+                                        * (1.0 - n_returned * 1.0 / n_items) / n_items
+                                        + 1.96 * 1.96 / (4.0 * n_items * n_items)))
+                         / (1.0 + 1.96 * 1.96 / n_items)) * 1000000.0) / 1000000.0
+                       + 0.0 AS wilson_low
+            FROM s
+        )
+        SELECT l_suppkey, n_items, n_returned, wilson_low
+        FROM w
+        ORDER BY wilson_low DESC, n_items DESC, l_suppkey
+        LIMIT 20
+    """,
+    tags=("stats", "ranking", "wilson", "lineitem"),
+)
+def supplier_return_wilson_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    s = li.groupBy("l_suppkey").agg(
+        F.count(F.lit(1)).cast("long").alias("n_items"),
+        F.sum(F.when(F.col("l_returnflag") == "R", 1).otherwise(0))
+        .cast("long")
+        .alias("n_returned"),
+    )
+    p = F.col("n_returned") * 1.0 / F.col("n_items")
+    n = F.col("n_items")
+    z2 = 1.96 * 1.96
+    wilson = (
+        p
+        + F.lit(z2) / (2.0 * n)
+        - 1.96 * F.sqrt(p * (F.lit(1.0) - p) / n + F.lit(z2) / (4.0 * n * n))
+    ) / (F.lit(1.0) + F.lit(z2) / n)
+    return (
+        s.select("l_suppkey", "n_items", "n_returned", pround(wilson, 6).alias("wilson_low"))
+        .orderBy(F.col("wilson_low").desc(), F.col("n_items").desc(), "l_suppkey")
+        .limit(20)
+    )
