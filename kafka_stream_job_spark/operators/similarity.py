@@ -1286,6 +1286,10 @@ def embedding_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
     cents = (
         emb.filter(seed_hash % PQ_SEED_MOD == 0)
         .select(F.col("vec_id").alias("cent_id"), F.posexplode(slices).alias("s", "csub"))
+        # tiny (~n/PQ_SEED_MOD × SUBSPACES rows) but derived from a full
+        # corpus scan — pin ONE materialization so the broadcast doesn't
+        # rescan the corpus (the MinHash ReusedExchange lesson).
+        .localCheckpoint(eager=False)
     )
     scored = subs.join(F.broadcast(cents), "s").select(
         "vec_id",
@@ -1402,6 +1406,9 @@ def similarity_topk_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             F.col("vec_id").alias("cent_id"), F.posexplode(slices).alias("s", "csub")
         )
+        # referenced THREE times (code assignment, distance table) and
+        # derived from a full corpus scan — pin one materialization.
+        .localCheckpoint(eager=False)
     )
     corpus_subs = subs.filter(F.col("vec_id") >= N_QUERIES)
     codes = (

@@ -603,3 +603,27 @@ def test_vocab_coverage_partial_agg_before_shuffle(spark):
     plan = plan_of(spark, "text_vocab_coverage")
     assert "partial_count" in plan or "HashAggregate" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_epoch_shuffle_uses_distributed_rank(spark):
+    """Each epoch's permutation rank must come from the distributed rank
+    helper, never a single-partition global ROW_NUMBER over the corpus."""
+    _assert_distributed_rank_shape(plan_of(spark, "corpus_epoch_shuffle_manifest"))
+
+
+def test_psi_broadcasts_bounds_and_totals(spark):
+    """PSI's time-range bounds and bin totals are one-row/10-row scalars:
+    both must broadcast back; the events table shuffles only for the
+    10-bucket aggregate."""
+    plan = plan_of(spark, "events_psi_value_drift")
+    assert plan.count("BroadcastNestedLoopJoin") >= 1
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_wilson_rank_is_single_agg_topk(spark):
+    """Wilson ranking: one grouped aggregate then a global top-k that
+    must plan as TakeOrderedAndProject, never a full global sort."""
+    plan = plan_of(spark, "supplier_return_wilson_rank")
+    assert "TakeOrderedAndProject" in plan
+    assert "Join" not in plan
