@@ -5579,3 +5579,48 @@ def supplier_return_wilson_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("wilson_low").desc(), F.col("n_items").desc(), "l_suppkey")
         .limit(20)
     )
+
+
+# ---------------------------------------------------------------------------
+# PARAMETERIZED SQL (Spark 4): named parameter markers (:param) bound
+# via spark.sql(args=...) — the injection-safe API surface for
+# templated queries — plus IDENTIFIER() binding a TABLE NAME from a
+# parameter (the piece string interpolation can't do safely), plus
+# GROUP BY ALL (keys inferred from the non-aggregate select list).
+# Catalyst sees fully-bound literals after parse, so pushdown/pruning
+# are unaffected — this is purely the safe templating surface.
+# ---------------------------------------------------------------------------
+@register(
+    "parameterized_sql_showcase",
+    oracle="""
+        SELECT
+            CAST(date_trunc('day', ts) AS VARCHAR) AS day_ts,
+            event_type,
+            COUNT(*)    AS n_events,
+            ROUND((SUM(value)) * 100.0) / 100.0 + 0.0 AS sum_value
+        FROM events
+        WHERE event_type IN ('view', 'click') AND value >= 10.0
+        GROUP BY 1, 2
+    """,
+    tags=("sql-surface", "parameterized", "identifier", "events"),
+)
+def parameterized_sql_showcase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_table(spark, sf_dir, "events").createOrReplaceTempView("param_events_v")
+    return spark.sql(
+        """
+        SELECT
+            CAST(CAST(date_trunc('day', ts) AS DATE) AS STRING) AS day_ts,
+            event_type,
+            COUNT(*)    AS n_events,
+            ROUND(SUM(value) * 100.0) / 100.0 + 0.0 AS sum_value
+        FROM IDENTIFIER(:tbl)
+        WHERE event_type IN (:t1, :t2) AND value >= :min_value
+        GROUP BY ALL
+        """,
+        args={
+            "tbl": "param_events_v",
+            "t1": "view",
+            "t2": "click",
+            "min_value": 10.0,
+        },
+    )

@@ -1703,3 +1703,52 @@ def _register_streaming_join_then_agg() -> None:
 
 
 _register_streaming_join_then_agg()
+
+
+# ---------------------------------------------------------------------------
+# Trigger.AvailableNow as a DRIVER-GATED registry query — the production
+# backfill mode (process everything currently available in rate-limited
+# micro-batches, then SELF-TERMINATE; the deployable twin of the
+# reference's processAllAvailable test barrier, KafkaAvroToIceberg
+# Q1/Q4). Differs from the drain helper: termination comes from the
+# trigger itself (awaitTermination returns when the backlog is done),
+# not from a test-side barrier. Complete-mode hourly rollup, so the
+# oracle is the batch twin — proving the self-terminating mode loses
+# nothing relative to the always-on drain.
+# ---------------------------------------------------------------------------
+def _register_streaming_available_now() -> None:
+    import uuid
+
+    from kafka_stream_job_spark.registry import REGISTRY, register
+
+    @register(
+        "streaming_available_now_rollup",
+        oracle=REGISTRY["events_hourly_rollup"].oracle,
+        tags=("streaming", "available-now", "backfill", "events"),
+    )
+    def streaming_available_now_rollup(
+        spark: SparkSession, sf_dir: str
+    ) -> DataFrame:
+        import tempfile
+
+        name = f"stream_avnow_{uuid.uuid4().hex[:8]}"
+        ckpt = tempfile.mkdtemp(prefix="ksj-stream-avnow-")
+        rolled = hourly_rollup_stream(stream_events(spark, sf_dir))
+        with _drain_partitions(spark):
+            query = (
+                rolled.writeStream.format("memory")
+                .queryName(name)
+                .option("checkpointLocation", ckpt)
+                .outputMode("complete")
+                .trigger(availableNow=True)
+                .start()
+            )
+            # Q4 awaitTermination — the trigger self-terminates after the
+            # available backlog commits; no processAllAvailable barrier.
+            if not query.awaitTermination(300):
+                query.stop()
+                raise TimeoutError("availableNow query did not self-terminate")
+        return spark.table(name)
+
+
+_register_streaming_available_now()
