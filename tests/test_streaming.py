@@ -802,3 +802,99 @@ def test_rocksdb_state_store_provider_rollup_equals_batch(spark, tmp_path):
             spark.conf.set("spark.sql.streaming.stateStore.providerClass", prev)
     batch = events_hourly_rollup(spark, SF_SMOKE).collect()
     assert sorted(map(tuple, out)) == sorted(map(tuple, batch))
+
+
+def test_stateful_agg_checkpoint_restart_resume(spark, tmp_path):
+    """Exactly-once across a RESTART: a watermarked stateful rollup in
+    update mode runs against a staging dir with one file, stops, a second
+    file arrives, and a NEW query resumes from the SAME checkpoint. The
+    resumed query must (a) not reprocess file 1 (its offsets are
+    committed), (b) restore the aggregation state (counts continue, not
+    restart), and (c) leave the idempotent sink equal to the batch
+    rollup over both files."""
+    import duckdb
+
+    from kafka_stream_job_spark.streaming.pipeline import (
+        foreach_batch_idempotent_append,
+    )
+
+    src = os.path.join(SF_SMOKE, "events.parquet")
+    stage = tmp_path / "stage"
+    stage.mkdir()
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW ev AS SELECT * FROM read_parquet('{src}')")
+    # split by EVENT TIME (median, mid-hour) so run 2's rows sit above
+    # run 1's final watermark — a real backfill arrives in time order;
+    # an event_id-parity split would make ALL of file 1 late data and
+    # test the (already-covered) drop path instead of state restore. The
+    # boundary hour receives rows from BOTH runs, which is what proves
+    # the aggregation state actually carried across the restart.
+    con.execute(
+        "CREATE VIEW split AS SELECT quantile_disc(ts, 0.5) AS t_mid FROM ev"
+    )
+    con.execute(
+        f"COPY (SELECT ev.* FROM ev, split WHERE ts < t_mid)"
+        f" TO '{stage}/f0.parquet' (FORMAT PARQUET)"
+    )
+    ckpt = str(tmp_path / "ckpt")
+    out_dir = str(tmp_path / "out")
+
+    def run_available():
+        schema = spark.read.parquet(str(stage)).schema
+        s = spark.readStream.schema(schema).parquet(str(stage))
+        from pyspark.sql import types as T
+
+        if isinstance(schema["ts"].dataType, T.TimestampNTZType):
+            s = s.withColumn("ts", F.col("ts").cast("timestamp"))
+        rolled = (
+            s.withWatermark("ts", "2 hours")
+            .groupBy(F.window("ts", "1 hour").alias("win"), "event_type")
+            .agg(F.count(F.lit(1)).alias("n_events"))
+            .select(
+                F.col("win.start").cast("string").alias("hour_ts"),
+                "event_type",
+                "n_events",
+            )
+        )
+        q = (
+            rolled.writeStream.foreachBatch(
+                foreach_batch_idempotent_append(out_dir)
+            )
+            .outputMode("update")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        assert q.awaitTermination(300)
+
+    run_available()  # run 1: file 0 only, then self-terminate (a "crash")
+    con.execute(
+        f"COPY (SELECT ev.* FROM ev, split WHERE ts >= t_mid)"
+        f" TO '{stage}/f1.parquet' (FORMAT PARQUET)"
+    )
+    run_available()  # run 2: resumes from the committed checkpoint
+
+    # offsets log must show run 2 started AFTER file 0 (no reprocessing)
+    batches = list_offset_batches(ckpt)
+    assert len(batches) >= 2
+    # in UPDATE mode the per-key LATEST emission is the final count; state
+    # must have carried across the restart, so the max per key equals the
+    # batch rollup over BOTH files.
+    got = {
+        (r["hour_ts"], r["event_type"]): r["n"]
+        for r in spark.read.parquet(out_dir)
+        .groupBy("hour_ts", "event_type")
+        .agg(F.max("n_events").alias("n"))
+        .collect()
+    }
+    want = {
+        (r["hour_ts"], r["event_type"]): r["n"]
+        for r in load_table(spark, SF_SMOKE, "events")
+        .groupBy(
+            F.date_trunc("hour", "ts").cast("string").alias("hour_ts"),
+            "event_type",
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    assert got == want
