@@ -298,3 +298,101 @@ def arrow_map_embedding_norm(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
     return emb.mapInArrow(norm_batches, schema="vec_id long, norm2_q long")
+
+
+# ---------------------------------------------------------------------------
+# COGROUPED-MAP applyInPandas — the last member of the Python-boundary
+# family (scalar, grouped-map, grouped-agg, UDTF, mapInPandas,
+# mapInArrow elsewhere): TWO DataFrames cogrouped on a key, each group
+# pair handed to pandas together. The canonical use is exactly this —
+# pandas.merge_asof per user, i.e. an as-of join written as library code
+# instead of a join plan (what a team ports from a single-node pandas
+# pipeline before rewriting it as the union+window formulation in
+# asof_purchase_attribution; both are in the registry so the plans can
+# be compared). One shuffle per side on user_id; per-user group pairs
+# must fit a worker — fine for per-entity timelines.
+# Arithmetic: the seconds-since gap is computed in integer microseconds
+# (datetime64[us] subtraction) floor-divided to seconds, mirrored by the
+# oracle's epoch_us subtraction — no date_diff crossing semantics.
+# ---------------------------------------------------------------------------
+@register(
+    "cogroup_asof_pandas",
+    oracle="""
+        WITH touches AS (
+            SELECT user_id, ts, MAX(event_id) AS touch_event_id
+            FROM events
+            WHERE event_type IN ('view', 'click')
+            GROUP BY user_id, ts
+        ),
+        purchases AS (
+            SELECT user_id, ts, event_id AS purchase_id
+            FROM events WHERE event_type = 'purchase'
+        )
+        SELECT
+            p.purchase_id,
+            p.user_id,
+            t.touch_event_id AS last_touch_id,
+            CAST((epoch_us(p.ts) - epoch_us(t.ts)) // 1000000 AS BIGINT)
+                AS seconds_since_touch
+        FROM purchases p
+        ASOF JOIN touches t ON p.user_id = t.user_id AND t.ts <= p.ts
+    """,
+    tags=("pandas-udf", "cogroup", "asof", "events"),
+)
+def cogroup_asof_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    touches = (
+        events.filter(F.col("event_type").isin("view", "click"))
+        .groupBy("user_id", "ts")
+        .agg(F.max("event_id").alias("touch_event_id"))
+    )
+    purchases = events.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", F.col("event_id").alias("purchase_id")
+    )
+
+    def asof(purch: pd.DataFrame, touch: pd.DataFrame) -> pd.DataFrame:
+        if purch.empty:
+            return pd.DataFrame(
+                columns=["purchase_id", "user_id", "last_touch_id",
+                         "seconds_since_touch"]
+            )
+        purch = purch.sort_values("ts")
+        if touch.empty:
+            return purch.iloc[0:0][["purchase_id", "user_id"]].assign(
+                last_touch_id=pd.Series(dtype="int64"),
+                seconds_since_touch=pd.Series(dtype="int64"),
+            )
+        touch = touch.sort_values("ts")
+        merged = pd.merge_asof(
+            purch,
+            touch.rename(columns={"ts": "touch_ts"}),
+            left_on="ts",
+            right_on="touch_ts",
+            by="user_id",
+            direction="backward",
+            allow_exact_matches=True,
+        ).dropna(subset=["touch_event_id"])
+        gap_us = (
+            merged["ts"].to_numpy("datetime64[us]").astype("int64")
+            - merged["touch_ts"].to_numpy("datetime64[us]").astype("int64")
+        )
+        return pd.DataFrame(
+            {
+                "purchase_id": merged["purchase_id"].astype("int64"),
+                "user_id": merged["user_id"].astype("int64"),
+                "last_touch_id": merged["touch_event_id"].astype("int64"),
+                "seconds_since_touch": gap_us // 1_000_000,
+            }
+        )
+
+    return (
+        purchases.groupBy("user_id")
+        .cogroup(touches.groupBy("user_id"))
+        .applyInPandas(
+            asof,
+            schema=(
+                "purchase_id long, user_id long, last_touch_id long,"
+                " seconds_since_touch long"
+            ),
+        )
+    )

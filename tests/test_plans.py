@@ -627,3 +627,12 @@ def test_wilson_rank_is_single_agg_topk(spark):
     plan = plan_of(spark, "supplier_return_wilson_rank")
     assert "TakeOrderedAndProject" in plan
     assert "Join" not in plan
+
+
+def test_cogroup_asof_two_side_shuffle_no_join(spark):
+    """The cogrouped-map as-of plans FlatMapCoGroupsInPandas over one
+    exchange per side — no join operator, no cartesian."""
+    plan = plan_of(spark, "cogroup_asof_pandas")
+    assert "FlatMapCoGroupsInPandas" in plan
+    assert "Join" not in plan
+    assert "CartesianProduct" not in plan
