@@ -5624,3 +5624,144 @@ def parameterized_sql_showcase(spark: SparkSession, sf_dir: str) -> DataFrame:
             "min_value": 10.0,
         },
     )
+
+
+# ---------------------------------------------------------------------------
+# TIME-SERIES SUBSEQUENCE SIMILARITY SEARCH (per PAPERS.md: "Time Series
+# Similarity Search for Streaming Data in Distributed Systems", EDBT
+# 2019): over the hourly event-count series, find the historical
+# 24-hour windows whose Z-NORMALIZED shape best matches the most recent
+# complete 24-hour window (min SSE) — the "when did traffic look like
+# today" query. Two-stage shape: the data-sized scan reduces to the
+# per-hour count series (time-bounded, tiny even at 100 TB — one row
+# per hour), then window frames assemble the 24-point subsequences and
+# a fixed IEEE dag (exact-integer sums, one sqrt, index-ordered fold)
+# scores each against the broadcast query window. Zero-variance windows
+# are filtered identically in both engines; overlap with the query
+# window is excluded; deterministic (sse, start) top-5.
+# ---------------------------------------------------------------------------
+_TSW = 24  # subsequence length (hours)
+
+
+def _ts_znorm_sql() -> str:
+    stats = (
+        "list_reduce(list_prepend(CAST(0 AS BIGINT), w), (a, b) -> a + b)"
+    )
+    stats_sq = (
+        "list_reduce(list_prepend(CAST(0 AS BIGINT),"
+        " list_transform(w, x -> x * x)), (a, b) -> a + b)"
+    )
+    return f"""
+        WITH series AS (
+            SELECT date_trunc('hour', ts) AS h, CAST(COUNT(*) AS BIGINT) AS c
+            FROM events GROUP BY 1
+        ),
+        dense AS (
+            SELECT h, c, ROW_NUMBER() OVER (ORDER BY h) AS i,
+                   COUNT(*) OVER () AS n
+            FROM series
+        ),
+        wins AS (
+            SELECT h, i, n,
+                   list(c) OVER (ORDER BY i
+                                 ROWS BETWEEN CURRENT ROW AND {_TSW - 1} FOLLOWING)
+                       AS w
+            FROM dense
+        ),
+        full_wins AS (
+            SELECT h, i, n, w,
+                   {stats} AS s, {stats_sq} AS sq
+            FROM wins WHERE len(w) = {_TSW}
+        ),
+        q AS (
+            SELECT w AS qw, s AS qs, sq AS qsq FROM full_wins
+            WHERE i = n - {_TSW} + 1
+        ),
+        scored AS (
+            SELECT f.h, f.i, f.n,
+                   ROUND((list_reduce(list_prepend(0.0, list_transform(
+                       list_zip(f.w, q.qw),
+                       p -> ((p[1] - f.s / {_TSW}.0)
+                             / sqrt(f.sq / {_TSW}.0 - (f.s / {_TSW}.0) * (f.s / {_TSW}.0))
+                             - (p[2] - q.qs / {_TSW}.0)
+                             / sqrt(q.qsq / {_TSW}.0 - (q.qs / {_TSW}.0) * (q.qs / {_TSW}.0)))
+                          * ((p[1] - f.s / {_TSW}.0)
+                             / sqrt(f.sq / {_TSW}.0 - (f.s / {_TSW}.0) * (f.s / {_TSW}.0))
+                             - (p[2] - q.qs / {_TSW}.0)
+                             / sqrt(q.qsq / {_TSW}.0 - (q.qs / {_TSW}.0) * (q.qs / {_TSW}.0))))),
+                       (a, b) -> a + b)) * 1000000.0) / 1000000.0 + 0.0 AS sse
+            FROM full_wins f, q
+            WHERE f.sq * {_TSW} > f.s * f.s AND q.qsq * {_TSW} > q.qs * q.qs
+              AND f.i + {_TSW} - 1 < f.n - {_TSW} + 1
+        )
+        SELECT CAST(h AS VARCHAR) AS window_start, sse
+        FROM scored ORDER BY sse, window_start LIMIT 5
+    """
+
+
+@register(
+    "timeseries_znorm_subsequence_search",
+    oracle=_ts_znorm_sql(),
+    tags=("timeseries", "similarity", "znorm", "events", "paper"),
+)
+def timeseries_znorm_subsequence_search(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from pyspark.sql import Window
+
+    events = load_table(spark, sf_dir, "events")
+    series = events.groupBy(F.date_trunc("hour", "ts").alias("h")).agg(
+        F.count(F.lit(1)).cast("long").alias("c")
+    )
+    # the series is one row per hour — bounded by wall-clock time, not by
+    # data volume, so the global-order windows below run on a tiny input
+    # even when `events` is 100 TB (the reduction above is the data-sized
+    # stage). A bare ORDER BY window here is deliberate and safe.
+    wi = Window.orderBy("h")
+    dense = series.select(
+        "h", "c", F.row_number().over(wi).alias("i")
+    ).withColumn("n", F.count(F.lit(1)).over(Window.partitionBy()))
+    wins = dense.withColumn(
+        "w", F.collect_list("c").over(wi.rowsBetween(0, _TSW - 1))
+    ).filter(F.size("w") == _TSW)
+    isum = F.aggregate("w", F.lit(0).cast("long"), lambda a, x: a + x)
+    isq = F.aggregate(
+        F.transform("w", lambda x: x * x), F.lit(0).cast("long"), lambda a, x: a + x
+    )
+    full_wins = wins.select("h", "i", "n", "w", isum.alias("s"), isq.alias("sq"))
+    q = full_wins.filter(F.col("i") == F.col("n") - _TSW + 1).select(
+        F.col("w").alias("qw"), F.col("s").alias("qs"), F.col("sq").alias("qsq")
+    )
+
+    def znorm_term(x, tot, totsq):
+        mean = tot / float(_TSW)
+        sd = F.sqrt(totsq / float(_TSW) - mean * mean)
+        return (x - mean) / sd
+
+    diff = F.zip_with(
+        "w",
+        "qw",
+        lambda a, b: (
+            znorm_term(a, F.col("s"), F.col("sq"))
+            - znorm_term(b, F.col("qs"), F.col("qsq"))
+        )
+        * (
+            znorm_term(a, F.col("s"), F.col("sq"))
+            - znorm_term(b, F.col("qs"), F.col("qsq"))
+        ),
+    )
+    scored = (
+        full_wins.crossJoin(F.broadcast(q))
+        .filter(
+            (F.col("sq") * _TSW > F.col("s") * F.col("s"))
+            & (F.col("qsq") * _TSW > F.col("qs") * F.col("qs"))
+            & (F.col("i") + _TSW - 1 < F.col("n") - _TSW + 1)
+        )
+        .select(
+            F.col("h").cast("string").alias("window_start"),
+            pround(
+                F.aggregate(diff, F.lit(0.0), lambda a, x: a + x), 6
+            ).alias("sse"),
+        )
+    )
+    return scored.orderBy("sse", "window_start").limit(5)
