@@ -1433,3 +1433,160 @@ def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
             >= F.lit(CONTAINMENT_T)
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# SET-SIMILARITY JOIN with PREFIX FILTERING (the PPJoin family) — the
+# fuzzy-join / entity-resolution operator: match every probe name (here:
+# a deterministic pluralized variant of each distinct part name) to the
+# catalog names whose character-trigram Jaccard ≥ τ. The scale technique
+# is the PREFIX FILTER: order each string's distinct trigrams by global
+# rarity (document frequency asc, trigram asc) and index only the first
+#     k = n − ceil(τ·n) + 1
+# of them — any pair with Jaccard ≥ τ MUST share at least one trigram
+# inside both prefixes (pigeonhole on the ≥ ceil(τ·n) shared trigrams),
+# so the candidate join touches the rarest slivers of each set instead
+# of every trigram, and high-df trigrams never generate candidates.
+# Verification is exact integer arithmetic: shared·10 ≥ 6·union ⟺
+# J ≥ 0.6, and the reported jaccard_bp is shared·10000 // union.
+# Completeness of the filter is property-tested against brute force
+# (tests/test_properties.py).
+# ---------------------------------------------------------------------------
+FUZZY_TAU_X10 = 6  # τ = 0.6
+
+
+def _fuzzy_oracle() -> str:
+    trigs = (
+        "list_distinct(list_transform(range(1, length({s}) - 1),"
+        " i -> substr({s}, i, 3)))"
+    )
+    return f"""
+        WITH a AS (
+            SELECT DISTINCT lower(p_name) AS name FROM part
+        ),
+        b AS (
+            SELECT name || 's' AS name FROM a
+        ),
+        sides AS (
+            SELECT 'a' AS side, name, {trigs.format(s='name')} AS trigs FROM a
+            UNION ALL
+            SELECT 'b', name, {trigs.format(s='name')} FROM b
+        ),
+        toks AS (
+            SELECT side, name, UNNEST(trigs) AS trig, len(trigs) AS n
+            FROM sides
+        ),
+        df AS (SELECT trig, COUNT(*) AS df FROM toks GROUP BY trig),
+        ranked AS (
+            SELECT t.side, t.name, t.trig, t.n,
+                   ROW_NUMBER() OVER (PARTITION BY t.side, t.name
+                                      ORDER BY d.df, t.trig) AS rk
+            FROM toks t JOIN df d USING (trig)
+        ),
+        prefix AS (
+            SELECT side, name, trig, n FROM ranked
+            WHERE rk <= n - (({FUZZY_TAU_X10} * n + 9) // 10) + 1
+        ),
+        cands AS (
+            SELECT DISTINCT pa.name AS a_name, pb.name AS b_name
+            FROM prefix pa JOIN prefix pb
+              ON pa.trig = pb.trig AND pa.side = 'a' AND pb.side = 'b'
+        ),
+        verified AS (
+            SELECT c.a_name, c.b_name,
+                   len(list_intersect(sa.trigs, sb.trigs)) AS shared,
+                   len(sa.trigs) + len(sb.trigs)
+                       - len(list_intersect(sa.trigs, sb.trigs)) AS un
+            FROM cands c
+            JOIN sides sa ON sa.side = 'a' AND sa.name = c.a_name
+            JOIN sides sb ON sb.side = 'b' AND sb.name = c.b_name
+        )
+        SELECT b_name AS probe_name, a_name AS match_name,
+               CAST(shared * 10000 // un AS BIGINT) AS jaccard_bp
+        FROM verified
+        WHERE shared * 10 >= {FUZZY_TAU_X10} * un
+    """
+
+
+@register(
+    "fuzzy_join_part_names",
+    oracle=_fuzzy_oracle(),
+    tags=("fuzzy-join", "entity-resolution", "prefix-filter", "part"),
+)
+def fuzzy_join_part_names(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from kafka_stream_job_spark.operators._portable import idiv
+
+    names = (
+        load_table(spark, sf_dir, "part")
+        .select(F.lower("p_name").alias("name"))
+        .distinct()
+    )
+    a = names
+    b = names.select(F.concat("name", F.lit("s")).alias("name"))
+
+    # substring with a column start needs expr; built as a SQL expression
+    trigs = F.expr(
+        "array_distinct(transform(sequence(1, length(name) - 2),"
+        " i -> substring(name, i, 3)))"
+    )
+    sides = (
+        a.select(F.lit("a").alias("side"), "name", trigs.alias("trigs"))
+        .unionByName(b.select(F.lit("b").alias("side"), "name", trigs.alias("trigs")))
+        # both the df count, the prefix ranking, and the verify step read
+        # this; pin one materialization (same reason as the PQ codebook)
+        .localCheckpoint(eager=False)
+    )
+    toks = sides.select(
+        "side", "name", F.explode("trigs").alias("trig"), F.size("trigs").alias("n")
+    )
+    df = toks.groupBy("trig").agg(F.count(F.lit(1)).alias("df"))
+    rk = F.row_number().over(
+        Window.partitionBy("side", "name").orderBy("df", "trig")
+    )
+    k = F.col("n") - idiv(FUZZY_TAU_X10 * F.col("n") + 9, F.lit(10)) + 1
+    prefix = (
+        toks.join(df, "trig")
+        .withColumn("rk", rk)
+        .filter(F.col("rk") <= k)
+        .select("side", "name", "trig")
+    )
+    cands = (
+        prefix.filter(F.col("side") == "a")
+        .select(F.col("name").alias("a_name"), "trig")
+        .join(
+            prefix.filter(F.col("side") == "b").select(
+                F.col("name").alias("b_name"), "trig"
+            ),
+            "trig",
+        )
+        .select("a_name", "b_name")
+        .distinct()
+    )
+    sa = sides.filter(F.col("side") == "a").select(
+        F.col("name").alias("a_name"), F.col("trigs").alias("a_trigs")
+    )
+    sb = sides.filter(F.col("side") == "b").select(
+        F.col("name").alias("b_name"), F.col("trigs").alias("b_trigs")
+    )
+    shared = F.size(F.array_intersect("a_trigs", "b_trigs"))
+    un = F.size("a_trigs") + F.size("b_trigs") - shared
+    return (
+        cands.join(sa, "a_name")
+        .join(sb, "b_name")
+        .select(
+            "a_name",
+            "b_name",
+            shared.alias("shared"),
+            un.alias("un"),
+        )
+        .filter(F.col("shared") * 10 >= FUZZY_TAU_X10 * F.col("un"))
+        .select(
+            F.col("b_name").alias("probe_name"),
+            F.col("a_name").alias("match_name"),
+            idiv(F.col("shared").cast("long") * 10000, F.col("un").cast("long"))
+            .cast("long")
+            .alias("jaccard_bp"),
+        )
+    )

@@ -636,3 +636,11 @@ def test_cogroup_asof_two_side_shuffle_no_join(spark):
     assert "FlatMapCoGroupsInPandas" in plan
     assert "Join" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_fuzzy_join_no_cartesian_prefix_equi_join(spark):
+    """The set-similarity join must generate candidates by EQUI-joining
+    prefix trigrams (hash/SMJ), never by comparing all name pairs."""
+    plan = plan_of(spark, "fuzzy_join_part_names")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan

@@ -2869,3 +2869,49 @@ def test_vocab_coverage_formula_matches_reference(toks, top_k):
         bp = covered * 10000 // total
         want.add((lang, total, len(counts), bp, 10000 - bp))
     assert got == want
+
+
+@settings(max_examples=50, deadline=None)
+@given(
+    names=st.lists(
+        st.text(alphabet="abr ", min_size=0, max_size=12),
+        min_size=1,
+        max_size=25,
+    )
+)
+def test_fuzzy_join_prefix_filter_is_complete(names):
+    """PPJoin prefix-filter completeness: the fuzzy-join oracle (prefix
+    candidates → exact verify) must find EXACTLY the pairs brute force
+    finds at J ≥ 0.6 — the prefix filter may prune candidates but can
+    never lose a qualifying pair (pigeonhole on ≥ ceil(τ·n) shared
+    trigrams), and the integer jaccard_bp arithmetic must agree."""
+    import duckdb
+
+    from kafka_stream_job_spark.registry import all_specs
+
+    oracle = all_specs()["fuzzy_join_part_names"].oracle
+    con = duckdb.connect()
+    con.execute("CREATE TABLE part (p_partkey BIGINT, p_name VARCHAR)")
+    con.executemany(
+        "INSERT INTO part VALUES (?, ?)", list(enumerate(names))
+    )
+    got = {tuple(r) for r in con.sql(oracle).fetchall()}
+
+    def trigs(s: str) -> set:
+        return {s[i : i + 3] for i in range(len(s) - 2)}
+
+    a_names = sorted({n.lower() for n in names})
+    want = set()
+    for an in a_names:
+        ta = trigs(an)
+        if not ta:
+            continue
+        for bn in (x + "s" for x in a_names):
+            tb = trigs(bn)
+            if not tb:
+                continue
+            shared = len(ta & tb)
+            union = len(ta | tb)
+            if shared * 10 >= 6 * union:
+                want.add((bn, an, shared * 10000 // union))
+    assert got == want
