@@ -5765,3 +5765,69 @@ def timeseries_znorm_subsequence_search(
         )
     )
     return scored.orderBy("sse", "window_start").limit(5)
+
+
+# ---------------------------------------------------------------------------
+# EWMA FORECAST over the hourly series — the ops-monitoring smoothing
+# pass (exponential weighting, alpha = 0.25): per event_type, fold the
+# hour-ordered count series through s ← α·x + (1−α)·s. α = 1/4 and
+# 1−α = 3/4 are EXACT binary fractions and the counts are integers, so
+# every fold step is a deterministic double op; the fold runs in pinned
+# hour order on both engines (aggregate / list_reduce over the collected
+# bounded series — one row per hour per type, time-bounded even at
+# 100 TB, same argument as the z-norm subsequence search). Output: last
+# observation, the EWMA level (= next-hour forecast), and the absolute
+# last-residual — the anomaly trigger.
+# ---------------------------------------------------------------------------
+@register(
+    "events_ewma_forecast",
+    oracle="""
+        WITH series AS (
+            SELECT event_type, date_trunc('hour', ts) AS h,
+                   CAST(COUNT(*) AS BIGINT) AS c
+            FROM events GROUP BY 1, 2
+        ),
+        folded AS (
+            SELECT event_type,
+                   CAST(COUNT(*) AS BIGINT) AS n_hours,
+                   CAST(last(c ORDER BY h) AS BIGINT) AS last_count,
+                   list_reduce(
+                       list_prepend(CAST(first(c ORDER BY h) AS DOUBLE),
+                                    list(CAST(c AS DOUBLE) ORDER BY h)[2:]),
+                       (s, x) -> 0.25 * x + 0.75 * s) AS ewma
+            FROM series GROUP BY event_type
+        )
+        SELECT event_type, n_hours, last_count,
+               ROUND((ewma) * 1000000.0) / 1000000.0 + 0.0 AS ewma_level,
+               ROUND((abs(last_count - ewma)) * 1000000.0) / 1000000.0 + 0.0
+                   AS last_abs_residual
+        FROM folded
+    """,
+    tags=("timeseries", "forecast", "ewma", "events"),
+)
+def events_ewma_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    series = events.groupBy(
+        "event_type", F.date_trunc("hour", "ts").alias("h")
+    ).agg(F.count(F.lit(1)).cast("long").alias("c"))
+    ordered = F.transform(
+        F.array_sort(F.collect_list(F.struct("h", "c"))),
+        lambda s: s["c"].cast("double"),
+    )
+    per_type = series.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_hours"),
+        F.max_by("c", "h").cast("long").alias("last_count"),
+        ordered.alias("xs"),
+    )
+    ewma = F.aggregate(
+        F.slice("xs", 2, 1_000_000),
+        F.element_at("xs", 1),
+        lambda s, x: F.lit(0.25) * x + F.lit(0.75) * s,
+    )
+    return per_type.select(
+        "event_type",
+        "n_hours",
+        "last_count",
+        pround(ewma, 6).alias("ewma_level"),
+        pround(F.abs(F.col("last_count") - ewma), 6).alias("last_abs_residual"),
+    )
