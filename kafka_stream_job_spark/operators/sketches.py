@@ -800,3 +800,347 @@ def hll_intersection_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         out = row if out is None else out.unionByName(row)
     return out
+
+
+# ---------------------------------------------------------------------------
+# KMV (k-minimum-values) distinct sketch — the third mergeable
+# distinct-count summary beside HLL, and the one whose SET ALGEBRA is
+# exact on the sketch itself: keep the K smallest hash values; the
+# estimator is (K-1)/u_K with u_K the K-th smallest hash mapped to
+# (0,1). Everything is md5-derived (no RNG), so both engines build the
+# IDENTICAL sketch and the estimate is hash-checkable to the last bit.
+#
+# Scale shape (100 TB): the K smallest of a distributed set is
+# TakeOrderedAndProject — each partition surrenders at most K rows, the
+# driver merges K·P candidates; nothing else crosses the network. The
+# sketch is mergeable (union = K smallest of the concatenation), which
+# is what makes the per-event-type set operations below a constant-size
+# problem after the one hashing scan.
+# ---------------------------------------------------------------------------
+KMV_K = 64
+# (K-1) · 2^52 — the estimator numerator. hv is a 52-bit integer
+# (13 md5 hex digits), so hv/2^52 ∈ (0,1) and (K-1)/u_K = KMV_NUM/hv_K;
+# both factors are exactly representable doubles.
+KMV_NUM = 283726776524341248.0
+_KMV_HEX = 13
+
+
+def _kmv_hash(col) -> F.Column:
+    """52-bit uniform hash, engine-portable (md5 prefix → integer)."""
+    return F.conv(
+        F.substring(F.md5(F.concat(F.lit("kmv:"), col.cast("string"))), 1, _KMV_HEX),
+        16,
+        10,
+    ).cast("long")
+
+
+def _kmv_hash_sql(expr: str) -> str:
+    return f"('0x' || substr(md5('kmv:' || CAST({expr} AS VARCHAR)), 1, {_KMV_HEX}))::BIGINT"
+
+
+@register(
+    "kmv_distinct_users",
+    oracle=f"""
+        WITH hv AS (
+            SELECT DISTINCT {_kmv_hash_sql("user_id")} AS hv FROM events
+        ),
+        sk AS (SELECT hv FROM hv ORDER BY hv LIMIT {KMV_K}),
+        agg AS (
+            SELECT CAST(COUNT(*) AS BIGINT) AS n_sketch,
+                   MAX(hv) AS kth_hash
+            FROM sk
+        )
+        SELECT (SELECT CAST(COUNT(DISTINCT user_id) AS BIGINT) FROM events)
+                   AS n_exact,
+               n_sketch,
+               kth_hash,
+               ROUND((CASE WHEN n_sketch < {KMV_K} THEN CAST(n_sketch AS DOUBLE)
+                           ELSE {KMV_NUM!r} / CAST(kth_hash AS DOUBLE) END)
+                     * 1000000.0) / 1000000.0 + 0.0 AS kmv_estimate
+        FROM agg
+    """,
+    tags=("sketch", "kmv", "events"),
+)
+def kmv_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K-minimum-values distinct estimate of events.user_id beside the
+    exact count. n < K degenerates to the exact count (the sketch IS the
+    value set) — sf0.001 exercises that branch, sf0.01+ the estimator."""
+    events = load_table(spark, sf_dir, "events")
+    hvs = events.select(_kmv_hash(F.col("user_id")).alias("hv")).distinct()
+    sk = (
+        hvs.orderBy("hv")
+        .limit(KMV_K)  # TakeOrderedAndProject: ≤K rows leave each partition
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_sketch"),
+            F.max("hv").alias("kth_hash"),
+        )
+    )
+    exact = events.agg(F.countDistinct("user_id").cast("long").alias("n_exact"))
+    est = F.when(
+        F.col("n_sketch") < KMV_K, F.col("n_sketch").cast("double")
+    ).otherwise(F.lit(KMV_NUM) / F.col("kth_hash").cast("double"))
+    return exact.crossJoin(F.broadcast(sk)).select(
+        "n_exact", "n_sketch", "kth_hash", pround(est, 6).alias("kmv_estimate")
+    )
+
+
+def kmv_type_sketches(events: DataFrame) -> DataFrame:
+    """Per-event-type KMV sketch rows (event_type, hv): the K smallest
+    distinct user hashes per type. The rank-K filter plans as a
+    WindowGroupLimit (asserted in test_plans.py): each partition
+    pre-prunes to K rows per type BEFORE the exchange, so the shuffle
+    carries ≤K·P rows no matter how many users the 100 TB scan holds."""
+    from pyspark.sql import Window
+
+    hv_rows = events.select(
+        "event_type", _kmv_hash(F.col("user_id")).alias("hv")
+    ).distinct()
+    w = Window.partitionBy("event_type").orderBy("hv")
+    return (
+        hv_rows.select("event_type", "hv", F.row_number().over(w).alias("rn"))
+        .filter(F.col("rn") <= KMV_K)
+        .select("event_type", "hv")
+    )
+
+
+def _kmv_setops_oracle() -> str:
+    parts = [
+        f"""
+        WITH hv AS (
+            SELECT DISTINCT event_type,
+                   {_kmv_hash_sql("user_id")} AS hv
+            FROM events
+        ),
+        sk AS (
+            SELECT event_type, hv FROM (
+                SELECT event_type, hv,
+                       row_number() OVER (PARTITION BY event_type ORDER BY hv)
+                           AS rn
+                FROM hv
+            ) WHERE rn <= {KMV_K}
+        )"""
+    ]
+    selects = []
+    for i, (ta, tb) in enumerate(HLL_IX_PAIRS):
+        parts.append(f"""
+        u{i} AS (
+            SELECT DISTINCT hv FROM sk
+            WHERE event_type IN ('{ta}', '{tb}')
+            ORDER BY hv LIMIT {KMV_K}
+        ),
+        st{i} AS (
+            SELECT CAST(COUNT(*) AS BIGINT) AS n_u, MAX(hv) AS kth FROM u{i}
+        ),
+        m{i} AS (
+            SELECT CAST(COUNT(*) AS BIGINT) AS n_match FROM u{i}
+            WHERE hv IN (SELECT hv FROM sk WHERE event_type = '{ta}')
+              AND hv IN (SELECT hv FROM sk WHERE event_type = '{tb}')
+        ),
+        x{i} AS (
+            SELECT CAST(COUNT(*) AS BIGINT) AS n_exact FROM (
+                SELECT user_id FROM events WHERE event_type = '{ta}'
+                INTERSECT
+                SELECT user_id FROM events WHERE event_type = '{tb}'
+            )
+        )""")
+        selects.append(f"""
+        SELECT '{ta}&{tb}' AS pair, n_exact, n_match,
+               ROUND(((CAST(n_match AS DOUBLE) / CAST(n_u AS DOUBLE))
+                      * (CASE WHEN n_u = {KMV_K}
+                              THEN {KMV_NUM!r} / CAST(kth AS DOUBLE)
+                              ELSE CAST(n_u AS DOUBLE) END))
+                     * 1000000.0) / 1000000.0 + 0.0
+                   AS kmv_intersection_estimate
+        FROM st{i}, m{i}, x{i}""")
+    return ",".join(parts) + " ".join(
+        s if j == 0 else " UNION ALL " + s for j, s in enumerate(selects)
+    )
+
+
+@register(
+    "kmv_set_ops_event_types",
+    oracle=_kmv_setops_oracle(),
+    tags=("sketch", "kmv", "set-algebra", "events"),
+)
+def kmv_set_ops_event_types(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV set algebra per event-type pair: the union sketch is the K
+    smallest of the two sketches' union; Jaccard is estimated as the
+    fraction of union-sketch values present in BOTH input sketches
+    (exact on the sketch — no inclusion-exclusion error stacking like
+    HLL's), and |A∩B| ≈ Ĵ · |A∪B|̂. Same pairs as
+    hll_intersection_estimate so the two sketches' accuracy is directly
+    comparable row-for-row.
+
+    Scale: the per-type sketch build is a rank-K window — Spark's
+    WindowGroupLimit prunes to K rows per partition BEFORE the exchange,
+    so the shuffle carries ≤K·P rows; every pair op after that touches
+    ≤2K-row inputs (broadcast)."""
+    events = load_table(spark, sf_dir, "events")
+    # every pair below reads the sketch once → pin it (lazy checkpoint)
+    sk = kmv_type_sketches(events).localCheckpoint(eager=False)
+    out = None
+    for ta, tb in HLL_IX_PAIRS:
+        ska = sk.filter(F.col("event_type") == ta).select("hv")
+        skb = sk.filter(F.col("event_type") == tb).select("hv")
+        u = ska.union(skb).distinct().orderBy("hv").limit(KMV_K)
+        st = u.agg(
+            F.count(F.lit(1)).cast("long").alias("n_u"), F.max("hv").alias("kth")
+        )
+        m = (
+            u.join(ska.withColumnRenamed("hv", "ha"), u.hv == F.col("ha"), "semi")
+            .join(skb.withColumnRenamed("hv", "hb"), u.hv == F.col("hb"), "semi")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_match"))
+        )
+        ex = (
+            events.filter(F.col("event_type") == ta)
+            .select("user_id")
+            .intersect(events.filter(F.col("event_type") == tb).select("user_id"))
+            .agg(F.count(F.lit(1)).cast("long").alias("n_exact"))
+        )
+        est_u = F.when(
+            F.col("n_u") == KMV_K, F.lit(KMV_NUM) / F.col("kth").cast("double")
+        ).otherwise(F.col("n_u").cast("double"))
+        row = (
+            ex.crossJoin(F.broadcast(m))
+            .crossJoin(F.broadcast(st))
+            .select(
+                F.lit(f"{ta}&{tb}").alias("pair"),
+                "n_exact",
+                "n_match",
+                pround(
+                    (F.col("n_match").cast("double") / F.col("n_u").cast("double"))
+                    * est_u,
+                    6,
+                ).alias("kmv_intersection_estimate"),
+            )
+        )
+        out = row if out is None else out.unionByName(row)
+    return out
+
+
+# ---------------------------------------------------------------------------
+# Bloom-filter membership — the semi-join pre-filter a 100 TB join wants:
+# build an m-bit / k-hash filter over the small key set ONCE (here: the
+# ~18% of customers holding a >490k order), broadcast the ≤BF_M set bits,
+# and probe the big side without shuffling it. The report measures the
+# filter against ground truth per market segment: zero false negatives
+# (structural Bloom guarantee, asserted by a property test) and the
+# false-positive count the m/n/k sizing predicts ((1−e^{−kn/m})^k ≈ 3.5%
+# at sf0.01's n≈270).
+#
+# Determinism: bit positions are md5-derived (no RNG, no partitioning
+# dependence), so both engines materialize the identical bit set and
+# every output count is hash-exact.
+#
+# Scale shape: the build side reduces to ≤BF_M distinct positions
+# (groupBy over a 2048-key space, map-side partial); the probe side is
+# scanned once, evaluates k array_contains against the broadcast bit
+# array entirely JVM-side, and aggregates by segment — the 100 TB fact
+# table never shuffles. Production sizing: m = −n·ln(p)/ln²2 bits for
+# target fpr p; BF_M here is deliberately small so the sf0.01 report
+# shows a measurable fpr instead of a wall of zeros.
+# ---------------------------------------------------------------------------
+BF_M = 2048
+BF_K = 3
+BF_PRICE = 490000.0
+
+
+def _bf_pos(col, i: int) -> F.Column:
+    return (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit(f"bf{i}:"), col.cast("string"))), 1, 7
+            ),
+            16,
+            10,
+        ).cast("long")
+        % BF_M
+    )
+
+
+def _bf_pos_sql(expr: str, i: int) -> str:
+    return (
+        f"(('0x' || substr(md5('bf{i}:' || CAST({expr} AS VARCHAR)), 1, 7))"
+        f"::BIGINT % {BF_M})"
+    )
+
+
+@register(
+    "bloom_filter_membership",
+    oracle=f"""
+        WITH members AS (
+            SELECT DISTINCT o_custkey AS custkey FROM orders
+            WHERE o_totalprice > {BF_PRICE}
+        ),
+        bits AS (
+            SELECT DISTINCT
+                   CASE i WHEN 0 THEN {_bf_pos_sql("custkey", 0)}
+                          WHEN 1 THEN {_bf_pos_sql("custkey", 1)}
+                          ELSE {_bf_pos_sql("custkey", 2)} END AS pos
+            FROM members, (SELECT unnest([0, 1, 2]) AS i)
+        ),
+        probe AS (
+            SELECT c_mktsegment,
+                   (c_custkey IN (SELECT custkey FROM members)) AS is_member,
+                   ({_bf_pos_sql("c_custkey", 0)} IN (SELECT pos FROM bits)
+                    AND {_bf_pos_sql("c_custkey", 1)} IN (SELECT pos FROM bits)
+                    AND {_bf_pos_sql("c_custkey", 2)} IN (SELECT pos FROM bits))
+                       AS bloom_pos
+            FROM customer
+        )
+        SELECT c_mktsegment,
+               CAST(COUNT(*) AS BIGINT) AS n_customers,
+               CAST(SUM(CASE WHEN is_member THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_members,
+               CAST(SUM(CASE WHEN bloom_pos THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_bloom_pos,
+               CAST(SUM(CASE WHEN bloom_pos AND NOT is_member THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_false_pos
+        FROM probe
+        GROUP BY c_mktsegment
+    """,
+    tags=("sketch", "bloom", "semi-join", "orders", "customer"),
+)
+def bloom_filter_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    members = (
+        orders.filter(F.col("o_totalprice") > BF_PRICE)
+        .select(F.col("o_custkey").alias("custkey"))
+        .distinct()
+    )
+    bits = (
+        members.select(
+            F.explode(
+                F.array(*[_bf_pos(F.col("custkey"), i) for i in range(BF_K)])
+            ).alias("pos")
+        )
+        .distinct()
+        .agg(F.array_sort(F.collect_set("pos")).alias("bits"))
+    )
+    probe = (
+        cust.select("c_custkey", "c_mktsegment")
+        .crossJoin(F.broadcast(bits))
+        .join(
+            F.broadcast(members.withColumn("is_member", F.lit(True))),
+            F.col("c_custkey") == F.col("custkey"),
+            "left",
+        )
+        .select(
+            "c_mktsegment",
+            F.coalesce("is_member", F.lit(False)).alias("is_member"),
+            F.forall(
+                F.array(*[_bf_pos(F.col("c_custkey"), i) for i in range(BF_K)]),
+                lambda p: F.array_contains(F.col("bits"), p),
+            ).alias("bloom_pos"),
+        )
+    )
+    as_int = lambda c: F.when(F.col(c), 1).otherwise(0)  # noqa: E731
+    return probe.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).cast("long").alias("n_customers"),
+        F.sum(as_int("is_member")).cast("long").alias("n_members"),
+        F.sum(as_int("bloom_pos")).cast("long").alias("n_bloom_pos"),
+        F.sum(
+            F.when(F.col("bloom_pos") & ~F.col("is_member"), 1).otherwise(0)
+        ).cast("long").alias("n_false_pos"),
+    )

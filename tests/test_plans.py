@@ -644,3 +644,43 @@ def test_fuzzy_join_no_cartesian_prefix_equi_join(spark):
     plan = plan_of(spark, "fuzzy_join_part_names")
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_kmv_sketch_build_is_take_ordered(spark):
+    """The global K-smallest must plan as TakeOrderedAndProject (each
+    partition surrenders ≤K rows), never a full global sort."""
+    plan = plan_of(spark, "kmv_distinct_users")
+    assert "TakeOrderedAndProject" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_kmv_setops_window_group_limit_prunes_per_partition(spark):
+    """The per-type rank-K filter must push a WindowGroupLimit below the
+    exchange so partitions pre-prune to K rows before shuffling. The full
+    query pins the sketch behind a localCheckpoint (lineage truncated),
+    so assert on the sketch-build stage itself."""
+    from kafka_stream_job_spark.operators.sketches import kmv_type_sketches
+    from kafka_stream_job_spark.tables import load_table
+
+    events = load_table(spark, SF_SMOKE, "events")
+    plan = (
+        kmv_type_sketches(events)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "WindowGroupLimit" in plan
+    # partial WindowGroupLimit sits BELOW the exchange (printed after it)
+    assert plan.rindex("WindowGroupLimit") > plan.index("Exchange")
+    plan_full = plan_of(spark, "kmv_set_ops_event_types")
+    assert "CartesianProduct" not in plan_full
+
+
+def test_bloom_probe_never_shuffles_customer_side(spark):
+    """The bloom bit array and the exact-membership dim both broadcast:
+    the probe side is scanned once and map-side joined — at 100 TB the
+    fact table never crosses the network."""
+    plan = plan_of(spark, "bloom_filter_membership")
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan

@@ -147,3 +147,83 @@ def test_cms_one_sided_error_guarantee(spark):
     for r in rows:
         assert r["cms_estimate"] >= r["exact_cnt"], r
         assert r["overestimate"] == r["cms_estimate"] - r["exact_cnt"]
+
+
+# --------------------------- KMV sketch ------------------------------------
+
+
+def test_kmv_exact_branch_below_k(spark):
+    """sf0.001 has ~15 distinct users < K=64: the sketch IS the value
+    set and the estimator must degenerate to the exact count."""
+    from kafka_stream_job_spark.operators.sketches import kmv_distinct_users
+
+    row = kmv_distinct_users(spark, SF_SMOKE).collect()[0]
+    assert row["n_sketch"] == row["n_exact"] < 64
+    assert row["kmv_estimate"] == float(row["n_exact"])
+
+
+def test_kmv_estimator_within_bound(spark):
+    """sf0.01 (150 users > K) exercises the (K-1)/u_K estimator; KMV's
+    relative standard error is 1/sqrt(K-2) ≈ 12.7% at K=64 — assert a
+    4-sigma envelope."""
+    from kafka_stream_job_spark.operators.sketches import kmv_distinct_users
+
+    from .conftest import SF_ORACLE
+
+    row = kmv_distinct_users(spark, SF_ORACLE).collect()[0]
+    assert row["n_sketch"] == 64
+    rel_err = abs(row["kmv_estimate"] - row["n_exact"]) / row["n_exact"]
+    assert rel_err < 4 / (62**0.5)
+
+
+def test_kmv_setops_sketch_jaccard_sane(spark):
+    """Union-sketch match counts are bounded by K and the intersection
+    estimate lands within the KMV error envelope of the exact overlap
+    (event-type audiences overlap heavily, so Jaccard is large and the
+    estimate is well-conditioned)."""
+    from kafka_stream_job_spark.operators.sketches import (
+        KMV_K,
+        kmv_set_ops_event_types,
+    )
+
+    from .conftest import SF_ORACLE
+
+    for row in kmv_set_ops_event_types(spark, SF_ORACLE).collect():
+        assert 0 <= row["n_match"] <= KMV_K
+        assert row["kmv_intersection_estimate"] >= 0.0
+        # 4-sigma of the K=64 sketch, plus the Jaccard ratio's own noise:
+        # a generous 60% envelope that still catches broken arithmetic
+        # (off-by-2x) without flaking on real data.
+        assert (
+            abs(row["kmv_intersection_estimate"] - row["n_exact"])
+            <= 0.6 * max(row["n_exact"], KMV_K)
+        )
+
+
+# --------------------------- Bloom filter ----------------------------------
+
+
+def test_bloom_no_false_negatives(spark):
+    """Structural Bloom guarantee: every true member probes positive, so
+    per segment n_bloom_pos - n_false_pos == n_members exactly, and the
+    false-positive rate stays under the (1-e^{-kn/m})^k sizing bound with
+    slack for variance."""
+    from kafka_stream_job_spark.operators.sketches import (
+        BF_K,
+        BF_M,
+        bloom_filter_membership,
+    )
+
+    from .conftest import SF_ORACLE
+
+    import math
+
+    rows = bloom_filter_membership(spark, SF_ORACLE).collect()
+    assert len(rows) == 5
+    n_members_total = sum(r["n_members"] for r in rows)
+    fpr_bound = (1.0 - math.exp(-BF_K * n_members_total / BF_M)) ** BF_K
+    for r in rows:
+        assert r["n_bloom_pos"] - r["n_false_pos"] == r["n_members"]
+        non_members = r["n_customers"] - r["n_members"]
+        if non_members >= 50:
+            assert r["n_false_pos"] / non_members < 3.0 * fpr_bound + 0.02
