@@ -5831,3 +5831,393 @@ def events_ewma_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
         pround(ewma, 6).alias("ewma_level"),
         pround(F.abs(F.col("last_count") - ewma), 6).alias("last_abs_residual"),
     )
+
+
+# ---------------------------------------------------------------------------
+# ASSOCIATION RULES over order baskets — the classic market-basket step
+# after basket_part_pairs: directional rules a→b with support, confidence
+# and lift, min-support-pruned. Support/confidence are integer basis
+# points (idiv — exact past 2^53); lift is one double division of two
+# exact integer products, pround(6) on both engines.
+#
+# Scale shape (100 TB): pairs come from the same in-array basket
+# expansion as basket_part_pairs (no self-join of the fact table), the
+# min-support HAVING prunes before the count joins, and the final top-50
+# is TakeOrderedAndProject. The per-item count join keys on partkey —
+# dimension-sized, shuffle-joined, never the raw fact.
+# ---------------------------------------------------------------------------
+AR_MIN_SUPPORT = 3  # min co-occurrence count for a rule
+AR_TOP = 50
+
+
+@register(
+    "association_rules_parts",
+    oracle=f"""
+        WITH items AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+        nb AS (
+            SELECT CAST(COUNT(DISTINCT l_orderkey) AS BIGINT) AS n_baskets
+            FROM items
+        ),
+        cnt AS (
+            SELECT l_partkey, CAST(COUNT(*) AS BIGINT) AS c
+            FROM items GROUP BY 1
+        ),
+        pairs AS (
+            SELECT a.l_partkey AS pa, b.l_partkey AS pb,
+                   CAST(COUNT(*) AS BIGINT) AS n_both
+            FROM items a
+            JOIN items b ON a.l_orderkey = b.l_orderkey
+                        AND a.l_partkey < b.l_partkey
+            GROUP BY 1, 2
+            HAVING COUNT(*) >= {AR_MIN_SUPPORT}
+        ),
+        rules AS (
+            SELECT pa AS antecedent, pb AS consequent, n_both FROM pairs
+            UNION ALL
+            SELECT pb AS antecedent, pa AS consequent, n_both FROM pairs
+        )
+        SELECT r.antecedent, r.consequent, r.n_both,
+               ca.c AS n_antecedent, cb.c AS n_consequent,
+               (r.n_both * 10000) // nb.n_baskets AS support_bp,
+               (r.n_both * 10000) // ca.c AS confidence_bp,
+               ROUND((CAST(r.n_both * nb.n_baskets AS DOUBLE)
+                      / CAST(ca.c * cb.c AS DOUBLE)) * 1000000.0) / 1000000.0
+                   + 0.0 AS lift
+        FROM rules r
+        JOIN cnt ca ON ca.l_partkey = r.antecedent
+        JOIN cnt cb ON cb.l_partkey = r.consequent, nb
+        ORDER BY lift DESC, antecedent ASC, consequent ASC
+        LIMIT {AR_TOP}
+    """,
+    tags=("basket", "association-rules", "lineitem"),
+)
+def association_rules_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    # ONE fact scan: baskets (orderkey → sorted part set) feed the basket
+    # count, the per-item counts (each part appears once per basket in a
+    # collect_set) and the in-array pair expansion — no fact self-join,
+    # no second scan. Lazy-checkpoint so the three consumers share it.
+    baskets = (
+        li.groupBy("l_orderkey")
+        .agg(F.array_sort(F.collect_set("l_partkey")).alias("parts"))
+        .localCheckpoint(eager=False)
+    )
+    nb = baskets.agg(F.count(F.lit(1)).cast("long").alias("n_baskets"))
+    cnt = (
+        baskets.select(F.explode("parts").alias("l_partkey"))
+        .groupBy("l_partkey")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+    )
+    expanded = F.flatten(
+        F.transform(
+            F.col("parts"),
+            lambda x, i: F.transform(
+                F.slice(F.col("parts"), i + 2, F.size(F.col("parts"))),
+                lambda y: F.struct(x.alias("a"), y.alias("b")),
+            ),
+        )
+    )
+    pairs = (
+        baskets.select(F.explode(expanded).alias("p"))
+        .groupBy(F.col("p.a").alias("pa"), F.col("p.b").alias("pb"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n_both"))
+        .filter(F.col("n_both") >= AR_MIN_SUPPORT)
+    )
+    rules = pairs.select(
+        F.col("pa").alias("antecedent"),
+        F.col("pb").alias("consequent"),
+        "n_both",
+    ).unionByName(
+        pairs.select(
+            F.col("pb").alias("antecedent"),
+            F.col("pa").alias("consequent"),
+            "n_both",
+        )
+    )
+    joined = (
+        rules.join(
+            cnt.select(F.col("l_partkey").alias("antecedent"), F.col("c").alias("ca")),
+            "antecedent",
+        )
+        .join(
+            cnt.select(F.col("l_partkey").alias("consequent"), F.col("c").alias("cb")),
+            "consequent",
+        )
+        .crossJoin(F.broadcast(nb))
+    )
+    lift = pround(
+        (F.col("n_both") * F.col("n_baskets")).cast("double")
+        / (F.col("ca") * F.col("cb")).cast("double"),
+        6,
+    )
+    return (
+        joined.select(
+            "antecedent",
+            "consequent",
+            "n_both",
+            F.col("ca").alias("n_antecedent"),
+            F.col("cb").alias("n_consequent"),
+            idiv(F.col("n_both") * 10000, F.col("n_baskets")).alias("support_bp"),
+            idiv(F.col("n_both") * 10000, F.col("ca")).alias("confidence_bp"),
+            lift.alias("lift"),
+        )
+        .orderBy(F.col("lift").desc(), F.col("antecedent").asc(), F.col("consequent").asc())
+        .limit(AR_TOP)
+    )
+
+
+# ---------------------------------------------------------------------------
+# HOLT double exponential smoothing — level+trend forecast, the step up
+# from events_ewma_forecast (which has no trend term). α=1/4 and β=1/2
+# are exact binary fractions; the state is a (level, trend) STRUCT folded
+# in pinned hour order, initialized textbook-style (l₀=x₀, b₀=x₁−x₀).
+# The recurrence's shared subterm l_t is written out twice in BOTH
+# engines so the IEEE dag is identical term for term.
+# Scale: same shape as the EWMA — the fold runs over the collected
+# per-type hourly series, which is wall-clock-bounded, not data-bounded.
+# ---------------------------------------------------------------------------
+@register(
+    "events_holt_forecast",
+    oracle="""
+        WITH series AS (
+            SELECT event_type, date_trunc('hour', ts) AS h,
+                   CAST(COUNT(*) AS BIGINT) AS c
+            FROM events GROUP BY 1, 2
+        ),
+        folded AS (
+            SELECT event_type,
+                   CAST(COUNT(*) AS BIGINT) AS n_hours,
+                   CAST(last(c ORDER BY h) AS BIGINT) AS last_count,
+                   -- state encoded as [level, trend] DOUBLE pairs, NOT a
+                   -- struct: DuckDB 1.0's list_reduce mis-evaluates a
+                   -- struct accumulator whose fields reference acc more
+                   -- than once (second field comes back wrong from step
+                   -- two onward); the list encoding folds correctly.
+                   list_reduce(
+                       list_prepend(
+                           [list(CAST(c AS DOUBLE) ORDER BY h)[1],
+                            list(CAST(c AS DOUBLE) ORDER BY h)[2]
+                                - list(CAST(c AS DOUBLE) ORDER BY h)[1]],
+                           [[x, CAST(0 AS DOUBLE)]
+                            for x in list(CAST(c AS DOUBLE) ORDER BY h)[3:]]),
+                       (acc, s) ->
+                           [0.25 * s[1] + 0.75 * (acc[1] + acc[2]),
+                            0.5 * ((0.25 * s[1] + 0.75 * (acc[1] + acc[2]))
+                                   - acc[1]) + 0.5 * acc[2]]) AS st
+            FROM series GROUP BY event_type
+            HAVING COUNT(*) >= 2
+        )
+        SELECT event_type, n_hours, last_count,
+               ROUND((st[1]) * 1000000.0) / 1000000.0 + 0.0 AS holt_level,
+               ROUND((st[2]) * 1000000.0) / 1000000.0 + 0.0 AS holt_trend,
+               ROUND((st[1] + st[2]) * 1000000.0) / 1000000.0 + 0.0
+                   AS forecast_next
+        FROM folded
+    """,
+    tags=("timeseries", "forecast", "holt", "events"),
+)
+def events_holt_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    series = events.groupBy(
+        "event_type", F.date_trunc("hour", "ts").alias("h")
+    ).agg(F.count(F.lit(1)).cast("long").alias("c"))
+    ordered = F.transform(
+        F.array_sort(F.collect_list(F.struct("h", "c"))),
+        lambda s: s["c"].cast("double"),
+    )
+    per_type = series.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_hours"),
+        F.max_by("c", "h").cast("long").alias("last_count"),
+        ordered.alias("xs"),
+    ).filter(F.col("n_hours") >= 2)
+    x1 = F.element_at("xs", 1)
+    x2 = F.element_at("xs", 2)
+    init = F.struct(x1.alias("l"), (x2 - x1).alias("b"))
+    st = F.aggregate(
+        F.slice("xs", 3, 1_000_000),
+        init,
+        lambda acc, x: F.struct(
+            (F.lit(0.25) * x + F.lit(0.75) * (acc["l"] + acc["b"])).alias("l"),
+            (
+                F.lit(0.5)
+                * (
+                    (F.lit(0.25) * x + F.lit(0.75) * (acc["l"] + acc["b"]))
+                    - acc["l"]
+                )
+                + F.lit(0.5) * acc["b"]
+            ).alias("b"),
+        ),
+    )
+    return per_type.select(
+        "event_type",
+        "n_hours",
+        "last_count",
+        pround(st["l"], 6).alias("holt_level"),
+        pround(st["b"], 6).alias("holt_trend"),
+        pround(st["l"] + st["b"], 6).alias("forecast_next"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# BATCH SESSIONIZATION — the classic gap rule (30 min of silence splits
+# a session), computed declaratively: per-user lag → boundary flag →
+# running sum = session index → per-session aggregate. The streaming
+# twin is session_window_rollup (F.session_window); this is the batch
+# backfill of the same concept, exact and oracle-checked row for row.
+# Scale: both windows and the final groupBy share the user_id hash
+# partitioning, so the fact shuffles ONCE (plan-tested); no global order.
+# ---------------------------------------------------------------------------
+SESSION_GAP_S = 1800
+
+
+@register(
+    "events_sessionize_batch",
+    oracle=f"""
+        WITH flagged AS (
+            SELECT user_id, ts, event_id, event_type,
+                   CASE WHEN LAG(ts) OVER w IS NULL
+                          OR CAST(date_diff('second', LAG(ts) OVER w, ts)
+                                  AS BIGINT) > {SESSION_GAP_S}
+                        THEN 1 ELSE 0 END AS new_s
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        ),
+        sess AS (
+            SELECT user_id, ts, event_type,
+                   CAST(SUM(new_s) OVER (PARTITION BY user_id
+                                         ORDER BY ts, event_id
+                                         ROWS UNBOUNDED PRECEDING) AS BIGINT)
+                       AS session_idx
+            FROM flagged
+        )
+        SELECT user_id, session_idx,
+               CAST(COUNT(*) AS BIGINT) AS n_events,
+               CAST(date_diff('second', MIN(ts), MAX(ts)) AS BIGINT)
+                   AS duration_seconds,
+               CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_purchases
+        FROM sess GROUP BY user_id, session_idx
+    """,
+    tags=("sessionization", "window", "events"),
+)
+def events_sessionize_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.unix_timestamp("ts") - F.unix_timestamp(F.lag("ts").over(w))
+    flagged = events.select(
+        "user_id",
+        "ts",
+        "event_type",
+        F.when(gap.isNull() | (gap > SESSION_GAP_S), 1).otherwise(0).alias("new_s"),
+        F.sum(
+            F.when(gap.isNull() | (gap > SESSION_GAP_S), 1).otherwise(0)
+        )
+        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        .cast("long")
+        .alias("session_idx"),
+    )
+    return flagged.groupBy("user_id", "session_idx").agg(
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+        # unix_timestamp truncates to the second, so the difference counts
+        # second-boundary CROSSINGS — the same semantics as the oracle's
+        # date_diff('second', ...); timestampdiff(SECOND, ...) would count
+        # full elapsed seconds and diverge on sub-second components.
+        (F.unix_timestamp(F.max("ts")) - F.unix_timestamp(F.min("ts")))
+        .cast("long")
+        .alias("duration_seconds"),
+        F.sum(F.when(F.col("event_type") == "purchase", 1).otherwise(0))
+        .cast("long")
+        .alias("n_purchases"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# BFS HOP DISTANCE over the part co-purchase graph (same edge set as
+# graph_pagerank_parts) — single-source shortest hops, 3 synchronous
+# frontier expansions unrolled declaratively: dᵢ = min(dᵢ₋₁, 1 + dᵢ₋₁
+# pushed over edges). Min-aggregation makes re-discovery idempotent, so
+# the unrolled joins are exactly Pregel's synchronous BFS.
+# Scale: edges stay put; the (node, dist) table — bounded by the node
+# count, dimension-sized next to the fact table that generated the
+# edges — broadcasts to each expansion join, mirroring pagerank's
+# broadcast-ranks pattern.
+# ---------------------------------------------------------------------------
+BFS_HOPS = 3
+
+
+def _bfs_oracle() -> str:
+    sql = """
+        WITH items AS (
+            SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+        ),
+        edges AS (
+            SELECT a.l_partkey AS src, b.l_partkey AS dst
+            FROM items a
+            JOIN items b ON a.l_orderkey = b.l_orderkey
+                        AND a.l_partkey <> b.l_partkey
+            GROUP BY 1, 2
+        ),
+        d0 AS (SELECT MIN(src) AS part, CAST(0 AS BIGINT) AS dist FROM edges)"""
+    for i in range(1, BFS_HOPS + 1):
+        sql += f""",
+        d{i} AS (
+            SELECT part, MIN(dist) AS dist FROM (
+                SELECT part, dist FROM d{i - 1}
+                UNION ALL
+                SELECT e.dst AS part, d.dist + 1 AS dist
+                FROM edges e JOIN d{i - 1} d ON e.src = d.part
+            ) GROUP BY part
+        )"""
+    sql += f"""
+        SELECT CAST(dist AS BIGINT) AS hops,
+               CAST(COUNT(*) AS BIGINT) AS n_parts,
+               MIN(part) AS min_part, MAX(part) AS max_part
+        FROM d{BFS_HOPS} GROUP BY dist
+    """
+    return sql
+
+
+@register(
+    "graph_bfs_hops",
+    oracle=_bfs_oracle(),
+    tags=("graph", "bfs", "iterative", "lineitem"),
+)
+def graph_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    baskets = (
+        load_table(spark, sf_dir, "lineitem")
+        .groupBy("l_orderkey")
+        .agg(F.array_sort(F.collect_set("l_partkey")).alias("parts"))
+    )
+    directed = F.flatten(
+        F.transform(
+            F.col("parts"),
+            lambda x: F.transform(
+                F.filter(F.col("parts"), lambda y: y != x),
+                lambda y: F.struct(x.alias("src"), y.alias("dst")),
+            ),
+        )
+    )
+    edges = (
+        baskets.select(F.explode(directed).alias("e"))
+        .select(F.col("e.src").alias("src"), F.col("e.dst").alias("dst"))
+        .distinct()
+        .localCheckpoint(eager=False)  # each hop reads the same edge set
+    )
+    dist = edges.agg(F.min("src").alias("part")).select(
+        "part", F.lit(0).cast("long").alias("dist")
+    )
+    for _ in range(BFS_HOPS):
+        pushed = (
+            edges.join(F.broadcast(dist), edges.src == dist.part)
+            .select(F.col("dst").alias("part"), (F.col("dist") + 1).alias("dist"))
+        )
+        dist = (
+            dist.unionByName(pushed)
+            .groupBy("part")
+            .agg(F.min("dist").alias("dist"))
+        )
+    return dist.groupBy(F.col("dist").alias("hops")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_parts"),
+        F.min("part").alias("min_part"),
+        F.max("part").alias("max_part"),
+    )

@@ -1469,3 +1469,107 @@ def text_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
         idiv(covered * 10000, F.sum("c")).cast("long").alias("coverage_bp"),
         (10000 - idiv(covered * 10000, F.sum("c"))).cast("long").alias("oov_bp"),
     )
+
+
+# ---------------------------------------------------------------------------
+# RAKE keyword extraction (Rapid Automatic Keyword Extraction) — candidate
+# phrases are maximal stopword-free runs; a word's score is degree/freq
+# (degree = total length of phrases containing it), a phrase's score the
+# sum of its words' scores. Scores are exact integer micro-units
+# (idiv — engine-portable, no float division), so the top-25 is
+# hash-checkable.
+#
+# Scale shape (100 TB): phrase extraction is a narrow stateless map;
+# word stats are a map-side-partial groupBy over the vocabulary; the
+# phrase table re-derives its word list by splitting the normalized
+# phrase string (functional — avoids carrying arrays through the
+# shuffle); final top-25 is TakeOrderedAndProject.
+# ---------------------------------------------------------------------------
+RAKE_SPLIT = r"(\b(?:a|the|and|of|to|is)\b|[^a-z ])+"
+RAKE_MAX_WORDS = 4
+RAKE_TOP = 25
+
+
+@register(
+    "text_rake_keywords",
+    oracle=f"""
+        WITH phr0 AS (
+            SELECT unnest(string_split_regex(LOWER(text),
+                '(\\b(?:a|the|and|of|to|is)\\b|[^a-z ])+')) AS p
+            FROM documents
+        ),
+        pw AS (
+            SELECT array_to_string(string_split_regex(trim(p), '\\s+'), ' ')
+                       AS phrase,
+                   string_split_regex(trim(p), '\\s+') AS ws
+            FROM phr0
+            WHERE trim(p) <> ''
+              AND len(string_split_regex(trim(p), '\\s+'))
+                  BETWEEN 1 AND {RAKE_MAX_WORDS}
+        ),
+        wstats AS (
+            SELECT w, CAST(COUNT(*) AS BIGINT) AS freq,
+                   CAST(SUM(n) AS BIGINT) AS degree
+            FROM (SELECT unnest(ws) AS w, len(ws) AS n FROM pw)
+            GROUP BY w
+        ),
+        wscore AS (
+            SELECT w, (degree * 1000000) // freq AS score_micro FROM wstats
+        ),
+        pgrp AS (
+            SELECT phrase, CAST(COUNT(*) AS BIGINT) AS n_occurrences
+            FROM pw GROUP BY phrase
+        ),
+        pscore AS (
+            SELECT phrase, n_occurrences,
+                   CAST(SUM(score_micro) AS BIGINT) AS rake_score_micro
+            FROM (SELECT phrase, n_occurrences,
+                         unnest(string_split(phrase, ' ')) AS w
+                  FROM pgrp)
+            JOIN wscore USING (w)
+            GROUP BY phrase, n_occurrences
+        )
+        SELECT phrase, n_occurrences, rake_score_micro
+        FROM pscore
+        ORDER BY rake_score_micro DESC, phrase ASC
+        LIMIT {RAKE_TOP}
+    """,
+    tags=("text", "keywords", "rake", "documents"),
+)
+def text_rake_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    pieces = docs.select(
+        F.explode(F.split(F.lower("text"), RAKE_SPLIT, -1)).alias("p")
+    ).filter(F.trim("p") != "")
+    pw = pieces.select(
+        F.split(F.trim("p"), r"\s+").alias("ws")
+    ).filter(F.size("ws").between(1, RAKE_MAX_WORDS)).select(
+        F.concat_ws(" ", "ws").alias("phrase"), "ws"
+    )
+    wstats = (
+        pw.select(F.explode("ws").alias("w"), F.size("ws").alias("n"))
+        .groupBy("w")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("freq"),
+            F.sum("n").cast("long").alias("degree"),
+        )
+    )
+    wscore = wstats.select(
+        "w", idiv(F.col("degree") * 1000000, F.col("freq")).alias("score_micro")
+    )
+    pgrp = pw.groupBy("phrase").agg(
+        F.count(F.lit(1)).cast("long").alias("n_occurrences")
+    )
+    pscore = (
+        pgrp.select(
+            "phrase",
+            "n_occurrences",
+            F.explode(F.split("phrase", " ")).alias("w"),
+        )
+        .join(wscore, "w")
+        .groupBy("phrase", "n_occurrences")
+        .agg(F.sum("score_micro").cast("long").alias("rake_score_micro"))
+    )
+    return pscore.orderBy(
+        F.col("rake_score_micro").desc(), F.col("phrase").asc()
+    ).limit(RAKE_TOP)

@@ -684,3 +684,44 @@ def test_bloom_probe_never_shuffles_customer_side(spark):
     assert "SortMergeJoin" not in plan
     assert "CartesianProduct" not in plan
     assert "BroadcastHashJoin" in plan
+
+
+def test_sessionize_single_fact_shuffle(spark):
+    """Both session windows and the per-session aggregate share the
+    user_id hash partitioning: one event-sized exchange, one scan, no
+    join."""
+    plan = plan_of(spark, "events_sessionize_batch")
+    assert plan.count("Exchange") == 1
+    assert plan.count("Scan parquet") == 1
+    assert "Join" not in plan
+
+
+def test_holt_single_scan_partial_agg(spark):
+    """The Holt fold reduces hour buckets map-side before the per-type
+    shuffle — one scan, partial aggregation below the exchange."""
+    plan = plan_of(spark, "events_holt_forecast")
+    assert plan.count("Scan parquet") == 1
+    assert "partial_count" in plan
+
+
+def test_association_rules_top50_take_ordered(spark):
+    """The rule ranking must be TakeOrderedAndProject (per-partition
+    top-50 then merge), never a global sort of all rules."""
+    plan = plan_of(spark, "association_rules_parts")
+    assert "TakeOrderedAndProject" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_rake_top25_take_ordered_no_cartesian(spark):
+    plan = plan_of(spark, "text_rake_keywords")
+    assert "TakeOrderedAndProject" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_bfs_expansion_broadcasts_distance_table(spark):
+    """Each BFS hop joins edges against the BROADCAST (node, dist)
+    table — mirroring pagerank's broadcast-ranks pattern; the edge set
+    itself never re-shuffles for the expansion."""
+    plan = plan_of(spark, "graph_bfs_hops")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan

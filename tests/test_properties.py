@@ -2915,3 +2915,97 @@ def test_fuzzy_join_prefix_filter_is_complete(names):
             if shared * 10 >= 6 * union:
                 want.add((bn, an, shared * 10000 // union))
     assert got == want
+
+
+@settings(max_examples=120, deadline=None)
+@given(
+    xs=st.lists(
+        st.integers(min_value=0, max_value=1000), min_size=2, max_size=60
+    )
+)
+def test_holt_fold_oracle_matches_reference(xs):
+    """The list-encoded Holt double-exponential fold embedded in the
+    events_holt_forecast oracle vs the textbook recurrence in pure
+    Python — bit-for-bit, any series. (The state is a [level, trend]
+    DOUBLE list because DuckDB 1.0 mis-evaluates struct accumulators
+    that reference acc twice; this test also pins that encoding.)"""
+    import duckdb
+
+    con = duckdb.connect()
+    st_l, st_b = con.execute(
+        """
+        SELECT st[1], st[2] FROM (
+            SELECT list_reduce(
+                list_prepend([xs[1], xs[2] - xs[1]],
+                             [[x, CAST(0 AS DOUBLE)] for x in xs[3:]]),
+                (acc, s) ->
+                    [0.25 * s[1] + 0.75 * (acc[1] + acc[2]),
+                     0.5 * ((0.25 * s[1] + 0.75 * (acc[1] + acc[2]))
+                            - acc[1]) + 0.5 * acc[2]]) AS st
+            FROM (SELECT ?::DOUBLE[] AS xs)
+        )
+        """,
+        [list(map(float, xs))],
+    ).fetchone()
+    lvl, trd = float(xs[0]), float(xs[1]) - float(xs[0])
+    for x in map(float, xs[2:]):
+        new_l = 0.25 * x + 0.75 * (lvl + trd)
+        trd = 0.5 * (new_l - lvl) + 0.5 * trd
+        lvl = new_l
+    assert st_l == lvl and st_b == trd
+
+
+@settings(max_examples=60, deadline=None)
+@given(
+    edges=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=8),
+            st.integers(min_value=0, max_value=8),
+        ),
+        min_size=1,
+        max_size=40,
+    )
+)
+def test_bfs_unrolled_min_join_matches_python_bfs(edges):
+    """The 3-hop unrolled min-distance CTE (graph_bfs_hops oracle shape)
+    vs a plain Python BFS capped at 3 hops, from the min source node,
+    over arbitrary directed graphs (self-loops dropped like the real
+    edge derivation)."""
+    import duckdb
+
+    edges = [(a, b) for a, b in edges if a != b]
+    if not edges:
+        return
+    con = duckdb.connect()
+    con.execute("CREATE TABLE edges (src BIGINT, dst BIGINT)")
+    con.executemany("INSERT INTO edges VALUES (?, ?)", edges)
+    sql = "WITH d0 AS (SELECT MIN(src) AS part, 0 AS dist FROM edges)"
+    for i in range(1, 4):
+        sql += f""",
+        d{i} AS (
+            SELECT part, MIN(dist) AS dist FROM (
+                SELECT part, dist FROM d{i - 1}
+                UNION ALL
+                SELECT e.dst, d.dist + 1 FROM edges e
+                JOIN d{i - 1} d ON e.src = d.part
+            ) GROUP BY part
+        )"""
+    sql += " SELECT part, dist FROM d3"
+    got = dict(con.sql(sql).fetchall())
+
+    from collections import deque
+
+    adj = {}
+    for a, b in edges:
+        adj.setdefault(a, set()).add(b)
+    seed = min(a for a, _ in edges)
+    want, frontier = {seed: 0}, deque([(seed, 0)])
+    while frontier:
+        node, d = frontier.popleft()
+        if d == 3:
+            continue
+        for nxt in adj.get(node, ()):
+            if nxt not in want:
+                want[nxt] = d + 1
+                frontier.append((nxt, d + 1))
+    assert got == want
