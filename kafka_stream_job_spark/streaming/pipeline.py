@@ -1752,3 +1752,179 @@ def _register_streaming_available_now() -> None:
 
 
 _register_streaming_available_now()
+
+
+# ---------------------------------------------------------------------------
+# Registry entry: STREAMING HLL — the mergeable distinct sketch driven
+# through Structured Streaming (streaming/hll.py's foreachBatch merge).
+# HLL merge is register-wise max (associative, commutative, idempotent),
+# so the state after the drain is BIT-IDENTICAL to the batch sketch no
+# matter how the replay split into micro-batches — which is what lets a
+# *streaming* query carry an exact DuckDB oracle: the same register/fold
+# SQL as hll_distinct_users, minus the exact-count column (a stream
+# can't see the whole history; the sketch is the whole point).
+# The final estimate is computed by a tiny Spark plan over the ≤HLL_M
+# merged registers using the IDENTICAL fold/pround expressions as the
+# batch query — one fixed IEEE dag on both engines.
+# ---------------------------------------------------------------------------
+def _register_streaming_hll() -> None:
+    from kafka_stream_job_spark.operators.sketches import HLL_M
+    from kafka_stream_job_spark.registry import register
+    from kafka_stream_job_spark.streaming.hll import StreamingHLL
+
+    @register(
+        "streaming_hll_distinct_users",
+        oracle=f"""
+            WITH h AS (
+                SELECT ('0x' || substr(md5('hll:' || CAST(user_id AS VARCHAR)), 1, 7))::BIGINT
+                           AS hv
+                FROM events
+            ),
+            regs AS (
+                SELECT hv % {HLL_M} AS register,
+                       MAX(CASE WHEN hv // {HLL_M} = 0 THEN 21
+                                ELSE 21 - LENGTH(bin(hv // {HLL_M})) END) AS m_rank
+                FROM h
+                GROUP BY hv % {HLL_M}
+            ),
+            folded AS (
+                SELECT COUNT(*) AS n_present,
+                       list_reduce(
+                           list_prepend(0.0,
+                               list(1.0 / (1 << m_rank) ORDER BY register)),
+                           (acc, x) -> acc + x) AS present_sum
+                FROM regs
+            ),
+            est AS (
+                SELECT n_present,
+                       (0.7213 / (1.0 + 1.079 / {HLL_M}.0)) * {HLL_M}.0 * {HLL_M}.0
+                           / (present_sum + ({HLL_M} - n_present) * 1.0) AS raw_e
+                FROM folded
+            )
+            SELECT CAST(n_present AS BIGINT) AS n_registers_hit,
+                   ROUND((CASE WHEN raw_e <= 2.5 * {HLL_M}.0 AND n_present < {HLL_M}
+                               THEN {HLL_M}.0 * ln({HLL_M}.0 / ({HLL_M} - n_present))
+                               ELSE raw_e END) * 1000000.0) / 1000000.0
+                       AS hll_estimate
+            FROM est
+        """,
+        tags=("streaming", "sketch", "hll", "stateful", "events"),
+    )
+    def streaming_hll_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+        import tempfile
+
+        hll = StreamingHLL(spark, "user_id")
+        ckpt = tempfile.mkdtemp(prefix="ksj-stream-hll-")
+        src = stream_events(spark, sf_dir).select("user_id")
+        with _drain_partitions(spark):
+            query = (
+                src.writeStream.foreachBatch(hll.update)
+                .option("checkpointLocation", ckpt)
+                .start()
+            )
+            try:
+                query.processAllAvailable()
+            finally:
+                query.stop()
+        assert hll.batches_seen >= 1
+        regs = spark.createDataFrame(
+            sorted(hll.registers.items()), "register INT, m_rank INT"
+        )
+        contribs = regs.select(
+            "register", F.expr("1.0 / shiftleft(1, m_rank)").alias("contrib")
+        )
+        folded = contribs.agg(
+            F.count(F.lit(1)).alias("n_present"),
+            F.aggregate(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("register", "contrib"))),
+                    lambda s: s["contrib"],
+                ),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            ).alias("present_sum"),
+        )
+        m = float(HLL_M)
+        raw_e = (
+            (F.lit(0.7213) / (F.lit(1.0) + F.lit(1.079) / F.lit(m)))
+            * F.lit(m)
+            * F.lit(m)
+            / (F.col("present_sum") + (F.lit(HLL_M) - F.col("n_present")) * F.lit(1.0))
+        )
+        est = F.when(
+            (raw_e <= 2.5 * m) & (F.col("n_present") < HLL_M),
+            F.lit(m) * F.log(F.lit(m) / (F.lit(HLL_M) - F.col("n_present"))),
+        ).otherwise(raw_e)
+        return folded.select(
+            F.col("n_present").cast("long").alias("n_registers_hit"),
+            pround(est, 6).alias("hll_estimate"),
+        )
+
+
+_register_streaming_hll()
+
+
+# ---------------------------------------------------------------------------
+# Registry entry: STREAMING MISRA-GRIES heavy hitters + exact verify —
+# the two-pass frequent-items pipeline driven through Structured
+# Streaming. The MG summary (streaming/heavy_hitters.py, capacity 128 <
+# the ~150 distinct users, so eviction is actually exercised) guarantees
+# every key with true count > N/capacity survives the stream; the exact
+# recount then keeps precisely those — so the OUTPUT is deterministic
+# (the true heavy-hitter set) even though MG eviction order is not,
+# which is what lets a streaming sketch query carry an exact oracle.
+# The threshold compare is integer-exact (count·capacity > N).
+# Scale: per micro-batch only the batch's distinct-key summary reaches
+# the driver (capacity-bounded state); the verify pass is a candidate-
+# filtered partial agg over the batch table.
+# ---------------------------------------------------------------------------
+MG_STREAM_CAPACITY = 128
+
+
+def _register_streaming_heavy_hitters() -> None:
+    from kafka_stream_job_spark.registry import register
+    from kafka_stream_job_spark.streaming.heavy_hitters import (
+        StreamingHeavyHitters,
+    )
+    from kafka_stream_job_spark.tables import load_table
+
+    @register(
+        "streaming_heavy_hitter_users",
+        oracle=f"""
+            SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_events
+            FROM events GROUP BY user_id
+            HAVING COUNT(*) * {MG_STREAM_CAPACITY} > (SELECT COUNT(*) FROM events)
+        """,
+        tags=("streaming", "sketch", "heavy-hitters", "stateful", "events"),
+    )
+    def streaming_heavy_hitter_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+        import tempfile
+
+        mg = StreamingHeavyHitters(spark, "user_id", capacity=MG_STREAM_CAPACITY)
+        ckpt = tempfile.mkdtemp(prefix="ksj-stream-mg-")
+        src = stream_events(spark, sf_dir).select("user_id")
+        with _drain_partitions(spark):
+            query = (
+                src.writeStream.foreachBatch(mg.update)
+                .option("checkpointLocation", ckpt)
+                .start()
+            )
+            try:
+                query.processAllAvailable()
+            finally:
+                query.stop()
+        assert mg.batches_seen >= 1
+        candidates = [int(k) for k in mg.candidates()]
+        events = load_table(spark, sf_dir, "events")
+        total = events.agg(F.count(F.lit(1)).alias("total"))
+        return (
+            events.filter(F.col("user_id").isin(candidates))
+            .groupBy("user_id")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_events"))
+            .crossJoin(F.broadcast(total))
+            .filter(F.col("n_events") * MG_STREAM_CAPACITY > F.col("total"))
+            .select("user_id", "n_events")
+        )
+
+
+_register_streaming_heavy_hitters()

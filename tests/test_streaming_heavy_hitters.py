@@ -63,3 +63,31 @@ def test_stream_foreach_batch_bounded_state(spark, tmp_path):
     assert hh.batches_seen >= 2
     assert len(hh.counters) <= 16
     assert hh.rows_seen == toks.count()
+
+
+def test_streaming_mg_registry_query_is_exact_heavy_hitters(spark):
+    """The registered streaming MG query must return EXACTLY the true
+    heavy hitters (count·capacity > N) — deterministic despite eviction
+    order, because the exact verify pass filters the guaranteed-superset
+    candidate set."""
+    from kafka_stream_job_spark.registry import all_specs
+    from kafka_stream_job_spark.streaming.pipeline import MG_STREAM_CAPACITY
+    from kafka_stream_job_spark.tables import load_table
+    from pyspark.sql import functions as F
+
+    got = {
+        (r["user_id"], r["n_events"])
+        for r in all_specs()["streaming_heavy_hitter_users"]
+        .fn(spark, SF_SMOKE)
+        .collect()
+    }
+    events = load_table(spark, SF_SMOKE, "events")
+    total = events.count()
+    want = {
+        (r["user_id"], r["n"])
+        for r in events.groupBy("user_id")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+        .collect()
+        if r["n"] * MG_STREAM_CAPACITY > total
+    }
+    assert got == want and len(want) > 0

@@ -68,3 +68,17 @@ def test_stream_foreach_batch_matches_batch_estimate(spark, tmp_path):
     # it is ~20%; the tiny smoke corpus sits in the exact
     # linear-counting regime, so the bound is comfortably loose)
     assert abs(hll.estimate() - n_exact) <= max(3.0, 0.2 * n_exact)
+
+
+def test_streaming_hll_registry_query_equals_batch_twin(spark):
+    """The registered streaming_hll_distinct_users drain must emit the
+    SAME (n_registers_hit, hll_estimate) row as the batch
+    hll_distinct_users plan — the bit-identical-merge claim surfaced at
+    the registry level."""
+    from kafka_stream_job_spark.registry import all_specs
+
+    specs = all_specs()
+    got = specs["streaming_hll_distinct_users"].fn(spark, SF_SMOKE).collect()[0]
+    want = specs["hll_distinct_users"].fn(spark, SF_SMOKE).collect()[0]
+    assert got["n_registers_hit"] == want["n_registers_hit"]
+    assert got["hll_estimate"] == want["hll_estimate"]
