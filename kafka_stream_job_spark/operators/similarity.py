@@ -1441,3 +1441,113 @@ def similarity_topk_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rnk") <= TOP_K)
         .select("q_id", "rnk", "vec_id", "d_adc")
     )
+
+
+# ---------------------------------------------------------------------------
+# MATRYOSHKA truncation evaluation — the question every embedding-serving
+# stack asks before shipping truncated vectors (MRL-style nested
+# representations): how much top-k recall survives keeping only the
+# first MAT_DIM of DIM dimensions? Both rankings (full 64-d and
+# truncated prefix) are computed deterministically (sequential-fold
+# cosine, neighbor-id tiebreak), so recall@k per query is an exact
+# integer — hash-checkable, no tolerance.
+#
+# Scale shape: one broadcast(query) ⋈ corpus pass computes BOTH scores
+# (the truncated dot is a prefix slice of the same row — no second
+# corpus scan); the two rank windows share the query_id partitioning
+# (one shuffle, two sorts over n_queries·corpus rows — the top-k
+# per-partition WindowGroupLimit prune applies to both).
+# ---------------------------------------------------------------------------
+MAT_DIM = 16  # truncation prefix (DIM // 4)
+
+_dot_qd_t = _DOT_SQL.format(a="(q.embedding[1:16])", b="(d.embedding[1:16])")
+_norm_q_t = _NORM_SQL.format(a="(q.embedding[1:16])")
+_norm_d_t = _NORM_SQL.format(a="(d.embedding[1:16])")
+
+
+@register(
+    "matryoshka_truncation_recall",
+    oracle=f"""
+        WITH scored AS (
+            SELECT q.vec_id AS query_id, d.vec_id AS neighbor_id,
+                   {_dot_qd} / ({_norm_q} * {_norm_d}) AS cos_full,
+                   {_dot_qd_t} / ({_norm_q_t} * {_norm_d_t}) AS cos_trunc
+            FROM embeddings q
+            JOIN embeddings d ON d.vec_id <> q.vec_id
+            WHERE q.vec_id < {N_QUERIES}
+        ),
+        ranked AS (
+            SELECT query_id, neighbor_id,
+                   ROW_NUMBER() OVER (PARTITION BY query_id
+                                      ORDER BY cos_full DESC, neighbor_id ASC)
+                       AS rank_full,
+                   ROW_NUMBER() OVER (PARTITION BY query_id
+                                      ORDER BY cos_trunc DESC, neighbor_id ASC)
+                       AS rank_trunc
+            FROM scored
+        ),
+        overlap AS (
+            SELECT query_id, CAST(COUNT(*) AS BIGINT) AS n_overlap
+            FROM ranked
+            WHERE rank_full <= {TOP_K} AND rank_trunc <= {TOP_K}
+            GROUP BY query_id
+        )
+        SELECT q.vec_id AS query_id,
+               COALESCE(o.n_overlap, 0) AS n_overlap,
+               (COALESCE(o.n_overlap, 0) * 10000) // {TOP_K} AS recall_bp
+        FROM embeddings q
+        LEFT JOIN overlap o ON o.query_id = q.vec_id
+        WHERE q.vec_id < {N_QUERIES}
+    """,
+    tags=("similarity", "embeddings", "matryoshka", "recall"),
+)
+def matryoshka_truncation_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from kafka_stream_job_spark.operators._portable import idiv
+
+    emb = load_table(spark, sf_dir, "embeddings", rebalance=True)
+    q = emb.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
+    )
+    d = emb.select(
+        F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("d_emb")
+    )
+    qe, de = F.col("q_emb"), F.col("d_emb")
+    qt, dt = F.slice(qe, 1, MAT_DIM), F.slice(de, 1, MAT_DIM)
+    scored = (
+        d.join(F.broadcast(q), F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            (_dot(qe, de) / (_norm(qe) * _norm(de))).alias("cos_full"),
+            (_dot(qt, dt) / (_norm(qt) * _norm(dt))).alias("cos_trunc"),
+        )
+    )
+    wf = Window.partitionBy("query_id").orderBy(
+        F.col("cos_full").desc(), F.col("neighbor_id").asc()
+    )
+    wt = Window.partitionBy("query_id").orderBy(
+        F.col("cos_trunc").desc(), F.col("neighbor_id").asc()
+    )
+    overlap = (
+        scored.select(
+            "query_id",
+            F.row_number().over(wf).alias("rank_full"),
+            F.row_number().over(wt).alias("rank_trunc"),
+        )
+        .filter((F.col("rank_full") <= TOP_K) & (F.col("rank_trunc") <= TOP_K))
+        .groupBy("query_id")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_overlap"))
+    )
+    return (
+        q.select("query_id")
+        .join(F.broadcast(overlap), "query_id", "left")
+        .select(
+            "query_id",
+            F.coalesce("n_overlap", F.lit(0).cast("long")).alias("n_overlap"),
+            idiv(F.coalesce("n_overlap", F.lit(0).cast("long")) * 10000, F.lit(TOP_K)).alias(
+                "recall_bp"
+            ),
+        )
+    )

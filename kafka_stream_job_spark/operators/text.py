@@ -1573,3 +1573,213 @@ def text_rake_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pscore.orderBy(
         F.col("rake_score_micro").desc(), F.col("phrase").asc()
     ).limit(RAKE_TOP)
+
+
+# ---------------------------------------------------------------------------
+# Window-2 PMI collocations — pointwise mutual information over token
+# pairs within a ±2 window (one step beyond text_top_bigrams' adjacency).
+# Pairs are generated IN-ARRAY (equal-length slice zips — no positional
+# self-join of the token table), normalized to unordered (least,
+# greatest) form; PMI is quantized to integer micro-nats via the same
+# ln-portability established by the bigram LM and Zipf queries. All
+# ratio arithmetic stays in doubles (never cab·T², which would lose
+# integer exactness past 2^53 at corpus scale).
+# Scale shape: token and pair counts are map-side-partial groupBys over
+# the vocabulary; the count joins key on words (vocabulary-sized); the
+# final top-30 is TakeOrderedAndProject.
+# ---------------------------------------------------------------------------
+PMI_MIN_PAIR = 5
+PMI_TOP = 30
+
+
+@register(
+    "text_word_pmi",
+    oracle=f"""
+        WITH toks AS (
+            SELECT string_split_regex(trim(text), '\\s+') AS ws
+            FROM documents
+            WHERE len(string_split_regex(trim(text), '\\s+')) >= 3
+        ),
+        tok AS (SELECT unnest(ws) AS w FROM toks),
+        wc AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS c FROM tok GROUP BY w),
+        tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS t FROM tok),
+        rawp AS (
+            SELECT unnest(list_concat(
+                       list_zip(ws[1:len(ws) - 1], ws[2:len(ws)]),
+                       list_zip(ws[1:len(ws) - 2], ws[3:len(ws)]))) AS p
+            FROM toks
+        ),
+        pairs AS (
+            SELECT CASE WHEN p[1] <= p[2] THEN p[1] ELSE p[2] END AS w1,
+                   CASE WHEN p[1] <= p[2] THEN p[2] ELSE p[1] END AS w2
+            FROM rawp
+        ),
+        pc AS (
+            SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS cab
+            FROM pairs GROUP BY 1, 2
+            HAVING COUNT(*) >= {PMI_MIN_PAIR}
+        ),
+        ptot AS (SELECT CAST(COUNT(*) AS BIGINT) AS p FROM pairs)
+        SELECT pc.w1, pc.w2, pc.cab,
+               CAST(ROUND(ln((pc.cab * 1.0 / ptot.p)
+                             / ((ca.c * 1.0 / tot.t) * (cb.c * 1.0 / tot.t)))
+                          * 1000000.0) AS BIGINT) AS pmi_unats
+        FROM pc
+        JOIN wc ca ON ca.w = pc.w1
+        JOIN wc cb ON cb.w = pc.w2, ptot, tot
+        ORDER BY pmi_unats DESC, w1 ASC, w2 ASC
+        LIMIT {PMI_TOP}
+    """,
+    tags=("text", "pmi", "collocation", "documents"),
+)
+def text_word_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        F.split(F.trim("text"), r"\s+").alias("ws")
+    ).filter(F.size("ws") >= 3)
+    tok = toks.select(F.explode("ws").alias("w"))
+    wc = tok.groupBy("w").agg(F.count(F.lit(1)).cast("long").alias("c"))
+    tot = tok.agg(F.count(F.lit(1)).cast("long").alias("t"))
+
+    def zip_d(d: int):
+        return F.zip_with(
+            F.expr(f"slice(ws, 1, size(ws) - {d})"),
+            F.expr(f"slice(ws, {d + 1}, size(ws) - {d})"),
+            lambda x, y: F.struct(
+                F.least(x, y).alias("w1"), F.greatest(x, y).alias("w2")
+            ),
+        )
+
+    pairs = toks.select(
+        F.explode(F.concat(zip_d(1), zip_d(2))).alias("p")
+    ).select(F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2"))
+    pc = (
+        pairs.groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).cast("long").alias("cab"))
+        .filter(F.col("cab") >= PMI_MIN_PAIR)
+    )
+    ptot = pairs.agg(F.count(F.lit(1)).cast("long").alias("p"))
+    pmi = F.round(
+        F.log(
+            (F.col("cab") * F.lit(1.0) / F.col("p"))
+            / (
+                (F.col("ca") * F.lit(1.0) / F.col("t"))
+                * (F.col("cb") * F.lit(1.0) / F.col("t"))
+            )
+        )
+        * 1000000.0,
+        0,
+    ).cast("long")
+    return (
+        pc.join(wc.select(F.col("w").alias("w1"), F.col("c").alias("ca")), "w1")
+        .join(wc.select(F.col("w").alias("w2"), F.col("c").alias("cb")), "w2")
+        .crossJoin(F.broadcast(ptot))
+        .crossJoin(F.broadcast(tot))
+        .select("w1", "w2", "cab", pmi.alias("pmi_unats"))
+        .orderBy(F.col("pmi_unats").desc(), F.col("w1").asc(), F.col("w2").asc())
+        .limit(PMI_TOP)
+    )
+
+
+# ---------------------------------------------------------------------------
+# MLM MASKING MANIFEST — plan the BERT-style corruption pass before any
+# trainer runs: per document, choose ~15% of token positions by a
+# deterministic hash (md5(doc_id:pos) — no RNG, so the plan is
+# reproducible across engines, reruns and restarts, and the mask can be
+# re-derived downstream instead of materialized). Emits per-doc audit
+# stats the pipeline asserts before spending GPU time.
+# Scale shape: posexplode → hash filter → per-doc partial agg; one fact
+# scan, one doc-keyed shuffle.
+# ---------------------------------------------------------------------------
+MLM_MASK_PCT = 15
+
+
+@register(
+    "mlm_masking_manifest",
+    oracle=f"""
+        WITH toks AS (
+            SELECT doc_id, string_split_regex(trim(text), '\\s+') AS ws
+            FROM documents
+        ),
+        pos AS (
+            -- index lambda, 1-based (DuckDB 1.0 has no WITH ORDINALITY
+            -- and generate_series cannot be lateral over len(ws))
+            SELECT doc_id, p.w AS w, p.i AS i
+            FROM (SELECT doc_id,
+                         unnest(list_transform(ws, (w, i) -> {{'w': w, 'i': i}}))
+                             AS p
+                  FROM toks)
+        ),
+        masked AS (
+            SELECT doc_id, i, length(w) AS wl
+            FROM pos
+            WHERE ('0x' || substr(md5('mlm:' || CAST(doc_id AS VARCHAR) || ':'
+                                      || CAST(i AS VARCHAR)), 1, 7))::BIGINT
+                  % 100 < {MLM_MASK_PCT}
+        )
+        SELECT t.doc_id,
+               CAST(len(t.ws) AS BIGINT) AS n_tokens,
+               CAST(COALESCE(m.n_masked, 0) AS BIGINT) AS n_masked,
+               (CAST(COALESCE(m.n_masked, 0) AS BIGINT) * 10000)
+                   // CAST(len(t.ws) AS BIGINT) AS mask_bp,
+               CAST(COALESCE(m.first_pos, 0) AS BIGINT) AS first_masked_pos,
+               CAST(COALESCE(m.char_sum, 0) AS BIGINT) AS masked_char_sum
+        FROM toks t
+        LEFT JOIN (
+            SELECT doc_id, COUNT(*) AS n_masked, MIN(i) AS first_pos,
+                   SUM(wl) AS char_sum
+            FROM masked GROUP BY doc_id
+        ) m ON m.doc_id = t.doc_id
+    """,
+    tags=("llm-pipeline", "mlm", "masking", "documents"),
+)
+def mlm_masking_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kafka_stream_job_spark.operators._portable import idiv
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", F.split(F.trim("text"), r"\s+").alias("ws")
+    )
+    pos = toks.select(
+        "doc_id", F.posexplode("ws").alias("pos0", "w")
+    ).select("doc_id", (F.col("pos0") + 1).alias("i"), "w")
+    hv = F.conv(
+        F.substring(
+            F.md5(
+                F.concat(
+                    F.lit("mlm:"),
+                    F.col("doc_id").cast("string"),
+                    F.lit(":"),
+                    F.col("i").cast("string"),
+                )
+            ),
+            1,
+            7,
+        ),
+        16,
+        10,
+    ).cast("long")
+    masked = (
+        pos.filter(hv % 100 < MLM_MASK_PCT)
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_masked"),
+            F.min("i").cast("long").alias("first_pos"),
+            F.sum(F.length("w")).cast("long").alias("char_sum"),
+        )
+    )
+    return (
+        toks.select("doc_id", F.size("ws").cast("long").alias("n_tokens"))
+        .join(masked, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_tokens",
+            F.coalesce("n_masked", F.lit(0).cast("long")).alias("n_masked"),
+            idiv(
+                F.coalesce("n_masked", F.lit(0).cast("long")) * 10000,
+                F.col("n_tokens"),
+            ).alias("mask_bp"),
+            F.coalesce("first_pos", F.lit(0).cast("long")).alias("first_masked_pos"),
+            F.coalesce("char_sum", F.lit(0).cast("long")).alias("masked_char_sum"),
+        )
+    )

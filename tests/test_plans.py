@@ -725,3 +725,36 @@ def test_bfs_expansion_broadcasts_distance_table(spark):
     plan = plan_of(spark, "graph_bfs_hops")
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_matryoshka_single_corpus_pass_broadcast_queries(spark):
+    """Both the full and truncated cosines come from ONE broadcast(query)
+    ⋈ corpus pass (the truncated dot slices the same row — no second
+    corpus join), and the two rank windows share the query_id
+    partitioning."""
+    plan = plan_of(spark, "matryoshka_truncation_recall")
+    assert "BroadcastNestedLoopJoin" in plan
+    assert "SortMergeJoin" not in plan
+    # exactly the two rank windows (WindowGroupLimit nodes don't count)
+    assert plan.count("Window [") <= 2
+
+
+def test_pmi_pairs_generated_in_array_partial_agg(spark):
+    """Pair generation must be the in-array slice-zip (a Generate over
+    the doc rows), never a positional self-join of a token table; pair
+    counting partially aggregates below its exchange."""
+    plan = plan_of(spark, "text_word_pmi")
+    assert "Generate explode" in plan
+    assert "TakeOrderedAndProject" in plan
+    ex = plan.find("Exchange")
+    assert ex != -1 and "HashAggregate" in plan[ex:]
+
+
+def test_mlm_masking_hash_filter_below_agg(spark):
+    """The mask-position filter is a stateless hash predicate applied at
+    the exploded rows BEFORE the per-doc aggregate — the shuffle carries
+    only ~15% of positions."""
+    plan = plan_of(spark, "mlm_masking_manifest")
+    assert "Generate posexplode" in plan
+    ex = plan.find("Exchange")
+    assert ex != -1 and "HashAggregate" in plan[ex:]
