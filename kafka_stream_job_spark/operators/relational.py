@@ -6221,3 +6221,152 @@ def graph_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("part").alias("min_part"),
         F.max("part").alias("max_part"),
     )
+
+
+# ---------------------------------------------------------------------------
+# SCD2 POINT-IN-TIME JOIN — the read side of slowly-changing-dimension
+# history (the write side is scd2_customer_merge): join each order to
+# the dimension version that was EFFECTIVE at its order date, i.e. the
+# max eff_from <= o_orderdate per key. The dimension is the same
+# deterministic two-version history as the merge query (every 20th
+# customer re-versioned at 1996-01-01).
+# The version pick is max_by over the effective-date-filtered join —
+# a partial-aggregating groupBy, not a per-order sort.
+# Scale: equi-join on custkey carries the non-equi eff_from predicate as
+# a residual filter; the dimension (2 rows/key max) broadcasts when it
+# fits, else co-shuffles on the same custkey partitioning the aggregate
+# reuses.
+# ---------------------------------------------------------------------------
+SCD2_V2_TS = "1996-01-01 00:00:00"
+
+
+@register(
+    "scd2_point_in_time_join",
+    oracle=f"""
+        WITH dim AS (
+            SELECT c_custkey, c_acctbal AS bal, 1 AS version,
+                   TIMESTAMP '1990-01-01 00:00:00' AS eff_from
+            FROM customer
+            UNION ALL
+            SELECT c_custkey, c_acctbal + 100.0, 2,
+                   TIMESTAMP '{SCD2_V2_TS}'
+            FROM customer WHERE c_custkey % 20 = 0
+        )
+        SELECT o.o_orderkey, o.o_custkey,
+               max_by(d.version, d.eff_from) AS version,
+               ROUND((max_by(d.bal, d.eff_from)) * 100.0) / 100.0 + 0.0
+                   AS acctbal_at_order
+        FROM orders o
+        JOIN dim d ON d.c_custkey = o.o_custkey
+                  AND d.eff_from <= o.o_orderdate
+        GROUP BY 1, 2
+    """,
+    tags=("scd2", "asof", "temporal-join", "orders", "customer"),
+)
+def scd2_point_in_time_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    customer = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    v1 = customer.select(
+        "c_custkey",
+        F.col("c_acctbal").alias("bal"),
+        F.lit(1).alias("version"),
+        F.lit("1990-01-01 00:00:00").cast("timestamp_ntz").alias("eff_from"),
+    )
+    v2 = customer.filter(F.col("c_custkey") % 20 == 0).select(
+        "c_custkey",
+        (F.col("c_acctbal") + 100.0).alias("bal"),
+        F.lit(2).alias("version"),
+        F.lit(SCD2_V2_TS).cast("timestamp_ntz").alias("eff_from"),
+    )
+    dim = v1.unionByName(v2)
+    return (
+        orders.select("o_orderkey", "o_custkey", "o_orderdate")
+        .join(
+            F.broadcast(dim),
+            (F.col("c_custkey") == F.col("o_custkey"))
+            & (F.col("eff_from") <= F.col("o_orderdate")),
+        )
+        .groupBy("o_orderkey", "o_custkey")
+        .agg(
+            F.max_by("version", "eff_from").alias("version"),
+            pround(F.max_by("bal", "eff_from"), 2).alias("acctbal_at_order"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# THEIL-SEN ROBUST TREND — median of all pairwise slopes of the daily
+# count series per event type: the estimator that shrugs off the outlier
+# days that wreck the OLS fit (revenue_trend_ols is the fragile twin).
+# The series is one row per day (wall-clock-bounded), so the O(days²)
+# pair set is a small in-array expansion, never a data-sized join; the
+# median is taken EXPLICITLY from the sorted slope array (odd → middle,
+# even → mean of middles) because engine quantile interpolation dags
+# differ — this formula is the same fixed IEEE dag on both sides.
+# ---------------------------------------------------------------------------
+@register(
+    "events_theilsen_trend",
+    oracle="""
+        WITH daily AS (
+            SELECT event_type,
+                   date_diff('day', DATE '1970-01-01',
+                             CAST(date_trunc('day', ts) AS DATE)) AS d,
+                   CAST(COUNT(*) AS BIGINT) AS c
+            FROM events GROUP BY 1, 2
+        ),
+        pairs AS (
+            SELECT a.event_type, (b.c - a.c) * 1.0 / (b.d - a.d) AS s
+            FROM daily a
+            JOIN daily b ON a.event_type = b.event_type AND a.d < b.d
+        ),
+        med AS (
+            SELECT event_type, list(s ORDER BY s) AS ss,
+                   CAST(COUNT(*) AS BIGINT) AS n
+            FROM pairs GROUP BY 1
+        )
+        SELECT event_type, n AS n_pairs,
+               ROUND((CASE WHEN n % 2 = 1 THEN ss[(n + 1) // 2]
+                           ELSE (ss[n // 2] + ss[n // 2 + 1]) * 0.5 END)
+                     * 1000000.0) / 1000000.0 + 0.0 AS theilsen_slope_per_day
+        FROM med
+    """,
+    tags=("timeseries", "robust", "theil-sen", "events"),
+)
+def events_theilsen_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    daily = events.groupBy(
+        "event_type",
+        F.expr(
+            "datediff(cast(date_trunc('day', ts) as date), date'1970-01-01')"
+        ).alias("d"),
+    ).agg(F.count(F.lit(1)).cast("long").alias("c"))
+    xs = F.array_sort(F.collect_list(F.struct("d", "c")))
+    slopes = F.flatten(
+        F.transform(
+            F.col("xs"),
+            lambda x, i: F.transform(
+                F.slice(F.col("xs"), i + 2, F.size(F.col("xs"))),
+                lambda y: (y["c"] - x["c"]) * F.lit(1.0) / (y["d"] - x["d"]),
+            ),
+        )
+    )
+    per_type = (
+        daily.groupBy("event_type")
+        .agg(xs.alias("xs"))
+        .select("event_type", F.array_sort(slopes).alias("ss"))
+        .select(
+            "event_type", "ss", F.size("ss").cast("long").alias("n")
+        )
+    )
+    odd = F.element_at("ss", F.expr("int((n + 1) div 2)"))
+    even = (
+        F.element_at("ss", F.expr("int(n div 2)"))
+        + F.element_at("ss", F.expr("int(n div 2 + 1)"))
+    ) * F.lit(0.5)
+    return per_type.select(
+        "event_type",
+        F.col("n").alias("n_pairs"),
+        pround(F.when(F.col("n") % 2 == 1, odd).otherwise(even), 6).alias(
+            "theilsen_slope_per_day"
+        ),
+    )

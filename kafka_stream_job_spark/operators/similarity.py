@@ -1551,3 +1551,142 @@ def matryoshka_truncation_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# POWER ITERATION — dominant eigenvector of the embedding second-moment
+# (Gram) matrix, the PCA-direction primitive, expressed as three
+# declarative matvec+normalize rounds. The Gram entries are EXACT
+# integers (the same milli-unit quantization as embedding_covariance),
+# every fold (matvec per row, norm) runs in pinned index order, and the
+# start vector 1/8·𝟙 has an exactly-representable norm — so the whole
+# iteration is one fixed IEEE dag and the loadings hash-match.
+#
+# Scale shape (100 TB): the one data-sized stage is the Gram build (a
+# distributed syrk: component self-join per vector, partial-agg to
+# DIM² = 4096 cells); the iteration then runs on 64-row metadata —
+# broadcast matvecs, never a data scan. This is how iterative ML lands
+# on an engine: heavy reduction once, tiny iterate.
+# ---------------------------------------------------------------------------
+POWER_ITERS = 3
+
+
+def _power_oracle() -> str:
+    sql = f"""
+        WITH q AS (
+            SELECT vec_id,
+                   list_transform(embedding::DOUBLE[],
+                                  x -> CAST(ROUND(x * {COV_SCALE}.0) AS BIGINT)) AS qa
+            FROM embeddings
+        ),
+        el AS (
+            SELECT vec_id, CAST(i AS BIGINT) AS i, qa[i] AS x
+            FROM (SELECT vec_id, qa, UNNEST(range(1, 1 + len(qa))) AS i FROM q)
+        ),
+        pairg AS (
+            SELECT a.i AS i, b.i AS j, CAST(SUM(a.x * b.x) AS BIGINT) AS g
+            FROM el a JOIN el b ON a.vec_id = b.vec_id
+            GROUP BY 1, 2
+        ),
+        grows AS (
+            SELECT i, list({{'j': j, 'g': g}} ORDER BY j) AS gr
+            FROM pairg GROUP BY i
+        ),
+        v0 AS (SELECT list_transform(range(1, {DIM + 1}),
+                                     x -> CAST(0.125 AS DOUBLE)) AS varr)"""
+    for k in range(1, POWER_ITERS + 1):
+        sql += f""",
+        wk{k} AS (
+            SELECT g.i,
+                   list_reduce(
+                       list_prepend(CAST(0 AS DOUBLE),
+                           list_transform(g.gr, e -> e.g * v.varr[e.j])),
+                       (a, x) -> a + x) AS w
+            FROM grows g, v{k - 1} v
+        ),
+        wa{k} AS (SELECT list(w ORDER BY i) AS warr FROM wk{k}),
+        n{k} AS (
+            SELECT warr,
+                   sqrt(list_reduce(
+                       list_prepend(CAST(0 AS DOUBLE),
+                           list_transform(warr, x -> x * x)),
+                       (a, x) -> a + x)) AS nm
+            FROM wa{k}
+        ),
+        v{k} AS (SELECT list_transform(warr, x -> x / nm) AS varr, nm FROM n{k})"""
+    sql += f"""
+        SELECT CAST(p.i AS BIGINT) AS dim_i,
+               ROUND((p.x) * 1000000.0) / 1000000.0 + 0.0 AS loading,
+               ROUND((nm) * 1000000.0) / 1000000.0 + 0.0 AS gram_eigenvalue
+        FROM (SELECT unnest(list_transform(varr, (x, i) -> {{'x': x, 'i': i}}))
+                  AS p, nm
+              FROM v{POWER_ITERS})
+    """
+    return sql
+
+
+@register(
+    "embedding_power_iteration",
+    oracle=_power_oracle(),
+    tags=("embeddings", "pca", "power-iteration", "iterative"),
+)
+def embedding_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings", rebalance=True)
+    q = emb.select(
+        "vec_id",
+        F.transform(
+            "embedding",
+            lambda x: F.round(x.cast("double") * COV_SCALE, 0).cast("long"),
+        ).alias("qa"),
+    )
+    el = q.select(
+        "vec_id", F.posexplode("qa").alias("p0", "x")
+    ).select("vec_id", (F.col("p0") + 1).cast("long").alias("i"), "x")
+    a = el.select("vec_id", F.col("i").alias("ai"), F.col("x").alias("ax"))
+    b = el.select("vec_id", F.col("i").alias("bj"), F.col("x").alias("bx"))
+    gram = (
+        a.join(b, "vec_id")
+        .groupBy(F.col("ai").alias("i"), F.col("bj").alias("j"))
+        .agg(F.sum(F.col("ax") * F.col("bx")).cast("long").alias("g"))
+    )
+    grows = (
+        gram.groupBy("i")
+        .agg(F.array_sort(F.collect_list(F.struct("j", "g"))).alias("gr"))
+        .localCheckpoint(eager=False)  # each matvec reads the pinned Gram
+    )
+    v = spark.range(1).select(
+        F.array(*([F.lit(0.125)] * DIM)).alias("varr"), F.lit(0.0).alias("nm")
+    )
+    for _ in range(POWER_ITERS):
+        wk = grows.crossJoin(F.broadcast(v.select("varr"))).select(
+            "i",
+            F.aggregate(
+                "gr",
+                F.lit(0.0),
+                lambda acc, e: acc
+                + e["g"] * F.element_at("varr", e["j"].cast("int")),
+            ).alias("w"),
+        )
+        wa = wk.agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("i", "w"))),
+                lambda s: s["w"],
+            ).alias("warr")
+        )
+        nm = F.sqrt(
+            F.aggregate(
+                F.transform("warr", lambda x: x * x),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            )
+        )
+        v = wa.select(
+            F.transform("warr", lambda x: x / nm).alias("varr"), nm.alias("nm")
+        )
+    return v.select(
+        F.posexplode("varr").alias("p0", "x"), "nm"
+    ).select(
+        (F.col("p0") + 1).cast("long").alias("dim_i"),
+        pround(F.col("x"), 6).alias("loading"),
+        pround(F.col("nm"), 6).alias("gram_eigenvalue"),
+    )

@@ -1052,6 +1052,51 @@ LM_UNATS = 1_000_000  # micro-nat quantization of per-bigram log-prob
 LM_TOP_K = 50  # worst (least probable) docs reported
 
 
+def bigram_lm_doc_scores(docs: DataFrame) -> DataFrame:
+    """Per-document bigram-LM totals (doc_id, n_bigrams, score_unats) —
+    the exact-integer core shared by bigram_lm_score (worst-k report)
+    and corpus_difficulty_curriculum (decile schedule)."""
+    toks = F.split(F.lower(F.trim(F.col("text"))), r"\s+")
+    n = F.size(toks)
+    pairs = F.zip_with(
+        F.slice(toks, 1, F.greatest(n - 1, F.lit(0))),
+        F.slice(toks, 2, F.greatest(n - 1, F.lit(0))),
+        lambda a, b: F.concat(a, F.lit(" "), b),
+    )
+    bg = docs.select("doc_id", F.explode(pairs).alias("bg"))
+    vocab = docs.select(F.explode(toks).alias("tok")).agg(
+        F.countDistinct("tok").alias("v")
+    )
+    cab = bg.groupBy("bg").agg(F.count(F.lit(1)).alias("cab"))
+    left = F.split(F.col("bg"), " ").getItem(0)
+    ca = cab.groupBy(left.alias("lt")).agg(F.sum("cab").alias("ca"))
+    lp = (
+        cab.withColumn("lt", left)
+        .join(ca, "lt")
+        .crossJoin(F.broadcast(vocab))  # 1-row scalar broadcast
+        .select(
+            "bg",
+            F.round(
+                F.log((F.col("cab") + 1) * F.lit(1.0) / (F.col("ca") + F.col("v")))
+                * LM_UNATS,
+                0,
+            )
+            .cast("long")
+            .alias("lp_unats"),
+        )
+    )
+    return (
+        bg.join(F.broadcast(lp), "bg")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.sum("lp_unats").alias("score_unats"),
+        )
+    )
+
+
+
+
 @register(
     "bigram_lm_score",
     oracle=rf"""
@@ -1099,6 +1144,7 @@ LM_TOP_K = 50  # worst (least probable) docs reported
     """,
     tags=("text", "quality", "lm", "perplexity", "documents"),
 )
+
 def bigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Worst LM_TOP_K documents by corpus-trained bigram-LM mean log-prob.
 
@@ -1106,42 +1152,8 @@ def bigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     extension.
     """
     docs = load_table(spark, sf_dir, "documents", rebalance=True)
-    toks = F.split(F.lower(F.trim(F.col("text"))), r"\s+")
-    n = F.size(toks)
-    pairs = F.zip_with(
-        F.slice(toks, 1, F.greatest(n - 1, F.lit(0))),
-        F.slice(toks, 2, F.greatest(n - 1, F.lit(0))),
-        lambda a, b: F.concat(a, F.lit(" "), b),
-    )
-    bg = docs.select("doc_id", F.explode(pairs).alias("bg"))
-    vocab = docs.select(F.explode(toks).alias("tok")).agg(
-        F.countDistinct("tok").alias("v")
-    )
-    cab = bg.groupBy("bg").agg(F.count(F.lit(1)).alias("cab"))
-    left = F.split(F.col("bg"), " ").getItem(0)
-    ca = cab.groupBy(left.alias("lt")).agg(F.sum("cab").alias("ca"))
-    lp = (
-        cab.withColumn("lt", left)
-        .join(ca, "lt")
-        .crossJoin(F.broadcast(vocab))  # 1-row scalar broadcast
-        .select(
-            "bg",
-            F.round(
-                F.log((F.col("cab") + 1) * F.lit(1.0) / (F.col("ca") + F.col("v")))
-                * LM_UNATS,
-                0,
-            )
-            .cast("long")
-            .alias("lp_unats"),
-        )
-    )
     return (
-        bg.join(F.broadcast(lp), "bg")
-        .groupBy("doc_id")
-        .agg(
-            F.count(F.lit(1)).alias("n_bigrams"),
-            F.sum("lp_unats").alias("score_unats"),
-        )
+        bigram_lm_doc_scores(docs)
         .select(
             "doc_id",
             "n_bigrams",
@@ -1781,5 +1793,119 @@ def mlm_masking_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("mask_bp"),
             F.coalesce("first_pos", F.lit(0).cast("long")).alias("first_masked_pos"),
             F.coalesce("char_sum", F.lit(0).cast("long")).alias("masked_char_sum"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# CURRICULUM SCHEDULE by LM difficulty — rank every document by its
+# bigram-LM mean log-prob (the exact-integer per-doc totals shared with
+# bigram_lm_score) and cut the corpus into 10 equal-depth difficulty
+# bins: decile 1 = hardest (least probable text), decile 10 = easiest.
+# This is the curriculum-learning data layout step — train loaders
+# consume bins in order (or anneal a mixture over them).
+#
+# Scale: the global order comes from the DISTRIBUTED rank primitive
+# (range exchange + local rank + broadcast offsets, _distributed.py) —
+# never a single-partition ntile window; the ranking key is one double
+# division of two exact integers, identical dag on both engines.
+# ---------------------------------------------------------------------------
+_LM_SCORE_SQL = rf"""
+        tok AS (
+            SELECT doc_id,
+                   string_split_regex(LOWER(TRIM(text)), '\s+') AS toks
+            FROM documents
+        ),
+        bg AS (
+            SELECT doc_id, toks[i] || ' ' || toks[i + 1] AS bg
+            FROM (SELECT doc_id, toks, UNNEST(range(1, len(toks))) AS i
+                  FROM tok)
+        ),
+        cab AS (SELECT bg, CAST(COUNT(*) AS BIGINT) AS cab FROM bg GROUP BY bg),
+        ca AS (
+            SELECT string_split(bg, ' ')[1] AS lt,
+                   CAST(SUM(cab) AS BIGINT) AS ca
+            FROM cab GROUP BY 1
+        ),
+        v AS (
+            SELECT CAST(COUNT(DISTINCT tok) AS BIGINT) AS v
+            FROM (SELECT unnest(string_split_regex(LOWER(TRIM(text)), '\s+'))
+                      AS tok
+                  FROM documents)
+        ),
+        lp AS (
+            SELECT bg,
+                   CAST(ROUND(ln((cab + 1) * 1.0 / (ca + v)) * {LM_UNATS}.0)
+                        AS BIGINT) AS lp_unats
+            FROM cab
+            JOIN ca ON string_split(cab.bg, ' ')[1] = ca.lt
+            CROSS JOIN v
+        ),
+        scores AS (
+            SELECT doc_id,
+                   CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+                   CAST(SUM(lp_unats) AS BIGINT) AS score_unats
+            FROM bg JOIN lp USING (bg)
+            GROUP BY doc_id
+        )
+"""
+
+
+@register(
+    "corpus_difficulty_curriculum",
+    oracle=f"""
+        WITH {_LM_SCORE_SQL},
+        keyed AS (
+            SELECT doc_id, n_bigrams,
+                   score_unats * 1.0 / n_bigrams AS avg_key
+            FROM scores
+        ),
+        deciled AS (
+            SELECT n_bigrams, avg_key,
+                   ntile(10) OVER (ORDER BY avg_key ASC, doc_id ASC)
+                       AS difficulty_decile
+            FROM keyed
+        )
+        SELECT difficulty_decile,
+               CAST(COUNT(*) AS BIGINT) AS n_docs,
+               ROUND((MIN(avg_key)) * 1000000.0) / 1000000.0 + 0.0
+                   AS hardest_avg_unats,
+               ROUND((MAX(avg_key)) * 1000000.0) / 1000000.0 + 0.0
+                   AS easiest_avg_unats,
+               CAST(SUM(n_bigrams) AS BIGINT) AS sum_bigrams
+        FROM deciled
+        GROUP BY 1
+    """,
+    tags=("llm-pipeline", "curriculum", "lm", "documents"),
+)
+def corpus_difficulty_curriculum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kafka_stream_job_spark.operators._distributed import (
+        distributed_rank,
+        ntile_from_rank,
+    )
+
+    docs = load_table(spark, sf_dir, "documents", rebalance=True)
+    scores = bigram_lm_doc_scores(docs).select(
+        "doc_id",
+        "n_bigrams",
+        (F.col("score_unats") * F.lit(1.0) / F.col("n_bigrams")).alias("avg_key"),
+    )
+    ranked = distributed_rank(scores, [F.col("avg_key"), F.col("doc_id")])
+    total = scores.agg(F.count(F.lit(1)).cast("long").alias("_total"))
+    return (
+        ranked.crossJoin(F.broadcast(total))
+        .select(
+            "n_bigrams",
+            "avg_key",
+            ntile_from_rank(F.col("rnk"), F.col("_total"), 10).alias(
+                "difficulty_decile"
+            ),
+        )
+        .groupBy("difficulty_decile")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            pround(F.min("avg_key"), 6).alias("hardest_avg_unats"),
+            pround(F.max("avg_key"), 6).alias("easiest_avg_unats"),
+            F.sum("n_bigrams").cast("long").alias("sum_bigrams"),
         )
     )

@@ -758,3 +758,36 @@ def test_mlm_masking_hash_filter_below_agg(spark):
     assert "Generate posexplode" in plan
     ex = plan.find("Exchange")
     assert ex != -1 and "HashAggregate" in plan[ex:]
+
+
+def test_curriculum_uses_distributed_rank_no_global_window(spark):
+    """The decile cut must ride the distributed rank (range exchange +
+    local rank), never a single-partition ntile window."""
+    _assert_distributed_rank_shape(plan_of(spark, "corpus_difficulty_curriculum"))
+
+
+def test_scd2_pit_join_broadcasts_dim_partial_agg(spark):
+    """The effective-dated dimension broadcasts; the orders side is
+    scanned once and the version pick is a partial-aggregating groupBy."""
+    plan = plan_of(spark, "scd2_point_in_time_join")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    ex = plan.find("Exchange")
+    assert ex != -1 and "HashAggregate" in plan[ex:]
+
+
+def test_theilsen_pairs_in_array_single_scan(spark):
+    """The O(days²) pair expansion happens inside per-type arrays — one
+    events scan, no self-join of a daily table."""
+    plan = plan_of(spark, "events_theilsen_trend")
+    assert plan.count("Scan parquet") == 1
+    assert "Join" not in plan
+
+
+def test_power_iteration_broadcast_matvecs(spark):
+    """After the one data-sized Gram build, every matvec must join the
+    64-row Gram against a BROADCAST vector — no data rescan, no
+    sort-merge join anywhere in the iterate."""
+    plan = plan_of(spark, "embedding_power_iteration")
+    assert "BroadcastNestedLoopJoin" in plan
+    assert "SortMergeJoin" not in plan

@@ -227,3 +227,55 @@ def test_bloom_no_false_negatives(spark):
         non_members = r["n_customers"] - r["n_members"]
         if non_members >= 50:
             assert r["n_false_pos"] / non_members < 3.0 * fpr_bound + 0.02
+
+
+# ---------------------- iterative / curriculum ops -------------------------
+
+
+def test_power_iteration_unit_norm_and_positive_eigenvalue(spark):
+    from kafka_stream_job_spark.operators.similarity import (
+        embedding_power_iteration,
+    )
+
+    rows = embedding_power_iteration(spark, SF_SMOKE).collect()
+    assert len(rows) == 64
+    norm_sq = sum(r["loading"] ** 2 for r in rows)
+    assert abs(norm_sq - 1.0) < 1e-6
+    assert rows[0]["gram_eigenvalue"] > 0
+    assert len({r["gram_eigenvalue"] for r in rows}) == 1
+
+
+def test_curriculum_deciles_partition_corpus(spark):
+    from kafka_stream_job_spark.operators.text import (
+        corpus_difficulty_curriculum,
+    )
+    from kafka_stream_job_spark.tables import load_table
+
+    rows = sorted(
+        corpus_difficulty_curriculum(spark, SF_SMOKE).collect(),
+        key=lambda r: r["difficulty_decile"],
+    )
+    assert [r["difficulty_decile"] for r in rows] == list(range(1, 11))
+    n_docs = load_table(spark, SF_SMOKE, "documents").count()
+    assert sum(r["n_docs"] for r in rows) == n_docs
+    # difficulty is monotone: each decile's hardest bound does not
+    # precede the previous decile's easiest bound
+    for prev, cur in zip(rows, rows[1:]):
+        assert cur["hardest_avg_unats"] >= prev["easiest_avg_unats"] - 1e-9
+
+
+def test_scd2_pit_every_order_resolves_one_version(spark):
+    from kafka_stream_job_spark.operators.relational import (
+        scd2_point_in_time_join,
+    )
+    from kafka_stream_job_spark.tables import load_table
+
+    out = scd2_point_in_time_join(spark, SF_SMOKE)
+    n_orders = load_table(spark, SF_SMOKE, "orders").count()
+    assert out.count() == n_orders  # exactly one effective version each
+    from pyspark.sql import functions as F
+
+    bad = out.filter(
+        (F.col("version") == 2) & (F.col("o_custkey") % 20 != 0)
+    ).count()
+    assert bad == 0
