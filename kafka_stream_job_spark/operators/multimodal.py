@@ -463,3 +463,127 @@ def multimodal_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("kept_bytes"),
     )
+
+
+# ---------------------------------------------------------------------------
+# PERCEPTUAL-HASH NEAR-DUP (aHash) — the media near-duplicate pass:
+# decode each payload (deterministic fake — see module docstring), take
+# 64 evenly-spaced byte samples, and set bit j iff sample_j·n ≥ Σbytes
+# (the average-hash rule in exact integer arithmetic, no division). The
+# 64-bit hash is cut into 8 bands of 8 bits; candidate pairs share at
+# least one exact band, which by pigeonhole is COMPLETE for Hamming ≤ 7
+# (> the report threshold 6) — the oracle computes the brute-force a<b
+# pair set, so the correctness gate also certifies the banding.
+#
+# The hash runs inside mapInPandas (Arrow batches) — the decode seam a
+# real image aHash (PIL resize 8×8 + mean) drops into without touching
+# the plan around it.
+# Scale: banded equi-join over 8·N rows, never all-pairs; the verify
+# join touches candidates only (the LSH→exact discipline of
+# operators/dedup.py).
+# ---------------------------------------------------------------------------
+AHASH_BITS = 64
+AHASH_BANDS = 8
+AHASH_HAM_T = 6
+
+AHASH_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("bits", T.ArrayType(T.IntegerType())),
+        T.StructField("band_idx", T.IntegerType()),
+        T.StructField("band_val", T.StringType()),
+    ]
+)
+
+
+def ahash_batches(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+    """mapInPandas body: payload bytes → 64-bit aHash → 8 banded rows
+    per document. Pure-integer arithmetic — engine-portable."""
+    import pandas as pd
+
+    for pdf in batches:
+        out: dict[str, list] = {"doc_id": [], "bits": [], "band_idx": [], "band_val": []}
+        for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+            b = bytes(payload)
+            n = len(b)
+            tot = sum(b)
+            bits = [
+                1 if b[(j * n) // AHASH_BITS] * n >= tot else 0
+                for j in range(AHASH_BITS)
+            ]
+            step = AHASH_BITS // AHASH_BANDS
+            for k in range(AHASH_BANDS):
+                out["doc_id"].append(int(doc_id))
+                out["bits"].append(bits)
+                out["band_idx"].append(k)
+                out["band_val"].append(
+                    "".join(map(str, bits[k * step : (k + 1) * step]))
+                )
+        yield pd.DataFrame(out)
+
+
+@register(
+    "multimodal_ahash_neardup",
+    oracle=f"""
+        WITH p AS (
+            SELECT doc_id, text AS s, length(text) AS n,
+                   list_reduce(
+                       list_prepend(0,
+                           list_transform(range(1, length(text) + 1),
+                                          i -> ascii(text[i]))),
+                       (a, x) -> a + x) AS tot
+            FROM documents
+        ),
+        h AS (
+            SELECT doc_id,
+                   list_transform(range(0, {AHASH_BITS}),
+                       j -> CASE WHEN ascii(s[CAST((j * n) // {AHASH_BITS} AS INT) + 1])
+                                      * n >= tot
+                                 THEN 1 ELSE 0 END) AS bits
+            FROM p
+        )
+        SELECT doc_a, doc_b, hamming FROM (
+            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                   CAST(list_reduce(
+                       list_prepend(0,
+                           list_transform(list_zip(a.bits, b.bits),
+                               z -> CASE WHEN z[1] <> z[2] THEN 1 ELSE 0 END)),
+                       (x, y) -> x + y) AS BIGINT) AS hamming
+            FROM h a JOIN h b ON a.doc_id < b.doc_id
+        ) WHERE hamming <= {AHASH_HAM_T}
+    """,
+    tags=("multimodal", "dedup", "perceptual-hash", "documents"),
+)
+def multimodal_ahash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    hashed = (
+        with_binary_payload(docs)
+        .select("doc_id", "payload")
+        .mapInPandas(ahash_batches, AHASH_SCHEMA)
+        .localCheckpoint(eager=False)  # band join + two verify probes
+    )
+    a = hashed.select(
+        F.col("doc_id").alias("doc_a"),
+        F.col("bits").alias("bits_a"),
+        "band_idx",
+        "band_val",
+    )
+    b = hashed.select(
+        F.col("doc_id").alias("doc_b"),
+        F.col("bits").alias("bits_b"),
+        "band_idx",
+        "band_val",
+    )
+    ham = F.size(
+        F.filter(
+            F.zip_with("bits_a", "bits_b", lambda x, y: x != y), lambda z: z
+        )
+    ).cast("long")
+    return (
+        a.join(b, ["band_idx", "band_val"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b", "bits_a", "bits_b")
+        .distinct()  # collapse multi-band candidate hits
+        .select("doc_a", "doc_b", ham.alias("hamming"))
+        .filter(F.col("hamming") <= AHASH_HAM_T)
+    )

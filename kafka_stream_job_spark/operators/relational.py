@@ -6370,3 +6370,111 @@ def events_theilsen_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
             "theilsen_slope_per_day"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# JOIN CARDINALITY AUDIT — the optimizer's cost model, checked against
+# ground truth: for three representative equi-joins, compare the
+# textbook estimate |L|·|R| / max(V_L, V_R) with the EXACT output
+# cardinality Σ_k c_L(k)·c_R(k). The actual is computed from the two
+# per-key COUNT tables (never by materializing the join), so the audit
+# itself is two partial-agg groupBys + a key-sized join per predicate —
+# the shape a stats collector would run at 100 TB. All arithmetic is
+# exact integer (idiv); the error ratio is basis points of actual.
+# ---------------------------------------------------------------------------
+@register(
+    "join_cardinality_audit",
+    oracle="""
+        WITH preds AS (
+            SELECT 'orders_customer_custkey' AS predicate,
+                   (SELECT CAST(COUNT(*) AS BIGINT) FROM orders) AS n_left,
+                   (SELECT CAST(COUNT(*) AS BIGINT) FROM customer) AS n_right,
+                   (SELECT CAST(COUNT(DISTINCT o_custkey) AS BIGINT) FROM orders) AS v_left,
+                   (SELECT CAST(COUNT(DISTINCT c_custkey) AS BIGINT) FROM customer) AS v_right,
+                   (SELECT CAST(SUM(l.c * r.c) AS BIGINT) FROM
+                       (SELECT o_custkey AS k, COUNT(*) AS c FROM orders GROUP BY 1) l
+                       JOIN (SELECT c_custkey AS k, COUNT(*) AS c FROM customer GROUP BY 1) r
+                       USING (k)) AS actual
+            UNION ALL
+            SELECT 'orders_self_orderdate',
+                   (SELECT CAST(COUNT(*) AS BIGINT) FROM orders),
+                   (SELECT CAST(COUNT(*) AS BIGINT) FROM orders),
+                   (SELECT CAST(COUNT(DISTINCT o_orderdate) AS BIGINT) FROM orders),
+                   (SELECT CAST(COUNT(DISTINCT o_orderdate) AS BIGINT) FROM orders),
+                   (SELECT CAST(SUM(c * c) AS BIGINT) FROM
+                       (SELECT o_orderdate, COUNT(*) AS c FROM orders GROUP BY 1))
+            UNION ALL
+            SELECT 'lineitem_part_partkey',
+                   (SELECT CAST(COUNT(*) AS BIGINT) FROM lineitem),
+                   (SELECT CAST(COUNT(*) AS BIGINT) FROM part),
+                   (SELECT CAST(COUNT(DISTINCT l_partkey) AS BIGINT) FROM lineitem),
+                   (SELECT CAST(COUNT(DISTINCT p_partkey) AS BIGINT) FROM part),
+                   (SELECT CAST(SUM(l.c * r.c) AS BIGINT) FROM
+                       (SELECT l_partkey AS k, COUNT(*) AS c FROM lineitem GROUP BY 1) l
+                       JOIN (SELECT p_partkey AS k, COUNT(*) AS c FROM part GROUP BY 1) r
+                       USING (k)) AS actual
+        )
+        SELECT predicate, n_left, n_right, v_left, v_right,
+               (n_left * n_right) // (CASE WHEN v_left >= v_right
+                                           THEN v_left ELSE v_right END)
+                   AS estimated,
+               actual,
+               (ABS((n_left * n_right) // (CASE WHEN v_left >= v_right
+                                                THEN v_left ELSE v_right END)
+                    - actual) * 10000) // actual AS error_bp
+        FROM preds
+    """,
+    tags=("stats", "optimizer", "cardinality", "audit"),
+)
+def join_cardinality_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    def counts(df, key):
+        return df.groupBy(F.col(key).alias("k")).agg(
+            F.count(F.lit(1)).alias("c")
+        )
+
+    def audit(name, left, lkey, right, rkey):
+        nl = left.agg(F.count(F.lit(1)).cast("long").alias("n_left"))
+        nr = right.agg(F.count(F.lit(1)).cast("long").alias("n_right"))
+        vl = left.agg(F.countDistinct(lkey).cast("long").alias("v_left"))
+        vr = right.agg(F.countDistinct(rkey).cast("long").alias("v_right"))
+        cl, cr = counts(left, lkey), counts(right, rkey)
+        act = (
+            cl.join(cr.withColumnRenamed("c", "cr"), "k")
+            .agg(F.sum(F.col("c") * F.col("cr")).cast("long").alias("actual"))
+        )
+        row = (
+            nl.crossJoin(F.broadcast(nr))
+            .crossJoin(F.broadcast(vl))
+            .crossJoin(F.broadcast(vr))
+            .crossJoin(F.broadcast(act))
+        )
+        vmax = F.when(
+            F.col("v_left") >= F.col("v_right"), F.col("v_left")
+        ).otherwise(F.col("v_right"))
+        est = idiv(F.col("n_left") * F.col("n_right"), vmax)
+        return row.select(
+            F.lit(name).alias("predicate"),
+            "n_left",
+            "n_right",
+            "v_left",
+            "v_right",
+            est.alias("estimated"),
+            "actual",
+            idiv(F.abs(est - F.col("actual")) * 10000, F.col("actual")).alias(
+                "error_bp"
+            ),
+        )
+
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    return (
+        audit("orders_customer_custkey", orders, "o_custkey", customer, "c_custkey")
+        .unionByName(
+            audit("orders_self_orderdate", orders, "o_orderdate", orders, "o_orderdate")
+        )
+        .unionByName(
+            audit("lineitem_part_partkey", lineitem, "l_partkey", part, "p_partkey")
+        )
+    )

@@ -791,3 +791,37 @@ def test_power_iteration_broadcast_matvecs(spark):
     plan = plan_of(spark, "embedding_power_iteration")
     assert "BroadcastNestedLoopJoin" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_ahash_arrow_decode_seam_banded_join(spark):
+    """The perceptual hash runs inside a MapInPandas (Arrow) stage —
+    the real-decoder seam — and candidates come from a banded equi-join,
+    never an all-pairs product."""
+    from kafka_stream_job_spark.operators.multimodal import (
+        AHASH_SCHEMA,
+        ahash_batches,
+        with_binary_payload,
+    )
+    from kafka_stream_job_spark.tables import load_table
+
+    # the full query pins the hash stage behind a localCheckpoint, so the
+    # Arrow seam is asserted on the stage itself
+    stage = (
+        with_binary_payload(load_table(spark, SF_SMOKE, "documents"))
+        .select("doc_id", "payload")
+        .mapInPandas(ahash_batches, AHASH_SCHEMA)
+    )
+    assert "MapInPandas" in stage._jdf.queryExecution().executedPlan().toString()
+    plan = plan_of(spark, "multimodal_ahash_neardup")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_join_cardinality_audit_never_materializes_joins(spark):
+    """The actual cardinality comes from per-key COUNT tables — the
+    only joins in the plan are key-sized count⋈count equi-joins and
+    scalar broadcasts, never the audited join itself."""
+    plan = plan_of(spark, "join_cardinality_audit")
+    assert "CartesianProduct" not in plan
+    ex = plan.find("Exchange")
+    assert ex != -1 and "HashAggregate" in plan[ex:]

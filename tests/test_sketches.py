@@ -279,3 +279,30 @@ def test_scd2_pit_every_order_resolves_one_version(spark):
         (F.col("version") == 2) & (F.col("o_custkey") % 20 != 0)
     ).count()
     assert bad == 0
+
+
+def test_ahash_pairs_ordered_within_threshold(spark):
+    from kafka_stream_job_spark.operators.multimodal import (
+        AHASH_HAM_T,
+        multimodal_ahash_neardup,
+    )
+
+    rows = multimodal_ahash_neardup(spark, SF_SMOKE).collect()
+    for r in rows:
+        assert r["doc_a"] < r["doc_b"]
+        assert 0 <= r["hamming"] <= AHASH_HAM_T
+
+
+def test_join_cardinality_estimate_exact_on_fk_joins(spark):
+    """On key-foreign-key joins the V=max(V_L,V_R) estimator is exact
+    (uniform per-key counts of 1 on the key side) — the audit must
+    report zero error there, and a positive actual everywhere."""
+    from kafka_stream_job_spark.operators.relational import (
+        join_cardinality_audit,
+    )
+
+    rows = {r["predicate"]: r for r in join_cardinality_audit(spark, SF_SMOKE).collect()}
+    assert rows["orders_customer_custkey"]["error_bp"] == 0
+    assert rows["lineitem_part_partkey"]["error_bp"] == 0
+    for r in rows.values():
+        assert r["actual"] > 0
