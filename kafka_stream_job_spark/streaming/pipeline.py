@@ -1928,3 +1928,72 @@ def _register_streaming_heavy_hitters() -> None:
 
 
 _register_streaming_heavy_hitters()
+
+
+# ---------------------------------------------------------------------------
+# Registry entry: STREAMING KMV — see streaming/kmv.py. "K smallest of
+# the union" is an order statistic (associative, commutative,
+# idempotent), so the drained state is bit-identical to the batch sketch
+# and the estimate carries the exact batch oracle (minus the exact
+# count a stream cannot see). The estimate is computed by a tiny Spark
+# plan over the merged values with the SAME expressions as
+# kmv_distinct_users — one fixed IEEE dag on both engines.
+# ---------------------------------------------------------------------------
+def _register_streaming_kmv() -> None:
+    from kafka_stream_job_spark.operators.sketches import (
+        KMV_K,
+        KMV_NUM,
+        _kmv_hash_sql,
+    )
+    from kafka_stream_job_spark.registry import register
+    from kafka_stream_job_spark.streaming.kmv import StreamingKMV
+
+    @register(
+        "streaming_kmv_distinct_users",
+        oracle=f"""
+            WITH hv AS (
+                SELECT DISTINCT {_kmv_hash_sql("user_id")} AS hv FROM events
+            ),
+            sk AS (SELECT hv FROM hv ORDER BY hv LIMIT {KMV_K}),
+            agg AS (
+                SELECT CAST(COUNT(*) AS BIGINT) AS n_sketch,
+                       MAX(hv) AS kth_hash
+                FROM sk
+            )
+            SELECT n_sketch, kth_hash,
+                   ROUND((CASE WHEN n_sketch < {KMV_K}
+                               THEN CAST(n_sketch AS DOUBLE)
+                               ELSE {KMV_NUM!r} / CAST(kth_hash AS DOUBLE) END)
+                         * 1000000.0) / 1000000.0 + 0.0 AS kmv_estimate
+            FROM agg
+        """,
+        tags=("streaming", "sketch", "kmv", "stateful", "events"),
+    )
+    def streaming_kmv_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+        import tempfile
+
+        kmv = StreamingKMV(spark, "user_id")
+        ckpt = tempfile.mkdtemp(prefix="ksj-stream-kmv-")
+        src = stream_events(spark, sf_dir).select("user_id")
+        with _drain_partitions(spark):
+            query = (
+                src.writeStream.foreachBatch(kmv.update)
+                .option("checkpointLocation", ckpt)
+                .start()
+            )
+            try:
+                query.processAllAvailable()
+            finally:
+                query.stop()
+        assert kmv.batches_seen >= 1
+        vals = spark.createDataFrame([(v,) for v in kmv.values], "hv LONG")
+        est = F.when(
+            F.col("n_sketch") < KMV_K, F.col("n_sketch").cast("double")
+        ).otherwise(F.lit(KMV_NUM) / F.col("kth_hash").cast("double"))
+        return vals.agg(
+            F.count(F.lit(1)).cast("long").alias("n_sketch"),
+            F.max("hv").alias("kth_hash"),
+        ).select("n_sketch", "kth_hash", pround(est, 6).alias("kmv_estimate"))
+
+
+_register_streaming_kmv()

@@ -82,3 +82,18 @@ def test_streaming_hll_registry_query_equals_batch_twin(spark):
     want = specs["hll_distinct_users"].fn(spark, SF_SMOKE).collect()[0]
     assert got["n_registers_hit"] == want["n_registers_hit"]
     assert got["hll_estimate"] == want["hll_estimate"]
+
+
+def test_streaming_kmv_state_equals_batch_sketch(spark):
+    """KMV's 'k smallest of the union' merge law: the drained streaming
+    state must be BIT-IDENTICAL to the batch sketch, and the registry
+    query must agree with kmv_distinct_users row-for-row (minus
+    n_exact)."""
+    from kafka_stream_job_spark.registry import all_specs
+
+    specs = all_specs()
+    got = specs["streaming_kmv_distinct_users"].fn(spark, SF_SMOKE).collect()[0]
+    want = specs["kmv_distinct_users"].fn(spark, SF_SMOKE).collect()[0]
+    assert got["n_sketch"] == want["n_sketch"]
+    assert got["kth_hash"] == want["kth_hash"]
+    assert got["kmv_estimate"] == want["kmv_estimate"]
