@@ -6478,3 +6478,202 @@ def join_cardinality_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             audit("lineitem_part_partkey", lineitem, "l_partkey", part, "p_partkey")
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# A/B UPLIFT TEST — experimentation analytics on the event stream:
+# deterministic hash assignment (md5(user) parity → arm, the same
+# bucketing a real experimentation system uses so assignment is stable
+# across sessions and engines), per-arm conversion = share of users with
+# a high-value purchase (value > 150 — a plain "any purchase" converts
+# ~everyone and zeroes the pooled variance), and the two-proportion z
+# statistic. Counts are exact
+# integers; the z arithmetic is one fixed dag over them (pround 6).
+# Scale: one events scan → per-user flags (partial-agg groupBy) → two-row
+# arm aggregate; the z-stat joins two broadcast scalars.
+# ---------------------------------------------------------------------------
+@register(
+    "events_ab_uplift_test",
+    oracle="""
+        WITH assign AS (
+            SELECT user_id,
+                   ('0x' || substr(md5('ab:' || CAST(user_id AS VARCHAR)), 1, 7))::BIGINT % 2
+                       AS arm,
+                   MAX(CASE WHEN event_type = 'purchase' AND value > 150.0
+                            THEN 1 ELSE 0 END) AS converted
+            FROM events GROUP BY user_id
+        ),
+        arms AS (
+            SELECT arm, CAST(COUNT(*) AS BIGINT) AS n_users,
+                   CAST(SUM(converted) AS BIGINT) AS n_converted
+            FROM assign GROUP BY arm
+        ),
+        wide AS (
+            SELECT
+                (SELECT n_users FROM arms WHERE arm = 0) AS n0,
+                (SELECT n_converted FROM arms WHERE arm = 0) AS c0,
+                (SELECT n_users FROM arms WHERE arm = 1) AS n1,
+                (SELECT n_converted FROM arms WHERE arm = 1) AS c1
+        )
+        SELECT n0 AS n_control, c0 AS conv_control,
+               n1 AS n_treatment, c1 AS conv_treatment,
+               ROUND((c1 * 1.0 / n1 - c0 * 1.0 / n0) * 1000000.0) / 1000000.0
+                   + 0.0 AS uplift,
+               ROUND(((c1 * 1.0 / n1 - c0 * 1.0 / n0)
+                      / sqrt(((c0 + c1) * 1.0 / (n0 + n1))
+                             * (1.0 - (c0 + c1) * 1.0 / (n0 + n1))
+                             * (1.0 / n0 + 1.0 / n1))) * 1000000.0)
+                   / 1000000.0 + 0.0 AS z_stat
+        FROM wide
+    """,
+    tags=("stats", "ab-test", "experimentation", "events"),
+)
+def events_ab_uplift_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    arm = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit("ab:"), F.col("user_id").cast("string"))), 1, 7
+            ),
+            16,
+            10,
+        ).cast("long")
+        % 2
+    )
+    assign = events.groupBy("user_id").agg(
+        F.max(
+            F.when(
+                (F.col("event_type") == "purchase") & (F.col("value") > 150.0), 1
+            ).otherwise(0)
+        ).alias("converted")
+    ).select(arm.alias("arm"), "converted")
+    arms = assign.groupBy("arm").agg(
+        F.count(F.lit(1)).cast("long").alias("n_users"),
+        F.sum("converted").cast("long").alias("n_converted"),
+    )
+    a0 = arms.filter(F.col("arm") == 0).select(
+        F.col("n_users").alias("n0"), F.col("n_converted").alias("c0")
+    )
+    a1 = arms.filter(F.col("arm") == 1).select(
+        F.col("n_users").alias("n1"), F.col("n_converted").alias("c1")
+    )
+    p0 = F.col("c0") * F.lit(1.0) / F.col("n0")
+    p1 = F.col("c1") * F.lit(1.0) / F.col("n1")
+    pp = (F.col("c0") + F.col("c1")) * F.lit(1.0) / (F.col("n0") + F.col("n1"))
+    z = (p1 - p0) / F.sqrt(
+        pp * (F.lit(1.0) - pp)
+        * (F.lit(1.0) / F.col("n0") + F.lit(1.0) / F.col("n1"))
+    )
+    return a0.crossJoin(F.broadcast(a1)).select(
+        F.col("n0").alias("n_control"),
+        F.col("c0").alias("conv_control"),
+        F.col("n1").alias("n_treatment"),
+        F.col("c1").alias("conv_treatment"),
+        pround(p1 - p0, 6).alias("uplift"),
+        pround(z, 6).alias("z_stat"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# CHI-SQUARE INDEPENDENCE TEST — is order priority independent of order
+# status? The contingency table is exact integers; expected counts and
+# the χ² sum fold in pinned (priority, status) order over the
+# collected bounded cell list (5 priorities × 3 statuses), so the statistic is
+# one fixed IEEE dag. Output: per-cell observed/expected plus the
+# statistic and degrees of freedom on every row.
+# Scale: one fact scan → 21-cell partial-agg contingency table;
+# everything after is metadata arithmetic.
+# ---------------------------------------------------------------------------
+@register(
+    "orders_priority_status_chi2",
+    oracle="""
+        WITH cells AS (
+            SELECT o_orderpriority AS priority, o_orderstatus AS status,
+                   CAST(COUNT(*) AS BIGINT) AS observed
+            FROM orders GROUP BY 1, 2
+        ),
+        margins AS (
+            SELECT c.priority, c.status, c.observed,
+                   rm.rt AS row_total, cm.ct AS col_total, t.n AS grand_total
+            FROM cells c
+            JOIN (SELECT priority, CAST(SUM(observed) AS BIGINT) AS rt
+                  FROM cells GROUP BY 1) rm USING (priority)
+            JOIN (SELECT status, CAST(SUM(observed) AS BIGINT) AS ct
+                  FROM cells GROUP BY 1) cm USING (status)
+            CROSS JOIN (SELECT CAST(SUM(observed) AS BIGINT) AS n FROM cells) t
+        ),
+        scored AS (
+            SELECT priority, status, observed,
+                   row_total * col_total * 1.0 / grand_total AS expected
+            FROM margins
+        ),
+        stat AS (
+            SELECT list_reduce(
+                       list_prepend(CAST(0 AS DOUBLE),
+                           list((observed - expected) * (observed - expected)
+                                / expected
+                                ORDER BY priority, status)),
+                       (a, x) -> a + x) AS chi2,
+                   CAST((COUNT(DISTINCT priority) - 1)
+                        * (COUNT(DISTINCT status) - 1) AS BIGINT) AS dof
+            FROM scored
+        )
+        SELECT s.priority, s.status, s.observed,
+               ROUND((s.expected) * 1000000.0) / 1000000.0 + 0.0 AS expected,
+               ROUND((st.chi2) * 1000000.0) / 1000000.0 + 0.0 AS chi2_stat,
+               st.dof
+        FROM scored s CROSS JOIN stat st
+    """,
+    tags=("stats", "chi-square", "lineitem"),
+)
+def orders_priority_status_chi2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    cells = orders.groupBy(
+        F.col("o_orderpriority").alias("priority"),
+        F.col("o_orderstatus").alias("status"),
+    ).agg(F.count(F.lit(1)).cast("long").alias("observed"))
+    rm = cells.groupBy("priority").agg(
+        F.sum("observed").cast("long").alias("row_total")
+    )
+    cm = cells.groupBy("status").agg(
+        F.sum("observed").cast("long").alias("col_total")
+    )
+    t = cells.agg(F.sum("observed").cast("long").alias("grand_total"))
+    scored = (
+        cells.join(F.broadcast(rm), "priority")
+        .join(F.broadcast(cm), "status")
+        .crossJoin(F.broadcast(t))
+        .select(
+            "priority",
+            "status",
+            "observed",
+            (
+                F.col("row_total") * F.col("col_total") * F.lit(1.0)
+                / F.col("grand_total")
+            ).alias("expected"),
+        )
+        .localCheckpoint(eager=False)  # stat fold + output both read this
+    )
+    term = F.transform(
+        F.array_sort(
+            F.collect_list(F.struct("priority", "status", "observed", "expected"))
+        ),
+        lambda s: (s["observed"] - s["expected"])
+        * (s["observed"] - s["expected"])
+        / s["expected"],
+    )
+    stat = scored.agg(
+        F.aggregate(term, F.lit(0.0), lambda a, x: a + x).alias("chi2"),
+        (
+            (F.countDistinct("priority") - 1)
+            * (F.countDistinct("status") - 1)
+        ).cast("long").alias("dof"),
+    )
+    return scored.crossJoin(F.broadcast(stat)).select(
+        "priority",
+        "status",
+        "observed",
+        pround("expected", 6).alias("expected"),
+        pround("chi2", 6).alias("chi2_stat"),
+        "dof",
+    )

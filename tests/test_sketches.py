@@ -306,3 +306,44 @@ def test_join_cardinality_estimate_exact_on_fk_joins(spark):
     assert rows["lineitem_part_partkey"]["error_bp"] == 0
     for r in rows.values():
         assert r["actual"] > 0
+
+
+def test_ab_uplift_partitions_users_and_finite_z(spark):
+    from kafka_stream_job_spark.operators.relational import (
+        events_ab_uplift_test,
+    )
+    from kafka_stream_job_spark.tables import load_table
+    from pyspark.sql import functions as F
+
+    row = events_ab_uplift_test(spark, SF_SMOKE).collect()[0]
+    n_users = (
+        load_table(spark, SF_SMOKE, "events")
+        .agg(F.countDistinct("user_id"))
+        .collect()[0][0]
+    )
+    assert row["n_control"] + row["n_treatment"] == n_users
+    assert 0 <= row["conv_control"] <= row["n_control"]
+    assert 0 <= row["conv_treatment"] <= row["n_treatment"]
+    import math
+
+    assert math.isfinite(row["z_stat"])
+
+
+def test_chi2_cells_and_statistic_consistent(spark):
+    from kafka_stream_job_spark.operators.relational import (
+        orders_priority_status_chi2,
+    )
+    from kafka_stream_job_spark.tables import load_table
+
+    rows = orders_priority_status_chi2(spark, SF_SMOKE).collect()
+    n_orders = load_table(spark, SF_SMOKE, "orders").count()
+    assert sum(r["observed"] for r in rows) == n_orders
+    stats = {(r["chi2_stat"], r["dof"]) for r in rows}
+    assert len(stats) == 1  # one statistic repeated on every cell row
+    chi2, dof = stats.pop()
+    assert chi2 >= 0.0
+    n_p = len({r["priority"] for r in rows})
+    n_s = len({r["status"] for r in rows})
+    assert dof == (n_p - 1) * (n_s - 1)
+    # expected cell totals reproduce the observed grand total
+    assert abs(sum(r["expected"] for r in rows) - n_orders) < 1e-3
