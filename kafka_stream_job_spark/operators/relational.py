@@ -6677,3 +6677,103 @@ def orders_priority_status_chi2(spark: SparkSession, sf_dir: str) -> DataFrame:
         pround("chi2", 6).alias("chi2_stat"),
         "dof",
     )
+
+
+# ---------------------------------------------------------------------------
+# KOLMOGOROV-SMIRNOV TWO-SAMPLE TEST — does the BUILDING segment's
+# account-balance distribution differ from everyone else's? D is the
+# max ECDF gap over the pooled order; its numerator |c1·n2 − c2·n1| is
+# EXACT integer arithmetic at every position (the division happens once,
+# at the end), so the statistic hash-matches. ECDFs are evaluated at
+# every pooled (value, custkey) position — the tie convention both
+# engines share by construction.
+#
+# Scale: the one global-order pass is a distributed prefix sum
+# (_distributed.py — range exchange, local running sums, broadcast
+# offsets). Both running counts come from a SINGLE pass: the summand
+# encodes (is_building + 2³¹) so the running value carries c1 in the
+# low 31 bits and the row index above them — one range exchange, not
+# two (valid while each count < 2³¹; lift the shift for larger corpora).
+# ---------------------------------------------------------------------------
+@register(
+    "customer_balance_ks_test",
+    oracle="""
+        WITH pooled AS (
+            SELECT c_acctbal AS v,
+                   CASE WHEN c_mktsegment = 'BUILDING' THEN 1 ELSE 0 END AS ia,
+                   c_custkey AS id
+            FROM customer
+        ),
+        c AS (
+            SELECT CAST(SUM(ia) OVER (ORDER BY v, id
+                                      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS c1,
+                   CAST(ROW_NUMBER() OVER (ORDER BY v, id) AS BIGINT) AS idx
+            FROM pooled
+        ),
+        n AS (
+            SELECT CAST(SUM(ia) AS BIGINT) AS n1,
+                   CAST(COUNT(*) - SUM(ia) AS BIGINT) AS n2
+            FROM pooled
+        ),
+        d AS (
+            SELECT MAX(ABS(c1 * n.n2 - (idx - c1) * n.n1)) AS d_num
+            FROM c, n GROUP BY n.n1, n.n2
+        )
+        SELECT n.n1 AS n_building, n.n2 AS n_other, d.d_num AS d_numerator,
+               ROUND((d.d_num * 1.0 / (n.n1 * n.n2)) * 1000000.0) / 1000000.0
+                   + 0.0 AS ks_d,
+               (d.d_num * 1.0 / (n.n1 * n.n2))
+                   > 1.358 * sqrt((n.n1 + n.n2) * 1.0 / (n.n1 * n.n2))
+                   AS significant_05
+        FROM d, n
+    """,
+    tags=("stats", "ks-test", "distribution", "customer"),
+)
+def customer_balance_ks_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kafka_stream_job_spark.operators._distributed import (
+        distributed_prefix_sum,
+    )
+
+    cust = load_table(spark, sf_dir, "customer")
+    pooled = cust.select(
+        F.col("c_acctbal").alias("v"),
+        F.when(F.col("c_mktsegment") == "BUILDING", 1)
+        .otherwise(0)
+        .cast("long")
+        .alias("ia"),
+        F.col("c_custkey").alias("id"),
+    )
+    enc = pooled.withColumn("encv", F.col("ia") + F.lit(1 << 31).cast("long"))
+    running = distributed_prefix_sum(
+        enc, [F.col("v"), F.col("id")], "encv", out_col="enc"
+    )
+    counts = running.select(
+        F.expr("enc & 2147483647").alias("c1"),
+        F.expr("shiftright(enc, 31)").alias("idx"),
+    )
+    n = pooled.agg(
+        F.sum("ia").cast("long").alias("n1"),
+        (F.count(F.lit(1)) - F.sum("ia")).cast("long").alias("n2"),
+    )
+    d = (
+        counts.crossJoin(F.broadcast(n))
+        .agg(
+            F.max(
+                F.abs(
+                    F.col("c1") * F.col("n2")
+                    - (F.col("idx") - F.col("c1")) * F.col("n1")
+                )
+            ).alias("d_num")
+        )
+    )
+    ks = F.col("d_num") * F.lit(1.0) / (F.col("n1") * F.col("n2"))
+    crit = F.lit(1.358) * F.sqrt(
+        (F.col("n1") + F.col("n2")) * F.lit(1.0) / (F.col("n1") * F.col("n2"))
+    )
+    return d.crossJoin(F.broadcast(n)).select(
+        F.col("n1").alias("n_building"),
+        F.col("n2").alias("n_other"),
+        F.col("d_num").alias("d_numerator"),
+        pround(ks, 6).alias("ks_d"),
+        (ks > crit).alias("significant_05"),
+    )

@@ -825,3 +825,11 @@ def test_join_cardinality_audit_never_materializes_joins(spark):
     assert "CartesianProduct" not in plan
     ex = plan.find("Exchange")
     assert ex != -1 and "HashAggregate" in plan[ex:]
+
+
+def test_ks_test_single_distributed_prefix_pass(spark):
+    """Both running counts decode from ONE distributed prefix-sum pass
+    (the encoded summand) — the plan shows the pinned checkpoint scan
+    and broadcast offsets, no ntile/global window, and only one range
+    pass feeds the statistic."""
+    _assert_distributed_rank_shape(plan_of(spark, "customer_balance_ks_test"))

@@ -347,3 +347,18 @@ def test_chi2_cells_and_statistic_consistent(spark):
     assert dof == (n_p - 1) * (n_s - 1)
     # expected cell totals reproduce the observed grand total
     assert abs(sum(r["expected"] for r in rows) - n_orders) < 1e-3
+
+
+def test_ks_statistic_bounds_and_exact_numerator(spark):
+    from kafka_stream_job_spark.operators.relational import (
+        customer_balance_ks_test,
+    )
+
+    r = customer_balance_ks_test(spark, SF_SMOKE).collect()[0]
+    assert r["n_building"] > 0 and r["n_other"] > 0
+    assert 0 <= r["d_numerator"] <= r["n_building"] * r["n_other"]
+    assert 0.0 <= r["ks_d"] <= 1.0
+    assert (
+        abs(r["ks_d"] - r["d_numerator"] / (r["n_building"] * r["n_other"]))
+        < 1e-6
+    )
