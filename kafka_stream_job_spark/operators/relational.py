@@ -6777,3 +6777,146 @@ def customer_balance_ks_test(spark: SparkSession, sf_dir: str) -> DataFrame:
         pround(ks, 6).alias("ks_d"),
         (ks > crit).alias("significant_05"),
     )
+
+
+# ---------------------------------------------------------------------------
+# KAPLAN-MEIER SURVIVAL — time-to-repurchase with right censoring: each
+# consecutive-order gap is an observed EVENT, each customer's tail gap
+# (last order → end of data) is CENSORED. Classic estimator
+# S(t) = Π_{tᵢ ≤ t} (1 − dᵢ/nᵢ), with nᵢ the at-risk count.
+#
+# Determinism: the day-granular duration table is bounded (wall-clock
+# days, not data volume), so the whole curve is computed as in-array
+# algebra over ONE collected, sorted (t, n, d) list — prefix at-risk
+# counts and the running survival product fold in pinned t order, the
+# same fixed-IEEE-dag discipline as the z-norm/Theil-Sen queries. The
+# O(T²) index-lambda folds are over ≤ thousands of day buckets.
+# Scale: the data-sized stages are the per-customer lag window (one
+# customer-keyed shuffle) and the day groupBy (map-side partial).
+# ---------------------------------------------------------------------------
+@register(
+    "orders_survival_km",
+    oracle="""
+        WITH mx AS (
+            SELECT MAX(CAST(o_orderdate AS DATE)) AS md FROM orders
+        ),
+        gaps AS (
+            SELECT CASE WHEN nxt IS NULL
+                        THEN date_diff('day', d, (SELECT md FROM mx))
+                        ELSE date_diff('day', d, nxt) END AS t,
+                   CASE WHEN nxt IS NULL THEN 0 ELSE 1 END AS is_event
+            FROM (
+                SELECT CAST(o_orderdate AS DATE) AS d,
+                       LEAD(CAST(o_orderdate AS DATE)) OVER (
+                           PARTITION BY o_custkey
+                           ORDER BY o_orderdate, o_orderkey) AS nxt
+                FROM orders
+            )
+        ),
+        g AS (
+            SELECT CAST(t AS BIGINT) AS t,
+                   CAST(COUNT(*) AS BIGINT) AS n_all,
+                   CAST(SUM(is_event) AS BIGINT) AS d
+            FROM gaps GROUP BY 1
+        ),
+        arr AS (
+            SELECT list({'t': t, 'n_all': n_all, 'd': d} ORDER BY t) AS xs,
+                   CAST(SUM(n_all) AS BIGINT) AS tot
+            FROM g
+        ),
+        curve AS (
+            SELECT xs, tot,
+                   list_transform(xs, (x, i) ->
+                       tot - list_reduce(
+                           list_prepend(CAST(0 AS BIGINT),
+                               list_transform(xs[1:i - 1], y -> y.n_all)),
+                           (a, b) -> a + b)) AS ns
+            FROM arr
+        ),
+        facts AS (
+            SELECT xs, ns,
+                   list_transform(xs, (x, i) ->
+                       CASE WHEN x.d > 0
+                            THEN 1.0 - x.d * 1.0 / ns[i]
+                            ELSE CAST(1 AS DOUBLE) END) AS factors
+            FROM curve
+        ),
+        rows_ AS (
+            SELECT p.i AS i, p.x AS x, ns[p.i] AS n_risk,
+                   list_reduce(
+                       list_prepend(CAST(1 AS DOUBLE), factors[1:p.i]),
+                       (a, b) -> a * b) AS surv
+            FROM (SELECT xs, ns, factors,
+                         unnest(list_transform(xs, (x, i) -> {'x': x, 'i': i}))
+                             AS p
+                  FROM facts)
+        )
+        SELECT x.t AS t_days, n_risk, x.d AS n_events,
+               ROUND((surv) * 1000000.0) / 1000000.0 + 0.0 AS survival
+        FROM rows_
+        WHERE x.d > 0
+    """,
+    tags=("stats", "survival", "kaplan-meier", "orders"),
+)
+def orders_survival_km(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    mx = orders.agg(
+        F.max(F.col("o_orderdate").cast("date")).alias("md")
+    )
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    staged = orders.select(
+        F.col("o_orderdate").cast("date").alias("d"),
+        F.lead(F.col("o_orderdate").cast("date")).over(w).alias("nxt"),
+    ).crossJoin(F.broadcast(mx))
+    gaps = staged.select(
+        F.when(
+            F.col("nxt").isNull(), F.expr("datediff(md, d)")
+        ).otherwise(F.expr("datediff(nxt, d)")).cast("long").alias("t"),
+        F.when(F.col("nxt").isNull(), 0).otherwise(1).alias("is_event"),
+    )
+    g = gaps.groupBy("t").agg(
+        F.count(F.lit(1)).cast("long").alias("n_all"),
+        F.sum("is_event").cast("long").alias("d"),
+    )
+    arr = g.agg(
+        F.array_sort(F.collect_list(F.struct("t", "n_all", "d"))).alias("xs"),
+        F.sum("n_all").cast("long").alias("tot"),
+    )
+    xs = F.col("xs")
+    ns = F.transform(
+        xs,
+        lambda x, i0: F.col("tot")
+        - F.aggregate(
+            F.slice(xs, F.lit(1), i0),
+            F.lit(0).cast("long"),
+            lambda a, y: a + y["n_all"],
+        ),
+    )
+    curve = arr.select(xs.alias("xs"), "tot", ns.alias("ns"))
+    factors = F.transform(
+        F.arrays_zip(F.col("xs"), F.col("ns")),
+        lambda z: F.when(
+            z["xs"]["d"] > 0,
+            F.lit(1.0) - z["xs"]["d"] * F.lit(1.0) / z["ns"],
+        ).otherwise(F.lit(1.0).cast("double")),
+    )
+    facts = curve.select("xs", "ns", factors.alias("factors"))
+    surv = F.transform(
+        F.col("factors"),
+        lambda x, i0: F.aggregate(
+            F.slice(F.col("factors"), F.lit(1), i0 + 1),
+            F.lit(1.0).cast("double"),
+            lambda a, b: a * b,
+        ),
+    )
+    rows = facts.select(
+        F.posexplode(
+            F.arrays_zip(F.col("xs"), F.col("ns"), surv.alias("surv"))
+        ).alias("p0", "z")
+    )
+    return rows.filter(F.col("z.xs.d") > 0).select(
+        F.col("z.xs.t").alias("t_days"),
+        F.col("z.ns").alias("n_risk"),
+        F.col("z.xs.d").alias("n_events"),
+        pround(F.col("z.surv"), 6).alias("survival"),
+    )

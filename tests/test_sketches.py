@@ -362,3 +362,23 @@ def test_ks_statistic_bounds_and_exact_numerator(spark):
         abs(r["ks_d"] - r["d_numerator"] / (r["n_building"] * r["n_other"]))
         < 1e-6
     )
+
+
+def test_km_survival_monotone_from_one(spark):
+    """Kaplan-Meier invariants: survival starts ≤ 1, is non-increasing
+    in t, stays positive while events remain, and at-risk counts are
+    non-increasing."""
+    from kafka_stream_job_spark.operators.relational import orders_survival_km
+
+    rows = sorted(
+        orders_survival_km(spark, SF_SMOKE).collect(), key=lambda r: r["t_days"]
+    )
+    assert rows, "no event times"
+    prev_s, prev_n = 1.0 + 1e-9, None
+    for r in rows:
+        assert 0.0 <= r["survival"] <= prev_s + 1e-9
+        assert r["n_events"] >= 1
+        assert r["n_risk"] >= r["n_events"]
+        if prev_n is not None:
+            assert r["n_risk"] <= prev_n
+        prev_s, prev_n = r["survival"], r["n_risk"]
