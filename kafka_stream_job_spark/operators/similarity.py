@@ -1690,3 +1690,125 @@ def embedding_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
         pround(F.col("x"), 6).alias("loading"),
         pround(F.col("nm"), 6).alias("gram_eigenvalue"),
     )
+
+
+# ---------------------------------------------------------------------------
+# MULTI-VECTOR MAXSIM (late-interaction retrieval, ColBERT-style) —
+# each vector is treated as 8 sub-vectors of 8 dims (the PQ subspace
+# cut); the query-document score is Σ over query sub-vectors of the max
+# cosine against any document sub-vector. This is the scoring shape of
+# token-level multi-vector retrieval, expressed entirely as in-array
+# algebra: the 8×8 cosine grid per pair is nested transforms, all
+# folds sequential — one fixed IEEE dag, hash-checkable.
+# Scale: identical dataflow to similarity_topk_cosine — broadcast query
+# sub-vectors ⋈ one corpus pass, per-query top-3 via the rank window
+# (WindowGroupLimit prunes per partition).
+# ---------------------------------------------------------------------------
+MAXSIM_SUBS = 8
+MAXSIM_SUBDIM = DIM // MAXSIM_SUBS
+MAXSIM_TOP = 3
+
+_COS_LAMBDA_SQL = (
+    "list_reduce(list_prepend(0.0, list_transform(list_zip(qv, dv),"
+    " p -> p[1] * p[2])), (a, x) -> a + x)"
+    " / (sqrt(list_reduce(list_prepend(0.0, list_transform(qv, x -> x * x)),"
+    " (a, x) -> a + x))"
+    " * sqrt(list_reduce(list_prepend(0.0, list_transform(dv, x -> x * x)),"
+    " (a, x) -> a + x)))"
+)
+
+
+@register(
+    "similarity_maxsim_multivector",
+    oracle=f"""
+        WITH sub AS (
+            SELECT vec_id,
+                   list_transform(range(0, {MAXSIM_SUBS}),
+                       k -> (embedding::DOUBLE[])
+                            [k * {MAXSIM_SUBDIM} + 1 : k * {MAXSIM_SUBDIM} + {MAXSIM_SUBDIM}])
+                       AS subs
+            FROM embeddings
+        ),
+        scored AS (
+            SELECT q.vec_id AS query_id, d.vec_id AS neighbor_id,
+                   list_reduce(
+                       list_prepend(CAST(0 AS DOUBLE),
+                           list_transform(q.subs, qv ->
+                               list_max(list_transform(d.subs, dv ->
+                                   {_COS_LAMBDA_SQL})))),
+                       (a, x) -> a + x) AS maxsim
+            FROM sub q JOIN sub d ON d.vec_id <> q.vec_id
+            WHERE q.vec_id < {N_QUERIES}
+        ),
+        ranked AS (
+            SELECT query_id, neighbor_id, maxsim,
+                   ROW_NUMBER() OVER (PARTITION BY query_id
+                                      ORDER BY maxsim DESC, neighbor_id ASC)
+                       AS rank
+            FROM scored
+        )
+        SELECT query_id, neighbor_id,
+               ROUND((maxsim) * 1000000.0) / 1000000.0 + 0.0 AS maxsim,
+               CAST(rank AS BIGINT) AS rank
+        FROM ranked WHERE rank <= {MAXSIM_TOP}
+    """,
+    tags=("similarity", "embeddings", "maxsim", "late-interaction"),
+)
+def similarity_maxsim_multivector(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    emb = load_table(spark, sf_dir, "embeddings", rebalance=True)
+    subs = F.transform(
+        F.sequence(F.lit(0), F.lit(MAXSIM_SUBS - 1)),
+        lambda k: F.transform(
+            F.slice(F.col("embedding"), k * MAXSIM_SUBDIM + 1, MAXSIM_SUBDIM),
+            lambda x: x.cast("double"),
+        ),
+    )
+    sub = emb.select("vec_id", subs.alias("subs"))
+    q = sub.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("subs").alias("qsubs")
+    )
+    d = sub.select(
+        F.col("vec_id").alias("neighbor_id"), F.col("subs").alias("dsubs")
+    )
+
+    def cos(qv, dv):
+        dot = F.aggregate(
+            F.zip_with(qv, dv, lambda x, y: x * y),
+            F.lit(0.0),
+            lambda a, x: a + x,
+        )
+        nq = F.sqrt(
+            F.aggregate(
+                F.transform(qv, lambda x: x * x), F.lit(0.0), lambda a, x: a + x
+            )
+        )
+        nd = F.sqrt(
+            F.aggregate(
+                F.transform(dv, lambda x: x * x), F.lit(0.0), lambda a, x: a + x
+            )
+        )
+        return dot / (nq * nd)
+
+    maxsim = F.aggregate(
+        F.col("qsubs"),
+        F.lit(0.0).cast("double"),
+        lambda acc, qv: acc
+        + F.array_max(F.transform(F.col("dsubs"), lambda dv: cos(qv, dv))),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("maxsim_raw").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        d.join(F.broadcast(q), F.col("neighbor_id") != F.col("query_id"))
+        .select("query_id", "neighbor_id", maxsim.alias("maxsim_raw"))
+        .withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= MAXSIM_TOP)
+        .select(
+            "query_id",
+            "neighbor_id",
+            pround(F.col("maxsim_raw"), 6).alias("maxsim"),
+            "rank",
+        )
+    )

@@ -1997,3 +1997,89 @@ def _register_streaming_kmv() -> None:
 
 
 _register_streaming_kmv()
+
+
+# ---------------------------------------------------------------------------
+# Registry entry: STREAMING UPSERT MATERIALIZED VIEW — the Kafka→table
+# MERGE INTO pattern (the reference's Iceberg upsert shape) built on
+# foreachBatch + versioned state: each micro-batch reduces to its
+# per-user latest row (max of the (ts, event_id) struct — total order,
+# so batch-internal ties are impossible), merges with the previous
+# state VERSION and writes state_v{batch_id}; versioned directories
+# make replays idempotent the same way Iceberg snapshot commits do.
+# The final state is per-user LAST-WRITER-WINS — independent of how the
+# replay split into micro-batches, which is what lets a streaming
+# MERGE carry an exact batch oracle.
+# Scale: per batch, work is one partial-agg groupBy of the batch plus a
+# user-keyed merge with the (user-count-sized) state table; nothing is
+# driver-side.
+# ---------------------------------------------------------------------------
+def _register_streaming_upsert_view() -> None:
+    from kafka_stream_job_spark.registry import register
+
+    @register(
+        "streaming_upsert_latest_state",
+        oracle="""
+            SELECT user_id, last_event_id,
+                   ROUND((last_value) * 100.0) / 100.0 + 0.0 AS last_value
+            FROM (
+                SELECT user_id, event_id AS last_event_id, value AS last_value,
+                       ROW_NUMBER() OVER (PARTITION BY user_id
+                                          ORDER BY ts DESC, event_id DESC)
+                           AS rn
+                FROM events
+            ) WHERE rn = 1
+        """,
+        tags=("streaming", "cdc", "upsert", "merge", "events"),
+    )
+    def streaming_upsert_latest_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+        import tempfile
+
+        state_root = tempfile.mkdtemp(prefix="ksj-upsert-state-")
+        ckpt = tempfile.mkdtemp(prefix="ksj-upsert-ckpt-")
+        versions: list[str] = []
+
+        def latest_of(df: DataFrame) -> DataFrame:
+            pick = F.max(
+                F.struct("ts", "event_id", "value")
+            ).alias("p")
+            return df.groupBy("user_id").agg(pick).select(
+                "user_id",
+                F.col("p.ts").alias("ts"),
+                F.col("p.event_id").alias("event_id"),
+                F.col("p.value").alias("value"),
+            )
+
+        def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
+            batch_latest = latest_of(batch_df)
+            if versions:
+                prev = spark.read.parquet(versions[-1])
+                merged = latest_of(prev.unionByName(batch_latest))
+            else:
+                merged = batch_latest
+            out = os.path.join(state_root, f"v{batch_id}")
+            merged.write.mode("overwrite").parquet(out)
+            versions.append(out)
+
+        src = stream_events(spark, sf_dir).select(
+            "user_id", "ts", "event_id", "value"
+        )
+        with _drain_partitions(spark):
+            query = (
+                src.writeStream.foreachBatch(apply_batch)
+                .option("checkpointLocation", ckpt)
+                .start()
+            )
+            try:
+                query.processAllAvailable()
+            finally:
+                query.stop()
+        assert versions, "no micro-batch committed"
+        return spark.read.parquet(versions[-1]).select(
+            "user_id",
+            F.col("event_id").alias("last_event_id"),
+            pround(F.col("value"), 2).alias("last_value"),
+        )
+
+
+_register_streaming_upsert_view()

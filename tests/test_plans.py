@@ -833,3 +833,13 @@ def test_ks_test_single_distributed_prefix_pass(spark):
     and broadcast offsets, no ntile/global window, and only one range
     pass feeds the statistic."""
     _assert_distributed_rank_shape(plan_of(spark, "customer_balance_ks_test"))
+
+
+def test_maxsim_broadcast_queries_single_corpus_pass(spark):
+    """MaxSim shares the brute-force retrieval dataflow: broadcast query
+    sub-vectors joined against one corpus pass, per-query top-3 via the
+    rank window."""
+    plan = plan_of(spark, "similarity_maxsim_multivector")
+    assert "BroadcastNestedLoopJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert "WindowGroupLimit" in plan

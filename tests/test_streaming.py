@@ -898,3 +898,29 @@ def test_stateful_agg_checkpoint_restart_resume(spark, tmp_path):
         .collect()
     }
     assert got == want
+
+
+def test_streaming_upsert_state_is_batch_split_independent(spark):
+    """The upsert view's last-writer-wins state must equal the batch
+    max-of-(ts,event_id) reduction regardless of micro-batch
+    boundaries."""
+    from kafka_stream_job_spark.registry import all_specs
+    from kafka_stream_job_spark.tables import load_table
+    from pyspark.sql import functions as F
+
+    from .conftest import SF_SMOKE
+
+    got = {
+        (r["user_id"], r["last_event_id"])
+        for r in all_specs()["streaming_upsert_latest_state"]
+        .fn(spark, SF_SMOKE)
+        .collect()
+    }
+    events = load_table(spark, SF_SMOKE, "events")
+    want = {
+        (r["user_id"], r["p"]["event_id"])
+        for r in events.groupBy("user_id")
+        .agg(F.max(F.struct("ts", "event_id")).alias("p"))
+        .collect()
+    }
+    assert got == want
