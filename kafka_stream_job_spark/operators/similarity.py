@@ -1812,3 +1812,136 @@ def similarity_maxsim_multivector(spark: SparkSession, sf_dir: str) -> DataFrame
             "rank",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# NDCG RANKING QUALITY of the truncated-embedding ranking — the graded
+# complement of matryoshka_truncation_recall's set overlap: treat the
+# full-precision top-K as graded relevance (gain K+1−rank_full, 0 for
+# items outside it) and score the truncated ranking's top-K by
+# NDCG@K with the standard 1/log2(pos+1) discount (computed as
+# ln(2)/ln(pos+1) — the ln() portability already proven). Both DCG and
+# the ideal DCG fold in pinned position order, so NDCG hash-matches.
+# Scale: same single broadcast-query corpus pass + shared rank-window
+# shuffle as the recall query.
+# ---------------------------------------------------------------------------
+@register(
+    "ann_ndcg_truncation",
+    oracle=f"""
+        WITH scored AS (
+            SELECT q.vec_id AS query_id, d.vec_id AS neighbor_id,
+                   {_dot_qd} / ({_norm_q} * {_norm_d}) AS cos_full,
+                   {_dot_qd_t} / ({_norm_q_t} * {_norm_d_t}) AS cos_trunc
+            FROM embeddings q
+            JOIN embeddings d ON d.vec_id <> q.vec_id
+            WHERE q.vec_id < {N_QUERIES}
+        ),
+        ranked AS (
+            SELECT query_id, neighbor_id,
+                   ROW_NUMBER() OVER (PARTITION BY query_id
+                                      ORDER BY cos_full DESC, neighbor_id ASC)
+                       AS rank_full,
+                   ROW_NUMBER() OVER (PARTITION BY query_id
+                                      ORDER BY cos_trunc DESC, neighbor_id ASC)
+                       AS rank_trunc
+            FROM scored
+        ),
+        gains AS (
+            SELECT query_id,
+                   list(CASE WHEN rank_full <= {TOP_K}
+                             THEN CAST({TOP_K} + 1 - rank_full AS DOUBLE)
+                             ELSE CAST(0 AS DOUBLE) END
+                        ORDER BY rank_trunc) AS gs
+            FROM ranked WHERE rank_trunc <= {TOP_K}
+            GROUP BY query_id
+        ),
+        dcg AS (
+            SELECT query_id,
+                   list_reduce(
+                       list_prepend(CAST(0 AS DOUBLE),
+                           list_transform(gs, (g, i) ->
+                               g * ln(2.0) / ln(i + 1.0))),
+                       (a, x) -> a + x) AS dcg,
+                   list_reduce(
+                       list_prepend(CAST(0 AS DOUBLE),
+                           list_transform(range(1, {TOP_K} + 1), i ->
+                               ({TOP_K} + 1 - i) * ln(2.0) / ln(i + 1.0))),
+                       (a, x) -> a + x) AS idcg
+            FROM gains
+        )
+        SELECT query_id,
+               ROUND((dcg) * 1000000.0) / 1000000.0 + 0.0 AS dcg,
+               ROUND((dcg / idcg) * 1000000.0) / 1000000.0 + 0.0 AS ndcg
+        FROM dcg
+    """,
+    tags=("similarity", "embeddings", "ndcg", "ranking-eval"),
+)
+def ann_ndcg_truncation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    emb = load_table(spark, sf_dir, "embeddings", rebalance=True)
+    q = emb.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
+    )
+    d = emb.select(
+        F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("d_emb")
+    )
+    qe, de = F.col("q_emb"), F.col("d_emb")
+    qt, dt = F.slice(qe, 1, MAT_DIM), F.slice(de, 1, MAT_DIM)
+    scored = d.join(
+        F.broadcast(q), F.col("neighbor_id") != F.col("query_id")
+    ).select(
+        "query_id",
+        "neighbor_id",
+        (_dot(qe, de) / (_norm(qe) * _norm(de))).alias("cos_full"),
+        (_dot(qt, dt) / (_norm(qt) * _norm(dt))).alias("cos_trunc"),
+    )
+    wf = Window.partitionBy("query_id").orderBy(
+        F.col("cos_full").desc(), F.col("neighbor_id").asc()
+    )
+    wt = Window.partitionBy("query_id").orderBy(
+        F.col("cos_trunc").desc(), F.col("neighbor_id").asc()
+    )
+    ranked = scored.select(
+        "query_id",
+        F.row_number().over(wf).alias("rank_full"),
+        F.row_number().over(wt).alias("rank_trunc"),
+    )
+    gain = F.when(
+        F.col("rank_full") <= TOP_K,
+        (F.lit(TOP_K) + 1 - F.col("rank_full")).cast("double"),
+    ).otherwise(F.lit(0.0).cast("double"))
+    gains = (
+        ranked.filter(F.col("rank_trunc") <= TOP_K)
+        .groupBy("query_id")
+        .agg(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct("rank_trunc", gain.alias("g")))
+                ),
+                lambda s: s["g"],
+            ).alias("gs")
+        )
+    )
+    # position-discounted fold (i0 is 0-based → position i0+1)
+    dcg = F.aggregate(
+        F.transform(
+            F.col("gs"),
+            lambda g, i0: g * F.log(F.lit(2.0)) / F.log(i0 + F.lit(2.0)),
+        ),
+        F.lit(0.0),
+        lambda a, x: a + x,
+    )
+    idcg = F.aggregate(
+        F.transform(
+            F.sequence(F.lit(1), F.lit(TOP_K)),
+            lambda i: (F.lit(TOP_K) + 1 - i) * F.log(F.lit(2.0)) / F.log(i + F.lit(1.0)),
+        ),
+        F.lit(0.0),
+        lambda a, x: a + x,
+    )
+    return gains.select(
+        "query_id",
+        pround(dcg, 6).alias("dcg"),
+        pround(dcg / idcg, 6).alias("ndcg"),
+    )

@@ -1909,3 +1909,173 @@ def corpus_difficulty_curriculum(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("n_bigrams").cast("long").alias("sum_bigrams"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# LOGISTIC-REGRESSION TRAINING, declaratively — 3 full-batch gradient
+# steps learning P(lang='en') from two text features (stopword ratio,
+# chars-per-token), the quality-classifier shape every corpus pipeline
+# eventually trains. Same engine pattern as embedding_power_iteration:
+# the data-sized stage runs ONCE (per-doc features, bounded by the
+# corpus), then each step is metadata arithmetic — a pinned doc_id-order
+# fold of per-doc gradients against the broadcast weight row. The
+# gradient accumulator is a 3-element DOUBLE list (struct accumulators
+# mis-fold in DuckDB 1.0 — see events_holt_forecast), σ uses exp() under
+# the same libm-portability already proven for ln(), and every report
+# column is pround(6) or exact-integer (training accuracy counts).
+# ---------------------------------------------------------------------------
+LOGREG_ITERS = 3
+LOGREG_LR = 2.0
+
+
+def _logreg_feature_sql() -> str:
+    return r"""
+        feats AS (
+            SELECT doc_id,
+                   CASE WHEN lang = 'en' THEN CAST(1 AS DOUBLE)
+                        ELSE CAST(0 AS DOUBLE) END AS y,
+                   len(regexp_extract_all(text, '\b(a|the|and|of|to|is)\b'))
+                       * 1.0
+                       / len(string_split_regex(trim(text), '\s+')) AS f1,
+                   length(text) * 1.0
+                       / len(string_split_regex(trim(text), '\s+')) AS f2
+            FROM documents
+        ),
+        arr AS (
+            SELECT list({'y': y, 'f1': f1, 'f2': f2} ORDER BY doc_id) AS xs,
+                   CAST(COUNT(*) AS BIGINT) AS n
+            FROM feats
+        )"""
+
+
+def _logreg_oracle() -> str:
+    sql = "WITH " + _logreg_feature_sql() + """,
+        w0 AS (SELECT CAST(0 AS DOUBLE) AS w0, CAST(0 AS DOUBLE) AS w1,
+                      CAST(0 AS DOUBLE) AS w2)"""
+    for k in range(1, LOGREG_ITERS + 1):
+        sql += f""",
+        g{k} AS (
+            SELECT list_reduce(
+                       list_prepend([CAST(0 AS DOUBLE), CAST(0 AS DOUBLE),
+                                     CAST(0 AS DOUBLE)],
+                           list_transform(a.xs, e ->
+                               [1.0 / (1.0 + exp(-(w.w0 + w.w1 * e.f1
+                                                   + w.w2 * e.f2))) - e.y,
+                                (1.0 / (1.0 + exp(-(w.w0 + w.w1 * e.f1
+                                                    + w.w2 * e.f2))) - e.y)
+                                    * e.f1,
+                                (1.0 / (1.0 + exp(-(w.w0 + w.w1 * e.f1
+                                                    + w.w2 * e.f2))) - e.y)
+                                    * e.f2])),
+                       (acc, g) -> [acc[1] + g[1], acc[2] + g[2],
+                                    acc[3] + g[3]]) AS gr,
+                   a.n AS n, w.w0 AS pw0, w.w1 AS pw1, w.w2 AS pw2
+            FROM arr a, w{k - 1} w
+        ),
+        w{k} AS (
+            SELECT pw0 - {LOGREG_LR} * gr[1] / n AS w0,
+                   pw1 - {LOGREG_LR} * gr[2] / n AS w1,
+                   pw2 - {LOGREG_LR} * gr[3] / n AS w2
+            FROM g{k}
+        )"""
+    sql += f"""
+        SELECT ROUND((w.w0) * 1000000.0) / 1000000.0 + 0.0 AS bias,
+               ROUND((w.w1) * 1000000.0) / 1000000.0 + 0.0 AS w_stopword_ratio,
+               ROUND((w.w2) * 1000000.0) / 1000000.0 + 0.0 AS w_chars_per_tok,
+               CAST(list_reduce(
+                   list_prepend(CAST(0 AS BIGINT),
+                       list_transform(a.xs, e ->
+                           CASE WHEN (CASE WHEN 1.0 / (1.0 + exp(-(w.w0
+                                         + w.w1 * e.f1 + w.w2 * e.f2))) > 0.5
+                                      THEN 1.0 ELSE 0.0 END) = e.y
+                                THEN CAST(1 AS BIGINT)
+                                ELSE CAST(0 AS BIGINT) END)),
+                   (acc, x) -> acc + x) AS BIGINT) AS n_correct,
+               a.n AS n_docs
+        FROM w{LOGREG_ITERS} w, arr a
+    """
+    return sql
+
+
+@register(
+    "quality_logreg_training",
+    oracle=_logreg_oracle(),
+    tags=("llm-pipeline", "ml-training", "logreg", "iterative", "documents"),
+)
+def quality_logreg_training(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents", rebalance=True)
+    toks = F.split(F.trim("text"), r"\s+")
+    feats = docs.select(
+        "doc_id",
+        F.when(F.col("lang") == "en", 1.0).otherwise(0.0).cast("double").alias("y"),
+        (
+            F.regexp_count("text", F.lit(r"\b(a|the|and|of|to|is)\b"))
+            * F.lit(1.0)
+            / F.size(toks)
+        ).alias("f1"),
+        (F.length("text") * F.lit(1.0) / F.size(toks)).alias("f2"),
+    )
+    arr = feats.agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("doc_id", "y", "f1", "f2"))),
+            lambda s: F.struct(
+                s["y"].alias("y"), s["f1"].alias("f1"), s["f2"].alias("f2")
+            ),
+        ).alias("xs"),
+        F.count(F.lit(1)).cast("long").alias("n"),
+    ).localCheckpoint(eager=False)  # every GD step reads the feature array
+    w = spark.range(1).select(
+        F.lit(0.0).alias("w0"), F.lit(0.0).alias("w1"), F.lit(0.0).alias("w2")
+    )
+
+    def sigma_minus_y(e):
+        z = F.col("w0") + F.col("w1") * e["f1"] + F.col("w2") * e["f2"]
+        return F.lit(1.0) / (F.lit(1.0) + F.exp(-z)) - e["y"]
+
+    for _ in range(LOGREG_ITERS):
+        grad = F.aggregate(
+            F.col("xs"),
+            F.array(F.lit(0.0), F.lit(0.0), F.lit(0.0)),
+            lambda acc, e: F.array(
+                F.element_at(acc, 1) + sigma_minus_y(e),
+                F.element_at(acc, 2) + sigma_minus_y(e) * e["f1"],
+                F.element_at(acc, 3) + sigma_minus_y(e) * e["f2"],
+            ),
+        )
+        step = arr.crossJoin(F.broadcast(w)).select(grad.alias("gr"), "n", "w0", "w1", "w2")
+        w = step.select(
+            (F.col("w0") - F.lit(LOGREG_LR) * F.element_at("gr", 1) / F.col("n")).alias("w0"),
+            (F.col("w1") - F.lit(LOGREG_LR) * F.element_at("gr", 2) / F.col("n")).alias("w1"),
+            (F.col("w2") - F.lit(LOGREG_LR) * F.element_at("gr", 3) / F.col("n")).alias("w2"),
+        )
+    pred_correct = F.aggregate(
+        F.col("xs"),
+        F.lit(0).cast("long"),
+        lambda acc, e: acc
+        + F.when(
+            F.when(
+                F.lit(1.0)
+                / (
+                    F.lit(1.0)
+                    + F.exp(
+                        -(
+                            F.col("w0")
+                            + F.col("w1") * e["f1"]
+                            + F.col("w2") * e["f2"]
+                        )
+                    )
+                )
+                > 0.5,
+                1.0,
+            ).otherwise(0.0)
+            == e["y"],
+            F.lit(1).cast("long"),
+        ).otherwise(F.lit(0).cast("long")),
+    )
+    return arr.crossJoin(F.broadcast(w)).select(
+        pround(F.col("w0"), 6).alias("bias"),
+        pround(F.col("w1"), 6).alias("w_stopword_ratio"),
+        pround(F.col("w2"), 6).alias("w_chars_per_tok"),
+        pred_correct.alias("n_correct"),
+        F.col("n").alias("n_docs"),
+    )
