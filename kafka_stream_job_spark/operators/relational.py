@@ -6920,3 +6920,135 @@ def orders_survival_km(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("z.xs.d").alias("n_events"),
         pround(F.col("z.surv"), 6).alias("survival"),
     )
+
+
+# ---------------------------------------------------------------------------
+# CONFORMAL PREDICTION INTERVALS for the hourly forecast — split
+# conformal over one-step-ahead EWMA residuals: the first 2/3 of each
+# type's hour-ordered series calibrates q̂ = the ⌈(n+1)·0.9⌉-th smallest
+# |residual| (the EXPLICIT finite-sample index — no engine quantile
+# interpolation), the rest is the test window whose empirical coverage
+# the report audits against the 90% target. Residual i uses the EWMA of
+# hours 1..i−1 (slice fold, same α=1/4 recurrence as
+# events_ewma_forecast), so every number is one fixed IEEE dag over the
+# bounded per-type series — O(hours²) in-array work, wall-clock-bounded.
+# ---------------------------------------------------------------------------
+CONF_ALPHA_NUM = 9  # target coverage 9/10
+CONF_CAL_FRAC_NUM, CONF_CAL_FRAC_DEN = 2, 3
+
+
+@register(
+    "forecast_conformal_intervals",
+    oracle=f"""
+        WITH series AS (
+            SELECT event_type, date_trunc('hour', ts) AS h,
+                   CAST(COUNT(*) AS BIGINT) AS c
+            FROM events GROUP BY 1, 2
+        ),
+        arr AS (
+            SELECT event_type,
+                   list(CAST(c AS DOUBLE) ORDER BY h) AS xs,
+                   CAST(COUNT(*) AS BIGINT) AS n
+            FROM series GROUP BY event_type
+            HAVING COUNT(*) >= 6
+        ),
+        res AS (
+            SELECT event_type, n,
+                   (n * {CONF_CAL_FRAC_NUM}) // {CONF_CAL_FRAC_DEN} AS n_cal,
+                   list_transform(xs, (x, i) -> CASE WHEN i >= 2 THEN
+                       abs(x - list_reduce(
+                           list_prepend(xs[1], xs[2:i - 1]),
+                           (s, v) -> 0.25 * v + 0.75 * s))
+                       ELSE CAST(0 AS DOUBLE) END) AS r
+            FROM arr
+        ),
+        qhat AS (
+            SELECT event_type, n, n_cal,
+                   list_sort(r[2:CAST(n_cal AS INT)])
+                       [CAST(least((n_cal - 1 + 1) * {CONF_ALPHA_NUM} // 10 + 1,
+                                   n_cal - 1) AS INT)] AS q
+            FROM res
+        ),
+        cov AS (
+            SELECT q.event_type, q.n, q.n_cal, q.q,
+                   CAST(list_reduce(
+                       list_prepend(CAST(0 AS BIGINT),
+                           list_transform(
+                               r.r[CAST(q.n_cal + 1 AS INT):CAST(q.n AS INT)],
+                               x -> CASE WHEN x <= q.q THEN CAST(1 AS BIGINT)
+                                         ELSE CAST(0 AS BIGINT) END)),
+                       (a, b) -> a + b) AS BIGINT) AS n_covered
+            FROM qhat q JOIN res r USING (event_type)
+        )
+        SELECT event_type,
+               CAST(n_cal - 1 AS BIGINT) AS n_calibration,
+               CAST(n - n_cal AS BIGINT) AS n_test,
+               ROUND((q) * 1000000.0) / 1000000.0 + 0.0 AS qhat,
+               n_covered,
+               (n_covered * 10000) // (n - n_cal) AS coverage_bp
+        FROM cov
+    """,
+    tags=("timeseries", "conformal", "forecast", "events"),
+)
+def forecast_conformal_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    series = events.groupBy(
+        "event_type", F.date_trunc("hour", "ts").alias("h")
+    ).agg(F.count(F.lit(1)).cast("long").alias("c"))
+    arr = (
+        series.groupBy("event_type")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("h", "c"))),
+                lambda s: s["c"].cast("double"),
+            ).alias("xs"),
+            F.count(F.lit(1)).cast("long").alias("n"),
+        )
+        .filter(F.col("n") >= 6)
+    )
+    xs = F.col("xs")
+    # residual i (1-based): |x_i − EWMA(x_1..x_{i−1})|; index lambda i0 is
+    # 0-based → position i = i0 + 1
+    r = F.transform(
+        xs,
+        lambda x, i0: F.when(
+            i0 + 1 >= 2,
+            F.abs(
+                x
+                - F.aggregate(
+                    F.slice(xs, F.lit(2), i0 - 1),
+                    F.element_at(xs, 1),
+                    lambda s, v: F.lit(0.25) * v + F.lit(0.75) * s,
+                )
+            ),
+        ).otherwise(F.lit(0.0).cast("double")),
+    )
+    n_cal = idiv(F.col("n") * CONF_CAL_FRAC_NUM, F.lit(CONF_CAL_FRAC_DEN))
+    res = arr.select("event_type", "n", n_cal.alias("n_cal"), r.alias("r"))
+    q = F.element_at(
+        F.array_sort(F.expr("slice(r, 2, int(n_cal) - 1)")),
+        F.least(
+            (idiv((F.col("n_cal") - 1 + 1) * CONF_ALPHA_NUM, F.lit(10)) + 1),
+            F.col("n_cal") - 1,
+        ).cast("int"),
+    )
+    qhat = res.select("event_type", "n", "n_cal", "r", q.alias("q"))
+    test = F.expr("slice(r, int(n_cal) + 1, int(n) - int(n_cal))")
+    n_cov = F.aggregate(
+        F.transform(
+            test,
+            lambda x: F.when(x <= F.col("q"), F.lit(1).cast("long")).otherwise(
+                F.lit(0).cast("long")
+            ),
+        ),
+        F.lit(0).cast("long"),
+        lambda a, b: a + b,
+    )
+    return qhat.select(
+        "event_type",
+        (F.col("n_cal") - 1).cast("long").alias("n_calibration"),
+        (F.col("n") - F.col("n_cal")).cast("long").alias("n_test"),
+        pround(F.col("q"), 6).alias("qhat"),
+        n_cov.alias("n_covered"),
+        idiv(n_cov * 10000, F.col("n") - F.col("n_cal")).alias("coverage_bp"),
+    )

@@ -2079,3 +2079,80 @@ def quality_logreg_training(spark: SparkSession, sf_dir: str) -> DataFrame:
         pred_correct.alias("n_correct"),
         F.col("n").alias("n_docs"),
     )
+
+
+# ---------------------------------------------------------------------------
+# RAG CONTEXT PACKING — the retrieval-side assembly step: rank documents
+# by BM25 (the shared scored-CTE definition, so the score dag stays ONE
+# definition with text_bm25_search / hybrid RRF), then greedily pack the
+# context window until the token budget is spent. Greedy-by-rank is the
+# deterministic standard; the budget check is cumulative tokens BEFORE
+# adding each doc, so the first over-budget doc is excluded.
+# Scale: candidates pre-prune to the top RAG_CANDIDATES by
+# TakeOrderedAndProject; the running token sum is a window over that
+# bounded candidate list only — never a global-order pass over the
+# corpus.
+# ---------------------------------------------------------------------------
+RAG_TOKEN_BUDGET = 1000
+RAG_CANDIDATES = 50
+
+
+@register(
+    "rag_context_pack",
+    oracle=f"""
+        WITH SCORED_PLACEHOLDER,
+        cand AS (
+            SELECT b.doc_id, b.bm25_r, t.dl
+            FROM bm_scored b JOIN t USING (doc_id)
+            WHERE b.bm25_r > 0
+            ORDER BY b.bm25_r DESC, b.doc_id ASC
+            LIMIT {RAG_CANDIDATES}
+        ),
+        packed AS (
+            SELECT doc_id, bm25_r, dl,
+                   CAST(ROW_NUMBER() OVER w AS BIGINT) AS rank,
+                   CAST(SUM(dl) OVER (w ROWS UNBOUNDED PRECEDING) AS BIGINT)
+                       AS cum_tokens
+            FROM cand
+            WINDOW w AS (ORDER BY bm25_r DESC, doc_id ASC)
+        )
+        SELECT rank, doc_id, CAST(dl AS BIGINT) AS n_tokens, bm25_r, cum_tokens
+        FROM packed
+        WHERE cum_tokens - dl < {RAG_TOKEN_BUDGET}
+    """.replace("SCORED_PLACEHOLDER", bm25_scored_ctes()),
+    tags=("llm-pipeline", "rag", "retrieval", "bm25", "documents"),
+)
+def rag_context_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    dl = docs.select(
+        "doc_id", F.size(F.split(F.trim("text"), r"\s+")).cast("long").alias("dl")
+    )
+    cand = (
+        bm25_scores(spark, sf_dir)
+        .join(dl, "doc_id")
+        .filter(F.col("bm25_r") > 0)
+        .orderBy(F.col("bm25_r").desc(), F.col("doc_id").asc())
+        .limit(RAG_CANDIDATES)
+    )
+    w = Window.orderBy(F.col("bm25_r").desc(), F.col("doc_id").asc())
+    packed = cand.select(
+        "doc_id",
+        "bm25_r",
+        "dl",
+        F.row_number().over(w).cast("long").alias("rank"),
+        F.sum("dl")
+        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        .cast("long")
+        .alias("cum_tokens"),
+    )
+    return packed.filter(
+        F.col("cum_tokens") - F.col("dl") < RAG_TOKEN_BUDGET
+    ).select(
+        "rank",
+        "doc_id",
+        F.col("dl").alias("n_tokens"),
+        "bm25_r",
+        "cum_tokens",
+    )

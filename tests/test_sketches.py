@@ -415,3 +415,41 @@ def test_ndcg_bounded_and_consistent_with_recall(spark):
     for r in rows:
         assert 0.0 <= r["ndcg"] <= 1.0 + 1e-9
         assert r["dcg"] >= 0.0
+
+
+def test_rag_pack_respects_budget_and_rank_order(spark):
+    from kafka_stream_job_spark.operators.text import (
+        RAG_TOKEN_BUDGET,
+        rag_context_pack,
+    )
+
+    rows = sorted(
+        rag_context_pack(spark, SF_SMOKE).collect(), key=lambda r: r["rank"]
+    )
+    assert rows, "empty context pack"
+    cum = 0
+    prev_score = float("inf")
+    for r in rows:
+        assert cum < RAG_TOKEN_BUDGET  # doc admitted only if budget remained
+        cum += r["n_tokens"]
+        assert r["cum_tokens"] == cum
+        assert r["bm25_r"] <= prev_score + 1e-9
+        prev_score = r["bm25_r"]
+
+
+def test_conformal_coverage_near_target(spark):
+    """Split-conformal guarantee: finite-sample coverage ≥ target up to
+    discretization — allow slack for the short smoke series but require
+    the interval to be doing real work (not 0%, not vacuous 100% with a
+    huge q̂)."""
+    from kafka_stream_job_spark.operators.relational import (
+        forecast_conformal_intervals,
+    )
+
+    rows = forecast_conformal_intervals(spark, SF_SMOKE).collect()
+    assert rows
+    for r in rows:
+        assert r["n_calibration"] >= 3 and r["n_test"] >= 1
+        assert r["qhat"] >= 0.0
+        assert 0 <= r["n_covered"] <= r["n_test"]
+        assert r["coverage_bp"] >= 5000  # ≥50% even on the tiny smoke split
