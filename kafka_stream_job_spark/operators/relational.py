@@ -7052,3 +7052,141 @@ def forecast_conformal_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
         n_cov.alias("n_covered"),
         idiv(n_cov * 10000, F.col("n") - F.col("n_cal")).alias("coverage_bp"),
     )
+
+
+# ---------------------------------------------------------------------------
+# SQL UDF SHOWCASE (Spark 4 `CREATE FUNCTION … RETURN`) — scalar SQL
+# functions, including one calling another, used inside an aggregate.
+# SQL UDFs are INLINED by the analyzer (they stay inside whole-stage
+# codegen — unlike Python UDFs there is no serialization boundary), so
+# the oracle is simply the expanded expression. Arithmetic is integer
+# cents end-to-end: sums stay order-independent and hash-exact.
+# ---------------------------------------------------------------------------
+@register(
+    "sql_udf_showcase",
+    oracle="""
+        SELECT l_returnflag,
+               CAST(COUNT(*) AS BIGINT) AS n_items,
+               CAST(SUM(CAST(ROUND(l_extendedprice * 100.0) AS BIGINT)
+                        - CAST(ROUND(l_extendedprice * 100.0) AS BIGINT)
+                          * CAST(ROUND(l_discount * 100.0) AS BIGINT) // 100)
+                    AS BIGINT) AS disc_cents,
+               CAST(SUM((CAST(ROUND(l_extendedprice * 100.0) AS BIGINT)
+                         - CAST(ROUND(l_extendedprice * 100.0) AS BIGINT)
+                           * CAST(ROUND(l_discount * 100.0) AS BIGINT) // 100)
+                        + (CAST(ROUND(l_extendedprice * 100.0) AS BIGINT)
+                           - CAST(ROUND(l_extendedprice * 100.0) AS BIGINT)
+                             * CAST(ROUND(l_discount * 100.0) AS BIGINT) // 100)
+                          * CAST(ROUND(l_tax * 100.0) AS BIGINT) // 100)
+                    AS BIGINT) AS charged_cents
+        FROM lineitem
+        GROUP BY l_returnflag
+    """,
+    tags=("sql-surface", "sql-udf", "lineitem"),
+)
+def sql_udf_showcase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kafka_stream_job_spark.tables import register_views
+
+    register_views(spark, sf_dir)
+    spark.sql(
+        """
+        CREATE OR REPLACE TEMPORARY FUNCTION ksj_disc_cents(
+            price DOUBLE, disc DOUBLE) RETURNS BIGINT
+        RETURN CAST(ROUND(price * 100.0) AS BIGINT)
+               - CAST(ROUND(price * 100.0) AS BIGINT)
+                 * CAST(ROUND(disc * 100.0) AS BIGINT) DIV 100
+        """
+    )
+    spark.sql(
+        """
+        CREATE OR REPLACE TEMPORARY FUNCTION ksj_charged_cents(
+            price DOUBLE, disc DOUBLE, tax DOUBLE) RETURNS BIGINT
+        RETURN ksj_disc_cents(price, disc)
+               + ksj_disc_cents(price, disc)
+                 * CAST(ROUND(tax * 100.0) AS BIGINT) DIV 100
+        """
+    )
+    return spark.sql(
+        """
+        SELECT l_returnflag,
+               CAST(COUNT(*) AS BIGINT) AS n_items,
+               CAST(SUM(ksj_disc_cents(l_extendedprice, l_discount))
+                    AS BIGINT) AS disc_cents,
+               CAST(SUM(ksj_charged_cents(l_extendedprice, l_discount, l_tax))
+                    AS BIGINT) AS charged_cents
+        FROM lineitem
+        GROUP BY l_returnflag
+        """
+    )
+
+
+# ---------------------------------------------------------------------------
+# SQL SCRIPTING SHOWCASE (Spark 4 `BEGIN … END` procedural blocks) —
+# integer bisection DRIVEN BY DATA QUERIES inside a WHILE loop: find the
+# smallest whole-dollar price bound T such that at least half of
+# lineitem falls at or under it (the scripted twin of a median probe).
+# Each loop iteration runs a real COUNT against the table and steers on
+# the result — the control-flow surface a migration from stored
+# procedures needs. The oracle replays the same 20-step bisection as a
+# bounded recursive CTE with the identical integer arithmetic.
+# ---------------------------------------------------------------------------
+BISECT_HI = 1 << 20  # upper bound > any l_extendedprice (max ~104k)
+
+
+def _bisect_oracle() -> str:
+    return f"""
+        WITH RECURSIVE bis(i, lo, hi) AS (
+            SELECT 0, CAST(0 AS BIGINT), CAST({BISECT_HI} AS BIGINT)
+            UNION ALL
+            SELECT i + 1,
+                   CASE WHEN (SELECT COUNT(*) FROM lineitem
+                              WHERE l_extendedprice <= (lo + hi) // 2)
+                             >= (SELECT COUNT(*) FROM lineitem) // 2
+                        THEN lo ELSE (lo + hi) // 2 + 1 END,
+                   CASE WHEN (SELECT COUNT(*) FROM lineitem
+                              WHERE l_extendedprice <= (lo + hi) // 2)
+                             >= (SELECT COUNT(*) FROM lineitem) // 2
+                        THEN (lo + hi) // 2 ELSE hi END
+            FROM bis WHERE lo < hi
+        )
+        SELECT lo AS threshold,
+               (SELECT CAST(COUNT(*) AS BIGINT) FROM lineitem
+                WHERE l_extendedprice <= lo) AS n_at_or_below,
+               (SELECT CAST(COUNT(*) AS BIGINT) FROM lineitem) // 2 AS target
+        FROM bis WHERE lo = hi
+    """
+
+
+@register(
+    "sql_scripting_showcase",
+    oracle=_bisect_oracle(),
+    tags=("sql-surface", "sql-scripting", "procedural", "lineitem"),
+)
+def sql_scripting_showcase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kafka_stream_job_spark.tables import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(
+        f"""
+        BEGIN
+          DECLARE lo BIGINT DEFAULT 0;
+          DECLARE hi BIGINT DEFAULT {BISECT_HI};
+          DECLARE mid BIGINT;
+          DECLARE target BIGINT;
+          SET target = (SELECT COUNT(*) FROM lineitem) DIV 2;
+          WHILE lo < hi DO
+            SET mid = (lo + hi) DIV 2;
+            IF (SELECT COUNT(*) FROM lineitem
+                WHERE l_extendedprice <= mid) >= target THEN
+              SET hi = mid;
+            ELSE
+              SET lo = mid + 1;
+            END IF;
+          END WHILE;
+          SELECT lo AS threshold,
+                 (SELECT CAST(COUNT(*) AS BIGINT) FROM lineitem
+                  WHERE l_extendedprice <= lo) AS n_at_or_below,
+                 target AS target;
+        END
+        """
+    )

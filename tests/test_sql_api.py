@@ -45,3 +45,32 @@ def test_sql_explain_surface(spark):
     for section in ("Parsed Logical Plan", "Analyzed Logical Plan",
                     "Optimized Logical Plan", "Physical Plan"):
         assert section in ext
+
+
+def test_sql_udf_inlines_no_python_boundary(spark):
+    """SQL UDFs must inline into the plan — no BatchEvalPython /
+    ArrowEvalPython stage, sums stay inside whole-stage codegen."""
+    from kafka_stream_job_spark.registry import all_specs
+
+    from .conftest import SF_SMOKE
+
+    df = all_specs()["sql_udf_showcase"].fn(spark, SF_SMOKE)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "HashAggregate" in plan
+
+
+def test_sql_scripting_bisection_finds_minimal_threshold(spark):
+    """The scripted bisection must return the MINIMAL integer T with
+    count(price <= T) >= half the table."""
+    from kafka_stream_job_spark.registry import all_specs
+    from kafka_stream_job_spark.tables import load_table
+    from pyspark.sql import functions as F
+
+    from .conftest import SF_SMOKE
+
+    row = all_specs()["sql_scripting_showcase"].fn(spark, SF_SMOKE).collect()[0]
+    li = load_table(spark, SF_SMOKE, "lineitem")
+    assert row["n_at_or_below"] >= row["target"]
+    below = li.filter(F.col("l_extendedprice") <= row["threshold"] - 1).count()
+    assert below < row["target"]
