@@ -7190,3 +7190,128 @@ def sql_scripting_showcase(spark: SparkSession, sf_dir: str) -> DataFrame:
         END
         """
     )
+
+
+# ---------------------------------------------------------------------------
+# GRAPH MODULARITY of the brand partition — how much more intra-brand
+# co-purchasing happens than a degree-preserving random graph predicts:
+# Q = Σ_c (m_cc/m − (d_c/m)²) over the DIRECTED edge set (both m_cc and
+# degree sums are exact integers; the two divisions and the fold over
+# brands happen in pinned brand order — one fixed IEEE dag). Q ≈ 0 says
+# brands don't structure the basket graph; Q > 0 says they do. The
+# per-community terms ride along for drill-down.
+# Scale: same one-fact-scan in-array edge expansion as pagerank; the
+# brand join keys on partkey (dimension-sized, broadcast); everything
+# after is a |brands|-row aggregate.
+# ---------------------------------------------------------------------------
+@register(
+    "graph_modularity_by_brand",
+    oracle="""
+        WITH items AS (
+            SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+        ),
+        edges AS (
+            SELECT a.l_partkey AS src, b.l_partkey AS dst
+            FROM items a
+            JOIN items b ON a.l_orderkey = b.l_orderkey
+                        AND a.l_partkey <> b.l_partkey
+            GROUP BY 1, 2
+        ),
+        lab AS (
+            SELECT e.src, e.dst, ps.p_brand AS bs, pd.p_brand AS bd
+            FROM edges e
+            JOIN part ps ON ps.p_partkey = e.src
+            JOIN part pd ON pd.p_partkey = e.dst
+        ),
+        m AS (SELECT CAST(COUNT(*) AS BIGINT) AS m FROM lab),
+        per AS (
+            SELECT bs AS brand,
+                   CAST(SUM(CASE WHEN bs = bd THEN 1 ELSE 0 END) AS BIGINT)
+                       AS m_intra,
+                   CAST(COUNT(*) AS BIGINT) AS d_out
+            FROM lab GROUP BY bs
+        ),
+        terms AS (
+            SELECT p.brand, p.m_intra, p.d_out,
+                   p.m_intra * 1.0 / m.m
+                       - (p.d_out * 1.0 / m.m) * (p.d_out * 1.0 / m.m)
+                       AS term
+            FROM per p, m
+        ),
+        q AS (
+            SELECT list_reduce(
+                       list_prepend(CAST(0 AS DOUBLE),
+                           list(term ORDER BY brand)),
+                       (a, x) -> a + x) AS q
+            FROM terms
+        )
+        SELECT t.brand, t.m_intra, t.d_out,
+               ROUND((t.term) * 1000000.0) / 1000000.0 + 0.0 AS brand_term,
+               ROUND((q.q) * 1000000.0) / 1000000.0 + 0.0 AS modularity
+        FROM terms t CROSS JOIN q
+    """,
+    tags=("graph", "modularity", "community", "lineitem"),
+)
+def graph_modularity_by_brand(spark: SparkSession, sf_dir: str) -> DataFrame:
+    baskets = (
+        load_table(spark, sf_dir, "lineitem")
+        .groupBy("l_orderkey")
+        .agg(F.array_sort(F.collect_set("l_partkey")).alias("parts"))
+    )
+    directed = F.flatten(
+        F.transform(
+            F.col("parts"),
+            lambda x: F.transform(
+                F.filter(F.col("parts"), lambda y: y != x),
+                lambda y: F.struct(x.alias("src"), y.alias("dst")),
+            ),
+        )
+    )
+    edges = (
+        baskets.select(F.explode(directed).alias("e"))
+        .select(F.col("e.src").alias("src"), F.col("e.dst").alias("dst"))
+        .distinct()
+    )
+    part = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    lab = (
+        edges.join(
+            F.broadcast(part.select(F.col("p_partkey").alias("src"), F.col("p_brand").alias("bs"))),
+            "src",
+        )
+        .join(
+            F.broadcast(part.select(F.col("p_partkey").alias("dst"), F.col("p_brand").alias("bd"))),
+            "dst",
+        )
+    )
+    m = lab.agg(F.count(F.lit(1)).cast("long").alias("m"))
+    per = lab.groupBy(F.col("bs").alias("brand")).agg(
+        F.sum(F.when(F.col("bs") == F.col("bd"), 1).otherwise(0))
+        .cast("long")
+        .alias("m_intra"),
+        F.count(F.lit(1)).cast("long").alias("d_out"),
+    )
+    term = (
+        F.col("m_intra") * F.lit(1.0) / F.col("m")
+        - (F.col("d_out") * F.lit(1.0) / F.col("m"))
+        * (F.col("d_out") * F.lit(1.0) / F.col("m"))
+    )
+    terms = per.crossJoin(F.broadcast(m)).select(
+        "brand", "m_intra", "d_out", term.alias("term")
+    ).localCheckpoint(eager=False)  # the Q fold and the output both read it
+    q = terms.agg(
+        F.aggregate(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("brand", "term"))),
+                lambda s: s["term"],
+            ),
+            F.lit(0.0),
+            lambda a, x: a + x,
+        ).alias("q")
+    )
+    return terms.crossJoin(F.broadcast(q)).select(
+        "brand",
+        "m_intra",
+        "d_out",
+        pround("term", 6).alias("brand_term"),
+        pround("q", 6).alias("modularity"),
+    )

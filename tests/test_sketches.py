@@ -453,3 +453,19 @@ def test_conformal_coverage_near_target(spark):
         assert r["qhat"] >= 0.0
         assert 0 <= r["n_covered"] <= r["n_test"]
         assert r["coverage_bp"] >= 5000  # ≥50% even on the tiny smoke split
+
+
+def test_modularity_bounded_and_terms_sum(spark):
+    from kafka_stream_job_spark.operators.relational import (
+        graph_modularity_by_brand,
+    )
+
+    rows = graph_modularity_by_brand(spark, SF_SMOKE).collect()
+    assert rows
+    qs = {r["modularity"] for r in rows}
+    assert len(qs) == 1
+    q = qs.pop()
+    assert -1.0 <= q <= 1.0
+    assert abs(sum(r["brand_term"] for r in rows) - q) < 1e-3
+    for r in rows:
+        assert 0 <= r["m_intra"] <= r["d_out"]
