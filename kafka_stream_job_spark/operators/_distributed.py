@@ -133,3 +133,55 @@ def distributed_prefix_sum(
         .withColumn(out_col, F.col("_off") + F.col("_lcum"))
         .drop("_pid", "_lcum", "_off")
     )
+
+
+def distributed_prefix_max(
+    df: DataFrame,
+    sort_cols: list[Column],
+    value_col: str,
+    n_parts: int = DEFAULT_RANK_PARTS,
+    out_col: str = "running_max",
+) -> DataFrame:
+    """Add the global running MAX of ``value_col`` along ``sort_cols`` —
+    the third member of the family (rank, prefix-sum, prefix-max; max is
+    just as decomposable: local running max + the max over all EARLIER
+    partitions, which is |partitions| rows of broadcast metadata). Used
+    for arrival-order frontier analyses (watermark sizing), where the
+    running max of event time along arrival order IS the watermark
+    frontier. Same localCheckpoint pinning as distributed_rank, same
+    reason."""
+    parts = df.repartitionByRange(n_parts, *sort_cols).withColumn(
+        "_pid", F.spark_partition_id()
+    )
+    local = parts.withColumn(
+        "_lmax",
+        F.max(value_col).over(
+            Window.partitionBy("_pid")
+            .orderBy(*sort_cols)
+            .rowsBetween(Window.unboundedPreceding, 0)
+        ),
+    ).localCheckpoint(eager=False)
+    offsets = (
+        local.groupBy("_pid")
+        .agg(F.max(value_col).alias("_pmax"))
+        .withColumn(
+            "_omax",
+            F.max("_pmax").over(
+                Window.orderBy("_pid").rowsBetween(
+                    Window.unboundedPreceding, -1
+                )
+            ),
+        )
+        .select("_pid", "_omax")
+    )
+    return (
+        local.join(F.broadcast(offsets), "_pid")
+        .withColumn(
+            out_col,
+            F.when(
+                F.col("_omax").isNull() | (F.col("_lmax") >= F.col("_omax")),
+                F.col("_lmax"),
+            ).otherwise(F.col("_omax")),
+        )
+        .drop("_pid", "_lmax", "_omax")
+    )

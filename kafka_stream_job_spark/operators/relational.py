@@ -7315,3 +7315,165 @@ def graph_modularity_by_brand(spark: SparkSession, sf_dir: str) -> DataFrame:
         pround("term", 6).alias("brand_term"),
         pround("q", 6).alias("modularity"),
     )
+
+
+# ---------------------------------------------------------------------------
+# WATERMARK SIZING REPORT — how late do events actually arrive, and what
+# would each candidate watermark delay drop? Treating event_id as the
+# arrival order (the replay order the streaming queries use), an event's
+# lateness is the event-time frontier at its arrival (running MAX of ts
+# over arrival order — exactly the watermark frontier) minus its own
+# event time. The report buckets lateness and gives the drop rate (bp)
+# at candidate delays — the data-driven answer to "what
+# withWatermark('…') should this pipeline use".
+# Scale: the frontier is the new distributed prefix-MAX primitive
+# (_distributed.py) — range exchange on arrival order, local running
+# max, broadcast per-partition maxima; no single-partition window.
+# ---------------------------------------------------------------------------
+WM_DELAYS_S = (0, 3600, 21600)  # candidate watermark delays: 0, 1h, 6h
+
+
+@register(
+    "watermark_sizing_report",
+    oracle=f"""
+        WITH arr AS (
+            SELECT event_id,
+                   epoch_us(ts) AS tus,
+                   MAX(epoch_us(ts)) OVER (ORDER BY event_id
+                                           ROWS UNBOUNDED PRECEDING)
+                       AS frontier
+            FROM events
+        ),
+        late AS (
+            SELECT (frontier - tus) // 1000000 AS late_s FROM arr
+        )
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_events,
+               CAST(SUM(CASE WHEN late_s = 0 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_on_frontier,
+               CAST(MAX(late_s) AS BIGINT) AS max_late_s,
+               {", ".join(
+                   f'''(CAST(SUM(CASE WHEN late_s > {d} THEN 1 ELSE 0 END)
+                        AS BIGINT) * 10000) // COUNT(*)
+                       AS drop_bp_delay_{d}s''' for d in WM_DELAYS_S)}
+        FROM late
+    """,
+    tags=("streaming-ops", "watermark", "lateness", "events"),
+)
+def watermark_sizing_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kafka_stream_job_spark.operators._distributed import (
+        distributed_prefix_max,
+    )
+
+    events = load_table(spark, sf_dir, "events")
+    arr = events.select(
+        "event_id", F.expr("unix_micros(cast(ts as timestamp))").alias("tus")
+    )
+    fr = distributed_prefix_max(
+        arr, [F.col("event_id")], "tus", out_col="frontier"
+    )
+    late = fr.select(
+        idiv(F.col("frontier") - F.col("tus"), F.lit(1_000_000)).alias("late_s")
+    )
+    aggs = [
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+        F.sum(F.when(F.col("late_s") == 0, 1).otherwise(0))
+        .cast("long")
+        .alias("n_on_frontier"),
+        F.max("late_s").cast("long").alias("max_late_s"),
+    ]
+    drop_cols = [
+        idiv(
+            F.sum(F.when(F.col("late_s") > d, 1).otherwise(0)).cast("long")
+            * 10000,
+            F.count(F.lit(1)),
+        ).alias(f"drop_bp_delay_{d}s")
+        for d in WM_DELAYS_S
+    ]
+    return late.agg(*aggs, *drop_cols)
+
+
+# ---------------------------------------------------------------------------
+# JOIN SKEW PLANNER — the pre-flight a 100 TB shuffle join wants: for
+# each candidate join key, the per-key count profile (hottest key and
+# its share), the skew factor max/avg, and the salt fan-out that would
+# level it (ceil(max/avg) — the number a salted-join rewrite like
+# salted_join_supplier_volume plugs in). All exact integer arithmetic
+# (idiv with ceiling via +den−1); the per-key profiles are map-side
+# partial groupBys, so the planner itself never moves more than key
+# cardinality across the network.
+# ---------------------------------------------------------------------------
+def _skew_oracle_one(name: str, table: str, key: str) -> str:
+    return f"""
+        SELECT '{name}' AS join_key,
+               (SELECT CAST(COUNT(*) AS BIGINT) FROM {table}) AS n_rows,
+               CAST(COUNT(*) AS BIGINT) AS n_keys,
+               CAST(MAX(c) AS BIGINT) AS max_key_rows,
+               (SELECT MIN(k) FROM
+                   (SELECT {key} AS k, COUNT(*) AS c2 FROM {table} GROUP BY 1)
+                WHERE c2 = (SELECT MAX(c3) FROM
+                   (SELECT COUNT(*) AS c3 FROM {table} GROUP BY {key})))
+                   AS hottest_key,
+               (CAST(MAX(c) AS BIGINT) * 10000)
+                   // (SELECT COUNT(*) FROM {table}) AS hot_share_bp,
+               (CAST(MAX(c) AS BIGINT) * CAST(COUNT(*) AS BIGINT)
+                + (SELECT COUNT(*) FROM {table}) - 1)
+                   // (SELECT COUNT(*) FROM {table}) AS recommended_salt
+        FROM (SELECT {key}, COUNT(*) AS c FROM {table} GROUP BY 1)
+    """
+
+
+@register(
+    "join_skew_planner",
+    oracle=" UNION ALL ".join(
+        _skew_oracle_one(n, t, k)
+        for n, t, k in (
+            ("orders.o_custkey", "orders", "o_custkey"),
+            ("lineitem.l_partkey", "lineitem", "l_partkey"),
+            ("lineitem.l_suppkey", "lineitem", "l_suppkey"),
+        )
+    ),
+    tags=("stats", "skew", "planner", "optimizer"),
+)
+def join_skew_planner(spark: SparkSession, sf_dir: str) -> DataFrame:
+    def one(name: str, df: DataFrame, key: str) -> DataFrame:
+        cnt = df.groupBy(F.col(key).alias("k")).agg(
+            F.count(F.lit(1)).cast("long").alias("c")
+        )
+        prof = cnt.agg(
+            F.count(F.lit(1)).cast("long").alias("n_keys"),
+            F.max("c").cast("long").alias("max_key_rows"),
+        )
+        nr = df.agg(F.count(F.lit(1)).cast("long").alias("n_rows"))
+        hot = (
+            cnt.crossJoin(F.broadcast(prof.select(F.col("max_key_rows").alias("mx"))))
+            .filter(F.col("c") == F.col("mx"))
+            .agg(F.min("k").alias("hottest_key"))
+        )
+        return (
+            nr.crossJoin(F.broadcast(prof))
+            .crossJoin(F.broadcast(hot))
+            .select(
+                F.lit(name).alias("join_key"),
+                "n_rows",
+                "n_keys",
+                "max_key_rows",
+                "hottest_key",
+                idiv(F.col("max_key_rows") * 10000, F.col("n_rows")).alias(
+                    "hot_share_bp"
+                ),
+                idiv(
+                    F.col("max_key_rows") * F.col("n_keys")
+                    + F.col("n_rows")
+                    - 1,
+                    F.col("n_rows"),
+                ).alias("recommended_salt"),
+            )
+        )
+
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        one("orders.o_custkey", orders, "o_custkey")
+        .unionByName(one("lineitem.l_partkey", li, "l_partkey"))
+        .unionByName(one("lineitem.l_suppkey", li, "l_suppkey"))
+    )

@@ -472,7 +472,9 @@ def _assert_distributed_rank_shape(plan: str):
     own shape is pinned by test_distributed_rank_upstream_plan), the
     broadcast offsets join, and the ABSENCE of the single-partition
     global window/ntile this machinery exists to avoid."""
-    assert "Scan ExistingRDD" in plan and "_lrn" in plan or "_lcum" in plan
+    assert "Scan ExistingRDD" in plan and (
+        "_lrn" in plan or "_lcum" in plan or "_lmax" in plan
+    )
     assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
     assert "ntile" not in plan.lower()
     assert "CartesianProduct" not in plan
@@ -843,3 +845,10 @@ def test_maxsim_broadcast_queries_single_corpus_pass(spark):
     assert "BroadcastNestedLoopJoin" in plan
     assert "SortMergeJoin" not in plan
     assert "WindowGroupLimit" in plan
+
+
+def test_watermark_report_uses_distributed_prefix_max(spark):
+    """The arrival-order frontier comes from the distributed prefix-max
+    (checkpoint-pinned range pass + broadcast partition maxima) — no
+    single-partition global window over the events."""
+    _assert_distributed_rank_shape(plan_of(spark, "watermark_sizing_report"))

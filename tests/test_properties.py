@@ -3009,3 +3009,29 @@ def test_bfs_unrolled_min_join_matches_python_bfs(edges):
                 want[nxt] = d + 1
                 frontier.append((nxt, d + 1))
     assert got == want
+
+
+@settings(max_examples=80, deadline=None)
+@given(
+    vals=st.lists(
+        st.integers(min_value=-1000, max_value=1000), min_size=1, max_size=200
+    )
+)
+def test_prefix_max_decomposition_matches_sequential(vals):
+    """The distributed prefix-max law: for ANY partitioning of the
+    sequence into ordered ranges, local running max combined with the
+    max of all earlier ranges equals the sequential running max."""
+    import itertools
+
+    seq = list(itertools.accumulate(vals, max))
+    for cut in range(1, len(vals) + 1):
+        parts = [vals[:cut], vals[cut:]]
+        out = []
+        earlier = None
+        for p in parts:
+            run = list(itertools.accumulate(p, max)) if p else []
+            for v in run:
+                out.append(v if earlier is None or v >= earlier else earlier)
+            if run:
+                earlier = run[-1] if earlier is None else max(earlier, run[-1])
+        assert out == seq
