@@ -1590,3 +1590,147 @@ def fuzzy_join_part_names(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("jaccard_bp"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# b-BIT MINHASH CALIBRATION (b = 1) — store ONE bit per hash (the
+# min-hash value's parity) instead of the full 31-bit value: 31× less
+# signature storage, and for unrelated docs bits agree half the time, so
+# the unbiased estimate is Ĵ = 2·(A/k) − 1 with A the bit-agreement
+# count. This query reports, per LSH candidate pair, the 1-bit estimate
+# beside the full-signature estimate and the exact Jaccard — the
+# storage/accuracy trade measured on real candidates (Li & König's
+# b-bit minwise hashing, evaluated with the registry's exact-oracle
+# discipline). Shares signatures/pairs/exact-Jaccard CTE definitions
+# with minhash_jaccard_calibration, so the dags stay one definition.
+# ---------------------------------------------------------------------------
+_bit_agree_sql = " + ".join(
+    f"CASE WHEN sa.h{s} % 2 = sb.h{s} % 2 THEN 1 ELSE 0 END"
+    for s in range(NUM_HASHES)
+)
+
+
+@register(
+    "minhash_bbit_calibration",
+    oracle=f"""
+        WITH shingles AS ({_SHINGLES_SQL}),
+        sigs AS ({_SIGS_SQL}),
+        bands AS ({_BANDS_SQL}),
+        pairs AS ({_PAIRS_SQL}),
+        counts AS (SELECT doc_id, COUNT(*) AS n FROM shingles GROUP BY doc_id),
+        inter AS (
+            SELECT p.doc_a, p.doc_b, COUNT(*) AS n_common
+            FROM pairs p
+            JOIN shingles sa ON sa.doc_id = p.doc_a
+            JOIN shingles sb ON sb.doc_id = p.doc_b AND sb.shingle = sa.shingle
+            GROUP BY p.doc_a, p.doc_b
+        ),
+        agree AS (
+            SELECT p.doc_a, p.doc_b,
+                   CAST({_agree_sql} AS BIGINT) AS n_equal,
+                   CAST({_bit_agree_sql} AS BIGINT) AS n_bit_equal
+            FROM pairs p
+            JOIN sigs sa ON sa.doc_id = p.doc_a
+            JOIN sigs sb ON sb.doc_id = p.doc_b
+        )
+        SELECT a.doc_a, a.doc_b, a.n_bit_equal,
+               ROUND((2.0 * (a.n_bit_equal / {NUM_HASHES}.0) - 1.0)
+                     * 10000.0) / 10000.0 + 0.0 AS est_bbit,
+               a.n_equal / {NUM_HASHES}.0 AS est_full,
+               ROUND(({_exact_raw_sql}) * 10000.0) / 10000.0 + 0.0
+                   AS exact_jaccard,
+               ROUND(ABS((2.0 * (a.n_bit_equal / {NUM_HASHES}.0) - 1.0)
+                         - ({_exact_raw_sql})) * 10000.0) / 10000.0 + 0.0
+                   AS abs_err_bbit
+        FROM agree a
+        JOIN inter i ON i.doc_a = a.doc_a AND i.doc_b = a.doc_b
+        JOIN counts ca ON ca.doc_id = a.doc_a
+        JOIN counts cb ON cb.doc_id = a.doc_b
+    """,
+    tags=("dedup", "lsh", "bbit-minhash", "calibration", "documents"),
+)
+def minhash_bbit_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents", rebalance=True)
+    sigs = minhash_signatures(spark, sf_dir).localCheckpoint(eager=False)
+    banded = sigs.select(
+        "doc_id",
+        F.explode(
+            F.map_from_arrays(
+                F.array(*[F.lit(b) for b in range(NUM_BANDS)]),
+                F.array(*_band_sig_cols()),
+            )
+        ).alias("band_idx", "band_sig"),
+    )
+    pairs = (
+        banded.alias("a")
+        .hint("merge")
+        .join(
+            banded.alias("b"),
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_sig") == F.col("b.band_sig"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .distinct()
+    )
+    sa = sigs.select(
+        F.col("doc_id").alias("doc_a"),
+        *[F.col(f"h{s}").alias(f"a{s}") for s in range(NUM_HASHES)],
+    )
+    sb = sigs.select(
+        F.col("doc_id").alias("doc_b"),
+        *[F.col(f"h{s}").alias(f"b{s}") for s in range(NUM_HASHES)],
+    )
+    n_equal = sum(
+        F.when(F.col(f"a{s}") == F.col(f"b{s}"), 1).otherwise(0)
+        for s in range(NUM_HASHES)
+    ).cast("long")
+    n_bit_equal = sum(
+        F.when(F.col(f"a{s}") % 2 == F.col(f"b{s}") % 2, 1).otherwise(0)
+        for s in range(NUM_HASHES)
+    ).cast("long")
+    scored = (
+        pairs.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select("doc_a", "doc_b", n_equal.alias("n_equal"),
+                n_bit_equal.alias("n_bit_equal"))
+    )
+    shingled = _shingles(docs).localCheckpoint(eager=False)
+    counts = shingled.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    inter = (
+        scored.select("doc_a", "doc_b")
+        .join(
+            shingled.select(F.col("doc_id").alias("doc_a"), "shingle"), "doc_a"
+        )
+        .join(
+            shingled.select(F.col("doc_id").alias("doc_b"), "shingle"),
+            ["doc_b", "shingle"],
+        )
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    exact = (
+        F.col("n_common")
+        * F.lit(1.0)
+        / (F.col("na") + F.col("nb") - F.col("n_common"))
+    )
+    est_bbit = (
+        F.lit(2.0) * (F.col("n_bit_equal") / F.lit(float(NUM_HASHES)))
+        - F.lit(1.0)
+    )
+    return (
+        scored.join(inter, ["doc_a", "doc_b"])
+        .join(counts.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na")), "doc_a")
+        .join(counts.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb")), "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            "n_bit_equal",
+            pround(est_bbit, 4).alias("est_bbit"),
+            (F.col("n_equal") / F.lit(float(NUM_HASHES))).alias("est_full"),
+            pround(exact, 4).alias("exact_jaccard"),
+            pround(F.abs(est_bbit - exact), 4).alias("abs_err_bbit"),
+        )
+    )

@@ -1945,3 +1945,115 @@ def ann_ndcg_truncation(spark: SparkSession, sf_dir: str) -> DataFrame:
         pround(dcg, 6).alias("dcg"),
         pround(dcg / idcg, 6).alias("ndcg"),
     )
+
+
+# ---------------------------------------------------------------------------
+# BINARY QUANTIZATION + EXACT RERANK — the vector-DB fast path: stage 1
+# ranks by Hamming distance between 64-bit SIGN signatures (1 bit/dim,
+# 64× smaller than float32; on real deployments the scan reads only the
+# packed bits), stage 2 reranks the top BINQ_CAND survivors with exact
+# cosine. Completes the quantization family: int8 (scalar), PQ
+# (codebook), 1-bit (sign) — each with its retrieval twin.
+# Determinism: sign bits, Hamming counts and the rerank ordering are
+# exact integers/pinned folds; ties break on neighbor_id at both stages.
+# Scale: broadcast query signatures ⋈ one corpus pass; both rank
+# windows share the query_id partitioning (WindowGroupLimit prunes).
+# ---------------------------------------------------------------------------
+BINQ_CAND = 20
+
+
+@register(
+    "similarity_topk_binary_rerank",
+    oracle=f"""
+        WITH sig AS (
+            SELECT vec_id, embedding,
+                   list_transform(embedding::DOUBLE[],
+                                  x -> CASE WHEN x >= 0 THEN 1 ELSE 0 END)
+                       AS bits
+            FROM embeddings
+        ),
+        ham AS (
+            SELECT q.vec_id AS query_id, d.vec_id AS neighbor_id,
+                   CAST(list_reduce(
+                       list_prepend(0,
+                           list_transform(list_zip(q.bits, d.bits),
+                               z -> CASE WHEN z[1] <> z[2] THEN 1 ELSE 0 END)),
+                       (a, x) -> a + x) AS BIGINT) AS hamming,
+                   {_dot_qd} / ({_norm_q} * {_norm_d}) AS cos_raw
+            FROM sig q JOIN sig d ON d.vec_id <> q.vec_id
+            WHERE q.vec_id < {N_QUERIES}
+        ),
+        cand AS (
+            SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                         ORDER BY hamming ASC, neighbor_id ASC)
+                          AS hrank
+            FROM ham
+        ),
+        rerank AS (
+            SELECT query_id, neighbor_id, hamming, cos_raw,
+                   ROW_NUMBER() OVER (PARTITION BY query_id
+                                      ORDER BY cos_raw DESC, neighbor_id ASC)
+                       AS rank
+            FROM cand WHERE hrank <= {BINQ_CAND}
+        )
+        SELECT query_id, neighbor_id, hamming,
+               ROUND((cos_raw) * 10000.0) / 10000.0 AS cosine,
+               CAST(rank AS BIGINT) AS rank
+        FROM rerank WHERE rank <= {TOP_K}
+    """,
+    tags=("similarity", "embeddings", "binary-quantization", "rerank"),
+)
+def similarity_topk_binary_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    emb = load_table(spark, sf_dir, "embeddings", rebalance=True)
+    bits = F.transform(
+        "embedding",
+        lambda x: F.when(x.cast("double") >= 0, 1).otherwise(0),
+    )
+    sig = emb.select("vec_id", "embedding", bits.alias("bits"))
+    q = sig.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("q_emb"),
+        F.col("bits").alias("q_bits"),
+    )
+    d = sig.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("embedding").alias("d_emb"),
+        F.col("bits").alias("d_bits"),
+    )
+    hamming = F.size(
+        F.filter(
+            F.zip_with("q_bits", "d_bits", lambda a, b: a != b), lambda z: z
+        )
+    ).cast("long")
+    cos_raw = _dot(F.col("q_emb"), F.col("d_emb")) / (
+        _norm(F.col("q_emb")) * _norm(F.col("d_emb"))
+    )
+    scored = d.join(
+        F.broadcast(q), F.col("neighbor_id") != F.col("query_id")
+    ).select(
+        "query_id",
+        "neighbor_id",
+        hamming.alias("hamming"),
+        cos_raw.alias("cos_raw"),
+    )
+    wh = Window.partitionBy("query_id").orderBy(
+        F.col("hamming").asc(), F.col("neighbor_id").asc()
+    )
+    wc = Window.partitionBy("query_id").orderBy(
+        F.col("cos_raw").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("hrank", F.row_number().over(wh))
+        .filter(F.col("hrank") <= BINQ_CAND)
+        .withColumn("rank", F.row_number().over(wc).cast("long"))
+        .filter(F.col("rank") <= TOP_K)
+        .select(
+            "query_id",
+            "neighbor_id",
+            "hamming",
+            pround(F.col("cos_raw"), 4).alias("cosine"),
+            "rank",
+        )
+    )
