@@ -7477,3 +7477,84 @@ def join_skew_planner(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(one("lineitem.l_partkey", li, "l_partkey"))
         .unionByName(one("lineitem.l_suppkey", li, "l_suppkey"))
     )
+
+
+# ---------------------------------------------------------------------------
+# AS-OF TRAINING FEATURE MATRIX — the feature-store correctness
+# contract: for every purchase (the training label row), assemble the
+# user's features AS OF strictly BEFORE that event (prior view/click
+# counts, prior purchase count and spend) so no label information leaks
+# into its own features. One pass of per-user cumulative windows with a
+# rows-frame ending at -1 — the preceding-only frame IS the
+# leakage guarantee, and the (ts, event_id) total order makes it exact
+# under same-timestamp ties.
+# Spend is accumulated in integer cents (micro-batch-order-free, exact).
+# Scale: all four features share one user-keyed shuffle; the label
+# filter happens after the windows (a purchase's features need the
+# full event stream, not the purchase subset).
+# ---------------------------------------------------------------------------
+@register(
+    "feature_asof_training_matrix",
+    oracle="""
+        WITH feats AS (
+            SELECT event_id, user_id, event_type,
+                   CAST(COALESCE(SUM(CASE WHEN event_type = 'view'
+                                          THEN 1 ELSE 0 END) OVER w, 0)
+                        AS BIGINT) AS prior_views,
+                   CAST(COALESCE(SUM(CASE WHEN event_type = 'click'
+                                          THEN 1 ELSE 0 END) OVER w, 0)
+                        AS BIGINT) AS prior_clicks,
+                   CAST(COALESCE(SUM(CASE WHEN event_type = 'purchase'
+                                          THEN 1 ELSE 0 END) OVER w, 0)
+                        AS BIGINT) AS prior_purchases,
+                   CAST(COALESCE(SUM(CASE WHEN event_type = 'purchase'
+                                          THEN CAST(ROUND(value * 100.0)
+                                                    AS BIGINT)
+                                          ELSE 0 END) OVER w, 0)
+                        AS BIGINT) AS prior_spend_cents
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+        )
+        SELECT event_id AS label_event_id, user_id,
+               prior_views, prior_clicks, prior_purchases, prior_spend_cents
+        FROM feats
+        WHERE event_type = 'purchase'
+    """,
+    tags=("llm-pipeline", "feature-store", "asof", "leakage", "events"),
+)
+def feature_asof_training_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+
+    def prior(cond, val):
+        return F.coalesce(
+            F.sum(F.when(cond, val).otherwise(0)).over(w), F.lit(0)
+        ).cast("long")
+
+    feats = events.select(
+        "event_id",
+        "user_id",
+        "event_type",
+        prior(F.col("event_type") == "view", F.lit(1)).alias("prior_views"),
+        prior(F.col("event_type") == "click", F.lit(1)).alias("prior_clicks"),
+        prior(F.col("event_type") == "purchase", F.lit(1)).alias(
+            "prior_purchases"
+        ),
+        prior(
+            F.col("event_type") == "purchase",
+            F.round(F.col("value") * 100.0, 0).cast("long"),
+        ).alias("prior_spend_cents"),
+    )
+    return feats.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("label_event_id"),
+        "user_id",
+        "prior_views",
+        "prior_clicks",
+        "prior_purchases",
+        "prior_spend_cents",
+    )

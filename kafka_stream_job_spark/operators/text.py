@@ -2156,3 +2156,189 @@ def rag_context_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
         "bm25_r",
         "cum_tokens",
     )
+
+
+# ---------------------------------------------------------------------------
+# SKIP-GRAM TRAINING PAIRS WITH NEGATIVE SAMPLING — the word2vec data
+# build: (center, context) pairs from a ±2 window, a deterministic 5%
+# pair-type sample, and for each kept pair K_NEG negatives drawn from
+# the classic unigram^{3/4} table. Everything that is usually "random"
+# is hash-derived: the sample gate and each negative's draw position are
+# md5 integers, and the ¾-power weight is written as exp(0.75·ln(c)) —
+# the explicit dag both engines' libm agree on (ln/exp portability
+# proven by the LM and logreg queries). The negative table is the top
+# NEG_VOCAB words (count desc, word asc — deterministic truncation, the
+# standard practice), with integer cumulative ranges; a draw is a range
+# probe against that broadcast table.
+# Scale: pair extraction is in-array; pair-type counts are map-side
+# partial; the negative join is a BNLJ against a 64-row broadcast.
+# ---------------------------------------------------------------------------
+SG_SAMPLE_MOD = 20  # keep pair types where hash % 20 == 0 (5%)
+SG_K_NEG = 2
+SG_NEG_VOCAB = 64
+
+
+@register(
+    "skipgram_negative_samples",
+    oracle=f"""
+        WITH toks AS (
+            SELECT string_split_regex(trim(text), '\\s+') AS ws
+            FROM documents
+            WHERE len(string_split_regex(trim(text), '\\s+')) >= 3
+        ),
+        rawp AS (
+            SELECT unnest(list_concat(
+                       list_zip(ws[1:len(ws) - 1], ws[2:len(ws)]),
+                       list_zip(ws[1:len(ws) - 2], ws[3:len(ws)]))) AS p
+            FROM toks
+        ),
+        pairs AS (
+            SELECT p[1] AS center, p[2] AS context FROM rawp
+            UNION ALL
+            SELECT p[2] AS center, p[1] AS context FROM rawp
+        ),
+        pc AS (
+            SELECT center, context, CAST(COUNT(*) AS BIGINT) AS n_occ
+            FROM pairs GROUP BY 1, 2
+        ),
+        sampled AS (
+            SELECT * FROM pc
+            WHERE ('0x' || substr(md5('sg:' || center || ':' || context), 1, 7))::BIGINT
+                  % {SG_SAMPLE_MOD} = 0
+        ),
+        vocab AS (
+            SELECT w, c FROM (
+                SELECT w, CAST(COUNT(*) AS BIGINT) AS c
+                FROM (SELECT unnest(ws) AS w FROM toks)
+                GROUP BY w
+            ) ORDER BY c DESC, w ASC LIMIT {SG_NEG_VOCAB}
+        ),
+        wt AS (
+            SELECT w, CAST(ROUND(exp(0.75 * ln(c * 1.0)) * 1000.0) AS BIGINT)
+                       AS wgt
+            FROM vocab
+        ),
+        ranges AS (
+            SELECT w, wgt,
+                   CAST(SUM(wgt) OVER (ORDER BY w ROWS UNBOUNDED PRECEDING)
+                        AS BIGINT) - wgt AS lo,
+                   CAST(SUM(wgt) OVER (ORDER BY w ROWS UNBOUNDED PRECEDING)
+                        AS BIGINT) AS hi
+            FROM wt
+        ),
+        tot AS (SELECT CAST(SUM(wgt) AS BIGINT) AS t FROM wt),
+        draws AS (
+            SELECT s.center, s.context, s.n_occ, k.k,
+                   ('0x' || substr(md5('neg:' || s.center || ':' || s.context
+                                       || ':' || CAST(k.k AS VARCHAR)), 1, 12))::BIGINT
+                       % tot.t AS pos
+            FROM sampled s, (SELECT unnest(range(1, {SG_K_NEG} + 1)) AS k) k,
+                 tot
+        )
+        SELECT d.center, d.context, d.n_occ, CAST(d.k AS BIGINT) AS k,
+               r.w AS negative
+        FROM draws d JOIN ranges r ON d.pos >= r.lo AND d.pos < r.hi
+    """,
+    tags=("llm-pipeline", "word2vec", "negative-sampling", "documents"),
+)
+def skipgram_negative_samples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        F.split(F.trim("text"), r"\s+").alias("ws")
+    ).filter(F.size("ws") >= 3)
+
+    def zip_d(d: int):
+        return F.zip_with(
+            F.expr(f"slice(ws, 1, size(ws) - {d})"),
+            F.expr(f"slice(ws, {d + 1}, size(ws) - {d})"),
+            lambda x, y: F.struct(x.alias("a"), y.alias("b")),
+        )
+
+    rawp = toks.select(
+        F.explode(F.concat(zip_d(1), zip_d(2))).alias("p")
+    ).localCheckpoint(eager=False)  # both directions read the same pairs
+    pairs = rawp.select(
+        F.col("p.a").alias("center"), F.col("p.b").alias("context")
+    ).unionByName(
+        rawp.select(F.col("p.b").alias("center"), F.col("p.a").alias("context"))
+    )
+    pc = pairs.groupBy("center", "context").agg(
+        F.count(F.lit(1)).cast("long").alias("n_occ")
+    )
+    gate = (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(
+                        F.lit("sg:"), F.col("center"), F.lit(":"), F.col("context")
+                    )
+                ),
+                1,
+                7,
+            ),
+            16,
+            10,
+        ).cast("long")
+        % SG_SAMPLE_MOD
+    )
+    sampled = pc.filter(gate == 0)
+    vocab = (
+        toks.select(F.explode("ws").alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+        .orderBy(F.col("c").desc(), F.col("w").asc())
+        .limit(SG_NEG_VOCAB)
+    )
+    wt = vocab.select(
+        "w",
+        F.round(F.exp(F.lit(0.75) * F.log(F.col("c") * F.lit(1.0))) * 1000.0, 0)
+        .cast("long")
+        .alias("wgt"),
+    )
+    wr = Window.orderBy("w").rowsBetween(Window.unboundedPreceding, 0)
+    ranges = wt.select(
+        "w",
+        "wgt",
+        (F.sum("wgt").over(wr).cast("long") - F.col("wgt")).alias("lo"),
+        F.sum("wgt").over(wr).cast("long").alias("hi"),
+    )
+    tot = wt.agg(F.sum("wgt").cast("long").alias("t"))
+    ks = spark.range(1, SG_K_NEG + 1).select(F.col("id").cast("int").alias("k"))
+    pos = (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(
+                        F.lit("neg:"),
+                        F.col("center"),
+                        F.lit(":"),
+                        F.col("context"),
+                        F.lit(":"),
+                        F.col("k").cast("string"),
+                    )
+                ),
+                1,
+                12,
+            ),
+            16,
+            10,
+        ).cast("long")
+        % F.col("t")
+    )
+    draws = (
+        sampled.crossJoin(F.broadcast(ks))
+        .crossJoin(F.broadcast(tot))
+        .select("center", "context", "n_occ", "k", pos.alias("pos"))
+    )
+    return draws.join(
+        F.broadcast(ranges),
+        (F.col("pos") >= F.col("lo")) & (F.col("pos") < F.col("hi")),
+    ).select(
+        "center",
+        "context",
+        "n_occ",
+        F.col("k").cast("long").alias("k"),
+        F.col("w").alias("negative"),
+    )

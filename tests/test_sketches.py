@@ -515,3 +515,63 @@ def test_binary_rerank_aggregate_recall(spark):
     # prefilter (random 20-of-49 candidates would land ~0.41 only with
     # a broken rerank too, and 0 overlap means the join keys broke)
     assert recall >= 0.3, f"aggregate recall@5 too low: {recall:.2f}"
+
+
+def test_asof_features_monotone_and_leak_free(spark):
+    """A user's k-th purchase must see prior_purchases == k-1 (the
+    preceding-only frame excludes the label row itself) and
+    non-decreasing prior counts along time."""
+    from kafka_stream_job_spark.operators.relational import (
+        feature_asof_training_matrix,
+    )
+    from kafka_stream_job_spark.tables import load_table
+    from pyspark.sql import functions as F
+
+    out = feature_asof_training_matrix(spark, SF_SMOKE)
+    events = load_table(spark, SF_SMOKE, "events")
+    order = {
+        r["event_id"]: (r["ts"], r["event_id"])
+        for r in events.filter(F.col("event_type") == "purchase").collect()
+    }
+    by_user: dict = {}
+    for r in out.collect():
+        by_user.setdefault(r["user_id"], []).append(r)
+    for user, rows in by_user.items():
+        rows.sort(key=lambda r: order[r["label_event_id"]])
+        for i, r in enumerate(rows):
+            assert r["prior_purchases"] == i, (user, i)
+            if i:
+                prev = rows[i - 1]
+                assert r["prior_views"] >= prev["prior_views"]
+                assert r["prior_spend_cents"] >= prev["prior_spend_cents"]
+
+
+def test_skipgram_negatives_drawn_from_truncated_vocab(spark):
+    from kafka_stream_job_spark.operators.text import (
+        SG_K_NEG,
+        SG_NEG_VOCAB,
+        skipgram_negative_samples,
+    )
+    from kafka_stream_job_spark.tables import load_table
+    from pyspark.sql import functions as F
+
+    rows = skipgram_negative_samples(spark, SF_SMOKE).collect()
+    assert rows
+    docs = load_table(spark, SF_SMOKE, "documents")
+    vocab64 = {
+        r["w"]
+        for r in docs.select(
+            F.explode(F.split(F.trim("text"), r"\s+")).alias("w")
+        )
+        .groupBy("w")
+        .count()
+        .orderBy(F.col("count").desc(), F.col("w").asc())
+        .limit(SG_NEG_VOCAB)
+        .collect()
+    }
+    per_pair: dict = {}
+    for r in rows:
+        assert r["negative"] in vocab64
+        per_pair.setdefault((r["center"], r["context"]), set()).add(r["k"])
+    for ks in per_pair.values():
+        assert ks == set(range(1, SG_K_NEG + 1))
