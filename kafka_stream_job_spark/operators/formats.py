@@ -1,0 +1,164 @@
+"""Source-format capabilities — the ingestion edges a lakehouse engine
+must handle beyond clean parquet: malformed-record-tolerant CSV reads
+(PERMISSIVE + corrupt-record column) and schema evolution across parquet
+file generations (mergeSchema). Each stages a deterministic derived copy
+of the events table under the race-free ``_staged_dir`` discipline from
+streaming/pipeline.py, so the driver's oracle can predict every count
+exactly.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from kafka_stream_job_spark.registry import register
+from kafka_stream_job_spark.tables import load_table
+
+def _staged_dir(*args, **kwargs):
+    # lazy: streaming.pipeline registers queries whose oracles reference
+    # relational entries; importing it at module load would run before
+    # relational registration in all_specs()'s alphabetical import order
+    from kafka_stream_job_spark.streaming.pipeline import (
+        _staged_dir as impl,
+    )
+
+    return impl(*args, **kwargs)
+
+CSV_CORRUPT_MOD = 500  # events with event_id % 500 == 0 are malformed
+
+
+def _stage_csv(spark: SparkSession, sf_dir: str) -> str:
+    src = os.path.join(sf_dir, "events.parquet")
+
+    def build(tmp: str) -> None:
+        import pyarrow.parquet as pq
+
+        t = pq.read_table(src, columns=["event_id", "user_id", "event_type", "value"])
+        rows = zip(*(t.column(c).to_pylist() for c in ("event_id", "user_id", "event_type", "value")))
+        with open(os.path.join(tmp, "events.csv"), "w") as f:
+            f.write("event_id,user_id,event_type,value\n")
+            for eid, uid, etype, val in rows:
+                if eid % CSV_CORRUPT_MOD == 0:
+                    f.write(f"corrupted-line-without-delimiters-{eid}\n")
+                else:
+                    f.write(f"{eid},{uid},{etype},{val!r}\n")
+
+    return _staged_dir("/tmp/ksj-csv-stage", src, "csv_v1", build)
+
+
+# ---------------------------------------------------------------------------
+# PERMISSIVE CSV READ — schema-on-read over a dirty CSV export: every
+# 500th event is replaced by a delimiter-free garbage line at staging
+# time, and the read runs in PERMISSIVE mode with a corrupt-record
+# column, so bad lines surface as rows (null fields + the raw line)
+# instead of failing the job — the bronze-layer tolerate-and-count
+# contract (same posture as bronze_decode_errors for JSON payloads).
+# The oracle predicts every count from the parquet source because the
+# corruption rule is deterministic.
+# ---------------------------------------------------------------------------
+@register(
+    "csv_source_permissive_read",
+    oracle=f"""
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+               CAST(SUM(CASE WHEN event_id % {CSV_CORRUPT_MOD} = 0
+                             THEN 1 ELSE 0 END) AS BIGINT) AS n_corrupt,
+               CAST(SUM(CASE WHEN event_id % {CSV_CORRUPT_MOD} <> 0
+                             THEN event_id ELSE 0 END) AS BIGINT)
+                   AS sum_good_ids,
+               CAST(SUM(CASE WHEN event_id % {CSV_CORRUPT_MOD} <> 0
+                             THEN CAST(ROUND(value * 100.0) AS BIGINT)
+                             ELSE 0 END) AS BIGINT) AS sum_good_cents
+        FROM events
+    """,
+    tags=("source-format", "csv", "permissive", "events"),
+)
+def csv_source_permissive_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    stage = _stage_csv(spark, sf_dir)
+    schema = T.StructType(
+        [
+            T.StructField("event_id", T.LongType()),
+            T.StructField("user_id", T.LongType()),
+            T.StructField("event_type", T.StringType()),
+            T.StructField("value", T.DoubleType()),
+            T.StructField("_corrupt", T.StringType()),
+        ]
+    )
+    df = (
+        spark.read.schema(schema)
+        .option("header", True)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt")
+        .csv(os.path.join(stage, "events.csv"))
+    )
+    good = F.col("_corrupt").isNull()
+    return df.agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        F.sum(F.when(~good, 1).otherwise(0)).cast("long").alias("n_corrupt"),
+        F.sum(F.when(good, F.col("event_id")).otherwise(0))
+        .cast("long")
+        .alias("sum_good_ids"),
+        F.sum(
+            F.when(good, F.round(F.col("value") * 100.0, 0).cast("long")).otherwise(0)
+        )
+        .cast("long")
+        .alias("sum_good_cents"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# SCHEMA EVOLUTION (mergeSchema) — two parquet generations of the same
+# table: generation v1 (even event_ids) predates the `value` column,
+# generation v2 (odd event_ids) carries it. A mergeSchema read presents
+# the union schema with nulls where v1 lacks the column — the
+# reconciliation every long-lived lakehouse table needs. The oracle
+# predicts the merged view from the source because the generation rule
+# is deterministic (event_id parity).
+# ---------------------------------------------------------------------------
+@register(
+    "schema_evolution_merge_read",
+    oracle="""
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+               CAST(SUM(CASE WHEN event_id % 2 = 1 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_with_value,
+               CAST(SUM(event_id) AS BIGINT) AS sum_ids,
+               CAST(SUM(CASE WHEN event_id % 2 = 1
+                             THEN CAST(ROUND(value * 100.0) AS BIGINT)
+                             ELSE 0 END) AS BIGINT) AS sum_value_cents
+        FROM events
+    """,
+    tags=("source-format", "parquet", "schema-evolution", "events"),
+)
+def schema_evolution_merge_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    src = os.path.join(sf_dir, "events.parquet")
+
+    def build(tmp: str) -> None:
+        events = load_table(spark, sf_dir, "events")
+        v1 = events.filter(F.col("event_id") % 2 == 0).select(
+            "event_id", "user_id"
+        )
+        v2 = events.filter(F.col("event_id") % 2 == 1).select(
+            "event_id", "user_id", "value"
+        )
+        v1.write.parquet(os.path.join(tmp, "gen=v1"))
+        v2.write.parquet(os.path.join(tmp, "gen=v2"))
+
+    stage = _staged_dir("/tmp/ksj-evolve-stage", src, "evolve_v1", build)
+    merged = spark.read.option("mergeSchema", True).parquet(
+        os.path.join(stage, "gen=v1"), os.path.join(stage, "gen=v2")
+    )
+    return merged.agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        F.sum(F.when(F.col("value").isNotNull(), 1).otherwise(0))
+        .cast("long")
+        .alias("n_with_value"),
+        F.sum("event_id").cast("long").alias("sum_ids"),
+        F.sum(
+            F.coalesce(F.round(F.col("value") * 100.0, 0).cast("long"), F.lit(0))
+        )
+        .cast("long")
+        .alias("sum_value_cents"),
+    )

@@ -107,6 +107,7 @@ def all_specs() -> dict[str, QuerySpec]:
     # stays cheap and cycle-free.
     from kafka_stream_job_spark.operators import (  # noqa: F401
         dedup,
+        formats,
         multimodal,
         pandas_ops,
         pipeline,

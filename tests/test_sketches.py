@@ -575,3 +575,23 @@ def test_skipgram_negatives_drawn_from_truncated_vocab(spark):
         per_pair.setdefault((r["center"], r["context"]), set()).add(r["k"])
     for ks in per_pair.values():
         assert ks == set(range(1, SG_K_NEG + 1))
+
+
+def test_csv_permissive_read_counts(spark):
+    """PERMISSIVE mode surfaces each staged garbage line as one row (no
+    silent drops), and good rows round-trip ids/values exactly."""
+    from kafka_stream_job_spark.operators.formats import (
+        CSV_CORRUPT_MOD,
+        csv_source_permissive_read,
+    )
+    from kafka_stream_job_spark.tables import load_table
+    from pyspark.sql import functions as F
+
+    r = csv_source_permissive_read(spark, SF_SMOKE).collect()[0]
+    events = load_table(spark, SF_SMOKE, "events")
+    assert r["n_rows"] == events.count()
+    assert (
+        r["n_corrupt"]
+        == events.filter(F.col("event_id") % CSV_CORRUPT_MOD == 0).count()
+    )
+    assert r["n_corrupt"] > 0
