@@ -162,3 +162,88 @@ def schema_evolution_merge_read(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("sum_value_cents"),
     )
+
+
+# ---------------------------------------------------------------------------
+# ORC ROUND-TRIP — the third columnar format (parquet, CSV, ORC): stage
+# the events table as ORC once, read it back, and checksum. ORC uses a
+# different encoder stack (RLEv2, dictionary) — the round-trip proves
+# values survive it bit-for-bit for longs and to-the-cent for doubles.
+# ---------------------------------------------------------------------------
+@register(
+    "orc_source_roundtrip",
+    oracle="""
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+               CAST(SUM(event_id) AS BIGINT) AS sum_ids,
+               CAST(SUM(CAST(ROUND(value * 100.0) AS BIGINT)) AS BIGINT)
+                   AS sum_cents,
+               CAST(COUNT(DISTINCT event_type) AS BIGINT) AS n_types
+        FROM events
+    """,
+    tags=("source-format", "orc", "events"),
+)
+def orc_source_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    src = os.path.join(sf_dir, "events.parquet")
+
+    def build(tmp: str) -> None:
+        load_table(spark, sf_dir, "events").select(
+            "event_id", "user_id", "event_type", "value"
+        ).write.orc(os.path.join(tmp, "events_orc"))
+
+    stage = _staged_dir("/tmp/ksj-orc-stage", src, "orc_v1", build)
+    df = spark.read.orc(os.path.join(stage, "events_orc"))
+    return df.agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        F.sum("event_id").cast("long").alias("sum_ids"),
+        F.sum(F.round(F.col("value") * 100.0, 0).cast("long"))
+        .cast("long")
+        .alias("sum_cents"),
+        F.countDistinct("event_type").cast("long").alias("n_types"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# HIVE-PARTITIONED WRITE + PARTITION-PRUNED READ — stage events
+# partitioned by event_type (the layout that turns a predicate into
+# directory pruning), then read back ONLY two types. The plan must show
+# the predicate as a PartitionFilter (zero data files of other types
+# opened — asserted in test_plans.py); the oracle predicts the filtered
+# aggregate from the unpartitioned source.
+# ---------------------------------------------------------------------------
+PRUNE_TYPES = ("purchase", "click")
+
+
+def partitioned_events_stage(spark: SparkSession, sf_dir: str) -> str:
+    src = os.path.join(sf_dir, "events.parquet")
+
+    def build(tmp: str) -> None:
+        load_table(spark, sf_dir, "events").select(
+            "event_id", "user_id", "event_type", "value"
+        ).write.partitionBy("event_type").parquet(os.path.join(tmp, "events_part"))
+
+    return _staged_dir("/tmp/ksj-part-stage", src, "part_v1", build)
+
+
+@register(
+    "partitioned_source_pruned_read",
+    oracle=f"""
+        SELECT event_type,
+               CAST(COUNT(*) AS BIGINT) AS n_rows,
+               CAST(SUM(event_id) AS BIGINT) AS sum_ids
+        FROM events
+        WHERE event_type IN {PRUNE_TYPES!r}
+        GROUP BY event_type
+    """.replace('"', "'"),
+    tags=("source-format", "partition-pruning", "events"),
+)
+def partitioned_source_pruned_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    stage = partitioned_events_stage(spark, sf_dir)
+    df = spark.read.parquet(os.path.join(stage, "events_part"))
+    return (
+        df.filter(F.col("event_type").isin(*PRUNE_TYPES))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            F.sum("event_id").cast("long").alias("sum_ids"),
+        )
+    )

@@ -852,3 +852,27 @@ def test_watermark_report_uses_distributed_prefix_max(spark):
     (checkpoint-pinned range pass + broadcast partition maxima) — no
     single-partition global window over the events."""
     _assert_distributed_rank_shape(plan_of(spark, "watermark_sizing_report"))
+
+
+def test_partitioned_read_prunes_at_planning_time(spark):
+    """The event_type predicate must land in PartitionFilters (directory
+    pruning — other types' files are never opened), not a post-scan
+    Filter."""
+    from kafka_stream_job_spark.operators.formats import (
+        PRUNE_TYPES,
+        partitioned_events_stage,
+    )
+    import os
+
+    stage = partitioned_events_stage(spark, SF_SMOKE)
+    df = spark.read.parquet(os.path.join(stage, "events_part"))
+    from pyspark.sql import functions as F
+
+    plan = (
+        df.filter(F.col("event_type").isin(*PRUNE_TYPES))
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    pf = plan[plan.find("PartitionFilters") :]
+    assert "event_type" in pf[: pf.find("]") + 1], "predicate not pruned"
