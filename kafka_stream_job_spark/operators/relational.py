@@ -7558,3 +7558,68 @@ def feature_asof_training_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         "prior_purchases",
         "prior_spend_cents",
     )
+
+
+# ---------------------------------------------------------------------------
+# GINI COEFFICIENT of customer spend — revenue-concentration inequality
+# via the closed form G = (2·Σ rᵢxᵢ − (n+1)·Σxᵢ) / (n·Σxᵢ) over spend
+# sorted ascending (rᵢ the 1-based rank). Spend is exact integer cents
+# and the rank comes from the DISTRIBUTED rank primitive, so the
+# numerator/denominator are exact 64-bit integers (≈6·10¹⁷ worst case
+# at sf0.1 — headroom to 2⁶³) and only the final division is floating
+# point. Complements abc_customer_classification's cumulative-share cut
+# with the single-number inequality summary.
+# ---------------------------------------------------------------------------
+@register(
+    "customer_spend_gini",
+    oracle="""
+        WITH spend AS (
+            SELECT o_custkey,
+                   CAST(SUM(CAST(ROUND(o_totalprice * 100.0) AS BIGINT))
+                        AS BIGINT) AS cents
+            FROM orders GROUP BY o_custkey
+        ),
+        ranked AS (
+            SELECT cents,
+                   CAST(ROW_NUMBER() OVER (ORDER BY cents, o_custkey)
+                        AS BIGINT) AS r
+            FROM spend
+        ),
+        agg AS (
+            SELECT CAST(COUNT(*) AS BIGINT) AS n,
+                   CAST(SUM(cents) AS BIGINT) AS sx,
+                   CAST(SUM(r * cents) AS BIGINT) AS srx
+            FROM ranked
+        )
+        SELECT n AS n_customers, sx AS total_cents,
+               ROUND(((2.0 * srx - (n + 1.0) * sx) / (n * 1.0 * sx))
+                     * 1000000.0) / 1000000.0 + 0.0 AS gini
+        FROM agg
+    """,
+    tags=("stats", "gini", "inequality", "orders"),
+)
+def customer_spend_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kafka_stream_job_spark.operators._distributed import distributed_rank
+
+    orders = load_table(spark, sf_dir, "orders")
+    spend = orders.groupBy("o_custkey").agg(
+        F.sum(F.round(F.col("o_totalprice") * 100.0, 0).cast("long"))
+        .cast("long")
+        .alias("cents")
+    )
+    ranked = distributed_rank(
+        spend, [F.col("cents"), F.col("o_custkey")], rank_col="r"
+    )
+    agg = ranked.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("cents").cast("long").alias("sx"),
+        F.sum(F.col("r") * F.col("cents")).cast("long").alias("srx"),
+    )
+    gini = (
+        F.lit(2.0) * F.col("srx") - (F.col("n") + F.lit(1.0)) * F.col("sx")
+    ) / (F.col("n") * F.lit(1.0) * F.col("sx"))
+    return agg.select(
+        F.col("n").alias("n_customers"),
+        F.col("sx").alias("total_cents"),
+        pround(gini, 6).alias("gini"),
+    )
