@@ -247,3 +247,87 @@ def partitioned_source_pruned_read(spark: SparkSession, sf_dir: str) -> DataFram
             F.sum("event_id").cast("long").alias("sum_ids"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# XML DECODE ROUND-TRIP — from_xml (new in Spark 4's SQL surface):
+# serialize each event to an XML fragment, parse it back with an
+# explicit schema, and checksum the parsed fields. DuckDB has no XML
+# parser, so the oracle predicts the identity round-trip from the
+# source — any parser asymmetry (whitespace, numeric coercion,
+# attribute vs element) breaks the hash.
+# ---------------------------------------------------------------------------
+@register(
+    "xml_decode_roundtrip",
+    oracle="""
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+               CAST(SUM(event_id) AS BIGINT) AS sum_ids,
+               CAST(SUM(CAST(ROUND(value * 100.0) AS BIGINT)) AS BIGINT)
+                   AS sum_cents,
+               CAST(COUNT(DISTINCT event_type) AS BIGINT) AS n_types
+        FROM events
+    """,
+    tags=("source-format", "xml", "events"),
+)
+def xml_decode_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    xml = F.concat(
+        F.lit('<event id="'),
+        F.col("event_id").cast("string"),
+        F.lit('"><type>'),
+        F.col("event_type"),
+        F.lit("</type><cents>"),
+        F.round(F.col("value") * 100.0, 0).cast("long").cast("string"),
+        F.lit("</cents></event>"),
+    )
+    parsed = events.select(
+        F.from_xml(xml, "_id BIGINT, type STRING, cents BIGINT").alias("x")
+    )
+    return parsed.agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        F.sum("x._id").cast("long").alias("sum_ids"),
+        F.sum("x.cents").cast("long").alias("sum_cents"),
+        F.countDistinct("x.type").cast("long").alias("n_types"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# CUSTOM PYTHON SINK — write events through the ksj_audit DataSource
+# (sources/auditsink.py): per-task executor-side counting, commit
+# messages to the driver, one atomic JSON manifest on commit. The query
+# then reads the manifest back — proving the write path's
+# commit-message accounting matches the source exactly.
+# (n_tasks is partitioning-dependent, so the audit's deterministic
+# fields are what the oracle checks.)
+# ---------------------------------------------------------------------------
+@register(
+    "custom_sink_audit_roundtrip",
+    oracle="""
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+               CAST(SUM(event_id) AS BIGINT) AS id_sum
+        FROM events
+    """,
+    tags=("source-format", "custom-sink", "datasource-api", "events"),
+)
+def custom_sink_audit_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import json
+    import tempfile
+
+    from kafka_stream_job_spark.sources.auditsink import AuditDataSource
+
+    try:
+        spark.dataSource.register(AuditDataSource)
+    except Exception:
+        pass  # already registered in this session
+    path = os.path.join(
+        tempfile.mkdtemp(prefix="ksj-audit-sink-"), "audit.json"
+    )
+    events = load_table(spark, sf_dir, "events").select("event_id")
+    events.write.format("ksj_audit").option("path", path).mode(
+        "append"
+    ).save()
+    with open(path) as f:
+        audit = json.load(f)
+    return spark.createDataFrame(
+        [(int(audit["n_rows"]), int(audit["id_sum"]))], "n_rows LONG, id_sum LONG"
+    )

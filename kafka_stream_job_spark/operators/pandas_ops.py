@@ -396,3 +396,63 @@ def cogroup_asof_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# POLYMORPHIC UDTF (Spark 4 `analyze`) — the table function's output
+# SCHEMA is computed at plan time from a literal argument: ksj_ngrams(
+# text, n) emits a column literally named gram_{n}, so the same UDTF
+# compiles to different shapes per call site (the dynamic-schema half of
+# the UDTF API that the fixed-schema ksj_word_expand doesn't exercise).
+# The registry query counts character trigrams through it; the oracle
+# reproduces the same trigrams relationally.
+# ---------------------------------------------------------------------------
+@register(
+    "udtf_dynamic_ngrams",
+    oracle="""
+        WITH g AS (
+            SELECT substr(text, i, 3) AS gram
+            FROM (SELECT text, unnest(range(1, length(text) - 1)) AS i
+                  FROM documents
+                  WHERE doc_id % 100 = 0)
+        )
+        SELECT CAST(length(gram) AS BIGINT) AS gram_len,
+               CAST(COUNT(*) AS BIGINT) AS n_grams,
+               CAST(COUNT(DISTINCT gram) AS BIGINT) AS n_distinct
+        FROM g GROUP BY 1
+    """,
+    tags=("udtf", "python-boundary", "dynamic-schema", "documents"),
+)
+def udtf_dynamic_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.functions import udtf
+    from pyspark.sql.types import IntegerType, StringType, StructType
+    from pyspark.sql.udtf import AnalyzeArgument, AnalyzeResult
+
+    @udtf
+    class NGrams:
+        @staticmethod
+        def analyze(text: AnalyzeArgument, n: AnalyzeArgument) -> AnalyzeResult:
+            assert n.value is not None, "n must be a literal"
+            return AnalyzeResult(
+                StructType().add(f"gram_{n.value}", StringType())
+            )
+
+        def eval(self, text: str, n: int):
+            if text is None:
+                return
+            for i in range(len(text) - n + 1):
+                yield (text[i : i + n],)
+
+    spark.udtf.register("ksj_ngrams", NGrams)
+    load_table(spark, sf_dir, "documents").filter(
+        F.col("doc_id") % 100 == 0
+    ).createOrReplaceTempView("udtf_ngram_docs_v")
+    return spark.sql(
+        """
+        SELECT CAST(length(g.gram_3) AS BIGINT) AS gram_len,
+               CAST(COUNT(*) AS BIGINT) AS n_grams,
+               CAST(COUNT(DISTINCT g.gram_3) AS BIGINT) AS n_distinct
+        FROM udtf_ngram_docs_v d, LATERAL ksj_ngrams(d.text, 3) g
+        GROUP BY 1
+        """
+    )

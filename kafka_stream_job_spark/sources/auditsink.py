@@ -1,0 +1,64 @@
+"""Custom Python DataSource WRITER (Spark 4 DataSource API, write path) —
+the companion to sources/replay.py's reader: an "audit sink" that counts
+what flows through each write task executor-side, ships the counts back
+as WriterCommitMessages, and has the driver-side commit() persist one
+JSON audit manifest atomically. abort() removes nothing (no partial
+files are ever visible — the manifest only appears on commit), which is
+the exactly-once contract a custom sink owes the engine.
+
+This completes the Python DataSource surface: batch read (bounded
+slices), batch read with pushFilters pruning, streaming read
+(offset-tracked frontier), and now batch WRITE with commit/abort.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceWriter,
+    WriterCommitMessage,
+)
+
+
+class AuditCommit(WriterCommitMessage):
+    def __init__(self, n_rows: int, id_sum: int):
+        self.n_rows = n_rows
+        self.id_sum = id_sum
+
+
+class _AuditWriter(DataSourceWriter):
+    def __init__(self, path: str):
+        self._path = path
+
+    def write(self, iterator):
+        n, s = 0, 0
+        for row in iterator:
+            n += 1
+            s += int(row[0])  # first column is the audited id
+        return AuditCommit(n, s)
+
+    def commit(self, messages):
+        out = {
+            "n_rows": sum(m.n_rows for m in messages),
+            "id_sum": sum(m.id_sum for m in messages),
+            "n_tasks": len(messages),
+        }
+        tmp = f"{self._path}.tmp-{os.getpid()}"
+        with open(tmp, "w") as f:
+            json.dump(out, f)
+        os.replace(tmp, self._path)  # manifest appears atomically
+
+    def abort(self, messages):
+        pass  # nothing partial was ever made visible
+
+
+class AuditDataSource(DataSource):
+    @classmethod
+    def name(cls):
+        return "ksj_audit"
+
+    def writer(self, schema, overwrite: bool):
+        return _AuditWriter(self.options["path"])

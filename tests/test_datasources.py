@@ -194,3 +194,31 @@ def test_replay_batch_pushdown_prunes_partitions_and_filters_arrow():
     ]
     key = lambda r: r["event_id"]  # noqa: E731
     assert sorted(rows, key=key) == sorted(expect, key=key)
+
+
+def test_audit_sink_commit_manifest_matches_source(spark, tmp_path):
+    """The custom writer's commit-message accounting must equal the
+    source exactly, and the manifest only exists after commit (atomic
+    os.replace — no partial file is ever visible)."""
+    import json
+
+    from kafka_stream_job_spark.sources.auditsink import AuditDataSource
+    from kafka_stream_job_spark.tables import load_table
+    from pyspark.sql import functions as F
+
+    from .conftest import SF_SMOKE
+
+    try:
+        spark.dataSource.register(AuditDataSource)
+    except Exception:
+        pass
+    path = str(tmp_path / "audit.json")
+    events = load_table(spark, SF_SMOKE, "events").select("event_id")
+    events.write.format("ksj_audit").option("path", path).mode("append").save()
+    audit = json.load(open(path))
+    want = events.agg(
+        F.count(F.lit(1)).alias("n"), F.sum("event_id").alias("s")
+    ).collect()[0]
+    assert audit["n_rows"] == want["n"]
+    assert audit["id_sum"] == want["s"]
+    assert audit["n_tasks"] >= 1
