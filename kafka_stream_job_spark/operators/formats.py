@@ -331,3 +331,74 @@ def custom_sink_audit_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         [(int(audit["n_rows"]), int(audit["id_sum"]))], "n_rows LONG, id_sum LONG"
     )
+
+
+# ---------------------------------------------------------------------------
+# STREAMING CSV SOURCE — the dirty CSV export consumed through
+# Structured Streaming (readStream.csv over the same staged directory
+# as the batch PERMISSIVE query, corrupt lines included): the rollup
+# counts per event type among GOOD rows only, proving the
+# tolerate-and-count contract holds on the streaming path too. Drained
+# with the bounded-drain discipline; oracle predicts from the parquet
+# source minus the deterministic corruption set.
+# ---------------------------------------------------------------------------
+@register(
+    "streaming_csv_source_rollup",
+    oracle=f"""
+        SELECT event_type,
+               CAST(COUNT(*) AS BIGINT) AS n_rows,
+               CAST(SUM(event_id) AS BIGINT) AS sum_ids
+        FROM events
+        WHERE event_id % {CSV_CORRUPT_MOD} <> 0
+        GROUP BY event_type
+    """,
+    tags=("streaming", "source-format", "csv", "events"),
+)
+def streaming_csv_source_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+    import uuid
+
+    from kafka_stream_job_spark.streaming.pipeline import (
+        _drain_partitions,
+    )
+
+    stage = _stage_csv(spark, sf_dir)
+    schema = T.StructType(
+        [
+            T.StructField("event_id", T.LongType()),
+            T.StructField("user_id", T.LongType()),
+            T.StructField("event_type", T.StringType()),
+            T.StructField("value", T.DoubleType()),
+            T.StructField("_corrupt", T.StringType()),
+        ]
+    )
+    src = (
+        spark.readStream.schema(schema)
+        .option("header", True)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt")
+        .csv(stage)
+    )
+    rolled = (
+        src.filter(F.col("_corrupt").isNull())
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            F.sum("event_id").cast("long").alias("sum_ids"),
+        )
+    )
+    name = f"stream_csv_{uuid.uuid4().hex[:8]}"
+    ckpt = tempfile.mkdtemp(prefix="ksj-stream-csv-")
+    with _drain_partitions(spark):
+        query = (
+            rolled.writeStream.format("memory")
+            .queryName(name)
+            .option("checkpointLocation", ckpt)
+            .outputMode("complete")
+            .start()
+        )
+        try:
+            query.processAllAvailable()
+        finally:
+            query.stop()
+    return spark.table(name)
