@@ -1324,3 +1324,80 @@ def corpus_epoch_shuffle_manifest(spark: SparkSession, sf_dir: str) -> DataFrame
         )
         out = part if out is None else out.unionByName(part)
     return out
+
+
+# ---------------------------------------------------------------------------
+# CROSS-VALIDATION FOLD MANIFEST — deterministic k-fold assignment by
+# document hash (stable across runs/engines, the split_train_eval
+# discipline extended to k folds) with the per-fold balance audit a
+# training pipeline asserts before running: fold sizes, token mass, and
+# the largest language share (a skewed fold invalidates CV estimates).
+# All integer-exact; one scan, one fold-keyed partial agg.
+# ---------------------------------------------------------------------------
+CV_FOLDS = 5
+
+
+@register(
+    "cv_fold_manifest",
+    oracle=f"""
+        WITH assigned AS (
+            SELECT ('0x' || substr(md5('cv:' || CAST(doc_id AS VARCHAR)), 1, 7))::BIGINT
+                       % {CV_FOLDS} AS fold,
+                   lang,
+                   len(string_split_regex(trim(text), '\\s+')) AS n_toks
+            FROM documents
+        ),
+        per_lang AS (
+            SELECT fold, lang, CAST(COUNT(*) AS BIGINT) AS c
+            FROM assigned GROUP BY 1, 2
+        ),
+        folds AS (
+            SELECT fold, CAST(SUM(c) AS BIGINT) AS n_docs,
+                   CAST(MAX(c) AS BIGINT) AS max_lang_docs
+            FROM per_lang GROUP BY fold
+        ),
+        toks AS (
+            SELECT fold, CAST(SUM(n_toks) AS BIGINT) AS n_tokens
+            FROM assigned GROUP BY fold
+        )
+        SELECT f.fold, f.n_docs, t.n_tokens,
+               (f.max_lang_docs * 10000) // f.n_docs AS max_lang_share_bp
+        FROM folds f JOIN toks t USING (fold)
+    """,
+    tags=("llm-pipeline", "cross-validation", "sampling", "documents"),
+)
+def cv_fold_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    fold = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit("cv:"), F.col("doc_id").cast("string"))), 1, 7
+            ),
+            16,
+            10,
+        ).cast("long")
+        % CV_FOLDS
+    )
+    assigned = docs.select(
+        fold.alias("fold"),
+        "lang",
+        F.size(F.split(F.trim("text"), r"\s+")).cast("long").alias("n_toks"),
+    )
+    per_lang = assigned.groupBy("fold", "lang").agg(
+        F.count(F.lit(1)).cast("long").alias("c")
+    )
+    folds = per_lang.groupBy("fold").agg(
+        F.sum("c").cast("long").alias("n_docs"),
+        F.max("c").cast("long").alias("max_lang_docs"),
+    )
+    toks = assigned.groupBy("fold").agg(
+        F.sum("n_toks").cast("long").alias("n_tokens")
+    )
+    return folds.join(toks, "fold").select(
+        "fold",
+        "n_docs",
+        "n_tokens",
+        idiv(F.col("max_lang_docs") * 10000, F.col("n_docs")).alias(
+            "max_lang_share_bp"
+        ),
+    )

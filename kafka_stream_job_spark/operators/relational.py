@@ -7623,3 +7623,52 @@ def customer_spend_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("sx").alias("total_cents"),
         pround(gini, 6).alias("gini"),
     )
+
+
+# ---------------------------------------------------------------------------
+# MAP HIGHER-ORDER FUNCTIONS — the map-typed column surface
+# (map_from_entries → transform_values → map_filter → aggregate over
+# map_values), exercised end-to-end on a per-user event-type count map.
+# The oracle checks the RESULTING scalars relationally (DuckDB's MAP
+# surface differs), so any drift in the map pipeline's semantics still
+# breaks the hash.
+# ---------------------------------------------------------------------------
+MAPX_MIN = 10  # map_filter keeps types with >= 10 events
+
+
+@register(
+    "map_functions_showcase",
+    oracle=f"""
+        WITH pc AS (
+            SELECT user_id, event_type, CAST(COUNT(*) AS BIGINT) AS c
+            FROM events GROUP BY 1, 2
+        )
+        SELECT user_id,
+               CAST(COUNT(*) AS BIGINT) AS n_types,
+               CAST(SUM(CASE WHEN c >= {MAPX_MIN} THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_frequent_types,
+               CAST(SUM(c * 2) AS BIGINT) AS doubled_total
+        FROM pc GROUP BY user_id
+    """,
+    tags=("map-functions", "hof", "events"),
+)
+def map_functions_showcase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    counts = events.groupBy("user_id", "event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("c")
+    )
+    mapped = counts.groupBy("user_id").agg(
+        F.map_from_entries(
+            F.array_sort(F.collect_list(F.struct("event_type", "c")))
+        ).alias("m")
+    )
+    doubled = F.transform_values("m", lambda k, v: v * 2)
+    frequent = F.map_filter("m", lambda k, v: v >= MAPX_MIN)
+    return mapped.select(
+        "user_id",
+        F.size("m").cast("long").alias("n_types"),
+        F.size(frequent).cast("long").alias("n_frequent_types"),
+        F.aggregate(
+            F.map_values(doubled), F.lit(0).cast("long"), lambda a, x: a + x
+        ).alias("doubled_total"),
+    )
