@@ -7672,3 +7672,120 @@ def map_functions_showcase(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.map_values(doubled), F.lit(0).cast("long"), lambda a, x: a + x
         ).alias("doubled_total"),
     )
+
+
+# ---------------------------------------------------------------------------
+# CHANGEPOINT BY BINARY SEGMENTATION — the single best split of each
+# type's hourly series: the t minimizing two-segment SSE, equivalently
+# maximizing the between-segment contrast n₁n₂/n·(μ₁−μ₂)². With integer
+# prefix sums S(t) the gain at t is (n·S(t) − t·S)² / (t·(n−t)·n) —
+# numerator exact integer algebra (≲(nΣ)²; hourly totals keep it inside
+# 2⁶³ for wall-clock-bounded series), ONE double division per
+# candidate, argmax with earliest-t tiebreak. Complements
+# events_cusum_drift (drift excursions) with the point estimate.
+# ---------------------------------------------------------------------------
+@register(
+    "events_changepoint_binseg",
+    oracle="""
+        WITH series AS (
+            SELECT event_type, date_trunc('hour', ts) AS h,
+                   CAST(COUNT(*) AS BIGINT) AS c
+            FROM events GROUP BY 1, 2
+        ),
+        arr AS (
+            SELECT event_type,
+                   list(c ORDER BY h) AS xs,
+                   list(CAST(h AS VARCHAR) ORDER BY h) AS hs,
+                   CAST(COUNT(*) AS BIGINT) AS n,
+                   CAST(SUM(c) AS BIGINT) AS s
+            FROM series GROUP BY event_type
+            HAVING COUNT(*) >= 4
+        ),
+        gains AS (
+            SELECT event_type, hs, n,
+                   list_transform(xs, (x, t) ->
+                       CASE WHEN t < n THEN
+                           (n * list_reduce(list_prepend(CAST(0 AS BIGINT),
+                                                         xs[1:t]),
+                                            (a, b) -> a + b) - t * s)
+                           * (n * list_reduce(list_prepend(CAST(0 AS BIGINT),
+                                                           xs[1:t]),
+                                              (a, b) -> a + b) - t * s)
+                           * 1.0 / (t * (n - t) * n)
+                       ELSE CAST(-1 AS DOUBLE) END) AS g
+            FROM arr
+        ),
+        best AS (
+            SELECT event_type, hs, n, g,
+                   list_reduce(
+                       list_prepend(CAST(1 AS BIGINT),
+                           [CAST(t AS BIGINT)
+                            for t in range(2, CAST(len(g) AS INT))]),
+                       (acc, t) -> CASE WHEN g[t] > g[acc] THEN t
+                                        ELSE acc END) AS t_best
+            FROM gains
+        )
+        SELECT event_type,
+               CAST(t_best AS BIGINT) AS split_after_index,
+               hs[t_best] AS split_hour,
+               ROUND((g[t_best]) * 1000000.0) / 1000000.0 + 0.0
+                   AS contrast_gain
+        FROM best
+    """,
+    tags=("timeseries", "changepoint", "binseg", "events"),
+)
+def events_changepoint_binseg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    series = events.groupBy(
+        "event_type", F.date_trunc("hour", "ts").alias("h")
+    ).agg(F.count(F.lit(1)).cast("long").alias("c"))
+    arr = (
+        series.groupBy("event_type")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("h", "c"))), lambda s: s["c"]
+            ).alias("xs"),
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("h", "c"))),
+                lambda s: s["h"].cast("string"),
+            ).alias("hs"),
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum("c").cast("long").alias("s"),
+        )
+        .filter(F.col("n") >= 4)
+    )
+    xs = F.col("xs")
+
+    def prefix(t):  # Σ xs[1..t] — exact long fold
+        return F.aggregate(
+            F.slice(xs, F.lit(1), t), F.lit(0).cast("long"), lambda a, b: a + b
+        )
+
+    g = F.transform(
+        xs,
+        lambda x, i0: F.when(
+            (i0 + 1) < F.col("n"),
+            (F.col("n") * prefix(i0 + 1) - (i0 + 1).cast("long") * F.col("s"))
+            * (F.col("n") * prefix(i0 + 1) - (i0 + 1).cast("long") * F.col("s"))
+            * F.lit(1.0)
+            / ((i0 + 1).cast("long") * (F.col("n") - (i0 + 1)) * F.col("n")),
+        ).otherwise(F.lit(-1.0).cast("double")),
+    )
+    gains = arr.select("event_type", "hs", "n", g.alias("g"))
+    t_best = F.aggregate(
+        F.sequence(F.lit(2).cast("long"), F.size("g").cast("long") - 0),
+        F.lit(1).cast("long"),
+        lambda acc, t: F.when(
+            F.element_at("g", t.cast("int")) > F.element_at("g", acc.cast("int")),
+            t,
+        ).otherwise(acc),
+    )
+    best = gains.select("event_type", "hs", "g", t_best.alias("t_best"))
+    return best.select(
+        "event_type",
+        F.col("t_best").alias("split_after_index"),
+        F.element_at("hs", F.col("t_best").cast("int")).alias("split_hour"),
+        pround(
+            F.element_at("g", F.col("t_best").cast("int")), 6
+        ).alias("contrast_gain"),
+    )

@@ -595,3 +595,14 @@ def test_csv_permissive_read_counts(spark):
         == events.filter(F.col("event_id") % CSV_CORRUPT_MOD == 0).count()
     )
     assert r["n_corrupt"] > 0
+
+
+def test_binseg_split_interior_and_nonnegative_gain(spark):
+    from kafka_stream_job_spark.operators.relational import (
+        events_changepoint_binseg,
+    )
+
+    for r in events_changepoint_binseg(spark, SF_SMOKE).collect():
+        assert r["split_after_index"] >= 1
+        assert r["contrast_gain"] >= 0.0
+        assert r["split_hour"]  # a real hour label
