@@ -7789,3 +7789,128 @@ def events_changepoint_binseg(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.element_at("g", F.col("t_best").cast("int")), 6
         ).alias("contrast_gain"),
     )
+
+
+# ---------------------------------------------------------------------------
+# ALARM VERIFICATION — the hybrid stream+ML+text pipeline of "A Hybrid
+# Approach for Alarm Verification using Stream Processing, Machine
+# Learning and Text Analytics" (EDBT 2018, PAPERS.md), recast on this
+# engine: raw alarms are hourly count anomalies (|z| > 2.5, the
+# manual-moment z of events_hourly_anomaly); each alarm is then
+# verified by two independent signals before it pages anyone —
+# (1) cross-stream corroboration: how many OTHER event types alarm in
+# the same hour (systemic vs isolated), and (2) payload analytics: the
+# alarm hour's mean JSON `k` field vs the type's overall mean, in exact
+# integer basis points (cross-multiplied — no division until reporting).
+# Verdict: corroborated OR payload-shifted ⇒ verified, else suppressed.
+# Scale: one events scan feeds both the hourly counts and the payload
+# sums (same groupBy); stats broadcast; the corroboration join keys on
+# the tiny alarm set.
+# ---------------------------------------------------------------------------
+ALARM_Z = 2.5
+ALARM_SHIFT_BP = 2000  # payload mean shifted ≥20% corroborates the alarm
+
+
+@register(
+    "events_alarm_verification",
+    oracle=f"""
+        WITH hourly AS (
+            SELECT event_type, date_trunc('hour', ts) AS h,
+                   CAST(COUNT(*) AS BIGINT) AS c,
+                   CAST(SUM(CAST(props->>'$.k' AS BIGINT)) AS BIGINT) AS ksum
+            FROM events GROUP BY 1, 2
+        ),
+        stats AS (
+            SELECT event_type,
+                   CAST(SUM(c) AS BIGINT) AS t,
+                   CAST(COUNT(*) AS BIGINT) AS n,
+                   CAST(SUM(c * c) AS BIGINT) AS tq,
+                   CAST(SUM(ksum) AS BIGINT) AS kt
+            FROM hourly GROUP BY event_type
+        ),
+        scored AS (
+            SELECT h.event_type, h.h, h.c, h.ksum, s.t, s.n, s.kt,
+                   (h.c - s.t * 1.0 / s.n)
+                       / sqrt((s.tq - s.t * s.t * 1.0 / s.n) / (s.n - 1)) AS z
+            FROM hourly h JOIN stats s USING (event_type)
+        ),
+        alarms AS (SELECT * FROM scored WHERE ABS(z) > {ALARM_Z}),
+        co AS (
+            SELECT a.event_type, a.h,
+                   CAST(COUNT(*) AS BIGINT) AS n_co_anomalous
+            FROM alarms a
+            JOIN alarms b ON b.h = a.h AND b.event_type <> a.event_type
+            GROUP BY 1, 2
+        )
+        SELECT a.event_type,
+               CAST(a.h AS VARCHAR) AS hour_ts,
+               ROUND((a.z) * 10000.0) / 10000.0 + 0.0 AS z_r,
+               COALESCE(co.n_co_anomalous, 0) AS n_co_anomalous,
+               (ABS(a.ksum * a.t - a.c * a.kt) * 10000)
+                   // (a.c * a.kt) AS payload_shift_bp,
+               (COALESCE(co.n_co_anomalous, 0) > 0
+                OR (ABS(a.ksum * a.t - a.c * a.kt) * 10000)
+                       // (a.c * a.kt) >= {ALARM_SHIFT_BP}) AS verified
+        FROM alarms a
+        LEFT JOIN co ON co.event_type = a.event_type AND co.h = a.h
+    """,
+    tags=("streaming-ops", "anomaly", "alarm-verification", "paper", "events"),
+)
+def events_alarm_verification(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    hourly = events.groupBy(
+        "event_type", F.date_trunc("hour", "ts").alias("h")
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("c"),
+        F.sum(F.get_json_object("props", "$.k").cast("long"))
+        .cast("long")
+        .alias("ksum"),
+    )
+    stats = hourly.groupBy("event_type").agg(
+        F.sum("c").cast("long").alias("t"),
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(F.col("c") * F.col("c")).cast("long").alias("tq"),
+        F.sum("ksum").cast("long").alias("kt"),
+    )
+    z = (F.col("c") - F.col("t") * F.lit(1.0) / F.col("n")) / F.sqrt(
+        (F.col("tq") - F.col("t") * F.col("t") * F.lit(1.0) / F.col("n"))
+        / (F.col("n") - 1)
+    )
+    alarms = (
+        hourly.join(F.broadcast(stats), "event_type")
+        .withColumn("z", z)
+        .filter(F.abs(F.col("z")) > ALARM_Z)
+        .localCheckpoint(eager=False)  # self-join + output read it once
+    )
+    co = (
+        alarms.select("event_type", "h")
+        .alias("a")
+        .join(
+            alarms.select(
+                F.col("event_type").alias("bt"), F.col("h").alias("bh")
+            ),
+            (F.col("bh") == F.col("h")) & (F.col("bt") != F.col("event_type")),
+        )
+        .groupBy("event_type", "h")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_co_anomalous"))
+    )
+    shift_bp = idiv(
+        F.abs(F.col("ksum") * F.col("t") - F.col("c") * F.col("kt")) * 10000,
+        F.col("c") * F.col("kt"),
+    )
+    return (
+        alarms.join(F.broadcast(co), ["event_type", "h"], "left")
+        .select(
+            "event_type",
+            F.col("h").cast("string").alias("hour_ts"),
+            pround("z", 4).alias("z_r"),
+            F.coalesce("n_co_anomalous", F.lit(0).cast("long")).alias(
+                "n_co_anomalous"
+            ),
+            shift_bp.alias("payload_shift_bp"),
+            (
+                (F.coalesce("n_co_anomalous", F.lit(0).cast("long")) > 0)
+                | (shift_bp >= ALARM_SHIFT_BP)
+            ).alias("verified"),
+        )
+    )

@@ -2342,3 +2342,66 @@ def skipgram_negative_samples(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("k").cast("long").alias("k"),
         F.col("w").alias("negative"),
     )
+
+
+# ---------------------------------------------------------------------------
+# LEXICON SENTIMENT — the Spark-scale lexicon scoring pipeline of
+# "Large Scale Sentiment Analysis on Twitter with Spark" (EDBT 2016,
+# PAPERS.md): token-match a signed lexicon, sum per document, report the
+# per-language polarity profile and the most polarized docs. Scores are
+# exact integers (lexicon weights × counts); the lexicon is a
+# compile-time literal map, so scoring is a narrow codegen map with a
+# map-side-partial rollup — the shape that scaled to the paper's corpus.
+# ---------------------------------------------------------------------------
+SENTIMENT_LEXICON = {"fast": 2, "big": 1, "small": -1, "slow": -2}
+
+
+def _sentiment_score_sql() -> str:
+    bs = chr(92)  # backslash (f-string expressions cannot contain one)
+    return " + ".join(
+        f"len(regexp_extract_all(text, '{bs}b{w}{bs}b')) * ({v})"
+        for w, v in sorted(SENTIMENT_LEXICON.items())
+    )
+
+
+@register(
+    "text_sentiment_lexicon",
+    oracle=f"""
+        WITH scored AS (
+            SELECT doc_id, lang,
+                   {_sentiment_score_sql()} AS score
+            FROM documents
+        )
+        SELECT lang,
+               CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(score) AS BIGINT) AS total_score,
+               CAST(SUM(CASE WHEN score > 0 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_positive,
+               CAST(SUM(CASE WHEN score < 0 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_negative,
+               CAST(MAX(score) AS BIGINT) AS max_score,
+               CAST(MIN(score) AS BIGINT) AS min_score
+        FROM scored
+        GROUP BY lang
+    """,
+    tags=("text", "sentiment", "paper", "documents"),
+)
+def text_sentiment_lexicon(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    score = None
+    for w, v in sorted(SENTIMENT_LEXICON.items()):
+        term = F.regexp_count("text", F.lit(rf"\b{w}\b")) * F.lit(v)
+        score = term if score is None else score + term
+    scored = docs.select("doc_id", "lang", score.cast("long").alias("score"))
+    return scored.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("score").cast("long").alias("total_score"),
+        F.sum(F.when(F.col("score") > 0, 1).otherwise(0))
+        .cast("long")
+        .alias("n_positive"),
+        F.sum(F.when(F.col("score") < 0, 1).otherwise(0))
+        .cast("long")
+        .alias("n_negative"),
+        F.max("score").cast("long").alias("max_score"),
+        F.min("score").cast("long").alias("min_score"),
+    )
