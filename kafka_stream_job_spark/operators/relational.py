@@ -7914,3 +7914,76 @@ def events_alarm_verification(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("verified"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# DAU / WAU / MAU STICKINESS — the product-analytics staple: per day,
+# distinct actives that day, over the trailing 7 days, and the trailing
+# 28 days, plus the DAU/MAU stickiness ratio in basis points. Sliding
+# DISTINCT does not decompose into window frames, so the computation
+# joins the DAY SPINE against the reduced (day, user) table with a
+# range predicate — after the first groupBy the input is bounded by
+# days × active users, not raw events, and that reduced join is the
+# standard exact formulation at scale (approx twin: HLL merge over
+# daily sketches, hll_merge_event_types).
+# ---------------------------------------------------------------------------
+@register(
+    "events_dau_wau_mau",
+    oracle="""
+        WITH du AS (
+            SELECT DISTINCT CAST(date_trunc('day', ts) AS DATE) AS d, user_id
+            FROM events
+        ),
+        days AS (SELECT DISTINCT d FROM du),
+        wau AS (
+            SELECT days.d, CAST(COUNT(DISTINCT du.user_id) AS BIGINT) AS wau
+            FROM days JOIN du ON du.d > days.d - 7 AND du.d <= days.d
+            GROUP BY days.d
+        ),
+        mau AS (
+            SELECT days.d, CAST(COUNT(DISTINCT du.user_id) AS BIGINT) AS mau
+            FROM days JOIN du ON du.d > days.d - 28 AND du.d <= days.d
+            GROUP BY days.d
+        ),
+        dau AS (
+            SELECT d, CAST(COUNT(*) AS BIGINT) AS dau FROM du GROUP BY d
+        )
+        SELECT CAST(dau.d AS VARCHAR) AS day_ts, dau.dau, wau.wau, mau.mau,
+               (dau.dau * 10000) // mau.mau AS stickiness_bp
+        FROM dau JOIN wau USING (d) JOIN mau USING (d)
+    """,
+    tags=("product-analytics", "dau-mau", "events"),
+)
+def events_dau_wau_mau(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    du = events.select(
+        F.col("ts").cast("date").alias("d"), "user_id"
+    ).distinct().localCheckpoint(eager=False)  # three consumers
+    days = du.select("d").distinct()
+    dau = du.groupBy("d").agg(F.count(F.lit(1)).cast("long").alias("dau"))
+
+    def trailing(n: int, name: str) -> DataFrame:
+        return (
+            days.alias("sp")
+            .join(
+                du.select(F.col("d").alias("ud"), "user_id"),
+                (F.col("ud") > F.expr(f"date_sub(sp.d, {n})"))
+                & (F.col("ud") <= F.col("sp.d")),
+            )
+            .groupBy("sp.d")
+            .agg(F.countDistinct("user_id").cast("long").alias(name))
+        )
+
+    wau = trailing(7, "wau")
+    mau = trailing(28, "mau")
+    return (
+        dau.join(wau, "d")
+        .join(mau, "d")
+        .select(
+            F.col("d").cast("string").alias("day_ts"),
+            "dau",
+            "wau",
+            "mau",
+            idiv(F.col("dau") * 10000, F.col("mau")).alias("stickiness_bp"),
+        )
+    )

@@ -14,6 +14,14 @@ stream-vs-batch equivalence by draining the file stream with
 Scale notes: every stateful op is watermarked — unbounded state is the #1
 streaming failure at scale; on a cluster you'd add the RocksDB state store
 (`spark.sql.streaming.stateStore.providerClass`) which is config, not code.
+
+Execution-model background (PAPERS.md): Structured Streaming's
+micro-batch recovery model descends from Discretized Streams (SOSP'13) —
+deterministic micro-batch re-execution is exactly why the drained
+replays here can carry exact oracles — while the per-batch scheduling
+cost that motivates the bounded-drain shuffle-partition clamp below is
+the overhead Drizzle (SOSP'17) measures and amortizes with group
+scheduling.
 """
 
 from __future__ import annotations
