@@ -7987,3 +7987,92 @@ def events_dau_wau_mau(spark: SparkSession, sf_dir: str) -> DataFrame:
             idiv(F.col("dau") * 10000, F.col("mau")).alias("stickiness_bp"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# ARRAY SET ALGEBRA — array_union / array_intersect / array_except over
+# per-user behavior: the event types seen in each user's FIRST half of
+# activity vs the SECOND half (median event split by (ts, event_id)
+# rank). Reported as sizes plus an overlap coefficient in basis points —
+# integers, so ordering inside the arrays never touches the hash. The
+# split rank reuses the per-user window; the set ops are in-array
+# (no join, no explode).
+# ---------------------------------------------------------------------------
+@register(
+    "array_set_functions_showcase",
+    oracle="""
+        WITH ranked AS (
+            SELECT user_id, event_type,
+                   ROW_NUMBER() OVER (PARTITION BY user_id
+                                      ORDER BY ts, event_id) AS rn,
+                   COUNT(*) OVER (PARTITION BY user_id) AS n
+            FROM events
+        ),
+        halves AS (
+            SELECT user_id,
+                   COUNT(DISTINCT CASE WHEN rn * 2 <= n THEN event_type END)
+                       AS n_first,
+                   COUNT(DISTINCT CASE WHEN rn * 2 > n THEN event_type END)
+                       AS n_second,
+                   COUNT(DISTINCT CASE WHEN rn * 2 <= n THEN event_type END)
+                   + COUNT(DISTINCT CASE WHEN rn * 2 > n THEN event_type END)
+                   - COUNT(DISTINCT event_type) AS n_common,
+                   COUNT(DISTINCT event_type) AS n_union
+            FROM ranked GROUP BY user_id
+        )
+        SELECT user_id,
+               CAST(n_first AS BIGINT) AS n_first,
+               CAST(n_second AS BIGINT) AS n_second,
+               CAST(n_common AS BIGINT) AS n_common,
+               CAST(n_union AS BIGINT) AS n_union,
+               CAST(n_first - n_common AS BIGINT) AS n_only_first,
+               (n_common * 10000) // (CASE WHEN n_first <= n_second
+                                           THEN CASE WHEN n_first = 0 THEN 1
+                                                     ELSE n_first END
+                                           ELSE CASE WHEN n_second = 0 THEN 1
+                                                     ELSE n_second END END)
+                   AS overlap_bp
+        FROM halves
+    """,
+    tags=("array-functions", "set-algebra", "events"),
+)
+def array_set_functions_showcase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    wn = Window.partitionBy("user_id")
+    ranked = events.select(
+        "user_id",
+        "event_type",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(wn).alias("n"),
+    )
+    per_user = ranked.groupBy("user_id").agg(
+        F.array_distinct(
+            F.collect_list(
+                F.when(F.col("rn") * 2 <= F.col("n"), F.col("event_type"))
+            )
+        ).alias("first_types"),
+        F.array_distinct(
+            F.collect_list(
+                F.when(F.col("rn") * 2 > F.col("n"), F.col("event_type"))
+            )
+        ).alias("second_types"),
+    )
+    common = F.size(F.array_intersect("first_types", "second_types")).cast("long")
+    n_first = F.size("first_types").cast("long")
+    n_second = F.size("second_types").cast("long")
+    denom_raw = F.least(n_first, n_second)
+    denom = F.when(denom_raw == 0, F.lit(1).cast("long")).otherwise(denom_raw)
+    return per_user.select(
+        "user_id",
+        n_first.alias("n_first"),
+        n_second.alias("n_second"),
+        common.alias("n_common"),
+        F.size(F.array_union("first_types", "second_types"))
+        .cast("long")
+        .alias("n_union"),
+        F.size(F.array_except("first_types", "second_types"))
+        .cast("long")
+        .alias("n_only_first"),
+        idiv(common * 10000, denom).alias("overlap_bp"),
+    )
