@@ -876,3 +876,37 @@ def test_partitioned_read_prunes_at_planning_time(spark):
     )
     pf = plan[plan.find("PartitionFilters") :]
     assert "event_type" in pf[: pf.find("]") + 1], "predicate not pruned"
+
+
+@pytest.mark.parametrize(
+    "name",
+    [
+        s.name
+        for s in SPECS.values()
+        if not any(
+            t in s.tags
+            for t in (
+                "python-boundary",
+                "pandas-udf",
+                "udtf",
+                "multimodal",
+                "streaming",
+                "perceptual-hash",
+            )
+        )
+        and not s.name.startswith(("streaming_", "batch_replay", "checkpoint"))
+        # documented exception: the Misra-Gries candidate pass is a
+        # mapInPandas sketch stage (operators/sketches.py module docstring)
+        and s.name != "heavy_hitter_tokens"
+    ],
+)
+def test_no_python_boundary_outside_documented_family(spark, name):
+    """Plan-hygiene sweep: every query NOT tagged as the documented
+    Python-boundary family (pandas UDFs, UDTFs, Arrow maps, the
+    multimodal decode seam, custom sources) must stay entirely JVM-side
+    — no BatchEvalPython / ArrowEvalPython / MapInPandas / PythonUDTF
+    stage may appear. Catches an accidental slow-path (a Python UDF
+    sneaking into a hot operator) the moment it lands."""
+    plan = plan_of(spark, name)
+    for marker in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas", "UDTF"):
+        assert marker not in plan, f"{name} plans a Python stage: {marker}"
