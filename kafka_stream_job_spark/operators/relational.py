@@ -8076,3 +8076,115 @@ def array_set_functions_showcase(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("n_only_first"),
         idiv(common * 10000, denom).alias("overlap_bp"),
     )
+
+
+# ---------------------------------------------------------------------------
+# SURROGATE KEY ASSIGNMENT — dense, deterministic warehouse keys for a
+# natural-key dimension at scale. monotonically_increasing_id() is the
+# tempting tool but its values depend on partition layout (gaps, no
+# stability across runs); the correct shape is the distributed global
+# rank over the natural key — dense 1..N, reproducible, join-stable.
+# The report emits the contract a downstream FK build asserts:
+# contiguity (min 1, max = count, distinct = count) plus sample keys.
+# ---------------------------------------------------------------------------
+@register(
+    "surrogate_key_assignment",
+    oracle="""
+        WITH sk AS (
+            SELECT p_partkey,
+                   CAST(ROW_NUMBER() OVER (ORDER BY p_brand, p_partkey)
+                        AS BIGINT) AS sk
+            FROM part
+        )
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_keys,
+               MIN(sk) AS min_sk, MAX(sk) AS max_sk,
+               CAST(COUNT(DISTINCT sk) AS BIGINT) AS n_distinct_sk,
+               (MIN(sk) = 1 AND MAX(sk) = COUNT(*)
+                AND COUNT(DISTINCT sk) = COUNT(*)) AS contiguous,
+               CAST(SUM(sk * p_partkey) AS BIGINT) AS mapping_checksum
+        FROM sk
+    """,
+    tags=("warehouse", "surrogate-key", "part"),
+)
+def surrogate_key_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kafka_stream_job_spark.operators._distributed import distributed_rank
+
+    part = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    sk = distributed_rank(
+        part, [F.col("p_brand"), F.col("p_partkey")], rank_col="sk"
+    )
+    return sk.agg(
+        F.count(F.lit(1)).cast("long").alias("n_keys"),
+        F.min("sk").alias("min_sk"),
+        F.max("sk").alias("max_sk"),
+        F.countDistinct("sk").cast("long").alias("n_distinct_sk"),
+        (
+            (F.min("sk") == 1)
+            & (F.max("sk") == F.count(F.lit(1)))
+            & (F.countDistinct("sk") == F.count(F.lit(1)))
+        ).alias("contiguous"),
+        F.sum(F.col("sk") * F.col("p_partkey")).cast("long").alias(
+            "mapping_checksum"
+        ),
+    )
+
+
+# ---------------------------------------------------------------------------
+# BUILT-IN session_window IN BATCH — the same dynamic-gap session
+# operator the streaming rollup uses (session_window_rollup), executed
+# on the batch engine: per (user, 30-min-gap session) stats. The
+# gaps-and-islands SQL is the oracle, making the built-in's session
+# semantics (window start = first event, end = last event + gap)
+# externally certified in batch exactly as the streaming twin is.
+# Scale: session_window plans as one user-keyed shuffle + session merge
+# — no window-function sort pass.
+# ---------------------------------------------------------------------------
+@register(
+    "events_session_window_batch",
+    oracle=f"""
+        WITH flagged AS (
+            SELECT user_id, ts, value, event_id,
+                   CASE WHEN LAG(ts) OVER w IS NULL
+                          OR CAST(date_diff('second', LAG(ts) OVER w, ts)
+                                  AS BIGINT) > {SESSION_GAP_S}
+                        THEN 1 ELSE 0 END AS new_s
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        ),
+        sess AS (
+            SELECT user_id, ts, value,
+                   CAST(SUM(new_s) OVER (PARTITION BY user_id
+                                         ORDER BY ts, event_id
+                                         ROWS UNBOUNDED PRECEDING) AS BIGINT)
+                       AS sid
+            FROM flagged
+        )
+        SELECT user_id,
+               CAST(MIN(ts) AS VARCHAR) AS session_start,
+               CAST(COUNT(*) AS BIGINT) AS n_events,
+               CAST(SUM(CAST(ROUND(value * 100.0) AS BIGINT)) AS BIGINT)
+                   AS value_cents
+        FROM sess GROUP BY user_id, sid
+    """,
+    tags=("sessionization", "session-window", "batch", "events"),
+)
+def events_session_window_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    return (
+        events.groupBy(
+            "user_id",
+            F.session_window("ts", f"{SESSION_GAP_S} seconds").alias("sw"),
+        )
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+            F.sum(F.round(F.col("value") * 100.0, 0).cast("long"))
+            .cast("long")
+            .alias("value_cents"),
+        )
+        .select(
+            "user_id",
+            F.col("sw.start").cast("string").alias("session_start"),
+            "n_events",
+            "value_cents",
+        )
+    )

@@ -910,3 +910,20 @@ def test_no_python_boundary_outside_documented_family(spark, name):
     plan = plan_of(spark, name)
     for marker in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas", "UDTF"):
         assert marker not in plan, f"{name} plans a Python stage: {marker}"
+
+
+def test_surrogate_keys_never_use_monotonic_id(spark):
+    """Surrogate keys must come from the distributed rank (dense,
+    run-stable), never monotonically_increasing_id (partition-layout
+    dependent)."""
+    plan = plan_of(spark, "surrogate_key_assignment")
+    assert "monotonically_increasing_id" not in plan
+    _assert_distributed_rank_shape(plan)
+
+
+def test_batch_session_window_no_sort_window_pass(spark):
+    """The built-in session_window plans as a session-merging aggregate
+    over the user shuffle — no window-function Sort pass, no join."""
+    plan = plan_of(spark, "events_session_window_batch")
+    assert "Join" not in plan
+    assert "SessionWindow" in plan or "session_window" in plan
