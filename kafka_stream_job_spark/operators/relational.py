@@ -8188,3 +8188,51 @@ def events_session_window_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
             "value_cents",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# AES ROUND-TRIP AUDIT — the column-encryption surface (aes_encrypt /
+# aes_decrypt, deterministic ECB mode so re-runs agree; production
+# would use GCM + key management, where the random IV makes ciphertext
+# non-reproducible by design). The audit proves decrypt∘encrypt is the
+# identity on every row and that equal plaintexts map to equal
+# ciphertexts (ECB's determinism — also exactly its leakage, which is
+# the documented reason GCM exists). The oracle checks the invariant
+# counts; ciphertext bytes never leave the engine.
+# ---------------------------------------------------------------------------
+AES_KEY = "0123456789abcdef"  # 16-byte test key (AES-128)
+
+
+@register(
+    "aes_roundtrip_audit",
+    oracle="""
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+               CAST(COUNT(*) AS BIGINT) AS n_roundtrip_ok,
+               CAST(COUNT(DISTINCT event_type) AS BIGINT)
+                   AS n_distinct_ciphertexts
+        FROM events
+    """,
+    tags=("crypto", "functions", "events"),
+)
+def aes_roundtrip_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    enc = F.expr(
+        f"aes_encrypt(event_type, '{AES_KEY}', 'ECB')"
+    )
+    staged = events.select(
+        "event_type",
+        enc.alias("ct"),
+    ).select(
+        "event_type",
+        "ct",
+        F.expr(f"cast(aes_decrypt(ct, '{AES_KEY}', 'ECB') as string)").alias(
+            "pt"
+        ),
+    )
+    return staged.agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        F.sum(
+            F.when(F.col("pt") == F.col("event_type"), 1).otherwise(0)
+        ).cast("long").alias("n_roundtrip_ok"),
+        F.countDistinct("ct").cast("long").alias("n_distinct_ciphertexts"),
+    )
