@@ -1401,3 +1401,82 @@ def cv_fold_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
             "max_lang_share_bp"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# MEDALLION PIPELINE — bronze → silver → gold in one declarative chain,
+# with per-layer row accounting (the lakehouse architecture made
+# executable): bronze = raw events with the ingestion envelope
+# (bronze.py's T4/T5 enrichment); silver = quality-gated (non-null key
+# fields, positive value) and DEDUPED on the business key
+# (user_id, ts, event_type) keeping the lowest event_id; gold = the
+# daily per-type business aggregate. The output reports layer counts
+# and the gold rollup rows, so the DROP at each gate is part of the
+# hash-checked contract.
+# Scale: each layer is a narrow map or a keyed partial agg over the
+# previous one — Catalyst fuses the whole chain into two shuffles
+# (dedup key, gold key); nothing is materialized between layers here,
+# while production would checkpoint each layer to a table (bronze.py
+# sinks) without changing the dataflow.
+# ---------------------------------------------------------------------------
+@register(
+    "medallion_pipeline_rollup",
+    oracle="""
+        WITH bronze AS (SELECT * FROM events),
+        silver AS (
+            SELECT user_id, ts, event_type, value, event_id,
+                   ROW_NUMBER() OVER (PARTITION BY user_id, ts, event_type
+                                      ORDER BY event_id) AS rn
+            FROM bronze
+            WHERE user_id IS NOT NULL AND event_type IS NOT NULL
+              AND value > 0
+        ),
+        silver_d AS (SELECT * FROM silver WHERE rn = 1),
+        gold AS (
+            SELECT CAST(CAST(date_trunc('day', ts) AS DATE) AS VARCHAR)
+                       AS day_ts,
+                   event_type,
+                   CAST(COUNT(*) AS BIGINT) AS n_events,
+                   CAST(SUM(CAST(ROUND(value * 100.0) AS BIGINT)) AS BIGINT)
+                       AS value_cents
+            FROM silver_d GROUP BY 1, 2
+        )
+        SELECT g.day_ts, g.event_type, g.n_events, g.value_cents,
+               (SELECT CAST(COUNT(*) AS BIGINT) FROM bronze) AS bronze_rows,
+               (SELECT CAST(COUNT(*) AS BIGINT) FROM silver_d) AS silver_rows
+        FROM gold g
+    """,
+    tags=("medallion", "pipeline", "architecture", "events"),
+)
+def medallion_pipeline_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    bronze = load_table(spark, sf_dir, "events")
+    gated = bronze.filter(
+        F.col("user_id").isNotNull()
+        & F.col("event_type").isNotNull()
+        & (F.col("value") > 0)
+    )
+    w = Window.partitionBy("user_id", "ts", "event_type").orderBy("event_id")
+    silver = (
+        gated.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .localCheckpoint(eager=False)  # gold + the silver count read it
+    )
+    gold = silver.groupBy(
+        F.col("ts").cast("date").cast("string").alias("day_ts"),
+        "event_type",
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+        F.sum(F.round(F.col("value") * 100.0, 0).cast("long"))
+        .cast("long")
+        .alias("value_cents"),
+    )
+    counts = bronze.agg(
+        F.count(F.lit(1)).cast("long").alias("bronze_rows")
+    ).crossJoin(
+        F.broadcast(
+            silver.agg(F.count(F.lit(1)).cast("long").alias("silver_rows"))
+        )
+    )
+    return gold.crossJoin(F.broadcast(counts))
