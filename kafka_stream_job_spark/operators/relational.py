@@ -8236,3 +8236,32 @@ def aes_roundtrip_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).cast("long").alias("n_roundtrip_ok"),
         F.countDistinct("ct").cast("long").alias("n_distinct_ciphertexts"),
     )
+
+
+# ---------------------------------------------------------------------------
+# BITWISE AGGREGATES — bit_and / bit_or / bit_xor over integer columns
+# (the flag-mask rollup surface; xor doubles as an order-free integer
+# checksum usable for table-diff fingerprints). Exact integers on both
+# engines, map-side partial like any algebraic aggregate.
+# ---------------------------------------------------------------------------
+@register(
+    "bitwise_aggregates_showcase",
+    oracle="""
+        SELECT event_type,
+               CAST(COUNT(*) AS BIGINT) AS n_events,
+               CAST(BIT_AND(user_id) AS BIGINT) AS users_and,
+               CAST(BIT_OR(user_id) AS BIGINT) AS users_or,
+               CAST(BIT_XOR(event_id) AS BIGINT) AS ids_xor_checksum
+        FROM events
+        GROUP BY event_type
+    """,
+    tags=("aggregates", "bitwise", "events"),
+)
+def bitwise_aggregates_showcase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    return events.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+        F.bit_and("user_id").cast("long").alias("users_and"),
+        F.bit_or("user_id").cast("long").alias("users_or"),
+        F.bit_xor("event_id").cast("long").alias("ids_xor_checksum"),
+    )
