@@ -8265,3 +8265,121 @@ def bitwise_aggregates_showcase(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.bit_or("user_id").cast("long").alias("users_or"),
         F.bit_xor("event_id").cast("long").alias("ids_xor_checksum"),
     )
+
+
+# ---------------------------------------------------------------------------
+# MAD OUTLIERS — the robust twin of events_hourly_anomaly: hours whose
+# |count − median| exceeds 3·(1.4826·MAD). Mean/stddev break down when
+# the contamination is what you're hunting; median and MAD don't. Both
+# medians use the explicit sorted-array formula (odd → middle, even →
+# mean of middles — the engine-portable median established by
+# events_theilsen_trend), folded over the bounded per-type hour series.
+# ---------------------------------------------------------------------------
+@register(
+    "events_hourly_mad_outliers",
+    oracle="""
+        WITH series AS (
+            SELECT event_type, date_trunc('hour', ts) AS h,
+                   CAST(COUNT(*) AS BIGINT) AS c
+            FROM events GROUP BY 1, 2
+        ),
+        med AS (
+            SELECT event_type, list(c ORDER BY c, h) AS cs,
+                   CAST(COUNT(*) AS BIGINT) AS n
+            FROM series GROUP BY event_type
+        ),
+        m1 AS (
+            SELECT event_type, n, cs,
+                   CASE WHEN n % 2 = 1 THEN CAST(cs[(n + 1) // 2] AS DOUBLE)
+                        ELSE (cs[n // 2] + cs[n // 2 + 1]) * 0.5 END AS med
+            FROM med
+        ),
+        devs AS (
+            SELECT s.event_type, s.h, s.c, m.med, m.n,
+                   ABS(s.c - m.med) AS dev
+            FROM series s JOIN m1 m USING (event_type)
+        ),
+        m2 AS (
+            SELECT event_type, list(dev ORDER BY dev, h) AS ds,
+                   CAST(COUNT(*) AS BIGINT) AS n
+            FROM devs GROUP BY event_type
+        ),
+        mad AS (
+            SELECT event_type,
+                   CASE WHEN n % 2 = 1 THEN ds[(n + 1) // 2]
+                        ELSE (ds[n // 2] + ds[n // 2 + 1]) * 0.5 END AS mad
+            FROM m2
+        )
+        SELECT d.event_type,
+               CAST(d.h AS VARCHAR) AS hour_ts,
+               d.c AS n_events,
+               ROUND((d.med) * 1000000.0) / 1000000.0 + 0.0 AS median_count,
+               ROUND((m.mad) * 1000000.0) / 1000000.0 + 0.0 AS mad,
+               ROUND((d.dev / (1.4826 * m.mad)) * 10000.0) / 10000.0 + 0.0
+                   AS robust_z
+        FROM devs d JOIN mad m USING (event_type)
+        WHERE m.mad > 0 AND d.dev / (1.4826 * m.mad) > 3.0
+    """,
+    tags=("timeseries", "anomaly", "mad", "robust", "events"),
+)
+def events_hourly_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    series = events.groupBy(
+        "event_type", F.date_trunc("hour", "ts").alias("h")
+    ).agg(F.count(F.lit(1)).cast("long").alias("c")).localCheckpoint(
+        eager=False  # median stage and the dev rows both read it
+    )
+
+    cs = F.transform(
+        F.array_sort(F.collect_list(F.struct("c", "h"))), lambda s: s["c"]
+    )
+    m1 = series.groupBy("event_type").agg(
+        cs.alias("cs"), F.count(F.lit(1)).cast("long").alias("n")
+    )
+    med = F.when(
+        F.col("n") % 2 == 1,
+        F.element_at("cs", F.expr("int((n + 1) div 2)")).cast("double"),
+    ).otherwise(
+        (
+            F.element_at("cs", F.expr("int(n div 2)"))
+            + F.element_at("cs", F.expr("int(n div 2 + 1)"))
+        )
+        * F.lit(0.5)
+    )
+    m1 = m1.select("event_type", med.alias("med"))
+    devs = series.join(F.broadcast(m1), "event_type").select(
+        "event_type",
+        "h",
+        "c",
+        "med",
+        F.abs(F.col("c") - F.col("med")).alias("dev"),
+    ).localCheckpoint(eager=False)
+    ds = F.transform(
+        F.array_sort(F.collect_list(F.struct("dev", "h"))), lambda s: s["dev"]
+    )
+    m2 = devs.groupBy("event_type").agg(
+        ds.alias("ds"), F.count(F.lit(1)).cast("long").alias("n")
+    )
+    mad = F.when(
+        F.col("n") % 2 == 1, F.element_at("ds", F.expr("int((n + 1) div 2)"))
+    ).otherwise(
+        (
+            F.element_at("ds", F.expr("int(n div 2)"))
+            + F.element_at("ds", F.expr("int(n div 2 + 1)"))
+        )
+        * F.lit(0.5)
+    )
+    m2 = m2.select("event_type", mad.alias("mad"))
+    rz = F.col("dev") / (F.lit(1.4826) * F.col("mad"))
+    return (
+        devs.join(F.broadcast(m2), "event_type")
+        .filter((F.col("mad") > 0) & (rz > 3.0))
+        .select(
+            "event_type",
+            F.col("h").cast("string").alias("hour_ts"),
+            F.col("c").alias("n_events"),
+            pround("med", 6).alias("median_count"),
+            pround("mad", 6).alias("mad"),
+            pround(rz, 4).alias("robust_z"),
+        )
+    )
