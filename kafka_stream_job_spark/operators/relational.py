@@ -3219,7 +3219,12 @@ def graph_triangle_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select(F.col("w.u").alias("u"), F.col("w.v").alias("v"))
     )
-    tri = wedges.join(edges, ["u", "v"]).agg(
+    # The probe join must NEVER broadcast: edges grow with the data (the
+    # 64 MB auto-broadcast estimate undershoots at sf0.1 and the build
+    # OOMs — found by the full sf0.1 oracle sweep). Pin a shuffled hash
+    # join: both sides hash-partition on (u, v), no sort, no driver-side
+    # build of an unbounded relation.
+    tri = wedges.join(edges.hint("shuffle_hash"), ["u", "v"]).agg(
         F.count(F.lit(1)).alias("n_triangles")
     )
     stats = deg.agg(

@@ -927,3 +927,11 @@ def test_batch_session_window_no_sort_window_pass(spark):
     plan = plan_of(spark, "events_session_window_batch")
     assert "Join" not in plan
     assert "SessionWindow" in plan or "session_window" in plan
+
+
+def test_triangle_probe_join_never_broadcasts_edges(spark):
+    """The wedge→edge probe must plan a ShuffledHashJoin: edges grow
+    with the data, and AQE's auto-broadcast estimate undershoots at
+    sf0.1 (the build OOMed — caught by the full sf0.1 oracle sweep)."""
+    plan = plan_of(spark, "graph_triangle_stats")
+    assert "ShuffledHashJoin" in plan
