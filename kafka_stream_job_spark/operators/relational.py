@@ -8388,3 +8388,160 @@ def events_hourly_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
             pround(rz, 4).alias("robust_z"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# HOLT-WINTERS (additive, period 24) — triple exponential smoothing over
+# the hourly series: level + trend + a 24-slot seasonal ring, the
+# capstone of the forecasting family (EWMA → Holt → Holt-Winters). The
+# entire state is ONE 26-element DOUBLE list folded in pinned hour order
+# (list state per the DuckDB struct-accumulator finding); α=1/4, β=1/2,
+# γ=1/4 are exact binary fractions, and the level expression is written
+# out verbatim inside the trend and seasonal updates so both engines
+# share one IEEE dag. Init variant (documented, both engines): l₀ = mean
+# of season 1, b₀ = 0, sⱼ = xⱼ − l₀; fold starts at hour 25.
+# Scale: same wall-clock-bounded in-array argument as EWMA/Holt.
+# ---------------------------------------------------------------------------
+HW_PERIOD = 24
+
+
+def _hw_oracle() -> str:
+    return f"""
+        WITH series AS (
+            SELECT event_type, date_trunc('hour', ts) AS h,
+                   CAST(COUNT(*) AS BIGINT) AS c
+            FROM events GROUP BY 1, 2
+        ),
+        arr AS (
+            SELECT event_type,
+                   list(CAST(c AS DOUBLE) ORDER BY h) AS xs,
+                   CAST(COUNT(*) AS BIGINT) AS n
+            FROM series GROUP BY event_type
+            HAVING COUNT(*) >= {{HW_PERIOD}} * 2 + 1
+        ),
+        init AS (
+            SELECT event_type, xs, n,
+                   list_reduce(list_prepend(CAST(0 AS DOUBLE),
+                       xs[1:{{HW_PERIOD}}]), (a, b) -> a + b)
+                       / {{HW_PERIOD}}.0 AS l0
+            FROM arr
+        ),
+        folded AS (
+            SELECT event_type, n,
+                   list_reduce(
+                       list_prepend(
+                           list_concat([l0, CAST(0 AS DOUBLE)],
+                               list_transform(xs[1:{{HW_PERIOD}}],
+                                              x -> x - l0)),
+                           list_transform(xs[{{HW_PERIOD}} + 1:CAST(n AS INT)],
+                               (x, i) -> list_concat(
+                                   [x, CAST(((i - 1) % {{HW_PERIOD}}) + 1
+                                            AS DOUBLE)],
+                                   list_transform(range(1, {{HW_PERIOD}} - 1),
+                                                  j -> CAST(0 AS DOUBLE))))),
+                       (acc, el) -> list_concat(
+                           [0.25 * (el[1] - acc[CAST(el[2] AS INT) + 2])
+                                + 0.75 * (acc[1] + acc[2]),
+                            0.5 * ((0.25 * (el[1] - acc[CAST(el[2] AS INT) + 2])
+                                    + 0.75 * (acc[1] + acc[2])) - acc[1])
+                                + 0.5 * acc[2]],
+                           list_transform(range(1, {{HW_PERIOD}} + 1),
+                               j -> CASE WHEN j = CAST(el[2] AS BIGINT)
+                                    THEN 0.25 * (el[1]
+                                         - (0.25 * (el[1]
+                                              - acc[CAST(el[2] AS INT) + 2])
+                                            + 0.75 * (acc[1] + acc[2])))
+                                         + 0.75 * acc[CAST(j AS INT) + 2]
+                                    ELSE acc[CAST(j AS INT) + 2] END))) AS st
+            FROM init
+        )
+        SELECT event_type, n AS n_hours,
+               ROUND((st[1]) * 1000000.0) / 1000000.0 + 0.0 AS hw_level,
+               ROUND((st[2]) * 1000000.0) / 1000000.0 + 0.0 AS hw_trend,
+               ROUND((st[1] + st[2]
+                      + st[CAST((n % {{HW_PERIOD}}) + 1 AS INT) + 2])
+                     * 1000000.0) / 1000000.0 + 0.0 AS forecast_next
+        FROM folded
+    """.replace("{HW_PERIOD}", str(HW_PERIOD))
+
+
+@register(
+    "events_holtwinters_forecast",
+    oracle=_hw_oracle(),
+    tags=("timeseries", "forecast", "holt-winters", "events"),
+)
+def events_holtwinters_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    series = events.groupBy(
+        "event_type", F.date_trunc("hour", "ts").alias("h")
+    ).agg(F.count(F.lit(1)).cast("long").alias("c"))
+    arr = (
+        series.groupBy("event_type")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("h", "c"))),
+                lambda s: s["c"].cast("double"),
+            ).alias("xs"),
+            F.count(F.lit(1)).cast("long").alias("n"),
+        )
+        .filter(F.col("n") >= HW_PERIOD * 2 + 1)
+    )
+    xs = F.col("xs")
+    l0 = (
+        F.aggregate(
+            F.slice(xs, 1, HW_PERIOD), F.lit(0.0), lambda a, b: a + b
+        )
+        / float(HW_PERIOD)
+    )
+    init = F.concat(
+        F.array(l0, F.lit(0.0).cast("double")),
+        F.transform(F.slice(xs, 1, HW_PERIOD), lambda x: x - l0),
+    )
+    # elements: [x, slot, 0...] padded to the state width so the fold's
+    # element type matches DuckDB's (list_reduce requires same-type lists)
+    pad = [F.lit(0.0).cast("double")] * (HW_PERIOD - 2)
+    elements = F.transform(
+        F.expr(f"slice(xs, {HW_PERIOD + 1}, size(xs) - {HW_PERIOD})"),
+        lambda x, i0: F.concat(
+            F.array(x, ((i0 % HW_PERIOD) + 1).cast("double")), F.array(*pad)
+        ),
+    )
+
+    def lvl(acc, el):
+        slot_idx = F.element_at(el, 2).cast("int") + 2
+        return F.lit(0.25) * (
+            F.element_at(el, 1) - F.element_at(acc, slot_idx)
+        ) + F.lit(0.75) * (F.element_at(acc, 1) + F.element_at(acc, 2))
+
+    def step(acc, el):
+        slot = F.element_at(el, 2)
+        new_l = lvl(acc, el)
+        new_b = (
+            F.lit(0.5) * (lvl(acc, el) - F.element_at(acc, 1))
+            + F.lit(0.5) * F.element_at(acc, 2)
+        )
+        seas = F.transform(
+            F.sequence(F.lit(1), F.lit(HW_PERIOD)),
+            lambda j: F.when(
+                j.cast("bigint") == slot.cast("bigint"),
+                F.lit(0.25) * (F.element_at(el, 1) - lvl(acc, el))
+                + F.lit(0.75) * F.element_at(acc, j.cast("int") + 2),
+            ).otherwise(F.element_at(acc, j.cast("int") + 2)),
+        )
+        return F.concat(F.array(new_l, new_b), seas)
+
+    st = F.aggregate(elements, init, step)
+    nxt = (
+        F.element_at(st, 1)
+        + F.element_at(st, 2)
+        + F.element_at(
+            st, ((F.col("n") % HW_PERIOD) + 1).cast("int") + 2
+        )
+    )
+    return arr.select(
+        "event_type",
+        F.col("n").alias("n_hours"),
+        pround(F.element_at(st, 1), 6).alias("hw_level"),
+        pround(F.element_at(st, 2), 6).alias("hw_trend"),
+        pround(nxt, 6).alias("forecast_next"),
+    )
