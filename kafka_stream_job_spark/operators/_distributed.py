@@ -141,6 +141,7 @@ def distributed_prefix_max(
     value_col: str,
     n_parts: int = DEFAULT_RANK_PARTS,
     out_col: str = "running_max",
+    exclusive: bool = False,
 ) -> DataFrame:
     """Add the global running MAX of ``value_col`` along ``sort_cols`` —
     the third member of the family (rank, prefix-sum, prefix-max; max is
@@ -148,17 +149,21 @@ def distributed_prefix_max(
     partitions, which is |partitions| rows of broadcast metadata). Used
     for arrival-order frontier analyses (watermark sizing), where the
     running max of event time along arrival order IS the watermark
-    frontier. Same localCheckpoint pinning as distributed_rank, same
-    reason."""
+    frontier, and for skyline sweeps (supplier_pareto_frontier), which
+    need ``exclusive=True``: the max over STRICTLY EARLIER rows
+    (SQL's ``ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING``), NULL
+    for the globally first row. Same localCheckpoint pinning as
+    distributed_rank, same reason."""
     parts = df.repartitionByRange(n_parts, *sort_cols).withColumn(
         "_pid", F.spark_partition_id()
     )
+    upper = -1 if exclusive else 0
     local = parts.withColumn(
         "_lmax",
         F.max(value_col).over(
             Window.partitionBy("_pid")
             .orderBy(*sort_cols)
-            .rowsBetween(Window.unboundedPreceding, 0)
+            .rowsBetween(Window.unboundedPreceding, upper)
         ),
     ).localCheckpoint(eager=False)
     offsets = (

@@ -3483,13 +3483,14 @@ def data_quality_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 #
 # No dominance self-join: for 2 maximized metrics the frontier falls out
 # of one sweep — sort by (m1 DESC, m2 DESC), keep a row iff its m2 beats
-# the running max of all better-m1 rows. That is a window cummax, so the
-# whole operator is agg + one window pass. At 100 TB the same sweep runs
-# per-partition first (a locally dominated point is globally dominated —
-# safe prefilter), leaving a tiny merge set for the global pass; the agg
-# input is the fact table, the window input is only |suppliers| rows.
-# Revenue is summed as integer cents (exact, order-free — the portable
-# pattern from memory/spark-graft-gotchas), so ties and comparisons are
+# the running max of all better-m1 rows. That running max is an
+# EXCLUSIVE global prefix-max, routed through distributed_prefix_max
+# (range exchange → per-partition window → |partitions|-row broadcast
+# offsets) so the sweep parallelizes: suppliers grow with the data
+# (~10 M at 100 TB-equivalent SF) and a bare empty-partition-spec Window
+# would serialize them into one task. Revenue is summed as integer cents
+# (exact, order-free — the portable pattern from
+# memory/spark-graft-gotchas), so ties and comparisons are
 # engine-identical.
 # ---------------------------------------------------------------------------
 @register(
@@ -3519,6 +3520,10 @@ def data_quality_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("skyline", "window", "lineitem", "orders"),
 )
 def supplier_pareto_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kafka_stream_job_spark.operators._distributed import (
+        distributed_prefix_max,
+    )
+
     li = load_table(spark, sf_dir, "lineitem")
     orders = load_table(spark, sf_dir, "orders")
     cents = F.round(
@@ -3532,14 +3537,17 @@ def supplier_pareto_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.countDistinct("o_custkey").alias("n_customers"),
         )
     )
-    w = (
-        Window.orderBy(
+    swept = distributed_prefix_max(
+        m,
+        [
             F.col("revenue_cents").desc(),
             F.col("n_customers").desc(),
             F.col("suppkey"),
-        ).rowsBetween(Window.unboundedPreceding, -1)
+        ],
+        "n_customers",
+        out_col="best_prior",
+        exclusive=True,
     )
-    swept = m.withColumn("best_prior", F.max("n_customers").over(w))
     return swept.filter(
         F.col("best_prior").isNull() | (F.col("n_customers") > F.col("best_prior"))
     ).select("suppkey", "revenue_cents", "n_customers")

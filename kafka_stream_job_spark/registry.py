@@ -52,10 +52,11 @@ def register(
 
 
 # Names the external driver has verified across rounds — the union of
-# CORRECTNESS_r01.json and CORRECTNESS_r02.json (50 + 50 − 5 re-checks =
-# 95 names). The driver enumerates only the FIRST 50 registry entries per
-# round, so ``all_specs`` orders the registry never-driver-checked first:
-# a truncated first-N pass then spends its whole budget earning NEW
+# CORRECTNESS_r01.json ∪ r02 ∪ r03 (50 + 45 + 48 fresh = 143 names; r02
+# re-checked 5 r1 rows, r03 re-checked q22 + sketch_user_activity). The
+# driver enumerates only the FIRST 50 registry entries per round, so
+# ``all_specs`` orders the registry never-driver-checked first: a
+# truncated first-N pass then spends its whole budget earning NEW
 # correctness rows instead of re-verifying green ones. Refresh this set
 # each round from the latest CORRECTNESS_r*.json files.
 _DRIVER_CHECKED = frozenset({
@@ -97,6 +98,31 @@ _DRIVER_CHECKED = frozenset({
     "text_chunk_dedup", "text_pii_redaction", "text_repetition_filter",
     "text_seqlen_histogram", "text_token_entropy", "text_zipf_slope",
     "udtf_word_expand", "unpivot_lineitem_measures", "weighted_sample_docs",
+    # round 3 additions (CORRECTNESS_r03.json minus the 2 re-checks)
+    "ann_ndcg_truncation", "array_set_functions_showcase",
+    "arrow_map_embedding_norm", "asof_next_touch_latency",
+    "attribution_multi_touch", "benford_digit_audit",
+    "bloom_filter_membership", "bronze_decode_errors",
+    "bronze_decode_roundtrip", "csv_source_permissive_read",
+    "customer_balance_ks_test", "cv_fold_manifest", "events_ab_uplift_test",
+    "events_ewma_forecast", "events_funnel_latency",
+    "events_funnel_view_click_purchase", "events_holt_forecast",
+    "events_interval_overlap_join", "events_props_templates",
+    "events_props_variant_decode", "events_psi_value_drift",
+    "events_theilsen_trend", "events_transition_matrix",
+    "feature_asof_training_matrix", "gdpr_purge_manifest",
+    "k_anonymity_audit", "kmv_distinct_users", "lang_balance_weights",
+    "lang_temperature_weights", "map_functions_showcase",
+    "multimodal_stratified_sample", "null_safe_join_attribution",
+    "orc_source_roundtrip", "pandas_grouped_agg_trimmed_mean",
+    "parameterized_sql_showcase", "partitioned_source_pruned_read",
+    "pipe_sql_priority_stats", "profile_hot_orderkeys",
+    "q22_global_sales_opportunity", "revenue_trend_ols",
+    "scd2_customer_merge", "schema_evolution_merge_read",
+    "similarity_topk_binary_rerank", "sketch_user_activity",
+    "stats_qty_price_corr", "supplier_return_wilson_rank",
+    "text_sentiment_lexicon", "text_vocab_coverage",
+    "try_functions_showcase", "xml_decode_roundtrip",
 })
 
 
@@ -119,20 +145,11 @@ def all_specs() -> dict[str, QuerySpec]:
     from kafka_stream_job_spark import bronze  # noqa: F401
     from kafka_stream_job_spark.streaming import pipeline  # noqa: F401
 
-    recheck = {
-        n: REGISTRY[n]
-        for n in (
-            # Driver-green in r02 but CHANGED in round 3 — the old rows no
-            # longer certify the current behavior, so they must re-earn
-            # their green row ahead of everything else:
-            #   q22: NOT EXISTS now date-bounded so sf0.01 yields >0 rows
-            #        (the r02 green row value-checked an empty result).
-            #   sketch_user_activity: rows-only → invariant-style oracle.
-            "q22_global_sales_opportunity",
-            "sketch_user_activity",
-        )
-        if n in REGISTRY
-    }
+    # Driver-green entries whose behavior CHANGED since their last green
+    # row must re-earn it ahead of everything else. Empty this round: the
+    # two round-3 rechecks (q22, sketch_user_activity) both flipped green
+    # in CORRECTNESS_r03 and are back in _DRIVER_CHECKED.
+    recheck: dict[str, QuerySpec] = {}
     # Within the never-checked group, order by MEASURED sf0.01 driver-sim
     # cost (tools/verify_oracle.py; re-measured over the FULL 261-query
     # registry at the end of round 3), cheapest first: if the driver's

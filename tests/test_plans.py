@@ -104,9 +104,78 @@ def test_pushdown_on_lineitem_date_filter(spark):
 )
 def test_no_accidental_cartesian_anywhere(spark, name):
     plan = plan_of(spark, name)
-    if name == "range_join_price_bands":
-        pytest.skip("intentional broadcast nested-loop against 4-row dim")
-    assert "CartesianProduct" not in plan, f"{name} plans a cartesian product"
+    if name != "range_join_price_bands":  # intentional BNLJ vs 4-row dim
+        assert "CartesianProduct" not in plan, f"{name} plans a cartesian product"
+    offenders = [
+        w
+        for w in _empty_partition_ordered_windows(plan)
+        if name not in _BOUNDED_GLOBAL_WINDOW_OK
+    ]
+    assert not offenders, (
+        f"{name} plans an unbounded empty-partition-spec Window "
+        f"(single-partition global sort at scale): {offenders[0][:160]} — "
+        "route through operators/_distributed.py or bound the input with "
+        "limit() and add the name to _BOUNDED_GLOBAL_WINDOW_OK with a reason"
+    )
+
+
+def _top_level_bracket_groups(s: str) -> list[str]:
+    groups, depth, cur = [], 0, []
+    for ch in s:
+        if ch == "[":
+            depth += 1
+            if depth == 1:
+                cur = []
+                continue
+        elif ch == "]":
+            depth -= 1
+            if depth == 0:
+                groups.append("".join(cur))
+                continue
+        if depth >= 1:
+            cur.append(ch)
+    return groups
+
+
+def _empty_partition_ordered_windows(plan: str) -> list[str]:
+    """Window physical nodes render ``Window [exprs], [part], [order]``;
+    an EMPTY partition spec drops the middle group, leaving two. A
+    partition-only window (no orderBy) ALSO renders two groups, so the
+    second group must carry sort directions (ASC/DESC) to count. The
+    |partitions|-row ``_pid`` offset windows inside operators/_distributed
+    are exempt — their input is bounded metadata by construction."""
+    import re
+
+    hits = []
+    for line in plan.splitlines():
+        m = re.match(r"^[\s:+\-*()]*Window (\[.*)$", line)
+        if not m:
+            continue
+        groups = _top_level_bracket_groups(m.group(1))
+        if len(groups) != 2:
+            continue
+        order = groups[1].strip()
+        if " ASC" not in order and " DESC" not in order:
+            continue  # partition-only window — parallel, fine
+        if re.match(r"^_pid#\d+", order):
+            continue  # bounded offsets window from _distributed.py
+        hits.append(line.strip())
+    return hits
+
+
+# Queries whose empty-partition-spec ordered Window is PROVABLY bounded —
+# the input is cut to a constant by limit() first, or the order key is a
+# bounded-domain aggregate (hours/days/bins), so the single task sees a
+# constant-size input at any data scale. Every addition needs a reason.
+_BOUNDED_GLOBAL_WINDOW_OK = {
+    "rag_context_pack",  # window over limit(RAG_CANDIDATES=50) survivors
+    "search_hybrid_rrf",  # both rank windows over limit(RRF_DEPTH) tops
+    "text_zipf_slope",  # window over limit(ZIPF_TOP_K) head
+    "skipgram_negative_samples",  # cum-weight window over limit(SG_NEG_VOCAB) vocab
+    "timeseries_znorm_subsequence_search",  # hourly series: bounded by time domain
+    "events_daily_value_trend",  # 7-day moving avg over per-day aggregate
+    "sketch_quantile_bins",  # cumulative count over fixed bin count
+}
 
 
 def test_decontamination_broadcasts_eval_side(spark):
@@ -290,11 +359,24 @@ def test_hll_partial_agg_below_exchange(spark):
 
 
 def test_pareto_single_window_no_join(spark):
-    """The skyline must be agg + window sweep — no dominance self-join."""
+    """The skyline must be agg + DISTRIBUTED prefix-max sweep — no
+    dominance self-join, and no single-partition global window: suppliers
+    grow with the data, so the sweep must range-partition (round-4 fix,
+    routed through distributed_prefix_max)."""
     plan = plan_of(spark, "supplier_pareto_frontier")
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert plan.count("Window") >= 1
+    assert not _empty_partition_ordered_windows(plan), (
+        "pareto sweep regressed to a single-partition global window"
+    )
+    # the range exchange itself is hidden behind the primitive's
+    # localCheckpoint (plans show the pinned RDD, not its lineage); the
+    # _pid/_lmax columns in that scan prove the distributed_prefix_max
+    # routing
+    assert "_pid" in plan and "_lmax" in plan, (
+        "sweep must route through distributed_prefix_max"
+    )
 
 
 def test_peak_concurrency_partitions_by_day(spark):
