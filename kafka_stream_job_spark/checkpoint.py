@@ -98,6 +98,35 @@ def read_text_file(path: str) -> str:
         return fh.read().decode("utf-8")
 
 
+def tmp_sibling(path: str) -> str:
+    """Deterministic tmp-file name next to ``path`` for staged writes —
+    shared between write_text_file and callers that must clean up a
+    crashed write (e.g. a sink's abort())."""
+    import os
+
+    return f"{path}.tmp-{os.getpid()}"
+
+
+def write_text_file(path: str, text: str) -> None:
+    """UTF-8 write through the scheme-aware filesystem, staged via a tmp
+    sibling then moved into place — a true atomic rename on local/HDFS
+    (pyarrow move), copy+delete on object stores where the destination
+    object still appears all-or-nothing. The tmp is removed on any
+    failure, so a crash never strands a ``.tmp-<pid>`` file."""
+    import contextlib
+
+    filesystem, fs_path = _filesystem(path)
+    _, tmp = _filesystem(tmp_sibling(path))
+    try:
+        with filesystem.open_output_stream(tmp) as fh:
+            fh.write(text.encode("utf-8"))
+        filesystem.move(tmp, fs_path)
+    except Exception:
+        with contextlib.suppress(Exception):
+            filesystem.delete_file(tmp)
+        raise
+
+
 def read_offsets_file(path: str) -> tuple[dict, OffsetMap]:
     """Parse one checkpoint offsets file → (metadata, offsets).
 

@@ -14,7 +14,6 @@ slices), batch read with pushFilters pruning, streaming read
 from __future__ import annotations
 
 import json
-import os
 
 from pyspark.sql.datasource import (
     DataSource,
@@ -41,18 +40,29 @@ class _AuditWriter(DataSourceWriter):
         return AuditCommit(n, s)
 
     def commit(self, messages):
+        # Scheme-aware staged write (the checkpoint.py helper): works when
+        # the audit path is hdfs://-s3://, appears atomically, and cleans
+        # its tmp on failure — builtin open/os.replace would silently
+        # write driver-local on a cluster.
+        from kafka_stream_job_spark.checkpoint import write_text_file
+
         out = {
             "n_rows": sum(m.n_rows for m in messages),
             "id_sum": sum(m.id_sum for m in messages),
             "n_tasks": len(messages),
         }
-        tmp = f"{self._path}.tmp-{os.getpid()}"
-        with open(tmp, "w") as f:
-            json.dump(out, f)
-        os.replace(tmp, self._path)  # manifest appears atomically
+        write_text_file(self._path, json.dumps(out))
 
     def abort(self, messages):
-        pass  # nothing partial was ever made visible
+        # No partial manifest is ever visible; sweep any tmp a crashed
+        # commit on THIS driver process could have left behind.
+        import contextlib
+
+        from kafka_stream_job_spark.checkpoint import _filesystem, tmp_sibling
+
+        filesystem, tmp = _filesystem(tmp_sibling(self._path))
+        with contextlib.suppress(Exception):
+            filesystem.delete_file(tmp)
 
 
 class AuditDataSource(DataSource):

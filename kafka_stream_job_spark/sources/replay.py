@@ -67,6 +67,43 @@ def _sorted_table(path: str):
     return tab
 
 
+#: driver-side cache: (path, mtime) → sorted event_id Arrow column only.
+#: Planning-time pruning needs just the id order, so it reads ONE int64
+#: column (8 bytes/row, no boxing) instead of pulling the whole table
+#: through _sorted_table on the driver.
+_SORTED_IDS_CACHE: dict = {}
+
+
+def _sorted_ids(path: str):
+    import os as _os
+
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    key = (path, _os.path.getmtime(path))
+    ids = _SORTED_IDS_CACHE.get(key)
+    if ids is None:
+        col = pq.read_table(path, columns=["event_id"]).column("event_id")
+        ids = col.take(pc.sort_indices(col)).combine_chunks()
+        _SORTED_IDS_CACHE.clear()
+        _SORTED_IDS_CACHE[key] = ids
+    return ids
+
+
+def _arrow_bisect(ids, target, right: bool) -> int:
+    """bisect_left/bisect_right over a sorted Arrow column via O(log n)
+    single-value probes — never materializes the column to Python."""
+    lo, hi = 0, len(ids)
+    while lo < hi:
+        mid = (lo + hi) // 2
+        v = ids[mid].as_py()
+        if v < target or (right and v == target):
+            lo = mid + 1
+        else:
+            hi = mid
+    return lo
+
+
 #: column order must match _SCHEMA — Arrow batches map positionally.
 _COLUMNS = ("event_id", "ts", "user_id", "event_type", "value", "props")
 
@@ -190,6 +227,11 @@ class _ReplayBatchReader(DataSourceReader):
         self._types: set | None = None  # event_type IN (...) pushdown
 
     def pushFilters(self, filters):
+        # A plain function (NOT a generator): bound-tightening happens
+        # eagerly and unconditionally, so a caller that never drains the
+        # result still gets correct pruning — pyspark's current pushdown
+        # worker fully drains the iterable, but that is its implementation
+        # detail, not a contract this source should lean on.
         from pyspark.sql.datasource import EqualTo, GreaterThan, GreaterThanOrEqual
         from pyspark.sql.datasource import In, LessThan, LessThanOrEqual
 
@@ -199,6 +241,7 @@ class _ReplayBatchReader(DataSourceReader):
         def tighten_hi(v):
             self._eid_hi = v if self._eid_hi is None else min(self._eid_hi, v)
 
+        unsupported = []
         for f in filters:
             col = f.attribute[0] if getattr(f, "attribute", None) else None
             if col == "event_id" and isinstance(f, EqualTo):
@@ -219,7 +262,8 @@ class _ReplayBatchReader(DataSourceReader):
                 vs = set(f.value)  # In.value is the tuple of allowed values
                 self._types = vs if self._types is None else self._types & vs
             else:
-                yield f  # not fully handled — Spark evaluates it post-scan
+                unsupported.append(f)  # Spark evaluates it post-scan
+        return unsupported
 
     def partitions(self):
         import pyarrow.parquet as pq
@@ -228,14 +272,14 @@ class _ReplayBatchReader(DataSourceReader):
         lo = max(0, self._start)
         hi = total if self._end is None else min(self._end, total)
         if self._eid_lo is not None or self._eid_hi is not None:
-            # planning-time prune: sorted event_id column → index range
-            import bisect
-
-            ids = _sorted_table(self._path).column("event_id").to_pylist()
+            # planning-time prune: sorted event_id column → index range.
+            # O(log n) value probes against the cached Arrow column — no
+            # to_pylist() materialization of n boxed ints on the driver.
+            ids = _sorted_ids(self._path)
             if self._eid_lo is not None:
-                lo = max(lo, bisect.bisect_left(ids, self._eid_lo))
+                lo = max(lo, _arrow_bisect(ids, self._eid_lo, right=False))
             if self._eid_hi is not None:
-                hi = min(hi, bisect.bisect_right(ids, self._eid_hi))
+                hi = min(hi, _arrow_bisect(ids, self._eid_hi, right=True))
         if hi <= lo:
             return [_Slice(self._path, lo, lo)]
         n = max(1, self._n_splits)

@@ -378,19 +378,40 @@ class _drain_partitions:
     cost dominates (a stream-stream join drain drops ~11 s → ~2 s going
     32 → 8 partitions). Results are partition-count-independent. On a
     real cluster the conf stays at its production value: this wrapper is
-    only on the bounded drain helpers, not on ``start()`` paths."""
+    only on the bounded drain helpers, not on ``start()`` paths.
+
+    The conf is SESSION-GLOBAL, so concurrent drains (or a drain racing
+    any other query on the same SparkSession) would tear each other's
+    value. A process-wide lock serializes enters/exits and a depth
+    counter makes nesting safe: the original value is captured once at
+    depth 0 and restored only when the outermost drain exits. Queries
+    outside this wrapper are still exposed to the clamped value while a
+    drain runs — acceptable under the one-query-at-a-time driver, and the
+    clamp only changes performance, never results."""
+
+    _lock = __import__("threading").RLock()
+    _depth = 0
+    _saved: str | None = None
 
     def __init__(self, spark: SparkSession):
         self._spark = spark
 
     def __enter__(self):
-        self._old = self._spark.conf.get("spark.sql.shuffle.partitions")
-        self._spark.conf.set(
-            "spark.sql.shuffle.partitions", str(DRAIN_SHUFFLE_PARTITIONS)
-        )
+        cls = _drain_partitions
+        cls._lock.acquire()
+        if cls._depth == 0:
+            cls._saved = self._spark.conf.get("spark.sql.shuffle.partitions")
+            self._spark.conf.set(
+                "spark.sql.shuffle.partitions", str(DRAIN_SHUFFLE_PARTITIONS)
+            )
+        cls._depth += 1
 
     def __exit__(self, *exc):
-        self._spark.conf.set("spark.sql.shuffle.partitions", self._old)
+        cls = _drain_partitions
+        cls._depth -= 1
+        if cls._depth == 0:
+            self._spark.conf.set("spark.sql.shuffle.partitions", cls._saved)
+        cls._lock.release()
         return False
 
 
