@@ -250,6 +250,52 @@ def partitioned_source_pruned_read(spark: SparkSession, sf_dir: str) -> DataFram
 
 
 # ---------------------------------------------------------------------------
+# CUSTOM-SOURCE PARTITION PRUNING — the same hive-partitioned staging as
+# partitioned_source_pruned_read, but read through the ksj_hive_events
+# custom Python DataSource (sources/hivepart.py): the event_type IN
+# filter reaches the source's pushFilters hook, which CONSUMES it and
+# never lists the non-matching event_type= directories into the plan —
+# partition pruning as a connector capability, not a Catalyst favor.
+# The value>0 predicate is deliberately NOT source-handled, so the query
+# also exercises the consumed/returned filter split. Oracle is the plain
+# WHERE on events; tests/test_datasources.py asserts the pruning itself
+# (planned partitions shrink, consumed filters not re-returned).
+# ---------------------------------------------------------------------------
+@register(
+    "hive_source_partition_pruned",
+    oracle=f"""
+        SELECT event_type,
+               CAST(COUNT(*) AS BIGINT) AS n_rows,
+               CAST(SUM(event_id) AS BIGINT) AS sum_ids,
+               CAST(SUM(CAST(ROUND(value * 100.0) AS BIGINT)) AS BIGINT)
+                   AS sum_cents
+        FROM events
+        WHERE event_type IN {PRUNE_TYPES!r} AND value > 0
+        GROUP BY event_type
+    """.replace('"', "'"),
+    tags=("source-format", "datasource", "connector", "partition-pruning", "events"),
+)
+def hive_source_partition_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kafka_stream_job_spark.sources.hivepart import register_hivepart_source
+
+    stage = partitioned_events_stage(spark, sf_dir)
+    register_hivepart_source(spark)
+    df = (
+        spark.read.format("ksj_hive_events")
+        .option("path", os.path.join(stage, "events_part"))
+        .load()
+        .filter(F.col("event_type").isin(*PRUNE_TYPES) & (F.col("value") > 0))
+    )
+    return df.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        F.sum("event_id").cast("long").alias("sum_ids"),
+        F.sum(F.round(F.col("value") * 100.0, 0).cast("long"))
+        .cast("long")
+        .alias("sum_cents"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # XML DECODE ROUND-TRIP — from_xml (new in Spark 4's SQL surface):
 # serialize each event to an XML fragment, parse it back with an
 # explicit schema, and checksum the parsed fields. DuckDB has no XML

@@ -1,0 +1,138 @@
+"""Hive-partition-aware custom Python DataSource — the partition-pruning
+half of the connector story the replay source's row-index pruning began
+(reference parity: the offset/partition-assignment contract of the Kafka
+batch source, KafkaBatchJob.java:70-77, re-expressed over a directory
+layout instead of broker partitions).
+
+Layout: ``<path>/event_type=<value>/*.parquet`` — the hive convention the
+engine's own ``partitionBy("event_type")`` writer emits. The reader:
+
+- **Plans one InputPartition per data file**, so read parallelism scales
+  with the file count, not the directory count.
+- **Prunes whole directories at planning time** via Spark 4.1's
+  ``pushFilters``: ``event_type = 'x'`` / ``event_type IN (...)`` filters
+  are CONSUMED (not re-returned) and non-matching ``event_type=`` dirs
+  are never listed into partitions — the custom-connector analogue of
+  Catalyst's partition pruning, and the same files-never-opened guarantee
+  Kafka gets by excluding topic-partitions from the assignment.
+- **Scheme-aware listing** through the shared pyarrow-fs helper
+  (checkpoint._filesystem), so an hdfs://-s3:// layout lists the same
+  way the checkpoint readers do.
+- **Arrow-batch reads on executors**: the partition VALUE is attached as
+  a constant column executor-side; the file bytes never carry it.
+
+Scale note: planning cost is one directory listing (O(dirs + files)
+metadata, no file opens); pruned dirs contribute nothing. At 100 TB the
+layout would add row-group-level min/max skipping inside each file —
+the seam is read()'s pq.read_table call.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from urllib.parse import unquote
+
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    InputPartition,
+)
+
+_SCHEMA = "event_id long, user_id long, value double, event_type string"
+#: file-column order (event_type is attached from the dir name, last).
+_FILE_COLUMNS = ("event_id", "user_id", "value")
+
+
+@dataclasses.dataclass
+class _PartFile(InputPartition):
+    file_path: str
+    part_value: str
+
+
+class _HivePartReader(DataSourceReader):
+    def __init__(self, options):
+        self._path = options.get("path")
+        if not self._path:
+            raise ValueError(
+                "ksj_hive_events requires .option('path', <events_part dir>)"
+            )
+        self._types: set | None = None  # None → no pruning filter seen
+
+    def pushFilters(self, filters):
+        # Plain eager function (not a generator) — same contract rationale
+        # as replay.py: pruning state must not depend on the caller
+        # draining the result. EqualTo/In on the PARTITION column are
+        # fully handled here (whole directories pruned), so they are
+        # consumed; everything else is returned for post-scan evaluation.
+        from pyspark.sql.datasource import EqualTo, In
+
+        unsupported = []
+        for f in filters:
+            col = f.attribute[0] if getattr(f, "attribute", None) else None
+            if col == "event_type" and isinstance(f, EqualTo):
+                t = {f.value}
+                self._types = t if self._types is None else self._types & t
+            elif col == "event_type" and isinstance(f, In):
+                vs = set(f.value)
+                self._types = vs if self._types is None else self._types & vs
+            else:
+                unsupported.append(f)
+        return unsupported
+
+    def partitions(self):
+        from kafka_stream_job_spark.checkpoint import _filesystem
+
+        from pyarrow import fs as pafs
+
+        filesystem, base = _filesystem(self._path)
+        out = []
+        for entry in filesystem.get_file_info(pafs.FileSelector(base)):
+            if entry.type != pafs.FileType.Directory:
+                continue
+            name = entry.base_name
+            if not name.startswith("event_type="):
+                continue
+            value = unquote(name.split("=", 1)[1])
+            if self._types is not None and value not in self._types:
+                continue  # pruned: this directory is never listed further
+            for f in filesystem.get_file_info(pafs.FileSelector(entry.path)):
+                if f.type == pafs.FileType.File and f.base_name.endswith(
+                    ".parquet"
+                ):
+                    out.append(_PartFile(f.path, value))
+        # an all-pruned (or empty) layout still needs ≥1 partition so the
+        # scan plans an empty result instead of failing
+        return out or [_PartFile("", "")]
+
+    def read(self, partition: _PartFile):
+        if not partition.file_path:
+            return
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        tab = pq.read_table(partition.file_path, columns=list(_FILE_COLUMNS))
+        for batch in tab.to_batches():
+            yield pa.RecordBatch.from_arrays(
+                [*batch.columns, pa.array([partition.part_value] * batch.num_rows)],
+                names=[*_FILE_COLUMNS, "event_type"],
+            )
+
+
+class HivePartitionedDataSource(DataSource):
+    """``read.format("ksj_hive_events")`` — hive-layout events reader with
+    planning-time partition pruning."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "ksj_hive_events"
+
+    def schema(self) -> str:
+        return _SCHEMA
+
+    def reader(self, schema) -> DataSourceReader:
+        return _HivePartReader(self.options)
+
+
+def register_hivepart_source(spark) -> None:
+    spark.dataSource.register(HivePartitionedDataSource)
+    spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")

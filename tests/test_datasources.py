@@ -196,6 +196,52 @@ def test_replay_batch_pushdown_prunes_partitions_and_filters_arrow():
     assert sorted(rows, key=key) == sorted(expect, key=key)
 
 
+def test_hivepart_pushdown_prunes_directories(spark):
+    """The hive-layout reader must consume event_type EqualTo/In filters
+    and plan ONLY files under matching event_type= dirs; everything else
+    comes back unsupported. An impossible intersection plans the empty
+    sentinel partition."""
+    from pyspark.sql.datasource import EqualTo, In, IsNotNull
+
+    from kafka_stream_job_spark.registry import all_specs
+
+    all_specs()  # registration order: streaming.pipeline needs relational
+    from kafka_stream_job_spark.operators.formats import partitioned_events_stage
+    from kafka_stream_job_spark.sources.hivepart import _HivePartReader
+
+    stage = os.path.join(partitioned_events_stage(spark, SF_SMOKE), "events_part")
+    reader = _HivePartReader({"path": stage})
+    remaining = reader.pushFilters(
+        [
+            In(("event_type",), ("view", "purchase")),
+            IsNotNull(("user_id",)),  # not ours — must come back
+        ]
+    )
+    assert [type(f).__name__ for f in remaining] == ["IsNotNull"]
+    parts = reader.partitions()
+    assert parts and {p.part_value for p in parts} == {"view", "purchase"}
+    rows = [r for p in parts for b in reader.read(p) for r in b.to_pylist()]
+    assert rows and all(r["event_type"] in ("view", "purchase") for r in rows)
+    # unpruned listing covers strictly more directories
+    all_parts = _HivePartReader({"path": stage}).partitions()
+    assert {p.part_value for p in all_parts} > {p.part_value for p in parts}
+    # every view/purchase row must survive pruning (no file lost)
+    keep = [
+        r
+        for p in all_parts
+        for b in _HivePartReader({"path": stage}).read(p)
+        for r in b.to_pylist()
+        if r["event_type"] in ("view", "purchase")
+    ]
+    key = lambda r: r["event_id"]  # noqa: E731
+    assert sorted(rows, key=key) == sorted(keep, key=key)
+    # contradictory filters → empty sentinel, read yields nothing
+    r2 = _HivePartReader({"path": stage})
+    r2.pushFilters([EqualTo(("event_type",), "view"), EqualTo(("event_type",), "purchase")])
+    p2 = r2.partitions()
+    assert len(p2) == 1 and not list(r2.read(p2[0]))
+
+
 def test_audit_sink_commit_manifest_matches_source(spark, tmp_path):
     """The custom writer's commit-message accounting must equal the
     source exactly, and the manifest only exists after commit (atomic

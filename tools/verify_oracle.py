@@ -8,17 +8,28 @@ Usage:
     python tools/verify_oracle.py                 # all queries at sf0.01
     python tools/verify_oracle.py q1_pricing_summary dedup_exact   # subset
     SIM_SF=/root/testdata/sf0.1 python tools/verify_oracle.py      # other SF
+    SIM_PAR=1 python tools/verify_oracle.py       # serial (default 6 threads)
 
-Exit code 1 on any mismatch. ~150 s at sf0.01, ~290 s at sf0.1 for the
-full registry on local[8].
+Exit code 1 on any mismatch. Queries run CONCURRENTLY from SIM_PAR
+threads on the one SparkSession (Spark schedules concurrent jobs fine;
+the wall is dominated by per-query driver overhead, not executor work,
+so threading cuts the full-registry sweep ~3×). Each worker compares on
+its own duckdb cursor. Set SIM_PAR=1 to bisect any suspected
+interference — results must be identical either way (staged /tmp inputs
+are content-keyed + immutable, memory-sink names are uuid-unique, and
+the drain clamp serializes behind its own lock).
 """
 import os, sys, time
 sys.path.insert(0, __import__("os").path.dirname(__import__("os").path.dirname(__import__("os").path.abspath(__file__))))
+from concurrent.futures import ThreadPoolExecutor
+from threading import Lock
+
 from pyspark.sql import SparkSession
 import duckdb
 
 sf = os.environ.get("SIM_SF", "/root/testdata/sf0.01")
 only = sys.argv[1:] or None
+n_par = int(os.environ.get("SIM_PAR", "6"))
 spark = SparkSession.builder.master("local[8]").appName("driver-sim").getOrCreate()
 spark.sparkContext.setLogLevel("ERROR")
 import __spark_entry__ as e
@@ -59,8 +70,10 @@ def duck_tag(duck_type_name):
 fails = []
 t_total = time.time()
 report = {}  # driver-format rows, written to $SIM_JSON if set
-for name in qs:
-    if only and name not in only: continue
+out_lock = Lock()
+
+
+def run_one(name):
     t0 = time.time()
     try:
         sdf = qs[name](spark, sf)
@@ -68,15 +81,20 @@ for name in qs:
         stypes = {f.name: spark_tag(f.dataType) for f in sdf.schema.fields}
         srows = [tuple(r) for r in sdf.collect()]
         if name not in oracles:
-            print(f"{name}: rows-only ok ({len(srows)}) [{time.time()-t0:.1f}s]")
-            report[name] = {"rows_match": None, "schema_match": None,
-                            "hash_match": None, "spark_rows": len(srows),
-                            "oracle_rows": None, "err": "no_oracle"}
-            continue
-        rel = con.sql(oracles[name])
-        ocols = list(rel.columns)
-        otypes = {c: duck_tag(str(t)) for c, t in zip(rel.columns, rel.types)}
-        orows = rel.fetchall()
+            with out_lock:
+                print(f"{name}: rows-only ok ({len(srows)}) [{time.time()-t0:.1f}s]")
+                report[name] = {"rows_match": None, "schema_match": None,
+                                "hash_match": None, "spark_rows": len(srows),
+                                "oracle_rows": None, "err": "no_oracle"}
+            return
+        cur = con.cursor()  # duckdb connections are not thread-shareable
+        try:
+            rel = cur.sql(oracles[name])
+            ocols = list(rel.columns)
+            otypes = {c: duck_tag(str(t)) for c, t in zip(rel.columns, rel.types)}
+            orows = rel.fetchall()
+        finally:
+            cur.close()
         so = [scols.index(c) for c in sorted(scols)]
         oo = [ocols.index(c) for c in sorted(ocols)]
         s = sorted((tuple(norm(r[i]) for i in so) for r in srows), key=key)
@@ -94,19 +112,33 @@ for name in qs:
         elif not vals_ok:
             bad = next((i for i, (a, b) in enumerate(zip(s, o)) if a != b), None)
             detail = f" first diff row {bad}: {s[bad] if bad is not None else ''} vs {o[bad] if bad is not None else ''}"[:300]
-        print(f"{name}: {msg} ({len(srows)} rows) [{time.time()-t0:.1f}s]{detail}")
-        report[name] = {"rows_match": len(srows) == len(orows),
-                        "schema_match": cols_ok and types_ok,
-                        "hash_match": ok, "spark_rows": len(srows),
-                        "oracle_rows": len(orows), "err": None}
-        if not ok: fails.append(name)
+        with out_lock:
+            print(f"{name}: {msg} ({len(srows)} rows) [{time.time()-t0:.1f}s]{detail}")
+            report[name] = {"rows_match": len(srows) == len(orows),
+                            "schema_match": cols_ok and types_ok,
+                            "hash_match": ok, "spark_rows": len(srows),
+                            "oracle_rows": len(orows), "err": None}
+            if not ok: fails.append(name)
     except Exception as ex:
-        print(f"{name}: ERROR {type(ex).__name__}: {str(ex)[:200]}")
-        report[name] = {"rows_match": False, "schema_match": False,
-                        "hash_match": False, "spark_rows": None,
-                        "oracle_rows": None,
-                        "err": f"{type(ex).__name__}: {str(ex)[:120]}"}
-        fails.append(name)
+        with out_lock:
+            print(f"{name}: ERROR {type(ex).__name__}: {str(ex)[:200]}")
+            report[name] = {"rows_match": False, "schema_match": False,
+                            "hash_match": False, "spark_rows": None,
+                            "oracle_rows": None,
+                            "err": f"{type(ex).__name__}: {str(ex)[:120]}"}
+            fails.append(name)
+
+
+names = [n for n in qs if not only or n in only]
+if n_par <= 1:
+    for n in names:
+        run_one(n)
+else:
+    with ThreadPoolExecutor(max_workers=n_par) as pool:
+        list(pool.map(run_one, names))
+
+# report keys in registry order regardless of completion order
+report = {n: report[n] for n in names if n in report}
 if os.environ.get("SIM_JSON"):
     import json
     with open(os.environ["SIM_JSON"], "w") as fh:
