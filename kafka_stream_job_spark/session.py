@@ -110,3 +110,36 @@ def get_spark(
     for key, value in conf.items():
         builder = builder.config(key, value)
     return builder.getOrCreate()
+
+
+def ensure_thread_active_session(spark: SparkSession) -> None:
+    """Pin ``spark`` as the JVM-side *active* session for the calling thread.
+
+    py4j pinned-thread mode (the PySpark 4 default) gives every Python
+    thread its own dedicated JVM thread — and a freshly attached JVM
+    thread has NO active SparkSession. Most DataFrame operations carry
+    their session explicitly, but the ``DataFrameWriter`` resolves
+    Python DataSources (``df.write.format("<python ds>")``) through
+    ``SparkSession.getActiveSession``, so from any non-main Python
+    thread the write path fails with ``DATA_SOURCE_NOT_FOUND`` even
+    though the source is registered on the session. (The read path is
+    unaffected — ``DataFrameReader`` resolves against its own session.)
+
+    Call once per worker thread before writing through a custom Python
+    sink. Idempotent and cheap (one py4j round-trip).
+    """
+    jspark = spark._jsparkSession  # noqa: SLF001 — py4j seam by design
+    jvm = spark._jvm  # noqa: SLF001
+    for cls in (
+        "org.apache.spark.sql.classic.SparkSession",  # Spark 4.x
+        "org.apache.spark.sql.SparkSession",  # Spark 3.x layout
+    ):
+        try:
+            obj = jvm
+            for part in cls.split("."):
+                obj = getattr(obj, part)
+            obj.setActiveSession(jspark)
+            return
+        except Exception:  # noqa: BLE001 — try the next class layout
+            continue
+    raise RuntimeError("could not locate JVM SparkSession companion object")

@@ -268,3 +268,37 @@ def test_audit_sink_commit_manifest_matches_source(spark, tmp_path):
     assert audit["n_rows"] == want["n"]
     assert audit["id_sum"] == want["s"]
     assert audit["n_tasks"] >= 1
+
+
+def test_custom_sink_write_from_worker_thread(spark, tmp_path):
+    """py4j pinned-thread mode: a worker thread's JVM twin has no active
+    SparkSession, and DataFrameWriter resolves Python DataSources through
+    it — so a threaded write through ksj_audit needs
+    ensure_thread_active_session first. Guards the helper AND documents
+    the failure mode (without the pin the same write raises
+    DATA_SOURCE_NOT_FOUND)."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    from kafka_stream_job_spark.session import ensure_thread_active_session
+    from kafka_stream_job_spark.sources.auditsink import AuditDataSource
+
+    spark.dataSource.register(AuditDataSource)
+    df = spark.range(7).selectExpr("id AS event_id")
+
+    def write(pin):
+        import json
+        import uuid
+
+        if pin:
+            ensure_thread_active_session(spark)
+        path = str(tmp_path / f"audit-{uuid.uuid4().hex}.json")
+        df.write.format("ksj_audit").option("path", path).mode("append").save()
+        return json.load(open(path))
+
+    with ThreadPoolExecutor(max_workers=1) as pool:
+        import pytest as _pytest
+
+        with _pytest.raises(Exception, match="DATA_SOURCE_NOT_FOUND"):
+            pool.submit(write, False).result()
+        audit = pool.submit(write, True).result()
+    assert (audit["n_rows"], audit["id_sum"]) == (7, 21)

@@ -76,6 +76,11 @@ out_lock = Lock()
 def run_one(name):
     t0 = time.time()
     try:
+        # Worker threads start with no JVM-side active session; the
+        # DataFrameWriter resolves Python DataSources through it, so
+        # custom-sink queries would fail with DATA_SOURCE_NOT_FOUND.
+        from kafka_stream_job_spark.session import ensure_thread_active_session
+        ensure_thread_active_session(spark)
         sdf = qs[name](spark, sf)
         scols = sdf.columns
         stypes = {f.name: spark_tag(f.dataType) for f in sdf.schema.fields}
