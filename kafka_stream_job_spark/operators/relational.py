@@ -3179,12 +3179,18 @@ def graph_triangle_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         baskets.select(F.explode(pair_expand).alias("p"))
         .select(F.col("p.u").alias("u"), F.col("p.v").alias("v"))
         .distinct()
+        # Consumed 4x (deg, orientation, probe join, edge count): pin the
+        # expensive basket->pair->distinct pipeline so it runs ONCE. On a
+        # cluster this is the materialize-the-edge-list step every
+        # distributed triangle algorithm starts with.
+        .localCheckpoint(eager=False)
     )
     deg = (
         edges.select(F.col("u").alias("node"))
         .unionByName(edges.select(F.col("v").alias("node")))
         .groupBy("node")
         .agg(F.count(F.lit(1)).alias("d"))
+        .localCheckpoint(eager=False)  # consumed 3x (du, dv, stats)
     )
     # Orient each edge from the lower-(degree, id) endpoint outward.
     du = deg.select(F.col("node").alias("u"), F.col("d").alias("du"))
@@ -3192,9 +3198,13 @@ def graph_triangle_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     lower_first = (F.col("du") < F.col("dv")) | (
         (F.col("du") == F.col("dv")) & (F.col("u") < F.col("v"))
     )
+    # deg GROWS with the data (one row per node): pin the degree joins
+    # non-broadcast too — same growing-side policy as the probe join
+    # below (a concurrent-queries driver heap is exactly where an
+    # auto-broadcast of "looks small now" degree tables OOMs first).
     oriented = (
-        edges.join(du, "u")
-        .join(dv, "v")
+        edges.join(du.hint("shuffle_hash"), "u")
+        .join(dv.hint("shuffle_hash"), "v")
         .select(
             F.when(lower_first, F.col("u")).otherwise(F.col("v")).alias("src"),
             F.when(lower_first, F.col("v")).otherwise(F.col("u")).alias("dst"),

@@ -30,7 +30,11 @@ import duckdb
 sf = os.environ.get("SIM_SF", "/root/testdata/sf0.01")
 only = sys.argv[1:] or None
 n_par = int(os.environ.get("SIM_PAR", "6"))
-spark = SparkSession.builder.master("local[8]").appName("driver-sim").getOrCreate()
+spark = (SparkSession.builder.master("local[8]").appName("driver-sim")
+         # SIM_PAR concurrent queries share one driver heap; the 1g
+         # default is where "looks small" broadcast builds OOM first.
+         .config("spark.driver.memory", "8g")
+         .getOrCreate())
 spark.sparkContext.setLogLevel("ERROR")
 import __spark_entry__ as e
 qs, oracles = e.queries(), e.oracle_sql()
