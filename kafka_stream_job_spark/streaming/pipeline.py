@@ -1358,6 +1358,78 @@ _register_offsetlog_query()
 
 
 # ---------------------------------------------------------------------------
+# The checkpoint STATE STORE queried as a table — Spark 4's built-in
+# ``format("statestore")`` / ``format("state-metadata")`` readers over a
+# drained aggregation checkpoint (the state-introspection completion of
+# the offset-log query above; reference parity: the checkpoint tooling
+# family, CheckpointOffsetReader.scala:12-40, extended from offsets to
+# OPERATOR STATE). The query drains a per-type running aggregate
+# (update mode, so the store holds the final totals per key), then reads
+# the state back and verifies it against batch SQL over the same events —
+# proving the state a restarted query would resume from is exactly the
+# batch answer. Sums are held as integer cents, so incremental
+# accumulation order can never drift from the oracle's one-shot sum.
+# Metadata fields are deterministic: one stateStoreSave operator, the
+# drain clamp pins 8 shuffle partitions, and the single AvailableNow
+# drain commits batch 0.
+# ---------------------------------------------------------------------------
+def _register_statestore_table_query() -> None:
+    import uuid
+
+    from kafka_stream_job_spark.registry import register
+
+    @register(
+        "checkpoint_statestore_table",
+        oracle="""
+            SELECT event_type,
+                   CAST(COUNT(*) AS BIGINT) AS n_events,
+                   CAST(SUM(CAST(ROUND(value * 100.0) AS BIGINT)) AS BIGINT)
+                       AS sum_cents,
+                   'stateStoreSave' AS operator_name,
+                   CAST(8 AS BIGINT) AS n_state_partitions,
+                   CAST(0 AS BIGINT) AS last_committed_batch
+            FROM events
+            GROUP BY event_type
+        """,
+        tags=("streaming", "checkpoint", "statestore", "sql-surface", "events"),
+    )
+    def checkpoint_statestore_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+        import tempfile
+
+        agg = stream_events(spark, sf_dir).groupBy("event_type").agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(
+                F.round(F.col("value") * 100.0, 0).cast("long")
+            ).alias("sum_cents"),
+        )
+        name = f"statestore_{uuid.uuid4().hex[:8]}"
+        ckpt = tempfile.mkdtemp(prefix="ksj-statestore-")
+        run_stream_to_memory(spark, agg, name, ckpt, output_mode="update")
+        state = (
+            spark.read.format("statestore")
+            .load(ckpt)
+            .select(
+                F.col("key.event_type").alias("event_type"),
+                F.col("value.count").alias("n_events"),
+                F.col("value.sum").alias("sum_cents"),
+            )
+        )
+        meta = (
+            spark.read.format("state-metadata")
+            .load(ckpt)
+            .select(
+                F.col("operatorName").alias("operator_name"),
+                F.col("numPartitions").cast("long").alias("n_state_partitions"),
+                F.col("maxBatchId").cast("long").alias("last_committed_batch"),
+            )
+        )
+        return state.crossJoin(F.broadcast(meta))
+
+
+_register_statestore_table_query()
+
+
+# ---------------------------------------------------------------------------
 # The hourly rollup driven through the CUSTOM streaming connector
 # (sources/replay.py — offset-tracked, executor-side partitioned reads;
 # the engine's own Kafka-source stand-in). Same oracle as
