@@ -98,13 +98,24 @@ def read_text_file(path: str) -> str:
         return fh.read().decode("utf-8")
 
 
-def tmp_sibling(path: str) -> str:
-    """Deterministic tmp-file name next to ``path`` for staged writes —
-    shared between write_text_file and callers that must clean up a
-    crashed write (e.g. a sink's abort())."""
+def tmp_prefix(path: str) -> str:
+    """Per-process tmp-name prefix next to ``path`` — abort() sweeps by
+    this prefix, so it catches any thread's stranded tmp without knowing
+    which thread staged it."""
     import os
 
     return f"{path}.tmp-{os.getpid()}"
+
+
+def tmp_sibling(path: str) -> str:
+    """Deterministic tmp-file name next to ``path`` for staged writes —
+    shared between write_text_file and callers that must clean up a
+    crashed write (e.g. a sink's abort()). Thread id in the name: two
+    same-process writers to one destination (the threaded oracle sweep)
+    must not share a tmp file and interleave write/move."""
+    import threading
+
+    return f"{tmp_prefix(path)}-{threading.get_ident()}"
 
 
 def write_text_file(path: str, text: str) -> None:
@@ -145,26 +156,40 @@ def read_offsets_file(path: str) -> tuple[dict, OffsetMap]:
     return metadata, offsets
 
 
-def list_offset_batches(checkpoint_dir: str) -> list[tuple[int, str]]:
-    """Numerically-sorted (batch_id, path) pairs from ``<ckpt>/offsets``
-    (KafkaStreamingPreflightDetector.java:167-172). Ignores .crc/tmp."""
+def _list_batch_files(checkpoint_dir: str, subdir: str) -> list[tuple[int, str]]:
+    """Numerically-sorted (batch_id, path) pairs from a checkpoint metadata
+    log directory (``offsets``/``commits``). Ignores .crc/tmp."""
     from pyarrow import fs as pafs
 
     sep = "/" if "://" in checkpoint_dir else os.sep
-    offsets_dir = checkpoint_dir.rstrip(sep) + sep + "offsets"
-    filesystem, fs_dir = _filesystem(offsets_dir)
+    log_dir = checkpoint_dir.rstrip(sep) + sep + subdir
+    filesystem, fs_dir = _filesystem(log_dir)
     info = filesystem.get_file_info(fs_dir)
     if info.type != pafs.FileType.Directory:
         return []
     # Reconstruct caller-scheme paths so read_offsets_file re-resolves the
     # same filesystem from the returned path strings.
-    prefix = offsets_dir.rstrip(sep) + sep
+    prefix = log_dir.rstrip(sep) + sep
     batches = [
         (int(fi.base_name), prefix + fi.base_name)
         for fi in filesystem.get_file_info(pafs.FileSelector(fs_dir))
         if fi.base_name.isdigit()
     ]
     return sorted(batches)
+
+
+def list_offset_batches(checkpoint_dir: str) -> list[tuple[int, str]]:
+    """Numerically-sorted (batch_id, path) pairs from ``<ckpt>/offsets``
+    (KafkaStreamingPreflightDetector.java:167-172)."""
+    return _list_batch_files(checkpoint_dir, "offsets")
+
+
+def list_commit_batches(checkpoint_dir: str) -> list[tuple[int, str]]:
+    """Numerically-sorted (batch_id, path) pairs from ``<ckpt>/commits`` —
+    the COMPLETED half of the two-phase offsets→commits protocol the
+    batch-transition monitor reasons about (a batch id present in offsets
+    but absent here is exactly the "planned but never committed" state)."""
+    return _list_batch_files(checkpoint_dir, "commits")
 
 
 def read_checkpoint_offset(

@@ -1480,3 +1480,56 @@ def medallion_pipeline_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return gold.crossJoin(F.broadcast(counts))
+
+
+# ---------------------------------------------------------------------------
+# Preference-pair manifest (DPO/RLHF-style): within every (lang, source)
+# prompt group, pair the best and worst response by a deterministic
+# quality key — here character length with doc_id as the tie-break, the
+# stand-in for a learned reward score. The composite ordering key
+# (len * 2^32 ± doc_id) is UNIQUE per doc, so max_by/min_by are
+# deterministic in both engines without a window sort: one hash
+# aggregation with map-side partials, no per-group ordering shuffle —
+# the shape that survives a 100 TB corpus (group count is bounded by the
+# lang × source vocabulary, not data volume). At real scale the quality
+# key would be a model score column; the pairing plan is unchanged.
+# Groups with a single document cannot form a pair and are dropped.
+# ---------------------------------------------------------------------------
+@register(
+    "dpo_preference_pairs",
+    oracle="""
+        SELECT lang, source,
+               CAST(COUNT(*) AS BIGINT) AS n_docs,
+               max_by(doc_id, length(text) * 4294967296 - doc_id)
+                   AS chosen_doc_id,
+               min_by(doc_id, length(text) * 4294967296 + doc_id)
+                   AS rejected_doc_id,
+               CAST(MAX(length(text)) AS BIGINT) AS chosen_len,
+               CAST(MIN(length(text)) AS BIGINT) AS rejected_len,
+               CAST(MAX(length(text)) - MIN(length(text)) AS BIGINT)
+                   AS len_margin
+        FROM documents
+        GROUP BY lang, source
+        HAVING COUNT(*) >= 2
+    """,
+    tags=("llm-pipeline", "preference", "dpo", "documents"),
+)
+def dpo_preference_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    doc_len = F.length("text").cast("long")
+    # unique composite keys: longest-then-smallest-id for chosen,
+    # shortest-then-smallest-id for rejected
+    chosen_key = doc_len * F.lit(4294967296) - F.col("doc_id")
+    rejected_key = doc_len * F.lit(4294967296) + F.col("doc_id")
+    return (
+        docs.groupBy("lang", "source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.max_by("doc_id", chosen_key).alias("chosen_doc_id"),
+            F.min_by("doc_id", rejected_key).alias("rejected_doc_id"),
+            F.max(doc_len).alias("chosen_len"),
+            F.min(doc_len).alias("rejected_len"),
+            (F.max(doc_len) - F.min(doc_len)).alias("len_margin"),
+        )
+        .filter(F.col("n_docs") >= 2)
+    )

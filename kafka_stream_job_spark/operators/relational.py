@@ -5215,14 +5215,24 @@ def events_cusum_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "merge_full_cdc",
     oracle="""
-        WITH merged AS (
+        WITH cents AS (
             SELECT c_custkey, c_nationkey,
-                   CASE WHEN c_custkey % 7 = 0
-                        THEN ROUND(c_acctbal * 110.0) / 100.0
-                        ELSE c_acctbal END AS bal,
-                   CASE WHEN c_custkey % 7 = 0 THEN 1 ELSE 0 END AS updated
+                   CAST(ROUND(c_acctbal * 100.0) AS BIGINT) AS c
             FROM customer
             WHERE NOT c_custkey % 13 = 0
+        ),
+        merged AS (
+            -- 10% restatement integer-exact on cents: round-half-away
+            -- via (|c|*11+5)//10 on the non-negative magnitude, so
+            -- DuckDB's trunc-toward-zero // and Spark's div agree and
+            -- no double ever sees a .5 tie.
+            SELECT c_custkey, c_nationkey,
+                   CASE WHEN c_custkey % 7 = 0
+                        THEN (CASE WHEN c < 0 THEN -(((-c) * 11 + 5) // 10)
+                                   ELSE (c * 11 + 5) // 10 END) / 100.0
+                        ELSE c / 100.0 END AS bal,
+                   CASE WHEN c_custkey % 7 = 0 THEN 1 ELSE 0 END AS updated
+            FROM cents
             UNION ALL
             SELECT 900000000 + n_nationkey, n_nationkey, 1000.0, 0
             FROM nation
@@ -5242,9 +5252,15 @@ def merge_full_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
     # CDC batch (derived): updates and deletes keyed by custkey, inserts
     # keyed per nation. In production this arrives as a table; derived
     # here so the oracle can reconstruct it exactly.
+    # Integer-exact restatement: cents first, then sign-symmetric
+    # round-half-away (|c|*11+5) div 10 — tie-free, matches the oracle's
+    # // term for term (both trunc on non-negative magnitudes).
+    _cents = F.round(F.col("c_acctbal") * 100.0, 0).cast("long")
+    _mag = idiv(F.abs(_cents) * 11 + 5, 10)
+    _newc = F.when(_cents < 0, -_mag).otherwise(_mag)
     updates = cust.filter(F.col("c_custkey") % 7 == 0).select(
         "c_custkey",
-        (F.round(F.col("c_acctbal") * 110.0, 0) / 100.0).alias("new_bal"),
+        (_newc.cast("double") / 100.0).alias("new_bal"),
     )
     deletes = cust.filter(F.col("c_custkey") % 13 == 0).select("c_custkey")
     inserts = nation.select(
@@ -8562,4 +8578,214 @@ def events_holtwinters_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
         pround(F.element_at(st, 1), 6).alias("hw_level"),
         pround(F.element_at(st, 2), 6).alias("hw_trend"),
         pround(nxt, 6).alias("forecast_next"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Spark 4 COLLATION surface: case-insensitive grouping via
+# ``COLLATE UTF8_LCASE`` — the engine-native path for "group URLs /
+# tags / enum-ish strings regardless of case" that replaces wrapping
+# every reference in lower(). A mixed-case key is derived
+# deterministically from the data (even doc_ids upper-case their
+# source), then grouped UNDER THE COLLATION; binary-distinct variants
+# are counted per group with an explicit UTF8_BINARY re-collation.
+# The grouped representative string is collation-nondeterministic, so
+# the emitted key is normalized with lower() — which is also exactly
+# the DuckDB oracle's formulation. Scale: one hash aggregation; the
+# collation comparison is a JVM-side codegen expression, so this is
+# the same single-shuffle plan as any groupBy on a 100 TB corpus.
+# ---------------------------------------------------------------------------
+@register(
+    "collation_group_showcase",
+    oracle="""
+        WITH mixed AS (
+            SELECT CASE WHEN doc_id % 2 = 0 THEN UPPER(source)
+                        ELSE source END AS src_mixed,
+                   n_chars
+            FROM documents
+        )
+        SELECT LOWER(src_mixed)                            AS source_ci,
+               CAST(COUNT(*) AS BIGINT)                    AS n_docs,
+               CAST(COUNT(DISTINCT src_mixed) AS BIGINT)   AS n_case_variants,
+               CAST(SUM(n_chars) AS BIGINT)                AS total_chars
+        FROM mixed
+        GROUP BY LOWER(src_mixed)
+    """,
+    tags=("sql-surface", "collation", "documents"),
+)
+def collation_group_showcase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    mixed = docs.select(
+        F.when(F.col("doc_id") % 2 == 0, F.upper("source"))
+        .otherwise(F.col("source"))
+        .alias("src_mixed"),
+        "n_chars",
+    )
+    return (
+        mixed.groupBy(
+            F.collate(F.col("src_mixed"), "UTF8_LCASE").alias("src_ci")
+        )
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.count_distinct(
+                F.collate(F.col("src_mixed"), "UTF8_BINARY")
+            ).alias("n_case_variants"),
+            F.sum("n_chars").cast("long").alias("total_chars"),
+        )
+        # the group representative is whichever case variant a partition
+        # saw first — normalize before it leaves the query
+        .select(
+            F.lower(F.collate(F.col("src_ci"), "UTF8_BINARY")).alias("source_ci"),
+            "n_docs",
+            "n_case_variants",
+            "total_chars",
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Compaction BIN-PACKING PLANNER — the query-side companion to
+# maintenance.compact_parquet_dir's physical rewrite: given a file
+# inventory (here derived deterministically from events as one logical
+# file per (event_type, day) with an estimated byte size), assign files
+# to size-targeted output groups by cumulative fill along the day order.
+# The group id is ``exclusive_prefix_bytes // TARGET`` — the streaming
+# first-fit plan Iceberg's rewrite_data_files binpack strategy computes,
+# expressed as a partitioned window prefix-sum: partitions are per
+# event_type (bounded vocabulary) and rows-per-partition grow with the
+# table's TIME SPAN, not its data volume, so the sort stays metadata-
+# sized at 100 TB. Output: one row per planned output file.
+# ---------------------------------------------------------------------------
+_COMPACT_TARGET_BYTES = 32 * 1024
+
+
+@register(
+    "compaction_bin_packing_plan",
+    oracle=f"""
+        WITH files AS (
+            SELECT event_type,
+                   CAST(CAST(date_trunc('day', ts) AS DATE) AS VARCHAR) AS day,
+                   CAST(SUM(length(props)) + 64 * COUNT(*) AS BIGINT)
+                       AS est_bytes
+            FROM events
+            GROUP BY 1, 2
+        ),
+        filled AS (
+            SELECT *,
+                   CAST(COALESCE(SUM(est_bytes) OVER (
+                       PARTITION BY event_type ORDER BY day
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                   ), 0) AS BIGINT) AS bytes_before
+            FROM files
+        )
+        SELECT event_type,
+               CAST(bytes_before // {_COMPACT_TARGET_BYTES} AS BIGINT)
+                   AS out_file_id,
+               CAST(COUNT(*) AS BIGINT)        AS n_input_files,
+               CAST(SUM(est_bytes) AS BIGINT)  AS out_bytes,
+               MIN(day)                        AS first_day,
+               MAX(day)                        AS last_day
+        FROM filled
+        GROUP BY 1, 2
+    """,
+    tags=("maintenance", "compaction", "window", "events"),
+)
+def compaction_bin_packing_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    files = events.groupBy(
+        "event_type",
+        F.date_trunc("day", "ts").cast("date").cast("string").alias("day"),
+    ).agg(
+        (
+            F.sum(F.length("props")) + F.lit(64) * F.count(F.lit(1))
+        ).cast("long").alias("est_bytes")
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    filled = files.withColumn(
+        "bytes_before", F.coalesce(F.sum("est_bytes").over(w), F.lit(0)).cast("long")
+    )
+    return filled.groupBy(
+        "event_type",
+        idiv("bytes_before", _COMPACT_TARGET_BYTES).alias("out_file_id"),
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("n_input_files"),
+        F.sum("est_bytes").cast("long").alias("out_bytes"),
+        F.min("day").alias("first_day"),
+        F.max("day").alias("last_day"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# L-DIVERSITY audit — the privacy check k-anonymity (k_anonymity_audit)
+# cannot express: a class of ≥K rows is still re-identifiable if every
+# row shares one SENSITIVE value (homogeneity attack). Equivalence
+# classes are the same quasi-identifier pair (nation, market segment);
+# the sensitive attribute is the $1000 balance band. A class is weak
+# when it holds fewer than L distinct sensitive values. Two hash
+# aggregations, both map-side-combinable; the distinct count is exact
+# (per-class distinct is bounded by the band vocabulary, so no sketch is
+# needed even at 100 TB — the heavy first groupBy is (class, band)
+# pairs, whose cardinality is vocabulary-bounded, not data-sized).
+# ---------------------------------------------------------------------------
+_LDIV_L = 3
+
+
+@register(
+    "l_diversity_audit",
+    oracle=f"""
+        WITH pairs AS (
+            SELECT c_nationkey, c_mktsegment,
+                   CAST(floor(c_acctbal / 1000.0) AS BIGINT) AS bal_band,
+                   COUNT(*) AS n
+            FROM customer
+            GROUP BY 1, 2, 3
+        ),
+        classes AS (
+            SELECT c_nationkey, c_mktsegment,
+                   CAST(COUNT(*) AS BIGINT) AS n_distinct_sensitive,
+                   CAST(SUM(n) AS BIGINT)   AS n_rows,
+                   CAST(MAX(n) AS BIGINT)   AS max_band_rows
+            FROM pairs
+            GROUP BY 1, 2
+        )
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_classes,
+               CAST(SUM(CASE WHEN n_distinct_sensitive < {_LDIV_L}
+                             THEN 1 ELSE 0 END) AS BIGINT) AS n_weak_classes,
+               CAST(SUM(CASE WHEN n_distinct_sensitive < {_LDIV_L}
+                             THEN n_rows ELSE 0 END) AS BIGINT) AS n_weak_rows,
+               CAST(MIN(n_distinct_sensitive) AS BIGINT) AS min_diversity,
+               CAST(SUM(CASE WHEN max_band_rows * 2 > n_rows
+                             THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_majority_homogeneous
+        FROM classes
+    """,
+    tags=("privacy", "audit", "customer", "agg"),
+)
+def l_diversity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer")
+    pairs = cust.groupBy(
+        "c_nationkey",
+        "c_mktsegment",
+        F.floor(F.col("c_acctbal") / 1000.0).cast("long").alias("bal_band"),
+    ).agg(F.count(F.lit(1)).alias("n"))
+    classes = pairs.groupBy("c_nationkey", "c_mktsegment").agg(
+        F.count(F.lit(1)).cast("long").alias("n_distinct_sensitive"),
+        F.sum("n").cast("long").alias("n_rows"),
+        F.max("n").cast("long").alias("max_band_rows"),
+    )
+    weak = F.col("n_distinct_sensitive") < _LDIV_L
+    return classes.agg(
+        F.count(F.lit(1)).cast("long").alias("n_classes"),
+        F.sum(weak.cast("long")).cast("long").alias("n_weak_classes"),
+        F.sum(F.when(weak, F.col("n_rows")).otherwise(0))
+        .cast("long")
+        .alias("n_weak_rows"),
+        F.min("n_distinct_sensitive").cast("long").alias("min_diversity"),
+        F.sum((F.col("max_band_rows") * 2 > F.col("n_rows")).cast("long"))
+        .cast("long")
+        .alias("n_majority_homogeneous"),
     )

@@ -52,8 +52,9 @@ def register(
 
 
 # Names the external driver has verified across rounds — the union of
-# CORRECTNESS_r01.json ∪ r02 ∪ r03 (50 + 45 + 48 fresh = 143 names; r02
-# re-checked 5 r1 rows, r03 re-checked q22 + sketch_user_activity). The
+# CORRECTNESS_r01.json ∪ r02 ∪ r03 ∪ r04 (50 + 45 + 48 + 50 fresh = 193
+# names; r02 re-checked 5 r1 rows, r03 re-checked q22 +
+# sketch_user_activity). The
 # driver enumerates only the FIRST 50 registry entries per round, so
 # ``all_specs`` orders the registry never-driver-checked first: a
 # truncated first-N pass then spends its whole budget earning NEW
@@ -123,6 +124,33 @@ _DRIVER_CHECKED = frozenset({
     "stats_qty_price_corr", "supplier_return_wilson_rank",
     "text_sentiment_lexicon", "text_vocab_coverage",
     "try_functions_showcase", "xml_decode_roundtrip",
+    # round 4 additions (CORRECTNESS_r04.json — 50 fresh names, all green)
+    "abc_customer_classification", "aes_roundtrip_audit", "basket_part_pairs",
+    "bitwise_aggregates_showcase", "checkpoint_statestore_table",
+    "customer_spend_gini", "decontaminate_by_embedding",
+    "events_alarm_verification", "events_changepoint_binseg",
+    "events_daily_value_trend", "events_dau_wau_mau",
+    "events_holtwinters_forecast", "events_hourly_anomaly",
+    "events_hourly_gapfill", "events_hourly_mad_outliers",
+    "events_props_schema_profile", "events_seasonal_profile",
+    "events_session_window_batch", "events_sessionize_batch",
+    "forecast_conformal_intervals", "hive_source_partition_pruned",
+    "hll_distinct_users", "hll_merge_event_types",
+    "incremental_agg_maintenance", "join_skew_planner",
+    "lateral_top_customers_per_nation", "lineitem_ship_latency",
+    "matryoshka_truncation_recall", "medallion_pipeline_rollup",
+    # merge_full_cdc earned its r04 row but its restatement arithmetic
+    # changed this round (integer-exact tie-free half-away) — deliberately
+    # NOT listed so it re-earns a driver row first (see recheck below).
+    "mlm_masking_manifest", "orders_priority_status_chi2",
+    "profile_lineitem_columns", "q13_customer_distribution",
+    "q16_supplier_part_buckets", "q21_waiting_supplier", "q2_min_cost_supplier",
+    "rag_context_pack", "scd2_point_in_time_join", "skipgram_negative_samples",
+    "snapshot_diff_report", "streaming_dedup_events",
+    "streaming_heavy_hitter_users", "streaming_kmv_distinct_users",
+    "surrogate_key_assignment", "text_rake_keywords",
+    "timeseries_znorm_subsequence_search", "trigram_like_search",
+    "watermark_sizing_report", "window_range_trailing_hour",
 })
 
 
@@ -146,10 +174,12 @@ def all_specs() -> dict[str, QuerySpec]:
     from kafka_stream_job_spark.streaming import pipeline  # noqa: F401
 
     # Driver-green entries whose behavior CHANGED since their last green
-    # row must re-earn it ahead of everything else. Empty this round: the
-    # two round-3 rechecks (q22, sketch_user_activity) both flipped green
-    # in CORRECTNESS_r03 and are back in _DRIVER_CHECKED.
-    recheck: dict[str, QuerySpec] = {}
+    # row must re-earn it ahead of everything else. This round:
+    # merge_full_cdc's restatement arithmetic was made integer-exact
+    # (tie-free half-away on cents) after its r04 green row.
+    recheck = {
+        n: s for n, s in REGISTRY.items() if n in ("merge_full_cdc",)
+    }
     # Within the never-checked group, order by MEASURED sf0.01 driver-sim
     # cost (tools/verify_oracle.py; re-measured over the FULL 261-query
     # registry at the end of round 3), cheapest first: if the driver's

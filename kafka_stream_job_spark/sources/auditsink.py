@@ -54,15 +54,28 @@ class _AuditWriter(DataSourceWriter):
         write_text_file(self._path, json.dumps(out))
 
     def abort(self, messages):
-        # No partial manifest is ever visible; sweep any tmp a crashed
-        # commit on THIS driver process could have left behind.
+        # No partial manifest is ever visible; sweep, by prefix, every
+        # tmp any thread of THIS driver process could have left behind
+        # (tmp names carry pid+thread id so concurrent same-destination
+        # commits never share one).
         import contextlib
+        import posixpath
 
-        from kafka_stream_job_spark.checkpoint import _filesystem, tmp_sibling
+        from pyarrow import fs as pafs
 
-        filesystem, tmp = _filesystem(tmp_sibling(self._path))
+        from kafka_stream_job_spark.checkpoint import _filesystem, tmp_prefix
+
+        filesystem, prefix = _filesystem(tmp_prefix(self._path))
+        parent = posixpath.dirname(prefix)
+        base = posixpath.basename(prefix)
         with contextlib.suppress(Exception):
-            filesystem.delete_file(tmp)
+            for entry in filesystem.get_file_info(pafs.FileSelector(parent)):
+                if (
+                    entry.type == pafs.FileType.File
+                    and entry.base_name.startswith(base)
+                ):
+                    with contextlib.suppress(Exception):
+                        filesystem.delete_file(entry.path)
 
 
 class AuditDataSource(DataSource):

@@ -47,6 +47,10 @@ _FILE_COLUMNS = ("event_id", "user_id", "value")
 class _PartFile(InputPartition):
     file_path: str
     part_value: str
+    #: original (scheme-carrying) option path — executors re-resolve the
+    #: pyarrow filesystem from it, since ``file_path`` is fs-local and a
+    #: bare ``bucket/key`` would otherwise be misread as a POSIX path.
+    base_uri: str = ""
 
 
 class _HivePartReader(DataSourceReader):
@@ -99,7 +103,7 @@ class _HivePartReader(DataSourceReader):
                 if f.type == pafs.FileType.File and f.base_name.endswith(
                     ".parquet"
                 ):
-                    out.append(_PartFile(f.path, value))
+                    out.append(_PartFile(f.path, value, self._path))
         # an all-pruned (or empty) layout still needs ≥1 partition so the
         # scan plans an empty result instead of failing
         return out or [_PartFile("", "")]
@@ -110,7 +114,14 @@ class _HivePartReader(DataSourceReader):
         import pyarrow as pa
         import pyarrow.parquet as pq
 
-        tab = pq.read_table(partition.file_path, columns=list(_FILE_COLUMNS))
+        from kafka_stream_job_spark.checkpoint import _filesystem
+
+        filesystem, _ = _filesystem(partition.base_uri or partition.file_path)
+        tab = pq.read_table(
+            partition.file_path,
+            columns=list(_FILE_COLUMNS),
+            filesystem=filesystem,
+        )
         for batch in tab.to_batches():
             yield pa.RecordBatch.from_arrays(
                 [*batch.columns, pa.array([partition.part_value] * batch.num_rows)],

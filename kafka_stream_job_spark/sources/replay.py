@@ -70,8 +70,11 @@ def _sorted_table(path: str):
 #: driver-side cache: (path, mtime) → sorted event_id Arrow column only.
 #: Planning-time pruning needs just the id order, so it reads ONE int64
 #: column (8 bytes/row, no boxing) instead of pulling the whole table
-#: through _sorted_table on the driver.
+#: through _sorted_table on the driver. Lock-guarded: concurrent planning
+#: threads (the threaded oracle sweep) would otherwise race the
+#: single-entry clear-then-set and thrash each other's entry.
 _SORTED_IDS_CACHE: dict = {}
+_SORTED_IDS_LOCK = __import__("threading").Lock()
 
 
 def _sorted_ids(path: str):
@@ -81,12 +84,14 @@ def _sorted_ids(path: str):
     import pyarrow.parquet as pq
 
     key = (path, _os.path.getmtime(path))
-    ids = _SORTED_IDS_CACHE.get(key)
+    with _SORTED_IDS_LOCK:
+        ids = _SORTED_IDS_CACHE.get(key)
     if ids is None:
         col = pq.read_table(path, columns=["event_id"]).column("event_id")
         ids = col.take(pc.sort_indices(col)).combine_chunks()
-        _SORTED_IDS_CACHE.clear()
-        _SORTED_IDS_CACHE[key] = ids
+        with _SORTED_IDS_LOCK:
+            _SORTED_IDS_CACHE.clear()
+            _SORTED_IDS_CACHE[key] = ids
     return ids
 
 

@@ -399,12 +399,21 @@ class _drain_partitions:
     def __enter__(self):
         cls = _drain_partitions
         cls._lock.acquire()
-        if cls._depth == 0:
-            cls._saved = self._spark.conf.get("spark.sql.shuffle.partitions")
-            self._spark.conf.set(
-                "spark.sql.shuffle.partitions", str(DRAIN_SHUFFLE_PARTITIONS)
-            )
-        cls._depth += 1
+        # If conf access raises (e.g. a py4j hiccup), __exit__ never runs
+        # (with-statement semantics) — release before re-raising so the
+        # process-wide lock can't be orphaned and deadlock later drains.
+        try:
+            if cls._depth == 0:
+                cls._saved = self._spark.conf.get(
+                    "spark.sql.shuffle.partitions"
+                )
+                self._spark.conf.set(
+                    "spark.sql.shuffle.partitions", str(DRAIN_SHUFFLE_PARTITIONS)
+                )
+            cls._depth += 1
+        except BaseException:
+            cls._lock.release()
+            raise
 
     def __exit__(self, *exc):
         cls = _drain_partitions
@@ -641,6 +650,83 @@ def _register_streaming_stateful_totals() -> None:
 
 
 _register_streaming_stateful_totals()
+
+
+# ---------------------------------------------------------------------------
+# Registry entry: MAP-VALUED managed state under the driver's oracle
+# gate — the same per-user BY-EVENT-TYPE running counts the
+# transformWithStateInPandas demo (transform_with_state_type_counts)
+# keeps in a keyed MapState, re-expressed on applyInPandasWithState so
+# the semantics earn a correctness row in environments without the
+# protobuf state-server runtime. State is the map flattened to parallel
+# fixed-type arrays (types array<string>, counts array<long>) — one
+# state entry per user whose width is the user's distinct-type count
+# (bounded by the type vocabulary, not event volume). Each micro-batch a
+# user with new rows emits one row per KNOWN type with the updated
+# running count; counts are strictly monotone per (user, type), so the
+# drained stream reduces to max() per key — bit-identical to the batch
+# GROUP BY regardless of micro-batch partitioning.
+# ---------------------------------------------------------------------------
+def _register_streaming_stateful_type_counts() -> None:
+    import uuid
+
+    from kafka_stream_job_spark.registry import register
+
+    @register(
+        "streaming_stateful_type_counts",
+        oracle="""
+            SELECT user_id, event_type,
+                   CAST(COUNT(*) AS BIGINT) AS n_events
+            FROM events
+            GROUP BY user_id, event_type
+        """,
+        tags=("streaming", "stateful", "mapstate", "pandas-udf", "events"),
+    )
+    def streaming_stateful_type_counts(
+        spark: SparkSession, sf_dir: str
+    ) -> DataFrame:
+        import tempfile
+
+        from pyspark.sql.streaming.state import GroupStateTimeout
+
+        def update(key, pdfs, state):
+            import pandas as pd
+
+            types, counts = state.get if state.exists else ([], [])
+            m = dict(zip(list(types), list(counts)))
+            for pdf in pdfs:
+                for etype, grp in pdf.groupby("event_type"):
+                    m[etype] = m.get(etype, 0) + len(grp)
+            items = sorted(m.items())
+            state.update(([t for t, _ in items], [c for _, c in items]))
+            yield pd.DataFrame(
+                {
+                    "user_id": [key[0]] * len(items),
+                    "event_type": [t for t, _ in items],
+                    "n_events": [c for _, c in items],
+                }
+            )
+
+        emitted_stream = (
+            stream_events(spark, sf_dir)
+            .groupBy("user_id")
+            .applyInPandasWithState(
+                update,
+                outputStructType="user_id long, event_type string, n_events long",
+                stateStructType="types array<string>, counts array<long>",
+                outputMode="append",
+                timeoutConf=GroupStateTimeout.NoTimeout,
+            )
+        )
+        name = f"stream_typecounts_{uuid.uuid4().hex[:8]}"
+        ckpt = tempfile.mkdtemp(prefix="ksj-stream-typecounts-")
+        emitted = run_stream_to_memory(spark, emitted_stream, name, ckpt)
+        return emitted.groupBy("user_id", "event_type").agg(
+            F.max("n_events").alias("n_events")
+        )
+
+
+_register_streaming_stateful_type_counts()
 
 
 # ---------------------------------------------------------------------------
@@ -1358,6 +1444,93 @@ _register_offsetlog_query()
 
 
 # ---------------------------------------------------------------------------
+# The checkpoint COMMIT LOG queried as a table and AUDITED against the
+# offset log — the two-phase offsets→commits pairing the reference's
+# batch-transition monitor reasons about, as one outer-join query over
+# two custom DataSources (sources/offsetlog.py + sources/commitlog.py).
+# Every planned batch of the drained three-batch replay also committed,
+# so the audit reports committed=true per batch, the offsets-side
+# watermark (0 for batch 0, then max-event-time − 1 h) and the
+# commit-side nextBatchWatermarkMs (the frontier the NEXT batch resumes
+# with — already advanced for batch 0). The oracle derives both
+# frontiers from the events table, so the driver's gate checks the
+# commit protocol mechanics against data. Both sides are metadata-sized
+# control-plane tables; the join is a broadcast.
+# ---------------------------------------------------------------------------
+def _register_commitlog_query() -> None:
+    import uuid
+
+    from kafka_stream_job_spark.registry import register
+
+    @register(
+        "checkpoint_commitlog_audit",
+        oracle="""
+            WITH w AS (
+                SELECT (epoch_us(MAX(ts)) // 1000) - 3600000 AS wm FROM events
+            )
+            SELECT CAST(0 AS BIGINT) AS batch_id,
+                   CAST(0 AS BIGINT) AS planned_wm_ms,
+                   TRUE AS committed, 'v1' AS format_version,
+                   wm AS next_wm_ms
+            FROM w
+            UNION ALL
+            SELECT CAST(1 AS BIGINT), wm, TRUE, 'v1', wm FROM w
+            UNION ALL
+            SELECT CAST(2 AS BIGINT), wm, TRUE, 'v1', wm FROM w
+        """,
+        tags=("streaming", "checkpoint", "datasource", "sql-surface"),
+    )
+    def checkpoint_commitlog_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+        import tempfile
+
+        from kafka_stream_job_spark.sources.commitlog import (
+            register_commitlog_source,
+        )
+        from kafka_stream_job_spark.sources.offsetlog import (
+            register_offsetlog_source,
+        )
+
+        register_offsetlog_source(spark)
+        register_commitlog_source(spark)
+        stage = _stage_late_replay(sf_dir)
+        name = f"commitlog_{uuid.uuid4().hex[:8]}"
+        ckpt = tempfile.mkdtemp(prefix="ksj-commitlog-")
+        run_stream_to_memory(
+            spark,
+            late_drop_rollup_stream(spark, stage),
+            name,
+            ckpt,
+            output_mode="append",
+        )
+        planned = (
+            spark.read.format("ksj_offsetlog")
+            .option("path", ckpt)
+            .load()
+            .select("batch_id", F.col("watermark_ms").alias("planned_wm_ms"))
+        )
+        committed = (
+            spark.read.format("ksj_commitlog")
+            .option("path", ckpt)
+            .load()
+            .select(
+                "batch_id",
+                "format_version",
+                F.col("next_watermark_ms").alias("next_wm_ms"),
+            )
+        )
+        return planned.join(F.broadcast(committed), "batch_id", "left").select(
+            "batch_id",
+            "planned_wm_ms",
+            F.col("format_version").isNotNull().alias("committed"),
+            "format_version",
+            "next_wm_ms",
+        )
+
+
+_register_commitlog_query()
+
+
+# ---------------------------------------------------------------------------
 # The checkpoint STATE STORE queried as a table — Spark 4's built-in
 # ``format("statestore")`` / ``format("state-metadata")`` readers over a
 # drained aggregation checkpoint (the state-introspection completion of
@@ -1380,13 +1553,13 @@ def _register_statestore_table_query() -> None:
 
     @register(
         "checkpoint_statestore_table",
-        oracle="""
+        oracle=f"""
             SELECT event_type,
                    CAST(COUNT(*) AS BIGINT) AS n_events,
                    CAST(SUM(CAST(ROUND(value * 100.0) AS BIGINT)) AS BIGINT)
                        AS sum_cents,
                    'stateStoreSave' AS operator_name,
-                   CAST(8 AS BIGINT) AS n_state_partitions,
+                   CAST({DRAIN_SHUFFLE_PARTITIONS} AS BIGINT) AS n_state_partitions,
                    CAST(0 AS BIGINT) AS last_committed_batch
             FROM events
             GROUP BY event_type

@@ -2449,11 +2449,9 @@ def test_merge_full_cdc_oracle_matches_reference(custs):
         if ck % 13 == 0:
             continue  # delete wins, even when ck % 7 == 0 too
         if ck % 7 == 0:
-            # ROUND(bal*110)/100 in cents: round-half-away on cents*1.1
-            import math
-
-            scaled = cents * 1.1
-            newc = int(math.floor(abs(scaled) + 0.5)) * (1 if scaled >= 0 else -1)
+            # Integer-exact round-half-away: (|c|*11+5)//10 on the
+            # non-negative magnitude — mirrors engine + oracle exactly.
+            newc = (abs(cents) * 11 + 5) // 10 * (1 if cents >= 0 else -1)
             by_nation.setdefault(nk, []).append((newc, 1))
         else:
             by_nation.setdefault(nk, []).append((cents, 0))
