@@ -46,16 +46,21 @@ class _CommitLogReader(DataSourceReader):
     def partitions(self):
         from kafka_stream_job_spark.checkpoint import list_commit_batches
 
-        return [
+        out = [
             _CommitFile(batch_id, path)
             for batch_id, path in list_commit_batches(self._checkpoint_dir)
         ]
+        # a commit-less checkpoint (no batch committed yet) still needs
+        # ≥1 partition so the scan plans an empty result, not an error
+        return out or [_CommitFile(-1, "")]
 
     def read(self, partition: _CommitFile):
         import json
 
         from kafka_stream_job_spark.checkpoint import read_text_file
 
+        if not partition.path:
+            return
         lines = read_text_file(partition.path).splitlines()
         version = lines[0] if lines else ""
         meta = {}

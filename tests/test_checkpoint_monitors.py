@@ -347,3 +347,61 @@ def test_offsetlog_datasource_reads_kafka_shaped_checkpoint(spark, tmp_path):
         (1, "kafka", "orders", 1, 41, 1234),
         (1, "kafka", "orders", 2, 9, 1234),
     }
+
+
+def test_tmp_sibling_unique_per_thread_and_prefix_sweepable():
+    """Two same-process threads staging to one destination must get
+    distinct tmp names, and every name must fall under tmp_prefix() so
+    abort()'s prefix sweep still finds them."""
+    import threading
+
+    from kafka_stream_job_spark.checkpoint import tmp_prefix, tmp_sibling
+
+    path = "/tmp/some/manifest.json"
+    got = {}
+    # both threads must be ALIVE simultaneously — Python reuses thread
+    # idents after exit, and concurrent writers are the hazard here
+    barrier = threading.Barrier(2)
+
+    def grab(k):
+        barrier.wait()
+        got[k] = tmp_sibling(path)
+        barrier.wait()
+
+    threads = [threading.Thread(target=grab, args=(i,)) for i in range(2)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert got[0] != got[1]
+    assert all(v.startswith(tmp_prefix(path)) for v in got.values())
+    assert tmp_sibling(path) == tmp_sibling(path)  # stable within a thread
+
+
+def test_drain_clamp_releases_lock_when_conf_access_fails():
+    """If conf access raises inside __enter__, the process-wide drain lock
+    must be released — otherwise every later drain deadlocks."""
+    import pytest
+
+    # relational must register first — streaming.pipeline's module-level
+    # registrations read oracles from the relational registry entries
+    from kafka_stream_job_spark.operators import relational  # noqa: F401
+    from kafka_stream_job_spark.streaming.pipeline import _drain_partitions
+
+    class _BoomConf:
+        def get(self, *_):
+            raise RuntimeError("py4j hiccup")
+
+        def set(self, *_):
+            raise RuntimeError("py4j hiccup")
+
+    class _BoomSpark:
+        conf = _BoomConf()
+
+    with pytest.raises(RuntimeError, match="hiccup"):
+        with _drain_partitions(_BoomSpark()):
+            pass  # pragma: no cover — enter must raise
+    # the lock must be free and the depth untouched
+    assert _drain_partitions._lock.acquire(timeout=1)
+    _drain_partitions._lock.release()
+    assert _drain_partitions._depth == 0

@@ -302,3 +302,70 @@ def test_custom_sink_write_from_worker_thread(spark, tmp_path):
             pool.submit(write, False).result()
         audit = pool.submit(write, True).result()
     assert (audit["n_rows"], audit["id_sum"]) == (7, 21)
+
+
+def test_commitlog_reads_versions_and_watermarks(spark, tmp_path):
+    """Commit files map to (batch_id, version tag, nextBatchWatermarkMs);
+    a missing/corrupt metadata line degrades to watermark 0, not a crash."""
+    from kafka_stream_job_spark.sources.commitlog import register_commitlog_source
+
+    register_commitlog_source(spark)
+    d = tmp_path / "commits"
+    d.mkdir()
+    (d / "0").write_text('v1\n{"nextBatchWatermarkMs": 123}\n')
+    (d / "1").write_text("v1\n")
+    (d / "2").write_text('v1\nnot-json\n')
+    rows = {
+        tuple(r)
+        for r in spark.read.format("ksj_commitlog")
+        .option("path", str(tmp_path))
+        .load()
+        .collect()
+    }
+    assert rows == {(0, "v1", 123), (1, "v1", 0), (2, "v1", 0)}
+
+
+def test_commitlog_missing_dir_is_empty(spark, tmp_path):
+    """A checkpoint with no commits dir yet (query never committed a
+    batch) scans as an empty table — the planned-but-never-committed
+    audit must not error on it."""
+    from kafka_stream_job_spark.sources.commitlog import register_commitlog_source
+
+    register_commitlog_source(spark)
+    assert (
+        spark.read.format("ksj_commitlog")
+        .option("path", str(tmp_path))
+        .load()
+        .count()
+        == 0
+    )
+
+
+def test_commitlog_requires_path(spark):
+    from kafka_stream_job_spark.sources.commitlog import register_commitlog_source
+
+    register_commitlog_source(spark)
+    with pytest.raises(Exception, match="path"):
+        spark.read.format("ksj_commitlog").load().collect()
+
+
+def test_hivepart_partition_carries_base_uri(spark, tmp_path):
+    """Planned partitions must carry the original (scheme-capable) option
+    path so executor reads re-resolve the same filesystem the driver
+    listed with — a bare fs-local path would break on s3://-style URIs."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from kafka_stream_job_spark.sources.hivepart import _HivePartReader
+
+    part_dir = tmp_path / "event_type=click"
+    part_dir.mkdir()
+    pq.write_table(
+        pa.table({"event_id": [1], "user_id": [2], "value": [3.0]}),
+        part_dir / "f0.parquet",
+    )
+    reader = _HivePartReader({"path": str(tmp_path)})
+    parts = reader.partitions()
+    assert parts and all(p.base_uri == str(tmp_path) for p in parts)
+    batches = list(reader.read(parts[0]))
+    assert sum(b.num_rows for b in batches) == 1
