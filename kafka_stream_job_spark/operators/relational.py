@@ -8789,3 +8789,58 @@ def l_diversity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("n_majority_homogeneous"),
     )
+
+
+# ---------------------------------------------------------------------------
+# URL function surface — ``parse_url`` / ``url_encode`` / ``url_decode``,
+# the scalar family every web-crawl pipeline leans on for host-level
+# dedup quotas and canonicalization. URLs are constructed
+# deterministically from part rows (so the oracle can mirror the parse
+# with plain string ops), then parsed BACK: host, path, a positional
+# query param, and a form-encoded param round-tripped through
+# url_encode→parse_url→url_decode (p_type values are [A-Z ]-only, so
+# '+' for space is the entire encoding — which is why the DuckDB mirror
+# is a replace()). All JVM-side codegen scalars; no shuffle at all.
+# ---------------------------------------------------------------------------
+@register(
+    "url_functions_showcase",
+    oracle="""
+        SELECT p_partkey,
+               'parts.example.com' AS host,
+               '/brand/' || regexp_replace(p_brand, '[^A-Za-z0-9]', '-', 'g')
+                   || '/part/' || CAST(p_partkey AS VARCHAR) AS path,
+               CAST(p_size AS VARCHAR) AS size_param,
+               replace(p_type, ' ', '+') AS container_encoded,
+               p_type AS container_roundtrip
+        FROM part
+        WHERE p_partkey % 10 = 0
+    """,
+    tags=("scalar", "url", "sql-surface"),
+)
+def url_functions_showcase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = load_table(spark, sf_dir, "part").filter(F.col("p_partkey") % 10 == 0)
+    url = F.concat(
+        F.lit("https://parts.example.com/brand/"),
+        # '#' in raw brands ("Brand#2") would start a URL fragment —
+        # path segments must be sanitized before they enter the URL
+        F.regexp_replace(F.col("p_brand"), r"[^A-Za-z0-9]", "-"),
+        F.lit("/part/"),
+        F.col("p_partkey").cast("string"),
+        F.lit("?size="),
+        F.col("p_size").cast("string"),
+        F.lit("&container="),
+        F.url_encode(F.col("p_type")),
+    )
+    with_url = part.select("p_partkey", url.alias("url"))
+    return with_url.select(
+        "p_partkey",
+        F.parse_url("url", F.lit("HOST")).alias("host"),
+        F.parse_url("url", F.lit("PATH")).alias("path"),
+        F.parse_url("url", F.lit("QUERY"), F.lit("size")).alias("size_param"),
+        F.parse_url("url", F.lit("QUERY"), F.lit("container")).alias(
+            "container_encoded"
+        ),
+        F.url_decode(
+            F.parse_url("url", F.lit("QUERY"), F.lit("container"))
+        ).alias("container_roundtrip"),
+    )

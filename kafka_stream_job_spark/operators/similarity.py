@@ -2057,3 +2057,139 @@ def similarity_topk_binary_rerank(spark: SparkSession, sf_dir: str) -> DataFrame
             "rank",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# SemDeDup (Abbas et al. 2023, "SemDeDup: Data-efficient learning at
+# web-scale through semantic deduplication"): cluster the embedding
+# space, then within each cluster drop items semantically too close to
+# a better-kept item. The pipeline here is the paper's, made
+# deterministic and oracle-checkable:
+#   1. codebook = the SEMDEDUP_K lowest-vec_id embeddings (a fixed
+#      stand-in for trained k-means centroids — cluster_kmeans_embeddings
+#      owns the training story; assignment plans are identical),
+#   2. assign every vector to its max-cosine centroid (broadcast
+#      codebook, corpus never shuffled for assignment; ties → lower
+#      centroid id),
+#   3. within a cluster, drop vector a iff some cluster-mate b has
+#      cos(a,b) > SEMDEDUP_TAU and b outranks a (closer to the
+#      centroid, vec_id as the tie-break) — exactly one survivor per
+#      near-dup clique, no iterative peeling needed.
+# Scale: the only data-sized shuffle is the intra-cluster pair join,
+# keyed by cluster id; K grows with the corpus (the paper uses ~√N) and
+# cluster size is capped upstream, so pair work stays bounded per key.
+# Cosines are sequential-fold doubles (bit-identical in both engines),
+# so the > τ and outranking comparisons can never disagree.
+# ---------------------------------------------------------------------------
+SEMDEDUP_K = 8
+SEMDEDUP_TAU = 0.38
+
+_sd_dot_ec = _DOT_SQL.format(a="e.embedding", b="c.cemb")
+_sd_norm_e = _NORM_SQL.format(a="e.embedding")
+_sd_norm_c = _NORM_SQL.format(a="c.cemb")
+_sd_dot_ab = _DOT_SQL.format(a="a.embedding", b="b.embedding")
+_sd_norm_a = _NORM_SQL.format(a="a.embedding")
+_sd_norm_b = _NORM_SQL.format(a="b.embedding")
+
+
+@register(
+    "semantic_dedup_semdedup",
+    oracle=f"""
+        WITH cents AS (
+            SELECT vec_id AS cid, embedding AS cemb
+            FROM embeddings WHERE vec_id < {SEMDEDUP_K}
+        ),
+        scored AS (
+            SELECT e.vec_id, e.embedding, c.cid,
+                   {_sd_dot_ec} / ({_sd_norm_e} * {_sd_norm_c}) AS cosc
+            FROM embeddings e, cents c
+        ),
+        assign AS (
+            SELECT vec_id, embedding, cid, cosc,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY vec_id ORDER BY cosc DESC, cid ASC
+                   ) AS rn
+            FROM scored
+        ),
+        members AS (
+            SELECT vec_id, embedding, cid, cosc FROM assign WHERE rn = 1
+        ),
+        verdicts AS (
+            SELECT a.vec_id, a.cid, a.cosc,
+                   COUNT(*) FILTER (WHERE
+                       {_sd_dot_ab} / ({_sd_norm_a} * {_sd_norm_b})
+                           > {SEMDEDUP_TAU}
+                       AND (b.cosc > a.cosc
+                            OR (b.cosc = a.cosc AND b.vec_id < a.vec_id))
+                   ) AS n_better_neardups
+            FROM members a
+            LEFT JOIN members b ON a.cid = b.cid AND a.vec_id <> b.vec_id
+            GROUP BY 1, 2, 3
+        )
+        SELECT vec_id,
+               CAST(cid AS BIGINT) AS cluster_id,
+               ROUND((cosc) * 10000.0) / 10000.0 AS cos_to_centroid,
+               n_better_neardups = 0 AS kept
+        FROM verdicts
+    """,
+    tags=("dedup", "similarity", "embeddings", "semdedup"),
+)
+def semantic_dedup_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    emb = load_table(spark, sf_dir, "embeddings", rebalance=True)
+    cents = emb.filter(F.col("vec_id") < SEMDEDUP_K).select(
+        F.col("vec_id").alias("cid"), F.col("embedding").alias("cemb")
+    )
+    cosc = _dot(F.col("embedding"), F.col("cemb")) / (
+        _norm(F.col("embedding")) * _norm(F.col("cemb"))
+    )
+    w = Window.partitionBy("vec_id").orderBy(
+        F.col("cosc").desc(), F.col("cid").asc()
+    )
+    members = (
+        emb.crossJoin(F.broadcast(cents))
+        .select("vec_id", "embedding", "cid", cosc.alias("cosc"))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .drop("rn")
+        # both sides of the pair join read this — compute assignment once
+        .localCheckpoint(eager=False)
+    )
+    a = members.alias("a")
+    b = members.select(
+        F.col("vec_id").alias("b_vec_id"),
+        F.col("embedding").alias("b_embedding"),
+        F.col("cid").alias("b_cid"),
+        F.col("cosc").alias("b_cosc"),
+    )
+    sim_ab = _dot(F.col("a.embedding"), F.col("b_embedding")) / (
+        _norm(F.col("a.embedding")) * _norm(F.col("b_embedding"))
+    )
+    outranked = (sim_ab > SEMDEDUP_TAU) & (
+        (F.col("b_cosc") > F.col("a.cosc"))
+        | ((F.col("b_cosc") == F.col("a.cosc")) & (F.col("b_vec_id") < F.col("a.vec_id")))
+    )
+    return (
+        a.join(
+            b,
+            (F.col("a.cid") == F.col("b_cid"))
+            & (F.col("a.vec_id") != F.col("b_vec_id")),
+            "left",
+        )
+        .groupBy(
+            F.col("a.vec_id").alias("vec_id"),
+            F.col("a.cid").cast("long").alias("cluster_id"),
+            F.col("a.cosc").alias("cosc"),
+        )
+        .agg(
+            F.sum(F.coalesce(outranked.cast("long"), F.lit(0)))
+            .alias("n_better_neardups")
+        )
+        .select(
+            "vec_id",
+            "cluster_id",
+            pround(F.col("cosc"), 4).alias("cos_to_centroid"),
+            (F.col("n_better_neardups") == 0).alias("kept"),
+        )
+    )

@@ -2405,3 +2405,67 @@ def text_sentiment_lexicon(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("score").cast("long").alias("max_score"),
         F.min("score").cast("long").alias("min_score"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Tokenizer FERTILITY by language — tokens-per-word, the metric that
+# decides per-language token budgets in a multilingual mixture (a
+# language whose fertility is 2× pays 2× the context length for the
+# same text; mixture weights and seq-len planning must know it).
+# Tokenization is the same BPE-ish regex family as
+# text_bpe_token_count; words are whitespace runs. Ratios are emitted
+# as exact integer basis points (idiv) — no float division, so the
+# row hashes are stable. One vocabulary-keyed aggregation: per-doc
+# regexp counts are JVM-side codegen, the shuffle carries one row per
+# language.
+# ---------------------------------------------------------------------------
+@register(
+    "bpe_fertility_by_lang",
+    oracle=r"""
+        WITH per_doc AS (
+            SELECT lang,
+                   CAST(regexp_extract_all(text, '[A-Za-z]+').len()
+                        + regexp_extract_all(text, '[0-9]').len()
+                        + regexp_extract_all(text, '[^A-Za-z0-9 ]').len()
+                        AS BIGINT) AS n_tokens,
+                   CAST(regexp_extract_all(trim(text), '[^ ]+').len()
+                        AS BIGINT) AS n_words,
+                   CAST(length(text) AS BIGINT) AS n_chars
+            FROM documents
+        )
+        SELECT lang,
+               CAST(COUNT(*) AS BIGINT)      AS n_docs,
+               CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+               CAST(SUM(n_words) AS BIGINT)  AS total_words,
+               CAST(SUM(n_tokens) * 10000 // SUM(n_words) AS BIGINT)
+                   AS fertility_bp,
+               CAST(SUM(n_chars) * 10000 // SUM(n_tokens) AS BIGINT)
+                   AS chars_per_token_bp
+        FROM per_doc
+        GROUP BY lang
+    """,
+    tags=("text", "tokenizer", "llm-pipeline", "documents"),
+)
+def bpe_fertility_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    n_tokens = (
+        F.regexp_count("text", F.lit(r"[A-Za-z]+"))
+        + F.regexp_count("text", F.lit(r"[0-9]"))
+        + F.regexp_count("text", F.lit(r"[^A-Za-z0-9 ]"))
+    ).cast("long")
+    n_words = F.regexp_count(F.trim(F.col("text")), F.lit(r"[^ ]+")).cast("long")
+    per_doc = docs.select(
+        "lang",
+        n_tokens.alias("n_tokens"),
+        n_words.alias("n_words"),
+        F.length("text").cast("long").alias("n_chars"),
+    )
+    return per_doc.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("n_tokens").cast("long").alias("total_tokens"),
+        F.sum("n_words").cast("long").alias("total_words"),
+        idiv(F.sum("n_tokens") * 10000, F.sum("n_words")).alias("fertility_bp"),
+        idiv(F.sum("n_chars") * 10000, F.sum("n_tokens")).alias(
+            "chars_per_token_bp"
+        ),
+    )
