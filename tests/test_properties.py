@@ -3033,3 +3033,175 @@ def test_prefix_max_decomposition_matches_sequential(vals):
             if run:
                 earlier = run[-1] if earlier is None else max(earlier, run[-1])
         assert out == seq
+
+
+@settings(max_examples=50, deadline=None)
+@given(
+    files=st.lists(
+        st.tuples(
+            st.sampled_from(["click", "view"]),       # event_type
+            st.integers(min_value=0, max_value=40),    # day offset
+            st.integers(min_value=1, max_value=200),   # n rows that day
+        ),
+        min_size=1,
+        max_size=60,
+    )
+)
+def test_compaction_plan_oracle_matches_reference(files):
+    """The bin-packing oracle vs a Python first-fit model — pins the
+    exclusive-prefix fill rule (a file straddling the target boundary
+    belongs to the bucket its PRECEDING bytes land in) and the per-type
+    independence of the packing streams."""
+    import datetime
+
+    import duckdb
+
+    from kafka_stream_job_spark.operators.relational import (
+        _COMPACT_TARGET_BYTES,
+    )
+    from kafka_stream_job_spark.registry import all_specs
+
+    base = datetime.datetime(2024, 1, 1, 12, 0, 0)
+    data, eid = [], 0
+    for etype, day_off, n in files:
+        for _ in range(n):
+            data.append(
+                (eid, base + datetime.timedelta(days=day_off), 7, etype, 1.0, "pp")
+            )
+            eid += 1
+    oracle = all_specs()["compaction_bin_packing_plan"].oracle
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE events (event_id BIGINT, ts TIMESTAMP, user_id BIGINT,"
+        " event_type VARCHAR, value DOUBLE, props VARCHAR)"
+    )
+    con.executemany("INSERT INTO events VALUES (?, ?, ?, ?, ?, ?)", data)
+    got = {tuple(r) for r in con.sql(oracle).fetchall()}
+
+    # python model: per (type, day) file of len('pp')+64 bytes per row,
+    # first-fit by exclusive prefix within each type's day order
+    per_cell: dict = {}
+    for etype, day_off, n in files:
+        key = (etype, day_off)
+        per_cell[key] = per_cell.get(key, 0) + n * (2 + 64)
+    plans: dict = {}
+    for etype in sorted({t for t, _ in per_cell}):
+        cum = 0
+        for day_off in sorted(d for t, d in per_cell if t == etype):
+            size = per_cell[(etype, day_off)]
+            bucket = cum // _COMPACT_TARGET_BYTES
+            day = (base + datetime.timedelta(days=day_off)).strftime("%Y-%m-%d")
+            gk = (etype, bucket)
+            n_files, total, first, last = plans.get(gk, (0, 0, day, day))
+            plans[gk] = (n_files + 1, total + size, min(first, day), max(last, day))
+            cum += size
+    want = {
+        (etype, bucket, nf, tot, first, last)
+        for (etype, bucket), (nf, tot, first, last) in plans.items()
+    }
+    assert got == want
+
+
+@settings(max_examples=50, deadline=None)
+@given(
+    docs=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=500),  # doc_id
+            st.sampled_from(["en", "de"]),            # lang
+            st.sampled_from(["web", "book"]),         # source
+            st.integers(min_value=0, max_value=30),   # text length
+        ),
+        min_size=1,
+        max_size=60,
+    )
+)
+def test_dpo_pair_oracle_matches_reference(docs):
+    """The preference-pair oracle vs a Python model — pins the composite
+    ordering keys (longest-then-smallest-id chosen, shortest-then-
+    smallest-id rejected) and the ≥2-docs group gate."""
+    import duckdb
+
+    from kafka_stream_job_spark.registry import all_specs
+
+    seen = {}
+    for did, lang, source, ln in docs:
+        seen.setdefault(did, (lang, source, ln))
+    rows = [
+        (did, "x" * ln, lang, source, ln)
+        for did, (lang, source, ln) in seen.items()
+    ]
+    oracle = all_specs()["dpo_preference_pairs"].oracle
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE documents (doc_id BIGINT, text VARCHAR, lang VARCHAR,"
+        " source VARCHAR, n_chars BIGINT)"
+    )
+    con.executemany("INSERT INTO documents VALUES (?, ?, ?, ?, ?)", rows)
+    got = {tuple(r) for r in con.sql(oracle).fetchall()}
+
+    groups: dict = {}
+    for did, (lang, source, ln) in seen.items():
+        groups.setdefault((lang, source), []).append((did, ln))
+    want = set()
+    for (lang, source), members in groups.items():
+        if len(members) < 2:
+            continue
+        chosen = max(members, key=lambda m: (m[1], -m[0]))
+        rejected = min(members, key=lambda m: (m[1], m[0]))
+        mx = max(ln for _, ln in members)
+        mn = min(ln for _, ln in members)
+        want.add(
+            (lang, source, len(members), chosen[0], rejected[0], mx, mn, mx - mn)
+        )
+    assert got == want
+
+
+@settings(max_examples=50, deadline=None)
+@given(
+    custs=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=3),          # nationkey
+            st.sampled_from(["AUTO", "BLDG"]),              # mktsegment
+            st.integers(min_value=-500000, max_value=900000),  # bal cents
+        ),
+        min_size=1,
+        max_size=80,
+    )
+)
+def test_l_diversity_oracle_matches_reference(custs):
+    """The l-diversity oracle vs a Python model — pins the floor-banding
+    of negatives, the weak-class threshold, and the strict-majority
+    homogeneity predicate."""
+    import math
+
+    import duckdb
+
+    from kafka_stream_job_spark.operators.relational import _LDIV_L
+    from kafka_stream_job_spark.registry import all_specs
+
+    data = [(i, nk, seg, c / 100.0) for i, (nk, seg, c) in enumerate(custs)]
+    oracle = all_specs()["l_diversity_audit"].oracle
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE customer (c_custkey BIGINT, c_nationkey BIGINT,"
+        " c_mktsegment VARCHAR, c_acctbal DOUBLE)"
+    )
+    con.executemany("INSERT INTO customer VALUES (?, ?, ?, ?)", data)
+    got = set(map(tuple, con.sql(oracle).fetchall()))
+
+    cells: dict = {}
+    for _, nk, seg, bal in data:
+        band = math.floor(bal / 1000.0)
+        cells[(nk, seg, band)] = cells.get((nk, seg, band), 0) + 1
+    classes: dict = {}
+    for (nk, seg, band), n in cells.items():
+        d, rows, mx = classes.get((nk, seg), (0, 0, 0))
+        classes[(nk, seg)] = (d + 1, rows + n, max(mx, n))
+    want = (
+        len(classes),
+        sum(1 for d, _, _ in classes.values() if d < _LDIV_L),
+        sum(r for d, r, _ in classes.values() if d < _LDIV_L),
+        min(d for d, _, _ in classes.values()),
+        sum(1 for _, r, mx in classes.values() if mx * 2 > r),
+    )
+    assert got == {want}
