@@ -1017,3 +1017,68 @@ def test_triangle_probe_join_never_broadcasts_edges(spark):
     sf0.1 (the build OOMed — caught by the full sf0.1 oracle sweep)."""
     plan = plan_of(spark, "graph_triangle_stats")
     assert "ShuffledHashJoin" in plan
+
+
+def test_semdedup_broadcast_assignment_cluster_keyed_pairs(spark):
+    """SemDeDup's only data-sized join must be the intra-cluster pair
+    join, keyed by cluster id — no cartesian anywhere. The codebook
+    assignment is pinned behind a localCheckpoint (so the pair join reads
+    the members once instead of recomputing the codebook join twice);
+    the checkpoint hides the broadcast sub-plan, so its shape is asserted
+    on the assignment stage built standalone."""
+    plan = plan_of(spark, "semantic_dedup_semdedup")
+    assert "CartesianProduct" not in plan
+    assert "ExistingRDD" in plan, "assignment must be checkpoint-pinned"
+    assert "SortMergeJoin [cid" in plan or "ShuffledHashJoin [cid" in plan, (
+        "pair join must be keyed by cluster id"
+    )
+    # the assignment stage itself: corpus × broadcast codebook, and the
+    # corpus never shuffles to meet the centroids
+    from pyspark.sql import functions as F
+
+    from kafka_stream_job_spark.operators.similarity import SEMDEDUP_K
+    from kafka_stream_job_spark.tables import load_table
+
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    cents = emb.filter(F.col("vec_id") < SEMDEDUP_K).select(
+        F.col("vec_id").alias("cid"), F.col("embedding").alias("cemb")
+    )
+    assign_plan = (
+        emb.crossJoin(F.broadcast(cents))
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "BroadcastNestedLoopJoin" in assign_plan
+    assert "Exchange hashpartitioning" not in assign_plan, (
+        "corpus must not shuffle for centroid assignment"
+    )
+
+
+def test_compaction_plan_windows_are_partitioned(spark):
+    """The fill window must be per-event_type (bounded partitions whose
+    size grows with time span, not data volume) — the registry-wide lint
+    forbids the unbounded global variant, this pins the positive shape."""
+    plan = plan_of(spark, "compaction_bin_packing_plan")
+    assert "Window" in plan
+    assert not _empty_partition_ordered_windows(plan)
+
+
+def test_dpo_pairs_single_aggregation_no_window(spark):
+    """Preference pairing must stay one hash aggregation (max_by/min_by
+    with composite keys) — a per-group sort window would add a data-sized
+    ordering shuffle for nothing."""
+    plan = plan_of(spark, "dpo_preference_pairs")
+    assert "Window" not in plan
+    assert "SortMergeJoin" not in plan and "CartesianProduct" not in plan
+    assert "HashAggregate" in plan or "ObjectHashAggregate" in plan
+
+
+def test_fertility_partial_agg_below_exchange(spark):
+    """Per-doc regexp counts must partial-aggregate map-side before the
+    one language-keyed exchange."""
+    plan = plan_of(spark, "bpe_fertility_by_lang")
+    first_agg = plan.find("HashAggregate")
+    first_ex = plan.find("Exchange")
+    assert first_agg != -1 and first_ex != -1
+    assert plan.count("Exchange") <= 2  # lang agg (+AQE artifacts at most)
