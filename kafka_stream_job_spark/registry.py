@@ -153,6 +153,14 @@ _DRIVER_CHECKED = frozenset({
     "watermark_sizing_report", "window_range_trailing_hour",
 })
 
+#: Driver-green queries whose BEHAVIOR changed after their last green row:
+#: deliberately absent from _DRIVER_CHECKED (the hygiene test enforces
+#: they are the only permitted absences) and ordered FIRST so the next
+#: driver pass re-earns their row before anything else. Round 5:
+#: merge_full_cdc's restatement arithmetic became integer-exact after
+#: its r04 row.
+_RECHECK = ("merge_full_cdc",)
+
 
 def all_specs() -> dict[str, QuerySpec]:
     """Import every operator module (side effect: registration) and return
@@ -174,12 +182,8 @@ def all_specs() -> dict[str, QuerySpec]:
     from kafka_stream_job_spark.streaming import pipeline  # noqa: F401
 
     # Driver-green entries whose behavior CHANGED since their last green
-    # row must re-earn it ahead of everything else. This round:
-    # merge_full_cdc's restatement arithmetic was made integer-exact
-    # (tie-free half-away on cents) after its r04 green row.
-    recheck = {
-        n: s for n, s in REGISTRY.items() if n in ("merge_full_cdc",)
-    }
+    # row must re-earn it ahead of everything else (see _RECHECK).
+    recheck = {n: s for n, s in REGISTRY.items() if n in _RECHECK}
     # Within the never-checked group, order by MEASURED sf0.01 driver-sim
     # cost (tools/verify_oracle.py; re-measured over the FULL 261-query
     # registry at the end of round 3), cheapest first: if the driver's

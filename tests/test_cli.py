@@ -129,3 +129,65 @@ def test_registry_ordering_names_all_exist():
     for n in order:
         if n not in reg._DRIVER_CHECKED:
             assert idx[n] < n_unchecked, f"unchecked {n!r} sorted after checked rows"
+
+
+def test_driver_checked_covers_every_driver_round():
+    """Process-rule automation: every green name from every committed
+    CORRECTNESS_r*.json must be in _DRIVER_CHECKED — UNLESS it is
+    deliberately listed in _RECHECK (behavior changed after its row, so
+    it must re-earn one). Forgetting the per-round refresh, or silently
+    dropping a name, fails here instead of in a judge review."""
+    import glob
+    import json
+    import os
+
+    import kafka_stream_job_spark.registry as reg
+
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    seen_green: set = set()
+    for path in sorted(glob.glob(os.path.join(root, "CORRECTNESS_r*.json"))):
+        for name, row in json.load(open(path)).items():
+            if row.get("hash_match") or (
+                row.get("err") == "no_oracle" and row.get("spark_rows")
+            ):
+                seen_green.add(name)
+    specs = reg.all_specs()
+    missing = {
+        n
+        for n in seen_green
+        if n in specs and n not in reg._DRIVER_CHECKED and n not in reg._RECHECK
+    }
+    assert not missing, (
+        f"driver-green names absent from _DRIVER_CHECKED (refresh it, or "
+        f"list them in _RECHECK with a reason): {sorted(missing)}"
+    )
+    stale_recheck = set(reg._RECHECK) & set(reg._DRIVER_CHECKED)
+    assert not stale_recheck, (
+        f"_RECHECK names must NOT also sit in _DRIVER_CHECKED: {stale_recheck}"
+    )
+
+
+def test_local_sweep_has_green_row_for_every_registry_query():
+    """Process-rule automation: the committed CORRECTNESS_LOCAL.json must
+    hold a green row for EVERY registry query — registering (or changing)
+    a query without refreshing its sweep row in the same commit fails
+    here. (Behavior changes to already-swept queries are caught by the
+    judge diffing hashes; this pins existence + greenness.)"""
+    import json
+    import os
+
+    from kafka_stream_job_spark.registry import all_specs
+
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    local = json.load(open(os.path.join(root, "CORRECTNESS_LOCAL.json")))
+    specs = all_specs()
+    missing = set(specs) - set(local)
+    assert not missing, f"registry queries without a committed sweep row: {sorted(missing)}"
+    red = {
+        n
+        for n, row in local.items()
+        if n in specs
+        and not row.get("hash_match")
+        and not (row.get("err") == "no_oracle" and row.get("spark_rows"))
+    }
+    assert not red, f"committed sweep rows not green: {sorted(red)}"
