@@ -185,69 +185,110 @@ def all_specs() -> dict[str, QuerySpec]:
     # row must re-earn it ahead of everything else (see _RECHECK).
     recheck = {n: s for n, s in REGISTRY.items() if n in _RECHECK}
     # Within the never-checked group, order by MEASURED sf0.01 driver-sim
-    # cost (tools/verify_oracle.py; re-measured over the FULL 261-query
-    # registry at the end of round 3), cheapest first: if the driver's
+    # cost (tools/verify_oracle.py SIM_PAR=1; re-measured over the FULL
+    # 279-query registry in round 5 — the sweep JSON now carries per-query
+    # secs, so this list regenerates mechanically), cheapest first: if the driver's
     # pass is time-capped rather than count-capped, cheap-first maximizes
     # how many entries earn a correctness row. Names absent from the list
     # (operators added after the measurement) slot in just after the
     # sub-second group.
     cost_order = (
-        "arrow_map_embedding_norm", "partitioned_source_pruned_read", "schema_evolution_merge_read",
-        "csv_source_permissive_read", "cv_fold_manifest", "feature_asof_training_matrix",
-        "kmv_distinct_users", "lang_temperature_weights", "map_functions_showcase",
-        "multimodal_stratified_sample", "null_safe_join_attribution", "parameterized_sql_showcase",
-        "supplier_return_wilson_rank", "text_sentiment_lexicon", "array_set_functions_showcase",
-        "bronze_decode_errors", "events_holt_forecast", "events_theilsen_trend",
-        "gdpr_purge_manifest", "k_anonymity_audit", "orc_source_roundtrip",
-        "pandas_grouped_agg_trimmed_mean", "text_vocab_coverage", "try_functions_showcase",
-        "xml_decode_roundtrip", "asof_next_touch_latency", "benford_digit_audit",
-        "events_ab_uplift_test", "events_ewma_forecast", "events_funnel_latency",
-        "events_funnel_view_click_purchase", "events_interval_overlap_join",
-        "events_props_templates", "events_props_variant_decode", "events_psi_value_drift",
-        "events_transition_matrix", "lang_balance_weights", "pipe_sql_priority_stats",
-        "profile_hot_orderkeys", "revenue_trend_ols", "scd2_customer_merge",
-        "similarity_topk_binary_rerank", "stats_qty_price_corr", "ann_ndcg_truncation",
-        "attribution_multi_touch", "bloom_filter_membership", "bronze_decode_roundtrip",
-        "customer_balance_ks_test", "events_seasonal_profile", "events_sessionize_batch",
-        "forecast_conformal_intervals", "incremental_agg_maintenance", "lateral_top_customers_per_nation",
-        "lineitem_ship_latency", "merge_full_cdc", "mlm_masking_manifest",
-        "orders_priority_status_chi2", "profile_lineitem_columns", "q13_customer_distribution",
-        "snapshot_diff_report", "streaming_dedup_events", "text_rake_keywords",
-        "watermark_sizing_report", "window_range_trailing_hour", "customer_spend_gini",
-        "events_dau_wau_mau", "events_hourly_anomaly", "events_hourly_gapfill",
-        "events_props_schema_profile", "hll_distinct_users", "matryoshka_truncation_recall",
-        "q16_supplier_part_buckets", "q21_waiting_supplier", "q2_min_cost_supplier",
-        "rag_context_pack", "scd2_point_in_time_join", "skipgram_negative_samples",
-        "streaming_heavy_hitter_users", "streaming_kmv_distinct_users", "timeseries_znorm_subsequence_search",
-        "trigram_like_search", "abc_customer_classification", "basket_part_pairs",
-        "decontaminate_by_embedding", "events_alarm_verification", "events_changepoint_binseg",
-        "events_daily_value_trend", "hll_merge_event_types", "join_skew_planner",
-        "orders_cohort_revenue", "orders_survival_km", "q11_important_part_value",
-        "q20_heavy_shippers", "q8_national_market_share", "streaming_available_now_rollup",
-        "streaming_hll_distinct_users", "supplier_pareto_frontier", "text_word_pmi",
-        "window_functions_showcase", "zorder_layout_stats", "corpus_epoch_shuffle_manifest",
-        "events_cusum_drift", "events_peak_concurrency", "fuzzy_join_part_names",
-        "histogram_price_deciles", "q9_product_type_profit", "similarity_maxsim_multivector",
-        "sketch_quantile_bins", "sql_udf_showcase", "streaming_dedup_within_watermark",
-        "streaming_sliding_rollup", "streaming_static_enrich", "streaming_union_sources_rollup",
-        "streaming_upsert_latest_state", "association_rules_parts", "data_quality_audit",
-        "quality_logreg_training", "bigram_lm_score", "embedding_covariance",
-        "embedding_pq_codes", "join_cardinality_audit", "percentile_distributed_exact",
-        "streaming_hourly_rollup", "array_hof_showcase", "events_hourly_autocorr",
-        "ivf_recall_report", "kmv_set_ops_event_types", "multimodal_ahash_neardup",
-        "similarity_topk_pq_adc", "streaming_stateful_totals", "dedup_incremental_delta",
-        "streaming_csv_source_rollup", "streaming_session_rollup", "cogroup_asof_pandas",
-        "graph_modularity_by_brand", "recursive_month_spine", "streaming_sink_exactly_once_roundtrip",
-        "streaming_update_mode_rollup", "hll_intersection_estimate", "udtf_dynamic_ngrams",
-        "dedup_edit_distance", "embedding_power_iteration", "streaming_chained_windows",
-        "streaming_late_data_drop", "graph_bfs_hops", "rfm_customer_segments",
-        "checkpoint_offsetlog_table", "streaming_replay_source_rollup", "cms_token_counts",
-        "dedup_containment", "minhash_jaccard_calibration", "heavy_hitter_tokens",
-        "streaming_purchase_attribution", "corpus_difficulty_curriculum",
-        "corpus_filter_funnel", "graph_pagerank_parts", "batch_replay_source_slice",
-        "minhash_bbit_calibration", "streaming_unattributed_purchases", "batch_replay_pruned_scan",
-        "dedup_keep_best_quality", "streaming_join_then_windowed_agg", "graph_kcore_peel",
-        "graph_triangle_stats", "custom_sink_audit_roundtrip", "sql_scripting_showcase",
+        "text_bpe_token_count", "csv_source_permissive_read", "scalar_functions_showcase",
+        "schema_evolution_merge_read", "text_fingerprint", "weighted_sample_docs",
+        "datetime_functions_showcase", "q6_forecast_revenue", "bitwise_aggregates_showcase",
+        "cube_order_status_priority", "grouping_sets_revenue", "multimodal_metadata_scan",
+        "partitioned_source_pruned_read", "split_train_eval", "text_seqlen_histogram",
+        "text_token_stats", "pipe_sql_priority_stats", "customers_without_orders",
+        "text_pii_redaction", "doc_sliding_chunks", "embedding_norm_stats",
+        "nations_with_rich_customers", "lang_balance_weights", "text_quality_score",
+        "text_sentiment_lexicon", "q14_promo_revenue", "quota_sample_per_lang",
+        "rollup_returns", "dedup_exact", "events_json_extract", "corpus_mix_rebalance",
+        "gdpr_purge_manifest", "scd2_customer_merge", "try_functions_showcase",
+        "events_daily_value_trend", "multimodal_frame_sample", "multimodal_resize",
+        "url_functions_showcase", "embedding_int8_quantize", "lateral_top_customers_per_nation",
+        "q12_priority_by_linestatus", "q4_order_priority", "unpivot_lineitem_measures",
+        "arrow_map_embedding_norm", "events_props_variant_decode", "percentile_order_prices",
+        "events_hourly_rollup", "kmv_distinct_users", "pack_sequences_manifest",
+        "parameterized_sql_showcase", "stats_qty_price_corr", "null_safe_join_attribution",
+        "q1_pricing_summary", "events_props_templates", "profile_hot_orderkeys",
+        "q22_global_sales_opportunity", "supplier_return_wilson_rank", "benford_digit_audit",
+        "cv_fold_manifest", "events_multi_rollup", "k_anonymity_audit",
+        "multimodal_stratified_sample", "q19_disjunctive_revenue", "bronze_decode_errors",
+        "events_funnel_view_click_purchase", "incremental_agg_maintenance",
+        "lang_temperature_weights", "pivot_user_event_matrix", "array_agg_user_profile",
+        "multimodal_decode_features", "q15_top_supplier", "small_quantity_revenue",
+        "text_language_id", "events_funnel_latency", "text_vocab_coverage",
+        "array_set_functions_showcase", "attribution_multi_touch", "events_user_retention",
+        "feature_asof_training_matrix", "orc_source_roundtrip", "snapshot_diff_report",
+        "window_customer_order_rank", "window_event_gaps", "distinct_parts_per_supplier",
+        "multimodal_dedup_content_hash", "q13_customer_distribution",
+        "q18_large_volume_customers", "setops_customer_segments", "text_zipf_slope",
+        "trigram_like_search", "dpo_preference_pairs", "events_transition_matrix",
+        "range_join_price_bands", "top_customers_by_revenue", "events_theilsen_trend",
+        "hll_distinct_users", "revenue_trend_ols", "map_functions_showcase",
+        "multimodal_audio_frame_energy", "text_rake_keywords", "lineitem_ship_latency",
+        "xml_decode_roundtrip", "content_defined_chunks", "pandas_acctbal_zscore",
+        "profile_lineitem_columns", "similarity_topk_cosine", "aes_roundtrip_audit",
+        "events_ewma_forecast", "pandas_scalar_log_price", "events_ab_uplift_test",
+        "events_psi_value_drift", "mlm_masking_manifest", "pandas_grouped_agg_trimmed_mean",
+        "text_bm25_search", "asof_next_touch_latency", "events_holt_forecast",
+        "events_hourly_anomaly", "events_hourly_gapfill", "udtf_word_expand",
+        "decontaminate_by_embedding", "events_interval_overlap_join", "q10_returned_items",
+        "salted_join_supplier_volume", "similarity_topk_binary_rerank",
+        "window_range_trailing_hour", "q2_min_cost_supplier", "q3_shipping_priority",
+        "events_seasonal_profile", "q7_volume_shipping", "session_window_rollup",
+        "asof_purchase_attribution", "bronze_decode_roundtrip", "events_session_window_batch",
+        "text_top_bigrams", "streaming_dedup_events", "medallion_pipeline_rollup",
+        "ann_ndcg_truncation", "l_diversity_audit", "q16_supplier_part_buckets",
+        "matryoshka_truncation_recall", "hll_merge_event_types", "embedding_outlier_zscore",
+        "hive_source_partition_pruned", "rag_context_pack", "shard_manifest_balanced",
+        "skipgram_negative_samples", "watermark_sizing_report", "bloom_filter_membership",
+        "corpus_token_budget_plan", "q9_product_type_profit", "sketch_quantile_bins",
+        "streaming_kmv_distinct_users", "events_props_schema_profile",
+        "streaming_heavy_hitter_users", "events_holtwinters_forecast", "text_repetition_filter",
+        "heavy_hitter_tokens", "surrogate_key_assignment", "batch_replay_source_slice",
+        "bpe_fertility_by_lang", "compaction_bin_packing_plan", "similarity_topk_bucketed",
+        "events_cusum_drift", "events_hourly_mad_outliers", "orders_priority_status_chi2",
+        "text_token_entropy", "forecast_conformal_intervals", "q21_waiting_supplier",
+        "customer_balance_ks_test", "events_sessionize_batch", "percentile_distributed_exact",
+        "q11_important_part_value", "text_chunk_dedup", "corpus_js_divergence",
+        "q5_local_supplier_volume", "similarity_topk_ivf", "streaming_csv_source_rollup",
+        "abc_customer_classification", "basket_part_pairs", "events_dau_wau_mau",
+        "repeated_ngram_spans", "text_word_pmi", "array_hof_showcase",
+        "timeseries_znorm_subsequence_search", "orders_cohort_revenue", "search_hybrid_rrf",
+        "events_alarm_verification", "join_skew_planner", "customer_spend_gini",
+        "events_changepoint_binseg", "q20_heavy_shippers", "streaming_dedup_within_watermark",
+        "zorder_layout_stats", "data_quality_audit", "q8_national_market_share",
+        "streaming_upsert_latest_state", "window_functions_showcase",
+        "streaming_union_sources_rollup", "scd2_point_in_time_join", "streaming_hourly_rollup",
+        "checkpoint_statestore_table", "streaming_available_now_rollup", "bpe_apply_merges",
+        "corpus_epoch_shuffle_manifest", "bpe_learn_merges", "sql_udf_showcase",
+        "streaming_static_enrich", "streaming_stateful_totals", "cms_token_counts",
+        "events_peak_concurrency", "embedding_covariance", "histogram_price_deciles",
+        "sketch_user_activity", "streaming_sliding_rollup", "embedding_pq_codes",
+        "fuzzy_join_part_names", "dedup_span_mask_manifest", "quality_logreg_training",
+        "streaming_session_rollup", "similarity_lsh_neardup", "similarity_maxsim_multivector",
+        "dedup_embedding_cosine", "kmv_set_ops_event_types", "text_rolling_fingerprint",
+        "decontaminate_train_shingles", "dedup_minhash_lsh", "multimodal_ahash_neardup",
+        "supplier_pareto_frontier", "dedup_survivors", "ivf_recall_report",
+        "similarity_topk_pq_adc", "streaming_sink_exactly_once_roundtrip",
+        "association_rules_parts", "events_hourly_autocorr", "join_cardinality_audit",
+        "orders_survival_km", "text_tfidf_top_terms", "graph_modularity_by_brand",
+        "bigram_lm_score", "dedup_incremental_delta", "cogroup_asof_pandas",
+        "dedup_edit_distance", "contrastive_triplets", "streaming_update_mode_rollup",
+        "recursive_month_spine", "collation_group_showcase", "hll_intersection_estimate",
+        "streaming_late_data_drop", "udtf_dynamic_ngrams", "streaming_chained_windows",
+        "dedup_simhash", "dedup_ngram_jaccard", "embedding_power_iteration",
+        "rfm_customer_segments", "streaming_hll_distinct_users", "cluster_kmeans_embeddings",
+        "batch_replay_pruned_scan", "corpus_filter_funnel", "checkpoint_offsetlog_table",
+        "dedup_containment", "graph_bfs_hops", "minhash_jaccard_calibration",
+        "corpus_difficulty_curriculum", "streaming_replay_source_rollup",
+        "streaming_purchase_attribution", "semantic_dedup_semdedup",
+        "dedup_connected_components", "graph_pagerank_parts", "custom_sink_audit_roundtrip",
+        "minhash_bbit_calibration", "streaming_unattributed_purchases",
+        "streaming_join_then_windowed_agg", "streaming_stateful_type_counts",
+        "dedup_keep_best_quality", "graph_kcore_peel", "sql_scripting_showcase",
+        "merge_full_cdc", "graph_triangle_stats", "checkpoint_commitlog_audit",
     )
     new_ops_rank = 50.5  # just after the sub-second group (index ~50)
     unchecked = {

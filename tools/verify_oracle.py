@@ -94,7 +94,8 @@ def run_one(name):
                 print(f"{name}: rows-only ok ({len(srows)}) [{time.time()-t0:.1f}s]")
                 report[name] = {"rows_match": None, "schema_match": None,
                                 "hash_match": None, "spark_rows": len(srows),
-                                "oracle_rows": None, "err": "no_oracle"}
+                                "oracle_rows": None, "err": "no_oracle",
+                                "secs": round(time.time() - t0, 2)}
             return
         cur = con.cursor()  # duckdb connections are not thread-shareable
         try:
@@ -126,7 +127,8 @@ def run_one(name):
             report[name] = {"rows_match": len(srows) == len(orows),
                             "schema_match": cols_ok and types_ok,
                             "hash_match": ok, "spark_rows": len(srows),
-                            "oracle_rows": len(orows), "err": None}
+                            "oracle_rows": len(orows), "err": None,
+                            "secs": round(time.time() - t0, 2)}
             if not ok: fails.append(name)
     except Exception as ex:
         with out_lock:
@@ -134,7 +136,8 @@ def run_one(name):
             report[name] = {"rows_match": False, "schema_match": False,
                             "hash_match": False, "spark_rows": None,
                             "oracle_rows": None,
-                            "err": f"{type(ex).__name__}: {str(ex)[:120]}"}
+                            "err": f"{type(ex).__name__}: {str(ex)[:120]}",
+                            "secs": round(time.time() - t0, 2)}
             fails.append(name)
 
 
