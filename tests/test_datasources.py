@@ -369,3 +369,50 @@ def test_hivepart_partition_carries_base_uri(spark, tmp_path):
     assert parts and all(p.base_uri == str(tmp_path) for p in parts)
     batches = list(reader.read(parts[0]))
     assert sum(b.num_rows for b in batches) == 1
+
+
+def test_parquet_meta_matches_duckdb_metadata(spark):
+    """The footer table must agree with DuckDB's parquet_metadata() on
+    every (row group, column) chunk of two real testdata files — rows,
+    value counts, compressed/uncompressed bytes."""
+    import duckdb
+
+    from kafka_stream_job_spark.sources.parquetmeta import (
+        register_parquetmeta_source,
+    )
+
+    register_parquetmeta_source(spark)
+    files = [f"{SF_SMOKE}/events.parquet", f"{SF_SMOKE}/documents.parquet"]
+    got = {
+        (r.table_name, r.row_group_id, r.column_name): (
+            r.rg_rows,
+            r.num_values,
+            r.compressed_bytes,
+            r.uncompressed_bytes,
+        )
+        for r in spark.read.format("ksj_parquet_meta")
+        .option("paths", ",".join(files))
+        .load()
+        .collect()
+    }
+    con = duckdb.connect()
+    want = {}
+    for f in files:
+        stem = os.path.splitext(os.path.basename(f))[0]
+        for rg, rows, col, nv, comp, uncomp in con.sql(
+            f"""SELECT row_group_id, row_group_num_rows, path_in_schema,
+                       num_values, total_compressed_size, total_uncompressed_size
+                FROM parquet_metadata('{f}')"""
+        ).fetchall():
+            want[(stem, rg, col)] = (rows, nv, comp, uncomp)
+    assert got == want and got, f"footer drift: {len(got)} vs {len(want)} chunks"
+
+
+def test_parquet_meta_requires_paths(spark):
+    from kafka_stream_job_spark.sources.parquetmeta import (
+        register_parquetmeta_source,
+    )
+
+    register_parquetmeta_source(spark)
+    with pytest.raises(Exception, match="paths"):
+        spark.read.format("ksj_parquet_meta").load().collect()
