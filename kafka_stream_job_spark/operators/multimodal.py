@@ -587,3 +587,108 @@ def multimodal_ahash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_a", "doc_b", ham.alias("hamming"))
         .filter(F.col("hamming") <= AHASH_HAM_T)
     )
+
+
+# ---------------------------------------------------------------------------
+# SILENCE SEGMENTATION — the VAD step after per-frame energy
+# (multimodal_audio_frame_energy): frames whose mean-square energy falls
+# below a threshold are "silent", and consecutive silent frames merge
+# into segments via gaps-and-islands (frame_idx minus its silent-frame
+# row number is constant within a run). The compare is integer-exact
+# (sq_sum < T · n_samples — no division), the island window partitions
+# per doc (bounded by frames-per-doc, not corpus size), and the frame
+# derivation is the same zero-shuffle JVM array algebra as the energy
+# op. Output: one row per silent segment with frame span and sample
+# count — what an audio pipeline would cut before transcription.
+# ---------------------------------------------------------------------------
+SILENCE_MSQ = 9400  # mean-square threshold (ascii-byte stand-in scale)
+
+
+@register(
+    "multimodal_silence_segments",
+    oracle=f"""
+        WITH frames AS (
+            SELECT doc_id,
+                   i AS frame_idx,
+                   length(substring(text, i * {AUDIO_FRAME} + 1, {AUDIO_FRAME}))
+                       AS n_samples,
+                   list_reduce(
+                       list_prepend(0,
+                           list_transform(
+                               range(1, 1 + length(substring(text, i * {AUDIO_FRAME} + 1,
+                                                             {AUDIO_FRAME}))),
+                               j -> ascii(substring(text, i * {AUDIO_FRAME} + j, 1))
+                                    * ascii(substring(text, i * {AUDIO_FRAME} + j, 1)))),
+                       (acc, v) -> acc + v) AS sq_sum
+            FROM (
+                SELECT doc_id, text,
+                       UNNEST(range(0, CAST(ceil(len(text) / {AUDIO_FRAME}.0) AS BIGINT)))
+                           AS i
+                FROM documents
+            )
+        ),
+        silent AS (
+            SELECT doc_id, frame_idx, n_samples,
+                   frame_idx - ROW_NUMBER() OVER (
+                       PARTITION BY doc_id ORDER BY frame_idx
+                   ) AS island
+            FROM frames
+            WHERE sq_sum < {SILENCE_MSQ} * n_samples
+        )
+        SELECT doc_id,
+               CAST(MIN(frame_idx) AS BIGINT) AS seg_start_frame,
+               CAST(MAX(frame_idx) AS BIGINT) AS seg_end_frame,
+               CAST(COUNT(*) AS BIGINT)       AS n_frames,
+               CAST(SUM(n_samples) AS BIGINT) AS n_samples
+        FROM silent
+        GROUP BY doc_id, island
+    """,
+    tags=("multimodal", "audio", "vad", "window", "documents"),
+)
+def multimodal_silence_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents", rebalance=True).select(
+        "doc_id", "text"
+    )
+    n_frames = F.ceil(F.length("text") / F.lit(float(AUDIO_FRAME))).cast("long")
+    framed = docs.select(
+        "doc_id",
+        F.explode(F.sequence(F.lit(0).cast("long"), n_frames - 1)).alias(
+            "frame_idx"
+        ),
+        F.col("text"),
+    ).select(
+        "doc_id",
+        "frame_idx",
+        F.substring(
+            F.col("text"),
+            (F.col("frame_idx") * AUDIO_FRAME + 1).cast("int"),
+            AUDIO_FRAME,
+        ).alias("frame"),
+    )
+    codes = F.transform(
+        F.split(F.col("frame"), ""),
+        lambda ch: F.ascii(ch).cast("long"),
+    )
+    sq_sum = F.aggregate(
+        F.filter(codes, lambda c: c.isNotNull()),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + v * v,
+    )
+    frames = framed.select(
+        "doc_id",
+        "frame_idx",
+        F.length("frame").cast("long").alias("n_samples"),
+        sq_sum.alias("sq_sum"),
+    )
+    w = Window.partitionBy("doc_id").orderBy("frame_idx")
+    silent = frames.filter(
+        F.col("sq_sum") < F.lit(SILENCE_MSQ) * F.col("n_samples")
+    ).withColumn("island", F.col("frame_idx") - F.row_number().over(w))
+    return silent.groupBy("doc_id", "island").agg(
+        F.min("frame_idx").alias("seg_start_frame"),
+        F.max("frame_idx").alias("seg_end_frame"),
+        F.count(F.lit(1)).cast("long").alias("n_frames"),
+        F.sum("n_samples").cast("long").alias("n_samples"),
+    ).drop("island")

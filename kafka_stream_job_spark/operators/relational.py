@@ -8844,3 +8844,109 @@ def url_functions_showcase(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.parse_url("url", F.lit("QUERY"), F.lit("container"))
         ).alias("container_roundtrip"),
     )
+
+
+# ---------------------------------------------------------------------------
+# LINK PREDICTION over the supplier–part bipartite graph — the
+# graph-analytics member the pagerank/bfs/kcore/triangle family lacked:
+# score supplier pairs that share parts by three classic indices:
+# common-neighbor count, Jaccard (integer basis points), and the
+# Resource Allocation index Σ_z 1/deg(z) over shared parts z (RA is
+# Adamic-Adar's 1/deg sibling — chosen because 1000000 // deg is
+# integer-exact in both engines, while ln() floors could split on a
+# last-ulp libm difference). Pair generation is the basket pattern:
+# per-part sorted supplier arrays exploded to ordered pairs — no
+# data-sized self-join; hub parts are capped at LINKPRED_MAX_DEG
+# suppliers (quadratic-pair guard, the cap every production LP blocking
+# scheme applies); degrees join back from the two small per-key count
+# tables. Top-25 by RA score.
+# ---------------------------------------------------------------------------
+LINKPRED_MAX_DEG = 50
+
+
+@register(
+    "graph_link_prediction_suppliers",
+    oracle=f"""
+        WITH edges AS (
+            SELECT DISTINCT l_partkey AS part, l_suppkey AS supp FROM lineitem
+        ),
+        pdeg AS (
+            SELECT part, COUNT(*) AS deg FROM edges GROUP BY part
+        ),
+        sdeg AS (
+            SELECT supp, COUNT(*) AS deg FROM edges GROUP BY supp
+        ),
+        pairs AS (
+            SELECT a.supp AS supp_a, b.supp AS supp_b,
+                   CAST(COUNT(*) AS BIGINT) AS common_parts,
+                   CAST(SUM(1000000 // d.deg) AS BIGINT) AS ra_score_micro
+            FROM edges a
+            JOIN edges b ON a.part = b.part AND a.supp < b.supp
+            JOIN pdeg d ON d.part = a.part
+            WHERE d.deg <= {LINKPRED_MAX_DEG}
+            GROUP BY 1, 2
+        )
+        SELECT supp_a, supp_b, common_parts,
+               CAST(common_parts * 10000
+                    // (da.deg + db.deg - common_parts) AS BIGINT) AS jaccard_bp,
+               ra_score_micro
+        FROM pairs
+        JOIN sdeg da ON da.supp = supp_a
+        JOIN sdeg db ON db.supp = supp_b
+        ORDER BY ra_score_micro DESC, supp_a ASC, supp_b ASC
+        LIMIT 25
+    """,
+    tags=("graph", "linkpred", "lineitem"),
+)
+def graph_link_prediction_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    edges = li.select(
+        F.col("l_partkey").alias("part"), F.col("l_suppkey").alias("supp")
+    ).distinct()
+    # per-part supplier arrays: hub cap + per-pair weight in one row
+    per_part = (
+        edges.groupBy("part")
+        .agg(F.array_sort(F.collect_set("supp")).alias("supps"))
+        .filter(F.size("supps") <= LINKPRED_MAX_DEG)
+        .withColumn("w", idiv(F.lit(1000000), F.size("supps").cast("long")))
+    )
+    pair_structs = F.flatten(
+        F.transform(
+            F.col("supps"),
+            lambda x, i: F.transform(
+                F.slice(F.col("supps"), i + 2, F.size(F.col("supps"))),
+                lambda y: F.struct(x.alias("a"), y.alias("b")),
+            ),
+        )
+    )
+    pairs = (
+        per_part.select("w", F.explode(pair_structs).alias("p"))
+        .groupBy(F.col("p.a").alias("supp_a"), F.col("p.b").alias("supp_b"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("common_parts"),
+            F.sum("w").cast("long").alias("ra_score_micro"),
+        )
+    )
+    sdeg = edges.groupBy("supp").agg(F.count(F.lit(1)).alias("deg"))
+    da = sdeg.select(F.col("supp").alias("supp_a"), F.col("deg").alias("deg_a"))
+    db = sdeg.select(F.col("supp").alias("supp_b"), F.col("deg").alias("deg_b"))
+    return (
+        pairs.join(F.broadcast(da), "supp_a")
+        .join(F.broadcast(db), "supp_b")
+        .select(
+            "supp_a",
+            "supp_b",
+            "common_parts",
+            idiv(
+                F.col("common_parts") * 10000,
+                F.col("deg_a") + F.col("deg_b") - F.col("common_parts"),
+            ).alias("jaccard_bp"),
+            "ra_score_micro",
+        )
+        .orderBy(
+            F.col("ra_score_micro").desc(),
+            F.col("supp_a").asc(),
+            F.col("supp_b").asc(),
+        )
+        .limit(25)
+    )
