@@ -8950,3 +8950,59 @@ def graph_link_prediction_suppliers(spark: SparkSession, sf_dir: str) -> DataFra
         )
         .limit(25)
     )
+
+
+# ---------------------------------------------------------------------------
+# EXECUTE IMMEDIATE + session variables — the dynamic-SQL surface
+# (Spark 4): DECLARE a session variable, SET it from a scalar subquery
+# over the data, then EXECUTE IMMEDIATE a parameterized statement USING
+# it. The dynamic statement computes the per-type share of events above
+# the variable threshold — the oracle inlines the same subquery, so the
+# driver checks that the variable round-trips through the dynamic-SQL
+# machinery without value drift. (Complements sql_scripting_showcase's
+# BEGIN…END control flow and parameterized_sql_showcase's static named
+# markers.) Plain aggregations; nothing about the surface changes the
+# physical plan.
+# ---------------------------------------------------------------------------
+@register(
+    "execute_immediate_showcase",
+    oracle="""
+        WITH thr AS (
+            SELECT CAST(ROUND(AVG(value) * 100.0) AS BIGINT) / 100.0 AS v
+            FROM events
+        )
+        SELECT event_type,
+               CAST(COUNT(*) AS BIGINT) AS n_events,
+               CAST(SUM(CASE WHEN value > (SELECT v FROM thr)
+                             THEN 1 ELSE 0 END) AS BIGINT) AS n_above,
+               CAST(SUM(CASE WHEN value > (SELECT v FROM thr)
+                             THEN 1 ELSE 0 END) * 10000
+                    // COUNT(*) AS BIGINT) AS share_bp
+        FROM events
+        GROUP BY event_type
+    """,
+    tags=("sql-surface", "dynamic-sql", "variables", "events"),
+)
+def execute_immediate_showcase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    view = f"exec_imm_events_{abs(hash(sf_dir)) % 10**8}"
+    events.createOrReplaceTempView(view)
+    # integer-cents threshold so the variable's value is bit-portable
+    spark.sql("DECLARE OR REPLACE VARIABLE ksj_thr DOUBLE DEFAULT 0.0")
+    spark.sql(
+        f"SET VAR ksj_thr = (SELECT CAST(ROUND(AVG(value) * 100.0) AS BIGINT)"
+        f" / 100.0 FROM {view})"
+    )
+    return spark.sql(
+        f"""
+        EXECUTE IMMEDIATE
+            'SELECT event_type,
+                    CAST(COUNT(*) AS BIGINT) AS n_events,
+                    CAST(SUM(CASE WHEN value > :thr THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_above,
+                    CAST(SUM(CASE WHEN value > :thr THEN 1 ELSE 0 END) * 10000
+                        AS BIGINT) div COUNT(*) AS share_bp
+             FROM {view} GROUP BY event_type'
+        USING ksj_thr AS thr
+        """
+    )

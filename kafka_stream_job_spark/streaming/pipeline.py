@@ -513,6 +513,72 @@ _register_streaming_rollup()
 
 
 # ---------------------------------------------------------------------------
+# Registry entry: WINDOWED TOP-K over a drained streaming aggregate —
+# per-hour top-2 event types by count. The streaming half is the
+# complete-mode hourly×type rollup (state = one row per (window, type));
+# the RANKING half runs as a batch window over the drained emissions,
+# because ranking inside a streaming agg would need complete-mode
+# re-sorts per batch — the split mirrors production (aggregate in the
+# stream, rank in the serving query). The rank window partitions per
+# hour (bounded by the type vocabulary); ties break by event_type so the
+# result is deterministic and hash-checkable against the batch oracle.
+# ---------------------------------------------------------------------------
+def _register_streaming_topk_types() -> None:
+    import uuid
+
+    from kafka_stream_job_spark.registry import register
+
+    @register(
+        "streaming_topk_types_hourly",
+        oracle="""
+            WITH hourly AS (
+                SELECT CAST(date_trunc('hour', ts) AS VARCHAR) AS hour_ts,
+                       event_type,
+                       CAST(COUNT(*) AS BIGINT) AS n_events
+                FROM events
+                GROUP BY 1, 2
+            ),
+            ranked AS (
+                SELECT *,
+                       ROW_NUMBER() OVER (
+                           PARTITION BY hour_ts
+                           ORDER BY n_events DESC, event_type ASC
+                       ) AS rnk
+                FROM hourly
+            )
+            SELECT hour_ts, event_type, n_events, CAST(rnk AS BIGINT) AS rnk
+            FROM ranked WHERE rnk <= 2
+        """,
+        tags=("streaming", "topk", "window-time", "events"),
+    )
+    def streaming_topk_types_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+        import tempfile
+
+        from pyspark.sql import Window
+
+        name = f"stream_topk_{uuid.uuid4().hex[:8]}"
+        ckpt = tempfile.mkdtemp(prefix="ksj-stream-topk-")
+        drained = run_stream_to_memory(
+            spark,
+            hourly_rollup_stream(stream_events(spark, sf_dir)),
+            name,
+            ckpt,
+            output_mode="complete",
+        )
+        w = Window.partitionBy("hour_ts").orderBy(
+            F.col("n_events").desc(), F.col("event_type").asc()
+        )
+        return (
+            drained.select("hour_ts", "event_type", "n_events")
+            .withColumn("rnk", F.row_number().over(w).cast("long"))
+            .filter(F.col("rnk") <= 2)
+        )
+
+
+_register_streaming_topk_types()
+
+
+# ---------------------------------------------------------------------------
 # Registry entry: stateful streaming DEDUP executed through Structured
 # Streaming — dropDuplicates over (user_id, event_type) with the dedup
 # state store doing the work across micro-batches, drained to a memory
