@@ -448,3 +448,109 @@ def streaming_csv_source_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         finally:
             query.stop()
     return spark.table(name)
+
+
+# ---------------------------------------------------------------------------
+# PERMISSIVE JSON-LINES READ — the third member of the tolerate-and-count
+# trio (JSON payloads: bronze_decode_errors; CSV lines:
+# csv_source_permissive_read): a JSONL export where every 500th event is
+# truncated mid-object at staging time, read in PERMISSIVE mode with a
+# corrupt-record column. JSONL adds the failure modes CSV cannot
+# express — type drift inside a well-formed line (value sometimes a
+# quoted string: read through a STRING-typed field + cast, since a
+# double-typed field rejects quoted numbers as corrupt) and structural
+# truncation (unclosed brace → corrupt row). The oracle predicts every
+# aggregate from the parquet source because both corruption rules are
+# deterministic.
+# ---------------------------------------------------------------------------
+JSONL_CORRUPT_MOD = 500  # truncated mid-object
+JSONL_STRINGY_MOD = 7  # value serialized as a JSON string, not a number
+
+
+def _stage_jsonl(spark: SparkSession, sf_dir: str) -> str:
+    src = os.path.join(sf_dir, "events.parquet")
+
+    def build(tmp: str) -> None:
+        import pyarrow.parquet as pq
+
+        t = pq.read_table(src, columns=["event_id", "user_id", "event_type", "value"])
+        rows = zip(
+            *(
+                t.column(c).to_pylist()
+                for c in ("event_id", "user_id", "event_type", "value")
+            )
+        )
+        with open(os.path.join(tmp, "events.jsonl"), "w") as f:
+            for eid, uid, etype, val in rows:
+                if eid % JSONL_CORRUPT_MOD == 0:
+                    f.write(f'{{"event_id": {eid}, "user_id": {uid}\n')
+                elif eid % JSONL_STRINGY_MOD == 0:
+                    f.write(
+                        f'{{"event_id": {eid}, "user_id": {uid}, '
+                        f'"event_type": "{etype}", "value": "{val!r}"}}\n'
+                    )
+                else:
+                    f.write(
+                        f'{{"event_id": {eid}, "user_id": {uid}, '
+                        f'"event_type": "{etype}", "value": {val!r}}}\n'
+                    )
+
+    return _staged_dir("/tmp/ksj-jsonl-stage", src, "jsonl_v1", build)
+
+
+@register(
+    "jsonl_source_permissive_read",
+    oracle=f"""
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+               CAST(SUM(CASE WHEN event_id % {JSONL_CORRUPT_MOD} = 0
+                             THEN 1 ELSE 0 END) AS BIGINT) AS n_corrupt,
+               CAST(SUM(CASE WHEN event_id % {JSONL_CORRUPT_MOD} <> 0
+                              AND event_id % {JSONL_STRINGY_MOD} = 0
+                             THEN 1 ELSE 0 END) AS BIGINT) AS n_stringy,
+               CAST(SUM(CASE WHEN event_id % {JSONL_CORRUPT_MOD} <> 0
+                             THEN event_id ELSE 0 END) AS BIGINT)
+                   AS sum_good_ids,
+               CAST(SUM(CASE WHEN event_id % {JSONL_CORRUPT_MOD} <> 0
+                             THEN CAST(ROUND(value * 100.0) AS BIGINT)
+                             ELSE 0 END) AS BIGINT) AS sum_good_cents
+        FROM events
+    """,
+    tags=("source-format", "json", "permissive", "events"),
+)
+def jsonl_source_permissive_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    stage = _stage_jsonl(spark, sf_dir)
+    schema = T.StructType(
+        [
+            T.StructField("event_id", T.LongType()),
+            T.StructField("user_id", T.LongType()),
+            T.StructField("event_type", T.StringType()),
+            # string-typed on purpose: accepts BOTH json numbers and
+            # quoted numbers; the cast below recovers the double
+            T.StructField("value", T.StringType()),
+            T.StructField("_corrupt", T.StringType()),
+        ]
+    )
+    df = (
+        spark.read.schema(schema)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt")
+        .json(os.path.join(stage, "events.jsonl"))
+    )
+    good = F.col("_corrupt").isNull()
+    stringy = good & (F.col("event_id") % JSONL_STRINGY_MOD == 0)
+    return df.agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        F.sum(F.when(~good, 1).otherwise(0)).cast("long").alias("n_corrupt"),
+        F.sum(F.when(stringy, 1).otherwise(0)).cast("long").alias("n_stringy"),
+        F.sum(F.when(good, F.col("event_id")).otherwise(0))
+        .cast("long")
+        .alias("sum_good_ids"),
+        F.sum(
+            F.when(
+                good,
+                F.round(F.col("value").cast("double") * 100.0, 0).cast("long"),
+            ).otherwise(0)
+        )
+        .cast("long")
+        .alias("sum_good_cents"),
+    )

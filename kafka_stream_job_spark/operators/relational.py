@@ -9006,3 +9006,132 @@ def execute_immediate_showcase(spark: SparkSession, sf_dir: str) -> DataFrame:
         USING ksj_thr AS thr
         """
     )
+
+
+# ---------------------------------------------------------------------------
+# CHANGE DATA FEED — the row-level companion to snapshot_diff_report's
+# count-level reconciliation: the Delta-CDF-shaped stream of changes
+# between two deterministic hash-derived snapshots of the customer
+# dimension, one output row per change with
+# _change_type ∈ {insert, delete, update_preimage, update_postimage}.
+# Membership comes from the same md5-prefix device as the snapshot diff;
+# rows in both snapshots emit an update pair iff the restated balance
+# differs (every 7th custkey gets +1000 cents in the new snapshot).
+# Unchanged rows emit nothing — the defining property of a change feed.
+# One full-outer self-join on the key, then pre/post rows are exploded
+# from a 1-2 element array; balances are integer cents throughout.
+# ---------------------------------------------------------------------------
+def _cdf_hash_sql(col: str) -> str:
+    return f"('0x' || substr(md5('cdf:' || CAST({col} AS VARCHAR)), 1, 7))::BIGINT"
+
+
+def _cdf_hash(col: str):
+    return F.conv(
+        F.substring(
+            F.md5(F.concat(F.lit("cdf:"), F.col(col).cast("string"))), 1, 7
+        ),
+        16,
+        10,
+    ).cast("long")
+
+
+@register(
+    "change_data_feed_report",
+    oracle=f"""
+        WITH base AS (
+            SELECT c_custkey,
+                   CAST(ROUND(c_acctbal * 100.0) AS BIGINT) AS cents,
+                   {_cdf_hash_sql("c_custkey")} AS h
+            FROM customer
+        ),
+        old AS (
+            SELECT c_custkey, cents FROM base WHERE h % 3 <> 0
+        ),
+        new AS (
+            SELECT c_custkey,
+                   cents + CASE WHEN c_custkey % 7 = 0 THEN 100000 ELSE 0 END
+                       AS cents
+            FROM base WHERE h % 5 <> 0
+        )
+        SELECT n.c_custkey AS c_custkey, 'insert' AS _change_type,
+               NULL AS pre_cents, n.cents AS post_cents
+        FROM new n LEFT JOIN old o ON o.c_custkey = n.c_custkey
+        WHERE o.c_custkey IS NULL
+        UNION ALL
+        SELECT o.c_custkey, 'delete', o.cents, NULL
+        FROM old o LEFT JOIN new n ON n.c_custkey = o.c_custkey
+        WHERE n.c_custkey IS NULL
+        UNION ALL
+        SELECT o.c_custkey, 'update_preimage', o.cents, NULL
+        FROM old o JOIN new n ON n.c_custkey = o.c_custkey
+        WHERE o.cents <> n.cents
+        UNION ALL
+        SELECT o.c_custkey, 'update_postimage', NULL, n.cents
+        FROM old o JOIN new n ON n.c_custkey = o.c_custkey
+        WHERE o.cents <> n.cents
+    """,
+    tags=("cdc", "change-feed", "join", "customer"),
+)
+def change_data_feed_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer")
+    base = cust.select(
+        "c_custkey",
+        F.round(F.col("c_acctbal") * 100.0, 0).cast("long").alias("cents"),
+        _cdf_hash("c_custkey").alias("h"),
+    ).localCheckpoint(eager=False)  # both snapshots derive from one scan
+    old = base.filter(F.col("h") % 3 != 0).select(
+        F.col("c_custkey").alias("o_key"), F.col("cents").alias("o_cents")
+    )
+    new = base.filter(F.col("h") % 5 != 0).select(
+        F.col("c_custkey").alias("n_key"),
+        (
+            F.col("cents")
+            + F.when(F.col("c_custkey") % 7 == 0, 100000).otherwise(0)
+        ).alias("n_cents"),
+    )
+    joined = old.join(new, F.col("o_key") == F.col("n_key"), "full_outer")
+    changes = F.when(
+        F.col("o_key").isNull(),
+        F.array(
+            F.struct(
+                F.lit("insert").alias("t"),
+                F.lit(None).cast("long").alias("pre"),
+                F.col("n_cents").alias("post"),
+            )
+        ),
+    ).when(
+        F.col("n_key").isNull(),
+        F.array(
+            F.struct(
+                F.lit("delete").alias("t"),
+                F.col("o_cents").alias("pre"),
+                F.lit(None).cast("long").alias("post"),
+            )
+        ),
+    ).when(
+        F.col("o_cents") != F.col("n_cents"),
+        F.array(
+            F.struct(
+                F.lit("update_preimage").alias("t"),
+                F.col("o_cents").alias("pre"),
+                F.lit(None).cast("long").alias("post"),
+            ),
+            F.struct(
+                F.lit("update_postimage").alias("t"),
+                F.lit(None).cast("long").alias("pre"),
+                F.col("n_cents").alias("post"),
+            ),
+        ),
+    ).otherwise(F.array().cast("array<struct<t:string,pre:long,post:long>>"))
+    return (
+        joined.select(
+            F.coalesce(F.col("o_key"), F.col("n_key")).alias("c_custkey"),
+            F.explode(changes).alias("c"),
+        )
+        .select(
+            "c_custkey",
+            F.col("c.t").alias("_change_type"),
+            F.col("c.pre").alias("pre_cents"),
+            F.col("c.post").alias("post_cents"),
+        )
+    )
