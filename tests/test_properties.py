@@ -3205,3 +3205,52 @@ def test_l_diversity_oracle_matches_reference(custs):
         sum(1 for _, r, mx in classes.values() if mx * 2 > r),
     )
     assert got == {want}
+
+
+@settings(max_examples=50, deadline=None)
+@given(
+    custs=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=300),          # custkey
+            st.integers(min_value=-40000, max_value=40000),   # bal cents
+        ),
+        min_size=1,
+        max_size=60,
+    )
+)
+def test_change_data_feed_oracle_matches_reference(custs):
+    """The CDF oracle vs a Python model — pins snapshot membership (md5
+    prefix mod rules), the update predicate (restated balance differs ⇔
+    custkey % 7 == 0), pre/post image pairing, and that unchanged rows
+    emit nothing."""
+    import hashlib
+
+    import duckdb
+
+    from kafka_stream_job_spark.registry import all_specs
+
+    seen = {}
+    for ck, cents in custs:
+        seen.setdefault(ck, cents)
+    data = [(ck, cents / 100.0) for ck, cents in seen.items()]
+    oracle = all_specs()["change_data_feed_report"].oracle
+    con = duckdb.connect()
+    con.execute("CREATE TABLE customer (c_custkey BIGINT, c_acctbal DOUBLE)")
+    con.executemany("INSERT INTO customer VALUES (?, ?)", data)
+    got = {tuple(r) for r in con.sql(oracle).fetchall()}
+
+    def h(ck):
+        return int(hashlib.md5(f"cdf:{ck}".encode()).hexdigest()[:7], 16)
+
+    want = set()
+    for ck, cents in seen.items():
+        in_old, in_new = h(ck) % 3 != 0, h(ck) % 5 != 0
+        new_cents = cents + (100000 if ck % 7 == 0 else 0)
+        if in_new and not in_old:
+            want.add((ck, "insert", None, new_cents))
+        elif in_old and not in_new:
+            want.add((ck, "delete", cents, None))
+        elif in_old and in_new and cents != new_cents:
+            want.add((ck, "update_preimage", cents, None))
+            want.add((ck, "update_postimage", None, new_cents))
+    assert got == want
