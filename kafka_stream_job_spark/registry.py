@@ -193,102 +193,104 @@ def all_specs() -> dict[str, QuerySpec]:
     # (operators added after the measurement) slot in just after the
     # sub-second group.
     cost_order = (
-        "text_bpe_token_count", "csv_source_permissive_read", "scalar_functions_showcase",
-        "schema_evolution_merge_read", "text_fingerprint", "weighted_sample_docs",
-        "datetime_functions_showcase", "q6_forecast_revenue", "bitwise_aggregates_showcase",
-        "cube_order_status_priority", "grouping_sets_revenue", "multimodal_metadata_scan",
-        "partitioned_source_pruned_read", "split_train_eval", "text_seqlen_histogram",
-        "text_token_stats", "pipe_sql_priority_stats", "customers_without_orders",
-        "text_pii_redaction", "doc_sliding_chunks", "embedding_norm_stats",
-        "nations_with_rich_customers", "lang_balance_weights", "text_quality_score",
-        "text_sentiment_lexicon", "q14_promo_revenue", "quota_sample_per_lang",
-        "rollup_returns", "dedup_exact", "events_json_extract", "corpus_mix_rebalance",
-        "gdpr_purge_manifest", "scd2_customer_merge", "try_functions_showcase",
-        "events_daily_value_trend", "multimodal_frame_sample", "multimodal_resize",
-        "url_functions_showcase", "embedding_int8_quantize", "lateral_top_customers_per_nation",
-        "q12_priority_by_linestatus", "q4_order_priority", "unpivot_lineitem_measures",
-        "arrow_map_embedding_norm", "events_props_variant_decode", "percentile_order_prices",
-        "events_hourly_rollup", "kmv_distinct_users", "pack_sequences_manifest",
-        "parameterized_sql_showcase", "stats_qty_price_corr", "null_safe_join_attribution",
-        "q1_pricing_summary", "events_props_templates", "profile_hot_orderkeys",
-        "q22_global_sales_opportunity", "supplier_return_wilson_rank", "benford_digit_audit",
-        "cv_fold_manifest", "events_multi_rollup", "k_anonymity_audit",
-        "multimodal_stratified_sample", "q19_disjunctive_revenue", "bronze_decode_errors",
-        "events_funnel_view_click_purchase", "incremental_agg_maintenance",
-        "lang_temperature_weights", "pivot_user_event_matrix", "array_agg_user_profile",
-        "multimodal_decode_features", "q15_top_supplier", "small_quantity_revenue",
-        "text_language_id", "events_funnel_latency", "text_vocab_coverage",
-        "array_set_functions_showcase", "attribution_multi_touch", "events_user_retention",
-        "feature_asof_training_matrix", "orc_source_roundtrip", "snapshot_diff_report",
-        "window_customer_order_rank", "window_event_gaps", "distinct_parts_per_supplier",
-        "multimodal_dedup_content_hash", "q13_customer_distribution",
-        "q18_large_volume_customers", "setops_customer_segments", "text_zipf_slope",
-        "trigram_like_search", "dpo_preference_pairs", "events_transition_matrix",
-        "range_join_price_bands", "top_customers_by_revenue", "events_theilsen_trend",
-        "hll_distinct_users", "revenue_trend_ols", "map_functions_showcase",
-        "multimodal_audio_frame_energy", "text_rake_keywords", "lineitem_ship_latency",
-        "xml_decode_roundtrip", "content_defined_chunks", "pandas_acctbal_zscore",
-        "profile_lineitem_columns", "similarity_topk_cosine", "aes_roundtrip_audit",
-        "events_ewma_forecast", "pandas_scalar_log_price", "events_ab_uplift_test",
-        "events_psi_value_drift", "mlm_masking_manifest", "pandas_grouped_agg_trimmed_mean",
-        "text_bm25_search", "asof_next_touch_latency", "events_holt_forecast",
-        "events_hourly_anomaly", "events_hourly_gapfill", "udtf_word_expand",
-        "decontaminate_by_embedding", "events_interval_overlap_join", "q10_returned_items",
-        "salted_join_supplier_volume", "similarity_topk_binary_rerank",
-        "window_range_trailing_hour", "q2_min_cost_supplier", "q3_shipping_priority",
-        "events_seasonal_profile", "q7_volume_shipping", "session_window_rollup",
-        "asof_purchase_attribution", "bronze_decode_roundtrip", "events_session_window_batch",
-        "text_top_bigrams", "streaming_dedup_events", "medallion_pipeline_rollup",
-        "ann_ndcg_truncation", "l_diversity_audit", "q16_supplier_part_buckets",
-        "matryoshka_truncation_recall", "hll_merge_event_types", "embedding_outlier_zscore",
-        "hive_source_partition_pruned", "rag_context_pack", "shard_manifest_balanced",
-        "skipgram_negative_samples", "watermark_sizing_report", "bloom_filter_membership",
-        "corpus_token_budget_plan", "q9_product_type_profit", "sketch_quantile_bins",
-        "streaming_kmv_distinct_users", "events_props_schema_profile",
-        "streaming_heavy_hitter_users", "events_holtwinters_forecast", "text_repetition_filter",
-        "heavy_hitter_tokens", "surrogate_key_assignment", "batch_replay_source_slice",
-        "bpe_fertility_by_lang", "compaction_bin_packing_plan", "similarity_topk_bucketed",
-        "events_cusum_drift", "events_hourly_mad_outliers", "orders_priority_status_chi2",
-        "text_token_entropy", "forecast_conformal_intervals", "q21_waiting_supplier",
-        "customer_balance_ks_test", "events_sessionize_batch", "percentile_distributed_exact",
-        "q11_important_part_value", "text_chunk_dedup", "corpus_js_divergence",
-        "q5_local_supplier_volume", "similarity_topk_ivf", "streaming_csv_source_rollup",
-        "abc_customer_classification", "basket_part_pairs", "events_dau_wau_mau",
-        "repeated_ngram_spans", "text_word_pmi", "array_hof_showcase",
-        "timeseries_znorm_subsequence_search", "orders_cohort_revenue", "search_hybrid_rrf",
-        "events_alarm_verification", "join_skew_planner", "customer_spend_gini",
-        "events_changepoint_binseg", "q20_heavy_shippers", "streaming_dedup_within_watermark",
-        "zorder_layout_stats", "data_quality_audit", "q8_national_market_share",
-        "streaming_upsert_latest_state", "window_functions_showcase",
-        "streaming_union_sources_rollup", "scd2_point_in_time_join", "streaming_hourly_rollup",
-        "checkpoint_statestore_table", "streaming_available_now_rollup", "bpe_apply_merges",
-        "corpus_epoch_shuffle_manifest", "bpe_learn_merges", "sql_udf_showcase",
-        "streaming_static_enrich", "streaming_stateful_totals", "cms_token_counts",
-        "events_peak_concurrency", "embedding_covariance", "histogram_price_deciles",
-        "sketch_user_activity", "streaming_sliding_rollup", "embedding_pq_codes",
-        "fuzzy_join_part_names", "dedup_span_mask_manifest", "quality_logreg_training",
-        "streaming_session_rollup", "similarity_lsh_neardup", "similarity_maxsim_multivector",
-        "dedup_embedding_cosine", "kmv_set_ops_event_types", "text_rolling_fingerprint",
-        "decontaminate_train_shingles", "dedup_minhash_lsh", "multimodal_ahash_neardup",
-        "supplier_pareto_frontier", "dedup_survivors", "ivf_recall_report",
-        "similarity_topk_pq_adc", "streaming_sink_exactly_once_roundtrip",
-        "association_rules_parts", "events_hourly_autocorr", "join_cardinality_audit",
-        "orders_survival_km", "text_tfidf_top_terms", "graph_modularity_by_brand",
-        "bigram_lm_score", "dedup_incremental_delta", "cogroup_asof_pandas",
-        "dedup_edit_distance", "contrastive_triplets", "streaming_update_mode_rollup",
-        "recursive_month_spine", "collation_group_showcase", "hll_intersection_estimate",
-        "streaming_late_data_drop", "udtf_dynamic_ngrams", "streaming_chained_windows",
-        "dedup_simhash", "dedup_ngram_jaccard", "embedding_power_iteration",
-        "rfm_customer_segments", "streaming_hll_distinct_users", "cluster_kmeans_embeddings",
-        "batch_replay_pruned_scan", "corpus_filter_funnel", "checkpoint_offsetlog_table",
-        "dedup_containment", "graph_bfs_hops", "minhash_jaccard_calibration",
-        "corpus_difficulty_curriculum", "streaming_replay_source_rollup",
-        "streaming_purchase_attribution", "semantic_dedup_semdedup",
-        "dedup_connected_components", "graph_pagerank_parts", "custom_sink_audit_roundtrip",
-        "minhash_bbit_calibration", "streaming_unattributed_purchases",
-        "streaming_join_then_windowed_agg", "streaming_stateful_type_counts",
-        "dedup_keep_best_quality", "graph_kcore_peel", "sql_scripting_showcase",
-        "merge_full_cdc", "graph_triangle_stats", "checkpoint_commitlog_audit",
+        "text_fingerprint", "text_bpe_token_count", "csv_source_permissive_read",
+        "q6_forecast_revenue", "scalar_functions_showcase", "nations_with_rich_customers",
+        "partitioned_source_pruned_read", "quota_sample_per_lang",
+        "schema_evolution_merge_read", "cube_order_status_priority", "weighted_sample_docs",
+        "corpus_mix_rebalance", "datetime_functions_showcase", "multimodal_metadata_scan",
+        "text_seqlen_histogram", "text_token_stats", "customers_without_orders",
+        "text_quality_score", "lang_balance_weights", "pipe_sql_priority_stats",
+        "rollup_returns", "split_train_eval", "doc_sliding_chunks", "embedding_norm_stats",
+        "q14_promo_revenue", "text_pii_redaction", "bitwise_aggregates_showcase",
+        "grouping_sets_revenue", "pack_sequences_manifest", "text_language_id",
+        "events_daily_value_trend", "lang_temperature_weights", "cv_fold_manifest",
+        "parameterized_sql_showcase", "scd2_customer_merge", "multimodal_stratified_sample",
+        "text_sentiment_lexicon", "embedding_int8_quantize", "events_json_extract",
+        "unpivot_lineitem_measures", "arrow_map_embedding_norm", "dedup_exact",
+        "lateral_top_customers_per_nation", "q4_order_priority", "stats_qty_price_corr",
+        "gdpr_purge_manifest", "multimodal_frame_sample", "percentile_order_prices",
+        "multimodal_resize", "q12_priority_by_linestatus", "q22_global_sales_opportunity",
+        "try_functions_showcase", "array_agg_user_profile", "events_props_templates",
+        "multimodal_dedup_content_hash", "null_safe_join_attribution",
+        "events_props_variant_decode", "events_multi_rollup", "incremental_agg_maintenance",
+        "profile_hot_orderkeys", "q15_top_supplier", "multimodal_decode_features",
+        "supplier_return_wilson_rank", "events_hourly_rollup", "q13_customer_distribution",
+        "distinct_parts_per_supplier", "events_funnel_latency", "k_anonymity_audit",
+        "q19_disjunctive_revenue", "q1_pricing_summary", "setops_customer_segments",
+        "window_customer_order_rank", "bronze_decode_errors", "pandas_scalar_log_price",
+        "benford_digit_audit", "events_theilsen_trend", "feature_asof_training_matrix",
+        "similarity_topk_cosine", "bpe_fertility_by_lang", "events_funnel_view_click_purchase",
+        "events_psi_value_drift", "events_transition_matrix", "pandas_acctbal_zscore",
+        "pandas_grouped_agg_trimmed_mean", "events_ewma_forecast", "window_event_gaps",
+        "attribution_multi_touch", "collation_group_showcase", "multimodal_audio_frame_energy",
+        "orc_source_roundtrip", "pivot_user_event_matrix", "q18_large_volume_customers",
+        "events_user_retention", "snapshot_diff_report", "top_customers_by_revenue",
+        "events_holt_forecast", "small_quantity_revenue", "text_vocab_coverage",
+        "trigram_like_search", "revenue_trend_ols", "text_zipf_slope", "kmv_distinct_users",
+        "events_hourly_anomaly", "map_functions_showcase", "events_hourly_gapfill",
+        "events_interval_overlap_join", "content_defined_chunks", "lineitem_ship_latency",
+        "profile_lineitem_columns", "range_join_price_bands", "text_bm25_search",
+        "udtf_word_expand", "url_functions_showcase", "dpo_preference_pairs",
+        "events_seasonal_profile", "mlm_masking_manifest", "text_rake_keywords",
+        "medallion_pipeline_rollup", "session_window_rollup", "similarity_topk_binary_rerank",
+        "window_range_trailing_hour", "asof_next_touch_latency", "q7_volume_shipping",
+        "array_set_functions_showcase", "q2_min_cost_supplier", "salted_join_supplier_volume",
+        "decontaminate_by_embedding", "q10_returned_items", "xml_decode_roundtrip",
+        "q16_supplier_part_buckets", "text_top_bigrams", "q3_shipping_priority",
+        "hll_distinct_users", "shard_manifest_balanced", "embedding_outlier_zscore",
+        "events_sessionize_batch", "bronze_decode_roundtrip", "compaction_bin_packing_plan",
+        "matryoshka_truncation_recall", "asof_purchase_attribution", "streaming_dedup_events",
+        "corpus_token_budget_plan", "events_props_schema_profile", "watermark_sizing_report",
+        "customer_balance_ks_test", "rag_context_pack", "ann_ndcg_truncation",
+        "aes_roundtrip_audit", "corpus_js_divergence", "jsonl_source_permissive_read",
+        "text_repetition_filter", "events_ab_uplift_test", "orders_priority_status_chi2",
+        "customer_spend_gini", "similarity_topk_bucketed", "similarity_topk_ivf",
+        "text_chunk_dedup", "text_token_entropy", "l_diversity_audit",
+        "events_session_window_batch", "hive_source_partition_pruned",
+        "streaming_available_now_rollup", "forecast_conformal_intervals",
+        "streaming_hourly_rollup", "q20_heavy_shippers", "timeseries_znorm_subsequence_search",
+        "basket_part_pairs", "search_hybrid_rrf", "q5_local_supplier_volume",
+        "skipgram_negative_samples", "streaming_kmv_distinct_users", "data_quality_audit",
+        "streaming_csv_source_rollup", "join_skew_planner", "q8_national_market_share",
+        "scd2_point_in_time_join", "abc_customer_classification", "bloom_filter_membership",
+        "q21_waiting_supplier", "surrogate_key_assignment", "text_word_pmi",
+        "repeated_ngram_spans", "array_hof_showcase", "window_functions_showcase",
+        "events_holtwinters_forecast", "execute_immediate_showcase", "q11_important_part_value",
+        "zorder_layout_stats", "orders_survival_km", "corpus_epoch_shuffle_manifest",
+        "events_changepoint_binseg", "orders_cohort_revenue", "streaming_heavy_hitter_users",
+        "streaming_union_sources_rollup", "sketch_user_activity", "association_rules_parts",
+        "events_peak_concurrency", "q9_product_type_profit", "streaming_upsert_latest_state",
+        "histogram_price_deciles", "events_alarm_verification", "decontaminate_train_shingles",
+        "streaming_static_enrich", "events_cusum_drift", "sketch_quantile_bins",
+        "streaming_sliding_rollup", "events_dau_wau_mau", "events_hourly_mad_outliers",
+        "sql_udf_showcase", "streaming_dedup_within_watermark", "dedup_minhash_lsh",
+        "events_hourly_autocorr", "dedup_span_mask_manifest", "embedding_covariance",
+        "hll_merge_event_types", "streaming_stateful_totals", "dedup_embedding_cosine",
+        "quality_logreg_training", "fuzzy_join_part_names", "similarity_lsh_neardup",
+        "streaming_sink_exactly_once_roundtrip", "bpe_apply_merges", "join_cardinality_audit",
+        "streaming_session_rollup", "supplier_pareto_frontier", "text_tfidf_top_terms",
+        "bigram_lm_score", "dedup_survivors", "embedding_pq_codes",
+        "percentile_distributed_exact", "similarity_topk_pq_adc",
+        "similarity_maxsim_multivector", "ivf_recall_report", "streaming_stateful_type_counts",
+        "checkpoint_statestore_table", "contrastive_triplets", "graph_modularity_by_brand",
+        "dedup_edit_distance", "semantic_dedup_semdedup", "change_data_feed_report",
+        "kmv_set_ops_event_types", "text_rolling_fingerprint", "cogroup_asof_pandas",
+        "dedup_simhash", "bpe_learn_merges", "multimodal_ahash_neardup", "dedup_ngram_jaccard",
+        "recursive_month_spine", "dedup_incremental_delta", "streaming_update_mode_rollup",
+        "hll_intersection_estimate", "multimodal_silence_segments",
+        "streaming_hll_distinct_users", "rfm_customer_segments", "streaming_late_data_drop",
+        "udtf_dynamic_ngrams", "cms_token_counts", "batch_replay_pruned_scan",
+        "cluster_kmeans_embeddings", "dedup_containment", "graph_bfs_hops",
+        "corpus_filter_funnel", "graph_link_prediction_suppliers", "checkpoint_offsetlog_table",
+        "minhash_jaccard_calibration", "streaming_purchase_attribution",
+        "embedding_power_iteration", "heavy_hitter_tokens", "streaming_replay_source_rollup",
+        "custom_sink_audit_roundtrip", "corpus_difficulty_curriculum", "graph_pagerank_parts",
+        "streaming_topk_types_hourly", "checkpoint_commitlog_audit",
+        "dedup_connected_components", "minhash_bbit_calibration",
+        "streaming_unattributed_purchases", "graph_kcore_peel", "streaming_chained_windows",
+        "streaming_join_then_windowed_agg", "dedup_keep_best_quality",
+        "batch_replay_source_slice", "sql_scripting_showcase", "merge_full_cdc",
+        "graph_triangle_stats",
     )
     new_ops_rank = 50.5  # just after the sub-second group (index ~50)
     unchecked = {
