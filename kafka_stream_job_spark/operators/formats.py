@@ -554,3 +554,74 @@ def jsonl_source_permissive_read(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("sum_good_cents"),
     )
+
+
+# ---------------------------------------------------------------------------
+# HIDDEN FILE-METADATA COLUMNS — the `_metadata` struct every file-based
+# scan carries (file_path/file_name/file_size/...), grouped per
+# generation file of the schema-evolution stage: the "which file did
+# this row come from" surface that debugging a bad-file incident or
+# building file-level audit marts needs, without input_file_name()'s
+# non-deterministic UDF caveats. The generation is recovered from
+# _metadata.file_path (gen=v1 holds even event_ids, gen=v2 odd — the
+# same deterministic rule schema_evolution_merge_read stages), so the
+# oracle predicts per-file row counts and id sums from the parquet
+# source without knowing any physical path. Metadata columns are
+# populated at scan time — no join, no extra I/O.
+# ---------------------------------------------------------------------------
+@register(
+    "file_metadata_columns_read",
+    oracle="""
+        SELECT 'v1' AS gen,
+               CAST(SUM(CASE WHEN event_id % 2 = 0 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_rows,
+               CAST(SUM(CASE WHEN event_id % 2 = 0 THEN event_id ELSE 0 END)
+                    AS BIGINT) AS sum_ids,
+               CAST(1 AS BIGINT) AS n_files
+        FROM events
+        UNION ALL
+        SELECT 'v2',
+               CAST(SUM(CASE WHEN event_id % 2 = 1 THEN 1 ELSE 0 END)
+                    AS BIGINT),
+               CAST(SUM(CASE WHEN event_id % 2 = 1 THEN event_id ELSE 0 END)
+                    AS BIGINT),
+               CAST(1 AS BIGINT)
+        FROM events
+    """,
+    tags=("source-format", "metadata-columns", "parquet", "events"),
+)
+def file_metadata_columns_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    src = os.path.join(sf_dir, "events.parquet")
+
+    def build(tmp: str) -> None:
+        events = load_table(spark, sf_dir, "events")
+        v1 = events.filter(F.col("event_id") % 2 == 0).select(
+            "event_id", "user_id"
+        )
+        v2 = events.filter(F.col("event_id") % 2 == 1).select(
+            "event_id", "user_id", "value"
+        )
+        # coalesce(1): exactly one data file per generation, so n_files
+        # is deterministic for the oracle
+        v1.coalesce(1).write.parquet(os.path.join(tmp, "gen=v1"))
+        v2.coalesce(1).write.parquet(os.path.join(tmp, "gen=v2"))
+
+    stage = _staged_dir("/tmp/ksj-filemeta-stage", src, "filemeta_v1", build)
+    df = spark.read.option("mergeSchema", True).parquet(
+        os.path.join(stage, "gen=v1"), os.path.join(stage, "gen=v2")
+    )
+    return (
+        df.select(
+            F.regexp_extract(
+                F.col("_metadata.file_path"), r"gen=(v[12])", 1
+            ).alias("gen"),
+            "event_id",
+            F.col("_metadata.file_name").alias("fname"),
+        )
+        .groupBy("gen")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            F.sum("event_id").cast("long").alias("sum_ids"),
+            F.count_distinct(F.col("fname")).cast("long").alias("n_files"),
+        )
+    )

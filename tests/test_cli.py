@@ -191,3 +191,30 @@ def test_local_sweep_has_green_row_for_every_registry_query():
         and not (row.get("err") == "no_oracle" and row.get("spark_rows"))
     }
     assert not red, f"committed sweep rows not green: {sorted(red)}"
+
+
+def test_no_row_at_a_time_python_udfs_in_source():
+    """Scale invariant: zero row-at-a-time Python UDFs (F.udf / @udf) in
+    engine source — the Python boundary is Arrow-batched everywhere
+    (pandas_udf / applyInPandas / mapInArrow / UDTF). Previously verified
+    by reviewer grep; now a suite failure."""
+    import os
+    import re
+
+    root = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "kafka_stream_job_spark",
+    )
+    offenders = []
+    pat = re.compile(r"(?<![a-zA-Z_.])(?:F\.udf|udf)\s*\(|@udf\b")
+    for dirpath, _, files in os.walk(root):
+        for fn in files:
+            if not fn.endswith(".py"):
+                continue
+            path = os.path.join(dirpath, fn)
+            for i, line in enumerate(open(path), 1):
+                if "pandas_udf" in line or "udtf" in line.lower():
+                    continue
+                if pat.search(line):
+                    offenders.append(f"{path}:{i}: {line.strip()}")
+    assert not offenders, "row-at-a-time UDFs found:\n" + "\n".join(offenders)
