@@ -22,9 +22,17 @@ engine's own ``partitionBy("event_type")`` writer emits. The reader:
   a constant column executor-side; the file bytes never carry it.
 
 Scale note: planning cost is one directory listing (O(dirs + files)
-metadata, no file opens); pruned dirs contribute nothing. At 100 TB the
-layout would add row-group-level min/max skipping inside each file —
-the seam is read()'s pq.read_table call.
+metadata, no file opens); pruned dirs contribute nothing.
+
+- **Row-group min/max skipping inside each file**: residual range
+  predicates on the data columns (``value > 0``-style) are recorded at
+  pushdown time but still RETURNED as unsupported, so Spark re-applies
+  them post-scan — skipping is a pure I/O optimization whose
+  correctness is guaranteed by the residual evaluation. Executor reads
+  consult each row group's footer statistics and only decode groups
+  whose [min, max] can contain a match; a group with no statistics is
+  conservatively read. Together with directory pruning this is the
+  two-level skip (partition → row group) a 100 TB layout needs.
 """
 
 from __future__ import annotations
@@ -41,6 +49,46 @@ from pyspark.sql.datasource import (
 _SCHEMA = "event_id long, user_id long, value double, event_type string"
 #: file-column order (event_type is attached from the dir name, last).
 _FILE_COLUMNS = ("event_id", "user_id", "value")
+
+
+def _row_groups_matching(metadata, ranges):
+    """Indices of row groups whose footer statistics cannot RULE OUT the
+    recorded range predicates.
+
+    ``ranges`` is a sequence of ``(column, op, value)`` with op in
+    ``> >= < <= =``. A group is skipped only when some predicate is
+    provably unsatisfiable from its [min, max] (NULLs never satisfy a
+    comparison, so null counts cannot un-skip); missing statistics keep
+    the group — skipping must never change results, only I/O.
+    """
+    col_idx = {
+        metadata.schema.column(i).name: i
+        for i in range(metadata.num_columns)
+    }
+    keep = []
+    for g in range(metadata.num_row_groups):
+        rg = metadata.row_group(g)
+        dead = False
+        for col, op, val in ranges:
+            i = col_idx.get(col)
+            if i is None:
+                continue
+            stats = rg.column(i).statistics
+            if stats is None or not stats.has_min_max:
+                continue
+            lo, hi = stats.min, stats.max
+            if (
+                (op == ">" and hi <= val)
+                or (op == ">=" and hi < val)
+                or (op == "<" and lo >= val)
+                or (op == "<=" and lo > val)
+                or (op == "=" and (lo > val or hi < val))
+            ):
+                dead = True
+                break
+        if not dead:
+            keep.append(g)
+    return keep
 
 
 @dataclasses.dataclass
@@ -61,6 +109,10 @@ class _HivePartReader(DataSourceReader):
                 "ksj_hive_events requires .option('path', <events_part dir>)"
             )
         self._types: set | None = None  # None → no pruning filter seen
+        #: (column, op, value) range predicates for row-group skipping.
+        #: These are ALSO returned unsupported — Spark re-applies them,
+        #: so the skip is an I/O optimization, never a semantics change.
+        self._ranges: list[tuple[str, str, object]] = []
 
     def pushFilters(self, filters):
         # Plain eager function (not a generator) — same contract rationale
@@ -68,8 +120,22 @@ class _HivePartReader(DataSourceReader):
         # draining the result. EqualTo/In on the PARTITION column are
         # fully handled here (whole directories pruned), so they are
         # consumed; everything else is returned for post-scan evaluation.
-        from pyspark.sql.datasource import EqualTo, In
+        from pyspark.sql.datasource import (
+            EqualTo,
+            GreaterThan,
+            GreaterThanOrEqual,
+            In,
+            LessThan,
+            LessThanOrEqual,
+        )
 
+        _RANGE_OPS = (
+            (GreaterThan, ">"),
+            (GreaterThanOrEqual, ">="),
+            (LessThan, "<"),
+            (LessThanOrEqual, "<="),
+            (EqualTo, "="),
+        )
         unsupported = []
         for f in filters:
             col = f.attribute[0] if getattr(f, "attribute", None) else None
@@ -80,6 +146,11 @@ class _HivePartReader(DataSourceReader):
                 vs = set(f.value)
                 self._types = vs if self._types is None else self._types & vs
             else:
+                if col in _FILE_COLUMNS:
+                    for cls, op in _RANGE_OPS:
+                        if isinstance(f, cls):
+                            self._ranges.append((col, op, f.value))
+                            break
                 unsupported.append(f)
         return unsupported
 
@@ -117,11 +188,16 @@ class _HivePartReader(DataSourceReader):
         from kafka_stream_job_spark.checkpoint import _filesystem
 
         filesystem, _ = _filesystem(partition.base_uri or partition.file_path)
-        tab = pq.read_table(
-            partition.file_path,
-            columns=list(_FILE_COLUMNS),
-            filesystem=filesystem,
-        )
+        with filesystem.open_input_file(partition.file_path) as src:
+            pf = pq.ParquetFile(src)
+            keep = (
+                _row_groups_matching(pf.metadata, self._ranges)
+                if self._ranges
+                else list(range(pf.metadata.num_row_groups))
+            )
+            if not keep:
+                return  # every row group provably dead: zero bytes decoded
+            tab = pf.read_row_groups(keep, columns=list(_FILE_COLUMNS))
         for batch in tab.to_batches():
             yield pa.RecordBatch.from_arrays(
                 [*batch.columns, pa.array([partition.part_value] * batch.num_rows)],

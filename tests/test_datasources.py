@@ -371,6 +371,79 @@ def test_hivepart_partition_carries_base_uri(spark, tmp_path):
     assert sum(b.num_rows for b in batches) == 1
 
 
+def test_hivepart_row_group_skipping(spark, tmp_path):
+    """A selective range predicate must decode FEWER row groups, never
+    change results: ranges are returned unsupported (Spark re-filters),
+    statistics-dead groups are skipped executor-side, and groups without
+    statistics are conservatively read."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from pyspark.sql.datasource import GreaterThan, LessThanOrEqual
+
+    from kafka_stream_job_spark.sources.hivepart import (
+        _HivePartReader,
+        _row_groups_matching,
+    )
+
+    part_dir = tmp_path / "event_type=click"
+    part_dir.mkdir()
+    n = 100
+    pq.write_table(
+        pa.table(
+            {
+                "event_id": list(range(n)),  # sorted → tight per-group stats
+                "user_id": [i % 7 for i in range(n)],
+                "value": [float(i) for i in range(n)],
+            }
+        ),
+        part_dir / "f0.parquet",
+        row_group_size=10,
+    )
+
+    # range filters are recorded AND returned (Spark re-applies them)
+    reader = _HivePartReader({"path": str(tmp_path)})
+    remaining = reader.pushFilters([GreaterThan(("event_id",), 79)])
+    assert [type(f).__name__ for f in remaining] == ["GreaterThan"]
+    assert reader._ranges == [("event_id", ">", 79)]
+
+    meta = pq.ParquetFile(part_dir / "f0.parquet").metadata
+    assert meta.num_row_groups == 10
+    # event_id > 79 → only groups [80..89] and [90..99] can match
+    assert _row_groups_matching(meta, reader._ranges) == [8, 9]
+    # conjunction: > 79 AND <= 84 → group 8 only
+    assert _row_groups_matching(
+        meta, [("event_id", ">", 79), ("event_id", "<=", 84)]
+    ) == [8]
+    # equality point lookup → one group; impossible value → none
+    assert _row_groups_matching(meta, [("event_id", "=", 55)]) == [5]
+    assert _row_groups_matching(meta, [("event_id", "=", 1000)]) == []
+    # unknown column / missing stats keep everything (conservative)
+    assert _row_groups_matching(meta, [("nope", ">", 0)]) == list(range(10))
+
+    # read() decodes only the surviving groups (20 of 100 rows)...
+    parts = reader.partitions()
+    rows = [r for p in parts for b in reader.read(p) for r in b.to_pylist()]
+    assert len(rows) == 20 and {r["event_id"] for r in rows} == set(range(80, 100))
+
+    # ...and the end-to-end Spark result is exact after re-filtering
+    from kafka_stream_job_spark.sources.hivepart import register_hivepart_source
+
+    register_hivepart_source(spark)
+    got = (
+        spark.read.format("ksj_hive_events")
+        .option("path", str(tmp_path))
+        .load()
+        .filter("event_id > 79 AND event_id <= 84")
+        .select("event_id")
+    )
+    assert sorted(r.event_id for r in got.collect()) == [80, 81, 82, 83, 84]
+
+    # all-dead predicate: read() yields nothing, Spark returns empty
+    r2 = _HivePartReader({"path": str(tmp_path)})
+    r2.pushFilters([GreaterThan(("event_id",), 10_000)])
+    assert [r for p in r2.partitions() for b in r2.read(p)] == []
+
+
 def test_parquet_meta_matches_duckdb_metadata(spark):
     """The footer table must agree with DuckDB's parquet_metadata() on
     every (row group, column) chunk of two real testdata files — rows,
