@@ -625,3 +625,91 @@ def file_metadata_columns_read(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count_distinct(F.col("fname")).cast("long").alias("n_files"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# BUCKETED-TABLE CO-LOCATED JOIN — the shuffle-free join story no other
+# registry query exercises: orders and customer are written ONCE as
+# external parquet tables bucketed (and sorted) on the join key with the
+# SAME bucket count, so Catalyst plans the SortMergeJoin with ZERO
+# Exchange on either side — the output partitioning of the bucketed scans
+# already satisfies the join's distribution requirement. This is the
+# canonical 100 TB pattern for a fact-to-fact (or repeated fact-to-dim)
+# join that is too big to broadcast: pay the shuffle once at layout time,
+# then every downstream join of the two tables is shuffle-free forever.
+# tests/test_plans.py pins the physical plan (no Exchange above either
+# bucketed scan, Bucketed: true on both); the oracle is the plain join.
+#
+# Scale note: coalesce(1) before the bucketed write yields ONE file per
+# bucket here (deterministic layout); at 100 TB you keep many files per
+# bucket (one per writer task) — the Exchange elimination keys off the
+# bucket count alone, not the file count. The per-partition SMJ Sort
+# remains in both cases (Spark does not trust sortBy metadata across
+# files for read-side sort elimination); it is a local, spillable sort
+# of one bucket's rows, not a shuffle.
+# ---------------------------------------------------------------------------
+N_BUCKETS = 8
+_BUCKET_STAGE_LOCK = __import__("threading").Lock()
+
+
+def bucketed_tables_stage(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
+    """Create (once per process+source generation) external bucketed
+    copies of orders and customer, both bucketed+sorted on custkey with
+    ``N_BUCKETS`` buckets, and return their catalog table names.
+
+    Bucket specs live in the session catalog (parquet files alone don't
+    carry them), so the stage is keyed by pid as well as the source's
+    (mtime, size): each process writes its own private copy under /tmp
+    and never touches another process's files mid-read. The lock
+    serializes the threaded oracle sweep's first call.
+    """
+    st = os.stat(os.path.join(sf_dir, "orders.parquet"))
+    key = f"{st.st_mtime_ns}_{st.st_size}_{os.getpid()}"
+    specs = (
+        (f"ksj_orders_bkt_{key}", "orders", "o_custkey",
+         ("o_orderkey", "o_custkey", "o_totalprice")),
+        (f"ksj_customer_bkt_{key}", "customer", "c_custkey",
+         ("c_custkey", "c_mktsegment")),
+    )
+    with _BUCKET_STAGE_LOCK:
+        for name, table, bucket_col, cols in specs:
+            if spark.catalog.tableExists(name):
+                continue
+            (
+                load_table(spark, sf_dir, table)
+                .select(*cols)
+                .coalesce(1)
+                .write.format("parquet")
+                .bucketBy(N_BUCKETS, bucket_col)
+                .sortBy(bucket_col)
+                .option("path", f"/tmp/ksj-bucket-stage/{name}")
+                .mode("overwrite")
+                .saveAsTable(name)
+            )
+    return specs[0][0], specs[1][0]
+
+
+@register(
+    "bucketed_join_colocated",
+    oracle="""
+        SELECT c_mktsegment,
+               CAST(COUNT(*) AS BIGINT) AS n_orders,
+               CAST(SUM(CAST(ROUND(o_totalprice * 100.0) AS BIGINT))
+                    AS BIGINT) AS revenue_cents
+        FROM orders JOIN customer ON o_custkey = c_custkey
+        GROUP BY c_mktsegment
+    """,
+    tags=("storage-layout", "bucketing", "join", "orders", "customer"),
+)
+def bucketed_join_colocated(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o_name, c_name = bucketed_tables_stage(spark, sf_dir)
+    o, c = spark.table(o_name), spark.table(c_name)
+    # merge hint: the point is the bucketed SMJ; without it AQE would
+    # broadcast customer at test SFs and hide the layout win under test
+    joined = o.hint("merge").join(c, o.o_custkey == c.c_custkey)
+    return joined.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).cast("long").alias("n_orders"),
+        F.sum(F.round(F.col("o_totalprice") * 100.0, 0).cast("long"))
+        .cast("long")
+        .alias("revenue_cents"),
+    )

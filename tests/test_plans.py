@@ -1082,3 +1082,25 @@ def test_fertility_partial_agg_below_exchange(spark):
     first_ex = plan.find("Exchange")
     assert first_agg != -1 and first_ex != -1
     assert plan.count("Exchange") <= 2  # lang agg (+AQE artifacts at most)
+
+
+def test_bucketed_join_no_exchange_either_side(spark):
+    """The bucketed orders⋈customer must plan a SortMergeJoin whose BOTH
+    inputs come straight from bucketed scans — zero Exchange below the
+    join (the layout already satisfies the distribution requirement),
+    both scans reporting Bucketed: true. Exchanges above the join (the
+    final groupBy) are expected and allowed."""
+    from kafka_stream_job_spark.operators.formats import bucketed_tables_stage
+
+    o_name, c_name = bucketed_tables_stage(spark, SF_SMOKE)
+    o, c = spark.table(o_name), spark.table(c_name)
+    joined = o.hint("merge").join(c, o.o_custkey == c.c_custkey)
+    plan = joined._jdf.queryExecution().executedPlan().toString()
+    assert "SortMergeJoin" in plan
+    assert plan.count("Bucketed: true") == 2
+    assert "Exchange" not in plan, "bucketed join must be shuffle-free"
+    # full-query plan: the only exchange is the post-join aggregation's
+    full = plan_of(spark, "bucketed_join_colocated")
+    assert full.count("Bucketed: true") == 2
+    join_at = full.find("SortMergeJoin")
+    assert join_at != -1 and "Exchange" not in full[join_at:]
