@@ -170,6 +170,7 @@ def all_specs() -> dict[str, QuerySpec]:
     from kafka_stream_job_spark.operators import (  # noqa: F401
         dedup,
         formats,
+        linkage,
         multimodal,
         pandas_ops,
         pipeline,
