@@ -173,3 +173,225 @@ def linkage_fellegi_sunter(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("milliweight").cast("long").alias("sum_milliweight"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# EM PARAMETER ESTIMATION — the unsupervised half of Fellegi–Sunter (the
+# core of Splink-style tooling): starting from deliberately-wrong priors,
+# two EM iterations over the comparison vectors re-learn λ (match
+# proportion) and the per-field m/u probabilities with NO labels.
+#
+# The 100 TB shape: the only data-sized work is ONE pass building the
+# 2^k-row sufficient statistic (count per comparison-vector combo, k=3
+# fields → 8 rows). Every E/M step then runs on those 8 rows — a
+# broadcast-sized table — so iterating costs nothing at scale. Each
+# cross-row reduction integerizes per-row terms first
+# (ROUND(cnt·p·1e6) as BIGINT), so float summation order can never
+# split the engines; the M-step ratios are then exact-integer
+# numerators/denominators divided once as doubles.
+# ---------------------------------------------------------------------------
+_EM_INIT = {"lam": 0.1, "m": 0.9, "u": 0.1}  # deliberately-wrong priors
+_EM_ITERS = 2
+_FIELDS = ("bal", "seg", "nam")
+
+
+def _em_step(joined_cols):
+    """Shared E+M arithmetic, expressed once over a dict of column
+    expressions {lam, m_bal, u_bal, ..., g_bal, g_seg, g_nam, cnt} —
+    returns (pmicro, ) column; Spark-side only (the oracle mirrors it
+    term for term in SQL)."""
+    c = joined_cols
+    num = c["lam"]
+    den = 1.0 - c["lam"]
+    for f in _FIELDS:
+        g = c[f"g_{f}"] == 1
+        num = num * F.when(g, c[f"m_{f}"]).otherwise(1.0 - c[f"m_{f}"])
+        den = den * F.when(g, c[f"u_{f}"]).otherwise(1.0 - c[f"u_{f}"])
+    p = num / (num + den)
+    return F.round((F.col("cnt") * p) * 1000000.0, 0).cast("long")
+
+
+def _em_oracle_sql() -> str:
+    """Generate the oracle CTE chain for _EM_ITERS iterations — the same
+    per-iteration text each time, so Spark and DuckDB run identical
+    arithmetic in identical order."""
+    pairs = f"""
+        crm AS (
+            SELECT c_custkey AS a_key, c_nationkey AS nation,
+                   CAST(ROUND(c_acctbal * 100.0) AS BIGINT) AS cents,
+                   c_mktsegment AS seg,
+                   SUBSTR(c_name, LENGTH(c_name) - 2, 3) AS nam3
+            FROM customer
+        ), billing AS (
+            SELECT c_custkey AS b_key, c_nationkey AS nation,
+                   CAST(ROUND(c_acctbal * 100.0) AS BIGINT)
+                     + CASE WHEN c_custkey % 5 = 0 THEN 1 ELSE 0 END AS cents,
+                   CASE WHEN c_custkey % 7 = 0 THEN 'UNKNOWN'
+                        ELSE c_mktsegment END AS seg,
+                   CASE WHEN c_custkey % 11 = 0
+                        THEN REVERSE(SUBSTR(c_name, LENGTH(c_name) - 2, 3))
+                        ELSE SUBSTR(c_name, LENGTH(c_name) - 2, 3) END AS nam3
+            FROM customer
+        ), combos AS (
+            SELECT CASE WHEN a.cents = b.cents THEN 1 ELSE 0 END AS g_bal,
+                   CASE WHEN a.seg = b.seg THEN 1 ELSE 0 END AS g_seg,
+                   CASE WHEN a.nam3 = b.nam3 THEN 1 ELSE 0 END AS g_nam,
+                   CAST(COUNT(*) AS BIGINT) AS cnt
+            FROM crm a JOIN billing b
+              ON a.nation = b.nation
+             AND a.cents // {_BAND_CENTS} = b.cents // {_BAND_CENTS}
+            GROUP BY 1, 2, 3
+        )"""
+    # params0: literal priors
+    prev = "params0"
+    ctes = [pairs, f"""params0 AS (
+            SELECT CAST({_EM_INIT['lam']!r} AS DOUBLE) AS lam,
+                   {', '.join(
+                       f"CAST({_EM_INIT['m']!r} AS DOUBLE) AS m_{f}, "
+                       f"CAST({_EM_INIT['u']!r} AS DOUBLE) AS u_{f}"
+                       for f in _FIELDS)}
+        )"""]
+    for i in range(1, _EM_ITERS + 1):
+        num = "lam"
+        den = "(1.0 - lam)"
+        for f in _FIELDS:
+            num = (f"({num} * CASE WHEN g_{f} = 1 THEN m_{f} "
+                   f"ELSE 1.0 - m_{f} END)")
+            den = (f"({den} * CASE WHEN g_{f} = 1 THEN u_{f} "
+                   f"ELSE 1.0 - u_{f} END)")
+        ctes.append(f"""e{i} AS (
+            SELECT g_bal, g_seg, g_nam, cnt,
+                   CAST(ROUND((cnt * ({num} / ({num} + {den})))
+                              * 1000000.0) AS BIGINT) AS pmicro
+            FROM combos CROSS JOIN {prev}
+        ), red{i} AS (
+            SELECT CAST(SUM(cnt) AS BIGINT) AS n,
+                   CAST(SUM(pmicro) AS BIGINT) AS s_p,
+                   {', '.join(
+                       f"CAST(SUM(CASE WHEN g_{f} = 1 THEN pmicro ELSE 0 END) AS BIGINT) AS s_pg_{f}, "
+                       f"CAST(SUM(CASE WHEN g_{f} = 1 THEN cnt ELSE 0 END) AS BIGINT) AS s_g_{f}"
+                       for f in _FIELDS)}
+            FROM e{i}
+        ), params{i} AS (
+            SELECT CAST(s_p AS DOUBLE) / (CAST(n AS DOUBLE) * 1000000.0) AS lam,
+                   {', '.join(
+                       f"CAST(s_pg_{f} AS DOUBLE) / CAST(s_p AS DOUBLE) AS m_{f}, "
+                       f"CAST(s_g_{f} * 1000000 - s_pg_{f} AS DOUBLE) / "
+                       f"CAST(n * 1000000 - s_p AS DOUBLE) AS u_{f}"
+                       for f in _FIELDS)},
+                   n AS n_pairs
+            FROM red{i}
+        )""")
+        prev = f"params{i}"
+    body = ",\n".join(ctes)
+    cols = ", ".join(
+        f"m_{f} AS m_{f}, u_{f} AS u_{f}" for f in _FIELDS
+    )
+    return (f"WITH {body}\n        SELECT lam AS lam, {cols}, "
+            f"CAST(n_pairs AS BIGINT) AS n_pairs FROM {prev}")
+
+
+@register(
+    "linkage_em_parameters",
+    oracle=_em_oracle_sql(),
+    tags=("linkage", "entity-resolution", "em", "customer"),
+)
+def linkage_em_parameters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer")
+    cents = F.round(F.col("c_acctbal") * 100.0, 0).cast("long")
+    nam3 = F.substring(F.col("c_name"), -3, 3)
+
+    crm = cust.select(
+        F.col("c_nationkey").alias("nation"),
+        cents.alias("a_cents"),
+        F.col("c_mktsegment").alias("a_seg"),
+        nam3.alias("a_nam3"),
+    ).withColumn("a_band", idiv("a_cents", _BAND_CENTS))
+    billing = cust.select(
+        F.col("c_nationkey").alias("nation"),
+        (cents + F.when(F.col("c_custkey") % 5 == 0, 1).otherwise(0)).alias(
+            "b_cents"
+        ),
+        F.when(F.col("c_custkey") % 7 == 0, F.lit("UNKNOWN"))
+        .otherwise(F.col("c_mktsegment"))
+        .alias("b_seg"),
+        F.when(F.col("c_custkey") % 11 == 0, F.reverse(nam3))
+        .otherwise(nam3)
+        .alias("b_nam3"),
+    ).withColumn("b_band", idiv("b_cents", _BAND_CENTS))
+
+    combos = (
+        crm.join(
+            billing,
+            (crm.nation == billing.nation) & (crm.a_band == billing.b_band),
+        )
+        .select(
+            (F.col("a_cents") == F.col("b_cents")).cast("long").alias("g_bal"),
+            (F.col("a_seg") == F.col("b_seg")).cast("long").alias("g_seg"),
+            (F.col("a_nam3") == F.col("b_nam3")).cast("long").alias("g_nam"),
+        )
+        .groupBy("g_bal", "g_seg", "g_nam")
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+        # materialize the 2^k-row sufficient statistic ONCE: every EM
+        # iteration re-references it, and without the checkpoint each
+        # E-step's lineage would re-run the data-sized pairs join
+        .localCheckpoint()
+    )
+
+    params = spark.createDataFrame(
+        [
+            tuple(
+                [_EM_INIT["lam"]]
+                + [x for _ in _FIELDS for x in (_EM_INIT["m"], _EM_INIT["u"])]
+            )
+        ],
+        "lam double, "
+        + ", ".join(f"m_{f} double, u_{f} double" for f in _FIELDS),
+    )
+    for _ in range(_EM_ITERS):
+        j = combos.crossJoin(F.broadcast(params))
+        cols = {c: F.col(c) for c in j.columns}
+        e = j.select("g_bal", "g_seg", "g_nam", "cnt",
+                     _em_step(cols).alias("pmicro"))
+        aggs = [
+            F.sum("cnt").cast("long").alias("n"),
+            F.sum("pmicro").cast("long").alias("s_p"),
+        ]
+        for f in _FIELDS:
+            g = F.col(f"g_{f}") == 1
+            aggs.append(
+                F.sum(F.when(g, F.col("pmicro")).otherwise(F.lit(0)))
+                .cast("long")
+                .alias(f"s_pg_{f}")
+            )
+            aggs.append(
+                F.sum(F.when(g, F.col("cnt")).otherwise(F.lit(0)))
+                .cast("long")
+                .alias(f"s_g_{f}")
+            )
+        red = e.agg(*aggs)
+        sel = [
+            (
+                F.col("s_p").cast("double")
+                / (F.col("n").cast("double") * 1000000.0)
+            ).alias("lam")
+        ]
+        for f in _FIELDS:
+            sel.append(
+                (F.col(f"s_pg_{f}").cast("double") / F.col("s_p").cast("double"))
+                .alias(f"m_{f}")
+            )
+            sel.append(
+                (
+                    (F.col(f"s_g_{f}") * 1000000 - F.col(f"s_pg_{f}")).cast(
+                        "double"
+                    )
+                    / (F.col("n") * 1000000 - F.col("s_p")).cast("double")
+                ).alias(f"u_{f}")
+            )
+        sel.append(F.col("n").alias("n_pairs"))
+        params = red.select(*sel)
+    out_cols = ["lam"]
+    for f in _FIELDS:
+        out_cols += [f"m_{f}", f"u_{f}"]
+    return params.select(*out_cols, F.col("n_pairs").cast("long").alias("n_pairs"))
