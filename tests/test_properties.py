@@ -3254,3 +3254,182 @@ def test_change_data_feed_oracle_matches_reference(custs):
             want.add((ck, "update_preimage", cents, None))
             want.add((ck, "update_postimage", None, new_cents))
     assert got == want
+
+
+# ---------------------------------------------------------------------------
+# Fellegi-Sunter linkage: the blocking + comparison-vector + milliweight
+# oracle vs a pure-Python reference on adversarial customers — negative
+# balances (truncating band division), band-boundary cents, nation
+# collisions, and custkeys hitting every perturbation residue.
+# ---------------------------------------------------------------------------
+def _round_half_away(x: float) -> int:
+    """DuckDB/Spark ROUND(double): nearest integer, ties away from zero,
+    applied to the double's exact binary value."""
+    from decimal import ROUND_HALF_UP, Decimal
+
+    return int(Decimal(x).quantize(Decimal(1), rounding=ROUND_HALF_UP))
+
+
+def _trunc_div(a: int, b: int) -> int:
+    """Truncation toward zero — Spark's div and DuckDB's // (NOT Python //)."""
+    s = -1 if a < 0 else 1
+    return s * (abs(a) // b)
+
+
+def _linkage_views(custs):
+    """(crm, billing) record views with the deterministic perturbations,
+    mirroring the registered oracle's CTEs term for term."""
+    from kafka_stream_job_spark.operators.linkage import _BAND_CENTS
+
+    crm, billing = [], []
+    for ck, nk, cents in custs:
+        bal = cents / 100.0
+        c = _round_half_away(bal * 100.0)
+        nam3 = f"Customer#{ck:09d}"[-3:]
+        crm.append((ck, nk, c, "SEG%d" % (ck % 5), nam3, _trunc_div(c, _BAND_CENTS)))
+        bc = c + (1 if ck % 5 == 0 else 0)
+        bseg = "UNKNOWN" if ck % 7 == 0 else "SEG%d" % (ck % 5)
+        bnam = nam3[::-1] if ck % 11 == 0 else nam3
+        billing.append((ck, nk, bc, bseg, bnam, _trunc_div(bc, _BAND_CENTS)))
+    return crm, billing
+
+
+@settings(max_examples=60, deadline=None)
+@given(
+    custs=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=10_000),  # custkey
+            st.integers(min_value=0, max_value=3),  # nation: force collisions
+            st.integers(min_value=-10_050, max_value=10_050),  # cents
+        ),
+        min_size=1,
+        max_size=25,
+        unique_by=lambda t: t[0],
+    )
+)
+def test_linkage_oracle_matches_reference(custs):
+    import duckdb
+
+    from kafka_stream_job_spark.operators.linkage import (
+        _THRESHOLD_MILLI,
+        _W,
+    )
+    from kafka_stream_job_spark.registry import all_specs
+
+    oracle = all_specs()["linkage_fellegi_sunter"].oracle
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE customer (c_custkey BIGINT, c_name VARCHAR,"
+        " c_nationkey INTEGER, c_acctbal DOUBLE, c_mktsegment VARCHAR)"
+    )
+    con.executemany(
+        "INSERT INTO customer VALUES (?, ?, ?, ?, ?)",
+        [
+            (ck, f"Customer#{ck:09d}", nk, cents / 100.0, "SEG%d" % (ck % 5))
+            for ck, nk, cents in custs
+        ],
+    )
+    got = {tuple(r) for r in con.sql(oracle).fetchall()}
+
+    crm, billing = _linkage_views(custs)
+    agg: dict[int, list] = {}
+    for ak, ankey, ac, aseg, anam, aband in crm:
+        for bk, bnkey, bc, bseg, bnam, bband in billing:
+            if ankey != bnkey or aband != bband:
+                continue
+            w = (
+                (_W["bal_a"] if ac == bc else _W["bal_d"])
+                + (_W["seg_a"] if aseg == bseg else _W["seg_d"])
+                + (_W["nam_a"] if anam == bnam else _W["nam_d"])
+            )
+            mw = _round_half_away(1000.0 * w)
+            row = agg.setdefault(ankey, [0, 0, 0, 0, 0])
+            row[0] += 1
+            if mw > _THRESHOLD_MILLI:
+                row[1] += 1
+                if ak == bk:
+                    row[2] += 1
+                else:
+                    row[3] += 1
+            row[4] += mw
+    want = {(nk, *vals) for nk, vals in agg.items()}
+    assert got == want
+
+
+@settings(max_examples=40, deadline=None)
+@given(
+    custs=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=10_000),
+            st.integers(min_value=0, max_value=3),
+            st.integers(min_value=-10_050, max_value=10_050),
+        ),
+        min_size=2,
+        max_size=25,
+        unique_by=lambda t: t[0],
+    )
+)
+def test_linkage_em_oracle_matches_reference(custs):
+    """The EM oracle vs a pure-Python EM over the same combo counts —
+    pins the integerize-before-sum discipline and the exact-integer
+    M-step numerators/denominators on arbitrary inputs."""
+    import duckdb
+
+    from kafka_stream_job_spark.operators.linkage import (
+        _EM_INIT,
+        _EM_ITERS,
+        _FIELDS,
+    )
+    from kafka_stream_job_spark.registry import all_specs
+
+    oracle = all_specs()["linkage_em_parameters"].oracle
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE customer (c_custkey BIGINT, c_name VARCHAR,"
+        " c_nationkey INTEGER, c_acctbal DOUBLE, c_mktsegment VARCHAR)"
+    )
+    con.executemany(
+        "INSERT INTO customer VALUES (?, ?, ?, ?, ?)",
+        [
+            (ck, f"Customer#{ck:09d}", nk, cents / 100.0, "SEG%d" % (ck % 5))
+            for ck, nk, cents in custs
+        ],
+    )
+    got_rows = con.sql(oracle).fetchall()
+
+    crm, billing = _linkage_views(custs)
+    combos = Counter()
+    for ak, ankey, ac, aseg, anam, aband in crm:
+        for bk, bnkey, bc, bseg, bnam, bband in billing:
+            if ankey == bnkey and aband == bband:
+                combos[(int(ac == bc), int(aseg == bseg), int(anam == bnam))] += 1
+    if not combos:
+        assert got_rows == [] or got_rows[0][-1] is None or got_rows == []
+        return
+
+    lam = _EM_INIT["lam"]
+    m = {f: _EM_INIT["m"] for f in _FIELDS}
+    u = {f: _EM_INIT["u"] for f in _FIELDS}
+    n_pairs = sum(combos.values())
+    for _ in range(_EM_ITERS):
+        s_p, s_pg, s_g = 0, dict.fromkeys(_FIELDS, 0), dict.fromkeys(_FIELDS, 0)
+        for (gb, gs, gn), cnt in combos.items():
+            g = dict(zip(_FIELDS, (gb, gs, gn)))
+            num, den = lam, 1.0 - lam
+            for f in _FIELDS:
+                num = num * (m[f] if g[f] == 1 else 1.0 - m[f])
+                den = den * (u[f] if g[f] == 1 else 1.0 - u[f])
+            pmicro = _round_half_away((cnt * (num / (num + den))) * 1000000.0)
+            s_p += pmicro
+            for f in _FIELDS:
+                if g[f] == 1:
+                    s_pg[f] += pmicro
+                    s_g[f] += cnt
+        lam = float(s_p) / (float(n_pairs) * 1000000.0)
+        for f in _FIELDS:
+            m[f] = float(s_pg[f]) / float(s_p)
+            u[f] = float(s_g[f] * 1000000 - s_pg[f]) / float(
+                n_pairs * 1000000 - s_p
+            )
+    want = (lam, m["bal"], u["bal"], m["seg"], u["seg"], m["nam"], u["nam"], n_pairs)
+    assert got_rows == [want]
