@@ -57,11 +57,11 @@ _W = {
 _THRESHOLD_MILLI = 5000  # weight > 5.0 bits → predicted match
 _BAND_CENTS = 10_000  # blocking band = 100 currency units
 
-
-@register(
-    "linkage_fellegi_sunter",
-    oracle=f"""
-        WITH crm AS (
+#: The crm/billing record-view CTEs — THE single spec of the
+#: deterministic perturbations, spliced into every linkage oracle so the
+#: report and EM queries can never drift apart.
+_CRM_BILLING_SQL = """\
+        crm AS (
             SELECT c_custkey AS a_key, c_nationkey AS nation,
                    CAST(ROUND(c_acctbal * 100.0) AS BIGINT) AS cents,
                    c_mktsegment AS seg,
@@ -77,7 +77,42 @@ _BAND_CENTS = 10_000  # blocking band = 100 currency units
                         THEN REVERSE(SUBSTR(c_name, LENGTH(c_name) - 2, 3))
                         ELSE SUBSTR(c_name, LENGTH(c_name) - 2, 3) END AS nam3
             FROM customer
-        ), pairs AS (
+        )"""
+
+
+def _record_views(cust):
+    """Spark twin of _CRM_BILLING_SQL: (crm, billing) DataFrames with
+    keys, comparison fields, and the blocking band — the one place the
+    perturbation spec exists on the Spark side."""
+    cents = F.round(F.col("c_acctbal") * 100.0, 0).cast("long")
+    nam3 = F.substring(F.col("c_name"), -3, 3)
+    crm = cust.select(
+        F.col("c_custkey").alias("a_key"),
+        F.col("c_nationkey").alias("nation"),
+        cents.alias("a_cents"),
+        F.col("c_mktsegment").alias("a_seg"),
+        nam3.alias("a_nam3"),
+    ).withColumn("a_band", idiv("a_cents", _BAND_CENTS))
+    billing = cust.select(
+        F.col("c_custkey").alias("b_key"),
+        F.col("c_nationkey").alias("nation"),
+        (cents + F.when(F.col("c_custkey") % 5 == 0, 1).otherwise(0)).alias(
+            "b_cents"
+        ),
+        F.when(F.col("c_custkey") % 7 == 0, F.lit("UNKNOWN"))
+        .otherwise(F.col("c_mktsegment"))
+        .alias("b_seg"),
+        F.when(F.col("c_custkey") % 11 == 0, F.reverse(nam3))
+        .otherwise(nam3)
+        .alias("b_nam3"),
+    ).withColumn("b_band", idiv("b_cents", _BAND_CENTS))
+    return crm, billing
+
+
+@register(
+    "linkage_fellegi_sunter",
+    oracle=f"""
+        WITH {_CRM_BILLING_SQL}, pairs AS (
             SELECT a.nation, a.a_key, b.b_key,
                    CAST(ROUND(CAST(1000.0 AS DOUBLE) * (
                        CASE WHEN a.cents = b.cents
@@ -108,31 +143,7 @@ _BAND_CENTS = 10_000  # blocking band = 100 currency units
     tags=("linkage", "entity-resolution", "blocking", "customer"),
 )
 def linkage_fellegi_sunter(spark: SparkSession, sf_dir: str) -> DataFrame:
-    cust = load_table(spark, sf_dir, "customer")
-    cents = F.round(F.col("c_acctbal") * 100.0, 0).cast("long")
-    nam3 = F.substring(F.col("c_name"), -3, 3)
-
-    crm = cust.select(
-        F.col("c_custkey").alias("a_key"),
-        F.col("c_nationkey").alias("nation"),
-        cents.alias("a_cents"),
-        F.col("c_mktsegment").alias("a_seg"),
-        nam3.alias("a_nam3"),
-    ).withColumn("a_band", idiv("a_cents", _BAND_CENTS))
-
-    billing = cust.select(
-        F.col("c_custkey").alias("b_key"),
-        F.col("c_nationkey").alias("nation"),
-        (cents + F.when(F.col("c_custkey") % 5 == 0, 1).otherwise(0)).alias(
-            "b_cents"
-        ),
-        F.when(F.col("c_custkey") % 7 == 0, F.lit("UNKNOWN"))
-        .otherwise(F.col("c_mktsegment"))
-        .alias("b_seg"),
-        F.when(F.col("c_custkey") % 11 == 0, F.reverse(nam3))
-        .otherwise(nam3)
-        .alias("b_nam3"),
-    ).withColumn("b_band", idiv("b_cents", _BAND_CENTS))
+    crm, billing = _record_views(load_table(spark, sf_dir, "customer"))
 
     w = F.lit  # full-precision literals identical to the oracle's
     weight = (
@@ -215,24 +226,7 @@ def _em_oracle_sql() -> str:
     """Generate the oracle CTE chain for _EM_ITERS iterations — the same
     per-iteration text each time, so Spark and DuckDB run identical
     arithmetic in identical order."""
-    pairs = f"""
-        crm AS (
-            SELECT c_custkey AS a_key, c_nationkey AS nation,
-                   CAST(ROUND(c_acctbal * 100.0) AS BIGINT) AS cents,
-                   c_mktsegment AS seg,
-                   SUBSTR(c_name, LENGTH(c_name) - 2, 3) AS nam3
-            FROM customer
-        ), billing AS (
-            SELECT c_custkey AS b_key, c_nationkey AS nation,
-                   CAST(ROUND(c_acctbal * 100.0) AS BIGINT)
-                     + CASE WHEN c_custkey % 5 = 0 THEN 1 ELSE 0 END AS cents,
-                   CASE WHEN c_custkey % 7 = 0 THEN 'UNKNOWN'
-                        ELSE c_mktsegment END AS seg,
-                   CASE WHEN c_custkey % 11 = 0
-                        THEN REVERSE(SUBSTR(c_name, LENGTH(c_name) - 2, 3))
-                        ELSE SUBSTR(c_name, LENGTH(c_name) - 2, 3) END AS nam3
-            FROM customer
-        ), combos AS (
+    pairs = f"""{_CRM_BILLING_SQL}, combos AS (
             SELECT CASE WHEN a.cents = b.cents THEN 1 ELSE 0 END AS g_bal,
                    CASE WHEN a.seg = b.seg THEN 1 ELSE 0 END AS g_seg,
                    CASE WHEN a.nam3 = b.nam3 THEN 1 ELSE 0 END AS g_nam,
@@ -297,28 +291,8 @@ def _em_oracle_sql() -> str:
     tags=("linkage", "entity-resolution", "em", "customer"),
 )
 def linkage_em_parameters(spark: SparkSession, sf_dir: str) -> DataFrame:
-    cust = load_table(spark, sf_dir, "customer")
-    cents = F.round(F.col("c_acctbal") * 100.0, 0).cast("long")
-    nam3 = F.substring(F.col("c_name"), -3, 3)
-
-    crm = cust.select(
-        F.col("c_nationkey").alias("nation"),
-        cents.alias("a_cents"),
-        F.col("c_mktsegment").alias("a_seg"),
-        nam3.alias("a_nam3"),
-    ).withColumn("a_band", idiv("a_cents", _BAND_CENTS))
-    billing = cust.select(
-        F.col("c_nationkey").alias("nation"),
-        (cents + F.when(F.col("c_custkey") % 5 == 0, 1).otherwise(0)).alias(
-            "b_cents"
-        ),
-        F.when(F.col("c_custkey") % 7 == 0, F.lit("UNKNOWN"))
-        .otherwise(F.col("c_mktsegment"))
-        .alias("b_seg"),
-        F.when(F.col("c_custkey") % 11 == 0, F.reverse(nam3))
-        .otherwise(nam3)
-        .alias("b_nam3"),
-    ).withColumn("b_band", idiv("b_cents", _BAND_CENTS))
+    # keys are unused here; Catalyst prunes them out of the scan
+    crm, billing = _record_views(load_table(spark, sf_dir, "customer"))
 
     combos = (
         crm.join(

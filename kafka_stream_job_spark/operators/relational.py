@@ -3781,16 +3781,16 @@ def events_peak_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
 # and the report is a 3-group partial agg. At real scale you'd feed this
 # with two Iceberg snapshot scans instead of the hash filters.
 # ---------------------------------------------------------------------------
-def _snap_hash_sql(prefix: str) -> str:
+def _snap_hash_sql(prefix: str, col: str = "doc_id") -> str:
     return (
-        f"('0x' || substr(md5('{prefix}:' || CAST(doc_id AS VARCHAR)), 1, 7))::BIGINT"
+        f"('0x' || substr(md5('{prefix}:' || CAST({col} AS VARCHAR)), 1, 7))::BIGINT"
     )
 
 
-def _snap_hash(prefix: str):
+def _snap_hash(prefix: str, col: str = "doc_id"):
     return F.conv(
         F.substring(
-            F.md5(F.concat(F.lit(prefix + ":"), F.col("doc_id").cast("string"))),
+            F.md5(F.concat(F.lit(prefix + ":"), F.col(col).cast("string"))),
             1,
             7,
         ),
@@ -9021,27 +9021,13 @@ def execute_immediate_showcase(spark: SparkSession, sf_dir: str) -> DataFrame:
 # One full-outer self-join on the key, then pre/post rows are exploded
 # from a 1-2 element array; balances are integer cents throughout.
 # ---------------------------------------------------------------------------
-def _cdf_hash_sql(col: str) -> str:
-    return f"('0x' || substr(md5('cdf:' || CAST({col} AS VARCHAR)), 1, 7))::BIGINT"
-
-
-def _cdf_hash(col: str):
-    return F.conv(
-        F.substring(
-            F.md5(F.concat(F.lit("cdf:"), F.col(col).cast("string"))), 1, 7
-        ),
-        16,
-        10,
-    ).cast("long")
-
-
 @register(
     "change_data_feed_report",
     oracle=f"""
         WITH base AS (
             SELECT c_custkey,
                    CAST(ROUND(c_acctbal * 100.0) AS BIGINT) AS cents,
-                   {_cdf_hash_sql("c_custkey")} AS h
+                   {_snap_hash_sql("cdf", "c_custkey")} AS h
             FROM customer
         ),
         old AS (
@@ -9077,7 +9063,7 @@ def change_data_feed_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     base = cust.select(
         "c_custkey",
         F.round(F.col("c_acctbal") * 100.0, 0).cast("long").alias("cents"),
-        _cdf_hash("c_custkey").alias("h"),
+        _snap_hash("cdf", "c_custkey").alias("h"),
     ).localCheckpoint(eager=False)  # both snapshots derive from one scan
     old = base.filter(F.col("h") % 3 != 0).select(
         F.col("c_custkey").alias("o_key"), F.col("cents").alias("o_cents")

@@ -54,12 +54,16 @@ class _AuditWriter(DataSourceWriter):
         write_text_file(self._path, json.dumps(out))
 
     def abort(self, messages):
-        # No partial manifest is ever visible; sweep, by prefix, every
-        # tmp any thread of THIS driver process could have left behind
-        # (tmp names carry pid+thread id so concurrent same-destination
-        # commits never share one).
+        # No partial manifest is ever visible; sweep every tmp a DEAD
+        # thread of THIS driver process could have left behind. Two
+        # guards keep the sweep from eating a LIVE writer's tmp:
+        # the pid is matched up to its "-" delimiter (pid 7 must not
+        # sweep pid 71's files), and tmps whose thread-id suffix belongs
+        # to a currently-live thread are skipped (a concurrent commit to
+        # the same destination keeps its staged file).
         import contextlib
         import posixpath
+        import threading
 
         from pyarrow import fs as pafs
 
@@ -67,12 +71,14 @@ class _AuditWriter(DataSourceWriter):
 
         filesystem, prefix = _filesystem(tmp_prefix(self._path))
         parent = posixpath.dirname(prefix)
-        base = posixpath.basename(prefix)
+        base = posixpath.basename(prefix) + "-"
+        live = {str(t.ident) for t in threading.enumerate()}
         with contextlib.suppress(Exception):
             for entry in filesystem.get_file_info(pafs.FileSelector(parent)):
                 if (
                     entry.type == pafs.FileType.File
                     and entry.base_name.startswith(base)
+                    and entry.base_name[len(base):] not in live
                 ):
                     with contextlib.suppress(Exception):
                         filesystem.delete_file(entry.path)

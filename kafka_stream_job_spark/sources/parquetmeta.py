@@ -55,7 +55,7 @@ class _ParquetMetaReader(DataSourceReader):
             raise ValueError(
                 "ksj_parquet_meta requires .option('paths', 'a.parquet,b.parquet')"
             )
-        self._paths = [p for p in paths.split(",") if p]
+        self._paths = [p.strip() for p in paths.split(",") if p.strip()]
 
     def partitions(self):
         return [_MetaFile(p) for p in self._paths]
@@ -63,8 +63,15 @@ class _ParquetMetaReader(DataSourceReader):
     def read(self, partition: _MetaFile):
         import pyarrow.parquet as pq
 
+        # scheme-aware open (same discipline as hivepart.read): an
+        # s3://-hdfs:// path must resolve through the pyarrow filesystem,
+        # not be handed to the OS as a local path
+        from kafka_stream_job_spark.checkpoint import _filesystem
+
         table = os.path.splitext(os.path.basename(partition.path))[0]
-        md = pq.ParquetFile(partition.path).metadata
+        filesystem, fs_path = _filesystem(partition.path)
+        with filesystem.open_input_file(fs_path) as src:
+            md = pq.ParquetFile(src).metadata
         for rg_id in range(md.num_row_groups):
             rg = md.row_group(rg_id)
             for j in range(rg.num_columns):

@@ -179,18 +179,24 @@ def test_local_sweep_has_green_row_for_every_registry_query():
     from kafka_stream_job_spark.registry import all_specs
 
     root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-    local = json.load(open(os.path.join(root, "CORRECTNESS_LOCAL.json")))
     specs = all_specs()
-    missing = set(specs) - set(local)
-    assert not missing, f"registry queries without a committed sweep row: {sorted(missing)}"
-    red = {
-        n
-        for n, row in local.items()
-        if n in specs
-        and not row.get("hash_match")
-        and not (row.get("err") == "no_oracle" and row.get("spark_rows"))
-    }
-    assert not red, f"committed sweep rows not green: {sorted(red)}"
+    # BOTH committed sweeps must be complete and green — the sf0.1 file
+    # is the "verified at 10x the driver's scale" claim, and a claim the
+    # suite doesn't enforce goes stale (it did in round 5).
+    for fname in ("CORRECTNESS_LOCAL.json", "CORRECTNESS_LOCAL_SF01.json"):
+        local = json.load(open(os.path.join(root, fname)))
+        missing = set(specs) - set(local)
+        assert not missing, (
+            f"registry queries without a committed {fname} row: {sorted(missing)}"
+        )
+        red = {
+            n
+            for n, row in local.items()
+            if n in specs
+            and not row.get("hash_match")
+            and not (row.get("err") == "no_oracle" and row.get("spark_rows"))
+        }
+        assert not red, f"committed {fname} rows not green: {sorted(red)}"
 
 
 def test_no_row_at_a_time_python_udfs_in_source():

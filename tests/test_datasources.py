@@ -489,3 +489,49 @@ def test_parquet_meta_requires_paths(spark):
     register_parquetmeta_source(spark)
     with pytest.raises(Exception, match="paths"):
         spark.read.format("ksj_parquet_meta").load().collect()
+
+
+def test_audit_abort_sweeps_only_dead_same_pid_tmps(tmp_path):
+    """abort() must delete ONLY this pid's dead-thread tmps: a pid whose
+    decimal digits extend ours (tmp-<pid>1-...) and a live thread's tmp
+    must both survive the sweep."""
+    import os
+    import threading
+
+    from kafka_stream_job_spark.sources.auditsink import _AuditWriter
+
+    dest = str(tmp_path / "audit.json")
+    pid = os.getpid()
+    live_tid = threading.get_ident()
+    dead = tmp_path / f"audit.json.tmp-{pid}-999999999"
+    other_pid = tmp_path / f"audit.json.tmp-{pid}1-123"
+    live = tmp_path / f"audit.json.tmp-{pid}-{live_tid}"
+    for p in (dead, other_pid, live):
+        p.write_text("partial")
+
+    _AuditWriter(dest).abort([])
+    assert not dead.exists(), "stranded dead-thread tmp must be swept"
+    assert other_pid.exists(), "another pid's tmp must never be touched"
+    assert live.exists(), "a live thread's staged tmp must survive"
+
+
+def test_parquet_meta_paths_tolerate_whitespace(spark):
+    """A natural 'a.parquet, b.parquet' option (space after comma) must
+    resolve both files."""
+    from kafka_stream_job_spark.sources.parquetmeta import (
+        register_parquetmeta_source,
+    )
+
+    register_parquetmeta_source(spark)
+    df = (
+        spark.read.format("ksj_parquet_meta")
+        .option(
+            "paths",
+            f"{SF_SMOKE}/events.parquet , {SF_SMOKE}/documents.parquet",
+        )
+        .load()
+    )
+    assert {r.table_name for r in df.select("table_name").distinct().collect()} == {
+        "events",
+        "documents",
+    }
