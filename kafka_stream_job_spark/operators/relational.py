@@ -9121,3 +9121,94 @@ def change_data_feed_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("c.post").alias("post_cents"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Incremental JOIN-view maintenance — the delta-join algebra that extends
+# incremental_agg_maintenance (IVM over one table) to materialized JOIN
+# views:  A⋈B  =  A0⋈B0  ∪  ΔA⋈B0  ∪  A0⋈ΔB  ∪  ΔA⋈ΔB.
+# The engine computes the per-segment partial aggregate of each term
+# separately and MERGES the four partials; the oracle recomputes the
+# plain full join — hash equality proves the maintenance algebra, term
+# by term (the output carries each term's row count, not just totals).
+#
+# 100 TB shape: A0⋈B0 is the STORED materialized view (recomputed here
+# only because a registry query owns no cross-run state); the refresh
+# work is the three delta terms, where a delta side is always tiny —
+# ΔA⋈B0 and A0⋈ΔB broadcast the delta, ΔA⋈ΔB is negligible — so the
+# big tables are never re-joined with each other on refresh. Revenue is
+# integer cents throughout: partial-aggregate merges stay exact.
+# ---------------------------------------------------------------------------
+_IVMJ_ORDER_MOD = 19  # o_orderkey % 19 == 0 → the freshly-arrived orders
+_IVMJ_CUST_MOD = 23  # c_custkey % 23 == 0 → the freshly-arrived customers
+
+
+@register(
+    "incremental_join_maintenance",
+    oracle=f"""
+        SELECT c_mktsegment,
+               CAST(COUNT(*) AS BIGINT) AS n_orders,
+               CAST(SUM(CAST(ROUND(o_totalprice * 100.0) AS BIGINT))
+                    AS BIGINT) AS revenue_cents,
+               CAST(SUM(CASE WHEN o_orderkey % {_IVMJ_ORDER_MOD} <> 0
+                              AND c_custkey % {_IVMJ_CUST_MOD} <> 0
+                             THEN 1 ELSE 0 END) AS BIGINT) AS n_bb,
+               CAST(SUM(CASE WHEN o_orderkey % {_IVMJ_ORDER_MOD} = 0
+                              AND c_custkey % {_IVMJ_CUST_MOD} <> 0
+                             THEN 1 ELSE 0 END) AS BIGINT) AS n_da,
+               CAST(SUM(CASE WHEN o_orderkey % {_IVMJ_ORDER_MOD} <> 0
+                              AND c_custkey % {_IVMJ_CUST_MOD} = 0
+                             THEN 1 ELSE 0 END) AS BIGINT) AS n_db,
+               CAST(SUM(CASE WHEN o_orderkey % {_IVMJ_ORDER_MOD} = 0
+                              AND c_custkey % {_IVMJ_CUST_MOD} = 0
+                             THEN 1 ELSE 0 END) AS BIGINT) AS n_dd
+        FROM orders JOIN customer ON o_custkey = c_custkey
+        GROUP BY c_mktsegment
+    """,
+    tags=("join", "incremental", "ivm", "orders", "customer"),
+)
+def incremental_join_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_custkey",
+        F.round(F.col("o_totalprice") * 100.0, 0).cast("long").alias("cents"),
+    )
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment"
+    )
+    a0 = orders.filter(F.col("o_orderkey") % _IVMJ_ORDER_MOD != 0)
+    da = orders.filter(F.col("o_orderkey") % _IVMJ_ORDER_MOD == 0)
+    b0 = cust.filter(F.col("c_custkey") % _IVMJ_CUST_MOD != 0)
+    db = cust.filter(F.col("c_custkey") % _IVMJ_CUST_MOD == 0)
+
+    def term(a: DataFrame, b: DataFrame, label: str, bcast: str) -> DataFrame:
+        # delta-side broadcast: on refresh the big tables never shuffle
+        if bcast == "a":
+            a = F.broadcast(a)
+        elif bcast == "b":
+            b = F.broadcast(b)
+        return (
+            a.join(b, a.o_custkey == b.c_custkey)
+            .groupBy("c_mktsegment")
+            .agg(
+                F.count(F.lit(1)).cast("long").alias("p_n"),
+                F.sum("cents").cast("long").alias("p_cents"),
+            )
+            .withColumn("term", F.lit(label))
+        )
+
+    partials = (
+        term(a0, b0, "bb", "none")  # the stored MV's own aggregate
+        .unionByName(term(da, b0, "da", "a"))
+        .unionByName(term(a0, db, "db", "b"))
+        .unionByName(term(da, db, "dd", "a"))
+    )
+    t = F.col("term")
+    return partials.groupBy("c_mktsegment").agg(
+        F.sum("p_n").cast("long").alias("n_orders"),
+        F.sum("p_cents").cast("long").alias("revenue_cents"),
+        F.sum(F.when(t == "bb", F.col("p_n")).otherwise(0)).cast("long").alias("n_bb"),
+        F.sum(F.when(t == "da", F.col("p_n")).otherwise(0)).cast("long").alias("n_da"),
+        F.sum(F.when(t == "db", F.col("p_n")).otherwise(0)).cast("long").alias("n_db"),
+        F.sum(F.when(t == "dd", F.col("p_n")).otherwise(0)).cast("long").alias("n_dd"),
+    )

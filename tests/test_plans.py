@@ -1104,3 +1104,11 @@ def test_bucketed_join_no_exchange_either_side(spark):
     assert full.count("Bucketed: true") == 2
     join_at = full.find("SortMergeJoin")
     assert join_at != -1 and "Exchange" not in full[join_at:]
+
+
+def test_join_ivm_delta_terms_broadcast(spark):
+    """The three delta terms must broadcast their delta side — on refresh
+    the two big tables never shuffle against each other."""
+    plan = plan_of(spark, "incremental_join_maintenance")
+    assert plan.count("BroadcastHashJoin") >= 3
+    assert "CartesianProduct" not in plan
