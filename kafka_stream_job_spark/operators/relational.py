@@ -9212,3 +9212,81 @@ def incremental_join_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.when(t == "db", F.col("p_n")).otherwise(0)).cast("long").alias("n_db"),
         F.sum(F.when(t == "dd", F.col("p_n")).otherwise(0)).cast("long").alias("n_dd"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Foreign-key DISCOVERY by inclusion dependency — the schema-profiling
+# operator behind auto-documentation and join recommendation: for each
+# candidate (child column → parent column) pair, measure how much of the
+# child's value set is contained in the parent's. inclusion = 1.0 on a
+# true FK; a negative control pair shows the discriminating power.
+# Engine shape: per pair, DISTINCT on each side (map-side partial
+# aggregation collapses duplicates before the shuffle) then a LEFT SEMI
+# join of the two distinct sets — the probe never materializes the
+# non-matches, and no data-sized side is collected. 5 candidate pairs →
+# 5 small aggregate rows unioned.
+# ---------------------------------------------------------------------------
+_FK_CANDIDATES = (
+    ("orders", "o_custkey", "customer", "c_custkey"),
+    ("lineitem", "l_orderkey", "orders", "o_orderkey"),
+    ("lineitem", "l_partkey", "part", "p_partkey"),
+    ("lineitem", "l_suppkey", "supplier", "s_suppkey"),
+    # negative control: order keys are NOT customer keys
+    ("orders", "o_orderkey", "customer", "c_custkey"),
+)
+
+
+@register(
+    "fk_inclusion_profile",
+    oracle=" UNION ALL ".join(
+        f"""
+        SELECT '{ct}.{cc}' AS child, '{pt}.{pc}' AS parent,
+               (SELECT CAST(COUNT(DISTINCT {cc}) AS BIGINT) FROM {ct})
+                   AS n_child_distinct,
+               (SELECT CAST(COUNT(DISTINCT {pc}) AS BIGINT) FROM {pt})
+                   AS n_parent_distinct,
+               (SELECT CAST(COUNT(*) AS BIGINT) FROM
+                   (SELECT DISTINCT {cc} FROM {ct}) c
+                   WHERE {cc} IN (SELECT {pc} FROM {pt}))
+                   AS n_included,
+               (SELECT CAST((CAST(COUNT(*) FILTER (WHERE {cc} IN
+                       (SELECT {pc} FROM {pt})) AS BIGINT) * 10000)
+                       // CAST(COUNT(*) AS BIGINT) AS BIGINT)
+                   FROM (SELECT DISTINCT {cc} FROM {ct}) c)
+                   AS inclusion_bp
+        """
+        for ct, cc, pt, pc in _FK_CANDIDATES
+    ),
+    tags=("profiling", "schema-discovery", "join"),
+)
+def fk_inclusion_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kafka_stream_job_spark.operators._portable import idiv
+
+    out = None
+    for ct, cc, pt, pc in _FK_CANDIDATES:
+        child = load_table(spark, sf_dir, ct).select(cc).distinct()
+        parent = load_table(spark, sf_dir, pt).select(pc).distinct()
+        included = child.join(
+            parent, child[cc] == parent[pc], "left_semi"
+        ).agg(F.count(F.lit(1)).cast("long").alias("n_included"))
+        row = (
+            child.agg(F.count(F.lit(1)).cast("long").alias("n_child_distinct"))
+            .crossJoin(
+                parent.agg(
+                    F.count(F.lit(1)).cast("long").alias("n_parent_distinct")
+                )
+            )
+            .crossJoin(included)  # three 1-row aggregates — broadcast scalars
+            .select(
+                F.lit(f"{ct}.{cc}").alias("child"),
+                F.lit(f"{pt}.{pc}").alias("parent"),
+                "n_child_distinct",
+                "n_parent_distinct",
+                "n_included",
+                idiv(
+                    F.col("n_included") * 10000, F.col("n_child_distinct")
+                ).alias("inclusion_bp"),
+            )
+        )
+        out = row if out is None else out.unionByName(row)
+    return out
