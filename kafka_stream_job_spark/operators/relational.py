@@ -9290,3 +9290,135 @@ def fk_inclusion_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         out = row if out is None else out.unionByName(row)
     return out
+
+
+# ---------------------------------------------------------------------------
+# T-CLOSENESS audit — completes the privacy trio (k_anonymity_audit,
+# l_diversity_audit): a class can be k-anonymous AND l-diverse yet still
+# leak if its sensitive-value DISTRIBUTION differs sharply from the
+# global one (skewness attack). For the ordered balance-band attribute
+# the canonical distance is the ordered Earth-Mover's Distance:
+#   EMD(P, Q) = (1/(m-1)) * sum_i |prefix_i(P - Q)|.
+# All arithmetic stays in exact integers on the common denominator
+# n_class * N: diff_i = n_class_band_i * N - N_i * n_class, prefix-sum
+# per class over the ordered bands, then ONE truncating division to
+# basis points (exact while 1e4 * m * n_class * N < 2^63 — holds through
+# SF100; beyond that, widen the bands before the audit, not the ints).
+# Scale shape: the heavy work is two vocabulary-bounded hash aggregates;
+# the dense class x band grid is |classes| * m metadata rows, built by
+# broadcasting the band table, and the per-class window partitions by
+# class (never a global sort).
+# ---------------------------------------------------------------------------
+_TCLOSE_T_BP = 2000  # classes with EMD > 0.20 violate
+
+
+@register(
+    "t_closeness_audit",
+    oracle=f"""
+        WITH bands AS (
+            SELECT CAST(floor(c_acctbal / 1000.0) AS BIGINT) AS bal_band,
+                   CAST(COUNT(*) AS BIGINT) AS n_band
+            FROM customer GROUP BY 1
+        ), tot AS (
+            SELECT CAST(SUM(n_band) AS BIGINT) AS n_total,
+                   CAST(COUNT(*) AS BIGINT) AS m_bands
+            FROM bands
+        ), classes AS (
+            SELECT c_nationkey, c_mktsegment, CAST(COUNT(*) AS BIGINT) AS n_class
+            FROM customer GROUP BY 1, 2
+        ), class_band AS (
+            SELECT c_nationkey, c_mktsegment,
+                   CAST(floor(c_acctbal / 1000.0) AS BIGINT) AS bal_band,
+                   CAST(COUNT(*) AS BIGINT) AS n_cb
+            FROM customer GROUP BY 1, 2, 3
+        ), grid AS (
+            SELECT c.c_nationkey, c.c_mktsegment, c.n_class, b.bal_band,
+                   b.n_band, COALESCE(cb.n_cb, 0) AS n_cb
+            FROM classes c CROSS JOIN bands b
+            LEFT JOIN class_band cb
+              ON cb.c_nationkey = c.c_nationkey
+             AND cb.c_mktsegment = c.c_mktsegment
+             AND cb.bal_band = b.bal_band
+        ), prefixed AS (
+            SELECT c_nationkey, c_mktsegment, n_class,
+                   SUM(n_cb * (SELECT n_total FROM tot)
+                       - n_band * n_class)
+                       OVER (PARTITION BY c_nationkey, c_mktsegment
+                             ORDER BY bal_band) AS prefix
+            FROM grid
+        ), emd AS (
+            SELECT c_nationkey, c_mktsegment, n_class,
+                   (CAST(SUM(ABS(prefix)) AS BIGINT) * 10000)
+                     // (((SELECT m_bands FROM tot) - 1)
+                         * n_class * (SELECT n_total FROM tot)) AS emd_bp
+            FROM prefixed
+            GROUP BY 1, 2, 3
+        )
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_classes,
+               CAST(SUM(CASE WHEN emd_bp > {_TCLOSE_T_BP}
+                             THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_violating_classes,
+               CAST(SUM(CASE WHEN emd_bp > {_TCLOSE_T_BP}
+                             THEN n_class ELSE 0 END) AS BIGINT)
+                   AS n_violating_rows,
+               CAST(MAX(emd_bp) AS BIGINT) AS max_emd_bp,
+               CAST(MIN(emd_bp) AS BIGINT) AS min_emd_bp
+        FROM emd
+    """,
+    tags=("privacy", "audit", "customer", "agg", "window"),
+)
+def t_closeness_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    cust = load_table(spark, sf_dir, "customer")
+    band = F.floor(F.col("c_acctbal") / 1000.0).cast("long").alias("bal_band")
+    bands = cust.groupBy(band).agg(
+        F.count(F.lit(1)).cast("long").alias("n_band")
+    )
+    tot = bands.agg(
+        F.sum("n_band").cast("long").alias("n_total"),
+        F.count(F.lit(1)).cast("long").alias("m_bands"),
+    )
+    classes = cust.groupBy("c_nationkey", "c_mktsegment").agg(
+        F.count(F.lit(1)).cast("long").alias("n_class")
+    )
+    class_band = cust.groupBy("c_nationkey", "c_mktsegment", band).agg(
+        F.count(F.lit(1)).cast("long").alias("n_cb")
+    )
+    grid = (
+        classes.crossJoin(F.broadcast(bands))
+        .crossJoin(F.broadcast(tot))  # two bounded aggregates + 1 scalar row
+        .join(
+            class_band,
+            ["c_nationkey", "c_mktsegment", "bal_band"],
+            "left",
+        )
+        .withColumn("n_cb", F.coalesce(F.col("n_cb"), F.lit(0)))
+    )
+    w = Window.partitionBy("c_nationkey", "c_mktsegment").orderBy("bal_band")
+    prefixed = grid.withColumn(
+        "prefix",
+        F.sum(
+            F.col("n_cb") * F.col("n_total") - F.col("n_band") * F.col("n_class")
+        ).over(w),
+    )
+    emd = prefixed.groupBy(
+        "c_nationkey", "c_mktsegment", "n_class", "m_bands", "n_total"
+    ).agg(F.sum(F.abs(F.col("prefix"))).cast("long").alias("emd_scaled"))
+    emd = emd.withColumn(
+        "emd_bp",
+        idiv(
+            F.col("emd_scaled") * 10000,
+            (F.col("m_bands") - 1) * F.col("n_class") * F.col("n_total"),
+        ),
+    )
+    viol = F.col("emd_bp") > _TCLOSE_T_BP
+    return emd.agg(
+        F.count(F.lit(1)).cast("long").alias("n_classes"),
+        F.sum(viol.cast("long")).cast("long").alias("n_violating_classes"),
+        F.sum(F.when(viol, F.col("n_class")).otherwise(0))
+        .cast("long")
+        .alias("n_violating_rows"),
+        F.max("emd_bp").cast("long").alias("max_emd_bp"),
+        F.min("emd_bp").cast("long").alias("min_emd_bp"),
+    )
