@@ -4042,16 +4042,24 @@ _IVM_CUTOFF = "2000-01-01"
 
 @register(
     "incremental_agg_maintenance",
-    oracle=f"""
+    oracle="""
+        WITH c AS (
+            SELECT o_orderpriority, o_orderstatus, o_totalprice,
+                   CAST(ROUND(o_totalprice * 100.0) AS BIGINT) AS cents
+            FROM orders
+        )
         SELECT
             o_orderpriority,
             o_orderstatus,
             COUNT(*)                                    AS n_orders,
-            {sql_round('SUM(o_totalprice)', 2)}         AS sum_price,
+            CAST(SUM(cents) AS BIGINT) / 100.0          AS sum_price,
             MIN(o_totalprice)                           AS min_price,
             MAX(o_totalprice)                           AS max_price,
-            {sql_round('SUM(o_totalprice) / COUNT(*)', 4)} AS avg_price
-        FROM orders
+            -- avg at 4dp, integer-exact half-up on the non-negative
+            -- rational SUM(cents)*100/COUNT(*): (a*2 + b) // (2*b)
+            CAST((CAST(SUM(cents) AS BIGINT) * 200 + COUNT(*))
+                 // (2 * COUNT(*)) AS BIGINT) / 10000.0 AS avg_price
+        FROM c
         GROUP BY 1, 2
     """,
     tags=("agg", "orders", "incremental", "ivm"),
@@ -4059,11 +4067,17 @@ _IVM_CUTOFF = "2000-01-01"
 def incremental_agg_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = load_table(spark, sf_dir, "orders")
     cutoff = F.lit(_IVM_CUTOFF).cast("timestamp")
+    # Prices carry exact cents: sum in integer cents so the partial-merge
+    # is bit-exact regardless of merge order (double sums are
+    # order-dependent at scale), and derive avg by tie-free integer
+    # round-half-up — (a*2+b) div (2b) on non-negative operands, the
+    # same technique as merge_full_cdc's restatement.
+    cents = F.round(F.col("o_totalprice") * 100.0, 0).cast("long")
 
     def partial(df: DataFrame) -> DataFrame:
         return df.groupBy("o_orderpriority", "o_orderstatus").agg(
             F.count(F.lit(1)).alias("p_n"),
-            F.sum("o_totalprice").alias("p_sum"),
+            F.sum(cents).alias("p_cents"),
             F.min("o_totalprice").alias("p_min"),
             F.max("o_totalprice").alias("p_max"),
         )
@@ -4075,7 +4089,7 @@ def incremental_agg_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("o_orderpriority", "o_orderstatus")
         .agg(
             F.sum("p_n").alias("n_orders"),
-            F.sum("p_sum").alias("m_sum"),
+            F.sum("p_cents").alias("m_cents"),
             F.min("p_min").alias("min_price"),
             F.max("p_max").alias("max_price"),
         )
@@ -4084,10 +4098,13 @@ def incremental_agg_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_orderpriority",
         "o_orderstatus",
         "n_orders",
-        pround(F.col("m_sum"), 2).alias("sum_price"),
+        (F.col("m_cents") / 100.0).alias("sum_price"),
         "min_price",
         "max_price",
-        pround(F.col("m_sum") / F.col("n_orders"), 4).alias("avg_price"),
+        (
+            idiv(F.col("m_cents") * 200 + F.col("n_orders"), F.col("n_orders") * 2)
+            / 10000.0
+        ).alias("avg_price"),
     )
 
 
@@ -9421,4 +9438,95 @@ def t_closeness_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("n_violating_rows"),
         F.max("emd_bp").cast("long").alias("max_emd_bp"),
         F.min("emd_bp").cast("long").alias("min_emd_bp"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# DIFFERENTIALLY-PRIVATE noisy counts — completes the privacy quartet
+# (k_anonymity_audit, l_diversity_audit, t_closeness_audit): those three
+# AUDIT a release; this one actually PERTURBS it. Mechanism: two-sided
+# geometric (discrete Laplace) with alpha = 1/2 (epsilon = ln 2 per
+# sensitivity-1 count), truncated at +/-20 — the standard integer
+# mechanism for count queries (Ghosh-Roughgarden-Sundararajan 2009).
+# alpha = 1/2 is chosen deliberately: the inverse CDF's thresholds are
+# exact powers of two on the common denominator 3*2^20, so noise
+# derivation is PURE int64 arithmetic — bit-identical across engines,
+# no ln()/exp() portability cliff. The per-group uniform draw comes from
+# a seeded integer LCG over the group key (deterministic so the DuckDB
+# oracle can replay it; production swaps the LCG for a CSPRNG draw —
+# that single expression is the only non-DP-grade piece).
+# Post-processing: counts clamp at 0 (post-processing preserves DP).
+# Scale shape: noise attaches AFTER the hash aggregate — one broadcast
+# range-join against a 41-row threshold table, O(groups) work, O(1)
+# metadata; the data-sized scan is exactly the plain count aggregate.
+# Reference parity: none (SURVEY.md §2.7) — north-star privacy extension.
+# ---------------------------------------------------------------------------
+_DP_TRUNC = 20  # truncate noise at +/-20 (tail mass ~2^-20 per side)
+_DP_DENOM = 3 * (1 << _DP_TRUNC)  # common denominator of the exact CDF
+
+
+def _dp_noise_rows() -> list[tuple[int, int, int]]:
+    """(noise, lo, hi) half-open uniform-draw intervals on [0, 3*2^20):
+    X = -k on [2^(20-k), 2^(21-k)), X = 0 on [2^20, 2^21), X = +j on
+    [3*2^20 - 2^(21-j), 3*2^20 - 2^(20-j)); the truncated mass folds
+    into the two end intervals."""
+    k = _DP_TRUNC
+    rows = []
+    for j in range(-k, k + 1):
+        if j < 0:
+            lo = 0 if j == -k else 1 << (_DP_TRUNC + j)
+            hi = 1 << (_DP_TRUNC + j + 1)
+        elif j == 0:
+            lo, hi = 1 << _DP_TRUNC, 1 << (_DP_TRUNC + 1)
+        else:
+            lo = _DP_DENOM - (1 << (_DP_TRUNC - j + 1))
+            hi = _DP_DENOM if j == k else _DP_DENOM - (1 << (_DP_TRUNC - j))
+        rows.append((j, lo, hi))
+    return rows
+
+
+@register(
+    "dp_noisy_nation_counts",
+    oracle=f"""
+        WITH counts AS (
+            SELECT c_nationkey, CAST(COUNT(*) AS BIGINT) AS n_true
+            FROM customer GROUP BY 1
+        ), drawn AS (
+            SELECT c_nationkey, n_true,
+                   (((CAST(c_nationkey AS BIGINT) * 1103515245 + 12345)
+                     % 2147483648) * 48271) % {_DP_DENOM} AS u
+            FROM counts
+        ), noise(noise, lo, hi) AS (
+            VALUES {', '.join(f'({j}, {lo}, {hi})' for j, lo, hi in _dp_noise_rows())}
+        )
+        SELECT d.c_nationkey,
+               d.n_true,
+               CAST(n.noise AS BIGINT) AS noise,
+               GREATEST(0, d.n_true + n.noise) AS n_noisy
+        FROM drawn d JOIN noise n ON d.u >= n.lo AND d.u < n.hi
+    """,
+    tags=("privacy", "dp", "customer", "agg"),
+)
+def dp_noisy_nation_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer")
+    counts = cust.groupBy("c_nationkey").agg(
+        F.count(F.lit(1)).cast("long").alias("n_true")
+    )
+    key = F.col("c_nationkey").cast("long")
+    a = (key * F.lit(1103515245).cast("long") + 12345) % F.lit(2147483648)
+    drawn = counts.withColumn(
+        "u", (a * F.lit(48271).cast("long")) % F.lit(_DP_DENOM)
+    )
+    noise = F.broadcast(
+        spark.createDataFrame(_dp_noise_rows(), "noise long, lo long, hi long")
+    )
+    joined = drawn.join(
+        noise, (F.col("u") >= F.col("lo")) & (F.col("u") < F.col("hi"))
+    )
+    zero = F.lit(0).cast("long")
+    return joined.select(
+        "c_nationkey",
+        "n_true",
+        "noise",
+        F.greatest(zero, F.col("n_true") + F.col("noise")).alias("n_noisy"),
     )

@@ -136,7 +136,9 @@ _DRIVER_CHECKED = frozenset({
     "events_session_window_batch", "events_sessionize_batch",
     "forecast_conformal_intervals", "hive_source_partition_pruned",
     "hll_distinct_users", "hll_merge_event_types",
-    "incremental_agg_maintenance", "join_skew_planner",
+    "join_skew_planner",
+    # incremental_agg_maintenance earned a row but its sum/avg arithmetic
+    # became integer-exact in cents (round 5) — listed in _RECHECK below.
     "lateral_top_customers_per_nation", "lineitem_ship_latency",
     "matryoshka_truncation_recall", "medallion_pipeline_rollup",
     # merge_full_cdc earned its r04 row but its restatement arithmetic
@@ -158,8 +160,9 @@ _DRIVER_CHECKED = frozenset({
 #: they are the only permitted absences) and ordered FIRST so the next
 #: driver pass re-earns their row before anything else. Round 5:
 #: merge_full_cdc's restatement arithmetic became integer-exact after
-#: its r04 row.
-_RECHECK = ("merge_full_cdc",)
+#: its r04 row; incremental_agg_maintenance's sum/avg moved to exact
+#: integer cents (order-independent merge, tie-free 4dp avg) likewise.
+_RECHECK = ("merge_full_cdc", "incremental_agg_maintenance")
 
 
 def all_specs() -> dict[str, QuerySpec]:

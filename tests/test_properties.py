@@ -3433,3 +3433,260 @@ def test_linkage_em_oracle_matches_reference(custs):
             )
     want = (lam, m["bal"], u["bal"], m["seg"], u["seg"], m["nam"], u["nam"], n_pairs)
     assert got_rows == [want]
+
+
+# ---------------------------------------------------------------------------
+# VERDICT r4 item 7: the other ROUND(x*100)-family oracles, property-tested
+# with exact-integer models over the cents domain (prices/balances/values in
+# the test tables are exact 2-decimal numbers, i.e. cents/100.0 doubles —
+# for |cents| < 2^45 the double (cents/100.0)*100.0 rounds back to exactly
+# cents, so ROUND(x*100) is tie-free by construction on this domain; the
+# only genuinely tie-PRONE arithmetic was the 4dp avg division in
+# incremental_agg_maintenance, now integer-exact like merge_full_cdc).
+# ---------------------------------------------------------------------------
+
+
+@settings(max_examples=50, deadline=None)
+@given(
+    custs=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=300),          # custkey
+            st.integers(min_value=-50000, max_value=50000),   # balance cents
+        ),
+        min_size=1,
+        max_size=60,
+    )
+)
+def test_scd2_merge_oracle_matches_reference(custs):
+    """The SCD2 merge oracle vs a Python cents-exact applier — pins the
+    change-batch predicate (custkey % 20), the +100.00 restatement, the
+    version-1 close-out flags, and tie-free cent rounding."""
+    import duckdb
+
+    from kafka_stream_job_spark.registry import all_specs
+
+    seen = {}
+    for ck, cents in custs:
+        seen.setdefault(ck, cents)
+    data = [(ck, cents / 100.0) for ck, cents in seen.items()]
+    oracle = all_specs()["scd2_customer_merge"].oracle
+    con = duckdb.connect()
+    con.execute("CREATE TABLE customer (c_custkey BIGINT, c_acctbal DOUBLE)")
+    con.executemany("INSERT INTO customer VALUES (?, ?)", data)
+    got = {tuple(r) for r in con.sql(oracle).fetchall()}
+
+    want = set()
+    for ck, cents in seen.items():
+        changed = ck % 20 == 0
+        want.add((ck, cents / 100.0, 1, not changed))
+        if changed:
+            want.add((ck, (cents + 10000) / 100.0, 2, True))
+    assert got == want
+
+
+@settings(max_examples=50, deadline=None)
+@given(
+    orders=st.lists(
+        st.tuples(
+            st.sampled_from(["1-URGENT", "2-HIGH"]),          # priority
+            st.sampled_from(["O", "F"]),                      # status
+            st.integers(min_value=1, max_value=60_000_000),   # price cents
+            st.integers(min_value=-400, max_value=400),       # days vs cutoff
+        ),
+        min_size=1,
+        max_size=60,
+    )
+)
+def test_incremental_agg_oracle_matches_reference(orders):
+    """The IVM merge oracle vs an exact-integer model — pins the
+    order-independent cents sum and the tie-free 4dp average
+    ((a*2+b) // (2b)), including exact .00005 ties the old double
+    arithmetic could flip."""
+    import datetime
+
+    import duckdb
+
+    from kafka_stream_job_spark.registry import all_specs
+
+    cutoff = datetime.datetime(2000, 1, 1)
+    data = [
+        (pr, stt, cents / 100.0, cutoff + datetime.timedelta(days=d))
+        for pr, stt, cents, d in orders
+    ]
+    oracle = all_specs()["incremental_agg_maintenance"].oracle
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE orders (o_orderpriority VARCHAR, o_orderstatus VARCHAR,"
+        " o_totalprice DOUBLE, o_orderdate TIMESTAMP)"
+    )
+    con.executemany("INSERT INTO orders VALUES (?, ?, ?, ?)", data)
+    got = {tuple(r) for r in con.sql(oracle).fetchall()}
+
+    groups: dict[tuple, list] = {}
+    for pr, stt, cents, _ in orders:
+        groups.setdefault((pr, stt), []).append(cents)
+    want = set()
+    for (pr, stt), cs in groups.items():
+        n = len(cs)
+        s = sum(cs)
+        want.add(
+            (
+                pr,
+                stt,
+                n,
+                s / 100.0,
+                min(cs) / 100.0,
+                max(cs) / 100.0,
+                ((s * 200 + n) // (2 * n)) / 10000.0,
+            )
+        )
+    assert got == want
+
+
+@settings(max_examples=50, deadline=None)
+@given(
+    evs=st.lists(
+        st.tuples(
+            st.one_of(st.none(), st.integers(min_value=0, max_value=5)),   # user
+            st.integers(min_value=0, max_value=3),                         # hour
+            st.one_of(st.none(), st.sampled_from(["view", "click"])),      # type
+            st.integers(min_value=-2000, max_value=2000),                  # cents
+        ),
+        min_size=1,
+        max_size=60,
+    )
+)
+def test_medallion_rollup_oracle_matches_reference(evs):
+    """The medallion oracle vs a Python layer-by-layer model — pins the
+    silver quality gate (non-null keys, value > 0), keep-lowest-event_id
+    dedup on (user, ts, type), and the gold exact-cents rollup."""
+    import datetime
+
+    import duckdb
+
+    from kafka_stream_job_spark.registry import all_specs
+
+    base = datetime.datetime(2024, 3, 1)
+    data = [
+        (eid, base + datetime.timedelta(hours=h), u, t, cents / 100.0)
+        for eid, (u, h, t, cents) in enumerate(evs)
+    ]
+    oracle = all_specs()["medallion_pipeline_rollup"].oracle
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE events (event_id BIGINT, ts TIMESTAMP, user_id BIGINT,"
+        " event_type VARCHAR, value DOUBLE)"
+    )
+    con.executemany("INSERT INTO events VALUES (?, ?, ?, ?, ?)", data)
+    got = {tuple(r) for r in con.sql(oracle).fetchall()}
+
+    bronze_rows = len(data)
+    best: dict[tuple, tuple] = {}  # (user, ts, type) -> (event_id, cents)
+    for eid, (u, h, t, cents) in enumerate(evs):
+        if u is None or t is None or cents <= 0:
+            continue
+        k = (u, h, t)
+        if k not in best or eid < best[k][0]:
+            best[k] = (eid, cents)
+    silver_rows = len(best)
+    gold: dict[tuple, list] = {}
+    for (u, h, t), (_, cents) in best.items():
+        gold.setdefault((base.date().isoformat(), t), []).append(cents)
+    want = {
+        (day, t, len(cs), sum(cs), bronze_rows, silver_rows)
+        for (day, t), cs in gold.items()
+    }
+    assert got == want
+
+
+@settings(max_examples=50, deadline=None)
+@given(
+    parts=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=500),   # partkey
+            st.sampled_from(["B#1", "B#2", "B#3"]),    # brand
+        ),
+        min_size=1,
+        max_size=60,
+    )
+)
+def test_surrogate_key_oracle_matches_reference(parts):
+    """The surrogate-key contract oracle vs a sorted-enumerate model —
+    pins dense 1..N contiguity and the order-defining (brand, partkey)
+    key; pure integer arithmetic, no rounding surface at all."""
+    import duckdb
+
+    from kafka_stream_job_spark.registry import all_specs
+
+    seen = {}
+    for pk, b in parts:
+        seen.setdefault(pk, b)
+    data = [(pk, b) for pk, b in seen.items()]
+    oracle = all_specs()["surrogate_key_assignment"].oracle
+    con = duckdb.connect()
+    con.execute("CREATE TABLE part (p_partkey BIGINT, p_brand VARCHAR)")
+    con.executemany("INSERT INTO part VALUES (?, ?)", data)
+    got = {tuple(r) for r in con.sql(oracle).fetchall()}
+
+    ordered = sorted(seen.items(), key=lambda kv: (kv[1], kv[0]))
+    n = len(ordered)
+    checksum = sum((i + 1) * pk for i, (pk, _) in enumerate(ordered))
+    want = {(n, 1, n, n, True, checksum)}
+    assert got == want
+
+
+def test_dp_noise_intervals_tile_the_draw_space():
+    """The truncated-geometric inverse-CDF table must tile [0, 3*2^20)
+    exactly — disjoint, gap-free, with interior interval widths equal to
+    the exact PMF masses 2^(20-|j|) and the truncated tail mass folded
+    into the two end intervals."""
+    from kafka_stream_job_spark.operators.relational import (
+        _DP_DENOM,
+        _DP_TRUNC,
+        _dp_noise_rows,
+    )
+
+    rows = _dp_noise_rows()
+    assert [j for j, _, _ in rows] == list(range(-_DP_TRUNC, _DP_TRUNC + 1))
+    by_u = sorted(rows, key=lambda r: r[1])
+    assert by_u[0][1] == 0 and by_u[-1][2] == _DP_DENOM
+    for (_, _, hi), (_, lo, _) in zip(by_u, by_u[1:]):
+        assert hi == lo  # gap-free and disjoint
+    for j, lo, hi in rows:
+        if abs(j) < _DP_TRUNC:
+            assert hi - lo == 1 << (_DP_TRUNC - abs(j))
+        else:  # end intervals absorb the tail: mass 2^0 + sum beyond = 2
+            assert hi - lo == 2
+
+
+@settings(max_examples=50, deadline=None)
+@given(
+    nations=st.lists(
+        st.integers(min_value=0, max_value=40), min_size=1, max_size=80
+    )
+)
+def test_dp_noisy_counts_oracle_matches_reference(nations):
+    """The DP oracle vs a Python replay of the LCG + inverse-CDF walk —
+    pins the integer noise derivation end to end."""
+    import duckdb
+
+    from kafka_stream_job_spark.operators.relational import (
+        _DP_DENOM,
+        _dp_noise_rows,
+    )
+    from kafka_stream_job_spark.registry import all_specs
+
+    oracle = all_specs()["dp_noisy_nation_counts"].oracle
+    con = duckdb.connect()
+    con.execute("CREATE TABLE customer (c_nationkey BIGINT)")
+    con.executemany("INSERT INTO customer VALUES (?)", [(n,) for n in nations])
+    got = {tuple(r) for r in con.sql(oracle).fetchall()}
+
+    from collections import Counter
+
+    want = set()
+    for nk, n_true in Counter(nations).items():
+        u = (((nk * 1103515245 + 12345) % 2147483648) * 48271) % _DP_DENOM
+        noise = next(j for j, lo, hi in _dp_noise_rows() if lo <= u < hi)
+        want.add((nk, n_true, noise, max(0, n_true + noise)))
+    assert got == want
