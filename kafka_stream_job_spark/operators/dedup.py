@@ -1734,3 +1734,80 @@ def minhash_bbit_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
             pround(F.abs(est_bbit - exact), 4).alias("abs_err_bbit"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# CORPUS SHINGLE NOVELTY — how much of each document's content is NEW at
+# the point it enters the corpus (doc_id = accretion order)? A shingle
+# "first appears" in the minimum doc_id that contains it; every later
+# occurrence is repeated content. The per-language rollup is the
+# freshness dashboard a crawl pipeline watches: novelty_bp trending down
+# means the crawler is re-reading the web faster than the web changes —
+# time to re-weight seeds, before dedup spends compute discarding it.
+# Complements dedup_incremental_delta (which answers "is THIS batch
+# duplicated" against a band index) by measuring the corpus's own
+# marginal-novelty curve in one pass.
+# Scale shape: one shingle-keyed shuffle for the first-occurrence
+# aggregate, re-joined to the shingle set on the same key (exchange
+# reuse), then a doc-keyed partial agg and a vocabulary-bounded lang
+# rollup. Integer basis points via div — no float drift in the hash.
+# Reference parity: none (SURVEY.md §2.7) — north-star dedup extension.
+# ---------------------------------------------------------------------------
+@register(
+    "corpus_shingle_novelty",
+    oracle=f"""
+        WITH shingles AS ({_SHINGLES_SQL}),
+        first_seen AS (
+            SELECT shingle, MIN(doc_id) AS first_doc
+            FROM shingles GROUP BY 1
+        ),
+        per_doc AS (
+            SELECT s.doc_id,
+                   CAST(COUNT(*) AS BIGINT) AS n_sh,
+                   CAST(SUM(CASE WHEN f.first_doc < s.doc_id
+                                 THEN 1 ELSE 0 END) AS BIGINT) AS n_seen
+            FROM shingles s JOIN first_seen f USING (shingle)
+            GROUP BY 1
+        )
+        SELECT d.lang,
+               CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(p.n_sh) AS BIGINT) AS sum_shingles,
+               CAST(SUM(p.n_seen) AS BIGINT) AS sum_seen_before,
+               (CAST(SUM(p.n_sh - p.n_seen) AS BIGINT) * 10000)
+                   // CAST(SUM(p.n_sh) AS BIGINT) AS novelty_bp
+        FROM per_doc p JOIN documents d USING (doc_id)
+        GROUP BY 1
+    """,
+    tags=("dedup", "novelty", "documents", "agg"),
+)
+def corpus_shingle_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kafka_stream_job_spark.operators._portable import idiv
+
+    docs = load_table(spark, sf_dir, "documents")
+    shingles = _shingles(docs)
+    first_seen = shingles.groupBy("shingle").agg(
+        F.min("doc_id").alias("first_doc")
+    )
+    per_doc = (
+        shingles.join(first_seen, "shingle")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_sh"),
+            F.sum((F.col("first_doc") < F.col("doc_id")).cast("long"))
+            .cast("long")
+            .alias("n_seen"),
+        )
+    )
+    return (
+        per_doc.join(docs.select("doc_id", "lang"), "doc_id")
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("n_sh").cast("long").alias("sum_shingles"),
+            F.sum("n_seen").cast("long").alias("sum_seen_before"),
+            idiv(
+                F.sum(F.col("n_sh") - F.col("n_seen")).cast("long") * 10000,
+                F.sum("n_sh").cast("long"),
+            ).alias("novelty_bp"),
+        )
+    )

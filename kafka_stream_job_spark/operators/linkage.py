@@ -109,10 +109,9 @@ def _record_views(cust):
     return crm, billing
 
 
-@register(
-    "linkage_fellegi_sunter",
-    oracle=f"""
-        WITH {_CRM_BILLING_SQL}, pairs AS (
+#: The blocked-and-scored pair CTE — factored so the FS report and the
+#: entity-clustering query run the IDENTICAL milliweight arithmetic.
+_SCORED_PAIRS_SQL = f"""pairs AS (
             SELECT a.nation, a.a_key, b.b_key,
                    CAST(ROUND(CAST(1000.0 AS DOUBLE) * (
                        CASE WHEN a.cents = b.cents
@@ -125,7 +124,40 @@ def _record_views(cust):
             FROM crm a JOIN billing b
               ON a.nation = b.nation
              AND a.cents // {_BAND_CENTS} = b.cents // {_BAND_CENTS}
+        )"""
+
+
+def _scored_pairs(cust) -> DataFrame:
+    """Spark twin of _SCORED_PAIRS_SQL: blocked candidate pairs with the
+    integer milliweight — shared by the FS report and the clustering."""
+    crm, billing = _record_views(cust)
+    w = F.lit  # full-precision literals identical to the oracle's
+    weight = (
+        F.when(F.col("a_cents") == F.col("b_cents"), w(_W["bal_a"])).otherwise(
+            w(_W["bal_d"])
         )
+        + F.when(F.col("a_seg") == F.col("b_seg"), w(_W["seg_a"])).otherwise(
+            w(_W["seg_d"])
+        )
+        + F.when(F.col("a_nam3") == F.col("b_nam3"), w(_W["nam_a"])).otherwise(
+            w(_W["nam_d"])
+        )
+    )
+    return crm.join(
+        billing,
+        (crm.nation == billing.nation) & (crm.a_band == billing.b_band),
+    ).select(
+        crm.nation,
+        "a_key",
+        "b_key",
+        F.round(weight * 1000.0, 0).cast("long").alias("milliweight"),
+    )
+
+
+@register(
+    "linkage_fellegi_sunter",
+    oracle=f"""
+        WITH {_CRM_BILLING_SQL}, {_SCORED_PAIRS_SQL}
         SELECT CAST(nation AS INT) AS nation,
                CAST(COUNT(*) AS BIGINT) AS n_pairs,
                CAST(SUM(CASE WHEN milliweight > {_THRESHOLD_MILLI}
@@ -143,32 +175,7 @@ def _record_views(cust):
     tags=("linkage", "entity-resolution", "blocking", "customer"),
 )
 def linkage_fellegi_sunter(spark: SparkSession, sf_dir: str) -> DataFrame:
-    crm, billing = _record_views(load_table(spark, sf_dir, "customer"))
-
-    w = F.lit  # full-precision literals identical to the oracle's
-    weight = (
-        F.when(F.col("a_cents") == F.col("b_cents"), w(_W["bal_a"])).otherwise(
-            w(_W["bal_d"])
-        )
-        + F.when(F.col("a_seg") == F.col("b_seg"), w(_W["seg_a"])).otherwise(
-            w(_W["seg_d"])
-        )
-        + F.when(F.col("a_nam3") == F.col("b_nam3"), w(_W["nam_a"])).otherwise(
-            w(_W["nam_d"])
-        )
-    )
-    pairs = (
-        crm.join(
-            billing,
-            (crm.nation == billing.nation) & (crm.a_band == billing.b_band),
-        )
-        .select(
-            crm.nation,
-            "a_key",
-            "b_key",
-            F.round(weight * 1000.0, 0).cast("long").alias("milliweight"),
-        )
-    )
+    pairs = _scored_pairs(load_table(spark, sf_dir, "customer"))
     pred = F.col("milliweight") > _THRESHOLD_MILLI
     return (
         pairs.groupBy(F.col("nation").cast("int").alias("nation"))
@@ -369,3 +376,120 @@ def linkage_em_parameters(spark: SparkSession, sf_dir: str) -> DataFrame:
     for f in _FIELDS:
         out_cols += [f"m_{f}", f"u_{f}"]
     return params.select(*out_cols, F.col("n_pairs").cast("long").alias("n_pairs"))
+
+
+# ---------------------------------------------------------------------------
+# ENTITY CLUSTERING — the step after pairwise classification: predicted
+# match pairs are only EDGES; the deliverable of entity resolution is the
+# partition of records into entities, i.e. connected components over
+# those edges (Splink's cluster_pairwise_predictions step). Records in
+# no predicted pair are singleton entities. The report is the cluster-
+# size histogram plus an identity checksum (sum of canonical min-key
+# component ids per size), so a single mis-clustered record flips the
+# hash. Size-2+ clusters here are exactly the classifier's false-positive
+# chains — the histogram is the QA artifact a steward reads before
+# approving an ER run.
+# Scale shape: CC runs ONLY on the predicted-pair subgraph (false-
+# positive edges are rare by construction — the data-sized record space
+# never enters the iteration); each round is one join + min-aggregate on
+# the edge set, early-exits when labels stabilize, and the singleton
+# complement is a broadcast-able anti-join against edge endpoints. The
+# final histogram is a two-level bounded aggregate.
+# ---------------------------------------------------------------------------
+_CLUSTER_CC_ITERS = 12  # diameter bound for FP chains; early-exit below
+
+
+@register(
+    "linkage_entity_clusters",
+    oracle=f"""
+        WITH RECURSIVE {_CRM_BILLING_SQL}, {_SCORED_PAIRS_SQL},
+        pred AS (
+            SELECT a_key, b_key FROM pairs
+            WHERE milliweight > {_THRESHOLD_MILLI} AND a_key <> b_key
+        ),
+        edges AS (
+            SELECT a_key AS src, b_key AS dst FROM pred
+            UNION
+            SELECT b_key, a_key FROM pred
+        ),
+        verts AS (SELECT DISTINCT src AS key FROM edges),
+        reach(src, dst) AS (
+            SELECT key, key FROM verts
+            UNION
+            SELECT r.src, e.dst FROM reach r JOIN edges e ON e.src = r.dst
+        ),
+        comp AS (
+            SELECT src AS key, MIN(dst) AS component FROM reach GROUP BY 1
+            UNION ALL
+            SELECT c_custkey, c_custkey FROM customer
+            WHERE c_custkey NOT IN (SELECT key FROM verts)
+        ),
+        sizes AS (
+            SELECT component, CAST(COUNT(*) AS BIGINT) AS cluster_size
+            FROM comp GROUP BY 1
+        )
+        SELECT cluster_size,
+               CAST(COUNT(*) AS BIGINT) AS n_clusters,
+               CAST(cluster_size * COUNT(*) AS BIGINT) AS n_records,
+               CAST(SUM(component) AS BIGINT) AS id_checksum
+        FROM sizes GROUP BY 1
+    """,
+    tags=("linkage", "entity-resolution", "graph", "iterative", "customer"),
+)
+def linkage_entity_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer")
+    pred = (
+        _scored_pairs(cust)
+        .filter(
+            (F.col("milliweight") > _THRESHOLD_MILLI)
+            & (F.col("a_key") != F.col("b_key"))
+        )
+        .select("a_key", "b_key")
+    )
+    edges = (
+        pred.select(F.col("a_key").alias("src"), F.col("b_key").alias("dst"))
+        .unionByName(
+            pred.select(F.col("b_key").alias("src"), F.col("a_key").alias("dst"))
+        )
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    labels = (
+        edges.select(F.col("src").alias("key"))
+        .distinct()
+        .select("key", F.col("key").alias("component"))
+        .localCheckpoint(eager=False)
+    )
+    for _ in range(_CLUSTER_CC_ITERS):
+        msgs = edges.join(labels, edges.src == labels.key).select(
+            F.col("dst").alias("key"), "component"
+        )
+        new_labels = (
+            labels.unionByName(msgs)
+            .groupBy("key")
+            .agg(F.min("component").alias("component"))
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new_labels.join(labels.withColumnRenamed("component", "old"), "key")
+            .filter(F.col("component") != F.col("old"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    singletons = (
+        cust.select(F.col("c_custkey").alias("key"))
+        .join(labels.select("key"), "key", "left_anti")
+        .select("key", F.col("key").alias("component"))
+    )
+    sizes = (
+        labels.unionByName(singletons)
+        .groupBy("component")
+        .agg(F.count(F.lit(1)).cast("long").alias("cluster_size"))
+    )
+    return sizes.groupBy("cluster_size").agg(
+        F.count(F.lit(1)).cast("long").alias("n_clusters"),
+        (F.col("cluster_size") * F.count(F.lit(1))).cast("long").alias("n_records"),
+        F.sum("component").cast("long").alias("id_checksum"),
+    )

@@ -9530,3 +9530,79 @@ def dp_noisy_nation_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         "noise",
         F.greatest(zero, F.col("n_true") + F.col("noise")).alias("n_noisy"),
     )
+
+
+# ---------------------------------------------------------------------------
+# FUNCTIONAL-DEPENDENCY discovery — the other half of schema profiling
+# next to fk_inclusion_profile's INCLUSION dependencies: does A -> B
+# hold exactly, and if not, how badly is it violated? Classic TANE-style
+# counting reduced to its distributed core: A -> B holds iff every A
+# value maps to exactly one B, i.e. no group under A has
+# COUNT(DISTINCT B) > 1. The profile reports, per candidate, the lhs
+# cardinality, the distinct-pair cardinality, how many lhs values
+# violate, and the worst fan-out — the numbers a data steward needs to
+# decide between "declare it a constraint" and "quarantine violators".
+# Candidates span true keys (o_orderkey -> o_custkey) and deliberate
+# non-FDs (c_nationkey -> c_mktsegment) so the violation columns are
+# exercised in both directions.
+# Scale shape: each candidate is groupBy(A) agg(countDistinct B) — a
+# 2-column pruned scan into a partial-agg-below-exchange pipeline —
+# followed by a constant-width summary reduce; candidate summaries are
+# one row each, unioned. No joins, no windows, nothing data-sized after
+# the first aggregate.
+# Reference parity: none (SURVEY.md §2.7) — profiling extension.
+# ---------------------------------------------------------------------------
+_FD_CANDIDATES: tuple[tuple[str, str, str], ...] = (
+    ("nation", "n_nationkey", "n_regionkey"),     # key -> attr: holds
+    ("part", "p_partkey", "p_brand"),             # key -> attr: holds
+    ("part", "p_brand", "p_type"),                # cross attrs: fails
+    ("customer", "c_nationkey", "c_mktsegment"),  # fails broadly
+    ("orders", "o_orderkey", "o_custkey"),        # key -> attr: holds
+    ("supplier", "s_suppkey", "s_nationkey"),     # key -> attr: holds
+    ("lineitem", "l_orderkey", "l_returnflag"),   # fails per multi-line order
+)
+
+
+@register(
+    "fd_discovery_profile",
+    oracle=" UNION ALL ".join(
+        f"""
+        SELECT '{t}.{a}->{b}' AS fd,
+               CAST(COUNT(*) AS BIGINT) AS n_lhs,
+               CAST(SUM(k) AS BIGINT) AS n_pairs,
+               CAST(SUM(CASE WHEN k > 1 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_violating_lhs,
+               CAST(MAX(k) AS BIGINT) AS max_rhs_per_lhs,
+               (SUM(CASE WHEN k > 1 THEN 1 ELSE 0 END) = 0) AS holds
+        FROM (SELECT {a}, CAST(COUNT(DISTINCT {b}) AS BIGINT) AS k
+              FROM {t} GROUP BY 1)
+        """
+        for t, a, b in _FD_CANDIDATES
+    ),
+    tags=("profiling", "schema-discovery", "fd", "agg"),
+)
+def fd_discovery_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    out = None
+    for t, a, b in _FD_CANDIDATES:
+        per_lhs = (
+            load_table(spark, sf_dir, t)
+            .groupBy(a)
+            .agg(F.countDistinct(b).cast("long").alias("k"))
+        )
+        viol = F.sum((F.col("k") > 1).cast("long")).cast("long")
+        row = per_lhs.agg(
+            F.count(F.lit(1)).cast("long").alias("n_lhs"),
+            F.sum("k").cast("long").alias("n_pairs"),
+            viol.alias("n_violating_lhs"),
+            F.max("k").cast("long").alias("max_rhs_per_lhs"),
+            (viol == 0).alias("holds"),
+        ).select(
+            F.lit(f"{t}.{a}->{b}").alias("fd"),
+            "n_lhs",
+            "n_pairs",
+            "n_violating_lhs",
+            "max_rhs_per_lhs",
+            "holds",
+        )
+        out = row if out is None else out.unionByName(row)
+    return out
