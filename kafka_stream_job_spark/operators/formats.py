@@ -713,3 +713,115 @@ def bucketed_join_colocated(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("revenue_cents"),
     )
+
+
+# ---------------------------------------------------------------------------
+# ORPHAN-FILE AUDIT — the storage-maintenance check behind Iceberg's
+# remove_orphan_files / Delta VACUUM: files physically present in a
+# table's data directory that NO committed manifest references (crashed
+# writers, aborted compactions) waste storage and, worse, get picked up
+# by naive directory-listing readers. Staged fixture: one parquet file
+# per event type plus a manifest that deliberately omits the 'error'
+# and 'signup' files — the deterministic stand-ins for uncommitted
+# writer output. The audit lists ACTUAL files (binaryFile metadata scan,
+# content column pruned — only paths ship), anti-joins the manifest,
+# then quantifies each orphan's row payload by reading the data dir with
+# the _metadata.file_name hidden column and semi-joining the orphan set.
+# Scale shape: listings and manifests are metadata-sized (broadcast);
+# the only data-sized pass is the row-count aggregate, which prunes to
+# one column + hidden metadata. In production the listing comes from the
+# catalog's snapshot API instead of binaryFile — the audit joins stay
+# identical.
+# ---------------------------------------------------------------------------
+_ORPHAN_TYPES = ("error", "signup")  # files written but never committed
+
+
+def orphan_stage(spark: SparkSession, sf_dir: str) -> str:
+    src = os.path.join(sf_dir, "events.parquet")
+
+    def build(tmp: str) -> None:
+        import json
+
+        import pyarrow.compute as pc
+        import pyarrow.parquet as pq
+
+        t = pq.read_table(src, columns=["event_id", "event_type"])
+        data_dir = os.path.join(tmp, "data")
+        os.makedirs(data_dir)
+        types = sorted(set(t.column("event_type").to_pylist()))
+        with open(os.path.join(tmp, "manifest.json"), "w") as mf:
+            for et in types:
+                fname = f"part-{et}.parquet"
+                pq.write_table(
+                    t.filter(pc.equal(t.column("event_type"), et)),
+                    os.path.join(data_dir, fname),
+                )
+                if et not in _ORPHAN_TYPES:
+                    mf.write(json.dumps({"file_name": fname}) + "\n")
+
+    return _staged_dir("/tmp/ksj-orphan-stage", src, "orphan_v1", build)
+
+
+@register(
+    "orphan_file_audit",
+    oracle=f"""
+        WITH per_type AS (
+            SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_rows
+            FROM events GROUP BY 1
+        ),
+        stats AS (
+            SELECT CAST(COUNT(*) AS BIGINT) AS n_actual_files,
+                   CAST(SUM(CASE WHEN event_type IN
+                            {tuple(_ORPHAN_TYPES)!r}
+                            THEN 0 ELSE 1 END) AS BIGINT) AS n_manifest_files,
+                   CAST(SUM(CASE WHEN event_type IN
+                            {tuple(_ORPHAN_TYPES)!r}
+                            THEN 1 ELSE 0 END) AS BIGINT) AS n_orphan_files
+            FROM per_type
+        )
+        SELECT 'part-' || p.event_type || '.parquet' AS file_name,
+               p.n_rows AS n_orphan_rows,
+               s.n_actual_files, s.n_manifest_files, s.n_orphan_files
+        FROM per_type p CROSS JOIN stats s
+        WHERE p.event_type IN {tuple(_ORPHAN_TYPES)!r}
+    """,
+    tags=("storage", "maintenance", "audit", "events"),
+)
+def orphan_file_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    stage = orphan_stage(spark, sf_dir)
+    actual = (
+        spark.read.format("binaryFile")
+        .load(os.path.join(stage, "data"))
+        .select(
+            F.regexp_extract(F.col("path"), r"([^/]+)$", 1).alias("file_name")
+        )
+    )
+    manifest = spark.read.schema("file_name string").json(
+        os.path.join(stage, "manifest.json")
+    )
+    orphans = actual.join(F.broadcast(manifest), "file_name", "left_anti")
+    stats = (
+        actual.agg(F.count(F.lit(1)).cast("long").alias("n_actual_files"))
+        .crossJoin(
+            F.broadcast(
+                manifest.agg(
+                    F.count(F.lit(1)).cast("long").alias("n_manifest_files")
+                )
+            )
+        )
+        .crossJoin(
+            F.broadcast(
+                orphans.agg(
+                    F.count(F.lit(1)).cast("long").alias("n_orphan_files")
+                )
+            )
+        )
+    )
+    rows = (
+        spark.read.parquet(os.path.join(stage, "data"))
+        .select(F.col("_metadata.file_name").alias("file_name"))
+        .join(F.broadcast(orphans), "file_name", "left_semi")
+        .groupBy("file_name")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_orphan_rows"))
+    )
+    return rows.crossJoin(F.broadcast(stats))

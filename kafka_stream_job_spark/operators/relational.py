@@ -9606,3 +9606,117 @@ def fd_discovery_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         out = row if out is None else out.unionByName(row)
     return out
+
+
+# ---------------------------------------------------------------------------
+# K-ANONYMITY GENERALIZATION — the ENFORCEMENT step the audit quartet
+# (k_anonymity_audit, l_diversity_audit, t_closeness_audit,
+# dp_noisy_nation_counts) stops short of: walk each record up the
+# quasi-identifier generalization lattice until its class reaches k >= K,
+# suppressing what never does. Levels: 0 = (nation, segment) as-is,
+# 1 = nation generalized to region, 2 = segment wiped (region, *),
+# 3 = suppressed. A record settles at the FIRST level whose class (among
+# records still unsettled) meets K — the greedy minimal-distortion
+# cascade (Samarati 2001 full-domain generalization, per-level greedy).
+# The report is one row per level: classes, records, smallest class —
+# the distortion-vs-privacy tradeoff table a release reviewer signs.
+# Scale shape: three bounded hash aggregates (class keys are vocabulary
+# products, <= |nations|x|segments|) with semi/anti joins against
+# broadcast-sized class lists; records never self-join and the lattice
+# depth is a compile-time constant.
+# ---------------------------------------------------------------------------
+_KANON_K = 10
+
+
+@register(
+    "k_anonymity_generalize",
+    oracle=f"""
+        WITH c AS (
+            SELECT c_custkey, c_nationkey AS nat, c_mktsegment AS seg,
+                   n_regionkey AS reg
+            FROM customer JOIN nation ON c_nationkey = n_nationkey
+        ),
+        l0 AS (SELECT nat, seg, CAST(COUNT(*) AS BIGINT) AS n
+               FROM c GROUP BY 1, 2),
+        rem1 AS (SELECT c.* FROM c JOIN l0 USING (nat, seg)
+                 WHERE l0.n < {_KANON_K}),
+        l1 AS (SELECT reg, seg, CAST(COUNT(*) AS BIGINT) AS n
+               FROM rem1 GROUP BY 1, 2),
+        rem2 AS (SELECT rem1.* FROM rem1 JOIN l1 USING (reg, seg)
+                 WHERE l1.n < {_KANON_K}),
+        l2 AS (SELECT reg, CAST(COUNT(*) AS BIGINT) AS n
+               FROM rem2 GROUP BY 1)
+        SELECT 0 AS level, CAST(COUNT(*) AS BIGINT) AS n_classes,
+               CAST(COALESCE(SUM(n), 0) AS BIGINT) AS n_records,
+               CAST(COALESCE(MIN(n), 0) AS BIGINT) AS min_class_size
+        FROM l0 WHERE n >= {_KANON_K}
+        UNION ALL
+        SELECT 1, CAST(COUNT(*) AS BIGINT),
+               CAST(COALESCE(SUM(n), 0) AS BIGINT),
+               CAST(COALESCE(MIN(n), 0) AS BIGINT)
+        FROM l1 WHERE n >= {_KANON_K}
+        UNION ALL
+        SELECT 2, CAST(COUNT(*) AS BIGINT),
+               CAST(COALESCE(SUM(n), 0) AS BIGINT),
+               CAST(COALESCE(MIN(n), 0) AS BIGINT)
+        FROM l2 WHERE n >= {_KANON_K}
+        UNION ALL
+        SELECT 3, 0,
+               CAST(COALESCE(SUM(n), 0) AS BIGINT), 0
+        FROM l2 WHERE n < {_KANON_K}
+    """,
+    tags=("privacy", "anonymization", "customer", "agg"),
+)
+def k_anonymity_generalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    c = cust.select(
+        "c_custkey",
+        F.col("c_nationkey").alias("nat"),
+        F.col("c_mktsegment").alias("seg"),
+    ).join(
+        F.broadcast(
+            nation.select(
+                F.col("n_nationkey").alias("nat"),
+                F.col("n_regionkey").alias("reg"),
+            )
+        ),
+        "nat",
+    )
+
+    def level_row(classes: DataFrame, level: int) -> DataFrame:
+        kept = classes.filter(F.col("n") >= _KANON_K)
+        return kept.agg(
+            F.lit(level).alias("level"),
+            F.count(F.lit(1)).cast("long").alias("n_classes"),
+            F.coalesce(F.sum("n"), F.lit(0)).cast("long").alias("n_records"),
+            F.coalesce(F.min("n"), F.lit(0)).cast("long").alias("min_class_size"),
+        )
+
+    l0 = c.groupBy("nat", "seg").agg(F.count(F.lit(1)).cast("long").alias("n"))
+    rem1 = c.join(
+        F.broadcast(l0.filter(F.col("n") < _KANON_K).select("nat", "seg")),
+        ["nat", "seg"],
+        "left_semi",
+    )
+    l1 = rem1.groupBy("reg", "seg").agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+    rem2 = rem1.join(
+        F.broadcast(l1.filter(F.col("n") < _KANON_K).select("reg", "seg")),
+        ["reg", "seg"],
+        "left_semi",
+    )
+    l2 = rem2.groupBy("reg").agg(F.count(F.lit(1)).cast("long").alias("n"))
+    suppressed = l2.filter(F.col("n") < _KANON_K).agg(
+        F.lit(3).alias("level"),
+        F.lit(0).cast("long").alias("n_classes"),
+        F.coalesce(F.sum("n"), F.lit(0)).cast("long").alias("n_records"),
+        F.lit(0).cast("long").alias("min_class_size"),
+    )
+    return (
+        level_row(l0, 0)
+        .unionByName(level_row(l1, 1))
+        .unionByName(level_row(l2, 2))
+        .unionByName(suppressed)
+    )

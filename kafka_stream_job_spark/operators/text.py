@@ -2469,3 +2469,103 @@ def bpe_fertility_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
             "chars_per_token_bp"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# PHRASE-BLOCKLIST FILTER — the safety/compliance gate every corpus
+# pipeline runs before training: match documents against a curated
+# phrase list and report, per phrase, how many documents it flags and
+# how often it occurs (the numbers that decide whether a phrase is a
+# surgical filter or a corpus-killer). Matching is token-boundary-exact
+# (padded-space needle over the shared normalizer), not substring —
+# 'art' must not flag 'part'. Occurrences per doc are counted with the
+# portable length-difference identity, all integer.
+# Scale shape: the blocklist is a broadcast literal (curated lists are
+# thousands of rows, never data-sized) nested-loop-joined against the
+# corpus — one corpus scan for the whole list — then a phrase-keyed
+# bounded aggregate. For 100k+ phrase lists the same query swaps the
+# LIKE for an Aho-Corasick mapInPandas seam; the report contract stays.
+# Reference parity: none (SURVEY.md §2.7) — north-star text extension.
+# ---------------------------------------------------------------------------
+from kafka_stream_job_spark.operators.dedup import _NORM_SQL as _BL_NORM_SQL
+
+_BLOCKLIST_PHRASES: tuple[str, ...] = (
+    "hash join",
+    "big table",
+    "sort merge",
+    "slow scan",
+    "data loss",  # deliberately absent from the corpus: zero-hit row
+)
+
+
+@register(
+    "blocklist_phrase_filter",
+    oracle=f"""
+        WITH norm AS (
+            SELECT doc_id, ' ' || {_BL_NORM_SQL} || ' ' AS padded
+            FROM documents
+        ),
+        phrases(phrase) AS (
+            VALUES {', '.join(f"('{p}')" for p in _BLOCKLIST_PHRASES)}
+        ),
+        hits AS (
+            SELECT p.phrase, n.doc_id,
+                   -- matched iff at least one padded occurrence
+                   LENGTH(n.padded)
+                    - LENGTH(REPLACE(n.padded, ' ' || p.phrase || ' ',
+                                     ' ' || p.phrase)) AS n_occ
+            FROM phrases p CROSS JOIN norm n
+        )
+        SELECT phrase,
+               CAST(SUM(CASE WHEN n_occ > 0 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_docs_matched,
+               CAST(SUM(n_occ) AS BIGINT) AS n_occurrences,
+               (CAST(SUM(CASE WHEN n_occ > 0 THEN 1 ELSE 0 END) AS BIGINT)
+                   * 10000)
+                   // (SELECT COUNT(*) FROM documents) AS doc_share_bp
+        FROM hits
+        GROUP BY phrase
+    """,
+    tags=("text", "safety", "blocklist", "documents"),
+)
+def blocklist_phrase_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kafka_stream_job_spark.operators._portable import idiv
+    from kafka_stream_job_spark.operators.dedup import _norm_text
+
+    docs = load_table(spark, sf_dir, "documents")
+    padded = F.concat(F.lit(" "), _norm_text(), F.lit(" "))
+    norm = docs.select("doc_id", padded.alias("padded"))
+    phrases = F.broadcast(
+        spark.createDataFrame(
+            [(p,) for p in _BLOCKLIST_PHRASES], "phrase string"
+        )
+    )
+    needle = F.concat(F.lit(" "), F.col("phrase"), F.lit(" "))
+    # trailing-space-stripped replacement shortens the text by ONE space
+    # per non-overlapping occurrence: exact integer occurrence count.
+    shorter = F.replace(
+        F.col("padded"), needle, F.concat(F.lit(" "), F.col("phrase"))
+    )
+    hits = norm.crossJoin(phrases).select(
+        "phrase",
+        (F.length("padded") - F.length(shorter)).cast("long").alias("n_occ"),
+    )
+    total = docs.agg(F.count(F.lit(1)).cast("long").alias("n_total"))
+    return (
+        hits.groupBy("phrase")
+        .agg(
+            F.sum((F.col("n_occ") > 0).cast("long"))
+            .cast("long")
+            .alias("n_docs_matched"),
+            F.sum("n_occ").cast("long").alias("n_occurrences"),
+        )
+        .crossJoin(F.broadcast(total))
+        .select(
+            "phrase",
+            "n_docs_matched",
+            "n_occurrences",
+            idiv(F.col("n_docs_matched") * 10000, F.col("n_total")).alias(
+                "doc_share_bp"
+            ),
+        )
+    )
