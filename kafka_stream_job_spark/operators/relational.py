@@ -9720,3 +9720,262 @@ def k_anonymity_generalize(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(level_row(l2, 2))
         .unionByName(suppressed)
     )
+
+
+# ---------------------------------------------------------------------------
+# INCREMENTAL SURROGATE-KEY ASSIGNMENT — the nightly companion to
+# surrogate_key_assignment's full build: yesterday's dimension already
+# carries stable keys; today's load must (a) NEVER renumber an existing
+# natural key and (b) extend the sequence densely above the high-water
+# mark for arrivals only. Fixture: parts with p_partkey % 3 != 0 are the
+# pre-keyed population (their keys rebuilt deterministically so the
+# oracle can replay them); p_partkey % 3 == 0 are today's arrivals.
+# The report pins both cohorts' contract — existing keys untouched
+# (checksum), new keys exactly (hwm, hwm + n_new], and the union dense
+# 1..N — the invariants a downstream FK build asserts before swapping
+# the dimension pointer.
+# Scale shape: two distributed_rank calls (range-partitioned, no global
+# sort), one scalar high-water-mark broadcast, bounded two-row output.
+# ---------------------------------------------------------------------------
+@register(
+    "surrogate_key_incremental",
+    oracle="""
+        WITH existing AS (
+            SELECT p_partkey,
+                   CAST(ROW_NUMBER() OVER (ORDER BY p_brand, p_partkey)
+                        AS BIGINT) AS sk
+            FROM part WHERE p_partkey % 3 <> 0
+        ),
+        hwm AS (SELECT CAST(COALESCE(MAX(sk), 0) AS BIGINT) AS h FROM existing),
+        arrivals AS (
+            SELECT p_partkey,
+                   (SELECT h FROM hwm)
+                   + CAST(ROW_NUMBER() OVER (ORDER BY p_brand, p_partkey)
+                          AS BIGINT) AS sk
+            FROM part WHERE p_partkey % 3 = 0
+        ),
+        unioned AS (
+            SELECT 'existing' AS cohort, p_partkey, sk FROM existing
+            UNION ALL
+            SELECT 'new', p_partkey, sk FROM arrivals
+        )
+        SELECT cohort,
+               CAST(COUNT(*) AS BIGINT) AS n_keys,
+               MIN(sk) AS min_sk,
+               MAX(sk) AS max_sk,
+               CAST(SUM(sk * p_partkey) AS BIGINT) AS mapping_checksum,
+               (MAX(sk) - MIN(sk) + 1 = COUNT(*)) AS dense
+        FROM unioned
+        GROUP BY cohort
+    """,
+    tags=("warehouse", "surrogate-key", "incremental", "part"),
+)
+def surrogate_key_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kafka_stream_job_spark.operators._distributed import distributed_rank
+
+    part = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    order = [F.col("p_brand"), F.col("p_partkey")]
+    existing = distributed_rank(
+        part.filter(F.col("p_partkey") % 3 != 0), order, rank_col="sk"
+    ).select("p_partkey", "sk")
+    hwm = existing.agg(
+        F.coalesce(F.max("sk"), F.lit(0)).cast("long").alias("h")
+    )
+    arrivals = (
+        distributed_rank(
+            part.filter(F.col("p_partkey") % 3 == 0), order, rank_col="rk"
+        )
+        .crossJoin(F.broadcast(hwm))
+        .select("p_partkey", (F.col("h") + F.col("rk")).alias("sk"))
+    )
+    unioned = existing.withColumn("cohort", F.lit("existing")).unionByName(
+        arrivals.withColumn("cohort", F.lit("new"))
+    )
+    return unioned.groupBy("cohort").agg(
+        F.count(F.lit(1)).cast("long").alias("n_keys"),
+        F.min("sk").alias("min_sk"),
+        F.max("sk").alias("max_sk"),
+        F.sum(F.col("sk") * F.col("p_partkey")).cast("long").alias(
+            "mapping_checksum"
+        ),
+        (F.max("sk") - F.min("sk") + 1 == F.count(F.lit(1))).alias("dense"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# DECISION-STUMP SPLIT SCORING — the inner loop of tree/GBM training
+# (and of data-quality rule mining) expressed as a distributed
+# aggregate: score every candidate threshold over a bucketed numeric
+# feature by weighted Gini impurity of the induced left/right split,
+# label = "event is a purchase". Impurity is the DEFINED integer metric
+#   p_bp = (pos*10000) div n;  g_bp = 10000 - (p_bp^2 + (10000-p_bp)^2) div 10000
+# (floor-composed basis points — every intermediate <= 1e8, so the
+# arithmetic is overflow-free at ANY corpus size and bit-identical in
+# both engines; the float Gini it approximates differs by < 1 bp).
+# Scale shape: ONE data-sized pass builds the per-bucket (n, pos)
+# sufficient statistic (vocabulary-bounded: value range / bucket width);
+# thresholds are scored by a triangular join of that bounded table with
+# itself — metadata-sized, broadcast — so adding candidate thresholds
+# costs nothing at 100 TB. The winning split is flagged via a 1-row
+# min broadcast, ties surface as multiple is_best rows (deterministic).
+# ---------------------------------------------------------------------------
+_STUMP_BUCKET_CENTS = 5000  # 50-unit feature buckets
+
+
+def _gini_bp_sql(n: str, p: str) -> str:
+    """Integer basis-point Gini — SQL side of the defined metric."""
+    pbp = f"(({p}) * 10000 // ({n}))"
+    return (
+        f"CASE WHEN ({n}) = 0 THEN 0 ELSE 10000 - "
+        f"({pbp} * {pbp} + (10000 - {pbp}) * (10000 - {pbp})) // 10000 END"
+    )
+
+
+def _gini_bp_col(n, p):
+    """Spark twin of _gini_bp_sql, term for term."""
+    pbp = idiv(p * 10000, F.when(n == 0, F.lit(1)).otherwise(n))
+    g = F.lit(10000) - idiv(pbp * pbp + (10000 - pbp) * (10000 - pbp), 10000)
+    return F.when(n == 0, F.lit(0)).otherwise(g).cast("long")
+
+
+@register(
+    "decision_stump_split_scores",
+    oracle=f"""
+        WITH b AS (
+            SELECT CAST(ROUND(value * 100.0) AS BIGINT)
+                       // {_STUMP_BUCKET_CENTS} AS bucket,
+                   CAST(COUNT(*) AS BIGINT) AS n,
+                   CAST(SUM(CASE WHEN event_type = 'purchase'
+                                 THEN 1 ELSE 0 END) AS BIGINT) AS pos
+            FROM events GROUP BY 1
+        ),
+        tot AS (
+            SELECT CAST(SUM(n) AS BIGINT) AS n_tot,
+                   CAST(SUM(pos) AS BIGINT) AS pos_tot
+            FROM b
+        ),
+        splits AS (
+            SELECT t.bucket AS threshold_bucket,
+                   CAST(SUM(s.n) AS BIGINT) AS n_left,
+                   CAST(SUM(s.pos) AS BIGINT) AS pos_left
+            FROM b t JOIN b s ON s.bucket <= t.bucket
+            GROUP BY 1
+        ),
+        scored AS (
+            SELECT threshold_bucket, n_left,
+                   (SELECT n_tot FROM tot) - n_left AS n_right,
+                   (n_left * ({_gini_bp_sql('n_left', 'pos_left')})
+                    + ((SELECT n_tot FROM tot) - n_left)
+                      * ({_gini_bp_sql('(SELECT n_tot FROM tot) - n_left',
+                                       '(SELECT pos_tot FROM tot) - pos_left')})
+                   ) // (SELECT n_tot FROM tot) AS split_gini_bp
+            FROM splits
+        )
+        SELECT threshold_bucket, n_left, n_right,
+               CAST(split_gini_bp AS BIGINT) AS split_gini_bp,
+               (split_gini_bp = (SELECT MIN(split_gini_bp) FROM scored))
+                   AS is_best
+        FROM scored
+    """,
+    tags=("ml", "tree", "split-scoring", "events", "agg"),
+)
+def decision_stump_split_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    cents = F.round(F.col("value") * 100.0, 0).cast("long")
+    b = events.groupBy(
+        idiv(cents, _STUMP_BUCKET_CENTS).alias("bucket")
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum((F.col("event_type") == "purchase").cast("long"))
+        .cast("long")
+        .alias("pos"),
+    ).localCheckpoint(eager=False)  # bounded stat reused by 3 branches
+    tot = b.agg(
+        F.sum("n").cast("long").alias("n_tot"),
+        F.sum("pos").cast("long").alias("pos_tot"),
+    )
+    t = b.select(F.col("bucket").alias("threshold_bucket"))
+    splits = (
+        t.join(F.broadcast(b), F.col("bucket") <= F.col("threshold_bucket"))
+        .groupBy("threshold_bucket")
+        .agg(
+            F.sum("n").cast("long").alias("n_left"),
+            F.sum("pos").cast("long").alias("pos_left"),
+        )
+        .crossJoin(F.broadcast(tot))
+    )
+    n_l, p_l = F.col("n_left"), F.col("pos_left")
+    n_r = F.col("n_tot") - n_l
+    p_r = F.col("pos_tot") - p_l
+    scored = splits.select(
+        "threshold_bucket",
+        "n_left",
+        n_r.alias("n_right"),
+        idiv(
+            n_l * _gini_bp_col(n_l, p_l) + n_r * _gini_bp_col(n_r, p_r),
+            F.col("n_tot"),
+        ).alias("split_gini_bp"),
+    ).localCheckpoint(eager=False)
+    best = scored.agg(F.min("split_gini_bp").alias("best_bp"))
+    return scored.crossJoin(F.broadcast(best)).select(
+        "threshold_bucket",
+        "n_left",
+        "n_right",
+        "split_gini_bp",
+        (F.col("split_gini_bp") == F.col("best_bp")).alias("is_best"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# SUBJECT ACCESS EXPORT — the GDPR Article-15 counterpart to
+# gdpr_purge_manifest's Article-17: for every data subject, assemble the
+# canonical bundle of their records and fingerprint it. The fingerprint
+# is md5 over a CANONICALIZED payload (orderkeys sorted ascending,
+# comma-joined) — canonical-form-then-hash is what makes a distributed
+# export auditable: any two runs, any engine, any partitioning produce
+# the same per-subject digest, so a regulator-facing export can be
+# re-verified without re-shipping the data.
+# Scale shape: one subject-keyed shuffle for the collect aggregate
+# (payload lists are per-subject bounded), no window, no sort pass; the
+# digest is computed inside the aggregate projection. Subjects with no
+# records still export (left join), with the empty-payload digest.
+# ---------------------------------------------------------------------------
+@register(
+    "subject_access_export",
+    oracle="""
+        SELECT c.c_custkey,
+               CAST(COUNT(o.o_orderkey) AS BIGINT) AS n_orders,
+               CAST(COALESCE(SUM(o.o_orderkey), 0) AS BIGINT) AS key_checksum,
+               -- array_to_string([]) is NULL in DuckDB: coalesce to the
+               -- empty payload so no-record subjects hash like Spark's
+               md5(COALESCE(array_to_string(
+                   list_sort(list(o.o_orderkey)
+                             FILTER (WHERE o.o_orderkey IS NOT NULL)), ','),
+                   '')) AS payload_md5
+        FROM customer c LEFT JOIN orders o ON c.c_custkey = o.o_custkey
+        GROUP BY 1
+    """,
+    tags=("privacy", "gdpr", "export", "customer", "join"),
+)
+def subject_access_export(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey")
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_custkey", "o_orderkey"
+    )
+    joined = cust.join(
+        orders, cust.c_custkey == orders.o_custkey, "left"
+    )
+    payload = F.array_join(
+        F.transform(
+            F.sort_array(F.collect_list("o_orderkey")),
+            lambda k: k.cast("string"),
+        ),
+        ",",
+    )
+    return joined.groupBy("c_custkey").agg(
+        F.count("o_orderkey").cast("long").alias("n_orders"),
+        F.coalesce(F.sum("o_orderkey"), F.lit(0)).cast("long").alias(
+            "key_checksum"
+        ),
+        F.md5(payload).alias("payload_md5"),
+    )
