@@ -1784,7 +1784,10 @@ def corpus_shingle_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     from kafka_stream_job_spark.operators._portable import idiv
 
     docs = load_table(spark, sf_dir, "documents")
-    shingles = _shingles(docs)
+    # one materialization of the distinct shingle set — the
+    # first-occurrence aggregate AND the join back both read it, so the
+    # corpus is shingled once, not twice
+    shingles = _shingles(docs).localCheckpoint(eager=False)
     first_seen = shingles.groupBy("shingle").agg(
         F.min("doc_id").alias("first_doc")
     )

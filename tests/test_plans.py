@@ -1112,3 +1112,56 @@ def test_join_ivm_delta_terms_broadcast(spark):
     plan = plan_of(spark, "incremental_join_maintenance")
     assert plan.count("BroadcastHashJoin") >= 3
     assert "CartesianProduct" not in plan
+
+
+def test_dp_noise_attaches_after_aggregate_via_broadcast(spark):
+    """The DP mechanism must be O(groups): the 41-row threshold table
+    joins via a broadcast nested loop AFTER the count aggregate — never
+    a data-sized shuffle, never a cartesian."""
+    plan = plan_of(spark, "dp_noisy_nation_counts")
+    assert "BroadcastNestedLoopJoin" in plan
+    assert "CartesianProduct" not in plan
+    assert "HashAggregate" in plan
+
+
+def test_fd_profile_prunes_to_two_columns_per_candidate(spark):
+    """Each FD candidate's scan must read exactly its (lhs, rhs) pair —
+    a profiler that drags whole rows is wrong at 100 TB."""
+    plan = plan_of(spark, "fd_discovery_profile")
+    assert "ReadSchema: struct<l_orderkey:bigint,l_returnflag:string>" in plan
+    assert "ReadSchema: struct<o_orderkey:bigint,o_custkey:bigint>" in plan
+    assert "Window" not in plan
+
+
+def test_novelty_shingles_corpus_once(spark):
+    """The first-occurrence aggregate and the join back both read the
+    ONE checkpointed shingle set — the explode/shingle pipeline must
+    appear at most once in the executed plan, not once per branch."""
+    plan = plan_of(spark, "corpus_shingle_novelty")
+    assert plan.count("Generate explode") <= 1
+    assert "CartesianProduct" not in plan
+
+
+def test_stump_scoring_is_one_pass_plus_bounded_joins(spark):
+    """The only data-sized work is the per-bucket sufficient statistic;
+    threshold scoring must ride broadcast joins over the bounded stat."""
+    plan = plan_of(spark, "decision_stump_split_scores")
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert "Window" not in plan
+
+
+def test_blocklist_phrases_broadcast_one_corpus_scan(spark):
+    """The phrase list is a broadcast literal; the corpus must be
+    scanned once with no shuffle before the phrase-keyed aggregate."""
+    plan = plan_of(spark, "blocklist_phrase_filter")
+    assert "BroadcastNestedLoopJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_entity_clusters_cc_runs_on_edge_subgraph_only(spark):
+    """Singletons attach via anti-join against edge endpoints — the CC
+    iteration's joins are over the (rare) predicted-pair subgraph, and
+    no cartesian appears anywhere in the final plan."""
+    plan = plan_of(spark, "linkage_entity_clusters")
+    assert "CartesianProduct" not in plan

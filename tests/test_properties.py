@@ -3690,3 +3690,116 @@ def test_dp_noisy_counts_oracle_matches_reference(nations):
         noise = next(j for j, lo, hi in _dp_noise_rows() if lo <= u < hi)
         want.add((nk, n_true, noise, max(0, n_true + noise)))
     assert got == want
+
+
+@settings(max_examples=50, deadline=None)
+@given(
+    custs=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=7),    # nationkey
+            st.sampled_from(["A", "B", "C"]),         # segment
+        ),
+        min_size=1,
+        max_size=120,
+    )
+)
+def test_k_anonymity_generalize_oracle_matches_reference(custs):
+    """The generalization-cascade oracle vs a Python lattice walker —
+    pins the greedy first-level-that-meets-K settlement, the unsettled-
+    records-only recount at each level, and the suppression tally."""
+    import duckdb
+
+    from kafka_stream_job_spark.operators.relational import _KANON_K
+    from kafka_stream_job_spark.registry import all_specs
+
+    regions = {nk: nk % 3 for nk in range(8)}
+    oracle = all_specs()["k_anonymity_generalize"].oracle
+    con = duckdb.connect()
+    con.execute("CREATE TABLE customer (c_custkey BIGINT, c_nationkey BIGINT,"
+                " c_mktsegment VARCHAR)")
+    con.execute("CREATE TABLE nation (n_nationkey BIGINT, n_regionkey BIGINT)")
+    con.executemany(
+        "INSERT INTO customer VALUES (?, ?, ?)",
+        [(i, nk, seg) for i, (nk, seg) in enumerate(custs)],
+    )
+    con.executemany(
+        "INSERT INTO nation VALUES (?, ?)", list(regions.items())
+    )
+    got = {tuple(r) for r in con.sql(oracle).fetchall()}
+
+    from collections import Counter
+
+    recs = [(nk, seg, regions[nk]) for nk, seg in custs]
+    want = set()
+    for level, key in ((0, lambda r: (r[0], r[1])),
+                       (1, lambda r: (r[2], r[1])),
+                       (2, lambda r: (r[2],))):
+        sizes = Counter(key(r) for r in recs)
+        kept = {k: n for k, n in sizes.items() if n >= _KANON_K}
+        want.add((
+            level,
+            len(kept),
+            sum(kept.values()),
+            min(kept.values()) if kept else 0,
+        ))
+        recs = [r for r in recs if key(r) not in kept]
+    want.add((3, 0, len(recs), 0))
+    assert got == want
+
+
+@settings(max_examples=50, deadline=None)
+@given(
+    evs=st.lists(
+        st.tuples(
+            st.integers(min_value=1, max_value=40000),   # value cents
+            st.booleans(),                               # is purchase
+        ),
+        min_size=1,
+        max_size=100,
+    )
+)
+def test_stump_split_oracle_matches_reference(evs):
+    """The split-scoring oracle vs a Python replay of the floor-composed
+    integer Gini — pins bucket edges, the triangular prefix counts, the
+    n=0 guard, and min-flag ties."""
+    import duckdb
+
+    from kafka_stream_job_spark.operators.relational import (
+        _STUMP_BUCKET_CENTS,
+    )
+    from kafka_stream_job_spark.registry import all_specs
+
+    oracle = all_specs()["decision_stump_split_scores"].oracle
+    con = duckdb.connect()
+    con.execute("CREATE TABLE events (value DOUBLE, event_type VARCHAR)")
+    con.executemany(
+        "INSERT INTO events VALUES (?, ?)",
+        [(c / 100.0, "purchase" if p else "view") for c, p in evs],
+    )
+    got = {tuple(r) for r in con.sql(oracle).fetchall()}
+
+    from collections import Counter
+
+    n_b, pos_b = Counter(), Counter()
+    for c, p in evs:
+        b = c // _STUMP_BUCKET_CENTS
+        n_b[b] += 1
+        pos_b[b] += int(p)
+
+    def gini(n, p):
+        if n == 0:
+            return 0
+        pbp = p * 10000 // n
+        return 10000 - (pbp * pbp + (10000 - pbp) * (10000 - pbp)) // 10000
+
+    n_tot, pos_tot = sum(n_b.values()), sum(pos_b.values())
+    scored = []
+    for t in n_b:
+        n_l = sum(n for b, n in n_b.items() if b <= t)
+        p_l = sum(p for b, p in pos_b.items() if b <= t)
+        n_r, p_r = n_tot - n_l, pos_tot - p_l
+        w = (n_l * gini(n_l, p_l) + n_r * gini(n_r, p_r)) // n_tot
+        scored.append((t, n_l, n_r, w))
+    best = min(w for _, _, _, w in scored)
+    want = {(t, nl, nr, w, w == best) for t, nl, nr, w in scored}
+    assert got == want
