@@ -9979,3 +9979,182 @@ def subject_access_export(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.md5(payload).alias("payload_md5"),
     )
+
+
+
+# ---------------------------------------------------------------------------
+# BRADLEY-TERRY PREFERENCE STRENGTHS — the paired-comparison model behind
+# RLHF reward baselines and match-making (Bradley & Terry 1952), fit with
+# two rounds of the Zermelo/MM update. Comparisons are derived from data
+# so the oracle can replay them: within each user, type a "beats" type b
+# when the user spent strictly more exact cents on a than on b (ties are
+# no-games). The 100 TB shape mirrors linkage_em_parameters: ONE
+# data-sized pass builds the per-user-type cents (user-keyed), one
+# bounded self-join per user emits at most C(|types|,2) comparisons, and
+# the wins matrix (<= |types|^2 rows) is the ONLY thing iterated — each
+# MM step joins broadcast params against broadcast stats, costing
+# nothing at scale. Every cross-row reduction integerizes first
+# (ROUND(x*1e6) BIGINT), so float summation order can never split the
+# engines; the final strengths are exact-integer parts-per-million.
+# MM update: p_i <- W_i / sum_j n_ij/(p_i+p_j)  (scale-invariant, so the
+# uniform init is p=1 and normalization happens once, at the end).
+# ---------------------------------------------------------------------------
+_BT_ITERS = 2
+
+
+def _bt_oracle_sql() -> str:
+    """CTE chain for _BT_ITERS MM iterations — identical per-iteration
+    text so both engines run the same arithmetic in the same order."""
+    base = """per_ut AS (
+            SELECT user_id, event_type AS t,
+                   CAST(SUM(CAST(ROUND(value * 100.0) AS BIGINT)) AS BIGINT)
+                       AS cents
+            FROM events GROUP BY 1, 2
+        ), comp AS (
+            SELECT CASE WHEN a.cents > b.cents THEN a.t ELSE b.t END AS wi,
+                   CASE WHEN a.cents > b.cents THEN b.t ELSE a.t END AS lo
+            FROM per_ut a JOIN per_ut b
+              ON a.user_id = b.user_id AND a.t < b.t
+            WHERE a.cents <> b.cents
+        ), wins AS (
+            SELECT wi, lo, CAST(COUNT(*) AS BIGINT) AS w
+            FROM comp GROUP BY 1, 2
+        ), games AS (
+            SELECT COALESCE(f.wi, r.lo) AS i, COALESCE(f.lo, r.wi) AS j,
+                   COALESCE(f.w, 0) + COALESCE(r.w, 0) AS n
+            FROM wins f FULL OUTER JOIN wins r
+              ON f.wi = r.lo AND f.lo = r.wi
+        ), totw AS (
+            SELECT wi AS t, CAST(SUM(w) AS BIGINT) AS tw FROM wins GROUP BY 1
+        ), players AS (
+            SELECT DISTINCT i AS t FROM games
+        ), p0 AS (
+            SELECT t, CAST(1.0 AS DOUBLE) AS p FROM players
+        )"""
+    ctes = [base]
+    prev = "p0"
+    for k in range(1, _BT_ITERS + 1):
+        ctes.append(f"""s{k} AS (
+            SELECT g.i AS t,
+                   CAST(SUM(CAST(ROUND(1000000.0 * g.n / (pi.p + pj.p))
+                                 AS BIGINT)) AS BIGINT) AS s
+            FROM games g
+            JOIN {prev} pi ON pi.t = g.i
+            JOIN {prev} pj ON pj.t = g.j
+            GROUP BY 1
+        ), p{k} AS (
+            SELECT s{k}.t,
+                   COALESCE(tw.tw, 0) * 1000000.0 / s{k}.s AS p
+            FROM s{k} LEFT JOIN totw tw ON tw.t = s{k}.t
+        )""")
+        prev = f"p{k}"
+    body = ",\n        ".join(ctes)
+    return f"""
+        WITH {body},
+        q AS (
+            SELECT t, CAST(ROUND(p * 1000000.0) AS BIGINT) AS qmicro
+            FROM {prev}
+        )
+        SELECT q.t AS event_type,
+               COALESCE(tw.tw, 0) AS n_wins,
+               (SELECT CAST(SUM(n) AS BIGINT) // 2 FROM games) AS n_games,
+               (q.qmicro * 1000000) // (SELECT CAST(SUM(qmicro) AS BIGINT)
+                                        FROM q) AS strength_ppm
+        FROM q LEFT JOIN totw tw ON tw.t = q.t
+    """
+
+
+@register(
+    "bradley_terry_strengths",
+    oracle=_bt_oracle_sql(),
+    tags=("ml", "ranking", "preference", "iterative", "events"),
+)
+def bradley_terry_strengths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    cents = F.round(F.col("value") * 100.0, 0).cast("long")
+    per_ut = events.groupBy("user_id", F.col("event_type").alias("t")).agg(
+        F.sum(cents).cast("long").alias("cents")
+    )
+    a = per_ut.alias("a")
+    b = per_ut.alias("b")
+    comp = a.join(
+        b,
+        (F.col("a.user_id") == F.col("b.user_id"))
+        & (F.col("a.t") < F.col("b.t")),
+    ).filter(F.col("a.cents") != F.col("b.cents")).select(
+        F.when(F.col("a.cents") > F.col("b.cents"), F.col("a.t"))
+        .otherwise(F.col("b.t"))
+        .alias("wi"),
+        F.when(F.col("a.cents") > F.col("b.cents"), F.col("b.t"))
+        .otherwise(F.col("a.t"))
+        .alias("lo"),
+    )
+    wins = (
+        comp.groupBy("wi", "lo")
+        .agg(F.count(F.lit(1)).cast("long").alias("w"))
+        # the bounded sufficient statistic every MM step re-reads
+        .localCheckpoint()
+    )
+    f, r = wins.alias("f"), wins.alias("r")
+    games = f.join(
+        r,
+        (F.col("f.wi") == F.col("r.lo")) & (F.col("f.lo") == F.col("r.wi")),
+        "full_outer",
+    ).select(
+        F.coalesce(F.col("f.wi"), F.col("r.lo")).alias("i"),
+        F.coalesce(F.col("f.lo"), F.col("r.wi")).alias("j"),
+        (
+            F.coalesce(F.col("f.w"), F.lit(0))
+            + F.coalesce(F.col("r.w"), F.lit(0))
+        ).cast("long").alias("n"),
+    ).localCheckpoint()
+    totw = wins.groupBy(F.col("wi").alias("t")).agg(
+        F.sum("w").cast("long").alias("tw")
+    )
+    params = games.select(F.col("i").alias("t")).distinct().select(
+        "t", F.lit(1.0).alias("p")
+    )
+    for _ in range(_BT_ITERS):
+        pi = params.select(F.col("t").alias("i"), F.col("p").alias("p_i"))
+        pj = params.select(F.col("t").alias("j"), F.col("p").alias("p_j"))
+        s = (
+            games.join(F.broadcast(pi), "i")
+            .join(F.broadcast(pj), "j")
+            .groupBy(F.col("i").alias("t"))
+            .agg(
+                F.sum(
+                    F.round(
+                        1000000.0 * F.col("n") / (F.col("p_i") + F.col("p_j")),
+                        0,
+                    ).cast("long")
+                )
+                .cast("long")
+                .alias("s")
+            )
+        )
+        params = s.join(F.broadcast(totw), "t", "left").select(
+            "t",
+            (
+                F.coalesce(F.col("tw"), F.lit(0)) * 1000000.0 / F.col("s")
+            ).alias("p"),
+        )
+    q = params.select(
+        "t", F.round(F.col("p") * 1000000.0, 0).cast("long").alias("qmicro")
+    ).localCheckpoint()
+    qsum = q.agg(F.sum("qmicro").cast("long").alias("qsum"))
+    ngames = games.agg(
+        idiv(F.sum("n").cast("long"), 2).alias("n_games")
+    )
+    return (
+        q.join(F.broadcast(totw), "t", "left")
+        .crossJoin(F.broadcast(qsum))
+        .crossJoin(F.broadcast(ngames))
+        .select(
+            F.col("t").alias("event_type"),
+            F.coalesce(F.col("tw"), F.lit(0)).cast("long").alias("n_wins"),
+            F.col("n_games"),
+            idiv(F.col("qmicro") * 1000000, F.col("qsum")).alias(
+                "strength_ppm"
+            ),
+        )
+    )

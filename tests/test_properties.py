@@ -3803,3 +3803,82 @@ def test_stump_split_oracle_matches_reference(evs):
     best = min(w for _, _, _, w in scored)
     want = {(t, nl, nr, w, w == best) for t, nl, nr, w in scored}
     assert got == want
+
+
+@settings(max_examples=40, deadline=None)
+@given(
+    evs=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=6),          # user
+            st.sampled_from(["a", "b", "c", "d"]),          # type
+            st.integers(min_value=1, max_value=5000),       # cents
+        ),
+        min_size=2,
+        max_size=80,
+    )
+)
+def test_bradley_terry_oracle_matches_reference(evs):
+    """The BT oracle vs a Python Zermelo/MM replay with the same
+    integerized reductions — pins comparison derivation (strict cents
+    wins, ties dropped), the micro-unit rounding at every reduction, and
+    the final exact-integer ppm normalization."""
+    import duckdb
+
+    from hypothesis import assume
+
+    from kafka_stream_job_spark.operators.relational import _BT_ITERS
+    from kafka_stream_job_spark.registry import all_specs
+
+    from collections import Counter, defaultdict
+
+    sums = Counter()
+    for u, t, c in evs:
+        sums[(u, t)] += c
+    per_user = defaultdict(dict)
+    for (u, t), c in sums.items():
+        per_user[u][t] = c
+    wins = Counter()
+    for u, by_t in per_user.items():
+        ts = sorted(by_t)
+        for x in range(len(ts)):
+            for y in range(x + 1, len(ts)):
+                ca, cb = by_t[ts[x]], by_t[ts[y]]
+                if ca > cb:
+                    wins[(ts[x], ts[y])] += 1
+                elif cb > ca:
+                    wins[(ts[y], ts[x])] += 1
+    assume(wins)  # no games -> query returns empty; nothing to pin
+
+    oracle = all_specs()["bradley_terry_strengths"].oracle
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE events (user_id BIGINT, event_type VARCHAR,"
+        " value DOUBLE)"
+    )
+    con.executemany(
+        "INSERT INTO events VALUES (?, ?, ?)",
+        [(u, t, c / 100.0) for u, t, c in evs],
+    )
+    got = {tuple(r) for r in con.sql(oracle).fetchall()}
+
+    games = Counter()
+    for (i, j), w in wins.items():
+        games[(i, j)] += w
+        games[(j, i)] += w
+    totw = Counter()
+    for (i, _), w in wins.items():
+        totw[i] += w
+    players = sorted({i for i, _ in games})
+    p = {t: 1.0 for t in players}
+    for _ in range(_BT_ITERS):
+        s = Counter()
+        for (i, j), n in games.items():
+            s[i] += _round_half_away(1000000.0 * n / (p[i] + p[j]))
+        p = {t: totw[t] * 1000000.0 / s[t] for t in players}
+    q = {t: _round_half_away(p[t] * 1000000.0) for t in players}
+    qsum = sum(q.values())
+    n_games = sum(games.values()) // 2
+    want = {
+        (t, totw[t], n_games, q[t] * 1000000 // qsum) for t in players
+    }
+    assert got == want
