@@ -1533,3 +1533,100 @@ def dpo_preference_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("n_docs") >= 2)
     )
+
+
+# ---------------------------------------------------------------------------
+# PADDING-WASTE REPORT — the training-efficiency question behind every
+# batching strategy: how many pad tokens does a batch layout burn?
+# Compares two layouts of the same corpus at batch size B: NAIVE
+# (arrival order, batch = rank-by-doc_id div B) vs LENGTH-SORTED
+# (rank-by-(len, doc_id) div B — the bucketed batching trick). Per batch
+# the pad cost is max_len*rows - sum_len; the report is one row per
+# strategy with exact-integer waste basis points — the number that
+# justifies (or kills) adding a sort stage to a data loader.
+# Scale shape: two distributed_rank passes (range-partitioned, no global
+# sort), each followed by a batch-keyed partial agg and a 2-row rollup;
+# nothing data-sized after the ranks. Length = the engine's canonical
+# whitespace token count (text_token_stats lockstep).
+# ---------------------------------------------------------------------------
+_PAD_BATCH = 32
+
+
+@register(
+    "padding_waste_report",
+    oracle=rf"""
+        WITH lens AS (
+            SELECT doc_id,
+                   CAST(len(string_split_regex(TRIM(text), '\s+')) AS BIGINT)
+                       AS n_tok
+            FROM documents
+        ),
+        ranked AS (
+            SELECT n_tok,
+                   (CAST(ROW_NUMBER() OVER (ORDER BY doc_id) AS BIGINT) - 1)
+                       // {_PAD_BATCH} AS naive_b,
+                   (CAST(ROW_NUMBER() OVER (ORDER BY n_tok, doc_id) AS BIGINT)
+                       - 1) // {_PAD_BATCH} AS sorted_b
+            FROM lens
+        ),
+        per AS (
+            SELECT 'naive' AS strategy, naive_b AS b,
+                   CAST(COUNT(*) AS BIGINT) AS n,
+                   CAST(MAX(n_tok) AS BIGINT) AS mx,
+                   CAST(SUM(n_tok) AS BIGINT) AS s
+            FROM ranked GROUP BY 2
+            UNION ALL
+            SELECT 'length_sorted', sorted_b,
+                   CAST(COUNT(*) AS BIGINT),
+                   CAST(MAX(n_tok) AS BIGINT),
+                   CAST(SUM(n_tok) AS BIGINT)
+            FROM ranked GROUP BY 2
+        )
+        SELECT strategy,
+               CAST(COUNT(*) AS BIGINT) AS n_batches,
+               CAST(SUM(s) AS BIGINT) AS total_tokens,
+               CAST(SUM(mx * n) AS BIGINT) AS padded_tokens,
+               (CAST(SUM(mx * n - s) AS BIGINT) * 10000)
+                   // CAST(SUM(mx * n) AS BIGINT) AS waste_bp
+        FROM per GROUP BY strategy
+    """,
+    tags=("llm-pipeline", "batching", "documents", "agg"),
+)
+def padding_waste_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kafka_stream_job_spark.operators._distributed import distributed_rank
+    from kafka_stream_job_spark.operators._portable import idiv
+
+    docs = load_table(spark, sf_dir, "documents")
+    lens = docs.select(
+        "doc_id",
+        F.size(F.split(F.trim(F.col("text")), r"\s+"))
+        .cast("long")
+        .alias("n_tok"),
+    )
+
+    def strategy(df: DataFrame, order, name: str) -> DataFrame:
+        ranked = distributed_rank(df, order, rank_col="rk")
+        per = ranked.groupBy(
+            idiv(F.col("rk") - 1, _PAD_BATCH).alias("b")
+        ).agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.max("n_tok").alias("mx"),
+            F.sum("n_tok").cast("long").alias("s"),
+        )
+        return per.agg(
+            F.lit(name).alias("strategy"),
+            F.count(F.lit(1)).cast("long").alias("n_batches"),
+            F.sum("s").cast("long").alias("total_tokens"),
+            F.sum(F.col("mx") * F.col("n")).cast("long").alias("padded_tokens"),
+            idiv(
+                F.sum(F.col("mx") * F.col("n") - F.col("s")).cast("long")
+                * 10000,
+                F.sum(F.col("mx") * F.col("n")).cast("long"),
+            ).alias("waste_bp"),
+        )
+
+    naive = strategy(lens, [F.col("doc_id")], "naive")
+    by_len = strategy(
+        lens, [F.col("n_tok"), F.col("doc_id")], "length_sorted"
+    )
+    return naive.unionByName(by_len)

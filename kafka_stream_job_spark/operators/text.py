@@ -2569,3 +2569,154 @@ def blocklist_phrase_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# NAIVE BAYES LANGUAGE CLASSIFIER — the supervised counterpart to
+# text_language_id's stopword heuristic: train a multinomial NB
+# (add-one smoothing) on the labeled corpus and report the
+# resubstitution confusion matrix. The float hazard in distributed NB is
+# the per-document log-likelihood sum (summation order); here every
+# ln() is computed ONCE on the vocabulary-bounded (token, lang) grid,
+# integerized to micro-log-units, and per-document scores are EXACT
+# integer dot products (occurrence count x micro-weight) — bit-identical
+# under any partitioning. Argmax ties break to the alphabetically first
+# language via min(struct(-score, lang)) on both engines.
+# Scale shape: one data-sized pass for (doc, token) occurrence counts,
+# one token-keyed join against the bounded densified weight grid
+# (|vocab| x |langs|), a doc-keyed aggregate, and a |langs|^2 confusion
+# rollup. Priors and grid are broadcast-sized.
+# ---------------------------------------------------------------------------
+@register(
+    "naive_bayes_langid",
+    oracle=f"""
+        WITH toks AS (
+            SELECT doc_id, lang,
+                   unnest(string_split({_BL_NORM_SQL}, ' ')) AS token
+            FROM documents
+        ),
+        per_dt AS (
+            SELECT doc_id, token, CAST(COUNT(*) AS BIGINT) AS k
+            FROM toks GROUP BY 1, 2
+        ),
+        counts AS (
+            SELECT lang, token, CAST(COUNT(*) AS BIGINT) AS c
+            FROM toks GROUP BY 1, 2
+        ),
+        ntl AS (
+            SELECT lang, CAST(COUNT(*) AS BIGINT) AS n FROM toks GROUP BY 1
+        ),
+        vocab AS (
+            SELECT CAST(COUNT(DISTINCT token) AS BIGINT) AS v FROM toks
+        ),
+        grid AS (
+            SELECT t.token, n.lang,
+                   CAST(ROUND(1000000.0 * ln(
+                       (COALESCE(c.c, 0) + 1.0)
+                       / (n.n + (SELECT v FROM vocab)))) AS BIGINT) AS w
+            FROM (SELECT DISTINCT token FROM toks) t
+            CROSS JOIN ntl n
+            LEFT JOIN counts c ON c.token = t.token AND c.lang = n.lang
+        ),
+        priors AS (
+            SELECT lang,
+                   CAST(ROUND(1000000.0 * ln(
+                       CAST(COUNT(*) AS DOUBLE)
+                       / (SELECT COUNT(*) FROM documents))) AS BIGINT) AS pw
+            FROM documents GROUP BY 1
+        ),
+        scored AS (
+            SELECT p.doc_id, g.lang, CAST(SUM(p.k * g.w) AS BIGINT) AS s
+            FROM per_dt p JOIN grid g ON g.token = p.token
+            GROUP BY 1, 2
+        ),
+        pred AS (
+            SELECT s.doc_id,
+                   (MIN(struct_pack(ns := -(s.s + pr.pw), lg := s.lang))).lg
+                       AS pred_lang
+            FROM scored s JOIN priors pr ON pr.lang = s.lang
+            GROUP BY 1
+        )
+        SELECT d.lang, p.pred_lang, CAST(COUNT(*) AS BIGINT) AS n_docs
+        FROM pred p JOIN documents d ON d.doc_id = p.doc_id
+        GROUP BY 1, 2
+    """,
+    tags=("text", "ml", "classifier", "documents"),
+)
+def naive_bayes_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kafka_stream_job_spark.operators.dedup import _norm_text
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        "lang",
+        F.explode(F.split(_norm_text(), " ")).alias("token"),
+    ).localCheckpoint(eager=False)  # counts, grid, and vocab all read it
+    per_dt = toks.groupBy("doc_id", "token").agg(
+        F.count(F.lit(1)).cast("long").alias("k")
+    )
+    counts = toks.groupBy("lang", "token").agg(
+        F.count(F.lit(1)).cast("long").alias("c")
+    )
+    ntl = toks.groupBy("lang").agg(F.count(F.lit(1)).cast("long").alias("n"))
+    vocab = toks.agg(F.countDistinct("token").cast("long").alias("v"))
+    grid = (
+        toks.select("token")
+        .distinct()
+        .crossJoin(F.broadcast(ntl))
+        .join(counts, ["token", "lang"], "left")
+        .crossJoin(F.broadcast(vocab))
+        .select(
+            "token",
+            "lang",
+            F.round(
+                1000000.0
+                * F.log(
+                    (F.coalesce(F.col("c"), F.lit(0)) + 1.0)
+                    / (F.col("n") + F.col("v"))
+                ),
+                0,
+            )
+            .cast("long")
+            .alias("w"),
+        )
+    )
+    total = docs.agg(F.count(F.lit(1)).alias("nd"))
+    priors = (
+        docs.groupBy("lang")
+        .agg(F.count(F.lit(1)).alias("dl"))
+        .crossJoin(F.broadcast(total))
+        .select(
+            "lang",
+            F.round(
+                1000000.0
+                * F.log(F.col("dl").cast("double") / F.col("nd")),
+                0,
+            )
+            .cast("long")
+            .alias("pw"),
+        )
+    )
+    scored = (
+        per_dt.join(grid, "token")
+        .groupBy("doc_id", "lang")
+        .agg(F.sum(F.col("k") * F.col("w")).cast("long").alias("s"))
+    )
+    pred = (
+        scored.join(F.broadcast(priors), "lang")
+        .groupBy("doc_id")
+        .agg(
+            F.min(
+                F.struct(
+                    (-(F.col("s") + F.col("pw"))).alias("ns"),
+                    F.col("lang").alias("lg"),
+                )
+            ).alias("m")
+        )
+        .select("doc_id", F.col("m.lg").alias("pred_lang"))
+    )
+    return (
+        pred.join(docs.select("doc_id", "lang"), "doc_id")
+        .groupBy("lang", "pred_lang")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
+    )
