@@ -2423,3 +2423,131 @@ def _register_streaming_upsert_view() -> None:
 
 
 _register_streaming_upsert_view()
+
+
+# ---------------------------------------------------------------------------
+# Registry entry: STREAMING EXACT VALUE HISTOGRAM + QUANTILES — the
+# streaming twin of sketch_quantile_bins: per event type, an
+# applyInPandasWithState operator maintains the exact bounded-bucket
+# value histogram (cents div 5000 — the value domain bounds the bucket
+# vocabulary, so state is O(buckets) per key forever), and the serving
+# query derives p50/p90 bucket markers from the final histogram with a
+# per-type cumulative window (partitioned: lint-safe). Exact bounded
+# histograms are the streaming-quantile design that needs NO sketch
+# error budget when the domain is bucketable — the counterpoint to
+# KLL/t-digest, and the third leg of the streaming summary trio next to
+# streaming_hll (distinct) and streaming_heavy_hitter (top-k).
+# Quantile marker definition (both engines, exact integers):
+#   p50 = min bucket with cum*2 >= total;  p90 = min bucket with
+#   cum*10 >= total*9.
+# ---------------------------------------------------------------------------
+def _register_streaming_value_quantiles() -> None:
+    import uuid
+
+    from kafka_stream_job_spark.registry import register
+
+    @register(
+        "streaming_value_quantiles",
+        oracle="""
+            WITH hist AS (
+                SELECT event_type,
+                       CAST(ROUND(value * 100.0) AS BIGINT) // 5000 AS bucket,
+                       CAST(COUNT(*) AS BIGINT) AS n
+                FROM events GROUP BY 1, 2
+            ),
+            cum AS (
+                SELECT event_type, bucket, n,
+                       CAST(SUM(n) OVER (PARTITION BY event_type
+                                         ORDER BY bucket) AS BIGINT) AS c,
+                       CAST(SUM(n) OVER (PARTITION BY event_type) AS BIGINT)
+                           AS tot
+                FROM hist
+            )
+            SELECT event_type,
+                   CAST(MAX(tot) AS BIGINT) AS n_events,
+                   CAST(MIN(CASE WHEN c * 2 >= tot THEN bucket END)
+                        AS BIGINT) AS p50_bucket,
+                   CAST(MIN(CASE WHEN c * 10 >= tot * 9 THEN bucket END)
+                        AS BIGINT) AS p90_bucket,
+                   CAST(MAX(bucket) AS BIGINT) AS max_bucket
+            FROM cum
+            GROUP BY event_type
+        """,
+        tags=("streaming", "stateful", "sketch", "quantile", "events"),
+    )
+    def streaming_value_quantiles(
+        spark: SparkSession, sf_dir: str
+    ) -> DataFrame:
+        import tempfile
+
+        from pyspark.sql import Window
+        from pyspark.sql.streaming.state import GroupStateTimeout
+
+        def update(key, pdfs, state):
+            import pandas as pd
+
+            buckets, counts = state.get if state.exists else ([], [])
+            m = dict(zip(list(buckets), list(counts)))
+            for pdf in pdfs:
+                # exact integer bucket per event; round() on *100 is the
+                # same cents derivation the batch twin uses
+                b = ((pdf["value"] * 100.0).round(0).astype("int64")) // 5000
+                for bucket, grp in b.groupby(b):
+                    m[int(bucket)] = m.get(int(bucket), 0) + int(len(grp))
+            items = sorted(m.items())
+            state.update(([b for b, _ in items], [c for _, c in items]))
+            yield pd.DataFrame(
+                {
+                    "event_type": [key[0]] * len(items),
+                    "bucket": [b for b, _ in items],
+                    "n": [c for _, c in items],
+                }
+            )
+
+        emitted_stream = (
+            stream_events(spark, sf_dir)
+            .groupBy("event_type")
+            .applyInPandasWithState(
+                update,
+                outputStructType="event_type string, bucket long, n long",
+                stateStructType="buckets array<long>, counts array<long>",
+                outputMode="append",
+                timeoutConf=GroupStateTimeout.NoTimeout,
+            )
+        )
+        name = f"stream_valuehist_{uuid.uuid4().hex[:8]}"
+        ckpt = tempfile.mkdtemp(prefix="ksj-stream-valuehist-")
+        emitted = run_stream_to_memory(spark, emitted_stream, name, ckpt)
+        # final histogram = last emission per (type, bucket) = max n
+        hist = emitted.groupBy("event_type", "bucket").agg(
+            F.max("n").cast("long").alias("n")
+        )
+        w_cum = (
+            Window.partitionBy("event_type")
+            .orderBy("bucket")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        w_all = Window.partitionBy("event_type")
+        cum = hist.select(
+            "event_type",
+            "bucket",
+            F.sum("n").over(w_cum).cast("long").alias("c"),
+            F.sum("n").over(w_all).cast("long").alias("tot"),
+        )
+        return cum.groupBy("event_type").agg(
+            F.max("tot").cast("long").alias("n_events"),
+            F.min(
+                F.when(F.col("c") * 2 >= F.col("tot"), F.col("bucket"))
+            )
+            .cast("long")
+            .alias("p50_bucket"),
+            F.min(
+                F.when(F.col("c") * 10 >= F.col("tot") * 9, F.col("bucket"))
+            )
+            .cast("long")
+            .alias("p90_bucket"),
+            F.max("bucket").cast("long").alias("max_bucket"),
+        )
+
+
+_register_streaming_value_quantiles()
