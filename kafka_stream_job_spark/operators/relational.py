@@ -10158,3 +10158,97 @@ def bradley_terry_strengths(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# GEO CELL CO-LOCATION — spatial binning without a GIS extension: device
+# positions quantize onto a 64x64 grid whose cells are MORTON-coded
+# (z-order bit interleave, the same curve zorder_layout_stats lays files
+# out with), so a cell id is a spatial prefix code — parent_cell = z>>2
+# is the enclosing quadtree cell, and range scans over z are spatially
+# contiguous (how geohash/S2/H3 indexes work, minus the spherical
+# geometry). Positions derive from per-user integer LCGs so the oracle
+# replays them exactly (production reads real device fixes; the binning,
+# co-location aggregate, and hierarchy are unchanged). The report lists
+# multi-occupant cells with exact pair counts — the co-location join's
+# per-cell cost model (n*(n-1)/2 is the blowup a pair-emitting join
+# would pay; counting first is the scale-safe order of operations).
+# Scale shape: one distinct-user pass, narrow per-row integer
+# expressions for the cell code, one cell-keyed partial aggregate; no
+# joins, no windows.
+# ---------------------------------------------------------------------------
+_GEO_BITS = 6  # 64x64 grid
+
+
+def _geo_morton_sql(cx: str, cy: str) -> str:
+    return " + ".join(
+        f"((({cx}) >> {b}) & 1) * {4 ** b} + ((({cy}) >> {b}) & 1) * {2 * 4 ** b}"
+        for b in range(_GEO_BITS)
+    )
+
+
+@register(
+    "geo_cell_colocation",
+    oracle=f"""
+        WITH users AS (SELECT DISTINCT user_id FROM events),
+        pos AS (
+            SELECT user_id,
+                   ((user_id * 1103515245 + 12345) % 2147483648) % 64 AS cx,
+                   ((user_id * 69069 + 1) % 2147483648) % 64 AS cy
+            FROM users
+        ),
+        coded AS (
+            SELECT user_id, {_geo_morton_sql('cx', 'cy')} AS cell
+            FROM pos
+        )
+        SELECT CAST(cell AS BIGINT) AS cell,
+               CAST(cell AS BIGINT) >> 2 AS parent_cell,
+               CAST(COUNT(*) AS BIGINT) AS n_users,
+               CAST(COUNT(*) * (COUNT(*) - 1) // 2 AS BIGINT) AS n_pairs,
+               CAST(MIN(user_id) AS BIGINT) AS anchor_user
+        FROM coded
+        GROUP BY cell
+        HAVING COUNT(*) >= 2
+    """,
+    tags=("geo", "spatial", "zorder", "events", "agg"),
+)
+def geo_cell_colocation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    users = load_table(spark, sf_dir, "events").select("user_id").distinct()
+    u = F.col("user_id").cast("long")
+    cx = ((u * 1103515245 + 12345) % F.lit(2147483648)) % 64
+    cy = ((u * 69069 + 1) % F.lit(2147483648)) % 64
+    # compute the quantized coords once behind an explode barrier (the
+    # same CollapseProject guard the zorder query uses), then interleave
+    staged = users.select(
+        "user_id",
+        F.explode(
+            F.array(F.struct(cx.alias("cx"), cy.alias("cy")))
+        ).alias("n"),
+    )
+    z = sum(
+        (
+            (F.col("n.cx").cast("long") / F.lit(2**b)).cast("long") % 2
+        ) * (4**b)
+        + (
+            (F.col("n.cy").cast("long") / F.lit(2**b)).cast("long") % 2
+        ) * (2 * 4**b)
+        for b in range(_GEO_BITS)
+    )
+    coded = staged.select("user_id", z.cast("long").alias("cell"))
+    n = F.count(F.lit(1)).cast("long")
+    return (
+        coded.groupBy("cell")
+        .agg(
+            n.alias("n_users"),
+            idiv(n * (n - 1), 2).alias("n_pairs"),
+            F.min("user_id").cast("long").alias("anchor_user"),
+        )
+        .filter(F.col("n_users") >= 2)
+        .select(
+            "cell",
+            idiv(F.col("cell"), 4).alias("parent_cell"),
+            "n_users",
+            "n_pairs",
+            "anchor_user",
+        )
+    )

@@ -3882,3 +3882,93 @@ def test_bradley_terry_oracle_matches_reference(evs):
         (t, totw[t], n_games, q[t] * 1000000 // qsum) for t in players
     }
     assert got == want
+
+
+@settings(max_examples=50, deadline=None)
+@given(
+    docs=st.lists(
+        st.lists(
+            st.sampled_from(["hash", "join", "big", "table", "x"]),
+            min_size=1,
+            max_size=12,
+        ),
+        min_size=1,
+        max_size=20,
+    )
+)
+def test_blocklist_oracle_matches_reference(docs):
+    """The blocklist oracle vs a Python scanner — pins token-boundary
+    matching and the non-overlapping padded-needle occurrence count
+    (consecutive 'hash join hash join' counts twice, overlaps do not)."""
+    import duckdb
+
+    from kafka_stream_job_spark.operators.text import _BLOCKLIST_PHRASES
+    from kafka_stream_job_spark.registry import all_specs
+
+    texts = [" ".join(toks) for toks in docs]
+    oracle = all_specs()["blocklist_phrase_filter"].oracle
+    con = duckdb.connect()
+    con.execute("CREATE TABLE documents (doc_id BIGINT, text VARCHAR)")
+    con.executemany(
+        "INSERT INTO documents VALUES (?, ?)", list(enumerate(texts))
+    )
+    got = {tuple(r) for r in con.sql(oracle).fetchall()}
+
+    want = set()
+    for phrase in _BLOCKLIST_PHRASES:
+        needle = f" {phrase} "
+        n_docs = n_occ = 0
+        for t in texts:
+            padded = f" {t.lower().strip()} "
+            # replace-shortening identity: one space removed per
+            # NON-overlapping occurrence, scanning left to right
+            k = (
+                len(padded)
+                - len(padded.replace(needle, f" {phrase}"))
+            )
+            n_occ += k
+            n_docs += k > 0
+        want.add((phrase, n_docs, n_occ, n_docs * 10000 // len(texts)))
+    assert got == want
+
+
+@settings(max_examples=50, deadline=None)
+@given(
+    lens=st.lists(st.integers(min_value=1, max_value=50), min_size=1, max_size=90)
+)
+def test_padding_waste_oracle_matches_reference(lens):
+    """The padding-waste oracle vs a Python batcher — pins the
+    rank-div-B batch assignment (last partial batch included), per-batch
+    max*rows padding, and the exact-integer waste basis points."""
+    import duckdb
+
+    from kafka_stream_job_spark.operators.pipeline import _PAD_BATCH
+    from kafka_stream_job_spark.registry import all_specs
+
+    texts = [(i, " ".join(["w"] * n)) for i, n in enumerate(lens)]
+    oracle = all_specs()["padding_waste_report"].oracle
+    con = duckdb.connect()
+    con.execute("CREATE TABLE documents (doc_id BIGINT, text VARCHAR)")
+    con.executemany("INSERT INTO documents VALUES (?, ?)", texts)
+    got = {tuple(r) for r in con.sql(oracle).fetchall()}
+
+    def report(name, ordered):
+        batches = [
+            ordered[i : i + _PAD_BATCH]
+            for i in range(0, len(ordered), _PAD_BATCH)
+        ]
+        total = sum(ordered)
+        padded = sum(max(b) * len(b) for b in batches)
+        return (
+            name,
+            len(batches),
+            total,
+            padded,
+            (padded - total) * 10000 // padded,
+        )
+
+    want = {
+        report("naive", lens),
+        report("length_sorted", sorted(lens)),
+    }
+    assert got == want
