@@ -10252,3 +10252,202 @@ def geo_cell_colocation(spark: SparkSession, sf_dir: str) -> DataFrame:
             "anchor_user",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# SNAPSHOT RETENTION EXPIRY PLAN — the expire_snapshots policy engine
+# (Iceberg) / VACUUM retention (Delta) as a declarative plan: from the
+# table's snapshot series (derived here as one snapshot per distinct
+# order date, so the oracle replays it), KEEP the most recent 30
+# snapshots plus the first snapshot of each month in the trailing
+# 12-month compliance window; everything else is expirable. Precedence
+# is recent > monthly (a snapshot is counted once). Month arithmetic
+# stays in the integer index year*12+month — no engine-specific
+# INTERVAL semantics in the hash path.
+# Scale shape: the snapshot series is bounded by TIME SPAN, not data
+# volume — one distinct pass, a bounded TakeOrdered head for the
+# recency cutoff (never a global rank window), broadcast scalar joins,
+# and a month-keyed rollup.
+# ---------------------------------------------------------------------------
+_SNAP_KEEP_RECENT = 30
+_SNAP_KEEP_MONTHS = 12
+
+
+@register(
+    "snapshot_retention_expiry_plan",
+    oracle=f"""
+        WITH snaps AS (
+            SELECT DISTINCT CAST(o_orderdate AS DATE) AS d FROM orders
+        ),
+        cut AS (
+            SELECT MIN(d) AS cut_d FROM (
+                SELECT d FROM snaps ORDER BY d DESC LIMIT {_SNAP_KEEP_RECENT}
+            )
+        ),
+        mx AS (
+            SELECT MAX(YEAR(d) * 12 + MONTH(d)) AS max_m FROM snaps
+        ),
+        monthly AS (
+            SELECT YEAR(d) * 12 + MONTH(d) AS m, MIN(d) AS first_d
+            FROM snaps GROUP BY 1
+        ),
+        flagged AS (
+            SELECT s.d,
+                   YEAR(s.d) * 12 + MONTH(s.d) AS m,
+                   CASE WHEN s.d >= (SELECT cut_d FROM cut)
+                        THEN 1 ELSE 0 END AS keep_recent,
+                   CASE WHEN s.d < (SELECT cut_d FROM cut)
+                         AND s.d = mo.first_d
+                         AND mo.m > (SELECT max_m FROM mx)
+                                    - {_SNAP_KEEP_MONTHS}
+                        THEN 1 ELSE 0 END AS keep_monthly
+            FROM snaps s
+            JOIN monthly mo ON mo.m = YEAR(s.d) * 12 + MONTH(s.d)
+        )
+        SELECT CAST(m AS BIGINT) AS month_idx,
+               CAST(COUNT(*) AS BIGINT) AS n_snapshots,
+               CAST(SUM(keep_recent) AS BIGINT) AS n_keep_recent,
+               CAST(SUM(keep_monthly) AS BIGINT) AS n_keep_monthly,
+               CAST(SUM(1 - keep_recent - keep_monthly) AS BIGINT)
+                   AS n_expire
+        FROM flagged
+        GROUP BY m
+    """,
+    tags=("storage", "maintenance", "retention", "orders"),
+)
+def snapshot_retention_expiry_plan(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    snaps = (
+        orders.select(F.col("o_orderdate").cast("date").alias("d"))
+        .distinct()
+        .localCheckpoint(eager=False)  # cutoff, monthly, and flags share it
+    )
+    m_of = F.year("d") * 12 + F.month("d")
+    cut = (
+        snaps.orderBy(F.col("d").desc())
+        .limit(_SNAP_KEEP_RECENT)
+        .agg(F.min("d").alias("cut_d"))
+    )
+    mx = snaps.agg(F.max(m_of).alias("max_m"))
+    monthly = snaps.groupBy(m_of.alias("m")).agg(F.min("d").alias("first_d"))
+    flagged = (
+        snaps.withColumn("m", m_of)
+        .join(F.broadcast(monthly), "m")
+        .crossJoin(F.broadcast(cut))
+        .crossJoin(F.broadcast(mx))
+        .select(
+            "m",
+            (F.col("d") >= F.col("cut_d")).cast("long").alias("keep_recent"),
+            (
+                (F.col("d") < F.col("cut_d"))
+                & (F.col("d") == F.col("first_d"))
+                & (F.col("m") > F.col("max_m") - _SNAP_KEEP_MONTHS)
+            )
+            .cast("long")
+            .alias("keep_monthly"),
+        )
+    )
+    return flagged.groupBy(F.col("m").cast("long").alias("month_idx")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_snapshots"),
+        F.sum("keep_recent").cast("long").alias("n_keep_recent"),
+        F.sum("keep_monthly").cast("long").alias("n_keep_monthly"),
+        F.sum(1 - F.col("keep_recent") - F.col("keep_monthly"))
+        .cast("long")
+        .alias("n_expire"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# SCORE CALIBRATION REPORT — the reliability-diagram + ECE computation
+# every deployed classifier needs (Guo et al. 2017), on an exactly
+# replayable score: each event's predicted purchase probability is its
+# user's own purchase share in basis points (the per-user frequency
+# model, resubstitution-scored). Events bin by score decile; each bin
+# reports mean predicted vs observed rate and the calibration gap, and
+# every row carries the expected calibration error
+#   ECE_bp = sum_b n_b * |gap_b| div n_total
+# — all exact integer arithmetic (shares in bp via div, gaps on bp).
+# Scale shape: one user-keyed aggregate for the score, one user-keyed
+# join back (same key — exchange reuse candidate), one bounded 11-bin
+# rollup, one broadcast scalar for the ECE. No windows.
+# ---------------------------------------------------------------------------
+@register(
+    "score_calibration_report",
+    oracle="""
+        WITH per_user AS (
+            SELECT user_id,
+                   (CAST(SUM(CASE WHEN event_type = 'purchase'
+                                  THEN 1 ELSE 0 END) AS BIGINT) * 10000)
+                       // CAST(COUNT(*) AS BIGINT) AS score_bp
+            FROM events GROUP BY 1
+        ),
+        scored AS (
+            SELECT p.score_bp,
+                   CASE WHEN e.event_type = 'purchase' THEN 1 ELSE 0 END AS y,
+                   p.score_bp // 1000 AS bin
+            FROM events e JOIN per_user p ON p.user_id = e.user_id
+        ),
+        bins AS (
+            SELECT bin,
+                   CAST(COUNT(*) AS BIGINT) AS n_events,
+                   (CAST(SUM(score_bp) AS BIGINT))
+                       // CAST(COUNT(*) AS BIGINT) AS mean_score_bp,
+                   (CAST(SUM(y) AS BIGINT) * 10000)
+                       // CAST(COUNT(*) AS BIGINT) AS observed_bp
+            FROM scored GROUP BY 1
+        ),
+        ece AS (
+            SELECT CAST(SUM(n_events * ABS(mean_score_bp - observed_bp))
+                        AS BIGINT)
+                   // CAST(SUM(n_events) AS BIGINT) AS ece_bp
+            FROM bins
+        )
+        SELECT b.bin AS score_decile, b.n_events, b.mean_score_bp,
+               b.observed_bp,
+               b.observed_bp - b.mean_score_bp AS gap_bp,
+               e.ece_bp
+        FROM bins b CROSS JOIN ece e
+    """,
+    tags=("ml", "calibration", "events", "agg"),
+)
+def score_calibration_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    y = (F.col("event_type") == "purchase").cast("long")
+    per_user = events.groupBy("user_id").agg(
+        idiv(F.sum(y).cast("long") * 10000, F.count(F.lit(1))).alias(
+            "score_bp"
+        )
+    )
+    scored = events.join(per_user, "user_id").select(
+        "score_bp",
+        y.alias("y"),
+        idiv("score_bp", 1000).alias("bin"),
+    )
+    bins = scored.groupBy("bin").agg(
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+        idiv(F.sum("score_bp").cast("long"), F.count(F.lit(1))).alias(
+            "mean_score_bp"
+        ),
+        idiv(F.sum("y").cast("long") * 10000, F.count(F.lit(1))).alias(
+            "observed_bp"
+        ),
+    ).localCheckpoint(eager=False)  # bin rows + the ECE scalar share it
+    ece = bins.agg(
+        idiv(
+            F.sum(
+                F.col("n_events")
+                * F.abs(F.col("mean_score_bp") - F.col("observed_bp"))
+            ).cast("long"),
+            F.sum("n_events").cast("long"),
+        ).alias("ece_bp")
+    )
+    return bins.crossJoin(F.broadcast(ece)).select(
+        F.col("bin").alias("score_decile"),
+        "n_events",
+        "mean_score_bp",
+        "observed_bp",
+        (F.col("observed_bp") - F.col("mean_score_bp")).alias("gap_bp"),
+        "ece_bp",
+    )
