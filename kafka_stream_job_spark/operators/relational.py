@@ -10451,3 +10451,201 @@ def score_calibration_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("observed_bp") - F.col("mean_score_bp")).alias("gap_bp"),
         "ece_bp",
     )
+
+
+# ---------------------------------------------------------------------------
+# MAX-MIN FAIR ALLOCATION — the water-filling allocation every
+# multi-tenant scheduler and rate-limiter runs (progressive filling /
+# bottleneck fairness): given per-user demand (event counts) and a
+# capacity of half the total demand, find the water level L where
+# sum(min(demand, L)) fills capacity; users below the level are fully
+# served, the rest cap at L. The level is found WITHOUT iteration using
+# the sorted-prefix identity: in ascending demand order, user k is
+# fully servable iff prefix(k-1) + d_k * (n-k+1) <= C (monotone in k),
+# and L = (C - prefix(k*-1)) div (n-k*+1) at the first violation.
+# Scale shape: one user-keyed aggregate, one distributed_rank + one
+# distributed_prefix_sum along the same total order (range-partitioned,
+# no global sort window), a 1-row broadcast for the level, and a
+# constant-width summary. All integers.
+# ---------------------------------------------------------------------------
+@register(
+    "maxmin_fair_allocation",
+    oracle="""
+        WITH d AS (
+            SELECT user_id, CAST(COUNT(*) AS BIGINT) AS dem
+            FROM events GROUP BY 1
+        ),
+        tot AS (
+            SELECT CAST(COUNT(*) AS BIGINT) AS n,
+                   CAST(SUM(dem) AS BIGINT) AS tot_d,
+                   CAST(SUM(dem) AS BIGINT) // 2 AS cap
+            FROM d
+        ),
+        r AS (
+            SELECT user_id, dem,
+                   CAST(ROW_NUMBER() OVER (ORDER BY dem, user_id) AS BIGINT)
+                       AS rk,
+                   CAST(SUM(dem) OVER (ORDER BY dem, user_id
+                                       ROWS UNBOUNDED PRECEDING) AS BIGINT)
+                       AS running
+            FROM d
+        ),
+        f AS (
+            SELECT r.*,
+                   (running - dem) + dem * ((SELECT n FROM tot) - rk + 1)
+                       <= (SELECT cap FROM tot) AS full_served
+            FROM r
+        ),
+        lam AS (
+            SELECT ((SELECT cap FROM tot) - (running - dem))
+                       // ((SELECT n FROM tot) - rk + 1) AS lvl
+            FROM f
+            WHERE rk = (SELECT MIN(rk) FROM f WHERE NOT full_served)
+        )
+        SELECT (SELECT n FROM tot) AS n_users,
+               (SELECT tot_d FROM tot) AS total_demand,
+               (SELECT cap FROM tot) AS capacity,
+               (SELECT lvl FROM lam) AS water_level,
+               CAST(SUM(CASE WHEN full_served THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_fully_served,
+               CAST(SUM(CASE WHEN full_served THEN 0 ELSE 1 END) AS BIGINT)
+                   AS n_capped,
+               CAST(SUM(LEAST(dem, (SELECT lvl FROM lam))) AS BIGINT)
+                   AS allocated_total,
+               (SELECT cap FROM tot)
+                   - CAST(SUM(LEAST(dem, (SELECT lvl FROM lam))) AS BIGINT)
+                   AS unused_capacity
+        FROM f
+    """,
+    tags=("scheduling", "fairness", "events", "distributed-primitive"),
+)
+def maxmin_fair_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kafka_stream_job_spark.operators._distributed import (
+        distributed_prefix_sum,
+        distributed_rank,
+    )
+
+    events = load_table(spark, sf_dir, "events")
+    d = events.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("long").alias("dem")
+    )
+    order = [F.col("dem"), F.col("user_id")]
+    ranked = distributed_rank(d, order, rank_col="rk")
+    pre = distributed_prefix_sum(
+        ranked, order, "dem", out_col="running"
+    ).localCheckpoint(eager=False)  # level row + summary both read it
+    tot = pre.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("dem").cast("long").alias("tot_d"),
+        idiv(F.sum("dem").cast("long"), 2).alias("cap"),
+    )
+    f = pre.crossJoin(F.broadcast(tot)).withColumn(
+        "full_served",
+        (F.col("running") - F.col("dem"))
+        + F.col("dem") * (F.col("n") - F.col("rk") + 1)
+        <= F.col("cap"),
+    )
+    lam = (
+        f.filter(~F.col("full_served"))
+        .agg(
+            F.min(
+                F.struct(
+                    F.col("rk").alias("rk"),
+                    (F.col("running") - F.col("dem")).alias("pb"),
+                    F.col("n").alias("n"),
+                    F.col("cap").alias("cap"),
+                )
+            ).alias("m")
+        )
+        .select(
+            idiv(
+                F.col("m.cap") - F.col("m.pb"),
+                F.col("m.n") - F.col("m.rk") + 1,
+            ).alias("lvl")
+        )
+    )
+    return (
+        f.crossJoin(F.broadcast(lam))
+        .groupBy("n", "tot_d", "cap", "lvl")
+        .agg(
+            F.sum(F.col("full_served").cast("long"))
+            .cast("long")
+            .alias("n_fully_served"),
+            F.sum((~F.col("full_served")).cast("long"))
+            .cast("long")
+            .alias("n_capped"),
+            F.sum(F.least(F.col("dem"), F.col("lvl")))
+            .cast("long")
+            .alias("allocated_total"),
+        )
+        .select(
+            F.col("n").alias("n_users"),
+            F.col("tot_d").alias("total_demand"),
+            F.col("cap").alias("capacity"),
+            F.col("lvl").alias("water_level"),
+            "n_fully_served",
+            "n_capped",
+            "allocated_total",
+            (F.col("cap") - F.col("allocated_total")).alias("unused_capacity"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# DATA FRESHNESS SLA — the per-feed staleness check an ingestion
+# dashboard alarms on: each event type is a feed; its freshness lag is
+# the gap between its newest record and the newest record anywhere
+# (the "now" a batch audit can actually observe). Feeds lagging more
+# than the SLA threshold are flagged. NTZ-safe: lags come from
+# timestampdiff on the raw values; timestamps surface as formatted
+# strings so both engines hash the same type.
+# Scale shape: two partial-agg passes (per-feed max, global max via a
+# 1-row broadcast) — the canonical monitoring query at any volume.
+# ---------------------------------------------------------------------------
+_FRESH_SLA_S = 3600
+
+
+@register(
+    "data_freshness_sla",
+    oracle=f"""
+        WITH per_feed AS (
+            SELECT event_type, MAX(ts) AS last_ts,
+                   CAST(COUNT(*) AS BIGINT) AS n_events
+            FROM events GROUP BY 1
+        ),
+        now_mark AS (SELECT MAX(ts) AS now_ts FROM events)
+        SELECT event_type,
+               strftime(last_ts, '%Y-%m-%d %H:%M:%S.%f') AS last_ts,
+               n_events,
+               -- exact micros then div: date_diff('second') counts
+               -- boundary CROSSINGS, Spark counts elapsed seconds
+               CAST(date_diff('microsecond', last_ts,
+                              (SELECT now_ts FROM now_mark)) AS BIGINT)
+                   // 1000000 AS lag_s,
+               (CAST(date_diff('microsecond', last_ts,
+                               (SELECT now_ts FROM now_mark)) AS BIGINT)
+                   // 1000000 > {_FRESH_SLA_S}) AS sla_breach
+        FROM per_feed
+    """,
+    tags=("monitoring", "freshness", "sla", "events"),
+)
+def data_freshness_sla(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    per_feed = events.groupBy("event_type").agg(
+        F.max("ts").alias("last_ts"),
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+    )
+    now_mark = events.agg(F.max("ts").alias("now_ts"))
+    micros = F.expr("timestampdiff(MICROSECOND, last_ts, now_ts)").cast(
+        "long"
+    )
+    lag = idiv(micros, 1000000)
+    return per_feed.crossJoin(F.broadcast(now_mark)).select(
+        "event_type",
+        F.date_format("last_ts", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias(
+            "last_ts"
+        ),
+        "n_events",
+        lag.alias("lag_s"),
+        (lag > _FRESH_SLA_S).alias("sla_breach"),
+    )

@@ -3972,3 +3972,60 @@ def test_padding_waste_oracle_matches_reference(lens):
         report("length_sorted", sorted(lens)),
     }
     assert got == want
+
+
+@settings(max_examples=80, deadline=None)
+@given(
+    evs=st.lists(
+        st.integers(min_value=0, max_value=12),  # user per event
+        min_size=1,
+        max_size=120,
+    )
+)
+def test_maxmin_fair_oracle_matches_progressive_filling(evs):
+    """The closed-form water level (sorted-prefix identity) vs the
+    textbook ITERATIVE progressive-filling algorithm — the identity is
+    the whole correctness claim of the non-iterative distributed form."""
+    import duckdb
+
+    from kafka_stream_job_spark.registry import all_specs
+
+    from collections import Counter
+
+    oracle = all_specs()["maxmin_fair_allocation"].oracle
+    con = duckdb.connect()
+    con.execute("CREATE TABLE events (user_id BIGINT)")
+    con.executemany("INSERT INTO events VALUES (?)", [(u,) for u in evs])
+    got = {tuple(r) for r in con.sql(oracle).fetchall()}
+
+    dems = sorted(Counter(evs).values())
+    n, tot = len(dems), sum(dems)
+    cap = tot // 2
+    # progressive filling: raise the level until capacity is exhausted
+    lvl, used, active = 0, 0, list(dems)
+    while active and used + len(active) <= cap - 0:
+        # raise by the largest step that keeps everyone below next demand
+        nxt = min(active)
+        step = min(nxt - lvl, (cap - used) // len(active))
+        if step == 0:
+            break
+        lvl += step
+        used += step * len(active)
+        active = [d for d in active if d > lvl]
+    # the closed form floors the final partial raise into lvl directly
+    full = [d for d in dems if d <= lvl]
+    allocated = sum(min(d, lvl) for d in dems)
+    want_lvl = next(iter(got))[3]
+    assert want_lvl == lvl
+    assert got == {
+        (
+            n,
+            tot,
+            cap,
+            lvl,
+            len(full),
+            n - len(full),
+            allocated,
+            cap - allocated,
+        )
+    }
