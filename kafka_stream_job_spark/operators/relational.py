@@ -10649,3 +10649,210 @@ def data_freshness_sla(spark: SparkSession, sf_dir: str) -> DataFrame:
         lag.alias("lag_s"),
         (lag > _FRESH_SLA_S).alias("sla_breach"),
     )
+
+
+# ---------------------------------------------------------------------------
+# LASPEYRES PRICE INDEX — the fixed-basket inflation measure (what CPI
+# publishes) over the order book: per part and year, the average unit
+# price in exact micro-cents ((sum extended cents * 1e4) div qty — the
+# DEFINED per-part price, one floor, both engines); the index for year t
+# is then basket-weighted with BASE-YEAR quantities,
+#   I_t(bp) = (sum_p pbar_t(p)*q0(p)) * 10000 div (sum_p pbar_0(p)*q0(p)),
+# restricted to parts traded in BOTH years (the matched basket — how
+# real price indexes handle entry/exit). Base year = first year in the
+# data. Quantities are exact integers (l_quantity is integral in the
+# data; ROUND guards repr noise).
+# Scale shape: one (part, year)-keyed aggregate over the fact table,
+# a part-keyed join against the base-year slice of that SAME aggregate
+# (self-join on the small aggregated table, not the fact), and a
+# per-year bounded rollup. No windows.
+# ---------------------------------------------------------------------------
+@register(
+    "price_index_laspeyres",
+    oracle="""
+        WITH per_py AS (
+            SELECT l_partkey AS p, YEAR(l_shipdate) AS y,
+                   CAST(SUM(CAST(ROUND(l_extendedprice * 100.0) AS BIGINT))
+                        AS BIGINT) AS cents,
+                   CAST(SUM(CAST(ROUND(l_quantity) AS BIGINT)) AS BIGINT)
+                       AS qty
+            FROM lineitem GROUP BY 1, 2
+        ),
+        base AS (
+            SELECT p, cents, qty,
+                   (cents * 10000) // qty AS pbar0
+            FROM per_py WHERE y = (SELECT MIN(y) FROM per_py)
+        )
+        -- sums pre-scale by 1e6 before the bp division so the
+        -- numerator*10000 stays inside int64 (exact through ~SF10;
+        -- beyond, widen the micro unit) — one more DEFINED floor shared
+        -- by both engines
+        SELECT CAST(t.y AS BIGINT) AS year,
+               CAST(COUNT(*) AS BIGINT) AS n_matched_parts,
+               ((CAST(SUM(((t.cents * 10000) // t.qty) * b.qty) AS BIGINT)
+                 // 1000000) * 10000)
+                   // GREATEST(CAST(SUM(b.pbar0 * b.qty) AS BIGINT)
+                               // 1000000, 1) AS index_bp
+        FROM per_py t JOIN base b ON b.p = t.p
+        GROUP BY t.y
+    """,
+    tags=("analytics", "economics", "lineitem", "agg", "join"),
+)
+def price_index_laspeyres(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    per_py = (
+        li.groupBy(
+            F.col("l_partkey").alias("p"),
+            F.year("l_shipdate").alias("y"),
+        )
+        .agg(
+            F.sum(F.round(F.col("l_extendedprice") * 100.0, 0).cast("long"))
+            .cast("long")
+            .alias("cents"),
+            F.sum(F.round(F.col("l_quantity"), 0).cast("long"))
+            .cast("long")
+            .alias("qty"),
+        )
+        .localCheckpoint(eager=False)  # base slice + all years read it
+    )
+    y0 = per_py.agg(F.min("y").alias("y0"))
+    base = (
+        per_py.crossJoin(F.broadcast(y0))
+        .filter(F.col("y") == F.col("y0"))
+        .select(
+            "p",
+            F.col("qty").alias("q0"),
+            idiv(F.col("cents") * 10000, F.col("qty")).alias("pbar0"),
+        )
+    )
+    pbar_t = idiv(F.col("cents") * 10000, F.col("qty"))
+    return (
+        per_py.join(base, "p")
+        .groupBy(F.col("y").cast("long").alias("year"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_matched_parts"),
+            idiv(
+                idiv(F.sum(pbar_t * F.col("q0")).cast("long"), 1000000)
+                * 10000,
+                F.greatest(
+                    idiv(
+                        F.sum(F.col("pbar0") * F.col("q0")).cast("long"),
+                        1000000,
+                    ),
+                    F.lit(1).cast("long"),
+                ),
+            ).alias("index_bp"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# HITS AUTHORITY/HUB RANKING — Kleinberg's mutual-reinforcement scores
+# on the supplier-part bipartite graph (two unrolled iterations):
+# authority(part) = sum of its suppliers' hub scores, hub(supplier) =
+# sum of its parts' authority scores, each round renormalized to the
+# 1e6-micro max. PURE INTEGER throughout — seeds are 1e6, every sum is
+# exact, every normalization is one floor division by the broadcast max
+# — so unlike float HITS there is no summation-order surface at all.
+# Complements graph_pagerank_parts (single projected graph) with the
+# two-sided bipartite ranking. Output: the deterministic top-10 of each
+# side under the (score desc, key asc) total order.
+# Scale shape: the edge set (DISTINCT supplier-part) is checkpointed
+# once; each half-iteration is one node-keyed partial aggregate over
+# edges joined to the previous (node-count-sized, not edge-sized) score
+# table; tops via TakeOrderedAndProject, never a global sort.
+# ---------------------------------------------------------------------------
+_HITS_ITERS = 2
+
+
+@register(
+    "hits_authority_hub",
+    oracle=f"""
+        WITH edges AS (
+            SELECT DISTINCT l_suppkey AS s, l_partkey AS p FROM lineitem
+        ),
+        hub0 AS (
+            SELECT s, CAST(1000000 AS BIGINT) AS h
+            FROM (SELECT DISTINCT s FROM edges)
+        )
+        {''.join(f''',
+        rawa{i} AS (
+            SELECT e.p, CAST(SUM(h.h) AS BIGINT) AS a
+            FROM edges e JOIN hub{i - 1} h ON h.s = e.s GROUP BY 1
+        ),
+        auth{i} AS (
+            SELECT p, (a * 1000000) // (SELECT MAX(a) FROM rawa{i}) AS a
+            FROM rawa{i}
+        ),
+        rawh{i} AS (
+            SELECT e.s, CAST(SUM(a.a) AS BIGINT) AS h
+            FROM edges e JOIN auth{i} a ON a.p = e.p GROUP BY 1
+        ),
+        hub{i} AS (
+            SELECT s, (h * 1000000) // (SELECT MAX(h) FROM rawh{i}) AS h
+            FROM rawh{i}
+        )''' for i in range(1, _HITS_ITERS + 1))}
+        SELECT * FROM (
+            SELECT 'authority' AS role, CAST(p AS BIGINT) AS node_key,
+                   a AS score_micro
+            FROM auth{_HITS_ITERS} ORDER BY a DESC, p ASC LIMIT 10
+        )
+        UNION ALL
+        SELECT * FROM (
+            SELECT 'hub', CAST(s AS BIGINT), h
+            FROM hub{_HITS_ITERS} ORDER BY h DESC, s ASC LIMIT 10
+        )
+    """,
+    tags=("graph", "ranking", "iterative", "lineitem"),
+)
+def hits_authority_hub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    edges = (
+        li.select(F.col("l_suppkey").alias("s"), F.col("l_partkey").alias("p"))
+        .distinct()
+        .localCheckpoint(eager=False)  # every half-iteration re-reads it
+    )
+    hub = edges.select("s").distinct().select(
+        "s", F.lit(1000000).cast("long").alias("h")
+    )
+    auth = None
+    for _ in range(_HITS_ITERS):
+        rawa = (
+            edges.join(hub, "s")
+            .groupBy("p")
+            .agg(F.sum("h").cast("long").alias("a"))
+            .localCheckpoint(eager=False)  # max + normalize share it
+        )
+        mxa = rawa.agg(F.max("a").alias("mx"))
+        auth = rawa.crossJoin(F.broadcast(mxa)).select(
+            "p", idiv(F.col("a") * 1000000, F.col("mx")).alias("a")
+        )
+        rawh = (
+            edges.join(auth, "p")
+            .groupBy("s")
+            .agg(F.sum("a").cast("long").alias("h"))
+            .localCheckpoint(eager=False)
+        )
+        mxh = rawh.agg(F.max("h").alias("mx"))
+        hub = rawh.crossJoin(F.broadcast(mxh)).select(
+            "s", idiv(F.col("h") * 1000000, F.col("mx")).alias("h")
+        )
+    top_auth = (
+        auth.orderBy(F.col("a").desc(), F.col("p").asc())
+        .limit(10)
+        .select(
+            F.lit("authority").alias("role"),
+            F.col("p").cast("long").alias("node_key"),
+            F.col("a").alias("score_micro"),
+        )
+    )
+    top_hub = (
+        hub.orderBy(F.col("h").desc(), F.col("s").asc())
+        .limit(10)
+        .select(
+            F.lit("hub").alias("role"),
+            F.col("s").cast("long").alias("node_key"),
+            F.col("h").alias("score_micro"),
+        )
+    )
+    return top_auth.unionByName(top_hub)
