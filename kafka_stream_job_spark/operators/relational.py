@@ -9625,7 +9625,7 @@ def fd_discovery_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
 # broadcast-sized class lists; records never self-join and the lattice
 # depth is a compile-time constant.
 # ---------------------------------------------------------------------------
-_KANON_K = 10
+_KANON_GEN_K = 10
 
 
 @register(
@@ -9639,31 +9639,31 @@ _KANON_K = 10
         l0 AS (SELECT nat, seg, CAST(COUNT(*) AS BIGINT) AS n
                FROM c GROUP BY 1, 2),
         rem1 AS (SELECT c.* FROM c JOIN l0 USING (nat, seg)
-                 WHERE l0.n < {_KANON_K}),
+                 WHERE l0.n < {_KANON_GEN_K}),
         l1 AS (SELECT reg, seg, CAST(COUNT(*) AS BIGINT) AS n
                FROM rem1 GROUP BY 1, 2),
         rem2 AS (SELECT rem1.* FROM rem1 JOIN l1 USING (reg, seg)
-                 WHERE l1.n < {_KANON_K}),
+                 WHERE l1.n < {_KANON_GEN_K}),
         l2 AS (SELECT reg, CAST(COUNT(*) AS BIGINT) AS n
                FROM rem2 GROUP BY 1)
         SELECT 0 AS level, CAST(COUNT(*) AS BIGINT) AS n_classes,
                CAST(COALESCE(SUM(n), 0) AS BIGINT) AS n_records,
                CAST(COALESCE(MIN(n), 0) AS BIGINT) AS min_class_size
-        FROM l0 WHERE n >= {_KANON_K}
+        FROM l0 WHERE n >= {_KANON_GEN_K}
         UNION ALL
         SELECT 1, CAST(COUNT(*) AS BIGINT),
                CAST(COALESCE(SUM(n), 0) AS BIGINT),
                CAST(COALESCE(MIN(n), 0) AS BIGINT)
-        FROM l1 WHERE n >= {_KANON_K}
+        FROM l1 WHERE n >= {_KANON_GEN_K}
         UNION ALL
         SELECT 2, CAST(COUNT(*) AS BIGINT),
                CAST(COALESCE(SUM(n), 0) AS BIGINT),
                CAST(COALESCE(MIN(n), 0) AS BIGINT)
-        FROM l2 WHERE n >= {_KANON_K}
+        FROM l2 WHERE n >= {_KANON_GEN_K}
         UNION ALL
         SELECT 3, 0,
                CAST(COALESCE(SUM(n), 0) AS BIGINT), 0
-        FROM l2 WHERE n < {_KANON_K}
+        FROM l2 WHERE n < {_KANON_GEN_K}
     """,
     tags=("privacy", "anonymization", "customer", "agg"),
 )
@@ -9685,7 +9685,7 @@ def k_anonymity_generalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     def level_row(classes: DataFrame, level: int) -> DataFrame:
-        kept = classes.filter(F.col("n") >= _KANON_K)
+        kept = classes.filter(F.col("n") >= _KANON_GEN_K)
         return kept.agg(
             F.lit(level).alias("level"),
             F.count(F.lit(1)).cast("long").alias("n_classes"),
@@ -9695,7 +9695,7 @@ def k_anonymity_generalize(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     l0 = c.groupBy("nat", "seg").agg(F.count(F.lit(1)).cast("long").alias("n"))
     rem1 = c.join(
-        F.broadcast(l0.filter(F.col("n") < _KANON_K).select("nat", "seg")),
+        F.broadcast(l0.filter(F.col("n") < _KANON_GEN_K).select("nat", "seg")),
         ["nat", "seg"],
         "left_semi",
     )
@@ -9703,12 +9703,12 @@ def k_anonymity_generalize(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("long").alias("n")
     )
     rem2 = rem1.join(
-        F.broadcast(l1.filter(F.col("n") < _KANON_K).select("reg", "seg")),
+        F.broadcast(l1.filter(F.col("n") < _KANON_GEN_K).select("reg", "seg")),
         ["reg", "seg"],
         "left_semi",
     )
     l2 = rem2.groupBy("reg").agg(F.count(F.lit(1)).cast("long").alias("n"))
-    suppressed = l2.filter(F.col("n") < _KANON_K).agg(
+    suppressed = l2.filter(F.col("n") < _KANON_GEN_K).agg(
         F.lit(3).alias("level"),
         F.lit(0).cast("long").alias("n_classes"),
         F.coalesce(F.sum("n"), F.lit(0)).cast("long").alias("n_records"),

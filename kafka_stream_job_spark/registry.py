@@ -197,104 +197,134 @@ def all_specs() -> dict[str, QuerySpec]:
     # (operators added after the measurement) slot in just after the
     # sub-second group.
     cost_order = (
-        "text_fingerprint", "text_bpe_token_count", "csv_source_permissive_read",
-        "q6_forecast_revenue", "scalar_functions_showcase", "nations_with_rich_customers",
-        "partitioned_source_pruned_read", "quota_sample_per_lang",
-        "schema_evolution_merge_read", "cube_order_status_priority", "weighted_sample_docs",
-        "corpus_mix_rebalance", "datetime_functions_showcase", "multimodal_metadata_scan",
-        "text_seqlen_histogram", "text_token_stats", "customers_without_orders",
-        "text_quality_score", "lang_balance_weights", "pipe_sql_priority_stats",
-        "rollup_returns", "split_train_eval", "doc_sliding_chunks", "embedding_norm_stats",
-        "q14_promo_revenue", "text_pii_redaction", "bitwise_aggregates_showcase",
-        "grouping_sets_revenue", "pack_sequences_manifest", "text_language_id",
-        "events_daily_value_trend", "lang_temperature_weights", "cv_fold_manifest",
-        "parameterized_sql_showcase", "scd2_customer_merge", "multimodal_stratified_sample",
-        "text_sentiment_lexicon", "embedding_int8_quantize", "events_json_extract",
-        "unpivot_lineitem_measures", "arrow_map_embedding_norm", "dedup_exact",
-        "lateral_top_customers_per_nation", "q4_order_priority", "stats_qty_price_corr",
-        "gdpr_purge_manifest", "multimodal_frame_sample", "percentile_order_prices",
-        "multimodal_resize", "q12_priority_by_linestatus", "q22_global_sales_opportunity",
-        "try_functions_showcase", "array_agg_user_profile", "events_props_templates",
-        "multimodal_dedup_content_hash", "null_safe_join_attribution",
-        "events_props_variant_decode", "events_multi_rollup", "incremental_agg_maintenance",
-        "profile_hot_orderkeys", "q15_top_supplier", "multimodal_decode_features",
-        "supplier_return_wilson_rank", "events_hourly_rollup", "q13_customer_distribution",
-        "distinct_parts_per_supplier", "events_funnel_latency", "k_anonymity_audit",
-        "q19_disjunctive_revenue", "q1_pricing_summary", "setops_customer_segments",
-        "window_customer_order_rank", "bronze_decode_errors", "pandas_scalar_log_price",
-        "benford_digit_audit", "events_theilsen_trend", "feature_asof_training_matrix",
-        "similarity_topk_cosine", "bpe_fertility_by_lang", "events_funnel_view_click_purchase",
-        "events_psi_value_drift", "events_transition_matrix", "pandas_acctbal_zscore",
-        "pandas_grouped_agg_trimmed_mean", "events_ewma_forecast", "window_event_gaps",
-        "attribution_multi_touch", "collation_group_showcase", "multimodal_audio_frame_energy",
-        "orc_source_roundtrip", "pivot_user_event_matrix", "q18_large_volume_customers",
-        "events_user_retention", "snapshot_diff_report", "top_customers_by_revenue",
-        "events_holt_forecast", "small_quantity_revenue", "text_vocab_coverage",
-        "trigram_like_search", "revenue_trend_ols", "text_zipf_slope", "kmv_distinct_users",
-        "events_hourly_anomaly", "map_functions_showcase", "events_hourly_gapfill",
-        "events_interval_overlap_join", "content_defined_chunks", "lineitem_ship_latency",
-        "profile_lineitem_columns", "range_join_price_bands", "text_bm25_search",
-        "udtf_word_expand", "url_functions_showcase", "dpo_preference_pairs",
-        "events_seasonal_profile", "mlm_masking_manifest", "text_rake_keywords",
-        "medallion_pipeline_rollup", "session_window_rollup", "similarity_topk_binary_rerank",
-        "window_range_trailing_hour", "asof_next_touch_latency", "q7_volume_shipping",
-        "array_set_functions_showcase", "q2_min_cost_supplier", "salted_join_supplier_volume",
-        "decontaminate_by_embedding", "q10_returned_items", "xml_decode_roundtrip",
-        "q16_supplier_part_buckets", "text_top_bigrams", "q3_shipping_priority",
-        "hll_distinct_users", "shard_manifest_balanced", "embedding_outlier_zscore",
-        "events_sessionize_batch", "bronze_decode_roundtrip", "compaction_bin_packing_plan",
-        "matryoshka_truncation_recall", "asof_purchase_attribution", "streaming_dedup_events",
-        "corpus_token_budget_plan", "events_props_schema_profile", "watermark_sizing_report",
-        "customer_balance_ks_test", "rag_context_pack", "ann_ndcg_truncation",
-        "aes_roundtrip_audit", "corpus_js_divergence", "jsonl_source_permissive_read",
-        "text_repetition_filter", "events_ab_uplift_test", "orders_priority_status_chi2",
-        "customer_spend_gini", "similarity_topk_bucketed", "similarity_topk_ivf",
-        "text_chunk_dedup", "text_token_entropy", "l_diversity_audit",
-        "events_session_window_batch", "hive_source_partition_pruned",
-        "streaming_available_now_rollup", "forecast_conformal_intervals",
-        "streaming_hourly_rollup", "q20_heavy_shippers", "timeseries_znorm_subsequence_search",
-        "basket_part_pairs", "search_hybrid_rrf", "q5_local_supplier_volume",
-        "skipgram_negative_samples", "streaming_kmv_distinct_users", "data_quality_audit",
-        "streaming_csv_source_rollup", "join_skew_planner", "q8_national_market_share",
-        "scd2_point_in_time_join", "abc_customer_classification", "bloom_filter_membership",
-        "q21_waiting_supplier", "surrogate_key_assignment", "text_word_pmi",
-        "repeated_ngram_spans", "array_hof_showcase", "window_functions_showcase",
-        "events_holtwinters_forecast", "execute_immediate_showcase", "q11_important_part_value",
-        "zorder_layout_stats", "orders_survival_km", "corpus_epoch_shuffle_manifest",
-        "events_changepoint_binseg", "orders_cohort_revenue", "streaming_heavy_hitter_users",
-        "streaming_union_sources_rollup", "sketch_user_activity", "association_rules_parts",
-        "events_peak_concurrency", "q9_product_type_profit", "streaming_upsert_latest_state",
-        "histogram_price_deciles", "events_alarm_verification", "decontaminate_train_shingles",
-        "streaming_static_enrich", "events_cusum_drift", "sketch_quantile_bins",
-        "streaming_sliding_rollup", "events_dau_wau_mau", "events_hourly_mad_outliers",
-        "sql_udf_showcase", "streaming_dedup_within_watermark", "dedup_minhash_lsh",
-        "events_hourly_autocorr", "dedup_span_mask_manifest", "embedding_covariance",
-        "hll_merge_event_types", "streaming_stateful_totals", "dedup_embedding_cosine",
-        "quality_logreg_training", "fuzzy_join_part_names", "similarity_lsh_neardup",
-        "streaming_sink_exactly_once_roundtrip", "bpe_apply_merges", "join_cardinality_audit",
-        "streaming_session_rollup", "supplier_pareto_frontier", "text_tfidf_top_terms",
-        "bigram_lm_score", "dedup_survivors", "embedding_pq_codes",
-        "percentile_distributed_exact", "similarity_topk_pq_adc",
-        "similarity_maxsim_multivector", "ivf_recall_report", "streaming_stateful_type_counts",
-        "checkpoint_statestore_table", "contrastive_triplets", "graph_modularity_by_brand",
-        "dedup_edit_distance", "semantic_dedup_semdedup", "change_data_feed_report",
-        "kmv_set_ops_event_types", "text_rolling_fingerprint", "cogroup_asof_pandas",
-        "dedup_simhash", "bpe_learn_merges", "multimodal_ahash_neardup", "dedup_ngram_jaccard",
-        "recursive_month_spine", "dedup_incremental_delta", "streaming_update_mode_rollup",
-        "hll_intersection_estimate", "multimodal_silence_segments",
-        "streaming_hll_distinct_users", "rfm_customer_segments", "streaming_late_data_drop",
-        "udtf_dynamic_ngrams", "cms_token_counts", "batch_replay_pruned_scan",
-        "cluster_kmeans_embeddings", "dedup_containment", "graph_bfs_hops",
-        "corpus_filter_funnel", "graph_link_prediction_suppliers", "checkpoint_offsetlog_table",
-        "minhash_jaccard_calibration", "streaming_purchase_attribution",
-        "embedding_power_iteration", "heavy_hitter_tokens", "streaming_replay_source_rollup",
-        "custom_sink_audit_roundtrip", "corpus_difficulty_curriculum", "graph_pagerank_parts",
-        "streaming_topk_types_hourly", "checkpoint_commitlog_audit",
-        "dedup_connected_components", "minhash_bbit_calibration",
-        "streaming_unattributed_purchases", "graph_kcore_peel", "streaming_chained_windows",
+        "csv_source_permissive_read", "pipe_sql_priority_stats", "text_quality_score",
+        "text_fingerprint", "text_token_stats", "url_functions_showcase",
+        "text_bpe_token_count", "try_functions_showcase",
+        "bitwise_aggregates_showcase", "gdpr_purge_manifest", "weighted_sample_docs",
+        "parameterized_sql_showcase", "data_freshness_sla",
+        "cube_order_status_priority", "embedding_norm_stats", "q6_forecast_revenue",
+        "bpe_fertility_by_lang", "dpo_preference_pairs", "text_sentiment_lexicon",
+        "lateral_top_customers_per_nation", "doc_sliding_chunks",
+        "null_safe_join_attribution", "collation_group_showcase", "multimodal_resize",
+        "lang_balance_weights", "profile_hot_orderkeys", "scd2_customer_merge",
+        "scalar_functions_showcase", "stats_qty_price_corr", "bronze_decode_errors",
+        "multimodal_metadata_scan", "benford_digit_audit", "kmv_distinct_users",
+        "feature_asof_training_matrix", "arrow_map_embedding_norm",
+        "events_props_templates", "supplier_return_wilson_rank",
+        "map_functions_showcase", "jsonl_source_permissive_read", "text_language_id",
+        "multimodal_decode_features", "trigram_like_search", "dp_noisy_nation_counts",
+        "grouping_sets_revenue", "events_theilsen_trend", "dedup_exact",
+        "customers_without_orders", "events_daily_value_trend",
+        "embedding_int8_quantize", "text_pii_redaction", "attribution_multi_touch",
+        "window_range_trailing_hour", "compaction_bin_packing_plan",
+        "percentile_order_prices", "events_funnel_view_click_purchase",
+        "datetime_functions_showcase", "text_seqlen_histogram",
+        "bronze_decode_roundtrip", "events_holt_forecast", "hll_distinct_users",
+        "quota_sample_per_lang", "q1_pricing_summary", "events_transition_matrix",
+        "revenue_trend_ols", "snapshot_diff_report", "events_props_variant_decode",
+        "rollup_returns", "q22_global_sales_opportunity", "events_funnel_latency",
+        "array_set_functions_showcase", "q13_customer_distribution",
+        "events_interval_overlap_join", "events_ewma_forecast", "l_diversity_audit",
+        "split_train_eval", "q14_promo_revenue", "events_multi_rollup",
+        "multimodal_audio_frame_energy", "asof_next_touch_latency",
+        "lang_temperature_weights", "q19_disjunctive_revenue",
+        "events_session_window_batch", "q12_priority_by_linestatus",
+        "pivot_user_event_matrix", "events_seasonal_profile",
+        "execute_immediate_showcase", "events_ab_uplift_test",
+        "multimodal_stratified_sample", "events_hourly_anomaly",
+        "heavy_hitter_tokens", "cv_fold_manifest", "sketch_quantile_bins",
+        "text_vocab_coverage", "lineitem_ship_latency", "k_anonymity_audit",
+        "pack_sequences_manifest", "q11_important_part_value",
+        "multimodal_dedup_content_hash", "q9_product_type_profit",
+        "corpus_mix_rebalance", "subject_access_export", "small_quantity_revenue",
+        "array_agg_user_profile", "nations_with_rich_customers",
+        "window_customer_order_rank", "events_sessionize_batch", "text_zipf_slope",
+        "q15_top_supplier", "unpivot_lineitem_measures", "profile_lineitem_columns",
+        "score_calibration_report", "similarity_topk_cosine",
+        "multimodal_frame_sample", "events_hourly_gapfill",
+        "surrogate_key_assignment", "aes_roundtrip_audit", "content_defined_chunks",
+        "events_json_extract", "events_holtwinters_forecast",
+        "schema_evolution_merge_read", "pandas_acctbal_zscore",
+        "events_hourly_rollup", "events_props_schema_profile",
+        "watermark_sizing_report", "change_data_feed_report",
+        "multimodal_silence_segments", "pandas_grouped_agg_trimmed_mean",
+        "events_cusum_drift", "batch_replay_source_slice", "top_customers_by_revenue",
+        "bloom_filter_membership", "decision_stump_split_scores",
+        "orders_priority_status_chi2", "percentile_distributed_exact",
+        "decontaminate_by_embedding", "window_event_gaps", "customer_balance_ks_test",
+        "hll_merge_event_types", "streaming_upsert_latest_state",
+        "timeseries_znorm_subsequence_search", "customer_spend_gini",
+        "embedding_outlier_zscore", "pandas_scalar_log_price", "q3_shipping_priority",
+        "streaming_heavy_hitter_users", "q20_heavy_shippers", "text_bm25_search",
+        "distinct_parts_per_supplier", "q16_supplier_part_buckets",
+        "events_changepoint_binseg", "zorder_layout_stats", "orders_cohort_revenue",
+        "text_rake_keywords", "ann_ndcg_truncation", "geo_cell_colocation",
+        "partitioned_source_pruned_read", "udtf_word_expand",
+        "events_hourly_mad_outliers", "mlm_masking_manifest", "price_index_laspeyres",
+        "events_dau_wau_mau", "t_closeness_audit", "q4_order_priority",
+        "abc_customer_classification", "join_skew_planner", "streaming_hourly_rollup",
+        "linkage_fellegi_sunter", "snapshot_retention_expiry_plan",
+        "text_chunk_dedup", "scd2_point_in_time_join", "events_alarm_verification",
+        "session_window_rollup", "streaming_csv_source_rollup",
+        "orc_source_roundtrip", "q18_large_volume_customers", "q2_min_cost_supplier",
+        "forecast_conformal_intervals", "medallion_pipeline_rollup",
+        "streaming_kmv_distinct_users", "array_hof_showcase",
+        "text_repetition_filter", "text_token_entropy", "streaming_static_enrich",
+        "events_psi_value_drift", "orphan_file_audit", "q7_volume_shipping",
+        "text_word_pmi", "setops_customer_segments", "sql_udf_showcase",
+        "similarity_topk_binary_rerank", "xml_decode_roundtrip",
+        "incremental_join_maintenance", "salted_join_supplier_volume",
+        "q21_waiting_supplier", "supplier_pareto_frontier",
+        "q8_national_market_share", "events_user_retention",
+        "streaming_dedup_within_watermark", "matryoshka_truncation_recall",
+        "streaming_union_sources_rollup", "streaming_dedup_events",
+        "events_peak_concurrency", "histogram_price_deciles",
+        "similarity_topk_bucketed", "streaming_available_now_rollup",
+        "data_quality_audit", "streaming_sliding_rollup", "streaming_session_rollup",
+        "skipgram_negative_samples", "similarity_topk_ivf", "rag_context_pack",
+        "basket_part_pairs", "corpus_epoch_shuffle_manifest",
+        "similarity_maxsim_multivector", "fuzzy_join_part_names", "search_hybrid_rrf",
+        "shard_manifest_balanced", "checkpoint_statestore_table",
+        "quality_logreg_training", "repeated_ngram_spans",
+        "window_functions_showcase", "corpus_js_divergence",
+        "asof_purchase_attribution", "surrogate_key_incremental",
+        "graph_link_prediction_suppliers", "orders_survival_km",
+        "streaming_sink_exactly_once_roundtrip", "multimodal_ahash_neardup",
+        "embedding_covariance", "q10_returned_items", "bpe_learn_merges",
+        "association_rules_parts", "text_top_bigrams", "streaming_topk_types_hourly",
+        "file_metadata_columns_read", "q5_local_supplier_volume",
+        "linkage_entity_clusters", "cms_token_counts", "events_hourly_autocorr",
+        "embedding_pq_codes", "merge_full_cdc", "kmv_set_ops_event_types",
+        "join_cardinality_audit", "dedup_span_mask_manifest", "bigram_lm_score",
+        "fd_discovery_profile", "sketch_user_activity", "dedup_edit_distance",
+        "similarity_lsh_neardup", "cogroup_asof_pandas", "dedup_survivors",
+        "text_tfidf_top_terms", "semantic_dedup_semdedup", "dedup_incremental_delta",
+        "decontaminate_train_shingles", "bpe_apply_merges", "maxmin_fair_allocation",
+        "bucketed_join_colocated", "hits_authority_hub", "streaming_late_data_drop",
+        "dedup_embedding_cosine", "bradley_terry_strengths",
+        "hll_intersection_estimate", "corpus_token_budget_plan",
+        "padding_waste_report", "corpus_shingle_novelty",
+        "streaming_stateful_type_counts", "recursive_month_spine",
+        "graph_modularity_by_brand", "similarity_topk_pq_adc",
+        "linkage_em_parameters", "rfm_customer_segments", "dedup_minhash_lsh",
+        "embedding_power_iteration", "range_join_price_bands",
+        "streaming_update_mode_rollup", "dedup_simhash", "fk_inclusion_profile",
+        "streaming_stateful_totals", "minhash_jaccard_calibration",
+        "dedup_containment", "checkpoint_commitlog_audit",
+        "cluster_kmeans_embeddings", "streaming_chained_windows",
+        "contrastive_triplets", "streaming_purchase_attribution",
+        "minhash_bbit_calibration", "dedup_ngram_jaccard",
+        "hive_source_partition_pruned", "text_rolling_fingerprint",
+        "streaming_unattributed_purchases", "naive_bayes_langid",
+        "corpus_difficulty_curriculum", "streaming_value_quantiles",
+        "blocklist_phrase_filter", "streaming_hll_distinct_users",
+        "graph_pagerank_parts", "dedup_connected_components",
+        "streaming_replay_source_rollup", "checkpoint_offsetlog_table",
         "streaming_join_then_windowed_agg", "dedup_keep_best_quality",
-        "batch_replay_source_slice", "sql_scripting_showcase", "merge_full_cdc",
-        "graph_triangle_stats",
+        "udtf_dynamic_ngrams", "incremental_agg_maintenance", "corpus_filter_funnel",
+        "k_anonymity_generalize", "sql_scripting_showcase", "ivf_recall_report",
+        "custom_sink_audit_roundtrip", "graph_bfs_hops", "graph_kcore_peel",
+        "graph_triangle_stats", "batch_replay_pruned_scan",
     )
     new_ops_rank = 50.5  # just after the sub-second group (index ~50)
     unchecked = {

@@ -3709,7 +3709,7 @@ def test_k_anonymity_generalize_oracle_matches_reference(custs):
     records-only recount at each level, and the suppression tally."""
     import duckdb
 
-    from kafka_stream_job_spark.operators.relational import _KANON_K
+    from kafka_stream_job_spark.operators.relational import _KANON_GEN_K
     from kafka_stream_job_spark.registry import all_specs
 
     regions = {nk: nk % 3 for nk in range(8)}
@@ -3735,7 +3735,7 @@ def test_k_anonymity_generalize_oracle_matches_reference(custs):
                        (1, lambda r: (r[2], r[1])),
                        (2, lambda r: (r[2],))):
         sizes = Counter(key(r) for r in recs)
-        kept = {k: n for k, n in sizes.items() if n >= _KANON_K}
+        kept = {k: n for k, n in sizes.items() if n >= _KANON_GEN_K}
         want.add((
             level,
             len(kept),
