@@ -10856,3 +10856,133 @@ def hits_authority_hub(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return top_auth.unionByName(top_hub)
+
+
+# ---------------------------------------------------------------------------
+# OHLC BARS — the tumbling-window open/high/low/close + volume summary
+# every market-data and telemetry pipeline materializes: per (event
+# type, hour), the first value (open), last value (close), extremes,
+# and count. First/last are defined on the TOTAL order (ts, event_id) —
+# min_by/max_by over a composite struct, so simultaneous events cannot
+# make the bar nondeterministic (the classic OHLC correctness bug).
+# Values carried as exact cents.
+# Scale shape: ONE hash aggregate over the fact table — min_by/max_by
+# are algebraic (partial-merge-safe), so bars build map-side with no
+# window sort and no shuffle beyond the bar key.
+# ---------------------------------------------------------------------------
+@register(
+    "events_ohlc_bars",
+    oracle="""
+        WITH c AS (
+            SELECT event_type,
+                   CAST(date_trunc('hour', ts) AS TIMESTAMP) AS h,
+                   ts, event_id,
+                   CAST(ROUND(value * 100.0) AS BIGINT) AS cents
+            FROM events
+        )
+        SELECT event_type,
+               CAST(h AS VARCHAR) AS bar_hour,
+               CAST(COUNT(*) AS BIGINT) AS n_ticks,
+               (MIN(struct_pack(ts := ts, eid := event_id,
+                                c := cents))).c AS open_cents,
+               MAX(cents) AS high_cents,
+               MIN(cents) AS low_cents,
+               (MAX(struct_pack(ts := ts, eid := event_id,
+                                c := cents))).c AS close_cents,
+               CAST(SUM(cents) AS BIGINT) AS volume_cents
+        FROM c
+        GROUP BY 1, 2
+    """,
+    tags=("timeseries", "ohlc", "events", "agg"),
+)
+def events_ohlc_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    cents = F.round(F.col("value") * 100.0, 0).cast("long")
+    keyed = events.select(
+        "event_type",
+        F.date_trunc("hour", F.col("ts")).alias("h"),
+        F.struct(
+            F.col("ts").alias("ts"),
+            F.col("event_id").alias("eid"),
+            cents.alias("c"),
+        ).alias("k"),
+        cents.alias("cents"),
+    )
+    return keyed.groupBy(
+        "event_type", F.col("h").cast("string").alias("bar_hour")
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("n_ticks"),
+        F.min("k").getField("c").alias("open_cents"),
+        F.max("cents").alias("high_cents"),
+        F.min("cents").alias("low_cents"),
+        F.max("k").getField("c").alias("close_cents"),
+        F.sum("cents").cast("long").alias("volume_cents"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# TIME-DECAYED LEADERBOARD — recency-weighted ranking with an EXACT
+# integer decay: each event contributes cents >> age_days (binary
+# exponential decay, half-life = 1 day), so yesterday's spend counts
+# half and last month's is noise — yet the fold is pure integer
+# arithmetic with zero float surface (exp()-based decay would be
+# summation-order-sensitive; the shift is not, because integer addition
+# commutes). Age clamps at 40 shifts (contribution provably 0 past the
+# clamp for any cents < 2^40, so clamping loses nothing and keeps the
+# shift in range). Top-20 users under the (score desc, user asc) total
+# order.
+# Scale shape: one broadcast now-mark, one user-keyed partial aggregate
+# (shift applied per row map-side), TakeOrderedAndProject for the head.
+# ---------------------------------------------------------------------------
+@register(
+    "decayed_leaderboard",
+    oracle="""
+        WITH mx AS (
+            SELECT CAST(MAX(ts) AS DATE) AS now_d FROM events
+        ),
+        scored AS (
+            SELECT user_id,
+                   CAST(ROUND(value * 100.0) AS BIGINT)
+                       >> LEAST(CAST(date_diff('day', CAST(ts AS DATE),
+                                     (SELECT now_d FROM mx)) AS BIGINT), 40)
+                       AS dec_cents,
+                   CAST(ROUND(value * 100.0) AS BIGINT) AS cents
+            FROM events
+        )
+        SELECT * FROM (
+            SELECT user_id,
+                   CAST(SUM(dec_cents) AS BIGINT) AS decayed_cents,
+                   CAST(SUM(cents) AS BIGINT) AS raw_cents,
+                   CAST(COUNT(*) AS BIGINT) AS n_events
+            FROM scored GROUP BY 1
+            ORDER BY decayed_cents DESC, user_id ASC LIMIT 20
+        )
+    """,
+    tags=("timeseries", "ranking", "decay", "events"),
+)
+def decayed_leaderboard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    mx = events.agg(F.max(F.col("ts").cast("date")).alias("now_d"))
+    cents = F.round(F.col("value") * 100.0, 0).cast("long")
+    age = F.least(
+        F.datediff(F.col("now_d"), F.col("ts").cast("date")).cast("long"),
+        F.lit(40).cast("long"),
+    )
+    staged = events.crossJoin(F.broadcast(mx)).select(
+        "user_id", cents.alias("cents"), age.cast("int").alias("age")
+    )
+    scored = staged.select(
+        "user_id",
+        F.expr("shiftright(cents, age)").alias("dec_cents"),
+        "cents",
+    )
+    return (
+        scored.groupBy("user_id")
+        .agg(
+            F.sum("dec_cents").cast("long").alias("decayed_cents"),
+            F.sum("cents").cast("long").alias("raw_cents"),
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+        )
+        .orderBy(F.col("decayed_cents").desc(), F.col("user_id").asc())
+        .limit(20)
+    )
