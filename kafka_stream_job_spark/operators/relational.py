@@ -10986,3 +10986,69 @@ def decayed_leaderboard(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("decayed_cents").desc(), F.col("user_id").asc())
         .limit(20)
     )
+
+
+# ---------------------------------------------------------------------------
+# MARKET CONCENTRATION (HHI) — the Herfindahl-Hirschman index antitrust
+# and marketplace-health dashboards publish: per nation, customer spend
+# shares in basis points (one DEFINED floor per customer), HHI =
+# sum(share_bp^2) div 10000 — 10000 = monopoly, ~0 = atomized. Top
+# share rides along for the "is one whale the market" read. All exact
+# integers; share floors are part of the metric definition so both
+# engines agree bit-for-bit.
+# Scale shape: one (nation, customer)-keyed aggregate over the join,
+# one nation-keyed rollup with the nation totals broadcast back — no
+# windows, no data-sized second pass.
+# ---------------------------------------------------------------------------
+@register(
+    "market_concentration_hhi",
+    oracle="""
+        WITH spend AS (
+            SELECT c.c_nationkey AS nation, o.o_custkey AS cust,
+                   CAST(SUM(CAST(ROUND(o.o_totalprice * 100.0) AS BIGINT))
+                        AS BIGINT) AS cents
+            FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+            GROUP BY 1, 2
+        ),
+        tot AS (
+            SELECT nation, CAST(SUM(cents) AS BIGINT) AS tot_cents
+            FROM spend GROUP BY 1
+        ),
+        shares AS (
+            SELECT s.nation, (s.cents * 10000) // t.tot_cents AS share_bp
+            FROM spend s JOIN tot t ON t.nation = s.nation
+        )
+        SELECT CAST(nation AS BIGINT) AS nation,
+               CAST(COUNT(*) AS BIGINT) AS n_customers,
+               CAST(MAX(share_bp) AS BIGINT) AS top_share_bp,
+               CAST(SUM(share_bp * share_bp) // 10000 AS BIGINT) AS hhi
+        FROM shares
+        GROUP BY nation
+    """,
+    tags=("analytics", "economics", "orders", "customer", "agg"),
+)
+def market_concentration_hhi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("cust"), F.col("c_nationkey").alias("nation")
+    )
+    cents = F.round(F.col("o_totalprice") * 100.0, 0).cast("long")
+    spend = (
+        orders.select(F.col("o_custkey").alias("cust"), cents.alias("c"))
+        .join(F.broadcast(cust), "cust")
+        .groupBy("nation", "cust")
+        .agg(F.sum("c").cast("long").alias("cents"))
+    )
+    tot = spend.groupBy("nation").agg(
+        F.sum("cents").cast("long").alias("tot_cents")
+    )
+    shares = spend.join(F.broadcast(tot), "nation").select(
+        "nation", idiv(F.col("cents") * 10000, F.col("tot_cents")).alias("share_bp")
+    )
+    return shares.groupBy(F.col("nation").cast("long").alias("nation")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_customers"),
+        F.max("share_bp").cast("long").alias("top_share_bp"),
+        idiv(
+            F.sum(F.col("share_bp") * F.col("share_bp")).cast("long"), 10000
+        ).alias("hhi"),
+    )

@@ -2488,6 +2488,7 @@ def bpe_fertility_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Reference parity: none (SURVEY.md §2.7) — north-star text extension.
 # ---------------------------------------------------------------------------
 from kafka_stream_job_spark.operators.dedup import _NORM_SQL as _BL_NORM_SQL
+from kafka_stream_job_spark.operators.dedup import _SHINGLES_SQL as _VGC_SHINGLES_SQL
 
 _BLOCKLIST_PHRASES: tuple[str, ...] = (
     "hash join",
@@ -2719,4 +2720,70 @@ def naive_bayes_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
         pred.join(docs.select("doc_id", "lang"), "doc_id")
         .groupBy("lang", "pred_lang")
         .agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# VOCABULARY GROWTH CURVE — Heaps'-law diagnostic for tokenizer and
+# n-gram-model sizing: as the corpus accretes (doc_id order, bucketed
+# into deciles), how many NEW 3-shingle types appear per decile and
+# cumulatively? A flattening curve says the type inventory is
+# saturating (a fixed vocab/model will hold); a linear one says
+# open-vocabulary effects dominate. Types attribute to the decile of
+# their FIRST occurrence (min doc_id) — the same first-occurrence
+# semantics (and shared shingle CTE) as corpus_shingle_novelty.
+# Cumulative counts come from a triangular join over the 10 decile
+# rows — bounded, no global window.
+# Scale shape: one shingle-keyed aggregate (min doc_id per type), one
+# bounded decile rollup, one 10x10 broadcast triangular join.
+# ---------------------------------------------------------------------------
+@register(
+    "vocab_growth_curve",
+    oracle=f"""
+        WITH shingles AS ({_VGC_SHINGLES_SQL}),
+        mx AS (SELECT MAX(doc_id) AS mxd FROM documents),
+        first_seen AS (
+            SELECT shingle, MIN(doc_id) AS first_doc FROM shingles GROUP BY 1
+        ),
+        per_decile AS (
+            SELECT (first_doc * 10) // ((SELECT mxd FROM mx) + 1) AS decile,
+                   CAST(COUNT(*) AS BIGINT) AS new_types
+            FROM first_seen GROUP BY 1
+        )
+        SELECT CAST(a.decile AS BIGINT) AS decile,
+               a.new_types,
+               CAST(SUM(b.new_types) AS BIGINT) AS cum_types
+        FROM per_decile a JOIN per_decile b ON b.decile <= a.decile
+        GROUP BY a.decile, a.new_types
+    """,
+    tags=("text", "vocabulary", "tokenizer", "documents"),
+)
+def vocab_growth_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kafka_stream_job_spark.operators.dedup import _shingles
+
+    docs = load_table(spark, sf_dir, "documents")
+    mx = docs.agg(F.max("doc_id").alias("mxd"))
+    first_seen = (
+        _shingles(docs)
+        .groupBy("shingle")
+        .agg(F.min("doc_id").alias("first_doc"))
+    )
+    per_decile = (
+        first_seen.crossJoin(F.broadcast(mx))
+        .groupBy(
+            idiv(F.col("first_doc") * 10, F.col("mxd") + 1).alias("decile")
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("new_types"))
+        .localCheckpoint(eager=False)  # both sides of the triangular join
+    )
+    b = per_decile.select(
+        F.col("decile").alias("b_decile"), F.col("new_types").alias("b_new")
+    )
+    return (
+        per_decile.join(
+            F.broadcast(b), F.col("b_decile") <= F.col("decile")
+        )
+        .groupBy("decile", "new_types")
+        .agg(F.sum("b_new").cast("long").alias("cum_types"))
+        .select(F.col("decile").cast("long").alias("decile"), "new_types", "cum_types")
     )
