@@ -4799,10 +4799,14 @@ def percentile_distributed_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
              AND t.touch_ts <= p.purchase_ts
              AND p.purchase_ts <= t.touch_ts + INTERVAL 30 MINUTE
         )
+        -- per-row integer micro-units BEFORE the cross-row sum: the
+        -- double SUM(value/n) is summation-order-sensitive and flipped
+        -- a rounding boundary under concurrent scheduling at sf0.1
         SELECT touch_type,
                COUNT(*) AS n_attributions,
-               ROUND((SUM(purchase_value / n_touches)) * 100.0) / 100.0 + 0.0
-                   AS attributed_revenue
+               CAST(SUM((CAST(ROUND(purchase_value * 100.0) AS BIGINT)
+                         * 10000) // n_touches) AS BIGINT) / 1000000.0
+                   + 0.0 AS attributed_revenue
         FROM pairs
         GROUP BY 1
     """,
@@ -4829,9 +4833,13 @@ def attribution_multi_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).withColumn(
         "n_touches", F.count(F.lit(1)).over(Window.partitionBy("purchase_id"))
     )
+    micro = idiv(
+        F.round(F.col("purchase_value") * 100.0, 0).cast("long") * 10000,
+        F.col("n_touches"),
+    )
     return pairs.groupBy("touch_type").agg(
         F.count(F.lit(1)).alias("n_attributions"),
-        pround(F.sum(F.col("purchase_value") / F.col("n_touches")), 2).alias(
+        (F.sum(micro).cast("long") / 1000000.0 + 0.0).alias(
             "attributed_revenue"
         ),
     )

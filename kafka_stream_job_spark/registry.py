@@ -102,7 +102,10 @@ _DRIVER_CHECKED = frozenset({
     # round 3 additions (CORRECTNESS_r03.json minus the 2 re-checks)
     "ann_ndcg_truncation", "array_set_functions_showcase",
     "arrow_map_embedding_norm", "asof_next_touch_latency",
-    "attribution_multi_touch", "benford_digit_audit",
+    # attribution_multi_touch earned its r03 row but its per-touch split
+    # became integer-exact micro-units in round 5 (the double sum was
+    # summation-order-sensitive) — listed in _RECHECK below.
+    "benford_digit_audit",
     "bloom_filter_membership", "bronze_decode_errors",
     "bronze_decode_roundtrip", "csv_source_permissive_read",
     "customer_balance_ks_test", "cv_fold_manifest", "events_ab_uplift_test",
@@ -162,7 +165,11 @@ _DRIVER_CHECKED = frozenset({
 #: merge_full_cdc's restatement arithmetic became integer-exact after
 #: its r04 row; incremental_agg_maintenance's sum/avg moved to exact
 #: integer cents (order-independent merge, tie-free 4dp avg) likewise.
-_RECHECK = ("merge_full_cdc", "incremental_agg_maintenance")
+_RECHECK = (
+    "merge_full_cdc",
+    "incremental_agg_maintenance",
+    "attribution_multi_touch",
+)
 
 
 def all_specs() -> dict[str, QuerySpec]:
