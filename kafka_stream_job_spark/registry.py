@@ -140,13 +140,8 @@ _DRIVER_CHECKED = frozenset({
     "forecast_conformal_intervals", "hive_source_partition_pruned",
     "hll_distinct_users", "hll_merge_event_types",
     "join_skew_planner",
-    # incremental_agg_maintenance earned a row but its sum/avg arithmetic
-    # became integer-exact in cents (round 5) — listed in _RECHECK below.
     "lateral_top_customers_per_nation", "lineitem_ship_latency",
     "matryoshka_truncation_recall", "medallion_pipeline_rollup",
-    # merge_full_cdc earned its r04 row but its restatement arithmetic
-    # changed this round (integer-exact tie-free half-away) — deliberately
-    # NOT listed so it re-earns a driver row first (see recheck below).
     "mlm_masking_manifest", "orders_priority_status_chi2",
     "profile_lineitem_columns", "q13_customer_distribution",
     "q16_supplier_part_buckets", "q21_waiting_supplier", "q2_min_cost_supplier",
@@ -156,20 +151,38 @@ _DRIVER_CHECKED = frozenset({
     "surrogate_key_assignment", "text_rake_keywords",
     "timeseries_znorm_subsequence_search", "trigram_like_search",
     "watermark_sizing_report", "window_range_trailing_hour",
+    # round 5 additions (CORRECTNESS_r05.json — 47 fresh names plus the 3
+    # re-earned _RECHECK rows merge_full_cdc / incremental_agg_maintenance /
+    # attribution_multi_touch, all green)
+    "array_hof_showcase", "attribution_multi_touch", "batch_replay_source_slice",
+    "bpe_fertility_by_lang", "change_data_feed_report", "collation_group_showcase",
+    "compaction_bin_packing_plan", "data_freshness_sla", "decayed_leaderboard",
+    "decision_stump_split_scores", "dp_noisy_nation_counts",
+    "dpo_preference_pairs", "events_cusum_drift", "events_ohlc_bars",
+    "execute_immediate_showcase", "geo_cell_colocation", "heavy_hitter_tokens",
+    "incremental_agg_maintenance", "incremental_join_maintenance",
+    "jsonl_source_permissive_read", "l_diversity_audit", "linkage_fellegi_sunter",
+    "market_concentration_hhi", "merge_full_cdc", "multimodal_silence_segments",
+    "orders_cohort_revenue", "orphan_file_audit", "percentile_distributed_exact",
+    "price_index_laspeyres", "q11_important_part_value", "q20_heavy_shippers",
+    "q8_national_market_share", "q9_product_type_profit",
+    "score_calibration_report", "sketch_quantile_bins",
+    "snapshot_retention_expiry_plan", "sql_udf_showcase",
+    "streaming_csv_source_rollup", "streaming_dedup_within_watermark",
+    "streaming_hourly_rollup", "streaming_static_enrich",
+    "streaming_union_sources_rollup", "streaming_upsert_latest_state",
+    "subject_access_export", "supplier_pareto_frontier", "t_closeness_audit",
+    "text_word_pmi", "url_functions_showcase", "vocab_growth_curve",
+    "zorder_layout_stats",
 })
 
 #: Driver-green queries whose BEHAVIOR changed after their last green row:
 #: deliberately absent from _DRIVER_CHECKED (the hygiene test enforces
 #: they are the only permitted absences) and ordered FIRST so the next
-#: driver pass re-earns their row before anything else. Round 5:
-#: merge_full_cdc's restatement arithmetic became integer-exact after
-#: its r04 row; incremental_agg_maintenance's sum/avg moved to exact
-#: integer cents (order-independent merge, tie-free 4dp avg) likewise.
-_RECHECK = (
-    "merge_full_cdc",
-    "incremental_agg_maintenance",
-    "attribution_multi_touch",
-)
+#: driver pass re-earns their row before anything else. Round 6: empty —
+#: all three round-5 rechecks (merge_full_cdc, incremental_agg_maintenance,
+#: attribution_multi_touch) re-earned green rows in CORRECTNESS_r05.json.
+_RECHECK: tuple[str, ...] = ()
 
 
 def all_specs() -> dict[str, QuerySpec]:
