@@ -2065,24 +2065,53 @@ def similarity_topk_binary_rerank(spark: SparkSession, sf_dir: str) -> DataFrame
 # space, then within each cluster drop items semantically too close to
 # a better-kept item. The pipeline here is the paper's, made
 # deterministic and oracle-checkable:
-#   1. codebook = the SEMDEDUP_K lowest-vec_id embeddings (a fixed
-#      stand-in for trained k-means centroids — cluster_kmeans_embeddings
-#      owns the training story; assignment plans are identical),
+#   1. codebook = the K lowest-vec_id embeddings, K = max(FLOOR,
+#      ⌊√N⌋) derived from the corpus count as the paper does (a
+#      deterministic stand-in for trained k-means centroids —
+#      cluster_kmeans_embeddings owns the training story; assignment
+#      plans are identical). K is computed declaratively (1-row
+#      broadcast aggregate), no driver-side action.
 #   2. assign every vector to its max-cosine centroid (broadcast
 #      codebook, corpus never shuffled for assignment; ties → lower
 #      centroid id),
-#   3. within a cluster, drop vector a iff some cluster-mate b has
-#      cos(a,b) > SEMDEDUP_TAU and b outranks a (closer to the
-#      centroid, vec_id as the tie-break) — exactly one survivor per
-#      near-dup clique, no iterative peeling needed.
+#   3. within a cluster, rank members by (cos-to-centroid DESC, vec_id
+#      ASC); drop vector a iff some cluster-mate b ranked AHEAD of a
+#      (and within the top SEMDEDUP_MAX_CMP ranks) has
+#      cos(a,b) > SEMDEDUP_TAU — exactly one survivor per near-dup
+#      clique among the compared prototypes, no iterative peeling.
 # Scale: the only data-sized shuffle is the intra-cluster pair join,
-# keyed by cluster id; K grows with the corpus (the paper uses ~√N) and
-# cluster size is capped upstream, so pair work stays bounded per key.
-# Cosines are sequential-fold doubles (bit-identical in both engines),
-# so the > τ and outranking comparisons can never disagree.
+# keyed by cluster id. TWO real bounds keep its per-key work linear:
+# K ~ √N keeps expected cluster size at ~√N, and the b-side of the
+# pair join is pre-filtered to each cluster's top SEMDEDUP_MAX_CMP
+# members (the cluster's "prototypes", mirroring how
+# graph_link_prediction_suppliers caps hub degree), so a skewed
+# cluster of size S costs O(S·MAX_CMP) comparisons, never O(S²).
+# Members past the cap are only ever compared AGAINST the prototypes;
+# that truncation is part of the operator's documented semantics and
+# the oracle applies the identical cap. Cosines are sequential-fold
+# doubles (bit-identical in both engines), so the > τ comparison can
+# never disagree; the outranking test is an integer rank comparison.
 # ---------------------------------------------------------------------------
-SEMDEDUP_K = 8
+SEMDEDUP_K_FLOOR = 8
 SEMDEDUP_TAU = 0.38
+SEMDEDUP_MAX_CMP = 256
+
+
+def _semdedup_centroids(emb: DataFrame) -> DataFrame:
+    """The deterministic codebook: the max(SEMDEDUP_K_FLOOR, ⌊√N⌋)
+    lowest-vec_id embeddings, with K computed as a 1-row broadcast
+    aggregate so the whole thing stays declarative (no collect)."""
+    kdf = emb.agg(
+        F.greatest(
+            F.lit(SEMDEDUP_K_FLOOR).cast("long"),
+            F.floor(F.sqrt(F.count(F.lit(1)))),
+        ).alias("k")
+    )
+    return (
+        emb.crossJoin(F.broadcast(kdf))
+        .filter(F.col("vec_id") < F.col("k"))
+        .select(F.col("vec_id").alias("cid"), F.col("embedding").alias("cemb"))
+    )
 
 _sd_dot_ec = _DOT_SQL.format(a="e.embedding", b="c.cemb")
 _sd_norm_e = _NORM_SQL.format(a="e.embedding")
@@ -2097,7 +2126,12 @@ _sd_norm_b = _NORM_SQL.format(a="b.embedding")
     oracle=f"""
         WITH cents AS (
             SELECT vec_id AS cid, embedding AS cemb
-            FROM embeddings WHERE vec_id < {SEMDEDUP_K}
+            FROM embeddings
+            WHERE vec_id < (
+                SELECT GREATEST({SEMDEDUP_K_FLOOR},
+                                CAST(FLOOR(SQRT(COUNT(*))) AS BIGINT))
+                FROM embeddings
+            )
         ),
         scored AS (
             SELECT e.vec_id, e.embedding, c.cid,
@@ -2112,18 +2146,23 @@ _sd_norm_b = _NORM_SQL.format(a="b.embedding")
             FROM scored
         ),
         members AS (
-            SELECT vec_id, embedding, cid, cosc FROM assign WHERE rn = 1
+            SELECT vec_id, embedding, cid, cosc,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY cid ORDER BY cosc DESC, vec_id ASC
+                   ) AS rnc
+            FROM (SELECT vec_id, embedding, cid, cosc
+                  FROM assign WHERE rn = 1)
         ),
         verdicts AS (
             SELECT a.vec_id, a.cid, a.cosc,
                    COUNT(*) FILTER (WHERE
                        {_sd_dot_ab} / ({_sd_norm_a} * {_sd_norm_b})
                            > {SEMDEDUP_TAU}
-                       AND (b.cosc > a.cosc
-                            OR (b.cosc = a.cosc AND b.vec_id < a.vec_id))
                    ) AS n_better_neardups
             FROM members a
-            LEFT JOIN members b ON a.cid = b.cid AND a.vec_id <> b.vec_id
+            LEFT JOIN members b
+              ON a.cid = b.cid AND b.rnc < a.rnc
+                 AND b.rnc <= {SEMDEDUP_MAX_CMP}
             GROUP BY 1, 2, 3
         )
         SELECT vec_id,
@@ -2138,14 +2177,18 @@ def semantic_dedup_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
     emb = load_table(spark, sf_dir, "embeddings", rebalance=True)
-    cents = emb.filter(F.col("vec_id") < SEMDEDUP_K).select(
-        F.col("vec_id").alias("cid"), F.col("embedding").alias("cemb")
-    )
+    cents = _semdedup_centroids(emb)
     cosc = _dot(F.col("embedding"), F.col("cemb")) / (
         _norm(F.col("embedding")) * _norm(F.col("cemb"))
     )
     w = Window.partitionBy("vec_id").orderBy(
         F.col("cosc").desc(), F.col("cid").asc()
+    )
+    # in-cluster prototype rank: "b outranks a" ⇔ rnc(b) < rnc(a), and
+    # only the top SEMDEDUP_MAX_CMP ranks ever sit on the build side of
+    # the pair join (the physical bound on per-cluster pair work)
+    wc = Window.partitionBy("cid").orderBy(
+        F.col("cosc").desc(), F.col("vec_id").asc()
     )
     members = (
         emb.crossJoin(F.broadcast(cents))
@@ -2153,28 +2196,25 @@ def semantic_dedup_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") == 1)
         .drop("rn")
+        .withColumn("rnc", F.row_number().over(wc))
         # both sides of the pair join read this — compute assignment once
         .localCheckpoint(eager=False)
     )
     a = members.alias("a")
-    b = members.select(
+    b = members.filter(F.col("rnc") <= SEMDEDUP_MAX_CMP).select(
         F.col("vec_id").alias("b_vec_id"),
         F.col("embedding").alias("b_embedding"),
         F.col("cid").alias("b_cid"),
-        F.col("cosc").alias("b_cosc"),
+        F.col("rnc").alias("b_rnc"),
     )
     sim_ab = _dot(F.col("a.embedding"), F.col("b_embedding")) / (
         _norm(F.col("a.embedding")) * _norm(F.col("b_embedding"))
-    )
-    outranked = (sim_ab > SEMDEDUP_TAU) & (
-        (F.col("b_cosc") > F.col("a.cosc"))
-        | ((F.col("b_cosc") == F.col("a.cosc")) & (F.col("b_vec_id") < F.col("a.vec_id")))
     )
     return (
         a.join(
             b,
             (F.col("a.cid") == F.col("b_cid"))
-            & (F.col("a.vec_id") != F.col("b_vec_id")),
+            & (F.col("b_rnc") < F.col("a.rnc")),
             "left",
         )
         .groupBy(
@@ -2183,7 +2223,7 @@ def semantic_dedup_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("a.cosc").alias("cosc"),
         )
         .agg(
-            F.sum(F.coalesce(outranked.cast("long"), F.lit(0)))
+            F.sum(F.coalesce((sim_ab > SEMDEDUP_TAU).cast("long"), F.lit(0)))
             .alias("n_better_neardups")
         )
         .select(
