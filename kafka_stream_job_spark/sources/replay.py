@@ -112,6 +112,25 @@ def _arrow_bisect(ids, target, right: bool) -> int:
 #: column order must match _SCHEMA — Arrow batches map positionally.
 _COLUMNS = ("event_id", "ts", "user_id", "event_type", "value", "props")
 
+#: floor on rows per planned split. Each InputPartition costs a Python
+#: worker round-trip (interpreter + pyarrow import on a cold executor),
+#: so fanning a few hundred pruned rows into n_splits confetti
+#: partitions pays 8× the fixed cost to move nothing — the same
+#: anti-pattern as scheduling 8 Spark tasks over one row group. Splits
+#: are capped so each carries at least this many rows; large ranges
+#: still fan out to the requested n_splits.
+_MIN_SPLIT_ROWS = 4096
+
+
+def _plan_slices(path: str, lo: int, hi: int, n_splits: int) -> list["_Slice"]:
+    """Split [lo, hi) into at most n_splits row-range partitions, each at
+    least _MIN_SPLIT_ROWS rows (except the last remainder)."""
+    if hi <= lo:
+        return [_Slice(path, lo, lo)]
+    n = max(1, min(n_splits, (hi - lo + _MIN_SPLIT_ROWS - 1) // _MIN_SPLIT_ROWS))
+    step = max(1, (hi - lo + n - 1) // n)
+    return [_Slice(path, s, min(s + step, hi)) for s in range(lo, hi, step)]
+
 
 def _read_slice_batches(partition: "_Slice"):
     """Yield the slice as ``pyarrow.RecordBatch``es (the Spark 4 Python
@@ -155,15 +174,7 @@ class _ReplayStreamReader(DataSourceStreamReader):
         return {"idx": self._total_rows()}
 
     def partitions(self, start: dict, end: dict):
-        lo, hi = int(start["idx"]), int(end["idx"])
-        if hi <= lo:
-            return [ _Slice(self._path, lo, lo) ]
-        n = max(1, self._n_splits)
-        step = max(1, (hi - lo + n - 1) // n)
-        return [
-            _Slice(self._path, s, min(s + step, hi))
-            for s in range(lo, hi, step)
-        ]
+        return _plan_slices(self._path, int(start["idx"]), int(end["idx"]), self._n_splits)
 
     def read(self, partition: _Slice):
         yield from _read_slice_batches(partition)
@@ -285,13 +296,7 @@ class _ReplayBatchReader(DataSourceReader):
                 lo = max(lo, _arrow_bisect(ids, self._eid_lo, right=False))
             if self._eid_hi is not None:
                 hi = min(hi, _arrow_bisect(ids, self._eid_hi, right=True))
-        if hi <= lo:
-            return [_Slice(self._path, lo, lo)]
-        n = max(1, self._n_splits)
-        step = max(1, (hi - lo + n - 1) // n)
-        return [
-            _Slice(self._path, s, min(s + step, hi)) for s in range(lo, hi, step)
-        ]
+        return _plan_slices(self._path, lo, hi, self._n_splits)
 
     def read(self, partition: _Slice):
         if self._types is None:
