@@ -644,6 +644,7 @@ def dedup_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", F.col("doc_id").alias("component"))
         .localCheckpoint(eager=False)
     )
+    changed = -1
     for _ in range(CC_MAX_ITERS):
         msgs = (
             edges.join(labels, edges.src == labels.doc_id)
@@ -663,6 +664,12 @@ def dedup_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
         labels = new_labels
         if changed == 0:
             break
+    if changed != 0:
+        raise RuntimeError(
+            f"connected components did not converge in {CC_MAX_ITERS} rounds "
+            f"({changed} labels still changing) — refusing to emit a partial "
+            "propagation that silently diverges from the transitive closure"
+        )
     return labels
 
 

@@ -396,7 +396,10 @@ def linkage_em_parameters(spark: SparkSession, sf_dir: str) -> DataFrame:
 # complement is a broadcast-able anti-join against edge endpoints. The
 # final histogram is a two-level bounded aggregate.
 # ---------------------------------------------------------------------------
-_CLUSTER_CC_ITERS = 12  # diameter bound for FP chains; early-exit below
+# iteration budget shared with the dedup CC twin (dedup.py:CC_MAX_ITERS);
+# non-convergence inside the budget raises instead of silently emitting a
+# partial propagation (a >20-hop FP chain at a larger SF would otherwise
+# diverge from the oracle's exact transitive closure with no signal)
 
 
 @register(
@@ -460,7 +463,10 @@ def linkage_entity_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("key", F.col("key").alias("component"))
         .localCheckpoint(eager=False)
     )
-    for _ in range(_CLUSTER_CC_ITERS):
+    from kafka_stream_job_spark.operators.dedup import CC_MAX_ITERS
+
+    changed = -1
+    for _ in range(CC_MAX_ITERS):
         msgs = edges.join(labels, edges.src == labels.key).select(
             F.col("dst").alias("key"), "component"
         )
@@ -478,6 +484,12 @@ def linkage_entity_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         labels = new_labels
         if changed == 0:
             break
+    if changed != 0:
+        raise RuntimeError(
+            f"entity clustering did not converge in {CC_MAX_ITERS} rounds "
+            f"({changed} labels still changing) — the emitted partition "
+            "would be a silent truncation of the transitive closure"
+        )
     singletons = (
         cust.select(F.col("c_custkey").alias("key"))
         .join(labels.select("key"), "key", "left_anti")

@@ -2583,6 +2583,15 @@ def blocklist_phrase_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
 # integer dot products (occurrence count x micro-weight) — bit-identical
 # under any partitioning. Argmax ties break to the alphabetically first
 # language via min(struct(-score, lang)) on both engines.
+# Known 1-ulp tie window (r5 advisor): ROUND(1e6*ln(x)) is computed
+# independently by JVM StrictMath and DuckDB libm; a 1-ulp ln()
+# difference landing exactly on a .5 boundary could flip one micro-
+# weight and, on a near-tie document, the argmax. Same exposure as the
+# accepted ln-based precedents (text_zipf_slope, text_word_pmi); green
+# across dual-SF sweeps, and the smoothing ratios (c+1)/(n+v) are
+# rationals whose ln is never exactly representable, so a .5-exact
+# rounding boundary cannot arise from exact arithmetic — only from the
+# two libms disagreeing by >0.5e-6 relative, far above their 1-ulp spec.
 # Scale shape: one data-sized pass for (doc, token) occurrence counts,
 # one token-keyed join against the bounded densified weight grid
 # (|vocab| x |langs|), a doc-keyed aggregate, and a |langs|^2 confusion

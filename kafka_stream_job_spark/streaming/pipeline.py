@@ -2484,14 +2484,22 @@ def _register_streaming_value_quantiles() -> None:
         from pyspark.sql.streaming.state import GroupStateTimeout
 
         def update(key, pdfs, state):
+            import numpy as np
             import pandas as pd
 
             buckets, counts = state.get if state.exists else ([], [])
             m = dict(zip(list(buckets), list(counts)))
             for pdf in pdfs:
-                # exact integer bucket per event; round() on *100 is the
-                # same cents derivation the batch twin uses
-                b = ((pdf["value"] * 100.0).round(0).astype("int64")) // 5000
+                # exact integer bucket per event. Cents are derived with
+                # HALF-AWAY-FROM-ZERO rounding to match the oracle's
+                # ROUND() and the batch twin — pandas .round() is
+                # round-half-to-even and would silently diverge on any
+                # sub-cent value landing exactly on a half boundary.
+                v = pdf["value"].to_numpy(dtype="float64") * 100.0
+                cents = np.where(
+                    v >= 0, np.floor(v + 0.5), np.ceil(v - 0.5)
+                ).astype("int64")
+                b = pd.Series(cents // 5000, index=pdf.index)
                 for bucket, grp in b.groupby(b):
                     m[int(bucket)] = m.get(int(bucket), 0) + int(len(grp))
             items = sorted(m.items())
