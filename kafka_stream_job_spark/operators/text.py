@@ -2796,3 +2796,110 @@ def vocab_growth_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.sum("b_new").cast("long").alias("cum_types"))
         .select(F.col("decile").cast("long").alias("decile"), "new_types", "cum_types")
     )
+
+
+# ---------------------------------------------------------------------------
+# GOPHER QUALITY RULES (Rae et al. 2021, "Scaling Language Models:
+# Methods, Analysis & Insights from Training Gopher", Appendix A —
+# the repetition/quality heuristics every web-corpus pipeline since has
+# copied). Composite per-document rule filter, reported as a per-language
+# funnel: how many documents fail each rule, and how many pass all of
+# them. Every rule is an EXACT INTEGER comparison (ratios are cleared of
+# division: mean word length in [LO, HI] becomes LO·n ≤ Σlen ≤ HI·n; a
+# ≤20 % top-token share becomes 5·max_count ≤ n; a ≥50 % type-token
+# ratio becomes 2·n_types ≥ n), so both engines agree bit-for-bit.
+# Scale shape: explode → (doc, token) count → per-doc constant-width
+# aggregate → |langs|-row rollup. Two data-sized hash shuffles with
+# map-side partial aggregation, no windows, no joins.
+# Reference parity: none (SURVEY.md §2.7) — north-star LLM-pipeline op.
+# ---------------------------------------------------------------------------
+GOPHER_MIN_WORDS = 50
+GOPHER_MAX_WORDS = 100_000
+GOPHER_MEANLEN_LO = 3  # mean word length lower bound (chars)
+GOPHER_MEANLEN_HI = 10  # mean word length upper bound (chars)
+GOPHER_TOPTOK_DEN = 5  # top token must be ≤ 1/5 of all tokens
+GOPHER_TTR_NUM = 2  # type-token ratio must be ≥ 1/2
+
+
+@register(
+    "gopher_quality_rules",
+    oracle=f"""
+        WITH toks AS (
+            SELECT doc_id, lang,
+                   unnest(string_split({_BL_NORM_SQL}, ' ')) AS token
+            FROM documents
+        ),
+        per_tok AS (
+            SELECT doc_id, lang, token, CAST(COUNT(*) AS BIGINT) AS c
+            FROM toks GROUP BY 1, 2, 3
+        ),
+        per_doc AS (
+            SELECT doc_id, lang,
+                   CAST(SUM(c) AS BIGINT) AS n_words,
+                   CAST(COUNT(*) AS BIGINT) AS n_types,
+                   CAST(MAX(c) AS BIGINT) AS max_tok,
+                   CAST(SUM(len(token) * c) AS BIGINT) AS sum_len
+            FROM per_tok GROUP BY 1, 2
+        )
+        SELECT lang,
+               CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(CASE WHEN n_words < {GOPHER_MIN_WORDS}
+                               OR n_words > {GOPHER_MAX_WORDS}
+                             THEN 1 ELSE 0 END) AS BIGINT) AS fail_words,
+               CAST(SUM(CASE WHEN sum_len < {GOPHER_MEANLEN_LO} * n_words
+                               OR sum_len > {GOPHER_MEANLEN_HI} * n_words
+                             THEN 1 ELSE 0 END) AS BIGINT) AS fail_meanlen,
+               CAST(SUM(CASE WHEN max_tok * {GOPHER_TOPTOK_DEN} > n_words
+                             THEN 1 ELSE 0 END) AS BIGINT) AS fail_toptok,
+               CAST(SUM(CASE WHEN n_types * {GOPHER_TTR_NUM} < n_words
+                             THEN 1 ELSE 0 END) AS BIGINT) AS fail_ttr,
+               CAST(SUM(CASE WHEN n_words >= {GOPHER_MIN_WORDS}
+                              AND n_words <= {GOPHER_MAX_WORDS}
+                              AND sum_len >= {GOPHER_MEANLEN_LO} * n_words
+                              AND sum_len <= {GOPHER_MEANLEN_HI} * n_words
+                              AND max_tok * {GOPHER_TOPTOK_DEN} <= n_words
+                              AND n_types * {GOPHER_TTR_NUM} >= n_words
+                             THEN 1 ELSE 0 END) AS BIGINT) AS n_pass
+        FROM per_doc
+        GROUP BY 1
+    """,
+    tags=("text", "quality", "filter", "llm-pipeline", "documents"),
+)
+def gopher_quality_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kafka_stream_job_spark.operators.dedup import _norm_text
+
+    docs = load_table(spark, sf_dir, "documents", rebalance=True)
+    toks = docs.select(
+        "doc_id",
+        "lang",
+        F.explode(F.split(_norm_text(), " ")).alias("token"),
+    )
+    per_tok = toks.groupBy("doc_id", "lang", "token").agg(
+        F.count(F.lit(1)).cast("long").alias("c")
+    )
+    per_doc = per_tok.groupBy("doc_id", "lang").agg(
+        F.sum("c").cast("long").alias("n_words"),
+        F.count(F.lit(1)).cast("long").alias("n_types"),
+        F.max("c").cast("long").alias("max_tok"),
+        F.sum(F.length("token") * F.col("c")).cast("long").alias("sum_len"),
+    )
+    fail_words = (F.col("n_words") < GOPHER_MIN_WORDS) | (
+        F.col("n_words") > GOPHER_MAX_WORDS
+    )
+    fail_meanlen = (
+        F.col("sum_len") < GOPHER_MEANLEN_LO * F.col("n_words")
+    ) | (F.col("sum_len") > GOPHER_MEANLEN_HI * F.col("n_words"))
+    fail_toptok = F.col("max_tok") * GOPHER_TOPTOK_DEN > F.col("n_words")
+    fail_ttr = F.col("n_types") * GOPHER_TTR_NUM < F.col("n_words")
+    return per_doc.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum(fail_words.cast("long")).cast("long").alias("fail_words"),
+        F.sum(fail_meanlen.cast("long")).cast("long").alias("fail_meanlen"),
+        F.sum(fail_toptok.cast("long")).cast("long").alias("fail_toptok"),
+        F.sum(fail_ttr.cast("long")).cast("long").alias("fail_ttr"),
+        F.sum(
+            (~fail_words & ~fail_meanlen & ~fail_toptok & ~fail_ttr).cast("long")
+        )
+        .cast("long")
+        .alias("n_pass"),
+    )

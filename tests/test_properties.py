@@ -4029,3 +4029,66 @@ def test_maxmin_fair_oracle_matches_progressive_filling(evs):
             cap - allocated,
         )
     }
+
+
+@settings(max_examples=60, deadline=None)
+@given(
+    docs=st.lists(
+        st.tuples(
+            st.sampled_from(["en", "de"]),
+            st.lists(
+                st.sampled_from(["a", "bb", "ccc", "dddd", "veryverylongword"]),
+                min_size=1,
+                max_size=70,
+            ),
+        ),
+        min_size=1,
+        max_size=25,
+    )
+)
+def test_gopher_rules_oracle_matches_reference(docs):
+    """The Gopher-rules oracle vs a direct Python rule evaluator — pins
+    the division-free integer forms (LO·n ≤ Σlen ≤ HI·n etc.), the
+    per-rule fail counts, and the all-rules n_pass conjunction."""
+    import duckdb
+
+    from kafka_stream_job_spark.operators.text import (
+        GOPHER_MAX_WORDS,
+        GOPHER_MEANLEN_HI,
+        GOPHER_MEANLEN_LO,
+        GOPHER_MIN_WORDS,
+        GOPHER_TOPTOK_DEN,
+        GOPHER_TTR_NUM,
+    )
+    from kafka_stream_job_spark.registry import all_specs
+
+    rows = [(i, " ".join(toks), lang) for i, (lang, toks) in enumerate(docs)]
+    con = duckdb.connect()
+    con.execute("CREATE TABLE documents (doc_id BIGINT, text VARCHAR, lang VARCHAR)")
+    con.executemany("INSERT INTO documents VALUES (?, ?, ?)", rows)
+    oracle = all_specs()["gopher_quality_rules"].oracle
+    got = {tuple(r) for r in con.sql(oracle).fetchall()}
+
+    agg: dict[str, list] = {}
+    for _, text, lang in rows:
+        toks = text.split(" ")
+        n_words = len(toks)
+        n_types = len(set(toks))
+        max_tok = max(Counter(toks).values())
+        sum_len = sum(len(t) for t in toks)
+        fails = [
+            n_words < GOPHER_MIN_WORDS or n_words > GOPHER_MAX_WORDS,
+            sum_len < GOPHER_MEANLEN_LO * n_words
+            or sum_len > GOPHER_MEANLEN_HI * n_words,
+            max_tok * GOPHER_TOPTOK_DEN > n_words,
+            n_types * GOPHER_TTR_NUM < n_words,
+        ]
+        a = agg.setdefault(lang, [0, 0, 0, 0, 0, 0])
+        a[0] += 1
+        for j, f in enumerate(fails):
+            a[1 + j] += f
+        a[5] += not any(fails)
+    want = {
+        (lang, a[0], a[1], a[2], a[3], a[4], a[5]) for lang, a in agg.items()
+    }
+    assert got == want
