@@ -692,3 +692,156 @@ def multimodal_silence_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("long").alias("n_frames"),
         F.sum("n_samples").cast("long").alias("n_samples"),
     ).drop("island")
+
+
+# ---------------------------------------------------------------------------
+# SHOT-BOUNDARY DETECTION — the video-segmentation stand-in: hash every
+# consecutive FRAME-char window of the payload with the same 64-bit
+# aHash rule the near-dup op uses, and cut a new "shot" wherever the
+# Hamming distance between consecutive frame hashes exceeds
+# SHOT_HAM_T (a real pipeline swaps the byte-window hash for a decoded
+# video frame's perceptual hash — identical plan shape). Consecutive
+# similar frames then merge into shots via gaps-and-islands (cumulative
+# sum of boundary flags). Pure-integer arithmetic end to end: byte sums,
+# bit compares, Hamming counts — engine-portable with zero float ops.
+# Scale shape: frame explode (fan-out bounded by payload size), all
+# windows partition per doc_id and order by frame_idx (bounded by one
+# document's frame count, never corpus-sized), then a two-level bounded
+# aggregate. No joins, no cartesian.
+# Reference parity: none (SURVEY.md §2.7) — north-star multimodal op.
+# ---------------------------------------------------------------------------
+_SHOT_FRAME = 64  # chars (bytes) per frame — matches FRAME_CHARS
+SHOT_HAM_T = 21  # hamming > T between consecutive hashes ⇒ new shot
+
+
+@register(
+    "multimodal_shot_boundaries",
+    oracle=f"""
+        WITH f AS (
+            SELECT doc_id, i AS frame_idx,
+                   substring(text, CAST(i * {_SHOT_FRAME} AS INT) + 1,
+                             {_SHOT_FRAME}) AS fr
+            FROM (
+                SELECT doc_id, text,
+                       UNNEST(range(0, CAST(ceil(len(text) / {_SHOT_FRAME}.0)
+                                           AS BIGINT))) AS i
+                FROM documents
+            )
+        ),
+        h AS (
+            SELECT doc_id, frame_idx, len(fr) AS n,
+                   list_reduce(
+                       list_prepend(0,
+                           list_transform(range(1, len(fr) + 1),
+                                          k -> ascii(fr[k]))),
+                       (a, x) -> a + x) AS tot,
+                   fr
+            FROM f
+        ),
+        bits AS (
+            SELECT doc_id, frame_idx,
+                   list_transform(range(0, 64),
+                       j -> CASE WHEN ascii(fr[CAST((j * n) // 64 AS INT) + 1])
+                                      * n >= tot
+                                 THEN 1 ELSE 0 END) AS b
+            FROM h
+        ),
+        lagged AS (
+            SELECT doc_id, frame_idx, b,
+                   lag(b) OVER (PARTITION BY doc_id ORDER BY frame_idx) AS pb
+            FROM bits
+        ),
+        flagged AS (
+            SELECT doc_id, frame_idx,
+                   CASE WHEN pb IS NULL OR list_reduce(
+                            list_prepend(0,
+                                list_transform(list_zip(b, pb),
+                                    z -> CASE WHEN z[1] <> z[2]
+                                              THEN 1 ELSE 0 END)),
+                            (x, y) -> x + y) > {SHOT_HAM_T}
+                        THEN 1 ELSE 0 END AS new_shot
+            FROM lagged
+        ),
+        shots AS (
+            SELECT doc_id, frame_idx,
+                   SUM(new_shot) OVER (
+                       PARTITION BY doc_id ORDER BY frame_idx
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                   ) AS shot_id
+            FROM flagged
+        ),
+        per_shot AS (
+            SELECT doc_id, shot_id, CAST(COUNT(*) AS BIGINT) AS n_frames
+            FROM shots GROUP BY 1, 2
+        )
+        SELECT doc_id,
+               CAST(SUM(n_frames) AS BIGINT) AS n_frames,
+               CAST(COUNT(*) AS BIGINT) AS n_shots,
+               CAST(MAX(n_frames) AS BIGINT) AS longest_shot
+        FROM per_shot
+        GROUP BY 1
+    """,
+    tags=("multimodal", "video", "segmentation", "documents"),
+)
+def multimodal_shot_boundaries(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents", rebalance=True).select(
+        "doc_id", "text"
+    )
+    n_frames = F.ceil(F.length("text") / F.lit(float(_SHOT_FRAME))).cast("long")
+    framed = docs.select(
+        "doc_id",
+        F.explode(F.sequence(F.lit(0).cast("long"), n_frames - 1)).alias(
+            "frame_idx"
+        ),
+        F.substring(
+            F.col("text"),
+            (F.col("frame_idx") * _SHOT_FRAME + 1).cast("int"),
+            _SHOT_FRAME,
+        ).alias("fr"),
+    )
+    codes = F.slice(
+        F.transform(F.split(F.col("fr"), ""), lambda ch: F.ascii(ch).cast("long")),
+        1,
+        F.length("fr"),
+    )
+    tot = F.aggregate(codes, F.lit(0).cast("long"), lambda a, x: a + x)
+    n = F.length("fr").cast("long")
+    hashed = framed.select(
+        "doc_id",
+        "frame_idx",
+        F.transform(
+            F.sequence(F.lit(0), F.lit(63)),
+            lambda j: (
+                F.element_at(codes, ((j * n) / F.lit(64)).cast("int") + 1) * n
+                >= tot
+            ).cast("int"),
+        ).alias("b"),
+    )
+    w_ord = Window.partitionBy("doc_id").orderBy("frame_idx")
+    lagged = hashed.withColumn("pb", F.lag("b").over(w_ord))
+    ham = F.size(
+        F.filter(F.zip_with("b", "pb", lambda x, y: x != y), lambda z: z)
+    )
+    flagged = lagged.select(
+        "doc_id",
+        "frame_idx",
+        F.when(F.col("pb").isNull() | (ham > SHOT_HAM_T), F.lit(1))
+        .otherwise(F.lit(0))
+        .alias("new_shot"),
+    )
+    shots = flagged.withColumn(
+        "shot_id",
+        F.sum("new_shot").over(
+            w_ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+    per_shot = shots.groupBy("doc_id", "shot_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_frames")
+    )
+    return per_shot.groupBy("doc_id").agg(
+        F.sum("n_frames").cast("long").alias("n_frames"),
+        F.count(F.lit(1)).cast("long").alias("n_shots"),
+        F.max("n_frames").cast("long").alias("longest_shot"),
+    )

@@ -11060,3 +11060,112 @@ def market_concentration_hhi(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.col("share_bp") * F.col("share_bp")).cast("long"), 10000
         ).alias("hhi"),
     )
+
+
+# ---------------------------------------------------------------------------
+# INTERVAL-UNION COVERAGE — per user, the total time covered by the
+# UNION of the [ts, ts+5min) activity intervals its events open (the
+# classic gaps-and-islands merge: overlapping/adjacent intervals fuse,
+# gaps split). This is "how long was the user actually active", the
+# billing/engagement primitive that a naive SUM(duration) double-counts
+# whenever events overlap. All arithmetic is exact epoch-microsecond
+# integers (unix_micros/epoch_us — identical in both engines; never
+# date_diff, which counts boundary crossings).
+# Scale shape: both windows partition by user_id (bounded by one user's
+# events, never corpus-sized), then two hash aggregates; the final
+# top-25 is a TakeOrderedAndProject over per-user rows, not a global
+# sort of the data. Ties at the cutoff break by user_id.
+# ---------------------------------------------------------------------------
+_COVWIN_US = 300 * 1_000_000  # each event opens a 5-minute interval
+
+
+@register(
+    "events_interval_union_coverage",
+    oracle=f"""
+        WITH base AS (
+            SELECT user_id, event_id, epoch_us(ts) AS t,
+                   epoch_us(ts) + {_COVWIN_US} AS e
+            FROM events
+        ),
+        flagged AS (
+            SELECT user_id, event_id, t, e,
+                   MAX(e) OVER (
+                       PARTITION BY user_id ORDER BY t, event_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                   ) AS prev_e
+            FROM base
+        ),
+        islands AS (
+            SELECT user_id, t, e,
+                   SUM(CASE WHEN prev_e IS NULL OR t > prev_e
+                            THEN 1 ELSE 0 END) OVER (
+                       PARTITION BY user_id ORDER BY t, event_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                   ) AS island_id
+            FROM flagged
+        ),
+        per_island AS (
+            SELECT user_id, island_id,
+                   CAST(COUNT(*) AS BIGINT) AS n_events,
+                   MAX(e) - MIN(t) AS cov
+            FROM islands GROUP BY 1, 2
+        )
+        SELECT user_id,
+               CAST(SUM(n_events) AS BIGINT) AS n_events,
+               CAST(COUNT(*) AS BIGINT) AS n_islands,
+               CAST(SUM(cov) AS BIGINT) AS covered_us
+        FROM per_island
+        GROUP BY 1
+        ORDER BY covered_us DESC, user_id ASC
+        LIMIT 25
+    """,
+    tags=("events", "window", "gaps-and-islands", "intervals"),
+)
+def events_interval_union_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    # NTZ-safe epoch micros: unix_micros demands TIMESTAMP, but the
+    # events table is timestamp[us] without timezone (TIMESTAMP_NTZ);
+    # differencing NTZ instants from a fixed NTZ epoch is exact and
+    # matches DuckDB's epoch_us on its (tz-less) TIMESTAMP.
+    epoch_us = "timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', ts)"
+    base = ev.select(
+        "user_id",
+        "event_id",
+        F.expr(epoch_us).alias("t"),
+        (F.expr(epoch_us) + F.lit(_COVWIN_US)).alias("e"),
+    )
+    w_prev = (
+        Window.partitionBy("user_id")
+        .orderBy("t", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    w_cum = (
+        Window.partitionBy("user_id")
+        .orderBy("t", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    flagged = base.withColumn("prev_e", F.max("e").over(w_prev))
+    islands = flagged.withColumn(
+        "island_id",
+        F.sum(
+            (F.col("prev_e").isNull() | (F.col("t") > F.col("prev_e"))).cast(
+                "long"
+            )
+        ).over(w_cum),
+    )
+    per_island = islands.groupBy("user_id", "island_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+        (F.max("e") - F.min("t")).alias("cov"),
+    )
+    return (
+        per_island.groupBy("user_id")
+        .agg(
+            F.sum("n_events").cast("long").alias("n_events"),
+            F.count(F.lit(1)).cast("long").alias("n_islands"),
+            F.sum("cov").cast("long").alias("covered_us"),
+        )
+        .orderBy(F.col("covered_us").desc(), F.col("user_id").asc())
+        .limit(25)
+    )

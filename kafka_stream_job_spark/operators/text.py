@@ -2903,3 +2903,131 @@ def gopher_quality_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("n_pass"),
     )
+
+
+# ---------------------------------------------------------------------------
+# DSIR IMPORTANCE WEIGHTS (Xie et al. 2023, "Data Selection for Language
+# Models via Importance Resampling"): score every document by how much
+# its unigram distribution looks like a TARGET domain relative to the
+# raw corpus — the importance weight log(p_target(x)/p_source(x)) that
+# DSIR resamples by. Target here = the 'en' slice (a deterministic
+# stand-in for "trusted high-quality corpus"); both unigram LMs use
+# add-one smoothing over the SHARED vocabulary. Like naive_bayes_langid,
+# every ln() is computed ONCE on the vocabulary-bounded token grid and
+# integerized to micro-log-units (same 1-ulp .5-boundary caveat, same
+# acceptance rationale), so per-document scores are EXACT integer dot
+# products — bit-identical under any partitioning — and the per-language
+# rollup (sum/min/max of scores) is order-independent.
+# Scale shape: one data-sized (doc, token) count, one token-keyed join
+# against the bounded weight grid, constant-width rollup. Target/source
+# totals are a broadcast 1-row aggregate. No windows, no cartesian.
+# Reference parity: none (SURVEY.md §2.7) — north-star LLM-pipeline op.
+# ---------------------------------------------------------------------------
+DSIR_TARGET_LANG = "en"
+
+
+@register(
+    "dsir_importance_weights",
+    oracle=f"""
+        WITH toks AS (
+            SELECT doc_id, lang,
+                   unnest(string_split({_BL_NORM_SQL}, ' ')) AS token
+            FROM documents
+        ),
+        per_dt AS (
+            SELECT doc_id, lang, token, CAST(COUNT(*) AS BIGINT) AS k
+            FROM toks GROUP BY 1, 2, 3
+        ),
+        cs AS (
+            SELECT token, CAST(COUNT(*) AS BIGINT) AS c_src
+            FROM toks GROUP BY 1
+        ),
+        ct AS (
+            SELECT token, CAST(COUNT(*) AS BIGINT) AS c_tgt
+            FROM toks WHERE lang = '{DSIR_TARGET_LANG}' GROUP BY 1
+        ),
+        tot AS (
+            SELECT CAST(COUNT(*) AS BIGINT) AS n_src,
+                   CAST(COUNT(DISTINCT token) AS BIGINT) AS v,
+                   CAST(SUM(CASE WHEN lang = '{DSIR_TARGET_LANG}'
+                                 THEN 1 ELSE 0 END) AS BIGINT) AS n_tgt
+            FROM toks
+        ),
+        grid AS (
+            SELECT s.token,
+                   CAST(ROUND(1000000.0 * ln(
+                       ((COALESCE(c.c_tgt, 0) + 1.0) / (t.n_tgt + t.v))
+                       / ((s.c_src + 1.0) / (t.n_src + t.v))
+                   )) AS BIGINT) AS w
+            FROM cs s LEFT JOIN ct c ON c.token = s.token, tot t
+        ),
+        scores AS (
+            SELECT p.doc_id, p.lang, CAST(SUM(p.k * g.w) AS BIGINT) AS score
+            FROM per_dt p JOIN grid g ON g.token = p.token
+            GROUP BY 1, 2
+        )
+        SELECT lang,
+               CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(score) AS BIGINT) AS sum_score,
+               CAST(MIN(score) AS BIGINT) AS min_score,
+               CAST(MAX(score) AS BIGINT) AS max_score
+        FROM scores GROUP BY 1
+    """,
+    tags=("text", "llm-pipeline", "importance-sampling", "documents"),
+)
+def dsir_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kafka_stream_job_spark.operators.dedup import _norm_text
+
+    docs = load_table(spark, sf_dir, "documents", rebalance=True)
+    toks = docs.select(
+        "doc_id",
+        "lang",
+        F.explode(F.split(_norm_text(), " ")).alias("token"),
+    ).localCheckpoint(eager=False)  # per_dt, cs, ct, tot all read it
+    per_dt = toks.groupBy("doc_id", "lang", "token").agg(
+        F.count(F.lit(1)).cast("long").alias("k")
+    )
+    cs = toks.groupBy("token").agg(F.count(F.lit(1)).cast("long").alias("c_src"))
+    ct = (
+        toks.filter(F.col("lang") == DSIR_TARGET_LANG)
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).cast("long").alias("c_tgt"))
+    )
+    tot = toks.agg(
+        F.count(F.lit(1)).cast("long").alias("n_src"),
+        F.countDistinct("token").cast("long").alias("v"),
+        F.sum((F.col("lang") == DSIR_TARGET_LANG).cast("long"))
+        .cast("long")
+        .alias("n_tgt"),
+    )
+    grid = (
+        cs.join(ct, "token", "left")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "token",
+            F.round(
+                1000000.0
+                * F.log(
+                    (
+                        (F.coalesce(F.col("c_tgt"), F.lit(0)) + 1.0)
+                        / (F.col("n_tgt") + F.col("v"))
+                    )
+                    / ((F.col("c_src") + 1.0) / (F.col("n_src") + F.col("v")))
+                ),
+                0,
+            )
+            .cast("long")
+            .alias("w"),
+        )
+    )
+    scores = (
+        per_dt.join(grid, "token")
+        .groupBy("doc_id", "lang")
+        .agg(F.sum(F.col("k") * F.col("w")).cast("long").alias("score"))
+    )
+    return scores.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("score").cast("long").alias("sum_score"),
+        F.min("score").cast("long").alias("min_score"),
+        F.max("score").cast("long").alias("max_score"),
+    )

@@ -4092,3 +4092,55 @@ def test_gopher_rules_oracle_matches_reference(docs):
         (lang, a[0], a[1], a[2], a[3], a[4], a[5]) for lang, a in agg.items()
     }
     assert got == want
+
+
+@settings(max_examples=60, deadline=None)
+@given(
+    evs=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=3),  # user_id
+            st.integers(min_value=0, max_value=1_500_000_000),  # epoch micros
+        ),
+        min_size=1,
+        max_size=80,
+    )
+)
+def test_interval_coverage_oracle_matches_bruteforce(evs):
+    """The interval-union oracle vs the textbook sweep-line merge —
+    pins the gaps-and-islands formulation (prev-max-end window + island
+    id) against sorted interval merging, including duplicate timestamps
+    and exactly-adjacent interval boundaries (t == prev_e fuses)."""
+    import duckdb
+
+    from kafka_stream_job_spark.operators.relational import _COVWIN_US
+    from kafka_stream_job_spark.registry import all_specs
+
+    rows = [(u, i, t) for i, (u, t) in enumerate(evs)]
+    con = duckdb.connect()
+    con.execute("CREATE TABLE events (user_id BIGINT, event_id BIGINT, ts TIMESTAMP)")
+    con.executemany(
+        "INSERT INTO events VALUES (?, ?, make_timestamp(?))", rows
+    )
+    oracle = all_specs()["events_interval_union_coverage"].oracle
+    got = [tuple(r) for r in con.sql(oracle).fetchall()]
+
+    per_user: dict[int, list[int]] = {}
+    for u, _, t in rows:
+        per_user.setdefault(u, []).append(t)
+    want = []
+    for u, ts in per_user.items():
+        islands = 0
+        covered = 0
+        cur_end = None
+        for t in sorted(ts):
+            e = t + _COVWIN_US
+            if cur_end is None or t > cur_end:
+                islands += 1
+                covered += _COVWIN_US
+                cur_end = e
+            else:
+                covered += max(0, e - cur_end)
+                cur_end = max(cur_end, e)
+        want.append((u, len(ts), islands, covered))
+    want.sort(key=lambda r: (-r[3], r[0]))
+    assert got == want[:25]
