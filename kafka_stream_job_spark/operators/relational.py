@@ -11079,9 +11079,9 @@ def market_concentration_hhi(spark: SparkSession, sf_dir: str) -> DataFrame:
 _COVWIN_US = 300 * 1_000_000  # each event opens a 5-minute interval
 
 
-@register(
-    "events_interval_union_coverage",
-    oracle=f"""
+#: shared with the streaming twin (streaming_interval_union_coverage) —
+#: same semantics, same oracle, kept in lockstep by construction.
+_INTERVAL_COVERAGE_SQL = f"""
         WITH base AS (
             SELECT user_id, event_id, epoch_us(ts) AS t,
                    epoch_us(ts) + {_COVWIN_US} AS e
@@ -11118,7 +11118,12 @@ _COVWIN_US = 300 * 1_000_000  # each event opens a 5-minute interval
         GROUP BY 1
         ORDER BY covered_us DESC, user_id ASC
         LIMIT 25
-    """,
+"""
+
+
+@register(
+    "events_interval_union_coverage",
+    oracle=_INTERVAL_COVERAGE_SQL,
     tags=("events", "window", "gaps-and-islands", "intervals"),
 )
 def events_interval_union_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -11168,4 +11173,111 @@ def events_interval_union_coverage(spark: SparkSession, sf_dir: str) -> DataFram
         )
         .orderBy(F.col("covered_us").desc(), F.col("user_id").asc())
         .limit(25)
+    )
+
+
+# ---------------------------------------------------------------------------
+# GROWTH ACCOUNTING — the weekly active-user flow decomposition every
+# growth team reports (the "quick ratio" inputs): for each week, how
+# many active users are NEW (first week ever), RETAINED (also active
+# the immediately previous week), RESURRECTED (active before, but not
+# last week), and how many of last week's actives CHURNED (absent this
+# week). Identity: actives(w) = new + retained + resurrected, and
+# churned(w) = actives(w-1) - retained(w). All set logic is expressed
+# as per-user lag/lead windows over the distinct (user, week) presence
+# table — no self-joins, no full-corpus windows (partitions are one
+# user's weeks). Weeks are Monday-truncated in both engines. The churn
+# row for the week after the data's last week is suppressed (both
+# engines broadcast the global max week), so every reported week is
+# fully observed.
+# ---------------------------------------------------------------------------
+@register(
+    "events_growth_accounting",
+    oracle="""
+        WITH uw AS (
+            SELECT DISTINCT user_id,
+                   CAST(date_trunc('week', ts) AS DATE) AS wk
+            FROM events
+        ),
+        seq AS (
+            SELECT user_id, wk,
+                   MIN(wk) OVER (PARTITION BY user_id) AS first_wk,
+                   LAG(wk) OVER (PARTITION BY user_id ORDER BY wk) AS prev_wk,
+                   LEAD(wk) OVER (PARTITION BY user_id ORDER BY wk) AS next_wk
+            FROM uw
+        ),
+        mx AS (SELECT MAX(wk) AS max_wk FROM uw),
+        flows AS (
+            SELECT wk,
+                   CASE WHEN wk = first_wk THEN 'new'
+                        WHEN prev_wk = wk - INTERVAL 7 DAY THEN 'retained'
+                        ELSE 'resurrected' END AS status
+            FROM seq
+            UNION ALL
+            SELECT CAST(wk + INTERVAL 7 DAY AS DATE) AS wk, 'churned' AS status
+            FROM seq, mx
+            WHERE (next_wk IS NULL OR next_wk > wk + INTERVAL 7 DAY)
+              AND CAST(wk + INTERVAL 7 DAY AS DATE) <= mx.max_wk
+        )
+        SELECT wk AS week_start,
+               CAST(SUM(CASE WHEN status = 'new' THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_new,
+               CAST(SUM(CASE WHEN status = 'retained' THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_retained,
+               CAST(SUM(CASE WHEN status = 'resurrected' THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_resurrected,
+               CAST(SUM(CASE WHEN status = 'churned' THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_churned
+        FROM flows
+        GROUP BY 1
+    """,
+    tags=("events", "window", "retention", "growth"),
+)
+def events_growth_accounting(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    uw = ev.select(
+        "user_id", F.date_trunc("week", "ts").cast("date").alias("wk")
+    ).distinct()
+    w_user = Window.partitionBy("user_id").orderBy("wk")
+    seq = uw.select(
+        "user_id",
+        "wk",
+        F.min("wk").over(Window.partitionBy("user_id")).alias("first_wk"),
+        F.lag("wk").over(w_user).alias("prev_wk"),
+        F.lead("wk").over(w_user).alias("next_wk"),
+    ).localCheckpoint(eager=False)  # flows reads it twice (class + churn)
+    mx = uw.agg(F.max("wk").alias("max_wk"))
+    status = (
+        F.when(F.col("wk") == F.col("first_wk"), F.lit("new"))
+        .when(F.col("prev_wk") == F.date_add("wk", -7), F.lit("retained"))
+        .otherwise(F.lit("resurrected"))
+    )
+    classified = seq.select("wk", status.alias("status"))
+    churned = (
+        seq.crossJoin(F.broadcast(mx))
+        .filter(
+            (F.col("next_wk").isNull() | (F.col("next_wk") > F.date_add("wk", 7)))
+            & (F.date_add("wk", 7) <= F.col("max_wk"))
+        )
+        .select(F.date_add("wk", 7).alias("wk"), F.lit("churned").alias("status"))
+    )
+    return (
+        classified.unionByName(churned)
+        .groupBy(F.col("wk").alias("week_start"))
+        .agg(
+            F.sum((F.col("status") == "new").cast("long"))
+            .cast("long")
+            .alias("n_new"),
+            F.sum((F.col("status") == "retained").cast("long"))
+            .cast("long")
+            .alias("n_retained"),
+            F.sum((F.col("status") == "resurrected").cast("long"))
+            .cast("long")
+            .alias("n_resurrected"),
+            F.sum((F.col("status") == "churned").cast("long"))
+            .cast("long")
+            .alias("n_churned"),
+        )
     )

@@ -3031,3 +3031,78 @@ def dsir_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("score").cast("long").alias("min_score"),
         F.max("score").cast("long").alias("max_score"),
     )
+
+
+# ---------------------------------------------------------------------------
+# TERM PROXIMITY SEARCH — the ranking primitive phrase-aware search
+# engines add on top of BM25: for a two-term query, rank documents by
+# the MINIMUM token distance between any occurrence of term A and any
+# occurrence of term B (1 = adjacent — the phrase case). Positions come
+# from one posexplode pass; the pair comparison joins the A-positions
+# to the B-positions ON doc_id, so its fan-in is bounded by one
+# document's occurrence counts (≤ doc length), never corpus-sized — the
+# same bounded-pair shape as the SemDeDup cap. Exact integers end to
+# end; ties in the top-20 break by doc_id.
+# ---------------------------------------------------------------------------
+PROX_TERM_A = "hash"
+PROX_TERM_B = "join"
+PROX_TOP_N = 20
+
+
+@register(
+    "text_term_proximity_search",
+    oracle=f"""
+        WITH pos AS (
+            SELECT doc_id, t.tok, CAST(t.p AS BIGINT) AS p
+            FROM (
+                SELECT doc_id,
+                       unnest(string_split({_BL_NORM_SQL}, ' ')) AS tok,
+                       unnest(range(1, len(string_split({_BL_NORM_SQL}, ' ')) + 1))
+                           AS p
+                FROM documents
+            ) t
+            WHERE t.tok IN ('{PROX_TERM_A}', '{PROX_TERM_B}')
+        )
+        SELECT a.doc_id AS doc_id,
+               CAST(COUNT(DISTINCT a.p) AS BIGINT) AS n_a,
+               CAST(COUNT(DISTINCT b.p) AS BIGINT) AS n_b,
+               CAST(MIN(ABS(a.p - b.p)) AS BIGINT) AS min_dist
+        FROM (SELECT doc_id, p FROM pos WHERE tok = '{PROX_TERM_A}') a
+        JOIN (SELECT doc_id, p FROM pos WHERE tok = '{PROX_TERM_B}') b
+          ON a.doc_id = b.doc_id
+        GROUP BY 1
+        ORDER BY min_dist ASC, a.doc_id ASC
+        LIMIT {PROX_TOP_N}
+    """,
+    tags=("text", "search", "proximity", "documents"),
+)
+def text_term_proximity_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kafka_stream_job_spark.operators.dedup import _norm_text
+
+    docs = load_table(spark, sf_dir, "documents", rebalance=True)
+    pos = (
+        docs.select(
+            "doc_id",
+            F.posexplode(F.split(_norm_text(), " ")).alias("p0", "tok"),
+        )
+        .filter(F.col("tok").isin(PROX_TERM_A, PROX_TERM_B))
+        .select("doc_id", "tok", (F.col("p0") + 1).cast("long").alias("p"))
+        .localCheckpoint(eager=False)  # both query-term sides read it
+    )
+    a = pos.filter(F.col("tok") == PROX_TERM_A).select(
+        "doc_id", F.col("p").alias("pa")
+    )
+    b = pos.filter(F.col("tok") == PROX_TERM_B).select(
+        "doc_id", F.col("p").alias("pb")
+    )
+    return (
+        a.join(b, "doc_id")
+        .groupBy("doc_id")
+        .agg(
+            F.countDistinct("pa").cast("long").alias("n_a"),
+            F.countDistinct("pb").cast("long").alias("n_b"),
+            F.min(F.abs(F.col("pa") - F.col("pb"))).cast("long").alias("min_dist"),
+        )
+        .orderBy(F.col("min_dist").asc(), F.col("doc_id").asc())
+        .limit(PROX_TOP_N)
+    )

@@ -2559,3 +2559,108 @@ def _register_streaming_value_quantiles() -> None:
 
 
 _register_streaming_value_quantiles()
+
+
+# ---------------------------------------------------------------------------
+# STREAMING INTERVAL-UNION COVERAGE — the stateful-streaming twin of
+# events_interval_union_coverage (operators/relational.py): per user,
+# merge each event's [ts, ts+5min) interval into the running union and
+# emit the user's (n_events, n_islands, covered_us) after every batch;
+# the final emission per user (max n_events — the count is monotone)
+# must equal the batch/oracle answer. State per user is the MERGED
+# island list (starts[], ends[]), so correctness is ORDER-INDEPENDENT —
+# a late event splits/fuses islands exactly like an on-time one, no
+# single-cursor assumption — and the state size is bounded by the
+# user's island count after merging (activity span / window), not by
+# its event count. All arithmetic is exact epoch-microsecond integers.
+# ---------------------------------------------------------------------------
+def _register_streaming_interval_coverage() -> None:
+    import uuid
+
+    from kafka_stream_job_spark.operators.relational import (
+        _COVWIN_US,
+        _INTERVAL_COVERAGE_SQL,
+    )
+    from kafka_stream_job_spark.registry import register
+
+    @register(
+        "streaming_interval_union_coverage",
+        oracle=_INTERVAL_COVERAGE_SQL,
+        tags=("streaming", "stateful", "gaps-and-islands", "intervals"),
+    )
+    def streaming_interval_union_coverage(
+        spark: SparkSession, sf_dir: str
+    ) -> DataFrame:
+        import tempfile
+
+        from pyspark.sql.streaming.state import GroupStateTimeout
+
+        def update(key, pdfs, state):
+            import pandas as pd
+
+            if state.exists:
+                starts, ends, n_events = state.get
+                intervals = list(zip(list(starts), list(ends)))
+            else:
+                intervals, n_events = [], 0
+            for pdf in pdfs:
+                # exact epoch micros — same integers as the batch twin's
+                # timestampdiff(MICROSECOND, epoch, ts) on the NTZ column
+                ts = (
+                    pdf["ts"].astype("datetime64[us]").astype("int64").tolist()
+                )
+                n_events += len(ts)
+                intervals.extend((t, t + _COVWIN_US) for t in ts)
+            intervals.sort()
+            merged: list[tuple[int, int]] = []
+            for t, e in intervals:
+                # t > prev_end opens a new island; t == prev_end fuses —
+                # identical to the batch window's strict comparison
+                if not merged or t > merged[-1][1]:
+                    merged.append((t, e))
+                elif e > merged[-1][1]:
+                    merged[-1] = (merged[-1][0], e)
+            state.update(
+                ([t for t, _ in merged], [e for _, e in merged], n_events)
+            )
+            yield pd.DataFrame(
+                {
+                    "user_id": [key[0]],
+                    "n_events": [n_events],
+                    "n_islands": [len(merged)],
+                    "covered_us": [sum(e - t for t, e in merged)],
+                }
+            )
+
+        emitted_stream = (
+            stream_events(spark, sf_dir)
+            .groupBy("user_id")
+            .applyInPandasWithState(
+                update,
+                outputStructType=(
+                    "user_id long, n_events long, n_islands long, "
+                    "covered_us long"
+                ),
+                stateStructType=(
+                    "starts array<long>, ends array<long>, n_events long"
+                ),
+                outputMode="append",
+                timeoutConf=GroupStateTimeout.NoTimeout,
+            )
+        )
+        name = f"stream_intcov_{uuid.uuid4().hex[:8]}"
+        ckpt = tempfile.mkdtemp(prefix="ksj-stream-intcov-")
+        emitted = run_stream_to_memory(spark, emitted_stream, name, ckpt)
+        # final answer per user = the emission with the highest (monotone)
+        # n_events; then the batch twin's deterministic top-25
+        final = emitted.groupBy("user_id").agg(
+            F.max("n_events").cast("long").alias("n_events"),
+            F.expr("max_by(n_islands, n_events)").cast("long").alias("n_islands"),
+            F.expr("max_by(covered_us, n_events)").cast("long").alias("covered_us"),
+        )
+        return final.orderBy(
+            F.col("covered_us").desc(), F.col("user_id").asc()
+        ).limit(25)
+
+
+_register_streaming_interval_coverage()

@@ -4144,3 +4144,68 @@ def test_interval_coverage_oracle_matches_bruteforce(evs):
         want.append((u, len(ts), islands, covered))
     want.sort(key=lambda r: (-r[3], r[0]))
     assert got == want[:25]
+
+
+@settings(max_examples=60, deadline=None)
+@given(
+    presence=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=5),  # user
+            st.integers(min_value=0, max_value=9),  # week index
+        ),
+        min_size=1,
+        max_size=60,
+    )
+)
+def test_growth_accounting_oracle_matches_set_model(presence):
+    """The growth-accounting oracle vs a direct set model — pins the
+    lag/lead classification (new/retained/resurrected), the churn
+    attribution to week+1, the suppression of the unobserved week after
+    the data's end, and the actives(w) = new+retained+resurrected
+    identity."""
+    import datetime
+    import duckdb
+
+    from kafka_stream_job_spark.registry import all_specs
+
+    base = datetime.datetime(2024, 1, 1)  # a Monday — week-stable
+    rows = [
+        (u, base + datetime.timedelta(weeks=w, hours=u))
+        for u, w in presence
+    ]
+    con = duckdb.connect()
+    con.execute("CREATE TABLE events (user_id BIGINT, ts TIMESTAMP)")
+    con.executemany("INSERT INTO events VALUES (?, ?)", rows)
+    oracle = all_specs()["events_growth_accounting"].oracle
+    got = {
+        (r[0].isoformat() if hasattr(r[0], "isoformat") else str(r[0]),)
+        + tuple(r[1:])
+        for r in con.sql(oracle).fetchall()
+    }
+
+    weeks_of: dict[int, set[int]] = {}
+    for u, w in presence:
+        weeks_of.setdefault(u, set()).add(w)
+    max_w = max(w for _, w in presence)
+    flows: dict[int, list[int]] = {}
+    for u, ws in weeks_of.items():
+        first = min(ws)
+        for w in ws:
+            f = flows.setdefault(w, [0, 0, 0, 0])
+            if w == first:
+                f[0] += 1
+            elif w - 1 in ws:
+                f[1] += 1
+            else:
+                f[2] += 1
+            if w + 1 not in ws and w + 1 <= max_w:
+                flows.setdefault(w + 1, [0, 0, 0, 0])[3] += 1
+    want = {
+        ((base + datetime.timedelta(weeks=w)).date().isoformat(), *f)
+        for w, f in flows.items()
+    }
+    assert got == want
+    # decomposition identity: actives(w) = new + retained + resurrected
+    for w, f in flows.items():
+        actives = sum(1 for ws in weeks_of.values() if w in ws)
+        assert f[0] + f[1] + f[2] == actives
