@@ -3106,3 +3106,153 @@ def text_term_proximity_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("min_dist").asc(), F.col("doc_id").asc())
         .limit(PROX_TOP_N)
     )
+
+
+# ---------------------------------------------------------------------------
+# KNESER-NEY BIGRAM SCORING — the smoothing CCNet-class quality filters
+# actually ship (KenLM trains interpolated Kneser-Ney; bigram_lm_score
+# above is the add-one baseline). Interpolated KN with absolute
+# discount D = 0.75:
+#     P(b|a) = max(c(ab) − D, 0)/c(a·) + (D·N1+(a·)/c(a·)) · Pcont(b)
+#     Pcont(b) = N1+(·b) / |bigram types|
+# Every probability is one fixed IEEE dag over exact integer counts —
+# D = 0.75 is a binary-exact constant, c−D and D·N1+ are exact scalings
+# — computed ONCE per observed bigram type, ln()-integerized to
+# micro-nats (same 1-ulp .5-boundary caveat and acceptance rationale as
+# naive_bayes_langid), so per-document scores are exact integer dot
+# products and the per-language rollup is order-independent. Training is
+# resubstitution (the corpus scores itself), so every document bigram is
+# in the grid and P > 0 always (c(ab) ≥ 1 ⇒ numerator ≥ 0.25·Pcont-term).
+# Scale shape: one (doc, bigram) count, three bounded grid aggregates
+# (per-left, per-right, type total), one bigram-keyed join, constant-
+# width rollup. Same join skeleton as bigram_lm_score — partial-agg
+# absorbed, AQE skew-split at web scale.
+# ---------------------------------------------------------------------------
+KN_DISCOUNT = 0.75  # binary-exact absolute discount (3/4)
+
+
+@register(
+    "text_kneser_ney_bigram_score",
+    oracle=rf"""
+        WITH bg AS (
+            SELECT doc_id, lang,
+                   unnest(list_transform(
+                       generate_series(1, len(string_split_regex(
+                           LOWER(TRIM(text)), '\s+')) - 1),
+                       i -> string_split_regex(LOWER(TRIM(text)), '\s+')[i]
+                            || ' ' ||
+                            string_split_regex(LOWER(TRIM(text)), '\s+')[i + 1]
+                   )) AS bg
+            FROM documents
+        ),
+        per_db AS (
+            SELECT doc_id, lang, bg, CAST(COUNT(*) AS BIGINT) AS k
+            FROM bg GROUP BY 1, 2, 3
+        ),
+        cab AS (
+            SELECT bg, CAST(COUNT(*) AS BIGINT) AS cab FROM bg GROUP BY 1
+        ),
+        ca AS (
+            SELECT string_split(bg, ' ')[1] AS lt,
+                   CAST(SUM(cab) AS BIGINT) AS ca,
+                   CAST(COUNT(*) AS BIGINT) AS n1a
+            FROM cab GROUP BY 1
+        ),
+        nb AS (
+            SELECT string_split(bg, ' ')[2] AS rt,
+                   CAST(COUNT(*) AS BIGINT) AS n1b
+            FROM cab GROUP BY 1
+        ),
+        t AS (SELECT CAST(COUNT(*) AS BIGINT) AS t FROM cab),
+        grid AS (
+            SELECT cab.bg,
+                   CAST(ROUND(1000000.0 * ln(
+                       (GREATEST(cab.cab - {KN_DISCOUNT}, 0.0)
+                        + {KN_DISCOUNT} * ca.n1a * nb.n1b / t.t) / ca.ca
+                   )) AS BIGINT) AS w
+            FROM cab
+            JOIN ca ON ca.lt = string_split(cab.bg, ' ')[1]
+            JOIN nb ON nb.rt = string_split(cab.bg, ' ')[2]
+            CROSS JOIN t
+        ),
+        scores AS (
+            SELECT p.doc_id, p.lang, CAST(SUM(p.k * g.w) AS BIGINT) AS score
+            FROM per_db p JOIN grid g ON g.bg = p.bg
+            GROUP BY 1, 2
+        )
+        SELECT lang,
+               CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(score) AS BIGINT) AS sum_score,
+               CAST(MIN(score) AS BIGINT) AS min_score,
+               CAST(MAX(score) AS BIGINT) AS max_score
+        FROM scores GROUP BY 1
+    """,
+    tags=("text", "quality", "lm", "kneser-ney", "documents"),
+)
+def text_kneser_ney_bigram_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents", rebalance=True)
+    toks = F.split(F.lower(F.trim(F.col("text"))), r"\s+")
+    n = F.size(toks)
+    pairs = F.zip_with(
+        F.slice(toks, 1, F.greatest(n - 1, F.lit(0))),
+        F.slice(toks, 2, F.greatest(n - 1, F.lit(0))),
+        lambda a, b: F.concat(a, F.lit(" "), b),
+    )
+    bg = docs.select(
+        "doc_id", "lang", F.explode(pairs).alias("bg")
+    ).localCheckpoint(eager=False)  # per-doc counts AND the grid read it
+    per_db = bg.groupBy("doc_id", "lang", "bg").agg(
+        F.count(F.lit(1)).cast("long").alias("k")
+    )
+    cab = (
+        bg.groupBy("bg")
+        .agg(F.count(F.lit(1)).cast("long").alias("cab"))
+        .localCheckpoint(eager=False)  # ca, nb, t, and the grid read it
+    )
+    lt = F.split(F.col("bg"), " ").getItem(0)
+    rt = F.split(F.col("bg"), " ").getItem(1)
+    ca = cab.groupBy(lt.alias("lt")).agg(
+        F.sum("cab").cast("long").alias("ca"),
+        F.count(F.lit(1)).cast("long").alias("n1a"),
+    )
+    nb = cab.groupBy(rt.alias("rt")).agg(
+        F.count(F.lit(1)).cast("long").alias("n1b")
+    )
+    t = cab.agg(F.count(F.lit(1)).cast("long").alias("t"))
+    grid = (
+        cab.withColumn("lt", lt)
+        .withColumn("rt", rt)
+        .join(ca, "lt")
+        .join(nb, "rt")
+        .crossJoin(F.broadcast(t))
+        .select(
+            "bg",
+            F.round(
+                1000000.0
+                * F.log(
+                    (
+                        F.greatest(F.col("cab") - KN_DISCOUNT, F.lit(0.0))
+                        + KN_DISCOUNT
+                        * F.col("n1a")
+                        * F.col("n1b")
+                        / F.col("t")
+                    )
+                    / F.col("ca")
+                ),
+                0,
+            )
+            .cast("long")
+            .alias("w"),
+        )
+    )
+    scores = (
+        per_db.join(grid, "bg")
+        .groupBy("doc_id", "lang")
+        .agg(F.sum(F.col("k") * F.col("w")).cast("long").alias("score"))
+    )
+    return scores.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("score").cast("long").alias("sum_score"),
+        F.min("score").cast("long").alias("min_score"),
+        F.max("score").cast("long").alias("max_score"),
+    )

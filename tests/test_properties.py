@@ -4209,3 +4209,71 @@ def test_growth_accounting_oracle_matches_set_model(presence):
     for w, f in flows.items():
         actives = sum(1 for ws in weeks_of.values() if w in ws)
         assert f[0] + f[1] + f[2] == actives
+
+
+@settings(max_examples=50, deadline=None)
+@given(
+    docs=st.lists(
+        st.tuples(
+            st.sampled_from(["en", "de"]),
+            st.lists(
+                st.sampled_from(["a", "b", "c", "d"]), min_size=2, max_size=15
+            ),
+        ),
+        min_size=1,
+        max_size=15,
+    )
+)
+def test_kneser_ney_oracle_matches_textbook(docs):
+    """The KN oracle vs a direct textbook interpolated-KN scorer — pins
+    the discounted numerator, the N1+ continuation terms, the type-count
+    normalizer, and the micro-nat integerization (round half away)."""
+    import math
+
+    import duckdb
+
+    from kafka_stream_job_spark.operators.text import KN_DISCOUNT
+    from kafka_stream_job_spark.registry import all_specs
+
+    rows = [(i, " ".join(toks), lang) for i, (lang, toks) in enumerate(docs)]
+    con = duckdb.connect()
+    con.execute("CREATE TABLE documents (doc_id BIGINT, text VARCHAR, lang VARCHAR)")
+    con.executemany("INSERT INTO documents VALUES (?, ?, ?)", rows)
+    oracle = all_specs()["text_kneser_ney_bigram_score"].oracle
+    got = {tuple(r) for r in con.sql(oracle).fetchall()}
+
+    cab: Counter = Counter()
+    doc_bgs = []
+    for _, text, lang in rows:
+        toks = text.split(" ")
+        bgs = [(toks[i], toks[i + 1]) for i in range(len(toks) - 1)]
+        doc_bgs.append((lang, bgs))
+        cab.update(bgs)
+    ca: Counter = Counter()
+    n1a: Counter = Counter()
+    n1b: Counter = Counter()
+    for (a, b), c in cab.items():
+        ca[a] += c
+        n1a[a] += 1
+        n1b[b] += 1
+    t = len(cab)
+
+    def w(bgram):
+        a, b = bgram
+        p = (
+            max(cab[bgram] - KN_DISCOUNT, 0.0)
+            + KN_DISCOUNT * n1a[a] * n1b[b] / t
+        ) / ca[a]
+        x = 1_000_000.0 * math.log(p)
+        return math.floor(x + 0.5) if x >= 0 else math.ceil(x - 0.5)
+
+    agg: dict[str, list[int]] = {}
+    for lang, bgs in doc_bgs:
+        score = sum(w(g) for g in bgs)
+        a = agg.setdefault(lang, [0, 0, None, None])
+        a[0] += 1
+        a[1] += score
+        a[2] = score if a[2] is None else min(a[2], score)
+        a[3] = score if a[3] is None else max(a[3], score)
+    want = {(lang, *a) for lang, a in agg.items()}
+    assert got == want
