@@ -11281,3 +11281,138 @@ def events_growth_accounting(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("n_churned"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# ZONE-MAP SKIP SIMULATION — the lakehouse question behind every
+# sort/Z-order decision: for a set of representative predicates, how
+# many row groups does min/max pruning skip under (a) the natural
+# insertion layout vs (b) a shipdate-sorted rewrite? Row groups are
+# simulated as consecutive _ZM_RG_ROWS-row slices of each layout's
+# total order (global rank via the shared distributed_rank primitive —
+# range-partitioned, never a single-partition sort); zone maps are one
+# min/max/count aggregate per (layout, group); predicate ∩ zone
+# intersection is then a constant-width flag matrix unpivoted with
+# stack(). Reports groups skipped AND rows actually scanned — the
+# number an engine's I/O bill is made of. Exact integers; the min/max
+# compares reuse the parquet values verbatim in both engines.
+# ---------------------------------------------------------------------------
+_ZM_RG_ROWS = 8192
+_ZM_SHIP_LO = "1996-01-01 00:00:00"
+_ZM_SHIP_HI = "1996-12-31 23:59:59"
+_ZM_QTY_LT = 5
+_ZM_PRICE_GT = 50000
+
+
+@register(
+    "zonemap_skip_simulation",
+    oracle=f"""
+        WITH ranked AS (
+            SELECT l_shipdate, l_quantity, l_extendedprice,
+                   ROW_NUMBER() OVER (ORDER BY l_orderkey, l_linenumber)
+                       AS r1,
+                   ROW_NUMBER() OVER (ORDER BY l_shipdate, l_orderkey,
+                                               l_linenumber) AS r2
+            FROM lineitem
+        ),
+        layouts AS (
+            SELECT 'insertion' AS layout,
+                   (r1 - 1) // {_ZM_RG_ROWS} AS rg,
+                   l_shipdate, l_quantity, l_extendedprice
+            FROM ranked
+            UNION ALL
+            SELECT 'shipdate_sorted',
+                   (r2 - 1) // {_ZM_RG_ROWS},
+                   l_shipdate, l_quantity, l_extendedprice
+            FROM ranked
+        ),
+        z AS (
+            SELECT layout, rg,
+                   MIN(l_shipdate) AS mins, MAX(l_shipdate) AS maxs,
+                   MIN(l_quantity) AS minq,
+                   MAX(l_extendedprice) AS maxp,
+                   CAST(COUNT(*) AS BIGINT) AS n_rows
+            FROM layouts GROUP BY 1, 2
+        ),
+        flags AS (
+            SELECT layout,
+                   unnest(['ship_1996', 'qty_lt_{_ZM_QTY_LT}',
+                           'price_gt_{_ZM_PRICE_GT}']) AS predicate,
+                   unnest([
+                       maxs < TIMESTAMP '{_ZM_SHIP_LO}'
+                           OR mins > TIMESTAMP '{_ZM_SHIP_HI}',
+                       minq >= {_ZM_QTY_LT},
+                       maxp <= {_ZM_PRICE_GT}
+                   ]) AS skipped,
+                   n_rows
+            FROM z
+        )
+        SELECT layout, predicate,
+               CAST(COUNT(*) AS BIGINT) AS n_groups,
+               CAST(SUM(CASE WHEN skipped THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_skipped,
+               CAST(SUM(CASE WHEN NOT skipped THEN n_rows ELSE 0 END)
+                    AS BIGINT) AS rows_scanned
+        FROM flags
+        GROUP BY 1, 2
+    """,
+    tags=("lakehouse", "layout", "pruning", "lineitem"),
+)
+def zonemap_skip_simulation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kafka_stream_job_spark.operators._distributed import distributed_rank
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_shipdate", "l_quantity",
+        "l_extendedprice",
+    )
+    layouts = []
+    for layout, cols in (
+        ("insertion", [F.col("l_orderkey"), F.col("l_linenumber")]),
+        (
+            "shipdate_sorted",
+            [F.col("l_shipdate"), F.col("l_orderkey"), F.col("l_linenumber")],
+        ),
+    ):
+        ranked = distributed_rank(li, cols)
+        layouts.append(
+            ranked.select(
+                F.lit(layout).alias("layout"),
+                ((F.col("rnk") - 1) / F.lit(_ZM_RG_ROWS))
+                .cast("long")
+                .alias("rg"),
+                "l_shipdate",
+                "l_quantity",
+                "l_extendedprice",
+            )
+        )
+    z = (
+        layouts[0]
+        .unionByName(layouts[1])
+        .groupBy("layout", "rg")
+        .agg(
+            F.min("l_shipdate").alias("mins"),
+            F.max("l_shipdate").alias("maxs"),
+            F.min("l_quantity").alias("minq"),
+            F.max("l_extendedprice").alias("maxp"),
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+        )
+    )
+    flags = z.select(
+        "layout",
+        "n_rows",
+        F.expr(
+            f"""stack(3,
+                'ship_1996', maxs < TIMESTAMP_NTZ '{_ZM_SHIP_LO}'
+                             OR mins > TIMESTAMP_NTZ '{_ZM_SHIP_HI}',
+                'qty_lt_{_ZM_QTY_LT}', minq >= {_ZM_QTY_LT},
+                'price_gt_{_ZM_PRICE_GT}', maxp <= {_ZM_PRICE_GT}
+            ) AS (predicate, skipped)"""
+        ),
+    )
+    return flags.groupBy("layout", "predicate").agg(
+        F.count(F.lit(1)).cast("long").alias("n_groups"),
+        F.sum(F.col("skipped").cast("long")).cast("long").alias("n_skipped"),
+        F.sum(F.when(~F.col("skipped"), F.col("n_rows")).otherwise(F.lit(0)))
+        .cast("long")
+        .alias("rows_scanned"),
+    )

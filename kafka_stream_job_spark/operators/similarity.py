@@ -2233,3 +2233,93 @@ def semantic_dedup_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("n_better_neardups") == 0).alias("kept"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# MUTUAL NEAREST NEIGHBORS — the alignment primitive bitext/embedding
+# mining pipelines use (e.g. LASER/CCMatrix margin mining starts from
+# mutual-NN pairs): vectors a and b pair iff each is the other's
+# top-1 neighbor. The top-1 search is bucket-restricted to the same
+# PROBE_BITS sign-LSH buckets the ANN path probes (at 100 TB: one
+# shuffle of the corpus on a uniform bucket key, per-vector candidate
+# lists bounded by bucket size — never the N² all-pairs scan; vectors
+# alone in their bucket simply have no neighbor). The mutuality check
+# is one self-join of the (vector → top-1) table on the two id columns.
+# Ties break by neighbor_id, so the top-1 is deterministic; cosines are
+# sequential-fold doubles, bit-identical in both engines.
+# ---------------------------------------------------------------------------
+_mnn_dot = _DOT_SQL.format(a="q.embedding", b="d.embedding")
+_mnn_nq = _NORM_SQL.format(a="q.embedding")
+_mnn_nd = _NORM_SQL.format(a="d.embedding")
+
+
+@register(
+    "embedding_mutual_nn_pairs",
+    oracle=f"""
+        WITH buckets AS (
+            SELECT vec_id, embedding,
+                   {_bucket_sql('embedding', PROBE_BITS)} AS bucket
+            FROM embeddings
+        ),
+        scored AS (
+            SELECT q.vec_id AS src, d.vec_id AS dst,
+                   {_mnn_dot} / ({_mnn_nq} * {_mnn_nd}) AS cos_raw,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY q.vec_id
+                       ORDER BY {_mnn_dot} / ({_mnn_nq} * {_mnn_nd}) DESC,
+                                d.vec_id ASC
+                   ) AS rn
+            FROM buckets q
+            JOIN buckets d ON d.bucket = q.bucket AND d.vec_id <> q.vec_id
+        ),
+        nn AS (SELECT src, dst, cos_raw FROM scored WHERE rn = 1)
+        SELECT a.src AS vec_a, a.dst AS vec_b,
+               ROUND((a.cos_raw) * 10000.0) / 10000.0 AS cosine
+        FROM nn a JOIN nn b ON a.dst = b.src AND b.dst = a.src
+        WHERE a.src < a.dst
+    """,
+    tags=("similarity", "embeddings", "alignment", "mutual-nn"),
+)
+def embedding_mutual_nn_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    buckets = lsh_buckets(spark, sf_dir, bits=PROBE_BITS)
+    q = buckets.select(
+        F.col("vec_id").alias("src"), F.col("embedding").alias("emb_q"), "bucket"
+    )
+    d = buckets.select(
+        F.col("vec_id").alias("dst"),
+        F.col("embedding").alias("emb_d"),
+        F.col("bucket").alias("bucket_d"),
+    )
+    cos_raw = _dot(F.col("emb_q"), F.col("emb_d")) / (
+        _norm(F.col("emb_q")) * _norm(F.col("emb_d"))
+    )
+    w = Window.partitionBy("src").orderBy(
+        F.col("cos_raw").desc(), F.col("dst").asc()
+    )
+    nn = (
+        q.join(
+            d,
+            (F.col("bucket") == F.col("bucket_d"))
+            & (F.col("src") != F.col("dst")),
+        )
+        .select("src", "dst", cos_raw.alias("cos_raw"))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("src", "dst", "cos_raw")
+        .localCheckpoint(eager=False)  # both sides of the mutuality join
+    )
+    b = nn.select(F.col("src").alias("b_src"), F.col("dst").alias("b_dst"))
+    return (
+        nn.join(
+            b,
+            (F.col("dst") == F.col("b_src")) & (F.col("b_dst") == F.col("src")),
+        )
+        .filter(F.col("src") < F.col("dst"))
+        .select(
+            F.col("src").alias("vec_a"),
+            F.col("dst").alias("vec_b"),
+            pround(F.col("cos_raw"), 4).alias("cosine"),
+        )
+    )
