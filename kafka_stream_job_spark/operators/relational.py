@@ -11416,3 +11416,111 @@ def zonemap_skip_simulation(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("rows_scanned"),
     )
+
+
+# ---------------------------------------------------------------------------
+# TOKEN-BUCKET RATE-LIMITER BACKTEST — the capacity-planning question
+# behind every API quota: if each user had a bucket of _RL_CAP tokens
+# refilling _RL_REFILL/day, how many of their historical events would
+# have been throttled? The recurrence (tokens carry across days, capped)
+# is inherently sequential PER USER, so it folds over the user's
+# day-sorted (day, count) list — bounded by the timeline, never by
+# corpus size — with one aggregate()/list_reduce() whose state is the
+# exact integer triple [prev_day, tokens, throttled]; both engines fold
+# the identical formula over the identical sorted list, so results are
+# bit-equal. (State and items share one 3-long array type because SQL
+# fold lambdas require uniform element types; item = [day, n, 0].)
+# Scale shape: one (user, day) count, one per-user collect+sort (array
+# bounded by days-in-range), one fold, top-20 TakeOrdered.
+# ---------------------------------------------------------------------------
+_RL_CAP = 4  # bucket capacity (tokens)
+_RL_REFILL = 2  # tokens refilled per day
+_RL_TOP_N = 20
+
+
+def _rl_fold_sql() -> str:
+    # a = [prev_day, tokens, throttled]; x = [day, n, 0] (1-indexed).
+    tok1 = (
+        f"CASE WHEN a[1] < 0 THEN {_RL_CAP} "
+        f"ELSE LEAST({_RL_CAP}, a[2] + (x[1] - a[1]) * {_RL_REFILL}) END"
+    )
+    served = f"LEAST(x[2], {tok1})"
+    items = "list(CAST([day, n, 0] AS BIGINT[]) ORDER BY day)"
+    return (
+        f"list_reduce(list_prepend([CAST(-1 AS BIGINT), {_RL_CAP}, 0], "
+        f"{items}), (a, x) -> [x[1], ({tok1}) - ({served}), "
+        f"a[3] + x[2] - ({served})])"
+    )
+
+
+@register(
+    "rate_limiter_backtest",
+    oracle=f"""
+        WITH daily AS (
+            SELECT user_id,
+                   CAST(date_trunc('day', ts) AS DATE) - DATE '1970-01-01'
+                       AS day,
+                   CAST(COUNT(*) AS BIGINT) AS n
+            FROM events GROUP BY 1, 2
+        ),
+        folded AS (
+            SELECT user_id,
+                   CAST(SUM(n) AS BIGINT) AS n_events,
+                   CAST(COUNT(*) AS BIGINT) AS n_days,
+                   {_rl_fold_sql()} AS st
+            FROM daily
+            GROUP BY user_id
+        )
+        SELECT user_id, n_events, n_days,
+               CAST(st[3] AS BIGINT) AS n_throttled
+        FROM folded
+        ORDER BY n_throttled DESC, user_id ASC
+        LIMIT {_RL_TOP_N}
+    """,
+    tags=("events", "rate-limit", "sequential-fold", "capacity"),
+)
+def rate_limiter_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "user_id",
+        F.datediff(
+            F.date_trunc("day", "ts").cast("date"), F.lit("1970-01-01").cast("date")
+        )
+        .cast("long")
+        .alias("day"),
+    ).agg(F.count(F.lit(1)).cast("long").alias("n"))
+    per_user = daily.groupBy("user_id").agg(
+        F.sum("n").cast("long").alias("n_events"),
+        F.count(F.lit(1)).cast("long").alias("n_days"),
+        F.array_sort(
+            F.collect_list(F.array("day", "n", F.lit(0).cast("long")))
+        ).alias("items"),
+    )
+    cap, refill = F.lit(_RL_CAP).cast("long"), F.lit(_RL_REFILL).cast("long")
+
+    def tok1(a, x):
+        return F.when(a.getItem(0) < 0, cap).otherwise(
+            F.least(cap, a.getItem(1) + (x.getItem(0) - a.getItem(0)) * refill)
+        )
+
+    def step(a, x):
+        served = F.least(x.getItem(1), tok1(a, x))
+        return F.array(
+            x.getItem(0), tok1(a, x) - served, a.getItem(2) + x.getItem(1) - served
+        )
+
+    folded = per_user.select(
+        "user_id",
+        "n_events",
+        "n_days",
+        F.aggregate(
+            "items",
+            F.array(F.lit(-1).cast("long"), cap, F.lit(0).cast("long")),
+            step,
+        )
+        .getItem(2)
+        .alias("n_throttled"),
+    )
+    return folded.orderBy(
+        F.col("n_throttled").desc(), F.col("user_id").asc()
+    ).limit(_RL_TOP_N)

@@ -4277,3 +4277,54 @@ def test_kneser_ney_oracle_matches_textbook(docs):
         a[3] = score if a[3] is None else max(a[3], score)
     want = {(lang, *a) for lang, a in agg.items()}
     assert got == want
+
+
+@settings(max_examples=60, deadline=None)
+@given(
+    evs=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=3),  # user
+            st.integers(min_value=0, max_value=25),  # day index
+        ),
+        min_size=1,
+        max_size=120,
+    )
+)
+def test_rate_limiter_oracle_matches_simulation(evs):
+    """The token-bucket fold oracle vs a direct day-by-day simulator —
+    pins the refill-on-gap arithmetic, the capacity clamp, the
+    first-bucket full-bucket start, and the throttled accumulation."""
+    import datetime
+    import duckdb
+
+    from kafka_stream_job_spark.operators.relational import _RL_CAP, _RL_REFILL
+    from kafka_stream_job_spark.registry import all_specs
+
+    base = datetime.datetime(2024, 3, 1)
+    rows = [
+        (u, base + datetime.timedelta(days=d, minutes=i))
+        for i, (u, d) in enumerate(evs)
+    ]
+    con = duckdb.connect()
+    con.execute("CREATE TABLE events (user_id BIGINT, ts TIMESTAMP)")
+    con.executemany("INSERT INTO events VALUES (?, ?)", rows)
+    oracle = all_specs()["rate_limiter_backtest"].oracle
+    got = [tuple(r) for r in con.sql(oracle).fetchall()]
+
+    daily: dict[int, Counter] = {}
+    for u, d in evs:
+        daily.setdefault(u, Counter())[d] += 1
+    want = []
+    for u, cnts in daily.items():
+        tokens, throttled = _RL_CAP, 0
+        prev = None
+        for d in sorted(cnts):
+            if prev is not None:
+                tokens = min(_RL_CAP, tokens + (d - prev) * _RL_REFILL)
+            served = min(cnts[d], tokens)
+            throttled += cnts[d] - served
+            tokens -= served
+            prev = d
+        want.append((u, sum(cnts.values()), len(cnts), throttled))
+    want.sort(key=lambda r: (-r[3], r[0]))
+    assert got == want[:20]
