@@ -505,3 +505,73 @@ def linkage_entity_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("cluster_size") * F.count(F.lit(1))).cast("long").alias("n_records"),
         F.sum("component").cast("long").alias("id_checksum"),
     )
+
+
+# ---------------------------------------------------------------------------
+# BLOCKING QUALITY AUDIT — the two numbers every ER textbook (Christen
+# 2012) says to check BEFORE trusting a blocked linkage: REDUCTION
+# RATIO (how much of the N² comparison space the blocking key prunes)
+# and PAIRS COMPLETENESS (how many true matches survive blocking — here
+# ground truth is exact: billing row k IS crm row k, so a miss is
+# precisely a perturbation that pushed a record across its balance-band
+# boundary). Both reported as exact integer basis points, so the oracle
+# can never drift on a float ratio. One blocked equi-join count + one
+# 1-row broadcast record count; the N² space is arithmetic, never
+# materialized.
+# ---------------------------------------------------------------------------
+@register(
+    "linkage_blocking_quality",
+    oracle=f"""
+        WITH {_CRM_BILLING_SQL},
+        cand AS (
+            SELECT CAST(COUNT(*) AS BIGINT) AS n_candidates,
+                   CAST(SUM(CASE WHEN a.a_key = b.b_key THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_true_in_block
+            FROM crm a JOIN billing b
+              ON a.nation = b.nation
+             AND a.cents // {_BAND_CENTS} = b.cents // {_BAND_CENTS}
+        ),
+        n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_records FROM customer)
+        SELECT n.n_records,
+               n.n_records * n.n_records AS comparison_space,
+               cand.n_candidates,
+               (n.n_records * n.n_records - cand.n_candidates) * 10000
+                   // (n.n_records * n.n_records) AS reduction_ratio_bp,
+               n.n_records AS n_true_pairs,
+               cand.n_true_in_block,
+               cand.n_true_in_block * 10000 // n.n_records
+                   AS pairs_completeness_bp
+        FROM cand, n
+    """,
+    tags=("linkage", "entity-resolution", "blocking", "audit", "customer"),
+)
+def linkage_blocking_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer")
+    crm, billing = _record_views(cust)
+    cand = crm.join(
+        billing,
+        (crm.nation == billing.nation) & (crm.a_band == billing.b_band),
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("n_candidates"),
+        F.sum((F.col("a_key") == F.col("b_key")).cast("long"))
+        .cast("long")
+        .alias("n_true_in_block"),
+    )
+    n = cust.agg(F.count(F.lit(1)).cast("long").alias("n_records"))
+    space = F.col("n_records") * F.col("n_records")
+    return (
+        cand.crossJoin(F.broadcast(n))
+        .select(
+            "n_records",
+            space.alias("comparison_space"),
+            "n_candidates",
+            idiv((space - F.col("n_candidates")) * 10000, space).alias(
+                "reduction_ratio_bp"
+            ),
+            F.col("n_records").alias("n_true_pairs"),
+            "n_true_in_block",
+            idiv(F.col("n_true_in_block") * 10000, F.col("n_records")).alias(
+                "pairs_completeness_bp"
+            ),
+        )
+    )

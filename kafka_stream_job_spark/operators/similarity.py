@@ -21,7 +21,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from kafka_stream_job_spark.operators._portable import pround
+from kafka_stream_job_spark.operators._portable import idiv, pround
 from kafka_stream_job_spark.registry import register
 from kafka_stream_job_spark.tables import load_table
 
@@ -2322,4 +2322,92 @@ def embedding_mutual_nn_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("dst").alias("vec_b"),
             pround(F.col("cos_raw"), 4).alias("cosine"),
         )
+    )
+
+
+# ---------------------------------------------------------------------------
+# CLUSTER LABEL PURITY — the standard external clustering evaluation
+# (purity: fraction of each cluster owned by its majority ground-truth
+# label), run over the same ~√N max-cosine codebook assignment SemDeDup
+# uses. This is the "are my embedding clusters semantically coherent?"
+# audit an ML engineer runs before trusting cluster-level curation
+# decisions. Majority ties break to the LOWEST label id via
+# min(struct(-count, label)) on both engines; purity is exact integer
+# basis points. Scale shape: broadcast codebook assignment (corpus
+# never shuffled to meet centroids), one (cluster, label) count, one
+# bounded per-cluster rollup — |K| rows out.
+# ---------------------------------------------------------------------------
+@register(
+    "embedding_cluster_label_purity",
+    oracle=f"""
+        WITH cents AS (
+            SELECT vec_id AS cid, embedding AS cemb
+            FROM embeddings
+            WHERE vec_id < (
+                SELECT GREATEST({SEMDEDUP_K_FLOOR},
+                                CAST(FLOOR(SQRT(COUNT(*))) AS BIGINT))
+                FROM embeddings
+            )
+        ),
+        scored AS (
+            SELECT e.vec_id, e.label, c.cid,
+                   {_sd_dot_ec} / ({_sd_norm_e} * {_sd_norm_c}) AS cosc
+            FROM embeddings e, cents c
+        ),
+        assign AS (
+            SELECT vec_id, label, cid,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY vec_id ORDER BY cosc DESC, cid ASC
+                   ) AS rn
+            FROM scored
+        ),
+        members AS (SELECT vec_id, label, cid FROM assign WHERE rn = 1),
+        by_label AS (
+            SELECT cid, label, CAST(COUNT(*) AS BIGINT) AS n
+            FROM members GROUP BY 1, 2
+        )
+        SELECT CAST(cid AS BIGINT) AS cluster_id,
+               CAST(SUM(n) AS BIGINT) AS n_members,
+               CAST((MIN(struct_pack(negn := -n, lab := label))).lab
+                    AS BIGINT) AS majority_label,
+               CAST((-(MIN(struct_pack(negn := -n, lab := label))).negn)
+                    * 10000 // SUM(n) AS BIGINT) AS purity_bp
+        FROM by_label
+        GROUP BY cid
+    """,
+    tags=("similarity", "clustering", "evaluation", "embeddings"),
+)
+def embedding_cluster_label_purity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    emb = load_table(spark, sf_dir, "embeddings", rebalance=True)
+    cents = _semdedup_centroids(emb)
+    cosc = _dot(F.col("embedding"), F.col("cemb")) / (
+        _norm(F.col("embedding")) * _norm(F.col("cemb"))
+    )
+    w = Window.partitionBy("vec_id").orderBy(
+        F.col("cosc").desc(), F.col("cid").asc()
+    )
+    members = (
+        emb.crossJoin(F.broadcast(cents))
+        .select("vec_id", "label", "cid", cosc.alias("cosc"))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "label", "cid")
+    )
+    by_label = members.groupBy("cid", "label").agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+    top = F.min(F.struct((-F.col("n")).alias("negn"), F.col("label").alias("lab")))
+    return by_label.groupBy("cid").agg(
+        F.sum("n").cast("long").alias("n_members"),
+        top.getField("lab").cast("long").alias("majority_label"),
+        idiv((-top.getField("negn")) * 10000, F.sum("n"))
+        .cast("long")
+        .alias("purity_bp"),
+    ).select(
+        F.col("cid").cast("long").alias("cluster_id"),
+        "n_members",
+        "majority_label",
+        "purity_bp",
     )
