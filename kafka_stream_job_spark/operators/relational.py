@@ -11453,9 +11453,9 @@ def _rl_fold_sql() -> str:
     )
 
 
-@register(
-    "rate_limiter_backtest",
-    oracle=f"""
+#: shared with the streaming twin (streaming_rate_limiter) — same
+#: semantics, same oracle, kept in lockstep by construction.
+_RL_ORACLE_SQL = f"""
         WITH daily AS (
             SELECT user_id,
                    CAST(date_trunc('day', ts) AS DATE) - DATE '1970-01-01'
@@ -11476,7 +11476,12 @@ def _rl_fold_sql() -> str:
         FROM folded
         ORDER BY n_throttled DESC, user_id ASC
         LIMIT {_RL_TOP_N}
-    """,
+"""
+
+
+@register(
+    "rate_limiter_backtest",
+    oracle=_RL_ORACLE_SQL,
     tags=("events", "rate-limit", "sequential-fold", "capacity"),
 )
 def rate_limiter_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -3256,3 +3256,95 @@ def text_kneser_ney_bigram_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("score").cast("long").alias("min_score"),
         F.max("score").cast("long").alias("max_score"),
     )
+
+
+# ---------------------------------------------------------------------------
+# SOURCE DATASHEET — the one-stop per-source overview a data steward
+# reads before admitting a source into a training mix (the "datasheets
+# for datasets" rollup): volume (docs, chars, tokens), language spread,
+# exact-duplicate pressure (docs minus distinct normalized
+# fingerprints), and how many docs clear the Gopher quality rules. The
+# pass condition reuses the GOPHER_* module constants verbatim, so the
+# datasheet and gopher_quality_rules can never disagree on thresholds.
+# Scale shape: one (doc, token) count + constant-width per-doc profile,
+# one doc-keyed join, |sources|-row rollup. Exact integers throughout.
+# ---------------------------------------------------------------------------
+@register(
+    "corpus_source_datasheet",
+    oracle=f"""
+        WITH toks AS (
+            SELECT doc_id,
+                   unnest(string_split({_BL_NORM_SQL}, ' ')) AS token
+            FROM documents
+        ),
+        per_tok AS (
+            SELECT doc_id, token, CAST(COUNT(*) AS BIGINT) AS c
+            FROM toks GROUP BY 1, 2
+        ),
+        doc_stats AS (
+            SELECT doc_id,
+                   CAST(SUM(c) AS BIGINT) AS n_words,
+                   CAST(COUNT(*) AS BIGINT) AS n_types,
+                   CAST(MAX(c) AS BIGINT) AS max_tok,
+                   CAST(SUM(len(token) * c) AS BIGINT) AS sum_len
+            FROM per_tok GROUP BY 1
+        ),
+        docs AS (
+            SELECT d.source, d.lang, d.doc_id, d.n_chars,
+                   md5({_BL_NORM_SQL}) AS fp,
+                   s.n_words, s.n_types, s.max_tok, s.sum_len
+            FROM documents d JOIN doc_stats s USING (doc_id)
+        )
+        SELECT source,
+               CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(COUNT(DISTINCT lang) AS BIGINT) AS n_langs,
+               CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+               CAST(SUM(n_words) AS BIGINT) AS n_tokens,
+               CAST(COUNT(*) - COUNT(DISTINCT fp) AS BIGINT) AS n_dup_docs,
+               CAST(SUM(CASE WHEN n_words >= {GOPHER_MIN_WORDS}
+                              AND n_words <= {GOPHER_MAX_WORDS}
+                              AND sum_len >= {GOPHER_MEANLEN_LO} * n_words
+                              AND sum_len <= {GOPHER_MEANLEN_HI} * n_words
+                              AND max_tok * {GOPHER_TOPTOK_DEN} <= n_words
+                              AND n_types * {GOPHER_TTR_NUM} >= n_words
+                             THEN 1 ELSE 0 END) AS BIGINT) AS n_gopher_pass
+        FROM docs
+        GROUP BY 1
+    """,
+    tags=("text", "corpus", "datasheet", "llm-pipeline", "documents"),
+)
+def corpus_source_datasheet(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kafka_stream_job_spark.operators.dedup import _norm_text
+
+    docs = load_table(spark, sf_dir, "documents", rebalance=True)
+    toks = docs.select(
+        "doc_id", F.explode(F.split(_norm_text(), " ")).alias("token")
+    )
+    per_tok = toks.groupBy("doc_id", "token").agg(
+        F.count(F.lit(1)).cast("long").alias("c")
+    )
+    doc_stats = per_tok.groupBy("doc_id").agg(
+        F.sum("c").cast("long").alias("n_words"),
+        F.count(F.lit(1)).cast("long").alias("n_types"),
+        F.max("c").cast("long").alias("max_tok"),
+        F.sum(F.length("token") * F.col("c")).cast("long").alias("sum_len"),
+    )
+    profiled = docs.select(
+        "doc_id", "source", "lang", "n_chars", F.md5(_norm_text()).alias("fp")
+    ).join(doc_stats, "doc_id")
+    gopher_pass = (
+        (F.col("n_words") >= GOPHER_MIN_WORDS)
+        & (F.col("n_words") <= GOPHER_MAX_WORDS)
+        & (F.col("sum_len") >= GOPHER_MEANLEN_LO * F.col("n_words"))
+        & (F.col("sum_len") <= GOPHER_MEANLEN_HI * F.col("n_words"))
+        & (F.col("max_tok") * GOPHER_TOPTOK_DEN <= F.col("n_words"))
+        & (F.col("n_types") * GOPHER_TTR_NUM >= F.col("n_words"))
+    )
+    return profiled.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.countDistinct("lang").cast("long").alias("n_langs"),
+        F.sum("n_chars").cast("long").alias("total_chars"),
+        F.sum("n_words").cast("long").alias("n_tokens"),
+        (F.count(F.lit(1)) - F.countDistinct("fp")).cast("long").alias("n_dup_docs"),
+        F.sum(gopher_pass.cast("long")).cast("long").alias("n_gopher_pass"),
+    )

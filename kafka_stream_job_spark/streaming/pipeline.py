@@ -2664,3 +2664,104 @@ def _register_streaming_interval_coverage() -> None:
 
 
 _register_streaming_interval_coverage()
+
+
+# ---------------------------------------------------------------------------
+# STREAMING RATE-LIMITER BACKTEST — the stateful-streaming twin of
+# rate_limiter_backtest (operators/relational.py): per user, maintain
+# the day→event-count histogram in state (bounded by days-in-range,
+# never event count) and after every batch REPLAY the token-bucket
+# recurrence over the sorted histogram — so correctness is
+# arrival-order-independent (a late event lands in its day bucket and
+# the fold recomputes exactly), matching the interval-coverage twin's
+# design. The final emission per user (max n_events — monotone) must
+# equal the batch/oracle answer.
+# ---------------------------------------------------------------------------
+def _register_streaming_rate_limiter() -> None:
+    import uuid
+
+    from kafka_stream_job_spark.operators.relational import (
+        _RL_CAP,
+        _RL_ORACLE_SQL,
+        _RL_REFILL,
+        _RL_TOP_N,
+    )
+    from kafka_stream_job_spark.registry import register
+
+    @register(
+        "streaming_rate_limiter",
+        oracle=_RL_ORACLE_SQL,
+        tags=("streaming", "stateful", "rate-limit", "sequential-fold"),
+    )
+    def streaming_rate_limiter(spark: SparkSession, sf_dir: str) -> DataFrame:
+        import tempfile
+
+        from pyspark.sql.streaming.state import GroupStateTimeout
+
+        def update(key, pdfs, state):
+            import pandas as pd
+
+            if state.exists:
+                days, counts = state.get
+                hist = dict(zip(list(days), list(counts)))
+            else:
+                hist = {}
+            for pdf in pdfs:
+                # same day integers as the batch twin's datediff from epoch
+                d = (
+                    pdf["ts"]
+                    .astype("datetime64[us]")
+                    .astype("int64")
+                    .floordiv(86_400_000_000)
+                )
+                for day, grp in d.groupby(d):
+                    hist[int(day)] = hist.get(int(day), 0) + int(len(grp))
+            items = sorted(hist.items())
+            state.update(([d for d, _ in items], [n for _, n in items]))
+            tokens, throttled = _RL_CAP, 0
+            prev = None
+            for day, n_day in items:
+                if prev is not None:
+                    tokens = min(_RL_CAP, tokens + (day - prev) * _RL_REFILL)
+                served = min(n_day, tokens)
+                throttled += n_day - served
+                tokens -= served
+                prev = day
+            yield pd.DataFrame(
+                {
+                    "user_id": [key[0]],
+                    "n_events": [sum(hist.values())],
+                    "n_days": [len(hist)],
+                    "n_throttled": [throttled],
+                }
+            )
+
+        emitted_stream = (
+            stream_events(spark, sf_dir)
+            .groupBy("user_id")
+            .applyInPandasWithState(
+                update,
+                outputStructType=(
+                    "user_id long, n_events long, n_days long, n_throttled long"
+                ),
+                stateStructType="days array<long>, counts array<long>",
+                outputMode="append",
+                timeoutConf=GroupStateTimeout.NoTimeout,
+            )
+        )
+        name = f"stream_ratelim_{uuid.uuid4().hex[:8]}"
+        ckpt = tempfile.mkdtemp(prefix="ksj-stream-ratelim-")
+        emitted = run_stream_to_memory(spark, emitted_stream, name, ckpt)
+        final = emitted.groupBy("user_id").agg(
+            F.max("n_events").cast("long").alias("n_events"),
+            F.expr("max_by(n_days, n_events)").cast("long").alias("n_days"),
+            F.expr("max_by(n_throttled, n_events)")
+            .cast("long")
+            .alias("n_throttled"),
+        )
+        return final.orderBy(
+            F.col("n_throttled").desc(), F.col("user_id").asc()
+        ).limit(_RL_TOP_N)
+
+
+_register_streaming_rate_limiter()
