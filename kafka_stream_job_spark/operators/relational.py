@@ -11529,3 +11529,161 @@ def rate_limiter_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
     return folded.orderBy(
         F.col("n_throttled").desc(), F.col("user_id").asc()
     ).limit(_RL_TOP_N)
+
+
+# ---------------------------------------------------------------------------
+# OPEN-ORDER BACKLOG — the ops dashboard every fulfillment team runs:
+# for each calendar day, how many orders are open (placed but not yet
+# fully shipped). An order opens on o_orderdate and closes the day
+# AFTER its last lineitem ships, so the backlog is the running sum of
+# sparse +1/−1 deltas — computed with the shared distributed_prefix_sum
+# primitive (range-partitioned two-level prefix sum, never a
+# single-partition global window over data-sized rows; the delta table
+# is bounded by distinct calendar days). Exact integers end to end.
+# ---------------------------------------------------------------------------
+@register(
+    "orders_open_backlog_daily",
+    oracle="""
+        WITH comp AS (
+            SELECT l_orderkey,
+                   MAX(CAST(l_shipdate AS DATE)) + 1 AS close_day
+            FROM lineitem GROUP BY 1
+        ),
+        deltas AS (
+            SELECT CAST(o_orderdate AS DATE) AS day, 1 AS opened, 0 AS closed
+            FROM orders
+            UNION ALL
+            SELECT close_day AS day, 0 AS opened, 1 AS closed FROM comp
+        ),
+        per_day AS (
+            SELECT day,
+                   CAST(SUM(opened) AS BIGINT) AS n_opened,
+                   CAST(SUM(closed) AS BIGINT) AS n_closed,
+                   CAST(SUM(opened) - SUM(closed) AS BIGINT) AS net
+            FROM deltas GROUP BY 1
+        )
+        SELECT day, n_opened, n_closed,
+               CAST(SUM(net) OVER (ORDER BY day ROWS UNBOUNDED PRECEDING)
+                    AS BIGINT) AS backlog
+        FROM per_day
+    """,
+    tags=("orders", "lineitem", "backlog", "prefix-sum", "window-time"),
+)
+def orders_open_backlog_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kafka_stream_job_spark.operators._distributed import (
+        distributed_prefix_sum,
+    )
+
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    comp = li.groupBy("l_orderkey").agg(
+        F.date_add(F.max(F.col("l_shipdate").cast("date")), 1).alias(
+            "close_day"
+        )
+    )
+    deltas = orders.select(
+        F.col("o_orderdate").cast("date").alias("day"),
+        F.lit(1).cast("long").alias("opened"),
+        F.lit(0).cast("long").alias("closed"),
+    ).unionByName(
+        comp.select(
+            F.col("close_day").alias("day"),
+            F.lit(0).cast("long").alias("opened"),
+            F.lit(1).cast("long").alias("closed"),
+        )
+    )
+    per_day = deltas.groupBy("day").agg(
+        F.sum("opened").cast("long").alias("n_opened"),
+        F.sum("closed").cast("long").alias("n_closed"),
+        (F.sum("opened") - F.sum("closed")).cast("long").alias("net"),
+    )
+    return distributed_prefix_sum(
+        per_day, [F.col("day")], "net", out_col="backlog"
+    ).select(
+        "day", "n_opened", "n_closed", F.col("backlog").cast("long").alias("backlog")
+    )
+
+
+# ---------------------------------------------------------------------------
+# ANOMALY PERSISTENCE — alert-quality triage: a single anomalous hour is
+# noise, a RUN of them is an incident. Hour buckets whose event count
+# exceeds 1.3× the event-type's mean (integer cross-multiplication:
+# 10·n·n_hours > 13·total — no rational division anywhere, and the
+# relative threshold stays non-degenerate as density scales) are
+# "anomalous"; consecutive anomalous hours (exactly 1h apart) merge via
+# gaps-and-islands into runs. Reports per type: anomalous hours, runs,
+# and the longest run. Windows partition per event_type and are bounded
+# by the timeline's hour count, never corpus size.
+# ---------------------------------------------------------------------------
+@register(
+    "events_anomaly_persistence",
+    oracle="""
+        WITH hourly AS (
+            SELECT event_type, date_trunc('hour', ts) AS h,
+                   CAST(COUNT(*) AS BIGINT) AS n
+            FROM events GROUP BY 1, 2
+        ),
+        stats AS (
+            SELECT event_type,
+                   CAST(COUNT(*) AS BIGINT) AS n_hours,
+                   CAST(SUM(n) AS BIGINT) AS total
+            FROM hourly GROUP BY 1
+        ),
+        anom AS (
+            SELECT h.event_type, h.h,
+                   epoch_us(h.h) // 3600000000 AS hidx
+            FROM hourly h JOIN stats s USING (event_type)
+            WHERE h.n * 10 * s.n_hours > 13 * s.total
+        ),
+        runs AS (
+            SELECT event_type, hidx,
+                   hidx - ROW_NUMBER() OVER (
+                       PARTITION BY event_type ORDER BY hidx
+                   ) AS grp
+            FROM anom
+        ),
+        per_run AS (
+            SELECT event_type, grp, CAST(COUNT(*) AS BIGINT) AS run_len
+            FROM runs GROUP BY 1, 2
+        )
+        SELECT event_type,
+               CAST(SUM(run_len) AS BIGINT) AS n_anom_hours,
+               CAST(COUNT(*) AS BIGINT) AS n_runs,
+               CAST(MAX(run_len) AS BIGINT) AS longest_run
+        FROM per_run
+        GROUP BY 1
+    """,
+    tags=("events", "anomaly", "gaps-and-islands", "window-time"),
+)
+def events_anomaly_persistence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    hourly = ev.groupBy(
+        "event_type", F.date_trunc("hour", "ts").alias("h")
+    ).agg(F.count(F.lit(1)).cast("long").alias("n"))
+    stats = hourly.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_hours"),
+        F.sum("n").cast("long").alias("total"),
+    )
+    hidx = (
+        F.expr(
+            "timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', h)"
+        )
+        / F.lit(3_600_000_000)
+    ).cast("long")
+    anom = (
+        hourly.join(F.broadcast(stats), "event_type")
+        .filter(F.col("n") * 10 * F.col("n_hours") > 13 * F.col("total"))
+        .select("event_type", hidx.alias("hidx"))
+    )
+    w = Window.partitionBy("event_type").orderBy("hidx")
+    runs = anom.withColumn("grp", F.col("hidx") - F.row_number().over(w))
+    per_run = runs.groupBy("event_type", "grp").agg(
+        F.count(F.lit(1)).cast("long").alias("run_len")
+    )
+    return per_run.groupBy("event_type").agg(
+        F.sum("run_len").cast("long").alias("n_anom_hours"),
+        F.count(F.lit(1)).cast("long").alias("n_runs"),
+        F.max("run_len").cast("long").alias("longest_run"),
+    )

@@ -217,145 +217,147 @@ def all_specs() -> dict[str, QuerySpec]:
     # (operators added after the measurement) slot in just after the
     # sub-second group.
     cost_order = (
-        "text_fingerprint", "q6_forecast_revenue", "cube_order_status_priority",
-        "data_freshness_sla", "scalar_functions_showcase", "text_bpe_token_count",
-        "bitwise_aggregates_showcase", "nations_with_rich_customers",
-        "customers_without_orders", "datetime_functions_showcase",
-        "grouping_sets_revenue", "parameterized_sql_showcase",
-        "schema_evolution_merge_read", "pipe_sql_priority_stats",
-        "lang_balance_weights", "weighted_sample_docs", "dpo_preference_pairs",
-        "gdpr_purge_manifest", "null_safe_join_attribution", "split_train_eval",
-        "url_functions_showcase", "arrow_map_embedding_norm",
-        "corpus_mix_rebalance", "supplier_return_wilson_rank", "text_token_stats",
-        "dedup_exact", "events_daily_value_trend", "multimodal_frame_sample",
-        "quota_sample_per_lang", "rollup_returns", "scd2_customer_merge",
-        "text_seqlen_histogram", "q14_promo_revenue", "events_json_extract",
-        "lateral_top_customers_per_nation", "text_pii_redaction",
-        "bronze_decode_errors", "collation_group_showcase",
-        "multimodal_metadata_scan", "try_functions_showcase", "events_multi_rollup",
-        "pivot_user_event_matrix", "unpivot_lineitem_measures",
-        "snapshot_diff_report", "array_agg_user_profile", "profile_hot_orderkeys",
-        "text_language_id", "events_hourly_rollup", "lang_temperature_weights",
-        "q4_order_priority", "bpe_fertility_by_lang", "events_props_variant_decode",
-        "k_anonymity_audit", "kmv_distinct_users", "q12_priority_by_linestatus",
-        "window_customer_order_rank", "doc_sliding_chunks", "events_theilsen_trend",
-        "file_metadata_columns_read", "multimodal_resize",
-        "percentile_order_prices", "stats_qty_price_corr", "text_sentiment_lexicon",
-        "benford_digit_audit", "events_funnel_latency", "events_props_templates",
-        "q22_global_sales_opportunity", "revenue_trend_ols", "cv_fold_manifest",
-        "pack_sequences_manifest", "q1_pricing_summary", "decayed_leaderboard",
-        "events_holt_forecast", "events_transition_matrix",
-        "compaction_bin_packing_plan", "feature_asof_training_matrix",
-        "map_functions_showcase", "small_quantity_revenue", "aes_roundtrip_audit",
-        "window_event_gaps", "csv_source_permissive_read", "events_ewma_forecast",
-        "events_seasonal_profile", "partitioned_source_pruned_read",
-        "setops_customer_segments", "udtf_word_expand",
-        "distinct_parts_per_supplier", "events_ab_uplift_test",
-        "events_interval_overlap_join", "l_diversity_audit",
-        "multimodal_dedup_content_hash", "q13_customer_distribution",
-        "array_set_functions_showcase", "events_funnel_view_click_purchase",
-        "trigram_like_search", "pandas_scalar_log_price", "text_quality_score",
-        "incremental_agg_maintenance", "jsonl_source_permissive_read",
-        "pandas_grouped_agg_trimmed_mean", "linkage_blocking_quality",
-        "merge_full_cdc", "q19_disjunctive_revenue", "subject_access_export",
-        "events_user_retention", "multimodal_decode_features",
-        "attribution_multi_touch", "orc_source_roundtrip", "q15_top_supplier",
-        "q18_large_volume_customers", "top_customers_by_revenue",
-        "asof_next_touch_latency", "bronze_decode_roundtrip",
-        "events_sessionize_batch", "lineitem_ship_latency", "pandas_acctbal_zscore",
-        "score_calibration_report", "medallion_pipeline_rollup",
-        "change_data_feed_report", "events_hourly_anomaly",
-        "events_psi_value_drift", "text_vocab_coverage",
-        "window_range_trailing_hour", "content_defined_chunks",
-        "events_hourly_gapfill", "q16_supplier_part_buckets",
-        "events_session_window_batch", "multimodal_audio_frame_energy",
-        "blocklist_phrase_filter", "dp_noisy_nation_counts",
-        "events_interval_union_coverage", "q2_min_cost_supplier",
-        "events_props_schema_profile", "heavy_hitter_tokens", "hll_distinct_users",
-        "decontaminate_by_embedding", "mlm_masking_manifest",
-        "q3_shipping_priority", "range_join_price_bands", "rate_limiter_backtest",
-        "salted_join_supplier_volume", "batch_replay_source_slice",
-        "orders_cohort_revenue", "q20_heavy_shippers", "q9_product_type_profit",
-        "hll_merge_event_types", "streaming_upsert_latest_state",
-        "text_bm25_search", "market_concentration_hhi", "price_index_laspeyres",
-        "events_ohlc_bars", "corpus_token_budget_plan", "customer_balance_ks_test",
-        "events_holtwinters_forecast", "watermark_sizing_report",
-        "sketch_quantile_bins", "text_top_bigrams", "geo_cell_colocation",
-        "profile_lineitem_columns", "t_closeness_audit",
-        "multimodal_stratified_sample", "text_rake_keywords",
-        "incremental_join_maintenance", "embedding_int8_quantize",
-        "snapshot_retention_expiry_plan", "session_window_rollup",
-        "customer_spend_gini", "orders_priority_status_chi2", "q10_returned_items",
-        "similarity_topk_cosine", "timeseries_znorm_subsequence_search",
-        "q11_important_part_value", "basket_part_pairs",
-        "events_hourly_mad_outliers", "q7_volume_shipping",
-        "shard_manifest_balanced", "decision_stump_split_scores",
-        "surrogate_key_assignment", "bloom_filter_membership",
-        "execute_immediate_showcase", "multimodal_silence_segments",
-        "scd2_point_in_time_join", "zorder_layout_stats", "ann_ndcg_truncation",
-        "array_hof_showcase", "asof_purchase_attribution", "text_zipf_slope",
-        "q21_waiting_supplier", "streaming_heavy_hitter_users",
-        "events_changepoint_binseg", "streaming_dedup_events",
-        "events_alarm_verification", "events_cusum_drift", "join_skew_planner",
-        "rag_context_pack", "similarity_topk_binary_rerank", "text_token_entropy",
-        "text_word_pmi", "abc_customer_classification", "xml_decode_roundtrip",
-        "matryoshka_truncation_recall", "text_repetition_filter",
-        "window_functions_showcase", "embedding_pq_codes",
-        "q5_local_supplier_volume", "percentile_distributed_exact",
-        "forecast_conformal_intervals", "orphan_file_audit", "data_quality_audit",
-        "streaming_union_sources_rollup", "streaming_hll_distinct_users",
-        "streaming_sliding_rollup", "events_growth_accounting", "cms_token_counts",
-        "events_dau_wau_mau", "histogram_price_deciles",
-        "streaming_available_now_rollup", "skipgram_negative_samples",
-        "streaming_hourly_rollup", "q8_national_market_share",
-        "similarity_maxsim_multivector", "association_rules_parts",
-        "events_peak_concurrency", "streaming_kmv_distinct_users",
-        "streaming_static_enrich", "orders_survival_km",
-        "streaming_dedup_within_watermark", "streaming_rate_limiter",
-        "linkage_fellegi_sunter", "search_hybrid_rrf", "padding_waste_report",
-        "text_chunk_dedup", "embedding_outlier_zscore",
-        "graph_link_prediction_suppliers", "linkage_entity_clusters",
-        "embedding_norm_stats", "sql_udf_showcase", "corpus_epoch_shuffle_manifest",
-        "repeated_ngram_spans", "streaming_stateful_type_counts",
-        "checkpoint_statestore_table", "multimodal_ahash_neardup",
-        "embedding_covariance", "k_anonymity_generalize", "bucketed_join_colocated",
-        "fuzzy_join_part_names", "join_cardinality_audit",
-        "streaming_stateful_totals", "streaming_topk_types_hourly",
-        "supplier_pareto_frontier", "surrogate_key_incremental",
-        "corpus_source_datasheet", "bigram_lm_score", "semantic_dedup_semdedup",
-        "corpus_shingle_novelty", "multimodal_shot_boundaries",
-        "sketch_user_activity", "streaming_session_rollup",
-        "events_hourly_autocorr", "fd_discovery_profile",
-        "hive_source_partition_pruned", "similarity_topk_pq_adc",
-        "vocab_growth_curve", "kmv_set_ops_event_types", "quality_logreg_training",
-        "decontaminate_train_shingles", "text_term_proximity_search",
-        "dedup_edit_distance", "dedup_minhash_lsh", "naive_bayes_langid",
-        "ivf_recall_report", "cogroup_asof_pandas", "dedup_incremental_delta",
-        "embedding_cluster_label_purity", "udtf_dynamic_ngrams",
-        "corpus_js_divergence", "bradley_terry_strengths", "text_tfidf_top_terms",
-        "graph_modularity_by_brand", "dedup_span_mask_manifest", "bpe_apply_merges",
-        "streaming_value_quantiles", "maxmin_fair_allocation", "bpe_learn_merges",
-        "streaming_late_data_drop", "similarity_lsh_neardup",
-        "streaming_csv_source_rollup", "hll_intersection_estimate",
-        "zonemap_skip_simulation", "recursive_month_spine",
-        "streaming_sink_exactly_once_roundtrip", "streaming_chained_windows",
-        "embedding_mutual_nn_pairs", "text_rolling_fingerprint",
-        "rfm_customer_segments", "hits_authority_hub", "dedup_survivors",
-        "contrastive_triplets", "batch_replay_pruned_scan", "fk_inclusion_profile",
-        "embedding_power_iteration", "corpus_filter_funnel",
-        "streaming_update_mode_rollup", "streaming_replay_source_rollup",
-        "dsir_importance_weights", "text_kneser_ney_bigram_score",
-        "checkpoint_offsetlog_table", "dedup_containment", "linkage_em_parameters",
-        "dedup_simhash", "custom_sink_audit_roundtrip", "dedup_embedding_cosine",
-        "minhash_jaccard_calibration", "graph_bfs_hops", "dedup_ngram_jaccard",
-        "similarity_topk_ivf", "graph_pagerank_parts", "minhash_bbit_calibration",
-        "streaming_purchase_attribution", "streaming_interval_union_coverage",
-        "cluster_kmeans_embeddings", "corpus_difficulty_curriculum",
-        "streaming_unattributed_purchases", "dedup_keep_best_quality",
-        "graph_kcore_peel", "streaming_join_then_windowed_agg",
-        "dedup_connected_components", "sql_scripting_showcase",
-        "graph_triangle_stats", "checkpoint_commitlog_audit",
-        "similarity_topk_bucketed", "gopher_quality_rules",
+        "text_bpe_token_count", "text_fingerprint", "pipe_sql_priority_stats",
+        "q6_forecast_revenue", "split_train_eval", "text_token_stats",
+        "cube_order_status_priority", "url_functions_showcase",
+        "schema_evolution_merge_read", "weighted_sample_docs",
+        "gdpr_purge_manifest", "partitioned_source_pruned_read",
+        "try_functions_showcase", "arrow_map_embedding_norm", "doc_sliding_chunks",
+        "quota_sample_per_lang", "corpus_mix_rebalance", "grouping_sets_revenue",
+        "scalar_functions_showcase", "customers_without_orders",
+        "datetime_functions_showcase", "dpo_preference_pairs",
+        "multimodal_frame_sample", "nations_with_rich_customers",
+        "text_pii_redaction", "text_seqlen_histogram", "k_anonymity_audit",
+        "multimodal_metadata_scan", "events_multi_rollup",
+        "lateral_top_customers_per_nation", "text_quality_score",
+        "bpe_fertility_by_lang", "jsonl_source_permissive_read",
+        "lang_balance_weights", "scd2_customer_merge", "text_language_id",
+        "unpivot_lineitem_measures", "rollup_returns", "events_daily_value_trend",
+        "multimodal_decode_features", "csv_source_permissive_read",
+        "events_json_extract", "events_props_variant_decode", "multimodal_resize",
+        "stats_qty_price_corr", "supplier_return_wilson_rank",
+        "text_sentiment_lexicon", "embedding_norm_stats", "trigram_like_search",
+        "benford_digit_audit", "multimodal_stratified_sample", "q4_order_priority",
+        "events_props_templates", "parameterized_sql_showcase",
+        "q12_priority_by_linestatus", "q14_promo_revenue",
+        "embedding_int8_quantize", "pandas_scalar_log_price",
+        "array_agg_user_profile", "orphan_file_audit", "pack_sequences_manifest",
+        "pivot_user_event_matrix", "events_hourly_rollup", "small_quantity_revenue",
+        "window_event_gaps", "events_ewma_forecast", "lang_temperature_weights",
+        "percentile_order_prices", "q1_pricing_summary", "events_theilsen_trend",
+        "incremental_agg_maintenance", "map_functions_showcase",
+        "pandas_grouped_agg_trimmed_mean", "q22_global_sales_opportunity",
+        "window_customer_order_rank", "cv_fold_manifest", "events_holt_forecast",
+        "null_safe_join_attribution", "bitwise_aggregates_showcase",
+        "events_funnel_latency", "events_funnel_view_click_purchase",
+        "q13_customer_distribution", "lineitem_ship_latency",
+        "profile_hot_orderkeys", "attribution_multi_touch",
+        "distinct_parts_per_supplier", "revenue_trend_ols",
+        "execute_immediate_showcase", "feature_asof_training_matrix",
+        "q15_top_supplier", "setops_customer_segments", "udtf_word_expand",
+        "collation_group_showcase", "pandas_acctbal_zscore",
+        "top_customers_by_revenue", "window_range_trailing_hour", "merge_full_cdc",
+        "range_join_price_bands", "snapshot_diff_report", "asof_next_touch_latency",
+        "q18_large_volume_customers", "q19_disjunctive_revenue",
+        "events_seasonal_profile", "linkage_fellegi_sunter", "orc_source_roundtrip",
+        "similarity_topk_cosine", "text_vocab_coverage", "events_transition_matrix",
+        "events_user_retention", "l_diversity_audit",
+        "multimodal_dedup_content_hash", "profile_lineitem_columns",
+        "text_zipf_slope", "array_set_functions_showcase",
+        "events_interval_overlap_join", "mlm_masking_manifest",
+        "events_hourly_gapfill", "multimodal_audio_frame_energy",
+        "xml_decode_roundtrip", "q11_important_part_value", "text_bm25_search",
+        "salted_join_supplier_volume", "text_rake_keywords",
+        "content_defined_chunks", "q10_returned_items", "batch_replay_source_slice",
+        "events_ab_uplift_test", "events_psi_value_drift", "q2_min_cost_supplier",
+        "text_top_bigrams", "multimodal_silence_segments",
+        "medallion_pipeline_rollup", "events_cusum_drift",
+        "asof_purchase_attribution", "events_props_schema_profile",
+        "session_window_rollup", "text_word_pmi", "array_hof_showcase",
+        "q3_shipping_priority", "q9_product_type_profit",
+        "orders_priority_status_chi2", "events_session_window_batch",
+        "percentile_distributed_exact", "q20_heavy_shippers",
+        "file_metadata_columns_read", "events_sessionize_batch",
+        "events_hourly_anomaly", "shard_manifest_balanced",
+        "corpus_token_budget_plan", "decontaminate_by_embedding",
+        "orders_cohort_revenue", "watermark_sizing_report", "basket_part_pairs",
+        "q16_supplier_part_buckets", "q21_waiting_supplier", "q7_volume_shipping",
+        "scd2_point_in_time_join", "similarity_topk_binary_rerank",
+        "bronze_decode_errors", "text_repetition_filter", "zorder_layout_stats",
+        "text_token_entropy", "bronze_decode_roundtrip", "embedding_outlier_zscore",
+        "forecast_conformal_intervals", "customer_balance_ks_test",
+        "compaction_bin_packing_plan", "q8_national_market_share",
+        "ann_ndcg_truncation", "skipgram_negative_samples",
+        "timeseries_znorm_subsequence_search", "streaming_csv_source_rollup",
+        "abc_customer_classification", "events_dau_wau_mau", "aes_roundtrip_audit",
+        "corpus_js_divergence", "rag_context_pack", "text_chunk_dedup",
+        "events_holtwinters_forecast", "gopher_quality_rules",
+        "matryoshka_truncation_recall", "embedding_cluster_label_purity",
+        "events_interval_union_coverage", "hive_source_partition_pruned",
+        "text_term_proximity_search", "dedup_exact", "events_hourly_mad_outliers",
+        "linkage_blocking_quality", "similarity_topk_bucketed", "join_skew_planner",
+        "supplier_pareto_frontier", "customer_spend_gini",
+        "q5_local_supplier_volume", "similarity_topk_ivf", "repeated_ngram_spans",
+        "decontaminate_train_shingles", "kmv_distinct_users", "sql_udf_showcase",
+        "surrogate_key_assignment", "sketch_user_activity",
+        "events_changepoint_binseg", "corpus_source_datasheet",
+        "sketch_quantile_bins", "graph_link_prediction_suppliers",
+        "vocab_growth_curve", "dsir_importance_weights",
+        "streaming_stateful_totals", "rate_limiter_backtest", "data_freshness_sla",
+        "window_functions_showcase", "embedding_mutual_nn_pairs",
+        "events_alarm_verification", "dedup_span_mask_manifest",
+        "fuzzy_join_part_names", "streaming_topk_types_hourly",
+        "events_growth_accounting", "similarity_lsh_neardup",
+        "corpus_epoch_shuffle_manifest", "bpe_learn_merges",
+        "subject_access_export", "surrogate_key_incremental", "udtf_dynamic_ngrams",
+        "streaming_sink_exactly_once_roundtrip", "linkage_entity_clusters",
+        "events_peak_concurrency", "search_hybrid_rrf", "cms_token_counts",
+        "text_tfidf_top_terms", "orders_survival_km", "dedup_embedding_cosine",
+        "streaming_session_rollup", "streaming_kmv_distinct_users",
+        "bpe_apply_merges", "graph_modularity_by_brand", "linkage_em_parameters",
+        "quality_logreg_training", "streaming_heavy_hitter_users",
+        "multimodal_shot_boundaries", "bigram_lm_score", "bradley_terry_strengths",
+        "similarity_maxsim_multivector", "padding_waste_report",
+        "streaming_stateful_type_counts", "streaming_value_quantiles",
+        "dedup_minhash_lsh", "bloom_filter_membership", "decayed_leaderboard",
+        "text_rolling_fingerprint", "multimodal_ahash_neardup",
+        "recursive_month_spine", "corpus_shingle_novelty",
+        "dedup_incremental_delta", "cogroup_asof_pandas",
+        "streaming_available_now_rollup", "streaming_interval_union_coverage",
+        "similarity_topk_pq_adc", "embedding_covariance", "k_anonymity_generalize",
+        "events_hourly_autocorr", "join_cardinality_audit", "dedup_survivors",
+        "zonemap_skip_simulation", "bucketed_join_colocated",
+        "embedding_power_iteration", "ivf_recall_report", "semantic_dedup_semdedup",
+        "streaming_update_mode_rollup", "streaming_dedup_events",
+        "data_quality_audit", "fd_discovery_profile", "kmv_set_ops_event_types",
+        "streaming_upsert_latest_state", "histogram_price_deciles", "dedup_simhash",
+        "hits_authority_hub", "dedup_containment", "checkpoint_offsetlog_table",
+        "contrastive_triplets", "maxmin_fair_allocation", "embedding_pq_codes",
+        "fk_inclusion_profile", "naive_bayes_langid", "graph_bfs_hops",
+        "streaming_late_data_drop", "streaming_static_enrich",
+        "streaming_sliding_rollup", "cluster_kmeans_embeddings",
+        "streaming_chained_windows", "events_anomaly_persistence",
+        "dedup_edit_distance", "dedup_ngram_jaccard", "rfm_customer_segments",
+        "dp_noisy_nation_counts", "text_kneser_ney_bigram_score",
+        "custom_sink_audit_roundtrip", "minhash_jaccard_calibration",
+        "streaming_hll_distinct_users", "corpus_filter_funnel",
+        "hll_intersection_estimate", "heavy_hitter_tokens", "events_ohlc_bars",
+        "checkpoint_statestore_table", "hll_merge_event_types",
+        "graph_pagerank_parts", "streaming_replay_source_rollup",
+        "market_concentration_hhi", "streaming_dedup_within_watermark",
+        "blocklist_phrase_filter", "minhash_bbit_calibration",
+        "snapshot_retention_expiry_plan", "price_index_laspeyres",
+        "change_data_feed_report", "association_rules_parts",
+        "corpus_difficulty_curriculum", "decision_stump_split_scores",
+        "streaming_hourly_rollup", "streaming_rate_limiter",
+        "checkpoint_commitlog_audit", "hll_distinct_users",
+        "batch_replay_pruned_scan", "dedup_connected_components",
+        "score_calibration_report", "streaming_union_sources_rollup",
+        "dedup_keep_best_quality", "graph_kcore_peel",
+        "incremental_join_maintenance", "streaming_purchase_attribution",
+        "geo_cell_colocation", "t_closeness_audit", "sql_scripting_showcase",
+        "graph_triangle_stats", "streaming_join_then_windowed_agg",
+        "streaming_unattributed_purchases", "orders_open_backlog_daily",
     )
     new_ops_rank = 50.5  # just after the sub-second group (index ~50)
     unchecked = {
