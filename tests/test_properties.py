@@ -4328,3 +4328,127 @@ def test_rate_limiter_oracle_matches_simulation(evs):
         want.append((u, sum(cnts.values()), len(cnts), throttled))
     want.sort(key=lambda r: (-r[3], r[0]))
     assert got == want[:20]
+
+
+@settings(max_examples=40, deadline=None)
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=400),  # shipdate day offset
+            st.integers(min_value=1, max_value=60),  # quantity
+            st.integers(min_value=100, max_value=90000),  # price
+        ),
+        min_size=1,
+        max_size=120,
+    )
+)
+def test_zonemap_oracle_matches_simulation(rows):
+    """The zone-map oracle vs a direct Python row-group simulator —
+    pins the rank-div grouping under both layouts, the min/max zone
+    construction, and the skip predicates (date-range disjointness,
+    min-quantity, max-price)."""
+    import datetime
+    import duckdb
+
+    from kafka_stream_job_spark.operators.relational import (
+        _ZM_PRICE_GT,
+        _ZM_QTY_LT,
+        _ZM_RG_ROWS,
+    )
+    from kafka_stream_job_spark.registry import all_specs
+
+    base = datetime.datetime(1995, 6, 1)
+    data = [
+        (i, 1, base + datetime.timedelta(days=d), float(q), float(p))
+        for i, (d, q, p) in enumerate(rows)
+    ]
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE lineitem (l_orderkey BIGINT, l_linenumber INT, "
+        "l_shipdate TIMESTAMP, l_quantity DOUBLE, l_extendedprice DOUBLE)"
+    )
+    con.executemany("INSERT INTO lineitem VALUES (?, ?, ?, ?, ?)", data)
+    oracle = all_specs()["zonemap_skip_simulation"].oracle
+    got = {tuple(r) for r in con.sql(oracle).fetchall()}
+
+    lo = datetime.datetime(1996, 1, 1)
+    hi = datetime.datetime(1996, 12, 31, 23, 59, 59)
+    want = set()
+    for layout, keyfn in (
+        ("insertion", lambda r: (r[0], r[1])),
+        ("shipdate_sorted", lambda r: (r[2], r[0], r[1])),
+    ):
+        ordered = sorted(data, key=keyfn)
+        groups = [
+            ordered[i : i + _ZM_RG_ROWS]
+            for i in range(0, len(ordered), _ZM_RG_ROWS)
+        ]
+        preds = {
+            "ship_1996": lambda g: max(r[2] for r in g) < lo
+            or min(r[2] for r in g) > hi,
+            f"qty_lt_{_ZM_QTY_LT}": lambda g: min(r[3] for r in g)
+            >= _ZM_QTY_LT,
+            f"price_gt_{_ZM_PRICE_GT}": lambda g: max(r[4] for r in g)
+            <= _ZM_PRICE_GT,
+        }
+        for name, skipfn in preds.items():
+            skipped = [skipfn(g) for g in groups]
+            want.add(
+                (
+                    layout,
+                    name,
+                    len(groups),
+                    sum(skipped),
+                    sum(len(g) for g, s in zip(groups, skipped) if not s),
+                )
+            )
+    assert got == want
+
+
+@settings(max_examples=60, deadline=None)
+@given(
+    docs=st.lists(
+        st.lists(
+            st.sampled_from(["hash", "join", "scan", "x"]),
+            min_size=1,
+            max_size=20,
+        ),
+        min_size=1,
+        max_size=20,
+    )
+)
+def test_term_proximity_oracle_matches_bruteforce(docs):
+    """The proximity oracle vs brute-force position scanning — pins the
+    1-based positions, the min |pa-pb| distance, the distinct-occurrence
+    counts, and the (min_dist, doc_id) top-20 ordering."""
+    import duckdb
+
+    from kafka_stream_job_spark.operators.text import (
+        PROX_TERM_A,
+        PROX_TERM_B,
+        PROX_TOP_N,
+    )
+    from kafka_stream_job_spark.registry import all_specs
+
+    rows = [(i, " ".join(toks)) for i, toks in enumerate(docs)]
+    con = duckdb.connect()
+    con.execute("CREATE TABLE documents (doc_id BIGINT, text VARCHAR)")
+    con.executemany("INSERT INTO documents VALUES (?, ?)", rows)
+    oracle = all_specs()["text_term_proximity_search"].oracle
+    got = [tuple(r) for r in con.sql(oracle).fetchall()]
+
+    want = []
+    for i, toks in enumerate(docs):
+        pa = [p + 1 for p, t in enumerate(toks) if t == PROX_TERM_A]
+        pb = [p + 1 for p, t in enumerate(toks) if t == PROX_TERM_B]
+        if pa and pb:
+            want.append(
+                (
+                    i,
+                    len(pa),
+                    len(pb),
+                    min(abs(a - b) for a in pa for b in pb),
+                )
+            )
+    want.sort(key=lambda r: (r[3], r[0]))
+    assert got == want[:PROX_TOP_N]
