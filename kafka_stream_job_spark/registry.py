@@ -52,8 +52,8 @@ def register(
 
 
 # Names the external driver has verified across rounds — the union of
-# CORRECTNESS_r01.json ∪ r02 ∪ r03 ∪ r04 ∪ r05 (50 + 45 + 48 + 50 + 47
-# fresh = 240 names; r02 re-checked 5 r1 rows, r03 re-checked q22 +
+# CORRECTNESS_r01.json ∪ r02 ∪ r03 ∪ r04 ∪ r05 ∪ r06 (50 + 45 + 48 + 50 +
+# 47 + 50 fresh = 290 names; r02 re-checked 5 r1 rows, r03 re-checked q22 +
 # sketch_user_activity, r05 re-earned the 3 round-5 _RECHECK rows). The
 # driver enumerates only the FIRST 50 registry entries per round, so
 # ``all_specs`` orders the registry never-driver-checked first: a
@@ -174,14 +174,40 @@ _DRIVER_CHECKED = frozenset({
     "subject_access_export", "supplier_pareto_frontier", "t_closeness_audit",
     "text_word_pmi", "url_functions_showcase", "vocab_growth_curve",
     "zorder_layout_stats",
+    # round 6 additions (CORRECTNESS_r06.json — 50 fresh names, all green)
+    "bigram_lm_score", "bradley_terry_strengths", "bucketed_join_colocated",
+    "cms_token_counts", "cogroup_asof_pandas", "corpus_epoch_shuffle_manifest",
+    "corpus_shingle_novelty", "corpus_source_datasheet",
+    "dedup_incremental_delta", "dsir_importance_weights",
+    "embedding_cluster_label_purity", "embedding_covariance",
+    "embedding_mutual_nn_pairs", "embedding_power_iteration",
+    "events_growth_accounting", "events_hourly_autocorr",
+    "events_interval_union_coverage", "events_peak_concurrency",
+    "file_metadata_columns_read", "fuzzy_join_part_names",
+    "gopher_quality_rules", "graph_link_prediction_suppliers",
+    "graph_modularity_by_brand", "join_cardinality_audit",
+    "k_anonymity_generalize", "linkage_blocking_quality",
+    "linkage_em_parameters", "linkage_entity_clusters",
+    "multimodal_ahash_neardup", "multimodal_shot_boundaries",
+    "orders_survival_km", "padding_waste_report", "quality_logreg_training",
+    "rate_limiter_backtest", "recursive_month_spine",
+    "similarity_maxsim_multivector", "similarity_topk_pq_adc",
+    "streaming_available_now_rollup", "streaming_interval_union_coverage",
+    "streaming_session_rollup", "streaming_sink_exactly_once_roundtrip",
+    "streaming_stateful_totals", "streaming_stateful_type_counts",
+    "streaming_topk_types_hourly", "streaming_value_quantiles",
+    "surrogate_key_incremental", "text_term_proximity_search",
+    "udtf_dynamic_ngrams", "window_functions_showcase",
+    "zonemap_skip_simulation",
 })
 
 #: Driver-green queries whose BEHAVIOR changed after their last green row:
 #: deliberately absent from _DRIVER_CHECKED (the hygiene test enforces
 #: they are the only permitted absences) and ordered FIRST so the next
-#: driver pass re-earns their row before anything else. Round 6: empty —
-#: all three round-5 rechecks (merge_full_cdc, incremental_agg_maintenance,
-#: attribution_multi_touch) re-earned green rows in CORRECTNESS_r05.json.
+#: driver pass re-earns their row before anything else. Round 7: empty —
+#: CORRECTNESS_r06's 50 rows were all fresh greens, and the round-7 ADVICE
+#: fixes (linkage_blocking_quality overflow headroom, zonemap/anomaly idiv)
+#: are output-identical arithmetic rearrangements, not behavior changes.
 _RECHECK: tuple[str, ...] = ()
 
 
