@@ -518,6 +518,16 @@ def linkage_entity_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 # can never drift on a float ratio. One blocked equi-join count + one
 # 1-row broadcast record count; the N² space is arithmetic, never
 # materialized.
+#
+# Overflow posture (r6 ADVICE): the ratio is computed WITHOUT the
+# quadratic ×10000 intermediate, via the exact identity
+#   (n² − cand)·10⁴ // n²  ==  10⁴ − ⌈cand·10⁴ / n²⌉
+# with the ceil-division nested as ⌈⌈cand·10⁴/n⌉/n⌉ (exact for positive
+# integers), so the largest intermediate is cand·10⁴ + n − 1 — int64-safe
+# until cand > 9.2e14 candidate pairs, a join output no engine would
+# finish counting anyway. The `comparison_space` display column is still
+# n² in BIGINT and raises loudly (ANSI/DuckDB overflow) past n ≈ 3.03e9
+# records; the ratio columns no longer depend on it.
 # ---------------------------------------------------------------------------
 @register(
     "linkage_blocking_quality",
@@ -535,8 +545,9 @@ def linkage_entity_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT n.n_records,
                n.n_records * n.n_records AS comparison_space,
                cand.n_candidates,
-               (n.n_records * n.n_records - cand.n_candidates) * 10000
-                   // (n.n_records * n.n_records) AS reduction_ratio_bp,
+               10000 - (((cand.n_candidates * 10000 + n.n_records - 1)
+                         // n.n_records + n.n_records - 1)
+                        // n.n_records) AS reduction_ratio_bp,
                n.n_records AS n_true_pairs,
                cand.n_true_in_block,
                cand.n_true_in_block * 10000 // n.n_records
@@ -559,15 +570,16 @@ def linkage_blocking_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     n = cust.agg(F.count(F.lit(1)).cast("long").alias("n_records"))
     space = F.col("n_records") * F.col("n_records")
+    nr = F.col("n_records")
+    inner_ceil = idiv(F.col("n_candidates") * 10000 + nr - 1, nr)
+    outer_ceil = idiv(inner_ceil + nr - 1, nr)
     return (
         cand.crossJoin(F.broadcast(n))
         .select(
             "n_records",
             space.alias("comparison_space"),
             "n_candidates",
-            idiv((space - F.col("n_candidates")) * 10000, space).alias(
-                "reduction_ratio_bp"
-            ),
+            (F.lit(10000) - outer_ceil).alias("reduction_ratio_bp"),
             F.col("n_records").alias("n_true_pairs"),
             "n_true_in_block",
             idiv(F.col("n_true_in_block") * 10000, F.col("n_records")).alias(

@@ -11377,9 +11377,7 @@ def zonemap_skip_simulation(spark: SparkSession, sf_dir: str) -> DataFrame:
         layouts.append(
             ranked.select(
                 F.lit(layout).alias("layout"),
-                ((F.col("rnk") - 1) / F.lit(_ZM_RG_ROWS))
-                .cast("long")
-                .alias("rg"),
+                idiv(F.col("rnk") - 1, _ZM_RG_ROWS).alias("rg"),
                 "l_shipdate",
                 "l_quantity",
                 "l_extendedprice",
@@ -11666,12 +11664,12 @@ def events_anomaly_persistence(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("long").alias("n_hours"),
         F.sum("n").cast("long").alias("total"),
     )
-    hidx = (
+    hidx = idiv(
         F.expr(
             "timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', h)"
-        )
-        / F.lit(3_600_000_000)
-    ).cast("long")
+        ),
+        3_600_000_000,
+    )
     anom = (
         hourly.join(F.broadcast(stats), "event_type")
         .filter(F.col("n") * 10 * F.col("n_hours") > 13 * F.col("total"))

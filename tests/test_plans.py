@@ -9,6 +9,8 @@ properties asserted are decided at planning time.
 
 from __future__ import annotations
 
+import re
+
 import pytest
 
 from kafka_stream_job_spark.registry import all_specs
@@ -1037,7 +1039,10 @@ def test_semdedup_broadcast_assignment_cluster_keyed_pairs(spark):
     # comparisons, never O(S²) — the r5 judge's scale finding
     from kafka_stream_job_spark.operators.similarity import SEMDEDUP_MAX_CMP
 
-    assert f"rnc#" in plan and f"<= {SEMDEDUP_MAX_CMP})" in plan, (
+    # structural, not format-exact: the Filter condition must compare the
+    # prototype rank column (rnc#N) against the literal cap, wherever in
+    # the plan text Spark chooses to print it.
+    assert re.search(rf"rnc#\d+L?\)?\s*<=\s*{SEMDEDUP_MAX_CMP}\b", plan), (
         "b-side of the pair join must filter rnc <= SEMDEDUP_MAX_CMP"
     )
     # the assignment stage itself: corpus × broadcast codebook, and the
