@@ -205,9 +205,11 @@ _DRIVER_CHECKED = frozenset({
 #: deliberately absent from _DRIVER_CHECKED (the hygiene test enforces
 #: they are the only permitted absences) and ordered FIRST so the next
 #: driver pass re-earns their row before anything else. Round 7: empty —
-#: CORRECTNESS_r06's 50 rows were all fresh greens, and the round-7 ADVICE
+#: CORRECTNESS_r06's 50 rows were all fresh greens; the round-7 ADVICE
 #: fixes (linkage_blocking_quality overflow headroom, zonemap/anomaly idiv)
-#: are output-identical arithmetic rearrangements, not behavior changes.
+#: are output-identical arithmetic rearrangements, and the one behavior
+#: change (naive_bayes_langid's rational-ILN weights) is to a query the
+#: driver has never checked, so it re-earns through the normal front.
 _RECHECK: tuple[str, ...] = ()
 
 

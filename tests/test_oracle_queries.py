@@ -54,3 +54,22 @@ def test_contract_shape():
     oracles = e.oracle_sql()
     assert qs, "queries() must not be empty"
     assert set(oracles) <= set(qs)
+
+
+def test_iln_spark_matches_model(spark):
+    """Spark twin of test_properties.py::test_iln_oracle_sql_matches_reference:
+    _attach_iln over an adversarial value set (exponent boundaries +/-1,
+    LCG-scattered magnitudes, both int64 extremes) must equal the
+    pure-Python rational model bit-for-bit — no libm anywhere."""
+    from kafka_stream_job_spark.operators.text import _attach_iln, _iln_py
+
+    ms = {1, 2, 3, (1 << 63) - 1}
+    for e in (14, 15, 16, 40, 62):
+        ms.update({(1 << e) - 1, 1 << e, (1 << e) + 1})
+    x = 12345
+    for _ in range(200):
+        x = (x * 6364136223846793005 + 1442695040888963407) % (1 << 63)
+        ms.add(x | 1)
+    df = spark.createDataFrame([(m,) for m in sorted(ms)], "m long")
+    got = {r["m"]: r["iln"] for r in _attach_iln(spark, df, "m", "iln").collect()}
+    assert got == {m: _iln_py(m) for m in sorted(ms)}

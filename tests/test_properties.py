@@ -4452,3 +4452,76 @@ def test_term_proximity_oracle_matches_bruteforce(docs):
             )
     want.sort(key=lambda r: (r[3], r[0]))
     assert got == want[:PROX_TOP_N]
+
+
+# ---------------------------------------------------------------------------
+# ILN — the integer micro-log behind naive_bayes_langid's weights
+# (text.py:_iln_py). Three pins: (1) the pure-Python model tracks
+# 1e6*ln(m) within the documented Pade + 15-bit-mantissa budget and is
+# monotone; (2) DuckDB, evaluating the registered SQL fragment over the
+# same 63-row literal table, equals the model bit-for-bit; the Spark
+# twin of (2) lives in test_oracle_queries.py::test_iln_spark_matches_model
+# (needs a session).
+# ---------------------------------------------------------------------------
+_ILN_EDGE = (
+    [1, 2, 3, (1 << 63) - 1]
+    + [(1 << e) + d for e in (14, 15, 16, 40, 62) for d in (-1, 0, 1)]
+)
+
+
+@settings(max_examples=300, deadline=None)
+@given(
+    m=st.one_of(
+        st.integers(min_value=1, max_value=(1 << 63) - 1),
+        st.sampled_from(_ILN_EDGE),
+    )
+)
+def test_iln_model_accuracy_and_monotone(m):
+    import math
+
+    from kafka_stream_job_spark.operators.text import _iln_py
+
+    got = _iln_py(m)
+    # budget: Pade [2/2] max error 8.6e-4 on [1,2) -> 860 micro-units,
+    # 15-bit mantissa truncation -> <= 31 micro-units, rounding -> 1.
+    assert abs(got - 1_000_000 * math.log(m)) <= 900, (m, got)
+    if m > 1:
+        assert _iln_py(m - 1) <= got, m
+    assert _iln_py(1) == 0
+
+
+@settings(max_examples=60, deadline=None)
+@given(
+    ms=st.lists(
+        st.one_of(
+            st.integers(min_value=1, max_value=(1 << 63) - 1),
+            st.sampled_from(_ILN_EDGE),
+        ),
+        min_size=1,
+        max_size=50,
+        unique=True,
+    )
+)
+def test_iln_oracle_sql_matches_reference(ms):
+    import duckdb
+
+    from kafka_stream_job_spark.operators.text import (
+        _ILN_VALUES_SQL,
+        _iln_frac_sql,
+        _iln_py,
+    )
+
+    con = duckdb.connect()
+    con.execute("CREATE TABLE xs (m BIGINT)")
+    con.executemany("INSERT INTO xs VALUES (?)", [(m,) for m in ms])
+    frac = _iln_frac_sql("((x.m // t.sdiv) * t.smul)")
+    got = dict(
+        con.sql(
+            f"""
+            WITH ilntab(e, lo, hi, sdiv, smul, eln) AS (VALUES {_ILN_VALUES_SQL})
+            SELECT x.m, t.eln + {frac}
+            FROM xs x JOIN ilntab t ON x.m >= t.lo AND x.m <= t.hi
+            """
+        ).fetchall()
+    )
+    assert got == {m: _iln_py(m) for m in ms}
