@@ -1176,3 +1176,31 @@ def test_entity_clusters_cc_runs_on_edge_subgraph_only(spark):
     no cartesian appears anywhere in the final plan."""
     plan = plan_of(spark, "linkage_entity_clusters")
     assert "CartesianProduct" not in plan
+
+
+def test_ivf_incremental_delta_stage_is_broadcast_only(spark):
+    """ivf_incremental_assign's O(Δ) claim: the standalone delta
+    assignment stage (the per-ingest cost in production) must join the
+    delta against ONLY broadcast centroids — a BroadcastNestedLoopJoin
+    with no hash-partitioning exchange of either side, so no corpus-
+    sized relation ever shuffles on the incremental path. The window
+    argmin that follows partitions by vec_id over the already-bounded
+    (Δ·K) join output."""
+    from pyspark.sql import functions as F
+
+    from kafka_stream_job_spark.operators.similarity import _ivf_incr_sides
+
+    _base, delta, cents = _ivf_incr_sides(spark, SF_SMOKE)
+    plan = (
+        delta.crossJoin(F.broadcast(cents))
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "BroadcastNestedLoopJoin" in plan
+    assert "Exchange hashpartitioning" not in plan, (
+        "delta must meet the centroids without shuffling"
+    )
+    # full op: no cartesian anywhere (crossJoins are all broadcast)
+    full = plan_of(spark, "ivf_incremental_assign")
+    assert "CartesianProduct" not in full
