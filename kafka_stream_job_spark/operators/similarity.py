@@ -2359,9 +2359,9 @@ _sd_norm_a = _NORM_SQL.format(a="a.embedding")
 _sd_norm_b = _NORM_SQL.format(a="b.embedding")
 
 
-@register(
-    "semantic_dedup_semdedup",
-    oracle=f"""
+# Shared with streaming_semdedup (streaming/pipeline.py) — the twin must
+# reproduce the batch answer exactly, so both register the same oracle.
+_SEMDEDUP_ORACLE_SQL = f"""
         WITH cents AS (
             SELECT vec_id AS cid, embedding AS cemb
             FROM embeddings
@@ -2408,7 +2408,12 @@ _sd_norm_b = _NORM_SQL.format(a="b.embedding")
                ROUND((cosc) * 10000.0) / 10000.0 AS cos_to_centroid,
                n_better_neardups = 0 AS kept
         FROM verdicts
-    """,
+    """
+
+
+@register(
+    "semantic_dedup_semdedup",
+    oracle=_SEMDEDUP_ORACLE_SQL,
     tags=("dedup", "similarity", "embeddings", "semdedup"),
 )
 def semantic_dedup_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -2765,3 +2765,257 @@ def _register_streaming_rate_limiter() -> None:
 
 
 _register_streaming_rate_limiter()
+
+
+def stream_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """File-source replay of the embeddings table as an unbounded stream —
+    same staging discipline as stream_events (explicit schema, per-sf
+    symlink directory, atomic replace), separate stage dir so the two
+    file sources never read each other's table."""
+    src = os.path.join(sf_dir, "embeddings.parquet")
+    stage = os.path.join(
+        "/tmp/ksj_stream_stage_embeddings", sf_dir.strip("/").replace("/", "_")
+    )
+    os.makedirs(stage, exist_ok=True)
+    link = os.path.join(stage, "embeddings.parquet")
+    if (not os.path.lexists(link)) or os.path.realpath(link) != os.path.realpath(src):
+        tmp_link = f"{link}.tmp-{os.getpid()}"
+        try:
+            os.symlink(src, tmp_link)
+            os.replace(tmp_link, link)
+        except OSError:
+            if os.path.realpath(link) != os.path.realpath(src):
+                raise
+    raw_schema = spark.read.parquet(src).schema
+    return spark.readStream.schema(raw_schema).parquet(stage)
+
+
+# ---------------------------------------------------------------------------
+# STREAMING SEMDEDUP — the stateful-streaming twin of
+# semantic_dedup_semdedup (operators/similarity.py): embeddings arrive as
+# a stream, each is assigned to its fixed-codebook cluster statelessly,
+# and per-cluster state maintains EXACTLY the quantity the batch
+# operator's pair join is bounded by — the top-SEMDEDUP_MAX_CMP
+# "prototype" list ordered by (cos-to-centroid DESC, vec_id ASC).
+#
+# State bound (the r5/r6 scale invariant, now held on the streaming
+# surface too): per cluster the state is (vec_ids[], coscs[]) capped at
+# SEMDEDUP_MAX_CMP entries plus one counter — O(K · MAX_CMP) total,
+# NEVER proportional to the stream, and the top-k merge is
+# ARRIVAL-ORDER-INDEPENDENT (top-k of a set: any arrival order, any
+# batch split, same list). Prototype embeddings are NOT stored: they are
+# re-fetched by vec_id at verdict time, as a production store would.
+#
+# The codebook is collected driver-side once before the stream starts —
+# K rows, the O(K·DIM) driver-state precedent of streaming/kmeans.py —
+# and the mapInPandas assignment reproduces the batch engine's
+# sequential-fold cosine bit-for-bit (float32→float64 casts exact;
+# per-dimension multiply-add in the same order; no FMA on either side),
+# so prototype ORDER cannot diverge from the batch twin.
+#
+# After the drain, the final emission per cluster (max of the monotone
+# n_members) IS the batch operator's per-cluster prototype list; the
+# verdict for every corpus vector is then one stateless broadcast probe
+# against it (build side ≤ K·MAX_CMP rows): drop a iff a prototype
+# ranked ahead of a has cos(a,b) > τ — the batch semantics verbatim,
+# sharing _SEMDEDUP_ORACLE_SQL.
+# ---------------------------------------------------------------------------
+def _register_streaming_semdedup() -> None:
+    import uuid
+
+    from kafka_stream_job_spark.operators.similarity import (
+        _SEMDEDUP_ORACLE_SQL,
+        SEMDEDUP_MAX_CMP,
+        SEMDEDUP_TAU,
+        _dot,
+        _norm,
+        _semdedup_centroids,
+    )
+    from kafka_stream_job_spark.registry import register
+    from kafka_stream_job_spark.tables import load_table
+
+    @register(
+        "streaming_semdedup",
+        oracle=_SEMDEDUP_ORACLE_SQL,
+        tags=("streaming", "stateful", "semdedup", "embeddings"),
+    )
+    def streaming_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+        import math
+        import tempfile
+
+        from pyspark.sql import Window
+        from pyspark.sql.streaming.state import GroupStateTimeout
+
+        emb = load_table(spark, sf_dir, "embeddings", rebalance=True)
+        # fixed codebook, K rows to the driver (streaming/kmeans.py
+        # precedent: driver state O(K·DIM), collected once, pre-stream)
+        cent_rows = _semdedup_centroids(emb).orderBy("cid").collect()
+        cent_ids = [int(r["cid"]) for r in cent_rows]
+        cent_embs = [[float(x) for x in r["cemb"]] for r in cent_rows]
+
+        def _seq_norm(vs: list[float]) -> float:
+            acc = 0.0
+            for x in vs:
+                acc = acc + x * x
+            return math.sqrt(acc)
+
+        cent_norms = [_seq_norm(v) for v in cent_embs]
+
+        def assign_batches(it):
+            import numpy as np
+            import pandas as pd
+
+            C = np.array(cent_embs, dtype=np.float64)
+            nc = np.array(cent_norms, dtype=np.float64)
+            cid_arr = np.array(cent_ids, dtype=np.int64)
+            for pdf in it:
+                if not len(pdf):
+                    continue
+                E = np.array(
+                    [np.asarray(v, dtype=np.float64) for v in pdf["embedding"]]
+                )
+                n = len(pdf)
+                # per-dimension multiply-add in dim order == the JVM
+                # sequential fold (_dot/_norm), scalar-for-scalar
+                acc = np.zeros((n, C.shape[0]))
+                for d in range(E.shape[1]):
+                    acc = acc + E[:, d : d + 1] * C[:, d]
+                ne = np.zeros(n)
+                for d in range(E.shape[1]):
+                    ne = ne + E[:, d] * E[:, d]
+                ne = np.sqrt(ne)
+                cosc = acc / (ne[:, None] * nc[None, :])
+                best = np.argmax(cosc, axis=1)  # ties → lowest cid (sorted)
+                yield pd.DataFrame(
+                    {
+                        "vec_id": pdf["vec_id"].astype("int64"),
+                        "cid": cid_arr[best],
+                        "cosc": cosc[np.arange(n), best],
+                    }
+                )
+
+        def update(key, pdfs, state):
+            import pandas as pd
+
+            if state.exists:
+                vids, coscs, n_members = state.get
+                items = list(zip(list(coscs), list(vids)))
+            else:
+                items, n_members = [], 0
+            for pdf in pdfs:
+                n_members += len(pdf)
+                items.extend(zip(pdf["cosc"].tolist(), pdf["vec_id"].tolist()))
+            # arrival-order-independent: top-k of the set seen so far
+            items.sort(key=lambda t: (-t[0], t[1]))
+            items = items[:SEMDEDUP_MAX_CMP]
+            state.update(
+                (
+                    [int(v) for _, v in items],
+                    [float(c) for c, _ in items],
+                    n_members,
+                )
+            )
+            yield pd.DataFrame(
+                {
+                    "cid": [key[0]],
+                    "n_members": [n_members],
+                    "proto_vec_ids": [[int(v) for _, v in items]],
+                }
+            )
+
+        emitted_stream = (
+            stream_embeddings(spark, sf_dir)
+            .mapInPandas(assign_batches, "vec_id long, cid long, cosc double")
+            .groupBy("cid")
+            .applyInPandasWithState(
+                update,
+                outputStructType="cid long, n_members long, proto_vec_ids array<long>",
+                stateStructType=(
+                    "vids array<long>, coscs array<double>, n_members long"
+                ),
+                outputMode="append",
+                timeoutConf=GroupStateTimeout.NoTimeout,
+            )
+        )
+        name = f"stream_semdedup_{uuid.uuid4().hex[:8]}"
+        ckpt = tempfile.mkdtemp(prefix="ksj-stream-semdedup-")
+        emitted = run_stream_to_memory(spark, emitted_stream, name, ckpt)
+        # final state per cluster = emission with max (monotone) n_members
+        final = emitted.groupBy("cid").agg(
+            F.expr("max_by(proto_vec_ids, n_members)").alias("pv")
+        )
+        protos = (
+            final.select(
+                F.col("cid").alias("p_cid"),
+                F.posexplode("pv").alias("pos", "p_vec_id"),
+            )
+            .select("p_cid", (F.col("pos") + 1).cast("long").alias("p_rnc"), "p_vec_id")
+            .join(
+                emb.select(
+                    F.col("vec_id").alias("p_vec_id"),
+                    F.col("embedding").alias("p_emb"),
+                ),
+                "p_vec_id",
+            )
+        )
+        # stateless probe set: the batch assignment (same broadcast argmax)
+        cents = _semdedup_centroids(emb)
+        cosc = _dot(F.col("embedding"), F.col("cemb")) / (
+            _norm(F.col("embedding")) * _norm(F.col("cemb"))
+        )
+        w = Window.partitionBy("vec_id").orderBy(
+            F.col("cosc").desc(), F.col("cid").asc()
+        )
+        members = (
+            emb.crossJoin(F.broadcast(cents))
+            .select("vec_id", "embedding", "cid", cosc.alias("cosc"))
+            .withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .drop("rn")
+        )
+        own = protos.select(
+            F.col("p_vec_id").alias("o_vec_id"),
+            F.col("p_cid").alias("o_cid"),
+            F.col("p_rnc").alias("o_rnc"),
+        )
+        members_own = members.join(
+            F.broadcast(own),
+            (F.col("vec_id") == F.col("o_vec_id")) & (F.col("cid") == F.col("o_cid")),
+            "left",
+        ).select(
+            "vec_id",
+            "embedding",
+            "cid",
+            "cosc",
+            F.coalesce(F.col("o_rnc"), F.lit(1 << 30).cast("long")).alias("own_rnc"),
+        )
+        sim = _dot(F.col("embedding"), F.col("p_emb")) / (
+            _norm(F.col("embedding")) * _norm(F.col("p_emb"))
+        )
+        return (
+            members_own.join(
+                F.broadcast(protos),
+                (F.col("cid") == F.col("p_cid"))
+                & (F.col("p_rnc") < F.col("own_rnc")),
+                "left",
+            )
+            .groupBy(
+                F.col("vec_id"),
+                F.col("cid").cast("long").alias("cluster_id"),
+                F.col("cosc").alias("cosc"),
+            )
+            .agg(
+                F.sum(
+                    F.coalesce((sim > SEMDEDUP_TAU).cast("long"), F.lit(0))
+                ).alias("n_better_neardups")
+            )
+            .select(
+                "vec_id",
+                "cluster_id",
+                pround(F.col("cosc"), 4).alias("cos_to_centroid"),
+                (F.col("n_better_neardups") == 0).alias("kept"),
+            )
+        )
+
+
+_register_streaming_semdedup()
