@@ -4525,3 +4525,81 @@ def test_iln_oracle_sql_matches_reference(ms):
         ).fetchall()
     )
     assert got == {m: _iln_py(m) for m in ms}
+
+
+# ---------------------------------------------------------------------------
+# decode_wav_real — the genuine RIFF/WAVE parser behind
+# multimodal_wav_stats. Round-trip: any PCM16 stream, any rate/channel
+# count, any unknown chunks (before AND after fmt/data, odd-sized to
+# force word-alignment handling) parses back to exact stats. Malformed
+# containers must raise, never guess.
+# ---------------------------------------------------------------------------
+def _wav_bytes(samples, rate, channels, extra_pre=b"", extra_post=b""):
+    import struct
+
+    data = struct.pack(f"<{len(samples)}h", *samples)
+    chunks = (
+        extra_pre
+        + b"fmt "
+        + struct.pack("<IHHIIHH", 16, 1, channels, rate, rate * 2 * channels,
+                      2 * channels, 16)
+        + b"data"
+        + struct.pack("<I", len(data))
+        + data
+        + (b"\x00" if len(data) & 1 else b"")
+        + extra_post
+    )
+    return b"RIFF" + struct.pack("<I", 4 + len(chunks)) + b"WAVE" + chunks
+
+
+@settings(max_examples=200, deadline=None)
+@given(
+    samples=st.lists(
+        st.integers(min_value=-32768, max_value=32767), min_size=0, max_size=64
+    ),
+    rate=st.integers(min_value=1, max_value=192_000),
+    channels=st.integers(min_value=1, max_value=8),
+    junk=st.binary(min_size=0, max_size=9),
+)
+def test_wav_parser_roundtrip(samples, rate, channels, junk):
+    import struct
+
+    from kafka_stream_job_spark.operators.multimodal import decode_wav_real
+
+    # unknown odd-sized chunk before fmt and another after data — the
+    # parser must walk (word-aligned), not assume a fixed layout
+    pre = b"LIST" + struct.pack("<I", len(junk)) + junk + (b"\x00" if len(junk) & 1 else b"")
+    post = b"fact" + struct.pack("<I", 4) + b"\x01\x00\x00\x00"
+    got = decode_wav_real(_wav_bytes(samples, rate, channels, pre, post))
+    assert got == {
+        "sample_rate": rate,
+        "n_channels": channels,
+        "bits_per_sample": 16,
+        "n_samples": len(samples) // channels,
+        "sq_sum": sum(s * s for s in samples),
+    }
+
+
+def test_wav_parser_rejects_malformed():
+    import struct
+
+    import pytest as _pytest
+
+    from kafka_stream_job_spark.operators.multimodal import decode_wav_real
+
+    good = _wav_bytes([1, -2, 3], 8000, 1)
+    for bad in (
+        b"",                                   # empty
+        b"RIFX" + good[4:],                    # wrong magic
+        good[:8] + b"AVEW" + good[12:],        # wrong form type
+        good[: len(good) - 2],                 # truncated data chunk
+        _wav_bytes([], 8000, 1)[:20],          # no fmt/data reached
+    ):
+        with _pytest.raises(ValueError):
+            decode_wav_real(bad)
+    # non-PCM format code and non-16-bit depth refuse loudly
+    alaw = bytearray(good)
+    fmt_at = good.find(b"fmt ") + 8
+    alaw[fmt_at : fmt_at + 2] = struct.pack("<H", 6)
+    with _pytest.raises(ValueError):
+        decode_wav_real(bytes(alaw))
