@@ -245,147 +245,164 @@ def all_specs() -> dict[str, QuerySpec]:
     # (operators added after the measurement) slot in just after the
     # sub-second group.
     cost_order = (
-        "text_bpe_token_count", "text_fingerprint", "pipe_sql_priority_stats",
-        "q6_forecast_revenue", "split_train_eval", "text_token_stats",
-        "cube_order_status_priority", "url_functions_showcase",
-        "schema_evolution_merge_read", "weighted_sample_docs",
-        "gdpr_purge_manifest", "partitioned_source_pruned_read",
-        "try_functions_showcase", "arrow_map_embedding_norm", "doc_sliding_chunks",
-        "quota_sample_per_lang", "corpus_mix_rebalance", "grouping_sets_revenue",
-        "scalar_functions_showcase", "customers_without_orders",
-        "datetime_functions_showcase", "dpo_preference_pairs",
-        "multimodal_frame_sample", "nations_with_rich_customers",
-        "text_pii_redaction", "text_seqlen_histogram", "k_anonymity_audit",
-        "multimodal_metadata_scan", "events_multi_rollup",
-        "lateral_top_customers_per_nation", "text_quality_score",
-        "bpe_fertility_by_lang", "jsonl_source_permissive_read",
-        "lang_balance_weights", "scd2_customer_merge", "text_language_id",
-        "unpivot_lineitem_measures", "rollup_returns", "events_daily_value_trend",
-        "multimodal_decode_features", "csv_source_permissive_read",
-        "events_json_extract", "events_props_variant_decode", "multimodal_resize",
-        "stats_qty_price_corr", "supplier_return_wilson_rank",
-        "text_sentiment_lexicon", "embedding_norm_stats", "trigram_like_search",
-        "benford_digit_audit", "multimodal_stratified_sample", "q4_order_priority",
-        "events_props_templates", "parameterized_sql_showcase",
-        "q12_priority_by_linestatus", "q14_promo_revenue",
-        "embedding_int8_quantize", "pandas_scalar_log_price",
-        "array_agg_user_profile", "orphan_file_audit", "pack_sequences_manifest",
-        "pivot_user_event_matrix", "events_hourly_rollup", "small_quantity_revenue",
-        "window_event_gaps", "events_ewma_forecast", "lang_temperature_weights",
-        "percentile_order_prices", "q1_pricing_summary", "events_theilsen_trend",
-        "incremental_agg_maintenance", "map_functions_showcase",
-        "pandas_grouped_agg_trimmed_mean", "q22_global_sales_opportunity",
-        "window_customer_order_rank", "cv_fold_manifest", "events_holt_forecast",
-        "null_safe_join_attribution", "bitwise_aggregates_showcase",
-        "events_funnel_latency", "events_funnel_view_click_purchase",
-        "q13_customer_distribution", "lineitem_ship_latency",
-        "profile_hot_orderkeys", "attribution_multi_touch",
-        "distinct_parts_per_supplier", "revenue_trend_ols",
-        "execute_immediate_showcase", "feature_asof_training_matrix",
-        "q15_top_supplier", "setops_customer_segments", "udtf_word_expand",
-        "collation_group_showcase", "pandas_acctbal_zscore",
-        "top_customers_by_revenue", "window_range_trailing_hour", "merge_full_cdc",
-        "range_join_price_bands", "snapshot_diff_report", "asof_next_touch_latency",
-        "q18_large_volume_customers", "q19_disjunctive_revenue",
-        "events_seasonal_profile", "linkage_fellegi_sunter", "orc_source_roundtrip",
-        "similarity_topk_cosine", "text_vocab_coverage", "events_transition_matrix",
-        "events_user_retention", "l_diversity_audit",
-        "multimodal_dedup_content_hash", "profile_lineitem_columns",
-        "text_zipf_slope", "array_set_functions_showcase",
-        "events_interval_overlap_join", "mlm_masking_manifest",
-        "events_hourly_gapfill", "multimodal_audio_frame_energy",
-        "xml_decode_roundtrip", "q11_important_part_value", "text_bm25_search",
-        "salted_join_supplier_volume", "text_rake_keywords",
-        "content_defined_chunks", "q10_returned_items", "batch_replay_source_slice",
-        "events_ab_uplift_test", "events_psi_value_drift", "q2_min_cost_supplier",
-        "text_top_bigrams", "multimodal_silence_segments",
-        "medallion_pipeline_rollup", "events_cusum_drift",
-        "asof_purchase_attribution", "events_props_schema_profile",
-        "session_window_rollup", "text_word_pmi", "array_hof_showcase",
-        "q3_shipping_priority", "q9_product_type_profit",
-        "orders_priority_status_chi2", "events_session_window_batch",
-        "percentile_distributed_exact", "q20_heavy_shippers",
-        "file_metadata_columns_read", "events_sessionize_batch",
-        "events_hourly_anomaly", "shard_manifest_balanced",
-        "corpus_token_budget_plan", "decontaminate_by_embedding",
-        "orders_cohort_revenue", "watermark_sizing_report", "basket_part_pairs",
-        "q16_supplier_part_buckets", "q21_waiting_supplier", "q7_volume_shipping",
-        "scd2_point_in_time_join", "similarity_topk_binary_rerank",
-        "bronze_decode_errors", "text_repetition_filter", "zorder_layout_stats",
-        "text_token_entropy", "bronze_decode_roundtrip", "embedding_outlier_zscore",
-        "forecast_conformal_intervals", "customer_balance_ks_test",
-        "compaction_bin_packing_plan", "q8_national_market_share",
-        "ann_ndcg_truncation", "skipgram_negative_samples",
-        "timeseries_znorm_subsequence_search", "streaming_csv_source_rollup",
-        "abc_customer_classification", "events_dau_wau_mau", "aes_roundtrip_audit",
-        "corpus_js_divergence", "rag_context_pack", "text_chunk_dedup",
-        "events_holtwinters_forecast", "gopher_quality_rules",
-        "matryoshka_truncation_recall", "embedding_cluster_label_purity",
-        "events_interval_union_coverage", "hive_source_partition_pruned",
-        "text_term_proximity_search", "dedup_exact", "events_hourly_mad_outliers",
-        "linkage_blocking_quality", "similarity_topk_bucketed", "join_skew_planner",
-        "supplier_pareto_frontier", "customer_spend_gini",
-        "q5_local_supplier_volume", "similarity_topk_ivf", "repeated_ngram_spans",
-        "decontaminate_train_shingles", "kmv_distinct_users", "sql_udf_showcase",
-        "surrogate_key_assignment", "sketch_user_activity",
-        "events_changepoint_binseg", "corpus_source_datasheet",
-        "sketch_quantile_bins", "graph_link_prediction_suppliers",
-        "vocab_growth_curve", "dsir_importance_weights",
-        "streaming_stateful_totals", "rate_limiter_backtest", "data_freshness_sla",
-        "window_functions_showcase", "embedding_mutual_nn_pairs",
-        "events_alarm_verification", "dedup_span_mask_manifest",
-        "fuzzy_join_part_names", "streaming_topk_types_hourly",
-        "events_growth_accounting", "similarity_lsh_neardup",
-        "corpus_epoch_shuffle_manifest", "bpe_learn_merges",
-        "subject_access_export", "surrogate_key_incremental", "udtf_dynamic_ngrams",
-        "streaming_sink_exactly_once_roundtrip", "linkage_entity_clusters",
-        "events_peak_concurrency", "search_hybrid_rrf", "cms_token_counts",
-        "text_tfidf_top_terms", "orders_survival_km", "dedup_embedding_cosine",
-        "streaming_session_rollup", "streaming_kmv_distinct_users",
-        "bpe_apply_merges", "graph_modularity_by_brand", "linkage_em_parameters",
-        "quality_logreg_training", "streaming_heavy_hitter_users",
-        "multimodal_shot_boundaries", "bigram_lm_score", "bradley_terry_strengths",
-        "similarity_maxsim_multivector", "padding_waste_report",
-        "streaming_stateful_type_counts", "streaming_value_quantiles",
-        "dedup_minhash_lsh", "bloom_filter_membership", "decayed_leaderboard",
-        "text_rolling_fingerprint", "multimodal_ahash_neardup",
-        "recursive_month_spine", "corpus_shingle_novelty",
-        "dedup_incremental_delta", "cogroup_asof_pandas",
-        "streaming_available_now_rollup", "streaming_interval_union_coverage",
-        "similarity_topk_pq_adc", "embedding_covariance", "k_anonymity_generalize",
-        "events_hourly_autocorr", "join_cardinality_audit", "dedup_survivors",
-        "zonemap_skip_simulation", "bucketed_join_colocated",
-        "embedding_power_iteration", "ivf_recall_report", "semantic_dedup_semdedup",
-        "streaming_update_mode_rollup", "streaming_dedup_events",
-        "data_quality_audit", "fd_discovery_profile", "kmv_set_ops_event_types",
-        "streaming_upsert_latest_state", "histogram_price_deciles", "dedup_simhash",
-        "hits_authority_hub", "dedup_containment", "checkpoint_offsetlog_table",
-        "contrastive_triplets", "maxmin_fair_allocation", "embedding_pq_codes",
-        "fk_inclusion_profile", "naive_bayes_langid", "graph_bfs_hops",
-        "streaming_late_data_drop", "streaming_static_enrich",
-        "streaming_sliding_rollup", "cluster_kmeans_embeddings",
-        "streaming_chained_windows", "events_anomaly_persistence",
-        "dedup_edit_distance", "dedup_ngram_jaccard", "rfm_customer_segments",
-        "dp_noisy_nation_counts", "text_kneser_ney_bigram_score",
-        "custom_sink_audit_roundtrip", "minhash_jaccard_calibration",
-        "streaming_hll_distinct_users", "corpus_filter_funnel",
-        "hll_intersection_estimate", "heavy_hitter_tokens", "events_ohlc_bars",
-        "checkpoint_statestore_table", "hll_merge_event_types",
-        "graph_pagerank_parts", "streaming_replay_source_rollup",
-        "market_concentration_hhi", "streaming_dedup_within_watermark",
-        "blocklist_phrase_filter", "minhash_bbit_calibration",
-        "snapshot_retention_expiry_plan", "price_index_laspeyres",
-        "change_data_feed_report", "association_rules_parts",
-        "corpus_difficulty_curriculum", "decision_stump_split_scores",
-        "streaming_hourly_rollup", "streaming_rate_limiter",
-        "checkpoint_commitlog_audit", "hll_distinct_users",
-        "batch_replay_pruned_scan", "dedup_connected_components",
-        "score_calibration_report", "streaming_union_sources_rollup",
-        "dedup_keep_best_quality", "graph_kcore_peel",
-        "incremental_join_maintenance", "streaming_purchase_attribution",
-        "geo_cell_colocation", "t_closeness_audit", "sql_scripting_showcase",
-        "graph_triangle_stats", "streaming_join_then_windowed_agg",
-        "streaming_unattributed_purchases", "orders_open_backlog_daily",
+        "text_bpe_token_count", "text_fingerprint", "url_functions_showcase",
+        "text_token_stats", "weighted_sample_docs", "split_train_eval",
+        "data_freshness_sla", "text_quality_score", "q6_forecast_revenue",
+        "multimodal_metadata_scan", "multimodal_frame_sample",
+        "quota_sample_per_lang", "text_pii_redaction", "multimodal_resize",
+        "scalar_functions_showcase", "dedup_exact", "text_seqlen_histogram",
+        "arrow_map_embedding_norm", "datetime_functions_showcase",
+        "embedding_norm_stats", "text_sentiment_lexicon",
+        "schema_evolution_merge_read", "partitioned_source_pruned_read",
+        "corpus_mix_rebalance", "customers_without_orders",
+        "q14_promo_revenue", "parameterized_sql_showcase",
+        "bpe_fertility_by_lang", "lateral_top_customers_per_nation",
+        "try_functions_showcase", "text_language_id",
+        "multimodal_decode_features", "q12_priority_by_linestatus",
+        "gdpr_purge_manifest", "embedding_int8_quantize", "q4_order_priority",
+        "pipe_sql_priority_stats", "bitwise_aggregates_showcase",
+        "execute_immediate_showcase", "dpo_preference_pairs",
+        "collation_group_showcase", "kmv_distinct_users",
+        "multimodal_dedup_content_hash", "doc_sliding_chunks",
+        "events_json_extract", "supplier_return_wilson_rank",
+        "multimodal_stratified_sample", "pandas_scalar_log_price",
+        "q19_disjunctive_revenue", "bronze_decode_errors",
+        "pandas_acctbal_zscore", "pack_sequences_manifest",
+        "unpivot_lineitem_measures", "text_zipf_slope", "text_vocab_coverage",
+        "nations_with_rich_customers", "k_anonymity_audit",
+        "null_safe_join_attribution", "feature_asof_training_matrix",
+        "lang_temperature_weights", "lineitem_ship_latency",
+        "decayed_leaderboard", "csv_source_permissive_read",
+        "jsonl_source_permissive_read", "pandas_grouped_agg_trimmed_mean",
+        "q1_pricing_summary", "setops_customer_segments",
+        "grouping_sets_revenue", "compaction_bin_packing_plan",
+        "events_interval_union_coverage", "text_rake_keywords",
+        "linkage_blocking_quality", "multimodal_audio_frame_energy",
+        "percentile_order_prices", "events_multi_rollup",
+        "mlm_masking_manifest", "orphan_file_audit", "map_functions_showcase",
+        "array_set_functions_showcase", "linkage_fellegi_sunter",
+        "events_hourly_rollup", "events_props_variant_decode",
+        "events_holt_forecast", "l_diversity_audit",
+        "decontaminate_by_embedding", "file_metadata_columns_read",
+        "events_ewma_forecast", "similarity_topk_bucketed",
+        "xml_decode_roundtrip", "q18_large_volume_customers",
+        "rate_limiter_backtest", "orc_source_roundtrip", "rollup_returns",
+        "sql_udf_showcase", "similarity_topk_cosine", "events_theilsen_trend",
+        "udtf_word_expand", "subject_access_export", "hll_distinct_users",
+        "bronze_decode_roundtrip", "text_top_bigrams",
+        "cube_order_status_priority", "small_quantity_revenue",
+        "revenue_trend_ols", "incremental_agg_maintenance",
+        "dp_noisy_nation_counts", "distinct_parts_per_supplier",
+        "attribution_multi_touch", "blocklist_phrase_filter",
+        "q10_returned_items", "array_agg_user_profile", "aes_roundtrip_audit",
+        "text_word_pmi", "heavy_hitter_tokens", "similarity_lsh_neardup",
+        "text_bm25_search", "rag_context_pack", "multimodal_silence_segments",
+        "q16_supplier_part_buckets", "geo_cell_colocation",
+        "lang_balance_weights", "window_range_trailing_hour",
+        "hll_merge_event_types", "content_defined_chunks",
+        "events_user_retention", "q15_top_supplier",
+        "asof_next_touch_latency", "change_data_feed_report",
+        "score_calibration_report", "market_concentration_hhi",
+        "salted_join_supplier_volume", "profile_hot_orderkeys",
+        "q3_shipping_priority", "pivot_user_event_matrix",
+        "q22_global_sales_opportunity", "streaming_dedup_events",
+        "benford_digit_audit", "streaming_heavy_hitter_users",
+        "trigram_like_search", "events_ab_uplift_test",
+        "embedding_outlier_zscore", "similarity_topk_binary_rerank",
+        "scd2_customer_merge", "merge_full_cdc", "stats_qty_price_corr",
+        "events_session_window_batch", "skipgram_negative_samples",
+        "events_sessionize_batch", "sketch_quantile_bins",
+        "streaming_kmv_distinct_users", "streaming_upsert_latest_state",
+        "matryoshka_truncation_recall", "q13_customer_distribution",
+        "events_props_templates", "snapshot_retention_expiry_plan",
+        "orders_priority_status_chi2", "t_closeness_audit",
+        "q7_volume_shipping", "ann_ndcg_truncation",
+        "bloom_filter_membership", "text_term_proximity_search",
+        "events_seasonal_profile", "cv_fold_manifest",
+        "q8_national_market_share", "asof_purchase_attribution",
+        "profile_lineitem_columns", "incremental_join_maintenance",
+        "price_index_laspeyres", "events_ohlc_bars", "text_repetition_filter",
+        "forecast_conformal_intervals", "window_event_gaps",
+        "events_daily_value_trend", "events_growth_accounting",
+        "q5_local_supplier_volume", "customer_balance_ks_test",
+        "events_changepoint_binseg", "events_anomaly_persistence",
+        "corpus_source_datasheet", "q9_product_type_profit",
+        "watermark_sizing_report", "events_holtwinters_forecast",
+        "top_customers_by_revenue", "timeseries_znorm_subsequence_search",
+        "customer_spend_gini", "streaming_available_now_rollup",
+        "session_window_rollup", "similarity_topk_ivf",
+        "embedding_mutual_nn_pairs", "events_interval_overlap_join",
+        "events_alarm_verification", "search_hybrid_rrf",
+        "embedding_cluster_label_purity", "dedup_embedding_cosine",
+        "medallion_pipeline_rollup", "range_join_price_bands",
+        "text_chunk_dedup", "decision_stump_split_scores",
+        "streaming_dedup_within_watermark", "gopher_quality_rules",
+        "similarity_maxsim_multivector", "streaming_csv_source_rollup",
+        "join_skew_planner", "cms_token_counts", "text_token_entropy",
+        "vocab_growth_curve", "streaming_static_enrich",
+        "corpus_token_budget_plan", "events_cusum_drift",
+        "scd2_point_in_time_join", "events_dau_wau_mau",
+        "repeated_ngram_spans", "corpus_js_divergence",
+        "snapshot_diff_report", "surrogate_key_assignment",
+        "events_transition_matrix", "events_props_schema_profile",
+        "streaming_hourly_rollup", "batch_replay_pruned_scan",
+        "streaming_session_rollup", "abc_customer_classification",
+        "events_hourly_mad_outliers", "dedup_minhash_lsh",
+        "q20_heavy_shippers", "bpe_learn_merges", "histogram_price_deciles",
+        "linkage_entity_clusters", "embedding_pq_codes", "bpe_apply_merges",
+        "streaming_stateful_type_counts", "events_funnel_view_click_purchase",
+        "orders_survival_km", "orders_open_backlog_daily",
+        "q2_min_cost_supplier", "graph_link_prediction_suppliers",
+        "data_quality_audit", "window_customer_order_rank",
+        "events_hourly_anomaly", "quality_logreg_training",
+        "hive_source_partition_pruned", "batch_replay_source_slice",
+        "dedup_survivors", "streaming_topk_types_hourly",
+        "streaming_interval_union_coverage", "dedup_span_mask_manifest",
+        "multimodal_ahash_neardup", "embedding_covariance",
+        "multimodal_shot_boundaries", "decontaminate_train_shingles",
+        "events_psi_value_drift", "array_hof_showcase",
+        "surrogate_key_incremental", "streaming_hll_distinct_users",
+        "similarity_topk_pq_adc", "streaming_union_sources_rollup",
+        "dedup_incremental_delta", "orders_cohort_revenue",
+        "dsir_importance_weights", "k_anonymity_generalize",
+        "streaming_value_quantiles", "text_tfidf_top_terms",
+        "streaming_sliding_rollup", "streaming_rate_limiter",
+        "streaming_sink_exactly_once_roundtrip",
+        "percentile_distributed_exact", "semantic_dedup_semdedup",
+        "streaming_stateful_totals", "join_cardinality_audit",
+        "text_rolling_fingerprint", "association_rules_parts",
+        "shard_manifest_balanced", "fk_inclusion_profile",
+        "corpus_epoch_shuffle_manifest", "fd_discovery_profile",
+        "events_funnel_latency", "basket_part_pairs", "fuzzy_join_part_names",
+        "bigram_lm_score", "sketch_user_activity", "cogroup_asof_pandas",
+        "graph_modularity_by_brand", "q11_important_part_value",
+        "checkpoint_statestore_table", "bucketed_join_colocated",
+        "maxmin_fair_allocation", "udtf_dynamic_ngrams", "ivf_recall_report",
+        "linkage_em_parameters", "supplier_pareto_frontier",
+        "dedup_edit_distance", "events_hourly_gapfill",
+        "kmv_set_ops_event_types", "padding_waste_report",
+        "q21_waiting_supplier", "window_functions_showcase",
+        "zonemap_skip_simulation", "corpus_shingle_novelty",
+        "events_peak_concurrency", "embedding_power_iteration",
+        "bradley_terry_strengths", "contrastive_triplets",
+        "streaming_update_mode_rollup", "hits_authority_hub",
+        "hll_intersection_estimate", "zorder_layout_stats",
+        "dedup_ngram_jaccard", "streaming_late_data_drop",
+        "multimodal_wav_stats", "dedup_simhash", "rfm_customer_segments",
+        "corpus_filter_funnel", "events_hourly_autocorr",
+        "recursive_month_spine", "graph_bfs_hops",
+        "streaming_chained_windows", "cluster_kmeans_embeddings",
+        "text_kneser_ney_bigram_score", "custom_sink_audit_roundtrip",
+        "minhash_jaccard_calibration", "streaming_replay_source_rollup",
+        "minhash_bbit_calibration", "streaming_unattributed_purchases",
+        "corpus_difficulty_curriculum", "dedup_containment",
+        "graph_pagerank_parts", "dedup_connected_components",
+        "naive_bayes_langid", "dedup_keep_best_quality",
+        "checkpoint_commitlog_audit", "graph_kcore_peel",
+        "streaming_semdedup", "streaming_purchase_attribution",
+        "streaming_join_then_windowed_agg", "checkpoint_offsetlog_table",
+        "sql_scripting_showcase", "graph_triangle_stats",
+        "ivf_incremental_assign",
     )
     new_ops_rank = 50.5  # just after the sub-second group (index ~50)
     unchecked = {
