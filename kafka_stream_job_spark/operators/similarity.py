@@ -1057,8 +1057,11 @@ def ivf_incremental_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     extension (r6 judge item 5).
     """
     base, delta, cents = _ivf_incr_sides(spark, sf_dir)
-    a_base = _ivf_incr_assign(base, cents)  # state bootstrap (see header)
-    a_delta = _ivf_incr_assign(delta, cents)  # the O(Δ) incremental path
+    # each assignment feeds two+ downstream subtrees (member union, counts,
+    # stale probe) — pin them so the crossJoin+argmin runs once per side,
+    # not once per consumer (the SemDeDup localCheckpoint discipline)
+    a_base = _ivf_incr_assign(base, cents).localCheckpoint(eager=False)
+    a_delta = _ivf_incr_assign(delta, cents).localCheckpoint(eager=False)
     members = a_base.select("cent_id", "emb").unionByName(
         a_delta.select("cent_id", "emb")
     )
@@ -1073,6 +1076,7 @@ def ivf_incremental_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
                 lambda s: s["m"],
             ).alias("c_emb")
         )
+        .localCheckpoint(eager=False)  # read by renew AND drift
     )
     renew = _ivf_incr_assign(a_delta.select("vec_id", "emb"), upd)
     nb = a_base.groupBy("cent_id").agg(
