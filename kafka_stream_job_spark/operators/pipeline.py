@@ -1097,9 +1097,9 @@ def corpus_token_budget_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = docs.select(
         "doc_id",
         n_tokens.alias("n_tokens"),
-        ((n_uniq * 10000) / n_tokens).cast("long").alias("ttr_bp"),
+        idiv(n_uniq * 10000, n_tokens).alias("ttr_bp"),
     )
-    budget = t.agg((F.sum("n_tokens") / 2).cast("long").alias("budget"))
+    budget = t.agg(idiv(F.sum("n_tokens"), 2).alias("budget"))
     c = distributed_prefix_sum(
         t, [F.col("ttr_bp").desc(), F.col("doc_id")], "n_tokens"
     )

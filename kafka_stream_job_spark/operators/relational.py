@@ -3240,7 +3240,7 @@ def graph_triangle_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     stats = deg.agg(
         F.count(F.lit(1)).alias("n_nodes"),
         F.sum(
-            (F.col("d") * (F.col("d") - 1) / 2).cast("long")
+            idiv(F.col("d") * (F.col("d") - 1), 2)
         ).alias("n_wedges"),
     )
     n_edges = edges.agg(F.count(F.lit(1)).alias("n_edges"))
@@ -4938,7 +4938,7 @@ def graph_kcore_peel(spark: SparkSession, sf_dir: str) -> DataFrame:
             cur.agg(
                 F.lit(r).cast("long").alias("round"),
                 F.countDistinct("src").alias("n_nodes"),
-                (F.count(F.lit(1)) / 2).cast("long").alias("n_edges"),
+                idiv(F.count(F.lit(1)), 2).alias("n_edges"),
             ).select("round", "n_nodes", "n_edges")
         )
     out = rounds[0]
