@@ -73,3 +73,24 @@ def test_iln_spark_matches_model(spark):
     df = spark.createDataFrame([(m,) for m in sorted(ms)], "m long")
     got = {r["m"]: r["iln"] for r in _attach_iln(spark, df, "m", "iln").collect()}
     assert got == {m: _iln_py(m) for m in sorted(ms)}
+
+
+def test_load_table_memoizes_per_session(spark):
+    """The scan cache must hand back the same immutable plan within a
+    session (per sf/table/rebalance) and never leak across sessions —
+    keys carry the applicationId, so a stopped session's plans cannot be
+    resurrected by a new one."""
+    from kafka_stream_job_spark import tables
+    from kafka_stream_job_spark.tables import load_table
+
+    a = load_table(spark, SF_SMOKE, "nation")
+    b = load_table(spark, SF_SMOKE, "nation")
+    assert a is b, "same session+args must return the memoized plan"
+    c = load_table(spark, SF_SMOKE, "nation", rebalance=True)
+    assert c is not a, "rebalance variant is a distinct cache entry"
+    import os
+
+    app = spark.sparkContext.applicationId
+    assert (app, os.path.realpath(SF_SMOKE), "nation", False) in tables._SCAN_CACHE
+    # correctness unaffected: the cached plan still scans fresh data
+    assert a.count() == spark.read.parquet(f"{SF_SMOKE}/nation.parquet").count()
