@@ -4603,3 +4603,24 @@ def test_wav_parser_rejects_malformed():
     alaw[fmt_at : fmt_at + 2] = struct.pack("<H", 6)
     with _pytest.raises(ValueError):
         decode_wav_real(bytes(alaw))
+
+
+# ---------------------------------------------------------------------------
+# linkage_blocking_quality's overflow-free reduction ratio: the rewrite
+# 10^4 - ceil(cand*10^4 / n^2), with the ceil nested as two ceil-divs by
+# n, must equal the textbook (n^2 - cand)*10^4 // n^2 for every
+# n >= 1, 0 <= cand <= n^2 — while never forming an intermediate larger
+# than cand*10^4 + n - 1.
+# ---------------------------------------------------------------------------
+@settings(max_examples=500, deadline=None)
+@given(
+    n=st.integers(min_value=1, max_value=10**9),
+    frac=st.integers(min_value=0, max_value=10**12),
+)
+def test_linkage_reduction_ratio_identity(n, frac):
+    cand = frac % (n * n + 1)  # any candidate count within the n^2 space
+    textbook = (n * n - cand) * 10000 // (n * n)
+    a = cand * 10000
+    inner = (a + n - 1) // n
+    outer = (inner + n - 1) // n
+    assert 10000 - outer == textbook
