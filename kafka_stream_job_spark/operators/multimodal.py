@@ -435,10 +435,10 @@ WAV_BASE_RATE = 8_000  # per-doc rate: 8000 + (doc_id % 3) * 4000
                    list_reduce(
                        list_prepend(CAST(0 AS BIGINT),
                            list_transform(range(1, length(text) + 1),
-                               j -> CAST((ascii(substring(text, j, 1)) - 128)
-                                         * 256 AS BIGINT)
-                                    * CAST((ascii(substring(text, j, 1)) - 128)
-                                           * 256 AS BIGINT))),
+                               j -> CAST((ascii(substring(text, j, 1)) % 256
+                                          - 128) * 256 AS BIGINT)
+                                    * CAST((ascii(substring(text, j, 1)) % 256
+                                            - 128) * 256 AS BIGINT))),
                        (acc, v) -> acc + v) AS sq_sum
             FROM documents WHERE length(text) > 0
         )
@@ -469,7 +469,12 @@ def multimodal_wav_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             payloads = []
             for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
                 rate = WAV_BASE_RATE + (int(doc_id) % 3) * 4000
-                samples = [(b - 128) * 256 for b in text.encode("utf-8")]
+                # CHARACTER-based samples (codepoint mod 256), matching the
+                # oracle's ascii() term-for-term — byte-based encoding would
+                # silently diverge on any non-ASCII fixture text, since
+                # length(text)/ascii() count characters, not UTF-8 bytes.
+                # Identical to the byte form on today's ASCII corpus.
+                samples = [((ord(c) % 256) - 128) * 256 for c in text]
                 data = struct.pack(f"<{len(samples)}h", *samples)
                 chunks = (
                     b"LIST"

@@ -157,10 +157,14 @@ def _lsh_sign_sql(j: int) -> str:
     SQL fragment. One F.expr parse replaces ~70 py4j Column constructions
     per bit (64 F.lit plane components + lambda plumbing) — measured
     ~0.9 s of driver-side build time per bucketed query at 12 bits, for a
-    bit-identical expression (D-suffixed double literals, same zip_with/
-    aggregate fold, same >= 0 sign test; equality verified row-for-row at
-    both SFs before the swap)."""
-    plane = ", ".join(f"{v:.1f}D" for v in HYPERPLANES[j])
+    bit-identical expression (repr-exact D-suffixed double literals, same
+    zip_with/aggregate fold, same >= 0 sign test; equality verified
+    row-for-row at both SFs before the swap)."""
+    # repr() round-trips doubles exactly — a fixed %.1f would silently
+    # round any future non-unit plane component into a DIFFERENT double
+    # than F.lit(v) produced, desynchronizing the two engines at the
+    # sign boundary with no error. Today's components are exactly ±1.0.
+    plane = ", ".join(f"{v!r}D" for v in HYPERPLANES[j])
     return (
         "CASE WHEN aggregate(zip_with(embedding, array(" + plane + "), "
         "(x, s) -> CAST(x AS DOUBLE) * s), 0.0D, (acc, x) -> acc + x) >= 0D "

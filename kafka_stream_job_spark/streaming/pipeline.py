@@ -37,6 +37,35 @@ from kafka_stream_job_spark.operators._portable import pround
 from kafka_stream_job_spark.tables import SCHEMAS
 
 
+def _stage_stream_source(sf_dir: str, table: str, stage_root: str) -> tuple[str, str]:
+    """Stage one parquet table for a file-source stream; returns
+    (source file path, stage directory). File sources need a *directory*;
+    the test data is a single file, so it is symlinked once into a per-sf
+    stage dir under ``stage_root`` (one root per table, so two streams
+    never read each other's table).
+
+    lexists, not exists: a broken/stale symlink (e.g. regenerated test
+    data) must be detected and replaced, or the stream silently replays
+    old rows from the persistent /tmp stage dir. The replace goes through
+    a pid-unique temp symlink + atomic os.replace so concurrent processes
+    (parallel pytest, the driver) never observe a missing link or race
+    each other's create.
+    """
+    src = os.path.join(sf_dir, f"{table}.parquet")
+    stage = os.path.join(stage_root, sf_dir.strip("/").replace("/", "_"))
+    os.makedirs(stage, exist_ok=True)
+    link = os.path.join(stage, f"{table}.parquet")
+    if (not os.path.lexists(link)) or os.path.realpath(link) != os.path.realpath(src):
+        tmp_link = f"{link}.tmp-{os.getpid()}"
+        try:
+            os.symlink(src, tmp_link)
+            os.replace(tmp_link, link)
+        except OSError:
+            if os.path.realpath(link) != os.path.realpath(src):
+                raise
+    return src, stage
+
+
 def stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """File-source replay of the events table as an unbounded stream.
 
@@ -49,24 +78,7 @@ def stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     TIMESTAMP(NANOS) layout (read as long via nanosAsLong, converted in
     tables.load_table).
     """
-    src = os.path.join(sf_dir, "events.parquet")
-    stage = os.path.join("/tmp/ksj_stream_stage", sf_dir.strip("/").replace("/", "_"))
-    os.makedirs(stage, exist_ok=True)
-    link = os.path.join(stage, "events.parquet")
-    # lexists, not exists: a broken/stale symlink (e.g. regenerated test
-    # data) must be detected and replaced, or the stream silently replays
-    # old rows from the persistent /tmp stage dir. The replace goes through
-    # a pid-unique temp symlink + atomic os.replace so concurrent processes
-    # (parallel pytest, the driver) never observe a missing link or race
-    # each other's create.
-    if (not os.path.lexists(link)) or os.path.realpath(link) != os.path.realpath(src):
-        tmp_link = f"{link}.tmp-{os.getpid()}"
-        try:
-            os.symlink(src, tmp_link)
-            os.replace(tmp_link, link)
-        except OSError:
-            if os.path.realpath(link) != os.path.realpath(src):
-                raise
+    src, stage = _stage_stream_source(sf_dir, "events", "/tmp/ksj_stream_stage")
     raw_schema = spark.read.parquet(src).schema
     stream = spark.readStream.schema(raw_schema).parquet(stage)
     if isinstance(raw_schema["ts"].dataType, T.LongType):
@@ -2769,23 +2781,12 @@ _register_streaming_rate_limiter()
 
 def stream_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     """File-source replay of the embeddings table as an unbounded stream —
-    same staging discipline as stream_events (explicit schema, per-sf
-    symlink directory, atomic replace), separate stage dir so the two
-    file sources never read each other's table."""
-    src = os.path.join(sf_dir, "embeddings.parquet")
-    stage = os.path.join(
-        "/tmp/ksj_stream_stage_embeddings", sf_dir.strip("/").replace("/", "_")
+    same staging discipline as stream_events (shared `_stage_stream_source`:
+    explicit schema, per-sf symlink directory, atomic replace), separate
+    stage root so the two file sources never read each other's table."""
+    src, stage = _stage_stream_source(
+        sf_dir, "embeddings", "/tmp/ksj_stream_stage_embeddings"
     )
-    os.makedirs(stage, exist_ok=True)
-    link = os.path.join(stage, "embeddings.parquet")
-    if (not os.path.lexists(link)) or os.path.realpath(link) != os.path.realpath(src):
-        tmp_link = f"{link}.tmp-{os.getpid()}"
-        try:
-            os.symlink(src, tmp_link)
-            os.replace(tmp_link, link)
-        except OSError:
-            if os.path.realpath(link) != os.path.realpath(src):
-                raise
     raw_schema = spark.read.parquet(src).schema
     return spark.readStream.schema(raw_schema).parquet(stage)
 

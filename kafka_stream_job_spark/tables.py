@@ -132,17 +132,21 @@ SCHEMAS: dict[str, T.StructType] = {
 }
 
 
-#: Memoized scans, keyed by (applicationId, sf_dir, table, rebalance).
-#: A DataFrame is an immutable logical plan, so handing the same one to
-#: every caller in a session is semantically a no-op — what it saves is
-#: the ~0.15 s/call driver-side cost of spark.read.parquet re-listing
-#: the directory and re-reading footers for a table the session has
-#: already resolved (a 6-table join paid ~1 s of that per build). Long-
-#: lived production sessions get this for free from their catalog; the
-#: cache gives the sandbox's bare-path reads the same property. Keyed by
-#: applicationId so a stopped session's plans are never resurrected;
-#: entries are O(#tables × #SFs) per session.
-_SCAN_CACHE: dict[tuple[str, str, str, bool], DataFrame] = {}
+#: Memoized scans, keyed by (applicationId, sf_dir, table, rebalance,
+#: file mtime_ns, file size). A DataFrame is an immutable logical plan,
+#: so handing the same one to every caller in a session is semantically
+#: a no-op — what it saves is the ~0.15 s/call driver-side cost of
+#: spark.read.parquet re-listing the directory and re-reading footers
+#: for a table the session has already resolved (a 6-table join paid
+#: ~1 s of that per build). Long-lived production sessions get this for
+#: free from their catalog; the cache gives the sandbox's bare-path
+#: reads the same property. Keyed by applicationId so a stopped
+#: session's plans are never resurrected, and by the file's
+#: (mtime_ns, size) so an in-session fixture regeneration invalidates
+#: the frozen file index instead of replaying a stale snapshot (one
+#: stat per call, micro-seconds). Entries are O(#tables × #SFs) per
+#: session.
+_SCAN_CACHE: dict[tuple[str, str, str, bool, int, int], DataFrame] = {}
 
 
 def load_table(
@@ -168,7 +172,16 @@ def load_table(
     """
     if name not in SCHEMAS:
         raise KeyError(f"unknown table {name!r}; expected one of {TABLE_NAMES}")
-    key = (spark.sparkContext.applicationId, os.path.realpath(sf_dir), name, rebalance)
+    path = os.path.join(sf_dir, f"{name}.parquet")
+    st = os.stat(path)
+    key = (
+        spark.sparkContext.applicationId,
+        os.path.realpath(sf_dir),
+        name,
+        rebalance,
+        st.st_mtime_ns,
+        st.st_size,
+    )
     cached = _SCAN_CACHE.get(key)
     if cached is not None:
         return cached
@@ -180,7 +193,6 @@ def load_table(
     # session-wide, so cache hits need no re-pin.)
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.conf.set("spark.sql.session.timeZone", "UTC")
-    path = os.path.join(sf_dir, f"{name}.parquet")
     df = spark.read.parquet(path)
     if name == "events" and dict(df.dtypes).get("ts") == "bigint":
         df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))

@@ -91,6 +91,17 @@ def test_load_table_memoizes_per_session(spark):
     import os
 
     app = spark.sparkContext.applicationId
-    assert (app, os.path.realpath(SF_SMOKE), "nation", False) in tables._SCAN_CACHE
+    st = os.stat(os.path.join(SF_SMOKE, "nation.parquet"))
+    assert (
+        app,
+        os.path.realpath(SF_SMOKE),
+        "nation",
+        False,
+        st.st_mtime_ns,
+        st.st_size,
+    ) in tables._SCAN_CACHE, (
+        "cache key must carry applicationId and the file's (mtime, size) "
+        "so fixture regeneration invalidates the frozen file index"
+    )
     # correctness unaffected: the cached plan still scans fresh data
     assert a.count() == spark.read.parquet(f"{SF_SMOKE}/nation.parquet").count()
