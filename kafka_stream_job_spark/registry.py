@@ -245,164 +245,165 @@ def all_specs() -> dict[str, QuerySpec]:
     # (operators added after the measurement) slot in just after the
     # sub-second group.
     cost_order = (
-        "text_bpe_token_count", "text_fingerprint", "url_functions_showcase",
-        "text_token_stats", "weighted_sample_docs", "split_train_eval",
-        "data_freshness_sla", "text_quality_score", "q6_forecast_revenue",
-        "multimodal_metadata_scan", "multimodal_frame_sample",
-        "quota_sample_per_lang", "text_pii_redaction", "multimodal_resize",
-        "scalar_functions_showcase", "dedup_exact", "text_seqlen_histogram",
-        "arrow_map_embedding_norm", "datetime_functions_showcase",
-        "embedding_norm_stats", "text_sentiment_lexicon",
-        "schema_evolution_merge_read", "partitioned_source_pruned_read",
-        "corpus_mix_rebalance", "customers_without_orders",
-        "q14_promo_revenue", "parameterized_sql_showcase",
-        "bpe_fertility_by_lang", "lateral_top_customers_per_nation",
-        "try_functions_showcase", "text_language_id",
-        "multimodal_decode_features", "q12_priority_by_linestatus",
-        "gdpr_purge_manifest", "embedding_int8_quantize", "q4_order_priority",
-        "pipe_sql_priority_stats", "bitwise_aggregates_showcase",
-        "execute_immediate_showcase", "dpo_preference_pairs",
-        "collation_group_showcase", "kmv_distinct_users",
-        "multimodal_dedup_content_hash", "doc_sliding_chunks",
-        "events_json_extract", "supplier_return_wilson_rank",
-        "multimodal_stratified_sample", "pandas_scalar_log_price",
-        "q19_disjunctive_revenue", "bronze_decode_errors",
-        "pandas_acctbal_zscore", "pack_sequences_manifest",
-        "unpivot_lineitem_measures", "text_zipf_slope", "text_vocab_coverage",
-        "nations_with_rich_customers", "k_anonymity_audit",
-        "null_safe_join_attribution", "feature_asof_training_matrix",
-        "lang_temperature_weights", "lineitem_ship_latency",
-        "decayed_leaderboard", "csv_source_permissive_read",
-        "jsonl_source_permissive_read", "pandas_grouped_agg_trimmed_mean",
-        "q1_pricing_summary", "setops_customer_segments",
-        "grouping_sets_revenue", "compaction_bin_packing_plan",
-        "events_interval_union_coverage", "text_rake_keywords",
-        "linkage_blocking_quality", "multimodal_audio_frame_energy",
-        "percentile_order_prices", "events_multi_rollup",
-        "mlm_masking_manifest", "orphan_file_audit", "map_functions_showcase",
-        "array_set_functions_showcase", "linkage_fellegi_sunter",
-        "events_hourly_rollup", "events_props_variant_decode",
-        "events_holt_forecast", "l_diversity_audit",
-        "decontaminate_by_embedding", "file_metadata_columns_read",
-        "events_ewma_forecast", "similarity_topk_bucketed",
-        "xml_decode_roundtrip", "q18_large_volume_customers",
-        "rate_limiter_backtest", "orc_source_roundtrip", "rollup_returns",
-        "sql_udf_showcase", "similarity_topk_cosine", "events_theilsen_trend",
-        "udtf_word_expand", "subject_access_export", "hll_distinct_users",
-        "bronze_decode_roundtrip", "text_top_bigrams",
-        "cube_order_status_priority", "small_quantity_revenue",
-        "revenue_trend_ols", "incremental_agg_maintenance",
-        "dp_noisy_nation_counts", "distinct_parts_per_supplier",
-        "attribution_multi_touch", "blocklist_phrase_filter",
-        "q10_returned_items", "array_agg_user_profile", "aes_roundtrip_audit",
-        "text_word_pmi", "heavy_hitter_tokens", "similarity_lsh_neardup",
-        "text_bm25_search", "rag_context_pack", "multimodal_silence_segments",
-        "q16_supplier_part_buckets", "geo_cell_colocation",
-        "lang_balance_weights", "window_range_trailing_hour",
-        "hll_merge_event_types", "content_defined_chunks",
-        "events_user_retention", "q15_top_supplier",
-        "asof_next_touch_latency", "change_data_feed_report",
-        "score_calibration_report", "market_concentration_hhi",
-        "salted_join_supplier_volume", "profile_hot_orderkeys",
-        "q3_shipping_priority", "pivot_user_event_matrix",
-        "q22_global_sales_opportunity", "streaming_dedup_events",
-        "benford_digit_audit", "streaming_heavy_hitter_users",
-        "trigram_like_search", "events_ab_uplift_test",
-        "embedding_outlier_zscore", "similarity_topk_binary_rerank",
-        "scd2_customer_merge", "merge_full_cdc", "stats_qty_price_corr",
-        "events_session_window_batch", "skipgram_negative_samples",
-        "events_sessionize_batch", "sketch_quantile_bins",
-        "streaming_kmv_distinct_users", "streaming_upsert_latest_state",
-        "matryoshka_truncation_recall", "q13_customer_distribution",
-        "events_props_templates", "snapshot_retention_expiry_plan",
-        "orders_priority_status_chi2", "t_closeness_audit",
-        "q7_volume_shipping", "ann_ndcg_truncation",
-        "bloom_filter_membership", "text_term_proximity_search",
-        "events_seasonal_profile", "cv_fold_manifest",
-        "q8_national_market_share", "asof_purchase_attribution",
-        "profile_lineitem_columns", "incremental_join_maintenance",
-        "price_index_laspeyres", "events_ohlc_bars", "text_repetition_filter",
-        "forecast_conformal_intervals", "window_event_gaps",
-        "events_daily_value_trend", "events_growth_accounting",
-        "q5_local_supplier_volume", "customer_balance_ks_test",
-        "events_changepoint_binseg", "events_anomaly_persistence",
-        "corpus_source_datasheet", "q9_product_type_profit",
-        "watermark_sizing_report", "events_holtwinters_forecast",
-        "top_customers_by_revenue", "timeseries_znorm_subsequence_search",
-        "customer_spend_gini", "streaming_available_now_rollup",
-        "session_window_rollup", "similarity_topk_ivf",
-        "embedding_mutual_nn_pairs", "events_interval_overlap_join",
-        "events_alarm_verification", "search_hybrid_rrf",
-        "embedding_cluster_label_purity", "dedup_embedding_cosine",
-        "medallion_pipeline_rollup", "range_join_price_bands",
-        "text_chunk_dedup", "decision_stump_split_scores",
-        "streaming_dedup_within_watermark", "gopher_quality_rules",
-        "similarity_maxsim_multivector", "streaming_csv_source_rollup",
-        "join_skew_planner", "cms_token_counts", "text_token_entropy",
-        "vocab_growth_curve", "streaming_static_enrich",
-        "corpus_token_budget_plan", "events_cusum_drift",
-        "scd2_point_in_time_join", "events_dau_wau_mau",
-        "repeated_ngram_spans", "corpus_js_divergence",
-        "snapshot_diff_report", "surrogate_key_assignment",
-        "events_transition_matrix", "events_props_schema_profile",
-        "streaming_hourly_rollup", "batch_replay_pruned_scan",
-        "streaming_session_rollup", "abc_customer_classification",
-        "events_hourly_mad_outliers", "dedup_minhash_lsh",
-        "q20_heavy_shippers", "bpe_learn_merges", "histogram_price_deciles",
-        "linkage_entity_clusters", "embedding_pq_codes", "bpe_apply_merges",
-        "streaming_stateful_type_counts", "events_funnel_view_click_purchase",
-        "orders_survival_km", "orders_open_backlog_daily",
-        "q2_min_cost_supplier", "graph_link_prediction_suppliers",
-        "data_quality_audit", "window_customer_order_rank",
-        "events_hourly_anomaly", "quality_logreg_training",
-        "hive_source_partition_pruned", "batch_replay_source_slice",
-        "dedup_survivors", "streaming_topk_types_hourly",
-        "streaming_interval_union_coverage", "dedup_span_mask_manifest",
-        "multimodal_ahash_neardup", "embedding_covariance",
-        "multimodal_shot_boundaries", "decontaminate_train_shingles",
-        "events_psi_value_drift", "array_hof_showcase",
-        "surrogate_key_incremental", "streaming_hll_distinct_users",
-        "similarity_topk_pq_adc", "streaming_union_sources_rollup",
-        "dedup_incremental_delta", "orders_cohort_revenue",
-        "dsir_importance_weights", "k_anonymity_generalize",
-        "streaming_value_quantiles", "text_tfidf_top_terms",
-        "streaming_sliding_rollup", "streaming_rate_limiter",
-        "streaming_sink_exactly_once_roundtrip",
-        "percentile_distributed_exact", "semantic_dedup_semdedup",
-        "streaming_stateful_totals", "join_cardinality_audit",
-        "text_rolling_fingerprint", "association_rules_parts",
-        "shard_manifest_balanced", "fk_inclusion_profile",
-        "corpus_epoch_shuffle_manifest", "fd_discovery_profile",
-        "events_funnel_latency", "basket_part_pairs", "fuzzy_join_part_names",
-        "bigram_lm_score", "sketch_user_activity", "cogroup_asof_pandas",
-        "graph_modularity_by_brand", "q11_important_part_value",
-        "checkpoint_statestore_table", "bucketed_join_colocated",
-        "maxmin_fair_allocation", "udtf_dynamic_ngrams", "ivf_recall_report",
-        "linkage_em_parameters", "supplier_pareto_frontier",
-        "dedup_edit_distance", "events_hourly_gapfill",
-        "kmv_set_ops_event_types", "padding_waste_report",
-        "q21_waiting_supplier", "window_functions_showcase",
-        "zonemap_skip_simulation", "corpus_shingle_novelty",
-        "events_peak_concurrency", "embedding_power_iteration",
-        "bradley_terry_strengths", "contrastive_triplets",
-        "streaming_update_mode_rollup", "hits_authority_hub",
-        "hll_intersection_estimate", "zorder_layout_stats",
-        "dedup_ngram_jaccard", "streaming_late_data_drop",
-        "multimodal_wav_stats", "dedup_simhash", "rfm_customer_segments",
-        "corpus_filter_funnel", "events_hourly_autocorr",
-        "recursive_month_spine", "graph_bfs_hops",
-        "streaming_chained_windows", "cluster_kmeans_embeddings",
-        "text_kneser_ney_bigram_score", "custom_sink_audit_roundtrip",
-        "minhash_jaccard_calibration", "streaming_replay_source_rollup",
-        "minhash_bbit_calibration", "streaming_unattributed_purchases",
-        "corpus_difficulty_curriculum", "dedup_containment",
-        "graph_pagerank_parts", "dedup_connected_components",
-        "naive_bayes_langid", "dedup_keep_best_quality",
-        "checkpoint_commitlog_audit", "graph_kcore_peel",
-        "streaming_semdedup", "streaming_purchase_attribution",
-        "streaming_join_then_windowed_agg", "checkpoint_offsetlog_table",
-        "sql_scripting_showcase", "graph_triangle_stats",
-        "ivf_incremental_assign",
+        "text_fingerprint", "nations_with_rich_customers",
+        "url_functions_showcase", "customers_without_orders",
+        "text_bpe_token_count", "data_freshness_sla",
+        "cube_order_status_priority", "scalar_functions_showcase",
+        "text_token_stats", "datetime_functions_showcase",
+        "bitwise_aggregates_showcase", "split_train_eval",
+        "text_seqlen_histogram", "quota_sample_per_lang",
+        "grouping_sets_revenue", "multimodal_frame_sample",
+        "parameterized_sql_showcase", "multimodal_metadata_scan",
+        "multimodal_resize", "weighted_sample_docs", "dpo_preference_pairs",
+        "gdpr_purge_manifest", "try_functions_showcase",
+        "schema_evolution_merge_read", "arrow_map_embedding_norm",
+        "scd2_customer_merge", "k_anonymity_audit", "rollup_returns",
+        "pipe_sql_priority_stats", "doc_sliding_chunks",
+        "lang_balance_weights", "bronze_decode_errors", "text_pii_redaction",
+        "text_sentiment_lexicon", "corpus_mix_rebalance",
+        "events_json_extract", "events_daily_value_trend",
+        "bpe_fertility_by_lang", "q4_order_priority", "q14_promo_revenue",
+        "benford_digit_audit", "text_quality_score", "kmv_distinct_users",
+        "partitioned_source_pruned_read", "setops_customer_segments",
+        "supplier_return_wilson_rank", "q12_priority_by_linestatus",
+        "profile_hot_orderkeys", "embedding_norm_stats",
+        "lang_temperature_weights", "events_props_templates",
+        "stats_qty_price_corr", "events_hourly_rollup",
+        "lateral_top_customers_per_nation", "null_safe_join_attribution",
+        "execute_immediate_showcase", "q6_forecast_revenue",
+        "q13_customer_distribution", "subject_access_export",
+        "text_language_id", "q1_pricing_summary", "events_funnel_latency",
+        "compaction_bin_packing_plan", "decayed_leaderboard",
+        "pack_sequences_manifest", "cv_fold_manifest",
+        "feature_asof_training_matrix", "events_funnel_view_click_purchase",
+        "collation_group_showcase", "text_vocab_coverage",
+        "top_customers_by_revenue", "window_event_gaps",
+        "percentile_order_prices", "multimodal_stratified_sample",
+        "q15_top_supplier", "events_interval_union_coverage",
+        "jsonl_source_permissive_read", "multimodal_decode_features",
+        "window_customer_order_rank", "small_quantity_revenue",
+        "q10_returned_items", "q22_global_sales_opportunity",
+        "events_holt_forecast", "embedding_int8_quantize",
+        "linkage_blocking_quality", "multimodal_dedup_content_hash",
+        "q9_product_type_profit", "merge_full_cdc", "l_diversity_audit",
+        "csv_source_permissive_read", "snapshot_diff_report",
+        "bronze_decode_roundtrip", "dedup_exact", "pandas_acctbal_zscore",
+        "pandas_scalar_log_price", "q3_shipping_priority",
+        "q7_volume_shipping", "hll_distinct_users", "text_zipf_slope",
+        "events_multi_rollup", "events_transition_matrix",
+        "events_props_variant_decode", "trigram_like_search",
+        "attribution_multi_touch", "events_theilsen_trend",
+        "multimodal_audio_frame_energy", "pandas_grouped_agg_trimmed_mean",
+        "distinct_parts_per_supplier", "q19_disjunctive_revenue",
+        "events_interval_overlap_join", "file_metadata_columns_read",
+        "range_join_price_bands", "score_calibration_report",
+        "unpivot_lineitem_measures", "map_functions_showcase",
+        "change_data_feed_report", "mlm_masking_manifest",
+        "salted_join_supplier_volume", "q11_important_part_value",
+        "lineitem_ship_latency", "sql_udf_showcase", "geo_cell_colocation",
+        "q16_supplier_part_buckets", "events_seasonal_profile",
+        "rate_limiter_backtest", "orphan_file_audit", "q20_heavy_shippers",
+        "dp_noisy_nation_counts", "array_agg_user_profile",
+        "q2_min_cost_supplier", "events_ab_uplift_test",
+        "orc_source_roundtrip", "profile_lineitem_columns",
+        "revenue_trend_ols", "events_ewma_forecast", "xml_decode_roundtrip",
+        "events_psi_value_drift", "q5_local_supplier_volume",
+        "q18_large_volume_customers", "asof_next_touch_latency",
+        "array_set_functions_showcase", "text_rake_keywords",
+        "udtf_word_expand", "medallion_pipeline_rollup",
+        "events_hourly_anomaly", "q8_national_market_share",
+        "heavy_hitter_tokens", "similarity_topk_cosine",
+        "window_range_trailing_hour", "events_session_window_batch",
+        "price_index_laspeyres", "market_concentration_hhi",
+        "text_bm25_search", "snapshot_retention_expiry_plan",
+        "similarity_lsh_neardup", "decontaminate_by_embedding",
+        "incremental_agg_maintenance", "similarity_topk_bucketed",
+        "linkage_fellegi_sunter", "asof_purchase_attribution",
+        "events_cusum_drift", "hll_merge_event_types", "text_top_bigrams",
+        "t_closeness_audit", "sketch_quantile_bins", "events_user_retention",
+        "pivot_user_event_matrix", "aes_roundtrip_audit",
+        "incremental_join_maintenance", "events_growth_accounting",
+        "streaming_dedup_events", "content_defined_chunks",
+        "events_hourly_gapfill", "text_word_pmi", "rag_context_pack",
+        "similarity_topk_binary_rerank", "watermark_sizing_report",
+        "skipgram_negative_samples", "q21_waiting_supplier",
+        "orders_priority_status_chi2", "multimodal_silence_segments",
+        "shard_manifest_balanced", "corpus_token_budget_plan",
+        "session_window_rollup", "scd2_point_in_time_join",
+        "events_ohlc_bars", "forecast_conformal_intervals",
+        "streaming_heavy_hitter_users", "text_repetition_filter",
+        "decision_stump_split_scores", "timeseries_znorm_subsequence_search",
+        "customer_balance_ks_test", "streaming_upsert_latest_state",
+        "streaming_kmv_distinct_users", "events_holtwinters_forecast",
+        "cms_token_counts", "matryoshka_truncation_recall",
+        "array_hof_showcase", "batch_replay_source_slice",
+        "events_sessionize_batch", "customer_spend_gini",
+        "percentile_distributed_exact", "ann_ndcg_truncation",
+        "surrogate_key_assignment", "text_term_proximity_search",
+        "events_hourly_mad_outliers", "events_props_schema_profile",
+        "bloom_filter_membership", "zorder_layout_stats", "join_skew_planner",
+        "basket_part_pairs", "window_functions_showcase",
+        "events_changepoint_binseg", "text_token_entropy", "text_chunk_dedup",
+        "repeated_ngram_spans", "events_alarm_verification",
+        "k_anonymity_generalize", "streaming_available_now_rollup",
+        "corpus_epoch_shuffle_manifest", "corpus_js_divergence",
+        "streaming_hourly_rollup", "embedding_mutual_nn_pairs",
+        "events_peak_concurrency", "graph_link_prediction_suppliers",
+        "dedup_embedding_cosine", "streaming_csv_source_rollup",
+        "orders_survival_km", "events_dau_wau_mau",
+        "abc_customer_classification", "surrogate_key_incremental",
+        "orders_cohort_revenue", "multimodal_wav_stats",
+        "decontaminate_train_shingles", "gopher_quality_rules",
+        "streaming_dedup_within_watermark", "embedding_cluster_label_purity",
+        "vocab_growth_curve", "streaming_union_sources_rollup",
+        "search_hybrid_rrf", "streaming_interval_union_coverage",
+        "hive_source_partition_pruned", "streaming_session_rollup",
+        "join_cardinality_audit", "events_hourly_autocorr",
+        "streaming_topk_types_hourly", "quality_logreg_training",
+        "streaming_static_enrich", "multimodal_ahash_neardup",
+        "corpus_source_datasheet", "fuzzy_join_part_names",
+        "linkage_entity_clusters", "checkpoint_statestore_table",
+        "dedup_survivors", "bpe_learn_merges", "dsir_importance_weights",
+        "embedding_outlier_zscore", "dedup_incremental_delta",
+        "similarity_maxsim_multivector", "streaming_stateful_type_counts",
+        "streaming_value_quantiles", "similarity_topk_ivf",
+        "supplier_pareto_frontier", "bpe_apply_merges",
+        "sketch_user_activity", "dedup_span_mask_manifest",
+        "multimodal_shot_boundaries", "streaming_sink_exactly_once_roundtrip",
+        "graph_modularity_by_brand", "fd_discovery_profile",
+        "embedding_covariance", "udtf_dynamic_ngrams",
+        "zonemap_skip_simulation", "bradley_terry_strengths",
+        "dedup_minhash_lsh", "similarity_topk_pq_adc", "text_tfidf_top_terms",
+        "cogroup_asof_pandas", "bucketed_join_colocated",
+        "text_rolling_fingerprint", "bigram_lm_score",
+        "corpus_shingle_novelty", "data_quality_audit",
+        "linkage_em_parameters", "recursive_month_spine",
+        "embedding_power_iteration", "dedup_edit_distance",
+        "padding_waste_report", "ivf_recall_report",
+        "association_rules_parts", "contrastive_triplets",
+        "streaming_stateful_totals", "dedup_containment",
+        "hll_intersection_estimate", "hits_authority_hub",
+        "fk_inclusion_profile", "kmv_set_ops_event_types",
+        "text_kneser_ney_bigram_score", "streaming_late_data_drop",
+        "orders_open_backlog_daily", "maxmin_fair_allocation",
+        "streaming_hll_distinct_users", "dedup_simhash",
+        "rfm_customer_segments", "ivf_incremental_assign",
+        "streaming_update_mode_rollup", "corpus_difficulty_curriculum",
+        "dedup_ngram_jaccard", "streaming_sliding_rollup",
+        "streaming_chained_windows", "corpus_filter_funnel",
+        "cluster_kmeans_embeddings", "checkpoint_offsetlog_table",
+        "dedup_connected_components", "graph_bfs_hops",
+        "streaming_rate_limiter", "semantic_dedup_semdedup",
+        "minhash_bbit_calibration", "histogram_price_deciles",
+        "minhash_jaccard_calibration", "embedding_pq_codes",
+        "dedup_keep_best_quality", "custom_sink_audit_roundtrip",
+        "checkpoint_commitlog_audit", "events_anomaly_persistence",
+        "naive_bayes_langid", "streaming_semdedup", "graph_kcore_peel",
+        "graph_pagerank_parts", "streaming_join_then_windowed_agg",
+        "streaming_purchase_attribution", "streaming_replay_source_rollup",
+        "streaming_unattributed_purchases", "sql_scripting_showcase",
+        "batch_replay_pruned_scan", "graph_triangle_stats",
+        "blocklist_phrase_filter",
     )
     new_ops_rank = 50.5  # just after the sub-second group (index ~50)
     unchecked = {
