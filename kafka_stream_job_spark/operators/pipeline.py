@@ -283,13 +283,17 @@ def corpus_mix_rebalance(spark: SparkSession, sf_dir: str) -> DataFrame:
 # summation order is pinned and the double result is bit-identical
 # (text_token_entropy pattern; see memory/spark-graft-gotchas).
 #
-# Scale shape (100 TB): counts/totals are partial-agg groupBys; the spine
-# (source pair x vocab) joins counts on the token key — declarative
-# shuffle joins Catalyst plans; nothing is collected. The pair and token
-# spine itself derives from two one-row collect_set aggregates expanded by
-# explode — no cartesian node. Pairs grow as |sources|^2 — sources are a
-# bounded catalog (tens to hundreds), tokens are the unbounded axis and
-# only ever flow through hash joins/aggs.
+# Scale shape (100 TB): counts/totals are partial-agg groupBys; each pair's
+# support is the full-outer join of its two count slices on (pair, token) —
+# tokens, the unbounded axis, only ever flow through hash joins/aggs and
+# are NEVER collected (only the bounded source catalog is; zero terms
+# outside the union support add +0.0 to the fold, an IEEE identity, so
+# the restriction is bit-identical to the oracle's full-vocab spine).
+# Pairs grow as |sources|^2 — sources are a bounded catalog (tens to
+# hundreds). Known bound: the per-pair token-sorted fold materializes one
+# array per pair (the price of a pinned summation order and hence an
+# EXACT oracle); the order-free scale path is integerizing each term to
+# micro-units before a plain SUM, at the cost of a quantized result.
 # ---------------------------------------------------------------------------
 _JS_P_A = "(ca * 1.0 / na)"
 _JS_P_B = "(cb * 1.0 / nb)"
@@ -357,11 +361,17 @@ def corpus_js_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("c")
     )
     totals = counts.groupBy("source").agg(F.sum("c").alias("n"))
-    # pair x vocab spine from two one-row set aggregates — no join nodes
-    sets = counts.agg(
-        F.array_sort(F.collect_set("source")).alias("srcs"),
-        F.array_sort(F.collect_set("token")).alias("vocab"),
-    )
+    # pair spine from a one-row set aggregate over SOURCES only — a
+    # bounded dimension. The vocabulary is NOT collected: a token absent
+    # from both of a pair's sources contributes exactly +0.0 to the
+    # token-sorted fold, and x + 0.0 is an IEEE identity, so restricting
+    # each pair to the UNION of its two sources' token supports (a
+    # full-outer join of the two count slices — tokens stay distributed,
+    # shuffled on (pair, token)) is bit-identical to the full-vocab spine
+    # the DuckDB oracle still materializes. The earlier formulation
+    # collect_set the whole vocabulary into one row — a multi-GB single
+    # value at web scale.
+    sets = counts.agg(F.array_sort(F.collect_set("source")).alias("srcs"))
     pair_expand = F.flatten(
         F.transform(
             F.col("srcs"),
@@ -371,29 +381,19 @@ def corpus_js_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
-    spine = (
-        sets.select(F.explode(pair_expand).alias("p"), "vocab")
-        .select(
-            F.col("p.a").alias("source_a"),
-            F.col("p.b").alias("source_b"),
-            F.explode(F.col("vocab")).alias("token"),
-        )
+    pairs = sets.select(F.explode(pair_expand).alias("p")).select(
+        F.col("p.a").alias("source_a"), F.col("p.b").alias("source_b")
     )
-    ca = counts.select(
-        F.col("source").alias("source_a"),
-        "token",
-        F.col("c").alias("_ca"),
-    )
-    cb = counts.select(
-        F.col("source").alias("source_b"),
-        "token",
-        F.col("c").alias("_cb"),
-    )
+    left = counts.join(
+        F.broadcast(pairs), F.col("source") == F.col("source_a")
+    ).select("source_a", "source_b", "token", F.col("c").alias("_ca"))
+    right = counts.join(
+        F.broadcast(pairs), F.col("source") == F.col("source_b")
+    ).select("source_a", "source_b", "token", F.col("c").alias("_cb"))
     ta = totals.select(F.col("source").alias("source_a"), F.col("n").alias("na"))
     tb = totals.select(F.col("source").alias("source_b"), F.col("n").alias("nb"))
     terms = (
-        spine.join(ca, ["source_a", "token"], "left")
-        .join(cb, ["source_b", "token"], "left")
+        left.join(right, ["source_a", "source_b", "token"], "full")
         .join(ta, "source_a")
         .join(tb, "source_b")
         .select(
@@ -978,8 +978,12 @@ def contrastive_triplets(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("negative_id") != F.col("anchor_id"))
             & (F.col("negative_id") != F.col("positive_id"))
         )
+        # dup_edges is the full near-dup pair set — DATA-scaled, so no
+        # broadcast hint: a forced broadcast of billions of pairs dies at
+        # the 8 GB limit long before 100 TB. AQE may still choose to
+        # broadcast it when it is actually small.
         .join(
-            F.broadcast(dup_edges),
+            dup_edges,
             (F.col("anchor_id") == F.col("e_a"))
             & (F.col("negative_id") == F.col("e_b")),
             "left_anti",
@@ -1038,6 +1042,11 @@ def shard_manifest_balanced(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.count(F.lit(1)).alias("n_docs"),
             F.sum("n_chars").cast("long").alias("total_chars"),
+            # diagnostic column: SUM of ranks grows ~N²/(2·N_SHARDS) and
+            # saturates int64 at ~1.7e10 documents — past that BOTH
+            # engines raise loudly (ANSI / DuckDB overflow), never a
+            # silent divergence; a modular checksum would lift the bound
+            # at the cost of changing the published value.
             F.sum("rnk").cast("long").alias("rank_checksum"),
         )
     )
@@ -1319,6 +1328,9 @@ def corpus_epoch_shuffle_manifest(spark: SparkSession, sf_dir: str) -> DataFrame
             "epoch", ((F.col("rnk") - 1) % N_SHUFFLE_SHARDS).cast("long").alias("shard")
         ).agg(
             F.count(F.lit(1)).cast("long").alias("n_docs"),
+            # diagnostic column: saturates int64 at ~1e10 dense doc ids
+            # per shard-epoch (loud ANSI/DuckDB overflow on both engines,
+            # never silent — the rank_checksum posture)
             F.sum("doc_id").cast("long").alias("sum_doc_id"),
             F.min_by("doc_id", "rnk").cast("long").alias("first_doc"),
         )
@@ -1500,9 +1512,9 @@ def medallion_pipeline_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
         SELECT lang, source,
                CAST(COUNT(*) AS BIGINT) AS n_docs,
-               max_by(doc_id, length(text) * 4294967296 - doc_id)
-                   AS chosen_doc_id,
-               min_by(doc_id, length(text) * 4294967296 + doc_id)
+               (MAX(struct_pack(l := length(text), nid := -doc_id,
+                                id := doc_id))).id AS chosen_doc_id,
+               (MIN(struct_pack(l := length(text), id := doc_id))).id
                    AS rejected_doc_id,
                CAST(MAX(length(text)) AS BIGINT) AS chosen_len,
                CAST(MIN(length(text)) AS BIGINT) AS rejected_len,
@@ -1517,10 +1529,14 @@ def medallion_pipeline_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 def dpo_preference_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     doc_len = F.length("text").cast("long")
-    # unique composite keys: longest-then-smallest-id for chosen,
-    # shortest-then-smallest-id for rejected
-    chosen_key = doc_len * F.lit(4294967296) - F.col("doc_id")
-    rejected_key = doc_len * F.lit(4294967296) + F.col("doc_id")
+    # lexicographic struct keys: longest-then-smallest-id for chosen,
+    # shortest-then-smallest-id for rejected. Structs, not the old
+    # len*2^32 ± doc_id composite — that arithmetic aliases adjacent
+    # lengths once doc_id >= 2^32 (~1e10-doc corpora) and overflows
+    # int64 for >= 2^31-char texts; struct comparison has no such cliff
+    # and orders identically on both engines.
+    chosen_key = F.struct(doc_len.alias("l"), (-F.col("doc_id")).alias("nid"))
+    rejected_key = F.struct(doc_len.alias("l"), F.col("doc_id").alias("id"))
     return (
         docs.groupBy("lang", "source")
         .agg(
@@ -1559,7 +1575,7 @@ _PAD_BATCH = 32
             SELECT doc_id,
                    CAST(len(string_split_regex(TRIM(text), '\s+')) AS BIGINT)
                        AS n_tok
-            FROM documents
+            FROM documents WHERE text IS NOT NULL
         ),
         ranked AS (
             SELECT n_tok,
@@ -1597,7 +1613,12 @@ def padding_waste_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     from kafka_stream_job_spark.operators._portable import idiv
 
     docs = load_table(spark, sf_dir, "documents")
-    lens = docs.select(
+    # NULL text must be filtered on BOTH engines (pack_sequences_manifest
+    # precedent): a NULL n_tok would sort NULLS FIRST in Spark's window
+    # but NULLS LAST in DuckDB's ORDER BY, shifting every length_sorted
+    # batch boundary — a latent cross-engine divergence the ASCII-only
+    # fixtures never exercise.
+    lens = docs.filter(F.col("text").isNotNull()).select(
         "doc_id",
         F.size(F.split(F.trim(F.col("text")), r"\s+"))
         .cast("long")

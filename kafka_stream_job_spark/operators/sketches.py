@@ -208,27 +208,11 @@ def hll_estimate_from_registers(ranks: dict[int, int], m: int = HLL_M) -> float:
 )
 def hll_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     events = load_table(spark, sf_dir, "events")
-    hv = F.conv(
-        F.substring(
-            F.md5(F.concat(F.lit("hll:"), F.col("user_id").cast("string"))), 1, 7
-        ),
-        16,
-        10,
-    ).cast("long")
-    staged = events.select(
-        F.explode(F.array(hv)).alias("hv")  # Generate barrier: hash once
-    ).select(
-        (F.col("hv") % HLL_M).alias("register"),
-        (F.col("hv") / F.lit(HLL_M)).cast("long").alias("w"),
-    )
-    m_rank = F.when(F.col("w") == 0, F.lit(21)).otherwise(
-        F.lit(21) - F.length(F.bin(F.col("w")))
-    )
-    regs = (
-        staged.select("register", m_rank.alias("m_rank"))
-        .groupBy("register")
-        .agg(F.max("m_rank").alias("m_rank"))
-        .select("register", F.expr("1.0 / shiftleft(1, m_rank)").alias("contrib"))
+    # the register construction IS hll_register_ranks — call it instead of
+    # re-implementing (one copy to keep the hash/rank formula in sync with
+    # the streaming twin)
+    regs = hll_register_ranks(events, "user_id").select(
+        "register", F.expr("1.0D / shiftleft(1, m_rank)").alias("contrib")
     )
     folded = regs.agg(
         F.count(F.lit(1)).alias("n_present"),
@@ -361,7 +345,7 @@ def hll_merge_event_types(spark: SparkSession, sf_dir: str) -> DataFrame:
     allregs = regs.unionByName(merged).select(
         "event_type",
         "register",
-        F.expr("1.0 / shiftleft(1, m_rank)").alias("contrib"),
+        F.expr("1.0D / shiftleft(1, m_rank)").alias("contrib"),
     )
     folded = allregs.groupBy("event_type").agg(
         F.count(F.lit(1)).alias("n_present"),
@@ -751,7 +735,7 @@ def hll_intersection_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     def folded(df):
         contribs = df.select(
-            F.expr("1.0 / shiftleft(1, m_rank)").alias("contrib"), "register"
+            F.expr("1.0D / shiftleft(1, m_rank)").alias("contrib"), "register"
         )
         return contribs.agg(
             F.count(F.lit(1)).alias("n_present"),
@@ -1115,14 +1099,17 @@ def bloom_filter_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.array(*[_bf_pos(F.col("custkey"), i) for i in range(BF_K)])
             ).alias("pos")
         )
-        .distinct()
+        # collect_set dedups; a pre-distinct would just add a shuffle
         .agg(F.array_sort(F.collect_set("pos")).alias("bits"))
     )
     probe = (
         cust.select("c_custkey", "c_mktsegment")
         .crossJoin(F.broadcast(bits))
+        # ground-truth join: members is DATA-scaled (~18% of customers),
+        # so it must NOT carry a broadcast hint — only the <=BF_M-bit
+        # array above earns one; AQE picks the join strategy here.
         .join(
-            F.broadcast(members.withColumn("is_member", F.lit(True))),
+            members.withColumn("is_member", F.lit(True)),
             F.col("c_custkey") == F.col("custkey"),
             "left",
         )

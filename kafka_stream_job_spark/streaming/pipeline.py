@@ -2183,7 +2183,7 @@ def _register_streaming_hll() -> None:
             sorted(hll.registers.items()), "register INT, m_rank INT"
         )
         contribs = regs.select(
-            "register", F.expr("1.0 / shiftleft(1, m_rank)").alias("contrib")
+            "register", F.expr("1.0D / shiftleft(1, m_rank)").alias("contrib")
         )
         folded = contribs.agg(
             F.count(F.lit(1)).alias("n_present"),
