@@ -482,11 +482,15 @@ def test_snapshot_diff_full_outer_is_shuffle_join(spark):
 
 def test_contrastive_triplets_no_sort_no_corpus_shuffle_for_sampling(spark):
     """Negative sampling must never global-sort or shuffle the corpus:
-    the bucket map is a broadcast join, exclusions are broadcast
-    anti-joins; no Sort outside the LSH SMJ, no cartesian."""
+    the bucket map is a broadcast join; the dup-edge exclusion is a plain
+    anti join with NO forced broadcast (the pair set is data-scaled — a
+    forced broadcast dies at the 8 GB limit at scale; AQE still
+    broadcasts it at runtime when it is actually small, so the initial
+    plan shows SMJ); no cartesian, no sampling-by-sort."""
     plan = plan_of(spark, "contrastive_triplets")
     assert "CartesianProduct" not in plan
-    assert plan.count("BroadcastHashJoin") >= 2  # reps join + anti join
+    assert plan.count("BroadcastHashJoin") >= 1  # bucket-representative map
+    assert "LeftAnti" in plan  # the dup-edge exclusion is an anti join
     assert "TakeOrderedAndProject" not in plan  # no sampling-by-sort
 
 
@@ -1076,13 +1080,22 @@ def test_compaction_plan_windows_are_partitioned(spark):
 
 
 def test_dpo_pairs_single_aggregation_no_window(spark):
-    """Preference pairing must stay one hash aggregation (max_by/min_by
-    with composite keys) — a per-group sort window would add a data-sized
-    ordering shuffle for nothing."""
+    """Preference pairing must stay ONE aggregation over ONE exchange —
+    a per-group sort window would add a data-sized ordering shuffle for
+    nothing. The struct-keyed max_by/min_by (overflow-safe; no len*2^32
+    cliff) plans a SortAggregate rather than a HashAggregate because
+    struct agg buffers aren't hash-agg compatible — still partial
+    map-side + one hashpartitioning exchange, which is the property that
+    matters at scale."""
     plan = plan_of(spark, "dpo_preference_pairs")
     assert "Window" not in plan
     assert "SortMergeJoin" not in plan and "CartesianProduct" not in plan
-    assert "HashAggregate" in plan or "ObjectHashAggregate" in plan
+    assert (
+        "HashAggregate" in plan
+        or "ObjectHashAggregate" in plan
+        or "SortAggregate" in plan
+    )
+    assert plan.count("Exchange hashpartitioning") == 1
 
 
 def test_fertility_partial_agg_below_exchange(spark):
