@@ -1122,8 +1122,8 @@ def dedup_incremental_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("band_idx", "band_sig"),
     ).localCheckpoint(eager=False)
-    in_bands = banded.join(F.broadcast(incoming_ids), "doc_id", "left_semi")
-    corpus_bands = banded.join(F.broadcast(corpus_ids), "doc_id", "left_semi").select(
+    in_bands = banded.join(incoming_ids, "doc_id", "left_semi")
+    corpus_bands = banded.join(corpus_ids, "doc_id", "left_semi").select(
         F.col("doc_id").alias("c_doc"), "band_idx", "band_sig"
     )
     return (
@@ -1539,10 +1539,16 @@ def fuzzy_join_part_names(spark: SparkSession, sf_dir: str) -> DataFrame:
     a = names
     b = names.select(F.concat("name", F.lit("s")).alias("name"))
 
-    # substring with a column start needs expr; built as a SQL expression
+    # substring with a column start needs expr; built as a SQL expression.
+    # Guarded for names shorter than 3 chars: Spark's sequence(1, len-2)
+    # COUNTS DOWN when len < 3 (e.g. [1, 0, -1]), fabricating junk
+    # trigrams, while DuckDB's range(1, len-1) is empty — a latent
+    # cross-engine divergence the long TPC-H part names never exercise.
     trigs = F.expr(
-        "array_distinct(transform(sequence(1, length(name) - 2),"
+        "CASE WHEN length(name) >= 3 THEN"
+        " array_distinct(transform(sequence(1, length(name) - 2),"
         " i -> substring(name, i, 3)))"
+        " ELSE array() END"
     )
     sides = (
         a.select(F.lit("a").alias("side"), "name", trigs.alias("trigs"))

@@ -838,7 +838,7 @@ def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
     nation = load_table(spark, sf_dir, "nation")
     return (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
         .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
         .groupBy("c_custkey", "c_name", "n_name")
         .agg(
@@ -1251,7 +1251,7 @@ def q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     promo = F.when(F.col("p_type").like("PROMO%"), rev).otherwise(F.lit(0.0))
     return (
-        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        li.join(part, li.l_partkey == part.p_partkey)
         .agg(
             pround(F.lit(100.0) * F.sum(promo) / F.sum(rev), 4).alias(
                 "promo_revenue_pct"
@@ -1377,7 +1377,7 @@ def q18_large_volume_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         big.join(orders, big.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
         .select(
             "c_custkey",
             "c_name",
@@ -1454,7 +1454,7 @@ def events_user_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q19_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
     part = load_table(spark, sf_dir, "part")
-    joined = li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+    joined = li.join(part, li.l_partkey == part.p_partkey)
     arm = lambda brand, s_lo, s_hi, q_lo, q_hi: (  # noqa: E731
         (F.col("p_brand") == brand)
         & F.col("p_size").between(s_lo, s_hi)
@@ -1607,8 +1607,8 @@ def q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
     ) | ((F.col("supp_nation") == "NATION_2") & (F.col("cust_nation") == "NATION_1"))
     return (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
-        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(supp, li.l_suppkey == supp.s_suppkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
         .join(F.broadcast(n1), F.col("s_nationkey") == F.col("n1_key"))
         .join(F.broadcast(n2), F.col("c_nationkey") == F.col("n2_key"))
         .filter(pair)
@@ -1991,7 +1991,7 @@ def q16_supplier_part_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("s_suppkey")
     )
     return (
-        li.join(F.broadcast(bad), li.l_suppkey == bad.s_suppkey, "left_anti")
+        li.join(bad, li.l_suppkey == bad.s_suppkey, "left_anti")
         .join(part, F.col("l_partkey") == part.p_partkey)
         .groupBy("p_brand", "p_type", "p_size")
         .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
@@ -2049,7 +2049,7 @@ def q20_heavy_shippers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("l_suppkey")
     )
     return (
-        supp.join(F.broadcast(qualifying), supp.s_suppkey == qualifying.l_suppkey, "semi")
+        supp.join(qualifying, supp.s_suppkey == qualifying.l_suppkey, "semi")
         .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
         .select("s_name", F.col("n_name").alias("nation"))
     )
@@ -2561,7 +2561,7 @@ def scd2_customer_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         "c_custkey", (F.col("c_acctbal") + 100.0).alias("new_bal")
     )
     merged = customer.select("c_custkey", "c_acctbal").join(
-        F.broadcast(chg), "c_custkey", "left"
+        chg, "c_custkey", "left"
     )
     unchanged = F.array(
         F.struct(
@@ -2826,6 +2826,11 @@ def stats_qty_price_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
     x = F.col("l_quantity").cast("long")
     y = F.round(F.col("l_extendedprice"), 0).cast("long")
+    # int64 range: SUM(y*y) with y~5e4 saturates at ~3e9 rows per group
+    # (~SF 500); past that BOTH engines fail loudly (Spark ANSI sum
+    # overflow / DuckDB HUGEINT->BIGINT cast), never silently — the
+    # rank_checksum posture. The double-promoted scale path would trade
+    # exactness for range.
     m = li.groupBy("l_returnflag").agg(
         F.count(F.lit(1)).alias("n"),
         F.sum(x).alias("sx"),
@@ -3623,6 +3628,11 @@ def revenue_trend_ols(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("x"),
         "y",
     )
+    # int64 range: y is daily revenue cents (SF-scaled), so y*y saturates
+    # int64 around SF~30's daily volumes — loudly on both engines (Spark
+    # ANSI multiply overflow / DuckDB BIGINT overflow), never silently.
+    # The input is ONE row per day (bounded by the time domain), so the
+    # practical exposure is revenue magnitude, not row count.
     m = daily.agg(
         F.count(F.lit(1)).alias("n"),
         F.sum("x").alias("sx"),
@@ -5296,10 +5306,10 @@ def merge_full_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     merged = (
         cust.join(
-            F.broadcast(deletes.withColumn("_del", F.lit(1))), "c_custkey", "left"
+            deletes.withColumn("_del", F.lit(1)), "c_custkey", "left"
         )
         .filter(F.col("_del").isNull())  # WHEN MATCHED ... DELETE wins
-        .join(F.broadcast(updates), "c_custkey", "left")
+        .join(updates, "c_custkey", "left")
         .select(
             "c_custkey",
             "c_nationkey",
@@ -7339,11 +7349,11 @@ def graph_modularity_by_brand(spark: SparkSession, sf_dir: str) -> DataFrame:
     part = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand")
     lab = (
         edges.join(
-            F.broadcast(part.select(F.col("p_partkey").alias("src"), F.col("p_brand").alias("bs"))),
+            part.select(F.col("p_partkey").alias("src"), F.col("p_brand").alias("bs")),
             "src",
         )
         .join(
-            F.broadcast(part.select(F.col("p_partkey").alias("dst"), F.col("p_brand").alias("bd"))),
+            part.select(F.col("p_partkey").alias("dst"), F.col("p_brand").alias("bd")),
             "dst",
         )
     )
@@ -7825,6 +7835,12 @@ def events_changepoint_binseg(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.slice(xs, F.lit(1), t), F.lit(0).cast("long"), lambda a, b: a + b
         )
 
+    # int64 range: the contrast numerator (n*prefix - t*s) squares in long
+    # arithmetic — |.| ~ n*s, so the square saturates int64 once an event
+    # type's total count s reaches ~3e9 at n~1e3 hours; loud on both
+    # engines (Spark ANSI multiply overflow / DuckDB BIGINT overflow),
+    # never silent. Promoting the difference to double before squaring is
+    # the range path, at the cost of >2^53 exactness.
     g = F.transform(
         xs,
         lambda x, i0: F.when(
@@ -11043,7 +11059,7 @@ def market_concentration_hhi(spark: SparkSession, sf_dir: str) -> DataFrame:
     cents = F.round(F.col("o_totalprice") * 100.0, 0).cast("long")
     spend = (
         orders.select(F.col("o_custkey").alias("cust"), cents.alias("c"))
-        .join(F.broadcast(cust), "cust")
+        .join(cust, "cust")
         .groupBy("nation", "cust")
         .agg(F.sum("c").cast("long").alias("cents"))
     )

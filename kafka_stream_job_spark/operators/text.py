@@ -1086,7 +1086,7 @@ def bigram_lm_doc_scores(docs: DataFrame) -> DataFrame:
         )
     )
     return (
-        bg.join(F.broadcast(lp), "bg")
+        bg.join(lp, "bg")
         .groupBy("doc_id")
         .agg(
             F.count(F.lit(1)).alias("n_bigrams"),
