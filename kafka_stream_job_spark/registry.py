@@ -52,9 +52,11 @@ def register(
 
 
 # Names the external driver has verified across rounds — the union of
-# CORRECTNESS_r01.json ∪ r02 ∪ r03 ∪ r04 ∪ r05 ∪ r06 (50 + 45 + 48 + 50 +
-# 47 + 50 fresh = 290 names; r02 re-checked 5 r1 rows, r03 re-checked q22 +
-# sketch_user_activity, r05 re-earned the 3 round-5 _RECHECK rows). The
+# CORRECTNESS_r01.json ∪ r02 ∪ r03 ∪ r04 ∪ r05 ∪ r06 ∪ r07 (50 + 45 + 48 +
+# 50 + 47 + 50 + 47 fresh = 337 names = the full r07 registry; r02
+# re-checked 5 r1 rows, r03 re-checked q22 + sketch_user_activity, r05
+# re-earned the 3 round-5 _RECHECK rows, r07 re-gated the 3 rewritten
+# dedup paths). The
 # driver enumerates only the FIRST 50 registry entries per round, so
 # ``all_specs`` orders the registry never-driver-checked first: a
 # truncated first-N pass then spends its whole budget earning NEW
@@ -199,6 +201,32 @@ _DRIVER_CHECKED = frozenset({
     "surrogate_key_incremental", "text_term_proximity_search",
     "udtf_dynamic_ngrams", "window_functions_showcase",
     "zonemap_skip_simulation",
+    # round 7 additions (CORRECTNESS_r07.json — 47 fresh names plus the 3
+    # deliberate re-gates dedup_exact / dedup_minhash_lsh /
+    # dedup_ngram_jaccard, all green → registry fully driver-verified)
+    "association_rules_parts", "batch_replay_pruned_scan",
+    "blocklist_phrase_filter", "checkpoint_commitlog_audit",
+    "checkpoint_offsetlog_table", "corpus_difficulty_curriculum",
+    "corpus_filter_funnel", "custom_sink_audit_roundtrip",
+    "data_quality_audit", "dedup_containment", "dedup_edit_distance",
+    "dedup_keep_best_quality", "embedding_pq_codes",
+    "events_anomaly_persistence", "fd_discovery_profile",
+    "fk_inclusion_profile", "graph_bfs_hops", "graph_kcore_peel",
+    "graph_pagerank_parts", "graph_triangle_stats",
+    "histogram_price_deciles", "hits_authority_hub",
+    "hll_intersection_estimate", "ivf_incremental_assign",
+    "ivf_recall_report", "kmv_set_ops_event_types",
+    "maxmin_fair_allocation", "minhash_bbit_calibration",
+    "minhash_jaccard_calibration", "multimodal_wav_stats",
+    "naive_bayes_langid", "orders_open_backlog_daily",
+    "rfm_customer_segments", "semantic_dedup_semdedup",
+    "sql_scripting_showcase", "streaming_chained_windows",
+    "streaming_hll_distinct_users", "streaming_join_then_windowed_agg",
+    "streaming_late_data_drop", "streaming_purchase_attribution",
+    "streaming_rate_limiter", "streaming_replay_source_rollup",
+    "streaming_semdedup", "streaming_sliding_rollup",
+    "streaming_unattributed_purchases", "streaming_update_mode_rollup",
+    "text_kneser_ney_bigram_score",
 })
 
 #: Driver-green queries whose BEHAVIOR changed after their last green row:
