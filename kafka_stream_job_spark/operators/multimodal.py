@@ -284,8 +284,17 @@ def decode_wav_real(payload: bytes) -> dict:
         raise ValueError(f"only PCM16 supported, got format={audio_format} bits={bits}")
     if n_channels < 1:
         raise ValueError("channel count must be >= 1")
+    # Loud, never a guess: an odd data-chunk length (half a PCM16
+    # sample) or a sample count indivisible by the channel count (a
+    # partial frame) is a malformed file, not something to truncate.
+    if len(data) % 2 != 0:
+        raise ValueError(f"odd PCM16 data chunk length {len(data)}")
     n_ints = len(data) // 2
-    samples = struct.unpack(f"<{n_ints}h", data[: n_ints * 2])
+    if n_ints % n_channels != 0:
+        raise ValueError(
+            f"{n_ints} samples not divisible by {n_channels} channels"
+        )
+    samples = struct.unpack(f"<{n_ints}h", data)
     sq_sum = 0
     for s in samples:
         sq_sum += s * s

@@ -1506,6 +1506,11 @@ def medallion_pipeline_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 # lang × source vocabulary, not data volume). At real scale the quality
 # key would be a model score column; the pairing plan is unchanged.
 # Groups with a single document cannot form a pair and are dropped.
+# NULL-text docs are excluded on BOTH engines (pack_sequences_manifest
+# precedent): struct(l=NULL, ...) is a non-NULL struct, and Spark
+# orders NULL fields FIRST (smallest) while DuckDB MIN/MAX treat NULLs
+# as greatest — an unfixable cross-engine ordering divergence if NULL
+# texts were allowed to compete for chosen/rejected.
 # ---------------------------------------------------------------------------
 @register(
     "dpo_preference_pairs",
@@ -1521,13 +1526,16 @@ def medallion_pipeline_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
                CAST(MAX(length(text)) - MIN(length(text)) AS BIGINT)
                    AS len_margin
         FROM documents
+        WHERE text IS NOT NULL
         GROUP BY lang, source
         HAVING COUNT(*) >= 2
     """,
     tags=("llm-pipeline", "preference", "dpo", "documents"),
 )
 def dpo_preference_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.col("text").isNotNull()
+    )
     doc_len = F.length("text").cast("long")
     # lexicographic struct keys: longest-then-smallest-id for chosen,
     # shortest-then-smallest-id for rejected. Structs, not the old

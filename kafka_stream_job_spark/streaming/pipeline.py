@@ -2821,6 +2821,68 @@ def stream_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ranked ahead of a has cos(a,b) > τ — the batch semantics verbatim,
 # sharing _SEMDEDUP_ORACLE_SQL.
 # ---------------------------------------------------------------------------
+def semdedup_assign_batches_fn(cent_ids, cent_embs, cent_norms):
+    """The streaming SemDeDup centroid-assignment fold, as a factory so
+    tests can drive the EXACT production numeric path over static data.
+
+    The per-dimension multiply-add loops below are deliberately scalar-
+    for-scalar identical to the JVM sequential fold (`_dot`/`_norm` in
+    operators/similarity.py): one fused multiply-add per dimension in
+    dimension order, no pairwise summation, no BLAS matmul. That bit-level
+    identity is what lets the streaming twin share the batch oracle —
+    `tests/test_streaming.py::test_semdedup_numpy_cosc_bitwise_equals_jvm`
+    asserts it over the fixture embeddings so any numpy/BLAS numeric-path
+    change on a future platform fails loudly instead of silently
+    reordering near-tie prototypes at top-k boundaries.
+    """
+
+    def assign_batches(it):
+        import numpy as np
+        import pandas as pd
+
+        C = np.array(cent_embs, dtype=np.float64)
+        nc = np.array(cent_norms, dtype=np.float64)
+        cid_arr = np.array(cent_ids, dtype=np.int64)
+        for pdf in it:
+            if not len(pdf):
+                continue
+            E = np.array(
+                [np.asarray(v, dtype=np.float64) for v in pdf["embedding"]]
+            )
+            n = len(pdf)
+            # per-dimension multiply-add in dim order == the JVM
+            # sequential fold (_dot/_norm), scalar-for-scalar
+            acc = np.zeros((n, C.shape[0]))
+            for d in range(E.shape[1]):
+                acc = acc + E[:, d : d + 1] * C[:, d]
+            ne = np.zeros(n)
+            for d in range(E.shape[1]):
+                ne = ne + E[:, d] * E[:, d]
+            ne = np.sqrt(ne)
+            cosc = acc / (ne[:, None] * nc[None, :])
+            best = np.argmax(cosc, axis=1)  # ties → lowest cid (sorted)
+            yield pd.DataFrame(
+                {
+                    "vec_id": pdf["vec_id"].astype("int64"),
+                    "cid": cid_arr[best],
+                    "cosc": cosc[np.arange(n), best],
+                }
+            )
+
+    return assign_batches
+
+
+def semdedup_seq_norm(vs: list[float]) -> float:
+    """Sequential-fold L2 norm — same operation order as the JVM
+    ``_norm`` aggregate (one multiply-add per dimension, then sqrt)."""
+    import math
+
+    acc = 0.0
+    for x in vs:
+        acc = acc + x * x
+    return math.sqrt(acc)
+
+
 def _register_streaming_semdedup() -> None:
     import uuid
 
@@ -2841,7 +2903,6 @@ def _register_streaming_semdedup() -> None:
         tags=("streaming", "stateful", "semdedup", "embeddings"),
     )
     def streaming_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
-        import math
         import tempfile
 
         from pyspark.sql import Window
@@ -2853,47 +2914,10 @@ def _register_streaming_semdedup() -> None:
         cent_rows = _semdedup_centroids(emb).orderBy("cid").collect()
         cent_ids = [int(r["cid"]) for r in cent_rows]
         cent_embs = [[float(x) for x in r["cemb"]] for r in cent_rows]
-
-        def _seq_norm(vs: list[float]) -> float:
-            acc = 0.0
-            for x in vs:
-                acc = acc + x * x
-            return math.sqrt(acc)
-
-        cent_norms = [_seq_norm(v) for v in cent_embs]
-
-        def assign_batches(it):
-            import numpy as np
-            import pandas as pd
-
-            C = np.array(cent_embs, dtype=np.float64)
-            nc = np.array(cent_norms, dtype=np.float64)
-            cid_arr = np.array(cent_ids, dtype=np.int64)
-            for pdf in it:
-                if not len(pdf):
-                    continue
-                E = np.array(
-                    [np.asarray(v, dtype=np.float64) for v in pdf["embedding"]]
-                )
-                n = len(pdf)
-                # per-dimension multiply-add in dim order == the JVM
-                # sequential fold (_dot/_norm), scalar-for-scalar
-                acc = np.zeros((n, C.shape[0]))
-                for d in range(E.shape[1]):
-                    acc = acc + E[:, d : d + 1] * C[:, d]
-                ne = np.zeros(n)
-                for d in range(E.shape[1]):
-                    ne = ne + E[:, d] * E[:, d]
-                ne = np.sqrt(ne)
-                cosc = acc / (ne[:, None] * nc[None, :])
-                best = np.argmax(cosc, axis=1)  # ties → lowest cid (sorted)
-                yield pd.DataFrame(
-                    {
-                        "vec_id": pdf["vec_id"].astype("int64"),
-                        "cid": cid_arr[best],
-                        "cosc": cosc[np.arange(n), best],
-                    }
-                )
+        cent_norms = [semdedup_seq_norm(v) for v in cent_embs]
+        assign_batches = semdedup_assign_batches_fn(
+            cent_ids, cent_embs, cent_norms
+        )
 
         def update(key, pdfs, state):
             import pandas as pd

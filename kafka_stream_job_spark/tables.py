@@ -182,17 +182,20 @@ def load_table(
         st.st_mtime_ns,
         st.st_size,
     )
+    # The caller's session may not be ours (the driver passes its own):
+    # pin the two confs correctness depends on BEFORE the cache lookup.
+    # Both are runtime-settable; without nanosAsLong the events scan
+    # throws PARQUET_TYPE_ILLEGAL, and a non-UTC session TZ would skew
+    # every date_trunc/extract vs the DuckDB oracle. The TZ conf in
+    # particular is read at EXECUTION time, not plan time — an external
+    # driver that resets the session TZ between queries would otherwise
+    # execute a cached plan under the wrong zone, so every call (hit or
+    # miss) re-pins.
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     cached = _SCAN_CACHE.get(key)
     if cached is not None:
         return cached
-    # The caller's session may not be ours (the driver passes its own):
-    # pin the two confs correctness depends on. Both are runtime-settable;
-    # without nanosAsLong the events scan throws PARQUET_TYPE_ILLEGAL, and
-    # a non-UTC session TZ would skew every date_trunc/extract vs the
-    # DuckDB oracle. (First load in a session pins them; they are
-    # session-wide, so cache hits need no re-pin.)
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.conf.set("spark.sql.session.timeZone", "UTC")
     df = spark.read.parquet(path)
     if name == "events" and dict(df.dtypes).get("ts") == "bigint":
         df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))

@@ -4566,6 +4566,8 @@ def test_wav_parser_roundtrip(samples, rate, channels, junk):
 
     from kafka_stream_job_spark.operators.multimodal import decode_wav_real
 
+    # whole frames only — the parser (correctly) rejects partial frames
+    samples = samples[: len(samples) // channels * channels]
     # unknown odd-sized chunk before fmt and another after data — the
     # parser must walk (word-aligned), not assume a fixed layout
     pre = b"LIST" + struct.pack("<I", len(junk)) + junk + (b"\x00" if len(junk) & 1 else b"")
@@ -4603,6 +4605,19 @@ def test_wav_parser_rejects_malformed():
     alaw[fmt_at : fmt_at + 2] = struct.pack("<H", 6)
     with _pytest.raises(ValueError):
         decode_wav_real(bytes(alaw))
+    # odd-length data chunk (half a PCM16 sample): must raise, never
+    # silently drop the trailing byte
+    odd = bytearray(_wav_bytes([1, -2, 3], 8000, 1))
+    data_at = bytes(odd).find(b"data")
+    (dsz,) = struct.unpack("<I", odd[data_at + 4 : data_at + 8])
+    odd[data_at + 4 : data_at + 8] = struct.pack("<I", dsz - 1)
+    del odd[data_at + 8 + dsz - 1]  # body now matches the odd size
+    with _pytest.raises(ValueError, match="odd PCM16"):
+        decode_wav_real(bytes(odd))
+    # sample count not divisible by channel count (partial frame): must
+    # raise, never silently drop the partial frame
+    with _pytest.raises(ValueError, match="not divisible"):
+        decode_wav_real(_wav_bytes([1, -2, 3], 8000, 2))
 
 
 # ---------------------------------------------------------------------------

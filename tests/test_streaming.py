@@ -924,3 +924,65 @@ def test_streaming_upsert_state_is_batch_split_independent(spark):
         .collect()
     }
     assert got == want
+
+
+def test_semdedup_numpy_cosc_bitwise_equals_jvm(spark):
+    """The streaming SemDeDup assignment (numpy per-dimension multiply-add
+    in mapInPandas) must be BIT-IDENTICAL to the JVM sequential-fold
+    cosine (`_dot`/`_norm`) — that identity is what lets the streaming
+    twin share the batch oracle. If a numpy/BLAS change on some platform
+    introduces pairwise summation or FMA into this path, near-tie
+    prototypes at top-k boundaries could silently reorder; this test makes
+    that failure loud (r7 advisor item)."""
+    import struct as _struct
+
+    from pyspark.sql import Window
+
+    from kafka_stream_job_spark.operators.similarity import (
+        _dot,
+        _norm,
+        _semdedup_centroids,
+    )
+    from kafka_stream_job_spark.streaming.pipeline import (
+        semdedup_assign_batches_fn,
+        semdedup_seq_norm,
+    )
+
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    cent_rows = _semdedup_centroids(emb).orderBy("cid").collect()
+    cent_ids = [int(r["cid"]) for r in cent_rows]
+    cent_embs = [[float(x) for x in r["cemb"]] for r in cent_rows]
+    cent_norms = [semdedup_seq_norm(v) for v in cent_embs]
+
+    # production numpy path, driven over the same rows as a static DF
+    assign = semdedup_assign_batches_fn(cent_ids, cent_embs, cent_norms)
+    got = {
+        r["vec_id"]: (r["cid"], _struct.pack("<d", r["cosc"]))
+        for r in emb.select("vec_id", "embedding")
+        .mapInPandas(assign, "vec_id long, cid long, cosc double")
+        .collect()
+    }
+
+    # JVM sequential-fold path: same argmax (ties -> lowest cid)
+    cents = _semdedup_centroids(emb)
+    cosc = _dot(F.col("embedding"), F.col("cemb")) / (
+        _norm(F.col("embedding")) * _norm(F.col("cemb"))
+    )
+    w = Window.partitionBy("vec_id").orderBy(
+        F.col("cosc").desc(), F.col("cid").asc()
+    )
+    want = {
+        r["vec_id"]: (r["cid"], _struct.pack("<d", r["cosc"]))
+        for r in emb.crossJoin(F.broadcast(cents))
+        .select("vec_id", "cid", cosc.alias("cosc"))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .collect()
+    }
+    assert set(got) == set(want)
+    diverged = {v: (got[v], want[v]) for v in got if got[v] != want[v]}
+    assert not diverged, (
+        f"{len(diverged)} vec_ids diverge bitwise between the numpy "
+        f"mapInPandas fold and the JVM _dot/_norm cosine; first few: "
+        f"{dict(list(diverged.items())[:3])}"
+    )
