@@ -38,27 +38,72 @@ from kafka_stream_job_spark.registry import register
 from kafka_stream_job_spark.tables import load_table
 
 
+def _rev_cents() -> "F.Column":
+    """Per-line discounted revenue in exact half-up integer CENTS:
+    ``round_half_up(l_extendedprice * (1 - l_discount) to cents)`` as
+    pure int64 arithmetic (price carries exact cents, discount exact
+    percent points). Summing these per-line cents is bit-identical under
+    any partial-aggregation merge order — a raw ``SUM(double)`` then
+    ``ROUND`` sits a half-cent boundary away from flipping a published
+    value at billion-row groups. DuckDB twin (keep term-for-term):
+    ``(CAST(ROUND(l_extendedprice*100.0) AS BIGINT)
+       * (100 - CAST(ROUND(l_discount*100.0) AS BIGINT)) * 2 + 100)//200``.
+    Headroom: ≤ ~1.05e7 cents/line → int64-exact to ~8.7e11 lines/group;
+    ANSI raises loudly past that.
+    """
+    price_c = F.round(F.col("l_extendedprice") * 100.0, 0).cast("long")
+    disc_pct = F.round(F.col("l_discount") * 100.0, 0).cast("long")
+    return idiv(price_c * (F.lit(100) - disc_pct) * 2 + 100, F.lit(200))
+
+
 # ---------------------------------------------------------------------------
 # Q1 — pricing summary (TPC-H Q1 shape): scan-heavy grouped aggregation.
 # Scale: single shuffle over a 2-value×2-value key; partial agg reduces
 # ~all rows map-side. Filter + 7-column projection push into the scan.
+# ARITHMETIC: every money/quantity column is integerized per row (prices
+# carry exact cents, discount/tax exact percent points), the extended
+# terms are rounded to cents PER LINE (invoice-style half-up), and all
+# cross-row reductions are exact integer SUMs — bit-identical under any
+# partial-merge order, which a raw double SUM is not at billion-row
+# groups (a half-cent ROUND boundary away from a value flip). Headroom:
+# per-line cents ≤ ~1.2e7, so an int64 group sum is exact to ~7e11
+# lines/group; past that ANSI mode raises loudly rather than wrapping.
 # ---------------------------------------------------------------------------
 @register(
     "q1_pricing_summary",
     oracle="""
+        WITH c AS (
+            SELECT l_returnflag, l_linestatus,
+                   CAST(ROUND(l_quantity * 100.0) AS BIGINT)      AS qty_c,
+                   CAST(ROUND(l_extendedprice * 100.0) AS BIGINT) AS price_c,
+                   CAST(ROUND(l_discount * 100.0) AS BIGINT)      AS disc_pct,
+                   CAST(ROUND(l_tax * 100.0) AS BIGINT)           AS tax_pct
+            FROM lineitem
+            WHERE l_shipdate <= TIMESTAMP '2000-09-02 00:00:00'
+        ), r AS (
+            SELECT l_returnflag, l_linestatus, qty_c, price_c, disc_pct,
+                   -- per-line half-up cents of price*(1-disc) and
+                   -- price*(1-disc)*(1+tax): exact integer rationals
+                   (price_c * (100 - disc_pct) * 2 + 100) // 200 AS disc_price_c,
+                   (price_c * (100 - disc_pct) * (100 + tax_pct) * 2 + 10000)
+                       // 20000 AS charge_c
+            FROM c
+        )
         SELECT
             l_returnflag,
             l_linestatus,
-            ROUND((SUM(l_quantity)) * 100.0) / 100.0                                        AS sum_qty,
-            ROUND((SUM(l_extendedprice)) * 100.0) / 100.0                                   AS sum_base_price,
-            ROUND((SUM(l_extendedprice * (1 - l_discount))) * 100.0) / 100.0                AS sum_disc_price,
-            ROUND((SUM(l_extendedprice * (1 - l_discount) * (1 + l_tax))) * 100.0) / 100.0  AS sum_charge,
-            ROUND((AVG(l_quantity)) * 100.0) / 100.0                                        AS avg_qty,
-            ROUND((AVG(l_extendedprice)) * 100.0) / 100.0                                   AS avg_price,
-            ROUND((AVG(l_discount)) * 10000.0) / 10000.0                                        AS avg_disc,
-            COUNT(*)                                                         AS count_order
-        FROM lineitem
-        WHERE l_shipdate <= TIMESTAMP '2000-09-02 00:00:00'
+            CAST(SUM(qty_c) AS BIGINT) / 100.0          AS sum_qty,
+            CAST(SUM(price_c) AS BIGINT) / 100.0        AS sum_base_price,
+            CAST(SUM(disc_price_c) AS BIGINT) / 100.0   AS sum_disc_price,
+            CAST(SUM(charge_c) AS BIGINT) / 100.0       AS sum_charge,
+            CAST((CAST(SUM(qty_c) AS BIGINT) * 2 + COUNT(*))
+                 // (2 * COUNT(*)) AS BIGINT) / 100.0   AS avg_qty,
+            CAST((CAST(SUM(price_c) AS BIGINT) * 2 + COUNT(*))
+                 // (2 * COUNT(*)) AS BIGINT) / 100.0   AS avg_price,
+            CAST((CAST(SUM(disc_pct) AS BIGINT) * 200 + COUNT(*))
+                 // (2 * COUNT(*)) AS BIGINT) / 10000.0 AS avg_disc,
+            COUNT(*)                                    AS count_order
+        FROM r
         GROUP BY l_returnflag, l_linestatus
     """,
     tags=("agg", "filter"),
@@ -66,19 +111,29 @@ from kafka_stream_job_spark.tables import load_table
 )
 def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
-    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    qty_c = F.round(F.col("l_quantity") * 100.0, 0).cast("long")
+    price_c = F.round(F.col("l_extendedprice") * 100.0, 0).cast("long")
+    disc_pct = F.round(F.col("l_discount") * 100.0, 0).cast("long")
+    tax_pct = F.round(F.col("l_tax") * 100.0, 0).cast("long")
+    # per-line cents, half-up on non-negative rationals: (a*2+b) div (2b)
+    disc_price_c = idiv(price_c * (F.lit(100) - disc_pct) * 2 + 100, F.lit(200))
+    charge_c = idiv(
+        price_c * (F.lit(100) - disc_pct) * (F.lit(100) + tax_pct) * 2 + 10000,
+        F.lit(20000),
+    )
+    n = F.count(F.lit(1))
     return (
         li.filter(F.col("l_shipdate") <= F.lit("2000-09-02 00:00:00").cast("timestamp"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
-            pround(F.sum("l_quantity"), 2).alias("sum_qty"),
-            pround(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
-            pround(F.sum(disc_price), 2).alias("sum_disc_price"),
-            pround(F.sum(disc_price * (1 + F.col("l_tax"))), 2).alias("sum_charge"),
-            pround(F.avg("l_quantity"), 2).alias("avg_qty"),
-            pround(F.avg("l_extendedprice"), 2).alias("avg_price"),
-            pround(F.avg("l_discount"), 4).alias("avg_disc"),
-            F.count(F.lit(1)).alias("count_order"),
+            (F.sum(qty_c) / 100.0).alias("sum_qty"),
+            (F.sum(price_c) / 100.0).alias("sum_base_price"),
+            (F.sum(disc_price_c) / 100.0).alias("sum_disc_price"),
+            (F.sum(charge_c) / 100.0).alias("sum_charge"),
+            (idiv(F.sum(qty_c) * 2 + n, n * 2) / 100.0).alias("avg_qty"),
+            (idiv(F.sum(price_c) * 2 + n, n * 2) / 100.0).alias("avg_price"),
+            (idiv(F.sum(disc_pct) * 200 + n, n * 2) / 10000.0).alias("avg_disc"),
+            n.alias("count_order"),
         )
     )
 
@@ -95,7 +150,12 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
         WITH ranked AS (
             SELECT
                 l_orderkey,
-                ROUND((SUM(l_extendedprice * (1 - l_discount))) * 100.0) / 100.0 AS revenue,
+                -- exact per-line half-up revenue cents (price carries exact
+                -- cents, discount exact percent points), summed as integers:
+                -- order-free, no double-ROUND boundary at any group size
+                CAST(SUM((CAST(ROUND(l_extendedprice * 100.0) AS BIGINT)
+                          * (100 - CAST(ROUND(l_discount * 100.0) AS BIGINT))
+                          * 2 + 100) // 200) AS BIGINT) / 100.0 AS revenue,
                 CAST(o_orderdate AS DATE)                          AS o_orderdate_d,
                 o_orderpriority
             FROM customer
@@ -123,11 +183,7 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
         orders.join(cust, orders.o_custkey == cust.c_custkey)
         .join(li, li.l_orderkey == orders.o_orderkey)
         .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
-        .agg(
-            pround(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
-                "revenue"
-            )
-        )
+        .agg((F.sum(_rev_cents()) / 100.0).alias("revenue"))
         .select(
             "l_orderkey",
             "revenue",
@@ -813,7 +869,11 @@ def range_join_price_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
             c_custkey,
             c_name,
             n_name,
-            ROUND((SUM(l_extendedprice * (1 - l_discount))) * 100.0) / 100.0 AS revenue
+            -- exact per-line half-up revenue cents summed as integers
+            -- (see q1/q3): order-free at any group size
+            CAST(SUM((CAST(ROUND(l_extendedprice * 100.0) AS BIGINT)
+                      * (100 - CAST(ROUND(l_discount * 100.0) AS BIGINT))
+                      * 2 + 100) // 200) AS BIGINT) / 100.0 AS revenue
         FROM customer
         JOIN orders   ON c_custkey = o_custkey
         JOIN lineitem ON l_orderkey = o_orderkey
@@ -841,11 +901,7 @@ def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(cust, orders.o_custkey == cust.c_custkey)
         .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
         .groupBy("c_custkey", "c_name", "n_name")
-        .agg(
-            pround(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
-                "revenue"
-            )
-        )
+        .agg((F.sum(_rev_cents()) / 100.0).alias("revenue"))
         .orderBy(F.col("revenue").desc(), F.col("c_custkey").asc())
         .limit(20)
     )

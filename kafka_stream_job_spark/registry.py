@@ -74,8 +74,8 @@ _DRIVER_CHECKED = frozenset({
     "text_quality_score", "text_language_id", "text_fingerprint",
     "text_tfidf_top_terms", "text_bpe_token_count", "text_rolling_fingerprint",
     "split_train_eval", "text_top_bigrams", "decontaminate_train_shingles",
-    "quota_sample_per_lang", "pack_sequences_manifest", "q1_pricing_summary",
-    "q3_shipping_priority", "q5_local_supplier_volume",
+    "quota_sample_per_lang", "pack_sequences_manifest",
+    "q5_local_supplier_volume",
     "top_customers_by_revenue", "customers_without_orders",
     "nations_with_rich_customers", "rollup_returns",
     "cube_order_status_priority", "window_customer_order_rank",
@@ -91,7 +91,7 @@ _DRIVER_CHECKED = frozenset({
     "dedup_span_mask_manifest", "doc_sliding_chunks", "embedding_int8_quantize",
     "embedding_outlier_zscore", "events_multi_rollup", "events_user_retention",
     "multimodal_audio_frame_energy", "multimodal_dedup_content_hash",
-    "percentile_order_prices", "pivot_user_event_matrix", "q10_returned_items",
+    "percentile_order_prices", "pivot_user_event_matrix",
     "q12_priority_by_linestatus", "q14_promo_revenue", "q15_top_supplier",
     "q18_large_volume_customers", "q19_disjunctive_revenue", "q4_order_priority",
     "q6_forecast_revenue", "q7_volume_shipping",
@@ -191,7 +191,7 @@ _DRIVER_CHECKED = frozenset({
     "k_anonymity_generalize", "linkage_blocking_quality",
     "linkage_em_parameters", "linkage_entity_clusters",
     "multimodal_ahash_neardup", "multimodal_shot_boundaries",
-    "orders_survival_km", "padding_waste_report", "quality_logreg_training",
+    "orders_survival_km", "padding_waste_report",
     "rate_limiter_backtest", "recursive_month_spine",
     "similarity_maxsim_multivector", "similarity_topk_pq_adc",
     "streaming_available_now_rollup", "streaming_interval_union_coverage",
@@ -232,13 +232,19 @@ _DRIVER_CHECKED = frozenset({
 #: Driver-green queries whose BEHAVIOR changed after their last green row:
 #: deliberately absent from _DRIVER_CHECKED (the hygiene test enforces
 #: they are the only permitted absences) and ordered FIRST so the next
-#: driver pass re-earns their row before anything else. Round 7: empty —
-#: CORRECTNESS_r06's 50 rows were all fresh greens; the round-7 ADVICE
-#: fixes (linkage_blocking_quality overflow headroom, zonemap/anomaly idiv)
-#: are output-identical arithmetic rearrangements, and the one behavior
-#: change (naive_bayes_langid's rational-ILN weights) is to a query the
-#: driver has never checked, so it re-earns through the normal front.
-_RECHECK: tuple[str, ...] = ()
+#: driver pass re-earns their row before anything else. Round 8:
+#: q1/q3/q10 revenue integerized to per-line half-up cents (closes the
+#: half-cent summation-order window the r7 deep review found — published
+#: cents can shift by 0.01), and quality_logreg_training's gradient fold
+#: distributed (per-row micro-unit gradient terms + order-free integer
+#: sums replace the corpus-sized single-row collect_list — trained
+#: weights shift slightly).
+_RECHECK: tuple[str, ...] = (
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q10_returned_items",
+    "quality_logreg_training",
+)
 
 
 def all_specs() -> dict[str, QuerySpec]:
