@@ -1915,37 +1915,53 @@ def corpus_difficulty_curriculum(spark: SparkSession, sf_dir: str) -> DataFrame:
 # LOGISTIC-REGRESSION TRAINING, declaratively — 3 full-batch gradient
 # steps learning P(lang='en') from two text features (stopword ratio,
 # chars-per-token), the quality-classifier shape every corpus pipeline
-# eventually trains. Same engine pattern as embedding_power_iteration:
-# the data-sized stage runs ONCE (per-doc features, bounded by the
-# corpus), then each step is metadata arithmetic — a pinned doc_id-order
-# fold of per-doc gradients against the broadcast weight row. The
-# gradient accumulator is a 3-element DOUBLE list (struct accumulators
-# mis-fold in DuckDB 1.0 — see events_holt_forecast), σ uses exp() under
-# the same libm-portability already proven for ln(), and every report
-# column is pround(6) or exact-integer (training accuracy counts).
+# eventually trains. DISTRIBUTED (r8): features quantize per row to
+# exact micro-units (round-to-integer is the portable round), each GD
+# step is a constant-width aggregate of per-row micro-unit-quantized
+# gradient terms — σ(z)−y and its two feature products, each rounded to
+# 1e-6 per ROW, then summed as int64: bit-identical under ANY
+# partial-aggregation merge order, so the corpus never folds into a
+# single row (the old collect_list fold was this registry's last
+# 100 TB scale-killer — a data-sized array in one executor). Weight
+# updates divide the exact integer sums back to doubles; σ uses exp()
+# (driver-proven portable here; the micro-unit quantization additionally
+# absorbs sub-5e-7 libm drift, with the documented 1-ulp .5-boundary
+# caveat of the NB/DSIR/KN integerizations). Gradient-sum headroom:
+# |term| ≤ ~5e7 micro-units/row → int64-exact to ~1.8e11 docs; ANSI
+# raises loudly past that, never silent.
 # ---------------------------------------------------------------------------
 LOGREG_ITERS = 3
 LOGREG_LR = 2.0
 
 
 def _logreg_feature_sql() -> str:
+    # per-row micro-unit feature quantization: round-to-integer is the
+    # portable round (see operators/_portable.py); f_u/1e6 reconstructs
+    # the identical double on both engines.
     return r"""
         feats AS (
-            SELECT doc_id,
-                   CASE WHEN lang = 'en' THEN CAST(1 AS DOUBLE)
-                        ELSE CAST(0 AS DOUBLE) END AS y,
-                   len(regexp_extract_all(text, '\b(a|the|and|of|to|is)\b'))
-                       * 1.0
-                       / len(string_split_regex(trim(text), '\s+')) AS f1,
-                   length(text) * 1.0
-                       / len(string_split_regex(trim(text), '\s+')) AS f2
+            SELECT CASE WHEN lang = 'en' THEN CAST(1 AS BIGINT)
+                        ELSE CAST(0 AS BIGINT) END AS y,
+                   CAST(ROUND(1000000.0 *
+                       (len(regexp_extract_all(text, '\b(a|the|and|of|to|is)\b'))
+                        * 1.0
+                        / len(string_split_regex(trim(text), '\s+'))))
+                       AS BIGINT) AS f1_u,
+                   CAST(ROUND(1000000.0 *
+                       (length(text) * 1.0
+                        / len(string_split_regex(trim(text), '\s+'))))
+                       AS BIGINT) AS f2_u
             FROM documents
-        ),
-        arr AS (
-            SELECT list({'y': y, 'f1': f1, 'f2': f2} ORDER BY doc_id) AS xs,
-                   CAST(COUNT(*) AS BIGINT) AS n
-            FROM feats
         )"""
+
+
+def _logreg_sigma_sql(w: str) -> str:
+    """σ(z) per row against the 1-row weight relation ``w`` — keep
+    term-for-term identical to the Spark expression."""
+    return (
+        f"1.0 / (1.0 + exp(-({w}.w0 + {w}.w1 * (f1_u / 1000000.0)"
+        f" + {w}.w2 * (f2_u / 1000000.0))))"
+    )
 
 
 def _logreg_oracle() -> str:
@@ -1953,46 +1969,39 @@ def _logreg_oracle() -> str:
         w0 AS (SELECT CAST(0 AS DOUBLE) AS w0, CAST(0 AS DOUBLE) AS w1,
                       CAST(0 AS DOUBLE) AS w2)"""
     for k in range(1, LOGREG_ITERS + 1):
+        sig = _logreg_sigma_sql("w")
         sql += f""",
         g{k} AS (
-            SELECT list_reduce(
-                       list_prepend([CAST(0 AS DOUBLE), CAST(0 AS DOUBLE),
-                                     CAST(0 AS DOUBLE)],
-                           list_transform(a.xs, e ->
-                               [1.0 / (1.0 + exp(-(w.w0 + w.w1 * e.f1
-                                                   + w.w2 * e.f2))) - e.y,
-                                (1.0 / (1.0 + exp(-(w.w0 + w.w1 * e.f1
-                                                    + w.w2 * e.f2))) - e.y)
-                                    * e.f1,
-                                (1.0 / (1.0 + exp(-(w.w0 + w.w1 * e.f1
-                                                    + w.w2 * e.f2))) - e.y)
-                                    * e.f2])),
-                       (acc, g) -> [acc[1] + g[1], acc[2] + g[2],
-                                    acc[3] + g[3]]) AS gr,
-                   a.n AS n, w.w0 AS pw0, w.w1 AS pw1, w.w2 AS pw2
-            FROM arr a, w{k - 1} w
+            -- constant-width aggregate of per-row micro-unit gradient
+            -- terms: order-free exact int64 sums, never a data-sized row
+            SELECT CAST(SUM(CAST(ROUND(1000000.0 * (({sig}) - y)) AS BIGINT))
+                       AS BIGINT) AS s0,
+                   CAST(SUM(CAST(ROUND(1000000.0 * (({sig}) - y)
+                                       * (f1_u / 1000000.0)) AS BIGINT))
+                       AS BIGINT) AS s1,
+                   CAST(SUM(CAST(ROUND(1000000.0 * (({sig}) - y)
+                                       * (f2_u / 1000000.0)) AS BIGINT))
+                       AS BIGINT) AS s2,
+                   CAST(COUNT(*) AS BIGINT) AS n
+            FROM feats, w{k - 1} w
         ),
         w{k} AS (
-            SELECT pw0 - {LOGREG_LR} * gr[1] / n AS w0,
-                   pw1 - {LOGREG_LR} * gr[2] / n AS w1,
-                   pw2 - {LOGREG_LR} * gr[3] / n AS w2
-            FROM g{k}
+            SELECT w.w0 - {LOGREG_LR} * (g.s0 / 1000000.0) / g.n AS w0,
+                   w.w1 - {LOGREG_LR} * (g.s1 / 1000000.0) / g.n AS w1,
+                   w.w2 - {LOGREG_LR} * (g.s2 / 1000000.0) / g.n AS w2
+            FROM g{k} g, w{k - 1} w
         )"""
+    sig = _logreg_sigma_sql("w")
     sql += f"""
-        SELECT ROUND((w.w0) * 1000000.0) / 1000000.0 + 0.0 AS bias,
-               ROUND((w.w1) * 1000000.0) / 1000000.0 + 0.0 AS w_stopword_ratio,
-               ROUND((w.w2) * 1000000.0) / 1000000.0 + 0.0 AS w_chars_per_tok,
-               CAST(list_reduce(
-                   list_prepend(CAST(0 AS BIGINT),
-                       list_transform(a.xs, e ->
-                           CASE WHEN (CASE WHEN 1.0 / (1.0 + exp(-(w.w0
-                                         + w.w1 * e.f1 + w.w2 * e.f2))) > 0.5
-                                      THEN 1.0 ELSE 0.0 END) = e.y
-                                THEN CAST(1 AS BIGINT)
-                                ELSE CAST(0 AS BIGINT) END)),
-                   (acc, x) -> acc + x) AS BIGINT) AS n_correct,
-               a.n AS n_docs
-        FROM w{LOGREG_ITERS} w, arr a
+        SELECT ROUND(MIN(w.w0) * 1000000.0) / 1000000.0 + 0.0 AS bias,
+               ROUND(MIN(w.w1) * 1000000.0) / 1000000.0 + 0.0
+                   AS w_stopword_ratio,
+               ROUND(MIN(w.w2) * 1000000.0) / 1000000.0 + 0.0
+                   AS w_chars_per_tok,
+               CAST(SUM(CASE WHEN (({sig}) > 0.5) = (y = 1)
+                             THEN 1 ELSE 0 END) AS BIGINT) AS n_correct,
+               CAST(COUNT(*) AS BIGINT) AS n_docs
+        FROM feats, w{LOGREG_ITERS} w
     """
     return sql
 
@@ -2005,79 +2014,75 @@ def _logreg_oracle() -> str:
 def quality_logreg_training(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents", rebalance=True)
     toks = F.split(F.trim("text"), r"\s+")
+    # per-row micro-unit feature quantization (round-to-integer = the
+    # portable round); the corpus stays distributed — localCheckpoint
+    # pins the ONE data-sized stage so the 3 GD passes + accuracy pass
+    # re-read it instead of re-tokenizing.
     feats = docs.select(
-        "doc_id",
-        F.when(F.col("lang") == "en", 1.0).otherwise(0.0).cast("double").alias("y"),
-        (
-            F.regexp_count("text", F.lit(r"\b(a|the|and|of|to|is)\b"))
-            * F.lit(1.0)
-            / F.size(toks)
-        ).alias("f1"),
-        (F.length("text") * F.lit(1.0) / F.size(toks)).alias("f2"),
-    )
-    arr = feats.agg(
-        F.transform(
-            F.array_sort(F.collect_list(F.struct("doc_id", "y", "f1", "f2"))),
-            lambda s: F.struct(
-                s["y"].alias("y"), s["f1"].alias("f1"), s["f2"].alias("f2")
+        F.when(F.col("lang") == "en", 1).otherwise(0).cast("long").alias("y"),
+        F.round(
+            F.lit(1e6)
+            * (
+                F.regexp_count("text", F.lit(r"\b(a|the|and|of|to|is)\b"))
+                * F.lit(1.0)
+                / F.size(toks)
             ),
-        ).alias("xs"),
-        F.count(F.lit(1)).cast("long").alias("n"),
-    ).localCheckpoint(eager=False)  # every GD step reads the feature array
+            0,
+        )
+        .cast("long")
+        .alias("f1_u"),
+        F.round(
+            F.lit(1e6) * (F.length("text") * F.lit(1.0) / F.size(toks)), 0
+        )
+        .cast("long")
+        .alias("f2_u"),
+    ).localCheckpoint(eager=False)
     w = spark.range(1).select(
         F.lit(0.0).alias("w0"), F.lit(0.0).alias("w1"), F.lit(0.0).alias("w2")
     )
 
-    def sigma_minus_y(e):
-        z = F.col("w0") + F.col("w1") * e["f1"] + F.col("w2") * e["f2"]
-        return F.lit(1.0) / (F.lit(1.0) + F.exp(-z)) - e["y"]
+    def sigma() -> "F.Column":
+        z = (
+            F.col("w0")
+            + F.col("w1") * (F.col("f1_u") / F.lit(1e6))
+            + F.col("w2") * (F.col("f2_u") / F.lit(1e6))
+        )
+        return F.lit(1.0) / (F.lit(1.0) + F.exp(-z))
+
+    def micro(col: "F.Column") -> "F.Column":
+        return F.round(F.lit(1e6) * col, 0).cast("long")
 
     for _ in range(LOGREG_ITERS):
-        grad = F.aggregate(
-            F.col("xs"),
-            F.array(F.lit(0.0), F.lit(0.0), F.lit(0.0)),
-            lambda acc, e: F.array(
-                F.element_at(acc, 1) + sigma_minus_y(e),
-                F.element_at(acc, 2) + sigma_minus_y(e) * e["f1"],
-                F.element_at(acc, 3) + sigma_minus_y(e) * e["f2"],
-            ),
+        # constant-width aggregate of per-row micro-unit gradient terms:
+        # exact int64 sums, order-free under any partial merge
+        smy = sigma() - F.col("y")
+        g = feats.crossJoin(F.broadcast(w)).agg(
+            F.sum(micro(smy)).alias("s0"),
+            F.sum(micro(smy * (F.col("f1_u") / F.lit(1e6)))).alias("s1"),
+            F.sum(micro(smy * (F.col("f2_u") / F.lit(1e6)))).alias("s2"),
+            F.count(F.lit(1)).cast("long").alias("n"),
         )
-        step = arr.crossJoin(F.broadcast(w)).select(grad.alias("gr"), "n", "w0", "w1", "w2")
-        w = step.select(
-            (F.col("w0") - F.lit(LOGREG_LR) * F.element_at("gr", 1) / F.col("n")).alias("w0"),
-            (F.col("w1") - F.lit(LOGREG_LR) * F.element_at("gr", 2) / F.col("n")).alias("w1"),
-            (F.col("w2") - F.lit(LOGREG_LR) * F.element_at("gr", 3) / F.col("n")).alias("w2"),
+        w = g.crossJoin(F.broadcast(w)).select(
+            (
+                F.col("w0")
+                - F.lit(LOGREG_LR) * (F.col("s0") / F.lit(1e6)) / F.col("n")
+            ).alias("w0"),
+            (
+                F.col("w1")
+                - F.lit(LOGREG_LR) * (F.col("s1") / F.lit(1e6)) / F.col("n")
+            ).alias("w1"),
+            (
+                F.col("w2")
+                - F.lit(LOGREG_LR) * (F.col("s2") / F.lit(1e6)) / F.col("n")
+            ).alias("w2"),
         )
-    pred_correct = F.aggregate(
-        F.col("xs"),
-        F.lit(0).cast("long"),
-        lambda acc, e: acc
-        + F.when(
-            F.when(
-                F.lit(1.0)
-                / (
-                    F.lit(1.0)
-                    + F.exp(
-                        -(
-                            F.col("w0")
-                            + F.col("w1") * e["f1"]
-                            + F.col("w2") * e["f2"]
-                        )
-                    )
-                )
-                > 0.5,
-                1.0,
-            ).otherwise(0.0)
-            == e["y"],
-            F.lit(1).cast("long"),
-        ).otherwise(F.lit(0).cast("long")),
-    )
-    return arr.crossJoin(F.broadcast(w)).select(
-        pround(F.col("w0"), 6).alias("bias"),
-        pround(F.col("w1"), 6).alias("w_stopword_ratio"),
-        pround(F.col("w2"), 6).alias("w_chars_per_tok"),
-        pred_correct.alias("n_correct"),
-        F.col("n").alias("n_docs"),
+    correct = F.when((sigma() > 0.5) == (F.col("y") == 1), 1).otherwise(0)
+    return feats.crossJoin(F.broadcast(w)).agg(
+        pround(F.min("w0"), 6).alias("bias"),
+        pround(F.min("w1"), 6).alias("w_stopword_ratio"),
+        pround(F.min("w2"), 6).alias("w_chars_per_tok"),
+        F.sum(correct).cast("long").alias("n_correct"),
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
     )
 
 
