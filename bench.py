@@ -25,6 +25,15 @@ import os
 import sys
 import time
 
+#: Host-speed reference for ``value_normalized``: the cpu_calib_sec of the
+#: quietest measured run on this class of host (BENCH_r07.json, loadavg<1:
+#: 0.0663 s for 1e5 chained md5). A run on a contended/slower host measures
+#: a larger calib, so value*(REF/measured) deflates its query times back to
+#: reference-host terms; on the reference host the factor is ~1. This makes
+#: the 2x-of-baseline envelope comparable across rounds without requiring
+#: host quiet at measurement time (r7 judge item 7).
+CALIB_REF_SEC = 0.0663
+
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -79,9 +88,13 @@ def main() -> None:
             timings[spec.name] = elapsed if prev is None else min(prev, elapsed)
         passes.append(pass_times)
 
+    calib_after = cpu_calib()
+    # fastest calib = least-contended moment = best host-speed estimate
+    calib = min(calib_before, calib_after)
+    total = round(sum(timings.values()), 3)
     result = {
         "metric": "headline_queries_total_time",
-        "value": round(sum(timings.values()), 3),
+        "value": total,
         "unit": "sec",
         "queries": timings,
         "sf": sf,
@@ -89,7 +102,11 @@ def main() -> None:
         "loadavg_before": load_before,
         "loadavg_after": loadavg(),
         "cpu_calib_sec_before": calib_before,
-        "cpu_calib_sec_after": cpu_calib(),
+        "cpu_calib_sec_after": calib_after,
+        # host-normalized total: deflated to CALIB_REF_SEC-host terms so
+        # cross-round envelope checks don't depend on host quiet
+        "value_normalized": round(total * (CALIB_REF_SEC / calib), 3),
+        "calib_ref_sec": CALIB_REF_SEC,
     }
     print(json.dumps(result))
     spark.stop()
