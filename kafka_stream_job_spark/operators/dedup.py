@@ -1833,3 +1833,728 @@ def corpus_shingle_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("novelty_bp"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# EXACT-SUBSTRING DEDUP (suffix-array complement of MinHash) — the
+# RefinedWeb/Gopher-style check MinHash can't do: literal 32-character
+# runs copied between documents, caught by strided character grams
+# (GRAM_LEN chars every GRAM_STRIDE) so any copied run of >=
+# GRAM_LEN+GRAM_STRIDE-1 chars is guaranteed to produce at least one
+# shared gram. A full suffix array is sequential by construction; the
+# strided-gram relaxation is the distributed form: grams explode inside
+# scan tasks, the first-seen aggregate does map-side partial MIN, and
+# the flag join is gram-keyed — never doc×doc. Report per source:
+# fraction of docs containing any substring first seen in an EARLIER doc.
+# Reference parity: none (SURVEY.md §2.7) — north-star dedup extension.
+# ---------------------------------------------------------------------------
+GRAM_LEN = 32
+GRAM_STRIDE = 16
+
+
+@register(
+    "dedup_exact_substring",
+    oracle=f"""
+        WITH grams AS (
+            SELECT DISTINCT doc_id,
+                   substr(norm, i * {GRAM_STRIDE} + 1, {GRAM_LEN}) AS gram
+            FROM (
+                SELECT doc_id, norm,
+                       UNNEST(range(0,
+                           (length(norm) - {GRAM_LEN}) // {GRAM_STRIDE} + 1))
+                           AS i
+                FROM (SELECT doc_id, {_NORM_SQL} AS norm FROM documents)
+                WHERE length(norm) >= {GRAM_LEN}
+            )
+        ),
+        first_seen AS (
+            SELECT gram, MIN(doc_id) AS first_doc FROM grams GROUP BY gram
+        ),
+        flags AS (
+            SELECT g.doc_id,
+                   MAX(CASE WHEN f.first_doc < g.doc_id
+                            THEN 1 ELSE 0 END) AS flagged
+            FROM grams g JOIN first_seen f USING (gram)
+            GROUP BY g.doc_id
+        )
+        SELECT d.source,
+               CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(f.flagged) AS BIGINT) AS n_flagged,
+               CAST(SUM(f.flagged) AS BIGINT) * 10000
+                   // CAST(COUNT(*) AS BIGINT) AS flagged_bp
+        FROM flags f JOIN documents d USING (doc_id)
+        GROUP BY d.source
+    """,
+    tags=("dedup", "substring", "documents"),
+)
+def dedup_exact_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kafka_stream_job_spark.operators._portable import idiv
+
+    docs = load_table(spark, sf_dir, "documents", rebalance=True)
+    norm = _norm_text()
+    n = F.length(norm)
+    idx = F.sequence(
+        F.lit(0), idiv(n - GRAM_LEN, F.lit(GRAM_STRIDE)).cast("int")
+    )
+    gram_arr = F.transform(
+        idx, lambda i: F.substring(norm, i * GRAM_STRIDE + 1, GRAM_LEN)
+    )
+    grams = (
+        docs.filter(n >= GRAM_LEN)
+        .select("doc_id", F.explode(F.array_distinct(gram_arr)).alias("gram"))
+        .localCheckpoint(eager=False)  # first-seen agg AND flag join read it
+    )
+    first_seen = grams.groupBy("gram").agg(F.min("doc_id").alias("first_doc"))
+    flags = (
+        grams.join(first_seen, "gram")
+        .groupBy("doc_id")
+        .agg(
+            F.max((F.col("first_doc") < F.col("doc_id")).cast("long")).alias(
+                "flagged"
+            )
+        )
+    )
+    return (
+        flags.join(docs.select("doc_id", "source"), "doc_id")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("flagged").cast("long").alias("n_flagged"),
+            idiv(
+                F.sum("flagged").cast("long") * 10000,
+                F.count(F.lit(1)).cast("long"),
+            ).alias("flagged_bp"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# URL-LEVEL DEDUP for web corpora — canonicalize, then exact-dup by
+# canonical URL. The corpus tables carry no URL column, so a
+# deterministic fixture URL is synthesized per document (same spirit as
+# the multimodal payload encoders: the SYNTHESIS is fixture plumbing,
+# the CANONICALIZER is the real operator). Canonical steps, in order:
+# lowercase, strip fragment, strip utm_* tracking queries, drop the
+# default :443 port, drop www., drop the trailing slash — each a single
+# regexp/replace both engines run identically. One hash-aggregate on the
+# canonical string: map-side partials, no skew (URL space is the key).
+# Reference parity: none (SURVEY.md §2.7) — north-star dedup extension.
+# ---------------------------------------------------------------------------
+_URL_SQL = (
+    "('HTTPS://WWW.' || source || '.Example.COM:443/p/'"
+    " || CAST(doc_id % 23 AS VARCHAR)"
+    " || (CASE WHEN doc_id % 3 = 0"
+    "          THEN '/?utm_source=feed&utm_id=' || CAST(doc_id % 7 AS VARCHAR)"
+    "          ELSE '/' END)"
+    " || (CASE WHEN doc_id % 5 = 0 THEN '#section-2' ELSE '' END))"
+)
+
+_CANON_STEPS_SQL = (
+    "regexp_replace(regexp_replace(replace(replace("
+    "regexp_replace(regexp_replace(lower({u}), '#.*$', ''), "
+    "'\\?utm[^#]*$', ''), ':443/', '/'), '://www.', '://'), '/$', ''), "
+    "'^$', '')"
+)
+
+
+def _url_col() -> "F.Column":
+    return F.concat(
+        F.lit("HTTPS://WWW."),
+        F.col("source"),
+        F.lit(".Example.COM:443/p/"),
+        (F.col("doc_id") % 23).cast("string"),
+        F.when(
+            F.col("doc_id") % 3 == 0,
+            F.concat(
+                F.lit("/?utm_source=feed&utm_id="),
+                (F.col("doc_id") % 7).cast("string"),
+            ),
+        ).otherwise(F.lit("/")),
+        F.when(F.col("doc_id") % 5 == 0, F.lit("#section-2")).otherwise(
+            F.lit("")
+        ),
+    )
+
+
+def _canonical_url(u: "F.Column") -> "F.Column":
+    c = F.lower(u)
+    c = F.regexp_replace(c, r"#.*$", "")
+    c = F.regexp_replace(c, r"\?utm[^#]*$", "")
+    c = F.replace(c, F.lit(":443/"), F.lit("/"))
+    c = F.replace(c, F.lit("://www."), F.lit("://"))
+    c = F.regexp_replace(c, r"/$", "")
+    return c
+
+
+@register(
+    "dedup_url_canonical",
+    oracle=f"""
+        WITH canon AS (
+            SELECT doc_id,
+                   {_CANON_STEPS_SQL.format(u=_URL_SQL)} AS canonical_url
+            FROM documents
+        )
+        SELECT canonical_url,
+               CAST(COUNT(*) AS BIGINT) AS n_docs,
+               MIN(doc_id) AS keep_doc_id
+        FROM canon
+        GROUP BY canonical_url
+        HAVING COUNT(*) > 1
+    """,
+    tags=("dedup", "url", "web", "documents"),
+)
+def dedup_url_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.select(
+            _canonical_url(_url_col()).alias("canonical_url"), "doc_id"
+        )
+        .groupBy("canonical_url")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.min("doc_id").alias("keep_doc_id"),
+        )
+        .filter(F.col("n_docs") > 1)
+    )
+
+
+# ---------------------------------------------------------------------------
+# PER-DOMAIN WEB-CORPUS PROFILE — the curation view over the same
+# canonical URLs: per registrable domain, how many pages, how many
+# distinct canonical URLs, and the duplication in basis points — the
+# table a crawl-frontier operator consults to deprioritize mirror-heavy
+# domains. Shape: two nested hash aggregates over bounded keys.
+# ---------------------------------------------------------------------------
+@register(
+    "web_domain_profile",
+    oracle=f"""
+        WITH canon AS (
+            SELECT doc_id,
+                   {_CANON_STEPS_SQL.format(u=_URL_SQL)} AS canonical_url
+            FROM documents
+        ),
+        by_url AS (
+            SELECT regexp_extract(canonical_url, '://([^/]+)', 1) AS domain,
+                   canonical_url, COUNT(*) AS n
+            FROM canon GROUP BY 1, 2
+        )
+        SELECT domain,
+               CAST(SUM(n) AS BIGINT) AS n_pages,
+               CAST(COUNT(*) AS BIGINT) AS n_unique_urls,
+               (CAST(SUM(n) AS BIGINT) - CAST(COUNT(*) AS BIGINT)) * 10000
+                   // CAST(SUM(n) AS BIGINT) AS dup_bp
+        FROM by_url
+        GROUP BY domain
+    """,
+    tags=("dedup", "url", "web", "profile", "documents"),
+)
+def web_domain_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kafka_stream_job_spark.operators._portable import idiv
+
+    docs = load_table(spark, sf_dir, "documents")
+    by_url = (
+        docs.select(_canonical_url(_url_col()).alias("canonical_url"))
+        .groupBy(
+            F.regexp_extract("canonical_url", r"://([^/]+)", 1).alias(
+                "domain"
+            ),
+            "canonical_url",
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    return by_url.groupBy("domain").agg(
+        F.sum("n").cast("long").alias("n_pages"),
+        F.count(F.lit(1)).cast("long").alias("n_unique_urls"),
+        idiv(
+            (F.sum("n").cast("long") - F.count(F.lit(1)).cast("long"))
+            * 10000,
+            F.sum("n").cast("long"),
+        ).alias("dup_bp"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# POSITION-ANCHORED PREFIX DEDUP — the news-wire/syndication check:
+# documents that open with the same first PREFIX_TOKENS tokens are
+# near-certain re-posts even when their tails diverge (chunk dedup is
+# position-free and misses this asymmetry cheaply). One hash-aggregate
+# on the prefix fingerprint; groups spanning >1 source are the
+# syndication signal.
+# ---------------------------------------------------------------------------
+PREFIX_TOKENS = 8
+
+
+@register(
+    "dedup_prefix_collision",
+    oracle=f"""
+        WITH pref AS (
+            SELECT doc_id, source,
+                   md5(array_to_string(
+                       (string_split({_NORM_SQL}, ' '))[1 : {PREFIX_TOKENS}],
+                       ' ')) AS prefix_fp
+            FROM documents
+        )
+        SELECT prefix_fp,
+               CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(COUNT(DISTINCT source) AS BIGINT) AS n_sources,
+               MIN(doc_id) AS keep_doc_id
+        FROM pref
+        GROUP BY prefix_fp
+        HAVING COUNT(*) > 1
+    """,
+    tags=("dedup", "prefix", "documents"),
+)
+def dedup_prefix_collision(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    prefix_fp = F.md5(
+        F.array_join(
+            F.slice(F.split(_norm_text(), " "), 1, PREFIX_TOKENS), " "
+        )
+    )
+    return (
+        docs.select(prefix_fp.alias("prefix_fp"), "doc_id", "source")
+        .groupBy("prefix_fp")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.countDistinct("source").cast("long").alias("n_sources"),
+            F.min("doc_id").alias("keep_doc_id"),
+        )
+        .filter(F.col("n_docs") > 1)
+    )
+
+
+# ---------------------------------------------------------------------------
+# MINHASH BAND-GEOMETRY SWEEP — the (b, r) calibration every LSH rollout
+# runs before committing a geometry: for each banding of the same 16-hash
+# signature (16x1, 8x2, 4x4, 2x8), measure candidate precision/recall
+# against exact shingle Jaccard >= SWEEP_TAU, next to the theoretical
+# S-curve value 1-(1-tau^r)^b. The evaluation universe is the (16,1)
+# candidate set — the most permissive geometry, and a superset of every
+# coarser one (an r-row band match implies each row matches) — so ground
+# truth is computed ONLY on pairs some geometry could ever emit, never
+# all pairs. At 100 TB this runs on a documented sample; the shapes
+# (signature reuse, pair-keyed joins, constant-width config aggregate)
+# are the production ones. Extends minhash_jaccard_calibration.
+# ---------------------------------------------------------------------------
+SWEEP_TAU_PCT = 50  # truth threshold: exact Jaccard >= 0.50
+#: (bands, rows_per_band, round(1e6 * (1-(1-0.5**r)**b))) — theory at tau
+SWEEP_CONFIGS = ((16, 1, 999985), (8, 2, 899887), (4, 4, 227524), (2, 8, 7797))
+
+
+def _sweep_candidate_sql(b: int, r: int) -> str:
+    """Pair-level predicate: some band of geometry (b, r) fully agrees."""
+    bands = []
+    for band in range(b):
+        rows = " AND ".join(
+            f"a{band * r + i} = b{band * r + i}" for i in range(r)
+        )
+        bands.append(f"({rows})")
+    return "(" + " OR ".join(bands) + ")"
+
+
+@register(
+    "dedup_band_sweep_calibration",
+    oracle=f"""
+        WITH shingles AS ({_SHINGLES_SQL}),
+        sigs AS ({_SIGS_SQL}),
+        hash_rows AS (
+            SELECT doc_id, seed, h FROM (
+                SELECT doc_id, {", ".join(f"h{s}" for s in range(NUM_HASHES))}
+                FROM sigs
+            ) UNPIVOT (h FOR seed IN ({", ".join(f"h{s}" for s in range(NUM_HASHES))}))
+        ),
+        universe AS (
+            SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+            FROM hash_rows a JOIN hash_rows b
+              ON a.seed = b.seed AND a.h = b.h AND a.doc_id < b.doc_id
+        ),
+        counts AS (SELECT doc_id, COUNT(*) AS n FROM shingles GROUP BY doc_id),
+        inter AS (
+            SELECT u.doc_a, u.doc_b, COUNT(*) AS n_common
+            FROM universe u
+            JOIN shingles sa ON sa.doc_id = u.doc_a
+            JOIN shingles sb ON sb.doc_id = u.doc_b AND sb.shingle = sa.shingle
+            GROUP BY u.doc_a, u.doc_b
+        ),
+        pairs AS (
+            SELECT u.doc_a, u.doc_b,
+                   {", ".join(f"sa.h{s} AS a{s}, sb.h{s} AS b{s}" for s in range(NUM_HASHES))},
+                   (COALESCE(i.n_common, 0) * 100 >=
+                    {SWEEP_TAU_PCT} * (ca.n + cb.n - COALESCE(i.n_common, 0)))
+                       AS is_true_pair
+            FROM universe u
+            JOIN sigs sa ON sa.doc_id = u.doc_a
+            JOIN sigs sb ON sb.doc_id = u.doc_b
+            JOIN counts ca ON ca.doc_id = u.doc_a
+            JOIN counts cb ON cb.doc_id = u.doc_b
+            LEFT JOIN inter i ON i.doc_a = u.doc_a AND i.doc_b = u.doc_b
+        )
+        {" UNION ALL ".join(f'''
+        SELECT '{b}x{r}' AS config,
+               CAST({b} AS BIGINT) AS bands,
+               CAST({r} AS BIGINT) AS rows_per_band,
+               CAST({theo} AS BIGINT) AS theo_collision_ppm_at_tau,
+               CAST(SUM(CASE WHEN {_sweep_candidate_sql(b, r)}
+                             THEN 1 ELSE 0 END) AS BIGINT) AS n_candidates,
+               CAST(SUM(CASE WHEN is_true_pair THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_truth,
+               CAST(SUM(CASE WHEN {_sweep_candidate_sql(b, r)} AND is_true_pair
+                             THEN 1 ELSE 0 END) AS BIGINT) AS n_tp,
+               CASE WHEN SUM(CASE WHEN {_sweep_candidate_sql(b, r)}
+                                  THEN 1 ELSE 0 END) = 0 THEN CAST(0 AS BIGINT)
+                    ELSE CAST(SUM(CASE WHEN {_sweep_candidate_sql(b, r)}
+                                       AND is_true_pair
+                                  THEN 1 ELSE 0 END) AS BIGINT) * 10000
+                         // CAST(SUM(CASE WHEN {_sweep_candidate_sql(b, r)}
+                                          THEN 1 ELSE 0 END) AS BIGINT)
+               END AS precision_bp,
+               CASE WHEN SUM(CASE WHEN is_true_pair THEN 1 ELSE 0 END) = 0
+                    THEN CAST(0 AS BIGINT)
+                    ELSE CAST(SUM(CASE WHEN {_sweep_candidate_sql(b, r)}
+                                       AND is_true_pair
+                                  THEN 1 ELSE 0 END) AS BIGINT) * 10000
+                         // CAST(SUM(CASE WHEN is_true_pair
+                                          THEN 1 ELSE 0 END) AS BIGINT)
+               END AS recall_bp
+        FROM pairs''' for b, r, theo in SWEEP_CONFIGS)}
+    """,
+    tags=("dedup", "lsh", "calibration", "sweep", "documents"),
+)
+def dedup_band_sweep_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kafka_stream_job_spark.operators._portable import idiv
+
+    docs = load_table(spark, sf_dir, "documents", rebalance=True)
+    sigs = minhash_signatures(spark, sf_dir).localCheckpoint(eager=False)
+    hash_rows = sigs.select(
+        "doc_id",
+        F.explode(
+            F.map_from_arrays(
+                F.array(*[F.lit(s) for s in range(NUM_HASHES)]),
+                F.array(*[F.col(f"h{s}") for s in range(NUM_HASHES)]),
+            )
+        ).alias("seed", "h"),
+    )
+    universe = (
+        hash_rows.alias("a")
+        .hint("merge")
+        .join(
+            hash_rows.alias("b"),
+            (F.col("a.seed") == F.col("b.seed"))
+            & (F.col("a.h") == F.col("b.h"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    sh = _shingles(docs).localCheckpoint(eager=False)
+    counts = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    sha = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
+    shb = sh.select(
+        F.col("doc_id").alias("_sb_doc"), F.col("shingle").alias("_sb_shingle")
+    )
+    inter = (
+        universe.join(sha, "doc_a")
+        .join(
+            shb,
+            (F.col("doc_b") == F.col("_sb_doc"))
+            & (F.col("shingle") == F.col("_sb_shingle")),
+        )
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    sa = sigs.select(
+        F.col("doc_id").alias("doc_a"),
+        *[F.col(f"h{s}").alias(f"a{s}") for s in range(NUM_HASHES)],
+    )
+    sb = sigs.select(
+        F.col("doc_id").alias("doc_b"),
+        *[F.col(f"h{s}").alias(f"b{s}") for s in range(NUM_HASHES)],
+    )
+    ca = counts.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("n_a"))
+    cb = counts.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("n_b"))
+    nc = F.coalesce(F.col("n_common"), F.lit(0))
+    pairs = (
+        universe.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .join(ca, "doc_a")
+        .join(cb, "doc_b")
+        .join(inter, ["doc_a", "doc_b"], "left")
+        .select(
+            *[F.col(f"a{s}") for s in range(NUM_HASHES)],
+            *[F.col(f"b{s}") for s in range(NUM_HASHES)],
+            (
+                nc * 100 >= SWEEP_TAU_PCT * (F.col("n_a") + F.col("n_b") - nc)
+            ).alias("is_true_pair"),
+        )
+        .localCheckpoint(eager=False)  # 4 config aggregates read it
+    )
+    reports = []
+    for b, r, theo in SWEEP_CONFIGS:
+        cand = F.expr(_sweep_candidate_sql(b, r).lower())
+        n_cand = F.sum(F.when(cand, 1).otherwise(0)).cast("long")
+        n_truth = F.sum(F.when(F.col("is_true_pair"), 1).otherwise(0)).cast(
+            "long"
+        )
+        n_tp = F.sum(
+            F.when(cand & F.col("is_true_pair"), 1).otherwise(0)
+        ).cast("long")
+        reports.append(
+            pairs.agg(
+                n_cand.alias("n_candidates"),
+                n_truth.alias("n_truth"),
+                n_tp.alias("n_tp"),
+            ).select(
+                F.lit(f"{b}x{r}").alias("config"),
+                F.lit(b).cast("long").alias("bands"),
+                F.lit(r).cast("long").alias("rows_per_band"),
+                F.lit(theo).cast("long").alias("theo_collision_ppm_at_tau"),
+                "n_candidates",
+                "n_truth",
+                "n_tp",
+                F.when(F.col("n_candidates") == 0, F.lit(0).cast("long"))
+                .otherwise(idiv(F.col("n_tp") * 10000, F.col("n_candidates")))
+                .alias("precision_bp"),
+                F.when(F.col("n_truth") == 0, F.lit(0).cast("long"))
+                .otherwise(idiv(F.col("n_tp") * 10000, F.col("n_truth")))
+                .alias("recall_bp"),
+            )
+        )
+    out = reports[0]
+    for rep in reports[1:]:
+        out = out.unionByName(rep)
+    return out
+
+
+# ---------------------------------------------------------------------------
+# CROSS-LINGUAL CONTAMINATION CHECK — translated/copied passages leak
+# between language buckets (mislabeled language IDs, machine-translated
+# spam): shingles shared by documents of DIFFERENT langs. Shape: the
+# distinct (shingle, lang) projection self-joins on shingle with
+# lang_a < lang_b — per-shingle fanout is bounded by the LANG VOCABULARY
+# (≤ |langs|² pairs per shingle), never by document count, so the join
+# output is |shared shingles| × O(1). Contamination rate is vs the
+# smaller lang's shingle inventory (the bucket most at risk).
+# ---------------------------------------------------------------------------
+@register(
+    "crosslingual_contamination",
+    oracle=f"""
+        WITH shingles AS ({_SHINGLES_SQL}),
+        sl AS (
+            SELECT DISTINCT s.shingle, d.lang
+            FROM shingles s JOIN documents d USING (doc_id)
+        ),
+        totals AS (SELECT lang, COUNT(*) AS n FROM sl GROUP BY lang),
+        shared AS (
+            SELECT a.lang AS lang_a, b.lang AS lang_b,
+                   COUNT(*) AS n_shared_shingles
+            FROM sl a JOIN sl b
+              ON a.shingle = b.shingle AND a.lang < b.lang
+            GROUP BY 1, 2
+        )
+        SELECT s.lang_a, s.lang_b, CAST(s.n_shared_shingles AS BIGINT)
+                   AS n_shared_shingles,
+               CAST(ta.n AS BIGINT) AS n_shingles_a,
+               CAST(tb.n AS BIGINT) AS n_shingles_b,
+               CAST(s.n_shared_shingles AS BIGINT) * 10000
+                   // CAST(least(ta.n, tb.n) AS BIGINT) AS contamination_bp
+        FROM shared s
+        JOIN totals ta ON ta.lang = s.lang_a
+        JOIN totals tb ON tb.lang = s.lang_b
+    """,
+    tags=("dedup", "contamination", "crosslingual", "documents"),
+)
+def crosslingual_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kafka_stream_job_spark.operators._portable import idiv
+
+    docs = load_table(spark, sf_dir, "documents", rebalance=True)
+    sl = (
+        _shingles(docs)
+        .join(docs.select("doc_id", "lang"), "doc_id")
+        .select("shingle", "lang")
+        .distinct()
+        .localCheckpoint(eager=False)  # totals AND the pair join read it
+    )
+    totals = sl.groupBy("lang").agg(F.count(F.lit(1)).alias("n"))
+    shared = (
+        sl.alias("a")
+        .join(
+            sl.alias("b"),
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.lang") < F.col("b.lang")),
+        )
+        .groupBy(
+            F.col("a.lang").alias("lang_a"), F.col("b.lang").alias("lang_b")
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("n_shared_shingles"))
+    )
+    ta = totals.select(F.col("lang").alias("lang_a"), F.col("n").alias("_na"))
+    tb = totals.select(F.col("lang").alias("lang_b"), F.col("n").alias("_nb"))
+    return (
+        shared.join(F.broadcast(ta), "lang_a")
+        .join(F.broadcast(tb), "lang_b")
+        .select(
+            "lang_a",
+            "lang_b",
+            "n_shared_shingles",
+            F.col("_na").cast("long").alias("n_shingles_a"),
+            F.col("_nb").cast("long").alias("n_shingles_b"),
+            idiv(
+                F.col("n_shared_shingles") * 10000,
+                F.least("_na", "_nb").cast("long"),
+            ).alias("contamination_bp"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# CRAWL-FRONTIER BLOOM DEDUP — the incremental web-scale shape: the SEEN
+# corpus (here doc_id % 5 != 0, ~80%) is folded ONCE into a DEDUP_BF_M-bit
+# Bloom filter (constant-size, mergeable, broadcastable); each FRONTIER
+# batch probes the bits instead of joining the full seen set. The report
+# scores the filter against exact ground truth per source: miss rate is
+# structurally zero (no false negatives), the false-positive rate is the
+# price of the constant memory. At 100 TB the seen set never re-joins —
+# only the bit array travels. totals-broadcast exception: the bit set is
+# ≤ DEDUP_BF_M positions by construction.
+# ---------------------------------------------------------------------------
+DEDUP_BF_M = 4096
+DEDUP_BF_K = 3
+
+
+def _frontier_pos(col: "F.Column", i: int) -> "F.Column":
+    return (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit(f"fr{i}:"), col)), 1, 7
+            ),
+            16,
+            10,
+        ).cast("long")
+        % DEDUP_BF_M
+    )
+
+
+def _frontier_pos_sql(expr: str, i: int) -> str:
+    return (
+        f"(('0x' || substr(md5('fr{i}:' || {expr}), 1, 7))::BIGINT"
+        f" % {DEDUP_BF_M})"
+    )
+
+
+@register(
+    "dedup_frontier_bloom",
+    oracle=f"""
+        WITH fp AS (
+            SELECT doc_id, source, md5({_NORM_SQL}) AS fingerprint,
+                   (doc_id % 5 = 0) AS is_frontier
+            FROM documents
+        ),
+        seen AS (SELECT DISTINCT fingerprint FROM fp WHERE NOT is_frontier),
+        bits AS (
+            SELECT DISTINCT
+                   CASE i WHEN 0 THEN {_frontier_pos_sql("fingerprint", 0)}
+                          WHEN 1 THEN {_frontier_pos_sql("fingerprint", 1)}
+                          ELSE {_frontier_pos_sql("fingerprint", 2)} END AS pos
+            FROM seen, (SELECT unnest([0, 1, 2]) AS i)
+        ),
+        probe AS (
+            SELECT f.source,
+                   (f.fingerprint IN (SELECT fingerprint FROM seen))
+                       AS truth_seen,
+                   ({_frontier_pos_sql("f.fingerprint", 0)}
+                        IN (SELECT pos FROM bits)
+                    AND {_frontier_pos_sql("f.fingerprint", 1)}
+                        IN (SELECT pos FROM bits)
+                    AND {_frontier_pos_sql("f.fingerprint", 2)}
+                        IN (SELECT pos FROM bits)) AS bloom_seen
+            FROM fp f WHERE f.is_frontier
+        )
+        SELECT source,
+               CAST(COUNT(*) AS BIGINT) AS n_frontier,
+               CAST(SUM(CASE WHEN truth_seen THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_truth_dup,
+               CAST(SUM(CASE WHEN bloom_seen THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_bloom_hit,
+               CAST(SUM(CASE WHEN bloom_seen AND NOT truth_seen
+                             THEN 1 ELSE 0 END) AS BIGINT) AS n_false_pos,
+               CAST(SUM(CASE WHEN bloom_seen AND NOT truth_seen
+                             THEN 1 ELSE 0 END) AS BIGINT) * 10000
+                   // CAST(COUNT(*) AS BIGINT) AS false_pos_bp
+        FROM probe
+        GROUP BY source
+    """,
+    tags=("dedup", "bloom", "frontier", "web", "documents"),
+)
+def dedup_frontier_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kafka_stream_job_spark.operators._portable import idiv
+
+    docs = load_table(spark, sf_dir, "documents")
+    fp = docs.select(
+        "doc_id",
+        "source",
+        F.md5(_norm_text()).alias("fingerprint"),
+        (F.col("doc_id") % 5 == 0).alias("is_frontier"),
+    )
+    seen = (
+        fp.filter(~F.col("is_frontier")).select("fingerprint").distinct()
+    ).localCheckpoint(eager=False)  # bits AND the truth join read it
+    bits = seen.select(
+        F.explode(
+            F.array(
+                *[
+                    _frontier_pos(F.col("fingerprint"), i)
+                    for i in range(DEDUP_BF_K)
+                ]
+            )
+        ).alias("pos")
+    ).agg(F.array_sort(F.collect_set("pos")).alias("bits"))
+    probe = (
+        fp.filter(F.col("is_frontier"))
+        .crossJoin(F.broadcast(bits))
+        # truth join: seen is DATA-scaled — NO broadcast hint (policy);
+        # AQE picks the strategy while it fits
+        .join(
+            seen.withColumn("truth_seen", F.lit(True)),
+            "fingerprint",
+            "left",
+        )
+        .select(
+            "source",
+            F.coalesce(F.col("truth_seen"), F.lit(False)).alias("truth_seen"),
+            (
+                F.array_contains(
+                    F.col("bits"), _frontier_pos(F.col("fingerprint"), 0)
+                )
+                & F.array_contains(
+                    F.col("bits"), _frontier_pos(F.col("fingerprint"), 1)
+                )
+                & F.array_contains(
+                    F.col("bits"), _frontier_pos(F.col("fingerprint"), 2)
+                )
+            ).alias("bloom_seen"),
+        )
+    )
+    return probe.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_frontier"),
+        F.sum(F.when(F.col("truth_seen"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_truth_dup"),
+        F.sum(F.when(F.col("bloom_seen"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_bloom_hit"),
+        F.sum(F.when(F.col("bloom_seen") & ~F.col("truth_seen"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_false_pos"),
+        idiv(
+            F.sum(
+                F.when(F.col("bloom_seen") & ~F.col("truth_seen"), 1).otherwise(
+                    0
+                )
+            ).cast("long")
+            * 10000,
+            F.count(F.lit(1)).cast("long"),
+        ).alias("false_pos_bp"),
+    )

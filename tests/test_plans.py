@@ -221,6 +221,7 @@ _BOUNDED_GLOBAL_COLLECT_OK = {
     "hll_intersection_estimate",  # 2^HLL_P registers × 3 set slices
     "streaming_hll_distinct_users",  # 2^HLL_P registers, constant
     "bloom_filter_membership",  # set bit positions: BLOOM_M bits
+    "dedup_frontier_bloom",  # set bit positions: DEDUP_BF_M bits
 }
 
 
