@@ -1940,7 +1940,8 @@ def _logreg_feature_sql() -> str:
     # the identical double on both engines.
     return r"""
         feats AS (
-            SELECT CASE WHEN lang = 'en' THEN CAST(1 AS BIGINT)
+            SELECT source,
+                   CASE WHEN lang = 'en' THEN CAST(1 AS BIGINT)
                         ELSE CAST(0 AS BIGINT) END AS y,
                    CAST(ROUND(1000000.0 *
                        (len(regexp_extract_all(text, '\b(a|the|and|of|to|is)\b'))
@@ -1964,8 +1965,11 @@ def _logreg_sigma_sql(w: str) -> str:
     )
 
 
-def _logreg_oracle() -> str:
-    sql = "WITH " + _logreg_feature_sql() + """,
+def _logreg_chain_sql() -> str:
+    """The feats→w0→(g,w)*ITERS CTE chain through the trained weight
+    relation ``w{LOGREG_ITERS}`` — shared by the training report and the
+    inference op so train and apply provably use one weight definition."""
+    sql = _logreg_feature_sql() + """,
         w0 AS (SELECT CAST(0 AS DOUBLE) AS w0, CAST(0 AS DOUBLE) AS w1,
                       CAST(0 AS DOUBLE) AS w2)"""
     for k in range(1, LOGREG_ITERS + 1):
@@ -1991,6 +1995,11 @@ def _logreg_oracle() -> str:
                    w.w2 - {LOGREG_LR} * (g.s2 / 1000000.0) / g.n AS w2
             FROM g{k} g, w{k - 1} w
         )"""
+    return sql
+
+
+def _logreg_oracle() -> str:
+    sql = "WITH " + _logreg_chain_sql()
     sig = _logreg_sigma_sql("w")
     sql += f"""
         SELECT ROUND(MIN(w.w0) * 1000000.0) / 1000000.0 + 0.0 AS bias,
@@ -2012,13 +2021,29 @@ def _logreg_oracle() -> str:
     tags=("llm-pipeline", "ml-training", "logreg", "iterative", "documents"),
 )
 def quality_logreg_training(spark: SparkSession, sf_dir: str) -> DataFrame:
+    feats = _logreg_feats(spark, sf_dir)
+    w = _logreg_fit(spark, feats)
+    correct = F.when(
+        (_logreg_sigma() > 0.5) == (F.col("y") == 1), 1
+    ).otherwise(0)
+    return feats.crossJoin(F.broadcast(w)).agg(
+        pround(F.min("w0"), 6).alias("bias"),
+        pround(F.min("w1"), 6).alias("w_stopword_ratio"),
+        pround(F.min("w2"), 6).alias("w_chars_per_tok"),
+        F.sum(correct).cast("long").alias("n_correct"),
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+    )
+
+
+def _logreg_feats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(source, y, f1_u, f2_u) — per-row micro-unit feature quantization
+    (round-to-integer = the portable round); the corpus stays distributed —
+    localCheckpoint pins the ONE data-sized stage so the GD passes +
+    report passes re-read it instead of re-tokenizing."""
     docs = load_table(spark, sf_dir, "documents", rebalance=True)
     toks = F.split(F.trim("text"), r"\s+")
-    # per-row micro-unit feature quantization (round-to-integer = the
-    # portable round); the corpus stays distributed — localCheckpoint
-    # pins the ONE data-sized stage so the 3 GD passes + accuracy pass
-    # re-read it instead of re-tokenizing.
-    feats = docs.select(
+    return docs.select(
+        "source",
         F.when(F.col("lang") == "en", 1).otherwise(0).cast("long").alias("y"),
         F.round(
             F.lit(1e6)
@@ -2037,25 +2062,33 @@ def quality_logreg_training(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("f2_u"),
     ).localCheckpoint(eager=False)
-    w = spark.range(1).select(
-        F.lit(0.0).alias("w0"), F.lit(0.0).alias("w1"), F.lit(0.0).alias("w2")
-    )
 
-    def sigma() -> "F.Column":
-        z = (
-            F.col("w0")
-            + F.col("w1") * (F.col("f1_u") / F.lit(1e6))
-            + F.col("w2") * (F.col("f2_u") / F.lit(1e6))
-        )
-        return F.lit(1.0) / (F.lit(1.0) + F.exp(-z))
+
+def _logreg_sigma() -> "F.Column":
+    """σ(z) per row against the cross-joined weight columns — keep
+    term-for-term identical to ``_logreg_sigma_sql``."""
+    z = (
+        F.col("w0")
+        + F.col("w1") * (F.col("f1_u") / F.lit(1e6))
+        + F.col("w2") * (F.col("f2_u") / F.lit(1e6))
+    )
+    return F.lit(1.0) / (F.lit(1.0) + F.exp(-z))
+
+
+def _logreg_fit(spark: SparkSession, feats: DataFrame) -> DataFrame:
+    """LOGREG_ITERS full-batch GD steps; returns the 1-row weight
+    DataFrame. Each step is a constant-width aggregate of per-row
+    micro-unit gradient terms: exact int64 sums, order-free under any
+    partial merge — never a data-sized single-row fold."""
 
     def micro(col: "F.Column") -> "F.Column":
         return F.round(F.lit(1e6) * col, 0).cast("long")
 
+    w = spark.range(1).select(
+        F.lit(0.0).alias("w0"), F.lit(0.0).alias("w1"), F.lit(0.0).alias("w2")
+    )
     for _ in range(LOGREG_ITERS):
-        # constant-width aggregate of per-row micro-unit gradient terms:
-        # exact int64 sums, order-free under any partial merge
-        smy = sigma() - F.col("y")
+        smy = _logreg_sigma() - F.col("y")
         g = feats.crossJoin(F.broadcast(w)).agg(
             F.sum(micro(smy)).alias("s0"),
             F.sum(micro(smy * (F.col("f1_u") / F.lit(1e6)))).alias("s1"),
@@ -2076,13 +2109,45 @@ def quality_logreg_training(spark: SparkSession, sf_dir: str) -> DataFrame:
                 - F.lit(LOGREG_LR) * (F.col("s2") / F.lit(1e6)) / F.col("n")
             ).alias("w2"),
         )
-    correct = F.when((sigma() > 0.5) == (F.col("y") == 1), 1).otherwise(0)
-    return feats.crossJoin(F.broadcast(w)).agg(
-        pround(F.min("w0"), 6).alias("bias"),
-        pround(F.min("w1"), 6).alias("w_stopword_ratio"),
-        pround(F.min("w2"), 6).alias("w_chars_per_tok"),
-        F.sum(correct).cast("long").alias("n_correct"),
-        F.count(F.lit(1)).cast("long").alias("n_docs"),
+    return w
+
+
+# ---------------------------------------------------------------------------
+# QUALITY-CLASSIFIER INFERENCE — closes the train→apply loop: the SAME
+# weight definition quality_logreg_training learns (shared CTE chain /
+# shared _logreg_fit) scores every document at scan time, reported as a
+# per-source decile histogram of P(en) with the gold-label count per
+# cell — the table a curation pipeline thresholds to pick its keep-rate.
+# Scale shape: one broadcast of the 1-row weight relation against the
+# distributed feature scan; the histogram is a (source × 10)-key hash
+# aggregate with map-side partials.
+# ---------------------------------------------------------------------------
+@register(
+    "quality_logreg_inference",
+    oracle="WITH " + _logreg_chain_sql() + f"""
+        SELECT f.source,
+               least(CAST(floor(({_logreg_sigma_sql("w")}) * 10.0) AS BIGINT),
+                     9) AS p_decile,
+               CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(f.y) AS BIGINT) AS n_en_gold
+        FROM feats f, w{LOGREG_ITERS} w
+        GROUP BY 1, 2
+    """,
+    tags=("llm-pipeline", "ml-inference", "logreg", "documents"),
+)
+def quality_logreg_inference(spark: SparkSession, sf_dir: str) -> DataFrame:
+    feats = _logreg_feats(spark, sf_dir)
+    w = _logreg_fit(spark, feats)
+    decile = F.least(
+        F.floor(_logreg_sigma() * 10.0).cast("long"), F.lit(9).cast("long")
+    )
+    return (
+        feats.crossJoin(F.broadcast(w))
+        .groupBy("source", decile.alias("p_decile"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("y").cast("long").alias("n_en_gold"),
+        )
     )
 
 
@@ -3448,4 +3513,378 @@ def corpus_source_datasheet(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n_words").cast("long").alias("n_tokens"),
         (F.count(F.lit(1)) - F.countDistinct("fp")).cast("long").alias("n_dup_docs"),
         F.sum(gopher_pass.cast("long")).cast("long").alias("n_gopher_pass"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# READABILITY FEATURES — the three corpus-portable inputs of the classic
+# readability indexes (LIX/Flesch use words-per-sentence too, which this
+# punctuation-free fixture corpus cannot express): average word length
+# in exact centi-chars, long-word (>=7 chars) rate, and monosyllable
+# rate via vowel-group counting. All per-row integer arithmetic summed
+# exactly; one (lang, source)-key hash aggregate.
+# ---------------------------------------------------------------------------
+READABILITY_LONG_CHARS = 7
+
+
+@register(
+    "text_readability_features",
+    oracle=rf"""
+        WITH per_doc AS (
+            SELECT lang, source,
+                   CAST(len(string_split_regex(TRIM(text), '\s+')) AS BIGINT)
+                       AS n_tok,
+                   CAST(length(regexp_replace(text, '\s', '', 'g')) AS BIGINT)
+                       AS n_chars,
+                   CAST(len(list_filter(string_split_regex(TRIM(text), '\s+'),
+                            t -> length(t) >= {READABILITY_LONG_CHARS}))
+                       AS BIGINT) AS n_long,
+                   CAST(len(list_filter(string_split_regex(TRIM(text), '\s+'),
+                            t -> len(regexp_extract_all(t, '[aeiou]+')) = 1))
+                       AS BIGINT) AS n_mono
+            FROM documents
+        )
+        SELECT lang, source,
+               CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(n_chars) AS BIGINT) * 100
+                   // CAST(SUM(n_tok) AS BIGINT) AS avg_word_len_centi,
+               CAST(SUM(n_long) AS BIGINT) * 10000
+                   // CAST(SUM(n_tok) AS BIGINT) AS long_word_bp,
+               CAST(SUM(n_mono) AS BIGINT) * 10000
+                   // CAST(SUM(n_tok) AS BIGINT) AS monosyllable_bp
+        FROM per_doc
+        GROUP BY lang, source
+    """,
+    tags=("text", "readability", "quality", "documents"),
+)
+def text_readability_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.split(F.trim("text"), r"\s+")
+    n_tok = F.size(toks).cast("long")
+    n_chars = F.length(F.regexp_replace("text", r"\s", "")).cast("long")
+    n_long = F.size(
+        F.filter(toks, lambda t: F.length(t) >= READABILITY_LONG_CHARS)
+    ).cast("long")
+    n_mono = F.size(
+        F.filter(toks, lambda t: F.regexp_count(t, F.lit("[aeiou]+")) == 1)
+    ).cast("long")
+    return (
+        docs.select(
+            "lang",
+            "source",
+            n_tok.alias("n_tok"),
+            n_chars.alias("n_chars"),
+            n_long.alias("n_long"),
+            n_mono.alias("n_mono"),
+        )
+        .groupBy("lang", "source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            idiv(F.sum("n_chars").cast("long") * 100, F.sum("n_tok").cast("long"))
+            .alias("avg_word_len_centi"),
+            idiv(F.sum("n_long").cast("long") * 10000, F.sum("n_tok").cast("long"))
+            .alias("long_word_bp"),
+            idiv(F.sum("n_mono").cast("long") * 10000, F.sum("n_tok").cast("long"))
+            .alias("monosyllable_bp"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# UNICODE SCRIPT PROFILE — per-language codepoint-class census (ASCII
+# letters / digits / whitespace / other): the first gate a multilingual
+# pipeline runs to catch script-label mismatches (a 'en' bucket full of
+# non-Latin bytes) before any tokenizer sees the text. Exact integer
+# counts; other = total − the three counted classes, so the four columns
+# always reconcile.
+# ---------------------------------------------------------------------------
+@register(
+    "text_unicode_script_profile",
+    oracle=r"""
+        WITH per_doc AS (
+            SELECT lang,
+                   CAST(length(text) AS BIGINT) AS n_total,
+                   CAST(len(regexp_extract_all(text, '[a-zA-Z]')) AS BIGINT)
+                       AS n_alpha,
+                   CAST(len(regexp_extract_all(text, '[0-9]')) AS BIGINT)
+                       AS n_digit,
+                   CAST(len(regexp_extract_all(text, '\s')) AS BIGINT)
+                       AS n_space
+            FROM documents
+        )
+        SELECT lang,
+               CAST(SUM(n_total) AS BIGINT) AS n_chars,
+               CAST(SUM(n_alpha) AS BIGINT) * 10000
+                   // CAST(SUM(n_total) AS BIGINT) AS alpha_bp,
+               CAST(SUM(n_digit) AS BIGINT) * 10000
+                   // CAST(SUM(n_total) AS BIGINT) AS digit_bp,
+               CAST(SUM(n_space) AS BIGINT) * 10000
+                   // CAST(SUM(n_total) AS BIGINT) AS space_bp,
+               CAST(SUM(n_total - n_alpha - n_digit - n_space) AS BIGINT)
+                   * 10000 // CAST(SUM(n_total) AS BIGINT) AS other_bp
+        FROM per_doc
+        GROUP BY lang
+    """,
+    tags=("text", "unicode", "profile", "documents"),
+)
+def text_unicode_script_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    n_total = F.length("text").cast("long")
+    n_alpha = F.regexp_count("text", F.lit("[a-zA-Z]")).cast("long")
+    n_digit = F.regexp_count("text", F.lit("[0-9]")).cast("long")
+    n_space = F.regexp_count("text", F.lit(r"\s")).cast("long")
+    return (
+        docs.select(
+            "lang",
+            n_total.alias("n_total"),
+            n_alpha.alias("n_alpha"),
+            n_digit.alias("n_digit"),
+            n_space.alias("n_space"),
+        )
+        .groupBy("lang")
+        .agg(
+            F.sum("n_total").cast("long").alias("n_chars"),
+            idiv(F.sum("n_alpha").cast("long") * 10000, F.sum("n_total").cast("long"))
+            .alias("alpha_bp"),
+            idiv(F.sum("n_digit").cast("long") * 10000, F.sum("n_total").cast("long"))
+            .alias("digit_bp"),
+            idiv(F.sum("n_space").cast("long") * 10000, F.sum("n_total").cast("long"))
+            .alias("space_bp"),
+            idiv(
+                F.sum(
+                    F.col("n_total")
+                    - F.col("n_alpha")
+                    - F.col("n_digit")
+                    - F.col("n_space")
+                ).cast("long")
+                * 10000,
+                F.sum("n_total").cast("long"),
+            ).alias("other_bp"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# MOJIBAKE DETECTION — double-encoded UTF-8 markers ('Ã©'-class Latin-1
+# rereads, 'â€™'-class punctuation artifacts) per source. The fixture
+# corpus is clean ASCII, so a deterministic corrupted variant is
+# synthesized for doc_id % 7 == 0 (same fixture-shaping contract as the
+# WAV/URL encoders: the synthesis is plumbing, the DETECTOR — marker
+# regex over any text column — is the operator).
+# ---------------------------------------------------------------------------
+_MOJIBAKE_SUFFIX = " cafÃ© donâ€™t naÃ¯ve"
+_MOJIBAKE_PATTERN = "Ã|â€"
+
+
+@register(
+    "text_mojibake_detect",
+    oracle=f"""
+        WITH corrupted AS (
+            SELECT source,
+                   CASE WHEN doc_id % 7 = 0
+                        THEN text || '{_MOJIBAKE_SUFFIX}' ELSE text END AS t
+            FROM documents
+        ),
+        per_doc AS (
+            SELECT source,
+                   CAST(len(regexp_extract_all(t, '{_MOJIBAKE_PATTERN}'))
+                       AS BIGINT) AS n_markers
+            FROM corrupted
+        )
+        SELECT source,
+               CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(CASE WHEN n_markers > 0 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_mojibake_docs,
+               CAST(SUM(n_markers) AS BIGINT) AS total_markers,
+               CAST(SUM(CASE WHEN n_markers > 0 THEN 1 ELSE 0 END) AS BIGINT)
+                   * 10000 // CAST(COUNT(*) AS BIGINT) AS mojibake_bp
+        FROM per_doc
+        GROUP BY source
+    """,
+    tags=("text", "mojibake", "quality", "documents"),
+)
+def text_mojibake_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    t = F.when(
+        F.col("doc_id") % 7 == 0,
+        F.concat(F.col("text"), F.lit(_MOJIBAKE_SUFFIX)),
+    ).otherwise(F.col("text"))
+    n_markers = F.regexp_count(t, F.lit(_MOJIBAKE_PATTERN)).cast("long")
+    return (
+        docs.select("source", n_markers.alias("n_markers"))
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum(F.when(F.col("n_markers") > 0, 1).otherwise(0))
+            .cast("long")
+            .alias("n_mojibake_docs"),
+            F.sum("n_markers").cast("long").alias("total_markers"),
+            idiv(
+                F.sum(F.when(F.col("n_markers") > 0, 1).otherwise(0)).cast(
+                    "long"
+                )
+                * 10000,
+                F.count(F.lit(1)).cast("long"),
+            ).alias("mojibake_bp"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# LEXICAL DIVERSITY PER SOURCE — corpus-level type/token ratio and hapax
+# rate computed over the SOURCE-wide vocabulary (per-doc TTR lives in
+# text_quality_score; corpus TTR is the boilerplate detector — a source
+# whose million pages share one tiny vocabulary is templated). Shape:
+# one (source, token) hash aggregate — partial map-side counts collapse
+# repeats before the shuffle — then a source-key rollup.
+# ---------------------------------------------------------------------------
+@register(
+    "text_lexical_diversity",
+    oracle=r"""
+        WITH tok AS (
+            SELECT source, UNNEST(string_split_regex(TRIM(LOWER(text)), '\s+'))
+                       AS token
+            FROM documents
+        ),
+        per_type AS (
+            SELECT source, token, COUNT(*) AS n
+            FROM tok GROUP BY source, token
+        )
+        SELECT source,
+               CAST(SUM(n) AS BIGINT) AS n_tokens,
+               CAST(COUNT(*) AS BIGINT) AS n_types,
+               CAST(SUM(CASE WHEN n = 1 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_hapax,
+               CAST(COUNT(*) AS BIGINT) * 10000
+                   // CAST(SUM(n) AS BIGINT) AS ttr_bp,
+               CAST(SUM(CASE WHEN n = 1 THEN 1 ELSE 0 END) AS BIGINT) * 10000
+                   // CAST(COUNT(*) AS BIGINT) AS hapax_bp
+        FROM per_type
+        GROUP BY source
+    """,
+    tags=("text", "diversity", "boilerplate", "documents"),
+)
+def text_lexical_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents", rebalance=True)
+    per_type = (
+        docs.select(
+            "source",
+            F.explode(F.split(F.trim(F.lower("text")), r"\s+")).alias("token"),
+        )
+        .groupBy("source", "token")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    return per_type.groupBy("source").agg(
+        F.sum("n").cast("long").alias("n_tokens"),
+        F.count(F.lit(1)).cast("long").alias("n_types"),
+        F.sum(F.when(F.col("n") == 1, 1).otherwise(0))
+        .cast("long")
+        .alias("n_hapax"),
+        idiv(
+            F.count(F.lit(1)).cast("long") * 10000, F.sum("n").cast("long")
+        ).alias("ttr_bp"),
+        idiv(
+            F.sum(F.when(F.col("n") == 1, 1).otherwise(0)).cast("long")
+            * 10000,
+            F.count(F.lit(1)).cast("long"),
+        ).alias("hapax_bp"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# LANGUAGE-ID PRECISION/RECALL — the eval rollup over text_language_id's
+# confusion cells: per language, tp/fp/fn and precision/recall in basis
+# points. The prediction expression is the SAME one text_language_id
+# registers (shared marker table + tiebreak), so this is the scorecard
+# for that operator, not a second classifier.
+# ---------------------------------------------------------------------------
+@register(
+    "langid_precision_recall",
+    oracle=f"""
+        WITH conf AS ({_langid_case_sql()}),
+        langs AS (SELECT DISTINCT gold_lang AS lang FROM conf),
+        scored AS (
+            SELECT l.lang,
+                   CAST(COALESCE(SUM(CASE WHEN c.gold_lang = l.lang
+                                           AND c.pred_lang = l.lang
+                                          THEN c.n_docs END), 0) AS BIGINT)
+                       AS tp,
+                   CAST(COALESCE(SUM(CASE WHEN c.gold_lang <> l.lang
+                                           AND c.pred_lang = l.lang
+                                          THEN c.n_docs END), 0) AS BIGINT)
+                       AS fp,
+                   CAST(COALESCE(SUM(CASE WHEN c.gold_lang = l.lang
+                                           AND c.pred_lang <> l.lang
+                                          THEN c.n_docs END), 0) AS BIGINT)
+                       AS fn
+            FROM langs l, conf c
+            GROUP BY l.lang
+        )
+        SELECT lang, tp, fp, fn,
+               CASE WHEN tp + fp = 0 THEN CAST(0 AS BIGINT)
+                    ELSE tp * 10000 // (tp + fp) END AS precision_bp,
+               CASE WHEN tp + fn = 0 THEN CAST(0 AS BIGINT)
+                    ELSE tp * 10000 // (tp + fn) END AS recall_bp
+        FROM scored
+    """,
+    tags=("text", "langid", "eval", "documents"),
+)
+def langid_precision_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    conf = text_language_id(spark, sf_dir).localCheckpoint(eager=False)
+    langs = conf.select(F.col("gold_lang").alias("lang")).distinct()
+    scored = (
+        langs.crossJoin(
+            conf.select("gold_lang", "pred_lang", "n_docs")
+        )
+        .groupBy("lang")
+        .agg(
+            F.coalesce(
+                F.sum(
+                    F.when(
+                        (F.col("gold_lang") == F.col("lang"))
+                        & (F.col("pred_lang") == F.col("lang")),
+                        F.col("n_docs"),
+                    )
+                ),
+                F.lit(0),
+            )
+            .cast("long")
+            .alias("tp"),
+            F.coalesce(
+                F.sum(
+                    F.when(
+                        (F.col("gold_lang") != F.col("lang"))
+                        & (F.col("pred_lang") == F.col("lang")),
+                        F.col("n_docs"),
+                    )
+                ),
+                F.lit(0),
+            )
+            .cast("long")
+            .alias("fp"),
+            F.coalesce(
+                F.sum(
+                    F.when(
+                        (F.col("gold_lang") == F.col("lang"))
+                        & (F.col("pred_lang") != F.col("lang")),
+                        F.col("n_docs"),
+                    )
+                ),
+                F.lit(0),
+            )
+            .cast("long")
+            .alias("fn"),
+        )
+    )
+    return scored.select(
+        "lang",
+        "tp",
+        "fp",
+        "fn",
+        F.when((F.col("tp") + F.col("fp")) == 0, F.lit(0).cast("long"))
+        .otherwise(idiv(F.col("tp") * 10000, F.col("tp") + F.col("fp")))
+        .alias("precision_bp"),
+        F.when((F.col("tp") + F.col("fn")) == 0, F.lit(0).cast("long"))
+        .otherwise(idiv(F.col("tp") * 10000, F.col("tp") + F.col("fn")))
+        .alias("recall_bp"),
     )
