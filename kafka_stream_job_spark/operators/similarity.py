@@ -991,9 +991,10 @@ def _ivf_incr_assign(vectors: DataFrame, centroids: DataFrame) -> DataFrame:
     )
 
 
-@register(
-    "ivf_incremental_assign",
-    oracle=f"""
+#: Shared by the batch op and its streaming twin (streaming_ivf_assign):
+#: the streaming state (per-cell counts + exact integer dim sums) drains
+#: to the same per-cell report, so both gates run one oracle definition.
+_IVF_INCR_ORACLE_SQL = f"""
         WITH e AS (
             SELECT vec_id,
                    list_transform(embedding,
@@ -1051,7 +1052,12 @@ def _ivf_incr_assign(vectors: DataFrame, centroids: DataFrame) -> DataFrame:
         FROM drift dr
         LEFT JOIN nb ON nb.cent_id = dr.cent_id
         LEFT JOIN stale st ON st.cent_id = dr.cent_id
-    """,
+"""
+
+
+@register(
+    "ivf_incremental_assign",
+    oracle=_IVF_INCR_ORACLE_SQL,
     tags=("similarity", "ivf", "incremental", "embeddings"),
 )
 def ivf_incremental_assign(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -2122,9 +2122,9 @@ def _logreg_fit(spark: SparkSession, feats: DataFrame) -> DataFrame:
 # distributed feature scan; the histogram is a (source × 10)-key hash
 # aggregate with map-side partials.
 # ---------------------------------------------------------------------------
-@register(
-    "quality_logreg_inference",
-    oracle="WITH " + _logreg_chain_sql() + f"""
+#: Shared by the batch inference op and its streaming monitor twin
+#: (streaming_quality_monitor): same weight chain, same decile histogram.
+_LOGREG_INFER_ORACLE_SQL = "WITH " + _logreg_chain_sql() + f"""
         SELECT f.source,
                least(CAST(floor(({_logreg_sigma_sql("w")}) * 10.0) AS BIGINT),
                      9) AS p_decile,
@@ -2132,7 +2132,12 @@ def _logreg_fit(spark: SparkSession, feats: DataFrame) -> DataFrame:
                CAST(SUM(f.y) AS BIGINT) AS n_en_gold
         FROM feats f, w{LOGREG_ITERS} w
         GROUP BY 1, 2
-    """,
+    """
+
+
+@register(
+    "quality_logreg_inference",
+    oracle=_LOGREG_INFER_ORACLE_SQL,
     tags=("llm-pipeline", "ml-inference", "logreg", "documents"),
 )
 def quality_logreg_inference(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2489,9 +2494,10 @@ def text_sentiment_lexicon(spark: SparkSession, sf_dir: str) -> DataFrame:
 # regexp counts are JVM-side codegen, the shuffle carries one row per
 # language.
 # ---------------------------------------------------------------------------
-@register(
-    "bpe_fertility_by_lang",
-    oracle=r"""
+#: Shared by the batch op and its streaming twin
+#: (streaming_fertility_drift): the streaming state is the same exact
+#: integer sufficient statistics, so both gates run one oracle.
+_FERTILITY_ORACLE_SQL = r"""
         WITH per_doc AS (
             SELECT lang,
                    CAST(regexp_extract_all(text, '[A-Za-z]+').len()
@@ -2513,7 +2519,12 @@ def text_sentiment_lexicon(spark: SparkSession, sf_dir: str) -> DataFrame:
                    AS chars_per_token_bp
         FROM per_doc
         GROUP BY lang
-    """,
+"""
+
+
+@register(
+    "bpe_fertility_by_lang",
+    oracle=_FERTILITY_ORACLE_SQL,
     tags=("text", "tokenizer", "llm-pipeline", "documents"),
 )
 def bpe_fertility_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -3044,3 +3044,473 @@ def _register_streaming_semdedup() -> None:
 
 
 _register_streaming_semdedup()
+
+
+# ---------------------------------------------------------------------------
+# STREAMING IVF MAINTENANCE — the stateful-streaming twin of
+# ivf_incremental_assign (operators/similarity.py), the shape a live ANN
+# index runs: vectors arrive as a stream, each is assigned to its fixed
+# IVF cell statelessly (broadcast codebook, exact integer L2² argmin with
+# the lowest-cent_id tiebreak), and per-cell state maintains EXACTLY the
+# sufficient statistics of the batch maintenance report — member counts
+# (base/delta) and per-dimension EXACT INTEGER sums. Sums and counts are
+# commutative, so the state is ARRIVAL-ORDER-INDEPENDENT by construction:
+# any batch split, any order, same final state. State bound: O(K · DIM)
+# integers — never proportional to the stream.
+#
+# After the drain, the updated centroids derive from the state sums
+# (ROUND(sum/n) — the identical double division the batch op's
+# ROUND(AVG) performs on the same exact integers), and the stale/drift
+# verdicts are one stateless O(Δ·K) broadcast probe against the static
+# table — the same post-hoc verdict discipline as streaming_semdedup
+# (state keeps statistics, embeddings are re-fetched at verdict time).
+# Shares the batch oracle verbatim (_IVF_INCR_ORACLE_SQL).
+# ---------------------------------------------------------------------------
+def _register_streaming_ivf_assign() -> None:
+    import uuid
+
+    from kafka_stream_job_spark.operators._portable import idiv
+    from kafka_stream_job_spark.operators.similarity import (
+        _IVF_INCR_ORACLE_SQL,
+        DIM,
+        _ivf_incr_assign,
+        _ivf_incr_sides,
+        _l2sq,
+    )
+    from kafka_stream_job_spark.registry import register
+
+    @register(
+        "streaming_ivf_assign",
+        oracle=_IVF_INCR_ORACLE_SQL,
+        tags=("streaming", "stateful", "ivf", "incremental", "embeddings"),
+    )
+    def streaming_ivf_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+        import tempfile
+
+        from pyspark.sql.streaming.state import GroupStateTimeout
+
+        base, delta, cents = _ivf_incr_sides(spark, sf_dir)
+        # fixed codebook, K rows to the driver (the O(K·DIM) driver-state
+        # precedent of streaming/kmeans.py), sorted by cent_id so numpy
+        # argmin's first-minimum rule IS the lowest-cent_id tiebreak
+        cent_rows = cents.orderBy("cent_id").collect()
+        cent_ids = [int(r["cent_id"]) for r in cent_rows]
+        cent_embs = [[int(x) for x in r["c_emb"]] for r in cent_rows]
+
+        incr_hash = F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(F.lit("ivfincr:"), F.col("vec_id").cast("string"))
+                ),
+                1,
+                7,
+            ),
+            16,
+            10,
+        ).cast("long")
+        quantized = F.transform(
+            "embedding",
+            lambda x: F.round(x.cast("double") * 10000.0, 0),  # KMEANS_SCALE
+        )
+
+        def assign_batches(it):
+            import numpy as np
+            import pandas as pd
+
+            C = np.array(cent_embs, dtype=np.int64)
+            cid_arr = np.array(cent_ids, dtype=np.int64)
+            for pdf in it:
+                if not len(pdf):
+                    continue
+                E = np.array(
+                    [np.asarray(v, dtype=np.int64) for v in pdf["emb"]]
+                )
+                # exact integer L2² per (vector, cell); argmin returns the
+                # FIRST minimum → lowest cent_id (C sorted by cent_id)
+                d2 = (
+                    (E[:, None, :] - C[None, :, :]).astype(np.int64) ** 2
+                ).sum(axis=2)
+                best = np.argmin(d2, axis=1)
+                yield pd.DataFrame(
+                    {
+                        "cell": cid_arr[best],
+                        "is_delta": pdf["is_delta"].astype("int64"),
+                        "emb": pdf["emb"],
+                    }
+                )
+
+        def update(key, pdfs, state):
+            import numpy as np
+            import pandas as pd
+
+            if state.exists:
+                n_base, n_delta, sums = state.get
+                acc = np.array(sums, dtype=np.int64)
+            else:
+                n_base, n_delta = 0, 0
+                acc = np.zeros(DIM, dtype=np.int64)
+            for pdf in pdfs:
+                for is_d, emb in zip(pdf["is_delta"], pdf["emb"]):
+                    acc += np.asarray(emb, dtype=np.int64)
+                    if int(is_d):
+                        n_delta += 1
+                    else:
+                        n_base += 1
+            state.update((int(n_base), int(n_delta), [int(x) for x in acc]))
+            yield pd.DataFrame(
+                {
+                    "cell": [key[0]],
+                    "n_base": [n_base],
+                    "n_delta": [n_delta],
+                    "n_total": [n_base + n_delta],
+                    "sums": [[int(x) for x in acc]],
+                }
+            )
+
+        emitted_stream = (
+            stream_embeddings(spark, sf_dir)
+            .select(
+                "vec_id",
+                quantized.alias("emb"),
+                (incr_hash % 4 == 0).cast("int").alias("is_delta"),  # IVF_INCR_MOD
+            )
+            .mapInPandas(
+                assign_batches,
+                "cell long, is_delta int, emb array<double>",
+            )
+            .groupBy("cell")
+            .applyInPandasWithState(
+                update,
+                outputStructType=(
+                    "cell long, n_base long, n_delta long, n_total long, "
+                    "sums array<long>"
+                ),
+                stateStructType=(
+                    "n_base long, n_delta long, sums array<long>"
+                ),
+                outputMode="append",
+                timeoutConf=GroupStateTimeout.NoTimeout,
+            )
+        )
+        name = f"stream_ivf_{uuid.uuid4().hex[:8]}"
+        ckpt = tempfile.mkdtemp(prefix="ksj-stream-ivf-")
+        emitted = run_stream_to_memory(spark, emitted_stream, name, ckpt)
+        # final state per cell = emission with max (monotone) n_total
+        stats = (
+            emitted.groupBy("cell")
+            .agg(
+                F.expr(
+                    "max_by(struct(n_base, n_delta, sums), n_total)"
+                ).alias("s")
+            )
+            .select(
+                "cell",
+                F.col("s.n_base").alias("n_base"),
+                F.col("s.n_delta").alias("n_delta"),
+                F.col("s.sums").alias("sums"),
+            )
+            .localCheckpoint(eager=False)  # upd AND the report read it
+        )
+        # updated centroid = ROUND(sum / n) per dim — the identical double
+        # division the batch op's ROUND(AVG(int)) performs
+        n_members = F.col("n_base") + F.col("n_delta")
+        upd = stats.select(
+            F.col("cell").alias("cent_id"),
+            F.transform(
+                "sums",
+                lambda s: F.round(s.cast("double") / n_members, 0),
+            ).alias("c_emb"),
+        ).localCheckpoint(eager=False)  # renew AND drift read it
+        # stateless post-stream verdicts on the static table (the
+        # streaming_semdedup re-fetch discipline): old/new delta cells
+        a_delta = _ivf_incr_assign(delta, cents).localCheckpoint(eager=False)
+        renew = _ivf_incr_assign(a_delta.select("vec_id", "emb"), upd)
+        stale = (
+            a_delta.select("vec_id", F.col("cent_id").alias("old_cell"))
+            .join(
+                renew.select("vec_id", F.col("cent_id").alias("new_cell")),
+                "vec_id",
+            )
+            .groupBy(F.col("old_cell").alias("cent_id"))
+            .agg(
+                F.count(F.lit(1)).cast("long").alias("sn_delta"),
+                F.sum((F.col("new_cell") != F.col("old_cell")).cast("long"))
+                .cast("long")
+                .alias("n_stale"),
+            )
+        )
+        drift = cents.join(
+            upd.select(
+                F.col("cent_id").alias("u_cid"), F.col("c_emb").alias("u_emb")
+            ),
+            F.col("cent_id") == F.col("u_cid"),
+        ).select(
+            "cent_id",
+            _l2sq(F.col("c_emb"), F.col("u_emb")).cast("long").alias("drift_sq"),
+        )
+        return (
+            drift.join(
+                stats.select(
+                    F.col("cell").alias("cent_id"), "n_base", "n_delta"
+                ),
+                "cent_id",
+                "left",
+            )
+            .join(stale, "cent_id", "left")
+            .select(
+                F.col("cent_id").alias("cell"),
+                F.coalesce("n_base", F.lit(0)).cast("long").alias("n_base"),
+                F.coalesce("n_delta", F.lit(0)).cast("long").alias("n_delta"),
+                "drift_sq",
+                F.coalesce("n_stale", F.lit(0)).cast("long").alias("n_stale"),
+                F.when(
+                    F.coalesce(F.col("n_delta"), F.lit(0)) > 0,
+                    idiv(
+                        F.coalesce("n_stale", F.lit(0)) * 10000,
+                        F.col("n_delta"),
+                    ),
+                )
+                .otherwise(0)
+                .cast("long")
+                .alias("stale_bp"),
+            )
+        )
+
+
+_register_streaming_ivf_assign()
+
+
+def stream_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """File-source replay of the documents table as an unbounded stream —
+    same staging discipline as stream_events/stream_embeddings."""
+    src, stage = _stage_stream_source(
+        sf_dir, "documents", "/tmp/ksj_stream_stage_documents"
+    )
+    raw_schema = spark.read.parquet(src).schema
+    return spark.readStream.schema(raw_schema).parquet(stage)
+
+
+# ---------------------------------------------------------------------------
+# STREAMING TOKENIZER-FERTILITY DRIFT MONITOR — the live twin of
+# bpe_fertility_by_lang: documents arrive as a stream, per-language state
+# keeps the exact integer sufficient statistics (doc count, token sum,
+# word sum, char sum — all commutative, so the state is arrival-order-
+# independent by construction; O(|langs|·4) integers total), and every
+# micro-batch emits the RUNNING fertility per language. The emission
+# series IS the drift signal a production monitor alerts on (diff
+# consecutive emissions per lang — a corpus whose incoming fertility
+# shifts is changing tokenizer economics mid-ingest); the converged final
+# emission equals the batch rollup, so the driver gate shares
+# _FERTILITY_ORACLE_SQL verbatim.
+# ---------------------------------------------------------------------------
+def _register_streaming_fertility_drift() -> None:
+    import uuid
+
+    from kafka_stream_job_spark.operators._portable import idiv
+    from kafka_stream_job_spark.operators.text import _FERTILITY_ORACLE_SQL
+    from kafka_stream_job_spark.registry import register
+
+    @register(
+        "streaming_fertility_drift",
+        oracle=_FERTILITY_ORACLE_SQL,
+        tags=("streaming", "stateful", "tokenizer", "drift", "documents"),
+    )
+    def streaming_fertility_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+        import tempfile
+
+        from pyspark.sql.streaming.state import GroupStateTimeout
+
+        n_tokens = (
+            F.regexp_count("text", F.lit(r"[A-Za-z]+"))
+            + F.regexp_count("text", F.lit(r"[0-9]"))
+            + F.regexp_count("text", F.lit(r"[^A-Za-z0-9 ]"))
+        ).cast("long")
+        n_words = F.regexp_count(F.trim(F.col("text")), F.lit(r"[^ ]+")).cast(
+            "long"
+        )
+        per_doc = stream_documents(spark, sf_dir).select(
+            "lang",
+            n_tokens.alias("n_tokens"),
+            n_words.alias("n_words"),
+            F.length("text").cast("long").alias("n_chars"),
+        )
+
+        def update(key, pdfs, state):
+            import pandas as pd
+
+            if state.exists:
+                n_docs, tok, words, chars = state.get
+            else:
+                n_docs = tok = words = chars = 0
+            for pdf in pdfs:
+                n_docs += len(pdf)
+                tok += int(pdf["n_tokens"].sum())
+                words += int(pdf["n_words"].sum())
+                chars += int(pdf["n_chars"].sum())
+            state.update((n_docs, tok, words, chars))
+            yield pd.DataFrame(
+                {
+                    "lang": [key[0]],
+                    "n_docs": [n_docs],
+                    "total_tokens": [tok],
+                    "total_words": [words],
+                    "total_chars": [chars],
+                }
+            )
+
+        emitted_stream = per_doc.groupBy("lang").applyInPandasWithState(
+            update,
+            outputStructType=(
+                "lang string, n_docs long, total_tokens long, "
+                "total_words long, total_chars long"
+            ),
+            stateStructType=(
+                "n_docs long, total_tokens long, total_words long, "
+                "total_chars long"
+            ),
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+        name = f"stream_fertility_{uuid.uuid4().hex[:8]}"
+        ckpt = tempfile.mkdtemp(prefix="ksj-stream-fertility-")
+        emitted = run_stream_to_memory(spark, emitted_stream, name, ckpt)
+        final = (
+            emitted.groupBy("lang")
+            .agg(
+                F.expr(
+                    "max_by(struct(total_tokens, total_words, total_chars),"
+                    " n_docs)"
+                ).alias("s"),
+                F.max("n_docs").alias("n_docs"),
+            )
+            .select(
+                "lang",
+                "n_docs",
+                F.col("s.total_tokens").alias("total_tokens"),
+                F.col("s.total_words").alias("total_words"),
+                F.col("s.total_chars").alias("total_chars"),
+            )
+        )
+        return final.select(
+            "lang",
+            "n_docs",
+            "total_tokens",
+            "total_words",
+            idiv(F.col("total_tokens") * 10000, F.col("total_words")).alias(
+                "fertility_bp"
+            ),
+            idiv(F.col("total_chars") * 10000, F.col("total_tokens")).alias(
+                "chars_per_token_bp"
+            ),
+        )
+
+
+_register_streaming_fertility_drift()
+
+
+# ---------------------------------------------------------------------------
+# STREAMING QUALITY MONITOR — the live twin of quality_logreg_inference:
+# the trained weights (3 doubles, collected once pre-stream — the O(1)
+# driver-state floor of the streaming/kmeans precedent) score every
+# arriving document JVM-side, and per-(source, decile) state keeps exact
+# counts — commutative, arrival-order-independent, bounded by
+# |sources| × 10 cells. The emission series is the production drift
+# alert (a source whose decile mass shifts between emissions is changing
+# quality mid-ingest); the converged final emission equals the batch
+# histogram, sharing _LOGREG_INFER_ORACLE_SQL verbatim.
+# ---------------------------------------------------------------------------
+def _register_streaming_quality_monitor() -> None:
+    import uuid
+
+    from kafka_stream_job_spark.operators.text import (
+        _LOGREG_INFER_ORACLE_SQL,
+        _logreg_feats,
+        _logreg_fit,
+    )
+    from kafka_stream_job_spark.registry import register
+
+    @register(
+        "streaming_quality_monitor",
+        oracle=_LOGREG_INFER_ORACLE_SQL,
+        tags=("streaming", "stateful", "quality", "ml-inference", "documents"),
+    )
+    def streaming_quality_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
+        import tempfile
+
+        from pyspark.sql.streaming.state import GroupStateTimeout
+
+        # train once pre-stream on the static table; 3 doubles of driver
+        # state re-injected as literals (identical doubles → identical σ)
+        wrow = _logreg_fit(spark, _logreg_feats(spark, sf_dir)).collect()[0]
+        w0, w1, w2 = float(wrow["w0"]), float(wrow["w1"]), float(wrow["w2"])
+
+        toks = F.split(F.trim("text"), r"\s+")
+        f1_u = F.round(
+            F.lit(1e6)
+            * (
+                F.regexp_count("text", F.lit(r"\b(a|the|and|of|to|is)\b"))
+                * F.lit(1.0)
+                / F.size(toks)
+            ),
+            0,
+        ).cast("long")
+        f2_u = F.round(
+            F.lit(1e6) * (F.length("text") * F.lit(1.0) / F.size(toks)), 0
+        ).cast("long")
+        z = (
+            F.lit(w0)
+            + F.lit(w1) * (f1_u / F.lit(1e6))
+            + F.lit(w2) * (f2_u / F.lit(1e6))
+        )
+        p = F.lit(1.0) / (F.lit(1.0) + F.exp(-z))
+        scored = stream_documents(spark, sf_dir).select(
+            "source",
+            F.least(F.floor(p * 10.0).cast("long"), F.lit(9).cast("long"))
+            .alias("p_decile"),
+            F.when(F.col("lang") == "en", 1).otherwise(0).cast("long").alias("y"),
+        )
+
+        def update(key, pdfs, state):
+            import pandas as pd
+
+            if state.exists:
+                n_docs, n_en = state.get
+            else:
+                n_docs = n_en = 0
+            for pdf in pdfs:
+                n_docs += len(pdf)
+                n_en += int(pdf["y"].sum())
+            state.update((n_docs, n_en))
+            yield pd.DataFrame(
+                {
+                    "source": [key[0]],
+                    "p_decile": [key[1]],
+                    "n_docs": [n_docs],
+                    "n_en_gold": [n_en],
+                }
+            )
+
+        emitted_stream = scored.groupBy("source", "p_decile").applyInPandasWithState(
+            update,
+            outputStructType=(
+                "source string, p_decile long, n_docs long, n_en_gold long"
+            ),
+            stateStructType="n_docs long, n_en_gold long",
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+        name = f"stream_quality_{uuid.uuid4().hex[:8]}"
+        ckpt = tempfile.mkdtemp(prefix="ksj-stream-quality-")
+        emitted = run_stream_to_memory(spark, emitted_stream, name, ckpt)
+        return (
+            emitted.groupBy("source", "p_decile")
+            .agg(
+                F.max("n_docs").cast("long").alias("n_docs"),
+                F.expr("max_by(n_en_gold, n_docs)").cast("long").alias(
+                    "n_en_gold"
+                ),
+            )
+        )
+
+
+_register_streaming_quality_monitor()
