@@ -4639,3 +4639,98 @@ def test_linkage_reduction_ratio_identity(n, frac):
     inner = (a + n - 1) // n
     outer = (inner + n - 1) // n
     assert 10000 - outer == textbook
+
+
+# ---------------------------------------------------------------------------
+# BMP parser round-trip + malformed rejection (the WAV-test twin for the
+# r8 image decoder): build a 24bpp BMP with arbitrary content, any row
+# order, real row padding — decode must return exact channel sums.
+# ---------------------------------------------------------------------------
+def _bmp_bytes(width, height, pix, top_down=False):
+    """pix: flat list of (b, g, r) per pixel index p = y*width + x in
+    IMAGE order (top row first)."""
+    import struct
+
+    row_size = ((width * 3 + 3) // 4) * 4
+    pad = b"\xab" * (row_size - width * 3)  # nonzero pad: must be skipped
+    ys = range(height) if top_down else range(height - 1, -1, -1)
+    rows = []
+    for y in ys:
+        row = bytearray()
+        for x in range(width):
+            b, g, r = pix[y * width + x]
+            row += bytes((b, g, r))
+        rows.append(bytes(row) + pad)
+    pixels = b"".join(rows)
+    h_field = -height if top_down else height
+    return (
+        b"BM"
+        + struct.pack("<IHHI", 54 + len(pixels), 0, 0, 54)
+        + struct.pack(
+            "<IiiHHIIiiII", 40, width, h_field, 1, 24, 0, len(pixels),
+            2835, 2835, 0, 0,
+        )
+        + pixels
+    )
+
+
+@settings(max_examples=100, deadline=None)
+@given(
+    width=st.integers(min_value=1, max_value=9),
+    height=st.integers(min_value=1, max_value=7),
+    seed=st.integers(min_value=0, max_value=2**31),
+    top_down=st.booleans(),
+)
+def test_bmp_parser_roundtrip(width, height, seed, top_down):
+    from kafka_stream_job_spark.operators.multimodal import decode_bmp_real
+
+    rng = seed
+    pix = []
+    for _ in range(width * height):
+        vals = []
+        for _ in range(3):
+            rng = (1103515245 * rng + 12345) % (1 << 31)
+            vals.append(rng % 256)
+        pix.append(tuple(vals))
+    got = decode_bmp_real(_bmp_bytes(width, height, pix, top_down))
+    assert got == {
+        "width": width,
+        "height": height,
+        "bits_per_pixel": 24,
+        "n_pixels": width * height,
+        "sum_r": sum(p[2] for p in pix),
+        "sum_g": sum(p[1] for p in pix),
+        "sum_b": sum(p[0] for p in pix),
+    }
+
+
+def test_bmp_parser_rejects_malformed():
+    import struct
+
+    import pytest as _pytest
+
+    from kafka_stream_job_spark.operators.multimodal import decode_bmp_real
+
+    good = _bmp_bytes(3, 2, [(1, 2, 3)] * 6)
+    for bad, why in (
+        (b"", "empty"),
+        (b"XX" + good[2:], "wrong magic"),
+        (good[: len(good) - 1], "truncated pixel array"),
+    ):
+        with _pytest.raises(ValueError):
+            decode_bmp_real(bad)
+    # non-40-byte DIB header (e.g. BITMAPV5HEADER) refuses loudly
+    v5 = bytearray(good)
+    v5[14:18] = struct.pack("<I", 124)
+    with _pytest.raises(ValueError, match="BITMAPINFOHEADER"):
+        decode_bmp_real(bytes(v5))
+    # 8bpp refuses loudly
+    p8 = bytearray(good)
+    p8[28:30] = struct.pack("<H", 8)
+    with _pytest.raises(ValueError, match="24bpp"):
+        decode_bmp_real(bytes(p8))
+    # RLE compression refuses loudly
+    rle = bytearray(good)
+    rle[30:34] = struct.pack("<I", 1)
+    with _pytest.raises(ValueError, match="BI_RGB"):
+        decode_bmp_real(bytes(rle))
