@@ -1659,3 +1659,354 @@ def padding_waste_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         lens, [F.col("n_tok"), F.col("doc_id")], "length_sorted"
     )
     return naive.unionByName(by_len)
+
+
+# ---------------------------------------------------------------------------
+# DEDUP-AWARE SAMPLING WEIGHTS — the repetition-control knob: a document
+# duplicated C times should carry weight 1/C so its content isn't
+# over-represented C-fold in the mixture (the "count once" rule near-dup
+# pipelines converge to). Weights are exact integer ppm (1e6 // C), so
+# the per-source effective-size rollup is an order-free integer SUM; the
+# duplication mass is the bp gap between raw and effective size. Shape:
+# one fingerprint hash-agg, one fingerprint-keyed join back, one
+# source-key rollup — no doc×doc anything.
+# ---------------------------------------------------------------------------
+@register(
+    "corpus_dedup_aware_weights",
+    oracle="""
+        WITH fp AS (
+            SELECT doc_id, source,
+                   md5(LOWER(TRIM(regexp_replace(text, '\\s+', ' ', 'g'))))
+                       AS fingerprint
+            FROM documents
+        ),
+        sizes AS (
+            SELECT fingerprint, COUNT(*) AS c FROM fp GROUP BY fingerprint
+        )
+        SELECT f.source,
+               CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(COUNT(DISTINCT f.fingerprint) AS BIGINT) AS n_unique,
+               CAST(SUM(1000000 // s.c) AS BIGINT) AS effective_ppm,
+               (CAST(COUNT(*) AS BIGINT) * 1000000
+                - CAST(SUM(1000000 // s.c) AS BIGINT)) * 10000
+                   // (CAST(COUNT(*) AS BIGINT) * 1000000) AS dup_mass_bp
+        FROM fp f JOIN sizes s USING (fingerprint)
+        GROUP BY f.source
+    """,
+    tags=("llm-pipeline", "sampling", "dedup", "documents"),
+)
+def corpus_dedup_aware_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kafka_stream_job_spark.operators._portable import idiv
+
+    docs = load_table(spark, sf_dir, "documents")
+    fp = docs.select(
+        "doc_id",
+        "source",
+        F.md5(
+            F.lower(F.trim(F.regexp_replace("text", r"\s+", " ")))
+        ).alias("fingerprint"),
+    )
+    sizes = fp.groupBy("fingerprint").agg(F.count(F.lit(1)).alias("c"))
+    joined = fp.join(sizes, "fingerprint").select(
+        "source", idiv(F.lit(1_000_000), F.col("c")).alias("w_ppm"),
+        "fingerprint",
+    )
+    return joined.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.countDistinct("fingerprint").cast("long").alias("n_unique"),
+        F.sum("w_ppm").cast("long").alias("effective_ppm"),
+        idiv(
+            (
+                F.count(F.lit(1)).cast("long") * 1_000_000
+                - F.sum("w_ppm").cast("long")
+            )
+            * 10000,
+            F.count(F.lit(1)).cast("long") * 1_000_000,
+        ).alias("dup_mass_bp"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# QUOTA REBALANCE DELTA — incremental mixture maintenance: given the
+# TARGET language mix (a curated literal — basis points summing to
+# 10000) and the corpus' current counts, emit per language how many
+# documents to add (negative = drop) to hit target shares at the current
+# total. Pure integer arithmetic on a |langs|-row aggregate; the
+# operator a nightly ingest run consults to steer source acquisition.
+# ---------------------------------------------------------------------------
+QUOTA_TARGET_BP = (
+    ("de", 1500), ("en", 4000), ("es", 1500), ("fr", 1500), ("zh", 1500),
+)
+
+
+@register(
+    "corpus_quota_rebalance_delta",
+    oracle=f"""
+        WITH target(lang, target_bp) AS (VALUES
+            {", ".join(f"('{l}', {bp})" for l, bp in QUOTA_TARGET_BP)}),
+        counts AS (
+            SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs
+            FROM documents GROUP BY lang
+        ),
+        tot AS (SELECT CAST(SUM(n_docs) AS BIGINT) AS total FROM counts)
+        SELECT t.lang,
+               COALESCE(c.n_docs, 0) AS n_docs,
+               CAST(t.target_bp AS BIGINT) AS target_bp,
+               COALESCE(c.n_docs, 0) * 10000 // tot.total AS actual_bp,
+               CAST(t.target_bp * tot.total // 10000
+                    - COALESCE(c.n_docs, 0) AS BIGINT) AS delta_docs
+        FROM target t
+        LEFT JOIN counts c ON c.lang = t.lang
+        CROSS JOIN tot
+    """,
+    tags=("llm-pipeline", "quota", "mixture", "documents"),
+)
+def corpus_quota_rebalance_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kafka_stream_job_spark.operators._portable import idiv
+
+    docs = load_table(spark, sf_dir, "documents")
+    target = docs.sparkSession.createDataFrame(
+        list(QUOTA_TARGET_BP), "lang string, target_bp long"
+    )
+    counts = docs.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs")
+    )
+    tot = counts.agg(F.sum("n_docs").cast("long").alias("total"))
+    return (
+        F.broadcast(target)
+        .join(counts, "lang", "left")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "lang",
+            F.coalesce("n_docs", F.lit(0)).cast("long").alias("n_docs"),
+            F.col("target_bp").cast("long").alias("target_bp"),
+            idiv(
+                F.coalesce("n_docs", F.lit(0)).cast("long") * 10000,
+                F.col("total"),
+            ).alias("actual_bp"),
+            (
+                idiv(F.col("target_bp") * F.col("total"), F.lit(10000))
+                - F.coalesce("n_docs", F.lit(0))
+            )
+            .cast("long")
+            .alias("delta_docs"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# MIXTURE TEMPERATURE SWEEP — the tau grid a mixture designer actually
+# scans before picking lang_temperature_weights' fixed tau: weights
+# ∝ n^tau for tau ∈ {1, 3/4, 1/2, 1/4}. Every power is a CHAIN OF
+# SQUARE ROOTS (n^(1/2) = sqrt, n^(1/4) = sqrt∘sqrt, n^(3/4) = their
+# product) — IEEE sqrt is correctly rounded on every platform, unlike
+# libm pow(), so the doubles are bit-identical cross-engine. Each weight
+# then quantizes to integer micro-units per LANG (bounded domain) and
+# the shares are exact integer bp of the micro-unit sum — no ordered
+# fold needed at all.
+# ---------------------------------------------------------------------------
+TEMP_SWEEP_TAUS = ("1", "3/4", "1/2", "1/4")
+
+
+def _tau_weight_sql(tau: str, n: str) -> str:
+    if tau == "1":
+        return f"({n} * 1.0)"
+    if tau == "1/2":
+        return f"sqrt({n} * 1.0)"
+    if tau == "1/4":
+        return f"sqrt(sqrt({n} * 1.0))"
+    if tau == "3/4":
+        return f"(sqrt({n} * 1.0) * sqrt(sqrt({n} * 1.0)))"
+    raise ValueError(tau)
+
+
+@register(
+    "mixture_temperature_sweep",
+    oracle=f"""
+        WITH counts AS (
+            SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs
+            FROM documents GROUP BY lang
+        ),
+        w AS (
+            {" UNION ALL ".join(
+                f"SELECT '{tau}' AS tau, lang, n_docs, "
+                f"CAST(ROUND(1000000.0 * {_tau_weight_sql(tau, 'n_docs')}) "
+                f"AS BIGINT) AS w_u FROM counts"
+                for tau in TEMP_SWEEP_TAUS)}
+        ),
+        z AS (SELECT tau, CAST(SUM(w_u) AS BIGINT) AS z_u FROM w GROUP BY tau)
+        SELECT w.tau, w.lang, w.n_docs,
+               w.w_u * 10000 // z.z_u AS share_bp
+        FROM w JOIN z ON z.tau = w.tau
+    """,
+    tags=("llm-pipeline", "mixture", "temperature", "documents"),
+)
+def mixture_temperature_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kafka_stream_job_spark.operators._portable import idiv
+
+    docs = load_table(spark, sf_dir, "documents")
+    counts = docs.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs")
+    )
+    n = F.col("n_docs") * 1.0
+    tau_w = {
+        "1": n,
+        "1/2": F.sqrt(n),
+        "1/4": F.sqrt(F.sqrt(n)),
+        "3/4": F.sqrt(n) * F.sqrt(F.sqrt(n)),
+    }
+    per_tau = None
+    for tau in TEMP_SWEEP_TAUS:
+        rows = counts.select(
+            F.lit(tau).alias("tau"),
+            "lang",
+            "n_docs",
+            F.round(F.lit(1e6) * tau_w[tau], 0).cast("long").alias("w_u"),
+        )
+        per_tau = rows if per_tau is None else per_tau.unionByName(rows)
+    z = per_tau.groupBy("tau").agg(F.sum("w_u").cast("long").alias("z_u"))
+    return (
+        per_tau.join(F.broadcast(z), "tau")
+        .select(
+            "tau",
+            "lang",
+            "n_docs",
+            idiv(F.col("w_u") * 10000, F.col("z_u")).alias("share_bp"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# CURRICULUM PACING SCHEDULE — turn a difficulty ranking into the
+# tokens-per-epoch table a training loop consumes: rank documents by
+# length (the cheap difficulty proxy; swap in the bigram-LM key from
+# corpus_difficulty_curriculum for the model-based one), split into 10
+# deciles with the exact distributed NTILE, then under linear pacing
+# epoch e of CURRICULUM_EPOCHS admits deciles 1..(e*10//EPOCHS). Output
+# is EPOCHS rows of exact integer doc/token budgets. Scale shape: one
+# distributed_rank (range exchange, no global sort), a bounded decile
+# rollup, and an EPOCHS×10 literal join.
+# ---------------------------------------------------------------------------
+CURRICULUM_EPOCHS = 4
+
+
+@register(
+    "curriculum_pacing_schedule",
+    oracle=rf"""
+        WITH ranked AS (
+            SELECT NTILE(10) OVER (ORDER BY n_chars, doc_id) AS decile,
+                   CAST(len(string_split_regex(TRIM(text), '\s+')) AS BIGINT)
+                       AS n_tok
+            FROM documents
+        ),
+        per_decile AS (
+            SELECT decile, CAST(COUNT(*) AS BIGINT) AS n_docs,
+                   CAST(SUM(n_tok) AS BIGINT) AS n_tokens
+            FROM ranked GROUP BY decile
+        ),
+        epochs AS (SELECT UNNEST(range(1, {CURRICULUM_EPOCHS} + 1)) AS epoch)
+        SELECT e.epoch,
+               CAST(e.epoch * 10 // {CURRICULUM_EPOCHS} AS BIGINT)
+                   AS max_decile,
+               CAST(SUM(d.n_docs) AS BIGINT) AS n_docs,
+               CAST(SUM(d.n_tokens) AS BIGINT) AS n_tokens
+        FROM epochs e
+        JOIN per_decile d ON d.decile <= e.epoch * 10 // {CURRICULUM_EPOCHS}
+        GROUP BY e.epoch
+    """,
+    tags=("llm-pipeline", "curriculum", "schedule", "documents"),
+)
+def curriculum_pacing_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kafka_stream_job_spark.operators._distributed import (
+        distributed_rank,
+        ntile_from_rank,
+    )
+    from kafka_stream_job_spark.operators._portable import idiv
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        "n_chars",
+        F.size(F.split(F.trim("text"), r"\s+")).cast("long").alias("n_tok"),
+    )
+    ranked = distributed_rank(docs, [F.col("n_chars"), F.col("doc_id")])
+    total = docs.agg(F.count(F.lit(1)).cast("long").alias("_total"))
+    per_decile = (
+        ranked.crossJoin(F.broadcast(total))
+        .select(
+            ntile_from_rank(F.col("rnk"), F.col("_total"), 10).alias("decile"),
+            "n_tok",
+        )
+        .groupBy("decile")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("n_tok").cast("long").alias("n_tokens"),
+        )
+    )
+    epochs = docs.sparkSession.range(1, CURRICULUM_EPOCHS + 1).select(
+        F.col("id").cast("long").alias("epoch"),
+        idiv(F.col("id") * 10, F.lit(CURRICULUM_EPOCHS)).alias("max_decile"),
+    )
+    return (
+        F.broadcast(epochs)
+        .join(per_decile, F.col("decile") <= F.col("max_decile"))
+        .groupBy("epoch", "max_decile")
+        .agg(
+            F.sum("n_docs").cast("long").alias("n_docs"),
+            F.sum("n_tokens").cast("long").alias("n_tokens"),
+        )
+        .select("epoch", "max_decile", "n_docs", "n_tokens")
+    )
+
+
+# ---------------------------------------------------------------------------
+# SFT PAIR MANIFEST — instruction-tuning data prep: split each document
+# into a prompt (first SFT_PROMPT_TOKENS tokens) and a response (the
+# rest), keep docs long enough to form a pair, and report per language
+# the pair counts and the exact response-per-prompt token ratio the
+# batch packer needs for budget planning. Narrow stateless projection +
+# one lang-key rollup.
+# ---------------------------------------------------------------------------
+SFT_PROMPT_TOKENS = 8
+
+
+@register(
+    "sft_pair_manifest",
+    oracle=rf"""
+        WITH pairs AS (
+            SELECT lang,
+                   CAST({SFT_PROMPT_TOKENS} AS BIGINT) AS p_tok,
+                   CAST(len(string_split_regex(TRIM(text), '\s+'))
+                        - {SFT_PROMPT_TOKENS} AS BIGINT) AS r_tok
+            FROM documents
+            WHERE len(string_split_regex(TRIM(text), '\s+'))
+                  > {SFT_PROMPT_TOKENS}
+        )
+        SELECT lang,
+               CAST(COUNT(*) AS BIGINT) AS n_pairs,
+               CAST(SUM(p_tok) AS BIGINT) AS prompt_tokens,
+               CAST(SUM(r_tok) AS BIGINT) AS response_tokens,
+               CAST(SUM(r_tok) AS BIGINT) * 10000
+                   // CAST(SUM(p_tok) AS BIGINT) AS resp_per_prompt_bp
+        FROM pairs
+        GROUP BY lang
+    """,
+    tags=("llm-pipeline", "sft", "manifest", "documents"),
+)
+def sft_pair_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kafka_stream_job_spark.operators._portable import idiv
+
+    docs = load_table(spark, sf_dir, "documents")
+    n_tok = F.size(F.split(F.trim("text"), r"\s+")).cast("long")
+    pairs = docs.filter(n_tok > SFT_PROMPT_TOKENS).select(
+        "lang",
+        F.lit(SFT_PROMPT_TOKENS).cast("long").alias("p_tok"),
+        (n_tok - SFT_PROMPT_TOKENS).alias("r_tok"),
+    )
+    return pairs.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("long").alias("n_pairs"),
+        F.sum("p_tok").cast("long").alias("prompt_tokens"),
+        F.sum("r_tok").cast("long").alias("response_tokens"),
+        idiv(
+            F.sum("r_tok").cast("long") * 10000, F.sum("p_tok").cast("long")
+        ).alias("resp_per_prompt_bp"),
+    )
