@@ -2444,9 +2444,10 @@ def _frontier_pos_sql(expr: str, i: int) -> str:
     )
 
 
-@register(
-    "dedup_frontier_bloom",
-    oracle=f"""
+#: Shared by the batch op and its streaming twin
+#: (streaming_frontier_bloom): the streaming state is the same OR-merged
+#: bit array, so both gates run one oracle definition.
+_FRONTIER_ORACLE_SQL = f"""
         WITH fp AS (
             SELECT doc_id, source, md5({_NORM_SQL}) AS fingerprint,
                    (doc_id % 5 = 0) AS is_frontier
@@ -2485,7 +2486,12 @@ def _frontier_pos_sql(expr: str, i: int) -> str:
                    // CAST(COUNT(*) AS BIGINT) AS false_pos_bp
         FROM probe
         GROUP BY source
-    """,
+"""
+
+
+@register(
+    "dedup_frontier_bloom",
+    oracle=_FRONTIER_ORACLE_SQL,
     tags=("dedup", "bloom", "frontier", "web", "documents"),
 )
 def dedup_frontier_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -825,3 +825,71 @@ def orphan_file_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).cast("long").alias("n_orphan_rows"))
     )
     return rows.crossJoin(F.broadcast(stats))
+
+
+# ---------------------------------------------------------------------------
+# FIXED-WIDTH SOURCE READ — the mainframe/COBOL-export format every
+# lakehouse ingests eventually: no delimiters, columns live at byte
+# offsets. Staged deterministically from orders (orderkey 12 / custkey
+# 10 / status 1 / price-cents 12, zero-padded), read back as `text`
+# lines + substring projection — schema-on-read as pure column slicing,
+# which Catalyst collapses into the scan projection. The oracle predicts
+# every number from the parquet source because staging is injective.
+# Parse errors surface as NULLs via try_cast (permissive posture, same
+# as csv/jsonl).
+# ---------------------------------------------------------------------------
+FW_WIDTHS = (12, 10, 1, 12)  # orderkey, custkey, status, price cents
+
+
+def _stage_fixed_width(spark: SparkSession, sf_dir: str) -> str:
+    src = os.path.join(sf_dir, "orders.parquet")
+
+    def build(tmp: str) -> None:
+        import pyarrow.parquet as pq
+
+        t = pq.read_table(
+            src, columns=["o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice"]
+        )
+        rows = zip(
+            *(
+                t.column(c).to_pylist()
+                for c in ("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice")
+            )
+        )
+        with open(os.path.join(tmp, "orders.fw"), "w") as f:
+            for okey, ckey, status, price in rows:
+                cents = int(price * 100 + (0.5 if price >= 0 else -0.5))
+                f.write(f"{okey:012d}{ckey:010d}{status:1s}{cents:012d}\n")
+
+    return _staged_dir("/tmp/ksj-fw-stage", src, "fw_v1", build)
+
+
+@register(
+    "fixed_width_source_read",
+    oracle="""
+        SELECT o_orderstatus AS status,
+               CAST(COUNT(*) AS BIGINT) AS n_orders,
+               CAST(SUM(o_orderkey) AS BIGINT) AS sum_orderkeys,
+               CAST(SUM(CAST(ROUND(o_totalprice * 100.0) AS BIGINT))
+                    AS BIGINT) AS sum_cents
+        FROM orders
+        GROUP BY o_orderstatus
+    """,
+    tags=("source-format", "fixed-width", "orders"),
+)
+def fixed_width_source_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    stage = _stage_fixed_width(spark, sf_dir)
+    o_k, o_c, o_s = FW_WIDTHS[0], FW_WIDTHS[1], FW_WIDTHS[2]
+    lines = spark.read.text(os.path.join(stage, "orders.fw"))
+    parsed = lines.select(
+        F.substring("value", 1, o_k).try_cast("long").alias("orderkey"),
+        F.substring("value", o_k + o_c + 1, o_s).alias("status"),
+        F.substring("value", o_k + o_c + o_s + 1, FW_WIDTHS[3])
+        .try_cast("long")
+        .alias("cents"),
+    )
+    return parsed.groupBy("status").agg(
+        F.count(F.lit(1)).cast("long").alias("n_orders"),
+        F.sum("orderkey").cast("long").alias("sum_orderkeys"),
+        F.sum("cents").cast("long").alias("sum_cents"),
+    )

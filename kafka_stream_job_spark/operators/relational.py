@@ -11757,3 +11757,350 @@ def events_anomaly_persistence(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("long").alias("n_runs"),
         F.max("run_len").cast("long").alias("longest_run"),
     )
+
+
+# ---------------------------------------------------------------------------
+# GROUPED EXACT PERCENTILES — per-nation ship-latency p50/p90/p99.
+# percentile_distributed_exact covers the GLOBAL case via distributed
+# rank; per GROUP the right distributed shape is a nation-partitioned
+# window rank: one shuffle on the group key, sort-based windows spill to
+# disk instead of buffering the group in a single aggregation buffer
+# (the documented wall of the built-in exact `percentile` at 100 TB).
+# Latency is exact integer days; interpolation uses quantile_cont's
+# (n-1)p definition on both engines.
+# ---------------------------------------------------------------------------
+_LEAD_PCTS = (0.5, 0.9, 0.99)
+
+
+@register(
+    "supplier_leadtime_percentiles",
+    oracle=f"""
+        WITH lat AS (
+            SELECT n.n_name,
+                   CAST(date_diff('day', CAST(o.o_orderdate AS DATE),
+                                  CAST(l.l_shipdate AS DATE)) AS BIGINT)
+                       AS lat_days
+            FROM lineitem l
+            JOIN orders o   ON l.l_orderkey = o.o_orderkey
+            JOIN supplier s ON l.l_suppkey = s.s_suppkey
+            JOIN nation n   ON s.s_nationkey = n.n_nationkey
+        )
+        SELECT n_name,
+               CAST(COUNT(*) AS BIGINT) AS n_lineitems,
+               {", ".join(
+                   f"ROUND((quantile_cont(lat_days, {p})) * 100.0) / 100.0"
+                   f" + 0.0 AS p{int(p * 100)}_days"
+                   for p in _LEAD_PCTS)}
+        FROM lat
+        GROUP BY n_name
+    """,
+    tags=("agg", "percentile", "grouped", "lineitem", "supplier"),
+)
+def supplier_leadtime_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_shipdate"
+    )
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderdate"
+    )
+    supp = load_table(spark, sf_dir, "supplier").select(
+        "s_suppkey", "s_nationkey"
+    )
+    nation = load_table(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_name"
+    )
+    lat = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(supp, li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
+        .select(
+            "n_name",
+            F.datediff(
+                F.col("l_shipdate").cast("date"),
+                F.col("o_orderdate").cast("date"),
+            )
+            .cast("long")
+            .alias("lat_days"),
+        )
+    )
+    w = Window.partitionBy("n_name").orderBy("lat_days")
+    ranked = (
+        lat.withColumn("rn", F.row_number().over(w))
+        .withColumn("n", F.count(F.lit(1)).over(Window.partitionBy("n_name")))
+        .localCheckpoint(eager=False)  # each percentile probe reads it
+    )
+    out = None
+    for p in _LEAD_PCTS:
+        h = F.lit(p) * (F.col("n") - 1)
+        lo_rn = (F.floor(h) + 1).cast("long")
+        hi_rn = F.least(F.ceil(h) + 1, F.col("n")).cast("long")
+        frac = h - F.floor(h)
+        lo = ranked.filter(F.col("rn") == lo_rn).select(
+            "n_name",
+            F.col("lat_days").alias("v_lo"),
+            frac.alias("frac"),
+            hi_rn.alias("hi_rn"),
+            F.col("n").alias("n_rows"),
+        )
+        hi = ranked.select(
+            F.col("n_name").alias("h_name"),
+            F.col("rn").alias("h_rn"),
+            F.col("lat_days").alias("v_hi"),
+        )
+        both = lo.join(
+            hi,
+            (F.col("n_name") == F.col("h_name"))
+            & (F.col("hi_rn") == F.col("h_rn")),
+        ).select(
+            "n_name",
+            "n_rows",
+            pround(
+                F.col("v_lo") + F.col("frac") * (F.col("v_hi") - F.col("v_lo")),
+                2,
+            ).alias(f"p{int(p * 100)}_days"),
+        )
+        out = both if out is None else out.join(
+            both.select(
+                F.col("n_name").alias("j_name"), f"p{int(p * 100)}_days"
+            ),
+            F.col("n_name") == F.col("j_name"),
+        ).drop("j_name")
+    return out.select(
+        "n_name",
+        F.col("n_rows").alias("n_lineitems"),
+        *[f"p{int(p * 100)}_days" for p in _LEAD_PCTS],
+    )
+
+
+# ---------------------------------------------------------------------------
+# BURST DETECTION — hours whose per-type event count exceeds
+# BURST_FACTOR × that type's mean hourly rate, decided in exact integer
+# arithmetic (cnt · n_hours > FACTOR · total): the alerting primitive
+# behind rate-anomaly monitors, reported as a per-type rollup. n_hours
+# counts the type's ACTIVE hours (the mean is over observed buckets).
+# One (type, hour) aggregate + a type-key rollup; no windows, no sort.
+# ---------------------------------------------------------------------------
+BURST_FACTOR = 2
+
+
+@register(
+    "events_burst_hours",
+    oracle=f"""
+        WITH hourly AS (
+            SELECT event_type, date_trunc('hour', ts) AS h,
+                   CAST(COUNT(*) AS BIGINT) AS cnt
+            FROM events GROUP BY 1, 2
+        ),
+        typed AS (
+            SELECT event_type,
+                   CAST(COUNT(*) AS BIGINT) AS n_hours,
+                   CAST(SUM(cnt) AS BIGINT) AS total
+            FROM hourly GROUP BY 1
+        )
+        SELECT h.event_type,
+               t.n_hours,
+               t.total,
+               CAST(SUM(CASE WHEN h.cnt * t.n_hours > {BURST_FACTOR} * t.total
+                             THEN 1 ELSE 0 END) AS BIGINT) AS n_burst_hours,
+               CAST(MAX(h.cnt) AS BIGINT) AS max_hour_count
+        FROM hourly h JOIN typed t USING (event_type)
+        GROUP BY h.event_type, t.n_hours, t.total
+    """,
+    tags=("events", "burst", "anomaly", "agg"),
+)
+def events_burst_hours(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    hourly = events.groupBy(
+        "event_type", F.date_trunc("hour", "ts").alias("h")
+    ).agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    typed = hourly.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_hours"),
+        F.sum("cnt").cast("long").alias("total"),
+    )
+    return (
+        hourly.join(F.broadcast(typed), "event_type")
+        .groupBy("event_type", "n_hours", "total")
+        .agg(
+            F.sum(
+                F.when(
+                    F.col("cnt") * F.col("n_hours")
+                    > BURST_FACTOR * F.col("total"),
+                    1,
+                ).otherwise(0)
+            )
+            .cast("long")
+            .alias("n_burst_hours"),
+            F.max("cnt").cast("long").alias("max_hour_count"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# REPEAT-PURCHASE INTERVALS — consecutive order gaps per customer (lag
+# window on the customer's own orders — partition-keyed, never global),
+# bucketed into the lifecycle bands a retention model consumes, rolled
+# up per market segment. Gaps are exact integer days.
+# ---------------------------------------------------------------------------
+@register(
+    "orders_repeat_purchase_gaps",
+    oracle="""
+        WITH gaps AS (
+            SELECT o_custkey,
+                   date_diff('day',
+                       CAST(lag(o_orderdate) OVER (
+                           PARTITION BY o_custkey
+                           ORDER BY o_orderdate, o_orderkey) AS DATE),
+                       CAST(o_orderdate AS DATE)) AS gap_days
+            FROM orders
+        ),
+        bucketed AS (
+            SELECT o_custkey,
+                   CASE WHEN gap_days < 30 THEN '0-29d'
+                        WHEN gap_days < 90 THEN '30-89d'
+                        WHEN gap_days < 180 THEN '90-179d'
+                        ELSE '180d+' END AS gap_bucket
+            FROM gaps WHERE gap_days IS NOT NULL
+        )
+        SELECT c.c_mktsegment, b.gap_bucket,
+               CAST(COUNT(*) AS BIGINT) AS n_gaps,
+               CAST(COUNT(DISTINCT b.o_custkey) AS BIGINT) AS n_customers
+        FROM bucketed b JOIN customer c ON b.o_custkey = c.c_custkey
+        GROUP BY 1, 2
+    """,
+    tags=("orders", "retention", "window", "customer"),
+)
+def orders_repeat_purchase_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment"
+    )
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    gaps = orders.select(
+        "o_custkey",
+        F.datediff(
+            F.col("o_orderdate").cast("date"),
+            F.lag(F.col("o_orderdate").cast("date")).over(w),
+        )
+        .cast("long")
+        .alias("gap_days"),
+    ).filter(F.col("gap_days").isNotNull())
+    bucketed = gaps.select(
+        "o_custkey",
+        F.when(F.col("gap_days") < 30, "0-29d")
+        .when(F.col("gap_days") < 90, "30-89d")
+        .when(F.col("gap_days") < 180, "90-179d")
+        .otherwise("180d+")
+        .alias("gap_bucket"),
+    )
+    return (
+        bucketed.join(cust, bucketed.o_custkey == cust.c_custkey)
+        .groupBy("c_mktsegment", "gap_bucket")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_gaps"),
+            F.countDistinct("o_custkey").cast("long").alias("n_customers"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# PPS SYSTEMATIC SAMPLE — probability-proportional-to-size sampling,
+# fully deterministic: order weights are exact integer cents, the
+# cumulative axis comes from the distributed prefix sum (range exchange,
+# no global sort), and a fixed grid of PPS_K points at stride/2 + k·stride
+# selects every order whose cumulative interval contains a grid point
+# (a giant order can absorb several points — that IS pps-with-
+# replacement multiplicity). The report checks the estimator property:
+# each priority class' share of grid hits tracks its share of total
+# weight. No randomness, no floats.
+# ---------------------------------------------------------------------------
+PPS_K = 64
+
+
+@register(
+    "pps_systematic_sample",
+    oracle=f"""
+        WITH w AS (
+            SELECT o_orderkey, o_orderpriority,
+                   CAST(ROUND(o_totalprice * 100.0) AS BIGINT) AS cents
+            FROM orders
+        ),
+        cum AS (
+            SELECT o_orderkey, o_orderpriority, cents,
+                   SUM(cents) OVER (ORDER BY o_orderkey
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                       AS c_incl
+            FROM w
+        ),
+        tot AS (
+            SELECT CAST(SUM(cents) AS BIGINT) AS total,
+                   CAST(SUM(cents) AS BIGINT) // {PPS_K} AS stride
+            FROM w
+        ),
+        hits AS (
+            SELECT c.o_orderpriority, c.cents,
+                   -- grid points g_k = stride//2 + k*stride, k >= 0:
+                   -- #k with g_k < x is max(0, ceil((x - half)/stride))
+                   greatest(CAST(0 AS BIGINT),
+                       (c.c_incl - t.stride // 2 + t.stride - 1) // t.stride)
+                   - greatest(CAST(0 AS BIGINT),
+                       (c.c_incl - c.cents - t.stride // 2 + t.stride - 1)
+                           // t.stride) AS n_hits
+            FROM cum c, tot t
+        )
+        SELECT h.o_orderpriority,
+               CAST(COUNT(*) AS BIGINT) AS n_orders,
+               CAST(SUM(h.n_hits) AS BIGINT) AS n_grid_hits,
+               CAST(SUM(h.n_hits) AS BIGINT) * 10000 // {PPS_K}
+                   AS sample_share_bp,
+               CAST(SUM(h.cents) AS BIGINT) * 10000 // MIN(t.total)
+                   AS weight_share_bp
+        FROM hits h, tot t
+        GROUP BY h.o_orderpriority
+    """,
+    tags=("sampling", "pps", "deterministic", "orders"),
+)
+def pps_systematic_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kafka_stream_job_spark.operators._distributed import (
+        distributed_prefix_sum,
+    )
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_orderpriority",
+        F.round(F.col("o_totalprice") * 100.0, 0).cast("long").alias("cents"),
+    )
+    cum = distributed_prefix_sum(
+        orders, [F.col("o_orderkey")], "cents", out_col="c_incl"
+    )
+    tot = orders.agg(
+        F.sum("cents").cast("long").alias("total"),
+        idiv(F.sum("cents").cast("long"), F.lit(PPS_K)).alias("stride"),
+    )
+    half = idiv(F.col("stride"), F.lit(2))
+    f_incl = F.greatest(
+        F.lit(0).cast("long"),
+        idiv(F.col("c_incl") - half + F.col("stride") - 1, F.col("stride")),
+    )
+    f_before = F.greatest(
+        F.lit(0).cast("long"),
+        idiv(
+            F.col("c_incl") - F.col("cents") - half + F.col("stride") - 1,
+            F.col("stride"),
+        ),
+    )
+    hits = cum.crossJoin(F.broadcast(tot)).select(
+        "o_orderpriority",
+        "cents",
+        "total",
+        (f_incl - f_before).alias("n_hits"),
+    )
+    return hits.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).cast("long").alias("n_orders"),
+        F.sum("n_hits").cast("long").alias("n_grid_hits"),
+        idiv(F.sum("n_hits").cast("long") * 10000, F.lit(PPS_K)).alias(
+            "sample_share_bp"
+        ),
+        idiv(F.sum("cents").cast("long") * 10000, F.min("total")).alias(
+            "weight_share_bp"
+        ),
+    )

@@ -3514,3 +3514,162 @@ def _register_streaming_quality_monitor() -> None:
 
 
 _register_streaming_quality_monitor()
+
+
+# ---------------------------------------------------------------------------
+# STREAMING CRAWL-FRONTIER BLOOM — the live twin of dedup_frontier_bloom:
+# SEEN documents arrive as a stream and fold their fingerprint bits into
+# a single Bloom bit array held as state — DEDUP_BF_M bits packed into
+# DEDUP_BF_M/64 int64 words. Bitwise OR is commutative and idempotent,
+# so the state is arrival-order-independent AND exactly-once-insensitive
+# by construction; its size is a compile-time constant regardless of
+# stream volume (the crawl-frontier property: the seen set never
+# re-joins, only the bits travel). After the drain, the frontier slice
+# probes the final bits statelessly (the post-stream verdict discipline
+# of streaming_semdedup/streaming_ivf_assign) with exact ground truth —
+# sharing the batch oracle verbatim.
+# ---------------------------------------------------------------------------
+def _register_streaming_frontier_bloom() -> None:
+    import uuid
+
+    from kafka_stream_job_spark.operators._portable import idiv
+    from kafka_stream_job_spark.operators.dedup import (
+        DEDUP_BF_K,
+        DEDUP_BF_M,
+        _FRONTIER_ORACLE_SQL,
+        _frontier_pos,
+        _norm_text,
+    )
+    from kafka_stream_job_spark.registry import register
+    from kafka_stream_job_spark.tables import load_table
+
+    @register(
+        "streaming_frontier_bloom",
+        oracle=_FRONTIER_ORACLE_SQL,
+        tags=("streaming", "stateful", "bloom", "frontier", "documents"),
+    )
+    def streaming_frontier_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
+        import tempfile
+
+        from pyspark.sql.streaming.state import GroupStateTimeout
+
+        n_words = DEDUP_BF_M // 64
+        fp_col = F.md5(_norm_text())
+        seen_stream = (
+            stream_documents(spark, sf_dir)
+            .filter(F.col("doc_id") % 5 != 0)  # the SEEN slice streams in
+            .select(
+                F.lit(0).alias("shard"),  # one global filter: single key
+                *[
+                    _frontier_pos(fp_col, i).alias(f"p{i}")
+                    for i in range(DEDUP_BF_K)
+                ],
+            )
+        )
+
+        def update(key, pdfs, state):
+            import pandas as pd
+
+            words = list(state.get[0]) if state.exists else [0] * n_words
+            for pdf in pdfs:
+                for i in range(DEDUP_BF_K):
+                    for pos in pdf[f"p{i}"]:
+                        p = int(pos)
+                        words[p // 64] |= 1 << (p % 64)
+            # int64 state: keep the sign bit arithmetic exact via wrap
+            words = [w - (1 << 64) if w >= (1 << 63) else w for w in words]
+            state.update(([int(w) for w in words],))
+            popcount = sum(bin(w & ((1 << 64) - 1)).count("1") for w in words)
+            yield pd.DataFrame(
+                {"shard": [key[0]], "words": [words], "n_bits": [popcount]}
+            )
+
+        emitted_stream = seen_stream.groupBy("shard").applyInPandasWithState(
+            update,
+            outputStructType="shard int, words array<long>, n_bits long",
+            stateStructType="words array<long>",
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+        name = f"stream_frontier_{uuid.uuid4().hex[:8]}"
+        ckpt = tempfile.mkdtemp(prefix="ksj-stream-frontier-")
+        emitted = run_stream_to_memory(spark, emitted_stream, name, ckpt)
+        # final bits = emission with max (monotone) popcount
+        bits_row = emitted.agg(
+            F.expr("max_by(words, n_bits)").alias("words")
+        )
+        # stateless post-stream probe of the STATIC frontier slice against
+        # the final bit array (broadcast: n_words longs), with exact truth
+        docs = load_table(spark, sf_dir, "documents")
+        fp = docs.select(
+            "doc_id",
+            "source",
+            F.md5(_norm_text()).alias("fingerprint"),
+            (F.col("doc_id") % 5 == 0).alias("is_frontier"),
+        )
+        seen = (
+            fp.filter(~F.col("is_frontier")).select("fingerprint").distinct()
+        )
+
+        # shiftrightunsigned's shift count must live inside one SQL parse
+        # (the Python builder only takes a literal), hence F.expr. The bit
+        # test is `& 1`, NOT `% 2`: a shift of 0 leaves the sign bit in
+        # place, and Spark's % takes the dividend's sign, so a set bit 63
+        # would read as -1 % 2 = -1 ≠ 1 and silently miss.
+        bloom_seen = F.expr(
+            " AND ".join(
+                f"((shiftrightunsigned(element_at(words,"
+                f" CAST(pos{i} div 64 AS INT) + 1),"
+                f" CAST(pos{i} % 64 AS INT)) & 1) = 1)"
+                for i in range(DEDUP_BF_K)
+            )
+        )
+        probe = (
+            fp.filter(F.col("is_frontier"))
+            .crossJoin(F.broadcast(bits_row))
+            .join(
+                seen.withColumn("truth_seen", F.lit(True)),
+                "fingerprint",
+                "left",
+            )
+            .select(
+                "source",
+                F.coalesce(F.col("truth_seen"), F.lit(False)).alias(
+                    "truth_seen"
+                ),
+                F.col("words"),
+                *[
+                    _frontier_pos(F.col("fingerprint"), i).alias(f"pos{i}")
+                    for i in range(DEDUP_BF_K)
+                ],
+            )
+            .select("source", "truth_seen", bloom_seen.alias("bloom_seen"))
+        )
+        return probe.groupBy("source").agg(
+            F.count(F.lit(1)).cast("long").alias("n_frontier"),
+            F.sum(F.when(F.col("truth_seen"), 1).otherwise(0))
+            .cast("long")
+            .alias("n_truth_dup"),
+            F.sum(F.when(F.col("bloom_seen"), 1).otherwise(0))
+            .cast("long")
+            .alias("n_bloom_hit"),
+            F.sum(
+                F.when(F.col("bloom_seen") & ~F.col("truth_seen"), 1).otherwise(
+                    0
+                )
+            )
+            .cast("long")
+            .alias("n_false_pos"),
+            idiv(
+                F.sum(
+                    F.when(
+                        F.col("bloom_seen") & ~F.col("truth_seen"), 1
+                    ).otherwise(0)
+                ).cast("long")
+                * 10000,
+                F.count(F.lit(1)).cast("long"),
+            ).alias("false_pos_bp"),
+        )
+
+
+_register_streaming_frontier_bloom()
