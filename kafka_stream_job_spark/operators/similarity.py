@@ -2678,3 +2678,255 @@ def embedding_cluster_label_purity(spark: SparkSession, sf_dir: str) -> DataFram
         "majority_label",
         "purity_bp",
     )
+
+
+# ---------------------------------------------------------------------------
+# IVF CELL-BALANCE REPORT — the index-health check every IVF deployment
+# monitors: per-cell population share and deviation from the uniform
+# ideal (a cell 10× the mean serves 10× the probe latency; a starved
+# cell wastes its centroid). Assignment reuses the quantized-integer
+# argmin of the incremental-maintenance path (exact cross-engine);
+# shares and deviations are exact integer bp. One broadcast-codebook
+# probe + one cell-key aggregate — never a corpus shuffle.
+# ---------------------------------------------------------------------------
+@register(
+    "ivf_cell_balance_report",
+    oracle=f"""
+        WITH e AS (
+            SELECT vec_id,
+                   list_transform(embedding,
+                       x -> ROUND(x::DOUBLE * {KMEANS_SCALE}.0)) AS emb
+            FROM embeddings
+        ),
+        cents AS (
+            SELECT vec_id AS cent_id, emb AS c_emb FROM e
+            WHERE {_IVF_HASH_SQL} % {IVF_SAMPLE_MOD} = 0
+        ),
+        assigned AS ({_ivf_incr_argmin_sql("e", "cents")}),
+        sizes AS (
+            SELECT cent_id AS cell, CAST(COUNT(*) AS BIGINT) AS n_vectors
+            FROM assigned GROUP BY cent_id
+        ),
+        tot AS (
+            SELECT CAST(SUM(n_vectors) AS BIGINT) AS total,
+                   CAST(COUNT(*) AS BIGINT) AS n_cells
+            FROM sizes
+        )
+        SELECT s.cell, s.n_vectors,
+               s.n_vectors * 10000 // t.total AS share_bp,
+               s.n_vectors * t.n_cells * 10000 // t.total
+                   AS vs_uniform_bp
+        FROM sizes s, tot t
+    """,
+    tags=("similarity", "ivf", "balance", "embeddings"),
+)
+def ivf_cell_balance_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kafka_stream_job_spark.operators._portable import idiv
+
+    emb = load_table(spark, sf_dir, "embeddings", rebalance=True).select(
+        "vec_id",
+        F.transform(
+            "embedding", lambda x: F.round(x.cast("double") * KMEANS_SCALE, 0)
+        ).alias("emb"),
+    )
+    ivf_hash = F.conv(
+        F.substring(
+            F.md5(F.concat(F.lit("ivf:"), F.col("vec_id").cast("string"))), 1, 7
+        ),
+        16,
+        10,
+    ).cast("long")
+    cents = emb.filter(ivf_hash % IVF_SAMPLE_MOD == 0).select(
+        F.col("vec_id").alias("cent_id"), F.col("emb").alias("c_emb")
+    )
+    sizes = (
+        _ivf_incr_assign(emb, cents)
+        .groupBy(F.col("cent_id").alias("cell"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n_vectors"))
+    )
+    tot = sizes.agg(
+        F.sum("n_vectors").cast("long").alias("total"),
+        F.count(F.lit(1)).cast("long").alias("n_cells"),
+    )
+    return sizes.crossJoin(F.broadcast(tot)).select(
+        "cell",
+        "n_vectors",
+        idiv(F.col("n_vectors") * 10000, F.col("total")).alias("share_bp"),
+        idiv(
+            F.col("n_vectors") * F.col("n_cells") * 10000, F.col("total")
+        ).alias("vs_uniform_bp"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# DIMENSION VARIANCE RANKING — the Matryoshka/pruning planner's input:
+# per embedding dimension, the exact integer variance numerator
+# n·Σx² − (Σx)² over milli-quantized values, ranked, with the cumulative
+# variance share — "how many dimensions carry 90% of the energy" read
+# straight off cum_share_bp. Moments are exact int64 (loud ANSI
+# saturation past ~1e9 vectors at these magnitudes — the covariance-op
+# posture); the ranking window runs over exactly DIM rows.
+# ---------------------------------------------------------------------------
+@register(
+    "embedding_dim_variance_rank",
+    oracle="""
+        WITH vals AS (
+            SELECT UNNEST(range(1, len(embedding) + 1)) AS dim,
+                   UNNEST(list_transform(embedding,
+                       x -> CAST(ROUND(x::DOUBLE * 1000.0) AS BIGINT))) AS v
+            FROM embeddings
+        ),
+        moments AS (
+            SELECT dim,
+                   CAST(COUNT(*) AS BIGINT) AS n,
+                   CAST(SUM(v) AS BIGINT) AS s,
+                   CAST(SUM(v * v) AS BIGINT) AS sq
+            FROM vals GROUP BY dim
+        ),
+        ranked AS (
+            SELECT dim, n * sq - s * s AS var_num,
+                   ROW_NUMBER() OVER (ORDER BY n * sq - s * s DESC, dim)
+                       AS var_rank
+            FROM moments
+        ),
+        tot AS (SELECT CAST(SUM(var_num) AS BIGINT) AS total FROM ranked)
+        SELECT r.dim, CAST(r.var_num AS BIGINT) AS var_num,
+               CAST(r.var_rank AS BIGINT) AS var_rank,
+               CAST(SUM(r.var_num) OVER (
+                    ORDER BY r.var_rank
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                    AS BIGINT) * 10000 // t.total AS cum_share_bp
+        FROM ranked r, tot t
+    """,
+    tags=("similarity", "variance", "matryoshka", "embeddings"),
+)
+def embedding_dim_variance_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from kafka_stream_job_spark.operators._portable import idiv
+
+    emb = load_table(spark, sf_dir, "embeddings", rebalance=True)
+    vals = emb.select(
+        F.posexplode(
+            F.transform(
+                "embedding",
+                lambda x: F.round(x.cast("double") * 1000.0, 0).cast("long"),
+            )
+        ).alias("pos", "v")
+    ).select((F.col("pos") + 1).cast("long").alias("dim"), "v")
+    moments = vals.groupBy("dim").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("v").cast("long").alias("s"),
+        F.sum(F.col("v") * F.col("v")).cast("long").alias("sq"),
+    )
+    var_num = (F.col("n") * F.col("sq") - F.col("s") * F.col("s")).alias(
+        "var_num"
+    )
+    # DIM-row input: the global ordered window is bounded by construction
+    ranked = moments.select("dim", var_num).withColumn(
+        "var_rank",
+        F.row_number()
+        .over(Window.orderBy(F.col("var_num").desc(), F.col("dim")))
+        .cast("long"),
+    )
+    tot = ranked.agg(F.sum("var_num").cast("long").alias("total"))
+    cum = F.sum("var_num").over(
+        Window.orderBy("var_rank").rowsBetween(
+            Window.unboundedPreceding, Window.currentRow
+        )
+    )
+    return (
+        ranked.crossJoin(F.broadcast(tot))
+        .withColumn("cum", cum.cast("long"))
+        .select(
+            "dim",
+            "var_num",
+            "var_rank",
+            idiv(F.col("cum") * 10000, F.col("total")).alias("cum_share_bp"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# BLOCKING-KEY PROFILE — the pair-generation planner for embedding-space
+# dedup/linkage: block vectors on a coarse prefix key (first
+# EMB_BLOCK_DIMS dimensions quantized to deci-units) and profile the
+# blocks — their sizes set the candidate-pair budget (Σ C(n,2)), their
+# full-precision distinct count separates true near-dups from key
+# collisions, and label spread flags suspicious blocks. One hash
+# aggregate; the comparison space never materializes.
+# ---------------------------------------------------------------------------
+EMB_BLOCK_DIMS = 4
+
+
+@register(
+    "embedding_blocking_key_profile",
+    oracle=f"""
+        WITH keyed AS (
+            SELECT vec_id, label,
+                   md5(array_to_string(list_transform(
+                       embedding[1:{EMB_BLOCK_DIMS}],
+                       x -> CAST(CAST(ROUND(x::DOUBLE * 10.0) AS BIGINT)
+                                 AS VARCHAR)), ',')) AS block_key,
+                   md5(array_to_string(list_transform(embedding,
+                       x -> CAST(CAST(ROUND(x::DOUBLE * 1000.0) AS BIGINT)
+                                 AS VARCHAR)), ',')) AS full_fp
+            FROM embeddings
+        )
+        SELECT block_key,
+               CAST(COUNT(*) AS BIGINT) AS n_vectors,
+               CAST(COUNT(DISTINCT full_fp) AS BIGINT) AS n_distinct_full,
+               CAST(COUNT(DISTINCT label) AS BIGINT) AS n_labels,
+               CAST(COUNT(*) * (COUNT(*) - 1) // 2 AS BIGINT)
+                   AS n_candidate_pairs,
+               MIN(vec_id) AS min_vec_id
+        FROM keyed
+        GROUP BY block_key
+        HAVING COUNT(*) > 1
+    """,
+    tags=("similarity", "blocking", "dedup", "embeddings"),
+)
+def embedding_blocking_key_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kafka_stream_job_spark.operators._portable import idiv
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    block_key = F.md5(
+        F.array_join(
+            F.transform(
+                F.slice("embedding", 1, EMB_BLOCK_DIMS),
+                lambda x: F.round(x.cast("double") * 10.0, 0)
+                .cast("long")
+                .cast("string"),
+            ),
+            ",",
+        )
+    )
+    full_fp = F.md5(
+        F.array_join(
+            F.transform(
+                "embedding",
+                lambda x: F.round(x.cast("double") * 1000.0, 0)
+                .cast("long")
+                .cast("string"),
+            ),
+            ",",
+        )
+    )
+    n = F.count(F.lit(1)).cast("long")
+    return (
+        emb.select(
+            block_key.alias("block_key"),
+            full_fp.alias("full_fp"),
+            "vec_id",
+            "label",
+        )
+        .groupBy("block_key")
+        .agg(
+            n.alias("n_vectors"),
+            F.countDistinct("full_fp").cast("long").alias("n_distinct_full"),
+            F.countDistinct("label").cast("long").alias("n_labels"),
+            idiv(n * (n - 1), F.lit(2)).alias("n_candidate_pairs"),
+            F.min("vec_id").alias("min_vec_id"),
+        )
+        .filter(F.col("n_vectors") > 1)
+    )

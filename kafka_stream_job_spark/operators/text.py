@@ -3899,3 +3899,156 @@ def langid_precision_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(idiv(F.col("tp") * 10000, F.col("tp") + F.col("fn")))
         .alias("recall_bp"),
     )
+
+
+# ---------------------------------------------------------------------------
+# VOCABULARY PRESSURE — the tokenizer-sizing curve: what fraction of the
+# token stream does a top-K vocabulary cover, for the K grid a tokenizer
+# designer actually compares? Tokens rank by (count DESC, token ASC)
+# through the distributed rank helper (range exchange, no global sort);
+# each K of the literal grid then reads its coverage off one bounded
+# join + rollup. Exact integer bp.
+# ---------------------------------------------------------------------------
+VOCAB_PRESSURE_KS = (100, 500, 1000, 2000)
+
+
+@register(
+    "tokenizer_vocab_pressure",
+    oracle=rf"""
+        WITH tok AS (
+            SELECT UNNEST(string_split_regex(TRIM(LOWER(text)), '\s+'))
+                       AS token
+            FROM documents
+        ),
+        counts AS (SELECT token, COUNT(*) AS c FROM tok GROUP BY token),
+        ranked AS (
+            SELECT c, ROW_NUMBER() OVER (ORDER BY c DESC, token) AS rnk
+            FROM counts
+        ),
+        tot AS (
+            SELECT CAST(SUM(c) AS BIGINT) AS total,
+                   CAST(COUNT(*) AS BIGINT) AS n_types
+            FROM counts
+        )
+        SELECT k.vocab_k,
+               t.n_types,
+               CAST(COALESCE(SUM(r.c), 0) AS BIGINT) AS covered_tokens,
+               t.total AS total_tokens,
+               CAST(COALESCE(SUM(r.c), 0) AS BIGINT) * 10000 // t.total
+                   AS coverage_bp
+        FROM (VALUES {", ".join(f"({k})" for k in VOCAB_PRESSURE_KS)})
+            AS k(vocab_k)
+        LEFT JOIN ranked r ON r.rnk <= k.vocab_k
+        CROSS JOIN tot t
+        GROUP BY k.vocab_k, t.total, t.n_types
+    """,
+    tags=("text", "tokenizer", "vocab", "documents"),
+)
+def tokenizer_vocab_pressure(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kafka_stream_job_spark.operators._distributed import distributed_rank
+
+    docs = load_table(spark, sf_dir, "documents", rebalance=True)
+    counts = (
+        docs.select(
+            F.explode(F.split(F.trim(F.lower("text")), r"\s+")).alias("token")
+        )
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+    )
+    ranked = distributed_rank(counts, [(-F.col("c")), F.col("token")])
+    tot = counts.agg(
+        F.sum("c").cast("long").alias("total"),
+        F.count(F.lit(1)).cast("long").alias("n_types"),
+    )
+    grid = docs.sparkSession.createDataFrame(
+        [(k,) for k in VOCAB_PRESSURE_KS], "vocab_k int"
+    )
+    return (
+        F.broadcast(grid)
+        .join(ranked, F.col("rnk") <= F.col("vocab_k"), "left")
+        .crossJoin(F.broadcast(tot))
+        .groupBy("vocab_k", "total", "n_types")
+        .agg(
+            F.coalesce(F.sum("c"), F.lit(0)).cast("long").alias(
+                "covered_tokens"
+            )
+        )
+        .select(
+            F.col("vocab_k").cast("int").alias("vocab_k"),
+            "n_types",
+            "covered_tokens",
+            F.col("total").alias("total_tokens"),
+            idiv(F.col("covered_tokens") * 10000, F.col("total")).alias(
+                "coverage_bp"
+            ),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# ADJACENT-REPETITION DETECTOR — degenerate-text screening: the rate of
+# immediately-repeated tokens ("the the", looped generations). Distinct
+# from text_repetition_filter's multiset dup fractions — this one is
+# ORDER-SENSITIVE (position-adjacent), which is exactly what catches
+# model-generated loops that shuffle-invariant stats miss. Per-row
+# counting stays inside one expression; one source-key rollup.
+# ---------------------------------------------------------------------------
+@register(
+    "text_adjacent_repetition",
+    oracle=r"""
+        WITH per_doc AS (
+            SELECT source,
+                   CAST(len(toks) - 1 AS BIGINT) AS n_pairs,
+                   CAST(list_sum(list_prepend(0,
+                       list_transform(range(1, len(toks)),
+                           j -> CASE WHEN toks[j] = toks[j + 1]
+                                     THEN 1 ELSE 0 END))) AS BIGINT)
+                       AS n_adjacent
+            FROM (
+                SELECT source,
+                       string_split_regex(TRIM(LOWER(text)), '\s+') AS toks
+                FROM documents
+            )
+            WHERE len(toks) >= 2
+        )
+        SELECT source,
+               CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(n_pairs) AS BIGINT) AS n_pairs,
+               CAST(SUM(n_adjacent) AS BIGINT) AS n_adjacent,
+               CAST(SUM(n_adjacent) AS BIGINT) * 10000
+                   // CAST(SUM(n_pairs) AS BIGINT) AS adjacent_bp,
+               CAST(SUM(CASE WHEN n_adjacent > 0 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_docs_with_runs
+        FROM per_doc
+        GROUP BY source
+    """,
+    tags=("text", "repetition", "quality", "documents"),
+)
+def text_adjacent_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.split(F.trim(F.lower("text")), r"\s+")
+    staged = docs.select("source", toks.alias("toks")).filter(
+        F.size("toks") >= 2
+    )
+    n_adjacent = F.expr(
+        "aggregate(transform(sequence(1, size(toks) - 1),"
+        " j -> IF(element_at(toks, j) = element_at(toks, j + 1), 1L, 0L)),"
+        " 0L, (acc, x) -> acc + x)"
+    )
+    per_doc = staged.select(
+        "source",
+        (F.size("toks") - 1).cast("long").alias("n_pairs"),
+        n_adjacent.alias("n_adjacent"),
+    )
+    return per_doc.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("n_pairs").cast("long").alias("n_pairs"),
+        F.sum("n_adjacent").cast("long").alias("n_adjacent"),
+        idiv(
+            F.sum("n_adjacent").cast("long") * 10000,
+            F.sum("n_pairs").cast("long"),
+        ).alias("adjacent_bp"),
+        F.sum(F.when(F.col("n_adjacent") > 0, 1).otherwise(0))
+        .cast("long")
+        .alias("n_docs_with_runs"),
+    )

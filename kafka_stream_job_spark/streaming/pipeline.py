@@ -3673,3 +3673,79 @@ def _register_streaming_frontier_bloom() -> None:
 
 
 _register_streaming_frontier_bloom()
+
+
+# ---------------------------------------------------------------------------
+# The checkpoint FILE-SOURCE MANIFEST queried as a table — the last of
+# the reference's manually-inspected checkpoint artifacts (dev.md:15-21
+# `cat sources/0/0`) lifted into the SQL surface, completing the
+# offsets/commits/state/sources quartet. Each sources/0/<batch> file is
+# "v1" + one JSON line per ingested file {path, timestamp, batchId};
+# the query parses them schema-on-read (from_json, the T1 binary→struct
+# discipline on text) and reports per batch the file count and the
+# deterministic basenames — which the oracle predicts exactly, because
+# the three-batch replay stages exactly one batchN.parquet per batch.
+# ---------------------------------------------------------------------------
+def _register_sources_manifest_query() -> None:
+    import uuid
+
+    from kafka_stream_job_spark.registry import register
+
+    @register(
+        "checkpoint_sources_table",
+        oracle="""
+            SELECT CAST(0 AS BIGINT) AS batch_id, CAST(1 AS BIGINT) AS n_files,
+                   'batch0.parquet' AS file_names, CAST(0 AS BIGINT)
+                       AS manifest_batch_id
+            UNION ALL
+            SELECT CAST(1 AS BIGINT), CAST(1 AS BIGINT), 'batch1.parquet',
+                   CAST(1 AS BIGINT)
+            UNION ALL
+            SELECT CAST(2 AS BIGINT), CAST(1 AS BIGINT), 'batch2.parquet',
+                   CAST(2 AS BIGINT)
+        """,
+        tags=("streaming", "checkpoint", "sources", "sql-surface"),
+    )
+    def checkpoint_sources_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+        import os
+        import tempfile
+
+        stage = _stage_late_replay(sf_dir)
+        name = f"sources_tbl_{uuid.uuid4().hex[:8]}"
+        ckpt = tempfile.mkdtemp(prefix="ksj-sources-tbl-")
+        run_stream_to_memory(
+            spark,
+            late_drop_rollup_stream(spark, stage),
+            name,
+            ckpt,
+            output_mode="append",
+        )
+        lines = spark.read.text(os.path.join(ckpt, "sources", "0", "*"))
+        entry = F.from_json(
+            F.col("value"),
+            "path string, timestamp long, batchId long",
+        )
+        parsed = (
+            lines.filter(F.col("value") != "v1")
+            .select(
+                F.element_at(F.split(F.input_file_name(), "/"), -1)
+                .cast("long")
+                .alias("batch_id"),
+                entry.alias("e"),
+            )
+            .select(
+                "batch_id",
+                F.element_at(F.split(F.col("e.path"), "/"), -1).alias("fname"),
+                F.col("e.batchId").alias("manifest_batch_id"),
+            )
+        )
+        return parsed.groupBy("batch_id").agg(
+            F.count(F.lit(1)).cast("long").alias("n_files"),
+            F.array_join(F.array_sort(F.collect_list("fname")), ",").alias(
+                "file_names"
+            ),
+            F.min("manifest_batch_id").cast("long").alias("manifest_batch_id"),
+        )
+
+
+_register_sources_manifest_query()

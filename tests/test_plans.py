@@ -190,6 +190,7 @@ _BOUNDED_GLOBAL_WINDOW_OK = {
     "timeseries_znorm_subsequence_search",  # hourly series: bounded by time domain
     "events_daily_value_trend",  # 7-day moving avg over per-day aggregate
     "sketch_quantile_bins",  # cumulative count over fixed bin count
+    "embedding_dim_variance_rank",  # rank/cumsum over exactly DIM=64 rows
 }
 
 
