@@ -2564,3 +2564,71 @@ def dedup_frontier_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).cast("long"),
         ).alias("false_pos_bp"),
     )
+
+
+# ---------------------------------------------------------------------------
+# DUP-CLUSTER SIZE HISTOGRAM — the one-screen "how duplicated is this
+# corpus" summary: exact-fingerprint cluster sizes bucketed into the
+# bands dedup planning reasons about (unique / pair / small / viral),
+# with the doc-mass share per band in exact bp. Two nested bounded-key
+# hash aggregates.
+# ---------------------------------------------------------------------------
+@register(
+    "dedup_cluster_size_histogram",
+    oracle=f"""
+        WITH sizes AS (
+            SELECT md5({_NORM_SQL}) AS fp, CAST(COUNT(*) AS BIGINT) AS c
+            FROM documents GROUP BY 1
+        ),
+        banded AS (
+            SELECT CASE WHEN c = 1 THEN '1-unique'
+                        WHEN c = 2 THEN '2-pair'
+                        WHEN c <= 8 THEN '3-small(3-8)'
+                        ELSE '4-viral(9+)' END AS size_band,
+                   c
+            FROM sizes
+        ),
+        tot AS (SELECT CAST(SUM(c) AS BIGINT) AS n_docs FROM sizes)
+        SELECT b.size_band,
+               CAST(COUNT(*) AS BIGINT) AS n_clusters,
+               CAST(SUM(b.c) AS BIGINT) AS n_docs,
+               CAST(SUM(b.c) AS BIGINT) * 10000 // t.n_docs AS doc_mass_bp
+        FROM banded b, tot t
+        GROUP BY b.size_band, t.n_docs
+    """,
+    tags=("dedup", "histogram", "documents"),
+)
+def dedup_cluster_size_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kafka_stream_job_spark.operators._portable import idiv
+
+    docs = load_table(spark, sf_dir, "documents")
+    sizes = (
+        docs.select(F.md5(_norm_text()).alias("fp"))
+        .groupBy("fp")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+    )
+    banded = sizes.select(
+        F.when(F.col("c") == 1, "1-unique")
+        .when(F.col("c") == 2, "2-pair")
+        .when(F.col("c") <= 8, "3-small(3-8)")
+        .otherwise("4-viral(9+)")
+        .alias("size_band"),
+        "c",
+    )
+    tot = sizes.agg(F.sum("c").cast("long").alias("n_docs_total"))
+    return (
+        banded.crossJoin(F.broadcast(tot))
+        .groupBy("size_band", "n_docs_total")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_clusters"),
+            F.sum("c").cast("long").alias("n_docs"),
+        )
+        .select(
+            "size_band",
+            "n_clusters",
+            "n_docs",
+            idiv(F.col("n_docs") * 10000, F.col("n_docs_total")).alias(
+                "doc_mass_bp"
+            ),
+        )
+    )

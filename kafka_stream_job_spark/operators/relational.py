@@ -12104,3 +12104,248 @@ def pps_systematic_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
             "weight_share_bp"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# USER LIFECYCLE STAGES — the growth-accounting classification at a
+# point in time: per user, first/last activity vs the corpus horizon
+# buckets them new / active / churned (thresholds in exact hours);
+# report per stage with event volumes. One user-key aggregate + a
+# broadcast of the 1-row horizon.
+# ---------------------------------------------------------------------------
+LIFECYCLE_NEW_HOURS = 24
+LIFECYCLE_CHURN_HOURS = 48
+
+
+@register(
+    "events_user_lifecycle_stages",
+    oracle=f"""
+        WITH horizon AS (SELECT MAX(ts) AS h FROM events),
+        per_user AS (
+            SELECT user_id, MIN(ts) AS first_ts, MAX(ts) AS last_ts,
+                   CAST(COUNT(*) AS BIGINT) AS n_events
+            FROM events GROUP BY user_id
+        ),
+        staged AS (
+            SELECT CASE
+                     WHEN first_ts >= h - INTERVAL {LIFECYCLE_NEW_HOURS} HOUR
+                         THEN 'new'
+                     WHEN last_ts < h - INTERVAL {LIFECYCLE_CHURN_HOURS} HOUR
+                         THEN 'churned'
+                     ELSE 'active'
+                   END AS stage,
+                   n_events
+            FROM per_user, horizon
+        )
+        SELECT stage,
+               CAST(COUNT(*) AS BIGINT) AS n_users,
+               CAST(SUM(n_events) AS BIGINT) AS n_events,
+               CAST(SUM(n_events) AS BIGINT) * 100
+                   // CAST(COUNT(*) AS BIGINT) AS events_per_user_centi
+        FROM staged
+        GROUP BY stage
+    """,
+    tags=("events", "lifecycle", "retention", "agg"),
+)
+def events_user_lifecycle_stages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    horizon = events.agg(F.max("ts").alias("h"))
+    per_user = events.groupBy("user_id").agg(
+        F.min("ts").alias("first_ts"),
+        F.max("ts").alias("last_ts"),
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+    )
+    staged = per_user.crossJoin(F.broadcast(horizon)).select(
+        F.when(
+            F.col("first_ts")
+            >= F.col("h") - F.expr(f"INTERVAL {LIFECYCLE_NEW_HOURS} HOUR"),
+            "new",
+        )
+        .when(
+            F.col("last_ts")
+            < F.col("h") - F.expr(f"INTERVAL {LIFECYCLE_CHURN_HOURS} HOUR"),
+            "churned",
+        )
+        .otherwise("active")
+        .alias("stage"),
+        "n_events",
+    )
+    return staged.groupBy("stage").agg(
+        F.count(F.lit(1)).cast("long").alias("n_users"),
+        F.sum("n_events").cast("long").alias("n_events"),
+        idiv(
+            F.sum("n_events").cast("long") * 100,
+            F.count(F.lit(1)).cast("long"),
+        ).alias("events_per_user_centi"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# BIPARTITE DEGREE DISTRIBUTION — the supplier↔part graph profile: how
+# many suppliers serve k parts, how many parts have k suppliers. Degree
+# distributions are the first sanity check before any graph algorithm
+# (hubs explode pair-joins; orphans break propagation). Two bounded
+# log2-bucket histograms unioned; degrees from one distinct-edge
+# aggregate each way.
+# ---------------------------------------------------------------------------
+@register(
+    "graph_degree_distribution",
+    oracle="""
+        WITH edges AS (
+            SELECT DISTINCT l_suppkey AS s, l_partkey AS p FROM lineitem
+        ),
+        sd AS (SELECT s, CAST(COUNT(*) AS BIGINT) AS deg FROM edges GROUP BY s),
+        pd AS (SELECT p, CAST(COUNT(*) AS BIGINT) AS deg FROM edges GROUP BY p)
+        SELECT 'supplier' AS side,
+               CAST(FLOOR(LOG2(deg)) AS BIGINT) AS deg_log2_bucket,
+               CAST(COUNT(*) AS BIGINT) AS n_nodes,
+               CAST(MIN(deg) AS BIGINT) AS min_deg,
+               CAST(MAX(deg) AS BIGINT) AS max_deg
+        FROM sd GROUP BY 2
+        UNION ALL
+        SELECT 'part',
+               CAST(FLOOR(LOG2(deg)) AS BIGINT),
+               CAST(COUNT(*) AS BIGINT),
+               CAST(MIN(deg) AS BIGINT),
+               CAST(MAX(deg) AS BIGINT)
+        FROM pd GROUP BY 2
+    """,
+    tags=("graph", "degree", "lineitem"),
+)
+def graph_degree_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    edges = li.select(
+        F.col("l_suppkey").alias("s"), F.col("l_partkey").alias("p")
+    ).distinct()
+
+    def hist(df: DataFrame, key: str, side: str) -> DataFrame:
+        deg = df.groupBy(key).agg(F.count(F.lit(1)).cast("long").alias("deg"))
+        # floor(log2(deg)) == length of the binary repr − 1: exact integer
+        # arithmetic, no libm log anywhere near the bucket boundary
+        bucket = (
+            F.length(F.conv(F.col("deg").cast("string"), 10, 2)) - 1
+        ).cast("long")
+        return deg.groupBy(bucket.alias("deg_log2_bucket")).agg(
+            F.count(F.lit(1)).cast("long").alias("n_nodes"),
+            F.min("deg").cast("long").alias("min_deg"),
+            F.max("deg").cast("long").alias("max_deg"),
+        ).select(
+            F.lit(side).alias("side"),
+            "deg_log2_bucket",
+            "n_nodes",
+            "min_deg",
+            "max_deg",
+        )
+
+    return hist(edges, "s", "supplier").unionByName(hist(edges, "p", "part"))
+
+
+# ---------------------------------------------------------------------------
+# WEEKLY GMV WITH WEEK-OVER-WEEK DELTA — the business trendline: order
+# value summed as exact integer cents per ISO week, then the WoW delta
+# in bp off a lag window over the (time-domain-bounded) weekly rollup.
+# ---------------------------------------------------------------------------
+@register(
+    "orders_gmv_weekly_wow",
+    oracle="""
+        WITH weekly AS (
+            SELECT date_trunc('week', CAST(o_orderdate AS DATE)) AS week_start,
+                   CAST(SUM(CAST(ROUND(o_totalprice * 100.0) AS BIGINT))
+                        AS BIGINT) AS gmv_cents,
+                   CAST(COUNT(*) AS BIGINT) AS n_orders
+            FROM orders GROUP BY 1
+        )
+        SELECT CAST(week_start AS VARCHAR) AS week_start,
+               n_orders, gmv_cents,
+               CASE WHEN lag(gmv_cents) OVER (ORDER BY week_start) IS NULL
+                    THEN CAST(0 AS BIGINT)
+                    ELSE (gmv_cents - lag(gmv_cents) OVER (ORDER BY week_start))
+                         * 10000 // lag(gmv_cents) OVER (ORDER BY week_start)
+               END AS wow_delta_bp
+        FROM weekly
+    """,
+    tags=("orders", "trend", "window", "agg"),
+)
+def orders_gmv_weekly_wow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    weekly = orders.groupBy(
+        F.date_trunc("week", F.col("o_orderdate").cast("date")).alias("wk")
+    ).agg(
+        F.sum(F.round(F.col("o_totalprice") * 100.0, 0).cast("long"))
+        .cast("long")
+        .alias("gmv_cents"),
+        F.count(F.lit(1)).cast("long").alias("n_orders"),
+    )
+    # time-domain-bounded global window (weeks, not rows) — the
+    # events_daily_value_trend precedent
+    w = Window.orderBy("wk")
+    prev = F.lag("gmv_cents").over(w)
+    return weekly.select(
+        F.col("wk").cast("date").cast("string").alias("week_start"),
+        "n_orders",
+        "gmv_cents",
+        F.when(prev.isNull(), F.lit(0).cast("long"))
+        .otherwise(idiv((F.col("gmv_cents") - prev) * 10000, prev))
+        .alias("wow_delta_bp"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# QUANTITY × PRICE-DECILE HEATMAP — the 2-D profile a pricing analyst
+# reads first: lineitems bucketed by quantity band and extended-price
+# decile (exact distributed NTILE over (price-cents, unique key) — a
+# total order, so both engines bucket identically). Revenue per cell in
+# exact integer cents.
+# ---------------------------------------------------------------------------
+@register(
+    "lineitem_qty_price_heatmap",
+    oracle="""
+        WITH deciled AS (
+            SELECT l_quantity,
+                   CAST(ROUND(l_extendedprice * 100.0) AS BIGINT) AS cents,
+                   NTILE(10) OVER (
+                       ORDER BY CAST(ROUND(l_extendedprice * 100.0) AS BIGINT),
+                                l_orderkey, l_linenumber) AS price_decile
+            FROM lineitem
+        )
+        SELECT CAST(((CAST(l_quantity AS BIGINT) - 1) // 10) * 10 + 1
+                    AS BIGINT) AS qty_band_lo,
+               CAST(price_decile AS BIGINT) AS price_decile,
+               CAST(COUNT(*) AS BIGINT) AS n_items,
+               CAST(SUM(cents) AS BIGINT) AS revenue_cents
+        FROM deciled
+        GROUP BY 1, 2
+    """,
+    tags=("lineitem", "histogram", "ntile", "agg"),
+)
+def lineitem_qty_price_heatmap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kafka_stream_job_spark.operators._distributed import (
+        distributed_rank,
+        ntile_from_rank,
+    )
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        F.col("l_quantity").cast("long").alias("qty"),
+        F.round(F.col("l_extendedprice") * 100.0, 0).cast("long").alias("cents"),
+        "l_orderkey",
+        "l_linenumber",
+    )
+    ranked = distributed_rank(
+        li, [F.col("cents"), F.col("l_orderkey"), F.col("l_linenumber")]
+    )
+    total = li.agg(F.count(F.lit(1)).cast("long").alias("_total"))
+    return (
+        ranked.crossJoin(F.broadcast(total))
+        .select(
+            (idiv(F.col("qty") - 1, F.lit(10)) * 10 + 1).alias("qty_band_lo"),
+            ntile_from_rank(F.col("rnk"), F.col("_total"), 10)
+            .cast("long")
+            .alias("price_decile"),
+            "cents",
+        )
+        .groupBy("qty_band_lo", "price_decile")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_items"),
+            F.sum("cents").cast("long").alias("revenue_cents"),
+        )
+    )

@@ -191,6 +191,7 @@ _BOUNDED_GLOBAL_WINDOW_OK = {
     "events_daily_value_trend",  # 7-day moving avg over per-day aggregate
     "sketch_quantile_bins",  # cumulative count over fixed bin count
     "embedding_dim_variance_rank",  # rank/cumsum over exactly DIM=64 rows
+    "orders_gmv_weekly_wow",  # lag over the per-WEEK rollup: time-bounded
 }
 
 

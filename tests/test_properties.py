@@ -4734,3 +4734,35 @@ def test_bmp_parser_rejects_malformed():
     rle[30:34] = struct.pack("<I", 1)
     with _pytest.raises(ValueError, match="BI_RGB"):
         decode_bmp_real(bytes(rle))
+
+
+@settings(max_examples=100, deadline=None)
+@given(
+    width=st.integers(min_value=1, max_value=11),
+    height=st.integers(min_value=1, max_value=9),
+    seed=st.integers(min_value=0, max_value=2**31),
+    top_down=st.booleans(),
+)
+def test_bmp_luma_grid_matches_direct_sampling(width, height, seed, top_down):
+    """decode_bmp_luma_grid must return exactly the BT.601 luma of pixel
+    (i*H//8, j*W//8) regardless of stored row order or padding."""
+    from kafka_stream_job_spark.operators.multimodal import (
+        decode_bmp_luma_grid,
+    )
+
+    rng = seed
+    pix = []
+    for _ in range(width * height):
+        vals = []
+        for _ in range(3):
+            rng = (1103515245 * rng + 12345) % (1 << 31)
+            vals.append(rng % 256)
+        pix.append(tuple(vals))
+    got = decode_bmp_luma_grid(_bmp_bytes(width, height, pix, top_down))
+    assert got["width"] == width and got["height"] == height
+    want = []
+    for i in range(8):
+        for j in range(8):
+            b, g, r = pix[(i * height // 8) * width + (j * width // 8)]
+            want.append(299 * r + 587 * g + 114 * b)
+    assert got["lumas"] == want
