@@ -1838,14 +1838,22 @@ def corpus_shingle_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 # EXACT-SUBSTRING DEDUP (suffix-array complement of MinHash) — the
 # RefinedWeb/Gopher-style check MinHash can't do: literal 32-character
-# runs copied between documents, caught by strided character grams
-# (GRAM_LEN chars every GRAM_STRIDE) so any copied run of >=
-# GRAM_LEN+GRAM_STRIDE-1 chars is guaranteed to produce at least one
-# shared gram. A full suffix array is sequential by construction; the
-# strided-gram relaxation is the distributed form: grams explode inside
-# scan tasks, the first-seen aggregate does map-side partial MIN, and
-# the flag join is gram-keyed — never doc×doc. Report per source:
-# fraction of docs containing any substring first seen in an EARLIER doc.
+# runs copied between documents. Grams are CONTENT-ANCHORED (winnowing
+# style): every position's 32-char gram is hashed and kept iff
+# hash % GRAM_STRIDE == 0 — the anchor decision depends only on the
+# gram's BYTES, so two copies of the same run select the same grams at
+# ANY alignment. (A fixed-stride scheme is phase-blind: copies whose
+# offsets differ mod the stride share zero grams — the r8 review
+# finding this rewrite fixes.) Expected 1-in-GRAM_STRIDE positions
+# survive, so the explode stays ~len/16 rows per doc. A full suffix
+# array is sequential by construction; the anchored-gram relaxation is
+# the distributed form: grams explode inside scan tasks, the first-seen
+# aggregate does map-side partial MIN, and the flag join is gram-keyed —
+# never doc×doc. Report per source: fraction of docs containing a
+# substring first seen in an EARLIER doc. A copied run is caught iff it
+# contains an anchored gram — expected once per GRAM_STRIDE chars of
+# run length, alignment-free (probabilistic, not the false fixed-stride
+# "guarantee").
 # Reference parity: none (SURVEY.md §2.7) — north-star dedup extension.
 # ---------------------------------------------------------------------------
 GRAM_LEN = 32
@@ -1856,16 +1864,18 @@ GRAM_STRIDE = 16
     "dedup_exact_substring",
     oracle=f"""
         WITH grams AS (
-            SELECT DISTINCT doc_id,
-                   substr(norm, i * {GRAM_STRIDE} + 1, {GRAM_LEN}) AS gram
-            FROM (
-                SELECT doc_id, norm,
-                       UNNEST(range(0,
-                           (length(norm) - {GRAM_LEN}) // {GRAM_STRIDE} + 1))
-                           AS i
-                FROM (SELECT doc_id, {_NORM_SQL} AS norm FROM documents)
-                WHERE length(norm) >= {GRAM_LEN}
+            SELECT DISTINCT doc_id, gram FROM (
+                SELECT doc_id, substr(norm, i + 1, {GRAM_LEN}) AS gram
+                FROM (
+                    SELECT doc_id, norm,
+                           UNNEST(range(0, length(norm) - {GRAM_LEN} + 1))
+                               AS i
+                    FROM (SELECT doc_id, {_NORM_SQL} AS norm FROM documents)
+                    WHERE length(norm) >= {GRAM_LEN}
+                )
             )
+            WHERE ('0x' || substr(md5(gram), 1, 7))::BIGINT
+                  % {GRAM_STRIDE} = 0
         ),
         first_seen AS (
             SELECT gram, MIN(doc_id) AS first_doc FROM grams GROUP BY gram
@@ -1893,11 +1903,14 @@ def dedup_exact_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents", rebalance=True)
     norm = _norm_text()
     n = F.length(norm)
-    idx = F.sequence(
-        F.lit(0), idiv(n - GRAM_LEN, F.lit(GRAM_STRIDE)).cast("int")
-    )
-    gram_arr = F.transform(
-        idx, lambda i: F.substring(norm, i * GRAM_STRIDE + 1, GRAM_LEN)
+    idx = F.sequence(F.lit(0), (n - GRAM_LEN).cast("int"))
+    # content-anchored selection fused into the transform: gram kept iff
+    # md5(gram) % GRAM_STRIDE == 0 (alignment-free, see header)
+    gram_arr = F.filter(
+        F.transform(idx, lambda i: F.substring(norm, i + 1, GRAM_LEN)),
+        lambda g: F.conv(F.substring(F.md5(g), 1, 7), 16, 10).cast("long")
+        % GRAM_STRIDE
+        == 0,
     )
     grams = (
         docs.filter(n >= GRAM_LEN)

@@ -3955,7 +3955,12 @@ def tokenizer_vocab_pressure(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("token")
         .agg(F.count(F.lit(1)).cast("long").alias("c"))
     )
-    ranked = distributed_rank(counts, [(-F.col("c")), F.col("token")])
+    # only ranks <= max(K) can ever join — the filter keeps the non-equi
+    # join's data side bounded at max(K) rows instead of shipping the
+    # corpus-scaled vocabulary through a nested-loop join (r8 review)
+    ranked = distributed_rank(counts, [(-F.col("c")), F.col("token")]).filter(
+        F.col("rnk") <= max(VOCAB_PRESSURE_KS)
+    )
     tot = counts.agg(
         F.sum("c").cast("long").alias("total"),
         F.count(F.lit(1)).cast("long").alias("n_types"),

@@ -3066,6 +3066,13 @@ _register_streaming_semdedup()
 # (state keeps statistics, embeddings are re-fetched at verdict time).
 # Shares the batch oracle verbatim (_IVF_INCR_ORACLE_SQL).
 # ---------------------------------------------------------------------------
+#: Loud driver-state bound for the streaming IVF codebook collect —
+#: ~16k cells × 64 dims × 8 B ≈ 8 MB of driver state, far above any
+#: sanely-designed IVF cell count at which streaming assignment makes
+#: sense, far below driver OOM territory.
+_STREAM_IVF_MAX_CODEBOOK = 16_384
+
+
 def _register_streaming_ivf_assign() -> None:
     import uuid
 
@@ -3090,9 +3097,21 @@ def _register_streaming_ivf_assign() -> None:
         from pyspark.sql.streaming.state import GroupStateTimeout
 
         base, delta, cents = _ivf_incr_sides(spark, sf_dir)
-        # fixed codebook, K rows to the driver (the O(K·DIM) driver-state
-        # precedent of streaming/kmeans.py), sorted by cent_id so numpy
-        # argmin's first-minimum rule IS the lowest-cent_id tiebreak
+        # Fixed codebook to the driver, sorted by cent_id so numpy
+        # argmin's first-minimum rule IS the lowest-cent_id tiebreak.
+        # Driver state is O(K·DIM) where K is the CODEBOOK size — a real
+        # IVF deployment fixes K by design (≈√N cells), but this
+        # fixture's 1-in-64 sampling rule grows K with the corpus, so
+        # the collect is guarded: past the cap it raises loudly instead
+        # of silently OOMing the driver (r8 review finding — the
+        # batch twin keeps cents distributed until its broadcast).
+        k_count = cents.count()
+        if k_count > _STREAM_IVF_MAX_CODEBOOK:
+            raise ValueError(
+                f"streaming_ivf_assign codebook has {k_count} cells > cap "
+                f"{_STREAM_IVF_MAX_CODEBOOK}; fix K by design (IVF chooses "
+                "~sqrt(N) cells) before streaming at this scale"
+            )
         cent_rows = cents.orderBy("cent_id").collect()
         cent_ids = [int(r["cent_id"]) for r in cent_rows]
         cent_embs = [[int(x) for x in r["c_emb"]] for r in cent_rows]
