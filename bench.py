@@ -25,14 +25,15 @@ import os
 import sys
 import time
 
-#: Host-speed reference for ``value_normalized``: the cpu_calib_sec of the
-#: quietest measured run on this class of host (BENCH_r07.json, loadavg<1:
-#: 0.0663 s for 1e5 chained md5). A run on a contended/slower host measures
-#: a larger calib, so value*(REF/measured) deflates its query times back to
-#: reference-host terms; on the reference host the factor is ~1. This makes
-#: the 2x-of-baseline envelope comparable across rounds without requiring
-#: host quiet at measurement time (r7 judge item 7).
-CALIB_REF_SEC = 0.0663
+#: Host-speed reference for ``value_normalized``: the best-of-5 cpu_calib
+#: of this host class measured quiet (r8: 0.0488 s for 1e5 chained md5,
+#: stable to ±0.6% across repeats — the one-shot probe r7 recorded swung
+#: 0.051-0.079 s with scheduler noise). A contended/slower host measures a
+#: larger calib, so value*(REF/measured) deflates its query times back to
+#: reference-host terms; on a quiet run of this host the factor is ~1.
+#: This makes the 2x-of-baseline envelope comparable across rounds without
+#: requiring host quiet at measurement time (r7 judge item 7).
+CALIB_REF_SEC = 0.0488
 
 
 def main() -> None:
@@ -58,14 +59,20 @@ def main() -> None:
         loadavg misses contention from outside the VM). Comparing this
         number across BENCH_r*.json files separates 'the code got slower'
         from 'the host got slower' without a rerun: query times divided by
-        cpu_calib are host-normalized."""
+        cpu_calib are host-normalized. Best-of-5 reps: a single 0.05 s
+        probe carries ~25% scheduler noise (observed 0.051-0.065 s within
+        one run), which would inject straight into value_normalized; the
+        minimum is the least-contended estimate of true host speed."""
         import hashlib
 
-        buf = b"spark-graft-calibration"
-        start = time.perf_counter()
-        for _ in range(100_000):
-            buf = hashlib.md5(buf).digest()
-        return round(time.perf_counter() - start, 4)
+        best = float("inf")
+        for _ in range(5):
+            buf = b"spark-graft-calibration"
+            start = time.perf_counter()
+            for _ in range(100_000):
+                buf = hashlib.md5(buf).digest()
+            best = min(best, time.perf_counter() - start)
+        return round(best, 4)
 
     load_before = loadavg()
     calib_before = cpu_calib()
