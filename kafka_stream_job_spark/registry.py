@@ -280,164 +280,187 @@ def all_specs() -> dict[str, QuerySpec]:
     # sub-second group.
     cost_order = (
         "text_fingerprint", "nations_with_rich_customers",
-        "url_functions_showcase", "customers_without_orders",
-        "text_bpe_token_count", "data_freshness_sla",
-        "cube_order_status_priority", "scalar_functions_showcase",
-        "text_token_stats", "datetime_functions_showcase",
-        "bitwise_aggregates_showcase", "split_train_eval",
-        "text_seqlen_histogram", "quota_sample_per_lang",
-        "grouping_sets_revenue", "multimodal_frame_sample",
-        "parameterized_sql_showcase", "multimodal_metadata_scan",
-        "multimodal_resize", "weighted_sample_docs", "dpo_preference_pairs",
-        "gdpr_purge_manifest", "try_functions_showcase",
-        "schema_evolution_merge_read", "arrow_map_embedding_norm",
-        "scd2_customer_merge", "k_anonymity_audit", "rollup_returns",
-        "pipe_sql_priority_stats", "doc_sliding_chunks",
-        "lang_balance_weights", "bronze_decode_errors", "text_pii_redaction",
-        "text_sentiment_lexicon", "corpus_mix_rebalance",
-        "events_json_extract", "events_daily_value_trend",
-        "bpe_fertility_by_lang", "q4_order_priority", "q14_promo_revenue",
-        "benford_digit_audit", "text_quality_score", "kmv_distinct_users",
-        "partitioned_source_pruned_read", "setops_customer_segments",
-        "supplier_return_wilson_rank", "q12_priority_by_linestatus",
-        "profile_hot_orderkeys", "embedding_norm_stats",
-        "lang_temperature_weights", "events_props_templates",
-        "stats_qty_price_corr", "events_hourly_rollup",
-        "lateral_top_customers_per_nation", "null_safe_join_attribution",
-        "execute_immediate_showcase", "q6_forecast_revenue",
-        "q13_customer_distribution", "subject_access_export",
-        "text_language_id", "q1_pricing_summary", "events_funnel_latency",
-        "compaction_bin_packing_plan", "decayed_leaderboard",
-        "pack_sequences_manifest", "cv_fold_manifest",
-        "feature_asof_training_matrix", "events_funnel_view_click_purchase",
-        "collation_group_showcase", "text_vocab_coverage",
-        "top_customers_by_revenue", "window_event_gaps",
-        "percentile_order_prices", "multimodal_stratified_sample",
-        "q15_top_supplier", "events_interval_union_coverage",
-        "jsonl_source_permissive_read", "multimodal_decode_features",
-        "window_customer_order_rank", "small_quantity_revenue",
-        "q10_returned_items", "q22_global_sales_opportunity",
-        "events_holt_forecast", "embedding_int8_quantize",
-        "linkage_blocking_quality", "multimodal_dedup_content_hash",
-        "q9_product_type_profit", "merge_full_cdc", "l_diversity_audit",
-        "csv_source_permissive_read", "snapshot_diff_report",
-        "bronze_decode_roundtrip", "dedup_exact", "pandas_acctbal_zscore",
-        "pandas_scalar_log_price", "q3_shipping_priority",
-        "q7_volume_shipping", "hll_distinct_users", "text_zipf_slope",
-        "events_multi_rollup", "events_transition_matrix",
-        "events_props_variant_decode", "trigram_like_search",
-        "attribution_multi_touch", "events_theilsen_trend",
-        "multimodal_audio_frame_energy", "pandas_grouped_agg_trimmed_mean",
-        "distinct_parts_per_supplier", "q19_disjunctive_revenue",
-        "events_interval_overlap_join", "file_metadata_columns_read",
-        "range_join_price_bands", "score_calibration_report",
-        "unpivot_lineitem_measures", "map_functions_showcase",
+        "customers_without_orders", "q6_forecast_revenue",
+        "weighted_sample_docs", "gdpr_purge_manifest",
+        "text_bpe_token_count", "arrow_map_embedding_norm",
+        "datetime_functions_showcase", "quota_sample_per_lang",
+        "bitwise_aggregates_showcase", "cube_order_status_priority",
+        "scalar_functions_showcase", "doc_sliding_chunks",
+        "pipe_sql_priority_stats", "text_token_stats",
+        "multimodal_metadata_scan", "multimodal_resize",
+        "corpus_mix_rebalance", "multimodal_frame_sample",
+        "q14_promo_revenue", "split_train_eval", "try_functions_showcase",
+        "url_functions_showcase", "grouping_sets_revenue",
+        "lateral_top_customers_per_nation", "parameterized_sql_showcase",
+        "scd2_customer_merge", "fixed_width_source_read",
+        "schema_evolution_merge_read", "lang_temperature_weights",
+        "q4_order_priority", "rollup_returns", "dpo_preference_pairs",
+        "null_safe_join_attribution", "q12_priority_by_linestatus",
+        "supplier_return_wilson_rank", "text_pii_redaction",
+        "events_daily_value_trend", "cv_fold_manifest",
+        "lang_balance_weights", "pack_sequences_manifest",
+        "stats_qty_price_corr", "text_quality_score", "data_freshness_sla",
+        "events_json_extract", "k_anonymity_audit", "text_sentiment_lexicon",
+        "pandas_acctbal_zscore", "sft_pair_manifest",
+        "unpivot_lineitem_measures", "multimodal_stratified_sample",
+        "dedup_exact", "events_hourly_rollup", "events_props_variant_decode",
+        "percentile_order_prices", "q19_disjunctive_revenue",
+        "q22_global_sales_opportunity", "text_mojibake_detect",
+        "window_customer_order_rank", "bronze_decode_errors",
+        "collation_group_showcase", "pandas_scalar_log_price",
+        "events_multi_rollup", "multimodal_dedup_content_hash",
+        "pandas_grouped_agg_trimmed_mean", "partitioned_source_pruned_read",
+        "pivot_user_event_matrix", "profile_hot_orderkeys",
+        "text_language_id", "text_seqlen_histogram", "bpe_fertility_by_lang",
+        "setops_customer_segments", "dedup_url_canonical",
+        "embedding_norm_stats", "incremental_agg_maintenance",
+        "merge_full_cdc", "multimodal_decode_features",
+        "q13_customer_distribution", "benford_digit_audit",
+        "events_props_templates", "q15_top_supplier",
+        "top_customers_by_revenue", "file_metadata_columns_read",
+        "snapshot_diff_report", "csv_source_permissive_read",
+        "events_funnel_view_click_purchase", "orders_gmv_weekly_wow",
+        "range_join_price_bands", "events_funnel_latency",
+        "multimodal_audio_frame_energy", "small_quantity_revenue",
+        "sql_udf_showcase", "embedding_int8_quantize",
+        "events_ewma_forecast", "events_transition_matrix",
+        "events_user_lifecycle_stages", "trigram_like_search",
+        "window_event_gaps", "array_agg_user_profile",
+        "asof_next_touch_latency", "compaction_bin_packing_plan",
+        "q7_volume_shipping", "distinct_parts_per_supplier",
+        "lineitem_ship_latency", "window_range_trailing_hour",
+        "jsonl_source_permissive_read", "kmv_distinct_users",
+        "orphan_file_audit", "attribution_multi_touch",
+        "execute_immediate_showcase", "q18_large_volume_customers",
+        "events_theilsen_trend", "linkage_blocking_quality",
+        "linkage_fellegi_sunter", "q11_important_part_value",
+        "text_unicode_script_profile", "dp_noisy_nation_counts",
+        "events_seasonal_profile", "map_functions_showcase",
+        "subject_access_export", "events_psi_value_drift",
+        "feature_asof_training_matrix", "q8_national_market_share",
+        "revenue_trend_ols", "salted_join_supplier_volume",
+        "text_zipf_slope", "udtf_word_expand", "xml_decode_roundtrip",
+        "array_set_functions_showcase", "events_ab_uplift_test",
+        "multimodal_silence_segments", "events_interval_overlap_join",
+        "orders_repeat_purchase_gaps", "q20_heavy_shippers",
+        "web_domain_profile", "content_defined_chunks",
+        "dedup_prefix_collision", "q16_supplier_part_buckets",
+        "events_user_retention", "l_diversity_audit", "q2_min_cost_supplier",
+        "q9_product_type_profit", "events_hourly_anomaly",
+        "events_session_window_batch", "profile_lineitem_columns",
+        "dedup_cluster_size_histogram", "events_interval_union_coverage",
+        "asof_purchase_attribution", "bronze_decode_roundtrip",
+        "events_holt_forecast", "medallion_pipeline_rollup",
+        "text_readability_features", "text_vocab_coverage",
+        "decayed_leaderboard", "aes_roundtrip_audit", "geo_cell_colocation",
+        "events_sessionize_batch", "shard_manifest_balanced",
+        "text_rake_keywords", "score_calibration_report",
         "change_data_feed_report", "mlm_masking_manifest",
-        "salted_join_supplier_volume", "q11_important_part_value",
-        "lineitem_ship_latency", "sql_udf_showcase", "geo_cell_colocation",
-        "q16_supplier_part_buckets", "events_seasonal_profile",
-        "rate_limiter_backtest", "orphan_file_audit", "q20_heavy_shippers",
-        "dp_noisy_nation_counts", "array_agg_user_profile",
-        "q2_min_cost_supplier", "events_ab_uplift_test",
-        "orc_source_roundtrip", "profile_lineitem_columns",
-        "revenue_trend_ols", "events_ewma_forecast", "xml_decode_roundtrip",
-        "events_psi_value_drift", "q5_local_supplier_volume",
-        "q18_large_volume_customers", "asof_next_touch_latency",
-        "array_set_functions_showcase", "text_rake_keywords",
-        "udtf_word_expand", "medallion_pipeline_rollup",
-        "events_hourly_anomaly", "q8_national_market_share",
-        "heavy_hitter_tokens", "similarity_topk_cosine",
-        "window_range_trailing_hour", "events_session_window_batch",
-        "price_index_laspeyres", "market_concentration_hhi",
-        "text_bm25_search", "snapshot_retention_expiry_plan",
-        "similarity_lsh_neardup", "decontaminate_by_embedding",
-        "incremental_agg_maintenance", "similarity_topk_bucketed",
-        "linkage_fellegi_sunter", "asof_purchase_attribution",
-        "events_cusum_drift", "hll_merge_event_types", "text_top_bigrams",
-        "t_closeness_audit", "sketch_quantile_bins", "events_user_retention",
-        "pivot_user_event_matrix", "aes_roundtrip_audit",
-        "incremental_join_maintenance", "events_growth_accounting",
-        "streaming_dedup_events", "content_defined_chunks",
-        "events_hourly_gapfill", "text_word_pmi", "rag_context_pack",
-        "similarity_topk_binary_rerank", "watermark_sizing_report",
-        "skipgram_negative_samples", "q21_waiting_supplier",
-        "orders_priority_status_chi2", "multimodal_silence_segments",
-        "shard_manifest_balanced", "corpus_token_budget_plan",
-        "session_window_rollup", "scd2_point_in_time_join",
-        "events_ohlc_bars", "forecast_conformal_intervals",
-        "streaming_heavy_hitter_users", "text_repetition_filter",
-        "decision_stump_split_scores", "timeseries_znorm_subsequence_search",
-        "customer_balance_ks_test", "streaming_upsert_latest_state",
-        "streaming_kmv_distinct_users", "events_holtwinters_forecast",
-        "cms_token_counts", "matryoshka_truncation_recall",
-        "array_hof_showcase", "batch_replay_source_slice",
-        "events_sessionize_batch", "customer_spend_gini",
-        "percentile_distributed_exact", "ann_ndcg_truncation",
-        "surrogate_key_assignment", "text_term_proximity_search",
-        "events_hourly_mad_outliers", "events_props_schema_profile",
-        "bloom_filter_membership", "zorder_layout_stats", "join_skew_planner",
-        "basket_part_pairs", "window_functions_showcase",
-        "events_changepoint_binseg", "text_token_entropy", "text_chunk_dedup",
-        "repeated_ngram_spans", "events_alarm_verification",
-        "k_anonymity_generalize", "streaming_available_now_rollup",
-        "corpus_epoch_shuffle_manifest", "corpus_js_divergence",
-        "streaming_hourly_rollup", "embedding_mutual_nn_pairs",
-        "events_peak_concurrency", "graph_link_prediction_suppliers",
-        "dedup_embedding_cosine", "streaming_csv_source_rollup",
-        "orders_survival_km", "events_dau_wau_mau",
-        "abc_customer_classification", "surrogate_key_incremental",
-        "orders_cohort_revenue", "multimodal_wav_stats",
-        "decontaminate_train_shingles", "gopher_quality_rules",
-        "streaming_dedup_within_watermark", "embedding_cluster_label_purity",
-        "vocab_growth_curve", "streaming_union_sources_rollup",
-        "search_hybrid_rrf", "streaming_interval_union_coverage",
-        "hive_source_partition_pruned", "streaming_session_rollup",
-        "join_cardinality_audit", "events_hourly_autocorr",
-        "streaming_topk_types_hourly", "quality_logreg_training",
-        "streaming_static_enrich", "multimodal_ahash_neardup",
-        "corpus_source_datasheet", "fuzzy_join_part_names",
-        "linkage_entity_clusters", "checkpoint_statestore_table",
-        "dedup_survivors", "bpe_learn_merges", "dsir_importance_weights",
-        "embedding_outlier_zscore", "dedup_incremental_delta",
-        "similarity_maxsim_multivector", "streaming_stateful_type_counts",
-        "streaming_value_quantiles", "similarity_topk_ivf",
-        "supplier_pareto_frontier", "bpe_apply_merges",
-        "sketch_user_activity", "dedup_span_mask_manifest",
-        "multimodal_shot_boundaries", "streaming_sink_exactly_once_roundtrip",
-        "graph_modularity_by_brand", "fd_discovery_profile",
-        "embedding_covariance", "udtf_dynamic_ngrams",
-        "zonemap_skip_simulation", "bradley_terry_strengths",
-        "dedup_minhash_lsh", "similarity_topk_pq_adc", "text_tfidf_top_terms",
-        "cogroup_asof_pandas", "bucketed_join_colocated",
-        "text_rolling_fingerprint", "bigram_lm_score",
-        "corpus_shingle_novelty", "data_quality_audit",
-        "linkage_em_parameters", "recursive_month_spine",
-        "embedding_power_iteration", "dedup_edit_distance",
-        "padding_waste_report", "ivf_recall_report",
-        "association_rules_parts", "contrastive_triplets",
-        "streaming_stateful_totals", "dedup_containment",
-        "hll_intersection_estimate", "hits_authority_hub",
-        "fk_inclusion_profile", "kmv_set_ops_event_types",
-        "text_kneser_ney_bigram_score", "streaming_late_data_drop",
-        "orders_open_backlog_daily", "maxmin_fair_allocation",
-        "streaming_hll_distinct_users", "dedup_simhash",
-        "rfm_customer_segments", "ivf_incremental_assign",
-        "streaming_update_mode_rollup", "corpus_difficulty_curriculum",
-        "dedup_ngram_jaccard", "streaming_sliding_rollup",
-        "streaming_chained_windows", "corpus_filter_funnel",
-        "cluster_kmeans_embeddings", "checkpoint_offsetlog_table",
-        "dedup_connected_components", "graph_bfs_hops",
-        "streaming_rate_limiter", "semantic_dedup_semdedup",
-        "minhash_bbit_calibration", "histogram_price_deciles",
-        "minhash_jaccard_calibration", "embedding_pq_codes",
-        "dedup_keep_best_quality", "custom_sink_audit_roundtrip",
-        "checkpoint_commitlog_audit", "events_anomaly_persistence",
-        "naive_bayes_langid", "streaming_semdedup", "graph_kcore_peel",
-        "graph_pagerank_parts", "streaming_join_then_windowed_agg",
-        "streaming_purchase_attribution", "streaming_replay_source_rollup",
-        "streaming_unattributed_purchases", "sql_scripting_showcase",
-        "batch_replay_pruned_scan", "graph_triangle_stats",
-        "blocklist_phrase_filter",
+        "corpus_token_budget_plan", "events_burst_hours",
+        "events_hourly_gapfill", "hll_distinct_users",
+        "similarity_topk_binary_rerank", "corpus_dedup_aware_weights",
+        "decontaminate_by_embedding", "incremental_join_maintenance",
+        "events_cusum_drift", "rate_limiter_backtest", "text_bm25_search",
+        "text_adjacent_repetition", "corpus_quota_rebalance_delta",
+        "snapshot_retention_expiry_plan", "orders_priority_status_chi2",
+        "q5_local_supplier_volume", "array_hof_showcase",
+        "forecast_conformal_intervals", "session_window_rollup",
+        "text_top_bigrams", "bloom_filter_membership", "data_quality_audit",
+        "events_props_schema_profile", "q21_waiting_supplier",
+        "similarity_topk_cosine", "timeseries_znorm_subsequence_search",
+        "ann_ndcg_truncation", "events_holtwinters_forecast",
+        "multimodal_bmp_ahash", "graph_degree_distribution",
+        "t_closeness_audit", "percentile_distributed_exact",
+        "customer_balance_ks_test", "sketch_quantile_bins",
+        "basket_part_pairs", "blocklist_phrase_filter",
+        "events_anomaly_persistence", "mixture_temperature_sweep",
+        "orc_source_roundtrip", "q10_returned_items",
+        "scd2_point_in_time_join", "watermark_sizing_report",
+        "window_functions_showcase", "dedup_frontier_bloom",
+        "customer_spend_gini", "events_alarm_verification",
+        "join_skew_planner", "price_index_laspeyres",
+        "text_repetition_filter", "zorder_layout_stats",
+        "matryoshka_truncation_recall", "orders_cohort_revenue",
+        "corpus_epoch_shuffle_manifest", "multimodal_wav_stats",
+        "streaming_csv_source_rollup", "abc_customer_classification",
+        "embedding_dim_variance_rank", "hll_merge_event_types",
+        "batch_replay_pruned_scan", "embedding_blocking_key_profile",
+        "pps_systematic_sample", "surrogate_key_assignment",
+        "decision_stump_split_scores", "text_token_entropy",
+        "events_changepoint_binseg", "skipgram_negative_samples",
+        "events_dau_wau_mau", "histogram_price_deciles",
+        "similarity_topk_bucketed", "rag_context_pack",
+        "langid_precision_recall", "embedding_mutual_nn_pairs",
+        "fd_discovery_profile", "events_peak_concurrency",
+        "market_concentration_hhi", "text_word_pmi",
+        "decontaminate_train_shingles", "lineitem_qty_price_heatmap",
+        "linkage_entity_clusters", "corpus_js_divergence",
+        "events_hourly_mad_outliers", "heavy_hitter_tokens",
+        "supplier_pareto_frontier", "embedding_outlier_zscore",
+        "events_ohlc_bars", "multimodal_ahash_neardup",
+        "streaming_upsert_latest_state", "padding_waste_report",
+        "text_term_proximity_search", "streaming_dedup_events",
+        "association_rules_parts", "orders_survival_km",
+        "q1_pricing_summary", "search_hybrid_rrf", "sketch_user_activity",
+        "dedup_minhash_lsh", "graph_link_prediction_suppliers",
+        "similarity_lsh_neardup", "orders_open_backlog_daily",
+        "curriculum_pacing_schedule", "streaming_available_now_rollup",
+        "dedup_incremental_delta", "similarity_maxsim_multivector",
+        "join_cardinality_audit", "k_anonymity_generalize",
+        "corpus_source_datasheet", "q3_shipping_priority",
+        "cms_token_counts", "multimodal_shot_boundaries",
+        "streaming_fertility_drift", "streaming_heavy_hitter_users",
+        "vocab_growth_curve", "embedding_pq_codes", "events_hourly_autocorr",
+        "gopher_quality_rules", "streaming_sliding_rollup",
+        "embedding_cluster_label_purity", "udtf_dynamic_ngrams",
+        "contrastive_triplets", "bpe_learn_merges",
+        "bucketed_join_colocated", "crosslingual_contamination",
+        "streaming_static_enrich", "cogroup_asof_pandas",
+        "dedup_embedding_cosine", "events_growth_accounting",
+        "graph_modularity_by_brand", "ivf_cell_balance_report",
+        "checkpoint_statestore_table", "similarity_topk_ivf",
+        "bpe_apply_merges", "recursive_month_spine",
+        "text_rolling_fingerprint", "similarity_topk_pq_adc",
+        "linkage_em_parameters", "streaming_hourly_rollup",
+        "streaming_hll_distinct_users", "dedup_exact_substring",
+        "streaming_sink_exactly_once_roundtrip",
+        "supplier_leadtime_percentiles", "quality_logreg_inference",
+        "dedup_survivors", "embedding_covariance", "bigram_lm_score",
+        "ivf_recall_report", "batch_replay_source_slice",
+        "corpus_shingle_novelty", "semantic_dedup_semdedup",
+        "streaming_rate_limiter", "dsir_importance_weights",
+        "streaming_kmv_distinct_users", "streaming_union_sources_rollup",
+        "surrogate_key_incremental", "text_tfidf_top_terms",
+        "rfm_customer_segments", "text_lexical_diversity",
+        "streaming_topk_types_hourly", "dedup_span_mask_manifest",
+        "corpus_filter_funnel", "streaming_frontier_bloom",
+        "zonemap_skip_simulation", "maxmin_fair_allocation",
+        "streaming_interval_union_coverage", "multimodal_bmp_stats",
+        "streaming_stateful_type_counts", "bradley_terry_strengths",
+        "dedup_ngram_jaccard", "streaming_session_rollup", "graph_bfs_hops",
+        "embedding_power_iteration", "fk_inclusion_profile",
+        "hll_intersection_estimate", "dedup_simhash",
+        "streaming_update_mode_rollup", "streaming_stateful_totals",
+        "hits_authority_hub", "kmv_set_ops_event_types",
+        "naive_bayes_langid", "streaming_value_quantiles",
+        "streaming_quality_monitor", "repeated_ngram_spans",
+        "checkpoint_sources_table", "custom_sink_audit_roundtrip",
+        "streaming_replay_source_rollup", "tokenizer_vocab_pressure",
+        "dedup_containment", "graph_pagerank_parts",
+        "minhash_jaccard_calibration", "fuzzy_join_part_names",
+        "ivf_incremental_assign", "text_chunk_dedup",
+        "cluster_kmeans_embeddings", "streaming_chained_windows",
+        "streaming_dedup_within_watermark", "checkpoint_commitlog_audit",
+        "graph_kcore_peel", "text_kneser_ney_bigram_score",
+        "minhash_bbit_calibration", "streaming_ivf_assign",
+        "dedup_band_sweep_calibration", "streaming_semdedup",
+        "hive_source_partition_pruned", "checkpoint_offsetlog_table",
+        "dedup_keep_best_quality", "sql_scripting_showcase",
+        "graph_triangle_stats", "streaming_unattributed_purchases",
+        "dedup_connected_components", "streaming_late_data_drop",
+        "dedup_edit_distance", "streaming_join_then_windowed_agg",
+        "quality_logreg_training", "corpus_difficulty_curriculum",
+        "streaming_purchase_attribution",
     )
     new_ops_rank = 50.5  # just after the sub-second group (index ~50)
     unchecked = {
