@@ -2645,3 +2645,91 @@ def dedup_cluster_size_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# CROSS-SOURCE OVERLAP MATRIX — the corpus-curation question one level
+# above per-document dedup: which SOURCES substantially duplicate each
+# other (mirrors, scrapes of scrapes, re-crawls)? Each source is reduced
+# to its distinct word-K-shingle hash set; the pairwise Jaccard comes
+# from one equi-join on the shingle hash (per-hash fan-out is bounded by
+# the source count, never the corpus), and set sizes ride a broadcast.
+# This is the report that decides source-level drops before any
+# document-level pass spends compute.
+# ---------------------------------------------------------------------------
+SRC_OVERLAP_TOP = 20
+
+
+@register(
+    "source_overlap_jaccard",
+    oracle=f"""
+        WITH sh AS (
+            SELECT DISTINCT source,
+                   ('0x' || substr(md5(array_to_string(
+                        toks[i + 1 : i + {SHINGLE_K}], ' ')), 1, 7))::BIGINT
+                       AS h
+            FROM (
+                SELECT source, toks,
+                       UNNEST(range(0, greatest(len(toks) - {SHINGLE_K}, 0)
+                                       + 1)) AS i
+                FROM (SELECT source, string_split({_NORM_SQL}, ' ') AS toks
+                      FROM documents)
+            )
+        ),
+        sizes AS (
+            SELECT source, CAST(COUNT(*) AS BIGINT) AS n FROM sh GROUP BY 1
+        ),
+        inter AS (
+            SELECT a.source AS s1, b.source AS s2,
+                   CAST(COUNT(*) AS BIGINT) AS n_shared
+            FROM sh a JOIN sh b ON a.h = b.h AND a.source < b.source
+            GROUP BY 1, 2
+        )
+        SELECT i.s1, i.s2, i.n_shared, z1.n AS n1, z2.n AS n2,
+               CAST((2 * i.n_shared * 1000000
+                     + (z1.n + z2.n - i.n_shared))
+                    // (2 * (z1.n + z2.n - i.n_shared)) AS BIGINT)
+                   AS jaccard_micro
+        FROM inter i
+        JOIN sizes z1 ON z1.source = i.s1
+        JOIN sizes z2 ON z2.source = i.s2
+        ORDER BY jaccard_micro DESC, s1, s2
+        LIMIT {SRC_OVERLAP_TOP}
+    """,
+    tags=("dedup", "web-corpus", "jaccard", "sources", "documents"),
+)
+def source_overlap_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kafka_stream_job_spark.operators._portable import idiv
+
+    docs = load_table(spark, sf_dir, "documents")
+    sh = docs.select(
+        "source", F.explode(F.array_distinct(_hashed_shingle_expr())).alias("h")
+    ).distinct()
+    sizes = sh.groupBy("source").agg(F.count(F.lit(1)).cast("long").alias("n"))
+    a = sh.select(F.col("source").alias("s1"), "h")
+    b = sh.select(F.col("source").alias("s2"), "h")
+    inter = (
+        a.join(b, "h")
+        .filter(F.col("s1") < F.col("s2"))
+        .groupBy("s1", "s2")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_shared"))
+    )
+    z1 = sizes.select(F.col("source").alias("s1"), F.col("n").alias("n1"))
+    z2 = sizes.select(F.col("source").alias("s2"), F.col("n").alias("n2"))
+    union = F.col("n1") + F.col("n2") - F.col("n_shared")
+    return (
+        inter.join(F.broadcast(z1), "s1")
+        .join(F.broadcast(z2), "s2")
+        .select(
+            "s1",
+            "s2",
+            "n_shared",
+            "n1",
+            "n2",
+            idiv(F.col("n_shared") * 2 * 1000000 + union, union * 2).alias(
+                "jaccard_micro"
+            ),
+        )
+        .orderBy(F.desc("jaccard_micro"), "s1", "s2")
+        .limit(SRC_OVERLAP_TOP)
+    )

@@ -2010,3 +2010,168 @@ def sft_pair_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("r_tok").cast("long") * 10000, F.sum("p_tok").cast("long")
         ).alias("resp_per_prompt_bp"),
     )
+
+
+# ---------------------------------------------------------------------------
+# SFT LOSS-MASKING SPANS — the per-example byte/token offsets an SFT
+# trainer needs to zero the loss over the prompt: the first
+# ceil(n_tokens/3) whitespace tokens of each document are designated the
+# prompt, the rest the response, and the manifest carries both token
+# counts and the prompt's exact character length (what a byte-level
+# collator slices on). mask_ratio_bp is the fraction of tokens excluded
+# from the loss, in basis points (exact half-up integer division). Pure
+# single-pass JVM expressions — no shuffle at all.
+# ---------------------------------------------------------------------------
+SFT_PROMPT_DENOM = 3  # prompt = first ceil(n/3) tokens
+
+
+@register(
+    "sft_loss_masking_spans",
+    oracle=f"""
+        WITH t AS (
+            SELECT doc_id,
+                   string_split(TRIM(text), ' ') AS toks
+            FROM documents
+        ),
+        k AS (
+            SELECT doc_id, toks,
+                   CAST(len(toks) AS BIGINT) AS n_tokens,
+                   CAST((len(toks) + {SFT_PROMPT_DENOM - 1})
+                        // {SFT_PROMPT_DENOM} AS BIGINT) AS prompt_tokens
+            FROM t
+        )
+        SELECT doc_id, n_tokens, prompt_tokens,
+               CAST(LENGTH(array_to_string(toks[1:prompt_tokens], ' '))
+                    AS BIGINT) AS prompt_chars,
+               n_tokens - prompt_tokens AS response_tokens,
+               CAST((2 * prompt_tokens * 10000 + n_tokens)
+                    // (2 * n_tokens) AS BIGINT) AS mask_ratio_bp
+        FROM k
+    """,
+    tags=("llm-pipeline", "sft", "loss-mask", "documents"),
+)
+def sft_loss_masking_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.split(F.trim(F.col("text")), " ")
+    staged = docs.select("doc_id", toks.alias("toks")).select(
+        "doc_id",
+        "toks",
+        F.size("toks").cast("long").alias("n_tokens"),
+        idiv(
+            F.size("toks").cast("long") + (SFT_PROMPT_DENOM - 1),
+            SFT_PROMPT_DENOM,
+        ).alias("prompt_tokens"),
+    )
+    return staged.select(
+        "doc_id",
+        "n_tokens",
+        "prompt_tokens",
+        F.length(
+            F.array_join(
+                F.slice(F.col("toks"), 1, F.col("prompt_tokens").cast("int")),
+                " ",
+            )
+        )
+        .cast("long")
+        .alias("prompt_chars"),
+        (F.col("n_tokens") - F.col("prompt_tokens")).alias("response_tokens"),
+        idiv(
+            F.col("prompt_tokens") * 2 * 10000 + F.col("n_tokens"),
+            F.col("n_tokens") * 2,
+        ).alias("mask_ratio_bp"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# GRPO GROUP-RELATIVE ADVANTAGE — the reward normalization step of
+# group-relative policy optimization: rewards (event values in exact
+# cents) are grouped by prompt (user_id here), and each sample's
+# advantage is its deviation from the group mean in units of the group's
+# population std. The ranking key n*r - sum(r) is the EXACT integer
+# deviation scaled by n (no division, no double until the final z), so
+# ties and ordering are engine-exact; z_micro divides two identically-
+# derived doubles (IEEE-correct on both engines) and rounds to integer
+# micro-units (portable round-to-int). Groups below GRPO_MIN_GROUP or
+# with zero variance are skipped, as a trainer would. One shuffle on the
+# group key; group stats broadcast back by the self-join on user_id.
+# ---------------------------------------------------------------------------
+GRPO_MIN_GROUP = 4
+GRPO_TOP = 25
+
+
+@register(
+    "grpo_group_advantage",
+    oracle=f"""
+        WITH r AS (
+            SELECT event_id, user_id,
+                   CAST(ROUND(value * 100.0) AS BIGINT) AS cents
+            FROM events
+        ),
+        g AS (
+            SELECT user_id,
+                   CAST(COUNT(*) AS BIGINT) AS n,
+                   CAST(SUM(cents) AS BIGINT) AS s,
+                   CAST(SUM(cents * cents) AS BIGINT) AS ss
+            FROM r GROUP BY 1
+        ),
+        j AS (
+            SELECT r.event_id, r.user_id, r.cents, g.n,
+                   r.cents * g.n - g.s AS dev_scaled,
+                   g.n * g.ss - g.s * g.s AS var_num
+            FROM r JOIN g USING (user_id)
+            WHERE g.n >= {GRPO_MIN_GROUP} AND g.n * g.ss - g.s * g.s > 0
+        ),
+        z AS (
+            SELECT event_id, user_id, cents, n, dev_scaled,
+                   CAST(ROUND(dev_scaled / sqrt(CAST(var_num AS DOUBLE))
+                              * 1000000.0) AS BIGINT) AS z_micro
+            FROM j
+        )
+        SELECT event_id, user_id, cents AS reward_cents,
+               n AS group_n, z_micro
+        FROM z
+        ORDER BY abs(dev_scaled) DESC, event_id
+        LIMIT {GRPO_TOP}
+    """,
+    tags=("llm-pipeline", "rl", "grpo", "events"),
+)
+def grpo_group_advantage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    r = events.select(
+        "event_id",
+        "user_id",
+        F.round(F.col("value") * 100.0, 0).cast("long").alias("cents"),
+    )
+    g = r.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("cents").cast("long").alias("s"),
+        F.sum(F.col("cents") * F.col("cents")).cast("long").alias("ss"),
+    )
+    j = (
+        r.join(g, "user_id")
+        .withColumn("dev_scaled", F.col("cents") * F.col("n") - F.col("s"))
+        .withColumn(
+            "var_num", F.col("n") * F.col("ss") - F.col("s") * F.col("s")
+        )
+        .filter((F.col("n") >= GRPO_MIN_GROUP) & (F.col("var_num") > 0))
+    )
+    z = j.select(
+        "event_id",
+        "user_id",
+        F.col("cents").alias("reward_cents"),
+        F.col("n").alias("group_n"),
+        "dev_scaled",
+        F.round(
+            F.col("dev_scaled")
+            / F.sqrt(F.col("var_num").cast("double"))
+            * 1000000.0,
+            0,
+        )
+        .cast("long")
+        .alias("z_micro"),
+    )
+    return (
+        z.orderBy(F.abs(F.col("dev_scaled")).desc(), F.col("event_id"))
+        .limit(GRPO_TOP)
+        .select("event_id", "user_id", "reward_cents", "group_n", "z_micro")
+    )

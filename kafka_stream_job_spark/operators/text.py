@@ -4057,3 +4057,227 @@ def text_adjacent_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("n_docs_with_runs"),
     )
+
+
+# ---------------------------------------------------------------------------
+# PERPLEXITY TERTILE BUCKETS — the CCNet-style head/middle/tail split:
+# a unigram LM is fit on the corpus itself (token count c over total N),
+# each document is scored by its mean per-token surprise ILN(N) - ILN(c)
+# in integer micro-nats (the same pure-int64 Pade log as
+# naive_bayes_langid — zero libm on either engine), and documents are
+# dealt into 3 equal NTILE buckets by that score. Head = lowest
+# perplexity (most in-distribution), tail = highest (noise candidates).
+# Scale shape: the vocabulary aggregate and the per-(doc,token) join are
+# the only shuffles; the global split is distributed_rank (range
+# exchange + broadcast offsets — no single-partition window), the
+# 63-row ILN table is a broadcast.
+# ---------------------------------------------------------------------------
+PPL_TERTILES = 3
+
+
+@register(
+    "perplexity_tertile_buckets",
+    oracle=f"""
+        WITH toks AS (
+            SELECT doc_id,
+                   unnest(string_split({_BL_NORM_SQL}, ' ')) AS token
+            FROM documents
+        ),
+        counts AS (
+            SELECT token, CAST(COUNT(*) AS BIGINT) AS c FROM toks GROUP BY 1
+        ),
+        ilntab(e, lo, hi, sdiv, smul, eln) AS (VALUES {_ILN_VALUES_SQL}),
+        ntot AS (
+            SELECT t.eln + {_iln_frac_sql('((x.m // t.sdiv) * t.smul)')}
+                       AS iln_n
+            FROM (SELECT CAST(COUNT(*) AS BIGINT) AS m FROM toks) x
+            JOIN ilntab t ON x.m >= t.lo AND x.m <= t.hi
+        ),
+        w AS (
+            SELECT c.token,
+                   CAST((SELECT iln_n FROM ntot)
+                        - (t.eln
+                           + {_iln_frac_sql('((c.c // t.sdiv) * t.smul)')})
+                        AS BIGINT) AS w
+            FROM counts c
+            JOIN ilntab t ON c.c >= t.lo AND c.c <= t.hi
+        ),
+        per_dt AS (
+            SELECT doc_id, token, CAST(COUNT(*) AS BIGINT) AS k
+            FROM toks GROUP BY 1, 2
+        ),
+        per_doc AS (
+            SELECT p.doc_id,
+                   CAST(SUM(p.k) AS BIGINT) AS n_tokens,
+                   CAST(SUM(p.k * w.w) AS BIGINT) AS s
+            FROM per_dt p JOIN w ON w.token = p.token
+            GROUP BY 1
+        ),
+        scored AS (
+            SELECT doc_id,
+                   (2 * s + n_tokens) // (2 * n_tokens) AS per_tok_unats
+            FROM per_doc
+        ),
+        b AS (
+            SELECT per_tok_unats,
+                   CAST(NTILE({PPL_TERTILES})
+                        OVER (ORDER BY per_tok_unats, doc_id) AS BIGINT)
+                       AS bucket
+            FROM scored
+        )
+        SELECT bucket,
+               CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(MIN(per_tok_unats) AS BIGINT) AS min_unats,
+               CAST(MAX(per_tok_unats) AS BIGINT) AS max_unats,
+               CAST((2 * CAST(SUM(per_tok_unats) AS BIGINT) + COUNT(*))
+                    // (2 * COUNT(*)) AS BIGINT) AS avg_unats
+        FROM b GROUP BY 1
+    """,
+    tags=("text", "llm-pipeline", "perplexity", "quality", "documents"),
+)
+def perplexity_tertile_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kafka_stream_job_spark.operators._distributed import (
+        distributed_rank,
+        ntile_from_rank,
+    )
+    from kafka_stream_job_spark.operators.dedup import _norm_text
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", F.explode(F.split(_norm_text(), " ")).alias("token")
+    ).localCheckpoint(eager=False)  # counts, total, and per_dt all read it
+    counts = toks.groupBy("token").agg(
+        F.count(F.lit(1)).cast("long").alias("c")
+    )
+    ntot = toks.agg(F.count(F.lit(1)).cast("long").alias("m"))
+    iln_n = _attach_iln(spark, ntot, "m", "iln_n").select("iln_n")
+    w = (
+        _attach_iln(spark, counts, "c", "iln_c")
+        .crossJoin(F.broadcast(iln_n))
+        .select("token", (F.col("iln_n") - F.col("iln_c")).alias("w"))
+    )
+    per_dt = toks.groupBy("doc_id", "token").agg(
+        F.count(F.lit(1)).cast("long").alias("k")
+    )
+    per_doc = (
+        per_dt.join(w, "token")
+        .groupBy("doc_id")
+        .agg(
+            F.sum("k").cast("long").alias("n_tokens"),
+            F.sum(F.col("k") * F.col("w")).cast("long").alias("s"),
+        )
+        .select(
+            "doc_id",
+            idiv(
+                F.col("s") * 2 + F.col("n_tokens"), F.col("n_tokens") * 2
+            ).alias("per_tok_unats"),
+        )
+    )
+    total = per_doc.agg(F.count(F.lit(1)).cast("long").alias("total"))
+    bucketed = (
+        distributed_rank(per_doc, [F.col("per_tok_unats"), F.col("doc_id")])
+        .crossJoin(F.broadcast(total))
+        .select(
+            "per_tok_unats",
+            ntile_from_rank(F.col("rnk"), F.col("total"), PPL_TERTILES)
+            .cast("long")
+            .alias("bucket"),
+        )
+    )
+    return (
+        bucketed.groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.min("per_tok_unats").cast("long").alias("min_unats"),
+            F.max("per_tok_unats").cast("long").alias("max_unats"),
+            F.sum("per_tok_unats").cast("long").alias("_sum"),
+        )
+        .select(
+            "bucket",
+            "n_docs",
+            "min_unats",
+            "max_unats",
+            idiv(
+                F.col("_sum") * 2 + F.col("n_docs"), F.col("n_docs") * 2
+            ).alias("avg_unats"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# FEATURE HASHING TRICK — the hashed bag-of-words a quality/langid
+# classifier consumes at 100 TB when the vocabulary cannot be
+# materialized: every token maps to bucket md5(token)[:7] % 64 (no
+# dictionary, no shuffle-sized vocab state), and per (lang, bucket) the
+# engine reports token mass and document reach; top-3 buckets per lang
+# by mass. The per-lang window partitions are bounded at 64 rows by
+# construction, so the rank is never a data-sized sort.
+# ---------------------------------------------------------------------------
+FH_BUCKETS = 64
+FH_TOP = 3
+
+
+@register(
+    "text_feature_hashing",
+    oracle=f"""
+        WITH toks AS (
+            SELECT doc_id, lang,
+                   unnest(string_split({_BL_NORM_SQL}, ' ')) AS token
+            FROM documents
+        ),
+        b AS (
+            SELECT lang, doc_id,
+                   ('0x' || substr(md5(token), 1, 7))::BIGINT % {FH_BUCKETS}
+                       AS bucket
+            FROM toks
+        ),
+        agg AS (
+            SELECT lang, bucket,
+                   CAST(COUNT(*) AS BIGINT) AS n_tokens,
+                   CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs
+            FROM b GROUP BY 1, 2
+        ),
+        r AS (
+            SELECT lang, bucket, n_tokens, n_docs,
+                   CAST(ROW_NUMBER() OVER (
+                       PARTITION BY lang
+                       ORDER BY n_tokens DESC, bucket) AS BIGINT) AS rnk
+            FROM agg
+        )
+        SELECT lang, bucket, n_tokens, n_docs, rnk
+        FROM r WHERE rnk <= {FH_TOP}
+    """,
+    tags=("text", "llm-pipeline", "features", "hashing", "documents"),
+)
+def text_feature_hashing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from kafka_stream_job_spark.operators.dedup import _norm_text
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "lang",
+        "doc_id",
+        F.explode(F.split(_norm_text(), " ")).alias("token"),
+    )
+    bucketed = toks.select(
+        "lang",
+        "doc_id",
+        (
+            F.conv(F.substring(F.md5("token"), 1, 7), 16, 10).cast("long")
+            % FH_BUCKETS
+        ).alias("bucket"),
+    )
+    agg = bucketed.groupBy("lang", "bucket").agg(
+        F.count(F.lit(1)).cast("long").alias("n_tokens"),
+        F.countDistinct("doc_id").cast("long").alias("n_docs"),
+    )
+    # bounded window: each lang partition holds at most FH_BUCKETS rows
+    win = Window.partitionBy("lang").orderBy(
+        F.desc("n_tokens"), F.asc("bucket")
+    )
+    return (
+        agg.withColumn("rnk", F.row_number().over(win).cast("long"))
+        .filter(F.col("rnk") <= FH_TOP)
+        .select("lang", "bucket", "n_tokens", "n_docs", "rnk")
+    )
