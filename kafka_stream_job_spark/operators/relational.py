@@ -12349,3 +12349,164 @@ def lineitem_qty_price_heatmap(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("cents").cast("long").alias("revenue_cents"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# TWO-FEATURE OLS VIA NORMAL EQUATIONS — price ~ quantity + discount as a
+# closed-form 3×3 solve: the nine scatter moments are EXACT int64 sums
+# (cents / whole units / discount points — the revenue_trend_ols moment
+# pattern widened to two regressors), Cramer's rule runs in DOUBLE with
+# the identical expression tree on both engines, and coefficients ship as
+# rounded micro-units. One constant-width aggregate over lineitem, O(1)
+# scalar math after it — the only shape a regression fit can take at
+# 100 TB.
+# ---------------------------------------------------------------------------
+@register(
+    "ols_two_feature_normal_eq",
+    oracle="""
+        WITH r AS (
+            SELECT CAST(ROUND(l_extendedprice / 10.0) AS BIGINT) AS y,
+                   CAST(ROUND(l_quantity) AS BIGINT) AS x1,
+                   CAST(ROUND(l_discount * 100.0) AS BIGINT) AS x2
+            FROM lineitem
+        ),
+        mo AS (
+            SELECT CAST(COUNT(*) AS BIGINT) AS n,
+                   CAST(SUM(x1) AS BIGINT) AS s1,
+                   CAST(SUM(x2) AS BIGINT) AS s2,
+                   CAST(SUM(x1 * x1) AS BIGINT) AS s11,
+                   CAST(SUM(x2 * x2) AS BIGINT) AS s22,
+                   CAST(SUM(x1 * x2) AS BIGINT) AS s12,
+                   CAST(SUM(y) AS BIGINT) AS sy,
+                   CAST(SUM(y * y) AS BIGINT) AS syy,
+                   CAST(SUM(x1 * y) AS BIGINT) AS s1y,
+                   CAST(SUM(x2 * y) AS BIGINT) AS s2y
+            FROM r
+        ),
+        d AS (
+            SELECT n,
+                   CAST(n AS DOUBLE) AS dn, CAST(s1 AS DOUBLE) AS d1,
+                   CAST(s2 AS DOUBLE) AS d2, CAST(s11 AS DOUBLE) AS d11,
+                   CAST(s22 AS DOUBLE) AS d22, CAST(s12 AS DOUBLE) AS d12,
+                   CAST(sy AS DOUBLE) AS dy, CAST(syy AS DOUBLE) AS dyy,
+                   CAST(s1y AS DOUBLE) AS d1y, CAST(s2y AS DOUBLE) AS d2y
+            FROM mo
+        ),
+        c AS (
+            SELECT n, dn, d1, d2, dy, dyy, d1y, d2y,
+                   dn * (d11 * d22 - d12 * d12)
+                     - d1 * (d1 * d22 - d12 * d2)
+                     + d2 * (d1 * d12 - d11 * d2) AS det,
+                   dy * (d11 * d22 - d12 * d12)
+                     - d1 * (d1y * d22 - d12 * d2y)
+                     + d2 * (d1y * d12 - d11 * d2y) AS det0,
+                   dn * (d1y * d22 - d12 * d2y)
+                     - dy * (d1 * d22 - d12 * d2)
+                     + d2 * (d1 * d2y - d1y * d2) AS det1,
+                   dn * (d11 * d2y - d1y * d12)
+                     - d1 * (d1 * d2y - d1y * d2)
+                     + dy * (d1 * d12 - d11 * d2) AS det2,
+                   d11, d22, d12
+            FROM d
+        ),
+        b AS (
+            SELECT n, dy, dyy, d1y, d2y, dn,
+                   det0 / det AS b0, det1 / det AS b1, det2 / det AS b2
+            FROM c
+        )
+        SELECT n,
+               CAST(ROUND(b0 * 1000000.0) AS BIGINT) AS b0_micro,
+               CAST(ROUND(b1 * 1000000.0) AS BIGINT) AS b1_micro,
+               CAST(ROUND(b2 * 1000000.0) AS BIGINT) AS b2_micro,
+               CAST(ROUND((1.0 - (dyy - b0 * dy - b1 * d1y - b2 * d2y)
+                                 / (dyy - dy * dy / dn))
+                          * 1000000.0) AS BIGINT) AS r2_micro
+        FROM b
+    """,
+    tags=("relational", "ml", "regression", "lineitem", "closed-form"),
+)
+def ols_two_feature_normal_eq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    r = li.select(
+        F.round(F.col("l_extendedprice") / 10.0, 0).cast("long").alias("y"),
+        F.round(F.col("l_quantity"), 0).cast("long").alias("x1"),
+        F.round(F.col("l_discount") * 100.0, 0).cast("long").alias("x2"),
+    )
+    mo = r.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("x1").cast("long").alias("s1"),
+        F.sum("x2").cast("long").alias("s2"),
+        F.sum(F.col("x1") * F.col("x1")).cast("long").alias("s11"),
+        F.sum(F.col("x2") * F.col("x2")).cast("long").alias("s22"),
+        F.sum(F.col("x1") * F.col("x2")).cast("long").alias("s12"),
+        F.sum("y").cast("long").alias("sy"),
+        F.sum(F.col("y") * F.col("y")).cast("long").alias("syy"),
+        F.sum(F.col("x1") * F.col("y")).cast("long").alias("s1y"),
+        F.sum(F.col("x2") * F.col("y")).cast("long").alias("s2y"),
+    )
+    d = mo.select(
+        "n",
+        F.col("n").cast("double").alias("dn"),
+        F.col("s1").cast("double").alias("d1"),
+        F.col("s2").cast("double").alias("d2"),
+        F.col("s11").cast("double").alias("d11"),
+        F.col("s22").cast("double").alias("d22"),
+        F.col("s12").cast("double").alias("d12"),
+        F.col("sy").cast("double").alias("dy"),
+        F.col("syy").cast("double").alias("dyy"),
+        F.col("s1y").cast("double").alias("d1y"),
+        F.col("s2y").cast("double").alias("d2y"),
+    )
+    det = (
+        F.col("dn") * (F.col("d11") * F.col("d22") - F.col("d12") * F.col("d12"))
+        - F.col("d1") * (F.col("d1") * F.col("d22") - F.col("d12") * F.col("d2"))
+        + F.col("d2") * (F.col("d1") * F.col("d12") - F.col("d11") * F.col("d2"))
+    )
+    det0 = (
+        F.col("dy") * (F.col("d11") * F.col("d22") - F.col("d12") * F.col("d12"))
+        - F.col("d1") * (F.col("d1y") * F.col("d22") - F.col("d12") * F.col("d2y"))
+        + F.col("d2") * (F.col("d1y") * F.col("d12") - F.col("d11") * F.col("d2y"))
+    )
+    det1 = (
+        F.col("dn") * (F.col("d1y") * F.col("d22") - F.col("d12") * F.col("d2y"))
+        - F.col("dy") * (F.col("d1") * F.col("d22") - F.col("d12") * F.col("d2"))
+        + F.col("d2") * (F.col("d1") * F.col("d2y") - F.col("d1y") * F.col("d2"))
+    )
+    det2 = (
+        F.col("dn") * (F.col("d11") * F.col("d2y") - F.col("d1y") * F.col("d12"))
+        - F.col("d1") * (F.col("d1") * F.col("d2y") - F.col("d1y") * F.col("d2"))
+        + F.col("dy") * (F.col("d1") * F.col("d12") - F.col("d11") * F.col("d2"))
+    )
+    c = d.select(
+        "n",
+        "dy",
+        "dyy",
+        "d1y",
+        "d2y",
+        "dn",
+        (det0 / det).alias("b0"),
+        (det1 / det).alias("b1"),
+        (det2 / det).alias("b2"),
+    )
+    return c.select(
+        "n",
+        F.round(F.col("b0") * 1000000.0, 0).cast("long").alias("b0_micro"),
+        F.round(F.col("b1") * 1000000.0, 0).cast("long").alias("b1_micro"),
+        F.round(F.col("b2") * 1000000.0, 0).cast("long").alias("b2_micro"),
+        F.round(
+            (
+                1.0
+                - (
+                    F.col("dyy")
+                    - F.col("b0") * F.col("dy")
+                    - F.col("b1") * F.col("d1y")
+                    - F.col("b2") * F.col("d2y")
+                )
+                / (F.col("dyy") - F.col("dy") * F.col("dy") / F.col("dn"))
+            )
+            * 1000000.0,
+            0,
+        )
+        .cast("long")
+        .alias("r2_micro"),
+    )

@@ -2930,3 +2930,665 @@ def embedding_blocking_key_profile(spark: SparkSession, sf_dir: str) -> DataFram
         )
         .filter(F.col("n_vectors") > 1)
     )
+
+
+# ---------------------------------------------------------------------------
+# kNN LABEL-VOTE CLASSIFIER EVAL — the standard "are these embeddings any
+# good" probe: a FIXED, constant-size probe set (vec_id < KNN_EVAL — the
+# N_QUERIES convention, so the broadcast side never scales with the
+# corpus) is classified by majority vote of its KNN_K nearest train
+# vectors under exact integer L2² (dims quantized at KNN_SCALE, the
+# kmeans discipline — every distance is an exact int64, so ranking ties
+# are engine-exact). Brute force IS the baseline here; the scale path for
+# large probe sets is the LSH/IVF family above. Ties in the vote go to
+# the smallest label (min over (-count, label) structs on both engines).
+# ---------------------------------------------------------------------------
+KNN_EVAL = 32  # constant probe-set size: vec_id < 32 are evaluated
+KNN_K = 5
+KNN_SCALE = 10_000
+
+_KNN_QDIST_SQL = (
+    "list_reduce(list_prepend(CAST(0 AS BIGINT), "
+    "list_transform(list_zip({a}::DOUBLE[], {b}::DOUBLE[]), "
+    f"p -> (CAST(ROUND(p[1] * {KNN_SCALE}.0) AS BIGINT)"
+    f" - CAST(ROUND(p[2] * {KNN_SCALE}.0) AS BIGINT))"
+    f" * (CAST(ROUND(p[1] * {KNN_SCALE}.0) AS BIGINT)"
+    f" - CAST(ROUND(p[2] * {KNN_SCALE}.0) AS BIGINT)))), "
+    "(acc, x) -> acc + x)"
+)
+
+
+def _l2sq_int(a, b, scale: int):
+    """Exact-integer squared L2 on quantized dims (JVM-side; the Spark
+    mirror of _KNN_QDIST_SQL — int64 throughout, order-free)."""
+    qx = lambda v: F.round(v.cast("double") * scale, 0).cast("long")  # noqa: E731
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: (qx(x) - qx(y)) * (qx(x) - qx(y))),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+
+
+@register(
+    "knn_classifier_eval",
+    oracle=f"""
+        WITH ev AS (
+            SELECT vec_id AS eval_id, embedding AS e_emb, label AS true_label
+            FROM embeddings WHERE vec_id < {KNN_EVAL}
+        ),
+        tr AS (
+            SELECT vec_id AS train_id, embedding AS t_emb, label
+            FROM embeddings WHERE vec_id >= {KNN_EVAL}
+        ),
+        scored AS (
+            SELECT ev.eval_id, ev.true_label, tr.train_id, tr.label,
+                   {_KNN_QDIST_SQL.format(a='ev.e_emb', b='tr.t_emb')} AS d,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY ev.eval_id
+                       ORDER BY {_KNN_QDIST_SQL.format(a='ev.e_emb', b='tr.t_emb')},
+                                tr.train_id
+                   ) AS rn
+            FROM ev CROSS JOIN tr
+        ),
+        votes AS (
+            SELECT eval_id, true_label, label,
+                   CAST(COUNT(*) AS BIGINT) AS cnt
+            FROM scored WHERE rn <= {KNN_K}
+            GROUP BY 1, 2, 3
+        ),
+        pred AS (
+            SELECT eval_id, true_label,
+                   (MIN(struct_pack(nc := -cnt, lb := label))).lb AS pred_label
+            FROM votes GROUP BY 1, 2
+        )
+        SELECT CAST(true_label AS BIGINT) AS true_label,
+               CAST(COUNT(*) AS BIGINT) AS n_eval,
+               CAST(SUM(CASE WHEN pred_label = true_label THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_correct,
+               CAST((2 * CAST(SUM(CASE WHEN pred_label = true_label
+                                       THEN 1 ELSE 0 END) AS BIGINT) * 10000
+                     + COUNT(*)) // (2 * COUNT(*)) AS BIGINT) AS accuracy_bp
+        FROM pred GROUP BY 1
+    """,
+    tags=("similarity", "embeddings", "ml", "classifier", "knn"),
+)
+def knn_classifier_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from kafka_stream_job_spark.operators._portable import idiv
+
+    emb = load_table(spark, sf_dir, "embeddings", rebalance=True)
+    ev = emb.filter(F.col("vec_id") < KNN_EVAL).select(
+        F.col("vec_id").alias("eval_id"),
+        F.col("embedding").alias("e_emb"),
+        F.col("label").alias("true_label"),
+    )
+    tr = emb.filter(F.col("vec_id") >= KNN_EVAL).select(
+        F.col("vec_id").alias("train_id"),
+        F.col("embedding").alias("t_emb"),
+        "label",
+    )
+    d = _l2sq_int(F.col("e_emb"), F.col("t_emb"), KNN_SCALE)
+    w = Window.partitionBy("eval_id").orderBy("d", "train_id")
+    votes = (
+        tr.crossJoin(F.broadcast(ev))
+        .select("eval_id", "true_label", "train_id", "label", d.alias("d"))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= KNN_K)
+        .groupBy("eval_id", "true_label", "label")
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    )
+    pred = votes.groupBy("eval_id", "true_label").agg(
+        F.min(
+            F.struct((-F.col("cnt")).alias("nc"), F.col("label").alias("lb"))
+        )["lb"].alias("pred_label")
+    )
+    return (
+        pred.groupBy(F.col("true_label").cast("long").alias("true_label"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_eval"),
+            F.sum(
+                F.when(F.col("pred_label") == F.col("true_label"), 1).otherwise(0)
+            )
+            .cast("long")
+            .alias("n_correct"),
+        )
+        .select(
+            "true_label",
+            "n_eval",
+            "n_correct",
+            idiv(
+                F.col("n_correct") * 2 * 10000 + F.col("n_eval"),
+                F.col("n_eval") * 2,
+            ).alias("accuracy_bp"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# K-MEANS ELBOW (INERTIA SWEEP) — the model-selection companion to
+# cluster_kmeans_embeddings: total within-cluster inertia for K in
+# {2, 4, 8} under NESTED deterministic seeds (centroid k = the embedding
+# of vec_id k, so K=2 ⊂ K=4 ⊂ K=8). Nesting is the scale trick: ONE pass
+# computes distances to all 8 broadcast centroids and the three running
+# minima per vector, so the sweep costs one scan, not |Ks| scans.
+# Distances are exact int64 (ELBOW_SCALE quantization) — inertia sums are
+# order-free and engine-exact.
+# ---------------------------------------------------------------------------
+ELBOW_KS = (2, 4, 8)
+ELBOW_SCALE = 1_000
+
+_ELBOW_QDIST_SQL = (
+    "list_reduce(list_prepend(CAST(0 AS BIGINT), "
+    "list_transform(list_zip({a}::DOUBLE[], {b}::DOUBLE[]), "
+    f"p -> (CAST(ROUND(p[1] * {ELBOW_SCALE}.0) AS BIGINT)"
+    f" - CAST(ROUND(p[2] * {ELBOW_SCALE}.0) AS BIGINT))"
+    f" * (CAST(ROUND(p[1] * {ELBOW_SCALE}.0) AS BIGINT)"
+    f" - CAST(ROUND(p[2] * {ELBOW_SCALE}.0) AS BIGINT)))), "
+    "(acc, x) -> acc + x)"
+)
+
+
+@register(
+    "kmeans_inertia_elbow",
+    oracle=f"""
+        WITH c AS (
+            SELECT vec_id AS cent_id, embedding AS c_emb
+            FROM embeddings WHERE vec_id < {max(ELBOW_KS)}
+        ),
+        d AS (
+            SELECT e.vec_id, c.cent_id,
+                   {_ELBOW_QDIST_SQL.format(a='e.embedding', b='c.c_emb')} AS d2
+            FROM embeddings e CROSS JOIN c
+        ),
+        m AS (
+            SELECT vec_id,
+                   MIN(CASE WHEN cent_id < 2 THEN d2 END) AS m2,
+                   MIN(CASE WHEN cent_id < 4 THEN d2 END) AS m4,
+                   MIN(d2) AS m8
+            FROM d GROUP BY 1
+        ),
+        u AS (
+            SELECT 2 AS k, m2 AS md FROM m
+            UNION ALL SELECT 4, m4 FROM m
+            UNION ALL SELECT 8, m8 FROM m
+        )
+        SELECT CAST(k AS BIGINT) AS k,
+               CAST(COUNT(*) AS BIGINT) AS n_vecs,
+               CAST(SUM(md) AS BIGINT) AS inertia,
+               CAST((2 * CAST(SUM(md) AS BIGINT) + COUNT(*))
+                    // (2 * COUNT(*)) AS BIGINT) AS avg_inertia
+        FROM u GROUP BY 1
+    """,
+    tags=("similarity", "embeddings", "kmeans", "model-selection"),
+)
+def kmeans_inertia_elbow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kafka_stream_job_spark.operators._portable import idiv
+
+    emb = load_table(spark, sf_dir, "embeddings", rebalance=True)
+    c = emb.filter(F.col("vec_id") < max(ELBOW_KS)).select(
+        F.col("vec_id").alias("cent_id"), F.col("embedding").alias("c_emb")
+    )
+    d2 = _l2sq_int(F.col("embedding"), F.col("c_emb"), ELBOW_SCALE)
+    m = (
+        emb.crossJoin(F.broadcast(c))
+        .select("vec_id", "cent_id", d2.alias("d2"))
+        .groupBy("vec_id")
+        .agg(
+            F.min(F.when(F.col("cent_id") < 2, F.col("d2"))).alias("m2"),
+            F.min(F.when(F.col("cent_id") < 4, F.col("d2"))).alias("m4"),
+            F.min("d2").alias("m8"),
+        )
+    )
+    u = m.select(
+        F.explode(
+            F.array(
+                F.struct(F.lit(2).cast("long").alias("k"), F.col("m2").alias("md")),
+                F.struct(F.lit(4).cast("long").alias("k"), F.col("m4").alias("md")),
+                F.struct(F.lit(8).cast("long").alias("k"), F.col("m8").alias("md")),
+            )
+        ).alias("s")
+    ).select("s.k", "s.md")
+    return (
+        u.groupBy("k")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_vecs"),
+            F.sum("md").cast("long").alias("inertia"),
+        )
+        .select(
+            "k",
+            "n_vecs",
+            "inertia",
+            idiv(
+                F.col("inertia") * 2 + F.col("n_vecs"), F.col("n_vecs") * 2
+            ).alias("avg_inertia"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# 2-D PCA, CLOSED FORM — principal axes of the (dim1, dim2) marginal via
+# the 2×2 covariance eigendecomposition: scatter moments are exact int64
+# (PCA2_SCALE quantization), the scaled covariance entries a, b, c are
+# formed in DOUBLE with the identical expression tree on both engines
+# (products of identical doubles are IEEE-identical even past 2^53
+# exactness), and the eigenvalues come from the quadratic formula with
+# one correctly-rounded sqrt. One constant-width aggregate over the
+# corpus — the same moment-sum shape as revenue_trend_ols — then O(1)
+# scalar math; nothing here grows with the data.
+# ---------------------------------------------------------------------------
+PCA2_SCALE = 1_000
+PCA2_DIM_I = 1  # 1-indexed embedding dims the 2-D marginal projects on
+PCA2_DIM_J = 2
+
+
+@register(
+    "embedding_pca2_closed_form",
+    oracle=f"""
+        WITH q AS (
+            SELECT CAST(ROUND(embedding[{PCA2_DIM_I}]::DOUBLE * {PCA2_SCALE}.0)
+                        AS BIGINT) AS x,
+                   CAST(ROUND(embedding[{PCA2_DIM_J}]::DOUBLE * {PCA2_SCALE}.0)
+                        AS BIGINT) AS y
+            FROM embeddings
+        ),
+        mo AS (
+            SELECT CAST(COUNT(*) AS BIGINT) AS n,
+                   CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+                   CAST(SUM(x * x) AS BIGINT) AS sxx,
+                   CAST(SUM(y * y) AS BIGINT) AS syy,
+                   CAST(SUM(x * y) AS BIGINT) AS sxy
+            FROM q
+        ),
+        ev AS (
+            SELECT n,
+                   CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                       - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) AS a,
+                   CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                       - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE) AS b,
+                   CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+                       - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE) AS c
+            FROM mo
+        ),
+        lam AS (
+            SELECT n, a, b, c,
+                   ((a + c) + sqrt((a - c) * (a - c) + 4.0 * b * b)) / 2.0
+                       AS l1,
+                   ((a + c) - sqrt((a - c) * (a - c) + 4.0 * b * b)) / 2.0
+                       AS l2
+            FROM ev
+        )
+        SELECT n,
+               CAST(ROUND(l1) AS BIGINT) AS lambda1,
+               CAST(ROUND(l2) AS BIGINT) AS lambda2,
+               CAST(ROUND(l1 / (l1 + l2) * 1000000.0) AS BIGINT)
+                   AS explained_micro,
+               CASE WHEN b <> 0.0
+                    THEN CAST(ROUND((l1 - a) / b * 1000000.0) AS BIGINT)
+                    ELSE CAST(0 AS BIGINT) END AS slope_micro
+        FROM lam
+    """,
+    tags=("embeddings", "pca", "stats", "closed-form"),
+)
+def embedding_pca2_closed_form(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings", rebalance=True)
+    qx = (
+        F.round(
+            F.element_at("embedding", PCA2_DIM_I).cast("double") * PCA2_SCALE, 0
+        )
+        .cast("long")
+        .alias("x")
+    )
+    qy = (
+        F.round(
+            F.element_at("embedding", PCA2_DIM_J).cast("double") * PCA2_SCALE, 0
+        )
+        .cast("long")
+        .alias("y")
+    )
+    mo = emb.select(qx, qy).agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("x").cast("long").alias("sx"),
+        F.sum("y").cast("long").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).cast("long").alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).cast("long").alias("syy"),
+        F.sum(F.col("x") * F.col("y")).cast("long").alias("sxy"),
+    )
+    nd = F.col("n").cast("double")
+    a = nd * F.col("sxx").cast("double") - F.col("sx").cast("double") * F.col(
+        "sx"
+    ).cast("double")
+    b = nd * F.col("sxy").cast("double") - F.col("sx").cast("double") * F.col(
+        "sy"
+    ).cast("double")
+    c = nd * F.col("syy").cast("double") - F.col("sy").cast("double") * F.col(
+        "sy"
+    ).cast("double")
+    ev = mo.select("n", a.alias("a"), b.alias("b"), c.alias("c"))
+    disc = F.sqrt(
+        (F.col("a") - F.col("c")) * (F.col("a") - F.col("c"))
+        + 4.0 * F.col("b") * F.col("b")
+    )
+    lam = ev.select(
+        "n",
+        "a",
+        "b",
+        "c",
+        ((F.col("a") + F.col("c")) + disc).alias("_l1x"),
+        ((F.col("a") + F.col("c")) - disc).alias("_l2x"),
+    ).select(
+        "n",
+        "a",
+        "b",
+        (F.col("_l1x") / 2.0).alias("l1"),
+        (F.col("_l2x") / 2.0).alias("l2"),
+    )
+    return lam.select(
+        "n",
+        F.round(F.col("l1"), 0).cast("long").alias("lambda1"),
+        F.round(F.col("l2"), 0).cast("long").alias("lambda2"),
+        F.round(F.col("l1") / (F.col("l1") + F.col("l2")) * 1000000.0, 0)
+        .cast("long")
+        .alias("explained_micro"),
+        F.when(
+            F.col("b") != 0.0,
+            F.round((F.col("l1") - F.col("a")) / F.col("b") * 1000000.0, 0)
+            .cast("long"),
+        )
+        .otherwise(F.lit(0).cast("long"))
+        .alias("slope_micro"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# CENTROID SILHOUETTE — simplified (medoid-free) silhouette over the
+# labeled embedding corpus: a(v) = squared distance to the OWN label
+# centroid, b(v) = min squared distance to any OTHER label centroid,
+# s = (b - a) / max(a, b). Centroids are per-dim integer-rounded means
+# (exact int sums → one identical double division → round-to-int — the
+# streaming_ivf_assign discipline), so every distance is an exact int64
+# and s quantizes portably to micro-units. Scale shape: the per-dim
+# centroid table is |labels|·DIM rows (broadcast); the long-format join
+# fans each vector out ×|labels| — constant, never data-sized.
+# ---------------------------------------------------------------------------
+SIL_SCALE = 1_000
+
+
+@register(
+    "embedding_silhouette_centroid",
+    oracle=f"""
+        WITH el AS (
+            SELECT vec_id, label, CAST(i AS BIGINT) AS i,
+                   CAST(ROUND(embedding[i]::DOUBLE * {SIL_SCALE}.0) AS BIGINT)
+                       AS x
+            FROM (SELECT vec_id, label, embedding,
+                         UNNEST(range(1, 1 + len(embedding))) AS i
+                  FROM embeddings)
+        ),
+        cent AS (
+            SELECT label AS c_label, i,
+                   CAST(ROUND(CAST(SUM(x) AS BIGINT) * 1.0 / COUNT(*))
+                        AS BIGINT) AS c
+            FROM el GROUP BY 1, 2
+        ),
+        dsq AS (
+            SELECT e.vec_id, e.label, c.c_label,
+                   CAST(SUM((e.x - c.c) * (e.x - c.c)) AS BIGINT) AS d
+            FROM el e JOIN cent c ON c.i = e.i
+            GROUP BY 1, 2, 3
+        ),
+        ab AS (
+            SELECT vec_id, label,
+                   MIN(CASE WHEN c_label = label THEN d END) AS a,
+                   MIN(CASE WHEN c_label <> label THEN d END) AS b
+            FROM dsq GROUP BY 1, 2
+        ),
+        s AS (
+            SELECT label,
+                   CASE WHEN greatest(a, b) > 0
+                        THEN CAST(ROUND((CAST(b AS DOUBLE) - CAST(a AS DOUBLE))
+                                        / CAST(greatest(a, b) AS DOUBLE)
+                                        * 1000000.0) AS BIGINT)
+                        ELSE CAST(0 AS BIGINT) END AS s_micro
+            FROM ab
+        )
+        SELECT CAST(label AS BIGINT) AS label,
+               CAST(COUNT(*) AS BIGINT) AS n_vecs,
+               CAST(SUM(s_micro) AS BIGINT) AS sum_s_micro,
+               CAST(ROUND(CAST(SUM(s_micro) AS BIGINT) * 1.0 / COUNT(*))
+                    AS BIGINT) AS avg_s_micro
+        FROM s GROUP BY 1
+    """,
+    tags=("embeddings", "clustering", "silhouette", "stats"),
+)
+def embedding_silhouette_centroid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings", rebalance=True)
+    el = emb.select(
+        "vec_id",
+        "label",
+        F.posexplode("embedding").alias("i0", "v"),
+    ).select(
+        "vec_id",
+        "label",
+        (F.col("i0") + 1).cast("long").alias("i"),
+        F.round(F.col("v").cast("double") * SIL_SCALE, 0).cast("long").alias("x"),
+    )
+    cent = el.groupBy(F.col("label").alias("c_label"), "i").agg(
+        F.round(F.sum("x").cast("long") * 1.0 / F.count(F.lit(1)), 0)
+        .cast("long")
+        .alias("c")
+    )
+    dsq = (
+        el.join(F.broadcast(cent), "i")
+        .groupBy("vec_id", "label", "c_label")
+        .agg(
+            F.sum((F.col("x") - F.col("c")) * (F.col("x") - F.col("c")))
+            .cast("long")
+            .alias("d")
+        )
+    )
+    ab = dsq.groupBy("vec_id", "label").agg(
+        F.min(F.when(F.col("c_label") == F.col("label"), F.col("d"))).alias("a"),
+        F.min(F.when(F.col("c_label") != F.col("label"), F.col("d"))).alias("b"),
+    )
+    s_micro = F.when(
+        F.greatest("a", "b") > 0,
+        F.round(
+            (F.col("b").cast("double") - F.col("a").cast("double"))
+            / F.greatest("a", "b").cast("double")
+            * 1000000.0,
+            0,
+        ).cast("long"),
+    ).otherwise(F.lit(0).cast("long"))
+    return (
+        ab.select(F.col("label").cast("long").alias("label"), s_micro.alias("s_micro"))
+        .groupBy("label")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_vecs"),
+            F.sum("s_micro").cast("long").alias("sum_s_micro"),
+        )
+        .select(
+            "label",
+            "n_vecs",
+            "sum_s_micro",
+            F.round(F.col("sum_s_micro") * 1.0 / F.col("n_vecs"), 0)
+            .cast("long")
+            .alias("avg_s_micro"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# IVF NPROBE SWEEP — the tuning curve behind similarity_topk_ivf /
+# ivf_recall_report: recall@TOP_K against the exact brute-force
+# neighbors as nprobe grows through NPROBE_GRID. Probing is computed
+# ONCE at the largest nprobe (the probe window is bounded by the
+# centroid count) and the grid replays it by filtering p_rn <= np — one
+# candidate-generation pass feeds every grid point, so the sweep costs
+# the same scan count as a single IVF query. This is the report that
+# picks the latency/recall operating point before a 100 TB rollout.
+# ---------------------------------------------------------------------------
+NPROBE_GRID = (1, 2, 4)
+
+
+def _nprobe_sweep_oracle() -> str:
+    grid_vals = ", ".join(f"({np})" for np in NPROBE_GRID)
+    return f"""
+        WITH centroids AS (
+            SELECT vec_id AS cent_id, embedding AS c_emb
+            FROM embeddings
+            WHERE {_IVF_HASH_SQL} % {IVF_SAMPLE_MOD} = 0
+        ),
+        assign AS (
+            SELECT vec_id, embedding, cent_id AS cell FROM (
+                SELECT e.vec_id, e.embedding, c.cent_id,
+                       ROW_NUMBER() OVER (
+                           PARTITION BY e.vec_id
+                           ORDER BY {_DIST_SQL.format(a='e.embedding', b='c.c_emb')},
+                                    c.cent_id
+                       ) AS rn
+                FROM embeddings e CROSS JOIN centroids c
+            ) WHERE rn = 1
+        ),
+        probes AS (
+            SELECT vec_id AS query_id, embedding AS q_emb, cent_id AS cell,
+                   rn AS p_rn
+            FROM (
+                SELECT e.vec_id, e.embedding, c.cent_id,
+                       ROW_NUMBER() OVER (
+                           PARTITION BY e.vec_id
+                           ORDER BY {_DIST_SQL.format(a='e.embedding', b='c.c_emb')},
+                                    c.cent_id
+                       ) AS rn
+                FROM embeddings e CROSS JOIN centroids c
+                WHERE e.vec_id < {N_QUERIES}
+            ) WHERE rn <= {max(NPROBE_GRID)}
+        ),
+        cand AS (
+            SELECT p.query_id, p.p_rn, a.vec_id AS neighbor_id,
+                   {_DOT_SQL.format(a='p.q_emb', b='a.embedding')}
+                   / ({_NORM_SQL.format(a='p.q_emb')}
+                      * {_NORM_SQL.format(a='a.embedding')}) AS cos_raw
+            FROM probes p
+            JOIN assign a ON a.cell = p.cell AND a.vec_id <> p.query_id
+        ),
+        grid(np) AS (VALUES {grid_vals}),
+        approx AS (
+            SELECT np, query_id, neighbor_id FROM (
+                SELECT g.np, c.query_id, c.neighbor_id,
+                       ROW_NUMBER() OVER (
+                           PARTITION BY g.np, c.query_id
+                           ORDER BY c.cos_raw DESC, c.neighbor_id) AS rank
+                FROM cand c JOIN grid g ON c.p_rn <= g.np
+            ) WHERE rank <= {TOP_K}
+        ),
+        exact AS (
+            SELECT query_id, neighbor_id FROM (
+                SELECT q.vec_id AS query_id, d.vec_id AS neighbor_id,
+                       ROW_NUMBER() OVER (
+                           PARTITION BY q.vec_id
+                           ORDER BY {_dot_qd} / ({_norm_q} * {_norm_d}) DESC,
+                                    d.vec_id) AS rank
+                FROM embeddings q
+                JOIN embeddings d ON d.vec_id <> q.vec_id
+                WHERE q.vec_id < {N_QUERIES}
+            ) WHERE rank <= {TOP_K}
+        ),
+        tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_exact FROM exact),
+        hits AS (
+            SELECT a.np, CAST(COUNT(*) AS BIGINT) AS n_hits
+            FROM approx a
+            JOIN exact e ON e.query_id = a.query_id
+                        AND e.neighbor_id = a.neighbor_id
+            GROUP BY 1
+        )
+        SELECT CAST(g.np AS BIGINT) AS np, t.n_exact,
+               COALESCE(h.n_hits, CAST(0 AS BIGINT)) AS n_hits,
+               CAST((2 * COALESCE(h.n_hits, CAST(0 AS BIGINT)) * 10000
+                     + t.n_exact) // (2 * t.n_exact) AS BIGINT) AS recall_bp
+        FROM grid g CROSS JOIN tot t LEFT JOIN hits h ON h.np = g.np
+    """
+
+
+@register(
+    "ivf_nprobe_sweep",
+    oracle=_nprobe_sweep_oracle(),
+    tags=("similarity", "ivf", "embeddings", "recall", "tuning"),
+)
+def ivf_nprobe_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from kafka_stream_job_spark.operators._portable import idiv
+
+    emb = load_table(spark, sf_dir, "embeddings", rebalance=True)
+    ivf_hash = F.conv(
+        F.substring(
+            F.md5(F.concat(F.lit("ivf:"), F.col("vec_id").cast("string"))), 1, 7
+        ),
+        16,
+        10,
+    ).cast("long")
+    centroids = emb.filter(ivf_hash % IVF_SAMPLE_MOD == 0).select(
+        F.col("vec_id").alias("cent_id"), F.col("embedding").alias("c_emb")
+    )
+
+    def nearest(vectors: DataFrame, n: int) -> DataFrame:
+        dist = _l2sq(F.col("embedding"), F.col("c_emb"))
+        w = Window.partitionBy("vec_id").orderBy("dist", "cent_id")
+        return (
+            vectors.crossJoin(F.broadcast(centroids))
+            .select("vec_id", "embedding", "cent_id", dist.alias("dist"))
+            .withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") <= n)
+        )
+
+    assign = nearest(emb, 1).select(
+        "vec_id", "embedding", F.col("cent_id").alias("cell")
+    )
+    probes = nearest(emb.filter(F.col("vec_id") < N_QUERIES), max(NPROBE_GRID)).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("q_emb"),
+        F.col("cent_id").alias("p_cell"),
+        F.col("rn").alias("p_rn"),
+    )
+    cos_raw = _dot(F.col("q_emb"), F.col("embedding")) / (
+        _norm(F.col("q_emb")) * _norm(F.col("embedding"))
+    )
+    cand = assign.join(
+        F.broadcast(probes),
+        (F.col("cell") == F.col("p_cell")) & (F.col("vec_id") != F.col("query_id")),
+    ).select(
+        "query_id",
+        "p_rn",
+        F.col("vec_id").alias("neighbor_id"),
+        cos_raw.alias("cos_raw"),
+    )
+    grid = spark.createDataFrame([(np,) for np in NPROBE_GRID], "np long")
+    w = Window.partitionBy("np", "query_id").orderBy(
+        F.col("cos_raw").desc(), F.col("neighbor_id").asc()
+    )
+    approx = (
+        cand.join(F.broadcast(grid), F.col("p_rn") <= F.col("np"))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= TOP_K)
+        .select("np", "query_id", "neighbor_id")
+    )
+    exact = similarity_topk_cosine(spark, sf_dir).select("query_id", "neighbor_id")
+    tot = exact.agg(F.count(F.lit(1)).cast("long").alias("n_exact"))
+    hits = approx.join(exact, ["query_id", "neighbor_id"]).groupBy("np").agg(
+        F.count(F.lit(1)).cast("long").alias("n_hits")
+    )
+    return (
+        grid.crossJoin(F.broadcast(tot))
+        .join(hits, "np", "left")
+        .select(
+            "np",
+            "n_exact",
+            F.coalesce(F.col("n_hits"), F.lit(0).cast("long")).alias("n_hits"),
+            idiv(
+                F.coalesce(F.col("n_hits"), F.lit(0).cast("long")) * 2 * 10000
+                + F.col("n_exact"),
+                F.col("n_exact") * 2,
+            ).alias("recall_bp"),
+        )
+    )
