@@ -12510,3 +12510,268 @@ def ols_two_feature_normal_eq(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("r2_micro"),
     )
+
+
+# ---------------------------------------------------------------------------
+# SUPPLIER SCORECARD — the composite supplier-health report a procurement
+# dashboard serves: per supplier, line volume, return rate (basis
+# points), mean order→ship latency (exact integer days, half-up), and
+# discounted revenue in exact centi-cent integers (price cents ×
+# (100 - discount points) — the q1 integerization, so the 100 TB sum is
+# order-free). One lineitem⋈orders shuffle (both SF-scaled — no forced
+# broadcast; AQE picks), supplier names ride the constant-size dim
+# broadcast, top-25 by revenue via TakeOrderedAndProject.
+# ---------------------------------------------------------------------------
+SCORECARD_TOP = 25
+
+
+@register(
+    "supplier_scorecard",
+    oracle=f"""
+        WITH li AS (
+            SELECT l.l_suppkey,
+                   CASE WHEN l.l_returnflag = 'R' THEN 1 ELSE 0 END AS ret,
+                   date_diff('day', CAST(o.o_orderdate AS DATE),
+                             CAST(l.l_shipdate AS DATE)) AS lat_days,
+                   CAST(ROUND(l.l_extendedprice * 100.0) AS BIGINT)
+                       * (100 - CAST(ROUND(l.l_discount * 100.0) AS BIGINT))
+                       AS rev_ccents
+            FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+        ),
+        agg AS (
+            SELECT l_suppkey,
+                   CAST(COUNT(*) AS BIGINT) AS n_lines,
+                   CAST(SUM(ret) AS BIGINT) AS n_returns,
+                   CAST(SUM(lat_days) AS BIGINT) AS sum_lat_days,
+                   CAST(SUM(rev_ccents) AS BIGINT) AS revenue_ccents
+            FROM li GROUP BY 1
+        )
+        SELECT s.s_suppkey, s.s_name, a.n_lines,
+               CAST((2 * a.n_returns * 10000 + a.n_lines)
+                    // (2 * a.n_lines) AS BIGINT) AS return_rate_bp,
+               CAST((2 * a.sum_lat_days + a.n_lines)
+                    // (2 * a.n_lines) AS BIGINT) AS avg_latency_days,
+               a.revenue_ccents
+        FROM agg a JOIN supplier s ON s.s_suppkey = a.l_suppkey
+        ORDER BY a.revenue_ccents DESC, s.s_suppkey
+        LIMIT {SCORECARD_TOP}
+    """,
+    tags=("relational", "supplier", "scorecard", "agg"),
+)
+def supplier_scorecard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    supp = load_table(spark, sf_dir, "supplier")
+    j = li.join(orders, li.l_orderkey == orders.o_orderkey).select(
+        "l_suppkey",
+        F.when(F.col("l_returnflag") == "R", 1).otherwise(0).alias("ret"),
+        F.datediff(
+            F.col("l_shipdate").cast("date"), F.col("o_orderdate").cast("date")
+        )
+        .cast("long")
+        .alias("lat_days"),
+        (
+            F.round(F.col("l_extendedprice") * 100.0, 0).cast("long")
+            * (100 - F.round(F.col("l_discount") * 100.0, 0).cast("long"))
+        ).alias("rev_ccents"),
+    )
+    agg = j.groupBy("l_suppkey").agg(
+        F.count(F.lit(1)).cast("long").alias("n_lines"),
+        F.sum("ret").cast("long").alias("n_returns"),
+        F.sum("lat_days").cast("long").alias("sum_lat_days"),
+        F.sum("rev_ccents").cast("long").alias("revenue_ccents"),
+    )
+    return (
+        agg.join(
+            F.broadcast(supp.select("s_suppkey", "s_name")),
+            agg.l_suppkey == F.col("s_suppkey"),
+        )
+        .select(
+            "s_suppkey",
+            "s_name",
+            "n_lines",
+            idiv(
+                F.col("n_returns") * 2 * 10000 + F.col("n_lines"),
+                F.col("n_lines") * 2,
+            ).alias("return_rate_bp"),
+            idiv(
+                F.col("sum_lat_days") * 2 + F.col("n_lines"),
+                F.col("n_lines") * 2,
+            ).alias("avg_latency_days"),
+            "revenue_ccents",
+        )
+        .orderBy(F.desc("revenue_ccents"), "s_suppkey")
+        .limit(SCORECARD_TOP)
+    )
+
+
+# ---------------------------------------------------------------------------
+# DEGREE ASSORTATIVITY — do high-degree suppliers link to high-degree
+# parts? Pearson correlation over the supplier–part edge list between
+# endpoint degrees, in the exact-integer moment-sum form (degrees are
+# small ints; every scatter moment fits int64 with orders of magnitude
+# to spare). Two bounded aggregates produce the degree tables; the edge
+# join shuffles on the edge keys only; the final r is one identical
+# double expression on both engines, shipped as micro-units.
+# ---------------------------------------------------------------------------
+@register(
+    "graph_assortativity",
+    oracle="""
+        WITH edges AS (
+            SELECT DISTINCT l_suppkey AS s, l_partkey AS p FROM lineitem
+        ),
+        ds AS (SELECT s, CAST(COUNT(*) AS BIGINT) AS deg_s FROM edges GROUP BY 1),
+        dp AS (SELECT p, CAST(COUNT(*) AS BIGINT) AS deg_p FROM edges GROUP BY 1),
+        xy AS (
+            SELECT ds.deg_s AS x, dp.deg_p AS y
+            FROM edges e JOIN ds ON ds.s = e.s JOIN dp ON dp.p = e.p
+        ),
+        mo AS (
+            SELECT CAST(COUNT(*) AS BIGINT) AS n,
+                   CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+                   CAST(SUM(x * x) AS BIGINT) AS sxx,
+                   CAST(SUM(y * y) AS BIGINT) AS syy,
+                   CAST(SUM(x * y) AS BIGINT) AS sxy
+            FROM xy
+        )
+        SELECT n AS n_edges,
+               (SELECT CAST(COUNT(*) AS BIGINT) FROM ds) AS n_suppliers,
+               (SELECT CAST(COUNT(*) AS BIGINT) FROM dp) AS n_parts,
+               CAST(ROUND(
+                   (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                    - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                   / (sqrt(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                           - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                      * sqrt(CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+                             - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)))
+                   * 1000000.0) AS BIGINT) AS assortativity_micro
+        FROM mo
+    """,
+    tags=("graph", "stats", "lineitem", "closed-form"),
+)
+def graph_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    edges = li.select(
+        F.col("l_suppkey").alias("s"), F.col("l_partkey").alias("p")
+    ).distinct()
+    ds = edges.groupBy("s").agg(F.count(F.lit(1)).cast("long").alias("deg_s"))
+    dp = edges.groupBy("p").agg(F.count(F.lit(1)).cast("long").alias("deg_p"))
+    xy = (
+        edges.join(ds, "s")
+        .join(dp, "p")
+        .select(F.col("deg_s").alias("x"), F.col("deg_p").alias("y"))
+    )
+    mo = xy.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("x").cast("long").alias("sx"),
+        F.sum("y").cast("long").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).cast("long").alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).cast("long").alias("syy"),
+        F.sum(F.col("x") * F.col("y")).cast("long").alias("sxy"),
+    )
+    n_s = ds.agg(F.count(F.lit(1)).cast("long").alias("n_suppliers"))
+    n_p = dp.agg(F.count(F.lit(1)).cast("long").alias("n_parts"))
+    nd = F.col("n").cast("double")
+    num = nd * F.col("sxy").cast("double") - F.col("sx").cast("double") * F.col(
+        "sy"
+    ).cast("double")
+    den = F.sqrt(
+        nd * F.col("sxx").cast("double")
+        - F.col("sx").cast("double") * F.col("sx").cast("double")
+    ) * F.sqrt(
+        nd * F.col("syy").cast("double")
+        - F.col("sy").cast("double") * F.col("sy").cast("double")
+    )
+    return (
+        mo.crossJoin(F.broadcast(n_s))
+        .crossJoin(F.broadcast(n_p))
+        .select(
+            F.col("n").alias("n_edges"),
+            "n_suppliers",
+            "n_parts",
+            F.round(num / den * 1000000.0, 0)
+            .cast("long")
+            .alias("assortativity_micro"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# DISCOUNT ELASTICITY BY BRAND — per-brand OLS slope of quantity on
+# discount points: does discounting move volume, and for which brands?
+# Closed form from exact int64 scatter moments per brand (the
+# revenue_trend_ols shape, one grouped aggregate over the
+# lineitem⋈part join), slope and intercept as identical double
+# expressions rounded to micro-units. Brands with a degenerate design
+# matrix (single discount level) are dropped on both engines.
+# ---------------------------------------------------------------------------
+@register(
+    "discount_elasticity_by_brand",
+    oracle="""
+        WITH r AS (
+            SELECT p.p_brand,
+                   CAST(ROUND(l.l_discount * 100.0) AS BIGINT) AS x,
+                   CAST(ROUND(l.l_quantity) AS BIGINT) AS y
+            FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+        ),
+        mo AS (
+            SELECT p_brand,
+                   CAST(COUNT(*) AS BIGINT) AS n,
+                   CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+                   CAST(SUM(x * x) AS BIGINT) AS sxx,
+                   CAST(SUM(x * y) AS BIGINT) AS sxy
+            FROM r GROUP BY 1
+        )
+        SELECT p_brand, n,
+               CAST(ROUND(
+                   (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                    - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                   / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                      - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                   * 1000000.0) AS BIGINT) AS slope_micro,
+               CAST(ROUND(
+                   (CAST(sy AS DOUBLE) * CAST(sxx AS DOUBLE)
+                    - CAST(sx AS DOUBLE) * CAST(sxy AS DOUBLE))
+                   / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                      - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                   * 1000000.0) AS BIGINT) AS intercept_micro
+        FROM mo
+        WHERE n * sxx - sx * sx > 0
+    """,
+    tags=("relational", "regression", "lineitem", "part"),
+)
+def discount_elasticity_by_brand(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    r = li.join(part, li.l_partkey == part.p_partkey).select(
+        "p_brand",
+        F.round(F.col("l_discount") * 100.0, 0).cast("long").alias("x"),
+        F.round(F.col("l_quantity"), 0).cast("long").alias("y"),
+    )
+    mo = r.groupBy("p_brand").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("x").cast("long").alias("sx"),
+        F.sum("y").cast("long").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).cast("long").alias("sxx"),
+        F.sum(F.col("x") * F.col("y")).cast("long").alias("sxy"),
+    )
+    nd = F.col("n").cast("double")
+    den = nd * F.col("sxx").cast("double") - F.col("sx").cast("double") * F.col(
+        "sx"
+    ).cast("double")
+    slope = (
+        nd * F.col("sxy").cast("double")
+        - F.col("sx").cast("double") * F.col("sy").cast("double")
+    ) / den
+    intercept = (
+        F.col("sy").cast("double") * F.col("sxx").cast("double")
+        - F.col("sx").cast("double") * F.col("sxy").cast("double")
+    ) / den
+    return mo.filter(
+        F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx") > 0
+    ).select(
+        "p_brand",
+        "n",
+        F.round(slope * 1000000.0, 0).cast("long").alias("slope_micro"),
+        F.round(intercept * 1000000.0, 0).cast("long").alias("intercept_micro"),
+    )

@@ -3768,3 +3768,283 @@ def _register_sources_manifest_query() -> None:
 
 
 _register_sources_manifest_query()
+
+
+# ---------------------------------------------------------------------------
+# STREAMING OHLC BARS — the live twin of events_ohlc_bars: per
+# (event_type, hour) candlesticks maintained in streaming state. Every
+# per-bar statistic is a commutative min/max/sum (open and close ride
+# lexicographic (ts, event_id, cents) struct extremes — the exact trick
+# the batch twin uses), so the state is arrival-order-independent by
+# construction and the converged complete-mode emission equals the batch
+# rollup: the oracle is SHARED verbatim. State = one row per live bar.
+# ---------------------------------------------------------------------------
+def _register_streaming_ohlc_bars() -> None:
+    import uuid
+
+    from kafka_stream_job_spark.registry import REGISTRY, register
+
+    oracle = REGISTRY["events_ohlc_bars"].oracle
+
+    @register(
+        "streaming_ohlc_bars",
+        oracle=oracle,
+        tags=("streaming", "window-time", "ohlc", "events"),
+    )
+    def streaming_ohlc_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
+        import tempfile
+
+        events = stream_events(spark, sf_dir).where(F.col("value").isNotNull())
+        cents = F.round(F.col("value") * 100.0, 0).cast("long")
+        keyed = events.withWatermark("ts", "2 hours").select(
+            "event_type",
+            F.window("ts", "1 hour").alias("w"),
+            F.struct(
+                F.col("ts").alias("ts"),
+                F.col("event_id").alias("eid"),
+                cents.alias("c"),
+            ).alias("k"),
+            cents.alias("cents"),
+        )
+        bars = keyed.groupBy("event_type", "w").agg(
+            F.count(F.lit(1)).cast("long").alias("n_ticks"),
+            F.min("k")["c"].alias("open_cents"),
+            F.max("cents").alias("high_cents"),
+            F.min("cents").alias("low_cents"),
+            F.max("k")["c"].alias("close_cents"),
+            F.sum("cents").cast("long").alias("volume_cents"),
+        )
+        out = bars.select(
+            "event_type",
+            F.col("w.start").cast("string").alias("bar_hour"),
+            "n_ticks",
+            "open_cents",
+            "high_cents",
+            "low_cents",
+            "close_cents",
+            "volume_cents",
+        )
+        name = f"stream_ohlc_{uuid.uuid4().hex[:8]}"
+        ckpt = tempfile.mkdtemp(prefix="ksj-stream-ohlc-")
+        return run_stream_to_memory(spark, out, name, ckpt, output_mode="complete")
+
+
+_register_streaming_ohlc_bars()
+
+
+# ---------------------------------------------------------------------------
+# STREAMING PSI DRIFT MONITOR — the live twin of events_psi_value_drift:
+# the ref/cur epoch boundary (exact integer microsecond midpoint of the
+# static table's time range) is computed once pre-stream — two int64s of
+# driver state, the streaming_quality_monitor precedent — and the stream
+# maintains per-(bin, side) counts: commutative, bounded at 10 bins × 2
+# sides. The PSI assembly (Laplace +1, totals broadcast, per-bin
+# micro-nat terms) runs as a batch query over the converged emission, so
+# the oracle is SHARED verbatim with the batch twin.
+# ---------------------------------------------------------------------------
+def _register_streaming_psi_drift() -> None:
+    import uuid
+
+    from kafka_stream_job_spark.operators._portable import idiv
+    from kafka_stream_job_spark.operators.pipeline import PSI_UNATS
+    from kafka_stream_job_spark.registry import REGISTRY, register
+    from kafka_stream_job_spark.tables import load_table
+
+    oracle = REGISTRY["events_psi_value_drift"].oracle
+
+    @register(
+        "streaming_psi_drift",
+        oracle=oracle,
+        tags=("streaming", "stateful", "drift", "psi", "events"),
+    )
+    def streaming_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+        import tempfile
+
+        # pre-stream: exact epoch-microsecond midpoint from the static
+        # table (O(1) driver state; same values the batch twin derives)
+        static = load_table(spark, sf_dir, "events")
+        ts_s = F.col("ts").cast("timestamp")
+        brow = static.agg(
+            F.unix_micros(F.min(ts_s)).alias("lo"),
+            F.unix_micros(F.max(ts_s)).alias("hi"),
+        ).collect()[0]
+        mid = (int(brow["lo"]) + int(brow["hi"])) // 2
+
+        events = stream_events(spark, sf_dir)
+        binned = events.select(
+            F.least(
+                F.greatest(F.floor(F.col("value") / 10.0), F.lit(0)), F.lit(9)
+            )
+            .cast("long")
+            .alias("bin"),
+            F.when(F.unix_micros(F.col("ts")) < F.lit(mid), F.lit("ref"))
+            .otherwise(F.lit("cur"))
+            .alias("side"),
+        )
+        counted = binned.groupBy("bin", "side").agg(
+            F.count(F.lit(1)).cast("long").alias("n")
+        )
+        name = f"stream_psi_{uuid.uuid4().hex[:8]}"
+        ckpt = tempfile.mkdtemp(prefix="ksj-stream-psi-")
+        emitted = run_stream_to_memory(
+            spark, counted, name, ckpt, output_mode="complete"
+        )
+        c = emitted.groupBy("bin").agg(
+            (
+                1
+                + F.coalesce(
+                    F.sum(F.when(F.col("side") == "ref", F.col("n"))), F.lit(0)
+                )
+            )
+            .cast("long")
+            .alias("c_ref"),
+            (
+                1
+                + F.coalesce(
+                    F.sum(F.when(F.col("side") == "cur", F.col("n"))), F.lit(0)
+                )
+            )
+            .cast("long")
+            .alias("c_cur"),
+        )
+        t = c.agg(
+            F.sum("c_ref").cast("long").alias("t_ref"),
+            F.sum("c_cur").cast("long").alias("t_cur"),
+        )
+        p_ref = F.col("c_ref") * 1.0 / F.col("t_ref")
+        p_cur = F.col("c_cur") * 1.0 / F.col("t_cur")
+        return c.crossJoin(F.broadcast(t)).select(
+            "bin",
+            "c_ref",
+            "c_cur",
+            F.round((p_cur - p_ref) * F.log(p_cur / p_ref) * PSI_UNATS, 0)
+            .cast("long")
+            .alias("psi_unats"),
+        )
+
+
+_register_streaming_psi_drift()
+
+
+# ---------------------------------------------------------------------------
+# STREAMING LSH CANDIDATE BUCKETS — the live near-dup surface of the
+# MinHash family: documents arrive as a stream, each row computes its
+# banded MinHash signature STATELESSLY (higher-order array_min over the
+# fused shingle→md5 hash array — no explode, no pre-aggregate, so the
+# only stateful op is the bucket table itself), and per
+# (band_idx, band_sig) state keeps (min doc_id, doc count) — both
+# commutative, so the bucket table is arrival-order-independent. The
+# converged emission filtered to n_docs > 1 IS the candidate-bucket
+# report a live dedup pipeline joins new arrivals against. Oracle: the
+# batch shingles→sigs→bands pipeline aggregated per bucket.
+# ---------------------------------------------------------------------------
+def _register_streaming_lsh_candidate_buckets() -> None:
+    import uuid
+
+    from kafka_stream_job_spark.operators.dedup import (
+        MINHASH_A,
+        MINHASH_B,
+        MINHASH_P,
+        NUM_BANDS,
+        ROWS_PER_BAND,
+        _BANDS_SQL,
+        _SHINGLES_SQL,
+        _SIGS_SQL,
+        _hashed_shingle_expr,
+    )
+    from kafka_stream_job_spark.registry import register
+
+    @register(
+        "streaming_lsh_candidate_buckets",
+        oracle=f"""
+            WITH shingles AS ({_SHINGLES_SQL}),
+            sigs AS ({_SIGS_SQL}),
+            bands AS ({_BANDS_SQL})
+            SELECT CAST(band_idx AS BIGINT) AS band_idx, band_sig,
+                   CAST(COUNT(*) AS BIGINT) AS n_docs,
+                   CAST(MIN(doc_id) AS BIGINT) AS min_doc
+            FROM bands GROUP BY 1, 2
+            HAVING COUNT(*) > 1
+        """,
+        tags=("streaming", "stateful", "dedup", "lsh", "documents"),
+    )
+    def streaming_lsh_candidate_buckets(
+        spark: SparkSession, sf_dir: str
+    ) -> DataFrame:
+        import tempfile
+
+        from pyspark.sql.streaming.state import GroupStateTimeout
+
+        docs = stream_documents(spark, sf_dir).where(F.col("text").isNotNull())
+        staged = docs.select(
+            "doc_id", _hashed_shingle_expr().alias("hs")
+        )
+        # per-row minhash: sig s = min over shingle hashes of the seed-s
+        # universal hash — interpreted HOF, but stateless: the stream's
+        # only shuffle is the bucket-state exchange.
+        sig_sql = {
+            s: (
+                f"array_min(transform(hs, h -> ({MINHASH_A[s]} * h"
+                f" + {MINHASH_B[s]}) % {MINHASH_P}))"
+            )
+            for s in range(NUM_BANDS * ROWS_PER_BAND)
+        }
+        band_structs = ", ".join(
+            "struct(CAST({b} AS BIGINT) AS band_idx, md5(concat_ws('|', {hs})) AS band_sig)".format(
+                b=b,
+                hs=", ".join(
+                    f"CAST({sig_sql[b * ROWS_PER_BAND + r]} AS STRING)"
+                    for r in range(ROWS_PER_BAND)
+                ),
+            )
+            for b in range(NUM_BANDS)
+        )
+        banded = staged.select(
+            "doc_id",
+            F.expr(f"explode(array({band_structs}))").alias("bs"),
+        ).select("doc_id", "bs.band_idx", "bs.band_sig")
+
+        def update(key, pdfs, state):
+            import pandas as pd
+
+            if state.exists:
+                min_doc, n = state.get
+            else:
+                min_doc, n = None, 0
+            for pdf in pdfs:
+                n += len(pdf)
+                lo = int(pdf["doc_id"].min())
+                min_doc = lo if min_doc is None else min(min_doc, lo)
+            state.update((min_doc, n))
+            yield pd.DataFrame(
+                {
+                    "band_idx": [key[0]],
+                    "band_sig": [key[1]],
+                    "n_docs": [n],
+                    "min_doc": [min_doc],
+                }
+            )
+
+        emitted_stream = banded.groupBy("band_idx", "band_sig").applyInPandasWithState(
+            update,
+            outputStructType=(
+                "band_idx long, band_sig string, n_docs long, min_doc long"
+            ),
+            stateStructType="min_doc long, n long",
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+        name = f"stream_lshbuckets_{uuid.uuid4().hex[:8]}"
+        ckpt = tempfile.mkdtemp(prefix="ksj-stream-lshbuckets-")
+        emitted = run_stream_to_memory(spark, emitted_stream, name, ckpt)
+        return (
+            emitted.groupBy("band_idx", "band_sig")
+            .agg(
+                F.max("n_docs").cast("long").alias("n_docs"),
+                F.min("min_doc").cast("long").alias("min_doc"),
+            )
+            .filter(F.col("n_docs") > 1)
+        )
+
+
+_register_streaming_lsh_candidate_buckets()
