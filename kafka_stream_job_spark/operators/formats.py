@@ -893,3 +893,61 @@ def fixed_width_source_read(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("orderkey").cast("long").alias("sum_orderkeys"),
         F.sum("cents").cast("long").alias("sum_cents"),
     )
+
+
+# ---------------------------------------------------------------------------
+# BINARY-FILE SOURCE — Spark's `binaryFile` format as a first-class
+# source for multimodal blob ingestion: one .bin file per sampled
+# document is staged (content = the document's UTF-8 bytes; the
+# _staged_dir discipline keys the dir by source mtime and keeps it
+# immutable), read back with spark.read.format("binaryFile") +
+# pathGlobFilter, and fingerprinted. The oracle recomputes filename,
+# byte length, and md5 straight from the generative model (ASCII text ⇒
+# byte length == char length, and DuckDB md5(VARCHAR) hashes the same
+# UTF-8 bytes Spark's md5(binary) sees). At 100 TB this is the pattern
+# for image/audio lake ingestion: listing parallelizes across executors,
+# and content never passes through the driver.
+# ---------------------------------------------------------------------------
+BLOB_SAMPLE_MOD = 10  # stage every 10th document as a blob file
+
+
+def _stage_blobs(spark: SparkSession, sf_dir: str) -> str:
+    src = os.path.join(sf_dir, "documents.parquet")
+
+    def build(tmp: str) -> None:
+        import pyarrow.parquet as pq
+
+        t = pq.read_table(src, columns=["doc_id", "text"])
+        for doc_id, text in zip(
+            t.column("doc_id").to_pylist(), t.column("text").to_pylist()
+        ):
+            if doc_id % BLOB_SAMPLE_MOD == 0 and text is not None:
+                with open(os.path.join(tmp, f"doc_{doc_id}.bin"), "wb") as f:
+                    f.write(text.encode("utf-8"))
+
+    return _staged_dir("/tmp/ksj-blob-stage", src, "blob_v1", build)
+
+
+@register(
+    "binary_blob_source_stats",
+    oracle=f"""
+        SELECT 'doc_' || CAST(doc_id AS VARCHAR) || '.bin' AS fname,
+               CAST(LENGTH(text) AS BIGINT) AS n_bytes,
+               md5(text) AS content_md5
+        FROM documents
+        WHERE doc_id % {BLOB_SAMPLE_MOD} = 0 AND text IS NOT NULL
+    """,
+    tags=("source-format", "binary", "multimodal", "documents"),
+)
+def binary_blob_source_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    stage = _stage_blobs(spark, sf_dir)
+    blobs = (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", "*.bin")
+        .load(stage)
+    )
+    return blobs.select(
+        F.regexp_extract(F.col("path"), r"(doc_\d+\.bin)$", 1).alias("fname"),
+        F.col("length").cast("long").alias("n_bytes"),
+        F.md5(F.col("content")).alias("content_md5"),
+    )

@@ -4766,3 +4766,138 @@ def test_bmp_luma_grid_matches_direct_sampling(width, height, seed, top_down):
             b, g, r = pix[(i * height // 8) * width + (j * width // 8)]
             want.append(299 * r + 587 * g + 114 * b)
     assert got["lumas"] == want
+
+
+# ---------------------------------------------------------------------------
+# PNG parser round-trip + malformed rejection (the BMP-test twin for the
+# r8 compressed-image decoder): encode arbitrary grayscale content with
+# EVERY row filter type, decode must reconstruct exact luma sums; and
+# every validation branch (signature, CRC, IHDR position/fields, IDAT
+# length, filter byte, IEND) must raise loudly.
+# ---------------------------------------------------------------------------
+def _png_bytes(width, height, pix, filters):
+    """pix: flat grayscale bytes in image order; filters: per-row PNG
+    filter type 0-4 applied by a reference encoder independent of the
+    operator's fixture encoder."""
+    import struct
+    import zlib
+
+    def chunk(typ, data):
+        return (
+            struct.pack(">I", len(data))
+            + typ
+            + data
+            + struct.pack(">I", zlib.crc32(typ + data) & 0xFFFFFFFF)
+        )
+
+    raw = bytearray()
+    prev = [0] * width
+    for y in range(height):
+        cur = pix[y * width : (y + 1) * width]
+        ft = filters[y]
+        raw.append(ft)
+        for x in range(width):
+            a = cur[x - 1] if x > 0 else 0
+            b = prev[x]
+            c = prev[x - 1] if x > 0 else 0
+            if ft == 0:
+                v = cur[x]
+            elif ft == 1:
+                v = (cur[x] - a) % 256
+            elif ft == 2:
+                v = (cur[x] - b) % 256
+            elif ft == 3:
+                v = (cur[x] - (a + b) // 2) % 256
+            else:
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pr = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                v = (cur[x] - pr) % 256
+            raw.append(v)
+        prev = cur
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, 0, 0, 0, 0)
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(bytes(raw)))
+        + chunk(b"IEND", b"")
+    )
+
+
+@settings(max_examples=100, deadline=None)
+@given(
+    width=st.integers(min_value=1, max_value=11),
+    height=st.integers(min_value=1, max_value=9),
+    seed=st.integers(min_value=0, max_value=2**31),
+    data=st.data(),
+)
+def test_png_parser_roundtrip(width, height, seed, data):
+    from kafka_stream_job_spark.operators.multimodal import decode_png_real
+
+    rng = seed
+    pix = []
+    for _ in range(width * height):
+        rng = (1103515245 * rng + 12345) % (1 << 31)
+        pix.append(rng % 256)
+    filters = [
+        data.draw(st.integers(min_value=0, max_value=4)) for _ in range(height)
+    ]
+    got = decode_png_real(_png_bytes(width, height, pix, filters))
+    assert got == {
+        "width": width,
+        "height": height,
+        "bit_depth": 8,
+        "n_pixels": width * height,
+        "sum_luma": sum(pix),
+    }
+
+
+def test_png_parser_rejects_malformed():
+    import struct
+    import zlib
+
+    import pytest
+
+    from kafka_stream_job_spark.operators.multimodal import decode_png_real
+
+    good = _png_bytes(4, 3, list(range(12)), [0, 1, 4])
+    # bad signature
+    with pytest.raises(ValueError):
+        decode_png_real(b"\x89PNJ" + good[4:])
+    # flipped CRC on the IHDR chunk
+    bad_crc = bytearray(good)
+    bad_crc[8 + 8 + 13] ^= 0xFF  # last IHDR data byte → CRC mismatch
+    with pytest.raises(ValueError, match="CRC"):
+        decode_png_real(bytes(bad_crc))
+    # first chunk not IHDR
+    def chunk(typ, data):
+        return (
+            struct.pack(">I", len(data))
+            + typ
+            + data
+            + struct.pack(">I", zlib.crc32(typ + data) & 0xFFFFFFFF)
+        )
+
+    with pytest.raises(ValueError, match="IHDR"):
+        decode_png_real(good[:8] + chunk(b"IDAT", b"x") + good[8:])
+    # unsupported color type (RGB)
+    ihdr_rgb = struct.pack(">IIBBBBB", 4, 3, 8, 2, 0, 0, 0)
+    with pytest.raises(ValueError, match="grayscale"):
+        decode_png_real(good[:8] + chunk(b"IHDR", ihdr_rgb) + good[8 + 25 :])
+    # missing IEND
+    with pytest.raises(ValueError, match="IEND"):
+        decode_png_real(good[: len(good) - 12])
+    # inflated length mismatch: IDAT inflates to the wrong size
+    wrong = good[:8] + chunk(
+        b"IHDR", struct.pack(">IIBBBBB", 4, 3, 8, 0, 0, 0, 0)
+    ) + chunk(b"IDAT", zlib.compress(b"\x00" * 7)) + chunk(b"IEND", b"")
+    with pytest.raises(ValueError, match="inflated"):
+        decode_png_real(wrong)
+    # unknown filter type byte
+    raw = bytearray(b"\x00" * (3 * 5))
+    raw[0] = 9
+    wrong_ft = good[:8] + chunk(
+        b"IHDR", struct.pack(">IIBBBBB", 4, 3, 8, 0, 0, 0, 0)
+    ) + chunk(b"IDAT", zlib.compress(bytes(raw))) + chunk(b"IEND", b"")
+    with pytest.raises(ValueError, match="filter"):
+        decode_png_real(wrong_ft)
