@@ -12775,3 +12775,272 @@ def discount_elasticity_by_brand(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(slope * 1000000.0, 0).cast("long").alias("slope_micro"),
         F.round(intercept * 1000000.0, 0).cast("long").alias("intercept_micro"),
     )
+
+
+# ---------------------------------------------------------------------------
+# HOURLY-PROFILE SHAPE SIMILARITY — which event types share a temporal
+# shape? Each type's 24-bin hour-of-day histogram is an exact integer
+# vector; pairwise cosine comes from one equi-join on the hour bin
+# (dot products are exact int64; the two norms are correctly-rounded
+# sqrts of exact ints, so the final micro-rounded cosine is
+# engine-identical). Output is the bounded upper triangle of the type
+# vocabulary — never data-sized.
+# ---------------------------------------------------------------------------
+@register(
+    "events_profile_cosine_pairs",
+    oracle="""
+        WITH prof AS (
+            SELECT event_type, CAST(hour(ts) AS BIGINT) AS h,
+                   CAST(COUNT(*) AS BIGINT) AS c
+            FROM events GROUP BY 1, 2
+        ),
+        nrm AS (
+            SELECT event_type, CAST(SUM(c * c) AS BIGINT) AS n2
+            FROM prof GROUP BY 1
+        ),
+        dots AS (
+            SELECT a.event_type AS type_a, b.event_type AS type_b,
+                   CAST(SUM(a.c * b.c) AS BIGINT) AS dot
+            FROM prof a
+            JOIN prof b ON a.h = b.h AND a.event_type < b.event_type
+            GROUP BY 1, 2
+        )
+        SELECT d.type_a, d.type_b, d.dot,
+               CAST(ROUND(CAST(d.dot AS DOUBLE)
+                          / (sqrt(CAST(na.n2 AS DOUBLE))
+                             * sqrt(CAST(nb.n2 AS DOUBLE)))
+                          * 1000000.0) AS BIGINT) AS cosine_micro
+        FROM dots d
+        JOIN nrm na ON na.event_type = d.type_a
+        JOIN nrm nb ON nb.event_type = d.type_b
+    """,
+    tags=("events", "timeseries", "similarity", "agg"),
+)
+def events_profile_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    prof = events.groupBy(
+        "event_type", F.hour("ts").cast("long").alias("h")
+    ).agg(F.count(F.lit(1)).cast("long").alias("c"))
+    nrm = prof.groupBy("event_type").agg(
+        F.sum(F.col("c") * F.col("c")).cast("long").alias("n2")
+    )
+    a = prof.select(F.col("event_type").alias("type_a"), "h", F.col("c").alias("ca"))
+    b = prof.select(F.col("event_type").alias("type_b"), "h", F.col("c").alias("cb"))
+    dots = (
+        a.join(b, "h")
+        .filter(F.col("type_a") < F.col("type_b"))
+        .groupBy("type_a", "type_b")
+        .agg(F.sum(F.col("ca") * F.col("cb")).cast("long").alias("dot"))
+    )
+    na = nrm.select(F.col("event_type").alias("type_a"), F.col("n2").alias("na2"))
+    nb = nrm.select(F.col("event_type").alias("type_b"), F.col("n2").alias("nb2"))
+    return (
+        dots.join(F.broadcast(na), "type_a")
+        .join(F.broadcast(nb), "type_b")
+        .select(
+            "type_a",
+            "type_b",
+            "dot",
+            F.round(
+                F.col("dot").cast("double")
+                / (
+                    F.sqrt(F.col("na2").cast("double"))
+                    * F.sqrt(F.col("nb2").cast("double"))
+                )
+                * 1000000.0,
+                0,
+            )
+            .cast("long")
+            .alias("cosine_micro"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# MARKOV STATIONARY DISTRIBUTION — where does the user-journey chain
+# settle? The per-user event-type transition counts (lag window keyed by
+# user — never global) define the chain; three power steps
+# π ← π P run in PURE int64 arithmetic: π is carried in micro-units and
+# every term is (π_i · c_ij) div c_i — exact on both engines, so the
+# iteration needs no floating point at all. State is |types|² counts
+# (broadcast); the driver loop is over declarative plans, the
+# dedup_connected_components pattern.
+# ---------------------------------------------------------------------------
+MARKOV_STEPS = 3
+MARKOV_PI_SCALE = 1_000_000
+
+
+def _markov_oracle() -> str:
+    step_tpl = """
+        pi{t} AS (
+            SELECT tm.nxt AS event_type,
+                   CAST(SUM((p.pi * tm.c) // tm.tot) AS BIGINT) AS pi
+            FROM pi{prev} p
+            JOIN tm ON tm.prv = p.event_type
+            GROUP BY 1
+        )"""
+    steps = ",".join(
+        step_tpl.format(t=t, prev=t - 1) for t in range(1, MARKOV_STEPS + 1)
+    )
+    return f"""
+        WITH seq AS (
+            SELECT user_id, event_type,
+                   lead(event_type) OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id) AS nxt
+            FROM events
+        ),
+        tm0 AS (
+            SELECT event_type AS prv, nxt, CAST(COUNT(*) AS BIGINT) AS c
+            FROM seq WHERE nxt IS NOT NULL GROUP BY 1, 2
+        ),
+        tm AS (
+            SELECT prv, nxt, c,
+                   CAST(SUM(c) OVER (PARTITION BY prv) AS BIGINT) AS tot
+            FROM tm0
+        ),
+        states AS (SELECT DISTINCT prv AS event_type FROM tm),
+        pi0 AS (
+            SELECT event_type,
+                   CAST({MARKOV_PI_SCALE} // (SELECT COUNT(*) FROM states)
+                        AS BIGINT) AS pi
+            FROM states
+        ),
+        {steps}
+        SELECT event_type, pi AS pi_micro FROM pi{MARKOV_STEPS}
+    """
+
+
+@register(
+    "events_markov_stationary",
+    oracle=_markov_oracle(),
+    tags=("events", "graph", "markov", "iterative"),
+)
+def events_markov_stationary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    events = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = events.select(
+        "event_type", F.lead("event_type").over(w).alias("nxt")
+    ).filter(F.col("nxt").isNotNull())
+    tm0 = seq.groupBy(F.col("event_type").alias("prv"), "nxt").agg(
+        F.count(F.lit(1)).cast("long").alias("c")
+    )
+    tot = tm0.groupBy("prv").agg(F.sum("c").cast("long").alias("tot"))
+    tm = tm0.join(F.broadcast(tot), "prv")
+    states = tm.select(F.col("prv").alias("event_type")).distinct()
+    n_states = states.agg(F.count(F.lit(1)).cast("long").alias("k"))
+    pi = states.crossJoin(F.broadcast(n_states)).select(
+        "event_type", idiv(F.lit(MARKOV_PI_SCALE).cast("long"), F.col("k")).alias("pi")
+    )
+    for _ in range(MARKOV_STEPS):
+        pi = (
+            F.broadcast(pi)
+            .join(tm, pi.event_type == tm.prv)
+            .groupBy(F.col("nxt").alias("event_type"))
+            .agg(
+                F.sum(
+                    F.call_function("div", F.col("pi") * F.col("c"), F.col("tot"))
+                )
+                .cast("long")
+                .alias("pi")
+            )
+        )
+    return pi.select("event_type", F.col("pi").alias("pi_micro"))
+
+
+# ---------------------------------------------------------------------------
+# SEGMENT-MIX ENTROPY BY NATION — how diverse is each nation's customer
+# base across market segments? Shannon entropy in integer micro-nats via
+# the ILN fixed-point log (zero libm on either engine):
+# H·N = N·ILN(N) − Σ c_i·ILN(c_i), divided out half-up. Group
+# cardinality is nations × segments — bounded; the 63-row ILN table
+# broadcasts.
+# ---------------------------------------------------------------------------
+def _entropy_oracle() -> str:
+    from kafka_stream_job_spark.operators.text import (
+        _ILN_VALUES_SQL,
+        _iln_frac_sql,
+    )
+
+    return f"""
+        WITH seg AS (
+            SELECT c_nationkey, c_mktsegment, CAST(COUNT(*) AS BIGINT) AS c
+            FROM customer GROUP BY 1, 2
+        ),
+        ntot AS (
+            SELECT c_nationkey, CAST(SUM(c) AS BIGINT) AS n,
+                   CAST(COUNT(*) AS BIGINT) AS n_segments
+            FROM seg GROUP BY 1
+        ),
+        ilntab(e, lo, hi, sdiv, smul, eln) AS (VALUES {_ILN_VALUES_SQL}),
+        segw AS (
+            SELECT s.c_nationkey,
+                   CAST(SUM(s.c * (t.eln
+                       + {_iln_frac_sql('((s.c // t.sdiv) * t.smul)')}))
+                       AS BIGINT) AS sum_c_iln
+            FROM seg s JOIN ilntab t ON s.c >= t.lo AND s.c <= t.hi
+            GROUP BY 1
+        ),
+        nw AS (
+            SELECT x.c_nationkey, x.n, x.n_segments,
+                   x.n * (t.eln
+                       + {_iln_frac_sql('((x.n // t.sdiv) * t.smul)')})
+                       AS n_iln_n
+            FROM ntot x JOIN ilntab t ON x.n >= t.lo AND x.n <= t.hi
+        )
+        SELECT nn.n_name, w.n AS n_customers, w.n_segments,
+               CAST((2 * (w.n_iln_n - sw.sum_c_iln) + w.n) // (2 * w.n)
+                    AS BIGINT) AS entropy_unats
+        FROM nw w
+        JOIN segw sw ON sw.c_nationkey = w.c_nationkey
+        JOIN nation nn ON nn.n_nationkey = w.c_nationkey
+    """
+
+
+@register(
+    "customer_segment_entropy_by_nation",
+    oracle=_entropy_oracle(),
+    tags=("relational", "entropy", "customer", "stats"),
+)
+def customer_segment_entropy_by_nation(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from kafka_stream_job_spark.operators.text import _attach_iln
+
+    cust = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    seg = cust.groupBy("c_nationkey", "c_mktsegment").agg(
+        F.count(F.lit(1)).cast("long").alias("c")
+    )
+    ntot = seg.groupBy("c_nationkey").agg(
+        F.sum("c").cast("long").alias("n"),
+        F.count(F.lit(1)).cast("long").alias("n_segments"),
+    )
+    segw = (
+        _attach_iln(spark, seg, "c", "iln_c")
+        .groupBy("c_nationkey")
+        .agg(F.sum(F.col("c") * F.col("iln_c")).cast("long").alias("sum_c_iln"))
+    )
+    nw = _attach_iln(spark, ntot, "n", "iln_n").select(
+        "c_nationkey",
+        "n",
+        "n_segments",
+        (F.col("n") * F.col("iln_n")).alias("n_iln_n"),
+    )
+    return (
+        nw.join(segw, "c_nationkey")
+        .join(
+            F.broadcast(nation),
+            F.col("c_nationkey") == F.col("n_nationkey"),
+        )
+        .select(
+            "n_name",
+            F.col("n").alias("n_customers"),
+            "n_segments",
+            idiv(
+                (F.col("n_iln_n") - F.col("sum_c_iln")) * 2 + F.col("n"),
+                F.col("n") * 2,
+            ).alias("entropy_unats"),
+        )
+    )

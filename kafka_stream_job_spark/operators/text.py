@@ -4281,3 +4281,68 @@ def text_feature_hashing(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rnk") <= FH_TOP)
         .select("lang", "bucket", "n_tokens", "n_docs", "rnk")
     )
+
+
+# ---------------------------------------------------------------------------
+# HAPAX RATIO BY SOURCE — lexical richness at the SOURCE level (the
+# corpus-curation complement of per-document text_lexical_diversity):
+# share of each source's vocabulary that occurs exactly once. A source
+# whose hapax share collapses is template/boilerplate-heavy; one whose
+# share is extreme is noise. Two bounded aggregates over the token
+# stream — (source, token) counts, then per-source rollup — with
+# map-side partial aggregation carrying the shuffle.
+# ---------------------------------------------------------------------------
+@register(
+    "text_hapax_ratio",
+    oracle=f"""
+        WITH toks AS (
+            SELECT source,
+                   unnest(string_split({_BL_NORM_SQL}, ' ')) AS token
+            FROM documents
+        ),
+        counts AS (
+            SELECT source, token, CAST(COUNT(*) AS BIGINT) AS c
+            FROM toks GROUP BY 1, 2
+        )
+        SELECT source,
+               CAST(COUNT(*) AS BIGINT) AS vocab_size,
+               CAST(SUM(c) AS BIGINT) AS n_tokens,
+               CAST(SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_hapax,
+               CAST((2 * CAST(SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END)
+                              AS BIGINT) * 10000 + COUNT(*))
+                    // (2 * COUNT(*)) AS BIGINT) AS hapax_ratio_bp
+        FROM counts GROUP BY 1
+    """,
+    tags=("text", "llm-pipeline", "lexical", "documents"),
+)
+def text_hapax_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kafka_stream_job_spark.operators.dedup import _norm_text
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "source", F.explode(F.split(_norm_text(), " ")).alias("token")
+    )
+    counts = toks.groupBy("source", "token").agg(
+        F.count(F.lit(1)).cast("long").alias("c")
+    )
+    return (
+        counts.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("vocab_size"),
+            F.sum("c").cast("long").alias("n_tokens"),
+            F.sum(F.when(F.col("c") == 1, 1).otherwise(0))
+            .cast("long")
+            .alias("n_hapax"),
+        )
+        .select(
+            "source",
+            "vocab_size",
+            "n_tokens",
+            "n_hapax",
+            idiv(
+                F.col("n_hapax") * 2 * 10000 + F.col("vocab_size"),
+                F.col("vocab_size") * 2,
+            ).alias("hapax_ratio_bp"),
+        )
+    )
