@@ -272,195 +272,205 @@ def all_specs() -> dict[str, QuerySpec]:
     recheck = {n: s for n, s in REGISTRY.items() if n in _RECHECK}
     # Within the never-checked group, order by MEASURED sf0.01 driver-sim
     # cost (tools/verify_oracle.py SIM_PAR=1; re-measured over the FULL
-    # 332-query registry in round 6 — the sweep JSON now carries per-query
-    # secs, so this list regenerates mechanically), cheapest first: if the driver's
+    # 400-query registry at the end of round 8 — the sweep JSON carries
+    # per-query secs, so this list regenerates mechanically), cheapest first: if the driver's
     # pass is time-capped rather than count-capped, cheap-first maximizes
     # how many entries earn a correctness row. Names absent from the list
     # (operators added after the measurement) slot in just after the
     # sub-second group.
     cost_order = (
-        "text_fingerprint", "nations_with_rich_customers",
-        "customers_without_orders", "q6_forecast_revenue",
-        "weighted_sample_docs", "gdpr_purge_manifest",
-        "text_bpe_token_count", "arrow_map_embedding_norm",
-        "datetime_functions_showcase", "quota_sample_per_lang",
-        "bitwise_aggregates_showcase", "cube_order_status_priority",
-        "scalar_functions_showcase", "doc_sliding_chunks",
-        "pipe_sql_priority_stats", "text_token_stats",
-        "multimodal_metadata_scan", "multimodal_resize",
-        "corpus_mix_rebalance", "multimodal_frame_sample",
-        "q14_promo_revenue", "split_train_eval", "try_functions_showcase",
-        "url_functions_showcase", "grouping_sets_revenue",
-        "lateral_top_customers_per_nation", "parameterized_sql_showcase",
-        "scd2_customer_merge", "fixed_width_source_read",
-        "schema_evolution_merge_read", "lang_temperature_weights",
-        "q4_order_priority", "rollup_returns", "dpo_preference_pairs",
-        "null_safe_join_attribution", "q12_priority_by_linestatus",
-        "supplier_return_wilson_rank", "text_pii_redaction",
-        "events_daily_value_trend", "cv_fold_manifest",
-        "lang_balance_weights", "pack_sequences_manifest",
-        "stats_qty_price_corr", "text_quality_score", "data_freshness_sla",
-        "events_json_extract", "k_anonymity_audit", "text_sentiment_lexicon",
-        "pandas_acctbal_zscore", "sft_pair_manifest",
-        "unpivot_lineitem_measures", "multimodal_stratified_sample",
-        "dedup_exact", "events_hourly_rollup", "events_props_variant_decode",
-        "percentile_order_prices", "q19_disjunctive_revenue",
-        "q22_global_sales_opportunity", "text_mojibake_detect",
-        "window_customer_order_rank", "bronze_decode_errors",
-        "collation_group_showcase", "pandas_scalar_log_price",
-        "events_multi_rollup", "multimodal_dedup_content_hash",
-        "pandas_grouped_agg_trimmed_mean", "partitioned_source_pruned_read",
-        "pivot_user_event_matrix", "profile_hot_orderkeys",
-        "text_language_id", "text_seqlen_histogram", "bpe_fertility_by_lang",
-        "setops_customer_segments", "dedup_url_canonical",
-        "embedding_norm_stats", "incremental_agg_maintenance",
-        "merge_full_cdc", "multimodal_decode_features",
-        "q13_customer_distribution", "benford_digit_audit",
-        "events_props_templates", "q15_top_supplier",
-        "top_customers_by_revenue", "file_metadata_columns_read",
-        "snapshot_diff_report", "csv_source_permissive_read",
-        "events_funnel_view_click_purchase", "orders_gmv_weekly_wow",
-        "range_join_price_bands", "events_funnel_latency",
-        "multimodal_audio_frame_energy", "small_quantity_revenue",
-        "sql_udf_showcase", "embedding_int8_quantize",
-        "events_ewma_forecast", "events_transition_matrix",
-        "events_user_lifecycle_stages", "trigram_like_search",
-        "window_event_gaps", "array_agg_user_profile",
-        "asof_next_touch_latency", "compaction_bin_packing_plan",
-        "q7_volume_shipping", "distinct_parts_per_supplier",
-        "lineitem_ship_latency", "window_range_trailing_hour",
-        "jsonl_source_permissive_read", "kmv_distinct_users",
-        "orphan_file_audit", "attribution_multi_touch",
-        "execute_immediate_showcase", "q18_large_volume_customers",
-        "events_theilsen_trend", "linkage_blocking_quality",
-        "linkage_fellegi_sunter", "q11_important_part_value",
-        "text_unicode_script_profile", "dp_noisy_nation_counts",
-        "events_seasonal_profile", "map_functions_showcase",
-        "subject_access_export", "events_psi_value_drift",
-        "feature_asof_training_matrix", "q8_national_market_share",
-        "revenue_trend_ols", "salted_join_supplier_volume",
-        "text_zipf_slope", "udtf_word_expand", "xml_decode_roundtrip",
-        "array_set_functions_showcase", "events_ab_uplift_test",
-        "multimodal_silence_segments", "events_interval_overlap_join",
-        "orders_repeat_purchase_gaps", "q20_heavy_shippers",
-        "web_domain_profile", "content_defined_chunks",
-        "dedup_prefix_collision", "q16_supplier_part_buckets",
-        "events_user_retention", "l_diversity_audit", "q2_min_cost_supplier",
-        "q9_product_type_profit", "events_hourly_anomaly",
-        "events_session_window_batch", "profile_lineitem_columns",
-        "dedup_cluster_size_histogram", "events_interval_union_coverage",
-        "asof_purchase_attribution", "bronze_decode_roundtrip",
-        "events_holt_forecast", "medallion_pipeline_rollup",
-        "text_readability_features", "text_vocab_coverage",
-        "decayed_leaderboard", "aes_roundtrip_audit", "geo_cell_colocation",
-        "events_sessionize_batch", "shard_manifest_balanced",
-        "text_rake_keywords", "score_calibration_report",
-        "change_data_feed_report", "mlm_masking_manifest",
-        "corpus_token_budget_plan", "events_burst_hours",
-        "events_hourly_gapfill", "hll_distinct_users",
-        "similarity_topk_binary_rerank", "corpus_dedup_aware_weights",
-        "decontaminate_by_embedding", "incremental_join_maintenance",
-        "events_cusum_drift", "rate_limiter_backtest", "text_bm25_search",
-        "text_adjacent_repetition", "corpus_quota_rebalance_delta",
-        "snapshot_retention_expiry_plan", "orders_priority_status_chi2",
-        "q5_local_supplier_volume", "array_hof_showcase",
-        "forecast_conformal_intervals", "session_window_rollup",
-        "text_top_bigrams", "bloom_filter_membership", "data_quality_audit",
-        "events_props_schema_profile", "q21_waiting_supplier",
-        "similarity_topk_cosine", "timeseries_znorm_subsequence_search",
-        "ann_ndcg_truncation", "events_holtwinters_forecast",
-        "multimodal_bmp_ahash", "graph_degree_distribution",
-        "t_closeness_audit", "percentile_distributed_exact",
-        "customer_balance_ks_test", "sketch_quantile_bins",
-        "basket_part_pairs", "blocklist_phrase_filter",
-        "events_anomaly_persistence", "mixture_temperature_sweep",
-        "orc_source_roundtrip", "q10_returned_items",
-        "scd2_point_in_time_join", "watermark_sizing_report",
-        "window_functions_showcase", "dedup_frontier_bloom",
-        "customer_spend_gini", "events_alarm_verification",
-        "join_skew_planner", "price_index_laspeyres",
-        "text_repetition_filter", "zorder_layout_stats",
-        "matryoshka_truncation_recall", "orders_cohort_revenue",
-        "corpus_epoch_shuffle_manifest", "multimodal_wav_stats",
-        "streaming_csv_source_rollup", "abc_customer_classification",
-        "embedding_dim_variance_rank", "hll_merge_event_types",
-        "batch_replay_pruned_scan", "embedding_blocking_key_profile",
-        "pps_systematic_sample", "surrogate_key_assignment",
-        "decision_stump_split_scores", "text_token_entropy",
-        "events_changepoint_binseg", "skipgram_negative_samples",
-        "events_dau_wau_mau", "histogram_price_deciles",
-        "similarity_topk_bucketed", "rag_context_pack",
-        "langid_precision_recall", "embedding_mutual_nn_pairs",
-        "fd_discovery_profile", "events_peak_concurrency",
-        "market_concentration_hhi", "text_word_pmi",
-        "decontaminate_train_shingles", "lineitem_qty_price_heatmap",
-        "linkage_entity_clusters", "corpus_js_divergence",
-        "events_hourly_mad_outliers", "heavy_hitter_tokens",
-        "supplier_pareto_frontier", "embedding_outlier_zscore",
-        "events_ohlc_bars", "multimodal_ahash_neardup",
-        "streaming_upsert_latest_state", "padding_waste_report",
-        "text_term_proximity_search", "streaming_dedup_events",
-        "association_rules_parts", "orders_survival_km",
-        "q1_pricing_summary", "search_hybrid_rrf", "sketch_user_activity",
-        "dedup_minhash_lsh", "graph_link_prediction_suppliers",
-        "similarity_lsh_neardup", "orders_open_backlog_daily",
-        "curriculum_pacing_schedule", "streaming_available_now_rollup",
-        "dedup_incremental_delta", "similarity_maxsim_multivector",
-        "join_cardinality_audit", "k_anonymity_generalize",
-        "corpus_source_datasheet", "q3_shipping_priority",
-        "cms_token_counts", "multimodal_shot_boundaries",
-        "streaming_fertility_drift", "streaming_heavy_hitter_users",
-        "vocab_growth_curve", "embedding_pq_codes", "events_hourly_autocorr",
-        "gopher_quality_rules", "streaming_sliding_rollup",
-        "embedding_cluster_label_purity", "udtf_dynamic_ngrams",
-        "contrastive_triplets", "bpe_learn_merges",
-        "bucketed_join_colocated", "crosslingual_contamination",
-        "streaming_static_enrich", "cogroup_asof_pandas",
-        "dedup_embedding_cosine", "events_growth_accounting",
-        "graph_modularity_by_brand", "ivf_cell_balance_report",
-        "checkpoint_statestore_table", "similarity_topk_ivf",
-        "bpe_apply_merges", "recursive_month_spine",
-        "text_rolling_fingerprint", "similarity_topk_pq_adc",
-        "linkage_em_parameters", "streaming_hourly_rollup",
-        "streaming_hll_distinct_users", "dedup_exact_substring",
-        "streaming_sink_exactly_once_roundtrip",
-        "supplier_leadtime_percentiles", "quality_logreg_inference",
-        "dedup_survivors", "embedding_covariance", "bigram_lm_score",
-        "ivf_recall_report", "batch_replay_source_slice",
-        "corpus_shingle_novelty", "semantic_dedup_semdedup",
-        "streaming_rate_limiter", "dsir_importance_weights",
-        "streaming_kmv_distinct_users", "streaming_union_sources_rollup",
-        "surrogate_key_incremental", "text_tfidf_top_terms",
-        "rfm_customer_segments", "text_lexical_diversity",
-        "streaming_topk_types_hourly", "dedup_span_mask_manifest",
-        "corpus_filter_funnel", "streaming_frontier_bloom",
-        "zonemap_skip_simulation", "maxmin_fair_allocation",
-        "streaming_interval_union_coverage", "multimodal_bmp_stats",
-        "streaming_stateful_type_counts", "bradley_terry_strengths",
-        "dedup_ngram_jaccard", "streaming_session_rollup", "graph_bfs_hops",
-        "embedding_power_iteration", "fk_inclusion_profile",
-        "hll_intersection_estimate", "dedup_simhash",
-        "streaming_update_mode_rollup", "streaming_stateful_totals",
-        "hits_authority_hub", "kmv_set_ops_event_types",
-        "naive_bayes_langid", "streaming_value_quantiles",
-        "streaming_quality_monitor", "repeated_ngram_spans",
-        "checkpoint_sources_table", "custom_sink_audit_roundtrip",
-        "streaming_replay_source_rollup", "tokenizer_vocab_pressure",
-        "dedup_containment", "graph_pagerank_parts",
-        "minhash_jaccard_calibration", "fuzzy_join_part_names",
-        "ivf_incremental_assign", "text_chunk_dedup",
-        "cluster_kmeans_embeddings", "streaming_chained_windows",
-        "streaming_dedup_within_watermark", "checkpoint_commitlog_audit",
-        "graph_kcore_peel", "text_kneser_ney_bigram_score",
-        "minhash_bbit_calibration", "streaming_ivf_assign",
+        "text_fingerprint", "text_bpe_token_count",
+        "nations_with_rich_customers", "text_token_stats",
+        "url_functions_showcase", "weighted_sample_docs",
+        "customers_without_orders", "multimodal_metadata_scan",
+        "sft_loss_masking_spans", "binary_blob_source_stats",
+        "pipe_sql_priority_stats", "split_train_eval", "text_quality_score",
+        "doc_sliding_chunks", "q6_forecast_revenue", "quota_sample_per_lang",
+        "arrow_map_embedding_norm", "embedding_norm_stats",
+        "gdpr_purge_manifest", "scalar_functions_showcase",
+        "cube_order_status_priority", "data_freshness_sla",
+        "lateral_top_customers_per_nation", "multimodal_frame_sample",
+        "multimodal_resize", "q14_promo_revenue", "text_language_id",
+        "bpe_fertility_by_lang", "dedup_exact", "text_sentiment_lexicon",
+        "try_functions_showcase", "parameterized_sql_showcase",
+        "corpus_mix_rebalance", "datetime_functions_showcase",
+        "embedding_int8_quantize", "scd2_customer_merge",
+        "dedup_url_canonical", "grouping_sets_revenue",
+        "lang_balance_weights", "lang_temperature_weights",
+        "multimodal_stratified_sample", "supplier_return_wilson_rank",
+        "null_safe_join_attribution", "q4_order_priority",
+        "text_mojibake_detect", "collation_group_showcase",
+        "csv_source_permissive_read", "dpo_preference_pairs",
+        "events_daily_value_trend", "kmv_distinct_users", "cv_fold_manifest",
+        "events_props_variant_decode", "multimodal_dedup_content_hash",
+        "bronze_decode_errors", "pack_sequences_manifest",
+        "q12_priority_by_linestatus", "q22_global_sales_opportunity",
+        "decayed_leaderboard", "events_json_extract",
+        "execute_immediate_showcase", "multimodal_decode_features",
+        "snapshot_diff_report", "text_adjacent_repetition",
+        "k_anonymity_audit", "linkage_blocking_quality", "rollup_returns",
+        "text_readability_features", "events_props_templates",
+        "jsonl_source_permissive_read", "text_unicode_script_profile",
+        "setops_customer_segments", "benford_digit_audit",
+        "events_user_lifecycle_stages", "pandas_scalar_log_price",
+        "profile_hot_orderkeys", "stats_qty_price_corr",
+        "unpivot_lineitem_measures", "events_ewma_forecast",
+        "events_multi_rollup", "pandas_grouped_agg_trimmed_mean",
+        "percentile_order_prices", "text_zipf_slope",
+        "compaction_bin_packing_plan", "dedup_prefix_collision",
+        "events_funnel_view_click_purchase", "events_interval_union_coverage",
+        "merge_full_cdc", "q19_disjunctive_revenue", "subject_access_export",
+        "q7_volume_shipping", "q8_national_market_share", "sft_pair_manifest",
+        "similarity_topk_cosine", "sql_udf_showcase",
+        "events_seasonal_profile", "events_transition_matrix",
+        "incremental_agg_maintenance", "orders_gmv_weekly_wow",
+        "pandas_acctbal_zscore", "window_customer_order_rank",
+        "attribution_multi_touch", "events_holt_forecast",
+        "feature_asof_training_matrix", "fixed_width_source_read",
+        "multimodal_audio_frame_energy", "array_agg_user_profile",
+        "dedup_cluster_size_histogram", "embedding_pca2_closed_form",
+        "events_funnel_latency", "l_diversity_audit",
+        "q18_large_volume_customers", "revenue_trend_ols", "text_hapax_ratio",
+        "blocklist_phrase_filter", "events_hourly_rollup",
+        "events_theilsen_trend", "hll_distinct_users",
+        "pivot_user_event_matrix", "similarity_topk_bucketed",
+        "window_event_gaps", "asof_next_touch_latency",
+        "corpus_quota_rebalance_delta", "mlm_masking_manifest",
+        "orphan_file_audit", "q13_customer_distribution",
+        "trigram_like_search", "web_domain_profile", "content_defined_chunks",
+        "events_interval_overlap_join", "score_calibration_report",
+        "similarity_lsh_neardup", "text_bm25_search",
+        "bitwise_aggregates_showcase", "grpo_group_advantage",
+        "q20_heavy_shippers", "top_customers_by_revenue",
+        "change_data_feed_report", "events_psi_value_drift",
+        "q9_product_type_profit", "text_rake_keywords",
+        "decontaminate_by_embedding", "orders_repeat_purchase_gaps",
+        "text_vocab_coverage", "geo_cell_colocation", "text_pii_redaction",
+        "multimodal_silence_segments", "q15_top_supplier",
+        "text_seqlen_histogram", "udtf_word_expand",
+        "bronze_decode_roundtrip", "multimodal_bmp_stats",
+        "range_join_price_bands", "xml_decode_roundtrip",
+        "events_ab_uplift_test", "linkage_fellegi_sunter",
+        "q11_important_part_value", "q2_min_cost_supplier",
+        "rate_limiter_backtest", "lineitem_ship_latency",
+        "medallion_pipeline_rollup", "q16_supplier_part_buckets",
+        "events_burst_hours", "events_hourly_gapfill",
+        "incremental_join_maintenance", "map_functions_showcase",
+        "rag_context_pack", "embedding_dim_variance_rank",
+        "events_cusum_drift", "events_profile_cosine_pairs",
+        "heavy_hitter_tokens", "shard_manifest_balanced",
+        "sketch_quantile_bins", "events_hourly_anomaly",
+        "events_user_retention", "window_range_trailing_hour",
+        "small_quantity_revenue", "t_closeness_audit",
+        "distinct_parts_per_supplier", "langid_precision_recall",
+        "matryoshka_truncation_recall", "mixture_temperature_sweep",
+        "profile_lineitem_columns", "similarity_topk_binary_rerank",
+        "corpus_token_budget_plan", "discount_elasticity_by_brand",
+        "events_sessionize_batch", "data_quality_audit",
+        "market_concentration_hhi", "salted_join_supplier_volume",
+        "file_metadata_columns_read", "graph_degree_distribution",
+        "snapshot_retention_expiry_plan", "streaming_dedup_events",
+        "embedding_blocking_key_profile", "events_growth_accounting",
+        "ols_two_feature_normal_eq", "skipgram_negative_samples",
+        "embedding_outlier_zscore", "orders_priority_status_chi2",
+        "text_word_pmi", "corpus_dedup_aware_weights",
+        "customer_balance_ks_test", "ann_ndcg_truncation",
+        "bloom_filter_membership", "dedup_embedding_cosine",
+        "partitioned_source_pruned_read", "text_lexical_diversity",
+        "price_index_laspeyres", "supplier_scorecard", "multimodal_bmp_ahash",
+        "timeseries_znorm_subsequence_search", "watermark_sizing_report",
+        "decision_stump_split_scores", "events_ohlc_bars",
+        "hll_merge_event_types", "q5_local_supplier_volume",
+        "array_hof_showcase", "events_anomaly_persistence",
+        "dp_noisy_nation_counts", "events_props_schema_profile",
+        "ivf_cell_balance_report", "orders_cohort_revenue",
+        "streaming_csv_source_rollup", "similarity_topk_ivf",
+        "text_feature_hashing", "asof_purchase_attribution",
+        "dedup_frontier_bloom", "q21_waiting_supplier", "text_top_bigrams",
+        "zorder_layout_stats", "forecast_conformal_intervals",
+        "multimodal_wav_stats", "search_hybrid_rrf",
+        "text_term_proximity_search", "curriculum_pacing_schedule",
+        "pps_systematic_sample", "session_window_rollup",
+        "abc_customer_classification", "kmeans_inertia_elbow",
+        "scd2_point_in_time_join", "orc_source_roundtrip",
+        "q10_returned_items", "k_anonymity_generalize",
+        "linkage_entity_clusters", "percentile_distributed_exact",
+        "streaming_sliding_rollup", "join_skew_planner",
+        "array_set_functions_showcase", "basket_part_pairs",
+        "customer_segment_entropy_by_nation",
+        "embedding_cluster_label_purity", "schema_evolution_merge_read",
+        "corpus_epoch_shuffle_manifest", "events_peak_concurrency",
+        "repeated_ngram_spans", "gopher_quality_rules",
+        "streaming_hourly_rollup", "vocab_growth_curve", "dedup_minhash_lsh",
+        "embedding_mutual_nn_pairs", "embedding_pq_codes",
+        "bucketed_join_colocated", "customer_spend_gini",
+        "surrogate_key_incremental", "text_chunk_dedup",
+        "fd_discovery_profile", "lineitem_qty_price_heatmap",
+        "streaming_dedup_within_watermark", "streaming_upsert_latest_state",
+        "cms_token_counts", "dedup_survivors", "graph_assortativity",
+        "similarity_maxsim_multivector", "kmv_set_ops_event_types",
+        "streaming_available_now_rollup", "streaming_heavy_hitter_users",
+        "bpe_apply_merges", "histogram_price_deciles",
+        "window_functions_showcase", "batch_replay_pruned_scan",
+        "streaming_stateful_totals", "corpus_source_datasheet",
+        "orders_survival_km", "streaming_fertility_drift",
+        "dedup_edit_distance", "events_changepoint_binseg",
+        "supplier_pareto_frontier", "bpe_learn_merges",
+        "corpus_js_divergence", "association_rules_parts",
+        "embedding_covariance", "streaming_union_sources_rollup",
+        "streaming_session_rollup", "multimodal_ahash_neardup",
+        "streaming_kmv_distinct_users", "fuzzy_join_part_names",
+        "orders_open_backlog_daily", "dedup_incremental_delta",
+        "events_holtwinters_forecast", "join_cardinality_audit",
+        "multimodal_shot_boundaries", "padding_waste_report",
+        "dedup_exact_substring", "similarity_topk_pq_adc",
+        "streaming_topk_types_hourly", "streaming_static_enrich",
+        "q1_pricing_summary", "streaming_hll_distinct_users",
+        "decontaminate_train_shingles", "dedup_span_mask_manifest",
+        "streaming_stateful_type_counts", "fk_inclusion_profile",
+        "streaming_psi_drift", "events_session_window_batch",
+        "graph_link_prediction_suppliers", "dsir_importance_weights",
+        "linkage_em_parameters", "quality_logreg_inference",
+        "semantic_dedup_semdedup", "tokenizer_vocab_pressure",
+        "corpus_shingle_novelty", "ivf_recall_report", "q3_shipping_priority",
+        "hll_intersection_estimate", "text_token_entropy",
+        "recursive_month_spine", "source_overlap_jaccard",
+        "text_repetition_filter", "checkpoint_statestore_table",
+        "supplier_leadtime_percentiles", "contrastive_triplets",
+        "crosslingual_contamination", "text_tfidf_top_terms",
+        "events_hourly_autocorr", "sketch_user_activity",
+        "aes_roundtrip_audit", "text_rolling_fingerprint",
+        "bradley_terry_strengths", "graph_modularity_by_brand",
+        "events_markov_stationary", "bigram_lm_score",
+        "ivf_incremental_assign", "dedup_simhash", "knn_classifier_eval",
+        "streaming_late_data_drop", "cogroup_asof_pandas",
+        "zonemap_skip_simulation", "udtf_dynamic_ngrams",
+        "streaming_chained_windows", "streaming_frontier_bloom",
+        "embedding_power_iteration", "rfm_customer_segments",
+        "streaming_sink_exactly_once_roundtrip", "maxmin_fair_allocation",
+        "batch_replay_source_slice", "streaming_update_mode_rollup",
+        "hits_authority_hub", "streaming_quality_monitor",
+        "dedup_containment", "dedup_ngram_jaccard",
+        "surrogate_key_assignment", "events_dau_wau_mau",
+        "embedding_silhouette_centroid", "streaming_value_quantiles",
+        "ivf_nprobe_sweep", "multimodal_png_stats",
+        "minhash_jaccard_calibration", "naive_bayes_langid",
+        "events_hourly_mad_outliers", "cluster_kmeans_embeddings",
+        "corpus_filter_funnel", "streaming_interval_union_coverage",
+        "streaming_rate_limiter", "checkpoint_sources_table",
+        "streaming_ohlc_bars", "text_kneser_ney_bigram_score",
+        "graph_bfs_hops", "checkpoint_offsetlog_table",
+        "minhash_bbit_calibration", "streaming_purchase_attribution",
+        "corpus_difficulty_curriculum", "events_alarm_verification",
+        "graph_pagerank_parts", "dedup_connected_components",
+        "streaming_ivf_assign", "streaming_unattributed_purchases",
+        "streaming_lsh_candidate_buckets", "streaming_replay_source_rollup",
+        "custom_sink_audit_roundtrip", "dedup_keep_best_quality",
         "dedup_band_sweep_calibration", "streaming_semdedup",
-        "hive_source_partition_pruned", "checkpoint_offsetlog_table",
-        "dedup_keep_best_quality", "sql_scripting_showcase",
-        "graph_triangle_stats", "streaming_unattributed_purchases",
-        "dedup_connected_components", "streaming_late_data_drop",
-        "dedup_edit_distance", "streaming_join_then_windowed_agg",
-        "quality_logreg_training", "corpus_difficulty_curriculum",
-        "streaming_purchase_attribution",
+        "checkpoint_commitlog_audit", "streaming_join_then_windowed_agg",
+        "perplexity_tertile_buckets", "hive_source_partition_pruned",
+        "sql_scripting_showcase", "graph_kcore_peel",
+        "quality_logreg_training", "graph_triangle_stats",
     )
     new_ops_rank = 50.5  # just after the sub-second group (index ~50)
     unchecked = {
