@@ -951,3 +951,79 @@ def binary_blob_source_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("length").cast("long").alias("n_bytes"),
         F.md5(F.col("content")).alias("content_md5"),
     )
+
+
+# ---------------------------------------------------------------------------
+# GZIP-COMPRESSED JSONL SOURCE — the compressed-ingestion path every web
+# corpus arrives on: events are staged as .jsonl.gz (stdlib gzip), and
+# spark.read.json consumes the compressed files TRANSPARENTLY through
+# the codec registry — no decompression step in user code. The cost
+# model note a 100 TB user needs: gzip is NOT splittable, so one .gz
+# file = one task; parallelism comes from FILE COUNT, which is why the
+# stage writes GZIP_SHARDS shards rather than one blob. Counts and exact
+# cent sums reconcile against the parquet source of truth.
+# ---------------------------------------------------------------------------
+GZIP_SHARDS = 4
+
+
+def _stage_gzip_jsonl(spark: SparkSession, sf_dir: str) -> str:
+    src = os.path.join(sf_dir, "events.parquet")
+
+    def build(tmp: str) -> None:
+        import gzip
+        import json as _json
+
+        import pyarrow.parquet as pq
+
+        t = pq.read_table(src, columns=["event_id", "user_id", "event_type", "value"])
+        cols = [t.column(c).to_pylist() for c in ("event_id", "user_id", "event_type", "value")]
+        shards = [
+            gzip.open(os.path.join(tmp, f"events_{i}.jsonl.gz"), "wt")
+            for i in range(GZIP_SHARDS)
+        ]
+        try:
+            for eid, uid, etype, val in zip(*cols):
+                shards[eid % GZIP_SHARDS].write(
+                    _json.dumps(
+                        {"event_id": eid, "user_id": uid,
+                         "event_type": etype, "value": val},
+                        sort_keys=True,
+                    )
+                    + "\n"
+                )
+        finally:
+            for f in shards:
+                f.close()
+
+    return _staged_dir("/tmp/ksj-gzjsonl-stage", src, "gzjsonl_v1", build)
+
+
+@register(
+    "gzip_jsonl_source_read",
+    oracle="""
+        SELECT event_type,
+               CAST(COUNT(*) AS BIGINT) AS n_rows,
+               CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
+               CAST(SUM(CAST(ROUND(value * 100.0) AS BIGINT)) AS BIGINT)
+                   AS sum_cents
+        FROM events GROUP BY 1
+    """,
+    tags=("source-format", "gzip", "jsonl", "events"),
+)
+def gzip_jsonl_source_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    stage = _stage_gzip_jsonl(spark, sf_dir)
+    schema = (
+        "event_id BIGINT, user_id BIGINT, event_type STRING, value DOUBLE"
+    )
+    rows = (
+        spark.read.schema(schema)
+        .option("pathGlobFilter", "*.jsonl.gz")
+        .json(stage)
+    )
+    return rows.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        F.countDistinct("user_id").cast("long").alias("n_users"),
+        F.sum(F.round(F.col("value") * 100.0, 0).cast("long"))
+        .cast("long")
+        .alias("sum_cents"),
+    )

@@ -2175,3 +2175,151 @@ def grpo_group_advantage(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(GRPO_TOP)
         .select("event_id", "user_id", "reward_cents", "group_n", "z_micro")
     )
+
+
+# ---------------------------------------------------------------------------
+# BEST-OF-N SELECTION — the rejection-sampling step of an RLHF/RFT data
+# pipeline: each user's event sequence (ordered by the (ts, event_id)
+# total order — per-user window, never global) is dealt into consecutive
+# groups of BON_N candidates, the best reward per complete group is
+# selected (max cents, ties to the smallest event_id via one struct
+# extreme), and the per-user manifest reports how much reward selection
+# kept and the exact selection margin (4·best − group_sum — integers, no
+# division). Incomplete trailing groups are dropped on both engines, as
+# a sampler would.
+# ---------------------------------------------------------------------------
+BON_N = 4
+
+
+@register(
+    "best_of_n_selection",
+    oracle=f"""
+        WITH seq AS (
+            SELECT user_id, event_id,
+                   CAST(ROUND(value * 100.0) AS BIGINT) AS cents,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id) AS rn
+            FROM events
+        ),
+        grp AS (
+            SELECT user_id, (rn - 1) // {BON_N} AS g, event_id, cents
+            FROM seq
+        ),
+        full_g AS (
+            SELECT user_id, g,
+                   CAST(COUNT(*) AS BIGINT) AS n,
+                   CAST(SUM(cents) AS BIGINT) AS group_sum,
+                   (MAX(struct_pack(c := cents, ne := -event_id))).c
+                       AS best_cents
+            FROM grp GROUP BY 1, 2
+            HAVING COUNT(*) = {BON_N}
+        )
+        SELECT user_id,
+               CAST(COUNT(*) AS BIGINT) AS n_groups,
+               CAST(SUM(best_cents) AS BIGINT) AS sum_best_cents,
+               CAST(SUM({BON_N} * best_cents - group_sum) AS BIGINT)
+                   AS sum_margin{BON_N}x
+        FROM full_g GROUP BY 1
+    """,
+    tags=("llm-pipeline", "rl", "rejection-sampling", "events"),
+)
+def best_of_n_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = events.select(
+        "user_id",
+        "event_id",
+        F.round(F.col("value") * 100.0, 0).cast("long").alias("cents"),
+        F.row_number().over(w).alias("rn"),
+    )
+    grp = seq.select(
+        "user_id",
+        idiv(F.col("rn") - 1, BON_N).alias("g"),
+        "event_id",
+        "cents",
+    )
+    full_g = (
+        grp.groupBy("user_id", "g")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum("cents").cast("long").alias("group_sum"),
+            F.max(
+                F.struct(
+                    F.col("cents").alias("c"), (-F.col("event_id")).alias("ne")
+                )
+            )["c"].alias("best_cents"),
+        )
+        .filter(F.col("n") == BON_N)
+    )
+    return full_g.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_groups"),
+        F.sum("best_cents").cast("long").alias("sum_best_cents"),
+        F.sum(BON_N * F.col("best_cents") - F.col("group_sum"))
+        .cast("long")
+        .alias(f"sum_margin{BON_N}x"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# SPAN-CORRUPTION MANIFEST — the T5-style pretraining objective's data
+# layout: deterministic non-overlapping SPAN_LEN-token spans (starts at
+# stride SPAN_STRIDE, phase doc_id % SPAN_STRIDE — reproducible on any
+# cluster, no RNG state), one sentinel per span. The whole manifest is
+# closed-form integer arithmetic on the token count — a single
+# shuffle-free pass, the cheapest possible shape at 100 TB.
+# ---------------------------------------------------------------------------
+SPAN_LEN = 3
+SPAN_STRIDE = 16
+
+
+@register(
+    "span_corruption_manifest",
+    oracle=f"""
+        WITH t AS (
+            SELECT doc_id,
+                   CAST(len(string_split(TRIM(text), ' ')) AS BIGINT)
+                       AS n_tokens,
+                   CAST(doc_id % {SPAN_STRIDE} AS BIGINT) AS phase
+            FROM documents
+        )
+        SELECT doc_id, n_tokens, phase,
+               greatest(CAST(0 AS BIGINT),
+                        (n_tokens - {SPAN_LEN} - phase) // {SPAN_STRIDE} + 1)
+                   AS n_spans,
+               greatest(CAST(0 AS BIGINT),
+                        (n_tokens - {SPAN_LEN} - phase) // {SPAN_STRIDE} + 1)
+                   * {SPAN_LEN} AS masked_tokens,
+               CAST((2 * greatest(CAST(0 AS BIGINT),
+                        (n_tokens - {SPAN_LEN} - phase) // {SPAN_STRIDE} + 1)
+                     * {SPAN_LEN} * 10000 + n_tokens) // (2 * n_tokens)
+                    AS BIGINT) AS corruption_bp
+        FROM t
+    """,
+    tags=("llm-pipeline", "pretraining", "masking", "documents"),
+)
+def span_corruption_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    n_tokens = F.size(F.split(F.trim(F.col("text")), " ")).cast("long")
+    staged = docs.select(
+        "doc_id",
+        n_tokens.alias("n_tokens"),
+        (F.col("doc_id") % SPAN_STRIDE).cast("long").alias("phase"),
+    )
+    n_spans = F.greatest(
+        F.lit(0).cast("long"),
+        idiv(
+            F.col("n_tokens") - SPAN_LEN - F.col("phase"), SPAN_STRIDE
+        )
+        + 1,
+    )
+    return staged.select(
+        "doc_id",
+        "n_tokens",
+        "phase",
+        n_spans.alias("n_spans"),
+        (n_spans * SPAN_LEN).alias("masked_tokens"),
+        idiv(
+            n_spans * SPAN_LEN * 2 * 10000 + F.col("n_tokens"),
+            F.col("n_tokens") * 2,
+        ).alias("corruption_bp"),
+    )

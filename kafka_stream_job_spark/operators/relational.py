@@ -13044,3 +13044,124 @@ def customer_segment_entropy_by_nation(
             ).alias("entropy_unats"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# MANN-WHITNEY U TEST — the rank-based two-sample test (completing the
+# KS / chi² / z-uplift family): do 'view' and 'purchase' event values
+# come from the same distribution? Ranks are carried as DOUBLED midranks
+# (2·below + ties + 1 — always an integer, so tie handling is exact with
+# no rational arithmetic), accumulated over the DISTINCT-value table
+# (bounded by the value domain, not the row count) via the distributed
+# prefix-sum primitive — no global window. The normal approximation
+# applies the exact tie correction Σ(t³−t); int64 math holds to ~1e9
+# rows per sample, after which the doubled rank sums would need the
+# per-partition-centered variant.
+# ---------------------------------------------------------------------------
+MW_TYPE_A = "view"
+MW_TYPE_B = "purchase"
+
+
+@register(
+    "events_mann_whitney_test",
+    oracle=f"""
+        WITH s AS (
+            SELECT CAST(ROUND(value * 100.0) AS BIGINT) AS cents,
+                   CASE WHEN event_type = '{MW_TYPE_A}' THEN 1 ELSE 0 END AS a
+            FROM events
+            WHERE event_type IN ('{MW_TYPE_A}', '{MW_TYPE_B}')
+        ),
+        g AS (
+            SELECT cents,
+                   CAST(SUM(a) AS BIGINT) AS n_a,
+                   CAST(COUNT(*) - SUM(a) AS BIGINT) AS n_b,
+                   CAST(COUNT(*) AS BIGINT) AS n
+            FROM s GROUP BY 1
+        ),
+        r AS (
+            SELECT n_a, n_b, n,
+                   CAST(SUM(n) OVER (ORDER BY cents) AS BIGINT) AS running
+            FROM g
+        ),
+        mo AS (
+            SELECT CAST(SUM(n_a) AS BIGINT) AS na,
+                   CAST(SUM(n_b) AS BIGINT) AS nb,
+                   CAST(SUM(n) AS BIGINT) AS nn,
+                   CAST(SUM(n_a * (2 * (running - n) + n + 1)) AS BIGINT)
+                       AS r2a,
+                   CAST(SUM(n * n * n - n) AS BIGINT) AS tie_t
+            FROM r
+        )
+        SELECT na AS n_a, nb AS n_b,
+               r2a - na * (na + 1) AS u2_a,
+               tie_t,
+               CAST(ROUND(
+                   (CAST(r2a - na * (na + 1) AS DOUBLE)
+                    - CAST(na AS DOUBLE) * CAST(nb AS DOUBLE))
+                   / (2.0 * sqrt(
+                       CAST(na AS DOUBLE) * CAST(nb AS DOUBLE) / 12.0
+                       * (CAST(nn AS DOUBLE) + 1.0
+                          - CAST(tie_t AS DOUBLE)
+                            / (CAST(nn AS DOUBLE)
+                               * (CAST(nn AS DOUBLE) - 1.0)))))
+                   * 1000000.0) AS BIGINT) AS z_micro
+        FROM mo
+    """,
+    tags=("events", "stats", "hypothesis-test", "distributed-rank"),
+)
+def events_mann_whitney_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kafka_stream_job_spark.operators._distributed import (
+        distributed_prefix_sum,
+    )
+
+    events = load_table(spark, sf_dir, "events")
+    s = events.filter(
+        F.col("event_type").isin(MW_TYPE_A, MW_TYPE_B)
+    ).select(
+        F.round(F.col("value") * 100.0, 0).cast("long").alias("cents"),
+        F.when(F.col("event_type") == MW_TYPE_A, 1).otherwise(0).alias("a"),
+    )
+    g = s.groupBy("cents").agg(
+        F.sum("a").cast("long").alias("n_a"),
+        (F.count(F.lit(1)) - F.sum("a")).cast("long").alias("n_b"),
+        F.count(F.lit(1)).cast("long").alias("n"),
+    )
+    r = distributed_prefix_sum(g, [F.col("cents")], "n", out_col="running")
+    mo = r.agg(
+        F.sum("n_a").cast("long").alias("na"),
+        F.sum("n_b").cast("long").alias("nb"),
+        F.sum("n").cast("long").alias("nn"),
+        F.sum(
+            F.col("n_a")
+            * (2 * (F.col("running") - F.col("n")) + F.col("n") + 1)
+        )
+        .cast("long")
+        .alias("r2a"),
+        F.sum(F.col("n") * F.col("n") * F.col("n") - F.col("n"))
+        .cast("long")
+        .alias("tie_t"),
+    )
+    u2a = F.col("r2a") - F.col("na") * (F.col("na") + 1)
+    nad, nbd, nnd = (
+        F.col("na").cast("double"),
+        F.col("nb").cast("double"),
+        F.col("nn").cast("double"),
+    )
+    var = (
+        nad
+        * nbd
+        / 12.0
+        * (nnd + 1.0 - F.col("tie_t").cast("double") / (nnd * (nnd - 1.0)))
+    )
+    return mo.select(
+        F.col("na").alias("n_a"),
+        F.col("nb").alias("n_b"),
+        u2a.alias("u2_a"),
+        "tie_t",
+        F.round(
+            (u2a.cast("double") - nad * nbd) / (2.0 * F.sqrt(var)) * 1000000.0,
+            0,
+        )
+        .cast("long")
+        .alias("z_micro"),
+    )
