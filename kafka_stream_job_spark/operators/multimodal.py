@@ -1636,3 +1636,279 @@ def multimodal_png_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             "mean_luma_milli"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# REAL GIF (LZW) DECODE — the DICTIONARY-CODEC member of the real-decoder
+# family (WAV: chunked PCM r7; BMP: raw raster r8; PNG: deflate+filters
+# r8): GIF87a with a grayscale global color table, decoded by a genuine
+# variable-width LSB-first LZW implementation — clear/EOI codes, code
+# width growth 9→12 bits, dictionary rebuild, the one-code-behind
+# KwKwK case — plus full container validation (signature, descriptor,
+# sub-block walk, trailer). The encoder/decoder pair is proven exact
+# inverses by a Hypothesis round-trip that forces width growth and
+# dictionary resets; the operator's oracle recomputes expected sums
+# from the pixel model alone.
+# ---------------------------------------------------------------------------
+GIF_MIN_CODE = 8  # 256-entry grayscale palette
+
+
+def _lzw_encode(indices, min_code_size: int = GIF_MIN_CODE) -> bytes:
+    """GIF-variant LZW: emits CLEAR first, resets the dictionary at the
+    4096-entry ceiling, grows the code width when the next free code
+    would not fit, ends with EOI. LSB-first bit packing."""
+    clear, eoi = 1 << min_code_size, (1 << min_code_size) + 1
+    out = bytearray()
+    acc = nbits = 0
+
+    def emit(code: int, width: int) -> None:
+        nonlocal acc, nbits
+        acc |= code << nbits
+        nbits += width
+        while nbits >= 8:
+            out.append(acc & 0xFF)
+            acc >>= 8
+            nbits -= 8
+
+    width = min_code_size + 1
+    table = {(i,): i for i in range(clear)}
+    next_code = eoi + 1
+    emit(clear, width)
+    buf = ()
+    for px in indices:
+        cand = buf + (int(px),)
+        if cand in table:
+            buf = cand
+            continue
+        emit(table[buf], width)
+        table[cand] = next_code
+        next_code += 1
+        if next_code == (1 << width) and width < 12:
+            width += 1
+        if next_code == 4096:
+            emit(clear, width)
+            width = min_code_size + 1
+            table = {(i,): i for i in range(clear)}
+            next_code = eoi + 1
+        buf = (int(px),)
+    if buf:
+        emit(table[buf], width)
+        next_code += 1
+        if next_code == (1 << width) and width < 12:
+            width += 1
+    emit(eoi, width)
+    if nbits:
+        out.append(acc & 0xFF)
+    return bytes(out)
+
+
+def _lzw_decode(data: bytes, min_code_size: int = GIF_MIN_CODE) -> list:
+    """Inverse of _lzw_encode — loud ValueError on an out-of-range code,
+    a stream that ends without EOI, or a first-code KwKwK violation."""
+    clear, eoi = 1 << min_code_size, (1 << min_code_size) + 1
+    width = min_code_size + 1
+    pos = 0
+    total = len(data) * 8
+
+    def read_code() -> int:
+        nonlocal pos
+        if pos + width > total:
+            raise ValueError("LZW stream ended without EOI")
+        byte0 = pos // 8
+        acc = 0
+        for k in range((pos % 8 + width + 7) // 8 + 1):
+            if byte0 + k < len(data):
+                acc |= data[byte0 + k] << (8 * k)
+        code = (acc >> (pos % 8)) & ((1 << width) - 1)
+        pos += width
+        return code
+
+    out: list = []
+    table: list = []
+    prev: list | None = None
+    next_code = 0
+    while True:
+        code = read_code()
+        if code == clear:
+            table = [[i] for i in range(clear)] + [None, None]
+            next_code = eoi + 1
+            width = min_code_size + 1
+            prev = None
+            continue
+        if code == eoi:
+            return out
+        if prev is None:
+            if code >= clear:
+                raise ValueError(f"first code {code} is not a literal")
+            entry = table[code]
+        elif code < next_code:
+            entry = table[code]
+        elif code == next_code:
+            entry = prev + [prev[0]]  # the KwKwK case
+        else:
+            raise ValueError(f"LZW code {code} out of range {next_code}")
+        out.extend(entry)
+        if prev is not None:
+            table.append(prev + [entry[0]])
+            next_code += 1
+            # one-code-behind: the decoder's dictionary lags the
+            # encoder's by exactly one entry, so the width must grow one
+            # entry EARLIER than the encoder's == (1 << width) rule —
+            # at 2^w - 1 — for the two bit streams to stay aligned.
+            if next_code == (1 << width) - 1 and width < 12:
+                width += 1
+        prev = entry
+
+
+def _gif_encode_batches(batches):
+    """Generative fixture: GIF87a per document, width 6+doc_id%5,
+    height 4+doc_id%4, 256-entry grayscale palette (index i → r=g=b=i),
+    pixel (y,x) = text byte at (y*w + x) mod len; real LZW data packed
+    into ≤255-byte sub-blocks."""
+    import struct
+
+    import pandas as pd
+
+    gct = bytes(v for i in range(256) for v in (i, i, i))
+    for pdf in batches:
+        payloads = []
+        for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+            w = 6 + int(doc_id) % 5
+            h = 4 + int(doc_id) % 4
+            tb = [ord(c) % 256 for c in text]
+            n = len(tb)
+            idx = [tb[(y * w + x) % n] for y in range(h) for x in range(w)]
+            lzw = _lzw_encode(idx)
+            blocks = bytearray()
+            for i in range(0, len(lzw), 255):
+                chunk = lzw[i : i + 255]
+                blocks.append(len(chunk))
+                blocks += chunk
+            blocks.append(0)
+            payloads.append(
+                b"GIF87a"
+                + struct.pack("<HHBBB", w, h, 0xF7, 0, 0)  # GCT flag, 8-bit
+                + gct
+                + b"\x2c"
+                + struct.pack("<HHHHB", 0, 0, w, h, 0)
+                + bytes([GIF_MIN_CODE])
+                + bytes(blocks)
+                + b"\x3b"
+            )
+        yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
+
+
+def decode_gif_real(payload: bytes) -> dict:
+    """REAL GIF87a decode — stdlib-only container walk + the LZW decoder
+    above: validates the signature, logical screen descriptor, global
+    color table presence, image descriptor (no interlace, no local
+    table), sub-block framing, pixel count, and the trailer. Returns
+    exact integer luma sums via the decoded palette."""
+    import struct
+
+    if len(payload) < 13 or payload[:6] not in (b"GIF87a", b"GIF89a"):
+        raise ValueError("not a GIF payload")
+    w, h, packed, _bg, _ar = struct.unpack("<HHBBB", payload[6:13])
+    if not packed & 0x80:
+        raise ValueError("global color table required")
+    gct_n = 2 << (packed & 0x07)
+    off = 13
+    gct = payload[off : off + 3 * gct_n]
+    if len(gct) != 3 * gct_n:
+        raise ValueError("truncated global color table")
+    off += 3 * gct_n
+    if off >= len(payload) or payload[off] != 0x2C:
+        raise ValueError("expected image descriptor")
+    ix, iy, iw, ih, ipacked = struct.unpack("<HHHHB", payload[off + 1 : off + 10])
+    if ipacked & 0xC0:
+        raise ValueError("local color table / interlace unsupported")
+    if (ix, iy, iw, ih) != (0, 0, w, h):
+        raise ValueError("sub-rectangle images unsupported")
+    off += 10
+    min_code = payload[off]
+    off += 1
+    lzw = bytearray()
+    while True:
+        if off >= len(payload):
+            raise ValueError("unterminated sub-block stream")
+        blen = payload[off]
+        off += 1
+        if blen == 0:
+            break
+        lzw += payload[off : off + blen]
+        if off + blen > len(payload):
+            raise ValueError("truncated sub-block")
+        off += blen
+    if off >= len(payload) or payload[off] != 0x3B:
+        raise ValueError("missing trailer")
+    idx = _lzw_decode(bytes(lzw), min_code)
+    if len(idx) != w * h:
+        raise ValueError(f"decoded {len(idx)} pixels, expected {w * h}")
+    if any(i >= gct_n for i in idx):
+        raise ValueError("palette index out of range")
+    # grayscale palette ⇒ luma == red channel value
+    sum_luma = sum(gct[3 * i] for i in idx)
+    return {
+        "width": w,
+        "height": h,
+        "n_pixels": w * h,
+        "palette_size": gct_n,
+        "sum_luma": sum_luma,
+    }
+
+
+@register(
+    "multimodal_gif_stats",
+    oracle="""
+        SELECT doc_id,
+               CAST(6 + doc_id % 5 AS BIGINT) AS width,
+               CAST(4 + doc_id % 4 AS BIGINT) AS height,
+               CAST((6 + doc_id % 5) * (4 + doc_id % 4) AS BIGINT)
+                   AS n_pixels,
+               CAST(256 AS BIGINT) AS palette_size,
+               CAST(list_sum(list_transform(
+                        range(0, (6 + doc_id % 5) * (4 + doc_id % 4)),
+                        j -> CAST(ascii(substring(text,
+                                 CAST(j % length(text) AS INT) + 1, 1)) % 256
+                             AS BIGINT))) AS BIGINT) AS sum_luma
+        FROM documents WHERE length(text) > 0
+    """,
+    tags=("multimodal", "image", "gif", "lzw", "real-decode", "documents"),
+)
+def multimodal_gif_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dimensions and exact luma sums from an actual GIF/LZW parse.
+
+    Reference parity: none (SURVEY.md §2.7); the binary→struct decode
+    shape mirrors T1 (KafkaAvroToIceberg.scala:67-71) with a real codec.
+    """
+    docs = (
+        load_table(spark, sf_dir, "documents", rebalance=True)
+        .select("doc_id", "text")
+        .filter(F.length("text") > 0)
+    )
+
+    def decode_batches(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            rows = {
+                "doc_id": [],
+                "width": [],
+                "height": [],
+                "n_pixels": [],
+                "palette_size": [],
+                "sum_luma": [],
+            }
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                parsed = decode_gif_real(bytes(payload))
+                rows["doc_id"].append(int(doc_id))
+                for k in ("width", "height", "n_pixels", "palette_size", "sum_luma"):
+                    rows[k].append(parsed[k])
+            yield pd.DataFrame(rows)
+
+    gifs = docs.mapInPandas(_gif_encode_batches, "doc_id long, payload binary")
+    return gifs.mapInPandas(
+        decode_batches,
+        "doc_id long, width long, height long, n_pixels long, "
+        "palette_size long, sum_luma long",
+    )

@@ -4901,3 +4901,79 @@ def test_png_parser_rejects_malformed():
     ) + chunk(b"IDAT", zlib.compress(bytes(raw))) + chunk(b"IEND", b"")
     with pytest.raises(ValueError, match="filter"):
         decode_png_real(wrong_ft)
+
+
+# ---------------------------------------------------------------------------
+# GIF/LZW round-trip + malformed rejection (the dictionary-codec member
+# of the decoder test family): the LZW pair must be exact inverses over
+# streams long and repetitive enough to force code-width growth 9→12 and
+# mid-stream dictionary clears, and the container walk must reject every
+# malformed shape loudly.
+# ---------------------------------------------------------------------------
+@settings(max_examples=60, deadline=None)
+@given(
+    seed=st.integers(min_value=0, max_value=2**31),
+    n=st.integers(min_value=0, max_value=12000),
+    alphabet=st.integers(min_value=1, max_value=256),
+)
+def test_lzw_roundtrip(seed, n, alphabet):
+    from kafka_stream_job_spark.operators.multimodal import (
+        _lzw_decode,
+        _lzw_encode,
+    )
+
+    rng = seed
+    seq = []
+    for _ in range(n):
+        rng = (1103515245 * rng + 12345) % (1 << 31)
+        seq.append(rng % alphabet)
+    assert _lzw_decode(_lzw_encode(seq)) == seq
+
+
+def test_lzw_width_growth_and_clear_boundaries():
+    from kafka_stream_job_spark.operators.multimodal import (
+        _lzw_decode,
+        _lzw_encode,
+    )
+
+    # low-entropy stream: dictionary growth is fastest, crossing every
+    # width boundary (511/1023/2047) and the 4096 clear several times
+    seq = [i % 5 for i in range(40000)]
+    assert _lzw_decode(_lzw_encode(seq)) == seq
+    # KwKwK pattern (code == next_code case)
+    seq = [7] * 5000
+    assert _lzw_decode(_lzw_encode(seq)) == seq
+
+
+def test_gif_parser_roundtrip_and_rejects_malformed():
+    import pandas as pd
+    import pytest
+
+    from kafka_stream_job_spark.operators.multimodal import (
+        _gif_encode_batches,
+        decode_gif_real,
+    )
+
+    pdf = pd.DataFrame({"doc_id": [3, 11], "text": ["hello world", "spark"]})
+    out = list(_gif_encode_batches(iter([pdf])))[0]
+    for doc_id, payload in zip(out["doc_id"], out["payload"]):
+        w, h = 6 + doc_id % 5, 4 + doc_id % 4
+        text = pdf[pdf["doc_id"] == doc_id]["text"].iloc[0]
+        tb = [ord(c) % 256 for c in text]
+        got = decode_gif_real(bytes(payload))
+        assert got["width"] == w and got["height"] == h
+        assert got["sum_luma"] == sum(
+            tb[j % len(tb)] for j in range(w * h)
+        )
+    good = bytes(out["payload"][0])
+    with pytest.raises(ValueError, match="not a GIF"):
+        decode_gif_real(b"JIF87a" + good[6:])
+    with pytest.raises(ValueError, match="trailer"):
+        decode_gif_real(good[:-1])
+    with pytest.raises(ValueError, match="truncated|sub-block|trailer|EOI"):
+        decode_gif_real(good[: len(good) // 2])
+    # flip a bit inside the LZW data → pixel count or code-range error
+    bad = bytearray(good)
+    bad[-10] ^= 0x55
+    with pytest.raises(ValueError):
+        decode_gif_real(bytes(bad))
