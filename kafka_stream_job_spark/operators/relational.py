@@ -13165,3 +13165,149 @@ def events_mann_whitney_test(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("z_micro"),
     )
+
+
+# ---------------------------------------------------------------------------
+# OFFLINE BANDIT REPLAY — counterfactual evaluation of a greedy policy
+# against the event log (the Li et al. replay method, hour-granular):
+# at each hour the policy plays the event type with the best cumulative
+# mean reward STRICTLY BEFORE that hour (cold-start ties to the
+# lexicographically smallest type), and is paid the type's actual mean
+# that hour; regret compares against the hour's best-performing type.
+# All state lives on the dense (type × hour) grid — bounded by the two
+# domains, never by the row count; the only data-sized work is the
+# hourly pre-aggregate. Per-hour means quantize to exact integer
+# micro-cents BEFORE any cross-hour sum, so regret totals are
+# order-free; the greedy argmax key is one (cold, −mean, type) struct
+# extreme with identically-derived doubles on both engines.
+# ---------------------------------------------------------------------------
+@register(
+    "bandit_replay_hourly",
+    oracle="""
+        WITH hourly AS (
+            SELECT event_type, CAST(date_trunc('hour', ts) AS TIMESTAMP) AS h,
+                   CAST(COUNT(*) AS BIGINT) AS n,
+                   CAST(SUM(CAST(ROUND(value * 100.0) AS BIGINT)) AS BIGINT)
+                       AS s
+            FROM events GROUP BY 1, 2
+        ),
+        grid AS (
+            SELECT t.event_type, hh.h,
+                   COALESCE(x.n, 0) AS n, COALESCE(x.s, 0) AS s
+            FROM (SELECT DISTINCT event_type FROM hourly) t
+            CROSS JOIN (SELECT DISTINCT h FROM hourly) hh
+            LEFT JOIN hourly x
+              ON x.event_type = t.event_type AND x.h = hh.h
+        ),
+        cum AS (
+            SELECT event_type, h, n, s,
+                   CAST(COALESCE(SUM(n) OVER (
+                       PARTITION BY event_type ORDER BY h
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                       AS BIGINT) AS cn,
+                   CAST(COALESCE(SUM(s) OVER (
+                       PARTITION BY event_type ORDER BY h
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                       AS BIGINT) AS cs
+            FROM grid
+        ),
+        scored AS (
+            SELECT event_type, h, n, s,
+                   CASE WHEN n > 0
+                        THEN CAST((2 * s * 1000000 + n) // (2 * n) AS BIGINT)
+                        ELSE CAST(0 AS BIGINT) END AS mean_micro,
+                   CASE WHEN cn > 0 THEN 0 ELSE 1 END AS cold,
+                   CASE WHEN cn > 0 THEN -(CAST(cs AS DOUBLE) / cn)
+                        ELSE 0.0 END AS neg_cum_mean
+            FROM cum
+        ),
+        per_hour AS (
+            SELECT h,
+                   (MIN(struct_pack(cold := cold, nm := neg_cum_mean,
+                                    t := event_type, s := s, n := n,
+                                    mm := mean_micro))) AS ch,
+                   MAX(CASE WHEN n > 0 THEN mean_micro END) AS best_micro
+            FROM scored GROUP BY 1
+        )
+        SELECT ch.t AS chosen_type,
+               CAST(COUNT(*) AS BIGINT) AS n_hours_chosen,
+               CAST(SUM(ch.s) AS BIGINT) AS sum_realized_cents,
+               CAST(SUM(best_micro - ch.mm) AS BIGINT) AS sum_regret_micro
+        FROM per_hour GROUP BY 1
+    """,
+    tags=("events", "bandit", "policy-replay", "timeseries"),
+)
+def bandit_replay_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    events = load_table(spark, sf_dir, "events")
+    hourly = events.groupBy(
+        "event_type", F.date_trunc("hour", "ts").alias("h")
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(F.round(F.col("value") * 100.0, 0).cast("long"))
+        .cast("long")
+        .alias("s"),
+    )
+    types = hourly.select("event_type").distinct()
+    hours = hourly.select("h").distinct()
+    grid = (
+        types.crossJoin(hours)
+        .join(hourly, ["event_type", "h"], "left")
+        .select(
+            "event_type",
+            "h",
+            F.coalesce(F.col("n"), F.lit(0).cast("long")).alias("n"),
+            F.coalesce(F.col("s"), F.lit(0).cast("long")).alias("s"),
+        )
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("h")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    cum = grid.select(
+        "event_type",
+        "h",
+        "n",
+        "s",
+        F.coalesce(F.sum("n").over(w), F.lit(0)).cast("long").alias("cn"),
+        F.coalesce(F.sum("s").over(w), F.lit(0)).cast("long").alias("cs"),
+    )
+    mean_micro = F.when(
+        F.col("n") > 0,
+        idiv(F.col("s") * 2 * 1000000 + F.col("n"), F.col("n") * 2),
+    ).otherwise(F.lit(0).cast("long"))
+    scored = cum.select(
+        "event_type",
+        "h",
+        "n",
+        "s",
+        mean_micro.alias("mean_micro"),
+        F.when(F.col("cn") > 0, 0).otherwise(1).alias("cold"),
+        F.when(
+            F.col("cn") > 0, -(F.col("cs").cast("double") / F.col("cn"))
+        )
+        .otherwise(F.lit(0.0))
+        .alias("neg_cum_mean"),
+    )
+    per_hour = scored.groupBy("h").agg(
+        F.min(
+            F.struct(
+                F.col("cold").alias("cold"),
+                F.col("neg_cum_mean").alias("nm"),
+                F.col("event_type").alias("t"),
+                F.col("s").alias("s"),
+                F.col("n").alias("n"),
+                F.col("mean_micro").alias("mm"),
+            )
+        ).alias("ch"),
+        F.max(F.when(F.col("n") > 0, F.col("mean_micro"))).alias("best_micro"),
+    )
+    return per_hour.groupBy(F.col("ch.t").alias("chosen_type")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_hours_chosen"),
+        F.sum(F.col("ch.s")).cast("long").alias("sum_realized_cents"),
+        F.sum(F.col("best_micro") - F.col("ch.mm"))
+        .cast("long")
+        .alias("sum_regret_micro"),
+    )

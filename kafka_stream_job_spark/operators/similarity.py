@@ -3592,3 +3592,131 @@ def ivf_nprobe_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("recall_bp"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# JOHNSON-LINDENSTRAUSS PROJECTION AUDIT — does a 16-dim ±1 random
+# projection preserve norms well enough to run coarse similarity on the
+# cheap sketch? Planes are deterministic md5-parity ±1 rows (the
+# sign-LSH hyperplane generator with an independent seed offset),
+# embedded as literal arrays in BOTH plans; dims are milli-quantized so
+# every projection component and every squared norm is an EXACT int64.
+# The per-vector norm-preservation ratio |Px|²/(K·|x|²) quantizes to
+# micro-units before the per-label rollup — no cross-row float sums
+# anywhere. One corpus pass, zero shuffle until the |labels|-row rollup.
+# ---------------------------------------------------------------------------
+JL_K = 16
+JL_SEED_BASE = 200  # hyperplane seeds disjoint from the LSH family
+JL_SCALE = 1_000
+
+_JL_PLANES = [_hyperplane(JL_SEED_BASE + j) for j in range(JL_K)]
+
+
+def _jl_plane_spark(j: int) -> str:
+    return "array(" + ", ".join(f"{int(v)}L" for v in _JL_PLANES[j]) + ")"
+
+
+@register(
+    "embedding_jl_projection_audit",
+    oracle=f"""
+        WITH q AS (
+            SELECT label,
+                   list_transform(embedding::DOUBLE[],
+                                  x -> CAST(ROUND(x * 1000.0) AS BIGINT))
+                       AS xq
+            FROM embeddings
+        ),
+        pr0 AS (
+            SELECT label,
+                   list_reduce(list_prepend(CAST(0 AS BIGINT),
+                       list_transform(xq, x -> x * x)),
+                       (acc, v) -> acc + v) AS norm2,
+                   list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(list_zip(xq, [-1, -1, 1, 1, -1, 1, 1, -1, 1, 1, 1, -1, -1, 1, 1, 1, -1, 1, 1, 1, -1, 1, 1, 1, -1, -1, 1, -1, -1, 1, -1, -1, 1, 1, -1, -1, 1, 1, 1, -1, -1, -1, 1, 1, -1, -1, 1, 1, -1, -1, -1, 1, 1, 1, 1, 1, 1, -1, 1, -1, -1, -1, -1, 1]::BIGINT[]), p -> p[1] * p[2])), (acc, v) -> acc + v) AS s_0,
+                   list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(list_zip(xq, [-1, -1, 1, 1, 1, -1, -1, 1, 1, 1, 1, 1, -1, -1, -1, -1, 1, 1, 1, 1, -1, -1, -1, -1, 1, -1, -1, -1, -1, -1, 1, 1, 1, -1, 1, 1, 1, 1, 1, 1, 1, -1, 1, -1, 1, 1, 1, 1, -1, 1, -1, 1, -1, 1, -1, 1, -1, 1, 1, -1, -1, -1, 1, -1]::BIGINT[]), p -> p[1] * p[2])), (acc, v) -> acc + v) AS s_1,
+                   list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(list_zip(xq, [1, 1, -1, 1, -1, 1, -1, 1, -1, 1, 1, 1, -1, -1, 1, -1, -1, 1, -1, -1, 1, 1, 1, 1, 1, -1, -1, 1, -1, 1, 1, -1, -1, -1, 1, 1, 1, -1, 1, -1, -1, 1, 1, 1, 1, -1, 1, -1, 1, 1, 1, 1, 1, -1, 1, 1, 1, -1, 1, 1, 1, -1, 1, 1]::BIGINT[]), p -> p[1] * p[2])), (acc, v) -> acc + v) AS s_2,
+                   list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(list_zip(xq, [-1, 1, -1, -1, -1, 1, -1, 1, 1, -1, 1, 1, 1, -1, 1, -1, -1, 1, -1, -1, -1, -1, -1, -1, -1, 1, -1, -1, -1, 1, -1, -1, 1, -1, 1, 1, 1, -1, 1, -1, -1, -1, -1, 1, 1, 1, -1, -1, -1, 1, 1, -1, 1, 1, 1, 1, 1, 1, -1, 1, 1, 1, -1, 1]::BIGINT[]), p -> p[1] * p[2])), (acc, v) -> acc + v) AS s_3,
+                   list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(list_zip(xq, [-1, -1, -1, -1, -1, -1, -1, -1, -1, 1, -1, 1, -1, -1, 1, 1, -1, -1, -1, -1, 1, 1, 1, -1, 1, 1, -1, 1, -1, -1, 1, -1, -1, -1, 1, 1, -1, 1, 1, 1, -1, 1, -1, 1, -1, 1, -1, -1, 1, 1, -1, -1, -1, 1, 1, 1, -1, -1, 1, 1, 1, 1, -1, -1]::BIGINT[]), p -> p[1] * p[2])), (acc, v) -> acc + v) AS s_4,
+                   list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(list_zip(xq, [1, -1, 1, -1, 1, 1, -1, -1, -1, -1, -1, 1, -1, 1, 1, -1, 1, 1, -1, 1, -1, 1, -1, -1, 1, -1, 1, 1, 1, -1, 1, -1, 1, 1, -1, -1, 1, -1, 1, 1, 1, -1, 1, -1, -1, 1, -1, 1, -1, 1, -1, 1, 1, -1, 1, 1, 1, 1, 1, 1, 1, -1, -1, 1]::BIGINT[]), p -> p[1] * p[2])), (acc, v) -> acc + v) AS s_5,
+                   list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(list_zip(xq, [1, -1, -1, -1, 1, -1, 1, 1, 1, -1, -1, -1, -1, -1, -1, -1, 1, -1, 1, -1, 1, 1, -1, 1, -1, 1, -1, 1, -1, 1, -1, -1, 1, -1, 1, -1, 1, -1, 1, 1, -1, -1, 1, 1, 1, -1, -1, 1, -1, 1, 1, -1, 1, 1, -1, 1, 1, -1, 1, 1, -1, 1, -1, -1]::BIGINT[]), p -> p[1] * p[2])), (acc, v) -> acc + v) AS s_6,
+                   list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(list_zip(xq, [1, -1, 1, 1, 1, -1, 1, -1, -1, -1, 1, -1, 1, 1, -1, 1, 1, -1, 1, -1, 1, 1, 1, 1, -1, -1, -1, 1, 1, -1, 1, -1, 1, 1, -1, -1, -1, -1, -1, 1, 1, 1, -1, 1, 1, 1, 1, -1, 1, -1, -1, -1, -1, -1, -1, 1, 1, -1, -1, -1, 1, 1, -1, -1]::BIGINT[]), p -> p[1] * p[2])), (acc, v) -> acc + v) AS s_7,
+                   list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(list_zip(xq, [1, -1, 1, 1, -1, 1, 1, 1, -1, 1, 1, 1, 1, 1, -1, 1, -1, -1, 1, -1, 1, 1, -1, -1, -1, -1, -1, 1, 1, -1, 1, 1, 1, -1, 1, 1, -1, -1, -1, -1, -1, -1, 1, 1, -1, 1, -1, 1, -1, -1, -1, 1, 1, 1, -1, 1, 1, -1, 1, 1, -1, -1, 1, 1]::BIGINT[]), p -> p[1] * p[2])), (acc, v) -> acc + v) AS s_8,
+                   list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(list_zip(xq, [1, 1, -1, -1, 1, -1, 1, 1, -1, -1, 1, 1, 1, 1, -1, 1, 1, 1, -1, -1, -1, -1, -1, 1, -1, -1, 1, 1, 1, -1, -1, 1, -1, -1, -1, 1, -1, 1, -1, -1, 1, 1, -1, 1, 1, -1, 1, 1, 1, -1, 1, -1, -1, -1, -1, -1, 1, 1, -1, 1, 1, 1, -1, 1]::BIGINT[]), p -> p[1] * p[2])), (acc, v) -> acc + v) AS s_9,
+                   list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(list_zip(xq, [-1, 1, -1, 1, -1, 1, 1, -1, -1, 1, 1, 1, -1, 1, -1, -1, -1, 1, -1, -1, -1, 1, -1, -1, -1, 1, 1, -1, -1, 1, 1, -1, 1, 1, 1, 1, 1, -1, -1, 1, 1, 1, 1, 1, -1, 1, -1, -1, -1, -1, 1, -1, -1, 1, 1, -1, 1, 1, 1, 1, 1, 1, 1, 1]::BIGINT[]), p -> p[1] * p[2])), (acc, v) -> acc + v) AS s_10,
+                   list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(list_zip(xq, [1, 1, 1, -1, -1, 1, -1, -1, -1, 1, -1, 1, -1, 1, 1, 1, -1, 1, -1, 1, 1, 1, 1, 1, 1, -1, 1, 1, -1, 1, 1, 1, 1, 1, 1, -1, -1, -1, 1, -1, 1, 1, -1, -1, -1, 1, -1, 1, -1, -1, -1, 1, 1, 1, 1, -1, -1, 1, 1, -1, -1, 1, -1, 1]::BIGINT[]), p -> p[1] * p[2])), (acc, v) -> acc + v) AS s_11,
+                   list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(list_zip(xq, [1, -1, 1, -1, -1, 1, -1, 1, 1, -1, 1, 1, -1, -1, 1, 1, -1, 1, 1, 1, -1, 1, 1, -1, 1, -1, 1, 1, -1, 1, 1, -1, 1, 1, 1, -1, -1, -1, 1, -1, 1, 1, 1, 1, 1, 1, 1, -1, -1, 1, -1, -1, 1, -1, -1, 1, -1, 1, 1, 1, 1, -1, 1, -1]::BIGINT[]), p -> p[1] * p[2])), (acc, v) -> acc + v) AS s_12,
+                   list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(list_zip(xq, [1, -1, -1, -1, -1, -1, -1, 1, 1, -1, -1, 1, -1, 1, -1, -1, -1, -1, -1, 1, 1, 1, -1, -1, 1, 1, 1, 1, 1, 1, -1, -1, 1, 1, -1, 1, 1, 1, 1, -1, -1, 1, 1, 1, 1, -1, -1, -1, 1, -1, 1, -1, -1, -1, 1, 1, 1, -1, -1, 1, -1, -1, 1, -1]::BIGINT[]), p -> p[1] * p[2])), (acc, v) -> acc + v) AS s_13,
+                   list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(list_zip(xq, [-1, 1, -1, -1, -1, 1, -1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, -1, 1, -1, 1, 1, -1, 1, -1, -1, 1, -1, -1, -1, 1, 1, 1, -1, -1, -1, 1, 1, 1, 1, 1, 1, 1, -1, 1, -1, -1, 1, 1, 1, -1, 1, 1, 1, -1, 1, 1, -1, -1, -1, -1, -1, 1, 1]::BIGINT[]), p -> p[1] * p[2])), (acc, v) -> acc + v) AS s_14,
+                   list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(list_zip(xq, [1, 1, -1, -1, 1, 1, -1, -1, -1, 1, -1, 1, 1, -1, -1, -1, -1, -1, 1, -1, -1, -1, 1, -1, 1, -1, -1, -1, -1, 1, 1, -1, 1, 1, -1, -1, -1, 1, -1, 1, -1, 1, -1, 1, -1, -1, 1, 1, 1, 1, 1, -1, -1, -1, -1, -1, -1, -1, -1, -1, 1, 1, -1, -1]::BIGINT[]), p -> p[1] * p[2])), (acc, v) -> acc + v) AS s_15
+            FROM q
+        ),
+        pr AS (
+            SELECT label, norm2, (s_0 * s_0) + (s_1 * s_1) + (s_2 * s_2) + (s_3 * s_3) + (s_4 * s_4) + (s_5 * s_5) + (s_6 * s_6) + (s_7 * s_7) + (s_8 * s_8) + (s_9 * s_9) + (s_10 * s_10) + (s_11 * s_11) + (s_12 * s_12) + (s_13 * s_13) + (s_14 * s_14) + (s_15 * s_15) AS px2 FROM pr0
+        ),
+        ratio AS (
+            SELECT label,
+                   CAST(ROUND(CAST(px2 AS DOUBLE)
+                              / (16.0 * CAST(norm2 AS DOUBLE))
+                              * 1000000.0) AS BIGINT) AS ratio_micro
+            FROM pr WHERE norm2 > 0
+        )
+        SELECT CAST(label AS BIGINT) AS label,
+               CAST(COUNT(*) AS BIGINT) AS n_vecs,
+               CAST(MIN(ratio_micro) AS BIGINT) AS min_ratio_micro,
+               CAST(MAX(ratio_micro) AS BIGINT) AS max_ratio_micro,
+               CAST(ROUND(CAST(SUM(ratio_micro) AS BIGINT) * 1.0 / COUNT(*))
+                    AS BIGINT) AS avg_ratio_micro
+        FROM ratio GROUP BY 1
+    """,
+    tags=("embeddings", "random-projection", "jl", "sketch"),
+)
+def embedding_jl_projection_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings", rebalance=True)
+    xq_sql = (
+        f"transform(embedding, x -> CAST(ROUND(CAST(x AS DOUBLE)"
+        f" * {JL_SCALE}.0) AS BIGINT))"
+    )
+    staged = emb.select("label", F.expr(xq_sql).alias("xq"))
+    proj_cols = [
+        F.expr(
+            f"aggregate(zip_with(xq, {_jl_plane_spark(j)},"
+            " (x, s) -> x * s), 0L, (acc, v) -> acc + v)"
+        ).alias(f"s_{j}")
+        for j in range(JL_K)
+    ]
+    norm2 = F.expr(
+        "aggregate(transform(xq, x -> x * x), 0L, (acc, v) -> acc + v)"
+    )
+    pr = staged.select("label", norm2.alias("norm2"), *proj_cols)
+    px2 = None
+    for j in range(JL_K):
+        term = F.col(f"s_{j}") * F.col(f"s_{j}")
+        px2 = term if px2 is None else px2 + term
+    ratio = pr.filter(F.col("norm2") > 0).select(
+        "label",
+        F.round(
+            px2.cast("double")
+            / (float(JL_K) * F.col("norm2").cast("double"))
+            * 1000000.0,
+            0,
+        )
+        .cast("long")
+        .alias("ratio_micro"),
+    )
+    return (
+        ratio.groupBy(F.col("label").cast("long").alias("label"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_vecs"),
+            F.min("ratio_micro").alias("min_ratio_micro"),
+            F.max("ratio_micro").alias("max_ratio_micro"),
+            F.sum("ratio_micro").alias("_sum"),
+        )
+        .select(
+            "label",
+            "n_vecs",
+            "min_ratio_micro",
+            "max_ratio_micro",
+            F.round(F.col("_sum") * 1.0 / F.col("n_vecs"), 0)
+            .cast("long")
+            .alias("avg_ratio_micro"),
+        )
+    )
