@@ -1027,3 +1027,180 @@ def gzip_jsonl_source_read(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("sum_cents"),
     )
+
+
+# ---------------------------------------------------------------------------
+# TRANSACTION-LOG TIME TRAVEL — the lakehouse snapshot-reconstruction
+# semantics (Delta/Iceberg commit logs) without the jar: a deterministic
+# JSON action log is staged (version v adds 2+v%3 data files with known
+# row counts; from v≥2 each commit also REMOVES the two-versions-old
+# first file), Spark reads the log directory with an explicit nested
+# schema, derives each action's version from its commit file name
+# (_metadata — lineage without a join), and reconstructs the LIVE file
+# set and row count AS OF every version — remove-wins, add-once. The
+# oracle regenerates the action stream from the generative rule alone,
+# so a mis-parsed version or a wrong remove precedence diverges
+# immediately. Per-version history is a |versions|-row table; the
+# running totals ride a bounded window.
+# ---------------------------------------------------------------------------
+TXN_VERSIONS = 6
+
+
+def _stage_txn_log(spark: SparkSession, sf_dir: str) -> str:
+    src = os.path.join(sf_dir, "documents.parquet")  # keys the stage dir only
+
+    def build(tmp: str) -> None:
+        import json as _json
+
+        for v in range(TXN_VERSIONS):
+            lines = []
+            for i in range(2 + v % 3):
+                lines.append(
+                    _json.dumps(
+                        {
+                            "add": {
+                                "path": f"f_{v}_{i}",
+                                "rows": 100 + (v * 7 + i) % 50,
+                            }
+                        },
+                        sort_keys=True,
+                    )
+                )
+            if v >= 2:
+                lines.append(
+                    _json.dumps(
+                        {"remove": {"path": f"f_{v - 2}_0"}}, sort_keys=True
+                    )
+                )
+            with open(os.path.join(tmp, f"{v:06d}.json"), "w") as f:
+                f.write("\n".join(lines) + "\n")
+
+    return _staged_dir("/tmp/ksj-txnlog-stage", src, "txnlog_v1", build)
+
+
+@register(
+    "txn_log_time_travel",
+    oracle=f"""
+        WITH v AS (SELECT unnest(range(0, {TXN_VERSIONS})) AS ver),
+        adds AS (
+            SELECT v.ver, 'f_' || v.ver || '_' || i.i AS path,
+                   CAST(100 + (v.ver * 7 + i.i) % 50 AS BIGINT) AS rows_
+            FROM v, (SELECT unnest(range(0, 4)) AS i) i
+            WHERE i.i < 2 + v.ver % 3
+        ),
+        removes AS (
+            SELECT ver, 'f_' || (ver - 2) || '_0' AS path
+            FROM v WHERE ver >= 2
+        ),
+        snap AS (
+            SELECT s.ver AS as_of,
+                   CAST(COUNT(*) AS BIGINT) AS live_files,
+                   CAST(SUM(a.rows_) AS BIGINT) AS live_rows
+            FROM v s
+            JOIN adds a ON a.ver <= s.ver
+            LEFT JOIN removes r
+              ON r.path = a.path AND r.ver <= s.ver
+            WHERE r.path IS NULL
+            GROUP BY 1
+        ),
+        per_ver AS (
+            SELECT v.ver,
+                   (SELECT CAST(COUNT(*) AS BIGINT) FROM adds a
+                    WHERE a.ver = v.ver) AS n_adds,
+                   (SELECT CAST(COUNT(*) AS BIGINT) FROM removes r
+                    WHERE r.ver = v.ver) AS n_removes
+            FROM v
+        )
+        SELECT p.ver AS version, p.n_adds, p.n_removes,
+               s.live_files, s.live_rows
+        FROM per_ver p JOIN snap s ON s.as_of = p.ver
+    """,
+    tags=("source-format", "lakehouse", "time-travel", "txn-log"),
+)
+def txn_log_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+    from pyspark.sql import types as T
+
+    stage = _stage_txn_log(spark, sf_dir)
+    schema = T.StructType(
+        [
+            T.StructField(
+                "add",
+                T.StructType(
+                    [
+                        T.StructField("path", T.StringType()),
+                        T.StructField("rows", T.LongType()),
+                    ]
+                ),
+            ),
+            T.StructField(
+                "remove",
+                T.StructType([T.StructField("path", T.StringType())]),
+            ),
+        ]
+    )
+    log = (
+        spark.read.schema(schema)
+        .option("pathGlobFilter", "*.json")
+        .json(stage)
+        .select(
+            F.regexp_extract(F.col("_metadata.file_name"), r"^(\d+)\.json$", 1)
+            .cast("long")
+            .alias("ver"),
+            "add",
+            "remove",
+        )
+    )
+    adds = log.filter(F.col("add").isNotNull()).select(
+        "ver", F.col("add.path").alias("path"), F.col("add.rows").alias("rows_")
+    )
+    removes = log.filter(F.col("remove").isNotNull()).select(
+        F.col("ver").alias("r_ver"), F.col("remove.path").alias("path")
+    )
+    versions = log.select("ver").distinct()
+    live = (
+        versions.alias("s")
+        .join(adds.alias("a"), F.col("a.ver") <= F.col("s.ver"))
+        .join(
+            removes.alias("r"),
+            (F.col("r.path") == F.col("a.path"))
+            & (F.col("r.r_ver") <= F.col("s.ver")),
+            "left",
+        )
+        .filter(F.col("r.path").isNull())
+        .groupBy(F.col("s.ver").alias("as_of"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("live_files"),
+            F.sum("a.rows_").cast("long").alias("live_rows"),
+        )
+    )
+    per_ver = (
+        versions.join(
+            adds.groupBy("ver").agg(
+                F.count(F.lit(1)).cast("long").alias("n_adds")
+            ),
+            "ver",
+            "left",
+        )
+        .join(
+            removes.groupBy(F.col("r_ver").alias("ver")).agg(
+                F.count(F.lit(1)).cast("long").alias("n_removes")
+            ),
+            "ver",
+            "left",
+        )
+        .select(
+            "ver",
+            F.coalesce(F.col("n_adds"), F.lit(0).cast("long")).alias("n_adds"),
+            F.coalesce(F.col("n_removes"), F.lit(0).cast("long")).alias(
+                "n_removes"
+            ),
+        )
+    )
+    return per_ver.join(live, per_ver.ver == live.as_of).select(
+        F.col("ver").alias("version"),
+        "n_adds",
+        "n_removes",
+        "live_files",
+        "live_rows",
+    )
