@@ -4048,3 +4048,128 @@ def _register_streaming_lsh_candidate_buckets() -> None:
 
 
 _register_streaming_lsh_candidate_buckets()
+
+
+# ---------------------------------------------------------------------------
+# STREAMING TXN-LOG TAILER — the live twin of txn_log_time_travel: the
+# commit log is consumed as a file STREAM (the production shape — a
+# metadata tailer keeping a live table-state view as commits land), with
+# per-path state = (rows, removed) — both commutative (one add per path;
+# remove is a sticky tombstone), so the reconstruction is arrival-order-
+# independent by construction. State is bounded by the FILE COUNT
+# (metadata scale, never data scale). The converged emission aggregates
+# to the final-version live file set, checked against the generative
+# model's closed-form oracle.
+# ---------------------------------------------------------------------------
+def _register_streaming_txn_log_tail() -> None:
+    import uuid
+
+    from kafka_stream_job_spark.operators.formats import (
+        TXN_VERSIONS,
+        _stage_txn_log,
+    )
+    from kafka_stream_job_spark.registry import register
+
+    @register(
+        "streaming_txn_log_tail",
+        oracle=f"""
+            WITH v AS (SELECT unnest(range(0, {TXN_VERSIONS})) AS ver),
+            adds AS (
+                SELECT v.ver, 'f_' || v.ver || '_' || i.i AS path,
+                       CAST(100 + (v.ver * 7 + i.i) % 50 AS BIGINT) AS rows_
+                FROM v, (SELECT unnest(range(0, 4)) AS i) i
+                WHERE i.i < 2 + v.ver % 3
+            ),
+            removes AS (
+                SELECT ver, 'f_' || (ver - 2) || '_0' AS path
+                FROM v WHERE ver >= 2
+            )
+            SELECT CAST((SELECT COUNT(*) FROM adds) AS BIGINT) AS n_paths_seen,
+                   CAST((SELECT COUNT(*) FROM removes) AS BIGINT) AS n_removed,
+                   CAST((SELECT COUNT(*) FROM adds a
+                         WHERE a.path NOT IN (SELECT path FROM removes))
+                        AS BIGINT) AS live_files,
+                   CAST((SELECT SUM(a.rows_) FROM adds a
+                         WHERE a.path NOT IN (SELECT path FROM removes))
+                        AS BIGINT) AS live_rows
+        """,
+        tags=("streaming", "stateful", "lakehouse", "txn-log"),
+    )
+    def streaming_txn_log_tail(spark: SparkSession, sf_dir: str) -> DataFrame:
+        import tempfile
+
+        from pyspark.sql.streaming.state import GroupStateTimeout
+
+        stage = _stage_txn_log(spark, sf_dir)
+        schema = T.StructType(
+            [
+                T.StructField(
+                    "add",
+                    T.StructType(
+                        [
+                            T.StructField("path", T.StringType()),
+                            T.StructField("rows", T.LongType()),
+                        ]
+                    ),
+                ),
+                T.StructField(
+                    "remove",
+                    T.StructType([T.StructField("path", T.StringType())]),
+                ),
+            ]
+        )
+        log = (
+            spark.readStream.schema(schema)
+            .option("pathGlobFilter", "*.json")
+            .json(stage)
+        )
+        actions = log.select(
+            F.coalesce(F.col("add.path"), F.col("remove.path")).alias("path"),
+            F.coalesce(F.col("add.rows"), F.lit(0)).cast("long").alias("rows_"),
+            F.when(F.col("remove").isNotNull(), 1)
+            .otherwise(0)
+            .cast("long")
+            .alias("removed"),
+        )
+
+        def update(key, pdfs, state):
+            import pandas as pd
+
+            if state.exists:
+                rows_, removed = state.get
+            else:
+                rows_, removed = 0, 0
+            for pdf in pdfs:
+                rows_ = max(rows_, int(pdf["rows_"].max()))
+                removed = max(removed, int(pdf["removed"].max()))
+            state.update((rows_, removed))
+            yield pd.DataFrame(
+                {"path": [key[0]], "rows_": [rows_], "removed": [removed]}
+            )
+
+        emitted_stream = actions.groupBy("path").applyInPandasWithState(
+            update,
+            outputStructType="path string, rows_ long, removed long",
+            stateStructType="rows_ long, removed long",
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+        name = f"stream_txnlog_{uuid.uuid4().hex[:8]}"
+        ckpt = tempfile.mkdtemp(prefix="ksj-stream-txnlog-")
+        emitted = run_stream_to_memory(spark, emitted_stream, name, ckpt)
+        final = emitted.groupBy("path").agg(
+            F.max("rows_").cast("long").alias("rows_"),
+            F.max("removed").cast("long").alias("removed"),
+        )
+        live = F.when((F.col("rows_") > 0) & (F.col("removed") == 0), 1).otherwise(0)
+        return final.agg(
+            F.count(F.lit(1)).cast("long").alias("n_paths_seen"),
+            F.sum("removed").cast("long").alias("n_removed"),
+            F.sum(live).cast("long").alias("live_files"),
+            F.sum(F.when(live == 1, F.col("rows_")).otherwise(0))
+            .cast("long")
+            .alias("live_rows"),
+        )
+
+
+_register_streaming_txn_log_tail()

@@ -4977,3 +4977,36 @@ def test_gif_parser_roundtrip_and_rejects_malformed():
     bad[-10] ^= 0x55
     with pytest.raises(ValueError):
         decode_gif_real(bytes(bad))
+
+
+# ---------------------------------------------------------------------------
+# Mann-Whitney doubled-midrank identity: the operator's rank-sum formula
+# (2·rank sums via exclusive prefix counts) must equal the pair-counting
+# definition 2U_a = 2·#(a>b) + #(a==b) on any two samples — the identity
+# that makes the test exact under ties with pure integer arithmetic.
+# ---------------------------------------------------------------------------
+@settings(max_examples=200, deadline=None)
+@given(
+    a=st.lists(st.integers(min_value=0, max_value=20), min_size=1, max_size=40),
+    b=st.lists(st.integers(min_value=0, max_value=20), min_size=1, max_size=40),
+)
+def test_mann_whitney_doubled_midrank_identity(a, b):
+    # pair-counting definition
+    u2_pairs = sum(2 for x in a for y in b if x > y) + sum(
+        1 for x in a for y in b if x == y
+    )
+    # the operator's formula: group by value, exclusive prefix counts
+    from collections import Counter
+
+    ca, cb = Counter(a), Counter(b)
+    vals = sorted(set(a) | set(b))
+    running = 0
+    r2a = 0
+    for v in vals:
+        n_a, n_b = ca.get(v, 0), cb.get(v, 0)
+        n = n_a + n_b
+        r2a += n_a * (2 * running + n + 1)
+        running += n
+    na = len(a)
+    u2_formula = r2a - na * (na + 1)
+    assert u2_formula == u2_pairs
