@@ -1204,3 +1204,164 @@ def txn_log_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
         "live_files",
         "live_rows",
     )
+
+
+# ---------------------------------------------------------------------------
+# SCAN-TASK PLANNER — the executor-sizing question every 100 TB job
+# starts with, answered from FOOTERS ONLY via the ksj_parquet_meta
+# custom source (one task per file, no data pages touched): per file,
+# row groups, exact row counts, compressed footprint, the implied scan
+# task count at the target split size, and the single heaviest column
+# (the column-pruning payoff estimate). Input is a FIXED-PATH fixture
+# staged at MODULE IMPORT — the one ordering the driver contract
+# guarantees precedes both engines (it must import this module to
+# enumerate oracle_sql() at all) — so DuckDB's parquet_metadata() can
+# name the same files as a constant and the two engines audit identical
+# footers. Target split is fixture-scaled; production uses the 128 MiB
+# maxPartitionBytes convention — the arithmetic is the same.
+# ---------------------------------------------------------------------------
+SCAN_TARGET_BYTES = 4_096  # fixture-scaled stand-in for 128 MiB
+_PLANNER_FIXTURE_DIR = "/tmp/ksj-planner-fixture-v1"
+
+
+def _stage_planner_fixture() -> str:
+    """Idempotent fixed-path stage (marker + atomic rename): two parquet
+    files with different row-group layouts, deterministic content."""
+    import shutil
+
+    marker = os.path.join(_PLANNER_FIXTURE_DIR, "_staged")
+    if os.path.exists(marker):
+        return _PLANNER_FIXTURE_DIR
+    tmp = f"{_PLANNER_FIXTURE_DIR}.build-{os.getpid()}"
+    shutil.rmtree(tmp, ignore_errors=True)
+    os.makedirs(tmp)
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    n = 1000
+    wide = pa.table(
+        {
+            "id": pa.array(range(n), type=pa.int64()),
+            "v": pa.array([(i * 7 % 101) / 4.0 for i in range(n)], type=pa.float64()),
+            "s": pa.array([f"row_{i % 37}" for i in range(n)], type=pa.string()),
+        }
+    )
+    pq.write_table(wide, os.path.join(tmp, "wide.parquet"), row_group_size=100)
+    narrow = pa.table(
+        {"id": pa.array(range(400), type=pa.int64())}
+    )
+    pq.write_table(narrow, os.path.join(tmp, "narrow.parquet"), row_group_size=400)
+    with open(os.path.join(tmp, "_staged"), "w"):
+        pass
+    try:
+        os.rename(tmp, _PLANNER_FIXTURE_DIR)
+    except OSError:
+        if not os.path.exists(marker):
+            raise
+        shutil.rmtree(tmp, ignore_errors=True)
+    return _PLANNER_FIXTURE_DIR
+
+
+# import-time stage: guarantees existence before EITHER engine runs
+# (both the driver and verify_oracle import this module first).
+_stage_planner_fixture()
+
+_PLANNER_FILES = [
+    os.path.join(_PLANNER_FIXTURE_DIR, "wide.parquet"),
+    os.path.join(_PLANNER_FIXTURE_DIR, "narrow.parquet"),
+]
+
+
+def _planner_oracle() -> str:
+    per_file = " UNION ALL ".join(
+        f"SELECT '{os.path.splitext(os.path.basename(f))[0]}' AS table_name,"
+        f" * FROM parquet_metadata('{f}')"
+        for f in _PLANNER_FILES
+    )
+    return f"""
+        WITH meta AS ({per_file}),
+        rg AS (
+            SELECT table_name, row_group_id,
+                   CAST(MAX(row_group_num_rows) AS BIGINT) AS rg_rows,
+                   CAST(SUM(total_compressed_size) AS BIGINT) AS rg_bytes
+            FROM meta GROUP BY 1, 2
+        ),
+        cols AS (
+            SELECT table_name, path_in_schema,
+                   CAST(SUM(total_compressed_size) AS BIGINT) AS col_bytes
+            FROM meta GROUP BY 1, 2
+        ),
+        heavy AS (
+            SELECT table_name,
+                   (MIN(struct_pack(nb := -col_bytes, c := path_in_schema))).c
+                       AS heaviest_column,
+                   CAST(MAX(col_bytes) AS BIGINT) AS heaviest_col_bytes
+            FROM cols GROUP BY 1
+        )
+        SELECT r.table_name,
+               CAST(COUNT(*) AS BIGINT) AS n_rowgroups,
+               CAST(SUM(r.rg_rows) AS BIGINT) AS total_rows,
+               CAST(SUM(r.rg_bytes) AS BIGINT) AS compressed_bytes,
+               CAST((SUM(r.rg_bytes) + {SCAN_TARGET_BYTES} - 1)
+                    // {SCAN_TARGET_BYTES} AS BIGINT) AS n_scan_tasks,
+               h.heaviest_column, h.heaviest_col_bytes
+        FROM rg r JOIN heavy h USING (table_name)
+        GROUP BY r.table_name, h.heaviest_column, h.heaviest_col_bytes
+    """
+
+
+@register(
+    "scan_task_planner",
+    oracle=_planner_oracle(),
+    tags=("source-format", "parquet-meta", "planning", "scale"),
+)
+def scan_task_planner(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kafka_stream_job_spark.operators._portable import idiv
+    from kafka_stream_job_spark.sources.parquetmeta import (
+        register_parquetmeta_source,
+    )
+
+    _stage_planner_fixture()
+    register_parquetmeta_source(spark)
+    meta = (
+        spark.read.format("ksj_parquet_meta")
+        .option("paths", ",".join(_PLANNER_FILES))
+        .load()
+    )
+    rg = meta.groupBy("table_name", "row_group_id").agg(
+        F.max("rg_rows").cast("long").alias("rg_rows"),
+        F.sum("compressed_bytes").cast("long").alias("rg_bytes"),
+    )
+    cols = meta.groupBy("table_name", "column_name").agg(
+        F.sum("compressed_bytes").cast("long").alias("col_bytes")
+    )
+    heavy = cols.groupBy("table_name").agg(
+        F.min(
+            F.struct(
+                (-F.col("col_bytes")).alias("nb"),
+                F.col("column_name").alias("c"),
+            )
+        )["c"].alias("heaviest_column"),
+        F.max("col_bytes").cast("long").alias("heaviest_col_bytes"),
+    )
+    return (
+        rg.groupBy("table_name")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_rowgroups"),
+            F.sum("rg_rows").cast("long").alias("total_rows"),
+            F.sum("rg_bytes").cast("long").alias("compressed_bytes"),
+        )
+        .join(F.broadcast(heavy), "table_name")
+        .select(
+            "table_name",
+            "n_rowgroups",
+            "total_rows",
+            "compressed_bytes",
+            idiv(
+                F.col("compressed_bytes") + (SCAN_TARGET_BYTES - 1),
+                SCAN_TARGET_BYTES,
+            ).alias("n_scan_tasks"),
+            "heaviest_column",
+            "heaviest_col_bytes",
+        )
+    )

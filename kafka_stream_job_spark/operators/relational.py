@@ -13311,3 +13311,100 @@ def bandit_replay_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("sum_regret_micro"),
     )
+
+
+# ---------------------------------------------------------------------------
+# LABEL PROPAGATION (2 SYNCHRONOUS ROUNDS) — community seeds on the
+# supplier–part bipartite graph: every node starts labeled with its own
+# namespaced id and takes min(own, neighbors') each round, unrolled
+# twice (the bounded-round cousin of dedup_connected_components'
+# run-to-convergence loop — a production pipeline runs a FIXED budget
+# and reports progress). Each round is two edge-keyed joins; labels
+# travel with the edges, so no adjacency ever materializes per node.
+# Output: the community-size histogram after round 2, top 20.
+# ---------------------------------------------------------------------------
+LPA_PART_BASE = 1_000_000_000  # namespace part nodes above supplier ids
+LPA_TOP = 20
+
+
+@register(
+    "graph_label_propagation",
+    oracle=f"""
+        WITH edges AS (
+            SELECT DISTINCT l_suppkey AS s,
+                   l_partkey + {LPA_PART_BASE} AS p
+            FROM lineitem
+        ),
+        l0 AS (
+            SELECT s AS node, s AS lbl FROM (SELECT DISTINCT s FROM edges)
+            UNION ALL
+            SELECT p AS node, p AS lbl FROM (SELECT DISTINCT p FROM edges)
+        ),
+        r1 AS (
+            SELECT n.node,
+                   LEAST(n.lbl, COALESCE(MIN(o.lbl), n.lbl)) AS lbl
+            FROM l0 n
+            LEFT JOIN (
+                SELECT e.s AS node, l.lbl FROM edges e JOIN l0 l ON l.node = e.p
+                UNION ALL
+                SELECT e.p AS node, l.lbl FROM edges e JOIN l0 l ON l.node = e.s
+            ) o ON o.node = n.node
+            GROUP BY n.node, n.lbl
+        ),
+        r2 AS (
+            SELECT n.node,
+                   LEAST(n.lbl, COALESCE(MIN(o.lbl), n.lbl)) AS lbl
+            FROM r1 n
+            LEFT JOIN (
+                SELECT e.s AS node, l.lbl FROM edges e JOIN r1 l ON l.node = e.p
+                UNION ALL
+                SELECT e.p AS node, l.lbl FROM edges e JOIN r1 l ON l.node = e.s
+            ) o ON o.node = n.node
+            GROUP BY n.node, n.lbl
+        )
+        SELECT lbl AS community, CAST(COUNT(*) AS BIGINT) AS n_nodes
+        FROM r2 GROUP BY 1
+        ORDER BY n_nodes DESC, community
+        LIMIT {LPA_TOP}
+    """,
+    tags=("graph", "community", "iterative", "lineitem"),
+)
+def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    edges = li.select(
+        F.col("l_suppkey").alias("s"),
+        (F.col("l_partkey") + LPA_PART_BASE).alias("p"),
+    ).distinct()
+    l0 = (
+        edges.select(F.col("s").alias("node")).distinct()
+        .unionAll(edges.select(F.col("p").alias("node")).distinct())
+        .select("node", F.col("node").alias("lbl"))
+    )
+    labels = l0
+    for _ in range(2):
+        via_p = edges.join(
+            labels.select(F.col("node").alias("p"), F.col("lbl").alias("o_lbl")),
+            "p",
+        ).select(F.col("s").alias("node"), "o_lbl")
+        via_s = edges.join(
+            labels.select(F.col("node").alias("s"), F.col("lbl").alias("o_lbl")),
+            "s",
+        ).select(F.col("p").alias("node"), "o_lbl")
+        neigh = via_p.unionAll(via_s)
+        labels = (
+            labels.join(neigh, "node", "left")
+            .groupBy("node", "lbl")
+            .agg(F.min("o_lbl").alias("min_n"))
+            .select(
+                "node",
+                F.least(
+                    F.col("lbl"), F.coalesce(F.col("min_n"), F.col("lbl"))
+                ).alias("lbl"),
+            )
+        )
+    return (
+        labels.groupBy(F.col("lbl").alias("community"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n_nodes"))
+        .orderBy(F.desc("n_nodes"), "community")
+        .limit(LPA_TOP)
+    )

@@ -4173,3 +4173,151 @@ def _register_streaming_txn_log_tail() -> None:
 
 
 _register_streaming_txn_log_tail()
+
+
+# ---------------------------------------------------------------------------
+# STREAMING FEATURE-HASHING MONITOR — the live twin of
+# text_feature_hashing: each arriving document computes its per-bucket
+# token counts STATELESSLY in one row (a bounded 64-slot in-array
+# group-by, so a document contributes each bucket exactly once), and
+# per-(lang, bucket) state keeps (token mass, document reach) — both
+# additive over disjoint per-doc contributions, hence arrival-order-
+# independent. The top-3-per-language ranking runs batch-side over the
+# converged emission (the streaming_topk_types_hourly split), so the
+# oracle is SHARED verbatim with the batch twin. State ≤ |langs|·64.
+# ---------------------------------------------------------------------------
+def _register_streaming_feature_hashing_monitor() -> None:
+    import uuid
+
+    from kafka_stream_job_spark.operators.text import FH_BUCKETS, FH_TOP
+    from kafka_stream_job_spark.registry import REGISTRY, register
+
+    oracle = REGISTRY["text_feature_hashing"].oracle
+
+    @register(
+        "streaming_feature_hashing_monitor",
+        oracle=oracle,
+        tags=("streaming", "stateful", "features", "hashing", "documents"),
+    )
+    def streaming_feature_hashing_monitor(
+        spark: SparkSession, sf_dir: str
+    ) -> DataFrame:
+        import tempfile
+
+        from pyspark.sql import Window
+        from pyspark.sql.streaming.state import GroupStateTimeout
+
+        docs = stream_documents(spark, sf_dir).where(F.col("text").isNotNull())
+        # per-row: array of (bucket, cnt) over the doc's tokens — bounded
+        # 64-slot fold, one output row per touched bucket per document
+        bucket_counts = (
+            "filter(transform(sequence(0, {nb} - 1), b -> struct(b AS bucket,"
+            " size(filter(transform(split(lower(trim(regexp_replace(text,"
+            " '\\\\s+', ' '))), ' '),"
+            " t -> CAST(conv(substring(md5(t), 1, 7), 16, 10) AS BIGINT)"
+            " % {nb}), x -> x = b)) AS cnt)), s -> s.cnt > 0)"
+        ).format(nb=FH_BUCKETS)
+        per_doc = docs.select(
+            "lang", F.explode(F.expr(bucket_counts)).alias("bc")
+        ).select(
+            "lang",
+            F.col("bc.bucket").cast("long").alias("bucket"),
+            F.col("bc.cnt").cast("long").alias("cnt"),
+        )
+
+        def update(key, pdfs, state):
+            import pandas as pd
+
+            if state.exists:
+                n_tokens, n_docs = state.get
+            else:
+                n_tokens = n_docs = 0
+            for pdf in pdfs:
+                n_tokens += int(pdf["cnt"].sum())
+                n_docs += len(pdf)
+            state.update((n_tokens, n_docs))
+            yield pd.DataFrame(
+                {
+                    "lang": [key[0]],
+                    "bucket": [key[1]],
+                    "n_tokens": [n_tokens],
+                    "n_docs": [n_docs],
+                }
+            )
+
+        emitted_stream = per_doc.groupBy("lang", "bucket").applyInPandasWithState(
+            update,
+            outputStructType="lang string, bucket long, n_tokens long, n_docs long",
+            stateStructType="n_tokens long, n_docs long",
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+        name = f"stream_fh_{uuid.uuid4().hex[:8]}"
+        ckpt = tempfile.mkdtemp(prefix="ksj-stream-fh-")
+        emitted = run_stream_to_memory(spark, emitted_stream, name, ckpt)
+        final = emitted.groupBy("lang", "bucket").agg(
+            F.max("n_tokens").cast("long").alias("n_tokens"),
+            F.max("n_docs").cast("long").alias("n_docs"),
+        )
+        win = Window.partitionBy("lang").orderBy(
+            F.desc("n_tokens"), F.asc("bucket")
+        )
+        return (
+            final.withColumn("rnk", F.row_number().over(win).cast("long"))
+            .filter(F.col("rnk") <= FH_TOP)
+            .select("lang", "bucket", "n_tokens", "n_docs", "rnk")
+        )
+
+
+_register_streaming_feature_hashing_monitor()
+
+
+# ---------------------------------------------------------------------------
+# STREAMING GZIP-JSONL ROLLUP — the compressed-ingestion path consumed
+# THROUGH readStream: the same .jsonl.gz shards the batch twin stages
+# are tailed as a file stream (codec decompression is transparent on
+# the streaming read too), rolled up per event type in complete mode.
+# The non-splittable-gzip cost model is identical: one file = one task,
+# parallelism = shard count.
+# ---------------------------------------------------------------------------
+def _register_streaming_gzip_rollup() -> None:
+    import uuid
+
+    from kafka_stream_job_spark.operators.formats import _stage_gzip_jsonl
+    from kafka_stream_job_spark.registry import register
+
+    @register(
+        "streaming_gzip_jsonl_rollup",
+        oracle="""
+            SELECT event_type,
+                   CAST(COUNT(*) AS BIGINT) AS n_rows,
+                   CAST(SUM(CAST(ROUND(value * 100.0) AS BIGINT)) AS BIGINT)
+                       AS sum_cents
+            FROM events GROUP BY 1
+        """,
+        tags=("streaming", "source-format", "gzip", "events"),
+    )
+    def streaming_gzip_jsonl_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+        import tempfile
+
+        stage = _stage_gzip_jsonl(spark, sf_dir)
+        schema = (
+            "event_id BIGINT, user_id BIGINT, event_type STRING, value DOUBLE"
+        )
+        rows = (
+            spark.readStream.schema(schema)
+            .option("pathGlobFilter", "*.jsonl.gz")
+            .json(stage)
+        )
+        agg = rows.groupBy("event_type").agg(
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            F.sum(F.round(F.col("value") * 100.0, 0).cast("long"))
+            .cast("long")
+            .alias("sum_cents"),
+        )
+        name = f"stream_gz_{uuid.uuid4().hex[:8]}"
+        ckpt = tempfile.mkdtemp(prefix="ksj-stream-gz-")
+        return run_stream_to_memory(spark, agg, name, ckpt, output_mode="complete")
+
+
+_register_streaming_gzip_rollup()
