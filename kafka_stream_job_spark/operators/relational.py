@@ -13408,3 +13408,119 @@ def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("n_nodes"), "community")
         .limit(LPA_TOP)
     )
+
+
+# ---------------------------------------------------------------------------
+# ATTRIBUTION WINDOW SWEEP — the policy question behind
+# asof_purchase_attribution: how much attribution coverage does each
+# candidate lookback window buy? The last-touch resolution runs ONCE
+# (the union + last-ignorenulls window — one user-keyed shuffle, no
+# range-join explosion), and the {5 min, 30 min, 2 h} sweep is three
+# CASE-sums over the same resolved rows — a window-grid costs one scan,
+# not |grid| scans. Lags are exact integer seconds.
+# ---------------------------------------------------------------------------
+ATTR_WINDOWS_SEC = (300, 1800, 7200)
+
+
+@register(
+    "attribution_window_sweep",
+    oracle=f"""
+        WITH touches AS (
+            SELECT user_id, ts
+            FROM events WHERE event_type IN ('view', 'click')
+        ),
+        purchases AS (
+            SELECT user_id, ts, event_id FROM events
+            WHERE event_type = 'purchase'
+        ),
+        resolved AS (
+            SELECT p.event_id,
+                   CAST(date_diff('second', t.ts, p.ts) AS BIGINT) AS lag_s
+            FROM purchases p
+            ASOF LEFT JOIN touches t
+              ON p.user_id = t.user_id AND t.ts <= p.ts
+        ),
+        grid(w_seconds) AS (VALUES {", ".join(f"({w})" for w in ATTR_WINDOWS_SEC)})
+        SELECT CAST(g.w_seconds AS BIGINT) AS w_seconds,
+               CAST(COUNT(*) AS BIGINT) AS n_purchases,
+               CAST(SUM(CASE WHEN r.lag_s IS NOT NULL
+                              AND r.lag_s <= g.w_seconds
+                             THEN 1 ELSE 0 END) AS BIGINT) AS n_attributed,
+               CAST((2 * CAST(SUM(CASE WHEN r.lag_s IS NOT NULL
+                                        AND r.lag_s <= g.w_seconds
+                                       THEN 1 ELSE 0 END) AS BIGINT) * 10000
+                     + COUNT(*)) // (2 * COUNT(*)) AS BIGINT) AS attach_bp,
+               CAST(SUM(CASE WHEN r.lag_s IS NOT NULL
+                              AND r.lag_s <= g.w_seconds
+                             THEN r.lag_s ELSE 0 END) AS BIGINT)
+                   AS sum_lag_seconds
+        FROM resolved r CROSS JOIN grid g
+        GROUP BY 1
+    """,
+    tags=("join", "asof", "attribution", "sweep", "events"),
+)
+def attribution_window_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    touches = events.filter(
+        F.col("event_type").isin("view", "click")
+    ).select(
+        "user_id",
+        "ts",
+        F.lit(0).alias("marker"),
+        F.lit(None).cast("long").alias("event_id"),
+        F.col("ts").alias("touch_ts"),
+    )
+    purchases = events.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        "ts",
+        F.lit(1).alias("marker"),
+        "event_id",
+        F.lit(None).cast(events.schema["ts"].dataType).alias("touch_ts"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "marker")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    resolved = (
+        touches.unionByName(purchases)
+        .withColumn("last_touch_ts", F.last("touch_ts", ignorenulls=True).over(w))
+        .filter(F.col("marker") == 1)
+        .select(
+            "event_id",
+            # truncate-each-then-diff == DuckDB date_diff('second', ...):
+            # both count second-boundary crossings, not elapsed seconds
+            (F.unix_timestamp("ts") - F.unix_timestamp("last_touch_ts"))
+            .cast("long")
+            .alias("lag_s"),
+        )
+    )
+    grid = spark.createDataFrame(
+        [(w,) for w in ATTR_WINDOWS_SEC], "w_seconds long"
+    )
+    attributed = F.when(
+        F.col("lag_s").isNotNull() & (F.col("lag_s") <= F.col("w_seconds")), 1
+    ).otherwise(0)
+    return (
+        resolved.crossJoin(F.broadcast(grid))
+        .groupBy("w_seconds")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_purchases"),
+            F.sum(attributed).cast("long").alias("n_attributed"),
+            F.sum(
+                F.when(attributed == 1, F.col("lag_s")).otherwise(0)
+            )
+            .cast("long")
+            .alias("sum_lag_seconds"),
+        )
+        .select(
+            "w_seconds",
+            "n_purchases",
+            "n_attributed",
+            idiv(
+                F.col("n_attributed") * 2 * 10000 + F.col("n_purchases"),
+                F.col("n_purchases") * 2,
+            ).alias("attach_bp"),
+            "sum_lag_seconds",
+        )
+    )

@@ -3720,3 +3720,128 @@ def embedding_jl_projection_audit(spark: SparkSession, sf_dir: str) -> DataFrame
             .alias("avg_ratio_micro"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# QUANTIZATION BIT-WIDTH SWEEP — the storage/recall trade behind the
+# int8 / PQ / 1-bit family measured in one pass: symmetric quantization
+# at 8, 4, and 2 bits against the corpus-wide max-abs scale, with the
+# per-vector reconstruction SSE computed by a pinned sequential fold of
+# IDENTICAL double expressions on both engines, then rounded to integer
+# milli-units BEFORE any cross-row sum (order-free totals). The scale
+# constant is one broadcast row; the three widths share the single scan
+# (the nested-seeds trick from kmeans_inertia_elbow).
+# ---------------------------------------------------------------------------
+BW_SCALE = 1_000
+BW_BITS = (8, 4, 2)
+
+
+def _bw_sse_term(l_levels: int) -> str:
+    # (x - ROUND(x·L/g)·g/L)² with x already an exact integer in millis
+    return (
+        "(CAST(x AS DOUBLE)"
+        f" - ROUND(CAST(x AS DOUBLE) * {l_levels}.0 / g)"
+        f" * g / {l_levels}.0)"
+    )
+
+
+@register(
+    "embedding_bitwidth_sweep",
+    oracle=f"""
+        WITH q AS (
+            SELECT list_transform(embedding::DOUBLE[],
+                                  x -> CAST(ROUND(x * {BW_SCALE}.0) AS BIGINT))
+                       AS xq
+            FROM embeddings
+        ),
+        gmax AS (
+            SELECT CAST(MAX(list_reduce(list_prepend(CAST(0 AS BIGINT),
+                       list_transform(xq, x -> abs(x))),
+                       (acc, v) -> CASE WHEN v > acc THEN v ELSE acc END))
+                       AS DOUBLE) AS g
+            FROM q
+        ),
+        sse AS (
+            SELECT {", ".join(
+                "CAST(ROUND(list_reduce(list_prepend(0.0, "
+                "list_transform(xq, x -> "
+                + _bw_sse_term(2 ** (b - 1) - 1) + " * "
+                + _bw_sse_term(2 ** (b - 1) - 1)
+                + ")), (acc, v) -> acc + v) * 1000.0) AS BIGINT)"
+                " AS sse_milli_" + str(b)
+                for b in BW_BITS
+            )}
+            FROM q, gmax
+        ),
+        u AS (
+            {" UNION ALL ".join(
+                f"SELECT {b} AS bits, sse_milli_{b} AS sse_milli FROM sse"
+                for b in BW_BITS
+            )}
+        )
+        SELECT CAST(bits AS BIGINT) AS bits,
+               CAST(COUNT(*) AS BIGINT) AS n_vecs,
+               CAST(SUM(sse_milli) AS BIGINT) AS total_sse_milli,
+               CAST(ROUND(CAST(SUM(sse_milli) AS BIGINT) * 1.0 / COUNT(*))
+                    AS BIGINT) AS avg_sse_milli
+        FROM u GROUP BY 1
+    """,
+    tags=("embeddings", "quantization", "sweep", "sketch"),
+)
+def embedding_bitwidth_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings", rebalance=True)
+    q = emb.select(
+        F.expr(
+            f"transform(embedding, x -> CAST(ROUND(CAST(x AS DOUBLE)"
+            f" * {BW_SCALE}.0) AS BIGINT))"
+        ).alias("xq")
+    )
+    gmax = q.agg(
+        F.max(
+            F.expr(
+                "aggregate(transform(xq, x -> abs(x)), 0L,"
+                " (acc, v) -> CASE WHEN v > acc THEN v ELSE acc END)"
+            )
+        )
+        .cast("double")
+        .alias("g")
+    )
+    sse_cols = []
+    for b in BW_BITS:
+        term = _bw_sse_term(2 ** (b - 1) - 1)
+        sse_cols.append(
+            F.expr(
+                f"CAST(ROUND(aggregate(transform(xq, x -> {term} * {term}),"
+                " CAST(0.0 AS DOUBLE), (acc, v) -> acc + v) * 1000.0)"
+                " AS BIGINT)"
+            ).alias(f"sse_milli_{b}")
+        )
+    sse = q.crossJoin(F.broadcast(gmax)).select(*sse_cols)
+    u = sse.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).cast("long").alias("bits"),
+                        F.col(f"sse_milli_{b}").alias("sse_milli"),
+                    )
+                    for b in BW_BITS
+                ]
+            )
+        ).alias("s")
+    ).select("s.bits", "s.sse_milli")
+    return (
+        u.groupBy("bits")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_vecs"),
+            F.sum("sse_milli").cast("long").alias("total_sse_milli"),
+        )
+        .select(
+            "bits",
+            "n_vecs",
+            "total_sse_milli",
+            F.round(F.col("total_sse_milli") * 1.0 / F.col("n_vecs"), 0)
+            .cast("long")
+            .alias("avg_sse_milli"),
+        )
+    )

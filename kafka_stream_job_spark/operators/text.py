@@ -4346,3 +4346,209 @@ def text_hapax_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("hapax_ratio_bp"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# BIGRAM ENTROPY RATE — per-source conditional entropy H(next | prev) in
+# integer micro-nats (pure-ILN, zero libm): the corpus-level
+# compressibility statistic that complements the per-document LM scores
+# (a source whose entropy rate collapses is template spam; one that
+# climbs is churn). H·N = Σ c(w1,w2)·(ILN(c(w1)) − ILN(c(w1,w2))),
+# divided out half-up. Bigrams come from one in-array slice-zip per
+# document (no self-join); both ILN attachments ride the 63-row
+# broadcast.
+# ---------------------------------------------------------------------------
+@register(
+    "text_entropy_rate_bigram",
+    oracle=f"""
+        WITH toks AS (
+            SELECT doc_id, source,
+                   string_split({_BL_NORM_SQL}, ' ') AS ts
+            FROM documents
+        ),
+        bg AS (
+            SELECT source,
+                   ts[i] AS w1, ts[i + 1] AS w2
+            FROM (SELECT source, ts,
+                         UNNEST(range(1, greatest(len(ts), 1))) AS i
+                  FROM toks)
+        ),
+        c12 AS (
+            SELECT source, w1, w2, CAST(COUNT(*) AS BIGINT) AS c
+            FROM bg GROUP BY 1, 2, 3
+        ),
+        c1 AS (
+            SELECT source, w1, CAST(SUM(c) AS BIGINT) AS c1
+            FROM c12 GROUP BY 1, 2
+        ),
+        ilntab(e, lo, hi, sdiv, smul, eln) AS (VALUES {_ILN_VALUES_SQL}),
+        w12 AS (
+            SELECT x.source, x.w1, x.c,
+                   t.eln + {_iln_frac_sql('((x.c // t.sdiv) * t.smul)')}
+                       AS iln_c12
+            FROM c12 x JOIN ilntab t ON x.c >= t.lo AND x.c <= t.hi
+        ),
+        w1t AS (
+            SELECT x.source, x.w1,
+                   t.eln + {_iln_frac_sql('((x.c1 // t.sdiv) * t.smul)')}
+                       AS iln_c1
+            FROM c1 x JOIN ilntab t ON x.c1 >= t.lo AND x.c1 <= t.hi
+        ),
+        agg AS (
+            SELECT a.source,
+                   CAST(SUM(a.c) AS BIGINT) AS n_bigrams,
+                   CAST(COUNT(*) AS BIGINT) AS vocab_bigrams,
+                   CAST(SUM(a.c * (b.iln_c1 - a.iln_c12)) AS BIGINT) AS hs
+            FROM w12 a
+            JOIN w1t b ON b.source = a.source AND b.w1 = a.w1
+            GROUP BY 1
+        )
+        SELECT source, n_bigrams, vocab_bigrams,
+               CAST((2 * hs + n_bigrams) // (2 * n_bigrams) AS BIGINT)
+                   AS entropy_rate_unats
+        FROM agg
+    """,
+    tags=("text", "llm-pipeline", "entropy", "bigram", "documents"),
+)
+def text_entropy_rate_bigram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kafka_stream_job_spark.operators.dedup import _norm_text
+
+    docs = load_table(spark, sf_dir, "documents")
+    staged = docs.select("source", F.split(_norm_text(), " ").alias("ts"))
+    # guard: Spark's sequence(1, 0) DESCENDS instead of being empty, so
+    # single-token documents must short-circuit to an empty array
+    bg = staged.select(
+        "source",
+        F.explode(
+            F.expr(
+                "CASE WHEN size(ts) >= 2 THEN"
+                " transform(sequence(1, size(ts) - 1),"
+                " i -> struct(element_at(ts, i) AS w1,"
+                " element_at(ts, i + 1) AS w2))"
+                " ELSE CAST(array() AS array<struct<w1:string,w2:string>>)"
+                " END"
+            )
+        ).alias("b"),
+    ).select("source", F.col("b.w1").alias("w1"), F.col("b.w2").alias("w2"))
+    c12 = bg.groupBy("source", "w1", "w2").agg(
+        F.count(F.lit(1)).cast("long").alias("c")
+    )
+    c1 = c12.groupBy("source", "w1").agg(F.sum("c").cast("long").alias("c1"))
+    w12 = _attach_iln(spark, c12, "c", "iln_c12")
+    w1t = _attach_iln(spark, c1, "c1", "iln_c1").select(
+        "source", "w1", "iln_c1"
+    )
+    agg = (
+        w12.join(w1t, ["source", "w1"])
+        .groupBy("source")
+        .agg(
+            F.sum("c").cast("long").alias("n_bigrams"),
+            F.count(F.lit(1)).cast("long").alias("vocab_bigrams"),
+            F.sum(F.col("c") * (F.col("iln_c1") - F.col("iln_c12")))
+            .cast("long")
+            .alias("hs"),
+        )
+    )
+    return agg.select(
+        "source",
+        "n_bigrams",
+        "vocab_bigrams",
+        idiv(
+            F.col("hs") * 2 + F.col("n_bigrams"), F.col("n_bigrams") * 2
+        ).alias("entropy_rate_unats"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# KENDALL RANK CORRELATION — do two document orderings agree? τ_a over a
+# CONSTANT-SIZE probe set (first KENDALL_N doc_ids — the N_QUERIES
+# convention, so the pair expansion is 4,950 rows at ANY corpus scale,
+# never data-sized) between the length ranking and the distinct-token
+# ranking, with exact integer concordant/discordant/tie counts. The
+# generic ranking-eval primitive behind tokenizer/quality A-B
+# comparisons.
+# ---------------------------------------------------------------------------
+KENDALL_N = 100
+
+
+@register(
+    "rank_correlation_kendall",
+    oracle=f"""
+        WITH m AS (
+            SELECT doc_id,
+                   CAST(LENGTH(text) AS BIGINT) AS x,
+                   CAST(len(list_distinct(string_split({_BL_NORM_SQL}, ' ')))
+                        AS BIGINT) AS y
+            FROM documents WHERE doc_id < {KENDALL_N}
+        ),
+        pairs AS (
+            SELECT (a.x - b.x) AS dx, (a.y - b.y) AS dy
+            FROM m a JOIN m b ON a.doc_id < b.doc_id
+        ),
+        cnt AS (
+            SELECT
+                CAST(SUM(CASE WHEN dx * dy > 0 THEN 1 ELSE 0 END) AS BIGINT)
+                    AS concordant,
+                CAST(SUM(CASE WHEN dx * dy < 0 THEN 1 ELSE 0 END) AS BIGINT)
+                    AS discordant,
+                CAST(SUM(CASE WHEN dx * dy = 0 THEN 1 ELSE 0 END) AS BIGINT)
+                    AS ties,
+                CAST(COUNT(*) AS BIGINT) AS n_pairs
+            FROM pairs
+        )
+        SELECT concordant, discordant, ties, n_pairs,
+               CAST(ROUND((CAST(concordant AS DOUBLE)
+                           - CAST(discordant AS DOUBLE))
+                          / CAST(n_pairs AS DOUBLE) * 1000000.0) AS BIGINT)
+                   AS tau_micro
+        FROM cnt
+    """,
+    tags=("text", "stats", "rank-correlation", "documents"),
+)
+def rank_correlation_kendall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kafka_stream_job_spark.operators.dedup import _norm_text
+
+    docs = load_table(spark, sf_dir, "documents")
+    m = docs.filter(F.col("doc_id") < KENDALL_N).select(
+        "doc_id",
+        F.length("text").cast("long").alias("x"),
+        F.size(F.array_distinct(F.split(_norm_text(), " ")))
+        .cast("long")
+        .alias("y"),
+    )
+    a = m.select(
+        F.col("doc_id").alias("a_id"), F.col("x").alias("ax"), F.col("y").alias("ay")
+    )
+    b = m.select(
+        F.col("doc_id").alias("b_id"), F.col("x").alias("bx"), F.col("y").alias("by")
+    )
+    pairs = a.join(F.broadcast(b), F.col("a_id") < F.col("b_id")).select(
+        (F.col("ax") - F.col("bx")).alias("dx"),
+        (F.col("ay") - F.col("by")).alias("dy"),
+    )
+    cnt = pairs.agg(
+        F.sum(F.when(F.col("dx") * F.col("dy") > 0, 1).otherwise(0))
+        .cast("long")
+        .alias("concordant"),
+        F.sum(F.when(F.col("dx") * F.col("dy") < 0, 1).otherwise(0))
+        .cast("long")
+        .alias("discordant"),
+        F.sum(F.when(F.col("dx") * F.col("dy") == 0, 1).otherwise(0))
+        .cast("long")
+        .alias("ties"),
+        F.count(F.lit(1)).cast("long").alias("n_pairs"),
+    )
+    return cnt.select(
+        "concordant",
+        "discordant",
+        "ties",
+        "n_pairs",
+        F.round(
+            (F.col("concordant").cast("double") - F.col("discordant").cast("double"))
+            / F.col("n_pairs").cast("double")
+            * 1000000.0,
+            0,
+        )
+        .cast("long")
+        .alias("tau_micro"),
+    )
