@@ -1912,3 +1912,128 @@ def multimodal_gif_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id long, width long, height long, n_pixels long, "
         "palette_size long, sum_luma long",
     )
+
+
+# ---------------------------------------------------------------------------
+# MAGIC-BYTE SNIFFING INGEST — the dispatch layer a mixed multimodal
+# lake actually needs: payloads arrive with NO format column (each
+# document is packed by doc_id % 3 into BMP, PNG, or GIF via the SAME
+# generative encoders the per-format ops use), and the decode stage
+# routes each blob purely by its magic bytes to the matching REAL
+# decoder, unifying the three codecs' outputs into one luma-milli
+# schema. A wrong sniff or a cross-codec decode raises loudly. The
+# oracle recomputes every per-format rollup from the three pixel models
+# — one branch per residue class.
+# ---------------------------------------------------------------------------
+def _sniffer_luma_sql(width_sql: str, height_sql: str) -> str:
+    return (
+        "CAST(list_sum(list_transform(range(0, ("
+        + width_sql
+        + ") * ("
+        + height_sql
+        + ")), j -> CAST(ascii(substring(text,"
+        " CAST(j % length(text) AS INT) + 1, 1)) % 256 AS BIGINT)))"
+        " AS BIGINT)"
+    )
+
+
+@register(
+    "multimodal_magic_sniffer",
+    oracle=f"""
+        WITH per_doc AS (
+            SELECT doc_id,
+                   CASE doc_id % 3 WHEN 0 THEN 'bmp' WHEN 1 THEN 'png'
+                        ELSE 'gif' END AS fmt,
+                   CASE doc_id % 3
+                        WHEN 0 THEN (7 + doc_id % 5) * (6 + doc_id % 3)
+                        WHEN 1 THEN (9 + doc_id % 4) * (5 + doc_id % 3)
+                        ELSE (6 + doc_id % 5) * (4 + doc_id % 4) END
+                       AS n_pixels,
+                   CASE doc_id % 3
+                        WHEN 0 THEN {_bmp_channel_sum_sql(2)} * 299
+                                    + {_bmp_channel_sum_sql(1)} * 587
+                                    + {_bmp_channel_sum_sql(0)} * 114
+                        WHEN 1 THEN {_sniffer_luma_sql("9 + doc_id % 4", "5 + doc_id % 3")} * 1000
+                        ELSE {_sniffer_luma_sql("6 + doc_id % 5", "4 + doc_id % 4")} * 1000
+                        END AS luma_milli
+            FROM documents WHERE length(text) > 0
+        )
+        SELECT fmt,
+               CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(n_pixels) AS BIGINT) AS total_pixels,
+               CAST(SUM(luma_milli) AS BIGINT) AS total_luma_milli
+        FROM per_doc GROUP BY 1
+    """,
+    tags=("multimodal", "image", "sniffing", "real-decode", "documents"),
+)
+def multimodal_magic_sniffer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = (
+        load_table(spark, sf_dir, "documents", rebalance=True)
+        .select("doc_id", "text")
+        .filter(F.length("text") > 0)
+    )
+
+    def encode_batches(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            outs = []
+            for residue, enc in (
+                (0, _bmp_encode_batches),
+                (1, _png_encode_batches),
+                (2, _gif_encode_batches),
+            ):
+                sub = pdf[pdf["doc_id"] % 3 == residue]
+                if len(sub):
+                    outs.extend(enc(iter([sub])))
+            if outs:
+                yield pd.concat(outs, ignore_index=True)
+
+    def decode_batches(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            rows = {
+                "doc_id": [],
+                "fmt": [],
+                "n_pixels": [],
+                "luma_milli": [],
+            }
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                blob = bytes(payload)
+                if blob[:2] == b"BM":
+                    got = decode_bmp_real(blob)
+                    fmt = "bmp"
+                    luma = (
+                        got["sum_r"] * 299
+                        + got["sum_g"] * 587
+                        + got["sum_b"] * 114
+                    )
+                elif blob[:8] == PNG_SIG:
+                    got = decode_png_real(blob)
+                    fmt = "png"
+                    luma = got["sum_luma"] * 1000
+                elif blob[:6] in (b"GIF87a", b"GIF89a"):
+                    got = decode_gif_real(blob)
+                    fmt = "gif"
+                    luma = got["sum_luma"] * 1000
+                else:
+                    raise ValueError(
+                        f"unknown magic {blob[:8]!r} for doc {doc_id}"
+                    )
+                rows["doc_id"].append(int(doc_id))
+                rows["fmt"].append(fmt)
+                rows["n_pixels"].append(got["n_pixels"])
+                rows["luma_milli"].append(luma)
+            yield pd.DataFrame(rows)
+
+    blobs = docs.mapInPandas(encode_batches, "doc_id long, payload binary")
+    parsed = blobs.mapInPandas(
+        decode_batches,
+        "doc_id long, fmt string, n_pixels long, luma_milli long",
+    )
+    return parsed.groupBy("fmt").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("n_pixels").cast("long").alias("total_pixels"),
+        F.sum("luma_milli").cast("long").alias("total_luma_milli"),
+    )

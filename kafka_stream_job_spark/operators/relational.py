@@ -13524,3 +13524,183 @@ def attribution_window_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
             "sum_lag_seconds",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# SEASONALITY STRENGTH (η²) — how much of each event type's value
+# variance is explained by hour-of-day? The one-number STL-lite signal
+# that decides whether a forecaster needs a seasonal term. All scatter
+# moments are exact int64 cents; the one rational per group (S_g²/n_g)
+# quantizes to an integer BEFORE the 24-group sum, so η² is engine-
+# exact. Two bounded aggregates — nothing here scales past
+# |types| × 24 rows after the first scan.
+# ---------------------------------------------------------------------------
+@register(
+    "events_seasonality_strength",
+    oracle="""
+        WITH c AS (
+            SELECT event_type, CAST(hour(ts) AS BIGINT) AS hod,
+                   CAST(ROUND(value * 100.0) AS BIGINT) AS cents
+            FROM events
+        ),
+        g AS (
+            SELECT event_type, hod,
+                   CAST(COUNT(*) AS BIGINT) AS n_g,
+                   CAST(SUM(cents) AS BIGINT) AS s_g
+            FROM c GROUP BY 1, 2
+        ),
+        gq AS (
+            SELECT event_type, n_g, s_g,
+                   CAST(ROUND(CAST(s_g AS DOUBLE) * s_g / n_g) AS BIGINT)
+                       AS t_g
+            FROM g
+        ),
+        tot AS (
+            SELECT event_type,
+                   CAST(SUM(n_g) AS BIGINT) AS n,
+                   CAST(SUM(s_g) AS BIGINT) AS s,
+                   CAST(SUM(t_g) AS BIGINT) AS sum_t,
+                   CAST(COUNT(*) AS BIGINT) AS n_hours_of_day
+            FROM gq GROUP BY 1
+        ),
+        sq AS (
+            SELECT event_type, CAST(SUM(cents * cents) AS BIGINT) AS ss
+            FROM c GROUP BY 1
+        )
+        SELECT t.event_type, t.n, t.n_hours_of_day,
+               CAST(ROUND(
+                   (CAST(t.n AS DOUBLE) * CAST(t.sum_t AS DOUBLE)
+                    - CAST(t.s AS DOUBLE) * CAST(t.s AS DOUBLE))
+                   / (CAST(t.n AS DOUBLE) * CAST(q.ss AS DOUBLE)
+                      - CAST(t.s AS DOUBLE) * CAST(t.s AS DOUBLE))
+                   * 1000000.0) AS BIGINT) AS eta2_micro
+        FROM tot t JOIN sq q ON q.event_type = t.event_type
+    """,
+    tags=("events", "timeseries", "seasonality", "stats"),
+)
+def events_seasonality_strength(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    c = events.select(
+        "event_type",
+        F.hour("ts").cast("long").alias("hod"),
+        F.round(F.col("value") * 100.0, 0).cast("long").alias("cents"),
+    )
+    g = c.groupBy("event_type", "hod").agg(
+        F.count(F.lit(1)).cast("long").alias("n_g"),
+        F.sum("cents").cast("long").alias("s_g"),
+    )
+    gq = g.select(
+        "event_type",
+        "n_g",
+        "s_g",
+        F.round(F.col("s_g").cast("double") * F.col("s_g") / F.col("n_g"), 0)
+        .cast("long")
+        .alias("t_g"),
+    )
+    tot = gq.groupBy("event_type").agg(
+        F.sum("n_g").cast("long").alias("n"),
+        F.sum("s_g").cast("long").alias("s"),
+        F.sum("t_g").cast("long").alias("sum_t"),
+        F.count(F.lit(1)).cast("long").alias("n_hours_of_day"),
+    )
+    sq = c.groupBy("event_type").agg(
+        F.sum(F.col("cents") * F.col("cents")).cast("long").alias("ss")
+    )
+    nd = F.col("n").cast("double")
+    sd = F.col("s").cast("double")
+    eta2 = (
+        (nd * F.col("sum_t").cast("double") - sd * sd)
+        / (nd * F.col("ss").cast("double") - sd * sd)
+    )
+    return tot.join(sq, "event_type").select(
+        "event_type",
+        "n",
+        "n_hours_of_day",
+        F.round(eta2 * 1000000.0, 0).cast("long").alias("eta2_micro"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# HOURLY TYPE-MIX ENTROPY — per-hour Shannon entropy of the event-type
+# mix in ILN micro-nats: the live "is traffic composition shifting"
+# drift series (an hour whose entropy collapses is a bot storm or an
+# outage of every other type). Group cardinality is hours × types —
+# time-domain-bounded; the 63-row ILN table broadcasts.
+# ---------------------------------------------------------------------------
+def _hourly_entropy_oracle() -> str:
+    from kafka_stream_job_spark.operators.text import (
+        _ILN_VALUES_SQL,
+        _iln_frac_sql,
+    )
+
+    return f"""
+        WITH c AS (
+            SELECT CAST(date_trunc('hour', ts) AS VARCHAR) AS hour_ts,
+                   event_type, CAST(COUNT(*) AS BIGINT) AS c
+            FROM events GROUP BY 1, 2
+        ),
+        tot AS (
+            SELECT hour_ts, CAST(SUM(c) AS BIGINT) AS n,
+                   CAST(COUNT(*) AS BIGINT) AS n_types
+            FROM c GROUP BY 1
+        ),
+        ilntab(e, lo, hi, sdiv, smul, eln) AS (VALUES {_ILN_VALUES_SQL}),
+        cw AS (
+            SELECT x.hour_ts,
+                   CAST(SUM(x.c * (t.eln
+                       + {_iln_frac_sql('((x.c // t.sdiv) * t.smul)')}))
+                       AS BIGINT) AS sum_c_iln
+            FROM c x JOIN ilntab t ON x.c >= t.lo AND x.c <= t.hi
+            GROUP BY 1
+        ),
+        nw AS (
+            SELECT x.hour_ts, x.n, x.n_types,
+                   x.n * (t.eln
+                       + {_iln_frac_sql('((x.n // t.sdiv) * t.smul)')})
+                       AS n_iln_n
+            FROM tot x JOIN ilntab t ON x.n >= t.lo AND x.n <= t.hi
+        )
+        SELECT w.hour_ts, w.n AS n_events, w.n_types,
+               CAST((2 * (w.n_iln_n - cw.sum_c_iln) + w.n) // (2 * w.n)
+                    AS BIGINT) AS entropy_unats
+        FROM nw w JOIN cw ON cw.hour_ts = w.hour_ts
+    """
+
+
+@register(
+    "events_hourly_type_entropy",
+    oracle=_hourly_entropy_oracle(),
+    tags=("events", "entropy", "drift", "timeseries"),
+)
+def events_hourly_type_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kafka_stream_job_spark.operators.text import _attach_iln
+
+    events = load_table(spark, sf_dir, "events")
+    c = events.groupBy(
+        F.date_trunc("hour", "ts").cast("string").alias("hour_ts"),
+        "event_type",
+    ).agg(F.count(F.lit(1)).cast("long").alias("c"))
+    tot = c.groupBy("hour_ts").agg(
+        F.sum("c").cast("long").alias("n"),
+        F.count(F.lit(1)).cast("long").alias("n_types"),
+    )
+    cw = (
+        _attach_iln(spark, c, "c", "iln_c")
+        .groupBy("hour_ts")
+        .agg(F.sum(F.col("c") * F.col("iln_c")).cast("long").alias("sum_c_iln"))
+    )
+    nw = _attach_iln(spark, tot, "n", "iln_n").select(
+        "hour_ts",
+        "n",
+        "n_types",
+        (F.col("n") * F.col("iln_n")).alias("n_iln_n"),
+    )
+    return nw.join(cw, "hour_ts").select(
+        "hour_ts",
+        F.col("n").alias("n_events"),
+        "n_types",
+        idiv(
+            (F.col("n_iln_n") - F.col("sum_c_iln")) * 2 + F.col("n"),
+            F.col("n") * 2,
+        ).alias("entropy_unats"),
+    )

@@ -4552,3 +4552,61 @@ def rank_correlation_kendall(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("tau_micro"),
     )
+
+
+# ---------------------------------------------------------------------------
+# FANO BURSTINESS — variance-to-mean ratio of per-document token counts
+# per source: the dispersion statistic separating uniform template
+# output (Fano « 1) from bursty mixed scrapes (Fano » 1). The ratio is
+# var/mean = (n·Σk² − (Σk)²) / (n·Σk) — a single rational of exact
+# int64 moments, rounded once; one constant-width aggregate per source.
+# ---------------------------------------------------------------------------
+@register(
+    "text_fano_burstiness",
+    oracle=r"""
+        WITH k AS (
+            SELECT source,
+                   CAST(len(string_split_regex(TRIM(text), '\s+')) AS BIGINT)
+                       AS k
+            FROM documents
+        ),
+        mo AS (
+            SELECT source,
+                   CAST(COUNT(*) AS BIGINT) AS n,
+                   CAST(SUM(k) AS BIGINT) AS s,
+                   CAST(SUM(k * k) AS BIGINT) AS ss
+            FROM k GROUP BY 1
+        )
+        SELECT source, n, s AS total_tokens,
+               CAST(ROUND(
+                   (CAST(n AS DOUBLE) * CAST(ss AS DOUBLE)
+                    - CAST(s AS DOUBLE) * CAST(s AS DOUBLE))
+                   / (CAST(n AS DOUBLE) * CAST(s AS DOUBLE))
+                   * 1000000.0) AS BIGINT) AS fano_micro
+        FROM mo
+    """,
+    tags=("text", "stats", "burstiness", "documents"),
+)
+def text_fano_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    k = docs.select(
+        "source",
+        F.size(F.split(F.trim(F.col("text")), r"\s+")).cast("long").alias("k"),
+    )
+    mo = k.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("k").cast("long").alias("s"),
+        F.sum(F.col("k") * F.col("k")).cast("long").alias("ss"),
+    )
+    nd, sd = F.col("n").cast("double"), F.col("s").cast("double")
+    return mo.select(
+        "source",
+        "n",
+        F.col("s").alias("total_tokens"),
+        F.round(
+            (nd * F.col("ss").cast("double") - sd * sd) / (nd * sd) * 1000000.0,
+            0,
+        )
+        .cast("long")
+        .alias("fano_micro"),
+    )
