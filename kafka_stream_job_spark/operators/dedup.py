@@ -2733,3 +2733,63 @@ def source_overlap_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("jaccard_micro"), "s1", "s2")
         .limit(SRC_OVERLAP_TOP)
     )
+
+
+# ---------------------------------------------------------------------------
+# DEDUP PAIR PROVENANCE — are near-dup pairs mirrors WITHIN a source or
+# contamination ACROSS sources? The answer routes the fix (drop one
+# crawl vs tighten the crawler). Classifies the LSH candidate pairs by
+# endpoint provenance; the pairs side is the (already banded, already
+# bounded) candidate set, joined twice against the slim (doc_id, source)
+# projection. Rollup is two rows.
+# ---------------------------------------------------------------------------
+@register(
+    "dedup_pair_provenance",
+    oracle=f"""
+        WITH shingles AS ({_SHINGLES_SQL}),
+        sigs AS ({_SIGS_SQL}),
+        bands AS ({_BANDS_SQL}),
+        pairs AS (
+            SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+            FROM bands a
+            JOIN bands b
+              ON a.band_idx = b.band_idx
+             AND a.band_sig = b.band_sig
+             AND a.doc_id < b.doc_id
+        )
+        SELECT CASE WHEN da.source = db.source THEN 1 ELSE 0 END
+                   AS same_source,
+               CAST(COUNT(*) AS BIGINT) AS n_pairs,
+               CAST(COUNT(DISTINCT p.doc_a) + COUNT(DISTINCT p.doc_b)
+                    AS BIGINT) AS n_endpoint_slots
+        FROM pairs p
+        JOIN documents da ON da.doc_id = p.doc_a
+        JOIN documents db ON db.doc_id = p.doc_b
+        GROUP BY 1
+    """,
+    tags=("dedup", "lsh", "provenance", "documents"),
+)
+def dedup_pair_provenance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+    pairs = dedup_minhash_lsh(spark, sf_dir)
+    da = docs.select(
+        F.col("doc_id").alias("doc_a"), F.col("source").alias("src_a")
+    )
+    db = docs.select(
+        F.col("doc_id").alias("doc_b"), F.col("source").alias("src_b")
+    )
+    return (
+        pairs.join(da, "doc_a")
+        .join(db, "doc_b")
+        .groupBy(
+            F.when(F.col("src_a") == F.col("src_b"), 1)
+            .otherwise(0)
+            .alias("same_source")
+        )
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_pairs"),
+            (F.countDistinct("doc_a") + F.countDistinct("doc_b"))
+            .cast("long")
+            .alias("n_endpoint_slots"),
+        )
+    )

@@ -4321,3 +4321,144 @@ def _register_streaming_gzip_rollup() -> None:
 
 
 _register_streaming_gzip_rollup()
+
+
+# ---------------------------------------------------------------------------
+# STREAMING TYPE-ENTROPY DRIFT — the live twin of
+# events_hourly_type_entropy: per-(hour, type) counts are the state
+# (time-domain × type-vocabulary bounded, commutative), and the ILN
+# entropy assembly runs batch-side over the converged emission, so the
+# oracle is SHARED verbatim. The emission series is the drift alert a
+# traffic-composition monitor pages on.
+# ---------------------------------------------------------------------------
+def _register_streaming_type_entropy() -> None:
+    import uuid
+
+    from kafka_stream_job_spark.operators._portable import idiv
+    from kafka_stream_job_spark.operators.text import _attach_iln
+    from kafka_stream_job_spark.registry import REGISTRY, register
+
+    oracle = REGISTRY["events_hourly_type_entropy"].oracle
+
+    @register(
+        "streaming_type_entropy_drift",
+        oracle=oracle,
+        tags=("streaming", "stateful", "entropy", "drift", "events"),
+    )
+    def streaming_type_entropy_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+        import tempfile
+
+        events = stream_events(spark, sf_dir)
+        counted = events.groupBy(
+            F.date_trunc("hour", "ts").cast("string").alias("hour_ts"),
+            "event_type",
+        ).agg(F.count(F.lit(1)).cast("long").alias("c"))
+        name = f"stream_entropy_{uuid.uuid4().hex[:8]}"
+        ckpt = tempfile.mkdtemp(prefix="ksj-stream-entropy-")
+        c = run_stream_to_memory(
+            spark, counted, name, ckpt, output_mode="complete"
+        ).localCheckpoint(eager=False)  # tot and cw both branch from it
+        tot = c.groupBy("hour_ts").agg(
+            F.sum("c").cast("long").alias("n"),
+            F.count(F.lit(1)).cast("long").alias("n_types"),
+        )
+        cw = (
+            _attach_iln(spark, c, "c", "iln_c")
+            .groupBy("hour_ts")
+            .agg(
+                F.sum(F.col("c") * F.col("iln_c"))
+                .cast("long")
+                .alias("sum_c_iln")
+            )
+        )
+        nw = _attach_iln(spark, tot, "n", "iln_n").select(
+            "hour_ts",
+            "n",
+            "n_types",
+            (F.col("n") * F.col("iln_n")).alias("n_iln_n"),
+        )
+        return nw.join(cw, "hour_ts").select(
+            "hour_ts",
+            F.col("n").alias("n_events"),
+            "n_types",
+            idiv(
+                (F.col("n_iln_n") - F.col("sum_c_iln")) * 2 + F.col("n"),
+                F.col("n") * 2,
+            ).alias("entropy_unats"),
+        )
+
+
+_register_streaming_type_entropy()
+
+
+# ---------------------------------------------------------------------------
+# STREAMING SEASONALITY MONITOR — the live twin of
+# events_seasonality_strength: per-(type, hour-of-day) state keeps the
+# exact integer sufficient statistics (count, cent sum, cent
+# sum-of-squares — |types|×24 cells, commutative), and η² assembles
+# batch-side from the converged emission with the identical quantize-
+# then-sum discipline, so the oracle is SHARED verbatim.
+# ---------------------------------------------------------------------------
+def _register_streaming_seasonality_monitor() -> None:
+    import uuid
+
+    from kafka_stream_job_spark.registry import REGISTRY, register
+
+    oracle = REGISTRY["events_seasonality_strength"].oracle
+
+    @register(
+        "streaming_seasonality_monitor",
+        oracle=oracle,
+        tags=("streaming", "stateful", "seasonality", "events"),
+    )
+    def streaming_seasonality_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
+        import tempfile
+
+        events = stream_events(spark, sf_dir)
+        cents = F.round(F.col("value") * 100.0, 0).cast("long")
+        counted = events.select(
+            "event_type",
+            F.hour("ts").cast("long").alias("hod"),
+            cents.alias("cents"),
+        ).groupBy("event_type", "hod").agg(
+            F.count(F.lit(1)).cast("long").alias("n_g"),
+            F.sum("cents").cast("long").alias("s_g"),
+            F.sum(F.col("cents") * F.col("cents")).cast("long").alias("ss_g"),
+        )
+        name = f"stream_season_{uuid.uuid4().hex[:8]}"
+        ckpt = tempfile.mkdtemp(prefix="ksj-stream-season-")
+        g = run_stream_to_memory(
+            spark, counted, name, ckpt, output_mode="complete"
+        )
+        gq = g.select(
+            "event_type",
+            "n_g",
+            "s_g",
+            "ss_g",
+            F.round(
+                F.col("s_g").cast("double") * F.col("s_g") / F.col("n_g"), 0
+            )
+            .cast("long")
+            .alias("t_g"),
+        )
+        tot = gq.groupBy("event_type").agg(
+            F.sum("n_g").cast("long").alias("n"),
+            F.sum("s_g").cast("long").alias("s"),
+            F.sum("ss_g").cast("long").alias("ss"),
+            F.sum("t_g").cast("long").alias("sum_t"),
+            F.count(F.lit(1)).cast("long").alias("n_hours_of_day"),
+        )
+        nd = F.col("n").cast("double")
+        sd = F.col("s").cast("double")
+        eta2 = (nd * F.col("sum_t").cast("double") - sd * sd) / (
+            nd * F.col("ss").cast("double") - sd * sd
+        )
+        return tot.select(
+            "event_type",
+            "n",
+            "n_hours_of_day",
+            F.round(eta2 * 1000000.0, 0).cast("long").alias("eta2_micro"),
+        )
+
+
+_register_streaming_seasonality_monitor()
