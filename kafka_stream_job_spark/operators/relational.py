@@ -13704,3 +13704,78 @@ def events_hourly_type_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n") * 2,
         ).alias("entropy_unats"),
     )
+
+
+# ---------------------------------------------------------------------------
+# HILL TAIL-INDEX ESTIMATOR — is the event-value distribution heavy-
+# tailed, and how heavy? The Hill estimator over the global top-K order
+# statistics, with every logarithm the pure-int64 ILN fixed-point (zero
+# libm): ξ ≈ mean of (ILN(x_i) − ILN(x_min-of-top-K)) in micro-nats.
+# The only global order is a TakeOrderedAndProject of K = 100 rows —
+# constant, never a data-sized sort; the ILN table broadcasts.
+# ---------------------------------------------------------------------------
+HILL_K = 100
+
+
+def _hill_oracle() -> str:
+    from kafka_stream_job_spark.operators.text import (
+        _ILN_VALUES_SQL,
+        _iln_frac_sql,
+    )
+
+    return f"""
+        WITH topk AS (
+            SELECT CAST(ROUND(value * 100.0) AS BIGINT) AS cents
+            FROM events
+            ORDER BY cents DESC, event_id
+            LIMIT {HILL_K}
+        ),
+        ilntab(e, lo, hi, sdiv, smul, eln) AS (VALUES {_ILN_VALUES_SQL}),
+        w AS (
+            SELECT x.cents,
+                   t.eln + {_iln_frac_sql('((x.cents // t.sdiv) * t.smul)')}
+                       AS iln_c
+            FROM topk x JOIN ilntab t ON x.cents >= t.lo AND x.cents <= t.hi
+        )
+        SELECT CAST(COUNT(*) AS BIGINT) AS k,
+               CAST(MIN(cents) AS BIGINT) AS x_k_cents,
+               CAST((2 * (CAST(SUM(iln_c) AS BIGINT)
+                          - COUNT(*) * MIN(iln_c)) + COUNT(*))
+                    // (2 * COUNT(*)) AS BIGINT) AS hill_unats
+        FROM w
+    """
+
+
+@register(
+    "events_hill_tail_index",
+    oracle=_hill_oracle(),
+    tags=("events", "stats", "heavy-tail", "order-stats"),
+)
+def events_hill_tail_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kafka_stream_job_spark.operators.text import _attach_iln
+
+    events = load_table(spark, sf_dir, "events")
+    topk = (
+        events.select(
+            F.round(F.col("value") * 100.0, 0).cast("long").alias("cents"),
+            "event_id",
+        )
+        .orderBy(F.desc("cents"), "event_id")
+        .limit(HILL_K)
+        .select("cents")
+    )
+    w = _attach_iln(spark, topk, "cents", "iln_c")
+    return w.agg(
+        F.count(F.lit(1)).cast("long").alias("k"),
+        F.min("cents").cast("long").alias("x_k_cents"),
+        F.sum("iln_c").cast("long").alias("_s"),
+        F.min("iln_c").cast("long").alias("_m"),
+        F.count(F.lit(1)).cast("long").alias("_n"),
+    ).select(
+        "k",
+        "x_k_cents",
+        idiv(
+            (F.col("_s") - F.col("_n") * F.col("_m")) * 2 + F.col("_n"),
+            F.col("_n") * 2,
+        ).alias("hill_unats"),
+    )

@@ -4610,3 +4610,81 @@ def text_fano_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("fano_micro"),
     )
+
+
+# ---------------------------------------------------------------------------
+# CHARACTER-LEVEL ENTROPY — per-language Shannon entropy of the
+# character distribution in ILN micro-nats (zero libm): the
+# encoding-health cousin of the token-level statistics (mojibake and
+# wrong-charset ingestion move character entropy before they move any
+# token metric). One explode → bounded (lang × alphabet) aggregate.
+# ---------------------------------------------------------------------------
+@register(
+    "text_char_entropy",
+    oracle=f"""
+        WITH ch AS (
+            SELECT lang, unnest(string_split(text, '')) AS c
+            FROM documents WHERE length(text) > 0
+        ),
+        cc AS (
+            SELECT lang, c, CAST(COUNT(*) AS BIGINT) AS k
+            FROM ch GROUP BY 1, 2
+        ),
+        tot AS (
+            SELECT lang, CAST(SUM(k) AS BIGINT) AS n,
+                   CAST(COUNT(*) AS BIGINT) AS alphabet_size
+            FROM cc GROUP BY 1
+        ),
+        ilntab(e, lo, hi, sdiv, smul, eln) AS (VALUES {_ILN_VALUES_SQL}),
+        cw AS (
+            SELECT x.lang,
+                   CAST(SUM(x.k * (t.eln
+                       + {_iln_frac_sql('((x.k // t.sdiv) * t.smul)')}))
+                       AS BIGINT) AS sum_k_iln
+            FROM cc x JOIN ilntab t ON x.k >= t.lo AND x.k <= t.hi
+            GROUP BY 1
+        ),
+        nw AS (
+            SELECT x.lang, x.n, x.alphabet_size,
+                   x.n * (t.eln
+                       + {_iln_frac_sql('((x.n // t.sdiv) * t.smul)')})
+                       AS n_iln_n
+            FROM tot x JOIN ilntab t ON x.n >= t.lo AND x.n <= t.hi
+        )
+        SELECT w.lang, w.n AS n_chars, w.alphabet_size,
+               CAST((2 * (w.n_iln_n - c.sum_k_iln) + w.n) // (2 * w.n)
+                    AS BIGINT) AS entropy_unats
+        FROM nw w JOIN cw c ON c.lang = w.lang
+    """,
+    tags=("text", "entropy", "encoding", "documents"),
+)
+def text_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").filter(F.length("text") > 0)
+    ch = docs.select(
+        "lang", F.explode(F.split(F.col("text"), "")).alias("c")
+    ).filter(F.col("c") != "")  # Spark's split('') yields no trailing empty
+    cc = ch.groupBy("lang", "c").agg(F.count(F.lit(1)).cast("long").alias("k"))
+    tot = cc.groupBy("lang").agg(
+        F.sum("k").cast("long").alias("n"),
+        F.count(F.lit(1)).cast("long").alias("alphabet_size"),
+    )
+    cw = (
+        _attach_iln(spark, cc, "k", "iln_k")
+        .groupBy("lang")
+        .agg(F.sum(F.col("k") * F.col("iln_k")).cast("long").alias("sum_k_iln"))
+    )
+    nw = _attach_iln(spark, tot, "n", "iln_n").select(
+        "lang",
+        "n",
+        "alphabet_size",
+        (F.col("n") * F.col("iln_n")).alias("n_iln_n"),
+    )
+    return nw.join(cw, "lang").select(
+        "lang",
+        F.col("n").alias("n_chars"),
+        "alphabet_size",
+        idiv(
+            (F.col("n_iln_n") - F.col("sum_k_iln")) * 2 + F.col("n"),
+            F.col("n") * 2,
+        ).alias("entropy_unats"),
+    )

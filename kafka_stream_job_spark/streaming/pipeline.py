@@ -4462,3 +4462,107 @@ def _register_streaming_seasonality_monitor() -> None:
 
 
 _register_streaming_seasonality_monitor()
+
+
+# ---------------------------------------------------------------------------
+# STREAMING MAGIC-SNIFFER INGEST — the live twin of
+# multimodal_magic_sniffer: mixed-format blobs arrive as a stream, the
+# two Arrow-batched mapInPandas stages (encode fixture → sniff-and-
+# decode by magic bytes) run STATELESSLY inside the micro-batch, and
+# the per-format rollup is the only stateful op (complete mode, state =
+# |formats| rows). This is the production multimodal-lake ingest shape:
+# decode work scales with the batch, state does not. Oracle SHARED
+# verbatim with the batch twin.
+# ---------------------------------------------------------------------------
+def _register_streaming_magic_sniffer() -> None:
+    import uuid
+
+    from kafka_stream_job_spark.operators.multimodal import (
+        PNG_SIG,
+        _bmp_encode_batches,
+        _gif_encode_batches,
+        _png_encode_batches,
+        decode_bmp_real,
+        decode_gif_real,
+        decode_png_real,
+    )
+    from kafka_stream_job_spark.registry import REGISTRY, register
+
+    oracle = REGISTRY["multimodal_magic_sniffer"].oracle
+
+    @register(
+        "streaming_magic_sniffer",
+        oracle=oracle,
+        tags=("streaming", "multimodal", "sniffing", "real-decode", "documents"),
+    )
+    def streaming_magic_sniffer(spark: SparkSession, sf_dir: str) -> DataFrame:
+        import tempfile
+
+        docs = (
+            stream_documents(spark, sf_dir)
+            .where(F.col("text").isNotNull())
+            .select("doc_id", "text")
+            .filter(F.length("text") > 0)
+        )
+
+        def encode_batches(batches):
+            import pandas as pd
+
+            for pdf in batches:
+                outs = []
+                for residue, enc in (
+                    (0, _bmp_encode_batches),
+                    (1, _png_encode_batches),
+                    (2, _gif_encode_batches),
+                ):
+                    sub = pdf[pdf["doc_id"] % 3 == residue]
+                    if len(sub):
+                        outs.extend(enc(iter([sub])))
+                if outs:
+                    yield pd.concat(outs, ignore_index=True)
+
+        def decode_batches(batches):
+            import pandas as pd
+
+            for pdf in batches:
+                rows = {"fmt": [], "n_pixels": [], "luma_milli": []}
+                for payload in pdf["payload"]:
+                    blob = bytes(payload)
+                    if blob[:2] == b"BM":
+                        got = decode_bmp_real(blob)
+                        fmt = "bmp"
+                        luma = (
+                            got["sum_r"] * 299
+                            + got["sum_g"] * 587
+                            + got["sum_b"] * 114
+                        )
+                    elif blob[:8] == PNG_SIG:
+                        got = decode_png_real(blob)
+                        fmt = "png"
+                        luma = got["sum_luma"] * 1000
+                    elif blob[:6] in (b"GIF87a", b"GIF89a"):
+                        got = decode_gif_real(blob)
+                        fmt = "gif"
+                        luma = got["sum_luma"] * 1000
+                    else:
+                        raise ValueError(f"unknown magic {blob[:8]!r}")
+                    rows["fmt"].append(fmt)
+                    rows["n_pixels"].append(got["n_pixels"])
+                    rows["luma_milli"].append(luma)
+                yield pd.DataFrame(rows)
+
+        blobs = docs.mapInPandas(encode_batches, "doc_id long, payload binary")
+        parsed = blobs.mapInPandas(
+            decode_batches, "fmt string, n_pixels long, luma_milli long"
+        )
+        agg = parsed.groupBy("fmt").agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("n_pixels").cast("long").alias("total_pixels"),
+            F.sum("luma_milli").cast("long").alias("total_luma_milli"),
+        )
+        name = f"stream_sniff_{uuid.uuid4().hex[:8]}"
+        ckpt = tempfile.mkdtemp(prefix="ksj-stream-sniff-")
+        return run_stream_to_memory(spark, agg, name, ckpt, output_mode="complete")
+
+
+_register_streaming_magic_sniffer()
