@@ -13779,3 +13779,168 @@ def events_hill_tail_index(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("_n") * 2,
         ).alias("hill_unats"),
     )
+
+
+# ---------------------------------------------------------------------------
+# AUDIENCE OVERLAP — user-set Jaccard between event types (the
+# behavioral twin of source_overlap_jaccard): which features share an
+# audience? One distinct (type, user) projection, one equi-join on the
+# user key (per-user fan-out bounded by the type vocabulary), sizes on
+# a broadcast. Output is the bounded type-pair triangle.
+# ---------------------------------------------------------------------------
+@register(
+    "events_type_audience_overlap",
+    oracle="""
+        WITH tu AS (
+            SELECT DISTINCT event_type, user_id FROM events
+        ),
+        sizes AS (
+            SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n
+            FROM tu GROUP BY 1
+        ),
+        inter AS (
+            SELECT a.event_type AS type_a, b.event_type AS type_b,
+                   CAST(COUNT(*) AS BIGINT) AS n_shared
+            FROM tu a JOIN tu b
+              ON a.user_id = b.user_id AND a.event_type < b.event_type
+            GROUP BY 1, 2
+        )
+        SELECT i.type_a, i.type_b, i.n_shared, za.n AS n_a, zb.n AS n_b,
+               CAST((2 * i.n_shared * 1000000
+                     + (za.n + zb.n - i.n_shared))
+                    // (2 * (za.n + zb.n - i.n_shared)) AS BIGINT)
+                   AS jaccard_micro
+        FROM inter i
+        JOIN sizes za ON za.event_type = i.type_a
+        JOIN sizes zb ON zb.event_type = i.type_b
+    """,
+    tags=("events", "jaccard", "audience", "agg"),
+)
+def events_type_audience_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    tu = events.select("event_type", "user_id").distinct()
+    sizes = tu.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+    a = tu.select(F.col("event_type").alias("type_a"), "user_id")
+    b = tu.select(F.col("event_type").alias("type_b"), "user_id")
+    inter = (
+        a.join(b, "user_id")
+        .filter(F.col("type_a") < F.col("type_b"))
+        .groupBy("type_a", "type_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_shared"))
+    )
+    za = sizes.select(F.col("event_type").alias("type_a"), F.col("n").alias("n_a"))
+    zb = sizes.select(F.col("event_type").alias("type_b"), F.col("n").alias("n_b"))
+    union = F.col("n_a") + F.col("n_b") - F.col("n_shared")
+    return (
+        inter.join(F.broadcast(za), "type_a")
+        .join(F.broadcast(zb), "type_b")
+        .select(
+            "type_a",
+            "type_b",
+            "n_shared",
+            "n_a",
+            "n_b",
+            idiv(F.col("n_shared") * 2 * 1000000 + union, union * 2).alias(
+                "jaccard_micro"
+            ),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# ONE-WAY ANOVA — does part size move retail price? The classic
+# F-statistic over p_size groups with the eta² quantization discipline:
+# per-group S_g²/n_g rounds to an integer BEFORE the cross-group sum,
+# every other moment is exact int64, and F assembles from identical
+# double trees. Bounded group table; one scan.
+# ---------------------------------------------------------------------------
+@register(
+    "parts_price_anova_by_size",
+    oracle="""
+        WITH c AS (
+            SELECT p_size,
+                   CAST(ROUND(p_retailprice * 100.0) AS BIGINT) AS cents
+            FROM part
+        ),
+        g AS (
+            SELECT p_size,
+                   CAST(COUNT(*) AS BIGINT) AS n_g,
+                   CAST(SUM(cents) AS BIGINT) AS s_g
+            FROM c GROUP BY 1
+        ),
+        gq AS (
+            SELECT p_size, n_g, s_g,
+                   CAST(ROUND(CAST(s_g AS DOUBLE) * s_g / n_g) AS BIGINT)
+                       AS t_g
+            FROM g
+        ),
+        tot AS (
+            SELECT CAST(SUM(n_g) AS BIGINT) AS n,
+                   CAST(SUM(s_g) AS BIGINT) AS s,
+                   CAST(SUM(t_g) AS BIGINT) AS sum_t,
+                   CAST(COUNT(*) AS BIGINT) AS k
+            FROM gq
+        ),
+        sq AS (
+            SELECT CAST(SUM(cents * cents) AS BIGINT) AS ss FROM c
+        )
+        SELECT t.k AS k_groups, t.n,
+               CAST(ROUND(
+                   ((CAST(t.n AS DOUBLE) * CAST(t.sum_t AS DOUBLE)
+                     - CAST(t.s AS DOUBLE) * CAST(t.s AS DOUBLE))
+                    / (CAST(t.k AS DOUBLE) - 1.0))
+                   / ((CAST(t.n AS DOUBLE) * CAST(q.ss AS DOUBLE)
+                       - CAST(t.n AS DOUBLE) * CAST(t.sum_t AS DOUBLE))
+                      / (CAST(t.n AS DOUBLE) - CAST(t.k AS DOUBLE)))
+                   * 1000.0) AS BIGINT) AS f_milli,
+               CAST(ROUND(
+                   (CAST(t.n AS DOUBLE) * CAST(t.sum_t AS DOUBLE)
+                    - CAST(t.s AS DOUBLE) * CAST(t.s AS DOUBLE))
+                   / (CAST(t.n AS DOUBLE) * CAST(q.ss AS DOUBLE)
+                      - CAST(t.s AS DOUBLE) * CAST(t.s AS DOUBLE))
+                   * 1000000.0) AS BIGINT) AS eta2_micro
+        FROM tot t, sq q
+    """,
+    tags=("relational", "stats", "anova", "part"),
+)
+def parts_price_anova_by_size(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = load_table(spark, sf_dir, "part")
+    c = part.select(
+        "p_size",
+        F.round(F.col("p_retailprice") * 100.0, 0).cast("long").alias("cents"),
+    )
+    g = c.groupBy("p_size").agg(
+        F.count(F.lit(1)).cast("long").alias("n_g"),
+        F.sum("cents").cast("long").alias("s_g"),
+    )
+    gq = g.select(
+        "p_size",
+        "n_g",
+        "s_g",
+        F.round(F.col("s_g").cast("double") * F.col("s_g") / F.col("n_g"), 0)
+        .cast("long")
+        .alias("t_g"),
+    )
+    tot = gq.agg(
+        F.sum("n_g").cast("long").alias("n"),
+        F.sum("s_g").cast("long").alias("s"),
+        F.sum("t_g").cast("long").alias("sum_t"),
+        F.count(F.lit(1)).cast("long").alias("k"),
+    )
+    sq = c.agg(F.sum(F.col("cents") * F.col("cents")).cast("long").alias("ss"))
+    nd = F.col("n").cast("double")
+    sd = F.col("s").cast("double")
+    kd = F.col("k").cast("double")
+    td = F.col("sum_t").cast("double")
+    qd = F.col("ss").cast("double")
+    ssb = nd * td - sd * sd
+    f_stat = (ssb / (kd - 1.0)) / ((nd * qd - nd * td) / (nd - kd))
+    eta2 = ssb / (nd * qd - sd * sd)
+    return tot.crossJoin(F.broadcast(sq)).select(
+        F.col("k").alias("k_groups"),
+        "n",
+        F.round(f_stat * 1000.0, 0).cast("long").alias("f_milli"),
+        F.round(eta2 * 1000000.0, 0).cast("long").alias("eta2_micro"),
+    )

@@ -3845,3 +3845,114 @@ def embedding_bitwidth_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("avg_sse_milli"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# EMBEDDING DRIFT, A/B HALVES — did the embedding distribution move
+# between two corpus slices? Per label, the centroid of the even-id half
+# vs the odd-id half (integer-rounded per-dim means — the silhouette
+# discipline), and the exact-integer squared L2 shift between them. The
+# per-dim centroid tables are |labels|·DIM·2 rows; nothing data-sized
+# survives the first aggregate. This is the model-rot monitor an
+# embedding pipeline runs between re-trains.
+# ---------------------------------------------------------------------------
+DRIFT_SCALE = 1_000
+
+
+@register(
+    "embedding_drift_ab_halves",
+    oracle=f"""
+        WITH el AS (
+            SELECT vec_id % 2 AS half, label, CAST(i AS BIGINT) AS i,
+                   CAST(ROUND(embedding[i]::DOUBLE * {DRIFT_SCALE}.0)
+                        AS BIGINT) AS x
+            FROM (SELECT vec_id, label, embedding,
+                         UNNEST(range(1, 1 + len(embedding))) AS i
+                  FROM embeddings)
+        ),
+        cent AS (
+            SELECT half, label, i,
+                   CAST(ROUND(CAST(SUM(x) AS BIGINT) * 1.0 / COUNT(*))
+                        AS BIGINT) AS c
+            FROM el GROUP BY 1, 2, 3
+        ),
+        counts AS (
+            SELECT label,
+                   CAST(COUNT(DISTINCT CASE WHEN vec_id % 2 = 0
+                                            THEN vec_id END) AS BIGINT) AS n_a,
+                   CAST(COUNT(DISTINCT CASE WHEN vec_id % 2 = 1
+                                            THEN vec_id END) AS BIGINT) AS n_b
+            FROM embeddings GROUP BY 1
+        ),
+        shift AS (
+            SELECT a.label,
+                   CAST(SUM((a.c - b.c) * (a.c - b.c)) AS BIGINT)
+                       AS l2_shift_sq
+            FROM cent a
+            JOIN cent b ON b.label = a.label AND b.i = a.i AND b.half = 1
+            WHERE a.half = 0
+            GROUP BY 1
+        )
+        SELECT CAST(s.label AS BIGINT) AS label, c.n_a, c.n_b,
+               s.l2_shift_sq,
+               CAST(ROUND(sqrt(CAST(s.l2_shift_sq AS DOUBLE))) AS BIGINT)
+                   AS shift_milli
+        FROM shift s JOIN counts c ON c.label = s.label
+    """,
+    tags=("embeddings", "drift", "monitoring", "stats"),
+)
+def embedding_drift_ab_halves(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings", rebalance=True)
+    el = emb.select(
+        (F.col("vec_id") % 2).alias("half"),
+        "label",
+        F.posexplode("embedding").alias("i0", "v"),
+    ).select(
+        "half",
+        "label",
+        (F.col("i0") + 1).cast("long").alias("i"),
+        F.round(F.col("v").cast("double") * DRIFT_SCALE, 0)
+        .cast("long")
+        .alias("x"),
+    )
+    cent = el.groupBy("half", "label", "i").agg(
+        F.round(F.sum("x").cast("long") * 1.0 / F.count(F.lit(1)), 0)
+        .cast("long")
+        .alias("c")
+    )
+    counts = emb.groupBy("label").agg(
+        F.countDistinct(
+            F.when(F.col("vec_id") % 2 == 0, F.col("vec_id"))
+        )
+        .cast("long")
+        .alias("n_a"),
+        F.countDistinct(
+            F.when(F.col("vec_id") % 2 == 1, F.col("vec_id"))
+        )
+        .cast("long")
+        .alias("n_b"),
+    )
+    a = cent.filter(F.col("half") == 0).select(
+        "label", "i", F.col("c").alias("ca")
+    )
+    b = cent.filter(F.col("half") == 1).select(
+        "label", "i", F.col("c").alias("cb")
+    )
+    shift = (
+        a.join(b, ["label", "i"])
+        .groupBy("label")
+        .agg(
+            F.sum((F.col("ca") - F.col("cb")) * (F.col("ca") - F.col("cb")))
+            .cast("long")
+            .alias("l2_shift_sq")
+        )
+    )
+    return shift.join(F.broadcast(counts), "label").select(
+        F.col("label").cast("long").alias("label"),
+        "n_a",
+        "n_b",
+        "l2_shift_sq",
+        F.round(F.sqrt(F.col("l2_shift_sq").cast("double")), 0)
+        .cast("long")
+        .alias("shift_milli"),
+    )

@@ -4566,3 +4566,87 @@ def _register_streaming_magic_sniffer() -> None:
 
 
 _register_streaming_magic_sniffer()
+
+
+# ---------------------------------------------------------------------------
+# STREAMING HILL TAIL MONITOR — the live twin of events_hill_tail_index:
+# the state is the global top-HILL_K cent values (a BOUNDED order-
+# statistic sketch — top-k of a union is associative and commutative,
+# so the state is arrival-order-independent by construction; the
+# single-key group is the documented K-row-sketch floor shared with the
+# HLL/KMV/quantile monitors). The ILN assembly runs batch-side over the
+# converged emission, sharing the batch oracle verbatim. A live tail
+# monitor is how a marketplace notices whale behavior shifting.
+# ---------------------------------------------------------------------------
+def _register_streaming_hill_monitor() -> None:
+    import uuid
+
+    from kafka_stream_job_spark.operators._portable import idiv
+    from kafka_stream_job_spark.operators.relational import HILL_K, _hill_oracle
+    from kafka_stream_job_spark.operators.text import _attach_iln
+    from kafka_stream_job_spark.registry import register
+
+    @register(
+        "streaming_hill_tail_monitor",
+        oracle=_hill_oracle(),
+        tags=("streaming", "stateful", "heavy-tail", "order-stats", "events"),
+    )
+    def streaming_hill_tail_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
+        import tempfile
+
+        from pyspark.sql.streaming.state import GroupStateTimeout
+
+        def update(key, pdfs, state):
+            import numpy as np
+            import pandas as pd
+
+            (top,) = state.get if state.exists else ([],)
+            top = list(top)
+            for pdf in pdfs:
+                v = pdf["value"].to_numpy(dtype="float64") * 100.0
+                cents = np.where(
+                    v >= 0, np.floor(v + 0.5), np.ceil(v - 0.5)
+                ).astype("int64")
+                top.extend(int(c) for c in cents)
+                top.sort(reverse=True)
+                del top[HILL_K:]
+            state.update((top,))
+            yield pd.DataFrame({"k": [len(top)], "top": [top]})
+
+        emitted_stream = (
+            stream_events(spark, sf_dir)
+            .select(F.lit(0).alias("g"), "value")
+            .groupBy("g")
+            .applyInPandasWithState(
+                update,
+                outputStructType="k long, top array<long>",
+                stateStructType="top array<long>",
+                outputMode="append",
+                timeoutConf=GroupStateTimeout.NoTimeout,
+            )
+        )
+        name = f"stream_hill_{uuid.uuid4().hex[:8]}"
+        ckpt = tempfile.mkdtemp(prefix="ksj-stream-hill-")
+        emitted = run_stream_to_memory(spark, emitted_stream, name, ckpt)
+        final = (
+            emitted.agg(F.expr("max_by(top, k)").alias("top"))
+            .select(F.explode("top").alias("cents"))
+        )
+        w = _attach_iln(spark, final, "cents", "iln_c")
+        return w.agg(
+            F.count(F.lit(1)).cast("long").alias("k"),
+            F.min("cents").cast("long").alias("x_k_cents"),
+            F.sum("iln_c").cast("long").alias("_s"),
+            F.min("iln_c").cast("long").alias("_m"),
+            F.count(F.lit(1)).cast("long").alias("_n"),
+        ).select(
+            "k",
+            "x_k_cents",
+            idiv(
+                (F.col("_s") - F.col("_n") * F.col("_m")) * 2 + F.col("_n"),
+                F.col("_n") * 2,
+            ).alias("hill_unats"),
+        )
+
+
+_register_streaming_hill_monitor()
