@@ -279,198 +279,211 @@ def all_specs() -> dict[str, QuerySpec]:
     # (operators added after the measurement) slot in just after the
     # sub-second group.
     cost_order = (
-        "text_fingerprint", "text_bpe_token_count",
-        "nations_with_rich_customers", "text_token_stats",
-        "url_functions_showcase", "weighted_sample_docs",
-        "customers_without_orders", "multimodal_metadata_scan",
-        "sft_loss_masking_spans", "binary_blob_source_stats",
-        "pipe_sql_priority_stats", "split_train_eval", "text_quality_score",
-        "doc_sliding_chunks", "q6_forecast_revenue", "quota_sample_per_lang",
-        "arrow_map_embedding_norm", "embedding_norm_stats",
-        "gdpr_purge_manifest", "scalar_functions_showcase",
-        "cube_order_status_priority", "data_freshness_sla",
-        "lateral_top_customers_per_nation", "multimodal_frame_sample",
-        "multimodal_resize", "q14_promo_revenue", "text_language_id",
-        "bpe_fertility_by_lang", "dedup_exact", "text_sentiment_lexicon",
-        "try_functions_showcase", "parameterized_sql_showcase",
-        "corpus_mix_rebalance", "datetime_functions_showcase",
-        "embedding_int8_quantize", "scd2_customer_merge",
-        "dedup_url_canonical", "grouping_sets_revenue",
-        "lang_balance_weights", "lang_temperature_weights",
-        "multimodal_stratified_sample", "supplier_return_wilson_rank",
-        "null_safe_join_attribution", "q4_order_priority",
-        "text_mojibake_detect", "collation_group_showcase",
-        "csv_source_permissive_read", "dpo_preference_pairs",
-        "events_daily_value_trend", "kmv_distinct_users", "cv_fold_manifest",
-        "events_props_variant_decode", "multimodal_dedup_content_hash",
-        "bronze_decode_errors", "pack_sequences_manifest",
-        "q12_priority_by_linestatus", "q22_global_sales_opportunity",
-        "decayed_leaderboard", "events_json_extract",
-        "execute_immediate_showcase", "multimodal_decode_features",
-        "snapshot_diff_report", "text_adjacent_repetition",
-        "k_anonymity_audit", "linkage_blocking_quality", "rollup_returns",
-        "text_readability_features", "events_props_templates",
-        "jsonl_source_permissive_read", "text_unicode_script_profile",
-        "setops_customer_segments", "benford_digit_audit",
-        "events_user_lifecycle_stages", "pandas_scalar_log_price",
-        "profile_hot_orderkeys", "stats_qty_price_corr",
-        "unpivot_lineitem_measures", "events_ewma_forecast",
-        "events_multi_rollup", "pandas_grouped_agg_trimmed_mean",
-        "percentile_order_prices", "text_zipf_slope",
-        "compaction_bin_packing_plan", "dedup_prefix_collision",
-        "events_funnel_view_click_purchase", "events_interval_union_coverage",
-        "merge_full_cdc", "q19_disjunctive_revenue", "subject_access_export",
-        "q7_volume_shipping", "q8_national_market_share", "sft_pair_manifest",
-        "similarity_topk_cosine", "sql_udf_showcase",
-        "events_seasonal_profile", "events_transition_matrix",
-        "incremental_agg_maintenance", "orders_gmv_weekly_wow",
-        "pandas_acctbal_zscore", "window_customer_order_rank",
-        "attribution_multi_touch", "events_holt_forecast",
-        "feature_asof_training_matrix", "fixed_width_source_read",
-        "multimodal_audio_frame_energy", "array_agg_user_profile",
-        "dedup_cluster_size_histogram", "embedding_pca2_closed_form",
-        "events_funnel_latency", "l_diversity_audit",
-        "q18_large_volume_customers", "revenue_trend_ols", "text_hapax_ratio",
-        "blocklist_phrase_filter", "events_hourly_rollup",
-        "events_theilsen_trend", "hll_distinct_users",
-        "pivot_user_event_matrix", "similarity_topk_bucketed",
-        "window_event_gaps", "asof_next_touch_latency",
-        "corpus_quota_rebalance_delta", "mlm_masking_manifest",
-        "orphan_file_audit", "q13_customer_distribution",
-        "trigram_like_search", "web_domain_profile", "content_defined_chunks",
-        "events_interval_overlap_join", "score_calibration_report",
-        "similarity_lsh_neardup", "text_bm25_search",
-        "bitwise_aggregates_showcase", "grpo_group_advantage",
-        "q20_heavy_shippers", "top_customers_by_revenue",
-        "change_data_feed_report", "events_psi_value_drift",
-        "q9_product_type_profit", "text_rake_keywords",
-        "decontaminate_by_embedding", "orders_repeat_purchase_gaps",
-        "text_vocab_coverage", "geo_cell_colocation", "text_pii_redaction",
-        "multimodal_silence_segments", "q15_top_supplier",
-        "text_seqlen_histogram", "udtf_word_expand",
-        "bronze_decode_roundtrip", "multimodal_bmp_stats",
-        "range_join_price_bands", "xml_decode_roundtrip",
-        "events_ab_uplift_test", "linkage_fellegi_sunter",
-        "q11_important_part_value", "q2_min_cost_supplier",
-        "rate_limiter_backtest", "lineitem_ship_latency",
-        "medallion_pipeline_rollup", "q16_supplier_part_buckets",
-        "events_burst_hours", "events_hourly_gapfill",
-        "incremental_join_maintenance", "map_functions_showcase",
-        "rag_context_pack", "embedding_dim_variance_rank",
-        "events_cusum_drift", "events_profile_cosine_pairs",
-        "heavy_hitter_tokens", "shard_manifest_balanced",
-        "sketch_quantile_bins", "events_hourly_anomaly",
-        "events_user_retention", "window_range_trailing_hour",
-        "small_quantity_revenue", "t_closeness_audit",
-        "distinct_parts_per_supplier", "langid_precision_recall",
-        "matryoshka_truncation_recall", "mixture_temperature_sweep",
-        "profile_lineitem_columns", "similarity_topk_binary_rerank",
-        "corpus_token_budget_plan", "discount_elasticity_by_brand",
-        "events_sessionize_batch", "data_quality_audit",
-        "market_concentration_hhi", "salted_join_supplier_volume",
-        "file_metadata_columns_read", "graph_degree_distribution",
-        "snapshot_retention_expiry_plan", "streaming_dedup_events",
-        "embedding_blocking_key_profile", "events_growth_accounting",
-        "ols_two_feature_normal_eq", "skipgram_negative_samples",
-        "embedding_outlier_zscore", "orders_priority_status_chi2",
-        "text_word_pmi", "corpus_dedup_aware_weights",
-        "customer_balance_ks_test", "ann_ndcg_truncation",
-        "bloom_filter_membership", "dedup_embedding_cosine",
-        "partitioned_source_pruned_read", "text_lexical_diversity",
-        "price_index_laspeyres", "supplier_scorecard", "multimodal_bmp_ahash",
-        "timeseries_znorm_subsequence_search", "watermark_sizing_report",
-        "decision_stump_split_scores", "events_ohlc_bars",
-        "hll_merge_event_types", "q5_local_supplier_volume",
-        "array_hof_showcase", "events_anomaly_persistence",
-        "dp_noisy_nation_counts", "events_props_schema_profile",
-        "ivf_cell_balance_report", "orders_cohort_revenue",
-        "streaming_csv_source_rollup", "similarity_topk_ivf",
-        "text_feature_hashing", "asof_purchase_attribution",
-        "dedup_frontier_bloom", "q21_waiting_supplier", "text_top_bigrams",
-        "zorder_layout_stats", "forecast_conformal_intervals",
-        "multimodal_wav_stats", "search_hybrid_rrf",
-        "text_term_proximity_search", "curriculum_pacing_schedule",
-        "pps_systematic_sample", "session_window_rollup",
-        "abc_customer_classification", "kmeans_inertia_elbow",
-        "scd2_point_in_time_join", "orc_source_roundtrip",
-        "q10_returned_items", "k_anonymity_generalize",
-        "linkage_entity_clusters", "percentile_distributed_exact",
-        "streaming_sliding_rollup", "join_skew_planner",
-        "array_set_functions_showcase", "basket_part_pairs",
-        "customer_segment_entropy_by_nation",
-        "embedding_cluster_label_purity", "schema_evolution_merge_read",
-        "corpus_epoch_shuffle_manifest", "events_peak_concurrency",
-        "repeated_ngram_spans", "gopher_quality_rules",
-        "streaming_hourly_rollup", "vocab_growth_curve", "dedup_minhash_lsh",
-        "embedding_mutual_nn_pairs", "embedding_pq_codes",
-        "bucketed_join_colocated", "customer_spend_gini",
-        "surrogate_key_incremental", "text_chunk_dedup",
-        "fd_discovery_profile", "lineitem_qty_price_heatmap",
-        "streaming_dedup_within_watermark", "streaming_upsert_latest_state",
-        "cms_token_counts", "dedup_survivors", "graph_assortativity",
-        "similarity_maxsim_multivector", "kmv_set_ops_event_types",
-        "streaming_available_now_rollup", "streaming_heavy_hitter_users",
-        "bpe_apply_merges", "histogram_price_deciles",
-        "window_functions_showcase", "batch_replay_pruned_scan",
-        "streaming_stateful_totals", "corpus_source_datasheet",
-        "orders_survival_km", "streaming_fertility_drift",
-        "dedup_edit_distance", "events_changepoint_binseg",
-        "supplier_pareto_frontier", "bpe_learn_merges",
-        "corpus_js_divergence", "association_rules_parts",
-        "embedding_covariance", "streaming_union_sources_rollup",
-        "streaming_session_rollup", "multimodal_ahash_neardup",
-        "streaming_kmv_distinct_users", "fuzzy_join_part_names",
-        "orders_open_backlog_daily", "dedup_incremental_delta",
-        "events_holtwinters_forecast", "join_cardinality_audit",
-        "multimodal_shot_boundaries", "padding_waste_report",
-        "dedup_exact_substring", "similarity_topk_pq_adc",
-        "streaming_topk_types_hourly", "streaming_static_enrich",
-        "q1_pricing_summary", "streaming_hll_distinct_users",
-        "decontaminate_train_shingles", "dedup_span_mask_manifest",
-        "streaming_stateful_type_counts", "fk_inclusion_profile",
-        "streaming_psi_drift", "events_session_window_batch",
-        "graph_link_prediction_suppliers", "dsir_importance_weights",
-        "linkage_em_parameters", "quality_logreg_inference",
-        "semantic_dedup_semdedup", "tokenizer_vocab_pressure",
-        "corpus_shingle_novelty", "ivf_recall_report", "q3_shipping_priority",
-        "hll_intersection_estimate", "text_token_entropy",
-        "recursive_month_spine", "source_overlap_jaccard",
-        "text_repetition_filter", "checkpoint_statestore_table",
-        "supplier_leadtime_percentiles", "contrastive_triplets",
-        "crosslingual_contamination", "text_tfidf_top_terms",
-        "events_hourly_autocorr", "sketch_user_activity",
-        "aes_roundtrip_audit", "text_rolling_fingerprint",
-        "bradley_terry_strengths", "graph_modularity_by_brand",
-        "events_markov_stationary", "bigram_lm_score",
-        "ivf_incremental_assign", "dedup_simhash", "knn_classifier_eval",
-        "streaming_late_data_drop", "cogroup_asof_pandas",
-        "zonemap_skip_simulation", "udtf_dynamic_ngrams",
-        "streaming_chained_windows", "streaming_frontier_bloom",
-        "embedding_power_iteration", "rfm_customer_segments",
-        "streaming_sink_exactly_once_roundtrip", "maxmin_fair_allocation",
-        "batch_replay_source_slice", "streaming_update_mode_rollup",
-        "hits_authority_hub", "streaming_quality_monitor",
-        "dedup_containment", "dedup_ngram_jaccard",
-        "surrogate_key_assignment", "events_dau_wau_mau",
-        "embedding_silhouette_centroid", "streaming_value_quantiles",
-        "ivf_nprobe_sweep", "multimodal_png_stats",
-        "minhash_jaccard_calibration", "naive_bayes_langid",
-        "events_hourly_mad_outliers", "cluster_kmeans_embeddings",
-        "corpus_filter_funnel", "streaming_interval_union_coverage",
-        "streaming_rate_limiter", "checkpoint_sources_table",
-        "streaming_ohlc_bars", "text_kneser_ney_bigram_score",
-        "graph_bfs_hops", "checkpoint_offsetlog_table",
-        "minhash_bbit_calibration", "streaming_purchase_attribution",
-        "corpus_difficulty_curriculum", "events_alarm_verification",
-        "graph_pagerank_parts", "dedup_connected_components",
-        "streaming_ivf_assign", "streaming_unattributed_purchases",
-        "streaming_lsh_candidate_buckets", "streaming_replay_source_rollup",
+        "text_fingerprint", "url_functions_showcase",
+        "bitwise_aggregates_showcase", "text_token_stats",
+        "text_bpe_token_count", "data_freshness_sla", "text_quality_score",
+        "span_corruption_manifest", "split_train_eval",
+        "text_seqlen_histogram", "q6_forecast_revenue", "gdpr_purge_manifest",
+        "binary_blob_source_stats", "dedup_exact",
+        "scalar_functions_showcase", "datetime_functions_showcase",
+        "embedding_norm_stats", "fixed_width_source_read",
+        "sft_pair_manifest", "try_functions_showcase", "scd2_customer_merge",
+        "grouping_sets_revenue", "lang_balance_weights",
+        "embedding_int8_quantize", "execute_immediate_showcase",
+        "schema_evolution_merge_read", "bpe_fertility_by_lang",
+        "bronze_decode_errors", "collation_group_showcase",
+        "text_language_id", "text_sentiment_lexicon",
+        "cube_order_status_priority", "nations_with_rich_customers",
+        "q4_order_priority", "subject_access_export", "events_json_extract",
+        "partitioned_source_pruned_read", "compaction_bin_packing_plan",
+        "decayed_leaderboard", "feature_asof_training_matrix",
+        "unpivot_lineitem_measures", "jsonl_source_permissive_read",
+        "multimodal_resize", "percentile_order_prices",
+        "text_mojibake_detect", "csv_source_permissive_read",
+        "profile_hot_orderkeys", "text_fano_burstiness",
+        "text_unicode_script_profile", "array_set_functions_showcase",
+        "events_props_templates", "events_user_lifecycle_stages",
+        "map_functions_showcase", "orders_gmv_weekly_wow",
+        "q12_priority_by_linestatus", "events_interval_union_coverage",
+        "events_multi_rollup", "q22_global_sales_opportunity",
+        "text_readability_features", "dedup_prefix_collision",
+        "l_diversity_audit", "multimodal_frame_sample", "rollup_returns",
+        "attribution_multi_touch", "bronze_decode_roundtrip",
+        "dp_noisy_nation_counts", "kmv_distinct_users",
+        "multimodal_metadata_scan", "pipe_sql_priority_stats",
+        "q15_top_supplier", "sft_loss_masking_spans",
+        "similarity_topk_cosine", "stats_qty_price_corr",
+        "events_daily_value_trend", "parameterized_sql_showcase",
+        "text_hapax_ratio", "trigram_like_search", "rate_limiter_backtest",
+        "sql_udf_showcase", "array_agg_user_profile", "events_hourly_rollup",
+        "events_transition_matrix", "file_metadata_columns_read",
+        "grpo_group_advantage", "q19_disjunctive_revenue",
+        "similarity_topk_bucketed", "text_vocab_coverage",
+        "events_profile_cosine_pairs", "geo_cell_colocation",
+        "lang_temperature_weights", "small_quantity_revenue",
+        "text_pii_redaction", "change_data_feed_report", "hll_distinct_users",
+        "text_adjacent_repetition", "events_ab_uplift_test",
+        "multimodal_png_stats", "similarity_lsh_neardup", "text_zipf_slope",
+        "xml_decode_roundtrip", "aes_roundtrip_audit",
+        "embedding_pca2_closed_form", "events_ewma_forecast",
+        "events_theilsen_trend", "lateral_top_customers_per_nation",
+        "web_domain_profile", "discount_elasticity_by_brand",
+        "events_burst_hours", "events_funnel_view_click_purchase",
+        "events_holt_forecast", "events_session_window_batch",
+        "heavy_hitter_tokens", "q14_promo_revenue",
+        "score_calibration_report", "incremental_join_maintenance",
+        "parts_price_anova_by_size", "text_bm25_search",
+        "top_customers_by_revenue", "events_funnel_latency",
+        "q9_product_type_profit", "multimodal_bmp_stats",
+        "orc_source_roundtrip", "q13_customer_distribution",
+        "supplier_return_wilson_rank", "events_seasonality_strength",
+        "blocklist_phrase_filter", "embedding_blocking_key_profile",
+        "mlm_masking_manifest", "multimodal_magic_sniffer",
+        "orders_repeat_purchase_gaps", "price_index_laspeyres",
+        "t_closeness_audit", "window_customer_order_rank",
+        "corpus_quota_rebalance_delta", "text_feature_hashing",
+        "text_rake_keywords", "window_event_gaps",
+        "dedup_cluster_size_histogram", "distinct_parts_per_supplier",
+        "market_concentration_hhi", "q8_national_market_share",
+        "embedding_dim_variance_rank", "mixture_temperature_sweep",
+        "orders_priority_status_chi2", "q18_large_volume_customers",
+        "salted_join_supplier_volume", "snapshot_retention_expiry_plan",
+        "watermark_sizing_report", "events_anomaly_persistence",
+        "events_hourly_anomaly", "langid_precision_recall",
+        "pivot_user_event_matrix", "q20_heavy_shippers",
+        "streaming_dedup_events", "graph_degree_distribution",
+        "q7_volume_shipping", "sketch_quantile_bins",
+        "bloom_filter_membership", "events_type_audience_overlap",
+        "profile_lineitem_columns", "rank_correlation_kendall",
+        "events_growth_accounting", "events_holtwinters_forecast",
+        "gzip_jsonl_source_read", "hll_merge_event_types",
+        "setops_customer_segments", "supplier_scorecard",
+        "surrogate_key_assignment", "corpus_dedup_aware_weights",
+        "events_user_retention", "kmeans_inertia_elbow", "orphan_file_audit",
+        "q11_important_part_value", "range_join_price_bands",
+        "cv_fold_manifest", "ols_two_feature_normal_eq",
+        "q16_supplier_part_buckets", "text_lexical_diversity",
+        "embedding_outlier_zscore", "events_props_variant_decode",
+        "null_safe_join_attribution", "q2_min_cost_supplier",
+        "session_window_rollup", "customer_spend_gini",
+        "decision_stump_split_scores", "events_hill_tail_index",
+        "dedup_embedding_cosine", "events_hourly_mad_outliers",
+        "multimodal_decode_features", "rag_context_pack",
+        "events_hourly_gapfill", "join_skew_planner",
+        "customer_balance_ks_test", "events_changepoint_binseg",
+        "streaming_heavy_hitter_users", "text_top_bigrams",
+        "best_of_n_selection", "streaming_upsert_latest_state",
+        "arrow_map_embedding_norm", "streaming_available_now_rollup",
+        "text_word_pmi", "events_psi_value_drift",
+        "forecast_conformal_intervals", "k_anonymity_audit",
+        "multimodal_bmp_ahash", "multimodal_gif_stats",
+        "attribution_window_sweep", "linkage_fellegi_sunter",
+        "events_alarm_verification", "similarity_topk_ivf",
+        "events_dau_wau_mau", "txn_log_time_travel", "benford_digit_audit",
+        "ann_ndcg_truncation", "pps_systematic_sample",
+        "text_repetition_filter", "ivf_cell_balance_report",
+        "timeseries_znorm_subsequence_search", "matryoshka_truncation_recall",
+        "orders_open_backlog_daily", "skipgram_negative_samples",
+        "streaming_kmv_distinct_users", "streaming_static_enrich",
+        "surrogate_key_incremental", "events_sessionize_batch",
+        "shard_manifest_balanced", "similarity_topk_binary_rerank",
+        "array_hof_showcase", "corpus_token_budget_plan",
+        "dedup_frontier_bloom", "events_ohlc_bars",
+        "asof_purchase_attribution", "merge_full_cdc",
+        "multimodal_stratified_sample", "streaming_gzip_jsonl_rollup",
+        "k_anonymity_generalize", "pandas_acctbal_zscore",
+        "streaming_dedup_within_watermark", "curriculum_pacing_schedule",
+        "streaming_hll_distinct_users", "text_token_entropy",
+        "incremental_agg_maintenance", "text_term_proximity_search",
+        "fd_discovery_profile", "percentile_distributed_exact",
+        "scd2_point_in_time_join", "snapshot_diff_report",
+        "streaming_hourly_rollup", "dedup_minhash_lsh", "knn_classifier_eval",
+        "basket_part_pairs", "streaming_sliding_rollup", "cms_token_counts",
+        "embedding_bitwidth_sweep", "q21_waiting_supplier",
+        "q5_local_supplier_volume", "embedding_mutual_nn_pairs",
+        "streaming_union_sources_rollup",
+        "customer_segment_entropy_by_nation", "window_functions_showcase",
+        "dedup_survivors", "events_seasonal_profile", "graph_assortativity",
+        "histogram_price_deciles", "q10_returned_items",
+        "streaming_csv_source_rollup", "window_range_trailing_hour",
+        "bpe_learn_merges", "orders_survival_km", "text_chunk_dedup",
+        "lineitem_qty_price_heatmap", "events_interval_overlap_join",
+        "search_hybrid_rrf", "graph_link_prediction_suppliers",
+        "asof_next_touch_latency", "lineitem_ship_latency",
+        "revenue_trend_ols", "streaming_rate_limiter",
+        "embedding_cluster_label_purity", "dpo_preference_pairs",
+        "streaming_magic_sniffer", "decontaminate_by_embedding",
+        "streaming_seasonality_monitor", "quota_sample_per_lang",
+        "q1_pricing_summary", "streaming_session_rollup",
+        "streaming_topk_types_hourly", "ivf_recall_report",
+        "checkpoint_statestore_table", "embedding_covariance",
+        "repeated_ngram_spans", "vocab_growth_curve",
+        "streaming_sink_exactly_once_roundtrip", "tokenizer_vocab_pressure",
+        "similarity_maxsim_multivector", "streaming_interval_union_coverage",
+        "bandit_replay_hourly", "bpe_apply_merges", "embedding_pq_codes",
+        "quality_logreg_inference", "dedup_edit_distance",
+        "gopher_quality_rules", "bradley_terry_strengths",
+        "events_markov_stationary", "linkage_blocking_quality",
+        "crosslingual_contamination", "supplier_leadtime_percentiles",
+        "streaming_fertility_drift", "streaming_psi_drift",
+        "streaming_stateful_type_counts", "events_hourly_type_entropy",
+        "fuzzy_join_part_names", "corpus_epoch_shuffle_manifest",
+        "embedding_jl_projection_audit", "fk_inclusion_profile",
+        "weighted_sample_docs", "maxmin_fair_allocation",
+        "join_cardinality_audit", "medallion_pipeline_rollup",
+        "sketch_user_activity", "text_char_entropy",
+        "dedup_incremental_delta", "streaming_ohlc_bars",
+        "events_mann_whitney_test", "streaming_value_quantiles",
+        "multimodal_audio_frame_energy", "q3_shipping_priority",
+        "source_overlap_jaccard", "dedup_exact_substring",
+        "multimodal_dedup_content_hash", "streaming_hill_tail_monitor",
+        "corpus_source_datasheet", "streaming_stateful_totals",
+        "zonemap_skip_simulation", "streaming_update_mode_rollup",
+        "kmv_set_ops_event_types", "dsir_importance_weights",
+        "hits_authority_hub", "graph_modularity_by_brand",
+        "association_rules_parts", "bigram_lm_score",
+        "similarity_topk_pq_adc", "batch_replay_source_slice",
+        "streaming_late_data_drop", "semantic_dedup_semdedup",
+        "text_tfidf_top_terms", "hll_intersection_estimate",
+        "dedup_url_canonical", "dedup_simhash", "corpus_shingle_novelty",
+        "dedup_span_mask_manifest", "pandas_scalar_log_price",
+        "pandas_grouped_agg_trimmed_mean", "corpus_mix_rebalance",
+        "ivf_incremental_assign", "ivf_nprobe_sweep",
+        "text_rolling_fingerprint", "customers_without_orders",
+        "events_props_schema_profile", "embedding_drift_ab_halves",
+        "linkage_entity_clusters", "embedding_silhouette_centroid",
+        "streaming_chained_windows", "checkpoint_sources_table",
+        "events_cusum_drift", "udtf_word_expand", "bucketed_join_colocated",
+        "dedup_ngram_jaccard", "pack_sequences_manifest",
+        "contrastive_triplets", "abc_customer_classification",
+        "orders_cohort_revenue", "multimodal_wav_stats", "doc_sliding_chunks",
+        "perplexity_tertile_buckets", "data_quality_audit",
+        "rfm_customer_segments", "dedup_pair_provenance",
+        "streaming_frontier_bloom", "streaming_txn_log_tail",
+        "checkpoint_offsetlog_table", "events_peak_concurrency",
+        "embedding_power_iteration", "streaming_quality_monitor",
+        "streaming_type_entropy_drift", "graph_label_propagation",
+        "dedup_containment", "cluster_kmeans_embeddings",
+        "streaming_replay_source_rollup", "hive_source_partition_pruned",
+        "streaming_purchase_attribution", "streaming_lsh_candidate_buckets",
+        "naive_bayes_langid", "streaming_semdedup", "zorder_layout_stats",
+        "streaming_unattributed_purchases", "batch_replay_pruned_scan",
+        "checkpoint_commitlog_audit", "minhash_jaccard_calibration",
+        "supplier_pareto_frontier", "streaming_ivf_assign", "graph_bfs_hops",
+        "corpus_difficulty_curriculum", "streaming_feature_hashing_monitor",
+        "graph_pagerank_parts", "minhash_bbit_calibration",
+        "multimodal_ahash_neardup", "dedup_band_sweep_calibration",
+        "text_entropy_rate_bigram", "events_hourly_autocorr",
+        "padding_waste_report", "dedup_connected_components",
+        "streaming_join_then_windowed_agg", "text_kneser_ney_bigram_score",
+        "recursive_month_spine", "multimodal_silence_segments",
         "custom_sink_audit_roundtrip", "dedup_keep_best_quality",
-        "dedup_band_sweep_calibration", "streaming_semdedup",
-        "checkpoint_commitlog_audit", "streaming_join_then_windowed_agg",
-        "perplexity_tertile_buckets", "hive_source_partition_pruned",
-        "sql_scripting_showcase", "graph_kcore_peel",
-        "quality_logreg_training", "graph_triangle_stats",
+        "cogroup_asof_pandas", "sql_scripting_showcase",
+        "linkage_em_parameters", "content_defined_chunks",
+        "udtf_dynamic_ngrams", "corpus_js_divergence", "scan_task_planner",
+        "multimodal_shot_boundaries", "graph_kcore_peel",
+        "decontaminate_train_shingles", "graph_triangle_stats",
+        "quality_logreg_training", "corpus_filter_funnel",
     )
     new_ops_rank = 50.5  # just after the sub-second group (index ~50)
     unchecked = {
