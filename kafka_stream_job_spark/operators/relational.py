@@ -13944,3 +13944,301 @@ def parts_price_anova_by_size(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(f_stat * 1000.0, 0).cast("long").alias("f_milli"),
         F.round(eta2 * 1000000.0, 0).cast("long").alias("eta2_micro"),
     )
+
+
+# ---------------------------------------------------------------------------
+# USER TRIGRAM PATHS — the sequence-mining staple behind sankey/journey
+# dashboards: the top 3-step event-type paths, built from two leads over
+# each user's (ts, event_id) total order (per-user windows — never
+# global), counted corpus-wide, top-20 via TakeOrderedAndProject.
+# ---------------------------------------------------------------------------
+PATH_TOP = 20
+
+
+@register(
+    "user_trigram_paths",
+    oracle=f"""
+        WITH seq AS (
+            SELECT user_id, event_type AS t1,
+                   lead(event_type, 1) OVER w AS t2,
+                   lead(event_type, 2) OVER w AS t3
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        )
+        SELECT t1, t2, t3,
+               CAST(COUNT(*) AS BIGINT) AS n_paths,
+               CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+        FROM seq WHERE t3 IS NOT NULL
+        GROUP BY 1, 2, 3
+        ORDER BY n_paths DESC, t1, t2, t3
+        LIMIT {PATH_TOP}
+    """,
+    tags=("events", "sequence", "journey", "window"),
+)
+def user_trigram_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = events.select(
+        "user_id",
+        F.col("event_type").alias("t1"),
+        F.lead("event_type", 1).over(w).alias("t2"),
+        F.lead("event_type", 2).over(w).alias("t3"),
+    ).filter(F.col("t3").isNotNull())
+    return (
+        seq.groupBy("t1", "t2", "t3")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_paths"),
+            F.countDistinct("user_id").cast("long").alias("n_users"),
+        )
+        .orderBy(F.desc("n_paths"), "t1", "t2", "t3")
+        .limit(PATH_TOP)
+    )
+
+
+# ---------------------------------------------------------------------------
+# DUPLICATE-PAYMENT AUDIT — the classic AP-fraud check: same customer,
+# same order total, placed within DUP_WINDOW_DAYS. The self-join is
+# BLOCKED on the exact (custkey, cents) composite — fan-out per block is
+# a customer's same-price orders, never the order table — and the
+# date-window predicate is exact integer days. Exposure counts the
+# LATER order of each pair once.
+# ---------------------------------------------------------------------------
+DUP_WINDOW_DAYS = 7
+
+
+@register(
+    "orders_duplicate_payment_audit",
+    oracle=f"""
+        WITH o AS (
+            SELECT o_orderkey, o_custkey,
+                   CAST(ROUND(o_totalprice * 100.0) AS BIGINT) AS cents,
+                   CAST(o_orderdate AS DATE) AS d
+            FROM orders
+        ),
+        pairs AS (
+            SELECT a.o_custkey, b.cents,
+                   date_diff('day', a.d, b.d) AS gap_days
+            FROM o a
+            JOIN o b
+              ON b.o_custkey = a.o_custkey
+             AND b.cents = a.cents
+             AND b.o_orderkey > a.o_orderkey
+             AND date_diff('day', a.d, b.d)
+                 BETWEEN -{DUP_WINDOW_DAYS} AND {DUP_WINDOW_DAYS}
+        )
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_pairs,
+               CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS n_customers,
+               CAST(SUM(cents) AS BIGINT) AS exposure_cents,
+               CAST(SUM(CASE WHEN gap_days = 0 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_same_day
+        FROM pairs
+    """,
+    tags=("relational", "fraud", "audit", "orders"),
+)
+def orders_duplicate_payment_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    o = orders.select(
+        "o_orderkey",
+        "o_custkey",
+        F.round(F.col("o_totalprice") * 100.0, 0).cast("long").alias("cents"),
+        F.col("o_orderdate").cast("date").alias("d"),
+    )
+    a = o.select(
+        F.col("o_custkey").alias("ck"),
+        F.col("cents").alias("c"),
+        F.col("o_orderkey").alias("k_a"),
+        F.col("d").alias("d_a"),
+    )
+    b = o.select(
+        F.col("o_custkey").alias("ck"),
+        F.col("cents").alias("c"),
+        F.col("o_orderkey").alias("k_b"),
+        F.col("d").alias("d_b"),
+    )
+    gap = F.datediff(F.col("d_b"), F.col("d_a"))
+    pairs = a.join(b, ["ck", "c"]).filter(
+        (F.col("k_b") > F.col("k_a"))
+        & (gap >= -DUP_WINDOW_DAYS)
+        & (gap <= DUP_WINDOW_DAYS)
+    )
+    return pairs.agg(
+        F.count(F.lit(1)).cast("long").alias("n_pairs"),
+        F.countDistinct("ck").cast("long").alias("n_customers"),
+        F.sum("c").cast("long").alias("exposure_cents"),
+        F.sum(F.when(gap == 0, 1).otherwise(0)).cast("long").alias("n_same_day"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# BOUNCE RATE BY ENTRY TYPE — which entry points lose the user
+# immediately? Gap-rule sessionization (the events_sessionize_batch
+# machinery: lag → boundary flag → per-user running session id), then
+# per session the entry type and event count; a bounce is a one-event
+# session. Per-user windows only; the rollup is type-bounded.
+# ---------------------------------------------------------------------------
+BOUNCE_GAP_MIN = 30
+
+
+@register(
+    "events_bounce_rate_by_entry",
+    oracle=f"""
+        WITH s AS (
+            SELECT user_id, ts, event_id, event_type,
+                   CASE WHEN lag(ts) OVER w IS NULL
+                         OR date_diff('second', lag(ts) OVER w, ts)
+                            > {BOUNCE_GAP_MIN * 60}
+                        THEN 1 ELSE 0 END AS boundary
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        ),
+        sid AS (
+            SELECT user_id, ts, event_id, event_type,
+                   SUM(boundary) OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                       AS session_id
+            FROM s
+        ),
+        sess AS (
+            SELECT user_id, session_id,
+                   CAST(COUNT(*) AS BIGINT) AS n_events,
+                   (MIN(struct_pack(ts := ts, eid := event_id,
+                                    t := event_type))).t AS entry_type
+            FROM sid GROUP BY 1, 2
+        )
+        SELECT entry_type,
+               CAST(COUNT(*) AS BIGINT) AS n_sessions,
+               CAST(SUM(CASE WHEN n_events = 1 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_bounces,
+               CAST((2 * CAST(SUM(CASE WHEN n_events = 1 THEN 1 ELSE 0 END)
+                              AS BIGINT) * 10000 + COUNT(*))
+                    // (2 * COUNT(*)) AS BIGINT) AS bounce_bp
+        FROM sess GROUP BY 1
+    """,
+    tags=("events", "session", "bounce", "window"),
+)
+def events_bounce_rate_by_entry(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    lag_ts = F.lag("ts").over(w)
+    boundary = F.when(
+        lag_ts.isNull()
+        | (
+            (F.unix_timestamp("ts") - F.unix_timestamp(lag_ts))
+            > BOUNCE_GAP_MIN * 60
+        ),
+        1,
+    ).otherwise(0)
+    sid = events.select(
+        "user_id", "ts", "event_id", "event_type", boundary.alias("boundary")
+    ).withColumn(
+        "session_id",
+        F.sum("boundary").over(
+            Window.partitionBy("user_id")
+            .orderBy("ts", "event_id")
+            .rowsBetween(Window.unboundedPreceding, 0)
+        ),
+    )
+    sess = sid.groupBy("user_id", "session_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+        F.min(
+            F.struct(
+                F.col("ts").alias("ts"),
+                F.col("event_id").alias("eid"),
+                F.col("event_type").alias("t"),
+            )
+        )["t"].alias("entry_type"),
+    )
+    return (
+        sess.groupBy("entry_type")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_sessions"),
+            F.sum(F.when(F.col("n_events") == 1, 1).otherwise(0))
+            .cast("long")
+            .alias("n_bounces"),
+        )
+        .select(
+            "entry_type",
+            "n_sessions",
+            "n_bounces",
+            idiv(
+                F.col("n_bounces") * 2 * 10000 + F.col("n_sessions"),
+                F.col("n_sessions") * 2,
+            ).alias("bounce_bp"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# PARTITION-SPEC ADVISOR — the table-layout decision before any 100 TB
+# write: for each candidate partition key (day, type, day×type), the
+# partition count, the biggest partition, and the skew ratio vs the
+# mean. Three bounded rollups from ONE pre-aggregate; the spec a lake
+# picks is the one whose skew stays near 1 without exploding partition
+# count.
+# ---------------------------------------------------------------------------
+@register(
+    "partition_spec_advisor",
+    oracle="""
+        WITH base AS (
+            SELECT CAST(date_trunc('day', ts) AS VARCHAR) AS d, event_type,
+                   CAST(COUNT(*) AS BIGINT) AS n
+            FROM events GROUP BY 1, 2
+        ),
+        spec AS (
+            SELECT 'day' AS spec, d AS pkey, CAST(SUM(n) AS BIGINT) AS n
+            FROM base GROUP BY 1, 2
+            UNION ALL
+            SELECT 'type', event_type, CAST(SUM(n) AS BIGINT) FROM base
+            GROUP BY 1, 2
+            UNION ALL
+            SELECT 'day_type', d || '/' || event_type, n FROM base
+        )
+        SELECT spec,
+               CAST(COUNT(*) AS BIGINT) AS n_partitions,
+               CAST(SUM(n) AS BIGINT) AS total_rows,
+               CAST(MAX(n) AS BIGINT) AS max_partition_rows,
+               CAST((2 * CAST(MAX(n) AS BIGINT) * COUNT(*) * 1000
+                     + CAST(SUM(n) AS BIGINT))
+                    // (2 * CAST(SUM(n) AS BIGINT)) AS BIGINT)
+                   AS skew_ratio_milli
+        FROM spec GROUP BY 1
+    """,
+    tags=("events", "planning", "partitioning", "scale"),
+)
+def partition_spec_advisor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    base = events.groupBy(
+        F.date_trunc("day", "ts").cast("string").alias("d"), "event_type"
+    ).agg(F.count(F.lit(1)).cast("long").alias("n"))
+    by_day = base.groupBy(F.col("d").alias("pkey")).agg(
+        F.sum("n").cast("long").alias("n")
+    ).select(F.lit("day").alias("spec"), "pkey", "n")
+    by_type = base.groupBy(F.col("event_type").alias("pkey")).agg(
+        F.sum("n").cast("long").alias("n")
+    ).select(F.lit("type").alias("spec"), "pkey", "n")
+    by_both = base.select(
+        F.lit("day_type").alias("spec"),
+        F.concat(F.col("d"), F.lit("/"), F.col("event_type")).alias("pkey"),
+        "n",
+    )
+    spec = by_day.unionByName(by_type).unionByName(by_both)
+    return (
+        spec.groupBy("spec")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_partitions"),
+            F.sum("n").cast("long").alias("total_rows"),
+            F.max("n").cast("long").alias("max_partition_rows"),
+        )
+        .select(
+            "spec",
+            "n_partitions",
+            "total_rows",
+            "max_partition_rows",
+            idiv(
+                F.col("max_partition_rows") * F.col("n_partitions") * 2 * 1000
+                + F.col("total_rows"),
+                F.col("total_rows") * 2,
+            ).alias("skew_ratio_milli"),
+        )
+    )
