@@ -14242,3 +14242,182 @@ def partition_spec_advisor(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("skew_ratio_milli"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# ITEM-ITEM COLLABORATIVE FILTERING — cosine similarity between parts
+# over the implicit customer-purchase matrix (the recsys counterpart of
+# basket_part_pairs' raw co-occurrence): candidate pairs come ONLY from
+# per-customer basket expansion (blocked on the customer key — the
+# classic CF pruning; heavy baskets above CF_MAX_BASKET are dropped on
+# both engines so no single customer explodes quadratically), supports
+# under CF_MIN_CO are pruned, and the cosine divides exact integers
+# under one correctly-rounded sqrt.
+# ---------------------------------------------------------------------------
+CF_MIN_CO = 3
+CF_MAX_BASKET = 100
+CF_TOP = 20
+
+
+@register(
+    "recsys_item_cosine",
+    oracle=f"""
+        WITH up AS (
+            SELECT DISTINCT o.o_custkey AS c, l.l_partkey AS p
+            FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+        ),
+        basket AS (
+            SELECT c FROM up GROUP BY c HAVING COUNT(*) <= {CF_MAX_BASKET}
+        ),
+        upb AS (SELECT up.c, up.p FROM up JOIN basket USING (c)),
+        sizes AS (SELECT p, CAST(COUNT(*) AS BIGINT) AS n FROM upb GROUP BY 1),
+        co AS (
+            SELECT a.p AS p_a, b.p AS p_b, CAST(COUNT(*) AS BIGINT) AS n_co
+            FROM upb a JOIN upb b ON a.c = b.c AND a.p < b.p
+            GROUP BY 1, 2
+            HAVING COUNT(*) >= {CF_MIN_CO}
+        )
+        SELECT co.p_a, co.p_b, co.n_co, za.n AS n_a, zb.n AS n_b,
+               CAST(ROUND(CAST(co.n_co AS DOUBLE)
+                          / sqrt(CAST(za.n AS DOUBLE) * CAST(zb.n AS DOUBLE))
+                          * 1000000.0) AS BIGINT) AS cosine_micro
+        FROM co
+        JOIN sizes za ON za.p = co.p_a
+        JOIN sizes zb ON zb.p = co.p_b
+        ORDER BY cosine_micro DESC, p_a, p_b
+        LIMIT {CF_TOP}
+    """,
+    tags=("relational", "recsys", "cosine", "lineitem"),
+)
+def recsys_item_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    up = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .select(F.col("o_custkey").alias("c"), F.col("l_partkey").alias("p"))
+        .distinct()
+    )
+    basket = up.groupBy("c").agg(F.count(F.lit(1)).alias("bn")).filter(
+        F.col("bn") <= CF_MAX_BASKET
+    ).select("c")
+    upb = up.join(basket, "c")
+    sizes = upb.groupBy("p").agg(F.count(F.lit(1)).cast("long").alias("n"))
+    a = upb.select("c", F.col("p").alias("p_a"))
+    b = upb.select("c", F.col("p").alias("p_b"))
+    co = (
+        a.join(b, "c")
+        .filter(F.col("p_a") < F.col("p_b"))
+        .groupBy("p_a", "p_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_co"))
+        .filter(F.col("n_co") >= CF_MIN_CO)
+    )
+    za = sizes.select(F.col("p").alias("p_a"), F.col("n").alias("n_a"))
+    zb = sizes.select(F.col("p").alias("p_b"), F.col("n").alias("n_b"))
+    return (
+        co.join(za, "p_a")
+        .join(zb, "p_b")
+        .select(
+            "p_a",
+            "p_b",
+            "n_co",
+            "n_a",
+            "n_b",
+            F.round(
+                F.col("n_co").cast("double")
+                / F.sqrt(F.col("n_a").cast("double") * F.col("n_b").cast("double"))
+                * 1000000.0,
+                0,
+            )
+            .cast("long")
+            .alias("cosine_micro"),
+        )
+        .orderBy(F.desc("cosine_micro"), "p_a", "p_b")
+        .limit(CF_TOP)
+    )
+
+
+# ---------------------------------------------------------------------------
+# CHURN LABEL MANIFEST — the leakage-free label/feature table a churn
+# model trains on: the observation cutoff is max(ts) − 28 days (exact
+# integer microseconds), the label is "no activity after the cutoff",
+# and every feature is computed STRICTLY BEFORE the cutoff — the
+# feature_asof_training_matrix discipline applied to the classic churn
+# framing. One user-keyed aggregate; exact day arithmetic.
+# ---------------------------------------------------------------------------
+CHURN_HORIZON_DAYS = 28
+
+
+@register(
+    "churn_label_manifest",
+    oracle=f"""
+        WITH b AS (
+            SELECT epoch_us(MAX(ts))
+                   - {CHURN_HORIZON_DAYS}::BIGINT * 86400000000 AS cut
+            FROM events
+        ),
+        per_user AS (
+            SELECT user_id,
+                   CAST(SUM(CASE WHEN epoch_us(ts) < b.cut THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_before,
+                   CAST(SUM(CASE WHEN epoch_us(ts) < b.cut
+                                  AND event_type = 'purchase'
+                                 THEN 1 ELSE 0 END) AS BIGINT)
+                       AS n_purchases_before,
+                   CAST(COUNT(DISTINCT CASE WHEN epoch_us(ts) < b.cut
+                                            THEN event_type END) AS BIGINT)
+                       AS n_types_before,
+                   CAST((b.cut - MAX(CASE WHEN epoch_us(ts) < b.cut
+                                          THEN epoch_us(ts) END))
+                        // 86400000000 AS BIGINT) AS days_idle_at_cut,
+                   CAST(CASE WHEN SUM(CASE WHEN epoch_us(ts) >= b.cut
+                                           THEN 1 ELSE 0 END) = 0
+                             THEN 1 ELSE 0 END AS BIGINT) AS churned
+            FROM events, b
+            GROUP BY user_id, b.cut
+        )
+        SELECT user_id, n_before, n_purchases_before, n_types_before,
+               days_idle_at_cut, churned
+        FROM per_user WHERE n_before > 0
+    """,
+    tags=("events", "ml", "churn", "labeling"),
+)
+def churn_label_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    ts_us = F.unix_micros(F.col("ts").cast("timestamp"))
+    b = events.agg(
+        (
+            F.unix_micros(F.max(F.col("ts").cast("timestamp")))
+            - F.lit(CHURN_HORIZON_DAYS).cast("long") * 86400000000
+        ).alias("cut")
+    )
+    before = ts_us < F.col("cut")
+    per_user = (
+        events.crossJoin(F.broadcast(b))
+        .groupBy("user_id", "cut")
+        .agg(
+            F.sum(F.when(before, 1).otherwise(0)).cast("long").alias("n_before"),
+            F.sum(
+                F.when(before & (F.col("event_type") == "purchase"), 1).otherwise(0)
+            )
+            .cast("long")
+            .alias("n_purchases_before"),
+            F.countDistinct(F.when(before, F.col("event_type")))
+            .cast("long")
+            .alias("n_types_before"),
+            F.max(F.when(before, ts_us)).alias("last_before_us"),
+            F.sum(F.when(~before, 1).otherwise(0)).cast("long").alias("n_after"),
+        )
+    )
+    return per_user.filter(F.col("n_before") > 0).select(
+        "user_id",
+        "n_before",
+        "n_purchases_before",
+        "n_types_before",
+        idiv(F.col("cut") - F.col("last_before_us"), 86400000000).alias(
+            "days_idle_at_cut"
+        ),
+        F.when(F.col("n_after") == 0, 1)
+        .otherwise(0)
+        .cast("long")
+        .alias("churned"),
+    )

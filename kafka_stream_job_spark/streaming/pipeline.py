@@ -4650,3 +4650,104 @@ def _register_streaming_hill_monitor() -> None:
 
 
 _register_streaming_hill_monitor()
+
+
+# ---------------------------------------------------------------------------
+# STREAMING BOUNCE RATE — the built-in session_window doing the bounce
+# analysis live: per (user, session) the event count and lexicographic-
+# first entry type accumulate in streaming state (complete mode — a
+# bounded replay's watermark never passes the final sessions), and the
+# per-entry-type rollup runs batch-side over the drained sessions. The
+# oracle mirrors session_window's EXACT boundary semantics (a new event
+# at exactly gap microseconds after the last one starts a NEW session —
+# ">= gap", unlike the batch twin's "> gap" islands), so the gate pins
+# the built-in operator's real behavior, not an approximation of it.
+# ---------------------------------------------------------------------------
+def _register_streaming_bounce_rate() -> None:
+    import uuid
+
+    from kafka_stream_job_spark.operators._portable import idiv
+    from kafka_stream_job_spark.registry import register
+
+    @register(
+        "streaming_bounce_rate",
+        oracle="""
+            WITH s AS (
+                SELECT user_id, ts, event_id, event_type,
+                       CASE WHEN lag(ts) OVER w IS NULL
+                             OR epoch_us(ts) - epoch_us(lag(ts) OVER w)
+                                >= 1800000000
+                            THEN 1 ELSE 0 END AS boundary
+                FROM events
+                WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+            ),
+            sid AS (
+                SELECT user_id, ts, event_id, event_type,
+                       SUM(boundary) OVER (
+                           PARTITION BY user_id ORDER BY ts, event_id
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                           AS session_id
+                FROM s
+            ),
+            sess AS (
+                SELECT user_id, session_id,
+                       CAST(COUNT(*) AS BIGINT) AS n_events,
+                       (MIN(struct_pack(ts := ts, eid := event_id,
+                                        t := event_type))).t AS entry_type
+                FROM sid GROUP BY 1, 2
+            )
+            SELECT entry_type,
+                   CAST(COUNT(*) AS BIGINT) AS n_sessions,
+                   CAST(SUM(CASE WHEN n_events = 1 THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_bounces,
+                   CAST((2 * CAST(SUM(CASE WHEN n_events = 1 THEN 1 ELSE 0 END)
+                                  AS BIGINT) * 10000 + COUNT(*))
+                        // (2 * COUNT(*)) AS BIGINT) AS bounce_bp
+            FROM sess GROUP BY 1
+        """,
+        tags=("streaming", "session-window", "bounce", "events"),
+    )
+    def streaming_bounce_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+        import tempfile
+
+        events = stream_events(spark, sf_dir)
+        sessions = (
+            events.withWatermark("ts", "2 hours")
+            .groupBy("user_id", F.session_window("ts", "30 minutes"))
+            .agg(
+                F.count(F.lit(1)).cast("long").alias("n_events"),
+                F.min(
+                    F.struct(
+                        F.col("ts").alias("ts"),
+                        F.col("event_id").alias("eid"),
+                        F.col("event_type").alias("t"),
+                    )
+                )["t"].alias("entry_type"),
+            )
+        )
+        name = f"stream_bounce_{uuid.uuid4().hex[:8]}"
+        ckpt = tempfile.mkdtemp(prefix="ksj-stream-bounce-")
+        sess = run_stream_to_memory(
+            spark, sessions, name, ckpt, output_mode="complete"
+        )
+        return (
+            sess.groupBy("entry_type")
+            .agg(
+                F.count(F.lit(1)).cast("long").alias("n_sessions"),
+                F.sum(F.when(F.col("n_events") == 1, 1).otherwise(0))
+                .cast("long")
+                .alias("n_bounces"),
+            )
+            .select(
+                "entry_type",
+                "n_sessions",
+                "n_bounces",
+                idiv(
+                    F.col("n_bounces") * 2 * 10000 + F.col("n_sessions"),
+                    F.col("n_sessions") * 2,
+                ).alias("bounce_bp"),
+            )
+        )
+
+
+_register_streaming_bounce_rate()
