@@ -14421,3 +14421,123 @@ def churn_label_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("churned"),
     )
+
+
+# ---------------------------------------------------------------------------
+# DISCOUNT-CAP COUNTERFACTUAL — the what-if class: revenue under the
+# actual discount schedule vs a counterfactual policy capping discounts
+# at CF_DISCOUNT_CAP points, per part type. Both worlds are exact
+# centi-cent integers computed in the SAME pass (a counterfactual is a
+# CASE expression, not a second scan), so the uplift is order-free and
+# engine-exact.
+# ---------------------------------------------------------------------------
+CF_DISCOUNT_CAP = 5  # points
+
+
+@register(
+    "discount_cap_counterfactual",
+    oracle=f"""
+        WITH r AS (
+            SELECT p.p_type,
+                   CAST(ROUND(l.l_extendedprice * 100.0) AS BIGINT) AS cents,
+                   CAST(ROUND(l.l_discount * 100.0) AS BIGINT) AS disc
+            FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+        )
+        SELECT p_type,
+               CAST(COUNT(*) AS BIGINT) AS n_lines,
+               CAST(SUM(cents * (100 - disc)) AS BIGINT) AS actual_ccents,
+               CAST(SUM(cents * (100 - least(disc, {CF_DISCOUNT_CAP})))
+                    AS BIGINT) AS capped_ccents,
+               CAST(SUM(cents * (least(disc, {CF_DISCOUNT_CAP}) - disc) * -1)
+                    AS BIGINT) AS uplift_ccents,
+               CAST(SUM(CASE WHEN disc > {CF_DISCOUNT_CAP} THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_lines_affected
+        FROM r GROUP BY 1
+    """,
+    tags=("relational", "counterfactual", "pricing", "lineitem"),
+)
+def discount_cap_counterfactual(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    r = li.join(part, li.l_partkey == part.p_partkey).select(
+        "p_type",
+        F.round(F.col("l_extendedprice") * 100.0, 0).cast("long").alias("cents"),
+        F.round(F.col("l_discount") * 100.0, 0).cast("long").alias("disc"),
+    )
+    capped = F.least(F.col("disc"), F.lit(CF_DISCOUNT_CAP).cast("long"))
+    return r.groupBy("p_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_lines"),
+        F.sum(F.col("cents") * (100 - F.col("disc")))
+        .cast("long")
+        .alias("actual_ccents"),
+        F.sum(F.col("cents") * (100 - capped)).cast("long").alias("capped_ccents"),
+        F.sum(F.col("cents") * (capped - F.col("disc")) * -1)
+        .cast("long")
+        .alias("uplift_ccents"),
+        F.sum(F.when(F.col("disc") > CF_DISCOUNT_CAP, 1).otherwise(0))
+        .cast("long")
+        .alias("n_lines_affected"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# WALK-FORWARD FORECAST BACKTEST — the harness that decides whether a
+# forecaster ships: for every month m with 3 predecessors, forecast GMV
+# as the trailing-3-month mean (exact half-up integer cents) and score
+# the absolute percentage error in basis points. Unlike the point
+# forecasters (EWMA/Holt/Holt-Winters), this is the EVALUATION loop —
+# month-spine-bounded windows, one monthly pre-aggregate of the fact
+# table.
+# ---------------------------------------------------------------------------
+@register(
+    "gmv_walk_forward_backtest",
+    oracle="""
+        WITH monthly AS (
+            SELECT strftime(o_orderdate, '%Y-%m') AS m,
+                   CAST(SUM(CAST(ROUND(o_totalprice * 100.0) AS BIGINT))
+                        AS BIGINT) AS gmv
+            FROM orders GROUP BY 1
+        ),
+        lagged AS (
+            SELECT m, gmv,
+                   lag(gmv, 1) OVER (ORDER BY m) AS g1,
+                   lag(gmv, 2) OVER (ORDER BY m) AS g2,
+                   lag(gmv, 3) OVER (ORDER BY m) AS g3
+            FROM monthly
+        )
+        SELECT m, gmv,
+               CAST((2 * (g1 + g2 + g3) + 3) // 6 AS BIGINT) AS forecast,
+               CAST((2 * abs(gmv - (2 * (g1 + g2 + g3) + 3) // 6) * 10000
+                     + gmv) // (2 * gmv) AS BIGINT) AS ape_bp
+        FROM lagged WHERE g3 IS NOT NULL
+    """,
+    tags=("orders", "timeseries", "forecast", "backtest"),
+)
+def gmv_walk_forward_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    monthly = orders.groupBy(
+        F.date_format("o_orderdate", "yyyy-MM").alias("m")
+    ).agg(
+        F.sum(F.round(F.col("o_totalprice") * 100.0, 0).cast("long"))
+        .cast("long")
+        .alias("gmv")
+    )
+    # month-spine window: bounded by the time domain, not the row count
+    w = Window.orderBy("m")
+    lagged = monthly.select(
+        "m",
+        "gmv",
+        F.lag("gmv", 1).over(w).alias("g1"),
+        F.lag("gmv", 2).over(w).alias("g2"),
+        F.lag("gmv", 3).over(w).alias("g3"),
+    ).filter(F.col("g3").isNotNull())
+    forecast = idiv((F.col("g1") + F.col("g2") + F.col("g3")) * 2 + 3, 6)
+    return lagged.select(
+        "m",
+        "gmv",
+        forecast.alias("forecast"),
+        idiv(
+            F.abs(F.col("gmv") - forecast) * 2 * 10000 + F.col("gmv"),
+            F.col("gmv") * 2,
+        ).alias("ape_bp"),
+    )

@@ -3956,3 +3956,109 @@ def embedding_drift_ab_halves(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("shift_milli"),
     )
+
+
+# ---------------------------------------------------------------------------
+# ANN METHOD AGREEMENT — the self-calibrating meta-report over the
+# retrieval family: pairwise top-K overlap between the exact ranking
+# and each approximate method (sign-LSH buckets, IVF probe, binary
+# rerank), from the SAME query set. Each method's top-K is the already-
+# registered operator's own output — this op composes them, so a
+# regression in any member shows up as an agreement drop. Bounded:
+# |methods|² × N_QUERIES × TOP_K rows everywhere.
+# ---------------------------------------------------------------------------
+def _ann_agreement_oracle() -> str:
+    from kafka_stream_job_spark.registry import REGISTRY
+
+    exact = REGISTRY["similarity_topk_cosine"].oracle
+    bucketed = REGISTRY["similarity_topk_bucketed"].oracle
+    ivf = REGISTRY["similarity_topk_ivf"].oracle
+    binary = REGISTRY["similarity_topk_binary_rerank"].oracle
+    methods = ", ".join(
+        f"m_{name} AS (SELECT query_id, neighbor_id FROM ({sql}))"
+        for name, sql in (
+            ("exact", exact),
+            ("bucketed", bucketed),
+            ("ivf", ivf),
+            ("binary", binary),
+        )
+    )
+    pairs = " UNION ALL ".join(
+        f"""SELECT '{a}' AS method_a, '{b}' AS method_b,
+                   (SELECT CAST(COUNT(*) AS BIGINT) FROM m_{a} x
+                    JOIN m_{b} y ON y.query_id = x.query_id
+                               AND y.neighbor_id = x.neighbor_id) AS n_shared,
+                   (SELECT CAST(COUNT(*) AS BIGINT) FROM m_{a}) AS n_a,
+                   (SELECT CAST(COUNT(*) AS BIGINT) FROM m_{b}) AS n_b"""
+        for a, b in (
+            ("exact", "bucketed"),
+            ("exact", "ivf"),
+            ("exact", "binary"),
+            ("bucketed", "ivf"),
+            ("bucketed", "binary"),
+            ("ivf", "binary"),
+        )
+    )
+    return f"""
+        WITH {methods},
+        p AS ({pairs})
+        SELECT method_a, method_b, n_shared, n_a, n_b,
+               CAST((2 * n_shared * 10000 + least(n_a, n_b))
+                    // (2 * least(n_a, n_b)) AS BIGINT) AS overlap_bp
+        FROM p
+    """
+
+
+@register(
+    "ann_method_agreement",
+    oracle=_ann_agreement_oracle(),
+    tags=("similarity", "embeddings", "recall", "meta-eval"),
+)
+def ann_method_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kafka_stream_job_spark.operators._portable import idiv
+    from kafka_stream_job_spark.registry import REGISTRY
+
+    methods = {
+        "exact": "similarity_topk_cosine",
+        "bucketed": "similarity_topk_bucketed",
+        "ivf": "similarity_topk_ivf",
+        "binary": "similarity_topk_binary_rerank",
+    }
+    tops = {
+        name: REGISTRY[q].fn(spark, sf_dir)
+        .select("query_id", "neighbor_id")
+        .localCheckpoint(eager=False)  # each feeds several pair joins
+        for name, q in methods.items()
+    }
+    rows = None
+    order = ["exact", "bucketed", "ivf", "binary"]
+    for i, a in enumerate(order):
+        for b in order[i + 1 :]:
+            shared = tops[a].join(tops[b], ["query_id", "neighbor_id"]).agg(
+                F.count(F.lit(1)).cast("long").alias("n_shared")
+            )
+            na = tops[a].agg(F.count(F.lit(1)).cast("long").alias("n_a"))
+            nb = tops[b].agg(F.count(F.lit(1)).cast("long").alias("n_b"))
+            row = (
+                shared.crossJoin(F.broadcast(na))
+                .crossJoin(F.broadcast(nb))
+                .select(
+                    F.lit(a).alias("method_a"),
+                    F.lit(b).alias("method_b"),
+                    "n_shared",
+                    "n_a",
+                    "n_b",
+                )
+            )
+            rows = row if rows is None else rows.unionByName(row)
+    return rows.select(
+        "method_a",
+        "method_b",
+        "n_shared",
+        "n_a",
+        "n_b",
+        idiv(
+            F.col("n_shared") * 2 * 10000 + F.least("n_a", "n_b"),
+            F.least("n_a", "n_b") * 2,
+        ).alias("overlap_bp"),
+    )
