@@ -14541,3 +14541,180 @@ def gmv_walk_forward_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("gmv") * 2,
         ).alias("ape_bp"),
     )
+
+
+# ---------------------------------------------------------------------------
+# HAAR WAVELET ENERGY — multi-resolution decomposition of the per-type
+# hourly count series, ENTIRELY in exact integers: level k's detail
+# coefficients are pairwise differences of level k-1's pairwise sums
+# (the unnormalized Haar transform), and the per-level energy Σd² is an
+# exact int64 — the signal-processing answer to "at which timescale does
+# this type's traffic vary". The series rides a dense (type × hour-
+# index) grid bounded by the time domain; three grouped reduces, each
+# halving the grid.
+# ---------------------------------------------------------------------------
+HAAR_LEVELS = 3
+
+
+@register(
+    "events_haar_wavelet_energy",
+    oracle=f"""
+        WITH bounds AS (
+            SELECT epoch_us(MIN(date_trunc('hour', ts))) AS lo FROM events
+        ),
+        hourly AS (
+            SELECT event_type,
+                   (epoch_us(date_trunc('hour', ts)) - b.lo)
+                       // 3600000000 AS i,
+                   CAST(COUNT(*) AS BIGINT) AS c
+            FROM events, bounds b GROUP BY 1, 2, b.lo
+        ),
+        grid AS (
+            SELECT t.event_type, gi.i, COALESCE(h.c, 0) AS c
+            FROM (SELECT DISTINCT event_type FROM hourly) t
+            CROSS JOIN (
+                SELECT unnest(range(0,
+                    ((SELECT MAX(i) FROM hourly) // 8 + 1) * 8)) AS i) gi
+            LEFT JOIN hourly h ON h.event_type = t.event_type AND h.i = gi.i
+        ),
+        l1 AS (
+            SELECT event_type, i // 2 AS i,
+                   CAST(SUM(CASE WHEN i % 2 = 0 THEN c ELSE 0 END)
+                        + SUM(CASE WHEN i % 2 = 1 THEN c ELSE 0 END)
+                        AS BIGINT) AS s,
+                   CAST(SUM(CASE WHEN i % 2 = 0 THEN c ELSE 0 END)
+                        - SUM(CASE WHEN i % 2 = 1 THEN c ELSE 0 END)
+                        AS BIGINT) AS d
+            FROM grid GROUP BY 1, 2
+        ),
+        l2 AS (
+            SELECT event_type, i // 2 AS i,
+                   CAST(SUM(CASE WHEN i % 2 = 0 THEN s ELSE 0 END)
+                        + SUM(CASE WHEN i % 2 = 1 THEN s ELSE 0 END)
+                        AS BIGINT) AS s,
+                   CAST(SUM(CASE WHEN i % 2 = 0 THEN s ELSE 0 END)
+                        - SUM(CASE WHEN i % 2 = 1 THEN s ELSE 0 END)
+                        AS BIGINT) AS d
+            FROM l1 GROUP BY 1, 2
+        ),
+        l3 AS (
+            SELECT event_type, i // 2 AS i,
+                   CAST(SUM(CASE WHEN i % 2 = 0 THEN s ELSE 0 END)
+                        - SUM(CASE WHEN i % 2 = 1 THEN s ELSE 0 END)
+                        AS BIGINT) AS d
+            FROM l2 GROUP BY 1, 2
+        ),
+        u AS (
+            SELECT event_type, 1 AS level, CAST(SUM(d * d) AS BIGINT) AS energy
+            FROM l1 GROUP BY 1
+            UNION ALL
+            SELECT event_type, 2, CAST(SUM(d * d) AS BIGINT) FROM l2 GROUP BY 1
+            UNION ALL
+            SELECT event_type, 3, CAST(SUM(d * d) AS BIGINT) FROM l3 GROUP BY 1
+        )
+        SELECT event_type, CAST(level AS BIGINT) AS level, energy FROM u
+    """,
+    tags=("events", "timeseries", "wavelet", "signal"),
+)
+def events_haar_wavelet_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    hour_us = F.unix_micros(F.date_trunc("hour", F.col("ts").cast("timestamp")))
+    bounds = events.agg(F.min(hour_us).alias("lo"))
+    hourly = (
+        events.crossJoin(F.broadcast(bounds))
+        .groupBy(
+            "event_type",
+            idiv(hour_us - F.col("lo"), 3600000000).alias("i"),
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+    )
+    max_i = hourly.agg(F.max("i").alias("mx"))
+    spine = (
+        max_i.select(
+            F.explode(
+                F.sequence(F.lit(0), (idiv(F.col("mx"), 8) + 1) * 8 - 1)
+            ).alias("i")
+        )
+    )
+    types = hourly.select("event_type").distinct()
+    grid = (
+        types.crossJoin(spine)
+        .join(hourly, ["event_type", "i"], "left")
+        .select(
+            "event_type",
+            "i",
+            F.coalesce(F.col("c"), F.lit(0).cast("long")).alias("c"),
+        )
+    )
+
+    def haar_level(df: DataFrame, col: str) -> DataFrame:
+        even = F.sum(F.when(F.col("i") % 2 == 0, F.col(col)).otherwise(0))
+        odd = F.sum(F.when(F.col("i") % 2 == 1, F.col(col)).otherwise(0))
+        return df.groupBy("event_type", idiv(F.col("i"), 2).alias("i")).agg(
+            (even + odd).cast("long").alias("s"),
+            (even - odd).cast("long").alias("d"),
+        )
+
+    l1 = haar_level(grid, "c")
+    l2 = haar_level(l1, "s")
+    l3 = haar_level(l2, "s")
+    u = None
+    for level, df in ((1, l1), (2, l2), (3, l3)):
+        e = df.groupBy("event_type").agg(
+            F.sum(F.col("d") * F.col("d")).cast("long").alias("energy")
+        ).select(
+            "event_type", F.lit(level).cast("long").alias("level"), "energy"
+        )
+        u = e if u is None else u.unionByName(e)
+    return u
+
+
+# ---------------------------------------------------------------------------
+# REVENUE WATERFALL — the gross → discount → net → tax decomposition a
+# finance dashboard reads, per (returnflag, linestatus): every component
+# is an exact integer in its own stated unit (cents / centi-cents /
+# 1e-4 cents for the tax term, which multiplies two percentage scales),
+# so each column is order-free and the waterfall reconciles exactly —
+# net_ccents == gross_cents*100 − discount_ccents, by construction on
+# both engines. One scan, one bounded rollup (the q1 shape decomposed).
+# ---------------------------------------------------------------------------
+@register(
+    "revenue_waterfall",
+    oracle="""
+        WITH r AS (
+            SELECT l_returnflag, l_linestatus,
+                   CAST(ROUND(l_extendedprice * 100.0) AS BIGINT) AS price_c,
+                   CAST(ROUND(l_discount * 100.0) AS BIGINT) AS d,
+                   CAST(ROUND(l_tax * 100.0) AS BIGINT) AS t
+            FROM lineitem
+        )
+        SELECT l_returnflag, l_linestatus,
+               CAST(COUNT(*) AS BIGINT) AS n_lines,
+               CAST(SUM(price_c) AS BIGINT) AS gross_cents,
+               CAST(SUM(price_c * d) AS BIGINT) AS discount_ccents,
+               CAST(SUM(price_c * (100 - d)) AS BIGINT) AS net_ccents,
+               CAST(SUM(price_c * (100 - d) * t) AS BIGINT) AS tax_tccents
+        FROM r GROUP BY 1, 2
+    """,
+    tags=("relational", "finance", "waterfall", "lineitem"),
+)
+def revenue_waterfall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    r = li.select(
+        "l_returnflag",
+        "l_linestatus",
+        F.round(F.col("l_extendedprice") * 100.0, 0).cast("long").alias("price_c"),
+        F.round(F.col("l_discount") * 100.0, 0).cast("long").alias("d"),
+        F.round(F.col("l_tax") * 100.0, 0).cast("long").alias("t"),
+    )
+    return r.groupBy("l_returnflag", "l_linestatus").agg(
+        F.count(F.lit(1)).cast("long").alias("n_lines"),
+        F.sum("price_c").cast("long").alias("gross_cents"),
+        F.sum(F.col("price_c") * F.col("d")).cast("long").alias("discount_ccents"),
+        F.sum(F.col("price_c") * (100 - F.col("d")))
+        .cast("long")
+        .alias("net_ccents"),
+        F.sum(F.col("price_c") * (100 - F.col("d")) * F.col("t"))
+        .cast("long")
+        .alias("tax_tccents"),
+    )

@@ -4688,3 +4688,106 @@ def text_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n") * 2,
         ).alias("entropy_unats"),
     )
+
+
+# ---------------------------------------------------------------------------
+# TOKEN DF DRIFT BETWEEN HALVES — which vocabulary moved? Document
+# frequency shares per token in the even-doc_id half vs the odd half
+# (exact integer counts, micro-unit shares over each half's doc count),
+# top-20 movers by absolute share delta with an exact integer ranking
+# key (|n_a·D_b − n_b·D_a| — cross-multiplied, division-free). The
+# corpus-drift companion of corpus_js_divergence at token granularity.
+# ---------------------------------------------------------------------------
+DF_DRIFT_TOP = 20
+DF_DRIFT_MIN_DF = 5
+
+
+@register(
+    "token_df_drift_halves",
+    oracle=f"""
+        WITH dt AS (
+            SELECT DISTINCT doc_id, doc_id % 2 AS half,
+                   unnest(string_split({_BL_NORM_SQL}, ' ')) AS token
+            FROM documents
+        ),
+        halves AS (
+            SELECT CAST(COUNT(DISTINCT CASE WHEN doc_id % 2 = 0
+                                            THEN doc_id END) AS BIGINT) AS d_a,
+                   CAST(COUNT(DISTINCT CASE WHEN doc_id % 2 = 1
+                                            THEN doc_id END) AS BIGINT) AS d_b
+            FROM documents
+        ),
+        df AS (
+            SELECT token,
+                   CAST(SUM(CASE WHEN half = 0 THEN 1 ELSE 0 END) AS BIGINT)
+                       AS n_a,
+                   CAST(SUM(CASE WHEN half = 1 THEN 1 ELSE 0 END) AS BIGINT)
+                       AS n_b
+            FROM dt GROUP BY 1
+            HAVING COUNT(*) >= {DF_DRIFT_MIN_DF}
+        )
+        SELECT token, n_a, n_b,
+               CAST(ROUND((CAST(n_a AS DOUBLE) / h.d_a
+                           - CAST(n_b AS DOUBLE) / h.d_b)
+                          * 1000000.0) AS BIGINT) AS share_delta_micro
+        FROM df, halves h
+        ORDER BY abs(n_a * h.d_b - n_b * h.d_a) DESC, token
+        LIMIT {DF_DRIFT_TOP}
+    """,
+    tags=("text", "drift", "vocabulary", "documents"),
+)
+def token_df_drift_halves(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kafka_stream_job_spark.operators.dedup import _norm_text
+
+    docs = load_table(spark, sf_dir, "documents")
+    dt = docs.select(
+        "doc_id",
+        (F.col("doc_id") % 2).alias("half"),
+        F.explode(F.array_distinct(F.split(_norm_text(), " "))).alias("token"),
+    )
+    halves = docs.agg(
+        F.countDistinct(F.when(F.col("doc_id") % 2 == 0, F.col("doc_id")))
+        .cast("long")
+        .alias("d_a"),
+        F.countDistinct(F.when(F.col("doc_id") % 2 == 1, F.col("doc_id")))
+        .cast("long")
+        .alias("d_b"),
+    )
+    df = (
+        dt.groupBy("token")
+        .agg(
+            F.sum(F.when(F.col("half") == 0, 1).otherwise(0))
+            .cast("long")
+            .alias("n_a"),
+            F.sum(F.when(F.col("half") == 1, 1).otherwise(0))
+            .cast("long")
+            .alias("n_b"),
+            F.count(F.lit(1)).alias("_df"),
+        )
+        .filter(F.col("_df") >= DF_DRIFT_MIN_DF)
+    )
+    key = F.abs(
+        F.col("n_a") * F.col("d_b") - F.col("n_b") * F.col("d_a")
+    )
+    return (
+        df.crossJoin(F.broadcast(halves))
+        .select(
+            "token",
+            "n_a",
+            "n_b",
+            F.round(
+                (
+                    F.col("n_a").cast("double") / F.col("d_a")
+                    - F.col("n_b").cast("double") / F.col("d_b")
+                )
+                * 1000000.0,
+                0,
+            )
+            .cast("long")
+            .alias("share_delta_micro"),
+            key.alias("_key"),
+        )
+        .orderBy(F.desc("_key"), "token")
+        .limit(DF_DRIFT_TOP)
+        .drop("_key")
+    )
