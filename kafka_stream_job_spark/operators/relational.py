@@ -14718,3 +14718,96 @@ def revenue_waterfall(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("tax_tccents"),
     )
+
+
+# ---------------------------------------------------------------------------
+# STREAMING STATE-BUDGET PLANNER — the operational sizing table behind
+# the streaming family's "state bounded by design" claims, computed
+# FROM THE DATA: for each stateful operator class, the exact row bound
+# its state reaches on this corpus (hours × types for windowed rollups,
+# users for attribution, langs × 64 for the hashed-BOW monitor, the
+# documented constants for the sketches). A capacity planner reads this
+# BEFORE picking executor memory; the gate keeps the documented bounds
+# honest against the data they're claimed for.
+# ---------------------------------------------------------------------------
+@register(
+    "streaming_state_budget_planner",
+    oracle="""
+        WITH d AS (
+            SELECT CAST(COUNT(DISTINCT date_trunc('hour', ts)) AS BIGINT)
+                       AS n_hours,
+                   CAST(COUNT(DISTINCT event_type) AS BIGINT) AS n_types,
+                   CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+            FROM events
+        ),
+        l AS (
+            SELECT CAST(COUNT(DISTINCT lang) AS BIGINT) AS n_langs
+            FROM documents
+        )
+        SELECT op_class, state_rows FROM (
+            SELECT 'hourly_windowed_rollup' AS op_class,
+                   (SELECT n_hours FROM d) AS state_rows
+            UNION ALL
+            SELECT 'hour_x_type_rollup',
+                   (SELECT n_hours * n_types FROM d)
+            UNION ALL
+            SELECT 'per_user_attribution', (SELECT n_users FROM d)
+            UNION ALL
+            SELECT 'type_value_histogram',
+                   (SELECT n_types FROM d) * 10
+            UNION ALL
+            SELECT 'feature_hashing_monitor',
+                   (SELECT n_langs FROM l) * 64
+            UNION ALL
+            SELECT 'hll_registers', 1024
+            UNION ALL
+            SELECT 'hill_topk_sketch', 100
+        )
+    """,
+    tags=("streaming", "planning", "state", "scale"),
+)
+def streaming_state_budget_planner(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    docs = load_table(spark, sf_dir, "documents")
+    d = events.agg(
+        F.countDistinct(F.date_trunc("hour", "ts")).cast("long").alias("n_hours"),
+        F.countDistinct("event_type").cast("long").alias("n_types"),
+        F.countDistinct("user_id").cast("long").alias("n_users"),
+    )
+    l = docs.agg(F.countDistinct("lang").cast("long").alias("n_langs"))
+    base = d.crossJoin(F.broadcast(l))
+    rows = base.select(
+        F.explode(
+            F.array(
+                F.struct(
+                    F.lit("hourly_windowed_rollup").alias("op_class"),
+                    F.col("n_hours").alias("state_rows"),
+                ),
+                F.struct(
+                    F.lit("hour_x_type_rollup").alias("op_class"),
+                    (F.col("n_hours") * F.col("n_types")).alias("state_rows"),
+                ),
+                F.struct(
+                    F.lit("per_user_attribution").alias("op_class"),
+                    F.col("n_users").alias("state_rows"),
+                ),
+                F.struct(
+                    F.lit("type_value_histogram").alias("op_class"),
+                    (F.col("n_types") * 10).alias("state_rows"),
+                ),
+                F.struct(
+                    F.lit("feature_hashing_monitor").alias("op_class"),
+                    (F.col("n_langs") * 64).alias("state_rows"),
+                ),
+                F.struct(
+                    F.lit("hll_registers").alias("op_class"),
+                    F.lit(1024).cast("long").alias("state_rows"),
+                ),
+                F.struct(
+                    F.lit("hill_topk_sketch").alias("op_class"),
+                    F.lit(100).cast("long").alias("state_rows"),
+                ),
+            )
+        ).alias("s")
+    ).select("s.op_class", "s.state_rows")
+    return rows

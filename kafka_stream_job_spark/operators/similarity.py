@@ -4062,3 +4062,60 @@ def ann_method_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.least("n_a", "n_b") * 2,
         ).alias("overlap_bp"),
     )
+
+
+# ---------------------------------------------------------------------------
+# EMBEDDING ISOTROPY PROXY — the Ethayarajh-style "are embeddings using
+# the whole space" check: mean cosine between consecutive-id vector
+# pairs (a deterministic, data-independent pairing — no sampling state).
+# An anisotropic (cone-shaped) embedding space pushes this toward 1 and
+# degrades every downstream cosine ranking. Per-pair cosines quantize to
+# micro-units BEFORE the corpus mean (order-free); one self-join on the
+# shifted id — co-partitioned, never quadratic.
+# ---------------------------------------------------------------------------
+@register(
+    "embedding_isotropy_proxy",
+    oracle=f"""
+        WITH pairs AS (
+            SELECT CAST(ROUND(
+                       {_DOT_SQL.format(a='a.embedding', b='b.embedding')}
+                       / ({_NORM_SQL.format(a='a.embedding')}
+                          * {_NORM_SQL.format(a='b.embedding')})
+                       * 1000000.0) AS BIGINT) AS cos_micro
+            FROM embeddings a
+            JOIN embeddings b ON b.vec_id = a.vec_id + 1
+        )
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_pairs,
+               CAST(MIN(cos_micro) AS BIGINT) AS min_cos_micro,
+               CAST(MAX(cos_micro) AS BIGINT) AS max_cos_micro,
+               CAST(ROUND(CAST(SUM(cos_micro) AS BIGINT) * 1.0 / COUNT(*))
+                    AS BIGINT) AS mean_cos_micro
+        FROM pairs
+    """,
+    tags=("embeddings", "isotropy", "stats", "quality"),
+)
+def embedding_isotropy_proxy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings", rebalance=True)
+    a = emb.select(F.col("vec_id").alias("ia"), F.col("embedding").alias("ea"))
+    b = emb.select(
+        (F.col("vec_id") - 1).alias("ia"), F.col("embedding").alias("eb")
+    )
+    cos = _dot(F.col("ea"), F.col("eb")) / (
+        _norm(F.col("ea")) * _norm(F.col("eb"))
+    )
+    pairs = a.join(b, "ia").select(
+        F.round(cos * 1000000.0, 0).cast("long").alias("cos_micro")
+    )
+    return pairs.agg(
+        F.count(F.lit(1)).cast("long").alias("n_pairs"),
+        F.min("cos_micro").alias("min_cos_micro"),
+        F.max("cos_micro").alias("max_cos_micro"),
+        F.sum("cos_micro").alias("_s"),
+    ).select(
+        "n_pairs",
+        "min_cos_micro",
+        "max_cos_micro",
+        F.round(F.col("_s") * 1.0 / F.col("n_pairs"), 0)
+        .cast("long")
+        .alias("mean_cos_micro"),
+    )
