@@ -279,211 +279,220 @@ def all_specs() -> dict[str, QuerySpec]:
     # (operators added after the measurement) slot in just after the
     # sub-second group.
     cost_order = (
-        "text_fingerprint", "url_functions_showcase",
-        "bitwise_aggregates_showcase", "text_token_stats",
-        "text_bpe_token_count", "data_freshness_sla", "text_quality_score",
-        "span_corruption_manifest", "split_train_eval",
-        "text_seqlen_histogram", "q6_forecast_revenue", "gdpr_purge_manifest",
-        "binary_blob_source_stats", "dedup_exact",
-        "scalar_functions_showcase", "datetime_functions_showcase",
-        "embedding_norm_stats", "fixed_width_source_read",
-        "sft_pair_manifest", "try_functions_showcase", "scd2_customer_merge",
-        "grouping_sets_revenue", "lang_balance_weights",
-        "embedding_int8_quantize", "execute_immediate_showcase",
-        "schema_evolution_merge_read", "bpe_fertility_by_lang",
-        "bronze_decode_errors", "collation_group_showcase",
-        "text_language_id", "text_sentiment_lexicon",
-        "cube_order_status_priority", "nations_with_rich_customers",
-        "q4_order_priority", "subject_access_export", "events_json_extract",
-        "partitioned_source_pruned_read", "compaction_bin_packing_plan",
-        "decayed_leaderboard", "feature_asof_training_matrix",
-        "unpivot_lineitem_measures", "jsonl_source_permissive_read",
-        "multimodal_resize", "percentile_order_prices",
-        "text_mojibake_detect", "csv_source_permissive_read",
-        "profile_hot_orderkeys", "text_fano_burstiness",
-        "text_unicode_script_profile", "array_set_functions_showcase",
-        "events_props_templates", "events_user_lifecycle_stages",
-        "map_functions_showcase", "orders_gmv_weekly_wow",
-        "q12_priority_by_linestatus", "events_interval_union_coverage",
-        "events_multi_rollup", "q22_global_sales_opportunity",
-        "text_readability_features", "dedup_prefix_collision",
-        "l_diversity_audit", "multimodal_frame_sample", "rollup_returns",
-        "attribution_multi_touch", "bronze_decode_roundtrip",
-        "dp_noisy_nation_counts", "kmv_distinct_users",
-        "multimodal_metadata_scan", "pipe_sql_priority_stats",
-        "q15_top_supplier", "sft_loss_masking_spans",
-        "similarity_topk_cosine", "stats_qty_price_corr",
-        "events_daily_value_trend", "parameterized_sql_showcase",
-        "text_hapax_ratio", "trigram_like_search", "rate_limiter_backtest",
-        "sql_udf_showcase", "array_agg_user_profile", "events_hourly_rollup",
-        "events_transition_matrix", "file_metadata_columns_read",
-        "grpo_group_advantage", "q19_disjunctive_revenue",
-        "similarity_topk_bucketed", "text_vocab_coverage",
-        "events_profile_cosine_pairs", "geo_cell_colocation",
-        "lang_temperature_weights", "small_quantity_revenue",
-        "text_pii_redaction", "change_data_feed_report", "hll_distinct_users",
-        "text_adjacent_repetition", "events_ab_uplift_test",
-        "multimodal_png_stats", "similarity_lsh_neardup", "text_zipf_slope",
-        "xml_decode_roundtrip", "aes_roundtrip_audit",
-        "embedding_pca2_closed_form", "events_ewma_forecast",
-        "events_theilsen_trend", "lateral_top_customers_per_nation",
-        "web_domain_profile", "discount_elasticity_by_brand",
-        "events_burst_hours", "events_funnel_view_click_purchase",
-        "events_holt_forecast", "events_session_window_batch",
-        "heavy_hitter_tokens", "q14_promo_revenue",
-        "score_calibration_report", "incremental_join_maintenance",
-        "parts_price_anova_by_size", "text_bm25_search",
-        "top_customers_by_revenue", "events_funnel_latency",
-        "q9_product_type_profit", "multimodal_bmp_stats",
-        "orc_source_roundtrip", "q13_customer_distribution",
-        "supplier_return_wilson_rank", "events_seasonality_strength",
-        "blocklist_phrase_filter", "embedding_blocking_key_profile",
-        "mlm_masking_manifest", "multimodal_magic_sniffer",
-        "orders_repeat_purchase_gaps", "price_index_laspeyres",
-        "t_closeness_audit", "window_customer_order_rank",
-        "corpus_quota_rebalance_delta", "text_feature_hashing",
-        "text_rake_keywords", "window_event_gaps",
-        "dedup_cluster_size_histogram", "distinct_parts_per_supplier",
-        "market_concentration_hhi", "q8_national_market_share",
-        "embedding_dim_variance_rank", "mixture_temperature_sweep",
-        "orders_priority_status_chi2", "q18_large_volume_customers",
-        "salted_join_supplier_volume", "snapshot_retention_expiry_plan",
-        "watermark_sizing_report", "events_anomaly_persistence",
-        "events_hourly_anomaly", "langid_precision_recall",
-        "pivot_user_event_matrix", "q20_heavy_shippers",
-        "streaming_dedup_events", "graph_degree_distribution",
-        "q7_volume_shipping", "sketch_quantile_bins",
-        "bloom_filter_membership", "events_type_audience_overlap",
-        "profile_lineitem_columns", "rank_correlation_kendall",
-        "events_growth_accounting", "events_holtwinters_forecast",
-        "gzip_jsonl_source_read", "hll_merge_event_types",
-        "setops_customer_segments", "supplier_scorecard",
-        "surrogate_key_assignment", "corpus_dedup_aware_weights",
-        "events_user_retention", "kmeans_inertia_elbow", "orphan_file_audit",
-        "q11_important_part_value", "range_join_price_bands",
-        "cv_fold_manifest", "ols_two_feature_normal_eq",
-        "q16_supplier_part_buckets", "text_lexical_diversity",
-        "embedding_outlier_zscore", "events_props_variant_decode",
-        "null_safe_join_attribution", "q2_min_cost_supplier",
-        "session_window_rollup", "customer_spend_gini",
-        "decision_stump_split_scores", "events_hill_tail_index",
-        "dedup_embedding_cosine", "events_hourly_mad_outliers",
-        "multimodal_decode_features", "rag_context_pack",
-        "events_hourly_gapfill", "join_skew_planner",
-        "customer_balance_ks_test", "events_changepoint_binseg",
-        "streaming_heavy_hitter_users", "text_top_bigrams",
-        "best_of_n_selection", "streaming_upsert_latest_state",
-        "arrow_map_embedding_norm", "streaming_available_now_rollup",
-        "text_word_pmi", "events_psi_value_drift",
-        "forecast_conformal_intervals", "k_anonymity_audit",
-        "multimodal_bmp_ahash", "multimodal_gif_stats",
-        "attribution_window_sweep", "linkage_fellegi_sunter",
-        "events_alarm_verification", "similarity_topk_ivf",
-        "events_dau_wau_mau", "txn_log_time_travel", "benford_digit_audit",
-        "ann_ndcg_truncation", "pps_systematic_sample",
-        "text_repetition_filter", "ivf_cell_balance_report",
-        "timeseries_znorm_subsequence_search", "matryoshka_truncation_recall",
-        "orders_open_backlog_daily", "skipgram_negative_samples",
-        "streaming_kmv_distinct_users", "streaming_static_enrich",
-        "surrogate_key_incremental", "events_sessionize_batch",
-        "shard_manifest_balanced", "similarity_topk_binary_rerank",
-        "array_hof_showcase", "corpus_token_budget_plan",
-        "dedup_frontier_bloom", "events_ohlc_bars",
-        "asof_purchase_attribution", "merge_full_cdc",
-        "multimodal_stratified_sample", "streaming_gzip_jsonl_rollup",
-        "k_anonymity_generalize", "pandas_acctbal_zscore",
-        "streaming_dedup_within_watermark", "curriculum_pacing_schedule",
-        "streaming_hll_distinct_users", "text_token_entropy",
-        "incremental_agg_maintenance", "text_term_proximity_search",
-        "fd_discovery_profile", "percentile_distributed_exact",
-        "scd2_point_in_time_join", "snapshot_diff_report",
-        "streaming_hourly_rollup", "dedup_minhash_lsh", "knn_classifier_eval",
-        "basket_part_pairs", "streaming_sliding_rollup", "cms_token_counts",
-        "embedding_bitwidth_sweep", "q21_waiting_supplier",
-        "q5_local_supplier_volume", "embedding_mutual_nn_pairs",
-        "streaming_union_sources_rollup",
-        "customer_segment_entropy_by_nation", "window_functions_showcase",
-        "dedup_survivors", "events_seasonal_profile", "graph_assortativity",
-        "histogram_price_deciles", "q10_returned_items",
-        "streaming_csv_source_rollup", "window_range_trailing_hour",
-        "bpe_learn_merges", "orders_survival_km", "text_chunk_dedup",
-        "lineitem_qty_price_heatmap", "events_interval_overlap_join",
-        "search_hybrid_rrf", "graph_link_prediction_suppliers",
-        "asof_next_touch_latency", "lineitem_ship_latency",
-        "revenue_trend_ols", "streaming_rate_limiter",
-        "embedding_cluster_label_purity", "dpo_preference_pairs",
-        "streaming_magic_sniffer", "decontaminate_by_embedding",
-        "streaming_seasonality_monitor", "quota_sample_per_lang",
-        "q1_pricing_summary", "streaming_session_rollup",
-        "streaming_topk_types_hourly", "ivf_recall_report",
-        "checkpoint_statestore_table", "embedding_covariance",
-        "repeated_ngram_spans", "vocab_growth_curve",
-        "streaming_sink_exactly_once_roundtrip", "tokenizer_vocab_pressure",
-        "similarity_maxsim_multivector", "streaming_interval_union_coverage",
-        "bandit_replay_hourly", "bpe_apply_merges", "embedding_pq_codes",
-        "quality_logreg_inference", "dedup_edit_distance",
-        "gopher_quality_rules", "bradley_terry_strengths",
-        "events_markov_stationary", "linkage_blocking_quality",
-        "crosslingual_contamination", "supplier_leadtime_percentiles",
-        "streaming_fertility_drift", "streaming_psi_drift",
-        "streaming_stateful_type_counts", "events_hourly_type_entropy",
-        "fuzzy_join_part_names", "corpus_epoch_shuffle_manifest",
-        "embedding_jl_projection_audit", "fk_inclusion_profile",
-        "weighted_sample_docs", "maxmin_fair_allocation",
-        "join_cardinality_audit", "medallion_pipeline_rollup",
-        "sketch_user_activity", "text_char_entropy",
-        "dedup_incremental_delta", "streaming_ohlc_bars",
-        "events_mann_whitney_test", "streaming_value_quantiles",
-        "multimodal_audio_frame_energy", "q3_shipping_priority",
-        "source_overlap_jaccard", "dedup_exact_substring",
-        "multimodal_dedup_content_hash", "streaming_hill_tail_monitor",
-        "corpus_source_datasheet", "streaming_stateful_totals",
-        "zonemap_skip_simulation", "streaming_update_mode_rollup",
-        "kmv_set_ops_event_types", "dsir_importance_weights",
-        "hits_authority_hub", "graph_modularity_by_brand",
-        "association_rules_parts", "bigram_lm_score",
-        "similarity_topk_pq_adc", "batch_replay_source_slice",
-        "streaming_late_data_drop", "semantic_dedup_semdedup",
-        "text_tfidf_top_terms", "hll_intersection_estimate",
-        "dedup_url_canonical", "dedup_simhash", "corpus_shingle_novelty",
-        "dedup_span_mask_manifest", "pandas_scalar_log_price",
-        "pandas_grouped_agg_trimmed_mean", "corpus_mix_rebalance",
-        "ivf_incremental_assign", "ivf_nprobe_sweep",
-        "text_rolling_fingerprint", "customers_without_orders",
-        "events_props_schema_profile", "embedding_drift_ab_halves",
-        "linkage_entity_clusters", "embedding_silhouette_centroid",
-        "streaming_chained_windows", "checkpoint_sources_table",
-        "events_cusum_drift", "udtf_word_expand", "bucketed_join_colocated",
-        "dedup_ngram_jaccard", "pack_sequences_manifest",
-        "contrastive_triplets", "abc_customer_classification",
-        "orders_cohort_revenue", "multimodal_wav_stats", "doc_sliding_chunks",
-        "perplexity_tertile_buckets", "data_quality_audit",
-        "rfm_customer_segments", "dedup_pair_provenance",
-        "streaming_frontier_bloom", "streaming_txn_log_tail",
-        "checkpoint_offsetlog_table", "events_peak_concurrency",
-        "embedding_power_iteration", "streaming_quality_monitor",
-        "streaming_type_entropy_drift", "graph_label_propagation",
-        "dedup_containment", "cluster_kmeans_embeddings",
-        "streaming_replay_source_rollup", "hive_source_partition_pruned",
-        "streaming_purchase_attribution", "streaming_lsh_candidate_buckets",
-        "naive_bayes_langid", "streaming_semdedup", "zorder_layout_stats",
-        "streaming_unattributed_purchases", "batch_replay_pruned_scan",
-        "checkpoint_commitlog_audit", "minhash_jaccard_calibration",
-        "supplier_pareto_frontier", "streaming_ivf_assign", "graph_bfs_hops",
-        "corpus_difficulty_curriculum", "streaming_feature_hashing_monitor",
-        "graph_pagerank_parts", "minhash_bbit_calibration",
-        "multimodal_ahash_neardup", "dedup_band_sweep_calibration",
-        "text_entropy_rate_bigram", "events_hourly_autocorr",
-        "padding_waste_report", "dedup_connected_components",
-        "streaming_join_then_windowed_agg", "text_kneser_ney_bigram_score",
-        "recursive_month_spine", "multimodal_silence_segments",
-        "custom_sink_audit_roundtrip", "dedup_keep_best_quality",
-        "cogroup_asof_pandas", "sql_scripting_showcase",
-        "linkage_em_parameters", "content_defined_chunks",
-        "udtf_dynamic_ngrams", "corpus_js_divergence", "scan_task_planner",
-        "multimodal_shot_boundaries", "graph_kcore_peel",
-        "decontaminate_train_shingles", "graph_triangle_stats",
-        "quality_logreg_training", "corpus_filter_funnel",
+        "text_fingerprint", "text_bpe_token_count", "text_token_stats",
+        "sft_loss_masking_spans", "text_quality_score", "q6_forecast_revenue",
+        "embedding_norm_stats", "split_train_eval", "text_seqlen_histogram",
+        "weighted_sample_docs", "pipe_sql_priority_stats", "text_language_id",
+        "url_functions_showcase", "gdpr_purge_manifest", "text_pii_redaction",
+        "binary_blob_source_stats", "bitwise_aggregates_showcase",
+        "embedding_int8_quantize", "nations_with_rich_customers",
+        "q14_promo_revenue", "schema_evolution_merge_read",
+        "text_sentiment_lexicon", "try_functions_showcase",
+        "bronze_decode_errors", "corpus_mix_rebalance", "data_freshness_sla",
+        "lang_balance_weights", "doc_sliding_chunks", "grouping_sets_revenue",
+        "jsonl_source_permissive_read", "partitioned_source_pruned_read",
+        "scd2_customer_merge", "lateral_top_customers_per_nation",
+        "q4_order_priority", "dedup_exact", "events_daily_value_trend",
+        "parameterized_sql_showcase", "q12_priority_by_linestatus",
+        "unpivot_lineitem_measures", "bpe_fertility_by_lang",
+        "file_metadata_columns_read", "q22_global_sales_opportunity",
+        "collation_group_showcase", "customers_without_orders",
+        "events_props_variant_decode", "k_anonymity_audit",
+        "kmv_distinct_users", "multimodal_gif_stats", "text_fano_burstiness",
+        "csv_source_permissive_read", "profile_hot_orderkeys",
+        "benford_digit_audit", "cube_order_status_priority",
+        "dedup_url_canonical", "incremental_agg_maintenance",
+        "q13_customer_distribution", "stats_qty_price_corr",
+        "text_mojibake_detect", "events_funnel_view_click_purchase",
+        "lang_temperature_weights", "orders_gmv_weekly_wow",
+        "bronze_decode_roundtrip", "cv_fold_manifest",
+        "dedup_cluster_size_histogram", "null_safe_join_attribution",
+        "revenue_waterfall", "scalar_functions_showcase",
+        "similarity_topk_bucketed", "events_funnel_latency",
+        "events_interval_union_coverage", "events_props_templates",
+        "execute_immediate_showcase", "gmv_walk_forward_backtest",
+        "percentile_order_prices", "q19_disjunctive_revenue",
+        "similarity_topk_cosine", "text_adjacent_repetition",
+        "decayed_leaderboard", "text_vocab_coverage", "best_of_n_selection",
+        "embedding_pca2_closed_form", "events_multi_rollup",
+        "similarity_lsh_neardup", "streaming_state_budget_planner",
+        "supplier_return_wilson_rank", "compaction_bin_packing_plan",
+        "orphan_file_audit", "pack_sequences_manifest",
+        "pivot_user_event_matrix", "snapshot_diff_report",
+        "web_domain_profile", "events_seasonality_strength",
+        "events_type_audience_overlap", "q18_large_volume_customers",
+        "rank_correlation_kendall", "subject_access_export",
+        "text_zipf_slope", "attribution_multi_touch",
+        "fixed_width_source_read", "gzip_jsonl_source_read",
+        "hll_distinct_users", "lineitem_ship_latency",
+        "parts_price_anova_by_size", "q20_heavy_shippers",
+        "q7_volume_shipping", "text_unicode_script_profile",
+        "arrow_map_embedding_norm", "dedup_prefix_collision",
+        "dp_noisy_nation_counts", "events_transition_matrix",
+        "linkage_fellegi_sunter", "quota_sample_per_lang",
+        "span_corruption_manifest", "trigram_like_search",
+        "xml_decode_roundtrip", "datetime_functions_showcase",
+        "embedding_isotropy_proxy", "events_hill_tail_index",
+        "events_user_lifecycle_stages", "q15_top_supplier",
+        "feature_asof_training_matrix", "multimodal_resize",
+        "q8_national_market_share", "text_rake_keywords",
+        "text_readability_features", "array_agg_user_profile",
+        "grpo_group_advantage", "merge_full_cdc", "multimodal_frame_sample",
+        "q11_important_part_value", "q9_product_type_profit",
+        "orders_repeat_purchase_gaps", "q16_supplier_part_buckets",
+        "revenue_trend_ols", "text_hapax_ratio", "multimodal_bmp_stats",
+        "multimodal_metadata_scan", "sft_pair_manifest", "text_bm25_search",
+        "change_data_feed_report", "l_diversity_audit",
+        "q2_min_cost_supplier", "rollup_returns",
+        "array_set_functions_showcase", "geo_cell_colocation",
+        "sql_udf_showcase", "window_range_trailing_hour",
+        "corpus_dedup_aware_weights", "decontaminate_by_embedding",
+        "events_holt_forecast", "orc_source_roundtrip",
+        "discount_cap_counterfactual", "embedding_outlier_zscore",
+        "events_seasonal_profile", "sketch_quantile_bins",
+        "asof_next_touch_latency", "dedup_embedding_cosine",
+        "events_anomaly_persistence", "events_interval_overlap_join",
+        "heavy_hitter_tokens", "map_functions_showcase",
+        "orders_duplicate_payment_audit", "range_join_price_bands",
+        "supplier_scorecard", "text_lexical_diversity",
+        "discount_elasticity_by_brand", "events_profile_cosine_pairs",
+        "multimodal_magic_sniffer", "text_feature_hashing",
+        "graph_degree_distribution", "aes_roundtrip_audit",
+        "bloom_filter_membership", "content_defined_chunks",
+        "embedding_blocking_key_profile", "events_ewma_forecast",
+        "events_hourly_anomaly", "events_user_retention",
+        "mlm_masking_manifest", "profile_lineitem_columns",
+        "attribution_window_sweep", "embedding_dim_variance_rank",
+        "events_ab_uplift_test", "events_burst_hours",
+        "mixture_temperature_sweep", "ols_two_feature_normal_eq",
+        "rate_limiter_backtest", "events_theilsen_trend",
+        "salted_join_supplier_volume", "streaming_dedup_events",
+        "embedding_bitwidth_sweep", "incremental_join_maintenance",
+        "kmeans_inertia_elbow", "multimodal_bmp_ahash",
+        "score_calibration_report", "text_top_bigrams",
+        "events_hourly_gapfill", "partition_spec_advisor",
+        "price_index_laspeyres", "shard_manifest_balanced",
+        "txn_log_time_travel", "t_closeness_audit", "user_trigram_paths",
+        "ivf_cell_balance_report", "market_concentration_hhi",
+        "blocklist_phrase_filter", "dedup_frontier_bloom",
+        "events_session_window_batch", "events_props_schema_profile",
+        "events_json_extract", "rag_context_pack",
+        "similarity_topk_binary_rerank", "similarity_topk_ivf",
+        "churn_label_manifest", "events_psi_value_drift",
+        "langid_precision_recall", "session_window_rollup",
+        "snapshot_retention_expiry_plan", "dpo_preference_pairs",
+        "hll_merge_event_types", "matryoshka_truncation_recall",
+        "text_word_pmi", "graph_assortativity", "multimodal_decode_features",
+        "orders_priority_status_chi2", "pandas_acctbal_zscore",
+        "embedding_jl_projection_audit", "multimodal_stratified_sample",
+        "customer_segment_entropy_by_nation", "data_quality_audit",
+        "ann_ndcg_truncation", "corpus_token_budget_plan",
+        "skipgram_negative_samples", "text_repetition_filter",
+        "events_growth_accounting", "percentile_distributed_exact",
+        "streaming_upsert_latest_state", "multimodal_dedup_content_hash",
+        "q21_waiting_supplier", "top_customers_by_revenue",
+        "zorder_layout_stats", "customer_balance_ks_test",
+        "setops_customer_segments", "streaming_csv_source_rollup",
+        "watermark_sizing_report", "array_hof_showcase",
+        "decision_stump_split_scores", "forecast_conformal_intervals",
+        "pandas_scalar_log_price", "events_ohlc_bars",
+        "streaming_available_now_rollup", "distinct_parts_per_supplier",
+        "events_mann_whitney_test", "events_sessionize_batch",
+        "knn_classifier_eval", "small_quantity_revenue",
+        "streaming_heavy_hitter_users", "curriculum_pacing_schedule",
+        "streaming_gzip_jsonl_rollup", "linkage_blocking_quality",
+        "streaming_hourly_rollup", "window_event_gaps",
+        "events_bounce_rate_by_entry", "events_cusum_drift",
+        "pps_systematic_sample", "surrogate_key_assignment",
+        "events_hourly_rollup", "abc_customer_classification",
+        "cms_token_counts", "events_holtwinters_forecast",
+        "pandas_grouped_agg_trimmed_mean", "bandit_replay_hourly",
+        "embedding_cluster_label_purity", "text_char_entropy",
+        "text_token_entropy", "scd2_point_in_time_join",
+        "embedding_mutual_nn_pairs", "corpus_epoch_shuffle_manifest",
+        "lineitem_qty_price_heatmap", "multimodal_audio_frame_energy",
+        "streaming_dedup_within_watermark", "orders_open_backlog_daily",
+        "search_hybrid_rrf", "streaming_union_sources_rollup",
+        "text_term_proximity_search", "events_changepoint_binseg",
+        "streaming_kmv_distinct_users", "events_peak_concurrency",
+        "q10_returned_items", "text_chunk_dedup", "dedup_minhash_lsh",
+        "gopher_quality_rules", "timeseries_znorm_subsequence_search",
+        "events_dau_wau_mau", "streaming_sliding_rollup",
+        "k_anonymity_generalize", "orders_cohort_revenue",
+        "streaming_magic_sniffer", "asof_purchase_attribution",
+        "customer_spend_gini", "events_hourly_mad_outliers",
+        "streaming_static_enrich", "basket_part_pairs",
+        "events_hourly_type_entropy", "repeated_ngram_spans",
+        "dedup_survivors", "join_skew_planner", "fd_discovery_profile",
+        "surrogate_key_incremental", "histogram_price_deciles",
+        "similarity_maxsim_multivector", "streaming_txn_log_tail",
+        "embedding_covariance", "embedding_pq_codes",
+        "kmv_set_ops_event_types", "window_functions_showcase",
+        "streaming_seasonality_monitor", "streaming_session_rollup",
+        "vocab_growth_curve", "window_customer_order_rank",
+        "medallion_pipeline_rollup", "supplier_pareto_frontier",
+        "bpe_learn_merges", "orders_survival_km", "streaming_fertility_drift",
+        "streaming_hll_distinct_users", "streaming_psi_drift",
+        "streaming_topk_types_hourly", "tokenizer_vocab_pressure",
+        "ivf_recall_report", "udtf_word_expand",
+        "checkpoint_statestore_table", "text_entropy_rate_bigram",
+        "corpus_source_datasheet", "dedup_edit_distance",
+        "streaming_stateful_type_counts", "corpus_js_divergence",
+        "text_tfidf_top_terms", "bpe_apply_merges", "dedup_incremental_delta",
+        "dedup_exact_substring", "dedup_pair_provenance",
+        "streaming_hill_tail_monitor", "supplier_leadtime_percentiles",
+        "events_alarm_verification", "multimodal_silence_segments",
+        "join_cardinality_audit", "quality_logreg_inference",
+        "source_overlap_jaccard", "q1_pricing_summary",
+        "linkage_em_parameters", "batch_replay_pruned_scan",
+        "events_haar_wavelet_energy", "q3_shipping_priority",
+        "q5_local_supplier_volume", "events_markov_stationary",
+        "batch_replay_source_slice", "embedding_drift_ab_halves",
+        "streaming_interval_union_coverage", "hll_intersection_estimate",
+        "corpus_quota_rebalance_delta", "fk_inclusion_profile",
+        "text_rolling_fingerprint", "association_rules_parts",
+        "bucketed_join_colocated", "bigram_lm_score",
+        "dsir_importance_weights", "streaming_ohlc_bars",
+        "streaming_stateful_totals", "sketch_user_activity",
+        "maxmin_fair_allocation", "similarity_topk_pq_adc",
+        "contrastive_triplets", "streaming_value_quantiles",
+        "streaming_sink_exactly_once_roundtrip",
+        "graph_link_prediction_suppliers", "recursive_month_spine",
+        "zonemap_skip_simulation", "streaming_frontier_bloom",
+        "crosslingual_contamination", "graph_label_propagation",
+        "streaming_rate_limiter", "dedup_simhash",
+        "embedding_silhouette_centroid", "streaming_update_mode_rollup",
+        "ivf_nprobe_sweep", "events_hourly_autocorr",
+        "checkpoint_sources_table", "streaming_late_data_drop",
+        "dedup_ngram_jaccard", "bradley_terry_strengths",
+        "streaming_quality_monitor", "hits_authority_hub",
+        "graph_modularity_by_brand", "rfm_customer_segments",
+        "streaming_chained_windows", "multimodal_wav_stats",
+        "streaming_type_entropy_drift", "cluster_kmeans_embeddings",
+        "multimodal_png_stats", "embedding_power_iteration",
+        "perplexity_tertile_buckets", "token_df_drift_halves",
+        "linkage_entity_clusters", "corpus_filter_funnel",
+        "fuzzy_join_part_names", "naive_bayes_langid",
+        "corpus_shingle_novelty", "semantic_dedup_semdedup",
+        "hive_source_partition_pruned", "minhash_jaccard_calibration",
+        "checkpoint_offsetlog_table", "recsys_item_cosine",
+        "streaming_lsh_candidate_buckets", "decontaminate_train_shingles",
+        "streaming_bounce_rate", "streaming_ivf_assign",
+        "streaming_replay_source_rollup", "multimodal_ahash_neardup",
+        "text_kneser_ney_bigram_score", "padding_waste_report",
+        "multimodal_shot_boundaries", "dedup_span_mask_manifest",
+        "checkpoint_commitlog_audit", "streaming_unattributed_purchases",
+        "ivf_incremental_assign", "streaming_feature_hashing_monitor",
+        "corpus_difficulty_curriculum", "streaming_purchase_attribution",
+        "custom_sink_audit_roundtrip", "dedup_containment", "graph_bfs_hops",
+        "graph_pagerank_parts", "dedup_connected_components",
+        "streaming_semdedup", "udtf_dynamic_ngrams",
+        "dedup_band_sweep_calibration", "cogroup_asof_pandas",
+        "scan_task_planner", "graph_kcore_peel",
+        "streaming_join_then_windowed_agg", "ann_method_agreement",
+        "sql_scripting_showcase", "graph_triangle_stats",
+        "minhash_bbit_calibration", "dedup_keep_best_quality",
+        "quality_logreg_training",
     )
     new_ops_rank = 50.5  # just after the sub-second group (index ~50)
     unchecked = {
