@@ -14811,3 +14811,193 @@ def streaming_state_budget_planner(spark: SparkSession, sf_dir: str) -> DataFram
         ).alias("s")
     ).select("s.op_class", "s.state_rows")
     return rows
+
+
+# ---------------------------------------------------------------------------
+# SELF-EXCITATION RATIO — the Hawkes-process branching proxy: what share
+# of each type's events lands within SELF_EXCITE_SEC of the SAME user's
+# previous event (triggered) vs arriving cold (immigrant)? One per-user
+# lag window (never global), exact second arithmetic, bounded rollup.
+# High ratios mean bursty cascade behavior — the signal that a rate
+# model needs a self-exciting term.
+# ---------------------------------------------------------------------------
+SELF_EXCITE_SEC = 60
+
+
+@register(
+    "events_self_excitation_ratio",
+    oracle=f"""
+        WITH s AS (
+            SELECT event_type,
+                   CASE WHEN lag(ts) OVER (
+                            PARTITION BY user_id ORDER BY ts, event_id)
+                            IS NOT NULL
+                         AND epoch_us(ts) - epoch_us(lag(ts) OVER (
+                            PARTITION BY user_id ORDER BY ts, event_id))
+                            <= {SELF_EXCITE_SEC}::BIGINT * 1000000
+                        THEN 1 ELSE 0 END AS triggered
+            FROM events
+        )
+        SELECT event_type,
+               CAST(COUNT(*) AS BIGINT) AS n_events,
+               CAST(SUM(triggered) AS BIGINT) AS n_triggered,
+               CAST((2 * CAST(SUM(triggered) AS BIGINT) * 10000 + COUNT(*))
+                    // (2 * COUNT(*)) AS BIGINT) AS triggered_bp
+        FROM s GROUP BY 1
+    """,
+    tags=("events", "point-process", "burst", "window"),
+)
+def events_self_excitation_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    ts_us = F.unix_micros(F.col("ts").cast("timestamp"))
+    lag_us = F.lag(ts_us).over(w)
+    triggered = F.when(
+        lag_us.isNotNull()
+        & ((ts_us - lag_us) <= SELF_EXCITE_SEC * 1000000),
+        1,
+    ).otherwise(0)
+    s = events.select("event_type", triggered.alias("triggered"))
+    return (
+        s.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+            F.sum("triggered").cast("long").alias("n_triggered"),
+        )
+        .select(
+            "event_type",
+            "n_events",
+            "n_triggered",
+            idiv(
+                F.col("n_triggered") * 2 * 10000 + F.col("n_events"),
+                F.col("n_events") * 2,
+            ).alias("triggered_bp"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# NBD (NEGATIVE BINOMIAL) FIT — the marketing-science purchase-frequency
+# model fit by method of moments: per-customer order counts give exact
+# integer mean/variance moments, and the NBD shape r = m²/(v−m), success
+# odds p = m/v assemble from identical double trees rounded to micro.
+# Overdispersion (v > m) is asserted by reporting it; a v ≤ m corpus
+# degenerates to Poisson and both engines emit the same sentinel.
+# ---------------------------------------------------------------------------
+@register(
+    "basket_size_nbd_fit",
+    oracle="""
+        WITH k AS (
+            SELECT o_custkey, CAST(COUNT(*) AS BIGINT) AS k
+            FROM orders GROUP BY 1
+        ),
+        mo AS (
+            SELECT CAST(COUNT(*) AS BIGINT) AS n,
+                   CAST(SUM(k) AS BIGINT) AS s,
+                   CAST(SUM(k * k) AS BIGINT) AS ss
+            FROM k
+        )
+        SELECT n AS n_customers, s AS n_orders,
+               CAST(ROUND(CAST(s AS DOUBLE) / n * 1000000.0) AS BIGINT)
+                   AS mean_micro,
+               CAST(ROUND((CAST(n AS DOUBLE) * ss - CAST(s AS DOUBLE) * s)
+                          / (CAST(n AS DOUBLE) * n) * 1000000.0) AS BIGINT)
+                   AS var_micro,
+               CASE WHEN n * ss - s * s > s * n
+                    THEN CAST(ROUND(
+                        (CAST(s AS DOUBLE) / n) * (CAST(s AS DOUBLE) / n)
+                        / ((CAST(n AS DOUBLE) * ss - CAST(s AS DOUBLE) * s)
+                           / (CAST(n AS DOUBLE) * n)
+                           - CAST(s AS DOUBLE) / n)
+                        * 1000000.0) AS BIGINT)
+                    ELSE CAST(-1 AS BIGINT) END AS r_micro
+        FROM mo
+    """,
+    tags=("orders", "stats", "nbd", "closed-form"),
+)
+def basket_size_nbd_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    k = orders.groupBy("o_custkey").agg(
+        F.count(F.lit(1)).cast("long").alias("k")
+    )
+    mo = k.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("k").cast("long").alias("s"),
+        F.sum(F.col("k") * F.col("k")).cast("long").alias("ss"),
+    )
+    nd = F.col("n").cast("double")
+    sd = F.col("s").cast("double")
+    mean = sd / F.col("n")
+    var = (nd * F.col("ss") - sd * F.col("s")) / (nd * F.col("n"))
+    return mo.select(
+        F.col("n").alias("n_customers"),
+        F.col("s").alias("n_orders"),
+        F.round(mean * 1000000.0, 0).cast("long").alias("mean_micro"),
+        F.round(var * 1000000.0, 0).cast("long").alias("var_micro"),
+        F.when(
+            F.col("n") * F.col("ss") - F.col("s") * F.col("s")
+            > F.col("s") * F.col("n"),
+            F.round(mean * mean / (var - mean) * 1000000.0, 0).cast("long"),
+        )
+        .otherwise(F.lit(-1).cast("long"))
+        .alias("r_micro"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# SINGLE-SOURCE RISK REPORT — supply-chain resilience: parts purchasable
+# from fewer than 2 suppliers (observed in the order history) are
+# single-source risks; per brand, the exposure count and the revenue
+# riding on them. One distinct edge projection, one bounded rollup.
+# ---------------------------------------------------------------------------
+@register(
+    "single_source_risk_report",
+    oracle="""
+        WITH sp AS (
+            SELECT l_partkey, CAST(COUNT(DISTINCT l_suppkey) AS BIGINT)
+                       AS n_suppliers
+            FROM lineitem GROUP BY 1
+        ),
+        rev AS (
+            SELECT l_partkey,
+                   CAST(SUM(CAST(ROUND(l_extendedprice * 100.0) AS BIGINT))
+                        AS BIGINT) AS rev_cents
+            FROM lineitem GROUP BY 1
+        )
+        SELECT p.p_brand,
+               CAST(COUNT(*) AS BIGINT) AS n_parts,
+               CAST(SUM(CASE WHEN sp.n_suppliers < 2 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_single_source,
+               CAST(SUM(CASE WHEN sp.n_suppliers < 2 THEN r.rev_cents
+                             ELSE 0 END) AS BIGINT) AS exposed_rev_cents
+        FROM sp
+        JOIN rev r ON r.l_partkey = sp.l_partkey
+        JOIN part p ON p.p_partkey = sp.l_partkey
+        GROUP BY 1
+    """,
+    tags=("relational", "supply-chain", "risk", "lineitem"),
+)
+def single_source_risk_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    sp = li.groupBy("l_partkey").agg(
+        F.countDistinct("l_suppkey").cast("long").alias("n_suppliers")
+    )
+    rev = li.groupBy("l_partkey").agg(
+        F.sum(F.round(F.col("l_extendedprice") * 100.0, 0).cast("long"))
+        .cast("long")
+        .alias("rev_cents")
+    )
+    single = F.when(F.col("n_suppliers") < 2, 1).otherwise(0)
+    return (
+        sp.join(rev, "l_partkey")
+        .join(part, sp.l_partkey == part.p_partkey)
+        .groupBy("p_brand")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_parts"),
+            F.sum(single).cast("long").alias("n_single_source"),
+            F.sum(F.when(F.col("n_suppliers") < 2, F.col("rev_cents")).otherwise(0))
+            .cast("long")
+            .alias("exposed_rev_cents"),
+        )
+    )
