@@ -15001,3 +15001,269 @@ def single_source_risk_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("exposed_rev_cents"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# CROSS-CORRELATION FUNCTION — does volume LEAD value? Per event type,
+# the Pearson correlation between the hourly count series and the
+# hourly mean-value series shifted by lag 0..CCF_MAX_LAG hours: exact
+# integer moments over the dense hour grid (counts exact; hourly mean
+# cents pre-quantized half-up so the series is integer), the lag pairing
+# one co-partitioned self-join per lag on the hour index. The r values
+# assemble from identical double trees. |types| × |lags| output rows.
+# ---------------------------------------------------------------------------
+CCF_MAX_LAG = 3
+
+
+@register(
+    "events_ccf_count_value",
+    oracle=f"""
+        WITH bounds AS (
+            SELECT epoch_us(MIN(date_trunc('hour', ts))) AS lo FROM events
+        ),
+        hourly AS (
+            SELECT event_type,
+                   (epoch_us(date_trunc('hour', ts)) - b.lo)
+                       // 3600000000 AS i,
+                   CAST(COUNT(*) AS BIGINT) AS c,
+                   CAST((2 * CAST(SUM(CAST(ROUND(value * 100.0) AS BIGINT))
+                                  AS BIGINT) + COUNT(*))
+                        // (2 * COUNT(*)) AS BIGINT) AS mean_cents
+            FROM events, bounds b GROUP BY 1, 2, b.lo
+        ),
+        lags(lag) AS (VALUES {", ".join(f"({k})" for k in range(CCF_MAX_LAG + 1))}),
+        paired AS (
+            SELECT a.event_type, g.lag, a.c AS x, b.mean_cents AS y
+            FROM hourly a
+            JOIN lags g ON TRUE
+            JOIN hourly b
+              ON b.event_type = a.event_type AND b.i = a.i + g.lag
+        ),
+        mo AS (
+            SELECT event_type, lag,
+                   CAST(COUNT(*) AS BIGINT) AS n,
+                   CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+                   CAST(SUM(x * x) AS BIGINT) AS sxx,
+                   CAST(SUM(y * y) AS BIGINT) AS syy,
+                   CAST(SUM(x * y) AS BIGINT) AS sxy
+            FROM paired GROUP BY 1, 2
+        )
+        SELECT event_type, CAST(lag AS BIGINT) AS lag, n,
+               CAST(ROUND(
+                   (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                    - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                   / (sqrt(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                           - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                      * sqrt(CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+                             - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)))
+                   * 1000000.0) AS BIGINT) AS r_micro
+        FROM mo
+    """,
+    tags=("events", "timeseries", "correlation", "lag"),
+)
+def events_ccf_count_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    hour_us = F.unix_micros(F.date_trunc("hour", F.col("ts").cast("timestamp")))
+    bounds = events.agg(F.min(hour_us).alias("lo"))
+    hourly = (
+        events.crossJoin(F.broadcast(bounds))
+        .groupBy(
+            "event_type", idiv(hour_us - F.col("lo"), 3600000000).alias("i")
+        )
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("c"),
+            F.sum(F.round(F.col("value") * 100.0, 0).cast("long"))
+            .cast("long")
+            .alias("_s"),
+        )
+        .select(
+            "event_type",
+            "i",
+            "c",
+            idiv(
+                F.col("_s") * 2 + F.col("c"), F.col("c") * 2
+            ).alias("mean_cents"),
+        )
+    )
+    lags = spark.createDataFrame(
+        [(k,) for k in range(CCF_MAX_LAG + 1)], "lag long"
+    )
+    a = hourly.select("event_type", "i", F.col("c").alias("x"))
+    b = hourly.select(
+        F.col("event_type").alias("et_b"),
+        F.col("i").alias("i_b"),
+        F.col("mean_cents").alias("y"),
+    )
+    paired = (
+        a.crossJoin(F.broadcast(lags))
+        .join(
+            b,
+            (F.col("et_b") == F.col("event_type"))
+            & (F.col("i_b") == F.col("i") + F.col("lag")),
+        )
+        .select("event_type", "lag", "x", "y")
+    )
+    mo = paired.groupBy("event_type", "lag").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("x").cast("long").alias("sx"),
+        F.sum("y").cast("long").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).cast("long").alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).cast("long").alias("syy"),
+        F.sum(F.col("x") * F.col("y")).cast("long").alias("sxy"),
+    )
+    nd = F.col("n").cast("double")
+    num = nd * F.col("sxy").cast("double") - F.col("sx").cast("double") * F.col(
+        "sy"
+    ).cast("double")
+    den = F.sqrt(
+        nd * F.col("sxx").cast("double")
+        - F.col("sx").cast("double") * F.col("sx").cast("double")
+    ) * F.sqrt(
+        nd * F.col("syy").cast("double")
+        - F.col("sy").cast("double") * F.col("sy").cast("double")
+    )
+    return mo.select(
+        "event_type",
+        "lag",
+        "n",
+        F.round(num / den * 1000000.0, 0).cast("long").alias("r_micro"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# SHUFFLE-PARTITION ADVISOR — the third member of the planning trio
+# (partition_spec_advisor for layout, streaming_state_budget_planner for
+# state): for each headline join, the estimated shuffle bytes (exact row
+# counts × stated per-row widths) and the recommended
+# spark.sql.shuffle.partitions at the 128 MiB-per-task convention.
+# Pure counting — the advisor itself must never shuffle more than its
+# subjects.
+# ---------------------------------------------------------------------------
+SHUFFLE_TARGET_BYTES = 134_217_728
+ROW_WIDTHS = {  # conservative post-projection bytes/row, stated constants
+    "lineitem_orders": 48,
+    "lineitem_part": 40,
+    "events_self": 32,
+}
+
+
+@register(
+    "shuffle_partition_advisor",
+    oracle=f"""
+        WITH n AS (
+            SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM lineitem) AS n_li,
+                   (SELECT CAST(COUNT(*) AS BIGINT) FROM orders) AS n_o,
+                   (SELECT CAST(COUNT(*) AS BIGINT) FROM part) AS n_p,
+                   (SELECT CAST(COUNT(*) AS BIGINT) FROM events) AS n_e
+        )
+        SELECT join_name, shuffle_rows, est_bytes,
+               CAST((est_bytes + {SHUFFLE_TARGET_BYTES} - 1)
+                    // {SHUFFLE_TARGET_BYTES} AS BIGINT)
+                   AS recommended_partitions
+        FROM (
+            SELECT 'lineitem_orders' AS join_name,
+                   n_li + n_o AS shuffle_rows,
+                   (n_li + n_o) * {ROW_WIDTHS["lineitem_orders"]} AS est_bytes
+            FROM n
+            UNION ALL
+            SELECT 'lineitem_part', n_li + n_p,
+                   (n_li + n_p) * {ROW_WIDTHS["lineitem_part"]}
+            FROM n
+            UNION ALL
+            SELECT 'events_self', n_e * 2,
+                   n_e * 2 * {ROW_WIDTHS["events_self"]}
+            FROM n
+        )
+    """,
+    tags=("relational", "planning", "shuffle", "scale"),
+)
+def shuffle_partition_advisor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    n_li = load_table(spark, sf_dir, "lineitem").count()
+    n_o = load_table(spark, sf_dir, "orders").count()
+    n_p = load_table(spark, sf_dir, "part").count()
+    n_e = load_table(spark, sf_dir, "events").count()
+    rows = [
+        ("lineitem_orders", n_li + n_o, (n_li + n_o) * ROW_WIDTHS["lineitem_orders"]),
+        ("lineitem_part", n_li + n_p, (n_li + n_p) * ROW_WIDTHS["lineitem_part"]),
+        ("events_self", n_e * 2, n_e * 2 * ROW_WIDTHS["events_self"]),
+    ]
+    df = spark.createDataFrame(
+        rows, "join_name string, shuffle_rows long, est_bytes long"
+    )
+    return df.select(
+        "join_name",
+        "shuffle_rows",
+        "est_bytes",
+        idiv(
+            F.col("est_bytes") + (SHUFFLE_TARGET_BYTES - 1),
+            SHUFFLE_TARGET_BYTES,
+        ).alias("recommended_partitions"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# TIME TO FIRST PURCHASE — the activation-latency funnel at user
+# lifetime granularity: days from each user's first event to their
+# first purchase (exact integer days; never-purchasers reported as a
+# separate bucket), bucketed into activation bands. One user-keyed
+# aggregate — no windows at all.
+# ---------------------------------------------------------------------------
+@register(
+    "user_time_to_first_purchase",
+    oracle="""
+        WITH u AS (
+            SELECT user_id,
+                   epoch_us(MIN(ts)) AS first_us,
+                   epoch_us(MIN(CASE WHEN event_type = 'purchase'
+                                     THEN ts END)) AS first_p_us
+            FROM events GROUP BY 1
+        ),
+        b AS (
+            SELECT CASE
+                     WHEN first_p_us IS NULL THEN 'never'
+                     WHEN (first_p_us - first_us) // 86400000000 < 1
+                         THEN 'same_day'
+                     WHEN (first_p_us - first_us) // 86400000000 < 7
+                         THEN 'within_week'
+                     WHEN (first_p_us - first_us) // 86400000000 < 30
+                         THEN 'within_month'
+                     ELSE 'later' END AS bucket,
+                   CASE WHEN first_p_us IS NOT NULL
+                        THEN (first_p_us - first_us) // 86400000000 END
+                       AS lat_days
+            FROM u
+        )
+        SELECT bucket,
+               CAST(COUNT(*) AS BIGINT) AS n_users,
+               CAST(SUM(COALESCE(lat_days, 0)) AS BIGINT) AS sum_latency_days
+        FROM b GROUP BY 1
+    """,
+    tags=("events", "funnel", "activation", "agg"),
+)
+def user_time_to_first_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    ts_us = F.unix_micros(F.col("ts").cast("timestamp"))
+    u = events.groupBy("user_id").agg(
+        F.min(ts_us).alias("first_us"),
+        F.min(
+            F.when(F.col("event_type") == "purchase", ts_us)
+        ).alias("first_p_us"),
+    )
+    lat = idiv(F.col("first_p_us") - F.col("first_us"), 86400000000)
+    bucket = (
+        F.when(F.col("first_p_us").isNull(), "never")
+        .when(lat < 1, "same_day")
+        .when(lat < 7, "within_week")
+        .when(lat < 30, "within_month")
+        .otherwise("later")
+    )
+    b = u.select(
+        bucket.alias("bucket"),
+        F.when(F.col("first_p_us").isNotNull(), lat).alias("lat_days"),
+    )
+    return b.groupBy("bucket").agg(
+        F.count(F.lit(1)).cast("long").alias("n_users"),
+        F.sum(F.coalesce(F.col("lat_days"), F.lit(0)))
+        .cast("long")
+        .alias("sum_latency_days"),
+    )
