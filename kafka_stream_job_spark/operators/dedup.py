@@ -2793,3 +2793,91 @@ def dedup_pair_provenance(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("n_endpoint_slots"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# DEDUP TRANSITIVITY AUDIT — is "near-duplicate" transitive enough to
+# cluster? Wedge/triangle census over the LSH candidate-pair graph: a
+# high closure rate justifies connected-component collapsing
+# (dedup_connected_components); a low one means clusters over-merge and
+# the keep-best policy needs pairwise verification. Wedges come from the
+# degree table (no path enumeration); triangles from one ordered
+# two-hop join constrained a<b<c — both sides are the bounded candidate
+# graph, never the corpus.
+# ---------------------------------------------------------------------------
+@register(
+    "dedup_transitivity_audit",
+    oracle=f"""
+        WITH shingles AS ({_SHINGLES_SQL}),
+        sigs AS ({_SIGS_SQL}),
+        bands AS ({_BANDS_SQL}),
+        edges AS (
+            SELECT DISTINCT a.doc_id AS a, b.doc_id AS b
+            FROM bands a
+            JOIN bands b
+              ON a.band_idx = b.band_idx
+             AND a.band_sig = b.band_sig
+             AND a.doc_id < b.doc_id
+        ),
+        deg AS (
+            SELECT v, CAST(COUNT(*) AS BIGINT) AS d FROM (
+                SELECT a AS v FROM edges UNION ALL SELECT b FROM edges
+            ) GROUP BY 1
+        ),
+        tri AS (
+            SELECT CAST(COUNT(*) AS BIGINT) AS t
+            FROM edges e1
+            JOIN edges e2 ON e2.a = e1.b
+            JOIN edges e3 ON e3.a = e1.a AND e3.b = e2.b
+        )
+        SELECT CAST((SELECT COUNT(*) FROM edges) AS BIGINT) AS n_edges,
+               CAST((SELECT COUNT(*) FROM deg) AS BIGINT) AS n_nodes,
+               CAST((SELECT SUM(d * (d - 1) // 2) FROM deg) AS BIGINT)
+                   AS n_wedges,
+               (SELECT t FROM tri) AS n_triangles,
+               CAST((2 * 3 * (SELECT t FROM tri) * 10000
+                     + (SELECT SUM(d * (d - 1) // 2) FROM deg))
+                    // (2 * (SELECT SUM(d * (d - 1) // 2) FROM deg))
+                    AS BIGINT) AS closure_bp
+    """,
+    tags=("dedup", "lsh", "graph", "audit", "documents"),
+)
+def dedup_transitivity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kafka_stream_job_spark.operators._portable import idiv
+
+    edges = dedup_minhash_lsh(spark, sf_dir).select(
+        F.col("doc_a").alias("a"), F.col("doc_b").alias("b")
+    ).localCheckpoint(eager=False)  # degree, two-hop, and closure all read it
+    deg = (
+        edges.select(F.col("a").alias("v"))
+        .unionAll(edges.select(F.col("b").alias("v")))
+        .groupBy("v")
+        .agg(F.count(F.lit(1)).cast("long").alias("d"))
+    )
+    e1 = edges.select(F.col("a").alias("x"), F.col("b").alias("y"))
+    e2 = edges.select(F.col("a").alias("y"), F.col("b").alias("z"))
+    e3 = edges.select(F.col("a").alias("x"), F.col("b").alias("z"))
+    tri = (
+        e1.join(e2, "y")
+        .join(e3, ["x", "z"])
+        .agg(F.count(F.lit(1)).cast("long").alias("t"))
+    )
+    wedges = deg.agg(
+        F.sum(idiv(F.col("d") * (F.col("d") - 1), 2)).cast("long").alias("w")
+    )
+    counts = edges.agg(F.count(F.lit(1)).cast("long").alias("n_edges"))
+    nodes = deg.agg(F.count(F.lit(1)).cast("long").alias("n_nodes"))
+    return (
+        counts.crossJoin(F.broadcast(nodes))
+        .crossJoin(F.broadcast(wedges))
+        .crossJoin(F.broadcast(tri))
+        .select(
+            "n_edges",
+            "n_nodes",
+            F.col("w").alias("n_wedges"),
+            F.col("t").alias("n_triangles"),
+            idiv(
+                F.col("t") * 3 * 2 * 10000 + F.col("w"), F.col("w") * 2
+            ).alias("closure_bp"),
+        )
+    )

@@ -2037,3 +2037,137 @@ def multimodal_magic_sniffer(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n_pixels").cast("long").alias("total_pixels"),
         F.sum("luma_milli").cast("long").alias("total_luma_milli"),
     )
+
+
+# ---------------------------------------------------------------------------
+# SILENCE DETECTION ON REAL PCM — closes the last fake-energy caveat in
+# the audio family: the fixture is a genuine PCM16 WAV (the
+# multimodal_wav_stats generative model), the payload passes through
+# `decode_wav_real` for full container validation, and frame energies
+# come from the ACTUAL little-endian int16 samples of the data chunk —
+# exact integer sums-of-squares over SILR_FRAME-sample frames, so the
+# silent-frame verdicts are engine-exact against the character-model
+# oracle.
+# ---------------------------------------------------------------------------
+SILR_FRAME = 32  # samples per frame
+SILR_MS_T = 40_000_000  # mean-square silence threshold (exact int compare)
+
+
+@register(
+    "multimodal_wav_silence_real",
+    oracle=f"""
+        WITH d AS (
+            SELECT doc_id, text,
+                   CAST(length(text) AS BIGINT) // {SILR_FRAME} AS n_frames
+            FROM documents WHERE length(text) >= {SILR_FRAME}
+        )
+        SELECT doc_id, n_frames,
+               CAST(list_sum(list_transform(range(0, n_frames), f ->
+                   CASE WHEN list_reduce(list_prepend(CAST(0 AS BIGINT),
+                       list_transform(range(1, {SILR_FRAME} + 1), k ->
+                           CAST((ascii(substring(text,
+                                CAST({SILR_FRAME} * f + k AS INT), 1)) % 256
+                                - 128) * 256 AS BIGINT)
+                           * CAST((ascii(substring(text,
+                                CAST({SILR_FRAME} * f + k AS INT), 1)) % 256
+                                - 128) * 256 AS BIGINT))),
+                       (acc, v) -> acc + v)
+                       < {SILR_MS_T}::BIGINT * {SILR_FRAME}
+                   THEN 1 ELSE 0 END)) AS BIGINT) AS n_silent,
+               CAST((2 * CAST(list_sum(list_transform(range(0, n_frames), f ->
+                   CASE WHEN list_reduce(list_prepend(CAST(0 AS BIGINT),
+                       list_transform(range(1, {SILR_FRAME} + 1), k ->
+                           CAST((ascii(substring(text,
+                                CAST({SILR_FRAME} * f + k AS INT), 1)) % 256
+                                - 128) * 256 AS BIGINT)
+                           * CAST((ascii(substring(text,
+                                CAST({SILR_FRAME} * f + k AS INT), 1)) % 256
+                                - 128) * 256 AS BIGINT))),
+                       (acc, v) -> acc + v)
+                       < {SILR_MS_T}::BIGINT * {SILR_FRAME}
+                   THEN 1 ELSE 0 END)) AS BIGINT) * 10000 + n_frames)
+                    // (2 * n_frames) AS BIGINT) AS silent_bp
+        FROM d
+    """,
+    tags=("multimodal", "audio", "wav", "real-decode", "silence", "documents"),
+)
+def multimodal_wav_silence_real(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kafka_stream_job_spark.operators._portable import idiv
+
+    docs = (
+        load_table(spark, sf_dir, "documents", rebalance=True)
+        .select("doc_id", "text")
+        .filter(F.length("text") >= SILR_FRAME)
+    )
+
+    def encode_batches(batches):
+        import struct
+
+        import pandas as pd
+
+        for pdf in batches:
+            payloads = []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                rate = WAV_BASE_RATE + (int(doc_id) % 3) * 4000
+                samples = [((ord(c) % 256) - 128) * 256 for c in text]
+                data = struct.pack(f"<{len(samples)}h", *samples)
+                chunks = (
+                    b"fmt "
+                    + struct.pack("<IHHIIHH", 16, 1, 1, rate, rate * 2, 2, 16)
+                    + b"data"
+                    + struct.pack("<I", len(data))
+                    + data
+                    + (b"\x00" if len(data) & 1 else b"")
+                )
+                payloads.append(
+                    b"RIFF" + struct.pack("<I", 4 + len(chunks)) + b"WAVE" + chunks
+                )
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
+
+    def decode_batches(batches):
+        import struct
+
+        import pandas as pd
+
+        for pdf in batches:
+            rows = {"doc_id": [], "n_frames": [], "n_silent": []}
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                blob = bytes(payload)
+                meta = decode_wav_real(blob)  # full container validation
+                # locate the data chunk (the validated walk guarantees it)
+                off = 12
+                samples = None
+                while off + 8 <= len(blob):
+                    cid = blob[off : off + 4]
+                    (clen,) = struct.unpack("<I", blob[off + 4 : off + 8])
+                    if cid == b"data":
+                        samples = struct.unpack(
+                            f"<{clen // 2}h", blob[off + 8 : off + 8 + clen]
+                        )
+                        break
+                    off += 8 + clen + (clen & 1)
+                assert samples is not None and len(samples) == meta["n_samples"]
+                n_frames = len(samples) // SILR_FRAME
+                n_silent = 0
+                for f in range(n_frames):
+                    frame = samples[f * SILR_FRAME : (f + 1) * SILR_FRAME]
+                    if sum(s * s for s in frame) < SILR_MS_T * SILR_FRAME:
+                        n_silent += 1
+                rows["doc_id"].append(int(doc_id))
+                rows["n_frames"].append(n_frames)
+                rows["n_silent"].append(n_silent)
+            yield pd.DataFrame(rows)
+
+    wavs = docs.mapInPandas(encode_batches, "doc_id long, payload binary")
+    parsed = wavs.mapInPandas(
+        decode_batches, "doc_id long, n_frames long, n_silent long"
+    )
+    return parsed.select(
+        "doc_id",
+        "n_frames",
+        "n_silent",
+        idiv(
+            F.col("n_silent") * 2 * 10000 + F.col("n_frames"),
+            F.col("n_frames") * 2,
+        ).alias("silent_bp"),
+    )
