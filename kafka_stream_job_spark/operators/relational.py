@@ -15267,3 +15267,95 @@ def user_time_to_first_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("sum_latency_days"),
     )
+
+
+# ---------------------------------------------------------------------------
+# NAME-TOKEN × BRAND MUTUAL INFORMATION — which name tokens carry brand
+# signal? Pointwise MI per (token, brand) cell in pure-ILN micro-nats
+# (N·c_tb vs c_t·c_b — the independence test as integer log
+# differences), weighted by the cell count and ranked by an exact
+# integer contribution key. The column-association profiler that
+# complements fd_discovery (exact dependence) with a GRADED measure.
+# ---------------------------------------------------------------------------
+MI_TOP = 20
+
+
+def _name_brand_mi_oracle() -> str:
+    from kafka_stream_job_spark.operators.text import (
+        _ILN_VALUES_SQL,
+        _iln_frac_sql,
+    )
+
+    return f"""
+        WITH tb AS (
+            SELECT unnest(string_split(p_name, ' ')) AS token, p_brand
+            FROM part
+        ),
+        c_tb AS (
+            SELECT token, p_brand, CAST(COUNT(*) AS BIGINT) AS c
+            FROM tb GROUP BY 1, 2
+        ),
+        c_t AS (SELECT token, CAST(SUM(c) AS BIGINT) AS ct FROM c_tb GROUP BY 1),
+        c_b AS (SELECT p_brand, CAST(SUM(c) AS BIGINT) AS cb FROM c_tb GROUP BY 1),
+        tot AS (SELECT CAST(SUM(c) AS BIGINT) AS n FROM c_tb),
+        ilntab(e, lo, hi, sdiv, smul, eln) AS (VALUES {_ILN_VALUES_SQL}),
+        w AS (
+            SELECT x.token, x.p_brand, x.c, t.ct, b.cb, n.n,
+                   (t1.eln + {_iln_frac_sql('(((n.n * x.c) // t1.sdiv) * t1.smul)')})
+                   - (t2.eln + {_iln_frac_sql('(((t.ct * b.cb) // t2.sdiv) * t2.smul)')})
+                       AS pmi_unats
+            FROM c_tb x
+            JOIN c_t t ON t.token = x.token
+            JOIN c_b b ON b.p_brand = x.p_brand
+            CROSS JOIN tot n
+            JOIN ilntab t1 ON n.n * x.c >= t1.lo AND n.n * x.c <= t1.hi
+            JOIN ilntab t2 ON t.ct * b.cb >= t2.lo AND t.ct * b.cb <= t2.hi
+        )
+        SELECT token, p_brand, c, CAST(pmi_unats AS BIGINT) AS pmi_unats,
+               CAST(c * pmi_unats AS BIGINT) AS mi_contrib_unats
+        FROM w
+        ORDER BY abs(c * pmi_unats) DESC, token, p_brand
+        LIMIT {MI_TOP}
+    """
+
+
+@register(
+    "part_name_brand_mi",
+    oracle=_name_brand_mi_oracle(),
+    tags=("relational", "profiling", "mutual-information", "part"),
+)
+def part_name_brand_mi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kafka_stream_job_spark.operators.text import _attach_iln
+
+    part = load_table(spark, sf_dir, "part")
+    tb = part.select(
+        F.explode(F.split("p_name", " ")).alias("token"), "p_brand"
+    )
+    c_tb = tb.groupBy("token", "p_brand").agg(
+        F.count(F.lit(1)).cast("long").alias("c")
+    )
+    c_t = c_tb.groupBy("token").agg(F.sum("c").cast("long").alias("ct"))
+    c_b = c_tb.groupBy("p_brand").agg(F.sum("c").cast("long").alias("cb"))
+    tot = c_tb.agg(F.sum("c").cast("long").alias("n"))
+    joined = (
+        c_tb.join(c_t, "token")
+        .join(F.broadcast(c_b), "p_brand")
+        .crossJoin(F.broadcast(tot))
+        .withColumn("num", F.col("n") * F.col("c"))
+        .withColumn("den", F.col("ct") * F.col("cb"))
+    )
+    w = _attach_iln(spark, joined, "num", "iln_num")
+    w = _attach_iln(spark, w, "den", "iln_den").withColumn(
+        "pmi_unats", F.col("iln_num") - F.col("iln_den")
+    )
+    return (
+        w.select(
+            "token",
+            "p_brand",
+            "c",
+            F.col("pmi_unats").cast("long").alias("pmi_unats"),
+            (F.col("c") * F.col("pmi_unats")).cast("long").alias("mi_contrib_unats"),
+        )
+        .orderBy(F.abs(F.col("mi_contrib_unats")).desc(), "token", "p_brand")
+        .limit(MI_TOP)
+    )
