@@ -491,8 +491,12 @@ def all_specs() -> dict[str, QuerySpec]:
         "scan_task_planner", "graph_kcore_peel",
         "streaming_join_then_windowed_agg", "ann_method_agreement",
         "sql_scripting_showcase", "graph_triangle_stats",
-        "minhash_bbit_calibration", "dedup_keep_best_quality",
-        "quality_logreg_training",
+        "minhash_bbit_calibration", "user_time_to_first_purchase",
+        "dedup_keep_best_quality", "basket_size_nbd_fit",
+        "multimodal_wav_silence_real", "shuffle_partition_advisor",
+        "events_self_excitation_ratio", "single_source_risk_report",
+        "events_ccf_count_value", "quality_logreg_training",
+        "part_name_brand_mi", "dedup_transitivity_audit",
     )
     new_ops_rank = 50.5  # just after the sub-second group (index ~50)
     unchecked = {
