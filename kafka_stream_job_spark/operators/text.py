@@ -4791,3 +4791,117 @@ def token_df_drift_halves(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(DF_DRIFT_TOP)
         .drop("_key")
     )
+
+
+# ---------------------------------------------------------------------------
+# SPEARMAN RANK CORRELATION — the monotonic-association companion of
+# rank_correlation_kendall (τ, probe-set) at FULL corpus scale: ρ is
+# Pearson over DOUBLED MIDRANKS (the Mann-Whitney tie discipline — every
+# rank is an exact integer even under ties), with both variables' rank
+# tables built from value-grouped counts + the distributed prefix-sum
+# primitive, never a per-row global sort. Variables: document length vs
+# integer-micro type-token ratio.
+# ---------------------------------------------------------------------------
+_SPEARMAN_ORACLE = r"""
+    WITH m AS (
+        SELECT doc_id,
+               CAST(LENGTH(text) AS BIGINT) AS x,
+               CAST(len(list_distinct(string_split_regex(LOWER(TRIM(text)),
+                        '\s+'))) * 1000000
+                    // len(string_split_regex(TRIM(text), '\s+')) AS BIGINT)
+                   AS y
+        FROM documents
+    ),
+    gx AS (
+        SELECT x, CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(COUNT(*)) OVER (ORDER BY x) AS BIGINT) AS run
+        FROM m GROUP BY x
+    ),
+    rx AS (
+        SELECT m.doc_id, 2 * (g.run - g.n) + g.n + 1 AS r2x
+        FROM m JOIN gx g ON g.x = m.x
+    ),
+    gy AS (
+        SELECT y, CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(COUNT(*)) OVER (ORDER BY y) AS BIGINT) AS run
+        FROM m GROUP BY y
+    ),
+    ry AS (
+        SELECT m.doc_id, 2 * (g.run - g.n) + g.n + 1 AS r2y
+        FROM m JOIN gy g ON g.y = m.y
+    ),
+    mo AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(rx.r2x) AS BIGINT) AS sx,
+               CAST(SUM(ry.r2y) AS BIGINT) AS sy,
+               CAST(SUM(rx.r2x * rx.r2x) AS BIGINT) AS sxx,
+               CAST(SUM(ry.r2y * ry.r2y) AS BIGINT) AS syy,
+               CAST(SUM(rx.r2x * ry.r2y) AS BIGINT) AS sxy
+        FROM rx JOIN ry ON ry.doc_id = rx.doc_id
+    )
+    SELECT n,
+           CAST(ROUND(
+               (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+               / (sqrt(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                       - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                  * sqrt(CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+                         - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)))
+               * 1000000.0) AS BIGINT) AS rho_micro
+    FROM mo
+"""
+
+
+@register(
+    "spearman_len_vs_ttr",
+    oracle=_SPEARMAN_ORACLE,
+    tags=("text", "stats", "rank-correlation", "distributed-rank", "documents"),
+)
+def spearman_len_vs_ttr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kafka_stream_job_spark.operators._distributed import (
+        distributed_prefix_sum,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.split(F.trim(F.col("text")), r"\s+")
+    uniq = F.array_distinct(F.split(F.lower(F.trim(F.col("text"))), r"\s+"))
+    m = docs.select(
+        "doc_id",
+        F.length("text").cast("long").alias("x"),
+        idiv(F.size(uniq).cast("long") * 1000000, F.size(toks).cast("long")).alias(
+            "y"
+        ),
+    ).localCheckpoint(eager=False)  # both rank branches read it
+
+    def ranked(col: str, out: str) -> DataFrame:
+        g = m.groupBy(col).agg(F.count(F.lit(1)).cast("long").alias("n"))
+        g = distributed_prefix_sum(g, [F.col(col)], "n", out_col="run")
+        return m.select("doc_id", col).join(g, col).select(
+            "doc_id",
+            (2 * (F.col("run") - F.col("n")) + F.col("n") + 1).alias(out),
+        )
+
+    rx = ranked("x", "r2x")
+    ry = ranked("y", "r2y")
+    mo = rx.join(ry, "doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("r2x").cast("long").alias("sx"),
+        F.sum("r2y").cast("long").alias("sy"),
+        F.sum(F.col("r2x") * F.col("r2x")).cast("long").alias("sxx"),
+        F.sum(F.col("r2y") * F.col("r2y")).cast("long").alias("syy"),
+        F.sum(F.col("r2x") * F.col("r2y")).cast("long").alias("sxy"),
+    )
+    nd = F.col("n").cast("double")
+    num = nd * F.col("sxy").cast("double") - F.col("sx").cast("double") * F.col(
+        "sy"
+    ).cast("double")
+    den = F.sqrt(
+        nd * F.col("sxx").cast("double")
+        - F.col("sx").cast("double") * F.col("sx").cast("double")
+    ) * F.sqrt(
+        nd * F.col("syy").cast("double")
+        - F.col("sy").cast("double") * F.col("sy").cast("double")
+    )
+    return mo.select(
+        "n", F.round(num / den * 1000000.0, 0).cast("long").alias("rho_micro")
+    )

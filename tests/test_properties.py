@@ -5010,3 +5010,37 @@ def test_mann_whitney_doubled_midrank_identity(a, b):
     na = len(a)
     u2_formula = r2a - na * (na + 1)
     assert u2_formula == u2_pairs
+
+
+# ---------------------------------------------------------------------------
+# Haar energy conservation (Parseval for the unnormalized transform):
+# with s = a+b, d = a-b per pair, a² + b² == (s² + d²)/2, so the total
+# signal energy decomposes EXACTLY as E = E1/2 + E2/4 + E3/8 + A3/8
+# where E_k is level k's detail energy and A3 the final approximation
+# energy. Pins events_haar_wavelet_energy's transform arithmetic
+# independently of either engine.
+# ---------------------------------------------------------------------------
+@settings(max_examples=200, deadline=None)
+@given(
+    seed=st.integers(min_value=0, max_value=2**31),
+    n_oct=st.integers(min_value=1, max_value=16),
+)
+def test_haar_unnormalized_parseval(seed, n_oct):
+    rng = seed
+    xs = []
+    for _ in range(8 * n_oct):
+        rng = (1103515245 * rng + 12345) % (1 << 31)
+        xs.append(rng % 1000 - 500)
+
+    def level(vals):
+        s = [vals[2 * i] + vals[2 * i + 1] for i in range(len(vals) // 2)]
+        d = [vals[2 * i] - vals[2 * i + 1] for i in range(len(vals) // 2)]
+        return s, d
+
+    s1, d1 = level(xs)
+    s2, d2 = level(s1)
+    s3, d3 = level(s2)
+    e = lambda v: sum(x * x for x in v)  # noqa: E731
+    total8 = 8 * e(xs)
+    decomposed = 4 * e(d1) + 2 * e(d2) + e(d3) + e(s3)
+    assert total8 == decomposed
