@@ -496,7 +496,8 @@ def all_specs() -> dict[str, QuerySpec]:
         "multimodal_wav_silence_real", "shuffle_partition_advisor",
         "events_self_excitation_ratio", "single_source_risk_report",
         "events_ccf_count_value", "quality_logreg_training",
-        "part_name_brand_mi", "dedup_transitivity_audit",
+        "spearman_len_vs_ttr", "part_name_brand_mi",
+        "dedup_transitivity_audit",
     )
     new_ops_rank = 50.5  # just after the sub-second group (index ~50)
     unchecked = {
