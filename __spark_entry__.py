@@ -34,10 +34,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 def oracle_sql() -> dict[str, str]:
-    from kafka_stream_job_spark.registry import all_specs
+    from kafka_stream_job_spark.registry import all_specs, prepare_oracle_inputs
 
+    specs = all_specs()
+    # Stage oracle inputs that live outside the sf_dir tables (lazy —
+    # module import itself does no filesystem I/O).
+    prepare_oracle_inputs()
     return {
-        name: spec.oracle
-        for name, spec in all_specs().items()
-        if spec.oracle is not None
+        name: spec.oracle for name, spec in specs.items() if spec.oracle is not None
     }

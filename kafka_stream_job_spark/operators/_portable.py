@@ -40,10 +40,14 @@ def sql_round(expr: str, scale: int) -> str:
 
 
 def idiv(a: Column | str, b: Column | int) -> Column:
-    """Exact integer floor-division on longs — Spark's ``div`` operator
-    (DuckDB twin: ``//``). NOT ``(a / b).cast('long')``: double division
-    loses exactness past 2^53, which matters for the 100 TB row-count
-    arithmetic in ntile/share-of-total computations."""
+    """Exact integer division on longs, TRUNCATING toward zero — Spark's
+    ``div`` operator (DuckDB twin: ``//``, which also truncates). NOT
+    floor division: for a negative numerator, ``idiv(-1, 16) == 0``
+    while floor would give -1 — gate sign-sensitive expressions (e.g.
+    "count of strided positions") on the numerator being non-negative.
+    NOT ``(a / b).cast('long')`` either: double division loses exactness
+    past 2^53, which matters for the 100 TB row-count arithmetic in
+    ntile/share-of-total computations."""
     if isinstance(a, str):
         a = F.col(a)
     if isinstance(b, int):

@@ -1221,12 +1221,25 @@ def txn_log_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
 # maxPartitionBytes convention — the arithmetic is the same.
 # ---------------------------------------------------------------------------
 SCAN_TARGET_BYTES = 4_096  # fixture-scaled stand-in for 128 MiB
-_PLANNER_FIXTURE_DIR = "/tmp/ksj-planner-fixture-v1"
+
+# Content-version the stage path the way _staged_dir keys on the source
+# file: this spec string describes everything the builder writes, so any
+# change to the fixture definition lands in a NEW directory and a stale
+# fixture from an older layout can never be silently reused.
+_PLANNER_SPEC = "wide:n=1000,rg=100,cols=id|v|s;narrow:n=400,rg=400,cols=id"
+_PLANNER_FIXTURE_DIR = "/tmp/ksj-planner-fixture-" + __import__(
+    "hashlib"
+).md5(_PLANNER_SPEC.encode()).hexdigest()[:12]
 
 
 def _stage_planner_fixture() -> str:
-    """Idempotent fixed-path stage (marker + atomic rename): two parquet
-    files with different row-group layouts, deterministic content."""
+    """Idempotent content-keyed stage (marker + atomic rename): two
+    parquet files with different row-group layouts, deterministic
+    content. Called LAZILY — from the Spark operator and from
+    ``oracle_sql()`` via the registry's prepare hook — never at module
+    import, so importing the operators package performs no filesystem
+    I/O and works on a read-only /tmp (the one affected query then
+    fails alone, with a missing-file error naming this path)."""
     import shutil
 
     marker = os.path.join(_PLANNER_FIXTURE_DIR, "_staged")
@@ -1262,9 +1275,12 @@ def _stage_planner_fixture() -> str:
     return _PLANNER_FIXTURE_DIR
 
 
-# import-time stage: guarantees existence before EITHER engine runs
-# (both the driver and verify_oracle import this module first).
-_stage_planner_fixture()
+# Lazy staging: the Spark operator stages on first run; the DuckDB side
+# stages when the driver materializes oracle_sql() (the registry prepare
+# hook below). Building the PATH constants does no I/O.
+from kafka_stream_job_spark.registry import ORACLE_PREPARE_HOOKS
+
+ORACLE_PREPARE_HOOKS.append(_stage_planner_fixture)
 
 _PLANNER_FILES = [
     os.path.join(_PLANNER_FIXTURE_DIR, "wide.parquet"),

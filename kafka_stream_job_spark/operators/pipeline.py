@@ -2281,19 +2281,23 @@ SPAN_STRIDE = 16
                        AS n_tokens,
                    CAST(doc_id % {SPAN_STRIDE} AS BIGINT) AS phase
             FROM documents
+        ), s AS (
+            -- Span count gated on span EXISTENCE: DuckDB // truncates
+            -- toward zero, so a negative numerator would yield 0 and the
+            -- +1 would fabricate a span for docs shorter than
+            -- phase + SPAN_LEN. The CASE guard (not greatest) is the fix.
+            SELECT doc_id, n_tokens, phase,
+                   CASE WHEN n_tokens >= phase + {SPAN_LEN}
+                        THEN (n_tokens - {SPAN_LEN} - phase)
+                             // {SPAN_STRIDE} + 1
+                        ELSE CAST(0 AS BIGINT) END AS n_spans
+            FROM t
         )
-        SELECT doc_id, n_tokens, phase,
-               greatest(CAST(0 AS BIGINT),
-                        (n_tokens - {SPAN_LEN} - phase) // {SPAN_STRIDE} + 1)
-                   AS n_spans,
-               greatest(CAST(0 AS BIGINT),
-                        (n_tokens - {SPAN_LEN} - phase) // {SPAN_STRIDE} + 1)
-                   * {SPAN_LEN} AS masked_tokens,
-               CAST((2 * greatest(CAST(0 AS BIGINT),
-                        (n_tokens - {SPAN_LEN} - phase) // {SPAN_STRIDE} + 1)
-                     * {SPAN_LEN} * 10000 + n_tokens) // (2 * n_tokens)
-                    AS BIGINT) AS corruption_bp
-        FROM t
+        SELECT doc_id, n_tokens, phase, n_spans,
+               n_spans * {SPAN_LEN} AS masked_tokens,
+               CAST((2 * n_spans * {SPAN_LEN} * 10000 + n_tokens)
+                    // (2 * n_tokens) AS BIGINT) AS corruption_bp
+        FROM s
     """,
     tags=("llm-pipeline", "pretraining", "masking", "documents"),
 )
@@ -2305,12 +2309,18 @@ def span_corruption_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
         n_tokens.alias("n_tokens"),
         (F.col("doc_id") % SPAN_STRIDE).cast("long").alias("phase"),
     )
-    n_spans = F.greatest(
-        F.lit(0).cast("long"),
-        idiv(
-            F.col("n_tokens") - SPAN_LEN - F.col("phase"), SPAN_STRIDE
+    # Gate the +1 on span existence: idiv truncates toward zero, so a doc
+    # with n_tokens < phase + SPAN_LEN would otherwise report one phantom
+    # span (trunc(negative/stride) == 0, +1 == 1) and overstate
+    # masked_tokens / corruption_bp for tokens that do not exist.
+    n_spans = (
+        F.when(
+            F.col("n_tokens") >= F.col("phase") + SPAN_LEN,
+            idiv(F.col("n_tokens") - SPAN_LEN - F.col("phase"), SPAN_STRIDE)
+            + 1,
         )
-        + 1,
+        .otherwise(F.lit(0))
+        .cast("long")
     )
     return staged.select(
         "doc_id",

@@ -3616,6 +3616,23 @@ def _jl_plane_spark(j: int) -> str:
     return "array(" + ", ".join(f"{int(v)}L" for v in _JL_PLANES[j]) + ")"
 
 
+def _jl_plane_duck(j: int) -> str:
+    """DuckDB literal for plane j, generated from the SAME _JL_PLANES
+    rows the Spark plan embeds — one definition, so a future change to
+    the hyperplane generator or JL_SEED_BASE can never desynchronize the
+    two sides silently in source."""
+    return "[" + ", ".join(str(int(v)) for v in _JL_PLANES[j]) + "]::BIGINT[]"
+
+
+_JL_S_LINES = ",\n".join(
+    "                   list_reduce(list_prepend(CAST(0 AS BIGINT), "
+    f"list_transform(list_zip(xq, {_jl_plane_duck(j)}), p -> p[1] * p[2])), "
+    f"(acc, v) -> acc + v) AS s_{j}"
+    for j in range(JL_K)
+)
+_JL_PX2 = " + ".join(f"(s_{j} * s_{j})" for j in range(JL_K))
+
+
 @register(
     "embedding_jl_projection_audit",
     oracle=f"""
@@ -3631,26 +3648,11 @@ def _jl_plane_spark(j: int) -> str:
                    list_reduce(list_prepend(CAST(0 AS BIGINT),
                        list_transform(xq, x -> x * x)),
                        (acc, v) -> acc + v) AS norm2,
-                   list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(list_zip(xq, [-1, -1, 1, 1, -1, 1, 1, -1, 1, 1, 1, -1, -1, 1, 1, 1, -1, 1, 1, 1, -1, 1, 1, 1, -1, -1, 1, -1, -1, 1, -1, -1, 1, 1, -1, -1, 1, 1, 1, -1, -1, -1, 1, 1, -1, -1, 1, 1, -1, -1, -1, 1, 1, 1, 1, 1, 1, -1, 1, -1, -1, -1, -1, 1]::BIGINT[]), p -> p[1] * p[2])), (acc, v) -> acc + v) AS s_0,
-                   list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(list_zip(xq, [-1, -1, 1, 1, 1, -1, -1, 1, 1, 1, 1, 1, -1, -1, -1, -1, 1, 1, 1, 1, -1, -1, -1, -1, 1, -1, -1, -1, -1, -1, 1, 1, 1, -1, 1, 1, 1, 1, 1, 1, 1, -1, 1, -1, 1, 1, 1, 1, -1, 1, -1, 1, -1, 1, -1, 1, -1, 1, 1, -1, -1, -1, 1, -1]::BIGINT[]), p -> p[1] * p[2])), (acc, v) -> acc + v) AS s_1,
-                   list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(list_zip(xq, [1, 1, -1, 1, -1, 1, -1, 1, -1, 1, 1, 1, -1, -1, 1, -1, -1, 1, -1, -1, 1, 1, 1, 1, 1, -1, -1, 1, -1, 1, 1, -1, -1, -1, 1, 1, 1, -1, 1, -1, -1, 1, 1, 1, 1, -1, 1, -1, 1, 1, 1, 1, 1, -1, 1, 1, 1, -1, 1, 1, 1, -1, 1, 1]::BIGINT[]), p -> p[1] * p[2])), (acc, v) -> acc + v) AS s_2,
-                   list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(list_zip(xq, [-1, 1, -1, -1, -1, 1, -1, 1, 1, -1, 1, 1, 1, -1, 1, -1, -1, 1, -1, -1, -1, -1, -1, -1, -1, 1, -1, -1, -1, 1, -1, -1, 1, -1, 1, 1, 1, -1, 1, -1, -1, -1, -1, 1, 1, 1, -1, -1, -1, 1, 1, -1, 1, 1, 1, 1, 1, 1, -1, 1, 1, 1, -1, 1]::BIGINT[]), p -> p[1] * p[2])), (acc, v) -> acc + v) AS s_3,
-                   list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(list_zip(xq, [-1, -1, -1, -1, -1, -1, -1, -1, -1, 1, -1, 1, -1, -1, 1, 1, -1, -1, -1, -1, 1, 1, 1, -1, 1, 1, -1, 1, -1, -1, 1, -1, -1, -1, 1, 1, -1, 1, 1, 1, -1, 1, -1, 1, -1, 1, -1, -1, 1, 1, -1, -1, -1, 1, 1, 1, -1, -1, 1, 1, 1, 1, -1, -1]::BIGINT[]), p -> p[1] * p[2])), (acc, v) -> acc + v) AS s_4,
-                   list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(list_zip(xq, [1, -1, 1, -1, 1, 1, -1, -1, -1, -1, -1, 1, -1, 1, 1, -1, 1, 1, -1, 1, -1, 1, -1, -1, 1, -1, 1, 1, 1, -1, 1, -1, 1, 1, -1, -1, 1, -1, 1, 1, 1, -1, 1, -1, -1, 1, -1, 1, -1, 1, -1, 1, 1, -1, 1, 1, 1, 1, 1, 1, 1, -1, -1, 1]::BIGINT[]), p -> p[1] * p[2])), (acc, v) -> acc + v) AS s_5,
-                   list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(list_zip(xq, [1, -1, -1, -1, 1, -1, 1, 1, 1, -1, -1, -1, -1, -1, -1, -1, 1, -1, 1, -1, 1, 1, -1, 1, -1, 1, -1, 1, -1, 1, -1, -1, 1, -1, 1, -1, 1, -1, 1, 1, -1, -1, 1, 1, 1, -1, -1, 1, -1, 1, 1, -1, 1, 1, -1, 1, 1, -1, 1, 1, -1, 1, -1, -1]::BIGINT[]), p -> p[1] * p[2])), (acc, v) -> acc + v) AS s_6,
-                   list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(list_zip(xq, [1, -1, 1, 1, 1, -1, 1, -1, -1, -1, 1, -1, 1, 1, -1, 1, 1, -1, 1, -1, 1, 1, 1, 1, -1, -1, -1, 1, 1, -1, 1, -1, 1, 1, -1, -1, -1, -1, -1, 1, 1, 1, -1, 1, 1, 1, 1, -1, 1, -1, -1, -1, -1, -1, -1, 1, 1, -1, -1, -1, 1, 1, -1, -1]::BIGINT[]), p -> p[1] * p[2])), (acc, v) -> acc + v) AS s_7,
-                   list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(list_zip(xq, [1, -1, 1, 1, -1, 1, 1, 1, -1, 1, 1, 1, 1, 1, -1, 1, -1, -1, 1, -1, 1, 1, -1, -1, -1, -1, -1, 1, 1, -1, 1, 1, 1, -1, 1, 1, -1, -1, -1, -1, -1, -1, 1, 1, -1, 1, -1, 1, -1, -1, -1, 1, 1, 1, -1, 1, 1, -1, 1, 1, -1, -1, 1, 1]::BIGINT[]), p -> p[1] * p[2])), (acc, v) -> acc + v) AS s_8,
-                   list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(list_zip(xq, [1, 1, -1, -1, 1, -1, 1, 1, -1, -1, 1, 1, 1, 1, -1, 1, 1, 1, -1, -1, -1, -1, -1, 1, -1, -1, 1, 1, 1, -1, -1, 1, -1, -1, -1, 1, -1, 1, -1, -1, 1, 1, -1, 1, 1, -1, 1, 1, 1, -1, 1, -1, -1, -1, -1, -1, 1, 1, -1, 1, 1, 1, -1, 1]::BIGINT[]), p -> p[1] * p[2])), (acc, v) -> acc + v) AS s_9,
-                   list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(list_zip(xq, [-1, 1, -1, 1, -1, 1, 1, -1, -1, 1, 1, 1, -1, 1, -1, -1, -1, 1, -1, -1, -1, 1, -1, -1, -1, 1, 1, -1, -1, 1, 1, -1, 1, 1, 1, 1, 1, -1, -1, 1, 1, 1, 1, 1, -1, 1, -1, -1, -1, -1, 1, -1, -1, 1, 1, -1, 1, 1, 1, 1, 1, 1, 1, 1]::BIGINT[]), p -> p[1] * p[2])), (acc, v) -> acc + v) AS s_10,
-                   list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(list_zip(xq, [1, 1, 1, -1, -1, 1, -1, -1, -1, 1, -1, 1, -1, 1, 1, 1, -1, 1, -1, 1, 1, 1, 1, 1, 1, -1, 1, 1, -1, 1, 1, 1, 1, 1, 1, -1, -1, -1, 1, -1, 1, 1, -1, -1, -1, 1, -1, 1, -1, -1, -1, 1, 1, 1, 1, -1, -1, 1, 1, -1, -1, 1, -1, 1]::BIGINT[]), p -> p[1] * p[2])), (acc, v) -> acc + v) AS s_11,
-                   list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(list_zip(xq, [1, -1, 1, -1, -1, 1, -1, 1, 1, -1, 1, 1, -1, -1, 1, 1, -1, 1, 1, 1, -1, 1, 1, -1, 1, -1, 1, 1, -1, 1, 1, -1, 1, 1, 1, -1, -1, -1, 1, -1, 1, 1, 1, 1, 1, 1, 1, -1, -1, 1, -1, -1, 1, -1, -1, 1, -1, 1, 1, 1, 1, -1, 1, -1]::BIGINT[]), p -> p[1] * p[2])), (acc, v) -> acc + v) AS s_12,
-                   list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(list_zip(xq, [1, -1, -1, -1, -1, -1, -1, 1, 1, -1, -1, 1, -1, 1, -1, -1, -1, -1, -1, 1, 1, 1, -1, -1, 1, 1, 1, 1, 1, 1, -1, -1, 1, 1, -1, 1, 1, 1, 1, -1, -1, 1, 1, 1, 1, -1, -1, -1, 1, -1, 1, -1, -1, -1, 1, 1, 1, -1, -1, 1, -1, -1, 1, -1]::BIGINT[]), p -> p[1] * p[2])), (acc, v) -> acc + v) AS s_13,
-                   list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(list_zip(xq, [-1, 1, -1, -1, -1, 1, -1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, -1, 1, -1, 1, 1, -1, 1, -1, -1, 1, -1, -1, -1, 1, 1, 1, -1, -1, -1, 1, 1, 1, 1, 1, 1, 1, -1, 1, -1, -1, 1, 1, 1, -1, 1, 1, 1, -1, 1, 1, -1, -1, -1, -1, -1, 1, 1]::BIGINT[]), p -> p[1] * p[2])), (acc, v) -> acc + v) AS s_14,
-                   list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(list_zip(xq, [1, 1, -1, -1, 1, 1, -1, -1, -1, 1, -1, 1, 1, -1, -1, -1, -1, -1, 1, -1, -1, -1, 1, -1, 1, -1, -1, -1, -1, 1, 1, -1, 1, 1, -1, -1, -1, 1, -1, 1, -1, 1, -1, 1, -1, -1, 1, 1, 1, 1, 1, -1, -1, -1, -1, -1, -1, -1, -1, -1, 1, 1, -1, -1]::BIGINT[]), p -> p[1] * p[2])), (acc, v) -> acc + v) AS s_15
+{_JL_S_LINES}
             FROM q
         ),
         pr AS (
-            SELECT label, norm2, (s_0 * s_0) + (s_1 * s_1) + (s_2 * s_2) + (s_3 * s_3) + (s_4 * s_4) + (s_5 * s_5) + (s_6 * s_6) + (s_7 * s_7) + (s_8 * s_8) + (s_9 * s_9) + (s_10 * s_10) + (s_11 * s_11) + (s_12 * s_12) + (s_13 * s_13) + (s_14 * s_14) + (s_15 * s_15) AS px2 FROM pr0
+            SELECT label, norm2, {_JL_PX2} AS px2 FROM pr0
         ),
         ratio AS (
             SELECT label,

@@ -33,6 +33,25 @@ class QuerySpec:
 
 REGISTRY: dict[str, QuerySpec] = {}
 
+#: Lazy staging hooks for oracle INPUTS that live outside the sf_dir
+#: parquet tables (e.g. the scan-task planner's footer fixture). Modules
+#: append callables at registration time; ``prepare_oracle_inputs()``
+#: runs them when the oracle SQL is actually materialized for execution
+#: — never at import, so importing the package does no filesystem I/O.
+ORACLE_PREPARE_HOOKS: list[Callable[[], None]] = []
+
+
+def prepare_oracle_inputs() -> None:
+    """Run every staging hook. A hook failure (e.g. read-only /tmp) is
+    swallowed here so one unwritable fixture can't take down the whole
+    oracle_sql() contract — the affected query then fails alone at
+    DuckDB time with a missing-file error naming the stage path."""
+    for hook in ORACLE_PREPARE_HOOKS:
+        try:
+            hook()
+        except OSError:
+            pass
+
 
 def register(
     name: str,
@@ -227,23 +246,48 @@ _DRIVER_CHECKED = frozenset({
     "streaming_semdedup", "streaming_sliding_rollup",
     "streaming_unattributed_purchases", "streaming_update_mode_rollup",
     "text_kneser_ney_bigram_score",
+    # round 8 additions (CORRECTNESS_r08.json — 46 fresh names plus the 4
+    # re-earned _RECHECK rows q1/q3/q10 (per-line half-up cents) and
+    # quality_logreg_training (distributed gradient fold), all green)
+    "attribution_window_sweep", "best_of_n_selection",
+    "binary_blob_source_stats", "corpus_dedup_aware_weights",
+    "dedup_cluster_size_histogram", "dedup_prefix_collision",
+    "dedup_url_canonical", "discount_cap_counterfactual",
+    "discount_elasticity_by_brand", "embedding_blocking_key_profile",
+    "embedding_dim_variance_rank", "embedding_isotropy_proxy",
+    "embedding_pca2_closed_form", "events_hill_tail_index",
+    "events_profile_cosine_pairs", "events_seasonality_strength",
+    "events_type_audience_overlap", "events_user_lifecycle_stages",
+    "fixed_width_source_read", "gmv_walk_forward_backtest",
+    "graph_degree_distribution", "grpo_group_advantage",
+    "gzip_jsonl_source_read", "multimodal_bmp_stats",
+    "multimodal_gif_stats", "multimodal_magic_sniffer",
+    "orders_duplicate_payment_audit", "orders_gmv_weekly_wow",
+    "orders_repeat_purchase_gaps", "parts_price_anova_by_size",
+    "q10_returned_items", "q1_pricing_summary", "q3_shipping_priority",
+    "quality_logreg_training", "rank_correlation_kendall",
+    "revenue_waterfall", "sft_loss_masking_spans", "sft_pair_manifest",
+    # span_corruption_manifest earned its r08 row, then the round-9
+    # phantom-span fix changed its published values — see _RECHECK below.
+    "streaming_state_budget_planner",
+    "supplier_scorecard", "text_adjacent_repetition",
+    "text_fano_burstiness", "text_feature_hashing", "text_hapax_ratio",
+    "text_lexical_diversity", "text_mojibake_detect",
+    "text_readability_features", "text_unicode_script_profile",
+    "web_domain_profile",
 })
 
 #: Driver-green queries whose BEHAVIOR changed after their last green row:
 #: deliberately absent from _DRIVER_CHECKED (the hygiene test enforces
 #: they are the only permitted absences) and ordered FIRST so the next
-#: driver pass re-earns their row before anything else. Round 8:
-#: q1/q3/q10 revenue integerized to per-line half-up cents (closes the
-#: half-cent summation-order window the r7 deep review found — published
-#: cents can shift by 0.01), and quality_logreg_training's gradient fold
-#: distributed (per-row micro-unit gradient terms + order-free integer
-#: sums replace the corpus-sized single-row collect_list — trained
-#: weights shift slightly).
+#: driver pass re-earns their row before anything else. Round 9: the
+#: span_corruption_manifest phantom-span fix (docs shorter than
+#: phase + SPAN_LEN previously reported one span that does not exist —
+#: trunc-division of a negative numerator yields 0, +1 = 1 span; both
+#: sides now gate span count on span existence, so masked_tokens /
+#: corruption_bp drop for those docs).
 _RECHECK: tuple[str, ...] = (
-    "q1_pricing_summary",
-    "q3_shipping_priority",
-    "q10_returned_items",
-    "quality_logreg_training",
+    "span_corruption_manifest",
 )
 
 
@@ -272,8 +316,9 @@ def all_specs() -> dict[str, QuerySpec]:
     recheck = {n: s for n, s in REGISTRY.items() if n in _RECHECK}
     # Within the never-checked group, order by MEASURED sf0.01 driver-sim
     # cost (tools/verify_oracle.py SIM_PAR=1; re-measured over the FULL
-    # 400-query registry at the end of round 8 — the sweep JSON carries
-    # per-query secs, so this list regenerates mechanically), cheapest first: if the driver's
+    # 456-query registry at the end of round 8, commit 7a649a4 — the sweep
+    # JSON carries per-query secs, so this list regenerates
+    # mechanically), cheapest first: if the driver's
     # pass is time-capped rather than count-capped, cheap-first maximizes
     # how many entries earn a correctness row. Names absent from the list
     # (operators added after the measurement) slot in just after the

@@ -105,3 +105,39 @@ def test_load_table_memoizes_per_session(spark):
     )
     # correctness unaffected: the cached plan still scans fresh data
     assert a.count() == spark.read.parquet(f"{SF_SMOKE}/nation.parquet").count()
+
+
+def test_span_corruption_no_phantom_spans(spark):
+    """Regression for the round-9 fix: docs shorter than
+    phase + SPAN_LEN must report ZERO spans. Before the fix, the
+    trunc-toward-zero division turned a negative numerator into 0 and the
+    +1 fabricated one span per short doc (overstating masked_tokens and
+    corruption_bp for tokens that do not exist). Pin against a direct
+    Python enumeration of the stride grid — not the SQL oracle, which
+    shared the old bug."""
+    from kafka_stream_job_spark.operators.pipeline import SPAN_LEN, SPAN_STRIDE
+
+    rows = SPECS["span_corruption_manifest"].fn(spark, SF_DIR).collect()
+    assert rows, "fixture documents table is empty"
+    saw_short_doc = False
+    for r in rows:
+        starts = [
+            s
+            for s in range(r.phase, max(r.n_tokens - SPAN_LEN, -1) + 1, SPAN_STRIDE)
+            if s + SPAN_LEN <= r.n_tokens
+        ]
+        assert r.n_spans == len(starts), (
+            f"doc {r.doc_id}: n_spans={r.n_spans} but the stride grid has "
+            f"{len(starts)} real spans (n_tokens={r.n_tokens}, phase={r.phase})"
+        )
+        assert r.masked_tokens == r.n_spans * SPAN_LEN
+        if r.n_tokens < r.phase + SPAN_LEN:
+            saw_short_doc = True
+            assert r.n_spans == 0, (
+                f"doc {r.doc_id} is shorter than phase+SPAN_LEN yet reports "
+                f"{r.n_spans} phantom span(s)"
+            )
+    assert saw_short_doc, (
+        "fixture no longer exercises the short-doc branch — regenerate or "
+        "pick a doc set containing n_tokens < phase + SPAN_LEN"
+    )
