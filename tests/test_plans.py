@@ -46,6 +46,31 @@ def test_minhash_lsh_no_cartesian_and_sort_merge_self_join(spark):
     assert "SortMergeJoin" in plan, "band self-join pinned to SMJ for scale"
 
 
+def test_minhash_lsh_adaptive_plan_reuses_signature_exchange(spark):
+    """The STATIC plan shows the scan→shingle→md5→minhash→band pipeline
+    under BOTH sides of the band self-join; the docstring at
+    dedup.py:dedup_minhash_lsh claims AQE's exchange reuse collapses
+    that to a single physical execution. Pin the claim on the EXECUTED
+    adaptive plan: after materialization, the final plan must contain a
+    ReusedExchange over the (band_idx, band_sig) hash partitioning —
+    otherwise the most expensive bench query silently recomputes the
+    whole signature pipeline twice at 100 TB."""
+    df = SPECS["dedup_minhash_lsh"].fn(spark, SF_SMOKE)
+    df.collect()  # drive THIS DataFrame's queryExecution to its final plan
+    final = df._jdf.queryExecution().executedPlan().toString()
+    assert "isFinalPlan=true" in final, "plan was not adaptively finalized"
+    assert "SortMergeJoin" in final, (
+        "merge hint lost at runtime — AQE converted the self-join away "
+        "from SMJ, which breaks exchange reuse and OOMs on hot buckets"
+    )
+    reused = [l for l in final.splitlines() if "ReusedExchange" in l]
+    assert reused, "no ReusedExchange: signature pipeline executes twice"
+    assert any("band_idx" in l and "band_sig" in l for l in reused), (
+        "ReusedExchange present but not over the (band_idx, band_sig) "
+        f"band-join partitioning: {reused}"
+    )
+
+
 def test_minhash_shuffle_carries_doc_rows_not_shingle_rows(spark):
     """The groupBy(doc_id) must partially aggregate map-side: a
     HashAggregate appears BELOW the exchange, so shingle-exploded rows
