@@ -3548,19 +3548,154 @@ _register_streaming_quality_monitor()
 # of streaming_semdedup/streaming_ivf_assign) with exact ground truth —
 # sharing the batch oracle verbatim.
 # ---------------------------------------------------------------------------
-def _register_streaming_frontier_bloom() -> None:
-    import uuid
+def frontier_bloom_emissions(docs_stream: DataFrame) -> DataFrame:
+    """Stateful core of streaming_frontier_bloom — filter the SEEN slice,
+    hash each document's normalized fingerprint to its DEDUP_BF_K bit
+    positions, and OR-merge them into a single int64-word Bloom state,
+    emitting (words, popcount) per micro-batch. Module-level (not a
+    closure) so the kill-and-restart recovery test can rebuild the
+    IDENTICAL query against its own staged source and checkpoint."""
+    from pyspark.sql.streaming.state import GroupStateTimeout
 
-    from kafka_stream_job_spark.operators._portable import idiv
     from kafka_stream_job_spark.operators.dedup import (
         DEDUP_BF_K,
         DEDUP_BF_M,
-        _FRONTIER_ORACLE_SQL,
         _frontier_pos,
         _norm_text,
     )
-    from kafka_stream_job_spark.registry import register
+
+    n_words = DEDUP_BF_M // 64
+    fp_col = F.md5(_norm_text())
+    seen_stream = (
+        docs_stream.filter(F.col("doc_id") % 5 != 0)  # SEEN slice streams in
+        .select(
+            F.lit(0).alias("shard"),  # one global filter: single key
+            *[_frontier_pos(fp_col, i).alias(f"p{i}") for i in range(DEDUP_BF_K)],
+        )
+    )
+
+    def update(key, pdfs, state):
+        import pandas as pd
+
+        words = list(state.get[0]) if state.exists else [0] * n_words
+        for pdf in pdfs:
+            for i in range(DEDUP_BF_K):
+                for pos in pdf[f"p{i}"]:
+                    p = int(pos)
+                    words[p // 64] |= 1 << (p % 64)
+        # int64 state: keep the sign bit arithmetic exact via wrap
+        words = [w - (1 << 64) if w >= (1 << 63) else w for w in words]
+        state.update(([int(w) for w in words],))
+        popcount = sum(bin(w & ((1 << 64) - 1)).count("1") for w in words)
+        yield pd.DataFrame(
+            {"shard": [key[0]], "words": [words], "n_bits": [popcount]}
+        )
+
+    return seen_stream.groupBy("shard").applyInPandasWithState(
+        update,
+        outputStructType="shard int, words array<long>, n_bits long",
+        stateStructType="words array<long>",
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+def frontier_bloom_report(
+    spark: SparkSession, sf_dir: str, emitted: DataFrame
+) -> DataFrame:
+    """Stateless post-stream probe of the STATIC frontier slice against
+    the drained Bloom emissions (final bits = max-popcount emission,
+    monotone under OR-merge), with exact ground truth per source."""
+    from kafka_stream_job_spark.operators._portable import idiv
+    from kafka_stream_job_spark.operators.dedup import (
+        DEDUP_BF_K,
+        _frontier_pos,
+        _norm_text,
+    )
     from kafka_stream_job_spark.tables import load_table
+
+    bits_row = emitted.agg(F.expr("max_by(words, n_bits)").alias("words"))
+    # stateless post-stream probe of the STATIC frontier slice against
+    # the final bit array (broadcast: n_words longs), with exact truth
+    docs = load_table(spark, sf_dir, "documents")
+    fp = docs.select(
+        "doc_id",
+        "source",
+        F.md5(_norm_text()).alias("fingerprint"),
+        (F.col("doc_id") % 5 == 0).alias("is_frontier"),
+    )
+    seen = (
+        fp.filter(~F.col("is_frontier")).select("fingerprint").distinct()
+    )
+
+    # shiftrightunsigned's shift count must live inside one SQL parse
+    # (the Python builder only takes a literal), hence F.expr. The bit
+    # test is `& 1`, NOT `% 2`: a shift of 0 leaves the sign bit in
+    # place, and Spark's % takes the dividend's sign, so a set bit 63
+    # would read as -1 % 2 = -1 ≠ 1 and silently miss.
+    bloom_seen = F.expr(
+        " AND ".join(
+            f"((shiftrightunsigned(element_at(words,"
+            f" CAST(pos{i} div 64 AS INT) + 1),"
+            f" CAST(pos{i} % 64 AS INT)) & 1) = 1)"
+            for i in range(DEDUP_BF_K)
+        )
+    )
+    probe = (
+        fp.filter(F.col("is_frontier"))
+        .crossJoin(F.broadcast(bits_row))
+        .join(
+            seen.withColumn("truth_seen", F.lit(True)),
+            "fingerprint",
+            "left",
+        )
+        .select(
+            "source",
+            F.coalesce(F.col("truth_seen"), F.lit(False)).alias(
+                "truth_seen"
+            ),
+            F.col("words"),
+            *[
+                _frontier_pos(F.col("fingerprint"), i).alias(f"pos{i}")
+                for i in range(DEDUP_BF_K)
+            ],
+        )
+        .select("source", "truth_seen", bloom_seen.alias("bloom_seen"))
+    )
+    return probe.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_frontier"),
+        F.sum(F.when(F.col("truth_seen"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_truth_dup"),
+        F.sum(F.when(F.col("bloom_seen"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_bloom_hit"),
+        F.sum(
+            F.when(F.col("bloom_seen") & ~F.col("truth_seen"), 1).otherwise(
+                0
+            )
+        )
+        .cast("long")
+        .alias("n_false_pos"),
+        idiv(
+            F.sum(
+                F.when(
+                    F.col("bloom_seen") & ~F.col("truth_seen"), 1
+                ).otherwise(0)
+            ).cast("long")
+            * 10000,
+            F.count(F.lit(1)).cast("long"),
+        ).alias("false_pos_bp"),
+    )
+
+
+
+
+def _register_streaming_frontier_bloom() -> None:
+    import uuid
+
+    from kafka_stream_job_spark.operators.dedup import _FRONTIER_ORACLE_SQL
+    from kafka_stream_job_spark.registry import register
 
     @register(
         "streaming_frontier_bloom",
@@ -3570,125 +3705,15 @@ def _register_streaming_frontier_bloom() -> None:
     def streaming_frontier_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
         import tempfile
 
-        from pyspark.sql.streaming.state import GroupStateTimeout
-
-        n_words = DEDUP_BF_M // 64
-        fp_col = F.md5(_norm_text())
-        seen_stream = (
-            stream_documents(spark, sf_dir)
-            .filter(F.col("doc_id") % 5 != 0)  # the SEEN slice streams in
-            .select(
-                F.lit(0).alias("shard"),  # one global filter: single key
-                *[
-                    _frontier_pos(fp_col, i).alias(f"p{i}")
-                    for i in range(DEDUP_BF_K)
-                ],
-            )
-        )
-
-        def update(key, pdfs, state):
-            import pandas as pd
-
-            words = list(state.get[0]) if state.exists else [0] * n_words
-            for pdf in pdfs:
-                for i in range(DEDUP_BF_K):
-                    for pos in pdf[f"p{i}"]:
-                        p = int(pos)
-                        words[p // 64] |= 1 << (p % 64)
-            # int64 state: keep the sign bit arithmetic exact via wrap
-            words = [w - (1 << 64) if w >= (1 << 63) else w for w in words]
-            state.update(([int(w) for w in words],))
-            popcount = sum(bin(w & ((1 << 64) - 1)).count("1") for w in words)
-            yield pd.DataFrame(
-                {"shard": [key[0]], "words": [words], "n_bits": [popcount]}
-            )
-
-        emitted_stream = seen_stream.groupBy("shard").applyInPandasWithState(
-            update,
-            outputStructType="shard int, words array<long>, n_bits long",
-            stateStructType="words array<long>",
-            outputMode="append",
-            timeoutConf=GroupStateTimeout.NoTimeout,
-        )
         name = f"stream_frontier_{uuid.uuid4().hex[:8]}"
         ckpt = tempfile.mkdtemp(prefix="ksj-stream-frontier-")
-        emitted = run_stream_to_memory(spark, emitted_stream, name, ckpt)
-        # final bits = emission with max (monotone) popcount
-        bits_row = emitted.agg(
-            F.expr("max_by(words, n_bits)").alias("words")
+        emitted = run_stream_to_memory(
+            spark,
+            frontier_bloom_emissions(stream_documents(spark, sf_dir)),
+            name,
+            ckpt,
         )
-        # stateless post-stream probe of the STATIC frontier slice against
-        # the final bit array (broadcast: n_words longs), with exact truth
-        docs = load_table(spark, sf_dir, "documents")
-        fp = docs.select(
-            "doc_id",
-            "source",
-            F.md5(_norm_text()).alias("fingerprint"),
-            (F.col("doc_id") % 5 == 0).alias("is_frontier"),
-        )
-        seen = (
-            fp.filter(~F.col("is_frontier")).select("fingerprint").distinct()
-        )
-
-        # shiftrightunsigned's shift count must live inside one SQL parse
-        # (the Python builder only takes a literal), hence F.expr. The bit
-        # test is `& 1`, NOT `% 2`: a shift of 0 leaves the sign bit in
-        # place, and Spark's % takes the dividend's sign, so a set bit 63
-        # would read as -1 % 2 = -1 ≠ 1 and silently miss.
-        bloom_seen = F.expr(
-            " AND ".join(
-                f"((shiftrightunsigned(element_at(words,"
-                f" CAST(pos{i} div 64 AS INT) + 1),"
-                f" CAST(pos{i} % 64 AS INT)) & 1) = 1)"
-                for i in range(DEDUP_BF_K)
-            )
-        )
-        probe = (
-            fp.filter(F.col("is_frontier"))
-            .crossJoin(F.broadcast(bits_row))
-            .join(
-                seen.withColumn("truth_seen", F.lit(True)),
-                "fingerprint",
-                "left",
-            )
-            .select(
-                "source",
-                F.coalesce(F.col("truth_seen"), F.lit(False)).alias(
-                    "truth_seen"
-                ),
-                F.col("words"),
-                *[
-                    _frontier_pos(F.col("fingerprint"), i).alias(f"pos{i}")
-                    for i in range(DEDUP_BF_K)
-                ],
-            )
-            .select("source", "truth_seen", bloom_seen.alias("bloom_seen"))
-        )
-        return probe.groupBy("source").agg(
-            F.count(F.lit(1)).cast("long").alias("n_frontier"),
-            F.sum(F.when(F.col("truth_seen"), 1).otherwise(0))
-            .cast("long")
-            .alias("n_truth_dup"),
-            F.sum(F.when(F.col("bloom_seen"), 1).otherwise(0))
-            .cast("long")
-            .alias("n_bloom_hit"),
-            F.sum(
-                F.when(F.col("bloom_seen") & ~F.col("truth_seen"), 1).otherwise(
-                    0
-                )
-            )
-            .cast("long")
-            .alias("n_false_pos"),
-            idiv(
-                F.sum(
-                    F.when(
-                        F.col("bloom_seen") & ~F.col("truth_seen"), 1
-                    ).otherwise(0)
-                ).cast("long")
-                * 10000,
-                F.count(F.lit(1)).cast("long"),
-            ).alias("false_pos_bp"),
-        )
+        return frontier_bloom_report(spark, sf_dir, emitted)
 
 
 _register_streaming_frontier_bloom()
@@ -3842,13 +3867,85 @@ _register_streaming_ohlc_bars()
 # micro-nat terms) runs as a batch query over the converged emission, so
 # the oracle is SHARED verbatim with the batch twin.
 # ---------------------------------------------------------------------------
+def psi_epoch_mid(spark: SparkSession, sf_dir: str) -> int:
+    """Exact epoch-microsecond midpoint of the static events table's time
+    range — two int64s of driver state (the streaming_quality_monitor
+    precedent); the same values the batch twin derives."""
+    from kafka_stream_job_spark.tables import load_table
+
+    static = load_table(spark, sf_dir, "events")
+    ts_s = F.col("ts").cast("timestamp")
+    brow = static.agg(
+        F.unix_micros(F.min(ts_s)).alias("lo"),
+        F.unix_micros(F.max(ts_s)).alias("hi"),
+    ).collect()[0]
+    return (int(brow["lo"]) + int(brow["hi"])) // 2
+
+
+def psi_binned_counts(events_stream: DataFrame, mid: int) -> DataFrame:
+    """Stateful core of streaming_psi_drift — per-(bin, side) running
+    counts: commutative, bounded at 10 bins × 2 sides. Module-level so
+    the kill-and-restart recovery test can rebuild the IDENTICAL
+    complete-mode aggregation against its own source and checkpoint."""
+    binned = events_stream.select(
+        F.least(F.greatest(F.floor(F.col("value") / 10.0), F.lit(0)), F.lit(9))
+        .cast("long")
+        .alias("bin"),
+        F.when(F.unix_micros(F.col("ts")) < F.lit(mid), F.lit("ref"))
+        .otherwise(F.lit("cur"))
+        .alias("side"),
+    )
+    return binned.groupBy("bin", "side").agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+
+
+def psi_report(emitted: DataFrame) -> DataFrame:
+    """Batch PSI assembly over the converged emission (Laplace +1,
+    totals broadcast, per-bin micro-nat terms) — shared verbatim with
+    the batch twin's oracle."""
+    from kafka_stream_job_spark.operators.pipeline import PSI_UNATS
+
+    c = emitted.groupBy("bin").agg(
+        (
+            1
+            + F.coalesce(
+                F.sum(F.when(F.col("side") == "ref", F.col("n"))), F.lit(0)
+            )
+        )
+        .cast("long")
+        .alias("c_ref"),
+        (
+            1
+            + F.coalesce(
+                F.sum(F.when(F.col("side") == "cur", F.col("n"))), F.lit(0)
+            )
+        )
+        .cast("long")
+        .alias("c_cur"),
+    )
+    t = c.agg(
+        F.sum("c_ref").cast("long").alias("t_ref"),
+        F.sum("c_cur").cast("long").alias("t_cur"),
+    )
+    p_ref = F.col("c_ref") * 1.0 / F.col("t_ref")
+    p_cur = F.col("c_cur") * 1.0 / F.col("t_cur")
+    return c.crossJoin(F.broadcast(t)).select(
+        "bin",
+        "c_ref",
+        "c_cur",
+        F.round((p_cur - p_ref) * F.log(p_cur / p_ref) * PSI_UNATS, 0)
+        .cast("long")
+        .alias("psi_unats"),
+    )
+
+
+
+
 def _register_streaming_psi_drift() -> None:
     import uuid
 
-    from kafka_stream_job_spark.operators._portable import idiv
-    from kafka_stream_job_spark.operators.pipeline import PSI_UNATS
     from kafka_stream_job_spark.registry import REGISTRY, register
-    from kafka_stream_job_spark.tables import load_table
 
     oracle = REGISTRY["events_psi_value_drift"].oracle
 
@@ -3860,67 +3957,17 @@ def _register_streaming_psi_drift() -> None:
     def streaming_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         import tempfile
 
-        # pre-stream: exact epoch-microsecond midpoint from the static
-        # table (O(1) driver state; same values the batch twin derives)
-        static = load_table(spark, sf_dir, "events")
-        ts_s = F.col("ts").cast("timestamp")
-        brow = static.agg(
-            F.unix_micros(F.min(ts_s)).alias("lo"),
-            F.unix_micros(F.max(ts_s)).alias("hi"),
-        ).collect()[0]
-        mid = (int(brow["lo"]) + int(brow["hi"])) // 2
-
-        events = stream_events(spark, sf_dir)
-        binned = events.select(
-            F.least(
-                F.greatest(F.floor(F.col("value") / 10.0), F.lit(0)), F.lit(9)
-            )
-            .cast("long")
-            .alias("bin"),
-            F.when(F.unix_micros(F.col("ts")) < F.lit(mid), F.lit("ref"))
-            .otherwise(F.lit("cur"))
-            .alias("side"),
-        )
-        counted = binned.groupBy("bin", "side").agg(
-            F.count(F.lit(1)).cast("long").alias("n")
-        )
+        mid = psi_epoch_mid(spark, sf_dir)
         name = f"stream_psi_{uuid.uuid4().hex[:8]}"
         ckpt = tempfile.mkdtemp(prefix="ksj-stream-psi-")
         emitted = run_stream_to_memory(
-            spark, counted, name, ckpt, output_mode="complete"
+            spark,
+            psi_binned_counts(stream_events(spark, sf_dir), mid),
+            name,
+            ckpt,
+            output_mode="complete",
         )
-        c = emitted.groupBy("bin").agg(
-            (
-                1
-                + F.coalesce(
-                    F.sum(F.when(F.col("side") == "ref", F.col("n"))), F.lit(0)
-                )
-            )
-            .cast("long")
-            .alias("c_ref"),
-            (
-                1
-                + F.coalesce(
-                    F.sum(F.when(F.col("side") == "cur", F.col("n"))), F.lit(0)
-                )
-            )
-            .cast("long")
-            .alias("c_cur"),
-        )
-        t = c.agg(
-            F.sum("c_ref").cast("long").alias("t_ref"),
-            F.sum("c_cur").cast("long").alias("t_cur"),
-        )
-        p_ref = F.col("c_ref") * 1.0 / F.col("t_ref")
-        p_cur = F.col("c_cur") * 1.0 / F.col("t_cur")
-        return c.crossJoin(F.broadcast(t)).select(
-            "bin",
-            "c_ref",
-            "c_cur",
-            F.round((p_cur - p_ref) * F.log(p_cur / p_ref) * PSI_UNATS, 0)
-            .cast("long")
-            .alias("psi_unats"),
-        )
+        return psi_report(emitted)
 
 
 _register_streaming_psi_drift()

@@ -1,0 +1,218 @@
+"""Kill-and-restart recovery for the stateful streaming twins — the
+exactly-once claim of K2 extended to STATE.
+
+Every registry streaming twin drains via processAllAvailable in one
+process; these tests prove the other half of the production contract:
+kill the process mid-stream, restart the identical query on the same
+checkpoint, and the resumed run must converge to the SAME oracle answer
+— with the already-committed input NOT re-read (asserted from the
+checkpoint's sources log, so a cheating fresh-start that re-reads
+everything cannot pass).
+
+Two representatives, one per state machinery:
+- streaming_frontier_bloom — applyInPandasWithState custom Python state
+  (OR-merged int64 Bloom words; recovery goes through the state store's
+  pickled GroupState rows);
+- streaming_psi_drift      — built-in complete-mode aggregation state
+  (HDFSBackedStateStore rows of a streaming groupBy).
+
+Each phase runs in its OWN OS process (subprocess → new JVM + new state
+store provider cache), so recovery genuinely exercises the on-disk
+checkpoint, not the in-memory StateStore cache of a shared JVM.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+
+import duckdb
+import pytest
+
+from kafka_stream_job_spark.registry import all_specs
+
+from .conftest import SF_SMOKE
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+# Runs in a fresh process per phase. argv: twin phase srcdir ckpt out sf_dir
+_PHASE_SCRIPT = """
+import json, os, sys
+twin, phase, srcdir, ckpt, outpath, sf_dir = sys.argv[1:7]
+sys.path.insert(0, {repo!r})
+from kafka_stream_job_spark.session import get_spark
+# all_specs() import side effect FIRST: operator modules register in
+# order (streaming.pipeline's registrations read relational's oracles)
+from kafka_stream_job_spark.registry import all_specs
+all_specs()
+from kafka_stream_job_spark.streaming import pipeline as sp
+
+spark = get_spark()
+spark.sparkContext.setLogLevel("ERROR")
+table = "documents" if twin == "frontier" else "events"
+schema = spark.read.parquet(os.path.join(sf_dir, table + ".parquet")).schema
+stream = spark.readStream.schema(schema).parquet(srcdir)
+if twin == "frontier":
+    emitted_stream = sp.frontier_bloom_emissions(stream)
+    mode = "append"
+else:
+    # same NTZ->TIMESTAMP normalization stream_events applies (session
+    # tz pinned UTC, so the cast is deterministic)
+    stream = stream.withColumn("ts", stream["ts"].cast("timestamp"))
+    mid = sp.psi_epoch_mid(spark, sf_dir)
+    emitted_stream = sp.psi_binned_counts(stream, mid)
+    mode = "complete"
+
+# The memory sink refuses checkpoint recovery, so the restartable sink
+# here is foreachBatch -> per-batch-tagged parquet appends (the K2
+# exactly-once discipline, batch-id column instead of _SUCCESS gate).
+emitdir = os.path.join(os.path.dirname(ckpt), "emit")
+from pyspark.sql import functions as F
+
+def write_batch(df, bid):
+    df.withColumn("_batch", F.lit(int(bid))).write.mode("append").parquet(emitdir)
+
+q = (
+    emitted_stream.writeStream.foreachBatch(write_batch)
+    .option("checkpointLocation", ckpt)
+    .outputMode(mode)
+    .start()
+)
+q.processAllAvailable()
+q.stop()
+
+if phase == "2":
+    all_emitted = spark.read.parquet(emitdir)
+    if twin == "frontier":
+        # append mode: every emission participates (max_by popcount)
+        emitted = all_emitted.drop("_batch")
+        result = sp.frontier_bloom_report(spark, sf_dir, emitted)
+    else:
+        # complete mode: the LAST batch is the converged state
+        last = all_emitted.agg(F.max("_batch")).collect()[0][0]
+        emitted = all_emitted.filter(F.col("_batch") == last).drop("_batch")
+        result = sp.psi_report(emitted)
+    rows = [r.asDict() for r in result.collect()]
+    with open(outpath, "w") as f:
+        json.dump(rows, f, default=str)
+spark.stop()
+""".format(repo=REPO)
+
+
+def _split_table(table: str, key: str, dest: str) -> tuple[str, str]:
+    """Deterministic half-split of one sf0.001 table into two parquet
+    files (by key parity — both halves hit every stateful group)."""
+    src = os.path.join(SF_SMOKE, f"{table}.parquet")
+    a = os.path.join(dest, "part0.parquet")
+    b = os.path.join(dest, "part1.parquet")
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW t AS SELECT * FROM read_parquet('{src}')")
+    con.execute(f"COPY (SELECT * FROM t WHERE {key} % 2 = 0) TO '{a}'")
+    con.execute(f"COPY (SELECT * FROM t WHERE {key} % 2 = 1) TO '{b}'")
+    con.close()
+    return a, b
+
+
+def _run_phase(twin: str, phase: str, srcdir: str, ckpt: str, out: str) -> None:
+    proc = subprocess.run(
+        [sys.executable, "-c", _PHASE_SCRIPT, twin, phase, srcdir, ckpt, out, SF_SMOKE],
+        capture_output=True,
+        text=True,
+        timeout=600,
+        cwd=REPO,
+    )
+    assert proc.returncode == 0, (
+        f"{twin} phase {phase} subprocess failed:\n"
+        f"stdout: {proc.stdout[-2000:]}\nstderr: {proc.stderr[-2000:]}"
+    )
+
+
+def _sources_log_files(ckpt: str) -> dict[int, list[str]]:
+    """Parse checkpoint sources/0/<batch> manifests → batch -> basenames."""
+    d = os.path.join(ckpt, "sources", "0")
+    out: dict[int, list[str]] = {}
+    for name in os.listdir(d):
+        if not name.isdigit():
+            continue
+        files = []
+        with open(os.path.join(d, name)) as f:
+            for line in f:
+                line = line.strip()
+                if line.startswith("{"):
+                    files.append(os.path.basename(json.loads(line)["path"]))
+        out[int(name)] = sorted(files)
+    return out
+
+
+def _oracle_rows(oracle: str) -> list[dict]:
+    con = duckdb.connect()
+    for t in (
+        "region nation customer supplier part orders lineitem events "
+        "documents embeddings"
+    ).split():
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM "
+            f"read_parquet('{SF_SMOKE}/{t}.parquet')"
+        )
+    rel = con.sql(oracle)
+    cols = rel.columns
+    rows = [dict(zip(cols, r)) for r in rel.fetchall()]
+    con.close()
+    return rows
+
+
+def _norm(rows: list[dict]) -> list[tuple]:
+    return sorted(
+        tuple((k, str(r[k])) for k in sorted(r)) for r in rows
+    )
+
+
+@pytest.mark.parametrize(
+    "twin,table,key,oracle_name",
+    [
+        ("frontier", "documents", "doc_id", "streaming_frontier_bloom"),
+        ("psi", "events", "event_id", "streaming_psi_drift"),
+    ],
+    ids=["frontier_bloom_applyInPandasWithState", "psi_drift_agg_state"],
+)
+def test_stateful_twin_recovers_across_process_kill(
+    tmp_path, twin, table, key, oracle_name
+):
+    srcdir = str(tmp_path / "src")
+    ckpt = str(tmp_path / "ckpt")
+    stage = str(tmp_path / "stage")
+    out = str(tmp_path / "result.json")
+    os.makedirs(srcdir)
+    os.makedirs(stage)
+    part0, part1 = _split_table(table, key, stage)
+
+    # phase 1: only half the input exists; process the batch, then the
+    # process EXITS — the kill point (JVM dies, state store cache gone)
+    os.link(part0, os.path.join(srcdir, "part0.parquet"))
+    _run_phase(twin, "1", srcdir, ckpt, out)
+    assert not os.path.exists(out), "phase 1 must not publish a result"
+
+    # phase 2: the rest arrives; an identical query restarts from the
+    # same checkpoint in a NEW process and must converge to the oracle
+    os.link(part1, os.path.join(srcdir, "part1.parquet"))
+    _run_phase(twin, "2", srcdir, ckpt, out)
+
+    with open(out) as f:
+        got = json.load(f)
+    expect = _oracle_rows(all_specs()[oracle_name].oracle)
+    assert _norm(got) == _norm(expect), (
+        f"{twin}: resumed run diverged from the oracle — state was not "
+        "recovered from the checkpoint"
+    )
+
+    # structural proof the restart RESUMED rather than re-read: the
+    # sources log must show part0 committed by phase 1's batch and part1
+    # (alone) by phase 2's
+    log = _sources_log_files(ckpt)
+    assert log[0] == ["part0.parquet"], log
+    later = sorted(f for b, fs in log.items() if b > 0 for f in fs)
+    assert later == ["part1.parquet"], (
+        f"restart re-read already-committed input: {log}"
+    )
