@@ -36,14 +36,19 @@ import time
 CALIB_REF_SEC = 0.0488
 
 
-def main() -> None:
+def run_bench(
+    select, metric: str, app_name: str = "kafka-stream-job-spark-bench"
+) -> None:
+    """Shared runner: time the specs ``select`` picks and print ONE JSON
+    line with the headline-bench shape (same calibration + normalization,
+    so BENCH_EXTENDED numbers compare across rounds the same way)."""
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = float(os.path.basename(sf_dir.rstrip("/")).removeprefix("sf") or "0.1")
 
     from kafka_stream_job_spark.registry import all_specs
     from kafka_stream_job_spark.session import get_spark
 
-    spark = get_spark(app_name="kafka-stream-job-spark-bench")
+    spark = get_spark(app_name=app_name)
     spark.sparkContext.setLogLevel("WARN")
 
     def loadavg() -> list[float]:
@@ -76,7 +81,7 @@ def main() -> None:
 
     load_before = loadavg()
     calib_before = cpu_calib()
-    specs = [s for s in all_specs().values() if s.bench]
+    specs = [s for s in all_specs().values() if select(s)]
     # warmup: run every spec once so the timed pass measures steady state
     # (JVM startup, codegen compilation, file listing amortized out).
     for spec in specs:
@@ -100,7 +105,7 @@ def main() -> None:
     calib = min(calib_before, calib_after)
     total = round(sum(timings.values()), 3)
     result = {
-        "metric": "headline_queries_total_time",
+        "metric": metric,
         "value": total,
         "unit": "sec",
         "queries": timings,
@@ -117,6 +122,10 @@ def main() -> None:
     }
     print(json.dumps(result))
     spark.stop()
+
+
+def main() -> None:
+    run_bench(lambda s: s.bench, "headline_queries_total_time")
 
 
 if __name__ == "__main__":

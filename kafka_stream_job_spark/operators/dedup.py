@@ -1896,6 +1896,7 @@ GRAM_STRIDE = 16
         GROUP BY d.source
     """,
     tags=("dedup", "substring", "documents"),
+    bench_ext=True,
 )
 def dedup_exact_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
     from kafka_stream_job_spark.operators._portable import idiv
@@ -2506,6 +2507,7 @@ _FRONTIER_ORACLE_SQL = f"""
     "dedup_frontier_bloom",
     oracle=_FRONTIER_ORACLE_SQL,
     tags=("dedup", "bloom", "frontier", "web", "documents"),
+    bench_ext=True,
 )
 def dedup_frontier_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
     from kafka_stream_job_spark.operators._portable import idiv

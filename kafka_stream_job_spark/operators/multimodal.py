@@ -1348,6 +1348,7 @@ def _bmp_luma_sql() -> str:
         GROUP BY 1
     """,
     tags=("multimodal", "image", "ahash", "real-decode", "documents"),
+    bench_ext=True,
 )
 def multimodal_bmp_ahash(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = (
@@ -1582,6 +1583,7 @@ def decode_png_real(payload: bytes) -> dict:
         FROM documents WHERE length(text) > 0
     """,
     tags=("multimodal", "image", "png", "real-decode", "documents"),
+    bench_ext=True,
 )
 def multimodal_png_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Dimensions and exact luma sums from an actual PNG parse
@@ -1874,6 +1876,7 @@ def decode_gif_real(payload: bytes) -> dict:
         FROM documents WHERE length(text) > 0
     """,
     tags=("multimodal", "image", "gif", "lzw", "real-decode", "documents"),
+    bench_ext=True,
 )
 def multimodal_gif_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Dimensions and exact luma sums from an actual GIF/LZW parse.
@@ -1965,6 +1968,7 @@ def _sniffer_luma_sql(width_sql: str, height_sql: str) -> str:
         FROM per_doc GROUP BY 1
     """,
     tags=("multimodal", "image", "sniffing", "real-decode", "documents"),
+    bench_ext=True,
 )
 def multimodal_magic_sniffer(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = (

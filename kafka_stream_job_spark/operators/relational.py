@@ -13368,6 +13368,7 @@ LPA_TOP = 20
         LIMIT {LPA_TOP}
     """,
     tags=("graph", "community", "iterative", "lineitem"),
+    bench_ext=True,
 )
 def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
@@ -14615,6 +14616,7 @@ HAAR_LEVELS = 3
         SELECT event_type, CAST(level AS BIGINT) AS level, energy FROM u
     """,
     tags=("events", "timeseries", "wavelet", "signal"),
+    bench_ext=True,
 )
 def events_haar_wavelet_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
     events = load_table(spark, sf_dir, "events")
@@ -15323,6 +15325,7 @@ def _name_brand_mi_oracle() -> str:
     "part_name_brand_mi",
     oracle=_name_brand_mi_oracle(),
     tags=("relational", "profiling", "mutual-information", "part"),
+    bench_ext=True,
 )
 def part_name_brand_mi(spark: SparkSession, sf_dir: str) -> DataFrame:
     from kafka_stream_job_spark.operators.text import _attach_iln

@@ -2019,6 +2019,7 @@ def _logreg_oracle() -> str:
     "quality_logreg_training",
     oracle=_logreg_oracle(),
     tags=("llm-pipeline", "ml-training", "logreg", "iterative", "documents"),
+    bench_ext=True,
 )
 def quality_logreg_training(spark: SparkSession, sf_dir: str) -> DataFrame:
     feats = _logreg_feats(spark, sf_dir)
@@ -4856,6 +4857,7 @@ _SPEARMAN_ORACLE = r"""
     "spearman_len_vs_ttr",
     oracle=_SPEARMAN_ORACLE,
     tags=("text", "stats", "rank-correlation", "distributed-rank", "documents"),
+    bench_ext=True,
 )
 def spearman_len_vs_ttr(spark: SparkSession, sf_dir: str) -> DataFrame:
     from kafka_stream_job_spark.operators._distributed import (

@@ -29,6 +29,12 @@ class QuerySpec:
     oracle: str | None  # ANSI SQL for DuckDB; None → rows-only check
     tags: tuple[str, ...] = field(default_factory=tuple)
     bench: bool = False  # include in bench.py headline run
+    # include in bench_extended.py — representatives of the operator
+    # families added after the r01 headline set froze (decoders, rank
+    # stats, streaming twins, winnowing, distributed GD), so perf
+    # regressions in the new families are visible in BENCH_EXTENDED
+    # before the driver ever benches them
+    bench_ext: bool = False
 
 
 REGISTRY: dict[str, QuerySpec] = {}
@@ -58,13 +64,17 @@ def register(
     oracle: str | None,
     tags: tuple[str, ...] = (),
     bench: bool = False,
+    bench_ext: bool = False,
 ) -> Callable[[QueryFn], QueryFn]:
     """Decorator: add a query spec to the registry."""
 
     def wrap(fn: QueryFn) -> QueryFn:
         if name in REGISTRY:
             raise ValueError(f"duplicate query name {name!r}")
-        REGISTRY[name] = QuerySpec(name=name, fn=fn, oracle=oracle, tags=tags, bench=bench)
+        REGISTRY[name] = QuerySpec(
+            name=name, fn=fn, oracle=oracle, tags=tags, bench=bench,
+            bench_ext=bench_ext,
+        )
         return fn
 
     return wrap

@@ -3090,6 +3090,7 @@ def _register_streaming_ivf_assign() -> None:
         "streaming_ivf_assign",
         oracle=_IVF_INCR_ORACLE_SQL,
         tags=("streaming", "stateful", "ivf", "incremental", "embeddings"),
+        bench_ext=True,
     )
     def streaming_ivf_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
         import tempfile
@@ -3815,6 +3816,7 @@ def _register_streaming_ohlc_bars() -> None:
         "streaming_ohlc_bars",
         oracle=oracle,
         tags=("streaming", "window-time", "ohlc", "events"),
+        bench_ext=True,
     )
     def streaming_ohlc_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
         import tempfile
@@ -4014,6 +4016,7 @@ def _register_streaming_lsh_candidate_buckets() -> None:
             HAVING COUNT(*) > 1
         """,
         tags=("streaming", "stateful", "dedup", "lsh", "documents"),
+        bench_ext=True,
     )
     def streaming_lsh_candidate_buckets(
         spark: SparkSession, sf_dir: str
