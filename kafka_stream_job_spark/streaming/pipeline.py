@@ -4023,8 +4023,6 @@ def _register_streaming_lsh_candidate_buckets() -> None:
     ) -> DataFrame:
         import tempfile
 
-        from pyspark.sql.streaming.state import GroupStateTimeout
-
         docs = stream_documents(spark, sf_dir).where(F.col("text").isNotNull())
         staged = docs.select(
             "doc_id", _hashed_shingle_expr().alias("hs")
@@ -4054,39 +4052,23 @@ def _register_streaming_lsh_candidate_buckets() -> None:
             F.expr(f"explode(array({band_structs}))").alias("bs"),
         ).select("doc_id", "bs.band_idx", "bs.band_sig")
 
-        def update(key, pdfs, state):
-            import pandas as pd
-
-            if state.exists:
-                min_doc, n = state.get
-            else:
-                min_doc, n = None, 0
-            for pdf in pdfs:
-                n += len(pdf)
-                lo = int(pdf["doc_id"].min())
-                min_doc = lo if min_doc is None else min(min_doc, lo)
-            state.update((min_doc, n))
-            yield pd.DataFrame(
-                {
-                    "band_idx": [key[0]],
-                    "band_sig": [key[1]],
-                    "n_docs": [n],
-                    "min_doc": [min_doc],
-                }
-            )
-
-        emitted_stream = banded.groupBy("band_idx", "band_sig").applyInPandasWithState(
-            update,
-            outputStructType=(
-                "band_idx long, band_sig string, n_docs long, min_doc long"
-            ),
-            stateStructType="min_doc long, n long",
-            outputMode="append",
-            timeoutConf=GroupStateTimeout.NoTimeout,
+        # Bucket state is (count, min) — both BUILT-IN streaming
+        # aggregates, so the state lives in the JVM state store, not in
+        # per-group pickled Python GroupState: with ~16 bucket rows per
+        # document the bucket-key cardinality is corpus-sized, and an
+        # applyInPandasWithState here paid one Python pandas call per
+        # bucket per batch (the r9 extended bench measured it at 12 s —
+        # 5x this plan). Update mode emits only buckets a batch touched;
+        # the post-stream max/min collapse is emission-order-free.
+        emitted_stream = banded.groupBy("band_idx", "band_sig").agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.min("doc_id").cast("long").alias("min_doc"),
         )
         name = f"stream_lshbuckets_{uuid.uuid4().hex[:8]}"
         ckpt = tempfile.mkdtemp(prefix="ksj-stream-lshbuckets-")
-        emitted = run_stream_to_memory(spark, emitted_stream, name, ckpt)
+        emitted = run_stream_to_memory(
+            spark, emitted_stream, name, ckpt, output_mode="update"
+        )
         return (
             emitted.groupBy("band_idx", "band_sig")
             .agg(
