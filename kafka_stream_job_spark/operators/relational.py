@@ -15328,8 +15328,6 @@ def _name_brand_mi_oracle() -> str:
     bench_ext=True,
 )
 def part_name_brand_mi(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from kafka_stream_job_spark.operators.text import _attach_iln
-
     part = load_table(spark, sf_dir, "part")
     tb = part.select(
         F.explode(F.split("p_name", " ")).alias("token"), "p_brand"
@@ -15337,6 +15335,16 @@ def part_name_brand_mi(spark: SparkSession, sf_dir: str) -> DataFrame:
     c_tb = tb.groupBy("token", "p_brand").agg(
         F.count(F.lit(1)).cast("long").alias("c")
     )
+    return name_brand_mi_assemble(spark, c_tb)
+
+
+def name_brand_mi_assemble(spark: SparkSession, c_tb: DataFrame) -> DataFrame:
+    """MI assembly over converged (token, p_brand, c) counts — shared by
+    the batch profiler and the streaming drift monitor (the psi_report
+    pattern: counts are the only stateful piece; the integer-log PMI
+    table joins run post-stream)."""
+    from kafka_stream_job_spark.operators.text import _attach_iln
+
     c_t = c_tb.groupBy("token").agg(F.sum("c").cast("long").alias("ct"))
     c_b = c_tb.groupBy("p_brand").agg(F.sum("c").cast("long").alias("cb"))
     tot = c_tb.agg(F.sum("c").cast("long").alias("n"))

@@ -4783,3 +4783,161 @@ def _register_streaming_bounce_rate() -> None:
 
 
 _register_streaming_bounce_rate()
+
+
+# ---------------------------------------------------------------------------
+# STREAMING SELF-EXCITATION MONITOR — the live twin of
+# events_self_excitation_ratio: per-user state is exactly (last_ts_us,
+# last_event_id) — two int64s per active user — and each micro-batch
+# folds its rows in event-time order against that state, emitting
+# per-type (n_events, n_triggered) DELTAS. The ratio assembly runs as a
+# batch query over the summed deltas, so the oracle is SHARED verbatim
+# with the batch twin. Ordering contract: micro-batch boundaries respect
+# event time per user (true for the file replay here and for a Kafka
+# source partitioned by user key with in-order per-partition delivery —
+# the reference's own ingestion guarantee); within a batch, rows are
+# sorted in Python before folding, so intra-batch arrival order never
+# matters.
+# ---------------------------------------------------------------------------
+def _register_streaming_self_excitation() -> None:
+    import uuid
+
+    from kafka_stream_job_spark.operators._portable import idiv
+    from kafka_stream_job_spark.operators.relational import SELF_EXCITE_SEC
+    from kafka_stream_job_spark.registry import REGISTRY, register
+
+    oracle = REGISTRY["events_self_excitation_ratio"].oracle
+
+    @register(
+        "streaming_self_excitation",
+        oracle=oracle,
+        tags=("streaming", "stateful", "point-process", "burst", "events"),
+    )
+    def streaming_self_excitation(spark: SparkSession, sf_dir: str) -> DataFrame:
+        import tempfile
+
+        from pyspark.sql.streaming.state import GroupStateTimeout
+
+        per_user = stream_events(spark, sf_dir).select(
+            "user_id",
+            "event_id",
+            "event_type",
+            F.unix_micros(F.col("ts")).alias("ts_us"),
+        )
+        horizon_us = SELF_EXCITE_SEC * 1_000_000
+
+        def update(key, pdfs, state):
+            import pandas as pd
+
+            last_ts, last_eid = state.get if state.exists else (None, None)
+            types: list[str] = []
+            trig: list[int] = []
+            for pdf in pdfs:
+                if not len(pdf):
+                    continue
+                pdf = pdf.sort_values(["ts_us", "event_id"])
+                for ts_us, eid, etype in zip(
+                    pdf["ts_us"], pdf["event_id"], pdf["event_type"]
+                ):
+                    ts_us, eid = int(ts_us), int(eid)
+                    triggered = int(
+                        last_ts is not None and ts_us - last_ts <= horizon_us
+                    )
+                    types.append(etype)
+                    trig.append(triggered)
+                    last_ts, last_eid = ts_us, eid
+            if last_ts is not None:
+                state.update((int(last_ts), int(last_eid)))
+            yield pd.DataFrame(
+                {"event_type": types, "n": [1] * len(types), "triggered": trig}
+            )
+
+        deltas = per_user.groupBy("user_id").applyInPandasWithState(
+            update,
+            outputStructType="event_type string, n long, triggered long",
+            stateStructType="last_ts_us long, last_event_id long",
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+        name = f"stream_excite_{uuid.uuid4().hex[:8]}"
+        ckpt = tempfile.mkdtemp(prefix="ksj-stream-excite-")
+        emitted = run_stream_to_memory(spark, deltas, name, ckpt)
+        agg = emitted.groupBy("event_type").agg(
+            F.sum("n").cast("long").alias("n_events"),
+            F.sum("triggered").cast("long").alias("n_triggered"),
+        )
+        return agg.select(
+            "event_type",
+            "n_events",
+            "n_triggered",
+            idiv(
+                F.col("n_triggered") * 2 * 10000 + F.col("n_events"),
+                F.col("n_events") * 2,
+            ).alias("triggered_bp"),
+        )
+
+
+_register_streaming_self_excitation()
+
+
+# ---------------------------------------------------------------------------
+# STREAMING NAME×BRAND MI DRIFT MONITOR — the live twin of
+# part_name_brand_mi: parts arrive as a stream, the only stateful piece
+# is the (token, p_brand) count — a BUILT-IN streaming aggregation, so
+# state lives in the JVM state store (the streaming_lsh_candidate_buckets
+# lesson) — and the integer-log PMI/MI assembly runs post-stream over the
+# converged counts via the SHARED name_brand_mi_assemble, oracle verbatim
+# from the batch profiler. The emission series is the drift signal: a
+# vocabulary whose token-brand association shifts mid-ingest flags a
+# catalog pipeline regression before it lands in training data.
+# ---------------------------------------------------------------------------
+def _register_streaming_brand_mi_drift() -> None:
+    import uuid
+
+    from kafka_stream_job_spark.registry import REGISTRY, register
+
+    oracle = REGISTRY["part_name_brand_mi"].oracle
+
+    @register(
+        "streaming_brand_mi_drift",
+        oracle=oracle,
+        tags=("streaming", "stateful", "drift", "mutual-information", "part"),
+    )
+    def streaming_brand_mi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+        import tempfile
+
+        from kafka_stream_job_spark.operators.relational import (
+            name_brand_mi_assemble,
+        )
+
+        src, stage = _stage_stream_source(
+            sf_dir, "part", "/tmp/ksj_stream_stage_part"
+        )
+        raw_schema = spark.read.parquet(src).schema
+        parts = spark.readStream.schema(raw_schema).parquet(stage)
+        counted = (
+            parts.select(
+                F.explode(F.split("p_name", " ")).alias("token"), "p_brand"
+            )
+            .groupBy("token", "p_brand")
+            .agg(F.count(F.lit(1)).cast("long").alias("c"))
+        )
+        name = f"stream_brandmi_{uuid.uuid4().hex[:8]}"
+        ckpt = tempfile.mkdtemp(prefix="ksj-stream-brandmi-")
+        emitted = run_stream_to_memory(
+            spark, counted, name, ckpt, output_mode="update"
+        )
+        # update-mode emissions: later batches supersede earlier rows for
+        # the same key; counts are monotone, so max(c) per key converges.
+        # localCheckpoint pins the converged counts: the assembly reads
+        # c_tb on BOTH sides of its marginal joins, and the memory-table
+        # lineage trips Spark's conflicting-reference resolution without it.
+        c_tb = (
+            emitted.groupBy("token", "p_brand")
+            .agg(F.max("c").cast("long").alias("c"))
+            .localCheckpoint(eager=False)
+        )
+        return name_brand_mi_assemble(spark, c_tb)
+
+
+_register_streaming_brand_mi_drift()
