@@ -2883,3 +2883,185 @@ def dedup_transitivity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("closure_bp"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# DEDUP PIPELINE COMPOSITION — the report a real corpus run needs: the
+# four dedup stages (URL-canonical → exact text → MinHash-LSH → semantic
+# embedding-cosine) composed into one per-stage survivor funnel. Each
+# stage's loser set is computed INDEPENDENTLY over the full corpus by the
+# existing stage builders (at 100 TB the four loser sets materialize in
+# parallel — no stage waits on upstream recomputation), and attribution
+# is by PRECEDENCE: a document removed by several stages counts against
+# the earliest, so the funnel telescopes exactly (n_out of stage k is
+# n_in of stage k+1). Reuses dedup_url_canonical / dedup_exact /
+# dedup_minhash_lsh / dedup_embedding_cosine logic verbatim — one new
+# oracle, zero new dedup math.
+# ---------------------------------------------------------------------------
+_PIPELINE_STAGES = (
+    (1, "url_canonical"),
+    (2, "exact_text"),
+    (3, "minhash_lsh"),
+    (4, "semantic_cosine"),
+)
+
+
+def _pipeline_composition_oracle() -> str:
+    from kafka_stream_job_spark.operators.similarity import (
+        _DOT_SQL,
+        _bucket_sql,
+    )
+    from kafka_stream_job_spark.operators.similarity import (
+        _NORM_SQL as _VEC_NORM_SQL,
+    )
+
+    canon = _CANON_STEPS_SQL.format(u=_URL_SQL)
+    return f"""
+        WITH canon AS (
+            SELECT doc_id, {canon} AS canonical_url FROM documents
+        ),
+        url_losers AS (
+            SELECT doc_id FROM (
+                SELECT doc_id,
+                       MIN(doc_id) OVER (PARTITION BY canonical_url) AS keep
+                FROM canon
+            ) WHERE doc_id > keep
+        ),
+        exact_losers AS (
+            SELECT doc_id FROM (
+                SELECT doc_id,
+                       MIN(doc_id) OVER (PARTITION BY md5({_NORM_SQL})) AS keep
+                FROM documents
+            ) WHERE doc_id > keep
+        ),
+        shingles AS ({_SHINGLES_SQL}),
+        sigs AS ({_SIGS_SQL}),
+        bands AS ({_BANDS_SQL}),
+        mh_pairs AS ({_PAIRS_SQL}),
+        mh_losers AS (SELECT DISTINCT doc_b AS doc_id FROM mh_pairs),
+        buckets AS (
+            SELECT vec_id, embedding, {_bucket_sql('embedding')} AS bucket
+            FROM embeddings
+            WHERE vec_id IN (SELECT doc_id FROM documents)
+        ),
+        sem_pairs AS (
+            SELECT a.vec_id AS doc_a, b.vec_id AS doc_b
+            FROM buckets a
+            JOIN buckets b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+            WHERE {_DOT_SQL.format(a='a.embedding', b='b.embedding')}
+                  / ({_VEC_NORM_SQL.format(a='a.embedding')}
+                     * {_VEC_NORM_SQL.format(a='b.embedding')}) > 0.25
+        ),
+        sem_losers AS (SELECT DISTINCT doc_b AS doc_id FROM sem_pairs),
+        staged AS (
+            SELECT d.doc_id,
+                   CASE WHEN u.doc_id IS NOT NULL THEN 1
+                        WHEN e.doc_id IS NOT NULL THEN 2
+                        WHEN m.doc_id IS NOT NULL THEN 3
+                        WHEN s.doc_id IS NOT NULL THEN 4
+                        ELSE 0 END AS first_removed
+            FROM documents d
+            LEFT JOIN url_losers u ON u.doc_id = d.doc_id
+            LEFT JOIN exact_losers e ON e.doc_id = d.doc_id
+            LEFT JOIN mh_losers m ON m.doc_id = d.doc_id
+            LEFT JOIN sem_losers s ON s.doc_id = d.doc_id
+        ),
+        c AS (
+            SELECT CAST(COUNT(*) AS BIGINT) AS n,
+                   CAST(SUM(CASE WHEN first_removed = 1 THEN 1 ELSE 0 END)
+                        AS BIGINT) AS r1,
+                   CAST(SUM(CASE WHEN first_removed = 2 THEN 1 ELSE 0 END)
+                        AS BIGINT) AS r2,
+                   CAST(SUM(CASE WHEN first_removed = 3 THEN 1 ELSE 0 END)
+                        AS BIGINT) AS r3,
+                   CAST(SUM(CASE WHEN first_removed = 4 THEN 1 ELSE 0 END)
+                        AS BIGINT) AS r4
+            FROM staged
+        )
+        SELECT CAST(1 AS BIGINT) AS stage_idx, 'url_canonical' AS stage,
+               n AS n_in, r1 AS n_removed, n - r1 AS n_out FROM c
+        UNION ALL
+        SELECT CAST(2 AS BIGINT), 'exact_text', n - r1, r2,
+               n - r1 - r2 FROM c
+        UNION ALL
+        SELECT CAST(3 AS BIGINT), 'minhash_lsh', n - r1 - r2, r3,
+               n - r1 - r2 - r3 FROM c
+        UNION ALL
+        SELECT CAST(4 AS BIGINT), 'semantic_cosine', n - r1 - r2 - r3, r4,
+               n - r1 - r2 - r3 - r4 FROM c
+    """
+
+
+@register(
+    "dedup_pipeline_composition",
+    oracle=_pipeline_composition_oracle(),
+    tags=("dedup", "pipeline", "funnel", "documents", "embeddings"),
+)
+def dedup_pipeline_composition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    w_url = Window.partitionBy("canonical_url")
+    url_losers = (
+        docs.select("doc_id", _canonical_url(_url_col()).alias("canonical_url"))
+        .withColumn("keep", F.min("doc_id").over(w_url))
+        .filter(F.col("doc_id") > F.col("keep"))
+        .select("doc_id")
+    )
+    w_fp = Window.partitionBy("fingerprint")
+    exact_losers = (
+        docs.select("doc_id", F.md5(_norm_text()).alias("fingerprint"))
+        .withColumn("keep", F.min("doc_id").over(w_fp))
+        .filter(F.col("doc_id") > F.col("keep"))
+        .select("doc_id")
+    )
+    mh_losers = (
+        dedup_minhash_lsh(spark, sf_dir)
+        .select(F.col("doc_b").alias("doc_id"))
+        .distinct()
+    )
+    sem_losers = (
+        dedup_embedding_cosine(spark, sf_dir)
+        .select(F.col("doc_b").alias("doc_id"))
+        .distinct()
+    )
+    flagged = (
+        docs.select("doc_id")
+        .join(url_losers.withColumn("u", F.lit(1)), "doc_id", "left")
+        .join(exact_losers.withColumn("e", F.lit(1)), "doc_id", "left")
+        .join(mh_losers.withColumn("m", F.lit(1)), "doc_id", "left")
+        .join(sem_losers.withColumn("s", F.lit(1)), "doc_id", "left")
+        .select(
+            F.when(F.col("u").isNotNull(), 1)
+            .when(F.col("e").isNotNull(), 2)
+            .when(F.col("m").isNotNull(), 3)
+            .when(F.col("s").isNotNull(), 4)
+            .otherwise(0)
+            .alias("first_removed")
+        )
+    )
+    c = flagged.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        *[
+            F.sum(F.when(F.col("first_removed") == k, 1).otherwise(0))
+            .cast("long")
+            .alias(f"r{k}")
+            for k, _ in _PIPELINE_STAGES
+        ],
+    )
+    # telescope the funnel: n_out of stage k feeds n_in of stage k+1
+    rows = []
+    n_in = F.col("n")
+    for k, label in _PIPELINE_STAGES:
+        removed = F.col(f"r{k}")
+        rows.append(
+            F.struct(
+                F.lit(k).cast("long").alias("stage_idx"),
+                F.lit(label).alias("stage"),
+                n_in.cast("long").alias("n_in"),
+                removed.cast("long").alias("n_removed"),
+                (n_in - removed).cast("long").alias("n_out"),
+            )
+        )
+        n_in = n_in - removed
+    return c.select(F.explode(F.array(*rows)).alias("row")).select("row.*")
