@@ -2175,3 +2175,266 @@ def multimodal_wav_silence_real(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n_frames") * 2,
         ).alias("silent_bp"),
     )
+
+
+# ---------------------------------------------------------------------------
+# REAL AVI (RIFF) CONTAINER WALK + UNCOMPRESSED-FRAME STATS — the video
+# seam narrowed to its honest core: container demux and raw-frame pixel
+# math are header-parseable (same discipline as the WAV/BMP/PNG/GIF
+# decoders above); only DCT/entropy-coded codecs remain environmental
+# (multimodal.py decode_media_real). Stage 1 packs each document into a
+# complete AVI: LIST/hdrl (avih main header + LIST/strl with a 'vids'
+# stream header and a BITMAPINFOHEADER strf), LIST/movi with one '00db'
+# uncompressed 8x8 24-bit bottom-up DIB frame per 64 characters of text
+# (grayscale: B=G=R=codepoint%256, zero-padded final frame), and an
+# idx1 index with one entry per frame. Stage 2 runs `decode_avi_real`, a
+# chunk-walking parser that knows nothing about stage 1's layout.
+# Scale shape: two chained mapInPandas stages, Arrow-batched, zero
+# shuffle; blob bytes never pass through the driver.
+# ---------------------------------------------------------------------------
+AVI_W = 8
+AVI_H = 8
+AVI_FRAME_CHARS = AVI_W * AVI_H
+AVI_BASE_FPS = 10  # per-doc fps: 10 + (doc_id % 3) * 5
+
+
+def decode_avi_real(payload: bytes) -> dict:
+    """REAL RIFF/AVI demux — pure Python, no media libraries.
+
+    Validates the RIFF/'AVI ' magic, walks top-level LIST chunks,
+    parses the avih main header, the first 'vids' stream's strh/strf
+    (BITMAPINFOHEADER, BI_RGB 24-bit only), iterates the movi list
+    counting '00db' frames and summing their channel bytes exactly, and
+    cross-checks the idx1 entry count. Raises ValueError on anything
+    malformed — loud, never a guess.
+    """
+    import struct
+
+    if len(payload) < 12 or payload[0:4] != b"RIFF" or payload[8:12] != b"AVI ":
+        raise ValueError("not a RIFF/AVI payload")
+    avih = None
+    strh = None
+    strf = None
+    n_frames_movi = 0
+    channel_sum = 0
+    n_index = None
+
+    def walk(buf: bytes, start: int, end: int):
+        pos = start
+        while pos + 8 <= end:
+            cid = buf[pos : pos + 4]
+            (size,) = struct.unpack("<I", buf[pos + 4 : pos + 8])
+            body_start = pos + 8
+            if body_start + size > end:
+                raise ValueError(f"truncated {cid!r} chunk")
+            yield cid, body_start, body_start + size
+            pos = body_start + size + (size & 1)  # word-aligned
+
+    for cid, b0, b1 in walk(payload, 12, len(payload)):
+        if cid == b"LIST":
+            list_type = payload[b0 : b0 + 4]
+            if list_type == b"hdrl":
+                for sid, s0, s1 in walk(payload, b0 + 4, b1):
+                    if sid == b"avih":
+                        avih = struct.unpack("<10I", payload[s0 : s0 + 40])
+                    elif sid == b"LIST" and payload[s0 : s0 + 4] == b"strl":
+                        for tid, t0, t1 in walk(payload, s0 + 4, s1):
+                            if tid == b"strh" and payload[t0 : t0 + 4] == b"vids":
+                                strh = struct.unpack(
+                                    "<IIIHHIIIIIII", payload[t0 + 8 : t0 + 52]
+                                )
+                            elif tid == b"strf" and strh is not None and strf is None:
+                                strf = struct.unpack("<IiiHHI", payload[t0 : t0 + 20])
+            elif list_type == b"movi":
+                for fid, f0, f1 in walk(payload, b0 + 4, b1):
+                    if fid[2:4] in (b"db", b"dc"):
+                        n_frames_movi += 1
+                        frame = payload[f0:f1]
+                        channel_sum += sum(frame)
+        elif cid == b"idx1":
+            if (b1 - b0) % 16 != 0:
+                raise ValueError("idx1 size not a multiple of 16")
+            n_index = (b1 - b0) // 16
+    if avih is None or strh is None or strf is None:
+        raise ValueError("missing avih/strh/strf header")
+    us_per_frame, _maxbps, _pad, _flags, total_frames = avih[:5]
+    width, height = avih[8], avih[9]
+    _size, bi_w, bi_h, _planes, bitcount, compression = strf
+    if compression != 0 or bitcount != 24:
+        raise ValueError(
+            f"only BI_RGB 24-bit supported, got comp={compression} bits={bitcount}"
+        )
+    if (bi_w, abs(bi_h)) != (width, height):
+        raise ValueError("strf dimensions disagree with avih")
+    if total_frames != n_frames_movi:
+        raise ValueError(
+            f"avih says {total_frames} frames, movi carries {n_frames_movi}"
+        )
+    if n_index is not None and n_index != n_frames_movi:
+        raise ValueError(f"idx1 has {n_index} entries for {n_frames_movi} frames")
+    return {
+        "us_per_frame": int(us_per_frame),
+        "n_frames": int(n_frames_movi),
+        "width": int(width),
+        "height": int(height),
+        "channel_sum": int(channel_sum),
+        "n_index_entries": int(n_index if n_index is not None else 0),
+    }
+
+
+@register(
+    "multimodal_avi_stats",
+    oracle=f"""
+        SELECT doc_id,
+               CAST((length(text) + {AVI_FRAME_CHARS - 1})
+                    // {AVI_FRAME_CHARS} AS BIGINT) AS n_frames,
+               CAST({AVI_W} AS BIGINT) AS width,
+               CAST({AVI_H} AS BIGINT) AS height,
+               CAST(1000000 // ({AVI_BASE_FPS} + (doc_id % 3) * 5)
+                    AS BIGINT) AS us_per_frame,
+               CAST(((length(text) + {AVI_FRAME_CHARS - 1})
+                     // {AVI_FRAME_CHARS})
+                    * (1000000 // ({AVI_BASE_FPS} + (doc_id % 3) * 5))
+                    // 1000 AS BIGINT) AS duration_ms,
+               CAST(3 * list_reduce(
+                   list_prepend(CAST(0 AS BIGINT),
+                       list_transform(range(1, length(text) + 1),
+                           j -> CAST(ascii(substring(text, j, 1)) % 256
+                                AS BIGINT))),
+                   (acc, v) -> acc + v) AS BIGINT) AS channel_sum
+        FROM documents WHERE length(text) > 0
+    """,
+    tags=("multimodal", "video", "avi", "riff", "real-decode", "documents"),
+)
+def multimodal_avi_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame count, geometry, timing, and exact channel-byte sum from an
+    actual RIFF/AVI demux of uncompressed DIB frames.
+
+    Reference parity: none (SURVEY.md §2.7); the binary→struct decode
+    shape mirrors T1 (KafkaAvroToIceberg.scala:67-71) with a real
+    container parser.
+    """
+    from kafka_stream_job_spark.operators._portable import idiv
+
+    docs = (
+        load_table(spark, sf_dir, "documents", rebalance=True)
+        .select("doc_id", "text")
+        .filter(F.length("text") > 0)
+    )
+
+    def encode_batches(batches):
+        import struct
+
+        import pandas as pd
+
+        def dib_frame(vals):
+            # bottom-up BGR rows; 8 px * 3 B = 24 B/row, already 4-aligned
+            rows = []
+            for y in range(AVI_H - 1, -1, -1):
+                rows.append(
+                    b"".join(
+                        bytes((v, v, v))
+                        for v in vals[y * AVI_W : (y + 1) * AVI_W]
+                    )
+                )
+            return b"".join(rows)
+
+        frame_bytes = AVI_W * AVI_H * 3
+
+        for pdf in batches:
+            payloads = []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                fps = AVI_BASE_FPS + (int(doc_id) % 3) * 5
+                us = 1_000_000 // fps
+                vals = [ord(c) % 256 for c in text]
+                n_frames = (len(vals) + AVI_FRAME_CHARS - 1) // AVI_FRAME_CHARS
+                vals += [0] * (n_frames * AVI_FRAME_CHARS - len(vals))
+                frames = [
+                    dib_frame(vals[k * AVI_FRAME_CHARS : (k + 1) * AVI_FRAME_CHARS])
+                    for k in range(n_frames)
+                ]
+                # 56-byte avih body = 10 dwords + 4 reserved dwords
+                avih = (
+                    b"avih"
+                    + struct.pack("<I", 56)
+                    + struct.pack(
+                        "<10I", us, frame_bytes * fps, 0, 0x10, n_frames,
+                        0, 1, frame_bytes, AVI_W, AVI_H,
+                    )
+                    + b"\x00" * 16
+                )
+                strh = (
+                    b"strh"
+                    + struct.pack("<I", 56)
+                    + b"vids"
+                    + b"DIB "
+                    + struct.pack("<IHHIIIIIII", 0, 0, 0, 0, 1, fps, 0,
+                                  n_frames, frame_bytes, 0)
+                    + struct.pack("<IHHHH", 0, 0, 0, AVI_W, AVI_H)
+                )
+                strf = b"strf" + struct.pack("<I", 40) + struct.pack(
+                    "<IiiHHIIiiII", 40, AVI_W, AVI_H, 1, 24, 0,
+                    frame_bytes, 0, 0, 0, 0,
+                )
+                strl_body = b"strl" + strh + strf
+                strl = b"LIST" + struct.pack("<I", len(strl_body)) + strl_body
+                hdrl_body = b"hdrl" + avih + strl
+                hdrl = b"LIST" + struct.pack("<I", len(hdrl_body)) + hdrl_body
+                movi_body = b"movi" + b"".join(
+                    b"00db" + struct.pack("<I", frame_bytes) + fr
+                    for fr in frames
+                )
+                movi = b"LIST" + struct.pack("<I", len(movi_body)) + movi_body
+                idx_entries = b""
+                offset = 4  # movi-relative: first chunk follows 'movi'
+                for _ in frames:
+                    idx_entries += b"00db" + struct.pack(
+                        "<III", 0x10, offset, frame_bytes
+                    )
+                    offset += 8 + frame_bytes
+                idx1 = b"idx1" + struct.pack("<I", len(idx_entries)) + idx_entries
+                riff_body = b"AVI " + hdrl + movi + idx1
+                payloads.append(
+                    b"RIFF" + struct.pack("<I", len(riff_body)) + riff_body
+                )
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
+
+    def decode_batches(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            rows = {
+                "doc_id": [],
+                "n_frames": [],
+                "width": [],
+                "height": [],
+                "us_per_frame": [],
+                "channel_sum": [],
+            }
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                parsed = decode_avi_real(bytes(payload))
+                rows["doc_id"].append(int(doc_id))
+                rows["n_frames"].append(parsed["n_frames"])
+                rows["width"].append(parsed["width"])
+                rows["height"].append(parsed["height"])
+                rows["us_per_frame"].append(parsed["us_per_frame"])
+                rows["channel_sum"].append(parsed["channel_sum"])
+            yield pd.DataFrame(rows)
+
+    avis = docs.mapInPandas(encode_batches, "doc_id long, payload binary")
+    parsed = avis.mapInPandas(
+        decode_batches,
+        "doc_id long, n_frames long, width long, height long, "
+        "us_per_frame long, channel_sum long",
+    )
+    return parsed.select(
+        "doc_id",
+        "n_frames",
+        "width",
+        "height",
+        "us_per_frame",
+        idiv(F.col("n_frames") * F.col("us_per_frame"), 1000).alias(
+            "duration_ms"
+        ),
+        "channel_sum",
+    )

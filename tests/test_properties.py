@@ -5044,3 +5044,112 @@ def test_haar_unnormalized_parseval(seed, n_oct):
     total8 = 8 * e(xs)
     decomposed = 4 * e(d1) + 2 * e(d2) + e(d3) + e(s3)
     assert total8 == decomposed
+
+
+# ---------------------------------------------------------------------------
+# decode_avi_real — the genuine RIFF/AVI demuxer behind
+# multimodal_avi_stats. Round-trip: any frame count / pixel content /
+# fps, with the idx1 index present or absent, parses back to exact
+# stats; header-vs-movi disagreement and non-BI_RGB streams must raise.
+# The builder here is written INDEPENDENTLY of the operator's encoder
+# (flat assembly, top-down option exercised via strf negation is not
+# used — AVI DIBs are bottom-up), so a fixture-shaped shortcut in the
+# parser fails the property.
+# ---------------------------------------------------------------------------
+def _avi_bytes(frames_px, fps, width=4, height=2, with_idx=True, lie_frames=None):
+    """frames_px: list of frames, each a list of width*height gray values."""
+    import struct
+
+    frame_bytes = width * height * 3
+    row_pad = (-width * 3) % 4
+    n = len(frames_px) if lie_frames is None else lie_frames
+    us = 1_000_000 // fps
+    avih = (
+        b"avih" + struct.pack("<I", 56)
+        + struct.pack("<10I", us, frame_bytes * fps, 0, 0x10, n, 0, 1,
+                      frame_bytes, width, height)
+        + b"\x00" * 16
+    )
+    strh = (
+        b"strh" + struct.pack("<I", 56) + b"vids" + b"DIB "
+        + struct.pack("<IHHIIIIIII", 0, 0, 0, 0, 1, fps, 0, n, frame_bytes, 0)
+        + struct.pack("<IHHHH", 0, 0, 0, width, height)
+    )
+    strf = b"strf" + struct.pack("<I", 40) + struct.pack(
+        "<IiiHHIIiiII", 40, width, height, 1, 24, 0, frame_bytes, 0, 0, 0, 0
+    )
+    strl_body = b"strl" + strh + strf
+    hdrl_body = (
+        b"hdrl" + avih
+        + b"LIST" + struct.pack("<I", len(strl_body)) + strl_body
+    )
+    movi_body = b"movi"
+    for px in frames_px:
+        rows = b""
+        for y in range(height - 1, -1, -1):
+            rows += b"".join(bytes((v, v, v)) for v in px[y * width:(y + 1) * width])
+            rows += b"\x00" * row_pad
+        movi_body += b"00db" + struct.pack("<I", len(rows)) + rows
+        if len(rows) & 1:
+            movi_body += b"\x00"
+    parts = (
+        b"LIST" + struct.pack("<I", len(hdrl_body)) + hdrl_body
+        + b"LIST" + struct.pack("<I", len(movi_body)) + movi_body
+    )
+    if with_idx:
+        entries = b""
+        off = 4
+        for px in frames_px:
+            sz = height * (width * 3 + row_pad)
+            entries += b"00db" + struct.pack("<III", 0x10, off, sz)
+            off += 8 + sz + (sz & 1)
+        parts += b"idx1" + struct.pack("<I", len(entries)) + entries
+    body = b"AVI " + parts
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+@settings(max_examples=100, deadline=None)
+@given(
+    frames=st.lists(
+        st.lists(st.integers(min_value=0, max_value=255), min_size=8, max_size=8),
+        min_size=1,
+        max_size=6,
+    ),
+    fps=st.integers(min_value=1, max_value=60),
+    with_idx=st.booleans(),
+)
+def test_avi_parser_roundtrip(frames, fps, with_idx):
+    from kafka_stream_job_spark.operators.multimodal import decode_avi_real
+
+    got = decode_avi_real(_avi_bytes(frames, fps, with_idx=with_idx))
+    assert got["n_frames"] == len(frames)
+    assert (got["width"], got["height"]) == (4, 2)
+    assert got["us_per_frame"] == 1_000_000 // fps
+    assert got["channel_sum"] == 3 * sum(sum(px) for px in frames)
+
+
+def test_avi_parser_rejects_malformed():
+    import struct
+
+    import pytest as _pytest
+
+    from kafka_stream_job_spark.operators.multimodal import decode_avi_real
+
+    good = _avi_bytes([[10] * 8, [20] * 8], 10)
+    for bad in (
+        b"",                                # empty
+        b"RIFX" + good[4:],                 # wrong magic
+        good[:8] + b"WAVE" + good[12:],     # wrong form type
+        good[: len(good) - 4],              # truncated idx1
+    ):
+        with _pytest.raises(ValueError):
+            decode_avi_real(bad)
+    # avih frame count disagreeing with the movi list must raise
+    with _pytest.raises(ValueError, match="frames"):
+        decode_avi_real(_avi_bytes([[10] * 8, [20] * 8], 10, lie_frames=3))
+    # a compressed (non-BI_RGB) stream refuses loudly
+    comp = bytearray(good)
+    strf_at = good.find(b"strf") + 8 + 16  # biCompression offset in strf body
+    comp[strf_at : strf_at + 4] = struct.pack("<I", 1)  # BI_RLE8
+    with _pytest.raises(ValueError, match="BI_RGB"):
+        decode_avi_real(bytes(comp))
