@@ -2217,6 +2217,7 @@ def decode_avi_real(payload: bytes) -> dict:
     strf = None
     n_frames_movi = 0
     channel_sum = 0
+    frame_sums: list = []
     n_index = None
 
     def walk(buf: bytes, start: int, end: int):
@@ -2250,7 +2251,8 @@ def decode_avi_real(payload: bytes) -> dict:
                     if fid[2:4] in (b"db", b"dc"):
                         n_frames_movi += 1
                         frame = payload[f0:f1]
-                        channel_sum += sum(frame)
+                        frame_sums.append(sum(frame))
+                        channel_sum += frame_sums[-1]
         elif cid == b"idx1":
             if (b1 - b0) % 16 != 0:
                 raise ValueError("idx1 size not a multiple of 16")
@@ -2278,8 +2280,87 @@ def decode_avi_real(payload: bytes) -> dict:
         "width": int(width),
         "height": int(height),
         "channel_sum": int(channel_sum),
+        "frame_sums": [int(s) for s in frame_sums],
         "n_index_entries": int(n_index if n_index is not None else 0),
     }
+
+
+def _avi_encode_batches(batches):
+    import struct
+
+    import pandas as pd
+
+    def dib_frame(vals):
+        # bottom-up BGR rows; 8 px * 3 B = 24 B/row, already 4-aligned
+        rows = []
+        for y in range(AVI_H - 1, -1, -1):
+            rows.append(
+                b"".join(
+                    bytes((v, v, v))
+                    for v in vals[y * AVI_W : (y + 1) * AVI_W]
+                )
+            )
+        return b"".join(rows)
+
+    frame_bytes = AVI_W * AVI_H * 3
+
+    for pdf in batches:
+        payloads = []
+        for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+            fps = AVI_BASE_FPS + (int(doc_id) % 3) * 5
+            us = 1_000_000 // fps
+            vals = [ord(c) % 256 for c in text]
+            n_frames = (len(vals) + AVI_FRAME_CHARS - 1) // AVI_FRAME_CHARS
+            vals += [0] * (n_frames * AVI_FRAME_CHARS - len(vals))
+            frames = [
+                dib_frame(vals[k * AVI_FRAME_CHARS : (k + 1) * AVI_FRAME_CHARS])
+                for k in range(n_frames)
+            ]
+            # 56-byte avih body = 10 dwords + 4 reserved dwords
+            avih = (
+                b"avih"
+                + struct.pack("<I", 56)
+                + struct.pack(
+                    "<10I", us, frame_bytes * fps, 0, 0x10, n_frames,
+                    0, 1, frame_bytes, AVI_W, AVI_H,
+                )
+                + b"\x00" * 16
+            )
+            strh = (
+                b"strh"
+                + struct.pack("<I", 56)
+                + b"vids"
+                + b"DIB "
+                + struct.pack("<IHHIIIIIII", 0, 0, 0, 0, 1, fps, 0,
+                              n_frames, frame_bytes, 0)
+                + struct.pack("<IHHHH", 0, 0, 0, AVI_W, AVI_H)
+            )
+            strf = b"strf" + struct.pack("<I", 40) + struct.pack(
+                "<IiiHHIIiiII", 40, AVI_W, AVI_H, 1, 24, 0,
+                frame_bytes, 0, 0, 0, 0,
+            )
+            strl_body = b"strl" + strh + strf
+            strl = b"LIST" + struct.pack("<I", len(strl_body)) + strl_body
+            hdrl_body = b"hdrl" + avih + strl
+            hdrl = b"LIST" + struct.pack("<I", len(hdrl_body)) + hdrl_body
+            movi_body = b"movi" + b"".join(
+                b"00db" + struct.pack("<I", frame_bytes) + fr
+                for fr in frames
+            )
+            movi = b"LIST" + struct.pack("<I", len(movi_body)) + movi_body
+            idx_entries = b""
+            offset = 4  # movi-relative: first chunk follows 'movi'
+            for _ in frames:
+                idx_entries += b"00db" + struct.pack(
+                    "<III", 0x10, offset, frame_bytes
+                )
+                offset += 8 + frame_bytes
+            idx1 = b"idx1" + struct.pack("<I", len(idx_entries)) + idx_entries
+            riff_body = b"AVI " + hdrl + movi + idx1
+            payloads.append(
+                b"RIFF" + struct.pack("<I", len(riff_body)) + riff_body
+            )
+        yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
 
 
 @register(
@@ -2322,83 +2403,6 @@ def multimodal_avi_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.length("text") > 0)
     )
 
-    def encode_batches(batches):
-        import struct
-
-        import pandas as pd
-
-        def dib_frame(vals):
-            # bottom-up BGR rows; 8 px * 3 B = 24 B/row, already 4-aligned
-            rows = []
-            for y in range(AVI_H - 1, -1, -1):
-                rows.append(
-                    b"".join(
-                        bytes((v, v, v))
-                        for v in vals[y * AVI_W : (y + 1) * AVI_W]
-                    )
-                )
-            return b"".join(rows)
-
-        frame_bytes = AVI_W * AVI_H * 3
-
-        for pdf in batches:
-            payloads = []
-            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
-                fps = AVI_BASE_FPS + (int(doc_id) % 3) * 5
-                us = 1_000_000 // fps
-                vals = [ord(c) % 256 for c in text]
-                n_frames = (len(vals) + AVI_FRAME_CHARS - 1) // AVI_FRAME_CHARS
-                vals += [0] * (n_frames * AVI_FRAME_CHARS - len(vals))
-                frames = [
-                    dib_frame(vals[k * AVI_FRAME_CHARS : (k + 1) * AVI_FRAME_CHARS])
-                    for k in range(n_frames)
-                ]
-                # 56-byte avih body = 10 dwords + 4 reserved dwords
-                avih = (
-                    b"avih"
-                    + struct.pack("<I", 56)
-                    + struct.pack(
-                        "<10I", us, frame_bytes * fps, 0, 0x10, n_frames,
-                        0, 1, frame_bytes, AVI_W, AVI_H,
-                    )
-                    + b"\x00" * 16
-                )
-                strh = (
-                    b"strh"
-                    + struct.pack("<I", 56)
-                    + b"vids"
-                    + b"DIB "
-                    + struct.pack("<IHHIIIIIII", 0, 0, 0, 0, 1, fps, 0,
-                                  n_frames, frame_bytes, 0)
-                    + struct.pack("<IHHHH", 0, 0, 0, AVI_W, AVI_H)
-                )
-                strf = b"strf" + struct.pack("<I", 40) + struct.pack(
-                    "<IiiHHIIiiII", 40, AVI_W, AVI_H, 1, 24, 0,
-                    frame_bytes, 0, 0, 0, 0,
-                )
-                strl_body = b"strl" + strh + strf
-                strl = b"LIST" + struct.pack("<I", len(strl_body)) + strl_body
-                hdrl_body = b"hdrl" + avih + strl
-                hdrl = b"LIST" + struct.pack("<I", len(hdrl_body)) + hdrl_body
-                movi_body = b"movi" + b"".join(
-                    b"00db" + struct.pack("<I", frame_bytes) + fr
-                    for fr in frames
-                )
-                movi = b"LIST" + struct.pack("<I", len(movi_body)) + movi_body
-                idx_entries = b""
-                offset = 4  # movi-relative: first chunk follows 'movi'
-                for _ in frames:
-                    idx_entries += b"00db" + struct.pack(
-                        "<III", 0x10, offset, frame_bytes
-                    )
-                    offset += 8 + frame_bytes
-                idx1 = b"idx1" + struct.pack("<I", len(idx_entries)) + idx_entries
-                riff_body = b"AVI " + hdrl + movi + idx1
-                payloads.append(
-                    b"RIFF" + struct.pack("<I", len(riff_body)) + riff_body
-                )
-            yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
-
     def decode_batches(batches):
         import pandas as pd
 
@@ -2421,7 +2425,7 @@ def multimodal_avi_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
                 rows["channel_sum"].append(parsed["channel_sum"])
             yield pd.DataFrame(rows)
 
-    avis = docs.mapInPandas(encode_batches, "doc_id long, payload binary")
+    avis = docs.mapInPandas(_avi_encode_batches, "doc_id long, payload binary")
     parsed = avis.mapInPandas(
         decode_batches,
         "doc_id long, n_frames long, width long, height long, "
@@ -2437,4 +2441,127 @@ def multimodal_avi_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             "duration_ms"
         ),
         "channel_sum",
+    )
+
+
+# ---------------------------------------------------------------------------
+# SHOT BOUNDARIES FROM REAL DECODED PIXELS — the AVI twin of
+# multimodal_shot_boundaries: where that op fingerprints character
+# frames, this one demuxes the actual AVI container (shared
+# _avi_encode_batches fixture + decode_avi_real parser) and segments on
+# the DECODED per-frame channel-sum series — a boundary wherever the
+# absolute frame-to-frame intensity delta exceeds AVI_SHOT_DELTA. All
+# segmentation runs inside the decode UDF per document (linear, zero
+# shuffle); the oracle reproduces the series closed-form from the
+# generative model.
+# ---------------------------------------------------------------------------
+AVI_SHOT_DELTA = 1_200  # abs channel-sum delta between consecutive frames
+
+
+@register(
+    "multimodal_avi_shot_boundaries",
+    oracle=f"""
+        WITH f AS (
+            SELECT doc_id, i AS frame_idx,
+                   substring(text, CAST(i * {AVI_FRAME_CHARS} AS INT) + 1,
+                             {AVI_FRAME_CHARS}) AS fr
+            FROM (
+                SELECT doc_id, text,
+                       UNNEST(range(0, (length(text) + {AVI_FRAME_CHARS - 1})
+                                       // {AVI_FRAME_CHARS})) AS i
+                FROM documents WHERE length(text) > 0
+            )
+        ),
+        s AS (
+            SELECT doc_id, frame_idx,
+                   3 * list_reduce(
+                       list_prepend(CAST(0 AS BIGINT),
+                           list_transform(range(1, len(fr) + 1),
+                               k -> CAST(ascii(fr[k]) % 256 AS BIGINT))),
+                       (a, x) -> a + x) AS fsum
+            FROM f
+        ),
+        lagged AS (
+            SELECT doc_id, frame_idx, fsum,
+                   lag(fsum) OVER (PARTITION BY doc_id ORDER BY frame_idx)
+                       AS pf
+            FROM s
+        ),
+        flagged AS (
+            SELECT doc_id, frame_idx,
+                   CASE WHEN pf IS NULL OR abs(fsum - pf) > {AVI_SHOT_DELTA}
+                        THEN 1 ELSE 0 END AS new_shot
+            FROM lagged
+        ),
+        shots AS (
+            SELECT doc_id, frame_idx,
+                   SUM(new_shot) OVER (
+                       PARTITION BY doc_id ORDER BY frame_idx
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                   ) AS shot_id
+            FROM flagged
+        ),
+        per_shot AS (
+            SELECT doc_id, shot_id, CAST(COUNT(*) AS BIGINT) AS n_frames
+            FROM shots GROUP BY 1, 2
+        )
+        SELECT doc_id,
+               CAST(SUM(n_frames) AS BIGINT) AS n_frames,
+               CAST(COUNT(*) AS BIGINT) AS n_shots,
+               CAST(MAX(n_frames) AS BIGINT) AS longest_shot
+        FROM per_shot
+        GROUP BY 1
+    """,
+    tags=("multimodal", "video", "avi", "segmentation", "real-decode",
+          "documents"),
+)
+def multimodal_avi_shot_boundaries(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Shot segmentation over genuinely decoded AVI frame intensities.
+
+    Reference parity: none (SURVEY.md §2.7); composes the real RIFF/AVI
+    demux with per-document linear segmentation — no shuffle at all.
+    """
+    docs = (
+        load_table(spark, sf_dir, "documents", rebalance=True)
+        .select("doc_id", "text")
+        .filter(F.length("text") > 0)
+    )
+
+    def segment_batches(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            rows = {
+                "doc_id": [],
+                "n_frames": [],
+                "n_shots": [],
+                "longest_shot": [],
+            }
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                parsed = decode_avi_real(bytes(payload))
+                sums = parsed["frame_sums"]
+                n_shots = 0
+                longest = 0
+                run = 0
+                prev = None
+                for s in sums:
+                    if prev is None or abs(s - prev) > AVI_SHOT_DELTA:
+                        n_shots += 1
+                        run = 1
+                    else:
+                        run += 1
+                    longest = max(longest, run)
+                    prev = s
+                rows["doc_id"].append(int(doc_id))
+                rows["n_frames"].append(len(sums))
+                rows["n_shots"].append(n_shots)
+                rows["longest_shot"].append(longest)
+            yield pd.DataFrame(rows)
+
+    avis = docs.mapInPandas(_avi_encode_batches, "doc_id long, payload binary")
+    return avis.mapInPandas(
+        segment_batches,
+        "doc_id long, n_frames long, n_shots long, longest_shot long",
     )
