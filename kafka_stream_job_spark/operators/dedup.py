@@ -588,7 +588,8 @@ def _install_embedding_cosine_oracle() -> None:
         FROM pairs WHERE cos_raw > 0.25
     """
     REGISTRY["dedup_embedding_cosine"] = type(spec)(
-        name=spec.name, fn=spec.fn, oracle=oracle, tags=spec.tags, bench=spec.bench
+        name=spec.name, fn=spec.fn, oracle=oracle, tags=spec.tags,
+        bench=spec.bench, bench_ext=spec.bench_ext,
     )
 
 
