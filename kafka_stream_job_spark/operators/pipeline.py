@@ -2333,3 +2333,254 @@ def span_corruption_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n_tokens") * 2,
         ).alias("corruption_bp"),
     )
+
+
+# ---------------------------------------------------------------------------
+# EFFECTIVE SAMPLE SIZE OF THE DEDUP-AWARE WEIGHTS — Kish's ESS
+# (Σw)²/Σw² over the 1/cluster-size ppm weights corpus_dedup_aware_weights
+# assigns: the one number that says how many INDEPENDENT documents a
+# weighted corpus is actually worth (heavy duplication → ESS ≪ N →
+# training on it overfits sooner than row counts suggest). Integer ppm
+# weights keep Σw and Σw² exact int64 per source; the single ratio is
+# one double division on identical trees. One scan, |sources| rows.
+# ---------------------------------------------------------------------------
+@register(
+    "corpus_weights_ess",
+    oracle="""
+        WITH fp AS (
+            SELECT doc_id, source,
+                   md5(LOWER(TRIM(regexp_replace(text, '\\s+', ' ', 'g'))))
+                       AS fingerprint
+            FROM documents
+        ),
+        sizes AS (
+            SELECT fingerprint, CAST(COUNT(*) AS BIGINT) AS c
+            FROM fp GROUP BY fingerprint
+        ),
+        w AS (
+            SELECT f.source, 1000000 // s.c AS w_ppm
+            FROM fp f JOIN sizes s USING (fingerprint)
+        ),
+        g AS (
+            SELECT source,
+                   CAST(COUNT(*) AS BIGINT) AS n_docs,
+                   CAST(SUM(w_ppm) AS BIGINT) AS sum_w_ppm,
+                   CAST(SUM(w_ppm * w_ppm) AS BIGINT) AS sum_w2
+            FROM w GROUP BY 1
+        )
+        SELECT source, n_docs, sum_w_ppm,
+               CAST(ROUND(CAST(sum_w_ppm AS DOUBLE) * sum_w_ppm / sum_w2
+                          * 1000.0) AS BIGINT) AS ess_milli,
+               CAST(ROUND(CAST(sum_w_ppm AS DOUBLE) * sum_w_ppm
+                          / (CAST(sum_w2 AS DOUBLE) * n_docs)
+                          * 10000.0) AS BIGINT) AS ess_ratio_bp
+        FROM g
+    """,
+    tags=("llm-pipeline", "sampling", "dedup", "weights", "documents"),
+)
+def corpus_weights_ess(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    fp = docs.select(
+        "source",
+        F.md5(F.lower(F.trim(F.regexp_replace("text", r"\s+", " ")))).alias(
+            "fingerprint"
+        ),
+    )
+    sizes = fp.groupBy("fingerprint").agg(
+        F.count(F.lit(1)).cast("long").alias("c")
+    )
+    w = fp.join(sizes, "fingerprint").select(
+        "source", idiv(F.lit(1_000_000), F.col("c")).alias("w_ppm")
+    )
+    g = w.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("w_ppm").cast("long").alias("sum_w_ppm"),
+        F.sum(F.col("w_ppm") * F.col("w_ppm")).cast("long").alias("sum_w2"),
+    )
+    return g.select(
+        "source",
+        "n_docs",
+        "sum_w_ppm",
+        F.round(
+            F.col("sum_w_ppm").cast("double")
+            * F.col("sum_w_ppm")
+            / F.col("sum_w2")
+            * 1000.0,
+            0,
+        )
+        .cast("long")
+        .alias("ess_milli"),
+        F.round(
+            F.col("sum_w_ppm").cast("double")
+            * F.col("sum_w_ppm")
+            / (F.col("sum_w2").cast("double") * F.col("n_docs"))
+            * 10000.0,
+            0,
+        )
+        .cast("long")
+        .alias("ess_ratio_bp"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# INTER-RATER AGREEMENT (COHEN'S KAPPA) — the labeled-data QC gate every
+# RLHF/eval pipeline runs before trusting annotations: two independent
+# binary raters over each document (here two deterministic heuristics —
+# rater A: length >= KAPPA_LEN_T chars; rater B: type-token ratio >= 1/2,
+# i.e. 2·|distinct tokens| >= |tokens|), the 2x2 confusion table in
+# exact int64, and kappa assembled in the fully-INTEGER form
+# (n·(n11+n00) − pe_num) / (n² − pe_num) with
+# pe_num = (n11+n10)(n11+n01) + (n01+n00)(n10+n00) — one double division
+# at the very end. One scan, one 1-row aggregate.
+# ---------------------------------------------------------------------------
+KAPPA_LEN_T = 240
+
+
+@register(
+    "quality_rater_agreement_kappa",
+    oracle=f"""
+        WITH r AS (
+            SELECT CASE WHEN length(text) >= {KAPPA_LEN_T} THEN 1 ELSE 0 END
+                       AS a,
+                   CASE WHEN 2 * len(list_distinct(string_split(
+                            LOWER(TRIM(regexp_replace(text, '\\s+', ' ', 'g'))),
+                            ' ')))
+                        >= len(string_split(
+                            LOWER(TRIM(regexp_replace(text, '\\s+', ' ', 'g'))),
+                            ' '))
+                        THEN 1 ELSE 0 END AS b
+            FROM documents
+        ),
+        c AS (
+            SELECT CAST(COUNT(*) AS BIGINT) AS n,
+                   CAST(SUM(a * b) AS BIGINT) AS n11,
+                   CAST(SUM(a * (1 - b)) AS BIGINT) AS n10,
+                   CAST(SUM((1 - a) * b) AS BIGINT) AS n01,
+                   CAST(SUM((1 - a) * (1 - b)) AS BIGINT) AS n00
+            FROM r
+        )
+        SELECT n AS n_docs, n11, n10, n01, n00,
+               CASE WHEN n * n = (n11 + n10) * (n11 + n01)
+                                 + (n01 + n00) * (n10 + n00)
+                    THEN CAST(0 AS BIGINT)
+                    ELSE CAST(ROUND(
+                        CAST(n * (n11 + n00)
+                             - ((n11 + n10) * (n11 + n01)
+                                + (n01 + n00) * (n10 + n00)) AS DOUBLE)
+                        / (n * n - ((n11 + n10) * (n11 + n01)
+                                    + (n01 + n00) * (n10 + n00)))
+                        * 1000000.0) AS BIGINT) END AS kappa_micro
+        FROM c
+    """,
+    tags=("llm-pipeline", "annotation", "agreement", "statistics",
+          "documents"),
+)
+def quality_rater_agreement_kappa(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.split(F.lower(F.trim(F.regexp_replace("text", r"\s+", " "))), " ")
+    a = (F.length("text") >= KAPPA_LEN_T).cast("long")
+    b = (2 * F.size(F.array_distinct(toks)) >= F.size(toks)).cast("long")
+    r = docs.select(a.alias("a"), b.alias("b"))
+    c = r.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(F.col("a") * F.col("b")).cast("long").alias("n11"),
+        F.sum(F.col("a") * (1 - F.col("b"))).cast("long").alias("n10"),
+        F.sum((1 - F.col("a")) * F.col("b")).cast("long").alias("n01"),
+        F.sum((1 - F.col("a")) * (1 - F.col("b"))).cast("long").alias("n00"),
+    )
+    pe_num = (F.col("n11") + F.col("n10")) * (F.col("n11") + F.col("n01")) + (
+        F.col("n01") + F.col("n00")
+    ) * (F.col("n10") + F.col("n00"))
+    kappa = (
+        F.when(F.col("n") * F.col("n") == pe_num, F.lit(0).cast("long"))
+        .otherwise(
+            F.round(
+                (
+                    F.col("n") * (F.col("n11") + F.col("n00")) - pe_num
+                ).cast("double")
+                / (F.col("n") * F.col("n") - pe_num)
+                * 1000000.0,
+                0,
+            ).cast("long")
+        )
+        .alias("kappa_micro")
+    )
+    return c.select(
+        F.col("n").alias("n_docs"), "n11", "n10", "n01", "n00", kappa
+    )
+
+
+# ---------------------------------------------------------------------------
+# NEYMAN EVAL-BUDGET ALLOCATION — stratified eval-set design: allocate a
+# fixed labeling/eval budget across language strata proportional to
+# N_h·S_h (stratum size × doc-length std), the variance-minimizing
+# split for estimating corpus-level quality from a sample. Exact int64
+# moments per stratum give N_h·S_h = sqrt(n·Σx² − (Σx)²) exactly under
+# one sqrt; the allocation divides integer micro-keys half-up so the
+# plan is deterministic on any engine. One scan, |langs| rows.
+# ---------------------------------------------------------------------------
+EVAL_BUDGET_DOCS = 1_000
+
+
+@register(
+    "neyman_allocation_plan",
+    oracle=f"""
+        WITH m AS (
+            SELECT lang,
+                   CAST(COUNT(*) AS BIGINT) AS n_docs,
+                   CAST(SUM(length(text)) AS BIGINT) AS sum_len,
+                   CAST(SUM(CAST(length(text) AS BIGINT)
+                            * length(text)) AS BIGINT) AS sum_len_sq
+            FROM documents GROUP BY 1
+        ),
+        k AS (
+            SELECT lang, n_docs, sum_len,
+                   CAST(ROUND(sqrt(CAST(n_docs * sum_len_sq
+                                        - sum_len * sum_len AS DOUBLE))
+                              * 1000000.0) AS BIGINT) AS neyman_key_micro
+            FROM m
+        ),
+        t AS (SELECT CAST(SUM(neyman_key_micro) AS BIGINT) AS total FROM k)
+        SELECT k.lang, k.n_docs, k.sum_len, k.neyman_key_micro,
+               ({EVAL_BUDGET_DOCS} * k.neyman_key_micro * 2 + t.total)
+                   // (2 * t.total) AS alloc_docs
+        FROM k, t
+    """,
+    tags=("llm-pipeline", "sampling", "stratified", "eval", "documents"),
+)
+def neyman_allocation_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    ln = F.length("text").cast("long")
+    m = docs.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum(ln).cast("long").alias("sum_len"),
+        F.sum(ln * ln).cast("long").alias("sum_len_sq"),
+    )
+    key = (
+        F.round(
+            F.sqrt(
+                (
+                    F.col("n_docs") * F.col("sum_len_sq")
+                    - F.col("sum_len") * F.col("sum_len")
+                ).cast("double")
+            )
+            * 1000000.0,
+            0,
+        )
+        .cast("long")
+        .alias("neyman_key_micro")
+    )
+    k = m.select("lang", "n_docs", "sum_len", key)
+    t = k.agg(F.sum("neyman_key_micro").cast("long").alias("total"))
+    return k.crossJoin(F.broadcast(t)).select(
+        "lang",
+        "n_docs",
+        "sum_len",
+        "neyman_key_micro",
+        idiv(
+            EVAL_BUDGET_DOCS * F.col("neyman_key_micro") * 2 + F.col("total"),
+            2 * F.col("total"),
+        ).alias("alloc_docs"),
+    )
