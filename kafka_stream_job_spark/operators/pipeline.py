@@ -2584,3 +2584,158 @@ def neyman_allocation_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
             2 * F.col("total"),
         ).alias("alloc_docs"),
     )
+
+
+# ---------------------------------------------------------------------------
+# POISSON BOOTSTRAP CONFIDENCE INTERVAL — the canonical DISTRIBUTED
+# bootstrap (resampling-with-replacement is impossible to coordinate
+# across executors, but Binomial(n,1/n) → Poisson(1) per-row resample
+# weights need NO coordination at all): each order draws, for each of
+# B=32 replicas, a deterministic pseudo-Poisson(1) weight from a hashed
+# inverse-CDF lookup, and every replica's weighted mean accumulates in
+# the SAME single scan — 64 map-side-partial aggregates, one 1-row
+# result, no data movement beyond the final reduce. The 93.75% central
+# interval is the 2nd/31st order statistic of the 32 replica means.
+# Thresholds are FROZEN integers on the 28-bit hash domain so both
+# engines draw bit-identical weights.
+# ---------------------------------------------------------------------------
+BOOT_B = 32
+# cumulative Poisson(1) CDF at k=0..4, scaled to the 2^28 hash domain
+_BOOT_CUM = (0.3678794411714423, 0.7357588823428846, 0.9196986029286058,
+             0.9810118431238462, 0.9963401531726563)
+BOOT_T = tuple(int(c * (1 << 28)) for c in _BOOT_CUM)
+
+
+def _boot_weight_sql(u: str) -> str:
+    return (
+        f"CASE WHEN {u} < {BOOT_T[0]} THEN 0"
+        f" WHEN {u} < {BOOT_T[1]} THEN 1"
+        f" WHEN {u} < {BOOT_T[2]} THEN 2"
+        f" WHEN {u} < {BOOT_T[3]} THEN 3"
+        f" WHEN {u} < {BOOT_T[4]} THEN 4"
+        f" ELSE 5 END"
+    )
+
+
+def _boot_oracle() -> str:
+    def u(b: int) -> str:
+        return (
+            f"('0x' || substr(md5('boot{b}:'"
+            f" || CAST(o_orderkey AS VARCHAR)), 1, 7))::BIGINT"
+        )
+
+    pairs = ",\n".join(
+        f"                   CAST(SUM(w_{b}) AS BIGINT) AS sw_{b},"
+        f" CAST(SUM(w_{b} * cents) AS BIGINT) AS swx_{b}"
+        for b in range(BOOT_B)
+    )
+    ws = ",\n".join(
+        f"                   {_boot_weight_sql(u(b))} AS w_{b}"
+        for b in range(BOOT_B)
+    )
+    means = ", ".join(
+        f"CAST(swx_{b} AS DOUBLE) / sw_{b}" for b in range(BOOT_B)
+    )
+    return f"""
+        WITH r AS (
+            SELECT CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents,
+{ws}
+            FROM orders
+        ),
+        agg AS (
+            SELECT CAST(COUNT(*) AS BIGINT) AS n,
+                   CAST(SUM(cents) AS BIGINT) AS sum_cents,
+{pairs}
+            FROM r
+        ),
+        ms AS (
+            SELECT n, sum_cents, list_sort([{means}]) AS m FROM agg
+        )
+        SELECT n AS n_orders,
+               CAST(ROUND(CAST(sum_cents AS DOUBLE) / n) AS BIGINT)
+                   AS mean_cents,
+               CAST(ROUND(m[2]) AS BIGINT) AS boot_lo_cents,
+               CAST(ROUND(m[31]) AS BIGINT) AS boot_hi_cents,
+               CAST(ROUND(m[31]) AS BIGINT) - CAST(ROUND(m[2]) AS BIGINT)
+                   AS boot_spread_cents
+        FROM ms
+    """
+
+
+@register(
+    "orders_mean_value_bootstrap_ci",
+    oracle=_boot_oracle(),
+    tags=("statistics", "bootstrap", "resampling", "orders", "scale"),
+)
+def orders_mean_value_bootstrap_ci(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    cents = F.round(F.col("o_totalprice") * 100, 0).cast("long")
+
+    def weight(b: int):
+        u = F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(
+                        F.lit(f"boot{b}:"), F.col("o_orderkey").cast("string")
+                    )
+                ),
+                1,
+                7,
+            ),
+            16,
+            10,
+        ).cast("long")
+        return (
+            F.when(u < BOOT_T[0], 0)
+            .when(u < BOOT_T[1], 1)
+            .when(u < BOOT_T[2], 2)
+            .when(u < BOOT_T[3], 3)
+            .when(u < BOOT_T[4], 4)
+            .otherwise(5)
+            .cast("long")
+        )
+
+    r = orders.select(
+        cents.alias("cents"),
+        *[weight(b).alias(f"w_{b}") for b in range(BOOT_B)],
+    )
+    agg = r.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("cents").cast("long").alias("sum_cents"),
+        *[
+            x
+            for b in range(BOOT_B)
+            for x in (
+                F.sum(F.col(f"w_{b}")).cast("long").alias(f"sw_{b}"),
+                F.sum(F.col(f"w_{b}") * F.col("cents"))
+                .cast("long")
+                .alias(f"swx_{b}"),
+            )
+        ],
+    )
+    means = F.array_sort(
+        F.array(
+            *[
+                F.col(f"swx_{b}").cast("double") / F.col(f"sw_{b}")
+                for b in range(BOOT_B)
+            ]
+        )
+    )
+    return agg.select(
+        F.col("n").alias("n_orders"),
+        F.round(F.col("sum_cents").cast("double") / F.col("n"), 0)
+        .cast("long")
+        .alias("mean_cents"),
+        means.alias("_m"),
+    ).select(
+        "n_orders",
+        "mean_cents",
+        F.round(F.element_at("_m", 2), 0).cast("long").alias("boot_lo_cents"),
+        F.round(F.element_at("_m", 31), 0).cast("long").alias("boot_hi_cents"),
+        (
+            F.round(F.element_at("_m", 31), 0).cast("long")
+            - F.round(F.element_at("_m", 2), 0).cast("long")
+        ).alias("boot_spread_cents"),
+    )
