@@ -2715,6 +2715,14 @@ def orders_mean_value_bootstrap_ci(
             )
         ],
     )
+    return boot_ci_assemble(agg)
+
+
+def boot_ci_assemble(agg: DataFrame) -> DataFrame:
+    """CI assembly over the converged (n, sum_cents, sw_b, swx_b) sums —
+    shared by the batch op and the streaming running-CI monitor (the
+    replica sums are commutative constant-size state, so the streaming
+    twin shares this and the oracle verbatim)."""
     means = F.array_sort(
         F.array(
             *[
@@ -2738,4 +2746,25 @@ def orders_mean_value_bootstrap_ci(
             F.round(F.element_at("_m", 31), 0).cast("long")
             - F.round(F.element_at("_m", 2), 0).cast("long")
         ).alias("boot_spread_cents"),
+    )
+
+
+def boot_weight_col(b: int, key: "F.Column") -> "F.Column":
+    """Deterministic pseudo-Poisson(1) replica-b weight for a key column
+    — the same frozen thresholds both engines use."""
+    u = F.conv(
+        F.substring(
+            F.md5(F.concat(F.lit(f"boot{b}:"), key.cast("string"))), 1, 7
+        ),
+        16,
+        10,
+    ).cast("long")
+    return (
+        F.when(u < BOOT_T[0], 0)
+        .when(u < BOOT_T[1], 1)
+        .when(u < BOOT_T[2], 2)
+        .when(u < BOOT_T[3], 3)
+        .when(u < BOOT_T[4], 4)
+        .otherwise(5)
+        .cast("long")
     )

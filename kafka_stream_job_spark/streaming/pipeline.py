@@ -4941,3 +4941,74 @@ def _register_streaming_brand_mi_drift() -> None:
 
 
 _register_streaming_brand_mi_drift()
+
+
+# ---------------------------------------------------------------------------
+# STREAMING POISSON-BOOTSTRAP CI MONITOR — the live twin of
+# orders_mean_value_bootstrap_ci: every replica's (Σw, Σw·x) pair is a
+# pair of COMMUTATIVE int64 sums, so the whole bootstrap state is
+# 2·B + 2 = 66 integers TOTAL regardless of corpus size — the running
+# confidence interval a production metrics pipeline keeps alive as
+# orders stream in. Built-in global streaming aggregation (JVM state,
+# complete mode emits the converged row); the CI assembly and the
+# frozen-threshold weight draw are shared verbatim with the batch op,
+# as is the oracle.
+# ---------------------------------------------------------------------------
+def _register_streaming_bootstrap_ci() -> None:
+    import uuid
+
+    from kafka_stream_job_spark.operators.pipeline import (
+        BOOT_B,
+        boot_ci_assemble,
+        boot_weight_col,
+    )
+    from kafka_stream_job_spark.registry import REGISTRY, register
+
+    oracle = REGISTRY["orders_mean_value_bootstrap_ci"].oracle
+
+    @register(
+        "streaming_bootstrap_ci",
+        oracle=oracle,
+        tags=("streaming", "stateful", "bootstrap", "statistics", "orders"),
+    )
+    def streaming_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+        import tempfile
+
+        src, stage = _stage_stream_source(
+            sf_dir, "orders", "/tmp/ksj_stream_stage_orders"
+        )
+        raw_schema = spark.read.parquet(src).schema
+        orders = spark.readStream.schema(raw_schema).parquet(stage)
+        cents = F.round(F.col("o_totalprice") * 100, 0).cast("long")
+        r = orders.select(
+            cents.alias("cents"),
+            *[
+                boot_weight_col(b, F.col("o_orderkey")).alias(f"w_{b}")
+                for b in range(BOOT_B)
+            ],
+        )
+        agg = r.groupBy().agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum("cents").cast("long").alias("sum_cents"),
+            *[
+                x
+                for b in range(BOOT_B)
+                for x in (
+                    F.sum(F.col(f"w_{b}")).cast("long").alias(f"sw_{b}"),
+                    F.sum(F.col(f"w_{b}") * F.col("cents"))
+                    .cast("long")
+                    .alias(f"swx_{b}"),
+                )
+            ],
+        )
+        name = f"stream_bootci_{uuid.uuid4().hex[:8]}"
+        ckpt = tempfile.mkdtemp(prefix="ksj-stream-bootci-")
+        emitted = run_stream_to_memory(
+            spark, agg, name, ckpt, output_mode="complete"
+        )
+        # complete-mode re-emissions: the converged row has max n
+        converged = emitted.orderBy(F.col("n").desc()).limit(1)
+        return boot_ci_assemble(converged)
+
+
+_register_streaming_bootstrap_ci()
