@@ -5153,3 +5153,23 @@ def test_avi_parser_rejects_malformed():
     comp[strf_at : strf_at + 4] = struct.pack("<I", 1)  # BI_RLE8
     with _pytest.raises(ValueError, match="BI_RGB"):
         decode_avi_real(bytes(comp))
+
+
+# ---------------------------------------------------------------------------
+# Poisson-bootstrap weight thresholds — the frozen integers both engines
+# draw replica weights from. Pin their integrity: strictly increasing,
+# inside the 28-bit hash domain, and the implied weight distribution has
+# mean within 0.2% of 1 (the Poisson(1) bootstrap requirement — a wrong
+# edit here silently biases every CI).
+# ---------------------------------------------------------------------------
+def test_bootstrap_thresholds_mean_one():
+    from kafka_stream_job_spark.operators.pipeline import BOOT_T
+
+    dom = 1 << 28
+    assert list(BOOT_T) == sorted(set(BOOT_T)), "thresholds must increase"
+    assert 0 < BOOT_T[0] and BOOT_T[-1] < dom
+    edges = (0,) + tuple(BOOT_T) + (dom,)
+    mean = sum(
+        k * (edges[k + 1] - edges[k]) for k in range(len(edges) - 1)
+    ) / dom
+    assert abs(mean - 1.0) < 2e-3, f"implied weight mean {mean} is not ~1"
