@@ -57,6 +57,12 @@ stream = spark.readStream.schema(schema).parquet(srcdir)
 if twin == "frontier":
     emitted_stream = sp.frontier_bloom_emissions(stream)
     mode = "append"
+elif twin == "dedup":
+    # streaming deduplication state: phase 2's input deliberately
+    # RE-SENDS half of phase 1's rows — only recovered dedup state
+    # keeps them from being emitted twice
+    emitted_stream = stream.dropDuplicates(["event_id"])
+    mode = "append"
 else:
     # same NTZ->TIMESTAMP normalization stream_events applies (session
     # tz pinned UTC, so the cast is deterministic)
@@ -89,6 +95,12 @@ if phase == "2":
         # append mode: every emission participates (max_by popcount)
         emitted = all_emitted.drop("_batch")
         result = sp.frontier_bloom_report(spark, sf_dir, emitted)
+    elif twin == "dedup":
+        # total EMITTED rows: lost dedup state would re-emit the
+        # re-sent duplicates and overshoot the distinct count
+        result = all_emitted.agg(
+            F.count(F.lit(1)).cast("long").alias("n_events")
+        )
     else:
         # complete mode: the LAST batch is the converged state
         last = all_emitted.agg(F.max("_batch")).collect()[0][0]
@@ -101,16 +113,21 @@ spark.stop()
 """.format(repo=REPO)
 
 
-def _split_table(table: str, key: str, dest: str) -> tuple[str, str]:
+def _split_table(
+    table: str, key: str, dest: str, overlap: bool = False
+) -> tuple[str, str]:
     """Deterministic half-split of one sf0.001 table into two parquet
-    files (by key parity — both halves hit every stateful group)."""
+    files (by key parity — both halves hit every stateful group). With
+    ``overlap``, part1 also RE-SENDS half of part0's rows (key % 4 == 0)
+    — cross-phase duplicates only recovered dedup state can suppress."""
     src = os.path.join(SF_SMOKE, f"{table}.parquet")
     a = os.path.join(dest, "part0.parquet")
     b = os.path.join(dest, "part1.parquet")
+    p1 = f"{key} % 2 = 1 OR {key} % 4 = 0" if overlap else f"{key} % 2 = 1"
     con = duckdb.connect()
     con.execute(f"CREATE VIEW t AS SELECT * FROM read_parquet('{src}')")
     con.execute(f"COPY (SELECT * FROM t WHERE {key} % 2 = 0) TO '{a}'")
-    con.execute(f"COPY (SELECT * FROM t WHERE {key} % 2 = 1) TO '{b}'")
+    con.execute(f"COPY (SELECT * FROM t WHERE {p1}) TO '{b}'")
     con.close()
     return a, b
 
@@ -169,13 +186,26 @@ def _norm(rows: list[dict]) -> list[tuple]:
     )
 
 
+#: third machinery: dropDuplicates (StreamingDeduplicationExec state);
+#: its "oracle" is the distinct count over ALL events — emitted-row
+#: count overshoots it if the re-sent duplicates survive a lost state
+_DEDUP_ORACLE = (
+    "SELECT CAST(COUNT(DISTINCT event_id) AS BIGINT) AS n_events FROM events"
+)
+
+
 @pytest.mark.parametrize(
     "twin,table,key,oracle_name",
     [
         ("frontier", "documents", "doc_id", "streaming_frontier_bloom"),
         ("psi", "events", "event_id", "streaming_psi_drift"),
+        ("dedup", "events", "event_id", None),
     ],
-    ids=["frontier_bloom_applyInPandasWithState", "psi_drift_agg_state"],
+    ids=[
+        "frontier_bloom_applyInPandasWithState",
+        "psi_drift_agg_state",
+        "drop_duplicates_dedup_state",
+    ],
 )
 def test_stateful_twin_recovers_across_process_kill(
     tmp_path, twin, table, key, oracle_name
@@ -186,7 +216,7 @@ def test_stateful_twin_recovers_across_process_kill(
     out = str(tmp_path / "result.json")
     os.makedirs(srcdir)
     os.makedirs(stage)
-    part0, part1 = _split_table(table, key, stage)
+    part0, part1 = _split_table(table, key, stage, overlap=(twin == "dedup"))
 
     # phase 1: only half the input exists; process the batch, then the
     # process EXITS — the kill point (JVM dies, state store cache gone)
@@ -201,7 +231,8 @@ def test_stateful_twin_recovers_across_process_kill(
 
     with open(out) as f:
         got = json.load(f)
-    expect = _oracle_rows(all_specs()[oracle_name].oracle)
+    oracle = _DEDUP_ORACLE if oracle_name is None else all_specs()[oracle_name].oracle
+    expect = _oracle_rows(oracle)
     assert _norm(got) == _norm(expect), (
         f"{twin}: resumed run diverged from the oracle — state was not "
         "recovered from the checkpoint"
