@@ -698,7 +698,7 @@ AHASH_HAM_T = 6
 AHASH_SCHEMA = T.StructType(
     [
         T.StructField("doc_id", T.LongType()),
-        T.StructField("bits", T.ArrayType(T.IntegerType())),
+        T.StructField("bits64", T.LongType()),
         T.StructField("band_idx", T.IntegerType()),
         T.StructField("band_val", T.StringType()),
     ]
@@ -706,12 +706,16 @@ AHASH_SCHEMA = T.StructType(
 
 
 def ahash_batches(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
-    """mapInPandas body: payload bytes → 64-bit aHash → 8 banded rows
-    per document. Pure-integer arithmetic — engine-portable."""
+    """mapInPandas body: payload bytes → 64-bit aHash (PACKED into one
+    int64, sign-wrapped — hamming is then a single bit_count(xor), and
+    the candidate distinct shuffles 3 longs per row instead of a 64-int
+    array; the r9 extended audit measured the array form at 26 s vs 6 s
+    at sf0.1) → 8 banded rows per document. Pure-integer arithmetic —
+    engine-portable."""
     import pandas as pd
 
     for pdf in batches:
-        out: dict[str, list] = {"doc_id": [], "bits": [], "band_idx": [], "band_val": []}
+        out: dict[str, list] = {"doc_id": [], "bits64": [], "band_idx": [], "band_val": []}
         for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
             b = bytes(payload)
             n = len(b)
@@ -720,10 +724,15 @@ def ahash_batches(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]
                 1 if b[(j * n) // AHASH_BITS] * n >= tot else 0
                 for j in range(AHASH_BITS)
             ]
+            packed = 0
+            for j in range(AHASH_BITS):
+                packed |= bits[j] << j
+            if packed >= 1 << 63:  # int64 sign wrap, exact
+                packed -= 1 << 64
             step = AHASH_BITS // AHASH_BANDS
             for k in range(AHASH_BANDS):
                 out["doc_id"].append(int(doc_id))
-                out["bits"].append(bits)
+                out["bits64"].append(packed)
                 out["band_idx"].append(k)
                 out["band_val"].append(
                     "".join(map(str, bits[k * step : (k + 1) * step]))
@@ -773,28 +782,28 @@ def multimodal_ahash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     a = hashed.select(
         F.col("doc_id").alias("doc_a"),
-        F.col("bits").alias("bits_a"),
+        F.col("bits64").alias("bits_a"),
         "band_idx",
         "band_val",
     )
     b = hashed.select(
         F.col("doc_id").alias("doc_b"),
-        F.col("bits").alias("bits_b"),
+        F.col("bits64").alias("bits_b"),
         "band_idx",
         "band_val",
     )
-    ham = F.size(
-        F.filter(
-            F.zip_with("bits_a", "bits_b", lambda x, y: x != y), lambda z: z
-        )
-    ).cast("long")
+    # hamming = bit_count(xor) on the packed hash — whole-stage-codegen
+    # cheap, so it runs BEFORE the distinct: the dedup shuffle then
+    # carries only the few surviving near-dup pairs, not every multi-band
+    # candidate hit with its hash payload (skewed band values make that
+    # candidate set large at scale).
+    ham = F.bit_count(F.col("bits_a").bitwiseXOR(F.col("bits_b"))).cast("long")
     return (
         a.join(b, ["band_idx", "band_val"])
         .filter(F.col("doc_a") < F.col("doc_b"))
-        .select("doc_a", "doc_b", "bits_a", "bits_b")
-        .distinct()  # collapse multi-band candidate hits
         .select("doc_a", "doc_b", ham.alias("hamming"))
         .filter(F.col("hamming") <= AHASH_HAM_T)
+        .distinct()  # collapse multi-band candidate hits
     )
 
 
