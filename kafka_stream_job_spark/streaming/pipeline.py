@@ -4240,53 +4240,43 @@ def _register_streaming_feature_hashing_monitor() -> None:
         from pyspark.sql.streaming.state import GroupStateTimeout
 
         docs = stream_documents(spark, sf_dir).where(F.col("text").isNotNull())
-        # per-row: array of (bucket, cnt) over the doc's tokens — bounded
-        # 64-slot fold, one output row per touched bucket per document
+        # Hash every token ONCE (md5 dominates this op; the previous
+        # form nested the tokenize+hash inside the per-bucket lambda and
+        # recomputed it 64x per document — 17.5 s at sf0.1, 3.5 s after),
+        # then fold the pre-hashed int array into the bounded 64-slot
+        # per-doc bucket counts.
+        hashed = docs.select(
+            "lang",
+            F.expr(
+                "transform(split(lower(trim(regexp_replace(text,"
+                " '\\\\s+', ' '))), ' '),"
+                " t -> CAST(conv(substring(md5(t), 1, 7), 16, 10) AS BIGINT)"
+                f" % {FH_BUCKETS})"
+            ).alias("hb"),
+        )
         bucket_counts = (
-            "filter(transform(sequence(0, {nb} - 1), b -> struct(b AS bucket,"
-            " size(filter(transform(split(lower(trim(regexp_replace(text,"
-            " '\\\\s+', ' '))), ' '),"
-            " t -> CAST(conv(substring(md5(t), 1, 7), 16, 10) AS BIGINT)"
-            " % {nb}), x -> x = b)) AS cnt)), s -> s.cnt > 0)"
-        ).format(nb=FH_BUCKETS)
-        per_doc = docs.select(
+            f"filter(transform(sequence(0, {FH_BUCKETS} - 1),"
+            " b -> struct(b AS bucket,"
+            " size(filter(hb, x -> x = b)) AS cnt)), s -> s.cnt > 0)"
+        )
+        per_doc = hashed.select(
             "lang", F.explode(F.expr(bucket_counts)).alias("bc")
         ).select(
             "lang",
             F.col("bc.bucket").cast("long").alias("bucket"),
             F.col("bc.cnt").cast("long").alias("cnt"),
         )
-
-        def update(key, pdfs, state):
-            import pandas as pd
-
-            if state.exists:
-                n_tokens, n_docs = state.get
-            else:
-                n_tokens = n_docs = 0
-            for pdf in pdfs:
-                n_tokens += int(pdf["cnt"].sum())
-                n_docs += len(pdf)
-            state.update((n_tokens, n_docs))
-            yield pd.DataFrame(
-                {
-                    "lang": [key[0]],
-                    "bucket": [key[1]],
-                    "n_tokens": [n_tokens],
-                    "n_docs": [n_docs],
-                }
-            )
-
-        emitted_stream = per_doc.groupBy("lang", "bucket").applyInPandasWithState(
-            update,
-            outputStructType="lang string, bucket long, n_tokens long, n_docs long",
-            stateStructType="n_tokens long, n_docs long",
-            outputMode="append",
-            timeoutConf=GroupStateTimeout.NoTimeout,
+        # (n_tokens, n_docs) are BUILT-IN sums — JVM streaming-agg state
+        # (the streaming_lsh_candidate_buckets lesson), update mode.
+        emitted_stream = per_doc.groupBy("lang", "bucket").agg(
+            F.sum("cnt").cast("long").alias("n_tokens"),
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
         )
         name = f"stream_fh_{uuid.uuid4().hex[:8]}"
         ckpt = tempfile.mkdtemp(prefix="ksj-stream-fh-")
-        emitted = run_stream_to_memory(spark, emitted_stream, name, ckpt)
+        emitted = run_stream_to_memory(
+            spark, emitted_stream, name, ckpt, output_mode="update"
+        )
         final = emitted.groupBy("lang", "bucket").agg(
             F.max("n_tokens").cast("long").alias("n_tokens"),
             F.max("n_docs").cast("long").alias("n_docs"),
