@@ -753,20 +753,29 @@ def ahash_batches(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]
             FROM documents
         ),
         h AS (
+            -- hash packed into ONE sign-wrapped BIGINT (bit 63's power
+            -- overflows a signed left shift, hence the literal); set
+            -- bits are disjoint so summing them IS the bitwise OR.
+            -- Brute-force a<b verify stays — it certifies the Spark
+            -- side's banding — but hamming is bit_count(xor), which is
+            -- what keeps this 12.5M-pair oracle tractable at sf0.1.
             SELECT doc_id,
-                   list_transform(range(0, {AHASH_BITS}),
-                       j -> CASE WHEN ascii(s[CAST((j * n) // {AHASH_BITS} AS INT) + 1])
-                                      * n >= tot
-                                 THEN 1 ELSE 0 END) AS bits
+                   list_reduce(
+                       list_prepend(CAST(0 AS BIGINT),
+                           list_transform(range(0, {AHASH_BITS}),
+                               j -> CASE WHEN ascii(s[CAST((j * n) // {AHASH_BITS} AS INT) + 1])
+                                              * n >= tot
+                                         THEN CASE WHEN j = 63
+                                              THEN CAST(-9223372036854775808 AS BIGINT)
+                                              ELSE CAST(1 AS BIGINT) << j END
+                                         ELSE CAST(0 AS BIGINT) END)),
+                       (a, x) -> a + x) AS bits64
             FROM p
         )
         SELECT doc_a, doc_b, hamming FROM (
             SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-                   CAST(list_reduce(
-                       list_prepend(0,
-                           list_transform(list_zip(a.bits, b.bits),
-                               z -> CASE WHEN z[1] <> z[2] THEN 1 ELSE 0 END)),
-                       (x, y) -> x + y) AS BIGINT) AS hamming
+                   CAST(bit_count(xor(a.bits64, b.bits64)) AS BIGINT)
+                       AS hamming
             FROM h a JOIN h b ON a.doc_id < b.doc_id
         ) WHERE hamming <= {AHASH_HAM_T}
     """,
