@@ -1322,3 +1322,35 @@ def test_ivf_incremental_delta_stage_is_broadcast_only(spark):
     # full op: no cartesian anywhere (crossJoins are all broadcast)
     full = plan_of(spark, "ivf_incremental_assign")
     assert "CartesianProduct" not in full
+
+
+@pytest.mark.parametrize(
+    "name,expect",
+    [
+        # six-table star: every dim join must SURVIVE adaptivity as a
+        # broadcast — an SMJ creeping into the final plan means a dim
+        # stopped broadcasting and the fact side started shuffling
+        ("q5_local_supplier_volume", dict(min_bhj=4, no_smj=True)),
+        # bucketed top-k: probe set broadcasts, corpus scanned once
+        ("similarity_topk_bucketed", dict(min_bhj=1, no_smj=True)),
+        # pure hash-agg dedup: no join may appear at all
+        ("dedup_exact", dict(min_bhj=0, no_join=True)),
+    ],
+    ids=["q5_all_broadcast", "topk_bucketed_probe_broadcast", "dedup_exact_joinless"],
+)
+def test_adaptive_final_plan_keeps_shape(spark, name, expect):
+    """AQE re-plans at runtime; these pin the EXECUTED final plan of the
+    heaviest bench queries so a silent broadcast-threshold or stats
+    regression (SMJ/BNLJ creep, surprise join) fails here instead of
+    surfacing as a bench slowdown."""
+    df = SPECS[name].fn(spark, SF_SMOKE)
+    df.collect()
+    final = df._jdf.queryExecution().executedPlan().toString()
+    assert "isFinalPlan=true" in final
+    assert "CartesianProduct" not in final
+    assert "BroadcastNestedLoopJoin" not in final
+    assert final.count("BroadcastHashJoin") >= expect["min_bhj"]
+    if expect.get("no_smj"):
+        assert "SortMergeJoin" not in final, f"{name}: SMJ crept into the final plan"
+    if expect.get("no_join"):
+        assert "Join" not in final, f"{name}: unexpected join in a hash-agg-only plan"
