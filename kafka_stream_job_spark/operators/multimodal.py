@@ -312,21 +312,30 @@ def decode_wav_real(payload: bytes) -> dict:
 
 
 def decode_media_real(payload_format: str):
-    """Real media decoding dispatch. WAV is implemented in pure Python
-    (`decode_wav_real` — RIFF is header-parseable, no media libs needed);
-    formats that genuinely need codec libraries (image resize, video
-    frame-sample) remain an explicit environmental seam. The Spark-side
-    contract either way is `decode_payload_batches`-shaped mapInPandas.
+    """Real media decoding dispatch. WAV, BMP, PNG, GIF and AVI (RIFF
+    containers with uncompressed DIB frames) are implemented in pure
+    Python — header-parseable / losslessly-coded formats need no media
+    libraries (`decode_wav_real`, `decode_bmp_real`, `decode_png_real`,
+    `decode_gif_real`, `decode_avi_real`). Only DCT/entropy-coded codecs
+    (JPEG, MP3/AAC, H.264-class video) remain an explicit environmental
+    seam. The Spark-side contract either way is
+    `decode_payload_batches`-shaped mapInPandas.
     """
     if payload_format == "wav":
         return decode_wav_real
     if payload_format == "bmp":
         return decode_bmp_real
+    if payload_format == "png":
+        return decode_png_real
+    if payload_format == "gif":
+        return decode_gif_real
+    if payload_format == "avi":
+        return decode_avi_real
     raise NotImplementedError(
         f"real {payload_format} decoding requires media libraries not present "
-        "in this environment (only video/compressed-image codecs remain a "
-        "seam — WAV and BMP parse natively); decode_payload_batches shows "
-        "the Arrow plumbing"
+        "in this environment (only DCT/entropy-coded codecs remain a seam — "
+        "WAV, BMP, PNG, GIF and AVI/DIB parse natively); "
+        "decode_payload_batches shows the Arrow plumbing"
     )
 
 
