@@ -616,10 +616,13 @@ CC_MAX_ITERS = 20
     oracle=f"""
         WITH RECURSIVE
         shingles AS ({_SHINGLES_SQL}),
-        sigs AS ({_SIGS_SQL}),
-        bands AS ({_BANDS_SQL}),
-        pairs AS ({_PAIRS_SQL}),
-        edges AS (
+        -- MATERIALIZED: DuckDB inlines plain CTEs; the recursive reach
+        -- expansion references edges every iteration, which would
+        -- otherwise re-run the whole shingle->minhash->band pipeline
+        sigs AS MATERIALIZED ({_SIGS_SQL}),
+        bands AS MATERIALIZED ({_BANDS_SQL}),
+        pairs AS MATERIALIZED ({_PAIRS_SQL}),
+        edges AS MATERIALIZED (
             SELECT doc_a AS src, doc_b AS dst FROM pairs
             UNION
             SELECT doc_b, doc_a FROM pairs
@@ -1170,10 +1173,12 @@ def _keep_best_oracle() -> str:
     return f"""
         WITH RECURSIVE
         shingles AS ({_SHINGLES_SQL}),
-        sigs AS ({_SIGS_SQL}),
-        bands AS ({_BANDS_SQL}),
-        pairs AS ({_PAIRS_SQL}),
-        edges AS (
+        -- MATERIALIZED: the recursive reach expansion references edges
+        -- every iteration (see dedup_connected_components)
+        sigs AS MATERIALIZED ({_SIGS_SQL}),
+        bands AS MATERIALIZED ({_BANDS_SQL}),
+        pairs AS MATERIALIZED ({_PAIRS_SQL}),
+        edges AS MATERIALIZED (
             SELECT doc_a AS src, doc_b AS dst FROM pairs
             UNION
             SELECT doc_b, doc_a FROM pairs

@@ -3192,20 +3192,23 @@ def rfm_customer_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         WITH items AS (
             SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
         ),
-        edges AS (
+        -- MATERIALIZED: edges feeds the triangle triple-join AND four
+        -- scalar subqueries; DuckDB would inline (re-run) the basket
+        -- self-join for each without it
+        edges AS MATERIALIZED (
             SELECT a.l_partkey AS u, b.l_partkey AS v
             FROM items a
             JOIN items b ON a.l_orderkey = b.l_orderkey
                         AND a.l_partkey < b.l_partkey
             GROUP BY 1, 2
         ),
-        deg AS (
+        deg AS MATERIALIZED (
             SELECT node, CAST(COUNT(*) AS BIGINT) AS d
             FROM (SELECT u AS node FROM edges
                   UNION ALL SELECT v AS node FROM edges)
             GROUP BY node
         ),
-        tri AS (
+        tri AS MATERIALIZED (
             SELECT COUNT(*) AS n_triangles
             FROM edges e1
             JOIN edges e2 ON e2.u = e1.v
@@ -4931,7 +4934,11 @@ def _kcore_oracle() -> str:
         WITH items AS (
             SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
         ),
-        e0 AS (
+        e0 AS MATERIALIZED (
+            -- MATERIALIZED: DuckDB inlines plain CTEs, so every one of
+            -- the per-round scalar subqueries below would otherwise
+            -- re-run the whole peel chain from this basket self-join
+            -- (measured 19.7 s -> ~2 s at sf0.1)
             SELECT a.l_partkey AS src, b.l_partkey AS dst
             FROM items a
             JOIN items b ON a.l_orderkey = b.l_orderkey
@@ -4940,11 +4947,11 @@ def _kcore_oracle() -> str:
         )"""
     for r in range(1, KCORE_ROUNDS + 1):
         sql += f""",
-        k{r} AS (
+        k{r} AS MATERIALIZED (
             SELECT src FROM e{r - 1} GROUP BY src
             HAVING COUNT(*) >= {KCORE_K}
         ),
-        e{r} AS (
+        e{r} AS MATERIALIZED (
             SELECT e.src, e.dst
             FROM e{r - 1} e
             JOIN k{r} a ON e.src = a.src
