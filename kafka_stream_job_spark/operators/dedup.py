@@ -2817,9 +2817,13 @@ def dedup_pair_provenance(spark: SparkSession, sf_dir: str) -> DataFrame:
     "dedup_transitivity_audit",
     oracle=f"""
         WITH shingles AS ({_SHINGLES_SQL}),
-        sigs AS ({_SIGS_SQL}),
-        bands AS ({_BANDS_SQL}),
-        edges AS (
+        -- MATERIALIZED: edges feeds the triangle triple-join AND five
+        -- scalar subqueries; inlined, each re-runs the whole
+        -- shingle->minhash->band pipeline (measured 16.4 s -> sub-second
+        -- at sf0.1)
+        sigs AS MATERIALIZED ({_SIGS_SQL}),
+        bands AS MATERIALIZED ({_BANDS_SQL}),
+        edges AS MATERIALIZED (
             SELECT DISTINCT a.doc_id AS a, b.doc_id AS b
             FROM bands a
             JOIN bands b
@@ -2827,12 +2831,12 @@ def dedup_pair_provenance(spark: SparkSession, sf_dir: str) -> DataFrame:
              AND a.band_sig = b.band_sig
              AND a.doc_id < b.doc_id
         ),
-        deg AS (
+        deg AS MATERIALIZED (
             SELECT v, CAST(COUNT(*) AS BIGINT) AS d FROM (
                 SELECT a AS v FROM edges UNION ALL SELECT b FROM edges
             ) GROUP BY 1
         ),
-        tri AS (
+        tri AS MATERIALIZED (
             SELECT CAST(COUNT(*) AS BIGINT) AS t
             FROM edges e1
             JOIN edges e2 ON e2.a = e1.b
