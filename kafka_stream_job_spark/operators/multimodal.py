@@ -789,6 +789,7 @@ def ahash_batches(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]
         ) WHERE hamming <= {AHASH_HAM_T}
     """,
     tags=("multimodal", "dedup", "perceptual-hash", "documents"),
+    bench_ext=True,
 )
 def multimodal_ahash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
@@ -2413,6 +2414,7 @@ def _avi_encode_batches(batches):
         FROM documents WHERE length(text) > 0
     """,
     tags=("multimodal", "video", "avi", "riff", "real-decode", "documents"),
+    bench_ext=True,
 )
 def multimodal_avi_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Frame count, geometry, timing, and exact channel-byte sum from an
