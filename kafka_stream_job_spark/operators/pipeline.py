@@ -2768,3 +2768,71 @@ def boot_weight_col(b: int, key: "F.Column") -> "F.Column":
         .otherwise(5)
         .cast("long")
     )
+
+
+# ---------------------------------------------------------------------------
+# McNEMAR'S TEST — the paired complement of Cohen's kappa over the SAME
+# 2x2 rater confusion table: kappa asks "do the raters agree beyond
+# chance", McNemar asks "do they DISAGREE symmetrically" (a skewed
+# n10 vs n01 means one rater systematically passes documents the other
+# fails — a calibration bug, not noise). Continuity-corrected statistic
+# (|n10 - n01| - 1)^2 / (n10 + n01): exact integer numerator, one
+# division, same single-scan shape.
+# ---------------------------------------------------------------------------
+@register(
+    "rater_mcnemar_test",
+    oracle=f"""
+        WITH r AS (
+            SELECT CASE WHEN length(text) >= {KAPPA_LEN_T} THEN 1 ELSE 0 END
+                       AS a,
+                   CASE WHEN 2 * len(list_distinct(string_split(
+                            LOWER(TRIM(regexp_replace(text, '\\s+', ' ', 'g'))),
+                            ' ')))
+                        >= len(string_split(
+                            LOWER(TRIM(regexp_replace(text, '\\s+', ' ', 'g'))),
+                            ' '))
+                        THEN 1 ELSE 0 END AS b
+            FROM documents
+        ),
+        c AS (
+            SELECT CAST(COUNT(*) AS BIGINT) AS n,
+                   CAST(SUM(a * (1 - b)) AS BIGINT) AS n10,
+                   CAST(SUM((1 - a) * b) AS BIGINT) AS n01
+            FROM r
+        )
+        SELECT n AS n_docs, n10, n01,
+               CASE WHEN n10 + n01 = 0 THEN CAST(0 AS BIGINT)
+                    ELSE CAST(ROUND(
+                        CAST((abs(n10 - n01) - 1) * (abs(n10 - n01) - 1)
+                             AS DOUBLE) / (n10 + n01) * 1000000.0)
+                        AS BIGINT) END AS mcnemar_micro
+        FROM c
+    """,
+    tags=("llm-pipeline", "annotation", "agreement", "statistics",
+          "documents"),
+)
+def rater_mcnemar_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.split(F.lower(F.trim(F.regexp_replace("text", r"\s+", " "))), " ")
+    a = (F.length("text") >= KAPPA_LEN_T).cast("long")
+    b = (2 * F.size(F.array_distinct(toks)) >= F.size(toks)).cast("long")
+    r = docs.select(a.alias("a"), b.alias("b"))
+    c = r.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(F.col("a") * (1 - F.col("b"))).cast("long").alias("n10"),
+        F.sum((1 - F.col("a")) * F.col("b")).cast("long").alias("n01"),
+    )
+    diff = F.abs(F.col("n10") - F.col("n01"))
+    stat = (
+        F.when(F.col("n10") + F.col("n01") == 0, F.lit(0).cast("long"))
+        .otherwise(
+            F.round(
+                ((diff - 1) * (diff - 1)).cast("double")
+                / (F.col("n10") + F.col("n01"))
+                * 1000000.0,
+                0,
+            ).cast("long")
+        )
+        .alias("mcnemar_micro")
+    )
+    return c.select(F.col("n").alias("n_docs"), "n10", "n01", stat)
