@@ -81,11 +81,12 @@ def register(
 
 
 # Names the external driver has verified across rounds — the union of
-# CORRECTNESS_r01.json ∪ r02 ∪ r03 ∪ r04 ∪ r05 ∪ r06 ∪ r07 (50 + 45 + 48 +
-# 50 + 47 + 50 + 47 fresh = 337 names = the full r07 registry; r02
+# CORRECTNESS_r01.json ∪ r02 ∪ r03 ∪ r04 ∪ r05 ∪ r06 ∪ r07 ∪ r08 ∪ r09
+# (50 + 45 + 48 + 50 + 47 + 50 + 47 + 45 + 50 fresh = 432 names; r02
 # re-checked 5 r1 rows, r03 re-checked q22 + sketch_user_activity, r05
 # re-earned the 3 round-5 _RECHECK rows, r07 re-gated the 3 rewritten
-# dedup paths). The
+# dedup paths, r08 re-earned the 4 round-8 _RECHECK rows, r09 re-earned
+# span_corruption_manifest post phantom-span fix). The
 # driver enumerates only the FIRST 50 registry entries per round, so
 # ``all_specs`` orders the registry never-driver-checked first: a
 # truncated first-N pass then spends its whole budget earning NEW
@@ -277,28 +278,48 @@ _DRIVER_CHECKED = frozenset({
     "q10_returned_items", "q1_pricing_summary", "q3_shipping_priority",
     "quality_logreg_training", "rank_correlation_kendall",
     "revenue_waterfall", "sft_loss_masking_spans", "sft_pair_manifest",
-    # span_corruption_manifest earned its r08 row, then the round-9
-    # phantom-span fix changed its published values — see _RECHECK below.
     "streaming_state_budget_planner",
     "supplier_scorecard", "text_adjacent_repetition",
     "text_fano_burstiness", "text_feature_hashing", "text_hapax_ratio",
     "text_lexical_diversity", "text_mojibake_detect",
     "text_readability_features", "text_unicode_script_profile",
     "web_domain_profile",
+    # round 9 additions (CORRECTNESS_r09.json — 49 fresh names plus the
+    # re-earned _RECHECK row span_corruption_manifest, all green 50/50)
+    "bandit_replay_hourly", "churn_label_manifest", "corpus_weights_ess",
+    "curriculum_pacing_schedule", "customer_segment_entropy_by_nation",
+    "dedup_exact_substring", "dedup_frontier_bloom",
+    "dedup_pair_provenance", "dedup_pipeline_composition",
+    "embedding_bitwidth_sweep", "embedding_jl_projection_audit",
+    "events_bounce_rate_by_entry", "events_burst_hours",
+    "events_hourly_type_entropy", "events_mann_whitney_test",
+    "graph_assortativity", "ivf_cell_balance_report",
+    "kmeans_inertia_elbow", "knn_classifier_eval",
+    "langid_precision_recall", "lineitem_qty_price_heatmap",
+    "mixture_temperature_sweep", "multimodal_avi_shot_boundaries",
+    "multimodal_avi_stats", "multimodal_bmp_ahash",
+    "neyman_allocation_plan", "ols_two_feature_normal_eq",
+    "orders_mean_value_bootstrap_ci", "partition_spec_advisor",
+    "pps_systematic_sample", "quality_logreg_inference",
+    "quality_rater_agreement_kappa", "rater_mcnemar_test",
+    "span_corruption_manifest", "streaming_bootstrap_ci",
+    "streaming_brand_mi_drift", "streaming_fertility_drift",
+    "streaming_gzip_jsonl_rollup", "streaming_hill_tail_monitor",
+    "streaming_magic_sniffer", "streaming_psi_drift",
+    "streaming_seasonality_monitor", "streaming_self_excitation",
+    "streaming_txn_log_tail", "supplier_leadtime_percentiles",
+    "text_char_entropy", "text_entropy_rate_bigram",
+    "tokenizer_vocab_pressure", "txn_log_time_travel",
+    "user_trigram_paths",
 })
 
 #: Driver-green queries whose BEHAVIOR changed after their last green row:
 #: deliberately absent from _DRIVER_CHECKED (the hygiene test enforces
 #: they are the only permitted absences) and ordered FIRST so the next
-#: driver pass re-earns their row before anything else. Round 9: the
-#: span_corruption_manifest phantom-span fix (docs shorter than
-#: phase + SPAN_LEN previously reported one span that does not exist —
-#: trunc-division of a negative numerator yields 0, +1 = 1 span; both
-#: sides now gate span count on span existence, so masked_tokens /
-#: corruption_bp drop for those docs).
-_RECHECK: tuple[str, ...] = (
-    "span_corruption_manifest",
-)
+#: driver pass re-earns their row before anything else. Round 10: empty —
+#: span_corruption_manifest re-earned its row in CORRECTNESS_r09.json
+#: after the phantom-span fix, and no published values changed since.
+_RECHECK: tuple[str, ...] = ()
 
 
 def all_specs() -> dict[str, QuerySpec]:
