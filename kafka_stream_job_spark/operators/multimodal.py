@@ -2269,8 +2269,14 @@ def decode_avi_real(payload: bytes) -> dict:
                     elif sid == b"LIST" and payload[s0 : s0 + 4] == b"strl":
                         for tid, t0, t1 in walk(payload, s0 + 4, s1):
                             if tid == b"strh" and payload[t0 : t0 + 4] == b"vids":
+                                # AVISTREAMHEADER after fccType/fccHandler:
+                                # dwFlags(I) wPriority(H) wLanguage(H)
+                                # dwInitialFrames(I) dwScale(I) dwRate(I)
+                                # dwStart(I) dwLength(I)
+                                # dwSuggestedBufferSize(I) dwQuality(I)
+                                # dwSampleSize(I) then rcFrame(4h)
                                 strh = struct.unpack(
-                                    "<IIIHHIIIIIII", payload[t0 + 8 : t0 + 52]
+                                    "<IHHIIIIIIII", payload[t0 + 8 : t0 + 48]
                                 )
                             elif tid == b"strf" and strh is not None and strf is None:
                                 strf = struct.unpack("<IiiHHI", payload[t0 : t0 + 20])
@@ -2299,6 +2305,19 @@ def decode_avi_real(payload: bytes) -> dict:
     if total_frames != n_frames_movi:
         raise ValueError(
             f"avih says {total_frames} frames, movi carries {n_frames_movi}"
+        )
+    # strh fields are parsed with the canonical layout above — use them:
+    # dwLength must agree with the frame count, and dwScale/dwRate must
+    # reproduce avih's dwMicroSecPerFrame (floor division, as written).
+    _flags_s, _prio, _lang, _init, scale, rate, _start, strh_len = strh[:8]
+    if strh_len != n_frames_movi:
+        raise ValueError(
+            f"strh dwLength {strh_len} disagrees with {n_frames_movi} frames"
+        )
+    if rate == 0 or scale == 0 or us_per_frame != 1_000_000 * scale // rate:
+        raise ValueError(
+            f"strh scale/rate {scale}/{rate} disagree with "
+            f"avih us_per_frame {us_per_frame}"
         )
     if n_index is not None and n_index != n_frames_movi:
         raise ValueError(f"idx1 has {n_index} entries for {n_frames_movi} frames")

@@ -24,7 +24,7 @@ counts, hash buckets), so every query is exactly oracle-checkable.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from kafka_stream_job_spark.operators._portable import idiv, pround
@@ -2516,12 +2516,39 @@ def quality_rater_agreement_kappa(
 # NEYMAN EVAL-BUDGET ALLOCATION — stratified eval-set design: allocate a
 # fixed labeling/eval budget across language strata proportional to
 # N_h·S_h (stratum size × doc-length std), the variance-minimizing
-# split for estimating corpus-level quality from a sample. Exact int64
-# moments per stratum give N_h·S_h = sqrt(n·Σx² − (Σx)²) exactly under
-# one sqrt; the allocation divides integer micro-keys half-up so the
-# plan is deterministic on any engine. One scan, |langs| rows.
+# split for estimating corpus-level quality from a sample. Int64
+# moments per stratum feed N_h·S_h = sqrt(n·Σx² − (Σx)²) with the
+# product computed in DOUBLE (the int64 product overflows near the
+# 100 TB design point; both engines take the same ≤2^-52 relative
+# error, far below the micro-key rounding); the allocation divides
+# integer micro-keys half-up so the plan is deterministic on any
+# engine. One scan, |langs| rows.
 # ---------------------------------------------------------------------------
 EVAL_BUDGET_DOCS = 1_000
+
+
+def neyman_key_micro_expr() -> Column:
+    """N_h·S_h micro-key over (n_docs, sum_len, sum_len_sq) columns.
+
+    Computed in DOUBLE (not int64) — see the oracle comment: the int64
+    product n_docs·Σx² overflows near the 100 TB design point. Module
+    level so the overflow regression test evaluates the exact expression
+    the query plans.
+    """
+    return (
+        F.round(
+            F.sqrt(
+                F.col("n_docs").cast("double")
+                * F.col("sum_len_sq").cast("double")
+                - F.col("sum_len").cast("double")
+                * F.col("sum_len").cast("double")
+            )
+            * 1000000.0,
+            0,
+        )
+        .cast("long")
+        .alias("neyman_key_micro")
+    )
 
 
 @register(
@@ -2536,9 +2563,15 @@ EVAL_BUDGET_DOCS = 1_000
             FROM documents GROUP BY 1
         ),
         k AS (
+            -- variance key in DOUBLE: n_docs·Σx² approaches 2^63 at the
+            -- 100 TB target (1e8-doc strata × 1e12 Σx²) where BIGINT
+            -- raises (DuckDB) or wraps (Spark); DOUBLE degrades to ~2^-52
+            -- relative error instead, far below the micro-key rounding.
             SELECT lang, n_docs, sum_len,
-                   CAST(ROUND(sqrt(CAST(n_docs * sum_len_sq
-                                        - sum_len * sum_len AS DOUBLE))
+                   CAST(ROUND(sqrt(CAST(n_docs AS DOUBLE)
+                                       * CAST(sum_len_sq AS DOUBLE)
+                                   - CAST(sum_len AS DOUBLE)
+                                       * CAST(sum_len AS DOUBLE))
                               * 1000000.0) AS BIGINT) AS neyman_key_micro
             FROM m
         ),
@@ -2558,21 +2591,7 @@ def neyman_allocation_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(ln).cast("long").alias("sum_len"),
         F.sum(ln * ln).cast("long").alias("sum_len_sq"),
     )
-    key = (
-        F.round(
-            F.sqrt(
-                (
-                    F.col("n_docs") * F.col("sum_len_sq")
-                    - F.col("sum_len") * F.col("sum_len")
-                ).cast("double")
-            )
-            * 1000000.0,
-            0,
-        )
-        .cast("long")
-        .alias("neyman_key_micro")
-    )
-    k = m.select("lang", "n_docs", "sum_len", key)
+    k = m.select("lang", "n_docs", "sum_len", neyman_key_micro_expr())
     t = k.agg(F.sum("neyman_key_micro").cast("long").alias("total"))
     return k.crossJoin(F.broadcast(t)).select(
         "lang",
@@ -2776,8 +2795,10 @@ def boot_weight_col(b: int, key: "F.Column") -> "F.Column":
 # chance", McNemar asks "do they DISAGREE symmetrically" (a skewed
 # n10 vs n01 means one rater systematically passes documents the other
 # fails — a calibration bug, not noise). Continuity-corrected statistic
-# (|n10 - n01| - 1)^2 / (n10 + n01): exact integer numerator, one
-# division, same single-scan shape.
+# max(|n10 - n01| - 1, 0)^2 / (n10 + n01): the clamp keeps the exactly
+# symmetric point (n10 == n01 > 0) at zero, as the standard corrected
+# form requires. Exact integer numerator, one division, same
+# single-scan shape.
 # ---------------------------------------------------------------------------
 @register(
     "rater_mcnemar_test",
@@ -2803,7 +2824,8 @@ def boot_weight_col(b: int, key: "F.Column") -> "F.Column":
         SELECT n AS n_docs, n10, n01,
                CASE WHEN n10 + n01 = 0 THEN CAST(0 AS BIGINT)
                     ELSE CAST(ROUND(
-                        CAST((abs(n10 - n01) - 1) * (abs(n10 - n01) - 1)
+                        CAST(greatest(abs(n10 - n01) - 1, 0)
+                             * greatest(abs(n10 - n01) - 1, 0)
                              AS DOUBLE) / (n10 + n01) * 1000000.0)
                         AS BIGINT) END AS mcnemar_micro
         FROM c
@@ -2822,12 +2844,12 @@ def rater_mcnemar_test(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.col("a") * (1 - F.col("b"))).cast("long").alias("n10"),
         F.sum((1 - F.col("a")) * F.col("b")).cast("long").alias("n01"),
     )
-    diff = F.abs(F.col("n10") - F.col("n01"))
+    diff = F.greatest(F.abs(F.col("n10") - F.col("n01")) - 1, F.lit(0))
     stat = (
         F.when(F.col("n10") + F.col("n01") == 0, F.lit(0).cast("long"))
         .otherwise(
             F.round(
-                ((diff - 1) * (diff - 1)).cast("double")
+                (diff * diff).cast("double")
                 / (F.col("n10") + F.col("n01"))
                 * 1000000.0,
                 0,

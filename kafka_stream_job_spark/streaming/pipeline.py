@@ -34,6 +34,22 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from kafka_stream_job_spark.operators._portable import pround
+
+# Imported for their registration side effects BEFORE this module's
+# _register_* calls run: every streaming twin looks up its shared oracle
+# on the batch operator via REGISTRY[...], so this module must be
+# importable standalone (pytest collecting one test file, a user
+# importing only the streaming surface) — not just via all_specs()'s
+# alphabetical import order. No cycle: no batch operator module imports
+# this one at top level (formats.py does so lazily, inside functions).
+from kafka_stream_job_spark.operators import (  # noqa: F401
+    dedup as _dedup_reg,
+    pipeline as _pipeline_reg,
+    relational as _relational_reg,
+    similarity as _similarity_reg,
+    sketches as _sketches_reg,
+    text as _text_reg,
+)
 from kafka_stream_job_spark.tables import SCHEMAS
 
 
@@ -4785,9 +4801,13 @@ _register_streaming_bounce_rate()
 # with the batch twin. Ordering contract: micro-batch boundaries respect
 # event time per user (true for the file replay here and for a Kafka
 # source partitioned by user key with in-order per-partition delivery —
-# the reference's own ingestion guarantee); within a batch, rows are
-# sorted in Python before folding, so intra-batch arrival order never
-# matters.
+# the reference's own ingestion guarantee); within a batch, ALL of the
+# group's Arrow chunks are materialized and sorted ONCE by
+# (ts_us, event_id) before folding — a big user's micro-batch rows can
+# span multiple Arrow chunks (arrow.maxRecordsPerBatch, default 10k)
+# whose inter-chunk order after the shuffle is arbitrary, so a per-chunk
+# sort would fold out of event-time order at scale. Memory stays bounded
+# by per-user-per-batch volume (4 small columns), not corpus size.
 # ---------------------------------------------------------------------------
 def _register_streaming_self_excitation() -> None:
     import uuid
@@ -4822,12 +4842,16 @@ def _register_streaming_self_excitation() -> None:
             last_ts, last_eid = state.get if state.exists else (None, None)
             types: list[str] = []
             trig: list[int] = []
-            for pdf in pdfs:
-                if not len(pdf):
-                    continue
-                pdf = pdf.sort_values(["ts_us", "event_id"])
+            chunks = [pdf for pdf in pdfs if len(pdf)]
+            if chunks:
+                batch = (
+                    chunks[0]
+                    if len(chunks) == 1
+                    else pd.concat(chunks, ignore_index=True)
+                )
+                batch = batch.sort_values(["ts_us", "event_id"])
                 for ts_us, eid, etype in zip(
-                    pdf["ts_us"], pdf["event_id"], pdf["event_type"]
+                    batch["ts_us"], batch["event_id"], batch["event_type"]
                 ):
                     ts_us, eid = int(ts_us), int(eid)
                     triggered = int(

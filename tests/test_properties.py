@@ -5155,6 +5155,33 @@ def test_avi_parser_rejects_malformed():
         decode_avi_real(bytes(comp))
 
 
+def test_avi_parser_validates_strh_fields():
+    """Regression (r10 advice): strh was unpacked with a misaligned
+    layout, silently storing garbage. It now parses the canonical
+    AVISTREAMHEADER layout AND cross-checks dwLength against the movi
+    frame count and dwScale/dwRate against avih's dwMicroSecPerFrame —
+    so a lying strh (avih/movi agreeing) must raise."""
+    import struct
+
+    import pytest as _pytest
+
+    from kafka_stream_job_spark.operators.multimodal import decode_avi_real
+
+    good = _avi_bytes([[10] * 8, [20] * 8], 10)
+    at = good.find(b"strh")
+    # strh chunk: tag(4) size(4) fccType(4) fccHandler(4) dwFlags(4)
+    # wPriority(2) wLanguage(2) dwInitialFrames(4) dwScale(4) dwRate(4)
+    # dwStart(4) dwLength(4) ...
+    bad_len = bytearray(good)
+    bad_len[at + 40 : at + 44] = struct.pack("<I", 7)  # dwLength lies
+    with _pytest.raises(ValueError, match="strh dwLength"):
+        decode_avi_real(bytes(bad_len))
+    bad_rate = bytearray(good)
+    bad_rate[at + 28 : at + 32] = struct.pack("<I", 2)  # dwScale lies
+    with _pytest.raises(ValueError, match="scale/rate"):
+        decode_avi_real(bytes(bad_rate))
+
+
 # ---------------------------------------------------------------------------
 # Poisson-bootstrap weight thresholds — the frozen integers both engines
 # draw replica weights from. Pin their integrity: strictly increasing,

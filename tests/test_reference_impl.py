@@ -184,3 +184,81 @@ def test_bigram_lm_scores_match_pure_python_reference(spark, tmp_path):
             _pround((score / float(LM_UNATS)) / len(bgs), 4),
         )
     assert got == want
+
+
+def test_mcnemar_clamps_to_zero_at_symmetric_point(spark, tmp_path):
+    """Regression (r10 advice): the continuity-corrected McNemar
+    statistic is max(|n10-n01|-1, 0)^2/(n10+n01) — at the exactly
+    symmetric point n10 == n01 > 0 the clamp keeps it at 0, where the
+    unclamped (|0|-1)^2 = 1 overstated asymmetry. Both engines must
+    agree on the clamped form."""
+    import duckdb
+
+    from kafka_stream_job_spark.operators.pipeline import KAPPA_LEN_T
+
+    texts = [
+        # a=1 (long), b=0 (low type-token ratio): one token repeated
+        "word " * ((KAPPA_LEN_T // 5) + 10),
+        # a=0 (short), b=1 (all tokens distinct)
+        "alpha beta gamma",
+    ]
+    sf = _mk_docs_dir(tmp_path, texts)
+    spec = SPECS["rater_mcnemar_test"]
+    got = spec.fn(spark, sf).collect()
+    assert len(got) == 1
+    row = got[0].asDict()
+    assert (row["n10"], row["n01"]) == (1, 1), "fixture must hit n10==n01>0"
+    assert row["mcnemar_micro"] == 0
+
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM '{sf}/documents.parquet'"
+    )
+    oracle = con.execute(spec.oracle).fetchall()
+    con.close()
+    assert oracle == [(2, 1, 1, 0)]
+
+
+def test_neyman_key_survives_int64_overflow_scale(spark):
+    """Regression (r10 advice): the N_h·S_h variance key is computed in
+    DOUBLE — at 100 TB-scale strata (1e8 docs × 1e12 Σx²) the int64
+    product n_docs·Σx² exceeds 2^63, where DuckDB raises and Spark
+    silently wraps. Pin that (a) the planned expression matches the
+    Python float reference at overflow scale, and (b) the DuckDB form
+    of the fixed expression agrees, while the old BIGINT form errors."""
+    import duckdb
+
+    from kafka_stream_job_spark.operators.pipeline import neyman_key_micro_expr
+
+    n_docs, sum_len, sum_len_sq = 200_000_000, 10_000_000_000, 5_000_000_000_000
+    assert n_docs * sum_len_sq > 2**63  # the scale the fix is about
+    want = _round_half_away(
+        math.sqrt(
+            float(n_docs) * float(sum_len_sq) - float(sum_len) * float(sum_len)
+        )
+        * 1_000_000.0
+    )
+
+    df = spark.createDataFrame(
+        [(n_docs, sum_len, sum_len_sq)], "n_docs long, sum_len long, sum_len_sq long"
+    )
+    got = df.select(neyman_key_micro_expr()).collect()[0][0]
+    assert got == want
+
+    con = duckdb.connect()
+    fixed = con.execute(
+        f"""SELECT CAST(ROUND(sqrt(CAST({n_docs} AS DOUBLE)
+                                       * CAST({sum_len_sq} AS DOUBLE)
+                                   - CAST({sum_len} AS DOUBLE)
+                                       * CAST({sum_len} AS DOUBLE))
+                              * 1000000.0) AS BIGINT)"""
+    ).fetchone()[0]
+    assert fixed == want
+    with pytest.raises(duckdb.OutOfRangeException):
+        con.execute(
+            f"""SELECT sqrt(CAST(CAST({n_docs} AS BIGINT)
+                                     * CAST({sum_len_sq} AS BIGINT)
+                                 - CAST({sum_len} AS BIGINT)
+                                     * CAST({sum_len} AS BIGINT) AS DOUBLE))"""
+        )
+    con.close()

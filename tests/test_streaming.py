@@ -986,3 +986,31 @@ def test_semdedup_numpy_cosc_bitwise_equals_jvm(spark):
         f"mapInPandas fold and the JVM _dot/_norm cosine; first few: "
         f"{dict(list(diverged.items())[:3])}"
     )
+
+
+def test_self_excitation_fold_is_arrow_chunk_order_independent(spark):
+    """Regression (r10 advice): a user's micro-batch rows can span many
+    Arrow chunks (arrow.maxRecordsPerBatch) whose inter-chunk order is
+    arbitrary after the shuffle; the state fold must materialize and
+    sort the WHOLE batch by (ts_us, event_id) before folding, not sort
+    each chunk independently. Force one-row chunks so every group's
+    batch crosses chunk boundaries, then pin the streaming result to
+    the shared batch oracle."""
+    from kafka_stream_job_spark.registry import all_specs
+
+    from .conftest import SF_SMOKE, assert_matches_oracle
+
+    spec = all_specs()["streaming_self_excitation"]
+    key = "spark.sql.execution.arrow.maxRecordsPerBatch"
+    prev = spark.conf.get(key, None)
+    spark.conf.set(key, "1")
+    try:
+        df = spec.fn(spark, SF_SMOKE)
+        assert_matches_oracle(
+            spark, SF_SMOKE, df, spec.oracle, "streaming_self_excitation"
+        )
+    finally:
+        if prev is None:
+            spark.conf.unset(key)
+        else:
+            spark.conf.set(key, prev)
