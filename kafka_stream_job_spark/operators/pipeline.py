@@ -2397,6 +2397,13 @@ def corpus_weights_ess(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("w_ppm").cast("long").alias("sum_w_ppm"),
         F.sum(F.col("w_ppm") * F.col("w_ppm")).cast("long").alias("sum_w2"),
     )
+    return ess_assemble(g)
+
+
+def ess_assemble(g: DataFrame) -> DataFrame:
+    """Kish ESS report from per-source weight moments (source, n_docs,
+    sum_w_ppm, sum_w2) — shared verbatim by the batch query above and
+    its streaming twin, so both check against the SAME oracle."""
     return g.select(
         "source",
         "n_docs",
@@ -2591,6 +2598,13 @@ def neyman_allocation_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(ln).cast("long").alias("sum_len"),
         F.sum(ln * ln).cast("long").alias("sum_len_sq"),
     )
+    return neyman_assemble(m)
+
+
+def neyman_assemble(m: DataFrame) -> DataFrame:
+    """Allocation plan from per-lang moments (lang, n_docs, sum_len,
+    sum_len_sq) — shared verbatim by the batch query above and its
+    streaming twin, so both check against the SAME oracle."""
     k = m.select("lang", "n_docs", "sum_len", neyman_key_micro_expr())
     t = k.agg(F.sum("neyman_key_micro").cast("long").alias("total"))
     return k.crossJoin(F.broadcast(t)).select(
@@ -2858,3 +2872,101 @@ def rater_mcnemar_test(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("mcnemar_micro")
     )
     return c.select(F.col("n").alias("n_docs"), "n10", "n01", stat)
+
+
+# ---------------------------------------------------------------------------
+# RATER-DRIFT ASSEMBLY — kappa + McNemar over ONE confusion table, the
+# combined report a live annotation-QC monitor emits: kappa answers "do
+# the raters agree beyond chance", McNemar answers "is their
+# disagreement symmetric". Shared by the streaming twin
+# (streaming_rater_drift_monitor), whose only stateful piece is the
+# five int64 confusion sums in JVM agg state; everything here is the
+# post-stream assembly, so batch and stream check the SAME oracle.
+# ---------------------------------------------------------------------------
+RATER_DRIFT_ORACLE = f"""
+    WITH r AS (
+        SELECT CASE WHEN length(text) >= {KAPPA_LEN_T} THEN 1 ELSE 0 END
+                   AS a,
+               CASE WHEN 2 * len(list_distinct(string_split(
+                        LOWER(TRIM(regexp_replace(text, '\\s+', ' ', 'g'))),
+                        ' ')))
+                    >= len(string_split(
+                        LOWER(TRIM(regexp_replace(text, '\\s+', ' ', 'g'))),
+                        ' '))
+                    THEN 1 ELSE 0 END AS b
+        FROM documents
+    ),
+    c AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(a * b) AS BIGINT) AS n11,
+               CAST(SUM(a * (1 - b)) AS BIGINT) AS n10,
+               CAST(SUM((1 - a) * b) AS BIGINT) AS n01,
+               CAST(SUM((1 - a) * (1 - b)) AS BIGINT) AS n00
+        FROM r
+    )
+    SELECT n AS n_docs, n11, n10, n01, n00,
+           CASE WHEN n * n = (n11 + n10) * (n11 + n01)
+                             + (n01 + n00) * (n10 + n00)
+                THEN CAST(0 AS BIGINT)
+                ELSE CAST(ROUND(
+                    CAST(n * (n11 + n00)
+                         - ((n11 + n10) * (n11 + n01)
+                            + (n01 + n00) * (n10 + n00)) AS DOUBLE)
+                    / (n * n - ((n11 + n10) * (n11 + n01)
+                                + (n01 + n00) * (n10 + n00)))
+                    * 1000000.0) AS BIGINT) END AS kappa_micro,
+           CASE WHEN n10 + n01 = 0 THEN CAST(0 AS BIGINT)
+                ELSE CAST(ROUND(
+                    CAST(greatest(abs(n10 - n01) - 1, 0)
+                         * greatest(abs(n10 - n01) - 1, 0)
+                         AS DOUBLE) / (n10 + n01) * 1000000.0)
+                    AS BIGINT) END AS mcnemar_micro
+    FROM c
+"""
+
+
+def rater_ab_cols() -> tuple[Column, Column]:
+    """The two deterministic binary raters (length, type-token ratio) —
+    one definition feeds kappa, McNemar, and the streaming monitor."""
+    toks = F.split(F.lower(F.trim(F.regexp_replace("text", r"\s+", " "))), " ")
+    a = (F.length("text") >= KAPPA_LEN_T).cast("long")
+    b = (2 * F.size(F.array_distinct(toks)) >= F.size(toks)).cast("long")
+    return a, b
+
+
+def rater_drift_assemble(c: DataFrame) -> DataFrame:
+    """kappa_micro + clamped mcnemar_micro from one confusion row
+    (n, n11, n10, n01, n00)."""
+    pe_num = (F.col("n11") + F.col("n10")) * (F.col("n11") + F.col("n01")) + (
+        F.col("n01") + F.col("n00")
+    ) * (F.col("n10") + F.col("n00"))
+    kappa = (
+        F.when(F.col("n") * F.col("n") == pe_num, F.lit(0).cast("long"))
+        .otherwise(
+            F.round(
+                (
+                    F.col("n") * (F.col("n11") + F.col("n00")) - pe_num
+                ).cast("double")
+                / (F.col("n") * F.col("n") - pe_num)
+                * 1000000.0,
+                0,
+            ).cast("long")
+        )
+        .alias("kappa_micro")
+    )
+    diff = F.greatest(F.abs(F.col("n10") - F.col("n01")) - 1, F.lit(0))
+    mcnemar = (
+        F.when(F.col("n10") + F.col("n01") == 0, F.lit(0).cast("long"))
+        .otherwise(
+            F.round(
+                (diff * diff).cast("double")
+                / (F.col("n10") + F.col("n01"))
+                * 1000000.0,
+                0,
+            ).cast("long")
+        )
+        .alias("mcnemar_micro")
+    )
+    return c.select(
+        F.col("n").alias("n_docs"), "n11", "n10", "n01", "n00", kappa, mcnemar
+    )

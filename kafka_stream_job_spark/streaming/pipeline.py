@@ -5026,3 +5026,208 @@ def _register_streaming_bootstrap_ci() -> None:
 
 
 _register_streaming_bootstrap_ci()
+
+
+# ---------------------------------------------------------------------------
+# STREAMING RATER-DRIFT MONITOR — the live twin of the annotation-QC
+# pair quality_rater_agreement_kappa + rater_mcnemar_test, composed into
+# ONE report: per-micro-batch the stream folds each document's two
+# binary rater verdicts into the 2x2 confusion table — five int64 sums
+# in BUILT-IN JVM agg state (constant size, commutative) — and the
+# kappa + clamped-McNemar assembly runs post-stream over the converged
+# counts via the SHARED rater_drift_assemble. A live kappa collapse or
+# McNemar skew flags rater-calibration drift mid-ingest, before a
+# poisoned label batch reaches training.
+# ---------------------------------------------------------------------------
+def _register_streaming_rater_drift() -> None:
+    import uuid
+
+    from kafka_stream_job_spark.operators.pipeline import (
+        RATER_DRIFT_ORACLE,
+        rater_ab_cols,
+        rater_drift_assemble,
+    )
+    from kafka_stream_job_spark.registry import register
+
+    @register(
+        "streaming_rater_drift_monitor",
+        oracle=RATER_DRIFT_ORACLE,
+        tags=("streaming", "stateful", "agreement", "annotation",
+              "documents"),
+    )
+    def streaming_rater_drift_monitor(
+        spark: SparkSession, sf_dir: str
+    ) -> DataFrame:
+        import tempfile
+
+        src, stage = _stage_stream_source(
+            sf_dir, "documents", "/tmp/ksj_stream_stage_documents"
+        )
+        raw_schema = spark.read.parquet(src).schema
+        docs = spark.readStream.schema(raw_schema).parquet(stage)
+        a, b = rater_ab_cols()
+        r = docs.select(a.alias("a"), b.alias("b"))
+        agg = r.groupBy().agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum(F.col("a") * F.col("b")).cast("long").alias("n11"),
+            F.sum(F.col("a") * (1 - F.col("b"))).cast("long").alias("n10"),
+            F.sum((1 - F.col("a")) * F.col("b")).cast("long").alias("n01"),
+            F.sum((1 - F.col("a")) * (1 - F.col("b")))
+            .cast("long")
+            .alias("n00"),
+        )
+        name = f"stream_raterdrift_{uuid.uuid4().hex[:8]}"
+        ckpt = tempfile.mkdtemp(prefix="ksj-stream-raterdrift-")
+        emitted = run_stream_to_memory(
+            spark, agg, name, ckpt, output_mode="complete"
+        )
+        # complete-mode re-emissions: the converged row has max n
+        converged = emitted.orderBy(F.col("n").desc()).limit(1)
+        return rater_drift_assemble(converged)
+
+
+_register_streaming_rater_drift()
+
+
+# ---------------------------------------------------------------------------
+# STREAMING NEYMAN ALLOCATION — the live twin of neyman_allocation_plan:
+# per-lang doc counts and length moments (three int64s per stratum)
+# accumulate in BUILT-IN JVM agg state; the variance-key + half-up
+# budget split runs post-stream over the converged moments via the
+# SHARED neyman_assemble, oracle verbatim from the batch planner. The
+# emission series is the planning signal: an eval-budget allocation that
+# keeps shifting mid-ingest means stratum variances have not converged
+# and labeling should wait.
+# ---------------------------------------------------------------------------
+def _register_streaming_neyman_allocation() -> None:
+    import uuid
+
+    from kafka_stream_job_spark.operators.pipeline import neyman_assemble
+    from kafka_stream_job_spark.registry import REGISTRY, register
+
+    oracle = REGISTRY["neyman_allocation_plan"].oracle
+
+    @register(
+        "streaming_neyman_allocation",
+        oracle=oracle,
+        tags=("streaming", "stateful", "sampling", "stratified",
+              "documents"),
+    )
+    def streaming_neyman_allocation(
+        spark: SparkSession, sf_dir: str
+    ) -> DataFrame:
+        import tempfile
+
+        src, stage = _stage_stream_source(
+            sf_dir, "documents", "/tmp/ksj_stream_stage_documents"
+        )
+        raw_schema = spark.read.parquet(src).schema
+        docs = spark.readStream.schema(raw_schema).parquet(stage)
+        ln = F.length("text").cast("long")
+        m = docs.groupBy("lang").agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum(ln).cast("long").alias("sum_len"),
+            F.sum(ln * ln).cast("long").alias("sum_len_sq"),
+        )
+        name = f"stream_neyman_{uuid.uuid4().hex[:8]}"
+        ckpt = tempfile.mkdtemp(prefix="ksj-stream-neyman-")
+        emitted = run_stream_to_memory(
+            spark, m, name, ckpt, output_mode="update"
+        )
+        # update-mode emissions: later batches supersede earlier rows for
+        # the same lang; all three moments are monotone, so max per key
+        # converges. localCheckpoint pins the converged moments — the
+        # assembly broadcasts their total back against the same lineage.
+        converged = (
+            emitted.groupBy("lang")
+            .agg(
+                F.max("n_docs").cast("long").alias("n_docs"),
+                F.max("sum_len").cast("long").alias("sum_len"),
+                F.max("sum_len_sq").cast("long").alias("sum_len_sq"),
+            )
+            .localCheckpoint(eager=False)
+        )
+        return neyman_assemble(converged)
+
+
+_register_streaming_neyman_allocation()
+
+
+# ---------------------------------------------------------------------------
+# STREAMING EFFECTIVE-SAMPLE-SIZE MONITOR — the live twin of
+# corpus_weights_ess: the only stateful piece is the (fingerprint,
+# source) duplicate-count — BUILT-IN JVM streaming aggregation keyed by
+# content fingerprint, the same state shape as streaming dedup — and the
+# Kish ESS assembly runs post-stream: per-fingerprint totals give each
+# duplicate its 1/c down-weight, every doc in a (fingerprint, source)
+# group shares that weight, so the per-source weight moments are exact
+# integer products of the converged counts. Oracle verbatim from the
+# batch profiler; a falling live ESS ratio means the stream is
+# re-ingesting duplicated content and the effective corpus has stopped
+# growing.
+# ---------------------------------------------------------------------------
+def _register_streaming_ess_monitor() -> None:
+    import uuid
+
+    from kafka_stream_job_spark.operators._portable import idiv
+    from kafka_stream_job_spark.operators.pipeline import ess_assemble
+    from kafka_stream_job_spark.registry import REGISTRY, register
+
+    oracle = REGISTRY["corpus_weights_ess"].oracle
+
+    @register(
+        "streaming_ess_monitor",
+        oracle=oracle,
+        tags=("streaming", "stateful", "dedup", "weights", "documents"),
+    )
+    def streaming_ess_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
+        import tempfile
+
+        src, stage = _stage_stream_source(
+            sf_dir, "documents", "/tmp/ksj_stream_stage_documents"
+        )
+        raw_schema = spark.read.parquet(src).schema
+        docs = spark.readStream.schema(raw_schema).parquet(stage)
+        fp = docs.select(
+            "source",
+            F.md5(
+                F.lower(F.trim(F.regexp_replace("text", r"\s+", " ")))
+            ).alias("fingerprint"),
+        )
+        counted = fp.groupBy("fingerprint", "source").agg(
+            F.count(F.lit(1)).cast("long").alias("c_fs")
+        )
+        name = f"stream_ess_{uuid.uuid4().hex[:8]}"
+        ckpt = tempfile.mkdtemp(prefix="ksj-stream-ess-")
+        emitted = run_stream_to_memory(
+            spark, counted, name, ckpt, output_mode="update"
+        )
+        # update-mode emissions converge per key at max(c_fs);
+        # localCheckpoint pins them — sizes joins the table against
+        # itself (per-fingerprint totals vs per-(fp, source) groups).
+        c_fs = (
+            emitted.groupBy("fingerprint", "source")
+            .agg(F.max("c_fs").cast("long").alias("c_fs"))
+            .localCheckpoint(eager=False)
+        )
+        sizes = c_fs.groupBy("fingerprint").agg(
+            F.sum("c_fs").cast("long").alias("c")
+        )
+        w = c_fs.join(sizes, "fingerprint").select(
+            "source",
+            "c_fs",
+            idiv(F.lit(1_000_000), F.col("c")).alias("w_ppm"),
+        )
+        g = w.groupBy("source").agg(
+            F.sum("c_fs").cast("long").alias("n_docs"),
+            F.sum(F.col("c_fs") * F.col("w_ppm"))
+            .cast("long")
+            .alias("sum_w_ppm"),
+            F.sum(F.col("c_fs") * F.col("w_ppm") * F.col("w_ppm"))
+            .cast("long")
+            .alias("sum_w2"),
+        )
+        return ess_assemble(g)
+
+
+_register_streaming_ess_monitor()
