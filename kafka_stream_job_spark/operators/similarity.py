@@ -4121,3 +4121,225 @@ def embedding_isotropy_proxy(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("mean_cos_micro"),
     )
+
+
+# ---------------------------------------------------------------------------
+# ANN PIPELINE COMPOSITION — the IVF funnel as ONE attributed report,
+# mirroring dedup_pipeline_composition on the similarity side: stage 1
+# samples the centroid codebook, stage 2 assigns the corpus (cell count
+# + worst-cell share = the balance signal that predicts tail latency at
+# 100 TB), stages 3..2+|grid| replay the recall/nprobe trade-off from a
+# single candidate-generation pass (ivf_nprobe_sweep's shape), and the
+# final stage commits the operating point: the smallest nprobe whose
+# recall@TOP_K clears ANN_RECALL_TARGET_BP, falling back to the largest
+# probed. One table a platform team reads before a rollout — every row
+# is (stage_idx, stage, n_in, n_out, metric_bp) in exact integers.
+# ---------------------------------------------------------------------------
+ANN_RECALL_TARGET_BP = 4_000
+
+
+def _ann_composition_oracle() -> str:
+    grid_vals = ", ".join(f"({np})" for np in NPROBE_GRID)
+    grididx_vals = ", ".join(
+        f"({np}, {i + 3})" for i, np in enumerate(NPROBE_GRID)
+    )
+    choice_idx = 3 + len(NPROBE_GRID)
+    return f"""
+        WITH centroids AS MATERIALIZED (
+            SELECT vec_id AS cent_id, embedding AS c_emb
+            FROM embeddings
+            WHERE {_IVF_HASH_SQL} % {IVF_SAMPLE_MOD} = 0
+        ),
+        assign AS MATERIALIZED (
+            SELECT vec_id, embedding, cent_id AS cell FROM (
+                SELECT e.vec_id, e.embedding, c.cent_id,
+                       ROW_NUMBER() OVER (
+                           PARTITION BY e.vec_id
+                           ORDER BY {_DIST_SQL.format(a='e.embedding', b='c.c_emb')},
+                                    c.cent_id
+                       ) AS rn
+                FROM embeddings e CROSS JOIN centroids c
+            ) WHERE rn = 1
+        ),
+        probes AS (
+            SELECT vec_id AS query_id, embedding AS q_emb, cent_id AS cell,
+                   rn AS p_rn
+            FROM (
+                SELECT e.vec_id, e.embedding, c.cent_id,
+                       ROW_NUMBER() OVER (
+                           PARTITION BY e.vec_id
+                           ORDER BY {_DIST_SQL.format(a='e.embedding', b='c.c_emb')},
+                                    c.cent_id
+                       ) AS rn
+                FROM embeddings e CROSS JOIN centroids c
+                WHERE e.vec_id < {N_QUERIES}
+            ) WHERE rn <= {max(NPROBE_GRID)}
+        ),
+        cand AS (
+            SELECT p.query_id, p.p_rn, a.vec_id AS neighbor_id,
+                   {_DOT_SQL.format(a='p.q_emb', b='a.embedding')}
+                   / ({_NORM_SQL.format(a='p.q_emb')}
+                      * {_NORM_SQL.format(a='a.embedding')}) AS cos_raw
+            FROM probes p
+            JOIN assign a ON a.cell = p.cell AND a.vec_id <> p.query_id
+        ),
+        grid(np) AS (VALUES {grid_vals}),
+        grididx(np, sidx) AS (VALUES {grididx_vals}),
+        approx AS (
+            SELECT np, query_id, neighbor_id FROM (
+                SELECT g.np, c.query_id, c.neighbor_id,
+                       ROW_NUMBER() OVER (
+                           PARTITION BY g.np, c.query_id
+                           ORDER BY c.cos_raw DESC, c.neighbor_id) AS rank
+                FROM cand c JOIN grid g ON c.p_rn <= g.np
+            ) WHERE rank <= {TOP_K}
+        ),
+        exact AS MATERIALIZED (
+            SELECT query_id, neighbor_id FROM (
+                SELECT q.vec_id AS query_id, d.vec_id AS neighbor_id,
+                       ROW_NUMBER() OVER (
+                           PARTITION BY q.vec_id
+                           ORDER BY {_dot_qd} / ({_norm_q} * {_norm_d}) DESC,
+                                    d.vec_id) AS rank
+                FROM embeddings q
+                JOIN embeddings d ON d.vec_id <> q.vec_id
+                WHERE q.vec_id < {N_QUERIES}
+            ) WHERE rank <= {TOP_K}
+        ),
+        tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_exact FROM exact),
+        hits AS (
+            SELECT a.np, CAST(COUNT(*) AS BIGINT) AS n_hits
+            FROM approx a
+            JOIN exact e ON e.query_id = a.query_id
+                        AND e.neighbor_id = a.neighbor_id
+            GROUP BY 1
+        ),
+        sweep AS MATERIALIZED (
+            SELECT CAST(g.np AS BIGINT) AS np, t.n_exact,
+                   COALESCE(h.n_hits, CAST(0 AS BIGINT)) AS n_hits,
+                   CAST((2 * COALESCE(h.n_hits, CAST(0 AS BIGINT)) * 10000
+                         + t.n_exact) // (2 * t.n_exact) AS BIGINT)
+                       AS recall_bp
+            FROM grid g CROSS JOIN tot t LEFT JOIN hits h ON h.np = g.np
+        ),
+        nv AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_vec FROM embeddings),
+        nc AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_cent FROM centroids),
+        cells AS (
+            SELECT CAST(COUNT(*) AS BIGINT) AS n_cells,
+                   CAST(MAX(c) AS BIGINT) AS max_cell
+            FROM (SELECT cell, COUNT(*) AS c FROM assign GROUP BY 1)
+        ),
+        choice AS (
+            SELECT COALESCE(
+                MIN(CASE WHEN recall_bp >= {ANN_RECALL_TARGET_BP}
+                         THEN np END),
+                {max(NPROBE_GRID)}) AS np
+            FROM sweep
+        )
+        SELECT CAST(1 AS BIGINT) AS stage_idx, 'build_centroids' AS stage,
+               nv.n_vec AS n_in, nc.n_cent AS n_out,
+               (nc.n_cent * 2 * 10000 + nv.n_vec) // (2 * nv.n_vec)
+                   AS metric_bp
+        FROM nv, nc
+        UNION ALL
+        SELECT CAST(2 AS BIGINT), 'assign_cells', nv.n_vec, cells.n_cells,
+               (cells.max_cell * 2 * 10000 + nv.n_vec) // (2 * nv.n_vec)
+        FROM nv, cells
+        UNION ALL
+        SELECT CAST(gi.sidx AS BIGINT),
+               'probe_np' || CAST(s.np AS VARCHAR),
+               s.n_exact, s.n_hits, s.recall_bp
+        FROM sweep s JOIN grididx gi ON gi.np = s.np
+        UNION ALL
+        SELECT CAST({choice_idx} AS BIGINT), 'nprobe_choice',
+               CAST({ANN_RECALL_TARGET_BP} AS BIGINT), s.np, s.recall_bp
+        FROM choice c JOIN sweep s ON s.np = c.np
+    """
+
+
+@register(
+    "ann_pipeline_composition",
+    oracle=_ann_composition_oracle(),
+    tags=("similarity", "ivf", "pipeline", "funnel", "embeddings"),
+)
+def ann_pipeline_composition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    emb = load_table(spark, sf_dir, "embeddings", rebalance=True)
+    ivf_hash = F.conv(
+        F.substring(
+            F.md5(F.concat(F.lit("ivf:"), F.col("vec_id").cast("string"))), 1, 7
+        ),
+        16,
+        10,
+    ).cast("long")
+    centroids = emb.filter(ivf_hash % IVF_SAMPLE_MOD == 0).select(
+        F.col("vec_id").alias("cent_id"), F.col("embedding").alias("c_emb")
+    )
+    dist = _l2sq(F.col("embedding"), F.col("c_emb"))
+    w = Window.partitionBy("vec_id").orderBy("dist", "cent_id")
+    assign = (
+        emb.crossJoin(F.broadcast(centroids))
+        .select("vec_id", "cent_id", dist.alias("dist"))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", F.col("cent_id").alias("cell"))
+    )
+    nv = emb.agg(F.count(F.lit(1)).cast("long").alias("n_vec"))
+    nc = centroids.agg(F.count(F.lit(1)).cast("long").alias("n_cent"))
+    cells = (
+        assign.groupBy("cell")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_cells"),
+            F.max("c").cast("long").alias("max_cell"),
+        )
+    )
+    s1 = nv.crossJoin(F.broadcast(nc)).select(
+        F.lit(1).cast("long").alias("stage_idx"),
+        F.lit("build_centroids").alias("stage"),
+        F.col("n_vec").alias("n_in"),
+        F.col("n_cent").alias("n_out"),
+        idiv(
+            F.col("n_cent") * 2 * 10000 + F.col("n_vec"), 2 * F.col("n_vec")
+        ).alias("metric_bp"),
+    )
+    s2 = nv.crossJoin(F.broadcast(cells)).select(
+        F.lit(2).cast("long").alias("stage_idx"),
+        F.lit("assign_cells").alias("stage"),
+        F.col("n_vec").alias("n_in"),
+        F.col("n_cells").alias("n_out"),
+        idiv(
+            F.col("max_cell") * 2 * 10000 + F.col("n_vec"), 2 * F.col("n_vec")
+        ).alias("metric_bp"),
+    )
+    sweep = ivf_nprobe_sweep(spark, sf_dir)
+    grididx = spark.createDataFrame(
+        [(np, i + 3) for i, np in enumerate(NPROBE_GRID)],
+        "np long, sidx long",
+    )
+    s3 = sweep.join(F.broadcast(grididx), "np").select(
+        F.col("sidx").alias("stage_idx"),
+        F.concat(F.lit("probe_np"), F.col("np").cast("string")).alias("stage"),
+        F.col("n_exact").alias("n_in"),
+        F.col("n_hits").alias("n_out"),
+        F.col("recall_bp").alias("metric_bp"),
+    )
+    chosen = sweep.agg(
+        F.coalesce(
+            F.min(
+                F.when(
+                    F.col("recall_bp") >= ANN_RECALL_TARGET_BP, F.col("np")
+                )
+            ),
+            F.lit(max(NPROBE_GRID)).cast("long"),
+        ).alias("np")
+    )
+    s4 = chosen.join(sweep, "np").select(
+        F.lit(3 + len(NPROBE_GRID)).cast("long").alias("stage_idx"),
+        F.lit("nprobe_choice").alias("stage"),
+        F.lit(ANN_RECALL_TARGET_BP).cast("long").alias("n_in"),
+        F.col("np").alias("n_out"),
+        F.col("recall_bp").alias("metric_bp"),
+    )
+    return s1.unionByName(s2).unionByName(s3).unionByName(s4)
