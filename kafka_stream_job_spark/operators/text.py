@@ -4907,3 +4907,472 @@ def spearman_len_vs_ttr(spark: SparkSession, sf_dir: str) -> DataFrame:
     return mo.select(
         "n", F.round(num / den * 1000000.0, 0).cast("long").alias("rho_micro")
     )
+
+
+# ---------------------------------------------------------------------------
+# UNIGRAM-LM TOKENIZER FIT — sentencepiece-style unigram tokenizer
+# training re-expressed as bounded-domain relational algebra, the piece
+# inventory BPE cannot produce (BPE greedily merges; unigram fits a
+# piece LM and SEGMENTS, so "interesting" can become inter+est+ing in
+# one step). Hard-EM (Viterbi) with everything deterministic and
+# integer:
+#   - words are normalized whitespace tokens, chunked into consecutive
+#     UNI_BLOCK-char blocks (first UNI_MAX_TOK chars; a 100 TB corpus
+#     has unbounded token lengths — the chunking bounds the
+#     segmentation domain without dropping data);
+#   - candidate pieces = every 1..UNI_PIECE_MAX-char substring of any
+#     block, initial counts = occurrence counts (the standard unigram
+#     seed vocabulary);
+#   - the E-step ENUMERATES all segmentations: a length-L block has
+#     compositions-of-L-into-parts<=UNI_PIECE_MAX segmentations
+#     (<=108 for L=8), precomputed ONCE in Python as _UNI_SPINE and
+#     embedded verbatim in BOTH engines (the _JL_PLANES lesson: one
+#     definition, two engines) — no recursive DP, just a bounded-domain
+#     join, and it runs over DISTINCT blocks weighted by count, so the
+#     Zipf head costs one row no matter how often the word repeats;
+#   - piece log-probs are integer micro-nats (ROUND(ln(p)*1e6) — the
+#     bigram_lm_score idiom), the Viterbi argmax is an integer-sum
+#     ORDER BY score DESC, mask ASC — bit-stable on any engine;
+#   - two EM rounds: seed counts -> Viterbi -> re-estimated (add-1
+#     smoothed over the seed vocabulary) -> Viterbi -> final counts.
+# tokenizer_unigram_fit reports the UNI_TOPN head of the fitted
+# vocabulary; tokenizer_unigram_fertility applies the SAME fitted
+# segmentation back to the corpus and reports per-lang fertility
+# (pieces per token) — the under-served-language signal a tokenizer
+# rollout is judged on. Both engines share the CTE chain verbatim via
+# _uni_cte_chain().
+# ---------------------------------------------------------------------------
+UNI_BLOCK = 8       # segmentation block width (chars)
+UNI_PIECE_MAX = 4   # longest candidate piece
+UNI_MAX_TOK = 64    # chars of a token that contribute blocks
+UNI_TOPN = 20
+
+
+def _uni_spine() -> list[tuple[int, int, int, int]]:
+    """(block_len, mask, start, seg_len) rows enumerating every
+    segmentation of a 1..UNI_BLOCK-char block into pieces of length
+    <= UNI_PIECE_MAX. mask bit k set = cut after char k+1; the mask is
+    the deterministic tie-break identity of a segmentation."""
+    rows = []
+    for blen in range(1, UNI_BLOCK + 1):
+        for mask in range(1 << (blen - 1)):
+            segs = []
+            prev = 0
+            ok = True
+            for pos in range(1, blen + 1):
+                if pos == blen or (mask >> (pos - 1)) & 1:
+                    slen = pos - prev
+                    if slen > UNI_PIECE_MAX:
+                        ok = False
+                        break
+                    segs.append((prev + 1, slen))
+                    prev = pos
+            if ok:
+                rows.extend((blen, mask, s, l) for s, l in segs)
+    return rows
+
+
+_UNI_SPINE = _uni_spine()
+
+
+def _uni_cte_chain() -> str:
+    """The shared CTE chain: normalized tokens -> per-(lang, block)
+    counts -> seed vocabulary -> two Viterbi-EM rounds -> best2 (the
+    converged per-block segmentation choice). Both unigram oracles
+    append their own report on top of this verbatim prefix."""
+    spine_vals = ", ".join(
+        f"({b}, {m}, {s}, {l})" for b, m, s, l in _UNI_SPINE
+    )
+    kmax = UNI_MAX_TOK // UNI_BLOCK - 1
+    k_vals = ", ".join(f"({k})" for k in range(kmax + 1))
+    i_vals = ", ".join(f"({i})" for i in range(1, UNI_BLOCK + 1))
+    l_vals = ", ".join(f"({l})" for l in range(1, UNI_PIECE_MAX + 1))
+    return f"""
+        toks AS (
+            SELECT lang,
+                   unnest(string_split({_BL_NORM_SQL}, ' ')) AS tok
+            FROM documents
+        ),
+        kspine(k) AS (VALUES {k_vals}),
+        blc AS MATERIALIZED (
+            SELECT lang, block, CAST(COUNT(*) AS BIGINT) AS c FROM (
+                SELECT lang,
+                       substr(tok, k * {UNI_BLOCK} + 1, {UNI_BLOCK}) AS block
+                FROM toks JOIN kspine
+                  ON k * {UNI_BLOCK} < least(length(tok), {UNI_MAX_TOK})
+                WHERE tok <> ''
+            ) GROUP BY 1, 2
+        ),
+        bcnt AS MATERIALIZED (
+            SELECT block, CAST(SUM(c) AS BIGINT) AS c FROM blc GROUP BY 1
+        ),
+        ispine(i) AS (VALUES {i_vals}),
+        lspine(l) AS (VALUES {l_vals}),
+        cands AS MATERIALIZED (
+            SELECT substr(block, i, l) AS piece,
+                   CAST(SUM(c) AS BIGINT) AS cnt0
+            FROM bcnt
+            JOIN ispine ON i <= length(block)
+            JOIN lspine ON l <= least({UNI_PIECE_MAX}, length(block) - i + 1)
+            GROUP BY 1
+        ),
+        tot0 AS (SELECT CAST(SUM(cnt0) AS BIGINT) AS t FROM cands),
+        v0 AS (SELECT CAST(COUNT(*) AS BIGINT) AS v FROM cands),
+        cost0 AS MATERIALIZED (
+            SELECT piece,
+                   CAST(ROUND(ln(cnt0 * 1.0 / t) * 1000000.0) AS BIGINT)
+                       AS lp
+            FROM cands, tot0
+        ),
+        spine(blen, mask, start, slen) AS (VALUES {spine_vals}),
+        seg1 AS (
+            SELECT b.block, s.mask,
+                   CAST(SUM(c0.lp) AS BIGINT) AS score
+            FROM bcnt b
+            JOIN spine s ON s.blen = length(b.block)
+            JOIN cost0 c0 ON c0.piece = substr(b.block, s.start, s.slen)
+            GROUP BY 1, 2
+        ),
+        best1 AS MATERIALIZED (
+            SELECT block, mask FROM (
+                SELECT block, mask,
+                       ROW_NUMBER() OVER (
+                           PARTITION BY block
+                           ORDER BY score DESC, mask) AS rn
+                FROM seg1
+            ) WHERE rn = 1
+        ),
+        cnt1 AS MATERIALIZED (
+            SELECT substr(b.block, s.start, s.slen) AS piece,
+                   CAST(SUM(b.c) AS BIGINT) AS cnt
+            FROM bcnt b
+            JOIN best1 w ON w.block = b.block
+            JOIN spine s ON s.blen = length(b.block) AND s.mask = w.mask
+            GROUP BY 1
+        ),
+        tot1 AS (SELECT CAST(SUM(cnt) AS BIGINT) AS t FROM cnt1),
+        cost1 AS MATERIALIZED (
+            SELECT ca.piece,
+                   CAST(ROUND(ln((COALESCE(c1.cnt, 0) + 1) * 1.0 / (t + v))
+                              * 1000000.0) AS BIGINT) AS lp
+            FROM cands ca LEFT JOIN cnt1 c1 ON c1.piece = ca.piece,
+                 tot1, v0
+        ),
+        seg2 AS (
+            SELECT b.block, s.mask,
+                   CAST(SUM(c1.lp) AS BIGINT) AS score
+            FROM bcnt b
+            JOIN spine s ON s.blen = length(b.block)
+            JOIN cost1 c1 ON c1.piece = substr(b.block, s.start, s.slen)
+            GROUP BY 1, 2
+        ),
+        best2 AS MATERIALIZED (
+            SELECT block, mask FROM (
+                SELECT block, mask,
+                       ROW_NUMBER() OVER (
+                           PARTITION BY block
+                           ORDER BY score DESC, mask) AS rn
+                FROM seg2
+            ) WHERE rn = 1
+        )"""
+
+
+def _unigram_fit_oracle() -> str:
+    return f"""
+        WITH {_uni_cte_chain()},
+        cnt2 AS MATERIALIZED (
+            SELECT substr(b.block, s.start, s.slen) AS piece,
+                   CAST(SUM(b.c) AS BIGINT) AS n_uses
+            FROM bcnt b
+            JOIN best2 w ON w.block = b.block
+            JOIN spine s ON s.blen = length(b.block) AND s.mask = w.mask
+            GROUP BY 1
+        ),
+        tot2 AS (SELECT CAST(SUM(n_uses) AS BIGINT) AS t FROM cnt2)
+        SELECT CAST(ROW_NUMBER() OVER (ORDER BY n_uses DESC, piece)
+                    AS BIGINT) AS rank,
+               piece,
+               CAST(length(piece) AS BIGINT) AS piece_len,
+               n_uses,
+               CAST(ROUND(ln((n_uses + 1) * 1.0 / (t + v)) * 1000000.0)
+                    AS BIGINT) AS lp_micro
+        FROM cnt2, tot2, v0
+        ORDER BY n_uses DESC, piece
+        LIMIT {UNI_TOPN}
+    """
+
+
+def _unigram_fertility_oracle() -> str:
+    return f"""
+        WITH {_uni_cte_chain()},
+        ppb AS (
+            SELECT w.block, CAST(COUNT(*) AS BIGINT) AS np
+            FROM best2 w
+            JOIN spine s ON s.blen = length(w.block) AND s.mask = w.mask
+            GROUP BY 1
+        ),
+        langtok AS (
+            SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_tokens
+            FROM toks WHERE tok <> '' GROUP BY 1
+        ),
+        langpieces AS (
+            SELECT b.lang,
+                   CAST(SUM(b.c) AS BIGINT) AS n_blocks,
+                   CAST(SUM(b.c * p.np) AS BIGINT) AS n_pieces
+            FROM blc b JOIN ppb p ON p.block = b.block
+            GROUP BY 1
+        )
+        SELECT t.lang, t.n_tokens, g.n_blocks, g.n_pieces,
+               (g.n_pieces * 2 * 10000 + t.n_tokens)
+                   // (2 * t.n_tokens) AS fertility_bp
+        FROM langtok t JOIN langpieces g ON g.lang = t.lang
+    """
+
+
+def _uni_spine_df(spark: SparkSession) -> DataFrame:
+    return spark.createDataFrame(
+        _UNI_SPINE, "blen int, mask long, start int, slen int"
+    )
+
+
+def _uni_blc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(lang, block, c): per-lang distinct-block counts — the Zipf-head
+    compression every downstream stage rides on."""
+    docs = load_table(spark, sf_dir, "documents")
+    norm = F.lower(F.trim(F.regexp_replace("text", r"\s+", " ")))
+    toks = docs.select(
+        "lang", F.explode(F.split(norm, " ")).alias("tok")
+    ).filter(F.col("tok") != "")
+    n_blocks = (F.least(F.length("tok"), F.lit(UNI_MAX_TOK)) - 1) / UNI_BLOCK
+    return (
+        toks.select(
+            "lang",
+            F.explode(F.sequence(F.lit(0), n_blocks.cast("int"))).alias("k"),
+            "tok",
+        )
+        .select(
+            "lang",
+            F.col("tok")
+            .substr(F.col("k") * UNI_BLOCK + 1, F.lit(UNI_BLOCK))
+            .alias("block"),
+        )
+        .groupBy("lang", "block")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+    )
+
+
+def _uni_best2(
+    spark: SparkSession, bcnt: DataFrame, spine: DataFrame
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """Two Viterbi-EM rounds over the distinct blocks; returns
+    (cands, v0, best2)."""
+    from pyspark.sql import Window
+
+    cands = (
+        bcnt.select(
+            "block",
+            "c",
+            F.explode(F.sequence(F.lit(1), F.length("block"))).alias("i"),
+        )
+        .select(
+            "block",
+            "c",
+            "i",
+            F.explode(
+                F.sequence(
+                    F.lit(1),
+                    F.least(
+                        F.lit(UNI_PIECE_MAX),
+                        F.length("block") - F.col("i") + 1,
+                    ),
+                )
+            ).alias("l"),
+        )
+        .select(
+            F.col("block").substr(F.col("i"), F.col("l")).alias("piece"), "c"
+        )
+        .groupBy("piece")
+        .agg(F.sum("c").cast("long").alias("cnt0"))
+    )
+    tot0 = cands.agg(F.sum("cnt0").cast("long").alias("t"))
+    v0 = cands.agg(F.count(F.lit(1)).cast("long").alias("v"))
+    cost0 = cands.crossJoin(F.broadcast(tot0)).select(
+        "piece",
+        F.round(F.log(F.col("cnt0") * 1.0 / F.col("t")) * 1000000.0, 0)
+        .cast("long")
+        .alias("lp"),
+    )
+
+    def viterbi_best(cost: DataFrame) -> DataFrame:
+        parts = bcnt.join(
+            F.broadcast(spine), F.length("block") == F.col("blen")
+        ).select(
+            "block",
+            "c",
+            "mask",
+            F.col("block").substr(F.col("start"), F.col("slen")).alias(
+                "piece"
+            ),
+        )
+        seg = (
+            parts.join(cost, "piece")
+            .groupBy("block", "mask")
+            .agg(
+                F.sum("lp").cast("long").alias("score"),
+                F.first("c").alias("c"),
+            )
+        )
+        w = Window.partitionBy("block").orderBy(
+            F.col("score").desc(), F.col("mask").asc()
+        )
+        return (
+            seg.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select("block", "mask", "c")
+        )
+
+    def recount(best: DataFrame) -> DataFrame:
+        sp = spine.withColumnRenamed("mask", "s_mask")
+        return (
+            best.join(
+                F.broadcast(sp),
+                (F.length("block") == F.col("blen"))
+                & (F.col("mask") == F.col("s_mask")),
+            )
+            .select(
+                F.col("block").substr(F.col("start"), F.col("slen")).alias(
+                    "piece"
+                ),
+                "c",
+            )
+            .groupBy("piece")
+            .agg(F.sum("c").cast("long").alias("cnt"))
+        )
+
+    cnt1 = recount(viterbi_best(cost0))
+    tot1 = cnt1.agg(F.sum("cnt").cast("long").alias("t"))
+    cost1 = (
+        cands.join(cnt1, "piece", "left")
+        .crossJoin(F.broadcast(tot1))
+        .crossJoin(F.broadcast(v0))
+        .select(
+            "piece",
+            F.round(
+                F.log(
+                    (F.coalesce(F.col("cnt"), F.lit(0)) + 1)
+                    * 1.0
+                    / (F.col("t") + F.col("v"))
+                )
+                * 1000000.0,
+                0,
+            )
+            .cast("long")
+            .alias("lp"),
+        )
+    )
+    best2 = viterbi_best(cost1)
+    return cands, v0, best2
+
+
+@register(
+    "tokenizer_unigram_fit",
+    oracle=_unigram_fit_oracle(),
+    tags=("text", "tokenizer", "unigram", "em", "documents"),
+)
+def tokenizer_unigram_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    blc = _uni_blc(spark, sf_dir)
+    bcnt = blc.groupBy("block").agg(F.sum("c").cast("long").alias("c"))
+    spine = _uni_spine_df(spark)
+    cands, v0, best2 = _uni_best2(spark, bcnt, spine)
+    sp = spine.withColumnRenamed("mask", "s_mask")
+    cnt2 = (
+        best2.join(
+            F.broadcast(sp),
+            (F.length("block") == F.col("blen"))
+            & (F.col("mask") == F.col("s_mask")),
+        )
+        .select(
+            F.col("block").substr(F.col("start"), F.col("slen")).alias(
+                "piece"
+            ),
+            "c",
+        )
+        .groupBy("piece")
+        .agg(F.sum("c").cast("long").alias("n_uses"))
+    )
+    tot2 = cnt2.agg(F.sum("n_uses").cast("long").alias("t"))
+    top = (
+        cnt2.orderBy(F.col("n_uses").desc(), F.col("piece").asc())
+        .limit(UNI_TOPN)
+        .crossJoin(F.broadcast(tot2))
+        .crossJoin(F.broadcast(v0))
+    )
+    w_rank = Window.orderBy(F.col("n_uses").desc(), F.col("piece").asc())
+    return top.select(
+        F.row_number().over(w_rank).cast("long").alias("rank"),
+        "piece",
+        F.length("piece").cast("long").alias("piece_len"),
+        "n_uses",
+        F.round(
+            F.log((F.col("n_uses") + 1) * 1.0 / (F.col("t") + F.col("v")))
+            * 1000000.0,
+            0,
+        )
+        .cast("long")
+        .alias("lp_micro"),
+    )
+
+
+@register(
+    "tokenizer_unigram_fertility",
+    oracle=_unigram_fertility_oracle(),
+    tags=("text", "tokenizer", "unigram", "fertility", "documents"),
+)
+def tokenizer_unigram_fertility(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    blc = _uni_blc(spark, sf_dir)
+    bcnt = blc.groupBy("block").agg(F.sum("c").cast("long").alias("c"))
+    spine = _uni_spine_df(spark)
+    _cands, _v0, best2 = _uni_best2(spark, bcnt, spine)
+    sp = spine.withColumnRenamed("mask", "s_mask")
+    ppb = (
+        best2.join(
+            F.broadcast(sp),
+            (F.length("block") == F.col("blen"))
+            & (F.col("mask") == F.col("s_mask")),
+        )
+        .groupBy("block")
+        .agg(F.count(F.lit(1)).cast("long").alias("np"))
+    )
+    # n_tokens per lang: blocks with k=0 are 1:1 with tokens — count
+    # them from blc via the block spine? No: recount from the token
+    # explode directly (cheap, one scan of documents).
+    docs = load_table(spark, sf_dir, "documents")
+    norm = F.lower(F.trim(F.regexp_replace("text", r"\s+", " ")))
+    langtok = (
+        docs.select("lang", F.explode(F.split(norm, " ")).alias("tok"))
+        .filter(F.col("tok") != "")
+        .groupBy("lang")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_tokens"))
+    )
+    langpieces = (
+        blc.join(ppb, "block")
+        .groupBy("lang")
+        .agg(
+            F.sum("c").cast("long").alias("n_blocks"),
+            F.sum(F.col("c") * F.col("np")).cast("long").alias("n_pieces"),
+        )
+    )
+    return langtok.join(langpieces, "lang").select(
+        "lang",
+        "n_tokens",
+        "n_blocks",
+        "n_pieces",
+        idiv(
+            F.col("n_pieces") * 2 * 10000 + F.col("n_tokens"),
+            2 * F.col("n_tokens"),
+        ).alias("fertility_bp"),
+    )
