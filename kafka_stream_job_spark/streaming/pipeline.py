@@ -5231,3 +5231,133 @@ def _register_streaming_ess_monitor() -> None:
 
 
 _register_streaming_ess_monitor()
+
+
+# ---------------------------------------------------------------------------
+# STREAMING UNIGRAM-TOKENIZER FERTILITY — the live twin of
+# tokenizer_unigram_fertility, and the clearest showcase of the
+# split this whole streaming surface is built on: the ONLY stateful
+# piece is the (lang, block) count table — BUILT-IN JVM streaming
+# aggregation over the Zipf-compressed distinct-block domain — while
+# the entire two-round Viterbi-EM fit + fertility assembly runs
+# POST-stream over the converged counts via the shared _uni_best2
+# machinery (per-lang token counts fold in the same keyed state:
+# a k=0 block is 1:1 with a token). Oracle verbatim from the batch op.
+# A rising live fertility for one lang means the incoming mix is
+# drifting away from what the tokenizer was fit on.
+# ---------------------------------------------------------------------------
+def _register_streaming_unigram_fertility() -> None:
+    import uuid
+
+    from kafka_stream_job_spark.operators._portable import idiv
+    from kafka_stream_job_spark.operators.text import (
+        UNI_BLOCK,
+        UNI_MAX_TOK,
+        _uni_best2,
+        _uni_spine_df,
+    )
+    from kafka_stream_job_spark.registry import REGISTRY, register
+
+    oracle = REGISTRY["tokenizer_unigram_fertility"].oracle
+
+    @register(
+        "streaming_unigram_fertility",
+        oracle=oracle,
+        tags=("streaming", "stateful", "tokenizer", "unigram", "documents"),
+    )
+    def streaming_unigram_fertility(
+        spark: SparkSession, sf_dir: str
+    ) -> DataFrame:
+        import tempfile
+
+        src, stage = _stage_stream_source(
+            sf_dir, "documents", "/tmp/ksj_stream_stage_documents"
+        )
+        raw_schema = spark.read.parquet(src).schema
+        docs = spark.readStream.schema(raw_schema).parquet(stage)
+        norm = F.lower(F.trim(F.regexp_replace("text", r"\s+", " ")))
+        toks = docs.select(
+            "lang", F.explode(F.split(norm, " ")).alias("tok")
+        ).filter(F.col("tok") != "")
+        n_blocks = (
+            F.least(F.length("tok"), F.lit(UNI_MAX_TOK)) - 1
+        ) / UNI_BLOCK
+        blc_stream = (
+            toks.select(
+                "lang",
+                F.explode(F.sequence(F.lit(0), n_blocks.cast("int"))).alias(
+                    "k"
+                ),
+                "tok",
+            )
+            .select(
+                "lang",
+                F.col("k"),
+                F.col("tok")
+                .substr(F.col("k") * UNI_BLOCK + 1, F.lit(UNI_BLOCK))
+                .alias("block"),
+            )
+            .groupBy("lang", "block")
+            .agg(
+                F.count(F.lit(1)).cast("long").alias("c"),
+                # k=0 blocks are 1:1 with tokens — the same state row
+                # carries the per-lang token count, no second stream.
+                F.sum(F.when(F.col("k") == 0, 1).otherwise(0))
+                .cast("long")
+                .alias("c_tok"),
+            )
+        )
+        name = f"stream_unifert_{uuid.uuid4().hex[:8]}"
+        ckpt = tempfile.mkdtemp(prefix="ksj-stream-unifert-")
+        emitted = run_stream_to_memory(
+            spark, blc_stream, name, ckpt, output_mode="update"
+        )
+        # update-mode emissions converge per key at max; localCheckpoint
+        # pins them — everything below joins this table against itself.
+        blc = (
+            emitted.groupBy("lang", "block")
+            .agg(
+                F.max("c").cast("long").alias("c"),
+                F.max("c_tok").cast("long").alias("c_tok"),
+            )
+            .localCheckpoint(eager=False)
+        )
+        bcnt = blc.groupBy("block").agg(F.sum("c").cast("long").alias("c"))
+        spine = _uni_spine_df(spark)
+        _cands, _v0, best2 = _uni_best2(spark, bcnt, spine)
+        sp = spine.withColumnRenamed("mask", "s_mask")
+        ppb = (
+            best2.join(
+                F.broadcast(sp),
+                (F.length("block") == F.col("blen"))
+                & (F.col("mask") == F.col("s_mask")),
+            )
+            .groupBy("block")
+            .agg(F.count(F.lit(1)).cast("long").alias("np"))
+        )
+        langtok = blc.groupBy("lang").agg(
+            F.sum("c_tok").cast("long").alias("n_tokens")
+        )
+        langpieces = (
+            blc.join(ppb, "block")
+            .groupBy("lang")
+            .agg(
+                F.sum("c").cast("long").alias("n_blocks"),
+                F.sum(F.col("c") * F.col("np"))
+                .cast("long")
+                .alias("n_pieces"),
+            )
+        )
+        return langtok.join(langpieces, "lang").select(
+            "lang",
+            "n_tokens",
+            "n_blocks",
+            "n_pieces",
+            idiv(
+                F.col("n_pieces") * 2 * 10000 + F.col("n_tokens"),
+                2 * F.col("n_tokens"),
+            ).alias("fertility_bp"),
+        )
+
+
+_register_streaming_unigram_fertility()
