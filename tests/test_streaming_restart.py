@@ -9,12 +9,18 @@ checkpoint, and the resumed run must converge to the SAME oracle answer
 checkpoint's sources log, so a cheating fresh-start that re-reads
 everything cannot pass).
 
-Two representatives, one per state machinery:
+One representative per state machinery — the full quartet:
 - streaming_frontier_bloom — applyInPandasWithState custom Python state
   (OR-merged int64 Bloom words; recovery goes through the state store's
   pickled GroupState rows);
 - streaming_psi_drift      — built-in complete-mode aggregation state
-  (HDFSBackedStateStore rows of a streaming groupBy).
+  (HDFSBackedStateStore rows of a streaming groupBy);
+- dropDuplicates           — StreamingDeduplicationExec state, with
+  phase 2 deliberately re-sending phase-1 rows;
+- streaming_brand_mi_drift — built-in UPDATE-mode keyed aggregation
+  state with post-stream assembly over the converged max-per-key
+  emissions (the r9-era twin shape: streaming_brand_mi_drift,
+  streaming_bootstrap_ci, streaming_neyman_allocation, ...).
 
 Each phase runs in its OWN OS process (subprocess → new JVM + new state
 store provider cache), so recovery genuinely exercises the on-disk
@@ -51,7 +57,8 @@ from kafka_stream_job_spark.streaming import pipeline as sp
 
 spark = get_spark()
 spark.sparkContext.setLogLevel("ERROR")
-table = "documents" if twin == "frontier" else "events"
+table = {{"frontier": "documents", "dedup": "events", "psi": "events",
+          "brandmi": "part"}}[twin]
 schema = spark.read.parquet(os.path.join(sf_dir, table + ".parquet")).schema
 stream = spark.readStream.schema(schema).parquet(srcdir)
 if twin == "frontier":
@@ -63,6 +70,18 @@ elif twin == "dedup":
     # keeps them from being emitted twice
     emitted_stream = stream.dropDuplicates(["event_id"])
     mode = "append"
+elif twin == "brandmi":
+    # update-mode keyed JVM agg state: later emissions supersede
+    # earlier rows per key; phase 2 must resume the phase-1 counts
+    from pyspark.sql import functions as _F
+    emitted_stream = (
+        stream.select(
+            _F.explode(_F.split("p_name", " ")).alias("token"), "p_brand"
+        )
+        .groupBy("token", "p_brand")
+        .agg(_F.count(_F.lit(1)).cast("long").alias("c"))
+    )
+    mode = "update"
 else:
     # same NTZ->TIMESTAMP normalization stream_events applies (session
     # tz pinned UTC, so the cast is deterministic)
@@ -101,6 +120,19 @@ if phase == "2":
         result = all_emitted.agg(
             F.count(F.lit(1)).cast("long").alias("n_events")
         )
+    elif twin == "brandmi":
+        # update mode: counts are monotone per key, so the converged
+        # table is max(c) per key — lost agg state would restart the
+        # phase-2 counts from zero and undershoot
+        from kafka_stream_job_spark.operators.relational import (
+            name_brand_mi_assemble,
+        )
+        c_tb = (
+            all_emitted.groupBy("token", "p_brand")
+            .agg(F.max("c").cast("long").alias("c"))
+            .localCheckpoint(eager=False)
+        )
+        result = name_brand_mi_assemble(spark, c_tb)
     else:
         # complete mode: the LAST batch is the converged state
         last = all_emitted.agg(F.max("_batch")).collect()[0][0]
@@ -200,11 +232,13 @@ _DEDUP_ORACLE = (
         ("frontier", "documents", "doc_id", "streaming_frontier_bloom"),
         ("psi", "events", "event_id", "streaming_psi_drift"),
         ("dedup", "events", "event_id", None),
+        ("brandmi", "part", "p_partkey", "streaming_brand_mi_drift"),
     ],
     ids=[
         "frontier_bloom_applyInPandasWithState",
         "psi_drift_agg_state",
         "drop_duplicates_dedup_state",
+        "brand_mi_update_mode_agg_state",
     ],
 )
 def test_stateful_twin_recovers_across_process_kill(
