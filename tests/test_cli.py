@@ -242,3 +242,29 @@ def test_no_row_at_a_time_python_udfs_in_source():
                 if pat.search(line):
                     offenders.append(f"{path}:{i}: {line.strip()}")
     assert not offenders, "row-at-a-time UDFs found:\n" + "\n".join(offenders)
+
+
+def test_bench_trend_tool_runs_on_committed_artifacts():
+    """tools/bench_trend.py (the extended-bench regression gate) must
+    parse every committed BENCH_r*.json / BENCH_EXTENDED_r*.json —
+    driver-wrapped or raw — and exit 0 in non-strict mode. The >1.5x
+    flags are advisory (loaded-host noise); the parse contract is what
+    this pins."""
+    import importlib.util
+    import os
+    import sys
+
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    spec = importlib.util.spec_from_file_location(
+        "bench_trend", os.path.join(root, "tools", "bench_trend.py")
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    old_argv = sys.argv
+    try:
+        sys.argv = ["bench_trend.py"]
+        assert mod.main() == 0
+        sys.argv = ["bench_trend.py", "--headline"]
+        assert mod.main() == 0
+    finally:
+        sys.argv = old_argv
