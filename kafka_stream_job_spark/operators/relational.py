@@ -30,6 +30,8 @@ surface built idiomatically on Spark.
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -15376,4 +15378,324 @@ def name_brand_mi_assemble(spark: SparkSession, c_tb: DataFrame) -> DataFrame:
         )
         .orderBy(F.abs(F.col("mi_contrib_unats")).desc(), "token", "p_brand")
         .limit(MI_TOP)
+    )
+
+
+# ---------------------------------------------------------------------------
+# CUPED VARIANCE REDUCTION — the experimentation-platform estimator that
+# makes A/B tests decide faster without more traffic (Deng et al.,
+# WSDM'13): regress the experiment-period metric on the PRE-period
+# covariate (theta = cov/var, fit POOLED across arms so the adjustment
+# is unbiased under randomization) and report per-arm adjusted means
+# plus the variance-reduction share (= rho^2). Everything reduces to
+# per-arm int64 moments (n, Sx, Sy, Sxx, Syy, Sxy) over exact cents —
+# ONE customer-keyed scan, map-side partial aggregates, a 2-row arm
+# table; theta and the adjusted means assemble from broadcast scalars.
+# Customers without pre/post orders zero-fill (the standard treatment:
+# the covariate must be defined for every unit). At 100 TB: the only
+# shuffle is the per-customer groupBy; moments are 6 int64s per arm.
+# ---------------------------------------------------------------------------
+CUPED_SPLIT = "1998-07-01"
+
+
+@register(
+    "orders_cuped_adjustment",
+    oracle=f"""
+        WITH spend AS (
+            SELECT o_custkey AS k,
+                   -- whole-dollar quantization BEFORE the moments: the
+                   -- sum of squared cents overflows int64 at sf0.1
+                   -- already; dollars keep Sxx exact through sf1 (the
+                   -- ANOVA quantize-before-sum discipline)
+                   CAST(SUM(CASE WHEN o_orderdate < TIMESTAMP '{CUPED_SPLIT}'
+                            THEN CAST(ROUND(o_totalprice * 100) AS BIGINT)
+                            ELSE 0 END) AS BIGINT) // 100 AS x,
+                   CAST(SUM(CASE WHEN o_orderdate >= TIMESTAMP '{CUPED_SPLIT}'
+                            THEN CAST(ROUND(o_totalprice * 100) AS BIGINT)
+                            ELSE 0 END) AS BIGINT) // 100 AS y
+            FROM orders GROUP BY 1
+        ),
+        u AS (
+            SELECT ('0x' || substr(md5('cuped:' || CAST(c.c_custkey AS VARCHAR)), 1, 7))::BIGINT % 2
+                       AS arm,
+                   COALESCE(s.x, 0) AS x, COALESCE(s.y, 0) AS y
+            FROM customer c LEFT JOIN spend s ON s.k = c.c_custkey
+        ),
+        m AS (
+            SELECT arm, CAST(COUNT(*) AS BIGINT) AS n,
+                   CAST(SUM(x) AS BIGINT) AS sx,
+                   CAST(SUM(y) AS BIGINT) AS sy,
+                   CAST(SUM(x * x) AS BIGINT) AS sxx,
+                   CAST(SUM(y * y) AS BIGINT) AS syy,
+                   CAST(SUM(x * y) AS BIGINT) AS sxy
+            FROM u GROUP BY 1
+        ),
+        g AS (
+            SELECT CAST(SUM(n) AS BIGINT) AS n,
+                   CAST(SUM(sx) AS BIGINT) AS sx,
+                   CAST(SUM(sy) AS BIGINT) AS sy,
+                   CAST(SUM(sxx) AS BIGINT) AS sxx,
+                   CAST(SUM(syy) AS BIGINT) AS syy,
+                   CAST(SUM(sxy) AS BIGINT) AS sxy
+            FROM m
+        ),
+        th AS (
+            -- pooled theta = cov(x,y)/var(x); centered moments in DOUBLE
+            -- (products of int64 sums overflow int64 long before 100 TB)
+            SELECT n, sx, sy,
+                   (CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
+                   / (CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx)
+                       AS theta,
+                   1.0 - (CAST(n AS DOUBLE) * syy - CAST(sy AS DOUBLE) * sy
+                          - ((CAST(n AS DOUBLE) * sxy
+                              - CAST(sx AS DOUBLE) * sy)
+                             * (CAST(n AS DOUBLE) * sxy
+                                - CAST(sx AS DOUBLE) * sy))
+                            / (CAST(n AS DOUBLE) * sxx
+                               - CAST(sx AS DOUBLE) * sx))
+                         / (CAST(n AS DOUBLE) * syy
+                            - CAST(sy AS DOUBLE) * sy) AS var_red
+            FROM g
+        )
+        SELECT m.arm, m.n AS n_users, m.sx AS pre_dollars,
+               m.sy AS post_dollars,
+               CAST(ROUND(m.sy * 1.0 / m.n * 100.0) AS BIGINT)
+                   AS mean_post_centidollars,
+               CAST(ROUND((m.sy * 1.0 / m.n
+                           - th.theta * (m.sx * 1.0 / m.n
+                                         - th.sx * 1.0 / th.n)) * 100.0)
+                    AS BIGINT) AS mean_adj_centidollars,
+               CAST(ROUND(th.theta * 1000000.0) AS BIGINT) AS theta_micro,
+               CAST(ROUND(th.var_red * 10000.0) AS BIGINT)
+                   AS var_reduction_bp
+        FROM m, th
+    """,
+    tags=("stats", "ab-test", "experimentation", "cuped", "orders"),
+)
+def orders_cuped_adjustment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    cents = F.round(F.col("o_totalprice") * 100, 0).cast("long")
+    split = F.lit(CUPED_SPLIT).cast("timestamp_ntz")
+    # whole-dollar quantization BEFORE the moments — see the oracle note
+    spend = orders.groupBy(F.col("o_custkey").alias("k")).agg(
+        idiv(
+            F.sum(
+                F.when(F.col("o_orderdate") < split, cents).otherwise(0)
+            ).cast("long"),
+            100,
+        ).alias("x"),
+        idiv(
+            F.sum(
+                F.when(F.col("o_orderdate") >= split, cents).otherwise(0)
+            ).cast("long"),
+            100,
+        ).alias("y"),
+    )
+    arm = (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(F.lit("cuped:"), F.col("c_custkey").cast("string"))
+                ),
+                1,
+                7,
+            ),
+            16,
+            10,
+        ).cast("long")
+        % 2
+    )
+    u = (
+        customer.join(spend, customer["c_custkey"] == spend["k"], "left")
+        .select(
+            arm.alias("arm"),
+            F.coalesce(F.col("x"), F.lit(0)).alias("x"),
+            F.coalesce(F.col("y"), F.lit(0)).alias("y"),
+        )
+    )
+    m = u.groupBy("arm").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("x").cast("long").alias("sx"),
+        F.sum("y").cast("long").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).cast("long").alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).cast("long").alias("syy"),
+        F.sum(F.col("x") * F.col("y")).cast("long").alias("sxy"),
+    )
+    g = m.agg(
+        F.sum("n").cast("long").alias("gn"),
+        F.sum("sx").cast("long").alias("gsx"),
+        F.sum("sy").cast("long").alias("gsy"),
+        F.sum("sxx").cast("long").alias("gsxx"),
+        F.sum("syy").cast("long").alias("gsyy"),
+        F.sum("sxy").cast("long").alias("gsxy"),
+    )
+    nd = F.col("gn").cast("double")
+    cov_n = nd * F.col("gsxy") - F.col("gsx").cast("double") * F.col("gsy")
+    varx_n = nd * F.col("gsxx") - F.col("gsx").cast("double") * F.col("gsx")
+    vary_n = nd * F.col("gsyy") - F.col("gsy").cast("double") * F.col("gsy")
+    th = g.select(
+        "gn",
+        "gsx",
+        (cov_n / varx_n).alias("theta"),
+        (F.lit(1.0) - (vary_n - cov_n * cov_n / varx_n) / vary_n).alias(
+            "var_red"
+        ),
+    )
+    return m.crossJoin(F.broadcast(th)).select(
+        "arm",
+        F.col("n").alias("n_users"),
+        F.col("sx").alias("pre_dollars"),
+        F.col("sy").alias("post_dollars"),
+        F.round(F.col("sy") * 1.0 / F.col("n") * 100.0, 0)
+        .cast("long")
+        .alias("mean_post_centidollars"),
+        F.round(
+            (
+                F.col("sy") * 1.0 / F.col("n")
+                - F.col("theta")
+                * (
+                    F.col("sx") * 1.0 / F.col("n")
+                    - F.col("gsx") * 1.0 / F.col("gn")
+                )
+            )
+            * 100.0,
+            0,
+        )
+        .cast("long")
+        .alias("mean_adj_centidollars"),
+        F.round(F.col("theta") * 1000000.0, 0).cast("long").alias(
+            "theta_micro"
+        ),
+        F.round(F.col("var_red") * 10000.0, 0).cast("long").alias(
+            "var_reduction_bp"
+        ),
+    )
+
+
+# ---------------------------------------------------------------------------
+# SEQUENTIAL PROBABILITY RATIO TEST (SPRT) — Wald's always-valid
+# sequential test, the experimentation-platform complement of the
+# fixed-horizon z-test (events_ab_uplift_test) and CUPED
+# (orders_cuped_adjustment): walk the event stream in (ts, event_id)
+# order accumulating the log-likelihood ratio of H1 (purchase rate
+# SPRT_P1) vs H0 (SPRT_P0), and report the FIRST crossing of Wald's
+# boundaries ln((1-beta)/alpha) / ln(beta/(1-alpha)) — the moment a
+# live monitor could have stopped. Per-event increments and both
+# boundaries are integer MILLI-nats precomputed ONCE in Python and
+# embedded verbatim in both engines, so there is no float anywhere in
+# the walk; the running LLR rides the distributed prefix-sum primitive
+# (range exchange + broadcast offsets — no single-partition window),
+# and the final LLR is closed-form from the two counts. At 100 TB the
+# walk is the same two range exchanges; milli-nat magnitudes stay under
+# 2^53 through sf 1000.
+# ---------------------------------------------------------------------------
+SPRT_P0 = 0.15   # H0 purchase rate
+SPRT_P1 = 0.20   # H1 purchase rate
+SPRT_ALPHA = 0.05
+SPRT_BETA = 0.05
+_SPRT_INC1 = round(math.log(SPRT_P1 / SPRT_P0) * 1000)          # x=1 step
+_SPRT_INC0 = round(math.log((1 - SPRT_P1) / (1 - SPRT_P0)) * 1000)  # x=0
+_SPRT_A = round(math.log((1 - SPRT_BETA) / SPRT_ALPHA) * 1000)  # upper
+_SPRT_B = round(math.log(SPRT_BETA / (1 - SPRT_ALPHA)) * 1000)  # lower
+
+
+@register(
+    "events_sprt_monitor",
+    oracle=f"""
+        WITH walk AS (
+            SELECT CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS x,
+                   ROW_NUMBER() OVER (ORDER BY ts, event_id) AS idx,
+                   SUM(CASE WHEN event_type = 'purchase'
+                            THEN {_SPRT_INC1} ELSE {_SPRT_INC0} END)
+                       OVER (ORDER BY ts, event_id
+                             ROWS UNBOUNDED PRECEDING) AS llr
+            FROM events
+        )
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_events,
+               CAST(SUM(x) AS BIGINT) AS n_success,
+               CAST({_SPRT_INC1} * SUM(x)
+                    + {_SPRT_INC0} * (COUNT(*) - SUM(x)) AS BIGINT)
+                   AS llr_final_milli,
+               CAST({_SPRT_A} AS BIGINT) AS upper_milli,
+               CAST({_SPRT_B} AS BIGINT) AS lower_milli,
+               CAST(COALESCE(MIN(CASE WHEN llr >= {_SPRT_A} THEN idx END), 0)
+                    AS BIGINT) AS first_up_idx,
+               CAST(COALESCE(MIN(CASE WHEN llr <= {_SPRT_B} THEN idx END), 0)
+                    AS BIGINT) AS first_down_idx,
+               CASE
+                   WHEN MIN(CASE WHEN llr >= {_SPRT_A} THEN idx END)
+                        IS NOT NULL
+                    AND COALESCE(MIN(CASE WHEN llr <= {_SPRT_B} THEN idx END),
+                                 9223372036854775807)
+                        > MIN(CASE WHEN llr >= {_SPRT_A} THEN idx END)
+                   THEN 'accept_h1'
+                   WHEN MIN(CASE WHEN llr <= {_SPRT_B} THEN idx END)
+                        IS NOT NULL
+                   THEN 'accept_h0'
+                   ELSE 'continue'
+               END AS decision
+        FROM walk
+    """,
+    tags=("stats", "experimentation", "sequential", "sprt", "events"),
+)
+def events_sprt_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kafka_stream_job_spark.operators._distributed import (
+        distributed_prefix_sum,
+        distributed_rank,
+    )
+
+    events = load_table(spark, sf_dir, "events")
+    obs = events.select(
+        "ts",
+        "event_id",
+        F.when(F.col("event_type") == "purchase", 1).otherwise(0).alias("x"),
+        F.when(
+            F.col("event_type") == "purchase", F.lit(_SPRT_INC1)
+        )
+        .otherwise(F.lit(_SPRT_INC0))
+        .cast("long")
+        .alias("inc"),
+    )
+    order = [F.col("ts").asc(), F.col("event_id").asc()]
+    walked = distributed_prefix_sum(
+        distributed_rank(obs, order, rank_col="idx"),
+        order,
+        "inc",
+        out_col="llr",
+    )
+    up = F.min(F.when(F.col("llr") >= _SPRT_A, F.col("idx")))
+    down = F.min(F.when(F.col("llr") <= _SPRT_B, F.col("idx")))
+    agg = walked.agg(
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+        F.sum("x").cast("long").alias("n_success"),
+        up.alias("_up"),
+        down.alias("_down"),
+    )
+    return agg.select(
+        "n_events",
+        "n_success",
+        (
+            _SPRT_INC1 * F.col("n_success")
+            + _SPRT_INC0 * (F.col("n_events") - F.col("n_success"))
+        )
+        .cast("long")
+        .alias("llr_final_milli"),
+        F.lit(_SPRT_A).cast("long").alias("upper_milli"),
+        F.lit(_SPRT_B).cast("long").alias("lower_milli"),
+        F.coalesce(F.col("_up"), F.lit(0)).cast("long").alias("first_up_idx"),
+        F.coalesce(F.col("_down"), F.lit(0))
+        .cast("long")
+        .alias("first_down_idx"),
+        F.when(
+            F.col("_up").isNotNull()
+            & (
+                F.coalesce(F.col("_down"), F.lit(9223372036854775807))
+                > F.col("_up")
+            ),
+            F.lit("accept_h1"),
+        )
+        .when(F.col("_down").isNotNull(), F.lit("accept_h0"))
+        .otherwise(F.lit("continue"))
+        .alias("decision"),
     )
