@@ -218,6 +218,7 @@ _BOUNDED_GLOBAL_WINDOW_OK = {
     "embedding_dim_variance_rank",  # rank/cumsum over exactly DIM=64 rows
     "orders_gmv_weekly_wow",  # lag over the per-WEEK rollup: time-bounded
     "gmv_walk_forward_backtest",  # lag over the per-MONTH rollup: time-bounded
+    "tokenizer_unigram_fit",  # rank window over limit(UNI_TOPN=20) head
 }
 
 
