@@ -262,3 +262,109 @@ def test_neyman_key_survives_int64_overflow_scale(spark):
                                      * CAST({sum_len} AS BIGINT) AS DOUBLE))"""
         )
     con.close()
+
+
+def _unigram_fit_reference(texts):
+    """From-scratch pure-Python re-derivation of tokenizer_unigram_fit:
+    blocks -> seed counts -> two hard-EM (Viterbi) rounds -> top pieces.
+    Written directly from the operator definition, independent of the
+    shared _UNI_SPINE table (segmentations enumerated recursively here),
+    so a spine-generation bug fails this test even though both engines
+    share the spine."""
+    from kafka_stream_job_spark.operators.text import (
+        UNI_BLOCK,
+        UNI_MAX_TOK,
+        UNI_PIECE_MAX,
+        UNI_TOPN,
+    )
+
+    bcnt: Counter = Counter()
+    for text in texts:
+        for tok in _norm_tokens(text):
+            if not tok:
+                continue
+            tok = tok[:UNI_MAX_TOK]
+            for k in range(0, len(tok), UNI_BLOCK):
+                bcnt[tok[k : k + UNI_BLOCK]] += 1
+
+    cands: Counter = Counter()
+    for block, c in bcnt.items():
+        for i in range(len(block)):
+            for l in range(1, min(UNI_PIECE_MAX, len(block) - i) + 1):
+                cands[block[i : i + l]] += c
+    tot0 = sum(cands.values())
+    v0 = len(cands)
+    lp0 = {
+        p: _round_half_away(math.log(c / tot0) * 1e6) for p, c in cands.items()
+    }
+
+    def segmentations(blen):
+        # all (mask, [(start, len)...]) with parts <= UNI_PIECE_MAX;
+        # mask bit k set = cut after char k+1 (the operator's identity)
+        out = []
+        for mask in range(1 << max(blen - 1, 0)):
+            segs, prev, ok = [], 0, True
+            for pos in range(1, blen + 1):
+                if pos == blen or (mask >> (pos - 1)) & 1:
+                    if pos - prev > UNI_PIECE_MAX:
+                        ok = False
+                        break
+                    segs.append((prev + 1, pos - prev))
+                    prev = pos
+            if ok:
+                out.append((mask, segs))
+        return out
+
+    def viterbi_counts(lp):
+        cnt: Counter = Counter()
+        for block, c in bcnt.items():
+            best = max(
+                segmentations(len(block)),
+                key=lambda ms: (
+                    sum(lp[block[s - 1 : s - 1 + l]] for s, l in ms[1]),
+                    -ms[0],
+                ),
+            )
+            for s, l in best[1]:
+                cnt[block[s - 1 : s - 1 + l]] += c
+        return cnt
+
+    cnt1 = viterbi_counts(lp0)
+    tot1 = sum(cnt1.values())
+    lp1 = {
+        p: _round_half_away(math.log((cnt1.get(p, 0) + 1) / (tot1 + v0)) * 1e6)
+        for p in cands
+    }
+    cnt2 = viterbi_counts(lp1)
+    tot2 = sum(cnt2.values())
+    head = sorted(cnt2.items(), key=lambda kv: (-kv[1], kv[0]))[:UNI_TOPN]
+    return [
+        (
+            rank + 1,
+            piece,
+            len(piece),
+            n,
+            _round_half_away(math.log((n + 1) / (tot2 + v0)) * 1e6),
+        )
+        for rank, (piece, n) in enumerate(head)
+    ]
+
+
+def test_unigram_fit_matches_pure_python_reference(spark, tmp_path):
+    texts = [
+        "interesting interesting rest rest rest nest",
+        "the interest in resting is interesting",
+        "abcd abcd abcdabcd xyz",
+        "a ab abc abcd abcde abcdef",
+        "zzzz zzzz zzzzzzzz",
+    ]
+    sf = _mk_docs_dir(tmp_path, texts)
+    got = [
+        (r["rank"], r["piece"], r["piece_len"], r["n_uses"], r["lp_micro"])
+        for r in SPECS["tokenizer_unigram_fit"]
+        .fn(spark, sf)
+        .orderBy("rank")
+        .collect()
+    ]
+    want = _unigram_fit_reference(texts)
+    assert got == want
