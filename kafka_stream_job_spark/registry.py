@@ -347,233 +347,249 @@ def all_specs() -> dict[str, QuerySpec]:
     recheck = {n: s for n, s in REGISTRY.items() if n in _RECHECK}
     # Within the never-checked group, order by MEASURED sf0.01 driver-sim
     # cost (tools/verify_oracle.py SIM_PAR=1; re-measured over the FULL
-    # 456-query registry at the end of round 8, commit 7a649a4 — the sweep
-    # JSON carries per-query secs, so this list regenerates
-    # mechanically), cheapest first: if the driver's
+    # 476-query registry in round 10 — regenerate any time with
+    # tools/regen_cost_order.py from the committed CORRECTNESS_LOCAL.json),
+    # cheapest first: if the driver's
     # pass is time-capped rather than count-capped, cheap-first maximizes
     # how many entries earn a correctness row. Names absent from the list
     # (operators added after the measurement) slot in just after the
     # sub-second group.
     cost_order = (
-        "text_fingerprint", "text_bpe_token_count", "text_token_stats",
-        "sft_loss_masking_spans", "text_quality_score", "q6_forecast_revenue",
-        "embedding_norm_stats", "split_train_eval", "text_seqlen_histogram",
-        "weighted_sample_docs", "pipe_sql_priority_stats", "text_language_id",
-        "url_functions_showcase", "gdpr_purge_manifest", "text_pii_redaction",
-        "binary_blob_source_stats", "bitwise_aggregates_showcase",
-        "embedding_int8_quantize", "nations_with_rich_customers",
-        "q14_promo_revenue", "schema_evolution_merge_read",
-        "text_sentiment_lexicon", "try_functions_showcase",
-        "bronze_decode_errors", "corpus_mix_rebalance", "data_freshness_sla",
-        "lang_balance_weights", "doc_sliding_chunks", "grouping_sets_revenue",
-        "jsonl_source_permissive_read", "partitioned_source_pruned_read",
-        "scd2_customer_merge", "lateral_top_customers_per_nation",
-        "q4_order_priority", "dedup_exact", "events_daily_value_trend",
-        "parameterized_sql_showcase", "q12_priority_by_linestatus",
-        "unpivot_lineitem_measures", "bpe_fertility_by_lang",
-        "file_metadata_columns_read", "q22_global_sales_opportunity",
-        "collation_group_showcase", "customers_without_orders",
-        "events_props_variant_decode", "k_anonymity_audit",
-        "kmv_distinct_users", "multimodal_gif_stats", "text_fano_burstiness",
-        "csv_source_permissive_read", "profile_hot_orderkeys",
-        "benford_digit_audit", "cube_order_status_priority",
-        "dedup_url_canonical", "incremental_agg_maintenance",
-        "q13_customer_distribution", "stats_qty_price_corr",
-        "text_mojibake_detect", "events_funnel_view_click_purchase",
-        "lang_temperature_weights", "orders_gmv_weekly_wow",
-        "bronze_decode_roundtrip", "cv_fold_manifest",
-        "dedup_cluster_size_histogram", "null_safe_join_attribution",
-        "revenue_waterfall", "scalar_functions_showcase",
-        "similarity_topk_bucketed", "events_funnel_latency",
-        "events_interval_union_coverage", "events_props_templates",
-        "execute_immediate_showcase", "gmv_walk_forward_backtest",
-        "percentile_order_prices", "q19_disjunctive_revenue",
+        "binary_blob_source_stats", "text_fingerprint",
+        "text_bpe_token_count", "nations_with_rich_customers",
+        "url_functions_showcase", "weighted_sample_docs",
+        "sft_loss_masking_spans", "span_corruption_manifest",
+        "text_token_stats", "bitwise_aggregates_showcase",
+        "fixed_width_source_read", "quota_sample_per_lang",
+        "customers_without_orders", "scalar_functions_showcase",
+        "pipe_sql_priority_stats", "q6_forecast_revenue",
+        "split_train_eval", "schema_evolution_merge_read",
+        "text_quality_score", "text_seqlen_histogram", "doc_sliding_chunks",
+        "corpus_mix_rebalance", "datetime_functions_showcase",
+        "grouping_sets_revenue", "multimodal_metadata_scan",
+        "text_pii_redaction", "cube_order_status_priority",
+        "q14_promo_revenue", "sft_pair_manifest", "try_functions_showcase",
+        "dpo_preference_pairs", "embedding_int8_quantize",
+        "multimodal_resize", "parameterized_sql_showcase",
+        "rater_mcnemar_test", "text_language_id",
+        "arrow_map_embedding_norm", "jsonl_source_permissive_read",
+        "lateral_top_customers_per_nation", "scd2_customer_merge",
+        "text_fano_burstiness", "text_sentiment_lexicon",
+        "cv_fold_manifest", "embedding_norm_stats",
+        "multimodal_frame_sample", "partitioned_source_pruned_read",
+        "q22_global_sales_opportunity", "bpe_fertility_by_lang",
+        "collation_group_showcase", "dedup_url_canonical",
+        "gdpr_purge_manifest", "multimodal_stratified_sample",
+        "q4_order_priority", "supplier_return_wilson_rank", "dedup_exact",
+        "events_json_extract", "execute_immediate_showcase",
+        "lang_temperature_weights", "q19_disjunctive_revenue",
+        "quality_rater_agreement_kappa", "rollup_returns",
+        "events_props_variant_decode", "q12_priority_by_linestatus",
+        "csv_source_permissive_read", "embedding_isotropy_proxy",
+        "grpo_group_advantage", "multimodal_gif_stats",
+        "null_safe_join_attribution", "text_mojibake_detect",
+        "events_daily_value_trend", "stats_qty_price_corr",
+        "file_metadata_columns_read", "k_anonymity_audit",
+        "pack_sequences_manifest", "q15_top_supplier",
+        "setops_customer_segments", "compaction_bin_packing_plan",
+        "decayed_leaderboard", "multimodal_dedup_content_hash",
+        "neyman_allocation_plan", "array_set_functions_showcase",
+        "events_hourly_rollup", "feature_asof_training_matrix",
+        "lang_balance_weights", "linkage_blocking_quality",
+        "multimodal_decode_features", "orphan_file_audit",
+        "pandas_scalar_log_price", "profile_hot_orderkeys",
+        "data_freshness_sla", "events_holt_forecast",
+        "incremental_agg_maintenance", "parts_price_anova_by_size",
         "similarity_topk_cosine", "text_adjacent_repetition",
-        "decayed_leaderboard", "text_vocab_coverage", "best_of_n_selection",
-        "embedding_pca2_closed_form", "events_multi_rollup",
-        "similarity_lsh_neardup", "streaming_state_budget_planner",
-        "supplier_return_wilson_rank", "compaction_bin_packing_plan",
-        "orphan_file_audit", "pack_sequences_manifest",
-        "pivot_user_event_matrix", "snapshot_diff_report",
-        "web_domain_profile", "events_seasonality_strength",
-        "events_type_audience_overlap", "q18_large_volume_customers",
-        "rank_correlation_kendall", "subject_access_export",
-        "text_zipf_slope", "attribution_multi_touch",
-        "fixed_width_source_read", "gzip_jsonl_source_read",
-        "hll_distinct_users", "lineitem_ship_latency",
-        "parts_price_anova_by_size", "q20_heavy_shippers",
-        "q7_volume_shipping", "text_unicode_script_profile",
-        "arrow_map_embedding_norm", "dedup_prefix_collision",
-        "dp_noisy_nation_counts", "events_transition_matrix",
-        "linkage_fellegi_sunter", "quota_sample_per_lang",
-        "span_corruption_manifest", "trigram_like_search",
-        "xml_decode_roundtrip", "datetime_functions_showcase",
-        "embedding_isotropy_proxy", "events_hill_tail_index",
-        "events_user_lifecycle_stages", "q15_top_supplier",
-        "feature_asof_training_matrix", "multimodal_resize",
-        "q8_national_market_share", "text_rake_keywords",
-        "text_readability_features", "array_agg_user_profile",
-        "grpo_group_advantage", "merge_full_cdc", "multimodal_frame_sample",
-        "q11_important_part_value", "q9_product_type_profit",
-        "orders_repeat_purchase_gaps", "q16_supplier_part_buckets",
-        "revenue_trend_ols", "text_hapax_ratio", "multimodal_bmp_stats",
-        "multimodal_metadata_scan", "sft_pair_manifest", "text_bm25_search",
-        "change_data_feed_report", "l_diversity_audit",
-        "q2_min_cost_supplier", "rollup_returns",
-        "array_set_functions_showcase", "geo_cell_colocation",
-        "sql_udf_showcase", "window_range_trailing_hour",
-        "corpus_dedup_aware_weights", "decontaminate_by_embedding",
-        "events_holt_forecast", "orc_source_roundtrip",
-        "discount_cap_counterfactual", "embedding_outlier_zscore",
-        "events_seasonal_profile", "sketch_quantile_bins",
-        "asof_next_touch_latency", "dedup_embedding_cosine",
-        "events_anomaly_persistence", "events_interval_overlap_join",
-        "heavy_hitter_tokens", "map_functions_showcase",
-        "orders_duplicate_payment_audit", "range_join_price_bands",
-        "supplier_scorecard", "text_lexical_diversity",
-        "discount_elasticity_by_brand", "events_profile_cosine_pairs",
-        "multimodal_magic_sniffer", "text_feature_hashing",
-        "graph_degree_distribution", "aes_roundtrip_audit",
-        "bloom_filter_membership", "content_defined_chunks",
-        "embedding_blocking_key_profile", "events_ewma_forecast",
-        "events_hourly_anomaly", "events_user_retention",
-        "mlm_masking_manifest", "profile_lineitem_columns",
-        "attribution_window_sweep", "embedding_dim_variance_rank",
-        "events_ab_uplift_test", "events_burst_hours",
-        "mixture_temperature_sweep", "ols_two_feature_normal_eq",
-        "rate_limiter_backtest", "events_theilsen_trend",
-        "salted_join_supplier_volume", "streaming_dedup_events",
-        "embedding_bitwidth_sweep", "incremental_join_maintenance",
-        "kmeans_inertia_elbow", "multimodal_bmp_ahash",
-        "score_calibration_report", "text_top_bigrams",
-        "events_hourly_gapfill", "partition_spec_advisor",
-        "price_index_laspeyres", "shard_manifest_balanced",
-        "txn_log_time_travel", "t_closeness_audit", "user_trigram_paths",
-        "ivf_cell_balance_report", "market_concentration_hhi",
-        "blocklist_phrase_filter", "dedup_frontier_bloom",
-        "events_session_window_batch", "events_props_schema_profile",
-        "events_json_extract", "rag_context_pack",
-        "similarity_topk_binary_rerank", "similarity_topk_ivf",
-        "churn_label_manifest", "events_psi_value_drift",
-        "langid_precision_recall", "session_window_rollup",
-        "snapshot_retention_expiry_plan", "dpo_preference_pairs",
-        "hll_merge_event_types", "matryoshka_truncation_recall",
-        "text_word_pmi", "graph_assortativity", "multimodal_decode_features",
-        "orders_priority_status_chi2", "pandas_acctbal_zscore",
-        "embedding_jl_projection_audit", "multimodal_stratified_sample",
-        "customer_segment_entropy_by_nation", "data_quality_audit",
-        "ann_ndcg_truncation", "corpus_token_budget_plan",
-        "skipgram_negative_samples", "text_repetition_filter",
-        "events_growth_accounting", "percentile_distributed_exact",
-        "streaming_upsert_latest_state", "multimodal_dedup_content_hash",
-        "q21_waiting_supplier", "top_customers_by_revenue",
-        "zorder_layout_stats", "customer_balance_ks_test",
-        "setops_customer_segments", "streaming_csv_source_rollup",
-        "watermark_sizing_report", "array_hof_showcase",
-        "decision_stump_split_scores", "forecast_conformal_intervals",
-        "pandas_scalar_log_price", "events_ohlc_bars",
-        "streaming_available_now_rollup", "distinct_parts_per_supplier",
-        "events_mann_whitney_test", "events_sessionize_batch",
-        "knn_classifier_eval", "small_quantity_revenue",
-        "streaming_heavy_hitter_users", "curriculum_pacing_schedule",
-        "streaming_gzip_jsonl_rollup", "linkage_blocking_quality",
-        "streaming_hourly_rollup", "window_event_gaps",
-        "events_bounce_rate_by_entry", "events_cusum_drift",
-        "pps_systematic_sample", "surrogate_key_assignment",
-        "events_hourly_rollup", "abc_customer_classification",
-        "cms_token_counts", "events_holtwinters_forecast",
-        "pandas_grouped_agg_trimmed_mean", "bandit_replay_hourly",
-        "embedding_cluster_label_purity", "text_char_entropy",
-        "text_token_entropy", "scd2_point_in_time_join",
-        "embedding_mutual_nn_pairs", "corpus_epoch_shuffle_manifest",
-        "lineitem_qty_price_heatmap", "multimodal_audio_frame_energy",
-        "streaming_dedup_within_watermark", "orders_open_backlog_daily",
-        "search_hybrid_rrf", "streaming_union_sources_rollup",
-        "text_term_proximity_search", "events_changepoint_binseg",
-        "streaming_kmv_distinct_users", "events_peak_concurrency",
-        "q10_returned_items", "text_chunk_dedup", "dedup_minhash_lsh",
-        "gopher_quality_rules", "timeseries_znorm_subsequence_search",
-        "events_dau_wau_mau", "streaming_sliding_rollup",
-        "k_anonymity_generalize", "orders_cohort_revenue",
-        "streaming_magic_sniffer", "asof_purchase_attribution",
-        "customer_spend_gini", "events_hourly_mad_outliers",
-        "streaming_static_enrich", "basket_part_pairs",
-        "events_hourly_type_entropy", "repeated_ngram_spans",
-        "dedup_survivors", "join_skew_planner", "fd_discovery_profile",
-        "surrogate_key_incremental", "histogram_price_deciles",
-        "similarity_maxsim_multivector", "streaming_txn_log_tail",
-        "embedding_covariance", "embedding_pq_codes",
-        "kmv_set_ops_event_types", "window_functions_showcase",
-        "streaming_seasonality_monitor", "streaming_session_rollup",
-        "vocab_growth_curve", "window_customer_order_rank",
-        "medallion_pipeline_rollup", "supplier_pareto_frontier",
-        "bpe_learn_merges", "orders_survival_km", "streaming_fertility_drift",
-        "streaming_hll_distinct_users", "streaming_psi_drift",
-        "streaming_topk_types_hourly", "tokenizer_vocab_pressure",
-        "ivf_recall_report", "udtf_word_expand",
-        "checkpoint_statestore_table", "text_entropy_rate_bigram",
-        "corpus_source_datasheet", "dedup_edit_distance",
-        "streaming_stateful_type_counts", "corpus_js_divergence",
-        "text_tfidf_top_terms", "bpe_apply_merges", "dedup_incremental_delta",
-        "dedup_exact_substring", "dedup_pair_provenance",
-        "streaming_hill_tail_monitor", "supplier_leadtime_percentiles",
-        "events_alarm_verification", "multimodal_silence_segments",
-        "join_cardinality_audit", "quality_logreg_inference",
-        "source_overlap_jaccard", "q1_pricing_summary",
-        "linkage_em_parameters", "batch_replay_pruned_scan",
-        "events_haar_wavelet_energy", "q3_shipping_priority",
-        "q5_local_supplier_volume", "events_markov_stationary",
-        "batch_replay_source_slice", "embedding_drift_ab_halves",
-        "streaming_interval_union_coverage", "hll_intersection_estimate",
-        "corpus_quota_rebalance_delta", "fk_inclusion_profile",
-        "text_rolling_fingerprint", "association_rules_parts",
-        "bucketed_join_colocated", "bigram_lm_score",
-        "dsir_importance_weights", "streaming_ohlc_bars",
-        "streaming_stateful_totals", "sketch_user_activity",
-        "maxmin_fair_allocation", "similarity_topk_pq_adc",
-        "contrastive_triplets", "streaming_value_quantiles",
+        "dedup_prefix_collision", "map_functions_showcase",
+        "text_readability_features", "unpivot_lineitem_measures",
+        "benford_digit_audit", "best_of_n_selection",
+        "embedding_blocking_key_profile", "multimodal_avi_shot_boundaries",
+        "q13_customer_distribution", "q7_volume_shipping",
+        "text_vocab_coverage", "dp_noisy_nation_counts",
+        "events_funnel_view_click_purchase", "events_props_templates",
+        "events_psi_value_drift", "events_theilsen_trend",
+        "events_user_lifecycle_stages", "kmv_distinct_users",
+        "revenue_trend_ols", "user_time_to_first_purchase",
+        "web_domain_profile", "window_event_gaps",
+        "events_seasonality_strength", "orders_gmv_weekly_wow",
+        "pandas_acctbal_zscore", "q1_pricing_summary",
+        "q8_national_market_share", "revenue_waterfall", "sql_udf_showcase",
+        "text_unicode_script_profile", "text_zipf_slope",
+        "window_customer_order_rank", "xml_decode_roundtrip",
+        "basket_size_nbd_fit", "events_multi_rollup", "merge_full_cdc",
+        "text_rake_keywords", "top_customers_by_revenue",
+        "change_data_feed_report", "corpus_weights_ess",
+        "embedding_pca2_closed_form", "events_interval_union_coverage",
+        "l_diversity_audit", "linkage_fellegi_sunter",
+        "percentile_order_prices", "pivot_user_event_matrix",
+        "similarity_topk_bucketed", "snapshot_diff_report",
+        "streaming_state_budget_planner", "user_trigram_paths",
+        "dedup_cluster_size_histogram", "gmv_walk_forward_backtest",
+        "multimodal_avi_stats", "orders_duplicate_payment_audit",
+        "pandas_grouped_agg_trimmed_mean", "q18_large_volume_customers",
+        "small_quantity_revenue", "content_defined_chunks",
+        "events_self_excitation_ratio", "gzip_jsonl_source_read",
+        "multimodal_audio_frame_energy", "multimodal_magic_sniffer",
+        "range_join_price_bands", "token_df_drift_halves",
+        "discount_cap_counterfactual", "embedding_bitwidth_sweep",
+        "events_transition_matrix", "orc_source_roundtrip",
+        "q10_returned_items", "similarity_lsh_neardup", "text_hapax_ratio",
+        "window_range_trailing_hour", "bronze_decode_errors",
+        "discount_elasticity_by_brand", "embedding_dim_variance_rank",
+        "events_ewma_forecast", "events_session_window_batch",
+        "multimodal_bmp_stats", "text_bm25_search",
+        "array_agg_user_profile", "events_profile_cosine_pairs",
+        "events_seasonal_profile", "events_user_retention",
+        "hll_distinct_users", "rank_correlation_kendall",
+        "subject_access_export", "aes_roundtrip_audit",
+        "asof_next_touch_latency", "corpus_quota_rebalance_delta",
+        "events_ab_uplift_test", "lineitem_ship_latency",
+        "multimodal_silence_segments", "q11_important_part_value",
+        "q20_heavy_shippers", "rate_limiter_backtest",
+        "distinct_parts_per_supplier", "events_burst_hours",
+        "events_interval_overlap_join", "q9_product_type_profit",
+        "trigram_like_search", "attribution_multi_touch",
+        "corpus_token_budget_plan", "dedup_embedding_cosine",
+        "medallion_pipeline_rollup", "orders_repeat_purchase_gaps",
+        "q2_min_cost_supplier", "events_type_audience_overlap",
+        "mlm_masking_manifest", "q3_shipping_priority",
+        "shard_manifest_balanced", "txn_log_time_travel",
+        "q16_supplier_part_buckets", "udtf_word_expand",
+        "mixture_temperature_sweep", "salted_join_supplier_volume",
+        "similarity_topk_binary_rerank", "supplier_scorecard",
+        "embedding_jl_projection_audit", "market_concentration_hhi",
+        "ann_ndcg_truncation", "attribution_window_sweep",
+        "embedding_outlier_zscore", "events_hill_tail_index",
+        "events_hourly_anomaly", "events_sessionize_batch",
+        "multimodal_bmp_ahash", "partition_spec_advisor",
+        "t_closeness_audit", "events_funnel_latency",
+        "ivf_cell_balance_report", "multimodal_ahash_neardup",
+        "profile_lineitem_columns", "text_word_pmi",
+        "events_anomaly_persistence", "incremental_join_maintenance",
+        "geo_cell_colocation", "kmeans_inertia_elbow",
+        "matryoshka_truncation_recall", "score_calibration_report",
+        "shuffle_partition_advisor", "corpus_dedup_aware_weights",
+        "events_bounce_rate_by_entry", "dedup_frontier_bloom",
+        "events_props_schema_profile", "multimodal_wav_silence_real",
+        "asof_purchase_attribution", "events_holtwinters_forecast",
+        "text_feature_hashing", "text_top_bigrams",
+        "bronze_decode_roundtrip", "customer_balance_ks_test",
+        "ols_two_feature_normal_eq", "decontaminate_by_embedding",
+        "events_hourly_gapfill", "streaming_dedup_events",
+        "blocklist_phrase_filter", "customer_spend_gini",
+        "data_quality_audit", "similarity_topk_ivf",
+        "streaming_csv_source_rollup", "streaming_gzip_jsonl_rollup",
+        "langid_precision_recall", "rag_context_pack",
+        "session_window_rollup", "watermark_sizing_report",
+        "events_changepoint_binseg", "forecast_conformal_intervals",
+        "orders_priority_status_chi2", "text_repetition_filter",
+        "embedding_mutual_nn_pairs", "single_source_risk_report",
+        "snapshot_retention_expiry_plan", "churn_label_manifest",
+        "orders_cohort_revenue", "scd2_point_in_time_join",
+        "skipgram_negative_samples", "surrogate_key_assignment",
+        "text_chunk_dedup", "events_cusum_drift",
+        "events_growth_accounting", "multimodal_png_stats",
+        "streaming_upsert_latest_state", "events_hourly_mad_outliers",
+        "text_lexical_diversity", "graph_degree_distribution",
+        "sketch_quantile_bins", "timeseries_znorm_subsequence_search",
+        "join_skew_planner", "streaming_heavy_hitter_users",
+        "embedding_cluster_label_purity", "price_index_laspeyres",
+        "q21_waiting_supplier", "text_term_proximity_search",
+        "events_dau_wau_mau", "hll_merge_event_types",
+        "knn_classifier_eval", "streaming_kmv_distinct_users",
+        "curriculum_pacing_schedule", "customer_segment_entropy_by_nation",
+        "decision_stump_split_scores", "events_ohlc_bars",
+        "events_peak_concurrency", "zorder_layout_stats",
+        "corpus_js_divergence", "streaming_union_sources_rollup",
+        "streaming_available_now_rollup", "text_token_entropy",
+        "heavy_hitter_tokens", "percentile_distributed_exact",
+        "abc_customer_classification", "dedup_minhash_lsh",
+        "events_alarm_verification", "events_mann_whitney_test",
+        "repeated_ngram_spans", "bloom_filter_membership",
+        "array_hof_showcase", "multimodal_wav_stats",
+        "streaming_sliding_rollup", "similarity_maxsim_multivector",
+        "streaming_dedup_within_watermark", "streaming_static_enrich",
+        "dedup_edit_distance", "graph_assortativity",
+        "corpus_epoch_shuffle_manifest", "dedup_survivors",
+        "gopher_quality_rules", "vocab_growth_curve",
+        "bandit_replay_hourly", "basket_part_pairs",
+        "graph_link_prediction_suppliers", "orders_survival_km",
+        "embedding_covariance", "window_functions_showcase",
+        "batch_replay_pruned_scan", "histogram_price_deciles",
+        "pps_systematic_sample", "association_rules_parts",
+        "checkpoint_statestore_table", "streaming_seasonality_monitor",
+        "streaming_txn_log_tail", "bpe_learn_merges", "cms_token_counts",
+        "fuzzy_join_part_names", "orders_open_backlog_daily",
+        "search_hybrid_rrf", "streaming_hll_distinct_users",
+        "supplier_pareto_frontier", "linkage_entity_clusters",
+        "dedup_exact_substring", "dedup_span_mask_manifest",
+        "streaming_magic_sniffer", "streaming_session_rollup",
+        "text_char_entropy", "events_ccf_count_value",
+        "multimodal_shot_boundaries", "part_name_brand_mi",
+        "quality_logreg_training", "events_hourly_type_entropy",
+        "streaming_hourly_rollup", "join_cardinality_audit",
+        "lineitem_qty_price_heatmap", "decontaminate_train_shingles",
+        "fd_discovery_profile", "padding_waste_report",
+        "text_tfidf_top_terms", "bpe_apply_merges",
+        "semantic_dedup_semdedup", "embedding_pq_codes",
+        "corpus_source_datasheet", "streaming_fertility_drift",
+        "surrogate_key_incremental", "streaming_self_excitation",
+        "streaming_stateful_type_counts", "streaming_topk_types_hourly",
+        "orders_cuped_adjustment", "batch_replay_source_slice",
+        "embedding_drift_ab_halves", "streaming_psi_drift",
+        "k_anonymity_generalize", "q5_local_supplier_volume",
+        "text_rolling_fingerprint", "dedup_pair_provenance",
+        "ivf_recall_report", "linkage_em_parameters",
+        "streaming_hill_tail_monitor", "dedup_incremental_delta",
         "streaming_sink_exactly_once_roundtrip",
-        "graph_link_prediction_suppliers", "recursive_month_spine",
-        "zonemap_skip_simulation", "streaming_frontier_bloom",
-        "crosslingual_contamination", "graph_label_propagation",
-        "streaming_rate_limiter", "dedup_simhash",
-        "embedding_silhouette_centroid", "streaming_update_mode_rollup",
-        "ivf_nprobe_sweep", "events_hourly_autocorr",
-        "checkpoint_sources_table", "streaming_late_data_drop",
-        "dedup_ngram_jaccard", "bradley_terry_strengths",
-        "streaming_quality_monitor", "hits_authority_hub",
-        "graph_modularity_by_brand", "rfm_customer_segments",
-        "streaming_chained_windows", "multimodal_wav_stats",
-        "streaming_type_entropy_drift", "cluster_kmeans_embeddings",
-        "multimodal_png_stats", "embedding_power_iteration",
-        "perplexity_tertile_buckets", "token_df_drift_halves",
-        "linkage_entity_clusters", "corpus_filter_funnel",
-        "fuzzy_join_part_names", "naive_bayes_langid",
-        "corpus_shingle_novelty", "semantic_dedup_semdedup",
-        "hive_source_partition_pruned", "minhash_jaccard_calibration",
-        "checkpoint_offsetlog_table", "recsys_item_cosine",
-        "streaming_lsh_candidate_buckets", "decontaminate_train_shingles",
-        "streaming_bounce_rate", "streaming_ivf_assign",
-        "streaming_replay_source_rollup", "multimodal_ahash_neardup",
-        "text_kneser_ney_bigram_score", "padding_waste_report",
-        "multimodal_shot_boundaries", "dedup_span_mask_manifest",
-        "checkpoint_commitlog_audit", "streaming_unattributed_purchases",
-        "ivf_incremental_assign", "streaming_feature_hashing_monitor",
-        "corpus_difficulty_curriculum", "streaming_purchase_attribution",
-        "custom_sink_audit_roundtrip", "dedup_containment", "graph_bfs_hops",
-        "graph_pagerank_parts", "dedup_connected_components",
-        "streaming_semdedup", "udtf_dynamic_ngrams",
-        "dedup_band_sweep_calibration", "cogroup_asof_pandas",
-        "scan_task_planner", "graph_kcore_peel",
-        "streaming_join_then_windowed_agg", "ann_method_agreement",
-        "sql_scripting_showcase", "graph_triangle_stats",
-        "minhash_bbit_calibration", "user_time_to_first_purchase",
-        "dedup_keep_best_quality", "basket_size_nbd_fit",
-        "multimodal_wav_silence_real", "shuffle_partition_advisor",
-        "events_self_excitation_ratio", "single_source_risk_report",
-        "events_ccf_count_value", "quality_logreg_training",
-        "spearman_len_vs_ttr", "part_name_brand_mi",
-        "dedup_transitivity_audit",
+        "events_haar_wavelet_energy", "streaming_rate_limiter",
+        "sketch_user_activity", "bucketed_join_colocated",
+        "quality_logreg_inference", "streaming_value_quantiles",
+        "contrastive_triplets", "events_markov_stationary",
+        "tokenizer_vocab_pressure", "fk_inclusion_profile",
+        "ivf_incremental_assign", "streaming_interval_union_coverage",
+        "cogroup_asof_pandas", "dedup_transitivity_audit",
+        "streaming_neyman_allocation", "graph_modularity_by_brand",
+        "udtf_dynamic_ngrams", "corpus_shingle_novelty",
+        "dsir_importance_weights", "streaming_update_mode_rollup",
+        "kmv_set_ops_event_types", "supplier_leadtime_percentiles",
+        "events_hourly_autocorr", "similarity_topk_pq_adc",
+        "bigram_lm_score", "streaming_bounce_rate",
+        "streaming_stateful_totals", "ivf_nprobe_sweep",
+        "streaming_brand_mi_drift", "dedup_simhash",
+        "maxmin_fair_allocation", "zonemap_skip_simulation",
+        "source_overlap_jaccard", "streaming_ohlc_bars",
+        "bradley_terry_strengths", "text_entropy_rate_bigram",
+        "spearman_len_vs_ttr", "dedup_containment",
+        "crosslingual_contamination", "embedding_silhouette_centroid",
+        "streaming_chained_windows", "recursive_month_spine",
+        "streaming_late_data_drop", "events_sprt_monitor",
+        "streaming_ess_monitor", "streaming_feature_hashing_monitor",
+        "streaming_lsh_candidate_buckets", "rfm_customer_segments",
+        "graph_label_propagation", "embedding_power_iteration",
+        "dedup_ngram_jaccard", "hll_intersection_estimate",
+        "checkpoint_sources_table", "streaming_type_entropy_drift",
+        "hits_authority_hub", "corpus_filter_funnel",
+        "streaming_rater_drift_monitor", "dedup_connected_components",
+        "hive_source_partition_pruned", "recsys_item_cosine",
+        "cluster_kmeans_embeddings", "perplexity_tertile_buckets",
+        "streaming_quality_monitor", "text_kneser_ney_bigram_score",
+        "graph_bfs_hops", "naive_bayes_langid",
+        "checkpoint_offsetlog_table", "minhash_jaccard_calibration",
+        "dedup_pipeline_composition", "streaming_replay_source_rollup",
+        "dedup_keep_best_quality", "streaming_semdedup",
+        "minhash_bbit_calibration", "streaming_ivf_assign",
+        "graph_pagerank_parts", "custom_sink_audit_roundtrip",
+        "streaming_unattributed_purchases", "corpus_difficulty_curriculum",
+        "checkpoint_commitlog_audit", "streaming_purchase_attribution",
+        "graph_kcore_peel", "orders_mean_value_bootstrap_ci",
+        "streaming_frontier_bloom", "streaming_join_then_windowed_agg",
+        "tokenizer_unigram_fertility", "ann_method_agreement",
+        "streaming_bootstrap_ci", "ann_pipeline_composition",
+        "sql_scripting_showcase", "dedup_band_sweep_calibration",
+        "streaming_unigram_fertility", "scan_task_planner",
+        "graph_triangle_stats", "tokenizer_unigram_fit",
     )
     new_ops_rank = 50.5  # just after the sub-second group (index ~50)
     unchecked = {
