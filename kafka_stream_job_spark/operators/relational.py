@@ -15492,7 +15492,21 @@ def orders_cuped_adjustment(spark: SparkSession, sf_dir: str) -> DataFrame:
             100,
         ).alias("y"),
     )
-    arm = (
+    u = (
+        customer.join(spend, customer["c_custkey"] == spend["k"], "left")
+        .select(
+            cuped_arm_col().alias("arm"),
+            F.coalesce(F.col("x"), F.lit(0)).alias("x"),
+            F.coalesce(F.col("y"), F.lit(0)).alias("y"),
+        )
+    )
+    return cuped_assemble(u)
+
+
+def cuped_arm_col() -> "F.Column":
+    """Deterministic hash arm assignment over c_custkey — one definition
+    for the batch query and the streaming twin."""
+    return (
         F.conv(
             F.substring(
                 F.md5(
@@ -15506,14 +15520,12 @@ def orders_cuped_adjustment(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).cast("long")
         % 2
     )
-    u = (
-        customer.join(spend, customer["c_custkey"] == spend["k"], "left")
-        .select(
-            arm.alias("arm"),
-            F.coalesce(F.col("x"), F.lit(0)).alias("x"),
-            F.coalesce(F.col("y"), F.lit(0)).alias("y"),
-        )
-    )
+
+
+def cuped_assemble(u: DataFrame) -> DataFrame:
+    """CUPED report from per-unit (arm, x, y) rows — shared verbatim by
+    the batch query above and its streaming twin, so both check against
+    the SAME oracle."""
     m = u.groupBy("arm").agg(
         F.count(F.lit(1)).cast("long").alias("n"),
         F.sum("x").cast("long").alias("sx"),

@@ -5361,3 +5361,215 @@ def _register_streaming_unigram_fertility() -> None:
 
 
 _register_streaming_unigram_fertility()
+
+
+# ---------------------------------------------------------------------------
+# STREAMING CUPED MONITOR — the live twin of orders_cuped_adjustment:
+# per-customer pre/post cent sums accumulate in BUILT-IN JVM agg state
+# (update mode; both sums are monotone, so max-per-key converges), and
+# the whole-dollar quantization + pooled-theta assembly run post-stream
+# against the STATIC customer universe via the shared cuped_arm_col /
+# cuped_assemble — oracle verbatim from the batch op. The emission
+# series is the experimentation-ops signal: an adjusted-mean gap that
+# keeps moving mid-ingest means the experiment has not converged and a
+# ship decision would be premature.
+# ---------------------------------------------------------------------------
+def _register_streaming_cuped_monitor() -> None:
+    import uuid
+
+    from kafka_stream_job_spark.operators._portable import idiv
+    from kafka_stream_job_spark.operators.relational import (
+        CUPED_SPLIT,
+        cuped_arm_col,
+        cuped_assemble,
+    )
+    from kafka_stream_job_spark.registry import REGISTRY, register
+    from kafka_stream_job_spark.tables import load_table
+
+    oracle = REGISTRY["orders_cuped_adjustment"].oracle
+
+    @register(
+        "streaming_cuped_monitor",
+        oracle=oracle,
+        tags=("streaming", "stateful", "experimentation", "cuped",
+              "orders"),
+    )
+    def streaming_cuped_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
+        import tempfile
+
+        src, stage = _stage_stream_source(
+            sf_dir, "orders", "/tmp/ksj_stream_stage_orders"
+        )
+        raw_schema = spark.read.parquet(src).schema
+        orders = spark.readStream.schema(raw_schema).parquet(stage)
+        cents = F.round(F.col("o_totalprice") * 100, 0).cast("long")
+        split = F.lit(CUPED_SPLIT).cast("timestamp_ntz")
+        spend_stream = orders.groupBy(
+            F.col("o_custkey").alias("k")
+        ).agg(
+            F.sum(F.when(F.col("o_orderdate") < split, cents).otherwise(0))
+            .cast("long")
+            .alias("xc"),
+            F.sum(F.when(F.col("o_orderdate") >= split, cents).otherwise(0))
+            .cast("long")
+            .alias("yc"),
+        )
+        name = f"stream_cuped_{uuid.uuid4().hex[:8]}"
+        ckpt = tempfile.mkdtemp(prefix="ksj-stream-cuped-")
+        emitted = run_stream_to_memory(
+            spark, spend_stream, name, ckpt, output_mode="update"
+        )
+        # update-mode emissions converge per key at max (cent sums are
+        # monotone); the whole-dollar quantization happens on the
+        # CONVERGED totals, exactly like the batch op.
+        spend = (
+            emitted.groupBy("k")
+            .agg(
+                F.max("xc").cast("long").alias("xc"),
+                F.max("yc").cast("long").alias("yc"),
+            )
+            .select(
+                "k",
+                idiv(F.col("xc"), 100).alias("x"),
+                idiv(F.col("yc"), 100).alias("y"),
+            )
+            .localCheckpoint(eager=False)
+        )
+        customer = load_table(spark, sf_dir, "customer")
+        u = customer.join(
+            spend, customer["c_custkey"] == spend["k"], "left"
+        ).select(
+            cuped_arm_col().alias("arm"),
+            F.coalesce(F.col("x"), F.lit(0)).alias("x"),
+            F.coalesce(F.col("y"), F.lit(0)).alias("y"),
+        )
+        return cuped_assemble(u)
+
+
+_register_streaming_cuped_monitor()
+
+
+# ---------------------------------------------------------------------------
+# STREAMING SPRT MONITOR — the live twin of events_sprt_monitor, and
+# the op SPRT was INVENTED for: stop the moment the evidence crosses a
+# Wald boundary instead of waiting for a fixed horizon. State is one
+# row of five int64s — (idx, llr, first_up, first_down, n_success) —
+# folded per micro-batch in (ts_us, event_id) order through
+# applyInPandasWithState (the walk is inherently sequential: this is
+# the algorithm's nature, not a distribution failure — the data-sized
+# work of ordering rows stays in the shuffle, the fold touches each
+# row once). Same chunk-materialize-then-sort discipline as
+# streaming_self_excitation (the r10 advice fix); same micro-batch
+# event-time ordering contract. Oracle verbatim from the batch op.
+# ---------------------------------------------------------------------------
+def _register_streaming_sprt_monitor() -> None:
+    import uuid
+
+    from kafka_stream_job_spark.operators.relational import (
+        _SPRT_A,
+        _SPRT_B,
+        _SPRT_INC0,
+        _SPRT_INC1,
+    )
+    from kafka_stream_job_spark.registry import REGISTRY, register
+
+    oracle = REGISTRY["events_sprt_monitor"].oracle
+
+    @register(
+        "streaming_sprt_monitor",
+        oracle=oracle,
+        tags=("streaming", "stateful", "experimentation", "sprt", "events"),
+    )
+    def streaming_sprt_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
+        import tempfile
+
+        from pyspark.sql.streaming.state import GroupStateTimeout
+
+        obs = stream_events(spark, sf_dir).select(
+            F.lit(0).alias("g"),
+            F.unix_micros(F.col("ts")).alias("ts_us"),
+            "event_id",
+            F.when(F.col("event_type") == "purchase", 1)
+            .otherwise(0)
+            .alias("x"),
+        )
+
+        def update(key, pdfs, state):
+            import pandas as pd
+
+            idx, llr, first_up, first_down, n_succ = (
+                state.get if state.exists else (0, 0, 0, 0, 0)
+            )
+            chunks = [pdf for pdf in pdfs if len(pdf)]
+            if chunks:
+                batch = (
+                    chunks[0]
+                    if len(chunks) == 1
+                    else pd.concat(chunks, ignore_index=True)
+                )
+                batch = batch.sort_values(["ts_us", "event_id"])
+                for x in batch["x"]:
+                    idx += 1
+                    x = int(x)
+                    n_succ += x
+                    llr += _SPRT_INC1 if x else _SPRT_INC0
+                    if first_up == 0 and llr >= _SPRT_A:
+                        first_up = idx
+                    if first_down == 0 and llr <= _SPRT_B:
+                        first_down = idx
+            state.update(
+                (int(idx), int(llr), int(first_up), int(first_down),
+                 int(n_succ))
+            )
+            yield pd.DataFrame(
+                {
+                    "n_events": [idx],
+                    "n_success": [n_succ],
+                    "llr_final_milli": [llr],
+                    "first_up_idx": [first_up],
+                    "first_down_idx": [first_down],
+                }
+            )
+
+        walked = obs.groupBy("g").applyInPandasWithState(
+            update,
+            outputStructType=(
+                "n_events long, n_success long, llr_final_milli long, "
+                "first_up_idx long, first_down_idx long"
+            ),
+            stateStructType=(
+                "idx long, llr long, first_up long, first_down long, "
+                "n_succ long"
+            ),
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+        name = f"stream_sprt_{uuid.uuid4().hex[:8]}"
+        ckpt = tempfile.mkdtemp(prefix="ksj-stream-sprt-")
+        emitted = run_stream_to_memory(spark, walked, name, ckpt)
+        # each micro-batch emits one cumulative row; the converged one
+        # has max n_events
+        final = emitted.orderBy(F.col("n_events").desc()).limit(1)
+        return final.select(
+            "n_events",
+            "n_success",
+            "llr_final_milli",
+            F.lit(_SPRT_A).cast("long").alias("upper_milli"),
+            F.lit(_SPRT_B).cast("long").alias("lower_milli"),
+            "first_up_idx",
+            "first_down_idx",
+            F.when(
+                (F.col("first_up_idx") > 0)
+                & (
+                    (F.col("first_down_idx") == 0)
+                    | (F.col("first_down_idx") > F.col("first_up_idx"))
+                ),
+                F.lit("accept_h1"),
+            )
+            .when(F.col("first_down_idx") > 0, F.lit("accept_h0"))
+            .otherwise(F.lit("continue"))
+            .alias("decision"),
+        )
+
+
+_register_streaming_sprt_monitor()
