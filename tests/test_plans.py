@@ -1355,3 +1355,45 @@ def test_adaptive_final_plan_keeps_shape(spark, name, expect):
         assert "SortMergeJoin" not in final, f"{name}: SMJ crept into the final plan"
     if expect.get("no_join"):
         assert "Join" not in final, f"{name}: unexpected join in a hash-agg-only plan"
+
+
+def test_unigram_fit_seg_join_aggregates_map_side(spark):
+    """tokenizer_unigram_fit's hot path is the (distinct blocks ×
+    segmentation spine × piece costs) scoring join. Pin the 100 TB
+    shape on the EXECUTED plan: the spine joins as a BROADCAST (a
+    ~900-row constant — a shuffle here would move every block row
+    twice), and the groupBy(block, mask) score sum partially
+    aggregates BELOW its exchange so exploded piece rows never cross
+    the network."""
+    df = SPECS["tokenizer_unigram_fit"].fn(spark, SF_SMOKE)
+    df.collect()
+    final = df._jdf.queryExecution().executedPlan().toString()
+    assert "isFinalPlan=true" in final
+    assert "BroadcastHashJoin" in final, "spine join lost its broadcast"
+    ex = final.find("Exchange hashpartitioning(block")
+    assert ex != -1, "no block-keyed exchange found"
+    assert "HashAggregate" in final[ex:], (
+        "no partial aggregate below the block-score exchange — "
+        "piece-exploded rows would cross the network at 100 TB"
+    )
+
+
+def test_ann_composition_keeps_centroids_broadcast_at_runtime(spark):
+    """ann_pipeline_composition assigns the corpus against the sampled
+    centroid codebook; the EXECUTED adaptive plan must keep every
+    centroid join a broadcast (the corpus is never shuffled for
+    assignment) — a stats regression that flips one to SMJ shuffles
+    the full embedding table at 100 TB."""
+    df = SPECS["ann_pipeline_composition"].fn(spark, SF_SMOKE)
+    df.collect()
+    final = df._jdf.queryExecution().executedPlan().toString()
+    assert "isFinalPlan=true" in final
+    assert "BroadcastNestedLoopJoin" in final or "BroadcastHashJoin" in final
+    # SMJ over the 3-row nprobe grid (np keys) is harmless; what must
+    # never sort-merge is a join keyed on the assignment cell or the
+    # centroid id — that shuffles the corpus.
+    for line in final.splitlines():
+        if "SortMergeJoin" in line and ("cell" in line or "cent_id" in line):
+            raise AssertionError(
+                f"centroid/probe join degraded to SMJ at runtime: {line}"
+            )
