@@ -347,7 +347,7 @@ def all_specs() -> dict[str, QuerySpec]:
     recheck = {n: s for n, s in REGISTRY.items() if n in _RECHECK}
     # Within the never-checked group, order by MEASURED sf0.01 driver-sim
     # cost (tools/verify_oracle.py SIM_PAR=1; re-measured over the FULL
-    # 476-query registry in round 10 — regenerate any time with
+    # 478-query registry in round 10 — regenerate any time with
     # tools/regen_cost_order.py from the committed CORRECTNESS_LOCAL.json),
     # cheapest first: if the driver's
     # pass is time-capped rather than count-capped, cheap-first maximizes
@@ -356,240 +356,238 @@ def all_specs() -> dict[str, QuerySpec]:
     # sub-second group.
     cost_order = (
         "binary_blob_source_stats", "text_fingerprint",
-        "text_bpe_token_count", "nations_with_rich_customers",
-        "url_functions_showcase", "weighted_sample_docs",
-        "sft_loss_masking_spans", "span_corruption_manifest",
-        "text_token_stats", "bitwise_aggregates_showcase",
-        "fixed_width_source_read", "quota_sample_per_lang",
-        "customers_without_orders", "scalar_functions_showcase",
-        "pipe_sql_priority_stats", "q6_forecast_revenue",
-        "split_train_eval", "schema_evolution_merge_read",
-        "text_quality_score", "text_seqlen_histogram", "doc_sliding_chunks",
-        "corpus_mix_rebalance", "datetime_functions_showcase",
-        "grouping_sets_revenue", "multimodal_metadata_scan",
-        "text_pii_redaction", "cube_order_status_priority",
-        "q14_promo_revenue", "sft_pair_manifest", "try_functions_showcase",
-        "dpo_preference_pairs", "embedding_int8_quantize",
-        "multimodal_resize", "parameterized_sql_showcase",
-        "rater_mcnemar_test", "text_language_id",
-        "arrow_map_embedding_norm", "jsonl_source_permissive_read",
-        "lateral_top_customers_per_nation", "scd2_customer_merge",
-        "text_fano_burstiness", "text_sentiment_lexicon",
-        "cv_fold_manifest", "embedding_norm_stats",
+        "nations_with_rich_customers", "text_bpe_token_count",
+        "url_functions_showcase", "bitwise_aggregates_showcase",
+        "q6_forecast_revenue", "customers_without_orders",
+        "data_freshness_sla", "fixed_width_source_read",
+        "sft_loss_masking_spans", "text_token_stats",
+        "weighted_sample_docs", "gdpr_purge_manifest",
+        "span_corruption_manifest", "scalar_functions_showcase",
+        "lateral_top_customers_per_nation", "multimodal_metadata_scan",
+        "pipe_sql_priority_stats", "try_functions_showcase",
+        "datetime_functions_showcase", "q14_promo_revenue",
+        "quota_sample_per_lang", "schema_evolution_merge_read",
+        "grouping_sets_revenue", "parameterized_sql_showcase",
+        "text_fano_burstiness", "text_quality_score",
+        "cube_order_status_priority", "doc_sliding_chunks",
+        "sft_pair_manifest", "split_train_eval", "arrow_map_embedding_norm",
+        "collation_group_showcase", "dedup_exact",
         "multimodal_frame_sample", "partitioned_source_pruned_read",
-        "q22_global_sales_opportunity", "bpe_fertility_by_lang",
-        "collation_group_showcase", "dedup_url_canonical",
-        "gdpr_purge_manifest", "multimodal_stratified_sample",
-        "q4_order_priority", "supplier_return_wilson_rank", "dedup_exact",
-        "events_json_extract", "execute_immediate_showcase",
-        "lang_temperature_weights", "q19_disjunctive_revenue",
-        "quality_rater_agreement_kappa", "rollup_returns",
-        "events_props_variant_decode", "q12_priority_by_linestatus",
-        "csv_source_permissive_read", "embedding_isotropy_proxy",
-        "grpo_group_advantage", "multimodal_gif_stats",
-        "null_safe_join_attribution", "text_mojibake_detect",
-        "events_daily_value_trend", "stats_qty_price_corr",
-        "file_metadata_columns_read", "k_anonymity_audit",
-        "pack_sequences_manifest", "q15_top_supplier",
-        "setops_customer_segments", "compaction_bin_packing_plan",
-        "decayed_leaderboard", "multimodal_dedup_content_hash",
-        "neyman_allocation_plan", "array_set_functions_showcase",
-        "events_hourly_rollup", "feature_asof_training_matrix",
-        "lang_balance_weights", "linkage_blocking_quality",
-        "multimodal_decode_features", "orphan_file_audit",
-        "pandas_scalar_log_price", "profile_hot_orderkeys",
-        "data_freshness_sla", "events_holt_forecast",
-        "incremental_agg_maintenance", "parts_price_anova_by_size",
-        "similarity_topk_cosine", "text_adjacent_repetition",
-        "dedup_prefix_collision", "map_functions_showcase",
-        "text_readability_features", "unpivot_lineitem_measures",
-        "benford_digit_audit", "best_of_n_selection",
-        "embedding_blocking_key_profile", "multimodal_avi_shot_boundaries",
-        "q13_customer_distribution", "q7_volume_shipping",
-        "text_vocab_coverage", "dp_noisy_nation_counts",
-        "events_funnel_view_click_purchase", "events_props_templates",
-        "events_psi_value_drift", "events_theilsen_trend",
-        "events_user_lifecycle_stages", "kmv_distinct_users",
-        "revenue_trend_ols", "user_time_to_first_purchase",
-        "web_domain_profile", "window_event_gaps",
-        "events_seasonality_strength", "orders_gmv_weekly_wow",
-        "pandas_acctbal_zscore", "q1_pricing_summary",
-        "q8_national_market_share", "revenue_waterfall", "sql_udf_showcase",
-        "text_unicode_script_profile", "text_zipf_slope",
-        "window_customer_order_rank", "xml_decode_roundtrip",
-        "basket_size_nbd_fit", "events_multi_rollup", "merge_full_cdc",
-        "text_rake_keywords", "top_customers_by_revenue",
-        "change_data_feed_report", "corpus_weights_ess",
-        "embedding_pca2_closed_form", "events_interval_union_coverage",
-        "l_diversity_audit", "linkage_fellegi_sunter",
-        "percentile_order_prices", "pivot_user_event_matrix",
-        "similarity_topk_bucketed", "snapshot_diff_report",
-        "streaming_state_budget_planner", "user_trigram_paths",
-        "dedup_cluster_size_histogram", "gmv_walk_forward_backtest",
-        "multimodal_avi_stats", "orders_duplicate_payment_audit",
-        "pandas_grouped_agg_trimmed_mean", "q18_large_volume_customers",
-        "small_quantity_revenue", "content_defined_chunks",
-        "events_self_excitation_ratio", "gzip_jsonl_source_read",
-        "multimodal_audio_frame_energy", "multimodal_magic_sniffer",
-        "range_join_price_bands", "token_df_drift_halves",
-        "discount_cap_counterfactual", "embedding_bitwidth_sweep",
-        "events_transition_matrix", "orc_source_roundtrip",
-        "q10_returned_items", "similarity_lsh_neardup", "text_hapax_ratio",
-        "window_range_trailing_hour", "bronze_decode_errors",
-        "discount_elasticity_by_brand", "embedding_dim_variance_rank",
-        "events_ewma_forecast", "events_session_window_batch",
-        "multimodal_bmp_stats", "text_bm25_search",
-        "array_agg_user_profile", "events_profile_cosine_pairs",
-        "events_seasonal_profile", "events_user_retention",
-        "hll_distinct_users", "rank_correlation_kendall",
-        "subject_access_export", "aes_roundtrip_audit",
-        "asof_next_touch_latency", "corpus_quota_rebalance_delta",
-        "events_ab_uplift_test", "lineitem_ship_latency",
-        "multimodal_silence_segments", "q11_important_part_value",
-        "q20_heavy_shippers", "rate_limiter_backtest",
-        "distinct_parts_per_supplier", "events_burst_hours",
-        "events_interval_overlap_join", "q9_product_type_profit",
-        "trigram_like_search", "attribution_multi_touch",
-        "corpus_token_budget_plan", "dedup_embedding_cosine",
-        "medallion_pipeline_rollup", "orders_repeat_purchase_gaps",
-        "q2_min_cost_supplier", "events_type_audience_overlap",
-        "mlm_masking_manifest", "q3_shipping_priority",
-        "shard_manifest_balanced", "txn_log_time_travel",
-        "q16_supplier_part_buckets", "udtf_word_expand",
-        "mixture_temperature_sweep", "salted_join_supplier_volume",
-        "similarity_topk_binary_rerank", "supplier_scorecard",
-        "embedding_jl_projection_audit", "market_concentration_hhi",
-        "ann_ndcg_truncation", "attribution_window_sweep",
-        "embedding_outlier_zscore", "events_hill_tail_index",
-        "events_hourly_anomaly", "events_sessionize_batch",
-        "multimodal_bmp_ahash", "partition_spec_advisor",
-        "t_closeness_audit", "events_funnel_latency",
-        "ivf_cell_balance_report", "multimodal_ahash_neardup",
-        "profile_lineitem_columns", "text_word_pmi",
-        "events_anomaly_persistence", "incremental_join_maintenance",
-        "geo_cell_colocation", "kmeans_inertia_elbow",
-        "matryoshka_truncation_recall", "score_calibration_report",
-        "shuffle_partition_advisor", "corpus_dedup_aware_weights",
-        "events_bounce_rate_by_entry", "dedup_frontier_bloom",
-        "events_props_schema_profile", "multimodal_wav_silence_real",
-        "asof_purchase_attribution", "events_holtwinters_forecast",
-        "text_feature_hashing", "text_top_bigrams",
-        "bronze_decode_roundtrip", "customer_balance_ks_test",
-        "ols_two_feature_normal_eq", "decontaminate_by_embedding",
-        "events_hourly_gapfill", "streaming_dedup_events",
-        "blocklist_phrase_filter", "customer_spend_gini",
-        "data_quality_audit", "similarity_topk_ivf",
-        "streaming_csv_source_rollup", "streaming_gzip_jsonl_rollup",
-        "langid_precision_recall", "rag_context_pack",
-        "session_window_rollup", "watermark_sizing_report",
-        "events_changepoint_binseg", "forecast_conformal_intervals",
-        "orders_priority_status_chi2", "text_repetition_filter",
-        "embedding_mutual_nn_pairs", "single_source_risk_report",
-        "snapshot_retention_expiry_plan", "churn_label_manifest",
-        "orders_cohort_revenue", "scd2_point_in_time_join",
-        "skipgram_negative_samples", "surrogate_key_assignment",
-        "text_chunk_dedup", "events_cusum_drift",
-        "events_growth_accounting", "multimodal_png_stats",
-        "streaming_upsert_latest_state", "events_hourly_mad_outliers",
-        "text_lexical_diversity", "graph_degree_distribution",
-        "sketch_quantile_bins", "timeseries_znorm_subsequence_search",
-        "join_skew_planner", "streaming_heavy_hitter_users",
-        "embedding_cluster_label_purity", "price_index_laspeyres",
-        "q21_waiting_supplier", "text_term_proximity_search",
-        "events_dau_wau_mau", "hll_merge_event_types",
-        "knn_classifier_eval", "streaming_kmv_distinct_users",
-        "curriculum_pacing_schedule", "customer_segment_entropy_by_nation",
-        "decision_stump_split_scores", "events_ohlc_bars",
-        "events_peak_concurrency", "zorder_layout_stats",
-        "corpus_js_divergence", "streaming_union_sources_rollup",
-        "streaming_available_now_rollup", "text_token_entropy",
-        "heavy_hitter_tokens", "percentile_distributed_exact",
-        "abc_customer_classification", "dedup_minhash_lsh",
-        "events_alarm_verification", "events_mann_whitney_test",
-        "repeated_ngram_spans", "bloom_filter_membership",
-        "array_hof_showcase", "multimodal_wav_stats",
-        "streaming_sliding_rollup", "similarity_maxsim_multivector",
-        "streaming_dedup_within_watermark", "streaming_static_enrich",
-        "dedup_edit_distance", "graph_assortativity",
-        "corpus_epoch_shuffle_manifest", "dedup_survivors",
-        "gopher_quality_rules", "vocab_growth_curve",
-        "bandit_replay_hourly", "basket_part_pairs",
-        "graph_link_prediction_suppliers", "orders_survival_km",
-        "embedding_covariance", "window_functions_showcase",
-        "batch_replay_pruned_scan", "histogram_price_deciles",
-        "pps_systematic_sample", "association_rules_parts",
-        "checkpoint_statestore_table", "streaming_seasonality_monitor",
-        "streaming_txn_log_tail", "bpe_learn_merges", "cms_token_counts",
-        "fuzzy_join_part_names", "orders_open_backlog_daily",
-        "search_hybrid_rrf", "streaming_hll_distinct_users",
-        "supplier_pareto_frontier", "linkage_entity_clusters",
-        "dedup_exact_substring", "dedup_span_mask_manifest",
-        "streaming_magic_sniffer", "streaming_session_rollup",
-        "text_char_entropy", "events_ccf_count_value",
-        "multimodal_shot_boundaries", "part_name_brand_mi",
-        "quality_logreg_training", "events_hourly_type_entropy",
-        "streaming_hourly_rollup", "join_cardinality_audit",
-        "lineitem_qty_price_heatmap", "decontaminate_train_shingles",
-        "fd_discovery_profile", "padding_waste_report",
-        "text_tfidf_top_terms", "bpe_apply_merges",
-        "semantic_dedup_semdedup", "embedding_pq_codes",
-        "corpus_source_datasheet", "streaming_fertility_drift",
-        "surrogate_key_incremental", "streaming_self_excitation",
-        "streaming_stateful_type_counts", "streaming_topk_types_hourly",
-        "orders_cuped_adjustment", "batch_replay_source_slice",
-        "embedding_drift_ab_halves", "streaming_psi_drift",
-        "k_anonymity_generalize", "q5_local_supplier_volume",
-        "text_rolling_fingerprint", "dedup_pair_provenance",
-        "ivf_recall_report", "linkage_em_parameters",
-        "streaming_hill_tail_monitor", "dedup_incremental_delta",
-        "streaming_sink_exactly_once_roundtrip",
-        "events_haar_wavelet_energy", "streaming_rate_limiter",
-        "sketch_user_activity", "bucketed_join_colocated",
-        "quality_logreg_inference", "streaming_value_quantiles",
-        "contrastive_triplets", "events_markov_stationary",
-        "tokenizer_vocab_pressure", "fk_inclusion_profile",
-        "ivf_incremental_assign", "streaming_interval_union_coverage",
-        "cogroup_asof_pandas", "dedup_transitivity_audit",
-        "streaming_neyman_allocation", "graph_modularity_by_brand",
-        "udtf_dynamic_ngrams", "corpus_shingle_novelty",
-        "dsir_importance_weights", "streaming_update_mode_rollup",
-        "kmv_set_ops_event_types", "supplier_leadtime_percentiles",
-        "events_hourly_autocorr", "similarity_topk_pq_adc",
-        "bigram_lm_score", "streaming_bounce_rate",
-        "streaming_stateful_totals", "ivf_nprobe_sweep",
-        "streaming_brand_mi_drift", "dedup_simhash",
-        "maxmin_fair_allocation", "zonemap_skip_simulation",
-        "source_overlap_jaccard", "streaming_ohlc_bars",
-        "bradley_terry_strengths", "text_entropy_rate_bigram",
-        "spearman_len_vs_ttr", "dedup_containment",
-        "crosslingual_contamination", "embedding_silhouette_centroid",
-        "streaming_chained_windows", "recursive_month_spine",
-        "streaming_late_data_drop", "events_sprt_monitor",
-        "streaming_ess_monitor", "streaming_feature_hashing_monitor",
-        "streaming_lsh_candidate_buckets", "rfm_customer_segments",
-        "graph_label_propagation", "embedding_power_iteration",
-        "dedup_ngram_jaccard", "hll_intersection_estimate",
-        "checkpoint_sources_table", "streaming_type_entropy_drift",
-        "hits_authority_hub", "corpus_filter_funnel",
-        "streaming_rater_drift_monitor", "dedup_connected_components",
-        "hive_source_partition_pruned", "recsys_item_cosine",
-        "cluster_kmeans_embeddings", "perplexity_tertile_buckets",
-        "streaming_quality_monitor", "text_kneser_ney_bigram_score",
-        "graph_bfs_hops", "naive_bayes_langid",
-        "checkpoint_offsetlog_table", "minhash_jaccard_calibration",
-        "dedup_pipeline_composition", "streaming_replay_source_rollup",
-        "dedup_keep_best_quality", "streaming_semdedup",
-        "minhash_bbit_calibration", "streaming_ivf_assign",
-        "graph_pagerank_parts", "custom_sink_audit_roundtrip",
-        "streaming_unattributed_purchases", "corpus_difficulty_curriculum",
+        "supplier_return_wilson_rank", "bpe_fertility_by_lang",
+        "corpus_mix_rebalance", "multimodal_resize",
+        "events_props_variant_decode", "jsonl_source_permissive_read",
+        "null_safe_join_attribution", "scd2_customer_merge",
+        "events_json_extract", "lang_balance_weights", "rollup_returns",
+        "text_adjacent_repetition", "text_pii_redaction",
+        "text_sentiment_lexicon", "events_user_lifecycle_stages",
+        "k_anonymity_audit", "orders_gmv_weekly_wow", "q4_order_priority",
+        "subject_access_export", "text_seqlen_histogram",
+        "decayed_leaderboard", "dedup_url_canonical",
+        "embedding_norm_stats", "execute_immediate_showcase",
+        "pack_sequences_manifest", "q22_global_sales_opportunity",
+        "text_unicode_script_profile", "benford_digit_audit",
+        "events_daily_value_trend", "merge_full_cdc",
+        "q12_priority_by_linestatus", "embedding_int8_quantize",
+        "gmv_walk_forward_backtest", "parts_price_anova_by_size",
+        "bronze_decode_errors", "compaction_bin_packing_plan",
+        "csv_source_permissive_read", "file_metadata_columns_read",
+        "kmv_distinct_users", "attribution_multi_touch",
+        "multimodal_decode_features", "multimodal_stratified_sample",
+        "revenue_waterfall", "text_language_id", "text_vocab_coverage",
+        "array_set_functions_showcase", "embedding_pca2_closed_form",
+        "percentile_order_prices", "setops_customer_segments",
+        "embedding_isotropy_proxy", "events_hourly_rollup",
+        "events_multi_rollup", "feature_asof_training_matrix",
+        "rater_mcnemar_test", "sql_udf_showcase",
+        "unpivot_lineitem_measures", "web_domain_profile",
+        "cv_fold_manifest", "dedup_cluster_size_histogram",
+        "dpo_preference_pairs", "events_interval_union_coverage",
+        "events_seasonal_profile", "neyman_allocation_plan",
+        "stats_qty_price_corr", "text_mojibake_detect",
+        "dp_noisy_nation_counts", "events_burst_hours",
+        "geo_cell_colocation", "gzip_jsonl_source_read", "q15_top_supplier",
+        "quality_rater_agreement_kappa", "small_quantity_revenue",
+        "window_range_trailing_hour", "asof_next_touch_latency",
+        "dedup_prefix_collision", "events_holt_forecast",
+        "events_props_templates", "l_diversity_audit",
+        "lang_temperature_weights", "profile_hot_orderkeys",
+        "q19_disjunctive_revenue", "streaming_state_budget_planner",
+        "trigram_like_search", "distinct_parts_per_supplier",
+        "events_ewma_forecast", "events_theilsen_trend",
+        "map_functions_showcase", "orders_duplicate_payment_audit",
+        "text_hapax_ratio", "text_readability_features",
+        "events_funnel_latency", "grpo_group_advantage",
+        "linkage_blocking_quality", "q13_customer_distribution",
+        "score_calibration_report", "similarity_topk_cosine",
+        "text_zipf_slope", "xml_decode_roundtrip", "multimodal_gif_stats",
+        "pandas_scalar_log_price", "rank_correlation_kendall",
+        "user_trigram_paths", "window_event_gaps",
+        "discount_cap_counterfactual", "events_funnel_view_click_purchase",
+        "events_hill_tail_index", "events_interval_overlap_join",
+        "events_profile_cosine_pairs", "events_seasonality_strength",
+        "multimodal_audio_frame_energy", "pandas_acctbal_zscore",
+        "pandas_grouped_agg_trimmed_mean", "pivot_user_event_matrix",
+        "text_rake_keywords", "events_transition_matrix",
+        "incremental_agg_maintenance", "multimodal_dedup_content_hash",
+        "q18_large_volume_customers", "q7_volume_shipping",
+        "q9_product_type_profit", "similarity_topk_bucketed",
+        "top_customers_by_revenue", "change_data_feed_report",
+        "discount_elasticity_by_brand", "supplier_scorecard",
+        "orders_repeat_purchase_gaps", "q8_national_market_share",
+        "snapshot_diff_report", "array_agg_user_profile",
+        "lineitem_ship_latency", "revenue_trend_ols",
+        "events_type_audience_overlap", "multimodal_avi_stats",
+        "similarity_lsh_neardup", "snapshot_retention_expiry_plan",
+        "content_defined_chunks", "embedding_blocking_key_profile",
+        "embedding_dim_variance_rank", "hll_distinct_users",
+        "orc_source_roundtrip", "orphan_file_audit", "best_of_n_selection",
+        "events_ab_uplift_test", "mlm_masking_manifest",
+        "multimodal_avi_shot_boundaries", "multimodal_magic_sniffer",
+        "salted_join_supplier_volume", "q10_returned_items",
+        "blocklist_phrase_filter", "decontaminate_by_embedding",
+        "events_holtwinters_forecast", "incremental_join_maintenance",
+        "q1_pricing_summary", "q3_shipping_priority",
+        "attribution_window_sweep", "bronze_decode_roundtrip",
+        "market_concentration_hhi", "q20_heavy_shippers",
+        "text_bm25_search", "txn_log_time_travel",
+        "window_customer_order_rank", "churn_label_manifest",
+        "embedding_bitwidth_sweep", "embedding_jl_projection_audit",
+        "events_user_retention", "linkage_fellegi_sunter",
+        "matryoshka_truncation_recall", "rate_limiter_backtest",
+        "events_anomaly_persistence", "multimodal_bmp_stats",
+        "q11_important_part_value", "kmeans_inertia_elbow",
+        "price_index_laspeyres", "multimodal_silence_segments",
+        "partition_spec_advisor", "text_feature_hashing",
+        "aes_roundtrip_audit", "ann_ndcg_truncation", "corpus_weights_ess",
+        "graph_degree_distribution", "heavy_hitter_tokens",
+        "ols_two_feature_normal_eq", "range_join_price_bands",
+        "events_bounce_rate_by_entry", "events_psi_value_drift",
+        "events_sessionize_batch", "events_session_window_batch",
+        "similarity_topk_binary_rerank", "streaming_heavy_hitter_users",
+        "ivf_cell_balance_report", "multimodal_png_stats",
+        "orders_priority_status_chi2", "rag_context_pack",
+        "udtf_word_expand", "events_hourly_anomaly",
+        "multimodal_ahash_neardup", "t_closeness_audit", "text_word_pmi",
+        "watermark_sizing_report", "hll_merge_event_types",
+        "langid_precision_recall", "mixture_temperature_sweep",
+        "profile_lineitem_columns", "q16_supplier_part_buckets",
+        "streaming_upsert_latest_state", "dedup_embedding_cosine",
+        "embedding_outlier_zscore", "forecast_conformal_intervals",
+        "percentile_distributed_exact", "sketch_quantile_bins",
+        "streaming_dedup_events", "asof_purchase_attribution",
+        "bloom_filter_membership", "decision_stump_split_scores",
+        "q2_min_cost_supplier", "text_lexical_diversity",
+        "text_top_bigrams", "array_hof_showcase", "basket_size_nbd_fit",
+        "events_cusum_drift", "events_hourly_mad_outliers",
+        "events_ohlc_bars", "timeseries_znorm_subsequence_search",
+        "events_growth_accounting", "streaming_kmv_distinct_users",
+        "customer_balance_ks_test", "medallion_pipeline_rollup",
+        "surrogate_key_assignment", "streaming_gzip_jsonl_rollup",
+        "embedding_mutual_nn_pairs", "session_window_rollup",
+        "streaming_available_now_rollup", "streaming_csv_source_rollup",
+        "cms_token_counts", "embedding_cluster_label_purity",
+        "events_hourly_gapfill", "multimodal_bmp_ahash",
+        "corpus_dedup_aware_weights", "data_quality_audit",
+        "events_mann_whitney_test", "join_skew_planner",
+        "skipgram_negative_samples", "dedup_frontier_bloom",
+        "user_time_to_first_purchase", "customer_spend_gini",
+        "q21_waiting_supplier", "streaming_hll_distinct_users",
+        "text_repetition_filter", "q5_local_supplier_volume",
+        "pps_systematic_sample", "scd2_point_in_time_join",
+        "text_chunk_dedup", "bandit_replay_hourly",
+        "corpus_token_budget_plan", "customer_segment_entropy_by_nation",
+        "events_dau_wau_mau", "knn_classifier_eval",
+        "shard_manifest_balanced", "similarity_topk_ivf",
+        "streaming_static_enrich", "text_term_proximity_search",
+        "abc_customer_classification", "batch_replay_pruned_scan",
+        "streaming_dedup_within_watermark", "graph_assortativity",
+        "repeated_ngram_spans", "search_hybrid_rrf", "text_char_entropy",
+        "events_props_schema_profile", "orders_cohort_revenue",
+        "orders_survival_km", "similarity_maxsim_multivector",
+        "events_changepoint_binseg", "events_self_excitation_ratio",
+        "streaming_union_sources_rollup", "gopher_quality_rules",
+        "surrogate_key_incremental", "streaming_sliding_rollup",
+        "text_token_entropy", "fuzzy_join_part_names",
+        "k_anonymity_generalize", "zorder_layout_stats",
+        "events_alarm_verification", "streaming_rater_drift_monitor",
+        "lineitem_qty_price_heatmap", "single_source_risk_report",
+        "dedup_minhash_lsh", "join_cardinality_audit",
+        "orders_open_backlog_daily", "curriculum_pacing_schedule",
+        "shuffle_partition_advisor", "events_peak_concurrency",
+        "streaming_hourly_rollup", "vocab_growth_curve",
+        "embedding_pq_codes", "streaming_rate_limiter",
+        "dedup_edit_distance", "events_hourly_type_entropy",
+        "graph_link_prediction_suppliers",
+        "streaming_interval_union_coverage", "streaming_txn_log_tail",
+        "association_rules_parts", "streaming_fertility_drift",
+        "streaming_topk_types_hourly", "dedup_exact_substring",
+        "corpus_epoch_shuffle_manifest", "kmv_set_ops_event_types",
+        "streaming_seasonality_monitor", "window_functions_showcase",
+        "checkpoint_statestore_table", "dedup_survivors",
+        "corpus_source_datasheet", "streaming_self_excitation",
+        "fk_inclusion_profile", "supplier_leadtime_percentiles",
+        "decontaminate_train_shingles", "histogram_price_deciles",
+        "dedup_incremental_delta", "similarity_topk_pq_adc",
+        "dedup_span_mask_manifest", "events_hourly_autocorr",
+        "maxmin_fair_allocation", "multimodal_wav_stats",
+        "supplier_pareto_frontier", "tokenizer_vocab_pressure",
+        "basket_part_pairs", "dedup_pair_provenance",
+        "semantic_dedup_semdedup", "streaming_value_quantiles",
+        "fd_discovery_profile", "quality_logreg_inference",
+        "quality_logreg_training", "bpe_apply_merges", "bpe_learn_merges",
+        "corpus_js_divergence", "streaming_psi_drift",
+        "streaming_session_rollup", "streaming_stateful_type_counts",
+        "bradley_terry_strengths", "embedding_covariance",
+        "dsir_importance_weights", "streaming_magic_sniffer",
+        "corpus_shingle_novelty", "linkage_entity_clusters",
+        "sketch_user_activity", "events_sprt_monitor",
+        "crosslingual_contamination", "batch_replay_source_slice",
+        "ivf_recall_report", "bucketed_join_colocated",
+        "multimodal_wav_silence_real", "streaming_neyman_allocation",
+        "orders_cuped_adjustment", "padding_waste_report",
+        "streaming_hill_tail_monitor", "hll_intersection_estimate",
+        "streaming_feature_hashing_monitor", "recursive_month_spine",
+        "text_tfidf_top_terms", "zonemap_skip_simulation",
+        "graph_modularity_by_brand", "text_entropy_rate_bigram",
+        "source_overlap_jaccard", "streaming_ess_monitor",
+        "hits_authority_hub", "streaming_brand_mi_drift",
+        "multimodal_shot_boundaries",
+        "streaming_sink_exactly_once_roundtrip", "streaming_late_data_drop",
+        "streaming_frontier_bloom", "spearman_len_vs_ttr",
+        "bigram_lm_score", "events_ccf_count_value",
+        "streaming_stateful_totals", "linkage_em_parameters",
+        "streaming_update_mode_rollup", "part_name_brand_mi",
+        "dedup_containment", "dedup_ngram_jaccard",
+        "embedding_power_iteration", "embedding_drift_ab_halves",
+        "streaming_chained_windows", "ivf_incremental_assign",
+        "embedding_silhouette_centroid", "udtf_dynamic_ngrams",
+        "contrastive_triplets", "dedup_simhash", "text_rolling_fingerprint",
+        "cogroup_asof_pandas", "events_haar_wavelet_energy",
+        "rfm_customer_segments", "graph_label_propagation",
+        "streaming_lsh_candidate_buckets", "streaming_bounce_rate",
+        "streaming_ohlc_bars", "events_markov_stationary",
+        "hive_source_partition_pruned", "minhash_jaccard_calibration",
+        "streaming_type_entropy_drift", "checkpoint_offsetlog_table",
+        "naive_bayes_langid", "checkpoint_sources_table", "graph_bfs_hops",
+        "minhash_bbit_calibration", "corpus_filter_funnel",
+        "dedup_connected_components", "streaming_semdedup",
+        "streaming_quality_monitor", "corpus_quota_rebalance_delta",
+        "dedup_transitivity_audit", "recsys_item_cosine",
+        "graph_kcore_peel", "cluster_kmeans_embeddings",
+        "dedup_keep_best_quality", "perplexity_tertile_buckets",
+        "text_kneser_ney_bigram_score", "corpus_difficulty_curriculum",
         "checkpoint_commitlog_audit", "streaming_purchase_attribution",
-        "graph_kcore_peel", "orders_mean_value_bootstrap_ci",
-        "streaming_frontier_bloom", "streaming_join_then_windowed_agg",
-        "tokenizer_unigram_fertility", "ann_method_agreement",
-        "streaming_bootstrap_ci", "ann_pipeline_composition",
-        "sql_scripting_showcase", "dedup_band_sweep_calibration",
-        "streaming_unigram_fertility", "scan_task_planner",
-        "graph_triangle_stats", "tokenizer_unigram_fit",
+        "streaming_unattributed_purchases", "ivf_nprobe_sweep",
+        "token_df_drift_halves", "tokenizer_unigram_fertility",
+        "tokenizer_unigram_fit", "custom_sink_audit_roundtrip",
+        "streaming_ivf_assign", "streaming_replay_source_rollup",
+        "streaming_join_then_windowed_agg", "ann_pipeline_composition",
+        "dedup_band_sweep_calibration", "streaming_unigram_fertility",
+        "graph_pagerank_parts", "ann_method_agreement",
+        "orders_mean_value_bootstrap_ci", "streaming_bootstrap_ci",
+        "streaming_sprt_monitor", "scan_task_planner",
+        "dedup_pipeline_composition", "sql_scripting_showcase",
+        "graph_triangle_stats", "streaming_cuped_monitor",
     )
     new_ops_rank = 50.5  # just after the sub-second group (index ~50)
     unchecked = {
