@@ -368,3 +368,56 @@ def test_unigram_fit_matches_pure_python_reference(spark, tmp_path):
     ]
     want = _unigram_fit_reference(texts)
     assert got == want
+
+
+def test_sprt_first_crossing_matches_pure_python_walk(spark, tmp_path):
+    """Crafted event sequence through the REGISTERED events_sprt_monitor
+    vs a from-scratch Python walk of Wald's test — pins the
+    first-crossing semantics (strictly the FIRST index whose cumulative
+    LLR touches a boundary, ordered by (ts, event_id)) independently of
+    the SQL oracle that shares the engine formula."""
+    import datetime
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from kafka_stream_job_spark.operators.relational import (
+        _SPRT_A,
+        _SPRT_B,
+        _SPRT_INC0,
+        _SPRT_INC1,
+    )
+
+    # long purchase run first (drives LLR up across A), then views
+    types = ["purchase"] * 40 + ["view"] * 30
+    base = datetime.datetime(2024, 1, 1)
+    tbl = pa.table(
+        {
+            "event_id": list(range(len(types))),
+            "ts": [base + datetime.timedelta(seconds=i) for i in range(len(types))],
+            "user_id": [i % 3 for i in range(len(types))],
+            "event_type": types,
+            "value": [1.0] * len(types),
+            "props": ["{}"] * len(types),
+        }
+    )
+    d = tmp_path / "sprt_sf"
+    d.mkdir()
+    pq.write_table(tbl, d / "events.parquet")
+
+    row = SPECS["events_sprt_monitor"].fn(spark, str(d)).collect()[0].asDict()
+
+    llr, first_up, first_down = 0, 0, 0
+    for i, t in enumerate(types, start=1):
+        llr += _SPRT_INC1 if t == "purchase" else _SPRT_INC0
+        if first_up == 0 and llr >= _SPRT_A:
+            first_up = i
+        if first_down == 0 and llr <= _SPRT_B:
+            first_down = i
+    assert first_up > 0, "fixture must actually cross the upper boundary"
+    assert row["n_events"] == len(types)
+    assert row["n_success"] == 40
+    assert row["llr_final_milli"] == llr
+    assert row["first_up_idx"] == first_up
+    assert row["first_down_idx"] == first_down
+    assert row["decision"] == "accept_h1"
