@@ -421,3 +421,106 @@ def test_sprt_first_crossing_matches_pure_python_walk(spark, tmp_path):
     assert row["first_up_idx"] == first_up
     assert row["first_down_idx"] == first_down
     assert row["decision"] == "accept_h1"
+
+
+def test_cuped_matches_pure_python_reference(spark, tmp_path):
+    """Crafted two-period orders through the REGISTERED
+    orders_cuped_adjustment vs a from-scratch Python CUPED fit
+    (pooled theta over the customer universe with zero-fill, per-arm
+    adjusted means) — independent of the SQL oracle sharing the engine
+    formula."""
+    import datetime
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from kafka_stream_job_spark.operators.relational import CUPED_SPLIT
+
+    custkeys = list(range(1, 13))
+    pre = datetime.datetime(1997, 1, 1)
+    post = datetime.datetime(1999, 1, 1)
+    orders_rows = []
+    # pre spend k*100.37, post spend k*150.11 for even keys; odd keys
+    # have pre only — exercises the zero-fill path
+    oid = 0
+    for k in custkeys:
+        orders_rows.append((oid, k, pre, k * 100.37))
+        oid += 1
+        if k % 2 == 0:
+            orders_rows.append((oid, k, post, k * 150.11))
+            oid += 1
+    o_tbl = pa.table(
+        {
+            "o_orderkey": [r[0] for r in orders_rows],
+            "o_custkey": [r[1] for r in orders_rows],
+            "o_orderstatus": ["F"] * len(orders_rows),
+            "o_totalprice": [r[3] for r in orders_rows],
+            "o_orderdate": [r[2] for r in orders_rows],
+            "o_orderpriority": ["1-URGENT"] * len(orders_rows),
+            "o_clerk": ["c"] * len(orders_rows),
+            "o_shippriority": [0] * len(orders_rows),
+            "o_comment": [""] * len(orders_rows),
+        }
+    )
+    c_tbl = pa.table(
+        {
+            "c_custkey": custkeys + [99],  # 99 = customer with no orders
+            "c_name": [f"c{k}" for k in custkeys] + ["c99"],
+            "c_address": [""] * (len(custkeys) + 1),
+            "c_nationkey": [0] * (len(custkeys) + 1),
+            "c_phone": [""] * (len(custkeys) + 1),
+            "c_acctbal": [0.0] * (len(custkeys) + 1),
+            "c_mktsegment": ["BUILDING"] * (len(custkeys) + 1),
+            "c_comment": [""] * (len(custkeys) + 1),
+        }
+    )
+    d = tmp_path / "cuped_sf"
+    d.mkdir()
+    pq.write_table(o_tbl, d / "orders.parquet")
+    pq.write_table(c_tbl, d / "customer.parquet")
+
+    got = {
+        r["arm"]: r.asDict()
+        for r in SPECS["orders_cuped_adjustment"].fn(spark, str(d)).collect()
+    }
+
+    # pure-Python reference
+    split = datetime.datetime.fromisoformat(CUPED_SPLIT)
+    units = {}
+    for k in custkeys + [99]:
+        xc = sum(
+            _round_half_away(r[3] * 100)
+            for r in orders_rows
+            if r[1] == k and r[2] < split
+        )
+        yc = sum(
+            _round_half_away(r[3] * 100)
+            for r in orders_rows
+            if r[1] == k and r[2] >= split
+        )
+        arm = _md5_28(f"cuped:{k}") % 2
+        units[k] = (arm, xc // 100, yc // 100)
+    n = len(units)
+    sx = sum(x for _, x, _ in units.values())
+    sy = sum(y for _, _, y in units.values())
+    sxx = sum(x * x for _, x, _ in units.values())
+    syy = sum(y * y for _, _, y in units.values())
+    sxy = sum(x * y for _, x, y in units.values())
+    theta = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    var_red = 1.0 - (
+        (n * syy - sy * sy) - (n * sxy - sx * sy) ** 2 / (n * sxx - sx * sx)
+    ) / (n * syy - sy * sy)
+    for arm in (0, 1):
+        au = [(x, y) for a, x, y in units.values() if a == arm]
+        an, ax, ay = len(au), sum(x for x, _ in au), sum(y for _, y in au)
+        assert got[arm]["n_users"] == an
+        assert got[arm]["pre_dollars"] == ax
+        assert got[arm]["post_dollars"] == ay
+        assert got[arm]["mean_post_centidollars"] == _round_half_away(
+            ay / an * 100.0
+        )
+        assert got[arm]["mean_adj_centidollars"] == _round_half_away(
+            (ay / an - theta * (ax / an - sx / n)) * 100.0
+        )
+        assert got[arm]["theta_micro"] == _round_half_away(theta * 1e6)
+        assert got[arm]["var_reduction_bp"] == _round_half_away(var_red * 1e4)
