@@ -2613,3 +2613,142 @@ def multimodal_avi_shot_boundaries(
         segment_batches,
         "doc_id long, n_frames long, n_shots long, longest_shot long",
     )
+
+
+# ---------------------------------------------------------------------------
+# HAAR WAVELET ENERGY OVER REAL DECODED PCM — the per-timescale energy
+# decomposition (events_haar_wavelet_energy's DSP shape) applied to the
+# audio modality: stage 1 packs each document into a complete RIFF/WAVE
+# container (the multimodal_wav_stats generative model), the payload
+# passes through `decode_wav_real` for full container validation, and a
+# 3-level UNNORMALIZED Haar transform runs over each 8-sample frame of
+# the ACTUAL little-endian int16 data-chunk samples — detail energies
+# are exact int64 sums of squared integer differences, so the
+# per-timescale split (transients vs slow envelope) is engine-exact
+# against the character-model oracle. Scale shape: two chained
+# mapInPandas stages (Arrow-batched, numpy-vectorized Haar), zero
+# shuffle; blob bytes never pass through the driver.
+# ---------------------------------------------------------------------------
+HAARW_FRAME = 8  # samples per Haar frame (3 levels)
+
+
+def _haarw_oracle() -> str:
+    def samp(k: str) -> str:
+        return (
+            f"CAST((ascii(substring(text, CAST(8 * f + {k} AS INT), 1)) % 256"
+            f" - 128) * 256 AS BIGINT)"
+        )
+
+    d1 = " + ".join(
+        f"({samp(str(2 * i + 1))} - {samp(str(2 * i + 2))})"
+        f" * ({samp(str(2 * i + 1))} - {samp(str(2 * i + 2))})"
+        for i in range(4)
+    )
+    a = [samp(str(k)) for k in range(1, 9)]
+    d2_terms = []
+    for j in (0, 4):
+        expr = f"({a[j]} + {a[j + 1]} - {a[j + 2]} - {a[j + 3]})"
+        d2_terms.append(f"{expr} * {expr}")
+    d2 = " + ".join(d2_terms)
+    d3e = (
+        f"({a[0]} + {a[1]} + {a[2]} + {a[3]}"
+        f" - {a[4]} - {a[5]} - {a[6]} - {a[7]})"
+    )
+    d3 = f"{d3e} * {d3e}"
+    lvl = lambda body: (  # noqa: E731
+        f"CAST(list_sum(list_transform(range(0, n_frames), f -> {body}))"
+        f" AS BIGINT)"
+    )
+    return f"""
+        WITH d AS (
+            SELECT doc_id, text,
+                   CAST(length(text) AS BIGINT) // {HAARW_FRAME} AS n_frames
+            FROM documents WHERE length(text) >= {HAARW_FRAME}
+        )
+        SELECT doc_id, n_frames,
+               {lvl(d1)} AS e1,
+               {lvl(d2)} AS e2,
+               {lvl(d3)} AS e3
+        FROM d
+    """
+
+
+@register(
+    "multimodal_wav_haar_energy",
+    oracle=_haarw_oracle(),
+    tags=("multimodal", "audio", "wav", "real-decode", "wavelet",
+          "documents"),
+)
+def multimodal_wav_haar_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = (
+        load_table(spark, sf_dir, "documents", rebalance=True)
+        .select("doc_id", "text")
+        .filter(F.length("text") >= HAARW_FRAME)
+    )
+
+    def encode_batches(batches):
+        import struct
+
+        import pandas as pd
+
+        for pdf in batches:
+            payloads = []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                rate = WAV_BASE_RATE + (int(doc_id) % 3) * 4000
+                samples = [((ord(c) % 256) - 128) * 256 for c in text]
+                data = struct.pack(f"<{len(samples)}h", *samples)
+                chunks = (
+                    b"fmt "
+                    + struct.pack("<IHHIIHH", 16, 1, 1, rate, rate * 2, 2, 16)
+                    + b"data"
+                    + struct.pack("<I", len(data))
+                    + data
+                    + (b"\x00" if len(data) & 1 else b"")
+                )
+                payloads.append(
+                    b"RIFF" + struct.pack("<I", 4 + len(chunks)) + b"WAVE" + chunks
+                )
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
+
+    def haar_batches(batches):
+        import struct
+
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            rows = {"doc_id": [], "n_frames": [], "e1": [], "e2": [], "e3": []}
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                blob = bytes(payload)
+                meta = decode_wav_real(blob)  # full container validation
+                off = 12
+                samples = None
+                while off + 8 <= len(blob):
+                    cid = blob[off : off + 4]
+                    (clen,) = struct.unpack("<I", blob[off + 4 : off + 8])
+                    if cid == b"data":
+                        samples = np.frombuffer(
+                            blob[off + 8 : off + 8 + clen], dtype="<i2"
+                        ).astype(np.int64)
+                        break
+                    off += 8 + clen + (clen & 1)
+                assert samples is not None and len(samples) == meta["n_samples"]
+                n_frames = len(samples) // HAARW_FRAME
+                x = samples[: n_frames * HAARW_FRAME].reshape(-1, HAARW_FRAME)
+                d1 = x[:, 0::2] - x[:, 1::2]
+                a1 = x[:, 0::2] + x[:, 1::2]
+                d2 = a1[:, 0::2] - a1[:, 1::2]
+                a2 = a1[:, 0::2] + a1[:, 1::2]
+                d3 = a2[:, 0] - a2[:, 1]
+                rows["doc_id"].append(int(doc_id))
+                rows["n_frames"].append(n_frames)
+                rows["e1"].append(int((d1 * d1).sum()))
+                rows["e2"].append(int((d2 * d2).sum()))
+                rows["e3"].append(int((d3 * d3).sum()))
+            yield pd.DataFrame(rows)
+
+    wavs = docs.mapInPandas(encode_batches, "doc_id long, payload binary")
+    return wavs.mapInPandas(
+        haar_batches,
+        "doc_id long, n_frames long, e1 long, e2 long, e3 long",
+    )
