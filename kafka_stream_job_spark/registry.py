@@ -347,7 +347,7 @@ def all_specs() -> dict[str, QuerySpec]:
     recheck = {n: s for n, s in REGISTRY.items() if n in _RECHECK}
     # Within the never-checked group, order by MEASURED sf0.01 driver-sim
     # cost (tools/verify_oracle.py SIM_PAR=1; re-measured over the FULL
-    # 478-query registry in round 10 — regenerate any time with
+    # 479-query registry in round 10 — regenerate any time with
     # tools/regen_cost_order.py from the committed CORRECTNESS_LOCAL.json),
     # cheapest first: if the driver's
     # pass is time-capped rather than count-capped, cheap-first maximizes
@@ -355,239 +355,242 @@ def all_specs() -> dict[str, QuerySpec]:
     # (operators added after the measurement) slot in just after the
     # sub-second group.
     cost_order = (
-        "binary_blob_source_stats", "text_fingerprint",
-        "nations_with_rich_customers", "text_bpe_token_count",
-        "url_functions_showcase", "bitwise_aggregates_showcase",
-        "q6_forecast_revenue", "customers_without_orders",
-        "data_freshness_sla", "fixed_width_source_read",
-        "sft_loss_masking_spans", "text_token_stats",
-        "weighted_sample_docs", "gdpr_purge_manifest",
-        "span_corruption_manifest", "scalar_functions_showcase",
-        "lateral_top_customers_per_nation", "multimodal_metadata_scan",
-        "pipe_sql_priority_stats", "try_functions_showcase",
-        "datetime_functions_showcase", "q14_promo_revenue",
-        "quota_sample_per_lang", "schema_evolution_merge_read",
-        "grouping_sets_revenue", "parameterized_sql_showcase",
-        "text_fano_burstiness", "text_quality_score",
-        "cube_order_status_priority", "doc_sliding_chunks",
-        "sft_pair_manifest", "split_train_eval", "arrow_map_embedding_norm",
-        "collation_group_showcase", "dedup_exact",
-        "multimodal_frame_sample", "partitioned_source_pruned_read",
-        "supplier_return_wilson_rank", "bpe_fertility_by_lang",
-        "corpus_mix_rebalance", "multimodal_resize",
-        "events_props_variant_decode", "jsonl_source_permissive_read",
-        "null_safe_join_attribution", "scd2_customer_merge",
-        "events_json_extract", "lang_balance_weights", "rollup_returns",
-        "text_adjacent_repetition", "text_pii_redaction",
-        "text_sentiment_lexicon", "events_user_lifecycle_stages",
-        "k_anonymity_audit", "orders_gmv_weekly_wow", "q4_order_priority",
-        "subject_access_export", "text_seqlen_histogram",
-        "decayed_leaderboard", "dedup_url_canonical",
-        "embedding_norm_stats", "execute_immediate_showcase",
+        "binary_blob_source_stats", "nations_with_rich_customers",
+        "sft_loss_masking_spans", "text_bpe_token_count",
+        "text_fingerprint", "multimodal_metadata_scan", "dedup_exact",
+        "quota_sample_per_lang", "text_fano_burstiness",
+        "weighted_sample_docs", "span_corruption_manifest",
+        "text_quality_score", "text_seqlen_histogram",
+        "fixed_width_source_read", "schema_evolution_merge_read",
+        "split_train_eval", "text_mojibake_detect", "doc_sliding_chunks",
+        "customers_without_orders", "text_adjacent_repetition",
+        "bpe_fertility_by_lang", "corpus_mix_rebalance",
+        "sft_pair_manifest", "gmv_walk_forward_backtest",
+        "arrow_map_embedding_norm", "multimodal_frame_sample",
+        "parts_price_anova_by_size", "text_pii_redaction",
+        "dpo_preference_pairs", "grouping_sets_revenue",
+        "revenue_waterfall", "text_unicode_script_profile",
+        "multimodal_resize", "text_token_stats", "text_sentiment_lexicon",
+        "streaming_state_budget_planner", "events_seasonality_strength",
+        "multimodal_dedup_content_hash", "text_readability_features",
+        "cube_order_status_priority", "discount_cap_counterfactual",
+        "text_hapax_ratio", "csv_source_permissive_read",
+        "text_language_id", "neyman_allocation_plan",
+        "datetime_functions_showcase", "dedup_url_canonical",
+        "jsonl_source_permissive_read", "linkage_blocking_quality",
+        "orders_duplicate_payment_audit", "partitioned_source_pruned_read",
+        "quality_rater_agreement_kappa", "file_metadata_columns_read",
+        "embedding_norm_stats", "events_type_audience_overlap",
+        "multimodal_decode_features", "bitwise_aggregates_showcase",
+        "dedup_cluster_size_histogram", "events_json_extract",
+        "multimodal_stratified_sample", "rollup_returns",
+        "events_props_templates", "orders_gmv_weekly_wow",
+        "partition_spec_advisor", "rank_correlation_kendall",
+        "rater_mcnemar_test", "try_functions_showcase",
+        "bronze_decode_errors", "pipe_sql_priority_stats",
+        "discount_elasticity_by_brand", "embedding_isotropy_proxy",
+        "events_hourly_rollup", "events_user_lifecycle_stages",
+        "lateral_top_customers_per_nation", "dedup_prefix_collision",
+        "text_vocab_coverage", "events_hill_tail_index",
+        "events_profile_cosine_pairs", "hll_distinct_users",
+        "pandas_grouped_agg_trimmed_mean", "percentile_order_prices",
+        "udtf_word_expand", "web_domain_profile",
+        "execute_immediate_showcase", "parameterized_sql_showcase",
+        "churn_label_manifest", "embedding_pca2_closed_form",
+        "grpo_group_advantage", "text_feature_hashing",
+        "langid_precision_recall", "scalar_functions_showcase",
+        "window_customer_order_rank", "data_freshness_sla",
+        "embedding_blocking_key_profile", "kmv_distinct_users",
+        "supplier_scorecard", "xml_decode_roundtrip",
+        "gzip_jsonl_source_read", "k_anonymity_audit",
+        "lang_balance_weights", "q6_forecast_revenue",
+        "similarity_topk_cosine", "attribution_window_sweep",
+        "multimodal_audio_frame_energy", "pandas_scalar_log_price",
+        "q13_customer_distribution", "text_rake_keywords",
+        "distinct_parts_per_supplier", "best_of_n_selection",
+        "gdpr_purge_manifest", "multimodal_gif_stats",
+        "url_functions_showcase", "user_trigram_paths",
+        "collation_group_showcase", "content_defined_chunks",
+        "linkage_fellegi_sunter", "mlm_masking_manifest",
+        "similarity_lsh_neardup", "corpus_weights_ess", "orphan_file_audit",
         "pack_sequences_manifest", "q22_global_sales_opportunity",
-        "text_unicode_script_profile", "benford_digit_audit",
-        "events_daily_value_trend", "merge_full_cdc",
-        "q12_priority_by_linestatus", "embedding_int8_quantize",
-        "gmv_walk_forward_backtest", "parts_price_anova_by_size",
-        "bronze_decode_errors", "compaction_bin_packing_plan",
-        "csv_source_permissive_read", "file_metadata_columns_read",
-        "kmv_distinct_users", "attribution_multi_touch",
-        "multimodal_decode_features", "multimodal_stratified_sample",
-        "revenue_waterfall", "text_language_id", "text_vocab_coverage",
-        "array_set_functions_showcase", "embedding_pca2_closed_form",
-        "percentile_order_prices", "setops_customer_segments",
-        "embedding_isotropy_proxy", "events_hourly_rollup",
-        "events_multi_rollup", "feature_asof_training_matrix",
-        "rater_mcnemar_test", "sql_udf_showcase",
-        "unpivot_lineitem_measures", "web_domain_profile",
-        "cv_fold_manifest", "dedup_cluster_size_histogram",
-        "dpo_preference_pairs", "events_interval_union_coverage",
-        "events_seasonal_profile", "neyman_allocation_plan",
-        "stats_qty_price_corr", "text_mojibake_detect",
-        "dp_noisy_nation_counts", "events_burst_hours",
-        "geo_cell_colocation", "gzip_jsonl_source_read", "q15_top_supplier",
-        "quality_rater_agreement_kappa", "small_quantity_revenue",
-        "window_range_trailing_hour", "asof_next_touch_latency",
-        "dedup_prefix_collision", "events_holt_forecast",
-        "events_props_templates", "l_diversity_audit",
-        "lang_temperature_weights", "profile_hot_orderkeys",
-        "q19_disjunctive_revenue", "streaming_state_budget_planner",
-        "trigram_like_search", "distinct_parts_per_supplier",
-        "events_ewma_forecast", "events_theilsen_trend",
-        "map_functions_showcase", "orders_duplicate_payment_audit",
-        "text_hapax_ratio", "text_readability_features",
-        "events_funnel_latency", "grpo_group_advantage",
-        "linkage_blocking_quality", "q13_customer_distribution",
-        "score_calibration_report", "similarity_topk_cosine",
-        "text_zipf_slope", "xml_decode_roundtrip", "multimodal_gif_stats",
-        "pandas_scalar_log_price", "rank_correlation_kendall",
-        "user_trigram_paths", "window_event_gaps",
-        "discount_cap_counterfactual", "events_funnel_view_click_purchase",
-        "events_hill_tail_index", "events_interval_overlap_join",
-        "events_profile_cosine_pairs", "events_seasonality_strength",
-        "multimodal_audio_frame_energy", "pandas_acctbal_zscore",
-        "pandas_grouped_agg_trimmed_mean", "pivot_user_event_matrix",
-        "text_rake_keywords", "events_transition_matrix",
-        "incremental_agg_maintenance", "multimodal_dedup_content_hash",
-        "q18_large_volume_customers", "q7_volume_shipping",
-        "q9_product_type_profit", "similarity_topk_bucketed",
-        "top_customers_by_revenue", "change_data_feed_report",
-        "discount_elasticity_by_brand", "supplier_scorecard",
-        "orders_repeat_purchase_gaps", "q8_national_market_share",
-        "snapshot_diff_report", "array_agg_user_profile",
-        "lineitem_ship_latency", "revenue_trend_ols",
-        "events_type_audience_overlap", "multimodal_avi_stats",
-        "similarity_lsh_neardup", "snapshot_retention_expiry_plan",
-        "content_defined_chunks", "embedding_blocking_key_profile",
-        "embedding_dim_variance_rank", "hll_distinct_users",
-        "orc_source_roundtrip", "orphan_file_audit", "best_of_n_selection",
-        "events_ab_uplift_test", "mlm_masking_manifest",
-        "multimodal_avi_shot_boundaries", "multimodal_magic_sniffer",
-        "salted_join_supplier_volume", "q10_returned_items",
-        "blocklist_phrase_filter", "decontaminate_by_embedding",
-        "events_holtwinters_forecast", "incremental_join_maintenance",
-        "q1_pricing_summary", "q3_shipping_priority",
-        "attribution_window_sweep", "bronze_decode_roundtrip",
-        "market_concentration_hhi", "q20_heavy_shippers",
-        "text_bm25_search", "txn_log_time_travel",
-        "window_customer_order_rank", "churn_label_manifest",
-        "embedding_bitwidth_sweep", "embedding_jl_projection_audit",
-        "events_user_retention", "linkage_fellegi_sunter",
-        "matryoshka_truncation_recall", "rate_limiter_backtest",
-        "events_anomaly_persistence", "multimodal_bmp_stats",
-        "q11_important_part_value", "kmeans_inertia_elbow",
-        "price_index_laspeyres", "multimodal_silence_segments",
-        "partition_spec_advisor", "text_feature_hashing",
-        "aes_roundtrip_audit", "ann_ndcg_truncation", "corpus_weights_ess",
-        "graph_degree_distribution", "heavy_hitter_tokens",
-        "ols_two_feature_normal_eq", "range_join_price_bands",
-        "events_bounce_rate_by_entry", "events_psi_value_drift",
-        "events_sessionize_batch", "events_session_window_batch",
-        "similarity_topk_binary_rerank", "streaming_heavy_hitter_users",
-        "ivf_cell_balance_report", "multimodal_png_stats",
-        "orders_priority_status_chi2", "rag_context_pack",
-        "udtf_word_expand", "events_hourly_anomaly",
-        "multimodal_ahash_neardup", "t_closeness_audit", "text_word_pmi",
-        "watermark_sizing_report", "hll_merge_event_types",
-        "langid_precision_recall", "mixture_temperature_sweep",
-        "profile_lineitem_columns", "q16_supplier_part_buckets",
-        "streaming_upsert_latest_state", "dedup_embedding_cosine",
-        "embedding_outlier_zscore", "forecast_conformal_intervals",
-        "percentile_distributed_exact", "sketch_quantile_bins",
-        "streaming_dedup_events", "asof_purchase_attribution",
-        "bloom_filter_membership", "decision_stump_split_scores",
-        "q2_min_cost_supplier", "text_lexical_diversity",
-        "text_top_bigrams", "array_hof_showcase", "basket_size_nbd_fit",
-        "events_cusum_drift", "events_hourly_mad_outliers",
-        "events_ohlc_bars", "timeseries_znorm_subsequence_search",
-        "events_growth_accounting", "streaming_kmv_distinct_users",
-        "customer_balance_ks_test", "medallion_pipeline_rollup",
-        "surrogate_key_assignment", "streaming_gzip_jsonl_rollup",
-        "embedding_mutual_nn_pairs", "session_window_rollup",
-        "streaming_available_now_rollup", "streaming_csv_source_rollup",
-        "cms_token_counts", "embedding_cluster_label_purity",
-        "events_hourly_gapfill", "multimodal_bmp_ahash",
-        "corpus_dedup_aware_weights", "data_quality_audit",
-        "events_mann_whitney_test", "join_skew_planner",
-        "skipgram_negative_samples", "dedup_frontier_bloom",
-        "user_time_to_first_purchase", "customer_spend_gini",
-        "q21_waiting_supplier", "streaming_hll_distinct_users",
-        "text_repetition_filter", "q5_local_supplier_volume",
-        "pps_systematic_sample", "scd2_point_in_time_join",
-        "text_chunk_dedup", "bandit_replay_hourly",
-        "corpus_token_budget_plan", "customer_segment_entropy_by_nation",
-        "events_dau_wau_mau", "knn_classifier_eval",
-        "shard_manifest_balanced", "similarity_topk_ivf",
-        "streaming_static_enrich", "text_term_proximity_search",
-        "abc_customer_classification", "batch_replay_pruned_scan",
-        "streaming_dedup_within_watermark", "graph_assortativity",
-        "repeated_ngram_spans", "search_hybrid_rrf", "text_char_entropy",
-        "events_props_schema_profile", "orders_cohort_revenue",
-        "orders_survival_km", "similarity_maxsim_multivector",
-        "events_changepoint_binseg", "events_self_excitation_ratio",
-        "streaming_union_sources_rollup", "gopher_quality_rules",
-        "surrogate_key_incremental", "streaming_sliding_rollup",
-        "text_token_entropy", "fuzzy_join_part_names",
-        "k_anonymity_generalize", "zorder_layout_stats",
-        "events_alarm_verification", "streaming_rater_drift_monitor",
-        "lineitem_qty_price_heatmap", "single_source_risk_report",
-        "dedup_minhash_lsh", "join_cardinality_audit",
-        "orders_open_backlog_daily", "curriculum_pacing_schedule",
+        "small_quantity_revenue", "token_df_drift_halves",
+        "orc_source_roundtrip", "q4_order_priority",
+        "salted_join_supplier_volume", "similarity_topk_bucketed",
+        "text_lexical_diversity", "decontaminate_by_embedding",
+        "q10_returned_items", "similarity_topk_binary_rerank",
+        "corpus_quota_rebalance_delta", "decayed_leaderboard",
+        "q3_shipping_priority", "text_zipf_slope", "multimodal_avi_stats",
+        "pandas_acctbal_zscore", "blocklist_phrase_filter",
+        "text_bm25_search", "events_bounce_rate_by_entry",
+        "events_transition_matrix", "benford_digit_audit",
+        "cv_fold_manifest", "dedup_frontier_bloom",
+        "q12_priority_by_linestatus", "range_join_price_bands",
+        "snapshot_diff_report", "embedding_jl_projection_audit",
+        "multimodal_bmp_stats", "q14_promo_revenue",
+        "ivf_cell_balance_report", "multimodal_silence_segments",
+        "q1_pricing_summary", "text_repetition_filter",
+        "embedding_int8_quantize", "orders_repeat_purchase_gaps",
+        "scd2_customer_merge", "streaming_heavy_hitter_users",
+        "events_mann_whitney_test", "kmeans_inertia_elbow",
+        "setops_customer_segments", "top_customers_by_revenue",
+        "ann_ndcg_truncation", "embedding_bitwidth_sweep",
+        "events_burst_hours", "multimodal_ahash_neardup",
+        "text_top_bigrams", "streaming_upsert_latest_state",
+        "multimodal_avi_shot_boundaries", "null_safe_join_attribution",
+        "compaction_bin_packing_plan", "embedding_dim_variance_rank",
+        "lang_temperature_weights", "hll_merge_event_types",
+        "mixture_temperature_sweep", "ols_two_feature_normal_eq",
+        "pivot_user_event_matrix", "window_event_gaps",
+        "events_psi_value_drift", "map_functions_showcase",
+        "multimodal_magic_sniffer", "profile_hot_orderkeys",
+        "shard_manifest_balanced", "streaming_available_now_rollup",
+        "txn_log_time_travel", "sql_udf_showcase", "subject_access_export",
+        "events_daily_value_trend", "q15_top_supplier", "text_word_pmi",
+        "stats_qty_price_corr", "corpus_dedup_aware_weights",
+        "dedup_embedding_cosine", "events_multi_rollup",
+        "multimodal_wav_silence_real", "sketch_quantile_bins",
+        "streaming_static_enrich", "trigram_like_search",
+        "events_props_variant_decode", "medallion_pipeline_rollup",
+        "multimodal_bmp_ahash", "embedding_cluster_label_purity",
+        "streaming_kmv_distinct_users", "corpus_token_budget_plan",
+        "graph_degree_distribution", "customer_segment_entropy_by_nation",
+        "rag_context_pack", "embedding_mutual_nn_pairs",
+        "score_calibration_report", "bandit_replay_hourly",
+        "bloom_filter_membership", "embedding_outlier_zscore",
+        "graph_assortativity", "q7_volume_shipping",
+        "skipgram_negative_samples", "bronze_decode_roundtrip",
+        "dp_noisy_nation_counts", "array_agg_user_profile",
+        "text_token_entropy", "events_theilsen_trend",
+        "q2_min_cost_supplier", "events_hourly_type_entropy",
+        "gopher_quality_rules", "text_chunk_dedup",
+        "unpivot_lineitem_measures", "events_seasonal_profile",
+        "streaming_gzip_jsonl_rollup", "cms_token_counts",
+        "supplier_return_wilson_rank", "checkpoint_statestore_table",
+        "streaming_sliding_rollup", "lineitem_ship_latency",
+        "streaming_dedup_events", "matryoshka_truncation_recall",
+        "repeated_ngram_spans", "events_ewma_forecast", "merge_full_cdc",
+        "dedup_minhash_lsh", "events_holt_forecast",
+        "q9_product_type_profit", "tokenizer_vocab_pressure",
+        "events_user_retention", "search_hybrid_rrf",
+        "events_funnel_latency", "q18_large_volume_customers",
+        "q20_heavy_shippers", "similarity_topk_ivf",
+        "curriculum_pacing_schedule", "events_interval_union_coverage",
+        "streaming_hll_distinct_users", "text_char_entropy",
+        "linkage_entity_clusters", "multimodal_wav_stats",
+        "revenue_trend_ols", "streaming_seasonality_monitor",
+        "l_diversity_audit", "pps_systematic_sample",
+        "q19_disjunctive_revenue", "knn_classifier_eval",
+        "similarity_maxsim_multivector", "text_term_proximity_search",
+        "vocab_growth_curve", "heavy_hitter_tokens",
+        "q16_supplier_part_buckets", "array_set_functions_showcase",
+        "dedup_incremental_delta", "lineitem_qty_price_heatmap",
+        "feature_asof_training_matrix", "streaming_txn_log_tail",
+        "quality_logreg_training", "rate_limiter_backtest",
+        "corpus_source_datasheet", "events_funnel_view_click_purchase",
+        "events_ohlc_bars", "events_cusum_drift",
+        "profile_lineitem_columns", "streaming_psi_drift",
+        "asof_purchase_attribution", "dedup_exact_substring",
+        "events_session_window_batch", "q11_important_part_value",
+        "orders_cohort_revenue", "streaming_rate_limiter",
+        "events_anomaly_persistence", "events_hourly_anomaly",
+        "streaming_fertility_drift", "dedup_pair_provenance",
+        "events_interval_overlap_join", "asof_next_touch_latency",
+        "dedup_span_mask_manifest", "padding_waste_report",
+        "streaming_magic_sniffer", "streaming_sink_exactly_once_roundtrip",
+        "dedup_edit_distance", "quality_logreg_inference",
+        "streaming_self_excitation", "text_entropy_rate_bigram",
+        "semantic_dedup_semdedup", "streaming_union_sources_rollup",
+        "streaming_dedup_within_watermark", "aes_roundtrip_audit",
+        "embedding_pq_codes", "events_hourly_gapfill",
+        "corpus_epoch_shuffle_manifest", "surrogate_key_assignment",
+        "corpus_js_divergence", "events_ab_uplift_test",
+        "streaming_interval_union_coverage", "user_time_to_first_purchase",
+        "decontaminate_train_shingles", "session_window_rollup",
+        "q5_local_supplier_volume", "embedding_covariance",
+        "streaming_value_quantiles", "change_data_feed_report",
+        "multimodal_shot_boundaries", "streaming_csv_source_rollup",
+        "array_hof_showcase", "events_ccf_count_value",
+        "events_props_schema_profile", "price_index_laspeyres",
+        "similarity_topk_pq_adc", "incremental_join_maintenance",
+        "streaming_sprt_monitor", "events_sessionize_batch",
+        "fuzzy_join_part_names", "market_concentration_hhi",
+        "attribution_multi_touch", "events_growth_accounting",
+        "bpe_apply_merges", "q21_waiting_supplier",
+        "events_self_excitation_ratio", "streaming_update_mode_rollup",
+        "geo_cell_colocation", "streaming_session_rollup",
+        "window_range_trailing_hour", "bpe_learn_merges",
+        "orders_open_backlog_daily", "streaming_stateful_type_counts",
+        "multimodal_png_stats", "corpus_shingle_novelty",
+        "cogroup_asof_pandas", "snapshot_retention_expiry_plan",
+        "batch_replay_source_slice", "forecast_conformal_intervals",
+        "udtf_dynamic_ngrams", "basket_part_pairs", "dedup_survivors",
+        "customer_balance_ks_test", "events_holtwinters_forecast",
+        "text_tfidf_top_terms", "streaming_hill_tail_monitor",
+        "linkage_em_parameters", "bigram_lm_score",
+        "events_alarm_verification", "decision_stump_split_scores",
+        "batch_replay_pruned_scan", "streaming_topk_types_hourly",
+        "dedup_containment", "single_source_risk_report",
+        "streaming_hourly_rollup", "incremental_agg_maintenance",
+        "orders_priority_status_chi2", "streaming_brand_mi_drift",
+        "window_functions_showcase", "events_dau_wau_mau",
+        "streaming_cuped_monitor", "data_quality_audit",
+        "streaming_chained_windows", "events_hourly_mad_outliers",
+        "dedup_transitivity_audit", "watermark_sizing_report",
+        "streaming_stateful_totals", "bucketed_join_colocated",
+        "dedup_simhash", "abc_customer_classification",
+        "kmv_set_ops_event_types", "dsir_importance_weights",
+        "events_changepoint_binseg", "ivf_recall_report",
+        "graph_link_prediction_suppliers", "embedding_silhouette_centroid",
+        "orders_cuped_adjustment", "embedding_power_iteration",
+        "t_closeness_audit", "contrastive_triplets",
+        "scd2_point_in_time_join", "embedding_drift_ab_halves",
+        "part_name_brand_mi", "customer_spend_gini",
+        "percentile_distributed_exact", "spearman_len_vs_ttr",
+        "sketch_user_activity", "supplier_pareto_frontier",
+        "surrogate_key_incremental", "q8_national_market_share",
+        "events_haar_wavelet_energy", "checkpoint_offsetlog_table",
+        "dedup_ngram_jaccard", "events_markov_stationary",
+        "streaming_replay_source_rollup", "streaming_neyman_allocation",
+        "corpus_filter_funnel", "corpus_difficulty_curriculum",
+        "naive_bayes_langid", "streaming_ohlc_bars",
+        "histogram_price_deciles", "k_anonymity_generalize",
+        "basket_size_nbd_fit", "text_rolling_fingerprint",
+        "supplier_leadtime_percentiles", "recsys_item_cosine",
+        "dedup_keep_best_quality", "recursive_month_spine",
         "shuffle_partition_advisor", "events_peak_concurrency",
-        "streaming_hourly_rollup", "vocab_growth_curve",
-        "embedding_pq_codes", "streaming_rate_limiter",
-        "dedup_edit_distance", "events_hourly_type_entropy",
-        "graph_link_prediction_suppliers",
-        "streaming_interval_union_coverage", "streaming_txn_log_tail",
-        "association_rules_parts", "streaming_fertility_drift",
-        "streaming_topk_types_hourly", "dedup_exact_substring",
-        "corpus_epoch_shuffle_manifest", "kmv_set_ops_event_types",
-        "streaming_seasonality_monitor", "window_functions_showcase",
-        "checkpoint_statestore_table", "dedup_survivors",
-        "corpus_source_datasheet", "streaming_self_excitation",
-        "fk_inclusion_profile", "supplier_leadtime_percentiles",
-        "decontaminate_train_shingles", "histogram_price_deciles",
-        "dedup_incremental_delta", "similarity_topk_pq_adc",
-        "dedup_span_mask_manifest", "events_hourly_autocorr",
-        "maxmin_fair_allocation", "multimodal_wav_stats",
-        "supplier_pareto_frontier", "tokenizer_vocab_pressure",
-        "basket_part_pairs", "dedup_pair_provenance",
-        "semantic_dedup_semdedup", "streaming_value_quantiles",
-        "fd_discovery_profile", "quality_logreg_inference",
-        "quality_logreg_training", "bpe_apply_merges", "bpe_learn_merges",
-        "corpus_js_divergence", "streaming_psi_drift",
-        "streaming_session_rollup", "streaming_stateful_type_counts",
-        "bradley_terry_strengths", "embedding_covariance",
-        "dsir_importance_weights", "streaming_magic_sniffer",
-        "corpus_shingle_novelty", "linkage_entity_clusters",
-        "sketch_user_activity", "events_sprt_monitor",
-        "crosslingual_contamination", "batch_replay_source_slice",
-        "ivf_recall_report", "bucketed_join_colocated",
-        "multimodal_wav_silence_real", "streaming_neyman_allocation",
-        "orders_cuped_adjustment", "padding_waste_report",
-        "streaming_hill_tail_monitor", "hll_intersection_estimate",
-        "streaming_feature_hashing_monitor", "recursive_month_spine",
-        "text_tfidf_top_terms", "zonemap_skip_simulation",
-        "graph_modularity_by_brand", "text_entropy_rate_bigram",
-        "source_overlap_jaccard", "streaming_ess_monitor",
-        "hits_authority_hub", "streaming_brand_mi_drift",
-        "multimodal_shot_boundaries",
-        "streaming_sink_exactly_once_roundtrip", "streaming_late_data_drop",
-        "streaming_frontier_bloom", "spearman_len_vs_ttr",
-        "bigram_lm_score", "events_ccf_count_value",
-        "streaming_stateful_totals", "linkage_em_parameters",
-        "streaming_update_mode_rollup", "part_name_brand_mi",
-        "dedup_containment", "dedup_ngram_jaccard",
-        "embedding_power_iteration", "embedding_drift_ab_halves",
-        "streaming_chained_windows", "ivf_incremental_assign",
-        "embedding_silhouette_centroid", "udtf_dynamic_ngrams",
-        "contrastive_triplets", "dedup_simhash", "text_rolling_fingerprint",
-        "cogroup_asof_pandas", "events_haar_wavelet_energy",
-        "rfm_customer_segments", "graph_label_propagation",
-        "streaming_lsh_candidate_buckets", "streaming_bounce_rate",
-        "streaming_ohlc_bars", "events_markov_stationary",
-        "hive_source_partition_pruned", "minhash_jaccard_calibration",
-        "streaming_type_entropy_drift", "checkpoint_offsetlog_table",
-        "naive_bayes_langid", "checkpoint_sources_table", "graph_bfs_hops",
-        "minhash_bbit_calibration", "corpus_filter_funnel",
-        "dedup_connected_components", "streaming_semdedup",
-        "streaming_quality_monitor", "corpus_quota_rebalance_delta",
-        "dedup_transitivity_audit", "recsys_item_cosine",
-        "graph_kcore_peel", "cluster_kmeans_embeddings",
-        "dedup_keep_best_quality", "perplexity_tertile_buckets",
-        "text_kneser_ney_bigram_score", "corpus_difficulty_curriculum",
-        "checkpoint_commitlog_audit", "streaming_purchase_attribution",
-        "streaming_unattributed_purchases", "ivf_nprobe_sweep",
-        "token_df_drift_halves", "tokenizer_unigram_fertility",
-        "tokenizer_unigram_fit", "custom_sink_audit_roundtrip",
-        "streaming_ivf_assign", "streaming_replay_source_rollup",
-        "streaming_join_then_windowed_agg", "ann_pipeline_composition",
-        "dedup_band_sweep_calibration", "streaming_unigram_fertility",
-        "graph_pagerank_parts", "ann_method_agreement",
-        "orders_mean_value_bootstrap_ci", "streaming_bootstrap_ci",
-        "streaming_sprt_monitor", "scan_task_planner",
-        "dedup_pipeline_composition", "sql_scripting_showcase",
-        "graph_triangle_stats", "streaming_cuped_monitor",
+        "source_overlap_jaccard", "hive_source_partition_pruned",
+        "hll_intersection_estimate", "zorder_layout_stats",
+        "timeseries_znorm_subsequence_search", "streaming_ess_monitor",
+        "maxmin_fair_allocation", "zonemap_skip_simulation",
+        "perplexity_tertile_buckets", "streaming_frontier_bloom",
+        "fd_discovery_profile", "streaming_bounce_rate",
+        "association_rules_parts", "dedup_connected_components",
+        "graph_label_propagation", "streaming_late_data_drop",
+        "ivf_nprobe_sweep", "text_kneser_ney_bigram_score",
+        "minhash_jaccard_calibration", "orders_survival_km",
+        "streaming_lsh_candidate_buckets",
+        "streaming_unattributed_purchases", "ivf_incremental_assign",
+        "cluster_kmeans_embeddings", "checkpoint_commitlog_audit",
+        "join_skew_planner", "bradley_terry_strengths",
+        "streaming_type_entropy_drift", "dedup_pipeline_composition",
+        "streaming_join_then_windowed_agg", "hits_authority_hub",
+        "minhash_bbit_calibration", "streaming_quality_monitor",
+        "custom_sink_audit_roundtrip", "streaming_feature_hashing_monitor",
+        "crosslingual_contamination", "graph_kcore_peel",
+        "graph_modularity_by_brand", "checkpoint_sources_table",
+        "rfm_customer_segments", "events_sprt_monitor",
+        "tokenizer_unigram_fit", "streaming_semdedup",
+        "orders_mean_value_bootstrap_ci", "scan_task_planner",
+        "join_cardinality_audit", "streaming_bootstrap_ci",
+        "tokenizer_unigram_fertility", "streaming_unigram_fertility",
+        "graph_bfs_hops", "dedup_band_sweep_calibration",
+        "streaming_rater_drift_monitor", "fk_inclusion_profile",
+        "events_hourly_autocorr", "streaming_ivf_assign",
+        "streaming_purchase_attribution", "ann_pipeline_composition",
+        "ann_method_agreement", "graph_pagerank_parts",
+        "sql_scripting_showcase", "graph_triangle_stats",
+        "multimodal_wav_haar_energy",
     )
     new_ops_rank = 50.5  # just after the sub-second group (index ~50)
     unchecked = {
