@@ -101,38 +101,60 @@ def distributed_prefix_sum(
     (a total order) as ``out_col`` — same shape as distributed_rank but
     the broadcast offsets carry per-partition value totals instead of
     row counts. Same localCheckpoint pinning, same reason."""
+    return distributed_prefix_sums(
+        df, sort_cols, {value_col: out_col}, n_parts
+    )
+
+
+def distributed_prefix_sums(
+    df: DataFrame,
+    sort_cols: list[Column],
+    value_to_out: dict[str, str],
+    n_parts: int = DEFAULT_RANK_PARTS,
+) -> DataFrame:
+    """Several global running sums along ONE total order in ONE range
+    exchange: every (value_col -> out_col) pair rides the same
+    repartitionByRange + per-partition cumulative window + broadcast
+    offset join, so N running sums cost exactly one shuffle of the data
+    (events_sprt_monitor needs both the LLR walk and the row index —
+    two passes would shuffle the table twice for no reason)."""
     parts = df.repartitionByRange(n_parts, *sort_cols).withColumn(
         "_pid", F.spark_partition_id()
     )
-    local = parts.withColumn(
-        "_lcum",
-        F.sum(value_col).over(
-            Window.partitionBy("_pid")
-            .orderBy(*sort_cols)
-            .rowsBetween(Window.unboundedPreceding, 0)
-        ),
-    ).localCheckpoint(eager=False)
+    w_cum = (
+        Window.partitionBy("_pid")
+        .orderBy(*sort_cols)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    local = parts
+    for i, vcol in enumerate(value_to_out):
+        local = local.withColumn(f"_lcum{i}", F.sum(vcol).over(w_cum))
+    local = local.localCheckpoint(eager=False)
+    w_off = Window.orderBy("_pid").rowsBetween(Window.unboundedPreceding, -1)
     offsets = (
         local.groupBy("_pid")
-        .agg(F.sum(value_col).alias("_ptot"))
-        .withColumn(
-            "_off",
-            F.coalesce(
-                F.sum("_ptot").over(
-                    Window.orderBy("_pid").rowsBetween(
-                        Window.unboundedPreceding, -1
-                    )
-                ),
-                F.lit(0),
-            ),
+        .agg(
+            *[
+                F.sum(vcol).alias(f"_ptot{i}")
+                for i, vcol in enumerate(value_to_out)
+            ]
         )
-        .select("_pid", "_off")
+        .select(
+            "_pid",
+            *[
+                F.coalesce(F.sum(f"_ptot{i}").over(w_off), F.lit(0)).alias(
+                    f"_off{i}"
+                )
+                for i in range(len(value_to_out))
+            ],
+        )
     )
-    return (
-        local.join(F.broadcast(offsets), "_pid")
-        .withColumn(out_col, F.col("_off") + F.col("_lcum"))
-        .drop("_pid", "_lcum", "_off")
-    )
+    out = local.join(F.broadcast(offsets), "_pid")
+    drop = ["_pid"]
+    for i, (vcol, ocol) in enumerate(value_to_out.items()):
+        out = out.withColumn(ocol, F.col(f"_off{i}") + F.col(f"_lcum{i}"))
+        drop += [f"_lcum{i}", f"_off{i}"]
+    return out.drop(*drop)
 
 
 def distributed_prefix_max(

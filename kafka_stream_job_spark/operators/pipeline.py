@@ -2442,11 +2442,11 @@ def ess_assemble(g: DataFrame) -> DataFrame:
 # ---------------------------------------------------------------------------
 KAPPA_LEN_T = 240
 
-
-@register(
-    "quality_rater_agreement_kappa",
-    oracle=f"""
-        WITH r AS (
+# Shared rater SQL pieces — ONE definition of the rater pair, the 2x2
+# confusion CTE, and each statistic's CASE; the kappa, McNemar, and
+# combined drift-monitor oracles all compose from these so a future
+# formula fix cannot silently diverge the copies.
+_RATER_RC_SQL = f"""r AS (
             SELECT CASE WHEN length(text) >= {KAPPA_LEN_T} THEN 1 ELSE 0 END
                        AS a,
                    CASE WHEN 2 * len(list_distinct(string_split(
@@ -2465,38 +2465,54 @@ KAPPA_LEN_T = 240
                    CAST(SUM((1 - a) * b) AS BIGINT) AS n01,
                    CAST(SUM((1 - a) * (1 - b)) AS BIGINT) AS n00
             FROM r
-        )
-        SELECT n AS n_docs, n11, n10, n01, n00,
-               CASE WHEN n * n = (n11 + n10) * (n11 + n01)
-                                 + (n01 + n00) * (n10 + n00)
-                    THEN CAST(0 AS BIGINT)
-                    ELSE CAST(ROUND(
-                        CAST(n * (n11 + n00)
-                             - ((n11 + n10) * (n11 + n01)
-                                + (n01 + n00) * (n10 + n00)) AS DOUBLE)
-                        / (n * n - ((n11 + n10) * (n11 + n01)
-                                    + (n01 + n00) * (n10 + n00)))
-                        * 1000000.0) AS BIGINT) END AS kappa_micro
-        FROM c
-    """,
-    tags=("llm-pipeline", "annotation", "agreement", "statistics",
-          "documents"),
-)
-def quality_rater_agreement_kappa(
-    spark: SparkSession, sf_dir: str
-) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
+        )"""
+
+_KAPPA_CASE_SQL = """CASE WHEN n * n = (n11 + n10) * (n11 + n01)
+                             + (n01 + n00) * (n10 + n00)
+                THEN CAST(0 AS BIGINT)
+                ELSE CAST(ROUND(
+                    CAST(n * (n11 + n00)
+                         - ((n11 + n10) * (n11 + n01)
+                            + (n01 + n00) * (n10 + n00)) AS DOUBLE)
+                    / (n * n - ((n11 + n10) * (n11 + n01)
+                                + (n01 + n00) * (n10 + n00)))
+                    * 1000000.0) AS BIGINT) END"""
+
+_MCNEMAR_CASE_SQL = """CASE WHEN n10 + n01 = 0 THEN CAST(0 AS BIGINT)
+                ELSE CAST(ROUND(
+                    CAST(greatest(abs(n10 - n01) - 1, 0)
+                         * greatest(abs(n10 - n01) - 1, 0)
+                         AS DOUBLE) / (n10 + n01) * 1000000.0)
+                    AS BIGINT) END"""
+
+
+def rater_ab_cols() -> tuple[Column, Column]:
+    """The two deterministic binary raters (length, type-token ratio) —
+    one definition feeds kappa, McNemar, and the streaming monitor."""
     toks = F.split(F.lower(F.trim(F.regexp_replace("text", r"\s+", " "))), " ")
     a = (F.length("text") >= KAPPA_LEN_T).cast("long")
     b = (2 * F.size(F.array_distinct(toks)) >= F.size(toks)).cast("long")
+    return a, b
+
+
+def rater_confusion(docs: DataFrame) -> DataFrame:
+    """One-row 2x2 confusion table (n, n11, n10, n01, n00) — the single
+    scan all three rater statistics assemble from."""
+    a, b = rater_ab_cols()
     r = docs.select(a.alias("a"), b.alias("b"))
-    c = r.agg(
+    return r.agg(
         F.count(F.lit(1)).cast("long").alias("n"),
         F.sum(F.col("a") * F.col("b")).cast("long").alias("n11"),
         F.sum(F.col("a") * (1 - F.col("b"))).cast("long").alias("n10"),
         F.sum((1 - F.col("a")) * F.col("b")).cast("long").alias("n01"),
         F.sum((1 - F.col("a")) * (1 - F.col("b"))).cast("long").alias("n00"),
     )
+
+
+def rater_drift_assemble(c: DataFrame) -> DataFrame:
+    """kappa_micro + clamped mcnemar_micro from one confusion row
+    (n, n11, n10, n01, n00) — the batch kappa/McNemar queries and the
+    streaming monitor all project from this one assembly."""
     pe_num = (F.col("n11") + F.col("n10")) * (F.col("n11") + F.col("n01")) + (
         F.col("n01") + F.col("n00")
     ) * (F.col("n10") + F.col("n00"))
@@ -2514,8 +2530,42 @@ def quality_rater_agreement_kappa(
         )
         .alias("kappa_micro")
     )
+    diff = F.greatest(F.abs(F.col("n10") - F.col("n01")) - 1, F.lit(0))
+    mcnemar = (
+        F.when(F.col("n10") + F.col("n01") == 0, F.lit(0).cast("long"))
+        .otherwise(
+            F.round(
+                (diff * diff).cast("double")
+                / (F.col("n10") + F.col("n01"))
+                * 1000000.0,
+                0,
+            ).cast("long")
+        )
+        .alias("mcnemar_micro")
+    )
     return c.select(
-        F.col("n").alias("n_docs"), "n11", "n10", "n01", "n00", kappa
+        F.col("n").alias("n_docs"), "n11", "n10", "n01", "n00", kappa, mcnemar
+    )
+
+
+
+@register(
+    "quality_rater_agreement_kappa",
+    oracle=f"""
+        WITH {_RATER_RC_SQL}
+        SELECT n AS n_docs, n11, n10, n01, n00,
+               {_KAPPA_CASE_SQL} AS kappa_micro
+        FROM c
+    """,
+    tags=("llm-pipeline", "annotation", "agreement", "statistics",
+          "documents"),
+)
+def quality_rater_agreement_kappa(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return rater_drift_assemble(rater_confusion(docs)).select(
+        "n_docs", "n11", "n10", "n01", "n00", "kappa_micro"
     )
 
 
@@ -2817,31 +2867,9 @@ def boot_weight_col(b: int, key: "F.Column") -> "F.Column":
 @register(
     "rater_mcnemar_test",
     oracle=f"""
-        WITH r AS (
-            SELECT CASE WHEN length(text) >= {KAPPA_LEN_T} THEN 1 ELSE 0 END
-                       AS a,
-                   CASE WHEN 2 * len(list_distinct(string_split(
-                            LOWER(TRIM(regexp_replace(text, '\\s+', ' ', 'g'))),
-                            ' ')))
-                        >= len(string_split(
-                            LOWER(TRIM(regexp_replace(text, '\\s+', ' ', 'g'))),
-                            ' '))
-                        THEN 1 ELSE 0 END AS b
-            FROM documents
-        ),
-        c AS (
-            SELECT CAST(COUNT(*) AS BIGINT) AS n,
-                   CAST(SUM(a * (1 - b)) AS BIGINT) AS n10,
-                   CAST(SUM((1 - a) * b) AS BIGINT) AS n01
-            FROM r
-        )
+        WITH {_RATER_RC_SQL}
         SELECT n AS n_docs, n10, n01,
-               CASE WHEN n10 + n01 = 0 THEN CAST(0 AS BIGINT)
-                    ELSE CAST(ROUND(
-                        CAST(greatest(abs(n10 - n01) - 1, 0)
-                             * greatest(abs(n10 - n01) - 1, 0)
-                             AS DOUBLE) / (n10 + n01) * 1000000.0)
-                        AS BIGINT) END AS mcnemar_micro
+               {_MCNEMAR_CASE_SQL} AS mcnemar_micro
         FROM c
     """,
     tags=("llm-pipeline", "annotation", "agreement", "statistics",
@@ -2849,124 +2877,24 @@ def boot_weight_col(b: int, key: "F.Column") -> "F.Column":
 )
 def rater_mcnemar_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
-    toks = F.split(F.lower(F.trim(F.regexp_replace("text", r"\s+", " "))), " ")
-    a = (F.length("text") >= KAPPA_LEN_T).cast("long")
-    b = (2 * F.size(F.array_distinct(toks)) >= F.size(toks)).cast("long")
-    r = docs.select(a.alias("a"), b.alias("b"))
-    c = r.agg(
-        F.count(F.lit(1)).cast("long").alias("n"),
-        F.sum(F.col("a") * (1 - F.col("b"))).cast("long").alias("n10"),
-        F.sum((1 - F.col("a")) * F.col("b")).cast("long").alias("n01"),
+    return rater_drift_assemble(rater_confusion(docs)).select(
+        "n_docs", "n10", "n01", "mcnemar_micro"
     )
-    diff = F.greatest(F.abs(F.col("n10") - F.col("n01")) - 1, F.lit(0))
-    stat = (
-        F.when(F.col("n10") + F.col("n01") == 0, F.lit(0).cast("long"))
-        .otherwise(
-            F.round(
-                (diff * diff).cast("double")
-                / (F.col("n10") + F.col("n01"))
-                * 1000000.0,
-                0,
-            ).cast("long")
-        )
-        .alias("mcnemar_micro")
-    )
-    return c.select(F.col("n").alias("n_docs"), "n10", "n01", stat)
 
 
 # ---------------------------------------------------------------------------
-# RATER-DRIFT ASSEMBLY — kappa + McNemar over ONE confusion table, the
-# combined report a live annotation-QC monitor emits: kappa answers "do
-# the raters agree beyond chance", McNemar answers "is their
-# disagreement symmetric". Shared by the streaming twin
-# (streaming_rater_drift_monitor), whose only stateful piece is the
-# five int64 confusion sums in JVM agg state; everything here is the
-# post-stream assembly, so batch and stream check the SAME oracle.
+# RATER-DRIFT COMBINED ORACLE — kappa + McNemar over ONE confusion
+# table, the report a live annotation-QC monitor emits; used by the
+# streaming twin (streaming_rater_drift_monitor), whose only stateful
+# piece is the five int64 confusion sums in JVM agg state. Composed
+# from the SAME shared SQL pieces as the two batch oracles above, and
+# assembled Spark-side by the same rater_drift_assemble — one
+# definition everywhere.
 # ---------------------------------------------------------------------------
 RATER_DRIFT_ORACLE = f"""
-    WITH r AS (
-        SELECT CASE WHEN length(text) >= {KAPPA_LEN_T} THEN 1 ELSE 0 END
-                   AS a,
-               CASE WHEN 2 * len(list_distinct(string_split(
-                        LOWER(TRIM(regexp_replace(text, '\\s+', ' ', 'g'))),
-                        ' ')))
-                    >= len(string_split(
-                        LOWER(TRIM(regexp_replace(text, '\\s+', ' ', 'g'))),
-                        ' '))
-                    THEN 1 ELSE 0 END AS b
-        FROM documents
-    ),
-    c AS (
-        SELECT CAST(COUNT(*) AS BIGINT) AS n,
-               CAST(SUM(a * b) AS BIGINT) AS n11,
-               CAST(SUM(a * (1 - b)) AS BIGINT) AS n10,
-               CAST(SUM((1 - a) * b) AS BIGINT) AS n01,
-               CAST(SUM((1 - a) * (1 - b)) AS BIGINT) AS n00
-        FROM r
-    )
+    WITH {_RATER_RC_SQL}
     SELECT n AS n_docs, n11, n10, n01, n00,
-           CASE WHEN n * n = (n11 + n10) * (n11 + n01)
-                             + (n01 + n00) * (n10 + n00)
-                THEN CAST(0 AS BIGINT)
-                ELSE CAST(ROUND(
-                    CAST(n * (n11 + n00)
-                         - ((n11 + n10) * (n11 + n01)
-                            + (n01 + n00) * (n10 + n00)) AS DOUBLE)
-                    / (n * n - ((n11 + n10) * (n11 + n01)
-                                + (n01 + n00) * (n10 + n00)))
-                    * 1000000.0) AS BIGINT) END AS kappa_micro,
-           CASE WHEN n10 + n01 = 0 THEN CAST(0 AS BIGINT)
-                ELSE CAST(ROUND(
-                    CAST(greatest(abs(n10 - n01) - 1, 0)
-                         * greatest(abs(n10 - n01) - 1, 0)
-                         AS DOUBLE) / (n10 + n01) * 1000000.0)
-                    AS BIGINT) END AS mcnemar_micro
+           {_KAPPA_CASE_SQL} AS kappa_micro,
+           {_MCNEMAR_CASE_SQL} AS mcnemar_micro
     FROM c
 """
-
-
-def rater_ab_cols() -> tuple[Column, Column]:
-    """The two deterministic binary raters (length, type-token ratio) —
-    one definition feeds kappa, McNemar, and the streaming monitor."""
-    toks = F.split(F.lower(F.trim(F.regexp_replace("text", r"\s+", " "))), " ")
-    a = (F.length("text") >= KAPPA_LEN_T).cast("long")
-    b = (2 * F.size(F.array_distinct(toks)) >= F.size(toks)).cast("long")
-    return a, b
-
-
-def rater_drift_assemble(c: DataFrame) -> DataFrame:
-    """kappa_micro + clamped mcnemar_micro from one confusion row
-    (n, n11, n10, n01, n00)."""
-    pe_num = (F.col("n11") + F.col("n10")) * (F.col("n11") + F.col("n01")) + (
-        F.col("n01") + F.col("n00")
-    ) * (F.col("n10") + F.col("n00"))
-    kappa = (
-        F.when(F.col("n") * F.col("n") == pe_num, F.lit(0).cast("long"))
-        .otherwise(
-            F.round(
-                (
-                    F.col("n") * (F.col("n11") + F.col("n00")) - pe_num
-                ).cast("double")
-                / (F.col("n") * F.col("n") - pe_num)
-                * 1000000.0,
-                0,
-            ).cast("long")
-        )
-        .alias("kappa_micro")
-    )
-    diff = F.greatest(F.abs(F.col("n10") - F.col("n01")) - 1, F.lit(0))
-    mcnemar = (
-        F.when(F.col("n10") + F.col("n01") == 0, F.lit(0).cast("long"))
-        .otherwise(
-            F.round(
-                (diff * diff).cast("double")
-                / (F.col("n10") + F.col("n01"))
-                * 1000000.0,
-                0,
-            ).cast("long")
-        )
-        .alias("mcnemar_micro")
-    )
-    return c.select(
-        F.col("n").alias("n_docs"), "n11", "n10", "n01", "n00", kappa, mcnemar
-    )

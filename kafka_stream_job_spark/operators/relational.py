@@ -15416,7 +15416,7 @@ CUPED_SPLIT = "1998-07-01"
             FROM orders GROUP BY 1
         ),
         u AS (
-            SELECT ('0x' || substr(md5('cuped:' || CAST(c.c_custkey AS VARCHAR)), 1, 7))::BIGINT % 2
+            SELECT {_snap_hash_sql("cuped", "c.c_custkey")} % 2
                        AS arm,
                    COALESCE(s.x, 0) AS x, COALESCE(s.y, 0) AS y
             FROM customer c LEFT JOIN spend s ON s.k = c.c_custkey
@@ -15505,21 +15505,9 @@ def orders_cuped_adjustment(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def cuped_arm_col() -> "F.Column":
     """Deterministic hash arm assignment over c_custkey — one definition
-    for the batch query and the streaming twin."""
-    return (
-        F.conv(
-            F.substring(
-                F.md5(
-                    F.concat(F.lit("cuped:"), F.col("c_custkey").cast("string"))
-                ),
-                1,
-                7,
-            ),
-            16,
-            10,
-        ).cast("long")
-        % 2
-    )
+    for the batch query and the streaming twin, riding the same
+    _snap_hash md5-prefix idiom as every other hash split here."""
+    return _snap_hash("cuped", "c_custkey") % 2
 
 
 def cuped_assemble(u: DataFrame) -> DataFrame:
@@ -15653,8 +15641,7 @@ _SPRT_B = round(math.log(SPRT_BETA / (1 - SPRT_ALPHA)) * 1000)  # lower
 )
 def events_sprt_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
     from kafka_stream_job_spark.operators._distributed import (
-        distributed_prefix_sum,
-        distributed_rank,
+        distributed_prefix_sums,
     )
 
     events = load_table(spark, sf_dir, "events")
@@ -15668,13 +15655,13 @@ def events_sprt_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.lit(_SPRT_INC0))
         .cast("long")
         .alias("inc"),
+        F.lit(1).cast("long").alias("one"),
     )
     order = [F.col("ts").asc(), F.col("event_id").asc()]
-    walked = distributed_prefix_sum(
-        distributed_rank(obs, order, rank_col="idx"),
-        order,
-        "inc",
-        out_col="llr",
+    # one range exchange carries BOTH running sums: the LLR walk and
+    # the global row index (a running sum of ones)
+    walked = distributed_prefix_sums(
+        obs, order, {"inc": "llr", "one": "idx"}
     )
     up = F.min(F.when(F.col("llr") >= _SPRT_A, F.col("idx")))
     down = F.min(F.when(F.col("llr") <= _SPRT_B, F.col("idx")))

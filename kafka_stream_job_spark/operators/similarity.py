@@ -3516,6 +3516,16 @@ def _nprobe_sweep_oracle() -> str:
     tags=("similarity", "ivf", "embeddings", "recall", "tuning"),
 )
 def ivf_nprobe_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _nprobe_sweep_parts(spark, sf_dir)["sweep"]
+
+
+def _nprobe_sweep_parts(spark: SparkSession, sf_dir: str) -> dict:
+    """Centroids, corpus assignment, and the recall/nprobe sweep built
+    from ONE candidate-generation pass — returned together so
+    ann_pipeline_composition reuses the same assignment DataFrames for
+    its build/balance stages instead of recomputing the corpus ×
+    centroids argmin (the DuckDB oracle materializes `assign` once; the
+    Spark side should plan it once too)."""
     from pyspark.sql import Window
 
     from kafka_stream_job_spark.operators._portable import idiv
@@ -3578,7 +3588,7 @@ def ivf_nprobe_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     hits = approx.join(exact, ["query_id", "neighbor_id"]).groupBy("np").agg(
         F.count(F.lit(1)).cast("long").alias("n_hits")
     )
-    return (
+    sweep = (
         grid.crossJoin(F.broadcast(tot))
         .join(hits, "np", "left")
         .select(
@@ -3592,6 +3602,8 @@ def ivf_nprobe_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("recall_bp"),
         )
     )
+    return {"emb": emb, "centroids": centroids, "assign": assign,
+            "sweep": sweep}
 
 
 # ---------------------------------------------------------------------------
@@ -4263,28 +4275,13 @@ def _ann_composition_oracle() -> str:
     tags=("similarity", "ivf", "pipeline", "funnel", "embeddings"),
 )
 def ann_pipeline_composition(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql import Window
-
-    emb = load_table(spark, sf_dir, "embeddings", rebalance=True)
-    ivf_hash = F.conv(
-        F.substring(
-            F.md5(F.concat(F.lit("ivf:"), F.col("vec_id").cast("string"))), 1, 7
-        ),
-        16,
-        10,
-    ).cast("long")
-    centroids = emb.filter(ivf_hash % IVF_SAMPLE_MOD == 0).select(
-        F.col("vec_id").alias("cent_id"), F.col("embedding").alias("c_emb")
-    )
-    dist = _l2sq(F.col("embedding"), F.col("c_emb"))
-    w = Window.partitionBy("vec_id").orderBy("dist", "cent_id")
-    assign = (
-        emb.crossJoin(F.broadcast(centroids))
-        .select("vec_id", "cent_id", dist.alias("dist"))
-        .withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .select("vec_id", F.col("cent_id").alias("cell"))
-    )
+    # ONE candidate-generation pass feeds every stage: the sweep parts
+    # expose the same centroids/assignment the recall grid was built
+    # from, so the corpus x centroids argmin plans once (the oracle's
+    # MATERIALIZED `assign` shape), not once per stage.
+    parts = _nprobe_sweep_parts(spark, sf_dir)
+    emb, centroids = parts["emb"], parts["centroids"]
+    assign = parts["assign"].select("vec_id", "cell")
     nv = emb.agg(F.count(F.lit(1)).cast("long").alias("n_vec"))
     nc = centroids.agg(F.count(F.lit(1)).cast("long").alias("n_cent"))
     cells = (
@@ -4313,7 +4310,7 @@ def ann_pipeline_composition(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("max_cell") * 2 * 10000 + F.col("n_vec"), 2 * F.col("n_vec")
         ).alias("metric_bp"),
     )
-    sweep = ivf_nprobe_sweep(spark, sf_dir)
+    sweep = parts["sweep"]
     grididx = spark.createDataFrame(
         [(np, i + 3) for i, np in enumerate(NPROBE_GRID)],
         "np long, sidx long",

@@ -5136,8 +5136,11 @@ def _uni_spine_df(spark: SparkSession) -> DataFrame:
 
 
 def _uni_blc(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """(lang, block, c): per-lang distinct-block counts — the Zipf-head
-    compression every downstream stage rides on."""
+    """(lang, block, c, c_tok): per-lang distinct-block counts — the
+    Zipf-head compression every downstream stage rides on. c_tok counts
+    only k=0 blocks, which are 1:1 with tokens, so the per-lang token
+    total folds into the SAME aggregation instead of a second documents
+    scan (the streaming twin's trick, now shared by the batch path)."""
     docs = load_table(spark, sf_dir, "documents")
     norm = F.lower(F.trim(F.regexp_replace("text", r"\s+", " ")))
     toks = docs.select(
@@ -5152,12 +5155,18 @@ def _uni_blc(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select(
             "lang",
+            "k",
             F.col("tok")
             .substr(F.col("k") * UNI_BLOCK + 1, F.lit(UNI_BLOCK))
             .alias("block"),
         )
         .groupBy("lang", "block")
-        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("c"),
+            F.sum(F.when(F.col("k") == 0, 1).otherwise(0))
+            .cast("long")
+            .alias("c_tok"),
+        )
     )
 
 
@@ -5347,16 +5356,10 @@ def tokenizer_unigram_fertility(
         .groupBy("block")
         .agg(F.count(F.lit(1)).cast("long").alias("np"))
     )
-    # n_tokens per lang: blocks with k=0 are 1:1 with tokens — count
-    # them from blc via the block spine? No: recount from the token
-    # explode directly (cheap, one scan of documents).
-    docs = load_table(spark, sf_dir, "documents")
-    norm = F.lower(F.trim(F.regexp_replace("text", r"\s+", " ")))
-    langtok = (
-        docs.select("lang", F.explode(F.split(norm, " ")).alias("tok"))
-        .filter(F.col("tok") != "")
-        .groupBy("lang")
-        .agg(F.count(F.lit(1)).cast("long").alias("n_tokens"))
+    # n_tokens per lang rides the SAME (lang, block) aggregation: k=0
+    # blocks are 1:1 with tokens (c_tok), so no second documents scan.
+    langtok = blc.groupBy("lang").agg(
+        F.sum("c_tok").cast("long").alias("n_tokens")
     )
     langpieces = (
         blc.join(ppb, "block")
