@@ -2632,7 +2632,11 @@ def multimodal_avi_shot_boundaries(
 HAARW_FRAME = 8  # samples per Haar frame (3 levels)
 
 
-def _haarw_oracle() -> str:
+def _haarw_level_sql() -> dict:
+    """The three per-frame Haar level-energy bodies plus the
+    frame-summing wrapper, shared by the per-doc oracle and the
+    streaming per-lang rollup oracle — one definition of the
+    character->sample model and the transform."""
     def samp(k: str) -> str:
         return (
             f"CAST((ascii(substring(text, CAST(8 * f + {k} AS INT), 1)) % 256"
@@ -2659,6 +2663,11 @@ def _haarw_oracle() -> str:
         f"CAST(list_sum(list_transform(range(0, n_frames), f -> {body}))"
         f" AS BIGINT)"
     )
+    return {"e1": lvl(d1), "e2": lvl(d2), "e3": lvl(d3)}
+
+
+def _haarw_oracle() -> str:
+    lv = _haarw_level_sql()
     return f"""
         WITH d AS (
             SELECT doc_id, text,
@@ -2666,11 +2675,92 @@ def _haarw_oracle() -> str:
             FROM documents WHERE length(text) >= {HAARW_FRAME}
         )
         SELECT doc_id, n_frames,
-               {lvl(d1)} AS e1,
-               {lvl(d2)} AS e2,
-               {lvl(d3)} AS e3
+               {lv["e1"]} AS e1,
+               {lv["e2"]} AS e2,
+               {lv["e3"]} AS e3
         FROM d
     """
+
+
+def _wav_haar_encode_batches(batches):
+    """(doc_id, lang, text) -> (doc_id, lang, payload): pack each doc
+    into a complete RIFF/WAVE container (the multimodal_wav_stats
+    generative model). lang rides along so the streaming per-lang
+    rollup shares this stage verbatim; the per-doc batch op ignores it."""
+    import struct
+
+    import pandas as pd
+
+    for pdf in batches:
+        payloads = []
+        for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+            rate = WAV_BASE_RATE + (int(doc_id) % 3) * 4000
+            samples = [((ord(c) % 256) - 128) * 256 for c in text]
+            data = struct.pack(f"<{len(samples)}h", *samples)
+            chunks = (
+                b"fmt "
+                + struct.pack("<IHHIIHH", 16, 1, 1, rate, rate * 2, 2, 16)
+                + b"data"
+                + struct.pack("<I", len(data))
+                + data
+                + (b"\x00" if len(data) & 1 else b"")
+            )
+            payloads.append(
+                b"RIFF" + struct.pack("<I", 4 + len(chunks)) + b"WAVE" + chunks
+            )
+        yield pd.DataFrame(
+            {"doc_id": pdf["doc_id"], "lang": pdf["lang"], "payload": payloads}
+        )
+
+
+def _wav_haar_batches(batches):
+    """(doc_id, lang, payload) -> per-doc 3-level Haar detail energies
+    over the REAL decoded int16 PCM (numpy-vectorized; decode_wav_real
+    validates the container first)."""
+    import struct
+
+    import numpy as np
+    import pandas as pd
+
+    for pdf in batches:
+        rows = {"doc_id": [], "lang": [], "n_frames": [],
+                "e1": [], "e2": [], "e3": []}
+        for doc_id, lang, payload in zip(
+            pdf["doc_id"], pdf["lang"], pdf["payload"]
+        ):
+            blob = bytes(payload)
+            meta = decode_wav_real(blob)  # full container validation
+            off = 12
+            samples = None
+            while off + 8 <= len(blob):
+                cid = blob[off : off + 4]
+                (clen,) = struct.unpack("<I", blob[off + 4 : off + 8])
+                if cid == b"data":
+                    samples = np.frombuffer(
+                        blob[off + 8 : off + 8 + clen], dtype="<i2"
+                    ).astype(np.int64)
+                    break
+                off += 8 + clen + (clen & 1)
+            assert samples is not None and len(samples) == meta["n_samples"]
+            n_frames = len(samples) // HAARW_FRAME
+            x = samples[: n_frames * HAARW_FRAME].reshape(-1, HAARW_FRAME)
+            d1 = x[:, 0::2] - x[:, 1::2]
+            a1 = x[:, 0::2] + x[:, 1::2]
+            d2 = a1[:, 0::2] - a1[:, 1::2]
+            a2 = a1[:, 0::2] + a1[:, 1::2]
+            d3 = a2[:, 0] - a2[:, 1]
+            rows["doc_id"].append(int(doc_id))
+            rows["lang"].append(lang)
+            rows["n_frames"].append(n_frames)
+            rows["e1"].append(int((d1 * d1).sum()))
+            rows["e2"].append(int((d2 * d2).sum()))
+            rows["e3"].append(int((d3 * d3).sum()))
+        yield pd.DataFrame(rows)
+
+
+_WAV_HAAR_SCHEMA = (
+    "doc_id long, lang string, n_frames long, e1 long, e2 long, e3 long"
+)
 
 
 @register(
@@ -2682,73 +2772,40 @@ def _haarw_oracle() -> str:
 def multimodal_wav_haar_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = (
         load_table(spark, sf_dir, "documents", rebalance=True)
-        .select("doc_id", "text")
+        .select("doc_id", "lang", "text")
         .filter(F.length("text") >= HAARW_FRAME)
     )
-
-    def encode_batches(batches):
-        import struct
-
-        import pandas as pd
-
-        for pdf in batches:
-            payloads = []
-            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
-                rate = WAV_BASE_RATE + (int(doc_id) % 3) * 4000
-                samples = [((ord(c) % 256) - 128) * 256 for c in text]
-                data = struct.pack(f"<{len(samples)}h", *samples)
-                chunks = (
-                    b"fmt "
-                    + struct.pack("<IHHIIHH", 16, 1, 1, rate, rate * 2, 2, 16)
-                    + b"data"
-                    + struct.pack("<I", len(data))
-                    + data
-                    + (b"\x00" if len(data) & 1 else b"")
-                )
-                payloads.append(
-                    b"RIFF" + struct.pack("<I", 4 + len(chunks)) + b"WAVE" + chunks
-                )
-            yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
-
-    def haar_batches(batches):
-        import struct
-
-        import numpy as np
-        import pandas as pd
-
-        for pdf in batches:
-            rows = {"doc_id": [], "n_frames": [], "e1": [], "e2": [], "e3": []}
-            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
-                blob = bytes(payload)
-                meta = decode_wav_real(blob)  # full container validation
-                off = 12
-                samples = None
-                while off + 8 <= len(blob):
-                    cid = blob[off : off + 4]
-                    (clen,) = struct.unpack("<I", blob[off + 4 : off + 8])
-                    if cid == b"data":
-                        samples = np.frombuffer(
-                            blob[off + 8 : off + 8 + clen], dtype="<i2"
-                        ).astype(np.int64)
-                        break
-                    off += 8 + clen + (clen & 1)
-                assert samples is not None and len(samples) == meta["n_samples"]
-                n_frames = len(samples) // HAARW_FRAME
-                x = samples[: n_frames * HAARW_FRAME].reshape(-1, HAARW_FRAME)
-                d1 = x[:, 0::2] - x[:, 1::2]
-                a1 = x[:, 0::2] + x[:, 1::2]
-                d2 = a1[:, 0::2] - a1[:, 1::2]
-                a2 = a1[:, 0::2] + a1[:, 1::2]
-                d3 = a2[:, 0] - a2[:, 1]
-                rows["doc_id"].append(int(doc_id))
-                rows["n_frames"].append(n_frames)
-                rows["e1"].append(int((d1 * d1).sum()))
-                rows["e2"].append(int((d2 * d2).sum()))
-                rows["e3"].append(int((d3 * d3).sum()))
-            yield pd.DataFrame(rows)
-
-    wavs = docs.mapInPandas(encode_batches, "doc_id long, payload binary")
-    return wavs.mapInPandas(
-        haar_batches,
-        "doc_id long, n_frames long, e1 long, e2 long, e3 long",
+    wavs = docs.mapInPandas(
+        _wav_haar_encode_batches, "doc_id long, lang string, payload binary"
     )
+    return wavs.mapInPandas(_wav_haar_batches, _WAV_HAAR_SCHEMA).select(
+        "doc_id", "n_frames", "e1", "e2", "e3"
+    )
+
+
+def _haarw_lang_oracle() -> str:
+    """Per-lang rollup of the per-doc Haar energies — the streaming
+    monitor's oracle, composed from the SAME _haarw_level_sql pieces as
+    the per-doc oracle."""
+    lv = _haarw_level_sql()
+    return f"""
+        WITH d AS (
+            SELECT doc_id, lang, text,
+                   CAST(length(text) AS BIGINT) // {HAARW_FRAME} AS n_frames
+            FROM documents WHERE length(text) >= {HAARW_FRAME}
+        ),
+        per_doc AS (
+            SELECT lang, n_frames,
+                   {lv["e1"]} AS e1,
+                   {lv["e2"]} AS e2,
+                   {lv["e3"]} AS e3
+            FROM d
+        )
+        SELECT lang,
+               CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(n_frames) AS BIGINT) AS n_frames,
+               CAST(SUM(e1) AS BIGINT) AS e1,
+               CAST(SUM(e2) AS BIGINT) AS e2,
+               CAST(SUM(e3) AS BIGINT) AS e3
+        FROM per_doc GROUP BY 1
+    """

@@ -4975,11 +4975,14 @@ def _uni_spine() -> list[tuple[int, int, int, int]]:
 _UNI_SPINE = _uni_spine()
 
 
-def _uni_cte_chain() -> str:
-    """The shared CTE chain: normalized tokens -> per-(lang, block)
+def _uni_cte_chain(key: str = "lang") -> str:
+    """The shared CTE chain: normalized tokens -> per-(key, block)
     counts -> seed vocabulary -> two Viterbi-EM rounds -> best2 (the
-    converged per-block segmentation choice). Both unigram oracles
-    append their own report on top of this verbatim prefix."""
+    converged per-block segmentation choice). The unigram oracles
+    append their own report on top of this verbatim prefix; ``key`` is
+    the grouping column the report slices by (lang for fit/fertility,
+    source for the compression report) — the fit itself is key-blind,
+    since bcnt aggregates the key away."""
     spine_vals = ", ".join(
         f"({b}, {m}, {s}, {l})" for b, m, s, l in _UNI_SPINE
     )
@@ -4989,14 +4992,14 @@ def _uni_cte_chain() -> str:
     l_vals = ", ".join(f"({l})" for l in range(1, UNI_PIECE_MAX + 1))
     return f"""
         toks AS (
-            SELECT lang,
+            SELECT {key},
                    unnest(string_split({_BL_NORM_SQL}, ' ')) AS tok
             FROM documents
         ),
         kspine(k) AS (VALUES {k_vals}),
         blc AS MATERIALIZED (
-            SELECT lang, block, CAST(COUNT(*) AS BIGINT) AS c FROM (
-                SELECT lang,
+            SELECT {key}, block, CAST(COUNT(*) AS BIGINT) AS c FROM (
+                SELECT {key},
                        substr(tok, k * {UNI_BLOCK} + 1, {UNI_BLOCK}) AS block
                 FROM toks JOIN kspine
                   ON k * {UNI_BLOCK} < least(length(tok), {UNI_MAX_TOK})
@@ -5135,32 +5138,34 @@ def _uni_spine_df(spark: SparkSession) -> DataFrame:
     )
 
 
-def _uni_blc(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """(lang, block, c, c_tok): per-lang distinct-block counts — the
+def _uni_blc(
+    spark: SparkSession, sf_dir: str, key: str = "lang"
+) -> DataFrame:
+    """(key, block, c, c_tok): per-key distinct-block counts — the
     Zipf-head compression every downstream stage rides on. c_tok counts
-    only k=0 blocks, which are 1:1 with tokens, so the per-lang token
+    only k=0 blocks, which are 1:1 with tokens, so the per-key token
     total folds into the SAME aggregation instead of a second documents
     scan (the streaming twin's trick, now shared by the batch path)."""
     docs = load_table(spark, sf_dir, "documents")
     norm = F.lower(F.trim(F.regexp_replace("text", r"\s+", " ")))
     toks = docs.select(
-        "lang", F.explode(F.split(norm, " ")).alias("tok")
+        key, F.explode(F.split(norm, " ")).alias("tok")
     ).filter(F.col("tok") != "")
     n_blocks = (F.least(F.length("tok"), F.lit(UNI_MAX_TOK)) - 1) / UNI_BLOCK
     return (
         toks.select(
-            "lang",
+            key,
             F.explode(F.sequence(F.lit(0), n_blocks.cast("int"))).alias("k"),
             "tok",
         )
         .select(
-            "lang",
+            key,
             "k",
             F.col("tok")
             .substr(F.col("k") * UNI_BLOCK + 1, F.lit(UNI_BLOCK))
             .alias("block"),
         )
-        .groupBy("lang", "block")
+        .groupBy(key, "block")
         .agg(
             F.count(F.lit(1)).cast("long").alias("c"),
             F.sum(F.when(F.col("k") == 0, 1).otherwise(0))
@@ -5378,4 +5383,86 @@ def tokenizer_unigram_fertility(
             F.col("n_pieces") * 2 * 10000 + F.col("n_tokens"),
             2 * F.col("n_tokens"),
         ).alias("fertility_bp"),
+    )
+
+
+def _unigram_compression_oracle() -> str:
+    return f"""
+        WITH {_uni_cte_chain("source")},
+        ppb AS (
+            SELECT w.block, CAST(COUNT(*) AS BIGINT) AS np
+            FROM best2 w
+            JOIN spine s ON s.blen = length(w.block) AND s.mask = w.mask
+            GROUP BY 1
+        ),
+        srctok AS (
+            SELECT source, CAST(COUNT(*) AS BIGINT) AS n_tokens
+            FROM toks WHERE tok <> '' GROUP BY 1
+        ),
+        srcpieces AS (
+            SELECT b.source,
+                   CAST(SUM(b.c * length(b.block)) AS BIGINT) AS n_chars,
+                   CAST(SUM(b.c * p.np) AS BIGINT) AS n_pieces
+            FROM blc b JOIN ppb p ON p.block = b.block
+            GROUP BY 1
+        )
+        SELECT t.source, t.n_tokens, g.n_chars, g.n_pieces,
+               (g.n_chars * 2 * 1000 + g.n_pieces)
+                   // (2 * g.n_pieces) AS chars_per_piece_milli
+        FROM srctok t JOIN srcpieces g ON g.source = t.source
+    """
+
+
+@register(
+    "tokenizer_unigram_compression",
+    oracle=_unigram_compression_oracle(),
+    tags=("text", "tokenizer", "unigram", "compression", "documents"),
+)
+def tokenizer_unigram_compression(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Chars-per-piece of the fitted unigram tokenizer, per SOURCE — the
+    compression-rate curation signal: text the tokenizer segments into
+    long pieces is 'familiar' relative to the corpus the vocabulary was
+    fit on, and a source whose compression rate sags is drifting away
+    from the training distribution (the perplexity intuition without an
+    LM). Same fitted segmentation as tokenizer_unigram_fit; one extra
+    per-source rollup over the already-aggregated (source, block)
+    counts."""
+    blc = _uni_blc(spark, sf_dir, key="source")
+    bcnt = blc.groupBy("block").agg(F.sum("c").cast("long").alias("c"))
+    spine = _uni_spine_df(spark)
+    _cands, _v0, best2 = _uni_best2(spark, bcnt, spine)
+    sp = spine.withColumnRenamed("mask", "s_mask")
+    ppb = (
+        best2.join(
+            F.broadcast(sp),
+            (F.length("block") == F.col("blen"))
+            & (F.col("mask") == F.col("s_mask")),
+        )
+        .groupBy("block")
+        .agg(F.count(F.lit(1)).cast("long").alias("np"))
+    )
+    srctok = blc.groupBy("source").agg(
+        F.sum("c_tok").cast("long").alias("n_tokens")
+    )
+    srcpieces = (
+        blc.join(ppb, "block")
+        .groupBy("source")
+        .agg(
+            F.sum(F.col("c") * F.length("block"))
+            .cast("long")
+            .alias("n_chars"),
+            F.sum(F.col("c") * F.col("np")).cast("long").alias("n_pieces"),
+        )
+    )
+    return srctok.join(srcpieces, "source").select(
+        "source",
+        "n_tokens",
+        "n_chars",
+        "n_pieces",
+        idiv(
+            F.col("n_chars") * 2 * 1000 + F.col("n_pieces"),
+            2 * F.col("n_pieces"),
+        ).alias("chars_per_piece_milli"),
     )

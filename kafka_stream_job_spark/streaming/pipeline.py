@@ -5573,3 +5573,79 @@ def _register_streaming_sprt_monitor() -> None:
 
 
 _register_streaming_sprt_monitor()
+
+
+# ---------------------------------------------------------------------------
+# STREAMING WAV-HAAR DRIFT MONITOR — real media decode INSIDE the
+# stream: each micro-batch's documents pass through the SAME two
+# Arrow-batched mapInPandas stages as the batch op (RIFF/WAVE pack ->
+# decode_wav_real -> numpy 3-level Haar), entirely STATELESS, and the
+# only state is the per-lang (n_docs, n_frames, e1, e2, e3) int64 sums
+# in BUILT-IN JVM aggregation — five longs per language. A per-lang
+# transient-energy mix that shifts mid-ingest flags an audio pipeline
+# regression (resampling, clipping, silence padding) before the batch
+# job would ever see it. Oracle composed from the same
+# _haarw_level_sql pieces as the per-doc batch oracle.
+# ---------------------------------------------------------------------------
+def _register_streaming_wav_haar_monitor() -> None:
+    import uuid
+
+    from kafka_stream_job_spark.operators.multimodal import (
+        _WAV_HAAR_SCHEMA,
+        _haarw_lang_oracle,
+        _wav_haar_batches,
+        _wav_haar_encode_batches,
+        HAARW_FRAME,
+    )
+    from kafka_stream_job_spark.registry import register
+
+    @register(
+        "streaming_wav_haar_monitor",
+        oracle=_haarw_lang_oracle(),
+        tags=("streaming", "stateful", "multimodal", "audio", "wavelet",
+              "documents"),
+    )
+    def streaming_wav_haar_monitor(
+        spark: SparkSession, sf_dir: str
+    ) -> DataFrame:
+        import tempfile
+
+        src, stage = _stage_stream_source(
+            sf_dir, "documents", "/tmp/ksj_stream_stage_documents"
+        )
+        raw_schema = spark.read.parquet(src).schema
+        docs = (
+            spark.readStream.schema(raw_schema)
+            .parquet(stage)
+            .select("doc_id", "lang", "text")
+            .filter(F.length("text") >= HAARW_FRAME)
+        )
+        wavs = docs.mapInPandas(
+            _wav_haar_encode_batches,
+            "doc_id long, lang string, payload binary",
+        )
+        per_doc = wavs.mapInPandas(_wav_haar_batches, _WAV_HAAR_SCHEMA)
+        rollup = per_doc.groupBy("lang").agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("n_frames").cast("long").alias("n_frames"),
+            F.sum("e1").cast("long").alias("e1"),
+            F.sum("e2").cast("long").alias("e2"),
+            F.sum("e3").cast("long").alias("e3"),
+        )
+        name = f"stream_wavhaar_{uuid.uuid4().hex[:8]}"
+        ckpt = tempfile.mkdtemp(prefix="ksj-stream-wavhaar-")
+        emitted = run_stream_to_memory(
+            spark, rollup, name, ckpt, output_mode="update"
+        )
+        # update-mode emissions converge per key at max (all five sums
+        # are monotone)
+        return emitted.groupBy("lang").agg(
+            F.max("n_docs").cast("long").alias("n_docs"),
+            F.max("n_frames").cast("long").alias("n_frames"),
+            F.max("e1").cast("long").alias("e1"),
+            F.max("e2").cast("long").alias("e2"),
+            F.max("e3").cast("long").alias("e3"),
+        )
+
+
+_register_streaming_wav_haar_monitor()
