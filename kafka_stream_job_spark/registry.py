@@ -347,7 +347,7 @@ def all_specs() -> dict[str, QuerySpec]:
     recheck = {n: s for n, s in REGISTRY.items() if n in _RECHECK}
     # Within the never-checked group, order by MEASURED sf0.01 driver-sim
     # cost (tools/verify_oracle.py SIM_PAR=1; re-measured over the FULL
-    # 479-query registry in round 10 — regenerate any time with
+    # 481-query registry in round 10 — regenerate any time with
     # tools/regen_cost_order.py from the committed CORRECTNESS_LOCAL.json),
     # cheapest first: if the driver's
     # pass is time-capped rather than count-capped, cheap-first maximizes
@@ -355,242 +355,241 @@ def all_specs() -> dict[str, QuerySpec]:
     # (operators added after the measurement) slot in just after the
     # sub-second group.
     cost_order = (
-        "binary_blob_source_stats", "nations_with_rich_customers",
-        "sft_loss_masking_spans", "text_bpe_token_count",
-        "text_fingerprint", "multimodal_metadata_scan", "dedup_exact",
-        "quota_sample_per_lang", "text_fano_burstiness",
-        "weighted_sample_docs", "span_corruption_manifest",
-        "text_quality_score", "text_seqlen_histogram",
-        "fixed_width_source_read", "schema_evolution_merge_read",
-        "split_train_eval", "text_mojibake_detect", "doc_sliding_chunks",
-        "customers_without_orders", "text_adjacent_repetition",
-        "bpe_fertility_by_lang", "corpus_mix_rebalance",
-        "sft_pair_manifest", "gmv_walk_forward_backtest",
-        "arrow_map_embedding_norm", "multimodal_frame_sample",
-        "parts_price_anova_by_size", "text_pii_redaction",
-        "dpo_preference_pairs", "grouping_sets_revenue",
-        "revenue_waterfall", "text_unicode_script_profile",
-        "multimodal_resize", "text_token_stats", "text_sentiment_lexicon",
-        "streaming_state_budget_planner", "events_seasonality_strength",
-        "multimodal_dedup_content_hash", "text_readability_features",
-        "cube_order_status_priority", "discount_cap_counterfactual",
-        "text_hapax_ratio", "csv_source_permissive_read",
-        "text_language_id", "neyman_allocation_plan",
-        "datetime_functions_showcase", "dedup_url_canonical",
-        "jsonl_source_permissive_read", "linkage_blocking_quality",
-        "orders_duplicate_payment_audit", "partitioned_source_pruned_read",
-        "quality_rater_agreement_kappa", "file_metadata_columns_read",
-        "embedding_norm_stats", "events_type_audience_overlap",
-        "multimodal_decode_features", "bitwise_aggregates_showcase",
-        "dedup_cluster_size_histogram", "events_json_extract",
-        "multimodal_stratified_sample", "rollup_returns",
-        "events_props_templates", "orders_gmv_weekly_wow",
-        "partition_spec_advisor", "rank_correlation_kendall",
-        "rater_mcnemar_test", "try_functions_showcase",
-        "bronze_decode_errors", "pipe_sql_priority_stats",
-        "discount_elasticity_by_brand", "embedding_isotropy_proxy",
-        "events_hourly_rollup", "events_user_lifecycle_stages",
-        "lateral_top_customers_per_nation", "dedup_prefix_collision",
-        "text_vocab_coverage", "events_hill_tail_index",
-        "events_profile_cosine_pairs", "hll_distinct_users",
-        "pandas_grouped_agg_trimmed_mean", "percentile_order_prices",
-        "udtf_word_expand", "web_domain_profile",
-        "execute_immediate_showcase", "parameterized_sql_showcase",
-        "churn_label_manifest", "embedding_pca2_closed_form",
-        "grpo_group_advantage", "text_feature_hashing",
-        "langid_precision_recall", "scalar_functions_showcase",
-        "window_customer_order_rank", "data_freshness_sla",
-        "embedding_blocking_key_profile", "kmv_distinct_users",
-        "supplier_scorecard", "xml_decode_roundtrip",
-        "gzip_jsonl_source_read", "k_anonymity_audit",
-        "lang_balance_weights", "q6_forecast_revenue",
-        "similarity_topk_cosine", "attribution_window_sweep",
-        "multimodal_audio_frame_energy", "pandas_scalar_log_price",
-        "q13_customer_distribution", "text_rake_keywords",
-        "distinct_parts_per_supplier", "best_of_n_selection",
-        "gdpr_purge_manifest", "multimodal_gif_stats",
-        "url_functions_showcase", "user_trigram_paths",
-        "collation_group_showcase", "content_defined_chunks",
-        "linkage_fellegi_sunter", "mlm_masking_manifest",
-        "similarity_lsh_neardup", "corpus_weights_ess", "orphan_file_audit",
-        "pack_sequences_manifest", "q22_global_sales_opportunity",
-        "small_quantity_revenue", "token_df_drift_halves",
-        "orc_source_roundtrip", "q4_order_priority",
-        "salted_join_supplier_volume", "similarity_topk_bucketed",
-        "text_lexical_diversity", "decontaminate_by_embedding",
-        "q10_returned_items", "similarity_topk_binary_rerank",
-        "corpus_quota_rebalance_delta", "decayed_leaderboard",
-        "q3_shipping_priority", "text_zipf_slope", "multimodal_avi_stats",
-        "pandas_acctbal_zscore", "blocklist_phrase_filter",
-        "text_bm25_search", "events_bounce_rate_by_entry",
-        "events_transition_matrix", "benford_digit_audit",
-        "cv_fold_manifest", "dedup_frontier_bloom",
-        "q12_priority_by_linestatus", "range_join_price_bands",
-        "snapshot_diff_report", "embedding_jl_projection_audit",
-        "multimodal_bmp_stats", "q14_promo_revenue",
-        "ivf_cell_balance_report", "multimodal_silence_segments",
-        "q1_pricing_summary", "text_repetition_filter",
-        "embedding_int8_quantize", "orders_repeat_purchase_gaps",
-        "scd2_customer_merge", "streaming_heavy_hitter_users",
-        "events_mann_whitney_test", "kmeans_inertia_elbow",
-        "setops_customer_segments", "top_customers_by_revenue",
-        "ann_ndcg_truncation", "embedding_bitwidth_sweep",
-        "events_burst_hours", "multimodal_ahash_neardup",
-        "text_top_bigrams", "streaming_upsert_latest_state",
-        "multimodal_avi_shot_boundaries", "null_safe_join_attribution",
-        "compaction_bin_packing_plan", "embedding_dim_variance_rank",
-        "lang_temperature_weights", "hll_merge_event_types",
-        "mixture_temperature_sweep", "ols_two_feature_normal_eq",
-        "pivot_user_event_matrix", "window_event_gaps",
-        "events_psi_value_drift", "map_functions_showcase",
-        "multimodal_magic_sniffer", "profile_hot_orderkeys",
-        "shard_manifest_balanced", "streaming_available_now_rollup",
-        "txn_log_time_travel", "sql_udf_showcase", "subject_access_export",
-        "events_daily_value_trend", "q15_top_supplier", "text_word_pmi",
-        "stats_qty_price_corr", "corpus_dedup_aware_weights",
-        "dedup_embedding_cosine", "events_multi_rollup",
-        "multimodal_wav_silence_real", "sketch_quantile_bins",
-        "streaming_static_enrich", "trigram_like_search",
-        "events_props_variant_decode", "medallion_pipeline_rollup",
-        "multimodal_bmp_ahash", "embedding_cluster_label_purity",
-        "streaming_kmv_distinct_users", "corpus_token_budget_plan",
-        "graph_degree_distribution", "customer_segment_entropy_by_nation",
-        "rag_context_pack", "embedding_mutual_nn_pairs",
-        "score_calibration_report", "bandit_replay_hourly",
-        "bloom_filter_membership", "embedding_outlier_zscore",
-        "graph_assortativity", "q7_volume_shipping",
-        "skipgram_negative_samples", "bronze_decode_roundtrip",
-        "dp_noisy_nation_counts", "array_agg_user_profile",
-        "text_token_entropy", "events_theilsen_trend",
-        "q2_min_cost_supplier", "events_hourly_type_entropy",
-        "gopher_quality_rules", "text_chunk_dedup",
-        "unpivot_lineitem_measures", "events_seasonal_profile",
-        "streaming_gzip_jsonl_rollup", "cms_token_counts",
-        "supplier_return_wilson_rank", "checkpoint_statestore_table",
-        "streaming_sliding_rollup", "lineitem_ship_latency",
-        "streaming_dedup_events", "matryoshka_truncation_recall",
-        "repeated_ngram_spans", "events_ewma_forecast", "merge_full_cdc",
-        "dedup_minhash_lsh", "events_holt_forecast",
-        "q9_product_type_profit", "tokenizer_vocab_pressure",
-        "events_user_retention", "search_hybrid_rrf",
-        "events_funnel_latency", "q18_large_volume_customers",
-        "q20_heavy_shippers", "similarity_topk_ivf",
-        "curriculum_pacing_schedule", "events_interval_union_coverage",
-        "streaming_hll_distinct_users", "text_char_entropy",
-        "linkage_entity_clusters", "multimodal_wav_stats",
-        "revenue_trend_ols", "streaming_seasonality_monitor",
-        "l_diversity_audit", "pps_systematic_sample",
-        "q19_disjunctive_revenue", "knn_classifier_eval",
-        "similarity_maxsim_multivector", "text_term_proximity_search",
-        "vocab_growth_curve", "heavy_hitter_tokens",
-        "q16_supplier_part_buckets", "array_set_functions_showcase",
-        "dedup_incremental_delta", "lineitem_qty_price_heatmap",
-        "feature_asof_training_matrix", "streaming_txn_log_tail",
-        "quality_logreg_training", "rate_limiter_backtest",
-        "corpus_source_datasheet", "events_funnel_view_click_purchase",
-        "events_ohlc_bars", "events_cusum_drift",
-        "profile_lineitem_columns", "streaming_psi_drift",
-        "asof_purchase_attribution", "dedup_exact_substring",
-        "events_session_window_batch", "q11_important_part_value",
-        "orders_cohort_revenue", "streaming_rate_limiter",
-        "events_anomaly_persistence", "events_hourly_anomaly",
-        "streaming_fertility_drift", "dedup_pair_provenance",
-        "events_interval_overlap_join", "asof_next_touch_latency",
-        "dedup_span_mask_manifest", "padding_waste_report",
-        "streaming_magic_sniffer", "streaming_sink_exactly_once_roundtrip",
-        "dedup_edit_distance", "quality_logreg_inference",
-        "streaming_self_excitation", "text_entropy_rate_bigram",
-        "semantic_dedup_semdedup", "streaming_union_sources_rollup",
-        "streaming_dedup_within_watermark", "aes_roundtrip_audit",
-        "embedding_pq_codes", "events_hourly_gapfill",
-        "corpus_epoch_shuffle_manifest", "surrogate_key_assignment",
-        "corpus_js_divergence", "events_ab_uplift_test",
-        "streaming_interval_union_coverage", "user_time_to_first_purchase",
-        "decontaminate_train_shingles", "session_window_rollup",
-        "q5_local_supplier_volume", "embedding_covariance",
-        "streaming_value_quantiles", "change_data_feed_report",
-        "multimodal_shot_boundaries", "streaming_csv_source_rollup",
-        "array_hof_showcase", "events_ccf_count_value",
-        "events_props_schema_profile", "price_index_laspeyres",
-        "similarity_topk_pq_adc", "incremental_join_maintenance",
-        "streaming_sprt_monitor", "events_sessionize_batch",
-        "fuzzy_join_part_names", "market_concentration_hhi",
-        "attribution_multi_touch", "events_growth_accounting",
-        "bpe_apply_merges", "q21_waiting_supplier",
-        "events_self_excitation_ratio", "streaming_update_mode_rollup",
-        "geo_cell_colocation", "streaming_session_rollup",
-        "window_range_trailing_hour", "bpe_learn_merges",
-        "orders_open_backlog_daily", "streaming_stateful_type_counts",
-        "multimodal_png_stats", "corpus_shingle_novelty",
-        "cogroup_asof_pandas", "snapshot_retention_expiry_plan",
-        "batch_replay_source_slice", "forecast_conformal_intervals",
-        "udtf_dynamic_ngrams", "basket_part_pairs", "dedup_survivors",
-        "customer_balance_ks_test", "events_holtwinters_forecast",
-        "text_tfidf_top_terms", "streaming_hill_tail_monitor",
-        "linkage_em_parameters", "bigram_lm_score",
-        "events_alarm_verification", "decision_stump_split_scores",
-        "batch_replay_pruned_scan", "streaming_topk_types_hourly",
-        "dedup_containment", "single_source_risk_report",
-        "streaming_hourly_rollup", "incremental_agg_maintenance",
-        "orders_priority_status_chi2", "streaming_brand_mi_drift",
-        "window_functions_showcase", "events_dau_wau_mau",
-        "streaming_cuped_monitor", "data_quality_audit",
-        "streaming_chained_windows", "events_hourly_mad_outliers",
-        "dedup_transitivity_audit", "watermark_sizing_report",
-        "streaming_stateful_totals", "bucketed_join_colocated",
-        "dedup_simhash", "abc_customer_classification",
-        "kmv_set_ops_event_types", "dsir_importance_weights",
-        "events_changepoint_binseg", "ivf_recall_report",
-        "graph_link_prediction_suppliers", "embedding_silhouette_centroid",
-        "orders_cuped_adjustment", "embedding_power_iteration",
-        "t_closeness_audit", "contrastive_triplets",
-        "scd2_point_in_time_join", "embedding_drift_ab_halves",
-        "part_name_brand_mi", "customer_spend_gini",
-        "percentile_distributed_exact", "spearman_len_vs_ttr",
-        "sketch_user_activity", "supplier_pareto_frontier",
-        "surrogate_key_incremental", "q8_national_market_share",
-        "events_haar_wavelet_energy", "checkpoint_offsetlog_table",
-        "dedup_ngram_jaccard", "events_markov_stationary",
-        "streaming_replay_source_rollup", "streaming_neyman_allocation",
-        "corpus_filter_funnel", "corpus_difficulty_curriculum",
-        "naive_bayes_langid", "streaming_ohlc_bars",
-        "histogram_price_deciles", "k_anonymity_generalize",
-        "basket_size_nbd_fit", "text_rolling_fingerprint",
-        "supplier_leadtime_percentiles", "recsys_item_cosine",
-        "dedup_keep_best_quality", "recursive_month_spine",
-        "shuffle_partition_advisor", "events_peak_concurrency",
-        "source_overlap_jaccard", "hive_source_partition_pruned",
-        "hll_intersection_estimate", "zorder_layout_stats",
-        "timeseries_znorm_subsequence_search", "streaming_ess_monitor",
-        "maxmin_fair_allocation", "zonemap_skip_simulation",
-        "perplexity_tertile_buckets", "streaming_frontier_bloom",
-        "fd_discovery_profile", "streaming_bounce_rate",
-        "association_rules_parts", "dedup_connected_components",
-        "graph_label_propagation", "streaming_late_data_drop",
-        "ivf_nprobe_sweep", "text_kneser_ney_bigram_score",
-        "minhash_jaccard_calibration", "orders_survival_km",
-        "streaming_lsh_candidate_buckets",
-        "streaming_unattributed_purchases", "ivf_incremental_assign",
-        "cluster_kmeans_embeddings", "checkpoint_commitlog_audit",
-        "join_skew_planner", "bradley_terry_strengths",
-        "streaming_type_entropy_drift", "dedup_pipeline_composition",
-        "streaming_join_then_windowed_agg", "hits_authority_hub",
-        "minhash_bbit_calibration", "streaming_quality_monitor",
-        "custom_sink_audit_roundtrip", "streaming_feature_hashing_monitor",
-        "crosslingual_contamination", "graph_kcore_peel",
-        "graph_modularity_by_brand", "checkpoint_sources_table",
-        "rfm_customer_segments", "events_sprt_monitor",
-        "tokenizer_unigram_fit", "streaming_semdedup",
-        "orders_mean_value_bootstrap_ci", "scan_task_planner",
-        "join_cardinality_audit", "streaming_bootstrap_ci",
-        "tokenizer_unigram_fertility", "streaming_unigram_fertility",
-        "graph_bfs_hops", "dedup_band_sweep_calibration",
-        "streaming_rater_drift_monitor", "fk_inclusion_profile",
-        "events_hourly_autocorr", "streaming_ivf_assign",
-        "streaming_purchase_attribution", "ann_pipeline_composition",
-        "ann_method_agreement", "graph_pagerank_parts",
-        "sql_scripting_showcase", "graph_triangle_stats",
-        "multimodal_wav_haar_energy",
+        "binary_blob_source_stats", "text_fingerprint",
+        "nations_with_rich_customers", "sft_loss_masking_spans",
+        "text_bpe_token_count", "customers_without_orders",
+        "span_corruption_manifest", "text_token_stats",
+        "url_functions_showcase", "cube_order_status_priority",
+        "q6_forecast_revenue", "split_train_eval",
+        "fixed_width_source_read", "sft_pair_manifest",
+        "bitwise_aggregates_showcase", "data_freshness_sla",
+        "grouping_sets_revenue", "text_mojibake_detect",
+        "text_quality_score", "pipe_sql_priority_stats",
+        "scd2_customer_merge", "schema_evolution_merge_read",
+        "text_fano_burstiness", "text_seqlen_histogram",
+        "weighted_sample_docs", "arrow_map_embedding_norm",
+        "text_pii_redaction", "q14_promo_revenue", "quota_sample_per_lang",
+        "scalar_functions_showcase", "datetime_functions_showcase",
+        "lang_balance_weights", "rollup_returns", "doc_sliding_chunks",
+        "multimodal_metadata_scan", "partitioned_source_pruned_read",
+        "bpe_fertility_by_lang", "cv_fold_manifest", "dedup_exact",
+        "q12_priority_by_linestatus", "text_adjacent_repetition",
+        "text_sentiment_lexicon", "collation_group_showcase",
+        "dedup_url_canonical", "dpo_preference_pairs",
+        "gdpr_purge_manifest", "lateral_top_customers_per_nation",
+        "q22_global_sales_opportunity", "text_language_id",
+        "try_functions_showcase", "q19_disjunctive_revenue",
+        "lang_temperature_weights", "parameterized_sql_showcase",
+        "profile_hot_orderkeys", "quality_rater_agreement_kappa",
+        "text_unicode_script_profile", "csv_source_permissive_read",
+        "decayed_leaderboard", "embedding_int8_quantize",
+        "events_props_templates", "neyman_allocation_plan",
+        "unpivot_lineitem_measures", "bronze_decode_errors",
+        "events_daily_value_trend", "q4_order_priority",
+        "events_funnel_view_click_purchase", "execute_immediate_showcase",
+        "grpo_group_advantage", "multimodal_frame_sample",
+        "corpus_mix_rebalance", "embedding_norm_stats",
+        "events_funnel_latency", "multimodal_resize",
+        "multimodal_stratified_sample", "q7_volume_shipping",
+        "streaming_state_budget_planner", "supplier_return_wilson_rank",
+        "text_readability_features", "jsonl_source_permissive_read",
+        "kmv_distinct_users", "null_safe_join_attribution",
+        "percentile_order_prices", "best_of_n_selection",
+        "gmv_walk_forward_backtest", "pandas_scalar_log_price",
+        "parts_price_anova_by_size", "q18_large_volume_customers",
+        "text_hapax_ratio", "web_domain_profile", "window_event_gaps",
+        "benford_digit_audit", "compaction_bin_packing_plan",
+        "events_props_variant_decode", "events_user_lifecycle_stages",
+        "file_metadata_columns_read", "k_anonymity_audit",
+        "q15_top_supplier", "q1_pricing_summary", "rater_mcnemar_test",
+        "events_multi_rollup", "rank_correlation_kendall",
+        "basket_size_nbd_fit", "embedding_isotropy_proxy",
+        "events_json_extract", "incremental_agg_maintenance",
+        "multimodal_decode_features", "multimodal_gif_stats",
+        "window_customer_order_rank", "dedup_prefix_collision",
+        "pack_sequences_manifest", "revenue_waterfall",
+        "events_transition_matrix", "gzip_jsonl_source_read",
+        "map_functions_showcase", "orders_duplicate_payment_audit",
+        "orders_gmv_weekly_wow", "orphan_file_audit",
+        "pandas_acctbal_zscore", "pandas_grouped_agg_trimmed_mean",
+        "q13_customer_distribution", "q20_heavy_shippers",
+        "range_join_price_bands", "stats_qty_price_corr",
+        "top_customers_by_revenue", "dedup_cluster_size_histogram",
+        "discount_cap_counterfactual", "linkage_blocking_quality",
+        "multimodal_dedup_content_hash", "q10_returned_items",
+        "array_agg_user_profile", "events_hourly_rollup",
+        "events_seasonality_strength", "feature_asof_training_matrix",
+        "hll_distinct_users", "merge_full_cdc", "q3_shipping_priority",
+        "pivot_user_event_matrix", "q9_product_type_profit",
+        "similarity_topk_cosine", "subject_access_export",
+        "array_set_functions_showcase", "dp_noisy_nation_counts",
+        "events_interval_union_coverage", "l_diversity_audit",
+        "lineitem_ship_latency", "mixture_temperature_sweep",
+        "multimodal_avi_stats", "multimodal_png_stats",
+        "similarity_lsh_neardup", "trigram_like_search",
+        "corpus_weights_ess", "events_psi_value_drift",
+        "events_user_retention", "small_quantity_revenue",
+        "change_data_feed_report", "events_burst_hours",
+        "events_self_excitation_ratio", "mlm_masking_manifest",
+        "snapshot_diff_report", "text_vocab_coverage", "user_trigram_paths",
+        "xml_decode_roundtrip", "churn_label_manifest",
+        "embedding_pca2_closed_form", "events_ewma_forecast",
+        "events_theilsen_trend", "multimodal_audio_frame_energy",
+        "orc_source_roundtrip", "setops_customer_segments",
+        "attribution_multi_touch", "blocklist_phrase_filter",
+        "events_holt_forecast", "linkage_fellegi_sunter",
+        "multimodal_magic_sniffer", "partition_spec_advisor",
+        "sql_udf_showcase", "text_bm25_search", "events_hill_tail_index",
+        "q11_important_part_value", "market_concentration_hhi",
+        "asof_next_touch_latency", "bronze_decode_roundtrip",
+        "distinct_parts_per_supplier", "embedding_bitwidth_sweep",
+        "events_hourly_anomaly", "multimodal_bmp_stats",
+        "q2_min_cost_supplier", "q8_national_market_share",
+        "revenue_trend_ols", "similarity_topk_bucketed",
+        "window_range_trailing_hour", "decontaminate_by_embedding",
+        "multimodal_avi_shot_boundaries", "text_zipf_slope",
+        "discount_elasticity_by_brand", "content_defined_chunks",
+        "corpus_dedup_aware_weights", "events_seasonal_profile",
+        "langid_precision_recall", "medallion_pipeline_rollup",
+        "orders_repeat_purchase_gaps", "profile_lineitem_columns",
+        "salted_join_supplier_volume", "similarity_topk_binary_rerank",
+        "events_interval_overlap_join", "geo_cell_colocation",
+        "rate_limiter_backtest", "sketch_quantile_bins",
+        "text_rake_keywords", "udtf_word_expand",
+        "user_time_to_first_purchase", "aes_roundtrip_audit",
+        "ann_ndcg_truncation", "corpus_token_budget_plan",
+        "dedup_embedding_cosine", "multimodal_silence_segments",
+        "text_feature_hashing", "incremental_join_maintenance",
+        "shard_manifest_balanced", "text_lexical_diversity",
+        "score_calibration_report", "streaming_dedup_events",
+        "q16_supplier_part_buckets", "q21_waiting_supplier",
+        "shuffle_partition_advisor", "corpus_quota_rebalance_delta",
+        "embedding_blocking_key_profile", "events_hourly_gapfill",
+        "events_type_audience_overlap", "embedding_outlier_zscore",
+        "events_ab_uplift_test", "text_top_bigrams", "dedup_frontier_bloom",
+        "events_profile_cosine_pairs", "streaming_heavy_hitter_users",
+        "supplier_scorecard", "attribution_window_sweep",
+        "multimodal_wav_haar_energy", "txn_log_time_travel",
+        "bloom_filter_membership", "events_anomaly_persistence",
+        "events_bounce_rate_by_entry", "multimodal_ahash_neardup",
+        "price_index_laspeyres", "embedding_dim_variance_rank",
+        "hll_merge_event_types", "rag_context_pack",
+        "embedding_jl_projection_audit", "ivf_cell_balance_report",
+        "session_window_rollup", "snapshot_retention_expiry_plan",
+        "text_repetition_filter", "text_word_pmi",
+        "events_session_window_batch", "streaming_csv_source_rollup",
+        "kmeans_inertia_elbow", "q5_local_supplier_volume",
+        "t_closeness_audit", "events_growth_accounting",
+        "matryoshka_truncation_recall", "streaming_upsert_latest_state",
+        "watermark_sizing_report", "skipgram_negative_samples",
+        "curriculum_pacing_schedule", "events_sessionize_batch",
+        "forecast_conformal_intervals", "multimodal_bmp_ahash",
+        "search_hybrid_rrf", "events_ohlc_bars",
+        "ols_two_feature_normal_eq", "customer_spend_gini",
+        "decision_stump_split_scores", "graph_degree_distribution",
+        "streaming_kmv_distinct_users", "token_df_drift_halves",
+        "asof_purchase_attribution", "events_cusum_drift",
+        "events_holtwinters_forecast", "percentile_distributed_exact",
+        "events_sprt_monitor", "similarity_topk_ivf",
+        "streaming_gzip_jsonl_rollup", "text_term_proximity_search",
+        "streaming_available_now_rollup", "scd2_point_in_time_join",
+        "surrogate_key_assignment", "text_char_entropy",
+        "basket_part_pairs", "cms_token_counts", "join_skew_planner",
+        "single_source_risk_report", "data_quality_audit",
+        "corpus_epoch_shuffle_manifest",
+        "customer_segment_entropy_by_nation", "embedding_mutual_nn_pairs",
+        "events_props_schema_profile", "heavy_hitter_tokens",
+        "text_token_entropy", "embedding_cluster_label_purity",
+        "customer_balance_ks_test", "orders_priority_status_chi2",
+        "streaming_hll_distinct_users",
+        "timeseries_znorm_subsequence_search",
+        "streaming_union_sources_rollup", "window_functions_showcase",
+        "multimodal_wav_silence_real", "fuzzy_join_part_names",
+        "orders_cohort_revenue", "orders_cuped_adjustment",
+        "streaming_dedup_within_watermark", "array_hof_showcase",
+        "batch_replay_source_slice", "events_mann_whitney_test",
+        "k_anonymity_generalize", "padding_waste_report", "dedup_survivors",
+        "histogram_price_deciles", "streaming_sliding_rollup",
+        "streaming_static_enrich", "text_chunk_dedup",
+        "events_alarm_verification", "events_dau_wau_mau",
+        "graph_assortativity", "embedding_pq_codes", "gopher_quality_rules",
+        "streaming_hourly_rollup", "bandit_replay_hourly",
+        "dedup_minhash_lsh", "events_hourly_mad_outliers",
+        "pps_systematic_sample", "quality_logreg_inference",
+        "repeated_ngram_spans", "streaming_rater_drift_monitor",
+        "vocab_growth_curve", "events_peak_concurrency",
+        "similarity_maxsim_multivector", "corpus_source_datasheet",
+        "dedup_exact_substring", "knn_classifier_eval",
+        "quality_logreg_training", "abc_customer_classification",
+        "dedup_incremental_delta", "multimodal_wav_stats",
+        "tokenizer_vocab_pressure", "orders_open_backlog_daily",
+        "events_changepoint_binseg", "bpe_learn_merges",
+        "checkpoint_statestore_table", "lineitem_qty_price_heatmap",
+        "surrogate_key_incremental", "events_hourly_type_entropy",
+        "streaming_interval_union_coverage", "dedup_span_mask_manifest",
+        "streaming_topk_types_hourly", "zorder_layout_stats",
+        "embedding_covariance", "part_name_brand_mi", "bpe_apply_merges",
+        "fd_discovery_profile", "graph_link_prediction_suppliers",
+        "streaming_neyman_allocation", "dedup_pair_provenance",
+        "kmv_set_ops_event_types", "streaming_session_rollup",
+        "streaming_value_quantiles", "streaming_txn_log_tail",
+        "orders_survival_km", "streaming_rate_limiter",
+        "streaming_seasonality_monitor", "text_entropy_rate_bigram",
+        "association_rules_parts", "dsir_importance_weights",
+        "corpus_shingle_novelty", "dedup_edit_distance",
+        "ivf_recall_report", "similarity_topk_pq_adc",
+        "sketch_user_activity", "streaming_feature_hashing_monitor",
+        "crosslingual_contamination", "events_ccf_count_value",
+        "linkage_entity_clusters", "streaming_magic_sniffer",
+        "streaming_stateful_type_counts", "batch_replay_pruned_scan",
+        "corpus_js_divergence", "events_haar_wavelet_energy",
+        "join_cardinality_audit", "streaming_sprt_monitor",
+        "fk_inclusion_profile", "text_rolling_fingerprint",
+        "decontaminate_train_shingles", "embedding_drift_ab_halves",
+        "streaming_self_excitation", "streaming_psi_drift",
+        "multimodal_shot_boundaries", "supplier_pareto_frontier",
+        "text_tfidf_top_terms", "streaming_sink_exactly_once_roundtrip",
+        "streaming_fertility_drift", "streaming_update_mode_rollup",
+        "semantic_dedup_semdedup", "hll_intersection_estimate",
+        "bigram_lm_score", "events_markov_stationary",
+        "contrastive_triplets", "events_hourly_autocorr",
+        "graph_modularity_by_brand", "ivf_incremental_assign",
+        "streaming_hill_tail_monitor", "streaming_stateful_totals",
+        "bradley_terry_strengths", "linkage_em_parameters",
+        "zonemap_skip_simulation", "streaming_ess_monitor",
+        "dedup_containment", "dedup_simhash", "udtf_dynamic_ngrams",
+        "bucketed_join_colocated", "rfm_customer_segments",
+        "spearman_len_vs_ttr", "cogroup_asof_pandas",
+        "maxmin_fair_allocation", "streaming_brand_mi_drift",
+        "dedup_ngram_jaccard", "streaming_ohlc_bars",
+        "supplier_leadtime_percentiles", "source_overlap_jaccard",
+        "streaming_chained_windows", "dedup_transitivity_audit",
+        "embedding_power_iteration", "hits_authority_hub",
+        "streaming_bounce_rate", "recursive_month_spine",
+        "embedding_silhouette_centroid", "streaming_cuped_monitor",
+        "streaming_type_entropy_drift", "checkpoint_sources_table",
+        "naive_bayes_langid", "minhash_jaccard_calibration",
+        "streaming_frontier_bloom", "streaming_lsh_candidate_buckets",
+        "graph_label_propagation", "dedup_pipeline_composition",
+        "corpus_filter_funnel", "dedup_keep_best_quality",
+        "ivf_nprobe_sweep", "checkpoint_offsetlog_table",
+        "dedup_connected_components", "streaming_quality_monitor",
+        "text_kneser_ney_bigram_score", "hive_source_partition_pruned",
+        "cluster_kmeans_embeddings", "streaming_replay_source_rollup",
+        "streaming_late_data_drop", "recsys_item_cosine",
+        "minhash_bbit_calibration", "corpus_difficulty_curriculum",
+        "checkpoint_commitlog_audit", "graph_bfs_hops",
+        "orders_mean_value_bootstrap_ci", "tokenizer_unigram_fertility",
+        "streaming_unattributed_purchases", "graph_kcore_peel",
+        "perplexity_tertile_buckets", "graph_pagerank_parts",
+        "streaming_purchase_attribution", "streaming_ivf_assign",
+        "custom_sink_audit_roundtrip", "tokenizer_unigram_fit",
+        "ann_pipeline_composition", "streaming_unigram_fertility",
+        "ann_method_agreement", "streaming_semdedup",
+        "dedup_band_sweep_calibration", "streaming_join_then_windowed_agg",
+        "scan_task_planner", "streaming_bootstrap_ci",
+        "streaming_wav_haar_monitor", "sql_scripting_showcase",
+        "graph_triangle_stats", "tokenizer_unigram_compression",
     )
     new_ops_rank = 50.5  # just after the sub-second group (index ~50)
     unchecked = {
