@@ -311,6 +311,33 @@ _DRIVER_CHECKED = frozenset({
     "text_char_entropy", "text_entropy_rate_bigram",
     "tokenizer_vocab_pressure", "txn_log_time_travel",
     "user_trigram_paths",
+    # round 10 additions (CORRECTNESS_r10.json — 49 fresh names plus a
+    # benign dedup_exact re-check, all green 50/50; completes 481/481
+    # cumulative driver verification of the registry)
+    "ann_method_agreement", "ann_pipeline_composition",
+    "basket_size_nbd_fit", "checkpoint_sources_table",
+    "corpus_quota_rebalance_delta", "crosslingual_contamination",
+    "dedup_band_sweep_calibration", "dedup_transitivity_audit",
+    "embedding_drift_ab_halves", "embedding_silhouette_centroid",
+    "events_ccf_count_value", "events_haar_wavelet_energy",
+    "events_markov_stationary", "events_self_excitation_ratio",
+    "events_sprt_monitor", "graph_label_propagation", "ivf_nprobe_sweep",
+    "multimodal_png_stats", "multimodal_wav_haar_energy",
+    "multimodal_wav_silence_real", "orders_cuped_adjustment",
+    "part_name_brand_mi", "perplexity_tertile_buckets",
+    "recsys_item_cosine", "scan_task_planner", "shuffle_partition_advisor",
+    "single_source_risk_report", "source_overlap_jaccard",
+    "spearman_len_vs_ttr", "streaming_bounce_rate",
+    "streaming_cuped_monitor", "streaming_ess_monitor",
+    "streaming_feature_hashing_monitor", "streaming_frontier_bloom",
+    "streaming_ivf_assign", "streaming_lsh_candidate_buckets",
+    "streaming_neyman_allocation", "streaming_ohlc_bars",
+    "streaming_quality_monitor", "streaming_rater_drift_monitor",
+    "streaming_sprt_monitor", "streaming_type_entropy_drift",
+    "streaming_unigram_fertility", "streaming_wav_haar_monitor",
+    "token_df_drift_halves", "tokenizer_unigram_compression",
+    "tokenizer_unigram_fertility", "tokenizer_unigram_fit",
+    "user_time_to_first_purchase",
 })
 
 #: Driver-green queries whose BEHAVIOR changed after their last green row:
