@@ -25,6 +25,20 @@ from kafka_stream_job_spark.operators._portable import idiv
 DEFAULT_RANK_PARTS = 32
 
 
+def _guard_reserved(df: DataFrame, reserved: list[str]) -> None:
+    """These helpers stamp temp columns (_pid, _lrn, _lcum{i}, ...) and
+    join back on _pid; a caller column with one of those names would
+    silently corrupt the result (or die on an ambiguous reference), so
+    fail loudly up front instead."""
+    clash = [c for c in df.columns if c in reserved]
+    if clash:
+        raise ValueError(
+            f"input columns {clash} collide with reserved temp names "
+            f"{reserved} used by the distributed-order primitives; "
+            "rename them before calling"
+        )
+
+
 def distributed_rank(
     df: DataFrame,
     sort_cols: list[Column],
@@ -33,6 +47,7 @@ def distributed_rank(
 ) -> DataFrame:
     """Add a 1-based global rank along ``sort_cols`` (must be a TOTAL
     order — include a unique tie-breaker) as ``rank_col``."""
+    _guard_reserved(df, ["_pid", "_lrn", "_off"])
     parts = df.repartitionByRange(n_parts, *sort_cols).withColumn(
         "_pid", F.spark_partition_id()
     )
@@ -118,6 +133,13 @@ def distributed_prefix_sums(
     offset join, so N running sums cost exactly one shuffle of the data
     (events_sprt_monitor needs both the LLR walk and the row index —
     two passes would shuffle the table twice for no reason)."""
+    _guard_reserved(
+        df,
+        ["_pid"]
+        + [f"_lcum{i}" for i in range(len(value_to_out))]
+        + [f"_ptot{i}" for i in range(len(value_to_out))]
+        + [f"_off{i}" for i in range(len(value_to_out))],
+    )
     parts = df.repartitionByRange(n_parts, *sort_cols).withColumn(
         "_pid", F.spark_partition_id()
     )
@@ -176,6 +198,7 @@ def distributed_prefix_max(
     (SQL's ``ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING``), NULL
     for the globally first row. Same localCheckpoint pinning as
     distributed_rank, same reason."""
+    _guard_reserved(df, ["_pid", "_lmax", "_pmax", "_omax"])
     parts = df.repartitionByRange(n_parts, *sort_cols).withColumn(
         "_pid", F.spark_partition_id()
     )

@@ -2314,7 +2314,16 @@ def decode_avi_real(payload: bytes) -> dict:
         raise ValueError(
             f"strh dwLength {strh_len} disagrees with {n_frames_movi} frames"
         )
-    if rate == 0 or scale == 0 or us_per_frame != 1_000_000 * scale // rate:
+    # Encoders legitimately differ on floor vs round/ceil when deriving
+    # avih dwMicroSecPerFrame from strh dwScale/dwRate (NTSC 1001/30000
+    # -> 33366 floored, 33367 rounded), so accept floor and — only when
+    # the division is inexact — floor+1. Anything else is a lying header.
+    if rate == 0 or scale == 0:
+        raise ValueError(f"strh scale/rate {scale}/{rate} invalid")
+    us_floor, us_rem = divmod(1_000_000 * scale, rate)
+    if us_per_frame != us_floor and not (
+        us_rem != 0 and us_per_frame == us_floor + 1
+    ):
         raise ValueError(
             f"strh scale/rate {scale}/{rate} disagree with "
             f"avih us_per_frame {us_per_frame}"

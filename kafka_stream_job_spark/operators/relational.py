@@ -15514,6 +15514,14 @@ def cuped_assemble(u: DataFrame) -> DataFrame:
     """CUPED report from per-unit (arm, x, y) rows — shared verbatim by
     the batch query above and its streaming twin, so both check against
     the SAME oracle."""
+    # The quadratic moments are exact int64 through the documented design
+    # point (~sf1). Past it neither engine goes quietly wrong: DuckDB
+    # raises on int64 overflow, and this engine pins ANSI mode ON
+    # (session.ENGINE_DEFAULTS), under which both the per-row multiply
+    # and the Sum aggregate raise ARITHMETIC_OVERFLOW instead of
+    # wrapping. test_cuped_overflow_raises_loudly pins that contract —
+    # if ANSI were ever disabled, that test (not a confusing oracle
+    # value mismatch) is what fails.
     m = u.groupBy("arm").agg(
         F.count(F.lit(1)).cast("long").alias("n"),
         F.sum("x").cast("long").alias("sx"),

@@ -5462,6 +5462,43 @@ _register_streaming_cuped_monitor()
 # streaming_self_excitation (the r10 advice fix); same micro-batch
 # event-time ordering contract. Oracle verbatim from the batch op.
 # ---------------------------------------------------------------------------
+def _sprt_fold_ordered(st, batch, a, b, inc0, inc1):
+    """Fold one micro-batch (already concatenated across Arrow chunks)
+    into the 7-long SPRT state (idx, llr, first_up, first_down, n_succ,
+    last_ts, last_eid). The walk assumes GLOBAL (ts_us, event_id) order
+    across micro-batches — true for the single-file replay source this
+    monitor is written for, but silently wrong for any source that
+    interleaves event time across batches. So the contract is asserted:
+    the sorted batch's first key must come strictly after the last key
+    folded by any earlier batch, else we raise instead of mis-walking.
+    Module-level so the out-of-order path is unit-testable without a
+    streaming harness."""
+    import pandas as pd  # noqa: F401 — callers pass pandas frames
+
+    idx, llr, first_up, first_down, n_succ, last_ts, last_eid = st
+    batch = batch.sort_values(["ts_us", "event_id"])
+    head = (int(batch["ts_us"].iloc[0]), int(batch["event_id"].iloc[0]))
+    if head <= (last_ts, last_eid):
+        raise ValueError(
+            f"SPRT monitor requires event-time-ordered micro-batches: "
+            f"batch starts at {head} but an earlier batch already folded "
+            f"({last_ts}, {last_eid}); this source violates the "
+            "single-file replay ordering contract"
+        )
+    for x in batch["x"]:
+        idx += 1
+        x = int(x)
+        n_succ += x
+        llr += inc1 if x else inc0
+        if first_up == 0 and llr >= a:
+            first_up = idx
+        if first_down == 0 and llr <= b:
+            first_down = idx
+    last_ts = int(batch["ts_us"].iloc[-1])
+    last_eid = int(batch["event_id"].iloc[-1])
+    return (idx, llr, first_up, first_down, n_succ, last_ts, last_eid)
+
+
 def _register_streaming_sprt_monitor() -> None:
     import uuid
 
@@ -5497,8 +5534,10 @@ def _register_streaming_sprt_monitor() -> None:
         def update(key, pdfs, state):
             import pandas as pd
 
-            idx, llr, first_up, first_down, n_succ = (
-                state.get if state.exists else (0, 0, 0, 0, 0)
+            st = (
+                tuple(state.get)
+                if state.exists
+                else (0, 0, 0, 0, 0, -(1 << 62), -(1 << 62))
             )
             chunks = [pdf for pdf in pdfs if len(pdf)]
             if chunks:
@@ -5507,20 +5546,11 @@ def _register_streaming_sprt_monitor() -> None:
                     if len(chunks) == 1
                     else pd.concat(chunks, ignore_index=True)
                 )
-                batch = batch.sort_values(["ts_us", "event_id"])
-                for x in batch["x"]:
-                    idx += 1
-                    x = int(x)
-                    n_succ += x
-                    llr += _SPRT_INC1 if x else _SPRT_INC0
-                    if first_up == 0 and llr >= _SPRT_A:
-                        first_up = idx
-                    if first_down == 0 and llr <= _SPRT_B:
-                        first_down = idx
-            state.update(
-                (int(idx), int(llr), int(first_up), int(first_down),
-                 int(n_succ))
-            )
+                st = _sprt_fold_ordered(
+                    st, batch, _SPRT_A, _SPRT_B, _SPRT_INC0, _SPRT_INC1
+                )
+            state.update(tuple(int(v) for v in st))
+            idx, llr, first_up, first_down, n_succ = st[:5]
             yield pd.DataFrame(
                 {
                     "n_events": [idx],
@@ -5539,7 +5569,7 @@ def _register_streaming_sprt_monitor() -> None:
             ),
             stateStructType=(
                 "idx long, llr long, first_up long, first_down long, "
-                "n_succ long"
+                "n_succ long, last_ts long, last_eid long"
             ),
             outputMode="append",
             timeoutConf=GroupStateTimeout.NoTimeout,

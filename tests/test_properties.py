@@ -5182,6 +5182,35 @@ def test_avi_parser_validates_strh_fields():
         decode_avi_real(bytes(bad_rate))
 
 
+def test_avi_parser_tolerates_round_vs_floor_us():
+    """Regression (r10 advice): encoders legitimately derive avih
+    dwMicroSecPerFrame by ROUNDING 1e6*dwScale/dwRate (NTSC 1001/30000
+    -> 33367us) where we floored (33366us). Both must parse; +/-2us or
+    more is still a lying header and must raise."""
+    import struct
+
+    import pytest as _pytest
+
+    from kafka_stream_job_spark.operators.multimodal import decode_avi_real
+
+    good = _avi_bytes([[10] * 8, [20] * 8], 10)
+    strh_at = good.find(b"strh")
+    avih_at = good.find(b"avih")
+
+    def variant(us):
+        b = bytearray(good)
+        b[strh_at + 28 : strh_at + 32] = struct.pack("<I", 1001)  # dwScale
+        b[strh_at + 32 : strh_at + 36] = struct.pack("<I", 30000)  # dwRate
+        b[avih_at + 8 : avih_at + 12] = struct.pack("<I", us)
+        return bytes(b)
+
+    assert decode_avi_real(variant(33366))["us_per_frame"] == 33366  # floor
+    assert decode_avi_real(variant(33367))["us_per_frame"] == 33367  # round
+    for lying in (33365, 33368, 40000):
+        with _pytest.raises(ValueError, match="scale/rate"):
+            decode_avi_real(variant(lying))
+
+
 # ---------------------------------------------------------------------------
 # Poisson-bootstrap weight thresholds — the frozen integers both engines
 # draw replica weights from. Pin their integrity: strictly increasing,

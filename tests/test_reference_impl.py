@@ -524,3 +524,109 @@ def test_cuped_matches_pure_python_reference(spark, tmp_path):
         )
         assert got[arm]["theta_micro"] == _round_half_away(theta * 1e6)
         assert got[arm]["var_reduction_bp"] == _round_half_away(var_red * 1e4)
+
+
+def test_cuped_overflow_raises_loudly(spark):
+    """Regression (r10 advice): past the exact-int64 design point the
+    CUPED moments must fail LOUDLY on the Spark side, matching DuckDB's
+    overflow-raise — never wrap into a confusing value mismatch. The
+    engine pins ANSI mode on (session.ENGINE_DEFAULTS), so the quadratic
+    moment raises ARITHMETIC_OVERFLOW; this test is the tripwire that
+    fires if ANSI is ever switched off."""
+    from kafka_stream_job_spark.operators.relational import cuped_assemble
+
+    big = 3_100_000_000  # big^2 > 2^63: the x*x moment must overflow
+    u = spark.createDataFrame(
+        [(0, big, 5), (1, big, 7), (0, big - 100, 2)],
+        "arm int, x long, y long",
+    )
+    with pytest.raises(Exception, match="ARITHMETIC_OVERFLOW|overflow"):
+        cuped_assemble(u).collect()
+
+
+def test_distributed_primitives_guard_reserved_names(spark):
+    """Regression (r10 advice): the distributed-order primitives stamp
+    temp columns (_pid, _lcum{i}, ...) and join back on _pid; a caller
+    column with a reserved name must raise up front instead of silently
+    corrupting ranks/sums."""
+    from pyspark.sql import functions as F
+
+    from kafka_stream_job_spark.operators._distributed import (
+        distributed_prefix_max,
+        distributed_prefix_sums,
+        distributed_rank,
+    )
+
+    df = spark.range(10).select(
+        F.col("id"), F.lit(1).alias("v"), F.lit(0).alias("_pid")
+    )
+    for fn in (
+        lambda d: distributed_rank(d, [F.col("id")]),
+        lambda d: distributed_prefix_sums(d, [F.col("id")], {"v": "run"}),
+        lambda d: distributed_prefix_max(d, [F.col("id")], "v"),
+    ):
+        with pytest.raises(ValueError, match="_pid"):
+            fn(df)
+    # per-value temp names are guarded too (second sum -> _lcum1)
+    df2 = spark.range(10).select(
+        F.col("id"), F.lit(1).alias("v"), F.lit(2).alias("_lcum1")
+    )
+    with pytest.raises(ValueError, match="_lcum1"):
+        distributed_prefix_sums(
+            df2, [F.col("id")], {"v": "a", "_lcum1": "b"}
+        )
+    # clean inputs still work and produce the right running sum
+    clean = spark.range(5).select(F.col("id"), F.lit(2).alias("v"))
+    rows = (
+        distributed_prefix_sums(clean, [F.col("id")], {"v": "run"})
+        .orderBy("id")
+        .collect()
+    )
+    assert [r["run"] for r in rows] == [2, 4, 6, 8, 10]
+
+
+def test_sprt_fold_rejects_out_of_order_batches():
+    """Regression (r10 advice): streaming_sprt_monitor's walk assumes
+    global (ts_us, event_id) order ACROSS micro-batches — true for the
+    single-file replay source, silently wrong otherwise. The shared fold
+    now asserts it: a batch whose first key precedes (or equals) the
+    last folded key must raise, and in-order batch splits must fold to
+    exactly the single-batch result."""
+    import pandas as pd
+
+    from kafka_stream_job_spark.operators.relational import (
+        _SPRT_A,
+        _SPRT_B,
+        _SPRT_INC0,
+        _SPRT_INC1,
+    )
+    from kafka_stream_job_spark.streaming.pipeline import _sprt_fold_ordered
+
+    def mk(rows):
+        return pd.DataFrame(
+            {
+                "ts_us": [r[0] for r in rows],
+                "event_id": [r[1] for r in rows],
+                "x": [r[2] for r in rows],
+            }
+        )
+
+    init = (0, 0, 0, 0, 0, -(1 << 62), -(1 << 62))
+    args = (_SPRT_A, _SPRT_B, _SPRT_INC0, _SPRT_INC1)
+    all_rows = [(10, 1, 1), (10, 2, 0), (20, 3, 1), (30, 4, 1), (40, 5, 0)]
+    whole = _sprt_fold_ordered(init, mk(all_rows), *args)
+    split = _sprt_fold_ordered(init, mk(all_rows[:2]), *args)
+    split = _sprt_fold_ordered(split, mk(all_rows[2:]), *args)
+    assert split == whole
+    assert whole[5:] == (40, 5)  # last (ts, event_id) tracked
+
+    # batch 2 reaches back before batch 1's frontier -> loud failure
+    st = _sprt_fold_ordered(init, mk([(10, 1, 1), (20, 2, 0)]), *args)
+    with pytest.raises(ValueError, match="event-time-ordered"):
+        _sprt_fold_ordered(st, mk([(15, 9, 1)]), *args)
+    # equal key (duplicate delivery) is also a contract violation
+    with pytest.raises(ValueError, match="event-time-ordered"):
+        _sprt_fold_ordered(st, mk([(20, 2, 1)]), *args)
+    # same ts, later event_id is fine (tie broken by event_id)
+    out = _sprt_fold_ordered(st, mk([(20, 3, 1)]), *args)
+    assert out[0] == 3
