@@ -2818,3 +2818,130 @@ def _haarw_lang_oracle() -> str:
                CAST(SUM(e3) AS BIGINT) AS e3
         FROM per_doc GROUP BY 1
     """
+
+
+# ---------------------------------------------------------------------------
+# ZERO-CROSSING RATE ON REAL PCM — the classic voiced/unvoiced &
+# noisiness feature (alongside RMS and the Haar energies above): count
+# sign changes between consecutive int16 samples of the ACTUAL decoded
+# data chunk. A crossing is a strictly negative product of adjacent
+# samples (a zero sample breaks the run — the common strict definition),
+# so everything is exact integer arithmetic and the DuckDB oracle can
+# recompute it independently from the text character model. Encode and
+# ZCR stages are module-level so the streaming per-lang monitor shares
+# them verbatim (the streaming_wav_haar_monitor pattern).
+# Reference parity: none (SURVEY.md §2.7 multimodal mandate).
+# ---------------------------------------------------------------------------
+def _wav_zcr_batches(batches):
+    """(doc_id, lang, payload) -> per-doc sample & zero-crossing counts
+    over the REAL decoded int16 PCM (numpy-vectorized; decode_wav_real
+    validates the container first)."""
+    import struct
+
+    import numpy as np
+    import pandas as pd
+
+    for pdf in batches:
+        rows = {"doc_id": [], "lang": [], "n_samples": [], "n_crossings": []}
+        for doc_id, lang, payload in zip(
+            pdf["doc_id"], pdf["lang"], pdf["payload"]
+        ):
+            blob = bytes(payload)
+            meta = decode_wav_real(blob)  # full container validation
+            off = 12
+            samples = None
+            while off + 8 <= len(blob):
+                cid = blob[off : off + 4]
+                (clen,) = struct.unpack("<I", blob[off + 4 : off + 8])
+                if cid == b"data":
+                    samples = np.frombuffer(
+                        blob[off + 8 : off + 8 + clen], dtype="<i2"
+                    ).astype(np.int64)
+                    break
+                off += 8 + clen + (clen & 1)
+            assert samples is not None and len(samples) == meta["n_samples"]
+            rows["doc_id"].append(int(doc_id))
+            rows["lang"].append(lang)
+            rows["n_samples"].append(len(samples))
+            rows["n_crossings"].append(
+                int(np.count_nonzero(samples[:-1] * samples[1:] < 0))
+            )
+        yield pd.DataFrame(rows)
+
+
+_WAV_ZCR_SCHEMA = "doc_id long, lang string, n_samples long, n_crossings long"
+
+# the oracle's independent recomputation: sample j of a doc is
+# ((ascii(char_j) % 256) - 128) * 256 — the multimodal_wav_stats
+# generative model, shared with every WAV oracle here
+_ZCR_SAMPLE = (
+    "CAST((ascii(substring(text, CAST({j} AS INT), 1)) % 256 - 128) * 256"
+    " AS BIGINT)"
+)
+
+
+def _zcr_crossings_sql() -> str:
+    """Exact crossing count from the text character model: adjacent
+    sample product strictly negative."""
+    s_j = _ZCR_SAMPLE.format(j="j")
+    s_j1 = _ZCR_SAMPLE.format(j="j + 1")
+    return f"""list_sum(list_transform(range(1, length(text)), j ->
+                   CASE WHEN {s_j} * {s_j1} < 0 THEN 1 ELSE 0 END))"""
+
+
+@register(
+    "multimodal_wav_zcr_real",
+    oracle=f"""
+        SELECT doc_id,
+               CAST(length(text) AS BIGINT) AS n_samples,
+               CAST(COALESCE({_zcr_crossings_sql()}, 0) AS BIGINT)
+                   AS n_crossings,
+               CAST(COALESCE({_zcr_crossings_sql()}, 0) AS BIGINT) * 10000
+                   // (CAST(length(text) AS BIGINT) - 1) AS zcr_bp
+        FROM documents WHERE length(text) >= 2
+    """,
+    tags=("multimodal", "audio", "wav", "real-decode", "zcr", "documents"),
+)
+def multimodal_wav_zcr_real(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kafka_stream_job_spark.operators._portable import idiv
+
+    docs = (
+        load_table(spark, sf_dir, "documents", rebalance=True)
+        .select("doc_id", "lang", "text")
+        .filter(F.length("text") >= 2)
+    )
+    wavs = docs.mapInPandas(
+        _wav_haar_encode_batches, "doc_id long, lang string, payload binary"
+    )
+    per_doc = wavs.mapInPandas(_wav_zcr_batches, _WAV_ZCR_SCHEMA)
+    return per_doc.select(
+        "doc_id",
+        "n_samples",
+        "n_crossings",
+        idiv(F.col("n_crossings") * 10000, F.col("n_samples") - 1).alias(
+            "zcr_bp"
+        ),
+    )
+
+
+def _zcr_lang_oracle() -> str:
+    """Per-lang rollup of the per-doc crossing counts — the streaming
+    monitor's oracle, composed from the SAME sample-model SQL as the
+    per-doc oracle (rate over the summed pair counts, not a mean of
+    per-doc rates)."""
+    return f"""
+        WITH per_doc AS (
+            SELECT lang,
+                   CAST(length(text) AS BIGINT) AS n_samples,
+                   CAST(COALESCE({_zcr_crossings_sql()}, 0) AS BIGINT)
+                       AS n_crossings
+            FROM documents WHERE length(text) >= 2
+        )
+        SELECT lang,
+               CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(n_samples) AS BIGINT) AS n_samples,
+               CAST(SUM(n_crossings) AS BIGINT) AS n_crossings,
+               CAST(SUM(n_crossings) AS BIGINT) * 10000
+                   // CAST(SUM(n_samples - 1) AS BIGINT) AS zcr_bp
+        FROM per_doc GROUP BY 1
+    """

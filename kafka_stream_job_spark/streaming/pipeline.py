@@ -5679,3 +5679,82 @@ def _register_streaming_wav_haar_monitor() -> None:
 
 
 _register_streaming_wav_haar_monitor()
+
+
+# ---------------------------------------------------------------------------
+# STREAMING WAV ZERO-CROSSING MONITOR — the live twin of
+# multimodal_wav_zcr_real: real WAV decode inside the stream (the SAME
+# module-level encode/ZCR mapInPandas stages as the batch op), then
+# per-lang (n_docs, n_samples, n_crossings) sums in update-mode JVM agg
+# state. The rate is computed on the CONVERGED totals (summed pair
+# counts, not a mean of per-doc rates), exactly like the batch rollup.
+# ---------------------------------------------------------------------------
+def _register_streaming_wav_zcr_monitor() -> None:
+    import uuid
+
+    from kafka_stream_job_spark.operators._portable import idiv
+    from kafka_stream_job_spark.operators.multimodal import (
+        _WAV_ZCR_SCHEMA,
+        _wav_haar_encode_batches,
+        _wav_zcr_batches,
+        _zcr_lang_oracle,
+    )
+    from kafka_stream_job_spark.registry import register
+
+    @register(
+        "streaming_wav_zcr_monitor",
+        oracle=_zcr_lang_oracle(),
+        tags=("streaming", "stateful", "multimodal", "audio", "zcr",
+              "documents"),
+    )
+    def streaming_wav_zcr_monitor(
+        spark: SparkSession, sf_dir: str
+    ) -> DataFrame:
+        import tempfile
+
+        src, stage = _stage_stream_source(
+            sf_dir, "documents", "/tmp/ksj_stream_stage_documents"
+        )
+        raw_schema = spark.read.parquet(src).schema
+        docs = (
+            spark.readStream.schema(raw_schema)
+            .parquet(stage)
+            .select("doc_id", "lang", "text")
+            .filter(F.length("text") >= 2)
+        )
+        wavs = docs.mapInPandas(
+            _wav_haar_encode_batches,
+            "doc_id long, lang string, payload binary",
+        )
+        per_doc = wavs.mapInPandas(_wav_zcr_batches, _WAV_ZCR_SCHEMA)
+        rollup = per_doc.groupBy("lang").agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("n_samples").cast("long").alias("n_samples"),
+            F.sum("n_crossings").cast("long").alias("n_crossings"),
+            F.sum(F.col("n_samples") - 1).cast("long").alias("n_pairs"),
+        )
+        name = f"stream_wavzcr_{uuid.uuid4().hex[:8]}"
+        ckpt = tempfile.mkdtemp(prefix="ksj-stream-wavzcr-")
+        emitted = run_stream_to_memory(
+            spark, rollup, name, ckpt, output_mode="update"
+        )
+        # update-mode emissions converge per key at max (all four sums
+        # are monotone)
+        converged = emitted.groupBy("lang").agg(
+            F.max("n_docs").cast("long").alias("n_docs"),
+            F.max("n_samples").cast("long").alias("n_samples"),
+            F.max("n_crossings").cast("long").alias("n_crossings"),
+            F.max("n_pairs").cast("long").alias("n_pairs"),
+        )
+        return converged.select(
+            "lang",
+            "n_docs",
+            "n_samples",
+            "n_crossings",
+            idiv(F.col("n_crossings") * 10000, F.col("n_pairs")).alias(
+                "zcr_bp"
+            ),
+        )
+
+
+_register_streaming_wav_zcr_monitor()
