@@ -15582,6 +15582,196 @@ def cuped_assemble(u: DataFrame) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# DIFFERENCE-IN-DIFFERENCES — the quasi-experimental workhorse (Card &
+# Krueger 1994): compare the treatment arm's pre→post change against
+# the control arm's, so any shared time trend cancels. Unit = order;
+# period splits at the SAME boundary CUPED uses for pre/post; arms are
+# a fresh deterministic hash split (prefix "did"). Cell means stay in
+# exact cents; the pooled standard error uses per-cell sample variances
+# over WHOLE-DOLLAR-quantized order values (the CUPED
+# quantize-before-squaring discipline — Σd² stays exact int64 through
+# ~sf100, past which ANSI raises loudly on both engines), with the
+# centered products promoted to DOUBLE exactly like CUPED's theta. One
+# (arm, period)-keyed scan with map-side partial aggregates → a 4-row
+# cell table → broadcast scalars; nothing data-sized converges.
+# ---------------------------------------------------------------------------
+DID_SPLIT = CUPED_SPLIT  # shared pre/post boundary
+
+
+def did_arm_col() -> "F.Column":
+    """Deterministic hash arm over o_custkey (prefix 'did' — an
+    experiment distinct from CUPED's), shared by batch and stream."""
+    return _snap_hash("did", "o_custkey") % 2
+
+
+def did_assemble(cells: DataFrame) -> DataFrame:
+    """DiD report from the 4-row (arm, period, n, sum_cents, sum_d,
+    sum_d2) cell table — shared verbatim by the batch query and its
+    streaming twin, so both check against the SAME oracle."""
+    pick = lambda a, p, c: F.sum(  # noqa: E731 — 4-row conditional pivot
+        F.when((F.col("arm") == a) & (F.col("period") == p), F.col(c))
+        .otherwise(0)
+    ).cast("long")
+    g = cells.agg(
+        *[
+            pick(a, p, c).alias(f"{c}_{a}_{p}")
+            for a in (0, 1)
+            for p in ("pre", "post")
+            for c in ("n", "sum_cents", "sum_d", "sum_d2")
+        ]
+    )
+
+    def mean_cents(a, p):
+        return F.col(f"sum_cents_{a}_{p}") * 1.0 / F.col(f"n_{a}_{p}")
+
+    def var_d(a, p):
+        n = F.col(f"n_{a}_{p}").cast("double")
+        sd = F.col(f"sum_d_{a}_{p}").cast("double")
+        sd2 = F.col(f"sum_d2_{a}_{p}").cast("double")
+        return (n * sd2 - sd * sd) / (n * (n - F.lit(1.0)))
+
+    did_cents = (mean_cents(1, "post") - mean_cents(1, "pre")) - (
+        mean_cents(0, "post") - mean_cents(0, "pre")
+    )
+    se_dollars = F.sqrt(
+        var_d(1, "post") / F.col("n_1_post")
+        + var_d(1, "pre") / F.col("n_1_pre")
+        + var_d(0, "post") / F.col("n_0_post")
+        + var_d(0, "pre") / F.col("n_0_pre")
+    )
+    report = g.select(
+        F.round(did_cents * 1000.0, 0).cast("long").alias("did_millicent"),
+        F.round(se_dollars * 1000.0, 0).cast("long").alias(
+            "se_millidollar"
+        ),
+        F.round(did_cents / 100.0 / se_dollars * 1000.0, 0)
+        .cast("long")
+        .alias("t_milli"),
+    )
+    per_cell = cells.select(
+        "arm",
+        "period",
+        F.col("n").alias("n_orders"),
+        F.round(F.col("sum_cents") * 1.0 / F.col("n"), 0)
+        .cast("long")
+        .alias("mean_order_cents"),
+    )
+    return per_cell.crossJoin(F.broadcast(report))
+
+
+@register(
+    "orders_did_estimator",
+    oracle=f"""
+        WITH per_order AS (
+            SELECT {_snap_hash_sql("did", "o_custkey")} % 2 AS arm,
+                   CASE WHEN o_orderdate < TIMESTAMP '{DID_SPLIT}'
+                        THEN 'pre' ELSE 'post' END AS period,
+                   CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents,
+                   CAST(ROUND(o_totalprice * 100) AS BIGINT) // 100 AS d
+            FROM orders
+        ),
+        cells AS (
+            SELECT arm, period,
+                   CAST(COUNT(*) AS BIGINT) AS n,
+                   CAST(SUM(cents) AS BIGINT) AS sum_cents,
+                   CAST(SUM(d) AS BIGINT) AS sum_d,
+                   CAST(SUM(d * d) AS BIGINT) AS sum_d2
+            FROM per_order GROUP BY 1, 2
+        ),
+        g AS (
+            SELECT
+              CAST(SUM(CASE WHEN arm=1 AND period='post' THEN n ELSE 0 END) AS BIGINT) AS n_1_post,
+              CAST(SUM(CASE WHEN arm=1 AND period='pre'  THEN n ELSE 0 END) AS BIGINT) AS n_1_pre,
+              CAST(SUM(CASE WHEN arm=0 AND period='post' THEN n ELSE 0 END) AS BIGINT) AS n_0_post,
+              CAST(SUM(CASE WHEN arm=0 AND period='pre'  THEN n ELSE 0 END) AS BIGINT) AS n_0_pre,
+              CAST(SUM(CASE WHEN arm=1 AND period='post' THEN sum_cents ELSE 0 END) AS BIGINT) AS sc_1_post,
+              CAST(SUM(CASE WHEN arm=1 AND period='pre'  THEN sum_cents ELSE 0 END) AS BIGINT) AS sc_1_pre,
+              CAST(SUM(CASE WHEN arm=0 AND period='post' THEN sum_cents ELSE 0 END) AS BIGINT) AS sc_0_post,
+              CAST(SUM(CASE WHEN arm=0 AND period='pre'  THEN sum_cents ELSE 0 END) AS BIGINT) AS sc_0_pre,
+              CAST(SUM(CASE WHEN arm=1 AND period='post' THEN sum_d ELSE 0 END) AS BIGINT) AS sd_1_post,
+              CAST(SUM(CASE WHEN arm=1 AND period='pre'  THEN sum_d ELSE 0 END) AS BIGINT) AS sd_1_pre,
+              CAST(SUM(CASE WHEN arm=0 AND period='post' THEN sum_d ELSE 0 END) AS BIGINT) AS sd_0_post,
+              CAST(SUM(CASE WHEN arm=0 AND period='pre'  THEN sum_d ELSE 0 END) AS BIGINT) AS sd_0_pre,
+              CAST(SUM(CASE WHEN arm=1 AND period='post' THEN sum_d2 ELSE 0 END) AS BIGINT) AS sq_1_post,
+              CAST(SUM(CASE WHEN arm=1 AND period='pre'  THEN sum_d2 ELSE 0 END) AS BIGINT) AS sq_1_pre,
+              CAST(SUM(CASE WHEN arm=0 AND period='post' THEN sum_d2 ELSE 0 END) AS BIGINT) AS sq_0_post,
+              CAST(SUM(CASE WHEN arm=0 AND period='pre'  THEN sum_d2 ELSE 0 END) AS BIGINT) AS sq_0_pre
+            FROM cells
+        ),
+        rep AS (
+            SELECT
+              CAST(ROUND(((sc_1_post * 1.0 / n_1_post
+                           - sc_1_pre * 1.0 / n_1_pre)
+                          - (sc_0_post * 1.0 / n_0_post
+                             - sc_0_pre * 1.0 / n_0_pre)) * 1000.0)
+                   AS BIGINT) AS did_millicent,
+              CAST(ROUND(sqrt(
+                  (CAST(n_1_post AS DOUBLE) * sq_1_post
+                   - CAST(sd_1_post AS DOUBLE) * sd_1_post)
+                  / (CAST(n_1_post AS DOUBLE) * (n_1_post - 1.0)) / n_1_post
+                + (CAST(n_1_pre AS DOUBLE) * sq_1_pre
+                   - CAST(sd_1_pre AS DOUBLE) * sd_1_pre)
+                  / (CAST(n_1_pre AS DOUBLE) * (n_1_pre - 1.0)) / n_1_pre
+                + (CAST(n_0_post AS DOUBLE) * sq_0_post
+                   - CAST(sd_0_post AS DOUBLE) * sd_0_post)
+                  / (CAST(n_0_post AS DOUBLE) * (n_0_post - 1.0)) / n_0_post
+                + (CAST(n_0_pre AS DOUBLE) * sq_0_pre
+                   - CAST(sd_0_pre AS DOUBLE) * sd_0_pre)
+                  / (CAST(n_0_pre AS DOUBLE) * (n_0_pre - 1.0)) / n_0_pre
+              ) * 1000.0) AS BIGINT) AS se_millidollar,
+              CAST(ROUND(((sc_1_post * 1.0 / n_1_post
+                           - sc_1_pre * 1.0 / n_1_pre)
+                          - (sc_0_post * 1.0 / n_0_post
+                             - sc_0_pre * 1.0 / n_0_pre)) / 100.0 / sqrt(
+                  (CAST(n_1_post AS DOUBLE) * sq_1_post
+                   - CAST(sd_1_post AS DOUBLE) * sd_1_post)
+                  / (CAST(n_1_post AS DOUBLE) * (n_1_post - 1.0)) / n_1_post
+                + (CAST(n_1_pre AS DOUBLE) * sq_1_pre
+                   - CAST(sd_1_pre AS DOUBLE) * sd_1_pre)
+                  / (CAST(n_1_pre AS DOUBLE) * (n_1_pre - 1.0)) / n_1_pre
+                + (CAST(n_0_post AS DOUBLE) * sq_0_post
+                   - CAST(sd_0_post AS DOUBLE) * sd_0_post)
+                  / (CAST(n_0_post AS DOUBLE) * (n_0_post - 1.0)) / n_0_post
+                + (CAST(n_0_pre AS DOUBLE) * sq_0_pre
+                   - CAST(sd_0_pre AS DOUBLE) * sd_0_pre)
+                  / (CAST(n_0_pre AS DOUBLE) * (n_0_pre - 1.0)) / n_0_pre
+              ) * 1000.0) AS BIGINT) AS t_milli
+            FROM g
+        )
+        SELECT c.arm, c.period, c.n AS n_orders,
+               CAST(ROUND(c.sum_cents * 1.0 / c.n) AS BIGINT)
+                   AS mean_order_cents,
+               r.did_millicent, r.se_millidollar, r.t_milli
+        FROM cells c CROSS JOIN rep r
+    """,
+    tags=("stats", "ab-test", "experimentation", "did", "orders"),
+)
+def orders_did_estimator(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    cents = F.round(F.col("o_totalprice") * 100, 0).cast("long")
+    split = F.lit(DID_SPLIT).cast("timestamp_ntz")
+    cells = (
+        orders.select(
+            did_arm_col().alias("arm"),
+            F.when(F.col("o_orderdate") < split, "pre")
+            .otherwise("post")
+            .alias("period"),
+            cents.alias("cents"),
+            idiv(cents, 100).alias("d"),
+        )
+        .groupBy("arm", "period")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum("cents").cast("long").alias("sum_cents"),
+            F.sum("d").cast("long").alias("sum_d"),
+            F.sum(F.col("d") * F.col("d")).cast("long").alias("sum_d2"),
+        )
+        .localCheckpoint(eager=False)  # cell rows + the report share it
+    )
+    return did_assemble(cells)
+
+
+# ---------------------------------------------------------------------------
 # SEQUENTIAL PROBABILITY RATIO TEST (SPRT) — Wald's always-valid
 # sequential test, the experimentation-platform complement of the
 # fixed-horizon z-test (events_ab_uplift_test) and CUPED

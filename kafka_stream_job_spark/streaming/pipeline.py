@@ -5758,3 +5758,74 @@ def _register_streaming_wav_zcr_monitor() -> None:
 
 
 _register_streaming_wav_zcr_monitor()
+
+
+# ---------------------------------------------------------------------------
+# STREAMING DiD MONITOR — the live twin of orders_did_estimator: the
+# four (arm, period) cell moments accumulate in update-mode keyed JVM
+# agg state as orders stream in (counts and sums of nonnegative ints —
+# monotone, so emissions converge per key at max), and the report
+# assembles post-stream through the SAME did_assemble as the batch op.
+# Oracle verbatim from the batch op.
+# ---------------------------------------------------------------------------
+def _register_streaming_did_monitor() -> None:
+    import uuid
+
+    from kafka_stream_job_spark.operators._portable import idiv
+    from kafka_stream_job_spark.operators.relational import (
+        DID_SPLIT,
+        did_arm_col,
+        did_assemble,
+    )
+    from kafka_stream_job_spark.registry import REGISTRY, register
+
+    oracle = REGISTRY["orders_did_estimator"].oracle
+
+    @register(
+        "streaming_did_monitor",
+        oracle=oracle,
+        tags=("streaming", "stateful", "experimentation", "did", "orders"),
+    )
+    def streaming_did_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
+        import tempfile
+
+        src, stage = _stage_stream_source(
+            sf_dir, "orders", "/tmp/ksj_stream_stage_orders"
+        )
+        raw_schema = spark.read.parquet(src).schema
+        orders = spark.readStream.schema(raw_schema).parquet(stage)
+        cents = F.round(F.col("o_totalprice") * 100, 0).cast("long")
+        split = F.lit(DID_SPLIT).cast("timestamp_ntz")
+        per_order = orders.select(
+            did_arm_col().alias("arm"),
+            F.when(F.col("o_orderdate") < split, "pre")
+            .otherwise("post")
+            .alias("period"),
+            cents.alias("cents"),
+            idiv(cents, 100).alias("d"),
+        )
+        cells_stream = per_order.groupBy("arm", "period").agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum("cents").cast("long").alias("sum_cents"),
+            F.sum("d").cast("long").alias("sum_d"),
+            F.sum(F.col("d") * F.col("d")).cast("long").alias("sum_d2"),
+        )
+        name = f"stream_did_{uuid.uuid4().hex[:8]}"
+        ckpt = tempfile.mkdtemp(prefix="ksj-stream-did-")
+        emitted = run_stream_to_memory(
+            spark, cells_stream, name, ckpt, output_mode="update"
+        )
+        cells = (
+            emitted.groupBy("arm", "period")
+            .agg(
+                F.max("n").cast("long").alias("n"),
+                F.max("sum_cents").cast("long").alias("sum_cents"),
+                F.max("sum_d").cast("long").alias("sum_d"),
+                F.max("sum_d2").cast("long").alias("sum_d2"),
+            )
+            .localCheckpoint(eager=False)
+        )
+        return did_assemble(cells)
+
+
+_register_streaming_did_monitor()
