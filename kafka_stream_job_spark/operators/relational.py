@@ -10543,6 +10543,170 @@ def score_calibration_report(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# BRIER SCORE DECOMPOSITION — Murphy's (1973) reliability / resolution /
+# uncertainty split of the mean squared probability error, on the same
+# exactly-replayable per-user frequency score as score_calibration_report
+# (which reports the reliability DIAGRAM; this reports the scalar
+# decomposition). Key identity exploited for the streaming twin: every
+# event of a user carries the user's own score, so the whole scored set
+# collapses to per-user (n_events, n_purchases) — the Brier sum for a
+# user is k·(10000-s)² + (n-k)·s² with s the user's score in bp. All
+# integer arithmetic (bp and bp² units, floor division at the end);
+# sums of bp² terms stay exact int64 through ~9e10 events (~sf 1000),
+# past which ANSI raises loudly on both engines. Scale shape: one
+# user-keyed aggregate, an 11-row bin rollup, broadcast scalars.
+# The decomposition residual (binning + floor-rounding error vs the
+# exact Brier sum) is reported rather than hidden.
+# ---------------------------------------------------------------------------
+def brier_assemble(per_user: DataFrame) -> DataFrame:
+    """Brier decomposition report from per-user (n, k) rows — shared
+    verbatim by the batch query and its streaming twin."""
+    scored = per_user.select(
+        idiv(F.col("k") * 10000, F.col("n")).alias("s"),
+        "n",
+        "k",
+    ).localCheckpoint(eager=False)  # bins + global scalars share it
+    bins = (
+        scored.groupBy(idiv(F.col("s"), 1000).alias("bin"))
+        .agg(
+            F.sum("n").cast("long").alias("n_b"),
+            F.sum(F.col("n") * F.col("s")).cast("long").alias("sum_s"),
+            F.sum("k").cast("long").alias("sum_y"),
+            F.sum(
+                F.col("k") * (F.lit(10000) - F.col("s"))
+                * (F.lit(10000) - F.col("s"))
+                + (F.col("n") - F.col("k")) * F.col("s") * F.col("s")
+            )
+            .cast("long")
+            .alias("brier_sum"),
+        )
+        .select(
+            "bin",
+            "n_b",
+            idiv("sum_s", F.col("n_b")).alias("p_bar"),
+            idiv(F.col("sum_y") * 10000, F.col("n_b")).alias("o_bar"),
+            "sum_y",
+            "brier_sum",
+        )
+        .localCheckpoint(eager=False)
+    )
+    g = bins.agg(
+        F.sum("n_b").cast("long").alias("_n"),
+        F.sum("sum_y").cast("long").alias("_y"),
+        F.sum("brier_sum").cast("long").alias("_bs"),
+        F.count(F.lit(1)).cast("long").alias("n_bins"),
+        F.sum(
+            F.col("n_b")
+            * (F.col("p_bar") - F.col("o_bar"))
+            * (F.col("p_bar") - F.col("o_bar"))
+        )
+        .cast("long")
+        .alias("_rel"),
+        F.sum(F.col("n_b") * F.col("o_bar")).cast("long").alias("_ow"),
+        F.sum(F.col("n_b") * F.col("o_bar") * F.col("o_bar"))
+        .cast("long")
+        .alias("_o2w"),
+    )
+    o = idiv(F.col("_y") * 10000, F.col("_n"))  # global base rate, bp
+    # resolution = Σ n_b (ō_b - ō)² / n, expanded so ō stays the single
+    # floor-divided integer on both engines
+    res_num = (
+        F.col("_o2w") - F.lit(2) * o * F.col("_ow") + F.col("_n") * o * o
+    )
+    return g.select(
+        F.col("_n").alias("n_events"),
+        "n_bins",
+        idiv("_bs", F.col("_n")).alias("brier_bp2"),
+        idiv("_rel", F.col("_n")).alias("reliability_bp2"),
+        idiv(res_num, F.col("_n")).alias("resolution_bp2"),
+        idiv(o * (F.lit(10000) - o), 10000).alias("uncertainty_bp2"),
+        (
+            idiv("_bs", F.col("_n"))
+            - (
+                idiv("_rel", F.col("_n"))
+                - idiv(res_num, F.col("_n"))
+                + idiv(o * (F.lit(10000) - o), 10000)
+            )
+        ).alias("residual_bp2"),
+    )
+
+
+def _brier_oracle(per_user_sql: str) -> str:
+    """Decomposition SQL from a per-user (n, k) CTE body — shared by the
+    batch and streaming oracles."""
+    return f"""
+        WITH per_user AS ({per_user_sql}),
+        scored AS (
+            SELECT CAST(k * 10000 AS BIGINT) // n AS s, n, k
+            FROM per_user
+        ),
+        bins AS (
+            SELECT s // 1000 AS bin,
+                   CAST(SUM(n) AS BIGINT) AS n_b,
+                   CAST(SUM(n * s) AS BIGINT) // CAST(SUM(n) AS BIGINT)
+                       AS p_bar,
+                   CAST(SUM(k) AS BIGINT) * 10000
+                       // CAST(SUM(n) AS BIGINT) AS o_bar,
+                   CAST(SUM(k) AS BIGINT) AS sum_y,
+                   CAST(SUM(k * (10000 - s) * (10000 - s)
+                            + (n - k) * s * s) AS BIGINT) AS brier_sum
+            FROM scored GROUP BY 1
+        ),
+        g AS (
+            SELECT CAST(SUM(n_b) AS BIGINT) AS n,
+                   CAST(SUM(sum_y) AS BIGINT) AS y,
+                   CAST(SUM(brier_sum) AS BIGINT) AS bs,
+                   CAST(COUNT(*) AS BIGINT) AS n_bins,
+                   CAST(SUM(n_b * (p_bar - o_bar) * (p_bar - o_bar))
+                        AS BIGINT) AS rel_sum,
+                   CAST(SUM(n_b * o_bar) AS BIGINT) AS o_weighted,
+                   CAST(SUM(n_b * o_bar * o_bar) AS BIGINT) AS o2_weighted
+            FROM bins
+        )
+        SELECT n AS n_events, n_bins,
+               bs // n AS brier_bp2,
+               rel_sum // n AS reliability_bp2,
+               (o2_weighted - 2 * (y * 10000 // n) * o_weighted
+                + n * (y * 10000 // n) * (y * 10000 // n)) // n
+                   AS resolution_bp2,
+               (y * 10000 // n) * (10000 - (y * 10000 // n)) // 10000
+                   AS uncertainty_bp2,
+               bs // n - (rel_sum // n
+                          - (o2_weighted - 2 * (y * 10000 // n) * o_weighted
+                             + n * (y * 10000 // n) * (y * 10000 // n)) // n
+                          + (y * 10000 // n)
+                            * (10000 - (y * 10000 // n)) // 10000)
+                   AS residual_bp2
+        FROM g
+    """
+
+
+# the batch per-user CTE: one events scan, exactly score_calibration's
+_BRIER_PER_USER_SQL = """
+            SELECT CAST(COUNT(*) AS BIGINT) AS n,
+                   CAST(SUM(CASE WHEN event_type = 'purchase'
+                                 THEN 1 ELSE 0 END) AS BIGINT) AS k
+            FROM events GROUP BY user_id
+"""
+
+
+@register(
+    "brier_score_decomposition",
+    oracle=_brier_oracle(_BRIER_PER_USER_SQL),
+    tags=("ml", "calibration", "brier", "events", "agg"),
+)
+def brier_score_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    per_user = events.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum((F.col("event_type") == "purchase").cast("long"))
+        .cast("long")
+        .alias("k"),
+    )
+    return brier_assemble(per_user)
+
+
+# ---------------------------------------------------------------------------
 # MAX-MIN FAIR ALLOCATION — the water-filling allocation every
 # multi-tenant scheduler and rate-limiter runs (progressive filling /
 # bottleneck fairness): given per-user demand (event counts) and a

@@ -5829,3 +5829,54 @@ def _register_streaming_did_monitor() -> None:
 
 
 _register_streaming_did_monitor()
+
+
+# ---------------------------------------------------------------------------
+# STREAMING BRIER MONITOR — the live twin of brier_score_decomposition,
+# possible in ONE streaming pass because the batch op's scored set
+# collapses to per-user (n_events, n_purchases): those two counts
+# accumulate in update-mode keyed JVM agg state, converge at max
+# (monotone), and the whole decomposition assembles post-stream through
+# the SAME brier_assemble. Oracle verbatim from the batch op.
+# ---------------------------------------------------------------------------
+def _register_streaming_brier_monitor() -> None:
+    import uuid
+
+    from kafka_stream_job_spark.operators.relational import (
+        _BRIER_PER_USER_SQL,
+        _brier_oracle,
+        brier_assemble,
+    )
+    from kafka_stream_job_spark.registry import register
+
+    @register(
+        "streaming_brier_monitor",
+        oracle=_brier_oracle(_BRIER_PER_USER_SQL),
+        tags=("streaming", "stateful", "ml", "calibration", "brier",
+              "events"),
+    )
+    def streaming_brier_monitor(
+        spark: SparkSession, sf_dir: str
+    ) -> DataFrame:
+        import tempfile
+
+        events = stream_events(spark, sf_dir)
+        per_user_stream = events.groupBy("user_id").agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum((F.col("event_type") == "purchase").cast("long"))
+            .cast("long")
+            .alias("k"),
+        )
+        name = f"stream_brier_{uuid.uuid4().hex[:8]}"
+        ckpt = tempfile.mkdtemp(prefix="ksj-stream-brier-")
+        emitted = run_stream_to_memory(
+            spark, per_user_stream, name, ckpt, output_mode="update"
+        )
+        per_user = emitted.groupBy("user_id").agg(
+            F.max("n").cast("long").alias("n"),
+            F.max("k").cast("long").alias("k"),
+        )
+        return brier_assemble(per_user)
+
+
+_register_streaming_brier_monitor()
