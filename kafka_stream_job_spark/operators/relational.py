@@ -6512,6 +6512,187 @@ def events_theilsen_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# MANN-KENDALL TREND TEST — the non-parametric monotone-trend test that
+# pairs with events_theilsen_trend (Theil-Sen estimates the slope;
+# Mann-Kendall decides whether a trend EXISTS): S = Σ_{i<j}
+# sign(c_j - c_i) over the per-type daily count series, with the
+# ties-corrected variance Var(S)·18 = n(n-1)(2n+5) − Σ_t t(t-1)(2t+5)
+# kept as an exact integer. The day series is wall-clock-bounded, so
+# the O(days²) pair set is a grouped in-array expansion (the Theil-Sen
+# shape — no join, no global window); S, n and the tie term are exact
+# int64, and the only floats are the final ONE-expression z (identical
+# IEEE dag on both engines: integer-exact inputs, /18.0, sqrt, divide,
+# round). Continuity-corrected z = (S∓1)/sqrt(Var), 0 at S=0.
+# ---------------------------------------------------------------------------
+MK_Z_CRIT_MICRO = 1_960_000  # two-sided 5% critical value, micro units
+
+
+def mann_kendall_assemble(daily: DataFrame) -> DataFrame:
+    """Mann-Kendall report from (event_type, d, c) daily rows — shared
+    verbatim by the batch query and its streaming twin."""
+    xs = F.array_sort(F.collect_list(F.struct("d", "c")))
+    signs = F.flatten(
+        F.transform(
+            F.col("xs"),
+            lambda x, i: F.transform(
+                F.slice(F.col("xs"), i + 2, F.size(F.col("xs"))),
+                lambda y: F.when(y["c"] > x["c"], 1)
+                .when(y["c"] < x["c"], -1)
+                .otherwise(0)
+                .cast("long"),
+            ),
+        )
+    )
+    per_type = (
+        daily.groupBy("event_type")
+        .agg(xs.alias("xs"))
+        .select(
+            "event_type",
+            F.size("xs").cast("long").alias("n"),
+            F.aggregate(
+                signs, F.lit(0).cast("long"), lambda acc, v: acc + v
+            ).alias("s_stat"),
+        )
+    )
+    ties = (
+        daily.groupBy("event_type", "c")
+        .agg(F.count(F.lit(1)).cast("long").alias("t"))
+        .groupBy("event_type")
+        .agg(
+            F.sum(
+                F.col("t") * (F.col("t") - 1) * (2 * F.col("t") + 5)
+            )
+            .cast("long")
+            .alias("tie_sum")
+        )
+    )
+    g = per_type.join(F.broadcast(ties), "event_type").select(
+        "event_type",
+        "n",
+        "s_stat",
+        (
+            F.col("n") * (F.col("n") - 1) * (2 * F.col("n") + 5)
+            - F.col("tie_sum")
+        ).alias("var_s_x18"),
+    )
+    z = (
+        F.when(F.col("var_s_x18") <= 0, F.lit(0.0))
+        .when(
+            F.col("s_stat") > 0,
+            (F.col("s_stat") - 1) / F.sqrt(F.col("var_s_x18") / 18.0),
+        )
+        .when(
+            F.col("s_stat") < 0,
+            (F.col("s_stat") + 1) / F.sqrt(F.col("var_s_x18") / 18.0),
+        )
+        .otherwise(F.lit(0.0))
+    )
+    z_micro = F.round(z * 1000000.0, 0).cast("long")
+    return g.select(
+        "event_type",
+        F.col("n").alias("n_days"),
+        "s_stat",
+        "var_s_x18",
+        z_micro.alias("z_micro"),
+        F.when(z_micro >= MK_Z_CRIT_MICRO, "increasing")
+        .when(z_micro <= -MK_Z_CRIT_MICRO, "decreasing")
+        .otherwise("none")
+        .alias("trend"),
+    )
+
+
+_MK_DAILY_SQL = """
+            SELECT event_type,
+                   date_diff('day', DATE '1970-01-01',
+                             CAST(date_trunc('day', ts) AS DATE)) AS d,
+                   CAST(COUNT(*) AS BIGINT) AS c
+            FROM events GROUP BY 1, 2
+"""
+
+
+def _mann_kendall_oracle(daily_sql: str) -> str:
+    return f"""
+        WITH daily AS ({daily_sql}),
+        pairs AS (
+            SELECT a.event_type,
+                   CASE WHEN b.c > a.c THEN 1
+                        WHEN b.c < a.c THEN -1 ELSE 0 END AS sgn
+            FROM daily a
+            JOIN daily b ON a.event_type = b.event_type AND a.d < b.d
+        ),
+        s AS (
+            SELECT event_type, CAST(SUM(sgn) AS BIGINT) AS s_stat
+            FROM pairs GROUP BY 1
+        ),
+        ties AS (
+            SELECT event_type,
+                   CAST(SUM(t * (t - 1) * (2 * t + 5)) AS BIGINT) AS tie_sum
+            FROM (
+                SELECT event_type, c, CAST(COUNT(*) AS BIGINT) AS t
+                FROM daily GROUP BY 1, 2
+            ) GROUP BY 1
+        ),
+        g AS (
+            SELECT nn.event_type, nn.n,
+                   COALESCE(s.s_stat, 0) AS s_stat,
+                   nn.n * (nn.n - 1) * (2 * nn.n + 5) - ties.tie_sum
+                       AS var_s_x18
+            FROM (
+                SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n
+                FROM daily GROUP BY 1
+            ) nn
+            LEFT JOIN s ON s.event_type = nn.event_type
+            JOIN ties ON ties.event_type = nn.event_type
+        )
+        SELECT event_type, n AS n_days, s_stat, var_s_x18,
+               CAST(ROUND(CASE
+                   WHEN var_s_x18 <= 0 THEN 0.0
+                   WHEN s_stat > 0
+                       THEN (s_stat - 1) / sqrt(var_s_x18 / 18.0)
+                   WHEN s_stat < 0
+                       THEN (s_stat + 1) / sqrt(var_s_x18 / 18.0)
+                   ELSE 0.0 END * 1000000.0) AS BIGINT) AS z_micro,
+               CASE
+                   WHEN CAST(ROUND(CASE
+                       WHEN var_s_x18 <= 0 THEN 0.0
+                       WHEN s_stat > 0
+                           THEN (s_stat - 1) / sqrt(var_s_x18 / 18.0)
+                       WHEN s_stat < 0
+                           THEN (s_stat + 1) / sqrt(var_s_x18 / 18.0)
+                       ELSE 0.0 END * 1000000.0) AS BIGINT)
+                        >= {MK_Z_CRIT_MICRO} THEN 'increasing'
+                   WHEN CAST(ROUND(CASE
+                       WHEN var_s_x18 <= 0 THEN 0.0
+                       WHEN s_stat > 0
+                           THEN (s_stat - 1) / sqrt(var_s_x18 / 18.0)
+                       WHEN s_stat < 0
+                           THEN (s_stat + 1) / sqrt(var_s_x18 / 18.0)
+                       ELSE 0.0 END * 1000000.0) AS BIGINT)
+                        <= -{MK_Z_CRIT_MICRO} THEN 'decreasing'
+                   ELSE 'none'
+               END AS trend
+        FROM g
+    """
+
+
+@register(
+    "events_mann_kendall_trend",
+    oracle=_mann_kendall_oracle(_MK_DAILY_SQL),
+    tags=("timeseries", "stats", "hypothesis-test", "mann-kendall",
+          "events"),
+)
+def events_mann_kendall_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    daily = events.groupBy(
+        "event_type",
+        F.expr(
+            "datediff(cast(date_trunc('day', ts) as date), date'1970-01-01')"
+        ).alias("d"),
+    ).agg(F.count(F.lit(1)).cast("long").alias("c"))
+    return mann_kendall_assemble(daily.localCheckpoint(eager=False))
+
+
+# ---------------------------------------------------------------------------
 # JOIN CARDINALITY AUDIT — the optimizer's cost model, checked against
 # ground truth: for three representative equi-joins, compare the
 # textbook estimate |L|·|R| / max(V_L, V_R) with the EXACT output

@@ -5880,3 +5880,55 @@ def _register_streaming_brier_monitor() -> None:
 
 
 _register_streaming_brier_monitor()
+
+
+# ---------------------------------------------------------------------------
+# STREAMING MANN-KENDALL MONITOR — the live twin of
+# events_mann_kendall_trend: per-(type, day) counts accumulate in
+# update-mode keyed JVM agg state (converging at max), and the full
+# S / tie-corrected variance / z assembly runs post-stream through the
+# SAME mann_kendall_assemble as the batch op. Oracle verbatim.
+# ---------------------------------------------------------------------------
+def _register_streaming_mann_kendall_monitor() -> None:
+    import uuid
+
+    from kafka_stream_job_spark.operators.relational import (
+        _MK_DAILY_SQL,
+        _mann_kendall_oracle,
+        mann_kendall_assemble,
+    )
+    from kafka_stream_job_spark.registry import register
+
+    @register(
+        "streaming_mann_kendall_monitor",
+        oracle=_mann_kendall_oracle(_MK_DAILY_SQL),
+        tags=("streaming", "stateful", "timeseries", "mann-kendall",
+              "events"),
+    )
+    def streaming_mann_kendall_monitor(
+        spark: SparkSession, sf_dir: str
+    ) -> DataFrame:
+        import tempfile
+
+        events = stream_events(spark, sf_dir)
+        daily_stream = events.groupBy(
+            "event_type",
+            F.expr(
+                "datediff(cast(date_trunc('day', ts) as date), "
+                "date'1970-01-01')"
+            ).alias("d"),
+        ).agg(F.count(F.lit(1)).cast("long").alias("c"))
+        name = f"stream_mk_{uuid.uuid4().hex[:8]}"
+        ckpt = tempfile.mkdtemp(prefix="ksj-stream-mk-")
+        emitted = run_stream_to_memory(
+            spark, daily_stream, name, ckpt, output_mode="update"
+        )
+        daily = (
+            emitted.groupBy("event_type", "d")
+            .agg(F.max("c").cast("long").alias("c"))
+            .localCheckpoint(eager=False)
+        )
+        return mann_kendall_assemble(daily)
+
+
+_register_streaming_mann_kendall_monitor()
