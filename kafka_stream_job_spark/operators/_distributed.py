@@ -235,3 +235,65 @@ def distributed_prefix_max(
         )
         .drop("_pid", "_lmax", "_omax")
     )
+
+
+def distributed_adjacent_changes(
+    df: DataFrame,
+    sort_cols: list[Column],
+    value_col: str,
+    n_parts: int = DEFAULT_RANK_PARTS,
+    out_col: str = "n_changes",
+) -> DataFrame:
+    """Count adjacent pairs along the GLOBAL total order whose
+    ``value_col`` differs — the fourth member of the family (rank,
+    prefix-sum, prefix-max, adjacency). Decomposition: range-partition
+    on the total order, count changes INSIDE each partition with a
+    per-partition lag, then add the ≤|partitions| boundary pairs (each
+    partition's last value vs the next non-empty partition's first) —
+    metadata-sized, so the one ordered window here runs over at most
+    ``n_parts`` rows. ``sort_cols`` must be PLAIN ascending columns (a
+    total order — include a unique tie-breaker): the boundary min_by/
+    max_by key is their struct, which only matches the shuffle order
+    for bare ascending columns. Returns a 1-row DataFrame carrying
+    ``out_col`` (0 for an empty input). Same localCheckpoint pinning as
+    distributed_rank, same reason."""
+    _guard_reserved(df, ["_pid", "_prev", "_first", "_last"])
+    parts = df.repartitionByRange(n_parts, *sort_cols).withColumn(
+        "_pid", F.spark_partition_id()
+    )
+    local = parts.withColumn(
+        "_prev",
+        F.lag(value_col).over(Window.partitionBy("_pid").orderBy(*sort_cols)),
+    ).localCheckpoint(eager=False)
+    internal = local.agg(
+        F.coalesce(
+            F.sum(
+                (
+                    F.col("_prev").isNotNull()
+                    & (F.col(value_col) != F.col("_prev"))
+                ).cast("long")
+            ),
+            F.lit(0),
+        ).alias("_internal")
+    )
+    order_key = F.struct(*sort_cols)
+    bounds = local.groupBy("_pid").agg(
+        F.min_by(value_col, order_key).alias("_first"),
+        F.max_by(value_col, order_key).alias("_last"),
+    )
+    boundary = bounds.withColumn(
+        "_prev", F.lag("_last").over(Window.orderBy("_pid"))
+    ).agg(
+        F.coalesce(
+            F.sum(
+                (
+                    F.col("_prev").isNotNull()
+                    & (F.col("_first") != F.col("_prev"))
+                ).cast("long")
+            ),
+            F.lit(0),
+        ).alias("_boundary")
+    )
+    return internal.crossJoin(F.broadcast(boundary)).select(
+        (F.col("_internal") + F.col("_boundary")).cast("long").alias(out_col)
+    )

@@ -6693,6 +6693,88 @@ def events_mann_kendall_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# WALD–WOLFOWITZ RUNS TEST — is the purchase/non-purchase SEQUENCE
+# random, or do successes clump (sessions, cascades) / alternate
+# (throttling)? R = number of runs along the global (ts, event_id)
+# order = adjacent value changes + 1. Adjacency at scale rides the new
+# distributed_adjacent_changes primitive: one range exchange,
+# per-partition lag, plus ≤|partitions| boundary pairs through a
+# metadata-sized window — never a data-sized self-join or global sort.
+# R, n and n1 are exact int64; E[R] = 1 + 2·n1·n2/n and
+# Var = m(m−n)/(n²(n−1)) (m = 2·n1·n2) evaluate as ONE identical IEEE
+# dag on both engines (exact integer inputs, no transcendentals beyond
+# the correctly-rounded sqrt), z = (R − E)/sqrt(Var).
+# ---------------------------------------------------------------------------
+@register(
+    "events_runs_test",
+    oracle="""
+        WITH w AS (
+            SELECT CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS x,
+                   LAG(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                       OVER (ORDER BY ts, event_id) AS px
+            FROM events
+        ),
+        c AS (
+            SELECT CAST(COUNT(*) AS BIGINT) AS n,
+                   CAST(SUM(x) AS BIGINT) AS n1,
+                   CAST(SUM(CASE WHEN px IS NOT NULL AND x <> px
+                                 THEN 1 ELSE 0 END) AS BIGINT) + 1 AS r
+            FROM w
+        ),
+        g AS (SELECT n, n1, r, 2.0 * n1 * (n - n1) AS m FROM c),
+        f AS (
+            SELECT n, n1, r,
+                   1.0 + m / n AS e,
+                   (m * (m - n))
+                       / ((CAST(n AS DOUBLE) * n) * (n - 1.0)) AS v
+            FROM g
+        )
+        SELECT n AS n_events, n1 AS n_success, r AS n_runs,
+               CAST(ROUND(e * 1000000.0) AS BIGINT) AS expected_runs_micro,
+               CAST(ROUND(CASE WHEN v <= 0 THEN 0.0
+                               ELSE (r - e) / sqrt(v) END * 1000000.0)
+                    AS BIGINT) AS z_micro
+        FROM f
+    """,
+    tags=("stats", "hypothesis-test", "runs-test", "sequence", "events"),
+)
+def events_runs_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kafka_stream_job_spark.operators._distributed import (
+        distributed_adjacent_changes,
+    )
+
+    events = load_table(spark, sf_dir, "events")
+    obs = events.select(
+        "ts",
+        "event_id",
+        F.when(F.col("event_type") == "purchase", 1).otherwise(0).alias("x"),
+    ).localCheckpoint(eager=False)  # changes + counts share one read
+    changes = distributed_adjacent_changes(
+        obs, [F.col("ts"), F.col("event_id")], "x"
+    )
+    counts = obs.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("x").cast("long").alias("n1"),
+    )
+    c = counts.crossJoin(F.broadcast(changes)).select(
+        "n", "n1", (F.col("n_changes") + 1).cast("long").alias("r")
+    )
+    m = F.lit(2.0) * F.col("n1") * (F.col("n") - F.col("n1"))
+    e = F.lit(1.0) + m / F.col("n")
+    v = (m * (m - F.col("n"))) / (
+        (F.col("n").cast("double") * F.col("n")) * (F.col("n") - F.lit(1.0))
+    )
+    z = F.when(v <= 0, F.lit(0.0)).otherwise((F.col("r") - e) / F.sqrt(v))
+    return c.select(
+        F.col("n").alias("n_events"),
+        F.col("n1").alias("n_success"),
+        F.col("r").alias("n_runs"),
+        F.round(e * 1000000.0, 0).cast("long").alias("expected_runs_micro"),
+        F.round(z * 1000000.0, 0).cast("long").alias("z_micro"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # JOIN CARDINALITY AUDIT — the optimizer's cost model, checked against
 # ground truth: for three representative equi-joins, compare the
 # textbook estimate |L|·|R| / max(V_L, V_R) with the EXACT output

@@ -630,3 +630,89 @@ def test_sprt_fold_rejects_out_of_order_batches():
     # same ts, later event_id is fine (tie broken by event_id)
     out = _sprt_fold_ordered(st, mk([(20, 3, 1)]), *args)
     assert out[0] == 3
+
+
+def test_distributed_adjacent_changes_matches_python(spark):
+    """The adjacency primitive behind events_runs_test vs a from-scratch
+    sorted-Python walk, on a value pattern crafted to put changes both
+    INSIDE range partitions and ACROSS their boundaries."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from kafka_stream_job_spark.operators._distributed import (
+        distributed_adjacent_changes,
+    )
+
+    rng = random.Random(11)
+    rows = [(i, rng.randint(0, 1)) for i in range(500)]
+    df = spark.createDataFrame(rows, "k long, x int")
+    got = distributed_adjacent_changes(
+        df, [F.col("k")], "x", n_parts=16
+    ).collect()[0]["n_changes"]
+    xs = [x for _, x in sorted(rows)]
+    want = sum(1 for a, b in zip(xs, xs[1:]) if a != b)
+    assert got == want
+    # empty input -> 0, single row -> 0
+    empty = spark.createDataFrame([], "k long, x int")
+    assert (
+        distributed_adjacent_changes(empty, [F.col("k")], "x").collect()[0][
+            "n_changes"
+        ]
+        == 0
+    )
+    one = spark.createDataFrame([(1, 1)], "k long, x int")
+    assert (
+        distributed_adjacent_changes(one, [F.col("k")], "x").collect()[0][
+            "n_changes"
+        ]
+        == 0
+    )
+
+
+def test_runs_test_matches_pure_python_walk(spark, tmp_path):
+    """Crafted event sequence through the REGISTERED events_runs_test vs
+    a from-scratch Python Wald–Wolfowitz computation — independent of
+    the SQL oracle that shares the engine formula."""
+    import datetime
+    import math as _math
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    # deliberate clumping: long runs, then alternation
+    types = (
+        ["purchase"] * 10 + ["view"] * 10 + ["purchase", "view"] * 15
+        + ["purchase"] * 5
+    )
+    base = datetime.datetime(2024, 1, 1)
+    tbl = pa.table(
+        {
+            "event_id": list(range(len(types))),
+            "ts": [
+                base + datetime.timedelta(seconds=i) for i in range(len(types))
+            ],
+            "user_id": [i % 7 for i in range(len(types))],
+            "event_type": types,
+            "value": [1.0] * len(types),
+            "props": ["{}"] * len(types),
+        }
+    )
+    d = tmp_path / "runs_sf"
+    d.mkdir()
+    pq.write_table(tbl, d / "events.parquet")
+
+    row = SPECS["events_runs_test"].fn(spark, str(d)).collect()[0].asDict()
+
+    xs = [1 if t == "purchase" else 0 for t in types]
+    n, n1 = len(xs), sum(xs)
+    r = 1 + sum(1 for a, b in zip(xs, xs[1:]) if a != b)
+    m = 2.0 * n1 * (n - n1)
+    e = 1.0 + m / n
+    v = (m * (m - n)) / ((float(n) * n) * (n - 1.0))
+    z = (r - e) / _math.sqrt(v)
+    assert row["n_events"] == n
+    assert row["n_success"] == n1
+    assert row["n_runs"] == r
+    assert row["expected_runs_micro"] == round(e * 1e6)
+    assert row["z_micro"] == round(z * 1e6)
