@@ -2898,3 +2898,79 @@ RATER_DRIFT_ORACLE = f"""
            {_MCNEMAR_CASE_SQL} AS mcnemar_micro
     FROM c
 """
+
+
+# ---------------------------------------------------------------------------
+# SPLIT LEAKAGE AUDIT — the train/val/test contamination check every
+# eval pipeline needs BEFORE it trusts a benchmark number: split the
+# corpus 80/10/10 by the deterministic doc_id hash (reproducible, the
+# split_train_eval construction), fingerprint each doc by its normalized
+# token stream (the text_fingerprint definition — content-identical
+# docs collide even under different doc_ids), and report, per split,
+# how many documents share a fingerprint with ANOTHER split. A leaked
+# eval doc means its benchmark answer sits verbatim in training data.
+# Scale shape: one fp-keyed aggregate (countDistinct split collapses
+# map-side to a 3-element set), one fp-keyed join back, bounded 3-row
+# rollup + one broadcast scalar. No windows, no collects.
+# ---------------------------------------------------------------------------
+@register(
+    "split_leakage_audit",
+    oracle=rf"""
+        WITH d AS (
+            SELECT doc_id,
+                   CASE WHEN {_doc_hash_sql("leak")} % 10 < 8 THEN 'train'
+                        WHEN {_doc_hash_sql("leak")} % 10 = 8 THEN 'val'
+                        ELSE 'test' END AS split,
+                   md5(array_to_string(
+                       string_split_regex(LOWER(TRIM(text)), '\s+'), ' '))
+                       AS fp
+            FROM documents
+        ),
+        fps AS (
+            SELECT fp, CAST(COUNT(DISTINCT split) AS BIGINT) AS n_splits
+            FROM d GROUP BY 1
+        ),
+        leaked AS (
+            SELECT CAST(COUNT(*) AS BIGINT) AS leaked_fp_total
+            FROM fps WHERE n_splits > 1
+        )
+        SELECT d.split,
+               CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(COUNT(DISTINCT d.fp) AS BIGINT) AS n_distinct_fp,
+               CAST(SUM(CASE WHEN f.n_splits > 1 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_leaked_docs,
+               (SELECT leaked_fp_total FROM leaked) AS leaked_fp_total
+        FROM d JOIN fps f ON f.fp = d.fp
+        GROUP BY 1
+    """,
+    tags=("llm-pipeline", "corpus", "leakage", "dedup", "documents"),
+)
+def split_leakage_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    fp = F.md5(
+        F.array_join(F.split(F.lower(F.trim(F.col("text"))), r"\s+"), " ")
+    )
+    h = _doc_hash("leak") % 10
+    d = docs.select(
+        F.when(h < 8, "train").when(h == 8, "val").otherwise("test")
+        .alias("split"),
+        fp.alias("fp"),
+    ).localCheckpoint(eager=False)  # fp stats + join back share one read
+    fps = d.groupBy("fp").agg(
+        F.countDistinct("split").cast("long").alias("n_splits")
+    ).localCheckpoint(eager=False)
+    leaked = fps.filter(F.col("n_splits") > 1).agg(
+        F.count(F.lit(1)).cast("long").alias("leaked_fp_total")
+    )
+    per_split = (
+        d.join(fps, "fp")
+        .groupBy("split")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.countDistinct("fp").cast("long").alias("n_distinct_fp"),
+            F.sum((F.col("n_splits") > 1).cast("long"))
+            .cast("long")
+            .alias("n_leaked_docs"),
+        )
+    )
+    return per_split.crossJoin(F.broadcast(leaked))

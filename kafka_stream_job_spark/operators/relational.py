@@ -6759,6 +6759,12 @@ def events_runs_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = counts.crossJoin(F.broadcast(changes)).select(
         "n", "n1", (F.col("n_changes") + 1).cast("long").alias("r")
     )
+    return runs_report(c)
+
+
+def runs_report(c: DataFrame) -> DataFrame:
+    """Runs-test report from a 1-row (n, n1, r) table — shared verbatim
+    by the batch query and its streaming twin (one IEEE dag)."""
     m = F.lit(2.0) * F.col("n1") * (F.col("n") - F.col("n1"))
     e = F.lit(1.0) + m / F.col("n")
     v = (m * (m - F.col("n"))) / (

@@ -5462,29 +5462,35 @@ _register_streaming_cuped_monitor()
 # streaming_self_excitation (the r10 advice fix); same micro-batch
 # event-time ordering contract. Oracle verbatim from the batch op.
 # ---------------------------------------------------------------------------
-def _sprt_fold_ordered(st, batch, a, b, inc0, inc1):
-    """Fold one micro-batch (already concatenated across Arrow chunks)
-    into the 7-long SPRT state (idx, llr, first_up, first_down, n_succ,
-    last_ts, last_eid). The walk assumes GLOBAL (ts_us, event_id) order
-    across micro-batches — true for the single-file replay source this
-    monitor is written for, but silently wrong for any source that
-    interleaves event time across batches. So the contract is asserted:
-    the sorted batch's first key must come strictly after the last key
-    folded by any earlier batch, else we raise instead of mis-walking.
-    Module-level so the out-of-order path is unit-testable without a
-    streaming harness."""
-    import pandas as pd  # noqa: F401 — callers pass pandas frames
-
-    idx, llr, first_up, first_down, n_succ, last_ts, last_eid = st
+def _ordered_batch_or_raise(batch, last_ts, last_eid, op_name):
+    """Sort a micro-batch by (ts_us, event_id) and assert it comes
+    STRICTLY after the last key any earlier batch folded. The sequential
+    monitors (SPRT, runs test) assume GLOBAL event-time order across
+    micro-batches — true for the single-file replay source they are
+    written for, but silently wrong for any source that interleaves
+    event time across batches, so the contract fails loudly instead of
+    mis-walking."""
     batch = batch.sort_values(["ts_us", "event_id"])
     head = (int(batch["ts_us"].iloc[0]), int(batch["event_id"].iloc[0]))
     if head <= (last_ts, last_eid):
         raise ValueError(
-            f"SPRT monitor requires event-time-ordered micro-batches: "
+            f"{op_name} requires event-time-ordered micro-batches: "
             f"batch starts at {head} but an earlier batch already folded "
             f"({last_ts}, {last_eid}); this source violates the "
             "single-file replay ordering contract"
         )
+    return batch
+
+
+def _sprt_fold_ordered(st, batch, a, b, inc0, inc1):
+    """Fold one micro-batch (already concatenated across Arrow chunks)
+    into the 7-long SPRT state (idx, llr, first_up, first_down, n_succ,
+    last_ts, last_eid). Module-level so the out-of-order path is
+    unit-testable without a streaming harness."""
+    import pandas as pd  # noqa: F401 — callers pass pandas frames
+
+    idx, llr, first_up, first_down, n_succ, last_ts, last_eid = st
+    batch = _ordered_batch_or_raise(batch, last_ts, last_eid, "SPRT monitor")
     for x in batch["x"]:
         idx += 1
         x = int(x)
@@ -5932,3 +5938,109 @@ def _register_streaming_mann_kendall_monitor() -> None:
 
 
 _register_streaming_mann_kendall_monitor()
+
+
+# ---------------------------------------------------------------------------
+# STREAMING RUNS MONITOR — the live twin of events_runs_test: one
+# 6-long state row (n, n1, changes, last_x, last_ts, last_eid) folded
+# per micro-batch in (ts_us, event_id) order through
+# applyInPandasWithState, with the same chunk-materialize-then-sort +
+# ordering-contract discipline as the SPRT monitor (shared
+# _ordered_batch_or_raise). The per-batch fold is numpy-vectorized —
+# only the single boundary comparison chains across batches. Final
+# z assembles through the SAME runs_report as the batch op; oracle
+# verbatim.
+# ---------------------------------------------------------------------------
+def _runs_fold_ordered(st, batch):
+    """Fold one micro-batch into the 6-long runs state. Module-level so
+    the out-of-order path is unit-testable without a streaming
+    harness."""
+    import numpy as np
+
+    n, n1, changes, last_x, last_ts, last_eid = st
+    batch = _ordered_batch_or_raise(batch, last_ts, last_eid, "runs monitor")
+    xs = batch["x"].to_numpy()
+    n += len(xs)
+    n1 += int(xs.sum())
+    changes += int(np.count_nonzero(xs[:-1] != xs[1:]))
+    if last_x >= 0 and int(xs[0]) != last_x:
+        changes += 1
+    return (
+        n,
+        n1,
+        changes,
+        int(xs[-1]),
+        int(batch["ts_us"].iloc[-1]),
+        int(batch["event_id"].iloc[-1]),
+    )
+
+
+def _register_streaming_runs_monitor() -> None:
+    import uuid
+
+    from kafka_stream_job_spark.operators.relational import runs_report
+    from kafka_stream_job_spark.registry import REGISTRY, register
+
+    oracle = REGISTRY["events_runs_test"].oracle
+
+    @register(
+        "streaming_runs_monitor",
+        oracle=oracle,
+        tags=("streaming", "stateful", "stats", "runs-test", "events"),
+    )
+    def streaming_runs_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
+        import tempfile
+
+        from pyspark.sql.streaming.state import GroupStateTimeout
+
+        obs = stream_events(spark, sf_dir).select(
+            F.lit(0).alias("g"),
+            F.unix_micros(F.col("ts")).alias("ts_us"),
+            "event_id",
+            F.when(F.col("event_type") == "purchase", 1)
+            .otherwise(0)
+            .alias("x"),
+        )
+
+        def update(key, pdfs, state):
+            import pandas as pd
+
+            st = (
+                tuple(state.get)
+                if state.exists
+                else (0, 0, 0, -1, -(1 << 62), -(1 << 62))
+            )
+            chunks = [pdf for pdf in pdfs if len(pdf)]
+            if chunks:
+                batch = (
+                    chunks[0]
+                    if len(chunks) == 1
+                    else pd.concat(chunks, ignore_index=True)
+                )
+                st = _runs_fold_ordered(st, batch)
+            state.update(tuple(int(v) for v in st))
+            n, n1, changes = st[:3]
+            yield pd.DataFrame(
+                {"n": [n], "n1": [n1], "r": [changes + 1]}
+            )
+
+        walked = obs.groupBy("g").applyInPandasWithState(
+            update,
+            outputStructType="n long, n1 long, r long",
+            stateStructType=(
+                "n long, n1 long, changes long, last_x long, "
+                "last_ts long, last_eid long"
+            ),
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+        name = f"stream_runs_{uuid.uuid4().hex[:8]}"
+        ckpt = tempfile.mkdtemp(prefix="ksj-stream-runs-")
+        emitted = run_stream_to_memory(spark, walked, name, ckpt)
+        # each micro-batch emits one cumulative row; the converged one
+        # has max n
+        final = emitted.orderBy(F.col("n").desc()).limit(1)
+        return runs_report(final)
+
+
+_register_streaming_runs_monitor()

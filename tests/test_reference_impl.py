@@ -716,3 +716,39 @@ def test_runs_test_matches_pure_python_walk(spark, tmp_path):
     assert row["n_runs"] == r
     assert row["expected_runs_micro"] == round(e * 1e6)
     assert row["z_micro"] == round(z * 1e6)
+
+
+def test_runs_fold_rejects_out_of_order_batches():
+    """streaming_runs_monitor's shared fold: in-order batch splits fold
+    to exactly the single-batch result (boundary change counted once);
+    a batch reaching back before the frontier raises (shared
+    _ordered_batch_or_raise contract with the SPRT monitor)."""
+    import pandas as pd
+
+    from kafka_stream_job_spark.streaming.pipeline import _runs_fold_ordered
+
+    def mk(rows):
+        return pd.DataFrame(
+            {
+                "ts_us": [r[0] for r in rows],
+                "event_id": [r[1] for r in rows],
+                "x": [r[2] for r in rows],
+            }
+        )
+
+    init = (0, 0, 0, -1, -(1 << 62), -(1 << 62))
+    rows = [(10, 1, 1), (20, 2, 1), (30, 3, 0), (40, 4, 1), (50, 5, 1)]
+    whole = _runs_fold_ordered(init, mk(rows))
+    split = _runs_fold_ordered(init, mk(rows[:3]))
+    split = _runs_fold_ordered(split, mk(rows[3:]))
+    assert split == whole
+    # (n, n1, changes): 5 events, 4 successes, runs 1,1,0,1,1 -> 2 changes
+    assert whole[:3] == (5, 4, 2)
+    # boundary change across the split is counted exactly once
+    a = _runs_fold_ordered(init, mk([(10, 1, 1), (20, 2, 1)]))
+    b = _runs_fold_ordered(a, mk([(30, 3, 0)]))
+    assert b[2] == 1
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="event-time-ordered"):
+        _runs_fold_ordered(b, mk([(25, 9, 1)]))
