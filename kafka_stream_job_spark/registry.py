@@ -374,7 +374,7 @@ def all_specs() -> dict[str, QuerySpec]:
     recheck = {n: s for n, s in REGISTRY.items() if n in _RECHECK}
     # Within the never-checked group, order by MEASURED sf0.01 driver-sim
     # cost (tools/verify_oracle.py SIM_PAR=1; re-measured over the FULL
-    # 481-query registry in round 10 — regenerate any time with
+    # 492-query registry in round 11 — regenerate any time with
     # tools/regen_cost_order.py from the committed CORRECTNESS_LOCAL.json),
     # cheapest first: if the driver's
     # pass is time-capped rather than count-capped, cheap-first maximizes
@@ -382,241 +382,246 @@ def all_specs() -> dict[str, QuerySpec]:
     # (operators added after the measurement) slot in just after the
     # sub-second group.
     cost_order = (
-        "binary_blob_source_stats", "text_fingerprint",
-        "nations_with_rich_customers", "sft_loss_masking_spans",
-        "text_bpe_token_count", "customers_without_orders",
-        "span_corruption_manifest", "text_token_stats",
-        "url_functions_showcase", "cube_order_status_priority",
-        "q6_forecast_revenue", "split_train_eval",
-        "fixed_width_source_read", "sft_pair_manifest",
-        "bitwise_aggregates_showcase", "data_freshness_sla",
-        "grouping_sets_revenue", "text_mojibake_detect",
-        "text_quality_score", "pipe_sql_priority_stats",
-        "scd2_customer_merge", "schema_evolution_merge_read",
-        "text_fano_burstiness", "text_seqlen_histogram",
-        "weighted_sample_docs", "arrow_map_embedding_norm",
-        "text_pii_redaction", "q14_promo_revenue", "quota_sample_per_lang",
-        "scalar_functions_showcase", "datetime_functions_showcase",
-        "lang_balance_weights", "rollup_returns", "doc_sliding_chunks",
-        "multimodal_metadata_scan", "partitioned_source_pruned_read",
-        "bpe_fertility_by_lang", "cv_fold_manifest", "dedup_exact",
-        "q12_priority_by_linestatus", "text_adjacent_repetition",
-        "text_sentiment_lexicon", "collation_group_showcase",
-        "dedup_url_canonical", "dpo_preference_pairs",
-        "gdpr_purge_manifest", "lateral_top_customers_per_nation",
-        "q22_global_sales_opportunity", "text_language_id",
-        "try_functions_showcase", "q19_disjunctive_revenue",
-        "lang_temperature_weights", "parameterized_sql_showcase",
-        "profile_hot_orderkeys", "quality_rater_agreement_kappa",
-        "text_unicode_script_profile", "csv_source_permissive_read",
-        "decayed_leaderboard", "embedding_int8_quantize",
-        "events_props_templates", "neyman_allocation_plan",
-        "unpivot_lineitem_measures", "bronze_decode_errors",
-        "events_daily_value_trend", "q4_order_priority",
-        "events_funnel_view_click_purchase", "execute_immediate_showcase",
-        "grpo_group_advantage", "multimodal_frame_sample",
-        "corpus_mix_rebalance", "embedding_norm_stats",
-        "events_funnel_latency", "multimodal_resize",
-        "multimodal_stratified_sample", "q7_volume_shipping",
-        "streaming_state_budget_planner", "supplier_return_wilson_rank",
-        "text_readability_features", "jsonl_source_permissive_read",
-        "kmv_distinct_users", "null_safe_join_attribution",
-        "percentile_order_prices", "best_of_n_selection",
-        "gmv_walk_forward_backtest", "pandas_scalar_log_price",
-        "parts_price_anova_by_size", "q18_large_volume_customers",
-        "text_hapax_ratio", "web_domain_profile", "window_event_gaps",
-        "benford_digit_audit", "compaction_bin_packing_plan",
-        "events_props_variant_decode", "events_user_lifecycle_stages",
-        "file_metadata_columns_read", "k_anonymity_audit",
-        "q15_top_supplier", "q1_pricing_summary", "rater_mcnemar_test",
-        "events_multi_rollup", "rank_correlation_kendall",
-        "basket_size_nbd_fit", "embedding_isotropy_proxy",
-        "events_json_extract", "incremental_agg_maintenance",
-        "multimodal_decode_features", "multimodal_gif_stats",
-        "window_customer_order_rank", "dedup_prefix_collision",
-        "pack_sequences_manifest", "revenue_waterfall",
+        "text_fingerprint", "binary_blob_source_stats",
+        "nations_with_rich_customers", "text_bpe_token_count",
+        "text_token_stats", "url_functions_showcase",
+        "customers_without_orders", "split_train_eval",
+        "data_freshness_sla", "q6_forecast_revenue",
+        "sft_loss_masking_spans", "weighted_sample_docs",
+        "bitwise_aggregates_showcase", "q14_promo_revenue",
+        "quota_sample_per_lang", "scalar_functions_showcase",
+        "span_corruption_manifest", "gdpr_purge_manifest",
+        "pipe_sql_priority_stats", "text_quality_score",
+        "lang_balance_weights", "sft_pair_manifest",
+        "datetime_functions_showcase", "fixed_width_source_read",
+        "grouping_sets_revenue", "parameterized_sql_showcase",
+        "text_mojibake_detect", "doc_sliding_chunks",
+        "events_daily_value_trend", "lateral_top_customers_per_nation",
+        "text_fano_burstiness", "text_sentiment_lexicon",
+        "try_functions_showcase", "scd2_customer_merge",
+        "supplier_return_wilson_rank", "cube_order_status_priority",
+        "multimodal_metadata_scan", "null_safe_join_attribution",
+        "schema_evolution_merge_read", "text_adjacent_repetition",
+        "text_pii_redaction", "bpe_fertility_by_lang",
+        "corpus_mix_rebalance", "dedup_exact", "profile_hot_orderkeys",
+        "q12_priority_by_linestatus", "q22_global_sales_opportunity",
+        "text_seqlen_histogram", "bronze_decode_errors",
+        "k_anonymity_audit", "text_language_id",
+        "user_time_to_first_purchase", "events_multi_rollup",
+        "events_props_variant_decode", "q19_disjunctive_revenue",
+        "text_unicode_script_profile", "arrow_map_embedding_norm",
+        "events_self_excitation_ratio", "lang_temperature_weights",
+        "multimodal_resize", "parts_price_anova_by_size",
+        "percentile_order_prices", "stats_qty_price_corr",
+        "streaming_state_budget_planner", "basket_size_nbd_fit",
+        "decayed_leaderboard", "events_json_extract", "kmv_distinct_users",
+        "multimodal_frame_sample", "pivot_user_event_matrix",
+        "q13_customer_distribution", "rollup_returns",
+        "unpivot_lineitem_measures", "events_funnel_view_click_purchase",
+        "partitioned_source_pruned_read", "q15_top_supplier",
+        "q4_order_priority", "snapshot_diff_report", "text_hapax_ratio",
+        "array_agg_user_profile", "cv_fold_manifest",
+        "dpo_preference_pairs", "embedding_norm_stats",
+        "events_funnel_latency", "pack_sequences_manifest",
+        "collation_group_showcase", "gmv_walk_forward_backtest",
+        "incremental_agg_maintenance", "neyman_allocation_plan",
+        "orders_gmv_weekly_wow", "q7_volume_shipping", "revenue_waterfall",
+        "text_readability_features", "execute_immediate_showcase",
+        "revenue_trend_ols", "distinct_parts_per_supplier",
+        "events_props_templates", "events_user_lifecycle_stages",
+        "merge_full_cdc", "subject_access_export",
+        "embedding_int8_quantize", "events_seasonality_strength",
+        "jsonl_source_permissive_read", "lineitem_ship_latency",
+        "q18_large_volume_customers", "q9_product_type_profit",
+        "setops_customer_segments", "small_quantity_revenue",
+        "top_customers_by_revenue", "benford_digit_audit",
+        "csv_source_permissive_read", "dedup_url_canonical",
+        "events_hourly_rollup", "multimodal_stratified_sample",
+        "quality_rater_agreement_kappa", "rank_correlation_kendall",
+        "text_vocab_coverage", "window_event_gaps",
+        "events_interval_union_coverage", "events_theilsen_trend",
         "events_transition_matrix", "gzip_jsonl_source_read",
-        "map_functions_showcase", "orders_duplicate_payment_audit",
-        "orders_gmv_weekly_wow", "orphan_file_audit",
-        "pandas_acctbal_zscore", "pandas_grouped_agg_trimmed_mean",
-        "q13_customer_distribution", "q20_heavy_shippers",
-        "range_join_price_bands", "stats_qty_price_corr",
-        "top_customers_by_revenue", "dedup_cluster_size_histogram",
-        "discount_cap_counterfactual", "linkage_blocking_quality",
-        "multimodal_dedup_content_hash", "q10_returned_items",
-        "array_agg_user_profile", "events_hourly_rollup",
-        "events_seasonality_strength", "feature_asof_training_matrix",
-        "hll_distinct_users", "merge_full_cdc", "q3_shipping_priority",
-        "pivot_user_event_matrix", "q9_product_type_profit",
-        "similarity_topk_cosine", "subject_access_export",
-        "array_set_functions_showcase", "dp_noisy_nation_counts",
-        "events_interval_union_coverage", "l_diversity_audit",
-        "lineitem_ship_latency", "mixture_temperature_sweep",
-        "multimodal_avi_stats", "multimodal_png_stats",
-        "similarity_lsh_neardup", "trigram_like_search",
-        "corpus_weights_ess", "events_psi_value_drift",
-        "events_user_retention", "small_quantity_revenue",
-        "change_data_feed_report", "events_burst_hours",
-        "events_self_excitation_ratio", "mlm_masking_manifest",
-        "snapshot_diff_report", "text_vocab_coverage", "user_trigram_paths",
-        "xml_decode_roundtrip", "churn_label_manifest",
-        "embedding_pca2_closed_form", "events_ewma_forecast",
-        "events_theilsen_trend", "multimodal_audio_frame_energy",
-        "orc_source_roundtrip", "setops_customer_segments",
-        "attribution_multi_touch", "blocklist_phrase_filter",
-        "events_holt_forecast", "linkage_fellegi_sunter",
-        "multimodal_magic_sniffer", "partition_spec_advisor",
-        "sql_udf_showcase", "text_bm25_search", "events_hill_tail_index",
-        "q11_important_part_value", "market_concentration_hhi",
-        "asof_next_touch_latency", "bronze_decode_roundtrip",
-        "distinct_parts_per_supplier", "embedding_bitwidth_sweep",
-        "events_hourly_anomaly", "multimodal_bmp_stats",
-        "q2_min_cost_supplier", "q8_national_market_share",
-        "revenue_trend_ols", "similarity_topk_bucketed",
-        "window_range_trailing_hour", "decontaminate_by_embedding",
-        "multimodal_avi_shot_boundaries", "text_zipf_slope",
-        "discount_elasticity_by_brand", "content_defined_chunks",
-        "corpus_dedup_aware_weights", "events_seasonal_profile",
-        "langid_precision_recall", "medallion_pipeline_rollup",
-        "orders_repeat_purchase_gaps", "profile_lineitem_columns",
-        "salted_join_supplier_volume", "similarity_topk_binary_rerank",
-        "events_interval_overlap_join", "geo_cell_colocation",
-        "rate_limiter_backtest", "sketch_quantile_bins",
-        "text_rake_keywords", "udtf_word_expand",
-        "user_time_to_first_purchase", "aes_roundtrip_audit",
-        "ann_ndcg_truncation", "corpus_token_budget_plan",
-        "dedup_embedding_cosine", "multimodal_silence_segments",
-        "text_feature_hashing", "incremental_join_maintenance",
-        "shard_manifest_balanced", "text_lexical_diversity",
-        "score_calibration_report", "streaming_dedup_events",
-        "q16_supplier_part_buckets", "q21_waiting_supplier",
-        "shuffle_partition_advisor", "corpus_quota_rebalance_delta",
-        "embedding_blocking_key_profile", "events_hourly_gapfill",
-        "events_type_audience_overlap", "embedding_outlier_zscore",
-        "events_ab_uplift_test", "text_top_bigrams", "dedup_frontier_bloom",
-        "events_profile_cosine_pairs", "streaming_heavy_hitter_users",
-        "supplier_scorecard", "attribution_window_sweep",
-        "multimodal_wav_haar_energy", "txn_log_time_travel",
-        "bloom_filter_membership", "events_anomaly_persistence",
-        "events_bounce_rate_by_entry", "multimodal_ahash_neardup",
-        "price_index_laspeyres", "embedding_dim_variance_rank",
-        "hll_merge_event_types", "rag_context_pack",
-        "embedding_jl_projection_audit", "ivf_cell_balance_report",
-        "session_window_rollup", "snapshot_retention_expiry_plan",
-        "text_repetition_filter", "text_word_pmi",
-        "events_session_window_batch", "streaming_csv_source_rollup",
-        "kmeans_inertia_elbow", "q5_local_supplier_volume",
-        "t_closeness_audit", "events_growth_accounting",
-        "matryoshka_truncation_recall", "streaming_upsert_latest_state",
-        "watermark_sizing_report", "skipgram_negative_samples",
-        "curriculum_pacing_schedule", "events_sessionize_batch",
-        "forecast_conformal_intervals", "multimodal_bmp_ahash",
-        "search_hybrid_rrf", "events_ohlc_bars",
-        "ols_two_feature_normal_eq", "customer_spend_gini",
-        "decision_stump_split_scores", "graph_degree_distribution",
-        "streaming_kmv_distinct_users", "token_df_drift_halves",
-        "asof_purchase_attribution", "events_cusum_drift",
-        "events_holtwinters_forecast", "percentile_distributed_exact",
-        "events_sprt_monitor", "similarity_topk_ivf",
-        "streaming_gzip_jsonl_rollup", "text_term_proximity_search",
-        "streaming_available_now_rollup", "scd2_point_in_time_join",
-        "surrogate_key_assignment", "text_char_entropy",
-        "basket_part_pairs", "cms_token_counts", "join_skew_planner",
-        "single_source_risk_report", "data_quality_audit",
-        "corpus_epoch_shuffle_manifest",
-        "customer_segment_entropy_by_nation", "embedding_mutual_nn_pairs",
-        "events_props_schema_profile", "heavy_hitter_tokens",
-        "text_token_entropy", "embedding_cluster_label_purity",
-        "customer_balance_ks_test", "orders_priority_status_chi2",
-        "streaming_hll_distinct_users",
-        "timeseries_znorm_subsequence_search",
-        "streaming_union_sources_rollup", "window_functions_showcase",
-        "multimodal_wav_silence_real", "fuzzy_join_part_names",
-        "orders_cohort_revenue", "orders_cuped_adjustment",
-        "streaming_dedup_within_watermark", "array_hof_showcase",
-        "batch_replay_source_slice", "events_mann_whitney_test",
-        "k_anonymity_generalize", "padding_waste_report", "dedup_survivors",
-        "histogram_price_deciles", "streaming_sliding_rollup",
-        "streaming_static_enrich", "text_chunk_dedup",
-        "events_alarm_verification", "events_dau_wau_mau",
-        "graph_assortativity", "embedding_pq_codes", "gopher_quality_rules",
-        "streaming_hourly_rollup", "bandit_replay_hourly",
-        "dedup_minhash_lsh", "events_hourly_mad_outliers",
-        "pps_systematic_sample", "quality_logreg_inference",
-        "repeated_ngram_spans", "streaming_rater_drift_monitor",
-        "vocab_growth_curve", "events_peak_concurrency",
-        "similarity_maxsim_multivector", "corpus_source_datasheet",
-        "dedup_exact_substring", "knn_classifier_eval",
-        "quality_logreg_training", "abc_customer_classification",
-        "dedup_incremental_delta", "multimodal_wav_stats",
-        "tokenizer_vocab_pressure", "orders_open_backlog_daily",
-        "events_changepoint_binseg", "bpe_learn_merges",
-        "checkpoint_statestore_table", "lineitem_qty_price_heatmap",
-        "surrogate_key_incremental", "events_hourly_type_entropy",
-        "streaming_interval_union_coverage", "dedup_span_mask_manifest",
-        "streaming_topk_types_hourly", "zorder_layout_stats",
-        "embedding_covariance", "part_name_brand_mi", "bpe_apply_merges",
-        "fd_discovery_profile", "graph_link_prediction_suppliers",
-        "streaming_neyman_allocation", "dedup_pair_provenance",
-        "kmv_set_ops_event_types", "streaming_session_rollup",
-        "streaming_value_quantiles", "streaming_txn_log_tail",
-        "orders_survival_km", "streaming_rate_limiter",
-        "streaming_seasonality_monitor", "text_entropy_rate_bigram",
-        "association_rules_parts", "dsir_importance_weights",
-        "corpus_shingle_novelty", "dedup_edit_distance",
-        "ivf_recall_report", "similarity_topk_pq_adc",
-        "sketch_user_activity", "streaming_feature_hashing_monitor",
-        "crosslingual_contamination", "events_ccf_count_value",
-        "linkage_entity_clusters", "streaming_magic_sniffer",
-        "streaming_stateful_type_counts", "batch_replay_pruned_scan",
-        "corpus_js_divergence", "events_haar_wavelet_energy",
-        "join_cardinality_audit", "streaming_sprt_monitor",
-        "fk_inclusion_profile", "text_rolling_fingerprint",
-        "decontaminate_train_shingles", "embedding_drift_ab_halves",
-        "streaming_self_excitation", "streaming_psi_drift",
-        "multimodal_shot_boundaries", "supplier_pareto_frontier",
-        "text_tfidf_top_terms", "streaming_sink_exactly_once_roundtrip",
-        "streaming_fertility_drift", "streaming_update_mode_rollup",
-        "semantic_dedup_semdedup", "hll_intersection_estimate",
-        "bigram_lm_score", "events_markov_stationary",
-        "contrastive_triplets", "events_hourly_autocorr",
-        "graph_modularity_by_brand", "ivf_incremental_assign",
-        "streaming_hill_tail_monitor", "streaming_stateful_totals",
-        "bradley_terry_strengths", "linkage_em_parameters",
-        "zonemap_skip_simulation", "streaming_ess_monitor",
-        "dedup_containment", "dedup_simhash", "udtf_dynamic_ngrams",
-        "bucketed_join_colocated", "rfm_customer_segments",
-        "spearman_len_vs_ttr", "cogroup_asof_pandas",
-        "maxmin_fair_allocation", "streaming_brand_mi_drift",
-        "dedup_ngram_jaccard", "streaming_ohlc_bars",
-        "supplier_leadtime_percentiles", "source_overlap_jaccard",
-        "streaming_chained_windows", "dedup_transitivity_audit",
-        "embedding_power_iteration", "hits_authority_hub",
-        "streaming_bounce_rate", "recursive_month_spine",
-        "embedding_silhouette_centroid", "streaming_cuped_monitor",
+        "q10_returned_items", "text_zipf_slope", "attribution_multi_touch",
+        "compaction_bin_packing_plan", "dedup_prefix_collision",
+        "embedding_isotropy_proxy", "embedding_pca2_closed_form",
+        "events_ewma_forecast", "hll_distinct_users",
+        "profile_lineitem_columns", "q20_heavy_shippers",
+        "events_type_audience_overlap", "salted_join_supplier_volume",
+        "window_customer_order_rank", "events_holt_forecast",
+        "file_metadata_columns_read", "multimodal_dedup_content_hash",
+        "orders_duplicate_payment_audit", "range_join_price_bands",
+        "rater_mcnemar_test", "text_lexical_diversity",
+        "token_df_drift_halves", "trigram_like_search",
+        "web_domain_profile", "window_range_trailing_hour",
+        "events_burst_hours", "events_seasonal_profile",
+        "linkage_blocking_quality", "partition_spec_advisor",
+        "user_trigram_paths", "events_user_retention",
+        "grpo_group_advantage", "map_functions_showcase",
+        "pandas_grouped_agg_trimmed_mean", "q8_national_market_share",
+        "text_top_bigrams", "best_of_n_selection",
+        "discount_cap_counterfactual", "mlm_masking_manifest",
+        "multimodal_gif_stats", "pandas_acctbal_zscore",
+        "pandas_scalar_log_price", "q2_min_cost_supplier",
+        "text_feature_hashing", "asof_next_touch_latency",
+        "feature_asof_training_matrix", "sql_udf_showcase",
+        "text_rake_keywords", "dp_noisy_nation_counts",
+        "events_interval_overlap_join", "multimodal_decode_features",
+        "q16_supplier_part_buckets", "similarity_lsh_neardup",
+        "churn_label_manifest", "events_profile_cosine_pairs",
+        "similarity_topk_bucketed", "snapshot_retention_expiry_plan",
+        "change_data_feed_report", "events_hourly_anomaly",
+        "events_hourly_gapfill", "geo_cell_colocation",
+        "mixture_temperature_sweep", "multimodal_avi_stats",
+        "multimodal_png_stats", "orphan_file_audit",
+        "array_set_functions_showcase", "bronze_decode_roundtrip",
+        "corpus_quota_rebalance_delta", "events_ab_uplift_test",
+        "q3_shipping_priority", "score_calibration_report",
+        "aes_roundtrip_audit", "events_hill_tail_index",
+        "langid_precision_recall", "market_concentration_hhi",
+        "dedup_cluster_size_histogram", "discount_elasticity_by_brand",
+        "shuffle_partition_advisor", "text_repetition_filter",
+        "multimodal_wav_silence_real", "q11_important_part_value",
+        "similarity_topk_cosine", "text_bm25_search",
+        "xml_decode_roundtrip", "content_defined_chunks",
+        "hll_merge_event_types", "l_diversity_audit",
+        "multimodal_audio_frame_energy", "corpus_weights_ess",
+        "embedding_bitwidth_sweep", "embedding_blocking_key_profile",
+        "price_index_laspeyres", "embedding_outlier_zscore",
+        "events_bounce_rate_by_entry", "streaming_heavy_hitter_users",
+        "asof_purchase_attribution", "bloom_filter_membership",
+        "decontaminate_by_embedding", "medallion_pipeline_rollup",
+        "orders_repeat_purchase_gaps", "q1_pricing_summary",
+        "streaming_gzip_jsonl_rollup", "udtf_word_expand",
+        "events_cusum_drift", "incremental_join_maintenance",
+        "multimodal_magic_sniffer", "rate_limiter_backtest",
+        "supplier_scorecard", "text_word_pmi", "corpus_token_budget_plan",
+        "embedding_dim_variance_rank", "rag_context_pack",
+        "events_session_window_batch", "multimodal_bmp_stats",
+        "single_source_risk_report", "customer_balance_ks_test",
+        "events_anomaly_persistence", "linkage_fellegi_sunter",
+        "multimodal_silence_segments", "orders_cohort_revenue",
+        "shard_manifest_balanced", "streaming_upsert_latest_state",
+        "kmeans_inertia_elbow", "events_psi_value_drift",
+        "events_sessionize_batch", "gopher_quality_rules",
+        "session_window_rollup", "similarity_topk_binary_rerank",
+        "events_growth_accounting", "orc_source_roundtrip",
+        "streaming_dedup_events", "timeseries_znorm_subsequence_search",
+        "attribution_window_sweep", "corpus_dedup_aware_weights",
+        "graph_degree_distribution", "multimodal_wav_haar_energy",
+        "q21_waiting_supplier", "txn_log_time_travel", "events_ohlc_bars",
+        "events_props_schema_profile", "events_sprt_monitor",
+        "forecast_conformal_intervals", "matryoshka_truncation_recall",
+        "orders_priority_status_chi2", "streaming_kmv_distinct_users",
+        "watermark_sizing_report", "abc_customer_classification",
+        "data_quality_audit", "multimodal_ahash_neardup",
+        "multimodal_avi_shot_boundaries", "ivf_cell_balance_report",
+        "ols_two_feature_normal_eq", "skipgram_negative_samples",
+        "text_token_entropy", "embedding_jl_projection_audit",
+        "orders_cuped_adjustment", "streaming_available_now_rollup",
+        "array_hof_showcase", "streaming_rater_drift_monitor",
+        "ann_ndcg_truncation", "percentile_distributed_exact",
+        "sketch_quantile_bins", "decision_stump_split_scores",
+        "t_closeness_audit", "dedup_frontier_bloom", "customer_spend_gini",
+        "join_skew_planner", "basket_part_pairs", "cms_token_counts",
+        "events_holtwinters_forecast", "events_peak_concurrency",
+        "multimodal_bmp_ahash", "scd2_point_in_time_join",
+        "streaming_hll_distinct_users", "surrogate_key_assignment",
+        "text_char_entropy", "q5_local_supplier_volume",
+        "corpus_source_datasheet", "events_ccf_count_value",
+        "window_functions_showcase", "curriculum_pacing_schedule",
+        "events_alarm_verification", "embedding_cluster_label_purity",
+        "part_name_brand_mi", "streaming_union_sources_rollup",
+        "dsir_importance_weights", "events_changepoint_binseg",
+        "batch_replay_pruned_scan", "customer_segment_entropy_by_nation",
+        "search_hybrid_rrf", "streaming_neyman_allocation",
+        "streaming_seasonality_monitor", "vocab_growth_curve",
+        "events_hourly_mad_outliers", "similarity_topk_ivf",
+        "streaming_magic_sniffer", "embedding_covariance",
+        "histogram_price_deciles", "streaming_hourly_rollup",
+        "zorder_layout_stats", "corpus_epoch_shuffle_manifest",
+        "decontaminate_train_shingles", "streaming_csv_source_rollup",
+        "streaming_static_enrich", "embedding_mutual_nn_pairs",
+        "streaming_rate_limiter", "events_hourly_type_entropy",
+        "events_mann_whitney_test", "streaming_fertility_drift",
+        "checkpoint_statestore_table", "orders_survival_km",
+        "streaming_self_excitation", "streaming_txn_log_tail",
+        "text_tfidf_top_terms", "tokenizer_vocab_pressure",
+        "streaming_interval_union_coverage", "streaming_psi_drift",
+        "text_chunk_dedup", "bandit_replay_hourly", "graph_assortativity",
+        "heavy_hitter_tokens", "join_cardinality_audit",
+        "association_rules_parts", "embedding_pq_codes",
+        "events_haar_wavelet_energy", "streaming_sliding_rollup",
+        "supplier_pareto_frontier", "streaming_dedup_within_watermark",
+        "dedup_survivors", "events_dau_wau_mau", "kmv_set_ops_event_types",
+        "quality_logreg_inference", "streaming_bounce_rate",
+        "sketch_user_activity", "bpe_apply_merges",
+        "brier_score_decomposition", "streaming_feature_hashing_monitor",
+        "bpe_learn_merges", "multimodal_wav_stats", "padding_waste_report",
+        "pps_systematic_sample", "streaming_ohlc_bars",
+        "streaming_value_quantiles", "k_anonymity_generalize",
+        "knn_classifier_eval", "repeated_ngram_spans",
+        "streaming_sprt_monitor", "ivf_recall_report",
+        "streaming_ess_monitor", "streaming_topk_types_hourly",
+        "bigram_lm_score", "streaming_hill_tail_monitor",
+        "dedup_embedding_cosine", "lineitem_qty_price_heatmap",
+        "similarity_maxsim_multivector", "surrogate_key_incremental",
+        "fd_discovery_profile", "dedup_exact_substring",
+        "quality_logreg_training", "text_entropy_rate_bigram",
+        "events_hourly_autocorr", "linkage_entity_clusters",
+        "text_rolling_fingerprint", "embedding_drift_ab_halves",
+        "streaming_sink_exactly_once_roundtrip",
+        "text_term_proximity_search", "dedup_incremental_delta",
+        "similarity_topk_pq_adc", "graph_link_prediction_suppliers",
+        "streaming_frontier_bloom", "corpus_js_divergence",
+        "source_overlap_jaccard", "crosslingual_contamination",
+        "orders_open_backlog_daily", "events_markov_stationary",
+        "recursive_month_spine", "streaming_update_mode_rollup",
+        "dedup_edit_distance", "dedup_span_mask_manifest",
+        "dedup_transitivity_audit", "streaming_session_rollup",
+        "fk_inclusion_profile", "fuzzy_join_part_names",
+        "streaming_cuped_monitor", "blocklist_phrase_filter",
+        "dedup_pair_provenance", "hll_intersection_estimate",
+        "maxmin_fair_allocation", "zonemap_skip_simulation",
+        "contrastive_triplets", "embedding_silhouette_centroid",
         "streaming_type_entropy_drift", "checkpoint_sources_table",
-        "naive_bayes_langid", "minhash_jaccard_calibration",
-        "streaming_frontier_bloom", "streaming_lsh_candidate_buckets",
-        "graph_label_propagation", "dedup_pipeline_composition",
-        "corpus_filter_funnel", "dedup_keep_best_quality",
-        "ivf_nprobe_sweep", "checkpoint_offsetlog_table",
-        "dedup_connected_components", "streaming_quality_monitor",
-        "text_kneser_ney_bigram_score", "hive_source_partition_pruned",
-        "cluster_kmeans_embeddings", "streaming_replay_source_rollup",
-        "streaming_late_data_drop", "recsys_item_cosine",
-        "minhash_bbit_calibration", "corpus_difficulty_curriculum",
-        "checkpoint_commitlog_audit", "graph_bfs_hops",
-        "orders_mean_value_bootstrap_ci", "tokenizer_unigram_fertility",
-        "streaming_unattributed_purchases", "graph_kcore_peel",
-        "perplexity_tertile_buckets", "graph_pagerank_parts",
-        "streaming_purchase_attribution", "streaming_ivf_assign",
-        "custom_sink_audit_roundtrip", "tokenizer_unigram_fit",
-        "ann_pipeline_composition", "streaming_unigram_fertility",
-        "ann_method_agreement", "streaming_semdedup",
-        "dedup_band_sweep_calibration", "streaming_join_then_windowed_agg",
-        "scan_task_planner", "streaming_bootstrap_ci",
-        "streaming_wav_haar_monitor", "sql_scripting_showcase",
-        "graph_triangle_stats", "tokenizer_unigram_compression",
+        "streaming_brand_mi_drift", "streaming_stateful_type_counts",
+        "dedup_minhash_lsh", "graph_modularity_by_brand",
+        "ivf_incremental_assign", "bradley_terry_strengths",
+        "supplier_leadtime_percentiles", "scan_task_planner",
+        "corpus_shingle_novelty", "multimodal_shot_boundaries",
+        "graph_label_propagation", "streaming_runs_monitor",
+        "udtf_dynamic_ngrams", "streaming_brier_monitor",
+        "streaming_lsh_candidate_buckets", "linkage_em_parameters",
+        "streaming_quality_monitor", "dedup_simhash", "hits_authority_hub",
+        "orders_did_estimator", "rfm_customer_segments",
+        "streaming_mann_kendall_monitor", "bucketed_join_colocated",
+        "cogroup_asof_pandas", "ivf_nprobe_sweep", "spearman_len_vs_ttr",
+        "streaming_stateful_totals", "naive_bayes_langid",
+        "perplexity_tertile_buckets", "dedup_containment",
+        "events_runs_test", "streaming_wav_haar_monitor",
+        "text_kneser_ney_bigram_score", "streaming_did_monitor",
+        "semantic_dedup_semdedup", "dedup_ngram_jaccard",
+        "events_mann_kendall_trend", "recsys_item_cosine",
+        "batch_replay_source_slice", "corpus_filter_funnel",
+        "corpus_difficulty_curriculum", "streaming_chained_windows",
+        "streaming_late_data_drop", "checkpoint_offsetlog_table",
+        "streaming_replay_source_rollup", "streaming_semdedup",
+        "streaming_ivf_assign", "tokenizer_unigram_compression",
+        "cluster_kmeans_embeddings", "graph_kcore_peel",
+        "embedding_power_iteration", "dedup_connected_components",
+        "minhash_jaccard_calibration", "minhash_bbit_calibration",
+        "graph_bfs_hops", "tokenizer_unigram_fertility",
+        "checkpoint_commitlog_audit", "streaming_wav_zcr_monitor",
+        "graph_pagerank_parts", "dedup_pipeline_composition",
+        "streaming_unigram_fertility", "dedup_keep_best_quality",
+        "streaming_purchase_attribution",
+        "streaming_join_then_windowed_agg", "dedup_band_sweep_calibration",
+        "streaming_unattributed_purchases", "tokenizer_unigram_fit",
+        "custom_sink_audit_roundtrip", "ann_pipeline_composition",
+        "orders_mean_value_bootstrap_ci", "ann_method_agreement",
+        "streaming_bootstrap_ci", "split_leakage_audit",
+        "sql_scripting_showcase", "graph_triangle_stats",
+        "hive_source_partition_pruned", "multimodal_wav_zcr_real"
     )
     new_ops_rank = 50.5  # just after the sub-second group (index ~50)
     unchecked = {
