@@ -2945,3 +2945,71 @@ def _zcr_lang_oracle() -> str:
                    // CAST(SUM(n_samples - 1) AS BIGINT) AS zcr_bp
         FROM per_doc GROUP BY 1
     """
+
+
+# ---------------------------------------------------------------------------
+# BMP DIFFERENCE HASH — dHash, the gradient sibling of aHash above:
+# instead of comparing each cell to the global mean (brightness-shift
+# sensitive), compare each cell to its RIGHT neighbor — 8 rows × 7
+# horizontal gradients = 56 bits per image, over the SAME real-decoded
+# 8×8 luma grid (decode_bmp_luma_grid, exact integer milli-luma). The
+# standard near-dup pairing: aHash catches global-tone duplicates,
+# dHash catches crop/brightness variants. Rollup by 14-bit prefix
+# bucket, the LSH shape shared with multimodal_bmp_ahash.
+# ---------------------------------------------------------------------------
+@register(
+    "multimodal_bmp_dhash",
+    oracle=f"""
+        WITH lum AS (
+            SELECT doc_id, {_bmp_luma_sql()} AS lumas
+            FROM documents WHERE length(text) > 0
+        ),
+        hashed AS (
+            SELECT doc_id,
+                   array_to_string(list_transform(range(0, 56), k ->
+                       CASE WHEN lumas[CAST(k // 7 * 8 + k % 7 + 1 AS INT)]
+                                 > lumas[CAST(k // 7 * 8 + k % 7 + 2 AS INT)]
+                            THEN '1' ELSE '0' END), '') AS dhash56
+            FROM lum
+        )
+        SELECT substring(dhash56, 1, 14) AS bucket14,
+               CAST(COUNT(*) AS BIGINT) AS n_docs,
+               MIN(doc_id) AS min_doc_id,
+               CAST(COUNT(DISTINCT dhash56) AS BIGINT) AS n_distinct_hashes
+        FROM hashed
+        GROUP BY 1
+    """,
+    tags=("multimodal", "image", "dhash", "real-decode", "documents"),
+)
+def multimodal_bmp_dhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = (
+        load_table(spark, sf_dir, "documents", rebalance=True)
+        .select("doc_id", "text")
+        .filter(F.length("text") > 0)
+    )
+
+    def dhash_batches(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            ids, hashes = [], []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                lumas = decode_bmp_luma_grid(bytes(payload))["lumas"]
+                bits = "".join(
+                    "1" if lumas[r * 8 + c] > lumas[r * 8 + c + 1] else "0"
+                    for r in range(8)
+                    for c in range(7)
+                )
+                ids.append(int(doc_id))
+                hashes.append(bits)
+            yield pd.DataFrame({"doc_id": ids, "dhash56": hashes})
+
+    bmps = docs.mapInPandas(_bmp_encode_batches, "doc_id long, payload binary")
+    hashed = bmps.mapInPandas(dhash_batches, "doc_id long, dhash56 string")
+    return hashed.groupBy(
+        F.substring("dhash56", 1, 14).alias("bucket14")
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.min("doc_id").alias("min_doc_id"),
+        F.countDistinct("dhash56").cast("long").alias("n_distinct_hashes"),
+    )

@@ -2974,3 +2974,112 @@ def split_leakage_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return per_split.crossJoin(F.broadcast(leaked))
+
+
+# ---------------------------------------------------------------------------
+# WINSORIZATION AUDIT — the outlier-clipping decision every
+# length-sensitive pipeline stage (packing budgets, quality features,
+# compute estimates) needs made explicit: exact p05/p95 document-length
+# thresholds by RANK SELECTION (the portable quantile: pick the value
+# at position ceil-free k = max(1, n·q//100) of the (n_chars, doc_id)
+# total order — engine interpolation rules never enter), then report
+# the clipped mass and the exact means before/after clipping. The rank
+# rides distributed_rank (range exchange + broadcast offsets — no
+# single-partition sort at 100 TB); thresholds are two 1-row filters
+# broadcast back over the same pinned ranking.
+# ---------------------------------------------------------------------------
+@register(
+    "doc_length_winsorize_audit",
+    oracle="""
+        WITH d AS (
+            SELECT doc_id, CAST(n_chars AS BIGINT) AS n_chars
+            FROM documents
+        ),
+        r AS (
+            SELECT n_chars,
+                   CAST(ROW_NUMBER() OVER (ORDER BY n_chars, doc_id)
+                        AS BIGINT) AS rnk
+            FROM d
+        ),
+        ks AS (
+            SELECT GREATEST(1, CAST(COUNT(*) AS BIGINT) * 5 // 100) AS k05,
+                   GREATEST(1, CAST(COUNT(*) AS BIGINT) * 95 // 100) AS k95
+            FROM d
+        ),
+        th AS (
+            SELECT (SELECT n_chars FROM r, ks WHERE rnk = k05) AS t05,
+                   (SELECT n_chars FROM r, ks WHERE rnk = k95) AS t95
+        )
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+               MIN(t05) AS p05_chars,
+               MIN(t95) AS p95_chars,
+               CAST(SUM(CASE WHEN n_chars < t05 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_clipped_low,
+               CAST(SUM(CASE WHEN n_chars > t95 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_clipped_high,
+               CAST(ROUND(SUM(n_chars) * 1000.0 / COUNT(*)) AS BIGINT)
+                   AS mean_before_milli,
+               CAST(ROUND(SUM(CASE WHEN n_chars < t05 THEN t05
+                                   WHEN n_chars > t95 THEN t95
+                                   ELSE n_chars END) * 1000.0 / COUNT(*))
+                    AS BIGINT) AS mean_after_milli
+        FROM d CROSS JOIN th
+    """,
+    tags=("llm-pipeline", "corpus", "winsorize", "quantile", "documents"),
+)
+def doc_length_winsorize_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kafka_stream_job_spark.operators._distributed import (
+        distributed_rank,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.col("n_chars").cast("long").alias("n_chars")
+    )
+    ranked = distributed_rank(
+        docs, [F.col("n_chars"), F.col("doc_id")]
+    ).localCheckpoint(eager=False)  # thresholds + audit share one ranking
+    ks = ranked.agg(
+        F.greatest(F.lit(1), idiv(F.count(F.lit(1)) * 5, 100))
+        .cast("long")
+        .alias("k05"),
+        F.greatest(F.lit(1), idiv(F.count(F.lit(1)) * 95, 100))
+        .cast("long")
+        .alias("k95"),
+    )
+    marked = ranked.crossJoin(F.broadcast(ks))
+    th = (
+        marked.filter(
+            (F.col("rnk") == F.col("k05")) | (F.col("rnk") == F.col("k95"))
+        )
+        .agg(
+            F.min(F.when(F.col("rnk") == F.col("k05"), F.col("n_chars")))
+            .cast("long")
+            .alias("t05"),
+            F.min(F.when(F.col("rnk") == F.col("k95"), F.col("n_chars")))
+            .cast("long")
+            .alias("t95"),
+        )
+    )
+    clipped = F.when(F.col("n_chars") < F.col("t05"), F.col("t05")).when(
+        F.col("n_chars") > F.col("t95"), F.col("t95")
+    ).otherwise(F.col("n_chars"))
+    return (
+        ranked.crossJoin(F.broadcast(th))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.min("t05").cast("long").alias("p05_chars"),
+            F.min("t95").cast("long").alias("p95_chars"),
+            F.sum((F.col("n_chars") < F.col("t05")).cast("long"))
+            .cast("long")
+            .alias("n_clipped_low"),
+            F.sum((F.col("n_chars") > F.col("t95")).cast("long"))
+            .cast("long")
+            .alias("n_clipped_high"),
+            F.round(F.sum("n_chars") * 1000.0 / F.count(F.lit(1)), 0)
+            .cast("long")
+            .alias("mean_before_milli"),
+            F.round(F.sum(clipped) * 1000.0 / F.count(F.lit(1)), 0)
+            .cast("long")
+            .alias("mean_after_milli"),
+        )
+    )

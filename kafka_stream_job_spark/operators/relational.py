@@ -16015,6 +16015,162 @@ def cuped_assemble(u: DataFrame) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# SAMPLE RATIO MISMATCH CHECK — the #1 A/B-test sanity gate (Fabijan et
+# al. 2019): before reading ANY metric, verify the randomizer actually
+# delivered the designed 50/50 split of UNITS (users). chi² for two
+# cells against equal expected counts collapses to (n0−n1)²/n — exact
+# integer arithmetic end to end (micro units via integer division), no
+# floats anywhere. Scale shape: one user-keyed distinct aggregate, a
+# 2-row arm rollup, one scalar. Shares its per-user spine with the
+# streaming twin (the same two counts in JVM agg state).
+# ---------------------------------------------------------------------------
+SRM_CHI2_CRIT_MICRO = 3_841_459  # chi²(1) at alpha=0.05, micro units
+
+
+def srm_assemble(users: DataFrame) -> DataFrame:
+    """SRM report from per-user 1-row-per-user (user_id) rows — shared
+    verbatim by the batch query and its streaming twin."""
+    arms = users.groupBy(
+        (_snap_hash("srm", "user_id") % 2).alias("arm")
+    ).agg(F.count(F.lit(1)).cast("long").alias("n"))
+    g = arms.agg(
+        F.sum("n").cast("long").alias("n_users"),
+        F.sum(F.when(F.col("arm") == 0, F.col("n")).otherwise(0))
+        .cast("long")
+        .alias("n_arm0"),
+        F.sum(F.when(F.col("arm") == 1, F.col("n")).otherwise(0))
+        .cast("long")
+        .alias("n_arm1"),
+    )
+    diff = F.col("n_arm0") - F.col("n_arm1")
+    chi2 = idiv(diff * diff * 1000000, F.col("n_users"))
+    return g.select(
+        "n_users",
+        "n_arm0",
+        "n_arm1",
+        chi2.alias("chi2_micro"),
+        F.when(chi2 > SRM_CHI2_CRIT_MICRO, "mismatch")
+        .otherwise("ok")
+        .alias("srm_verdict"),
+    )
+
+
+_SRM_USERS_SQL = "SELECT DISTINCT user_id FROM events"
+
+
+def _srm_oracle(users_sql: str) -> str:
+    return f"""
+        WITH users AS ({users_sql}),
+        arms AS (
+            SELECT {_snap_hash_sql("srm", "user_id")} % 2 AS arm,
+                   CAST(COUNT(*) AS BIGINT) AS n
+            FROM users GROUP BY 1
+        ),
+        g AS (
+            SELECT CAST(SUM(n) AS BIGINT) AS n_users,
+                   CAST(SUM(CASE WHEN arm = 0 THEN n ELSE 0 END) AS BIGINT)
+                       AS n_arm0,
+                   CAST(SUM(CASE WHEN arm = 1 THEN n ELSE 0 END) AS BIGINT)
+                       AS n_arm1
+            FROM arms
+        )
+        SELECT n_users, n_arm0, n_arm1,
+               (n_arm0 - n_arm1) * (n_arm0 - n_arm1) * 1000000 // n_users
+                   AS chi2_micro,
+               CASE WHEN (n_arm0 - n_arm1) * (n_arm0 - n_arm1) * 1000000
+                         // n_users > {SRM_CHI2_CRIT_MICRO}
+                    THEN 'mismatch' ELSE 'ok' END AS srm_verdict
+        FROM g
+    """
+
+
+@register(
+    "events_srm_check",
+    oracle=_srm_oracle(_SRM_USERS_SQL),
+    tags=("stats", "ab-test", "experimentation", "srm", "events"),
+)
+def events_srm_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    return srm_assemble(events.select("user_id").distinct())
+
+
+# ---------------------------------------------------------------------------
+# POWER / MINIMUM-DETECTABLE-EFFECT PLAN — the question every
+# experimenter asks BEFORE launching: with this much traffic, what
+# uplift could the test even see? Two-proportion z-test MDE at
+# alpha=0.05 (two-sided) / 80% power:
+#   MDE = (z_{a/2} + z_beta) · sqrt(2·p(1−p)/n_per_arm)
+# with the two z constants embedded as exact double literals (they are
+# universal constants, not data). Baseline p comes from exact integer
+# counts; the ONE float expression is the same IEEE dag on both engines
+# (multiply/divide + correctly-rounded sqrt — no transcendentals).
+# Scale shape: a single whole-table aggregate.
+# ---------------------------------------------------------------------------
+_POWER_Z_SUM = 2.801585  # z_{0.025} + z_{0.20} = 1.959964 + 0.841621
+
+
+@register(
+    "events_power_mde_plan",
+    oracle=f"""
+        WITH c AS (
+            SELECT CAST(COUNT(*) AS BIGINT) AS n_events,
+                   CAST(SUM(CASE WHEN event_type = 'purchase'
+                                 THEN 1 ELSE 0 END) AS BIGINT) AS n_purch
+            FROM events
+        ),
+        f AS (
+            SELECT n_events, n_purch,
+                   n_events // 2 AS n_per_arm,
+                   n_purch * 1.0 / n_events AS p
+            FROM c
+        )
+        SELECT n_events, n_purch AS n_purchases,
+               CAST(n_purch * 10000 // n_events AS BIGINT)
+                   AS baseline_rate_bp,
+               n_per_arm,
+               CAST(ROUND({_POWER_Z_SUM}
+                          * sqrt((2.0 * p * (1.0 - p)) / n_per_arm)
+                          * 1000000.0) AS BIGINT) AS mde_abs_micro,
+               CAST(ROUND({_POWER_Z_SUM}
+                          * sqrt((2.0 * p * (1.0 - p)) / n_per_arm)
+                          / p * 10000.0) AS BIGINT) AS mde_rel_bp
+        FROM f
+    """,
+    tags=("stats", "ab-test", "experimentation", "power", "events"),
+)
+def events_power_mde_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    c = events.agg(
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+        F.sum((F.col("event_type") == "purchase").cast("long"))
+        .cast("long")
+        .alias("n_purch"),
+    )
+    f = c.select(
+        "n_events",
+        "n_purch",
+        idiv("n_events", 2).alias("n_per_arm"),
+        (F.col("n_purch") * 1.0 / F.col("n_events")).alias("p"),
+    )
+    mde = F.lit(_POWER_Z_SUM) * F.sqrt(
+        (F.lit(2.0) * F.col("p") * (F.lit(1.0) - F.col("p")))
+        / F.col("n_per_arm")
+    )
+    return f.select(
+        "n_events",
+        F.col("n_purch").alias("n_purchases"),
+        idiv(F.col("n_purch") * 10000, F.col("n_events")).alias(
+            "baseline_rate_bp"
+        ),
+        "n_per_arm",
+        F.round(mde * 1000000.0, 0).cast("long").alias("mde_abs_micro"),
+        F.round(mde / F.col("p") * 10000.0, 0)
+        .cast("long")
+        .alias("mde_rel_bp"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # DIFFERENCE-IN-DIFFERENCES — the quasi-experimental workhorse (Card &
 # Krueger 1994): compare the treatment arm's pre→post change against
 # the control arm's, so any shared time trend cancels. Unit = order;

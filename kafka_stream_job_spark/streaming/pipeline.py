@@ -6044,3 +6044,45 @@ def _register_streaming_runs_monitor() -> None:
 
 
 _register_streaming_runs_monitor()
+
+
+# ---------------------------------------------------------------------------
+# STREAMING SRM MONITOR — the live twin of events_srm_check: the unit
+# universe (distinct users) accumulates as per-user rows in update-mode
+# keyed JVM agg state, and the chi² verdict assembles post-stream
+# through the SAME srm_assemble. This is the monitor that catches a
+# broken randomizer while the experiment is still filling, not at
+# readout. Oracle verbatim from the batch op.
+# ---------------------------------------------------------------------------
+def _register_streaming_srm_monitor() -> None:
+    import uuid
+
+    from kafka_stream_job_spark.operators.relational import (
+        _SRM_USERS_SQL,
+        _srm_oracle,
+        srm_assemble,
+    )
+    from kafka_stream_job_spark.registry import register
+
+    @register(
+        "streaming_srm_monitor",
+        oracle=_srm_oracle(_SRM_USERS_SQL),
+        tags=("streaming", "stateful", "experimentation", "srm", "events"),
+    )
+    def streaming_srm_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
+        import tempfile
+
+        events = stream_events(spark, sf_dir)
+        per_user = events.groupBy("user_id").agg(
+            F.count(F.lit(1)).cast("long").alias("n")
+        )
+        name = f"stream_srm_{uuid.uuid4().hex[:8]}"
+        ckpt = tempfile.mkdtemp(prefix="ksj-stream-srm-")
+        emitted = run_stream_to_memory(
+            spark, per_user, name, ckpt, output_mode="update"
+        )
+        users = emitted.select("user_id").distinct()
+        return srm_assemble(users)
+
+
+_register_streaming_srm_monitor()
