@@ -16015,6 +16015,139 @@ def cuped_assemble(u: DataFrame) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# PERMUTATION TEST — the assumption-free significance check: compare the
+# OBSERVED arm uplift in purchase rate against the null distribution of
+# the SAME statistic under re-randomization. The 28 null replicas come
+# from the 28 BITS of one md5-derived user hash (the frozen-integer
+# discipline of the Poisson bootstrap: no RNG, exactly reproducible on
+# both engines and any cluster) — replica k assigns each user to the
+# arm given by bit k, so ALL replicas evaluate in ONE user-keyed scan
+# with 2·28 extra conditional int64 sums (constant-width aggregate
+# state; arm-0 sides derive from the totals). p = share of replicas
+# whose |uplift| reaches the observed |uplift|; the only floats are the
+# per-replica rate differences — identical IEEE dags on both engines.
+# ---------------------------------------------------------------------------
+_PERM_K = 28  # replicas = bits of the 28-bit _snap_hash
+
+
+@register(
+    "events_permutation_test",
+    oracle=(lambda: f"""
+        WITH per_user AS (
+            SELECT user_id,
+                   CAST(COUNT(*) AS BIGINT) AS e,
+                   CAST(SUM(CASE WHEN event_type = 'purchase'
+                                 THEN 1 ELSE 0 END) AS BIGINT) AS p,
+                   {_snap_hash_sql("perm", "user_id")} % 2 AS arm,
+                   {_snap_hash_sql("permbits", "user_id")} AS bits
+            FROM events GROUP BY user_id
+        ),
+        g AS (
+            SELECT CAST(COUNT(*) AS BIGINT) AS n_users,
+                   CAST(SUM(e) AS BIGINT) AS e_tot,
+                   CAST(SUM(p) AS BIGINT) AS p_tot,
+                   CAST(SUM(CASE WHEN arm = 1 THEN e ELSE 0 END) AS BIGINT)
+                       AS e_obs1,
+                   CAST(SUM(CASE WHEN arm = 1 THEN p ELSE 0 END) AS BIGINT)
+                       AS p_obs1,
+                   {", ".join(
+                       f"CAST(SUM(CASE WHEN (bits // {1 << k}) % 2 = 1 "
+                       f"THEN e ELSE 0 END) AS BIGINT) AS e1_{k}, "
+                       f"CAST(SUM(CASE WHEN (bits // {1 << k}) % 2 = 1 "
+                       f"THEN p ELSE 0 END) AS BIGINT) AS p1_{k}"
+                       for k in range(_PERM_K)
+                   )}
+            FROM per_user
+        )
+        SELECT n_users, e_tot AS n_events, p_tot AS n_purchases,
+               CAST(ROUND((p_obs1 * 1.0 / e_obs1
+                           - (p_tot - p_obs1) * 1.0 / (e_tot - e_obs1))
+                          * 1000000.0) AS BIGINT) AS obs_uplift_micro,
+               CAST({_PERM_K} AS BIGINT) AS n_replicas,
+               CAST({" + ".join(
+                   f"CASE WHEN abs(p1_{k} * 1.0 / e1_{k}"
+                   f" - (p_tot - p1_{k}) * 1.0 / (e_tot - e1_{k}))"
+                   f" >= abs(p_obs1 * 1.0 / e_obs1"
+                   f" - (p_tot - p_obs1) * 1.0 / (e_tot - e_obs1))"
+                   f" THEN 1 ELSE 0 END"
+                   for k in range(_PERM_K)
+               )} AS BIGINT) AS n_ge_obs,
+               CAST({" + ".join(
+                   f"CASE WHEN abs(p1_{k} * 1.0 / e1_{k}"
+                   f" - (p_tot - p1_{k}) * 1.0 / (e_tot - e1_{k}))"
+                   f" >= abs(p_obs1 * 1.0 / e_obs1"
+                   f" - (p_tot - p_obs1) * 1.0 / (e_tot - e_obs1))"
+                   f" THEN 1 ELSE 0 END"
+                   for k in range(_PERM_K)
+               )} AS BIGINT) * 10000 // {_PERM_K} AS p_value_bp
+        FROM g
+    """)(),
+    tags=("stats", "ab-test", "experimentation", "permutation", "events"),
+)
+def events_permutation_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    per_user = events.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("long").alias("e"),
+        F.sum((F.col("event_type") == "purchase").cast("long"))
+        .cast("long")
+        .alias("p"),
+    ).select(
+        "e",
+        "p",
+        (_snap_hash("perm", "user_id") % 2).alias("arm"),
+        _snap_hash("permbits", "user_id").alias("bits"),
+    )
+    aggs = [
+        F.count(F.lit(1)).cast("long").alias("n_users"),
+        F.sum("e").cast("long").alias("e_tot"),
+        F.sum("p").cast("long").alias("p_tot"),
+        F.sum(F.when(F.col("arm") == 1, F.col("e")).otherwise(0))
+        .cast("long")
+        .alias("e_obs1"),
+        F.sum(F.when(F.col("arm") == 1, F.col("p")).otherwise(0))
+        .cast("long")
+        .alias("p_obs1"),
+    ]
+    for k in range(_PERM_K):
+        bit = idiv("bits", 1 << k) % 2
+        aggs.append(
+            F.sum(F.when(bit == 1, F.col("e")).otherwise(0))
+            .cast("long")
+            .alias(f"e1_{k}")
+        )
+        aggs.append(
+            F.sum(F.when(bit == 1, F.col("p")).otherwise(0))
+            .cast("long")
+            .alias(f"p1_{k}")
+        )
+    g = per_user.agg(*aggs)
+
+    def uplift(p1, e1):
+        return p1 * 1.0 / e1 - (F.col("p_tot") - p1) * 1.0 / (
+            F.col("e_tot") - e1
+        )
+
+    obs = uplift(F.col("p_obs1"), F.col("e_obs1"))
+    n_ge = None
+    for k in range(_PERM_K):
+        hit = F.when(
+            F.abs(uplift(F.col(f"p1_{k}"), F.col(f"e1_{k}"))) >= F.abs(obs),
+            1,
+        ).otherwise(0)
+        n_ge = hit if n_ge is None else n_ge + hit
+    n_ge = n_ge.cast("long")
+    return g.select(
+        "n_users",
+        F.col("e_tot").alias("n_events"),
+        F.col("p_tot").alias("n_purchases"),
+        F.round(obs * 1000000.0, 0).cast("long").alias("obs_uplift_micro"),
+        F.lit(_PERM_K).cast("long").alias("n_replicas"),
+        n_ge.alias("n_ge_obs"),
+        idiv(n_ge * 10000, F.lit(_PERM_K)).alias("p_value_bp"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # SAMPLE RATIO MISMATCH CHECK — the #1 A/B-test sanity gate (Fabijan et
 # al. 2019): before reading ANY metric, verify the randomizer actually
 # delivered the designed 50/50 split of UNITS (users). chi² for two

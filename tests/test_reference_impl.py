@@ -752,3 +752,69 @@ def test_runs_fold_rejects_out_of_order_batches():
 
     with _pytest.raises(ValueError, match="event-time-ordered"):
         _runs_fold_ordered(b, mk([(25, 9, 1)]))
+
+
+def test_permutation_test_matches_pure_python(spark, tmp_path):
+    """Crafted events through the REGISTERED events_permutation_test vs
+    a from-scratch Python permutation walk over the same 28 hash bits —
+    independent of the SQL oracle sharing the engine formula."""
+    import datetime
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    # 40 users, uneven purchase propensity so uplifts are non-trivial
+    rows = []
+    eid = 0
+    base = datetime.datetime(2024, 3, 1)
+    for u in range(40):
+        n_ev = 3 + (u % 5)
+        for i in range(n_ev):
+            is_p = (u * 7 + i) % 3 == 0
+            rows.append((eid, base + datetime.timedelta(seconds=eid), u,
+                         "purchase" if is_p else "view"))
+            eid += 1
+    tbl = pa.table(
+        {
+            "event_id": [r[0] for r in rows],
+            "ts": [r[1] for r in rows],
+            "user_id": [r[2] for r in rows],
+            "event_type": [r[3] for r in rows],
+            "value": [1.0] * len(rows),
+            "props": ["{}"] * len(rows),
+        }
+    )
+    d = tmp_path / "perm_sf"
+    d.mkdir()
+    pq.write_table(tbl, d / "events.parquet")
+
+    row = (
+        SPECS["events_permutation_test"].fn(spark, str(d)).collect()[0]
+        .asDict()
+    )
+
+    users = {}
+    for _, _, u, t in rows:
+        e, p = users.get(u, (0, 0))
+        users[u] = (e + 1, p + (1 if t == "purchase" else 0))
+    e_tot = sum(e for e, _ in users.values())
+    p_tot = sum(p for _, p in users.values())
+
+    def uplift(mask):
+        e1 = sum(e for u, (e, _) in users.items() if mask(u))
+        p1 = sum(p for u, (_, p) in users.items() if mask(u))
+        return p1 * 1.0 / e1 - (p_tot - p1) * 1.0 / (e_tot - e1)
+
+    obs = uplift(lambda u: _md5_28(f"perm:{u}") % 2 == 1)
+    n_ge = sum(
+        1
+        for k in range(28)
+        if abs(uplift(lambda u: (_md5_28(f"permbits:{u}") >> k) & 1 == 1))
+        >= abs(obs)
+    )
+    assert row["n_users"] == 40
+    assert row["n_events"] == e_tot
+    assert row["n_purchases"] == p_tot
+    assert row["obs_uplift_micro"] == _round_half_away(obs * 1e6)
+    assert row["n_ge_obs"] == n_ge
+    assert row["p_value_bp"] == n_ge * 10000 // 28
