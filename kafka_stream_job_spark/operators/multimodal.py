@@ -250,6 +250,30 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _wav_pcm_samples(blob: bytes, meta: dict):
+    """Int16 PCM of a VALIDATED wav blob's data chunk as an int64 numpy
+    array — the one shared data-chunk walk behind the silence / Haar /
+    ZCR decoders (a fix to pad-byte or length handling lands once, not
+    three times). Call decode_wav_real first; its validation guarantees
+    the data chunk exists and matches ``meta['n_samples']``."""
+    import struct
+
+    import numpy as np
+
+    off = 12
+    while off + 8 <= len(blob):
+        cid = blob[off : off + 4]
+        (clen,) = struct.unpack("<I", blob[off + 4 : off + 8])
+        if cid == b"data":
+            samples = np.frombuffer(
+                blob[off + 8 : off + 8 + clen], dtype="<i2"
+            ).astype(np.int64)
+            assert len(samples) == meta["n_samples"]
+            return samples
+        off += 8 + clen + (clen & 1)
+    raise ValueError("validated WAV lost its data chunk")
+
+
 def decode_wav_real(payload: bytes) -> dict:
     """REAL RIFF/WAVE decode — pure Python, no media libraries (r6 judge
     item 7: WAV's layout is header-parseable, so it stops being a seam).
@@ -2157,8 +2181,6 @@ def multimodal_wav_silence_real(spark: SparkSession, sf_dir: str) -> DataFrame:
             yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
 
     def decode_batches(batches):
-        import struct
-
         import pandas as pd
 
         for pdf in batches:
@@ -2166,25 +2188,15 @@ def multimodal_wav_silence_real(spark: SparkSession, sf_dir: str) -> DataFrame:
             for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
                 blob = bytes(payload)
                 meta = decode_wav_real(blob)  # full container validation
-                # locate the data chunk (the validated walk guarantees it)
-                off = 12
-                samples = None
-                while off + 8 <= len(blob):
-                    cid = blob[off : off + 4]
-                    (clen,) = struct.unpack("<I", blob[off + 4 : off + 8])
-                    if cid == b"data":
-                        samples = struct.unpack(
-                            f"<{clen // 2}h", blob[off + 8 : off + 8 + clen]
-                        )
-                        break
-                    off += 8 + clen + (clen & 1)
-                assert samples is not None and len(samples) == meta["n_samples"]
+                samples = _wav_pcm_samples(blob, meta)
                 n_frames = len(samples) // SILR_FRAME
-                n_silent = 0
-                for f in range(n_frames):
-                    frame = samples[f * SILR_FRAME : (f + 1) * SILR_FRAME]
-                    if sum(s * s for s in frame) < SILR_MS_T * SILR_FRAME:
-                        n_silent += 1
+                frames = samples[: n_frames * SILR_FRAME].reshape(
+                    -1, SILR_FRAME
+                )
+                n_silent = int(
+                    ((frames * frames).sum(axis=1)
+                     < SILR_MS_T * SILR_FRAME).sum()
+                )
                 rows["doc_id"].append(int(doc_id))
                 rows["n_frames"].append(n_frames)
                 rows["n_silent"].append(n_silent)
@@ -2726,9 +2738,6 @@ def _wav_haar_batches(batches):
     """(doc_id, lang, payload) -> per-doc 3-level Haar detail energies
     over the REAL decoded int16 PCM (numpy-vectorized; decode_wav_real
     validates the container first)."""
-    import struct
-
-    import numpy as np
     import pandas as pd
 
     for pdf in batches:
@@ -2739,18 +2748,7 @@ def _wav_haar_batches(batches):
         ):
             blob = bytes(payload)
             meta = decode_wav_real(blob)  # full container validation
-            off = 12
-            samples = None
-            while off + 8 <= len(blob):
-                cid = blob[off : off + 4]
-                (clen,) = struct.unpack("<I", blob[off + 4 : off + 8])
-                if cid == b"data":
-                    samples = np.frombuffer(
-                        blob[off + 8 : off + 8 + clen], dtype="<i2"
-                    ).astype(np.int64)
-                    break
-                off += 8 + clen + (clen & 1)
-            assert samples is not None and len(samples) == meta["n_samples"]
+            samples = _wav_pcm_samples(blob, meta)
             n_frames = len(samples) // HAARW_FRAME
             x = samples[: n_frames * HAARW_FRAME].reshape(-1, HAARW_FRAME)
             d1 = x[:, 0::2] - x[:, 1::2]
@@ -2836,8 +2834,6 @@ def _wav_zcr_batches(batches):
     """(doc_id, lang, payload) -> per-doc sample & zero-crossing counts
     over the REAL decoded int16 PCM (numpy-vectorized; decode_wav_real
     validates the container first)."""
-    import struct
-
     import numpy as np
     import pandas as pd
 
@@ -2848,18 +2844,7 @@ def _wav_zcr_batches(batches):
         ):
             blob = bytes(payload)
             meta = decode_wav_real(blob)  # full container validation
-            off = 12
-            samples = None
-            while off + 8 <= len(blob):
-                cid = blob[off : off + 4]
-                (clen,) = struct.unpack("<I", blob[off + 4 : off + 8])
-                if cid == b"data":
-                    samples = np.frombuffer(
-                        blob[off + 8 : off + 8 + clen], dtype="<i2"
-                    ).astype(np.int64)
-                    break
-                off += 8 + clen + (clen & 1)
-            assert samples is not None and len(samples) == meta["n_samples"]
+            samples = _wav_pcm_samples(blob, meta)
             rows["doc_id"].append(int(doc_id))
             rows["lang"].append(lang)
             rows["n_samples"].append(len(samples))

@@ -6716,17 +6716,22 @@ def events_mann_kendall_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         c AS (
             SELECT CAST(COUNT(*) AS BIGINT) AS n,
-                   CAST(SUM(x) AS BIGINT) AS n1,
-                   CAST(SUM(CASE WHEN px IS NOT NULL AND x <> px
-                                 THEN 1 ELSE 0 END) AS BIGINT) + 1 AS r
+                   CAST(COALESCE(SUM(x), 0) AS BIGINT) AS n1,
+                   -- an empty sequence has ZERO runs, not changes+1
+                   CASE WHEN COUNT(*) = 0 THEN CAST(0 AS BIGINT)
+                        ELSE CAST(SUM(CASE WHEN px IS NOT NULL AND x <> px
+                                           THEN 1 ELSE 0 END) AS BIGINT) + 1
+                   END AS r
             FROM w
         ),
         g AS (SELECT n, n1, r, 2.0 * n1 * (n - n1) AS m FROM c),
         f AS (
             SELECT n, n1, r,
-                   1.0 + m / n AS e,
-                   (m * (m - n))
-                       / ((CAST(n AS DOUBLE) * n) * (n - 1.0)) AS v
+                   CASE WHEN n = 0 THEN 0.0 ELSE 1.0 + m / n END AS e,
+                   CASE WHEN n < 2 THEN 0.0
+                        ELSE (m * (m - n))
+                             / ((CAST(n AS DOUBLE) * n) * (n - 1.0))
+                   END AS v
             FROM g
         )
         SELECT n AS n_events, n1 AS n_success, r AS n_runs,
@@ -6757,18 +6762,32 @@ def events_runs_test(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("x").cast("long").alias("n1"),
     )
     c = counts.crossJoin(F.broadcast(changes)).select(
-        "n", "n1", (F.col("n_changes") + 1).cast("long").alias("r")
+        "n",
+        "n1",
+        # an empty sequence has ZERO runs, not n_changes+1
+        F.when(F.col("n") == 0, 0)
+        .otherwise(F.col("n_changes") + 1)
+        .cast("long")
+        .alias("r"),
     )
     return runs_report(c)
 
 
 def runs_report(c: DataFrame) -> DataFrame:
     """Runs-test report from a 1-row (n, n1, r) table — shared verbatim
-    by the batch query and its streaming twin (one IEEE dag)."""
+    by the batch query and its streaming twin (one IEEE dag). Degenerate
+    inputs stay finite: E is 0 for an empty sequence (no 0/0 NaN) and
+    Var is 0 below n=2, which routes z to its own 0 branch."""
     m = F.lit(2.0) * F.col("n1") * (F.col("n") - F.col("n1"))
-    e = F.lit(1.0) + m / F.col("n")
-    v = (m * (m - F.col("n"))) / (
-        (F.col("n").cast("double") * F.col("n")) * (F.col("n") - F.lit(1.0))
+    e = F.when(F.col("n") == 0, F.lit(0.0)).otherwise(
+        F.lit(1.0) + m / F.col("n")
+    )
+    v = F.when(F.col("n") < 2, F.lit(0.0)).otherwise(
+        (m * (m - F.col("n")))
+        / (
+            (F.col("n").cast("double") * F.col("n"))
+            * (F.col("n") - F.lit(1.0))
+        )
     )
     z = F.when(v <= 0, F.lit(0.0)).otherwise((F.col("r") - e) / F.sqrt(v))
     return c.select(
@@ -16058,29 +16077,27 @@ _PERM_K = 28  # replicas = bits of the 28-bit _snap_hash
                        for k in range(_PERM_K)
                    )}
             FROM per_user
+        ),
+        h AS (
+            SELECT n_users, e_tot, p_tot,
+                   p_obs1 * 1.0 / e_obs1
+                       - (p_tot - p_obs1) * 1.0 / (e_tot - e_obs1) AS obs,
+                   CAST({" + ".join(
+                       f"CASE WHEN abs(p1_{k} * 1.0 / e1_{k}"
+                       f" - (p_tot - p1_{k}) * 1.0 / (e_tot - e1_{k}))"
+                       f" >= abs(p_obs1 * 1.0 / e_obs1"
+                       f" - (p_tot - p_obs1) * 1.0 / (e_tot - e_obs1))"
+                       f" THEN 1 ELSE 0 END"
+                       for k in range(_PERM_K)
+                   )} AS BIGINT) AS n_ge
+            FROM g
         )
         SELECT n_users, e_tot AS n_events, p_tot AS n_purchases,
-               CAST(ROUND((p_obs1 * 1.0 / e_obs1
-                           - (p_tot - p_obs1) * 1.0 / (e_tot - e_obs1))
-                          * 1000000.0) AS BIGINT) AS obs_uplift_micro,
+               CAST(ROUND(obs * 1000000.0) AS BIGINT) AS obs_uplift_micro,
                CAST({_PERM_K} AS BIGINT) AS n_replicas,
-               CAST({" + ".join(
-                   f"CASE WHEN abs(p1_{k} * 1.0 / e1_{k}"
-                   f" - (p_tot - p1_{k}) * 1.0 / (e_tot - e1_{k}))"
-                   f" >= abs(p_obs1 * 1.0 / e_obs1"
-                   f" - (p_tot - p_obs1) * 1.0 / (e_tot - e_obs1))"
-                   f" THEN 1 ELSE 0 END"
-                   for k in range(_PERM_K)
-               )} AS BIGINT) AS n_ge_obs,
-               CAST({" + ".join(
-                   f"CASE WHEN abs(p1_{k} * 1.0 / e1_{k}"
-                   f" - (p_tot - p1_{k}) * 1.0 / (e_tot - e1_{k}))"
-                   f" >= abs(p_obs1 * 1.0 / e_obs1"
-                   f" - (p_tot - p_obs1) * 1.0 / (e_tot - e_obs1))"
-                   f" THEN 1 ELSE 0 END"
-                   for k in range(_PERM_K)
-               )} AS BIGINT) * 10000 // {_PERM_K} AS p_value_bp
-        FROM g
+               n_ge AS n_ge_obs,
+               n_ge * 10000 // {_PERM_K} AS p_value_bp
+        FROM h
     """)(),
     tags=("stats", "ab-test", "experimentation", "permutation", "events"),
 )

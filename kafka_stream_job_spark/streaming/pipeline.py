@@ -5479,6 +5479,15 @@ def _ordered_batch_or_raise(batch, last_ts, last_eid, op_name):
             f"({last_ts}, {last_eid}); this source violates the "
             "single-file replay ordering contract"
         )
+    # sorting hides INTRA-batch violations, where a duplicate key is the
+    # only detectable one — a row delivered twice (overlapping staged
+    # files, replay glitch) would silently double-count in the fold
+    if batch.duplicated(subset=["ts_us", "event_id"]).any():
+        raise ValueError(
+            f"{op_name} received duplicate (ts_us, event_id) keys within "
+            "one micro-batch; this source violates the exactly-once "
+            "replay contract"
+        )
     return batch
 
 
@@ -5487,8 +5496,6 @@ def _sprt_fold_ordered(st, batch, a, b, inc0, inc1):
     into the 7-long SPRT state (idx, llr, first_up, first_down, n_succ,
     last_ts, last_eid). Module-level so the out-of-order path is
     unit-testable without a streaming harness."""
-    import pandas as pd  # noqa: F401 — callers pass pandas frames
-
     idx, llr, first_up, first_down, n_succ, last_ts, last_eid = st
     batch = _ordered_batch_or_raise(batch, last_ts, last_eid, "SPRT monitor")
     for x in batch["x"]:

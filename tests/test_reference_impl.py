@@ -752,6 +752,10 @@ def test_runs_fold_rejects_out_of_order_batches():
 
     with _pytest.raises(ValueError, match="event-time-ordered"):
         _runs_fold_ordered(b, mk([(25, 9, 1)]))
+    # duplicate keys WITHIN one micro-batch also fail loudly (sorting
+    # would otherwise hide them and the fold would double-count)
+    with _pytest.raises(ValueError, match="duplicate"):
+        _runs_fold_ordered(b, mk([(60, 7, 1), (60, 7, 0)]))
 
 
 def test_permutation_test_matches_pure_python(spark, tmp_path):
