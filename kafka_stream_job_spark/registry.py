@@ -382,246 +382,249 @@ def all_specs() -> dict[str, QuerySpec]:
     # (operators added after the measurement) slot in just after the
     # sub-second group.
     cost_order = (
-        "text_fingerprint", "binary_blob_source_stats",
-        "nations_with_rich_customers", "text_bpe_token_count",
+        "nations_with_rich_customers", "text_fingerprint",
+        "binary_blob_source_stats", "q6_forecast_revenue",
+        "sft_loss_masking_spans", "customers_without_orders",
         "text_token_stats", "url_functions_showcase",
-        "customers_without_orders", "split_train_eval",
-        "data_freshness_sla", "q6_forecast_revenue",
-        "sft_loss_masking_spans", "weighted_sample_docs",
-        "bitwise_aggregates_showcase", "q14_promo_revenue",
-        "quota_sample_per_lang", "scalar_functions_showcase",
-        "span_corruption_manifest", "gdpr_purge_manifest",
-        "pipe_sql_priority_stats", "text_quality_score",
-        "lang_balance_weights", "sft_pair_manifest",
-        "datetime_functions_showcase", "fixed_width_source_read",
-        "grouping_sets_revenue", "parameterized_sql_showcase",
-        "text_mojibake_detect", "doc_sliding_chunks",
-        "events_daily_value_trend", "lateral_top_customers_per_nation",
-        "text_fano_burstiness", "text_sentiment_lexicon",
-        "try_functions_showcase", "scd2_customer_merge",
-        "supplier_return_wilson_rank", "cube_order_status_priority",
-        "multimodal_metadata_scan", "null_safe_join_attribution",
-        "schema_evolution_merge_read", "text_adjacent_repetition",
-        "text_pii_redaction", "bpe_fertility_by_lang",
-        "corpus_mix_rebalance", "dedup_exact", "profile_hot_orderkeys",
-        "q12_priority_by_linestatus", "q22_global_sales_opportunity",
-        "text_seqlen_histogram", "bronze_decode_errors",
-        "k_anonymity_audit", "text_language_id",
-        "user_time_to_first_purchase", "events_multi_rollup",
-        "events_props_variant_decode", "q19_disjunctive_revenue",
-        "text_unicode_script_profile", "arrow_map_embedding_norm",
-        "events_self_excitation_ratio", "lang_temperature_weights",
-        "multimodal_resize", "parts_price_anova_by_size",
-        "percentile_order_prices", "stats_qty_price_corr",
-        "streaming_state_budget_planner", "basket_size_nbd_fit",
-        "decayed_leaderboard", "events_json_extract", "kmv_distinct_users",
-        "multimodal_frame_sample", "pivot_user_event_matrix",
-        "q13_customer_distribution", "rollup_returns",
-        "unpivot_lineitem_measures", "events_funnel_view_click_purchase",
-        "partitioned_source_pruned_read", "q15_top_supplier",
-        "q4_order_priority", "snapshot_diff_report", "text_hapax_ratio",
-        "array_agg_user_profile", "cv_fold_manifest",
-        "dpo_preference_pairs", "embedding_norm_stats",
-        "events_funnel_latency", "pack_sequences_manifest",
-        "collation_group_showcase", "gmv_walk_forward_backtest",
-        "incremental_agg_maintenance", "neyman_allocation_plan",
-        "orders_gmv_weekly_wow", "q7_volume_shipping", "revenue_waterfall",
-        "text_readability_features", "execute_immediate_showcase",
-        "revenue_trend_ols", "distinct_parts_per_supplier",
-        "events_props_templates", "events_user_lifecycle_stages",
-        "merge_full_cdc", "subject_access_export",
-        "embedding_int8_quantize", "events_seasonality_strength",
-        "jsonl_source_permissive_read", "lineitem_ship_latency",
-        "q18_large_volume_customers", "q9_product_type_profit",
-        "setops_customer_segments", "small_quantity_revenue",
-        "top_customers_by_revenue", "benford_digit_audit",
-        "csv_source_permissive_read", "dedup_url_canonical",
-        "events_hourly_rollup", "multimodal_stratified_sample",
-        "quality_rater_agreement_kappa", "rank_correlation_kendall",
-        "text_vocab_coverage", "window_event_gaps",
-        "events_interval_union_coverage", "events_theilsen_trend",
-        "events_transition_matrix", "gzip_jsonl_source_read",
-        "q10_returned_items", "text_zipf_slope", "attribution_multi_touch",
+        "bitwise_aggregates_showcase", "cube_order_status_priority",
+        "pipe_sql_priority_stats", "scalar_functions_showcase",
+        "span_corruption_manifest", "datetime_functions_showcase",
+        "multimodal_metadata_scan", "data_freshness_sla",
+        "gdpr_purge_manifest", "quota_sample_per_lang",
+        "text_seqlen_histogram", "fixed_width_source_read",
+        "grouping_sets_revenue", "text_bpe_token_count",
+        "try_functions_showcase", "arrow_map_embedding_norm",
+        "doc_sliding_chunks", "multimodal_resize", "q14_promo_revenue",
+        "sft_pair_manifest", "corpus_mix_rebalance", "scd2_customer_merge",
+        "schema_evolution_merge_read", "weighted_sample_docs",
+        "events_json_extract", "k_anonymity_audit",
+        "multimodal_frame_sample", "q4_order_priority",
+        "collation_group_showcase", "split_train_eval",
+        "text_mojibake_detect", "text_pii_redaction", "text_quality_score",
+        "dedup_url_canonical", "lang_balance_weights",
+        "q12_priority_by_linestatus", "null_safe_join_attribution",
+        "rollup_returns", "stats_qty_price_corr", "text_fano_burstiness",
+        "events_hourly_rollup", "events_multi_rollup",
+        "profile_hot_orderkeys", "q22_global_sales_opportunity",
+        "unpivot_lineitem_measures", "events_power_mde_plan",
+        "lang_temperature_weights", "lateral_top_customers_per_nation",
+        "multimodal_decode_features", "pack_sequences_manifest",
+        "parameterized_sql_showcase", "partitioned_source_pruned_read",
+        "parts_price_anova_by_size", "supplier_return_wilson_rank",
+        "decayed_leaderboard", "execute_immediate_showcase",
+        "percentile_order_prices", "q19_disjunctive_revenue",
+        "setops_customer_segments", "dpo_preference_pairs",
+        "neyman_allocation_plan", "quality_rater_agreement_kappa",
         "compaction_bin_packing_plan", "dedup_prefix_collision",
-        "embedding_isotropy_proxy", "embedding_pca2_closed_form",
-        "events_ewma_forecast", "hll_distinct_users",
-        "profile_lineitem_columns", "q20_heavy_shippers",
-        "events_type_audience_overlap", "salted_join_supplier_volume",
-        "window_customer_order_rank", "events_holt_forecast",
-        "file_metadata_columns_read", "multimodal_dedup_content_hash",
-        "orders_duplicate_payment_audit", "range_join_price_bands",
-        "rater_mcnemar_test", "text_lexical_diversity",
-        "token_df_drift_halves", "trigram_like_search",
-        "web_domain_profile", "window_range_trailing_hour",
-        "events_burst_hours", "events_seasonal_profile",
-        "linkage_blocking_quality", "partition_spec_advisor",
-        "user_trigram_paths", "events_user_retention",
+        "events_daily_value_trend", "multimodal_dedup_content_hash",
+        "user_time_to_first_purchase", "window_customer_order_rank",
+        "array_agg_user_profile", "discount_cap_counterfactual",
+        "events_user_lifecycle_stages", "kmv_distinct_users",
+        "q15_top_supplier", "rater_mcnemar_test", "text_sentiment_lexicon",
+        "dedup_exact", "events_props_variant_decode",
+        "events_self_excitation_ratio", "multimodal_stratified_sample",
+        "pandas_grouped_agg_trimmed_mean", "revenue_waterfall",
+        "top_customers_by_revenue", "web_domain_profile",
+        "benford_digit_audit", "csv_source_permissive_read",
+        "dp_noisy_nation_counts", "events_props_templates",
+        "q13_customer_distribution", "q18_large_volume_customers",
+        "text_adjacent_repetition", "text_language_id",
+        "basket_size_nbd_fit", "bronze_decode_errors", "cv_fold_manifest",
+        "events_transition_matrix", "gmv_walk_forward_backtest",
+        "merge_full_cdc", "pivot_user_event_matrix", "snapshot_diff_report",
+        "streaming_state_budget_planner", "text_unicode_script_profile",
         "grpo_group_advantage", "map_functions_showcase",
-        "pandas_grouped_agg_trimmed_mean", "q8_national_market_share",
-        "text_top_bigrams", "best_of_n_selection",
-        "discount_cap_counterfactual", "mlm_masking_manifest",
-        "multimodal_gif_stats", "pandas_acctbal_zscore",
-        "pandas_scalar_log_price", "q2_min_cost_supplier",
-        "text_feature_hashing", "asof_next_touch_latency",
-        "feature_asof_training_matrix", "sql_udf_showcase",
-        "text_rake_keywords", "dp_noisy_nation_counts",
-        "events_interval_overlap_join", "multimodal_decode_features",
-        "q16_supplier_part_buckets", "similarity_lsh_neardup",
-        "churn_label_manifest", "events_profile_cosine_pairs",
-        "similarity_topk_bucketed", "snapshot_retention_expiry_plan",
-        "change_data_feed_report", "events_hourly_anomaly",
-        "events_hourly_gapfill", "geo_cell_colocation",
-        "mixture_temperature_sweep", "multimodal_avi_stats",
-        "multimodal_png_stats", "orphan_file_audit",
-        "array_set_functions_showcase", "bronze_decode_roundtrip",
-        "corpus_quota_rebalance_delta", "events_ab_uplift_test",
-        "q3_shipping_priority", "score_calibration_report",
-        "aes_roundtrip_audit", "events_hill_tail_index",
-        "langid_precision_recall", "market_concentration_hhi",
-        "dedup_cluster_size_histogram", "discount_elasticity_by_brand",
-        "shuffle_partition_advisor", "text_repetition_filter",
-        "multimodal_wav_silence_real", "q11_important_part_value",
-        "similarity_topk_cosine", "text_bm25_search",
-        "xml_decode_roundtrip", "content_defined_chunks",
-        "hll_merge_event_types", "l_diversity_audit",
-        "multimodal_audio_frame_energy", "corpus_weights_ess",
-        "embedding_bitwidth_sweep", "embedding_blocking_key_profile",
-        "price_index_laspeyres", "embedding_outlier_zscore",
-        "events_bounce_rate_by_entry", "streaming_heavy_hitter_users",
-        "asof_purchase_attribution", "bloom_filter_membership",
-        "decontaminate_by_embedding", "medallion_pipeline_rollup",
-        "orders_repeat_purchase_gaps", "q1_pricing_summary",
-        "streaming_gzip_jsonl_rollup", "udtf_word_expand",
-        "events_cusum_drift", "incremental_join_maintenance",
-        "multimodal_magic_sniffer", "rate_limiter_backtest",
-        "supplier_scorecard", "text_word_pmi", "corpus_token_budget_plan",
-        "embedding_dim_variance_rank", "rag_context_pack",
+        "q7_volume_shipping", "dedup_cluster_size_histogram",
+        "embedding_isotropy_proxy", "events_funnel_latency",
+        "linkage_blocking_quality", "multimodal_gif_stats",
+        "embedding_int8_quantize", "events_funnel_view_click_purchase",
+        "events_interval_union_coverage", "events_seasonal_profile",
+        "jsonl_source_permissive_read", "multimodal_png_stats",
+        "orders_duplicate_payment_audit", "text_readability_features",
+        "user_trigram_paths", "incremental_agg_maintenance",
+        "l_diversity_audit", "bpe_fertility_by_lang",
+        "distinct_parts_per_supplier", "events_ewma_forecast",
+        "feature_asof_training_matrix", "file_metadata_columns_read",
+        "orders_gmv_weekly_wow", "small_quantity_revenue",
+        "sql_udf_showcase", "array_set_functions_showcase",
+        "events_burst_hours", "events_type_audience_overlap",
+        "pandas_acctbal_zscore", "q9_product_type_profit",
+        "subject_access_export", "window_event_gaps",
+        "attribution_multi_touch", "best_of_n_selection",
+        "embedding_norm_stats", "events_seasonality_strength",
+        "gzip_jsonl_source_read", "lineitem_ship_latency",
+        "multimodal_avi_stats", "orphan_file_audit",
+        "pandas_scalar_log_price", "trigram_like_search",
+        "aes_roundtrip_audit", "asof_next_touch_latency",
+        "events_theilsen_trend", "events_user_retention",
+        "q11_important_part_value", "text_hapax_ratio",
+        "q20_heavy_shippers", "q3_shipping_priority",
+        "change_data_feed_report", "events_interval_overlap_join",
+        "multimodal_avi_shot_boundaries", "revenue_trend_ols",
+        "window_range_trailing_hour", "xml_decode_roundtrip",
+        "embedding_pca2_closed_form", "multimodal_wav_silence_real",
+        "q10_returned_items", "q8_national_market_share",
+        "corpus_weights_ess", "multimodal_magic_sniffer",
+        "text_top_bigrams", "text_vocab_coverage", "churn_label_manifest",
         "events_session_window_batch", "multimodal_bmp_stats",
-        "single_source_risk_report", "customer_balance_ks_test",
-        "events_anomaly_persistence", "linkage_fellegi_sunter",
-        "multimodal_silence_segments", "orders_cohort_revenue",
-        "shard_manifest_balanced", "streaming_upsert_latest_state",
-        "kmeans_inertia_elbow", "events_psi_value_drift",
-        "events_sessionize_batch", "gopher_quality_rules",
-        "session_window_rollup", "similarity_topk_binary_rerank",
-        "events_growth_accounting", "orc_source_roundtrip",
-        "streaming_dedup_events", "timeseries_znorm_subsequence_search",
-        "attribution_window_sweep", "corpus_dedup_aware_weights",
-        "graph_degree_distribution", "multimodal_wav_haar_energy",
-        "q21_waiting_supplier", "txn_log_time_travel", "events_ohlc_bars",
-        "events_props_schema_profile", "events_sprt_monitor",
-        "forecast_conformal_intervals", "matryoshka_truncation_recall",
-        "orders_priority_status_chi2", "streaming_kmv_distinct_users",
-        "watermark_sizing_report", "abc_customer_classification",
-        "data_quality_audit", "multimodal_ahash_neardup",
-        "multimodal_avi_shot_boundaries", "ivf_cell_balance_report",
-        "ols_two_feature_normal_eq", "skipgram_negative_samples",
-        "text_token_entropy", "embedding_jl_projection_audit",
-        "orders_cuped_adjustment", "streaming_available_now_rollup",
-        "array_hof_showcase", "streaming_rater_drift_monitor",
-        "ann_ndcg_truncation", "percentile_distributed_exact",
-        "sketch_quantile_bins", "decision_stump_split_scores",
-        "t_closeness_audit", "dedup_frontier_bloom", "customer_spend_gini",
-        "join_skew_planner", "basket_part_pairs", "cms_token_counts",
-        "events_holtwinters_forecast", "events_peak_concurrency",
-        "multimodal_bmp_ahash", "scd2_point_in_time_join",
-        "streaming_hll_distinct_users", "surrogate_key_assignment",
-        "text_char_entropy", "q5_local_supplier_volume",
-        "corpus_source_datasheet", "events_ccf_count_value",
-        "window_functions_showcase", "curriculum_pacing_schedule",
-        "events_alarm_verification", "embedding_cluster_label_purity",
-        "part_name_brand_mi", "streaming_union_sources_rollup",
-        "dsir_importance_weights", "events_changepoint_binseg",
-        "batch_replay_pruned_scan", "customer_segment_entropy_by_nation",
-        "search_hybrid_rrf", "streaming_neyman_allocation",
-        "streaming_seasonality_monitor", "vocab_growth_curve",
-        "events_hourly_mad_outliers", "similarity_topk_ivf",
-        "streaming_magic_sniffer", "embedding_covariance",
-        "histogram_price_deciles", "streaming_hourly_rollup",
-        "zorder_layout_stats", "corpus_epoch_shuffle_manifest",
-        "decontaminate_train_shingles", "streaming_csv_source_rollup",
-        "streaming_static_enrich", "embedding_mutual_nn_pairs",
-        "streaming_rate_limiter", "events_hourly_type_entropy",
-        "events_mann_whitney_test", "streaming_fertility_drift",
-        "checkpoint_statestore_table", "orders_survival_km",
-        "streaming_self_excitation", "streaming_txn_log_tail",
-        "text_tfidf_top_terms", "tokenizer_vocab_pressure",
+        "orc_source_roundtrip", "score_calibration_report",
+        "text_bm25_search", "linkage_fellegi_sunter",
+        "multimodal_audio_frame_energy", "partition_spec_advisor",
+        "q16_supplier_part_buckets", "shuffle_partition_advisor",
+        "events_profile_cosine_pairs", "geo_cell_colocation",
+        "range_join_price_bands", "similarity_topk_binary_rerank",
+        "udtf_word_expand", "content_defined_chunks",
+        "events_ab_uplift_test", "events_hill_tail_index",
+        "q1_pricing_summary", "salted_join_supplier_volume",
+        "discount_elasticity_by_brand", "embedding_blocking_key_profile",
+        "events_hourly_anomaly", "incremental_join_maintenance",
+        "events_psi_value_drift", "events_hourly_gapfill",
+        "orders_repeat_purchase_gaps", "bronze_decode_roundtrip",
+        "embedding_bitwidth_sweep", "events_holt_forecast",
+        "q2_min_cost_supplier", "supplier_scorecard",
+        "mlm_masking_manifest", "multimodal_silence_segments",
+        "profile_lineitem_columns", "rank_correlation_kendall",
+        "rate_limiter_backtest", "attribution_window_sweep",
+        "multimodal_wav_haar_energy", "t_closeness_audit",
+        "text_lexical_diversity", "token_df_drift_halves",
+        "kmeans_inertia_elbow", "market_concentration_hhi",
+        "multimodal_ahash_neardup", "text_zipf_slope",
+        "ann_ndcg_truncation", "text_repetition_filter",
+        "dedup_frontier_bloom", "events_srm_check", "hll_distinct_users",
+        "text_rake_keywords", "events_bounce_rate_by_entry",
+        "session_window_rollup", "similarity_topk_cosine",
+        "streaming_gzip_jsonl_rollup", "corpus_token_budget_plan",
+        "shard_manifest_balanced", "corpus_quota_rebalance_delta",
+        "embedding_dim_variance_rank", "mixture_temperature_sweep",
+        "multimodal_wav_zcr_real", "orders_priority_status_chi2",
+        "surrogate_key_assignment", "text_feature_hashing",
+        "multimodal_bmp_ahash", "sketch_quantile_bins",
+        "asof_purchase_attribution", "embedding_jl_projection_audit",
+        "txn_log_time_travel", "watermark_sizing_report",
+        "price_index_laspeyres", "streaming_upsert_latest_state",
+        "bandit_replay_hourly", "events_growth_accounting",
+        "events_holtwinters_forecast", "decision_stump_split_scores",
+        "forecast_conformal_intervals", "medallion_pipeline_rollup",
+        "snapshot_retention_expiry_plan",
+        "timeseries_znorm_subsequence_search", "array_hof_showcase",
+        "corpus_dedup_aware_weights", "events_props_schema_profile",
+        "hll_merge_event_types", "events_anomaly_persistence",
+        "events_ohlc_bars", "data_quality_audit",
+        "events_changepoint_binseg", "events_cusum_drift",
+        "events_mann_whitney_test", "graph_degree_distribution",
+        "similarity_topk_bucketed", "bloom_filter_membership",
+        "rag_context_pack", "text_token_entropy",
+        "customer_balance_ks_test", "join_skew_planner",
+        "langid_precision_recall", "text_word_pmi",
+        "q5_local_supplier_volume", "single_source_risk_report",
+        "streaming_heavy_hitter_users", "customer_spend_gini",
+        "streaming_kmv_distinct_users", "abc_customer_classification",
+        "ivf_cell_balance_report", "orders_cuped_adjustment",
+        "similarity_lsh_neardup", "streaming_available_now_rollup",
+        "ols_two_feature_normal_eq", "streaming_rater_drift_monitor",
+        "events_sprt_monitor", "percentile_distributed_exact",
+        "decontaminate_by_embedding", "embedding_outlier_zscore",
+        "events_dau_wau_mau", "k_anonymity_generalize",
+        "customer_segment_entropy_by_nation", "events_sessionize_batch",
+        "pps_systematic_sample", "curriculum_pacing_schedule",
+        "q21_waiting_supplier", "heavy_hitter_tokens",
+        "scd2_point_in_time_join", "events_alarm_verification",
+        "cms_token_counts", "brier_score_decomposition",
+        "events_hourly_mad_outliers", "events_mann_kendall_trend",
+        "streaming_dedup_events", "orders_cohort_revenue",
+        "embedding_mutual_nn_pairs", "streaming_csv_source_rollup",
+        "embedding_cluster_label_purity", "histogram_price_deciles",
+        "text_term_proximity_search", "basket_part_pairs",
+        "streaming_neyman_allocation", "streaming_union_sources_rollup",
+        "skipgram_negative_samples", "streaming_hll_distinct_users",
+        "linkage_entity_clusters", "multimodal_wav_stats",
+        "zorder_layout_stats", "surrogate_key_incremental",
+        "events_peak_concurrency", "repeated_ngram_spans",
+        "streaming_seasonality_monitor", "decontaminate_train_shingles",
+        "events_ccf_count_value", "fd_discovery_profile",
+        "gopher_quality_rules", "streaming_sliding_rollup",
+        "streaming_hourly_rollup", "window_functions_showcase",
+        "graph_assortativity", "matryoshka_truncation_recall",
+        "orders_open_backlog_daily", "events_hourly_type_entropy",
+        "dedup_incremental_delta", "events_haar_wavelet_energy",
+        "sketch_user_activity", "streaming_txn_log_tail",
+        "bpe_learn_merges", "part_name_brand_mi", "similarity_topk_ivf",
+        "checkpoint_statestore_table", "streaming_magic_sniffer",
+        "similarity_maxsim_multivector", "corpus_epoch_shuffle_manifest",
+        "knn_classifier_eval", "streaming_self_excitation",
+        "text_char_entropy", "batch_replay_pruned_scan",
+        "corpus_js_divergence", "text_chunk_dedup",
+        "supplier_pareto_frontier", "graph_link_prediction_suppliers",
+        "join_cardinality_audit", "crosslingual_contamination",
+        "streaming_feature_hashing_monitor", "streaming_rate_limiter",
+        "association_rules_parts", "padding_waste_report",
+        "streaming_static_enrich", "corpus_source_datasheet",
+        "source_overlap_jaccard", "vocab_growth_curve",
+        "streaming_bounce_rate", "streaming_ess_monitor",
+        "streaming_hill_tail_monitor", "dedup_exact_substring",
+        "multimodal_shot_boundaries", "orders_survival_km",
         "streaming_interval_union_coverage", "streaming_psi_drift",
-        "text_chunk_dedup", "bandit_replay_hourly", "graph_assortativity",
-        "heavy_hitter_tokens", "join_cardinality_audit",
-        "association_rules_parts", "embedding_pq_codes",
-        "events_haar_wavelet_energy", "streaming_sliding_rollup",
-        "supplier_pareto_frontier", "streaming_dedup_within_watermark",
-        "dedup_survivors", "events_dau_wau_mau", "kmv_set_ops_event_types",
-        "quality_logreg_inference", "streaming_bounce_rate",
-        "sketch_user_activity", "bpe_apply_merges",
-        "brier_score_decomposition", "streaming_feature_hashing_monitor",
-        "bpe_learn_merges", "multimodal_wav_stats", "padding_waste_report",
-        "pps_systematic_sample", "streaming_ohlc_bars",
-        "streaming_value_quantiles", "k_anonymity_generalize",
-        "knn_classifier_eval", "repeated_ngram_spans",
-        "streaming_sprt_monitor", "ivf_recall_report",
-        "streaming_ess_monitor", "streaming_topk_types_hourly",
-        "bigram_lm_score", "streaming_hill_tail_monitor",
-        "dedup_embedding_cosine", "lineitem_qty_price_heatmap",
-        "similarity_maxsim_multivector", "surrogate_key_incremental",
-        "fd_discovery_profile", "dedup_exact_substring",
-        "quality_logreg_training", "text_entropy_rate_bigram",
-        "events_hourly_autocorr", "linkage_entity_clusters",
-        "text_rolling_fingerprint", "embedding_drift_ab_halves",
-        "streaming_sink_exactly_once_roundtrip",
-        "text_term_proximity_search", "dedup_incremental_delta",
-        "similarity_topk_pq_adc", "graph_link_prediction_suppliers",
-        "streaming_frontier_bloom", "corpus_js_divergence",
-        "source_overlap_jaccard", "crosslingual_contamination",
-        "orders_open_backlog_daily", "events_markov_stationary",
-        "recursive_month_spine", "streaming_update_mode_rollup",
-        "dedup_edit_distance", "dedup_span_mask_manifest",
-        "dedup_transitivity_audit", "streaming_session_rollup",
-        "fk_inclusion_profile", "fuzzy_join_part_names",
-        "streaming_cuped_monitor", "blocklist_phrase_filter",
-        "dedup_pair_provenance", "hll_intersection_estimate",
-        "maxmin_fair_allocation", "zonemap_skip_simulation",
-        "contrastive_triplets", "embedding_silhouette_centroid",
-        "streaming_type_entropy_drift", "checkpoint_sources_table",
-        "streaming_brand_mi_drift", "streaming_stateful_type_counts",
-        "dedup_minhash_lsh", "graph_modularity_by_brand",
-        "ivf_incremental_assign", "bradley_terry_strengths",
-        "supplier_leadtime_percentiles", "scan_task_planner",
-        "corpus_shingle_novelty", "multimodal_shot_boundaries",
-        "graph_label_propagation", "streaming_runs_monitor",
-        "udtf_dynamic_ngrams", "streaming_brier_monitor",
-        "streaming_lsh_candidate_buckets", "linkage_em_parameters",
-        "streaming_quality_monitor", "dedup_simhash", "hits_authority_hub",
-        "orders_did_estimator", "rfm_customer_segments",
-        "streaming_mann_kendall_monitor", "bucketed_join_colocated",
-        "cogroup_asof_pandas", "ivf_nprobe_sweep", "spearman_len_vs_ttr",
-        "streaming_stateful_totals", "naive_bayes_langid",
-        "perplexity_tertile_buckets", "dedup_containment",
-        "events_runs_test", "streaming_wav_haar_monitor",
-        "text_kneser_ney_bigram_score", "streaming_did_monitor",
-        "semantic_dedup_semdedup", "dedup_ngram_jaccard",
-        "events_mann_kendall_trend", "recsys_item_cosine",
-        "batch_replay_source_slice", "corpus_filter_funnel",
-        "corpus_difficulty_curriculum", "streaming_chained_windows",
-        "streaming_late_data_drop", "checkpoint_offsetlog_table",
-        "streaming_replay_source_rollup", "streaming_semdedup",
-        "streaming_ivf_assign", "tokenizer_unigram_compression",
-        "cluster_kmeans_embeddings", "graph_kcore_peel",
-        "embedding_power_iteration", "dedup_connected_components",
-        "minhash_jaccard_calibration", "minhash_bbit_calibration",
-        "graph_bfs_hops", "tokenizer_unigram_fertility",
-        "checkpoint_commitlog_audit", "streaming_wav_zcr_monitor",
-        "graph_pagerank_parts", "dedup_pipeline_composition",
-        "streaming_unigram_fertility", "dedup_keep_best_quality",
-        "streaming_purchase_attribution",
-        "streaming_join_then_windowed_agg", "dedup_band_sweep_calibration",
-        "streaming_unattributed_purchases", "tokenizer_unigram_fit",
-        "custom_sink_audit_roundtrip", "ann_pipeline_composition",
-        "orders_mean_value_bootstrap_ci", "ann_method_agreement",
-        "streaming_bootstrap_ci", "split_leakage_audit",
-        "sql_scripting_showcase", "graph_triangle_stats",
-        "hive_source_partition_pruned", "multimodal_wav_zcr_real"
+        "text_tfidf_top_terms", "dedup_span_mask_manifest",
+        "streaming_topk_types_hourly", "fk_inclusion_profile",
+        "streaming_value_quantiles", "embedding_covariance",
+        "embedding_drift_ab_halves", "embedding_silhouette_centroid",
+        "streaming_sink_exactly_once_roundtrip", "search_hybrid_rrf",
+        "dedup_transitivity_audit", "streaming_dedup_within_watermark",
+        "dsir_importance_weights", "bpe_apply_merges",
+        "dedup_pair_provenance", "events_markov_stationary",
+        "embedding_pq_codes", "supplier_leadtime_percentiles",
+        "dedup_embedding_cosine", "fuzzy_join_part_names",
+        "streaming_fertility_drift", "streaming_sprt_monitor",
+        "dedup_edit_distance", "bigram_lm_score", "corpus_shingle_novelty",
+        "streaming_ohlc_bars", "dedup_survivors", "kmv_set_ops_event_types",
+        "streaming_cuped_monitor", "streaming_update_mode_rollup",
+        "streaming_wav_haar_monitor", "bradley_terry_strengths",
+        "contrastive_triplets", "events_runs_test",
+        "maxmin_fair_allocation", "streaming_frontier_bloom",
+        "events_hourly_autocorr", "quality_logreg_training",
+        "linkage_em_parameters", "text_entropy_rate_bigram",
+        "scan_task_planner", "similarity_topk_pq_adc",
+        "streaming_session_rollup", "zonemap_skip_simulation",
+        "graph_modularity_by_brand", "streaming_stateful_type_counts",
+        "tokenizer_vocab_pressure", "bucketed_join_colocated",
+        "recursive_month_spine", "streaming_brand_mi_drift",
+        "streaming_wav_zcr_monitor", "quality_logreg_inference",
+        "dedup_containment", "ivf_recall_report", "orders_did_estimator",
+        "rfm_customer_segments", "hits_authority_hub",
+        "hll_intersection_estimate", "spearman_len_vs_ttr",
+        "streaming_type_entropy_drift", "batch_replay_source_slice",
+        "graph_label_propagation", "semantic_dedup_semdedup",
+        "dedup_minhash_lsh", "checkpoint_sources_table",
+        "blocklist_phrase_filter", "text_rolling_fingerprint",
+        "streaming_late_data_drop", "cogroup_asof_pandas",
+        "udtf_dynamic_ngrams", "ivf_nprobe_sweep",
+        "streaming_stateful_totals", "embedding_power_iteration",
+        "streaming_quality_monitor", "streaming_runs_monitor",
+        "recsys_item_cosine", "streaming_lsh_candidate_buckets",
+        "streaming_did_monitor", "streaming_brier_monitor",
+        "streaming_chained_windows", "corpus_filter_funnel",
+        "streaming_semdedup", "checkpoint_offsetlog_table",
+        "lineitem_qty_price_heatmap", "minhash_jaccard_calibration",
+        "dedup_simhash", "dedup_keep_best_quality",
+        "streaming_mann_kendall_monitor", "streaming_srm_monitor",
+        "ivf_incremental_assign", "streaming_ivf_assign",
+        "text_kneser_ney_bigram_score", "graph_bfs_hops",
+        "graph_kcore_peel", "dedup_ngram_jaccard", "graph_pagerank_parts",
+        "naive_bayes_langid", "streaming_replay_source_rollup",
+        "split_leakage_audit", "minhash_bbit_calibration",
+        "checkpoint_commitlog_audit", "dedup_band_sweep_calibration",
+        "dedup_pipeline_composition", "perplexity_tertile_buckets",
+        "corpus_difficulty_curriculum", "dedup_connected_components",
+        "cluster_kmeans_embeddings", "ann_method_agreement",
+        "orders_mean_value_bootstrap_ci", "streaming_unigram_fertility",
+        "custom_sink_audit_roundtrip", "doc_length_winsorize_audit",
+        "streaming_join_then_windowed_agg", "tokenizer_unigram_compression",
+        "ann_pipeline_composition", "streaming_bootstrap_ci",
+        "events_permutation_test", "streaming_unattributed_purchases",
+        "tokenizer_unigram_fertility", "streaming_purchase_attribution",
+        "tokenizer_unigram_fit", "sql_scripting_showcase",
+        "hive_source_partition_pruned", "graph_triangle_stats",
+        "multimodal_bmp_dhash"
     )
     new_ops_rank = 50.5  # just after the sub-second group (index ~50)
     unchecked = {
