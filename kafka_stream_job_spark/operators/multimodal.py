@@ -2945,7 +2945,10 @@ def _zcr_lang_oracle() -> str:
 @register(
     "multimodal_bmp_dhash",
     oracle=f"""
-        WITH lum AS (
+        WITH lum AS MATERIALIZED (
+            -- MATERIALIZED: the 112 per-doc list accesses below would
+            -- otherwise each re-inline (recompute) the 64-cell luma
+            -- construction — measured 15x slower without it
             SELECT doc_id, {_bmp_luma_sql()} AS lumas
             FROM documents WHERE length(text) > 0
         ),

@@ -2955,25 +2955,69 @@ def split_leakage_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(h < 8, "train").when(h == 8, "val").otherwise("test")
         .alias("split"),
         fp.alias("fp"),
-    ).localCheckpoint(eager=False)  # fp stats + join back share one read
-    fps = d.groupBy("fp").agg(
-        F.countDistinct("split").cast("long").alias("n_splits")
-    ).localCheckpoint(eager=False)
-    leaked = fps.filter(F.col("n_splits") > 1).agg(
-        F.count(F.lit(1)).cast("long").alias("leaked_fp_total")
     )
-    per_split = (
-        d.join(fps, "fp")
-        .groupBy("split")
-        .agg(
-            F.count(F.lit(1)).cast("long").alias("n_docs"),
-            F.countDistinct("fp").cast("long").alias("n_distinct_fp"),
-            F.sum((F.col("n_splits") > 1).cast("long"))
+    fps3 = d.groupBy("fp").agg(
+        *[
+            F.sum((F.col("split") == s).cast("long"))
             .cast("long")
-            .alias("n_leaked_docs"),
-        )
+            .alias(f"n_{s}")
+            for s in ("train", "val", "test")
+        ]
     )
-    return per_split.crossJoin(F.broadcast(leaked))
+    return split_leakage_assemble(fps3)
+
+
+def split_leakage_assemble(fps3: DataFrame) -> DataFrame:
+    """Leakage report from per-fingerprint (n_train, n_val, n_test)
+    counter rows — shared verbatim by the batch query and its streaming
+    twin. Everything derives from this table (no join back to the
+    corpus): a split's doc count is the counter sum, its distinct-fp
+    count is the fps with a nonzero counter, and a doc is leaked iff
+    its fp has nonzero counters in ≥2 splits."""
+    splits = ("train", "val", "test")
+    n_splits = sum(
+        (F.col(f"n_{s}") > 0).cast("int") for s in splits
+    )
+    g = fps3.agg(
+        F.sum((n_splits > 1).cast("long"))
+        .cast("long")
+        .alias("leaked_fp_total"),
+        *[
+            agg
+            for s in splits
+            for agg in (
+                F.sum(f"n_{s}").cast("long").alias(f"docs_{s}"),
+                F.sum((F.col(f"n_{s}") > 0).cast("long"))
+                .cast("long")
+                .alias(f"fps_{s}"),
+                F.sum(
+                    F.when(n_splits > 1, F.col(f"n_{s}")).otherwise(0)
+                )
+                .cast("long")
+                .alias(f"leaked_{s}"),
+            )
+        ],
+    )
+    rows = F.array(
+        *[
+            F.struct(
+                F.lit(s).alias("split"),
+                F.col(f"docs_{s}").alias("n_docs"),
+                F.col(f"fps_{s}").alias("n_distinct_fp"),
+                F.col(f"leaked_{s}").alias("n_leaked_docs"),
+            )
+            for s in splits
+        ]
+    )
+    return g.select(
+        F.explode(rows).alias("r"), "leaked_fp_total"
+    ).select(
+        F.col("r.split").alias("split"),
+        F.col("r.n_docs").alias("n_docs"),
+        F.col("r.n_distinct_fp").alias("n_distinct_fp"),
+        F.col("r.n_leaked_docs").alias("n_leaked_docs"),
+        "leaked_fp_total",
+    )
 
 
 # ---------------------------------------------------------------------------

@@ -16108,7 +16108,16 @@ def events_permutation_test(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum((F.col("event_type") == "purchase").cast("long"))
         .cast("long")
         .alias("p"),
-    ).select(
+    )
+    return permutation_assemble(per_user)
+
+
+def permutation_assemble(per_user: DataFrame) -> DataFrame:
+    """Permutation report from per-user (user_id, e, p) rows — shared
+    verbatim by the batch query and its streaming twin (the arm and
+    replica-bit hashes derive from user_id here, so the stream only has
+    to converge the two counts)."""
+    per_user = per_user.select(
         "e",
         "p",
         (_snap_hash("perm", "user_id") % 2).alias("arm"),
@@ -16296,6 +16305,12 @@ def events_power_mde_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("n_purch"),
     )
+    return power_mde_assemble(c)
+
+
+def power_mde_assemble(c: DataFrame) -> DataFrame:
+    """MDE report from a 1-row (n_events, n_purch) table — shared
+    verbatim by the batch query and its streaming twin."""
     f = c.select(
         "n_events",
         "n_purch",

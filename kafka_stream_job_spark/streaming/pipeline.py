@@ -6093,3 +6093,173 @@ def _register_streaming_srm_monitor() -> None:
 
 
 _register_streaming_srm_monitor()
+
+
+# ---------------------------------------------------------------------------
+# STREAMING PERMUTATION MONITOR — the live twin of
+# events_permutation_test: per-user (n_events, n_purchases) converge in
+# update-mode keyed JVM agg state (the brier-twin shape — the replica
+# arms are hash bits of user_id, so they derive POST-stream in the
+# shared permutation_assemble; nothing replica-specific ever enters the
+# state). Oracle verbatim from the batch op.
+# ---------------------------------------------------------------------------
+def _register_streaming_permutation_monitor() -> None:
+    import uuid
+
+    from kafka_stream_job_spark.operators.relational import (
+        permutation_assemble,
+    )
+    from kafka_stream_job_spark.registry import REGISTRY, register
+
+    oracle = REGISTRY["events_permutation_test"].oracle
+
+    @register(
+        "streaming_permutation_monitor",
+        oracle=oracle,
+        tags=("streaming", "stateful", "experimentation", "permutation",
+              "events"),
+    )
+    def streaming_permutation_monitor(
+        spark: SparkSession, sf_dir: str
+    ) -> DataFrame:
+        import tempfile
+
+        events = stream_events(spark, sf_dir)
+        per_user_stream = events.groupBy("user_id").agg(
+            F.count(F.lit(1)).cast("long").alias("e"),
+            F.sum((F.col("event_type") == "purchase").cast("long"))
+            .cast("long")
+            .alias("p"),
+        )
+        name = f"stream_perm_{uuid.uuid4().hex[:8]}"
+        ckpt = tempfile.mkdtemp(prefix="ksj-stream-perm-")
+        emitted = run_stream_to_memory(
+            spark, per_user_stream, name, ckpt, output_mode="update"
+        )
+        per_user = emitted.groupBy("user_id").agg(
+            F.max("e").cast("long").alias("e"),
+            F.max("p").cast("long").alias("p"),
+        )
+        return permutation_assemble(per_user)
+
+
+_register_streaming_permutation_monitor()
+
+
+# ---------------------------------------------------------------------------
+# STREAMING POWER/MDE MONITOR — the live twin of events_power_mde_plan:
+# two global int64 counts in update-mode JVM agg state answer "what
+# uplift could this experiment detect with the traffic collected SO
+# FAR" while it is still filling. Shared power_mde_assemble; oracle
+# verbatim from the batch op.
+# ---------------------------------------------------------------------------
+def _register_streaming_power_mde_monitor() -> None:
+    import uuid
+
+    from kafka_stream_job_spark.operators.relational import (
+        power_mde_assemble,
+    )
+    from kafka_stream_job_spark.registry import REGISTRY, register
+
+    oracle = REGISTRY["events_power_mde_plan"].oracle
+
+    @register(
+        "streaming_power_mde_monitor",
+        oracle=oracle,
+        tags=("streaming", "stateful", "experimentation", "power",
+              "events"),
+    )
+    def streaming_power_mde_monitor(
+        spark: SparkSession, sf_dir: str
+    ) -> DataFrame:
+        import tempfile
+
+        events = stream_events(spark, sf_dir)
+        counts_stream = events.groupBy(F.lit(0).alias("g")).agg(
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+            F.sum((F.col("event_type") == "purchase").cast("long"))
+            .cast("long")
+            .alias("n_purch"),
+        )
+        name = f"stream_mde_{uuid.uuid4().hex[:8]}"
+        ckpt = tempfile.mkdtemp(prefix="ksj-stream-mde-")
+        emitted = run_stream_to_memory(
+            spark, counts_stream, name, ckpt, output_mode="update"
+        )
+        c = emitted.agg(
+            F.max("n_events").cast("long").alias("n_events"),
+            F.max("n_purch").cast("long").alias("n_purch"),
+        )
+        return power_mde_assemble(c)
+
+
+_register_streaming_power_mde_monitor()
+
+
+# ---------------------------------------------------------------------------
+# STREAMING SPLIT-LEAKAGE MONITOR — the live twin of
+# split_leakage_audit: per-fingerprint (n_train, n_val, n_test)
+# counters converge in update-mode keyed JVM agg state as documents
+# stream in, and the whole report (per-split doc counts, distinct-fp
+# counts, leaked mass, global leaked-fp total) assembles post-stream
+# from that one table through the SAME split_leakage_assemble — a
+# leaked eval document is detectable the moment its twin lands in a
+# different split, not at corpus-freeze time. Oracle verbatim.
+# ---------------------------------------------------------------------------
+def _register_streaming_split_leakage_monitor() -> None:
+    import uuid
+
+    from kafka_stream_job_spark.operators.pipeline import (
+        _doc_hash,
+        split_leakage_assemble,
+    )
+    from kafka_stream_job_spark.registry import REGISTRY, register
+
+    oracle = REGISTRY["split_leakage_audit"].oracle
+
+    @register(
+        "streaming_split_leakage_monitor",
+        oracle=oracle,
+        tags=("streaming", "stateful", "llm-pipeline", "leakage",
+              "documents"),
+    )
+    def streaming_split_leakage_monitor(
+        spark: SparkSession, sf_dir: str
+    ) -> DataFrame:
+        import tempfile
+
+        docs = stream_documents(spark, sf_dir)
+        fp = F.md5(
+            F.array_join(
+                F.split(F.lower(F.trim(F.col("text"))), r"\s+"), " "
+            )
+        )
+        h = _doc_hash("leak") % 10
+        d = docs.select(
+            F.when(h < 8, "train").when(h == 8, "val").otherwise("test")
+            .alias("split"),
+            fp.alias("fp"),
+        )
+        fps3_stream = d.groupBy("fp").agg(
+            *[
+                F.sum((F.col("split") == s).cast("long"))
+                .cast("long")
+                .alias(f"n_{s}")
+                for s in ("train", "val", "test")
+            ]
+        )
+        name = f"stream_leak_{uuid.uuid4().hex[:8]}"
+        ckpt = tempfile.mkdtemp(prefix="ksj-stream-leak-")
+        emitted = run_stream_to_memory(
+            spark, fps3_stream, name, ckpt, output_mode="update"
+        )
+        fps3 = emitted.groupBy("fp").agg(
+            *[
+                F.max(f"n_{s}").cast("long").alias(f"n_{s}")
+                for s in ("train", "val", "test")
+            ]
+        )
+        return split_leakage_assemble(fps3)
+
+
+_register_streaming_split_leakage_monitor()
