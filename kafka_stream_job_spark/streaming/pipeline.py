@@ -5982,6 +5982,56 @@ def _runs_fold_ordered(st, batch):
     )
 
 
+def runs_walk_emissions(events: DataFrame) -> DataFrame:
+    """Cumulative (n, n1, r) emissions of the ordered runs walk over a
+    normalized events stream — module-level so streaming_runs_monitor
+    and the restart-recovery test share the exact query (the recovery
+    proof must restart the SAME plan on the same checkpoint)."""
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    obs = events.select(
+        F.lit(0).alias("g"),
+        F.unix_micros(F.col("ts")).alias("ts_us"),
+        "event_id",
+        F.when(F.col("event_type") == "purchase", 1)
+        .otherwise(0)
+        .alias("x"),
+    )
+
+    def update(key, pdfs, state):
+        import pandas as pd
+
+        st = (
+            tuple(state.get)
+            if state.exists
+            else (0, 0, 0, -1, -(1 << 62), -(1 << 62))
+        )
+        chunks = [pdf for pdf in pdfs if len(pdf)]
+        if chunks:
+            batch = (
+                chunks[0]
+                if len(chunks) == 1
+                else pd.concat(chunks, ignore_index=True)
+            )
+            st = _runs_fold_ordered(st, batch)
+        state.update(tuple(int(v) for v in st))
+        n, n1, changes = st[:3]
+        yield pd.DataFrame(
+            {"n": [n], "n1": [n1], "r": [changes + 1 if n > 0 else 0]}
+        )
+
+    return obs.groupBy("g").applyInPandasWithState(
+        update,
+        outputStructType="n long, n1 long, r long",
+        stateStructType=(
+            "n long, n1 long, changes long, last_x long, "
+            "last_ts long, last_eid long"
+        ),
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
 def _register_streaming_runs_monitor() -> None:
     import uuid
 
@@ -5998,49 +6048,7 @@ def _register_streaming_runs_monitor() -> None:
     def streaming_runs_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
         import tempfile
 
-        from pyspark.sql.streaming.state import GroupStateTimeout
-
-        obs = stream_events(spark, sf_dir).select(
-            F.lit(0).alias("g"),
-            F.unix_micros(F.col("ts")).alias("ts_us"),
-            "event_id",
-            F.when(F.col("event_type") == "purchase", 1)
-            .otherwise(0)
-            .alias("x"),
-        )
-
-        def update(key, pdfs, state):
-            import pandas as pd
-
-            st = (
-                tuple(state.get)
-                if state.exists
-                else (0, 0, 0, -1, -(1 << 62), -(1 << 62))
-            )
-            chunks = [pdf for pdf in pdfs if len(pdf)]
-            if chunks:
-                batch = (
-                    chunks[0]
-                    if len(chunks) == 1
-                    else pd.concat(chunks, ignore_index=True)
-                )
-                st = _runs_fold_ordered(st, batch)
-            state.update(tuple(int(v) for v in st))
-            n, n1, changes = st[:3]
-            yield pd.DataFrame(
-                {"n": [n], "n1": [n1], "r": [changes + 1]}
-            )
-
-        walked = obs.groupBy("g").applyInPandasWithState(
-            update,
-            outputStructType="n long, n1 long, r long",
-            stateStructType=(
-                "n long, n1 long, changes long, last_x long, "
-                "last_ts long, last_eid long"
-            ),
-            outputMode="append",
-            timeoutConf=GroupStateTimeout.NoTimeout,
-        )
+        walked = runs_walk_emissions(stream_events(spark, sf_dir))
         name = f"stream_runs_{uuid.uuid4().hex[:8]}"
         ckpt = tempfile.mkdtemp(prefix="ksj-stream-runs-")
         emitted = run_stream_to_memory(spark, walked, name, ckpt)

@@ -58,10 +58,18 @@ from kafka_stream_job_spark.streaming import pipeline as sp
 spark = get_spark()
 spark.sparkContext.setLogLevel("ERROR")
 table = {{"frontier": "documents", "dedup": "events", "psi": "events",
-          "brandmi": "part"}}[twin]
+          "brandmi": "part", "runs": "events"}}[twin]
 schema = spark.read.parquet(os.path.join(sf_dir, table + ".parquet")).schema
 stream = spark.readStream.schema(schema).parquet(srcdir)
-if twin == "frontier":
+if twin == "runs":
+    # the ordered sequential fold: 6-long applyInPandasWithState state
+    # whose LAST-KEY guard must survive the restart — a lost state
+    # would reset the walk to zero (undershoot) and a re-read of
+    # phase-1 input would trip the duplicate-key guard loudly
+    stream = stream.withColumn("ts", stream["ts"].cast("timestamp"))
+    emitted_stream = sp.runs_walk_emissions(stream)
+    mode = "append"
+elif twin == "frontier":
     emitted_stream = sp.frontier_bloom_emissions(stream)
     mode = "append"
 elif twin == "dedup":
@@ -120,6 +128,13 @@ if phase == "2":
         result = all_emitted.agg(
             F.count(F.lit(1)).cast("long").alias("n_events")
         )
+    elif twin == "runs":
+        # append mode, one cumulative row per batch: the converged walk
+        # is the max-n emission; runs_report is the shared batch
+        # assembly, so the comparison target is the batch oracle
+        from kafka_stream_job_spark.operators.relational import runs_report
+        final = all_emitted.drop("_batch").orderBy(F.col("n").desc()).limit(1)
+        result = runs_report(final)
     elif twin == "brandmi":
         # update mode: counts are monotone per key, so the converged
         # table is max(c) per key — lost agg state would restart the
@@ -146,20 +161,44 @@ spark.stop()
 
 
 def _split_table(
-    table: str, key: str, dest: str, overlap: bool = False
+    table: str,
+    key: str,
+    dest: str,
+    overlap: bool = False,
+    by_time: bool = False,
 ) -> tuple[str, str]:
     """Deterministic half-split of one sf0.001 table into two parquet
     files (by key parity — both halves hit every stateful group). With
     ``overlap``, part1 also RE-SENDS half of part0's rows (key % 4 == 0)
-    — cross-phase duplicates only recovered dedup state can suppress."""
+    — cross-phase duplicates only recovered dedup state can suppress.
+    With ``by_time``, the split is the FIRST/SECOND half of the
+    (ts, {key}) total order instead — the ordered sequential folds
+    (runs/SPRT walks) require phase 2's events to come strictly after
+    phase 1's, exactly like a live resumed stream."""
     src = os.path.join(SF_SMOKE, f"{table}.parquet")
     a = os.path.join(dest, "part0.parquet")
     b = os.path.join(dest, "part1.parquet")
-    p1 = f"{key} % 2 = 1 OR {key} % 4 = 0" if overlap else f"{key} % 2 = 1"
     con = duckdb.connect()
     con.execute(f"CREATE VIEW t AS SELECT * FROM read_parquet('{src}')")
-    con.execute(f"COPY (SELECT * FROM t WHERE {key} % 2 = 0) TO '{a}'")
-    con.execute(f"COPY (SELECT * FROM t WHERE {p1}) TO '{b}'")
+    if by_time:
+        con.execute(
+            f"CREATE VIEW r AS SELECT *, ROW_NUMBER() OVER "
+            f"(ORDER BY ts, {key}) AS _rn FROM t"
+        )
+        con.execute(
+            f"COPY (SELECT * EXCLUDE _rn FROM r WHERE _rn <= "
+            f"(SELECT COUNT(*) // 2 FROM t)) TO '{a}'"
+        )
+        con.execute(
+            f"COPY (SELECT * EXCLUDE _rn FROM r WHERE _rn > "
+            f"(SELECT COUNT(*) // 2 FROM t)) TO '{b}'"
+        )
+    else:
+        p1 = (
+            f"{key} % 2 = 1 OR {key} % 4 = 0" if overlap else f"{key} % 2 = 1"
+        )
+        con.execute(f"COPY (SELECT * FROM t WHERE {key} % 2 = 0) TO '{a}'")
+        con.execute(f"COPY (SELECT * FROM t WHERE {p1}) TO '{b}'")
     con.close()
     return a, b
 
@@ -233,12 +272,14 @@ _DEDUP_ORACLE = (
         ("psi", "events", "event_id", "streaming_psi_drift"),
         ("dedup", "events", "event_id", None),
         ("brandmi", "part", "p_partkey", "streaming_brand_mi_drift"),
+        ("runs", "events", "event_id", "events_runs_test"),
     ],
     ids=[
         "frontier_bloom_applyInPandasWithState",
         "psi_drift_agg_state",
         "drop_duplicates_dedup_state",
         "brand_mi_update_mode_agg_state",
+        "runs_walk_ordered_fold_state",
     ],
 )
 def test_stateful_twin_recovers_across_process_kill(
@@ -250,7 +291,13 @@ def test_stateful_twin_recovers_across_process_kill(
     out = str(tmp_path / "result.json")
     os.makedirs(srcdir)
     os.makedirs(stage)
-    part0, part1 = _split_table(table, key, stage, overlap=(twin == "dedup"))
+    part0, part1 = _split_table(
+        table,
+        key,
+        stage,
+        overlap=(twin == "dedup"),
+        by_time=(twin == "runs"),
+    )
 
     # phase 1: only half the input exists; process the batch, then the
     # process EXITS — the kill point (JVM dies, state store cache gone)
