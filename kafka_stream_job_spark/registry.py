@@ -374,7 +374,7 @@ def all_specs() -> dict[str, QuerySpec]:
     recheck = {n: s for n, s in REGISTRY.items() if n in _RECHECK}
     # Within the never-checked group, order by MEASURED sf0.01 driver-sim
     # cost (tools/verify_oracle.py SIM_PAR=1; re-measured over the FULL
-    # 492-query registry in round 11 — regenerate any time with
+    # 501-query registry in round 11 — regenerate any time with
     # tools/regen_cost_order.py from the committed CORRECTNESS_LOCAL.json),
     # cheapest first: if the driver's
     # pass is time-capped rather than count-capped, cheap-first maximizes
@@ -382,249 +382,251 @@ def all_specs() -> dict[str, QuerySpec]:
     # (operators added after the measurement) slot in just after the
     # sub-second group.
     cost_order = (
-        "nations_with_rich_customers", "text_fingerprint",
-        "binary_blob_source_stats", "q6_forecast_revenue",
-        "sft_loss_masking_spans", "customers_without_orders",
+        "binary_blob_source_stats", "text_fingerprint",
+        "nations_with_rich_customers", "text_bpe_token_count",
+        "sft_loss_masking_spans", "weighted_sample_docs",
+        "customers_without_orders", "quota_sample_per_lang",
         "text_token_stats", "url_functions_showcase",
-        "bitwise_aggregates_showcase", "cube_order_status_priority",
-        "pipe_sql_priority_stats", "scalar_functions_showcase",
-        "span_corruption_manifest", "datetime_functions_showcase",
-        "multimodal_metadata_scan", "data_freshness_sla",
-        "gdpr_purge_manifest", "quota_sample_per_lang",
-        "text_seqlen_histogram", "fixed_width_source_read",
-        "grouping_sets_revenue", "text_bpe_token_count",
-        "try_functions_showcase", "arrow_map_embedding_norm",
-        "doc_sliding_chunks", "multimodal_resize", "q14_promo_revenue",
-        "sft_pair_manifest", "corpus_mix_rebalance", "scd2_customer_merge",
-        "schema_evolution_merge_read", "weighted_sample_docs",
-        "events_json_extract", "k_anonymity_audit",
-        "multimodal_frame_sample", "q4_order_priority",
-        "collation_group_showcase", "split_train_eval",
-        "text_mojibake_detect", "text_pii_redaction", "text_quality_score",
-        "dedup_url_canonical", "lang_balance_weights",
-        "q12_priority_by_linestatus", "null_safe_join_attribution",
-        "rollup_returns", "stats_qty_price_corr", "text_fano_burstiness",
-        "events_hourly_rollup", "events_multi_rollup",
-        "profile_hot_orderkeys", "q22_global_sales_opportunity",
-        "unpivot_lineitem_measures", "events_power_mde_plan",
-        "lang_temperature_weights", "lateral_top_customers_per_nation",
-        "multimodal_decode_features", "pack_sequences_manifest",
-        "parameterized_sql_showcase", "partitioned_source_pruned_read",
-        "parts_price_anova_by_size", "supplier_return_wilson_rank",
-        "decayed_leaderboard", "execute_immediate_showcase",
+        "multimodal_metadata_scan", "span_corruption_manifest",
+        "corpus_mix_rebalance", "fixed_width_source_read",
+        "schema_evolution_merge_read", "split_train_eval",
+        "pipe_sql_priority_stats", "text_seqlen_histogram",
+        "data_freshness_sla", "datetime_functions_showcase",
+        "doc_sliding_chunks", "q6_forecast_revenue",
+        "scalar_functions_showcase", "text_quality_score",
+        "bitwise_aggregates_showcase", "gdpr_purge_manifest",
+        "grouping_sets_revenue", "q14_promo_revenue",
+        "text_fano_burstiness", "arrow_map_embedding_norm",
+        "cube_order_status_priority", "lang_temperature_weights",
+        "multimodal_resize", "sft_pair_manifest", "text_pii_redaction",
+        "dpo_preference_pairs", "pack_sequences_manifest",
+        "partitioned_source_pruned_read", "lang_balance_weights",
+        "lateral_top_customers_per_nation", "try_functions_showcase",
+        "cv_fold_manifest", "parameterized_sql_showcase",
+        "text_sentiment_lexicon", "dedup_exact", "events_json_extract",
+        "multimodal_stratified_sample", "q12_priority_by_linestatus",
+        "text_language_id", "text_adjacent_repetition",
+        "events_daily_value_trend", "file_metadata_columns_read",
+        "rollup_returns", "text_mojibake_detect", "bpe_fertility_by_lang",
+        "q4_order_priority", "supplier_return_wilson_rank",
+        "csv_source_permissive_read", "embedding_isotropy_proxy",
+        "embedding_norm_stats", "jsonl_source_permissive_read",
+        "multimodal_frame_sample", "null_safe_join_attribution",
         "percentile_order_prices", "q19_disjunctive_revenue",
-        "setops_customer_segments", "dpo_preference_pairs",
-        "neyman_allocation_plan", "quality_rater_agreement_kappa",
-        "compaction_bin_packing_plan", "dedup_prefix_collision",
-        "events_daily_value_trend", "multimodal_dedup_content_hash",
-        "user_time_to_first_purchase", "window_customer_order_rank",
-        "array_agg_user_profile", "discount_cap_counterfactual",
-        "events_user_lifecycle_stages", "kmv_distinct_users",
-        "q15_top_supplier", "rater_mcnemar_test", "text_sentiment_lexicon",
-        "dedup_exact", "events_props_variant_decode",
-        "events_self_excitation_ratio", "multimodal_stratified_sample",
-        "pandas_grouped_agg_trimmed_mean", "revenue_waterfall",
-        "top_customers_by_revenue", "web_domain_profile",
-        "benford_digit_audit", "csv_source_permissive_read",
-        "dp_noisy_nation_counts", "events_props_templates",
-        "q13_customer_distribution", "q18_large_volume_customers",
-        "text_adjacent_repetition", "text_language_id",
-        "basket_size_nbd_fit", "bronze_decode_errors", "cv_fold_manifest",
-        "events_transition_matrix", "gmv_walk_forward_backtest",
-        "merge_full_cdc", "pivot_user_event_matrix", "snapshot_diff_report",
-        "streaming_state_budget_planner", "text_unicode_script_profile",
-        "grpo_group_advantage", "map_functions_showcase",
-        "q7_volume_shipping", "dedup_cluster_size_histogram",
-        "embedding_isotropy_proxy", "events_funnel_latency",
-        "linkage_blocking_quality", "multimodal_gif_stats",
-        "embedding_int8_quantize", "events_funnel_view_click_purchase",
-        "events_interval_union_coverage", "events_seasonal_profile",
-        "jsonl_source_permissive_read", "multimodal_png_stats",
-        "orders_duplicate_payment_audit", "text_readability_features",
-        "user_trigram_paths", "incremental_agg_maintenance",
-        "l_diversity_audit", "bpe_fertility_by_lang",
-        "distinct_parts_per_supplier", "events_ewma_forecast",
-        "feature_asof_training_matrix", "file_metadata_columns_read",
-        "orders_gmv_weekly_wow", "small_quantity_revenue",
-        "sql_udf_showcase", "array_set_functions_showcase",
-        "events_burst_hours", "events_type_audience_overlap",
-        "pandas_acctbal_zscore", "q9_product_type_profit",
-        "subject_access_export", "window_event_gaps",
-        "attribution_multi_touch", "best_of_n_selection",
-        "embedding_norm_stats", "events_seasonality_strength",
-        "gzip_jsonl_source_read", "lineitem_ship_latency",
-        "multimodal_avi_stats", "orphan_file_audit",
-        "pandas_scalar_log_price", "trigram_like_search",
-        "aes_roundtrip_audit", "asof_next_touch_latency",
-        "events_theilsen_trend", "events_user_retention",
-        "q11_important_part_value", "text_hapax_ratio",
-        "q20_heavy_shippers", "q3_shipping_priority",
-        "change_data_feed_report", "events_interval_overlap_join",
-        "multimodal_avi_shot_boundaries", "revenue_trend_ols",
-        "window_range_trailing_hour", "xml_decode_roundtrip",
-        "embedding_pca2_closed_form", "multimodal_wav_silence_real",
-        "q10_returned_items", "q8_national_market_share",
-        "corpus_weights_ess", "multimodal_magic_sniffer",
-        "text_top_bigrams", "text_vocab_coverage", "churn_label_manifest",
-        "events_session_window_batch", "multimodal_bmp_stats",
-        "orc_source_roundtrip", "score_calibration_report",
-        "text_bm25_search", "linkage_fellegi_sunter",
-        "multimodal_audio_frame_energy", "partition_spec_advisor",
-        "q16_supplier_part_buckets", "shuffle_partition_advisor",
-        "events_profile_cosine_pairs", "geo_cell_colocation",
-        "range_join_price_bands", "similarity_topk_binary_rerank",
-        "udtf_word_expand", "content_defined_chunks",
-        "events_ab_uplift_test", "events_hill_tail_index",
-        "q1_pricing_summary", "salted_join_supplier_volume",
-        "discount_elasticity_by_brand", "embedding_blocking_key_profile",
-        "events_hourly_anomaly", "incremental_join_maintenance",
-        "events_psi_value_drift", "events_hourly_gapfill",
-        "orders_repeat_purchase_gaps", "bronze_decode_roundtrip",
-        "embedding_bitwidth_sweep", "events_holt_forecast",
-        "q2_min_cost_supplier", "supplier_scorecard",
-        "mlm_masking_manifest", "multimodal_silence_segments",
-        "profile_lineitem_columns", "rank_correlation_kendall",
-        "rate_limiter_backtest", "attribution_window_sweep",
-        "multimodal_wav_haar_energy", "t_closeness_audit",
-        "text_lexical_diversity", "token_df_drift_halves",
-        "kmeans_inertia_elbow", "market_concentration_hhi",
-        "multimodal_ahash_neardup", "text_zipf_slope",
-        "ann_ndcg_truncation", "text_repetition_filter",
-        "dedup_frontier_bloom", "events_srm_check", "hll_distinct_users",
-        "text_rake_keywords", "events_bounce_rate_by_entry",
-        "session_window_rollup", "similarity_topk_cosine",
-        "streaming_gzip_jsonl_rollup", "corpus_token_budget_plan",
-        "shard_manifest_balanced", "corpus_quota_rebalance_delta",
-        "embedding_dim_variance_rank", "mixture_temperature_sweep",
-        "multimodal_wav_zcr_real", "orders_priority_status_chi2",
-        "surrogate_key_assignment", "text_feature_hashing",
-        "multimodal_bmp_ahash", "sketch_quantile_bins",
-        "asof_purchase_attribution", "embedding_jl_projection_audit",
-        "txn_log_time_travel", "watermark_sizing_report",
-        "price_index_laspeyres", "streaming_upsert_latest_state",
-        "bandit_replay_hourly", "events_growth_accounting",
-        "events_holtwinters_forecast", "decision_stump_split_scores",
-        "forecast_conformal_intervals", "medallion_pipeline_rollup",
-        "snapshot_retention_expiry_plan",
-        "timeseries_znorm_subsequence_search", "array_hof_showcase",
-        "corpus_dedup_aware_weights", "events_props_schema_profile",
-        "hll_merge_event_types", "events_anomaly_persistence",
-        "events_ohlc_bars", "data_quality_audit",
-        "events_changepoint_binseg", "events_cusum_drift",
-        "events_mann_whitney_test", "graph_degree_distribution",
-        "similarity_topk_bucketed", "bloom_filter_membership",
-        "rag_context_pack", "text_token_entropy",
-        "customer_balance_ks_test", "join_skew_planner",
-        "langid_precision_recall", "text_word_pmi",
-        "q5_local_supplier_volume", "single_source_risk_report",
-        "streaming_heavy_hitter_users", "customer_spend_gini",
-        "streaming_kmv_distinct_users", "abc_customer_classification",
-        "ivf_cell_balance_report", "orders_cuped_adjustment",
-        "similarity_lsh_neardup", "streaming_available_now_rollup",
+        "unpivot_lineitem_measures", "embedding_int8_quantize",
+        "embedding_pca2_closed_form", "linkage_blocking_quality",
+        "multimodal_decode_features", "profile_hot_orderkeys",
+        "q22_global_sales_opportunity", "text_unicode_script_profile",
+        "benford_digit_audit", "dedup_url_canonical",
+        "multimodal_dedup_content_hash", "multimodal_gif_stats",
+        "scd2_customer_merge", "execute_immediate_showcase",
+        "k_anonymity_audit", "events_props_templates",
+        "pandas_grouped_agg_trimmed_mean", "rater_mcnemar_test",
+        "events_props_variant_decode", "events_user_lifecycle_stages",
+        "incremental_agg_maintenance", "multimodal_png_stats",
+        "q15_top_supplier", "revenue_waterfall", "events_multi_rollup",
+        "gmv_walk_forward_backtest", "pandas_scalar_log_price",
+        "window_customer_order_rank", "collation_group_showcase",
+        "content_defined_chunks", "decayed_leaderboard",
+        "events_power_mde_plan", "events_psi_value_drift",
+        "kmv_distinct_users", "multimodal_audio_frame_energy",
+        "multimodal_avi_stats", "neyman_allocation_plan",
+        "pandas_acctbal_zscore", "q7_volume_shipping", "text_hapax_ratio",
+        "text_readability_features", "dp_noisy_nation_counts",
+        "events_holt_forecast", "events_hourly_rollup", "merge_full_cdc",
+        "quality_rater_agreement_kappa", "stats_qty_price_corr",
+        "discount_cap_counterfactual", "events_funnel_latency",
+        "gzip_jsonl_source_read", "linkage_fellegi_sunter",
+        "orphan_file_audit", "q13_customer_distribution",
+        "setops_customer_segments", "bronze_decode_errors",
+        "multimodal_wav_silence_real", "rank_correlation_kendall",
+        "small_quantity_revenue", "compaction_bin_packing_plan",
+        "dedup_cluster_size_histogram", "events_interval_union_coverage",
+        "grpo_group_advantage", "subject_access_export",
+        "text_vocab_coverage", "embedding_bitwidth_sweep",
+        "multimodal_avi_shot_boundaries", "multimodal_bmp_stats",
+        "multimodal_magic_sniffer", "snapshot_diff_report",
+        "text_zipf_slope", "top_customers_by_revenue",
+        "array_agg_user_profile", "asof_next_touch_latency",
+        "attribution_multi_touch", "feature_asof_training_matrix",
+        "hll_distinct_users", "orc_source_roundtrip",
+        "q9_product_type_profit", "range_join_price_bands",
+        "text_bm25_search", "web_domain_profile", "best_of_n_selection",
+        "dedup_prefix_collision", "events_ewma_forecast",
+        "pivot_user_event_matrix", "q10_returned_items",
+        "user_time_to_first_purchase", "window_event_gaps",
+        "events_transition_matrix", "map_functions_showcase",
+        "similarity_topk_binary_rerank", "basket_size_nbd_fit",
+        "embedding_blocking_key_profile",
+        "events_funnel_view_click_purchase", "events_theilsen_trend",
+        "lineitem_ship_latency", "orders_duplicate_payment_audit",
+        "q18_large_volume_customers", "text_rake_keywords",
+        "token_df_drift_halves", "events_interval_overlap_join",
+        "medallion_pipeline_rollup", "similarity_topk_bucketed",
+        "udtf_word_expand", "events_burst_hours", "events_srm_check",
+        "geo_cell_colocation", "q11_important_part_value",
+        "q8_national_market_share", "revenue_trend_ols",
+        "change_data_feed_report", "embedding_dim_variance_rank",
+        "embedding_jl_projection_audit", "events_hill_tail_index",
+        "events_seasonal_profile", "score_calibration_report",
+        "xml_decode_roundtrip", "array_set_functions_showcase",
+        "distinct_parts_per_supplier", "events_ab_uplift_test",
+        "multimodal_ahash_neardup", "multimodal_silence_segments",
+        "parts_price_anova_by_size", "salted_join_supplier_volume",
+        "sql_udf_showcase", "l_diversity_audit", "orders_gmv_weekly_wow",
+        "events_user_retention", "orders_repeat_purchase_gaps",
+        "profile_lineitem_columns", "q3_shipping_priority",
+        "similarity_lsh_neardup", "trigram_like_search",
+        "user_trigram_paths", "aes_roundtrip_audit",
+        "corpus_quota_rebalance_delta", "decontaminate_by_embedding",
+        "mixture_temperature_sweep", "q1_pricing_summary",
+        "streaming_state_budget_planner", "window_range_trailing_hour",
+        "corpus_weights_ess", "events_seasonality_strength",
+        "corpus_token_budget_plan", "kmeans_inertia_elbow",
+        "multimodal_wav_haar_energy", "partition_spec_advisor",
+        "corpus_dedup_aware_weights", "langid_precision_recall",
+        "mlm_masking_manifest", "shard_manifest_balanced",
+        "txn_log_time_travel", "events_hourly_gapfill",
+        "q16_supplier_part_buckets", "q20_heavy_shippers",
+        "events_hourly_anomaly", "events_type_audience_overlap",
+        "incremental_join_maintenance", "similarity_topk_cosine",
+        "split_leakage_audit", "ann_ndcg_truncation",
+        "q2_min_cost_supplier", "rate_limiter_backtest",
+        "dedup_frontier_bloom", "multimodal_bmp_ahash",
+        "orders_priority_status_chi2", "asof_purchase_attribution",
+        "ivf_cell_balance_report", "shuffle_partition_advisor",
+        "text_lexical_diversity", "matryoshka_truncation_recall",
+        "streaming_heavy_hitter_users", "text_feature_hashing",
+        "text_top_bigrams", "events_self_excitation_ratio",
+        "sketch_quantile_bins", "events_anomaly_persistence",
+        "events_sessionize_batch", "market_concentration_hhi",
+        "price_index_laspeyres", "streaming_csv_source_rollup",
+        "t_closeness_audit", "text_word_pmi", "multimodal_bmp_dhash",
+        "rag_context_pack", "text_repetition_filter",
+        "events_session_window_batch", "streaming_gzip_jsonl_rollup",
+        "streaming_upsert_latest_state", "events_cusum_drift",
+        "events_props_schema_profile", "hll_merge_event_types",
+        "embedding_outlier_zscore", "skipgram_negative_samples",
+        "snapshot_retention_expiry_plan", "churn_label_manifest",
+        "customer_balance_ks_test", "decision_stump_split_scores",
+        "search_hybrid_rrf", "discount_elasticity_by_brand",
+        "events_bounce_rate_by_entry", "session_window_rollup",
+        "array_hof_showcase", "embedding_cluster_label_purity",
+        "streaming_available_now_rollup", "streaming_kmv_distinct_users",
+        "watermark_sizing_report", "embedding_mutual_nn_pairs",
+        "data_quality_audit", "similarity_topk_ivf",
+        "q5_local_supplier_volume", "streaming_dedup_events",
+        "timeseries_znorm_subsequence_search", "attribution_window_sweep",
+        "events_growth_accounting", "forecast_conformal_intervals",
+        "q21_waiting_supplier", "supplier_scorecard", "text_chunk_dedup",
+        "bronze_decode_roundtrip", "events_sprt_monitor",
+        "brier_score_decomposition", "percentile_distributed_exact",
+        "events_holtwinters_forecast", "knn_classifier_eval",
+        "events_ohlc_bars", "repeated_ngram_spans",
+        "surrogate_key_assignment", "text_term_proximity_search",
+        "corpus_epoch_shuffle_manifest", "events_hourly_mad_outliers",
+        "streaming_hll_distinct_users", "text_char_entropy",
+        "pps_systematic_sample", "scd2_point_in_time_join",
         "ols_two_feature_normal_eq", "streaming_rater_drift_monitor",
-        "events_sprt_monitor", "percentile_distributed_exact",
-        "decontaminate_by_embedding", "embedding_outlier_zscore",
-        "events_dau_wau_mau", "k_anonymity_generalize",
-        "customer_segment_entropy_by_nation", "events_sessionize_batch",
-        "pps_systematic_sample", "curriculum_pacing_schedule",
-        "q21_waiting_supplier", "heavy_hitter_tokens",
-        "scd2_point_in_time_join", "events_alarm_verification",
-        "cms_token_counts", "brier_score_decomposition",
-        "events_hourly_mad_outliers", "events_mann_kendall_trend",
-        "streaming_dedup_events", "orders_cohort_revenue",
-        "embedding_mutual_nn_pairs", "streaming_csv_source_rollup",
-        "embedding_cluster_label_purity", "histogram_price_deciles",
-        "text_term_proximity_search", "basket_part_pairs",
+        "join_skew_planner", "k_anonymity_generalize",
+        "streaming_static_enrich", "heavy_hitter_tokens",
+        "graph_degree_distribution", "similarity_maxsim_multivector",
+        "streaming_dedup_within_watermark", "events_profile_cosine_pairs",
         "streaming_neyman_allocation", "streaming_union_sources_rollup",
-        "skipgram_negative_samples", "streaming_hll_distinct_users",
+        "text_token_entropy", "bloom_filter_membership", "bpe_learn_merges",
+        "zorder_layout_stats", "curriculum_pacing_schedule",
+        "customer_spend_gini", "embedding_pq_codes",
         "linkage_entity_clusters", "multimodal_wav_stats",
-        "zorder_layout_stats", "surrogate_key_incremental",
-        "events_peak_concurrency", "repeated_ngram_spans",
-        "streaming_seasonality_monitor", "decontaminate_train_shingles",
-        "events_ccf_count_value", "fd_discovery_profile",
-        "gopher_quality_rules", "streaming_sliding_rollup",
-        "streaming_hourly_rollup", "window_functions_showcase",
-        "graph_assortativity", "matryoshka_truncation_recall",
-        "orders_open_backlog_daily", "events_hourly_type_entropy",
-        "dedup_incremental_delta", "events_haar_wavelet_energy",
-        "sketch_user_activity", "streaming_txn_log_tail",
-        "bpe_learn_merges", "part_name_brand_mi", "similarity_topk_ivf",
-        "checkpoint_statestore_table", "streaming_magic_sniffer",
-        "similarity_maxsim_multivector", "corpus_epoch_shuffle_manifest",
-        "knn_classifier_eval", "streaming_self_excitation",
-        "text_char_entropy", "batch_replay_pruned_scan",
-        "corpus_js_divergence", "text_chunk_dedup",
-        "supplier_pareto_frontier", "graph_link_prediction_suppliers",
-        "join_cardinality_audit", "crosslingual_contamination",
-        "streaming_feature_hashing_monitor", "streaming_rate_limiter",
-        "association_rules_parts", "padding_waste_report",
-        "streaming_static_enrich", "corpus_source_datasheet",
-        "source_overlap_jaccard", "vocab_growth_curve",
-        "streaming_bounce_rate", "streaming_ess_monitor",
-        "streaming_hill_tail_monitor", "dedup_exact_substring",
-        "multimodal_shot_boundaries", "orders_survival_km",
-        "streaming_interval_union_coverage", "streaming_psi_drift",
-        "text_tfidf_top_terms", "dedup_span_mask_manifest",
-        "streaming_topk_types_hourly", "fk_inclusion_profile",
-        "streaming_value_quantiles", "embedding_covariance",
-        "embedding_drift_ab_halves", "embedding_silhouette_centroid",
-        "streaming_sink_exactly_once_roundtrip", "search_hybrid_rrf",
-        "dedup_transitivity_audit", "streaming_dedup_within_watermark",
-        "dsir_importance_weights", "bpe_apply_merges",
-        "dedup_pair_provenance", "events_markov_stationary",
-        "embedding_pq_codes", "supplier_leadtime_percentiles",
-        "dedup_embedding_cosine", "fuzzy_join_part_names",
-        "streaming_fertility_drift", "streaming_sprt_monitor",
-        "dedup_edit_distance", "bigram_lm_score", "corpus_shingle_novelty",
-        "streaming_ohlc_bars", "dedup_survivors", "kmv_set_ops_event_types",
-        "streaming_cuped_monitor", "streaming_update_mode_rollup",
-        "streaming_wav_haar_monitor", "bradley_terry_strengths",
-        "contrastive_triplets", "events_runs_test",
-        "maxmin_fair_allocation", "streaming_frontier_bloom",
-        "events_hourly_autocorr", "quality_logreg_training",
-        "linkage_em_parameters", "text_entropy_rate_bigram",
-        "scan_task_planner", "similarity_topk_pq_adc",
-        "streaming_session_rollup", "zonemap_skip_simulation",
-        "graph_modularity_by_brand", "streaming_stateful_type_counts",
-        "tokenizer_vocab_pressure", "bucketed_join_colocated",
-        "recursive_month_spine", "streaming_brand_mi_drift",
-        "streaming_wav_zcr_monitor", "quality_logreg_inference",
-        "dedup_containment", "ivf_recall_report", "orders_did_estimator",
-        "rfm_customer_segments", "hits_authority_hub",
-        "hll_intersection_estimate", "spearman_len_vs_ttr",
-        "streaming_type_entropy_drift", "batch_replay_source_slice",
-        "graph_label_propagation", "semantic_dedup_semdedup",
-        "dedup_minhash_lsh", "checkpoint_sources_table",
-        "blocklist_phrase_filter", "text_rolling_fingerprint",
-        "streaming_late_data_drop", "cogroup_asof_pandas",
-        "udtf_dynamic_ngrams", "ivf_nprobe_sweep",
-        "streaming_stateful_totals", "embedding_power_iteration",
-        "streaming_quality_monitor", "streaming_runs_monitor",
-        "recsys_item_cosine", "streaming_lsh_candidate_buckets",
-        "streaming_did_monitor", "streaming_brier_monitor",
-        "streaming_chained_windows", "corpus_filter_funnel",
-        "streaming_semdedup", "checkpoint_offsetlog_table",
-        "lineitem_qty_price_heatmap", "minhash_jaccard_calibration",
-        "dedup_simhash", "dedup_keep_best_quality",
-        "streaming_mann_kendall_monitor", "streaming_srm_monitor",
-        "ivf_incremental_assign", "streaming_ivf_assign",
-        "text_kneser_ney_bigram_score", "graph_bfs_hops",
-        "graph_kcore_peel", "dedup_ngram_jaccard", "graph_pagerank_parts",
-        "naive_bayes_langid", "streaming_replay_source_rollup",
-        "split_leakage_audit", "minhash_bbit_calibration",
-        "checkpoint_commitlog_audit", "dedup_band_sweep_calibration",
-        "dedup_pipeline_composition", "perplexity_tertile_buckets",
-        "corpus_difficulty_curriculum", "dedup_connected_components",
-        "cluster_kmeans_embeddings", "ann_method_agreement",
-        "orders_mean_value_bootstrap_ci", "streaming_unigram_fertility",
-        "custom_sink_audit_roundtrip", "doc_length_winsorize_audit",
-        "streaming_join_then_windowed_agg", "tokenizer_unigram_compression",
-        "ann_pipeline_composition", "streaming_bootstrap_ci",
-        "events_permutation_test", "streaming_unattributed_purchases",
-        "tokenizer_unigram_fertility", "streaming_purchase_attribution",
-        "tokenizer_unigram_fit", "sql_scripting_showcase",
-        "hive_source_partition_pruned", "graph_triangle_stats",
-        "multimodal_bmp_dhash"
+        "abc_customer_classification", "doc_length_winsorize_audit",
+        "gopher_quality_rules", "padding_waste_report",
+        "checkpoint_statestore_table", "vocab_growth_curve",
+        "window_functions_showcase", "batch_replay_pruned_scan",
+        "corpus_js_divergence", "dedup_incremental_delta",
+        "events_changepoint_binseg", "orders_did_estimator",
+        "orders_cohort_revenue", "streaming_sliding_rollup",
+        "surrogate_key_incremental", "streaming_seasonality_monitor",
+        "dedup_edit_distance", "orders_cuped_adjustment",
+        "streaming_psi_drift", "corpus_source_datasheet",
+        "graph_link_prediction_suppliers", "streaming_rate_limiter",
+        "dedup_transitivity_audit", "streaming_txn_log_tail",
+        "basket_part_pairs", "events_peak_concurrency", "bpe_apply_merges",
+        "dedup_pair_provenance", "events_alarm_verification",
+        "fuzzy_join_part_names", "bandit_replay_hourly",
+        "events_dau_wau_mau", "events_mann_whitney_test",
+        "embedding_covariance", "orders_survival_km",
+        "streaming_srm_monitor", "fd_discovery_profile",
+        "multimodal_shot_boundaries", "scan_task_planner",
+        "streaming_ess_monitor", "events_ccf_count_value",
+        "events_mann_kendall_trend", "streaming_magic_sniffer",
+        "embedding_drift_ab_halves", "linkage_em_parameters",
+        "similarity_topk_pq_adc", "streaming_hourly_rollup",
+        "dedup_embedding_cosine", "dedup_exact_substring",
+        "orders_open_backlog_daily", "quality_logreg_inference",
+        "single_source_risk_report", "source_overlap_jaccard",
+        "crosslingual_contamination", "tokenizer_vocab_pressure",
+        "decontaminate_train_shingles", "ivf_recall_report",
+        "streaming_interval_union_coverage", "streaming_self_excitation",
+        "association_rules_parts", "graph_assortativity",
+        "histogram_price_deciles", "streaming_value_quantiles",
+        "dedup_survivors", "join_cardinality_audit",
+        "streaming_sink_exactly_once_roundtrip", "dedup_minhash_lsh",
+        "sketch_user_activity", "cms_token_counts",
+        "dsir_importance_weights", "quality_logreg_training",
+        "supplier_pareto_frontier", "contrastive_triplets",
+        "streaming_fertility_drift", "events_haar_wavelet_energy",
+        "semantic_dedup_semdedup", "streaming_sprt_monitor",
+        "events_hourly_type_entropy", "streaming_power_mde_monitor",
+        "customer_segment_entropy_by_nation", "cogroup_asof_pandas",
+        "streaming_bounce_rate", "streaming_ohlc_bars",
+        "streaming_wav_zcr_monitor", "corpus_shingle_novelty",
+        "maxmin_fair_allocation", "streaming_runs_monitor",
+        "streaming_topk_types_hourly", "text_entropy_rate_bigram",
+        "streaming_session_rollup", "supplier_leadtime_percentiles",
+        "spearman_len_vs_ttr", "streaming_stateful_type_counts",
+        "streaming_update_mode_rollup", "bigram_lm_score",
+        "bradley_terry_strengths", "fk_inclusion_profile",
+        "part_name_brand_mi", "streaming_feature_hashing_monitor",
+        "udtf_dynamic_ngrams", "events_runs_test",
+        "dedup_span_mask_manifest", "blocklist_phrase_filter",
+        "embedding_silhouette_centroid", "streaming_hill_tail_monitor",
+        "text_tfidf_top_terms", "ivf_nprobe_sweep",
+        "streaming_brier_monitor", "checkpoint_sources_table",
+        "events_hourly_autocorr", "streaming_frontier_bloom",
+        "lineitem_qty_price_heatmap", "streaming_brand_mi_drift",
+        "streaming_lsh_candidate_buckets", "streaming_mann_kendall_monitor",
+        "streaming_stateful_totals", "text_rolling_fingerprint",
+        "events_markov_stationary", "streaming_late_data_drop",
+        "embedding_power_iteration", "recursive_month_spine",
+        "zonemap_skip_simulation", "hll_intersection_estimate",
+        "ivf_incremental_assign", "streaming_did_monitor",
+        "corpus_filter_funnel", "dedup_simhash", "dedup_containment",
+        "kmv_set_ops_event_types", "streaming_type_entropy_drift",
+        "streaming_cuped_monitor", "dedup_ngram_jaccard",
+        "graph_label_propagation", "streaming_chained_windows",
+        "events_permutation_test", "minhash_jaccard_calibration",
+        "graph_modularity_by_brand", "streaming_wav_haar_monitor",
+        "hits_authority_hub", "bucketed_join_colocated",
+        "dedup_pipeline_composition", "dedup_connected_components",
+        "batch_replay_source_slice", "rfm_customer_segments",
+        "naive_bayes_langid", "checkpoint_offsetlog_table",
+        "perplexity_tertile_buckets", "minhash_bbit_calibration",
+        "streaming_quality_monitor", "multimodal_wav_zcr_real",
+        "tokenizer_unigram_compression", "streaming_replay_source_rollup",
+        "dedup_keep_best_quality", "cluster_kmeans_embeddings",
+        "text_kneser_ney_bigram_score", "custom_sink_audit_roundtrip",
+        "recsys_item_cosine", "ann_method_agreement",
+        "streaming_ivf_assign", "streaming_semdedup",
+        "checkpoint_commitlog_audit", "graph_bfs_hops",
+        "tokenizer_unigram_fertility", "ann_pipeline_composition",
+        "streaming_unattributed_purchases",
+        "streaming_purchase_attribution", "corpus_difficulty_curriculum",
+        "dedup_band_sweep_calibration", "streaming_split_leakage_monitor",
+        "streaming_unigram_fertility", "tokenizer_unigram_fit",
+        "streaming_join_then_windowed_agg",
+        "orders_mean_value_bootstrap_ci", "graph_pagerank_parts",
+        "graph_kcore_peel", "streaming_bootstrap_ci",
+        "hive_source_partition_pruned", "sql_scripting_showcase",
+        "graph_triangle_stats", "streaming_permutation_monitor"
     )
     new_ops_rank = 50.5  # just after the sub-second group (index ~50)
     unchecked = {
