@@ -2947,6 +2947,15 @@ RATER_DRIFT_ORACLE = f"""
 )
 def split_leakage_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
+    return split_leakage_assemble(leakage_counters(docs))
+
+
+def leakage_counters(docs: DataFrame) -> DataFrame:
+    """(doc_id, text, ...) documents -> per-fingerprint (fp, n_train,
+    n_val, n_test) counter rows — the ONE definition of the fingerprint
+    normalization, the 80/10/10 hash bucketing, and the counter
+    aggregation, shared verbatim by the batch audit and the streaming
+    monitor (the groupBy works identically on a streaming DataFrame)."""
     fp = F.md5(
         F.array_join(F.split(F.lower(F.trim(F.col("text"))), r"\s+"), " ")
     )
@@ -2956,7 +2965,7 @@ def split_leakage_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("split"),
         fp.alias("fp"),
     )
-    fps3 = d.groupBy("fp").agg(
+    return d.groupBy("fp").agg(
         *[
             F.sum((F.col("split") == s).cast("long"))
             .cast("long")
@@ -2964,7 +2973,6 @@ def split_leakage_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             for s in ("train", "val", "test")
         ]
     )
-    return split_leakage_assemble(fps3)
 
 
 def split_leakage_assemble(fps3: DataFrame) -> DataFrame:
@@ -3009,14 +3017,20 @@ def split_leakage_assemble(fps3: DataFrame) -> DataFrame:
             for s in splits
         ]
     )
-    return g.select(
-        F.explode(rows).alias("r"), "leaked_fp_total"
-    ).select(
-        F.col("r.split").alias("split"),
-        F.col("r.n_docs").alias("n_docs"),
-        F.col("r.n_distinct_fp").alias("n_distinct_fp"),
-        F.col("r.n_leaked_docs").alias("n_leaked_docs"),
-        "leaked_fp_total",
+    return (
+        g.select(F.explode(rows).alias("r"), "leaked_fp_total")
+        .select(
+            F.col("r.split").alias("split"),
+            F.col("r.n_docs").alias("n_docs"),
+            F.col("r.n_distinct_fp").alias("n_distinct_fp"),
+            F.col("r.n_leaked_docs").alias("n_leaked_docs"),
+            "leaked_fp_total",
+        )
+        # the oracle's GROUP BY only yields rows for splits that hold at
+        # least one document — mirror it, so an empty (or hash-starved)
+        # split never fabricates a ('val', 0, ...) row the oracle lacks;
+        # a fully empty corpus yields zero rows on both engines
+        .filter(F.col("n_docs") > 0)
     )
 
 

@@ -16103,13 +16103,20 @@ _PERM_K = 28  # replicas = bits of the 28-bit _snap_hash
 )
 def events_permutation_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     events = load_table(spark, sf_dir, "events")
-    per_user = events.groupBy("user_id").agg(
+    return permutation_assemble(perm_per_user_counts(events))
+
+
+def perm_per_user_counts(events: DataFrame) -> DataFrame:
+    """Per-user (user_id, e, p) counts — the one definition of the
+    permutation test's unit spine, shared verbatim by the batch query
+    and its streaming twin (the groupBy works identically on a
+    streaming DataFrame)."""
+    return events.groupBy("user_id").agg(
         F.count(F.lit(1)).cast("long").alias("e"),
         F.sum((F.col("event_type") == "purchase").cast("long"))
         .cast("long")
         .alias("p"),
     )
-    return permutation_assemble(per_user)
 
 
 def permutation_assemble(per_user: DataFrame) -> DataFrame:

@@ -6115,6 +6115,7 @@ def _register_streaming_permutation_monitor() -> None:
     import uuid
 
     from kafka_stream_job_spark.operators.relational import (
+        perm_per_user_counts,
         permutation_assemble,
     )
     from kafka_stream_job_spark.registry import REGISTRY, register
@@ -6133,12 +6134,7 @@ def _register_streaming_permutation_monitor() -> None:
         import tempfile
 
         events = stream_events(spark, sf_dir)
-        per_user_stream = events.groupBy("user_id").agg(
-            F.count(F.lit(1)).cast("long").alias("e"),
-            F.sum((F.col("event_type") == "purchase").cast("long"))
-            .cast("long")
-            .alias("p"),
-        )
+        per_user_stream = perm_per_user_counts(events)
         name = f"stream_perm_{uuid.uuid4().hex[:8]}"
         ckpt = tempfile.mkdtemp(prefix="ksj-stream-perm-")
         emitted = run_stream_to_memory(
@@ -6218,7 +6214,7 @@ def _register_streaming_split_leakage_monitor() -> None:
     import uuid
 
     from kafka_stream_job_spark.operators.pipeline import (
-        _doc_hash,
+        leakage_counters,
         split_leakage_assemble,
     )
     from kafka_stream_job_spark.registry import REGISTRY, register
@@ -6237,25 +6233,7 @@ def _register_streaming_split_leakage_monitor() -> None:
         import tempfile
 
         docs = stream_documents(spark, sf_dir)
-        fp = F.md5(
-            F.array_join(
-                F.split(F.lower(F.trim(F.col("text"))), r"\s+"), " "
-            )
-        )
-        h = _doc_hash("leak") % 10
-        d = docs.select(
-            F.when(h < 8, "train").when(h == 8, "val").otherwise("test")
-            .alias("split"),
-            fp.alias("fp"),
-        )
-        fps3_stream = d.groupBy("fp").agg(
-            *[
-                F.sum((F.col("split") == s).cast("long"))
-                .cast("long")
-                .alias(f"n_{s}")
-                for s in ("train", "val", "test")
-            ]
-        )
+        fps3_stream = leakage_counters(docs)
         name = f"stream_leak_{uuid.uuid4().hex[:8]}"
         ckpt = tempfile.mkdtemp(prefix="ksj-stream-leak-")
         emitted = run_stream_to_memory(

@@ -822,3 +822,31 @@ def test_permutation_test_matches_pure_python(spark, tmp_path):
     assert row["obs_uplift_micro"] == _round_half_away(obs * 1e6)
     assert row["n_ge_obs"] == n_ge
     assert row["p_value_bp"] == n_ge * 10000 // 28
+
+
+def test_split_leakage_assemble_omits_empty_splits(spark):
+    """Regression (r11 self-review): the assemble must mirror the
+    oracle's GROUP BY — a split holding zero documents gets NO row (the
+    explode over the literal 3-struct array used to fabricate one)."""
+    from pyspark.sql import functions as F
+
+    from kafka_stream_job_spark.operators.pipeline import (
+        split_leakage_assemble,
+    )
+
+    fps3 = spark.createDataFrame(
+        [("a", 2, 0, 1), ("b", 1, 0, 0)],
+        "fp string, n_train long, n_val long, n_test long",
+    )
+    rows = {r["split"]: r.asDict() for r in split_leakage_assemble(fps3).collect()}
+    assert set(rows) == {"train", "test"}  # no fabricated 'val' row
+    assert rows["train"]["n_docs"] == 3
+    assert rows["train"]["n_distinct_fp"] == 2
+    assert rows["train"]["n_leaked_docs"] == 2  # fp 'a' spans 2 splits
+    assert rows["test"]["n_leaked_docs"] == 1
+    assert rows["train"]["leaked_fp_total"] == 1
+    # fully empty input -> zero rows, matching the oracle
+    empty = spark.createDataFrame(
+        [], "fp string, n_train long, n_val long, n_test long"
+    )
+    assert split_leakage_assemble(empty).count() == 0
