@@ -850,3 +850,232 @@ def test_split_leakage_assemble_omits_empty_splits(spark):
         [], "fp string, n_train long, n_val long, n_test long"
     )
     assert split_leakage_assemble(empty).count() == 0
+
+
+def test_mann_kendall_matches_pure_python(spark, tmp_path):
+    """Crafted daily series through the REGISTERED
+    events_mann_kendall_trend vs a from-scratch Python S / tie-corrected
+    variance / z computation — independent of the SQL oracle sharing the
+    engine formula. The fixture mixes a strongly increasing type, a
+    flat (all-tied) type, and a noisy one."""
+    import datetime
+    import math as _math
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    # per-type daily counts, day 0..9
+    series = {
+        "up": [1, 2, 3, 4, 5, 6, 7, 8, 9, 10],     # strict increase
+        "flat": [4] * 10,                            # all tied -> var18=0
+        "noisy": [3, 1, 4, 1, 5, 9, 2, 6, 5, 3],
+    }
+    rows = []
+    eid = 0
+    base = datetime.datetime(2024, 5, 1)
+    for t, counts in series.items():
+        for day, c in enumerate(counts):
+            for _ in range(c):
+                rows.append(
+                    (eid, base + datetime.timedelta(days=day, seconds=eid % 800), t)
+                )
+                eid += 1
+    tbl = pa.table(
+        {
+            "event_id": [r[0] for r in rows],
+            "ts": [r[1] for r in rows],
+            "user_id": [r[0] % 5 for r in rows],
+            "event_type": [r[2] for r in rows],
+            "value": [1.0] * len(rows),
+            "props": ["{}"] * len(rows),
+        }
+    )
+    d = tmp_path / "mk_sf"
+    d.mkdir()
+    pq.write_table(tbl, d / "events.parquet")
+
+    got = {
+        r["event_type"]: r.asDict()
+        for r in SPECS["events_mann_kendall_trend"].fn(spark, str(d)).collect()
+    }
+    for t, cs in series.items():
+        n = len(cs)
+        s = sum(
+            (1 if cs[j] > cs[i] else -1 if cs[j] < cs[i] else 0)
+            for i in range(n)
+            for j in range(i + 1, n)
+        )
+        ties = Counter(cs)
+        tie_sum = sum(v * (v - 1) * (2 * v + 5) for v in ties.values())
+        var18 = n * (n - 1) * (2 * n + 5) - tie_sum
+        if var18 <= 0:
+            z = 0.0
+        elif s > 0:
+            z = (s - 1) / _math.sqrt(var18 / 18.0)
+        elif s < 0:
+            z = (s + 1) / _math.sqrt(var18 / 18.0)
+        else:
+            z = 0.0
+        row = got[t]
+        assert row["n_days"] == n
+        assert row["s_stat"] == s
+        assert row["var_s_x18"] == var18
+        assert row["z_micro"] == _round_half_away(z * 1e6)
+        want_trend = (
+            "increasing" if row["z_micro"] >= 1_960_000
+            else "decreasing" if row["z_micro"] <= -1_960_000
+            else "none"
+        )
+        assert row["trend"] == want_trend
+    assert got["up"]["trend"] == "increasing"
+    assert got["flat"]["s_stat"] == 0 and got["flat"]["var_s_x18"] == 0
+    assert got["flat"]["trend"] == "none"
+
+
+def test_did_matches_pure_python(spark, tmp_path):
+    """Crafted orders through the REGISTERED orders_did_estimator vs a
+    from-scratch Python DiD (cell means in cents, pooled SE over
+    whole-dollar values) — independent of the SQL oracle sharing the
+    engine formula."""
+    import datetime
+    import math as _math
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from kafka_stream_job_spark.operators.relational import DID_SPLIT
+
+    split = datetime.datetime.fromisoformat(DID_SPLIT)
+    rows = []
+    # 60 customers; price varies by customer and period so every cell
+    # has non-trivial variance
+    for ok in range(240):
+        cust = ok % 60
+        pre = ok % 2 == 0
+        when = split + datetime.timedelta(days=-30 if pre else 30, hours=ok % 20)
+        price = 100.0 + (ok % 17) * 13.37 + (0.0 if pre else (cust % 7) * 9.5)
+        rows.append((ok, cust, when, price))
+    tbl = pa.table(
+        {
+            "o_orderkey": [r[0] for r in rows],
+            "o_custkey": [r[1] for r in rows],
+            "o_orderdate": [r[2] for r in rows],
+            "o_totalprice": [r[3] for r in rows],
+            "o_orderstatus": ["F"] * len(rows),
+            "o_orderpriority": ["1-URGENT"] * len(rows),
+        }
+    )
+    d = tmp_path / "did_sf"
+    d.mkdir()
+    pq.write_table(tbl, d / "orders.parquet")
+
+    got = {
+        (r["arm"], r["period"]): r.asDict()
+        for r in SPECS["orders_did_estimator"].fn(spark, str(d)).collect()
+    }
+
+    cells = {}
+    for ok, cust, when, price in rows:
+        arm = _md5_28(f"did:{cust}") % 2
+        period = "pre" if when < split else "post"
+        cents = _round_half_away(price * 100)
+        dol = cents // 100
+        c = cells.setdefault((arm, period), [0, 0, 0, 0])
+        c[0] += 1
+        c[1] += cents
+        c[2] += dol
+        c[3] += dol * dol
+
+    def mean_c(a, p):
+        n, sc, _, _ = cells[(a, p)]
+        return sc * 1.0 / n
+
+    def var_d(a, p):
+        n, _, sd, sd2 = cells[(a, p)]
+        return (n * sd2 - float(sd) * sd) / (n * (n - 1.0))
+
+    did_cents = (mean_c(1, "post") - mean_c(1, "pre")) - (
+        mean_c(0, "post") - mean_c(0, "pre")
+    )
+    se = _math.sqrt(
+        sum(var_d(a, p) / cells[(a, p)][0]
+            for a in (1, 0) for p in ("post", "pre"))
+    )
+    for (a, p), c in cells.items():
+        row = got[(a, p)]
+        assert row["n_orders"] == c[0]
+        assert row["mean_order_cents"] == _round_half_away(c[1] / c[0])
+        assert row["did_millicent"] == _round_half_away(did_cents * 1000)
+        assert row["se_millidollar"] == _round_half_away(se * 1000)
+        assert row["t_milli"] == _round_half_away(did_cents / 100.0 / se * 1000)
+
+
+def test_brier_decomposition_matches_pure_python(spark, tmp_path):
+    """Crafted events through the REGISTERED brier_score_decomposition
+    vs a from-scratch Python Murphy decomposition in integer bp units —
+    independent of the SQL oracle sharing the engine formula."""
+    import datetime
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    # users with distinct purchase shares to fill several bins
+    users = {0: (10, 0), 1: (10, 1), 2: (10, 3), 3: (10, 5),
+             4: (10, 9), 5: (5, 5), 6: (20, 2), 7: (8, 4)}
+    rows = []
+    eid = 0
+    base = datetime.datetime(2024, 6, 1)
+    for u, (n, k) in users.items():
+        for i in range(n):
+            rows.append((eid, base + datetime.timedelta(seconds=eid), u,
+                         "purchase" if i < k else "view"))
+            eid += 1
+    tbl = pa.table(
+        {
+            "event_id": [r[0] for r in rows],
+            "ts": [r[1] for r in rows],
+            "user_id": [r[2] for r in rows],
+            "event_type": [r[3] for r in rows],
+            "value": [1.0] * len(rows),
+            "props": ["{}"] * len(rows),
+        }
+    )
+    d = tmp_path / "brier_sf"
+    d.mkdir()
+    pq.write_table(tbl, d / "events.parquet")
+
+    row = (
+        SPECS["brier_score_decomposition"].fn(spark, str(d)).collect()[0]
+        .asDict()
+    )
+
+    bins = {}
+    n_tot = y_tot = bs_tot = 0
+    for n, k in users.values():
+        s = k * 10000 // n
+        b = s // 1000
+        e = bins.setdefault(b, [0, 0, 0, 0])  # n_b, sum_s, sum_y, brier
+        e[0] += n
+        e[1] += n * s
+        e[2] += k
+        e[3] += k * (10000 - s) ** 2 + (n - k) * s * s
+        n_tot += n
+        y_tot += k
+        bs_tot += k * (10000 - s) ** 2 + (n - k) * s * s
+    o = y_tot * 10000 // n_tot
+    rel = sum(
+        nb * ((ss // nb) - (sy * 10000 // nb)) ** 2
+        for nb, ss, sy, _ in bins.values()
+    ) // n_tot
+    ow = sum(nb * (sy * 10000 // nb) for nb, _, sy, _ in bins.values())
+    o2w = sum(nb * (sy * 10000 // nb) ** 2 for nb, _, sy, _ in bins.values())
+    res = (o2w - 2 * o * ow + n_tot * o * o) // n_tot
+    unc = o * (10000 - o) // 10000
+    brier = bs_tot // n_tot
+    assert row["n_events"] == n_tot
+    assert row["n_bins"] == len(bins)
+    assert row["brier_bp2"] == brier
+    assert row["reliability_bp2"] == rel
+    assert row["resolution_bp2"] == res
+    assert row["uncertainty_bp2"] == unc
+    assert row["residual_bp2"] == brier - (rel - res + unc)
