@@ -1079,3 +1079,60 @@ def test_brier_decomposition_matches_pure_python(spark, tmp_path):
     assert row["resolution_bp2"] == res
     assert row["uncertainty_bp2"] == unc
     assert row["residual_bp2"] == brier - (rel - res + unc)
+
+
+def test_winsorize_audit_matches_pure_python(spark, tmp_path):
+    """Crafted length distribution through the REGISTERED
+    doc_length_winsorize_audit vs a from-scratch Python rank-selection
+    winsorization — pins the exact quantile positions (max(1, n·q//100)
+    of the (n_chars, doc_id) order) and the clip arithmetic."""
+    texts = ["x" * ln for ln in
+             [5, 7, 7, 9, 12, 15, 18, 22, 30, 41, 55, 80, 120, 200, 999]]
+    sf = _mk_docs_dir(tmp_path, texts)
+    row = (
+        SPECS["doc_length_winsorize_audit"].fn(spark, sf).collect()[0]
+        .asDict()
+    )
+    lens = sorted(len(t) for t in texts)
+    n = len(lens)
+    k05 = max(1, n * 5 // 100)
+    k95 = max(1, n * 95 // 100)
+    t05, t95 = lens[k05 - 1], lens[k95 - 1]
+    clipped = [min(max(v, t05), t95) for v in lens]
+    assert row["n_docs"] == n
+    assert (row["p05_chars"], row["p95_chars"]) == (t05, t95)
+    assert row["n_clipped_low"] == sum(1 for v in lens if v < t05)
+    assert row["n_clipped_high"] == sum(1 for v in lens if v > t95)
+    assert row["mean_before_milli"] == _round_half_away(sum(lens) * 1000 / n)
+    assert row["mean_after_milli"] == _round_half_away(
+        sum(clipped) * 1000 / n
+    )
+
+
+def test_wav_zcr_matches_pure_python(spark, tmp_path):
+    """Crafted texts through the REGISTERED multimodal_wav_zcr_real vs a
+    from-scratch Python walk of the character->PCM model — independent
+    of both the numpy decode path and the SQL oracle. Includes exact
+    zeros (chr(128) -> sample 0), which break runs under the strict
+    product<0 definition."""
+    texts = [
+        "aZaZaZ",                      # alternating signs
+        chr(200) * 4 + chr(50) * 4,    # one crossing
+        "ab" + chr(128) + "YZ",        # a zero sample breaks the run
+        chr(127) + chr(129) + chr(127) + chr(129),  # -256/+256 flips
+    ]
+    sf = _mk_docs_dir(tmp_path, texts)
+    got = {
+        r["doc_id"]: r.asDict()
+        for r in SPECS["multimodal_wav_zcr_real"].fn(spark, sf).collect()
+    }
+    for doc_id, text in enumerate(texts):
+        samples = [((ord(c) % 256) - 128) * 256 for c in text]
+        nc = sum(1 for a, b in zip(samples, samples[1:]) if a * b < 0)
+        row = got[doc_id]
+        assert row["n_samples"] == len(samples)
+        assert row["n_crossings"] == nc
+        assert row["zcr_bp"] == nc * 10000 // (len(samples) - 1)
+    # the zero-sample fixture must actually exercise the strict rule
+    s2 = [((ord(c) % 256) - 128) * 256 for c in texts[2]]
+    assert 0 in s2 and got[2]["n_crossings"] == 0
