@@ -80,265 +80,298 @@ def register(
     return wrap
 
 
-# Names the external driver has verified across rounds — the union of
-# CORRECTNESS_r01.json ∪ r02 ∪ r03 ∪ r04 ∪ r05 ∪ r06 ∪ r07 ∪ r08 ∪ r09
-# (50 + 45 + 48 + 50 + 47 + 50 + 47 + 45 + 50 fresh = 432 names; r02
-# re-checked 5 r1 rows, r03 re-checked q22 + sketch_user_activity, r05
-# re-earned the 3 round-5 _RECHECK rows, r07 re-gated the 3 rewritten
-# dedup paths, r08 re-earned the 4 round-8 _RECHECK rows, r09 re-earned
-# span_corruption_manifest post phantom-span fix). The
-# driver enumerates only the FIRST 50 registry entries per round, so
-# ``all_specs`` orders the registry never-driver-checked first: a
-# truncated first-N pass then spends its whole budget earning NEW
-# correctness rows instead of re-verifying green ones. Refresh this set
-# each round from the latest CORRECTNESS_r*.json files.
-_DRIVER_CHECKED = frozenset({
-    # round 1 (CORRECTNESS_r01.json)
-    "dedup_exact", "dedup_minhash_lsh", "dedup_ngram_jaccard", "dedup_simhash",
-    "dedup_survivors", "dedup_embedding_cosine", "similarity_topk_cosine",
-    "similarity_lsh_neardup", "similarity_topk_bucketed", "embedding_norm_stats",
-    "similarity_topk_ivf", "cluster_kmeans_embeddings",
-    "dedup_connected_components", "multimodal_metadata_scan",
-    "multimodal_decode_features", "multimodal_resize", "multimodal_frame_sample",
-    "pandas_acctbal_zscore", "pandas_scalar_log_price", "text_token_stats",
-    "text_quality_score", "text_language_id", "text_fingerprint",
-    "text_tfidf_top_terms", "text_bpe_token_count", "text_rolling_fingerprint",
-    "split_train_eval", "text_top_bigrams", "decontaminate_train_shingles",
-    "quota_sample_per_lang", "pack_sequences_manifest",
-    "q5_local_supplier_volume",
-    "top_customers_by_revenue", "customers_without_orders",
-    "nations_with_rich_customers", "rollup_returns",
-    "cube_order_status_priority", "window_customer_order_rank",
-    "window_event_gaps", "setops_customer_segments",
-    "scalar_functions_showcase", "datetime_functions_showcase",
-    "events_json_extract", "events_hourly_rollup",
-    "distinct_parts_per_supplier", "small_quantity_revenue",
-    "asof_purchase_attribution", "grouping_sets_revenue",
-    # round 2 additions (CORRECTNESS_r02.json minus the 5 r1 re-checks)
-    "array_agg_user_profile", "bpe_apply_merges", "bpe_learn_merges",
-    "content_defined_chunks", "contrastive_triplets", "corpus_js_divergence",
-    "corpus_mix_rebalance", "corpus_token_budget_plan",
-    "dedup_span_mask_manifest", "doc_sliding_chunks", "embedding_int8_quantize",
-    "embedding_outlier_zscore", "events_multi_rollup", "events_user_retention",
-    "multimodal_audio_frame_energy", "multimodal_dedup_content_hash",
-    "percentile_order_prices", "pivot_user_event_matrix",
-    "q12_priority_by_linestatus", "q14_promo_revenue", "q15_top_supplier",
-    "q18_large_volume_customers", "q19_disjunctive_revenue", "q4_order_priority",
-    "q6_forecast_revenue", "q7_volume_shipping",
-    "range_join_price_bands", "repeated_ngram_spans",
-    "salted_join_supplier_volume", "search_hybrid_rrf", "session_window_rollup",
-    "shard_manifest_balanced", "text_bm25_search",
-    "text_chunk_dedup", "text_pii_redaction", "text_repetition_filter",
-    "text_seqlen_histogram", "text_token_entropy", "text_zipf_slope",
-    "udtf_word_expand", "unpivot_lineitem_measures", "weighted_sample_docs",
-    # round 3 additions (CORRECTNESS_r03.json minus the 2 re-checks)
-    "ann_ndcg_truncation", "array_set_functions_showcase",
-    "arrow_map_embedding_norm", "asof_next_touch_latency",
-    # attribution_multi_touch earned its r03 row, changed behavior in r5
-    # (integer-exact micro-unit split), and re-earned a green r05 row —
-    # listed in the round-5 block below.
-    "benford_digit_audit",
-    "bloom_filter_membership", "bronze_decode_errors",
-    "bronze_decode_roundtrip", "csv_source_permissive_read",
-    "customer_balance_ks_test", "cv_fold_manifest", "events_ab_uplift_test",
-    "events_ewma_forecast", "events_funnel_latency",
-    "events_funnel_view_click_purchase", "events_holt_forecast",
-    "events_interval_overlap_join", "events_props_templates",
-    "events_props_variant_decode", "events_psi_value_drift",
-    "events_theilsen_trend", "events_transition_matrix",
-    "feature_asof_training_matrix", "gdpr_purge_manifest",
-    "k_anonymity_audit", "kmv_distinct_users", "lang_balance_weights",
-    "lang_temperature_weights", "map_functions_showcase",
-    "multimodal_stratified_sample", "null_safe_join_attribution",
-    "orc_source_roundtrip", "pandas_grouped_agg_trimmed_mean",
-    "parameterized_sql_showcase", "partitioned_source_pruned_read",
-    "pipe_sql_priority_stats", "profile_hot_orderkeys",
-    "q22_global_sales_opportunity", "revenue_trend_ols",
-    "scd2_customer_merge", "schema_evolution_merge_read",
-    "similarity_topk_binary_rerank", "sketch_user_activity",
-    "stats_qty_price_corr", "supplier_return_wilson_rank",
-    "text_sentiment_lexicon", "text_vocab_coverage",
-    "try_functions_showcase", "xml_decode_roundtrip",
-    # round 4 additions (CORRECTNESS_r04.json — 50 fresh names, all green)
-    "abc_customer_classification", "aes_roundtrip_audit", "basket_part_pairs",
-    "bitwise_aggregates_showcase", "checkpoint_statestore_table",
-    "customer_spend_gini", "decontaminate_by_embedding",
-    "events_alarm_verification", "events_changepoint_binseg",
-    "events_daily_value_trend", "events_dau_wau_mau",
-    "events_holtwinters_forecast", "events_hourly_anomaly",
-    "events_hourly_gapfill", "events_hourly_mad_outliers",
-    "events_props_schema_profile", "events_seasonal_profile",
-    "events_session_window_batch", "events_sessionize_batch",
-    "forecast_conformal_intervals", "hive_source_partition_pruned",
-    "hll_distinct_users", "hll_merge_event_types",
-    "join_skew_planner",
-    "lateral_top_customers_per_nation", "lineitem_ship_latency",
-    "matryoshka_truncation_recall", "medallion_pipeline_rollup",
-    "mlm_masking_manifest", "orders_priority_status_chi2",
-    "profile_lineitem_columns", "q13_customer_distribution",
-    "q16_supplier_part_buckets", "q21_waiting_supplier", "q2_min_cost_supplier",
-    "rag_context_pack", "scd2_point_in_time_join", "skipgram_negative_samples",
-    "snapshot_diff_report", "streaming_dedup_events",
-    "streaming_heavy_hitter_users", "streaming_kmv_distinct_users",
-    "surrogate_key_assignment", "text_rake_keywords",
-    "timeseries_znorm_subsequence_search", "trigram_like_search",
-    "watermark_sizing_report", "window_range_trailing_hour",
-    # round 5 additions (CORRECTNESS_r05.json — 47 fresh names plus the 3
-    # re-earned _RECHECK rows merge_full_cdc / incremental_agg_maintenance /
-    # attribution_multi_touch, all green)
-    "array_hof_showcase", "attribution_multi_touch", "batch_replay_source_slice",
-    "bpe_fertility_by_lang", "change_data_feed_report", "collation_group_showcase",
-    "compaction_bin_packing_plan", "data_freshness_sla", "decayed_leaderboard",
-    "decision_stump_split_scores", "dp_noisy_nation_counts",
-    "dpo_preference_pairs", "events_cusum_drift", "events_ohlc_bars",
-    "execute_immediate_showcase", "geo_cell_colocation", "heavy_hitter_tokens",
-    "incremental_agg_maintenance", "incremental_join_maintenance",
-    "jsonl_source_permissive_read", "l_diversity_audit", "linkage_fellegi_sunter",
-    "market_concentration_hhi", "merge_full_cdc", "multimodal_silence_segments",
-    "orders_cohort_revenue", "orphan_file_audit", "percentile_distributed_exact",
-    "price_index_laspeyres", "q11_important_part_value", "q20_heavy_shippers",
-    "q8_national_market_share", "q9_product_type_profit",
-    "score_calibration_report", "sketch_quantile_bins",
-    "snapshot_retention_expiry_plan", "sql_udf_showcase",
-    "streaming_csv_source_rollup", "streaming_dedup_within_watermark",
-    "streaming_hourly_rollup", "streaming_static_enrich",
-    "streaming_union_sources_rollup", "streaming_upsert_latest_state",
-    "subject_access_export", "supplier_pareto_frontier", "t_closeness_audit",
-    "text_word_pmi", "url_functions_showcase", "vocab_growth_curve",
-    "zorder_layout_stats",
-    # round 6 additions (CORRECTNESS_r06.json — 50 fresh names, all green)
-    "bigram_lm_score", "bradley_terry_strengths", "bucketed_join_colocated",
-    "cms_token_counts", "cogroup_asof_pandas", "corpus_epoch_shuffle_manifest",
-    "corpus_shingle_novelty", "corpus_source_datasheet",
-    "dedup_incremental_delta", "dsir_importance_weights",
-    "embedding_cluster_label_purity", "embedding_covariance",
-    "embedding_mutual_nn_pairs", "embedding_power_iteration",
-    "events_growth_accounting", "events_hourly_autocorr",
-    "events_interval_union_coverage", "events_peak_concurrency",
-    "file_metadata_columns_read", "fuzzy_join_part_names",
-    "gopher_quality_rules", "graph_link_prediction_suppliers",
-    "graph_modularity_by_brand", "join_cardinality_audit",
-    "k_anonymity_generalize", "linkage_blocking_quality",
-    "linkage_em_parameters", "linkage_entity_clusters",
-    "multimodal_ahash_neardup", "multimodal_shot_boundaries",
-    "orders_survival_km", "padding_waste_report",
-    "rate_limiter_backtest", "recursive_month_spine",
-    "similarity_maxsim_multivector", "similarity_topk_pq_adc",
-    "streaming_available_now_rollup", "streaming_interval_union_coverage",
-    "streaming_session_rollup", "streaming_sink_exactly_once_roundtrip",
-    "streaming_stateful_totals", "streaming_stateful_type_counts",
-    "streaming_topk_types_hourly", "streaming_value_quantiles",
-    "surrogate_key_incremental", "text_term_proximity_search",
-    "udtf_dynamic_ngrams", "window_functions_showcase",
-    "zonemap_skip_simulation",
-    # round 7 additions (CORRECTNESS_r07.json — 47 fresh names plus the 3
-    # deliberate re-gates dedup_exact / dedup_minhash_lsh /
-    # dedup_ngram_jaccard, all green → registry fully driver-verified)
-    "association_rules_parts", "batch_replay_pruned_scan",
-    "blocklist_phrase_filter", "checkpoint_commitlog_audit",
-    "checkpoint_offsetlog_table", "corpus_difficulty_curriculum",
-    "corpus_filter_funnel", "custom_sink_audit_roundtrip",
-    "data_quality_audit", "dedup_containment", "dedup_edit_distance",
-    "dedup_keep_best_quality", "embedding_pq_codes",
-    "events_anomaly_persistence", "fd_discovery_profile",
-    "fk_inclusion_profile", "graph_bfs_hops", "graph_kcore_peel",
-    "graph_pagerank_parts", "graph_triangle_stats",
-    "histogram_price_deciles", "hits_authority_hub",
-    "hll_intersection_estimate", "ivf_incremental_assign",
-    "ivf_recall_report", "kmv_set_ops_event_types",
-    "maxmin_fair_allocation", "minhash_bbit_calibration",
-    "minhash_jaccard_calibration", "multimodal_wav_stats",
-    "naive_bayes_langid", "orders_open_backlog_daily",
-    "rfm_customer_segments", "semantic_dedup_semdedup",
-    "sql_scripting_showcase", "streaming_chained_windows",
-    "streaming_hll_distinct_users", "streaming_join_then_windowed_agg",
-    "streaming_late_data_drop", "streaming_purchase_attribution",
-    "streaming_rate_limiter", "streaming_replay_source_rollup",
-    "streaming_semdedup", "streaming_sliding_rollup",
-    "streaming_unattributed_purchases", "streaming_update_mode_rollup",
-    "text_kneser_ney_bigram_score",
-    # round 8 additions (CORRECTNESS_r08.json — 46 fresh names plus the 4
-    # re-earned _RECHECK rows q1/q3/q10 (per-line half-up cents) and
-    # quality_logreg_training (distributed gradient fold), all green)
-    "attribution_window_sweep", "best_of_n_selection",
-    "binary_blob_source_stats", "corpus_dedup_aware_weights",
-    "dedup_cluster_size_histogram", "dedup_prefix_collision",
-    "dedup_url_canonical", "discount_cap_counterfactual",
-    "discount_elasticity_by_brand", "embedding_blocking_key_profile",
-    "embedding_dim_variance_rank", "embedding_isotropy_proxy",
-    "embedding_pca2_closed_form", "events_hill_tail_index",
-    "events_profile_cosine_pairs", "events_seasonality_strength",
-    "events_type_audience_overlap", "events_user_lifecycle_stages",
-    "fixed_width_source_read", "gmv_walk_forward_backtest",
-    "graph_degree_distribution", "grpo_group_advantage",
-    "gzip_jsonl_source_read", "multimodal_bmp_stats",
-    "multimodal_gif_stats", "multimodal_magic_sniffer",
-    "orders_duplicate_payment_audit", "orders_gmv_weekly_wow",
-    "orders_repeat_purchase_gaps", "parts_price_anova_by_size",
-    "q10_returned_items", "q1_pricing_summary", "q3_shipping_priority",
-    "quality_logreg_training", "rank_correlation_kendall",
-    "revenue_waterfall", "sft_loss_masking_spans", "sft_pair_manifest",
-    "streaming_state_budget_planner",
-    "supplier_scorecard", "text_adjacent_repetition",
-    "text_fano_burstiness", "text_feature_hashing", "text_hapax_ratio",
-    "text_lexical_diversity", "text_mojibake_detect",
-    "text_readability_features", "text_unicode_script_profile",
-    "web_domain_profile",
-    # round 9 additions (CORRECTNESS_r09.json — 49 fresh names plus the
-    # re-earned _RECHECK row span_corruption_manifest, all green 50/50)
-    "bandit_replay_hourly", "churn_label_manifest", "corpus_weights_ess",
-    "curriculum_pacing_schedule", "customer_segment_entropy_by_nation",
-    "dedup_exact_substring", "dedup_frontier_bloom",
-    "dedup_pair_provenance", "dedup_pipeline_composition",
-    "embedding_bitwidth_sweep", "embedding_jl_projection_audit",
-    "events_bounce_rate_by_entry", "events_burst_hours",
-    "events_hourly_type_entropy", "events_mann_whitney_test",
-    "graph_assortativity", "ivf_cell_balance_report",
-    "kmeans_inertia_elbow", "knn_classifier_eval",
-    "langid_precision_recall", "lineitem_qty_price_heatmap",
-    "mixture_temperature_sweep", "multimodal_avi_shot_boundaries",
-    "multimodal_avi_stats", "multimodal_bmp_ahash",
-    "neyman_allocation_plan", "ols_two_feature_normal_eq",
-    "orders_mean_value_bootstrap_ci", "partition_spec_advisor",
-    "pps_systematic_sample", "quality_logreg_inference",
-    "quality_rater_agreement_kappa", "rater_mcnemar_test",
-    "span_corruption_manifest", "streaming_bootstrap_ci",
-    "streaming_brand_mi_drift", "streaming_fertility_drift",
-    "streaming_gzip_jsonl_rollup", "streaming_hill_tail_monitor",
-    "streaming_magic_sniffer", "streaming_psi_drift",
-    "streaming_seasonality_monitor", "streaming_self_excitation",
-    "streaming_txn_log_tail", "supplier_leadtime_percentiles",
-    "text_char_entropy", "text_entropy_rate_bigram",
-    "tokenizer_vocab_pressure", "txn_log_time_travel",
-    "user_trigram_paths",
-    # round 10 additions (CORRECTNESS_r10.json — 49 fresh names plus a
-    # benign dedup_exact re-check, all green 50/50; completes 481/481
-    # cumulative driver verification of the registry)
-    "ann_method_agreement", "ann_pipeline_composition",
-    "basket_size_nbd_fit", "checkpoint_sources_table",
-    "corpus_quota_rebalance_delta", "crosslingual_contamination",
-    "dedup_band_sweep_calibration", "dedup_transitivity_audit",
-    "embedding_drift_ab_halves", "embedding_silhouette_centroid",
-    "events_ccf_count_value", "events_haar_wavelet_energy",
-    "events_markov_stationary", "events_self_excitation_ratio",
-    "events_sprt_monitor", "graph_label_propagation", "ivf_nprobe_sweep",
-    "multimodal_png_stats", "multimodal_wav_haar_energy",
-    "multimodal_wav_silence_real", "orders_cuped_adjustment",
-    "part_name_brand_mi", "perplexity_tertile_buckets",
-    "recsys_item_cosine", "scan_task_planner", "shuffle_partition_advisor",
-    "single_source_risk_report", "source_overlap_jaccard",
-    "spearman_len_vs_ttr", "streaming_bounce_rate",
-    "streaming_cuped_monitor", "streaming_ess_monitor",
-    "streaming_feature_hashing_monitor", "streaming_frontier_bloom",
-    "streaming_ivf_assign", "streaming_lsh_candidate_buckets",
-    "streaming_neyman_allocation", "streaming_ohlc_bars",
-    "streaming_quality_monitor", "streaming_rater_drift_monitor",
-    "streaming_sprt_monitor", "streaming_type_entropy_drift",
-    "streaming_unigram_fertility", "streaming_wav_haar_monitor",
-    "token_df_drift_halves", "tokenizer_unigram_compression",
-    "tokenizer_unigram_fertility", "tokenizer_unigram_fit",
-    "user_time_to_first_purchase",
-})
+# Driver verification ledger — the single source of truth for staleness
+# rotation. ``_DRIVER_EARNED`` maps every query name the external driver
+# has verified to the LATEST round in which it earned a green row
+# (rows/schema/hash match in CORRECTNESS_r{N}.json, or a rows-only green
+# for the two no-oracle entries). Regenerate after each round by folding
+# CORRECTNESS_r{N}.json in: for each green name, set
+# ``_DRIVER_EARNED[name] = max(old, N)``; brand-new names simply gain an
+# entry. ``tools/fold_correctness.py`` automates this.
+#
+# STANDING ROTATION POLICY (made explicit in round 12): the driver
+# enumerates only the FIRST ~50 registry entries per round, so
+# ``all_specs`` orders the registry as
+#   1. _RECHECK names (behavior changed since their green row) first,
+#   2. never-driver-checked names next (cheapest-first by measured
+#      sf0.01 cost, so a time-capped pass earns the most NEW rows),
+#   3. driver-checked names last, ordered STALEST ROUND FIRST
+#      (ties broken by name for determinism).
+# Group 3's ordering is what keeps cumulative verification fresh: every
+# driver slot not consumed by a new operator provably lands on the
+# oldest-earned green rows (round 12 entry point: the 39 round-2-era
+# names follow the 24 remaining round-1 names). Round 11 achieved this
+# only by accident of insertion order; the earned-round ledger makes it
+# mechanical.
+_DRIVER_EARNED: dict[str, int] = {
+    # last driver-green row earned in round 1 (24 names)
+    "asof_purchase_attribution": 1, "cube_order_status_priority": 1,
+    "customers_without_orders": 1, "datetime_functions_showcase": 1,
+    "decontaminate_train_shingles": 1, "dedup_connected_components": 1,
+    "distinct_parts_per_supplier": 1, "events_hourly_rollup": 1,
+    "grouping_sets_revenue": 1, "multimodal_decode_features": 1,
+    "multimodal_frame_sample": 1, "multimodal_resize": 1,
+    "nations_with_rich_customers": 1, "pandas_acctbal_zscore": 1,
+    "pandas_scalar_log_price": 1, "q5_local_supplier_volume": 1,
+    "quota_sample_per_lang": 1, "rollup_returns": 1,
+    "scalar_functions_showcase": 1, "setops_customer_segments": 1,
+    "small_quantity_revenue": 1, "top_customers_by_revenue": 1,
+    "window_customer_order_rank": 1, "window_event_gaps": 1,
+    # last driver-green row earned in round 2 (39 names)
+    "array_agg_user_profile": 2, "bpe_apply_merges": 2,
+    "bpe_learn_merges": 2, "content_defined_chunks": 2,
+    "contrastive_triplets": 2, "corpus_js_divergence": 2,
+    "corpus_mix_rebalance": 2, "corpus_token_budget_plan": 2,
+    "dedup_span_mask_manifest": 2, "doc_sliding_chunks": 2,
+    "events_json_extract": 2, "events_multi_rollup": 2,
+    "events_user_retention": 2, "multimodal_audio_frame_energy": 2,
+    "multimodal_dedup_content_hash": 2, "multimodal_metadata_scan": 2,
+    "pack_sequences_manifest": 2, "percentile_order_prices": 2,
+    "pivot_user_event_matrix": 2, "q12_priority_by_linestatus": 2,
+    "q14_promo_revenue": 2, "q15_top_supplier": 2,
+    "q18_large_volume_customers": 2, "q19_disjunctive_revenue": 2,
+    "q4_order_priority": 2, "q6_forecast_revenue": 2,
+    "q7_volume_shipping": 2, "range_join_price_bands": 2,
+    "repeated_ngram_spans": 2, "salted_join_supplier_volume": 2,
+    "search_hybrid_rrf": 2, "session_window_rollup": 2,
+    "shard_manifest_balanced": 2, "text_bm25_search": 2,
+    "text_chunk_dedup": 2, "text_zipf_slope": 2, "udtf_word_expand": 2,
+    "unpivot_lineitem_measures": 2, "weighted_sample_docs": 2,
+    # last driver-green row earned in round 3 (49 names)
+    "ann_ndcg_truncation": 3, "array_set_functions_showcase": 3,
+    "arrow_map_embedding_norm": 3, "asof_next_touch_latency": 3,
+    "benford_digit_audit": 3, "bloom_filter_membership": 3,
+    "bronze_decode_errors": 3, "bronze_decode_roundtrip": 3,
+    "csv_source_permissive_read": 3, "customer_balance_ks_test": 3,
+    "cv_fold_manifest": 3, "events_ab_uplift_test": 3,
+    "events_ewma_forecast": 3, "events_funnel_latency": 3,
+    "events_funnel_view_click_purchase": 3, "events_holt_forecast": 3,
+    "events_interval_overlap_join": 3, "events_props_templates": 3,
+    "events_props_variant_decode": 3, "events_psi_value_drift": 3,
+    "events_theilsen_trend": 3, "events_transition_matrix": 3,
+    "feature_asof_training_matrix": 3, "gdpr_purge_manifest": 3,
+    "k_anonymity_audit": 3, "kmv_distinct_users": 3,
+    "lang_balance_weights": 3, "lang_temperature_weights": 3,
+    "map_functions_showcase": 3, "multimodal_stratified_sample": 3,
+    "null_safe_join_attribution": 3, "orc_source_roundtrip": 3,
+    "pandas_grouped_agg_trimmed_mean": 3, "parameterized_sql_showcase": 3,
+    "partitioned_source_pruned_read": 3, "pipe_sql_priority_stats": 3,
+    "profile_hot_orderkeys": 3, "q22_global_sales_opportunity": 3,
+    "revenue_trend_ols": 3, "scd2_customer_merge": 3,
+    "schema_evolution_merge_read": 3, "similarity_topk_binary_rerank": 3,
+    "sketch_user_activity": 3, "stats_qty_price_corr": 3,
+    "supplier_return_wilson_rank": 3, "text_sentiment_lexicon": 3,
+    "text_vocab_coverage": 3, "try_functions_showcase": 3,
+    "xml_decode_roundtrip": 3,
+    # last driver-green row earned in round 4 (48 names)
+    "abc_customer_classification": 4, "aes_roundtrip_audit": 4,
+    "basket_part_pairs": 4, "bitwise_aggregates_showcase": 4,
+    "checkpoint_statestore_table": 4, "customer_spend_gini": 4,
+    "decontaminate_by_embedding": 4, "events_alarm_verification": 4,
+    "events_changepoint_binseg": 4, "events_daily_value_trend": 4,
+    "events_dau_wau_mau": 4, "events_holtwinters_forecast": 4,
+    "events_hourly_anomaly": 4, "events_hourly_gapfill": 4,
+    "events_hourly_mad_outliers": 4, "events_props_schema_profile": 4,
+    "events_seasonal_profile": 4, "events_session_window_batch": 4,
+    "events_sessionize_batch": 4, "forecast_conformal_intervals": 4,
+    "hive_source_partition_pruned": 4, "hll_distinct_users": 4,
+    "hll_merge_event_types": 4, "join_skew_planner": 4,
+    "lateral_top_customers_per_nation": 4, "lineitem_ship_latency": 4,
+    "matryoshka_truncation_recall": 4, "medallion_pipeline_rollup": 4,
+    "mlm_masking_manifest": 4, "orders_priority_status_chi2": 4,
+    "profile_lineitem_columns": 4, "q13_customer_distribution": 4,
+    "q16_supplier_part_buckets": 4, "q21_waiting_supplier": 4,
+    "q2_min_cost_supplier": 4, "rag_context_pack": 4,
+    "scd2_point_in_time_join": 4, "skipgram_negative_samples": 4,
+    "snapshot_diff_report": 4, "streaming_dedup_events": 4,
+    "streaming_heavy_hitter_users": 4, "streaming_kmv_distinct_users": 4,
+    "surrogate_key_assignment": 4, "text_rake_keywords": 4,
+    "timeseries_znorm_subsequence_search": 4, "trigram_like_search": 4,
+    "watermark_sizing_report": 4, "window_range_trailing_hour": 4,
+    # last driver-green row earned in round 5 (50 names)
+    "array_hof_showcase": 5, "attribution_multi_touch": 5,
+    "batch_replay_source_slice": 5, "bpe_fertility_by_lang": 5,
+    "change_data_feed_report": 5, "collation_group_showcase": 5,
+    "compaction_bin_packing_plan": 5, "data_freshness_sla": 5,
+    "decayed_leaderboard": 5, "decision_stump_split_scores": 5,
+    "dp_noisy_nation_counts": 5, "dpo_preference_pairs": 5,
+    "events_cusum_drift": 5, "events_ohlc_bars": 5,
+    "execute_immediate_showcase": 5, "geo_cell_colocation": 5,
+    "heavy_hitter_tokens": 5, "incremental_agg_maintenance": 5,
+    "incremental_join_maintenance": 5, "jsonl_source_permissive_read": 5,
+    "l_diversity_audit": 5, "linkage_fellegi_sunter": 5,
+    "market_concentration_hhi": 5, "merge_full_cdc": 5,
+    "multimodal_silence_segments": 5, "orders_cohort_revenue": 5,
+    "orphan_file_audit": 5, "percentile_distributed_exact": 5,
+    "price_index_laspeyres": 5, "q11_important_part_value": 5,
+    "q20_heavy_shippers": 5, "q8_national_market_share": 5,
+    "q9_product_type_profit": 5, "score_calibration_report": 5,
+    "sketch_quantile_bins": 5, "snapshot_retention_expiry_plan": 5,
+    "sql_udf_showcase": 5, "streaming_csv_source_rollup": 5,
+    "streaming_dedup_within_watermark": 5, "streaming_hourly_rollup": 5,
+    "streaming_static_enrich": 5, "streaming_union_sources_rollup": 5,
+    "streaming_upsert_latest_state": 5, "subject_access_export": 5,
+    "supplier_pareto_frontier": 5, "t_closeness_audit": 5,
+    "text_word_pmi": 5, "url_functions_showcase": 5, "vocab_growth_curve": 5,
+    "zorder_layout_stats": 5,
+    # last driver-green row earned in round 6 (48 names)
+    "bigram_lm_score": 6, "bradley_terry_strengths": 6,
+    "bucketed_join_colocated": 6, "cms_token_counts": 6,
+    "cogroup_asof_pandas": 6, "corpus_epoch_shuffle_manifest": 6,
+    "corpus_shingle_novelty": 6, "corpus_source_datasheet": 6,
+    "dedup_incremental_delta": 6, "dsir_importance_weights": 6,
+    "embedding_cluster_label_purity": 6, "embedding_mutual_nn_pairs": 6,
+    "embedding_power_iteration": 6, "events_growth_accounting": 6,
+    "events_hourly_autocorr": 6, "events_interval_union_coverage": 6,
+    "events_peak_concurrency": 6, "file_metadata_columns_read": 6,
+    "fuzzy_join_part_names": 6, "gopher_quality_rules": 6,
+    "graph_link_prediction_suppliers": 6, "graph_modularity_by_brand": 6,
+    "join_cardinality_audit": 6, "k_anonymity_generalize": 6,
+    "linkage_blocking_quality": 6, "linkage_em_parameters": 6,
+    "linkage_entity_clusters": 6, "multimodal_ahash_neardup": 6,
+    "multimodal_shot_boundaries": 6, "orders_survival_km": 6,
+    "padding_waste_report": 6, "rate_limiter_backtest": 6,
+    "recursive_month_spine": 6, "similarity_maxsim_multivector": 6,
+    "similarity_topk_pq_adc": 6, "streaming_available_now_rollup": 6,
+    "streaming_interval_union_coverage": 6, "streaming_session_rollup": 6,
+    "streaming_sink_exactly_once_roundtrip": 6,
+    "streaming_stateful_totals": 6, "streaming_stateful_type_counts": 6,
+    "streaming_topk_types_hourly": 6, "streaming_value_quantiles": 6,
+    "surrogate_key_incremental": 6, "text_term_proximity_search": 6,
+    "udtf_dynamic_ngrams": 6, "window_functions_showcase": 6,
+    "zonemap_skip_simulation": 6,
+    # last driver-green row earned in round 7 (45 names)
+    "association_rules_parts": 7, "batch_replay_pruned_scan": 7,
+    "blocklist_phrase_filter": 7, "checkpoint_commitlog_audit": 7,
+    "checkpoint_offsetlog_table": 7, "corpus_difficulty_curriculum": 7,
+    "corpus_filter_funnel": 7, "custom_sink_audit_roundtrip": 7,
+    "data_quality_audit": 7, "dedup_containment": 7,
+    "dedup_edit_distance": 7, "dedup_keep_best_quality": 7,
+    "embedding_pq_codes": 7, "events_anomaly_persistence": 7,
+    "fd_discovery_profile": 7, "fk_inclusion_profile": 7,
+    "graph_bfs_hops": 7, "graph_kcore_peel": 7, "graph_pagerank_parts": 7,
+    "graph_triangle_stats": 7, "histogram_price_deciles": 7,
+    "hits_authority_hub": 7, "hll_intersection_estimate": 7,
+    "kmv_set_ops_event_types": 7, "maxmin_fair_allocation": 7,
+    "minhash_bbit_calibration": 7, "minhash_jaccard_calibration": 7,
+    "multimodal_wav_stats": 7, "naive_bayes_langid": 7,
+    "orders_open_backlog_daily": 7, "rfm_customer_segments": 7,
+    "semantic_dedup_semdedup": 7, "sql_scripting_showcase": 7,
+    "streaming_chained_windows": 7, "streaming_hll_distinct_users": 7,
+    "streaming_join_then_windowed_agg": 7, "streaming_late_data_drop": 7,
+    "streaming_purchase_attribution": 7, "streaming_rate_limiter": 7,
+    "streaming_replay_source_rollup": 7, "streaming_semdedup": 7,
+    "streaming_sliding_rollup": 7, "streaming_unattributed_purchases": 7,
+    "streaming_update_mode_rollup": 7, "text_kneser_ney_bigram_score": 7,
+    # last driver-green row earned in round 8 (49 names)
+    "attribution_window_sweep": 8, "best_of_n_selection": 8,
+    "binary_blob_source_stats": 8, "corpus_dedup_aware_weights": 8,
+    "dedup_cluster_size_histogram": 8, "dedup_prefix_collision": 8,
+    "dedup_url_canonical": 8, "discount_cap_counterfactual": 8,
+    "discount_elasticity_by_brand": 8, "embedding_blocking_key_profile": 8,
+    "embedding_dim_variance_rank": 8, "embedding_isotropy_proxy": 8,
+    "embedding_pca2_closed_form": 8, "events_hill_tail_index": 8,
+    "events_profile_cosine_pairs": 8, "events_seasonality_strength": 8,
+    "events_type_audience_overlap": 8, "events_user_lifecycle_stages": 8,
+    "fixed_width_source_read": 8, "gmv_walk_forward_backtest": 8,
+    "graph_degree_distribution": 8, "grpo_group_advantage": 8,
+    "gzip_jsonl_source_read": 8, "multimodal_bmp_stats": 8,
+    "multimodal_gif_stats": 8, "multimodal_magic_sniffer": 8,
+    "orders_duplicate_payment_audit": 8, "orders_gmv_weekly_wow": 8,
+    "orders_repeat_purchase_gaps": 8, "parts_price_anova_by_size": 8,
+    "q10_returned_items": 8, "q1_pricing_summary": 8,
+    "q3_shipping_priority": 8, "quality_logreg_training": 8,
+    "rank_correlation_kendall": 8, "revenue_waterfall": 8,
+    "sft_loss_masking_spans": 8, "sft_pair_manifest": 8,
+    "streaming_state_budget_planner": 8, "supplier_scorecard": 8,
+    "text_adjacent_repetition": 8, "text_fano_burstiness": 8,
+    "text_feature_hashing": 8, "text_hapax_ratio": 8,
+    "text_lexical_diversity": 8, "text_mojibake_detect": 8,
+    "text_readability_features": 8, "text_unicode_script_profile": 8,
+    "web_domain_profile": 8,
+    # last driver-green row earned in round 9 (50 names)
+    "bandit_replay_hourly": 9, "churn_label_manifest": 9,
+    "corpus_weights_ess": 9, "curriculum_pacing_schedule": 9,
+    "customer_segment_entropy_by_nation": 9, "dedup_exact_substring": 9,
+    "dedup_frontier_bloom": 9, "dedup_pair_provenance": 9,
+    "dedup_pipeline_composition": 9, "embedding_bitwidth_sweep": 9,
+    "embedding_jl_projection_audit": 9, "events_bounce_rate_by_entry": 9,
+    "events_burst_hours": 9, "events_hourly_type_entropy": 9,
+    "events_mann_whitney_test": 9, "graph_assortativity": 9,
+    "ivf_cell_balance_report": 9, "kmeans_inertia_elbow": 9,
+    "knn_classifier_eval": 9, "langid_precision_recall": 9,
+    "lineitem_qty_price_heatmap": 9, "mixture_temperature_sweep": 9,
+    "multimodal_avi_shot_boundaries": 9, "multimodal_avi_stats": 9,
+    "multimodal_bmp_ahash": 9, "neyman_allocation_plan": 9,
+    "ols_two_feature_normal_eq": 9, "orders_mean_value_bootstrap_ci": 9,
+    "partition_spec_advisor": 9, "pps_systematic_sample": 9,
+    "quality_logreg_inference": 9, "quality_rater_agreement_kappa": 9,
+    "rater_mcnemar_test": 9, "span_corruption_manifest": 9,
+    "streaming_bootstrap_ci": 9, "streaming_brand_mi_drift": 9,
+    "streaming_fertility_drift": 9, "streaming_gzip_jsonl_rollup": 9,
+    "streaming_hill_tail_monitor": 9, "streaming_magic_sniffer": 9,
+    "streaming_psi_drift": 9, "streaming_seasonality_monitor": 9,
+    "streaming_self_excitation": 9, "streaming_txn_log_tail": 9,
+    "supplier_leadtime_percentiles": 9, "text_char_entropy": 9,
+    "text_entropy_rate_bigram": 9, "tokenizer_vocab_pressure": 9,
+    "txn_log_time_travel": 9, "user_trigram_paths": 9,
+    # last driver-green row earned in round 10 (49 names)
+    "ann_method_agreement": 10, "ann_pipeline_composition": 10,
+    "basket_size_nbd_fit": 10, "checkpoint_sources_table": 10,
+    "corpus_quota_rebalance_delta": 10, "crosslingual_contamination": 10,
+    "dedup_band_sweep_calibration": 10, "dedup_transitivity_audit": 10,
+    "embedding_drift_ab_halves": 10, "embedding_silhouette_centroid": 10,
+    "events_ccf_count_value": 10, "events_haar_wavelet_energy": 10,
+    "events_markov_stationary": 10, "events_self_excitation_ratio": 10,
+    "events_sprt_monitor": 10, "graph_label_propagation": 10,
+    "ivf_nprobe_sweep": 10, "multimodal_png_stats": 10,
+    "multimodal_wav_haar_energy": 10, "multimodal_wav_silence_real": 10,
+    "orders_cuped_adjustment": 10, "part_name_brand_mi": 10,
+    "perplexity_tertile_buckets": 10, "recsys_item_cosine": 10,
+    "scan_task_planner": 10, "shuffle_partition_advisor": 10,
+    "single_source_risk_report": 10, "source_overlap_jaccard": 10,
+    "spearman_len_vs_ttr": 10, "streaming_bounce_rate": 10,
+    "streaming_cuped_monitor": 10, "streaming_ess_monitor": 10,
+    "streaming_feature_hashing_monitor": 10, "streaming_frontier_bloom": 10,
+    "streaming_ivf_assign": 10, "streaming_lsh_candidate_buckets": 10,
+    "streaming_neyman_allocation": 10, "streaming_ohlc_bars": 10,
+    "streaming_quality_monitor": 10, "streaming_rater_drift_monitor": 10,
+    "streaming_sprt_monitor": 10, "streaming_type_entropy_drift": 10,
+    "streaming_unigram_fertility": 10, "streaming_wav_haar_monitor": 10,
+    "token_df_drift_halves": 10, "tokenizer_unigram_compression": 10,
+    "tokenizer_unigram_fertility": 10, "tokenizer_unigram_fit": 10,
+    "user_time_to_first_purchase": 10,
+    # last driver-green row earned in round 11 (50 names)
+    "brier_score_decomposition": 11, "cluster_kmeans_embeddings": 11,
+    "dedup_embedding_cosine": 11, "dedup_exact": 11, "dedup_minhash_lsh": 11,
+    "dedup_ngram_jaccard": 11, "dedup_simhash": 11, "dedup_survivors": 11,
+    "doc_length_winsorize_audit": 11, "embedding_covariance": 11,
+    "embedding_int8_quantize": 11, "embedding_norm_stats": 11,
+    "embedding_outlier_zscore": 11, "events_mann_kendall_trend": 11,
+    "events_permutation_test": 11, "events_power_mde_plan": 11,
+    "events_runs_test": 11, "events_srm_check": 11,
+    "ivf_incremental_assign": 11, "ivf_recall_report": 11,
+    "multimodal_bmp_dhash": 11, "multimodal_wav_zcr_real": 11,
+    "orders_did_estimator": 11, "similarity_lsh_neardup": 11,
+    "similarity_topk_bucketed": 11, "similarity_topk_cosine": 11,
+    "similarity_topk_ivf": 11, "split_leakage_audit": 11,
+    "split_train_eval": 11, "streaming_brier_monitor": 11,
+    "streaming_did_monitor": 11, "streaming_mann_kendall_monitor": 11,
+    "streaming_permutation_monitor": 11, "streaming_power_mde_monitor": 11,
+    "streaming_runs_monitor": 11, "streaming_split_leakage_monitor": 11,
+    "streaming_srm_monitor": 11, "streaming_wav_zcr_monitor": 11,
+    "text_bpe_token_count": 11, "text_fingerprint": 11,
+    "text_language_id": 11, "text_pii_redaction": 11,
+    "text_quality_score": 11, "text_repetition_filter": 11,
+    "text_rolling_fingerprint": 11, "text_seqlen_histogram": 11,
+    "text_tfidf_top_terms": 11, "text_token_entropy": 11,
+    "text_token_stats": 11, "text_top_bigrams": 11,
+}
+
+#: Backwards-compatible view: the set of all driver-verified names.
+#: (The hygiene tests and ordering logic key off membership; the ledger
+#: above adds the per-name round used for stalest-first rotation.)
+_DRIVER_CHECKED = frozenset(_DRIVER_EARNED)
 
 #: Driver-green queries whose BEHAVIOR changed after their last green row:
 #: deliberately absent from _DRIVER_CHECKED (the hygiene test enforces
@@ -639,9 +672,16 @@ def all_specs() -> dict[str, QuerySpec]:
         )
         if n not in _DRIVER_CHECKED and n not in recheck
     }
+    # Stalest-first among the driver-verified tail (see the rotation
+    # policy at _DRIVER_EARNED): slots the driver has left after the new
+    # operators re-earn the OLDEST green rows, keeping cumulative
+    # verification from aging.
     checked = {
         n: s
-        for n, s in REGISTRY.items()
+        for n, s in sorted(
+            REGISTRY.items(),
+            key=lambda kv: (_DRIVER_EARNED.get(kv[0], 10**9), kv[0]),
+        )
         if n in _DRIVER_CHECKED and n not in recheck
     }
     return {**recheck, **unchecked, **checked}
