@@ -39,6 +39,26 @@ def _guard_reserved(df: DataFrame, reserved: list[str]) -> None:
         )
 
 
+def _guard_plain_ascending(sort_cols: list[Column]) -> None:
+    """distributed_adjacent_changes builds its boundary min_by/max_by
+    key as ``F.struct(*sort_cols)`` — that struct comparison only
+    matches the repartitionByRange shuffle order when every sort col is
+    a PLAIN ascending column. A ``desc()``/``asc_nulls_last()``
+    SortOrder would shuffle descending but compare ascending, silently
+    producing wrong boundary-pair counts — so fail loudly instead
+    (same discipline as _guard_reserved). SortOrder isn't a public
+    Python type; detect it via the column repr, which renders sort
+    expressions as ``'<col> ASC|DESC NULLS FIRST|LAST'``."""
+    for c in sort_cols:
+        rep = str(c)
+        if " DESC" in rep or " ASC" in rep:
+            raise ValueError(
+                f"sort_cols must be plain ascending columns (no "
+                f"asc()/desc() SortOrder): got {c}; the boundary "
+                "struct key would not match the shuffle order"
+            )
+
+
 def distributed_rank(
     df: DataFrame,
     sort_cols: list[Column],
@@ -258,6 +278,7 @@ def distributed_adjacent_changes(
     ``out_col`` (0 for an empty input). Same localCheckpoint pinning as
     distributed_rank, same reason."""
     _guard_reserved(df, ["_pid", "_prev", "_first", "_last"])
+    _guard_plain_ascending(sort_cols)
     parts = df.repartitionByRange(n_parts, *sort_cols).withColumn(
         "_pid", F.spark_partition_id()
     )

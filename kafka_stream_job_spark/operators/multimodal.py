@@ -255,11 +255,21 @@ def _wav_pcm_samples(blob: bytes, meta: dict):
     array — the one shared data-chunk walk behind the silence / Haar /
     ZCR decoders (a fix to pad-byte or length handling lands once, not
     three times). Call decode_wav_real first; its validation guarantees
-    the data chunk exists and matches ``meta['n_samples']``."""
+    the data chunk exists and matches ``meta['n_samples']``. Mono only:
+    the downstream decoders treat the array as one time series, so a
+    multi-channel blob (where the data chunk interleaves frames) is
+    rejected loudly here rather than silently analyzed interleaved.
+    Invariants raise ValueError (not assert — asserts vanish under
+    ``python -O``)."""
     import struct
 
     import numpy as np
 
+    if meta.get("n_channels", 1) != 1:
+        raise ValueError(
+            f"_wav_pcm_samples requires mono PCM, got "
+            f"{meta['n_channels']} channels (interleaved frames)"
+        )
     off = 12
     while off + 8 <= len(blob):
         cid = blob[off : off + 4]
@@ -268,7 +278,11 @@ def _wav_pcm_samples(blob: bytes, meta: dict):
             samples = np.frombuffer(
                 blob[off + 8 : off + 8 + clen], dtype="<i2"
             ).astype(np.int64)
-            assert len(samples) == meta["n_samples"]
+            if len(samples) != meta["n_samples"]:
+                raise ValueError(
+                    f"data chunk has {len(samples)} int16 samples but "
+                    f"validated metadata says {meta['n_samples']}"
+                )
             return samples
         off += 8 + clen + (clen & 1)
     raise ValueError("validated WAV lost its data chunk")

@@ -16078,19 +16078,29 @@ _PERM_K = 28  # replicas = bits of the 28-bit _snap_hash
                    )}
             FROM per_user
         ),
+        h0 AS (
+            -- degenerate-arm guard mirrored from permutation_assemble:
+            -- an empty replica arm yields a NULL uplift (not a
+            -- DIVIDE_BY_ZERO raise), and NULL >= abs(obs) counts 0
+            SELECT *,
+                   CASE WHEN e_obs1 = 0 OR e_tot - e_obs1 = 0 THEN NULL
+                        ELSE p_obs1 * 1.0 / e_obs1
+                             - (p_tot - p_obs1) * 1.0 / (e_tot - e_obs1)
+                   END AS obs
+            FROM g
+        ),
         h AS (
-            SELECT n_users, e_tot, p_tot,
-                   p_obs1 * 1.0 / e_obs1
-                       - (p_tot - p_obs1) * 1.0 / (e_tot - e_obs1) AS obs,
+            SELECT n_users, e_tot, p_tot, obs,
                    CAST({" + ".join(
-                       f"CASE WHEN abs(p1_{k} * 1.0 / e1_{k}"
-                       f" - (p_tot - p1_{k}) * 1.0 / (e_tot - e1_{k}))"
-                       f" >= abs(p_obs1 * 1.0 / e_obs1"
-                       f" - (p_tot - p_obs1) * 1.0 / (e_tot - e_obs1))"
+                       f"CASE WHEN abs(CASE WHEN e1_{k} = 0"
+                       f" OR e_tot - e1_{k} = 0 THEN NULL"
+                       f" ELSE p1_{k} * 1.0 / e1_{k}"
+                       f" - (p_tot - p1_{k}) * 1.0 / (e_tot - e1_{k}) END)"
+                       f" >= abs(obs)"
                        f" THEN 1 ELSE 0 END"
                        for k in range(_PERM_K)
                    )} AS BIGINT) AS n_ge
-            FROM g
+            FROM h0
         )
         SELECT n_users, e_tot AS n_events, p_tot AS n_purchases,
                CAST(ROUND(obs * 1000000.0) AS BIGINT) AS obs_uplift_micro,
@@ -16156,8 +16166,17 @@ def permutation_assemble(per_user: DataFrame) -> DataFrame:
     g = per_user.agg(*aggs)
 
     def uplift(p1, e1):
-        return p1 * 1.0 / e1 - (F.col("p_tot") - p1) * 1.0 / (
-            F.col("e_tot") - e1
+        # Degenerate replica (one arm holds every event): the uplift is
+        # undefined — NULL, not a DIVIDE_BY_ZERO raise (ANSI is pinned
+        # on both engines; the oracle mirrors this CASE branch so
+        # engine and oracle agree on degenerate inputs too). A NULL
+        # uplift makes its replica's |·| >= |obs| hit count 0 on both.
+        return F.when(
+            (e1 == 0) | (F.col("e_tot") - e1 == 0),
+            F.lit(None).cast("double"),
+        ).otherwise(
+            p1 * 1.0 / e1
+            - (F.col("p_tot") - p1) * 1.0 / (F.col("e_tot") - e1)
         )
 
     obs = uplift(F.col("p_obs1"), F.col("e_obs1"))
@@ -16285,22 +16304,32 @@ _POWER_Z_SUM = 2.801585  # z_{0.025} + z_{0.20} = 1.959964 + 0.841621
             FROM events
         ),
         f AS (
+            -- degenerate-input guard mirrored from power_mde_assemble:
+            -- NULL plan columns, never a DIVIDE_BY_ZERO raise
             SELECT n_events, n_purch,
                    n_events // 2 AS n_per_arm,
-                   n_purch * 1.0 / n_events AS p
+                   CASE WHEN n_events = 0 THEN NULL
+                        ELSE n_purch * 1.0 / n_events END AS p
             FROM c
+        ),
+        f2 AS (
+            SELECT *,
+                   CASE WHEN n_per_arm = 0 OR p IS NULL THEN NULL
+                        ELSE {_POWER_Z_SUM}
+                             * sqrt((2.0 * p * (1.0 - p)) / n_per_arm)
+                   END AS mde
+            FROM f
         )
         SELECT n_events, n_purch AS n_purchases,
-               CAST(n_purch * 10000 // n_events AS BIGINT)
-                   AS baseline_rate_bp,
+               CASE WHEN n_events = 0 THEN NULL
+                    ELSE CAST(n_purch * 10000 // n_events AS BIGINT)
+               END AS baseline_rate_bp,
                n_per_arm,
-               CAST(ROUND({_POWER_Z_SUM}
-                          * sqrt((2.0 * p * (1.0 - p)) / n_per_arm)
-                          * 1000000.0) AS BIGINT) AS mde_abs_micro,
-               CAST(ROUND({_POWER_Z_SUM}
-                          * sqrt((2.0 * p * (1.0 - p)) / n_per_arm)
-                          / p * 10000.0) AS BIGINT) AS mde_rel_bp
-        FROM f
+               CAST(ROUND(mde * 1000000.0) AS BIGINT) AS mde_abs_micro,
+               CASE WHEN n_purch = 0 THEN NULL
+                    ELSE CAST(ROUND(mde / p * 10000.0) AS BIGINT)
+               END AS mde_rel_bp
+        FROM f2
     """,
     tags=("stats", "ab-test", "experimentation", "power", "events"),
 )
@@ -16317,27 +16346,38 @@ def events_power_mde_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def power_mde_assemble(c: DataFrame) -> DataFrame:
     """MDE report from a 1-row (n_events, n_purch) table — shared
-    verbatim by the batch query and its streaming twin."""
+    verbatim by the batch query and its streaming twin. Degenerate
+    inputs (no events, or no purchases for the relative MDE) yield
+    NULL plan columns instead of an ANSI DIVIDE_BY_ZERO raise; the
+    oracle mirrors the same CASE branches so both engines agree."""
     f = c.select(
         "n_events",
         "n_purch",
         idiv("n_events", 2).alias("n_per_arm"),
-        (F.col("n_purch") * 1.0 / F.col("n_events")).alias("p"),
+        F.when(F.col("n_events") == 0, F.lit(None).cast("double"))
+        .otherwise(F.col("n_purch") * 1.0 / F.col("n_events"))
+        .alias("p"),
     )
-    mde = F.lit(_POWER_Z_SUM) * F.sqrt(
-        (F.lit(2.0) * F.col("p") * (F.lit(1.0) - F.col("p")))
-        / F.col("n_per_arm")
+    mde = F.when(
+        (F.col("n_per_arm") == 0) | F.col("p").isNull(),
+        F.lit(None).cast("double"),
+    ).otherwise(
+        F.lit(_POWER_Z_SUM)
+        * F.sqrt(
+            (F.lit(2.0) * F.col("p") * (F.lit(1.0) - F.col("p")))
+            / F.col("n_per_arm")
+        )
     )
     return f.select(
         "n_events",
         F.col("n_purch").alias("n_purchases"),
-        idiv(F.col("n_purch") * 10000, F.col("n_events")).alias(
-            "baseline_rate_bp"
-        ),
+        F.when(F.col("n_events") == 0, F.lit(None).cast("long"))
+        .otherwise(idiv(F.col("n_purch") * 10000, F.col("n_events")))
+        .alias("baseline_rate_bp"),
         "n_per_arm",
         F.round(mde * 1000000.0, 0).cast("long").alias("mde_abs_micro"),
-        F.round(mde / F.col("p") * 10000.0, 0)
-        .cast("long")
+        F.when(F.col("n_purch") == 0, F.lit(None).cast("long"))
+        .otherwise(F.round(mde / F.col("p") * 10000.0, 0).cast("long"))
         .alias("mde_rel_bp"),
     )
 
@@ -16391,6 +16431,17 @@ def did_assemble(cells: DataFrame) -> DataFrame:
         sd2 = F.col(f"sum_d2_{a}_{p}").cast("double")
         return (n * sd2 - sd * sd) / (n * (n - F.lit(1.0)))
 
+    # Degenerate design guard: a missing (n=0) or singleton (n=1)
+    # (arm, period) cell — possible at tiny scale factors — makes the
+    # cell mean and/or sample variance undefined. Route it through an
+    # explicit NULL branch (mirrored in the oracle's CASE) instead of
+    # letting pinned-ANSI Spark raise where DuckDB yields NULL.
+    degenerate = None
+    for a in (0, 1):
+        for p in ("pre", "post"):
+            cond = F.col(f"n_{a}_{p}") < 2
+            degenerate = cond if degenerate is None else (degenerate | cond)
+
     did_cents = (mean_cents(1, "post") - mean_cents(1, "pre")) - (
         mean_cents(0, "post") - mean_cents(0, "pre")
     )
@@ -16400,14 +16451,20 @@ def did_assemble(cells: DataFrame) -> DataFrame:
         + var_d(0, "post") / F.col("n_0_post")
         + var_d(0, "pre") / F.col("n_0_pre")
     )
+
+    def guarded(col):
+        return F.when(degenerate, F.lit(None).cast("long")).otherwise(col)
+
     report = g.select(
-        F.round(did_cents * 1000.0, 0).cast("long").alias("did_millicent"),
-        F.round(se_dollars * 1000.0, 0).cast("long").alias(
+        guarded(F.round(did_cents * 1000.0, 0).cast("long")).alias(
+            "did_millicent"
+        ),
+        guarded(F.round(se_dollars * 1000.0, 0).cast("long")).alias(
             "se_millidollar"
         ),
-        F.round(did_cents / 100.0 / se_dollars * 1000.0, 0)
-        .cast("long")
-        .alias("t_milli"),
+        guarded(
+            F.round(did_cents / 100.0 / se_dollars * 1000.0, 0).cast("long")
+        ).alias("t_milli"),
     )
     per_cell = cells.select(
         "arm",
@@ -16460,12 +16517,18 @@ def did_assemble(cells: DataFrame) -> DataFrame:
             FROM cells
         ),
         rep AS (
+            -- degenerate-cell guard mirrored from did_assemble: any
+            -- missing/singleton (arm, period) cell -> NULL report
             SELECT
+              CASE WHEN n_1_post < 2 OR n_1_pre < 2
+                     OR n_0_post < 2 OR n_0_pre < 2 THEN NULL ELSE
               CAST(ROUND(((sc_1_post * 1.0 / n_1_post
                            - sc_1_pre * 1.0 / n_1_pre)
                           - (sc_0_post * 1.0 / n_0_post
                              - sc_0_pre * 1.0 / n_0_pre)) * 1000.0)
-                   AS BIGINT) AS did_millicent,
+                   AS BIGINT) END AS did_millicent,
+              CASE WHEN n_1_post < 2 OR n_1_pre < 2
+                     OR n_0_post < 2 OR n_0_pre < 2 THEN NULL ELSE
               CAST(ROUND(sqrt(
                   (CAST(n_1_post AS DOUBLE) * sq_1_post
                    - CAST(sd_1_post AS DOUBLE) * sd_1_post)
@@ -16479,7 +16542,9 @@ def did_assemble(cells: DataFrame) -> DataFrame:
                 + (CAST(n_0_pre AS DOUBLE) * sq_0_pre
                    - CAST(sd_0_pre AS DOUBLE) * sd_0_pre)
                   / (CAST(n_0_pre AS DOUBLE) * (n_0_pre - 1.0)) / n_0_pre
-              ) * 1000.0) AS BIGINT) AS se_millidollar,
+              ) * 1000.0) AS BIGINT) END AS se_millidollar,
+              CASE WHEN n_1_post < 2 OR n_1_pre < 2
+                     OR n_0_post < 2 OR n_0_pre < 2 THEN NULL ELSE
               CAST(ROUND(((sc_1_post * 1.0 / n_1_post
                            - sc_1_pre * 1.0 / n_1_pre)
                           - (sc_0_post * 1.0 / n_0_post
@@ -16496,7 +16561,7 @@ def did_assemble(cells: DataFrame) -> DataFrame:
                 + (CAST(n_0_pre AS DOUBLE) * sq_0_pre
                    - CAST(sd_0_pre AS DOUBLE) * sd_0_pre)
                   / (CAST(n_0_pre AS DOUBLE) * (n_0_pre - 1.0)) / n_0_pre
-              ) * 1000.0) AS BIGINT) AS t_milli
+              ) * 1000.0) AS BIGINT) END AS t_milli
             FROM g
         )
         SELECT c.arm, c.period, c.n AS n_orders,

@@ -1136,3 +1136,145 @@ def test_wav_zcr_matches_pure_python(spark, tmp_path):
     # the zero-sample fixture must actually exercise the strict rule
     s2 = [((ord(c) % 256) - 128) * 256 for c in texts[2]]
     assert 0 in s2 and got[2]["n_crossings"] == 0
+
+
+def test_permutation_assemble_degenerate_arm_yields_null(spark):
+    """Regression (r11 ADVICE): an empty replica or observed arm must
+    yield a NULL uplift (hit counts 0), not an ANSI DIVIDE_BY_ZERO
+    raise. One user -> every hash arm it lands in holds ALL events, so
+    at least one side of every split is empty."""
+    from kafka_stream_job_spark.operators.relational import (
+        permutation_assemble,
+    )
+
+    one = spark.createDataFrame(
+        [(7, 5, 2)], "user_id long, e long, p long"
+    )
+    row = permutation_assemble(one).collect()[0]
+    assert row["n_users"] == 1
+    assert row["n_events"] == 5
+    assert row["obs_uplift_micro"] is None  # undefined, not a raise
+    assert row["n_ge_obs"] == 0
+    assert row["p_value_bp"] == 0
+
+
+def test_power_mde_assemble_degenerate_inputs_yield_null(spark):
+    """Regression (r11 ADVICE): n_events in {0, 1} and n_purch = 0 must
+    produce NULL plan columns on the engine side (the oracle mirrors
+    the same CASE branches), never an ANSI DIVIDE_BY_ZERO raise."""
+    from kafka_stream_job_spark.operators.relational import (
+        power_mde_assemble,
+    )
+
+    def run(n_events, n_purch):
+        c = spark.createDataFrame(
+            [(n_events, n_purch)], "n_events long, n_purch long"
+        )
+        return power_mde_assemble(c).collect()[0]
+
+    empty = run(0, 0)
+    assert empty["baseline_rate_bp"] is None
+    assert empty["mde_abs_micro"] is None
+    assert empty["mde_rel_bp"] is None
+
+    single = run(1, 0)  # n_per_arm == 0, and no purchases
+    assert single["baseline_rate_bp"] == 0
+    assert single["mde_abs_micro"] is None
+    assert single["mde_rel_bp"] is None
+
+    no_purchases = run(100, 0)  # abs MDE defined (p = 0), relative not
+    assert no_purchases["baseline_rate_bp"] == 0
+    assert no_purchases["mde_abs_micro"] == 0
+    assert no_purchases["mde_rel_bp"] is None
+
+
+def test_did_assemble_degenerate_cell_yields_null_report(spark):
+    """Regression (r11 ADVICE): a missing or singleton (arm, period)
+    cell routes the three report columns through an explicit NULL
+    branch on both engines instead of Spark raising under ANSI where
+    DuckDB yields NULL. Per-cell means stay defined."""
+    from kafka_stream_job_spark.operators.relational import did_assemble
+
+    schema = (
+        "arm int, period string, n long, sum_cents long, "
+        "sum_d long, sum_d2 long"
+    )
+    # only 3 of 4 cells present, one of them a singleton
+    cells = spark.createDataFrame(
+        [
+            (0, "pre", 2, 400, 4, 10),
+            (0, "post", 1, 300, 3, 9),
+            (1, "pre", 2, 500, 5, 13),
+        ],
+        schema,
+    )
+    rows = did_assemble(cells).collect()
+    assert len(rows) == 3
+    for r in rows:
+        assert r["did_millicent"] is None
+        assert r["se_millidollar"] is None
+        assert r["t_milli"] is None
+        assert r["mean_order_cents"] is not None
+
+
+def test_adjacent_changes_rejects_sortorder(spark):
+    """Regression (r11 ADVICE): distributed_adjacent_changes' boundary
+    struct key only matches the shuffle order for plain ascending
+    columns — passing a desc()/asc() SortOrder must fail loudly, not
+    silently miscount boundary pairs."""
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+
+    from kafka_stream_job_spark.operators._distributed import (
+        distributed_adjacent_changes,
+    )
+
+    df = spark.range(10).select(
+        F.col("id"), (F.col("id") % 3).alias("v")
+    )
+    with _pytest.raises(ValueError, match="plain ascending"):
+        distributed_adjacent_changes(df, [F.col("id").desc()], "v")
+    with _pytest.raises(ValueError, match="plain ascending"):
+        distributed_adjacent_changes(df, [F.col("id").asc()], "v")
+    # plain column still works and counts the 6 changes in 0 1 2 0 1 2...
+    got = distributed_adjacent_changes(df, [F.col("id")], "v", n_parts=4)
+    assert got.collect()[0]["n_changes"] == 9
+
+
+def test_wav_pcm_samples_guards(spark):
+    """Regression (r11 ADVICE): _wav_pcm_samples must raise ValueError
+    (not a -O-strippable assert) on a metadata mismatch and must reject
+    multi-channel PCM whose data chunk interleaves frames."""
+    import struct
+
+    import pytest as _pytest
+
+    from kafka_stream_job_spark.operators.multimodal import (
+        _wav_pcm_samples,
+        decode_wav_real,
+    )
+
+    def wav(n_channels, samples):
+        data = struct.pack(f"<{len(samples)}h", *samples)
+        fmt = struct.pack(
+            "<HHIIHH", 1, n_channels, 8000, 8000 * 2 * n_channels,
+            2 * n_channels, 16,
+        )
+        body = (
+            b"fmt " + struct.pack("<I", len(fmt)) + fmt
+            + b"data" + struct.pack("<I", len(data)) + data
+        )
+        return b"RIFF" + struct.pack("<I", 4 + len(body)) + b"WAVE" + body
+
+    mono = wav(1, [100, -100, 50, -50])
+    meta = decode_wav_real(mono)
+    assert list(_wav_pcm_samples(mono, meta)) == [100, -100, 50, -50]
+
+    stereo = wav(2, [1, 2, 3, 4])
+    smeta = decode_wav_real(stereo)
+    assert smeta["n_channels"] == 2 and smeta["n_samples"] == 2
+    with _pytest.raises(ValueError, match="mono"):
+        _wav_pcm_samples(stereo, smeta)
+
+    with _pytest.raises(ValueError, match="validated metadata"):
+        _wav_pcm_samples(mono, {**meta, "n_samples": 99})
