@@ -865,6 +865,149 @@ def multimodal_ahash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# AHASH CLUSTER REPRESENTATIVES — the 100 TB-scale form of
+# multimodal_ahash_neardup. Pair enumeration is OUTPUT-quadratic in
+# near-dup cluster size (the r12 scaling gate measured true pairs
+# growing ~K^2 under K-fold corpus duplication — SCALING_CURVE.md), so
+# a duplicate-heavy corpus needs the cluster view: 2 synchronous rounds
+# of min-label propagation over the hamming<=T edge graph (the bounded-
+# round discipline of graph_label_propagation), then one row PER
+# MULTI-DOC CLUSTER — output linear in cluster count, never in pairs.
+# The banded candidate set provably covers every hamming<=6 pair: 6
+# flipped bits can touch at most 6 of the 8 disjoint 8-bit bands, so
+# >=2 bands always match (pigeonhole) — banding loses nothing vs the
+# oracle's brute-force edges.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "multimodal_ahash_cluster_reps",
+    oracle=f"""
+        WITH p AS (
+            SELECT doc_id, text AS s, length(text) AS n,
+                   list_reduce(
+                       list_prepend(0,
+                           list_transform(range(1, length(text) + 1),
+                                          i -> ascii(text[i]))),
+                       (a, x) -> a + x) AS tot
+            FROM documents
+        ),
+        h AS MATERIALIZED (
+            SELECT doc_id,
+                   list_reduce(
+                       list_prepend(CAST(0 AS BIGINT),
+                           list_transform(range(0, {AHASH_BITS}),
+                               j -> CASE WHEN ascii(s[CAST((j * n) // {AHASH_BITS} AS INT) + 1])
+                                              * n >= tot
+                                         THEN CASE WHEN j = 63
+                                              THEN CAST(-9223372036854775808 AS BIGINT)
+                                              ELSE CAST(1 AS BIGINT) << j END
+                                         ELSE CAST(0 AS BIGINT) END)),
+                       (a, x) -> a + x) AS bits64
+            FROM p
+        ),
+        edges AS MATERIALIZED (
+            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+            FROM h a JOIN h b ON a.doc_id < b.doc_id
+            WHERE bit_count(xor(a.bits64, b.bits64)) <= {AHASH_HAM_T}
+        ),
+        l0 AS (SELECT doc_id AS node, doc_id AS lbl FROM h),
+        r1 AS (
+            SELECT n.node,
+                   LEAST(n.lbl, COALESCE(MIN(o.lbl), n.lbl)) AS lbl
+            FROM l0 n
+            LEFT JOIN (
+                SELECT e.doc_a AS node, l.lbl
+                FROM edges e JOIN l0 l ON l.node = e.doc_b
+                UNION ALL
+                SELECT e.doc_b AS node, l.lbl
+                FROM edges e JOIN l0 l ON l.node = e.doc_a
+            ) o ON o.node = n.node
+            GROUP BY n.node, n.lbl
+        ),
+        r2 AS (
+            SELECT n.node,
+                   LEAST(n.lbl, COALESCE(MIN(o.lbl), n.lbl)) AS lbl
+            FROM r1 n
+            LEFT JOIN (
+                SELECT e.doc_a AS node, l.lbl
+                FROM edges e JOIN r1 l ON l.node = e.doc_b
+                UNION ALL
+                SELECT e.doc_b AS node, l.lbl
+                FROM edges e JOIN r1 l ON l.node = e.doc_a
+            ) o ON o.node = n.node
+            GROUP BY n.node, n.lbl
+        )
+        SELECT lbl AS cluster_rep, CAST(COUNT(*) AS BIGINT) AS n_docs
+        FROM r2 GROUP BY 1 HAVING COUNT(*) >= 2
+    """,
+    tags=("multimodal", "dedup", "perceptual-hash", "clusters", "documents"),
+)
+def multimodal_ahash_cluster_reps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    hashed = (
+        with_binary_payload(docs)
+        .select("doc_id", "payload")
+        .mapInPandas(ahash_batches, AHASH_SCHEMA)
+        .localCheckpoint(eager=False)
+    )
+    a = hashed.select(
+        F.col("doc_id").alias("doc_a"),
+        F.col("bits64").alias("bits_a"),
+        "band_idx",
+        "band_val",
+    )
+    b = hashed.select(
+        F.col("doc_id").alias("doc_b"),
+        F.col("bits64").alias("bits_b"),
+        "band_idx",
+        "band_val",
+    )
+    ham = F.bit_count(F.col("bits_a").bitwiseXOR(F.col("bits_b"))).cast("long")
+    edges = (
+        a.join(b, ["band_idx", "band_val"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b", ham.alias("hamming"))
+        .filter(F.col("hamming") <= AHASH_HAM_T)
+        .select("doc_a", "doc_b")
+        .distinct()
+        .localCheckpoint(eager=False)  # reused 2x per round x 2 rounds
+    )
+    labels = hashed.select("doc_id").distinct().select(
+        F.col("doc_id").alias("node"), F.col("doc_id").alias("lbl")
+    )
+    for _ in range(2):
+        via_b = edges.join(
+            labels.select(
+                F.col("node").alias("doc_b"), F.col("lbl").alias("o_lbl")
+            ),
+            "doc_b",
+        ).select(F.col("doc_a").alias("node"), "o_lbl")
+        via_a = edges.join(
+            labels.select(
+                F.col("node").alias("doc_a"), F.col("lbl").alias("o_lbl")
+            ),
+            "doc_a",
+        ).select(F.col("doc_b").alias("node"), "o_lbl")
+        labels = (
+            labels.join(via_b.unionAll(via_a), "node", "left")
+            .groupBy("node", "lbl")
+            .agg(F.min("o_lbl").alias("min_n"))
+            .select(
+                "node",
+                F.least(
+                    F.col("lbl"), F.coalesce(F.col("min_n"), F.col("lbl"))
+                ).alias("lbl"),
+            )
+        )
+    return (
+        labels.groupBy(F.col("lbl").alias("cluster_rep"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
+        .filter(F.col("n_docs") >= 2)
+    )
+
+
+# ---------------------------------------------------------------------------
 # SILENCE SEGMENTATION — the VAD step after per-frame energy
 # (multimodal_audio_frame_energy): frames whose mean-square energy falls
 # below a threshold are "silent", and consecutive silent frames merge

@@ -925,18 +925,22 @@ def _staged_dir(root: str, src: str, version: str, build) -> str:
     (mtime_ns, size) so a regenerated source maps to a NEW directory, and a
     completed stage dir is immutable — never rmtree'd while another process
     (parallel pytest, the external driver) may be streaming its files.
-    Builders write into a pid-unique temp dir and atomically ``os.rename``
-    it into place; losing the rename race just means another process
-    finished the identical build first, so the loser discards its copy.
+    Builders write into an attempt-unique temp dir (pid + random token:
+    two THREADS of one process can race the same build — e.g. the two
+    gzip-jsonl queries under a parallel verify run — and must not share
+    a directory) and atomically ``os.rename`` it into place; losing the
+    rename race just means another builder finished the identical build
+    first, so the loser discards its copy.
     """
     import shutil
+    import uuid as _uuid
 
     st = os.stat(src)
     stage = os.path.join(root, f"{version}_{st.st_mtime_ns}_{st.st_size}")
     marker = os.path.join(stage, "_staged")
     if os.path.exists(marker):
         return stage
-    tmp = f"{stage}.build-{os.getpid()}"
+    tmp = f"{stage}.build-{os.getpid()}-{_uuid.uuid4().hex[:8]}"
     shutil.rmtree(tmp, ignore_errors=True)
     os.makedirs(tmp)
     build(tmp)
