@@ -3075,3 +3075,147 @@ def dedup_pipeline_composition(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         n_in = n_in - removed
     return c.select(F.explode(F.array(*rows)).alias("row")).select("row.*")
+
+
+# ---------------------------------------------------------------------------
+# LSH INDEX MAINTENANCE — the other half of dedup_incremental_delta
+# (r10 brief #5c): that op flags which INCOMING docs near-dup the
+# corpus; this one reports what the same batch does to the FROZEN band
+# index itself — the state-sizing question a streaming dedup service
+# answers before appending: per band, how many postings arrive, how
+# many land in existing buckets vs open new ones, and the worst bucket
+# size after the append (the LSH hot-bucket skew signal). Same frozen
+# split (incr-hash % INCR_MOD), same banded signatures. Scale shape:
+# two (band_idx, band_sig)-keyed aggregates and one equi-join between
+# them — the join carries BUCKET summaries, never doc pairs, so the
+# report is linear in distinct buckets regardless of duplication skew.
+# ---------------------------------------------------------------------------
+@register(
+    "dedup_lsh_index_maintenance",
+    oracle=f"""
+        WITH shingles AS ({_SHINGLES_SQL}),
+        sigs AS ({_SIGS_SQL}),
+        bands AS ({_BANDS_SQL}),
+        side AS (
+            SELECT doc_id,
+                   CASE WHEN {_incr_hash_sql()} = 0 THEN 'in' ELSE 'corpus'
+                   END AS side
+            FROM documents
+        ),
+        index_b AS (
+            SELECT band_idx, band_sig, CAST(COUNT(*) AS BIGINT) AS idx_n
+            FROM bands b JOIN side s ON s.doc_id = b.doc_id
+            WHERE s.side = 'corpus'
+            GROUP BY 1, 2
+        ),
+        newp AS (
+            SELECT band_idx, band_sig, CAST(COUNT(*) AS BIGINT) AS add_n
+            FROM bands b JOIN side s ON s.doc_id = b.doc_id
+            WHERE s.side = 'in'
+            GROUP BY 1, 2
+        ),
+        idxs AS (
+            SELECT band_idx,
+                   CAST(COUNT(*) AS BIGINT) AS n_index_buckets,
+                   CAST(MAX(idx_n) AS BIGINT) AS max_bucket_before
+            FROM index_b GROUP BY 1
+        ),
+        adds AS (
+            SELECT n.band_idx,
+                   CAST(SUM(n.add_n) AS BIGINT) AS n_new_postings,
+                   CAST(SUM(CASE WHEN i.idx_n IS NOT NULL THEN n.add_n
+                                 ELSE 0 END) AS BIGINT) AS n_into_existing,
+                   CAST(SUM(CASE WHEN i.idx_n IS NULL THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_new_buckets,
+                   CAST(MAX(COALESCE(i.idx_n, 0) + n.add_n) AS BIGINT)
+                       AS max_appended
+            FROM newp n
+            LEFT JOIN index_b i
+              ON i.band_idx = n.band_idx AND i.band_sig = n.band_sig
+            GROUP BY 1
+        )
+        SELECT CAST(a.band_idx AS BIGINT) AS band_idx,
+               x.n_index_buckets, x.max_bucket_before,
+               a.n_new_postings, a.n_into_existing, a.n_new_buckets,
+               CAST(greatest(x.max_bucket_before, a.max_appended) AS BIGINT)
+                   AS max_bucket_after
+        FROM adds a JOIN idxs x ON x.band_idx = a.band_idx
+    """,
+    tags=("dedup", "lsh", "incremental", "index", "documents"),
+)
+def dedup_lsh_index_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-band index-append report: frozen corpus index vs incoming
+    postings. Reference parity: none (SURVEY.md §2.7); north-star
+    incremental-ingestion extension paired with dedup_incremental_delta.
+    """
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    incr = (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(F.lit("incr:"), F.col("doc_id").cast("string"))
+                ),
+                1,
+                7,
+            ),
+            16,
+            10,
+        ).cast("long")
+        % INCR_MOD
+    )
+    incoming_ids = docs.filter(incr == 0)
+    corpus_ids = docs.filter(incr != 0)
+    sigs = minhash_signatures(spark, sf_dir).localCheckpoint(eager=False)
+    banded = sigs.select(
+        "doc_id",
+        F.explode(
+            F.map_from_arrays(
+                F.array(*[F.lit(b) for b in range(NUM_BANDS)]),
+                F.array(*_band_sig_cols()),
+            )
+        ).alias("band_idx", "band_sig"),
+    )
+    index_b = (
+        banded.join(corpus_ids, "doc_id", "left_semi")
+        .groupBy("band_idx", "band_sig")
+        .agg(F.count(F.lit(1)).cast("long").alias("idx_n"))
+        .localCheckpoint(eager=False)  # feeds both idxs and the append join
+    )
+    newp = (
+        banded.join(incoming_ids, "doc_id", "left_semi")
+        .groupBy("band_idx", "band_sig")
+        .agg(F.count(F.lit(1)).cast("long").alias("add_n"))
+    )
+    idxs = index_b.groupBy("band_idx").agg(
+        F.count(F.lit(1)).cast("long").alias("n_index_buckets"),
+        F.max("idx_n").cast("long").alias("max_bucket_before"),
+    )
+    adds = (
+        newp.join(index_b, ["band_idx", "band_sig"], "left")
+        .groupBy("band_idx")
+        .agg(
+            F.sum("add_n").cast("long").alias("n_new_postings"),
+            F.sum(
+                F.when(F.col("idx_n").isNotNull(), F.col("add_n")).otherwise(0)
+            )
+            .cast("long")
+            .alias("n_into_existing"),
+            F.sum(F.when(F.col("idx_n").isNull(), 1).otherwise(0))
+            .cast("long")
+            .alias("n_new_buckets"),
+            F.max(F.coalesce(F.col("idx_n"), F.lit(0)) + F.col("add_n"))
+            .cast("long")
+            .alias("max_appended"),
+        )
+    )
+    return adds.join(idxs, "band_idx").select(
+        F.col("band_idx").cast("long").alias("band_idx"),
+        "n_index_buckets",
+        "max_bucket_before",
+        "n_new_postings",
+        "n_into_existing",
+        "n_new_buckets",
+        F.greatest(F.col("max_bucket_before"), F.col("max_appended"))
+        .cast("long")
+        .alias("max_bucket_after"),
+    )

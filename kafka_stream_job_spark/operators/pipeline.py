@@ -3141,3 +3141,262 @@ def doc_length_winsorize_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("mean_after_milli"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# TEXT-CURATION FUNNEL — the corpus-hygiene counterpart of
+# dedup_pipeline_composition (r10 brief #5a): the five curation stages a
+# pretraining run applies (quality filter → language-ID gate →
+# dedup-aware per-language quota → eval decontamination → pack-overflow
+# drop) composed into ONE attributed survivor report. Same composition
+# discipline as the dedup funnel: every stage's loser set is computed
+# INDEPENDENTLY over the full corpus by the existing stage rules
+# (text_quality_score's passes_quality, text_language_id's 'und' verdict,
+# exact-fingerprint dedup + hash-ordered quota, decontaminate_train_
+# shingles' eval-shingle semi-join, pack_sequences_manifest's token
+# count), and attribution is by PRECEDENCE — a doc failing several gates
+# counts against the earliest — so the funnel telescopes exactly:
+# n_out(k) = n_in(k+1), with the surviving whitespace-token volume
+# (tokens_out) reported per stage. Scale shape: one corpus scan builds
+# every per-doc flag (the quota rank is the only per-lang shuffle; the
+# eval shingle set broadcasts exactly as in decontaminate_train_shingles);
+# the report is 5 rows from one aggregate.
+# ---------------------------------------------------------------------------
+FUNNEL_KEEP_PCT = 60  # dedup-aware quota: keep top 60% of each lang stratum
+
+_FUNNEL_STAGES = (
+    (1, "quality"),
+    (2, "langid"),
+    (3, "dedup_quota"),
+    (4, "decontaminate"),
+    (5, "pack_overflow"),
+)
+
+
+def _funnel_oracle() -> str:
+    from kafka_stream_job_spark.operators.dedup import _NORM_SQL
+    from kafka_stream_job_spark.operators.text import LANG_MARKERS
+
+    marker_counts = ", ".join(
+        f"len(regexp_extract_all(LOWER(text), '{pat}')) AS n_{code}"
+        for code, pat in LANG_MARKERS.items()
+    )
+    greatest = f"greatest({', '.join(f'n_{c}' for c in LANG_MARKERS)})"
+    n_tok = r"len(string_split_regex(TRIM(text), '\s+'))"
+    n_uniq = r"len(list_distinct(string_split_regex(LOWER(TRIM(text)), '\s+')))"
+    stage_rows = []
+    for k, label in _FUNNEL_STAGES:
+        n_in = "n" + "".join(f" - r{j}" for j, _ in _FUNNEL_STAGES if j < k)
+        n_out = n_in + f" - r{k}"
+        tokens_out = "t0" + "".join(
+            f" - t{j}" for j, _ in _FUNNEL_STAGES if j <= k
+        )
+        stage_rows.append(
+            f"SELECT CAST({k} AS BIGINT) AS stage_idx, '{label}' AS stage, "
+            f"CAST({n_in} AS BIGINT) AS n_in, "
+            f"CAST(r{k} AS BIGINT) AS n_removed, "
+            f"CAST({n_out} AS BIGINT) AS n_out, "
+            f"CAST({tokens_out} AS BIGINT) AS tokens_out FROM c"
+        )
+        if k == 1:
+            stage_rows[-1] = stage_rows[-1].replace(
+                "CAST(n AS BIGINT) AS n_in", "n AS n_in"
+            )
+    union = "\n        UNION ALL\n        ".join(stage_rows)
+    return f"""
+        WITH base AS MATERIALIZED (
+            SELECT doc_id, lang,
+                   {n_tok} AS n_tok,
+                   CASE WHEN {n_tok} BETWEEN 20 AND 1000
+                             AND {n_uniq} * 1.0 / {n_tok} > 0.3
+                        THEN 0 ELSE 1 END AS q_loser,
+                   {marker_counts},
+                   md5({_NORM_SQL}) AS fp,
+                   {_doc_hash_sql("quota")} AS qh,
+                   CASE WHEN {_doc_hash_sql("split")} % 100 < {EVAL_PCT}
+                        THEN 1 ELSE 0 END AS is_eval
+            FROM documents
+        ),
+        dup AS (
+            SELECT doc_id,
+                   CASE WHEN doc_id > MIN(doc_id) OVER (PARTITION BY fp)
+                        THEN 1 ELSE 0 END AS dup_loser
+            FROM base
+        ),
+        winners AS (
+            SELECT b.doc_id,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY b.lang ORDER BY b.qh, b.doc_id
+                   ) AS rk,
+                   COUNT(*) OVER (PARTITION BY b.lang) AS n_lang
+            FROM base b JOIN dup d ON d.doc_id = b.doc_id
+            WHERE d.dup_loser = 0
+        ),
+        sh AS ({_SHINGLES_SQL}),
+        eval_sh AS (
+            SELECT DISTINCT shingle
+            FROM sh JOIN base ON sh.doc_id = base.doc_id
+            WHERE base.is_eval = 1
+        ),
+        contam AS (
+            SELECT DISTINCT sh.doc_id
+            FROM sh JOIN eval_sh ON sh.shingle = eval_sh.shingle
+        ),
+        staged AS (
+            SELECT b.n_tok,
+                   CASE WHEN b.q_loser = 1 THEN 1
+                        WHEN {greatest} = 0 THEN 2
+                        WHEN d.dup_loser = 1
+                             OR w.rk > (w.n_lang * {FUNNEL_KEEP_PCT}) // 100
+                             THEN 3
+                        WHEN b.is_eval = 1 OR c.doc_id IS NOT NULL THEN 4
+                        WHEN b.n_tok > {PACK_BUDGET} THEN 5
+                        ELSE 0 END AS first_removed
+            FROM base b
+            JOIN dup d ON d.doc_id = b.doc_id
+            LEFT JOIN winners w ON w.doc_id = b.doc_id
+            LEFT JOIN contam c ON c.doc_id = b.doc_id
+        ),
+        c AS (
+            SELECT CAST(COUNT(*) AS BIGINT) AS n,
+                   CAST(SUM(n_tok) AS BIGINT) AS t0,
+                   {", ".join(
+                       f"CAST(SUM(CASE WHEN first_removed = {k} THEN 1 "
+                       f"ELSE 0 END) AS BIGINT) AS r{k}, "
+                       f"CAST(SUM(CASE WHEN first_removed = {k} THEN n_tok "
+                       f"ELSE 0 END) AS BIGINT) AS t{k}"
+                       for k, _ in _FUNNEL_STAGES
+                   )}
+            FROM staged
+        )
+        {union}
+    """
+
+
+@register(
+    "text_curation_funnel",
+    oracle=_funnel_oracle(),
+    tags=("text", "pipeline", "funnel", "curation", "documents"),
+)
+def text_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kafka_stream_job_spark.operators.dedup import _norm_text
+    from kafka_stream_job_spark.operators.text import LANG_MARKERS
+
+    docs = load_table(spark, sf_dir, "documents", rebalance=True)
+    n_tok = F.size(F.split(F.trim(F.col("text")), r"\s+"))
+    n_uniq = F.size(
+        F.array_distinct(F.split(F.lower(F.trim(F.col("text"))), r"\s+"))
+    )
+    counts = {
+        code: F.regexp_count(F.lower(F.col("text")), F.lit(pat))
+        for code, pat in LANG_MARKERS.items()
+    }
+    base = docs.select(
+        "doc_id",
+        "lang",
+        n_tok.alias("n_tok"),
+        F.when(
+            n_tok.between(20, 1000) & (n_uniq * F.lit(1.0) / n_tok > 0.3),
+            F.lit(0),
+        )
+        .otherwise(F.lit(1))
+        .alias("q_loser"),
+        (F.greatest(*counts.values()) == 0).cast("int").alias("l_loser"),
+        F.md5(_norm_text()).alias("fp"),
+        _doc_hash("quota").alias("qh"),
+        (_doc_hash("split") % 100 < EVAL_PCT).cast("int").alias("is_eval"),
+    ).localCheckpoint(eager=False)  # flags feed 3 downstream joins
+    dup = base.select(
+        "doc_id",
+        (
+            F.col("doc_id")
+            > F.min("doc_id").over(Window.partitionBy("fp"))
+        )
+        .cast("int")
+        .alias("dup_loser"),
+    )
+    w_rank = Window.partitionBy("lang").orderBy("qh", "doc_id")
+    w_lang = Window.partitionBy("lang")
+    winners = (
+        base.join(dup, "doc_id")
+        .filter(F.col("dup_loser") == 0)
+        .select(
+            "doc_id",
+            F.row_number().over(w_rank).alias("rk"),
+            F.count(F.lit(1)).over(w_lang).alias("n_lang"),
+        )
+    )
+    sh = _shingles(docs)
+    eval_sh = (
+        sh.join(
+            F.broadcast(base.filter(F.col("is_eval") == 1).select("doc_id")),
+            "doc_id",
+        )
+        .select("shingle")
+        .distinct()
+    )
+    contam = (
+        sh.join(F.broadcast(eval_sh), "shingle").select("doc_id").distinct()
+    )
+    staged = (
+        base.join(dup, "doc_id")
+        .join(winners, "doc_id", "left")
+        .join(contam.withColumn("contaminated", F.lit(1)), "doc_id", "left")
+        .select(
+            "n_tok",
+            F.when(F.col("q_loser") == 1, 1)
+            .when(F.col("l_loser") == 1, 2)
+            .when(
+                (F.col("dup_loser") == 1)
+                | (
+                    F.col("rk")
+                    > idiv(F.col("n_lang") * FUNNEL_KEEP_PCT, 100)
+                ),
+                3,
+            )
+            .when(
+                (F.col("is_eval") == 1) | F.col("contaminated").isNotNull(),
+                4,
+            )
+            .when(F.col("n_tok") > PACK_BUDGET, 5)
+            .otherwise(0)
+            .alias("first_removed"),
+        )
+    )
+    c = staged.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("n_tok").cast("long").alias("t0"),
+        *[
+            agg
+            for k, _ in _FUNNEL_STAGES
+            for agg in (
+                F.sum(F.when(F.col("first_removed") == k, 1).otherwise(0))
+                .cast("long")
+                .alias(f"r{k}"),
+                F.sum(
+                    F.when(F.col("first_removed") == k, F.col("n_tok"))
+                    .otherwise(0)
+                )
+                .cast("long")
+                .alias(f"t{k}"),
+            )
+        ],
+    )
+    rows = []
+    n_in = F.col("n")
+    tokens_out = F.col("t0")
+    for k, label in _FUNNEL_STAGES:
+        removed = F.col(f"r{k}")
+        tokens_out = tokens_out - F.col(f"t{k}")
+        rows.append(
+            F.struct(
+                F.lit(k).cast("long").alias("stage_idx"),
+                F.lit(label).alias("stage"),
+                n_in.cast("long").alias("n_in"),
+                removed.cast("long").alias("n_removed"),
+                (n_in - removed).cast("long").alias("n_out"),
+                tokens_out.cast("long").alias("tokens_out"),
+            )
+        )
+        n_in = n_in - removed
+    return c.select(F.explode(F.array(*rows)).alias("row")).select("row.*")

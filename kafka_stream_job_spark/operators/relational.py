@@ -15383,6 +15383,14 @@ def basket_size_nbd_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
     k = orders.groupBy("o_custkey").agg(
         F.count(F.lit(1)).cast("long").alias("k")
     )
+    return nbd_assemble(k)
+
+
+def nbd_assemble(k: DataFrame) -> DataFrame:
+    """NBD method-of-moments report from per-customer (o_custkey, k)
+    order counts — shared verbatim by the batch query and its streaming
+    twin (the per-customer counts converge in update-mode keyed JVM agg
+    state; this assembles post-stream)."""
     mo = k.agg(
         F.count(F.lit(1)).cast("long").alias("n"),
         F.sum("k").cast("long").alias("s"),
@@ -15526,25 +15534,40 @@ CCF_MAX_LAG = 3
 )
 def events_ccf_count_value(spark: SparkSession, sf_dir: str) -> DataFrame:
     events = load_table(spark, sf_dir, "events")
-    hour_us = F.unix_micros(F.date_trunc("hour", F.col("ts").cast("timestamp")))
-    bounds = events.agg(F.min(hour_us).alias("lo"))
+    return ccf_assemble(spark, ccf_hourly_counts(events))
+
+
+def ccf_hourly_counts(events: DataFrame) -> DataFrame:
+    """Per-(event_type, absolute hour) count + exact cent sum — the one
+    definition of the CCF's series spine, shared verbatim by the batch
+    query and its streaming twin (the keyed agg state is time-domain x
+    type-vocabulary bounded; counts and non-negative cent sums are
+    monotone, so update-mode emissions converge via max)."""
+    hour_us = F.unix_micros(
+        F.date_trunc("hour", F.col("ts").cast("timestamp"))
+    )
+    return events.groupBy("event_type", hour_us.alias("hour_us")).agg(
+        F.count(F.lit(1)).cast("long").alias("c"),
+        F.sum(F.round(F.col("value") * 100.0, 0).cast("long"))
+        .cast("long")
+        .alias("s"),
+    )
+
+
+def ccf_assemble(spark: SparkSession, hourly_abs: DataFrame) -> DataFrame:
+    """CCF report from the absolute-hour spine — shared verbatim by the
+    batch query and its streaming twin. The hour INDEX derives here
+    (min-hour bound over the converged spine), not in the spine, so the
+    stream never needs a global min mid-flight."""
+    bounds = hourly_abs.agg(F.min("hour_us").alias("lo"))
     hourly = (
-        events.crossJoin(F.broadcast(bounds))
-        .groupBy(
-            "event_type", idiv(hour_us - F.col("lo"), 3600000000).alias("i")
-        )
-        .agg(
-            F.count(F.lit(1)).cast("long").alias("c"),
-            F.sum(F.round(F.col("value") * 100.0, 0).cast("long"))
-            .cast("long")
-            .alias("_s"),
-        )
+        hourly_abs.crossJoin(F.broadcast(bounds))
         .select(
             "event_type",
-            "i",
+            idiv(F.col("hour_us") - F.col("lo"), 3600000000).alias("i"),
             "c",
             idiv(
-                F.col("_s") * 2 + F.col("c"), F.col("c") * 2
+                F.col("s") * 2 + F.col("c"), F.col("c") * 2
             ).alias("mean_cents"),
         )
     )
@@ -15705,13 +15728,26 @@ def shuffle_partition_advisor(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def user_time_to_first_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     events = load_table(spark, sf_dir, "events")
+    return ttfp_assemble(ttfp_per_user(events))
+
+
+def ttfp_per_user(events: DataFrame) -> DataFrame:
+    """Per-user (first_us, first_p_us) min timestamps — the one
+    definition of the activation spine, shared verbatim by the batch
+    query and its streaming twin (mins are monotone under accumulation,
+    so update-mode keyed agg emissions converge via min)."""
     ts_us = F.unix_micros(F.col("ts").cast("timestamp"))
-    u = events.groupBy("user_id").agg(
+    return events.groupBy("user_id").agg(
         F.min(ts_us).alias("first_us"),
         F.min(
             F.when(F.col("event_type") == "purchase", ts_us)
         ).alias("first_p_us"),
     )
+
+
+def ttfp_assemble(u: DataFrame) -> DataFrame:
+    """Activation-band report from the per-user spine — shared verbatim
+    by the batch query and its streaming twin."""
     lat = idiv(F.col("first_p_us") - F.col("first_us"), 86400000000)
     bucket = (
         F.when(F.col("first_p_us").isNull(), "never")

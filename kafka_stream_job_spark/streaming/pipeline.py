@@ -6253,3 +6253,142 @@ def _register_streaming_split_leakage_monitor() -> None:
 
 
 _register_streaming_split_leakage_monitor()
+
+
+# ---------------------------------------------------------------------------
+# STREAMING NBD MONITOR — the live twin of basket_size_nbd_fit: the
+# per-customer order counts converge in update-mode keyed JVM agg state
+# (counts are monotone, so max over emissions is the converged value),
+# and the method-of-moments fit assembles post-stream through the SAME
+# nbd_assemble. The purchase-frequency model refreshes while orders are
+# still arriving. Oracle verbatim from the batch op.
+# ---------------------------------------------------------------------------
+def _register_streaming_nbd_monitor() -> None:
+    import uuid
+
+    from kafka_stream_job_spark.operators.relational import nbd_assemble
+    from kafka_stream_job_spark.registry import REGISTRY, register
+
+    oracle = REGISTRY["basket_size_nbd_fit"].oracle
+
+    @register(
+        "streaming_nbd_monitor",
+        oracle=oracle,
+        tags=("streaming", "stateful", "nbd", "stats", "orders"),
+    )
+    def streaming_nbd_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
+        import tempfile
+
+        src, stage = _stage_stream_source(
+            sf_dir, "orders", "/tmp/ksj_stream_stage_orders"
+        )
+        raw_schema = spark.read.parquet(src).schema
+        orders = spark.readStream.schema(raw_schema).parquet(stage)
+        per_cust = orders.groupBy("o_custkey").agg(
+            F.count(F.lit(1)).cast("long").alias("k")
+        )
+        name = f"stream_nbd_{uuid.uuid4().hex[:8]}"
+        ckpt = tempfile.mkdtemp(prefix="ksj-stream-nbd-")
+        emitted = run_stream_to_memory(
+            spark, per_cust, name, ckpt, output_mode="update"
+        )
+        k = emitted.groupBy("o_custkey").agg(
+            F.max("k").cast("long").alias("k")
+        )
+        return nbd_assemble(k)
+
+
+_register_streaming_nbd_monitor()
+
+
+# ---------------------------------------------------------------------------
+# STREAMING CCF MONITOR — the live twin of events_ccf_count_value: the
+# per-(type, hour) count/cent-sum spine converges in update-mode keyed
+# JVM agg state (time-domain x type-vocabulary bounded; counts and
+# non-negative cent sums are monotone, so max over emissions converges),
+# and the lag pairing + Pearson moments assemble post-stream through the
+# SAME ccf_assemble — the hour index derives from the converged spine's
+# min hour, so the stream never needs a global min mid-flight. Oracle
+# verbatim from the batch op.
+# ---------------------------------------------------------------------------
+def _register_streaming_ccf_monitor() -> None:
+    import uuid
+
+    from kafka_stream_job_spark.operators.relational import (
+        ccf_assemble,
+        ccf_hourly_counts,
+    )
+    from kafka_stream_job_spark.registry import REGISTRY, register
+
+    oracle = REGISTRY["events_ccf_count_value"].oracle
+
+    @register(
+        "streaming_ccf_monitor",
+        oracle=oracle,
+        tags=("streaming", "stateful", "timeseries", "correlation",
+              "events"),
+    )
+    def streaming_ccf_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
+        import tempfile
+
+        events = stream_events(spark, sf_dir)
+        spine = ccf_hourly_counts(events)
+        name = f"stream_ccf_{uuid.uuid4().hex[:8]}"
+        ckpt = tempfile.mkdtemp(prefix="ksj-stream-ccf-")
+        emitted = run_stream_to_memory(
+            spark, spine, name, ckpt, output_mode="update"
+        )
+        hourly = emitted.groupBy("event_type", "hour_us").agg(
+            F.max("c").cast("long").alias("c"),
+            F.max("s").cast("long").alias("s"),
+        )
+        return ccf_assemble(spark, hourly)
+
+
+_register_streaming_ccf_monitor()
+
+
+# ---------------------------------------------------------------------------
+# STREAMING TIME-TO-FIRST-PURCHASE MONITOR — the live twin of
+# user_time_to_first_purchase: per-user first-event / first-purchase
+# minimum timestamps converge in update-mode keyed JVM agg state (mins
+# are monotone decreasing under accumulation, so min over emissions
+# converges; a user's purchase min stays NULL until their first
+# purchase arrives, exactly as in batch), and the activation bands
+# assemble post-stream through the SAME ttfp_assemble. Oracle verbatim
+# from the batch op.
+# ---------------------------------------------------------------------------
+def _register_streaming_ttfp_monitor() -> None:
+    import uuid
+
+    from kafka_stream_job_spark.operators.relational import (
+        ttfp_assemble,
+        ttfp_per_user,
+    )
+    from kafka_stream_job_spark.registry import REGISTRY, register
+
+    oracle = REGISTRY["user_time_to_first_purchase"].oracle
+
+    @register(
+        "streaming_ttfp_monitor",
+        oracle=oracle,
+        tags=("streaming", "stateful", "funnel", "activation", "events"),
+    )
+    def streaming_ttfp_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
+        import tempfile
+
+        events = stream_events(spark, sf_dir)
+        per_user = ttfp_per_user(events)
+        name = f"stream_ttfp_{uuid.uuid4().hex[:8]}"
+        ckpt = tempfile.mkdtemp(prefix="ksj-stream-ttfp-")
+        emitted = run_stream_to_memory(
+            spark, per_user, name, ckpt, output_mode="update"
+        )
+        u = emitted.groupBy("user_id").agg(
+            F.min("first_us").alias("first_us"),
+            F.min("first_p_us").alias("first_p_us"),
+        )
+        return ttfp_assemble(u)
+
+
+_register_streaming_ttfp_monitor()
