@@ -1278,3 +1278,183 @@ def test_wav_pcm_samples_guards(spark):
 
     with _pytest.raises(ValueError, match="validated metadata"):
         _wav_pcm_samples(mono, {**meta, "n_samples": 99})
+
+
+def _mk_emb_dir(tmp_path, vecs, labels):
+    tbl = pa.table(
+        {
+            "vec_id": pa.array(list(range(len(vecs))), pa.int64()),
+            "embedding": pa.array(vecs, pa.list_(pa.float32())),
+            "label": pa.array(labels, pa.int32()),
+        }
+    )
+    d = tmp_path / "micro_emb_sf"
+    d.mkdir()
+    pq.write_table(tbl, d / "embeddings.parquet")
+    return str(d)
+
+
+def _crafted_embeddings(n=60, dim=64):
+    """Deterministic vectors with components k/256, |k| <= 7 — exact in
+    float32, and k*1000/256 / k*10000/256 never land on a .5 rounding
+    boundary (|k| <= 7 < 8), so HALF_UP vs HALF_EVEN can never differ."""
+    vecs = []
+    for v in range(n):
+        vec = []
+        for i in range(dim):
+            h = int(hashlib.md5(f"refvec:{v}:{i}".encode()).hexdigest()[:4], 16)
+            k = (h % 15) - 7  # -7..7
+            vec.append(k / 256.0)
+        vecs.append(vec)
+    # crafted near-dup block: 11 and 12 collide with 10 by construction
+    vecs[11] = list(vecs[10])
+    vecs[12] = [2.0 * x for x in vecs[10]]
+    labels = [v % 3 for v in range(n)]
+    return vecs, labels
+
+
+def _plane_from_rule(j, dim=64):
+    """The DOCUMENTED hyperplane rule, re-implemented from scratch (no
+    import of similarity._hyperplane): parity of the ascii code of the
+    first hex char of md5('<j>:<i>')."""
+    return [
+        1.0
+        if ord(hashlib.md5(f"{j}:{i}".encode()).hexdigest()[0]) % 2 == 1
+        else -1.0
+        for i in range(dim)
+    ]
+
+
+def test_lsh_hyperplanes_match_pure_python(spark, tmp_path):
+    """Shared-constant audit (r11 brief #4): the sign-LSH HYPERPLANES
+    literal is injected into BOTH engines, so a generator bug would
+    match itself invisibly. This drives the registered
+    similarity_lsh_neardup on crafted vectors against a from-scratch
+    Python pipeline whose planes come from the documented md5-parity
+    rule, not the shared constant."""
+    import math as _math
+
+    vecs, labels = _crafted_embeddings()
+    sf = _mk_emb_dir(tmp_path, vecs, labels)
+    planes = [_plane_from_rule(j) for j in range(12)]
+
+    def bucket(v):
+        bits = []
+        for p in planes:
+            acc = 0.0
+            for x, s in zip(v, p):
+                acc = acc + float(x) * s
+            bits.append("1" if acc >= 0 else "0")
+        return "".join(bits)
+
+    def dot(a, b):
+        acc = 0.0
+        for x, y in zip(a, b):
+            acc = acc + float(x) * float(y)
+        return acc
+
+    buckets = {v: bucket(vec) for v, vec in enumerate(vecs)}
+    expected = set()
+    for a in range(len(vecs)):
+        for b in range(a + 1, len(vecs)):
+            if buckets[a] != buckets[b]:
+                continue
+            cos = dot(vecs[a], vecs[b]) / (
+                _math.sqrt(dot(vecs[a], vecs[a]))
+                * _math.sqrt(dot(vecs[b], vecs[b]))
+            )
+            if cos > 0.25:
+                expected.add((a, b, _pround(cos, 4)))
+    got = {
+        (r["vec_a"], r["vec_b"], r["cosine"])
+        for r in SPECS["similarity_lsh_neardup"].fn(spark, sf).collect()
+    }
+    assert (10, 11, 1.0) in expected and (10, 12, 1.0) in expected
+    assert got == expected
+
+
+def test_jl_planes_match_pure_python(spark, tmp_path):
+    """Shared-constant audit: _JL_PLANES (seed base 200) feeds both
+    engines of embedding_jl_projection_audit. From-scratch Python —
+    planes from the documented rule at the documented seed offset,
+    integer projection, ratio stats — must agree with the registered
+    query on crafted vectors."""
+    vecs, labels = _crafted_embeddings()
+    sf = _mk_emb_dir(tmp_path, vecs, labels)
+    planes = [_plane_from_rule(200 + j) for j in range(16)]
+    per_label = {}
+    for v, vec in enumerate(vecs):
+        xq = [_round_half_away(x * 1000.0) for x in vec]
+        norm2 = sum(x * x for x in xq)
+        if norm2 <= 0:
+            continue
+        px2 = 0
+        for p in planes:
+            s = sum(x * int(c) for x, c in zip(xq, p))
+            px2 += s * s
+        ratio = _round_half_away(float(px2) / (16.0 * float(norm2)) * 1e6)
+        per_label.setdefault(labels[v], []).append(ratio)
+    expected = {
+        (
+            lab,
+            len(rs),
+            min(rs),
+            max(rs),
+            _round_half_away(sum(rs) * 1.0 / len(rs)),
+        )
+        for lab, rs in per_label.items()
+    }
+    got = {
+        (
+            r["label"],
+            r["n_vecs"],
+            r["min_ratio_micro"],
+            r["max_ratio_micro"],
+            r["avg_ratio_micro"],
+        )
+        for r in SPECS["embedding_jl_projection_audit"].fn(spark, sf).collect()
+    }
+    assert got == expected
+
+
+def test_pq_codes_match_pure_python(spark, tmp_path):
+    """Shared-constant audit: the PQ codebook derives from the shared
+    md5('pq:<id>') % 32 seed rule on both engines. From-scratch Python —
+    seed pick, 8x8 slicing, nearest-centroid with (dist, cent_id)
+    tiebreak — must reproduce embedding_pq_codes exactly. vec_ids 15
+    and 49 are seeds under the rule (verified in-test), so the crafted
+    60-vector corpus has a non-trivial 2-centroid codebook."""
+    vecs, labels = _crafted_embeddings()
+    sf = _mk_emb_dir(tmp_path, vecs, labels)
+    q = [[_round_half_away(x * 10000.0) for x in vec] for vec in vecs]
+    seeds = [
+        v
+        for v in range(len(vecs))
+        if int(hashlib.md5(f"pq:{v}".encode()).hexdigest()[:7], 16) % 32 == 0
+    ]
+    assert seeds == [15, 49]
+
+    def sub(vq, s):
+        return vq[8 * s : 8 * (s + 1)]
+
+    expected = set()
+    for v in range(len(vecs)):
+        code = []
+        err = 0
+        for s in range(8):
+            best = None
+            for c in seeds:
+                d = 0.0
+                for x, y in zip(sub(q[v], s), sub(q[c], s)):
+                    d = d + (float(x) - float(y)) * (float(x) - float(y))
+                key = (d, c)
+                if best is None or key < best:
+                    best = key
+            code.append(str(best[1]))
+            err += int(best[0])
+        expected.add((v, "-".join(code), err))
+    got = {
+        (r["vec_id"], r["pq_code"], r["err_q"])
+        for r in SPECS["embedding_pq_codes"].fn(spark, sf).collect()
+    }
+    assert got == expected
