@@ -1388,3 +1388,63 @@ def scan_task_planner(spark: SparkSession, sf_dir: str) -> DataFrame:
             "heaviest_col_bytes",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# SMALL-FILE COMPACTION ROUNDTRIP — the bronze-table maintenance path
+# (maintenance.compact_parquet_dir — the parquet stand-in for the
+# Iceberg rewrite_data_files the reference's sink would run,
+# KafkaAvroToIceberg.scala:92-100) exercised end-to-end through the
+# registry: a 16-file micro-batch-shaped table is written, compacted
+# with an atomic directory swap, and read BACK — the report's row count
+# and exact cent sum come from the COMPACTED table, so a compaction
+# that drops or duplicates rows diverges from the oracle immediately.
+# The fixture write/copy is test mechanics; the compaction itself is
+# the distributed Spark rewrite a real table would get.
+# ---------------------------------------------------------------------------
+COMPACT_DEMO_FILES = 16
+
+
+@register(
+    "bronze_compaction_roundtrip",
+    oracle=f"""
+        SELECT CAST({COMPACT_DEMO_FILES} AS BIGINT) AS files_before,
+               CAST(1 AS BIGINT) AS files_after,
+               TRUE AS compacted,
+               CAST(COUNT(*) AS BIGINT) AS n_rows,
+               CAST(SUM(CAST(ROUND(value * 100.0) AS BIGINT)) AS BIGINT)
+                   AS sum_cents
+        FROM events
+    """,
+    tags=("maintenance", "compaction", "bronze", "events"),
+)
+def bronze_compaction_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from kafka_stream_job_spark.maintenance import compact_parquet_dir
+    from kafka_stream_job_spark.tables import load_table
+
+    table = os.path.join(
+        tempfile.mkdtemp(prefix="ksj-compact-demo-"), "bronze_events"
+    )
+    (
+        load_table(spark, sf_dir, "events")
+        .select("event_id", "event_type", "value")
+        .repartition(COMPACT_DEMO_FILES, "event_id")
+        .write.parquet(table)
+    )
+    stats = compact_parquet_dir(
+        spark, table, target_file_bytes=1 << 40, min_files=4
+    )
+    if not stats["compacted"]:
+        raise RuntimeError(f"compaction unexpectedly skipped: {stats}")
+    back = spark.read.parquet(table)
+    return back.agg(
+        F.lit(stats["files_before"]).cast("long").alias("files_before"),
+        F.lit(stats["files_after"]).cast("long").alias("files_after"),
+        F.lit(stats["compacted"]).alias("compacted"),
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        F.sum(F.round(F.col("value") * 100.0, 0).cast("long"))
+        .cast("long")
+        .alias("sum_cents"),
+    )

@@ -6392,3 +6392,125 @@ def _register_streaming_ttfp_monitor() -> None:
 
 
 _register_streaming_ttfp_monitor()
+
+
+# ---------------------------------------------------------------------------
+# CHECKPOINT RETENTION AUDIT — the maintenance question over the same
+# two control-plane logs the commit audit pairs (reference parity: the
+# checkpoint tooling family, CheckpointOffsetReader.scala:12-40,
+# extended from reading offsets to PLANNING their retention): Spark
+# purges offset/commit log entries older than
+# latestCommitted − minBatchesToRetain + 1, and a restart resumes from
+# the newest committed batch. Per drained batch this reports the
+# committed flag, the planned watermark, whether the batch is the
+# resume point, whether a minBatchesToRetain=2 policy retains or
+# purges its log files, and whether its watermark advanced over the
+# previous batch (the frontier-progress signal; lag over a
+# |batches|-row metadata window). The oracle derives all of it from
+# the events table plus the pinned three-batch replay structure — so a
+# drifted retention rule or a stuck watermark diverges immediately.
+# Both inputs are metadata-sized; every join broadcasts.
+# ---------------------------------------------------------------------------
+RETAIN_N = 2  # minBatchesToRetain for the audit policy
+
+
+def _register_checkpoint_retention_audit() -> None:
+    import uuid
+
+    from kafka_stream_job_spark.registry import register
+
+    @register(
+        "checkpoint_retention_audit",
+        oracle=f"""
+            WITH w AS (
+                SELECT (epoch_us(MAX(ts)) // 1000) - 3600000 AS wm FROM events
+            ),
+            b AS (
+                SELECT CAST(0 AS BIGINT) AS batch_id,
+                       CAST(0 AS BIGINT) AS planned_wm_ms, TRUE AS committed
+                FROM w
+                UNION ALL SELECT CAST(1 AS BIGINT), wm, TRUE FROM w
+                UNION ALL SELECT CAST(2 AS BIGINT), wm, TRUE FROM w
+            )
+            SELECT batch_id, committed, planned_wm_ms,
+                   batch_id = 2 AS is_resume_point,
+                   batch_id >= 2 - {RETAIN_N} + 1 AS retained,
+                   batch_id < 2 - {RETAIN_N} + 1 AS purgeable,
+                   planned_wm_ms > COALESCE(LAG(planned_wm_ms)
+                       OVER (ORDER BY batch_id), -1) AS wm_advanced
+            FROM b
+        """,
+        tags=("streaming", "checkpoint", "maintenance", "retention"),
+    )
+    def checkpoint_retention_audit(
+        spark: SparkSession, sf_dir: str
+    ) -> DataFrame:
+        import tempfile
+
+        from pyspark.sql import Window
+
+        from kafka_stream_job_spark.sources.commitlog import (
+            register_commitlog_source,
+        )
+        from kafka_stream_job_spark.sources.offsetlog import (
+            register_offsetlog_source,
+        )
+
+        register_offsetlog_source(spark)
+        register_commitlog_source(spark)
+        stage = _stage_late_replay(sf_dir)
+        name = f"retention_{uuid.uuid4().hex[:8]}"
+        ckpt = tempfile.mkdtemp(prefix="ksj-retention-")
+        run_stream_to_memory(
+            spark,
+            late_drop_rollup_stream(spark, stage),
+            name,
+            ckpt,
+            output_mode="append",
+        )
+        planned = (
+            spark.read.format("ksj_offsetlog")
+            .option("path", ckpt)
+            .load()
+            .select("batch_id", F.col("watermark_ms").alias("planned_wm_ms"))
+        )
+        committed = (
+            spark.read.format("ksj_commitlog")
+            .option("path", ckpt)
+            .load()
+            .select("batch_id", F.lit(True).alias("committed"))
+        )
+        joined = planned.join(F.broadcast(committed), "batch_id", "left")
+        frontier = joined.agg(
+            F.max(F.when(F.col("committed"), F.col("batch_id"))).alias(
+                "last_committed"
+            )
+        )
+        keep_from = F.col("last_committed") - RETAIN_N + 1
+        return (
+            joined.crossJoin(F.broadcast(frontier))
+            .select(
+                "batch_id",
+                F.coalesce(F.col("committed"), F.lit(False)).alias(
+                    "committed"
+                ),
+                "planned_wm_ms",
+                (F.col("batch_id") == F.col("last_committed")).alias(
+                    "is_resume_point"
+                ),
+                (F.col("batch_id") >= keep_from).alias("retained"),
+                (F.col("batch_id") < keep_from).alias("purgeable"),
+                (
+                    F.col("planned_wm_ms")
+                    > F.coalesce(
+                        F.lag("planned_wm_ms").over(
+                            Window.orderBy("batch_id")
+                        ),
+                        F.lit(-1),
+                    )
+                ).alias("wm_advanced"),
+            )
+        )
+
+
+_register_checkpoint_retention_audit()
