@@ -3148,7 +3148,17 @@ def dedup_lsh_index_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
     postings. Reference parity: none (SURVEY.md §2.7); north-star
     incremental-ingestion extension paired with dedup_incremental_delta.
     """
-    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    return lsh_index_report(
+        minhash_signatures(spark, sf_dir),
+        load_table(spark, sf_dir, "documents").select("doc_id"),
+    )
+
+
+def lsh_index_report(sigs: DataFrame, docs: DataFrame) -> DataFrame:
+    """Index-append report from converged (doc_id, h0..h15) signatures
+    plus the doc_id universe — shared verbatim by the batch query and
+    its streaming twin (per-doc signature mins converge in update-mode
+    keyed JVM agg state; this assembles post-stream)."""
     incr = (
         F.conv(
             F.substring(
@@ -3165,7 +3175,7 @@ def dedup_lsh_index_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     incoming_ids = docs.filter(incr == 0)
     corpus_ids = docs.filter(incr != 0)
-    sigs = minhash_signatures(spark, sf_dir).localCheckpoint(eager=False)
+    sigs = sigs.localCheckpoint(eager=False)
     banded = sigs.select(
         "doc_id",
         F.explode(

@@ -3279,10 +3279,19 @@ def _funnel_oracle() -> str:
     tags=("text", "pipeline", "funnel", "curation", "documents"),
 )
 def text_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return curation_funnel_report(
+        load_table(spark, sf_dir, "documents", rebalance=True)
+    )
+
+
+def curation_funnel_report(docs: DataFrame) -> DataFrame:
+    """Funnel report from a (doc_id, text, lang, ...) documents frame —
+    shared verbatim by the batch query and its streaming twin (per-doc
+    rows replay-dedupe in update-mode keyed agg state; this assembles
+    post-stream)."""
     from kafka_stream_job_spark.operators.dedup import _norm_text
     from kafka_stream_job_spark.operators.text import LANG_MARKERS
 
-    docs = load_table(spark, sf_dir, "documents", rebalance=True)
     n_tok = F.size(F.split(F.trim(F.col("text")), r"\s+"))
     n_uniq = F.size(
         F.array_distinct(F.split(F.lower(F.trim(F.col("text"))), r"\s+"))

@@ -6514,3 +6514,119 @@ def _register_checkpoint_retention_audit() -> None:
 
 
 _register_checkpoint_retention_audit()
+
+
+# ---------------------------------------------------------------------------
+# STREAMING LSH INDEX MAINTENANCE — the live twin of
+# dedup_lsh_index_maintenance: per-document MinHash signature mins
+# accumulate in update-mode keyed JVM agg state (16 universal-hash mins
+# per doc — constant width, monotone decreasing, so min over emissions
+# converges), and the frozen-index append report assembles post-stream
+# through the SAME lsh_index_report. This is the state-sizing monitor a
+# streaming dedup service runs while documents are still arriving.
+# Oracle verbatim from the batch op.
+# ---------------------------------------------------------------------------
+def _register_streaming_lsh_index_maintenance() -> None:
+    import uuid
+
+    from kafka_stream_job_spark.operators.dedup import (
+        MINHASH_A,
+        MINHASH_B,
+        MINHASH_P,
+        NUM_HASHES,
+        _hashed_shingle_expr,
+        lsh_index_report,
+    )
+    from kafka_stream_job_spark.registry import REGISTRY, register
+
+    oracle = REGISTRY["dedup_lsh_index_maintenance"].oracle
+
+    @register(
+        "streaming_lsh_index_maintenance",
+        oracle=oracle,
+        tags=("streaming", "stateful", "dedup", "lsh", "index", "documents"),
+    )
+    def streaming_lsh_index_maintenance(
+        spark: SparkSession, sf_dir: str
+    ) -> DataFrame:
+        import tempfile
+
+        docs = stream_documents(spark, sf_dir)
+        staged = docs.where(F.col("text").isNotNull()).select(
+            "doc_id", F.explode(_hashed_shingle_expr()).alias("h")
+        )
+        sig_cols = [
+            F.expr(
+                f"min(({MINHASH_A[s]} * h + {MINHASH_B[s]}) % {MINHASH_P})"
+            ).alias(f"h{s}")
+            for s in range(NUM_HASHES)
+        ]
+        per_doc = staged.groupBy("doc_id").agg(*sig_cols)
+        name = f"stream_lshidx_{uuid.uuid4().hex[:8]}"
+        ckpt = tempfile.mkdtemp(prefix="ksj-stream-lshidx-")
+        emitted = run_stream_to_memory(
+            spark, per_doc, name, ckpt, output_mode="update"
+        )
+        # eager checkpoint: the report self-joins several branches of
+        # this frame; a memory-sink lineage trips Catalyst's conflicting-
+        # references guard, a materialized LogicalRDD (same shape as the
+        # batch op's table scan) does not
+        sigs = emitted.groupBy("doc_id").agg(
+            *[F.min(f"h{s}").alias(f"h{s}") for s in range(NUM_HASHES)]
+        ).localCheckpoint()
+        # null-text docs emit no signature and no postings on either
+        # engine, so the signature doc_ids ARE the relevant universe
+        return lsh_index_report(sigs, sigs.select("doc_id"))
+
+
+_register_streaming_lsh_index_maintenance()
+
+
+# ---------------------------------------------------------------------------
+# STREAMING CURATION FUNNEL MONITOR — the live twin of
+# text_curation_funnel: per-document rows replay-dedupe in update-mode
+# keyed agg state (documents are immutable, so max over emissions is
+# the row itself — the magic-sniffer replay-dedupe shape), and the
+# five-stage attributed funnel assembles post-stream through the SAME
+# curation_funnel_report. The corpus-hygiene dashboard refreshes while
+# the crawl is still landing. Oracle verbatim from the batch op.
+# ---------------------------------------------------------------------------
+def _register_streaming_curation_funnel() -> None:
+    import uuid
+
+    from kafka_stream_job_spark.operators.pipeline import (
+        curation_funnel_report,
+    )
+    from kafka_stream_job_spark.registry import REGISTRY, register
+
+    oracle = REGISTRY["text_curation_funnel"].oracle
+
+    @register(
+        "streaming_curation_funnel",
+        oracle=oracle,
+        tags=("streaming", "stateful", "text", "funnel", "curation",
+              "documents"),
+    )
+    def streaming_curation_funnel(
+        spark: SparkSession, sf_dir: str
+    ) -> DataFrame:
+        import tempfile
+
+        docs = stream_documents(spark, sf_dir)
+        per_doc = docs.groupBy("doc_id").agg(
+            F.max("text").alias("text"), F.max("lang").alias("lang")
+        )
+        name = f"stream_curate_{uuid.uuid4().hex[:8]}"
+        ckpt = tempfile.mkdtemp(prefix="ksj-stream-curate-")
+        emitted = run_stream_to_memory(
+            spark, per_doc, name, ckpt, output_mode="update"
+        )
+        # eager checkpoint — same conflicting-references guard note as
+        # the LSH index twin above
+        converged = emitted.groupBy("doc_id").agg(
+            F.max("text").alias("text"), F.max("lang").alias("lang")
+        ).localCheckpoint()
+        return curation_funnel_report(converged)
+
+
+_register_streaming_curation_funnel()
