@@ -16758,3 +16758,136 @@ def events_sprt_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.lit("continue"))
         .alias("decision"),
     )
+
+
+# ---------------------------------------------------------------------------
+# QUANTILE TREATMENT EFFECT — the distribution-level readout the mean
+# uplift test hides: per hash arm ('qte' split on user_id — user-level
+# randomization, event-level outcome), the EXACT p25/p50/p75 of the
+# event value in cents by rank selection (the winsorize-audit
+# discipline: rank k = max(1, n*q//100) under the total order
+# (cents, event_id) — deterministic, no interpolation ambiguity), then
+# the median uplift and the interquartile-range shift between arms.
+# Scale shape: two distributed_rank passes (range-partitioned global
+# order, no single-partition window), each followed by a 3-rank probe
+# and broadcast scalars — the winsorize scale story, per arm.
+# ---------------------------------------------------------------------------
+QTE_QS = (25, 50, 75)
+
+
+@register(
+    "events_quantile_uplift",
+    oracle=f"""
+        WITH e AS (
+            SELECT event_id,
+                   CAST(ROUND(value * 100.0) AS BIGINT) AS cents,
+                   {_snap_hash_sql("qte", "user_id")} % 2 AS arm
+            FROM events
+        ),
+        r AS (
+            SELECT arm, cents,
+                   CAST(ROW_NUMBER() OVER (
+                       PARTITION BY arm ORDER BY cents, event_id
+                   ) AS BIGINT) AS rnk
+            FROM e
+        ),
+        n AS (SELECT arm, CAST(COUNT(*) AS BIGINT) AS n FROM e GROUP BY 1),
+        q AS (
+            SELECT r.arm,
+                   {", ".join(
+                       f"MIN(CASE WHEN rnk = GREATEST(1, n * {p} // 100) "
+                       f"THEN cents END) AS p{p}"
+                       for p in QTE_QS
+                   )}
+            FROM r JOIN n ON n.arm = r.arm
+            GROUP BY r.arm
+        ),
+        w AS (
+            SELECT
+                {", ".join(
+                    f"CAST(SUM(CASE WHEN q.arm = {a} THEN n.n END) AS BIGINT)"
+                    f" AS n_{a}, "
+                    + ", ".join(
+                        f"CAST(SUM(CASE WHEN q.arm = {a} THEN p{p} END)"
+                        f" AS BIGINT) AS p{p}_{a}"
+                        for p in QTE_QS
+                    )
+                    for a in (0, 1)
+                )}
+            FROM q JOIN n ON n.arm = q.arm
+        )
+        SELECT n_0, n_1,
+               p50_0 AS p50_0_cents, p50_1 AS p50_1_cents,
+               p50_1 - p50_0 AS median_uplift_cents,
+               p75_0 - p25_0 AS iqr_0_cents,
+               p75_1 - p25_1 AS iqr_1_cents,
+               (p75_1 - p25_1) - (p75_0 - p25_0) AS iqr_shift_cents
+        FROM w
+    """,
+    tags=("stats", "ab-test", "experimentation", "quantile", "events"),
+)
+def events_quantile_uplift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kafka_stream_job_spark.operators._distributed import (
+        distributed_rank,
+    )
+
+    events = load_table(spark, sf_dir, "events")
+    e = events.select(
+        "event_id",
+        F.round(F.col("value") * 100.0, 0).cast("long").alias("cents"),
+        (_snap_hash("qte", "user_id") % 2).alias("arm"),
+    )
+
+    def arm_quantiles(a: int) -> DataFrame:
+        ranked = distributed_rank(
+            e.filter(F.col("arm") == a).select("event_id", "cents"),
+            [F.col("cents"), F.col("event_id")],
+        ).localCheckpoint(eager=False)  # n + 3 rank probes share it
+        ks = ranked.agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            *[
+                F.greatest(
+                    F.lit(1), idiv(F.count(F.lit(1)) * p, 100)
+                )
+                .cast("long")
+                .alias(f"k{p}")
+                for p in QTE_QS
+            ],
+        )
+        return (
+            ranked.crossJoin(F.broadcast(ks))
+            .filter(
+                (F.col("rnk") == F.col("k25"))
+                | (F.col("rnk") == F.col("k50"))
+                | (F.col("rnk") == F.col("k75"))
+            )
+            .agg(
+                F.min("n").cast("long").alias(f"n_{a}"),
+                *[
+                    F.min(
+                        F.when(
+                            F.col("rnk") == F.col(f"k{p}"), F.col("cents")
+                        )
+                    )
+                    .cast("long")
+                    .alias(f"p{p}_{a}")
+                    for p in QTE_QS
+                ],
+            )
+        )
+
+    q0 = arm_quantiles(0)
+    q1 = arm_quantiles(1)
+    return q0.crossJoin(F.broadcast(q1)).select(
+        "n_0",
+        "n_1",
+        F.col("p50_0").alias("p50_0_cents"),
+        F.col("p50_1").alias("p50_1_cents"),
+        (F.col("p50_1") - F.col("p50_0")).alias("median_uplift_cents"),
+        (F.col("p75_0") - F.col("p25_0")).alias("iqr_0_cents"),
+        (F.col("p75_1") - F.col("p25_1")).alias("iqr_1_cents"),
+        (
+            (F.col("p75_1") - F.col("p25_1"))
+            - (F.col("p75_0") - F.col("p25_0"))
+        ).alias("iqr_shift_cents"),
+    )

@@ -1458,3 +1458,58 @@ def test_pq_codes_match_pure_python(spark, tmp_path):
         for r in SPECS["embedding_pq_codes"].fn(spark, sf).collect()
     }
     assert got == expected
+
+
+def test_quantile_uplift_matches_pure_python(spark, tmp_path):
+    """Crafted event values through the REGISTERED events_quantile_uplift
+    vs a from-scratch Python rank selection: arms re-derived from the
+    documented md5 rule, quantile rank k = max(1, n*q//100) under the
+    (cents, event_id) total order — independent of the SQL oracle that
+    shares the engine's construction."""
+    import datetime
+
+    n = 120
+    base = datetime.datetime(2024, 5, 1)
+    # values k/4 dollars avoid every *100 rounding boundary ambiguity
+    # except exact quarters; 25*k cents is an integer so ROUND is exact
+    values = [((i * 37) % 29) * 0.25 + 1.0 for i in range(n)]
+    tbl = pa.table(
+        {
+            "event_id": list(range(n)),
+            "ts": [base + datetime.timedelta(seconds=i) for i in range(n)],
+            "user_id": [i % 17 for i in range(n)],
+            "event_type": ["view"] * n,
+            "value": values,
+            "props": ["{}"] * n,
+        }
+    )
+    d = tmp_path / "qte_sf"
+    d.mkdir()
+    pq.write_table(tbl, d / "events.parquet")
+
+    row = SPECS["events_quantile_uplift"].fn(spark, str(d)).collect()[0]
+
+    arms = {
+        i: _md5_28(f"qte:{i % 17}") % 2 for i in range(n)
+    }
+    per_arm = {0: [], 1: []}
+    for i in range(n):
+        per_arm[arms[i]].append((_round_half_away(values[i] * 100.0), i))
+    q = {}
+    for a in (0, 1):
+        rows = sorted(per_arm[a])
+        na = len(rows)
+        q[a] = {
+            p: rows[max(1, na * p // 100) - 1][0] for p in (25, 50, 75)
+        }
+        assert na > 4  # both arms populated
+        q[a]["n"] = na
+    assert row["n_0"] == q[0]["n"] and row["n_1"] == q[1]["n"]
+    assert row["p50_0_cents"] == q[0][50]
+    assert row["p50_1_cents"] == q[1][50]
+    assert row["median_uplift_cents"] == q[1][50] - q[0][50]
+    assert row["iqr_0_cents"] == q[0][75] - q[0][25]
+    assert row["iqr_1_cents"] == q[1][75] - q[1][25]
+    assert row["iqr_shift_cents"] == (q[1][75] - q[1][25]) - (
+        q[0][75] - q[0][25]
+    )
