@@ -47,11 +47,15 @@ def _guard_plain_ascending(sort_cols: list[Column]) -> None:
     SortOrder would shuffle descending but compare ascending, silently
     producing wrong boundary-pair counts — so fail loudly instead
     (same discipline as _guard_reserved). SortOrder isn't a public
-    Python type; detect it via the column repr, which renders sort
-    expressions as ``'<col> ASC|DESC NULLS FIRST|LAST'``."""
+    Python type; detect it via the column repr, which renders a sort
+    expression as a ``... ASC|DESC NULLS FIRST|LAST`` SUFFIX — the
+    check is anchored at the end so an expression merely CONTAINING
+    the token (a string literal, a mid-expression alias) passes. A
+    column literally NAMED 'x DESC' still trips it; that fail-loud
+    false positive is accepted over the silent-wrong alternative."""
     for c in sort_cols:
-        rep = str(c)
-        if " DESC" in rep or " ASC" in rep:
+        rep = str(c).removesuffix("'>")
+        if rep.endswith((" ASC", " DESC", " NULLS FIRST", " NULLS LAST")):
             raise ValueError(
                 f"sort_cols must be plain ascending columns (no "
                 f"asc()/desc() SortOrder): got {c}; the boundary "

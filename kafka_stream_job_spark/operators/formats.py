@@ -996,10 +996,12 @@ def _stage_gzip_jsonl(spark: SparkSession, sf_dir: str) -> str:
                     os.path.join(tmp, f"events_{n}.jsonl.gz"),
                 )
                 n += 1
-        if n != GZIP_SHARDS:
-            raise RuntimeError(
-                f"expected {GZIP_SHARDS} gzip shards, got {n}"
-            )
+        # empty hash partitions write no file, so a tiny/skewed events
+        # table can legitimately yield fewer than GZIP_SHARDS shards
+        # (the consumers glob, they don't count); only zero files —
+        # nothing staged at all — is an error
+        if n == 0:
+            raise RuntimeError("gzip stage produced no shard files")
         shutil.rmtree(out)
 
     return _staged_dir("/tmp/ksj-gzjsonl-stage", src, "gzjsonl_v2", build)
@@ -1439,7 +1441,7 @@ def bronze_compaction_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     if not stats["compacted"]:
         raise RuntimeError(f"compaction unexpectedly skipped: {stats}")
     back = spark.read.parquet(table)
-    return back.agg(
+    report = back.agg(
         F.lit(stats["files_before"]).cast("long").alias("files_before"),
         F.lit(stats["files_after"]).cast("long").alias("files_after"),
         F.lit(stats["compacted"]).alias("compacted"),
@@ -1448,3 +1450,11 @@ def bronze_compaction_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("sum_cents"),
     )
+    # materialize the 1-row report NOW so the data-scale demo table can
+    # be deleted before returning (a per-run /tmp copy of events must
+    # not outlive the query — sweeps run this hundreds of times)
+    report = report.localCheckpoint()
+    import shutil
+
+    shutil.rmtree(os.path.dirname(table), ignore_errors=True)
+    return report

@@ -3277,6 +3277,7 @@ def _funnel_oracle() -> str:
     "text_curation_funnel",
     oracle=_funnel_oracle(),
     tags=("text", "pipeline", "funnel", "curation", "documents"),
+    bench_ext=True,
 )
 def text_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     return curation_funnel_report(

@@ -16825,6 +16825,7 @@ QTE_QS = (25, 50, 75)
         FROM w
     """,
     tags=("stats", "ab-test", "experimentation", "quantile", "events"),
+    bench_ext=True,
 )
 def events_quantile_uplift(spark: SparkSession, sf_dir: str) -> DataFrame:
     from kafka_stream_job_spark.operators._distributed import (

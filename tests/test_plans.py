@@ -208,6 +208,7 @@ def _empty_partition_ordered_windows(plan: str) -> list[str]:
 # bounded-domain aggregate (hours/days/bins), so the single task sees a
 # constant-size input at any data scale. Every addition needs a reason.
 _BOUNDED_GLOBAL_WINDOW_OK = {
+    "checkpoint_retention_audit",  # lag over the offset log: |batches| rows, capped by minBatchesToRetain after purge
     "rag_context_pack",  # window over limit(RAG_CANDIDATES=50) survivors
     "search_hybrid_rrf",  # both rank windows over limit(RRF_DEPTH) tops
     "text_zipf_slope",  # window over limit(ZIPF_TOP_K) head

@@ -32,7 +32,16 @@ def earned_rounds() -> dict[str, int]:
     for f in sorted(glob.glob(str(REPO / "CORRECTNESS_r*.json"))):
         rnd = int(re.search(r"r(\d+)", Path(f).name).group(1))
         for name, row in json.load(open(f)).items():
-            green = (row.get("rows_match") and row.get("err") is None) or (
+            # Fully green only: rows AND schema AND value hash (a
+            # rows-match-but-hash-mismatch row is a VALUE bug and must
+            # not count as verified — CORRECTNESS_r01 contains such
+            # rows); the two no-oracle entries earn rows-only green.
+            green = (
+                row.get("rows_match")
+                and row.get("schema_match")
+                and row.get("hash_match")
+                and row.get("err") is None
+            ) or (
                 row.get("err") == "no_oracle"
                 and row.get("spark_rows") is not None
             )

@@ -198,7 +198,7 @@ def measure(queries: list[str], dirs: list[str], passes: int) -> int:
             f"{s['time_x']}x time / {s['data_x']}x data" for s in steps)
         print(f"{q}: {[round(t, 2) for t in times]} s   {step_s}",
               flush=True)
-    print(json.dumps({"dirs": dirs, "bytes": sizes, "queries": report}))
+    print(json.dumps({"dirs": dirs, "rows": sizes, "queries": report}))
     return 0
 
 
