@@ -180,9 +180,12 @@ def minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale design:
 
     1. Each shingle is md5-hashed ONCE and its leading 7 hex digits are
-       parsed to a 28-bit integer (``conv(substr(md5(sh),1,7),16,10)``) —
-       one strong hash per shingle, fused into the shingling ``transform``
-       so shingle strings never leave the expression.
+       parsed to a 28-bit integer (``conv(substr(md5(sh),1,7),16,10)``).
+       The hash runs as a ROW-LEVEL expression after the shingle explode
+       — inside whole-stage codegen — not inside the shingling
+       ``transform`` lambda, which is interpreted per element (r12
+       measured: fused-in-HOF 1.17 s vs row-level 0.98 s for the full
+       signature pass at sf0.1; identical rows).
     2. Seed *s*'s min-hash is ``MIN((A[s]*h + B[s]) % P)`` — a
        universal-hash permutation in pure integer arithmetic, evaluated
        as 16 codegen'd min-aggregates over the exploded (doc_id, h)
@@ -194,10 +197,21 @@ def minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
        map-side partial mins, so the exchange carries one 16-long row
        per document, not one row per shingle. At 100 TB the shingle
        rows exist only inside each scan task.
+    4. The under-split-scan rebalance is keyed on doc_id, so the
+       groupBy(doc_id) RIDES that exchange (one shuffle total locally);
+       at 100 TB the rebalance is a no-op and the plan is the classic
+       partial-min + narrow signature exchange of point 3.
     """
-    docs = load_table(spark, sf_dir, "documents", rebalance=True)
-    staged = docs.where(F.col("text").isNotNull()).select(
-        "doc_id", F.explode(_hashed_shingle_expr()).alias("h")
+    docs = load_table(spark, sf_dir, "documents", rebalance=True, key="doc_id")
+    staged = (
+        docs.where(F.col("text").isNotNull())
+        .select("doc_id", F.explode(_shingle_array()).alias("shingle"))
+        .select(
+            "doc_id",
+            F.expr("CAST(conv(substring(md5(shingle), 1, 7), 16, 10) AS BIGINT)").alias(
+                "h"
+            ),
+        )
     )
     # one JVM parse per seed instead of ~6 py4j Column constructions each
     # (driver-side build cost; bit-identical expression — verified
@@ -331,7 +345,9 @@ _PAIRS_SQL = """
     tags=("dedup", "jaccard", "documents"),
 )
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents", rebalance=True)
+    # key="doc_id": the shingle distinct + per-doc counts ride the
+    # under-split rebalance exchange locally (no-op at 100 TB scan widths)
+    docs = load_table(spark, sf_dir, "documents", rebalance=True, key="doc_id")
     sh = _shingles(docs)
     pairs = dedup_minhash_lsh(spark, sf_dir)
     counts = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
@@ -400,8 +416,15 @@ def simhash_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     (bit votes) with map-side partial aggregation — the shuffle carries
     one 28-int row per doc. The fingerprint assembles sign bits in a
     cheap post-agg projection (cardinality = documents).
+
+    The md5 stays fused inside the shingling ``transform`` here (unlike
+    minhash_signatures): the per-row ``array_distinct`` must dedup the
+    HASHED values (28-bit collisions are vote-weight-relevant), so the
+    hash cannot move below the explode without changing semantics. The
+    under-split rebalance is keyed on doc_id so the groupBy rides it
+    locally (no second exchange); at 100 TB the plan is unchanged.
     """
-    docs = load_table(spark, sf_dir, "documents", rebalance=True)
+    docs = load_table(spark, sf_dir, "documents", rebalance=True, key="doc_id")
     staged = docs.where(F.col("text").isNotNull()).select(
         "doc_id", F.explode(F.array_distinct(_hashed_shingle_expr())).alias("h")
     )

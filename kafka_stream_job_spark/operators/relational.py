@@ -719,14 +719,17 @@ def small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def asof_purchase_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     events = load_table(spark, sf_dir, "events")
-    touches = (
-        events.filter(F.col("event_type").isin("view", "click"))
-        .groupBy("user_id", "ts")
-        .agg(
-            F.max("event_id").alias("touch_event_id"),
-            F.max_by("event_type", "event_id").alias("touch_type"),
-        )
-    )
+    # Raw touches, NO pre-aggregation: the oracle's per-(user_id, ts)
+    # "keep max event_id" collapse is absorbed into the window ORDER BY
+    # instead — touches at equal (ts) sort ascending by event_id, so the
+    # running `last(..., ignorenulls)` lands on exactly the row the
+    # groupBy used to keep (max event_id at the latest ts ≤ p.ts, and
+    # max_by(event_type, event_id) = that same row's type). This removes
+    # a whole exchange AND the SortAggregate pair the old
+    # max_by(string, long) forced (string agg buffers are not
+    # hash-aggregable), leaving ONE shuffle total. r12-measured: 2
+    # exchanges + 4 sorts → 1 exchange + 1 sort, identical rows.
+    touches = events.filter(F.col("event_type").isin("view", "click"))
     purchases = events.filter(F.col("event_type") == "purchase").select(
         "user_id", "ts", F.col("event_id").alias("purchase_id")
     )
@@ -746,13 +749,19 @@ def asof_purchase_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         "ts",
         F.lit(0).alias("marker"),
         F.lit(None).cast("long").alias("purchase_id"),
-        "touch_event_id",
-        "touch_type",
+        F.col("event_id").alias("touch_event_id"),
+        F.col("event_type").alias("touch_type"),
         F.col("ts").alias("touch_ts"),
     )
+    # touch_event_id last in the ordering: among same-(ts, marker) touch
+    # rows the max event_id sorts last, so the running `last` picks it —
+    # the old groupBy's tie-break, now free. Purchase rows carry NULL
+    # there; they only tie with other purchases (marker separates them
+    # from touches), and every purchase at the same (user_id, ts) sees
+    # the same preceding touches, so the result is order-independent.
     w = (
         Window.partitionBy("user_id")
-        .orderBy("ts", "marker")
+        .orderBy("ts", "marker", "touch_event_id")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     merged = (

@@ -103,13 +103,30 @@ _norm_d = _NORM_SQL.format(a="d.embedding")
 def similarity_topk_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
+    # Corpus side rebalances (the per-pair dot product is the heavy map
+    # work); the 8-row query side reads its own scan WITHOUT the
+    # rebalance exchange — repartitioning 8 rows bought nothing and cost
+    # a stage (guide §2.4: remove shuffles outright).
     emb = load_table(spark, sf_dir, "embeddings", rebalance=True)
-    q = emb.filter(F.col("vec_id") < N_QUERIES).select(
-        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
+    emb_q = load_table(spark, sf_dir, "embeddings")
+    # Norms are per-ROW quantities: compute each side's norm ONCE before
+    # the join instead of re-deriving both inside every joined pair (the
+    # corpus row's norm was folded |queries| times, the query row's norm
+    # |corpus| times — guide §1.2 "don't compute things you throw away").
+    # Same sequential fold over the same doubles, so cos_raw is
+    # bit-identical to the fused form (verified against the oracle).
+    q = emb_q.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("q_emb"),
+        _norm(F.col("embedding")).alias("q_norm"),
     )
-    d = emb.select(F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("d_emb"))
+    d = emb.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("embedding").alias("d_emb"),
+        _norm(F.col("embedding")).alias("d_norm"),
+    )
     cos_raw = _dot(F.col("q_emb"), F.col("d_emb")) / (
-        _norm(F.col("q_emb")) * _norm(F.col("d_emb"))
+        F.col("q_norm") * F.col("d_norm")
     )
     w = Window.partitionBy("query_id").orderBy(F.col("cos_raw").desc(), F.col("neighbor_id").asc())
     return (
@@ -172,9 +189,15 @@ def _lsh_sign_sql(j: int) -> str:
     )
 
 
-def lsh_buckets(spark: SparkSession, sf_dir: str, bits: int = LSH_BITS) -> DataFrame:
-    """(vec_id, bucket) — sign-LSH bucket assignment, all JVM-side."""
-    emb = load_table(spark, sf_dir, "embeddings", rebalance=True)
+def lsh_buckets(
+    spark: SparkSession, sf_dir: str, bits: int = LSH_BITS, rebalance: bool = True
+) -> DataFrame:
+    """(vec_id, bucket) — sign-LSH bucket assignment, all JVM-side.
+
+    ``rebalance=False`` is for tiny filtered slices (e.g. the 8-row query
+    set): bucketing a handful of rows does not need the under-split-scan
+    repartition, and skipping it removes a whole exchange stage."""
+    emb = load_table(spark, sf_dir, "embeddings", rebalance=rebalance)
     bucket = F.expr(
         "concat(" + ", ".join(_lsh_sign_sql(j) for j in range(bits)) + ")"
     )
@@ -293,7 +316,11 @@ def similarity_topk_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
     buckets = lsh_buckets(spark, sf_dir, bits=PROBE_BITS)
-    q = buckets.filter(F.col("vec_id") < N_QUERIES).select(
+    # the 8-row query side skips the rebalance exchange (its vec_id < 8
+    # filter pushes into the scan; repartitioning 8 rows was pure cost)
+    q = lsh_buckets(spark, sf_dir, bits=PROBE_BITS, rebalance=False).filter(
+        F.col("vec_id") < N_QUERIES
+    ).select(
         F.col("vec_id").alias("query_id"),
         F.col("embedding").alias("q_emb"),
         F.col("bucket").alias("q_bucket"),

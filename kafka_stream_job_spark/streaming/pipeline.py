@@ -3209,6 +3209,11 @@ def _register_streaming_ivf_assign() -> None:
 
         emitted_stream = (
             stream_embeddings(spark, sf_dir)
+            # single-split replay source → one input partition per batch;
+            # fan the numpy cell-assignment across cores before the
+            # Python stage (same rationale as streaming_lsh_candidate_
+            # buckets — guide §2.5, repartition after an unsplittable read)
+            .repartition(spark.sparkContext.defaultParallelism)
             .select(
                 "vec_id",
                 quantized.alias("emb"),
@@ -4043,7 +4048,20 @@ def _register_streaming_lsh_candidate_buckets() -> None:
     ) -> DataFrame:
         import tempfile
 
-        docs = stream_documents(spark, sf_dir).where(F.col("text").isNotNull())
+        # The file-replay source delivers each micro-batch as ONE input
+        # partition (single parquet split), which serializes the heavy
+        # stateless shingle→md5→minhash projection onto one core —
+        # r12-measured 4.7 s of a 5.1 s drain in that single task. A
+        # round-robin repartition ahead of the projection fans the
+        # per-row CPU across the cluster exactly like the batch side's
+        # under-split rebalance (guide §2.5 input skew: "one huge
+        # unsplittable file — repartition immediately after the read");
+        # the extra exchange moves only raw doc rows once.
+        docs = (
+            stream_documents(spark, sf_dir)
+            .where(F.col("text").isNotNull())
+            .repartition(spark.sparkContext.defaultParallelism)
+        )
         staged = docs.select(
             "doc_id", _hashed_shingle_expr().alias("hs")
         )

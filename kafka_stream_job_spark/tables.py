@@ -150,7 +150,11 @@ _SCAN_CACHE: dict[tuple[str, str, str, bool, int, int], DataFrame] = {}
 
 
 def load_table(
-    spark: SparkSession, sf_dir: str, name: str, rebalance: bool = False
+    spark: SparkSession,
+    sf_dir: str,
+    name: str,
+    rebalance: bool = False,
+    key: str | None = None,
 ) -> DataFrame:
     """Plain parquet scan of one table (pushdown/pruning preserved).
 
@@ -169,16 +173,27 @@ def load_table(
     it's opt-in because for cheap map work the extra exchange costs more
     than it buys. Filters still push below the exchange
     (PushDownPredicate moves them through Repartition).
+
+    ``key`` (only meaningful with ``rebalance=True``) hash-partitions the
+    rebalance on that column instead of round-robin: a caller whose first
+    shuffle-requiring op is keyed the same way (``groupBy(key)``,
+    ``distinct`` over a superset of ``key``) then rides this exchange and
+    needs NO second one — the rebalance the caller was paying anyway
+    doubles as the aggregation exchange (guide §2.4: two operations keyed
+    the same way share one exchange). At 100 TB the repartition does not
+    fire and the keyed aggregation keeps its normal partial-agg + narrow
+    exchange plan, so this is strictly a local/under-split-scan win.
     """
     if name not in SCHEMAS:
         raise KeyError(f"unknown table {name!r}; expected one of {TABLE_NAMES}")
     path = os.path.join(sf_dir, f"{name}.parquet")
     st = os.stat(path)
-    key = (
+    cache_key = (
         spark.sparkContext.applicationId,
         os.path.realpath(sf_dir),
         name,
         rebalance,
+        key,
         st.st_mtime_ns,
         st.st_size,
     )
@@ -193,7 +208,7 @@ def load_table(
     # miss) re-pins.
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.conf.set("spark.sql.session.timeZone", "UTC")
-    cached = _SCAN_CACHE.get(key)
+    cached = _SCAN_CACHE.get(cache_key)
     if cached is not None:
         return cached
     df = spark.read.parquet(path)
@@ -203,8 +218,8 @@ def load_table(
         target = spark.sparkContext.defaultParallelism
         est_splits = max(1, os.path.getsize(path) // (128 << 20))
         if est_splits < target:
-            df = df.repartition(target)
-    _SCAN_CACHE[key] = df
+            df = df.repartition(target, key) if key else df.repartition(target)
+    _SCAN_CACHE[cache_key] = df
     return df
 
 

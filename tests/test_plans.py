@@ -72,9 +72,13 @@ def test_minhash_lsh_adaptive_plan_reuses_signature_exchange(spark):
 
 
 def test_minhash_shuffle_carries_doc_rows_not_shingle_rows(spark):
-    """The groupBy(doc_id) must partially aggregate map-side: a
-    HashAggregate appears BELOW the exchange, so shingle-exploded rows
-    never cross the network."""
+    """Shingle-exploded rows must never cross the network. At smoke scale
+    the under-split rebalance fires as hashpartitioning(doc_id) and the
+    groupBy(doc_id) RIDES it (r12): exactly ONE exchange, keyed on
+    doc_id, below the Generate — what shuffles is raw doc rows. (At
+    100 TB scan widths the rebalance is a no-op and the plan reverts to
+    map-side partial mins + a narrow signature exchange; either way no
+    exchange ever carries the exploded shingle hash column.)"""
     from kafka_stream_job_spark.operators.dedup import minhash_signatures
 
     plan = (
@@ -83,9 +87,16 @@ def test_minhash_shuffle_carries_doc_rows_not_shingle_rows(spark):
         .executedPlan()
         .toString()
     )
-    ex = plan.find("Exchange")
-    assert ex != -1
-    assert "HashAggregate" in plan[ex:], "no partial aggregate below the exchange"
+    exchanges = [l for l in plan.splitlines() if "Exchange" in l]
+    assert len(exchanges) == 1, f"expected ONE exchange, got: {exchanges}"
+    assert "doc_id" in exchanges[0], f"exchange not keyed on doc_id: {exchanges[0]}"
+    # the exploded shingle-hash rows stay inside the post-exchange stage:
+    # the Generate (explode) sits ABOVE the exchange in the plan text
+    gen = plan.find("Generate")
+    assert gen != -1 and gen < plan.find("Exchange"), (
+        "explode ran below the exchange — shingle rows crossed the network"
+    )
+    assert "HashAggregate" in plan, "signature mins must hash-aggregate"
 
 
 def test_simhash_no_cartesian(spark):
