@@ -53,3 +53,53 @@ def idiv(a: Column | str, b: Column | int) -> Column:
     if isinstance(b, int):
         b = F.lit(b)
     return F.call_function("div", a, b)
+
+
+def jvm_values_df(spark, rows, schema: str):
+    """Literal local table as a pure-JVM SQL VALUES relation.
+
+    ``spark.createDataFrame(python_rows)`` ships the rows as a PICKLED
+    RDD: every materialization pays one Python-worker round trip per
+    task (r12 measured ~0.37 s per 32-task stage for a 63-row lookup
+    table whose real work is ~0.2 ms). A VALUES relation is a JVM
+    LocalRelation: no Python workers, no RDD, and the optimizer can
+    constant-fold through it. Renders the literal types the registry's
+    lookup/grid tables use (int, float, str, bool, None); anything else
+    raises rather than silently round-tripping through repr.
+    """
+    from pyspark.sql.types import _parse_datatype_string
+
+    struct = _parse_datatype_string(schema)
+    if not rows:  # VALUES needs >= 1 row; empty stays on the old path
+        return spark.createDataFrame([], schema)
+
+    def lit(v) -> str:
+        if v is None:
+            return "NULL"
+        if isinstance(v, bool):
+            return "true" if v else "false"
+        if isinstance(v, int):
+            return f"{v}L"
+        if isinstance(v, float):
+            if v != v:
+                return "CAST('NaN' AS DOUBLE)"
+            if v == float("inf"):
+                return "CAST('Infinity' AS DOUBLE)"
+            if v == float("-inf"):
+                return "CAST('-Infinity' AS DOUBLE)"
+            return repr(v) + "D"  # repr round-trips doubles exactly
+        if isinstance(v, str):
+            return "'" + v.replace("\\", "\\\\").replace("'", "\\'") + "'"
+        if isinstance(v, (list, tuple)):
+            return "array(" + ", ".join(lit(x) for x in v) + ")"
+        raise TypeError(f"jvm_values_df cannot render a literal for {v!r}")
+
+    values = ", ".join(
+        "(" + ", ".join(lit(v) for v in row) + ")" for row in rows
+    )
+    names = ", ".join(f"c{i}" for i in range(len(struct.fields)))
+    cols = ", ".join(
+        f"CAST(c{i} AS {f.dataType.simpleString()}) AS `{f.name}`"
+        for i, f in enumerate(struct.fields)
+    )
+    return spark.sql(f"SELECT {cols} FROM (VALUES {values}) AS _v({names})")

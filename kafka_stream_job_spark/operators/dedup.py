@@ -1889,6 +1889,56 @@ GRAM_LEN = 32
 GRAM_STRIDE = 16
 
 
+def _anchored_gram_batches(it):
+    """mapInArrow body for dedup_exact_substring: per document, emit the
+    DISTINCT content-anchored 32-grams (md5(gram) % GRAM_STRIDE == 0).
+
+    Mirrors the engine's former JVM expression exactly:
+    - normalization = lower(trim(regexp_replace(text, '\\s+', ' '))):
+      the regex class below IS Java's \\s ([ \\t\\n\\x0b\\f\\r]); after
+      collapsing, only plain spaces remain at the edges, so Python
+      strip() == SQL trim; ASCII lowercase agrees across engines.
+    - md5 over UTF-8 bytes, leading 7 hex digits as the anchor integer —
+      identical to conv(substring(md5(g),1,7),16,10).
+    - the `seen` set dedups per document over ALL positions; selection
+      by a deterministic function of the gram makes that equivalent to
+      the former filter-then-array_distinct (duplicates select alike).
+    """
+    import hashlib
+    import re
+
+    import pyarrow as pa
+
+    ws = re.compile(r"[ \t\n\x0b\f\r]+")
+    md5 = hashlib.md5
+    for batch in it:
+        ids = batch.column("doc_id").to_pylist()
+        texts = batch.column("text").to_pylist()
+        o_id, o_gram = [], []
+        for did, text in zip(ids, texts):
+            norm = ws.sub(" ", text).strip().lower()
+            length = len(norm)
+            if length < GRAM_LEN:
+                continue
+            seen = set()
+            for i in range(length - GRAM_LEN + 1):
+                g = norm[i : i + GRAM_LEN]
+                if g in seen:
+                    continue
+                seen.add(g)
+                if (
+                    int(md5(g.encode("utf-8")).hexdigest()[:7], 16)
+                    % GRAM_STRIDE
+                    == 0
+                ):
+                    o_id.append(did)
+                    o_gram.append(g)
+        yield pa.RecordBatch.from_arrays(
+            [pa.array(o_id, pa.int64()), pa.array(o_gram, pa.string())],
+            ["doc_id", "gram"],
+        )
+
+
 @register(
     "dedup_exact_substring",
     oracle=f"""
@@ -1931,20 +1981,19 @@ def dedup_exact_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
     from kafka_stream_job_spark.operators._portable import idiv
 
     docs = load_table(spark, sf_dir, "documents", rebalance=True)
-    norm = _norm_text()
-    n = F.length(norm)
-    idx = F.sequence(F.lit(0), (n - GRAM_LEN).cast("int"))
-    # content-anchored selection fused into the transform: gram kept iff
-    # md5(gram) % GRAM_STRIDE == 0 (alignment-free, see header)
-    gram_arr = F.filter(
-        F.transform(idx, lambda i: F.substring(norm, i + 1, GRAM_LEN)),
-        lambda g: F.conv(F.substring(F.md5(g), 1, 7), 16, 10).cast("long")
-        % GRAM_STRIDE
-        == 0,
-    )
+    # Gram extraction runs as mapInArrow (guide §4.2): every POSITION of
+    # every document allocates a 32-char gram and md5s it, and the former
+    # transform/filter HOF pair evaluated that interpreted per element —
+    # r12 measured 1.85 s → 1.16 s at sf0.1 moving the loop to Python
+    # batches (hashlib md5 over UTF-8 bytes is the same hash; the
+    # whitespace class [ \t\n\x0b\f\r] is exactly Java's \s, so the
+    # normalization is byte-identical; per-doc `seen` set = the former
+    # per-row array_distinct). Only (doc_id, text) crosses the boundary,
+    # and only the ~1-in-GRAM_STRIDE anchored grams come back.
     grams = (
-        docs.filter(n >= GRAM_LEN)
-        .select("doc_id", F.explode(F.array_distinct(gram_arr)).alias("gram"))
+        docs.where(F.col("text").isNotNull())
+        .select("doc_id", "text")
+        .mapInArrow(_anchored_gram_batches, "doc_id bigint, gram string")
         .localCheckpoint(eager=False)  # first-seen agg AND flag join read it
     )
     first_seen = grams.groupBy("gram").agg(F.min("doc_id").alias("first_doc"))

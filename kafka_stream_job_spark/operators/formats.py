@@ -15,6 +15,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from kafka_stream_job_spark.operators._portable import jvm_values_df
 from kafka_stream_job_spark.registry import register
 from kafka_stream_job_spark.tables import load_table
 
@@ -374,8 +375,8 @@ def custom_sink_audit_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).save()
     with open(path) as f:
         audit = json.load(f)
-    return spark.createDataFrame(
-        [(int(audit["n_rows"]), int(audit["id_sum"]))], "n_rows LONG, id_sum LONG"
+    return jvm_values_df(
+        spark, [(int(audit["n_rows"]), int(audit["id_sum"]))], "n_rows LONG, id_sum LONG"
     )
 
 

@@ -36,7 +36,7 @@ import math
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from kafka_stream_job_spark.operators._portable import idiv
+from kafka_stream_job_spark.operators._portable import idiv, jvm_values_df
 from kafka_stream_job_spark.registry import register
 from kafka_stream_job_spark.tables import load_table
 
@@ -319,7 +319,8 @@ def linkage_em_parameters(spark: SparkSession, sf_dir: str) -> DataFrame:
         .localCheckpoint()
     )
 
-    params = spark.createDataFrame(
+    params = jvm_values_df(
+        spark,
         [
             tuple(
                 [_EM_INIT["lam"]]

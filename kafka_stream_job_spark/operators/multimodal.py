@@ -830,7 +830,10 @@ def ahash_batches(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]
     bench_ext=True,
 )
 def multimodal_ahash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
+    # rebalance: the single-split local scan otherwise serializes the
+    # Python aHash decode onto one core (r12 measured a 1.2 s one-task
+    # stage); at production scan widths the repartition is a no-op
+    docs = load_table(spark, sf_dir, "documents", rebalance=True)
     hashed = (
         with_binary_payload(docs)
         .select("doc_id", "payload")
@@ -944,7 +947,9 @@ def multimodal_ahash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("multimodal", "dedup", "perceptual-hash", "clusters", "documents"),
 )
 def multimodal_ahash_cluster_reps(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
+    # rebalance: same single-task Python-decode fix as
+    # multimodal_ahash_neardup (no-op at production scan widths)
+    docs = load_table(spark, sf_dir, "documents", rebalance=True)
     hashed = (
         with_binary_payload(docs)
         .select("doc_id", "payload")

@@ -27,7 +27,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from kafka_stream_job_spark.operators._portable import idiv, pround
+from kafka_stream_job_spark.operators._portable import idiv, jvm_values_df, pround
 from kafka_stream_job_spark.operators.dedup import (
     _BANDS_SQL as _DEDUP_BANDS_SQL,
     _PAIRS_SQL as _DEDUP_PAIRS_SQL,
@@ -1765,8 +1765,8 @@ def corpus_quota_rebalance_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
     from kafka_stream_job_spark.operators._portable import idiv
 
     docs = load_table(spark, sf_dir, "documents")
-    target = docs.sparkSession.createDataFrame(
-        list(QUOTA_TARGET_BP), "lang string, target_bp long"
+    target = jvm_values_df(
+        docs.sparkSession, list(QUOTA_TARGET_BP), "lang string, target_bp long"
     )
     counts = docs.groupBy("lang").agg(
         F.count(F.lit(1)).cast("long").alias("n_docs")

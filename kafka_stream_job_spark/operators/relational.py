@@ -35,7 +35,7 @@ import math
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from kafka_stream_job_spark.operators._portable import idiv, pround, sql_round
+from kafka_stream_job_spark.operators._portable import idiv, jvm_values_df, pround, sql_round
 from kafka_stream_job_spark.registry import register
 from kafka_stream_job_spark.tables import load_table
 
@@ -852,8 +852,8 @@ _PRICE_BANDS_VALUES = ", ".join(f"('{b}', {lo}, {hi})" for b, lo, hi in PRICE_BA
 )
 def range_join_price_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = load_table(spark, sf_dir, "orders")
-    bands = orders.sparkSession.createDataFrame(
-        PRICE_BANDS, "band string, lo long, hi long"
+    bands = jvm_values_df(
+        orders.sparkSession, PRICE_BANDS, "band string, lo long, hi long"
     )
     return (
         orders.join(
@@ -9904,7 +9904,7 @@ def dp_noisy_nation_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         "u", (a * F.lit(48271).cast("long")) % F.lit(_DP_DENOM)
     )
     noise = F.broadcast(
-        spark.createDataFrame(_dp_noise_rows(), "noise long, lo long, hi long")
+        jvm_values_df(spark, _dp_noise_rows(), "noise long, lo long, hi long")
     )
     joined = drawn.join(
         noise, (F.col("u") >= F.col("lo")) & (F.col("u") < F.col("hi"))
@@ -13966,8 +13966,8 @@ def attribution_window_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("lag_s"),
         )
     )
-    grid = spark.createDataFrame(
-        [(w,) for w in ATTR_WINDOWS_SEC], "w_seconds long"
+    grid = jvm_values_df(
+        spark, [(w,) for w in ATTR_WINDOWS_SEC], "w_seconds long"
     )
     attributed = F.when(
         F.col("lag_s").isNotNull() & (F.col("lag_s") <= F.col("w_seconds")), 1
@@ -15580,8 +15580,8 @@ def ccf_assemble(spark: SparkSession, hourly_abs: DataFrame) -> DataFrame:
             ).alias("mean_cents"),
         )
     )
-    lags = spark.createDataFrame(
-        [(k,) for k in range(CCF_MAX_LAG + 1)], "lag long"
+    lags = jvm_values_df(
+        spark, [(k,) for k in range(CCF_MAX_LAG + 1)], "lag long"
     )
     a = hourly.select("event_type", "i", F.col("c").alias("x"))
     b = hourly.select(
@@ -15682,8 +15682,8 @@ def shuffle_partition_advisor(spark: SparkSession, sf_dir: str) -> DataFrame:
         ("lineitem_part", n_li + n_p, (n_li + n_p) * ROW_WIDTHS["lineitem_part"]),
         ("events_self", n_e * 2, n_e * 2 * ROW_WIDTHS["events_self"]),
     ]
-    df = spark.createDataFrame(
-        rows, "join_name string, shuffle_rows long, est_bytes long"
+    df = jvm_values_df(
+        spark, rows, "join_name string, shuffle_rows long, est_bytes long"
     )
     return df.select(
         "join_name",
@@ -16848,47 +16848,80 @@ def events_quantile_uplift(spark: SparkSession, sf_dir: str) -> DataFrame:
         (_snap_hash("qte", "user_id") % 2).alias("arm"),
     )
 
-    def arm_quantiles(a: int) -> DataFrame:
-        ranked = distributed_rank(
-            e.filter(F.col("arm") == a).select("event_id", "cents"),
-            [F.col("cents"), F.col("event_id")],
-        ).localCheckpoint(eager=False)  # n + 3 rank probes share it
-        ks = ranked.agg(
+    # ONE distributed_rank over (arm, cents, event_id) replaces the two
+    # per-arm passes of the original formulation (r12): with `arm`
+    # leading the total order, the per-arm ROW_NUMBER the oracle
+    # specifies is just global_rank − (arm's rank offset), and the
+    # offset/count/target-k table is a 2-row broadcast. Halves the
+    # events scans, range exchanges and checkpoint materializations;
+    # arithmetic is identical (same greatest(1, n*p//100) rank
+    # selection under the same (cents, event_id) order within each arm).
+    ranked = distributed_rank(
+        e.select("arm", "event_id", "cents"),
+        [F.col("arm"), F.col("cents"), F.col("event_id")],
+    ).localCheckpoint(eager=False)  # arm stats + rank probes share it
+    arm_stats = (
+        ranked.groupBy("arm")
+        .agg(
             F.count(F.lit(1)).cast("long").alias("n"),
+            F.min("rnk").alias("_minr"),
+        )
+        .select(
+            "arm",
+            "n",
+            (F.col("_minr") - 1).alias("_off"),
             *[
-                F.greatest(
-                    F.lit(1), idiv(F.count(F.lit(1)) * p, 100)
-                )
+                F.greatest(F.lit(1), idiv(F.col("n") * p, 100))
                 .cast("long")
                 .alias(f"k{p}")
                 for p in QTE_QS
             ],
         )
-        return (
-            ranked.crossJoin(F.broadcast(ks))
-            .filter(
-                (F.col("rnk") == F.col("k25"))
-                | (F.col("rnk") == F.col("k50"))
-                | (F.col("rnk") == F.col("k75"))
-            )
-            .agg(
-                F.min("n").cast("long").alias(f"n_{a}"),
-                *[
+    )
+    arnk = F.col("rnk") - F.col("_off")
+    probes = (
+        ranked.join(F.broadcast(arm_stats), "arm")
+        .filter(
+            (arnk == F.col("k25"))
+            | (arnk == F.col("k50"))
+            | (arnk == F.col("k75"))
+        )
+        .select(
+            "arm",
+            "n",
+            "cents",
+            arnk.alias("_arnk"),
+            "k25",
+            "k50",
+            "k75",
+        )
+    )
+    w = probes.agg(
+        *[
+            col
+            for a in (0, 1)
+            for col in (
+                [
+                    F.min(F.when(F.col("arm") == a, F.col("n")))
+                    .cast("long")
+                    .alias(f"n_{a}")
+                ]
+                + [
                     F.min(
                         F.when(
-                            F.col("rnk") == F.col(f"k{p}"), F.col("cents")
+                            (F.col("arm") == a)
+                            & (F.col("_arnk") == F.col(f"k{p}")),
+                            F.col("cents"),
                         )
                     )
                     .cast("long")
                     .alias(f"p{p}_{a}")
                     for p in QTE_QS
-                ],
+                ]
             )
-        )
-
-    q0 = arm_quantiles(0)
-    q1 = arm_quantiles(1)
-    return q0.crossJoin(F.broadcast(q1)).select(
+        ]
+    )
+    return w.select(
         "n_0",
         "n_1",
         F.col("p50_0").alias("p50_0_cents"),

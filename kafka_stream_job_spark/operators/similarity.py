@@ -21,7 +21,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from kafka_stream_job_spark.operators._portable import idiv, pround
+from kafka_stream_job_spark.operators._portable import idiv, jvm_values_df, pround
 from kafka_stream_job_spark.registry import register
 from kafka_stream_job_spark.tables import load_table
 
@@ -3600,7 +3600,7 @@ def _nprobe_sweep_parts(spark: SparkSession, sf_dir: str) -> dict:
         F.col("vec_id").alias("neighbor_id"),
         cos_raw.alias("cos_raw"),
     )
-    grid = spark.createDataFrame([(np,) for np in NPROBE_GRID], "np long")
+    grid = jvm_values_df(spark, [(np,) for np in NPROBE_GRID], "np long")
     w = Window.partitionBy("np", "query_id").orderBy(
         F.col("cos_raw").desc(), F.col("neighbor_id").asc()
     )
@@ -4338,7 +4338,8 @@ def ann_pipeline_composition(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("metric_bp"),
     )
     sweep = parts["sweep"]
-    grididx = spark.createDataFrame(
+    grididx = jvm_values_df(
+        spark,
         [(np, i + 3) for i, np in enumerate(NPROBE_GRID)],
         "np long, sidx long",
     )

@@ -12,7 +12,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from kafka_stream_job_spark.operators._portable import idiv, pround
+from kafka_stream_job_spark.operators._portable import idiv, jvm_values_df, pround
 from kafka_stream_job_spark.registry import register
 from kafka_stream_job_spark.tables import load_table
 
@@ -2619,8 +2619,8 @@ def blocklist_phrase_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     padded = F.concat(F.lit(" "), _norm_text(), F.lit(" "))
     norm = docs.select("doc_id", padded.alias("padded"))
     phrases = F.broadcast(
-        spark.createDataFrame(
-            [(p,) for p in _BLOCKLIST_PHRASES], "phrase string"
+        jvm_values_df(
+            spark, [(p,) for p in _BLOCKLIST_PHRASES], "phrase string"
         )
     )
     needle = F.concat(F.lit(" "), F.col("phrase"), F.lit(" "))
@@ -2733,10 +2733,14 @@ _ILN_VALUES_SQL = ", ".join(
 
 
 def _attach_iln(spark: SparkSession, df: DataFrame, m_col: str, out_col: str) -> DataFrame:
-    """Join the 63-row exponent table (broadcast) and emit ILN(m_col)."""
+    """Join the 63-row exponent table (broadcast) and emit ILN(m_col).
+
+    The table is a JVM VALUES relation (jvm_values_df): as a pickled
+    createDataFrame RDD, every query materializing it paid a 32-task
+    Python-worker stage (~0.37 s measured) for 63 constant rows."""
     tab = F.broadcast(
-        spark.createDataFrame(
-            _iln_rows(), "e long, lo long, hi long, sdiv long, smul long, eln long"
+        jvm_values_df(
+            spark, _iln_rows(), "e long, lo long, hi long, sdiv long, smul long, eln long"
         )
     )
     q = idiv(F.col(m_col), F.col("sdiv")) * F.col("smul")
@@ -3966,8 +3970,8 @@ def tokenizer_vocab_pressure(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("c").cast("long").alias("total"),
         F.count(F.lit(1)).cast("long").alias("n_types"),
     )
-    grid = docs.sparkSession.createDataFrame(
-        [(k,) for k in VOCAB_PRESSURE_KS], "vocab_k int"
+    grid = jvm_values_df(
+        docs.sparkSession, [(k,) for k in VOCAB_PRESSURE_KS], "vocab_k int"
     )
     return (
         F.broadcast(grid)
@@ -5133,8 +5137,8 @@ def _unigram_fertility_oracle() -> str:
 
 
 def _uni_spine_df(spark: SparkSession) -> DataFrame:
-    return spark.createDataFrame(
-        _UNI_SPINE, "blen int, mask long, start int, slen int"
+    return jvm_values_df(
+        spark, _UNI_SPINE, "blen int, mask long, start int, slen int"
     )
 
 

@@ -28,6 +28,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from kafka_stream_job_spark.operators._portable import jvm_values_df
+
 
 class StreamingKMeans:
     """Driver-side centroid state + the foreachBatch update body.
@@ -59,7 +61,10 @@ class StreamingKMeans:
         argmin by (distance, cent_id) — batch rows never shuffle."""
         from pyspark.sql import Window
 
-        cent = self._spark.createDataFrame(
+        # JVM VALUES relation: the pickled-RDD createDataFrame path pays
+        # a Python-worker stage per materialization, once per BATCH here
+        cent = jvm_values_df(
+            self._spark,
             [(k, v) for k, v in sorted(self.centroids.items())],
             "cent_id long, c_emb array<double>",
         )

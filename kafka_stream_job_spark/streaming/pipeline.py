@@ -33,7 +33,7 @@ from pyspark.sql import functions as F
 
 from pyspark.sql import types as T
 
-from kafka_stream_job_spark.operators._portable import pround
+from kafka_stream_job_spark.operators._portable import jvm_values_df, pround
 
 # Imported for their registration side effects BEFORE this module's
 # _register_* calls run: every streaming twin looks up its shared oracle
@@ -2199,8 +2199,8 @@ def _register_streaming_hll() -> None:
             finally:
                 query.stop()
         assert hll.batches_seen >= 1
-        regs = spark.createDataFrame(
-            sorted(hll.registers.items()), "register INT, m_rank INT"
+        regs = jvm_values_df(
+            spark, sorted(hll.registers.items()), "register INT, m_rank INT"
         )
         contribs = regs.select(
             "register", F.expr("1.0D / shiftleft(1, m_rank)").alias("contrib")
@@ -2358,7 +2358,7 @@ def _register_streaming_kmv() -> None:
             finally:
                 query.stop()
         assert kmv.batches_seen >= 1
-        vals = spark.createDataFrame([(v,) for v in kmv.values], "hv LONG")
+        vals = jvm_values_df(spark, [(v,) for v in kmv.values], "hv LONG")
         est = F.when(
             F.col("n_sketch") < KMV_K, F.col("n_sketch").cast("double")
         ).otherwise(F.lit(KMV_NUM) / F.col("kth_hash").cast("double"))
@@ -3126,14 +3126,19 @@ def _register_streaming_ivf_assign() -> None:
         # the collect is guarded: past the cap it raises loudly instead
         # of silently OOMing the driver (r8 review finding — the
         # batch twin keeps cents distributed until its broadcast).
-        k_count = cents.count()
-        if k_count > _STREAM_IVF_MAX_CODEBOOK:
+        # ONE collect serves both the cap check and the codebook (r12:
+        # the former count() + collect() pair ran the centroid pipeline
+        # twice). The LIMIT cap+1 bounds driver memory BEFORE the guard:
+        # an oversized codebook pulls at most cap+1 rows, never all.
+        cent_rows = (
+            cents.orderBy("cent_id").limit(_STREAM_IVF_MAX_CODEBOOK + 1).collect()
+        )
+        if len(cent_rows) > _STREAM_IVF_MAX_CODEBOOK:
             raise ValueError(
-                f"streaming_ivf_assign codebook has {k_count} cells > cap "
+                f"streaming_ivf_assign codebook exceeds cap "
                 f"{_STREAM_IVF_MAX_CODEBOOK}; fix K by design (IVF chooses "
                 "~sqrt(N) cells) before streaming at this scale"
             )
-        cent_rows = cents.orderBy("cent_id").collect()
         cent_ids = [int(r["cent_id"]) for r in cent_rows]
         cent_embs = [[int(x) for x in r["c_emb"]] for r in cent_rows]
 
