@@ -13861,17 +13861,19 @@ def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
             labels.select(F.col("node").alias("s"), F.col("lbl").alias("o_lbl")),
             "s",
         ).select(F.col("p").alias("node"), "o_lbl")
-        neigh = via_p.unionAll(via_s)
+        # LEAST(own, MIN(neighbors)) == MIN over (neighbors ∪ {own}), and
+        # every node row exists in `labels`, so unioning the node's own
+        # label into the contribution stream turns the round into ONE
+        # keyed min-aggregate — the former left join + post-join groupBy
+        # paid an extra exchange of the labels side per round (r12;
+        # guide §2.4 "aggregate instead of join when the join only
+        # re-attaches what a union can carry"). COALESCE(no neighbors)
+        # falls out: the own-label row is always present.
+        contrib = via_p.unionAll(via_s).unionAll(
+            labels.select("node", F.col("lbl").alias("o_lbl"))
+        )
         labels = (
-            labels.join(neigh, "node", "left")
-            .groupBy("node", "lbl")
-            .agg(F.min("o_lbl").alias("min_n"))
-            .select(
-                "node",
-                F.least(
-                    F.col("lbl"), F.coalesce(F.col("min_n"), F.col("lbl"))
-                ).alias("lbl"),
-            )
+            contrib.groupBy("node").agg(F.min("o_lbl").alias("lbl"))
         )
     return (
         labels.groupBy(F.col("lbl").alias("community"))
@@ -16777,9 +16779,11 @@ def events_sprt_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
 # discipline: rank k = max(1, n*q//100) under the total order
 # (cents, event_id) — deterministic, no interpolation ambiguity), then
 # the median uplift and the interquartile-range shift between arms.
-# Scale shape: two distributed_rank passes (range-partitioned global
-# order, no single-partition window), each followed by a 3-rank probe
-# and broadcast scalars — the winsorize scale story, per arm.
+# Scale shape (r12): ONE grouped-count exchange (one row per
+# (arm, cents) cell) + a cumulative window over the DOMAIN-bounded
+# grouped table (cents ≤ ~56k distinct at any SF) + broadcast target
+# ranks — the value at rank k is the smallest cents whose running
+# count reaches k, so full rows never need a global order.
 # ---------------------------------------------------------------------------
 QTE_QS = (25, 50, 75)
 
@@ -16837,10 +16841,6 @@ QTE_QS = (25, 50, 75)
     bench_ext=True,
 )
 def events_quantile_uplift(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from kafka_stream_job_spark.operators._distributed import (
-        distributed_rank,
-    )
-
     events = load_table(spark, sf_dir, "events")
     e = events.select(
         "event_id",
@@ -16848,28 +16848,35 @@ def events_quantile_uplift(spark: SparkSession, sf_dir: str) -> DataFrame:
         (_snap_hash("qte", "user_id") % 2).alias("arm"),
     )
 
-    # ONE distributed_rank over (arm, cents, event_id) replaces the two
-    # per-arm passes of the original formulation (r12): with `arm`
-    # leading the total order, the per-arm ROW_NUMBER the oracle
-    # specifies is just global_rank − (arm's rank offset), and the
-    # offset/count/target-k table is a 2-row broadcast. Halves the
-    # events scans, range exchanges and checkpoint materializations;
-    # arithmetic is identical (same greatest(1, n*p//100) rank
-    # selection under the same (cents, event_id) order within each arm).
-    ranked = distributed_rank(
-        e.select("arm", "event_id", "cents"),
-        [F.col("arm"), F.col("cents"), F.col("event_id")],
-    ).localCheckpoint(eager=False)  # arm stats + rank probes share it
+    # GROUPED-COUNT rank selection (r12, replacing two full-row
+    # distributed_rank passes): the value at per-arm rank k under the
+    # order (cents, event_id) depends only on the per-(arm, cents)
+    # COUNTS — it is the smallest cents whose running count reaches k
+    # (the event_id tiebreak orders rows WITHIN one cents value and
+    # cannot change which value holds rank k). So aggregate counts
+    # first (guide §2.3 "aggregate before you shuffle": the one
+    # data-sized exchange carries one row per (arm, cents) cell, not
+    # one per event), then run the cumulative window over the GROUPED
+    # table. That window partitions by arm, but its input is bounded
+    # by the CENTS DOMAIN (value ≤ ~560 ⇒ ≤ ~56k cells per arm at any
+    # scale factor — 17,792 observed at sf0.1), not by the data: it is
+    # metadata-scale at 100 TB, the same bounded-domain argument as the
+    # registry's seqlen histogram windows.
+    g = e.groupBy("arm", "cents").agg(
+        F.count(F.lit(1)).cast("long").alias("cnt")
+    )
+    w_cum = (
+        Window.partitionBy("arm")
+        .orderBy("cents")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    cum = g.withColumn("cum", F.sum("cnt").over(w_cum))
     arm_stats = (
-        ranked.groupBy("arm")
-        .agg(
-            F.count(F.lit(1)).cast("long").alias("n"),
-            F.min("rnk").alias("_minr"),
-        )
+        g.groupBy("arm")
+        .agg(F.sum("cnt").cast("long").alias("n"))
         .select(
             "arm",
             "n",
-            (F.col("_minr") - 1).alias("_off"),
             *[
                 F.greatest(F.lit(1), idiv(F.col("n") * p, 100))
                 .cast("long")
@@ -16878,25 +16885,8 @@ def events_quantile_uplift(spark: SparkSession, sf_dir: str) -> DataFrame:
             ],
         )
     )
-    arnk = F.col("rnk") - F.col("_off")
-    probes = (
-        ranked.join(F.broadcast(arm_stats), "arm")
-        .filter(
-            (arnk == F.col("k25"))
-            | (arnk == F.col("k50"))
-            | (arnk == F.col("k75"))
-        )
-        .select(
-            "arm",
-            "n",
-            "cents",
-            arnk.alias("_arnk"),
-            "k25",
-            "k50",
-            "k75",
-        )
-    )
-    w = probes.agg(
+    joined = cum.join(F.broadcast(arm_stats), "arm")
+    w = joined.agg(
         *[
             col
             for a in (0, 1)
@@ -16910,7 +16900,7 @@ def events_quantile_uplift(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.min(
                         F.when(
                             (F.col("arm") == a)
-                            & (F.col("_arnk") == F.col(f"k{p}")),
+                            & (F.col("cum") >= F.col(f"k{p}")),
                             F.col("cents"),
                         )
                     )

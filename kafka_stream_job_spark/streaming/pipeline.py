@@ -3259,7 +3259,10 @@ def _register_streaming_ivf_assign() -> None:
                 F.col("s.n_delta").alias("n_delta"),
                 F.col("s.sums").alias("sums"),
             )
-            .localCheckpoint(eager=False)  # upd AND the report read it
+            # no localCheckpoint: the source is the drained MEMORY
+            # table (a LocalTableScan) — recomputing this tiny agg for
+            # its two consumers is cheaper than the eager physical
+            # planning a checkpoint call pays (r12 measurement)
         )
         # updated centroid = ROUND(sum / n) per dim — the identical double
         # division the batch op's ROUND(AVG(int)) performs
@@ -3270,7 +3273,7 @@ def _register_streaming_ivf_assign() -> None:
                 "sums",
                 lambda s: F.round(s.cast("double") / n_members, 0),
             ).alias("c_emb"),
-        ).localCheckpoint(eager=False)  # renew AND drift read it
+        )  # renew AND drift recompute from the memory table (see above)
         # stateless post-stream verdicts on the static table (the
         # streaming_semdedup re-fetch discipline): old/new delta cells
         a_delta = _ivf_incr_assign(delta, cents).localCheckpoint(eager=False)
