@@ -6577,7 +6577,12 @@ def _register_streaming_lsh_index_maintenance() -> None:
     ) -> DataFrame:
         import tempfile
 
-        docs = stream_documents(spark, sf_dir)
+        # repartition after the single-split replay source: the heavy
+        # shingle→md5 explode otherwise serializes in one task (same fix
+        # as streaming_lsh_candidate_buckets — guide §2.5)
+        docs = stream_documents(spark, sf_dir).repartition(
+            spark.sparkContext.defaultParallelism
+        )
         staged = docs.where(F.col("text").isNotNull()).select(
             "doc_id", F.explode(_hashed_shingle_expr()).alias("h")
         )
