@@ -66,12 +66,27 @@ def jvm_values_df(spark, rows, schema: str):
     constant-fold through it. Renders the literal types the registry's
     lookup/grid tables use (int, float, str, bool, None); anything else
     raises rather than silently round-tripping through repr.
+
+    TRUSTED CONSTANTS ONLY: callers pass compile-time tables (exponent
+    grids, price bands, priors), never data-derived strings. The
+    backslash-escape rendering of string cells additionally requires the
+    default parser mode — with spark.sql.parser.escapedStringLiterals=true
+    the escapes would be read verbatim — so that conf is asserted below
+    rather than silently producing different rows.
     """
     from pyspark.sql.types import _parse_datatype_string
 
     struct = _parse_datatype_string(schema)
     if not rows:  # VALUES needs >= 1 row; empty stays on the old path
         return spark.createDataFrame([], schema)
+    if any(isinstance(v, str) for row in rows for v in row) and (
+        spark.conf.get("spark.sql.parser.escapedStringLiterals", "false")
+        == "true"
+    ):
+        raise RuntimeError(
+            "jvm_values_df renders string literals with backslash escapes "
+            "and requires spark.sql.parser.escapedStringLiterals=false"
+        )
 
     def lit(v) -> str:
         if v is None:

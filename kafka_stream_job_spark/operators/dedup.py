@@ -1895,9 +1895,12 @@ def _anchored_gram_batches(it):
 
     Mirrors the engine's former JVM expression exactly:
     - normalization = lower(trim(regexp_replace(text, '\\s+', ' '))):
-      the regex class below IS Java's \\s ([ \\t\\n\\x0b\\f\\r]); after
-      collapsing, only plain spaces remain at the edges, so Python
-      strip() == SQL trim; ASCII lowercase agrees across engines.
+      the regex class below IS Java's \\s ([ \\t\\n\\x0b\\f\\r]); the
+      collapse leaves plain spaces OR non-ASCII whitespace (\\xa0,
+      \\u2028, ...) at the edges, and SQL TRIM removes only plain
+      spaces — so strip(" "), never bare strip(), which would also eat
+      the Unicode whitespace TRIM keeps. ASCII lowercase agrees across
+      engines.
     - md5 over UTF-8 bytes, leading 7 hex digits as the anchor integer —
       identical to conv(substring(md5(g),1,7),16,10).
     - the `seen` set dedups per document over ALL positions; selection
@@ -1916,7 +1919,7 @@ def _anchored_gram_batches(it):
         texts = batch.column("text").to_pylist()
         o_id, o_gram = [], []
         for did, text in zip(ids, texts):
-            norm = ws.sub(" ", text).strip().lower()
+            norm = ws.sub(" ", text).strip(" ").lower()
             length = len(norm)
             if length < GRAM_LEN:
                 continue

@@ -88,6 +88,9 @@ def test_load_table_memoizes_per_session(spark):
     assert a is b, "same session+args must return the memoized plan"
     c = load_table(spark, SF_SMOKE, "nation", rebalance=True)
     assert c is not a, "rebalance variant is a distinct cache entry"
+    d = load_table(spark, SF_SMOKE, "documents", rebalance=True, key="doc_id")
+    e = load_table(spark, SF_SMOKE, "documents", rebalance=True)
+    assert d is not e, "keyed rebalance variant is a distinct cache entry"
     import os
 
     app = spark.sparkContext.applicationId
@@ -97,12 +100,24 @@ def test_load_table_memoizes_per_session(spark):
         os.path.realpath(SF_SMOKE),
         "nation",
         False,
+        None,
         st.st_mtime_ns,
         st.st_size,
     ) in tables._SCAN_CACHE, (
-        "cache key must carry applicationId and the file's (mtime, size) "
-        "so fixture regeneration invalidates the frozen file index"
+        "cache key must carry applicationId, the rebalance key, and the "
+        "file's (mtime, size) so fixture regeneration invalidates the "
+        "frozen file index"
     )
+    std = os.stat(os.path.join(SF_SMOKE, "documents.parquet"))
+    assert (
+        app,
+        os.path.realpath(SF_SMOKE),
+        "documents",
+        True,
+        "doc_id",
+        std.st_mtime_ns,
+        std.st_size,
+    ) in tables._SCAN_CACHE, "keyed rebalance entries carry key in the tuple"
     # correctness unaffected: the cached plan still scans fresh data
     assert a.count() == spark.read.parquet(f"{SF_SMOKE}/nation.parquet").count()
 

@@ -5229,3 +5229,79 @@ def test_bootstrap_thresholds_mean_one():
         k * (edges[k + 1] - edges[k]) for k in range(len(edges) - 1)
     ) / dom
     assert abs(mean - 1.0) < 2e-3, f"implied weight mean {mean} is not ~1"
+
+
+# ---------------------------------------------------------------------------
+# dedup_exact_substring normalization must mirror the engine's JVM
+# expression lower(trim(regexp_replace(text, '\\s+', ' '))) exactly:
+# the Java \\s collapse can leave NON-ASCII whitespace (\xa0, \u2028,
+# \x85 ...) at the document edges, and Spark's TRIM strips only plain
+# spaces (0x20). A bare Python str.strip() also eats the Unicode
+# whitespace and diverges (r12 ADVICE item). Pin the Arrow batch
+# extractor against the JVM expression path run through Spark itself.
+# (DuckDB's own TRIM strips Zs chars like \xa0 and its RE2 \s excludes
+# \x0b, so the DuckDB oracle is NOT the reference for these edge chars;
+# the fixture corpus contains none, which is why the declared query
+# matches the oracle — the contract pinned here is Arrow ≡ JVM.)
+# ---------------------------------------------------------------------------
+def test_anchored_grams_match_jvm_norm_on_unicode_edges(spark):
+    import pyarrow as pa
+    from pyspark.sql import functions as F
+
+    from kafka_stream_job_spark.operators.dedup import (
+        GRAM_LEN,
+        GRAM_STRIDE,
+        _anchored_gram_batches,
+    )
+
+    docs = [
+        (1, "\xa0 The Quick\tBrown Fox " + "jumps over the lazy dog " * 3),
+        (2, " lead and trail unicode ws " + "x" * 40 + " \x85"),
+        (3, "  plain ascii edges  " + "abcdefgh " * 8),
+        (4, "\x0bvertical tab collapses\x0b" + "y" * 40),
+        (5, "\xa0" * 5 + "short"),  # under GRAM_LEN after norm
+    ]
+    batch = pa.RecordBatch.from_arrays(
+        [
+            pa.array([d for d, _ in docs], pa.int64()),
+            pa.array([t for _, t in docs], pa.string()),
+        ],
+        ["doc_id", "text"],
+    )
+    got = set()
+    for out in _anchored_gram_batches(iter([batch])):
+        got.update(
+            zip(out.column("doc_id").to_pylist(), out.column("gram").to_pylist())
+        )
+
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    jvm = (
+        df.withColumn(
+            "norm", F.lower(F.trim(F.regexp_replace("text", r"\s+", " ")))
+        )
+        .where(F.length("norm") >= GRAM_LEN)
+        .select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    f"array_distinct(transform("
+                    f"  sequence(1, length(norm) - {GRAM_LEN} + 1),"
+                    f"  i -> substring(norm, i, {GRAM_LEN})))"
+                )
+            ).alias("gram"),
+        )
+        .where(
+            F.expr(
+                f"conv(substring(md5(gram), 1, 7), 16, 10) % {GRAM_STRIDE} = 0"
+            )
+        )
+    )
+    expected = {(r["doc_id"], r["gram"]) for r in jvm.collect()}
+    assert got == expected, (
+        f"gram sets diverge on unicode-edged docs: "
+        f"only_arrow={sorted(got - expected)[:3]} "
+        f"only_jvm={sorted(expected - got)[:3]}"
+    )
+    # the \xa0-edged doc must have produced a gram containing the
+    # preserved non-ASCII whitespace, otherwise the test is vacuous
+    assert any("\xa0" in g or "\x85" in g for _, g in expected)
