@@ -128,16 +128,190 @@ def _hashed_shingle_expr():
     )
 
 
+def _py_norm_shingles(text: str, ws) -> list:
+    """Python twin of ``transform(sequence(...), i -> array_join(slice(
+    toks, i+1, K), ' '))`` over the normalized text — ALL positions
+    (multiset), order preserved. ``ws`` is the compiled Java-\\s class;
+    ``strip(" ")`` mirrors SQL TRIM (plain spaces only — the
+    _anchored_gram_batches discipline). Shared by every Arrow shingle
+    body so the normalization can never fork."""
+    norm = ws.sub(" ", text).strip(" ").lower()
+    toks = norm.split(" ")
+    m = len(toks) - SHINGLE_K
+    if m < 0:
+        m = 0
+    return [" ".join(toks[i : i + SHINGLE_K]) for i in range(m + 1)]
+
+
+def _minhash_sig_batches(it):
+    """mapInArrow body: (doc_id, text) → (doc_id, h0..h{k-1}) — the FULL
+    per-document MinHash signature computed in one Python pass.
+
+    Replaces the former JVM pipeline (interpreted ``transform`` HOF
+    building each shingle via slice+array_join, explode, 16 codegen
+    min-aggregates): the HOF evaluated interpreted per element and r13
+    measured ~22 s of executor CPU at sf0.1 for ~260k shingles (~85 µs
+    each) vs 0.5 s single-thread for this body (guide §4.2 — hand whole
+    batches to native/vectorized code). Emitting finished signatures
+    also deletes the explode AND the groupBy(doc_id) exchange outright:
+    a document's shingles never leave the task that scanned it (§2.4).
+
+    Arithmetic is the JVM expression's twin, term for term: md5 over
+    UTF-8 bytes, leading 7 hex digits as a 28-bit int, seed s's hash =
+    min over shingles of (A[s]·h + B[s]) % P in exact int64 (A < 2³¹,
+    h < 2²⁸ → products < 2⁵⁹, no overflow). Min over the position
+    multiset == min over the shingle set, so no distinct — same
+    argument the aggregate form relied on. Pinned bit-for-bit against
+    the JVM expression pipeline by
+    test_minhash_arrow_sigs_match_jvm (incl. Unicode-whitespace edges).
+    """
+    import hashlib
+    import re
+
+    import numpy as np
+    import pyarrow as pa
+
+    ws = re.compile(r"[ \t\n\x0b\f\r]+")
+    md5 = hashlib.md5
+    A = np.array(MINHASH_A, dtype=np.int64)[:, None]
+    B = np.array(MINHASH_B, dtype=np.int64)[:, None]
+    for batch in it:
+        ids = batch.column("doc_id").to_pylist()
+        texts = batch.column("text").to_pylist()
+        sigs = np.empty((len(ids), NUM_HASHES), dtype=np.int64)
+        for r, text in enumerate(texts):
+            grams = _py_norm_shingles(text, ws)
+            h = np.fromiter(
+                (
+                    int(md5(g.encode("utf-8")).hexdigest()[:7], 16)
+                    for g in grams
+                ),
+                dtype=np.int64,
+                count=len(grams),
+            )
+            sigs[r] = ((A * h + B) % MINHASH_P).min(axis=1)
+        yield pa.RecordBatch.from_arrays(
+            [pa.array(ids, pa.int64())]
+            + [pa.array(sigs[:, s]) for s in range(NUM_HASHES)],
+            ["doc_id"] + [f"h{s}" for s in range(NUM_HASHES)],
+        )
+
+
+def _shingle_rows_batches(it):
+    """mapInArrow body: (doc_id, text) → per-document DISTINCT
+    (doc_id, shingle) rows — the Arrow twin of
+    explode(array_distinct(shingles)). Same normalization/shingling as
+    _minhash_sig_batches via _py_norm_shingles; the per-doc ``seen``
+    set IS array_distinct (first occurrence kept; row order inside a
+    doc is irrelevant to every consumer — all are joins/aggregates).
+    Output is globally unique by construction (one input row per doc),
+    so callers need NO post-explode distinct exchange."""
+    import re
+
+    import pyarrow as pa
+
+    ws = re.compile(r"[ \t\n\x0b\f\r]+")
+    for batch in it:
+        ids = batch.column("doc_id").to_pylist()
+        texts = batch.column("text").to_pylist()
+        o_id, o_sh = [], []
+        for did, text in zip(ids, texts):
+            if text is None:  # explode(NULL) dropped the row; mirror it
+                continue
+            seen = set()
+            for g in _py_norm_shingles(text, ws):
+                if g not in seen:
+                    seen.add(g)
+                    o_id.append(did)
+                    o_sh.append(g)
+        yield pa.RecordBatch.from_arrays(
+            [pa.array(o_id, pa.int64()), pa.array(o_sh, pa.string())],
+            ["doc_id", "shingle"],
+        )
+
+
+def _source_hash_rows_batches(it):
+    """mapInArrow body: (source, text) → per-DOCUMENT distinct
+    (source, h) rows — the Arrow twin of
+    explode(array_distinct(hashed shingles)) keyed by source. Callers
+    still apply their own cross-document distinct."""
+    import hashlib
+    import re
+
+    import pyarrow as pa
+
+    ws = re.compile(r"[ \t\n\x0b\f\r]+")
+    md5 = hashlib.md5
+    for batch in it:
+        srcs = batch.column("source").to_pylist()
+        texts = batch.column("text").to_pylist()
+        o_src, o_h = [], []
+        for src, text in zip(srcs, texts):
+            if text is None:  # explode(NULL) dropped the row; mirror it
+                continue
+            hs = {
+                int(md5(g.encode("utf-8")).hexdigest()[:7], 16)
+                for g in _py_norm_shingles(text, ws)
+            }
+            o_src.extend([src] * len(hs))
+            o_h.extend(hs)
+        yield pa.RecordBatch.from_arrays(
+            [pa.array(o_src, pa.string()), pa.array(o_h, pa.int64())],
+            ["source", "h"],
+        )
+
+
+def _simhash_fp_batches(it):
+    """mapInArrow body: (doc_id, text) → (doc_id, fp) — the 28-bit
+    SimHash fingerprint per document, computed whole (guide §4.2).
+
+    Twin of the former JVM pipeline, term for term: per-doc DISTINCT
+    28-bit shingle hashes (dedup of HASHED values — 28-bit collisions
+    are vote-weight-relevant, exactly array_distinct's semantics), bit
+    j's vote = Σ over distinct hashes of (+1 if bit set else −1), fp
+    bit j set iff vote ≥ 0. Integer-exact throughout; pinned against
+    the JVM expression by test_simhash_arrow_fp_match_jvm."""
+    import hashlib
+    import re
+
+    import numpy as np
+    import pyarrow as pa
+
+    ws = re.compile(r"[ \t\n\x0b\f\r]+")
+    md5 = hashlib.md5
+    bits = np.arange(SIMHASH_BITS, dtype=np.int64)
+    for batch in it:
+        ids = batch.column("doc_id").to_pylist()
+        texts = batch.column("text").to_pylist()
+        fps = np.empty(len(ids), dtype=np.int64)
+        for r, text in enumerate(texts):
+            hs = {
+                int(md5(g.encode("utf-8")).hexdigest()[:7], 16)
+                for g in _py_norm_shingles(text, ws)
+            }
+            h = np.fromiter(hs, dtype=np.int64, count=len(hs))
+            # vote_j = Σ ±1 = 2·(count of set bits) − n; fp bit j iff ≥ 0
+            set_counts = ((h[:, None] >> bits[None, :]) & 1).sum(axis=0)
+            votes = 2 * set_counts - len(hs)
+            fps[r] = int(((votes >= 0).astype(np.int64) << bits).sum())
+        yield pa.RecordBatch.from_arrays(
+            [pa.array(ids, pa.int64()), pa.array(fps)], ["doc_id", "fp"]
+        )
+
+
 def _shingles(df: DataFrame) -> DataFrame:
     """(doc_id, shingle) — distinct word-level K-shingles per document.
 
-    Built JVM-side: split → slice windows via transform over an index
-    sequence → explode. No Python UDF in the hot path. Used by the
-    Jaccard verify stage, which genuinely needs the set rows.
+    Arrow-batched since r13 (was: interpreted transform HOF + explode +
+    a global distinct exchange — the HOF cost ~85 µs/shingle of
+    executor CPU and the distinct re-shuffled every shingle row for a
+    set that is already unique per construction; guide §4.2 and §2.4).
+    The Jaccard verify stage and the funnel/decontamination joins
+    consume the same rows as before, bit for bit
+    (test_shingle_rows_arrow_match_jvm).
     """
-    return (
-        df.select("doc_id", F.explode(F.array_distinct(_shingle_array())).alias("shingle"))
-        .distinct()
+    return df.select("doc_id", "text").mapInArrow(
+        _shingle_rows_batches, "doc_id long, shingle string"
     )
 
 
@@ -177,52 +351,34 @@ _BANDS_SQL = " UNION ALL ".join(
 def minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(doc_id, h0..h{k-1}) — per-doc MinHash signature (bigint columns).
 
-    Scale design:
-
-    1. Each shingle is md5-hashed ONCE and its leading 7 hex digits are
-       parsed to a 28-bit integer (``conv(substr(md5(sh),1,7),16,10)``).
-       The hash runs as a ROW-LEVEL expression after the shingle explode
-       — inside whole-stage codegen — not inside the shingling
-       ``transform`` lambda, which is interpreted per element (r12
-       measured: fused-in-HOF 1.17 s vs row-level 0.98 s for the full
-       signature pass at sf0.1; identical rows).
-    2. Seed *s*'s min-hash is ``MIN((A[s]*h + B[s]) % P)`` — a
-       universal-hash permutation in pure integer arithmetic, evaluated
-       as 16 codegen'd min-aggregates over the exploded (doc_id, h)
-       rows. Min over the shingle multiset == min over the set, so no
-       distinct. (A narrow higher-order ``aggregate`` variant avoids the
-       explode entirely but runs interpreted, measured 3× slower — HOFs
-       are outside whole-stage codegen.)
-    3. The explode does NOT blow up the shuffle: hash aggregation does
-       map-side partial mins, so the exchange carries one 16-long row
-       per document, not one row per shingle. At 100 TB the shingle
-       rows exist only inside each scan task.
-    4. The under-split-scan rebalance is keyed on doc_id, so the
-       groupBy(doc_id) RIDES that exchange (one shuffle total locally);
-       at 100 TB the rebalance is a no-op and the plan is the classic
-       partial-min + narrow signature exchange of point 3.
+    Scale design (r13 — see _minhash_sig_batches for the full argument):
+    one Arrow stage computes finished signatures per document, so a
+    document's shingles never exist outside the task that scanned it —
+    zero exchanges in the signature pass itself (the under-split
+    rebalance self-disables at 100 TB scan widths). History: r12 ran
+    shingling as a JVM transform HOF + explode + 16 codegen
+    min-aggregates; the HOF is interpreted per element and profiled as
+    ~22 s of executor CPU at sf0.1 (~85 µs/shingle) vs 0.5 s
+    single-thread for the Python/numpy body — guide §4.2's "do the
+    heavy lifting in native code inside the batch" beats per-element
+    interpreted JVM eval by far more than the Arrow crossing costs.
     """
-    docs = load_table(spark, sf_dir, "documents", rebalance=True, key="doc_id")
-    staged = (
+    # r13: the whole signature is computed per document inside ONE Arrow
+    # stage (_minhash_sig_batches) — no shingle explode, no groupBy
+    # exchange, and the interpreted shingling HOF is gone (its ~22 s of
+    # executor CPU at sf0.1 was the query's hot spot). The rebalance is
+    # round-robin now (no key): with the aggregation deleted there is no
+    # exchange left to share, and round-robin balances the Python CPU
+    # best; at 100 TB the rebalance is a no-op as before.
+    docs = load_table(spark, sf_dir, "documents", rebalance=True)
+    return (
         docs.where(F.col("text").isNotNull())
-        .select("doc_id", F.explode(_shingle_array()).alias("shingle"))
-        .select(
-            "doc_id",
-            F.expr("CAST(conv(substring(md5(shingle), 1, 7), 16, 10) AS BIGINT)").alias(
-                "h"
-            ),
+        .select("doc_id", "text")
+        .mapInArrow(
+            _minhash_sig_batches,
+            "doc_id long, " + ", ".join(f"h{s} long" for s in range(NUM_HASHES)),
         )
     )
-    # one JVM parse per seed instead of ~6 py4j Column constructions each
-    # (driver-side build cost; bit-identical expression — verified
-    # row-for-row against the Column form at both SFs before the swap)
-    sig_cols = [
-        F.expr(f"min(({MINHASH_A[s]} * h + {MINHASH_B[s]}) % {MINHASH_P})").alias(
-            f"h{s}"
-        )
-        for s in range(NUM_HASHES)
-    ]
-    return staged.groupBy("doc_id").agg(*sig_cols)
 
 
 # ---------------------------------------------------------------------------
@@ -417,30 +573,19 @@ def simhash_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     one 28-int row per doc. The fingerprint assembles sign bits in a
     cheap post-agg projection (cardinality = documents).
 
-    The md5 stays fused inside the shingling ``transform`` here (unlike
-    minhash_signatures): the per-row ``array_distinct`` must dedup the
-    HASHED values (28-bit collisions are vote-weight-relevant), so the
-    hash cannot move below the explode without changing semantics. The
-    under-split rebalance is keyed on doc_id so the groupBy rides it
-    locally (no second exchange); at 100 TB the plan is unchanged.
+    r13: one Arrow stage (_simhash_fp_batches) computes the finished
+    fingerprint per document — the per-doc dedup of HASHED values that
+    forced the md5 to stay inside the interpreted ``transform`` HOF
+    (r12's refusal) is a set() in Python, the 28 bit votes are numpy
+    popcount arithmetic, and the explode + vote exchange are gone
+    entirely (same argument as minhash_signatures; guide §4.2/§2.4).
     """
-    docs = load_table(spark, sf_dir, "documents", rebalance=True, key="doc_id")
-    staged = docs.where(F.col("text").isNotNull()).select(
-        "doc_id", F.explode(F.array_distinct(_hashed_shingle_expr())).alias("h")
+    docs = load_table(spark, sf_dir, "documents", rebalance=True)
+    return (
+        docs.where(F.col("text").isNotNull())
+        .select("doc_id", "text")
+        .mapInArrow(_simhash_fp_batches, "doc_id long, fp long")
     )
-    votes = staged.groupBy("doc_id").agg(
-        *[
-            F.sum(
-                F.when(F.shiftright(F.col("h"), j) % 2 == 1, F.lit(1)).otherwise(F.lit(-1))
-            ).alias(f"v{j}")
-            for j in range(SIMHASH_BITS)
-        ]
-    )
-    fp = None
-    for j in range(SIMHASH_BITS):
-        bit = F.when(F.col(f"v{j}") >= 0, F.lit(1 << j)).otherwise(F.lit(0))
-        fp = bit if fp is None else fp + bit
-    return votes.select("doc_id", fp.cast("long").alias("fp"))
 
 
 @register(
@@ -2785,8 +2930,11 @@ def source_overlap_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     from kafka_stream_job_spark.operators._portable import idiv
 
     docs = load_table(spark, sf_dir, "documents")
-    sh = docs.select(
-        "source", F.explode(F.array_distinct(_hashed_shingle_expr())).alias("h")
+    # r13: per-doc distinct hashes from an Arrow body (the interpreted
+    # shingling HOF was the CPU hot spot — see _minhash_sig_batches);
+    # the global distinct stays: it dedups ACROSS documents per source.
+    sh = docs.select("source", "text").mapInArrow(
+        _source_hash_rows_batches, "source string, h long"
     ).distinct()
     sizes = sh.groupBy("source").agg(F.count(F.lit(1)).cast("long").alias("n"))
     a = sh.select(F.col("source").alias("s1"), "h")

@@ -65,6 +65,28 @@ def with_binary_payload(docs: DataFrame) -> DataFrame:
     )
 
 
+def fused_encode_decode(docs: DataFrame, encode, decode, schema) -> DataFrame:
+    """ONE mapInPandas stage composing a fixture ENCODE generator and a
+    blind DECODE generator inside the same Python worker.
+
+    The encode→decode pairs used to run as two chained mapInPandas
+    stages; each stage is a separate ArrowEvalPython pipeline, so the
+    payload bytes crossed the JVM↔Python boundary twice more than
+    needed (py→JVM→py in the middle of one stage). Composing the
+    generators keeps the decoder blind to the encoder's layout (it
+    still sees only (doc_id, payload) frames) while the payload column
+    never re-enters the JVM — guide §4.1: you control how many times
+    columns cross the boundary. r13 measured ~0.35 s/query at sf0.1
+    (two ArrowEvalPython pipelines → one), and at scale it removes one
+    full Arrow serialization round trip of the heaviest column.
+    """
+
+    def fused(batches):
+        yield from decode(encode(batches))
+
+    return docs.mapInPandas(fused, schema)
+
+
 def decode_payload_batches(
     batches: Iterator["pd.DataFrame"],
 ) -> Iterator["pd.DataFrame"]:
@@ -578,8 +600,9 @@ def multimodal_wav_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
                 rows["sq_sum"].append(parsed["sq_sum"])
             yield pd.DataFrame(rows)
 
-    wavs = docs.mapInPandas(encode_batches, "doc_id long, payload binary")
-    parsed = wavs.mapInPandas(
+    parsed = fused_encode_decode(
+        docs,
+        encode_batches,
         decode_batches,
         "doc_id long, sample_rate long, n_channels long, "
         "bits_per_sample long, n_samples long, sq_sum long",
@@ -1459,8 +1482,9 @@ def multimodal_bmp_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
                     rows[k].append(parsed[k])
             yield pd.DataFrame(rows)
 
-    bmps = docs.mapInPandas(_bmp_encode_batches, "doc_id long, payload binary")
-    parsed = bmps.mapInPandas(
+    parsed = fused_encode_decode(
+        docs,
+        _bmp_encode_batches,
         decode_batches,
         "doc_id long, width long, height long, bits_per_pixel long, "
         "n_pixels long, sum_r long, sum_g long, sum_b long",
@@ -1588,8 +1612,9 @@ def multimodal_bmp_ahash(spark: SparkSession, sf_dir: str) -> DataFrame:
                 hashes.append(bits)
             yield pd.DataFrame({"doc_id": ids, "ahash64": hashes})
 
-    bmps = docs.mapInPandas(_bmp_encode_batches, "doc_id long, payload binary")
-    hashed = bmps.mapInPandas(ahash_batches, "doc_id long, ahash64 string")
+    hashed = fused_encode_decode(
+        docs, _bmp_encode_batches, ahash_batches, "doc_id long, ahash64 string"
+    )
     return hashed.groupBy(
         F.substring("ahash64", 1, 16).alias("bucket16")
     ).agg(
@@ -1835,8 +1860,9 @@ def multimodal_png_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
                     rows[k].append(parsed[k])
             yield pd.DataFrame(rows)
 
-    pngs = docs.mapInPandas(_png_encode_batches, "doc_id long, payload binary")
-    parsed = pngs.mapInPandas(
+    parsed = fused_encode_decode(
+        docs,
+        _png_encode_batches,
         decode_batches,
         "doc_id long, width long, height long, bit_depth long, "
         "n_pixels long, sum_luma long",
@@ -2123,8 +2149,9 @@ def multimodal_gif_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
                     rows[k].append(parsed[k])
             yield pd.DataFrame(rows)
 
-    gifs = docs.mapInPandas(_gif_encode_batches, "doc_id long, payload binary")
-    return gifs.mapInPandas(
+    return fused_encode_decode(
+        docs,
+        _gif_encode_batches,
         decode_batches,
         "doc_id long, width long, height long, n_pixels long, "
         "palette_size long, sum_luma long",
@@ -2245,8 +2272,9 @@ def multimodal_magic_sniffer(spark: SparkSession, sf_dir: str) -> DataFrame:
                 rows["luma_milli"].append(luma)
             yield pd.DataFrame(rows)
 
-    blobs = docs.mapInPandas(encode_batches, "doc_id long, payload binary")
-    parsed = blobs.mapInPandas(
+    parsed = fused_encode_decode(
+        docs,
+        encode_batches,
         decode_batches,
         "doc_id long, fmt string, n_pixels long, luma_milli long",
     )
@@ -2364,9 +2392,9 @@ def multimodal_wav_silence_real(spark: SparkSession, sf_dir: str) -> DataFrame:
                 rows["n_silent"].append(n_silent)
             yield pd.DataFrame(rows)
 
-    wavs = docs.mapInPandas(encode_batches, "doc_id long, payload binary")
-    parsed = wavs.mapInPandas(
-        decode_batches, "doc_id long, n_frames long, n_silent long"
+    parsed = fused_encode_decode(
+        docs, encode_batches, decode_batches,
+        "doc_id long, n_frames long, n_silent long",
     )
     return parsed.select(
         "doc_id",
@@ -2656,8 +2684,9 @@ def multimodal_avi_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
                 rows["channel_sum"].append(parsed["channel_sum"])
             yield pd.DataFrame(rows)
 
-    avis = docs.mapInPandas(_avi_encode_batches, "doc_id long, payload binary")
-    parsed = avis.mapInPandas(
+    parsed = fused_encode_decode(
+        docs,
+        _avi_encode_batches,
         decode_batches,
         "doc_id long, n_frames long, width long, height long, "
         "us_per_frame long, channel_sum long",
@@ -2791,8 +2820,9 @@ def multimodal_avi_shot_boundaries(
                 rows["longest_shot"].append(longest)
             yield pd.DataFrame(rows)
 
-    avis = docs.mapInPandas(_avi_encode_batches, "doc_id long, payload binary")
-    return avis.mapInPandas(
+    return fused_encode_decode(
+        docs,
+        _avi_encode_batches,
         segment_batches,
         "doc_id long, n_frames long, n_shots long, longest_shot long",
     )
@@ -2944,12 +2974,9 @@ def multimodal_wav_haar_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "lang", "text")
         .filter(F.length("text") >= HAARW_FRAME)
     )
-    wavs = docs.mapInPandas(
-        _wav_haar_encode_batches, "doc_id long, lang string, payload binary"
-    )
-    return wavs.mapInPandas(_wav_haar_batches, _WAV_HAAR_SCHEMA).select(
-        "doc_id", "n_frames", "e1", "e2", "e3"
-    )
+    return fused_encode_decode(
+        docs, _wav_haar_encode_batches, _wav_haar_batches, _WAV_HAAR_SCHEMA
+    ).select("doc_id", "n_frames", "e1", "e2", "e3")
 
 
 def _haarw_lang_oracle() -> str:
@@ -3057,10 +3084,9 @@ def multimodal_wav_zcr_real(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "lang", "text")
         .filter(F.length("text") >= 2)
     )
-    wavs = docs.mapInPandas(
-        _wav_haar_encode_batches, "doc_id long, lang string, payload binary"
+    per_doc = fused_encode_decode(
+        docs, _wav_haar_encode_batches, _wav_zcr_batches, _WAV_ZCR_SCHEMA
     )
-    per_doc = wavs.mapInPandas(_wav_zcr_batches, _WAV_ZCR_SCHEMA)
     return per_doc.select(
         "doc_id",
         "n_samples",
@@ -3154,8 +3180,9 @@ def multimodal_bmp_dhash(spark: SparkSession, sf_dir: str) -> DataFrame:
                 hashes.append(bits)
             yield pd.DataFrame({"doc_id": ids, "dhash56": hashes})
 
-    bmps = docs.mapInPandas(_bmp_encode_batches, "doc_id long, payload binary")
-    hashed = bmps.mapInPandas(dhash_batches, "doc_id long, dhash56 string")
+    hashed = fused_encode_decode(
+        docs, _bmp_encode_batches, dhash_batches, "doc_id long, dhash56 string"
+    )
     return hashed.groupBy(
         F.substring("dhash56", 1, 14).alias("bucket14")
     ).agg(

@@ -13846,35 +13846,35 @@ def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("l_suppkey").alias("s"),
         (F.col("l_partkey") + LPA_PART_BASE).alias("p"),
     ).distinct()
-    l0 = (
-        edges.select(F.col("s").alias("node")).distinct()
-        .unionAll(edges.select(F.col("p").alias("node")).distinct())
-        .select("node", F.col("node").alias("lbl"))
+    # Symmetric adjacency: each undirected edge contributes both
+    # directions once, so ONE nbr-keyed join per round replaces the
+    # former per-round pair of direction-specific joins (r13; guide
+    # §2.4). Rounds keep LEAST(own, MIN(neighbor labels)) — the
+    # own-label row rides the union, exactly the r12 formulation.
+    adj = edges.select(
+        F.col("s").alias("node"), F.col("p").alias("nbr")
+    ).unionAll(edges.select(F.col("p").alias("node"), F.col("s").alias("nbr")))
+    # Round 1 needs NO join at all: the initial label of every node IS
+    # its id, so min(own, min over neighbor labels) = min(node, min nbr)
+    # — one keyed aggregate straight off the adjacency. (Every node in
+    # l0 appears in adj, because l0 was derived from the edge list; the
+    # oracle's COALESCE(no-neighbors) arm is vacuous for the same
+    # reason.) This removes the whole l0-joined round-1 subtree that
+    # round 2 then re-planned 3x (52 parquet scans in the r12 plan).
+    l1 = adj.groupBy("node").agg(F.min(F.least("node", "nbr")).alias("lbl"))
+    # Round 2: one join carries l1 across edges; own label unions in, so
+    # LEAST(own, MIN(neighbors)) is again ONE keyed min-aggregate. l1
+    # appears twice (join side + union side) — identical subtrees, which
+    # AQE stage reuse collapses to one materialization.
+    contrib = (
+        adj.join(
+            l1.select(F.col("node").alias("nbr"), F.col("lbl").alias("o_lbl")),
+            "nbr",
+        )
+        .select("node", "o_lbl")
+        .unionAll(l1.select("node", F.col("lbl").alias("o_lbl")))
     )
-    labels = l0
-    for _ in range(2):
-        via_p = edges.join(
-            labels.select(F.col("node").alias("p"), F.col("lbl").alias("o_lbl")),
-            "p",
-        ).select(F.col("s").alias("node"), "o_lbl")
-        via_s = edges.join(
-            labels.select(F.col("node").alias("s"), F.col("lbl").alias("o_lbl")),
-            "s",
-        ).select(F.col("p").alias("node"), "o_lbl")
-        # LEAST(own, MIN(neighbors)) == MIN over (neighbors ∪ {own}), and
-        # every node row exists in `labels`, so unioning the node's own
-        # label into the contribution stream turns the round into ONE
-        # keyed min-aggregate — the former left join + post-join groupBy
-        # paid an extra exchange of the labels side per round (r12;
-        # guide §2.4 "aggregate instead of join when the join only
-        # re-attaches what a union can carry"). COALESCE(no neighbors)
-        # falls out: the own-label row is always present.
-        contrib = via_p.unionAll(via_s).unionAll(
-            labels.select("node", F.col("lbl").alias("o_lbl"))
-        )
-        labels = (
-            contrib.groupBy("node").agg(F.min("o_lbl").alias("lbl"))
-        )
+    labels = contrib.groupBy("node").agg(F.min("o_lbl").alias("lbl"))
     return (
         labels.groupBy(F.col("lbl").alias("community"))
         .agg(F.count(F.lit(1)).cast("long").alias("n_nodes"))

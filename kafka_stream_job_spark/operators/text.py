@@ -1965,11 +1965,17 @@ def _logreg_sigma_sql(w: str) -> str:
     )
 
 
-def _logreg_chain_sql() -> str:
-    """The feats→w0→(g,w)*ITERS CTE chain through the trained weight
-    relation ``w{LOGREG_ITERS}`` — shared by the training report and the
-    inference op so train and apply provably use one weight definition."""
-    sql = _logreg_feature_sql() + """,
+def _logreg_w_chain_sql() -> str:
+    """The w0→(g,w)*ITERS CTE chain (everything after ``feats``) in
+    ENGINE-SHARED SQL: the DuckDB oracle embeds it below, and the Spark
+    side executes the VERY SAME text via one parameterized ``spark.sql``
+    (``_logreg_fit``) — one py4j round trip instead of per-iteration
+    Column assembly (~1.5k round trips, ~0.5 s of driver chatter at any
+    scale; guide §1/§7.3: plan-build time is driver-side single-process
+    work). Every expression is in the portable subset both engines parse
+    identically: CAST/ROUND-to-integer/exp/comma-join of a 1-row
+    relation."""
+    sql = """
         w0 AS (SELECT CAST(0 AS DOUBLE) AS w0, CAST(0 AS DOUBLE) AS w1,
                       CAST(0 AS DOUBLE) AS w2)"""
     for k in range(1, LOGREG_ITERS + 1):
@@ -1996,6 +2002,13 @@ def _logreg_chain_sql() -> str:
             FROM g{k} g, w{k - 1} w
         )"""
     return sql
+
+
+def _logreg_chain_sql() -> str:
+    """The feats→w0→(g,w)*ITERS CTE chain through the trained weight
+    relation ``w{LOGREG_ITERS}`` — shared by the training report and the
+    inference op so train and apply provably use one weight definition."""
+    return _logreg_feature_sql() + "," + _logreg_w_chain_sql()
 
 
 def _logreg_oracle() -> str:
@@ -2080,37 +2093,22 @@ def _logreg_fit(spark: SparkSession, feats: DataFrame) -> DataFrame:
     """LOGREG_ITERS full-batch GD steps; returns the 1-row weight
     DataFrame. Each step is a constant-width aggregate of per-row
     micro-unit gradient terms: exact int64 sums, order-free under any
-    partial merge — never a data-sized single-row fold."""
+    partial merge — never a data-sized single-row fold.
 
-    def micro(col: "F.Column") -> "F.Column":
-        return F.round(F.lit(1e6) * col, 0).cast("long")
-
-    w = spark.range(1).select(
-        F.lit(0.0).alias("w0"), F.lit(0.0).alias("w1"), F.lit(0.0).alias("w2")
+    Executed as ONE parameterized ``spark.sql`` over the SAME CTE text
+    the DuckDB oracle embeds (``_logreg_w_chain_sql``): the former
+    per-iteration crossJoin/agg Column assembly paid ~1.5k py4j round
+    trips of driver time per call (r13 profile: the whole build was
+    socket chatter, not executor work). Arithmetic is unchanged — the
+    SQL is the Column math's portable twin, term for term, and Spark
+    compiles the identical plan (1-row broadcast per GD step).
+    """
+    return spark.sql(
+        "WITH feats AS (SELECT * FROM {feats}),"
+        + _logreg_w_chain_sql()
+        + f" SELECT * FROM w{LOGREG_ITERS}",
+        feats=feats,
     )
-    for _ in range(LOGREG_ITERS):
-        smy = _logreg_sigma() - F.col("y")
-        g = feats.crossJoin(F.broadcast(w)).agg(
-            F.sum(micro(smy)).alias("s0"),
-            F.sum(micro(smy * (F.col("f1_u") / F.lit(1e6)))).alias("s1"),
-            F.sum(micro(smy * (F.col("f2_u") / F.lit(1e6)))).alias("s2"),
-            F.count(F.lit(1)).cast("long").alias("n"),
-        )
-        w = g.crossJoin(F.broadcast(w)).select(
-            (
-                F.col("w0")
-                - F.lit(LOGREG_LR) * (F.col("s0") / F.lit(1e6)) / F.col("n")
-            ).alias("w0"),
-            (
-                F.col("w1")
-                - F.lit(LOGREG_LR) * (F.col("s1") / F.lit(1e6)) / F.col("n")
-            ).alias("w1"),
-            (
-                F.col("w2")
-                - F.lit(LOGREG_LR) * (F.col("s2") / F.lit(1e6)) / F.col("n")
-            ).alias("w2"),
-        )
-    return w
 
 
 # ---------------------------------------------------------------------------
@@ -4864,9 +4862,7 @@ _SPEARMAN_ORACLE = r"""
     bench_ext=True,
 )
 def spearman_len_vs_ttr(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from kafka_stream_job_spark.operators._distributed import (
-        distributed_prefix_sum,
-    )
+    from pyspark.sql import Window
 
     docs = load_table(spark, sf_dir, "documents")
     toks = F.split(F.trim(F.col("text")), r"\s+")
@@ -4880,8 +4876,19 @@ def spearman_len_vs_ttr(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).localCheckpoint(eager=False)  # both rank branches read it
 
     def ranked(col: str, out: str) -> DataFrame:
+        # The rank tables are VALUE-GROUPED (one row per distinct value)
+        # with bounded domains: x is a document length and y is an
+        # integer micro-ratio in [0, 1e6] — so the running count is a
+        # plain cumulative window over metadata-sized grouped rows, the
+        # events_quantile_uplift discipline (r12). The former
+        # distributed_prefix_sum call paid a range exchange + a
+        # localCheckpoint (~0.35 s of driver-side eager planning per
+        # call) to avoid a global sort that this domain size never
+        # needs (guide §1.2: don't pay the general primitive where the
+        # bounded-domain identity is exact).
         g = m.groupBy(col).agg(F.count(F.lit(1)).cast("long").alias("n"))
-        g = distributed_prefix_sum(g, [F.col(col)], "n", out_col="run")
+        w = Window.orderBy(col).rowsBetween(Window.unboundedPreceding, 0)
+        g = g.withColumn("run", F.sum("n").over(w))
         return m.select("doc_id", col).join(g, col).select(
             "doc_id",
             (2 * (F.col("run") - F.col("n")) + F.col("n") + 1).alias(out),

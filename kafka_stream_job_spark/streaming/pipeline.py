@@ -4032,7 +4032,7 @@ def _register_streaming_lsh_candidate_buckets() -> None:
         _BANDS_SQL,
         _SHINGLES_SQL,
         _SIGS_SQL,
-        _hashed_shingle_expr,
+        _minhash_sig_batches,
     )
     from kafka_stream_job_spark.registry import register
 
@@ -4070,24 +4070,23 @@ def _register_streaming_lsh_candidate_buckets() -> None:
             .where(F.col("text").isNotNull())
             .repartition(spark.sparkContext.defaultParallelism)
         )
-        staged = docs.select(
-            "doc_id", _hashed_shingle_expr().alias("hs")
+        # r13: signatures come whole from the shared Arrow body (same
+        # stage the batch minhash_signatures runs — one Python pass per
+        # doc instead of 16 interpreted array_min(transform(...)) HOF
+        # evaluations per row; stateless, so streaming semantics and the
+        # bucket-state exchange are untouched).
+        staged = docs.select("doc_id", "text").mapInArrow(
+            _minhash_sig_batches,
+            "doc_id long, "
+            + ", ".join(
+                f"h{s} long" for s in range(NUM_BANDS * ROWS_PER_BAND)
+            ),
         )
-        # per-row minhash: sig s = min over shingle hashes of the seed-s
-        # universal hash — interpreted HOF, but stateless: the stream's
-        # only shuffle is the bucket-state exchange.
-        sig_sql = {
-            s: (
-                f"array_min(transform(hs, h -> ({MINHASH_A[s]} * h"
-                f" + {MINHASH_B[s]}) % {MINHASH_P}))"
-            )
-            for s in range(NUM_BANDS * ROWS_PER_BAND)
-        }
         band_structs = ", ".join(
             "struct(CAST({b} AS BIGINT) AS band_idx, md5(concat_ws('|', {hs})) AS band_sig)".format(
                 b=b,
                 hs=", ".join(
-                    f"CAST({sig_sql[b * ROWS_PER_BAND + r]} AS STRING)"
+                    f"CAST(h{b * ROWS_PER_BAND + r} AS STRING)"
                     for r in range(ROWS_PER_BAND)
                 ),
             )
@@ -5668,6 +5667,7 @@ def _register_streaming_wav_haar_monitor() -> None:
         _haarw_lang_oracle,
         _wav_haar_batches,
         _wav_haar_encode_batches,
+        fused_encode_decode,
         HAARW_FRAME,
     )
     from kafka_stream_job_spark.registry import register
@@ -5693,11 +5693,9 @@ def _register_streaming_wav_haar_monitor() -> None:
             .select("doc_id", "lang", "text")
             .filter(F.length("text") >= HAARW_FRAME)
         )
-        wavs = docs.mapInPandas(
-            _wav_haar_encode_batches,
-            "doc_id long, lang string, payload binary",
+        per_doc = fused_encode_decode(
+            docs, _wav_haar_encode_batches, _wav_haar_batches, _WAV_HAAR_SCHEMA
         )
-        per_doc = wavs.mapInPandas(_wav_haar_batches, _WAV_HAAR_SCHEMA)
         rollup = per_doc.groupBy("lang").agg(
             F.count(F.lit(1)).cast("long").alias("n_docs"),
             F.sum("n_frames").cast("long").alias("n_frames"),
@@ -5741,6 +5739,7 @@ def _register_streaming_wav_zcr_monitor() -> None:
         _wav_haar_encode_batches,
         _wav_zcr_batches,
         _zcr_lang_oracle,
+        fused_encode_decode,
     )
     from kafka_stream_job_spark.registry import register
 
@@ -5765,11 +5764,9 @@ def _register_streaming_wav_zcr_monitor() -> None:
             .select("doc_id", "lang", "text")
             .filter(F.length("text") >= 2)
         )
-        wavs = docs.mapInPandas(
-            _wav_haar_encode_batches,
-            "doc_id long, lang string, payload binary",
+        per_doc = fused_encode_decode(
+            docs, _wav_haar_encode_batches, _wav_zcr_batches, _WAV_ZCR_SCHEMA
         )
-        per_doc = wavs.mapInPandas(_wav_zcr_batches, _WAV_ZCR_SCHEMA)
         rollup = per_doc.groupBy("lang").agg(
             F.count(F.lit(1)).cast("long").alias("n_docs"),
             F.sum("n_samples").cast("long").alias("n_samples"),
@@ -6560,7 +6557,7 @@ def _register_streaming_lsh_index_maintenance() -> None:
         MINHASH_B,
         MINHASH_P,
         NUM_HASHES,
-        _hashed_shingle_expr,
+        _minhash_sig_batches,
         lsh_index_report,
     )
     from kafka_stream_job_spark.registry import REGISTRY, register
@@ -6583,16 +6580,19 @@ def _register_streaming_lsh_index_maintenance() -> None:
         docs = stream_documents(spark, sf_dir).repartition(
             spark.sparkContext.defaultParallelism
         )
+        # r13: per-doc signatures from the shared Arrow body; the
+        # stateful doc-keyed aggregate keeps its replay semantics (min
+        # distributes: min across appearances of finished sigs == min
+        # over the union of shingle hashes the old explode carried).
         staged = docs.where(F.col("text").isNotNull()).select(
-            "doc_id", F.explode(_hashed_shingle_expr()).alias("h")
+            "doc_id", "text"
+        ).mapInArrow(
+            _minhash_sig_batches,
+            "doc_id long, " + ", ".join(f"h{s} long" for s in range(NUM_HASHES)),
         )
-        sig_cols = [
-            F.expr(
-                f"min(({MINHASH_A[s]} * h + {MINHASH_B[s]}) % {MINHASH_P})"
-            ).alias(f"h{s}")
-            for s in range(NUM_HASHES)
-        ]
-        per_doc = staged.groupBy("doc_id").agg(*sig_cols)
+        per_doc = staged.groupBy("doc_id").agg(
+            *[F.min(f"h{s}").alias(f"h{s}") for s in range(NUM_HASHES)]
+        )
         name = f"stream_lshidx_{uuid.uuid4().hex[:8]}"
         ckpt = tempfile.mkdtemp(prefix="ksj-stream-lshidx-")
         emitted = run_stream_to_memory(

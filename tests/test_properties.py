@@ -5305,3 +5305,141 @@ def test_anchored_grams_match_jvm_norm_on_unicode_edges(spark):
     # the \xa0-edged doc must have produced a gram containing the
     # preserved non-ASCII whitespace, otherwise the test is vacuous
     assert any("\xa0" in g or "\x85" in g for _, g in expected)
+
+
+# ---------------------------------------------------------------------------
+# r13 Arrow shingle bodies must be bit-for-bit twins of the JVM
+# expressions they replaced (interpreted transform HOF + explode +
+# aggregates). Adversarial inputs: unicode whitespace edges (\xa0
+# survives the Java-\s collapse and Spark TRIM), short docs (< K
+# tokens), empty-after-collapse docs, repeated shingles, plus real
+# fixture docs so token statistics are representative.
+# ---------------------------------------------------------------------------
+def _shingle_test_docs(spark):
+    from tests.conftest import SF_SMOKE
+
+    from kafka_stream_job_spark.tables import load_table
+
+    docs = [
+        (900001, "\xa0 The quick\tbrown fox jumps over the lazy dog \xa0"),
+        (900002, "one two"),
+        (900003, "solo"),
+        (900004, " \t "),
+        (900005, "a b c a b c a b c"),
+        (900006, "x   y z w"),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    real = (
+        load_table(spark, SF_SMOKE, "documents")
+        .select("doc_id", "text")
+        .limit(60)
+    )
+    return df.unionAll(real)
+
+
+def test_minhash_arrow_sigs_match_jvm(spark):
+    from pyspark.sql import functions as F
+
+    from kafka_stream_job_spark.operators.dedup import (
+        MINHASH_A,
+        MINHASH_B,
+        MINHASH_P,
+        NUM_HASHES,
+        _minhash_sig_batches,
+        _shingle_array,
+    )
+
+    df = _shingle_test_docs(spark).where(F.col("text").isNotNull())
+    got = {
+        r["doc_id"]: tuple(r[f"h{s}"] for s in range(NUM_HASHES))
+        for r in df.mapInArrow(
+            _minhash_sig_batches,
+            "doc_id long, " + ", ".join(f"h{s} long" for s in range(NUM_HASHES)),
+        ).collect()
+    }
+    staged = df.select(
+        "doc_id", F.explode(_shingle_array()).alias("shingle")
+    ).select(
+        "doc_id",
+        F.expr("CAST(conv(substring(md5(shingle), 1, 7), 16, 10) AS BIGINT)").alias("h"),
+    )
+    jvm = {
+        r["doc_id"]: tuple(r[f"h{s}"] for s in range(NUM_HASHES))
+        for r in staged.groupBy("doc_id")
+        .agg(
+            *[
+                F.expr(
+                    f"min(({MINHASH_A[s]} * h + {MINHASH_B[s]}) % {MINHASH_P})"
+                ).alias(f"h{s}")
+                for s in range(NUM_HASHES)
+            ]
+        )
+        .collect()
+    }
+    assert got == jvm
+
+
+def test_shingle_rows_arrow_match_jvm(spark):
+    from pyspark.sql import functions as F
+
+    from kafka_stream_job_spark.operators.dedup import (
+        _shingle_array,
+        _shingle_rows_batches,
+    )
+
+    df = _shingle_test_docs(spark)
+    got_rows = df.select("doc_id", "text").mapInArrow(
+        _shingle_rows_batches, "doc_id long, shingle string"
+    ).collect()
+    got = {(r["doc_id"], r["shingle"]) for r in got_rows}
+    assert len(got) == len(got_rows), "Arrow shingle rows must be unique"
+    jvm = {
+        (r["doc_id"], r["shingle"])
+        for r in df.select(
+            "doc_id",
+            F.explode(F.array_distinct(_shingle_array())).alias("shingle"),
+        )
+        .distinct()
+        .collect()
+    }
+    assert got == jvm
+
+
+def test_simhash_arrow_fp_match_jvm(spark):
+    from pyspark.sql import functions as F
+
+    from kafka_stream_job_spark.operators.dedup import (
+        SIMHASH_BITS,
+        _hashed_shingle_expr,
+        _simhash_fp_batches,
+    )
+
+    df = _shingle_test_docs(spark).where(F.col("text").isNotNull())
+    got = {
+        r["doc_id"]: r["fp"]
+        for r in df.select("doc_id", "text")
+        .mapInArrow(_simhash_fp_batches, "doc_id long, fp long")
+        .collect()
+    }
+    staged = df.select(
+        "doc_id", F.explode(F.array_distinct(_hashed_shingle_expr())).alias("h")
+    )
+    votes = staged.groupBy("doc_id").agg(
+        *[
+            F.sum(
+                F.when(F.shiftright(F.col("h"), j) % 2 == 1, F.lit(1)).otherwise(
+                    F.lit(-1)
+                )
+            ).alias(f"v{j}")
+            for j in range(SIMHASH_BITS)
+        ]
+    )
+    fp = None
+    for j in range(SIMHASH_BITS):
+        bit = F.when(F.col(f"v{j}") >= 0, F.lit(1 << j)).otherwise(F.lit(0))
+        fp = bit if fp is None else fp + bit
+    jvm = {
+        r["doc_id"]: r["fp"]
+        for r in votes.select("doc_id", fp.cast("long").alias("fp")).collect()
+    }
+    assert got == jvm
