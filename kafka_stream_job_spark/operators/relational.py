@@ -15102,42 +15102,34 @@ def events_haar_wavelet_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.count(F.lit(1)).cast("long").alias("c"))
     )
-    max_i = hourly.agg(F.max("i").alias("mx"))
-    spine = (
-        max_i.select(
-            F.explode(
-                F.sequence(F.lit(0), (idiv(F.col("mx"), 8) + 1) * 8 - 1)
-            ).alias("i")
-        )
-    )
-    types = hourly.select("event_type").distinct()
-    grid = (
-        types.crossJoin(spine)
-        .join(hourly, ["event_type", "i"], "left")
-        .select(
-            "event_type",
-            "i",
-            F.coalesce(F.col("c"), F.lit(0).cast("long")).alias("c"),
-        )
-    )
-
-    def haar_level(df: DataFrame, col: str) -> DataFrame:
-        even = F.sum(F.when(F.col("i") % 2 == 0, F.col(col)).otherwise(0))
-        odd = F.sum(F.when(F.col("i") % 2 == 1, F.col(col)).otherwise(0))
-        return df.groupBy("event_type", idiv(F.col("i"), 2).alias("i")).agg(
-            (even + odd).cast("long").alias("s"),
-            (even - odd).cast("long").alias("d"),
-        )
-
-    l1 = haar_level(grid, "c")
-    l2 = haar_level(l1, "s")
-    l3 = haar_level(l2, "s")
+    # r13: each level's detail coefficient is a SIGNED SUM over its
+    # group directly — d_k(g) = Σ_{i: i>>k == g} c_i · σ_k(i) with
+    # σ_k(i) = +1 iff bit (k−1) of i is 0 — because chaining through
+    # the s-sums only re-associates the same addition (s of level k−1
+    # covers disjoint index ranges). Zero cells contribute 0 to every
+    # signed sum, so the power-of-8 zero-padded spine/grid was a
+    # mathematical no-op: the former max_i job, the spine explode, the
+    # types distinct, the crossJoin and the left join are all deleted,
+    # and each level aggregates straight off `hourly` instead of
+    # re-planning the previous level's subtree (the LPA lesson —
+    # guide §1.2/§2.4). Groups with missing hours yield the same d as
+    # the padded grid by construction.
     u = None
-    for level, df in ((1, l1), (2, l2), (3, l3)):
-        e = df.groupBy("event_type").agg(
-            F.sum(F.col("d") * F.col("d")).cast("long").alias("energy")
-        ).select(
-            "event_type", F.lit(level).cast("long").alias("level"), "energy"
+    for level in (1, 2, 3):
+        sign = F.when(
+            F.shiftright(F.col("i"), level - 1) % 2 == 0, F.lit(1)
+        ).otherwise(F.lit(-1))
+        d = hourly.groupBy(
+            "event_type", F.shiftright(F.col("i"), level).alias("g")
+        ).agg(F.sum(F.col("c") * sign).cast("long").alias("d"))
+        e = (
+            d.groupBy("event_type")
+            .agg(F.sum(F.col("d") * F.col("d")).cast("long").alias("energy"))
+            .select(
+                "event_type",
+                F.lit(level).cast("long").alias("level"),
+                "energy",
+            )
         )
         u = e if u is None else u.unionByName(e)
     return u

@@ -72,13 +72,13 @@ def test_minhash_lsh_adaptive_plan_reuses_signature_exchange(spark):
 
 
 def test_minhash_shuffle_carries_doc_rows_not_shingle_rows(spark):
-    """Shingle-exploded rows must never cross the network. At smoke scale
-    the under-split rebalance fires as hashpartitioning(doc_id) and the
-    groupBy(doc_id) RIDES it (r12): exactly ONE exchange, keyed on
-    doc_id, below the Generate — what shuffles is raw doc rows. (At
-    100 TB scan widths the rebalance is a no-op and the plan reverts to
-    map-side partial mins + a narrow signature exchange; either way no
-    exchange ever carries the exploded shingle hash column.)"""
+    """Shingle rows must never cross the network. Since r13 the whole
+    signature is computed per document inside ONE Arrow stage
+    (_minhash_sig_batches): shingles never exist as rows at all — no
+    Generate (explode), no aggregation exchange, and the only exchange
+    is the under-split round-robin rebalance moving RAW doc rows below
+    the Python stage. (At 100 TB scan widths the rebalance is a no-op
+    and the signature pass is exchange-free end to end.)"""
     from kafka_stream_job_spark.operators.dedup import minhash_signatures
 
     plan = (
@@ -89,14 +89,20 @@ def test_minhash_shuffle_carries_doc_rows_not_shingle_rows(spark):
     )
     exchanges = [l for l in plan.splitlines() if "Exchange" in l]
     assert len(exchanges) == 1, f"expected ONE exchange, got: {exchanges}"
-    assert "doc_id" in exchanges[0], f"exchange not keyed on doc_id: {exchanges[0]}"
-    # the exploded shingle-hash rows stay inside the post-exchange stage:
-    # the Generate (explode) sits ABOVE the exchange in the plan text
-    gen = plan.find("Generate")
-    assert gen != -1 and gen < plan.find("Exchange"), (
-        "explode ran below the exchange — shingle rows crossed the network"
+    assert "RoundRobinPartitioning" in exchanges[0], (
+        f"rebalance exchange not round-robin: {exchanges[0]}"
     )
-    assert "HashAggregate" in plan, "signature mins must hash-aggregate"
+    assert "Generate" not in plan, (
+        "explode reappeared — shingles must stay inside the Arrow stage"
+    )
+    assert "PythonMapInArrow" in plan or "MapInArrow" in plan, (
+        "signature pass must be the Arrow stage"
+    )
+    # the Arrow stage sits ABOVE the rebalance exchange: what shuffles
+    # is raw doc rows, the finished signatures never re-shuffle
+    assert plan.find("MapInArrow") < plan.find("Exchange"), (
+        "signature stage ran below the exchange — signatures re-shuffled"
+    )
 
 
 def test_simhash_no_cartesian(spark):
@@ -231,6 +237,11 @@ _BOUNDED_GLOBAL_WINDOW_OK = {
     "orders_gmv_weekly_wow",  # lag over the per-WEEK rollup: time-bounded
     "gmv_walk_forward_backtest",  # lag over the per-MONTH rollup: time-bounded
     "tokenizer_unigram_fit",  # rank window over limit(UNI_TOPN=20) head
+    # r13: running count over VALUE-GROUPED rank tables — one row per
+    # distinct doc length (x) resp. per distinct micro-TTR (y, domain
+    # [0, 1e6] by construction): metadata-sized at any corpus size
+    # (the events_quantile_uplift bounded-domain discipline)
+    "spearman_len_vs_ttr",
 }
 
 
