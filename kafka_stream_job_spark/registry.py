@@ -104,39 +104,19 @@ def register(
 # only by accident of insertion order; the earned-round ledger makes it
 # mechanical.
 _DRIVER_EARNED: dict[str, int] = {
-    # last driver-green row earned in round 1 (24 names)
-    "asof_purchase_attribution": 1, "cube_order_status_priority": 1,
-    "customers_without_orders": 1, "datetime_functions_showcase": 1,
-    "decontaminate_train_shingles": 1, "dedup_connected_components": 1,
-    "distinct_parts_per_supplier": 1, "events_hourly_rollup": 1,
-    "grouping_sets_revenue": 1, "multimodal_decode_features": 1,
-    "multimodal_frame_sample": 1, "multimodal_resize": 1,
-    "nations_with_rich_customers": 1, "pandas_acctbal_zscore": 1,
-    "pandas_scalar_log_price": 1, "q5_local_supplier_volume": 1,
-    "quota_sample_per_lang": 1, "rollup_returns": 1,
-    "scalar_functions_showcase": 1, "setops_customer_segments": 1,
-    "small_quantity_revenue": 1, "top_customers_by_revenue": 1,
-    "window_customer_order_rank": 1, "window_event_gaps": 1,
-    # last driver-green row earned in round 2 (39 names)
-    "array_agg_user_profile": 2, "bpe_apply_merges": 2,
-    "bpe_learn_merges": 2, "content_defined_chunks": 2,
-    "contrastive_triplets": 2, "corpus_js_divergence": 2,
-    "corpus_mix_rebalance": 2, "corpus_token_budget_plan": 2,
-    "dedup_span_mask_manifest": 2, "doc_sliding_chunks": 2,
-    "events_json_extract": 2, "events_multi_rollup": 2,
-    "events_user_retention": 2, "multimodal_audio_frame_energy": 2,
-    "multimodal_dedup_content_hash": 2, "multimodal_metadata_scan": 2,
-    "pack_sequences_manifest": 2, "percentile_order_prices": 2,
-    "pivot_user_event_matrix": 2, "q12_priority_by_linestatus": 2,
-    "q14_promo_revenue": 2, "q15_top_supplier": 2,
-    "q18_large_volume_customers": 2, "q19_disjunctive_revenue": 2,
-    "q4_order_priority": 2, "q6_forecast_revenue": 2,
-    "q7_volume_shipping": 2, "range_join_price_bands": 2,
-    "repeated_ngram_spans": 2, "salted_join_supplier_volume": 2,
-    "search_hybrid_rrf": 2, "session_window_rollup": 2,
-    "shard_manifest_balanced": 2, "text_bm25_search": 2,
-    "text_chunk_dedup": 2, "text_zipf_slope": 2, "udtf_word_expand": 2,
-    "unpivot_lineitem_measures": 2, "weighted_sample_docs": 2,
+    # last driver-green row earned in round 2 (24 names)
+    "multimodal_metadata_scan": 2, "pack_sequences_manifest": 2,
+    "percentile_order_prices": 2, "pivot_user_event_matrix": 2,
+    "q12_priority_by_linestatus": 2, "q14_promo_revenue": 2,
+    "q15_top_supplier": 2, "q18_large_volume_customers": 2,
+    "q19_disjunctive_revenue": 2, "q4_order_priority": 2,
+    "q6_forecast_revenue": 2, "q7_volume_shipping": 2,
+    "range_join_price_bands": 2, "repeated_ngram_spans": 2,
+    "salted_join_supplier_volume": 2, "search_hybrid_rrf": 2,
+    "session_window_rollup": 2, "shard_manifest_balanced": 2,
+    "text_bm25_search": 2, "text_chunk_dedup": 2, "text_zipf_slope": 2,
+    "udtf_word_expand": 2, "unpivot_lineitem_measures": 2,
+    "weighted_sample_docs": 2,
     # last driver-green row earned in round 3 (49 names)
     "ann_ndcg_truncation": 3, "array_set_functions_showcase": 3,
     "arrow_map_embedding_norm": 3, "asof_next_touch_latency": 3,
@@ -366,6 +346,32 @@ _DRIVER_EARNED: dict[str, int] = {
     "text_rolling_fingerprint": 11, "text_seqlen_histogram": 11,
     "text_tfidf_top_terms": 11, "text_token_entropy": 11,
     "text_token_stats": 11, "text_top_bigrams": 11,
+    # last driver-green row earned in round 12 (50 names)
+    "array_agg_user_profile": 12, "asof_purchase_attribution": 12,
+    "bpe_apply_merges": 12, "bpe_learn_merges": 12,
+    "bronze_compaction_roundtrip": 12, "checkpoint_retention_audit": 12,
+    "content_defined_chunks": 12, "contrastive_triplets": 12,
+    "corpus_js_divergence": 12, "corpus_mix_rebalance": 12,
+    "corpus_token_budget_plan": 12, "cube_order_status_priority": 12,
+    "customers_without_orders": 12, "datetime_functions_showcase": 12,
+    "decontaminate_train_shingles": 12, "dedup_connected_components": 12,
+    "dedup_lsh_index_maintenance": 12, "dedup_span_mask_manifest": 12,
+    "distinct_parts_per_supplier": 12, "doc_sliding_chunks": 12,
+    "events_hourly_rollup": 12, "events_json_extract": 12,
+    "events_multi_rollup": 12, "events_quantile_uplift": 12,
+    "events_user_retention": 12, "grouping_sets_revenue": 12,
+    "multimodal_ahash_cluster_reps": 12, "multimodal_audio_frame_energy": 12,
+    "multimodal_decode_features": 12, "multimodal_dedup_content_hash": 12,
+    "multimodal_frame_sample": 12, "multimodal_resize": 12,
+    "nations_with_rich_customers": 12, "pandas_acctbal_zscore": 12,
+    "pandas_scalar_log_price": 12, "q5_local_supplier_volume": 12,
+    "quota_sample_per_lang": 12, "rollup_returns": 12,
+    "scalar_functions_showcase": 12, "setops_customer_segments": 12,
+    "small_quantity_revenue": 12, "streaming_ccf_monitor": 12,
+    "streaming_curation_funnel": 12, "streaming_lsh_index_maintenance": 12,
+    "streaming_nbd_monitor": 12, "streaming_ttfp_monitor": 12,
+    "text_curation_funnel": 12, "top_customers_by_revenue": 12,
+    "window_customer_order_rank": 12, "window_event_gaps": 12,
 }
 
 #: Backwards-compatible view: the set of all driver-verified names.

@@ -32,12 +32,19 @@ THRESHOLD = 1.5
 ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
+def _round_of(path: str) -> int | None:
+    """Driver-round number, or None for non-round artifacts (e.g.
+    BENCH_*_rNN_entry.json snapshots) that the trend must skip."""
+    m = re.search(r"_r(\d+)\.json$", path)
+    return int(m.group(1)) if m else None
+
+
 def _load(path: str) -> tuple[int, dict, float]:
     """(round_no, queries, normalization factor)."""
     with open(path) as f:
         doc = json.load(f)
     parsed = doc.get("parsed", doc)  # driver artifacts wrap under 'parsed'
-    rnd = int(re.search(r"_r(\d+)\.json$", path).group(1))
+    rnd = _round_of(path)
     calib = [
         parsed.get("cpu_calib_sec_before"),
         parsed.get("cpu_calib_sec_after"),
@@ -52,8 +59,12 @@ def main() -> int:
     strict = "--strict" in sys.argv
     pattern = "BENCH_r*.json" if "--headline" in sys.argv else "BENCH_EXTENDED_r*.json"
     paths = sorted(
-        glob.glob(os.path.join(ROOT, pattern)),
-        key=lambda p: int(re.search(r"_r(\d+)\.json$", p).group(1)),
+        (
+            p
+            for p in glob.glob(os.path.join(ROOT, pattern))
+            if _round_of(p) is not None
+        ),
+        key=_round_of,
     )
     if len(paths) < 2:
         print(f"need >=2 {pattern} artifacts for a trend; found {len(paths)}")
