@@ -33,7 +33,14 @@ DIM = 64
 
 
 def _dot(a, b):
-    """Sequential-fold dot product in double precision (JVM-side)."""
+    """Sequential-fold dot product in double precision (JVM-side).
+
+    Kept as the aggregate(zip_with(...)) HOF: r13 measured an unrolled
+    64-term codegen variant (same ops, same order, bit-identical) at
+    3-5x SLOWER end to end (bucketed 0.67 -> 3.59 s with a quiet-host
+    control) — the per-element interpreted eval is cheaper than the
+    giant expression trees' compile/optimize cost at DIM=64. Refusal
+    recorded in OPTIMIZATION_r13.md."""
     return F.aggregate(
         F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
         F.lit(0.0),
@@ -181,6 +188,8 @@ def _lsh_sign_sql(j: int) -> str:
     # round any future non-unit plane component into a DIFFERENT double
     # than F.lit(v) produced, desynchronizing the two engines at the
     # sign boundary with no error. Today's components are exactly ±1.0.
+    # (r13: an unrolled 64-term codegen variant measured SLOWER — see
+    # _dot's refusal note.)
     plane = ", ".join(f"{v!r}D" for v in HYPERPLANES[j])
     return (
         "CASE WHEN aggregate(zip_with(embedding, array(" + plane + "), "
@@ -193,6 +202,15 @@ def lsh_buckets(
     spark: SparkSession, sf_dir: str, bits: int = LSH_BITS, rebalance: bool = True
 ) -> DataFrame:
     """(vec_id, bucket) — sign-LSH bucket assignment, all JVM-side.
+
+    Kept as the JVM HOF expression: r13 measured an Arrow-batched
+    Python twin (bit-identical sequential fold, ~50× less per-row CPU)
+    at 0.667 → 1.14 s END TO END at sf0.1 — the two added Python
+    pipelines (corpus + query side) cost more fixed stage overhead
+    than the ~0.14 s of interpreted-fold wall they save at this data
+    size. At real scan widths the per-row CPU would dominate and the
+    tradeoff inverts; the refusal and the measured numbers are in
+    OPTIMIZATION_r13.md.
 
     ``rebalance=False`` is for tiny filtered slices (e.g. the 8-row query
     set): bucketing a handful of rows does not need the under-split-scan
@@ -248,15 +266,20 @@ def _bucket_sql(emb: str, n_bits: int = LSH_BITS) -> str:
 )
 def similarity_lsh_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     buckets = lsh_buckets(spark, sf_dir)
+    # r13: norms hoisted to per-ROW projections (the interpreted _norm
+    # fold otherwise ran twice per candidate PAIR — guide §1.2); same
+    # sequential fold over the same doubles, cos_raw bit-identical.
     a = buckets.select(
-        F.col("vec_id").alias("vec_a"), F.col("embedding").alias("emb_a"), "bucket"
+        F.col("vec_id").alias("vec_a"), F.col("embedding").alias("emb_a"),
+        _norm(F.col("embedding")).alias("norm_a"), "bucket",
     )
     b = buckets.select(
         F.col("vec_id").alias("vec_b"), F.col("embedding").alias("emb_b"),
+        _norm(F.col("embedding")).alias("norm_b"),
         F.col("bucket").alias("bucket_b"),
     )
     cos_raw = _dot(F.col("emb_a"), F.col("emb_b")) / (
-        _norm(F.col("emb_a")) * _norm(F.col("emb_b"))
+        F.col("norm_a") * F.col("norm_b")
     )
     return (
         a.join(b, (F.col("bucket") == F.col("bucket_b")) & (F.col("vec_a") < F.col("vec_b")))
@@ -318,20 +341,27 @@ def similarity_topk_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     buckets = lsh_buckets(spark, sf_dir, bits=PROBE_BITS)
     # the 8-row query side skips the rebalance exchange (its vec_id < 8
     # filter pushes into the scan; repartitioning 8 rows was pure cost)
+    # r13: norms hoisted to per-ROW projections before the join — the
+    # same fix similarity_topk_cosine got in r12 but this op missed:
+    # the interpreted _norm fold ran twice per candidate PAIR (stage
+    # metrics showed ~4.3 s executor CPU in the join stage at sf0.1).
+    # Same sequential fold over the same doubles → cos_raw bit-identical.
     q = lsh_buckets(spark, sf_dir, bits=PROBE_BITS, rebalance=False).filter(
         F.col("vec_id") < N_QUERIES
     ).select(
         F.col("vec_id").alias("query_id"),
         F.col("embedding").alias("q_emb"),
+        _norm(F.col("embedding")).alias("q_norm"),
         F.col("bucket").alias("q_bucket"),
     )
     d = buckets.select(
         F.col("vec_id").alias("neighbor_id"),
         F.col("embedding").alias("d_emb"),
+        _norm(F.col("embedding")).alias("d_norm"),
         "bucket",
     )
     cos_raw = _dot(F.col("q_emb"), F.col("d_emb")) / (
-        _norm(F.col("q_emb")) * _norm(F.col("d_emb"))
+        F.col("q_norm") * F.col("d_norm")
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("cos_raw").desc(), F.col("neighbor_id").asc()
@@ -411,7 +441,7 @@ _DIST_SQL = (
 
 def _l2sq(a, b):
     """Sequential-fold squared L2 distance (JVM-side), the Spark mirror
-    of _DIST_SQL."""
+    of _DIST_SQL. (HOF kept: see _dot's unrolling refusal.)"""
     return F.aggregate(
         F.zip_with(a, b, lambda x, y: (x.cast("double") - y.cast("double"))
                    * (x.cast("double") - y.cast("double"))),
@@ -498,16 +528,21 @@ def similarity_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
             .filter(F.col("rn") <= n)
         )
 
+    # r13: per-row norm hoist (see similarity_lsh_neardup) — the fold
+    # otherwise re-ran per (probe x member) candidate pair
     assign = nearest_cells(emb, 1).select(
-        "vec_id", "embedding", F.col("cent_id").alias("cell")
+        "vec_id", "embedding",
+        _norm(F.col("embedding")).alias("d_norm"),
+        F.col("cent_id").alias("cell"),
     )
     probes = nearest_cells(emb.filter(F.col("vec_id") < N_QUERIES), IVF_NPROBE).select(
         F.col("vec_id").alias("query_id"),
         F.col("embedding").alias("q_emb"),
+        _norm(F.col("embedding")).alias("q_norm"),
         F.col("cent_id").alias("p_cell"),
     )
     cos_raw = _dot(F.col("q_emb"), F.col("embedding")) / (
-        _norm(F.col("q_emb")) * _norm(F.col("embedding"))
+        F.col("q_norm") * F.col("d_norm")
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("cos_raw").desc(), F.col("neighbor_id").asc()
@@ -1375,8 +1410,11 @@ def search_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", F.row_number().over(bm_w).alias("bm_rank"))
     )
     emb = load_table(spark, sf_dir, "embeddings", rebalance=True)
+    # r13: the query norm folds once in the 1-row side instead of once
+    # per corpus row (guide §1.2); bit-identical arithmetic
     qv = emb.filter(F.col("vec_id") == RRF_QUERY_ID).select(
-        F.col("embedding").alias("q_emb")
+        F.col("embedding").alias("q_emb"),
+        _norm(F.col("embedding")).alias("q_norm"),
     )
     cos = (
         emb.filter(F.col("vec_id") != RRF_QUERY_ID)
@@ -1385,7 +1423,7 @@ def search_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("vec_id").alias("doc_id"),
             pround(
                 _dot(F.col("q_emb"), F.col("embedding"))
-                / (_norm(F.col("q_emb")) * _norm(F.col("embedding"))),
+                / (F.col("q_norm") * _norm(F.col("embedding"))),
                 4,
             ).alias("cos_r"),
         )
@@ -1471,12 +1509,17 @@ DECON_TAU = 0.35
 )
 def decontaminate_by_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings", rebalance=True)
+    # r13: per-row norm hoist — each side's fold otherwise re-ran per
+    # (corpus x eval) pair in the cross join (guide §1.2)
     ev = emb.filter(F.col("vec_id") % DECON_EVAL_MOD == 0).select(
-        F.col("vec_id").alias("eval_id"), F.col("embedding").alias("e_emb")
+        F.col("vec_id").alias("eval_id"), F.col("embedding").alias("e_emb"),
+        _norm(F.col("embedding")).alias("e_norm"),
     )
-    co = emb.filter(F.col("vec_id") % DECON_EVAL_MOD != 0)
+    co = emb.filter(F.col("vec_id") % DECON_EVAL_MOD != 0).withColumn(
+        "c_norm", _norm(F.col("embedding"))
+    )
     cos = _dot(F.col("embedding"), F.col("e_emb")) / (
-        _norm(F.col("embedding")) * _norm(F.col("e_emb"))
+        F.col("c_norm") * F.col("e_norm")
     )
     best = (
         co.crossJoin(F.broadcast(ev))
@@ -2300,15 +2343,18 @@ def similarity_topk_binary_rerank(spark: SparkSession, sf_dir: str) -> DataFrame
         "embedding",
         lambda x: F.when(x.cast("double") >= 0, 1).otherwise(0),
     )
+    # r13: per-row norm hoist (see similarity_lsh_neardup)
     sig = emb.select("vec_id", "embedding", bits.alias("bits"))
     q = sig.filter(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("query_id"),
         F.col("embedding").alias("q_emb"),
+        _norm(F.col("embedding")).alias("q_norm"),
         F.col("bits").alias("q_bits"),
     )
     d = sig.select(
         F.col("vec_id").alias("neighbor_id"),
         F.col("embedding").alias("d_emb"),
+        _norm(F.col("embedding")).alias("d_norm"),
         F.col("bits").alias("d_bits"),
     )
     hamming = F.size(
@@ -2317,7 +2363,7 @@ def similarity_topk_binary_rerank(spark: SparkSession, sf_dir: str) -> DataFrame
         )
     ).cast("long")
     cos_raw = _dot(F.col("q_emb"), F.col("d_emb")) / (
-        _norm(F.col("q_emb")) * _norm(F.col("d_emb"))
+        F.col("q_norm") * F.col("d_norm")
     )
     scored = d.join(
         F.broadcast(q), F.col("neighbor_id") != F.col("query_id")
@@ -2472,8 +2518,18 @@ def semantic_dedup_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = load_table(spark, sf_dir, "embeddings", rebalance=True)
     cents = _semdedup_centroids(emb)
+    # r13: per-row norm hoist — each vector's norm folds once (carried
+    # through `members` into BOTH pair-join sides), each centroid's
+    # once, instead of per (vector x centroid) and per member pair
+    # (guide §1.2); bit-identical arithmetic.
+    embn = emb.select(
+        "vec_id", "embedding", _norm(F.col("embedding")).alias("enorm")
+    )
+    centsn = cents.select(
+        "cid", "cemb", _norm(F.col("cemb")).alias("cnorm")
+    )
     cosc = _dot(F.col("embedding"), F.col("cemb")) / (
-        _norm(F.col("embedding")) * _norm(F.col("cemb"))
+        F.col("enorm") * F.col("cnorm")
     )
     w = Window.partitionBy("vec_id").orderBy(
         F.col("cosc").desc(), F.col("cid").asc()
@@ -2485,8 +2541,8 @@ def semantic_dedup_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("cosc").desc(), F.col("vec_id").asc()
     )
     members = (
-        emb.crossJoin(F.broadcast(cents))
-        .select("vec_id", "embedding", "cid", cosc.alias("cosc"))
+        embn.crossJoin(F.broadcast(centsn))
+        .select("vec_id", "embedding", "enorm", "cid", cosc.alias("cosc"))
         .withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") == 1)
         .drop("rn")
@@ -2498,11 +2554,12 @@ def semantic_dedup_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     b = members.filter(F.col("rnc") <= SEMDEDUP_MAX_CMP).select(
         F.col("vec_id").alias("b_vec_id"),
         F.col("embedding").alias("b_embedding"),
+        F.col("enorm").alias("b_enorm"),
         F.col("cid").alias("b_cid"),
         F.col("rnc").alias("b_rnc"),
     )
     sim_ab = _dot(F.col("a.embedding"), F.col("b_embedding")) / (
-        _norm(F.col("a.embedding")) * _norm(F.col("b_embedding"))
+        F.col("a.enorm") * F.col("b_enorm")
     )
     return (
         a.join(
@@ -2578,16 +2635,19 @@ def embedding_mutual_nn_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
     buckets = lsh_buckets(spark, sf_dir, bits=PROBE_BITS)
+    # r13: per-row norm hoist (see similarity_lsh_neardup)
     q = buckets.select(
-        F.col("vec_id").alias("src"), F.col("embedding").alias("emb_q"), "bucket"
+        F.col("vec_id").alias("src"), F.col("embedding").alias("emb_q"),
+        _norm(F.col("embedding")).alias("norm_q"), "bucket",
     )
     d = buckets.select(
         F.col("vec_id").alias("dst"),
         F.col("embedding").alias("emb_d"),
+        _norm(F.col("embedding")).alias("norm_d"),
         F.col("bucket").alias("bucket_d"),
     )
     cos_raw = _dot(F.col("emb_q"), F.col("emb_d")) / (
-        _norm(F.col("emb_q")) * _norm(F.col("emb_d"))
+        F.col("norm_q") * F.col("norm_d")
     )
     w = Window.partitionBy("src").orderBy(
         F.col("cos_raw").desc(), F.col("dst").asc()
@@ -2676,14 +2736,20 @@ def embedding_cluster_label_purity(spark: SparkSession, sf_dir: str) -> DataFram
 
     emb = load_table(spark, sf_dir, "embeddings", rebalance=True)
     cents = _semdedup_centroids(emb)
+    # r13: per-row norm hoist (see semantic_dedup_semdedup)
+    embn = emb.select(
+        "vec_id", "label", "embedding",
+        _norm(F.col("embedding")).alias("enorm"),
+    )
+    centsn = cents.select("cid", "cemb", _norm(F.col("cemb")).alias("cnorm"))
     cosc = _dot(F.col("embedding"), F.col("cemb")) / (
-        _norm(F.col("embedding")) * _norm(F.col("cemb"))
+        F.col("enorm") * F.col("cnorm")
     )
     w = Window.partitionBy("vec_id").orderBy(
         F.col("cosc").desc(), F.col("cid").asc()
     )
     members = (
-        emb.crossJoin(F.broadcast(cents))
+        embn.crossJoin(F.broadcast(centsn))
         .select("vec_id", "label", "cid", cosc.alias("cosc"))
         .withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") == 1)
@@ -3579,17 +3645,21 @@ def _nprobe_sweep_parts(spark: SparkSession, sf_dir: str) -> dict:
             .filter(F.col("rn") <= n)
         )
 
+    # r13: per-row norm hoist (see similarity_lsh_neardup)
     assign = nearest(emb, 1).select(
-        "vec_id", "embedding", F.col("cent_id").alias("cell")
+        "vec_id", "embedding",
+        _norm(F.col("embedding")).alias("d_norm"),
+        F.col("cent_id").alias("cell"),
     )
     probes = nearest(emb.filter(F.col("vec_id") < N_QUERIES), max(NPROBE_GRID)).select(
         F.col("vec_id").alias("query_id"),
         F.col("embedding").alias("q_emb"),
+        _norm(F.col("embedding")).alias("q_norm"),
         F.col("cent_id").alias("p_cell"),
         F.col("rn").alias("p_rn"),
     )
     cos_raw = _dot(F.col("q_emb"), F.col("embedding")) / (
-        _norm(F.col("q_emb")) * _norm(F.col("embedding"))
+        F.col("q_norm") * F.col("d_norm")
     )
     cand = assign.join(
         F.broadcast(probes),
@@ -4137,13 +4207,17 @@ def ann_method_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def embedding_isotropy_proxy(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings", rebalance=True)
-    a = emb.select(F.col("vec_id").alias("ia"), F.col("embedding").alias("ea"))
+    # r13: per-row norm hoist — each vector's norm folds once per SIDE
+    # instead of inside every joined pair expression (guide §1.2)
+    a = emb.select(
+        F.col("vec_id").alias("ia"), F.col("embedding").alias("ea"),
+        _norm(F.col("embedding")).alias("na"),
+    )
     b = emb.select(
-        (F.col("vec_id") - 1).alias("ia"), F.col("embedding").alias("eb")
+        (F.col("vec_id") - 1).alias("ia"), F.col("embedding").alias("eb"),
+        _norm(F.col("embedding")).alias("nb"),
     )
-    cos = _dot(F.col("ea"), F.col("eb")) / (
-        _norm(F.col("ea")) * _norm(F.col("eb"))
-    )
+    cos = _dot(F.col("ea"), F.col("eb")) / (F.col("na") * F.col("nb"))
     pairs = a.join(b, "ia").select(
         F.round(cos * 1000000.0, 0).cast("long").alias("cos_micro")
     )
